@@ -1,0 +1,46 @@
+package graft
+
+import graft.cypher._
+
+/**
+ * Property-graph schema over the driver's TPC-H-ish parquet tables
+ * (/root/repo/FIXTURES.md §2). Node tables are used as-is; edge entities
+ * are views over the same tables — the reference's pattern, where an
+ * edge is any table exposing a source-id and a sink-id column
+ * (reference: EdgeSchema.cs:9-43).
+ */
+object TpchGraph {
+  val schema: GraphSchema = GraphSchema(
+    nodes = Seq(
+      NodeDef("Region", "r_regionkey", Seq("r_name"), "region"),
+      NodeDef("Nation", "n_nationkey", Seq("n_name"), "nation"),
+      NodeDef("Customer", "c_custkey",
+        Seq("c_name", "c_acctbal", "c_mktsegment"), "customer"),
+      NodeDef("Supplier", "s_suppkey", Seq("s_name", "s_acctbal"), "supplier"),
+      NodeDef("Part", "p_partkey",
+        Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part"),
+      NodeDef("Order", "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
+        "orders")),
+    edges = Seq(
+      EdgeDef("IN_REGION", "Nation", "Region",
+        "n_nationkey", "n_regionkey", Seq.empty, "nation"),
+      EdgeDef("FROM_NATION", "Customer", "Nation",
+        "c_custkey", "c_nationkey", Seq.empty, "customer"),
+      EdgeDef("LOCATED_IN", "Supplier", "Nation",
+        "s_suppkey", "s_nationkey", Seq.empty, "supplier"),
+      EdgeDef("PLACED", "Customer", "Order",
+        "o_custkey", "o_orderkey", Seq("o_orderdate"), "orders"),
+      EdgeDef("CONTAINS", "Order", "Part",
+        "l_orderkey", "l_partkey",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate", "l_linenumber",
+          "l_suppkey"),
+        "lineitem"),
+      EdgeDef("SUPPLIED_BY", "Order", "Supplier",
+        "l_orderkey", "l_suppkey",
+        Seq("l_quantity", "l_extendedprice"), "lineitem")))
+
+  def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession =
+    CypherSession(spark, schema, dir)
+}

@@ -1,0 +1,214 @@
+package graft.cypher
+
+import ast._
+
+/**
+ * Binds pattern aliases to graph-schema entities: label inference for
+ * unlabeled nodes, edge resolution by (fromLabel, verb, toLabel) triple,
+ * direction validation, and the rejection checks the reference applies
+ * at plan time (reference: CypherVisitor.cs:644-788 alias/label
+ * propagation; LogicalPlan.cs:596-667 edge direction + rel-var reuse;
+ * LogicalPlan.cs:603-612 undirected self-type rejection).
+ */
+object Analyzer {
+
+  /** What an in-scope alias is bound to during compilation. */
+  sealed trait Binding
+  final case class NodeBinding(node: NodeDef) extends Binding
+  final case class EdgeBinding(edge: EdgeDef) extends Binding
+  /** A plain value column (projected by a WITH). */
+  case object ValueBinding extends Binding
+
+  /** A relationship resolved against the schema; srcNode/snkNode are the
+   *  node aliases on the edge's *schema* source/sink ends (pattern
+   *  direction already normalized away). */
+  final case class ResolvedRel(alias: String, edge: EdgeDef,
+                               srcNode: String, snkNode: String)
+
+  final case class ResolvedMatch(
+      nodeLabels: Map[String, String],   // every node alias in this clause
+      nodeOrder: Seq[String],            // pattern order, deduped
+      rels: Seq[ResolvedRel],
+      optional: Boolean,
+      where: Option[Expr],
+      /** rel-alias pairs of the same edge type in this clause — Cypher
+       *  relationship-uniqueness (reference: LogicalPlan.cs:969-1017). */
+      inequalityPairs: Seq[(ResolvedRel, ResolvedRel)])
+
+  private final class AliasGen {
+    private var n = 0
+    def next(): String = { val a = s"__unnamed_$n"; n += 1; a }
+  }
+
+  /** Resolve all MATCH clauses of one query part against the schema,
+   *  given the aliases inherited from the previous part. */
+  def resolvePart(
+      schema: GraphSchema,
+      inherited: Map[String, Binding],
+      matches: Seq[MatchClause]): Seq[ResolvedMatch] = {
+    val gen = new AliasGen
+
+    // name anonymous entities; reject reserved prefix on user aliases
+    // (reference: MatchClause.cs:53-73)
+    final case class NamedPart(nodes: Seq[NodePat], rels: Seq[RelPat])
+    final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
+    val named = matches.map { m =>
+      NamedMatch(m.parts.map { pp =>
+        NamedPart(
+          pp.nodes.map { np =>
+            np.alias.foreach { a =>
+              if (a.startsWith("__unnamed"))
+                throw new CypherNotSupportedException(
+                  s"alias '$a' collides with the generated-alias prefix")
+            }
+            np.copy(alias = Some(np.alias.getOrElse(gen.next())))
+          },
+          pp.rels.map(rp => rp.copy(alias = Some(rp.alias.getOrElse(gen.next())))))
+      }, m)
+    }
+
+    // ----- label inference fixpoint over the whole part ----------------
+    val labels = scala.collection.mutable.Map[String, String]()
+    inherited.foreach {
+      case (a, NodeBinding(nd)) => labels(a) = nd.label
+      case _ =>
+    }
+    def assign(alias: String, label: String): Boolean = labels.get(alias) match {
+      case Some(l) if l == label => false
+      case Some(l) =>
+        throw new CypherBindingException(
+          s"alias '$alias' bound to two labels: $l and $label")
+      case None => labels(alias) = label; true
+    }
+
+    // explicit labels
+    named.foreach(_.parts.foreach(_.nodes.foreach { np =>
+      np.label.foreach(l => { schema.node(l); assign(np.alias.get, l) })
+    }))
+
+    // traversal triples (leftAlias, rel, rightAlias)
+    val traversals: Seq[(String, RelPat, String)] = named.flatMap(_.parts.flatMap {
+      pp => pp.rels.indices.map { i =>
+        (pp.nodes(i).alias.get, pp.rels(i), pp.nodes(i + 1).alias.get)
+      }
+    })
+
+    var changed = true
+    while (changed) {
+      changed = false
+      traversals.foreach { case (la, rp, ra) =>
+        val cands = candidateEdges(schema, rp, labels.get(la), labels.get(ra))
+        if (cands.nonEmpty) {
+          // (edge, leftIsSource); infer endpoint labels all candidates agree on
+          val leftLabels = cands.map { case (e, lSrc) =>
+            if (lSrc) e.fromLabel else e.toLabel }.distinct
+          val rightLabels = cands.map { case (e, lSrc) =>
+            if (lSrc) e.toLabel else e.fromLabel }.distinct
+          if (!labels.contains(la) && leftLabels.size == 1)
+            changed |= assign(la, leftLabels.head)
+          if (!labels.contains(ra) && rightLabels.size == 1)
+            changed |= assign(ra, rightLabels.head)
+        }
+      }
+    }
+
+    named.foreach(_.parts.foreach(_.nodes.foreach { np =>
+      val a = np.alias.get
+      if (!labels.contains(a))
+        throw new CypherBindingException(
+          s"cannot infer a label for node '$a' — annotate it, e.g. ($a:Label)")
+    }))
+
+    // ----- per-clause resolution ---------------------------------------
+    named.map { nm =>
+      val relSeen = scala.collection.mutable.Set[String]()
+      val rels = Vector.newBuilder[ResolvedRel]
+      val nodeOrder = Vector.newBuilder[String]
+      val nodeLabels = scala.collection.mutable.Map[String, String]()
+
+      nm.parts.foreach { pp =>
+        pp.nodes.foreach { np =>
+          val a = np.alias.get
+          nodeOrder += a
+          nodeLabels(a) = labels(a)
+          inherited.get(a) match {
+            case Some(ValueBinding) | Some(EdgeBinding(_)) =>
+              throw new CypherBindingException(
+                s"alias '$a' is not a node variable")
+            case _ =>
+          }
+        }
+        pp.rels.indices.foreach { i =>
+          val rp = pp.rels(i)
+          val la = pp.nodes(i).alias.get
+          val ra = pp.nodes(i + 1).alias.get
+          val a = rp.alias.get
+          if (!relSeen.add(a))
+            throw new CypherNotSupportedException(
+              s"relationship variable '$a' reused across patterns in one MATCH")
+          if (inherited.contains(a))
+            throw new CypherBindingException(
+              s"relationship alias '$a' already bound in an earlier part")
+          rels += resolveRel(schema, rp, la, ra, labels(la), labels(ra))
+        }
+      }
+      val rs = rels.result()
+      val pairs = for {
+        i <- rs.indices; j <- (i + 1) until rs.size
+        if rs(i).edge.key == rs(j).edge.key
+      } yield (rs(i), rs(j))
+
+      ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
+        nm.m.optional, nm.m.where, pairs)
+    }
+  }
+
+  /** Candidate (edge, leftIsSource) pairs consistent with the pattern
+   *  direction and whatever endpoint labels are already known. */
+  private def candidateEdges(
+      schema: GraphSchema, rp: RelPat,
+      leftLabel: Option[String], rightLabel: Option[String])
+      : Seq[(EdgeDef, Boolean)] = {
+    val byVerb = rp.verb match {
+      case Some(v) => schema.edgesByVerb(v)
+      case None    => schema.edges
+    }
+    def ok(e: EdgeDef, leftIsSource: Boolean): Boolean = {
+      val (ll, rl) = if (leftIsSource) (e.fromLabel, e.toLabel)
+                     else (e.toLabel, e.fromLabel)
+      leftLabel.forall(_ == ll) && rightLabel.forall(_ == rl)
+    }
+    rp.dir match {
+      case Direction.Out  => byVerb.filter(ok(_, leftIsSource = true)).map((_, true))
+      case Direction.In   => byVerb.filter(ok(_, leftIsSource = false)).map((_, false))
+      case Direction.Both =>
+        byVerb.flatMap { e =>
+          val out = if (ok(e, leftIsSource = true)) Seq((e, true)) else Nil
+          val in  = if (ok(e, leftIsSource = false)) Seq((e, false)) else Nil
+          out ++ in
+        }
+    }
+  }
+
+  private def resolveRel(
+      schema: GraphSchema, rp: RelPat, la: String, ra: String,
+      ll: String, rl: String): ResolvedRel = {
+    val cands = candidateEdges(schema, rp, Some(ll), Some(rl))
+    if (cands.isEmpty)
+      throw new CypherBindingException(
+        s"no edge ${rp.verb.getOrElse("(any)")} between $ll and $rl " +
+        "matches the pattern direction")
+    // undirected with identical src/sink labels matches both ways —
+    // rejected like the reference (LogicalPlan.cs:603-612)
+    if (rp.dir == Direction.Both && cands.size == 2 &&
+        cands.map(_._1.key).distinct.size == 1)
+      throw new CypherNotSupportedException(
+        s"undirected relationship between two '$ll' nodes is ambiguous")
+    if (cands.map(_._1.key).distinct.size > 1)
+      throw new CypherBindingException(
+        s"ambiguous relationship ${rp.verb.getOrElse("(any)")} between $ll and $rl")
+    val (edge, leftIsSource) = cands.head
+    if (leftIsSource) ResolvedRel(rp.alias.get, edge, la, ra)
+    else ResolvedRel(rp.alias.get, edge, ra, la)
+  }
+}

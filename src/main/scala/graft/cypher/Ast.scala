@@ -1,0 +1,103 @@
+package graft.cypher
+
+/**
+ * AST for the openCypher subset the reference accepts.
+ *
+ * Shape-equivalent to the reference's AST (reference:
+ * src/openCypherParser/AST — QueryNode/PartialQueryNode/SingleQueryNode,
+ * QueryExpression*), reduced to immutable Scala case classes. Constructs
+ * the reference rejects (SURVEY.md §2.6) are rejected in our parser or
+ * analyzer rather than modeled here.
+ */
+object ast {
+
+  // ----- expressions --------------------------------------------------
+
+  sealed trait Expr
+
+  /** Literal value. `value` is null for the NULL literal. */
+  final case class Lit(value: Any) extends Expr
+
+  /** `alias` or `alias.prop`; prop=None means a bare entity/value ref. */
+  final case class Ref(alias: String, prop: Option[String]) extends Expr
+
+  sealed trait BinOp
+  object BinOp {
+    case object Add extends BinOp;  case object Sub extends BinOp
+    case object Mul extends BinOp;  case object Div extends BinOp
+    case object Mod extends BinOp;  case object Pow extends BinOp
+    case object And extends BinOp;  case object Or  extends BinOp
+    case object Xor extends BinOp
+    case object Lt  extends BinOp;  case object Le  extends BinOp
+    case object Gt  extends BinOp;  case object Ge  extends BinOp
+    case object Eq  extends BinOp;  case object Neq extends BinOp
+    case object In  extends BinOp;  case object Regex extends BinOp
+  }
+  final case class Bin(op: BinOp, l: Expr, r: Expr) extends Expr
+
+  final case class Not(e: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr        // unary minus
+  final case class IsNull(e: Expr, not: Boolean) extends Expr
+  final case class ListLit(items: Seq[Expr]) extends Expr
+
+  /** Scalar function call (registry mirrors reference
+   *  src/openCypherParser/Common/Function.cs:13-46). */
+  final case class Func(name: String, args: Seq[Expr]) extends Expr
+
+  /** Aggregation function (reference:
+   *  src/openCypherParser/Common/AggregationFunction.cs:11-85).
+   *  `percentile` is set only for percentileCont/percentileDisc — the
+   *  reference parses these but throws at render (SQLRenderer.cs:659-664);
+   *  we implement them. */
+  final case class Agg(name: String, distinct: Boolean, arg: Option[Expr],
+                       percentile: Option[Double] = None) extends Expr
+
+  /** Searched CASE only; `CASE <expr> WHEN` is rejected at parse time
+   *  (reference: CypherVisitor.cs:1776-1781). */
+  final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr])
+    extends Expr
+
+  // ----- patterns -----------------------------------------------------
+
+  sealed trait Direction
+  object Direction {
+    case object Out  extends Direction   // (a)-[r]->(b)
+    case object In   extends Direction   // (a)<-[r]-(b)
+    case object Both extends Direction   // (a)-[r]-(b)
+  }
+
+  final case class NodePat(alias: Option[String], label: Option[String])
+  final case class RelPat(alias: Option[String], verb: Option[String],
+                          dir: Direction)
+  /** Linear pattern: nodes.size == rels.size + 1. */
+  final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat])
+
+  final case class MatchClause(
+      parts: Seq[PatternPart],
+      optional: Boolean,
+      where: Option[Expr])
+
+  // ----- query structure ----------------------------------------------
+
+  final case class RetItem(expr: Expr, alias: Option[String])
+  final case class SortItem(expr: Expr, desc: Boolean)
+
+  /** WITH ... [ORDER BY ... LIMIT ...] [WHERE ...] or terminal RETURN. */
+  final case class Projection(
+      items: Seq[RetItem],
+      distinct: Boolean,
+      orderBy: Seq[SortItem],
+      limit: Option[Long],
+      where: Option[Expr])   // post-WITH WHERE; never set on RETURN
+
+  /** One query part: MATCH clauses followed by a WITH (or the terminal
+   *  RETURN for the last part). Mirrors reference PartialQueryNode. */
+  final case class QueryPart(matches: Seq[MatchClause], proj: Projection)
+
+  sealed trait Query
+  final case class SingleQuery(parts: Seq[QueryPart]) extends Query
+  /** UNION / UNION ALL — implemented correctly end-to-end (the
+   *  reference's visitor drops it, SURVEY.md §2.1). */
+  final case class UnionQuery(left: Query, right: Query, all: Boolean)
+    extends Query
+}

@@ -1,0 +1,361 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import ast._
+import Analyzer._
+
+/**
+ * Lowers a resolved query to DataFrame operations. This replaces the
+ * reference's SQLRenderer (reference: src/SQLRenderer/SQLRenderer.cs) —
+ * instead of emitting nested T-SQL text we declare the logical plan with
+ * the DataFrame API and let Catalyst do predicate pushdown, column
+ * pruning, join strategy selection and codegen (the reference offloads
+ * all of that to the target RDBMS, README.md:63).
+ *
+ * Entity columns are flattened with the reference's own naming scheme
+ * `__{alias}_{property}` (reference: SQLRenderer.cs:284-288), so an
+ * entity variable is a column-name namespace over the joined DataFrame.
+ */
+object Compiler {
+
+  final case class Ctx(df: DataFrame, scope: Map[String, Binding])
+
+  // ----- entity column helpers -----------------------------------------
+
+  def entityCols(b: Binding): Seq[String] = b match {
+    case NodeBinding(n) => (n.idColumn +: n.properties).distinct
+    case EdgeBinding(e) =>
+      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
+    case ValueBinding => Seq.empty
+  }
+
+  def pref(alias: String, c: String): String = s"__${alias}_$c"
+
+  def nodeKey(alias: String, n: NodeDef): Column = col(pref(alias, n.idColumn))
+  def edgeSrc(alias: String, e: EdgeDef): Column = col(pref(alias, e.srcIdColumn))
+  def edgeSnk(alias: String, e: EdgeDef): Column = col(pref(alias, e.sinkIdColumn))
+
+  /** Leaf scan — one node/edge entity, columns renamed into the alias
+   *  namespace (reference: DataSourceOperator.cs:19-122). Catalyst prunes
+   *  the scan down to the referenced columns. */
+  private def scan(catalog: GraphCatalog, alias: String, b: Binding): DataFrame = {
+    val base = b match {
+      case NodeBinding(n) => catalog.nodeDf(n.label)
+      case EdgeBinding(e) => catalog.edgeDf(e)
+      case ValueBinding => throw new IllegalStateException("scan of value")
+    }
+    base.select(entityCols(b).map(c => col(c).as(pref(alias, c))): _*)
+  }
+
+  // ----- MATCH → joins --------------------------------------------------
+
+  /** One join condition between a node alias and a rel alias; applied when
+   *  both entities are present in the joined set. */
+  private final case class JoinCond(a: String, b: String, cond: Column) {
+    var applied = false
+  }
+
+  private def relConds(r: ResolvedRel, labels: Map[String, String],
+                       schema: GraphSchema): Seq[JoinCond] = {
+    val srcNode = schema.node(labels(r.srcNode))
+    val snkNode = schema.node(labels(r.snkNode))
+    Seq(
+      JoinCond(r.alias, r.srcNode,
+        nodeKey(r.srcNode, srcNode) === edgeSrc(r.alias, r.edge)),
+      JoinCond(r.alias, r.snkNode,
+        nodeKey(r.snkNode, snkNode) === edgeSnk(r.alias, r.edge)))
+  }
+
+  /** Greedy connected-join emission: join each new entity on all
+   *  conditions linking it to already-placed entities; disconnected
+   *  components fall back to cross joins. Semantics mirror the
+   *  reference's Inner→Left→Cross three-pass emission over its
+   *  transitive-closure matrix (reference: LogicalPlan.cs:880-967) —
+   *  one join per connected pair, cross joins only between disjoint
+   *  components. Catalyst picks broadcast vs sort-merge physically. */
+  private def joinEntities(
+      start: Option[DataFrame],
+      placedAliases: Set[String],
+      order: Seq[(String, Binding)],
+      conds: Seq[JoinCond],
+      catalog: GraphCatalog): DataFrame = {
+    var df = start.orNull
+    val placed = scala.collection.mutable.Set[String](placedAliases.toSeq: _*)
+    val pending = scala.collection.mutable.LinkedHashMap[String, Binding](order: _*)
+
+    def condsFor(a: String): Seq[JoinCond] =
+      conds.filter(c => !c.applied &&
+        ((c.a == a && placed(c.b)) || (c.b == a && placed(c.a))))
+
+    while (pending.nonEmpty) {
+      val next = pending.keys.find(a => condsFor(a).nonEmpty)
+        .getOrElse(pending.keys.head)
+      val b = pending.remove(next).get
+      val rhs = scan(catalog, next, b)
+      if (df == null) df = rhs
+      else {
+        val cs = condsFor(next)
+        if (cs.isEmpty) df = df.crossJoin(rhs)
+        else {
+          cs.foreach(_.applied = true)
+          df = df.join(rhs, cs.map(_.cond).reduce(_ && _), "inner")
+        }
+      }
+      placed += next
+      // conditions whose endpoints are now both placed but were skipped
+      // (can't happen for node-rel conds, but keep the invariant tight)
+      conds.filter(c => !c.applied && placed(c.a) && placed(c.b))
+        .foreach { c => df = df.filter(c.cond); c.applied = true }
+    }
+    df
+  }
+
+  /** Cypher relationship-uniqueness: two same-typed relationship
+   *  variables in one MATCH may not bind the same edge row
+   *  (reference: LogicalPlan.cs:969-1017, SelectionOperator.cs:88-139). */
+  private def inequalityCond(p: (ResolvedRel, ResolvedRel)): Column = {
+    val (r1, r2) = p
+    (edgeSrc(r1.alias, r1.edge) =!= edgeSrc(r2.alias, r2.edge)) ||
+      (edgeSnk(r1.alias, r1.edge) =!= edgeSnk(r2.alias, r2.edge))
+  }
+
+  def compileMatches(
+      start: Option[Ctx],
+      resolved: Seq[ResolvedMatch],
+      catalog: GraphCatalog): Ctx = {
+    val schema = catalog.graph
+    var df: DataFrame = start.map(_.df).orNull
+    var scope: Map[String, Binding] = start.map(_.scope).getOrElse(Map.empty)
+
+    resolved.foreach { m =>
+      val newNodes: Seq[(String, Binding)] = m.nodeOrder
+        .filterNot(scope.contains)
+        .map(a => a -> NodeBinding(schema.node(m.nodeLabels(a))))
+      val newRels: Seq[(String, Binding)] =
+        m.rels.map(r => r.alias -> EdgeBinding(r.edge))
+      val newEntities = newNodes ++ newRels
+      val conds = m.rels.flatMap(relConds(_, m.nodeLabels, schema))
+
+      if (!m.optional) {
+        df = joinEntities(Option(df), scope.keySet, orderByPattern(m, newEntities),
+          conds, catalog)
+        scope = scope ++ newEntities
+        m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
+        m.where.foreach { w =>
+          df = df.filter(new ExprCompiler(scope, df).compile(w))
+        }
+      } else {
+        // OPTIONAL MATCH: build the optional side from the clause's new
+        // entities, then LEFT join back with (shared-key conds AND the
+        // clause WHERE) as the join condition — the WHERE filters the
+        // optional side *before* the left join, which is exactly Cypher's
+        // semantics and the reference's plan fork
+        // (reference: LogicalPlan.cs:370-408).
+        val newSet = newEntities.map(_._1).toSet
+        val (innerConds, boundary) =
+          conds.partition(c => newSet(c.a) && newSet(c.b))
+        val optDf = joinEntities(None, Set.empty,
+          orderByPattern(m, newEntities), innerConds, catalog)
+        val optFiltered = m.inequalityPairs
+          .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
+          .foldLeft(optDf)((d, p) => d.filter(inequalityCond(p)))
+        val combinedScope = scope ++ newEntities
+        if (df == null)
+          throw new CypherNotSupportedException(
+            "first clause cannot be OPTIONAL MATCH")
+        val probe = df.crossJoin(optFiltered)
+        val whereCond = m.where.map(
+          new ExprCompiler(combinedScope, probe).compile(_))
+        val onCond = (boundary.map(_.cond) ++ whereCond)
+          .reduceOption(_ && _).getOrElse(lit(true))
+        df = df.join(optFiltered, onCond, "left")
+        scope = combinedScope
+      }
+    }
+    Ctx(df, scope)
+  }
+
+  /** New entities in pattern order: nodes and rels interleaved as they
+   *  appear, so the greedy join walks each chain linearly. */
+  private def orderByPattern(m: ResolvedMatch,
+      newEntities: Seq[(String, Binding)]): Seq[(String, Binding)] = {
+    val byAlias = newEntities.toMap
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    m.nodeOrder.foreach(seen += _)
+    // interleave: after each rel's src node, place the rel itself
+    val order = scala.collection.mutable.LinkedHashSet[String]()
+    m.nodeOrder.foreach { n =>
+      order += n
+      m.rels.filter(r => r.srcNode == n || r.snkNode == n)
+        .foreach(r => order += r.alias)
+    }
+    m.rels.foreach(r => order += r.alias)
+    order.toSeq.filter(byAlias.contains).map(a => a -> byAlias(a))
+  }
+
+  // ----- projection / WITH / RETURN -------------------------------------
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case _: Agg => true
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case Neg(x) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case Func(_, args) => args.exists(containsAgg)
+    case CaseExpr(ws, o) =>
+      ws.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
+        o.exists(containsAgg)
+    case ListLit(items) => items.exists(containsAgg)
+    case _ => false
+  }
+
+  private def outName(it: RetItem): String = it.alias.getOrElse(it.expr match {
+    case Ref(a, None) => a
+    case Ref(_, Some(p)) => p
+    case _ => throw new CypherSyntaxException(
+      "computed projection item requires an AS alias")
+  })
+
+  /** Compile one WITH/RETURN projection. Aggregation is implicit grouping
+   *  by all non-aggregate output items, including every column of a
+   *  projected entity (the entity id functionally determines them; the
+   *  reference groups by the surrogate keys — SQLRenderer.cs:956-965). */
+  def compileProjection(ctx: Ctx, proj: Projection, isReturn: Boolean): Ctx = {
+    val items = proj.items
+    val names = items.map(outName)
+
+    sealed trait ItemKind
+    final case class EntityItem(srcAlias: String, b: Binding) extends ItemKind
+    final case class ValueItem(expr: Expr, agg: Boolean) extends ItemKind
+
+    val kinds: Seq[ItemKind] = items.map { it =>
+      it.expr match {
+        case Ref(a, None) => ctx.scope.get(a) match {
+          case Some(b @ (NodeBinding(_) | EdgeBinding(_))) =>
+            if (isReturn) throw new CypherNotSupportedException(
+              "returning a whole node/relationship — project its properties")
+            EntityItem(a, b)
+          case Some(ValueBinding) => ValueItem(it.expr, agg = false)
+          case None => throw new CypherBindingException(s"unknown variable '$a'")
+        }
+        case e => ValueItem(e, containsAgg(e))
+      }
+    }
+    val hasAgg = kinds.exists { case ValueItem(_, true) => true; case _ => false }
+
+    val ec = new ExprCompiler(ctx.scope, ctx.df)
+
+    def newScope: Map[String, Binding] =
+      kinds.zip(names).map {
+        case (EntityItem(_, b), n) => n -> b
+        case (_: ValueItem, n)     => n -> ValueBinding
+      }.toMap
+
+    def entitySelect(srcAlias: String, outAlias: String, b: Binding): Seq[Column] =
+      entityCols(b).map(c => col(pref(srcAlias, c)).as(pref(outAlias, c)))
+
+    if (!hasAgg && !proj.distinct) {
+      // Non-distinct, non-aggregating: ORDER BY / LIMIT / WHERE ride before
+      // the final trim so they may reference unprojected fields of
+      // still-visible entities (reference: LogicalPlan.cs:216-288).
+      val tmpNames = items.indices.map(i => s"__item_$i")
+      val valueCols = kinds.zipWithIndex.collect {
+        case (ValueItem(e, _), i) => ec.compile(e).as(tmpNames(i))
+      }
+      var aug = ctx.df.select(ctx.df.columns.map(col) ++ valueCols: _*)
+      val sortScope = ctx.scope
+      val aliasToTmp = kinds.zipWithIndex.collect {
+        case (_: ValueItem, i) => names(i) -> tmpNames(i)
+      }.toMap
+      val sortEc = new ExprCompiler(sortScope, aug, aliasToTmp)
+      if (proj.orderBy.nonEmpty)
+        aug = aug.orderBy(proj.orderBy.map(s =>
+          if (s.desc) sortEc.compile(s.expr).desc else sortEc.compile(s.expr).asc): _*)
+      proj.limit.foreach(n => aug = aug.limit(n.toInt))
+      proj.where.foreach(w => aug = aug.filter(
+        new ExprCompiler(sortScope, aug, aliasToTmp).compile(w)))
+      val outCols = kinds.zipWithIndex.flatMap {
+        case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+        case (_: ValueItem, i) => Seq(col(tmpNames(i)).as(names(i)))
+      }
+      Ctx(aug.select(outCols: _*), newScope)
+    } else {
+      var out: DataFrame =
+        if (hasAgg) {
+          // group by all non-aggregate items (entity items contribute all
+          // their columns); aggregate items may mix scalars around the
+          // aggregate calls — Spark resolves them against the grouping.
+          val keyTmp = kinds.zipWithIndex.collect {
+            case (ValueItem(e, false), i) => ec.compile(e).as(s"__key_$i")
+          }
+          val aug = ctx.df.select(ctx.df.columns.map(col) ++ keyTmp: _*)
+          val keyNames: Seq[String] = kinds.zipWithIndex.flatMap {
+            case (EntityItem(a, b), _) => entityCols(b).map(pref(a, _))
+            case (ValueItem(_, false), i) => Seq(s"__key_$i")
+            case _ => Seq.empty
+          }
+          val aggCols = kinds.zipWithIndex.collect {
+            case (ValueItem(e, true), i) => ec.compile(e).as(s"__agg_$i")
+          }
+          val grouped =
+            if (keyNames.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
+            else aug.groupBy(keyNames.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+          val outCols = kinds.zipWithIndex.flatMap {
+            case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+            case (ValueItem(_, false), i) => Seq(col(s"__key_$i").as(names(i)))
+            case (ValueItem(_, true), i) => Seq(col(s"__agg_$i").as(names(i)))
+          }
+          grouped.select(outCols: _*)
+        } else {
+          val outCols = kinds.zipWithIndex.flatMap {
+            case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+            case (ValueItem(e, _), i) => Seq(ec.compile(e).as(names(i)))
+          }
+          ctx.df.select(outCols: _*)
+        }
+      if (proj.distinct) out = out.distinct()
+      // with DISTINCT or aggregation only explicit projections are
+      // referencable afterwards (reference: LogicalPlan.cs:216-235)
+      val ns = newScope
+      val postEc = new ExprCompiler(ns, out)
+      if (proj.orderBy.nonEmpty)
+        out = out.orderBy(proj.orderBy.map(s =>
+          if (s.desc) postEc.compile(s.expr).desc
+          else postEc.compile(s.expr).asc): _*)
+      proj.limit.foreach(n => out = out.limit(n.toInt))
+      proj.where.foreach(w =>
+        out = out.filter(new ExprCompiler(ns, out).compile(w)))
+      Ctx(out, ns)
+    }
+  }
+
+  // ----- whole query -----------------------------------------------------
+
+  def compile(q: Query, catalog: GraphCatalog): DataFrame = q match {
+    case UnionQuery(l, r, all) =>
+      val lf = compile(l, catalog)
+      val rf = compile(r, catalog)
+      if (lf.columns.toSeq != rf.columns.toSeq)
+        throw new CypherBindingException(
+          s"UNION column mismatch: ${lf.columns.mkString(",")} vs " +
+          rf.columns.mkString(","))
+      val u = lf.union(rf)
+      if (all) u else u.distinct()
+    case SingleQuery(parts) =>
+      var ctx: Option[Ctx] = None
+      parts.zipWithIndex.foreach { case (part, i) =>
+        val isLast = i == parts.size - 1
+        val scope = ctx.map(_.scope).getOrElse(Map.empty)
+        val resolved = Analyzer.resolvePart(catalog.graph, scope, part.matches)
+        val afterMatch =
+          if (part.matches.isEmpty) ctx.getOrElse(
+            throw new CypherNotSupportedException("standalone RETURN/WITH"))
+          else compileMatches(ctx, resolved, catalog)
+        ctx = Some(compileProjection(afterMatch, part.proj, isReturn = isLast))
+      }
+      ctx.get.df
+  }
+}

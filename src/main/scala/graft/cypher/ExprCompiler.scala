@@ -1,0 +1,231 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import ast._
+import Analyzer._
+
+/**
+ * Compiles a Cypher expression tree to a Catalyst `Column`.
+ *
+ * Replaces the reference's expression renderer
+ * (reference: SQLRenderer.cs:563-848). Everything lowers to built-in
+ * `org.apache.spark.sql.functions` so the whole expression stays inside
+ * whole-stage codegen — no UDFs. Operand types, where Cypher semantics
+ * diverge from Catalyst's defaults (string `+` concatenation, integral
+ * division), are probed by asking Catalyst to analyze the sub-expression
+ * against `probe` (never executed — analysis only).
+ *
+ * @param aliasCols extra value-alias → physical-column mappings, used
+ *   while ORDER BY/WHERE ride on a widened intermediate projection
+ *   (reference: LogicalPlan.cs:216-288).
+ */
+final class ExprCompiler(
+    scope: Map[String, Binding],
+    probe: DataFrame,
+    aliasCols: Map[String, String] = Map.empty) {
+
+  import Compiler.pref
+
+  private def dt(c: Column): Option[DataType] =
+    try Some(probe.select(c).schema.head.dataType)
+    catch { case _: Exception => None }
+
+  private def isStringy(c: Column): Boolean = dt(c).contains(StringType)
+  private def isIntegral(c: Column): Boolean = dt(c).exists {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  def colOf(alias: String, p: String): Column = scope.get(alias) match {
+    case Some(b @ (NodeBinding(_) | EdgeBinding(_))) =>
+      if (!Compiler.entityCols(b).contains(p))
+        throw new CypherBindingException(
+          s"entity '$alias' has no property '$p'")
+      col(pref(alias, p))
+    case Some(ValueBinding) =>
+      throw new CypherBindingException(
+        s"'$alias' is a value, not an entity — cannot access .$p")
+    case None =>
+      throw new CypherBindingException(s"unknown variable '$alias'")
+  }
+
+  def compile(e: Expr): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v)    => lit(v)
+
+    case Ref(a, Some(p)) => colOf(a, p)
+    case Ref(a, None) =>
+      aliasCols.get(a).map(col).getOrElse {
+        scope.get(a) match {
+          case Some(ValueBinding) => col(a)
+          case Some(_) => throw new CypherNotSupportedException(
+            s"entity variable '$a' used as a value — project a property")
+          case None =>
+            throw new CypherBindingException(s"unknown variable '$a'")
+        }
+      }
+
+    case Not(x)    => !compile(x)
+    case Neg(x)    => negate(compile(x))
+    case IsNull(x, false) => compile(x).isNull
+    case IsNull(x, true)  => compile(x).isNotNull
+    case ListLit(items)   => array(items.map(compile): _*)
+
+    case Bin(op, l, r) => compileBin(op, l, r)
+    case f: Func       => compileFunc(f)
+    case a: Agg        => compileAgg(a)
+
+    case CaseExpr(whens, other) =>
+      // searched CASE; missing ELSE yields NULL
+      // (reference: QueryExpressionCaseExpression.cs:88-90)
+      val head = when(compile(whens.head._1), compile(whens.head._2))
+      val chained = whens.tail.foldLeft(head) { case (acc, (c, v)) =>
+        acc.when(compile(c), compile(v))
+      }
+      other.map(o => chained.otherwise(compile(o))).getOrElse(chained)
+  }
+
+  private def compileBin(op: BinOp, le: Expr, re: Expr): Column = {
+    lazy val l = compile(le)
+    lazy val r = compile(re)
+    op match {
+      case BinOp.Add =>
+        // string + anything concatenates (reference:
+        // TypeCoersionTables.cs:30,44,58 → SQLRenderer string concat)
+        if (isStringy(l) || isStringy(r))
+          concat(l.cast(StringType), r.cast(StringType))
+        else l + r
+      case BinOp.Sub => l - r
+      case BinOp.Mul => l * r
+      case BinOp.Div =>
+        // Cypher/T-SQL integer division truncates; Spark's `/` is always
+        // floating — cast back for integral operands.
+        if (isIntegral(l) && isIntegral(r)) (l / r).cast(LongType)
+        else l / r
+      case BinOp.Mod => l % r
+      case BinOp.Pow => pow(l.cast(DoubleType), r.cast(DoubleType))
+      case BinOp.And => l && r
+      case BinOp.Or  => l || r
+      case BinOp.Xor => l =!= r   // null-propagating boolean XOR
+      case BinOp.Lt  => l < r
+      case BinOp.Le  => l <= r
+      case BinOp.Gt  => l > r
+      case BinOp.Ge  => l >= r
+      case BinOp.Eq  => l === r
+      case BinOp.Neq => l =!= r
+      case BinOp.In => re match {
+        case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+          l.isin(items.collect { case Lit(v) => v }: _*)
+        case ListLit(items) =>
+          items.map(i => l === compile(i)).reduce(_ || _)
+        case _ => throw new CypherNotSupportedException(
+          "IN requires a list literal")
+      }
+      case BinOp.Regex =>
+        // Cypher `=~` is a FULL match (java.util.regex matches()); Spark
+        // rlike is a find — anchor the pattern. The reference renders
+        // PATINDEX, which is wrong and untested (SQLRenderer.cs:50).
+        re match {
+          case Lit(s: String) => l.rlike(s"^(?:$s)$$")
+          case _ => regexp_like(l,
+            concat(lit("^(?:"), r.cast(StringType), lit(")$")))
+        }
+    }
+  }
+
+  /** Scalar function registry (reference: Function.cs:13-46, rendering
+   *  SQLRenderer.cs:563-629). T-SQL `float` is 8-byte, so toFloat maps
+   *  to DoubleType like the reference's CAST AS float. */
+  private def compileFunc(f: Func): Column = {
+    def a0 = compile(f.args.head)
+    def a1 = compile(f.args(1))
+    def arity(n: Int): Unit =
+      if (f.args.size != n)
+        throw new CypherSyntaxException(s"${f.name} expects $n argument(s)")
+    f.name match {
+      case "tofloat"   => arity(1); a0.cast(DoubleType)
+      case "todouble"  => arity(1); a0.cast(DoubleType)
+      case "tostring"  => arity(1); a0.cast(StringType)
+      case "toboolean" => arity(1); a0.cast(BooleanType)
+      case "tointeger" => arity(1); a0.cast(IntegerType)
+      case "tolong"    => arity(1); a0.cast(LongType)
+      case "not"       => arity(1); !a0
+      case "startswith" => arity(2); a0.startsWith(a1)
+      case "endswith"   => arity(2); a0.endsWith(a1)
+      case "contains"   => arity(2); a0.contains(a1)
+      case "left"  => arity(2); substring(a0, lit(1), a1)
+      case "right" => arity(2); substring(a0, negate(a1), a1)
+      case "trim"  => arity(1); trim(a0)
+      case "ltrim" => arity(1); ltrim(a0)
+      case "rtrim" => arity(1); rtrim(a0)
+      case "toupper" | "upper" => arity(1); upper(a0)
+      case "tolower" | "lower" => arity(1); lower(a0)
+      case "size" | "length"   => arity(1); length(a0)
+      case "abs"   => arity(1); abs(a0)
+      case other =>
+        throw new CypherNotSupportedException(s"function $other(...)")
+    }
+  }
+
+  /** Aggregations (reference: AggregationFunction.cs:11-85, semantics
+   *  SQLRenderer.cs:655-714). `first`→min / `last`→max follows the
+   *  reference's own rendering (SQLRenderer.cs:98-99), which also makes
+   *  them deterministic. count(entity) counts the entity's id key;
+   *  count(DISTINCT edge) distinct-counts the (src, sink) pair — the
+   *  reference rejects that case because src alone under-keys an edge
+   *  (SQLRenderer.cs:675-679); we key it correctly instead. */
+  private def compileAgg(a: Agg): Column = {
+    val entity: Option[(String, Binding)] = a.arg match {
+      case Some(Ref(al, None)) => scope.get(al) match {
+        case Some(b @ (NodeBinding(_) | EdgeBinding(_))) => Some((al, b))
+        case _ => None
+      }
+      case _ => None
+    }
+    entity match {
+      case Some((al, b)) =>
+        if (a.name != "count")
+          throw new CypherNotSupportedException(
+            s"${a.name}() over an entity — aggregate a property instead")
+        b match {
+          case NodeBinding(n) =>
+            val k = col(pref(al, n.idColumn))
+            if (a.distinct) countDistinct(k) else count(k)
+          case EdgeBinding(e) =>
+            val s = col(pref(al, e.srcIdColumn))
+            val k = col(pref(al, e.sinkIdColumn))
+            if (a.distinct) countDistinct(s, k) else count(s)
+          case ValueBinding => throw new IllegalStateException
+        }
+      case None =>
+        val c = compile(a.arg.getOrElse(
+          throw new CypherSyntaxException(s"${a.name}() needs an argument")))
+        a.name match {
+          case "count" => if (a.distinct) countDistinct(c) else count(c)
+          case "sum"   => sum(c)
+          case "avg"   => avg(c)
+          case "min"   => min(c)
+          case "max"   => max(c)
+          case "first" => min(c)
+          case "last"  => max(c)
+          case "stdev"  => stddev_samp(c)
+          case "stdevp" => stddev_pop(c)
+          case "percentilecont" => percentile(c, lit(a.percentile.get))
+          case "percentiledisc" =>
+            // exact discrete percentile: first value whose cumulative
+            // distribution >= p (composed from built-ins; exact, but
+            // collects the group's values — fine for grouped data,
+            // document for very large single groups)
+            val arr = sort_array(collect_list(c))
+            val n = count(c)
+            val idx = greatest(ceil(lit(a.percentile.get) * n), lit(1L))
+            element_at(arr, idx.cast(IntegerType))
+          case other =>
+            throw new CypherNotSupportedException(s"aggregate $other")
+        }
+    }
+  }
+}

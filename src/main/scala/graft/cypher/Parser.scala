@@ -1,0 +1,493 @@
+package graft.cypher
+
+import Lexer._
+import ast._
+
+/**
+ * Recursive-descent parser for the openCypher subset accepted by the
+ * reference (reference: src/openCypherParser/AST/CypherVisitor.cs; the
+ * operator-precedence chain mirrors CypherVisitor.cs:1348-1691 —
+ * Or > Xor > And > Not > Comparison > AddSub > MulDivMod > Power >
+ * Unary > StringListNull > PropertyLookup > Atom).
+ *
+ * Constructs the reference rejects (SURVEY.md §2.6) raise
+ * CypherNotSupportedException with a message naming the construct.
+ * Unlike the reference, UNION / UNION ALL is parsed and kept
+ * (the reference's visitor silently drops it — CypherVisitor.cs:626-641).
+ */
+final class Parser(tokens: Vector[Tok]) {
+  private var p = 0
+
+  private def cur: Tok = tokens(p)
+  private def advance(): Tok = { val t = tokens(p); p += 1; t }
+
+  private def syntaxErr(msg: String): Nothing =
+    throw new CypherSyntaxException(s"$msg (at offset ${cur.pos})")
+  private def notSupported(msg: String): Nothing =
+    throw new CypherNotSupportedException(msg)
+
+  private def isKw(s: String): Boolean = cur match {
+    case Kw(k, _, _) => k == s; case _ => false }
+  private def isPunct(s: String): Boolean = cur match {
+    case Punct(k, _) => k == s; case _ => false }
+  private def eatKw(s: String): Unit =
+    if (isKw(s)) p += 1 else syntaxErr(s"Expected $s")
+  private def eatPunct(s: String): Unit =
+    if (isPunct(s)) p += 1 else syntaxErr(s"Expected '$s'")
+  private def tryKw(s: String): Boolean =
+    if (isKw(s)) { p += 1; true } else false
+  private def tryPunct(s: String): Boolean =
+    if (isPunct(s)) { p += 1; true } else false
+
+  private def ident(): String = cur match {
+    case Ident(s, _) => p += 1; s
+    // non-reserved words usable as identifiers in practice
+    case Kw(k, raw, _) if k == "ALL" || k == "ANY" || k == "CONTAINS" =>
+      p += 1; raw
+    case _ => syntaxErr("Expected identifier")
+  }
+
+  /** Identifier in a position where keywords are unambiguous — node
+   *  labels, relationship types, property names (e.g. a label `Order`).
+   *  Returns the original spelling. */
+  private def name(): String = cur match {
+    case Ident(s, _) => p += 1; s
+    case Kw(_, raw, _) => p += 1; raw
+    case _ => syntaxErr("Expected name")
+  }
+
+  // ----- entry --------------------------------------------------------
+
+  def parseQuery(): Query = {
+    val q = parseUnion()
+    tryPunct(";")
+    cur match {
+      case EOF(_) => q
+      case t => syntaxErr(s"Unexpected trailing input: $t")
+    }
+  }
+
+  private def parseUnion(): Query = {
+    var left: Query = parseSingle()
+    while (isKw("UNION")) {
+      p += 1
+      val all = tryKw("ALL")
+      val right = parseSingle()
+      left = UnionQuery(left, right, all)
+    }
+    left
+  }
+
+  private def rejectUpdating(): Unit = cur match {
+    case Kw(k, _, _) if Set("CREATE", "MERGE", "SET", "DELETE", "DETACH",
+        "REMOVE")(k) =>
+      notSupported(s"updating clause $k (read-only engine)")
+    case Kw("UNWIND", _, _) => notSupported("UNWIND")
+    case Kw("CALL", _, _)   => notSupported("CALL / procedures")
+    case _ =>
+  }
+
+  private def parseSingle(): SingleQuery = {
+    val parts = Vector.newBuilder[QueryPart]
+    var done = false
+    var isFirstPart = true
+    while (!done) {
+      rejectUpdating()
+      val matches = Vector.newBuilder[MatchClause]
+      var sawMatch = false
+      var prevOptional = false
+      while (isKw("MATCH") || isKw("OPTIONAL")) {
+        val optional = tryKw("OPTIONAL")
+        eatKw("MATCH")
+        if (optional && isFirstPart && !sawMatch && matches.result().isEmpty
+            && parts.result().isEmpty)
+          notSupported("first clause cannot be OPTIONAL MATCH")
+        if (!optional && prevOptional)
+          notSupported("MATCH cannot directly follow OPTIONAL MATCH")
+        matches += parseMatchBody(optional)
+        prevOptional = optional
+        sawMatch = true
+        rejectUpdating()
+      }
+      val ms = matches.result()
+      if (isKw("WITH")) {
+        p += 1
+        parts += QueryPart(ms, parseProjection(isWith = true))
+        isFirstPart = false
+      } else if (isKw("RETURN")) {
+        p += 1
+        if (ms.isEmpty && parts.result().isEmpty)
+          notSupported("standalone RETURN without MATCH")
+        parts += QueryPart(ms, parseProjection(isWith = false))
+        done = true
+      } else if (ms.isEmpty) {
+        syntaxErr("Expected MATCH, WITH or RETURN")
+      } else {
+        syntaxErr("Query part must end with WITH or RETURN")
+      }
+    }
+    SingleQuery(parts.result())
+  }
+
+  private def parseMatchBody(optional: Boolean): MatchClause = {
+    val pats = Vector.newBuilder[PatternPart]
+    pats += parsePatternPart()
+    while (tryPunct(",")) pats += parsePatternPart()
+    val where = if (tryKw("WHERE")) Some(parseExpr()) else None
+    MatchClause(pats.result(), optional, where)
+  }
+
+  private def parsePatternPart(): PatternPart = {
+    // named path `x = (...)`  → rejected (reference CypherVisitor.cs:998-1002)
+    (cur, tokens(p + 1)) match {
+      case (Ident(_, _), Punct("=", _)) => notSupported("named path variables")
+      case _ =>
+    }
+    val nodes = Vector.newBuilder[NodePat]
+    val rels = Vector.newBuilder[RelPat]
+    nodes += parseNodePat()
+    var more = true
+    while (more) {
+      parseRelPatOpt() match {
+        case Some(r) => rels += r; nodes += parseNodePat()
+        case None => more = false
+      }
+    }
+    PatternPart(nodes.result(), rels.result())
+  }
+
+  private def parseNodePat(): NodePat = {
+    eatPunct("(")
+    val alias = cur match {
+      case Ident(s, _) => p += 1; Some(s)
+      case _ => None
+    }
+    val label = if (tryPunct(":")) {
+      val l = name()
+      if (isPunct(":")) notSupported("multiple node labels in one pattern")
+      Some(l)
+    } else None
+    if (isPunct("{"))
+      notSupported("inline property map in node pattern")
+    eatPunct(")")
+    NodePat(alias, label)
+  }
+
+  /** Parses one relationship pattern if the next tokens start one. */
+  private def parseRelPatOpt(): Option[RelPat] = {
+    val leftArrow = isPunct("<-")
+    if (!leftArrow && !isPunct("-")) return None
+    p += 1
+    if (tryPunct("[")) {
+      val alias = cur match {
+        case Ident(s, _) => p += 1; Some(s)
+        case _ => None
+      }
+      val verb = if (tryPunct(":")) {
+        val v = name()
+        if (isPunct("|")) notSupported("multiple relationship types")
+        Some(v)
+      } else None
+      if (isPunct("*")) notSupported("variable-length relationships [*..]")
+      if (isPunct("{")) notSupported("inline property map in rel pattern")
+      eatPunct("]")
+      val dir =
+        if (leftArrow) { eatPunct("-"); Direction.In }
+        else if (tryPunct("->")) Direction.Out
+        else { eatPunct("-"); Direction.Both }
+      Some(RelPat(alias, verb, dir))
+    } else {
+      // bare arrows: --, -->, <--
+      val dir =
+        if (leftArrow) { eatPunct("-"); Direction.In }
+        else if (tryPunct("->")) Direction.Out
+        else { eatPunct("-"); Direction.Both }
+      Some(RelPat(None, None, dir))
+    }
+  }
+
+  /** WITH|RETURN items; clause order inside a WITH part is
+   *  `WITH … ORDER BY … LIMIT … WHERE …` (reference e2e
+   *  SQLRendererTest.cs:529-539). SKIP is unsupported (§2.6). */
+  private def parseProjection(isWith: Boolean): Projection = {
+    val distinct = tryKw("DISTINCT")
+    if (isPunct("*")) notSupported("RETURN/WITH *")
+    val items = Vector.newBuilder[RetItem]
+    items += parseRetItem()
+    while (tryPunct(",")) items += parseRetItem()
+    val orderBy = if (isKw("ORDER")) {
+      p += 1; eatKw("BY")
+      val ss = Vector.newBuilder[SortItem]
+      def one(): SortItem = {
+        val e = parseExpr()
+        val desc = if (tryKw("DESC") || tryKw("DESCENDING")) true
+          else { tryKw("ASC"); tryKw("ASCENDING"); false }
+        SortItem(e, desc)
+      }
+      ss += one()
+      while (tryPunct(",")) ss += one()
+      ss.result()
+    } else Vector.empty
+    if (isKw("SKIP")) notSupported("SKIP")
+    val limit = if (tryKw("LIMIT")) {
+      cur match {
+        case NumLit(s, false, _) => p += 1; Some(s.toLong)
+        case _ => syntaxErr("LIMIT expects an integer literal")
+      }
+    } else None
+    val where = if (isWith && tryKw("WHERE")) Some(parseExpr()) else None
+    val its = items.result()
+    val seen = scala.collection.mutable.Set[String]()
+    its.foreach { it =>
+      it.alias.orElse(inferAlias(it.expr)).foreach { a =>
+        if (!seen.add(a))
+          throw new CypherNotSupportedException(s"duplicate alias '$a' in projection")
+      }
+    }
+    Projection(its, distinct, orderBy, limit, where)
+  }
+
+  /** Alias inference for bare `p.Name` / bare variable refs
+   *  (reference: CypherVisitor.cs:1307-1320). */
+  def inferAlias(e: Expr): Option[String] = e match {
+    case Ref(a, None) => Some(a)
+    case Ref(_, Some(prop)) => Some(prop)
+    case _ => None
+  }
+
+  private def parseRetItem(): RetItem = {
+    val e = parseExpr()
+    val alias = if (tryKw("AS")) Some(ident()) else None
+    RetItem(e, alias)
+  }
+
+  // ----- expressions ---------------------------------------------------
+
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseXor()
+    while (tryKw("OR")) l = Bin(BinOp.Or, l, parseXor())
+    l
+  }
+  private def parseXor(): Expr = {
+    var l = parseAnd()
+    while (tryKw("XOR")) l = Bin(BinOp.Xor, l, parseAnd())
+    l
+  }
+  private def parseAnd(): Expr = {
+    var l = parseNot()
+    while (tryKw("AND")) l = Bin(BinOp.And, l, parseNot())
+    l
+  }
+  private def parseNot(): Expr =
+    if (tryKw("NOT")) Not(parseNot()) else parseComparison()
+
+  private def parseComparison(): Expr = {
+    var l = parseAddSub()
+    var go = true
+    while (go) {
+      val op = cur match {
+        case Punct("=", _)  => Some(BinOp.Eq)
+        case Punct("<>", _) => Some(BinOp.Neq)
+        case Punct("<", _)  => Some(BinOp.Lt)
+        case Punct("<=", _) => Some(BinOp.Le)
+        case Punct(">", _)  => Some(BinOp.Gt)
+        case Punct(">=", _) => Some(BinOp.Ge)
+        case _ => None
+      }
+      op match {
+        case Some(o) => p += 1; l = Bin(o, l, parseAddSub())
+        case None => go = false
+      }
+    }
+    l
+  }
+
+  private def parseAddSub(): Expr = {
+    var l = parseMulDiv()
+    var go = true
+    while (go) {
+      if (tryPunct("+")) l = Bin(BinOp.Add, l, parseMulDiv())
+      else if (tryPunct("-")) l = Bin(BinOp.Sub, l, parseMulDiv())
+      else go = false
+    }
+    l
+  }
+  private def parseMulDiv(): Expr = {
+    var l = parsePower()
+    var go = true
+    while (go) {
+      if (tryPunct("*")) l = Bin(BinOp.Mul, l, parsePower())
+      else if (tryPunct("/")) l = Bin(BinOp.Div, l, parsePower())
+      else if (tryPunct("%")) l = Bin(BinOp.Mod, l, parsePower())
+      else go = false
+    }
+    l
+  }
+  private def parsePower(): Expr = {
+    val l = parseUnary()
+    if (tryPunct("^")) Bin(BinOp.Pow, l, parsePower())  // right-assoc
+    else l
+  }
+  private def parseUnary(): Expr =
+    if (tryPunct("-")) Neg(parseUnary())
+    else if (tryPunct("+")) parseUnary()
+    else parsePostfix()
+
+  /** String/list/null postfix operators (reference:
+   *  CypherVisitor.cs:1584-1619). */
+  private def parsePostfix(): Expr = {
+    var e = parseAtom()
+    var go = true
+    while (go) {
+      if (tryKw("IN")) e = Bin(BinOp.In, e, parseAtom())
+      else if (isKw("STARTS")) { p += 1; eatKw("WITH")
+        e = Func("startswith", Seq(e, parseAddSub())) }
+      else if (isKw("ENDS")) { p += 1; eatKw("WITH")
+        e = Func("endswith", Seq(e, parseAddSub())) }
+      else if (tryKw("CONTAINS")) e = Func("contains", Seq(e, parseAddSub()))
+      else if (tryPunct("=~")) e = Bin(BinOp.Regex, e, parseAddSub())
+      else if (isKw("IS")) {
+        p += 1
+        val not = tryKw("NOT")
+        eatKw("NULL")
+        e = IsNull(e, not)
+      }
+      else if (isPunct("[")) notSupported("list index / slice access")
+      else go = false
+    }
+    e
+  }
+
+  private val aggNames = Set("avg", "sum", "count", "max", "min", "first",
+    "last", "percentilecont", "percentiledisc", "stdev", "stdevp")
+
+  private def parseAtom(): Expr = cur match {
+    case NumLit(s, isFloat, _) =>
+      p += 1
+      if (isFloat) Lit(s.toDouble)
+      else {
+        val v = s.toLong
+        if (v >= Int.MinValue && v <= Int.MaxValue) Lit(v.toInt) else Lit(v)
+      }
+    case StrLit(s, _) => p += 1; Lit(s)
+    case Kw("TRUE", _, _)  => p += 1; Lit(true)
+    case Kw("FALSE", _, _) => p += 1; Lit(false)
+    case Kw("NULL", _, _)  => p += 1; Lit(null)
+    case Kw("CASE", _, _)  => p += 1; parseCase()
+    case Kw("NOT", _, _)   => p += 1; Not(parseNot())
+    case Kw(k, _, _) if Set("FILTER", "EXTRACT", "ANY", "NONE", "SINGLE",
+        "EXISTS")(k) =>
+      notSupported(s"$k(...) predicate/comprehension")
+    case Punct("(", _) =>
+      p += 1
+      val e = parseExpr()
+      eatPunct(")")
+      e
+    case Punct("[", _) =>
+      p += 1
+      val items = Vector.newBuilder[Expr]
+      if (!isPunct("]")) {
+        items += parseExpr()
+        while (tryPunct(",")) {
+          if (isPunct("..")) notSupported("range literal")
+          items += parseExpr()
+        }
+      }
+      if (isPunct("..")) notSupported("range literal")
+      eatPunct("]")
+      ListLit(items.result())
+    case Punct("{", _) => notSupported("map literal")
+    case Ident(id, _) =>
+      tokens(p + 1) match {
+        case Punct("(", _) => parseCall(id)
+        case Punct(".", _) =>
+          p += 2
+          val prop = name()
+          if (isPunct("."))
+            notSupported("nested property lookup a.b.c")
+          Ref(id, Some(prop))
+        case _ => p += 1; Ref(id, None)
+      }
+    case t => syntaxErr(s"Unexpected token $t in expression")
+  }
+
+  private def parseCall(name: String): Expr = {
+    p += 2 // ident + '('
+    val lname = name.toLowerCase
+    if (isPunct("*")) {
+      if (lname == "count") notSupported("COUNT(*)")
+      else syntaxErr("Unexpected *")
+    }
+    val distinct = tryKw("DISTINCT")
+    val args = Vector.newBuilder[Expr]
+    if (!isPunct(")")) {
+      args += parseExpr()
+      while (tryPunct(",")) args += parseExpr()
+    }
+    eatPunct(")")
+    val as = args.result()
+    if (aggNames(lname)) {
+      if (distinct && lname != "count")
+        notSupported("DISTINCT inside aggregate is only allowed for count()")
+      lname match {
+        case "percentilecont" | "percentiledisc" =>
+          if (as.size != 2)
+            syntaxErr(s"$name expects (expression, percentile)")
+          val pct = as(1) match {
+            case Lit(d: Double) => d
+            case Lit(i: Int)    => i.toDouble
+            case Lit(l: Long)   => l.toDouble
+            case _ => syntaxErr(s"$name percentile must be a numeric literal")
+          }
+          checkNoNestedAgg(as.head, name)
+          Agg(lname, distinct, Some(as.head), Some(pct))
+        case _ =>
+          if (as.size != 1)
+            notSupported(s"aggregation $name with ${as.size} arguments")
+          checkNoNestedAgg(as.head, name)
+          Agg(lname, distinct, Some(as.head))
+      }
+    } else {
+      if (distinct) syntaxErr("DISTINCT only valid inside aggregates")
+      Func(lname, as)
+    }
+  }
+
+  private def checkNoNestedAgg(e: Expr, outer: String): Unit = e match {
+    case Agg(n, _, _, _) =>
+      notSupported(s"nested aggregate $n inside $outer")
+    case Bin(_, l, r) => checkNoNestedAgg(l, outer); checkNoNestedAgg(r, outer)
+    case Not(x) => checkNoNestedAgg(x, outer)
+    case Neg(x) => checkNoNestedAgg(x, outer)
+    case IsNull(x, _) => checkNoNestedAgg(x, outer)
+    case Func(_, args) => args.foreach(checkNoNestedAgg(_, outer))
+    case CaseExpr(ws, o) =>
+      ws.foreach { case (c, v) =>
+        checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }
+      o.foreach(checkNoNestedAgg(_, outer))
+    case _ =>
+  }
+
+  /** Searched CASE only (reference rejects `CASE <expr> WHEN`,
+   *  CypherVisitor.cs:1776-1781). */
+  private def parseCase(): Expr = {
+    if (!isKw("WHEN"))
+      notSupported("CASE <expr> WHEN — only searched CASE is supported")
+    val whens = Vector.newBuilder[(Expr, Expr)]
+    while (tryKw("WHEN")) {
+      val c = parseExpr()
+      eatKw("THEN")
+      whens += ((c, parseExpr()))
+    }
+    val e = if (tryKw("ELSE")) Some(parseExpr()) else None
+    eatKw("END")
+    CaseExpr(whens.result(), e)
+  }
+}
+
+object Parser {
+  def parse(query: String): Query =
+    new Parser(Lexer.tokenize(query)).parseQuery()
+}

@@ -1,0 +1,81 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
+
+/**
+ * Property-graph schema over relational (parquet) tables.
+ *
+ * Mirrors the capability surface of the reference's schema provider
+ * (reference: src/Common/GraphSchema/IGraphSchemaProvider.cs:15-34,
+ * NodeSchema.cs:9-19, EdgeSchema.cs:9-43) re-expressed as plain Scala
+ * case classes. An edge type is identified by the (fromLabel, verb,
+ * toLabel) triple, not verb alone (reference: EdgeSchema.cs:13-16).
+ *
+ * Backing storage is one DataFrame per entity — a parquet file, a temp
+ * view, or any DataFrame the caller supplies. Multiple entities may be
+ * views over the same table (e.g. an edge is any table exposing a
+ * source-id and sink-id column).
+ */
+final case class NodeDef(
+    label: String,
+    idColumn: String,
+    properties: Seq[String],
+    table: String)
+
+final case class EdgeDef(
+    verb: String,
+    fromLabel: String,
+    toLabel: String,
+    srcIdColumn: String,
+    sinkIdColumn: String,
+    properties: Seq[String],
+    table: String) {
+  def key: (String, String, String) = (fromLabel, verb, toLabel)
+}
+
+final case class GraphSchema(nodes: Seq[NodeDef], edges: Seq[EdgeDef]) {
+  private val nodeByLabel: Map[String, NodeDef] =
+    nodes.map(n => n.label -> n).toMap
+  private val edgeByTriple: Map[(String, String, String), EdgeDef] =
+    edges.map(e => e.key -> e).toMap
+
+  def node(label: String): NodeDef =
+    nodeByLabel.getOrElse(label,
+      throw new CypherBindingException(s"Unknown node label: $label"))
+
+  def nodeOpt(label: String): Option[NodeDef] = nodeByLabel.get(label)
+
+  def edge(from: String, verb: String, to: String): Option[EdgeDef] =
+    edgeByTriple.get((from, verb, to))
+
+  /** All edge defs with the given verb (any endpoint labels). */
+  def edgesByVerb(verb: String): Seq[EdgeDef] =
+    edges.filter(_.verb == verb)
+}
+
+/** Resolves an entity's backing table to a DataFrame.
+ *  `dir` is the dataset directory (e.g. /root/testdata/sf0.01). */
+final class GraphCatalog(
+    schema: GraphSchema,
+    loader: String => DataFrame) {
+  def nodeDf(label: String): DataFrame = loader(schema.node(label).table)
+  def edgeDf(e: EdgeDef): DataFrame = loader(e.table)
+  def graph: GraphSchema = schema
+}
+
+object GraphCatalog {
+  /** Catalog whose tables are `<dir>/<table>.parquet`. */
+  def parquet(schema: GraphSchema, spark: SparkSession, dir: String): GraphCatalog =
+    new GraphCatalog(schema, t => spark.read.parquet(s"$dir/$t.parquet"))
+}
+
+class CypherException(msg: String) extends RuntimeException(msg)
+/** Query constructs outside the supported subset
+ *  (reference: TranspilerNotSupportedException). */
+class CypherNotSupportedException(msg: String)
+  extends CypherException(s"Not supported: $msg")
+/** Schema binding failures (reference: TranspilerBindingException). */
+class CypherBindingException(msg: String) extends CypherException(msg)
+/** Lexer/parser failures (reference: TranspilerSyntaxErrorException). */
+class CypherSyntaxException(msg: String) extends CypherException(msg)

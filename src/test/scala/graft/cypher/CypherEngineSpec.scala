@@ -1,0 +1,274 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end engine tests over the movie fixture, shape-matched to the
+ *  reference's e2e corpus (reference: tests/SQLRenderer.Test/
+ *  SQLRendererTest.cs). */
+class CypherEngineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val session = new CypherSession(spark, MovieFixture.catalog(spark))
+
+  private def rows(q: String): Seq[Row] = session.run(q).collect().toSeq
+
+  test("sanity join + filter (ref SQLRendererTest.cs:362-372)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WHERE p.Name = 'Tom Hanks'
+        |RETURN p.Name AS Name, m.Title AS Title""".stripMargin)
+    assert(r.map(_.getString(1)).sorted ==
+      Seq("Apollo 13", "Sleepless in Seattle", "You've Got Mail"))
+    assert(r.forall(_.getString(0) == "Tom Hanks"))
+  }
+
+  test("edge direction: reversed arrow") {
+    val r = rows(
+      """MATCH (m:Movie)<-[a:ACTED_IN]-(p:Person)
+        |WHERE m.Title = 'Apollo 13'
+        |RETURN p.Name AS Name""".stripMargin)
+    assert(r.map(_.getString(0)).sorted == Seq("Kevin Bacon", "Tom Hanks"))
+  }
+
+  test("undirected relationship resolves against schema") {
+    val r = rows(
+      """MATCH (m:Movie)-[a:ACTED_IN]-(p:Person)
+        |WHERE m.Title = 'Apollo 13' RETURN p.Name AS Name""".stripMargin)
+    assert(r.map(_.getString(0)).sorted == Seq("Kevin Bacon", "Tom Hanks"))
+  }
+
+  test("implicit relationship inequality (ref :374-388)") {
+    // co-actors in the same movie: the two ACTED_IN vars must bind
+    // different edge rows
+    val r = rows(
+      """MATCH (p1:Person)-[a1:ACTED_IN]->(m:Movie)<-[a2:ACTED_IN]-(p2:Person)
+        |WHERE p1.Name = 'Tom Hanks'
+        |RETURN p2.Name AS CoActor, m.Title AS Title""".stripMargin)
+    assert(!r.exists(_.getString(0) == "Tom Hanks"))
+    assert(r.map(_.getString(0)).toSet ==
+      Set("Meg Ryan", "Kevin Bacon"))
+  }
+
+  test("OPTIONAL MATCH yields nulls and nullable schema (ref :430-463)") {
+    val df = session.run(
+      """MATCH (m:Movie)
+        |OPTIONAL MATCH (p:Person)-[r:REVIEWED]->(m)
+        |RETURN m.Title AS Title, r.Rating AS Rating""".stripMargin)
+    val r = df.collect().toSeq
+    // Apollo 13 has no review → null rating
+    assert(r.exists(x => x.getString(0) == "Apollo 13" && x.isNullAt(1)))
+    assert(df.schema("Rating").nullable)
+  }
+
+  test("OPTIONAL MATCH with WHERE filters before the left join") {
+    val r = rows(
+      """MATCH (m:Movie)
+        |OPTIONAL MATCH (p:Person)-[r:REVIEWED]->(m) WHERE r.Rating > 90
+        |RETURN m.Title AS Title, p.Name AS Reviewer""".stripMargin)
+    assert(r.size == 3)
+    assert(r.count(_.isNullAt(1)) == 2)  // only m1 has a >90 review
+  }
+
+  test("aggregation: implicit group by + count entity (ref :642-669)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS Name, count(m) AS Movies""".stripMargin)
+    val m = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m == Map("Tom Hanks" -> 3L, "Meg Ryan" -> 2L, "Kevin Bacon" -> 1L))
+  }
+
+  test("count(entity) > comparison as value (ref :443-450)") {
+    val r = rows(
+      """MATCH (p:Person)-[d:DIRECTED]->(m:Movie)
+        |RETURN p.Name AS Name, count(m) > 0 AS IsDirector""".stripMargin)
+    assert(r == Seq(Row("Rob Reiner", true)))
+  }
+
+  test("global aggregation (all-aggregate projection)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN count(a) AS N, min(m.Released) AS First""".stripMargin)
+    assert(r == Seq(Row(6L, 1993)))
+  }
+
+  test("DISTINCT projection (ref :488-552)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN DISTINCT m.Released AS Year""".stripMargin)
+    assert(r.map(_.getInt(0)).sorted == Seq(1993, 1995, 1998))
+  }
+
+  test("WITH pipeline + aliasing + entity swap (ref :406-415)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH m AS p2, p AS m2
+        |RETURN m2.Name AS Name, p2.Title AS Title""".stripMargin)
+    assert(r.size == 6)
+    assert(r.exists(x => x.getString(0) == "Tom Hanks"
+      && x.getString(1) == "Apollo 13"))
+  }
+
+  test("WITH masks non-projected variables") {
+    val e = intercept[CypherException] {
+      session.run(
+        """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+          |WITH p
+          |RETURN m.Title AS T""".stripMargin)
+    }
+    assert(e.getMessage.contains("m"))
+  }
+
+  test("ORDER BY + LIMIT (ref :777-843)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN DISTINCT m.Title AS Title, m.Released AS Year
+        |ORDER BY Year DESC LIMIT 2""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("You've Got Mail", "Apollo 13"))
+  }
+
+  test("ORDER BY over unprojected field of still-visible entity") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH p, m ORDER BY m.Released DESC LIMIT 1
+        |RETURN m.Title AS Title""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("You've Got Mail"))
+  }
+
+  test("CASE expression (ref :390-428)") {
+    val r = rows(
+      """MATCH (m:Movie)
+        |RETURN m.Title AS Title,
+        |  CASE WHEN m.Released < 1995 THEN 'old' ELSE 'new' END AS Age""".stripMargin)
+    val m = r.map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(m("Sleepless in Seattle") == "old" && m("Apollo 13") == "new")
+  }
+
+  test("operators: IN, %, ^, XOR (ref :599-613)") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.Released IN [1993, 1998]
+        |RETURN m.Title AS T, m.Released % 10 AS D,
+        |       m.Released ^ 2 AS Sq""".stripMargin)
+    assert(r.size == 2)
+    assert(r.forall(x => x.getDouble(2) > 0))
+  }
+
+  test("string functions (ref :615-640)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name STARTS WITH 'Tom'
+        |RETURN toUpper(p.Name) AS U, size(p.Name) AS L,
+        |       left(p.Name, 3) AS L3""".stripMargin)
+    assert(r == Seq(Row("TOM HANKS", 9, "Tom")))
+  }
+
+  test("string + number concatenation") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN m.Title + ' (' + m.Released + ')' AS S""".stripMargin)
+    assert(r == Seq(Row("Apollo 13 (1995)")))
+  }
+
+  test("regex =~ is a full match") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name =~ 'Tom.*'
+        |RETURN p.Name AS N""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+    val none = rows(
+      "MATCH (p:Person) WHERE p.Name =~ 'om.*' RETURN p.Name AS N")
+    assert(none.isEmpty)
+  }
+
+  test("UNION and UNION ALL (fixed vs reference parser bug, SURVEY §2.1)") {
+    val all = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN p.Name AS Name
+        |UNION ALL
+        |MATCH (p:Person)-[r:REVIEWED]->(m:Movie) RETURN p.Name AS Name""".stripMargin)
+    assert(all.size == 4)
+    val dedup = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) RETURN p.Name AS Name
+        |UNION
+        |MATCH (p:Person)-[r:REVIEWED]->(m:Movie) RETURN p.Name AS Name""".stripMargin)
+    assert(dedup.size == 4)  // 3 actors + 1 reviewer
+  }
+
+  test("stdev / avg / sum typing (ref :642-705)") {
+    val df = session.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |RETURN p.Name AS N, avg(r.Rating) AS A, stdev(r.Rating) AS S,
+        |       sum(r.Rating) AS T""".stripMargin)
+    val r = df.collect()
+    assert(r.length == 1)
+    assert(r(0).getDouble(1) == 90.0)
+    assert(math.abs(r(0).getDouble(2) - 7.0710678) < 1e-5)
+    assert(r(0).getLong(3) == 180L)
+    assert(df.schema("A").dataType.typeName == "double")
+  }
+
+  test("count(DISTINCT entity)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN count(DISTINCT m) AS Movies""".stripMargin)
+    assert(r == Seq(Row(3L)))
+  }
+
+  test("label inference from edge schema") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m)
+        |WHERE p.Name = 'Kevin Bacon' RETURN m.Title AS T""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Apollo 13"))
+  }
+
+  test("label inference across WITH parts") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) WITH p, m
+        |MATCH (p)-[a2:ACTED_IN]->(m2:Movie) WHERE m2.Title <> m.Title
+        |RETURN DISTINCT p.Name AS N""".stripMargin)
+    assert(r.map(_.getString(0)).sorted == Seq("Meg Ryan", "Tom Hanks"))
+  }
+
+  test("cross join of disjoint patterns") {
+    val r = rows(
+      """MATCH (p:Person), (m:Movie)
+        |WHERE p.Name = 'Tom Hanks'
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(r.size == 3)
+  }
+
+  test("post-WITH WHERE (HAVING semantics)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH p.Name AS Name, count(m) AS Movies WHERE Movies > 1
+        |RETURN Name, Movies""".stripMargin)
+    assert(r.map(_.getString(0)).sorted == Seq("Meg Ryan", "Tom Hanks"))
+  }
+
+  // ----- rejection parity (SURVEY.md §2.6) -----------------------------
+
+  private def rejected(q: String): Unit =
+    intercept[CypherException] { session.run(q) }
+
+  test("rejections match the reference's unsupported surface") {
+    rejected("CREATE (n:Person) RETURN n.Name AS N")
+    rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
+    rejected("UNWIND [1,2] AS x RETURN x")
+    rejected("MATCH (p:Person {Name: 'Tom Hanks'}) RETURN p.Name AS N")
+    rejected("MATCH (p:Person:Actor) RETURN p.Name AS N")
+    rejected("MATCH (p:Person)-[a:ACTED_IN*1..3]->(m:Movie) RETURN p.Name AS N")
+    rejected("MATCH (p:Person) RETURN p")
+    rejected("MATCH x = (p:Person)-[a:ACTED_IN]->(m:Movie) RETURN p.Name AS N")
+    rejected("MATCH (p:Person)-[f:FOLLOWS]-(q:Person) RETURN p.Name AS N")
+    rejected("RETURN 1 AS x")
+    rejected("MATCH (p:Person) RETURN count(*) AS n")
+    rejected("MATCH (p:Person) RETURN p.Name AS N SKIP 2")
+    rejected("MATCH (p:Person) WHERE p.Name = $name RETURN p.Name AS N")
+    rejected("MATCH (p:Person) RETURN sum(count(p.Born)) AS n")
+    rejected("MATCH (a) RETURN a.Name AS N")  // label not inferable
+    rejected("OPTIONAL MATCH (p:Person) RETURN p.Name AS N")
+  }
+}
