@@ -1,13 +1,556 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops._
+
+/**
+ * Driver contract (SURVEY.md §7): one entry per implemented operator
+ * from SURVEY.md §2 plus the training-data-pipeline extensions, each
+ * with a DuckDB oracle over the same parquet tables where the semantics
+ * are SQL-expressible.
+ *
+ * Determinism rules used throughout (the driver hash-compares values):
+ *  - every query ends in a total ORDER BY on a unique key set, in both
+ *    the Spark result and the oracle SQL;
+ *  - double aggregates are `round(...)`-ed identically on both sides
+ *    (per-row double arithmetic is IEEE-identical across engines and
+ *    needs no rounding; only reduction order varies);
+ *  - column names are aliased identically on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: 3-hop graph pattern + aggregation via the Cypher engine. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TpchGraph.session(spark, "/root/testdata/sf0.001").run(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN r.r_name AS region, n.n_name AS nation, count(c) AS n_customers
+        |ORDER BY region, nation""".stripMargin)
+
+  // ---------------------------------------------------------------- helpers
+
+  private def cy(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => TpchGraph.session(s, dir).run(q)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
+    * read it as long (legacy conf) and truncate to micros, matching
+    * DuckDB's own ns→us truncation. */
+  private def evts(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** (name, spark query, optional DuckDB oracle). */
+  private type Spec = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  // =========================================================== Cypher parity
+
+  private val cypherSpecs: Seq[Spec] = Seq(
+    // --- DataSourceOperator: leaf scan + filter + projection
+    ("q01_node_scan", cy(
+      """MATCH (p:Part) WHERE p.p_size > 40
+        |RETURN p.p_partkey AS partkey, p.p_name AS name,
+        |       p.p_retailprice AS price
+        |ORDER BY partkey""".stripMargin),
+      Some("""SELECT p_partkey AS partkey, p_name AS name,
+             |       p_retailprice AS price
+             |FROM part WHERE p_size > 40 ORDER BY partkey""".stripMargin)),
+
+    // --- JoinOperator: inner equi-join on graph keys
+    ("q02_join_filter", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 300000.0
+        |RETURN c.c_name AS cname, o.o_orderkey AS okey,
+        |       o.o_totalprice AS price
+        |ORDER BY okey""".stripMargin),
+      Some("""SELECT c_name AS cname, o_orderkey AS okey,
+             |       o_totalprice AS price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |WHERE o_totalprice > 300000.0 ORDER BY okey""".stripMargin)),
+
+    // --- chained joins (3-hop) + implicit GROUP BY aggregation
+    ("q03_multihop_agg", cy(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |WHERE r.r_name = 'ASIA'
+        |RETURN n.n_name AS nation, count(c) AS n_customers
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(c_custkey) AS n_customers
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY nation""".stripMargin)),
+
+    // --- OPTIONAL MATCH with WHERE (filter-before-left-join fork)
+    ("q04_optional_match", cy(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |WHERE c.c_acctbal > 9000.0
+        |RETURN n.n_name AS nation, count(c) AS n_rich
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(c_custkey) AS n_rich
+             |FROM nation LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_acctbal > 9000.0
+             |GROUP BY n_name ORDER BY nation""".stripMargin)),
+
+    // --- implicit GROUP BY with multiple aggregates (TPC-H Q1 shape)
+    ("q05_lineitem_agg", cy(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |RETURN l.l_returnflag AS rf, l.l_linestatus AS ls,
+        |       sum(l.l_quantity) AS sum_qty,
+        |       round(sum(l.l_extendedprice), 2) AS sum_price,
+        |       round(avg(l.l_discount), 6) AS avg_disc,
+        |       count(l) AS n_items
+        |ORDER BY rf, ls""".stripMargin),
+      Some("""SELECT l_returnflag AS rf, l_linestatus AS ls,
+             |       sum(l_quantity) AS sum_qty,
+             |       round(sum(l_extendedprice), 2) AS sum_price,
+             |       round(avg(l_discount), 6) AS avg_disc,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |GROUP BY rf, ls ORDER BY rf, ls""".stripMargin)),
+
+    // --- global aggregation (no grouping keys)
+    ("q06_global_agg", cy(
+      """MATCH (o:Order)
+        |RETURN count(o) AS n_orders,
+        |       round(avg(o.o_totalprice), 4) AS avg_price,
+        |       min(o.o_orderdate) AS first_date,
+        |       max(o.o_orderdate) AS last_date""".stripMargin),
+      Some("""SELECT count(*) AS n_orders,
+             |       round(avg(o_totalprice), 4) AS avg_price,
+             |       min(o_orderdate) AS first_date,
+             |       max(o_orderdate) AS last_date
+             |FROM orders""".stripMargin)),
+
+    // --- DISTINCT projection
+    ("q07_distinct", cy(
+      """MATCH (c:Customer) RETURN DISTINCT c.c_mktsegment AS segment
+        |ORDER BY segment""".stripMargin),
+      Some("SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment")),
+
+    // --- ORDER BY + LIMIT (top-K → TakeOrderedAndProject physically)
+    ("q08_topk", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |RETURN c.c_name AS cname, o.o_totalprice AS price
+        |ORDER BY price DESC, cname LIMIT 10""".stripMargin),
+      Some("""SELECT c_name AS cname, o_totalprice AS price
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |ORDER BY price DESC, cname LIMIT 10""".stripMargin)),
+
+    // --- searched CASE as a grouping key
+    ("q09_case", cy(
+      """MATCH (o:Order)
+        |RETURN CASE WHEN o.o_totalprice >= 300000.0 THEN 'large'
+        |            WHEN o.o_totalprice >= 150000.0 THEN 'medium'
+        |            ELSE 'small' END AS bucket,
+        |       count(o) AS n
+        |ORDER BY bucket""".stripMargin),
+      Some("""SELECT CASE WHEN o_totalprice >= 300000.0 THEN 'large'
+             |            WHEN o_totalprice >= 150000.0 THEN 'medium'
+             |            ELSE 'small' END AS bucket,
+             |       count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // --- UNION (dedup) across two single queries
+    ("q10_union",
+      (s, dir) => TpchGraph.session(s, dir).run(
+        """MATCH (c:Customer) WHERE c.c_mktsegment = 'BUILDING'
+          |RETURN c.c_name AS name
+          |UNION
+          |MATCH (s:Supplier) RETURN s.s_name AS name""".stripMargin)
+        .orderBy("name"),
+      Some("""SELECT name FROM (
+             |  SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'
+             |  UNION
+             |  SELECT s_name AS name FROM supplier)
+             |ORDER BY name""".stripMargin)),
+
+    // --- UNION ALL (bag semantics)
+    ("q11_union_all",
+      (s, dir) => TpchGraph.session(s, dir).run(
+        """MATCH (n:Nation) RETURN n.n_name AS name
+          |UNION ALL
+          |MATCH (r:Region) RETURN r.r_name AS name""".stripMargin)
+        .orderBy("name"),
+      Some("""SELECT name FROM (
+             |  SELECT n_name AS name FROM nation
+             |  UNION ALL
+             |  SELECT r_name AS name FROM region)
+             |ORDER BY name""".stripMargin)),
+
+    // --- WITH + aggregation + post-WITH WHERE (HAVING semantics)
+    ("q12_with_having", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n_orders
+        |WHERE n_orders >= 15
+        |RETURN c.c_name AS cname, n_orders
+        |ORDER BY n_orders DESC, cname""".stripMargin),
+      Some("""SELECT c_name AS cname, count(*) AS n_orders
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment
+             |HAVING count(*) >= 15
+             |ORDER BY n_orders DESC, cname""".stripMargin)),
+
+    // --- WITH entity aliasing (rename) + STARTS WITH
+    ("q13_entity_alias", cy(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n AS m, c AS person
+        |WHERE m.n_name STARTS WITH 'B'
+        |RETURN m.n_name AS nation, count(person) AS n_cust
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(*) AS n_cust
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE n_name LIKE 'B%'
+             |GROUP BY n_name ORDER BY nation""".stripMargin)),
+
+    // --- string function surface
+    ("q14_string_funcs", cy(
+      """MATCH (n:Nation)
+        |RETURN toLower(n.n_name) AS lname, left(n.n_name, 3) AS prefix,
+        |       toLong(size(n.n_name)) AS name_len
+        |ORDER BY lname""".stripMargin),
+      Some("""SELECT lower(n_name) AS lname, left(n_name, 3) AS prefix,
+             |       length(n_name) AS name_len
+             |FROM nation ORDER BY lname""".stripMargin)),
+
+    // --- IN list + regex full-match
+    ("q15_in_regex", cy(
+      """MATCH (n:Nation)
+        |WHERE n.n_name IN ['FRANCE', 'GERMANY', 'CHINA'] OR n.n_name =~ 'A.*'
+        |RETURN n.n_name AS name ORDER BY name""".stripMargin),
+      Some("""SELECT n_name AS name FROM nation
+             |WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA')
+             |   OR regexp_full_match(n_name, 'A.*')
+             |ORDER BY name""".stripMargin)),
+
+    // --- arithmetic operators incl. %
+    ("q16_arith", cy(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE l.l_linenumber % 2 = 1 AND l.l_quantity > 45.0
+        |RETURN l.l_orderkey AS okey, l.l_linenumber AS lnum,
+        |       l.l_extendedprice * (1.0 - l.l_discount) * (1.0 + l.l_tax)
+        |         AS charged
+        |ORDER BY okey, lnum, charged""".stripMargin),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lnum,
+             |       l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+             |         AS charged
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE l_linenumber % 2 = 1 AND l_quantity > 45.0
+             |ORDER BY okey, lnum, charged""".stripMargin)),
+
+    // --- boolean-valued projection + XOR
+    ("q17_bool_xor", cy(
+      """MATCH (c:Customer)
+        |RETURN c.c_name AS cname, c.c_acctbal > 5000.0 AS rich,
+        |       (c.c_acctbal > 5000.0) XOR (c.c_mktsegment = 'BUILDING') AS flag
+        |ORDER BY cname""".stripMargin),
+      Some("""SELECT c_name AS cname, c_acctbal > 5000.0 AS rich,
+             |       ((c_acctbal > 5000.0) <> (c_mktsegment = 'BUILDING')) AS flag
+             |FROM customer ORDER BY cname""".stripMargin)),
+
+    // --- count(DISTINCT entity) via the entity id key
+    ("q18_count_distinct", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE p.p_size <= 5
+        |RETURN c.c_mktsegment AS segment, count(DISTINCT c) AS n_cust,
+        |       count(l) AS n_items
+        |ORDER BY segment""".stripMargin),
+      Some("""SELECT c_mktsegment AS segment,
+             |       count(DISTINCT c_custkey) AS n_cust, count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_size <= 5
+             |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)),
+
+    // --- stdev + percentileCont (finishing what the reference stubs)
+    ("q19_stats", cy(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |RETURN l.l_returnflag AS rf,
+        |       round(stdev(l.l_quantity), 4) AS sd_qty,
+        |       round(percentileCont(l.l_quantity, 0.5), 1) AS med_qty
+        |ORDER BY rf""".stripMargin),
+      Some("""SELECT l_returnflag AS rf,
+             |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |       round(quantile_cont(l_quantity, 0.5), 1) AS med_qty
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN part ON l_partkey = p_partkey
+             |GROUP BY rf ORDER BY rf""".stripMargin)),
+
+    // --- implicit relationship-uniqueness (Cypher edge-isomorphism)
+    ("q20_rel_uniqueness", cy(
+      """MATCH (c1:Customer)-[e1:FROM_NATION]->(n:Nation)<-[e2:FROM_NATION]-(c2:Customer)
+        |WHERE n.n_name = 'JAPAN'
+        |RETURN n.n_name AS nation, count(e1) AS n_pairs""".stripMargin),
+      Some("""SELECT n_name AS nation, count(*) AS n_pairs
+             |FROM customer c1
+             |JOIN nation ON c1.c_nationkey = n_nationkey
+             |JOIN customer c2 ON c2.c_nationkey = n_nationkey
+             |WHERE n_name = 'JAPAN' AND c1.c_custkey <> c2.c_custkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // --- cross join of disjoint patterns
+    ("q21_cross", cy(
+      """MATCH (r:Region), (r2:Region)
+        |WHERE r.r_regionkey < r2.r_regionkey
+        |RETURN r.r_name AS a, r2.r_name AS b
+        |ORDER BY a, b""".stripMargin),
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1, region r2
+             |WHERE r1.r_regionkey < r2.r_regionkey
+             |ORDER BY a, b""".stripMargin)),
+
+    // --- timestamp comparison + date part extraction (extension funcs)
+    ("q22_dates", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1998-01-01'
+        |RETURN toLong(year(o.o_orderdate)) AS yr,
+        |       toLong(month(o.o_orderdate)) AS mo, count(o) AS n
+        |ORDER BY yr, mo""".stripMargin),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |       count(*) AS n
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)))
+
+  // ================================================= training-data pipeline
+
+  private val opsSpecs: Seq[Spec] = Seq(
+    // --- exact dedup (hash-groupBy; bodies never shuffle)
+    ("d01_dedup_exact",
+      (s, dir) => Dedup.exact(docs(s, dir), "text", "doc_id").orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // --- blocked all-pairs n-gram Jaccard near-dup
+    ("d02_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
+          blockCol = "lang", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, lang,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id, lang,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END AS t
+             |        FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s))::DOUBLE /
+             |         len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+             |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+             |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- MinHash+LSH near-dup; candidates are exact-verified, and at
+    //     threshold 0.8 with 32 bands × 4 rows the miss probability is
+    //     < 1e-7, so the exact all-pairs oracle matches
+    ("d03_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END AS t
+             |        FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s))::DOUBLE /
+             |         len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+             |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+             |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
+    //     ScalaTest against planted near-dups)
+    ("d04_simhash",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // --- embedding-cosine near-dup, blocked by label
+    ("d05_embedding_dups",
+      (s, dir) => Dedup.embeddingNearDupPairs(embs(s, dir), "embedding",
+          "vec_id", blockCol = "label", threshold = 0.3)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |       round(list_dot_product(a.v, b.v) /
+             |         (sqrt(list_dot_product(a.v, a.v)) *
+             |          sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+             |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) *
+             |         sqrt(list_dot_product(b.v, b.v))) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- exact brute-force cosine top-k ANN baseline
+    ("s01_ann_topk",
+      (s, dir) => Similarity.bruteForceTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(q.v, c.v) /
+             |          (sqrt(list_dot_product(q.v, q.v)) *
+             |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+             |      FROM e q, e c
+             |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM s)
+             |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // --- LSH-bucketed approximate ANN (scale path; approximate →
+    //     rows-only + recall ScalaTest)
+    ("s02_ann_lsh",
+      (s, dir) => Similarity.lshTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      None),
+
+    // --- token / subword / punctuation counts + rolling-hash fingerprint
+    ("t01_text_stats",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.subwordCount(col("text")).as("n_subwords"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CASE WHEN trim(text) = '' THEN 0
+             |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             |    AS n_subwords,
+             |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             |  CASE WHEN length(text) = 0 THEN 0 ELSE
+             |    list_sum([ascii(text[i]) *
+             |              ([1, 31, 961, 29791, 923521, 28629151, 887503681,
+             |                27512614111])[(i - 1) % 8 + 1]
+             |              for i in range(1, length(text) + 1)]) % 1000000007
+             |  END AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- language-ID heuristic + quality score
+    ("t02_text_quality",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"),
+          round(TextOps.qualityScore(col("text"), col("n_chars")), 6)
+            .as("quality"))
+        .orderBy("doc_id"),
+      Some(textQualityOracle)),
+
+    // --- gap-based sessionization (batch gaps-and-islands)
+    ("t03_sessionize",
+      (s, dir) => Sessionize.batch(evts(s, dir), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (
+             |  SELECT *, lag(ts) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |        OR date_diff('second', prev, ts) > 1800
+             |        THEN 1 ELSE 0 END AS ns FROM e),
+             |g AS (SELECT *, sum(ns) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             |      FROM f)
+             |SELECT user_id, session_id, min(ts) AS session_start,
+             |       max(ts) AS session_end, count(*) AS n_events,
+             |       round(sum(value), 6) AS sum_value
+             |FROM g GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // --- tumbling-window rollup (batch twin of the streaming agg)
+    ("t04_hourly_rollup",
+      (s, dir) => Sessionize.hourlyRollup(evts(s, dir))
+        .select(col("hour"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // --- binary payload audit (multimodal plumbing: content-hash dedup key)
+    ("m01_payload_audit",
+      (s, dir) => Multimodal.payloadAudit(
+          docs(s, dir).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "payload", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
+             |       sha256(text) AS content_hash
+             |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  /** DuckDB mirror of [[TextOps.langId]] + [[TextOps.qualityScore]]. */
+  private lazy val textQualityOracle: String = {
+    val markers = TextOps.LangMarkers // keep oracle in lock-step with impl
+    val hitExprs = markers.map { case (l, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS h_$l"
+    }.mkString(",\n    ")
+    val best = "greatest(" + markers.map("h_" + _._1).mkString(", ") + ")"
+    val caseChain = markers.map { case (l, _) =>
+      s"WHEN h_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, text, n_chars,
+       |    $hitExprs,
+       |    CASE WHEN trim(text) = '' THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+       |    len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|of|to|in|is)\\b'))
+       |      AS n_stop,
+       |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+       |  FROM documents),
+       |b AS (SELECT *, $best AS best FROM h)
+       |SELECT doc_id,
+       |  CASE WHEN best = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+       |  round(
+       |    least(n_chars / 400.0, 1.0) * 0.5 +
+       |    least((CASE WHEN n_tok = 0 THEN 0.0
+       |                ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END)
+       |          * 4.0, 1.0) * 0.3 +
+       |    (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+       |                       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+       |                  END) * 10.0, 1.0)) * 0.2, 6) AS quality
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    specs.map(s => s._1 -> s._2).toMap
+
+  def oracleSql: Map[String, String] =
+    specs.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

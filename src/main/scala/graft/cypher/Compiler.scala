@@ -266,17 +266,25 @@ object Compiler {
         case (ValueItem(e, _), i) => ec.compile(e).as(tmpNames(i))
       }
       var aug = ctx.df.select(ctx.df.columns.map(col) ++ valueCols: _*)
-      val sortScope = ctx.scope
+      // ORDER BY/LIMIT/WHERE here see the NEW aliases (incl. renamed
+      // entities, `WITH n AS m`) while reading the OLD physical columns
+      // (reference: LogicalPlan.cs:216-288).
+      val entityRenames = kinds.zipWithIndex.collect {
+        case (EntityItem(a, b), i) if names(i) != a => (names(i), a, b)
+      }
+      val sortScope = ctx.scope ++
+        entityRenames.map { case (n, _, b) => n -> (b: Binding) }
+      val entitySrc = entityRenames.map { case (n, a, _) => n -> a }.toMap
       val aliasToTmp = kinds.zipWithIndex.collect {
         case (_: ValueItem, i) => names(i) -> tmpNames(i)
       }.toMap
-      val sortEc = new ExprCompiler(sortScope, aug, aliasToTmp)
+      val sortEc = new ExprCompiler(sortScope, aug, aliasToTmp, entitySrc)
       if (proj.orderBy.nonEmpty)
         aug = aug.orderBy(proj.orderBy.map(s =>
           if (s.desc) sortEc.compile(s.expr).desc else sortEc.compile(s.expr).asc): _*)
       proj.limit.foreach(n => aug = aug.limit(n.toInt))
       proj.where.foreach(w => aug = aug.filter(
-        new ExprCompiler(sortScope, aug, aliasToTmp).compile(w)))
+        new ExprCompiler(sortScope, aug, aliasToTmp, entitySrc).compile(w)))
       val outCols = kinds.zipWithIndex.flatMap {
         case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
         case (_: ValueItem, i) => Seq(col(tmpNames(i)).as(names(i)))

@@ -25,9 +25,16 @@ import Analyzer._
 final class ExprCompiler(
     scope: Map[String, Binding],
     probe: DataFrame,
-    aliasCols: Map[String, String] = Map.empty) {
+    aliasCols: Map[String, String] = Map.empty,
+    entitySrc: Map[String, String] = Map.empty) {
 
   import Compiler.pref
+
+  /** Physical column prefix for an entity alias: renamed entities
+   *  (`WITH n AS m`) still read their source alias's columns until the
+   *  projection trims/renames (reference: LogicalPlan.cs:216-288). */
+  private def physAlias(alias: String): String =
+    entitySrc.getOrElse(alias, alias)
 
   private def dt(c: Column): Option[DataType] =
     try Some(probe.select(c).schema.head.dataType)
@@ -44,7 +51,7 @@ final class ExprCompiler(
       if (!Compiler.entityCols(b).contains(p))
         throw new CypherBindingException(
           s"entity '$alias' has no property '$p'")
-      col(pref(alias, p))
+      col(pref(physAlias(alias), p))
     case Some(ValueBinding) =>
       throw new CypherBindingException(
         s"'$alias' is a value, not an entity — cannot access .$p")
@@ -165,6 +172,22 @@ final class ExprCompiler(
       case "tolower" | "lower" => arity(1); lower(a0)
       case "size" | "length"   => arity(1); length(a0)
       case "abs"   => arity(1); abs(a0)
+      // Extensions beyond the reference's registry (Function.cs:13-46):
+      // math helpers needed for deterministic floating-point comparisons
+      // and analytics. Flagged as extensions, not parity (SURVEY §7).
+      case "round" =>
+        arity(2)
+        f.args(1) match {
+          case Lit(n: Long) => round(a0, n.toInt)
+          case Lit(n: Int)  => round(a0, n)
+          case _ => throw new CypherSyntaxException(
+            "round(x, d) requires a literal integer scale")
+        }
+      case "floor" => arity(1); floor(a0)
+      case "ceil"  => arity(1); ceil(a0)
+      case "sqrt"  => arity(1); sqrt(a0)
+      case "year"  => arity(1); year(a0)
+      case "month" => arity(1); month(a0)
       case other =>
         throw new CypherNotSupportedException(s"function $other(...)")
     }
@@ -192,11 +215,11 @@ final class ExprCompiler(
             s"${a.name}() over an entity — aggregate a property instead")
         b match {
           case NodeBinding(n) =>
-            val k = col(pref(al, n.idColumn))
+            val k = col(pref(physAlias(al), n.idColumn))
             if (a.distinct) countDistinct(k) else count(k)
           case EdgeBinding(e) =>
-            val s = col(pref(al, e.srcIdColumn))
-            val k = col(pref(al, e.sinkIdColumn))
+            val s = col(pref(physAlias(al), e.srcIdColumn))
+            val k = col(pref(physAlias(al), e.sinkIdColumn))
             if (a.distinct) countDistinct(s, k) else count(s)
           case ValueBinding => throw new IllegalStateException
         }

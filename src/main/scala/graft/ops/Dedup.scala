@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deduplication operators for training-data pipelines, designed for the
+ * 100 TB regime:
+ *
+ *  - [[exact]]: hash-groupBy. One shuffle on a 64-bit content hash (not
+ *    the full text), map-side partial aggregation, then a semi-join back
+ *    — the document bodies never shuffle.
+ *  - [[ngramJaccardPairs]]: all-pairs n-gram Jaccard *within explicit
+ *    blocks* — quadratic, so only ever run inside small buckets.
+ *  - [[minhashLshPairs]]: MinHash signatures + LSH banding. Linear scan
+ *    to signatures, shuffle only (band, bandHash) buckets, candidate
+ *    pairs verified with exact Jaccard. The scale path for near-dedup.
+ *  - [[simhashPairs]]: 64-bit SimHash + 4×16-bit block blocking, Hamming
+ *    verification (Manku et al., WWW'07 style).
+ *  - [[embeddingNearDupPairs]]: cosine near-dup over embeddings, blocked
+ *    by a caller-supplied key.
+ *
+ * All signature computation is built-in higher-order functions (codegen,
+ * no UDFs); the only shuffles are the bucket groupings, whose keys are
+ * small fixed-width values.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /**
+   * Exact dedup: keeps the row with the minimum `idCol` per distinct
+   * `textCol`. Returns (id, n_dups) per kept row.
+   *
+   * Scale shape: group on xxhash64(text) so the shuffle carries an 8-byte
+   * key; collision safety comes from also min/max-ing a second
+   * independent hash and re-checking — at 100 TB the bodies stay in
+   * place and only (hash, id) pairs move.
+   */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = xxhash64(col(textCol))
+    df.select(h.as("__h"), col(idCol).cast(LongType).as("__id"))
+      .groupBy(col("__h"))
+      .agg(min("__id").as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col("n_dups"))
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingle array (distinct shingles, as strings).
+   *  Guarded: fewer than n tokens → empty array (`sequence(1, 0)` would
+   *  otherwise count DOWN and fabricate shingles). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Jaccard similarity of two string-array columns (exact, set-based). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    val uni = size(array_union(a, b)).cast(DoubleType)
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // -------------------------------------------------- blocked exact Jaccard
+
+  /**
+   * All-pairs n-gram Jaccard within blocks. `blockCol` bounds the
+   * quadratic blow-up (e.g. a source/partition key, or an LSH bucket);
+   * output is (id_a, id_b, jaccard) for pairs ≥ `threshold`, id_a < id_b.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(
+      col(blockCol).as("__blk"),
+      col(idCol).cast(LongType).as("__id"),
+      shingles(col(textCol), n).as("__sh"))
+    val l = withSh.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sha"))
+    val r = withSh.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__shb"))
+    l.join(r, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  /** Prime modulus > 2^32 for the universal-hash family. */
+  private val MhPrime = 4294967311L
+
+  /** Deterministic (a, b) coefficients for k universal hash functions —
+   *  a simple seeded LCG, reproducible across runs and engines. */
+  private[ops] def mhCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 33) % (MhPrime - 1) }
+    Seq.fill(k)((next() + 1, next()))
+  }
+
+  /**
+   * MinHash signature column: for each of k hash functions,
+   * min over shingles of (a·h + b) mod p, where h = xxhash64(shingle)
+   * truncated to 32 bits. Pure array expressions — one linear pass.
+   */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val hashes = transform(shingleCol, s =>
+      pmod(xxhash64(s), lit(4294967296L)))
+    val sig = mhCoeffs(k).map { case (a, b) =>
+      coalesce(
+        array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MhPrime)))),
+        lit(MhPrime)) // empty doc → sentinel
+    }
+    array(sig: _*)
+  }
+
+  /**
+   * MinHash + LSH near-duplicate pairs.
+   *
+   * Pipeline: shingles → k-wide signature → `bands` bands of `k/bands`
+   * rows; a candidate pair is any two docs sharing a band hash; verified
+   * with exact Jaccard ≥ `threshold` on the shingle sets.
+   *
+   * Scale shape: the per-doc state that shuffles is (band, bandHash, id)
+   * — 24 bytes × bands; the exact-verify join re-reads shingles only for
+   * candidate ids (semi-join pattern). Skewed mega-buckets (boilerplate
+   * docs) should be salted or capped upstream; we cap candidate bucket
+   * size with `maxBucket` to bound the quadratic corner.
+   */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 128, bands: Int = 32,
+                      threshold: Double = 0.8,
+                      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      shingles(col(textCol), n).as("__sh"))
+    val sig = base.select(col("__id"), col("__sh"),
+      minhashSignature(col("__sh"), k).as("__sig"))
+
+    // explode to (band, bandHash, id); band hash = xxhash64 of the band's
+    // slice of the signature, rendered compactly
+    val bandIdx = sequence(lit(0), lit(bands - 1))
+    val banded = sig.select(col("__id"), col("__sh"),
+        explode(transform(bandIdx, b =>
+          struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              transform(slice(col("__sig"), b * r + 1, lit(r)), x => x.cast(StringType)))
+            ).as("bh")))).as("__b"))
+      .select(col("__id"), col("__sh"),
+        col("__b.band").as("band"), col("__b.bh").as("bh"))
+
+    // candidate pairs within buckets (bucket size capped for skew safety)
+    val counted = banded
+      .withColumn("__sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .where(col("__sz") <= maxBucket)
+    val lhs = counted.select(col("band"), col("bh"),
+      col("__id").as("id_a"), col("__sh").as("__sha"))
+    val rhs = counted.select(col("band"), col("bh"),
+      col("__id").as("id_b"), col("__sh").as("__shb"))
+    val cand = lhs.join(rhs, Seq("band", "bh"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sha"), col("__shb"))
+      .dropDuplicates("id_a", "id_b")
+
+    cand.select(col("id_a"), col("id_b"),
+        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /**
+   * 64-bit SimHash over word tokens: per bit j, sum +1/-1 votes of
+   * xxhash64(token) bit j across tokens; the sign forms the fingerprint
+   * bit. Built from higher-order array functions — single pass.
+   */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+    val bitIdx = sequence(lit(0), lit(63))
+    val bits = transform(bitIdx, j =>
+      when(aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(getbit(h, j) === 1, lit(1L)).otherwise(lit(-1L))) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    // fold MSB-first with shift/or (bit 63 would overflow ANSI `*2`)
+    aggregate(reverse(bits), lit(0L),
+      (acc, b) => shiftleft(acc, 1).bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: block on each of the four 16-bit chunks of
+   * the fingerprint (two docs within Hamming ≤ 3 of each other share at
+   * least one exact chunk — Manku et al.), verify Hamming ≤ `maxDist`.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      simhash(col(textCol)).as("__fp"))
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("__fp"), c * 16)
+          .bitwiseAND(lit(65535L)).as("ck"))): _*)
+    val chunks = base.select(col("__id"), col("__fp"),
+        explode(chunkArr).as("__c"))
+      .select(col("__id"), col("__fp"),
+        col("__c.chunk").as("chunk"), col("__c.ck").as("ck"))
+    val lhs = chunks.select(col("chunk"), col("ck"),
+      col("__id").as("id_a"), col("__fp").as("__fpa"))
+    val rhs = chunks.select(col("chunk"), col("ck"),
+      col("__id").as("id_b"), col("__fp").as("__fpb"))
+    lhs.join(rhs, Seq("chunk", "ck"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("__fpa"), col("__fpb")).as("dist"))
+      .dropDuplicates("id_a", "id_b")
+      .where(col("dist") <= maxDist)
+  }
+
+  // -------------------------------------------------- embedding near-dup
+
+  /**
+   * Embedding-cosine near-duplicate pairs within blocks. The block key
+   * bounds the pair blow-up (use an LSH bucket from
+   * [[Similarity.hyperplaneBucket]] for unblocked corpora).
+   */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(blockCol).as("__blk"),
+      col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"))
+    val l = base.select(col("__blk"), col("__id").as("id_a"), col("__v").as("__va"))
+    val r = base.select(col("__blk"), col("__id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

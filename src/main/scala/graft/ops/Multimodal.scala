@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride as opaque
+ * `binary` columns with typed metadata structs. The actual codec calls
+ * are STUBBED with a deterministic fake (this container has no image or
+ * audio libraries) — the Spark-side contract is real: schemas,
+ * iterator-to-iterator partition processing (the Scala analogue of
+ * `mapInPandas`: batched, no per-row JVM↔driver traffic), and
+ * partitioning guidance for 100 TB media corpora (partition by content
+ * hash; keep `spark.sql.files.maxPartitionBytes` small because rows are
+ * fat; never collect payloads to the driver).
+ */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  final case class MediaMeta(media_id: Long, byte_len: Long, format: String,
+                             width: Int, height: Int, n_frames: Int,
+                             content_hash: String)
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /**
+   * DETERMINISTIC FAKE decoder — stands in for an image/video codec.
+   * Derives plausible dimensions from the payload bytes so tests are
+   * stable. A real deployment swaps only this function's body for a
+   * JNI/codec call; the partition-iterator pipeline around it is final.
+   */
+  private[ops] def fakeDecode(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    val fmt = (math.floorMod(h, 3L): @unchecked) match {
+      case 0L => "jpeg"; case 1L => "png"; case 2L => "mp4"
+    }
+    val w = 64 + math.floorMod(h >> 8, 1024L).toInt
+    val ht = 64 + math.floorMod(h >> 18, 1024L).toInt
+    val frames = if (fmt == "mp4") 1 + math.floorMod(h >> 28, 240L).toInt else 1
+    (fmt, w, ht, frames)
+  }
+
+  /**
+   * Decode + feature-extract metadata over a binary media column.
+   * Iterator-to-iterator `mapPartitions`: a codec context could be
+   * opened once per partition (the `it.map` body is the batch loop).
+   */
+  def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (one codec ctx/partition)
+      it.map { row =>
+        val (fmt, w, h, frames) = fakeDecode(row.payload)
+        val hash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(row.payload).map("%02x".format(_)).mkString
+        MediaMeta(row.media_id, row.payload.length.toLong, fmt, w, h, frames, hash)
+      }
+    }
+  }
+
+  /**
+   * Frame sampling: every `stride`-th frame of each video payload as its
+   * own row (fake frames = deterministic byte slices). The output
+   * explodes row counts — repartition by media_id first so one fat video
+   * doesn't pin a single task.
+   */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val (fmt, _, _, frames) = fakeDecode(row.payload)
+        if (fmt != "mp4") Iterator.empty
+        else (0 until frames by stride).iterator.map { f =>
+          val start = math.floorMod(f * 7, math.max(row.payload.length, 1))
+          val len = math.min(16, row.payload.length - start)
+          FrameRow(row.media_id, f, row.payload.slice(start, start + len))
+        }
+      }
+    }
+  }
+
+  /**
+   * Column-level content hash + size audit for a binary column — pure
+   * built-ins (sha2 is codegen'd), used for exact payload dedup at scale
+   * (group on the 32-byte digest, not the payload).
+   */
+  def payloadAudit(df: DataFrame, binCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), length(col(binCol)).cast(LongType).as("byte_len"),
+      sha2(col(binCol), 256).as("content_hash"))
+}

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - [[cosine]]: cosine similarity as a pure `zip_with`/`aggregate`
+ *    expression (double accumulation, left-to-right — deterministic and
+ *    engine-portable for the oracle).
+ *  - [[bruteForceTopK]]: exact top-k. The query set is broadcast
+ *    (small side), the corpus streams once; per-partition partial top-k
+ *    via a typed [[Aggregator]] means only k rows per (partition ×
+ *    query) reach the shuffle — at 100 TB the shuffle is k·|queries|·
+ *    |partitions| tiny structs, not |corpus|·|queries| rows.
+ *  - [[hyperplaneBucket]] + [[lshTopK]]: random-hyperplane LSH. Sign
+ *    bits of dot products with `nPlanes` seeded Gaussian-ish vectors
+ *    form a bucket id; candidates = same bucket (multi-probe: Hamming-1
+ *    neighbors optional). Approximate — the scale path when the query
+ *    set is itself large.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** L2 norm of a float-array column (double). */
+  def norm(a: Column): Column = sqrt(
+    aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, t) => acc + t))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  // ----------------------------------------------------------- top-k agg
+
+  /** (neighbor id, similarity) candidate. */
+  final case class Scored(id: Long, score: Double)
+
+  /**
+   * Bounded top-k aggregator with map-side partial merge: the buffer
+   * never exceeds k entries, so partial aggregation ships at most k
+   * structs per partition per group. Deterministic order: score desc,
+   * then id asc.
+   */
+  final class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
+      val merged = (s :: buf).sortWith(better)
+      if (merged.size > k) merged.take(k) else merged
+    }
+    def zero: List[Scored] = Nil
+    def reduce(buf: List[Scored], s: Scored): List[Scored] = insert(buf, s)
+    def merge(a: List[Scored], b: List[Scored]): List[Scored] =
+      b.foldLeft(a)(insert)
+    def finish(buf: List[Scored]): Seq[Scored] = buf.sortWith(better)
+    def bufferEncoder: Encoder[List[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /**
+   * Exact brute-force cosine top-k: for each row of `queries`, the k
+   * nearest corpus rows by cosine. Output: (query_id, neighbor_id, rank,
+   * cos_sim). Self-matches (same id) are excluded.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /** Group-wise top-k via the bounded [[TopK]] aggregator. */
+  private[ops] def topKPerGroup(scored: DataFrame, groupCol: String,
+                                idCol: String, scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val ds = scored.select(col(groupCol).cast(LongType),
+        col(idCol).cast(LongType), col(scoreCol).cast(DoubleType))
+      .as[(Long, Long, Double)]
+    val agg = new TopK(k).toColumn
+    ds.groupByKey(_._1)
+      .mapValues(t => Scored(t._2, t._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.id, i + 1L, s.score) }
+      }
+      .toDF(groupCol, idCol, "rank", scoreCol)
+  }
+
+  // ------------------------------------------------------------- LSH/ANN
+
+  /** Deterministic pseudo-Gaussian hyperplanes: component j of plane p is
+   *  a hash-derived value in [-0.5, 0.5). Seeded — stable across runs. */
+  private def planeComponent(p: Int, j: Column): Column = {
+    val h = xxhash64(lit(p), j, lit(20260812L))
+    (pmod(h, lit(1000000L)).cast(DoubleType) / lit(1000000.0)) - lit(0.5)
+  }
+
+  /**
+   * Random-hyperplane LSH bucket id (int in [0, 2^nPlanes)): bit p is the
+   * sign of ⟨vec, plane_p⟩. Computed with array expressions — no UDF, no
+   * shuffle; at scale this is a map-only projection you persist alongside
+   * the corpus (partitioning the corpus by bucket co-locates candidates).
+   */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast(DoubleType) * planeComponent(p, j)),
+        lit(0.0), (acc, t) => acc + t)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /**
+   * Approximate top-k: candidates share the query's hyperplane bucket;
+   * exact cosine + top-k within the bucket. Recall trades off with
+   * `nPlanes` (fewer planes → bigger buckets → higher recall, more work).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+    val scored = c.join(broadcast(q), Seq("__bkt"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+}

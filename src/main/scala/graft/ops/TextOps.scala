@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality scoring, language identification, document
+ * fingerprinting. Everything is composed from built-in
+ * `org.apache.spark.sql.functions` (higher-order array functions +
+ * regexes), so every operator stays inside whole-stage codegen and
+ * scales linearly with zero shuffle — at 100 TB these run as a single
+ * map stage over the parquet scan with full column pruning.
+ *
+ * Determinism note: all arithmetic is either integer or a fixed
+ * per-row sequence of IEEE double ops, so results are bit-identical
+ * across partitionings and engines (used by the DuckDB oracle).
+ */
+object TextOps {
+
+  /** Whitespace tokens of a document; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count as BIGINT (oracle-friendly). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /**
+   * A BPE-ish subword count: counts maximal runs of letters, digits, or
+   * single punctuation marks — a cheap deterministic proxy for tokenizer
+   * load (regex splitting mirrors the GPT-2 pre-tokenizer's
+   * letters/digits/other classes).
+   */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0))).cast(LongType)
+
+  private val EnStopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Count of English stopword tokens. */
+  def stopwordCount(text: Column): Column = {
+    val pat = EnStopwords.mkString("(?i)\\b(", "|", ")\\b")
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast(LongType)
+  }
+
+  /**
+   * Quality score in [0,1]: blends length, punctuation density and
+   * stopword ratio — the standard cheap heuristics used to pre-filter
+   * web text before training. Fixed double arithmetic per row.
+   */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenScore = least(nChars.cast(DoubleType) / lit(400.0), lit(1.0))
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(stopwordCount(text).cast(DoubleType) / nTok.cast(DoubleType))
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(punctCount(text).cast(DoubleType) / nChars.cast(DoubleType))
+    // weights sum to 1; punct is a penalty above 10% density
+    lenScore * lit(0.5) + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+  }
+
+  /** Per-language stopword regexes for the n-gram/stopword langid
+   *  heuristic. Order matters: ties resolve to the earlier language. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|is|of|to|was|for)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|ein)\\b",
+    "fr" -> "\\b(le|la|et|les|des|est|une)\\b",
+    "es" -> "\\b(el|los|y|las|una|es|que)\\b")
+
+  /**
+   * Language-ID heuristic: counts language-marker stopword hits per
+   * candidate language, returns the argmax ('und' = undetermined when
+   * nothing matches). Deterministic tie-break: first language in
+   * [[LangMarkers]] order wins.
+   */
+  def langId(text: Column): Column = {
+    val lower0 = lower(text)
+    val hits: Seq[(String, Column)] = LangMarkers.map { case (l, pat) =>
+      l -> size(regexp_extract_all(lower0, lit(pat), lit(0))).cast(LongType)
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = hits.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, h)) => acc.when(h === best, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /** Positional weights 31^0..31^7, cycled — fits exact int64 math. */
+  private val FpWeights: Seq[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(8).toSeq
+  private val FpMod = 1000000007L
+
+  /**
+   * Document fingerprint: position-weighted rolling hash over the
+   * character codes, mod 1e9+7. Pure int64 math over a
+   * `sequence`/`transform`/`aggregate` pipeline — exact on any engine,
+   * no hash-function mismatch with the oracle.
+   */
+  def fingerprint(text: Column): Column = {
+    val w = array(FpWeights.map(lit): _*)
+    val idx = sequence(lit(1), length(text))
+    val terms = transform(idx, i =>
+      ascii(substring(text, i, lit(1))).cast(LongType) *
+        element_at(w, pmod(i - 1, lit(8)) + 1))
+    when(length(text) === 0, lit(0L))
+      .otherwise(pmod(aggregate(terms, lit(0L), (acc, t) => acc + t), lit(FpMod)))
+  }
+}
