@@ -335,26 +335,32 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
              |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)),
 
-    // --- blocked all-pairs n-gram Jaccard near-dup
+    // --- blocked all-pairs n-gram Jaccard near-dup (block = lang×source:
+    //     the quadratic operator is only ever pointed at small blocks)
     ("d02_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id",
-          blockCol = "lang", n = 3, threshold = 0.5)
+      (s, dir) => Dedup.ngramJaccardPairs(
+          docs(s, dir).withColumn("blk",
+            concat_ws("|", col("lang"), col("source"))),
+          "text", "doc_id", blockCol = "blk", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some("""WITH sh AS (
-             |  SELECT doc_id, lang,
+             |  SELECT doc_id, lang, source,
              |         list_distinct([array_to_string(t[i:i+2], ' ')
              |                        for i in range(1, len(t) - 1)]) AS s
-             |  FROM (SELECT doc_id, lang,
+             |  FROM (SELECT doc_id, lang, source,
              |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
              |               ELSE string_split_regex(trim(text), '\s+') END AS t
              |        FROM documents))
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |       len(list_intersect(a.s, b.s))::DOUBLE /
-             |         len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
-             |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-             |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+             |         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
+             |         AS jaccard
+             |FROM sh a JOIN sh b
+             |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
              |  AND len(list_intersect(a.s, b.s))::DOUBLE /
-             |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.5
+             |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE
+             |        >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // --- MinHash+LSH near-dup; candidates are exact-verified, and at

@@ -1,0 +1,360 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the signature/similarity hot paths.
+ *
+ * Spark's higher-order array functions (`transform`/`aggregate`/
+ * `zip_with`) are CodegenFallback — every lambda step is interpreted.
+ * For corpus-scale signature computation (k×N multiply-mod per doc for
+ * MinHash, 64×N bit votes for SimHash, d multiply-adds per vector pair
+ * for dot products) that interpretation dominates the runtime, so these
+ * operators get true `doGenCode` implementations: tight JIT-compiled
+ * loops inside whole-stage codegen, zero boxing.
+ *
+ * Each expression has an interpreted `nullSafeEval` that is
+ * EXACTLY the same arithmetic as the generated code and as the
+ * compositional builders in [[graft.ops]] (asserted by OpsSpec), so
+ * results are bit-identical whichever path runs.
+ */
+object NativeExpressions {
+
+  def col(e: Expression): Column = GraftSqlBridge.column(e)
+  def expr(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  private def requireArrayOf(e: Expression, elem: DataType,
+                             name: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(t, _) if t == elem => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<$elem>, got $other")
+    }
+
+  // ------------------------------------------------------------- MinHash
+
+  /**
+   * k-wide MinHash signature over a hash array: each input hash is
+   * masked to its low 32 bits, then out[j] = min over h of
+   * (a_j·h + b_j) mod prime; empty → prime sentinel. One pass over the
+   * hashes, k updates per element.
+   * Overflow-safe: a < 2^31, masked h < 2^32 ⇒ a·h + b < 2^63.
+   */
+  final case class MinHashSig(child: Expression, coeffA: Array[Long],
+                              coeffB: Array[Long], prime: Long)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash_sig"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val k = coeffA.length
+      val out = Array.fill(k)(prime)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i) & 0xFFFFFFFFL
+        var j = 0
+        while (j < k) {
+          val v = (coeffA(j) * h + coeffB(j)) % prime
+          if (v < out(j)) out(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("minhashA", coeffA, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+      val k = coeffA.length
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |long[] mh_out = new long[$k];
+           |java.util.Arrays.fill(mh_out, ${prime}L);
+           |int mh_n = $c.numElements();
+           |for (int i = 0; i < mh_n; i++) {
+           |  long h = $c.getLong(i) & 0xFFFFFFFFL;
+           |  for (int j = 0; j < $k; j++) {
+           |    long v = ($aRef[j] * h + $bRef[j]) % ${prime}L;
+           |    if (v < mh_out[j]) mh_out[j] = v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mh_out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /**
+   * 64-bit SimHash from a token-hash array: per bit j, the sign of
+   * Σ tokens (±1 by bit j of the hash) forms fingerprint bit j.
+   * Same arithmetic as [[graft.ops.Dedup.simhashFromHashes]].
+   */
+  final case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Long](64)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          votes(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+          j += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var j = 63
+      while (j >= 0) {
+        fp = (fp << 1) | (if (votes(j) > 0) 1L else 0L)
+        j -= 1
+      }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |long[] sh_votes = new long[64];
+           |int sh_n = $c.numElements();
+           |for (int i = 0; i < sh_n; i++) {
+           |  long h = $c.getLong(i);
+           |  for (int j = 0; j < 64; j++) {
+           |    sh_votes[j] += (((h >>> j) & 1L) == 1L) ? 1L : -1L;
+           |  }
+           |}
+           |long sh_fp = 0L;
+           |for (int j = 63; j >= 0; j--) {
+           |  sh_fp = (sh_fp << 1) | (sh_votes[j] > 0 ? 1L : 0L);
+           |}
+           |${ev.value} = sh_fp;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+      copy(child = newChild)
+  }
+
+  // ---------------------------------------------------- n-gram hashing
+
+  /**
+   * Hashes of word n-grams straight from a token array — the shingle
+   * strings are never materialized. Each token is xxhash64'd once
+   * (O(len) total, not O(len·n)), and an n-gram's hash is a positional
+   * polynomial combination of its token hashes (distinct n-grams
+   * collide with probability ~2^-64).
+   *
+   * Near-dup semantics are preserved exactly: Jaccard over these hash
+   * sets equals Jaccard over the string shingle sets (modulo that
+   * negligible collision probability).
+   */
+  final case class NgramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "ngram_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val len = arr.numElements()
+      val m = len - n + 1
+      if (m <= 0) return new GenericArrayData(Array.empty[Long])
+      val th = new Array[Long](len)
+      var i = 0
+      while (i < len) {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val out = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var acc = 0L
+        var j = 0
+        while (j < n) {
+          acc = (acc ^ th(i + j)) * -7046029254386353131L // 0x9E3779B97F4A7C15
+          j += 1
+        }
+        out(i) = acc
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |int ng_len = $c.numElements();
+           |int ng_m = ng_len - $n + 1;
+           |long[] ng_out;
+           |if (ng_m <= 0) {
+           |  ng_out = new long[0];
+           |} else {
+           |  long[] ng_th = new long[ng_len];
+           |  for (int i = 0; i < ng_len; i++) {
+           |    org.apache.spark.unsafe.types.UTF8String s = $c.getUTF8String(i);
+           |    ng_th[i] = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
+           |  }
+           |  ng_out = new long[ng_m];
+           |  for (int i = 0; i < ng_m; i++) {
+           |    long acc = 0L;
+           |    for (int j = 0; j < $n; j++) {
+           |      acc = (acc ^ ng_th[i + j]) * -7046029254386353131L;
+           |    }
+           |    ng_out[i] = acc;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(ng_out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+      copy(child = newChild)
+  }
+
+  // ----------------------------------------- sorted-array intersection
+
+  /**
+   * |A ∩ B| for two SORTED long arrays with distinct elements — a single
+   * merge walk, no per-pair hash-set allocation. The workhorse of
+   * all-pairs Jaccard verification: sort once per document, merge per
+   * pair.
+   */
+  final case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(requireArrayOf(left, LongType, prettyName),
+        requireArrayOf(right, LongType, prettyName))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sorted_intersect_count"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements()
+      val nb = b.numElements()
+      var i = 0; var j = 0; var cnt = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { cnt += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      cnt
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int si_na = $a.numElements();
+           |int si_nb = $b.numElements();
+           |int si_i = 0, si_j = 0;
+           |long si_cnt = 0L;
+           |while (si_i < si_na && si_j < si_nb) {
+           |  long x = $a.getLong(si_i);
+           |  long y = $b.getLong(si_j);
+           |  if (x == y) { si_cnt++; si_i++; si_j++; }
+           |  else if (x < y) { si_i++; } else { si_j++; }
+           |}
+           |${ev.value} = si_cnt;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------- dot product
+
+  /**
+   * Dot product of two float-array columns, accumulated left-to-right
+   * in double — bit-identical to the `zip_with`+`aggregate`
+   * composition in [[graft.ops.Similarity.dot]] and to DuckDB's
+   * list_dot_product over DOUBLE[] (used as the oracle).
+   */
+  final case class DotF(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(requireArrayOf(left, FloatType, prettyName),
+        requireArrayOf(right, FloatType, prettyName))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_f"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int df_n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double df_acc = 0.0;
+           |for (int i = 0; i < df_n; i++) {
+           |  df_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |}
+           |${ev.value} = df_acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotF =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------- Column API
+
+  def minhashSig(hashes: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
+    col(MinHashSig(expr(hashes), coeffs.map(_._1).toArray,
+      coeffs.map(_._2).toArray, prime))
+
+  def simhash64(hashes: Column): Column = col(SimHash64(expr(hashes)))
+
+  def ngramHashes(tokens: Column, n: Int): Column =
+    col(NgramHashes(expr(tokens), n))
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
+
+  def dotF(a: Column, b: Column): Column = col(DotF(expr(a), expr(b)))
+}

@@ -59,10 +59,30 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** Jaccard similarity of two string-array columns (exact, set-based). */
+  /** Jaccard similarity of two distinct-element array columns. Uses
+   *  |A∩B| / (|A| + |B| − |A∩B|) — one set operation per pair instead of
+   *  two (the arrays come out of [[shingles]] already deduplicated). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val uni = size(array_union(a, b)).cast(DoubleType)
+    val uni = size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Sorted distinct hashed-shingle set of a document — the pairwise
+   *  representation: n-gram hashes are computed straight off the token
+   *  array (native codegen, no shingle strings), and the sorted array
+   *  makes per-pair intersection a merge walk. */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    sort_array(array_distinct(
+      graft.functions.NativeExpressions.ngramHashes(TextOps.tokens(text), n)))
+
+  /** Jaccard over two sorted distinct long-array columns (native merge
+   *  intersection). Same value as [[jaccard]] on the string sets, modulo
+   *  a ~2^-64 hash-collision probability. */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    val inter = graft.functions.NativeExpressions
+      .sortedIntersectCount(a, b).cast(DoubleType)
+    val uni = size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
@@ -78,13 +98,13 @@ object Dedup {
     val withSh = df.select(
       col(blockCol).as("__blk"),
       col(idCol).cast(LongType).as("__id"),
-      shingles(col(textCol), n).as("__sh"))
+      hashedShingleSet(col(textCol), n).as("__sh"))
     val l = withSh.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sha"))
     val r = withSh.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__shb"))
     l.join(r, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+        jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -102,17 +122,23 @@ object Dedup {
     Seq.fill(k)((next() + 1, next()))
   }
 
+  /** 32-bit shingle hashes (xxhash64 truncated) — materialize this ONCE
+   *  as a column before fanning out to k hash functions: Catalyst does
+   *  not common-subexpression-eliminate lambda pipelines, so inlining it
+   *  into [[minhashSignature]] would recompute xxhash64 k times. */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(4294967296L)))
+
   /**
-   * MinHash signature column: for each of k hash functions,
-   * min over shingles of (a·h + b) mod p, where h = xxhash64(shingle)
-   * truncated to 32 bits. Pure array expressions — one linear pass.
+   * MinHash signature from a precomputed hash array: for each of k
+   * universal hash functions, min over shingles of (a·h + b) mod p.
+   * Pure array expressions — one linear pass.
    */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
-    val hashes = transform(shingleCol, s =>
-      pmod(xxhash64(s), lit(4294967296L)))
+  def minhashSignature(hashCol: Column, k: Int): Column = {
     val sig = mhCoeffs(k).map { case (a, b) =>
       coalesce(
-        array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MhPrime)))),
+        array_min(transform(hashCol, h =>
+          pmod(pmod(h, lit(4294967296L)) * lit(a) + lit(b), lit(MhPrime)))),
         lit(MhPrime)) // empty doc → sentinel
     }
     array(sig: _*)
@@ -137,39 +163,45 @@ object Dedup {
                       maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // hashed shingle sets (native n-gram hashing — no shingle strings),
+    // materialized once; signatures via the native one-pass expression
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-      shingles(col(textCol), n).as("__sh"))
-    val sig = base.select(col("__id"), col("__sh"),
-      minhashSignature(col("__sh"), k).as("__sig"))
+      hashedShingleSet(col(textCol), n).as("__sh"))
+    val sig = base.select(col("__id"),
+      graft.functions.NativeExpressions
+        .minhashSig(col("__sh"), mhCoeffs(k), MhPrime).as("__sig"))
 
-    // explode to (band, bandHash, id); band hash = xxhash64 of the band's
-    // slice of the signature, rendered compactly
+    // explode to slim (band, bandHash, id) rows — the ONLY data that
+    // shuffles; shingle arrays stay columnar in `base`
     val bandIdx = sequence(lit(0), lit(bands - 1))
-    val banded = sig.select(col("__id"), col("__sh"),
+    val banded = sig.select(col("__id"),
         explode(transform(bandIdx, b =>
           struct(b.as("band"),
             xxhash64(concat_ws(",",
               transform(slice(col("__sig"), b * r + 1, lit(r)), x => x.cast(StringType)))
             ).as("bh")))).as("__b"))
-      .select(col("__id"), col("__sh"),
-        col("__b.band").as("band"), col("__b.bh").as("bh"))
+      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
 
     // candidate pairs within buckets (bucket size capped for skew safety)
     val counted = banded
       .withColumn("__sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .where(col("__sz") <= maxBucket)
-    val lhs = counted.select(col("band"), col("bh"),
-      col("__id").as("id_a"), col("__sh").as("__sha"))
-    val rhs = counted.select(col("band"), col("bh"),
-      col("__id").as("id_b"), col("__sh").as("__shb"))
-    val cand = lhs.join(rhs, Seq("band", "bh"))
+    val cand = counted.select(col("band"), col("bh"), col("__id").as("id_a"))
+      .join(counted.select(col("band"), col("bh"), col("__id").as("id_b")),
+        Seq("band", "bh"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sha"), col("__shb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    cand.select(col("id_a"), col("id_b"),
-        jaccard(col("__sha"), col("__shb")).as("jaccard"))
+    // exact-verify only the candidates: join the (small) pair list back
+    // to the shingle sets — the semi-join pattern that scales
+    val sh = base.select(col("__id"), col("__sh"))
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -179,9 +211,17 @@ object Dedup {
    * 64-bit SimHash over word tokens: per bit j, sum +1/-1 votes of
    * xxhash64(token) bit j across tokens; the sign forms the fingerprint
    * bit. Built from higher-order array functions — single pass.
+   *
+   * NOTE: compute the token-hash array ONCE (e.g.
+   * `withColumn("__h", transform(TextOps.tokens(c), xxhash64))` then
+   * `simhashFromHashes(col("__h"))`) when fingerprinting a corpus —
+   * inlined, the 64 per-bit aggregates would each re-hash every token.
    */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(TextOps.tokens(text), t => xxhash64(t)))
+
+  /** SimHash from a precomputed token-hash array column. */
+  def simhashFromHashes(hashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(63))
     val bits = transform(bitIdx, j =>
       when(aggregate(hashes, lit(0L), (acc, h) =>
@@ -203,7 +243,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-      simhash(col(textCol)).as("__fp"))
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
+      .select(col("__id"),
+        graft.functions.NativeExpressions.simhash64(col("__h")).as("__fp"))
     val chunkArr = array((0 until 4).map(c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("__fp"), c * 16)
@@ -234,13 +276,17 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
     val base = df.select(col(blockCol).as("__blk"),
-      col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"))
-    val l = base.select(col("__blk"), col("__id").as("id_a"), col("__v").as("__va"))
-    val r = base.select(col("__blk"), col("__id").as("id_b"), col("__v").as("__vb"))
+      col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"),
+      Similarity.norm(col(vecCol)).as("__n"))
+    val l = base.select(col("__blk"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val r = base.select(col("__blk"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     l.join(r, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("__va"), col("__vb")).as("cos_sim"))
+        Similarity.cosineWithNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

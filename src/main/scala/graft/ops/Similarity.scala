@@ -24,23 +24,31 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated left-to-right
+   *  in double. Native codegen'd expression (the `zip_with`+`aggregate`
+   *  composition is interpreted per element); [[dotComposed]] keeps the
+   *  built-in formulation for cross-checking. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.dotF(a, b)
+
+  /** Built-in-composed dot product — bit-identical to [[dot]]. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, t) => acc + t)
 
   /** L2 norm of a float-array column (double). */
-  def norm(a: Column): Column = sqrt(
-    aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, t) => acc + t))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val na = norm(a)
-    val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, norm(a), norm(b))
+
+  /** Cosine with precomputed norms — in pairwise joins, compute each
+   *  side's norm ONCE per row (`withColumn` before the join), not once
+   *  per pair: identical floating-point result, O(n) instead of O(n²)
+   *  norm work. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
   // ----------------------------------------------------------- top-k agg
 
@@ -79,13 +87,14 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
-      col(vecCol).as("__qv"))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
-      col(vecCol).as("__cv"))
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
 
@@ -141,13 +150,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
-      col(vecCol).as("__cv"), hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
-      col(vecCol).as("__qv"), hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
     val scored = c.join(broadcast(q), Seq("__bkt"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos_sim"))
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
 }

@@ -1,0 +1,307 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the training-data pipeline operators. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  import spark.implicits._
+
+  // a corpus with one exact dup pair, one near-dup pair, one unique doc
+  private lazy val corpus: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today", "a"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight", "a"),
+    (4L, "completely different content about spark query engines and shuffles", "a"),
+    (5L, "", "a")
+  ).toDF("doc_id", "text", "blk")
+
+  // ------------------------------------------------------------------ text
+
+  test("tokenCount: whitespace runs, blank → 0") {
+    val r = spark.range(1).select(
+      TextOps.tokenCount(lit("a  b\tc")).as("t1"),
+      TextOps.tokenCount(lit("")).as("t2"),
+      TextOps.tokenCount(lit("   ")).as("t3"),
+      TextOps.tokenCount(lit("one")).as("t4")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 0L, 0L, 1L)))
+  }
+
+  test("subword/punct counts") {
+    val r = spark.range(1).select(
+      TextOps.subwordCount(lit("hello, world42! x")).as("s"),
+      TextOps.punctCount(lit("a, b; c... d")).as("p")).head()
+    // hello , world 42 ! x → 6 subword units; punct: , ; . . . → 5
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L)
+  }
+
+  test("fingerprint: deterministic, position-sensitive, empty → 0") {
+    def fpScala(s: String): Long = {
+      val w = Iterator.iterate(1L)(_ * 31L).take(8).toSeq
+      s.zipWithIndex.map { case (c, i) => c.toLong * w(i % 8) }.sum % 1000000007L
+    }
+    val r = spark.range(1).select(
+      TextOps.fingerprint(lit("abc")).as("a"),
+      TextOps.fingerprint(lit("acb")).as("b"),
+      TextOps.fingerprint(lit("")).as("c")).head()
+    assert(r.getLong(0) == fpScala("abc"))
+    assert(r.getLong(1) == fpScala("acb"))
+    assert(r.getLong(0) != r.getLong(1)) // position sensitivity
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("langId picks the dominant marker language; 'und' when none") {
+    val r = spark.range(1).select(
+      TextOps.langId(lit("the cat and the dog is of value to us")).as("en"),
+      TextOps.langId(lit("der hund und die katze ist nicht da")).as("de"),
+      TextOps.langId(lit("le chat et les chiens est une merveille")).as("fr"),
+      TextOps.langId(lit("xyzzy plugh qwerty")).as("und")).head()
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3)) ==
+      (("en", "de", "fr", "und")))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val scores = corpus.select(
+      TextOps.qualityScore(col("text"), length(col("text"))).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  test("exact dedup keeps min id and counts dups") {
+    val r = Dedup.exact(corpus, "text", "doc_id").orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("shingles: fewer than n tokens → empty, no phantom shingles") {
+    val r = spark.range(1).select(
+      size(Dedup.shingles(lit("one two"), 3)).as("a"),
+      size(Dedup.shingles(lit("one two three four"), 3)).as("b")).head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 2)
+  }
+
+  test("ngramJaccardPairs finds exact+near dups within block") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", "blk",
+        n = 3, threshold = 0.5)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs agrees with exact pairs at high threshold") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", "blk",
+        n = 3, threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        n = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lsh == exact) // planted dups are >0.9 — miss prob ~1e-15
+    assert(lsh.contains((1L, 2L)))
+  }
+
+  test("simhash: identical text → identical fp; near text → small hamming") {
+    val fps = corpus.where(col("doc_id") <= 4)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) <= 8)
+    assert(ham(fps(1L), fps(4L)) > 8)
+  }
+
+  test("simhashPairs finds the exact-dup pair") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  private lazy val vecs: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(0.0f, 0.0f, 1.0f), 1),
+    (4L, Array(-1.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: orthogonal → 0, identical → 1, zero-norm guarded") {
+    val r = vecs.where(col("vec_id") === 0).select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("a"),
+      Similarity.cosine(col("embedding"), lit(Array(0.0f, 1.0f, 0.0f))).as("b"),
+      Similarity.cosine(col("embedding"), lit(Array(0.0f, 0.0f, 0.0f))).as("c")
+    ).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+  }
+
+  test("bruteForceTopK: correct neighbors, rank order, no self-match") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "embedding", "vec_id", k = 2)
+      .orderBy("rank").collect()
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 1L) // closest: (0.9, 0.1, 0)
+    assert(r(0).getLong(2) == 1L && r(1).getLong(2) == 2L)
+    assert(r.forall(_.getLong(1) != 0L))
+  }
+
+  test("TopK aggregator merge keeps global best with ties by id") {
+    val agg = new Similarity.TopK(3)
+    val a = List(Similarity.Scored(1, 0.9), Similarity.Scored(2, 0.5))
+    val b = List(Similarity.Scored(3, 0.9), Similarity.Scored(4, 0.7))
+    val m = agg.finish(agg.merge(a, b))
+    assert(m.map(_.id) == Seq(1L, 3L, 4L)) // 0.9(id1), 0.9(id3), 0.7
+  }
+
+  test("lshTopK returns subset-consistent results (same bucket → found)") {
+    val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
+      "embedding", "vec_id", k = 2, nPlanes = 2)
+    // approximate: every returned neighbor must be a real corpus id with
+    // correct cosine; rank contiguous from 1
+    val rows = r.orderBy("rank").collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1 to rows.length).map(_.toLong))
+  }
+
+  // ------------------------------------------ native codegen expressions
+
+  test("native MinHashSig == compositional minhashSignature") {
+    import graft.functions.NativeExpressions
+    val hashes = Dedup.shingleHashes(Dedup.shingles(col("text"), 3))
+    val k = 16
+    val r = corpus.select(
+      NativeExpressions.minhashSig(hashes, Dedup.mhCoeffs(k), 4294967311L).as("n"),
+      Dedup.minhashSignature(hashes, k).as("c")).collect()
+    r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
+  }
+
+  test("native SimHash64 == compositional simhashFromHashes") {
+    import graft.functions.NativeExpressions
+    val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
+    val r = corpus.select(NativeExpressions.simhash64(hashes).as("n"),
+      Dedup.simhashFromHashes(hashes).as("c")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+  }
+
+  test("hashed shingle jaccard == string shingle jaccard") {
+    val withBoth = corpus.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("s"),
+      Dedup.hashedShingleSet(col("text"), 3).as("h"))
+    val l = withBoth.select(col("doc_id").as("ia"), col("s").as("sa"), col("h").as("ha"))
+    val r = withBoth.select(col("doc_id").as("ib"), col("s").as("sb"), col("h").as("hb"))
+    val rows = l.crossJoin(r).where(col("ia") < col("ib"))
+      .select(Dedup.jaccard(col("sa"), col("sb")).as("js"),
+        Dedup.jaccardHashed(col("ha"), col("hb")).as("jh")).collect()
+    rows.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+  }
+
+  test("native DotF == compositional dot, bit-identical") {
+    val r = vecs.crossJoin(vecs.select(col("embedding").as("e2")))
+      .select(Similarity.dot(col("embedding"), col("e2")).as("n"),
+        Similarity.dotComposed(col("embedding"), col("e2")).as("c")).collect()
+    r.foreach(row => assert(
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1))))
+  }
+
+  // ---------------------------------------------------------- sessionize
+
+  // day 1, not epoch 0: the initial streaming watermark is 0 and rows at
+  // exactly the watermark are treated as late
+  private def ts(min: Long): Timestamp = new Timestamp(86400000L + min * 60000L)
+
+  private lazy val events: DataFrame = Seq(
+    (1L, ts(0), 10L, "view", 1.0, ""),
+    (2L, ts(10), 10L, "view", 2.0, ""),
+    (3L, ts(70), 10L, "buy", 3.0, ""),   // gap 60min → new session
+    (4L, ts(75), 10L, "view", 4.0, ""),
+    (5L, ts(5), 20L, "view", 5.0, "")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("batch sessionize: gap splits sessions, aggregates correct") {
+    val r = Sessionize.batch(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(r.length == 3)
+    val s1 = r(0)
+    assert(s1.getAs[Long]("user_id") == 10L && s1.getAs[Long]("n_events") == 2L
+      && s1.getAs[Double]("sum_value") == 3.0)
+    val s2 = r(1)
+    assert(s2.getAs[Long]("n_events") == 2L && s2.getAs[Double]("sum_value") == 7.0)
+    assert(r(2).getAs[Long]("user_id") == 20L)
+  }
+
+  test("streaming sessionize matches batch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.streaming(
+      mem.toDS().withWatermark("ts", "10 minutes"), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Sessionize.Event(1, ts(0), 10, "view", 1.0),
+        Sessionize.Event(2, ts(10), 10, "view", 2.0),
+        Sessionize.Event(5, ts(5), 20, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past session end → timeout fires
+      mem.addData(Sessionize.Event(6, ts(500), 30, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(7, ts(1000), 30, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect()
+      assert(got.length >= 2)
+      val u10 = got.filter(_.getAs[Long]("user_id") == 10L)
+      assert(u10.length == 1 && u10(0).getAs[Long]("n_events") == 2L
+        && u10(0).getAs[Double]("sum_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("hourlyRollup groups by hour + type") {
+    val r = Sessionize.hourlyRollup(events).collect()
+    assert(r.map(_.getAs[Long]("n_events")).sum == 5L)
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  test("multimodal: meta extraction is deterministic and schema-typed") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4, 5)),
+      Multimodal.MediaRow(3L, "totally different bytes".getBytes)).toDS()
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(1L).copy(media_id = 2L) == meta(2L)) // deterministic
+    assert(meta(1L).byte_len == 5L)
+    assert(meta(1L).content_hash == meta(2L).content_hash)
+    assert(meta(1L).content_hash != meta(3L).content_hash)
+    assert(meta.values.forall(m => m.width >= 64 && m.height >= 64))
+  }
+
+  test("multimodal: frame sampling only for video, stride respected") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
+      Multimodal.MediaRow(2L, Array.tabulate(65)(i => (i + 1).toByte))).toDS()
+    val metas = Multimodal.extractMeta(media).collect()
+    val frames = Multimodal.sampleFrames(media, stride = 7).collect()
+    val vids = metas.filter(_.format == "mp4").map(_.media_id).toSet
+    assert(frames.forall(f => vids.contains(f.media_id)))
+    metas.filter(m => vids.contains(m.media_id)).foreach { m =>
+      val n = frames.count(_.media_id == m.media_id)
+      assert(n == (m.n_frames + 6) / 7)
+    }
+  }
+}
