@@ -38,16 +38,54 @@ object Compiler {
   def edgeSrc(alias: String, e: EdgeDef): Column = col(pref(alias, e.srcIdColumn))
   def edgeSnk(alias: String, e: EdgeDef): Column = col(pref(alias, e.sinkIdColumn))
 
-  /** Leaf scan — one node/edge entity, columns renamed into the alias
-   *  namespace (reference: DataSourceOperator.cs:19-122). Catalyst prunes
-   *  the scan down to the referenced columns. */
-  private def scan(catalog: GraphCatalog, alias: String, b: Binding): DataFrame = {
-    val base = b match {
+  /** One physical scan producing one or more entity namespaces. A group
+   *  with several members is a *merged* scan: a relationship plus the
+   *  endpoint nodes that live in the same table joined on the node's
+   *  unique id (see [[mergeMap]]) — one parquet read instead of a
+   *  self-join per hop. */
+  private final case class ScanGroup(members: Seq[(String, Binding)]) {
+    def aliases: Set[String] = members.map(_._1).toSet
+  }
+
+  /** Leaf scan — entity columns renamed into each member's alias
+   *  namespace (reference: DataSourceOperator.cs:19-122, flattening
+   *  scheme SQLRenderer.cs:284-288). Catalyst prunes the scan down to
+   *  the referenced columns. */
+  private def scanGroup(catalog: GraphCatalog, g: ScanGroup): DataFrame = {
+    val base = g.members.head._2 match {
       case NodeBinding(n) => catalog.nodeDf(n.label)
       case EdgeBinding(e) => catalog.edgeDf(e)
       case ValueBinding => throw new IllegalStateException("scan of value")
     }
-    base.select(entityCols(b).map(c => col(c).as(pref(alias, c))): _*)
+    val cols = g.members.flatMap { case (a, b) =>
+      entityCols(b).map(c => col(c).as(pref(a, c)))
+    }
+    base.select(cols: _*)
+  }
+
+  /**
+   * Self-join elimination: a pattern node whose backing table IS its
+   * adjacent relationship's table, joined on the node's unique id column
+   * (edge src/sink column == node id column), binds the same physical
+   * row as the edge — the join is an identity and both namespaces read
+   * from ONE scan. Node ids are unique by the graph model's contract
+   * (reference: NodeSchema.cs:9-19 — one NodeIdProperty per node).
+   * Returns nodeAlias → owning relAlias.
+   */
+  private def mergeMap(m: ResolvedMatch, newNodeAliases: Set[String],
+                       schema: GraphSchema): Map[String, String] = {
+    val merged = scala.collection.mutable.LinkedHashMap[String, String]()
+    m.rels.foreach { r =>
+      val srcDef = schema.node(m.nodeLabels(r.srcNode))
+      if (newNodeAliases(r.srcNode) && !merged.contains(r.srcNode) &&
+          srcDef.table == r.edge.table && r.edge.srcIdColumn == srcDef.idColumn)
+        merged(r.srcNode) = r.alias
+      val snkDef = schema.node(m.nodeLabels(r.snkNode))
+      if (newNodeAliases(r.snkNode) && !merged.contains(r.snkNode) &&
+          snkDef.table == r.edge.table && r.edge.sinkIdColumn == snkDef.idColumn)
+        merged(r.snkNode) = r.alias
+    }
+    merged.toMap
   }
 
   // ----- MATCH → joins --------------------------------------------------
@@ -58,15 +96,22 @@ object Compiler {
     var applied = false
   }
 
+  /** Join conditions for a relationship's two endpoints; pairs merged
+   *  into the rel's own scan (identity self-joins) are dropped. */
   private def relConds(r: ResolvedRel, labels: Map[String, String],
-                       schema: GraphSchema): Seq[JoinCond] = {
+                       schema: GraphSchema,
+                       merged: Map[String, String]): Seq[JoinCond] = {
     val srcNode = schema.node(labels(r.srcNode))
     val snkNode = schema.node(labels(r.snkNode))
-    Seq(
-      JoinCond(r.alias, r.srcNode,
-        nodeKey(r.srcNode, srcNode) === edgeSrc(r.alias, r.edge)),
-      JoinCond(r.alias, r.snkNode,
+    val src =
+      if (merged.get(r.srcNode).contains(r.alias)) None
+      else Some(JoinCond(r.alias, r.srcNode,
+        nodeKey(r.srcNode, srcNode) === edgeSrc(r.alias, r.edge)))
+    val snk =
+      if (merged.get(r.snkNode).contains(r.alias)) None
+      else Some(JoinCond(r.alias, r.snkNode,
         nodeKey(r.snkNode, snkNode) === edgeSnk(r.alias, r.edge)))
+    Seq(src, snk).flatten
   }
 
   /** Greedy connected-join emission: join each new entity on all
@@ -79,32 +124,34 @@ object Compiler {
   private def joinEntities(
       start: Option[DataFrame],
       placedAliases: Set[String],
-      order: Seq[(String, Binding)],
+      groups: Seq[ScanGroup],
       conds: Seq[JoinCond],
       catalog: GraphCatalog): DataFrame = {
     var df = start.orNull
     val placed = scala.collection.mutable.Set[String](placedAliases.toSeq: _*)
-    val pending = scala.collection.mutable.LinkedHashMap[String, Binding](order: _*)
+    val pending = scala.collection.mutable.ArrayBuffer[ScanGroup](groups: _*)
 
-    def condsFor(a: String): Seq[JoinCond] =
+    def condsFor(g: ScanGroup): Seq[JoinCond] =
       conds.filter(c => !c.applied &&
-        ((c.a == a && placed(c.b)) || (c.b == a && placed(c.a))))
+        ((g.aliases(c.a) && placed(c.b)) || (g.aliases(c.b) && placed(c.a))))
 
     while (pending.nonEmpty) {
-      val next = pending.keys.find(a => condsFor(a).nonEmpty)
-        .getOrElse(pending.keys.head)
-      val b = pending.remove(next).get
-      val rhs = scan(catalog, next, b)
+      val idx = pending.indexWhere(g => condsFor(g).nonEmpty) match {
+        case -1 => 0
+        case i  => i
+      }
+      val g = pending.remove(idx)
+      val rhs = scanGroup(catalog, g)
       if (df == null) df = rhs
       else {
-        val cs = condsFor(next)
+        val cs = condsFor(g)
         if (cs.isEmpty) df = df.crossJoin(rhs)
         else {
           cs.foreach(_.applied = true)
           df = df.join(rhs, cs.map(_.cond).reduce(_ && _), "inner")
         }
       }
-      placed += next
+      placed ++= g.aliases
       // conditions whose endpoints are now both placed but were skipped
       // (can't happen for node-rel conds, but keep the invariant tight)
       conds.filter(c => !c.applied && placed(c.a) && placed(c.b))
@@ -137,11 +184,12 @@ object Compiler {
       val newRels: Seq[(String, Binding)] =
         m.rels.map(r => r.alias -> EdgeBinding(r.edge))
       val newEntities = newNodes ++ newRels
-      val conds = m.rels.flatMap(relConds(_, m.nodeLabels, schema))
+      val merged = mergeMap(m, newNodes.map(_._1).toSet, schema)
+      val conds = m.rels.flatMap(relConds(_, m.nodeLabels, schema, merged))
 
       if (!m.optional) {
-        df = joinEntities(Option(df), scope.keySet, orderByPattern(m, newEntities),
-          conds, catalog)
+        df = joinEntities(Option(df), scope.keySet,
+          groupsByPattern(m, newEntities, merged), conds, catalog)
         scope = scope ++ newEntities
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
@@ -158,7 +206,7 @@ object Compiler {
         val (innerConds, boundary) =
           conds.partition(c => newSet(c.a) && newSet(c.b))
         val optDf = joinEntities(None, Set.empty,
-          orderByPattern(m, newEntities), innerConds, catalog)
+          groupsByPattern(m, newEntities, merged), innerConds, catalog)
         val optFiltered = m.inequalityPairs
           .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
           .foldLeft(optDf)((d, p) => d.filter(inequalityCond(p)))
@@ -178,13 +226,14 @@ object Compiler {
     Ctx(df, scope)
   }
 
-  /** New entities in pattern order: nodes and rels interleaved as they
-   *  appear, so the greedy join walks each chain linearly. */
-  private def orderByPattern(m: ResolvedMatch,
-      newEntities: Seq[(String, Binding)]): Seq[(String, Binding)] = {
+  /** New entities in pattern order grouped into scans: nodes and rels
+   *  interleaved as they appear (the greedy join walks each chain
+   *  linearly), with same-table endpoint nodes folded into their
+   *  relationship's scan group (rel listed first — it owns the table). */
+  private def groupsByPattern(m: ResolvedMatch,
+      newEntities: Seq[(String, Binding)],
+      merged: Map[String, String]): Seq[ScanGroup] = {
     val byAlias = newEntities.toMap
-    val seen = scala.collection.mutable.LinkedHashSet[String]()
-    m.nodeOrder.foreach(seen += _)
     // interleave: after each rel's src node, place the rel itself
     val order = scala.collection.mutable.LinkedHashSet[String]()
     m.nodeOrder.foreach { n =>
@@ -193,7 +242,16 @@ object Compiler {
         .foreach(r => order += r.alias)
     }
     m.rels.foreach(r => order += r.alias)
-    order.toSeq.filter(byAlias.contains).map(a => a -> byAlias(a))
+    val present = order.toSeq.filter(byAlias.contains)
+    // owner of an alias: its rel for merged nodes, itself otherwise
+    def owner(a: String): String = merged.getOrElse(a, a)
+    val ownersInOrder = scala.collection.mutable.LinkedHashSet[String]()
+    present.foreach(a => ownersInOrder += owner(a))
+    ownersInOrder.toSeq.map { o =>
+      val members = (o +: present.filter(a => a != o && owner(a) == o))
+        .map(a => a -> byAlias(a))
+      ScanGroup(members)
+    }
   }
 
   // ----- projection / WITH / RETURN -------------------------------------
