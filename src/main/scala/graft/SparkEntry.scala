@@ -312,6 +312,39 @@ object SparkEntry {
              |WHERE r1.r_regionkey < r2.r_regionkey
              |ORDER BY a, b""".stripMargin)),
 
+    // --- IS NULL anti-join over OPTIONAL MATCH (nations with no rich
+    //     customers), WHERE after entity-projecting WITH
+    ("q23_null_antijoin", cy(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |WHERE c.c_acctbal > 9900.0
+        |WITH n, c
+        |WHERE c.c_custkey IS NULL
+        |RETURN n.n_name AS nation ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation
+             |FROM nation LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_acctbal > 9900.0
+             |WHERE c_custkey IS NULL ORDER BY nation""".stripMargin)),
+
+    // --- callable string predicates + casts + unary ops + CASE-free IS NOT NULL
+    ("q24_string_more", cy(
+      """MATCH (p:Part)
+        |WHERE contains(p.p_name, 'widget') AND p.p_type ENDS WITH 'OMY'
+        |  AND p.p_brand IS NOT NULL
+        |RETURN p.p_partkey AS partkey, toUpper(trim(p.p_name)) AS uname,
+        |       toFloat(p.p_size) / 2.0 AS half_size,
+        |       abs(p.p_size - 25) AS dist25,
+        |       toString(p.p_size) + '!' AS size_str
+        |ORDER BY partkey""".stripMargin),
+      Some("""SELECT p_partkey AS partkey, upper(trim(p_name)) AS uname,
+             |       CAST(p_size AS DOUBLE) / 2.0 AS half_size,
+             |       abs(p_size - 25) AS dist25,
+             |       CAST(p_size AS VARCHAR) || '!' AS size_str
+             |FROM part
+             |WHERE contains(p_name, 'widget') AND ends_with(p_type, 'OMY')
+             |  AND p_brand IS NOT NULL
+             |ORDER BY partkey""".stripMargin)),
+
     // --- timestamp comparison + date part extraction (extension funcs)
     ("q22_dates", cy(
       """MATCH (c:Customer)-[:PLACED]->(o:Order)

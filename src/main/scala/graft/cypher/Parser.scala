@@ -410,6 +410,11 @@ final class Parser(tokens: Vector[Tok]) {
           Ref(id, Some(prop))
         case _ => p += 1; Ref(id, None)
       }
+    // callable forms of infix keywords: contains(x, y), not(x) —
+    // the reference registers them as ordinary functions (Function.cs)
+    case Kw(k, raw, _) if (k == "CONTAINS" || k == "NOT") &&
+        (tokens(p + 1) match { case Punct("(", _) => true; case _ => false }) =>
+      parseCall(raw)
     case t => syntaxErr(s"Unexpected token $t in expression")
   }
 

@@ -111,4 +111,19 @@ object Sessionize {
         date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum("value").as("sum_value"))
+
+  /**
+   * Streaming twin of [[hourlyRollup]]: tumbling event-time windows with
+   * a watermark; in append mode a window emits once the watermark passes
+   * its end, so state size is bounded by (#types × #open windows).
+   * Feed it `spark.readStream...` and run with
+   * `writeStream.outputMode("append")`.
+   */
+  def streamingHourlyRollup(events: DataFrame,
+                            watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
 }

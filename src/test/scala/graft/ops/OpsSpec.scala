@@ -275,6 +275,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r.map(_.getAs[Long]("n_events")).sum == 5L)
   }
 
+  test("streamingHourlyRollup emits closed windows matching batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.streamingHourlyRollup(
+      mem.toDS().toDF(), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("rollup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Sessionize.Event(1, ts(0), 10, "view", 1.0),
+        Sessionize.Event(2, ts(10), 10, "view", 2.0),
+        Sessionize.Event(3, ts(70), 20, "buy", 3.0))
+      q.processAllAvailable()
+      // watermark jump closes the first two windows
+      mem.addData(Sessionize.Event(9, ts(600), 30, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("rollup").orderBy("hour", "event_type").collect()
+      assert(got.length == 2)
+      assert(got(0).getAs[String]("event_type") == "view"
+        && got(0).getAs[Long]("n_events") == 2L
+        && got(0).getAs[Double]("sum_value") == 3.0)
+      assert(got(1).getAs[String]("event_type") == "buy"
+        && got(1).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal: meta extraction is deterministic and schema-typed") {
