@@ -34,9 +34,9 @@ object SparkEntry {
     (s, dir) => TpchGraph.session(s, dir).run(q)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/embeddings.parquet")
   /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
     * read it as long (legacy conf) and truncate to micros, matching
     * DuckDB's own ns→us truncation. */
@@ -507,6 +507,15 @@ object SparkEntry {
             .as("quality"))
         .orderBy("doc_id"),
       Some(textQualityOracle)),
+
+    // --- corpus token frequencies (explode + partial-agg; top-20)
+    ("t05_vocab",
+      (s, dir) => TextOps.tokenFrequencies(docs(s, dir), "text")
+        .orderBy(col("n").desc, col("token")).limit(20),
+      Some("""SELECT token, count(*) AS n
+             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |      FROM documents WHERE trim(text) <> '')
+             |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
     // --- gap-based sessionization (batch gaps-and-islands)
     ("t03_sessionize",

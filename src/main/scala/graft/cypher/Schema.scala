@@ -65,9 +65,20 @@ final class GraphCatalog(
 }
 
 object GraphCatalog {
+  // One DataFrame (lazy logical plan) per (session, path): avoids
+  // re-reading parquet footers / re-inferring schemas on every query
+  // against the same tables. Keyed by session so a stopped session's
+  // plans are never reused.
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Session-cached lazy DataFrame for a parquet path. */
+  def cachedParquet(spark: SparkSession, path: String): DataFrame =
+    dfCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+
   /** Catalog whose tables are `<dir>/<table>.parquet`. */
   def parquet(schema: GraphSchema, spark: SparkSession, dir: String): GraphCatalog =
-    new GraphCatalog(schema, t => spark.read.parquet(s"$dir/$t.parquet"))
+    new GraphCatalog(schema, t => cachedParquet(spark, s"$dir/$t.parquet"))
 }
 
 class CypherException(msg: String) extends RuntimeException(msg)

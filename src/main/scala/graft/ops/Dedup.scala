@@ -111,11 +111,11 @@ object Dedup {
   // ------------------------------------------------------------- MinHash
 
   /** Prime modulus > 2^32 for the universal-hash family. */
-  private val MhPrime = 4294967311L
+  val MhPrime = 4294967311L
 
   /** Deterministic (a, b) coefficients for k universal hash functions —
    *  a simple seeded LCG, reproducible across runs and engines. */
-  private[ops] def mhCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+  def mhCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
     var s = seed
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
       (s >>> 33) % (MhPrime - 1) }

@@ -92,6 +92,17 @@ object TextOps {
     chain.otherwise(lit("und"))
   }
 
+  /**
+   * Corpus token frequencies: explode → groupBy(token). Map-side partial
+   * counts make the shuffle proportional to the vocabulary, not the
+   * token stream — the standard first step for stopword mining and
+   * frequency-based filtering at corpus scale.
+   */
+  def tokenFrequencies(df: org.apache.spark.sql.DataFrame,
+                       textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+
   /** Positional weights 31^0..31^7, cycled — fits exact int64 math. */
   private val FpWeights: Seq[Long] =
     Iterator.iterate(1L)(_ * 31L).take(8).toSeq

@@ -11,4 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on a live session's registry (the
+    * SparkSessionExtensions route only applies at session build time). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.functions.NativeExpressions", name),
+      builder)
 }

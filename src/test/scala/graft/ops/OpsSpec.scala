@@ -217,6 +217,26 @@ class OpsSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(row.getDouble(1))))
   }
 
+  test("SQL registration exposes native functions to spark.sql") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64(array(1L, 2L, 3L)) AS fp,
+        |       graft_dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       graft_sorted_intersect_count(array(1L, 2L, 5L),
+        |                                    array(2L, 5L, 9L)) AS ic,
+        |       size(graft_minhash_sig(array(7L, 9L), 16)) AS sk
+        |""".stripMargin).head()
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getLong(2) == 2L)
+    assert(r.getInt(3) == 16)
+    // fp equals the ops-level computation on the same input
+    val expected = spark.range(1)
+      .select(Dedup.simhashFromHashes(array(lit(1L), lit(2L), lit(3L))))
+      .head().getLong(0)
+    assert(r.getLong(0) == expected)
+  }
+
   // ---------------------------------------------------------- sessionize
 
   // day 1, not epoch 0: the initial streaming watermark is 0 and rows at
