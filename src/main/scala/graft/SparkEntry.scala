@@ -477,6 +477,17 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       None),
 
+    // --- IVF ANN (centroid inverted lists, map-only assignment;
+    //     approximate → rows-only + recall ScalaTest)
+    ("s03_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nCentroids = 16, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      None),
+
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -342,6 +342,81 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  // ------------------------------------------------- centroid assignment
+
+  /**
+   * Indices of the `nProbe` centroids nearest to a vector by cosine
+   * (IVF assignment/probing). The centroid matrix rides along as a
+   * broadcast-like reference object; assignment is a map-only pass over
+   * the corpus — no shuffle, no crossJoin. With nProbe = 1 this is the
+   * partition-assignment step; queries probe nProbe > 1 lists.
+   */
+  final case class NearestCentroids(child: Expression,
+                                    centroids: Array[Array[Float]],
+                                    nProbe: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, FloatType, prettyName)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "nearest_centroids"
+
+    // centroids normalized once at construction → cosine order == dot order
+    private lazy val normed: Array[Array[Double]] = centroids.map { c =>
+      val n = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      if (n == 0) c.map(_.toDouble) else c.map(_ / n)
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = v.numElements()
+      val scores = normed.map { c =>
+        var acc = 0.0
+        val n = math.min(dim, c.length)
+        var i = 0
+        while (i < n) { acc += v.getFloat(i) * c(i); i += 1 }
+        acc
+      }
+      val idx = scores.zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }
+        .take(nProbe).map(_._2)
+      new GenericArrayData(idx)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCentroids", normed, "double[][]")
+      val nc = centroids.length
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |int nc_dim = $c.numElements();
+           |double[] nc_scores = new double[$nc];
+           |for (int ci = 0; ci < $nc; ci++) {
+           |  double[] cen = $cRef[ci];
+           |  int n = java.lang.Math.min(nc_dim, cen.length);
+           |  double acc = 0.0;
+           |  for (int i = 0; i < n; i++) { acc += $c.getFloat(i) * cen[i]; }
+           |  nc_scores[ci] = acc;
+           |}
+           |int[] nc_out = new int[$nProbe];
+           |boolean[] nc_used = new boolean[$nc];
+           |for (int p = 0; p < $nProbe; p++) {
+           |  int best = -1;
+           |  for (int ci = 0; ci < $nc; ci++) {
+           |    if (!nc_used[ci] && (best < 0 || nc_scores[ci] > nc_scores[best])) {
+           |      best = ci;
+           |    }
+           |  }
+           |  nc_used[best] = true;
+           |  nc_out[p] = best;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(nc_out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------- Column API
 
   def minhashSig(hashes: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
@@ -357,4 +432,8 @@ object NativeExpressions {
     col(SortedIntersectCount(expr(a), expr(b)))
 
   def dotF(a: Column, b: Column): Column = col(DotF(expr(a), expr(b)))
+
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]],
+                       nProbe: Int): Column =
+    col(NearestCentroids(expr(vec), centroids, nProbe))
 }

@@ -46,6 +46,30 @@ object Dedup {
       .select(col(idCol), col("n_dups"))
   }
 
+  /**
+   * The deduplicated corpus itself: full rows of `df` whose id is the
+   * kept (minimum) id per distinct text. Broadcast-friendly semi-join of
+   * the kept-id set back onto the corpus — bodies stream once.
+   */
+  def deduplicate(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val kept = exact(df, textCol, idCol).select(col(idCol))
+    df.join(kept,
+      df(idCol).cast(LongType) === kept(idCol).cast(LongType), "left_semi")
+  }
+
+  /**
+   * Streaming exact dedup by content hash: drops re-arrivals of the same
+   * text within the watermark horizon (`dropDuplicatesWithinWatermark`
+   * keys state on the 8-byte hash, expired by event time — bounded
+   * state, unlike an unbounded global dropDuplicates).
+   */
+  def streamingDedup(stream: DataFrame, textCol: String,
+                     tsCol: String, watermarkDelay: String): DataFrame =
+    stream.withColumn("__h", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   // ------------------------------------------------------------- shingles
 
   /** Word n-gram shingle array (distinct shingles, as strings).

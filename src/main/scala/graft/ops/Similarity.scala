@@ -143,6 +143,43 @@ object Similarity {
   }
 
   /**
+   * IVF-style approximate top-k (the FAISS/ScaNN shape, Spark-native):
+   *
+   *  1. centroids = deterministic hash-ordered sample of the corpus
+   *     (driver holds only the small centroid matrix, like an ML model);
+   *  2. every corpus row is assigned to its nearest centroid's inverted
+   *     list by a native map-only expression — no shuffle, no crossJoin;
+   *     at scale, persist the corpus partitioned by `__list` so probes
+   *     are co-located reads;
+   *  3. queries probe their `nProbe` nearest lists; exact cosine + the
+   *     bounded top-k aggregator run inside the probed lists only.
+   *
+   * Work per query ≈ nProbe/nCentroids of the corpus. Recall/cost dial =
+   * (nCentroids, nProbe).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int,
+              nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    val cent: Array[Array[Float]] = corpus
+      .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
+      .orderBy(xxhash64(col("i")), col("i")).limit(nCentroids)
+      .collect().map(_.getSeq[Float](0).toArray)
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+      element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+        explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
+    val scored = c.join(broadcast(q), Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Approximate top-k: candidates share the query's hyperplane bucket;
    * exact cosine + top-k within the bucket. Recall trades off with
    * `nPlanes` (fewer planes → bigger buckets → higher recall, more work).

@@ -253,6 +253,68 @@ class CypherEngineSpec extends AnyFunSuite {
   private def rejected(q: String): Unit =
     intercept[CypherException] { session.run(q) }
 
+  test("chained OPTIONAL MATCH (ref :453-486)") {
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[a:ACTED_IN]->(m:Movie)
+        |OPTIONAL MATCH (p)-[rv:REVIEWED]->(m2:Movie)
+        |RETURN p.Name AS Name, count(m) AS Acted, count(m2) AS Reviewed
+        |ORDER BY Name""".stripMargin)
+    val byName = r.map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(byName("Tom Hanks") == ((3L, 0L)))
+    assert(byName("Jessica Thompson") == ((0L, 2L)))
+    assert(byName("Rob Reiner") == ((0L, 0L)))
+  }
+
+  test("edge direction negative: arrow against schema direction rejected (ref :707-775)") {
+    val e = intercept[CypherBindingException](rows(
+      """MATCH (m:Movie)-[a:ACTED_IN]->(p:Person)
+        |RETURN p.Name AS Name""".stripMargin))
+    assert(e.getMessage.contains("ACTED_IN"))
+  }
+
+  test("WHERE inside MATCH part vs WHERE after WITH (ref :845-894)") {
+    val inMatch = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WHERE m.Released > 1994
+        |RETURN p.Name AS Name, m.Title AS Title ORDER BY Name, Title""".stripMargin)
+    val afterWith = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH p, m
+        |WHERE m.Released > 1994
+        |RETURN p.Name AS Name, m.Title AS Title ORDER BY Name, Title""".stripMargin)
+    assert(inMatch.map(_.toSeq) == afterWith.map(_.toSeq))
+    assert(inMatch.nonEmpty)
+  }
+
+  test("IS NULL over optional side (anti-join shape)") {
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[a:ACTED_IN]->(m:Movie)
+        |WITH p, m
+        |WHERE m.Title IS NULL
+        |RETURN p.Name AS Name ORDER BY Name""".stripMargin)
+    assert(r.map(_.getString(0)) ==
+      Seq("Jessica Thompson", "Rob Reiner"))
+  }
+
+  test("left/right string functions (ref :615-640)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN left(p.Name, 3) AS L, right(p.Name, 5) AS R""".stripMargin)
+    assert(r.head.getString(0) == "Tom" && r.head.getString(1) == "Hanks")
+  }
+
+  test("nullability flips after OPTIONAL MATCH (ref LogicalPlannerTest.cs:161-166)") {
+    val df = session.run(
+      """MATCH (p:Person)-[r1:REVIEWED]->(m:Movie)
+        |OPTIONAL MATCH (p2:Person)-[r2:REVIEWED]->(m)
+        |WHERE p2.Born IS NOT NULL
+        |RETURN r1.Rating AS Rating1, r2.Rating AS Rating2""".stripMargin)
+    val s = df.schema
+    assert(s("Rating2").nullable)
+  }
+
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")

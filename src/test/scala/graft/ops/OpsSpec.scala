@@ -167,6 +167,53 @@ class OpsSpec extends AnyFunSuite {
     assert(m.map(_.id) == Seq(1L, 3L, 4L)) // 0.9(id1), 0.9(id3), 0.7
   }
 
+  test("deduplicate returns full kept rows") {
+    val r = Dedup.deduplicate(corpus, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L, 5L))
+    assert(r.head.schema.fieldNames.toSeq == corpus.schema.fieldNames.toSeq)
+  }
+
+  test("streaming dedup drops re-arrivals within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Dedup.streamingDedup(
+      mem.toDS().toDF(), textCol = "event_type", tsCol = "ts",
+      watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Sessionize.Event(1, ts(0), 10, "aaa", 1.0),
+        Sessionize.Event(2, ts(1), 10, "aaa", 1.0),
+        Sessionize.Event(3, ts(2), 10, "bbb", 1.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(4, ts(3), 10, "aaa", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sdedup").collect()
+      assert(got.map(_.getAs[String]("event_type")).sorted.toSeq == Seq("aaa", "bbb"))
+    } finally q.stop()
+  }
+
+  test("ivfTopK: scores exact, recall reasonable on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(embs, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 8).collect()
+    // every IVF hit that is also an exact hit carries the identical score
+    ivf.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(java.lang.Double.doubleToLongBits(s) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      }
+    }
+    val hits = ivf.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.3, s"recall $recall")
+  }
+
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
