@@ -279,11 +279,15 @@ object SparkEntry {
       """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
         |RETURN l.l_returnflag AS rf,
         |       round(stdev(l.l_quantity), 4) AS sd_qty,
-        |       round(percentileCont(l.l_quantity, 0.5), 1) AS med_qty
+        |       round(percentileCont(l.l_quantity, 0.5), 1) AS med_qty,
+        |       first(l.l_quantity) AS first_qty,
+        |       last(l.l_quantity) AS last_qty
         |ORDER BY rf""".stripMargin),
       Some("""SELECT l_returnflag AS rf,
              |       round(stddev_samp(l_quantity), 4) AS sd_qty,
-             |       round(quantile_cont(l_quantity, 0.5), 1) AS med_qty
+             |       round(quantile_cont(l_quantity, 0.5), 1) AS med_qty,
+             |       min(l_quantity) AS first_qty,
+             |       max(l_quantity) AS last_qty
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN part ON l_partkey = p_partkey
@@ -334,12 +338,14 @@ object SparkEntry {
         |RETURN p.p_partkey AS partkey, toUpper(trim(p.p_name)) AS uname,
         |       toFloat(p.p_size) / 2.0 AS half_size,
         |       abs(p.p_size - 25) AS dist25,
-        |       toString(p.p_size) + '!' AS size_str
+        |       toString(p.p_size) + '!' AS size_str,
+        |       p.p_size ^ 2 AS size_sq
         |ORDER BY partkey""".stripMargin),
       Some("""SELECT p_partkey AS partkey, upper(trim(p_name)) AS uname,
              |       CAST(p_size AS DOUBLE) / 2.0 AS half_size,
              |       abs(p_size - 25) AS dist25,
-             |       CAST(p_size AS VARCHAR) || '!' AS size_str
+             |       CAST(p_size AS VARCHAR) || '!' AS size_str,
+             |       pow(p_size, 2) AS size_sq
              |FROM part
              |WHERE contains(p_name, 'widget') AND ends_with(p_type, 'OMY')
              |  AND p_brand IS NOT NULL
