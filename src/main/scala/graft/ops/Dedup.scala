@@ -206,16 +206,19 @@ object Dedup {
             ).as("bh")))).as("__b"))
       .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
 
-    // candidate pairs within buckets (bucket size capped for skew safety)
-    val counted = banded
-      .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .where(col("__sz") <= maxBucket)
-    val cand = counted.select(col("band"), col("bh"), col("__id").as("id_a"))
-      .join(counted.select(col("band"), col("bh"), col("__id").as("id_b")),
-        Seq("band", "bh"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // candidate pairs within buckets: ONE shuffle groups a bucket's ids
+    // (map-side partial collect), pairs expand in-row from the sorted id
+    // list (i<j by construction) — no window pass, no self-join. Bucket
+    // size capped for skew safety (degenerate boilerplate bands).
+    val buckets = banded.groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucket)
+    val pairStructs = flatten(transform(col("__ids"), (x, i) =>
+      transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val cand = buckets
+      .select(explode(pairStructs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
     // exact-verify only the candidates: join the (small) pair list back
