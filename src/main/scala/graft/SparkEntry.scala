@@ -567,6 +567,13 @@ object SparkEntry {
              |       count(*) AS n_events, round(sum(value), 6) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // --- composed curation pipeline: quality gate → exact dedup →
+    //     language ID → per-language token budget
+    ("p01_curation",
+      (s, dir) => Pipeline.curationReport(docs(s, dir), minQuality = 0.55)
+        .orderBy("lang_pred"),
+      Some(pipelineOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -578,38 +585,65 @@ object SparkEntry {
              |       sha256(text) AS content_hash
              |FROM documents ORDER BY doc_id""".stripMargin)))
 
-  /** DuckDB mirror of [[TextOps.langId]] + [[TextOps.qualityScore]]. */
-  private lazy val textQualityOracle: String = {
-    val markers = TextOps.LangMarkers // keep oracle in lock-step with impl
-    val hitExprs = markers.map { case (l, pat) =>
+  // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
+  //      the Scala implementations; asserted by t02/p01 oracle matches)
+
+  /** CTE computing per-doc marker hits / token / stopword / punct counts. */
+  private lazy val sqlTextFeatures: String = {
+    val hitExprs = TextOps.LangMarkers.map { case (l, pat) =>
       s"len(regexp_extract_all(lower(text), '$pat')) AS h_$l"
     }.mkString(",\n    ")
-    val best = "greatest(" + markers.map("h_" + _._1).mkString(", ") + ")"
-    val caseChain = markers.map { case (l, _) =>
-      s"WHEN h_$l = best THEN '$l'"
-    }.mkString(" ")
-    s"""WITH h AS (
-       |  SELECT doc_id, text, n_chars,
+    s"""SELECT doc_id, text, n_chars,
        |    $hitExprs,
        |    CASE WHEN trim(text) = '' THEN 0
        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
        |    len(regexp_extract_all(text, '(?i)\\b(the|a|an|and|of|to|in|is)\\b'))
        |      AS n_stop,
        |    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
-       |  FROM documents),
-       |b AS (SELECT *, $best AS best FROM h)
-       |SELECT doc_id,
-       |  CASE WHEN best = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
-       |  round(
-       |    least(n_chars / 400.0, 1.0) * 0.5 +
-       |    least((CASE WHEN n_tok = 0 THEN 0.0
-       |                ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END)
-       |          * 4.0, 1.0) * 0.3 +
-       |    (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
-       |                       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
-       |                  END) * 10.0, 1.0)) * 0.2, 6) AS quality
-       |FROM b ORDER BY doc_id""".stripMargin
+       |  FROM documents""".stripMargin
   }
+
+  private lazy val sqlBest: String =
+    "greatest(" + TextOps.LangMarkers.map("h_" + _._1).mkString(", ") + ")"
+
+  private lazy val sqlLangCase: String = {
+    val chain = TextOps.LangMarkers.map { case (l, _) =>
+      s"WHEN h_$l = best THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN best = 0 THEN 'und' $chain ELSE 'und' END"
+  }
+
+  private lazy val sqlQuality: String =
+    """least(n_chars / 400.0, 1.0) * 0.5 +
+      |    least((CASE WHEN n_tok = 0 THEN 0.0
+      |                ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END)
+      |          * 4.0, 1.0) * 0.3 +
+      |    (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
+      |                       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+      |                  END) * 10.0, 1.0)) * 0.2""".stripMargin
+
+  /** DuckDB mirror of [[TextOps.langId]] + [[TextOps.qualityScore]]. */
+  private lazy val textQualityOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |b AS (SELECT *, $sqlBest AS best FROM h)
+       |SELECT doc_id,
+       |  $sqlLangCase AS lang_pred,
+       |  round($sqlQuality, 6) AS quality
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Pipeline.curationReport]]. */
+  private lazy val pipelineOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q AS (SELECT *, $sqlQuality AS quality FROM h),
+       |f AS (SELECT * FROM q WHERE quality >= 0.55),
+       |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+       |r AS (SELECT f.* FROM f JOIN k USING (doc_id)),
+       |b AS (SELECT *, $sqlBest AS best FROM r)
+       |SELECT $sqlLangCase AS lang_pred,
+       |       count(*) AS n_docs, sum(n_tok) AS n_tokens
+       |FROM b GROUP BY 1 ORDER BY lang_pred""".stripMargin
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs
 

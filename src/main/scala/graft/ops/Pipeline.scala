@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Composed training-data curation pipeline — the operators of this
+ * package wired the way a 100 TB pre-training pass uses them:
+ *
+ *   quality gate → exact dedup → language ID → per-language token budget
+ *
+ * Every stage is a narrow map or a hash-key shuffle; text bodies move
+ * exactly once (the dedup semi-join streams them). Near-dedup
+ * (MinHash/SimHash) slots between dedup and langId when needed — kept
+ * out of the oracle-checked path because LSH is probabilistic.
+ */
+object Pipeline {
+
+  /** Quality-gated, deduplicated corpus (full rows + quality column). */
+  def curatedCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
+    val scored = docs
+      .withColumn("quality", TextOps.qualityScore(col("text"), col("n_chars")))
+      .where(col("quality") >= minQuality)
+    Dedup.deduplicate(scored, "text", "doc_id")
+  }
+
+  /** Per-language document and token budget of the curated corpus. */
+  def curationReport(docs: DataFrame, minQuality: Double): DataFrame =
+    curatedCorpus(docs, minQuality)
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .groupBy("lang_pred")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+}

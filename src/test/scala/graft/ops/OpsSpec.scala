@@ -368,6 +368,16 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation pipeline: gate + dedup compose (dups collapse, low quality drops)") {
+    val docsDf = corpus.withColumn("n_chars", length(col("text")))
+    val curated = Pipeline.curatedCorpus(docsDf, minQuality = 0.0)
+    // even with no quality gate, the exact dup (doc 2) is gone
+    assert(curated.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L, 4L, 5L))
+    val report = Pipeline.curationReport(docsDf, minQuality = 0.0).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == 4L)
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal: meta extraction is deterministic and schema-typed") {
