@@ -315,6 +315,30 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(s("Rating2").nullable)
   }
 
+  test("edge verb shared across label pairs resolves by endpoint triple (ref EdgeSchema.cs:13-16)") {
+    import spark.implicits._
+    val schema = GraphSchema(
+      nodes = Seq(NodeDef("A", "id", Seq("name"), "a"),
+        NodeDef("B", "id", Seq("title"), "b")),
+      edges = Seq(
+        EdgeDef("LINKS", "A", "B", "src", "dst", Seq.empty, "a_links_b"),
+        EdgeDef("LINKS", "A", "A", "src", "dst", Seq.empty, "a_links_a")))
+    val tables = Map(
+      "a" -> Seq((1L, "a1"), (2L, "a2")).toDF("id", "name"),
+      "b" -> Seq((10L, "b1")).toDF("id", "title"),
+      "a_links_b" -> Seq((1L, 10L)).toDF("src", "dst"),
+      "a_links_a" -> Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"))
+    val s = new CypherSession(spark, new GraphCatalog(schema, tables(_)))
+    val ab = s.run(
+      "MATCH (x:A)-[:LINKS]->(y:B) RETURN x.name AS n, y.title AS t").collect()
+    assert(ab.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("a1", "b1")))
+    val aa = s.run(
+      "MATCH (x:A)-[:LINKS]->(y:A) RETURN x.name AS n, y.name AS m ORDER BY n")
+      .collect()
+    assert(aa.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a1", "a2"), ("a2", "a1")))
+  }
+
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
