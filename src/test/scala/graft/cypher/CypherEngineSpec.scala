@@ -339,6 +339,35 @@ class CypherEngineSpec extends AnyFunSuite {
       Seq(("a1", "a2"), ("a2", "a1")))
   }
 
+  test("MATCH after WITH joins on the piped entity (ref LogicalPlan.cs:706-743)") {
+    val r = rows(
+      """MATCH (f:Person)-[fo:FOLLOWS]->(p:Person)
+        |WITH f, p
+        |MATCH (p)-[a:ACTED_IN]->(m:Movie)
+        |RETURN f.Name AS Follower, p.Name AS Star, count(m) AS Movies
+        |ORDER BY Follower, Star""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq ==
+      Seq(("Jessica Thompson", "Meg Ryan", 2L),
+        ("Jessica Thompson", "Tom Hanks", 3L)))
+  }
+
+  test("string literal escapes survive lexing into predicates") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom\'s' OR p.Name = "Tom Hanks"
+        |RETURN p.Name AS Name""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+  }
+
+  test("plan shape: scan-merge keeps a 3-hop pattern at 3 parquet scans") {
+    assume(new java.io.File("/root/testdata/sf0.001/nation.parquet").exists())
+    val df = graft.TpchGraph.session(spark, "/root/testdata/sf0.001").run(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+        |RETURN n.n_name AS nation, count(c) AS n ORDER BY nation""".stripMargin)
+    val physical = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(physical).length
+    assert(scans == 3, s"expected 3 scans, plan had $scans:\n$physical")
+  }
+
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
