@@ -26,20 +26,53 @@ object Multimodal {
   final case class FrameRow(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
   /**
-   * DETERMINISTIC FAKE decoder — stands in for an image/video codec.
-   * Derives plausible dimensions from the payload bytes so tests are
-   * stable. A real deployment swaps only this function's body for a
+   * Header-level decode. PNG and JPEG dimensions are parsed for real
+   * from the byte stream (magic + IHDR / SOF marker walk — no codec
+   * library needed); anything else falls back to a DETERMINISTIC FAKE
+   * that stands in for a full codec (this container has no media
+   * libraries). A real deployment swaps only the fallback for a
    * JNI/codec call; the partition-iterator pipeline around it is final.
    */
   private[ops] def fakeDecode(payload: Array[Byte]): (String, Int, Int, Int) = {
-    val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
-    val fmt = (math.floorMod(h, 3L): @unchecked) match {
-      case 0L => "jpeg"; case 1L => "png"; case 2L => "mp4"
+    def be32(i: Int): Int =
+      ((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff)
+    def be16(i: Int): Int = ((payload(i) & 0xff) << 8) | (payload(i + 1) & 0xff)
+
+    val isPng = payload.length >= 24 &&
+      (payload(0) & 0xff) == 0x89 && payload(1) == 'P' &&
+      payload(2) == 'N' && payload(3) == 'G'
+    val isJpeg = payload.length >= 4 &&
+      (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8
+
+    if (isPng) {
+      // IHDR is the first chunk: length(4) type(4) at offset 8; w/h at 16/20
+      ("png", be32(16), be32(20), 1)
+    } else if (isJpeg) {
+      // walk markers to the first SOF0-SOF15 (except DHT/DAC/RST)
+      var i = 2
+      var dims: Option[(Int, Int)] = None
+      while (dims.isEmpty && i + 9 < payload.length &&
+             (payload(i) & 0xff) == 0xff) {
+        val marker = payload(i + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          dims = Some((be16(i + 7), be16(i + 5))) // (width, height)
+        } else {
+          i += 2 + be16(i + 2)
+        }
+      }
+      val (w, h) = dims.getOrElse((0, 0))
+      ("jpeg", w, h, 1)
+    } else {
+      // deterministic fake for formats needing a real codec (video etc.)
+      val h = payload.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+      val fmt = if (math.floorMod(h, 2L) == 0L) "mp4" else "bin"
+      val w = 64 + math.floorMod(h >> 8, 1024L).toInt
+      val ht = 64 + math.floorMod(h >> 18, 1024L).toInt
+      val frames = if (fmt == "mp4") 1 + math.floorMod(h >> 28, 240L).toInt else 1
+      (fmt, w, ht, frames)
     }
-    val w = 64 + math.floorMod(h >> 8, 1024L).toInt
-    val ht = 64 + math.floorMod(h >> 18, 1024L).toInt
-    val frames = if (fmt == "mp4") 1 + math.floorMod(h >> 28, 240L).toInt else 1
-    (fmt, w, ht, frames)
   }
 
   /**

@@ -394,6 +394,24 @@ class OpsSpec extends AnyFunSuite {
     assert(meta.values.forall(m => m.width >= 64 && m.height >= 64))
   }
 
+  test("multimodal: real PNG/JPEG header dimensions parsed from bytes") {
+    val png = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, /* w=640 */ 0, 0, 1, 0xe0 /* h=480 */).map(_.toByte)
+    val jpeg = (Array[Int](0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10) ++
+      Array.fill(14)(0) ++
+      Array[Int](0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0xe0, 0x02, 0x80) ++
+      Array.fill(12)(0)).map(_.toByte)
+    val media = Seq(Multimodal.MediaRow(1L, png),
+      Multimodal.MediaRow(2L, jpeg)).toDS()
+    val metas = Multimodal.extractMeta(media).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(metas(1L).format == "png" &&
+      metas(1L).width == 640 && metas(1L).height == 480)
+    assert(metas(2L).format == "jpeg" &&
+      metas(2L).width == 640 && metas(2L).height == 480)
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
