@@ -159,6 +159,58 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ------------------------------------------------------ band hashing
+
+  /**
+   * LSH band hashes from a MinHash signature: the k-wide signature is
+   * split into `bands` bands of `r = k/bands` rows; out[b] is a 64-bit
+   * mix of band b's values. Replaces an interpreted
+   * slice→toString→concat→hash chain with one loop; band hash values
+   * are internal bucketing keys (any deterministic mix works).
+   */
+  final case class BandHashes(child: Expression, bands: Int, r: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "band_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val sig = input.asInstanceOf[ArrayData]
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = b.toLong + 1L
+        var j = 0
+        while (j < r) {
+          acc = (acc ^ sig.getLong(b * r + j)) * -7046029254386353131L
+          j += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |long[] bh_out = new long[$bands];
+           |for (int b = 0; b < $bands; b++) {
+           |  long acc = (long) b + 1L;
+           |  for (int j = 0; j < $r; j++) {
+           |    acc = (acc ^ $c.getLong(b * $r + j)) * -7046029254386353131L;
+           |  }
+           |  bh_out[b] = acc;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(bh_out);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BandHashes =
+      copy(child = newChild)
+  }
+
   // ---------------------------------------------------- n-gram hashing
 
   /**
@@ -427,6 +479,9 @@ object NativeExpressions {
 
   def ngramHashes(tokens: Column, n: Int): Column =
     col(NgramHashes(expr(tokens), n))
+
+  def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    col(BandHashes(expr(sig), bands, r))
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))

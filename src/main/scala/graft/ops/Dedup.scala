@@ -197,14 +197,10 @@ object Dedup {
 
     // explode to slim (band, bandHash, id) rows — the ONLY data that
     // shuffles; shingle arrays stay columnar in `base`
-    val bandIdx = sequence(lit(0), lit(bands - 1))
     val banded = sig.select(col("__id"),
-        explode(transform(bandIdx, b =>
-          struct(b.as("band"),
-            xxhash64(concat_ws(",",
-              transform(slice(col("__sig"), b * r + 1, lit(r)), x => x.cast(StringType)))
-            ).as("bh")))).as("__b"))
-      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+        posexplode(graft.functions.NativeExpressions
+          .bandHashes(col("__sig"), bands, r)))
+      .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
 
     // candidate pairs within buckets: ONE shuffle groups a bucket's ids
     // (map-side partial collect), pairs expand in-row from the sorted id
