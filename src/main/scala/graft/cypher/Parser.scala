@@ -263,7 +263,18 @@ final class Parser(tokens: Vector[Tok]) {
 
   // ----- expressions ---------------------------------------------------
 
-  def parseExpr(): Expr = parseOr()
+  // recursion-depth guard: the recursive-descent chain would otherwise
+  // turn a pathologically nested expression into a StackOverflowError
+  // instead of a typed syntax error
+  private var exprDepth = 0
+  private val MaxExprDepth = 200
+
+  def parseExpr(): Expr = {
+    exprDepth += 1
+    if (exprDepth > MaxExprDepth)
+      syntaxErr(s"expression nested deeper than $MaxExprDepth levels")
+    try parseOr() finally exprDepth -= 1
+  }
 
   private def parseOr(): Expr = {
     var l = parseXor()

@@ -1,0 +1,54 @@
+package graft.cypher
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: the front-end must reject garbage with a typed
+  * exception — never an NPE, StackOverflow, or infinite loop. */
+class ParserRobustnessSpec extends AnyFunSuite {
+
+  /** Deterministic generator sampling (scalatestplus bridge not on the
+    * offline classpath — drive scalacheck's Gen directly). */
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def attempt(q: String): Unit =
+    try { Parser.parse(q); () }
+    catch { case _: CypherException => () } // typed rejection is fine
+
+  test("arbitrary strings never escape the typed exception hierarchy") {
+    samples(Gen.asciiPrintableStr, 300).foreach(attempt)
+    val tokenSoup = Gen.listOf(Gen.oneOf(
+      "MATCH", "(", ")", "-", "[", "]", "->", "WHERE", "RETURN", "WITH",
+      "a", ":A", "'x'", "1", ",", ".", "=", "AND")).map(_.mkString(" "))
+    samples(tokenSoup, 300).foreach(attempt)
+  }
+
+  test("string literals round-trip through the lexer") {
+    val strGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '.', ',', '!', '?', '-')))
+      .map(_.mkString)
+    samples(strGen, 200).foreach { s =>
+      val toks = Lexer.tokenize(s"RETURN '${s}' AS x")
+      val lit = toks.collectFirst { case Lexer.StrLit(v, _) => v }
+      assert(lit.contains(s))
+    }
+  }
+
+  test("numeric literals round-trip") {
+    samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 200).foreach { n =>
+      val q = Parser.parse(s"MATCH (a:A) WHERE a.x = $n RETURN a.x AS v")
+      // negatives parse as Neg(Lit(abs)) — unary minus is a function,
+      // matching the reference (CypherVisitor.cs:209-252)
+      assert(q.toString.contains(math.abs(n).toString))
+    }
+  }
+
+  test("deeply nested parentheses do not blow the stack") {
+    val depth = 500
+    val expr = "(" * depth + "1" + ")" * depth
+    attempt(s"MATCH (a:A) WHERE a.x = $expr RETURN a.x AS v")
+  }
+}
