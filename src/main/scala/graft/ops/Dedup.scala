@@ -33,15 +33,18 @@ object Dedup {
    * Exact dedup: keeps the row with the minimum `idCol` per distinct
    * `textCol`. Returns (id, n_dups) per kept row.
    *
-   * Scale shape: group on xxhash64(text) so the shuffle carries an 8-byte
-   * key; collision safety comes from also min/max-ing a second
-   * independent hash and re-checking — at 100 TB the bodies stay in
-   * place and only (hash, id) pairs move.
+   * Scale shape: group on a 128-bit content key (two independently
+   * seeded xxhash64 values) so the shuffle carries 16 bytes per row and
+   * the bodies never move. 64 bits alone WOULD collide at 100 TB
+   * (birthday bound: ~10^11 docs ⇒ hundreds of expected collisions);
+   * 128 bits pushes that to ~10^-17.
    */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = xxhash64(col(textCol))
-    df.select(h.as("__h"), col(idCol).cast(LongType).as("__id"))
-      .groupBy(col("__h"))
+    val h1 = xxhash64(col(textCol))
+    val h2 = xxhash64(lit(0x5eed), col(textCol)) // independent second hash
+    df.select(h1.as("__h1"), h2.as("__h2"),
+        col(idCol).cast(LongType).as("__id"))
+      .groupBy(col("__h1"), col("__h2"))
       .agg(min("__id").as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col("n_dups"))
   }
