@@ -31,4 +31,23 @@ object Pipeline {
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+
+  /**
+   * Sink: write the curated corpus as parquet partitioned by predicted
+   * language. `repartition(lang, hash(id))` gives each language
+   * `filesPerLang` writer tasks — directory-partitioned output WITHOUT
+   * the classic partitionBy small-files explosion (every task would
+   * otherwise open a file per language it sees). Readers prune whole
+   * language directories; tune `filesPerLang` so files land near the
+   * 128-512 MB sweet spot at the target scale.
+   */
+  def writeCurated(docs: DataFrame, minQuality: Double, path: String,
+                   filesPerLang: Int = 4): Unit =
+    curatedCorpus(docs, minQuality)
+      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .repartition(col("lang_pred"),
+        pmod(xxhash64(col("doc_id")), lit(filesPerLang)))
+      .write.mode("overwrite")
+      .partitionBy("lang_pred")
+      .parquet(path)
 }

@@ -378,6 +378,23 @@ class OpsSpec extends AnyFunSuite {
     assert(report.map(_.getAs[Long]("n_docs")).sum == 4L)
   }
 
+  test("writeCurated produces language-partitioned parquet that prunes") {
+    val docsDf = corpus.withColumn("n_chars", length(col("text")))
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    Pipeline.writeCurated(docsDf, minQuality = 0.0, out, filesPerLang = 2)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4) // dedup applied before write
+    assert(back.columns.contains("lang_pred"))
+    // partition pruning: filter on lang_pred reads only that directory
+    val pruned = back.where(col("lang_pred") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      back.collect().count(_.getAs[String]("lang_pred") == "en"))
+    // pruned at planning (PartitionFilters), no row-level DataFilters
+    assert(scan.contains("PartitionFilters: [isnotnull(lang_pred"))
+    assert(scan.contains("DataFilters: []"))
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal: meta extraction is deterministic and schema-typed") {
