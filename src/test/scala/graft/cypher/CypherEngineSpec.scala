@@ -368,6 +368,18 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(scans == 3, s"expected 3 scans, plan had $scans:\n$physical")
   }
 
+  test("WITH ORDER BY LIMIT WHERE clause order (ref SQLRendererTest.cs:529-539)") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH p, m ORDER BY m.Released DESC LIMIT 3 WHERE p.Name <> 'Kevin Bacon'
+        |RETURN p.Name AS Name, m.Title AS Title ORDER BY Name, Title""".stripMargin)
+    // top-3 by release: You've Got Mail (p1, p2), Apollo 13 (p1 or p3) —
+    // after dropping Kevin Bacon rows
+    assert(r.nonEmpty && r.forall(_.getString(0) != "Kevin Bacon"))
+    assert(r.map(_.getString(1)).forall(
+      Set("You've Got Mail", "Apollo 13").contains))
+  }
+
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
