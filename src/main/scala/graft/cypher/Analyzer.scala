@@ -120,8 +120,13 @@ object Analyzer {
     }))
 
     // ----- per-clause resolution ---------------------------------------
+    // rel aliases are unique across the WHOLE part (all chained MATCH
+    // clauses — reference LogicalPlan.cs:660-667), and may not collide
+    // with node aliases (both would claim the same column namespace)
+    val relSeen = scala.collection.mutable.Set[String]()
+    val allNodeAliases: Set[String] =
+      named.flatMap(_.parts.flatMap(_.nodes.flatMap(_.alias))).toSet
     named.map { nm =>
-      val relSeen = scala.collection.mutable.Set[String]()
       val rels = Vector.newBuilder[ResolvedRel]
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
@@ -146,6 +151,9 @@ object Analyzer {
           if (!relSeen.add(a))
             throw new CypherNotSupportedException(
               s"relationship variable '$a' reused across patterns in one MATCH")
+          if (allNodeAliases(a))
+            throw new CypherBindingException(
+              s"alias '$a' is used for both a node and a relationship")
           if (inherited.contains(a))
             throw new CypherBindingException(
               s"relationship alias '$a' already bound in an earlier part")

@@ -270,12 +270,21 @@ object Compiler {
     case _ => false
   }
 
-  private def outName(it: RetItem): String = it.alias.getOrElse(it.expr match {
-    case Ref(a, None) => a
-    case Ref(_, Some(p)) => p
-    case _ => throw new CypherSyntaxException(
-      "computed projection item requires an AS alias")
-  })
+  private def outName(it: RetItem): String = {
+    val n = it.alias.getOrElse(it.expr match {
+      case Ref(a, None) => a
+      case Ref(_, Some(p)) => p
+      case _ => throw new CypherSyntaxException(
+        "computed projection item requires an AS alias")
+    })
+    // the `__` prefix is the engine's internal column namespace
+    // (`__{alias}_{prop}`, `__item_N`, `__key_N` …) — a user alias there
+    // would collide with generated columns mid-pipeline
+    if (n.startsWith("__"))
+      throw new CypherNotSupportedException(
+        s"alias '$n' — names starting with __ are reserved")
+    n
+  }
 
   /** Compile one WITH/RETURN projection. Aggregation is implicit grouping
    *  by all non-aggregate output items, including every column of a

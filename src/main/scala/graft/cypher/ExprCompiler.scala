@@ -108,9 +108,11 @@ final class ExprCompiler(
       case BinOp.Sub => l - r
       case BinOp.Mul => l * r
       case BinOp.Div =>
-        // Cypher/T-SQL integer division truncates; Spark's `/` is always
-        // floating — cast back for integral operands.
-        if (isIntegral(l) && isIntegral(r)) (l / r).cast(LongType)
+        // Cypher/T-SQL integer division truncates. Spark's `/` is always
+        // floating (a double round-trip corrupts longs above 2^53), so
+        // integral operands use the native integral-divide expression.
+        if (isIntegral(l) && isIntegral(r))
+          org.apache.spark.sql.GraftSqlBridge.integralDivide(l, r)
         else l / r
       case BinOp.Mod => l % r
       case BinOp.Pow => pow(l.cast(DoubleType), r.cast(DoubleType))

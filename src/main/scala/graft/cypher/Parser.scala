@@ -137,9 +137,14 @@ final class Parser(tokens: Vector[Tok]) {
     MatchClause(pats.result(), optional, where)
   }
 
+  /** Safe one-token lookahead: EOF past the end (the token vector always
+    * ends in EOF, but `p + 1` may still step past it mid-error). */
+  private def peek1: Tok =
+    if (p + 1 < tokens.length) tokens(p + 1) else tokens.last
+
   private def parsePatternPart(): PatternPart = {
     // named path `x = (...)`  → rejected (reference CypherVisitor.cs:998-1002)
-    (cur, tokens(p + 1)) match {
+    (cur, peek1) match {
       case (Ident(_, _), Punct("=", _)) => notSupported("named path variables")
       case _ =>
     }
@@ -231,7 +236,14 @@ final class Parser(tokens: Vector[Tok]) {
     if (isKw("SKIP")) notSupported("SKIP")
     val limit = if (tryKw("LIMIT")) {
       cur match {
-        case NumLit(s, false, _) => p += 1; Some(s.toLong)
+        case NumLit(s, false, _) =>
+          p += 1
+          val v = try s.toLong
+            catch { case _: NumberFormatException =>
+              syntaxErr(s"LIMIT literal out of range: $s") }
+          if (v < 0 || v > Int.MaxValue)
+            syntaxErr(s"LIMIT must be in [0, ${Int.MaxValue}], got $s")
+          Some(v)
         case _ => syntaxErr("LIMIT expects an integer literal")
       }
     } else None
@@ -379,7 +391,9 @@ final class Parser(tokens: Vector[Tok]) {
       p += 1
       if (isFloat) Lit(s.toDouble)
       else {
-        val v = s.toLong
+        val v = try s.toLong
+          catch { case _: NumberFormatException =>
+            syntaxErr(s"integer literal out of 64-bit range: $s") }
         if (v >= Int.MinValue && v <= Int.MaxValue) Lit(v.toInt) else Lit(v)
       }
     case StrLit(s, _) => p += 1; Lit(s)
@@ -411,7 +425,7 @@ final class Parser(tokens: Vector[Tok]) {
       ListLit(items.result())
     case Punct("{", _) => notSupported("map literal")
     case Ident(id, _) =>
-      tokens(p + 1) match {
+      peek1 match {
         case Punct("(", _) => parseCall(id)
         case Punct(".", _) =>
           p += 2
@@ -424,7 +438,7 @@ final class Parser(tokens: Vector[Tok]) {
     // callable forms of infix keywords: contains(x, y), not(x) —
     // the reference registers them as ordinary functions (Function.cs)
     case Kw(k, raw, _) if (k == "CONTAINS" || k == "NOT") &&
-        (tokens(p + 1) match { case Punct("(", _) => true; case _ => false }) =>
+        (peek1 match { case Punct("(", _) => true; case _ => false }) =>
       parseCall(raw)
     case t => syntaxErr(s"Unexpected token $t in expression")
   }

@@ -68,13 +68,17 @@ object GraphCatalog {
   // One DataFrame (lazy logical plan) per (session, path): avoids
   // re-reading parquet footers / re-inferring schemas on every query
   // against the same tables. Keyed by session so a stopped session's
-  // plans are never reused.
+  // plans are never reused; bounded so a long-lived service iterating
+  // many sessions/datasets can't grow it without limit.
+  private val MaxCacheEntries = 256
   private val dfCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Session-cached lazy DataFrame for a parquet path. */
-  def cachedParquet(spark: SparkSession, path: String): DataFrame =
+  def cachedParquet(spark: SparkSession, path: String): DataFrame = {
+    if (dfCache.size > MaxCacheEntries) dfCache.clear()
     dfCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
+  }
 
   /** Catalog whose tables are `<dir>/<table>.parquet`. */
   def parquet(schema: GraphSchema, spark: SparkSession, dir: String): GraphCatalog =

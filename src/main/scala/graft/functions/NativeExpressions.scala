@@ -430,13 +430,14 @@ object NativeExpressions {
       }
       val idx = scores.zipWithIndex
         .sortBy { case (s, i) => (-s, i) }
-        .take(nProbe).map(_._2)
+        .take(math.min(nProbe, centroids.length)).map(_._2)
       new GenericArrayData(idx)
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val cRef = ctx.addReferenceObj("ivfCentroids", normed, "double[][]")
       val nc = centroids.length
+      val probes = math.min(nProbe, nc) // more probes than lists = all lists
       nullSafeCodeGen(ctx, ev, c => {
         s"""
            |int nc_dim = $c.numElements();
@@ -448,9 +449,9 @@ object NativeExpressions {
            |  for (int i = 0; i < n; i++) { acc += $c.getFloat(i) * cen[i]; }
            |  nc_scores[ci] = acc;
            |}
-           |int[] nc_out = new int[$nProbe];
+           |int[] nc_out = new int[$probes];
            |boolean[] nc_used = new boolean[$nc];
-           |for (int p = 0; p < $nProbe; p++) {
+           |for (int p = 0; p < $probes; p++) {
            |  int best = -1;
            |  for (int ci = 0; ci < $nc; ci++) {
            |    if (!nc_used[ci] && (best < 0 || nc_scores[ci] > nc_scores[best])) {

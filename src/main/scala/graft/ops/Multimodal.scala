@@ -49,13 +49,19 @@ object Multimodal {
       // IHDR is the first chunk: length(4) type(4) at offset 8; w/h at 16/20
       ("png", be32(16), be32(20), 1)
     } else if (isJpeg) {
-      // walk markers to the first SOF0-SOF15 (except DHT/DAC/RST)
+      // walk markers to the first SOF0-SOF15 (except DHT/DAC/RST);
+      // fill bytes and length-less markers (TEM, RSTn) advance without
+      // reading a bogus length field
       var i = 2
       var dims: Option[(Int, Int)] = None
       while (dims.isEmpty && i + 9 < payload.length &&
              (payload(i) & 0xff) == 0xff) {
         val marker = payload(i + 1) & 0xff
-        if (marker >= 0xc0 && marker <= 0xcf &&
+        if (marker == 0xff) {
+          i += 1 // fill byte: next 0xff starts the real marker
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i += 2 // TEM / RSTn: standalone, no length segment
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           dims = Some((be16(i + 7), be16(i + 5))) // (width, height)
         } else {

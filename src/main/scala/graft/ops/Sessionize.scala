@@ -77,8 +77,10 @@ object Sessionize {
           val t = e.ts.getTime
           cur match {
             case Some(s) if t - s.end <= gapMs =>
-              cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
-                s.sum + e.value))
+              // out-of-order (non-late) events may extend the session
+              // backward as well as forward
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.end, t), s.n + 1, s.sum + e.value))
             case Some(s) =>
               closed ::= SessionOut(user, new Timestamp(s.start),
                 new Timestamp(s.end), s.n, s.sum)

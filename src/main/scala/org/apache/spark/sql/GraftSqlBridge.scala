@@ -12,6 +12,11 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Exact integer division (truncating), avoiding the double round-trip
+    * of `Column./` that loses precision above 2^53. */
+  def integralDivide(l: Column, r: Column): Column =
+    column(catalyst.expressions.IntegralDivide(expression(l), expression(r)))
+
   /** Register a function on a live session's registry (the
     * SparkSessionExtensions route only applies at session build time). */
   def registerFunction(spark: SparkSession, name: String,

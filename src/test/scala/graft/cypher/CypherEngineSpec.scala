@@ -380,6 +380,38 @@ class CypherEngineSpec extends AnyFunSuite {
       Set("You've Got Mail", "Apollo 13").contains))
   }
 
+  test("typed errors for review-found holes (rel reuse, collisions, EOF, limits)") {
+    // rel alias reused across chained MATCH clauses in one part
+    intercept[CypherException](rows(
+      """MATCH (a:Person)-[r:ACTED_IN]->(m:Movie)
+        |MATCH (b:Person)-[r:ACTED_IN]->(m2:Movie)
+        |RETURN count(r) AS n""".stripMargin))
+    // same alias for node and relationship
+    intercept[CypherException](rows(
+      "MATCH (a:Person)-[a:ACTED_IN]->(m:Movie) RETURN count(a) AS n"))
+    // truncated input must not escape as IndexOutOfBounds
+    intercept[CypherException](Parser.parse("MATCH"))
+    intercept[CypherException](Parser.parse("MATCH (a:Person),"))
+    // out-of-range literals
+    intercept[CypherException](Parser.parse(
+      "MATCH (a:A) RETURN a.x AS v LIMIT 5000000000"))
+    intercept[CypherException](Parser.parse(
+      "MATCH (a:A) WHERE a.x = 99999999999999999999999 RETURN a.x AS v"))
+    // reserved internal alias namespace
+    intercept[CypherException](rows(
+      "MATCH (p:Person) RETURN p.Name AS __item_0"))
+  }
+
+  test("integer division is exact above 2^53") {
+    import spark.implicits._
+    val schema = GraphSchema(
+      nodes = Seq(NodeDef("K", "id", Seq("big"), "k")), edges = Seq.empty)
+    val tables = Map("k" -> Seq((1L, 9007199254740993L)).toDF("id", "big"))
+    val s = new CypherSession(spark, new GraphCatalog(schema, tables(_)))
+    val r = s.run("MATCH (k:K) RETURN k.big / 1 AS v").head()
+    assert(r.getLong(0) == 9007199254740993L) // double round-trip would be ...992
+  }
+
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")

@@ -337,6 +337,37 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize extends the session backward for out-of-order events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.streaming(
+      mem.toDS().withWatermark("ts", "2 hours"), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("oosess")
+      .outputMode("append").start()
+    try {
+      mem.addData(Sessionize.Event(1, ts(60), 10, "view", 1.0))
+      q.processAllAvailable()
+      // out-of-order but within watermark: 10 minutes EARLIER
+      mem.addData(Sessionize.Event(2, ts(50), 10, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(9, ts(2000), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(10, ts(4000), 99, "view", 0.0))
+      q.processAllAvailable()
+      val u10 = spark.table("oosess").collect()
+        .filter(_.getAs[Long]("user_id") == 10L)
+      assert(u10.length == 1)
+      assert(u10(0).getAs[Timestamp]("session_start") == ts(50)) // moved back
+      assert(u10(0).getAs[Long]("n_events") == 2L)
+    } finally q.stop()
+  }
+
+  test("ivfTopK with nProbe exceeding centroid count probes all lists") {
+    val r = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") === 0),
+      "embedding", "vec_id", k = 2, nCentroids = 3, nProbe = 10)
+    assert(r.count() == 2) // no ArrayIndexOutOfBounds; full coverage
+  }
+
   test("hourlyRollup groups by hour + type") {
     val r = Sessionize.hourlyRollup(events).collect()
     assert(r.map(_.getAs[Long]("n_events")).sum == 5L)
