@@ -52,18 +52,23 @@ object Analyzer {
     // (reference: MatchClause.cs:53-73)
     final case class NamedPart(nodes: Seq[NodePat], rels: Seq[RelPat])
     final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
+    // user-written aliases may not enter the engine's internal `__`
+    // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …)
+    def checkUserAlias(a: String): Unit =
+      if (a.startsWith("__"))
+        throw new CypherNotSupportedException(
+          s"alias '$a' — names starting with __ are reserved")
     val named = matches.map { m =>
       NamedMatch(m.parts.map { pp =>
         NamedPart(
           pp.nodes.map { np =>
-            np.alias.foreach { a =>
-              if (a.startsWith("__unnamed"))
-                throw new CypherNotSupportedException(
-                  s"alias '$a' collides with the generated-alias prefix")
-            }
+            np.alias.foreach(checkUserAlias)
             np.copy(alias = Some(np.alias.getOrElse(gen.next())))
           },
-          pp.rels.map(rp => rp.copy(alias = Some(rp.alias.getOrElse(gen.next())))))
+          pp.rels.map { rp =>
+            rp.alias.foreach(checkUserAlias)
+            rp.copy(alias = Some(rp.alias.getOrElse(gen.next())))
+          })
       }, m)
     }
 
@@ -150,7 +155,8 @@ object Analyzer {
           val a = rp.alias.get
           if (!relSeen.add(a))
             throw new CypherNotSupportedException(
-              s"relationship variable '$a' reused across patterns in one MATCH")
+              s"relationship variable '$a' reused across patterns " +
+              "(within one MATCH or chained MATCH clauses)")
           if (allNodeAliases(a))
             throw new CypherBindingException(
               s"alias '$a' is used for both a node and a relationship")

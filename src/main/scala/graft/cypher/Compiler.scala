@@ -278,9 +278,10 @@ object Compiler {
         "computed projection item requires an AS alias")
     })
     // the `__` prefix is the engine's internal column namespace
-    // (`__{alias}_{prop}`, `__item_N`, `__key_N` …) — a user alias there
-    // would collide with generated columns mid-pipeline
-    if (n.startsWith("__"))
+    // (`__{alias}_{prop}`, `__item_N`, `__key_N` …) — an explicit AS
+    // alias there would collide with generated columns mid-pipeline
+    // (pattern aliases are checked at binding, Analyzer.checkUserAlias)
+    if (it.alias.isDefined && n.startsWith("__"))
       throw new CypherNotSupportedException(
         s"alias '$n' — names starting with __ are reserved")
     n

@@ -237,12 +237,13 @@ final class Parser(tokens: Vector[Tok]) {
     val limit = if (tryKw("LIMIT")) {
       cur match {
         case NumLit(s, false, _) =>
-          p += 1
+          // validate before advancing so syntaxErr points at the literal
           val v = try s.toLong
             catch { case _: NumberFormatException =>
               syntaxErr(s"LIMIT literal out of range: $s") }
           if (v < 0 || v > Int.MaxValue)
             syntaxErr(s"LIMIT must be in [0, ${Int.MaxValue}], got $s")
+          p += 1
           Some(v)
         case _ => syntaxErr("LIMIT expects an integer literal")
       }
@@ -388,12 +389,13 @@ final class Parser(tokens: Vector[Tok]) {
 
   private def parseAtom(): Expr = cur match {
     case NumLit(s, isFloat, _) =>
-      p += 1
-      if (isFloat) Lit(s.toDouble)
+      if (isFloat) { p += 1; Lit(s.toDouble) }
       else {
+        // validate before advancing so syntaxErr points at the literal
         val v = try s.toLong
           catch { case _: NumberFormatException =>
             syntaxErr(s"integer literal out of 64-bit range: $s") }
+        p += 1
         if (v >= Int.MinValue && v <= Int.MaxValue) Lit(v.toInt) else Lit(v)
       }
     case StrLit(s, _) => p += 1; Lit(s)

@@ -76,7 +76,20 @@ object GraphCatalog {
 
   /** Session-cached lazy DataFrame for a parquet path. */
   def cachedParquet(spark: SparkSession, path: String): DataFrame = {
-    if (dfCache.size > MaxCacheEntries) dfCache.clear()
+    if (dfCache.size > MaxCacheEntries) {
+      // evict dead sessions' entries first; drop one arbitrary entry if
+      // everything is still live (never wipe the hot working set)
+      val it = dfCache.keySet.iterator
+      var evicted = false
+      while (it.hasNext) {
+        val k = it.next()
+        if (k._1.sparkContext.isStopped) { it.remove(); evicted = true }
+      }
+      if (!evicted) {
+        val i2 = dfCache.keySet.iterator
+        if (i2.hasNext) { i2.next(); i2.remove() }
+      }
+    }
     dfCache.computeIfAbsent((spark, path), _ => spark.read.parquet(path))
   }
 

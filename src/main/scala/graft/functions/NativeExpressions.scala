@@ -407,6 +407,8 @@ object NativeExpressions {
                                     centroids: Array[Array[Float]],
                                     nProbe: Int)
       extends UnaryExpression {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    require(centroids.nonEmpty, "centroid set must be non-empty")
     override def checkInputDataTypes(): TypeCheckResult =
       requireArrayOf(child, FloatType, prettyName)
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

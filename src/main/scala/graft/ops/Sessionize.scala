@@ -76,15 +76,21 @@ object Sessionize {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.end <= gapMs =>
-              // out-of-order (non-late) events may extend the session
-              // backward as well as forward
+            case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+              // within gap of the session interval on either side —
+              // out-of-order (non-late) events extend it backward too
               cur = Some(SessionState(math.min(s.start, t),
                 math.max(s.end, t), s.n + 1, s.sum + e.value))
-            case Some(s) =>
+            case Some(s) if t > s.end + gapMs =>
               closed ::= SessionOut(user, new Timestamp(s.start),
                 new Timestamp(s.end), s.n, s.sum)
               cur = Some(SessionState(t, t, 1, e.value))
+            case Some(_) =>
+              // earlier than the current session by more than the gap:
+              // an isolated earlier session — emit it immediately (the
+              // single-session state keeps tracking the later one)
+              closed ::= SessionOut(user, new Timestamp(t), new Timestamp(t),
+                1, e.value)
             case None =>
               cur = Some(SessionState(t, t, 1, e.value))
           }

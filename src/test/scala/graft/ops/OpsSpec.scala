@@ -362,6 +362,34 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: far-earlier out-of-order event forms its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.streaming(
+      mem.toDS().withWatermark("ts", "4 hours"), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("oosplit")
+      .outputMode("append").start()
+    try {
+      mem.addData(Sessionize.Event(1, ts(100), 10, "view", 1.0))
+      q.processAllAvailable()
+      // 95 minutes earlier — beyond the 30-min gap, within the watermark:
+      // must NOT merge into [100,100]
+      mem.addData(Sessionize.Event(2, ts(5), 10, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(9, ts(5000), 99, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Sessionize.Event(10, ts(9000), 99, "view", 0.0))
+      q.processAllAvailable()
+      val u10 = spark.table("oosplit").collect()
+        .filter(_.getAs[Long]("user_id") == 10L)
+        .sortBy(_.getAs[Timestamp]("session_start").getTime)
+      assert(u10.length == 2, u10.mkString(";"))
+      assert(u10(0).getAs[Timestamp]("session_start") == ts(5)
+        && u10(0).getAs[Long]("n_events") == 1L)
+      assert(u10(1).getAs[Timestamp]("session_start") == ts(100))
+    } finally q.stop()
+  }
+
   test("ivfTopK with nProbe exceeding centroid count probes all lists") {
     val r = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nCentroids = 3, nProbe = 10)
