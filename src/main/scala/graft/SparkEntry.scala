@@ -534,6 +534,24 @@ object SparkEntry {
              |      FROM documents WHERE trim(text) <> '')
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // --- token-budget packing (running-sum bin assignment per language)
+    ("t06_pack",
+      (s, dir) => Pipeline.packTokenBins(docs(s, dir), "lang", "doc_id",
+          budget = 2048)
+        .orderBy("lang", "doc_id"),
+      Some("""SELECT lang, doc_id, n_tokens,
+             |       CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+             |FROM (
+             |  SELECT lang, doc_id,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS n_tokens,
+             |    sum(CASE WHEN trim(text) = '' THEN 0
+             |             ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM documents)
+             |ORDER BY lang, doc_id""".stripMargin)),
+
     // --- gap-based sessionization (batch gaps-and-islands)
     ("t03_sessionize",
       (s, dir) => Sessionize.batch(evts(s, dir), gapMinutes = 30)

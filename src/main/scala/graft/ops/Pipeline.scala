@@ -33,6 +33,27 @@ object Pipeline {
         sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
 
   /**
+   * Token-budget packing: assign each document to a bin of ~`budget`
+   * tokens within its group (the step before batch assembly in a
+   * pre-training pipeline). Deterministic running-sum packing: documents
+   * are taken in `orderCol` order and a document starting before a
+   * budget boundary stays in the earlier bin. One shuffle on the group
+   * key; the running sum is a window inside the sorted partition.
+   * Groups are independent — at 100 TB parallelism = #groups, so pack
+   * within (lang, shard) style composite keys, not one global key.
+   */
+  def packTokenBins(docs: DataFrame, groupCol: String, orderCol: String,
+                    budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+    docs
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(col(groupCol), col(orderCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).as("bin_id"))
+  }
+
+  /**
    * Sink: write the curated corpus as parquet partitioned by predicted
    * language. `repartition(lang, hash(id))` gives each language
    * `filesPerLang` writer tasks — directory-partitioned output WITHOUT
