@@ -351,8 +351,10 @@ object NativeExpressions {
   /**
    * Dot product of two float-array columns, accumulated left-to-right
    * in double — bit-identical to the `zip_with`+`aggregate`
-   * composition in [[graft.ops.Similarity.dot]] and to DuckDB's
-   * list_dot_product over DOUBLE[] (used as the oracle).
+   * composition in [[graft.ops.Similarity.dotComposed]] and to DuckDB's
+   * list_dot_product over DOUBLE[] (used as the oracle). Mismatched
+   * lengths yield NULL (matching `zip_with`'s null padding), surfacing
+   * malformed embedding rows instead of silently truncating.
    */
   final case class DotF(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -362,12 +364,14 @@ object NativeExpressions {
         .find(_ != TypeCheckResult.TypeCheckSuccess)
         .getOrElse(TypeCheckResult.TypeCheckSuccess)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "dot_f"
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -380,18 +384,72 @@ object NativeExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |int df_n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double df_acc = 0.0;
-           |for (int i = 0; i < df_n; i++) {
-           |  df_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |int df_n = $a.numElements();
+           |if (df_n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double df_acc = 0.0;
+           |  for (int i = 0; i < df_n; i++) {
+           |    df_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |  }
+           |  ${ev.value} = df_acc;
            |}
-           |${ev.value} = df_acc;
          """.stripMargin
       })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotF =
       copy(left = newLeft, right = newRight)
+  }
+
+  // -------------------------------------------------------- fingerprint
+
+  /** Shared implementation for [[Fingerprint64]] (called from both the
+    * interpreted path and generated code): position-weighted rolling
+    * hash over code points, weights 31^(pos mod 8), mod 1e9+7 — the
+    * exact arithmetic of the documented formula and its DuckDB oracle. */
+  def fp64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    var pos = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc += cp.toLong * Fp64Weights(pos % 8)
+      i += Character.charCount(cp)
+      pos += 1
+    }
+    acc % 1000000007L
+  }
+  private val Fp64Weights: Array[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(8).toArray
+
+  /**
+   * Document fingerprint in ONE pass over the string. The
+   * `sequence`+`substring(i, 1)` composition is O(n²) per document
+   * (each substring walks the UTF8 bytes from the start) — at corpus
+   * scale long documents dominate, so the hot path is native.
+   */
+  final case class Fingerprint64(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "fingerprint64"
+
+    override def nullSafeEval(input: Any): Any =
+      fp64(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.fp64($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      copy(child = newChild)
   }
 
   // ------------------------------------------------- centroid assignment
@@ -428,7 +486,7 @@ object NativeExpressions {
         val n = math.min(dim, c.length)
         var i = 0
         while (i < n) { acc += v.getFloat(i) * c(i); i += 1 }
-        acc
+        if (acc.isNaN) Double.NegativeInfinity else acc // NaN data → last
       }
       val idx = scores.zipWithIndex
         .sortBy { case (s, i) => (-s, i) }
@@ -449,7 +507,7 @@ object NativeExpressions {
            |  int n = java.lang.Math.min(nc_dim, cen.length);
            |  double acc = 0.0;
            |  for (int i = 0; i < n; i++) { acc += $c.getFloat(i) * cen[i]; }
-           |  nc_scores[ci] = acc;
+           |  nc_scores[ci] = Double.isNaN(acc) ? Double.NEGATIVE_INFINITY : acc;
            |}
            |int[] nc_out = new int[$probes];
            |boolean[] nc_used = new boolean[$nc];
@@ -479,6 +537,8 @@ object NativeExpressions {
       coeffs.map(_._2).toArray, prime))
 
   def simhash64(hashes: Column): Column = col(SimHash64(expr(hashes)))
+
+  def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
 
   def ngramHashes(tokens: Column, n: Int): Column =
     col(NgramHashes(expr(tokens), n))

@@ -68,10 +68,12 @@ object Dedup {
    */
   def streamingDedup(stream: DataFrame, textCol: String,
                      tsCol: String, watermarkDelay: String): DataFrame =
-    stream.withColumn("__h", xxhash64(col(textCol)))
+    // 128-bit state key, same collision reasoning as [[exact]]
+    stream.withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(lit(0x5eed), col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("__h")
-      .drop("__h")
+      .dropDuplicatesWithinWatermark("__h1", "__h2")
+      .drop("__h1", "__h2")
 
   // ------------------------------------------------------------- shingles
 
@@ -268,6 +270,10 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // 4-chunk blocking only guarantees a shared chunk for Hamming <= 3
+    // (pigeonhole); a larger maxDist would silently lose pairs
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashPairs blocking supports maxDist in [0, 3], got $maxDist")
     val base = df.select(col(idCol).cast(LongType).as("__id"),
         transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
       .select(col("__id"),

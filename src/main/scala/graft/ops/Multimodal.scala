@@ -89,12 +89,23 @@ object Multimodal {
   def extractMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (one codec ctx/partition)
+      // per-partition init: one digest instance, reset per row; hex via
+      // lookup table (no per-byte format/boxing on the hot loop)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hexDigits = "0123456789abcdef".toCharArray
       it.map { row =>
         val (fmt, w, h, frames) = fakeDecode(row.payload)
-        val hash = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(row.payload).map("%02x".format(_)).mkString
-        MediaMeta(row.media_id, row.payload.length.toLong, fmt, w, h, frames, hash)
+        md.reset()
+        val d = md.digest(row.payload)
+        val hex = new Array[Char](d.length * 2)
+        var i = 0
+        while (i < d.length) {
+          hex(i * 2) = hexDigits((d(i) >> 4) & 0xf)
+          hex(i * 2 + 1) = hexDigits(d(i) & 0xf)
+          i += 1
+        }
+        MediaMeta(row.media_id, row.payload.length.toLong, fmt, w, h, frames,
+          new String(hex))
       }
     }
   }

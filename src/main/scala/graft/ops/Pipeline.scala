@@ -44,8 +44,12 @@ object Pipeline {
    */
   def packTokenBins(docs: DataFrame, groupCol: String, orderCol: String,
                     budget: Long): DataFrame = {
+    // ROWS frame: the default RANGE frame treats orderCol ties as peers
+    // and would sum them into each other's cumulative total
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     docs
       .withColumn("n_tokens", TextOps.tokenCount(col("text")))
       .withColumn("__cum", sum(col("n_tokens")).over(w))

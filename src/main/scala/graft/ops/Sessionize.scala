@@ -29,12 +29,14 @@ object Sessionize {
    */
   def batch(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapSec = gapMinutes * 60L
+    // millisecond resolution, matching the streaming twin (second-level
+    // truncation would split/merge differently on sub-second gaps)
+    val gapMs = gapMinutes * 60000L
     events
       .withColumn("__prev", lag(col("ts"), 1).over(byUser))
       .withColumn("__new_session",
         when(col("__prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > gapSec, 1L)
+          unix_millis(col("ts")) - unix_millis(col("__prev")) > gapMs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("__new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_id"))
@@ -70,37 +72,37 @@ object Sessionize {
         Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end),
           s.n, s.sum))
       } else {
+        // maintain the set of gap-disjoint session intervals touched by
+        // this batch (the retained state plus any sessions formed by
+        // out-of-order events); an event merges into the interval whose
+        // gap-extended range covers it, and a bridging event can fuse
+        // two intervals. Only the LATEST interval stays in state — the
+        // earlier ones close now (single-interval state; later batches'
+        // events for them would be rare non-late stragglers).
         val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var closed = List.empty[SessionOut]
-        var cur = state.getOption
+        var intervals: List[SessionState] = state.getOption.toList
+
+        def coalesce(list: List[SessionState]): List[SessionState] =
+          list.sortBy(_.start).foldLeft(List.empty[SessionState]) {
+            case (acc @ (prev :: rest), s) if s.start - prev.end <= gapMs =>
+              SessionState(prev.start, math.max(prev.end, s.end),
+                prev.n + s.n, prev.sum + s.sum) :: rest
+            case (acc, s) => s :: acc
+          }.reverse
+
         sorted.foreach { e =>
           val t = e.ts.getTime
-          cur match {
-            case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
-              // within gap of the session interval on either side —
-              // out-of-order (non-late) events extend it backward too
-              cur = Some(SessionState(math.min(s.start, t),
-                math.max(s.end, t), s.n + 1, s.sum + e.value))
-            case Some(s) if t > s.end + gapMs =>
-              closed ::= SessionOut(user, new Timestamp(s.start),
-                new Timestamp(s.end), s.n, s.sum)
-              cur = Some(SessionState(t, t, 1, e.value))
-            case Some(_) =>
-              // earlier than the current session by more than the gap:
-              // an isolated earlier session — emit it immediately (the
-              // single-session state keeps tracking the later one)
-              closed ::= SessionOut(user, new Timestamp(t), new Timestamp(t),
-                1, e.value)
-            case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
-          }
+          val one = SessionState(t, t, 1, e.value)
+          intervals = coalesce(one :: intervals)
         }
-        cur.foreach { s =>
-          state.update(s)
-          // close the session `gap` past its end, measured in event time
-          state.setTimeoutTimestamp(s.end + gapMs)
-        }
-        closed.reverseIterator
+        val keep = intervals.last
+        val closed = intervals.init.map(s =>
+          SessionOut(user, new Timestamp(s.start), new Timestamp(s.end),
+            s.n, s.sum))
+        state.update(keep)
+        // close the session `gap` past its end, measured in event time
+        state.setTimeoutTimestamp(keep.end + gapMs)
+        closed.iterator
       }
     }
 

@@ -171,7 +171,8 @@ object Similarity {
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
         col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
         explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
-    val scored = c.join(broadcast(q), Seq("__list"))
+    // no broadcast hint — query sets may be corpus-sized; planner decides
+    val scored = c.join(q, Seq("__list"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"),
@@ -192,7 +193,9 @@ object Similarity {
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
       col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
       hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
-    val scored = c.join(broadcast(q), Seq("__bkt"))
+    // no broadcast hint: LSH is the large-query-set path — let the
+    // planner pick broadcast vs shuffle join on __bkt from sizes/AQE
+    val scored = c.join(q, Seq("__bkt"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("__qv"), col("__cv"),

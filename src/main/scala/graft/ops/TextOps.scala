@@ -110,11 +110,18 @@ object TextOps {
 
   /**
    * Document fingerprint: position-weighted rolling hash over the
-   * character codes, mod 1e9+7. Pure int64 math over a
-   * `sequence`/`transform`/`aggregate` pipeline — exact on any engine,
-   * no hash-function mismatch with the oracle.
+   * character code points, mod 1e9+7. Pure int64 math — exact on any
+   * engine, no hash-function mismatch with the oracle. Native one-pass
+   * expression ([[graft.functions.NativeExpressions.Fingerprint64]]);
+   * [[fingerprintComposed]] keeps the built-in formulation for
+   * cross-checking.
    */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    graft.functions.NativeExpressions.fingerprint64(text)
+
+  /** Built-in-composed fingerprint — same values as [[fingerprint]],
+   *  O(n²) per document (kept for tests only). */
+  def fingerprintComposed(text: Column): Column = {
     val w = array(FpWeights.map(lit): _*)
     val idx = sequence(lit(1), length(text))
     val terms = transform(idx, i =>

@@ -243,6 +243,24 @@ class OpsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
   }
 
+  test("native fingerprint == composed fingerprint; unicode-safe") {
+    val r = corpus.select(TextOps.fingerprint(col("text")).as("n"),
+      TextOps.fingerprintComposed(col("text")).as("c")).collect()
+    r.foreach(row => assert(row.getLong(0) == row.getLong(1)))
+    val u = spark.range(1).select(
+      TextOps.fingerprint(lit("héllo wörld")).as("n"),
+      TextOps.fingerprintComposed(lit("héllo wörld")).as("c")).head()
+    assert(u.getLong(0) == u.getLong(1))
+  }
+
+  test("DotF yields NULL on mismatched vector lengths (zip_with parity)") {
+    val r = spark.range(1).select(
+      Similarity.dot(lit(Array(1.0f, 2.0f)), lit(Array(1.0f, 2.0f, 3.0f))).as("n"),
+      Similarity.dotComposed(lit(Array(1.0f, 2.0f)),
+        lit(Array(1.0f, 2.0f, 3.0f))).as("c")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("hashed shingle jaccard == string shingle jaccard") {
     val withBoth = corpus.select(col("doc_id"),
       Dedup.shingles(col("text"), 3).as("s"),
