@@ -155,12 +155,15 @@ final class ExprCompiler(
       if (f.args.size != n)
         throw new CypherSyntaxException(s"${f.name} expects $n argument(s)")
     f.name match {
-      case "tofloat"   => arity(1); a0.cast(DoubleType)
-      case "todouble"  => arity(1); a0.cast(DoubleType)
-      case "tostring"  => arity(1); a0.cast(StringType)
-      case "toboolean" => arity(1); a0.cast(BooleanType)
-      case "tointeger" => arity(1); a0.cast(IntegerType)
-      case "tolong"    => arity(1); a0.cast(LongType)
+      // try_cast, not cast: Cypher yields null on a failed conversion
+      // (the reference wraps CAST in null-preserve, SQLRenderer.cs:
+      // 317-336); ANSI-mode Spark cast would throw instead
+      case "tofloat"   => arity(1); a0.try_cast(DoubleType)
+      case "todouble"  => arity(1); a0.try_cast(DoubleType)
+      case "tostring"  => arity(1); a0.try_cast(StringType)
+      case "toboolean" => arity(1); a0.try_cast(BooleanType)
+      case "tointeger" => arity(1); a0.try_cast(IntegerType)
+      case "tolong"    => arity(1); a0.try_cast(LongType)
       case "not"       => arity(1); !a0
       case "startswith" => arity(2); a0.startsWith(a1)
       case "endswith"   => arity(2); a0.endsWith(a1)

@@ -402,6 +402,18 @@ class CypherEngineSpec extends AnyFunSuite {
       "MATCH (p:Person) RETURN p.Name AS __item_0"))
   }
 
+  test("toBoolean / unary plus / cast-failure nulls") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN toBoolean('true') AS t, toBoolean('nope') AS bad,
+        |       toInteger('12') AS i, toInteger('xyz') AS badint""".stripMargin)
+    val row = r.head
+    assert(row.getBoolean(0))
+    assert(row.isNullAt(1)) // Cypher: failed cast → null
+    assert(row.getInt(2) == 12)
+    assert(row.isNullAt(3))
+  }
+
   test("integer division is exact above 2^53") {
     import spark.implicits._
     val schema = GraphSchema(
