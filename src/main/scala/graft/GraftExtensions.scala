@@ -42,8 +42,9 @@ object GraftExtensions {
       (args => NgramHashes(args(0), litInt(args(1), "n"))),
     "graft_minhash_sig" -> (args => {
       val k = litInt(args(1), "k")
-      MinHashSig(args.head, Dedup.mhCoeffs(k).map(_._1).toArray,
-        Dedup.mhCoeffs(k).map(_._2).toArray, Dedup.MhPrime)
+      val cs = Dedup.mhCoeffs(k)
+      MinHashSig(args.head, cs.map(_._1).toArray, cs.map(_._2).toArray,
+        Dedup.MhPrime)
     }))
 
   /** Register on an already-built session. */

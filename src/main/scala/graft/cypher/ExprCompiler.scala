@@ -36,8 +36,16 @@ final class ExprCompiler(
   private def physAlias(alias: String): String =
     entitySrc.getOrElse(alias, alias)
 
+  // Type probing resolves against an EMPTY LocalRelation with the probe's
+  // schema: analyzing the real (multi-join) plan per operator would make
+  // compile cost O(operators × plan size).
+  private lazy val probeEmpty: DataFrame =
+    probe.sparkSession.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      probe.schema)
+
   private def dt(c: Column): Option[DataType] =
-    try Some(probe.select(c).schema.head.dataType)
+    try Some(probeEmpty.select(c).schema.head.dataType)
     catch { case _: Exception => None }
 
   private def isStringy(c: Column): Boolean = dt(c).contains(StringType)
@@ -162,7 +170,9 @@ final class ExprCompiler(
       case "todouble"  => arity(1); a0.try_cast(DoubleType)
       case "tostring"  => arity(1); a0.try_cast(StringType)
       case "toboolean" => arity(1); a0.try_cast(BooleanType)
-      case "tointeger" => arity(1); a0.try_cast(IntegerType)
+      // openCypher toInteger is 64-bit — a 32-bit mapping would turn
+      // legal big values into silent try_cast nulls
+      case "tointeger" => arity(1); a0.try_cast(LongType)
       case "tolong"    => arity(1); a0.try_cast(LongType)
       case "not"       => arity(1); !a0
       case "startswith" => arity(2); a0.startsWith(a1)

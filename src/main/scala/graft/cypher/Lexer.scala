@@ -50,7 +50,7 @@ object Lexer {
         val start = i
         while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
         val s = q.substring(start, i)
-        val up = s.toUpperCase
+        val up = s.toUpperCase(java.util.Locale.ROOT)
         if (keywords(up)) out += Kw(up, s, start) else out += Ident(s, start)
       }
       else if (c == '`') {                       // escaped identifier
@@ -70,6 +70,8 @@ object Lexer {
         if (i < n && (q(i) == 'e' || q(i) == 'E')) {
           isFloat = true; i += 1
           if (i < n && (q(i) == '+' || q(i) == '-')) i += 1
+          if (i >= n || !q(i).isDigit)
+            err("Exponent requires at least one digit")
           while (i < n && q(i).isDigit) i += 1
         }
         out += NumLit(q.substring(start, i), isFloat, start)

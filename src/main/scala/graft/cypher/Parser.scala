@@ -99,8 +99,7 @@ final class Parser(tokens: Vector[Tok]) {
       while (isKw("MATCH") || isKw("OPTIONAL")) {
         val optional = tryKw("OPTIONAL")
         eatKw("MATCH")
-        if (optional && isFirstPart && !sawMatch && matches.result().isEmpty
-            && parts.result().isEmpty)
+        if (optional && isFirstPart && !sawMatch)
           notSupported("first clause cannot be OPTIONAL MATCH")
         if (!optional && prevOptional)
           notSupported("MATCH cannot directly follow OPTIONAL MATCH")
@@ -116,7 +115,7 @@ final class Parser(tokens: Vector[Tok]) {
         isFirstPart = false
       } else if (isKw("RETURN")) {
         p += 1
-        if (ms.isEmpty && parts.result().isEmpty)
+        if (ms.isEmpty && isFirstPart)
           notSupported("standalone RETURN without MATCH")
         parts += QueryPart(ms, parseProjection(isWith = false))
         done = true
@@ -389,7 +388,12 @@ final class Parser(tokens: Vector[Tok]) {
 
   private def parseAtom(): Expr = cur match {
     case NumLit(s, isFloat, _) =>
-      if (isFloat) { p += 1; Lit(s.toDouble) }
+      if (isFloat) {
+        val d = try s.toDouble
+          catch { case _: NumberFormatException =>
+            syntaxErr(s"malformed numeric literal: $s") }
+        p += 1; Lit(d)
+      }
       else {
         // validate before advancing so syntaxErr points at the literal
         val v = try s.toLong
@@ -447,7 +451,7 @@ final class Parser(tokens: Vector[Tok]) {
 
   private def parseCall(name: String): Expr = {
     p += 2 // ident + '('
-    val lname = name.toLowerCase
+    val lname = name.toLowerCase(java.util.Locale.ROOT)
     if (isPunct("*")) {
       if (lname == "count") notSupported("COUNT(*)")
       else syntaxErr("Unexpected *")
@@ -473,6 +477,8 @@ final class Parser(tokens: Vector[Tok]) {
             case Lit(l: Long)   => l.toDouble
             case _ => syntaxErr(s"$name percentile must be a numeric literal")
           }
+          if (pct < 0.0 || pct > 1.0)
+            syntaxErr(s"$name percentile must be in [0, 1], got $pct")
           checkNoNestedAgg(as.head, name)
           Agg(lname, distinct, Some(as.head), Some(pct))
         case _ =>
@@ -495,6 +501,7 @@ final class Parser(tokens: Vector[Tok]) {
     case Neg(x) => checkNoNestedAgg(x, outer)
     case IsNull(x, _) => checkNoNestedAgg(x, outer)
     case Func(_, args) => args.foreach(checkNoNestedAgg(_, outer))
+    case ListLit(items) => items.foreach(checkNoNestedAgg(_, outer))
     case CaseExpr(ws, o) =>
       ws.foreach { case (c, v) =>
         checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }

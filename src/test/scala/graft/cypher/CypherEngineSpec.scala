@@ -406,12 +406,23 @@ class CypherEngineSpec extends AnyFunSuite {
     val r = rows(
       """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
         |RETURN toBoolean('true') AS t, toBoolean('nope') AS bad,
-        |       toInteger('12') AS i, toInteger('xyz') AS badint""".stripMargin)
+        |       toInteger('12') AS i, toInteger('xyz') AS badint,
+        |       toInteger('5000000000') AS big""".stripMargin)
     val row = r.head
     assert(row.getBoolean(0))
     assert(row.isNullAt(1)) // Cypher: failed cast → null
-    assert(row.getInt(2) == 12)
+    assert(row.getLong(2) == 12L) // toInteger is 64-bit in openCypher
     assert(row.isNullAt(3))
+    assert(row.getLong(4) == 5000000000L)
+  }
+
+  test("malformed literals and nested-list aggregates rejected with typed errors") {
+    intercept[CypherException](Parser.parse(
+      "MATCH (a:A) RETURN 1e AS x"))
+    intercept[CypherException](Parser.parse(
+      "MATCH (a:A) RETURN sum([count(a.x), 1]) AS s"))
+    intercept[CypherException](Parser.parse(
+      "MATCH (a:A) RETURN percentileCont(a.x, 1.5) AS p"))
   }
 
   test("integer division is exact above 2^53") {
