@@ -416,6 +416,28 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(row.getLong(4) == 5000000000L)
   }
 
+  test("after WITH DISTINCT or aggregation only explicit projections are referencable (ref :554-596)") {
+    // WHERE over an unprojected field after DISTINCT → binding error
+    intercept[CypherException](rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH DISTINCT m.Title AS Title
+        |WHERE p.Name = 'Tom Hanks'
+        |RETURN Title""".stripMargin))
+    // ORDER BY over an unprojected field after aggregation → binding error
+    intercept[CypherException](rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH p, count(m) AS n ORDER BY m.Title
+        |RETURN p.Name AS Name, n""".stripMargin))
+    // the positive counterpart: non-DISTINCT WITH may reference
+    // unprojected fields of still-visible entities
+    val ok = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH m
+        |WHERE m.Released > 1994
+        |RETURN DISTINCT m.Title AS Title ORDER BY Title""".stripMargin)
+    assert(ok.nonEmpty)
+  }
+
   test("malformed literals and nested-list aggregates rejected with typed errors") {
     intercept[CypherException](Parser.parse(
       "MATCH (a:A) RETURN 1e AS x"))
