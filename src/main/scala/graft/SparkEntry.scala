@@ -203,12 +203,12 @@ object SparkEntry {
     ("q13_entity_alias", cy(
       """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
         |WITH n AS m, c AS person
-        |WHERE m.n_name STARTS WITH 'B'
+        |WHERE m.n_name STARTS WITH 'NATION_1'
         |RETURN m.n_name AS nation, count(person) AS n_cust
         |ORDER BY nation""".stripMargin),
       Some("""SELECT n_name AS nation, count(*) AS n_cust
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |WHERE n_name LIKE 'B%'
+             |WHERE n_name LIKE 'NATION\_1%' ESCAPE '\'
              |GROUP BY n_name ORDER BY nation""".stripMargin)),
 
     // --- string function surface
@@ -224,11 +224,11 @@ object SparkEntry {
     // --- IN list + regex full-match
     ("q15_in_regex", cy(
       """MATCH (n:Nation)
-        |WHERE n.n_name IN ['FRANCE', 'GERMANY', 'CHINA'] OR n.n_name =~ 'A.*'
+        |WHERE n.n_name IN ['NATION_2', 'NATION_5', 'NOPE'] OR n.n_name =~ '.*_1[0-2]'
         |RETURN n.n_name AS name ORDER BY name""".stripMargin),
       Some("""SELECT n_name AS name FROM nation
-             |WHERE n_name IN ('FRANCE', 'GERMANY', 'CHINA')
-             |   OR regexp_full_match(n_name, 'A.*')
+             |WHERE n_name IN ('NATION_2', 'NATION_5', 'NOPE')
+             |   OR regexp_full_match(n_name, '.*_1[0-2]')
              |ORDER BY name""".stripMargin)),
 
     // --- arithmetic operators incl. %
@@ -296,13 +296,13 @@ object SparkEntry {
     // --- implicit relationship-uniqueness (Cypher edge-isomorphism)
     ("q20_rel_uniqueness", cy(
       """MATCH (c1:Customer)-[e1:FROM_NATION]->(n:Nation)<-[e2:FROM_NATION]-(c2:Customer)
-        |WHERE n.n_name = 'JAPAN'
+        |WHERE n.n_name = 'NATION_7'
         |RETURN n.n_name AS nation, count(e1) AS n_pairs""".stripMargin),
       Some("""SELECT n_name AS nation, count(*) AS n_pairs
              |FROM customer c1
              |JOIN nation ON c1.c_nationkey = n_nationkey
              |JOIN customer c2 ON c2.c_nationkey = n_nationkey
-             |WHERE n_name = 'JAPAN' AND c1.c_custkey <> c2.c_custkey
+             |WHERE n_name = 'NATION_7' AND c1.c_custkey <> c2.c_custkey
              |GROUP BY n_name""".stripMargin)),
 
     // --- cross join of disjoint patterns
@@ -315,6 +315,23 @@ object SparkEntry {
              |FROM region r1, region r2
              |WHERE r1.r_regionkey < r2.r_regionkey
              |ORDER BY a, b""".stripMargin)),
+
+    // --- supplier-side edges (SUPPLIED_BY via lineitem, LOCATED_IN) with
+    //     edge-property aggregation
+    ("q25_supplier_side", cy(
+      """MATCH (o:Order)-[sb:SUPPLIED_BY]->(s:Supplier)-[:LOCATED_IN]->(n:Nation)
+        |WHERE n.n_name = 'NATION_3'
+        |RETURN s.s_name AS sname, count(sb) AS n_items,
+        |       round(sum(sb.l_extendedprice), 2) AS revenue
+        |ORDER BY sname""".stripMargin),
+      Some("""SELECT s_name AS sname, count(*) AS n_items,
+             |       round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |WHERE n_name = 'NATION_3'
+             |GROUP BY s_name ORDER BY sname""".stripMargin)),
 
     // --- IS NULL anti-join over OPTIONAL MATCH (nations with no rich
     //     customers), WHERE after entity-projecting WITH
