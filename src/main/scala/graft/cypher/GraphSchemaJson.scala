@@ -17,7 +17,12 @@ import org.json4s.jackson.JsonMethods
 object GraphSchemaJson {
 
   def parse(json: String): GraphSchema = {
-    val root = JsonMethods.parse(json)
+    val root =
+      try JsonMethods.parse(json)
+      catch { case e: Exception =>
+        throw new CypherBindingException(
+          s"graph schema JSON is not valid JSON: ${e.getMessage}")
+      }
 
     def str(v: JValue, field: String): String = v \ field match {
       case JString(s) => s

@@ -20,6 +20,13 @@ class GraphSchemaJsonSpec extends AnyFunSuite {
     assert(s.edges.size == 6)
   }
 
+  test("malformed schema JSON raises typed errors") {
+    intercept[CypherBindingException](GraphSchemaJson.parse("not json at all"))
+    intercept[CypherBindingException](GraphSchemaJson.parse("{}"))
+    intercept[CypherBindingException](GraphSchemaJson.parse(
+      """{"Nodes": [{"Id": "N"}]}""")) // missing Name/IdProperty
+  }
+
   test("minimal schema without TableDescriptors falls back to entity ids") {
     val json =
       """{"Nodes": [{"Id": "N", "Name": "N",
