@@ -280,12 +280,14 @@ object SparkEntry {
         |RETURN l.l_returnflag AS rf,
         |       round(stdev(l.l_quantity), 4) AS sd_qty,
         |       round(percentileCont(l.l_quantity, 0.5), 1) AS med_qty,
+        |       percentileDisc(l.l_quantity, 0.5) AS med_disc,
         |       first(l.l_quantity) AS first_qty,
         |       last(l.l_quantity) AS last_qty
         |ORDER BY rf""".stripMargin),
       Some("""SELECT l_returnflag AS rf,
              |       round(stddev_samp(l_quantity), 4) AS sd_qty,
              |       round(quantile_cont(l_quantity, 0.5), 1) AS med_qty,
+             |       quantile_disc(l_quantity, 0.5) AS med_disc,
              |       min(l_quantity) AS first_qty,
              |       max(l_quantity) AS last_qty
              |FROM lineitem

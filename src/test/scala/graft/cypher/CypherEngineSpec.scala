@@ -438,6 +438,13 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(ok.nonEmpty)
   }
 
+  test("UNION with mismatched columns is a typed binding error") {
+    intercept[CypherException](rows(
+      """MATCH (p:Person) RETURN p.Name AS a
+        |UNION
+        |MATCH (m:Movie) RETURN m.Title AS b""".stripMargin))
+  }
+
   test("malformed literals and nested-list aggregates rejected with typed errors") {
     intercept[CypherException](Parser.parse(
       "MATCH (a:A) RETURN 1e AS x"))
