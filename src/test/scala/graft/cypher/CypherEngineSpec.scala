@@ -121,7 +121,8 @@ class CypherEngineSpec extends AnyFunSuite {
           |WITH p
           |RETURN m.Title AS T""".stripMargin)
     }
-    assert(e.getMessage.contains("m"))
+    assert(e.getMessage.contains("'m'") ||
+      e.getMessage.matches(".*\\bm\\b.*"))
   }
 
   test("ORDER BY + LIMIT (ref :777-843)") {
@@ -153,9 +154,13 @@ class CypherEngineSpec extends AnyFunSuite {
     val r = rows(
       """MATCH (m:Movie) WHERE m.Released IN [1993, 1998]
         |RETURN m.Title AS T, m.Released % 10 AS D,
-        |       m.Released ^ 2 AS Sq""".stripMargin)
+        |       m.Released ^ 2 AS Sq,
+        |       (m.Released > 1995) XOR (m.Released < 1997) AS X""".stripMargin)
     assert(r.size == 2)
-    assert(r.forall(x => x.getDouble(2) > 0))
+    val byTitle = r.map(x => x.getString(0) ->
+      (x.getInt(1), x.getDouble(2), x.getBoolean(3))).toMap
+    assert(byTitle("Sleepless in Seattle") == ((3, 1993.0 * 1993.0, true)))
+    assert(byTitle("You've Got Mail") == ((8, 1998.0 * 1998.0, true)))
   }
 
   test("string functions (ref :615-640)") {

@@ -41,8 +41,20 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2), 200).foreach { n =>
       val q = Parser.parse(s"MATCH (a:A) WHERE a.x = $n RETURN a.x AS v")
       // negatives parse as Neg(Lit(abs)) — unary minus is a function,
-      // matching the reference (CypherVisitor.cs:209-252)
-      assert(q.toString.contains(math.abs(n).toString))
+      // matching the reference (CypherVisitor.cs:209-252); assert the
+      // exact AST node, not a substring
+      val lit = q match {
+        case ast.SingleQuery(parts) =>
+          parts.head.matches.head.where.get match {
+            case ast.Bin(ast.BinOp.Eq, _, rhs) => rhs
+            case other => fail(s"unexpected where shape: $other")
+          }
+        case other => fail(s"unexpected query shape: $other")
+      }
+      val expectLit: Any =
+        if (math.abs(n) <= Int.MaxValue) math.abs(n).toInt else math.abs(n)
+      if (n < 0) assert(lit == ast.Neg(ast.Lit(expectLit)))
+      else assert(lit == ast.Lit(expectLit))
     }
   }
 

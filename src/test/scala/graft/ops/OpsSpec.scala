@@ -108,7 +108,10 @@ class OpsSpec extends AnyFunSuite {
     val lsh = Dedup.minhashLshPairs(corpus, "text", "doc_id",
         n = 3, k = 128, bands = 32, threshold = 0.8)
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    assert(lsh == exact) // planted dups are >0.9 — miss prob ~1e-15
+    // candidates are exact-verified inside minhashLshPairs, so lsh is a
+    // subset of exact by construction; equality additionally needs the
+    // banding to FIND every >=0.8 pair (docs 1,2 are identical: certain)
+    assert(lsh == exact)
     assert(lsh.contains((1L, 2L)))
   }
 
@@ -196,6 +199,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("ivfTopK: scores exact, recall reasonable on real embeddings") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.where(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
@@ -217,10 +221,21 @@ class OpsSpec extends AnyFunSuite {
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
-    // approximate: every returned neighbor must be a real corpus id with
-    // correct cosine; rank contiguous from 1
     val rows = r.orderBy("rank").collect()
+    // query 0's own bucket contains at least itself-similar vec 1 under
+    // any sign assignment that keeps (1,0,0) and (.9,.1,0) together —
+    // but bucketing is hash-dependent, so assert on whatever returns:
+    // ranks contiguous from 1, neighbors are real ids, cosine matches a
+    // brute-force recompute for those pairs
     assert(rows.map(_.getLong(2)).toSeq == (1 to rows.length).map(_.toLong))
+    val exact = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+      "embedding", "vec_id", k = 4)
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    rows.foreach { x =>
+      assert(exact.contains(x.getLong(1))) // real corpus neighbor
+      assert(java.lang.Double.doubleToLongBits(exact(x.getLong(1))) ==
+        java.lang.Double.doubleToLongBits(x.getDouble(3)))
+    }
   }
 
   // ------------------------------------------ native codegen expressions
@@ -348,10 +363,19 @@ class OpsSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table("sessions")
         .orderBy("user_id", "session_start").collect()
-      assert(got.length >= 2)
-      val u10 = got.filter(_.getAs[Long]("user_id") == 10L)
-      assert(u10.length == 1 && u10(0).getAs[Long]("n_events") == 2L
-        && u10(0).getAs[Double]("sum_value") == 3.0)
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      // full equivalence with batch() on the users whose sessions have
+      // closed (30, the watermark driver, still has open sessions)
+      // identical event subset to what the stream received (1, 2, 5)
+      val expected = Sessionize.batch(
+          events.where(col("event_id").isin(1L, 2L, 5L)), gapMinutes = 30)
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      assert(got.filter(t => t._1 == 10L || t._1 == 20L).toSeq == expected.toSeq)
     } finally q.stop()
   }
 
@@ -458,6 +482,7 @@ class OpsSpec extends AnyFunSuite {
   test("writeCurated produces language-partitioned parquet that prunes") {
     val docsDf = corpus.withColumn("n_chars", length(col("text")))
     val out = java.nio.file.Files.createTempDirectory("curated").toString
+    try {
     Pipeline.writeCurated(docsDf, minQuality = 0.0, out, filesPerLang = 2)
     val back = spark.read.parquet(out)
     assert(back.count() == 4) // dedup applied before write
@@ -470,6 +495,10 @@ class OpsSpec extends AnyFunSuite {
     // pruned at planning (PartitionFilters), no row-level DataFilters
     assert(scan.contains("PartitionFilters: [isnotnull(lang_pred"))
     assert(scan.contains("DataFilters: []"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
   }
 
   // ---------------------------------------------------------- multimodal
@@ -513,6 +542,7 @@ class OpsSpec extends AnyFunSuite {
     val metas = Multimodal.extractMeta(media).collect()
     val frames = Multimodal.sampleFrames(media, stride = 7).collect()
     val vids = metas.filter(_.format == "mp4").map(_.media_id).toSet
+    assert(vids.nonEmpty) // guard: at least one fixture must classify as video
     assert(frames.forall(f => vids.contains(f.media_id)))
     metas.filter(m => vids.contains(m.media_id)).foreach { m =>
       val n = frames.count(_.media_id == m.media_id)
