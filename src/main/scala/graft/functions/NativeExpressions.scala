@@ -78,19 +78,28 @@ object NativeExpressions {
       val aRef = ctx.addReferenceObj("minhashA", coeffA, "long[]")
       val bRef = ctx.addReferenceObj("minhashB", coeffB, "long[]")
       val k = coeffA.length
+      // All emitted locals come from ctx.freshName: several native
+      // expressions can share one codegen scope (e.g. a projection
+      // computing signature + bands), and Janino rejects redefinition.
+      val out = ctx.freshName("mhOut")
+      val n = ctx.freshName("mhN")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
       nullSafeCodeGen(ctx, ev, c => {
         s"""
-           |long[] mh_out = new long[$k];
-           |java.util.Arrays.fill(mh_out, ${prime}L);
-           |int mh_n = $c.numElements();
-           |for (int i = 0; i < mh_n; i++) {
-           |  long h = $c.getLong(i) & 0xFFFFFFFFL;
-           |  for (int j = 0; j < $k; j++) {
-           |    long v = ($aRef[j] * h + $bRef[j]) % ${prime}L;
-           |    if (v < mh_out[j]) mh_out[j] = v;
+           |long[] $out = new long[$k];
+           |java.util.Arrays.fill($out, ${prime}L);
+           |int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $c.getLong($i) & 0xFFFFFFFFL;
+           |  for (int $j = 0; $j < $k; $j++) {
+           |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${prime}L;
+           |    if ($v < $out[$j]) $out[$j] = $v;
            |  }
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(mh_out);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
     }
@@ -136,24 +145,32 @@ object NativeExpressions {
       fp
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val votes = ctx.freshName("shVotes")
+      val n = ctx.freshName("shN")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      val j2 = ctx.freshName("j")
+      val fp = ctx.freshName("shFp")
       nullSafeCodeGen(ctx, ev, c => {
         s"""
-           |long[] sh_votes = new long[64];
-           |int sh_n = $c.numElements();
-           |for (int i = 0; i < sh_n; i++) {
-           |  long h = $c.getLong(i);
-           |  for (int j = 0; j < 64; j++) {
-           |    sh_votes[j] += (((h >>> j) & 1L) == 1L) ? 1L : -1L;
+           |long[] $votes = new long[64];
+           |int $n = $c.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $c.getLong($i);
+           |  for (int $j = 0; $j < 64; $j++) {
+           |    $votes[$j] += ((($h >>> $j) & 1L) == 1L) ? 1L : -1L;
            |  }
            |}
-           |long sh_fp = 0L;
-           |for (int j = 63; j >= 0; j--) {
-           |  sh_fp = (sh_fp << 1) | (sh_votes[j] > 0 ? 1L : 0L);
+           |long $fp = 0L;
+           |for (int $j2 = 63; $j2 >= 0; $j2--) {
+           |  $fp = ($fp << 1) | ($votes[$j2] > 0 ? 1L : 0L);
            |}
-           |${ev.value} = sh_fp;
+           |${ev.value} = $fp;
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
@@ -192,20 +209,25 @@ object NativeExpressions {
       new GenericArrayData(out)
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val out = ctx.freshName("bhOut")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
       nullSafeCodeGen(ctx, ev, c => {
         s"""
-           |long[] bh_out = new long[$bands];
-           |for (int b = 0; b < $bands; b++) {
-           |  long acc = (long) b + 1L;
-           |  for (int j = 0; j < $r; j++) {
-           |    acc = (acc ^ $c.getLong(b * $r + j)) * -7046029254386353131L;
+           |long[] $out = new long[$bands];
+           |for (int $b = 0; $b < $bands; $b++) {
+           |  long $acc = (long) $b + 1L;
+           |  for (int $j = 0; $j < $r; $j++) {
+           |    $acc = ($acc ^ $c.getLong($b * $r + $j)) * -7046029254386353131L;
            |  }
-           |  bh_out[b] = acc;
+           |  $out[$b] = $acc;
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(bh_out);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(newChild: Expression): BandHashes =
       copy(child = newChild)
@@ -259,33 +281,43 @@ object NativeExpressions {
       new GenericArrayData(out)
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val len = ctx.freshName("ngLen")
+      val m = ctx.freshName("ngM")
+      val out = ctx.freshName("ngOut")
+      val th = ctx.freshName("ngTh")
+      val i1 = ctx.freshName("i")
+      val s1 = ctx.freshName("s")
+      val i2 = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
       nullSafeCodeGen(ctx, ev, c => {
         s"""
-           |int ng_len = $c.numElements();
-           |int ng_m = ng_len - $n + 1;
-           |long[] ng_out;
-           |if (ng_m <= 0) {
-           |  ng_out = new long[0];
+           |int $len = $c.numElements();
+           |int $m = $len - $n + 1;
+           |long[] $out;
+           |if ($m <= 0) {
+           |  $out = new long[0];
            |} else {
-           |  long[] ng_th = new long[ng_len];
-           |  for (int i = 0; i < ng_len; i++) {
-           |    org.apache.spark.unsafe.types.UTF8String s = $c.getUTF8String(i);
-           |    ng_th[i] = org.apache.spark.sql.catalyst.expressions.XXH64
-           |      .hashUnsafeBytes(s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
+           |  long[] $th = new long[$len];
+           |  for (int $i1 = 0; $i1 < $len; $i1++) {
+           |    org.apache.spark.unsafe.types.UTF8String $s1 = $c.getUTF8String($i1);
+           |    $th[$i1] = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUnsafeBytes($s1.getBaseObject(), $s1.getBaseOffset(), $s1.numBytes(), 42L);
            |  }
-           |  ng_out = new long[ng_m];
-           |  for (int i = 0; i < ng_m; i++) {
-           |    long acc = 0L;
-           |    for (int j = 0; j < $n; j++) {
-           |      acc = (acc ^ ng_th[i + j]) * -7046029254386353131L;
+           |  $out = new long[$m];
+           |  for (int $i2 = 0; $i2 < $m; $i2++) {
+           |    long $acc = 0L;
+           |    for (int $j = 0; $j < $n; $j++) {
+           |      $acc = ($acc ^ $th[$i2 + $j]) * -7046029254386353131L;
            |    }
-           |    ng_out[i] = acc;
+           |    $out[$i2] = $acc;
            |  }
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(ng_out);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
+    }
 
     override protected def withNewChildInternal(newChild: Expression): NgramHashes =
       copy(child = newChild)
@@ -324,22 +356,30 @@ object NativeExpressions {
       cnt
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val na = ctx.freshName("siNa")
+      val nb = ctx.freshName("siNb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val cnt = ctx.freshName("cnt")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |int si_na = $a.numElements();
-           |int si_nb = $b.numElements();
-           |int si_i = 0, si_j = 0;
-           |long si_cnt = 0L;
-           |while (si_i < si_na && si_j < si_nb) {
-           |  long x = $a.getLong(si_i);
-           |  long y = $b.getLong(si_j);
-           |  if (x == y) { si_cnt++; si_i++; si_j++; }
-           |  else if (x < y) { si_i++; } else { si_j++; }
+           |int $na = $a.numElements();
+           |int $nb = $b.numElements();
+           |int $i = 0, $j = 0;
+           |long $cnt = 0L;
+           |while ($i < $na && $j < $nb) {
+           |  long $x = $a.getLong($i);
+           |  long $y = $b.getLong($j);
+           |  if ($x == $y) { $cnt++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
            |}
-           |${ev.value} = si_cnt;
+           |${ev.value} = $cnt;
          """.stripMargin
       })
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): SortedIntersectCount =
@@ -381,21 +421,25 @@ object NativeExpressions {
       acc
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("dfN")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |int df_n = $a.numElements();
-           |if (df_n != $b.numElements()) {
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
            |  ${ev.isNull} = true;
            |} else {
-           |  double df_acc = 0.0;
-           |  for (int i = 0; i < df_n; i++) {
-           |    df_acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
            |  }
-           |  ${ev.value} = df_acc;
+           |  ${ev.value} = $acc;
            |}
          """.stripMargin
       })
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): DotF =
@@ -498,30 +542,42 @@ object NativeExpressions {
       val cRef = ctx.addReferenceObj("ivfCentroids", normed, "double[][]")
       val nc = centroids.length
       val probes = math.min(nProbe, nc) // more probes than lists = all lists
+      val dim = ctx.freshName("ncDim")
+      val scores = ctx.freshName("ncScores")
+      val ci1 = ctx.freshName("ci")
+      val cen = ctx.freshName("cen")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("ncOut")
+      val used = ctx.freshName("ncUsed")
+      val p = ctx.freshName("p")
+      val best = ctx.freshName("best")
+      val ci2 = ctx.freshName("ci")
       nullSafeCodeGen(ctx, ev, c => {
         s"""
-           |int nc_dim = $c.numElements();
-           |double[] nc_scores = new double[$nc];
-           |for (int ci = 0; ci < $nc; ci++) {
-           |  double[] cen = $cRef[ci];
-           |  int n = java.lang.Math.min(nc_dim, cen.length);
-           |  double acc = 0.0;
-           |  for (int i = 0; i < n; i++) { acc += $c.getFloat(i) * cen[i]; }
-           |  nc_scores[ci] = Double.isNaN(acc) ? Double.NEGATIVE_INFINITY : acc;
+           |int $dim = $c.numElements();
+           |double[] $scores = new double[$nc];
+           |for (int $ci1 = 0; $ci1 < $nc; $ci1++) {
+           |  double[] $cen = $cRef[$ci1];
+           |  int $n = java.lang.Math.min($dim, $cen.length);
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) { $acc += $c.getFloat($i) * $cen[$i]; }
+           |  $scores[$ci1] = Double.isNaN($acc) ? Double.NEGATIVE_INFINITY : $acc;
            |}
-           |int[] nc_out = new int[$probes];
-           |boolean[] nc_used = new boolean[$nc];
-           |for (int p = 0; p < $probes; p++) {
-           |  int best = -1;
-           |  for (int ci = 0; ci < $nc; ci++) {
-           |    if (!nc_used[ci] && (best < 0 || nc_scores[ci] > nc_scores[best])) {
-           |      best = ci;
+           |int[] $out = new int[$probes];
+           |boolean[] $used = new boolean[$nc];
+           |for (int $p = 0; $p < $probes; $p++) {
+           |  int $best = -1;
+           |  for (int $ci2 = 0; $ci2 < $nc; $ci2++) {
+           |    if (!$used[$ci2] && ($best < 0 || $scores[$ci2] > $scores[$best])) {
+           |      $best = $ci2;
            |    }
            |  }
-           |  nc_used[best] = true;
-           |  nc_out[p] = best;
+           |  $used[$best] = true;
+           |  $out[$p] = $best;
            |}
-           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(nc_out);
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
       })
     }

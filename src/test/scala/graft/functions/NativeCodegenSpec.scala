@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, BoundReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.NativeExpressions._
+
+/**
+ * Regression tests for whole-stage-codegen compilation of the native
+ * expressions.
+ *
+ * Round-1 bug: `doGenCode` bodies used fixed Java local names, so any
+ * projection containing two native expressions (the d02/d03 signature
+ * shape) made Janino fail with "Redefinition of local variable" and
+ * Spark silently fell back to interpreted eval. These tests call
+ * `GenerateUnsafeProjection.generate` DIRECTLY — unlike
+ * `UnsafeProjection.create` there is no interpreter fallback, so a
+ * codegen failure is a thrown exception, not a silent slowdown — and
+ * then assert the compiled results are bit-identical to the
+ * interpreted `eval` path.
+ */
+class NativeCodegenSpec extends AnyFunSuite {
+
+  private val prime = 4294967311L // smallest prime > 2^32
+  private val coeffA = Array(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val coeffB = Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+
+  private def tokensRow(tokens: Seq[String], hashes: Seq[Long],
+                        va: Seq[Float], vb: Seq[Float]): InternalRow =
+    InternalRow(
+      new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(hashes.toArray),
+      new GenericArrayData(va.toArray),
+      new GenericArrayData(vb.toArray),
+      UTF8String.fromString(tokens.mkString(" ")))
+
+  private val tokCol = BoundReference(0, ArrayType(StringType), nullable = true)
+  private val hashCol = BoundReference(1, ArrayType(LongType), nullable = true)
+  private val vaCol = BoundReference(2, ArrayType(FloatType), nullable = true)
+  private val vbCol = BoundReference(3, ArrayType(FloatType), nullable = true)
+  private val strCol = BoundReference(4, StringType, nullable = true)
+
+  /** Every native expression at least twice in ONE projection — the scope
+    * Janino rejected in round 1 whenever locals collided. */
+  private def allNatives: Seq[Expression] = {
+    val ng1 = NgramHashes(tokCol, 3)
+    val ng2 = NgramHashes(tokCol, 2)
+    val sig1 = MinHashSig(hashCol, coeffA, coeffB, prime)
+    val sig2 = MinHashSig(hashCol, coeffB, coeffA, prime)
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    Seq(
+      ng1, ng2,
+      SortedIntersectCount(ng1, ng2),
+      SortedIntersectCount(ng2, ng1),
+      sig1, sig2,
+      BandHashes(sig1, 4, 2),
+      BandHashes(sig2, 2, 4),
+      SimHash64(hashCol),
+      SimHash64(sig1),
+      DotF(vaCol, vbCol),
+      DotF(vbCol, vaCol),
+      Fingerprint64(strCol),
+      Fingerprint64(strCol),
+      NearestCentroids(vaCol, cents, 2),
+      NearestCentroids(vbCol, cents, 1))
+  }
+
+  test("one projection with every native expression twice compiles (no Janino redefinition)") {
+    // Throws CompileException (test failure) if any generated locals collide.
+    val proj = GenerateUnsafeProjection.generate(allNatives, subexpressionEliminationEnabled = false)
+    val row = tokensRow(
+      Seq("the", "quick", "brown", "fox", "jumps"),
+      Seq(0x0123456789abcdefL, -1L, 42L, 0L, 0x7fffffffffffffffL),
+      Seq(0.5f, -1.25f, 3.0f), Seq(2.0f, 0.5f, -0.75f))
+    val out = proj(row)
+    assert(out.numFields == allNatives.size)
+  }
+
+  test("compiled results are bit-identical to interpreted eval") {
+    val exprs = allNatives
+    val proj = GenerateUnsafeProjection.generate(exprs, subexpressionEliminationEnabled = false)
+    val rows = Seq(
+      tokensRow(Seq("a", "b", "c", "d"), Seq(1L, 2L, 3L), Seq(1f, 2f), Seq(3f, 4f)),
+      tokensRow(Seq("x"), Seq(-5L), Seq(0f, 0f), Seq(0f, 0f)),
+      tokensRow(Seq(), Seq(), Seq(1f), Seq(1f, 2f)), // DotF length mismatch → null
+      tokensRow(Seq("the", "the", "the"), Seq(Long.MaxValue, Long.MinValue),
+        Seq(1e30f, -1e30f, 1f), Seq(1e30f, 1e30f, 2f)))
+    for (row <- rows) {
+      val compiled = proj(row).copy()
+      exprs.zipWithIndex.foreach { case (e, i) =>
+        val interp = e.eval(row)
+        val comp: Any =
+          if (compiled.isNullAt(i)) null
+          else e.dataType match {
+            case LongType   => compiled.getLong(i)
+            case DoubleType => compiled.getDouble(i)
+            case ArrayType(LongType, _)    => compiled.getArray(i).toLongArray.toSeq
+            case ArrayType(IntegerType, _) => compiled.getArray(i).toIntArray.toSeq
+            case other => fail(s"unhandled type $other")
+          }
+        val interpNorm: Any = interp match {
+          case null => null
+          case a: ArrayData => e.dataType match {
+            case ArrayType(LongType, _)    => a.toLongArray.toSeq
+            case ArrayType(IntegerType, _) => a.toIntArray.toSeq
+            case other => fail(s"unhandled type $other")
+          }
+          case v => v
+        }
+        assert(comp == interpNorm, s"expr $i (${e.prettyName}) compiled != interpreted")
+      }
+    }
+  }
+
+  test("generated code for two same-class instances has no fixed shared locals") {
+    // Belt-and-braces: the d02 regression exactly — two NgramHashes in one
+    // scope used to emit two `int ng_len` declarations.
+    val e = Seq[Expression](
+      Alias(NgramHashes(tokCol, 3), "a")(),
+      Alias(NgramHashes(tokCol, 4), "b")())
+    GenerateUnsafeProjection.generate(e, subexpressionEliminationEnabled = false)
+  }
+}
