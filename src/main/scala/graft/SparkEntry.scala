@@ -527,12 +527,12 @@ object SparkEntry {
              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
              |    AS n_subwords,
              |  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
-             |  CASE WHEN length(text) = 0 THEN 0 ELSE
+             |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
              |    list_sum([ascii(text[i]) *
              |              ([1, 31, 961, 29791, 923521, 28629151, 887503681,
              |                27512614111])[(i - 1) % 8 + 1]
              |              for i in range(1, length(text) + 1)]) % 1000000007
-             |  END AS fp
+             |  END AS BIGINT) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // --- language-ID heuristic + quality score
@@ -578,15 +578,24 @@ object SparkEntry {
           col("session_end"), col("n_events"),
           round(col("sum_value"), 6).as("sum_value"))
         .orderBy("user_id", "session_id"),
-      Some("""WITH e AS (
+      // exact mirror of Sessionize.batch: microsecond timestamps (Spark
+      // truncates parquet nanos to micros) and a MILLISECOND gap test
+      // (epoch_ms, not date_diff'seconds' — whole-second truncation
+      // splits/merges differently on sub-second gaps); session_id and
+      // sums cast to BIGINT because DuckDB widens integer sums to
+      // HUGEINT, which the driver's hash sees as a different type.
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |e AS (
              |  SELECT *, lag(ts) OVER
              |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-             |  FROM events),
+             |  FROM e0),
              |f AS (SELECT *, CASE WHEN prev IS NULL
-             |        OR date_diff('second', prev, ts) > 1800
+             |        OR epoch_ms(ts) - epoch_ms(prev) > 1800000
              |        THEN 1 ELSE 0 END AS ns FROM e),
-             |g AS (SELECT *, sum(ns) OVER
-             |        (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+             |g AS (SELECT *, CAST(sum(ns) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             |        AS session_id
              |      FROM f)
              |SELECT user_id, session_id, min(ts) AS session_start,
              |       max(ts) AS session_end, count(*) AS n_events,
@@ -679,7 +688,7 @@ object SparkEntry {
        |r AS (SELECT f.* FROM f JOIN k USING (doc_id)),
        |b AS (SELECT *, $sqlBest AS best FROM r)
        |SELECT $sqlLangCase AS lang_pred,
-       |       count(*) AS n_docs, sum(n_tok) AS n_tokens
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM b GROUP BY 1 ORDER BY lang_pred""".stripMargin
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs

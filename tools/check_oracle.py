@@ -49,7 +49,19 @@ for name, sql in sorted(oracle.items()):
     for c in exp.columns:
         a, b = got[c], exp[c]
         try:
-            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            # Dtype-SENSITIVE, like the driver's hash gate: an int64 Spark
+            # column vs a DuckDB HUGEINT (fetchdf -> float64/object) is a
+            # FAIL even when the digits agree. Timestamps are compared at
+            # ns resolution regardless of storage unit (us/ns), since both
+            # engines materialize the same logical instant.
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if ka == 'M' and kb == 'M':
+                same = a.astype('datetime64[ns]').equals(
+                    b.astype('datetime64[ns]'))
+            elif ka != kb:
+                same = False
+                detail.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+            elif ka == 'f':
                 same = np.allclose(a.astype(float), b.astype(float),
                                    rtol=0, atol=0, equal_nan=True)
             else:
