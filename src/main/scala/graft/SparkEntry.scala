@@ -447,10 +447,17 @@ object SparkEntry {
 
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
+    // oracle mode: the per-token hash is two fingerprint64 values packed
+    // into 60 bits — plain modular arithmetic the DuckDB oracle
+    // recomputes exactly, so the full (pairs, distance) output is
+    // value-checked cross-engine. maxBucket is raised so no qualifying
+    // pair is cap-dropped (the oracle is an uncapped all-pairs scan);
+    // production corpora keep the default cap.
     ("d04_simhash",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxDist = 3)
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
+          maxDist = 3, tokenHash = mirrorTokenHash, maxBucket = 1 << 20)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(simhashOracle)),
 
     // --- embedding-cosine near-dup, blocked by label
     ("d05_embedding_dups",
@@ -491,8 +498,10 @@ object SparkEntry {
              |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // --- LSH-bucketed approximate ANN (scale path; approximate →
-    //     rows-only + recall ScalaTest)
+    // --- LSH-bucketed approximate ANN (scale path). The hyperplane
+    //     components are SQL-mirrorable, so the DuckDB oracle computes
+    //     the same buckets and the full approximate result is
+    //     value-checked (plus the recall ScalaTest).
     ("s02_ann_lsh",
       (s, dir) => Similarity.lshTopK(embs(s, dir),
           embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
@@ -500,10 +509,11 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("query_id", "rank"),
-      None),
+      Some(lshAnnOracle)),
 
-    // --- IVF ANN (centroid inverted lists, map-only assignment;
-    //     approximate → rows-only + recall ScalaTest)
+    // --- IVF ANN (centroid inverted lists, map-only assignment). The
+    //     centroid sample order and assignment arithmetic are
+    //     SQL-mirrorable → full value oracle (plus recall ScalaTest).
     ("s03_ann_ivf",
       (s, dir) => Similarity.ivfTopK(embs(s, dir),
           embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
@@ -511,7 +521,7 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos_sim"), 6).as("cos_sim"))
         .orderBy("query_id", "rank"),
-      None),
+      Some(ivfAnnOracle)),
 
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
@@ -690,6 +700,110 @@ object SparkEntry {
        |SELECT $sqlLangCase AS lang_pred,
        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM b GROUP BY 1 ORDER BY lang_pred""".stripMargin
+
+  // ---- SQL-mirrorable hashes for the approximate operators (d04/s02/
+  //      s03): plain modular arithmetic both engines compute identically,
+  //      giving the approximate paths full value-level oracles.
+
+  /** 60-bit per-token hash: two position-weighted rolling hashes
+    * (fingerprint64, mod 1e9+7 < 2^30) of the token and the token+"#",
+    * packed as hi·2^30 + lo. Native codegen on the Spark side; the
+    * DuckDB twin is the same nested list comprehension as t01's. */
+  private val mirrorTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    t => graft.functions.NativeExpressions.fingerprint64(t) * lit(1073741824L) +
+      graft.functions.NativeExpressions.fingerprint64(concat(t, lit("#")))
+
+  /** DuckDB fragment: fingerprint64 of token expression `e` (mirror of
+    * [[graft.functions.NativeExpressions.fp64]], proven by t01). */
+  private def sqlFp64(e: String): String =
+    s"""CAST(list_sum([ascii(($e)[i]) *
+       |      ([1,31,961,29791,923521,28629151,887503681,27512614111])[(i-1)%8+1]
+       |      for i in range(1, length($e)+1)]) % 1000000007 AS BIGINT)""".stripMargin
+
+  /** DuckDB mirror of d04: per-token 60-bit hashes → 64-bit SimHash
+    * (bits ≥ 60 provably zero → vote loop over 60 bits) → all-pairs
+    * Hamming ≤ 3. All-pairs is the UNCAPPED ground truth the blocked
+    * Spark plan must reproduce exactly (d04 raises maxBucket so the cap
+    * never drops a qualifying pair at oracle scale). */
+  private lazy val simhashOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t ->
+       |    ${sqlFp64("t")} * 1073741824 + ${sqlFp64("t || '#'")}) AS th
+       |  FROM t),
+       |f AS (SELECT doc_id, CAST(coalesce(list_sum(
+       |    [CASE WHEN 2*len(list_filter(th, x -> (x >> j) & 1 = 1)) > len(th)
+       |          THEN (1::BIGINT << j) ELSE 0 END
+       |     for j in range(0, 60)]), 0) AS BIGINT) AS fp
+       |  FROM h)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.lshTopK]] at nPlanes=4, k=5: the
+    * hyperplane component formula is identical integer arithmetic, so
+    * bucket ids — and therefore the whole approximate result — match. */
+  private lazy val lshAnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  CAST(list_sum([CASE WHEN
+      |    list_sum([v[i] * ((((p*131)+i)*2654435761+9176)%1000003/1000003.0 - 0.5)
+      |              for i in range(1, len(v)+1)]) >= 0
+      |    THEN (1::BIGINT << p) ELSE 0 END for p in range(0, 4)]) AS BIGINT) AS bkt
+      |  FROM e),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      |      FROM b q JOIN b c ON q.bkt = c.bkt
+      |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |        AS rank FROM s)
+      |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]] at nCentroids=16, nProbe=6,
+    * k=5: same centroid sample (multiplicative-hash order, id
+    * tie-break), same normalized-dot assignment with index tie-break,
+    * same probe set, same in-list exact cosine top-k. */
+  private lazy val ivfAnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx
+      |       FROM (SELECT v AS cv, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cn AS (SELECT cidx, CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+      |         ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |         END AS cv FROM co),
+      |sc AS (SELECT e.vec_id, cn.cidx, list_dot_product(e.v, cn.cv) AS s
+      |       FROM e CROSS JOIN cn),
+      |asn AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r FROM sc)
+      |        WHERE r = 1),
+      |pr AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r
+      |          FROM sc WHERE vec_id < 8)
+      |        WHERE r <= 6),
+      |s2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(qe.v, ce.v) /
+      |           (sqrt(list_dot_product(qe.v, qe.v)) *
+      |            sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |       FROM pr q JOIN asn c ON q.cidx = c.cidx
+      |       JOIN e qe ON qe.vec_id = q.vec_id
+      |       JOIN e ce ON ce.vec_id = c.vec_id
+      |       WHERE c.vec_id <> q.vec_id),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |        AS rank FROM s2)
+      |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs
 

@@ -253,14 +253,12 @@ final class ExprCompiler(
           case "stdevp" => stddev_pop(c)
           case "percentilecont" => percentile(c, lit(a.percentile.get))
           case "percentiledisc" =>
-            // exact discrete percentile: first value whose cumulative
-            // distribution >= p (composed from built-ins; exact, but
-            // collects the group's values — fine for grouped data,
-            // document for very large single groups)
-            val arr = sort_array(collect_list(c))
-            val n = count(c)
-            val idx = greatest(ceil(lit(a.percentile.get) * n), lit(1L))
-            element_at(arr, idx.cast(IntegerType))
+            // engine-native exact discrete percentile: buffers
+            // (value -> count), merged map-side — a giant single group
+            // costs #distinct values, not #rows (a collect_list
+            // formulation OOMs on a 100 TB global percentile)
+            org.apache.spark.sql.GraftSqlBridge
+              .percentileDisc(c, a.percentile.get)
           case other =>
             throw new CypherNotSupportedException(s"aggregate $other")
         }

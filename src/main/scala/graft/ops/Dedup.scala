@@ -264,38 +264,68 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /**
-   * SimHash near-dup pairs: block on each of the four 16-bit chunks of
-   * the fingerprint (two docs within Hamming ≤ 3 of each other share at
-   * least one exact chunk — Manku et al.), verify Hamming ≤ `maxDist`.
+   * SimHash near-dup pairs with Manku-style chunk blocking: the 64-bit
+   * fingerprint is split into `maxDist + 1` chunks; by pigeonhole, two
+   * fingerprints within Hamming ≤ maxDist agree exactly on at least one
+   * chunk, so blocking on (chunkIndex, chunkValue) finds every
+   * qualifying pair. Verified with exact Hamming ≤ `maxDist`.
+   *
+   * Scale shape (mirrors [[minhashLshPairs]]): the only data that
+   * shuffles is (chunk, value, id, fp) — 20 B × (maxDist+1) per doc;
+   * ONE shuffle groups each bucket, pairs expand in-row from the sorted
+   * (id, fp) list, and `maxBucket` caps the quadratic corner (oversized
+   * buckets — boilerplate/empty docs hashing identically — are DROPPED,
+   * a documented recall tradeoff; raise the cap for exhaustive runs).
+   * With maxDist = 3 this is the classic 4×16-bit scheme; larger
+   * Hamming budgets get proportionally more, narrower chunks
+   * (maxDist ≤ 15 → ≥ 4-bit chunks).
+   *
+   * `tokenHash` is the per-token 64-bit hash feeding the fingerprint —
+   * xxhash64 by default; pass an SQL-expressible hash (see
+   * [[graft.SparkEntry]]'s d04) when a cross-engine oracle must
+   * recompute identical fingerprints.
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
-    // 4-chunk blocking only guarantees a shared chunk for Hamming <= 3
-    // (pigeonhole); a larger maxDist would silently lose pairs
-    require(maxDist >= 0 && maxDist <= 3,
-      s"simhashPairs blocking supports maxDist in [0, 3], got $maxDist")
+                   maxDist: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_),
+                   maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 15,
+      s"simhashPairs supports maxDist in [0, 15], got $maxDist")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val nChunks = maxDist + 1
+    // chunk widths: 64/nChunks bits, first (64 % nChunks) chunks one wider
+    val baseW = 64 / nChunks
+    val widths = Array.tabulate(nChunks)(c => if (c < 64 % nChunks) baseW + 1 else baseW)
+    val starts = widths.scanLeft(0)(_ + _)
+
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("__h"))
+        transform(TextOps.tokens(col(textCol)), tokenHash).as("__h"))
       .select(col("__id"),
         graft.functions.NativeExpressions.simhash64(col("__h")).as("__fp"))
-    val chunkArr = array((0 until 4).map(c =>
+    val chunkArr = array((0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
       struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("__fp"), c * 16)
-          .bitwiseAND(lit(65535L)).as("ck"))): _*)
+        shiftrightunsigned(col("__fp"), starts(c)).bitwiseAND(lit(mask)).as("ck"))
+    }: _*)
     val chunks = base.select(col("__id"), col("__fp"),
         explode(chunkArr).as("__c"))
-      .select(col("__id"), col("__fp"),
-        col("__c.chunk").as("chunk"), col("__c.ck").as("ck"))
-    val lhs = chunks.select(col("chunk"), col("ck"),
-      col("__id").as("id_a"), col("__fp").as("__fpa"))
-    val rhs = chunks.select(col("chunk"), col("ck"),
-      col("__id").as("id_b"), col("__fp").as("__fpb"))
-    lhs.join(rhs, Seq("chunk", "ck"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("__fpa"), col("__fpb")).as("dist"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("__c.chunk").as("chunk"), col("__c.ck").as("ck"),
+        struct(col("__id"), col("__fp")).as("__d"))
+
+    // one shuffle to group each (chunk, value) bucket; sorted (id, fp)
+    // list (ids unique → sorted by id), capped; pairs expand in-row
+    val buckets = chunks.groupBy(col("chunk"), col("ck"))
+      .agg(sort_array(collect_list(col("__d"))).as("__ds"))
+      .where(size(col("__ds")) >= 2 && size(col("__ds")) <= maxBucket)
+    val pairStructs = flatten(transform(col("__ds"), (x, i) =>
+      transform(slice(col("__ds"), i + 2, size(col("__ds"))), y =>
+        struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
+          x.getField("__fp").as("fpa"), y.getField("__fp").as("fpb")))))
+    buckets.select(explode(pairStructs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        hamming(col("__p.fpa"), col("__p.fpb")).cast(LongType).as("dist"))
       .where(col("dist") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // -------------------------------------------------- embedding near-dup

@@ -118,11 +118,17 @@ object Similarity {
 
   // ------------------------------------------------------------- LSH/ANN
 
-  /** Deterministic pseudo-Gaussian hyperplanes: component j of plane p is
-   *  a hash-derived value in [-0.5, 0.5). Seeded — stable across runs. */
+  /** Deterministic pseudo-random hyperplanes: component j (0-based) of
+   *  plane p is a hash-derived value in [-0.5, 0.5). The mixing formula
+   *  is plain 64-bit integer arithmetic with small operands, so the
+   *  DuckDB oracle can compute the IDENTICAL value — bucket ids match
+   *  cross-engine and the approximate path gets a full value-level
+   *  oracle (an xxhash64 seed would be marginally better-distributed
+   *  but has no DuckDB twin; for sign-of-dot-product hyperplanes this
+   *  quality is equivalent). */
   private def planeComponent(p: Int, j: Column): Column = {
-    val h = xxhash64(lit(p), j, lit(20260812L))
-    (pmod(h, lit(1000000L)).cast(DoubleType) / lit(1000000.0)) - lit(0.5)
+    val mixed = (lit(p * 131L) + j + lit(1L)) * lit(2654435761L) + lit(9176L)
+    (pmod(mixed, lit(1000003L)).cast(DoubleType) / lit(1000003.0)) - lit(0.5)
   }
 
   /**
@@ -161,9 +167,13 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
     import graft.functions.NativeExpressions.nearestCentroids
+    // deterministic hash-ordered sample; the multiplicative-hash order
+    // key is SQL-mirrorable so the DuckDB oracle selects the same
+    // centroid set (ties broken by id on both sides)
     val cent: Array[Array[Float]] = corpus
       .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
-      .orderBy(xxhash64(col("i")), col("i")).limit(nCentroids)
+      .orderBy((col("i") * lit(2654435761L)) % lit(1000000007L), col("i"))
+      .limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
     val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),

@@ -17,6 +17,15 @@ object GraftSqlBridge {
   def integralDivide(l: Column, r: Column): Column =
     column(catalyst.expressions.IntegralDivide(expression(l), expression(r)))
 
+  /** SQL-standard exact discrete percentile (the engine aggregate behind
+    * `percentile_disc(p) WITHIN GROUP (ORDER BY c)`): smallest value
+    * whose cumulative distribution >= p. Buffers (value -> count) with
+    * map-side partial merge — no per-group collect_list materialization. */
+  def percentileDisc(c: Column, p: Double): Column =
+    column(catalyst.expressions.aggregate.PercentileDisc(
+      expression(c), catalyst.expressions.Literal(p))
+      .toAggregateExpression())
+
   /** Register a function on a live session's registry (the
     * SparkSessionExtensions route only applies at session build time). */
   def registerFunction(spark: SparkSession, name: String,

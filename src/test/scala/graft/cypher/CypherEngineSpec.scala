@@ -459,6 +459,24 @@ class CypherEngineSpec extends AnyFunSuite {
       "MATCH (a:A) RETURN percentileCont(a.x, 1.5) AS p"))
   }
 
+  test("percentileDisc: exact SQL-standard semantics, no collect_list in plan") {
+    // Released years per person over ACTED_IN — grouped discrete median.
+    val df = session.run(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS Name, percentileDisc(m.Released, 0.5) AS med
+        |ORDER BY Name""".stripMargin)
+    // smallest value with cume_dist >= 0.5: Tom Hanks acted in
+    // Apollo 13 (1995), Sleepless in Seattle (1993), You've Got Mail
+    // (1998) -> sorted (1993, 1995, 1998), median = 1995
+    val hanks = df.collect().find(_.getString(0) == "Tom Hanks").get
+    assert(hanks.getDouble(1) == 1995.0)
+    // scale guard: the plan must use the engine percentile aggregate,
+    // not a per-group collect_list materialization
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("percentile_disc"))
+    assert(!plan.toLowerCase.contains("collect_list"))
+  }
+
   test("integer division is exact above 2^53") {
     import spark.implicits._
     val schema = GraphSchema(

@@ -132,6 +132,37 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("simhashPairs: maxBucket caps degenerate mega-buckets (skew safety)") {
+    // 50 identical docs → every chunk bucket holds all 50 ids. With the
+    // cap below the corpus size the oversized buckets are dropped (the
+    // documented recall tradeoff instead of a quadratic blow-up)...
+    val degenerate = spark.range(50)
+      .select(col("id").as("doc_id"), lit("same boilerplate text here").as("text"))
+    val capped = Dedup.simhashPairs(degenerate, "text", "doc_id",
+      maxDist = 3, maxBucket = 10)
+    assert(capped.count() == 0)
+    // ...and an uncapped run still sees all 50*49/2 exact-dup pairs.
+    val uncapped = Dedup.simhashPairs(degenerate, "text", "doc_id",
+      maxDist = 3, maxBucket = 1000)
+    assert(uncapped.count() == 50L * 49 / 2)
+    assert(uncapped.where(col("dist") =!= 0).count() == 0)
+  }
+
+  test("simhashPairs: generalized chunking at maxDist=7 keeps the pigeonhole guarantee") {
+    // fingerprints differing in exactly 7 bits must still collide on one
+    // of the 8 chunks; verify via a corpus whose near-pair distance is
+    // known to be <= 7 under the default token hash
+    val pairs7 = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 7)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(pairs7.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // every reported pair respects the distance bound
+    assert(pairs7.forall(_._3 <= 7))
+    // maxDist=7 is a superset of maxDist=3's pair set
+    val pairs3 = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs3.subsetOf(pairs7.map(p => (p._1, p._2)).toSet))
+  }
+
   // ------------------------------------------------------------ similarity
 
   private lazy val vecs: DataFrame = Seq(
