@@ -59,19 +59,40 @@ object Similarity {
    * Bounded top-k aggregator with map-side partial merge: the buffer
    * never exceeds k entries, so partial aggregation ships at most k
    * structs per partition per group. Deterministic order: score desc,
-   * then id asc.
+   * then id asc (a total order — the k best elements are a unique set,
+   * so buffer layout never affects the result).
+   *
+   * Once full, the buffer keeps its WORST element at the head: the
+   * overwhelmingly common case — a candidate no better than the current
+   * k-th best — is rejected in O(1) with zero allocation, and only an
+   * actual improvement pays an O(k) rebuild (the previous formulation
+   * re-sorted the whole buffer for every element, O(k log k) each).
    */
   final class TopK(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored]] {
+    require(k >= 1, s"k must be >= 1, got $k")
     private def better(a: Scored, b: Scored): Boolean =
       a.score > b.score || (a.score == b.score && a.id < b.id)
-    private def insert(buf: List[Scored], s: Scored): List[Scored] = {
-      val merged = (s :: buf).sortWith(better)
-      if (merged.size > k) merged.take(k) else merged
+    /** Rebuild with the worst element first (stable for duplicates —
+      * selection is positional, not by equality). */
+    private def worstFirst(l: List[Scored]): List[Scored] = {
+      val arr = l.toArray
+      var wi = 0
+      var i = 1
+      while (i < arr.length) { if (better(arr(wi), arr(i))) wi = i; i += 1 }
+      val b = List.newBuilder[Scored]
+      b += arr(wi)
+      i = 0
+      while (i < arr.length) { if (i != wi) b += arr(i); i += 1 }
+      b.result()
     }
     def zero: List[Scored] = Nil
-    def reduce(buf: List[Scored], s: Scored): List[Scored] = insert(buf, s)
+    def reduce(buf: List[Scored], s: Scored): List[Scored] =
+      if (buf.sizeIs < k - 1) s :: buf
+      else if (buf.sizeIs == k - 1) worstFirst(s :: buf)
+      else if (better(s, buf.head)) worstFirst(s :: buf.tail)
+      else buf
     def merge(a: List[Scored], b: List[Scored]): List[Scored] =
-      b.foldLeft(a)(insert)
+      b.foldLeft(a)(reduce)
     def finish(buf: List[Scored]): Seq[Scored] = buf.sortWith(better)
     def bufferEncoder: Encoder[List[Scored]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Scored]]()
@@ -149,6 +170,52 @@ object Similarity {
   }
 
   /**
+   * Lloyd (k-means) refinement of a centroid seed over a deterministic
+   * sample of the corpus. Each iteration assigns the sample to its
+   * nearest centroid (map-only native expression), then recomputes
+   * per-cluster per-dimension means with one partial-aggregated
+   * groupBy — only (nCentroids × dim) tiny rows reach the driver.
+   * Clusters that attract no sample points keep their previous
+   * centroid. Sampling is a multiplicative-hash TakeOrdered: one
+   * map-only pass with per-partition bounded heaps, no full sort.
+   *
+   * Better-fitted centroids balance the inverted lists, which lifts
+   * recall at a fixed (nCentroids, nProbe) probe budget.
+   */
+  def refineCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                      seed: Array[Array[Float]], iters: Int,
+                      sampleN: Int = 65536): Array[Array[Float]] = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    if (iters <= 0 || seed.isEmpty) return seed
+    val sample = corpus
+      .select(col(vecCol).as("__v"),
+        ((col(idCol).cast(LongType) * lit(2654435761L)) % lit(1000000007L))
+          .as("__h"),
+        col(idCol).cast(LongType).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(sampleN)
+      .select(col("__v")).cache()
+    try {
+      var cent = seed
+      for (_ <- 1 to iters) {
+        val stats = sample
+          .select(element_at(nearestCentroids(col("__v"), cent, 1), 1)
+            .as("__c"), posexplode(col("__v")))
+          .groupBy(col("__c"), col("pos"))
+          .agg(sum(col("col").cast(DoubleType)).as("s"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cent.map(_.clone())
+        stats.foreach { r =>
+          val c = r.getInt(0)
+          next(c)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        }
+        cent = next
+      }
+      cent
+    } finally { sample.unpersist(); () }
+  }
+
+  /**
    * IVF-style approximate top-k (the FAISS/ScaNN shape, Spark-native):
    *
    *  1. centroids = deterministic hash-ordered sample of the corpus
@@ -165,16 +232,21 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+              nCentroids: Int = 64, nProbe: Int = 8,
+              kmeansIters: Int = 0, kmeansSample: Int = 65536): DataFrame = {
     import graft.functions.NativeExpressions.nearestCentroids
     // deterministic hash-ordered sample; the multiplicative-hash order
     // key is SQL-mirrorable so the DuckDB oracle selects the same
-    // centroid set (ties broken by id on both sides)
-    val cent: Array[Array[Float]] = corpus
+    // centroid set (ties broken by id on both sides). kmeansIters > 0
+    // adds Lloyd refinement over a sample (higher recall, but then the
+    // centroids are means, not corpus rows — keep 0 for oracle runs).
+    val seedCent: Array[Array[Float]] = corpus
       .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
       .orderBy((col("i") * lit(2654435761L)) % lit(1000000007L), col("i"))
       .limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
+    val cent = refineCentroids(corpus, vecCol, idCol, seedCent,
+      kmeansIters, kmeansSample)
     val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
       element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))

@@ -249,6 +249,40 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("TopK aggregator == brute-force sort-take on random streams") {
+    val rnd = new scala.util.Random(7)
+    for (k <- Seq(1, 3, 8); trial <- 1 to 5) {
+      val xs = Seq.fill(200)(Similarity.Scored(
+        rnd.nextInt(40).toLong, (rnd.nextInt(10) / 10.0)))   // many ties
+      val agg = new Similarity.TopK(k)
+      // split into uneven partial buffers like map-side aggregation does
+      val parts = xs.grouped(37).toSeq
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      val got = agg.finish(merged)
+      val want = xs.sortWith((a, b) =>
+        a.score > b.score || (a.score == b.score && a.id < b.id)).take(k)
+      assert(got == want, s"k=$k trial=$trial")
+    }
+  }
+
+  test("ivfTopK: k-means refinement lifts recall at fixed probe budget") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(embs, queries, "embedding", "vec_id", 10,
+        nCentroids = 16, nProbe = 2, kmeansIters = iters).collect()
+      got.count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+    }
+    val seeded = recall(0)
+    val refined = recall(3)
+    assert(refined > seeded,
+      s"refined recall $refined should beat seeded $seeded at nProbe=2")
+  }
+
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
