@@ -418,6 +418,17 @@ object Compiler {
         throw new CypherBindingException(
           s"UNION column mismatch: ${lf.columns.mkString(",")} vs " +
           rf.columns.mkString(","))
+      // name parity alone would let Spark's positional coercion silently
+      // unify e.g. a string branch with a numeric branch — require
+      // compatible types like the reference's type system would
+      lf.schema.fields.zip(rf.schema.fields).foreach { case (a, b) =>
+        val ok = a.dataType == b.dataType ||
+          (a.dataType.isInstanceOf[NumericType] &&
+            b.dataType.isInstanceOf[NumericType])
+        if (!ok) throw new CypherBindingException(
+          s"UNION column '${a.name}' type mismatch: " +
+          s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")
+      }
       val u = lf.union(rf)
       if (all) u else u.distinct()
     case SingleQuery(parts) =>

@@ -15,8 +15,9 @@ import Analyzer._
  * `org.apache.spark.sql.functions` so the whole expression stays inside
  * whole-stage codegen — no UDFs. Operand types, where Cypher semantics
  * diverge from Catalyst's defaults (string `+` concatenation, integral
- * division), are probed by asking Catalyst to analyze the sub-expression
- * against `probe` (never executed — analysis only).
+ * division), come from the static [[TypeInference]] pass over the
+ * probe's schema — no per-operator Catalyst analysis, and statically
+ * illegal combinations raise typed Cypher errors at compile time.
  *
  * @param aliasCols extra value-alias → physical-column mappings, used
  *   while ORDER BY/WHERE ride on a widened intermediate projection
@@ -36,20 +37,22 @@ final class ExprCompiler(
   private def physAlias(alias: String): String =
     entitySrc.getOrElse(alias, alias)
 
-  // Type probing resolves against an EMPTY LocalRelation with the probe's
-  // schema: analyzing the real (multi-join) plan per operator would make
-  // compile cost O(operators × plan size).
-  private lazy val probeEmpty: DataFrame =
-    probe.sparkSession.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      probe.schema)
+  // Static typing over the probe's schema (no Catalyst analysis per
+  // operator): physical column name -> type, resolved through the same
+  // alias indirections as compilation.
+  private lazy val colTypes: Map[String, DataType] =
+    probe.schema.fields.map(f => f.name -> f.dataType).toMap
 
-  private def dt(c: Column): Option[DataType] =
-    try Some(probeEmpty.select(c).schema.head.dataType)
-    catch { case _: Exception => None }
+  private val types = new TypeInference({
+    case ast.Ref(a, Some(p)) => colTypes.get(pref(physAlias(a), p))
+    case ast.Ref(a, None) =>
+      aliasCols.get(a).flatMap(colTypes.get).orElse(colTypes.get(a))
+  })
 
-  private def isStringy(c: Column): Boolean = dt(c).contains(StringType)
-  private def isIntegral(c: Column): Boolean = dt(c).exists {
+  private def typeOf(e: Expr): Option[DataType] = types.infer(e)
+
+  private def isStringy(e: Expr): Boolean = typeOf(e).contains(StringType)
+  private def isIntegral(e: Expr): Boolean = typeOf(e).exists {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
@@ -67,7 +70,12 @@ final class ExprCompiler(
       throw new CypherBindingException(s"unknown variable '$alias'")
   }
 
-  def compile(e: Expr): Column = e match {
+  def compile(e: Expr): Column = {
+    typeOf(e) // static check: illegal operand types raise Cypher errors
+    build(e)
+  }
+
+  private def build(e: Expr): Column = e match {
     case Lit(null) => lit(null)
     case Lit(v)    => lit(v)
 
@@ -104,13 +112,13 @@ final class ExprCompiler(
   }
 
   private def compileBin(op: BinOp, le: Expr, re: Expr): Column = {
-    lazy val l = compile(le)
-    lazy val r = compile(re)
+    lazy val l = build(le)
+    lazy val r = build(re)
     op match {
       case BinOp.Add =>
         // string + anything concatenates (reference:
         // TypeCoersionTables.cs:30,44,58 → SQLRenderer string concat)
-        if (isStringy(l) || isStringy(r))
+        if (isStringy(le) || isStringy(re))
           concat(l.cast(StringType), r.cast(StringType))
         else l + r
       case BinOp.Sub => l - r
@@ -119,7 +127,7 @@ final class ExprCompiler(
         // Cypher/T-SQL integer division truncates. Spark's `/` is always
         // floating (a double round-trip corrupts longs above 2^53), so
         // integral operands use the native integral-divide expression.
-        if (isIntegral(l) && isIntegral(r))
+        if (isIntegral(le) && isIntegral(re))
           org.apache.spark.sql.GraftSqlBridge.integralDivide(l, r)
         else l / r
       case BinOp.Mod => l % r

@@ -1,0 +1,195 @@
+package graft.cypher
+
+import org.apache.spark.sql.types._
+
+import ast._
+
+/**
+ * Static expression typing over the physical schema — the role of the
+ * reference's coercion tables (reference:
+ * src/openCypherParser/AST/LookupTables/TypeCoersionTables.cs:17,1197,
+ * 1397), which type every expression at plan time. Statically illegal
+ * operand combinations raise a typed [[CypherTypeException]] at compile
+ * time instead of surfacing later as Catalyst `AnalysisException`s,
+ * and the compiler's coercion decisions (string `+` → concat, integral
+ * division) read inferred types instead of probing Catalyst with an
+ * empty-relation `select` per operator (the round-1 compile-time cost).
+ *
+ * `None` means statically unknown (NULL literal, list literals, or a
+ * column the scope cannot see) — unknown operands are permissive, like
+ * the reference's Unknown type, and fail at bind time elsewhere if
+ * genuinely unresolvable.
+ */
+final class TypeInference(refType: Ref => Option[DataType]) {
+
+  private def isNumeric(t: DataType): Boolean = t match {
+    case _: NumericType => true
+    case _ => false
+  }
+  private def isIntegralT(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isTemporal(t: DataType): Boolean = t match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Numeric widening (Spark's binary-arithmetic result shape). */
+  private def widen(a: DataType, b: DataType): DataType =
+    if (a == DoubleType || b == DoubleType) DoubleType
+    else if (a == FloatType || b == FloatType)
+      if (isIntegralT(a) || isIntegralT(b)) DoubleType else FloatType
+    else if (a == b) a
+    else if (a == DecimalType.SYSTEM_DEFAULT || b.isInstanceOf[DecimalType] ||
+      a.isInstanceOf[DecimalType]) DoubleType
+    else LongType // mixed integrals
+
+  private def fail(msg: String): Nothing = throw new CypherTypeException(msg)
+
+  private def requireNumeric(t: Option[DataType], where: String): Unit =
+    t.foreach(x => if (!isNumeric(x)) fail(s"$where requires a numeric operand, got ${x.simpleString}"))
+  private def requireBoolean(t: Option[DataType], where: String): Unit =
+    t.foreach(x => if (x != BooleanType) fail(s"$where requires a boolean operand, got ${x.simpleString}"))
+  private def requireString(t: Option[DataType], where: String): Unit =
+    t.foreach(x => if (x != StringType) fail(s"$where requires a string operand, got ${x.simpleString}"))
+
+  def infer(e: Expr): Option[DataType] = e match {
+    case Lit(null)       => None
+    case Lit(_: String)  => Some(StringType)
+    case Lit(_: Boolean) => Some(BooleanType)
+    case Lit(_: Long)    => Some(LongType)
+    case Lit(_: Int)     => Some(IntegerType)
+    case Lit(_: Double)  => Some(DoubleType)
+    case Lit(_: java.sql.Timestamp) => Some(TimestampType)
+    case Lit(_: java.time.Instant)  => Some(TimestampType)
+    case Lit(_: java.sql.Date)      => Some(DateType)
+    case Lit(_: java.time.LocalDate) => Some(DateType)
+    case Lit(_)          => None
+
+    case r: Ref => refType(r)
+
+    case Not(x) =>
+      requireBoolean(infer(x), "NOT"); Some(BooleanType)
+    case Neg(x) =>
+      val t = infer(x); requireNumeric(t, "unary -/+"); t
+    case IsNull(x, _) =>
+      infer(x); Some(BooleanType)
+    case ListLit(items) =>
+      items.foreach(infer); None
+
+    case Bin(op, le, re) => inferBin(op, le, re)
+
+    case f: Func => inferFunc(f)
+    case a: Agg  => inferAgg(a)
+
+    case CaseExpr(whens, otherwise) =>
+      whens.foreach { case (c, _) => requireBoolean(infer(c), "CASE WHEN condition") }
+      val branches = (whens.map(_._2) ++ otherwise.toSeq).flatMap(infer)
+      // cross-branch legality (reference: SQLRenderer.cs:338-363 via the
+      // conversion matrix): boolean never merges with non-boolean
+      branches.reduceOption { (a, b) =>
+        if ((a == BooleanType) != (b == BooleanType))
+          fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
+        if (a == StringType || b == StringType) StringType
+        else if (isNumeric(a) && isNumeric(b)) widen(a, b)
+        else if (a == b) a
+        else if (isTemporal(a) && isTemporal(b)) a
+        else fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
+      }
+  }
+
+  private def inferBin(op: BinOp, le: Expr, re: Expr): Option[DataType] = {
+    val l = infer(le)
+    val r = infer(re)
+    op match {
+      case BinOp.Add =>
+        if (l.contains(StringType) || r.contains(StringType)) Some(StringType)
+        else {
+          requireNumeric(l, "+"); requireNumeric(r, "+")
+          for (a <- l; b <- r) yield widen(a, b)
+        }
+      case BinOp.Sub | BinOp.Mul | BinOp.Mod =>
+        requireNumeric(l, "arithmetic"); requireNumeric(r, "arithmetic")
+        for (a <- l; b <- r) yield widen(a, b)
+      case BinOp.Div =>
+        requireNumeric(l, "/"); requireNumeric(r, "/")
+        for (a <- l; b <- r)
+          yield if (isIntegralT(a) && isIntegralT(b)) widen(a, b) else DoubleType
+      case BinOp.Pow =>
+        requireNumeric(l, "^"); requireNumeric(r, "^"); Some(DoubleType)
+      case BinOp.And | BinOp.Or | BinOp.Xor =>
+        requireBoolean(l, "AND/OR/XOR"); requireBoolean(r, "AND/OR/XOR")
+        Some(BooleanType)
+      case BinOp.Lt | BinOp.Le | BinOp.Gt | BinOp.Ge | BinOp.Eq | BinOp.Neq =>
+        // comparisons: boolean only compares with boolean; everything
+        // else follows engine coercion (string↔temporal is the q22 path)
+        for (a <- l; b <- r)
+          if ((a == BooleanType) != (b == BooleanType))
+            fail(s"cannot compare ${a.simpleString} with ${b.simpleString}")
+        Some(BooleanType)
+      case BinOp.In =>
+        infer(le); infer(re); Some(BooleanType)
+      case BinOp.Regex =>
+        requireString(l, "=~"); Some(BooleanType)
+    }
+  }
+
+  private def inferFunc(f: Func): Option[DataType] = {
+    def t(i: Int): Option[DataType] =
+      if (f.args.isDefinedAt(i)) infer(f.args(i)) else None
+    f.name match {
+      case "tofloat" | "todouble" => t(0); Some(DoubleType)
+      case "tostring"             => t(0); Some(StringType)
+      case "toboolean"            => t(0); Some(BooleanType)
+      case "tointeger" | "tolong" => t(0); Some(LongType)
+      case "not" => requireBoolean(t(0), "not()"); Some(BooleanType)
+      case "startswith" | "endswith" | "contains" =>
+        requireString(t(0), f.name); requireString(t(1), f.name)
+        Some(BooleanType)
+      case "left" | "right" =>
+        requireString(t(0), f.name); requireNumeric(t(1), f.name)
+        Some(StringType)
+      case "trim" | "ltrim" | "rtrim" | "toupper" | "upper" | "tolower" | "lower" =>
+        requireString(t(0), f.name); Some(StringType)
+      case "size" | "length" =>
+        requireString(t(0), f.name); Some(IntegerType)
+      case "abs" =>
+        val a = t(0); requireNumeric(a, "abs"); a
+      case "round" => requireNumeric(t(0), "round"); t(1); Some(DoubleType)
+      case "floor" | "ceil" => requireNumeric(t(0), f.name); Some(LongType)
+      case "sqrt" => requireNumeric(t(0), "sqrt"); Some(DoubleType)
+      case "year" | "month" =>
+        t(0).foreach(x => if (!isTemporal(x) && x != StringType)
+          fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
+        Some(IntegerType)
+      case _ => f.args.foreach(infer); None
+    }
+  }
+
+  private def inferAgg(a: Agg): Option[DataType] = {
+    // entity arguments (count(n)) are typed by the aggregate compiler
+    val argT: Option[DataType] = a.arg match {
+      case Some(Ref(_, None)) => None
+      case Some(x) => infer(x)
+      case None => None
+    }
+    a.name match {
+      case "count" => Some(LongType)
+      case "sum" =>
+        requireNumeric(argT, "sum")
+        argT.map(t => if (isIntegralT(t)) LongType else DoubleType)
+      case "avg" | "stdev" | "stdevp" =>
+        requireNumeric(argT, a.name); Some(DoubleType)
+      case "percentilecont" | "percentiledisc" =>
+        requireNumeric(argT, a.name); Some(DoubleType)
+      case "min" | "max" | "first" | "last" => argT
+      case _ => None
+    }
+  }
+}
+
+/** Statically illegal operand types (reference: the coercion tables
+  * reject the combination at plan time). */
+class CypherTypeException(msg: String)
+  extends CypherException(s"Type error: $msg")

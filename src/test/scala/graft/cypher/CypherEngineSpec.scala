@@ -459,6 +459,46 @@ class CypherEngineSpec extends AnyFunSuite {
       "MATCH (a:A) RETURN percentileCont(a.x, 1.5) AS p"))
   }
 
+  test("statically illegal operand types raise Cypher-typed errors, not Catalyst ones") {
+    // arithmetic over strings (other than +'s concat rule)
+    val e1 = intercept[CypherException](rows(
+      "MATCH (p:Person) RETURN p.Name - 1 AS x"))
+    assert(e1.getMessage.contains("Type error"))
+    // boolean in arithmetic
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) RETURN (m.Released > 1990) + 1 AS x"))
+    // AND over non-boolean
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) RETURN m.Released AND true AS x"))
+    // comparing boolean with numeric
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) WHERE (m.Released > 1990) > 5 RETURN m.Title AS t"))
+    // regex over non-string
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) WHERE m.Released =~ '19.*' RETURN m.Title AS t"))
+    // string aggregate where numeric required
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN sum(p.Name) AS s"))
+    // string function over numeric
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) RETURN toUpper(m.Released) AS u"))
+    // CASE branches mixing boolean and numeric
+    intercept[CypherTypeException](rows(
+      """MATCH (m:Movie)
+        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 5 END AS x""".stripMargin))
+    // legal coercions still compile: string + number concat, int/int div
+    assert(rows("MATCH (m:Movie) RETURN m.Title + 1 AS t LIMIT 1").nonEmpty)
+    assert(rows("MATCH (m:Movie) RETURN m.Released / 10 AS d LIMIT 1").nonEmpty)
+  }
+
+  test("UNION with mismatched column TYPES is a typed binding error") {
+    val e = intercept[CypherBindingException](rows(
+      """MATCH (p:Person) RETURN p.Name AS v
+        |UNION
+        |MATCH (m:Movie) RETURN m.Released AS v""".stripMargin))
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("percentileDisc: exact SQL-standard semantics, no collect_list in plan") {
     // Released years per person over ACTED_IN — grouped discrete median.
     val df = session.run(
