@@ -1,5 +1,6 @@
 package graft.cypher
 
+import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -11,10 +12,41 @@ import org.json4s.jackson.JsonMethods
  * `SourceIdProperty`/`SinkIdProperty`, optional `TableDescriptors`
  * binding entity ids to table names, SQLTableDescriptor.cs:8-13).
  *
- * .NET `PropertyType` strings are accepted and ignored — Spark derives
- * column types from the backing parquet/view schemas.
+ * .NET `PropertyType` strings (reference: EntityProperty.cs:13-29;
+ * SQL type map SQLRenderer.cs:55-73) are mapped to Spark types and
+ * validated against the backing parquet at bind time — a declared/
+ * stored divergence raises a typed binding error like the reference's.
+ * Unknown .NET type names are ignored (permissive, like an absent
+ * declaration).
  */
 object GraphSchemaJson {
+
+  /** .NET type name → Spark type (reference SQL map SQLRenderer.cs:
+    * 55-73). `System.Nullable&#96;1[X]` unwraps to X — parquet columns
+    * are nullable by default. Guid maps to string (its storage form in
+    * parquet-backed graphs); unsigned types map like their signed
+    * widths, as in the reference's SqlDbType table. */
+  private[cypher] def dotNetType(name: String): Option[DataType] = {
+    val inner =
+      if (name.startsWith("System.Nullable`1[") && name.endsWith("]"))
+        name.stripPrefix("System.Nullable`1[").stripSuffix("]")
+      else name
+    inner match {
+      case "System.String"                   => Some(StringType)
+      case "System.Int32" | "System.UInt32"  => Some(IntegerType)
+      case "System.Int16" | "System.UInt16"  => Some(ShortType)
+      case "System.Int64" | "System.UInt64"  => Some(LongType)
+      case "System.Double"                   => Some(DoubleType)
+      case "System.Single"                   => Some(FloatType)
+      case "System.Boolean"                  => Some(BooleanType)
+      case "System.DateTime"                 => Some(TimestampType)
+      case "System.Byte" | "System.SByte"    => Some(ByteType)
+      case "System.Byte[]"                   => Some(BinaryType)
+      case "System.Decimal"                  => Some(DecimalType.SYSTEM_DEFAULT)
+      case "System.Guid"                     => Some(StringType)
+      case _                                 => None
+    }
+  }
 
   def parse(json: String): GraphSchema = {
     val root =
@@ -35,6 +67,22 @@ object GraphSchemaJson {
       case JArray(items) => items.map(str(_, "PropertyName"))
       case _ => Seq.empty
     }
+    def propType(v: JValue): Option[(String, DataType)] = v match {
+      case o: JObject => (o \ "PropertyType") match {
+        case JString(t) => dotNetType(t).map(str(o, "PropertyName") -> _)
+        case _ => None
+      }
+      case _ => None
+    }
+    /** Declared types of the id propert(ies) + regular properties. */
+    def propTypes(v: JValue, idFields: String*): Map[String, DataType] = {
+      val ids = idFields.flatMap(f => propType(v \ f))
+      val regs = v \ "Properties" match {
+        case JArray(items) => items.flatMap(propType)
+        case _ => Seq.empty
+      }
+      (ids ++ regs).toMap
+    }
 
     // entity id → table name (strip [dbo].[X] decoration to X)
     val tables: Map[String, String] = root \ "TableDescriptors" match {
@@ -53,7 +101,8 @@ object GraphSchemaJson {
           label = str(n, "Name"),
           idColumn = propName(n, "IdProperty"),
           properties = propList(n),
-          table = tables.getOrElse(id, id))
+          table = tables.getOrElse(id, id),
+          propertyTypes = propTypes(n, "IdProperty"))
       }
       case _ => throw new CypherBindingException(
         "graph schema JSON: missing 'Nodes' array")
@@ -77,7 +126,8 @@ object GraphSchemaJson {
           srcIdColumn = propName(e, "SourceIdProperty"),
           sinkIdColumn = propName(e, "SinkIdProperty"),
           properties = propList(e),
-          table = tables.getOrElse(id, id))
+          table = tables.getOrElse(id, id),
+          propertyTypes = propTypes(e, "SourceIdProperty", "SinkIdProperty"))
       }
       case _ => Seq.empty
     }

@@ -21,7 +21,12 @@ final case class NodeDef(
     label: String,
     idColumn: String,
     properties: Seq[String],
-    table: String)
+    table: String,
+    /** Declared property types (reference: EntityProperty.cs:13-29
+      * carries a .NET DataType per property). Empty = trust the backing
+      * schema; declared entries are validated against the backing table
+      * at bind time. */
+    propertyTypes: Map[String, DataType] = Map.empty)
 
 final case class EdgeDef(
     verb: String,
@@ -30,7 +35,8 @@ final case class EdgeDef(
     srcIdColumn: String,
     sinkIdColumn: String,
     properties: Seq[String],
-    table: String) {
+    table: String,
+    propertyTypes: Map[String, DataType] = Map.empty) {
   def key: (String, String, String) = (fromLabel, verb, toLabel)
 }
 
@@ -59,8 +65,38 @@ final case class GraphSchema(nodes: Seq[NodeDef], edges: Seq[EdgeDef]) {
 final class GraphCatalog(
     schema: GraphSchema,
     loader: String => DataFrame) {
-  def nodeDf(label: String): DataFrame = loader(schema.node(label).table)
-  def edgeDf(e: EdgeDef): DataFrame = loader(e.table)
+
+  /** Declared-vs-backing type check (reference raises a binding error on
+    * schema/storage divergence instead of reading through it). Declared
+    * decimal accepts any backing precision/scale; everything else must
+    * match exactly — an undeclared widening (int declared, long stored)
+    * is a real schema drift signal at 100 TB, not a convenience. */
+  private def validated(df: DataFrame, kind: String, name: String,
+                        declared: Map[String, DataType]): DataFrame = {
+    declared.foreach { case (p, t) =>
+      df.schema.fields.find(_.name == p) match {
+        case None => throw new CypherBindingException(
+          s"$kind '$name': declared property '$p' is missing from the backing table")
+        case Some(f) =>
+          val ok = (t, f.dataType) match {
+            case (_: org.apache.spark.sql.types.DecimalType,
+                  _: org.apache.spark.sql.types.DecimalType) => true
+            case (a, b) => a == b
+          }
+          if (!ok) throw new CypherBindingException(
+            s"$kind '$name': property '$p' declared ${t.simpleString} " +
+            s"but the backing table stores ${f.dataType.simpleString}")
+      }
+    }
+    df
+  }
+
+  def nodeDf(label: String): DataFrame = {
+    val n = schema.node(label)
+    validated(loader(n.table), "node", label, n.propertyTypes)
+  }
+  def edgeDf(e: EdgeDef): DataFrame =
+    validated(loader(e.table), "edge", e.verb, e.propertyTypes)
   def graph: GraphSchema = schema
 }
 
