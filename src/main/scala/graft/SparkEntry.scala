@@ -382,6 +382,26 @@ object SparkEntry {
              |FROM orders JOIN customer ON c_custkey = o_custkey
              |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
              |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)),
+
+    // --- typed temporal literals: datetime()/date() constructors yield
+    //     TIMESTAMP/DATE literals at compile time, so the comparison
+    //     below is native timestamp ordering — no string coercion
+    //     (q22 exercises the string-coercion path; this the typed one)
+    ("q26_datetime_lit", cy(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_orderdate >= datetime('1997-01-01T00:00:00')
+        |  AND o.o_orderdate < datetime('1998-01-01')
+        |  AND date(o.o_orderdate) <> date('1997-06-15')
+        |RETURN toLong(year(o.o_orderdate)) AS yr,
+        |       toLong(month(o.o_orderdate)) AS mo, count(o) AS n
+        |ORDER BY yr, mo""".stripMargin),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |       count(*) AS n
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND CAST(o_orderdate AS DATE) <> DATE '1997-06-15'
              |GROUP BY yr, mo ORDER BY yr, mo""".stripMargin)))
 
   // ================================================= training-data pipeline

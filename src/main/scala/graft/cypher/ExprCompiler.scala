@@ -211,10 +211,44 @@ final class ExprCompiler(
       case "sqrt"  => arity(1); sqrt(a0)
       case "year"  => arity(1); year(a0)
       case "month" => arity(1); month(a0)
+      // openCypher temporal constructors (the reference's value node
+      // carries typed DateTime literals, QueryExpressionValue.cs:43-55).
+      // A literal argument becomes a TYPED literal at compile time —
+      // comparisons against temporal columns are then native, with no
+      // string coercion — and a malformed literal is a compile-time
+      // Cypher error, not a runtime null.
+      case "datetime" | "localdatetime" =>
+        arity(1)
+        f.args.head match {
+          case Lit(s: String) => lit(java.sql.Timestamp.valueOf(parseDateTime(s)))
+          case _ => to_timestamp(a0)
+        }
+      case "date" =>
+        arity(1)
+        f.args.head match {
+          case Lit(s: String) => lit(java.sql.Date.valueOf(parseDate(s)))
+          case _ => to_date(a0)
+        }
       case other =>
         throw new CypherNotSupportedException(s"function $other(...)")
     }
   }
+
+  /** ISO-8601 datetime literal (`2015-07-21T21:40:32[.ssss]`), with a
+    * bare date accepted as midnight — openCypher temporal literal forms. */
+  private def parseDateTime(s: String): java.time.LocalDateTime =
+    try {
+      if (s.contains("T")) java.time.LocalDateTime.parse(s)
+      else java.time.LocalDate.parse(s).atStartOfDay()
+    } catch { case _: java.time.format.DateTimeParseException =>
+      throw new CypherSyntaxException(s"invalid datetime literal '$s'")
+    }
+
+  private def parseDate(s: String): java.time.LocalDate =
+    try java.time.LocalDate.parse(s)
+    catch { case _: java.time.format.DateTimeParseException =>
+      throw new CypherSyntaxException(s"invalid date literal '$s'")
+    }
 
   /** Aggregations (reference: AggregationFunction.cs:11-85, semantics
    *  SQLRenderer.cs:655-714). `first`→min / `last`→max follows the

@@ -163,6 +163,12 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(IntegerType)
+      case "datetime" | "localdatetime" =>
+        requireString(t(0), f.name); Some(TimestampType)
+      case "date" =>
+        t(0).foreach(x => if (x != StringType && !isTemporal(x))
+          fail(s"date() requires a string or timestamp, got ${x.simpleString}"))
+        Some(DateType)
       case _ => f.args.foreach(infer); None
     }
   }

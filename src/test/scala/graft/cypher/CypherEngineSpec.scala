@@ -517,6 +517,34 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("collect_list"))
   }
 
+  test("datetime/date literals are typed at compile time; malformed → syntax error") {
+    // typed literal comparison compiles and evaluates (Movie.Released is
+    // int — use a projected literal instead)
+    val df = session.run(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN datetime('1995-06-30T12:00:00') AS dt, date('1995-06-30') AS d""".stripMargin)
+    import org.apache.spark.sql.types._
+    assert(df.schema("dt").dataType == TimestampType)
+    assert(df.schema("d").dataType == DateType)
+    val r = df.head()
+    assert(r.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("1995-06-30 12:00:00"))
+    assert(r.getDate(1).toString == "1995-06-30")
+    // bare-date datetime form = midnight
+    val r2 = session.run(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN datetime('1995-06-30') AS dt""".stripMargin).head()
+    assert(r2.getTimestamp(0) == java.sql.Timestamp.valueOf("1995-06-30 00:00:00"))
+    // malformed literals are compile-time Cypher errors, not runtime nulls
+    intercept[CypherSyntaxException](rows(
+      "MATCH (m:Movie) RETURN datetime('1995-13-45T99:00:00') AS x"))
+    intercept[CypherSyntaxException](rows(
+      "MATCH (m:Movie) RETURN date('not-a-date') AS x"))
+    // type pass knows the constructors: datetime over a number is illegal
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) RETURN datetime(m.Released) AS x"))
+  }
+
   test("integer division is exact above 2^53") {
     import spark.implicits._
     val schema = GraphSchema(
