@@ -725,20 +725,26 @@ object SparkEntry {
   //      s03): plain modular arithmetic both engines compute identically,
   //      giving the approximate paths full value-level oracles.
 
-  /** 60-bit per-token hash: two position-weighted rolling hashes
-    * (fingerprint64, mod 1e9+7 < 2^30) of the token and the token+"#",
-    * packed as hi·2^30 + lo. Native codegen on the Spark side; the
-    * DuckDB twin is the same nested list comprehension as t01's. */
+  /** 60-bit per-token hash: two independent position-weighted rolling
+    * hashes (bases 31 and 37, each mod 1e9+7 < 2^30) packed as
+    * hi·2^30 + lo — ONE native UTF-8 walk per token on the Spark side
+    * ([[graft.functions.NativeExpressions.fp60]]); the DuckDB twin is
+    * the same nested list comprehension as t01's, per base. */
   private val mirrorTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    t => graft.functions.NativeExpressions.fingerprint64(t) * lit(1073741824L) +
-      graft.functions.NativeExpressions.fingerprint64(concat(t, lit("#")))
+    t => graft.functions.NativeExpressions.tokenHash60(t)
 
-  /** DuckDB fragment: fingerprint64 of token expression `e` (mirror of
-    * [[graft.functions.NativeExpressions.fp64]], proven by t01). */
-  private def sqlFp64(e: String): String =
+  /** DuckDB fragment: position-weighted rolling hash of expression `e`
+    * with the given power weights (mirror of
+    * [[graft.functions.NativeExpressions.fp64]]/fp60, proven by t01). */
+  private def sqlFp(e: String, weights: String): String =
     s"""CAST(list_sum([ascii(($e)[i]) *
-       |      ([1,31,961,29791,923521,28629151,887503681,27512614111])[(i-1)%8+1]
+       |      ([$weights])[(i-1)%8+1]
        |      for i in range(1, length($e)+1)]) % 1000000007 AS BIGINT)""".stripMargin
+
+  // defs, not vals: the spec list is built during object init and forces
+  // simhashOracle before later vals would be assigned
+  private def w31 = "1,31,961,29791,923521,28629151,887503681,27512614111"
+  private def w37 = "1,37,1369,50653,1874161,69343957,2565726409,94931877133"
 
   /** DuckDB mirror of d04: per-token 60-bit hashes → 64-bit SimHash
     * (bits ≥ 60 provably zero → vote loop over 60 bits) → all-pairs
@@ -751,7 +757,7 @@ object SparkEntry {
        |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
        |  FROM documents),
        |h AS (SELECT doc_id, list_transform(toks, t ->
-       |    ${sqlFp64("t")} * 1073741824 + ${sqlFp64("t || '#'")}) AS th
+       |    ${sqlFp("t", w31)} * 1073741824 + ${sqlFp("t", w37)}) AS th
        |  FROM t),
        |f AS (SELECT doc_id, CAST(coalesce(list_sum(
        |    [CASE WHEN 2*len(list_filter(th, x -> (x >> j) & 1 = 1)) > len(th)

@@ -451,22 +451,61 @@ object NativeExpressions {
   /** Shared implementation for [[Fingerprint64]] (called from both the
     * interpreted path and generated code): position-weighted rolling
     * hash over code points, weights 31^(pos mod 8), mod 1e9+7 — the
-    * exact arithmetic of the documented formula and its DuckDB oracle. */
-  def fp64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
-    val str = s.toString
+    * exact arithmetic of the documented formula and its DuckDB oracle.
+    * Walks the UTF-8 bytes in place (decoding code points directly);
+    * no per-call String materialization. */
+  def fp64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    fpWalk(s, Fp64Weights) % 1000000007L
+
+  /** One-pass 60-bit packed token hash: two independent position-weighted
+    * rolling hashes (bases 31 and 37, both mod 1e9+7 < 2^30) packed as
+    * hi·2^30 + lo. The SQL-mirrorable per-token hash for cross-engine
+    * SimHash verification — single walk, no string allocation. */
+  def fp60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val m = 1000000007L
+    (fpWalk(s, Fp64Weights) % m) * 1073741824L + (fpWalk(s, Fp37Weights) % m)
+  }
+
+  /** Sum of codePoint·weights(pos mod 8) over the string's code points,
+    * decoded straight from the UTF-8 bytes. Overflow-free for ASCII-ish
+    * content up to ~2.7e6 chars (terms < 2^42; document-scale safe). */
+  private def fpWalk(s: org.apache.spark.unsafe.types.UTF8String,
+                     w: Array[Long]): Long = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
     var acc = 0L
     var i = 0
     var pos = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      acc += cp.toLong * Fp64Weights(pos % 8)
-      i += Character.charCount(cp)
+    while (i < n) {
+      val b0 = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xE0) {
+        cp = ((b0 & 0x1F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F)
+        i += 2
+      } else if (b0 < 0xF0) {
+        cp = ((b0 & 0x0F) << 12) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F)
+        i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
+          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
+          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 3) & 0x3F)
+        i += 4
+      }
+      acc += cp.toLong * w(pos % 8)
       pos += 1
     }
-    acc % 1000000007L
+    acc
   }
   private val Fp64Weights: Array[Long] =
     Iterator.iterate(1L)(_ * 31L).take(8).toArray
+  private val Fp37Weights: Array[Long] =
+    Iterator.iterate(1L)(_ * 37L).take(8).toArray
 
   /**
    * Document fingerprint in ONE pass over the string. The
@@ -493,6 +532,30 @@ object NativeExpressions {
         s"${ev.value} = graft.functions.NativeExpressions.fp64($c);")
 
     override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+      copy(child = newChild)
+  }
+
+  /** Packed 60-bit token hash (see [[fp60]]): one UTF-8 walk per string,
+    * two independent rolling hashes, SQL-mirrorable. */
+  final case class TokenHash60(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "token_hash60"
+
+    override def nullSafeEval(input: Any): Any =
+      fp60(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NativeExpressions.fp60($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): TokenHash60 =
       copy(child = newChild)
   }
 
@@ -595,6 +658,8 @@ object NativeExpressions {
   def simhash64(hashes: Column): Column = col(SimHash64(expr(hashes)))
 
   def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
+
+  def tokenHash60(text: Column): Column = col(TokenHash60(expr(text)))
 
   def ngramHashes(tokens: Column, n: Int): Column =
     col(NgramHashes(expr(tokens), n))

@@ -66,6 +66,8 @@ class NativeCodegenSpec extends AnyFunSuite {
       DotF(vbCol, vaCol),
       Fingerprint64(strCol),
       Fingerprint64(strCol),
+      TokenHash60(strCol),
+      TokenHash60(strCol),
       NearestCentroids(vaCol, cents, 2),
       NearestCentroids(vbCol, cents, 1))
   }
@@ -114,6 +116,31 @@ class NativeCodegenSpec extends AnyFunSuite {
         }
         assert(comp == interpNorm, s"expr $i (${e.prettyName}) compiled != interpreted")
       }
+    }
+  }
+
+  test("fp64 UTF-8 byte walk == String/codePoint reference on multibyte input") {
+    // the production fp64 decodes code points straight from UTF-8 bytes;
+    // this is the original String-based formulation it must match exactly
+    def ref(str: String): Long = {
+      val w = Iterator.iterate(1L)(_ * 31L).take(8).toArray
+      var acc = 0L; var i = 0; var pos = 0
+      while (i < str.length) {
+        val cp = str.codePointAt(i)
+        acc += cp.toLong * w(pos % 8)
+        i += Character.charCount(cp)
+        pos += 1
+      }
+      acc % 1000000007L
+    }
+    val samples = Seq("", "a", "hello world", "héllo wörld", "日本語テキスト",
+      "emoji 😀🎉 mix", "Ā ā Ă ă", "aé中😀")
+    for (s <- samples) {
+      assert(fp64(UTF8String.fromString(s)) == ref(s), s"fp64('$s')")
+      // packed hash: hi 30 bits are fp64, lo 30 bits the base-37 twin
+      val packed = fp60(UTF8String.fromString(s))
+      assert(packed >>> 30 == ref(s), s"fp60 hi('$s')")
+      assert(packed >= 0 && packed < (1L << 60))
     }
   }
 
