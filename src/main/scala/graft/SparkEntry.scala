@@ -475,7 +475,7 @@ object SparkEntry {
     // production corpora keep the default cap.
     ("d04_simhash",
       (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
-          maxDist = 3, tokenHash = mirrorTokenHash, maxBucket = 1 << 20)
+          maxDist = 3, tokenHashes = mirrorTokenHash, maxBucket = 1 << 20)
         .orderBy("id_a", "id_b"),
       Some(simhashOracle)),
 
@@ -731,7 +731,7 @@ object SparkEntry {
     * ([[graft.functions.NativeExpressions.fp60]]); the DuckDB twin is
     * the same nested list comprehension as t01's, per base. */
   private val mirrorTokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    t => graft.functions.NativeExpressions.tokenHash60(t)
+    toks => graft.functions.NativeExpressions.tokenHashes60(toks)
 
   /** DuckDB fragment: position-weighted rolling hash of expression `e`
     * with the given power weights (mirror of

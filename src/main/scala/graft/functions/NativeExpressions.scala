@@ -323,6 +323,97 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ------------------------------------------------- token-array hashing
+
+  /**
+   * Per-element xxhash64 of a string array — the native replacement for
+   * `transform(tokens, xxhash64)`: `transform` is CodegenFallback, so
+   * the lambda runs interpreted per token; this is one compiled loop.
+   * Identical values to Spark's `xxhash64` on each element (same
+   * default seed 42).
+   */
+  final case class TokenHashesXx(child: Expression, seed: Long = 42L)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_hashes_xx"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("txN")
+      val out = ctx.freshName("txOut")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |int $n = $c.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+           |  $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+           |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenHashesXx =
+      copy(child = newChild)
+  }
+
+  /** Per-element [[fp60]] packed 60-bit hash of a string array — the
+    * SQL-mirrorable twin of [[TokenHashesXx]], one compiled loop. */
+  final case class TokenHashes60(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "token_hashes60"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = fp60(arr.getUTF8String(i)); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("thN")
+      val out = ctx.freshName("thOut")
+      val i = ctx.freshName("i")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |int $n = $c.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = graft.functions.NativeExpressions.fp60($c.getUTF8String($i));
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenHashes60 =
+      copy(child = newChild)
+  }
+
   // ----------------------------------------- sorted-array intersection
 
   /**
@@ -660,6 +751,10 @@ object NativeExpressions {
   def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
 
   def tokenHash60(text: Column): Column = col(TokenHash60(expr(text)))
+
+  def tokenHashesXx(tokens: Column): Column = col(TokenHashesXx(expr(tokens)))
+
+  def tokenHashes60(tokens: Column): Column = col(TokenHashes60(expr(tokens)))
 
   def ngramHashes(tokens: Column, n: Int): Column =
     col(NgramHashes(expr(tokens), n))

@@ -280,14 +280,17 @@ object Dedup {
    * Hamming budgets get proportionally more, narrower chunks
    * (maxDist ≤ 15 → ≥ 4-bit chunks).
    *
-   * `tokenHash` is the per-token 64-bit hash feeding the fingerprint —
-   * xxhash64 by default; pass an SQL-expressible hash (see
-   * [[graft.SparkEntry]]'s d04) when a cross-engine oracle must
+   * `tokenHashes` maps the token ARRAY to its 64-bit hash array —
+   * native per-element xxhash64 by default (one compiled loop; a
+   * `transform` lambda would run interpreted per token); pass the
+   * SQL-expressible [[graft.functions.NativeExpressions.tokenHashes60]]
+   * (see [[graft.SparkEntry]]'s d04) when a cross-engine oracle must
    * recompute identical fingerprints.
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3,
-                   tokenHash: Column => Column = xxhash64(_),
+                   tokenHashes: Column => Column =
+                     graft.functions.NativeExpressions.tokenHashesXx(_),
                    maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
       s"simhashPairs supports maxDist in [0, 15], got $maxDist")
@@ -299,7 +302,7 @@ object Dedup {
     val starts = widths.scanLeft(0)(_ + _)
 
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-        transform(TextOps.tokens(col(textCol)), tokenHash).as("__h"))
+        tokenHashes(TextOps.tokens(col(textCol))).as("__h"))
       .select(col("__id"),
         graft.functions.NativeExpressions.simhash64(col("__h")).as("__fp"))
     val chunkArr = array((0 until nChunks).map { c =>

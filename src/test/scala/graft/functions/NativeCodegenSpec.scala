@@ -68,6 +68,10 @@ class NativeCodegenSpec extends AnyFunSuite {
       Fingerprint64(strCol),
       TokenHash60(strCol),
       TokenHash60(strCol),
+      TokenHashesXx(tokCol),
+      TokenHashesXx(tokCol, seed = 7L),
+      TokenHashes60(tokCol),
+      TokenHashes60(tokCol),
       NearestCentroids(vaCol, cents, 2),
       NearestCentroids(vbCol, cents, 1))
   }

@@ -315,6 +315,21 @@ class OpsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
   }
 
+  test("native token-hash arrays == transform-lambda compositions") {
+    import graft.functions.NativeExpressions
+    val toks = TextOps.tokens(col("text"))
+    val r = corpus.select(
+      NativeExpressions.tokenHashesXx(toks).as("nx"),
+      transform(toks, t => xxhash64(t)).as("cx"),
+      NativeExpressions.tokenHashes60(toks).as("n60"),
+      transform(toks, t => NativeExpressions.tokenHash60(t)).as("c60")).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getSeq[Long](0) == row.getSeq[Long](1)) // xx == Spark xxhash64
+      assert(row.getSeq[Long](2) == row.getSeq[Long](3))
+    }
+  }
+
   test("native SimHash64 == compositional simhashFromHashes") {
     import graft.functions.NativeExpressions
     val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
