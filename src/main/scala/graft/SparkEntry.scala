@@ -650,6 +650,35 @@ object SparkEntry {
         .orderBy("lang_pred"),
       Some(pipelineOracle)),
 
+    // --- deterministic stratified sampling (exact-n per language; hash
+    //     order is engine-portable → full value oracle)
+    ("t07_stratified_sample",
+      (s, dir) => Pipeline.stratifiedSample(docs(s, dir), "lang", "doc_id",
+          perStratum = 25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id"),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang, row_number() OVER
+             |    (PARTITION BY lang
+             |     ORDER BY (doc_id*2654435761)%1000000007, doc_id) AS rk
+             |  FROM documents) WHERE rk <= 25
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    // --- benchmark decontamination: corpus docs sharing >= 10% of their
+    //     distinct 3-grams with the benchmark slice (doc_id < 20).
+    //     Contamination ratio is per-row IEEE division — bit-identical
+    //     across engines, no rounding needed.
+    ("p02_decontaminate",
+      (s, dir) => Pipeline.contaminationReport(
+          docs(s, dir).where(col("doc_id") >= 20),
+          docs(s, dir).where(col("doc_id") < 20),
+          "text", "doc_id", n = 3, threshold = 0.1)
+        .select(col("doc_id"),
+          col("n_grams").cast(org.apache.spark.sql.types.LongType).as("n_grams"),
+          col("n_hit"), col("contamination"))
+        .orderBy("doc_id"),
+      Some(decontOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -769,6 +798,31 @@ object SparkEntry {
        |FROM f a JOIN f b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of [[graft.ops.Pipeline.contaminationReport]] at
+    * n=3, threshold=0.1, benchmark = doc_id < 20: per-token 30-bit
+    * fingerprints, (acc·131 + th) mod 1e9+7 n-gram combine — identical
+    * arithmetic to the native ModNgramHashes expression. */
+  private lazy val decontOracle: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${sqlFp("t", w31)}) AS th
+       |  FROM tk),
+       |g AS (SELECT doc_id, list_distinct([
+       |    (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007
+       |    for i in range(1, len(th) - 1)]) AS grams
+       |  FROM th WHERE len(th) >= 3),
+       |b AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 20),
+       |c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS cg
+       |      FROM g WHERE doc_id >= 20),
+       |h AS (SELECT doc_id, n_grams, count(*) AS n_hit
+       |      FROM c JOIN b ON cg = bg GROUP BY 1, 2)
+       |SELECT doc_id, n_grams, n_hit,
+       |       CAST(n_hit AS DOUBLE)/n_grams AS contamination
+       |FROM h WHERE CAST(n_hit AS DOUBLE)/n_grams >= 0.1
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[Similarity.lshTopK]] at nPlanes=4, k=5: the
     * hyperplane component formula is identical integer arithmetic, so

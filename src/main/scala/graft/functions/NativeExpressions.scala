@@ -414,6 +414,62 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /**
+   * SQL-mirrorable word n-gram hashes straight from a token array: each
+   * token hashes to its 30-bit rolling fingerprint (fp64 mod 1e9+7), and
+   * an n-gram combines its token hashes as `acc = (acc·131 + th) mod
+   * 1e9+7` — every intermediate stays < 2^38, so a DuckDB oracle
+   * reproduces the values with plain BIGINT arithmetic (unlike
+   * [[NgramHashes]]' wrap-around xor-multiply). One compiled pass; used
+   * by decontamination, where cross-engine verification matters more
+   * than the extra collision headroom of 64-bit hashes.
+   */
+  final case class ModNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, s"n must be >= 1, got $n")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, StringType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "mod_ngram_hashes"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      new GenericArrayData(modNgrams(arr, n))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.NativeExpressions.modNgrams($c, $n));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): ModNgramHashes =
+      copy(child = newChild)
+  }
+
+  /** Shared eval for [[ModNgramHashes]] (interpreted + generated code). */
+  def modNgrams(arr: ArrayData, n: Int): Array[Long] = {
+    val m = 1000000007L
+    val len = arr.numElements()
+    val cnt = len - n + 1
+    if (cnt <= 0) return Array.empty[Long]
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) { th(i) = fp64(arr.getUTF8String(i)); i += 1 }
+    val out = new Array[Long](cnt)
+    i = 0
+    while (i < cnt) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 131L + th(i + j)) % m; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
   // ----------------------------------------- sorted-array intersection
 
   /**
@@ -753,6 +809,9 @@ object NativeExpressions {
   def tokenHash60(text: Column): Column = col(TokenHash60(expr(text)))
 
   def tokenHashesXx(tokens: Column): Column = col(TokenHashesXx(expr(tokens)))
+
+  def modNgramHashes(tokens: Column, n: Int): Column =
+    col(ModNgramHashes(expr(tokens), n))
 
   def tokenHashes60(tokens: Column): Column = col(TokenHashes60(expr(tokens)))
 

@@ -58,6 +58,72 @@ object Pipeline {
   }
 
   /**
+   * Deterministic per-stratum sample of EXACTLY `perStratum` rows (or
+   * all rows of smaller strata): rows ranked inside each stratum by a
+   * multiplicative hash of the id (ties by id). Hash order makes the
+   * sample stable across runs, partitionings and engines — the DuckDB
+   * oracle reproduces it value-for-value.
+   *
+   * Scale: one shuffle on the stratum key, rank inside the sorted
+   * partition. A giant stratum serializes through one partition — when
+   * exact-n is not required, prefer [[sampleByHashFraction]] (map-only,
+   * no shuffle at all).
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy((col(idCol) * lit(2654435761L)) % lit(1000000007L), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= perStratum)
+      .drop("__rk")
+  }
+
+  /** Map-only deterministic ~`fraction` sample: keep rows whose id hash
+    * lands under the cut. No shuffle, no sort — the 100 TB sampling
+    * path; the sampled fraction concentrates to `fraction` by the law
+    * of large numbers but is not exact-n. */
+  def sampleByHashFraction(df: DataFrame, idCol: String,
+                           fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val cut = (fraction * 1000000007L).toLong
+    df.where((col(idCol) * lit(2654435761L)) % lit(1000000007L) < cut)
+  }
+
+  /**
+   * Benchmark decontamination: flag corpus documents sharing at least
+   * `threshold` of their distinct word n-grams with a benchmark set —
+   * the standard eval-leakage check before pre-training.
+   *
+   * Scale shape: benchmark n-gram sets are orders of magnitude smaller
+   * than the corpus → broadcast the distinct benchmark grams; the
+   * corpus-side explode+join is then MAP-ONLY (no shuffle of the
+   * exploded grams), and the only shuffle is the per-doc hit count —
+   * (id, n_grams) pairs with map-side partial counts. Gram hashing is
+   * one native pass ([[graft.functions.NativeExpressions.modNgramHashes]],
+   * SQL-mirrorable so the whole report is oracle-checked).
+   */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          textCol: String, idCol: String,
+                          n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame): org.apache.spark.sql.Column =
+      array_distinct(graft.functions.NativeExpressions
+        .modNgramHashes(TextOps.tokens(col(textCol)), n))
+    val bench = benchmark.select(explode(grams(benchmark)).as("__g")).distinct()
+    corpus
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as(idCol),
+        grams(corpus).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("n_grams"),
+        explode(col("__gs")).as("__g"))
+      .join(broadcast(bench), "__g")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .where(col("contamination") >= threshold)
+  }
+
+  /**
    * Sink: write the curated corpus as parquet partitioned by predicted
    * language. `repartition(lang, hash(id))` gives each language
    * `filesPerLang` writer tasks — directory-partitioned output WITHOUT

@@ -72,6 +72,8 @@ class NativeCodegenSpec extends AnyFunSuite {
       TokenHashesXx(tokCol, seed = 7L),
       TokenHashes60(tokCol),
       TokenHashes60(tokCol),
+      ModNgramHashes(tokCol, 3),
+      ModNgramHashes(tokCol, 2),
       NearestCentroids(vaCol, cents, 2),
       NearestCentroids(vbCol, cents, 1))
   }

@@ -330,6 +330,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample: exact n per stratum, deterministic, small strata kept whole") {
+    val df = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("string").as("lang"), lit("x").as("text"))
+      .union(Seq((1000L, "rare", "x")).toDF("doc_id", "lang", "text"))
+    val s1 = Pipeline.stratifiedSample(df, "lang", "doc_id", perStratum = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(s1.groupBy(_._1).map { case (l, xs) => l -> xs.length } ==
+      Map("0" -> 10, "1" -> 10, "2" -> 10, "rare" -> 1))
+    // deterministic across repartitionings
+    val s2 = Pipeline.stratifiedSample(df.repartition(7), "lang", "doc_id", 10)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(s1.toSet == s2.toSet)
+  }
+
+  test("sampleByHashFraction: map-only (no shuffle), deterministic, ~fraction") {
+    val df = spark.range(10000).select(col("id").as("doc_id"))
+    val s = Pipeline.sampleByHashFraction(df, "doc_id", 0.1)
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
+    val n = s.count()
+    assert(n > 800 && n < 1200, s"got $n of 10000 at fraction 0.1")
+    assert(s.collect().map(_.getLong(0)).toSet ==
+      Pipeline.sampleByHashFraction(df.repartition(5), "doc_id", 0.1)
+        .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("contaminationReport: flags n-gram overlap with the benchmark set") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // identical → 1.0
+      (11L, "a quick brown fox jumps over a sleepy cat today ok"), // partial
+      (12L, "completely unrelated words about query engines here"), // none
+      (13L, "to sh or")                                        // 1 gram, no hit
+    ).toDF("doc_id", "text")
+    val r = Pipeline.contaminationReport(corpus, bench, "text", "doc_id",
+        n = 3, threshold = 0.0)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(10L) == 1.0)
+    assert(r.contains(11L) && r(11L) > 0.0 && r(11L) < 1.0)
+    assert(!r.contains(12L) && !r.contains(13L))
+    // threshold filters
+    val strict = Pipeline.contaminationReport(corpus, bench, "text", "doc_id",
+      n = 3, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(strict == Set(10L))
+    // benchmark grams are broadcast → corpus-side join is broadcast, not shuffle
+    val plan = Pipeline.contaminationReport(corpus, bench, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("native SimHash64 == compositional simhashFromHashes") {
     import graft.functions.NativeExpressions
     val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
