@@ -103,12 +103,21 @@ final class ExprCompiler(
 
     case CaseExpr(whens, other) =>
       // searched CASE; missing ELSE yields NULL
-      // (reference: QueryExpressionCaseExpression.cs:88-90)
-      val head = when(compile(whens.head._1), compile(whens.head._2))
-      val chained = whens.tail.foldLeft(head) { case (acc, (c, v)) =>
-        acc.when(compile(c), compile(v))
+      // (reference: QueryExpressionCaseExpression.cs:88-90). Branch
+      // values are cast to the statically merged type — the reference
+      // renders explicit CONVERTs per branch (SQLRenderer.cs:338-363),
+      // which is what lets e.g. a boolean branch merge with a numeric
+      // one (bit→int, 1/0) where raw Catalyst coercion would fail.
+      val target = typeOf(e)
+      def branch(v: Expr): Column = {
+        val c = build(v)
+        target.map(c.cast).getOrElse(c)
       }
-      other.map(o => chained.otherwise(compile(o))).getOrElse(chained)
+      val head = when(build(whens.head._1), branch(whens.head._2))
+      val chained = whens.tail.foldLeft(head) { case (acc, (c, v)) =>
+        acc.when(build(c), branch(v))
+      }
+      other.map(o => chained.otherwise(branch(o))).getOrElse(chained)
   }
 
   private def compileBin(op: BinOp, le: Expr, re: Expr): Column = {

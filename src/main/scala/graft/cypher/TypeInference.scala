@@ -86,14 +86,17 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     case CaseExpr(whens, otherwise) =>
       whens.foreach { case (c, _) => requireBoolean(infer(c), "CASE WHEN condition") }
       val branches = (whens.map(_._2) ++ otherwise.toSeq).flatMap(infer)
-      // cross-branch legality (reference: SQLRenderer.cs:338-363 via the
-      // conversion matrix): boolean never merges with non-boolean
+      // cross-branch legality per the reference's conversion matrix
+      // (SQLRenderer.cs:112-236,338-363): string merges with anything
+      // (NVarChar casts), boolean merges with numerics (T-SQL Bit→
+      // numeric Cast, value 1/0), numerics widen, temporals merge with
+      // temporals or strings — temporal×numeric/boolean is Invalid.
       branches.reduceOption { (a, b) =>
-        if ((a == BooleanType) != (b == BooleanType))
-          fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
-        if (a == StringType || b == StringType) StringType
+        if (a == b) a
+        else if (a == StringType || b == StringType) StringType
         else if (isNumeric(a) && isNumeric(b)) widen(a, b)
-        else if (a == b) a
+        else if (a == BooleanType && isNumeric(b)) b
+        else if (isNumeric(a) && b == BooleanType) a
         else if (isTemporal(a) && isTemporal(b)) a
         else fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
       }

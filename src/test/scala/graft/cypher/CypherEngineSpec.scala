@@ -482,10 +482,17 @@ class CypherEngineSpec extends AnyFunSuite {
     // string function over numeric
     intercept[CypherTypeException](rows(
       "MATCH (m:Movie) RETURN toUpper(m.Released) AS u"))
-    // CASE branches mixing boolean and numeric
+    // CASE boolean×numeric merges via cast (reference: Bit→Int Cast,
+    // SQLRenderer.cs conversion matrix) — true renders as 1
+    val bn = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 5 END AS x""".stripMargin)
+    assert(bn.head.getInt(0) == 1)
+    // ...but temporal×numeric branches are Invalid in the matrix
     intercept[CypherTypeException](rows(
       """MATCH (m:Movie)
-        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 5 END AS x""".stripMargin))
+        |RETURN CASE WHEN m.Released > 1990 THEN date('1995-01-01')
+        |       ELSE 5 END AS x""".stripMargin))
     // legal coercions still compile: string + number concat, int/int div
     assert(rows("MATCH (m:Movie) RETURN m.Title + 1 AS t LIMIT 1").nonEmpty)
     assert(rows("MATCH (m:Movie) RETURN m.Released / 10 AS d LIMIT 1").nonEmpty)
