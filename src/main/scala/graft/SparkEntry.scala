@@ -543,6 +543,32 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       Some(ivfAnnOracle)),
 
+    // --- int8 embedding quantization (exploded so every quantized
+    //     component is value-checked; per-row IEEE math → no rounding)
+    ("s04_quantize_i8",
+      (s, dir) => Similarity.quantizeInt8(embs(s, dir), "embedding", "vec_id")
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("scale"),
+          col("pos").cast(org.apache.spark.sql.types.LongType).as("pos"),
+          col("col").as("val"))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |q AS (SELECT vec_id, scale,
+             |  [CAST(least(greatest(floor(v[i] / scale + 0.5), -127), 127)
+             |        AS TINYINT)
+             |   for i in range(1, len(v)+1)] AS qv
+             |  FROM m WHERE scale > 0)
+             |SELECT vec_id, scale, u.pos AS pos, u.val AS val FROM (
+             |  SELECT vec_id, scale,
+             |    unnest([{'pos': i-1, 'val': qv[i]}
+             |            for i in range(1, len(qv)+1)]) AS u
+             |  FROM q)
+             |ORDER BY vec_id, pos""".stripMargin)),
+
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -170,6 +170,31 @@ object Similarity {
   }
 
   /**
+   * Symmetric int8 quantization of an embedding column — the standard
+   * storage/bandwidth companion to IVF at corpus scale (4× smaller than
+   * float32, 8× than float64; dot products stay SIMD-friendly).
+   * Per row: scale = max|x| / 127, q[i] = round-half-up(x[i]/scale)
+   * clamped to [-127, 127]. Map-only, per-row IEEE arithmetic —
+   * bit-identically reproducible by the DuckDB oracle (round-half-up is
+   * floor(x + 0.5) in both engines; engine round() differs at .5).
+   * Rows with a zero vector (scale 0) are dropped — nothing to encode.
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        (array_max(transform(col(vecCol), x => abs(x.cast(DoubleType))))
+          / lit(127.0)).as("scale"),
+        col(vecCol).as("__v"))
+      .where(col("scale") > 0)
+      .withColumn("qvec", transform(col("__v"), x =>
+        least(greatest(floor(x.cast(DoubleType) / col("scale") + lit(0.5)),
+          lit(-127.0)), lit(127.0)).cast(ByteType)))
+      .drop("__v")
+
+  /** Reconstruction: q[i] · scale. Error per component ≤ scale/2. */
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast(DoubleType) * scale)
+
+  /**
    * Lloyd (k-means) refinement of a centroid seed over a deterministic
    * sample of the corpus. Each iteration assigns the sample to its
    * nearest centroid (map-only native expression), then recomputes

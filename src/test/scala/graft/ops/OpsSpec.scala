@@ -283,6 +283,31 @@ class OpsSpec extends AnyFunSuite {
       s"refined recall $refined should beat seeded $seeded at nProbe=2")
   }
 
+  test("quantizeInt8: exact values, round-trip error bound, zero vectors dropped") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),      // zero vector → dropped
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+    assert(q.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    val r1 = q(0)
+    assert(r1.getDouble(1) == 1.0 / 127.0)
+    assert(r1.getSeq[Byte](2) == Seq[Byte](127, -63, 32, 0)) // -63.5 rounds half-UP
+    assert(q(1).getSeq[Byte](2) == Seq[Byte](-127, 127, 64, -63))
+    // round-trip error ≤ scale/2 on real embeddings
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rt = Similarity.quantizeInt8(embs, "embedding", "vec_id")
+      .join(embs, "vec_id")
+      .select(array_max(transform(
+        zip_with(Similarity.dequantizeInt8(col("qvec"), col("scale")),
+          col("embedding"), (d, o) => abs(d - o.cast("double"))),
+        x => x / col("scale"))).as("worst"))
+      .agg(max("worst")).head().getDouble(0)
+    assert(rt <= 0.5 + 1e-9, s"worst per-component error $rt scales")
+  }
+
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
