@@ -569,6 +569,33 @@ object SparkEntry {
              |  FROM q)
              |ORDER BY vec_id, pos""".stripMargin)),
 
+    // --- quantized-cosine top-k: int8 corpus scan + native integer dot;
+    //     scales cancel in the ratio so every score is exact cross-engine
+    ("s05_ann_int8",
+      (s, dir) => Similarity.int8TopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id", k = 5)
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |qz AS (SELECT vec_id,
+             |  CAST([least(greatest(floor(v[i]/scale + 0.5), -127), 127)
+             |        for i in range(1, len(v)+1)] AS DOUBLE[]) AS qv
+             |  FROM m WHERE scale > 0),
+             |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nm
+             |      FROM qz),
+             |s AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(c.qv, qq.qv) / (c.nm * qq.nm) AS cos_sim
+             |      FROM n c JOIN n qq
+             |        ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM s)
+             |SELECT query_id, neighbor_id, rank, cos_sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
       (s, dir) => docs(s, dir).select(col("doc_id"),

@@ -593,6 +593,59 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /**
+   * Exact integer dot product of two int8 (byte-array) columns — the
+   * scoring kernel for quantized similarity search. Products are
+   * ≤ 127²·dim (no overflow for any realistic dimension); mismatched
+   * lengths yield NULL like [[DotF]].
+   */
+  final case class DotI8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(requireArrayOf(left, ByteType, prettyName),
+        requireArrayOf(right, ByteType, prettyName))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "dot_i8"
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val n = ctx.freshName("diN")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $acc += (long) $a.getByte($i) * (long) $b.getByte($i);
+           |  }
+           |  ${ev.value} = $acc;
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotI8 =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -------------------------------------------------------- fingerprint
 
   /** Shared implementation for [[Fingerprint64]] (called from both the
@@ -825,6 +878,8 @@ object NativeExpressions {
     col(SortedIntersectCount(expr(a), expr(b)))
 
   def dotF(a: Column, b: Column): Column = col(DotF(expr(a), expr(b)))
+
+  def dotI8(a: Column, b: Column): Column = col(DotI8(expr(a), expr(b)))
 
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]],
                        nProbe: Int): Column =

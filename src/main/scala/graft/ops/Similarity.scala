@@ -195,6 +195,36 @@ object Similarity {
     transform(qvec, q => q.cast(DoubleType) * scale)
 
   /**
+   * Exact top-k by QUANTIZED cosine: both sides int8-quantized, scored
+   * with the native integer dot product. The per-row scales cancel in
+   * the cosine ratio, so the score is `dotI8(qa,qb) /
+   * (√dotI8(qa,qa)·√dotI8(qb,qb))` — integer dots are exact in both
+   * engines, the one division is per-row IEEE → the whole approximate
+   * result is oracle-mirrorable. At corpus scale the quantized corpus
+   * is 4× smaller to scan and the scoring kernel is pure 8-bit integer
+   * math; re-rank the top candidates with [[bruteForceTopK]] float
+   * scoring when exact ordering matters.
+   */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               vecCol: String, idCol: String, k: Int): DataFrame = {
+    import graft.functions.NativeExpressions.dotI8
+    def quant(df: DataFrame, id: String) =
+      quantizeInt8(df, vecCol, idCol)
+        .select(col(idCol).cast(LongType).as(id), col("qvec"),
+          sqrt(dotI8(col("qvec"), col("qvec")).cast(DoubleType)).as("__n"))
+    val c = quant(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("qvec").as("__cq"), col("__n").as("__cn"))
+    val q = quant(queries, "query_id")
+      .select(col("query_id"), col("qvec").as("__qq"), col("__n").as("__qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotI8(col("__cq"), col("__qq")).cast(DoubleType) /
+          (col("__cn") * col("__qn"))).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Lloyd (k-means) refinement of a centroid seed over a deterministic
    * sample of the corpus. Each iteration assigns the sample to its
    * nearest centroid (map-only native expression), then recomputes

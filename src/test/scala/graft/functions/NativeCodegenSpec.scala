@@ -37,13 +37,15 @@ class NativeCodegenSpec extends AnyFunSuite {
       new GenericArrayData(hashes.toArray),
       new GenericArrayData(va.toArray),
       new GenericArrayData(vb.toArray),
-      UTF8String.fromString(tokens.mkString(" ")))
+      UTF8String.fromString(tokens.mkString(" ")),
+      new GenericArrayData(hashes.map(h => (h % 100).toByte).toArray))
 
   private val tokCol = BoundReference(0, ArrayType(StringType), nullable = true)
   private val hashCol = BoundReference(1, ArrayType(LongType), nullable = true)
   private val vaCol = BoundReference(2, ArrayType(FloatType), nullable = true)
   private val vbCol = BoundReference(3, ArrayType(FloatType), nullable = true)
   private val strCol = BoundReference(4, StringType, nullable = true)
+  private val byteCol = BoundReference(5, ArrayType(ByteType), nullable = true)
 
   /** Every native expression at least twice in ONE projection — the scope
     * Janino rejected in round 1 whenever locals collided. */
@@ -64,6 +66,8 @@ class NativeCodegenSpec extends AnyFunSuite {
       SimHash64(sig1),
       DotF(vaCol, vbCol),
       DotF(vbCol, vaCol),
+      DotI8(byteCol, byteCol),
+      DotI8(byteCol, byteCol),
       Fingerprint64(strCol),
       Fingerprint64(strCol),
       TokenHash60(strCol),

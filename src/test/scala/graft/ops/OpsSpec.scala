@@ -308,6 +308,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rt <= 0.5 + 1e-9, s"worst per-component error $rt scales")
   }
 
+  test("int8TopK: high agreement with exact float top-k on real embeddings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.int8TopK(embs, queries, "embedding", "vec_id", 10)
+      .collect()
+    // scores are plausible cosines and ranks are contiguous
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length))
+    }
+    assert(got.forall(r => r.getDouble(3) <= 1.0 + 1e-9))
+    // int8 quantization barely perturbs cosine ordering: ≥ 80% overlap
+    val hits = got.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall vs float exact: $recall")
+  }
+
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
