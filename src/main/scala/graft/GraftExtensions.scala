@@ -40,6 +40,13 @@ object GraftExtensions {
       (args => SortedIntersectCount(args(0), args(1))),
     "graft_ngram_hashes" ->
       (args => NgramHashes(args(0), litInt(args(1), "n"))),
+    "graft_dot_i8" -> (args => DotI8(args(0), args(1))),
+    "graft_fingerprint64" -> (args => Fingerprint64(args.head)),
+    "graft_token_hash60" -> (args => TokenHash60(args.head)),
+    "graft_token_hashes_xx" -> (args => TokenHashesXx(args.head)),
+    "graft_token_hashes60" -> (args => TokenHashes60(args.head)),
+    "graft_mod_ngram_hashes" ->
+      (args => ModNgramHashes(args(0), litInt(args(1), "n"))),
     "graft_minhash_sig" -> (args => {
       val k = litInt(args(1), "k")
       val cs = Dedup.mhCoeffs(k)

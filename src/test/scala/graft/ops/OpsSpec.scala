@@ -488,6 +488,21 @@ class OpsSpec extends AnyFunSuite {
       .select(Dedup.simhashFromHashes(array(lit(1L), lit(2L), lit(3L))))
       .head().getLong(0)
     assert(r.getLong(0) == expected)
+    // round-2 registrations
+    val r2 = spark.sql(
+      """SELECT graft_dot_i8(array(CAST(3 AS TINYINT), CAST(-2 AS TINYINT)),
+        |                    array(CAST(4 AS TINYINT), CAST(5 AS TINYINT))) AS di,
+        |       graft_fingerprint64('abc') AS fp64,
+        |       graft_token_hash60('abc') AS th60,
+        |       graft_token_hashes_xx(array('a', 'b')) AS txx,
+        |       graft_token_hashes60(array('a', 'b')) AS t60,
+        |       size(graft_mod_ngram_hashes(array('a', 'b', 'c', 'd'), 3)) AS ng
+        |""".stripMargin).head()
+    assert(r2.getLong(0) == 2L) // 12 - 10
+    assert(r2.getLong(1) == ('a' + 'b' * 31 + 'c' * 961).toLong)
+    assert(r2.getLong(2) >>> 30 == r2.getLong(1))
+    assert(r2.getSeq[Long](3).size == 2 && r2.getSeq[Long](4).size == 2)
+    assert(r2.getInt(5) == 2)
   }
 
   // ---------------------------------------------------------- sessionize
