@@ -596,6 +596,46 @@ object SparkEntry {
              |SELECT query_id, neighbor_id, rank, cos_sim
              |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // --- two-stage search: int8 shortlist (20) → float-exact re-rank (5)
+    ("s06_ann_int8_rerank",
+      (s, dir) => Similarity.int8RerankTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |      FROM e),
+             |qz AS (SELECT vec_id,
+             |  CAST([least(greatest(floor(v[i]/scale + 0.5), -127), 127)
+             |        for i in range(1, len(v)+1)] AS DOUBLE[]) AS qv
+             |  FROM m WHERE scale > 0),
+             |n AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nm
+             |      FROM qz),
+             |s1 AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(c.qv, qq.qv) / (c.nm * qq.nm) AS qcos
+             |      FROM n c JOIN n qq
+             |        ON qq.vec_id < 8 AND c.vec_id <> qq.vec_id),
+             |sl AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT *, row_number() OVER
+             |          (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id)
+             |          AS rk FROM s1) WHERE rk <= 20),
+             |s2 AS (SELECT sl.query_id, sl.neighbor_id,
+             |        list_dot_product(qf.v, cf.v) /
+             |          (sqrt(list_dot_product(qf.v, qf.v)) *
+             |           sqrt(list_dot_product(cf.v, cf.v))) AS cos_sim
+             |       FROM sl
+             |       JOIN e cf ON cf.vec_id = sl.neighbor_id
+             |       JOIN e qf ON qf.vec_id = sl.query_id),
+             |r2 AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM s2)
+             |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+             |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
       (s, dir) => docs(s, dir).select(col("doc_id"),

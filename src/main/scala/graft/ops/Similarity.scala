@@ -225,6 +225,31 @@ object Similarity {
   }
 
   /**
+   * Two-stage search: int8 shortlist, float-exact re-rank — the 100 TB
+   * composition. Stage 1 scans the 4×-smaller quantized corpus with the
+   * integer kernel and keeps `shortlist` candidates per query; stage 2
+   * rescans ONLY the candidates' float vectors (a semi-join-sized read)
+   * and re-ranks with exact cosine. With `shortlist` ≥ corpus size the
+   * result equals [[bruteForceTopK]] bit-for-bit (tested).
+   */
+  def int8RerankTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = int8TopK(corpus, queries, vecCol, idCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val scored = cands.join(c, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Lloyd (k-means) refinement of a centroid seed over a deterministic
    * sample of the corpus. Each iteration assigns the sample to its
    * nearest centroid (map-only native expression), then recomputes

@@ -326,6 +326,44 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 recall vs float exact: $recall")
   }
 
+  test("int8RerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val rr = Similarity.int8RerankTopK(embs, queries, "embedding", "vec_id",
+        k = 5, shortlist = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(rr == exact)
+    // narrow shortlist still returns k contiguous ranks per query
+    val narrow = Similarity.int8RerankTopK(embs, queries, "embedding",
+      "vec_id", k = 5, shortlist = 8).collect()
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
+  }
+
+  test("contaminationReport composes with a streaming corpus (stream-static join)") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = Pipeline.contaminationReport(
+      mem.toDS().toDF("doc_id", "text"), bench, "text", "doc_id",
+      n = 3, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("contam")
+      .outputMode("complete").start()
+    try {
+      mem.addData((10L, "the quick brown fox jumps over the lazy dog"),
+        (12L, "completely unrelated words about query engines here"))
+      q.processAllAvailable()
+      val got = spark.table("contam").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(got == Map(10L -> 1.0))
+    } finally q.stop()
+  }
+
   test("lshTopK returns subset-consistent results (same bucket → found)") {
     val r = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
       "embedding", "vec_id", k = 2, nPlanes = 2)
