@@ -639,10 +639,12 @@ object SparkEntry {
     // --- token / subword / punctuation counts + rolling-hash fingerprint
     ("t01_text_stats",
       (s, dir) => docs(s, dir).select(col("doc_id"),
-          TextOps.tokenCount(col("text")).as("n_tokens"),
-          TextOps.subwordCount(col("text")).as("n_subwords"),
-          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.features(col("text")).as("__f"),
           TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          element_at(col("__f"), 1).as("n_tokens"),
+          element_at(col("__f"), 2).as("n_subwords"),
+          element_at(col("__f"), 3).as("n_punct"), col("fp"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CASE WHEN trim(text) = '' THEN 0
@@ -661,8 +663,10 @@ object SparkEntry {
     // --- language-ID heuristic + quality score
     ("t02_text_quality",
       (s, dir) => docs(s, dir).select(col("doc_id"),
-          TextOps.langId(col("text")).as("lang_pred"),
-          round(TextOps.qualityScore(col("text"), col("n_chars")), 6)
+          TextOps.features(col("text")).as("__f"), col("n_chars"))
+        .select(col("doc_id"),
+          TextOps.langIdF(col("__f")).as("lang_pred"),
+          round(TextOps.qualityScoreF(col("__f"), col("n_chars")), 6)
             .as("quality"))
         .orderBy("doc_id"),
       Some(textQualityOracle)),

@@ -759,6 +759,156 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // --------------------------------------------------- fused text stats
+
+  /** Marker-word → language bitmask (bit 0 = stopword set, bits 1-4 =
+    * en/de/fr/es). Words are ≤ 5 ASCII chars, packed 8 bits/char. */
+  private val TextMarkerMask: java.util.HashMap[java.lang.Long, Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, Integer]()
+    def add(words: Seq[String], bit: Int): Unit = words.foreach { w =>
+      require(w.length <= 5 && w.forall(c => c >= 'a' && c <= 'z'))
+      var key = 0L
+      w.foreach(c => key = (key << 8) | c.toLong)
+      val prev = m.get(key)
+      m.put(key, if (prev == null) (1 << bit) else (prev | (1 << bit)))
+    }
+    add(Seq("the", "a", "an", "and", "of", "to", "in", "is"), 0)   // stopwords
+    add(Seq("the", "and", "is", "of", "to", "was", "for"), 1)      // en
+    add(Seq("der", "die", "und", "das", "ist", "nicht", "ein"), 2) // de
+    add(Seq("le", "la", "et", "les", "des", "est", "une"), 3)      // fr
+    add(Seq("el", "los", "y", "las", "una", "es", "que"), 4)       // es
+    m
+  }
+
+  /**
+   * All of [[graft.ops.TextOps]]' per-document counters in ONE pass over
+   * the UTF-8 bytes — replaces seven regex scans (token split, subword,
+   * punctuation, stopwords, 4 language markers). Semantics replicate
+   * the Java-regex formulations exactly (asserted by OpsSpec):
+   *
+   *  - n_tok: Spark `split(trim(text), "\\s+")` — Java regex split with
+   *    limit -1 (every empty piece kept), i.e. whitespace-run count + 1
+   *    on the space-trimmed text; blank → 0;
+   *  - n_sub: letter runs + digit runs + other non-space chars (astral
+   *    "other" code points count 2, like Java's UTF-16 regex);
+   *  - n_punct: chars in [.,;:!?];
+   *  - n_stop / h_lang: maximal ASCII word runs ([A-Za-z0-9_], `\b`
+   *    semantics) compared case-insensitively against the marker sets.
+   *
+   * Returns [n_tok, n_sub, n_punct, n_stop, h_en, h_de, h_fr, h_es].
+   */
+  def textStats(s: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    val out = new Array[Long](8)
+
+    // ---- byte walk for n_tok over the space-trimmed span (whitespace
+    //      and ' ' are single ASCII bytes; continuation bytes >= 0x80
+    //      never collide)
+    def b(i: Int): Int = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
+    def isWs(c: Int): Boolean = c == 32 || (c >= 9 && c <= 13)
+    var ts = 0
+    while (ts < n && b(ts) == 32) ts += 1
+    var te = n
+    while (te > ts && b(te - 1) == 32) te -= 1
+    if (te > ts) {
+      // Spark's split passes limit -1 (ALL empty pieces kept), so the
+      // piece count is (whitespace runs) + 1
+      var wsRuns = 0L
+      var inWs = false
+      var i = ts
+      while (i < te) {
+        if (isWs(b(i))) { if (!inWs) wsRuns += 1; inWs = true }
+        else inWs = false
+        i += 1
+      }
+      out(0) = wsRuns + 1L
+    }
+
+    // ---- code-point walk for subword/punct/word-run counters
+    var i = 0
+    var prevClass = 0 // 1=letter, 2=digit, 3=other/space boundary
+    var inWord = false
+    var wordKey = 0L
+    var wordLen = 0
+    def closeWord(): Unit = {
+      if (inWord && wordLen >= 1 && wordLen <= 5) {
+        val mask = TextMarkerMask.get(wordKey)
+        if (mask != null) {
+          val mv = mask.intValue()
+          var bit = 0
+          while (bit < 5) {
+            if ((mv & (1 << bit)) != 0) out(3 + bit) += 1
+            bit += 1
+          }
+        }
+      }
+      inWord = false; wordKey = 0L; wordLen = 0
+    }
+    while (i < n) {
+      val b0 = b(i)
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xE0) { cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
+      else if (b0 < 0xF0) {
+        cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
+        i += 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
+        i += 4
+      }
+      val isLetter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val isSpace = isWs(cp)
+      // subword runs (full text)
+      if (isLetter) { if (prevClass != 1) out(1) += 1; prevClass = 1 }
+      else if (isDigit) { if (prevClass != 2) out(1) += 1; prevClass = 2 }
+      else { if (!isSpace) out(1) += (if (cp > 0xFFFF) 2L else 1L); prevClass = 3 }
+      // punctuation
+      if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?')
+        out(2) += 1
+      // \b word runs ([A-Za-z0-9_]) with lowercased ASCII compare
+      if (isLetter || isDigit || cp == '_') {
+        if (!inWord) { inWord = true; wordKey = 0L; wordLen = 0 }
+        if (wordLen < 5) {
+          val lc = if (cp >= 'A' && cp <= 'Z') cp + 32 else cp
+          wordKey = (wordKey << 8) | lc.toLong
+        }
+        wordLen += 1
+        if (wordLen > 5) wordKey = -1L // over-long run can never match
+      } else closeWord()
+    }
+    closeWord()
+    out
+  }
+
+  /** One-pass fused text counters (see [[textStats]]). */
+  final case class TextFeatures(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "text_features"
+
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(textStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.NativeExpressions.textStats($c));""".stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): TextFeatures =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------- centroid assignment
 
   /**
@@ -865,6 +1015,8 @@ object NativeExpressions {
 
   def modNgramHashes(tokens: Column, n: Int): Column =
     col(ModNgramHashes(expr(tokens), n))
+
+  def textFeatures(text: Column): Column = col(TextFeatures(expr(text)))
 
   def tokenHashes60(tokens: Column): Column = col(TokenHashes60(expr(tokens)))
 

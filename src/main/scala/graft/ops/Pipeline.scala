@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
  */
 object Pipeline {
 
-  /** Quality-gated, deduplicated corpus (full rows + quality column). */
+  /** Quality-gated, deduplicated corpus (full rows + quality column,
+    * plus the fused `__tf` feature array reused by downstream stages —
+    * ONE native pass computes what seven regex scans did). */
   def curatedCorpus(docs: DataFrame, minQuality: Double): DataFrame = {
     val scored = docs
-      .withColumn("quality", TextOps.qualityScore(col("text"), col("n_chars")))
+      .withColumn("__tf", TextOps.features(col("text")))
+      .withColumn("quality", TextOps.qualityScoreF(col("__tf"), col("n_chars")))
       .where(col("quality") >= minQuality)
     Dedup.deduplicate(scored, "text", "doc_id")
   }
@@ -27,10 +30,10 @@ object Pipeline {
   /** Per-language document and token budget of the curated corpus. */
   def curationReport(docs: DataFrame, minQuality: Double): DataFrame =
     curatedCorpus(docs, minQuality)
-      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("lang_pred", TextOps.langIdF(col("__tf")))
       .groupBy("lang_pred")
       .agg(count(lit(1)).as("n_docs"),
-        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        sum(element_at(col("__tf"), 1)).as("n_tokens"))
 
   /**
    * Token-budget packing: assign each document to a bin of ~`budget`
@@ -135,7 +138,8 @@ object Pipeline {
   def writeCurated(docs: DataFrame, minQuality: Double, path: String,
                    filesPerLang: Int = 4): Unit =
     curatedCorpus(docs, minQuality)
-      .withColumn("lang_pred", TextOps.langId(col("text")))
+      .withColumn("lang_pred", TextOps.langIdF(col("__tf")))
+      .drop("__tf")
       .repartition(col("lang_pred"),
         pmod(xxhash64(col("doc_id")), lit(filesPerLang)))
       .write.mode("overwrite")

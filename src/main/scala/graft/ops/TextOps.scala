@@ -93,6 +93,41 @@ object TextOps {
   }
 
   /**
+   * All per-document counters in ONE native pass (vs seven regex scans):
+   * `[n_tok, n_sub, n_punct, n_stop, h_en, h_de, h_fr, h_es]`.
+   * Value-identical to the regex-composed functions above (asserted by
+   * OpsSpec). Materialize once per document and feed [[qualityScoreF]]/
+   * [[langIdF]] — the fused path for corpus-scale curation where the
+   * regex passes dominate the map stage.
+   */
+  def features(text: Column): Column =
+    graft.functions.NativeExpressions.textFeatures(text)
+
+  /** [[qualityScore]] reading a [[features]] array (same arithmetic). */
+  def qualityScoreF(f: Column, nChars: Column): Column = {
+    val nTok = element_at(f, 1)
+    val lenScore = least(nChars.cast(DoubleType) / lit(400.0), lit(1.0))
+    val stopRatio = when(nTok === 0, lit(0.0))
+      .otherwise(element_at(f, 4).cast(DoubleType) / nTok.cast(DoubleType))
+    val punctRatio = when(nChars === 0, lit(0.0))
+      .otherwise(element_at(f, 3).cast(DoubleType) / nChars.cast(DoubleType))
+    lenScore * lit(0.5) + least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3) +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
+  }
+
+  /** [[langId]] reading a [[features]] array (same argmax/tie-break). */
+  def langIdF(f: Column): Column = {
+    val hits = LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(f, 5 + i)
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val chain = hits.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (l, h)) => acc.when(h === best, lit(l))
+    }
+    chain.otherwise(lit("und"))
+  }
+
+  /**
    * Corpus token frequencies: explode → groupBy(token). Map-side partial
    * counts make the shuffle proportional to the vocabulary, not the
    * token stream — the standard first step for stopword mining and

@@ -396,6 +396,52 @@ class OpsSpec extends AnyFunSuite {
     r.foreach(row => assert(row.getSeq[Long](0) == row.getSeq[Long](1)))
   }
 
+  test("fused TextFeatures == the seven regex-composed counters") {
+    import graft.functions.NativeExpressions
+    val samples = Seq(
+      "the quick brown fox, and a dog; IS it?",
+      "", "   ", "\t", "\tleading tab", "trailing tab\t", "a\t\tb",
+      "der die und das ist nicht ein", "le la et les des est une",
+      "el los y las una es que", "THE AND IS OF TO WAS FOR",
+      "punct...only!!!???", "a1b2c3", "_under_score_ the_cat the cat",
+      "héllo wörld the café", "日本語 the テキスト", "mixed 123 numbers 456",
+      "is is is is is", "a", "an and of to in is was for",
+      "x.y,z;w:v!u?t", "  the  ", "thé the th e")
+    val df = samples.toDF("text")
+    val markerCols = TextOps.LangMarkers.zipWithIndex.map { case ((_, pat), i) =>
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .cast("long").as(s"m$i")
+    }
+    val rows = df.select(
+      (NativeExpressions.textFeatures(col("text")).as("f") +:
+        TextOps.tokenCount(col("text")).as("c0") +:
+        TextOps.subwordCount(col("text")).as("c1") +:
+        TextOps.punctCount(col("text")).as("c2") +:
+        size(regexp_extract_all(col("text"),
+          lit("(?i)\\b(the|a|an|and|of|to|in|is)\\b"), lit(0)))
+          .cast("long").as("c3") +:
+        markerCols): _*).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      val f = r.getSeq[Long](0)
+      val expected = (1 to 8).map(i => r.getLong(i))
+      assert(f == expected, s"textFeatures mismatch for '$s': $f vs $expected")
+    }
+    // fused quality/langid == original formulations on the real corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(
+      TextOps.features(col("text")).as("__f"), col("text"), col("n_chars"))
+      .select(
+        TextOps.langIdF(col("__f")).as("l1"), TextOps.langId(col("text")).as("l2"),
+        TextOps.qualityScoreF(col("__f"), col("n_chars")).as("q1"),
+        TextOps.qualityScore(col("text"), col("n_chars")).as("q2"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+  }
+
   test("native token-hash arrays == transform-lambda compositions") {
     import graft.functions.NativeExpressions
     val toks = TextOps.tokens(col("text"))
