@@ -47,6 +47,7 @@ object GraftExtensions {
     "graft_token_hashes60" -> (args => TokenHashes60(args.head)),
     "graft_mod_ngram_hashes" ->
       (args => ModNgramHashes(args(0), litInt(args(1), "n"))),
+    "graft_text_features" -> (args => TextFeatures(args.head)),
     "graft_minhash_sig" -> (args => {
       val k = litInt(args(1), "k")
       val cs = Dedup.mhCoeffs(k)

@@ -587,6 +587,9 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getLong(2) >>> 30 == r2.getLong(1))
     assert(r2.getSeq[Long](3).size == 2 && r2.getSeq[Long](4).size == 2)
     assert(r2.getInt(5) == 2)
+    val r3 = spark.sql("SELECT graft_text_features('the cat. sat') AS f").head()
+    // 3 tokens; subwords the|cat|.|sat; 1 punct; "the" = stopword + en hit
+    assert(r3.getSeq[Long](0) == Seq(3L, 4L, 1L, 1L, 1L, 0L, 0L, 0L))
   }
 
   // ---------------------------------------------------------- sessionize
