@@ -922,13 +922,16 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[Similarity.lshTopK]] at nPlanes=4, k=5: the
-    * hyperplane component formula is identical integer arithmetic, so
-    * bucket ids — and therefore the whole approximate result — match. */
-  private lazy val lshAnnOracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    * hyperplane component formula (affine mix + quadratic round) is
+    * identical integer arithmetic, so bucket ids — and therefore the
+    * whole approximate result — match. */
+  private lazy val lshAnnOracle: String = {
+    val m1 = "((((p*131)+i)*2654435761+9176)%1000003)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |b AS (SELECT vec_id, v,
       |  CAST(list_sum([CASE WHEN
-      |    list_sum([v[i] * ((((p*131)+i)*2654435761+9176)%1000003/1000003.0 - 0.5)
+      |    list_sum([v[i] *
+      |      (($m1 * ($m1 + 13)) % 1000003 / 1000003.0 - 0.5)
       |              for i in range(1, len(v)+1)]) >= 0
       |    THEN (1::BIGINT << p) ELSE 0 END for p in range(0, 4)]) AS BIGINT) AS bkt
       |  FROM e),
@@ -943,6 +946,7 @@ object SparkEntry {
       |        AS rank FROM s)
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** DuckDB mirror of [[Similarity.ivfTopK]] at nCentroids=16, nProbe=6,
     * k=5: same centroid sample (multiplicative-hash order, id

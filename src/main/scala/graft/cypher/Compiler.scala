@@ -420,11 +420,19 @@ object Compiler {
           rf.columns.mkString(","))
       // name parity alone would let Spark's positional coercion silently
       // unify e.g. a string branch with a numeric branch — require
-      // compatible types like the reference's type system would
+      // compatible types like the reference's type system would. A
+      // NullType branch (RETURN null) unifies with anything, and
+      // temporals unify among themselves (date widens to timestamp).
       lf.schema.fields.zip(rf.schema.fields).foreach { case (a, b) =>
+        def temporal(t: DataType): Boolean = t match {
+          case DateType | TimestampType | TimestampNTZType => true
+          case _ => false
+        }
         val ok = a.dataType == b.dataType ||
+          a.dataType == NullType || b.dataType == NullType ||
           (a.dataType.isInstanceOf[NumericType] &&
-            b.dataType.isInstanceOf[NumericType])
+            b.dataType.isInstanceOf[NumericType]) ||
+          (temporal(a.dataType) && temporal(b.dataType))
         if (!ok) throw new CypherBindingException(
           s"UNION column '${a.name}' type mismatch: " +
           s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")

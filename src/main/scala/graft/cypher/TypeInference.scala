@@ -35,15 +35,34 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     case _ => false
   }
 
-  /** Numeric widening (Spark's binary-arithmetic result shape). */
-  private def widen(a: DataType, b: DataType): DataType =
-    if (a == DoubleType || b == DoubleType) DoubleType
+  /** Numeric widening (Spark's binary-arithmetic result shape).
+    * Decimal-aware: decimal×decimal/integral widens to the covering
+    * decimal — collapsing to double would silently round values beyond
+    * 2^53 (CASE branches are cast to this type). */
+  private def widen(a: DataType, b: DataType): DataType = {
+    def asDec(t: DataType): Option[DecimalType] = t match {
+      case d: DecimalType => Some(d)
+      case ByteType       => Some(DecimalType(3, 0))
+      case ShortType      => Some(DecimalType(5, 0))
+      case IntegerType    => Some(DecimalType(10, 0))
+      case LongType       => Some(DecimalType(20, 0))
+      case _              => None
+    }
+    if (a == b) a
+    else if (a == DoubleType || b == DoubleType) DoubleType
     else if (a == FloatType || b == FloatType)
-      if (isIntegralT(a) || isIntegralT(b)) DoubleType else FloatType
-    else if (a == b) a
-    else if (a == DecimalType.SYSTEM_DEFAULT || b.isInstanceOf[DecimalType] ||
-      a.isInstanceOf[DecimalType]) DoubleType
+      if (isIntegralT(a) || isIntegralT(b)) DoubleType
+      else DoubleType // float × decimal
+    else if (a.isInstanceOf[DecimalType] || b.isInstanceOf[DecimalType])
+      (asDec(a), asDec(b)) match {
+        case (Some(x), Some(y)) =>
+          val scale = math.max(x.scale, y.scale)
+          val intDigits = math.max(x.precision - x.scale, y.precision - y.scale)
+          DecimalType(math.min(intDigits + scale, DecimalType.MAX_PRECISION), scale)
+        case _ => DoubleType
+      }
     else LongType // mixed integrals
+  }
 
   private def fail(msg: String): Nothing = throw new CypherTypeException(msg)
 
@@ -97,7 +116,12 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         else if (isNumeric(a) && isNumeric(b)) widen(a, b)
         else if (a == BooleanType && isNumeric(b)) b
         else if (isNumeric(a) && b == BooleanType) a
-        else if (isTemporal(a) && isTemporal(b)) a
+        else if (isTemporal(a) && isTemporal(b))
+          // wider temporal wins: a date-first CASE must not truncate
+          // timestamp branches to date
+          if (a == TimestampType || b == TimestampType) TimestampType
+          else if (a == TimestampNTZType || b == TimestampNTZType) TimestampNTZType
+          else a
         else fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
       }
   }
@@ -167,7 +191,11 @@ final class TypeInference(refType: Ref => Option[DataType]) {
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(IntegerType)
       case "datetime" | "localdatetime" =>
-        requireString(t(0), f.name); Some(TimestampType)
+        // string literal/column OR an existing temporal (identity/
+        // widening conversion via to_timestamp)
+        t(0).foreach(x => if (x != StringType && !isTemporal(x))
+          fail(s"${f.name}() requires a string or date/timestamp, got ${x.simpleString}"))
+        Some(TimestampType)
       case "date" =>
         t(0).foreach(x => if (x != StringType && !isTemporal(x))
           fail(s"date() requires a string or timestamp, got ${x.simpleString}"))

@@ -345,9 +345,15 @@ object NativeExpressions {
       val out = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val s = arr.getUTF8String(i)
-        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        // null element → seed unchanged, like xxhash64(null) in the
+        // transform-lambda formulation this replaces
+        out(i) =
+          if (arr.isNullAt(i)) seed
+          else {
+            val s = arr.getUTF8String(i)
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          }
         i += 1
       }
       new GenericArrayData(out)
@@ -363,9 +369,11 @@ object NativeExpressions {
            |int $n = $c.numElements();
            |long[] $out = new long[$n];
            |for (int $i = 0; $i < $n; $i++) {
-           |  org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-           |  $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
-           |    .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+           |  if ($c.isNullAt($i)) { $out[$i] = ${seed}L; } else {
+           |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
+           |    $out[$i] = org.apache.spark.sql.catalyst.expressions.XXH64
+           |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+           |  }
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
@@ -390,7 +398,12 @@ object NativeExpressions {
       val n = arr.numElements()
       val out = new Array[Long](n)
       var i = 0
-      while (i < n) { out(i) = fp60(arr.getUTF8String(i)); i += 1 }
+      // null element hashes like the empty string (0) — documented,
+      // never crashes on caller-supplied arrays with null slots
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) 0L else fp60(arr.getUTF8String(i))
+        i += 1
+      }
       new GenericArrayData(out)
     }
 
@@ -403,7 +416,8 @@ object NativeExpressions {
            |int $n = $c.numElements();
            |long[] $out = new long[$n];
            |for (int $i = 0; $i < $n; $i++) {
-           |  $out[$i] = graft.functions.NativeExpressions.fp60($c.getUTF8String($i));
+           |  $out[$i] = $c.isNullAt($i) ? 0L
+           |    : graft.functions.NativeExpressions.fp60($c.getUTF8String($i));
            |}
            |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          """.stripMargin
@@ -449,7 +463,8 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
-  /** Shared eval for [[ModNgramHashes]] (interpreted + generated code). */
+  /** Shared eval for [[ModNgramHashes]] (interpreted + generated code).
+    * Null token slots hash like the empty string (0). */
   def modNgrams(arr: ArrayData, n: Int): Array[Long] = {
     val m = 1000000007L
     val len = arr.numElements()
@@ -457,7 +472,10 @@ object NativeExpressions {
     if (cnt <= 0) return Array.empty[Long]
     val th = new Array[Long](len)
     var i = 0
-    while (i < len) { th(i) = fp64(arr.getUTF8String(i)); i += 1 }
+    while (i < len) {
+      th(i) = if (arr.isNullAt(i)) 0L else fp64(arr.getUTF8String(i))
+      i += 1
+    }
     val out = new Array[Long](cnt)
     i = 0
     while (i < cnt) {
@@ -654,54 +672,77 @@ object NativeExpressions {
     * exact arithmetic of the documented formula and its DuckDB oracle.
     * Walks the UTF-8 bytes in place (decoding code points directly);
     * no per-call String materialization. */
-  def fp64(s: org.apache.spark.unsafe.types.UTF8String): Long =
-    fpWalk(s, Fp64Weights) % 1000000007L
+  def fp64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val acc = fpWalk(s, Fp64Weights, null)
+    acc % 1000000007L
+  }
 
   /** One-pass 60-bit packed token hash: two independent position-weighted
     * rolling hashes (bases 31 and 37, both mod 1e9+7 < 2^30) packed as
     * hi·2^30 + lo. The SQL-mirrorable per-token hash for cross-engine
-    * SimHash verification — single walk, no string allocation. */
+    * SimHash verification — ONE UTF-8 walk accumulates both sums, no
+    * string allocation. */
   def fp60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val m = 1000000007L
-    (fpWalk(s, Fp64Weights) % m) * 1073741824L + (fpWalk(s, Fp37Weights) % m)
+    val second = new Array[Long](1)
+    val first = fpWalk(s, Fp64Weights, second)
+    (first % m) * 1073741824L + (second(0) % m)
   }
 
   /** Sum of codePoint·weights(pos mod 8) over the string's code points,
-    * decoded straight from the UTF-8 bytes. Overflow-free for ASCII-ish
-    * content up to ~2.7e6 chars (terms < 2^42; document-scale safe). */
+    * decoded straight from the UTF-8 bytes; when `acc2` is non-null it
+    * simultaneously accumulates the base-37 sum into acc2(0) (fp60's
+    * single-walk path). Overflow-free for ASCII-ish content up to
+    * ~2.7e6 chars (terms < 2^42; document-scale safe). Truncated or
+    * malformed sequences decode to U+FFFD and advance one byte —
+    * bounds-safe on invalid UTF-8 (web-crawl bytes), matching Java's
+    * replacement-character decoding for the common stray-byte cases. */
   private def fpWalk(s: org.apache.spark.unsafe.types.UTF8String,
-                     w: Array[Long]): Long = {
+                     w: Array[Long], acc2: Array[Long]): Long = {
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val n = s.numBytes
     var acc = 0L
+    var accB = 0L
     var i = 0
     var pos = 0
     while (i < n) {
-      val b0 = org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0xFF
-      var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if (b0 < 0xE0) {
-        cp = ((b0 & 0x1F) << 6) |
-          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F)
-        i += 2
-      } else if (b0 < 0xF0) {
-        cp = ((b0 & 0x0F) << 12) |
-          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 6) |
-          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F)
-        i += 3
-      } else {
-        cp = ((b0 & 0x07) << 18) |
-          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 1) & 0x3F) << 12) |
-          ((org.apache.spark.unsafe.Platform.getByte(base, off + i + 2) & 0x3F) << 6) |
-          (org.apache.spark.unsafe.Platform.getByte(base, off + i + 3) & 0x3F)
-        i += 4
-      }
-      acc += cp.toLong * w(pos % 8)
+      val cp = decodeCp(base, off, n, i)
+      val len = cpLen(cp)
+      i += len
+      val p = pos % 8
+      acc += (cp & CpMask).toLong * w(p)
+      if (acc2 != null) accB += (cp & CpMask).toLong * Fp37Weights(p)
       pos += 1
     }
+    if (acc2 != null) acc2(0) = accB
     acc
   }
+
+  // decodeCp packs (byte length << 24 | code point); cpLen/CpMask unpack.
+  // Bounds-checked: a sequence running past the buffer or a stray
+  // continuation byte yields U+FFFD with length 1.
+  private final val CpMask = 0xFFFFFF
+  private def cpLen(packed: Int): Int = packed >>> 24
+  private def decodeCp(base: AnyRef, off: Long, n: Int, i: Int): Int = {
+    def b(k: Int): Int = org.apache.spark.unsafe.Platform.getByte(base, off + k) & 0xFF
+    val b0 = b(i)
+    if (b0 < 0x80) (1 << 24) | b0
+    else if (b0 < 0xC0) (1 << 24) | 0xFFFD // stray continuation byte
+    else if (b0 < 0xE0) {
+      if (i + 1 >= n) (1 << 24) | 0xFFFD
+      else (2 << 24) | (((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F))
+    } else if (b0 < 0xF0) {
+      if (i + 2 >= n) (1 << 24) | 0xFFFD
+      else (3 << 24) | (((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) |
+        (b(i + 2) & 0x3F))
+    } else {
+      if (i + 3 >= n) (1 << 24) | 0xFFFD
+      else (4 << 24) | (((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
+        ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F))
+    }
+  }
+
   private val Fp64Weights: Array[Long] =
     Iterator.iterate(1L)(_ * 31L).take(8).toArray
   private val Fp37Weights: Array[Long] =
@@ -789,8 +830,8 @@ object NativeExpressions {
    *  - n_tok: Spark `split(trim(text), "\\s+")` — Java regex split with
    *    limit -1 (every empty piece kept), i.e. whitespace-run count + 1
    *    on the space-trimmed text; blank → 0;
-   *  - n_sub: letter runs + digit runs + other non-space chars (astral
-   *    "other" code points count 2, like Java's UTF-16 regex);
+   *  - n_sub: letter runs + digit runs + other non-space code points
+   *    (Java regex is code-point aware: an astral char is one match);
    *  - n_punct: chars in [.,;:!?];
    *  - n_stop / h_lang: maximal ASCII word runs ([A-Za-z0-9_], `\b`
    *    semantics) compared case-insensitively against the marker sets.
@@ -847,25 +888,17 @@ object NativeExpressions {
       inWord = false; wordKey = 0L; wordLen = 0
     }
     while (i < n) {
-      val b0 = b(i)
-      var cp = 0
-      if (b0 < 0x80) { cp = b0; i += 1 }
-      else if (b0 < 0xE0) { cp = ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F); i += 2 }
-      else if (b0 < 0xF0) {
-        cp = ((b0 & 0x0F) << 12) | ((b(i + 1) & 0x3F) << 6) | (b(i + 2) & 0x3F)
-        i += 3
-      } else {
-        cp = ((b0 & 0x07) << 18) | ((b(i + 1) & 0x3F) << 12) |
-          ((b(i + 2) & 0x3F) << 6) | (b(i + 3) & 0x3F)
-        i += 4
-      }
+      val packed = decodeCp(base, off, n, i)
+      val cp = packed & CpMask
+      i += cpLen(packed)
       val isLetter = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
       val isDigit = cp >= '0' && cp <= '9'
       val isSpace = isWs(cp)
-      // subword runs (full text)
+      // subword runs (full text). Java regex is code-point aware, so an
+      // astral "other" char is ONE match, like any BMP char.
       if (isLetter) { if (prevClass != 1) out(1) += 1; prevClass = 1 }
       else if (isDigit) { if (prevClass != 2) out(1) += 1; prevClass = 2 }
-      else { if (!isSpace) out(1) += (if (cp > 0xFFFF) 2L else 1L); prevClass = 3 }
+      else { if (!isSpace) out(1) += 1; prevClass = 3 }
       // punctuation
       if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?')
         out(2) += 1

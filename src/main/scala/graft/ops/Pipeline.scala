@@ -76,7 +76,7 @@ object Pipeline {
                        perStratum: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
-      .orderBy((col(idCol) * lit(2654435761L)) % lit(1000000007L), col(idCol))
+      .orderBy(Hashing.mulHash(col(idCol)), col(idCol))
     df.withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= perStratum)
       .drop("__rk")
@@ -90,7 +90,7 @@ object Pipeline {
                            fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
     val cut = (fraction * 1000000007L).toLong
-    df.where((col(idCol) * lit(2654435761L)) % lit(1000000007L) < cut)
+    df.where(Hashing.mulHash(col(idCol)) < cut)
   }
 
   /**

@@ -148,8 +148,14 @@ object Similarity {
    *  but has no DuckDB twin; for sign-of-dot-product hyperplanes this
    *  quality is equivalent). */
   private def planeComponent(p: Int, j: Column): Column = {
-    val mixed = (lit(p * 131L) + j + lit(1L)) * lit(2654435761L) + lit(9176L)
-    (pmod(mixed, lit(1000003L)).cast(DoubleType) / lit(1000003.0)) - lit(0.5)
+    // two rounds: the affine mix alone is a lattice (consecutive j
+    // differ by a constant mod 1000003, planes are shifted copies); the
+    // quadratic second round breaks the linear structure while staying
+    // overflow-safe (m1 < 2^20 → product < 2^40) and SQL-expressible
+    val m1 = pmod((lit(p * 131L) + j + lit(1L)) * lit(2654435761L) + lit(9176L),
+      lit(1000003L))
+    val m2 = pmod(m1 * (m1 + lit(13L)), lit(1000003L))
+    (m2.cast(DoubleType) / lit(1000003.0)) - lit(0.5)
   }
 
   /**
@@ -269,8 +275,7 @@ object Similarity {
     if (iters <= 0 || seed.isEmpty) return seed
     val sample = corpus
       .select(col(vecCol).as("__v"),
-        ((col(idCol).cast(LongType) * lit(2654435761L)) % lit(1000000007L))
-          .as("__h"),
+        Hashing.mulHash(col(idCol)).as("__h"),
         col(idCol).cast(LongType).as("__i"))
       .orderBy(col("__h"), col("__i")).limit(sampleN)
       .select(col("__v")).cache()
@@ -322,7 +327,7 @@ object Similarity {
     // centroids are means, not corpus rows — keep 0 for oracle runs).
     val seedCent: Array[Array[Float]] = corpus
       .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
-      .orderBy((col("i") * lit(2654435761L)) % lit(1000000007L), col("i"))
+      .orderBy(Hashing.mulHash(col("i")), col("i"))
       .limit(nCentroids)
       .collect().map(_.getSeq[Float](0).toArray)
     val cent = refineCentroids(corpus, vecCol, idCol, seedCent,

@@ -504,6 +504,30 @@ class CypherEngineSpec extends AnyFunSuite {
         |UNION
         |MATCH (m:Movie) RETURN m.Released AS v""".stripMargin))
     assert(e.getMessage.contains("type mismatch"))
+    // ...but a NULL branch unifies with anything (Cypher-legal)
+    val ok = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks' RETURN null AS v
+        |UNION
+        |MATCH (m:Movie) RETURN m.Released AS v""".stripMargin)
+    assert(ok.nonEmpty)
+  }
+
+  test("temporal conversions/merges: datetime over a temporal, CASE widens date→timestamp") {
+    // datetime() over an already-temporal expression is an identity/
+    // widening conversion, not a type error
+    val d = session.run(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN datetime(date('1995-06-30')) AS dt""".stripMargin)
+    import org.apache.spark.sql.types._
+    assert(d.schema("dt").dataType == TimestampType)
+    // date-first CASE must not truncate the timestamp branch
+    val c = session.run(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN CASE WHEN m.Released < 1990 THEN date('2020-01-01')
+        |       ELSE datetime('2020-06-15T12:30:00') END AS x""".stripMargin)
+    assert(c.schema("x").dataType == TimestampType)
+    assert(c.head().getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2020-06-15 12:30:00"))
   }
 
   test("percentileDisc: exact SQL-standard semantics, no collect_list in plan") {

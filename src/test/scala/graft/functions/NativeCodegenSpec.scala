@@ -154,6 +154,42 @@ class NativeCodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint walkers are bounds-safe on truncated/invalid UTF-8") {
+    // web-crawl bytes: truncated multibyte lead bytes at end-of-buffer,
+    // stray continuation bytes — must not read out of bounds and must
+    // be deterministic
+    val bad = Seq(
+      Array[Byte](0x61, 0xF0.toByte),                    // "a" + truncated 4-byte lead
+      Array[Byte](0xE2.toByte, 0x82.toByte),             // truncated 3-byte seq
+      Array[Byte](0xC3.toByte),                          // truncated 2-byte seq
+      Array[Byte](0x80.toByte, 0x61),                    // stray continuation + "a"
+      Array[Byte](0xF0.toByte, 0x9F.toByte, 0x98.toByte) // truncated emoji
+    )
+    for (bytes <- bad) {
+      val s = UTF8String.fromBytes(bytes)
+      val f1 = fp64(s); val f2 = fp64(s)
+      assert(f1 == f2 && f1 >= 0)
+      val p1 = fp60(s); val p2 = fp60(s)
+      assert(p1 == p2 && p1 >= 0)
+      val t1 = textStats(s).toSeq; val t2 = textStats(s).toSeq
+      assert(t1 == t2)
+    }
+  }
+
+  test("token-hash arrays tolerate null elements (SQL-facing surface)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val withNull = new GenericArrayData(
+      Array[Any](UTF8String.fromString("a"), null, UTF8String.fromString("b")))
+    val xx = TokenHashesXx(tokCol).nullSafeEval(withNull)
+      .asInstanceOf[ArrayData].toLongArray
+    assert(xx(1) == 42L) // xxhash64(null) == seed, like the transform form
+    val t60 = TokenHashes60(tokCol).nullSafeEval(withNull)
+      .asInstanceOf[ArrayData].toLongArray
+    assert(t60(1) == 0L) // null slot hashes like empty string
+    val ng = modNgrams(withNull, 2)
+    assert(ng.length == 2) // no NPE; null treated as empty-string hash
+  }
+
   test("generated code for two same-class instances has no fixed shared locals") {
     // Belt-and-braces: the d02 regression exactly — two NgramHashes in one
     // scope used to emit two `int ng_len` declarations.

@@ -405,6 +405,7 @@ class OpsSpec extends AnyFunSuite {
       "el los y las una es que", "THE AND IS OF TO WAS FOR",
       "punct...only!!!???", "a1b2c3", "_under_score_ the_cat the cat",
       "héllo wörld the café", "日本語 the テキスト", "mixed 123 numbers 456",
+      "emoji 😀🎉 the mix 😀ok", "astral𝒜math𝒜id the end",
       "is is is is is", "a", "an and of to in is was for",
       "x.y,z;w:v!u?t", "  the  ", "thé the th e")
     val df = samples.toDF("text")
@@ -469,6 +470,23 @@ class OpsSpec extends AnyFunSuite {
     val s2 = Pipeline.stratifiedSample(df.repartition(7), "lang", "doc_id", 10)
       .collect().map(r => (r.getString(1), r.getLong(0)))
     assert(s1.toSet == s2.toSet)
+  }
+
+  test("hash sampling survives snowflake-scale 64-bit ids (no ANSI overflow)") {
+    // a raw id * 2654435761 multiply overflows Long above ~3.4e9 —
+    // ANSI mode (Spark 4 default) throws; the safe modular form must not
+    val big = Seq(512346778123456789L, 612346778123456790L, 712346778123456791L,
+      812346778123456792L, 912346778123456793L)
+      .toDF("doc_id").withColumn("lang", lit("xx")).withColumn("text", lit("t"))
+    val s = Pipeline.sampleByHashFraction(big, "doc_id", 0.5)
+    val n = s.count() // would throw ArithmeticException before the fix
+    assert(n >= 0 && n <= 5)
+    val strat = Pipeline.stratifiedSample(big, "lang", "doc_id", 3)
+    assert(strat.count() == 3)
+    // hash values stay in [0, 1e9+7) — the sign bug with ANSI off
+    val hs = big.select(graft.ops.Hashing.mulHash(col("doc_id")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0 && h < 1000000007L))
   }
 
   test("sampleByHashFraction: map-only (no shuffle), deterministic, ~fraction") {
