@@ -698,6 +698,17 @@ object SparkEntry {
              |  FROM documents)
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    // --- repetition quality signals (Gopher-style): duplicate-line
+    //     fraction + most-frequent-3-gram fraction; per-row IEEE
+    //     divisions, no rounding
+    ("t08_repetition",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          TextOps.lineCount(col("text")).as("n_lines"),
+          TextOps.dupLineFraction(col("text")).as("dup_line_frac"),
+          TextOps.topNgramFraction(col("text"), 3).as("top3gram_frac"))
+        .orderBy("doc_id"),
+      Some(repetitionOracle)),
+
     // --- gap-based sessionization (batch gaps-and-islands)
     ("t03_sessionize",
       (s, dir) => Sessionize.batch(evts(s, dir), gapMinutes = 30)
@@ -920,6 +931,31 @@ object SparkEntry {
        |       CAST(n_hit AS DOUBLE)/n_grams AS contamination
        |FROM h WHERE CAST(n_hit AS DOUBLE)/n_grams >= 0.1
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of t08: duplicate-line fraction + mode-3-gram
+    * fraction (count of the modal gram / total grams — equals the
+    * longest equal run in the sorted gram list the Spark side uses). */
+  private lazy val repetitionOracle: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents),
+       |th AS (SELECT doc_id, text, list_transform(toks, t -> ${sqlFp("t", w31)}) AS th
+       |  FROM t),
+       |g AS (SELECT doc_id, text,
+       |    CASE WHEN len(th) < 3 THEN []
+       |    ELSE [ (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007
+       |           for i in range(1, len(th) - 1)] END AS grams FROM th),
+       |l AS (SELECT doc_id, string_split_regex(text, '\\n') AS lines, grams FROM g)
+       |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+       |  CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)/len(lines)
+       |    AS dup_line_frac,
+       |  CASE WHEN len(grams) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(grams,
+       |              x -> x = list_aggregate(grams, 'mode'))) AS DOUBLE)
+       |            / len(grams)
+       |  END AS top3gram_frac
+       |FROM l ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[Similarity.lshTopK]] at nPlanes=4, k=5: the
     * hyperplane component formula (affine mix + quadratic round) is

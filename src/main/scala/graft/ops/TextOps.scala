@@ -127,6 +127,42 @@ object TextOps {
     chain.otherwise(lit("und"))
   }
 
+  /** Lines of a document (regex '\n' split; every empty piece kept,
+    * matching both engines' split semantics). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  def lineCount(text: Column): Column = size(lines(text)).cast(LongType)
+
+  /** Fraction of duplicated lines — the Gopher-style repeated-line
+    * quality signal. 0 for single-line/empty documents. */
+  def dupLineFraction(text: Column): Column = {
+    val l = lines(text)
+    (size(l) - size(array_distinct(l))).cast(DoubleType) /
+      size(l).cast(DoubleType)
+  }
+
+  /**
+   * Fraction of the document's word n-grams taken by the single most
+   * frequent n-gram (Gopher-style repetition signal; high values mark
+   * boilerplate/looping text). Map-only per row: native n-gram hashes,
+   * sort, longest equal run. 0 when the document has no n-grams.
+   */
+  def topNgramFraction(text: Column, n: Int): Column = {
+    val grams = sort_array(
+      graft.functions.NativeExpressions.modNgramHashes(tokens(text), n))
+    val best = aggregate(grams,
+      struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(grams) === 0, lit(0.0))
+      .otherwise(best.cast(DoubleType) / size(grams).cast(DoubleType))
+  }
+
   /**
    * Corpus token frequencies: explode → groupBy(token). Map-side partial
    * counts make the shuffle proportional to the vocabulary, not the

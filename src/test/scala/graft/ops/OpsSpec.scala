@@ -525,6 +525,29 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("repetition signals: duplicate lines and dominant n-grams") {
+    val df = Seq(
+      (1L, "unique one\nunique two\nunique three"),           // no dup lines
+      (2L, "same line\nsame line\nother"),                    // 1 of 3 duplicated
+      (3L, "spam spam spam spam spam spam"),                  // one dominant 3-gram
+      (4L, "the quick brown fox jumps over lazy dogs daily"), // all grams distinct
+      (5L, "")                                                // empty
+    ).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextOps.lineCount(col("text")).as("nl"),
+      TextOps.dupLineFraction(col("text")).as("dl"),
+      TextOps.topNgramFraction(col("text"), 3).as("tg"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getLong(1) == 3 && r(0).getDouble(2) == 0.0)
+    assert(r(1).getDouble(2) == 1.0 / 3.0)
+    // "spam"x6 → 4 identical 3-grams → fraction 1.0
+    assert(r(2).getDouble(3) == 1.0)
+    // 9 distinct tokens → 7 distinct grams → 1/7
+    assert(r(3).getDouble(3) == 1.0 / 7)
+    assert(r(4).getLong(1) == 1 && r(4).getDouble(2) == 0.0 &&
+      r(4).getDouble(3) == 0.0)
+  }
+
   test("native SimHash64 == compositional simhashFromHashes") {
     import graft.functions.NativeExpressions
     val hashes = transform(TextOps.tokens(col("text")), t => xxhash64(t))
