@@ -91,7 +91,10 @@ final class ExprCompiler(
         }
       }
 
-    case Not(x)    => !compile(x)
+    // boolean positions cast their operand: a NULL literal is VOID-typed
+    // in Catalyst (analysis error) but legal, null-valued boolean input
+    // in Cypher; the cast is a no-op for well-typed operands
+    case Not(x)    => !build(x).cast(BooleanType)
     case Neg(x)    => negate(compile(x))
     case IsNull(x, false) => compile(x).isNull
     case IsNull(x, true)  => compile(x).isNotNull
@@ -113,9 +116,10 @@ final class ExprCompiler(
         val c = build(v)
         target.map(c.cast).getOrElse(c)
       }
-      val head = when(build(whens.head._1), branch(whens.head._2))
+      def cond(c: Expr): Column = build(c).cast(BooleanType)
+      val head = when(cond(whens.head._1), branch(whens.head._2))
       val chained = whens.tail.foldLeft(head) { case (acc, (c, v)) =>
-        acc.when(build(c), branch(v))
+        acc.when(cond(c), branch(v))
       }
       other.map(o => chained.otherwise(branch(o))).getOrElse(chained)
   }
@@ -141,9 +145,10 @@ final class ExprCompiler(
         else l / r
       case BinOp.Mod => l % r
       case BinOp.Pow => pow(l.cast(DoubleType), r.cast(DoubleType))
-      case BinOp.And => l && r
-      case BinOp.Or  => l || r
-      case BinOp.Xor => l =!= r   // null-propagating boolean XOR
+      // boolean operands cast like Not's (NULL literal = VOID in Catalyst)
+      case BinOp.And => l.cast(BooleanType) && r.cast(BooleanType)
+      case BinOp.Or  => l.cast(BooleanType) || r.cast(BooleanType)
+      case BinOp.Xor => l.cast(BooleanType) =!= r.cast(BooleanType) // null-propagating XOR
       case BinOp.Lt  => l < r
       case BinOp.Le  => l <= r
       case BinOp.Gt  => l > r

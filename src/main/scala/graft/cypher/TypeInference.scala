@@ -141,8 +141,10 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         for (a <- l; b <- r) yield widen(a, b)
       case BinOp.Div =>
         requireNumeric(l, "/"); requireNumeric(r, "/")
+        // integral operands lower to IntegralDivide, whose result type
+        // is always LONG (not the widened operand type)
         for (a <- l; b <- r)
-          yield if (isIntegralT(a) && isIntegralT(b)) widen(a, b) else DoubleType
+          yield if (isIntegralT(a) && isIntegralT(b)) LongType else DoubleType
       case BinOp.Pow =>
         requireNumeric(l, "^"); requireNumeric(r, "^"); Some(DoubleType)
       case BinOp.And | BinOp.Or | BinOp.Xor =>
