@@ -465,6 +465,25 @@ object SparkEntry {
              |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --- near-dup PAIRS → CLUSTERS: connected components over the d03
+    //     pair graph (alternating large-star/small-star — no adjacency
+    //     lists, edge-list-only shuffles), one row per clustered doc
+    //     with its canonical keep-id and cluster size. Oracle: DuckDB
+    //     recursive CTE propagating min-reachable-id over the same
+    //     (exact all-pairs) edge set.
+    ("d06_dup_clusters",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs)
+        cc.select(col("id").as("doc_id"), col("component").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster_id"))))
+          .orderBy("doc_id")
+      },
+      Some(dupClustersOracle)),
+
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
     // oracle mode: the per-token hash is two fingerprint64 values packed
@@ -882,6 +901,37 @@ object SparkEntry {
   // simhashOracle before later vals would be assigned
   private def w31 = "1,31,961,29791,923521,28629151,887503681,27512614111"
   private def w37 = "1,37,1369,50653,1874161,69343957,2565726409,94931877133"
+
+  /** DuckDB mirror of d06: the d03 exact all-pairs edge set (LSH miss
+    * probability < 1e-7 at τ=0.8, same argument as d03), then connected
+    * components via a recursive CTE that propagates every reachable id
+    * and keeps the minimum — exactly the min-id-root semantics of
+    * [[graft.ops.Dedup.connectedComponents]]. */
+  private lazy val dupClustersOracle: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        for i in range(1, len(t) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |               ELSE string_split_regex(trim(text), '\s+') END AS t
+      |        FROM documents)),
+      |pr AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+      |          len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.8),
+      |edges AS (SELECT ida AS u, idb AS v FROM pr
+      |          UNION SELECT idb, ida FROM pr),
+      |walk(u, c) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.v, w.c FROM walk w JOIN edges e ON e.u = w.u),
+      |comp AS (SELECT u AS doc_id, min(c) AS cluster_id FROM walk GROUP BY u)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM comp ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of d04: per-token 60-bit hashes → 64-bit SimHash
     * (bits ≥ 60 provably zero → vote loop over 60 bits) → all-pairs

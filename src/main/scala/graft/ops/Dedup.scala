@@ -331,6 +331,108 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------- connected components
+
+  /**
+   * Connected components over an undirected edge list — turns near-dup
+   * PAIRS (from [[minhashLshPairs]]/[[simhashPairs]]/…) into CLUSTERS,
+   * the step a real corpus dedup needs before deciding which copy to
+   * keep (pairs alone over-delete: a∼b, b∼c must collapse to ONE
+   * surviving doc, not two independent pair decisions).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) —
+   * converges in O(log² n) rounds (a handful in practice for the
+   * short-diameter cluster graphs dedup produces). Each round is two
+   * aggregate+join passes over the EDGE LIST ONLY: no adjacency lists
+   * are ever materialized (no collect_list), so a hub with 10⁸
+   * neighbors costs nothing beyond its edge rows — the property that
+   * matters at 100 TB where boilerplate docs form giant near-dup
+   * blobs. Per-round lineage is cut with `localCheckpoint` so plans
+   * stay O(1) deep across iterations.
+   *
+   * Returns (id, component): one row per node that appears in `pairs`,
+   * with component = MIN id in its connected component (so the root is
+   * itself the canonical "keep" id). Nodes not in any pair are absent —
+   * callers union singletons back (see [[nearDeduplicate]]).
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical (hi > lo) edges, self-loops dropped
+    var edges = pairs
+      .select(col(aCol).cast(LongType).as("__a"), col(bCol).cast(LongType).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(greatest(col("__a"), col("__b")).as("hi"),
+        least(col("__a"), col("__b")).as("lo"))
+      .distinct()
+      .localCheckpoint()
+
+    // fixpoint detector: (#edges, order-independent content hash) — one
+    // cheap aggregate per round, which doubles as the materializing
+    // action for the checkpoint above
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent over the distinct edge set, and
+      // immune to ANSI sum-overflow on 64-bit hash values
+      val r = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("hi"), col("lo"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var state = checksum(edges)
+    var iter = 0
+    var converged = state._1 == 0L
+    while (!converged && iter < maxIter) {
+      // ---- large-star: center u over the symmetrized edges; with
+      // m(u) = min(Γ(u) ∪ {u}), emit (v, m(u)) for every neighbor
+      // v > u. Strictly-smaller neighbors re-appear via their own
+      // center, so connectivity is preserved without adjacency lists.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+
+      // ---- small-star on the (hi > lo) canonical form: with
+      // m(u) = min of u's smaller neighborhood ∪ {u} (= min(lo) here),
+      // link every smaller neighbor and u itself to m(u).
+      val mins2 = large.groupBy("hi").agg(min("lo").as("mn"))
+      val small = large.join(mins2, "hi")
+        .where(col("lo") =!= col("mn"))
+        .select(col("lo").as("hi"), col("mn").as("lo")) // lo > mn by minimality
+        .union(mins2.select(col("hi"), col("mn").as("lo")))
+        .distinct()
+        .localCheckpoint()
+
+      val next = checksum(small)
+      converged = next == state
+      state = next
+      edges = small
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // star edges (node → root) + the roots themselves
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
+  }
+
+  /**
+   * Near-duplicate corpus dedup, end to end: keep exactly one document
+   * (the min id) per connected component of the near-dup pair graph,
+   * plus every document that is in no pair. One left-anti join of the
+   * corpus against the (small) set of non-root cluster members — the
+   * document bodies stream through once and never shuffle.
+   */
+  def nearDeduplicate(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id"))
+    df.join(drop, df(idCol).cast(LongType) === drop("id"), "left_anti")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /**

@@ -208,6 +208,49 @@ class OpsSpec extends AnyFunSuite {
     assert(r.head.schema.fieldNames.toSeq == corpus.schema.fieldNames.toSeq)
   }
 
+  test("connectedComponents == driver-side union-find on a random graph") {
+    // deterministic pseudo-random edge list with several components,
+    // a chain (stresses round count) and a hub (stresses the
+    // no-adjacency-list path)
+    val rnd = new scala.util.Random(7)
+    val chain = (0L until 12L).sliding(2).map(s => (s(0) + 100, s(1) + 100)).toSeq
+    val hub = (1L to 15L).map(i => (500L, 500L + i))
+    val random = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val all = chain ++ hub ++ random
+    // reference: union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    all.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val expect = parent.keys.map(k => k -> find(k)).toMap
+
+    val got = Dedup.connectedComponents(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("connectedComponents: empty input and single-edge graphs") {
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "component"))
+    val one = Dedup.connectedComponents(Seq((9L, 3L), (3L, 9L), (9L, 9L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(9L -> 3L, 3L -> 3L))
+  }
+
+  test("nearDeduplicate keeps one doc per near-dup cluster plus singletons") {
+    // corpus docs 1,2 exact dups; 3 near-dup of both (transitively one
+    // cluster {1,2,3}); 4 and 5 singletons
+    val pairs = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+      n = 3, k = 64, bands = 16, threshold = 0.7)
+    val kept = Dedup.nearDeduplicate(corpus, pairs, "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
   test("streaming dedup drops re-arrivals within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
