@@ -770,6 +770,65 @@ object SparkEntry {
              |       count(*) AS n_events, round(sum(value), 6) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // --- as-of join: each click annotated with the user's most recent
+    //     purchase at-or-before it (merge-scan shape: one shuffle on
+    //     user_id + a running last() — no theta-join). Oracle: DuckDB's
+    //     native ASOF LEFT JOIN, an independent implementation of the
+    //     same semantics.
+    ("e01_asof_join",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value"))
+          .groupBy("user_id", "pts").agg(max("value").as("pval"))
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("pts"), col("pval"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |c AS (SELECT event_id, user_id, ts, value
+             |      FROM e0 WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS pts, max(value) AS pval
+             |      FROM e0 WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts)
+             |SELECT c.event_id, c.user_id, c.value, p.pts, p.pval
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts >= p.pts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // --- bucketed range join: per error event, activity of the same
+    //     user in the following 30 minutes (interval×point → equi-join
+    //     on 30-min cells + exact filter; a bare BETWEEN predicate
+    //     would nested-loop). Oracle: the naive range-predicate join.
+    ("e02_range_join",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val errs = e.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("ts").as("st"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+        val acts = e.select(col("user_id"), col("ts").as("ats"),
+          col("value").as("av"))
+        AsOf.rangeJoin(errs, acts, Seq("user_id"), "st", "en", "ats",
+            bucketWidthSec = 1800L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_follow"),
+            round(sum("av"), 6).as("sum_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |er AS (SELECT event_id, user_id, ts
+             |       FROM e0 WHERE event_type = 'error')
+             |SELECT er.event_id, count(*) AS n_follow,
+             |       round(sum(v.value), 6) AS sum_value
+             |FROM er JOIN e0 v ON v.user_id = er.user_id
+             |  AND v.ts >= er.ts AND v.ts < er.ts + INTERVAL 30 MINUTE
+             |GROUP BY er.event_id ORDER BY er.event_id""".stripMargin)),
+
     // --- composed curation pipeline: quality gate → exact dedup →
     //     language ID → per-language token budget
     ("p01_curation",

@@ -251,6 +251,70 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("asofJoin: latest at-or-before right row per key; null when none") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, 10L, ts(100)), (2L, 10L, ts(205)), (3L, 10L, ts(50)),
+        (4L, 20L, ts(300)))
+      .toDF("eid", "uid", "lts")
+    val r = Seq((10L, ts(100), 1.0), (10L, ts(200), 2.0), (10L, ts(400), 3.0),
+        (30L, ts(10), 9.0))
+      .toDF("uid", "rts", "rv")
+    val got = AsOf.asofJoin(l, r, Seq("uid"), "lts", "rts")
+      .orderBy("eid").collect()
+      .map(x => (x.getLong(0), Option(x.get(3)).map(_.toString), x.get(4)))
+    assert(got.toSeq == Seq(
+      (1L, Some(ts(100).toString), 1.0), // equal ts matches (inclusive)
+      (2L, Some(ts(200).toString), 2.0), // latest of the two priors
+      (3L, None, null),                  // no right row at-or-before
+      (4L, None, null)))                 // key with no right rows at all
+  }
+
+  test("asofJoin == brute-force argmax on a random stream") {
+    val rnd = new scala.util.Random(11)
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq.tabulate(80)(i => (i.toLong, rnd.nextInt(5).toLong, ts(rnd.nextInt(1000))))
+    val r = Seq.tabulate(60)(i => (rnd.nextInt(5).toLong, ts(rnd.nextInt(1000)), i.toDouble))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq // unique per (key, ts)
+    val expect = l.map { case (eid, uid, lts) =>
+      val prior = r.filter(x => x._1 == uid && !x._2.after(lts))
+      eid -> prior.sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    val got = AsOf.asofJoin(l.toDF("eid", "uid", "lts"),
+        r.toDF("uid", "rts", "rv"), Seq("uid"), "lts", "rts")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(4)) None else Some(x.getDouble(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("rangeJoin == crossJoin-filter reference; intervals span buckets") {
+    val rnd = new scala.util.Random(13)
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // intervals up to 500 s wide vs a 60 s bucket → many multi-cell
+    // intervals; also an empty interval (start == end)
+    val l = Seq.tabulate(40) { i =>
+      val st = rnd.nextInt(2000); val len = if (i == 0) 0 else rnd.nextInt(500)
+      (i.toLong, rnd.nextInt(4).toLong, ts(st), ts(st + len))
+    }
+    val r = Seq.tabulate(150)(i =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(2500)), i.toLong))
+    val expect = (for {
+      (eid, k, st, en) <- l
+      (rk, rts, rid) <- r
+      if rk == k && !rts.before(st) && rts.before(en)
+    } yield (eid, rid)).toSet
+    val ldf = l.toDF("eid", "k", "st", "en")
+    val rdf = r.toDF("k", "rts", "rid")
+    val joined = AsOf.rangeJoin(ldf, rdf, Seq("k"), "st", "en", "rts", 60L)
+    val got = joined.select("eid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.toSet.size, "pair emitted more than once")
+    assert(got.toSet == expect)
+    // the whole point: an equi-join physical plan, not a nested loop
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$phys")
+  }
+
   test("streaming dedup drops re-arrivals within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Sessionize.Event]
