@@ -728,6 +728,46 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(repetitionOracle)),
 
+    // --- normalization + PII scrub. The corpus has no organic PII, so
+    //     both engines synthesize an identical PII-bearing prefix
+    //     (emails/phone/IP/SSN derived from doc_id) and the full
+    //     scrubbed string is hash-compared — an exact cross-engine
+    //     check of every regex in the chain.
+    ("t09_normalize_pii",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          TextOps.normalize(col("text")).as("norm"),
+          TextOps.scrubPii(TextOps.normalize(concat(
+            lit("Contact user"), col("doc_id").cast("string"),
+            lit(" at u"), col("doc_id").cast("string"),
+            lit("@mail.example.com or +1 555-0"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+            lit(" 1234, ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".7, ssn 123-45-6789. "), col("text")))).as("scrubbed"))
+        .orderBy("doc_id"),
+      Some("""WITH pii AS (
+             |  SELECT doc_id,
+             |    'Contact user' || CAST(doc_id AS VARCHAR) ||
+             |    ' at u' || CAST(doc_id AS VARCHAR) ||
+             |    '@mail.example.com or +1 555-0' ||
+             |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             |    ' 1234, ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             |    '.7, ssn 123-45-6789. ' || text AS p, text
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+             |    trim(regexp_replace(regexp_replace(lower(p),
+             |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS np
+             |  FROM pii)
+             |SELECT doc_id, norm,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(np,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+             |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+             |    '\+?[0-9][0-9\-\s()]{6,}[0-9]\b', '<PHONE>', 'g') AS scrubbed
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // --- gap-based sessionization (batch gaps-and-islands)
     ("t03_sessionize",
       (s, dir) => Sessionize.batch(evts(s, dir), gapMinutes = 30)

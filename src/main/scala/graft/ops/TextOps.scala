@@ -174,6 +174,36 @@ object TextOps {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
 
+  /**
+   * Canonical text normalization (the step before exact-dedup hashing /
+   * fingerprinting, so trivially-different copies collapse): lowercase,
+   * control characters → space, whitespace runs → single space, trim.
+   * Control chars are scrubbed FIRST so the later `\s+` collapse sees
+   * only plain spaces (Java's `\s` includes \x0B, RE2's does not — this
+   * ordering keeps the operator engine-exact). Map-only, zero shuffle.
+   */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
+  /**
+   * PII scrub patterns, applied in order (SSN before phone — the phone
+   * pattern would otherwise eat the dashed SSN form). Heuristic by
+   * design: over-matching long digit runs is the accepted tradeoff for
+   * a training-corpus scrubber. Every pattern sits in the Java∩RE2
+   * common regex subset (ASCII classes, `\b`, bounded repeats — no
+   * lookaround, no backrefs), so SQL engines reproduce it exactly.
+   */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<SSN>",
+    "\\+?[0-9][0-9\\-\\s()]{6,}[0-9]\\b" -> "<PHONE>")
+
+  /** Redact emails, IPv4s, SSNs and phone-like digit runs. Map-only. */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
   /** Positional weights 31^0..31^7, cycled — fits exact int64 math. */
   private val FpWeights: Seq[Long] =
     Iterator.iterate(1L)(_ * 31L).take(8).toSeq

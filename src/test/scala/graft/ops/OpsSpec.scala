@@ -251,6 +251,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L))
   }
 
+  test("normalize: case, control chars, whitespace runs, trim") {
+    val r = spark.range(1).select(
+      TextOps.normalize(lit("  Hello\tWorld !  \n\nBye ")).as("a"),
+      TextOps.normalize(lit("")).as("b")).head()
+    assert(r.getString(0) == "hello world ! bye")
+    assert(r.getString(1) == "")
+  }
+
+  test("scrubPii: email, ip, ssn, phone; ssn wins over phone") {
+    val in = "mail a.b+c@ex-1.org, ip 192.168.0.1, ssn 123-45-6789, " +
+      "call +1 (555) 123-4567 now, plain 42"
+    val r = spark.range(1).select(TextOps.scrubPii(lit(in)).as("s")).head()
+    assert(r.getString(0) ==
+      "mail <EMAIL>, ip <IP>, ssn <SSN>, call <PHONE> now, plain 42")
+  }
+
   test("asofJoin: latest at-or-before right row per key; null when none") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val l = Seq((1L, 10L, ts(100)), (2L, 10L, ts(205)), (3L, 10L, ts(50)),
