@@ -366,11 +366,11 @@ object Dedup {
       .select(greatest(col("__a"), col("__b")).as("hi"),
         least(col("__a"), col("__b")).as("lo"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the checksum below materializes it
 
     // fixpoint detector: (#edges, order-independent content hash) — one
     // cheap aggregate per round, which doubles as the materializing
-    // action for the checkpoint above
+    // action for the lazy checkpoint (one job per round, not two)
     def checksum(e: DataFrame): (Long, Long) = {
       // bit_xor: order-independent over the distinct edge set, and
       // immune to ANSI sum-overflow on 64-bit hash values
@@ -404,7 +404,7 @@ object Dedup {
         .select(col("lo").as("hi"), col("mn").as("lo")) // lo > mn by minimality
         .union(mins2.select(col("hi"), col("mn").as("lo")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
 
       val next = checksum(small)
       converged = next == state
