@@ -905,6 +905,74 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(decontOracle)),
 
+    // --- decontamination FILTER (acting twin of p02): corpus minus the
+    //     contaminated ids, one left-anti join — bodies stream through
+    ("p03_decontaminated",
+      (s, dir) => Pipeline.decontaminate(
+          docs(s, dir).where(col("doc_id") >= 20),
+          docs(s, dir).where(col("doc_id") < 20),
+          "text", "doc_id", n = 3, threshold = 0.1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some(decontFilterOracle)),
+
+    // --- sliding-window token chunking (64-token chunks, 16 overlap →
+    //     stride 48); map-only, short tail chunks kept
+    ("t10_chunk",
+      (s, dir) => Pipeline.chunkByTokens(docs(s, dir), "text", "doc_id",
+          chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |c AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 48)) AS s
+             |      FROM t)
+             |SELECT doc_id, CAST((s - 1) // 48 AS BIGINT) AS chunk_idx,
+             |  CAST(len(tk[s:least(s + 63, len(tk))]) AS BIGINT) AS n_tokens,
+             |  array_to_string(tk[s:least(s + 63, len(tk))], ' ') AS chunk
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // --- per-source quality quota: top-30 docs per source by the fused
+    //     quality score (rank keys are the raw doubles — identical
+    //     cross-engine per t02 — with doc_id tie-break)
+    ("t11_source_quota",
+      (s, dir) => Pipeline.topKPerGroup(
+          docs(s, dir)
+            .withColumn("__f", TextOps.features(col("text")))
+            .withColumn("quality",
+              TextOps.qualityScoreF(col("__f"), col("n_chars"))),
+          Seq("source"), Seq(col("quality").desc, col("doc_id").asc), k = 30)
+        .select(col("source"), col("doc_id"),
+          round(col("quality"), 6).as("quality"), col("rank"))
+        .orderBy("source", "rank"),
+      Some(sourceQuotaOracle)),
+
+    // --- TF-IDF top-5 terms per document (exact integer rank keys;
+    //     the float score is output-only, rounded)
+    ("t12_tfidf",
+      (s, dir) => TextOps.tfidfTopTerms(docs(s, dir), "text", "doc_id", k = 5)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("rank"), round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rank"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |d AS (SELECT doc_id, tk FROM t WHERE len(tk) > 0),
+             |e AS (SELECT doc_id, unnest(tk) AS token FROM d),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+             |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+             |nd AS (SELECT count(*) AS n FROM d),
+             |s AS (SELECT doc_id, token, tf, df,
+             |        tf * ln((n + 1.0) / (df + 1.0)) AS tfidf
+             |      FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY doc_id
+             |         ORDER BY tf DESC, df ASC, token ASC) AS rank FROM s)
+             |SELECT doc_id, token, tf, df, rank, round(tfidf, 6) AS tfidf
+             |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -1060,8 +1128,8 @@ object SparkEntry {
     * n=3, threshold=0.1, benchmark = doc_id < 20: per-token 30-bit
     * fingerprints, (acc·131 + th) mod 1e9+7 n-gram combine — identical
     * arithmetic to the native ModNgramHashes expression. */
-  private lazy val decontOracle: String =
-    s"""WITH tk AS (SELECT doc_id,
+  private def decontCtes: String =
+    s"""tk AS (SELECT doc_id,
        |    CASE WHEN trim(text)='' THEN []
        |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
        |  FROM documents),
@@ -1075,11 +1143,37 @@ object SparkEntry {
        |c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS cg
        |      FROM g WHERE doc_id >= 20),
        |h AS (SELECT doc_id, n_grams, count(*) AS n_hit
-       |      FROM c JOIN b ON cg = bg GROUP BY 1, 2)
+       |      FROM c JOIN b ON cg = bg GROUP BY 1, 2)""".stripMargin
+
+  private lazy val decontOracle: String =
+    s"""WITH $decontCtes
        |SELECT doc_id, n_grams, n_hit,
        |       CAST(n_hit AS DOUBLE)/n_grams AS contamination
        |FROM h WHERE CAST(n_hit AS DOUBLE)/n_grams >= 0.1
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of p03: documents minus the p02 contaminated ids. */
+  private lazy val decontFilterOracle: String =
+    s"""WITH $decontCtes,
+       |bad AS (SELECT doc_id FROM h
+       |        WHERE CAST(n_hit AS DOUBLE)/n_grams >= 0.1)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of t11: per-source top-30 by the t02 quality score
+    * (raw-double rank keys — engine-identical per t02's oracle proof). */
+  private lazy val sourceQuotaOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q AS (SELECT h.*, d.source FROM h JOIN documents d
+       |        ON d.doc_id = h.doc_id),
+       |qs AS (SELECT doc_id, source, $sqlQuality AS quality FROM q),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY source
+       |         ORDER BY quality DESC, doc_id) AS rank FROM qs)
+       |SELECT source, doc_id, round(quality, 6) AS quality, rank
+       |FROM r WHERE rank <= 30 ORDER BY source, rank""".stripMargin
 
   /** DuckDB mirror of t08: duplicate-line fraction + mode-3-gram
     * fraction (count of the modal gram / total grams — equals the

@@ -127,6 +127,82 @@ object Pipeline {
   }
 
   /**
+   * Sliding-window token chunking: split each document into chunks of
+   * `chunkSize` whitespace tokens with `overlap` tokens shared between
+   * consecutive chunks — the context-window packing step before
+   * tokenization in a pre-training pipeline. Chunk starts are
+   * 1, 1+stride, 1+2·stride, … (stride = chunkSize − overlap) up to the
+   * token count, so the final chunk may be short (and, with overlap,
+   * may be a suffix of its predecessor — callers that can't use short
+   * tails filter on `n_tokens`). Zero-token documents produce no rows.
+   *
+   * Scale: map-only — tokenize, explode the (few) starts, slice. No
+   * shuffle; output rows ≈ input tokens / stride regardless of document
+   * skew, and the token array is built once per document, not per chunk.
+   */
+  def chunkByTokens(df: DataFrame, textCol: String, idCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val stride = chunkSize - overlap
+    val toks = TextOps.tokens(col(textCol))
+    val starts = when(size(col("__tk")) === 0,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)))
+      .otherwise(sequence(lit(1), size(col("__tk")), lit(stride)))
+    df.select(col(idCol), toks.as("__tk"))
+      .select(col(idCol), col("__tk"), posexplode(starts))
+      .select(col(idCol),
+        col("pos").cast(org.apache.spark.sql.types.LongType).as("chunk_idx"),
+        size(slice(col("__tk"), col("col"), lit(chunkSize)))
+          .cast(org.apache.spark.sql.types.LongType).as("n_tokens"),
+        array_join(slice(col("__tk"), col("col"), lit(chunkSize)), " ")
+          .as("chunk"))
+  }
+
+  /**
+   * Per-group top-k rows (domain quotas, per-source best-documents):
+   * rank rows inside each group by `order` (ties MUST be broken by the
+   * caller's last order column for deterministic output) and keep
+   * `k`. One shuffle on the group key; the rank is a row_number inside
+   * the sorted partition.
+   *
+   * Scale: fine whenever a single group's rows fit one task (the
+   * window sorts per group, and with AQE a skewed group still sorts in
+   * one partition). For k ≪ group size over degenerate groups, put a
+   * cheap pre-filter in front (e.g. a quality floor) — a per-partition
+   * partial top-k would need a typed aggregator per row shape, which
+   * this generic DataFrame surface deliberately avoids.
+   */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[org.apache.spark.sql.Column], k: Int,
+                   rankCol: String = "rank"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .where(col(rankCol) <= k)
+  }
+
+  /**
+   * Benchmark decontamination FILTER (the acting twin of
+   * [[contaminationReport]]): drop every corpus document whose distinct
+   * n-gram overlap with the benchmark meets `threshold`, keep the rest
+   * untouched. One left-anti join against the (small) contaminated-id
+   * set — document bodies stream through once; the report side only
+   * ever shuffles (id, count) pairs.
+   */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String,
+                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val bad = contaminationReport(corpus, benchmark, textCol, idCol, n,
+      threshold).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Sink: write the curated corpus as parquet partitioned by predicted
    * language. `repartition(lang, hash(id))` gives each language
    * `filesPerLang` writer tasks — directory-partitioned output WITHOUT

@@ -175,6 +175,45 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
 
   /**
+   * TF-IDF top-`k` terms per document: term frequency within the
+   * document × smoothed inverse document frequency
+   * `ln((N+1)/(df+1))` over the corpus. Ranking uses EXACT integer
+   * keys (tf desc, df asc, token asc) — a deterministic total order
+   * equivalent to the score order except where float rounding could
+   * make engines disagree (two terms whose real-valued scores coincide,
+   * e.g. tf=1/idf=ln x² vs tf=2/idf=ln x, can differ by 1 ulp across
+   * libm implementations); the float score is carried as output only.
+   *
+   * Scale: explode → partial-agg count per (doc, token) (shuffle ∝
+   * distinct doc-term pairs, with map-side combine), df per token
+   * (shuffle ∝ vocabulary), broadcast of the 1-row corpus count, then a
+   * window per doc. Token strings shuffle once; bodies never do.
+   */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val docs = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) > 0)
+    val tf = docs.select(col(idCol), explode(col("__tk")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    // tf already has one row per (doc, token) → df = plain count
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") *
+        log((col("__n") + lit(1.0)) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"),
+        col("tfidf"))
+  }
+
+  /**
    * Canonical text normalization (the step before exact-dedup hashing /
    * fingerprinting, so trivially-different copies collapse): lowercase,
    * control characters → space, whitespace runs → single space, trim.

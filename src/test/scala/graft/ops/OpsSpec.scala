@@ -974,6 +974,85 @@ class OpsSpec extends AnyFunSuite {
       metas(2L).width == 640 && metas(2L).height == 480)
   }
 
+  test("chunkByTokens: stride windows, short tail, empty doc dropped") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one chunk
+      (3L, "")       // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val out = Pipeline.chunkByTokens(df, "text", "doc_id",
+      chunkSize = 4, overlap = 1) // stride 3 → starts 1,4,7,10
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 1L, 4L, "w4 w5 w6 w7"),
+      (1L, 2L, 4L, "w7 w8 w9 w10"),
+      (1L, 3L, 1L, "w10"),
+      (2L, 0L, 3L, "a b c")))
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = out(0)._4.split(" ").toSeq
+    val c1 = out(1)._4.split(" ").toSeq
+    assert(c0.takeRight(1) == c1.take(1))
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkByTokens(df, "text", "doc_id", chunkSize = 4, overlap = 4)
+    }
+  }
+
+  test("topKPerGroup: rank within group, deterministic ties, k cap") {
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)).toDF("g", "id", "score")
+    val out = Pipeline.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), k = 2)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // score desc, id tie-break: a→(3, then 1 over 2 by id), b→5
+    assert(out.toSeq == Seq(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 1L)))
+  }
+
+  test("tfidf: rare terms outrank common ones; rank keys exact") {
+    val df = Seq(
+      (1L, "apple apple banana shared"),
+      (2L, "cherry shared"),
+      (3L, "banana shared")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect() // columns: (doc_id, token, tf, df, rank, tfidf)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // doc1: apple tf=2 first; banana (df=2) beats shared (df=3)
+    assert(out(0) == ((1L, "apple", 2L, 1L, 1L)))
+    assert(out(1) == ((1L, "banana", 1L, 2L, 2L)))
+    // doc2: cherry df=1 beats shared df=3 at equal tf
+    assert(out(2) == ((2L, "cherry", 1L, 1L, 1L)))
+    assert(out(3) == ((2L, "shared", 1L, 3L, 2L)))
+    // tfidf score: tf * ln((N+1)/(df+1)) with N=3
+    val apple = TextOps.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .where(col("token") === "apple").select("tfidf").head().getDouble(0)
+    assert(math.abs(apple - 2.0 * math.log(4.0 / 2.0)) < 1e-12)
+  }
+
+  test("decontaminate keeps exactly the non-contaminated complement") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // fully contaminated
+      (2L, "totally unrelated words in this document right here"),
+      (3L, "xx yy") // < n tokens: no grams → never contaminated
+    ).toDF("doc_id", "text")
+    val kept = Pipeline.decontaminate(corp, bench, "text", "doc_id",
+      n = 3, threshold = 0.5).select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 3L))
+    // the filter is the complement of the report
+    val flagged = Pipeline.contaminationReport(corp, bench, "text", "doc_id",
+      n = 3, threshold = 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
