@@ -948,6 +948,34 @@ object SparkEntry {
         .orderBy("source", "rank"),
       Some(sourceQuotaOracle)),
 
+    // --- per-language top-quartile quality gate (relative quota: group
+    //     sizes differ, so a fixed k would over/under-select)
+    ("t13_fraction_gate",
+      (s, dir) => Pipeline.topFractionPerGroup(
+          docs(s, dir)
+            .withColumn("__f", TextOps.features(col("text")))
+            .withColumn("quality",
+              TextOps.qualityScoreF(col("__f"), col("n_chars"))),
+          Seq("lang"), Seq(col("quality").desc, col("doc_id").asc),
+          fraction = 0.25)
+        .select(col("lang"), col("doc_id"),
+          round(col("quality"), 6).as("quality"), col("rank"))
+        .orderBy("lang", "rank"),
+      Some(fractionGateOracle)),
+
+    // --- JSON attribute-bag parsing (events.props): explicit-schema
+    //     from_json, flatten, aggregate — no inference pass
+    ("e03_json_props",
+      (s, dir) => SemiStructured.parseJson(evts(s, dir), "props", "k BIGINT")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // --- TF-IDF top-5 terms per document (exact integer rank keys;
     //     the float score is output-only, rounded)
     ("t12_tfidf",
@@ -1174,6 +1202,21 @@ object SparkEntry {
        |         ORDER BY quality DESC, doc_id) AS rank FROM qs)
        |SELECT source, doc_id, round(quality, 6) AS quality, rank
        |FROM r WHERE rank <= 30 ORDER BY source, rank""".stripMargin
+
+  /** DuckDB mirror of t13: per-language top quartile by quality (rank
+    * and group count from the same window pass as the Spark side). */
+  private lazy val fractionGateOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q AS (SELECT h.*, d.lang FROM h JOIN documents d
+       |        ON d.doc_id = h.doc_id),
+       |qs AS (SELECT doc_id, lang, $sqlQuality AS quality FROM q),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY lang
+       |         ORDER BY quality DESC, doc_id) AS rank,
+       |       count(*) OVER (PARTITION BY lang) AS gn FROM qs)
+       |SELECT lang, doc_id, round(quality, 6) AS quality, rank
+       |FROM r WHERE rank <= ceil(gn * 0.25) ORDER BY lang, rank""".stripMargin
 
   /** DuckDB mirror of t08: duplicate-line fraction + mode-3-gram
     * fraction (count of the modal gram / total grams — equals the

@@ -187,6 +187,31 @@ object Pipeline {
   }
 
   /**
+   * Per-group top FRACTION (the relative twin of [[topKPerGroup]]):
+   * keep the best `ceil(fraction · groupSize)` rows of each group —
+   * "top quartile per language" style gates where group sizes differ
+   * by orders of magnitude and a fixed k would over- or under-select.
+   * Same single shuffle on the group key; the group size comes from a
+   * count window over the already-shuffled partition, not a second
+   * aggregate+join pass.
+   */
+  def topFractionPerGroup(df: DataFrame, groupCols: Seq[String],
+                          order: Seq[org.apache.spark.sql.Column],
+                          fraction: Double,
+                          rankCol: String = "rank"): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    df.withColumn(rankCol, row_number().over(w).cast(
+        org.apache.spark.sql.types.LongType))
+      .withColumn("__gn", count(lit(1)).over(cw))
+      .where(col(rankCol) <= ceil(col("__gn") * lit(fraction)))
+      .drop("__gn")
+  }
+
+  /**
    * Benchmark decontamination FILTER (the acting twin of
    * [[contaminationReport]]): drop every corpus document whose distinct
    * n-gram overlap with the benchmark meets `threshold`, keep the rest

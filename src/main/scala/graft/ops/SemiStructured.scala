@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Semi-structured payload handling: JSON columns inside otherwise
+ * columnar tables (the `events.props` pattern — per-event attribute
+ * bags too sparse/varied to column-ize), and JSONL as an interchange
+ * format for document corpora.
+ *
+ * Design: `from_json` with an EXPLICIT schema, never schema inference —
+ * inference is a full extra pass over the data (a non-starter at
+ * 100 TB) and makes the output schema data-dependent. Malformed rows
+ * yield nulls (PERMISSIVE), so one bad payload can't fail a 10^11-row
+ * stage; count the nulls downstream if you need a quality signal.
+ */
+object SemiStructured {
+
+  /**
+   * Parse a JSON-string column with a DDL schema (e.g. `"k INT, tag
+   * STRING"`) and flatten every top-level field to its own column.
+   * Map-only, codegen'd (`JsonToStructs`); the source column is kept.
+   * Fields missing in a payload — or the whole payload failing to
+   * parse — come out null.
+   */
+  def parseJson(df: DataFrame, jsonCol: String, ddlSchema: String): DataFrame = {
+    val schema = StructType.fromDDL(ddlSchema)
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), schema))
+    schema.fields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(f.name, col("__j").getField(f.name))
+    }.drop("__j")
+  }
+
+  /**
+   * Corpus sink as JSON Lines — the lingua franca for LLM training
+   * corpora. `shards` bounds the file count (one writer task each);
+   * size it so shards land near 128-512 MB at the target scale.
+   * Uncompressed by design: gzip JSONL is not splittable, so a
+   * compressed shard caps downstream read parallelism at one task per
+   * file — at 100 TB prefer more plain shards (or parquet) instead.
+   */
+  def writeJsonl(df: DataFrame, path: String, shards: Int = 4): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.repartition(shards).write.mode("overwrite").json(path)
+  }
+
+  /** JSONL source with a mandatory explicit schema (no inference pass;
+    * see object doc). Plain-text JSONL splits by line, so read
+    * parallelism is bytes/`maxPartitionBytes`, not file count. */
+  def readJsonl(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddlSchema)).json(path)
+}

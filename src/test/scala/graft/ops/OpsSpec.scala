@@ -1053,6 +1053,49 @@ class OpsSpec extends AnyFunSuite {
     assert(flagged == Set(1L))
   }
 
+  test("topFractionPerGroup: ceil sizing per group, tiny groups keep 1") {
+    val df = (1 to 8).map(i => ("big", i.toLong, i.toDouble)) ++
+      Seq(("one", 100L, 1.0), ("three", 200L, 2.0), ("three", 201L, 3.0),
+        ("three", 202L, 1.0))
+    val out = Pipeline.topFractionPerGroup(df.toDF("g", "id", "score"),
+      Seq("g"), Seq(col("score").desc, col("id").asc), fraction = 0.25)
+      .orderBy("g", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // big: ceil(8*.25)=2 → scores 8,7; one: ceil(1*.25)=1; three: ceil(3*.25)=1
+    assert(out.toSeq == Seq(("big", 8L), ("big", 7L), ("one", 100L),
+      ("three", 201L)))
+  }
+
+  test("parseJson: explicit schema, flattened fields, malformed → null") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "x"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, "not json at all")).toDF("id", "props")
+    val out = SemiStructured.parseJson(df, "props", "k BIGINT, tag STRING")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), Option(r.get(2)), Option(r.get(3)))).toSeq
+      == Seq((1L, Some(7L), Some("x")), (2L, Some(9L), None),
+        (3L, None, None)))
+    // source column kept
+    assert(out(0).getString(1).startsWith("{"))
+  }
+
+  test("jsonl sink/source round-trip with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val df = Seq((1L, "hello world", "en"), (2L, "bonjour", "fr"))
+      .toDF("doc_id", "text", "lang")
+    SemiStructured.writeJsonl(df, s"$dir/out", shards = 2)
+    val back = SemiStructured.readJsonl(spark, s"$dir/out",
+      "doc_id BIGINT, text STRING, lang STRING")
+    assert(back.orderBy("doc_id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      == Seq((1L, "hello world", "en"), (2L, "bonjour", "fr")))
+    // shard count is what was asked for (bounded file count contract)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length == 2)
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
