@@ -869,6 +869,67 @@ object SparkEntry {
              |  AND v.ts >= er.ts AND v.ts < er.ts + INTERVAL 30 MINUTE
              |GROUP BY er.event_id ORDER BY er.event_id""".stripMargin)),
 
+    // --- ordered funnel: first view → first click AFTER it → first
+    //     purchase AFTER that, per user (conditional mins via k−1
+    //     stage joins — O(1) aggregation state per user)
+    ("e04_funnel",
+      (s, dir) => Sessionize.funnel(evts(s, dir),
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts
+             |      FROM e0 WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT v.user_id, v.view_ts,
+             |        min(CASE WHEN e.ts > v.view_ts THEN e.ts END) AS click_ts
+             |      FROM v LEFT JOIN e0 e
+             |        ON e.user_id = v.user_id AND e.event_type = 'click'
+             |      GROUP BY 1, 2),
+             |p AS (SELECT c.user_id, c.view_ts, c.click_ts,
+             |        min(CASE WHEN e.ts > c.click_ts THEN e.ts END)
+             |          AS purchase_ts
+             |      FROM c LEFT JOIN e0 e
+             |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |      GROUP BY 1, 2, 3)
+             |SELECT user_id, view_ts, click_ts, purchase_ts
+             |FROM p ORDER BY user_id""".stripMargin)),
+
+    // --- cohort retention triangle: first-activity-day cohorts ×
+    //     distinct return-day offsets
+    ("e05_retention",
+      // cohort_day as an ISO string: Spark DATE→pandas object vs DuckDB
+      // DATE→datetime64 would dtype-mismatch at the driver's comparator
+      (s, dir) => Sessionize.retentionCohorts(evts(s, dir))
+        .withColumn("cohort_day", col("cohort_day").cast("string"))
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH e0 AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e0),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+             |SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+             |       CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+             |       count(*) AS n_users
+             |FROM d JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // --- incremental ingestion dedup: new docs (id ≥ 250) against the
+    //     existing corpus (id < 250) — batch self-dedup + key-only
+    //     anti-join, corpus bodies never shuffle
+    ("d07_dedup_incremental",
+      (s, dir) => Dedup.dedupAgainst(
+          docs(s, dir).where(col("doc_id") >= 250),
+          docs(s, dir).where(col("doc_id") < 250),
+          "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id"),
+      Some("""WITH inc AS (SELECT * FROM documents WHERE doc_id >= 250),
+             |ex AS (SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+             |k AS (SELECT min(doc_id) AS doc_id FROM inc GROUP BY text),
+             |f AS (SELECT inc.* FROM inc JOIN k USING (doc_id))
+             |SELECT doc_id, lang, source FROM f
+             |WHERE text NOT IN (SELECT text FROM ex)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- composed curation pipeline: quality gate → exact dedup →
     //     language ID → per-language token budget
     ("p01_curation",

@@ -61,6 +61,29 @@ object Dedup {
   }
 
   /**
+   * Incremental ingestion dedup: full rows of `incoming` whose content
+   * is NOT already in `existing` AND is the first (minimum-id) copy
+   * within the new batch — the shape of a daily crawl landing next to
+   * an already-deduplicated corpus, where re-running [[deduplicate]]
+   * over corpus+batch would re-shuffle the whole corpus for a 0.1%
+   * delta. Here the corpus side is reduced map-side to distinct 16-byte
+   * content keys before its (key-only) shuffle, the anti-join carries
+   * no bodies, and the batch self-dedups independently.
+   */
+  def dedupAgainst(incoming: DataFrame, existing: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    val ex = existing.select(
+      xxhash64(col(textCol)).as("__eh1"),
+      xxhash64(lit(0x5eed), col(textCol)).as("__eh2")).distinct()
+    deduplicate(incoming, textCol, idCol)
+      .withColumn("__h1", xxhash64(col(textCol)))
+      .withColumn("__h2", xxhash64(lit(0x5eed), col(textCol)))
+      .join(ex, col("__h1") === col("__eh1") && col("__h2") === col("__eh2"),
+        "left_anti")
+      .drop("__h1", "__h2")
+  }
+
+  /**
    * Streaming exact dedup by content hash: drops re-arrivals of the same
    * text within the watermark horizon (`dropDuplicatesWithinWatermark`
    * keys state on the 8-byte hash, expired by event time — bounded

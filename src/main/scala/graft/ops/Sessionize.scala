@@ -123,6 +123,66 @@ object Sessionize {
         sum("value").as("sum_value"))
 
   /**
+   * Ordered funnel analysis: for each user, the FIRST time each stage
+   * was reached where stage i+1 must occur strictly AFTER the user's
+   * stage-i time (the standard product-analytics funnel, not a bag of
+   * independent mins). Returns one row per user with a nullable
+   * timestamp per stage — null = never reached, and later stages are
+   * null whenever an earlier one is.
+   *
+   * Shape: stage i+1 is resolved by joining the per-user accumulator
+   * (one slim row per stage-0 user) against ONLY the pre-filtered
+   * stage-i+1 events and taking `min(ts where ts > prev)` — a
+   * conditional min, never a collected list, so aggregation state per
+   * user is O(1) no matter how many events a power user has. k−1 hash
+   * joins all keyed on the user column (co-partitioned after the first
+   * exchange); each shuffles just that stage's events, not the stream.
+   */
+  def funnel(events: DataFrame, stages: Seq[String],
+             typeCol: String = "event_type", userCol: String = "user_id",
+             tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    var acc: DataFrame = events.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as(s"${stages.head}_ts"))
+    for (i <- 1 until stages.length) {
+      val prev = s"${stages(i - 1)}_ts"
+      val cur = events.where(col(typeCol) === stages(i))
+        .select(col(userCol), col(tsCol).as("__t"))
+      val keys = acc.columns // user + all resolved stage columns
+      acc = acc.join(cur, Seq(userCol), "left")
+        .groupBy(keys.map(col): _*)
+        // null prev ⇒ comparison null ⇒ when() null ⇒ min null: later
+        // stages collapse to null once any earlier stage is missing
+        .agg(min(when(col("__t") > col(prev), col("__t")))
+          .as(s"${stages(i)}_ts"))
+    }
+    acc
+  }
+
+  /**
+   * Cohort retention: users bucketed by first-activity day (the
+   * cohort), counted by how many distinct days-offsets they came back
+   * (offset 0 = the cohort day itself). The product-analytics
+   * retention triangle, computed with two hash shuffles — first-day
+   * per user, then distinct (cohort, offset, user) — both with
+   * map-side partial aggregation; no window over the raw event stream.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val days = events.select(col(userCol),
+      to_date(col(tsCol)).as("__day")).distinct()
+    val first = days.groupBy(col(userCol)).agg(min(col("__day")).as("cohort_day"))
+    days.join(first, userCol)
+      .select(col(userCol), col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).cast(
+          org.apache.spark.sql.types.LongType).as("day_offset"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /**
    * Streaming twin of [[hourlyRollup]]: tumbling event-time windows with
    * a watermark; in append mode a window emits once the watermark passes
    * its end, so state size is bounded by (#types × #open windows).

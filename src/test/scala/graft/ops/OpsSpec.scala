@@ -1096,6 +1096,58 @@ class OpsSpec extends AnyFunSuite {
     assert(files.length == 2)
   }
 
+  test("funnel: ordered stages, pre-stage events ignored, nulls cascade") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: click BEFORE first view must not count; full funnel later
+      (1L, "click", ts(1)), (1L, "view", ts(2)), (1L, "click", ts(5)),
+      (1L, "purchase", ts(6)),
+      // user 2: view only → click/purchase null
+      (2L, "view", ts(1)), (2L, "purchase", ts(0)),
+      // user 3: never viewed → absent from output
+      (3L, "click", ts(1)),
+      // user 4: purchase exactly AT click time is not strictly after
+      (4L, "view", ts(1)), (4L, "click", ts(2)), (4L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Sessionize.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(out(0).getTimestamp(1) == ts(2) && out(0).getTimestamp(2) == ts(5)
+      && out(0).getTimestamp(3) == ts(6))
+    assert(out(1).getTimestamp(1) == ts(1) && out(1).isNullAt(2)
+      && out(1).isNullAt(3))
+    assert(out(2).getTimestamp(2) == ts(2) && out(2).isNullAt(3))
+  }
+
+  test("retentionCohorts: first-day cohort, distinct day offsets") {
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 17)), // two events same day → one offset-0
+      (1L, ts(3, 9)),                  // back on day 3 → offset 2
+      (2L, ts(1, 5)),                  // cohort 01-01, never returns
+      (3L, ts(3, 5)), (3L, ts(4, 5))   // cohort 01-03, returns offset 1
+    ).toDF("user_id", "ts")
+    val out = Sessionize.retentionCohorts(ev)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-03", 0L, 1L), ("2024-01-03", 1L, 1L)))
+  }
+
+  test("dedupAgainst: batch self-dedup + anti-join vs existing corpus") {
+    val existing = Seq((1L, "old doc one"), (2L, "old doc two"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "old doc one"),   // already in corpus → dropped
+      (11L, "new doc"), (12L, "new doc"), // in-batch dup → keep 11
+      (13L, "another new doc")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(incoming, existing, "text", "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
