@@ -197,9 +197,20 @@ object TextOps {
       .where(size(col("__tk")) > 0)
     val tf = docs.select(col(idCol), explode(col("__tk")).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    // tf already has one row per (doc, token) → df = plain count
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    // tf already has one row per (doc, token) → df = plain count, kept
+    // as a partially aggregated count (never a buffered window group,
+    // so a stopword in every document costs one long, not 10^10 rows).
+    // The always-true `tf >= 1` guard makes this branch consume tf's
+    // count column — without it Catalyst rewrites the branch to a
+    // distinct-agg, the two subplans stop being canonically equal, and
+    // the runtime tokenizes the corpus TWICE instead of reusing the tf
+    // shuffle (reuse is plan-asserted in OpsSpec).
+    val dfreq = tf.where(col("tf") >= 1)
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    // non-empty trimmed text ⟺ ≥1 token: counts docs without a third
+    // tokenize pass
+    val nDocs = df.where(length(trim(col(textCol))) > 0)
+      .agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)

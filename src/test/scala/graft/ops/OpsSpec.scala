@@ -1034,6 +1034,15 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(apple - 2.0 * math.log(4.0 / 2.0)) < 1e-12)
   }
 
+  test("tfidf runtime plan reuses the tf exchange (tokenize once)") {
+    val q = TextOps.tfidfTopTerms(corpus, "text", "doc_id", k = 2)
+    q.collect() // materialize so AQE finalizes the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
+      s"tf subplan not reused — tokenization would run twice:\n$plan")
+  }
+
   test("decontaminate keeps exactly the non-contaminated complement") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
