@@ -484,6 +484,24 @@ object SparkEntry {
       },
       Some(dupClustersOracle)),
 
+    // --- cluster-level near-dedup with a QUALITY keeper policy: same
+    //     pair graph as d03/d06, keep the best-quality member per
+    //     cluster (not the min id) — the retention rule a curation
+    //     pipeline actually wants
+    ("d08_dedup_keep_best",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLshPairs(d, "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        val scored = d.withColumn("quality", TextOps.qualityScoreF(
+          TextOps.features(col("text")), col("n_chars")))
+        Dedup.nearDeduplicateBy(scored, pairs, "doc_id",
+            Seq(col("quality").desc, col("doc_id").asc))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some(keepBestOracle)),
+
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
     // oracle mode: the per-token hash is two fingerprint64 values packed
@@ -1163,8 +1181,8 @@ object SparkEntry {
     * components via a recursive CTE that propagates every reachable id
     * and keeps the minimum — exactly the min-id-root semantics of
     * [[graft.ops.Dedup.connectedComponents]]. */
-  private lazy val dupClustersOracle: String =
-    """WITH RECURSIVE sh AS (
+  private def dupClusterCtes: String =
+    """sh AS (
       |  SELECT doc_id,
       |         list_distinct([array_to_string(t[i:i+2], ' ')
       |                        for i in range(1, len(t) - 1)]) AS s
@@ -1184,10 +1202,31 @@ object SparkEntry {
       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
       |  UNION
       |  SELECT e.v, w.c FROM walk w JOIN edges e ON e.u = w.u),
-      |comp AS (SELECT u AS doc_id, min(c) AS cluster_id FROM walk GROUP BY u)
+      |comp AS (SELECT u AS doc_id, min(c) AS cluster_id FROM walk GROUP BY u)""".stripMargin
+
+  private lazy val dupClustersOracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes
       |SELECT doc_id, cluster_id,
       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of d08: same cluster graph, keep the best-quality
+    * member per cluster (quality desc, doc_id tie-break), corpus minus
+    * the rest. */
+  private lazy val keepBestOracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes,
+      |h AS (
+      |  $sqlTextFeatures),
+      |q AS (SELECT doc_id, $sqlQuality AS quality FROM h),
+      |m AS (SELECT comp.doc_id, comp.cluster_id, q.quality
+      |      FROM comp JOIN q USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY cluster_id
+      |         ORDER BY quality DESC, doc_id) AS rk FROM m),
+      |dropids AS (SELECT doc_id FROM r WHERE rk > 1)
+      |SELECT doc_id, lang FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of d04: per-token 60-bit hashes → 64-bit SimHash
     * (bits ≥ 60 provably zero → vote loop over 60 bits) → all-pairs

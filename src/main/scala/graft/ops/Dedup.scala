@@ -456,6 +456,29 @@ object Dedup {
     df.join(drop, df(idCol).cast(LongType) === drop("id"), "left_anti")
   }
 
+  /**
+   * [[nearDeduplicate]] with a caller-chosen keeper: within each
+   * near-dup cluster, keep the row ranked FIRST by `pref` (e.g.
+   * quality desc — ties must end in a unique key for determinism)
+   * instead of the min id. The cluster map joins only the clustered
+   * ids' pref columns (clusters are a small fraction of the corpus);
+   * bodies still stream through one final anti-join.
+   */
+  def nearDeduplicateBy(df: DataFrame, pairs: DataFrame, idCol: String,
+                        pref: Seq[Column]): DataFrame = {
+    val cc = connectedComponents(pairs)
+    // clustered rows only (a small fraction of the corpus) join their
+    // pref columns; the sort expressions in `pref` resolve by name here
+    val members = df.join(cc, df(idCol).cast(LongType) === cc("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(pref: _*)
+    val drop = members
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > 1)
+      .select(col("id"))
+    df.join(drop, df(idCol).cast(LongType) === drop("id"), "left_anti")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /**

@@ -1144,6 +1144,19 @@ class OpsSpec extends AnyFunSuite {
       ("2024-01-03", 0L, 1L), ("2024-01-03", 1L, 1L)))
   }
 
+  test("nearDeduplicateBy: keeper policy picks the preferred cluster member") {
+    val df = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), // cluster {1,2,3} → keep 2
+      (4L, 0.7),                       // unpaired → kept
+      (5L, 0.3), (6L, 0.3)             // cluster {5,6}: tie → keep min id 5
+    ).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDeduplicateBy(df, pairs, "doc_id",
+        Seq(col("q").desc, col("doc_id").asc))
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 4L, 5L))
+  }
+
   test("dedupAgainst: batch self-dedup + anti-join vs existing corpus") {
     val existing = Seq((1L, "old doc one"), (2L, "old doc two"))
       .toDF("doc_id", "text")
