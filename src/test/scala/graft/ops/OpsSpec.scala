@@ -1170,6 +1170,26 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(11L, 13L))
   }
 
+  test("chunkByTokens and parseJson run unchanged on a stream (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val src = mem.toDS().toDF("doc_id", "text", "props")
+    // both operators are map-only, so they compose into one streaming
+    // query with no watermark/state requirements; chunking consumes the
+    // JSON-parsed field so neither op gets pruned out of the plan
+    val q = Pipeline.chunkByTokens(
+        SemiStructured.parseJson(src, "props", "t STRING"),
+        "t", "doc_id", chunkSize = 2, overlap = 0)
+      .writeStream.format("memory").queryName("chunks").start()
+    try {
+      mem.addData((1L, "unused", """{"t": "a b c d e"}"""))
+      q.processAllAvailable()
+      val got = spark.table("chunks").orderBy("chunk_idx").collect()
+        .map(r => (r.getLong(1), r.getString(3)))
+      assert(got.toSeq == Seq((0L, "a b"), (1L, "c d"), (2L, "e")))
+    } finally q.stop()
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
