@@ -493,10 +493,11 @@ object SparkEntry {
         val d = docs(s, dir)
         val pairs = Dedup.minhashLshPairs(d, "text", "doc_id",
           n = 3, k = 128, bands = 32, threshold = 0.8)
-        val scored = d.withColumn("quality", TextOps.qualityScoreF(
-          TextOps.features(col("text")), col("n_chars")))
-        Dedup.nearDeduplicateBy(scored, pairs, "doc_id",
-            Seq(col("quality").desc, col("doc_id").asc))
+        // the quality expression goes in as the pref itself, so the
+        // featurizer runs only on cluster members, not the whole corpus
+        Dedup.nearDeduplicateBy(d, pairs, "doc_id",
+            Seq(TextOps.qualityScoreF(TextOps.features(col("text")),
+              col("n_chars")).desc, col("doc_id").asc))
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },
@@ -1055,8 +1056,9 @@ object SparkEntry {
              |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // --- TF-IDF top-5 terms per document (exact integer rank keys;
-    //     the float score is output-only, rounded)
+    // --- TF-IDF top-5 terms per document (rank key = score rounded to
+    //     6 decimals so real ties compare equal on both engines, then
+    //     df/token tie-break)
     ("t12_tfidf",
       (s, dir) => TextOps.tfidfTopTerms(docs(s, dir), "text", "doc_id", k = 5)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -1076,7 +1078,8 @@ object SparkEntry {
              |      FROM tf JOIN dfq USING (token) CROSS JOIN nd),
              |r AS (SELECT *, row_number() OVER
              |        (PARTITION BY doc_id
-             |         ORDER BY tf DESC, df ASC, token ASC) AS rank FROM s)
+             |         ORDER BY round(tfidf, 6) DESC, df ASC, token ASC)
+             |        AS rank FROM s)
              |SELECT doc_id, token, tf, df, rank, round(tfidf, 6) AS tfidf
              |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 

@@ -69,12 +69,21 @@ object Dedup {
    * delta. Here the corpus side is reduced map-side to distinct 16-byte
    * content keys before its (key-only) shuffle, the anti-join carries
    * no bodies, and the batch self-dedups independently.
+   *
+   * Null text is content-less and never matches the corpus: without
+   * the null filter, `xxhash64(null)` collapses to a seed constant on
+   * BOTH sides and one null-text corpus row would silently drop every
+   * null-text incoming row (SQL text equality never matches nulls).
+   * Within the batch itself, nulls follow [[deduplicate]]'s GROUP BY
+   * semantics (they group together), matching the d01 oracle.
    */
   def dedupAgainst(incoming: DataFrame, existing: DataFrame,
                    textCol: String, idCol: String): DataFrame = {
-    val ex = existing.select(
-      xxhash64(col(textCol)).as("__eh1"),
-      xxhash64(lit(0x5eed), col(textCol)).as("__eh2")).distinct()
+    val ex = existing
+      .where(col(textCol).isNotNull)
+      .select(
+        xxhash64(col(textCol)).as("__eh1"),
+        xxhash64(lit(0x5eed), col(textCol)).as("__eh2")).distinct()
     deduplicate(incoming, textCol, idCol)
       .withColumn("__h1", xxhash64(col(textCol)))
       .withColumn("__h2", xxhash64(lit(0x5eed), col(textCol)))
@@ -458,25 +467,29 @@ object Dedup {
 
   /**
    * [[nearDeduplicate]] with a caller-chosen keeper: within each
-   * near-dup cluster, keep the row ranked FIRST by `pref` (e.g.
-   * quality desc — ties must end in a unique key for determinism)
-   * instead of the min id. The cluster map joins only the clustered
-   * ids' pref columns (clusters are a small fraction of the corpus);
-   * bodies still stream through one final anti-join.
+   * near-dup cluster, keep the row ranked FIRST by `pref` (sort
+   * expressions over `df`'s columns, e.g. a quality score — ties must
+   * end in a unique key for determinism) instead of the min id.
+   * `pref` expressions are evaluated AFTER the inner join with the
+   * cluster map, i.e. only for clustered rows (a small fraction of the
+   * corpus) — pass the scoring expression itself rather than
+   * pre-materializing a score column over every document. Bodies still
+   * stream through one final anti-join.
    */
   def nearDeduplicateBy(df: DataFrame, pairs: DataFrame, idCol: String,
                         pref: Seq[Column]): DataFrame = {
-    val cc = connectedComponents(pairs)
-    // clustered rows only (a small fraction of the corpus) join their
-    // pref columns; the sort expressions in `pref` resolve by name here
-    val members = df.join(cc, df(idCol).cast(LongType) === cc("id"))
+    // cluster-map columns get reserved names so an idCol literally
+    // named "id" (or a df column named "component") stays unambiguous
+    val cc = connectedComponents(pairs).select(
+      col("id").as("__cc_id"), col("component").as("__cc_comp"))
+    val members = df.join(cc, df(idCol).cast(LongType) === col("__cc_id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component")).orderBy(pref: _*)
+      .partitionBy(col("__cc_comp")).orderBy(pref: _*)
     val drop = members
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") > 1)
-      .select(col("id"))
-    df.join(drop, df(idCol).cast(LongType) === drop("id"), "left_anti")
+      .select(col("__cc_id"))
+    df.join(drop, df(idCol).cast(LongType) === drop("__cc_id"), "left_anti")
   }
 
   // -------------------------------------------------- embedding near-dup

@@ -23,10 +23,16 @@ object SemiStructured {
    * STRING"`) and flatten every top-level field to its own column.
    * Map-only, codegen'd (`JsonToStructs`); the source column is kept.
    * Fields missing in a payload — or the whole payload failing to
-   * parse — come out null.
+   * parse — come out null. A schema field whose name collides with an
+   * existing column is rejected up front: silently replacing, say, a
+   * real `ts` column with a mostly-null JSON field would corrupt
+   * downstream event-time logic with no error.
    */
   def parseJson(df: DataFrame, jsonCol: String, ddlSchema: String): DataFrame = {
     val schema = StructType.fromDDL(ddlSchema)
+    val clash = schema.fields.map(_.name).toSet.intersect(df.columns.toSet)
+    require(clash.isEmpty,
+      s"parseJson field(s) ${clash.mkString(", ")} collide with existing columns")
     val parsed = df.withColumn("__j", from_json(col(jsonCol), schema))
     schema.fields.foldLeft(parsed) { (d, f) =>
       d.withColumn(f.name, col("__j").getField(f.name))

@@ -177,12 +177,12 @@ object TextOps {
   /**
    * TF-IDF top-`k` terms per document: term frequency within the
    * document × smoothed inverse document frequency
-   * `ln((N+1)/(df+1))` over the corpus. Ranking uses EXACT integer
-   * keys (tf desc, df asc, token asc) — a deterministic total order
-   * equivalent to the score order except where float rounding could
-   * make engines disagree (two terms whose real-valued scores coincide,
-   * e.g. tf=1/idf=ln x² vs tf=2/idf=ln x, can differ by 1 ulp across
-   * libm implementations); the float score is carried as output only.
+   * `ln((N+1)/(df+1))` over the corpus. Ranking key is the score
+   * ROUNDED to 6 decimals (then df asc, token asc): rounding makes
+   * mathematically-equal scores compare equal on every engine —
+   * raw-double ordering would let 1-ulp libm differences flip the
+   * rank of real ties like tf=2/idf=ln x vs tf=1/idf=ln x² — and the
+   * deterministic (df, token) tie-break finishes the total order.
    *
    * Scale: explode → partial-agg count per (doc, token) (shuffle ∝
    * distinct doc-term pairs, with map-side combine), df per token
@@ -213,7 +213,7 @@ object TextOps {
       .agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
-      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+      .orderBy(round(col("tfidf"), 6).desc, col("df").asc, col("token").asc)
     tf.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", col("tf") *

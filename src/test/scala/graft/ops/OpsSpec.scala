@@ -1012,26 +1012,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 3L, 1L), ("a", 1L, 2L), ("b", 5L, 1L)))
   }
 
-  test("tfidf: rare terms outrank common ones; rank keys exact") {
+  test("tfidf: ranks by score — a rare term beats a ubiquitous high-tf term") {
     val df = Seq(
-      (1L, "apple apple banana shared"),
-      (2L, "cherry shared"),
-      (3L, "banana shared")).toDF("doc_id", "text")
+      (1L, "the the the rare"),
+      (2L, "the x"),
+      (3L, "the y")).toDF("doc_id", "text")
     val out = TextOps.tfidfTopTerms(df, "text", "doc_id", k = 2)
       .orderBy("doc_id", "rank")
       .collect() // columns: (doc_id, token, tf, df, rank, tfidf)
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
-    // doc1: apple tf=2 first; banana (df=2) beats shared (df=3)
-    assert(out(0) == ((1L, "apple", 2L, 1L, 1L)))
-    assert(out(1) == ((1L, "banana", 1L, 2L, 2L)))
-    // doc2: cherry df=1 beats shared df=3 at equal tf
-    assert(out(2) == ((2L, "cherry", 1L, 1L, 1L)))
-    assert(out(3) == ((2L, "shared", 1L, 3L, 2L)))
+    // doc1: 'the' has tf=3 but df=3 → score 3·ln(4/4)=0; 'rare' has
+    // tf=1, df=1 → ln(2)≈0.69 and must rank FIRST (raw tf would not)
+    assert(out(0) == ((1L, "rare", 1L, 1L, 1L)))
+    assert(out(1) == ((1L, "the", 3L, 3L, 2L)))
+    // doc2: x (df=1) beats the (score 0)
+    assert(out(2) == ((2L, "x", 1L, 1L, 1L)))
+    assert(out(3) == ((2L, "the", 1L, 3L, 2L)))
     // tfidf score: tf * ln((N+1)/(df+1)) with N=3
-    val apple = TextOps.tfidfTopTerms(df, "text", "doc_id", k = 2)
-      .where(col("token") === "apple").select("tfidf").head().getDouble(0)
-    assert(math.abs(apple - 2.0 * math.log(4.0 / 2.0)) < 1e-12)
+    val rare = TextOps.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .where(col("token") === "rare").select("tfidf").head().getDouble(0)
+    assert(math.abs(rare - math.log(4.0 / 2.0)) < 1e-12)
   }
 
   test("tfidf runtime plan reuses the tf exchange (tokenize once)") {
@@ -1155,6 +1156,34 @@ class OpsSpec extends AnyFunSuite {
         Seq(col("q").desc, col("doc_id").asc))
       .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(2L, 4L, 5L))
+  }
+
+  test("nearDeduplicateBy works when the id column is literally 'id'") {
+    val df = Seq((1L, 0.1), (2L, 0.9)).toDF("id", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDeduplicateBy(df, pairs, "id",
+        Seq(col("q").desc, col("id").asc))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L))
+  }
+
+  test("parseJson rejects schema fields that collide with existing columns") {
+    val df = Seq((1L, """{"ts": 5}""")).toDF("ts", "props")
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.parseJson(df, "props", "ts BIGINT")
+    }
+    assert(e.getMessage.contains("ts"))
+  }
+
+  test("dedupAgainst: null text never matches the corpus") {
+    val existing = Seq((1L, Option.empty[String]), (2L, Some("real")))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, Option.empty[String]), (11L, Some("real")),
+      (12L, Some("fresh"))).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(incoming, existing, "text", "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // null-text incoming survives (content-less); "real" is dropped
+    assert(kept == Seq(10L, 12L))
   }
 
   test("dedupAgainst: batch self-dedup + anti-join vs existing corpus") {
