@@ -1219,6 +1219,83 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)
+      }.filter { case (a, b) => a != b }
+      // local union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min id per component as the canonical root
+      val want = nodes.groupBy(find).flatMap { case (_, ns) =>
+        val root = ns.min
+        ns.map(_ -> root)
+      }.toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), maxIter = 50)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: $got vs $want")
+    }
+  }
+
+  test("funnel matches an in-memory fold on random event sets") {
+    val rnd = new scala.util.Random(7)
+    val stages = Seq("s0", "s1", "s2")
+    val types = stages ++ Seq("noise")
+    for (trial <- 1 to 4) {
+      val events = Seq.fill(120) {
+        (rnd.nextInt(12).toLong,
+          types(rnd.nextInt(types.length)),
+          Timestamp.valueOf(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+      }
+      // reference fold: t0 = min s0; t(i) = min s_i ts strictly after t(i-1)
+      val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val t0 = evs.filter(_._2 == "s0").map(_._3).minOption(
+          Ordering.by((t: Timestamp) => t.getTime))
+        t0.map { start =>
+          val ts = stages.tail.scanLeft(Option(start)) { (prev, st) =>
+            prev.flatMap(p => evs.filter(e => e._2 == st && e._3.after(p))
+              .map(_._3).minOption(Ordering.by((t: Timestamp) => t.getTime)))
+          }
+          u -> ts
+        }
+      }
+      val got = Sessionize.funnel(
+          events.toDF("user_id", "event_type", "ts"), stages)
+        .collect().map(r => r.getLong(0) ->
+          (0 to 2).map(i => Option(r.getTimestamp(i + 1))).toList).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("chunkByTokens reconstruction: stripping overlaps rebuilds the doc") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 5) {
+      val nTok = rnd.nextInt(50) + 1
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val (size, overlap) = (rnd.nextInt(8) + 2, rnd.nextInt(2))
+      val chunks = Pipeline.chunkByTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id",
+          size, overlap)
+        .orderBy("chunk_idx").collect().map(_.getString(3))
+      val rebuilt = (chunks.head +: chunks.tail.map(c =>
+        c.split(" ").drop(overlap).mkString(" "))).filter(_.nonEmpty)
+        .mkString(" ")
+      assert(rebuilt == text, s"size=$size overlap=$overlap n=$nTok")
+    }
+  }
+
   test("multimodal: frame sampling only for video, stride respected") {
     val media = Seq(
       Multimodal.MediaRow(1L, Array.tabulate(64)(_.toByte)),
