@@ -787,6 +787,29 @@ object SparkEntry {
              |    '\+?[0-9][0-9\-\s()]{6,}[0-9]\b', '<PHONE>', 'g') AS scrubbed
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // --- corpus-wide duplicate-line scrub (C4-style): first occurrence
+    //     by (doc_id, position) wins; lines under 10 chars always kept
+    ("t14_line_dedup",
+      (s, dir) => TextOps.dedupLinesAcrossCorpus(docs(s, dir), "text",
+          "doc_id", minLineLen = 10)
+        .orderBy("doc_id"),
+      Some("""WITH l AS (
+             |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+             |    SELECT doc_id,
+             |      unnest([{'pos': i, 'line': ls[i]}
+             |              for i in range(1, len(ls) + 1)]) AS u
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |          FROM documents))),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY line ORDER BY doc_id, pos) AS rk FROM l),
+             |a AS (SELECT doc_id,
+             |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+             |      FROM r WHERE length(line) < 10 OR rk = 1
+             |      GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+             |FROM documents d LEFT JOIN a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- gap-based sessionization (batch gaps-and-islands)
     ("t03_sessionize",
       (s, dir) => Sessionize.batch(evts(s, dir), gapMinutes = 30)

@@ -164,6 +164,49 @@ object TextOps {
   }
 
   /**
+   * Corpus-wide duplicate-line removal (C4/Gopher-style boilerplate
+   * scrub): every line that exactly repeats an earlier line ANYWHERE in
+   * the corpus is dropped; the first occurrence — ordered by (doc id,
+   * position) — survives. Lines shorter than `minLineLen` characters
+   * are always kept: deduping blank lines and one-word bullets across
+   * a corpus would strip formatting, not boilerplate. Documents whose
+   * lines are all removed come out as empty strings (callers gate on
+   * [[lineCount]]/length downstream).
+   *
+   * Scale: lines shuffle ONCE keyed on a 128-bit content hash (16 B +
+   * the line survives only into its bucket), and the first-occurrence
+   * rank gets Catalyst's WindowGroupLimit — each map task forwards one
+   * candidate per line-hash it sees, so a boilerplate line repeated
+   * 10^9 times costs each task one row. Reassembly groups by doc id;
+   * per-doc state is that document's own kept lines (bounded by
+   * document size).
+   */
+  def dedupLinesAcrossCorpus(df: org.apache.spark.sql.DataFrame,
+                             textCol: String, idCol: String,
+                             minLineLen: Int = 10): org.apache.spark.sql.DataFrame = {
+    val exploded = df
+      .select(col(idCol), posexplode(lines(col(textCol))).as(Seq("__pos", "__ln")))
+    // 128-bit line key: same birthday-bound reasoning as Dedup.exact
+    val keyed = exploded
+      .withColumn("__h1", xxhash64(col("__ln")))
+      .withColumn("__h2", xxhash64(lit(0x11e5eed), col("__ln")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h1"), col("__h2"))
+      .orderBy(col(idCol), col("__pos"))
+    val cleaned = keyed
+      .withColumn("__rk", row_number().over(w))
+      .where(length(col("__ln")) < minLineLen || col("__rk") === 1)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        x => x.getField("__ln")), "\n").as("text_clean"))
+    // documents whose every line was scrubbed fall out of the groupBy —
+    // join the id list back so they surface as empty strings
+    df.select(col(idCol)).join(cleaned, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
+
+  /**
    * Corpus token frequencies: explode → groupBy(token). Map-side partial
    * counts make the shuffle proportional to the vocabulary, not the
    * token stream — the standard first step for stopword mining and

@@ -1219,6 +1219,25 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupLinesAcrossCorpus: first occurrence wins, short lines immune") {
+    val docs = Seq(
+      (1L, "SUBSCRIBE TO OUR NEWSLETTER\nunique first body line\nok"),
+      (2L, "second doc opening line\nSUBSCRIBE TO OUR NEWSLETTER\nok"),
+      (3L, "SUBSCRIBE TO OUR NEWSLETTER")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesAcrossCorpus(docs, "text", "doc_id",
+        minLineLen = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      // doc 1 holds the first occurrence → keeps it
+      (1L, "SUBSCRIBE TO OUR NEWSLETTER\nunique first body line\nok"),
+      // later occurrences dropped; "ok" (< 5 chars) always kept
+      (2L, "second doc opening line\nok"),
+      // all lines removed → empty string, row preserved
+      (3L, "")))
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
