@@ -787,6 +787,26 @@ object SparkEntry {
              |    '\+?[0-9][0-9\-\s()]{6,}[0-9]\b', '<PHONE>', 'g') AS scrubbed
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // --- unigram log-likelihood quality score (statistical-LM filter:
+    //     corpus-rare tokens drag the mean down)
+    ("t15_unigram_loglik",
+      (s, dir) => TextOps.unigramLogLikelihood(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+             |f AS (SELECT token, count(*) AS c FROM e GROUP BY 1),
+             |n AS (SELECT count(*) AS tot FROM e)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       round(avg(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))), 6)
+             |         AS avg_logprob
+             |FROM e JOIN f USING (token) CROSS JOIN n
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // --- corpus-wide duplicate-line scrub (C4-style): first occurrence
     //     by (doc_id, position) wins; lines under 10 chars always kept
     ("t14_line_dedup",

@@ -268,6 +268,32 @@ object TextOps {
   }
 
   /**
+   * Unigram log-likelihood quality score — the cheap statistical-LM
+   * filter: mean over a document's tokens of `ln(count(token) /
+   * total_tokens)` under the corpus's own unigram distribution. Gibberish
+   * and OCR noise score far below fluent text because their tokens are
+   * corpus-rare. Returns (id, n_tokens, avg_logprob); zero-token
+   * documents are absent (nothing to average).
+   *
+   * Scale: one token-frequency aggregation (shuffle ∝ vocabulary,
+   * map-side combine), then the token stream joins its frequency and
+   * partially aggregates (sum, count) per document — tokens shuffle
+   * once keyed by token and once keyed by doc id; bodies never move.
+   */
+  def unigramLogLikelihood(df: org.apache.spark.sql.DataFrame,
+                           textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val freqs = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+    val total = toks.agg(count(lit(1)).as("__t"))
+    toks.join(freqs, "token")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__c").cast(DoubleType) / col("__t").cast(DoubleType)))
+          .as("avg_logprob"))
+  }
+
+  /**
    * Canonical text normalization (the step before exact-dedup hashing /
    * fingerprinting, so trivially-different copies collapse): lowercase,
    * control characters → space, whitespace runs → single space, trim.

@@ -1238,6 +1238,22 @@ class OpsSpec extends AnyFunSuite {
       (3L, "")))
   }
 
+  test("unigramLogLikelihood: fluent text outscores gibberish") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "zxqv wkjh qpzm xvbn")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogLikelihood(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._2) == Seq(6L, 6L, 4L))
+    // docs 1/2 share common tokens (the/sat/on) → higher mean logprob
+    // than doc 3's singletons
+    assert(out(0)._3 > out(2)._3 && out(1)._3 > out(2)._3)
+    // exact value for doc 3: every token unique → ln(1/16) each
+    assert(math.abs(out(2)._3 - math.log(1.0 / 16.0)) < 1e-12)
+  }
+
   test("connectedComponents matches union-find on random graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
