@@ -581,6 +581,25 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       Some(ivfAnnOracle)),
 
+    // --- per-label embedding centroids (class prototypes), exploded so
+    //     every component is value-checked
+    ("s07_group_centroids",
+      (s, dir) => Similarity.groupCentroids(embs(s, dir), "embedding", "label")
+        .select(col("label"), col("n_vectors"), posexplode(col("centroid")))
+        .select(col("label"),
+          col("pos").cast(org.apache.spark.sql.types.LongType).as("pos"),
+          round(col("col"), 6).as("mean_val"), col("n_vectors"))
+        .orderBy("label", "pos"),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |x AS (SELECT label, u.pos AS pos, u.val AS val FROM (
+             |  SELECT label, unnest([{'pos': i - 1, 'val': v[i]}
+             |                        for i in range(1, len(v) + 1)]) AS u
+             |  FROM e))
+             |SELECT label, pos, round(avg(val), 6) AS mean_val,
+             |       count(*) AS n_vectors
+             |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin)),
+
     // --- int8 embedding quantization (exploded so every quantized
     //     component is value-checked; per-row IEEE math → no rounding)
     ("s04_quantize_i8",

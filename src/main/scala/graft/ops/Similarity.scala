@@ -176,6 +176,27 @@ object Similarity {
   }
 
   /**
+   * Per-group embedding centroids (class prototypes): element-wise mean
+   * vector per `byCol` group, with the member count. The building block
+   * for prototype routing, per-source drift monitoring, and seeding
+   * k-means ([[refineCentroids]] consumes the same shape).
+   *
+   * Scale: components explode to (group, pos, value) and partially
+   * aggregate map-side — the shuffle is (groups × dims) cells, not the
+   * corpus; the final re-collect holds one dims-long array per group.
+   * Fully distributed: nothing returns to the driver.
+   */
+  def groupCentroids(df: DataFrame, vecCol: String, byCol: String): DataFrame =
+    df.select(col(byCol), posexplode(col(vecCol)))
+      .groupBy(col(byCol), col("pos"))
+      .agg(avg(col("col").cast(DoubleType)).as("__m"),
+        count(lit(1)).as("__n"))
+      .groupBy(col(byCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("__m")))),
+          x => x.getField("__m")).as("centroid"),
+        max(col("__n")).as("n_vectors"))
+
+  /**
    * Symmetric int8 quantization of an embedding column — the standard
    * storage/bandwidth companion to IVF at corpus scale (4× smaller than
    * float32, 8× than float64; dot products stay SIMD-friendly).

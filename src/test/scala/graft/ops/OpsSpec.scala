@@ -1238,6 +1238,17 @@ class OpsSpec extends AnyFunSuite {
       (3L, "")))
   }
 
+  test("groupCentroids: element-wise mean per group, ordered components") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f, 3.0f)), ("a", Seq(3.0f, 4.0f, 5.0f)),
+      ("b", Seq(10.0f, 0.0f, 0.0f))).toDF("label", "embedding")
+    val out = Similarity.groupCentroids(df, "embedding", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1), r.getLong(2)))
+    assert(out(0) == (("a", Seq(2.0, 3.0, 4.0), 2L)))
+    assert(out(1) == (("b", Seq(10.0, 0.0, 0.0), 1L)))
+  }
+
   test("unigramLogLikelihood: fluent text outscores gibberish") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
