@@ -173,29 +173,41 @@ object TextOps {
    * lines are all removed come out as empty strings (callers gate on
    * [[lineCount]]/length downstream).
    *
-   * Scale: lines shuffle ONCE keyed on a 128-bit content hash (16 B +
-   * the line survives only into its bucket), and the first-occurrence
-   * rank gets Catalyst's WindowGroupLimit — each map task forwards one
-   * candidate per line-hash it sees, so a boilerplate line repeated
-   * 10^9 times costs each task one row. Reassembly groups by doc id;
-   * per-doc state is that document's own kept lines (bounded by
-   * document size).
+   * Scale: short lines never enter the window — they are kept
+   * unconditionally, so they route AROUND it and union back before
+   * reassembly. That leaves the keyed path's rank filter a pure
+   * `__rk = 1` conjunct, the shape Catalyst's `InferWindowGroupLimit`
+   * matches, so the plan carries a Partial+Final WindowGroupLimit
+   * (plan-asserted in OpsSpec): each map task forwards ONE candidate
+   * per line-hash it sees, and a boilerplate line repeated 10^9 times
+   * costs the final window partition at most one row per map task —
+   * not a single-task 10^9-row sort. Long lines shuffle once keyed on
+   * a 128-bit content hash; the two branches mean the source is
+   * scanned twice, a map-only cost that is the right trade against
+   * the hot-key sort. Reassembly groups by doc id; per-doc state is
+   * that document's own kept lines (bounded by document size).
    */
   def dedupLinesAcrossCorpus(df: org.apache.spark.sql.DataFrame,
                              textCol: String, idCol: String,
                              minLineLen: Int = 10): org.apache.spark.sql.DataFrame = {
     val exploded = df
       .select(col(idCol), posexplode(lines(col(textCol))).as(Seq("__pos", "__ln")))
+    // kept unconditionally → no rank needed → bypasses the window
+    val short = exploded.where(length(col("__ln")) < minLineLen)
     // 128-bit line key: same birthday-bound reasoning as Dedup.exact
-    val keyed = exploded
+    val keyed = exploded.where(length(col("__ln")) >= minLineLen)
       .withColumn("__h1", xxhash64(col("__ln")))
       .withColumn("__h2", xxhash64(lit(0x11e5eed), col("__ln")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__h1"), col("__h2"))
       .orderBy(col(idCol), col("__pos"))
-    val cleaned = keyed
+    // pure rank-1 filter ⇒ InferWindowGroupLimit fires (an OR with the
+    // short-line predicate here would defeat it — see scaladoc)
+    val firsts = keyed
       .withColumn("__rk", row_number().over(w))
-      .where(length(col("__ln")) < minLineLen || col("__rk") === 1)
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("__pos"), col("__ln"))
+    val cleaned = short.unionByName(firsts)
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ln")))),

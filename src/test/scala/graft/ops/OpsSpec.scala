@@ -1238,6 +1238,46 @@ class OpsSpec extends AnyFunSuite {
       (3L, "")))
   }
 
+  test("dedupLinesAcrossCorpus plan carries Partial+Final WindowGroupLimit") {
+    val docs = Seq((1L, "a long enough line\nok")).toDF("doc_id", "text")
+    val q = TextOps.dedupLinesAcrossCorpus(docs, "text", "doc_id", minLineLen = 5)
+    q.collect() // materialize so AQE finalizes the plan
+    val plan = q.queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2, s"expected Partial+Final WindowGroupLimit, got $hits in:\n$plan")
+  }
+
+  test("dedupLinesAcrossCorpus survives a boilerplate line repeated 200k times") {
+    // the operator's target workload: ONE hot line in every document.
+    // With the rank filter a pure conjunct, WindowGroupLimit forwards one
+    // candidate per map task, so the hot (h1,h2) window partition sees
+    // ~numPartitions rows instead of all 200k copies.
+    val n = 200000L
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("THIS BOILERPLATE LINE REPEATS IN EVERY DOCUMENT\nunique line "),
+        col("id")).as("text"))
+    val out = TextOps.dedupLinesAcrossCorpus(docs, "text", "doc_id")
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val got = out.where(col("doc_id").isin(0L, 1L, 137L))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      (0L, "THIS BOILERPLATE LINE REPEATS IN EVERY DOCUMENT\nunique line 0"),
+      (1L, "unique line 1"),
+      (137L, "unique line 137")))
+    assert(out.count() == n)
+  }
+
+  test("topKPerGroup plan carries Partial+Final WindowGroupLimit") {
+    val df = Seq(("a", 1L, 5.0), ("a", 2L, 3.0), ("b", 3L, 2.0))
+      .toDF("g", "id", "score")
+    val q = Pipeline.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2, s"expected Partial+Final WindowGroupLimit, got $hits in:\n$plan")
+  }
+
   test("groupCentroids: element-wise mean per group, ordered components") {
     val df = Seq(
       ("a", Seq(1.0f, 2.0f, 3.0f)), ("a", Seq(3.0f, 4.0f, 5.0f)),
