@@ -32,25 +32,33 @@ object Bench {
     // measure the plan, not first-use JIT + classloading.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // two measured runs per query, report the faster: first-run numbers
-    // mix JIT/classload warmup into the engine time; min-of-2 reflects
-    // steady-state throughput (methodology recorded in the JSON)
+    // Adaptive repeats, report the fastest: first-run numbers mix JIT/
+    // classload warmup into the engine time, so everything gets >= 2
+    // runs; queries whose min lands under `fastCutoff` are dominated by
+    // local[32] scheduler jitter at ~100 ms granularity, so they get
+    // `fastRuns` total — otherwise round-over-round deltas on sub-second
+    // queries are noise read as signal (methodology recorded in the JSON)
     val runs = 2
+    val fastRuns = 5
+    val fastCutoff = 0.3
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
+        def one(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
+        var times = (1 to runs).map(_ => one())
+        if (times.forall(_ >= 0) && times.min < fastCutoff)
+          times ++= (runs until fastRuns).map(_ => one())
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min"}""")
     spark.stop()
   }
 }

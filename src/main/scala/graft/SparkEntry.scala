@@ -517,6 +517,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       Some(simhashOracle)),
 
+    // --- the PRODUCTION simhash path: native per-token xxhash64 (one
+    //     compiled loop, no SQL-mirrorable arithmetic) and the default
+    //     skew cap. No cross-engine oracle by construction (DuckDB has
+    //     no xxhash64) — benched alongside d04 so the oracle-mode hash
+    //     tax is visible and the shipping path's number is the one
+    //     tracked round over round; rows-only check + planted-pair
+    //     ScalaTest cover correctness.
+    ("d04_simhash_prod",
+      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
+          maxDist = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
     // --- embedding-cosine near-dup, blocked by label
     ("d05_embedding_dups",
       (s, dir) => Dedup.embeddingNearDupPairs(embs(s, dir), "embedding",

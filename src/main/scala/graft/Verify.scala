@@ -7,9 +7,15 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name prefixes for a targeted
-    // local re-check (the driver always calls with two args)
+    // local re-check (the driver always calls with two args). Empty
+    // prefixes (trailing comma, "") would match EVERY query via
+    // startsWith("") — drop them and fail fast on an all-empty filter
+    // instead of silently running the full suite.
+    val targeted = args.length > 2
     val keep: String => Boolean =
-      if (args.length > 2) { val ps = args(2).split(',').toSeq
+      if (targeted) {
+        val ps = args(2).split(',').toSeq.filter(_.nonEmpty)
+        require(ps.nonEmpty, s"no non-empty prefixes in filter '${args(2)}'")
         name => ps.exists(name.startsWith)
       } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,9 +49,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Targeted mode MERGES into an existing oracle_sql.json instead of
+    // clobbering it with only the filtered subset — a targeted re-check
+    // pointed at a full run's outDir must leave the untouched parquet
+    // dirs' oracle entries comparable. Full mode writes fresh (no stale
+    // entries for renamed queries).
+    val path = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (targeted && Files.exists(path)) {
+        import scala.jdk.CollectionConverters._
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readValue(Files.readString(path), classOf[java.util.Map[String, String]])
+          .asScala.toMap
+      } else Map.empty
+    val merged = existing ++ SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = merged.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(path, json)
     spark.stop()
   }
 }

@@ -150,17 +150,39 @@ object Dedup {
   // -------------------------------------------------- blocked exact Jaccard
 
   /**
+   * Blocks of size ≤ `maxBlock` (and ≥ 2 — singleton blocks produce no
+   * pairs). Counted off the raw rows — slim (block, count) shuffle, no
+   * payloads. Oversized blocks are DROPPED, the same documented recall
+   * tradeoff as `maxBucket` in [[minhashLshPairs]]/[[simhashPairs]]: a
+   * degenerate block key (empty string, dominant source) would
+   * otherwise detonate the quadratic pair expansion silently.
+   */
+  private def boundedBlocks(df: DataFrame, blockCol: String,
+                            maxBlock: Int): DataFrame = {
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    df.groupBy(col(blockCol).as("__blk"))
+      .agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBlock)
+      .select(col("__blk"))
+  }
+
+  /**
    * All-pairs n-gram Jaccard within blocks. `blockCol` bounds the
    * quadratic blow-up (e.g. a source/partition key, or an LSH bucket);
    * output is (id_a, id_b, jaccard) for pairs ≥ `threshold`, id_a < id_b.
+   * Blocks larger than `maxBlock` rows are dropped (see
+   * [[boundedBlocks]]) so a degenerate block key cannot go quadratic.
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+                        blockCol: String, n: Int, threshold: Double,
+                        maxBlock: Int = 10000): DataFrame = {
+    val ok = boundedBlocks(df, blockCol, maxBlock)
     val withSh = df.select(
       col(blockCol).as("__blk"),
       col(idCol).cast(LongType).as("__id"),
       hashedShingleSet(col(textCol), n).as("__sh"))
-    val l = withSh.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sha"))
+    val l = withSh.join(ok, Seq("__blk"))
+      .select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sha"))
     val r = withSh.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__shb"))
     l.join(r, Seq("__blk"))
       .where(col("id_a") < col("id_b"))
@@ -497,15 +519,20 @@ object Dedup {
   /**
    * Embedding-cosine near-duplicate pairs within blocks. The block key
    * bounds the pair blow-up (use an LSH bucket from
-   * [[Similarity.hyperplaneBucket]] for unblocked corpora).
+   * [[Similarity.hyperplaneBucket]] for unblocked corpora). Blocks
+   * larger than `maxBlock` rows are dropped (see [[boundedBlocks]]) so
+   * a degenerate block key cannot go quadratic.
    */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
-                            blockCol: String, threshold: Double): DataFrame = {
+                            blockCol: String, threshold: Double,
+                            maxBlock: Int = 10000): DataFrame = {
+    val ok = boundedBlocks(df, blockCol, maxBlock)
     val base = df.select(col(blockCol).as("__blk"),
       col(idCol).cast(LongType).as("__id"), col(vecCol).as("__v"),
       Similarity.norm(col(vecCol)).as("__n"))
-    val l = base.select(col("__blk"), col("__id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
+    val l = base.join(ok, Seq("__blk"))
+      .select(col("__blk"), col("__id").as("id_a"),
+        col("__v").as("__va"), col("__n").as("__na"))
     val r = base.select(col("__blk"), col("__id").as("id_b"),
       col("__v").as("__vb"), col("__n").as("__nb"))
     l.join(r, Seq("__blk"))

@@ -148,6 +148,45 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.where(col("dist") =!= 0).count() == 0)
   }
 
+  test("ngramJaccardPairs: maxBlock drops a degenerate block (skew safety)") {
+    // 60 near-identical docs under ONE block key — the uncapped
+    // quadratic corner. With the cap below the block size the block is
+    // dropped (bounded output); a healthy block is unaffected.
+    val degenerate = spark.range(60)
+      .select(col("id").as("doc_id"),
+        concat(lit("shared boilerplate text repeated in every document "),
+          col("id")).as("text"),
+        lit("hot").as("blk"))
+      .union(corpus.select(col("doc_id") + 1000, col("text"), lit("cold")))
+    val capped = Dedup.ngramJaccardPairs(degenerate, "text", "doc_id", "blk",
+      n = 3, threshold = 0.5, maxBlock = 10)
+    val got = capped.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a >= 1000 && b >= 1000 }) // hot dropped
+    assert(got.contains((1001L, 1002L))) // cold block still pairs
+    // and an adequate cap still sees the full quadratic pair set
+    val uncapped = Dedup.ngramJaccardPairs(degenerate, "text", "doc_id", "blk",
+      n = 3, threshold = 0.5, maxBlock = 100)
+    assert(uncapped.where(col("id_a") < 1000).count() == 60L * 59 / 2)
+  }
+
+  test("embeddingNearDupPairs: maxBlock drops a degenerate block (skew safety)") {
+    val degenerate = spark.range(50)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f)).as("embedding"),
+        lit("hot").as("blk"))
+      .union(spark.createDataFrame(Seq(
+        (1000L, Array(1.0f, 0.0f, 0.0f), "cold"),
+        (1001L, Array(0.99f, 0.01f, 0.0f), "cold"))
+      ).toDF("vec_id", "embedding", "blk"))
+    val capped = Dedup.embeddingNearDupPairs(degenerate, "embedding", "vec_id",
+      "blk", threshold = 0.9, maxBlock = 10)
+    val got = capped.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((1000L, 1001L))) // hot block dropped, cold intact
+    val uncapped = Dedup.embeddingNearDupPairs(degenerate, "embedding", "vec_id",
+      "blk", threshold = 0.9, maxBlock = 100)
+    assert(uncapped.where(col("id_a") < 1000).count() == 50L * 49 / 2)
+  }
+
   test("simhashPairs: generalized chunking at maxDist=7 keeps the pigeonhole guarantee") {
     // fingerprints differing in exactly 7 bits must still collide on one
     // of the 8 chunks; verify via a corpus whose near-pair distance is
