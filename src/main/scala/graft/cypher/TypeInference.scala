@@ -105,24 +105,45 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     case CaseExpr(whens, otherwise) =>
       whens.foreach { case (c, _) => requireBoolean(infer(c), "CASE WHEN condition") }
       val branches = (whens.map(_._2) ++ otherwise.toSeq).flatMap(infer)
-      // cross-branch legality per the reference's conversion matrix
-      // (SQLRenderer.cs:112-236,338-363): string merges with anything
-      // (NVarChar casts), boolean merges with numerics (T-SQL Bit→
-      // numeric Cast, value 1/0), numerics widen, temporals merge with
-      // temporals or strings — temporal×numeric/boolean is Invalid.
+      // Cross-branch legality at PAIR granularity, following the
+      // reference end to end: branch types are unified by the `Plus`
+      // coercion row (QueryExpressionCaseExpression.cs:88-117 over
+      // TypeCoersionTables.cs), and only then is each branch→target
+      // conversion checked against the SQL matrix (SQLRenderer.cs:
+      // 112-236, applied at 338-363). The unifier is STRICTER than the
+      // matrix and decides reachability, so pair rules come from it:
+      //  - string + anything-in-table → string (the matrix's X→NVarChar
+      //    rows are all legal, incl. Bit, Decimal, DateTime2);
+      //  - boolean + numeric → Invalid (Plus(bool, int..decimal) =
+      //    default ⇒ throws BEFORE the matrix's Bit→Int Cast is
+      //    reachable — the family rule previously accepted this);
+      //  - decimal + double/float → Invalid (Plus(decimal, double/
+      //    Single) = default), while decimal + integral → decimal;
+      //  - byte[]/Guid are ABSENT from the Plus table: any mixed CASE
+      //    branch with binary throws — including binary + string, which
+      //    a string-merges-with-anything rule would wrongly accept;
+      //  - temporal + numeric/boolean → Invalid (Plus(DateTime, n) =
+      //    default; matrix agrees: DateTime2↔numeric is Invalid).
+      // Extension (documented): .NET has a single DateTime type, so
+      // date×timestamp never mixes in the reference; we widen to the
+      // wider temporal rather than reject.
+      def isFloating(t: DataType): Boolean = t == DoubleType || t == FloatType
+      def isDecimalT(t: DataType): Boolean = t.isInstanceOf[DecimalType]
       branches.reduceOption { (a, b) =>
+        def mix = fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
         if (a == b) a
+        else if (a == BinaryType || b == BinaryType) mix
         else if (a == StringType || b == StringType) StringType
+        else if (a == BooleanType || b == BooleanType) mix
+        else if ((isDecimalT(a) && isFloating(b)) || (isFloating(a) && isDecimalT(b))) mix
         else if (isNumeric(a) && isNumeric(b)) widen(a, b)
-        else if (a == BooleanType && isNumeric(b)) b
-        else if (isNumeric(a) && b == BooleanType) a
         else if (isTemporal(a) && isTemporal(b))
           // wider temporal wins: a date-first CASE must not truncate
           // timestamp branches to date
           if (a == TimestampType || b == TimestampType) TimestampType
           else if (a == TimestampNTZType || b == TimestampNTZType) TimestampNTZType
           else a
-        else fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
+        else mix
       }
   }
 

@@ -482,13 +482,19 @@ class CypherEngineSpec extends AnyFunSuite {
     // string function over numeric
     intercept[CypherTypeException](rows(
       "MATCH (m:Movie) RETURN toUpper(m.Released) AS u"))
-    // CASE boolean×numeric merges via cast (reference: Bit→Int Cast,
-    // SQLRenderer.cs conversion matrix) — true renders as 1
-    val bn = rows(
+    // CASE boolean×numeric is REJECTED: the reference's branch unifier
+    // (Plus coercion row, QueryExpressionCaseExpression.cs:88-117) maps
+    // (bool, int) to default(Type) and throws BEFORE the SQL matrix's
+    // Bit→Int Cast is ever consulted
+    intercept[CypherTypeException](rows(
       """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
-        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 5 END AS x""".stripMargin)
-    assert(bn.head.getInt(0) == 1)
-    // ...but temporal×numeric branches are Invalid in the matrix
+        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 5 END AS x""".stripMargin))
+    // boolean×string merges to string (Plus(bool,string)=string)
+    val bs = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN CASE WHEN m.Released > 1990 THEN true ELSE 'no' END AS x""".stripMargin)
+    assert(bs.head.getString(0) == "true")
+    // temporal×numeric branches are Invalid in unifier AND matrix
     intercept[CypherTypeException](rows(
       """MATCH (m:Movie)
         |RETURN CASE WHEN m.Released > 1990 THEN date('1995-01-01')

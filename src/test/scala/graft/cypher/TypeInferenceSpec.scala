@@ -64,6 +64,34 @@ class TypeInferenceSpec extends AnyFunSuite {
       case _ => Neg(gen(rnd, depth - 1))
     }
 
+  test("CASE cross-branch legality is pair-level (reference Plus row + matrix)") {
+    // reference: TypeCoersionTables.cs Plus rows decide CASE-branch
+    // unification (QueryExpressionCaseExpression.cs:88-117) BEFORE the
+    // SQL conversion matrix (SQLRenderer.cs:112-236) sees the branches —
+    // pairs the unifier marks default(Type) throw even when the matrix
+    // has a legal Cast for them (e.g. Bit→Int).
+    val types = Map(
+      "dec" -> DecimalType(20, 4), "dbl" -> DoubleType, "flt" -> FloatType,
+      "i" -> IntegerType, "l" -> LongType, "b" -> BooleanType,
+      "s" -> StringType, "bin" -> BinaryType, "ts" -> TimestampType,
+      "dt" -> DateType)
+    val ti = new TypeInference({ case Ref(a, _) => types.get(a) })
+    def kase(a: Expr, b: Expr) = CaseExpr(Seq((Lit(true), a)), Some(b))
+    def r(n: String) = Ref(n, Some("p"))
+    // rejected at pair level — the old family rule accepted the first four:
+    intercept[CypherTypeException](ti.infer(kase(r("b"), r("i"))))     // bool × int (Plus default)
+    intercept[CypherTypeException](ti.infer(kase(r("dec"), r("dbl")))) // decimal × double (Plus default)
+    intercept[CypherTypeException](ti.infer(kase(r("flt"), r("dec")))) // float × decimal (Plus default)
+    intercept[CypherTypeException](ti.infer(kase(r("bin"), r("s"))))   // byte[] absent from Plus table
+    intercept[CypherTypeException](ti.infer(kase(r("ts"), r("l"))))    // temporal × numeric
+    // still legal per the same tables:
+    assert(ti.infer(kase(r("b"), r("s"))).contains(StringType))   // Plus(bool,string)=string
+    assert(ti.infer(kase(r("dec"), r("s"))).contains(StringType)) // Plus(decimal,string)=string
+    assert(ti.infer(kase(r("ts"), r("s"))).contains(StringType))  // Plus(DateTime,string)=string
+    assert(ti.infer(kase(r("dec"), r("l"))).exists(_.isInstanceOf[DecimalType])) // decimal×integral
+    assert(ti.infer(kase(r("dt"), r("ts"))).contains(TimestampType)) // documented extension
+  }
+
   test("inferred type == Catalyst analyzed type on 2000 random expressions") {
     val colTypes = probe.schema.fields.map(f => f.name -> f.dataType).toMap
     val ti = new TypeInference({
