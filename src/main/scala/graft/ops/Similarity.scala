@@ -340,7 +340,6 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 64, nProbe: Int = 8,
               kmeansIters: Int = 0, kmeansSample: Int = 65536): DataFrame = {
-    import graft.functions.NativeExpressions.nearestCentroids
     // deterministic hash-ordered sample; the multiplicative-hash order
     // key is SQL-mirrorable so the DuckDB oracle selects the same
     // centroid set (ties broken by id on both sides). kmeansIters > 0
@@ -353,13 +352,86 @@ object Similarity {
       .collect().map(_.getSeq[Float](0).toArray)
     val cent = refineCentroids(corpus, vecCol, idCol, seedCent,
       kmeansIters, kmeansSample)
+    // no broadcast hint — query sets may be corpus-sized; planner decides
+    ivfTopKWithCentroids(corpus, queries, vecCol, idCol, k, cent, nProbe)
+  }
+
+  /** [[ivfTopK]] steps 2-3 with a caller-supplied centroid matrix —
+   *  assignment and probing only, no centroid selection. The in-memory
+   *  twin of [[writeIvfIndex]]+[[ivfProbeIndex]] (used to prove the
+   *  persisted path loses nothing). */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String, k: Int,
+                           cent: Array[Array[Float]], nProbe: Int): DataFrame = {
+    import graft.functions.NativeExpressions.nearestCentroids
     val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
       element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
     val q = queries.select(col(idCol).cast(LongType).as("query_id"),
-        col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
-        explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
-    // no broadcast hint — query sets may be corpus-sized; planner decides
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
+    val scored = c.join(q, Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /** Centroid matrix collected from a [[groupCentroids]] result (or any
+   *  frame with an array-typed centroid column) — model-sized, ordered
+   *  by the group key for determinism. */
+  def collectCentroids(cents: DataFrame, vecCol: String = "centroid",
+                       byCol: String = "label"): Array[Array[Float]] =
+    cents.orderBy(col(byCol)).select(col(vecCol)).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case x => x.toString.toFloat
+      }.toArray)
+
+  /**
+   * Persist an IVF index: the corpus written as parquet PARTITIONED BY
+   * its inverted-list id. List assignment is the map-only native
+   * nearest-centroid expression; one `repartition(__list)` shuffle
+   * co-locates each list so every list lands in a bounded number of
+   * files instead of (#tasks × #lists) shards. At 100 TB this is the
+   * index build: one pass over the corpus, and every later probe is a
+   * partition-pruned READ of nProbe/nCentroids of the bytes — the
+   * directory layout IS the inverted index.
+   */
+  def writeIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    cent: Array[Array[Float]], path: String): Unit = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    corpus.select(col(idCol), col(vecCol),
+        element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
+      .repartition(col("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(path)
+  }
+
+  /**
+   * Probe a persisted IVF index ([[writeIvfIndex]] layout): the union
+   * of the queries' nProbe nearest lists is collected (≤ |queries| ×
+   * nProbe ints — the query side is the small side by contract) and
+   * pushed as a STATIC `isin` over the partition column, so Parquet
+   * planning prunes every unprobed list directory (PartitionFilters,
+   * no row-level DataFilters) and the scan reads ~nProbe/nCentroids of
+   * the corpus files. Scoring then matches [[ivfTopKWithCentroids]]
+   * exactly: same centroids ⇒ same results (tested).
+   */
+  def ivfProbeIndex(index: DataFrame, queries: DataFrame,
+                    vecCol: String, idCol: String, k: Int,
+                    cent: Array[Array[Float]], nProbe: Int): DataFrame = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
+    val lists = q.select(col("__list")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val c = index.where(col("__list").isin(lists: _*))
+      .select(col(idCol).cast(LongType).as("neighbor_id"),
+        col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+        col("__list").cast(IntegerType).as("__list"))
     val scored = c.join(q, Seq("__list"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -411,6 +411,70 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall $recall")
   }
 
+  test("IVF end-to-end: groupCentroids seed → k-means → persisted index → pruned probe") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 8)
+    // 1. per-label prototypes as the centroid seed (10 labels → 10 lists)
+    val seed = Similarity.collectCentroids(
+      Similarity.groupCentroids(embs, "embedding", "label"))
+    assert(seed.length == 10 && seed.head.length == 64)
+    // 2. Lloyd refinement over the corpus
+    val cent = Similarity.refineCentroids(embs, "embedding", "vec_id",
+      seed, iters = 2, sampleN = 500)
+    // 3. persist the index partitioned by inverted list
+    val out = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Similarity.writeIvfIndex(embs, "embedding", "vec_id", cent, out)
+      val back = spark.read.parquet(out)
+      assert(back.count() == 500)
+      val listDirs = new java.io.File(out).listFiles
+        .filter(_.getName.startsWith("__list=")).map(_.getName).sorted
+      assert(listDirs.nonEmpty && listDirs.length <= 10)
+      // repartition(__list) bounds files: one shard per list directory
+      val shards = new java.io.File(out).listFiles
+        .filter(_.getName.startsWith("__list="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+      assert(shards.forall(_ == 1), s"shards per list: ${shards.toSeq}")
+
+      // 4. probe reads ONLY the probed lists: partition-pruned at
+      // planning time, no row-level filters, numFiles < total
+      val nProbe = 3
+      val probed = Similarity.ivfProbeIndex(back, queries, "embedding",
+        "vec_id", k = 10, cent, nProbe)
+      val probedRows = probed.collect()
+      val planStr = probed.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters: [__list"),
+        s"probe scan not partition-pruned:\n$planStr")
+      // the same pruned scan, isolated, to read the files-read metric
+      val q = queries.select(
+        explode(graft.functions.NativeExpressions.nearestCentroids(
+          col("embedding"), cent, nProbe)).as("__list"))
+      val lists = q.distinct().collect().map(_.getInt(0)).sorted.toSeq
+      assert(lists.length < listDirs.length) // genuinely selective
+      val pruned = back.where(col("__list").isin(lists: _*))
+      pruned.collect() // drive THIS queryExecution so its metrics populate
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metrics("numFiles").value == lists.length.toLong)
+      assert(scan.toString.contains("DataFilters: []"))
+
+      // 5. recall unchanged: the persisted+pruned path returns exactly
+      // the in-memory assignment's results (same centroids)
+      val mem = Similarity.ivfTopKWithCentroids(embs, queries, "embedding",
+        "vec_id", k = 10, cent, nProbe).collect()
+      def key(rs: Array[org.apache.spark.sql.Row]) =
+        rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      assert(key(probedRows) == key(mem))
+      assert(probedRows.nonEmpty)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("TopK aggregator == brute-force sort-take on random streams") {
     val rnd = new scala.util.Random(7)
     for (k <- Seq(1, 3, 8); trial <- 1 to 5) {
