@@ -988,6 +988,35 @@ object SparkEntry {
              |SELECT user_id, view_ts, click_ts, purchase_ts
              |FROM p ORDER BY user_id""".stripMargin)),
 
+    // --- the same funnel with a per-step time bound: each stage must
+    //     land within 360 minutes of the previous stage's resolved time
+    //     (the standard product-funnel variant; conditional-min shape
+    //     and O(1) per-user state unchanged)
+    ("e06_funnel_bounded",
+      (s, dir) => Sessionize.funnel(evts(s, dir),
+          Seq("view", "click", "purchase"), maxStepGapMinutes = Some(360L))
+        .orderBy("user_id"),
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts
+             |      FROM e0 WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT v.user_id, v.view_ts,
+             |        min(CASE WHEN e.ts > v.view_ts
+             |              AND e.ts <= v.view_ts + INTERVAL '360' MINUTE
+             |            THEN e.ts END) AS click_ts
+             |      FROM v LEFT JOIN e0 e
+             |        ON e.user_id = v.user_id AND e.event_type = 'click'
+             |      GROUP BY 1, 2),
+             |p AS (SELECT c.user_id, c.view_ts, c.click_ts,
+             |        min(CASE WHEN e.ts > c.click_ts
+             |              AND e.ts <= c.click_ts + INTERVAL '360' MINUTE
+             |            THEN e.ts END) AS purchase_ts
+             |      FROM c LEFT JOIN e0 e
+             |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |      GROUP BY 1, 2, 3)
+             |SELECT user_id, view_ts, click_ts, purchase_ts
+             |FROM p ORDER BY user_id""".stripMargin)),
+
     // --- cohort retention triangle: first-activity-day cohorts ×
     //     distinct return-day offsets
     ("e05_retention",

@@ -137,12 +137,23 @@ object Sessionize {
    * user is O(1) no matter how many events a power user has. k−1 hash
    * joins all keyed on the user column (co-partitioned after the first
    * exchange); each shuffles just that stage's events, not the stream.
+   *
+   * `maxStepGapMinutes` adds the standard per-step time bound: stage
+   * i+1 must occur within T of the resolved stage-i time —
+   * `min(ts WHERE ts > prev AND ts <= prev + T)`. The conditional-min
+   * shape (and its O(1) state) is unchanged; the bound is one more
+   * conjunct inside the `when`. Note the semantics are greedy per
+   * stage (first qualifying time, matching the unbounded variant), not
+   * a global search over alternate stage-i choices.
    */
   def funnel(events: DataFrame, stages: Seq[String],
              typeCol: String = "event_type", userCol: String = "user_id",
-             tsCol: String = "ts"): DataFrame = {
+             tsCol: String = "ts",
+             maxStepGapMinutes: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty && stages.distinct == stages,
       s"stages must be non-empty and distinct: $stages")
+    require(maxStepGapMinutes.forall(_ > 0),
+      s"maxStepGapMinutes must be positive: $maxStepGapMinutes")
     var acc: DataFrame = events.where(col(typeCol) === stages.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as(s"${stages.head}_ts"))
@@ -151,12 +162,14 @@ object Sessionize {
       val cur = events.where(col(typeCol) === stages(i))
         .select(col(userCol), col(tsCol).as("__t"))
       val keys = acc.columns // user + all resolved stage columns
+      val inStep = maxStepGapMinutes.foldLeft(col("__t") > col(prev)) {
+        (c, m) => c && col("__t") <= col(prev) + expr(s"INTERVAL $m MINUTES")
+      }
       acc = acc.join(cur, Seq(userCol), "left")
         .groupBy(keys.map(col): _*)
         // null prev ⇒ comparison null ⇒ when() null ⇒ min null: later
         // stages collapse to null once any earlier stage is missing
-        .agg(min(when(col("__t") > col(prev), col("__t")))
-          .as(s"${stages(i)}_ts"))
+        .agg(min(when(inStep, col("__t"))).as(s"${stages(i)}_ts"))
     }
     acc
   }

@@ -1232,6 +1232,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2).getTimestamp(2) == ts(2) && out(2).isNullAt(3))
   }
 
+  test("funnel with maxStepGap: late stages fall outside the bound") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: click 3 min after view (within 5), purchase 10 min after
+      // click (outside 5) → purchase null under the bound
+      (1L, "view", ts(0)), (1L, "click", ts(3)), (1L, "purchase", ts(13)),
+      // user 2: click 7 min after view → click null AND purchase null
+      // (cascade), even though an in-bound purchase follows the click
+      (2L, "view", ts(0)), (2L, "click", ts(7)), (2L, "purchase", ts(8)),
+      // user 3: everything within bounds — identical to unbounded
+      (3L, "view", ts(0)), (3L, "click", ts(4)), (3L, "purchase", ts(8)),
+      // user 4: first click out of bound, SECOND click in bound → the
+      // conditional min picks the in-bound one
+      (4L, "view", ts(0)), (4L, "click", ts(9)), (4L, "click", ts(2)),
+      (4L, "purchase", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Sessionize.funnel(ev, Seq("view", "click", "purchase"),
+        maxStepGapMinutes = Some(5L))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(out(0).getTimestamp(2) == ts(3) && out(0).isNullAt(3))
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+    assert(out(2).getTimestamp(2) == ts(4) && out(2).getTimestamp(3) == ts(8))
+    assert(out(3).getTimestamp(2) == ts(2) && out(3).getTimestamp(3) == ts(5))
+    // a wide bound reproduces the unbounded result exactly
+    val wide = Sessionize.funnel(ev, Seq("view", "click", "purchase"),
+      maxStepGapMinutes = Some(100000L)).orderBy("user_id").collect()
+    val unbounded = Sessionize.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(wide.map(_.toSeq).toSeq == unbounded.map(_.toSeq).toSeq)
+  }
+
   test("retentionCohorts: first-day cohort, distinct day offsets") {
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     val ev = Seq(
