@@ -278,14 +278,33 @@ object Dedup {
 
     // exact-verify only the candidates: join the (small) pair list back
     // to the shingle sets — the semi-join pattern that scales
-    val sh = base.select(col("__id"), col("__sh"))
+    verifyJaccard(cand, base.select(col("__id"), col("__sh")), threshold)
+  }
+
+  /**
+   * Exact-verify candidate pairs against hashed shingle sets: join the
+   * slim (id_a, id_b) list back to `sh` = (__id, __sh) on each side,
+   * keep pairs with Jaccard ≥ `threshold`. The join-back of
+   * [[minhashLshPairs]], factored out so its skew behavior is testable
+   * in isolation.
+   *
+   * Skew: a hub document (boilerplate that near-matches 10⁴+ others)
+   * concentrates its candidate rows on one join key. The pair rows that
+   * shuffle are 16 B each, so even a 10⁴-pair hub partition is only
+   * ~160 KB of INPUT — and because both joins are plain shuffled
+   * equi-joins, AQE's OptimizeSkewedJoin splits any partition that does
+   * exceed the skew threshold, replicating the single matching `sh` row
+   * per split (asserted by the hub skew test). No salting needed: the
+   * heavy side is the slim pair list, never the shingle arrays.
+   */
+  private[ops] def verifyJaccard(cand: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame =
     cand
       .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
       .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
   // ------------------------------------------------------------- SimHash
 

@@ -115,6 +115,56 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("verifyJaccard: AQE splits a hub document's skewed join partition") {
+    // one hub doc appears in 10^4 candidate pairs (the boilerplate-hub
+    // shape at corpus scale) — the verify join-back must not leave all
+    // its pair rows in one task. Force shuffled joins (no broadcast) and
+    // lower the AQE skew thresholds so the test corpus crosses them, as
+    // a 100 TB run's defaults would be crossed by a real hub.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      // id_a and the texts derive from the range column (not literals)
+      // so Catalyst cannot constant-fold the hub key or the shingles
+      // into a cartesian-of-one-row plan
+      val n = 10000
+      val cand = spark.range(1, n + 1)
+        .select((col("id") % lit(1)).as("id_a"), col("id").as("id_b"))
+      val sh = spark.range(0, n + 1)
+        .select(col("id").as("__id"),
+          Dedup.hashedShingleSet(
+            concat(lit("the quick brown fox jumps over the lazy dog shared "),
+              lit("boilerplate text in every single document near variant "),
+              (col("id") % 13).cast("string")),
+            3).as("__sh"))
+      val out = Dedup.verifyJaccard(cand, sh, threshold = 0.5)
+      val rows = out.collect()
+      assert(rows.length == n) // near-identical shingles pass the verify
+      assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getLong(0) == 0L))
+      // the hub partition was detected and split by OptimizeSkewedJoin
+      val planStr = out.queryExecution.executedPlan.toString
+      assert(planStr.contains("skewed"),
+        s"no skew split in the verify join plan:\n$planStr")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("simhash: identical text → identical fp; near text → small hamming") {
     val fps = corpus.where(col("doc_id") <= 4)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
