@@ -1053,6 +1053,34 @@ object SparkEntry {
              |WHERE text NOT IN (SELECT text FROM ex)
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- cross-corpus NEAR-dup: incoming batch (doc_id % 4 = 0) vs the
+    //     existing corpus (rest), batch×corpus pairs only — the near-dup
+    //     twin of d07. Same banding math as d03, so at threshold 0.8 the
+    //     exact cross-side all-pairs oracle matches (miss prob < 1e-7)
+    ("d09_neardup_incremental",
+      (s, dir) => Dedup.minhashLshPairsAgainst(
+          docs(s, dir).where(col("doc_id") % 4 === 0),
+          docs(s, dir).where(col("doc_id") % 4 =!= 0),
+          "text", "doc_id", n = 3, k = 128, bands = 32, threshold = 0.8)
+        .orderBy("batch_id", "corpus_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END AS t
+             |        FROM documents))
+             |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             |       len(list_intersect(b.s, c.s))::DOUBLE /
+             |         len(list_distinct(list_concat(b.s, c.s)))::DOUBLE AS jaccard
+             |FROM sh b JOIN sh c
+             |  ON b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+             |WHERE len(list_distinct(list_concat(b.s, c.s))) > 0
+             |  AND len(list_intersect(b.s, c.s))::DOUBLE /
+             |        len(list_distinct(list_concat(b.s, c.s)))::DOUBLE >= 0.8
+             |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     // --- composed curation pipeline: quality gate → exact dedup →
     //     language ID → per-language token budget
     ("p01_curation",

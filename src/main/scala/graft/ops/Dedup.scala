@@ -240,26 +240,35 @@ object Dedup {
    * docs) should be salted or capped upstream; we cap candidate bucket
    * size with `maxBucket` to bound the quadratic corner.
    */
+  /** (__id, __sh) shingle-set frame for one side of an LSH pipeline. */
+  private def shingleBase(df: DataFrame, textCol: String, idCol: String,
+                          n: Int): DataFrame =
+    df.select(col(idCol).cast(LongType).as("__id"),
+      hashedShingleSet(col(textCol), n).as("__sh"))
+
+  /** Slim (__id, band, bh) rows from a shingle-set frame — the ONLY
+   *  data an LSH stage shuffles; shingle arrays stay columnar in the
+   *  base frame. Same (k, bands) ⇒ same band hashes on any side. */
+  private def bandRows(base: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    base.select(col("__id"),
+        graft.functions.NativeExpressions
+          .minhashSig(col("__sh"), mhCoeffs(k), MhPrime).as("__sig"))
+      .select(col("__id"),
+        posexplode(graft.functions.NativeExpressions
+          .bandHashes(col("__sig"), bands, r)))
+      .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
+  }
+
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 128, bands: Int = 32,
                       threshold: Double = 0.8,
                       maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // hashed shingle sets (native n-gram hashing — no shingle strings),
     // materialized once; signatures via the native one-pass expression
-    val base = df.select(col(idCol).cast(LongType).as("__id"),
-      hashedShingleSet(col(textCol), n).as("__sh"))
-    val sig = base.select(col("__id"),
-      graft.functions.NativeExpressions
-        .minhashSig(col("__sh"), mhCoeffs(k), MhPrime).as("__sig"))
-
-    // explode to slim (band, bandHash, id) rows — the ONLY data that
-    // shuffles; shingle arrays stay columnar in `base`
-    val banded = sig.select(col("__id"),
-        posexplode(graft.functions.NativeExpressions
-          .bandHashes(col("__sig"), bands, r)))
-      .select(col("__id"), col("pos").as("band"), col("col").as("bh"))
+    val base = shingleBase(df, textCol, idCol, n)
+    val banded = bandRows(base, k, bands)
 
     // candidate pairs within buckets: ONE shuffle groups a bucket's ids
     // (map-side partial collect), pairs expand in-row from the sorted id
@@ -305,6 +314,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+
+  /**
+   * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
+   * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs
+   * (never within-side pairs) — the near-dup twin of [[dedupAgainst]],
+   * i.e. the daily-crawl-lands-next-to-a-deduplicated-corpus shape
+   * where re-running [[minhashLshPairs]] over corpus+batch would redo
+   * the corpus's own quadratic work for a 0.1% delta.
+   *
+   * Scale shape: both sides reduce to slim (band, bandHash, id) rows
+   * with the SAME hash family (identical coefficients ⇒ comparable
+   * bands); each side groups its bucket ids once (capped at
+   * `maxBucket` per SIDE, same recall contract as the siblings); the
+   * bucket join then expands batch×corpus pairs by chained explodes —
+   * rows, never a materialized product array, so a 1000×1000 bucket
+   * streams through codegen instead of building a 10⁶-element array.
+   * Verification joins each side's shingle sets back by its own id —
+   * the id spaces of batch and corpus may overlap freely.
+   *
+   * Output: (batch_id, corpus_id, jaccard) with jaccard ≥ `threshold`.
+   */
+  def minhashLshPairsAgainst(batch: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String,
+                             n: Int = 3, k: Int = 128, bands: Int = 32,
+                             threshold: Double = 0.8,
+                             maxBucket: Int = 1000): DataFrame = {
+    val bBase = shingleBase(batch, textCol, idCol, n)
+    val cBase = shingleBase(corpus, textCol, idCol, n)
+    def buckets(base: DataFrame, out: String): DataFrame =
+      bandRows(base, k, bands)
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("__id"))).as(out))
+        .where(size(col(out)) <= maxBucket)
+    val cand = buckets(bBase, "__bids")
+      .join(buckets(cBase, "__cids"), Seq("band", "bh"))
+      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    cand
+      .join(bBase.select(col("__id").as("batch_id"), col("__sh").as("__sha")),
+        Seq("batch_id"))
+      .join(cBase.select(col("__id").as("corpus_id"), col("__sh").as("__shb")),
+        Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 
   // ------------------------------------------------------------- SimHash
 

@@ -115,6 +115,26 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("minhashLshPairsAgainst: cross-side pairs only, id spaces may overlap") {
+    // corpus doc 1 and batch doc 2 are exact dups (cross-side: found);
+    // docs 1 and 2 would also pair WITHIN the full corpus, but each
+    // side here holds only one of them. Batch docs 10/11 are exact dups
+    // of each other (within-side: must NOT be reported).
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (10L, "some entirely distinct batch document body for the within test"),
+      (11L, "some entirely distinct batch document body for the within test")
+    ).toDF("doc_id", "text")
+    val corpusSide = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "an overlapping id with completely unrelated corpus content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsAgainst(batch, corpusSide, "text", "doc_id",
+        n = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, 1L, 1.0))) // cross dup found, id 2 vs 2 not self-matched
+  }
+
   test("verifyJaccard: AQE splits a hub document's skewed join partition") {
     // one hub doc appears in 10^4 candidate pairs (the boilerplate-hub
     // shape at corpus scale) — the verify join-back must not leave all
