@@ -1081,6 +1081,30 @@ object SparkEntry {
              |        len(list_distinct(list_concat(b.s, c.s)))::DOUBLE >= 0.8
              |ORDER BY batch_id, corpus_id""".stripMargin)),
 
+    // --- EXACT all-pairs near-dup via prefix filtering (PPJoin
+    //     principle): provably complete, so the naive all-pairs oracle
+    //     is an equality check, not a probabilistic one (contrast d03)
+    ("d10_prefix_jaccard",
+      (s, dir) => Dedup.prefixJaccardPairs(docs(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.7)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END AS t
+             |        FROM documents))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       len(list_intersect(a.s, b.s))::DOUBLE /
+             |         len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+             |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+             |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // --- composed curation pipeline: quality gate → exact dedup →
     //     language ID → per-language token budget
     ("p01_curation",

@@ -362,6 +362,63 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * EXACT all-pairs n-gram Jaccard ≥ `threshold` over an unblocked
+   * corpus, via prefix filtering (the PPJoin principle, Xiao et al.,
+   * WWW'08): under any global token order, two sets with Jaccard ≥ τ
+   * must share at least one token among each one's first
+   * ⌊(1−τ)·|s|⌋+1 tokens — so an inverted index over just the PREFIX
+   * tokens finds every qualifying pair, and exact verification does
+   * the rest. Unlike [[minhashLshPairs]] there is no banding miss
+   * probability and no τ-dependent tuning: the result provably equals
+   * the naive all-pairs scan (tested against it).
+   *
+   * The global order is (corpus frequency asc, hash) — prefixes are
+   * each document's RAREST tokens, so prefix buckets stay small on
+   * natural corpora; a length pre-filter (τ·|a| ≤ |b| ≤ |a|/τ, with an
+   * epsilon so IEEE rounding can only ADD candidates) prunes the
+   * bucket joins further. Shuffles: token counts, per-doc re-sort,
+   * bucket self-join, verify join — all on slim token/id rows; bodies
+   * and shingle arrays never shuffle (verify is the standard
+   * join-back). Worst case remains inherently quadratic when the TRUE
+   * result is quadratic (an all-identical corpus); `maxBucket` caps
+   * that corner at the cost of the exactness guarantee for tokens
+   * whose prefix bucket overflows — leave it at the default for the
+   * proven-exact contract, lower it for hostile corpora.
+   */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         n: Int = 3, threshold: Double = 0.7,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val base = shingleBase(df, textCol, idCol, n)
+    val toks = base.select(col("__id"), explode(col("__sh")).as("__h"))
+    val counts = toks.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
+    // per-doc token list in global (frequency asc, hash) order
+    val ordered = toks.join(counts, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("__cnt"), col("__h")))),
+        x => x.getField("__h")).as("__ord"))
+    // prefix length ⌊(1−τ)·len⌋+1, epsilon'd so rounding only widens it
+    val pfxLen = (floor(size(col("__ord")) * lit(1.0 - threshold) + lit(1e-9))
+      + lit(1)).cast(IntegerType)
+    val pfx = ordered.select(col("__id"), size(col("__ord")).as("__len"),
+        explode(slice(col("__ord"), lit(1), pfxLen)).as("__h"))
+    val okToken = pfx.groupBy(col("__h")).agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
+      .select(col("__h"))
+    val l = pfx.join(okToken, Seq("__h"))
+      .select(col("__h"), col("__id").as("id_a"), col("__len").as("__la"))
+    val r = pfx.select(col("__h"), col("__id").as("id_b"), col("__len").as("__lb"))
+    val cand = l.join(r, Seq("__h"))
+      .where(col("id_a") < col("id_b") &&
+        col("__lb") * lit(threshold) <= col("__la") + lit(1e-9) &&
+        col("__la") * lit(threshold) <= col("__lb") + lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    verifyJaccard(cand, base, threshold)
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /**

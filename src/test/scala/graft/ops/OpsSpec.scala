@@ -115,6 +115,32 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("prefixJaccardPairs == naive all-pairs on random corpora (exactness)") {
+    // the operator's claim is PROVABLE completeness — check it against
+    // the quadratic scan on random word-soup corpora at several
+    // thresholds, including boundary-ish ones
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    for (trial <- 1 to 3; threshold <- Seq(0.5, 0.7, 0.9)) {
+      val docsDf = (0 until 40).map { i =>
+        val len = 6 + rnd.nextInt(10)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "one")
+      }.toDF("doc_id", "text", "blk")
+      val naive = Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", "blk",
+          n = 2, threshold = threshold, maxBlock = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      val exact = Dedup.prefixJaccardPairs(docsDf, "text", "doc_id",
+          n = 2, threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+      assert(exact == naive,
+        s"trial $trial τ=$threshold: prefix ${exact.size} vs naive ${naive.size}")
+    }
+  }
+
   test("minhashLshPairsAgainst: cross-side pairs only, id spaces may overlap") {
     // corpus doc 1 and batch doc 2 are exact dups (cross-side: found);
     // docs 1 and 2 would also pair WITHIN the full corpus, but each
