@@ -1017,6 +1017,24 @@ object SparkEntry {
              |SELECT user_id, view_ts, click_ts, purchase_ts
              |FROM p ORDER BY user_id""".stripMargin)),
 
+    // --- ROLLUP grouping-sets report: (event_type, day) + per-type
+    //     subtotals + grand total in ONE Expand+aggregate pass (null
+    //     group keys mark subtotal rows)
+    ("e07_rollup",
+      (s, dir) => Sessionize.rollupDaily(evts(s, dir))
+        .select(col("event_type"), col("day"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first),
+      Some("""WITH e0 AS (
+             |  SELECT event_type,
+             |         strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |         value
+             |  FROM events)
+             |SELECT event_type, day, count(*) AS n_events,
+             |       round(sum(value), 6) AS sum_value
+             |FROM e0 GROUP BY ROLLUP(event_type, day)
+             |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin)),
+
     // --- cohort retention triangle: first-activity-day cohorts ×
     //     distinct return-day offsets
     ("e05_retention",

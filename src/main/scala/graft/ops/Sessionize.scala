@@ -196,6 +196,25 @@ object Sessionize {
   }
 
   /**
+   * Hierarchical report with ROLLUP grouping sets: per (event_type,
+   * day) counts and value sums, plus per-event_type subtotals and a
+   * grand total in the SAME pass. Null group columns mark subtotal
+   * rows (standard SQL rollup semantics).
+   *
+   * Scale shape: `rollup` lowers to ONE Expand (each input row fans to
+   * its 3 grouping sets map-side) + one partially-aggregated hash
+   * shuffle — one scan of the events, versus three separate
+   * groupBy+union passes. The day key is emitted as an ISO string so
+   * cross-engine comparison is dtype-stable.
+   */
+  def rollupDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /**
    * Streaming twin of [[hourlyRollup]]: tumbling event-time windows with
    * a watermark; in append mode a window emits once the watermark passes
    * its end, so state size is bounded by (#types × #open windows).

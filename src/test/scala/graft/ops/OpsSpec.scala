@@ -1360,6 +1360,29 @@ class OpsSpec extends AnyFunSuite {
     assert(wide.map(_.toSeq).toSeq == unbounded.map(_.toSeq).toSeq)
   }
 
+  test("rollupDaily: subtotals correct, one Expand + one shuffle") {
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      ("view", ts(1, 9), 1.0), ("view", ts(1, 10), 2.0),
+      ("view", ts(2, 9), 4.0), ("click", ts(1, 9), 8.0)
+    ).toDF("event_type", "ts", "value")
+    val out = Sessionize.rollupDaily(ev)
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+      .collect()
+    // grand total, click subtotal+day, view subtotal+2 days
+    assert(out.length == 1 + 2 + 3)
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) &&
+      out(0).getLong(2) == 4L && out(0).getDouble(3) == 15.0)
+    assert(out(1).getString(0) == "click" && out(1).isNullAt(1) &&
+      out(1).getDouble(3) == 8.0)
+    assert(out(3).getString(0) == "view" && out(3).isNullAt(1) &&
+      out(3).getLong(2) == 3L && out(3).getDouble(3) == 7.0)
+    // one Expand, one aggregate exchange — not three unioned passes
+    val plan = Sessionize.rollupDaily(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("retentionCohorts: first-day cohort, distinct day offsets") {
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
     val ev = Seq(
