@@ -1139,6 +1139,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables join with zero exchanges") {
+    val conf = spark.conf
+    val savedBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val docsDf = (0L until 200L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+      val feats = (0L until 200L).map(i => (i, i * 0.5)).toDF("doc_id", "score")
+      Bucketing.writeBucketed(docsDf, "graft_test_docs", "doc_id", 4)
+      Bucketing.writeBucketed(feats, "graft_test_feats", "doc_id", 4)
+      try {
+        val joined = Bucketing.joinBucketed(spark, "graft_test_docs",
+          "graft_test_feats", "doc_id")
+        assert(joined.count() == 200)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+        // single file per bucket (task boundaries aligned by repartition)
+        assert(plan.contains("SelectedBucketsCount: 4 out of 4"), plan)
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_test_docs")
+        spark.sql("DROP TABLE IF EXISTS graft_test_feats")
+      }
+    } finally savedBc match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal: meta extraction is deterministic and schema-typed") {
