@@ -934,6 +934,42 @@ object SparkEntry {
              |  ON c.user_id = p.user_id AND c.ts >= p.pts
              |ORDER BY c.event_id""".stripMargin)),
 
+    // --- the same as-of join with a 2-hour lookback tolerance (kdb
+    //     windowed aj / pandas merge_asof tolerance): a match older
+    //     than the bound nulls out. Oracle: DuckDB ASOF then a CASE
+    //     nullification — semantically identical because the
+    //     latest-preceding row is unique.
+    ("e08_asof_tolerance",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value"))
+          .groupBy("user_id", "pts").agg(max("value").as("pval"))
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
+            toleranceSec = Some(7200L))
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("pts"), col("pval"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |c AS (SELECT event_id, user_id, ts, value
+             |      FROM e0 WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS pts, max(value) AS pval
+             |      FROM e0 WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts),
+             |a AS (SELECT c.event_id, c.user_id, c.value, c.ts, p.pts, p.pval
+             |      FROM c ASOF LEFT JOIN p
+             |        ON c.user_id = p.user_id AND c.ts >= p.pts)
+             |SELECT event_id, user_id, value,
+             |       CASE WHEN ts - pts <= INTERVAL '7200' SECOND
+             |            THEN pts END AS pts,
+             |       CASE WHEN ts - pts <= INTERVAL '7200' SECOND
+             |            THEN pval END AS pval
+             |FROM a ORDER BY event_id""".stripMargin)),
+
     // --- bucketed range join: per error event, activity of the same
     //     user in the following 30 minutes (interval×point → equi-join
     //     on 30-min cells + exact filter; a bare BETWEEN predicate

@@ -31,9 +31,18 @@ object AsOf {
    * Output: every left column, then every non-key right column
    * (including `rightTs`), null when no right row precedes. Non-key
    * column names must not collide across the sides.
+   *
+   * `toleranceSec` bounds the lookback (kdb `aj` with a window /
+   * pandas `merge_asof(tolerance=...)`): a match older than the
+   * tolerance nulls out. The merge-scan shape is unchanged — the
+   * latest-preceding right row is unique, so the bound is a post-scan
+   * conditional on the carried payload, not a different join.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String,
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(toleranceSec.forall(_ > 0),
+      s"toleranceSec must be positive: $toleranceSec")
     val rPay = right.columns.filterNot(keys.contains)
     val clash = rPay.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asofJoin column collision: ${clash.mkString(", ")}")
@@ -54,11 +63,17 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ats").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l2.unionByName(r2)
+    val carried = l2.unionByName(r2)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(n => col("__l").getField(n).as(n)) ++
-        rPay.map(n => col("__c").getField(n).as(n)): _*)
+    val bounded = toleranceSec.foldLeft(carried) { (df, tol) =>
+      df.withColumn("__c", when(
+        unix_micros(col("__ats")) -
+          unix_micros(col("__c").getField(rightTs)) <= tol * 1000000L,
+        col("__c")))
+    }
+    bounded.select(left.columns.map(n => col("__l").getField(n).as(n)) ++
+      rPay.map(n => col("__c").getField(n).as(n)): _*)
   }
 
   /**

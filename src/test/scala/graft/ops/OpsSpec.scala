@@ -420,6 +420,28 @@ class OpsSpec extends AnyFunSuite {
       (4L, None, null)))                 // key with no right rows at all
   }
 
+  test("asofJoin with tolerance: stale matches null out, fresh ones survive") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val l = Seq((1L, 10L, ts(100)), (2L, 10L, ts(260)), (3L, 10L, ts(1000)))
+      .toDF("eid", "uid", "lts")
+    val r = Seq((10L, ts(100), 1.0), (10L, ts(200), 2.0))
+      .toDF("uid", "rts", "rv")
+    val got = AsOf.asofJoin(l, r, Seq("uid"), "lts", "rts",
+        toleranceSec = Some(60L))
+      .orderBy("eid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(4)) None else Some(x.getDouble(4))))
+    assert(got.toSeq == Seq(
+      (1L, Some(1.0)),  // exact-ts match, age 0 ≤ 60
+      (2L, Some(2.0)),  // age 60 — boundary is inclusive
+      (3L, None)))      // latest preceding is 800 s stale → nulled
+    // wide tolerance ≡ unbounded
+    val wide = AsOf.asofJoin(l, r, Seq("uid"), "lts", "rts",
+      toleranceSec = Some(100000L)).orderBy("eid").collect().map(_.toSeq)
+    val unbounded = AsOf.asofJoin(l, r, Seq("uid"), "lts", "rts")
+      .orderBy("eid").collect().map(_.toSeq)
+    assert(wide.toSeq == unbounded.toSeq)
+  }
+
   test("asofJoin == brute-force argmax on a random stream") {
     val rnd = new scala.util.Random(11)
     def ts(s: Long) = new Timestamp(s * 1000L)
