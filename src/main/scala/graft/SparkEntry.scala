@@ -503,6 +503,29 @@ object SparkEntry {
       },
       Some(keepBestOracle)),
 
+    // --- leakage-safe train/test split: the split unit is the near-dup
+    //     CLUSTER (root from the d03 pair graph), so near-duplicates of
+    //     training docs can never land in test. Oracle: recursive-CTE
+    //     cluster map + the same multiplicative-hash cut.
+    ("p04_leakage_safe_split",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = Dedup.minhashLshPairs(d, "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        Pipeline.leakageSafeSplit(d, pairs, "doc_id", testFraction = 0.2)
+          .select(col("doc_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupClusterCtes,
+             |k AS (SELECT d.doc_id,
+             |        coalesce(c.cluster_id, d.doc_id) AS key
+             |      FROM documents d LEFT JOIN comp c USING (doc_id))
+             |SELECT doc_id,
+             |       CASE WHEN (key * 2654435761) % 1000000007
+             |              < CAST(floor(0.2 * 1000000007) AS BIGINT)
+             |            THEN 'test' ELSE 'train' END AS split
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
     // oracle mode: the per-token hash is two fingerprint64 values packed
@@ -749,6 +772,23 @@ object SparkEntry {
              |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
              |      FROM documents WHERE trim(text) <> '')
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
+
+    // --- one-row corpus token-distribution report (total/type counts,
+    //     TTR, Zipf-head coverage of the top-100 tokens)
+    ("t16_token_stats",
+      (s, dir) => TextOps.corpusTokenStats(docs(s, dir), "text", topK = 100),
+      Some("""WITH f AS (
+             |  SELECT token, count(*) AS n
+             |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |        FROM documents WHERE trim(text) <> '')
+             |  GROUP BY token),
+             |tot AS (SELECT sum(n) AS n_tokens, count(*) AS n_types FROM f),
+             |top AS (SELECT coalesce(sum(n), 0) AS topn
+             |        FROM (SELECT n FROM f ORDER BY n DESC, token LIMIT 100))
+             |SELECT CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+             |       round(n_types / n_tokens, 6) AS type_token_ratio,
+             |       round(topn / n_tokens, 6) AS top100_coverage
+             |FROM tot, top""".stripMargin)),
 
     // --- token-budget packing (running-sum bin assignment per language)
     ("t06_pack",

@@ -94,6 +94,38 @@ object Pipeline {
   }
 
   /**
+   * Leakage-safe train/test split: deterministic hash split whose unit
+   * is the NEAR-DUP CLUSTER, not the document. A plain per-doc hash
+   * split puts near-duplicates of training documents into the test set
+   * (the eval-contamination failure mode dedup reports exist to
+   * catch); here every doc's split key is its cluster root from
+   * `pairs` (its own id when unclustered), so a cluster lands entirely
+   * on one side by construction.
+   *
+   * Scale: [[Dedup.connectedComponents]] over the (small) pair list,
+   * one left join of the slim (id, root) map onto the corpus, then the
+   * map-only hash cut of [[sampleByHashFraction]] on the split key.
+   * Bodies stream through once; nothing about the split re-shuffles
+   * the corpus.
+   */
+  def leakageSafeSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                       testFraction: Double): DataFrame = {
+    require(testFraction > 0.0 && testFraction < 1.0,
+      s"testFraction must be in (0, 1), got $testFraction")
+    val cc = graft.ops.Dedup.connectedComponents(pairs).select(
+      col("id").as("__ls_id"), col("component").as("__ls_root"))
+    val cut = (testFraction * 1000000007L).toLong
+    df.join(cc, df(idCol).cast(org.apache.spark.sql.types.LongType)
+        === col("__ls_id"), "left")
+      .withColumn("__ls_key", coalesce(col("__ls_root"),
+        df(idCol).cast(org.apache.spark.sql.types.LongType)))
+      .withColumn("split",
+        when(Hashing.mulHash(col("__ls_key")) < cut, lit("test"))
+          .otherwise(lit("train")))
+      .drop("__ls_id", "__ls_root", "__ls_key")
+  }
+
+  /**
    * Benchmark decontamination: flag corpus documents sharing at least
    * `threshold` of their distinct word n-grams with a benchmark set —
    * the standard eval-leakage check before pre-training.

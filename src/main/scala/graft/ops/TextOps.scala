@@ -230,6 +230,33 @@ object TextOps {
       .groupBy("token").agg(count(lit(1)).as("n"))
 
   /**
+   * One-row corpus token-distribution report: total token occurrences,
+   * distinct types, type-token ratio, and the fraction of all
+   * occurrences covered by the `topK` most frequent tokens (the
+   * Zipf-head coverage that drives stopword lists and vocabulary-size
+   * decisions before training a tokenizer).
+   *
+   * Scale: one explode + partially-aggregated count per token (shuffle
+   * ∝ vocabulary, the [[tokenFrequencies]] pass), then two global
+   * aggregates over the VOCABULARY rows: totals, and a top-K sum where
+   * the top-K selection is a TakeOrdered (per-partition bounded heaps,
+   * no full sort — ties broken by token for a deterministic boundary).
+   * Nothing ever returns to the driver but the single report row.
+   */
+  def corpusTokenStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    val freq = tokenFrequencies(df, textCol)
+    val totals = freq.agg(sum(col("n")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = freq.orderBy(col("n").desc, col("token")).limit(topK)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("__topn"))
+    totals.crossJoin(top).select(
+      col("n_tokens"), col("n_types"),
+      round(col("n_types").cast(DoubleType) / col("n_tokens"), 6).as("type_token_ratio"),
+      round(col("__topn").cast(DoubleType) / col("n_tokens"), 6).as(s"top${topK}_coverage"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document: term frequency within the
    * document × smoothed inverse document frequency
    * `ln((N+1)/(df+1))` over the corpus. Ranking key is the score

@@ -1161,6 +1161,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit: clusters stay whole, split is deterministic") {
+    // pair graph: {1,2,3} one cluster (chain), {10,11} another;
+    // 20..119 unclustered
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docsDf = ((1L to 3L) ++ Seq(10L, 11L) ++ (20L until 120L))
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Pipeline.leakageSafeSplit(docsDf, pairs, "doc_id", 0.3)
+    val m = split.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("split")).toMap
+    assert(m.size == 105)
+    // every cluster lands on one side
+    assert(Set(m(1L), m(2L), m(3L)).size == 1)
+    assert(m(10L) == m(11L))
+    // both sides populated, fraction in a plausible band
+    val testN = m.values.count(_ == "test")
+    assert(testN > 10 && testN < 60, s"test side $testN of 105")
+    // deterministic across runs
+    val again = Pipeline.leakageSafeSplit(docsDf, pairs, "doc_id", 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(again == m)
+  }
+
   test("bucketed tables join with zero exchanges") {
     val conf = spark.conf
     val savedBc = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
