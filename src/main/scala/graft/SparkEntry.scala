@@ -617,6 +617,19 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       Some(ivfAnnOracle)),
 
+    // --- product-quantization ANN (FAISS IndexPQ shape): seed
+    //     codebooks from the hash-ordered sample (no k-means → fully
+    //     SQL-mirrorable), native one-loop encode, ADC scoring via
+    //     reconstruction. Full value oracle on codes→distances→ranks.
+    ("s08_ann_pq",
+      (s, dir) => Similarity.pqTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, m = 8, ksub = 16)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("l2_dist"), 6).as("l2_dist"))
+        .orderBy("query_id", "rank"),
+      Some(pqAnnOracle)),
+
     // --- per-label embedding centroids (class prototypes), exploded so
     //     every component is value-checked
     ("s07_group_centroids",
@@ -1627,6 +1640,46 @@ object SparkEntry {
     * k=5: same centroid sample (multiplicative-hash order, id
     * tie-break), same normalized-dot assignment with index tie-break,
     * same probe set, same in-list exact cosine top-k. */
+  /** DuckDB mirror of s08: same hash-ordered seed rows as codebooks,
+    * same per-subspace `⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩` encode with (distance,
+    * index) tie-break, reconstruction by per-code concatenation, and
+    * the same three-dot ADC distance with (distance, id) ranking —
+    * every dot is a left-to-right double accumulation on both engines,
+    * so codes, distances and ranks match bit-for-bit. */
+  private lazy val pqAnnOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sd AS (SELECT v AS sv, row_number() OVER (ORDER BY h, vid) - 1 AS j
+      |       FROM (SELECT v, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cb AS (SELECT ss.s AS s, sd.j AS j,
+      |              sv[ss.s*8+1 : ss.s*8+8] AS c
+      |       FROM sd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+      |cbc AS (SELECT s, j, c, list_dot_product(c, c) AS cc FROM cb),
+      |dist AS (SELECT e.vec_id, b.s, b.j,
+      |           list_dot_product(e.v[b.s*8+1 : b.s*8+8],
+      |                            e.v[b.s*8+1 : b.s*8+8])
+      |           - 2*list_dot_product(e.v[b.s*8+1 : b.s*8+8], b.c)
+      |           + b.cc AS d
+      |         FROM e CROSS JOIN cbc b),
+      |code AS (SELECT vec_id, s, j FROM
+      |          (SELECT vec_id, s, j, row_number() OVER
+      |             (PARTITION BY vec_id, s ORDER BY d, j) AS r FROM dist)
+      |         WHERE r = 1),
+      |rec AS (SELECT code.vec_id, flatten(list(b.c ORDER BY code.s)) AS rv
+      |        FROM code JOIN cbc b ON b.s = code.s AND b.j = code.j
+      |        GROUP BY code.vec_id),
+      |sc AS (SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, r2.rv)
+      |           + list_dot_product(r2.rv, r2.rv) AS d
+      |       FROM e q CROSS JOIN rec r2
+      |       WHERE q.vec_id < 8 AND r2.vec_id <> q.vec_id),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+      |       FROM sc)
+      |SELECT query_id, neighbor_id, rank, round(d, 6) AS l2_dist
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private lazy val ivfAnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx

@@ -1032,6 +1032,129 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  // ---------------------------------------------- product-quantization
+
+  /**
+   * PQ code of a float vector: for each of the `m` contiguous
+   * subspaces, the index of the L2²-nearest codebook entry (first
+   * index on exact ties). One compiled loop per row — the
+   * compositional form ([[graft.ops.Similarity.pqCodeComposed]])
+   * builds m×ksub dot-expression nodes and detonates codegen beyond
+   * ~1k codewords; this expression carries the codebooks as one
+   * reference object.
+   *
+   * Arithmetic is BIT-IDENTICAL to the compositional form (asserted in
+   * OpsSpec) and therefore to the DuckDB oracle: per-subspace
+   * `⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩` with every dot accumulated left-to-right
+   * in double and `⟨c,c⟩` folded to a constant.
+   */
+  final case class PqCode(child: Expression, cb: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    require(cb.nonEmpty && cb.head.nonEmpty && cb.head.head.nonEmpty,
+      "pq_code: empty codebooks")
+    private val m = cb.length
+    private val ksub = cb.head.length
+    private val dsub = cb.head.head.length
+    require(cb.forall(s => s.length == ksub && s.forall(_.length == dsub)),
+      "pq_code: ragged codebooks")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, FloatType, prettyName)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "pq_code"
+
+    // cast once; ⟨c,c⟩ folded left-to-right, matching lit-constant folding
+    private lazy val cbD: Array[Array[Array[Double]]] =
+      cb.map(_.map(_.map(_.toDouble)))
+    private lazy val ccD: Array[Array[Double]] = cbD.map(_.map { c =>
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    })
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      if (v.numElements() != m * dsub) return null
+      val out = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val off = s * dsub
+        var dss = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = v.getFloat(off + i).toDouble; dss += x * x; i += 1
+        }
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var j = 0
+        while (j < ksub) {
+          val c = cbD(s)(j)
+          var dsc = 0.0
+          i = 0
+          while (i < dsub) { dsc += v.getFloat(off + i).toDouble * c(i); i += 1 }
+          val d = dss - 2.0 * dsc + ccD(s)(j)
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        out(s) = best
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullable: Boolean = true
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqCb", cbD, "double[][][]")
+      val ccRef = ctx.addReferenceObj("pqCc", ccD, "double[][]")
+      val out = ctx.freshName("pqOut")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val dss = ctx.freshName("dss")
+      val dsc = ctx.freshName("dsc")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val x = ctx.freshName("x")
+      val c = ctx.freshName("c")
+      nullSafeCodeGen(ctx, ev, v => {
+        s"""
+           |if ($v.numElements() != ${m * dsub}) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int[] $out = new int[$m];
+           |  for (int $s = 0; $s < $m; $s++) {
+           |    int $off = $s * $dsub;
+           |    double $dss = 0.0;
+           |    for (int $i = 0; $i < $dsub; $i++) {
+           |      double $x = (double) $v.getFloat($off + $i);
+           |      $dss += $x * $x;
+           |    }
+           |    int $best = 0;
+           |    double $bestD = Double.POSITIVE_INFINITY;
+           |    for (int $j = 0; $j < $ksub; $j++) {
+           |      double[] $c = $cbRef[$s][$j];
+           |      double $dsc = 0.0;
+           |      for (int $i = 0; $i < $dsub; $i++) {
+           |        $dsc += (double) $v.getFloat($off + $i) * $c[$i];
+           |      }
+           |      double $d = $dss - 2.0 * $dsc + $ccRef[$s][$j];
+           |      if ($d < $bestD) { $bestD = $d; $best = $j; }
+           |    }
+           |    $out[$s] = $best;
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+           |}
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqCode =
+      copy(child = newChild)
+  }
+
   // -------------------------------------------------------- Column API
 
   def minhashSig(hashes: Column, coeffs: Seq[(Long, Long)], prime: Long): Column =
@@ -1063,6 +1186,9 @@ object NativeExpressions {
     col(SortedIntersectCount(expr(a), expr(b)))
 
   def dotF(a: Column, b: Column): Column = col(DotF(expr(a), expr(b)))
+
+  def pqCode(vec: Column, cb: Array[Array[Array[Float]]]): Column =
+    col(PqCode(expr(vec), cb))
 
   def dotI8(a: Column, b: Column): Column = col(DotI8(expr(a), expr(b)))
 

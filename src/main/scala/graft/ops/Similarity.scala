@@ -440,6 +440,151 @@ object Similarity {
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Squared L2 distance via the three-dot composition
+   *  `⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩` — each dot is the left-to-right double
+   *  accumulation of [[dot]], so a SQL oracle reproduces the value
+   *  bit-for-bit (an elementwise `(aᵢ−bᵢ)²` loop would group the
+   *  arithmetic differently and drift by ulps, flipping argmins). */
+  def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /**
+   * Product-quantization codebooks `[m][ksub][dsub]`: the vector space
+   * splits into `m` contiguous subspaces; each subspace's codebook is
+   * the corresponding subvectors of the first `ksub` corpus rows in
+   * deterministic multiplicative-hash order (the same engine-portable
+   * seeding as [[ivfTopK]] — no k-means, so a SQL oracle selects the
+   * identical codebooks). Driver holds m×ksub×dsub floats — model-sized.
+   */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                  m: Int, ksub: Int): Array[Array[Array[Float]]] = {
+    val seed = corpus
+      .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
+      .orderBy(Hashing.mulHash(col("i")), col("i"))
+      .limit(ksub)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(seed.nonEmpty, "pqCodebooks: empty corpus")
+    val dim = seed.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m)(s => seed.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /**
+   * PQ code of a float-vector column: per subspace, the index of the
+   * L2-nearest codebook entry (first index on exact ties). Map-only,
+   * one native compiled loop per row (the codebooks ride as a single
+   * reference object). The code is m small ints — at 64 dims / m=8 /
+   * ksub=16 that is 4 bits per subspace: a 32× storage cut vs float32.
+   */
+  def pqCode(vec: Column, cb: Array[Array[Array[Float]]]): Column =
+    graft.functions.NativeExpressions.pqCode(vec, cb)
+
+  /** Built-in-composed twin of [[pqCode]] — m×ksub dot-expression
+   *  nodes, bit-identical values (asserted in OpsSpec). Usable only for
+   *  small codebooks (the expression tree grows with m×ksub and
+   *  detonates codegen around ~1k codewords); it exists to pin the
+   *  native expression's arithmetic to the SQL-mirrorable form. */
+  private[ops] def pqCodeComposed(vec: Column, cb: Array[Array[Array[Float]]]): Column = {
+    val m = cb.length
+    val dsub = cb.head.head.length
+    val codes = (0 until m).map { s =>
+      val sub = slice(vec, s * dsub + 1, dsub)
+      val dss = dot(sub, sub)
+      val dists = array(cb(s).map { c =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+        dss - lit(2.0) * dot(sub, lit(c)) + lit(cc)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+    }
+    array(codes: _*)
+  }
+
+  /**
+   * Per-subspace Lloyd refinement of PQ codebooks over a deterministic
+   * corpus sample (the training step of real PQ — seed codebooks alone
+   * quantize poorly). Each iteration assigns the sample with the same
+   * map-only [[pqCode]] expression, then recomputes per-(subspace,
+   * codeword, dimension) means in ONE partially-aggregated groupBy —
+   * m×ksub×dsub tiny cells reach the driver, never sample rows.
+   * Codewords that attract no points keep their previous entry.
+   * Trained codebooks are not SQL-mirrorable — keep `iters = 0` for
+   * oracle runs (the [[ivfTopK]] convention).
+   */
+  def pqTrainCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+                       m: Int, ksub: Int, iters: Int,
+                       sampleN: Int = 65536): Array[Array[Array[Float]]] = {
+    var cb = pqCodebooks(corpus, vecCol, idCol, m, ksub)
+    if (iters <= 0) return cb
+    val dsub = cb.head.head.length
+    val sample = corpus
+      .select(col(vecCol).as("__v"), Hashing.mulHash(col(idCol)).as("__h"),
+        col(idCol).cast(LongType).as("__i"))
+      .orderBy(col("__h"), col("__i")).limit(sampleN)
+      .select(col("__v")).cache()
+    try {
+      for (_ <- 1 to iters) {
+        val stats = sample
+          .select(col("__v"),
+            posexplode(pqCode(col("__v"), cb)).as(Seq("__s", "__j")))
+          .select(col("__s"), col("__j"),
+            posexplode(slice(col("__v"),
+              col("__s") * lit(dsub) + lit(1), lit(dsub))))
+          .groupBy(col("__s"), col("__j"), col("pos"))
+          .agg(sum(col("col").cast(DoubleType)).as("sm"),
+            count(lit(1)).as("n"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        stats.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            (r.getDouble(3) / r.getLong(4)).toFloat
+        }
+        cb = next
+      }
+      cb
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Reconstruction of a PQ code: the concatenation of its codebook
+   *  entries — `‖q − decode(code)‖²` IS the asymmetric (ADC) distance
+   *  `Σ_s ‖q_s − cb[s][code_s]‖²`, so scoring decodes once per row and
+   *  reuses the exact-scan machinery. */
+  def pqDecode(code: Column, cb: Array[Array[Array[Float]]]): Column =
+    flatten(array(cb.indices.map { s =>
+      element_at(typedLit(cb(s).map(_.toSeq).toSeq),
+        element_at(code, s + 1) + lit(1))
+    }: _*))
+
+  /**
+   * PQ-compressed approximate top-k by squared L2 (the FAISS IndexPQ
+   * shape): the corpus is stored as m-byte codes, queries stay float,
+   * and each row's ADC distance is the exact L2² between the query and
+   * the row's reconstruction. Compute per row equals the float scan
+   * (the win is the 32× smaller corpus scan + decode locality); recall
+   * is bounded by quantization error, tested against [[bruteForceTopK]]
+   * on real embeddings. Output: (query_id, neighbor_id, rank, l2_dist),
+   * rank by distance ASC with id tie-break.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             vecCol: String, idCol: String, k: Int,
+             m: Int = 8, ksub: Int = 16, trainIters: Int = 0): DataFrame = {
+    val cb = pqTrainCodebooks(corpus, vecCol, idCol, m, ksub, trainIters)
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+        pqCode(col(vecCol), cb).as("__code"))
+      .select(col("neighbor_id"), pqDecode(col("__code"), cb).as("__rec"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-l2sq(col("__qv"), col("__rec"))).as("__negd"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "__negd", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("__negd")).as("l2_dist"))
+  }
+
   /**
    * Approximate top-k: candidates share the query's hyperplane bucket;
    * exact cosine + top-k within the bucket. Recall trades off with

@@ -593,6 +593,76 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: codebook rows encode to themselves; decode = codebook concat") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.head.length == 16 && cb.head.head.length == 8)
+    // seed-row subvectors are codebook entries → their own code unless
+    // an EARLIER entry ties exactly (none do in this data)
+    val seedIds = embs.select(col("vec_id"))
+      .orderBy(graft.ops.Hashing.mulHash(col("vec_id")), col("vec_id"))
+      .limit(16).collect().map(_.getLong(0))
+    val codes = embs.where(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), Similarity.pqCode(col("embedding"), cb).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    seedIds.zipWithIndex.foreach { case (id, j) =>
+      assert(codes(id).forall(_ == j), s"seed row $id → ${codes(id)}, want $j")
+    }
+    // decode of a seed row's code reproduces its vector exactly
+    val rec = embs.where(col("vec_id") === seedIds.head)
+      .select(Similarity.pqDecode(
+        Similarity.pqCode(col("embedding"), cb), cb).as("r"),
+        col("embedding"))
+      .head()
+    assert(rec.getSeq[Float](0) == rec.getSeq[Float](1))
+  }
+
+  test("native PqCode == compositional pqCodeComposed (small codebooks)") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 4, ksub = 8)
+    val both = embs.select(
+      Similarity.pqCode(col("embedding"), cb).as("n"),
+      Similarity.pqCodeComposed(col("embedding"), cb).as("c"))
+    assert(both.where(col("n") =!= col("c")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("pqTopK: reasonable L2 recall vs the exact scan on real embeddings") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 10)
+    // exact L2 reference through the same top-k machinery
+    val c = embs.select(col("vec_id").as("neighbor_id"), col("embedding").as("__cv"))
+    val exactScored = c.crossJoin(broadcast(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("__qv"))))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-Similarity.l2sq(col("__qv"), col("__cv"))).as("s"))
+    val exact = Similarity.topKPerGroup(exactScored, "query_id", "neighbor_id", "s", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(k: Int, m: Int, iters: Int): Double =
+      Similarity.pqTopK(embs, queries, "embedding", "vec_id", k,
+          m = m, ksub = 64, trainIters = iters).collect()
+        .count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+    val pq = Similarity.pqTopK(embs, queries, "embedding", "vec_id", 10,
+      m = 16, ksub = 64).collect()
+    assert(pq.forall(_.getDouble(3) >= 0.0))
+    val recall16 = pq.count(r => exact.contains((r.getLong(0), r.getLong(1)))).toDouble / exact.size
+    assert(recall16 > 0.3, s"PQ m=16 recall $recall16")
+    // at the coarser m=8 code (half the bits) Lloyd training visibly
+    // beats the raw seed codebooks; at m=16 the seed is already near
+    // this data's distortion floor, so the effect is asserted at m=8
+    val trained8 = recallAt(10, 8, 3)
+    val untrained8 = recallAt(10, 8, 0)
+    assert(trained8 > untrained8, s"trained $trained8 vs untrained $untrained8 at m=8")
+    // operational two-stage metric: a PQ top-30 shortlist captures most
+    // of the exact top-10 (re-rank recovers exact order downstream)
+    val short = recallAt(30, 16, 0)
+    assert(short > 0.6, s"PQ shortlist recall $short")
+  }
+
   test("TopK aggregator == brute-force sort-take on random streams") {
     val rnd = new scala.util.Random(7)
     for (k <- Seq(1, 3, 8); trial <- 1 to 5) {
