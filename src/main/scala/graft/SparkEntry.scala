@@ -786,6 +786,30 @@ object SparkEntry {
              |      FROM documents WHERE trim(text) <> '')
              |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
 
+    // --- per-doc CORPUS-level duplicate n-gram fraction (cross-doc
+    //     repetition signal; within-doc twins are t08)
+    ("t17_dup_ngrams",
+      (s, dir) => TextOps.dupNgramFraction(docs(s, dir), "text", "doc_id", n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END AS t
+             |        FROM documents)),
+             |g AS (SELECT doc_id, unnest(s) AS gm FROM sh),
+             |df2 AS (SELECT gm, count(*) AS dfq FROM g GROUP BY gm),
+             |st AS (SELECT g.doc_id, count(*) AS n_grams,
+             |         sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS dup
+             |       FROM g JOIN df2 USING (gm) GROUP BY g.doc_id)
+             |SELECT d.doc_id, coalesce(st.n_grams, 0) AS n_grams,
+             |       coalesce(round(st.dup / st.n_grams, 6), 0.0)
+             |         AS dup_gram_fraction
+             |FROM documents d LEFT JOIN st USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // --- one-row corpus token-distribution report (total/type counts,
     //     TTR, Zipf-head coverage of the top-100 tokens)
     ("t16_token_stats",

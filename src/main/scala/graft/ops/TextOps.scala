@@ -164,6 +164,40 @@ object TextOps {
   }
 
   /**
+   * CORPUS-level duplicate n-gram fraction per document: of each doc's
+   * distinct word n-grams, the fraction that also appears in at least
+   * one OTHER document. The cross-document repetition signal (template
+   * boilerplate, mirrored articles) that [[dupLineFraction]]/
+   * [[topNgramFraction]] — both within-doc — cannot see; high values
+   * flag docs whose content is mostly shared, feeding near-dedup
+   * triage and quality gates.
+   *
+   * Scale shape (the TF-IDF census): distinct 64-bit gram hashes
+   * explode per doc, document frequency is one partially-aggregated
+   * groupBy (shuffle ∝ distinct grams), the join back is gram-keyed,
+   * and the per-doc fraction re-aggregates on doc id. Bodies never
+   * shuffle; gram STRINGS never materialize (native n-gram hashing,
+   * collision odds ~2⁻⁶⁴). Every input doc gets a row — gram-less
+   * (short/empty) docs report 0.
+   */
+  def dupNgramFraction(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val grams = df.select(col(idCol).cast(LongType).as("__id"),
+      explode(Dedup.hashedShingleSet(col(textCol), n)).as("__g"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    val stats = grams.join(dfreq, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("__dup"))
+    df.select(col(idCol).cast(LongType).as("__id"))
+      .join(stats, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(round(col("__dup").cast(DoubleType) /
+          col("n_grams").cast(DoubleType), 6), lit(0.0)).as("dup_gram_fraction"))
+  }
+
+  /**
    * Corpus-wide duplicate-line removal (C4/Gopher-style boilerplate
    * scrub): every line that exactly repeats an earlier line ANYWHERE in
    * the corpus is dropped; the first occurrence — ordered by (doc id,

@@ -115,6 +115,16 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains((1L, 2L)))
   }
 
+  test("dupNgramFraction: exact dups 1.0, unique doc 0.0, empty doc row present") {
+    val out = TextOps.dupNgramFraction(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 5) // every doc, including the empty one
+    assert(out(1L)._2 == 1.0 && out(2L)._2 == 1.0) // exact dup pair
+    assert(out(3L)._2 > 0.5 && out(3L)._2 < 1.0)   // near dup shares most grams
+    assert(out(4L) == ((out(4L)._1, 0.0)) && out(4L)._1 > 0) // unique content
+    assert(out(5L) == ((0L, 0.0)))                 // empty doc: 0 grams, 0.0
+  }
+
   test("prefixJaccardPairs == naive all-pairs on random corpora (exactness)") {
     // the operator's claim is PROVABLE completeness — check it against
     // the quadratic scan on random word-soup corpora at several
