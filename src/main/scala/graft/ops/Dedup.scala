@@ -517,6 +517,95 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** State entry / output row for [[streamingSimhashMatches]]. */
+  final case class SimhashBucketEntry(id: Long, fp: Long, tsMs: Long)
+  final case class NearDupMatch(doc_id: Long, matched_id: Long, dist: Int)
+
+  /**
+   * STREAMING near-duplicate detection — the stateful twin of
+   * [[simhashPairs]]: for each arriving document, emit a
+   * (doc_id, matched_id, dist) row for every earlier document within
+   * `horizonMs` of event time whose SimHash is within `maxDist`
+   * (ingest-time near-dup flagging for a crawl firehose).
+   *
+   * Shape: each doc maps to its 64-bit fingerprint and explodes to
+   * `maxDist+1` Manku chunk keys (stateless, map-only); state lives
+   * per (chunk, value) bucket via `flatMapGroupsWithState` and holds
+   * at most `maxBucket` recent (id, fp, ts) entries — 24 B each, the
+   * same blocking/capping contract as the batch operator, so state
+   * size is bounded by #active buckets × maxBucket. The horizon is
+   * enforced on EVENT TIME at match point (|Δts| ≤ horizonMs); the
+   * watermark + event-time timeout merely garbage-collect state, so
+   * results don't depend on batch boundaries. A qualifying pair
+   * collides on ≥1 chunk (pigeonhole, as in batch); pairs colliding
+   * on several chunks emit once per chunk — `dropDuplicates`
+   * downstream if exact-once flags matter.
+   */
+  def streamingSimhashMatches(docs: DataFrame, textCol: String,
+                              idCol: String, tsCol: String,
+                              horizonMs: Long, maxDist: Int = 3,
+                              maxBucket: Int = 64)
+      : org.apache.spark.sql.Dataset[NearDupMatch] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxDist >= 0 && maxDist <= 15, s"maxDist in [0,15], got $maxDist")
+    require(horizonMs > 0 && maxBucket >= 1, "positive horizon/maxBucket")
+    val nChunks = maxDist + 1
+    val baseW = 64 / nChunks
+    val widths = Array.tabulate(nChunks)(c => if (c < 64 % nChunks) baseW + 1 else baseW)
+    val starts = widths.scanLeft(0)(_ + _)
+    val chunkArr = array((0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("__fp"), starts(c)).bitwiseAND(lit(mask)).as("ck"))
+    }: _*)
+    val chunks = docs
+      .withWatermark(tsCol, s"$horizonMs milliseconds")
+      .select(col(idCol).cast(LongType).as("__id"),
+        unix_millis(col(tsCol)).as("__ts"), col(tsCol).as("__evt"),
+        graft.functions.NativeExpressions.simhash64(
+          graft.functions.NativeExpressions.tokenHashesXx(
+            TextOps.tokens(col(textCol)))).as("__fp"))
+      .select(col("__id"), col("__ts"), col("__evt"), col("__fp"),
+        explode(chunkArr).as("__c"))
+      // the watermarked column (__evt) must survive to the stateful
+      // operator or event-time timeout is rejected at analysis
+      .select(col("__c.chunk").as("chunk"), col("__c.ck").as("ck"),
+        col("__id"), col("__fp"), col("__ts"), col("__evt"))
+      .as[(Int, Long, Long, Long, Long, java.sql.Timestamp)]
+
+    def fn(key: (Int, Long),
+           rows: Iterator[(Int, Long, Long, Long, Long, java.sql.Timestamp)],
+           state: org.apache.spark.sql.streaming.GroupState[List[SimhashBucketEntry]])
+        : Iterator[NearDupMatch] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val wm = state.getCurrentWatermarkMs()
+        var entries = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
+        val out = List.newBuilder[NearDupMatch]
+        rows.toSeq.sortBy(r => (r._5, r._3)).foreach { case (_, _, id, fp, ts, _) =>
+          entries.foreach { e =>
+            val d = java.lang.Long.bitCount(e.fp ^ fp)
+            if (e.id != id && d <= maxDist && math.abs(ts - e.tsMs) <= horizonMs)
+              out += NearDupMatch(id, e.id, d)
+          }
+          entries = (SimhashBucketEntry(id, fp, ts) :: entries).take(maxBucket)
+        }
+        if (entries.isEmpty) state.remove()
+        else {
+          state.update(entries)
+          state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    chunks.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   // ------------------------------------------------- connected components
 
   /**

@@ -519,6 +519,36 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSimhashMatches: near-dups flagged at ingest, horizon enforced") {
+    implicit val sqlCtx = spark.sqlContext
+    // NOT epoch 0: a row whose event time equals the initial watermark
+    // (0 ms) is dropped as late before the stateful operator
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingSimhashMatches(
+      mem.toDS().toDF("doc_id", "text", "ts"),
+      "text", "doc_id", "ts", horizonMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("ssim")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, A, ts(0)), (2L, A, ts(60)),
+        (3L, "completely different content about spark query engines", ts(120)))
+      q.processAllAvailable()
+      mem.addData((4L, A, ts(600))) // later batch, still in horizon
+      q.processAllAvailable()
+      mem.addData((5L, A, ts(5 * 3600))) // 5h later: beyond horizon of all
+      q.processAllAvailable()
+      val got = spark.table("ssim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.forall(_._3 == 0)) // exact dups → distance 0
+      val pairs = got.map(g => (g._1, g._2)).toSet
+      assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)),
+        s"got $pairs") // doc 5 matches nothing: horizon enforced
+    } finally q.stop()
+  }
+
   test("ivfTopK: scores exact, recall reasonable on real embeddings") {
     assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
