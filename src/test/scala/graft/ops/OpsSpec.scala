@@ -1321,6 +1321,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactParquet: fragmented dataset rewritten to target-sized files") {
+    val in = java.nio.file.Files.createTempDirectory("frag").toString
+    val out = java.nio.file.Files.createTempDirectory("compact").toString
+    try {
+      // 64 deliberately tiny files
+      spark.range(2000).select(col("id"), (col("id") % 7).as("q"))
+        .repartition(64).write.mode("overwrite").parquet(in)
+      val (files0, bytes0) = Maintenance.parquetFootprint(spark, in)
+      assert(files0 == 64)
+      val n = Maintenance.compactParquet(spark, in, out,
+        targetFileBytes = bytes0 / 4, sortCols = Seq("q"))
+      val (files1, _) = Maintenance.parquetFootprint(spark, out)
+      assert(files1 == n && n <= 6, s"wrote $n files")
+      // content identical
+      val a = spark.read.parquet(in).collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(out).collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(in)).deleteRecursively()
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   // ---------------------------------------------------------- multimodal
 
   test("multimodal: meta extraction is deterministic and schema-typed") {
