@@ -630,6 +630,26 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       Some(pqAnnOracle)),
 
+    // --- persisted PQ index, two-stage probe: the code-only columnar
+    //     stage-1 scan shortlists by ADC distance (deterministic seed
+    //     codebooks → SQL-mirrorable), stage 2 re-ranks the shortlist
+    //     with exact cosine — both stages value-checked end to end.
+    ("s09_ann_pq_index",
+      (s, dir) => {
+        val cb = Similarity.pqCodebooks(embs(s, dir), "embedding", "vec_id",
+          m = 8, ksub = 16)
+        val path = java.nio.file.Files.createTempDirectory("s09_pqidx").toString
+        Similarity.writePqIndex(embs(s, dir), "embedding", "vec_id", cb, path,
+          numFiles = 4)
+        Similarity.pqProbeIndex(s.read.parquet(path),
+            embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cb, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(pqIndexOracle)),
+
     // --- per-label embedding centroids (class prototypes), exploded so
     //     every component is value-checked
     ("s07_group_centroids",
@@ -1702,6 +1722,56 @@ object SparkEntry {
       |         (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
       |       FROM sc)
       |SELECT query_id, neighbor_id, rank, round(d, 6) AS l2_dist
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s09: the s08 encode/reconstruct pipeline feeding
+    * a shortlist of 20 by ADC distance (d asc, id tie-break — exactly
+    * `topKPerGroup` on the negated distance), then exact cosine over
+    * the shortlist with (cos desc, id) ranking. Parquet round-trips
+    * codes (ints) and vectors (floats) exactly, so both stages match
+    * the in-memory arithmetic bit-for-bit. */
+  private lazy val pqIndexOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sd AS (SELECT v AS sv, row_number() OVER (ORDER BY h, vid) - 1 AS j
+      |       FROM (SELECT v, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cb AS (SELECT ss.s AS s, sd.j AS j,
+      |              sv[ss.s*8+1 : ss.s*8+8] AS c
+      |       FROM sd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+      |cbc AS (SELECT s, j, c, list_dot_product(c, c) AS cc FROM cb),
+      |dist AS (SELECT e.vec_id, b.s, b.j,
+      |           list_dot_product(e.v[b.s*8+1 : b.s*8+8],
+      |                            e.v[b.s*8+1 : b.s*8+8])
+      |           - 2*list_dot_product(e.v[b.s*8+1 : b.s*8+8], b.c)
+      |           + b.cc AS d
+      |         FROM e CROSS JOIN cbc b),
+      |code AS (SELECT vec_id, s, j FROM
+      |          (SELECT vec_id, s, j, row_number() OVER
+      |             (PARTITION BY vec_id, s ORDER BY d, j) AS r FROM dist)
+      |         WHERE r = 1),
+      |rec AS (SELECT code.vec_id, flatten(list(b.c ORDER BY code.s)) AS rv
+      |        FROM code JOIN cbc b ON b.s = code.s AND b.j = code.j
+      |        GROUP BY code.vec_id),
+      |sc AS (SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, r2.rv)
+      |           + list_dot_product(r2.rv, r2.rv) AS d
+      |       FROM e q CROSS JOIN rec r2
+      |       WHERE q.vec_id < 8 AND r2.vec_id <> q.vec_id),
+      |sl AS (SELECT query_id, neighbor_id FROM
+      |         (SELECT *, row_number() OVER
+      |            (PARTITION BY query_id ORDER BY d, neighbor_id) AS r FROM sc)
+      |       WHERE r <= 20),
+      |ex AS (SELECT sl.query_id, sl.neighbor_id,
+      |         list_dot_product(qe.v, ce.v) /
+      |           (sqrt(list_dot_product(qe.v, qe.v)) *
+      |            sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |       FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+      |       JOIN e ce ON ce.vec_id = sl.neighbor_id),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |         AS rank FROM ex)
+      |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val ivfAnnOracle: String =

@@ -606,6 +606,106 @@ object Dedup {
         GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  /** State entry / output row for [[streamingMinhashMatches]]. */
+  final case class MinhashBucketEntry(id: Long, sig: Array[Long], tsMs: Long)
+  final case class MinhashStreamMatch(doc_id: Long, matched_id: Long,
+                                      est_jaccard: Double)
+
+  /**
+   * STREAMING near-duplicate detection — the stateful twin of
+   * [[minhashLshPairs]]: for each arriving document, emit a
+   * (doc_id, matched_id, est_jaccard) row for every earlier document
+   * within `horizonMs` of event time that lands in one of its LSH band
+   * buckets AND whose signature agreement is ≥ `threshold`.
+   *
+   * Shape: each doc maps ONCE to its k-wide MinHash signature (the same
+   * native one-pass expression and coefficient family as batch — same
+   * (n, k, bands) ⇒ identical band hashes, so a stream can even be
+   * banded against state bootstrapped from a batch corpus) and explodes
+   * to `bands` (band, bandHash) keys; state lives per band bucket via
+   * `flatMapGroupsWithState` and holds at most `maxBucket` recent
+   * (id, sig, ts) entries. The banding is the candidate generator
+   * (pigeonhole over bands, exactly the batch LSH contract); the verify
+   * step is the unbiased signature-agreement estimator
+   * E[agree/k] = Jaccard (Var = J(1−J)/k), NOT the batch operator's
+   * exact shingle-set Jaccard — shingle sets are unbounded per doc, so
+   * holding them in streaming state would make state size
+   * content-proportional. At k=64 the estimator's σ at J=0.8 is 0.05;
+   * callers gating a destructive drop should route matches to a
+   * side-output and batch-verify with [[verifyJaccard]].
+   *
+   * State cost: each doc contributes its signature to `bands` buckets —
+   * bands × (8k + 24) B (≈8.5 KB at the streaming defaults k=64,
+   * bands=16) per doc in horizon, capped per bucket at `maxBucket`
+   * entries and garbage-collected by event-time timeout. The horizon is
+   * enforced on EVENT TIME at match point, so results don't depend on
+   * batch boundaries; pairs colliding on several bands emit once per
+   * band — `dropDuplicates` downstream if exactly-once flags matter.
+   */
+  def streamingMinhashMatches(docs: DataFrame, textCol: String,
+                              idCol: String, tsCol: String,
+                              horizonMs: Long, n: Int = 3, k: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.8,
+                              maxBucket: Int = 64)
+      : org.apache.spark.sql.Dataset[MinhashStreamMatch] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    require(horizonMs > 0 && maxBucket >= 1, "positive horizon/maxBucket")
+    val r = k / bands
+    val banded = docs
+      .withWatermark(tsCol, s"$horizonMs milliseconds")
+      .select(col(idCol).cast(LongType).as("__id"),
+        unix_millis(col(tsCol)).as("__ts"), col(tsCol).as("__evt"),
+        graft.functions.NativeExpressions.minhashSig(
+          hashedShingleSet(col(textCol), n), mhCoeffs(k), MhPrime).as("__sig"))
+      .select(col("__id"), col("__ts"), col("__evt"), col("__sig"),
+        posexplode(graft.functions.NativeExpressions
+          .bandHashes(col("__sig"), bands, r)))
+      // the watermarked column (__evt) must survive to the stateful
+      // operator or event-time timeout is rejected at analysis
+      .select(col("pos").as("band"), col("col").as("bh"),
+        col("__id"), col("__sig"), col("__ts"), col("__evt"))
+      .as[(Int, Long, Long, Seq[Long], Long, java.sql.Timestamp)]
+
+    def fn(key: (Int, Long),
+           rows: Iterator[(Int, Long, Long, Seq[Long], Long, java.sql.Timestamp)],
+           state: org.apache.spark.sql.streaming.GroupState[List[MinhashBucketEntry]])
+        : Iterator[MinhashStreamMatch] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val wm = state.getCurrentWatermarkMs()
+        var entries = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
+        val out = List.newBuilder[MinhashStreamMatch]
+        rows.toSeq.sortBy(t => (t._5, t._3)).foreach { case (_, _, id, sig, ts, _) =>
+          val sa = sig.toArray
+          entries.foreach { e =>
+            if (e.id != id && math.abs(ts - e.tsMs) <= horizonMs) {
+              var agree = 0
+              var i = 0
+              while (i < sa.length) { if (sa(i) == e.sig(i)) agree += 1; i += 1 }
+              val est = agree.toDouble / sa.length
+              if (est >= threshold) out += MinhashStreamMatch(id, e.id, est)
+            }
+          }
+          entries = (MinhashBucketEntry(id, sa, ts) :: entries).take(maxBucket)
+        }
+        if (entries.isEmpty) state.remove()
+        else {
+          state.update(entries)
+          state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    banded.groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   // ------------------------------------------------- connected components
 
   /**

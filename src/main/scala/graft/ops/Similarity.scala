@@ -586,6 +586,70 @@ object Similarity {
   }
 
   /**
+   * Persist a PQ index: the corpus as parquet rows (id, code, vec).
+   * The codes and the raw vectors live in the SAME table but different
+   * COLUMNS — parquet is columnar, so a scan that selects only
+   * (id, code) reads ~m bytes per row and never touches the float
+   * pages. That column layout IS the two-stage index: stage 1 (ADC
+   * shortlist) is a code-only scan, stage 2 (exact re-rank) reads
+   * vectors for shortlist rows only. `numFiles` bounds the file count
+   * (0 = keep the incoming partitioning).
+   */
+  def writePqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                   cb: Array[Array[Array[Float]]], path: String,
+                   numFiles: Int = 0): Unit = {
+    val df = corpus.select(col(idCol).cast(LongType).as("id"),
+      pqCode(col(vecCol), cb).as("code"), col(vecCol).as("vec"))
+    (if (numFiles > 0) df.repartition(numFiles) else df)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
+   * Two-stage search over a persisted PQ index ([[writePqIndex]]
+   * layout): stage 1 scans ONLY (id, code) — asserted by the column
+   * pruning in the scan's ReadSchema — decodes each code to its
+   * reconstruction and shortlists the `shortlist` nearest rows per
+   * query by exact ADC L2²; stage 2 joins the slim (query_id,
+   * neighbor_id) shortlist back to the index's vector column (the
+   * standard semi-join pattern — float pages are read for shortlist
+   * rows' files only, and only the vec column) and re-ranks by exact
+   * cosine. At 100 TB the stage-1 scan is the only full pass and it
+   * reads the m-byte codes, not the 4·dim-byte floats; queries ride
+   * broadcast both times.
+   *
+   * Output: (query_id, neighbor_id, rank, cos_sim) — rank by exact
+   * cosine DESC with id tie-break, exactly [[bruteForceTopK]]'s
+   * contract restricted to the shortlist (bit-equal at full shortlist,
+   * tested).
+   */
+  def pqProbeIndex(index: DataFrame, queries: DataFrame,
+                   vecCol: String, idCol: String, k: Int,
+                   cb: Array[Array[Array[Float]]],
+                   shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"))
+    val codes = index.select(col("id").as("neighbor_id"),
+      pqDecode(col("code"), cb).as("__rec"))
+    val stage1 = codes.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-l2sq(col("__qv"), col("__rec"))).as("__negd"))
+    val short = topKPerGroup(stage1, "query_id", "neighbor_id", "__negd", shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val vecs = index.select(col("id").as("neighbor_id"),
+      col("vec").as("__cv"), norm(col("vec")).as("__cn"))
+    val qn = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv2"), norm(col(vecCol)).as("__qn"))
+    val scored = short.join(vecs, Seq("neighbor_id"))
+      .join(broadcast(qn), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv2"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Approximate top-k: candidates share the query's hyperplane bucket;
    * exact cosine + top-k within the bucket. Recall trades off with
    * `nPlanes` (fewer planes → bigger buckets → higher recall, more work).

@@ -549,6 +549,37 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingMinhashMatches: banded matches at ingest, estimator and horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(s: Long) = new Timestamp(base + s * 1000L)
+    val A = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = Dedup.streamingMinhashMatches(
+      mem.toDS().toDF("doc_id", "text", "ts"),
+      "text", "doc_id", "ts", horizonMs = 3600 * 1000L)
+    val q = out.writeStream.format("memory").queryName("sminh")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, A, ts(0)), (2L, A, ts(60)),
+        (3L, "completely different content about spark query engines", ts(120)))
+      q.processAllAvailable()
+      mem.addData((4L, A, ts(600))) // later batch, still in horizon
+      q.processAllAvailable()
+      mem.addData((5L, A, ts(5 * 3600))) // 5h later: beyond horizon of all
+      q.processAllAvailable()
+      val got = spark.table("sminh").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // exact dups agree on every signature row → estimator exactly 1.0
+      assert(got.forall(_._3 == 1.0), s"got $got")
+      val pairs = got.map(g => (g._1, g._2)).toSet
+      assert(pairs == Set((2L, 1L), (4L, 1L), (4L, 2L)),
+        s"got $pairs") // doc 5 matches nothing: horizon enforced
+      // identical docs collide in EVERY band: once-per-band emission
+      assert(got.count(g => (g._1, g._2) == (2L, 1L)) == 16)
+    } finally q.stop()
+  }
+
   test("ivfTopK: scores exact, recall reasonable on real embeddings") {
     assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -794,6 +825,40 @@ class OpsSpec extends AnyFunSuite {
     // narrow shortlist still returns k contiguous ranks per query
     val narrow = Similarity.int8RerankTopK(embs, queries, "embedding",
       "vec_id", k = 5, shortlist = 8).collect()
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
+  }
+
+  test("PQ index: code-only stage-1 scan; full shortlist equals brute force bit-for-bit") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 5)
+    val cb = Similarity.pqTrainCodebooks(embs, "embedding", "vec_id",
+      m = 8, ksub = 16, iters = 1, sampleN = 500)
+    val out = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Similarity.writePqIndex(embs, "embedding", "vec_id", cb, out, numFiles = 4)
+    val idx = spark.read.parquet(out)
+    assert(idx.count() == 500)
+    assert(new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet")) == 4)
+    val probed = Similarity.pqProbeIndex(idx, queries, "embedding", "vec_id",
+      k = 5, cb, shortlist = 500)
+    val got = probed.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(got == exact)
+    // columnar pruning: stage 1's file scan reads (id, code) and never the
+    // float vectors; stage 2's reads (id, vec) and never the codes
+    val schemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(probed.queryExecution.executedPlan.toString).toList
+    assert(schemas.exists(s => s.contains("code") && !s.contains("vec")),
+      s"no code-only scan in: $schemas")
+    assert(schemas.exists(s => s.contains("vec") && !s.contains("code")),
+      s"no vec-only scan in: $schemas")
+    // narrow shortlist keeps the contract: k contiguous ranks per query
+    val narrow = Similarity.pqProbeIndex(idx, queries, "embedding", "vec_id",
+      k = 5, cb, shortlist = 8).collect()
     narrow.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
   }
