@@ -389,9 +389,32 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.7,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val base = shingleBase(df, textCol, idCol, n)
+    verifyJaccard(prefixJaccardCandidates(base, threshold, maxBucket),
+      base, threshold)
+  }
+
+  /** Candidate (id_a, id_b) pairs of [[prefixJaccardPairs]], exposed for
+   *  the pruning tests. Completeness-preserving filters, applied to the
+   *  prefix-token bucket join in order of cost:
+   *   - length: τ·|b| ≤ |a| ∧ τ·|a| ≤ |b| (Jaccard ≥ τ forces it);
+   *   - positional (PPJoin's second filter): a prefix token shared at
+   *     0-based positions (pa, pb) of the globally ordered token lists
+   *     bounds the overlap by min(pa, pb) + min(|a|−pa, |b|−pb) — at
+   *     most min(pa, pb) shared tokens can precede it on both sides,
+   *     and at most min of the remaining suffix lengths can follow
+   *     (inclusive). Jaccard ≥ τ needs overlap ≥ τ/(1+τ)·(|a|+|b|), so
+   *     a token row whose bound falls short generates no candidate; the
+   *     pair survives if ANY shared prefix token's bound suffices (the
+   *     bound is valid per token, so dropping only short-bound rows
+   *     keeps completeness — each epsilon makes pruning strictly
+   *     LESS aggressive under IEEE rounding, never more).
+   */
+  private[ops] def prefixJaccardCandidates(base: DataFrame, threshold: Double,
+                                           maxBucket: Int = Int.MaxValue,
+                                           positional: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val base = shingleBase(df, textCol, idCol, n)
     val toks = base.select(col("__id"), explode(col("__sh")).as("__h"))
     val counts = toks.groupBy(col("__h")).agg(count(lit(1)).as("__cnt"))
     // per-doc token list in global (frequency asc, hash) order
@@ -403,20 +426,27 @@ object Dedup {
     val pfxLen = (floor(size(col("__ord")) * lit(1.0 - threshold) + lit(1e-9))
       + lit(1)).cast(IntegerType)
     val pfx = ordered.select(col("__id"), size(col("__ord")).as("__len"),
-        explode(slice(col("__ord"), lit(1), pfxLen)).as("__h"))
+        posexplode(slice(col("__ord"), lit(1), pfxLen)))
+      .select(col("__id"), col("__len"), col("col").as("__h"),
+        col("pos").as("__p"))
     val okToken = pfx.groupBy(col("__h")).agg(count(lit(1)).as("__bn"))
       .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
       .select(col("__h"))
     val l = pfx.join(okToken, Seq("__h"))
-      .select(col("__h"), col("__id").as("id_a"), col("__len").as("__la"))
-    val r = pfx.select(col("__h"), col("__id").as("id_b"), col("__len").as("__lb"))
-    val cand = l.join(r, Seq("__h"))
+      .select(col("__h"), col("__id").as("id_a"),
+        col("__len").as("__la"), col("__p").as("__pa"))
+    val r = pfx.select(col("__h"), col("__id").as("id_b"),
+      col("__len").as("__lb"), col("__p").as("__pb"))
+    val overlapBound = least(col("__pa"), col("__pb")) +
+      least(col("__la") - col("__pa"), col("__lb") - col("__pb"))
+    val alpha = (col("__la") + col("__lb")) * lit(threshold / (1.0 + threshold))
+    l.join(r, Seq("__h"))
       .where(col("id_a") < col("id_b") &&
         col("__lb") * lit(threshold) <= col("__la") + lit(1e-9) &&
-        col("__la") * lit(threshold) <= col("__lb") + lit(1e-9))
+        col("__la") * lit(threshold) <= col("__lb") + lit(1e-9) &&
+        (if (positional) overlapBound >= alpha - lit(1e-9) else lit(true)))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    verifyJaccard(cand, base, threshold)
   }
 
   // ------------------------------------------------------------- SimHash

@@ -151,6 +151,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccard positional filter prunes short-bound candidates, keeps exactness") {
+    // docs 1/2: exact dups of nine common tokens. Doc 100 = zzz + all
+    // commons; doc 200 = three singletons + zzz + six commons. The ONLY
+    // prefix token 100/200 share is zzz, at ordered positions (0, 3) of
+    // two length-10 sets → overlap bound min(0,3)+min(10,7) = 7 < α =
+    // 0.7/1.7·20 ≈ 8.24, so the positional filter kills the candidate
+    // the length filter (τ·10 ≤ 10) lets through; true J = 7/13 < τ, so
+    // exactness is unharmed.
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"c$i").mkString(" ")),
+      (2L, (1 to 9).map(i => s"c$i").mkString(" ")),
+      (100L, "zzz " + (1 to 9).map(i => s"c$i").mkString(" ")),
+      (200L, "u1 u2 u3 zzz " + (1 to 6).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id").cast("long").as("__id"),
+      Dedup.hashedShingleSet(col("text"), 1).as("__sh"))
+    def cands(positional: Boolean): Set[(Long, Long)] =
+      Dedup.prefixJaccardCandidates(base, 0.7, positional = positional)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val withPos = cands(true)
+    val withoutPos = cands(false)
+    assert(withPos.subsetOf(withoutPos))
+    assert(withoutPos.contains((100L, 200L)) && !withPos.contains((100L, 200L)),
+      s"positional filter did not prune: $withPos / $withoutPos")
+    assert(withPos.contains((1L, 2L))) // true pairs survive pruning
+    val naive = Dedup.ngramJaccardPairs(docs.withColumn("blk", lit("x")),
+        "text", "doc_id", "blk", n = 1, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id",
+        n = 1, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(got == naive && naive.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 100L), (2L, 100L)))
+  }
+
   test("minhashLshPairsAgainst: cross-side pairs only, id spaces may overlap") {
     // corpus doc 1 and batch doc 2 are exact dups (cross-side: found);
     // docs 1 and 2 would also pair WITHIN the full corpus, but each
