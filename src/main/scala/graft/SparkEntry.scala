@@ -1256,6 +1256,25 @@ object SparkEntry {
              |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.7
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --- SemDeDup-style SEMANTIC dedup: nearest-centroid clusters
+    //     (deterministic hash-ordered seed → SQL-mirrorable), cosine
+    //     near-dup pairs within clusters only, connected components,
+    //     keep min id. Decision table fully value-checked: cluster,
+    //     component root and kept flag per document.
+    ("d11_semantic_dedup",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cent = Similarity.seedCentroids(e, "embedding", "vec_id", 16)
+        Similarity.semanticDedup(e, "embedding", "vec_id", cent,
+            threshold = 0.3)
+          .select(col("vec_id"),
+            col("cluster").cast(org.apache.spark.sql.types.LongType)
+              .as("cluster"),
+            col("component"), col("kept"))
+          .orderBy("vec_id")
+      },
+      Some(semanticDedupOracle)),
+
     // --- composed curation pipeline: quality gate → exact dedup →
     //     language ID → per-language token budget
     ("p01_curation",
@@ -1773,6 +1792,46 @@ object SparkEntry {
       |         AS rank FROM ex)
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of d11: the s03 centroid seed + normalized-dot
+    * assignment (s DESC, cidx tie-break), exact cosine pairs within a
+    * cluster, then the d06-style recursive-CTE min-reachable-id
+    * components and the kept = (component == id) decision. */
+  private lazy val semanticDedupOracle: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx
+      |       FROM (SELECT v AS cv, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cn AS (SELECT cidx, CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+      |         ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |         END AS cv FROM co),
+      |sc AS (SELECT e.vec_id, cn.cidx, list_dot_product(e.v, cn.cv) AS s
+      |       FROM e CROSS JOIN cn),
+      |asn AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r FROM sc)
+      |        WHERE r = 1),
+      |pr AS (SELECT x.vec_id AS ida, y.vec_id AS idb
+      |       FROM asn x JOIN asn y ON x.cidx = y.cidx AND x.vec_id < y.vec_id
+      |       JOIN e a ON a.vec_id = x.vec_id
+      |       JOIN e b ON b.vec_id = y.vec_id
+      |       WHERE list_dot_product(a.v, b.v) /
+      |               (sqrt(list_dot_product(a.v, a.v)) *
+      |                sqrt(list_dot_product(b.v, b.v))) >= 0.3),
+      |edges AS (SELECT ida AS u, idb AS w FROM pr
+      |          UNION SELECT idb, ida FROM pr),
+      |walk(u, c) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT ed.w, wk.c FROM walk wk JOIN edges ed ON ed.u = wk.u),
+      |comp AS (SELECT u AS vec_id, min(c) AS component FROM walk GROUP BY u)
+      |SELECT a.vec_id, a.cidx AS cluster,
+      |       coalesce(comp.component, a.vec_id) AS component,
+      |       (coalesce(comp.component, a.vec_id) = a.vec_id) AS kept
+      |FROM asn a LEFT JOIN comp USING (vec_id)
+      |ORDER BY vec_id""".stripMargin
 
   private lazy val ivfAnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -340,21 +340,27 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 64, nProbe: Int = 8,
               kmeansIters: Int = 0, kmeansSample: Int = 65536): DataFrame = {
-    // deterministic hash-ordered sample; the multiplicative-hash order
-    // key is SQL-mirrorable so the DuckDB oracle selects the same
-    // centroid set (ties broken by id on both sides). kmeansIters > 0
-    // adds Lloyd refinement over a sample (higher recall, but then the
-    // centroids are means, not corpus rows — keep 0 for oracle runs).
-    val seedCent: Array[Array[Float]] = corpus
-      .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
-      .orderBy(Hashing.mulHash(col("i")), col("i"))
-      .limit(nCentroids)
-      .collect().map(_.getSeq[Float](0).toArray)
-    val cent = refineCentroids(corpus, vecCol, idCol, seedCent,
+    // kmeansIters > 0 adds Lloyd refinement over a sample (higher
+    // recall, but then the centroids are means, not corpus rows — keep
+    // 0 for oracle runs).
+    val cent = refineCentroids(corpus, vecCol, idCol,
+      seedCentroids(corpus, vecCol, idCol, nCentroids),
       kmeansIters, kmeansSample)
     // no broadcast hint — query sets may be corpus-sized; planner decides
     ivfTopKWithCentroids(corpus, queries, vecCol, idCol, k, cent, nProbe)
   }
+
+  /** Deterministic hash-ordered centroid seed: the corpus rows ranked
+   *  by multiplicative hash of the id (id tie-break) — the
+   *  SQL-mirrorable "random" sample shared by IVF, PQ and semantic
+   *  dedup (a DuckDB oracle selects the identical rows). Driver holds
+   *  n×dim floats — model-sized. */
+  def seedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                    n: Int): Array[Array[Float]] = corpus
+    .select(col(vecCol).as("v"), col(idCol).cast(LongType).as("i"))
+    .orderBy(Hashing.mulHash(col("i")), col("i"))
+    .limit(n)
+    .collect().map(_.getSeq[Float](0).toArray)
 
   /** [[ivfTopK]] steps 2-3 with a caller-supplied centroid matrix —
    *  assignment and probing only, no centroid selection. The in-memory
@@ -583,6 +589,48 @@ object Similarity {
     topKPerGroup(scored, "query_id", "neighbor_id", "__negd", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (-col("__negd")).as("l2_dist"))
+  }
+
+  /**
+   * SemDeDup-style SEMANTIC dedup decisions (Abbas et al., 2023,
+   * arXiv:2303.09540): cluster the corpus by map-only nearest-centroid
+   * assignment (the IVF machinery — pass [[seedCentroids]] output for
+   * an oracle-mirrorable run, or [[refineCentroids]] for fitted
+   * clusters), find cosine near-duplicates WITHIN each cluster only,
+   * collapse the pair graph to connected components, and keep the
+   * min-id member per component. Catches paraphrases and re-encodings
+   * that share no n-grams — the dedup axis MinHash/SimHash cannot see.
+   *
+   * Returns one row per corpus document: (idCol, cluster, component,
+   * kept) — component = min id of the doc's near-dup component (itself
+   * when unpaired), kept = (component == id). Join `kept` back or
+   * anti-join `NOT kept` ids to materialize the surviving corpus (the
+   * [[Dedup.nearDeduplicate]] shape).
+   *
+   * Scale shape: assignment is one map-only pass (no shuffle); the
+   * quadratic pairing is confined to clusters and capped at `maxBlock`
+   * rows per cluster (oversized clusters are dropped from pairing, the
+   * documented [[Dedup.embeddingNearDupPairs]] recall contract) —
+   * scale nCentroids with the corpus so clusters stay ~10³-10⁴ rows
+   * (the SemDeDup regime: 50k clusters at LAION scale); components
+   * shuffle slim 16 B pair rows only; the decision table adds one
+   * join of the corpus ids against the clustered-id map, which is
+   * near-dup-fraction-sized, not corpus-sized.
+   */
+  def semanticDedup(corpus: DataFrame, vecCol: String, idCol: String,
+                    cent: Array[Array[Float]], threshold: Double,
+                    maxBlock: Int = 10000): DataFrame = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    val assigned = corpus.select(col(idCol).cast(LongType).as("__id"),
+      col(vecCol).as("__v"),
+      element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("cluster"))
+    val pairs = Dedup.embeddingNearDupPairs(assigned, "__v", "__id",
+      "cluster", threshold, maxBlock)
+    val cc = Dedup.connectedComponents(pairs)
+    assigned.join(cc, assigned("__id") === cc("id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(col("component"), col("__id")).as("component"))
+      .withColumn("kept", col("component") === col(idCol))
   }
 
   /**

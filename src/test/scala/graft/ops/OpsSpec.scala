@@ -900,6 +900,30 @@ class OpsSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
   }
 
+  test("semanticDedup: planted clone dropped, roots kept, components stay in-cluster") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cent = Similarity.seedCentroids(embs, "embedding", "vec_id", 8)
+    // plant a bitwise clone of vec 7 under a fresh max id: identical
+    // vector → same cluster, cosine exactly 1 → same component
+    val clone = embs.where(col("vec_id") === 7)
+      .withColumn("vec_id", lit(100000L))
+    val d = Similarity.semanticDedup(embs.unionByName(clone),
+      "embedding", "vec_id", cent, threshold = 0.95)
+    val byId = d.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(byId.size == 501)
+    val (cl7, root7, _) = byId(7L)
+    val (clC, rootC, keptC) = byId(100000L)
+    assert(clC == cl7 && rootC == root7 && !keptC && root7 <= 7L)
+    byId.foreach { case (id, (cluster, root, kept)) =>
+      assert(kept == (id == root)) // kept ⟺ is its component's root
+      val (rootCluster, rootRoot, rootKept) = byId(root)
+      assert(rootKept && rootRoot == root) // roots keep themselves
+      assert(rootCluster == cluster) // pairs never span clusters
+      assert(root <= id) // min-id root semantics
+    }
+  }
+
   test("contaminationReport composes with a streaming corpus (stream-static join)") {
     implicit val sqlCtx = spark.sqlContext
     val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
