@@ -526,6 +526,26 @@ object SparkEntry {
              |            THEN 'test' ELSE 'train' END AS split
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // --- DSIR importance weights + derandomized Gumbel-top-n sample:
+    //     log-likelihood ratio of each doc's token bag under the
+    //     English-subset target vs the full-corpus distribution
+    //     (exact-token oracle mode; production hashes into buckets).
+    //     Weight AND selection flag value-checked per document.
+    ("p05_dsir_weights",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val w = Pipeline.dsirWeights(d, d.where(col("lang") === "en"),
+          "text", "doc_id")
+        val sel = Pipeline.dsirSelect(w, "doc_id", n = 50)
+          .select(col("doc_id"), lit(true).as("__sel"))
+        w.join(sel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("log_ratio"), 6).as("log_ratio"),
+            coalesce(col("__sel"), lit(false)).as("selected"))
+          .orderBy("doc_id")
+      },
+      Some(dsirOracle)),
+
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
     // oracle mode: the per-token hash is two fingerprint64 values packed
@@ -1792,6 +1812,36 @@ object SparkEntry {
       |         AS rank FROM ex)
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of p05: same token split, Laplace-smoothed unigram
+    * distributions over the union vocabulary (raw = all docs, target =
+    * lang 'en'), per-doc Σ of log-probability deltas, and the same
+    * derandomized Gumbel score `log_ratio − ln(−ln u)` with u from the
+    * multiplicative id hash — rank and flag the global top 50. */
+  private lazy val dsirOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, lang, unnest(tk) AS f FROM t),
+      |cr AS (SELECT f, count(*) AS c FROM e GROUP BY 1),
+      |ct AS (SELECT f, count(*) AS c FROM e WHERE lang = 'en' GROUP BY 1),
+      |m AS (SELECT f, coalesce(cr.c, 0) AS crc, coalesce(ct.c, 0) AS ctc
+      |      FROM cr FULL JOIN ct USING (f)),
+      |g AS (SELECT sum(crc) AS tr, sum(ctc) AS tt, count(*) AS v FROM m),
+      |dl AS (SELECT f, ln((ctc + 1.0) / (tt + v)) - ln((crc + 1.0) / (tr + v))
+      |         AS delta
+      |       FROM m CROSS JOIN g),
+      |w AS (SELECT e.doc_id, count(*) AS n_tokens, sum(delta) AS log_ratio
+      |      FROM e JOIN dl USING (f) GROUP BY 1),
+      |s AS (SELECT *, log_ratio - ln(-ln(
+      |        ((doc_id*2654435761)%1000000007 + 1) / 1000000008.0)) AS score
+      |      FROM w),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+      |      FROM s)
+      |SELECT doc_id, n_tokens, round(log_ratio, 6) AS log_ratio,
+      |       (rk <= 50) AS selected
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of d11: the s03 centroid seed + normalized-dot
     * assignment (s DESC, cidx tie-break), exact cosine pairs within a

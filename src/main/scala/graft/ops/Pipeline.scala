@@ -278,4 +278,80 @@ object Pipeline {
       .write.mode("overwrite")
       .partitionBy("lang_pred")
       .parquet(path)
+
+  /**
+   * DSIR-style importance weights (Xie et al., NeurIPS 2023,
+   * arXiv:2302.03169): score each raw-corpus document by the
+   * log-likelihood ratio of its token bag under the TARGET unigram
+   * distribution vs the RAW distribution — the embedding-free way to
+   * steer a 100 TB crawl toward a quality/domain target.
+   *
+   * `buckets > 0` hashes tokens into that many bins (the paper's
+   * hashed-n-gram trick — bounds the feature model at the cost of
+   * collisions, and makes the delta map broadcastable by construction);
+   * `buckets = 0` keeps exact token identity, the SQL-mirrorable oracle
+   * mode (the d04 / d04_prod convention). Laplace (+1) smoothing over
+   * the UNION vocabulary keeps target-unseen features finite.
+   *
+   * Returns (idCol, n_tokens, log_ratio); zero-token documents are
+   * absent (no evidence either way — same contract as
+   * [[TextOps.unigramLogLikelihood]]).
+   *
+   * Scale shape: two token-count aggregations (shuffle ∝ vocabulary or
+   * `buckets`, map-side combine), one full-outer merge of the two
+   * count maps into the per-feature delta, a join of the raw token
+   * stream against that map (broadcast-sized when bucketed), and one
+   * per-doc partial-agg sum — tokens shuffle once by feature and once
+   * by doc id; bodies never move. The three totals are driver scalars,
+   * model-sized like the centroid collects.
+   */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  idCol: String, buckets: Int = 0): DataFrame = {
+    def feats(df: DataFrame, withId: Boolean): DataFrame = {
+      val t = explode(TextOps.tokens(col(textCol))).as("__tok")
+      val base = if (withId) df.select(col(idCol), t) else df.select(t)
+      if (buckets > 0)
+        base.select((if (withId) Seq(col(idCol)) else Seq.empty) :+
+          pmod(xxhash64(col("__tok")), lit(buckets.toLong)).as("__f"): _*)
+      else base.withColumnRenamed("__tok", "__f")
+    }
+    val rawToks = feats(raw, withId = true)
+    val rawCnt = rawToks.groupBy("__f").agg(count(lit(1)).as("__cr"))
+    val tgtCnt = feats(target, withId = false)
+      .groupBy("__f").agg(count(lit(1)).as("__ct"))
+    val m = rawCnt.join(tgtCnt, Seq("__f"), "full_outer")
+      .select(col("__f"), coalesce(col("__cr"), lit(0L)).as("__cr"),
+        coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val g = m.agg(sum("__cr").as("r"), sum("__ct").as("t"),
+      count(lit(1)).as("v")).collect()(0)
+    val (totR, totT, v) = (g.getLong(0), g.getLong(1), g.getLong(2))
+    val delta = m.select(col("__f"),
+      (log((col("__ct") + lit(1.0)) / lit((totT + v).toDouble)) -
+        log((col("__cr") + lit(1.0)) / lit((totR + v).toDouble))).as("__d"))
+    rawToks.join(delta, Seq("__f"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__d")).as("log_ratio"))
+  }
+
+  /**
+   * Gumbel-top-n selection over [[dsirWeights]] output: sampling
+   * WITHOUT replacement with inclusion odds ∝ exp(log_ratio /
+   * temperature), derandomized — the Gumbel noise `-ln(-ln u)` draws
+   * its uniform from the id's multiplicative hash, so reruns (and SQL
+   * oracles) reproduce the identical sample. Global top-n compiles to
+   * TakeOrdered (per-partition bounded heaps + driver merge of n×
+   * partitions rows), never a full sort. Low temperature → argmax-like
+   * (quality skim); high → near-uniform.
+   */
+  def dsirSelect(weights: DataFrame, idCol: String, n: Int,
+                 temperature: Double = 1.0): DataFrame = {
+    require(temperature > 0.0, s"temperature must be > 0, got $temperature")
+    val u = (Hashing.mulHash(col(idCol)).cast("double") + lit(1.0)) /
+      lit(1000000008.0)
+    weights
+      .withColumn("__score", col("log_ratio") / lit(temperature) - log(-log(u)))
+      .orderBy(col("__score").desc, col(idCol))
+      .limit(n)
+      .drop("__score")
+  }
 }

@@ -900,6 +900,32 @@ class OpsSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
   }
 
+  test("dsirWeights: target-like docs outrank off-target; hashed buckets match exact") {
+    val raw = Seq(
+      (1L, "alpha alpha beta alpha beta"),
+      (2L, "zeta zeta yota zeta xi"),
+      (3L, "alpha beta alpha beta alpha")).toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha alpha beta")).toDF("doc_id", "text")
+    val w = Pipeline.dsirWeights(raw, target, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(w.keySet == Set(1L, 2L, 3L))
+    assert(w(1L)._1 == 5 && w(2L)._1 == 5)
+    assert(w(1L)._2 > w(2L)._2 && w(3L)._2 > w(2L)._2,
+      s"target-like docs must outrank off-target: $w")
+    // wide hashed feature space (no collisions) reproduces exact weights
+    val wb = Pipeline.dsirWeights(raw, target, "text", "doc_id",
+        buckets = 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    w.foreach { case (id, (_, v)) => assert(math.abs(wb(id) - v) < 1e-9) }
+    // near-zero temperature → Gumbel noise negligible → pure top-2
+    val sel = Pipeline.dsirSelect(
+        Pipeline.dsirWeights(raw, target, "text", "doc_id"), "doc_id",
+        n = 2, temperature = 1e-4)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 3L), s"got $sel")
+  }
+
   test("semanticDedup: planted clone dropped, roots kept, components stay in-cluster") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cent = Similarity.seedCentroids(embs, "embedding", "vec_id", 8)
