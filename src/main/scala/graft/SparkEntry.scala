@@ -670,6 +670,33 @@ object SparkEntry {
       },
       Some(pqIndexOracle)),
 
+    // --- hard-negative mining: per query, the top-k most-similar rows
+    //     with a DIFFERENT label (contrastive-training near-misses) —
+    //     exact scan, full value oracle including the negative's label
+    ("s10_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"), col("neg_label"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        c.label AS neg_label,
+             |        list_dot_product(q.v, c.v) /
+             |          (sqrt(list_dot_product(q.v, q.v)) *
+             |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+             |      FROM e q, e c
+             |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+             |        AND c.label <> q.label),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM s)
+             |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim,
+             |       neg_label
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // --- per-label embedding centroids (class prototypes), exploded so
     //     every component is value-checked
     ("s07_group_centroids",

@@ -119,6 +119,42 @@ object Similarity {
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
 
+  /**
+   * Hard-negative mining for contrastive / metric-learning training
+   * data: for each query row, the k most-cosine-similar corpus rows
+   * whose label DIFFERS from the query's — the near-misses that carry
+   * the gradient signal (easy negatives are already far, positives
+   * share the label). Null-labeled rows never pair (no evidence of
+   * mismatch). Exact scan with broadcast queries + the bounded
+   * [[TopK]] aggregator — the [[bruteForceTopK]] scale shape: the
+   * shuffle is k·|queries|·|partitions| structs, the corpus streams
+   * once. For corpus-sized query sets, pre-bucket both sides
+   * (hyperplane LSH or IVF lists) and apply the same label-mismatch
+   * predicate inside buckets.
+   *
+   * Output: (query_id, neighbor_id, rank, cos_sim, neg_label).
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(labelCol).as("__nl"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+      .join(c.select(col("neighbor_id"), col("__nl").as("neg_label")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cos_sim"), col("neg_label"))
+  }
+
   /** Group-wise top-k via the bounded [[TopK]] aggregator. */
   private[ops] def topKPerGroup(scored: DataFrame, groupCol: String,
                                 idCol: String, scoreCol: String, k: Int): DataFrame = {
