@@ -546,6 +546,53 @@ object SparkEntry {
       },
       Some(dsirOracle)),
 
+    // --- corpus mixture plan + map-only application: per-language
+    //     token availability vs a target share map, deterministic
+    //     hash-cut sampling rates, and the applied per-group counts —
+    //     the whole plan AND the sample it induces value-checked
+    ("p06_mixture",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val plan = Pipeline.mixturePlan(d, "text", "lang",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1,
+            "zh" -> 0.05), budgetTokens = 100000L)
+        val applied = Pipeline.applyMixture(d, "doc_id", "lang", plan)
+          .groupBy(col("lang")).agg(count(lit(1)).as("sampled_docs"))
+        plan.join(applied, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("avail_tokens"),
+            round(col("target_tokens"), 6).as("target_tokens"),
+            round(col("rate"), 6).as("rate"), col("deficit"),
+            coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |a AS (SELECT lang, count(*) AS n_docs,
+             |        CAST(sum(len(tk)) AS BIGINT) AS avail_tokens
+             |      FROM t GROUP BY 1),
+             |p AS (SELECT lang, n_docs, avail_tokens,
+             |        CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+             |               WHEN 'fr' THEN 0.15 WHEN 'es' THEN 0.1
+             |               WHEN 'zh' THEN 0.05 ELSE 0.0 END AS DOUBLE)
+             |          * 100000.0 AS target_tokens
+             |      FROM a),
+             |p2 AS (SELECT *,
+             |         least(1.0, target_tokens / avail_tokens) AS rate,
+             |         target_tokens > avail_tokens AS deficit FROM p),
+             |s AS (SELECT t.lang, count(*) AS sampled_docs
+             |      FROM t JOIN p2 ON t.lang = p2.lang
+             |      WHERE (t.doc_id*2654435761)%1000000007
+             |              < CAST(floor(rate*1000000007) AS BIGINT)
+             |      GROUP BY 1)
+             |SELECT p2.lang AS lang, n_docs, avail_tokens,
+             |       round(target_tokens, 6) AS target_tokens,
+             |       round(rate, 6) AS rate, deficit,
+             |       coalesce(s.sampled_docs, 0) AS sampled_docs
+             |FROM p2 LEFT JOIN s ON p2.lang = s.lang
+             |ORDER BY p2.lang""".stripMargin)),
+
     // --- SimHash near-dup (xxhash64-based — no SQL oracle; rows-only +
     //     ScalaTest against planted near-dups)
     // oracle mode: the per-token hash is two fingerprint64 values packed
@@ -982,6 +1029,44 @@ object SparkEntry {
              |         AS avg_logprob
              |FROM e JOIN f USING (token) CROSS JOIN n
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // --- Stupid-Backoff bigram LM score vs the English reference
+    //     subset (CCNet-style perplexity filter; backoff Laplace'd so
+    //     OOV stays finite). Full per-doc value oracle.
+    ("t18_bigram_loglik",
+      (s, dir) => TextOps.bigramLogLikelihood(docs(s, dir),
+          docs(s, dir).where(col("lang") === "en"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 6).as("avg_logprob"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |ru AS (SELECT unnest(tk) AS w FROM t WHERE lang = 'en'),
+             |uni AS (SELECT w, count(*) AS cu FROM ru GROUP BY 1),
+             |g AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+             |rb AS (SELECT unnest([{'u': tk[i], 'v': tk[i+1]}
+             |                      for i in range(1, len(tk))]) AS b
+             |       FROM t WHERE lang = 'en'),
+             |bi AS (SELECT b.u AS u, b.v AS v, count(*) AS cb
+             |       FROM rb GROUP BY 1, 2),
+             |tr AS (SELECT doc_id, unnest([{'u': tk[i], 'v': tk[i+1]}
+             |                              for i in range(1, len(tk))]) AS b
+             |       FROM t),
+             |te AS (SELECT doc_id, b.u AS u, b.v AS v FROM tr),
+             |sc AS (SELECT te.doc_id,
+             |         CASE WHEN bi.cb IS NOT NULL
+             |              THEN ln(CAST(bi.cb AS DOUBLE) / cuu.cu)
+             |              ELSE ln(0.4 * (coalesce(cuv.cu, 0) + 1.0)
+             |                      / (g.n + g.v)) END AS lp
+             |       FROM te LEFT JOIN bi ON te.u = bi.u AND te.v = bi.v
+             |       LEFT JOIN uni cuu ON cuu.w = te.u
+             |       LEFT JOIN uni cuv ON cuv.w = te.v
+             |       CROSS JOIN g)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       round(avg(lp), 6) AS avg_logprob
+             |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // --- corpus-wide duplicate-line scrub (C4-style): first occurrence
     //     by (doc_id, position) wins; lines under 10 chars always kept

@@ -334,6 +334,48 @@ object Pipeline {
   }
 
   /**
+   * Mixture plan: given target corpus SHARES per group (language,
+   * source, …) and a total token budget, compute per group the
+   * available tokens, the token target, the deterministic sampling
+   * rate `min(1, target/available)` and a deficit flag (available <
+   * target — the group needs upsampling/repetition, a decision left
+   * to the caller). Groups absent from `targetShares` get share 0.
+   * One partial-agg shuffle of (group, count, tokenSum) cells — the
+   * whole plan is groups-sized.
+   */
+  def mixturePlan(docs: DataFrame, textCol: String, groupCol: String,
+                  targetShares: Map[String, Double],
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val shares = typedLit(targetShares)
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol))).as("avail_tokens"))
+      .withColumn("target_tokens",
+        coalesce(element_at(shares, col(groupCol)), lit(0.0)) *
+          lit(budgetTokens.toDouble))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+      .withColumn("deficit", col("target_tokens") > col("avail_tokens"))
+  }
+
+  /**
+   * Apply a [[mixturePlan]]: keep each document iff its id hash falls
+   * under its group's rate cut — the per-group generalization of
+   * [[sampleByHashFraction]]. The plan broadcasts (groups-sized) and
+   * the cut is evaluated map-side: sampling 100 TB to a target
+   * mixture is one broadcast join + filter, zero corpus shuffles,
+   * deterministic across reruns.
+   */
+  def applyMixture(docs: DataFrame, idCol: String, groupCol: String,
+                   plan: DataFrame): DataFrame =
+    docs.join(broadcast(plan.select(col(groupCol), col("rate"))),
+        Seq(groupCol))
+      .where(Hashing.mulHash(col(idCol)) <
+        floor(col("rate") * lit(1000000007L)).cast("long"))
+      .drop("rate")
+
+  /**
    * Gumbel-top-n selection over [[dsirWeights]] output: sampling
    * WITHOUT replacement with inclusion odds ∝ exp(log_ratio /
    * temperature), derandomized — the Gumbel noise `-ln(-ln u)` draws

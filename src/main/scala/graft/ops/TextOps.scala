@@ -366,6 +366,77 @@ object TextOps {
           .as("avg_logprob"))
   }
 
+  /** Adjacent-token bigram structs (u, v) of a document; fewer than two
+   *  tokens → empty array (the [[Dedup.shingles]] guard — an unguarded
+   *  `sequence(1, 0)` would count DOWN and fabricate bigrams). */
+  private def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) < 2,
+      array().cast(ArrayType(new StructType()
+        .add("u", StringType).add("v", StringType))))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("u"),
+          element_at(toks, i + 1).as("v"))))
+  }
+
+  /**
+   * Stupid-Backoff bigram LM score (Brants et al., EMNLP'07 — the
+   * web-scale LM scoring rule: no normalization, no held-out tuning):
+   * each document in `df` is scored under the language model of a
+   * `reference` corpus as the mean over its token transitions of
+   *
+   *   ln S(v|u),  S(v|u) = c(u,v)/c(u)                if c(u,v) > 0
+   *               S(v|u) = α · (c(v)+1)/(N+V)          otherwise
+   *
+   * with α = 0.4 (the paper's constant), reference unigram total N,
+   * reference vocabulary size V (Laplace on the backoff keeps OOV
+   * tokens finite — the [[Pipeline.dsirWeights]] convention). This is
+   * the CCNet-style "perplexity filter" shape: score a crawl against a
+   * clean reference corpus and gate on the score. Scoring a corpus
+   * against itself degenerates to pure bigram ML (every bigram is
+   * seen ≥ once), which is the fluency twin of
+   * [[unigramLogLikelihood]].
+   *
+   * Returns (idCol, n_bigrams, avg_logprob); documents with fewer than
+   * two tokens are absent (no transitions to score).
+   *
+   * Scale shape: reference bigram + unigram counts are two partial-agg
+   * shuffles (∝ distinct bigrams / vocabulary); the scored corpus's
+   * transition stream left-joins the two count maps keyed by bigram
+   * and by token, then partial-aggregates per doc — transitions
+   * shuffle once per key family, bodies never move. N and V are
+   * driver scalars, model-sized.
+   */
+  def bigramLogLikelihood(df: org.apache.spark.sql.DataFrame,
+                          reference: org.apache.spark.sql.DataFrame,
+                          textCol: String, idCol: String,
+                          alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val refToks = reference.select(explode(tokens(col(textCol))).as("__w"))
+    val uni = refToks.groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val g = uni.agg(sum("__cu").as("n"), count(lit(1)).as("v")).collect()(0)
+    val (n, v) = (g.getLong(0), g.getLong(1))
+    val bi = reference
+      .select(explode(bigrams(col(textCol))).as("__b"))
+      .groupBy(col("__b.u").as("__u"), col("__b.v").as("__v"))
+      .agg(count(lit(1)).as("__cb"))
+    val trans = df.select(col(idCol), explode(bigrams(col(textCol))).as("__b"))
+      .select(col(idCol), col("__b.u").as("__u"), col("__b.v").as("__v"))
+    val s = trans
+      .join(bi, Seq("__u", "__v"), "left")
+      .join(uni.select(col("__w").as("__u"), col("__cu").as("__cuu")),
+        Seq("__u"), "left")
+      .join(uni.select(col("__w").as("__v"), col("__cu").as("__cuv")),
+        Seq("__v"), "left")
+      .select(col(idCol),
+        when(col("__cb").isNotNull,
+          log(col("__cb").cast(DoubleType) / col("__cuu").cast(DoubleType)))
+          .otherwise(log(lit(alpha) *
+            (coalesce(col("__cuv"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+            lit((n + v).toDouble))).as("__lp"))
+    s.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_logprob"))
+  }
+
   /**
    * Canonical text normalization (the step before exact-dedup hashing /
    * fingerprinting, so trivially-different copies collapse): lowercase,

@@ -926,6 +926,21 @@ class OpsSpec extends AnyFunSuite {
     assert(sel == Set(1L, 3L), s"got $sel")
   }
 
+  test("bigramLogLikelihood: seen bigram = ML ratio, unseen backs off, short docs absent") {
+    val ref = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    // reference: unigrams a:2 b:1 c:1 → N=4 V=3; bigrams (a,b),(b,a),(a,c)
+    val docs = Seq(
+      (10L, "a b"),  // seen bigram: ln(c(a,b)/c(a)) = ln(1/2)
+      (11L, "a z"),  // unseen: ln(0.4·(c(z)+1)/(N+V)) = ln(0.4·1/7)
+      (12L, "x")     // one token → no transitions → absent
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramLogLikelihood(docs, ref, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L)._1 == 1 && math.abs(got(10L)._2 - math.log(0.5)) < 1e-12)
+    assert(math.abs(got(11L)._2 - math.log(0.4 / 7.0)) < 1e-12)
+  }
+
   test("semanticDedup: planted clone dropped, roots kept, components stay in-cluster") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cent = Similarity.seedCentroids(embs, "embedding", "vec_id", 8)
