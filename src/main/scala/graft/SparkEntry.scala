@@ -1541,6 +1541,116 @@ object SparkEntry {
              |SELECT doc_id, token, tf, df, rank, round(tfidf, 6) AS tfidf
              |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
 
+    // --- per-event trailing 1-hour window stats per user (point-in-time
+    //     features: RANGE frame on epoch millis, peers share a frame)
+    ("e09_rolling_window",
+      (s, dir) => Sessionize.rollingUserStats(evts(s, dir), windowMinutes = 60)
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          round(col("sum_window"), 6).as("sum_window"))
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |          FROM events)
+             |SELECT event_id, user_id,
+             |  CAST(count(*) OVER win AS BIGINT) AS n_window,
+             |  round(sum(value) OVER win, 6) AS sum_window
+             |FROM e
+             |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // --- corpus boilerplate-line scrub by document frequency: lines in
+    //     >= 3 distinct docs drop EVERYWHERE (t14 keeps first; this is
+    //     the nav-bar/footer killer, no window in the plan at all)
+    ("t19_boilerplate",
+      (s, dir) => TextOps.scrubBoilerplateLines(docs(s, dir), "text",
+          "doc_id", minDocFreq = 3, minLineLen = 10)
+        .orderBy("doc_id"),
+      Some("""WITH l AS (
+             |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+             |    SELECT doc_id,
+             |      unnest([{'pos': i, 'line': ls[i]}
+             |              for i in range(1, len(ls) + 1)]) AS u
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+             |          FROM documents))),
+             |hot AS (SELECT line FROM (
+             |    SELECT line, count(DISTINCT doc_id) AS dfq FROM l
+             |    WHERE length(line) >= 10 GROUP BY line)
+             |  WHERE dfq >= 3),
+             |a AS (SELECT doc_id,
+             |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+             |      FROM l WHERE length(line) < 10
+             |         OR line NOT IN (SELECT line FROM hot)
+             |      GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+             |FROM documents d LEFT JOIN a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- Okapi BM25 top-10 docs per query (Lucene smoothed idf; rank
+    //     key = score rounded to 6, doc_id tie-break — the t12 rule)
+    ("s11_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "hash join order"), (1L, "fast scan filter"),
+          (2L, "stream window agg")).toDF("query_id", "qtext")
+        Retrieval.bm25TopK(docs(s, dir), qs, "text", "doc_id",
+            "query_id", "qtext", k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Oracle)),
+
+    // --- winnowing fingerprints (MOSS): window-min over modular token
+    //     3-gram hashes — plain mod-1e9+7 arithmetic, full value oracle
+    ("t20_winnow",
+      (s, dir) => TextOps.winnowFingerprints(docs(s, dir), "text",
+          "doc_id", n = 3, window = 4)
+        .orderBy("doc_id", "fp"),
+      Some(winnowOracle)),
+
+    // --- winnow-fingerprint near-dup pairs (shared-passage detector).
+    //     maxBucket raised in oracle mode (the SQL mirror is an
+    //     uncapped all-pairs join, the d04 convention); production
+    //     corpora keep the default cap.
+    ("d12_winnow_dups",
+      (s, dir) => Dedup.winnowDupPairs(docs(s, dir), "text", "doc_id",
+          n = 3, window = 4, minShared = 2, maxBucket = 1 << 20)
+        .orderBy("id_a", "id_b"),
+      Some(winnowDupOracle)),
+
+    // --- random-projection two-stage ANN: JL-projected cosine
+    //     shortlist (same mirrorable hyperplane family as s02), exact
+    //     re-rank — both stages value-checked like s06/s09
+    ("s12_rp_rerank",
+      (s, dir) => Similarity.rpRerankTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, dDims = 8, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some(rpAnnOracle)),
+
+    // --- temperature-scaled mixture (share ∝ avail^0.5): plan AND the
+    //     sample it induces value-checked, like p06. pow(x, 0.5) is
+    //     sqrt on both engines (fdlibm special case / correctly-rounded
+    //     libm), so the shares are engine-exact.
+    ("p07_temperature_mixture",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val plan = Pipeline.temperatureMixturePlan(d, "text", "lang",
+          alpha = 0.5, budgetTokens = 100000L)
+        val applied = Pipeline.applyMixture(d, "doc_id", "lang", plan)
+          .groupBy(col("lang")).agg(count(lit(1)).as("sampled_docs"))
+        plan.join(applied, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("avail_tokens"),
+            round(col("share"), 6).as("share"),
+            round(col("target_tokens"), 6).as("target_tokens"),
+            round(col("rate"), 6).as("rate"), col("deficit"),
+            coalesce(col("sampled_docs"), lit(0L)).as("sampled_docs"))
+          .orderBy("lang")
+      },
+      Some(tempMixtureOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2028,6 +2138,148 @@ object SparkEntry {
       |        AS rank FROM s2)
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s11: same tokenize/tf/df/dl passes, the same
+    * left-to-right BM25 term arithmetic (constants written identically
+    * so both engines parse the same doubles), per-(query, doc) sum
+    * rounded to 6 for the rank key — the t12 determinism rule. */
+  private lazy val bm25Oracle: String =
+    """WITH q(query_id, qtext) AS (VALUES (0, 'hash join order'),
+      |    (1, 'fast scan filter'), (2, 'stream window agg')),
+      |qt AS (SELECT query_id,
+      |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+')))
+      |           AS token FROM q),
+      |t AS (SELECT doc_id,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM e GROUP BY 1),
+      |g AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM t),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |         sum(ln(1.0 + (CAST(g.n_docs - dfq.df AS DOUBLE) + 0.5)
+      |                      / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |             ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |              (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+      |                (0.75 * CAST(dl.dl AS DOUBLE)) /
+      |                (CAST(g.total_tokens AS DOUBLE)
+      |                 / CAST(g.n_docs AS DOUBLE)))))) AS score
+      |       FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+      |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+      |       GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id)
+      |        AS rank FROM sc)
+      |SELECT query_id, doc_id, rank, round(score, 6) AS score
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Shared winnowing CTE chain (t20/d12): fingerprint64 token hashes
+    * (the t08 pairing), 131-chained modular 3-gram hashes, window-4
+    * minima, distinct per doc. All integer arithmetic — exact. */
+  private def winnowCtes: String =
+    s"""t AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${sqlFp("t", w31)}) AS th
+       |  FROM t),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN len(th) < 3 THEN []
+       |    ELSE [ (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2])
+       |             % 1000000007
+       |           for i in range(1, len(th) - 1)] END AS grams FROM th),
+       |w AS (SELECT doc_id,
+       |    list_distinct([ list_min(grams[i:i+3])
+       |                    for i in range(1, greatest(1, len(grams) - 3) + 1)])
+       |      AS fps
+       |  FROM g WHERE len(grams) > 0)""".stripMargin
+
+  /** DuckDB mirror of t20. */
+  private lazy val winnowOracle: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, unnest(fps) AS fp FROM w ORDER BY doc_id, fp""".stripMargin
+
+  /** DuckDB mirror of d12: uncapped all-pairs self-join over the
+    * exploded fingerprint sets, shared count >= 2. */
+  private lazy val winnowDupOracle: String =
+    s"""WITH $winnowCtes,
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of s12: the s02 hyperplane family as VALUE-level
+    * projections (list_dot_product — the s08-proven accumulation),
+    * projected-cosine shortlist of 20 with (sim desc, id) order, exact
+    * cosine re-rank — both stages mirrored like s09. */
+  private lazy val rpAnnOracle: String = {
+    val m1 = "((((p*131)+i)*2654435761+9176)%1000003)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |rp AS (SELECT vec_id,
+      |  [ list_dot_product(v,
+      |      [ ($m1 * ($m1 + 13)) % 1000003 / 1000003.0 - 0.5
+      |        for i in range(1, len(v)+1) ])
+      |    for p in range(0, 8) ] AS pv
+      |  FROM e),
+      |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        CASE WHEN sqrt(list_dot_product(q.pv, q.pv)) = 0
+      |               OR sqrt(list_dot_product(c.pv, c.pv)) = 0 THEN 0.0
+      |          ELSE list_dot_product(q.pv, c.pv) /
+      |            (sqrt(list_dot_product(q.pv, q.pv)) *
+      |             sqrt(list_dot_product(c.pv, c.pv)))
+      |        END AS proj_sim
+      |      FROM rp q CROSS JOIN rp c
+      |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |sl AS (SELECT query_id, neighbor_id FROM
+      |        (SELECT *, row_number() OVER
+      |           (PARTITION BY query_id ORDER BY proj_sim DESC, neighbor_id)
+      |           AS r FROM s1) WHERE r <= 20),
+      |ex AS (SELECT sl.query_id, sl.neighbor_id,
+      |        list_dot_product(qe.v, ce.v) /
+      |          (sqrt(list_dot_product(qe.v, qe.v)) *
+      |           sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |      FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+      |      JOIN e ce ON ce.vec_id = sl.neighbor_id),
+      |rk AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |        AS rank FROM ex)
+      |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of p07: sqrt weights (= pow(x, 0.5) on both
+    * engines), share normalization, the p06 rate/deficit/hash-cut. */
+  private lazy val tempMixtureOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |a AS (SELECT lang, count(*) AS n_docs,
+      |        CAST(sum(len(tk)) AS BIGINT) AS avail_tokens
+      |      FROM t GROUP BY 1),
+      |z AS (SELECT sum(sqrt(CAST(avail_tokens AS DOUBLE))) AS z FROM a),
+      |p AS (SELECT lang, n_docs, avail_tokens,
+      |        sqrt(CAST(avail_tokens AS DOUBLE)) / z.z AS share
+      |      FROM a CROSS JOIN z),
+      |p2 AS (SELECT *, share * 100000.0 AS target_tokens FROM p),
+      |p3 AS (SELECT *,
+      |         least(1.0, target_tokens / avail_tokens) AS rate,
+      |         target_tokens > avail_tokens AS deficit FROM p2),
+      |s AS (SELECT t.lang, count(*) AS sampled_docs
+      |      FROM t JOIN p3 ON t.lang = p3.lang
+      |      WHERE (t.doc_id*2654435761)%1000000007
+      |              < CAST(floor(rate*1000000007) AS BIGINT)
+      |      GROUP BY 1)
+      |SELECT p3.lang AS lang, n_docs, avail_tokens,
+      |       round(share, 6) AS share,
+      |       round(target_tokens, 6) AS target_tokens,
+      |       round(rate, 6) AS rate, deficit,
+      |       coalesce(s.sampled_docs, 0) AS sampled_docs
+      |FROM p3 LEFT JOIN s ON p3.lang = s.lang
+      |ORDER BY p3.lang""".stripMargin
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs
 

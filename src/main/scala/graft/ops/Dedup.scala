@@ -316,6 +316,48 @@ object Dedup {
       .where(col("jaccard") >= threshold)
 
   /**
+   * Winnowing-fingerprint near-dup pairs (the MOSS detector at corpus
+   * scale): documents sharing at least `minShared` winnowing
+   * fingerprints ([[TextOps.winnowFingerprints]] — window-min over
+   * token n-gram hashes). Because winnowing guarantees a common
+   * fingerprint for any shared token run of length ≥ window + n − 1,
+   * this finds PARTIAL overlap — a copied paragraph inside otherwise
+   * different documents — that whole-document signatures (MinHash over
+   * the full shingle set) dilute away. The complement of
+   * [[minhashLshPairs]]: that one ranks whole-document similarity,
+   * this one flags shared passages.
+   *
+   * Scale shape is the LSH-bucket contract: the map-only fingerprint
+   * stream groups by fp (ONE shuffle of 16 B rows, map-side partial
+   * collect), buckets cap at `maxBucket` ids (a fingerprint shared by
+   * half the corpus is boilerplate, not evidence — same recall
+   * contract as the capped siblings), pairs expand in-row from the
+   * sorted id list, and the (id_a, id_b) count ≥ `minShared` filter is
+   * one partially-aggregated groupBy. Nothing quadratic survives
+   * outside a capped bucket.
+   *
+   * Output: (id_a, id_b, n_shared) with id_a < id_b.
+   */
+  def winnowDupPairs(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3, window: Int = 4, minShared: Int = 2,
+                     maxBucket: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = TextOps.winnowFingerprints(df, textCol, idCol, n, window)
+    val buckets = fps.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucket)
+    val pairStructs = flatten(transform(col("__ids"), (x, i) =>
+      transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets
+      .select(explode(pairStructs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs
    * (never within-side pairs) — the near-dup twin of [[dedupAgainst]],

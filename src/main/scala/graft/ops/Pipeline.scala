@@ -360,6 +360,35 @@ object Pipeline {
   }
 
   /**
+   * Temperature-scaled mixture plan (the multilingual-pretraining
+   * rebalancing rule, Conneau & Lample '19): instead of hand-set
+   * shares, share_g ∝ avail_g^alpha — alpha = 1 reproduces the natural
+   * distribution, alpha → 0 approaches uniform, intermediate values
+   * (0.3–0.7 in practice) upsample the tail without drowning the head.
+   * Same output schema as [[mixturePlan]] (plus the computed `share`),
+   * so [[applyMixture]] consumes it unchanged. The normalizer is a
+   * 1-row broadcast; everything else is the groups-sized plan.
+   */
+  def temperatureMixturePlan(docs: DataFrame, textCol: String,
+                             groupCol: String, alpha: Double,
+                             budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val avail = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol))).as("avail_tokens"))
+    val weight = pow(col("avail_tokens").cast("double"), lit(alpha))
+    val z = avail.agg(sum(weight).as("__z"))
+    avail.crossJoin(broadcast(z))
+      .withColumn("share", weight / col("__z"))
+      .withColumn("target_tokens", col("share") * lit(budgetTokens.toDouble))
+      .withColumn("rate",
+        least(lit(1.0), col("target_tokens") / col("avail_tokens")))
+      .withColumn("deficit", col("target_tokens") > col("avail_tokens"))
+      .drop("__z")
+  }
+
+  /**
    * Apply a [[mixturePlan]]: keep each document iff its id hash falls
    * under its group's rate cut — the per-group generalization of
    * [[sampleByHashFraction]]. The plan broadcasts (groups-sized) and

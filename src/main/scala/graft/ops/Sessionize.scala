@@ -175,6 +175,33 @@ object Sessionize {
   }
 
   /**
+   * Per-event trailing time-window stats — the point-in-time feature
+   * shape ("events and value sum for this user over the last hour AS OF
+   * each event") used for leakage-free training features: the frame
+   * ends at the current row, so no future event ever contributes.
+   *
+   * Scale: one shuffle on the user key, then a RANGE frame over the
+   * in-partition sort — Spark evaluates the sliding frame with a
+   * running accumulator per partition (add on enter, no re-scan per
+   * row), so cost is O(events per user), not O(events × window size).
+   * The frame key is epoch milliseconds, making the window an exact
+   * value-range predicate that both engines define identically
+   * (peer rows at the same millisecond share a frame).
+   */
+  def rollingUserStats(events: DataFrame, windowMinutes: Long,
+                       userCol: String = "user_id", tsCol: String = "ts",
+                       valueCol: String = "value"): DataFrame = {
+    require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
+    val windowMs = windowMinutes * 60000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-windowMs, 0L)
+    events.select(col("event_id"), col(userCol), col(tsCol),
+      count(lit(1)).over(w).as("n_window"),
+      sum(col(valueCol)).over(w).as("sum_window"))
+  }
+
+  /**
    * Cohort retention: users bucketed by first-activity day (the
    * cohort), counted by how many distinct days-offsets they came back
    * (offset 0 = the cohort day itself). The product-analytics

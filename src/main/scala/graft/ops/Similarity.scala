@@ -212,6 +212,73 @@ object Similarity {
   }
 
   /**
+   * Deterministic Johnson–Lindenstrauss random projection to `dDims`
+   * dimensions: out[p] = ⟨vec, plane_p⟩ over the same SQL-mirrorable
+   * pseudo-random hyperplane family as [[hyperplaneBucket]] — where LSH
+   * keeps only the SIGN of each projection, this keeps the value, so
+   * angles survive approximately (JL) instead of collapsing to bucket
+   * ids. Map-only array expression, no UDF, no shuffle: at corpus scale
+   * you persist the projected column next to the vectors and scan
+   * dDims doubles instead of the full embedding.
+   */
+  def randomProjection(vec: Column, dDims: Int): Column = {
+    require(dDims >= 1, s"dDims must be >= 1: $dDims")
+    array((0 until dDims).map { p =>
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast(DoubleType) * planeComponent(p, j)),
+        lit(0.0), (acc, t) => acc + t)
+    }: _*)
+  }
+
+  /** Dot product of two double-array columns (left-to-right double
+   *  accumulation — the engine-portable reduction order). */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+
+  /**
+   * Two-stage ANN via random projection: stage 1 scores PROJECTED
+   * cosine (dDims doubles per row instead of the full vector) and keeps
+   * `shortlist` candidates per query with the bounded [[TopK]]
+   * aggregator; stage 2 re-reads ONLY the shortlisted ids' full vectors
+   * (semi-join-sized) and re-ranks with exact cosine. The
+   * [[int8RerankTopK]] composition with a different stage-1 compressor:
+   * int8 shrinks the scan 4× with full dimensionality, JL shrinks
+   * dimensionality (dims/dDims ×) with full precision per kept dim —
+   * at 100 TB the projected column is the one that fits in memory.
+   * Both the projection and the cosine are mirrorable arithmetic, so
+   * the whole approximate result is value-checkable cross-engine.
+   */
+  def rpRerankTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                   idCol: String, k: Int, dDims: Int = 8,
+                   shortlist: Int = 32): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      randomProjection(col(vecCol), dDims).as("__cp"))
+      .withColumn("__cn", sqrt(dotD(col("__cp"), col("__cp"))))
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      randomProjection(col(vecCol), dDims).as("__qp"))
+      .withColumn("__qn", sqrt(dotD(col("__qp"), col("__qp"))))
+    val stage1 = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("__qn") === 0.0 || col("__cn") === 0.0, lit(0.0))
+          .otherwise(dotD(col("__qp"), col("__cp")) /
+            (col("__qn") * col("__cn"))).as("proj_sim"))
+    val short = topKPerGroup(stage1, "query_id", "neighbor_id", "proj_sim",
+      shortlist).select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cvn"))
+    val qv = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qvn"))
+    val exact = short.join(cv, Seq("neighbor_id")).join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qvn"), col("__cvn")).as("cos_sim"))
+    topKPerGroup(exact, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Per-group embedding centroids (class prototypes): element-wise mean
    * vector per `byCol` group, with the member count. The building block
    * for prototype routing, per-source drift monitoring, and seeding

@@ -253,6 +253,85 @@ object TextOps {
   }
 
   /**
+   * Corpus boilerplate-line scrub by DOCUMENT FREQUENCY: a line is
+   * boilerplate when it appears in at least `minDocFreq` distinct
+   * documents, and every copy is dropped — unlike
+   * [[dedupLinesAcrossCorpus]] (which keeps the first occurrence),
+   * nav-bars/footers/cookie banners carry no information worth keeping
+   * once, so the whole equivalence class goes. Lines shorter than
+   * `minLineLen` are exempt (formatting, not boilerplate). Documents
+   * whose every line is scrubbed come out as empty strings.
+   *
+   * Scale: long lines shuffle once as 24 B (hash₁, hash₂, doc id) rows
+   * to count distinct documents per line (partial-agg over the
+   * line-key groupBy; the distinct pass is the same shuffle). The hot
+   * set — lines over the threshold — is tiny by construction
+   * (boilerplate classes, not the corpus), so the anti-join back is a
+   * broadcast under AQE and the line BODIES never move: they stay in
+   * the scan that reassembles. A line repeated 10⁹ times costs its
+   * partial counts, never a 10⁹-row sort (no window in this plan at
+   * all, unlike the keep-first variant which needs one to pick the
+   * winner).
+   */
+  def scrubBoilerplateLines(df: org.apache.spark.sql.DataFrame,
+                            textCol: String, idCol: String, minDocFreq: Int,
+                            minLineLen: Int = 10): org.apache.spark.sql.DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2: $minDocFreq")
+    val exploded = df
+      .select(col(idCol), posexplode(lines(col(textCol))).as(Seq("__pos", "__ln")))
+    val short = exploded.where(length(col("__ln")) < minLineLen)
+    val keyed = exploded.where(length(col("__ln")) >= minLineLen)
+      .withColumn("__h1", xxhash64(col("__ln")))
+      .withColumn("__h2", xxhash64(lit(0x11e5eed), col("__ln")))
+    val hot = keyed.select(col("__h1"), col("__h2"), col(idCol)).distinct()
+      .groupBy(col("__h1"), col("__h2"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= minDocFreq)
+      .select(col("__h1"), col("__h2"))
+    val kept = keyed.join(hot, Seq("__h1", "__h2"), "left_anti")
+      .select(col(idCol), col("__pos"), col("__ln"))
+    val cleaned = short.unionByName(kept)
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ln")))),
+        x => x.getField("__ln")), "\n").as("text_clean"))
+    df.select(col(idCol)).join(cleaned, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
+
+  /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+   * the MOSS algorithm): slide a window of `window` consecutive token
+   * `n`-gram hashes and keep each window's MINIMUM — the selected set
+   * is position-independent yet guarantees that any shared run of at
+   * least `window + n − 1` tokens between two documents contributes at
+   * least one COMMON fingerprint. Documents with fewer than `n` tokens
+   * have no grams and produce no rows; with fewer grams than `window`,
+   * the single window is the whole gram list (standard boundary).
+   * Output: one row per distinct selected hash, `(idCol, fp)`.
+   *
+   * Map-only: grams come from the native modular n-gram hasher (no
+   * gram strings materialize), and the window-min selection is an
+   * in-row array expression — zero shuffle, the fingerprint set streams
+   * straight to whatever consumes it ([[Dedup.winnowDupPairs]] groups
+   * it by fp). The per-row cost is O(grams × window) comparisons,
+   * bounded and branch-free. The gram hash is plain modular arithmetic
+   * (mod 1e9+7), so SQL oracles reproduce the exact fingerprint sets.
+   */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, n: Int = 3,
+                         window: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && window >= 1, s"n and window must be >= 1: n=$n window=$window")
+    val grams = graft.functions.NativeExpressions
+      .modNgramHashes(tokens(col(textCol)), n)
+    df.select(col(idCol), grams.as("__g"))
+      .where(size(col("__g")) > 0)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), greatest(lit(1), size(col("__g")) - lit(window - 1))),
+        i => array_min(slice(col("__g"), i, lit(window)))))).as("fp"))
+  }
+
+  /**
    * Corpus token frequencies: explode → groupBy(token). Map-side partial
    * counts make the shuffle proportional to the vocabulary, not the
    * token stream — the standard first step for stopword mining and

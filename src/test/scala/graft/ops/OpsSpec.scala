@@ -2023,4 +2023,152 @@ class OpsSpec extends AnyFunSuite {
       assert(n == (m.n_frames + 6) / 7)
     }
   }
+
+  test("rollingUserStats: inclusive range frame, per-user, peers share a frame") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, ts(0L), 7L, 1.0), (2L, ts(60000L), 7L, 2.0),
+      (3L, ts(61000L), 7L, 4.0),      // 0 ms falls OUT of its 1-min frame
+      (4L, ts(61000L), 7L, 8.0),      // peer of 3 at the same ms
+      (5L, ts(0L), 9L, 16.0)          // other user: frames never mix
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = Sessionize.rollingUserStats(events, windowMinutes = 1)
+      .orderBy("event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(3), x.getDouble(4)))
+    assert(r(0) == ((1L, 1L, 1.0)))
+    assert(r(1) == ((2L, 2L, 3.0)))       // 0 and 60000 both in [0, 60000]
+    assert(r(2) == ((3L, 3L, 14.0)))      // 60000, 61000, 61000 — not 0
+    assert(r(3) == ((4L, 3L, 14.0)))      // peer row: identical frame
+    assert(r(4) == ((5L, 1L, 16.0)))
+  }
+
+  test("scrubBoilerplateLines: df-threshold drops all copies, short lines exempt") {
+    val docs = Seq(
+      (1L, "unique one alpha\nBOILERPLATE FOOTER X\nok"),
+      (2L, "unique two beta\nBOILERPLATE FOOTER X\nok"),
+      (3L, "BOILERPLATE FOOTER X\nshared twice only\nok"),
+      (4L, "shared twice only\nunique four gamma"),
+      (5L, "BOILERPLATE FOOTER X") // whole doc is boilerplate → empty
+    ).toDF("doc_id", "text")
+    val r = TextOps.scrubBoilerplateLines(docs, "text", "doc_id",
+        minDocFreq = 3, minLineLen = 10)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(r(0) == "unique one alpha\nok")           // footer in 3 docs: gone
+    assert(r(1) == "unique two beta\nok")
+    assert(r(2) == "shared twice only\nok")          // df=2 < 3: kept
+    assert(r(3) == "shared twice only\nunique four gamma")
+    assert(r(4) == "")                               // "ok" short-line exempt
+  }
+
+  test("winnowFingerprints: shared long run guarantees a common fingerprint") {
+    val w = 4; val n = 3
+    // 12 shared tokens >= window + n - 1 = 6 → at least one common fp
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"one two three $shared x y z"),
+      (2L, s"totally different prefix words here $shared"),
+      (3L, "no overlap with anything else at all whatsoever"),
+      (4L, "ab cd"), // fewer than n tokens → no grams → absent
+      (5L, "p q r s") // 4 tokens → 2 grams < window → single whole-list window
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprints(docs, "text", "doc_id", n, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fps.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).size == 1) // min over the 2-gram list, one window
+    // fingerprints are a subset of the doc's gram hashes (window minima)
+    val grams1 = docs.where(col("doc_id") === 1)
+      .select(graft.functions.NativeExpressions.modNgramHashes(
+        TextOps.tokens(col("text")), n).as("g"))
+      .head().getSeq[Long](0).toSet
+    assert(byDoc(1L).subsetOf(grams1))
+  }
+
+  test("winnowDupPairs: planted shared passage found; maxBucket caps boilerplate fp") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words then $passage and an ending"),
+      (2L, s"other start $passage closing remarks here"),
+      (3L, "unrelated content entirely about other things altogether")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowDupPairs(docs, "text", "doc_id",
+      n = 3, window = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // a fingerprint shared by every doc is boilerplate: cap kills the bucket
+    val boiler = (1L to 30L).map(i => (i, s"same same same same same same"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowDupPairs(boiler, "text", "doc_id",
+      n = 3, window = 4, minShared = 1, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
+  test("bm25TopK: tf, idf and length normalization order as expected") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),              // high tf for 'cat', short
+      (2L, "cat mouse mouse mouse"),        // tf 1 for 'cat'
+      (3L, "cat cat cat dog " * 8),         // same tf ratio as 1 but long
+      (4L, "mouse mouse mouse mouse"),      // no query terms → absent
+      (5L, "rare cat")                      // 'rare' appears only here
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "cat"), (1L, "rare")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(docs, q, "text", "doc_id", "query_id",
+      "qtext", k = 10)
+    val q0 = r.where(col("query_id") === 0).orderBy("rank")
+      .collect().map(_.getLong(1))
+    // hand-computed (avgdl = 74/5): doc3 2.012 (tf24 beats its 8×-length
+    // penalty at saturation) > doc1 1.863 (tf3 short) > doc5 1.547
+    // (tf1, shortest) > doc2 1.426 (tf1); doc4 never appears
+    assert(q0.toSeq == Seq(3L, 1L, 5L, 2L))
+    val q1 = r.where(col("query_id") === 1).collect()
+    assert(q1.map(_.getLong(1)).toSeq == Seq(5L)) // only the rare-term doc
+    // rare term idf > ubiquitous term idf: doc5's q1 score beats its q0 score
+    val s5q0 = r.where(col("query_id") === 0 && col("doc_id") === 5)
+      .head().getDouble(3)
+    val s5q1 = q1.head.getDouble(3)
+    assert(s5q1 > s5q0)
+  }
+
+  test("rpRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val rr = Similarity.rpRerankTopK(embs, queries, "embedding", "vec_id",
+        k = 5, dDims = 8, shortlist = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(rr == exact)
+    // narrow shortlist: decent stage-1 recall — every query still returns
+    // k rows with contiguous ranks
+    val narrow = Similarity.rpRerankTopK(embs, queries, "embedding",
+      "vec_id", k = 5, dDims = 8, shortlist = 12).collect()
+    narrow.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
+  }
+
+  test("temperatureMixturePlan: alpha=1 natural, alpha<1 upsamples the tail") {
+    val docs = Seq.tabulate(90)(i => (i.toLong, "tok " * 10, "big")) ++
+      Seq.tabulate(10)(i => ((90 + i).toLong, "tok " * 10, "small"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    def share(plan: DataFrame, g: String): Double =
+      plan.where(col("lang") === g).head().getAs[Double]("share")
+    val natural = Pipeline.temperatureMixturePlan(df, "text", "lang",
+      alpha = 1.0, budgetTokens = 100L)
+    assert(math.abs(share(natural, "big") - 0.9) < 1e-12)
+    assert(math.abs(share(natural, "small") - 0.1) < 1e-12)
+    val temp = Pipeline.temperatureMixturePlan(df, "text", "lang",
+      alpha = 0.5, budgetTokens = 100L)
+    assert(share(temp, "small") > 0.1 && share(temp, "big") < 0.9)
+    // shares always normalize to 1
+    val tot = temp.agg(sum("share")).head().getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-12)
+    // applyMixture consumes the plan unchanged (schema-compatible)
+    val applied = Pipeline.applyMixture(df, "doc_id", "lang", temp)
+    assert(applied.count() > 0)
+  }
 }
