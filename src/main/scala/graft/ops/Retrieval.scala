@@ -41,8 +41,16 @@ object Retrieval {
                idCol: String, qidCol: String, qtextCol: String, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive: $k")
+    // the id/token non-null filters are semantic no-ops (ids are keys,
+    // split yields no null tokens) but make every downstream branch's
+    // pushed predicates IDENTICAL — without them the token-keyed joins
+    // push isnotnull(token) into some tf subplans and the doc-keyed
+    // join pushes isnotnull(id) into others, the canonical forms stop
+    // matching, and the corpus tokenizes once per branch instead of
+    // reusing one tf exchange (the t12 lesson, plan-asserted in OpsSpec)
     val toks = docs.select(col(idCol).cast(LongType).as("__id"),
       explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(col("__id").isNotNull && col("token").isNotNull)
     val tf = toks.groupBy(col("__id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     // same always-true guard as tfidfTopTerms: keeps the df branch

@@ -2132,6 +2132,17 @@ class OpsSpec extends AnyFunSuite {
     assert(s5q1 > s5q0)
   }
 
+  test("bm25 runtime plan reuses the tf exchange (tokenize once)") {
+    val q = Seq((0L, "quick fox")).toDF("query_id", "qtext")
+    val r = Retrieval.bm25TopK(corpus, q, "text", "doc_id", "query_id",
+      "qtext", k = 3)
+    r.collect() // materialize so AQE finalizes the plan
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
+      s"tf subplan not reused — tokenization would run per branch:\n$plan")
+  }
+
   test("rpRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.where(col("vec_id") < 5)
