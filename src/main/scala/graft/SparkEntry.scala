@@ -1651,6 +1651,69 @@ object SparkEntry {
       },
       Some(tempMixtureOracle)),
 
+    // --- first-order Markov transition census over the event stream
+    //     (p = exact-count division, per-row IEEE — no rounding needed)
+    ("e10_transitions",
+      (s, dir) => Sessionize.eventTransitions(evts(s, dir))
+        .orderBy("from_type", "to_type"),
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |          FROM events),
+             |s AS (SELECT event_type AS f,
+             |        lead(event_type) OVER
+             |          (PARTITION BY user_id ORDER BY ts, event_id) AS t
+             |      FROM e),
+             |c AS (SELECT f, t, count(*) AS n FROM s WHERE t IS NOT NULL
+             |      GROUP BY 1, 2),
+             |tot AS (SELECT f, CAST(sum(n) AS BIGINT) AS tn FROM c GROUP BY 1)
+             |SELECT c.f AS from_type, c.t AS to_type, n AS n_transitions,
+             |       CAST(n AS DOUBLE) / CAST(tn AS DOUBLE) AS p
+             |FROM c JOIN tot USING (f)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
+    // --- repetition-aware mixture application: deficit groups emit
+    //     whole epochs + a hash-gated fractional epoch; every emitted
+    //     (group, doc, copy) row value-checked
+    ("p08_upsample",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val plan = Pipeline.mixturePlan(d, "text", "lang",
+          Map("en" -> 0.2, "de" -> 0.2, "zh" -> 0.6), budgetTokens = 100000L)
+        Pipeline.applyMixtureWithRepetition(d, "doc_id", "lang", plan)
+          .orderBy("lang", "doc_id", "copy")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |a AS (SELECT lang, CAST(sum(len(tk)) AS BIGINT) AS avail
+             |      FROM t GROUP BY 1),
+             |p AS (SELECT lang,
+             |        CAST(CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.2
+             |               WHEN 'zh' THEN 0.6 ELSE 0.0 END AS DOUBLE)
+             |          * 100000.0 AS target, avail FROM a),
+             |r AS (SELECT lang, target / avail AS r FROM p),
+             |d AS (SELECT t.doc_id, t.lang,
+             |        CAST(floor(r) AS BIGINT)
+             |        + CASE WHEN (t.doc_id*2654435761)%1000000007
+             |               < CAST(floor((r - floor(r))*1000000007) AS BIGINT)
+             |          THEN 1 ELSE 0 END AS n
+             |      FROM t JOIN r USING (lang))
+             |SELECT lang, doc_id, unnest(range(1, n + 1)) AS copy
+             |FROM d WHERE n > 0 ORDER BY lang, doc_id, copy""".stripMargin)),
+
+    // --- CCNet perplexity buckets: per-language tertiles of the t18
+    //     bigram LM score via the exact engine percentile_disc; scores
+    //     rounded to 6 BEFORE thresholding so both engines rank the
+    //     identical multiset (thresholds + buckets cross-engine exact)
+    ("t21_ppl_buckets",
+      (s, dir) => {
+        val d = docs(s, dir)
+        TextOps.perplexityBuckets(d, d.where(col("lang") === "en"),
+            "text", "doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some(pplBucketsOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2249,6 +2312,48 @@ object SparkEntry {
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** DuckDB mirror of t21: the t18 LM-score CTE chain, per-doc scores
+    * rounded to 6, per-language tertile thresholds via quantile_disc
+    * (same smallest-value-with-CDF>=p convention as the engine
+    * PercentileDisc — verified over n=4..10), CASE bucketing. */
+  private lazy val pplBucketsOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |ru AS (SELECT unnest(tk) AS w FROM t WHERE lang = 'en'),
+      |uni AS (SELECT w, count(*) AS cu FROM ru GROUP BY 1),
+      |g AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+      |rb AS (SELECT unnest([{'u': tk[i], 'v': tk[i+1]}
+      |                      for i in range(1, len(tk))]) AS b
+      |       FROM t WHERE lang = 'en'),
+      |bi AS (SELECT b.u AS u, b.v AS v, count(*) AS cb
+      |       FROM rb GROUP BY 1, 2),
+      |tr AS (SELECT doc_id, unnest([{'u': tk[i], 'v': tk[i+1]}
+      |                              for i in range(1, len(tk))]) AS b
+      |       FROM t),
+      |te AS (SELECT doc_id, b.u AS u, b.v AS v FROM tr),
+      |sc AS (SELECT te.doc_id,
+      |         CASE WHEN bi.cb IS NOT NULL
+      |              THEN ln(CAST(bi.cb AS DOUBLE) / cuu.cu)
+      |              ELSE ln(0.4 * (coalesce(cuv.cu, 0) + 1.0)
+      |                      / (g.n + g.v)) END AS lp
+      |       FROM te LEFT JOIN bi ON te.u = bi.u AND te.v = bi.v
+      |       LEFT JOIN uni cuu ON cuu.w = te.u
+      |       LEFT JOIN uni cuv ON cuv.w = te.v
+      |       CROSS JOIN g),
+      |w AS (SELECT doc_id, count(*) AS n_bigrams,
+      |        round(avg(lp), 6) AS s FROM sc GROUP BY doc_id),
+      |j AS (SELECT w.doc_id, d.lang, n_bigrams, s
+      |      FROM w JOIN documents d USING (doc_id)),
+      |th AS (SELECT lang, quantile_disc(s, 1.0/3) AS t1,
+      |              quantile_disc(s, 2.0/3) AS t2
+      |       FROM j GROUP BY lang)
+      |SELECT j.doc_id, j.lang, n_bigrams, s AS avg_logprob,
+      |  CASE WHEN s <= t1 THEN 'tail'
+      |       WHEN s <= t2 THEN 'middle' ELSE 'head' END AS bucket
+      |FROM j JOIN th USING (lang) ORDER BY j.doc_id""".stripMargin
 
   /** DuckDB mirror of p07: sqrt weights (= pow(x, 0.5) on both
     * engines), share normalization, the p06 rate/deficit/hash-cut. */

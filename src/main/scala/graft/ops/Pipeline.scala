@@ -405,6 +405,38 @@ object Pipeline {
       .drop("rate")
 
   /**
+   * Repetition-aware mixture application — the upsampling half that
+   * [[applyMixture]]'s rate cap leaves to the caller: each document is
+   * emitted `floor(r)` times plus one more iff its id hash falls under
+   * the fractional remainder, where r = target/available tokens of its
+   * group (r < 1 reproduces the plain hash-cut downsample; r > 1 —
+   * deficit groups — turns into whole epochs + a fractional epoch).
+   * Expected group tokens ≈ target on both sides of 1. Output one row
+   * per (group, id, copy), copy ∈ [1, n_copies] — the exploded form
+   * training-shard writers consume directly.
+   *
+   * Scale: the plan broadcasts (groups-sized), the copy count is a
+   * map-side expression and the explode fans out AT the map — zero
+   * corpus shuffles, deterministic across reruns, and a doc's copies
+   * stay in its partition (shard writers see them together).
+   */
+  def applyMixtureWithRepetition(docs: DataFrame, idCol: String,
+                                 groupCol: String, plan: DataFrame): DataFrame = {
+    val r = plan.select(col(groupCol),
+      (col("target_tokens") / col("avail_tokens")).as("__r"))
+    docs.join(broadcast(r), Seq(groupCol))
+      .withColumn("__base", floor(col("__r")).cast("long"))
+      .withColumn("__extra",
+        (Hashing.mulHash(col(idCol)) <
+          floor((col("__r") - floor(col("__r"))) * lit(1000000007L))
+            .cast("long")).cast("long"))
+      .withColumn("__n", col("__base") + col("__extra"))
+      .where(col("__n") > 0)
+      .select(col(groupCol), col(idCol),
+        explode(sequence(lit(1L), col("__n"))).as("copy"))
+  }
+
+  /**
    * Gumbel-top-n selection over [[dsirWeights]] output: sampling
    * WITHOUT replacement with inclusion odds ∝ exp(log_ratio /
    * temperature), derandomized — the Gumbel noise `-ln(-ln u)` draws

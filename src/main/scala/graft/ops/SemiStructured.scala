@@ -57,4 +57,31 @@ object SemiStructured {
     * parallelism is bytes/`maxPartitionBytes`, not file count. */
   def readJsonl(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
     spark.read.schema(StructType.fromDDL(ddlSchema)).json(path)
+
+  /**
+   * CSV corpus sink (interchange with tabular tooling). Quoting is
+   * explicit and round-trip-safe for embedded delimiters, quotes and
+   * newlines (`escape` = `"` — the RFC 4180 doubled-quote convention
+   * CSV readers outside Spark expect, NOT Spark's backslash default,
+   * which silently breaks interchange). Same shard-count contract as
+   * [[writeJsonl]]; uncompressed for splittability. Multiline payloads
+   * make a file non-splittable on read — corpora with newline-bearing
+   * text should prefer JSONL/parquet; this sink exists for the
+   * tabular-export edge of the pipeline.
+   */
+  def writeCsv(df: DataFrame, path: String, shards: Int = 4): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    df.repartition(shards).write.mode("overwrite")
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .csv(path)
+  }
+
+  /** CSV source with a mandatory explicit schema and the same RFC 4180
+    * quoting as [[writeCsv]]. `multiLine` parses quoted embedded
+    * newlines correctly (cost: per-file parallelism on those files). */
+  def readCsv(spark: SparkSession, path: String, ddlSchema: String): DataFrame =
+    spark.read.schema(StructType.fromDDL(ddlSchema))
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
 }

@@ -223,6 +223,38 @@ object Sessionize {
   }
 
   /**
+   * First-order Markov transition census: for each ordered pair of
+   * event types, how often the second immediately follows the first in
+   * some user's stream, plus the conditional probability
+   * P(next = to | current = from). The standard product-analytics
+   * next-action model (and the `funnel` discovery tool: transitions
+   * reveal WHICH funnels exist before you pin their stages).
+   *
+   * Scale: one shuffle on the user key for the lead() window (the
+   * sessionization shape — per-user costs bound it), then the
+   * transition counts partial-aggregate to a (types × types)-sized
+   * table; the from-totals join is broadcast by construction. The
+   * probability is a per-row division of two exact counts — IEEE-
+   * identical everywhere, no rounding needed.
+   */
+  def eventTransitions(events: DataFrame, typeCol: String = "event_type",
+                       userCol: String = "user_id",
+                       tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val trans = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        (col("n_transitions").cast(DoubleType) /
+          col("__tot").cast(DoubleType)).as("p"))
+  }
+
+  /**
    * Hierarchical report with ROLLUP grouping sets: per (event_type,
    * day) counts and value sums, plus per-event_type subtotals and a
    * grand total in the SAME pass. Null group columns mark subtotal

@@ -517,6 +517,45 @@ object TextOps {
   }
 
   /**
+   * CCNet-style perplexity bucketing (Wenzek et al., LREC'20): score
+   * every document under the clean-reference bigram LM
+   * ([[bigramLogLikelihood]]), then split each language into
+   * head / middle / tail at the per-language tertiles — the standard
+   * "keep head+middle, drop or downweight tail" curation gate.
+   * Thresholds use the exact engine `percentile_disc` aggregate
+   * ((value → count) buffer, map-side partial merge — never a
+   * collect_list), computed over scores ROUNDED to 6 decimals so both
+   * engines rank the identical multiset: thresholds, and therefore
+   * every bucket decision, are cross-engine exact. Documents with
+   * fewer than two tokens have no score and are absent (the t18
+   * contract).
+   *
+   * Scale: scoring is the [[bigramLogLikelihood]] shape (count-map
+   * joins, bodies never move); thresholds are one partial-agg groupBy
+   * producing a languages-sized table that broadcasts back. Buckets
+   * land as a map-side CASE — no corpus re-shuffle for the decision.
+   */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame,
+                        reference: org.apache.spark.sql.DataFrame,
+                        textCol: String, idCol: String,
+                        langCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val scored = bigramLogLikelihood(df, reference, textCol, idCol)
+    val s = df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("__s", round(col("avg_logprob"), 6))
+    val th = s.groupBy(col(langCol)).agg(
+      GraftSqlBridge.percentileDisc(col("__s"), 1.0 / 3).as("__t1"),
+      GraftSqlBridge.percentileDisc(col("__s"), 2.0 / 3).as("__t2"))
+    s.join(broadcast(th), Seq(langCol))
+      .select(col(idCol), col(langCol), col("n_bigrams"),
+        col("__s").as("avg_logprob"),
+        when(col("__s") <= col("__t1"), lit("tail"))
+          .when(col("__s") <= col("__t2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
+
+  /**
    * Canonical text normalization (the step before exact-dedup hashing /
    * fingerprinting, so trivially-different copies collapse): lowercase,
    * control characters → space, whitespace runs → single space, trim.

@@ -2162,6 +2162,108 @@ class OpsSpec extends AnyFunSuite {
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
   }
 
+  test("eventTransitions: per-user ordering, conditional probabilities sum to 1") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, ts(0L), 1L, "view"), (2L, ts(1L), 1L, "cart"),
+      (3L, ts(2L), 1L, "buy"),
+      (4L, ts(0L), 2L, "view"), (5L, ts(1L), 2L, "view"),
+      (6L, ts(2L), 2L, "buy"),
+      (7L, ts(0L), 3L, "view") // single event: no transition
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Sessionize.eventTransitions(events)
+      .collect().map(x => ((x.getString(0), x.getString(1)),
+        (x.getLong(2), x.getDouble(3)))).toMap
+    // from view: u1 view→cart, u2 view→view and view→buy → 1/3 each
+    assert(r(("view", "cart")) == ((1L, 1.0 / 3)))
+    assert(r(("view", "view")) == ((1L, 1.0 / 3)))
+    assert(r(("view", "buy")) == ((1L, 1.0 / 3)))
+    assert(r(("cart", "buy")) == ((1L, 1.0)))
+    assert(r.size == 4) // user 3's lone event contributes nothing
+    // P sums to 1 within each from_type
+    r.keys.map(_._1).foreach { f =>
+      val s = r.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(math.abs(s - 1.0) < 1e-12)
+    }
+  }
+
+  test("applyMixtureWithRepetition: deficit group upsamples to ~target tokens") {
+    // group 'small' has 10 docs × 10 tokens = 100 tokens; target 0.5 ×
+    // 1000 = 500 → r = 5.0 exactly: every doc emits 5 copies, no
+    // fractional epoch. group 'big': 100 docs × 10 tok; target 500 →
+    // r = 0.5: the plain hash-cut downsample shape.
+    val docs = (Seq.tabulate(100)(i => (i.toLong, "t " * 10, "big")) ++
+      Seq.tabulate(10)(i => ((100 + i).toLong, "t " * 10, "small")))
+      .toDF("doc_id", "text", "lang")
+    val plan = Pipeline.mixturePlan(docs, "text", "lang",
+      Map("big" -> 0.5, "small" -> 0.5), budgetTokens = 1000L)
+    val out = Pipeline.applyMixtureWithRepetition(docs, "doc_id", "lang", plan)
+    val small = out.where(col("lang") === "small")
+    assert(small.count() == 50L) // 10 docs × exactly 5 copies
+    assert(small.groupBy("doc_id").count().collect().forall(_.getLong(1) == 5L))
+    // integer r → copy indices are exactly 1..5 per doc
+    assert(small.where(col("doc_id") === 100L).select("copy")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // fractional-only r: subset of docs, one copy each, deterministic
+    val big = out.where(col("lang") === "big")
+    assert(big.groupBy("doc_id").count().collect().forall(_.getLong(1) == 1L))
+    val n1 = big.count()
+    assert(n1 > 20 && n1 < 80) // ~50 expected under the hash cut
+    val rerun = Pipeline.applyMixtureWithRepetition(docs, "doc_id", "lang", plan)
+      .where(col("lang") === "big").count()
+    assert(rerun == n1)
+  }
+
+  test("perplexityBuckets: tertile thresholds, per-language, short docs absent") {
+    // the reference is a SEPARATE clean corpus (scoring a corpus
+    // against itself makes unique gibberish score perfectly — every
+    // bigram is its own ML evidence)
+    val ref = Seq(
+      (101L, "the cat sat on the mat", "en"),
+      (102L, "the cat sat on the mat", "en"),
+      (103L, "the dog ran to the park", "en")).toDF("doc_id", "text", "lang")
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en"),   // seen bigrams → best en
+      (2L, "the dog ran to the park", "en"),
+      (3L, "the cat dog mat park sat", "en"), // shuffled: unseen bigrams
+      (4L, "zzq qqz zqz qzz zzz", "en"),      // OOV gibberish → worst
+      (5L, "one", "en"),                      // < 2 tokens → absent
+      (6L, "the cat sat on the mat", "de"),   // de label, en words → de head
+      (7L, "der hund the cat hier", "de"),    // partial overlap → middle
+      (8L, "xxy yyx xyx qqq", "de")           // gibberish → de tail
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.perplexityBuckets(docs, ref, "text", "doc_id", "lang")
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(!r.contains(5L))
+    assert(r(4L) == "tail")   // en gibberish is en's tail
+    assert(r(1L) == "head")   // clean reference-like text is en's head
+    assert(r(6L) == "head")   // de thresholds are de's own: 6 tops them
+    assert(r(7L) == "middle")
+    assert(r(8L) == "tail")
+    assert(r.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
+  test("csv sink/source round-trip with embedded delimiters, quotes, newlines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val in = Seq(
+      (1L, "plain text", "en"),
+      (2L, "comma, inside", "de"),
+      (3L, "a \"quoted\" word", "fr"),
+      (4L, "line one\nline two", "es"),
+      (5L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    SemiStructured.writeCsv(in, dir, shards = 2)
+    val back = SemiStructured.readCsv(spark, dir,
+      "doc_id BIGINT, text STRING, lang STRING")
+    val a = in.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2)))
+    val b = back.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2)))
+    assert(a.toSeq == b.toSeq)
+    val files = new java.io.File(dir).listFiles.count(_.getName.endsWith(".csv"))
+    assert(files == 2)
+  }
+
   test("temperatureMixturePlan: alpha=1 natural, alpha<1 upsamples the tail") {
     val docs = Seq.tabulate(90)(i => (i.toLong, "tok " * 10, "big")) ++
       Seq.tabulate(10)(i => ((90 + i).toLong, "tok " * 10, "small"))
