@@ -1714,6 +1714,81 @@ object SparkEntry {
       },
       Some(pplBucketsOracle)),
 
+    // --- SEMANTIC decontamination (embedding twin of p02): corpus rows
+    //     whose max cosine vs any benchmark row (vec_id < 20) >= 0.5;
+    //     max is order-independent so no rounding trick is needed for
+    //     the aggregate itself — only the reported value rounds
+    ("p09_semantic_decontam",
+      (s, dir) => Similarity.semanticContaminationReport(
+          embs(s, dir).where(col("vec_id") >= 20),
+          embs(s, dir).where(col("vec_id") < 20),
+          "embedding", "vec_id", threshold = 0.35)
+        .select(col("vec_id"), round(col("max_sim"), 6).as("max_sim"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |b AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+             |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 20),
+             |s AS (SELECT c.vec_id,
+             |        max(list_dot_product(c.v, b.v) /
+             |          (sqrt(list_dot_product(c.v, c.v)) *
+             |           sqrt(list_dot_product(b.v, b.v)))) AS max_sim
+             |      FROM c CROSS JOIN b GROUP BY c.vec_id)
+             |SELECT vec_id, round(max_sim, 6) AS max_sim
+             |FROM s WHERE max_sim >= 0.35 ORDER BY vec_id""".stripMargin)),
+
+    // --- high-entropy secret-token scan: both engines inject an
+    //     identical md5-derived key per document (the corpus has no
+    //     organic secrets — the t09 synthesis convention), and the
+    //     detector must flag exactly those; the sorted-character
+    //     entropy sum makes the rounded value engine-exact
+    ("t22_secret_scan",
+      (s, dir) => TextOps.secretTokens(
+          docs(s, dir).select(col("doc_id"),
+            concat(lit("sk_"), md5(col("doc_id").cast("string")), lit(" "),
+              col("text")).as("text")),
+          "text", "doc_id", minLen = 12, minEntropy = 2.0)
+        .orderBy("doc_id", "token"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    'sk_' || md5(CAST(doc_id AS VARCHAR)) || ' ' || text AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id,
+             |    list_distinct(CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END) AS tk
+             |  FROM d),
+             |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+             |f AS (SELECT doc_id, token FROM e WHERE length(token) >= 12),
+             |h AS (SELECT doc_id, token,
+             |        CAST(length(token) AS BIGINT) AS tok_len,
+             |        round(ln(length(token))
+             |          - list_sum(list_transform(
+             |              list_sort(list_distinct(
+             |                [token[i] for i in range(1, length(token)+1)])),
+             |              c -> len(list_filter(
+             |                     [token[i] for i in range(1, length(token)+1)],
+             |                     x -> x = c))
+             |                   * ln(len(list_filter(
+             |                       [token[i] for i in range(1, length(token)+1)],
+             |                       x -> x = c)))))
+             |            / length(token), 6) AS entropy
+             |      FROM f)
+             |SELECT doc_id, token, tok_len, entropy
+             |FROM h WHERE entropy >= 2.0
+             |ORDER BY doc_id, token""".stripMargin)),
+
+    // --- per-source doc-length quantile report (exact percentile_disc,
+    //     integer values — engine-exact without rounding)
+    ("t23_len_quantiles",
+      (s, dir) => Pipeline.groupQuantiles(docs(s, dir), "source", "n_chars",
+          Seq(0.1, 0.5, 0.9, 0.99))
+        .orderBy("source", "p"),
+      // quantile_disc requires CONSTANT p → one SELECT per p, unioned
+      Some(Seq(0.1, 0.5, 0.9, 0.99).map(p =>
+        s"""SELECT source, CAST($p AS DOUBLE) AS p,
+           |       quantile_disc(n_chars, $p) AS q
+           |FROM documents GROUP BY source""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY source, p"))),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

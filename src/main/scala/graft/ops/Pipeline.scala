@@ -360,6 +360,40 @@ object Pipeline {
   }
 
   /**
+   * Per-group exact quantile report: for each group, `percentile_disc`
+   * of `valueCol` at each requested p — the distribution fingerprint
+   * that drives length-outlier gates, shard sizing and SF tuning
+   * (p50/p99 doc lengths per source, session lengths per cohort, …).
+   * Output: (groupCol, p, q) exploded, one row per group × p.
+   *
+   * Scale: ONE partially-merged aggregation — the engine
+   * `PercentileDisc` buffers (value → count), so a group's state is
+   * its distinct-value histogram, never a collect_list; all requested
+   * quantiles share that single buffer pass and the explode is in-row
+   * on the groups-sized result. Discrete percentiles return an
+   * existing value — integer inputs stay exact cross-engine.
+   */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ps must be in (0,1]: $ps")
+    import org.apache.spark.sql.GraftSqlBridge
+    // percentile_disc returns an EXISTING value, so casting its double
+    // back to the input type is lossless — and keeps integer-typed
+    // inputs integer-typed in the report (the SQL-standard behavior)
+    val vType = df.schema(valueCol).dataType
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      GraftSqlBridge.percentileDisc(col(valueCol), p).cast(vType).as(s"__q$i")
+    }
+    df.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), explode(array(ps.zipWithIndex.map {
+        case (p, i) => struct(lit(p).as("p"), col(s"__q$i").as("q"))
+      }: _*)).as("__pq"))
+      .select(col(groupCol), col("__pq.p").as("p"), col("__pq.q").as("q"))
+  }
+
+  /**
    * Temperature-scaled mixture plan (the multilingual-pretraining
    * rebalancing rule, Conneau & Lample '19): instead of hand-set
    * shares, share_g ∝ avail_g^alpha — alpha = 1 reproduces the natural

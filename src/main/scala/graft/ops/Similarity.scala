@@ -212,6 +212,49 @@ object Similarity {
   }
 
   /**
+   * SEMANTIC benchmark decontamination — the embedding twin of
+   * [[Pipeline.contaminationReport]]: corpus rows whose maximum cosine
+   * against ANY benchmark row reaches `threshold` are contamination
+   * (paraphrased eval questions that n-gram overlap can't see — the
+   * gap semantic dedup closes for training/eval leakage). Output:
+   * (idCol, max_sim) for flagged rows.
+   *
+   * Scale: the benchmark is eval-sized and broadcasts; each corpus row
+   * scores every benchmark row map-side and the per-row max partially
+   * aggregates BEFORE the exchange (max is order-independent, so the
+   * result is engine-exact without rounding tricks) — the shuffle is
+   * one slim (id, max) row per corpus row, bodies and vectors never
+   * move. Self-pairs (shared id space) are excluded like [[Pipeline]]'s
+   * id-disjoint convention expects.
+   */
+  def semanticContaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                                  vecCol: String, idCol: String,
+                                  threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).cast(LongType).as(idCol),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val b = benchmark.select(col(idCol).cast(LongType).as("__bid"),
+      col(vecCol).as("__bv"), norm(col(vecCol)).as("__bn"))
+    c.crossJoin(broadcast(b))
+      .where(col(idCol) =!= col("__bid"))
+      .select(col(idCol),
+        cosineWithNorms(col("__cv"), col("__bv"),
+          col("__cn"), col("__bn")).as("__cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_sim"))
+      .where(col("max_sim") >= threshold)
+  }
+
+  /** Acting twin of [[semanticContaminationReport]]: the corpus minus
+    * flagged rows — one key-only left-anti join, bodies stream through. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                            vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val bad = semanticContaminationReport(corpus, benchmark, vecCol, idCol,
+      threshold).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Deterministic Johnson–Lindenstrauss random projection to `dDims`
    * dimensions: out[p] = ⟨vec, plane_p⟩ over the same SQL-mirrorable
    * pseudo-random hyperplane family as [[hyperplaneBucket]] — where LSH

@@ -585,6 +585,49 @@ object TextOps {
   def scrubPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
 
+  /**
+   * High-entropy token detector — the credential/secret scrub for code
+   * and web corpora (API keys, tokens, hashes read as long
+   * near-uniform strings; natural words don't): flags DISTINCT
+   * (document, token) pairs where the token has at least `minLen`
+   * characters and per-character Shannon entropy (in nats)
+   *
+   *   H = ln(n) − (Σ_c cnt_c · ln(cnt_c)) / n
+   *
+   * of at least `minEntropy`. The distinct-character sum runs over the
+   * SORTED character set on both engines, so the double accumulation
+   * order — and therefore the rounded entropy — is engine-identical.
+   * Output: (idCol, token, tok_len, entropy), entropy rounded to 6.
+   *
+   * Scale: map-only — tokenize, length-gate (kills ~all tokens before
+   * any entropy math), per-token character work is O(len·distinct)
+   * array expressions inside codegen; the distinct (id, token) dedup
+   * is in-row (array_distinct on the token list), never a shuffle.
+   * Compose with [[scrubPii]]: regexes catch structured PII, entropy
+   * catches the unstructured keys regexes can't enumerate.
+   */
+  def secretTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, minLen: Int = 12,
+                   minEntropy: Double = 2.0): org.apache.spark.sql.DataFrame = {
+    require(minLen >= 1, s"minLen must be >= 1: $minLen")
+    val longToks = filter(array_distinct(tokens(col(textCol))),
+      t => length(t) >= minLen)
+    val tok = col("token")
+    val n = length(tok).cast(DoubleType)
+    val chars = array_sort(array_distinct(split(tok, "")))
+    val sumCnt = aggregate(
+      transform(chars, c => {
+        val cnt = size(filter(split(tok, ""), x => x === c)).cast(DoubleType)
+        cnt * log(cnt)
+      }),
+      lit(0.0), (acc, t) => acc + t)
+    val entropy = log(n) - sumCnt / n
+    df.select(col(idCol), explode(longToks).as("token"))
+      .withColumn("tok_len", length(tok).cast(LongType))
+      .withColumn("entropy", round(entropy, 6))
+      .where(col("entropy") >= minEntropy)
+  }
+
   /** Positional weights 31^0..31^7, cycled — fits exact int64 math. */
   private val FpWeights: Seq[Long] =
     Iterator.iterate(1L)(_ * 31L).take(8).toSeq

@@ -2264,6 +2264,63 @@ class OpsSpec extends AnyFunSuite {
     assert(files == 2)
   }
 
+  test("semanticContaminationReport: planted paraphrase flagged, filter twin drops it") {
+    val mk = (id: Long, v: Array[Float]) => (id, v)
+    val bench = Seq(
+      mk(1L, Array(1f, 0f, 0f, 0f)),
+      mk(2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      mk(10L, Array(0.99f, 0.1f, 0f, 0f)),  // near-dup of bench 1 → flagged
+      mk(11L, Array(0f, 0f, 1f, 0f)),       // orthogonal → clean
+      mk(12L, Array(0.6f, 0.6f, 0.52f, 0f)) // moderate → below 0.9
+    ).toDF("vec_id", "embedding")
+    val rep = Similarity.semanticContaminationReport(corpus, bench,
+      "embedding", "vec_id", threshold = 0.9)
+    val flagged = rep.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(flagged.keySet == Set(10L))
+    assert(flagged(10L) > 0.99)
+    val kept = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("secretTokens: uniform strings flag, natural words and short tokens don't") {
+    val docs = Seq(
+      (1L, "the customer placed an order sk_4f8a2b9c1d6e3f7a with currency"),
+      (2L, "aaaaaaaaaaaaaaaa normal words only here"), // long but 0 entropy
+      (3L, "short k3y"),                               // under minLen
+      (4L, "abcdefghijkl abcdefghijkl")                // distinct pair dedups
+    ).toDF("doc_id", "text")
+    val r = TextOps.secretTokens(docs, "text", "doc_id",
+      minLen = 12, minEntropy = 2.0)
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.contains((1L, "sk_4f8a2b9c1d6e3f7a")))
+    assert(!r.exists(_._1 == 2L)) // entropy of a^16 is 0
+    assert(!r.exists(_._1 == 3L))
+    // 12 distinct chars in 12 → H = ln(12) ≈ 2.485 ≥ 2.0, and the
+    // repeated occurrence dedups to ONE row
+    assert(r.count(_ == ((4L, "abcdefghijkl"))) == 1)
+    // entropy value matches the closed form for all-distinct chars
+    val e = TextOps.secretTokens(docs, "text", "doc_id", 12, 2.0)
+      .where(col("doc_id") === 4L).head().getDouble(3)
+    assert(math.abs(e - math.log(12.0)) < 1e-6)
+  }
+
+  test("groupQuantiles: smallest-value-with-CDF>=p, input type preserved") {
+    val df = (Seq.tabulate(10)(i => ("a", (i + 1).toLong)) ++
+      Seq(("b", 5L), ("b", 7L), ("b", 9L))).toDF("g", "v")
+    val r = Pipeline.groupQuantiles(df, "g", "v", Seq(0.5, 0.9))
+      .collect().map(x => ((x.getString(0), x.getDouble(1)), x.getLong(2))).toMap
+    assert(r(("a", 0.5)) == 5L)  // ceil(0.5·10) = 5th of 1..10
+    assert(r(("a", 0.9)) == 9L)  // ceil(0.9·10) = 9th
+    assert(r(("b", 0.5)) == 7L)  // ceil(1.5) = 2nd of {5,7,9}
+    assert(r(("b", 0.9)) == 9L)  // ceil(2.7) = 3rd
+    // long input stays long (no silent double widening)
+    val schema = Pipeline.groupQuantiles(df, "g", "v", Seq(0.5)).schema
+    assert(schema("q").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("temperatureMixturePlan: alpha=1 natural, alpha<1 upsamples the tail") {
     val docs = Seq.tabulate(90)(i => (i.toLong, "tok " * 10, "big")) ++
       Seq.tabulate(10)(i => ((90 + i).toLong, "tok " * 10, "small"))
