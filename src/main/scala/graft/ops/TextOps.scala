@@ -445,18 +445,22 @@ object TextOps {
           .as("avg_logprob"))
   }
 
-  /** Adjacent-token bigram structs (u, v) of a document; fewer than two
-   *  tokens → empty array (the [[Dedup.shingles]] guard — an unguarded
-   *  `sequence(1, 0)` would count DOWN and fabricate bigrams). */
-  private def bigrams(text: Column): Column = {
-    val toks = tokens(text)
+  /** Adjacent-token bigram structs (u, v) from a MATERIALIZED token
+   *  array column; fewer than two tokens → empty array (the
+   *  [[Dedup.shingles]] guard — an unguarded `sequence(1, 0)` would
+   *  count DOWN and fabricate bigrams). The argument must be a real
+   *  column, not an inline `tokens(text)` expression: lambda bodies
+   *  referencing an outer non-attribute expression get the whole
+   *  subtree CLONED into every `element_at`, so an inline split
+   *  re-tokenizes the document once per element — O(n²·len) per row
+   *  (measured 6× the whole query's runtime before this was fixed). */
+  private def bigramsOf(toks: Column): Column =
     when(size(toks) < 2,
       array().cast(ArrayType(new StructType()
         .add("u", StringType).add("v", StringType))))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),
         i => struct(element_at(toks, i).as("u"),
           element_at(toks, i + 1).as("v"))))
-  }
 
   /**
    * Stupid-Backoff bigram LM score (Brants et al., EMNLP'07 — the
@@ -495,10 +499,13 @@ object TextOps {
     val g = uni.agg(sum("__cu").as("n"), count(lit(1)).as("v")).collect()(0)
     val (n, v) = (g.getLong(0), g.getLong(1))
     val bi = reference
-      .select(explode(bigrams(col(textCol))).as("__b"))
+      .select(tokens(col(textCol)).as("__tk"))
+      .select(explode(bigramsOf(col("__tk"))).as("__b"))
       .groupBy(col("__b.u").as("__u"), col("__b.v").as("__v"))
       .agg(count(lit(1)).as("__cb"))
-    val trans = df.select(col(idCol), explode(bigrams(col(textCol))).as("__b"))
+    val trans = df
+      .select(col(idCol), tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), explode(bigramsOf(col("__tk"))).as("__b"))
       .select(col(idCol), col("__b.u").as("__u"), col("__b.v").as("__v"))
     val s = trans
       .join(bi, Seq("__u", "__v"), "left")
