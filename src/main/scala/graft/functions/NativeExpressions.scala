@@ -463,6 +463,76 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /**
+   * Winnowing fingerprint selection (Schleimer et al., SIGMOD'03) over
+   * a gram-hash array: the DISTINCT minima of every length-`w` sliding
+   * window, in first-seen order — value-identical to the compositional
+   * `array_distinct(transform(sequence(…), i → array_min(slice(…))))`
+   * (bit-equality-tested), but one compiled pass with a monotonic
+   * deque: O(grams) total instead of a fresh w-element array allocation
+   * per window. Fewer grams than `w` → the single whole-list window.
+   */
+  final case class WinnowMins(child: Expression, w: Int)
+      extends UnaryExpression {
+    require(w >= 1, s"w must be >= 1, got $w")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireArrayOf(child, LongType, prettyName)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_mins"
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      new GenericArrayData(winnowMinsEval(arr, w))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.NativeExpressions.winnowMinsEval($c, $w));
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowMins =
+      copy(child = newChild)
+  }
+
+  /** Shared eval for [[WinnowMins]]: sliding-window minima via a
+    * monotonic index deque (head = current window's min), deduplicated
+    * in first-seen order. */
+  def winnowMinsEval(arr: ArrayData, w: Int): Array[Long] = {
+    val n = arr.numElements()
+    if (n == 0) return Array.empty[Long]
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) { vals(i) = arr.getLong(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    if (n <= w) {
+      // single whole-list window
+      var m = vals(0)
+      i = 1
+      while (i < n) { if (vals(i) < m) m = vals(i); i += 1 }
+      return Array(m)
+    }
+    // deque of indices with non-decreasing values; head is the window min
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // exclusive
+    i = 0
+    while (i < n) {
+      while (tail > head && vals(dq(tail - 1)) >= vals(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = vals(dq(head))
+        if (seen.add(m)) out += m
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Shared eval for [[ModNgramHashes]] (interpreted + generated code).
     * Null token slots hash like the empty string (0). */
   def modNgrams(arr: ArrayData, n: Int): Array[Long] = {
@@ -1171,6 +1241,9 @@ object NativeExpressions {
 
   def modNgramHashes(tokens: Column, n: Int): Column =
     col(ModNgramHashes(expr(tokens), n))
+
+  def winnowMins(grams: Column, w: Int): Column =
+    col(WinnowMins(expr(grams), w))
 
   def textFeatures(text: Column): Column = col(TextFeatures(expr(text)))
 

@@ -326,10 +326,17 @@ object TextOps {
       .modNgramHashes(tokens(col(textCol)), n)
     df.select(col(idCol), grams.as("__g"))
       .where(size(col("__g")) > 0)
-      .select(col(idCol), explode(array_distinct(transform(
-        sequence(lit(1), greatest(lit(1), size(col("__g")) - lit(window - 1))),
-        i => array_min(slice(col("__g"), i, lit(window)))))).as("fp"))
+      .select(col(idCol), explode(graft.functions.NativeExpressions
+        .winnowMins(col("__g"), window)).as("fp"))
   }
+
+  /** Compositional twin of the native window-min selection — a fresh
+    * w-element slice per window, O(grams·w) allocations; kept only to
+    * pin the native expression's values (bit-equality-tested). */
+  private[ops] def winnowMinsComposed(grams: Column, window: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), size(grams) - lit(window - 1))),
+      i => array_min(slice(grams, i, lit(window)))))
 
   /**
    * Corpus token frequencies: explode → groupBy(token). Map-side partial

@@ -78,6 +78,8 @@ class NativeCodegenSpec extends AnyFunSuite {
       TokenHashes60(tokCol),
       ModNgramHashes(tokCol, 3),
       ModNgramHashes(tokCol, 2),
+      WinnowMins(hashCol, 4),
+      WinnowMins(hashCol, 2),
       NearestCentroids(vaCol, cents, 2),
       NearestCentroids(vbCol, cents, 1))
   }

@@ -2086,6 +2086,30 @@ class OpsSpec extends AnyFunSuite {
     assert(byDoc(1L).subsetOf(grams1))
   }
 
+  test("native WinnowMins == compositional window-min selection (random arrays)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      val len = rnd.nextInt(40) // includes 0-length
+      (i.toLong, Array.fill(len)(rnd.nextLong(50) + 1)) // dup-heavy values
+    }
+    val df = rows.toDF("id", "g")
+    for (w <- Seq(1, 3, 4, 9)) {
+      val native = df.select(col("id"),
+          graft.functions.NativeExpressions.winnowMins(col("g"), w).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val composed = df.where(size(col("g")) > 0).select(col("id"),
+          TextOps.winnowMinsComposed(col("g"), w).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      composed.foreach { case (id, exp) =>
+        assert(native(id) == exp, s"w=$w id=$id")
+      }
+      // empty gram arrays → empty selection from the native path
+      rows.filter(_._2.isEmpty).foreach { case (id, _) =>
+        assert(native(id).isEmpty)
+      }
+    }
+  }
+
   test("winnowDupPairs: planted shared passage found; maxBucket caps boilerplate fp") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
