@@ -1789,6 +1789,42 @@ object SparkEntry {
            |FROM documents GROUP BY source""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY source, p"))),
 
+    // --- embedding drift report: per-label centroid cosine between the
+    //     even/odd halves of the corpus (snapshot monitoring); means differ
+    //     in ulps by reduction order, the cosine rounds to 6
+    ("s13_centroid_drift",
+      (s, dir) => Similarity.centroidDrift(
+          embs(s, dir).where(col("vec_id") % 2 === 0),
+          embs(s, dir).where(col("vec_id") % 2 === 1),
+          "embedding", "label")
+        .select(col("label"), col("n_before"), col("n_after"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("label"),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |x AS (SELECT vec_id, label, u.pos AS pos, u.val AS val FROM (
+             |  SELECT vec_id, label,
+             |         unnest([{'pos': i, 'val': v[i]}
+             |                 for i in range(1, len(v) + 1)]) AS u
+             |  FROM e)),
+             |ca AS (SELECT label, list(m ORDER BY pos) AS c FROM (
+             |    SELECT label, pos, avg(val) AS m FROM x
+             |    WHERE vec_id % 2 = 0 GROUP BY 1, 2) GROUP BY label),
+             |cb AS (SELECT label, list(m ORDER BY pos) AS c FROM (
+             |    SELECT label, pos, avg(val) AS m FROM x
+             |    WHERE vec_id % 2 = 1 GROUP BY 1, 2) GROUP BY label),
+             |na AS (SELECT label, count(*) AS n_before FROM e
+             |       WHERE vec_id % 2 = 0 GROUP BY 1),
+             |nb AS (SELECT label, count(*) AS n_after FROM e
+             |       WHERE vec_id % 2 = 1 GROUP BY 1)
+             |SELECT na.label AS label, n_before, n_after,
+             |       round(list_dot_product(ca.c, cb.c) /
+             |         (sqrt(list_dot_product(ca.c, ca.c)) *
+             |          sqrt(list_dot_product(cb.c, cb.c))), 6) AS cos_sim
+             |FROM na JOIN nb USING (label)
+             |JOIN ca USING (label) JOIN cb USING (label)
+             |ORDER BY label""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -222,6 +222,59 @@ object Sessionize {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  final case class RollingOut(event_id: Long, user_id: Long, ts: Timestamp,
+                              n_window: Long, sum_window: Double)
+
+  /**
+   * Streaming twin of [[rollingUserStats]]: per arriving event, the
+   * trailing-window count/sum over that user's events — emitted AT
+   * ARRIVAL with `flatMapGroupsWithState`. State per user is the
+   * in-horizon event list (timestamps + values only), pruned on every
+   * batch to `windowMinutes` behind the newest seen event — bounded by
+   * window width × per-user rate, the inherent floor for exact
+   * trailing windows (an O(1) sketch would approximate).
+   *
+   * Matches [[rollingUserStats]] exactly when each user's events
+   * arrive in event-time order (unit-tested); an out-of-order event is
+   * scored correctly on ITS OWN frame at arrival, but rows already
+   * emitted are not retracted (append mode) — the batch twin is the
+   * backfill authority, the [[Sessionize.streaming]] convention.
+   */
+  def streamingRollingUserStats(events: Dataset[Event],
+                                windowMinutes: Long): Dataset[RollingOut] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowMinutes * 60000L
+
+    def fn(user: Long, rows: Iterator[Event],
+           state: GroupState[List[(Long, Double)]]): Iterator[RollingOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        // insert the WHOLE batch before scoring: a RANGE frame includes
+        // same-timestamp peers in both directions, so an event must see
+        // peers that arrive later in the same batch (later NON-peers
+        // stay excluded by the ht <= t bound)
+        val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var held = state.getOption.getOrElse(Nil) :::
+          batch.map(e => (e.ts.getTime, e.value)).toList
+        val out = batch.map { e =>
+          val t = e.ts.getTime
+          val frame = held.filter { case (ht, _) => ht >= t - windowMs && ht <= t }
+          RollingOut(e.event_id, user, e.ts, frame.size.toLong,
+            frame.map(_._2).sum)
+        }
+        val horizon = held.map(_._1).max - windowMs
+        held = held.filter(_._1 >= horizon)
+        state.update(held)
+        state.setTimeoutTimestamp(held.map(_._1).max + windowMs)
+        out.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   /**
    * First-order Markov transition census: for each ordered pair of
    * event types, how often the second immediately follows the first in

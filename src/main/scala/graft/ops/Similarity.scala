@@ -343,6 +343,41 @@ object Similarity {
         max(col("__n")).as("n_vectors"))
 
   /**
+   * Embedding drift report between two corpus snapshots (model-refresh
+   * monitoring: a new encoder version, a new crawl slice, a suspect
+   * ingestion day): per group, member counts in each snapshot and the
+   * cosine between the snapshots' group centroids — cos ≈ 1 means the
+   * group's semantic center held still; a dip flags re-embedding or
+   * distribution shift before it poisons retrieval quality. Groups
+   * present in only one snapshot report a null cosine (nothing to
+   * compare), never a fabricated 0.
+   *
+   * Scale: two [[groupCentroids]] passes (shuffle = groups × dims
+   * cells each, fully distributed) and a groups-sized full-outer join;
+   * the cosine is an in-row array expression over two dims-long
+   * arrays. Nothing reaches the driver.
+   */
+  def centroidDrift(before: DataFrame, after: DataFrame, vecCol: String,
+                    byCol: String): DataFrame = {
+    val a = groupCentroids(before, vecCol, byCol)
+      .select(col(byCol), col("centroid").as("__ca"),
+        col("n_vectors").as("n_before"))
+    val b = groupCentroids(after, vecCol, byCol)
+      .select(col(byCol), col("centroid").as("__cb"),
+        col("n_vectors").as("n_after"))
+    val na = sqrt(dotD(col("__ca"), col("__ca")))
+    val nb = sqrt(dotD(col("__cb"), col("__cb")))
+    a.join(b, Seq(byCol), "full_outer")
+      .select(col(byCol),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("__ca").isNull || col("__cb").isNull, lit(null))
+          .when(na === 0.0 || nb === 0.0, lit(0.0))
+          .otherwise(dotD(col("__ca"), col("__cb")) / (na * nb))
+          .as("cos_sim"))
+  }
+
+  /**
    * Symmetric int8 quantization of an embedding column — the standard
    * storage/bandwidth companion to IVF at corpus scale (4× smaller than
    * float32, 8× than float64; dot products stay SIMD-friendly).
@@ -559,6 +594,28 @@ object Similarity {
         element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
       .repartition(col("__list"))
       .write.mode("overwrite").partitionBy("__list").parquet(path)
+  }
+
+  /**
+   * Incremental index maintenance: append a new batch to a persisted
+   * IVF index ([[writeIvfIndex]] layout) WITHOUT rebuilding — the
+   * daily-ingest twin of [[Dedup.dedupAgainst]]. The batch is assigned
+   * with the index's ORIGINAL centroids (probes must keep seeing one
+   * consistent geometry; re-centering is a rebuild decision, not an
+   * append), repartitioned by list, and appended — dynamic partition
+   * overwrite is NOT used, so existing list directories gain files and
+   * untouched lists' files are untouched. Cost is one pass over the
+   * batch only; probes prune exactly as before and see old + new rows.
+   * Append-heavy lists eventually fragment — [[Maintenance.compact]]
+   * per list directory is the corresponding vacuum.
+   */
+  def appendIvfIndex(batch: DataFrame, vecCol: String, idCol: String,
+                     cent: Array[Array[Float]], path: String): Unit = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    batch.select(col(idCol), col(vecCol),
+        element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
+      .repartition(col("__list"))
+      .write.mode("append").partitionBy("__list").parquet(path)
   }
 
   /**

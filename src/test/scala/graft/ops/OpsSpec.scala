@@ -2288,6 +2288,111 @@ class OpsSpec extends AnyFunSuite {
     assert(files == 2)
   }
 
+  test("appendIvfIndex: incremental batch lands in its lists, probes see old+new") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = embs.where(col("vec_id") < 400)
+    val batch = embs.where(col("vec_id") >= 400)
+    val cent = Similarity.collectCentroids(
+      Similarity.groupCentroids(base, "embedding", "label"))
+    val out = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    try {
+      Similarity.writeIvfIndex(base, "embedding", "vec_id", cent, out)
+      def filesPerList: Map[String, Int] = new java.io.File(out).listFiles
+        .filter(_.getName.startsWith("__list="))
+        .map(d => d.getName -> d.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+      val before = filesPerList
+      Similarity.appendIvfIndex(batch, "embedding", "vec_id", cent, out)
+      val after = filesPerList
+      // append only ADDS files; untouched lists keep their exact count
+      before.foreach { case (l, n) => assert(after(l) >= n) }
+      assert(after.values.sum > before.values.sum)
+      val back = spark.read.parquet(out)
+      assert(back.count() == 500)
+      // probing the appended index == probing a from-scratch index of
+      // the full corpus (same centroids → same geometry)
+      val queries = embs.where(col("vec_id") < 8)
+      val full = java.nio.file.Files.createTempDirectory("ivffull").toString
+      try {
+        Similarity.writeIvfIndex(embs, "embedding", "vec_id", cent, full)
+        def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+        val a = key(Similarity.ivfProbeIndex(back, queries, "embedding",
+          "vec_id", k = 10, cent, nProbe = 3))
+        val b = key(Similarity.ivfProbeIndex(spark.read.parquet(full), queries,
+          "embedding", "vec_id", k = 10, cent, nProbe = 3))
+        assert(a == b && a.nonEmpty)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(full)).deleteRecursively()
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
+  test("streamingRollingUserStats matches batch on in-order streams") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // offset off epoch 0: the initial watermark is 0 and the late-row
+    // filter is strictly-greater, so a ts=0 event would silently drop
+    def ts(ms: Long) = new Timestamp(3600000L + ms)
+    val events = Seq(
+      Sessionize.Event(1L, ts(0L), 7L, "e", 1.0),
+      Sessionize.Event(2L, ts(60000L), 7L, "e", 2.0),
+      Sessionize.Event(3L, ts(61000L), 7L, "e", 4.0),
+      Sessionize.Event(4L, ts(61000L), 7L, "e", 8.0),
+      Sessionize.Event(5L, ts(0L), 9L, "e", 16.0),
+      Sessionize.Event(6L, ts(200000L), 9L, "e", 32.0))
+    val stream = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingRollingUserStats(
+        stream.toDS().withWatermark("ts", "10 minutes"), windowMinutes = 1)
+      .writeStream.format("memory").queryName("rolling_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // same-ms peers (3, 4) must share a batch: batch semantics give
+      // peers a common frame, and emitted rows are never retracted
+      stream.addData(events.take(4))
+      q.processAllAvailable()
+      stream.addData(events.drop(4))
+      q.processAllAvailable()
+      val got = spark.table("rolling_out")
+        .select("event_id", "n_window", "sum_window")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e6) / 1e6)).toSet
+      val exp = Sessionize.rollingUserStats(events.toDF(), windowMinutes = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(3),
+          math.round(r.getDouble(4) * 1e6) / 1e6)).toSet
+      assert(got == exp)
+    } finally q.stop()
+  }
+
+  test("centroidDrift: identical snapshots cos 1, disjoint group null") {
+    val a = Seq(
+      (1L, Array(1f, 0f), "x"), (2L, Array(0f, 1f), "x"),
+      (3L, Array(1f, 1f), "only_a")).toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (4L, Array(1f, 0f), "x"), (5L, Array(0f, 1f), "x"),
+      (6L, Array(0f, 2f), "only_b")).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(a, b, "embedding", "label")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r("x")._3.exists(c => math.abs(c - 1.0) < 1e-12))
+    assert(r("x")._1 == 2L && r("x")._2 == 2L)
+    assert(r("only_a") == ((1L, 0L, None)))
+    assert(r("only_b") == ((0L, 1L, None)))
+    // drifted group: centroid rotates, cosine drops below 1
+    val b2 = Seq((4L, Array(1f, 0f), "x"), (5L, Array(1f, 0.2f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val d = Similarity.centroidDrift(a.where(col("label") === "x"), b2,
+      "embedding", "label").head().getDouble(3)
+    assert(d < 1.0 && d > 0.5)
+  }
+
   test("semanticContaminationReport: planted paraphrase flagged, filter twin drops it") {
     val mk = (id: Long, v: Array[Float]) => (id, v)
     val bench = Seq(
