@@ -1825,6 +1825,27 @@ object SparkEntry {
              |JOIN ca USING (label) JOIN cb USING (label)
              |ORDER BY label""".stripMargin)),
 
+    // --- asymmetric containment pairs (subset duplication): winnow
+    //     candidates, exact |A∩B|/min(|A|,|B|) verify over shingle
+    //     sets. Oracle mirrors candidates AND verification (string
+    //     shingle sets equal hashed sets modulo ~2^-64 collisions, the
+    //     d02 convention). maxBucket raised in oracle mode (d04 rule).
+    ("d13_containment",
+      (s, dir) => Dedup.containmentPairs(docs(s, dir), "text", "doc_id",
+          n = 3, window = 4, minShared = 2, threshold = 0.5,
+          maxBucket = 1 << 20)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy("id_a", "id_b"),
+      Some(containmentOracle)),
+
+    // --- language-ID confidence margin (argmax + best/second marker
+    //     hits; relative margin is a per-row exact division)
+    ("t24_lang_margin",
+      (s, dir) => TextOps.langIdReport(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(langMarginOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2422,6 +2443,51 @@ object SparkEntry {
       |        AS rank FROM ex)
       |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of d13: winnow-fingerprint candidates (the t20/d12
+    * CTE chain, shared count >= 2), then exact containment over STRING
+    * 3-gram shingle sets — equal to the hashed-set value modulo ~2^-64
+    * collision odds (the d02 convention). */
+  private lazy val containmentOracle: String =
+    s"""WITH $winnowCtes,
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([array_to_string(toks[i:i+2], ' ')
+       |                        for i in range(1, len(toks) - 1)]) AS s
+       |       FROM t),
+       |v AS (SELECT id_a, id_b,
+       |        CASE WHEN least(len(a.s), len(b.s)) = 0 THEN 0.0
+       |             ELSE len(list_intersect(a.s, b.s))::DOUBLE /
+       |                  least(len(a.s), len(b.s))::DOUBLE END AS containment
+       |      FROM cand JOIN sh a ON a.doc_id = cand.id_a
+       |      JOIN sh b ON b.doc_id = cand.id_b)
+       |SELECT id_a, id_b, round(containment, 6) AS containment
+       |FROM v WHERE containment >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of t24: the sqlTextFeatures hit counts, best/second
+    * via a sorted 4-list, relative margin as an exact division. */
+  private lazy val langMarginOracle: String = {
+    val hitList = "[" + TextOps.LangMarkers.map("h_" + _._1).mkString(", ") + "]"
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |b AS (SELECT doc_id, $sqlBest AS best,
+       |        list_sort($hitList)[${TextOps.LangMarkers.size - 1}] AS second,
+       |        $hitList AS hl
+       |      FROM h),
+       |l AS (SELECT doc_id, best, second,
+       |        ${sqlLangCase.replace("h_en", "hl[1]").replace("h_de", "hl[2]")
+                  .replace("h_fr", "hl[3]").replace("h_es", "hl[4]")} AS lang_pred
+       |      FROM b)
+       |SELECT doc_id, lang_pred, CAST(best AS BIGINT) AS best_hits,
+       |       CAST(second AS BIGINT) AS second_hits,
+       |       CASE WHEN best = 0 THEN 0.0
+       |            ELSE CAST(best - second AS DOUBLE) / CAST(best AS DOUBLE)
+       |       END AS margin
+       |FROM l ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of t21: the t18 LM-score CTE chain, per-doc scores

@@ -358,6 +358,46 @@ object Dedup {
   }
 
   /**
+   * ASYMMETRIC containment pairs: candidates from shared winnowing
+   * fingerprints ([[winnowDupPairs]]), verified by exact containment
+   * over the n-gram shingle sets —
+   *
+   *   C(A,B) = |A ∩ B| / min(|A|, |B|)
+   *
+   * ≥ `threshold`. Catches subset duplication (a whole document pasted
+   * inside a larger one) that symmetric Jaccard dilutes toward 0 as
+   * the host document grows: a 100-gram doc inside a 10^4-gram doc has
+   * J ≈ 0.01 but C = 1.0. Winnowing candidates are the right recall
+   * source for exactly this case — the embedded copy is a long shared
+   * token run, which winnowing guarantees produces common
+   * fingerprints. Output: (id_a, id_b, containment), id_a < id_b.
+   *
+   * Scale: the candidate stage is the capped-bucket winnow shape; the
+   * verify joins each side's sorted hashed shingle set back to the
+   * slim pair list (the [[verifyJaccard]] semi-join pattern, same AQE
+   * skew coverage) and intersects with the native merge walk.
+   */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, window: Int = 4, minShared: Int = 2,
+                       threshold: Double = 0.8,
+                       maxBucket: Int = 1000): DataFrame = {
+    val cand = winnowDupPairs(df, textCol, idCol, n, window, minShared,
+      maxBucket).select(col("id_a"), col("id_b"))
+    val sh = df.select(col(idCol).cast(LongType).as("__id"),
+      hashedShingleSet(col(textCol), n).as("__sh"))
+    val inter = graft.functions.NativeExpressions
+      .sortedIntersectCount(col("__sha"), col("__shb")).cast(DoubleType)
+    val minSize = least(size(col("__sha")), size(col("__shb"))).cast(DoubleType)
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(minSize === 0, lit(0.0)).otherwise(inter / minSize)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs
    * (never within-side pairs) — the near-dup twin of [[dedupAgainst]],

@@ -127,6 +127,30 @@ object TextOps {
     chain.otherwise(lit("und"))
   }
 
+  /**
+   * Language-ID report with a CONFIDENCE margin: the [[langId]] argmax
+   * plus best/second marker-hit counts and the relative margin
+   * `(best − second) / best` (0 when nothing matched) — the gate
+   * signal for routing ambiguous documents to a heavier classifier
+   * instead of trusting a one-hit argmax. Map-only over the fused
+   * [[features]] array: the language decision and its confidence cost
+   * one byte-walk per document.
+   */
+  def langIdReport(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+    val hits = LangMarkers.indices.map(i => element_at(col("__f"), 5 + i))
+    val sorted = array_sort(array(hits: _*))
+    val k = LangMarkers.size
+    val best = element_at(sorted, k)
+    val second = element_at(sorted, k - 1)
+    df.select(col(idCol), features(col(textCol)).as("__f"))
+      .select(col(idCol), langIdF(col("__f")).as("lang_pred"),
+        best.as("best_hits"), second.as("second_hits"),
+        when(best === 0, lit(0.0))
+          .otherwise((best - second).cast(DoubleType) / best.cast(DoubleType))
+          .as("margin"))
+  }
+
   /** Lines of a document (regex '\n' split; every empty piece kept,
     * matching both engines' split semantics). */
   def lines(text: Column): Column = split(text, "\n")

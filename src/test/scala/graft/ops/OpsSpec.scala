@@ -2130,6 +2130,44 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("containmentPairs: embedded doc scores 1.0 where Jaccard dilutes to ~0") {
+    val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val host = ((1 to 12).map(i => s"tok$i") ++
+      (1 to 200).map(i => s"host$i")).mkString(" ")
+    val docs = Seq(
+      (1L, passage), (2L, host),
+      (3L, "completely unrelated words that share nothing at all here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "text", "doc_id",
+        n = 3, window = 4, minShared = 1, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r.keySet == Set((1L, 2L)))
+    assert(r((1L, 2L)) == 1.0) // every passage shingle is in the host
+    // the symmetric view on the same pair is heavily diluted
+    val j = Dedup.ngramJaccardPairs(
+      docs.withColumn("blk", lit("x")), "text", "doc_id", "blk",
+      n = 3, threshold = 0.0).where(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(j < 0.1)
+  }
+
+  test("langIdReport: clear text has high margin, mixed text low, junk zero") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house is to be seen"), // en, clear
+      (2L, "the der cat und dog das is ist"),                 // en/de mixed
+      (3L, "qqq zzz xxx")                                     // no markers
+    ).toDF("doc_id", "text")
+    val r = TextOps.langIdReport(docs, "text", "doc_id")
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L)._1 == "en" && r(1L)._4 > 0.5)
+    assert(r(2L)._4 <= 0.5) // de 4 hits vs en 2 → margin exactly 0.5
+    assert(r(3L) == (("und", 0L, 0L, 0.0)))
+    // margin consistency: (best-second)/best exactly
+    val (_, b, s2, m) = r(2L)
+    assert(m == (b - s2).toDouble / b)
+  }
+
   test("bm25TopK: tf, idf and length normalization order as expected") {
     val docs = Seq(
       (1L, "cat cat cat dog"),              // high tf for 'cat', short
