@@ -1846,6 +1846,38 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(langMarginOracle)),
 
+    // --- PMI collocations over the top-40 vocabulary head (document
+    //     presence counts; pmi is a per-row ln of exact-count ratios)
+    ("t25_pmi",
+      (s, dir) => TextOps.topTokenPmi(docs(s, dir), "text", "doc_id",
+          topK = 40, minPairCount = 20L)
+        .select(col("tok_a"), col("tok_b"), col("n_ab"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy("tok_a", "tok_b"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |f AS (SELECT token, count(*) AS n
+             |      FROM (SELECT unnest(tk) AS token FROM t) GROUP BY 1),
+             |top AS (SELECT token FROM f ORDER BY n DESC, token LIMIT 40),
+             |pres AS (SELECT DISTINCT doc_id, token
+             |         FROM (SELECT doc_id, unnest(tk) AS token FROM t)
+             |         WHERE token IN (SELECT token FROM top)),
+             |n1 AS (SELECT token, count(*) AS na FROM pres GROUP BY 1),
+             |nd AS (SELECT count(*) AS n FROM t WHERE len(tk) > 0),
+             |pc AS (SELECT a.token AS tok_a, b.token AS tok_b,
+             |         count(*) AS n_ab
+             |       FROM pres a JOIN pres b
+             |         ON a.doc_id = b.doc_id AND a.token < b.token
+             |       GROUP BY 1, 2 HAVING count(*) >= 20)
+             |SELECT tok_a, tok_b, n_ab,
+             |       round(ln((CAST(n_ab AS DOUBLE) * CAST(nd.n AS DOUBLE)) /
+             |         (CAST(x.na AS DOUBLE) * CAST(y.na AS DOUBLE))), 6) AS pmi
+             |FROM pc JOIN n1 x ON x.token = pc.tok_a
+             |JOIN n1 y ON y.token = pc.tok_b CROSS JOIN nd
+             |ORDER BY tok_a, tok_b""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -401,6 +401,63 @@ object TextOps {
   }
 
   /**
+   * Pointwise mutual information over the vocabulary's Zipf head:
+   * document-level co-occurrence of the `topK` most frequent tokens,
+   *
+   *   pmi(a,b) = ln( n_ab · N / (n_a · n_b) )
+   *
+   * with document-presence counts (multiple occurrences in one doc
+   * count once — the collocation convention). Pairs below
+   * `minPairCount` co-occurrences are noise and dropped. The standard
+   * collocation/phrase-mining signal, and a cheap topic-structure
+   * probe before anything embedding-based.
+   *
+   * Scale: the head list is one TakeOrdered (bounded heaps) collected
+   * driver-side — topK strings, model-sized like the centroid
+   * collects — and broadcast back as a literal filter. Each document
+   * reduces IN-ROW to its sorted head-token subset (≤ topK), pairs
+   * expand in-row (the capped-bucket pattern — bounded by topK²/2 per
+   * doc), and pair counts partial-aggregate: the shuffle is ∝ distinct
+   * head pairs (≤ topK²), never the corpus. Presence counts reuse the
+   * same reduced rows.
+   */
+  def topTokenPmi(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, topK: Int = 100,
+                  minPairCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    val freq = tokenFrequencies(df, textCol)
+    val top = freq.orderBy(col("n").desc, col("token")).limit(topK)
+      .select(col("token")).collect().map(_.getString(0))
+    val topLit = array(top.sorted.map(lit): _*)
+    val docs = df
+      .select(col(idCol),
+        array_sort(array_intersect(array_distinct(tokens(col(textCol))),
+          topLit)).as("__ht"))
+      .where(size(col("__ht")) > 0)
+    val presence = docs.select(col(idCol), explode(col("__ht")).as("token"))
+    val nTok = presence.groupBy(col("token")).agg(count(lit(1)).as("__n1"))
+    val nDocs = df.where(length(trim(col(textCol))) > 0)
+      .agg(count(lit(1)).as("__nd"))
+    val pairStructs = flatten(transform(col("__ht"), (x, i) =>
+      transform(slice(col("__ht"), i + 2, size(col("__ht"))),
+        y => struct(x.as("tok_a"), y.as("tok_b")))))
+    docs.select(explode(pairStructs).as("__p"))
+      .select(col("__p.tok_a").as("tok_a"), col("__p.tok_b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+      .join(nTok.select(col("token").as("tok_a"), col("__n1").as("__na")),
+        Seq("tok_a"))
+      .join(nTok.select(col("token").as("tok_b"), col("__n1").as("__nb")),
+        Seq("tok_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        log((col("n_ab").cast(DoubleType) * col("__nd").cast(DoubleType)) /
+          (col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)))
+          .as("pmi"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document: term frequency within the
    * document × smoothed inverse document frequency
    * `ln((N+1)/(df+1))` over the corpus. Ranking key is the score

@@ -2130,6 +2130,29 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("topTokenPmi: attracting pair positive, repelling pair negative, floor drops") {
+    // 20 docs: 'aa bb' always together (10 docs); 'cc' and 'dd' never
+    // together (5+5); every doc also carries filler 'ee'
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "aa bb ee")) ++
+      (11 to 15).map(i => (i.toLong, "cc ee xx")) ++
+      (16 to 20).map(i => (i.toLong, "dd ee yy"))
+    ).toDF("doc_id", "text")
+    val r = TextOps.topTokenPmi(docs, "text", "doc_id", topK = 5,
+        minPairCount = 2L)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    // top-5 by freq: ee(20), aa(10), bb(10), cc(5), dd(5)
+    val (nab, pmi) = r(("aa", "bb"))
+    assert(nab == 10L && math.abs(pmi - math.log(20.0 * 10 / (10 * 10))) < 1e-12)
+    assert(!r.contains(("cc", "dd"))) // never co-occur
+    val (_, pmiAaEe) = r(("aa", "ee"))
+    assert(math.abs(pmiAaEe - 0.0) < 1e-12) // ee is independent filler
+    // repulsion visible when the floor allows it: cc+ee co-occur 5 <
+    // minPairCount=2 holds... cc-ee n_ab=5 ≥ 2, pmi = ln(20·5/(5·20)) = 0
+    assert(r(("cc", "ee"))._1 == 5L)
+  }
+
   test("containmentPairs: embedded doc scores 1.0 where Jaccard dilutes to ~0") {
     val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
     val host = ((1 to 12).map(i => s"tok$i") ++
