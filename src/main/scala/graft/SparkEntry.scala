@@ -1878,6 +1878,37 @@ object SparkEntry {
              |JOIN n1 y ON y.token = pc.tok_b CROSS JOIN nd
              |ORDER BY tok_a, tok_b""".stripMargin)),
 
+    // --- exact dedup over the CANONICAL normalization (case/whitespace
+    //     variants collapse — the C4 convention; composition of
+    //     normalize + exact, both already verified in isolation)
+    ("d14_dedup_normalized",
+      (s, dir) => Dedup.exact(
+          docs(s, dir).withColumn("__norm", TextOps.normalize(col("text"))),
+          "__norm", "doc_id")
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+             |FROM (SELECT doc_id,
+             |        trim(regexp_replace(regexp_replace(lower(text),
+             |          '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+             |      FROM documents)
+             |GROUP BY nt ORDER BY doc_id""".stripMargin)),
+
+    // --- BPE-step pair census: adjacent character pairs within tokens,
+    //     top-20 (what one merge step of tokenizer training maximizes)
+    ("t26_bpe_pairs",
+      (s, dir) => TextOps.bpePairCounts(docs(s, dir), "text", topK = 20)
+        .orderBy(col("n").desc, col("pair")),
+      Some("""WITH t AS (SELECT
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |tok AS (SELECT unnest(tk) AS token FROM t),
+             |p AS (SELECT unnest([token[i:i+1]
+             |                     for i in range(1, length(token))]) AS pair
+             |      FROM tok WHERE length(token) >= 2)
+             |SELECT pair, count(*) AS n FROM p
+             |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

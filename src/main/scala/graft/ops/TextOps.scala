@@ -401,6 +401,30 @@ object TextOps {
   }
 
   /**
+   * Adjacent character-pair counts within tokens — the statistic one
+   * BPE training step maximizes (the most frequent pair becomes the
+   * next merge). A full BPE train is a driver loop re-running this
+   * census on re-segmented text; the census itself is the distributed
+   * part and is what a 100 TB corpus contributes. Returns the `topK`
+   * pairs by count (ties broken by pair for a deterministic boundary).
+   *
+   * Scale: explode ∝ characters with map-side partial counts — the
+   * shuffle is ∝ distinct pairs (alphabet², tiny), and the top-K is a
+   * TakeOrdered. One pass, bodies never shuffle.
+   */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val tok = col("token")
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .where(length(tok) >= 2)
+      .select(explode(transform(sequence(lit(1), length(tok) - 1),
+        i => tok.substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(topK)
+  }
+
+  /**
    * Pointwise mutual information over the vocabulary's Zipf head:
    * document-level co-occurrence of the `topK` most frequent tokens,
    *

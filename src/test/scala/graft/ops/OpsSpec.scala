@@ -2130,6 +2130,25 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("bpePairCounts: hand-counted pairs, single-char tokens excluded") {
+    val docs = Seq((1L, "abab ab x"), (2L, "abba")).toDF("doc_id", "text")
+    // abab → ab, ba, ab ; ab → ab ; abba → ab, bb, ba ; x excluded
+    val r = TextOps.bpePairCounts(docs, "text", topK = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(r.toMap == Map("ab" -> 4L, "ba" -> 2L, "bb" -> 1L))
+    assert(r.head._1 == "ab") // the pair one BPE step would merge
+  }
+
+  test("exact dedup over normalize collapses case/whitespace variants") {
+    val docs = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tWORLD "),
+      (4L, "different")).toDF("doc_id", "text")
+    val r = Dedup.exact(
+        docs.withColumn("__n", TextOps.normalize(col("text"))), "__n", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 4L -> 1L))
+  }
+
   test("topTokenPmi: attracting pair positive, repelling pair negative, floor drops") {
     // 20 docs: 'aa bb' always together (10 docs); 'cc' and 'dd' never
     // together (5+5); every doc also carries filler 'ee'
