@@ -1909,6 +1909,34 @@ object SparkEntry {
              |SELECT pair, count(*) AS n FROM p
              |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
 
+    // --- end-to-end curation v2: corpus boilerplate scrub → quality
+    //     gate ON THE SCRUBBED TEXT → canonical-normalized exact dedup
+    //     → per-language report. Every stage individually oracled
+    //     (t19, t02, d14); this query value-checks the COMPOSITION.
+    ("p10_curation_v2",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scrubbed = TextOps.scrubBoilerplateLines(d, "text", "doc_id",
+            minDocFreq = 3, minLineLen = 10)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        val gated = scrubbed
+          .withColumn("__f", TextOps.features(col("text_clean")))
+          .withColumn("quality",
+            TextOps.qualityScoreF(col("__f"), length(col("text_clean"))))
+          .where(col("quality") >= 0.4)
+        val kept = Dedup.exact(
+            gated.withColumn("__n", TextOps.normalize(col("text_clean"))),
+            "__n", "doc_id")
+          .select(col("doc_id"))
+        gated.join(kept, Seq("doc_id"), "left_semi")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextOps.tokenCount(col("text_clean"))).as("n_tokens"),
+            round(avg(col("quality")), 6).as("avg_quality"))
+          .orderBy("lang")
+      },
+      Some(curationV2Oracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2551,6 +2579,56 @@ object SparkEntry {
        |            ELSE CAST(best - second AS DOUBLE) / CAST(best AS DOUBLE)
        |       END AS margin
        |FROM l ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of p10: the t19 scrub CTEs feeding the t02 quality
+    * formula over the SCRUBBED text (n_chars = its length), the d14
+    * normalization dedup, and the per-language rollup. */
+  private lazy val curationV2Oracle: String = {
+    val hitExprs = TextOps.LangMarkers.map { case (l, pat) =>
+      s"len(regexp_extract_all(lower(text), '$pat')) AS h_$l"
+    }.mkString(",\n       |        ")
+    s"""WITH l AS (
+       |  SELECT doc_id, u.pos AS pos, u.line AS line FROM (
+       |    SELECT doc_id,
+       |      unnest([{'pos': i, 'line': ls[i]}
+       |              for i in range(1, len(ls) + 1)]) AS u
+       |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+       |          FROM documents))),
+       |hot AS (SELECT line FROM (
+       |    SELECT line, count(DISTINCT doc_id) AS dfq FROM l
+       |    WHERE length(line) >= 10 GROUP BY line)
+       |  WHERE dfq >= 3),
+       |agg AS (SELECT doc_id,
+       |        string_agg(line, chr(10) ORDER BY pos) AS text_clean
+       |      FROM l WHERE length(line) < 10
+       |         OR line NOT IN (SELECT line FROM hot)
+       |      GROUP BY doc_id),
+       |sc AS (SELECT d.doc_id, d.lang,
+       |         coalesce(agg.text_clean, '') AS text
+       |       FROM documents d LEFT JOIN agg USING (doc_id)),
+       |h AS (SELECT doc_id, lang, text, length(text) AS n_chars,
+       |        $hitExprs,
+       |        CASE WHEN trim(text) = '' THEN 0
+       |             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+       |        len(regexp_extract_all(text,
+       |          '(?i)\\b(the|a|an|and|of|to|in|is)\\b')) AS n_stop,
+       |        len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+       |      FROM sc),
+       |q AS (SELECT doc_id, lang, text, quality FROM (
+       |        SELECT *, $sqlQuality AS quality FROM h)
+       |      WHERE quality >= 0.4),
+       |nr AS (SELECT *, trim(regexp_replace(regexp_replace(lower(text),
+       |         '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g')) AS nt
+       |       FROM q),
+       |k AS (SELECT min(doc_id) AS doc_id FROM nr GROUP BY nt),
+       |f AS (SELECT nr.* FROM nr JOIN k USING (doc_id))
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       |                ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       |            AS BIGINT) AS n_tokens,
+       |       round(avg(quality), 6) AS avg_quality
+       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
   }
 
   /** DuckDB mirror of t21: the t18 LM-score CTE chain, per-doc scores
