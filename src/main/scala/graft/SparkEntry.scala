@@ -1937,6 +1937,38 @@ object SparkEntry {
       },
       Some(curationV2Oracle)),
 
+    // --- inter-arrival gap quantiles per event type (rate-monitoring
+    //     fingerprint; integer gaps + exact percentile_disc)
+    ("e11_gap_quantiles",
+      (s, dir) => Sessionize.interArrivalQuantiles(evts(s, dir),
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "p"),
+      Some(Seq(0.5, 0.9, 0.99).map(p =>
+        s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+           |       quantile_disc(gap_ms, $p) AS q
+           |FROM (SELECT event_type,
+           |        epoch_ms(CAST(ts AS TIMESTAMP)) - lag(epoch_ms(CAST(ts AS TIMESTAMP)))
+           |          OVER (PARTITION BY event_type
+           |                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_ms
+           |      FROM events)
+           |WHERE gap_ms IS NOT NULL GROUP BY event_type""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p"))),
+
+    // --- recall@5 of the LSH path against the exact scan — the ANN QA
+    //     canary, value-checked end to end (both paths already have
+    //     full oracles; this checks the evaluation arithmetic too)
+    ("s14_ann_recall",
+      (s, dir) => Similarity.recallAtK(
+          Similarity.lshTopK(embs(s, dir),
+            embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, nPlanes = 4),
+          Similarity.bruteForceTopK(embs(s, dir),
+            embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5),
+          k = 5)
+        .orderBy("query_id"),
+      Some(annRecallOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2579,6 +2611,51 @@ object SparkEntry {
        |            ELSE CAST(best - second AS DOUBLE) / CAST(best AS DOUBLE)
        |       END AS margin
        |FROM l ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of s14: the s01 exact and s02 LSH top-5 CTE chains
+    * joined into per-query hit counts; recall is an exact-count
+    * division. */
+  private lazy val annRecallOracle: String = {
+    val m1 = "((((p*131)+i)*2654435761+9176)%1000003)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  CAST(list_sum([CASE WHEN
+      |    list_sum([v[i] *
+      |      (($m1 * ($m1 + 13)) % 1000003 / 1000003.0 - 0.5)
+      |              for i in range(1, len(v)+1)]) >= 0
+      |    THEN (1::BIGINT << p) ELSE 0 END for p in range(0, 4)]) AS BIGINT) AS bkt
+      |  FROM e),
+      |sa AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      |      FROM b q JOIN b c ON q.bkt = c.bkt
+      |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |ra AS (SELECT query_id, neighbor_id FROM
+      |        (SELECT *, row_number() OVER
+      |           (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |           AS rank FROM sa) WHERE rank <= 5),
+      |se AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      |      FROM e q, e c
+      |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |re AS (SELECT query_id, neighbor_id FROM
+      |        (SELECT *, row_number() OVER
+      |           (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |           AS rank FROM se) WHERE rank <= 5),
+      |h AS (SELECT re.query_id, count(*) AS n_hits
+      |      FROM re JOIN ra ON re.query_id = ra.query_id
+      |        AND re.neighbor_id = ra.neighbor_id
+      |      GROUP BY 1),
+      |ne AS (SELECT query_id, count(*) AS n_exact FROM re GROUP BY 1)
+      |SELECT ne.query_id, n_exact, coalesce(h.n_hits, 0) AS n_hits,
+      |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+      |         AS recall
+      |FROM ne LEFT JOIN h USING (query_id)
+      |ORDER BY ne.query_id""".stripMargin
   }
 
   /** DuckDB mirror of p10: the t19 scrub CTEs feeding the t02 quality

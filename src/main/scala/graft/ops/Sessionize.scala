@@ -308,6 +308,30 @@ object Sessionize {
   }
 
   /**
+   * Inter-arrival gap distribution per event type: consecutive-event
+   * gaps (milliseconds) in each type's global arrival order, reported
+   * as exact quantiles via [[Pipeline.groupQuantiles]] — the
+   * rate-monitoring fingerprint (p50 drift = load change, p99 spike =
+   * stalls) and the input to hazard-style anomaly gates.
+   *
+   * Scale: one shuffle on the type key for the lag() window (types are
+   * few, so at extreme scale pre-split heavy types by day first — the
+   * power-user caveat applied to types), then the quantile report's
+   * single buffered aggregation over slim (type, gap) rows.
+   */
+  def interArrivalQuantiles(events: DataFrame, ps: Seq[Double],
+                            typeCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col("event_id"))
+    val gaps = events
+      .withColumn("__prev", lag(unix_millis(col(tsCol)), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col(typeCol),
+        (unix_millis(col(tsCol)) - col("__prev")).as("gap_ms"))
+    Pipeline.groupQuantiles(gaps, typeCol, "gap_ms", ps)
+  }
+
+  /**
    * Hierarchical report with ROLLUP grouping sets: per (event_type,
    * day) counts and value sums, plus per-event_type subtotals and a
    * grand total in the SAME pass. Null group columns mark subtotal

@@ -212,6 +212,36 @@ object Similarity {
   }
 
   /**
+   * Recall@k of an approximate ANN result against the exact one — the
+   * QA harness for every approximate path here (LSH, IVF, PQ, int8,
+   * RP): per query, how many of the exact top-k the approximate
+   * result recovered. Both inputs are the (query_id, neighbor_id,
+   * rank, …) shape the top-k operators emit; rows beyond rank k are
+   * ignored on both sides. Denominator is the query's ACTUAL exact
+   * result size capped at k (a query with fewer than k true
+   * neighbors isn't penalized for physics).
+   *
+   * Scale: both sides are k·|queries| slim rows — the join and the
+   * per-query aggregate are trivially sized; run it continuously next
+   * to a production index as the canary.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("n_exact").cast(DoubleType)).as("recall"))
+  }
+
+  /**
    * SEMANTIC benchmark decontamination — the embedding twin of
    * [[Pipeline.contaminationReport]]: corpus rows whose maximum cosine
    * against ANY benchmark row reaches `threshold` are contamination

@@ -2130,6 +2130,41 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("recallAtK: full, partial and zero recall; short exact lists not penalized") {
+    def df(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val exact = df((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L),
+      (3L, 30L, 1L)) // only one true neighbor
+    val approx = df((1L, 10L, 1L), (1L, 12L, 2L), (1L, 99L, 3L),
+      (2L, 98L, 1L), (2L, 97L, 2L),
+      (3L, 30L, 1L), (3L, 31L, 2L))
+    val r = Similarity.recallAtK(approx, exact, k = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 2L, 2.0 / 3)))
+    assert(r(2L) == ((2L, 0L, 0.0)))
+    assert(r(3L) == ((1L, 1L, 1.0))) // denominator = actual exact size
+    // rank > k rows are ignored on both sides
+    val r2 = Similarity.recallAtK(approx, exact, k = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r2(1L) == 1.0 && r2(2L) == 0.0)
+  }
+
+  test("interArrivalQuantiles: hand-computed gaps per type") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, ts(1000L), 1L, "a"), (2L, ts(2000L), 1L, "a"),
+      (3L, ts(4000L), 2L, "a"), (4L, ts(8000L), 2L, "a"),
+      (5L, ts(1000L), 3L, "b"), (6L, ts(1500L), 3L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Sessionize.interArrivalQuantiles(events, Seq(0.5, 1.0))
+      .collect().map(x => ((x.getString(0), x.getDouble(1)), x.getLong(2))).toMap
+    // type a gaps: 1000, 2000, 4000 → p50 = 2000 (2nd of 3), max 4000
+    assert(r(("a", 0.5)) == 2000L && r(("a", 1.0)) == 4000L)
+    assert(r(("b", 0.5)) == 500L && r(("b", 1.0)) == 500L)
+  }
+
   test("bpePairCounts: hand-counted pairs, single-char tokens excluded") {
     val docs = Seq((1L, "abab ab x"), (2L, "abba")).toDF("doc_id", "text")
     // abab → ab, ba, ab ; ab → ab ; abba → ab, bb, ba ; x excluded
