@@ -1969,6 +1969,51 @@ object SparkEntry {
         .orderBy("query_id"),
       Some(annRecallOracle)),
 
+    // --- JSON field-quality report (schema-drift canary): both engines
+    //     corrupt every 10th payload identically (t09 synthesis rule),
+    //     and declare a field ('tag') the producer never sends
+    ("e12_json_quality",
+      (s, dir) => SemiStructured.jsonFieldQuality(
+          evts(s, dir).withColumn("props",
+            when(pmod(col("event_id"), lit(10)) === 0,
+              concat(lit("x"), col("props"))).otherwise(col("props"))),
+          "props", "k BIGINT, tag STRING")
+        .orderBy("field"),
+      Some("""WITH p AS (SELECT props,
+             |        TRY_CAST(CASE WHEN event_id % 10 = 0
+             |          THEN 'x' || props ELSE props END AS JSON) AS j
+             |       FROM events),
+             |w AS (SELECT count(*) AS n,
+             |        count(*) FILTER (props IS NOT NULL AND j IS NULL) AS c,
+             |        count(*) FILTER (j->>'k' IS NOT NULL) AS pk,
+             |        count(*) FILTER (j->>'tag' IS NOT NULL) AS pt
+             |      FROM p)
+             |SELECT '__corrupt' AS field, n AS n_rows, c AS n_present,
+             |       CAST(c AS DOUBLE) / n AS present_rate FROM w
+             |UNION ALL
+             |SELECT 'k', n, pk, CAST(pk AS DOUBLE) / n FROM w
+             |UNION ALL
+             |SELECT 'tag', n, pt, CAST(pt AS DOUBLE) / n FROM w
+             |ORDER BY field""".stripMargin)),
+
+    // --- per-type winsorization at exact [p01, p99]: thresholds are
+    //     existing values from the percentile_disc buffer, so the
+    //     clipped column is bit-exact with NO rounding anywhere
+    ("e13_winsorize",
+      (s, dir) => Pipeline.winsorize(evts(s, dir), "event_type", "value",
+          lo = 0.01, hi = 0.99)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_winsorized"))
+        .orderBy("event_id"),
+      Some("""WITH th AS (SELECT event_type,
+             |        quantile_disc(value, 0.01) AS lo,
+             |        quantile_disc(value, 0.99) AS hi
+             |      FROM events GROUP BY 1)
+             |SELECT event_id, e.event_type, value,
+             |       least(greatest(value, lo), hi) AS value_winsorized
+             |FROM events e JOIN th ON e.event_type = th.event_type
+             |ORDER BY event_id""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

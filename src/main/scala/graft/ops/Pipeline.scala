@@ -394,6 +394,31 @@ object Pipeline {
   }
 
   /**
+   * Per-group winsorization: clip `valueCol` to its group's exact
+   * [`lo`, `hi`] discrete percentiles — the standard outlier guard
+   * before a numeric column feeds features or loss weights (fat-tail
+   * values stop dominating sums without dropping rows). Thresholds
+   * are EXISTING values from the exact percentile_disc buffer, so the
+   * clipped column is bit-exact cross-engine with no rounding.
+   *
+   * Scale: one [[groupQuantiles]] aggregation (groups-sized result),
+   * broadcast back, and a map-side least/greatest — the corpus never
+   * re-shuffles for the clip.
+   */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo < hi, s"lo ($lo) must be < hi ($hi)")
+    val th = groupQuantiles(df, groupCol, valueCol, Seq(lo, hi))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p") === lo, col("q"))).as("__lo"),
+        min(when(col("p") === hi, col("q"))).as("__hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Temperature-scaled mixture plan (the multilingual-pretraining
    * rebalancing rule, Conneau & Lample '19): instead of hand-set
    * shares, share_g ∝ avail_g^alpha — alpha = 1 reproduces the natural

@@ -40,6 +40,47 @@ object SemiStructured {
   }
 
   /**
+   * Field-quality report for a JSON column under a declared schema —
+   * the schema-drift monitor for attribute bags: per declared field,
+   * how many payloads carry it (a producer silently dropping a field
+   * shows up as a present-rate cliff), plus a `__corrupt` row counting
+   * payloads that fail to parse at all. One row per field + the
+   * corrupt row: (field, n_rows, n_present, present_rate).
+   *
+   * Scale: ONE aggregation pass — every per-field counter is a
+   * conditional count in the same partial-agg, and the wide result
+   * unpivots in-row on the single output row. No shuffle beyond the
+   * 1-row aggregate; run it per ingestion batch as the canary.
+   */
+  def jsonFieldQuality(df: DataFrame, jsonCol: String,
+                       ddlSchema: String): DataFrame = {
+    val schema = StructType.fromDDL(ddlSchema)
+    // PERMISSIVE from_json yields an all-null struct for corrupt input
+    // (never a null struct), so corruption is only observable through
+    // the corrupt-record column
+    val parseSchema = schema.add("__cr", org.apache.spark.sql.types.StringType)
+    val parsed = df.withColumn("__j", from_json(col(jsonCol), parseSchema,
+      Map("columnNameOfCorruptRecord" -> "__cr")))
+    val aggs =
+      count(lit(1)).as("__n") +:
+        count(when(col("__j").getField("__cr").isNotNull, 1))
+          .as("__corrupt") +:
+        schema.fields.map(f =>
+          count(when(col("__j").getField(f.name).isNotNull, 1))
+            .as(s"__p_${f.name}"))
+    val wide = parsed.agg(aggs.head, aggs.tail: _*)
+    val rows = struct(lit("__corrupt").as("field"),
+      col("__corrupt").as("n_present")) +:
+      schema.fields.map(f => struct(lit(f.name).as("field"),
+        col(s"__p_${f.name}").as("n_present")))
+    wide.select(col("__n"), explode(array(rows: _*)).as("__r"))
+      .select(col("__r.field").as("field"), col("__n").as("n_rows"),
+        col("__r.n_present").as("n_present"),
+        (col("__r.n_present").cast("double") / col("__n").cast("double"))
+          .as("present_rate"))
+  }
+
+  /**
    * Corpus sink as JSON Lines — the lingua franca for LLM training
    * corpora. `shards` bounds the file count (one writer task each);
    * size it so shards land near 128-512 MB at the target scale.

@@ -2130,6 +2130,38 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("jsonFieldQuality: present rates per field, corrupt and null payloads counted") {
+    val df = Seq(
+      (1L, """{"k": 1, "tag": "a"}"""),
+      (2L, """{"k": 2}"""),          // tag absent
+      (3L, """not json at all"""),   // corrupt
+      (4L, null.asInstanceOf[String]) // null source: neither corrupt nor present
+    ).toDF("id", "props")
+    val r = SemiStructured.jsonFieldQuality(df, "props", "k BIGINT, tag STRING")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("k") == ((4L, 2L, 0.5)))
+    assert(r("tag") == ((4L, 1L, 0.25)))
+    assert(r("__corrupt") == ((4L, 1L, 0.25)))
+  }
+
+  test("winsorize: per-group clip at exact discrete percentiles") {
+    val df = (Seq.tabulate(100)(i => ("a", (i + 1).toDouble)) ++
+      Seq(("b", 1.0), ("b", 2.0), ("b", 1000.0))).toDF("g", "v")
+    val r = Pipeline.winsorize(df, "g", "v", lo = 0.05, hi = 0.95)
+    val a = r.where(col("g") === "a")
+      .select(col("v"), col("v_winsorized")).collect()
+      .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    // group a (1..100): p05 = 5th value = 5.0, p95 = 95th = 95.0
+    assert(a(1.0) == 5.0 && a(4.0) == 5.0 && a(5.0) == 5.0)
+    assert(a(50.0) == 50.0)
+    assert(a(96.0) == 95.0 && a(100.0) == 95.0)
+    // group b: its own thresholds (ceil(.05·3)=1st=1.0, ceil(.95·3)=3rd=1000)
+    val b = r.where(col("g") === "b").select(col("v"), col("v_winsorized"))
+      .collect().map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    assert(b(1000.0) == 1000.0 && b(1.0) == 1.0)
+  }
+
   test("recallAtK: full, partial and zero recall; short exact lists not penalized") {
     def df(rows: (Long, Long, Long)*) =
       rows.toDF("query_id", "neighbor_id", "rank")
