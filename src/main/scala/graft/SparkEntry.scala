@@ -2014,6 +2014,45 @@ object SparkEntry {
              |FROM events e JOIN th ON e.event_type = th.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // --- Matryoshka two-stage ANN: 16-dim prefix cosine shortlist,
+    //     full-dimension exact re-rank (the zero-compute compressor;
+    //     both stages mirrored like s12/s09)
+    ("s15_matryoshka",
+      (s, dir) => Similarity.matryoshkaRerankTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, dPrefix = 16, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |pf AS (SELECT vec_id, v, v[1:16] AS p FROM e),
+             |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        CASE WHEN sqrt(list_dot_product(q.p, q.p)) = 0
+             |               OR sqrt(list_dot_product(c.p, c.p)) = 0 THEN 0.0
+             |          ELSE list_dot_product(q.p, c.p) /
+             |            (sqrt(list_dot_product(q.p, q.p)) *
+             |             sqrt(list_dot_product(c.p, c.p)))
+             |        END AS pref_sim
+             |      FROM pf q CROSS JOIN pf c
+             |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+             |sl AS (SELECT query_id, neighbor_id FROM
+             |        (SELECT *, row_number() OVER
+             |           (PARTITION BY query_id
+             |            ORDER BY pref_sim DESC, neighbor_id) AS r
+             |         FROM s1) WHERE r <= 20),
+             |ex AS (SELECT sl.query_id, sl.neighbor_id,
+             |        list_dot_product(qe.v, ce.v) /
+             |          (sqrt(list_dot_product(qe.v, qe.v)) *
+             |           sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+             |      FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+             |      JOIN e ce ON ce.vec_id = sl.neighbor_id),
+             |rk AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM ex)
+             |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+             |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -352,6 +352,51 @@ object Similarity {
   }
 
   /**
+   * Matryoshka two-stage ANN (MRL, arXiv:2205.13147): stage 1 scores
+   * cosine on the FIRST `dPrefix` components only — for
+   * matryoshka-trained encoders the information-ordered prefix is
+   * itself a valid embedding — and stage 2 re-ranks the shortlist with
+   * full-dimension exact cosine. The zero-compute compressor: unlike
+   * int8 (s06) or JL projection (s12) there is nothing to train,
+   * quantize or project — the prefix is already IN the stored vector,
+   * so at 100 TB stage 1 is pure column-slice I/O savings
+   * (dims/dPrefix ×) on the same parquet. Same bounded-TopK bounds as
+   * the sibling two-stage paths; bit-equal to brute force at full
+   * shortlist.
+   */
+  def matryoshkaRerankTopK(corpus: DataFrame, queries: DataFrame,
+                           vecCol: String, idCol: String, k: Int,
+                           dPrefix: Int = 16, shortlist: Int = 32): DataFrame = {
+    require(dPrefix >= 1, s"dPrefix must be >= 1: $dPrefix")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    def pref(df: DataFrame, id: String) =
+      df.select(col(idCol).cast(LongType).as(id),
+        slice(col(vecCol), 1, dPrefix).as("__p"))
+        .withColumn("__pn", norm(col("__p")))
+    val c = pref(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("__p").as("__cp"), col("__pn").as("__cn"))
+    val q = pref(queries, "query_id")
+      .select(col("query_id"), col("__p").as("__qp"), col("__pn").as("__qn"))
+    val stage1 = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qp"), col("__cp"),
+          col("__qn"), col("__cn")).as("pref_sim"))
+    val short = topKPerGroup(stage1, "query_id", "neighbor_id", "pref_sim",
+      shortlist).select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cvn"))
+    val qv = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qvn"))
+    val exact = short.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qvn"), col("__cvn")).as("cos_sim"))
+    topKPerGroup(exact, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * Per-group embedding centroids (class prototypes): element-wise mean
    * vector per `byCol` group, with the member count. The building block
    * for prototype routing, per-source drift monitoring, and seeding

@@ -2314,6 +2314,29 @@ class OpsSpec extends AnyFunSuite {
       s"tf subplan not reused — tokenization would run per branch:\n$plan")
   }
 
+  test("matryoshkaRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val mk = Similarity.matryoshkaRerankTopK(embs, queries, "embedding",
+        "vec_id", k = 5, dPrefix = 16, shortlist = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(mk == exact)
+    // narrow shortlist: recall via the s14 harness stays reasonable
+    val approx = Similarity.matryoshkaRerankTopK(embs, queries, "embedding",
+      "vec_id", k = 5, dPrefix = 16, shortlist = 16)
+    val rec = Similarity.recallAtK(approx,
+        Similarity.bruteForceTopK(embs, queries, "embedding", "vec_id", 5), 5)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    // synthetic embeddings are NOT matryoshka-trained, so the prefix is
+    // an arbitrary 1/4 of the dims — expect far-above-chance (5/500),
+    // not MRL-grade recall
+    assert(rec > 0.15, s"mean recall@5 $rec")
+  }
+
   test("rpRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.where(col("vec_id") < 5)
