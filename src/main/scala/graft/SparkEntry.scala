@@ -2053,6 +2053,22 @@ object SparkEntry {
              |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
              |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // --- top user journeys: first-3-event paths, top-20 by user count
+    ("e14_top_paths",
+      (s, dir) => Sessionize.topPaths(evts(s, dir), pathLen = 3, topK = 20)
+        .orderBy(col("n_users").desc, col("path")),
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |          FROM events),
+             |r AS (SELECT user_id, event_type, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+             |      FROM e),
+             |p AS (SELECT user_id,
+             |        string_agg(event_type, '>' ORDER BY rk) AS path
+             |      FROM r WHERE rk <= 3 GROUP BY user_id)
+             |SELECT path, count(*) AS n_users
+             |FROM p GROUP BY path
+             |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -332,6 +332,38 @@ object Sessionize {
   }
 
   /**
+   * Top user journeys: each user's first `pathLen` event types (in
+   * event-time order) joined into a path string, counted across users,
+   * top `topK` paths — the onboarding-flow census that
+   * [[eventTransitions]]' one-step view can't show (a→b and b→c counts
+   * don't reveal whether a→b→c is common).
+   *
+   * Scale: one shuffle on the user key; the per-user prefix is a
+   * WindowGroupLimit-style rank filter (row_number ≤ pathLen, a pure
+   * conjunct — map tasks forward at most pathLen rows per user), the
+   * path assembles from ≤ pathLen tiny structs per user, and path
+   * counts partial-aggregate into a TakeOrdered head.
+   */
+  def topPaths(events: DataFrame, pathLen: Int = 3, topK: Int = 20,
+               typeCol: String = "event_type", userCol: String = "user_id",
+               tsCol: String = "ts"): DataFrame = {
+    require(pathLen >= 1 && topK >= 1,
+      s"pathLen and topK must be >= 1: $pathLen, $topK")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val paths = events
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= pathLen)
+      .groupBy(col(userCol))
+      // users with fewer than pathLen events have a shorter journey;
+      // keep them — truncated onboarding is signal, not noise
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__rk"), col(typeCol).as("__t")))),
+        x => x.getField("__t")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(topK)
+  }
+
+  /**
    * Hierarchical report with ROLLUP grouping sets: per (event_type,
    * day) counts and value sums, plus per-event_type subtotals and a
    * grand total in the SAME pass. Null group columns mark subtotal

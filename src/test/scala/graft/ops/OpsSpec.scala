@@ -2312,6 +2312,10 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange") ||
       plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
       s"tf subplan not reused — tokenization would run per branch:\n$plan")
+    // per-query top-k rides WindowGroupLimit: map tasks forward <= k
+    // candidates per query, never the full scored posting list
+    assert(plan.contains("WindowGroupLimit"),
+      s"bm25 top-k lost its WindowGroupLimit:\n$plan")
   }
 
   test("matryoshkaRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
@@ -2354,6 +2358,20 @@ class OpsSpec extends AnyFunSuite {
       "vec_id", k = 5, dDims = 8, shortlist = 12).collect()
     narrow.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length)) }
+  }
+
+  test("topPaths: ordered prefixes, short journeys kept, deterministic head") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, ts(1L), 1L, "view"), (2L, ts(2L), 1L, "cart"), (3L, ts(3L), 1L, "buy"),
+      (4L, ts(1L), 2L, "view"), (5L, ts(2L), 2L, "cart"), (6L, ts(3L), 2L, "buy"),
+      (7L, ts(3L), 2L, "late"), // beyond pathLen: ignored
+      (8L, ts(1L), 3L, "view")  // short journey
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Sessionize.topPaths(events, pathLen = 3, topK = 10)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(r.toMap == Map("view>cart>buy" -> 2L, "view" -> 1L))
+    assert(r.head._1 == "view>cart>buy")
   }
 
   test("eventTransitions: per-user ordering, conditional probabilities sum to 1") {
