@@ -2069,6 +2069,26 @@ object SparkEntry {
              |FROM p GROUP BY path
              |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
 
+    // --- IVF-PQ composite (FAISS IVFADC): partition-pruned probe +
+    //     code-only ADC shortlist + exact re-rank; both quantizers are
+    //     the SQL-mirrorable seeds so the full composite value-checks
+    ("s16_ann_ivfpq",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cent = Similarity.seedCentroids(e, "embedding", "vec_id", 16)
+        val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+          m = 8, ksub = 16)
+        val path = java.nio.file.Files.createTempDirectory("s16_ivfpq").toString
+        Similarity.writeIvfPqIndex(e, "embedding", "vec_id", cent, cb, path)
+        Similarity.ivfPqProbeIndex(s.read.parquet(path),
+            e.where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cent, cb, nProbe = 6, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2712,6 +2732,75 @@ object SparkEntry {
        |       END AS margin
        |FROM l ORDER BY doc_id""".stripMargin
   }
+
+  /** DuckDB mirror of s16: the s03 centroid assignment + probe-list
+    * CTEs composed with the s08/s09 encode/reconstruct chain —
+    * candidates are probed-list members only, stage 1 is ADC L2² over
+    * reconstructions with (d, id) order, stage 2 exact cosine. */
+  private lazy val ivfPqOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx
+      |       FROM (SELECT v AS cv, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cn AS (SELECT cidx, CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+      |         ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |         END AS cv FROM co),
+      |sc AS (SELECT e.vec_id, cn.cidx, list_dot_product(e.v, cn.cv) AS s
+      |       FROM e CROSS JOIN cn),
+      |asn AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r FROM sc)
+      |        WHERE r = 1),
+      |pr AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r
+      |          FROM sc WHERE vec_id < 8)
+      |        WHERE r <= 6),
+      |sd AS (SELECT v AS sv, row_number() OVER (ORDER BY h, vid) - 1 AS j
+      |       FROM (SELECT v, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cb AS (SELECT ss.s AS s, sd.j AS j,
+      |              sv[ss.s*8+1 : ss.s*8+8] AS c
+      |       FROM sd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+      |cbc AS (SELECT s, j, c, list_dot_product(c, c) AS cc FROM cb),
+      |dist AS (SELECT e.vec_id, b.s, b.j,
+      |           list_dot_product(e.v[b.s*8+1 : b.s*8+8],
+      |                            e.v[b.s*8+1 : b.s*8+8])
+      |           - 2*list_dot_product(e.v[b.s*8+1 : b.s*8+8], b.c)
+      |           + b.cc AS d
+      |         FROM e CROSS JOIN cbc b),
+      |code AS (SELECT vec_id, s, j FROM
+      |          (SELECT vec_id, s, j, row_number() OVER
+      |             (PARTITION BY vec_id, s ORDER BY d, j) AS r FROM dist)
+      |         WHERE r = 1),
+      |rec AS (SELECT code.vec_id, flatten(list(b.c ORDER BY code.s)) AS rv
+      |        FROM code JOIN cbc b ON b.s = code.s AND b.j = code.j
+      |        GROUP BY code.vec_id),
+      |s2 AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(qe.v, qe.v)
+      |           - 2*list_dot_product(qe.v, r2.rv)
+      |           + list_dot_product(r2.rv, r2.rv) AS d
+      |       FROM pr p JOIN asn c ON p.cidx = c.cidx
+      |       JOIN e qe ON qe.vec_id = p.vec_id
+      |       JOIN rec r2 ON r2.vec_id = c.vec_id
+      |       WHERE c.vec_id <> p.vec_id),
+      |sl AS (SELECT query_id, neighbor_id FROM
+      |         (SELECT *, row_number() OVER
+      |            (PARTITION BY query_id ORDER BY d, neighbor_id) AS r FROM s2)
+      |       WHERE r <= 20),
+      |ex AS (SELECT sl.query_id, sl.neighbor_id,
+      |         list_dot_product(qe.v, ce.v) /
+      |           (sqrt(list_dot_product(qe.v, qe.v)) *
+      |            sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |       FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+      |       JOIN e ce ON ce.vec_id = sl.neighbor_id),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+      |         AS rank FROM ex)
+      |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of s14: the s01 exact and s02 LSH top-5 CTE chains
     * joined into per-query hit counts; recall is an exact-count

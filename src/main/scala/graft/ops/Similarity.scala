@@ -870,6 +870,72 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ composite index (the FAISS IVFADC shape — the
+   * billion-scale workhorse): the corpus parquet-partitioned by
+   * inverted list (coarse quantizer = the IVF centroids) with each
+   * row stored as its m-byte PQ code PLUS the raw vector column.
+   * Probes then compose BOTH prunings: partition pruning reads only
+   * nProbe/nCentroids of the directories, and within them stage 1
+   * scans only the code column — at 100 TB a probe reads
+   * (nProbe/nCentroids) × (m bytes/row) of the corpus, the double
+   * discount neither index achieves alone.
+   */
+  def writeIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                      cent: Array[Array[Float]],
+                      cb: Array[Array[Array[Float]]], path: String): Unit = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    corpus.select(col(idCol).cast(LongType).as("id"),
+        pqCode(col(vecCol), cb).as("code"), col(vecCol).as("vec"),
+        element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
+      .repartition(col("__list"))
+      .write.mode("overwrite").partitionBy("__list").parquet(path)
+  }
+
+  /**
+   * Probe a [[writeIvfPqIndex]] index: the queries' probed-list union
+   * prunes partitions statically (the [[ivfProbeIndex]] mechanism),
+   * stage 1 shortlists by exact ADC L2² over code reconstructions
+   * reading ONLY (id, code, __list), and stage 2 re-ranks the slim
+   * shortlist with exact cosine from the vec column (the
+   * [[pqProbeIndex]] semi-join). Same contracts as the parents:
+   * deterministic (distance, id) ordering, bit-equal to the pure-PQ
+   * probe when every list is probed.
+   */
+  def ivfPqProbeIndex(index: DataFrame, queries: DataFrame,
+                      vecCol: String, idCol: String, k: Int,
+                      cent: Array[Array[Float]],
+                      cb: Array[Array[Array[Float]]], nProbe: Int,
+                      shortlist: Int = 32): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    import graft.functions.NativeExpressions.nearestCentroids
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(nearestCentroids(col(vecCol), cent, nProbe)).as("__list"))
+    val lists = q.select(col("__list")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val pruned = index.where(col("__list").isin(lists: _*))
+    val stage1 = pruned
+      .select(col("id").as("neighbor_id"), col("code"),
+        col("__list").cast(IntegerType).as("__list"))
+      .join(q, Seq("__list"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-l2sq(col("__qv"), pqDecode(col("code"), cb))).as("__negd"))
+    val short = topKPerGroup(stage1, "query_id", "neighbor_id", "__negd",
+      shortlist).select(col("query_id"), col("neighbor_id"))
+    val cv = pruned.select(col("id").as("neighbor_id"),
+      col("vec").as("__cv"), norm(col("vec")).as("__cvn"))
+    val qv = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv2"), norm(col(vecCol)).as("__qvn"))
+    val exact = short.join(cv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv2"), col("__cv"),
+          col("__qvn"), col("__cvn")).as("cos_sim"))
+    topKPerGroup(exact, "query_id", "neighbor_id", "cos_sim", k)
+  }
+
+  /**
    * SemDeDup-style SEMANTIC dedup decisions (Abbas et al., 2023,
    * arXiv:2303.09540): cluster the corpus by map-only nearest-centroid
    * assignment (the IVF machinery — pass [[seedCentroids]] output for

@@ -2476,6 +2476,46 @@ class OpsSpec extends AnyFunSuite {
     assert(files == 2)
   }
 
+  test("IVF-PQ: probe prunes partitions; all-lists probe equals pure-PQ probe") {
+    assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.where(col("vec_id") < 5)
+    val cent = Similarity.seedCentroids(embs, "embedding", "vec_id", 10)
+    val cb = Similarity.pqCodebooks(embs, "embedding", "vec_id", m = 8, ksub = 16)
+    val out = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    try {
+      Similarity.writeIvfPqIndex(embs, "embedding", "vec_id", cent, cb, out)
+      val idx = spark.read.parquet(out)
+      // selective probe: partition-pruned scan
+      val probed = Similarity.ivfPqProbeIndex(idx, queries, "embedding",
+        "vec_id", k = 5, cent, cb, nProbe = 3, shortlist = 20)
+      probed.collect()
+      assert(probed.queryExecution.executedPlan.toString
+        .contains("PartitionFilters: [__list"))
+      // probing EVERY list with a huge shortlist = the pure-PQ two-stage
+      // probe over the same codes (bit-equal ranks and scores)
+      val all = Similarity.ivfPqProbeIndex(idx, queries, "embedding",
+          "vec_id", k = 5, cent, cb, nProbe = 10, shortlist = 500)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+      val pqOut = java.nio.file.Files.createTempDirectory("pqflat").toString
+      try {
+        Similarity.writePqIndex(embs, "embedding", "vec_id", cb, pqOut, 4)
+        val pq = Similarity.pqProbeIndex(spark.read.parquet(pqOut), queries,
+            "embedding", "vec_id", k = 5, cb, shortlist = 500)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+        assert(all == pq && all.nonEmpty)
+      } finally {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(pqOut)).deleteRecursively()
+      }
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(out)).deleteRecursively()
+    }
+  }
+
   test("appendIvfIndex: incremental batch lands in its lists, probes see old+new") {
     assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
