@@ -2089,6 +2089,39 @@ object SparkEntry {
       },
       Some(ivfPqOracle)),
 
+    // --- corpus snapshot diff: both engines synthesize the identical
+    //     "after" snapshot (every 11th doc removed, every 7th changed,
+    //     every 13th re-added under a shifted id — t09 convention) and
+    //     the diff must classify exactly those
+    ("d15_snapshot_diff",
+      (s, dir) => {
+        val before = docs(s, dir).select(col("doc_id"), col("text"))
+        val after = before.where(pmod(col("doc_id"), lit(11)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+          .unionByName(before.where(pmod(col("doc_id"), lit(13)) === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.snapshotDiff(before, after, "text", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, text FROM documents),
+             |a AS (SELECT doc_id,
+             |        CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+             |             ELSE text END AS text
+             |      FROM documents WHERE doc_id % 11 <> 0
+             |      UNION ALL
+             |      SELECT doc_id + 100000, text FROM documents
+             |      WHERE doc_id % 13 = 0),
+             |j AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+             |        CASE WHEN b.doc_id IS NULL THEN 'added'
+             |             WHEN a.doc_id IS NULL THEN 'removed'
+             |             WHEN a.text <> b.text THEN 'changed'
+             |             ELSE 'unchanged' END AS status
+             |      FROM b FULL JOIN a ON a.doc_id = b.doc_id)
+             |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -358,6 +358,34 @@ object Dedup {
   }
 
   /**
+   * Corpus snapshot diff: which documents were added, removed, or
+   * content-changed between two snapshots of an id-stable corpus (two
+   * crawls, two pipeline versions) — the audit that answers "what did
+   * this refresh actually do" before committing it downstream. Output
+   * rows only for differences: (idCol, status ∈ added|removed|changed);
+   * unchanged documents produce nothing.
+   *
+   * Scale: each side reduces map-side to (id, 128-bit content hash) —
+   * bodies never move — and one full-outer join on the id key
+   * classifies every difference. 100 TB × 2 snapshots diff in a
+   * 24 B/row shuffle.
+   */
+  def snapshotDiff(before: DataFrame, after: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) =
+      df.select(col(idCol).cast(LongType).as(idCol),
+        struct(xxhash64(col(textCol)),
+          xxhash64(lit(0xd1ff), col(textCol))).as(h))
+    keyed(before, "__hb").join(keyed(after, "__ha"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__hb").isNull, lit("added"))
+          .when(col("__ha").isNull, lit("removed"))
+          .when(col("__ha") =!= col("__hb"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .where(col("status") =!= "unchanged")
+  }
+
+  /**
    * ASYMMETRIC containment pairs: candidates from shared winnowing
    * fingerprints ([[winnowDupPairs]]), verified by exact containment
    * over the n-gram shingle sets —

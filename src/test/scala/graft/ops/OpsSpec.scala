@@ -2239,6 +2239,14 @@ class OpsSpec extends AnyFunSuite {
     assert(r(("cc", "ee"))._1 == 5L)
   }
 
+  test("snapshotDiff: added/removed/changed classified, unchanged silent") {
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(before, after, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("containmentPairs: embedded doc scores 1.0 where Jaccard dilutes to ~0") {
     val passage = (1 to 12).map(i => s"tok$i").mkString(" ")
     val host = ((1 to 12).map(i => s"tok$i") ++
