@@ -2122,6 +2122,18 @@ object SparkEntry {
              |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- per-source duplication-rate triage (where dedup budget goes)
+    ("t27_dup_rate",
+      (s, dir) => Dedup.dupRateByGroup(docs(s, dir), "text", "source")
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          round(col("dup_rate"), 6).as("dup_rate"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |       count(DISTINCT text) AS n_distinct,
+             |       round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

@@ -358,6 +358,28 @@ object Dedup {
   }
 
   /**
+   * Per-group duplication report: for each group (source, crawl day,
+   * language …), document count, distinct-content count and the
+   * duplication rate — the triage that decides WHERE dedup budget goes
+   * before any pairwise work runs (a source at 40% dup rate gets the
+   * near-dup pass first; one at 0.1% may not need it).
+   *
+   * Scale: map-side reduction to (group, 128-bit content key), one
+   * partially-aggregated distinct count per group — bodies never move,
+   * and no pairs are ever formed.
+   */
+  def dupRateByGroup(df: DataFrame, textCol: String,
+                     groupCol: String): DataFrame =
+    df.select(col(groupCol), xxhash64(col(textCol)).as("__h1"),
+        xxhash64(lit(0x5eed), col(textCol)).as("__h2"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(struct(col("__h1"), col("__h2"))).as("n_distinct"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct").cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+
+  /**
    * Corpus snapshot diff: which documents were added, removed, or
    * content-changed between two snapshots of an id-stable corpus (two
    * crawls, two pipeline versions) — the audit that answers "what did

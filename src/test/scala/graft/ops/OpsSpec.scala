@@ -2239,6 +2239,51 @@ class OpsSpec extends AnyFunSuite {
     assert(r(("cc", "ee"))._1 == 5L)
   }
 
+  test("snapshotDiff == naive string diff on random mutations") {
+    val rnd = new scala.util.Random(11)
+    val before = (1 to 200).map(i => (i.toLong, s"doc $i body ${rnd.nextInt(5)}"))
+    val after = before.flatMap { case (id, text) =>
+      rnd.nextInt(4) match {
+        case 0 => None                         // removed
+        case 1 => Some((id, text + " mutated")) // changed
+        case _ => Some((id, text))             // unchanged
+      }
+    } ++ (201 to 230).map(i => (i.toLong, s"new doc $i"))
+    val expected = {
+      val b = before.toMap
+      val a = after.toMap
+      val removed = (b.keySet -- a.keySet).map(_ -> "removed")
+      val added = (a.keySet -- b.keySet).map(_ -> "added")
+      val changed = (b.keySet & a.keySet)
+        .filter(k => b(k) != a(k)).map(_ -> "changed")
+      (removed ++ added ++ changed).toMap
+    }
+    val got = Dedup.snapshotDiff(before.toDF("doc_id", "text"),
+        after.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(got == expected)
+  }
+
+  test("winnowing guarantee holds on random corpora (shared run ⇒ shared fp)") {
+    val rnd = new scala.util.Random(13)
+    val (n, w) = (3, 4)
+    val vocab = (1 to 30).map(i => s"w$i")
+    for (trial <- 1 to 10) {
+      val runLen = w + n - 1 + rnd.nextInt(5) // always >= guarantee bound
+      val shared = Seq.fill(runLen)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      def filler(len: Int) =
+        Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val docs = Seq(
+        (1L, s"${filler(rnd.nextInt(20))} $shared ${filler(rnd.nextInt(20))}"),
+        (2L, s"${filler(rnd.nextInt(20))} $shared ${filler(rnd.nextInt(20))}")
+      ).toDF("doc_id", "text")
+      val fps = TextOps.winnowFingerprints(docs, "text", "doc_id", n, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      assert((fps(1L) intersect fps(2L)).nonEmpty, s"trial $trial")
+    }
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged silent") {
     val before = Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("doc_id", "text")
     val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh")).toDF("doc_id", "text")
