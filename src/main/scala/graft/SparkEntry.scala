@@ -2134,6 +2134,32 @@ object SparkEntry {
              |         / CAST(count(*) AS DOUBLE), 6) AS dup_rate
              |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
 
+    // --- Zipf fit over the top-100 frequency head (corpus health
+    //     one-liner; sums rounded at the report edge only)
+    ("t28_zipf_fit",
+      (s, dir) => TextOps.zipfFit(docs(s, dir), "text", topK = 100)
+        .select(col("n_terms"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept")),
+      Some("""WITH f AS (SELECT token, count(*) AS n
+             |  FROM (SELECT unnest(
+             |          CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END)
+             |          AS token
+             |        FROM documents)
+             |  GROUP BY token),
+             |h AS (SELECT n, row_number() OVER
+             |        (ORDER BY n DESC, token) AS r
+             |      FROM (SELECT * FROM f ORDER BY n DESC, token LIMIT 100)),
+             |p AS (SELECT ln(CAST(r AS DOUBLE)) AS x,
+             |             ln(CAST(n AS DOUBLE)) AS y FROM h),
+             |g AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM p)
+             |SELECT k AS n_terms,
+             |  round((k*sxy - sx*sy) / (k*sxx - sx*sx), 6) AS slope,
+             |  round((sy - ((k*sxy - sx*sy) / (k*sxx - sx*sx)) * sx) / k, 6)
+             |    AS intercept
+             |FROM g""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

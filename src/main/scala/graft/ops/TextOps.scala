@@ -425,6 +425,43 @@ object TextOps {
   }
 
   /**
+   * Zipf-law fit over the frequency head: least-squares slope and
+   * intercept of ln(freq) against ln(rank) for the `topK` most
+   * frequent tokens. Natural corpora sit near slope −1; a much
+   * flatter slope flags template/boilerplate-dominated text and a
+   * much steeper one flags degenerate repetition — a one-row corpus
+   * health check to trend per crawl.
+   *
+   * Scale: one tokenFrequencies pass (shuffle ∝ vocabulary), a
+   * TakeOrdered head, and closed-form least-squares sums over topK
+   * rows (the post-limit rank window runs on topK rows, not the
+   * vocabulary). Output: (n_terms, slope, intercept).
+   */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+              topK: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    val ranked = tokenFrequencies(df, textCol)
+      .orderBy(col("n").desc, col("token")).limit(topK)
+      .withColumn("__r", row_number().over(w))
+      .select(log(col("__r").cast(DoubleType)).as("__x"),
+        log(col("n").cast(DoubleType)).as("__y"))
+    ranked.agg(count(lit(1)).as("n_terms"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("n_terms"),
+        ((col("n_terms") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("slope"),
+        ((col("__sy") - ((col("n_terms") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("n_terms") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("n_terms")).as("intercept"))
+  }
+
+  /**
    * Pointwise mutual information over the vocabulary's Zipf head:
    * document-level co-occurrence of the `topK` most frequent tokens,
    *

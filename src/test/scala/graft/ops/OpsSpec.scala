@@ -2197,6 +2197,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r(("b", 0.5)) == 500L && r(("b", 1.0)) == 500L)
   }
 
+  test("zipfFit: exact -1 slope on a synthetic 1/r corpus") {
+    // token w_r appears round(1200/r) times → ln f = ln 1200 − ln r:
+    // a perfect slope −1, intercept ln 1200 fit (all counts distinct
+    // for r ≤ 30, so ranking is unambiguous)
+    val toks = (1 to 30).flatMap(r => Seq.fill(math.round(1200.0 / r).toInt)(f"w$r%02d"))
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val row = TextOps.zipfFit(docs, "text", topK = 30).head()
+    assert(row.getLong(0) == 30L)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 0.01, s"slope ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - math.log(1200.0)) < 0.05)
+  }
+
   test("bpePairCounts: hand-counted pairs, single-char tokens excluded") {
     val docs = Seq((1L, "abab ab x"), (2L, "abba")).toDF("doc_id", "text")
     // abab → ab, ba, ab ; ab → ab ; abba → ab, bb, ba ; x excluded
