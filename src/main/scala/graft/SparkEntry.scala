@@ -2160,6 +2160,41 @@ object SparkEntry {
              |    AS intercept
              |FROM g""".stripMargin)),
 
+    // --- funnel conversion summary: per-stage user counts and
+    //     step/top conversion rates off the e04 funnel (one aggregation
+    //     over the per-user output, exact-count divisions)
+    ("e15_funnel_summary",
+      (s, dir) => Sessionize.funnelSummary(
+          Sessionize.funnel(evts(s, dir), Seq("view", "click", "purchase")),
+          Seq("view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts
+             |      FROM e0 WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT v.user_id, v.view_ts,
+             |        min(CASE WHEN e.ts > v.view_ts THEN e.ts END) AS click_ts
+             |      FROM v LEFT JOIN e0 e
+             |        ON e.user_id = v.user_id AND e.event_type = 'click'
+             |      GROUP BY 1, 2),
+             |p AS (SELECT c.user_id, c.view_ts, c.click_ts,
+             |        min(CASE WHEN e.ts > c.click_ts THEN e.ts END)
+             |          AS purchase_ts
+             |      FROM c LEFT JOIN e0 e
+             |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |      GROUP BY 1, 2, 3),
+             |g AS (SELECT count(view_ts) AS c0, count(click_ts) AS c1,
+             |             count(purchase_ts) AS c2 FROM p)
+             |SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+             |       c0 AS n_users,
+             |       CAST(c0 AS DOUBLE)/c0 AS p_prev, CAST(c0 AS DOUBLE)/c0 AS p_top
+             |FROM g
+             |UNION ALL SELECT CAST(2 AS BIGINT), 'click', c1,
+             |       CAST(c1 AS DOUBLE)/c0, CAST(c1 AS DOUBLE)/c0 FROM g
+             |UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', c2,
+             |       CAST(c2 AS DOUBLE)/c1, CAST(c2 AS DOUBLE)/c0 FROM g
+             |ORDER BY stage_idx""".stripMargin)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(

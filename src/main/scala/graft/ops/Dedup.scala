@@ -358,6 +358,38 @@ object Dedup {
   }
 
   /**
+   * MinHash-LSH parameter planner: for a signature of `k` hashes,
+   * enumerate every (bands, rows) factorization and report the
+   * S-curve's operating points — collision probability
+   * `1 − (1 − j^rows)^bands` at the target Jaccard and at a
+   * `separation` below it, plus the curve's threshold location
+   * `(1/bands)^(1/rows)`. Callers pick the row whose `p_at_target` is
+   * high and `p_below` low; [[minhashLshPairs]]' defaults (k=128,
+   * b=32, r=4) come from exactly this table at τ=0.8. Pure driver-side
+   * math — the planning step before committing a 100 TB banding pass.
+   */
+  def lshPlan(k: Int, targetJaccard: Double,
+              separation: Double = 0.2): Seq[LshOperatingPoint] = {
+    require(k >= 2, s"k must be >= 2: $k")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0,1): $targetJaccard")
+    def pCollide(j: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    for {
+      r <- (1 to k).filter(k % _ == 0)
+      b = k / r
+    } yield LshOperatingPoint(b, r,
+      math.pow(1.0 / b, 1.0 / r),
+      pCollide(targetJaccard, b, r),
+      pCollide(math.max(0.0, targetJaccard - separation), b, r))
+  }
+
+  /** One (bands, rows) operating point of [[lshPlan]]. */
+  final case class LshOperatingPoint(bands: Int, rows: Int,
+                                     curveThreshold: Double,
+                                     pAtTarget: Double, pBelow: Double)
+
+  /**
    * Per-group duplication report: for each group (source, crawl day,
    * language …), document count, distinct-content count and the
    * duplication rate — the triage that decides WHERE dedup budget goes

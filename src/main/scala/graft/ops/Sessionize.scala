@@ -202,6 +202,35 @@ object Sessionize {
   }
 
   /**
+   * Funnel conversion summary: collapse [[funnel]]'s per-user stage
+   * timestamps into one row per stage — users reaching it, conversion
+   * from the previous stage, and conversion from the top — the report
+   * product dashboards actually show. Stage counts come from ONE
+   * aggregation over the funnel output (a conditional count per
+   * stage); the per-stage rows explode in-row from that single row.
+   */
+  def funnelSummary(funnelOut: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val counts = funnelOut.agg(
+      count(when(col(s"${stages.head}_ts").isNotNull, 1)).as("__c0"),
+      stages.tail.zipWithIndex.map { case (st, i) =>
+        count(when(col(s"${st}_ts").isNotNull, 1)).as(s"__c${i + 1}")
+      }: _*)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1L).as("stage_idx"), lit(st).as("stage"),
+        col(s"__c$i").as("n_users"),
+        (col(s"__c$i").cast(DoubleType) /
+          col(s"__c${math.max(0, i - 1)}").cast(DoubleType)).as("p_prev"),
+        (col(s"__c$i").cast(DoubleType) / col("__c0").cast(DoubleType))
+          .as("p_top"))
+    }
+    counts.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.stage_idx").as("stage_idx"), col("__r.stage").as("stage"),
+        col("__r.n_users").as("n_users"), col("__r.p_prev").as("p_prev"),
+        col("__r.p_top").as("p_top"))
+  }
+
+  /**
    * Cohort retention: users bucketed by first-activity day (the
    * cohort), counted by how many distinct days-offsets they came back
    * (offset 0 = the cohort day itself). The product-analytics

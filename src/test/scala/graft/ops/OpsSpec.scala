@@ -2251,6 +2251,36 @@ class OpsSpec extends AnyFunSuite {
     assert(r(("cc", "ee"))._1 == 5L)
   }
 
+  test("lshPlan: enumerates factorizations, defaults sit on the right S-curve") {
+    val plan = Dedup.lshPlan(k = 128, targetJaccard = 0.8)
+    assert(plan.map(p => p.bands * p.rows).forall(_ == 128))
+    val chosen = plan.find(p => p.bands == 32 && p.rows == 4).get
+    // the shipped defaults: near-certain at τ, low-ish below it
+    assert(chosen.pAtTarget > 0.999)
+    assert(chosen.pBelow < chosen.pAtTarget)
+    assert(math.abs(chosen.curveThreshold - math.pow(1.0 / 32, 0.25)) < 1e-12)
+    // monotonicity: more rows per band → curve threshold moves right
+    val byRows = plan.sortBy(_.rows)
+    assert(byRows.map(_.curveThreshold) == byRows.map(_.curveThreshold).sorted)
+  }
+
+  test("funnelSummary: stage counts and conversion rates off the funnel output") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (1L, ts(1L), 1L, "view"), (2L, ts(2L), 1L, "click"), (3L, ts(3L), 1L, "buy"),
+      (4L, ts(1L), 2L, "view"), (5L, ts(2L), 2L, "click"),
+      (6L, ts(1L), 3L, "view"),
+      (7L, ts(1L), 4L, "click") // no view: not in the funnel at all
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val f = Sessionize.funnel(events, Seq("view", "click", "buy"))
+    val r = Sessionize.funnelSummary(f, Seq("view", "click", "buy"))
+      .orderBy("stage_idx").collect()
+      .map(x => (x.getString(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))
+    assert(r(0) == (("view", 3L, 1.0, 1.0)))
+    assert(r(1) == (("click", 2L, 2.0 / 3, 2.0 / 3)))
+    assert(r(2) == (("buy", 1L, 0.5, 1.0 / 3)))
+  }
+
   test("snapshotDiff == naive string diff on random mutations") {
     val rnd = new scala.util.Random(11)
     val before = (1 to 200).map(i => (i.toLong, s"doc $i body ${rnd.nextInt(5)}"))
