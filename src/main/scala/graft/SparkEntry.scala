@@ -2195,6 +2195,46 @@ object SparkEntry {
              |       CAST(c2 AS DOUBLE)/c1, CAST(c2 AS DOUBLE)/c0 FROM g
              |ORDER BY stage_idx""".stripMargin)),
 
+    // --- retention triangle normalized by cohort size (the e05 counts
+    //     as rates; exact-count division, no rounding)
+    ("e16_retention_rates",
+      (s, dir) => Sessionize.retentionRates(evts(s, dir))
+        .withColumn("cohort_day", col("cohort_day").cast("string"))
+        .orderBy("cohort_day", "day_offset"),
+      Some("""WITH e0 AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e0),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+             |c AS (SELECT f.cohort_day,
+             |        CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+             |        count(*) AS n_users
+             |      FROM d JOIN f USING (user_id) GROUP BY 1, 2),
+             |b AS (SELECT cohort_day, n_users AS base FROM c
+             |      WHERE day_offset = 0)
+             |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day, day_offset,
+             |       c.n_users,
+             |       CAST(c.n_users AS DOUBLE) / CAST(b.base AS DOUBLE)
+             |         AS retention
+             |FROM c JOIN b USING (cohort_day)
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // --- near-dup cluster size profile: how much of the corpus sits in
+    //     clusters of each size (the dedup-savings estimate) — composes
+    //     the d06 components into a histogram
+    ("d16_cluster_profile",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        val cc = Dedup.connectedComponents(pairs)
+        cc.groupBy(col("component"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some(clusterProfileOracle)),
+
     // --- binary payload audit (multimodal plumbing: content-hash dedup key)
     ("m01_payload_audit",
       (s, dir) => Multimodal.payloadAudit(
@@ -2324,6 +2364,17 @@ object SparkEntry {
       |SELECT doc_id, cluster_id,
       |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of d16: the d06 component machinery collapsed to a
+    * size histogram (clustered docs only — singletons never enter the
+    * edge set on either engine). */
+  private lazy val clusterProfileOracle: String =
+    s"""WITH RECURSIVE $dupClusterCtes,
+      |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM comp
+      |       GROUP BY 1)
+      |SELECT cluster_size, count(*) AS n_clusters,
+      |       cluster_size * count(*) AS n_docs
+      |FROM cs GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   /** DuckDB mirror of d08: same cluster graph, keep the best-quality
     * member per cluster (quality desc, doc_id tie-break), corpus minus

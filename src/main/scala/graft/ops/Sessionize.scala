@@ -393,6 +393,23 @@ object Sessionize {
   }
 
   /**
+   * Retention rates: [[retentionCohorts]] counts normalized by each
+   * cohort's size (its day-0 population) — the triangle product teams
+   * actually read. One groups-sized self-join of the cohort table;
+   * the rate is an exact-count division.
+   */
+  def retentionRates(events: DataFrame, userCol: String = "user_id",
+                     tsCol: String = "ts"): DataFrame = {
+    val c = retentionCohorts(events, userCol, tsCol)
+    val base = c.where(col("day_offset") === 0)
+      .select(col("cohort_day"), col("n_users").as("__base"))
+    c.join(base, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        (col("n_users").cast(DoubleType) / col("__base").cast(DoubleType))
+          .as("retention"))
+  }
+
+  /**
    * Hierarchical report with ROLLUP grouping sets: per (event_type,
    * day) counts and value sums, plus per-event_type subtotals and a
    * grand total in the SAME pass. Null group columns mark subtotal
