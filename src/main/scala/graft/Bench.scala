@@ -32,6 +32,23 @@ object Bench {
     // measure the plan, not first-use JIT + classloading.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Contention canary: time a fixed calibration query before and
+    // after the sweep. On a quiet box the two agree; on a contended
+    // box (other tenants stealing the 32 cores mid-run) calib_drift
+    // blows past ~2× and the run's absolute numbers should be
+    // discounted rather than read as plan regressions (r04's driver
+    // bench showed 10-28× "regressions" on unchanged queries this way).
+    def calibrate(): Double = {
+      val fn = SparkEntry.queries("q01_node_scan")
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    calibrate() // untimed: JIT-warm the calibration path itself
+    val calibStart = calibrate()
+
     // Adaptive repeats, report the fastest: first-run numbers mix JIT/
     // classload warmup into the engine time, so everything gets >= 2
     // runs; queries whose min lands under `fastCutoff` are dominated by
@@ -41,8 +58,14 @@ object Bench {
     val runs = 2
     val fastRuns = 5
     val fastCutoff = 0.3
+    // SPARK_GRAFT_ONLY=d06,d08 runs only queries whose name starts with
+    // one of the comma-separated prefixes — local iteration aid; the
+    // driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith)) }
     val results: Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         def one(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -55,10 +78,12 @@ object Bench {
           times ++= (runs until fastRuns).map(_ => one())
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
+    val calibEnd = calibrate()
+    val drift = math.max(calibEnd / calibStart, calibStart / calibEnd)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f}""")
     spark.stop()
   }
 }

@@ -924,9 +924,24 @@ object Dedup {
    * with component = MIN id in its connected component (so the root is
    * itself the canonical "keep" id). Nodes not in any pair are absent —
    * callers union singletons back (see [[nearDeduplicate]]).
+   *
+   * Small-graph fast path: the distributed loop pays ~6 rounds × (two
+   * aggregate+join passes + checkpoint + checksum) of pure
+   * job-scheduling overhead, which dominates when the PAIR graph is
+   * tiny even though the CORPUS is huge — the common case, since LSH
+   * banding already shrank the graph to actual near-dup candidates.
+   * When the canonical distinct edge count (known from the first
+   * checksum, no extra job) is ≤ `driverEdgeLimit`, the (hi, lo)
+   * pairs — 16 bytes each, ≤ 16 MB at the default limit — are
+   * collected and solved with driver union-find. This mirrors the
+   * model-sized-collect contract used for k-means centroids and PQ
+   * codebooks: the collected object is bounded by a documented
+   * constant, never by corpus size. Above the limit the distributed
+   * loop runs unchanged; pass `driverEdgeLimit = 0` to force it.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-                          bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+                          bCol: String = "id_b", maxIter: Int = 50,
+                          driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // canonical (hi > lo) edges, self-loops dropped
     var edges = pairs
@@ -948,6 +963,8 @@ object Dedup {
     }
 
     var state = checksum(edges)
+    if (state._1 > 0L && state._1 <= driverEdgeLimit)
+      return driverUnionFind(edges)
     var iter = 0
     var converged = state._1 == 0L
     while (!converged && iter < maxIter) {
@@ -986,6 +1003,38 @@ object Dedup {
     edges.select(col("hi").as("id"), col("lo").as("component"))
       .union(edges.select(col("lo").as("id"), col("lo").as("component")))
       .distinct()
+  }
+
+  /**
+   * Driver union-find over a BOUNDED canonical edge list (callers have
+   * already verified `count ≤ driverEdgeLimit`). Union-by-min keeps the
+   * invariant that every tree root is the minimum id in its tree, so a
+   * final find() yields component = MIN id — identical output contract
+   * to the distributed large-star/small-star loop (pinned by a unit
+   * test that runs both paths on the same graph).
+   */
+  private def driverUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("hi"), col("lo")).collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var i = 0
+    while (i < es.length) {
+      val ra = find(es(i).getLong(0))
+      val rb = find(es(i).getLong(1))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      i += 1
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    es.foreach { r => nodes(r.getLong(0)) = (); nodes(r.getLong(1)) = () }
+    nodes.keys.toSeq.map(n => (n, find(n))).toDF("id", "component")
   }
 
   /**

@@ -413,6 +413,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("connectedComponents: driver fast path == distributed loop on the same graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      ++ (0L until 10L).sliding(2).map(s => (s(0) + 200, s(1) + 200)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(df) // default limit → driver path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(df, driverEdgeLimit = 0L) // force loop
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+  }
+
   test("connectedComponents: empty input and single-edge graphs") {
     val empty = Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
