@@ -609,16 +609,52 @@ object SparkEntry {
 
     // --- the PRODUCTION simhash path: native per-token xxhash64 (one
     //     compiled loop, no SQL-mirrorable arithmetic) and the default
-    //     skew cap. No cross-engine oracle by construction (DuckDB has
-    //     no xxhash64) — benched alongside d04 so the oracle-mode hash
-    //     tax is visible and the shipping path's number is the one
-    //     tracked round over round; rows-only check + planted-pair
-    //     ScalaTest cover correctness.
+    //     skew cap. The pair VALUES can't be value-checked cross-engine
+    //     (DuckDB has no xxhash64), so the query emits a STRUCTURAL
+    //     oracle instead — one row of invariants the match set must
+    //     satisfy, each computable or pinnable in plain SQL:
+    //       exact_pairs          C(n,2) over identical-text groups —
+    //                            DuckDB recomputes it from `documents`;
+    //       missing_exact_pairs  exact dups hash to IDENTICAL
+    //                            fingerprints (dist 0), so simhash MUST
+    //                            recall every one of them — pinned 0;
+    //       dist_violations      emitted dist outside [0, maxDist] — 0;
+    //       dup_rows / order_violations  pair-set canonicalization
+    //                            (unique, id_a < id_b) — 0.
+    //     The planted-pair value-level checks live in OpsSpec; the
+    //     oracle-mode hash twin d04_simhash value-checks the full
+    //     pipeline arithmetic cross-engine.
     ("d04_simhash_prod",
-      (s, dir) => Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
+      (s, dir) => {
+        val pairs = Dedup.simhashPairs(docs(s, dir), "text", "doc_id",
           maxDist = 3)
-        .orderBy("id_a", "id_b"),
-      None),
+        val d = docs(s, dir).select(col("doc_id").cast("long").as("id"),
+          col("text"))
+        val exact = d.as("a").join(d.as("b"),
+            col("a.text") === col("b.text") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            lit(1L).as("__e"))
+        // one full-outer join = one pass over the prod pair pipeline
+        exact.join(pairs, Seq("id_a", "id_b"), "full_outer").agg(
+          coalesce(sum(col("__e")), lit(0L)).as("exact_pairs"),
+          coalesce(sum(when(col("__e").isNotNull && col("dist").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("missing_exact_pairs"),
+          coalesce(sum(when(col("dist") < 0 || col("dist") > 3, 1L)
+            .otherwise(0L)), lit(0L)).as("dist_violations"),
+          (count(col("dist")) - countDistinct(when(col("dist").isNotNull,
+            struct(col("id_a"), col("id_b"))))).as("dup_rows"),
+          coalesce(sum(when(col("dist").isNotNull &&
+            col("id_a") >= col("id_b"), 1L).otherwise(0L)), lit(0L))
+            .as("order_violations"))
+      },
+      Some("""SELECT
+             |  (SELECT CAST(coalesce(sum(n*(n-1)/2), 0) AS BIGINT)
+             |   FROM (SELECT count(*) AS n FROM documents
+             |         GROUP BY text HAVING count(*) >= 2) g) AS exact_pairs,
+             |  CAST(0 AS BIGINT) AS missing_exact_pairs,
+             |  CAST(0 AS BIGINT) AS dist_violations,
+             |  CAST(0 AS BIGINT) AS dup_rows,
+             |  CAST(0 AS BIGINT) AS order_violations""".stripMargin)),
 
     // --- embedding-cosine near-dup, blocked by label
     ("d05_embedding_dups",
