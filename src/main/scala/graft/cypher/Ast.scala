@@ -67,8 +67,13 @@ object ast {
   }
 
   final case class NodePat(alias: Option[String], label: Option[String])
+  /** `varLength = Some((lo, hi))` marks a bounded variable-length
+   *  relationship `[*lo..hi]` — a flagged EXTENSION (the reference
+   *  rejects var-length, CypherVisitor.cs:2035-2039); the compiler
+   *  unrolls it into one fixed chain per length, UNION ALL'd. */
   final case class RelPat(alias: Option[String], verb: Option[String],
-                          dir: Direction)
+                          dir: Direction,
+                          varLength: Option[(Int, Int)] = None)
   /** Linear pattern: nodes.size == rels.size + 1. */
   final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat])
 
@@ -82,17 +87,25 @@ object ast {
   final case class RetItem(expr: Expr, alias: Option[String])
   final case class SortItem(expr: Expr, desc: Boolean)
 
-  /** WITH ... [ORDER BY ... LIMIT ...] [WHERE ...] or terminal RETURN. */
+  /** WITH ... [ORDER BY ... LIMIT ...] [WHERE ...] or terminal RETURN.
+   *  `skip` is a flagged EXTENSION (the reference has no oC_Skip
+   *  visitor, CypherVisitor.cs:2076-2086) — same int32 contract as
+   *  LIMIT, lowered to `Dataset.offset`. */
   final case class Projection(
       items: Seq[RetItem],
       distinct: Boolean,
       orderBy: Seq[SortItem],
       limit: Option[Long],
-      where: Option[Expr])   // post-WITH WHERE; never set on RETURN
+      where: Option[Expr],   // post-WITH WHERE; never set on RETURN
+      skip: Option[Long] = None)
 
   /** One query part: MATCH clauses followed by a WITH (or the terminal
-   *  RETURN for the last part). Mirrors reference PartialQueryNode. */
-  final case class QueryPart(matches: Seq[MatchClause], proj: Projection)
+   *  RETURN for the last part). Mirrors reference PartialQueryNode.
+   *  `unwinds` — flagged EXTENSION (reference roadmap README.md:57):
+   *  `UNWIND <listExpr> AS <alias>` clauses between the matches and the
+   *  projection, each lowered to `explode`. */
+  final case class QueryPart(matches: Seq[MatchClause], proj: Projection,
+                             unwinds: Seq[(Expr, String)] = Seq.empty)
 
   sealed trait Query
   final case class SingleQuery(parts: Seq[QueryPart]) extends Query

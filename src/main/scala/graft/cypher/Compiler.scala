@@ -350,6 +350,10 @@ object Compiler {
       if (proj.orderBy.nonEmpty)
         aug = aug.orderBy(proj.orderBy.map(s =>
           if (s.desc) sortEc.compile(s.expr).desc else sortEc.compile(s.expr).asc): _*)
+      // SKIP (extension) rides between ORDER BY and LIMIT — Spark's
+      // Limit(n, Offset(s, Sort(...))) plan pages without a global
+      // re-sort per page
+      proj.skip.foreach(n => aug = aug.offset(n.toInt))
       proj.limit.foreach(n => aug = aug.limit(n.toInt))
       proj.where.foreach(w => aug = aug.filter(
         new ExprCompiler(sortScope, aug, aliasToTmp, entitySrc).compile(w)))
@@ -401,6 +405,7 @@ object Compiler {
         out = out.orderBy(proj.orderBy.map(s =>
           if (s.desc) postEc.compile(s.expr).desc
           else postEc.compile(s.expr).asc): _*)
+      proj.skip.foreach(n => out = out.offset(n.toInt))
       proj.limit.foreach(n => out = out.limit(n.toInt))
       proj.where.foreach(w =>
         out = out.filter(new ExprCompiler(ns, out).compile(w)))
@@ -444,13 +449,91 @@ object Compiler {
       parts.zipWithIndex.foreach { case (part, i) =>
         val isLast = i == parts.size - 1
         val scope = ctx.map(_.scope).getOrElse(Map.empty)
-        val resolved = Analyzer.resolvePart(catalog.graph, scope, part.matches)
         val afterMatch =
           if (part.matches.isEmpty) ctx.getOrElse(
             throw new CypherNotSupportedException("standalone RETURN/WITH"))
-          else compileMatches(ctx, resolved, catalog)
-        ctx = Some(compileProjection(afterMatch, part.proj, isReturn = isLast))
+          else if (!VarLength.hasVarLength(part.matches))
+            compileMatches(ctx,
+              Analyzer.resolvePart(catalog.graph, scope, part.matches),
+              catalog)
+          else compileVarLength(ctx, scope, part.matches, catalog)
+        val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
+        ctx = Some(compileProjection(afterUnwind, part.proj, isReturn = isLast))
       }
       ctx.get.df
+  }
+
+  /** UNWIND (extension): `explode` the list column into one row per
+   *  element (empty / NULL lists yield no rows — Cypher's semantics and
+   *  `explode`'s). The alias joins the scope as a plain value. */
+  private def applyUnwind(c: Ctx, uw: (Expr, String)): Ctx = {
+    val (ex, alias) = uw
+    if (alias.startsWith("__"))
+      throw new CypherNotSupportedException(
+        s"alias '$alias' — names starting with __ are reserved")
+    if (c.scope.contains(alias))
+      throw new CypherBindingException(
+        s"UNWIND alias '$alias' is already bound")
+    val ec = new ExprCompiler(c.scope, c.df)
+    ec.staticType(ex) match {
+      case Some(_: ArrayType) | None => // unknown = permissive, like Refs
+      case Some(t) => throw new CypherTypeException(
+        s"UNWIND requires a list, got ${t.simpleString}")
+    }
+    Ctx(c.df.withColumn(alias, explode(ec.compile(ex))),
+      c.scope + (alias -> ValueBinding))
+  }
+
+  /**
+   * Bounded variable-length relationships (extension): the match set is
+   * the UNION ALL over path lengths lo..hi, each length unrolled into a
+   * fixed chain of single-hop relationships through the ordinary join
+   * builder — so each branch gets scan-merge, label inference and the
+   * per-path relationship-uniqueness inequalities (same-type unrolled
+   * hops pair up in [[Analyzer.resolvePart]]) for free. Lengths with no
+   * schema-consistent resolution contribute zero rows (dropped at
+   * compile time); if NO length resolves, the first binding error is
+   * the query's error. Anonymous interior nodes are pruned before the
+   * union so all branches share one schema; aggregation and
+   * ORDER BY/SKIP/LIMIT in the projection then run over the UNIONED
+   * match set (not per branch).
+   */
+  private def compileVarLength(
+      start: Option[Ctx], scope: Map[String, Binding],
+      matches: Seq[MatchClause], catalog: GraphCatalog): Ctx = {
+    val branches = VarLength.expand(matches)
+    val compiled = Vector.newBuilder[Ctx]
+    var firstErr: Option[CypherException] = None
+    branches.foreach { ms =>
+      try compiled += compileMatches(start,
+        Analyzer.resolvePart(catalog.graph, scope, ms), catalog)
+      catch {
+        case e: CypherBindingException =>
+          if (firstErr.isEmpty) firstErr = Some(e)
+      }
+    }
+    val ctxs = compiled.result()
+    if (ctxs.isEmpty) throw firstErr.get
+    // drop the anonymous interior aliases; the named surface must agree
+    // across branches (labeled endpoints guarantee it; an endpoint whose
+    // inferred label varies by length has no single property namespace)
+    def visibleScope(c: Ctx) = c.scope.filterNot(_._1.startsWith("__unnamed_"))
+    val vis = visibleScope(ctxs.head)
+    val sig = vis.map { case (a, b) => a -> bindingKey(b) }
+    ctxs.tail.foreach { c =>
+      if (visibleScope(c).map { case (a, b) => a -> bindingKey(b) } != sig)
+        throw new CypherNotSupportedException(
+          "variable-length endpoints must resolve to the same label at " +
+          "every length — annotate the endpoint nodes")
+    }
+    val cols = ctxs.head.df.columns.filterNot(_.startsWith("____unnamed_")).toSeq
+    val unioned = ctxs.map(_.df.select(cols.map(col): _*)).reduce(_ union _)
+    Ctx(unioned, vis)
+  }
+
+  private def bindingKey(b: Binding): String = b match {
+    case NodeBinding(n) => s"node:${n.label}"
+    case EdgeBinding(e) => s"edge:${e.key}"
+    case ValueBinding   => "value"
   }
 }

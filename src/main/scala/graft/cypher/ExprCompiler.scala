@@ -51,6 +51,10 @@ final class ExprCompiler(
 
   private def typeOf(e: Expr): Option[DataType] = types.infer(e)
 
+  /** Statically inferred type of an expression (None = unknown) — used
+   *  by the compiler for UNWIND's list check. */
+  def staticType(e: Expr): Option[DataType] = typeOf(e)
+
   private def isStringy(e: Expr): Boolean = typeOf(e).contains(StringType)
   private def isIntegral(e: Expr): Boolean = typeOf(e).exists {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -307,6 +311,10 @@ final class ExprCompiler(
           case "last"  => max(c)
           case "stdev"  => stddev_samp(c)
           case "stdevp" => stddev_pop(c)
+          // extension: list aggregate (order is row order, unspecified
+          // across partitions — like Cypher's)
+          case "collect" =>
+            if (a.distinct) collect_set(c) else collect_list(c)
           case "percentilecont" => percentile(c, lit(a.percentile.get))
           case "percentiledisc" =>
             // engine-native exact discrete percentile: buffers

@@ -18,6 +18,9 @@ object Lexer {
   final case class StrLit(s: String, pos: Int) extends Tok
   /** Punctuation / operator, e.g. "(", "<=", "<>", "->". */
   final case class Punct(s: String, pos: Int) extends Tok
+  /** `$name` query parameter — lexed always, resolved (extensions on)
+   *  or rejected (parity mode) by the parser. */
+  final case class Param(name: String, pos: Int) extends Tok
   final case class EOF(pos: Int) extends Tok
 
   val keywords: Set[String] = Set(
@@ -101,7 +104,15 @@ object Lexer {
         if (!closed) { i = start; err("Unterminated string literal") }
         out += StrLit(sb.toString, start)
       }
-      else if (c == '$') err("Parameters ($param) are not supported")
+      else if (c == '$') {
+        val start = i
+        i += 1
+        if (i >= n || !(q(i).isLetter || q(i) == '_'))
+          err("Expected a parameter name after '$'")
+        val ns = i
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        out += Param(q.substring(ns, i), start)
+      }
       else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
         two match {

@@ -14,8 +14,17 @@ import ast._
  * CypherNotSupportedException with a message naming the construct.
  * Unlike the reference, UNION / UNION ALL is parsed and kept
  * (the reference's visitor silently drops it — CypherVisitor.cs:626-641).
+ *
+ * With `extensions = true` (opt-in; see [[CypherSession.extended]]) four
+ * constructs the reference lacks are ACCEPTED instead of rejected:
+ * SKIP, `$param` query parameters (bound from `params` as typed
+ * literals at parse time), UNWIND + collect(), and bounded
+ * variable-length relationships `[*lo..hi]` (hi ≤ [[Parser.MaxVarHops]]).
+ * Parity mode (`extensions = false`, the default) rejects all four with
+ * the reference's messages.
  */
-final class Parser(tokens: Vector[Tok]) {
+final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
+                   params: Map[String, Any] = Map.empty) {
   private var p = 0
 
   private def cur: Tok = tokens(p)
@@ -82,7 +91,8 @@ final class Parser(tokens: Vector[Tok]) {
     case Kw(k, _, _) if Set("CREATE", "MERGE", "SET", "DELETE", "DETACH",
         "REMOVE")(k) =>
       notSupported(s"updating clause $k (read-only engine)")
-    case Kw("UNWIND", _, _) => notSupported("UNWIND")
+    case Kw("UNWIND", _, _) if !extensions =>
+      notSupported("UNWIND (supported with extensions enabled)")
     case Kw("CALL", _, _)   => notSupported("CALL / procedures")
     case _ =>
   }
@@ -109,17 +119,35 @@ final class Parser(tokens: Vector[Tok]) {
         rejectUpdating()
       }
       val ms = matches.result()
+      // UNWIND (extension): zero or more clauses between the matches and
+      // the part's projection; a MATCH after UNWIND must chain through a
+      // WITH (keeps the join builder's scope model untouched)
+      val unwinds = Vector.newBuilder[(Expr, String)]
+      var sawUnwind = false
+      while (isKw("UNWIND")) {
+        p += 1 // extensions guaranteed: parity mode rejected it above
+        val e = parseExpr()
+        eatKw("AS")
+        val al = ident()
+        unwinds += ((e, al))
+        sawUnwind = true
+      }
+      if (sawUnwind && (isKw("MATCH") || isKw("OPTIONAL")))
+        notSupported("MATCH after UNWIND — chain it through a WITH")
+      if (sawUnwind && ms.isEmpty && isFirstPart)
+        notSupported("standalone UNWIND without a preceding MATCH")
+      val uw = unwinds.result()
       if (isKw("WITH")) {
         p += 1
-        parts += QueryPart(ms, parseProjection(isWith = true))
+        parts += QueryPart(ms, parseProjection(isWith = true), uw)
         isFirstPart = false
       } else if (isKw("RETURN")) {
         p += 1
-        if (ms.isEmpty && isFirstPart)
+        if (ms.isEmpty && uw.isEmpty && isFirstPart)
           notSupported("standalone RETURN without MATCH")
-        parts += QueryPart(ms, parseProjection(isWith = false))
+        parts += QueryPart(ms, parseProjection(isWith = false), uw)
         done = true
-      } else if (ms.isEmpty) {
+      } else if (ms.isEmpty && uw.isEmpty) {
         syntaxErr("Expected MATCH, WITH or RETURN")
       } else {
         syntaxErr("Query part must end with WITH or RETURN")
@@ -192,14 +220,54 @@ final class Parser(tokens: Vector[Tok]) {
         if (isPunct("|")) notSupported("multiple relationship types")
         Some(v)
       } else None
-      if (isPunct("*")) notSupported("variable-length relationships [*..]")
+      val varLength = if (isPunct("*")) {
+        if (!extensions)
+          notSupported("variable-length relationships [*..] " +
+            "(bounded [*lo..hi] supported with extensions enabled)")
+        p += 1
+        if (alias.isDefined)
+          notSupported("binding a variable-length relationship to a " +
+            "variable (it would be a list of relationships)")
+        def intLit(): Int = cur match {
+          case NumLit(s, false, _) =>
+            val v = try s.toLong
+              catch { case _: NumberFormatException =>
+                syntaxErr(s"variable-length bound out of range: $s") }
+            if (v < 0 || v > Int.MaxValue)
+              syntaxErr(s"variable-length bound out of range: $s")
+            p += 1; v.toInt
+          case _ => syntaxErr("Expected an integer variable-length bound")
+        }
+        val lo = cur match {
+          case NumLit(_, false, _) => Some(intLit())
+          case _ => None
+        }
+        val range = if (tryPunct("..")) {
+          cur match {
+            case NumLit(_, false, _) => (lo.getOrElse(1), intLit())
+            case _ => notSupported(
+              s"unbounded variable-length [*${lo.getOrElse("")}..]")
+          }
+        } else lo match {
+          case Some(k) => (k, k)
+          case None => notSupported("unbounded variable-length [*]")
+        }
+        if (range._1 < 1)
+          notSupported("zero-length variable-length paths [*0..]")
+        if (range._2 < range._1)
+          syntaxErr(s"variable-length range ${range._1}..${range._2} is empty")
+        if (range._2 > Parser.MaxVarHops)
+          notSupported(s"variable-length upper bound ${range._2} exceeds " +
+            s"the supported maximum ${Parser.MaxVarHops}")
+        Some(range)
+      } else None
       if (isPunct("{")) notSupported("inline property map in rel pattern")
       eatPunct("]")
       val dir =
         if (leftArrow) { eatPunct("-"); Direction.In }
         else if (tryPunct("->")) Direction.Out
         else { eatPunct("-"); Direction.Both }
-      Some(RelPat(alias, verb, dir))
+      Some(RelPat(alias, verb, dir, varLength))
     } else {
       // bare arrows: --, -->, <--
       val dir =
@@ -232,21 +300,26 @@ final class Parser(tokens: Vector[Tok]) {
       while (tryPunct(",")) ss += one()
       ss.result()
     } else Vector.empty
-    if (isKw("SKIP")) notSupported("SKIP")
-    val limit = if (tryKw("LIMIT")) {
-      cur match {
-        case NumLit(s, false, _) =>
-          // validate before advancing so syntaxErr points at the literal
-          val v = try s.toLong
-            catch { case _: NumberFormatException =>
-              syntaxErr(s"LIMIT literal out of range: $s") }
-          if (v < 0 || v > Int.MaxValue)
-            syntaxErr(s"LIMIT must be in [0, ${Int.MaxValue}], got $s")
-          p += 1
-          Some(v)
-        case _ => syntaxErr("LIMIT expects an integer literal")
-      }
+    // shared int32 contract for SKIP and LIMIT counts
+    def countLit(what: String): Long = cur match {
+      case NumLit(s, false, _) =>
+        // validate before advancing so syntaxErr points at the literal
+        val v = try s.toLong
+          catch { case _: NumberFormatException =>
+            syntaxErr(s"$what literal out of range: $s") }
+        if (v < 0 || v > Int.MaxValue)
+          syntaxErr(s"$what must be in [0, ${Int.MaxValue}], got $s")
+        p += 1
+        v
+      case _ => syntaxErr(s"$what expects an integer literal")
+    }
+    val skip = if (isKw("SKIP")) {
+      if (!extensions)
+        notSupported("SKIP (supported with extensions enabled)")
+      p += 1
+      Some(countLit("SKIP"))
     } else None
+    val limit = if (tryKw("LIMIT")) Some(countLit("LIMIT")) else None
     val where = if (isWith && tryKw("WHERE")) Some(parseExpr()) else None
     val its = items.result()
     val seen = scala.collection.mutable.Set[String]()
@@ -256,7 +329,7 @@ final class Parser(tokens: Vector[Tok]) {
           throw new CypherNotSupportedException(s"duplicate alias '$a' in projection")
       }
     }
-    Projection(its, distinct, orderBy, limit, where)
+    Projection(its, distinct, orderBy, limit, where, skip)
   }
 
   /** Alias inference for bare `p.Name` / bare variable refs
@@ -383,6 +456,16 @@ final class Parser(tokens: Vector[Tok]) {
     e
   }
 
+  /** `$param` value → typed literal at parse time. A Seq becomes a list
+   *  literal (usable with IN); Float widens to Double (Cypher floats are
+   *  64-bit). Everything else flows through [[ast.Lit]] as-is and is
+   *  typed by [[TypeInference]]/`lit`. */
+  private def paramLit(v: Any): Expr = v match {
+    case s: Seq[_]  => ListLit(s.map(paramLit))
+    case f: Float   => Lit(f.toDouble)
+    case other      => Lit(other)
+  }
+
   private val aggNames = Set("avg", "sum", "count", "max", "min", "first",
     "last", "percentilecont", "percentiledisc", "stdev", "stdevp")
 
@@ -430,6 +513,16 @@ final class Parser(tokens: Vector[Tok]) {
       eatPunct("]")
       ListLit(items.result())
     case Punct("{", _) => notSupported("map literal")
+    case Param(pname, _) =>
+      if (!extensions)
+        notSupported("query parameters $param " +
+          "(supported with extensions enabled)")
+      p += 1
+      params.get(pname) match {
+        case Some(v) => paramLit(v)
+        case None => throw new CypherBindingException(
+          s"unknown query parameter $$$pname — bind it in the params map")
+      }
     case Ident(id, _) =>
       peek1 match {
         case Punct("(", _) => parseCall(id)
@@ -464,6 +557,15 @@ final class Parser(tokens: Vector[Tok]) {
     }
     eatPunct(")")
     val as = args.result()
+    if (lname == "collect") {
+      // extension (reference roadmap README.md:57): list aggregate
+      if (!extensions)
+        notSupported("collect() aggregate (supported with extensions enabled)")
+      if (as.size != 1)
+        syntaxErr("collect expects exactly one argument")
+      checkNoNestedAgg(as.head, name)
+      return Agg("collect", distinct, Some(as.head))
+    }
     if (aggNames(lname)) {
       if (distinct && lname != "count")
         notSupported("DISTINCT inside aggregate is only allowed for count()")
@@ -527,6 +629,14 @@ final class Parser(tokens: Vector[Tok]) {
 }
 
 object Parser {
+  /** Unrolling cap for `[*lo..hi]` — keeps the UNION ALL fan-out and the
+   *  longest join chain bounded (8 hops = 8 joins per branch). */
+  val MaxVarHops = 8
+
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()
+
+  def parse(query: String, extensions: Boolean,
+            params: Map[String, Any]): Query =
+    new Parser(Lexer.tokenize(query), extensions, params).parseQuery()
 }

@@ -244,6 +244,8 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       case "percentilecont" | "percentiledisc" =>
         requireNumeric(argT, a.name); Some(DoubleType)
       case "min" | "max" | "first" | "last" => argT
+      // extension: collect(x) → array of the element type
+      case "collect" => argT.map(t => ArrayType(t))
       case _ => None
     }
   }

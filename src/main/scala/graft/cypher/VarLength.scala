@@ -1,0 +1,67 @@
+package graft.cypher
+
+import ast._
+
+/**
+ * AST-level unrolling of bounded variable-length relationships
+ * `[*lo..hi]` — a flagged EXTENSION (the reference rejects var-length,
+ * reference: CypherVisitor.cs:2035-2039 and README.md:61).
+ *
+ * A var-length relationship between two pattern nodes expands into one
+ * branch per length L ∈ [lo, hi]: the relationship is replaced by L
+ * single-hop copies (same verb, same direction) threaded through L−1
+ * fresh anonymous interior nodes. Each branch is then an ordinary
+ * fixed-length pattern: the analyzer's label-inference fixpoint types
+ * the interior nodes, its same-edge-type pairing applies Cypher's
+ * per-path relationship uniqueness, and the compiler's join builder /
+ * scan-merge work unchanged. The compiler UNION ALLs the branches
+ * (paths of different lengths are distinct matches).
+ *
+ * The fan-out is the product over all var-length rels of their range
+ * widths, capped at [[VarLength.MaxBranches]]; the parser separately
+ * caps each hi at [[Parser.MaxVarHops]].
+ */
+object VarLength {
+
+  /** Upper bound on the branch product — 64 covers e.g. three
+   *  independent [*1..4] rels; beyond that the plan is a fan-out
+   *  mistake, not a query. */
+  val MaxBranches = 64
+
+  def hasVarLength(matches: Seq[MatchClause]): Boolean =
+    matches.exists(_.parts.exists(_.rels.exists(_.varLength.isDefined)))
+
+  /** All unrollings of one query part's MATCH clauses (cartesian across
+   *  multiple var-length rels), in ascending-length order. */
+  def expand(matches: Seq[MatchClause]): Seq[Seq[MatchClause]] = {
+    val out = matches.foldLeft(Seq(Vector.empty[MatchClause])) { (acc, m) =>
+      for (prefix <- acc; e <- expandClause(m)) yield prefix :+ e
+    }
+    if (out.size > MaxBranches)
+      throw new CypherNotSupportedException(
+        s"variable-length unrolling produces ${out.size} branches " +
+        s"(max $MaxBranches) — narrow the [*lo..hi] ranges")
+    out
+  }
+
+  private def expandClause(m: MatchClause): Seq[MatchClause] =
+    m.parts.foldLeft(Seq(Vector.empty[PatternPart])) { (acc, pp) =>
+      for (prefix <- acc; e <- expandPart(pp)) yield prefix :+ e
+    }.map(ps => m.copy(parts = ps))
+
+  private def expandPart(pp: PatternPart): Seq[PatternPart] = {
+    val i = pp.rels.indexWhere(_.varLength.isDefined)
+    if (i < 0) Seq(pp)
+    else {
+      val r = pp.rels(i)
+      val (lo, hi) = r.varLength.get
+      (lo to hi).flatMap { len =>
+        val hop = r.copy(varLength = None) // alias is None (parser-enforced)
+        val interior = Seq.fill(len - 1)(NodePat(None, None))
+        expandPart(PatternPart(
+          pp.nodes.take(i + 1) ++ interior ++ pp.nodes.drop(i + 1),
+          pp.rels.take(i) ++ Seq.fill(len)(hop) ++ pp.rels.drop(i + 1)))
+      }
+    }
+  }
+}

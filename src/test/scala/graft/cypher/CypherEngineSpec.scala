@@ -353,7 +353,8 @@ class CypherEngineSpec extends AnyFunSuite {
         |ORDER BY Follower, Star""".stripMargin)
     assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq ==
       Seq(("Jessica Thompson", "Meg Ryan", 2L),
-        ("Jessica Thompson", "Tom Hanks", 3L)))
+        ("Jessica Thompson", "Tom Hanks", 3L),
+        ("Tom Hanks", "Meg Ryan", 2L)))
   }
 
   test("string literal escapes survive lexing into predicates") {

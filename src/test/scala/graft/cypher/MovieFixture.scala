@@ -50,7 +50,7 @@ object MovieFixture {
       ("p4", "m1")
     ).toDF("_vertexId", "_sink")
     val follows: DataFrame = Seq(
-      ("p5", "p1"), ("p5", "p2")
+      ("p5", "p1"), ("p5", "p2"), ("p1", "p2")
     ).toDF("_vertexId", "_sink")
     val tables = Map(
       "person" -> person, "movie" -> movie, "acted_in" -> actedIn,
