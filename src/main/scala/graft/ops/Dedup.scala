@@ -343,9 +343,18 @@ object Dedup {
                      maxBucket: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val fps = TextOps.winnowFingerprints(df, textCol, idCol, n, window)
-    val buckets = fps.groupBy(col("fp"))
+    // pre-filter hot fingerprints with a COUNT pass before collecting:
+    // a corpus-wide boilerplate fingerprint must never materialize its
+    // full id list in one aggregation buffer just to be discarded by a
+    // post-hoc size check. The count aggregate partial-aggregates
+    // map-side, and both passes shuffle on `fp`, so the semi-join and
+    // the collect reuse the first exchange (no extra shuffle).
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("fp"))
+    val buckets = fps.join(keep, Seq("fp"), "left_semi")
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-      .where(size(col("__ids")) >= 2 && size(col("__ids")) <= maxBucket)
     val pairStructs = flatten(transform(col("__ids"), (x, i) =>
       transform(slice(col("__ids"), i + 2, size(col("__ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))

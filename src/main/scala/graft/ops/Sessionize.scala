@@ -190,13 +190,14 @@ object Sessionize {
    */
   def rollingUserStats(events: DataFrame, windowMinutes: Long,
                        userCol: String = "user_id", tsCol: String = "ts",
-                       valueCol: String = "value"): DataFrame = {
+                       valueCol: String = "value",
+                       eventIdCol: String = "event_id"): DataFrame = {
     require(windowMinutes > 0, s"windowMinutes must be positive: $windowMinutes")
     val windowMs = windowMinutes * 60000L
     val w = Window.partitionBy(col(userCol))
       .orderBy(unix_millis(col(tsCol)))
       .rangeBetween(-windowMs, 0L)
-    events.select(col("event_id"), col(userCol), col(tsCol),
+    events.select(col(eventIdCol), col(userCol), col(tsCol),
       count(lit(1)).over(w).as("n_window"),
       sum(col(valueCol)).over(w).as("sum_window"))
   }
@@ -264,10 +265,14 @@ object Sessionize {
    * trailing windows (an O(1) sketch would approximate).
    *
    * Matches [[rollingUserStats]] exactly when each user's events
-   * arrive in event-time order (unit-tested); an out-of-order event is
-   * scored correctly on ITS OWN frame at arrival, but rows already
-   * emitted are not retracted (append mode) — the batch twin is the
-   * backfill authority, the [[Sessionize.streaming]] convention.
+   * arrive in event-time order (unit-tested). An out-of-order event is
+   * scored against the SURVIVING in-horizon state only: state is
+   * pruned to `windowMinutes` behind the newest seen event, so a late
+   * event whose frame reaches before that prune horizon can
+   * undercount (exact only within the window + delivery-lag slack),
+   * and rows already emitted are not retracted (append mode) — the
+   * batch twin is the backfill authority, the [[Sessionize.streaming]]
+   * convention.
    */
   def streamingRollingUserStats(events: Dataset[Event],
                                 windowMinutes: Long): Dataset[RollingOut] = {
@@ -321,8 +326,9 @@ object Sessionize {
    */
   def eventTransitions(events: DataFrame, typeCol: String = "event_type",
                        userCol: String = "user_id",
-                       tsCol: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+                       tsCol: String = "ts",
+                       eventIdCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
     val trans = events
       .withColumn("__next", lead(col(typeCol), 1).over(w))
       .where(col("__next").isNotNull)
@@ -350,8 +356,9 @@ object Sessionize {
    */
   def interArrivalQuantiles(events: DataFrame, ps: Seq[Double],
                             typeCol: String = "event_type",
-                            tsCol: String = "ts"): DataFrame = {
-    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col("event_id"))
+                            tsCol: String = "ts",
+                            eventIdCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(tsCol), col(eventIdCol))
     val gaps = events
       .withColumn("__prev", lag(unix_millis(col(tsCol)), 1).over(w))
       .where(col("__prev").isNotNull)
@@ -375,10 +382,11 @@ object Sessionize {
    */
   def topPaths(events: DataFrame, pathLen: Int = 3, topK: Int = 20,
                typeCol: String = "event_type", userCol: String = "user_id",
-               tsCol: String = "ts"): DataFrame = {
+               tsCol: String = "ts",
+               eventIdCol: String = "event_id"): DataFrame = {
     require(pathLen >= 1 && topK >= 1,
       s"pathLen and topK must be >= 1: $pathLen, $topK")
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col("event_id"))
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
     val paths = events
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") <= pathLen)

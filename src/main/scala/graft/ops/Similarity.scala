@@ -254,18 +254,26 @@ object Similarity {
    * aggregates BEFORE the exchange (max is order-independent, so the
    * result is engine-exact without rounding tricks) — the shuffle is
    * one slim (id, max) row per corpus row, bodies and vectors never
-   * move. Self-pairs (shared id space) are excluded like [[Pipeline]]'s
-   * id-disjoint convention expects.
+   * move.
+   *
+   * `excludeSelfIds = true` (the default) skips corpus×benchmark rows
+   * that share an id value — right ONLY when the benchmark was carved
+   * out of the corpus's own id space ([[Pipeline]]'s id-disjoint
+   * convention). With independently-assigned ids, a coincidental id
+   * collision would silently hide a real contamination pair — pass
+   * `excludeSelfIds = false` for cross-corpus benchmarks to keep full
+   * coverage.
    */
   def semanticContaminationReport(corpus: DataFrame, benchmark: DataFrame,
                                   vecCol: String, idCol: String,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double,
+                                  excludeSelfIds: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).cast(LongType).as(idCol),
       col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
     val b = benchmark.select(col(idCol).cast(LongType).as("__bid"),
       col(vecCol).as("__bv"), norm(col(vecCol)).as("__bn"))
     c.crossJoin(broadcast(b))
-      .where(col(idCol) =!= col("__bid"))
+      .where(if (excludeSelfIds) col(idCol) =!= col("__bid") else lit(true))
       .select(col(idCol),
         cosineWithNorms(col("__cv"), col("__bv"),
           col("__cn"), col("__bn")).as("__cos"))
@@ -278,9 +286,10 @@ object Similarity {
     * flagged rows — one key-only left-anti join, bodies stream through. */
   def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                             vecCol: String, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            excludeSelfIds: Boolean = true): DataFrame = {
     val bad = semanticContaminationReport(corpus, benchmark, vecCol, idCol,
-      threshold).select(col(idCol))
+      threshold, excludeSelfIds).select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
 

@@ -2055,6 +2055,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r(4) == ((5L, 1L, 16.0)))
   }
 
+  test("eventIdCol parameter: window operators run on frames without event_id") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val events = Seq(
+      (101L, ts(0L), 7L, 1.0, "view"),
+      (102L, ts(30000L), 7L, 2.0, "cart"),
+      (103L, ts(60000L), 7L, 4.0, "buy")
+    ).toDF("evt", "ts", "user_id", "value", "event_type")
+    // each operator's tie-break column is the parameter, not a
+    // hardcoded event_id — the frame above has no event_id at all
+    val roll = Sessionize.rollingUserStats(events, windowMinutes = 1,
+      eventIdCol = "evt").orderBy("evt").collect()
+    assert(roll.map(_.getLong(0)).toSeq == Seq(101L, 102L, 103L))
+    assert(roll.last.getLong(3) == 3L) // frame [0, 60000] inclusive holds all 3
+    val trans = Sessionize.eventTransitions(events, eventIdCol = "evt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(trans == Set(("view", "cart"), ("cart", "buy")))
+    val gaps = Sessionize.interArrivalQuantiles(events, Seq(1.0),
+      typeCol = "user_id", eventIdCol = "evt")
+    assert(gaps.count() == 1)
+    val paths = Sessionize.topPaths(events, pathLen = 3, topK = 5,
+      eventIdCol = "evt").collect()
+    assert(paths.length == 1 && paths.head.getLong(1) == 1L)
+  }
+
   test("scrubBoilerplateLines: df-threshold drops all copies, short lines exempt") {
     val docs = Seq(
       (1L, "unique one alpha\nBOILERPLATE FOOTER X\nok"),
@@ -2141,6 +2165,12 @@ class OpsSpec extends AnyFunSuite {
     val capped = Dedup.winnowDupPairs(boiler, "text", "doc_id",
       n = 3, window = 4, minShared = 1, maxBucket = 10)
     assert(capped.count() == 0)
+    // the cap is a COUNT pre-filter, not a post-collect size check: a
+    // mega-bucket must never reach collect_list (no ObjectHashAggregate
+    // buffer holds it). Plan shape: the size filter precedes the
+    // collect aggregation (semi-join on the counted keys).
+    val plan = capped.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected count semi-join:\n$plan")
   }
 
   test("jsonFieldQuality: present rates per field, corrupt and null payloads counted") {
@@ -2748,6 +2778,28 @@ class OpsSpec extends AnyFunSuite {
       "embedding", "vec_id", threshold = 0.9)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(11L, 12L))
+  }
+
+  test("semanticContaminationReport: excludeSelfIds=false keeps colliding-id pairs") {
+    // cross-corpus benchmark with an INDEPENDENT id space: corpus row 1
+    // is a near-dup of benchmark row 1 (coincidentally same id). The
+    // default self-pair exclusion would hide it; the flag keeps it.
+    val bench = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hidden = Similarity.semanticContaminationReport(corpus, bench,
+      "embedding", "vec_id", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(hidden.isEmpty) // id-disjoint convention assumed → pair skipped
+    val full = Similarity.semanticContaminationReport(corpus, bench,
+      "embedding", "vec_id", threshold = 0.9, excludeSelfIds = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == Set(1L))
+    val kept2 = Similarity.semanticDecontaminate(corpus, bench,
+      "embedding", "vec_id", threshold = 0.9, excludeSelfIds = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L))
   }
 
   test("secretTokens: uniform strings flag, natural words and short tokens don't") {
