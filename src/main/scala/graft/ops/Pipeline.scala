@@ -419,6 +419,64 @@ object Pipeline {
   }
 
   /**
+   * Production twin of [[groupQuantiles]]: `percentile_approx`
+   * (Greenwald–Khanna sketch) instead of the exact distinct-value
+   * histogram. The exact buffer is bounded by the DISTINCT values per
+   * group — fine for integer doc lengths, unbounded for continuous
+   * scores at 100 TB; the sketch is O(accuracy) per group regardless
+   * of cardinality, with rank error ≤ n/accuracy (the returned value's
+   * rank is within that of the target rank). Same oracle-mode /
+   * production-mode split as d04_simhash vs d04_simhash_prod: oracled
+   * entries (t23, e13) keep the exact twin, production pipelines on
+   * continuous columns use this one.
+   *
+   * Output schema matches [[groupQuantiles]] exactly — (groupCol, p, q)
+   * with q in the input column's type (the sketch returns an existing
+   * value, so the cast is lossless) — so the twins are drop-in
+   * interchangeable.
+   */
+  def groupQuantilesApprox(df: DataFrame, groupCol: String,
+                           valueCol: String, ps: Seq[Double],
+                           accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ps must be in (0,1]: $ps")
+    require(accuracy > 0, s"accuracy must be positive: $accuracy")
+    val vType = df.schema(valueCol).dataType
+    df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(valueCol),
+        array(ps.map(lit): _*), lit(accuracy)).as("__qs"))
+      .select(col(groupCol), explode(array(ps.zipWithIndex.map {
+        case (p, i) => struct(lit(p).as("p"),
+          element_at(col("__qs"), i + 1).cast(vType).as("q"))
+      }: _*)).as("__pq"))
+      .select(col(groupCol), col("__pq.p").as("p"), col("__pq.q").as("q"))
+  }
+
+  /**
+   * Production twin of [[winsorize]] on the [[groupQuantilesApprox]]
+   * sketch: identical clip plan (groups-sized threshold broadcast +
+   * map-side least/greatest, no corpus re-shuffle), but thresholds
+   * come from the GK sketch, so the clipped values can differ from the
+   * exact twin by at most the sketch's rank error at the lo/hi ranks.
+   * Use when `valueCol` is continuous (scores, ratios) — the exact
+   * percentile buffer would grow with distinct-value count there.
+   */
+  def winsorizeApprox(df: DataFrame, groupCol: String, valueCol: String,
+                      lo: Double = 0.01, hi: Double = 0.99,
+                      accuracy: Int = 10000): DataFrame = {
+    require(lo < hi, s"lo ($lo) must be < hi ($hi)")
+    val th = groupQuantilesApprox(df, groupCol, valueCol, Seq(lo, hi),
+      accuracy)
+      .groupBy(col(groupCol))
+      .agg(min(when(col("p") === lo, col("q"))).as("__lo"),
+        min(when(col("p") === hi, col("q"))).as("__hi"))
+    df.join(broadcast(th), Seq(groupCol))
+      .withColumn(s"${valueCol}_winsorized",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Temperature-scaled mixture plan (the multilingual-pretraining
    * rebalancing rule, Conneau & Lample '19): instead of hand-set
    * shares, share_g ∝ avail_g^alpha — alpha = 1 reproduces the natural

@@ -2205,6 +2205,36 @@ class OpsSpec extends AnyFunSuite {
     assert(b(1000.0) == 1000.0 && b(1.0) == 1.0)
   }
 
+  test("approx quantile twins: GK rank-error bound holds, schema matches exact twin") {
+    val n = 10000
+    val df = Seq.tabulate(n)(i => ("a", (i + 1).toLong)).toDF("g", "v")
+    // values are 1..n, so value v has rank v: rank error ≤ n/accuracy
+    // translates directly to |q_approx − q_exact| ≤ n/accuracy
+    val accuracy = 100
+    val bound = n.toDouble / accuracy // GK guarantee: ≤ 100 ranks here
+    val exact = Pipeline.groupQuantiles(df, "g", "v", Seq(0.25, 0.5, 0.99))
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    val approx = Pipeline.groupQuantilesApprox(df, "g", "v",
+      Seq(0.25, 0.5, 0.99), accuracy)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    for (p <- Seq(0.25, 0.5, 0.99))
+      assert(math.abs(approx(p) - exact(p)) <= bound,
+        s"p=$p approx=${approx(p)} exact=${exact(p)} bound=$bound")
+    // drop-in interchangeable: same output schema as the exact twin
+    assert(Pipeline.groupQuantilesApprox(df, "g", "v", Seq(0.5)).schema ==
+      Pipeline.groupQuantiles(df, "g", "v", Seq(0.5)).schema)
+    // winsorizeApprox: row count preserved, clips agree with the exact
+    // twin within the same rank-error bound at both tails
+    val we = Pipeline.winsorize(df, "g", "v", lo = 0.05, hi = 0.95)
+      .orderBy("v").collect().map(_.getLong(2))
+    val wa = Pipeline.winsorizeApprox(df, "g", "v", lo = 0.05, hi = 0.95,
+      accuracy = accuracy).orderBy("v").collect().map(_.getLong(2))
+    assert(wa.length == n)
+    we.zip(wa).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= bound, s"exact=$e approx=$a bound=$bound")
+    }
+  }
+
   test("recallAtK: full, partial and zero recall; short exact lists not penalized") {
     def df(rows: (Long, Long, Long)*) =
       rows.toDF("query_id", "neighbor_id", "rank")
