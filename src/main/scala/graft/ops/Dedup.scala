@@ -550,9 +550,10 @@ object Dedup {
    * each document's RAREST tokens, so prefix buckets stay small on
    * natural corpora; a length pre-filter (τ·|a| ≤ |b| ≤ |a|/τ, with an
    * epsilon so IEEE rounding can only ADD candidates) prunes the
-   * bucket joins further. Shuffles: token counts, per-doc re-sort,
-   * bucket self-join, verify join — all on slim token/id rows; bodies
-   * and shingle arrays never shuffle (verify is the standard
+   * in-bucket pairing further. Shuffles: token counts, per-doc
+   * re-sort, one bucket aggregation (pairs expand in-row), verify join
+   * — all on slim token/id rows; bodies and shingle arrays never
+   * shuffle (verify is the standard
    * join-back). Worst case remains inherently quadratic when the TRUE
    * result is quadratic (an all-identical corpus); `maxBucket` caps
    * that corner at the cost of the exactness guarantee for tokens
@@ -602,23 +603,42 @@ object Dedup {
         posexplode(slice(col("__ord"), lit(1), pfxLen)))
       .select(col("__id"), col("__len"), col("col").as("__h"),
         col("pos").as("__p"))
-    val okToken = pfx.groupBy(col("__h")).agg(count(lit(1)).as("__bn"))
-      .where(col("__bn") >= 2 && col("__bn") <= maxBucket)
-      .select(col("__h"))
-    val l = pfx.join(okToken, Seq("__h"))
-      .select(col("__h"), col("__id").as("id_a"),
-        col("__len").as("__la"), col("__p").as("__pa"))
-    val r = pfx.select(col("__h"), col("__id").as("id_b"),
-      col("__len").as("__lb"), col("__p").as("__pb"))
-    val overlapBound = least(col("__pa"), col("__pb")) +
-      least(col("__la") - col("__pa"), col("__lb") - col("__pb"))
-    val alpha = (col("__la") + col("__lb")) * lit(threshold / (1.0 + threshold))
-    l.join(r, Seq("__h"))
-      .where(col("id_a") < col("id_b") &&
-        col("__lb") * lit(threshold) <= col("__la") + lit(1e-9) &&
-        col("__la") * lit(threshold) <= col("__lb") + lit(1e-9) &&
-        (if (positional) overlapBound >= alpha - lit(1e-9) else lit(true)))
-      .select(col("id_a"), col("id_b"))
+    // Inverted index as ONE aggregation (the minhashLshPairs bucket
+    // pattern): group the slim (id, len, p) prefix rows per token,
+    // expand pairs in-row with the filters applied inside the bucket —
+    // sort_array orders items by __id, so i<j gives id_a < id_b by
+    // construction. One pfx evaluation and one shuffle replace the
+    // prior okToken-count + two-sided self-join (which re-derived the
+    // token-ordering pipeline per consumer: 8 corpus scans → 4).
+    // Prefix tokens are each doc's RAREST tokens, so buckets are small
+    // by construction on natural corpora; `maxBucket` bounds the
+    // hostile corner post-collect, the [[minhashLshPairs]] contract
+    // (bucket size here = the prior okToken count: same filter, same
+    // exactness statement).
+    val buckets = pfx.groupBy(col("__h"))
+      .agg(sort_array(collect_list(struct(col("__id"), col("__len"),
+        col("__p")))).as("__items"))
+      .where(size(col("__items")) >= 2 && size(col("__items")) <= maxBucket)
+    def lenOk(a: Column, b: Column): Column =
+      b.getField("__len") * lit(threshold) <= a.getField("__len") + lit(1e-9) &&
+        a.getField("__len") * lit(threshold) <= b.getField("__len") + lit(1e-9)
+    def posOk(a: Column, b: Column): Column = {
+      val overlapBound =
+        least(a.getField("__p"), b.getField("__p")) +
+          least(a.getField("__len") - a.getField("__p"),
+            b.getField("__len") - b.getField("__p"))
+      val alpha = (a.getField("__len") + b.getField("__len")) *
+        lit(threshold / (1.0 + threshold))
+      overlapBound >= alpha - lit(1e-9)
+    }
+    val pairStructs = flatten(transform(col("__items"), (a, i) =>
+      transform(
+        filter(slice(col("__items"), i + 2, size(col("__items"))),
+          b => if (positional) lenOk(a, b) && posOk(a, b) else lenOk(a, b)),
+        b => struct(a.getField("__id").as("id_a"),
+          b.getField("__id").as("id_b")))))
+    buckets.select(explode(pairStructs).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 

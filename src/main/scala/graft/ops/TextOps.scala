@@ -476,16 +476,24 @@ object TextOps {
    * Scale: the head list is one TakeOrdered (bounded heaps) collected
    * driver-side — topK strings, model-sized like the centroid
    * collects — and broadcast back as a literal filter. Each document
-   * reduces IN-ROW to its sorted head-token subset (≤ topK), pairs
-   * expand in-row (the capped-bucket pattern — bounded by topK²/2 per
-   * doc), and pair counts partial-aggregate: the shuffle is ∝ distinct
-   * head pairs (≤ topK²), never the corpus. Presence counts reuse the
-   * same reduced rows.
+   * reduces IN-ROW to its sorted head-token subset (≤ topK), then
+   * presence rows (token, null) and pair rows (tok_a, tok_b) expand
+   * in-row from the SAME reduced array (the capped-bucket pattern —
+   * bounded by topK²/2 per doc) into ONE partially-aggregated count
+   * over (tok_a, tok_b): the corpus is tokenized once for the census
+   * and the shuffle is ∝ distinct head pairs, never the corpus. The
+   * aggregated census — ≤ topK·(topK+1)/2 rows, bounded by the
+   * `topK ≤ 4096` guard — is collected and the PMI arithmetic
+   * finishes driver-side (the model-sized-collect contract; splitting
+   * the census in-plan would re-derive the tokenize pipeline per
+   * consumer, since grouping-column predicates push below the agg and
+   * break exchange reuse).
    */
   def topTokenPmi(df: org.apache.spark.sql.DataFrame, textCol: String,
                   idCol: String, topK: Int = 100,
                   minPairCount: Long = 5L): org.apache.spark.sql.DataFrame = {
-    require(topK >= 2, s"topK must be >= 2: $topK")
+    require(topK >= 2 && topK <= 4096,
+      s"topK must be in [2, 4096] (census collect is topK²-bounded): $topK")
     val freq = tokenFrequencies(df, textCol)
     val top = freq.orderBy(col("n").desc, col("token")).limit(topK)
       .select(col("token")).collect().map(_.getString(0))
@@ -495,27 +503,38 @@ object TextOps {
         array_sort(array_intersect(array_distinct(tokens(col(textCol))),
           topLit)).as("__ht"))
       .where(size(col("__ht")) > 0)
-    val presence = docs.select(col(idCol), explode(col("__ht")).as("token"))
-    val nTok = presence.groupBy(col("token")).agg(count(lit(1)).as("__n1"))
-    val nDocs = df.where(length(trim(col(textCol))) > 0)
-      .agg(count(lit(1)).as("__nd"))
+    // one in-row expansion emits BOTH the pair rows (tok_a, tok_b) and
+    // the presence rows (token, null) into one shared count aggregation
     val pairStructs = flatten(transform(col("__ht"), (x, i) =>
       transform(slice(col("__ht"), i + 2, size(col("__ht"))),
         y => struct(x.as("tok_a"), y.as("tok_b")))))
-    docs.select(explode(pairStructs).as("__p"))
+    val singleStructs = transform(col("__ht"),
+      x => struct(x.as("tok_a"),
+        lit(null).cast(StringType).as("tok_b")))
+    val census = docs
+      .select(explode(concat(pairStructs, singleStructs)).as("__p"))
       .select(col("__p.tok_a").as("tok_a"), col("__p.tok_b").as("tok_b"))
       .groupBy(col("tok_a"), col("tok_b"))
-      .agg(count(lit(1)).as("n_ab"))
-      .where(col("n_ab") >= minPairCount)
-      .join(nTok.select(col("token").as("tok_a"), col("__n1").as("__na")),
-        Seq("tok_a"))
-      .join(nTok.select(col("token").as("tok_b"), col("__n1").as("__nb")),
-        Seq("tok_b"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("tok_a"), col("tok_b"), col("n_ab"),
-        log((col("n_ab").cast(DoubleType) * col("__nd").cast(DoubleType)) /
-          (col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)))
-          .as("pmi"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    val nd = df.where(length(trim(col(textCol))) > 0)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val nTok = census.filter(_.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // same double arithmetic as the prior in-plan form: (n_ab·N) /
+    // (n_a·n_b), then java.lang.Math.log — bit-identical to Catalyst's
+    // Log over the same product/quotient shape, so oracles are unmoved
+    val rows = census.toSeq
+      .filter(r => !r.isNullAt(1) && r.getLong(2) >= minPairCount)
+      .map { r =>
+        val a = r.getString(0); val b = r.getString(1); val nab = r.getLong(2)
+        (a, b, nab,
+          math.log(nab.toDouble * nd.toDouble /
+            (nTok(a).toDouble * nTok(b).toDouble)))
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("tok_a", "tok_b", "n_ab", "pmi")
   }
 
   /**
