@@ -461,7 +461,53 @@ object SparkEntry {
       Some("""SELECT r_name AS region, count(c_custkey) AS customers
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |              JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // standard-library extension functions: coalesce over OPTIONAL
+    // MATCH nulls, 0-based substring, literal-delimiter split +
+    // last-element accessor (the type-resolved last(), not the
+    // last→max aggregate), replace, sign, sqrt — every value checked
+    ("q31_stdlib_funcs", cyx(
+      """MATCH (c:Customer) OPTIONAL MATCH (c)-[p:PLACED]->(o:Order)
+        |WITH c.c_name AS name, c.c_acctbal AS bal,
+        |     min(o.o_orderstatus) AS st
+        |RETURN name,
+        |       substring(name, 0, 8) AS pfx,
+        |       last(split(name, '#')) AS num,
+        |       replace(name, 'Customer#', 'C') AS cname,
+        |       coalesce(st, 'NONE') AS status,
+        |       sign(bal) AS sgn,
+        |       round(sqrt(abs(bal)), 6) AS rt
+        |ORDER BY name""".stripMargin),
+      Some("""WITH b AS (
+             |  SELECT c_name AS name, c_acctbal AS bal,
+             |         min(o_orderstatus) AS st
+             |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |  GROUP BY 1, 2)
+             |SELECT name,
+             |       substring(name, 1, 8) AS pfx,
+             |       split_part(name, '#', 2) AS num,
+             |       replace(name, 'Customer#', 'C') AS cname,
+             |       coalesce(st, 'NONE') AS status,
+             |       CAST(sign(bal) AS INTEGER) AS sgn,
+             |       round(sqrt(abs(bal)), 6) AS rt
+             |FROM b ORDER BY name""".stripMargin)),
+
+    // simple CASE (equality-desugar) × range()/UNWIND cross product —
+    // sequence() is end-inclusive like Cypher's range()
+    ("q32_simple_case_range", cyx(
+      """MATCH (n:Nation)
+        |UNWIND range(1, 3) AS k
+        |RETURN n.n_name AS nation, k,
+        |       CASE n.n_nationkey % 2 WHEN 0 THEN 'even' ELSE 'odd' END
+        |         AS parity
+        |ORDER BY nation, k""".stripMargin),
+      Some("""SELECT n_name AS nation, k,
+             |       CASE WHEN n_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END
+             |         AS parity
+             |FROM nation
+             |CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) t
+             |ORDER BY 1, 2""".stripMargin)))
 
   // ================================================= training-data pipeline
 

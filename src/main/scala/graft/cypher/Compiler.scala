@@ -292,7 +292,29 @@ object Compiler {
    *  projected entity (the entity id functionally determines them; the
    *  reference groups by the surrogate keys — SQLRenderer.cs:956-965). */
   def compileProjection(ctx: Ctx, proj: Projection, isReturn: Boolean): Ctx = {
-    val items = proj.items
+    // `last(xs)` is ambiguous: the reference's last() AGGREGATE (→ max,
+    // SQLRenderer.cs:98-99) vs openCypher's last-element list accessor.
+    // Resolve by static type BEFORE aggregate detection — a list-typed
+    // argument makes it the accessor (extension), anything else keeps
+    // aggregate parity. Must happen here: if the Agg node survived,
+    // the projection would wrongly become an implicit GROUP BY.
+    val typeEc = new ExprCompiler(ctx.scope, ctx.df)
+    def delist(e: Expr): Expr = e match {
+      case a: Agg if a.name == "last" && !a.distinct && a.arg.exists(x =>
+          typeEc.staticType(delist(x)).exists(_.isInstanceOf[ArrayType])) =>
+        Func("last", Seq(delist(a.arg.get)))
+      case a: Agg => a.copy(arg = a.arg.map(delist))
+      case Bin(op, l, r) => Bin(op, delist(l), delist(r))
+      case Not(x) => Not(delist(x))
+      case Neg(x) => Neg(delist(x))
+      case IsNull(x, n) => IsNull(delist(x), n)
+      case Func(n, args) => Func(n, args.map(delist))
+      case CaseExpr(ws, o) =>
+        CaseExpr(ws.map { case (c, v) => (delist(c), delist(v)) }, o.map(delist))
+      case ListLit(xs) => ListLit(xs.map(delist))
+      case other => other
+    }
+    val items = proj.items.map(it => it.copy(expr = delist(it.expr)))
     val names = items.map(outName)
 
     sealed trait ItemKind

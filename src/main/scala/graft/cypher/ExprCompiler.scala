@@ -211,7 +211,12 @@ final class ExprCompiler(
       case "rtrim" => arity(1); rtrim(a0)
       case "toupper" | "upper" => arity(1); upper(a0)
       case "tolower" | "lower" => arity(1); lower(a0)
-      case "size" | "length"   => arity(1); length(a0)
+      case "size" | "length"   =>
+        arity(1)
+        typeOf(f.args.head) match {
+          case Some(ArrayType(_, _)) => size(a0)
+          case _ => length(a0)
+        }
       case "abs"   => arity(1); abs(a0)
       // Extensions beyond the reference's registry (Function.cs:13-46):
       // math helpers needed for deterministic floating-point comparisons
@@ -227,6 +232,51 @@ final class ExprCompiler(
       case "floor" => arity(1); floor(a0)
       case "ceil"  => arity(1); ceil(a0)
       case "sqrt"  => arity(1); sqrt(a0)
+      // openCypher standard-library extensions (reference registry
+      // Function.cs:13-46 lacks all of these; typed in TypeInference):
+      // null-handling, string/list utilities, math. coalesce() merges
+      // its arguments under the CASE-branch unifier, so illegal type
+      // mixes fail at compile time, not as runtime coercion surprises.
+      case "coalesce" =>
+        if (f.args.isEmpty)
+          throw new CypherSyntaxException("coalesce() needs at least one argument")
+        coalesce(f.args.map(compile): _*)
+      case "replace" => arity(3); replace(a0, a1, compile(f.args(2)))
+      case "split" =>
+        arity(2)
+        // Cypher splits on a LITERAL delimiter; Spark's split takes a
+        // regex, so quote it at compile time (column delimiters would
+        // need a runtime quote — rejected, not silently regexed)
+        f.args(1) match {
+          case Lit(d: String) => split(a0, java.util.regex.Pattern.quote(d))
+          case _ => throw new CypherNotSupportedException(
+            "split() requires a literal string delimiter")
+        }
+      case "substring" =>
+        // Cypher substring(s, start[, len]) is 0-based; Spark is 1-based
+        if (f.args.size == 2) a0.substr(a1.cast(IntegerType) + lit(1), length(a0))
+        else if (f.args.size == 3)
+          a0.substr(a1.cast(IntegerType) + lit(1),
+            compile(f.args(2)).cast(IntegerType))
+        else throw new CypherSyntaxException("substring expects 2 or 3 arguments")
+      case "reverse" => arity(1); reverse(a0) // string or list
+      case "head" =>
+        // get() is 0-based and null (never an error) out of bounds —
+        // head([]) is null per openCypher
+        arity(1); get(a0, lit(0))
+      case "last" => arity(1); get(a0, size(a0) - lit(1))
+      case "range" =>
+        if (f.args.size < 2 || f.args.size > 3)
+          throw new CypherSyntaxException("range expects 2 or 3 arguments")
+        // sequence() is end-INCLUSIVE, matching Cypher's range()
+        sequence(a0.cast(LongType), a1.cast(LongType),
+          if (f.args.size == 3) compile(f.args(2)).cast(LongType) else lit(1L))
+      case "sign" => arity(1); signum(a0).cast(IntegerType)
+      case "exp"   => arity(1); exp(a0)
+      case "log"   => arity(1); log(a0)
+      case "log10" => arity(1); log10(a0)
+      case "e"  => arity(0); lit(math.E)
+      case "pi" => arity(0); lit(math.Pi)
       case "year"  => arity(1); year(a0)
       case "month" => arity(1); month(a0)
       // openCypher temporal constructors (the reference's value node

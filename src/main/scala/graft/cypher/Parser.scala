@@ -611,16 +611,28 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case _ =>
   }
 
-  /** Searched CASE only (reference rejects `CASE <expr> WHEN`,
-   *  CypherVisitor.cs:1776-1781). */
+  /** Searched CASE (reference rejects `CASE <expr> WHEN`,
+   *  CypherVisitor.cs:1776-1781; parity keeps that rejection). With
+   *  extensions enabled, the simple form `CASE x WHEN v THEN …`
+   *  desugars to the searched form over `x = v` comparisons — Cypher's
+   *  simple CASE is equality-matched, so a null operand matches no
+   *  branch and falls to ELSE/null, exactly what the desugar yields. */
   private def parseCase(): Expr = {
-    if (!isKw("WHEN"))
-      notSupported("CASE <expr> WHEN — only searched CASE is supported")
+    val operand: Option[Expr] =
+      if (isKw("WHEN")) None
+      else if (!extensions)
+        notSupported("CASE <expr> WHEN — only searched CASE is supported" +
+          " (simple form supported with extensions enabled)")
+      else Some(parseExpr())
     val whens = Vector.newBuilder[(Expr, Expr)]
     while (tryKw("WHEN")) {
       val c = parseExpr()
+      val cond = operand match {
+        case Some(x) => Bin(BinOp.Eq, x, c)
+        case None => c
+      }
       eatKw("THEN")
-      whens += ((c, parseExpr()))
+      whens += ((cond, parseExpr()))
     }
     val e = if (tryKw("ELSE")) Some(parseExpr()) else None
     eatKw("END")

@@ -127,24 +127,32 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       // Extension (documented): .NET has a single DateTime type, so
       // date×timestamp never mixes in the reference; we widen to the
       // wider temporal rather than reject.
-      def isFloating(t: DataType): Boolean = t == DoubleType || t == FloatType
-      def isDecimalT(t: DataType): Boolean = t.isInstanceOf[DecimalType]
-      branches.reduceOption { (a, b) =>
-        def mix = fail(s"CASE branches mix ${a.simpleString} and ${b.simpleString}")
-        if (a == b) a
-        else if (a == BinaryType || b == BinaryType) mix
-        else if (a == StringType || b == StringType) StringType
-        else if (a == BooleanType || b == BooleanType) mix
-        else if ((isDecimalT(a) && isFloating(b)) || (isFloating(a) && isDecimalT(b))) mix
-        else if (isNumeric(a) && isNumeric(b)) widen(a, b)
-        else if (isTemporal(a) && isTemporal(b))
-          // wider temporal wins: a date-first CASE must not truncate
-          // timestamp branches to date
-          if (a == TimestampType || b == TimestampType) TimestampType
-          else if (a == TimestampNTZType || b == TimestampNTZType) TimestampNTZType
-          else a
-        else mix
-      }
+      unifyBranches(branches, "CASE branches")
+  }
+
+  /** Pair-granular branch unifier (the `Plus` coercion row) — shared
+    * by CASE branch typing and coalesce(), which merges its arguments
+    * under the same legality rules. */
+  private def unifyBranches(branches: Seq[DataType],
+                            what: String): Option[DataType] = {
+    def isFloating(t: DataType): Boolean = t == DoubleType || t == FloatType
+    def isDecimalT(t: DataType): Boolean = t.isInstanceOf[DecimalType]
+    branches.reduceOption { (a, b) =>
+      def mix = fail(s"$what mix ${a.simpleString} and ${b.simpleString}")
+      if (a == b) a
+      else if (a == BinaryType || b == BinaryType) mix
+      else if (a == StringType || b == StringType) StringType
+      else if (a == BooleanType || b == BooleanType) mix
+      else if ((isDecimalT(a) && isFloating(b)) || (isFloating(a) && isDecimalT(b))) mix
+      else if (isNumeric(a) && isNumeric(b)) widen(a, b)
+      else if (isTemporal(a) && isTemporal(b))
+        // wider temporal wins: a date-first CASE must not truncate
+        // timestamp branches to date
+        if (a == TimestampType || b == TimestampType) TimestampType
+        else if (a == TimestampNTZType || b == TimestampNTZType) TimestampNTZType
+        else a
+      else mix
+    }
   }
 
   private def inferBin(op: BinOp, le: Expr, re: Expr): Option[DataType] = {
@@ -203,12 +211,50 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       case "trim" | "ltrim" | "rtrim" | "toupper" | "upper" | "tolower" | "lower" =>
         requireString(t(0), f.name); Some(StringType)
       case "size" | "length" =>
-        requireString(t(0), f.name); Some(IntegerType)
+        // size() covers strings AND lists (the collect()/split() output)
+        t(0) match {
+          case Some(ArrayType(_, _)) => Some(IntegerType)
+          case other => requireString(other, f.name); Some(IntegerType)
+        }
       case "abs" =>
         val a = t(0); requireNumeric(a, "abs"); a
       case "round" => requireNumeric(t(0), "round"); t(1); Some(DoubleType)
       case "floor" | "ceil" => requireNumeric(t(0), f.name); Some(LongType)
       case "sqrt" => requireNumeric(t(0), "sqrt"); Some(DoubleType)
+      // -------- extension functions (see ExprCompiler.compileFunc) ----
+      case "coalesce" =>
+        if (f.args.isEmpty) fail("coalesce() needs at least one argument")
+        unifyBranches(f.args.flatMap(infer), "coalesce() arguments")
+      case "replace" =>
+        Seq(0, 1, 2).foreach(i => requireString(t(i), "replace"))
+        Some(StringType)
+      case "split" =>
+        requireString(t(0), "split"); requireString(t(1), "split")
+        Some(ArrayType(StringType))
+      case "substring" =>
+        requireString(t(0), "substring")
+        requireNumeric(t(1), "substring")
+        if (f.args.size > 2) requireNumeric(t(2), "substring")
+        Some(StringType)
+      case "reverse" =>
+        t(0) match {
+          case Some(a @ ArrayType(_, _)) => Some(a)
+          case other => requireString(other, "reverse"); Some(StringType)
+        }
+      case "head" | "last" =>
+        t(0) match {
+          case Some(ArrayType(e, _)) => Some(e)
+          case Some(other) =>
+            fail(s"${f.name}() requires a list, got ${other.simpleString}")
+          case None => None
+        }
+      case "range" =>
+        f.args.indices.foreach(i => requireNumeric(t(i), "range"))
+        Some(ArrayType(LongType))
+      case "sign" => requireNumeric(t(0), "sign"); Some(IntegerType)
+      case "exp" | "log" | "log10" =>
+        requireNumeric(t(0), f.name); Some(DoubleType)
+      case "e" | "pi" => Some(DoubleType)
       case "year" | "month" =>
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))

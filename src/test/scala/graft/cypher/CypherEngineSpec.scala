@@ -610,5 +610,7 @@ class CypherEngineSpec extends AnyFunSuite {
     rejected("MATCH (p:Person) RETURN sum(count(p.Born)) AS n")
     rejected("MATCH (a) RETURN a.Name AS N")  // label not inferable
     rejected("OPTIONAL MATCH (p:Person) RETURN p.Name AS N")
+    rejected( // simple CASE (CypherVisitor.cs:1776-1781) — extension-only
+      "MATCH (p:Person) RETURN CASE p.Born WHEN 1956 THEN 'x' ELSE 'y' END AS C")
   }
 }

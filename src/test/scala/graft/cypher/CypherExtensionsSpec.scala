@@ -243,4 +243,115 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("label") ||
       e.getMessage.toLowerCase.contains("ambiguous"))
   }
+
+  // --------------------------------------- standard-library functions
+
+  test("coalesce() fills OPTIONAL MATCH nulls; type-unifies like CASE") {
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[d:DIRECTED]->(m:Movie)
+        |RETURN p.Name AS N, coalesce(m.Title, 'none') AS T ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.contains(("Rob Reiner", "Sleepless in Seattle")))
+    assert(r.contains(("Tom Hanks", "none")))
+    // string + numeric unifies to string (the CASE Plus-row rule)…
+    val s = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |RETURN coalesce(p.Born, 0) AS B""".stripMargin)
+    assert(s.head.getInt(0) == 0)
+    // …while boolean + numeric is an illegal mix, caught statically
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN coalesce(p.Born = 1956, p.Born) AS X"))
+  }
+
+  test("substring/replace/split/reverse and list head/last/size") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN substring(p.Name, 0, 3) AS S3,
+        |       substring(p.Name, 4) AS S4,
+        |       replace(p.Name, ' ', '_') AS R,
+        |       reverse(p.Name) AS V,
+        |       split(p.Name, ' ') AS P""".stripMargin).head
+    assert(r.getString(0) == "Tom")
+    assert(r.getString(1) == "Hanks")
+    assert(r.getString(2) == "Tom_Hanks")
+    assert(r.getString(3) == "sknaH moT")
+    assert(r.getSeq[String](4) == Seq("Tom", "Hanks"))
+    val l = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |WITH split(p.Name, ' ') AS parts
+        |RETURN head(parts) AS H, last(parts) AS L, size(parts) AS S""".stripMargin).head
+    assert((l.getString(0), l.getString(1), l.getInt(2)) == (("Tom", "Hanks", 2)))
+    // split needs a literal delimiter (Spark's split is regex-based;
+    // silently regexing a column would corrupt results)
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) RETURN split(p.Name, p.Name) AS X"))
+  }
+
+  test("head/last of an empty list are null, not errors") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'NoSuch'
+        |WITH collect(p.Name) AS xs
+        |RETURN head(xs) AS H, last(xs) AS L, size(xs) AS S""".stripMargin).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getInt(2) == 0)
+  }
+
+  test("range() is end-inclusive and UNWINDs like Cypher's") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |UNWIND range(1, 7, 2) AS k RETURN k""".stripMargin)
+    assert(r.map(_.getLong(0)) == Seq(1L, 3L, 5L, 7L))
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |UNWIND range(1, 3) AS k RETURN k""".stripMargin)
+    assert(r2.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+  }
+
+  test("math functions: sign, exp, log, log10, e, pi") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN sign(1900 - p.Born) AS SG, exp(0) AS E0,
+        |       log(e()) AS LE, log10(100) AS L10, pi() AS PI""".stripMargin).head
+    assert(r.getInt(0) == -1)
+    assert(r.getDouble(1) == 1.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(3) == 2.0)
+    assert(math.abs(r.getDouble(4) - math.Pi) < 1e-15)
+  }
+
+  // ----------------------------------------------------- simple CASE
+
+  test("simple CASE desugars to searched CASE with equality semantics") {
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N,
+        |       CASE p.Born WHEN 1956 THEN 'boomer-56'
+        |                   WHEN 1961 THEN 'boomer-61'
+        |                   ELSE 'other' END AS C
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.contains(("Tom Hanks", "boomer-56")))
+    assert(r.contains(("Meg Ryan", "boomer-61")))
+    // null operand matches NO branch (null = v is null, not true) and
+    // falls to ELSE — the Cypher simple-CASE contract
+    assert(r.contains(("Rob Reiner", "other")))
+    assert(r.contains(("Jessica Thompson", "other")))
+  }
+
+  test("simple CASE without ELSE yields null on no match") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |RETURN CASE p.Born WHEN 1956 THEN 'x' END AS C""".stripMargin)
+    assert(r.head.isNullAt(0))
+  }
+
+  test("parity session rejects simple CASE and keeps searched CASE") {
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN CASE p.Born WHEN 1956 THEN 'x' ELSE 'y' END AS C"))
+    // searched CASE still fine in parity mode
+    assert(parity.run(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN CASE WHEN p.Born = 1956 THEN 'x' ELSE 'y' END AS C""".stripMargin)
+      .collect().head.getString(0) == "x")
+  }
 }
