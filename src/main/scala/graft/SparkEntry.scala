@@ -507,7 +507,37 @@ object SparkEntry {
              |         AS parity
              |FROM nation
              |CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS k) t
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // list surface: comprehension (filter+|), quantifier, reduce() fold,
+    // 0-based / negative indexing — scalarized outputs so the dtype-
+    // sensitive gate compares ints/strings/bools, not nested lists.
+    // reduce over range(0, nk) is the triangular number nk*(nk+1)/2,
+    // which the SQL mirrors in closed form; the comprehension/quantifier
+    // mirror via DuckDB list lambdas
+    ("q33_list_surface", cyx(
+      """MATCH (c:Customer)
+        |WITH c.c_name AS name, c.c_nationkey AS nk,
+        |     split(c.c_name, '#') AS parts
+        |RETURN name,
+        |       parts[0] AS word0,
+        |       parts[-1] AS num,
+        |       size([x IN parts WHERE size(x) >= 8]) AS long_parts,
+        |       reduce(s = 0, k IN range(0, nk) | s + k) AS tri,
+        |       any(x IN parts WHERE x STARTS WITH 'Cust') AS hascust
+        |ORDER BY name""".stripMargin),
+      Some("""WITH b AS (SELECT c_name AS name, c_nationkey AS nk,
+             |                  string_split(c_name, '#') AS parts
+             |           FROM customer)
+             |SELECT name,
+             |       parts[1] AS word0,
+             |       parts[len(parts)] AS num,
+             |       CAST(len(list_filter(parts, x -> length(x) >= 8))
+             |            AS INTEGER) AS long_parts,
+             |       CAST(nk * (nk + 1) // 2 AS INTEGER) AS tri,
+             |       len(list_filter(parts, x -> starts_with(x, 'Cust'))) > 0
+             |         AS hascust
+             |FROM b ORDER BY name""".stripMargin)))
 
   // ================================================= training-data pipeline
 

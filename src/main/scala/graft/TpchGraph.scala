@@ -15,7 +15,7 @@ object TpchGraph {
       NodeDef("Region", "r_regionkey", Seq("r_name"), "region"),
       NodeDef("Nation", "n_nationkey", Seq("n_name"), "nation"),
       NodeDef("Customer", "c_custkey",
-        Seq("c_name", "c_acctbal", "c_mktsegment"), "customer"),
+        Seq("c_name", "c_acctbal", "c_mktsegment", "c_nationkey"), "customer"),
       NodeDef("Supplier", "s_suppkey", Seq("s_name", "s_acctbal"), "supplier"),
       NodeDef("Part", "p_partkey",
         Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part"),

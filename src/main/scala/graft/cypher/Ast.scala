@@ -57,6 +57,28 @@ object ast {
   final case class CaseExpr(whens: Seq[(Expr, Expr)], otherwise: Option[Expr])
     extends Expr
 
+  // ----- list surface (flagged EXTENSIONS — the reference rejects
+  // comprehensions/quantifiers, CypherVisitor.cs via §2.6; these lower
+  // to Spark higher-order functions, staying in codegen) ---------------
+
+  /** `[v IN list WHERE where | proj]` — filter and/or transform. */
+  final case class ListComp(variable: String, list: Expr,
+                            where: Option[Expr], proj: Option[Expr])
+    extends Expr
+
+  /** `any/all/none/single(v IN list WHERE pred)`. */
+  final case class QuantPred(kind: String, variable: String, list: Expr,
+                             pred: Expr) extends Expr
+
+  /** `reduce(acc = init, v IN list | step)`. */
+  final case class ReduceExpr(acc: String, init: Expr, variable: String,
+                              list: Expr, step: Expr) extends Expr
+
+  /** `xs[i]` (0-based, negative = from end) or `xs[a..b]` (end-exclusive,
+   *  open ends allowed). `isSlice` disambiguates `xs[i]` from `xs[i..]`. */
+  final case class ListIndex(list: Expr, from: Option[Expr], to: Option[Expr],
+                             isSlice: Boolean) extends Expr
+
   // ----- patterns -----------------------------------------------------
 
   sealed trait Direction

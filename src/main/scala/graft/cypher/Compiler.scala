@@ -267,6 +267,16 @@ object Compiler {
       ws.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
         o.exists(containsAgg)
     case ListLit(items) => items.exists(containsAgg)
+    // lambda BODIES can't aggregate (no rows in scope there — the parser
+    // rejects nested aggregates anyway), but the list operand can be an
+    // aggregate: `[y IN collect(x) | …]` must be seen as an agg item
+    case ListComp(_, l, w, m) =>
+      containsAgg(l) || w.exists(containsAgg) || m.exists(containsAgg)
+    case QuantPred(_, _, l, pr) => containsAgg(l) || containsAgg(pr)
+    case ReduceExpr(_, i, _, l, s) =>
+      containsAgg(i) || containsAgg(l) || containsAgg(s)
+    case ListIndex(l, f, t, _) =>
+      containsAgg(l) || f.exists(containsAgg) || t.exists(containsAgg)
     case _ => false
   }
 
@@ -312,6 +322,13 @@ object Compiler {
       case CaseExpr(ws, o) =>
         CaseExpr(ws.map { case (c, v) => (delist(c), delist(v)) }, o.map(delist))
       case ListLit(xs) => ListLit(xs.map(delist))
+      case ListComp(v, l, w, m) =>
+        ListComp(v, delist(l), w.map(delist), m.map(delist))
+      case QuantPred(k, v, l, pr) => QuantPred(k, v, delist(l), delist(pr))
+      case ReduceExpr(a, i, v, l, s) =>
+        ReduceExpr(a, delist(i), v, delist(l), delist(s))
+      case ListIndex(l, f, t, s) =>
+        ListIndex(delist(l), f.map(delist), t.map(delist), s)
       case other => other
     }
     val items = proj.items.map(it => it.copy(expr = delist(it.expr)))

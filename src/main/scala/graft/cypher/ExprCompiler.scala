@@ -84,6 +84,7 @@ final class ExprCompiler(
     case Lit(v)    => lit(v)
 
     case Ref(a, Some(p)) => colOf(a, p)
+    case Ref(a, None) if lambdaCols.contains(a) => lambdaCols(a)
     case Ref(a, None) =>
       aliasCols.get(a).map(col).getOrElse {
         scope.get(a) match {
@@ -126,7 +127,88 @@ final class ExprCompiler(
         acc.when(cond(c), branch(v))
       }
       other.map(o => chained.otherwise(branch(o))).getOrElse(chained)
+
+    // ----- list surface (extensions) — all lower to Spark higher-order
+    // functions (filter/transform/exists/forall/aggregate/get/slice),
+    // which evaluate per-row inside codegen without UDF boundaries ------
+    case ListComp(v, l, w, m) =>
+      val lc = compile(l)
+      val et = types.elemType(l, "list comprehension")
+      val filtered = w.fold(lc)(wx =>
+        filter(lc, x => lambdaBody(v, et, x)(build(wx).cast(BooleanType))))
+      m.fold(filtered)(mx =>
+        transform(filtered, x => lambdaBody(v, et, x)(build(mx))))
+
+    case QuantPred(kind, v, l, pred) =>
+      val lc = compile(l)
+      val et = types.elemType(l, "any/all/none/single")
+      def p(x: Column): Column =
+        lambdaBody(v, et, x)(build(pred).cast(BooleanType))
+      kind match {
+        case "any"  => exists(lc, p)
+        case "all"  => forall(lc, p)
+        case "none" => !exists(lc, p)
+        // single = exactly one element satisfies; filter() drops
+        // null-valued predicates, so unknowns don't count as matches
+        case "single" => size(filter(lc, p(_))) === lit(1)
+      }
+
+    case ReduceExpr(acc, init, v, l, step) =>
+      val initT = typeOf(init)
+      val initC = compile(init)
+      val lc = compile(l)
+      val et = types.elemType(l, "reduce")
+      // Catalyst's aggregate() requires the merge to preserve the
+      // accumulator's type — cast the step back to the init type (the
+      // same contract the reference's CASE rendering uses per branch)
+      aggregate(lc, initC, (a, x) =>
+        types.bound(acc, initT) {
+          lambdaBody(v, et, x) {
+            withLambdaCol(acc, a) {
+              val s = build(step)
+              initT.map(s.cast).getOrElse(s)
+            }
+          }
+        })
+
+    case ListIndex(l, from, to, isSlice) =>
+      val lc = compile(l)
+      if (!isSlice) {
+        // 0-based; negative = from the end; out of range → null (get()
+        // is the total accessor — element_at would throw under ANSI)
+        val i = compile(from.get).cast(IntegerType)
+        get(lc, when(i < 0, size(lc) + i).otherwise(i))
+      } else {
+        // end-exclusive slice with Cypher's graceful clamping; slice()
+        // interprets NEGATIVE starts as from-the-end, so clamp into
+        // [0, size] BEFORE handing it the 1-based start
+        val sz = size(lc)
+        val f0 = from.map(x => compile(x).cast(IntegerType)).getOrElse(lit(0))
+        val t0 = to.map(x => compile(x).cast(IntegerType)).getOrElse(sz)
+        val f1 = when(f0 < 0, sz + f0).otherwise(f0)
+        val t1 = when(t0 < 0, sz + t0).otherwise(t0)
+        val s = greatest(least(f1, sz), lit(0))
+        val e = greatest(least(t1, sz), lit(0))
+        slice(lc, s + lit(1), greatest(e - s, lit(0)))
+      }
   }
+
+  /** Lambda-scoped variables for higher-order-function bodies:
+   *  name → the HOF-supplied element Column. */
+  private var lambdaCols: Map[String, Column] = Map.empty
+
+  private def withLambdaCol[A](name: String, c: Column)(f: => A): A = {
+    val saved = lambdaCols
+    lambdaCols = lambdaCols + (name -> c)
+    try f finally lambdaCols = saved
+  }
+
+  /** Binds `name` in BOTH the type scope and the column scope while
+   *  building a lambda body — typing decisions inside the body (string
+   *  `+`, integral division) see the element type. */
+  private def lambdaBody(name: String, et: Option[DataType], x: Column)
+                        (body: => Column): Column =
+    types.bound(name, et)(withLambdaCol(name, x)(body))
 
   private def compileBin(op: BinOp, le: Expr, re: Expr): Column = {
     lazy val l = build(le)

@@ -450,7 +450,28 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         eatKw("NULL")
         e = IsNull(e, not)
       }
-      else if (isPunct("[")) notSupported("list index / slice access")
+      else if (isPunct("[")) {
+        if (!extensions)
+          notSupported("list index / slice access " +
+            "(supported with extensions enabled)")
+        p += 1
+        // xs[..b] — open start
+        if (tryPunct("..")) {
+          val to = if (isPunct("]")) None else Some(parseExpr())
+          eatPunct("]")
+          e = ListIndex(e, None, to, isSlice = true)
+        } else {
+          val from = parseExpr()
+          if (tryPunct("..")) {
+            val to = if (isPunct("]")) None else Some(parseExpr())
+            eatPunct("]")
+            e = ListIndex(e, Some(from), to, isSlice = true)
+          } else {
+            eatPunct("]")
+            e = ListIndex(e, Some(from), None, isSlice = false)
+          }
+        }
+      }
       else go = false
     }
     e
@@ -491,9 +512,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case Kw("NULL", _, _)  => p += 1; Lit(null)
     case Kw("CASE", _, _)  => p += 1; parseCase()
     case Kw("NOT", _, _)   => p += 1; Not(parseNot())
+    case Kw(k, _, _) if Set("ANY", "ALL", "NONE", "SINGLE")(k) && extensions &&
+        (peek1 match { case Punct("(", _) => true; case _ => false }) =>
+      p += 2 // kw + '('
+      parseQuantifier(k.toLowerCase(java.util.Locale.ROOT))
     case Kw(k, _, _) if Set("FILTER", "EXTRACT", "ANY", "NONE", "SINGLE",
         "EXISTS")(k) =>
-      notSupported(s"$k(...) predicate/comprehension")
+      notSupported(s"$k(...) predicate/comprehension" +
+        (if (Set("ANY", "NONE", "SINGLE")(k))
+           " (supported with extensions enabled)" else ""))
     case Punct("(", _) =>
       p += 1
       val e = parseExpr()
@@ -501,6 +528,22 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       e
     case Punct("[", _) =>
       p += 1
+      // `[v IN …]` is a list comprehension, not a literal (openCypher
+      // resolves the ambiguity the same way)
+      (cur, peek1) match {
+        case (Ident(_, _), Kw("IN", _, _)) =>
+          if (!extensions)
+            notSupported("list comprehension [x IN …] " +
+              "(supported with extensions enabled)")
+          val v = ident()
+          eatKw("IN")
+          val listE = parseExpr()
+          val whereE = if (tryKw("WHERE")) Some(parseExpr()) else None
+          val projE = if (tryPunct("|")) Some(parseExpr()) else None
+          eatPunct("]")
+          return ListComp(v, listE, whereE, projE)
+        case _ =>
+      }
       val items = Vector.newBuilder[Expr]
       if (!isPunct("]")) {
         items += parseExpr()
@@ -542,9 +585,37 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case t => syntaxErr(s"Unexpected token $t in expression")
   }
 
+  /** `kind(v IN list WHERE pred)` — openCypher requires the WHERE. */
+  private def parseQuantifier(kind: String): Expr = {
+    val v = ident()
+    eatKw("IN")
+    val listE = parseExpr()
+    eatKw("WHERE")
+    val predE = parseExpr()
+    eatPunct(")")
+    QuantPred(kind, v, listE, predE)
+  }
+
   private def parseCall(name: String): Expr = {
     p += 2 // ident + '('
     val lname = name.toLowerCase(java.util.Locale.ROOT)
+    if (lname == "reduce") {
+      // reduce(acc = init, v IN list | step) — comprehension-style
+      // argument list, not ordinary positional args
+      if (!extensions)
+        notSupported("reduce(...) (supported with extensions enabled)")
+      val acc = ident()
+      eatPunct("=")
+      val init = parseExpr()
+      eatPunct(",")
+      val v = ident()
+      eatKw("IN")
+      val listE = parseExpr()
+      eatPunct("|")
+      val step = parseExpr()
+      eatPunct(")")
+      return ReduceExpr(acc, init, v, listE, step)
+    }
     if (isPunct("*")) {
       if (lname == "count") notSupported("COUNT(*)")
       else syntaxErr("Unexpected *")
@@ -608,6 +679,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       ws.foreach { case (c, v) =>
         checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }
       o.foreach(checkNoNestedAgg(_, outer))
+    case ListComp(_, l, w, m) =>
+      checkNoNestedAgg(l, outer)
+      w.foreach(checkNoNestedAgg(_, outer))
+      m.foreach(checkNoNestedAgg(_, outer))
+    case QuantPred(_, _, l, pr) =>
+      checkNoNestedAgg(l, outer); checkNoNestedAgg(pr, outer)
+    case ReduceExpr(_, i, _, l, s) =>
+      checkNoNestedAgg(i, outer); checkNoNestedAgg(l, outer)
+      checkNoNestedAgg(s, outer)
+    case ListIndex(l, f, t, _) =>
+      checkNoNestedAgg(l, outer)
+      f.foreach(checkNoNestedAgg(_, outer))
+      t.foreach(checkNoNestedAgg(_, outer))
     case _ =>
   }
 

@@ -22,6 +22,30 @@ import ast._
  */
 final class TypeInference(refType: Ref => Option[DataType]) {
 
+  /** Lambda-scoped variables (list comprehension / quantifier / reduce
+   *  bodies): name → element type. Shadows outer refs for bare names.
+   *  A stack discipline via save/restore keeps nesting correct. */
+  private var lambdaEnv: Map[String, Option[DataType]] = Map.empty
+
+  /** Runs `f` with `name` bound to `dt` in the lambda scope. Public so
+   *  the expression compiler can keep typing and compilation in the
+   *  same scope while it builds higher-order-function bodies. */
+  def bound[A](name: String, dt: Option[DataType])(f: => A): A = {
+    val saved = lambdaEnv
+    lambdaEnv = lambdaEnv + (name -> dt)
+    try f finally lambdaEnv = saved
+  }
+
+  /** Element type of a list-typed expression; typed failure on a known
+   *  non-list. */
+  def elemType(listE: Expr, what: String): Option[DataType] =
+    infer(listE) match {
+      case Some(ArrayType(e, _)) => Some(e)
+      case Some(other) =>
+        fail(s"$what requires a list, got ${other.simpleString}")
+      case None => None
+    }
+
   private def isNumeric(t: DataType): Boolean = t match {
     case _: NumericType => true
     case _ => false
@@ -86,6 +110,7 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     case Lit(_: java.time.LocalDate) => Some(DateType)
     case Lit(_)          => None
 
+    case Ref(a, None) if lambdaEnv.contains(a) => lambdaEnv(a)
     case r: Ref => refType(r)
 
     case Not(x) =>
@@ -128,6 +153,45 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       // date×timestamp never mixes in the reference; we widen to the
       // wider temporal rather than reject.
       unifyBranches(branches, "CASE branches")
+
+    // ----- list surface (extensions) ----------------------------------
+    case ListComp(v, l, w, m) =>
+      val lt = infer(l)
+      val et = lt match {
+        case Some(ArrayType(e, _)) => Some(e)
+        case Some(other) =>
+          fail(s"list comprehension requires a list, got ${other.simpleString}")
+        case None => None
+      }
+      bound(v, et) {
+        w.foreach(x => requireBoolean(infer(x), "comprehension WHERE"))
+        m match {
+          case Some(mx) => infer(mx).map(t => ArrayType(t): DataType)
+          case None     => lt // pure filter preserves the list type
+        }
+      }
+    case QuantPred(_, v, l, pred) =>
+      val et = elemType(l, "any/all/none/single")
+      bound(v, et)(requireBoolean(infer(pred), "quantifier predicate"))
+      Some(BooleanType)
+    case ReduceExpr(acc, init, v, l, step) =>
+      val initT = infer(init)
+      val et = elemType(l, "reduce")
+      // the step is cast back to the accumulator type at compile time
+      // (Catalyst's aggregate() needs a stable accumulator type), so the
+      // expression's type IS the initial value's type
+      bound(acc, initT)(bound(v, et)(infer(step)))
+      initT
+    case ListIndex(l, from, to, isSlice) =>
+      val lt = infer(l)
+      lt.foreach {
+        case ArrayType(_, _) =>
+        case other => fail(s"index/slice requires a list, got ${other.simpleString}")
+      }
+      from.foreach(x => requireNumeric(infer(x), "list index"))
+      to.foreach(x => requireNumeric(infer(x), "list slice end"))
+      if (isSlice) lt
+      else lt.collect { case ArrayType(e, _) => e }
   }
 
   /** Pair-granular branch unifier (the `Plus` coercion row) — shared

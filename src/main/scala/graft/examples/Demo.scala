@@ -8,7 +8,11 @@ import graft.TpchGraph
  *  Usage: runMain graft.examples.Demo [sfDir] ["cypher query"] */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    // `-x` anywhere in args → extension session (SKIP/$param/UNWIND/
+    // var-length/list surface); default stays reference-parity
+    val (flags, rest) = args.partition(_ == "-x")
+    val extended = flags.nonEmpty
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-demo")
@@ -17,9 +21,10 @@ object Demo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val session = TpchGraph.session(spark, dir)
+    val base = TpchGraph.session(spark, dir)
+    val session = if (extended) base.extended else base
     val queries: Seq[String] =
-      if (args.length > 1) args.drop(1).toSeq
+      if (rest.length > 1) rest.drop(1).toSeq
       else Seq(
         """MATCH (c:Customer)-[p:PLACED]->(o:Order)
           |WHERE c.c_mktsegment = 'BUILDING'

@@ -612,5 +612,11 @@ class CypherEngineSpec extends AnyFunSuite {
     rejected("OPTIONAL MATCH (p:Person) RETURN p.Name AS N")
     rejected( // simple CASE (CypherVisitor.cs:1776-1781) — extension-only
       "MATCH (p:Person) RETURN CASE p.Born WHEN 1956 THEN 'x' ELSE 'y' END AS C")
+    // list surface (comprehension / quantifier / reduce / index) —
+    // extension-only; §2.6 keeps the reference's rejections
+    rejected("MATCH (p:Person) RETURN [k IN [1,2] | k] AS X")
+    rejected("MATCH (p:Person) RETURN any(k IN [1,2] WHERE k > 1) AS X")
+    rejected("MATCH (p:Person) RETURN reduce(s = 0, k IN [1,2] | s + k) AS X")
+    rejected("MATCH (p:Person) RETURN split(p.Name, ' ')[0] AS X")
   }
 }

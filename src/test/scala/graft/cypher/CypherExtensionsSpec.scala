@@ -344,6 +344,101 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.head.isNullAt(0))
   }
 
+  // ------------------------------------------------------ list surface
+
+  test("list comprehension: filter, transform, and both") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN [k IN range(1, 6) WHERE k % 2 = 0] AS evens,
+        |       [k IN range(1, 3) | k * 10] AS tens,
+        |       [w IN split(p.Name, ' ') WHERE size(w) > 3 | toUpper(w)] AS caps
+        |""".stripMargin).head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L, 6L))
+    assert(r.getSeq[Long](1) == Seq(10L, 20L, 30L))
+    assert(r.getSeq[String](2) == Seq("HANKS"))
+  }
+
+  test("comprehension over collect(): aggregate list operand") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WITH m.Title AS T, collect(p.Name) AS names
+        |RETURN T, size([n IN names WHERE n CONTAINS 'Tom']) AS toms
+        |ORDER BY T""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r.forall(_._2 >= 0) && r.nonEmpty)
+  }
+
+  test("quantifiers any/all/none/single") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |WITH split(p.Name, ' ') AS ws
+        |RETURN any(w IN ws WHERE w = 'Tom') AS a,
+        |       all(w IN ws WHERE size(w) >= 3) AS al,
+        |       none(w IN ws WHERE w = 'Meg') AS n,
+        |       single(w IN ws WHERE w STARTS WITH 'H') AS s""".stripMargin).head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3))
+    val f = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN single(k IN range(1, 4) WHERE k > 2) AS s2,
+        |       any(k IN range(1, 3) WHERE k > 9) AS a2""".stripMargin).head
+    assert(!f.getBoolean(0) && !f.getBoolean(1))
+  }
+
+  test("reduce() folds with the accumulator's type") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN reduce(s = 0, k IN range(1, 10) | s + k) AS sum,
+        |       reduce(acc = '', w IN split(p.Name, ' ') | acc + w) AS cat
+        |""".stripMargin).head
+    assert(r.getInt(0) == 55)
+    assert(r.getString(1) == "TomHanks")
+  }
+
+  test("list index: 0-based, negative from end, out of range is null") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |WITH split(p.Name, ' ') AS ws
+        |RETURN ws[0] AS first, ws[1] AS second, ws[-1] AS neg,
+        |       ws[9] AS oob, ws[-9] AS noob""".stripMargin).head
+    assert(r.getString(0) == "Tom" && r.getString(1) == "Hanks")
+    assert(r.getString(2) == "Hanks")
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("list slice: end-exclusive, open ends, negatives, clamping") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |WITH range(0, 4) AS xs
+        |RETURN xs[1..3] AS mid, xs[..2] AS head2, xs[3..] AS tail2,
+        |       xs[-2..] AS lastTwo, xs[2..99] AS clamped,
+        |       xs[3..1] AS empty""".stripMargin).head
+    assert(r.getSeq[Long](0) == Seq(1L, 2L))
+    assert(r.getSeq[Long](1) == Seq(0L, 1L))
+    assert(r.getSeq[Long](2) == Seq(3L, 4L))
+    assert(r.getSeq[Long](3) == Seq(3L, 4L))
+    assert(r.getSeq[Long](4) == Seq(2L, 3L, 4L))
+    assert(r.getSeq[Long](5).isEmpty)
+  }
+
+  test("comprehension body sees outer scope AND the lambda variable") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born IS NOT NULL
+        |RETURN p.Name AS N,
+        |       [k IN range(0, 1) | p.Born + k] AS seq
+        |ORDER BY N LIMIT 1""".stripMargin).head
+    val born = r.getSeq[Long](1)
+    assert(born(1) == born(0) + 1)
+  }
+
+  test("list-surface type errors are static") {
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN [k IN p.Name | k] AS X"))
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN any(k IN p.Born WHERE k > 0) AS X"))
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN split(p.Name, ' ')[p.Name] AS X"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
