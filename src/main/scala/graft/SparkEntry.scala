@@ -537,7 +537,37 @@ object SparkEntry {
              |       CAST(nk * (nk + 1) // 2 AS INTEGER) AS tri,
              |       len(list_filter(parts, x -> starts_with(x, 'Cust'))) > 0
              |         AS hascust
-             |FROM b ORDER BY name""".stripMargin)))
+             |FROM b ORDER BY name""".stripMargin)),
+
+    // EXISTS pattern predicate (extension): lowers to a left-semi join
+    // whose probe side carries only the correlation key (c_custkey) —
+    // at scale the outer row never widens and the probe can broadcast
+    ("q34_exists_semi", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE EXISTS((c)-[:PLACED]->(:Order)) AND c.c_mktsegment = 'BUILDING'
+        |RETURN n.n_name AS nation, count(c) AS n_buyers
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(*) AS n_buyers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // NOT EXISTS subquery form with inner WHERE → left-anti join (the
+    // q23 anti-join shape without the OPTIONAL MATCH + IS NULL detour);
+    // the inner predicate filters the probe BEFORE the anti join
+    ("q35_not_exists_anti", cyx(
+      """MATCH (c:Customer)
+        |WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order)
+        |                   WHERE o.o_totalprice > 350000 }
+        |RETURN c.c_custkey AS custkey, c.c_name AS name
+        |ORDER BY custkey""".stripMargin),
+      Some("""SELECT c_custkey AS custkey, c_name AS name
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 350000)
+             |ORDER BY 1""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -79,6 +79,18 @@ object ast {
   final case class ListIndex(list: Expr, from: Option[Expr], to: Option[Expr],
                              isSlice: Boolean) extends Expr
 
+  /** `EXISTS((a)-[:R]->(b))` pattern predicate, or the subquery form
+   *  `EXISTS { [MATCH] pattern[, pattern…] [WHERE pred] }` — a flagged
+   *  EXTENSION (the reference rejects EXISTS outright, §2.6). Only
+   *  legal as a top-level (optionally NOT-ed) AND-conjunct of a MATCH
+   *  WHERE; the compiler lowers it to a left-semi / left-anti join
+   *  correlated on the node aliases shared with the outer scope — a
+   *  join, not a per-row value, hence the placement restriction. The
+   *  inner WHERE sees the subquery's own bindings (shared aliases read
+   *  the subquery's copy — equivalent under unique-id correlation). */
+  final case class ExistsPat(parts: Seq[PatternPart], where: Option[Expr])
+    extends Expr
+
   // ----- patterns -----------------------------------------------------
 
   sealed trait Direction

@@ -193,7 +193,13 @@ object Compiler {
         scope = scope ++ newEntities
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
-          df = df.filter(new ExprCompiler(scope, df).compile(w))
+          val (existsConjs, residual) = splitExistsConjuncts(w)
+          existsConjs.foreach { case (part, negated) =>
+            df = existsJoin(df, scope, part, negated, catalog)
+          }
+          residual.foreach { r =>
+            df = df.filter(new ExprCompiler(scope, df).compile(r))
+          }
         }
       } else {
         // OPTIONAL MATCH: build the optional side from the clause's new
@@ -224,6 +230,119 @@ object Compiler {
       }
     }
     Ctx(df, scope)
+  }
+
+  // ----- EXISTS pattern predicates (extension) --------------------------
+
+  private def containsExistsPat(e: Expr): Boolean = e match {
+    case _: ExistsPat => true
+    case Bin(_, l, r) => containsExistsPat(l) || containsExistsPat(r)
+    case Not(x) => containsExistsPat(x)
+    case Neg(x) => containsExistsPat(x)
+    case IsNull(x, _) => containsExistsPat(x)
+    case Func(_, args) => args.exists(containsExistsPat)
+    case Agg(_, _, arg, _) => arg.exists(containsExistsPat)
+    case CaseExpr(ws, o) =>
+      ws.exists { case (c, v) =>
+        containsExistsPat(c) || containsExistsPat(v) } ||
+        o.exists(containsExistsPat)
+    case ListLit(xs) => xs.exists(containsExistsPat)
+    case ListComp(_, l, w, m) =>
+      containsExistsPat(l) || w.exists(containsExistsPat) ||
+        m.exists(containsExistsPat)
+    case QuantPred(_, _, l, pr) =>
+      containsExistsPat(l) || containsExistsPat(pr)
+    case ReduceExpr(_, i, _, l, s) =>
+      containsExistsPat(i) || containsExistsPat(l) || containsExistsPat(s)
+    case ListIndex(l, f, t, _) =>
+      containsExistsPat(l) || f.exists(containsExistsPat) ||
+        t.exists(containsExistsPat)
+    case _ => false
+  }
+
+  /** Splits a MATCH WHERE into `[NOT] EXISTS(pattern)` top-level
+   *  AND-conjuncts (with their negation parity) and the residual
+   *  predicate. EXISTS anywhere deeper — under OR, CASE, a lambda —
+   *  has no join lowering and is rejected with a placement message. */
+  private def splitExistsConjuncts(w: Expr)
+      : (Seq[(ExistsPat, Boolean)], Option[Expr]) = {
+    val pats = Vector.newBuilder[(ExistsPat, Boolean)]
+    val rest = Vector.newBuilder[Expr]
+    def strip(e: Expr, neg: Boolean): Option[(ExistsPat, Boolean)] =
+      e match {
+        case ep: ExistsPat => Some((ep, neg))
+        case Not(inner)    => strip(inner, !neg)
+        case _             => None
+      }
+    def walk(e: Expr): Unit = e match {
+      case Bin(BinOp.And, l, r) if containsExistsPat(e) => walk(l); walk(r)
+      case other => strip(other, neg = false) match {
+        case Some(pe) => pats += pe
+        case None =>
+          if (containsExistsPat(other))
+            throw new CypherNotSupportedException(
+              "EXISTS pattern predicate must be a top-level AND-conjunct " +
+              "of the MATCH WHERE clause (it lowers to a semi-join, not " +
+              "a per-row value)")
+          rest += other
+      }
+    }
+    walk(w)
+    (pats.result(), rest.result().reduceOption(Bin(BinOp.And, _, _)))
+  }
+
+  /**
+   * Lowers `[NOT] EXISTS(pattern)` to a left-semi / left-anti join
+   * (extension; the reference rejects EXISTS, §2.6). The pattern
+   * compiles as a standalone subplan through the ordinary
+   * resolve/scan-merge/join machinery — label inference sees the outer
+   * bindings, so `(c)-[:PLACED]->(o)` resolves `o` from c's outer
+   * label. Correlation keys are the unique node ids of the aliases
+   * shared with the outer scope; the probe side carries ONLY those id
+   * columns, so at scale the semi-join shuffles slim keys (or
+   * broadcasts) and never widens the outer row. With no shared alias
+   * the predicate is the global "any such pattern exists" — a
+   * broadcast 1-row probe.
+   */
+  private def existsJoin(df: DataFrame, scope: Map[String, Binding],
+      ex: ExistsPat, negated: Boolean,
+      catalog: GraphCatalog): DataFrame = {
+    if (ex.parts.exists(_.rels.exists(_.varLength.isDefined)))
+      throw new CypherNotSupportedException(
+        "variable-length relationship inside EXISTS")
+    // outer anonymous aliases (`__unnamed_N`) are unreachable from the
+    // sub-pattern's surface syntax but would collide with the fresh
+    // generator's names — keep them out of inference and correlation
+    val outerNamed = scope.filter { case (a, _) => !a.startsWith("__unnamed_") }
+    // the inner WHERE (and any nested EXISTS in it) rides the ordinary
+    // compileMatches path inside the subplan
+    val resolved = Analyzer.resolvePart(catalog.graph, outerNamed,
+      Seq(MatchClause(ex.parts, optional = false, where = ex.where)))
+    val sub = compileMatches(None, resolved, catalog)
+    val joinType = if (negated) "left_anti" else "left_semi"
+    val shared = resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
+    if (shared.isEmpty) {
+      val probe = sub.df.limit(1).select(lit(1).as("__exists_probe"))
+      df.join(broadcast(probe), lit(true), joinType)
+    } else {
+      val keys = shared.map { a =>
+        (outerNamed(a), sub.scope(a)) match {
+          case (NodeBinding(n1), NodeBinding(n2)) if n1.label == n2.label =>
+            pref(a, n1.idColumn)
+          case (NodeBinding(n1), NodeBinding(n2)) =>
+            throw new CypherBindingException(
+              s"EXISTS alias '$a' resolves to label ${n2.label} but is " +
+              s"bound to ${n1.label} outside")
+          case _ => throw new CypherBindingException(
+            s"EXISTS shares alias '$a' which is not a node variable")
+        }
+      }
+      val probe = sub.df.select(keys.zipWithIndex.map {
+        case (k, i) => col(k).as(s"__exists_k$i") }: _*)
+      val cond = keys.zipWithIndex.map { case (k, i) =>
+        col(k) === col(s"__exists_k$i") }.reduce(_ && _)
+      df.join(probe, cond, joinType)
+    }
   }
 
   /** New entities in pattern order grouped into scans: nodes and rels

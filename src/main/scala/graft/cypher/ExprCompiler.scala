@@ -99,6 +99,11 @@ final class ExprCompiler(
     // boolean positions cast their operand: a NULL literal is VOID-typed
     // in Catalyst (analysis error) but legal, null-valued boolean input
     // in Cypher; the cast is a no-op for well-typed operands
+    case _: ExistsPat =>
+      throw new CypherNotSupportedException(
+        "EXISTS pattern predicate is only supported as a top-level " +
+        "(optionally NOT-ed) AND-conjunct of a MATCH WHERE clause")
+
     case Not(x)    => !build(x).cast(BooleanType)
     case Neg(x)    => negate(compile(x))
     case IsNull(x, false) => compile(x).isNull

@@ -516,10 +516,38 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         (peek1 match { case Punct("(", _) => true; case _ => false }) =>
       p += 2 // kw + '('
       parseQuantifier(k.toLowerCase(java.util.Locale.ROOT))
+    case Kw("EXISTS", _, _) if extensions &&
+        (peek1 match {
+          case Punct("(", _) | Punct("{", _) => true; case _ => false }) =>
+      peek1 match {
+        case Punct("{", _) =>
+          // subquery form: EXISTS { [MATCH] pat[, pat…] [WHERE pred] }
+          p += 2 // EXISTS + '{'
+          tryKw("MATCH")
+          val pats = Vector.newBuilder[PatternPart]
+          pats += parsePatternPart()
+          while (tryPunct(",")) pats += parsePatternPart()
+          val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatPunct("}")
+          ExistsPat(pats.result(), w)
+        case _ =>
+          p += 2 // EXISTS + '('
+          // `EXISTS((…)…)` opens a node pattern → pattern predicate;
+          // `EXISTS(expr)` is openCypher's property test → IS NOT NULL
+          if (isPunct("(")) {
+            val part = parsePatternPart()
+            eatPunct(")")
+            ExistsPat(Seq(part), None)
+          } else {
+            val e = parseExpr()
+            eatPunct(")")
+            IsNull(e, not = true)
+          }
+      }
     case Kw(k, _, _) if Set("FILTER", "EXTRACT", "ANY", "NONE", "SINGLE",
         "EXISTS")(k) =>
       notSupported(s"$k(...) predicate/comprehension" +
-        (if (Set("ANY", "NONE", "SINGLE")(k))
+        (if (Set("ANY", "NONE", "SINGLE", "EXISTS")(k))
            " (supported with extensions enabled)" else ""))
     case Punct("(", _) =>
       p += 1

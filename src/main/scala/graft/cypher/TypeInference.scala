@@ -192,6 +192,10 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       to.foreach(x => requireNumeric(infer(x), "list slice end"))
       if (isSlice) lt
       else lt.collect { case ArrayType(e, _) => e }
+
+    // boolean-valued, but only compilable as a MATCH WHERE conjunct —
+    // ExprCompiler rejects it with a placement error everywhere else
+    case _: ExistsPat => Some(BooleanType)
   }
 
   /** Pair-granular branch unifier (the `Plus` coercion row) — shared

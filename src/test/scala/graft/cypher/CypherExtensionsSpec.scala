@@ -439,6 +439,122 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) RETURN split(p.Name, ' ')[p.Name] AS X"))
   }
 
+  // ------------------------------------------- EXISTS pattern predicates
+
+  test("EXISTS pattern predicate lowers to a left-semi join") {
+    val df = session.run(
+      """MATCH (p:Person) WHERE EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+  }
+
+  test("NOT EXISTS lowers to a left-anti join") {
+    val df = session.run(
+      """MATCH (p:Person) WHERE NOT EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("Jessica Thompson", "Rob Reiner"))
+    assert(df.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // double negation flips back to semi
+    assert(rows(
+      """MATCH (p:Person) WHERE NOT (NOT EXISTS((p)-[:ACTED_IN]->(:Movie)))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+      .map(_.getString(0)) == Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
+  }
+
+  test("EXISTS correlates on a mid-pattern alias and mixes with residual") {
+    // reviewed movies that somebody directed
+    val r = rows(
+      """MATCH (p:Person)-[:REVIEWED]->(m:Movie)
+        |WHERE EXISTS((:Person)-[:DIRECTED]->(m)) AND p.Born IS NULL
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Jessica Thompson", "Sleepless in Seattle")))
+  }
+
+  test("EXISTS with no shared alias is a global existence probe") {
+    assert(rows(
+      """MATCH (p:Person) WHERE EXISTS((:Person)-[:DIRECTED]->(:Movie))
+        |RETURN count(p.id) AS c""".stripMargin).head.getLong(0) == 5L)
+    assert(rows(
+      """MATCH (p:Person) WHERE NOT EXISTS((:Person)-[:DIRECTED]->(:Movie))
+        |RETURN p.Name AS N""".stripMargin).isEmpty)
+  }
+
+  test("EXISTS survives a WITH entity rename") {
+    val r = rows(
+      """MATCH (p:Person) WITH p AS q
+        |MATCH (q)-[:REVIEWED]->(m:Movie)
+        |WHERE EXISTS((q)-[:FOLLOWS]->(:Person))
+        |RETURN q.Name AS N, m.Title AS T ORDER BY T""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Jessica Thompson", "Sleepless in Seattle"),
+          ("Jessica Thompson", "You've Got Mail")))
+  }
+
+  test("EXISTS { … WHERE … } subquery form filters the probe side") {
+    // people who acted in a movie released after 1995 (Apollo 13 is
+    // out; only You've Got Mail, 1998, qualifies → its two actors)
+    assert(rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:ACTED_IN]->(m:Movie) WHERE m.Released > 1995 }
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+      .map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+    // inner WHERE on the shared alias's own properties reads the
+    // subquery's copy — equivalent under unique-id correlation
+    assert(rows(
+      """MATCH (p:Person)
+        |WHERE NOT EXISTS { MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |                   WHERE p.Born >= 1958 }
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+      .map(_.getString(0)) ==
+        Seq("Jessica Thompson", "Rob Reiner", "Tom Hanks"))
+  }
+
+  test("EXISTS subquery: comma patterns and nested EXISTS conjuncts") {
+    // two comma patterns correlate independently on p
+    assert(rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:ACTED_IN]->(:Movie), (p)-[:FOLLOWS]->(:Person) }
+        |RETURN p.Name AS N""".stripMargin)
+      .map(_.getString(0)) == Seq("Tom Hanks"))
+    // nested EXISTS inside the inner WHERE rides the recursive path:
+    // reviewers of movies someone directed
+    assert(rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:REVIEWED]->(m:Movie)
+        |               WHERE EXISTS((:Person)-[:DIRECTED]->(m)) }
+        |RETURN p.Name AS N""".stripMargin)
+      .map(_.getString(0)) == Seq("Jessica Thompson"))
+  }
+
+  test("EXISTS(expr) property form is IS NOT NULL") {
+    assert(rows(
+      """MATCH (p:Person) WHERE EXISTS(p.Born)
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+      .map(_.getString(0)) == Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
+  }
+
+  test("EXISTS placement: OR / projection positions are rejected") {
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |WHERE p.Born = 1956 OR EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |RETURN EXISTS((p)-[:ACTED_IN]->(:Movie)) AS e""".stripMargin))
+  }
+
+  test("parity session rejects EXISTS") {
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      """MATCH (p:Person) WHERE EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N""".stripMargin))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
