@@ -567,7 +567,21 @@ object SparkEntry {
              |WHERE NOT EXISTS (SELECT 1 FROM orders
              |                  WHERE o_custkey = c_custkey
              |                    AND o_totalprice > 350000)
-             |ORDER BY 1""".stripMargin)))
+             |ORDER BY 1""".stripMargin)),
+
+    // count(*) + entity introspection (extension): labels/type fold to
+    // literals at compile time (static schema), id() reads the node's
+    // key column — the whole projection stays in codegen
+    ("q36_introspection", cyx(
+      """MATCH (c:Customer)-[p:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 400000
+        |RETURN labels(c)[0] AS lbl, type(p) AS rel, count(*) AS n,
+        |       min(id(c)) AS min_cust
+        |ORDER BY lbl""".stripMargin),
+      Some("""SELECT 'Customer' AS lbl, 'PLACED' AS rel, count(*) AS n,
+             |       min(o_custkey) AS min_cust
+             |FROM orders WHERE o_totalprice > 400000
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)))
 
   // ================================================= training-data pipeline
 

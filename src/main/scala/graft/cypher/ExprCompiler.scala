@@ -384,8 +384,59 @@ final class ExprCompiler(
           case Lit(s: String) => lit(java.sql.Date.valueOf(parseDate(s)))
           case _ => to_date(a0)
         }
+      // graph introspection (extensions; openCypher stdlib): the
+      // argument is an ENTITY variable, resolved against the schema at
+      // compile time — labels/type/keys fold to literals (the schema is
+      // static), id/properties read the bound columns. No runtime
+      // dispatch, so everything below stays inside codegen.
+      case "id" =>
+        entityArg(f, "id") match {
+          case (al, NodeBinding(n)) => col(pref(physAlias(al), n.idColumn))
+          case (_, EdgeBinding(_)) => throw new CypherNotSupportedException(
+            "id() on a relationship — this schema keys edges by " +
+            "(src, sink); project those columns instead")
+          case _ => throw new IllegalStateException
+        }
+      case "labels" =>
+        entityArg(f, "labels") match {
+          case (_, NodeBinding(n)) => array(lit(n.label))
+          case _ => throw new CypherBindingException(
+            "labels() expects a node variable (type() for relationships)")
+        }
+      case "type" =>
+        entityArg(f, "type") match {
+          case (_, EdgeBinding(e)) => lit(e.verb)
+          case _ => throw new CypherBindingException(
+            "type() expects a relationship variable (labels() for nodes)")
+        }
+      case "keys" =>
+        val (_, b) = entityArg(f, "keys")
+        array(Compiler.entityCols(b).map(lit): _*)
+      case "properties" =>
+        val (al, b) = entityArg(f, "properties")
+        struct(Compiler.entityCols(b).map(c =>
+          col(pref(physAlias(al), c)).as(c)): _*)
+
       case other =>
         throw new CypherNotSupportedException(s"function $other(...)")
+    }
+  }
+
+  /** Resolves a one-argument entity-variable call (id/labels/type/
+    * keys/properties) to its (alias, binding). */
+  private def entityArg(f: Func, fn: String): (String, Binding) = {
+    if (f.args.size != 1)
+      throw new CypherSyntaxException(s"$fn() expects 1 argument")
+    f.args.head match {
+      case Ref(al, None) => scope.get(al) match {
+        case Some(b @ (NodeBinding(_) | EdgeBinding(_))) => (al, b)
+        case Some(ValueBinding) => throw new CypherBindingException(
+          s"$fn() expects a node/relationship variable, '$al' is a value")
+        case None =>
+          throw new CypherBindingException(s"unknown variable '$al'")
+      }
+      case _ => throw new CypherSyntaxException(
+        s"$fn() expects an entity variable argument")
     }
   }
 
@@ -435,9 +486,11 @@ final class ExprCompiler(
             if (a.distinct) countDistinct(s, k) else count(s)
           case ValueBinding => throw new IllegalStateException
         }
+      case None if a.arg.isEmpty =>
+        if (a.name == "count") count(lit(1)) // count(*), extension
+        else throw new CypherSyntaxException(s"${a.name}() needs an argument")
       case None =>
-        val c = compile(a.arg.getOrElse(
-          throw new CypherSyntaxException(s"${a.name}() needs an argument")))
+        val c = compile(a.arg.get)
         a.name match {
           case "count" => if (a.distinct) countDistinct(c) else count(c)
           case "sum"   => sum(c)

@@ -645,7 +645,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       return ReduceExpr(acc, init, v, listE, step)
     }
     if (isPunct("*")) {
-      if (lname == "count") notSupported("COUNT(*)")
+      if (lname == "count") {
+        // count(*) — extension (the reference rejects it,
+        // CypherVisitor.cs aggregation argument handling): arg-less
+        // Agg, compiled as count(1) over the group
+        if (!extensions)
+          notSupported("COUNT(*) (supported with extensions enabled)")
+        p += 1
+        eatPunct(")")
+        return Agg("count", distinct = false, arg = None)
+      }
       else syntaxErr("Unexpected *")
     }
     val distinct = tryKw("DISTINCT")

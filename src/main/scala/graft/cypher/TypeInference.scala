@@ -337,6 +337,12 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         t(0).foreach(x => if (x != StringType && !isTemporal(x))
           fail(s"date() requires a string or timestamp, got ${x.simpleString}"))
         Some(DateType)
+      // graph introspection (extensions): entity-argument calls; the
+      // schema-dependent ones (id, properties) are typed by the
+      // compiler. Entity refs themselves infer to None, so no arg walk.
+      case "labels" | "keys" => Some(ArrayType(StringType))
+      case "type" => Some(StringType)
+      case "id" | "properties" => None
       case _ => f.args.foreach(infer); None
     }
   }

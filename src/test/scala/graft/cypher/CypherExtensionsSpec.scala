@@ -555,6 +555,48 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN p.Name AS N""".stripMargin))
   }
 
+  // ------------------------------------- count(*) + entity introspection
+
+  test("count(*) aggregates rows; parity keeps rejecting it") {
+    assert(rows("MATCH (p:Person) RETURN count(*) AS c").head.getLong(0) == 5L)
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN m.Title AS T, count(*) AS C ORDER BY T""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("Apollo 13", 2L), ("Sleepless in Seattle", 2L),
+          ("You've Got Mail", 2L)))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN count(*) AS c"))
+  }
+
+  test("entity introspection: id, labels, type, keys, properties") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WHERE p.Name = 'Tom Hanks' AND m.Title = 'Apollo 13'
+        |RETURN id(p) AS pid, labels(p) AS pl, type(a) AS t,
+        |       keys(m) AS mk, properties(m) AS props""".stripMargin).head
+    assert(r.getString(0) == "p1")
+    assert(r.getSeq[String](1) == Seq("Person"))
+    assert(r.getString(2) == "ACTED_IN")
+    assert(r.getSeq[String](3) == Seq("id", "Title", "Tagline", "Released"))
+    val props = r.getStruct(4)
+    assert(props.getAs[String]("Title") == "Apollo 13")
+    assert(props.getAs[Int]("Released") == 1995)
+  }
+
+  test("entity introspection misuse is a typed error") {
+    // id() on a relationship: edges are keyed (src, sink) in this model
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) RETURN id(a) AS x"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) RETURN type(p) AS x"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) RETURN labels(a) AS x"))
+    intercept[CypherSyntaxException](rows(
+      "MATCH (p:Person) RETURN id(p.Name) AS x"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
