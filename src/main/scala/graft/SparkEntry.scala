@@ -581,7 +581,21 @@ object SparkEntry {
       Some("""SELECT 'Customer' AS lbl, 'PLACED' AS rel, count(*) AS n,
              |       min(o_custkey) AS min_cust
              |FROM orders WHERE o_totalprice > 400000
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // WITH * / RETURN * (extension): star expands to the named scope
+    // (alphabetical) ahead of explicit items; chaining WITH * keeps
+    // entities flowing without re-listing them
+    ("q37_with_star", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH * WHERE c.c_acctbal > 9990
+        |WITH *, c.c_acctbal AS bal
+        |RETURN n.n_name AS nation, c.c_name AS name, bal
+        |ORDER BY nation, name""".stripMargin),
+      Some("""SELECT n_name AS nation, c_name AS name, c_acctbal AS bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9990
+             |ORDER BY 1, 2""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -124,14 +124,18 @@ object ast {
   /** WITH ... [ORDER BY ... LIMIT ...] [WHERE ...] or terminal RETURN.
    *  `skip` is a flagged EXTENSION (the reference has no oC_Skip
    *  visitor, CypherVisitor.cs:2076-2086) — same int32 contract as
-   *  LIMIT, lowered to `Dataset.offset`. */
+   *  LIMIT, lowered to `Dataset.offset`. `star` is the flagged
+   *  EXTENSION `WITH * [, item…]` / `RETURN *` — expanded by the
+   *  compiler to every named in-scope variable (alphabetical), before
+   *  any explicit items; explicit names shadow the expansion. */
   final case class Projection(
       items: Seq[RetItem],
       distinct: Boolean,
       orderBy: Seq[SortItem],
       limit: Option[Long],
       where: Option[Expr],   // post-WITH WHERE; never set on RETURN
-      skip: Option[Long] = None)
+      skip: Option[Long] = None,
+      star: Boolean = false)
 
   /** One query part: MATCH clauses followed by a WITH (or the terminal
    *  RETURN for the last part). Mirrors reference PartialQueryNode.

@@ -416,11 +416,39 @@ object Compiler {
     n
   }
 
+  /** `WITH *` / `RETURN *` (extension): expand the star to every named
+   *  in-scope variable, alphabetically, ahead of the explicit items;
+   *  an explicit item with the same output name shadows its expansion
+   *  (`WITH *, n AS n2` keeps both, `WITH *, x + 1 AS x` replaces x).
+   *  Entities expand as entity refs — legal in WITH, and RETURN keeps
+   *  the ordinary whole-entity rejection. */
+  private def expandStar(ctx: Ctx, proj: Projection): Projection = {
+    if (!proj.star) proj
+    else {
+      val explicitNames = proj.items.flatMap(it =>
+        it.alias.orElse(it.expr match {
+          case Ref(a, None)    => Some(a)
+          case Ref(_, Some(p)) => Some(p)
+          case _               => None
+        })).toSet
+      val starItems = ctx.scope.keys.toSeq
+        .filterNot(_.startsWith("__"))
+        .filterNot(explicitNames.contains)
+        .sorted
+        .map(a => RetItem(Ref(a, None), None))
+      if (starItems.isEmpty && proj.items.isEmpty)
+        throw new CypherBindingException(
+          "RETURN/WITH * with no named variables in scope")
+      proj.copy(items = starItems ++ proj.items, star = false)
+    }
+  }
+
   /** Compile one WITH/RETURN projection. Aggregation is implicit grouping
    *  by all non-aggregate output items, including every column of a
    *  projected entity (the entity id functionally determines them; the
    *  reference groups by the surrogate keys — SQLRenderer.cs:956-965). */
-  def compileProjection(ctx: Ctx, proj: Projection, isReturn: Boolean): Ctx = {
+  def compileProjection(ctx: Ctx, projIn: Projection, isReturn: Boolean): Ctx = {
+    val proj = expandStar(ctx, projIn)
     // `last(xs)` is ambiguous: the reference's last() AGGREGATE (→ max,
     // SQLRenderer.cs:98-99) vs openCypher's last-element list accessor.
     // Resolve by static type BEFORE aggregate detection — a list-typed

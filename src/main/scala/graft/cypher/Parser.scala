@@ -283,10 +283,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
    *  SQLRendererTest.cs:529-539). SKIP is unsupported (§2.6). */
   private def parseProjection(isWith: Boolean): Projection = {
     val distinct = tryKw("DISTINCT")
-    if (isPunct("*")) notSupported("RETURN/WITH *")
+    val star = if (isPunct("*")) {
+      if (!extensions)
+        notSupported("RETURN/WITH * (supported with extensions enabled)")
+      p += 1
+      true
+    } else false
     val items = Vector.newBuilder[RetItem]
-    items += parseRetItem()
-    while (tryPunct(",")) items += parseRetItem()
+    if (star) {
+      // `WITH *, extra AS x` — explicit items after the star
+      if (tryPunct(",")) {
+        items += parseRetItem()
+        while (tryPunct(",")) items += parseRetItem()
+      }
+    } else {
+      items += parseRetItem()
+      while (tryPunct(",")) items += parseRetItem()
+    }
     val orderBy = if (isKw("ORDER")) {
       p += 1; eatKw("BY")
       val ss = Vector.newBuilder[SortItem]
@@ -329,7 +342,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           throw new CypherNotSupportedException(s"duplicate alias '$a' in projection")
       }
     }
-    Projection(its, distinct, orderBy, limit, where, skip)
+    Projection(its, distinct, orderBy, limit, where, skip, star)
   }
 
   /** Alias inference for bare `p.Name` / bare variable refs

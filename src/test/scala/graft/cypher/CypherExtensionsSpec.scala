@@ -597,6 +597,45 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) RETURN id(p.Name) AS x"))
   }
 
+  // --------------------------------------------------- star projections
+
+  test("WITH * carries the whole scope; explicit items extend it") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH * WHERE m.Released < 1994
+        |WITH *, p.Born AS b
+        |RETURN p.Name AS N, m.Title AS T, b ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Meg Ryan", "Sleepless in Seattle"),
+          ("Tom Hanks", "Sleepless in Seattle")))
+  }
+
+  test("RETURN * over a value-only scope, alphabetical columns") {
+    val df = session.run(
+      """MATCH (p:Person) WHERE p.Born IS NOT NULL
+        |WITH p.Name AS name, p.Born AS born
+        |RETURN * ORDER BY name""".stripMargin)
+    assert(df.columns.toSeq == Seq("born", "name"))
+    assert(df.collect().map(_.getString(1)).toSeq ==
+      Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
+  }
+
+  test("star shadowing and error surface") {
+    // an explicit item with an in-scope name replaces the expansion
+    val df = session.run(
+      """MATCH (p:Person) WITH p.Name AS name, p.Born AS born
+        |WITH *, born + 1 AS born
+        |RETURN * ORDER BY name LIMIT 1""".stripMargin)
+    assert(df.columns.sorted.toSeq == Seq("born", "name"))
+    // RETURN * with an entity in scope keeps the whole-entity rejection
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) RETURN *"))
+    // parity keeps rejecting the star
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) WITH * RETURN p.Name AS N"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
