@@ -595,7 +595,20 @@ object SparkEntry {
       Some("""SELECT n_name AS nation, c_name AS name, c_acctbal AS bal
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9990
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // duration() interval arithmetic (extension): the typed ANSI
+    // interval literal rides Spark's native date arithmetic inside the
+    // pushed-down filter — no string math, stays codegen'd
+    ("q38_duration_arith", cyx(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE l.l_shipdate < o.o_orderdate + duration('P10D')
+        |RETURN count(*) AS n_fast""".stripMargin),
+      Some("""SELECT count(*) AS n_fast
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE l_shipdate < o_orderdate + INTERVAL 10 DAY""".stripMargin)))
 
   // ================================================= training-data pipeline
 

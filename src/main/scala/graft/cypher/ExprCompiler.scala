@@ -384,6 +384,19 @@ final class ExprCompiler(
           case Lit(s: String) => lit(java.sql.Date.valueOf(parseDate(s)))
           case _ => to_date(a0)
         }
+      // duration('P30D') — a TYPED ANSI interval literal; +/- with
+      // date/timestamp columns then lowers to Spark's native interval
+      // arithmetic (DateAddYMInterval / TimeAdd), still codegen'd
+      case "duration" =>
+        arity(1)
+        f.args.head match {
+          case Lit(s: String) => DurationLit.parse(s) match {
+            case Left(p)  => lit(p)
+            case Right(d) => lit(d)
+          }
+          case _ => throw new CypherNotSupportedException(
+            "duration() requires a literal ISO-8601 string")
+        }
       // graph introspection (extensions; openCypher stdlib): the
       // argument is an ENTITY variable, resolved against the schema at
       // compile time — labels/type/keys fold to literals (the schema is
@@ -518,4 +531,44 @@ final class ExprCompiler(
         }
     }
   }
+}
+
+/** Cypher `duration('ISO-8601')` literals (extension). Spark ANSI
+  * intervals keep year-month and day-time apart, so the literal parses
+  * to either a [[java.time.Period]] (Y/M → year-month interval) or a
+  * [[java.time.Duration]] (W/D/T → day-time interval); a literal mixing
+  * the two granularities is rejected — write two durations. */
+private[cypher] object DurationLit {
+  private val Pat = ("^(-?)P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?" +
+    "(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?)?$").r
+
+  def parse(s: String): Either[java.time.Period, java.time.Duration] =
+    s match {
+      case Pat(sign, y, mo, w, d, h, mi, sec) =>
+        val neg = sign == "-"
+        def i(x: String): Int = if (x == null) 0 else x.toInt
+        val hasYm = y != null || mo != null
+        val hasDt = w != null || d != null || h != null || mi != null ||
+          sec != null
+        if (hasYm && hasDt)
+          throw new CypherNotSupportedException(
+            s"duration '$s' mixes year/month with day/time components — " +
+            "Spark ANSI intervals keep them apart; use two durations")
+        if (!hasYm && !hasDt)
+          throw new CypherSyntaxException(s"empty duration literal '$s'")
+        if (hasYm) {
+          val p = java.time.Period.of(i(y), i(mo), 0)
+          Left(if (neg) p.negated() else p)
+        } else {
+          var dur = java.time.Duration.ofDays(7L * i(w) + i(d))
+            .plusHours(i(h)).plusMinutes(i(mi))
+          if (sec != null) {
+            val secs = BigDecimal(sec)
+            dur = dur.plusNanos((secs * 1000000000L).toLongExact)
+          }
+          Right(if (neg) dur.negated() else dur)
+        }
+      case _ =>
+        throw new CypherSyntaxException(s"invalid duration literal '$s'")
+    }
 }

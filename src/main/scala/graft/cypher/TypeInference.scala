@@ -116,7 +116,9 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     case Not(x) =>
       requireBoolean(infer(x), "NOT"); Some(BooleanType)
     case Neg(x) =>
-      val t = infer(x); requireNumeric(t, "unary -/+"); t
+      val t = infer(x)
+      if (!t.exists(isIntervalT)) requireNumeric(t, "unary -/+")
+      t
     case IsNull(x, _) =>
       infer(x); Some(BooleanType)
     case ListLit(items) =>
@@ -229,10 +231,14 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     op match {
       case BinOp.Add =>
         if (l.contains(StringType) || r.contains(StringType)) Some(StringType)
+        else if (l.exists(isIntervalT) || r.exists(isIntervalT))
+          for (a <- l; b <- r) yield intervalArith(a, b, "+", commute = true)
         else {
           requireNumeric(l, "+"); requireNumeric(r, "+")
           for (a <- l; b <- r) yield widen(a, b)
         }
+      case BinOp.Sub if r.exists(isIntervalT) =>
+        for (a <- l; b <- r) yield intervalArith(a, b, "-", commute = false)
       case BinOp.Sub | BinOp.Mul | BinOp.Mod =>
         requireNumeric(l, "arithmetic"); requireNumeric(r, "arithmetic")
         for (a <- l; b <- r) yield widen(a, b)
@@ -259,6 +265,35 @@ final class TypeInference(refType: Ref => Option[DataType]) {
       case BinOp.Regex =>
         requireString(l, "=~"); Some(BooleanType)
     }
+  }
+
+  private def isIntervalT(t: DataType): Boolean = t match {
+    case _: DayTimeIntervalType | _: YearMonthIntervalType => true
+    case _ => false
+  }
+
+  /** Temporal ± interval result types, following Spark's
+    * ResolveBinaryArithmetic: date ± year-month stays date, any
+    * day-time operand promotes a date to timestamp, timestamps keep
+    * their type; same-kind intervals combine. Anything else is a
+    * static type error. */
+  private def intervalArith(a: DataType, b: DataType, op: String,
+                            commute: Boolean): DataType = {
+    def combine(t: DataType, iv: DataType): Option[DataType] = (t, iv) match {
+      case (DateType, _: YearMonthIntervalType) => Some(DateType)
+      case (DateType, _: DayTimeIntervalType)   => Some(TimestampType)
+      case (tt @ (TimestampType | TimestampNTZType),
+            _: YearMonthIntervalType | _: DayTimeIntervalType) => Some(tt)
+      case (_: YearMonthIntervalType, _: YearMonthIntervalType) =>
+        Some(YearMonthIntervalType.DEFAULT)
+      case (_: DayTimeIntervalType, _: DayTimeIntervalType) =>
+        Some(DayTimeIntervalType.DEFAULT)
+      case _ => None
+    }
+    (if (isIntervalT(b)) combine(a, b) else None)
+      .orElse(if (commute && isIntervalT(a)) combine(b, a) else None)
+      .getOrElse(fail(
+        s"cannot apply $op to ${a.simpleString} and ${b.simpleString}"))
   }
 
   private def inferFunc(f: Func): Option[DataType] = {
@@ -337,6 +372,12 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         t(0).foreach(x => if (x != StringType && !isTemporal(x))
           fail(s"date() requires a string or timestamp, got ${x.simpleString}"))
         Some(DateType)
+      case "duration" => f.args match {
+        case Seq(Lit(s: String)) => Some(DurationLit.parse(s).fold(
+          _ => YearMonthIntervalType.DEFAULT: DataType,
+          _ => DayTimeIntervalType.DEFAULT: DataType))
+        case _ => fail("duration() requires a literal ISO-8601 string")
+      }
       // graph introspection (extensions): entity-argument calls; the
       // schema-dependent ones (id, properties) are typed by the
       // compiler. Entity refs themselves infer to None, so no arg walk.

@@ -636,6 +636,48 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) WITH * RETURN p.Name AS N"))
   }
 
+  // ------------------------------------------------- duration arithmetic
+
+  test("duration(): day-time arithmetic on dates promotes to timestamp") {
+    import org.apache.spark.sql.types._
+    val df = session.run(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH date(toString(m.Released) + '-01-01') AS d
+        |RETURN d + duration('P30D') AS plus30,
+        |       d - duration('PT12H') AS minus12h,
+        |       d + duration('P1Y') AS plus1y,
+        |       d - duration('P2M') AS minus2m""".stripMargin)
+    val f = df.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(f("plus30") == TimestampType)   // day-time ⇒ timestamp
+    assert(f("minus12h") == TimestampType)
+    assert(f("plus1y") == DateType)        // year-month keeps date
+    assert(f("minus2m") == DateType)
+    val r = df.collect().head
+    assert(r.getTimestamp(0).toString.startsWith("1995-01-31"))
+    assert(r.getTimestamp(1).toString.startsWith("1994-12-31 12:00:00"))
+    assert(r.getDate(2).toString == "1996-01-01")
+    assert(r.getDate(3).toString == "1994-11-01")
+  }
+
+  test("duration(): interval combination, comparison, misuse errors") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH date(toString(m.Released) + '-01-01') AS d
+        |RETURN d + (duration('P1D') + duration('PT6H')) AS combo,
+        |       d + duration('P1W') < d + duration('P8D') AS lt""".stripMargin)
+      .head
+    assert(r.getTimestamp(0).toString.startsWith("1995-01-02 06:00:00"))
+    assert(r.getBoolean(1))
+    // mixing year-month with day-time in ONE literal is rejected
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (m:Movie) RETURN m.Released + 0 AS x, duration('P1Y2D') AS d"))
+    // malformed literal and non-literal argument are static errors
+    intercept[CypherSyntaxException](rows(
+      "MATCH (m:Movie) RETURN duration('30 days') AS d"))
+    intercept[CypherTypeException](rows(
+      "MATCH (m:Movie) RETURN m.Released + duration('P1D') AS d"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
