@@ -608,7 +608,22 @@ object SparkEntry {
              |FROM lineitem
              |JOIN orders ON o_orderkey = l_orderkey
              |JOIN part ON p_partkey = l_partkey
-             |WHERE l_shipdate < o_orderdate + INTERVAL 10 DAY""".stripMargin)))
+             |WHERE l_shipdate < o_orderdate + INTERVAL 10 DAY""".stripMargin)),
+
+    // pattern comprehension (extension): group-collect + left join on
+    // the correlation key; scalarized via size() because collect order
+    // is unspecified (the oracle mirrors with a correlated COUNT)
+    ("q39_pattern_comp", cyx(
+      """MATCH (n:Nation)
+        |RETURN n.n_name AS nation,
+        |       size([(c:Customer)-[:FROM_NATION]->(n)
+        |              WHERE c.c_acctbal > 9000 | c.c_custkey]) AS rich
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation,
+             |       CAST((SELECT count(*) FROM customer
+             |             WHERE c_nationkey = n_nationkey
+             |               AND c_acctbal > 9000) AS INTEGER) AS rich
+             |FROM nation ORDER BY 1""".stripMargin)))
 
   // ================================================= training-data pipeline
 

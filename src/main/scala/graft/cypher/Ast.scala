@@ -91,6 +91,16 @@ object ast {
   final case class ExistsPat(parts: Seq[PatternPart], where: Option[Expr])
     extends Expr
 
+  /** Pattern comprehension `[(a)-[:R]->(b) [WHERE pred] | proj]` — a
+   *  flagged EXTENSION. Collects `proj` over every match of the
+   *  pattern, correlated per outer row on the node aliases shared with
+   *  the outer scope (no match → empty list). Only legal inside
+   *  WITH/RETURN projection items: the compiler lowers it to a
+   *  group-by + collect_list + left join, not a per-row value. The
+   *  WHERE and projection see the subquery's own bindings. */
+  final case class PatternComp(part: PatternPart, where: Option[Expr],
+                               proj: Expr) extends Expr
+
   // ----- patterns -----------------------------------------------------
 
   sealed trait Direction

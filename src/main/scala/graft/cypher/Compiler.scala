@@ -443,12 +443,99 @@ object Compiler {
     }
   }
 
+  /**
+   * Pattern comprehensions in projection items (extension): each
+   * `[pattern [WHERE w] | proj]` compiles to its own subplan, grouped
+   * on the correlation keys (the node ids shared with the outer scope)
+   * with `collect_list(proj)`, then LEFT-joined back — one aggregated
+   * slim row per outer key, so the outer row count is preserved and
+   * the join input is (keys, list) only. No match ⇒ empty list (the
+   * coalesce), matching Cypher. The comprehension node is then
+   * replaced by a `Ref` to the joined column, so everything downstream
+   * (size(), indexing, aggregates over it, the implicit GROUP BY) sees
+   * an ordinary list-typed column with a real schema type.
+   */
+  private def rewritePatternComps(ctx: Ctx, items: Seq[RetItem],
+      catalog: GraphCatalog): (Ctx, Seq[RetItem]) = {
+    var df = ctx.df
+    var scope = ctx.scope
+    var n = 0
+    def lower(pc: PatternComp): Expr = {
+      if (pc.part.rels.exists(_.varLength.isDefined))
+        throw new CypherNotSupportedException(
+          "variable-length relationship inside a pattern comprehension")
+      val outerNamed = ctx.scope.filter {
+        case (a, _) => !a.startsWith("__unnamed_") }
+      val resolved = Analyzer.resolvePart(catalog.graph, outerNamed,
+        Seq(MatchClause(Seq(pc.part), optional = false, where = pc.where)))
+      val sub = compileMatches(None, resolved, catalog)
+      val shared =
+        resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
+      val projCol = new ExprCompiler(sub.scope, sub.df).compile(pc.proj)
+      val tmp = s"__pc_$n"; n += 1
+      if (shared.isEmpty)
+        throw new CypherNotSupportedException(
+          "pattern comprehension must share at least one node variable " +
+          "with the outer scope (an uncorrelated one collects the " +
+          "whole match set per row)")
+      val keys = shared.map { a =>
+        (outerNamed(a), sub.scope(a)) match {
+          case (NodeBinding(n1), NodeBinding(_)) => pref(a, n1.idColumn)
+          case _ => throw new CypherBindingException(
+            s"pattern comprehension shares alias '$a' which is not a " +
+            "node variable")
+        }
+      }
+      val grouped = sub.df
+        .groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
+        .agg(collect_list(projCol).as(tmp))
+      val elemT = grouped.schema(tmp).dataType
+      val cond = keys.map(k => col(k) === col(s"__pck_$k")).reduce(_ && _)
+      df = df.join(grouped, cond, "left")
+        .withColumn(tmp, coalesce(col(tmp), array().cast(elemT)))
+        .drop(keys.map(k => s"__pck_$k"): _*)
+      scope = scope + (tmp -> ValueBinding)
+      Ref(tmp, None)
+    }
+    def rewrite(e: Expr): Expr = e match {
+      case pc: PatternComp => lower(pc)
+      case Bin(op, l, r) => Bin(op, rewrite(l), rewrite(r))
+      case Not(x) => Not(rewrite(x))
+      case Neg(x) => Neg(rewrite(x))
+      case IsNull(x, nn) => IsNull(rewrite(x), nn)
+      case Func(nm, args) => Func(nm, args.map(rewrite))
+      case a: Agg => a.copy(arg = a.arg.map(rewrite))
+      case CaseExpr(ws, o) =>
+        CaseExpr(ws.map { case (c, v) => (rewrite(c), rewrite(v)) },
+          o.map(rewrite))
+      case ListLit(xs) => ListLit(xs.map(rewrite))
+      case ListComp(v, l, w, m) =>
+        ListComp(v, rewrite(l), w.map(rewrite), m.map(rewrite))
+      case QuantPred(k, v, l, pr) => QuantPred(k, v, rewrite(l), rewrite(pr))
+      case ReduceExpr(a, i, v, l, s) =>
+        ReduceExpr(a, rewrite(i), v, rewrite(l), rewrite(s))
+      case ListIndex(l, f, t, s) =>
+        ListIndex(rewrite(l), f.map(rewrite), t.map(rewrite), s)
+      case other => other
+    }
+    val out = items.map(it => it.copy(expr = rewrite(it.expr)))
+    (Ctx(df, scope), out)
+  }
+
   /** Compile one WITH/RETURN projection. Aggregation is implicit grouping
    *  by all non-aggregate output items, including every column of a
    *  projected entity (the entity id functionally determines them; the
    *  reference groups by the surrogate keys — SQLRenderer.cs:956-965). */
-  def compileProjection(ctx: Ctx, projIn: Projection, isReturn: Boolean): Ctx = {
-    val proj = expandStar(ctx, projIn)
+  def compileProjection(ctx: Ctx, projIn: Projection, isReturn: Boolean,
+      catalog: GraphCatalog): Ctx = {
+    val proj0 = expandStar(ctx, projIn)
+    val (ctx1, items1) = rewritePatternComps(ctx, proj0.items, catalog)
+    val proj = proj0.copy(items = items1)
+    compileProjectionResolved(ctx1, proj, isReturn)
+  }
+
+  private def compileProjectionResolved(
+      ctx: Ctx, proj: Projection, isReturn: Boolean): Ctx = {
     // `last(xs)` is ambiguous: the reference's last() AGGREGATE (→ max,
     // SQLRenderer.cs:98-99) vs openCypher's last-element list accessor.
     // Resolve by static type BEFORE aggregate detection — a list-typed
@@ -644,7 +731,7 @@ object Compiler {
               catalog)
           else compileVarLength(ctx, scope, part.matches, catalog)
         val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
-        ctx = Some(compileProjection(afterUnwind, part.proj, isReturn = isLast))
+        ctx = Some(compileProjection(afterUnwind, part.proj, isReturn = isLast, catalog))
       }
       ctx.get.df
   }

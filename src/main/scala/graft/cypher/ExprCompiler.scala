@@ -104,6 +104,11 @@ final class ExprCompiler(
         "EXISTS pattern predicate is only supported as a top-level " +
         "(optionally NOT-ed) AND-conjunct of a MATCH WHERE clause")
 
+    case _: PatternComp =>
+      throw new CypherNotSupportedException(
+        "pattern comprehension is only supported inside WITH/RETURN " +
+        "projection items")
+
     case Not(x)    => !build(x).cast(BooleanType)
     case Neg(x)    => negate(compile(x))
     case IsNull(x, false) => compile(x).isNull

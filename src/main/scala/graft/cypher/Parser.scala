@@ -585,6 +585,28 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           return ListComp(v, listE, whereE, projE)
         case _ =>
       }
+      // `[(a)-[:R]->(b) … | proj]` is a pattern comprehension; `[(` can
+      // also open a parenthesized first list element, so attempt the
+      // pattern parse and backtrack unless it yields ≥1 relationship
+      if (extensions && isPunct("(")) {
+        val save = p
+        val attempt: Option[PatternComp] =
+          try {
+            val part = parsePatternPart()
+            if (part.rels.isEmpty) { p = save; None }
+            else {
+              val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+              eatPunct("|")
+              val pe = parseExpr()
+              eatPunct("]")
+              Some(PatternComp(part, w, pe))
+            }
+          } catch { case _: CypherException => p = save; None }
+        attempt match {
+          case Some(pc) => return pc
+          case None =>
+        }
+      }
       val items = Vector.newBuilder[Expr]
       if (!isPunct("]")) {
         items += parseExpr()

@@ -198,6 +198,10 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     // boolean-valued, but only compilable as a MATCH WHERE conjunct —
     // ExprCompiler rejects it with a placement error everywhere else
     case _: ExistsPat => Some(BooleanType)
+
+    // list-valued; rewritten to a Ref over the joined column before
+    // compilation — only reaches here in rejected placements
+    case _: PatternComp => None
   }
 
   /** Pair-granular branch unifier (the `Plus` coercion row) — shared

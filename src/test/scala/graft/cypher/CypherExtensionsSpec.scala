@@ -678,6 +678,63 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (m:Movie) RETURN m.Released + duration('P1D') AS d"))
   }
 
+  // ---------------------------------------------- pattern comprehensions
+
+  test("pattern comprehension collects correlated matches per outer row") {
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N,
+        |       [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS titles
+        |ORDER BY N""".stripMargin)
+    assert(r.size == 5) // outer cardinality preserved
+    val m = r.map(x => x.getString(0) -> x.getSeq[String](1).sorted).toMap
+    assert(m("Tom Hanks") ==
+      Seq("Apollo 13", "Sleepless in Seattle", "You've Got Mail"))
+    assert(m("Kevin Bacon") == Seq("Apollo 13"))
+    assert(m("Rob Reiner") == Seq.empty)      // no match ⇒ empty list
+    assert(m("Jessica Thompson") == Seq.empty)
+  }
+
+  test("pattern comprehension: inner WHERE, size(), incoming direction") {
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N,
+        |       size([(p)-[:ACTED_IN]->(m:Movie) WHERE m.Released > 1994
+        |              | m.Title]) AS c
+        |ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getInt(1))) == Seq(
+      ("Jessica Thompson", 0), ("Kevin Bacon", 1), ("Meg Ryan", 1),
+      ("Rob Reiner", 0), ("Tom Hanks", 2)))
+    // correlate on the sink side of an incoming edge
+    val rev = rows(
+      """MATCH (m:Movie)
+        |RETURN m.Title AS T,
+        |       [(x:Person)-[:REVIEWED]->(m) | x.Name] AS reviewers
+        |ORDER BY T""".stripMargin)
+    assert(rev.map(x => (x.getString(0), x.getSeq[String](1).sorted)) == Seq(
+      ("Apollo 13", Seq.empty),
+      ("Sleepless in Seattle", Seq("Jessica Thompson")),
+      ("You've Got Mail", Seq("Jessica Thompson"))))
+  }
+
+  test("pattern comprehension placement and ambiguity") {
+    // `[(expr), …]` stays an ordinary list literal (backtracked)
+    val lit = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN [(p.Born), 7] AS xs""".stripMargin).head
+    assert(lit.getSeq[Int](0) == Seq(1956, 7))
+    // not allowed in a MATCH WHERE
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |WHERE size([(p)-[:ACTED_IN]->(m:Movie) | m.Title]) > 0
+        |RETURN p.Name AS N""".stripMargin))
+    // parity mode has no pattern comprehension surface at all
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherException](parity.run(
+      """MATCH (p:Person)
+        |RETURN [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS t""".stripMargin))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
