@@ -3384,7 +3384,95 @@ object SparkEntry {
       |FROM p3 LEFT JOIN s ON p3.lang = s.lang
       |ORDER BY p3.lang""".stripMargin
 
-  private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs
+  // ======================================================= graph analytics
+
+  /** Part→supplier bipartite "citation" graph off lineitem; supplier
+    * ids are offset into their own namespace (part and supplier key
+    * spaces overlap numerically). */
+  private def psEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/lineitem.parquet")
+    li.select(col("l_partkey").as("src"),
+      (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
+  }
+
+  private val graphSpecs: Seq[Spec] = Seq(
+    // PageRank, 3 fixed iterations — the oracle unrolls the same three
+    // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
+    // order differs between engines)
+    ("g01_pagerank",
+      (s, dir) => GraphOps.pageRank(psEdges(s, dir), "src", "dst",
+          iterations = 3, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node"),
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS src,
+             |                  l_suppkey + 1000000 AS dst FROM lineitem),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+             |        FROM e GROUP BY 1),
+             |pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+             |c1 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr1 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+             |c2 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr2 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+             |c3 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr3 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+             |SELECT node, round(rank, 6) AS rank FROM pr3
+             |ORDER BY node""".stripMargin)),
+
+    // out/in degrees with zero-fill (bipartite: parts have in_deg 0,
+    // suppliers out_deg 0)
+    ("g02_degrees",
+      (s, dir) => GraphOps.degrees(psEdges(s, dir), "src", "dst")
+        .orderBy("node"),
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS src,
+             |                  l_suppkey + 1000000 AS dst FROM lineitem),
+             |o AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+             |i AS (SELECT dst AS node, count(*) AS in_deg FROM e GROUP BY 1)
+             |SELECT coalesce(o.node, i.node) AS node,
+             |       coalesce(out_deg, 0) AS out_deg,
+             |       coalesce(in_deg, 0) AS in_deg
+             |FROM o FULL OUTER JOIN i ON o.node = i.node
+             |ORDER BY node""".stripMargin)),
+
+    // exact triangle count over the high-quantity co-supply graph
+    // (suppliers sharing a part at l_quantity >= 49 — the filter keeps
+    // the derived pairing sparse; the count itself is the oriented
+    // two-path semi-join closure)
+    ("g03_triangles",
+      (s, dir) => {
+        val li = graft.cypher.GraphCatalog.cachedParquet(
+          s, s"$dir/lineitem.parquet")
+        val ps = li.where(col("l_quantity") >= 49)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
+          .distinct()
+        val pairs = ps.as("a").join(ps.as("b"), "p")
+          .where(col("a.sid") < col("b.sid"))
+          .select(col("a.sid").as("s1"), col("b.sid").as("s2"))
+        GraphOps.triangleCount(pairs, "s1", "s2")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s s1, b.s s2
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
+             |SELECT count(*) AS n_triangles
+             |FROM e ab JOIN e bc ON ab.s2 = bc.s1
+             |JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2""".stripMargin)))
+
+  private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs ++ graphSpecs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     specs.map(s => s._1 -> s._2).toMap

@@ -2888,4 +2888,51 @@ class OpsSpec extends AnyFunSuite {
     val applied = Pipeline.applyMixture(df, "doc_id", "lang", temp)
     assert(applied.count() > 0)
   }
+
+  // ------------------------------------------------------------- graph ops
+
+  test("pageRank: star graph concentrates rank at the hub; sums bounded") {
+    // 1→4, 2→4, 3→4 (node 4 dangling): closed form after k iters
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val pr = GraphOps.pageRank(e, "s", "d", iterations = 2, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // leaves: (1-d)/N each iteration (no in-edges)
+    val leaf = 0.15 / 4
+    assert(math.abs(pr(1L) - leaf) < 1e-12)
+    assert(math.abs(pr(2L) - leaf) < 1e-12)
+    assert(math.abs(pr(3L) - leaf) < 1e-12)
+    // hub at iter 2: (1-d)/N + d * 3 * leaf  (leaves' iter-1 rank)
+    assert(math.abs(pr(4L) - (leaf + 0.85 * 3 * leaf)) < 1e-12)
+    // dangling mass not redistributed → total < 1 and > 0
+    val tot = pr.values.sum
+    assert(tot > 0 && tot < 1.0)
+  }
+
+  test("pageRank: a 2-cycle is a fixpoint at uniform rank") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val pr = GraphOps.pageRank(e, "s", "d", iterations = 7)
+      .collect().map(_.getDouble(1))
+    assert(pr.forall(r => math.abs(r - 0.5) < 1e-12))
+  }
+
+  test("degrees: out/in with zero-fill on the missing direction") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val d = GraphOps.degrees(e, "s", "d")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(d(1L) == ((2L, 0L)))
+    assert(d(2L) == ((1L, 1L)))
+    assert(d(3L) == ((0L, 2L)))
+  }
+
+  test("triangleCount: K4 has 4 triangles; direction/dups/self-loops ignored") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 2L))).toDF("a", "b")
+    assert(GraphOps.triangleCount(noisy, "a", "b").head().getLong(0) == 4L)
+    // maxDegree cap: in K4 every node has degree 3 — cap 2 removes all
+    assert(GraphOps.triangleCount(noisy, "a", "b", maxDegree = Some(2))
+      .head().getLong(0) == 0L)
+    // a path graph has none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.triangleCount(path, "a", "b").head().getLong(0) == 0L)
+  }
 }
