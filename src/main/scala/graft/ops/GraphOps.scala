@@ -43,12 +43,15 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+    // lazy checkpoints: nodes and (src, dst, deg) are static across
+    // iterations — materialize them once (the count() job below) so no
+    // iteration re-reads or re-dedupes the raw edge input
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
     val n = nodes.count() // one job; the node count parameterizes ranks
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg): static across iterations — computed once
-    val eDeg = e.join(outDeg, "src")
+    val eDeg = e.join(outDeg, "src").localCheckpoint(false)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (k <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
