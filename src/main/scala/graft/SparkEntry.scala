@@ -623,7 +623,19 @@ object SparkEntry {
              |       CAST((SELECT count(*) FROM customer
              |             WHERE c_nationkey = n_nationkey
              |               AND c_acctbal > 9000) AS INTEGER) AS rich
-             |FROM nation ORDER BY 1""".stripMargin)))
+             |FROM nation ORDER BY 1""".stripMargin)),
+
+    // map literal (extension): named struct construction + dot access
+    // back out of it — scalarized outputs for the dtype-sensitive gate
+    ("q40_map_literal", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9990
+        |WITH {cust: c.c_name, nat: n.n_name, bal: c.c_acctbal} AS m
+        |RETURN m.cust AS cust, m.nat AS nat, m.bal * 2 AS bal2
+        |ORDER BY cust""".stripMargin),
+      Some("""SELECT c_name AS cust, n_name AS nat, c_acctbal * 2 AS bal2
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9990 ORDER BY 1""".stripMargin)))
 
   // ================================================= training-data pipeline
 

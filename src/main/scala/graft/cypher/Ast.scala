@@ -91,6 +91,11 @@ object ast {
   final case class ExistsPat(parts: Seq[PatternPart], where: Option[Expr])
     extends Expr
 
+  /** Map literal `{k: expr, …}` — a flagged EXTENSION (the reference
+   *  rejects map literals, §2.6). Lowers to a named struct; fields
+   *  read back with ordinary dot access (`m.k`). */
+  final case class MapLit(fields: Seq[(String, Expr)]) extends Expr
+
   /** Pattern comprehension `[(a)-[:R]->(b) [WHERE pred] | proj]` — a
    *  flagged EXTENSION. Collects `proj` over every match of the
    *  pattern, correlated per outer row on the node aliases shared with

@@ -247,6 +247,7 @@ object Compiler {
         containsExistsPat(c) || containsExistsPat(v) } ||
         o.exists(containsExistsPat)
     case ListLit(xs) => xs.exists(containsExistsPat)
+    case MapLit(fs) => fs.exists(f => containsExistsPat(f._2))
     case ListComp(_, l, w, m) =>
       containsExistsPat(l) || w.exists(containsExistsPat) ||
         m.exists(containsExistsPat)
@@ -386,6 +387,7 @@ object Compiler {
       ws.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
         o.exists(containsAgg)
     case ListLit(items) => items.exists(containsAgg)
+    case MapLit(fs) => fs.exists(f => containsAgg(f._2))
     // lambda BODIES can't aggregate (no rows in scope there — the parser
     // rejects nested aggregates anyway), but the list operand can be an
     // aggregate: `[y IN collect(x) | …]` must be seen as an agg item
@@ -509,6 +511,7 @@ object Compiler {
         CaseExpr(ws.map { case (c, v) => (rewrite(c), rewrite(v)) },
           o.map(rewrite))
       case ListLit(xs) => ListLit(xs.map(rewrite))
+      case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, rewrite(v)) })
       case ListComp(v, l, w, m) =>
         ListComp(v, rewrite(l), w.map(rewrite), m.map(rewrite))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, rewrite(l), rewrite(pr))
@@ -556,6 +559,7 @@ object Compiler {
       case CaseExpr(ws, o) =>
         CaseExpr(ws.map { case (c, v) => (delist(c), delist(v)) }, o.map(delist))
       case ListLit(xs) => ListLit(xs.map(delist))
+      case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, delist(v)) })
       case ListComp(v, l, w, m) =>
         ListComp(v, delist(l), w.map(delist), m.map(delist))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, delist(l), delist(pr))

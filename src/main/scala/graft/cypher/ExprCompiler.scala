@@ -44,10 +44,19 @@ final class ExprCompiler(
     probe.schema.fields.map(f => f.name -> f.dataType).toMap
 
   private val types = new TypeInference({
-    case ast.Ref(a, Some(p)) => colTypes.get(pref(physAlias(a), p))
+    case ast.Ref(a, Some(p)) =>
+      colTypes.get(pref(physAlias(a), p)).orElse(structFieldType(a, p))
     case ast.Ref(a, None) =>
       aliasCols.get(a).flatMap(colTypes.get).orElse(colTypes.get(a))
   })
+
+  /** Dot access into a struct-typed VALUE (map literals, properties());
+    * None for entity refs (their single-column lookup misses). */
+  private def structFieldType(a: String, p: String): Option[DataType] =
+    aliasCols.get(a).flatMap(colTypes.get).orElse(colTypes.get(a)) match {
+      case Some(StructType(fs)) => fs.find(_.name == p).map(_.dataType)
+      case _ => None
+    }
 
   private def typeOf(e: Expr): Option[DataType] = types.infer(e)
 
@@ -68,8 +77,17 @@ final class ExprCompiler(
           s"entity '$alias' has no property '$p'")
       col(pref(physAlias(alias), p))
     case Some(ValueBinding) =>
-      throw new CypherBindingException(
-        s"'$alias' is a value, not an entity — cannot access .$p")
+      // struct-typed values (map literals, properties()) support dot
+      // access into their fields (extension)
+      val phys = aliasCols.getOrElse(alias, alias)
+      colTypes.get(phys) match {
+        case Some(StructType(fs)) if fs.exists(_.name == p) =>
+          col(phys).getField(p)
+        case Some(StructType(_)) => throw new CypherBindingException(
+          s"map '$alias' has no key '$p'")
+        case _ => throw new CypherBindingException(
+          s"'$alias' is a value, not an entity — cannot access .$p")
+      }
     case None =>
       throw new CypherBindingException(s"unknown variable '$alias'")
   }
@@ -114,6 +132,8 @@ final class ExprCompiler(
     case IsNull(x, false) => compile(x).isNull
     case IsNull(x, true)  => compile(x).isNotNull
     case ListLit(items)   => array(items.map(compile): _*)
+    case MapLit(fields)   =>
+      struct(fields.map { case (k, v) => compile(v).as(k) }: _*)
 
     case Bin(op, l, r) => compileBin(op, l, r)
     case f: Func       => compileFunc(f)

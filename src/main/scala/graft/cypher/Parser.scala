@@ -618,7 +618,28 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       if (isPunct("..")) notSupported("range literal")
       eatPunct("]")
       ListLit(items.result())
-    case Punct("{", _) => notSupported("map literal")
+    case Punct("{", _) if extensions =>
+      p += 1
+      val fields = Vector.newBuilder[(String, Expr)]
+      def one(): Unit = {
+        val k = cur match {
+          case Ident(s, _)  => p += 1; s
+          case StrLit(s, _) => p += 1; s
+          case Kw(s, _, _)  => p += 1; s.toLowerCase(java.util.Locale.ROOT)
+          case _ => syntaxErr("expected a map key")
+        }
+        eatPunct(":")
+        fields += (k -> parseExpr())
+      }
+      if (!isPunct("}")) { one(); while (tryPunct(",")) one() }
+      eatPunct("}")
+      val fs = fields.result()
+      if (fs.isEmpty) syntaxErr("empty map literal")
+      val dup = fs.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+      dup.foreach(k => syntaxErr(s"duplicate map key '$k'"))
+      MapLit(fs)
+    case Punct("{", _) =>
+      notSupported("map literal (supported with extensions enabled)")
     case Param(pname, _) =>
       if (!extensions)
         notSupported("query parameters $param " +
@@ -747,6 +768,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case IsNull(x, _) => checkNoNestedAgg(x, outer)
     case Func(_, args) => args.foreach(checkNoNestedAgg(_, outer))
     case ListLit(items) => items.foreach(checkNoNestedAgg(_, outer))
+    case MapLit(fs) => fs.foreach(f => checkNoNestedAgg(f._2, outer))
     case CaseExpr(ws, o) =>
       ws.foreach { case (c, v) =>
         checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }

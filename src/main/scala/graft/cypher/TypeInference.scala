@@ -202,6 +202,13 @@ final class TypeInference(refType: Ref => Option[DataType]) {
     // list-valued; rewritten to a Ref over the joined column before
     // compilation — only reaches here in rejected placements
     case _: PatternComp => None
+
+    // struct-typed when every field types statically; partial
+    // knowledge degrades to None (permissive) rather than a bad schema
+    case MapLit(fields) =>
+      val ts = fields.map { case (k, v) => infer(v).map(t => StructField(k, t)) }
+      if (ts.forall(_.isDefined)) Some(StructType(ts.map(_.get)))
+      else None
   }
 
   /** Pair-granular branch unifier (the `Plus` coercion row) — shared

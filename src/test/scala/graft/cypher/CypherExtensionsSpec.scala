@@ -735,6 +735,31 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS t""".stripMargin))
   }
 
+  // --------------------------------------------------------- map literals
+
+  test("map literals build structs; dot access reads fields back") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born IS NOT NULL
+        |WITH {name: p.Name, born: p.Born, tag: 'x'} AS m
+        |RETURN m.name AS n, m.born + 1 AS b1, m.tag AS t
+        |ORDER BY n LIMIT 1""".stripMargin).head
+    assert(r.getString(0) == "Kevin Bacon")
+    assert(r.getInt(1) == 1959)
+    assert(r.getString(2) == "x")
+  }
+
+  test("map literal misuse is a static error; parity rejects the surface") {
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) WITH {a: 1} AS m RETURN m.b AS x"))
+    intercept[CypherSyntaxException](rows(
+      "MATCH (p:Person) RETURN {a: 1, a: 2} AS m"))
+    intercept[CypherSyntaxException](rows(
+      "MATCH (p:Person) RETURN {} AS m"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN {a: 1} AS m"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
