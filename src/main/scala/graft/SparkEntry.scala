@@ -635,7 +635,29 @@ object SparkEntry {
         |ORDER BY cust""".stripMargin),
       Some("""SELECT c_name AS cust, n_name AS nat, c_acctbal * 2 AS bal2
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
-             |WHERE c_acctbal > 9990 ORDER BY 1""".stripMargin)))
+             |WHERE c_acctbal > 9990 ORDER BY 1""".stripMargin)),
+
+    // CALL subqueries (extension): correlated per-invocation aggregation
+    // (imports threaded as grouping keys, left join + count/sum zero
+    // fills) and an uncorrelated CALL (runs once, cross-joins)
+    ("q41_call_subquery", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9980
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+        |       RETURN count(o) AS n_orders, sum(o.o_totalprice) AS spend }
+        |CALL { MATCH (r:Region) RETURN count(r) AS n_regions }
+        |RETURN n.n_name AS nation, c.c_name AS name, n_orders,
+        |       round(spend, 2) AS spend, n_regions
+        |ORDER BY nation, name""".stripMargin),
+      Some("""SELECT n_name AS nation, c_name AS name,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey = c_custkey) AS n_orders,
+             |  round(coalesce((SELECT sum(o_totalprice) FROM orders
+             |                  WHERE o_custkey = c_custkey), 0), 2) AS spend,
+             |  (SELECT count(*) FROM region) AS n_regions
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9980
+             |ORDER BY 1, 2""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -152,13 +152,23 @@ object ast {
       skip: Option[Long] = None,
       star: Boolean = false)
 
+  /** `CALL { [WITH imports] subquery }` — a flagged EXTENSION.
+   *  `imports` are node variables from the outer scope; the compiler
+   *  threads them through every subquery projection as grouping keys
+   *  and joins the result back on their unique ids, which reproduces
+   *  Neo4j's per-invocation semantics in one flat plan. Empty imports
+   *  = uncorrelated (runs once, cross-joins the incoming rows). */
+  final case class CallSub(imports: Seq[String], sub: SingleQuery)
+
   /** One query part: MATCH clauses followed by a WITH (or the terminal
    *  RETURN for the last part). Mirrors reference PartialQueryNode.
    *  `unwinds` — flagged EXTENSION (reference roadmap README.md:57):
    *  `UNWIND <listExpr> AS <alias>` clauses between the matches and the
-   *  projection, each lowered to `explode`. */
+   *  projection, each lowered to `explode`. `calls` — flagged
+   *  EXTENSION: CALL subqueries between the matches and the unwinds. */
   final case class QueryPart(matches: Seq[MatchClause], proj: Projection,
-                             unwinds: Seq[(Expr, String)] = Seq.empty)
+                             unwinds: Seq[(Expr, String)] = Seq.empty,
+                             calls: Seq[CallSub] = Seq.empty)
 
   sealed trait Query
   final case class SingleQuery(parts: Seq[QueryPart]) extends Query

@@ -721,23 +721,175 @@ object Compiler {
       }
       val u = lf.union(rf)
       if (all) u else u.distinct()
-    case SingleQuery(parts) =>
-      var ctx: Option[Ctx] = None
-      parts.zipWithIndex.foreach { case (part, i) =>
-        val isLast = i == parts.size - 1
-        val scope = ctx.map(_.scope).getOrElse(Map.empty)
-        val afterMatch =
-          if (part.matches.isEmpty) ctx.getOrElse(
-            throw new CypherNotSupportedException("standalone RETURN/WITH"))
-          else if (!VarLength.hasVarLength(part.matches))
-            compileMatches(ctx,
-              Analyzer.resolvePart(catalog.graph, scope, part.matches),
-              catalog)
-          else compileVarLength(ctx, scope, part.matches, catalog)
-        val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
-        ctx = Some(compileProjection(afterUnwind, part.proj, isReturn = isLast, catalog))
+    case sq: SingleQuery =>
+      compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
+  }
+
+  /** Compiles one SingleQuery. `inherited` seeds the first part's scope
+   *  (CALL subqueries inherit their imported node bindings — fresh
+   *  scans bind the aliases, correlation happens at the join-back);
+   *  `terminalIsReturn = false` compiles the last projection like a
+   *  WITH, keeping entity namespaces visible for the CALL join-back. */
+  private def compileSingle(sq: SingleQuery,
+      inherited: Map[String, Binding], terminalIsReturn: Boolean,
+      catalog: GraphCatalog): Ctx = {
+    var ctx: Option[Ctx] = None
+    sq.parts.zipWithIndex.foreach { case (part, i) =>
+      val isLast = i == sq.parts.size - 1
+      val scope = ctx.map(_.scope).getOrElse(inherited)
+      val afterMatch0: Option[Ctx] =
+        if (part.matches.isEmpty) ctx
+        else if (!VarLength.hasVarLength(part.matches))
+          Some(compileMatches(ctx,
+            Analyzer.resolvePart(catalog.graph, scope, part.matches),
+            catalog))
+        else Some(compileVarLength(ctx, scope, part.matches, catalog))
+      val afterCalls = part.calls.foldLeft(afterMatch0)(
+        (c, cs) => Some(applyCall(c, cs, catalog)))
+      val afterMatch = afterCalls.getOrElse(
+        throw new CypherNotSupportedException("standalone RETURN/WITH"))
+      val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
+      ctx = Some(compileProjection(afterUnwind, part.proj,
+        isReturn = isLast && terminalIsReturn, catalog))
+    }
+    ctx.get
+  }
+
+  /**
+   * `CALL { [WITH imports] subquery }` (extension).
+   *
+   * Uncorrelated (no imports): the subquery runs ONCE; its value rows
+   * cross-join the incoming rows — with a small subquery result this
+   * is a broadcast nested loop over slim columns, Neo4j's semantics
+   * exactly.
+   *
+   * Correlated: Neo4j executes the subquery per incoming row. The flat
+   * equivalent: thread the imported node variables through every
+   * subquery projection (they become implicit grouping keys, so
+   * aggregation happens PER IMPORTED KEY = per invocation), compile
+   * the subquery standalone with fresh scans binding the imports
+   * (unique node ids make the re-scan equivalent), and join back on
+   * the ids. An aggregating subquery left-joins (an invocation over
+   * zero rows still returns its aggregate row) with Neo4j's fill-ins —
+   * count/sum → 0, collect → [], everything else null; a
+   * non-aggregating subquery inner-joins (zero rows eliminate the
+   * outer row). SKIP/LIMIT inside a correlated subquery would be
+   * per-invocation — not expressible flat — and are rejected.
+   */
+  private def applyCall(start: Option[Ctx], call: CallSub,
+      catalog: GraphCatalog): Ctx = {
+    if (call.imports.isEmpty) {
+      val subDf = compile(call.sub, catalog)
+      val newScope: Map[String, Binding] =
+        subDf.columns.map(_ -> (ValueBinding: Binding)).toMap
+      start match {
+        case None => Ctx(subDf, newScope)
+        case Some(c) =>
+          val clash = subDf.columns.filter(c.scope.contains)
+          if (clash.nonEmpty) throw new CypherBindingException(
+            s"CALL output '${clash.head}' collides with an outer variable")
+          Ctx(c.df.crossJoin(subDf), c.scope ++ newScope)
       }
-      ctx.get.df
+    } else {
+      val c = start.getOrElse(throw new CypherBindingException(
+        "CALL imports variables but there is no outer scope"))
+      val impDefs: Seq[(String, NodeDef)] = call.imports.map { a =>
+        c.scope.get(a) match {
+          case Some(NodeBinding(n)) => a -> n
+          case Some(EdgeBinding(_)) => throw new CypherNotSupportedException(
+            s"CALL import '$a' is a relationship — import its endpoint nodes")
+          case Some(ValueBinding) => throw new CypherNotSupportedException(
+            s"CALL import '$a' is a value — correlated CALL imports node " +
+            "variables")
+          case None =>
+            throw new CypherBindingException(s"unknown variable '$a'")
+        }
+      }
+      val lastProj = call.sub.parts.last.proj
+      if (lastProj.star) throw new CypherNotSupportedException(
+        "RETURN * inside a correlated CALL subquery")
+      val outNames = lastProj.items.map(outName)
+      outNames.find(call.imports.contains).foreach(nm =>
+        throw new CypherBindingException(
+          s"CALL subquery returns '$nm', which is an imported variable"))
+      outNames.find(c.scope.contains).foreach(nm =>
+        throw new CypherBindingException(
+          s"CALL output '$nm' collides with an outer variable"))
+      val threaded = threadImports(call.sub, call.imports)
+      val inherited: Map[String, Binding] =
+        impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
+      val sub = compileSingle(threaded, inherited,
+        terminalIsReturn = false, catalog)
+      impDefs.foreach { case (a, n) =>
+        sub.scope.get(a) match {
+          case Some(NodeBinding(n2)) if n2.label == n.label =>
+          case _ => throw new CypherBindingException(
+            s"CALL import '$a' was lost or re-bound inside the subquery")
+        }
+      }
+      outNames.foreach { nm =>
+        sub.scope.get(nm) match {
+          case Some(NodeBinding(_) | EdgeBinding(_)) =>
+            throw new CypherNotSupportedException(
+              s"CALL subquery returns whole entity '$nm' — project its " +
+              "properties")
+          case _ =>
+        }
+      }
+      // per-item Neo4j fill-in for aggregate rows over zero matches
+      val hasAgg = lastProj.items.exists(it => containsAgg(it.expr))
+      val keys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
+      val subOut = sub.df.select(
+        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__call_k$i") } ++
+          outNames.map(col): _*)
+      val cond = keys.zipWithIndex.map { case (k, i) =>
+        col(k) === col(s"__call_k$i") }.reduce(_ && _)
+      var joined = c.df.join(subOut, cond, if (hasAgg) "left" else "inner")
+        .drop(keys.indices.map(i => s"__call_k$i"): _*)
+      if (hasAgg) {
+        val types = joined.schema.fields.map(f => f.name -> f.dataType).toMap
+        lastProj.items.zip(outNames).foreach { case (it, nm) =>
+          it.expr match {
+            case Agg("count", _, _, _) =>
+              joined = joined.withColumn(nm,
+                coalesce(col(nm), lit(0L).cast(types(nm))))
+            case Agg("sum", _, _, _) =>
+              joined = joined.withColumn(nm,
+                coalesce(col(nm), lit(0).cast(types(nm))))
+            case Agg("collect", _, _, _) =>
+              joined = joined.withColumn(nm,
+                coalesce(col(nm), array().cast(types(nm))))
+            case _ => // min/max/avg/stdev/… stay null, like Neo4j
+          }
+        }
+      }
+      Ctx(joined, c.scope ++ outNames.map(_ -> (ValueBinding: Binding)))
+    }
+  }
+
+  /** Threads the imported aliases through every projection of a
+   *  correlated CALL subquery: each WITH/RETURN gets the missing
+   *  imports appended as bare entity items, so they survive masking
+   *  and join every implicit GROUP BY (per-invocation aggregation).
+   *  DISTINCT is safe (keys included ⇒ per-invocation distinct);
+   *  SKIP/LIMIT are per-invocation in Neo4j — rejected here. */
+  private def threadImports(sq: SingleQuery,
+      imports: Seq[String]): SingleQuery = {
+    val parts2 = sq.parts.map { part =>
+      val proj = part.proj
+      if (proj.skip.isDefined || proj.limit.isDefined)
+        throw new CypherNotSupportedException(
+          "SKIP/LIMIT inside a correlated CALL subquery (per-invocation " +
+          "paging does not flatten; use a windowed top-k operator)")
+      if (proj.star) part
+      else {
+        val present = proj.items.map(outName).toSet
+        val missing = imports.filterNot(present)
+          .map(a => RetItem(Ref(a, None), None))
+        part.copy(proj = proj.copy(items = proj.items ++ missing))
+      }
+    }
+    SingleQuery(parts2)
   }
 
   /** UNWIND (extension): `explode` the list column into one row per

@@ -93,7 +93,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported(s"updating clause $k (read-only engine)")
     case Kw("UNWIND", _, _) if !extensions =>
       notSupported("UNWIND (supported with extensions enabled)")
-    case Kw("CALL", _, _)   => notSupported("CALL / procedures")
+    case Kw("CALL", _, _)
+        if !(extensions &&
+          (peek1 match { case Punct("{", _) => true; case _ => false })) =>
+      notSupported("CALL / procedures" +
+        (if (!extensions) " (CALL { subquery } supported with extensions " +
+          "enabled)" else ""))
     case _ =>
   }
 
@@ -119,6 +124,32 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         rejectUpdating()
       }
       val ms = matches.result()
+      // CALL { subquery } (extension): zero or more between the matches
+      // and the unwinds. The optional leading `WITH a, b` lists imported
+      // node variables — plain identifiers only (Neo4j's importing-WITH
+      // contract), then the subquery proper starts at its first MATCH.
+      val callsB = Vector.newBuilder[CallSub]
+      var sawCall = false
+      while (isKw("CALL")) {
+        p += 1 // extensions + '{' guaranteed: rejectUpdating passed it
+        eatPunct("{")
+        val imports = Vector.newBuilder[String]
+        if (isKw("WITH")) {
+          p += 1
+          imports += ident()
+          while (tryPunct(",")) imports += ident()
+          if (!isKw("MATCH") && !isKw("OPTIONAL"))
+            notSupported("CALL importing WITH must list plain variables " +
+              "followed by MATCH")
+        }
+        val subq = parseSingle()
+        eatPunct("}")
+        callsB += CallSub(imports.result(), subq)
+        sawCall = true
+      }
+      if (sawCall && (isKw("MATCH") || isKw("OPTIONAL")))
+        notSupported("MATCH after CALL — chain it through a WITH")
+      val calls = callsB.result()
       // UNWIND (extension): zero or more clauses between the matches and
       // the part's projection; a MATCH after UNWIND must chain through a
       // WITH (keeps the join builder's scope model untouched)
@@ -134,20 +165,20 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       }
       if (sawUnwind && (isKw("MATCH") || isKw("OPTIONAL")))
         notSupported("MATCH after UNWIND — chain it through a WITH")
-      if (sawUnwind && ms.isEmpty && isFirstPart)
+      if (sawUnwind && ms.isEmpty && calls.isEmpty && isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
       if (isKw("WITH")) {
         p += 1
-        parts += QueryPart(ms, parseProjection(isWith = true), uw)
+        parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
         isFirstPart = false
       } else if (isKw("RETURN")) {
         p += 1
-        if (ms.isEmpty && uw.isEmpty && isFirstPart)
+        if (ms.isEmpty && uw.isEmpty && calls.isEmpty && isFirstPart)
           notSupported("standalone RETURN without MATCH")
-        parts += QueryPart(ms, parseProjection(isWith = false), uw)
+        parts += QueryPart(ms, parseProjection(isWith = false), uw, calls)
         done = true
-      } else if (ms.isEmpty && uw.isEmpty) {
+      } else if (ms.isEmpty && uw.isEmpty && calls.isEmpty) {
         syntaxErr("Expected MATCH, WITH or RETURN")
       } else {
         syntaxErr("Query part must end with WITH or RETURN")

@@ -760,6 +760,90 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) RETURN {a: 1} AS m"))
   }
 
+  // ----------------------------------------------------- CALL subqueries
+
+  test("uncorrelated CALL runs once and cross-joins the outer rows") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born IS NOT NULL
+        |CALL { MATCH (m:Movie) RETURN max(m.Released) AS latest }
+        |RETURN p.Name AS N, latest ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getInt(1))) == Seq(
+      ("Kevin Bacon", 1998), ("Meg Ryan", 1998), ("Tom Hanks", 1998)))
+    // CALL as the first clause
+    assert(rows(
+      """CALL { MATCH (m:Movie) RETURN count(m.id) AS nm }
+        |RETURN nm""".stripMargin).head.getLong(0) == 3L)
+  }
+
+  test("correlated CALL aggregates per invocation, zero-match fills") {
+    val r = rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN count(m.id) AS roles, min(m.Released) AS first }
+        |RETURN p.Name AS N, roles, first ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2))) == Seq(
+      ("Jessica Thompson", 0L, -1),  // count fills 0, min stays null
+      ("Kevin Bacon", 1L, 1995),
+      ("Meg Ryan", 2L, 1993),
+      ("Rob Reiner", 0L, -1),
+      ("Tom Hanks", 3L, 1993)))
+  }
+
+  test("correlated CALL without aggregation expands and drops non-matches") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Jessica Thompson'
+        |CALL { WITH p MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |       RETURN m.Title AS t, r.Rating AS rating }
+        |RETURN p.Name AS N, t, rating ORDER BY t""".stripMargin)
+    assert(r.map(x => (x.getString(1), x.getInt(2))) ==
+      Seq(("Sleepless in Seattle", 95), ("You've Got Mail", 85)))
+    // a person with no REVIEWED edges disappears (inner join semantics)
+    assert(rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |CALL { WITH p MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |       RETURN m.Title AS t }
+        |RETURN p.Name AS N, t""".stripMargin).isEmpty)
+  }
+
+  test("correlated CALL with an intermediate WITH keeps the correlation") {
+    val r = rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       WITH m.Released AS y
+        |       RETURN sum(y) AS ysum }
+        |RETURN p.Name AS N, ysum ORDER BY N""".stripMargin)
+    val m = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(m("Tom Hanks") == 1993L + 1995L + 1998L)
+    assert(m("Meg Ryan") == 1993L + 1998L)
+    assert(m("Rob Reiner") == 0L) // sum over empty fills 0
+  }
+
+  test("CALL rejection surface") {
+    // LIMIT inside a correlated subquery is per-invocation — rejected
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN m.Title AS t ORDER BY t LIMIT 1 }
+        |RETURN p.Name AS N, t""".stripMargin))
+    // returning a whole entity from the subquery
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN m }
+        |RETURN p.Name AS N""".stripMargin))
+    // output name colliding with an outer variable
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person) WITH p, 1 AS x
+        |CALL { MATCH (m:Movie) RETURN count(m.id) AS x }
+        |RETURN p.Name AS N, x""".stripMargin))
+    // parity session rejects the construct
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      """MATCH (p:Person)
+        |CALL { MATCH (m:Movie) RETURN count(m.id) AS c }
+        |RETURN p.Name AS N, c""".stripMargin))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
