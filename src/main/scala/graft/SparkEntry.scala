@@ -657,7 +657,28 @@ object SparkEntry {
              |  (SELECT count(*) FROM region) AS n_regions
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_acctbal > 9980
-             |ORDER BY 1, 2""".stripMargin)))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // per-invocation ORDER BY + LIMIT in a correlated CALL → window
+    // rank filter partitioned by the import key (WindowGroupLimit:
+    // partial top-k per partition before the shuffle)
+    ("q42_call_topk", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9990
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+        |       RETURN o.o_orderkey AS okey, o.o_totalprice AS price
+        |       ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2 }
+        |RETURN c.c_name AS name, okey, price
+        |ORDER BY name, price DESC, okey""".stripMargin),
+      Some("""WITH ranked AS (
+             |  SELECT c_name, o_orderkey, o_totalprice,
+             |         row_number() OVER (PARTITION BY c_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  WHERE c_acctbal > 9990)
+             |SELECT c_name AS name, o_orderkey AS okey,
+             |       o_totalprice AS price
+             |FROM ranked WHERE rn <= 2
+             |ORDER BY 1, 3 DESC, 2""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -815,7 +815,7 @@ object Compiler {
       outNames.find(c.scope.contains).foreach(nm =>
         throw new CypherBindingException(
           s"CALL output '$nm' collides with an outer variable"))
-      val threaded = threadImports(call.sub, call.imports)
+      val (threaded, page) = threadImports(call.sub, call.imports)
       val inherited: Map[String, Binding] =
         impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
       val sub = compileSingle(threaded, inherited,
@@ -839,7 +839,31 @@ object Compiler {
       // per-item Neo4j fill-in for aggregate rows over zero matches
       val hasAgg = lastProj.items.exists(it => containsAgg(it.expr))
       val keys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
-      val subOut = sub.df.select(
+      // per-invocation ORDER BY/SKIP/LIMIT: a rank filter over a window
+      // partitioned by the import keys — Spark rewrites it to
+      // WindowGroupLimit (partial per-partition top-k before the
+      // shuffle), so "top k per key" never materializes the full group
+      val paged = page match {
+        case None => sub.df
+        case Some(CallPage(sortBy, skipN, limitN)) =>
+          val sortCols = sortBy.map { case (nm, desc) =>
+            // hidden sort items are plain value columns by construction;
+            // an entity-named sort key sorts by its unique id
+            val c0 = sub.scope.get(nm) match {
+              case Some(NodeBinding(n)) => col(pref(nm, n.idColumn))
+              case _ => col(nm)
+            }
+            if (desc) c0.desc else c0.asc
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+          val lo = skipN.getOrElse(0L)
+          val hi = limitN.map(lo + _).getOrElse(Long.MaxValue)
+          sub.df.withColumn("__call_rn", row_number().over(w))
+            .where(col("__call_rn") > lo && col("__call_rn") <= hi)
+            .drop("__call_rn")
+      }
+      val subOut = paged.select(
         keys.zipWithIndex.map { case (k, i) => col(k).as(s"__call_k$i") } ++
           outNames.map(col): _*)
       val cond = keys.zipWithIndex.map { case (k, i) =>
@@ -873,23 +897,75 @@ object Compiler {
    *  and join every implicit GROUP BY (per-invocation aggregation).
    *  DISTINCT is safe (keys included ⇒ per-invocation distinct);
    *  SKIP/LIMIT are per-invocation in Neo4j — rejected here. */
+  /** Per-invocation SKIP/LIMIT stripped off a correlated CALL's final
+   *  projection — re-applied as a window rank filter partitioned by
+   *  the import keys (Spark's WindowGroupLimit). `sortBy` names hidden
+   *  sort columns threaded through the projection (so ORDER BY may
+   *  reference unprojected fields, like any projection's ORDER BY). */
+  private final case class CallPage(sortBy: Seq[(String, Boolean)],
+      skip: Option[Long], limit: Option[Long])
+
   private def threadImports(sq: SingleQuery,
-      imports: Seq[String]): SingleQuery = {
-    val parts2 = sq.parts.map { part =>
+      imports: Seq[String]): (SingleQuery, Option[CallPage]) = {
+    var page: Option[CallPage] = None
+    val last = sq.parts.size - 1
+    val parts2 = sq.parts.zipWithIndex.map { case (part, i) =>
       val proj = part.proj
-      if (proj.skip.isDefined || proj.limit.isDefined)
-        throw new CypherNotSupportedException(
-          "SKIP/LIMIT inside a correlated CALL subquery (per-invocation " +
-          "paging does not flatten; use a windowed top-k operator)")
-      if (proj.star) part
+      val obItems = Vector.newBuilder[RetItem]
+      val proj1 =
+        if (i == last && (proj.skip.isDefined || proj.limit.isDefined)) {
+          // per-invocation paging: ORDER BY is required ("top k per
+          // invocation" has no defined order without it), aggregation
+          // and DISTINCT don't compose with it
+          if (proj.orderBy.isEmpty)
+            throw new CypherNotSupportedException(
+              "SKIP/LIMIT inside a correlated CALL subquery requires " +
+              "ORDER BY (per-invocation paging)")
+          if (proj.items.exists(it => containsAgg(it.expr)))
+            throw new CypherNotSupportedException(
+              "SKIP/LIMIT with aggregation inside a correlated CALL " +
+              "subquery (the aggregate already returns one row per " +
+              "invocation)")
+          if (proj.distinct)
+            throw new CypherNotSupportedException(
+              "DISTINCT with SKIP/LIMIT inside a correlated CALL subquery")
+          val taken = proj.items.map(outName).toSet ++ imports
+          val sortBy = proj.orderBy.zipWithIndex.map { case (s, j) =>
+            // sort keys that are already projected items reuse them;
+            // anything else threads through as a hidden item
+            s.expr match {
+              case Ref(a, None) if taken(a) => (a, s.desc)
+              case _ =>
+                var nm = s"callob_$j"
+                while (taken(nm)) nm = nm + "_"
+                obItems += RetItem(s.expr, Some(nm))
+                (nm, s.desc)
+            }
+          }
+          page = Some(CallPage(sortBy, proj.skip, proj.limit))
+          proj.copy(orderBy = Seq.empty, skip = None, limit = None)
+        } else if (i == last) {
+          // bare ORDER BY on the subquery RETURN: row order is
+          // unobservable after the join-back — drop it
+          proj.copy(orderBy = Seq.empty)
+        } else {
+          if (proj.skip.isDefined || proj.limit.isDefined)
+            throw new CypherNotSupportedException(
+              "SKIP/LIMIT on an intermediate WITH inside a correlated " +
+              "CALL subquery (per-invocation paging is only supported " +
+              "on the subquery's RETURN)")
+          proj
+        }
+      if (proj1.star) part.copy(proj = proj1)
       else {
-        val present = proj.items.map(outName).toSet
+        val present = proj1.items.map(outName).toSet
         val missing = imports.filterNot(present)
           .map(a => RetItem(Ref(a, None), None))
-        part.copy(proj = proj.copy(items = proj.items ++ missing))
+        part.copy(proj =
+          proj1.copy(items = proj1.items ++ obItems.result() ++ missing))
       }
     }
-    SingleQuery(parts2)
+    (SingleQuery(parts2), page)
   }
 
   /** UNWIND (extension): `explode` the list column into one row per

@@ -819,13 +819,40 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(m("Rob Reiner") == 0L) // sum over empty fills 0
   }
 
+  test("correlated CALL per-invocation ORDER BY + LIMIT = top-k per key") {
+    val df = session.run(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN m.Title AS t ORDER BY m.Released DESC LIMIT 1 }
+        |RETURN p.Name AS N, t ORDER BY N""".stripMargin)
+    assert(df.collect().map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("Kevin Bacon", "Apollo 13"), ("Meg Ryan", "You've Got Mail"),
+          ("Tom Hanks", "You've Got Mail")))
+    // the rank filter lowers to Spark's group-limit optimization
+    assert(df.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    // SKIP pages within the invocation
+    assert(rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN m.Title AS t ORDER BY m.Released DESC SKIP 1 LIMIT 1 }
+        |RETURN t""".stripMargin).map(_.getString(0)) == Seq("Apollo 13"))
+  }
+
   test("CALL rejection surface") {
-    // LIMIT inside a correlated subquery is per-invocation — rejected
+    // per-invocation LIMIT without ORDER BY has no defined order
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
-        |       RETURN m.Title AS t ORDER BY t LIMIT 1 }
+        |       RETURN m.Title AS t LIMIT 1 }
         |RETURN p.Name AS N, t""".stripMargin))
+    // LIMIT on an intermediate WITH inside the subquery
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       WITH m.Title AS t ORDER BY t LIMIT 1
+        |       RETURN count(t) AS c }
+        |RETURN p.Name AS N, c""".stripMargin))
     // returning a whole entity from the subquery
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
