@@ -119,10 +119,16 @@ object ast {
   /** `varLength = Some((lo, hi))` marks a bounded variable-length
    *  relationship `[*lo..hi]` — a flagged EXTENSION (the reference
    *  rejects var-length, CypherVisitor.cs:2035-2039); the compiler
-   *  unrolls it into one fixed chain per length, UNION ALL'd. */
+   *  unrolls it into one fixed chain per length, UNION ALL'd.
+   *  `alts` carries the extra verbs of a type alternation `[:A|B]`
+   *  (also an EXTENSION) — expanded to one branch per verb, UNION
+   *  ALL'd through the same machinery; anonymous rels only (a bound
+   *  variable would need one property namespace across different edge
+   *  tables). */
   final case class RelPat(alias: Option[String], verb: Option[String],
                           dir: Direction,
-                          varLength: Option[(Int, Int)] = None)
+                          varLength: Option[(Int, Int)] = None,
+                          alts: Seq[String] = Seq.empty)
   /** Linear pattern: nodes.size == rels.size + 1. */
   final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat])
 

@@ -1028,8 +1028,9 @@ object Compiler {
     ctxs.tail.foreach { c =>
       if (visibleScope(c).map { case (a, b) => a -> bindingKey(b) } != sig)
         throw new CypherNotSupportedException(
-          "variable-length endpoints must resolve to the same label at " +
-          "every length — annotate the endpoint nodes")
+          "pattern-branch endpoints must resolve to the same label in " +
+          "every branch (var-length lengths / [:A|B] alternatives) — " +
+          "annotate the endpoint nodes")
     }
     val cols = ctxs.head.df.columns.filterNot(_.startsWith("____unnamed_")).toSeq
     val unioned = ctxs.map(_.df.select(cols.map(col): _*)).reduce(_ union _)

@@ -246,9 +246,21 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case Ident(s, _) => p += 1; Some(s)
         case _ => None
       }
+      var alts: Seq[String] = Seq.empty
       val verb = if (tryPunct(":")) {
         val v = name()
-        if (isPunct("|")) notSupported("multiple relationship types")
+        if (isPunct("|")) {
+          if (!extensions)
+            notSupported("multiple relationship types " +
+              "(supported with extensions enabled)")
+          val b = Vector.newBuilder[String]
+          while (tryPunct("|")) b += name()
+          alts = b.result().distinct.filterNot(_ == v)
+          if (alias.isDefined)
+            notSupported("binding a variable to a relationship type " +
+              "alternation (the alternatives have different property " +
+              "namespaces) — use an anonymous relationship")
+        }
         Some(v)
       } else None
       val varLength = if (isPunct("*")) {
@@ -298,7 +310,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (leftArrow) { eatPunct("-"); Direction.In }
         else if (tryPunct("->")) Direction.Out
         else { eatPunct("-"); Direction.Both }
-      Some(RelPat(alias, verb, dir, varLength))
+      Some(RelPat(alias, verb, dir, varLength, alts))
     } else {
       // bare arrows: --, -->, <--
       val dir =

@@ -28,8 +28,11 @@ object VarLength {
    *  mistake, not a query. */
   val MaxBranches = 64
 
+  /** True when any rel needs branch expansion: bounded var-length
+   *  `[*lo..hi]` or a type alternation `[:A|B]`. */
   def hasVarLength(matches: Seq[MatchClause]): Boolean =
-    matches.exists(_.parts.exists(_.rels.exists(_.varLength.isDefined)))
+    matches.exists(_.parts.exists(_.rels.exists(r =>
+      r.varLength.isDefined || r.alts.nonEmpty)))
 
   /** All unrollings of one query part's MATCH clauses (cartesian across
    *  multiple var-length rels), in ascending-length order. */
@@ -50,6 +53,16 @@ object VarLength {
     }.map(ps => m.copy(parts = ps))
 
   private def expandPart(pp: PatternPart): Seq[PatternPart] = {
+    // type alternations expand first (one branch per verb — the hops
+    // of a var-length alternation then all carry the branch's verb)
+    val ai = pp.rels.indexWhere(_.alts.nonEmpty)
+    if (ai >= 0) {
+      val r = pp.rels(ai)
+      return (r.verb.toSeq ++ r.alts).flatMap { v =>
+        expandPart(PatternPart(pp.nodes,
+          pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty))))
+      }
+    }
     val i = pp.rels.indexWhere(_.varLength.isDefined)
     if (i < 0) Seq(pp)
     else {

@@ -871,6 +871,38 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN p.Name AS N, c""".stripMargin))
   }
 
+  // ---------------------------------------------- rel-type alternation
+
+  test("[:A|B] unions the per-verb branches") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN|REVIEWED]->(m:Movie)
+        |RETURN p.Name AS N, count(m) AS c ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) == Seq(
+      ("Jessica Thompson", 2L), // reviews only
+      ("Kevin Bacon", 1L), ("Meg Ryan", 2L), ("Tom Hanks", 3L)))
+    // three-way alternation, incoming direction
+    assert(rows(
+      """MATCH (m:Movie)<-[:ACTED_IN|REVIEWED|DIRECTED]-(p:Person)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |RETURN count(p.id) AS c""".stripMargin).head.getLong(0) == 4L)
+  }
+
+  test("alternation composes with var-length and keeps rejections") {
+    // [:FOLLOWS|ACTED_IN*1..2]: per-branch verb carried into each hop
+    val r = rows(
+      """MATCH (p:Person)-[:FOLLOWS*1..2]->(q:Person)
+        |WHERE p.Name = 'Jessica Thompson'
+        |RETURN count(q.id) AS c""".stripMargin).head.getLong(0)
+    assert(r == 3L) // p5→p1, p5→p2, p5→p1→p2
+    // binding a variable to an alternation is rejected
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N"))
+    // parity rejects the surface
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person)-[:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
