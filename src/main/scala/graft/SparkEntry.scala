@@ -43,13 +43,25 @@ object SparkEntry {
     graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
     graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/embeddings.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanos type, so
-    * read it as long (legacy conf) and truncate to micros, matching
-    * DuckDB's own ns→us truncation. */
+  /** events.ts may be parquet TIMESTAMP(NANOS) (older generator runs) or
+    * TIMESTAMP(MICROS) without UTC adjustment (→ TIMESTAMP_NTZ). Spark has
+    * no nanos type, so with the legacy conf a nanos column surfaces as
+    * long — truncate it to micros (matching DuckDB's own ns→us
+    * truncation). An NTZ column is cast to the session-zoned type: the
+    * session timezone is pinned to UTC everywhere (Verify/Bench/tests), so
+    * the cast preserves the instant and keeps unix_millis/unix_micros
+    * (which require TIMESTAMP) usable downstream. */
   private def evts(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** (name, spark query, optional DuckDB oracle). */
