@@ -3462,6 +3462,19 @@ object SparkEntry {
       (col("l_suppkey") + lit(1000000L)).as("dst")).distinct()
   }
 
+  /** Undirected supplier co-supply graph: suppliers sharing a part at
+    * l_quantity >= 49 (the filter keeps the derived pairing sparse),
+    * canonical s1 < s2. Base graph for g03–g07. */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/lineitem.parquet")
+    val ps = li.where(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
+      .distinct()
+    ps.as("a").join(ps.as("b"), "p")
+      .where(col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("s1"), col("b.sid").as("s2"))
+  }
+
   private val graphSpecs: Seq[Spec] = Seq(
     // PageRank, 3 fixed iterations — the oracle unrolls the same three
     // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
@@ -3520,24 +3533,139 @@ object SparkEntry {
     // the derived pairing sparse; the count itself is the oriented
     // two-path semi-join closure)
     ("g03_triangles",
-      (s, dir) => {
-        val li = graft.cypher.GraphCatalog.cachedParquet(
-          s, s"$dir/lineitem.parquet")
-        val ps = li.where(col("l_quantity") >= 49)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sid"))
-          .distinct()
-        val pairs = ps.as("a").join(ps.as("b"), "p")
-          .where(col("a.sid") < col("b.sid"))
-          .select(col("a.sid").as("s1"), col("b.sid").as("s2"))
-        GraphOps.triangleCount(pairs, "s1", "s2")
-      },
+      (s, dir) => GraphOps.triangleCount(coSupplyEdges(s, dir), "s1", "s2"),
       Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
              |            FROM lineitem WHERE l_quantity >= 49),
              |e AS (SELECT DISTINCT a.s s1, b.s s2
              |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)
              |SELECT count(*) AS n_triangles
              |FROM e ab JOIN e bc ON ab.s2 = bc.s1
-             |JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2""".stripMargin)))
+             |JOIN e ac ON ac.s1 = ab.s1 AND ac.s2 = bc.s2""".stripMargin)),
+
+    // deterministic synchronous label propagation (2 rounds) over the
+    // co-supply graph — the oracle unrolls both rounds with the same
+    // (count desc, label asc) argmax via row_number
+    ("g04_label_prop",
+      (s, dir) => GraphOps.labelPropagation(coSupplyEdges(s, dir),
+          "s1", "s2", rounds = 2)
+        .orderBy("node"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+             |c1 AS (SELECT a.node, l.label, count(*) c FROM adj a
+             |       JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2),
+             |r1 AS (SELECT node, label, row_number() OVER
+             |         (PARTITION BY node ORDER BY c DESC, label ASC) rk
+             |       FROM c1),
+             |l1 AS (SELECT node, label FROM r1 WHERE rk = 1),
+             |c2 AS (SELECT a.node, l.label, count(*) c FROM adj a
+             |       JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2),
+             |r2 AS (SELECT node, label, row_number() OVER
+             |         (PARTITION BY node ORDER BY c DESC, label ASC) rk
+             |       FROM c2)
+             |SELECT node, label FROM r2 WHERE rk = 1
+             |ORDER BY node""".stripMargin)),
+
+    // 3-core of the co-supply graph after 3 synchronous peels — the
+    // oracle unrolls the identical peel rounds
+    ("g05_kcore",
+      (s, dir) => GraphOps.kCore(coSupplyEdges(s, dir), "s1", "s2",
+          k = 3, peels = 3)
+        .orderBy("node"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e0 AS (SELECT DISTINCT a.s lo, b.s hi
+             |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |d1 AS (SELECT node, count(*) d FROM
+             |         (SELECT lo node FROM e0 UNION ALL SELECT hi FROM e0)
+             |       GROUP BY 1),
+             |k1 AS (SELECT node FROM d1 WHERE d >= 3),
+             |e1 AS (SELECT lo, hi FROM e0
+             |       WHERE lo IN (SELECT node FROM k1)
+             |         AND hi IN (SELECT node FROM k1)),
+             |d2 AS (SELECT node, count(*) d FROM
+             |         (SELECT lo node FROM e1 UNION ALL SELECT hi FROM e1)
+             |       GROUP BY 1),
+             |k2 AS (SELECT node FROM d2 WHERE d >= 3),
+             |e2 AS (SELECT lo, hi FROM e1
+             |       WHERE lo IN (SELECT node FROM k2)
+             |         AND hi IN (SELECT node FROM k2)),
+             |d3 AS (SELECT node, count(*) d FROM
+             |         (SELECT lo node FROM e2 UNION ALL SELECT hi FROM e2)
+             |       GROUP BY 1),
+             |k3 AS (SELECT node FROM d3 WHERE d >= 3),
+             |e3 AS (SELECT lo, hi FROM e2
+             |       WHERE lo IN (SELECT node FROM k3)
+             |         AND hi IN (SELECT node FROM k3))
+             |SELECT node, count(*) AS deg FROM
+             |  (SELECT lo node FROM e3 UNION ALL SELECT hi FROM e3)
+             |GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // common-neighbor link prediction (Jaccard + Adamic–Adar) with the
+    // degree-50 middle cap applied identically on both sides; scores
+    // rounded to 6 (sum order differs between engines)
+    ("g06_link_predict",
+      (s, dir) => GraphOps.commonNeighborScores(coSupplyEdges(s, dir),
+          "s1", "s2", maxDegree = Some(50))
+        .select(col("u"), col("v"), col("cn"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("adamic_adar"), 6).as("adamic_adar"))
+        .orderBy("u", "v"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT node, count(*) deg FROM adj GROUP BY 1),
+             |wd AS (SELECT m.node w, m.nbr u, ln(d.deg) lnd
+             |       FROM adj m JOIN deg d ON d.node = m.node
+             |       WHERE d.deg <= 50),
+             |pairs AS (SELECT x.u u, y.u v, count(*) cn,
+             |                 sum(1.0 / x.lnd) aa
+             |          FROM wd x JOIN wd y ON x.w = y.w AND x.u < y.u
+             |          GROUP BY 1, 2)
+             |SELECT p.u, p.v, p.cn,
+             |       round(CAST(p.cn AS DOUBLE) /
+             |             (du.deg + dv.deg - p.cn), 6) AS jaccard,
+             |       round(p.aa, 6) AS adamic_adar
+             |FROM pairs p JOIN deg du ON du.node = p.u
+             |JOIN deg dv ON dv.node = p.v
+             |ORDER BY p.u, p.v""".stripMargin)),
+
+    // multi-source BFS hop distances (≤3) from the 3 smallest nodes of
+    // the co-supply graph, both directions; the oracle is DuckDB's
+    // recursive CTE with per-level dedup (UNION) and a min(dist) final
+    ("g07_bfs_hops",
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir)
+        val sym = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .union(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val srcs = sym.select(col("src").as("node")).distinct()
+          .orderBy("node").limit(3)
+        GraphOps.bfsDistances(sym, "src", "dst", srcs, maxHops = 3)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE
+             |ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |       FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS src, hi AS dst FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |srcs AS (SELECT DISTINCT src AS node FROM adj
+             |         ORDER BY node LIMIT 3),
+             |walk(node, dist) AS (
+             |  SELECT node, 0 FROM srcs
+             |  UNION
+             |  SELECT a.dst, w.dist + 1 FROM walk w
+             |  JOIN adj a ON a.src = w.node WHERE w.dist < 3)
+             |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)))
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs ++ graphSpecs
 

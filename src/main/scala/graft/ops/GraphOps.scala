@@ -124,4 +124,182 @@ object GraphOps {
       .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Canonical undirected edge set: (lo, hi) with lo < hi, self-loops
+    * dropped, deduped. Shared by the undirected analytics below. */
+  private def canonical(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+
+  /** Both directions of the canonical undirected edge set as
+    * (node, nbr) rows — still an edge LIST (2|E| slim rows), not
+    * adjacency lists; no per-node collection anywhere. */
+  private def symmetric(e: DataFrame): DataFrame =
+    e.select(col("lo").as("node"), col("hi").as("nbr"))
+      .union(e.select(col("hi").as("node"), col("lo").as("nbr")))
+
+  /**
+   * Synchronous label propagation community detection (Raghavan et al.
+   * 2007, "Near linear time algorithm to detect community structures in
+   * large-scale networks"), made DETERMINISTIC: labels start as node
+   * ids; each round every node adopts the most frequent label among its
+   * neighbors, ties broken by the SMALLEST label; isolated nodes (none
+   * here — every node has an edge by construction) keep their label.
+   * Synchronous update + total tie order makes the result reproducible
+   * across engines, which the classic async/random-tie variant is not.
+   *
+   * 100 TB posture: each round is (a) one shuffle joining the 16 B/node
+   * label state to the symmetric edge list on nbr, (b) one
+   * groupBy(node, label) count — partial aggregation absorbs hub
+   * fan-in map-side, (c) one groupBy(node) max(struct(cnt, -label))
+   * argmax — again partially aggregated, O(distinct labels per node)
+   * ≤ degree. No windows over whole partitions, no adjacency lists;
+   * label state is checkpointed per round so plan depth stays O(1).
+   */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+                       rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = canonical(edges, aCol, bCol)
+    val adj = symmetric(e).localCheckpoint(false)
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val counts = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max over (c, -label) pairs,
+      // both long — struct ordering is lexicographic, so negating the
+      // label turns "smallest label" into "largest second field"
+      labels = counts
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(false)
+    }
+    labels
+  }
+
+  /**
+   * k-core membership after a FIXED number of synchronous peeling
+   * rounds: each round drops every node whose current degree is < k,
+   * then recomputes degrees on the induced subgraph (Matula & Beck
+   * 1983 peeling, bulk-synchronous). With enough rounds this is the
+   * exact k-core; a fixed `peels` bound keeps the computation
+   * deterministic and mirrorable — extra rounds past convergence are
+   * no-ops, so callers pick `peels` ≥ the expected peel depth (peel
+   * depth is tiny for the near-dup / co-occurrence graphs this targets;
+   * the exact core would loop to fixpoint with the same per-round
+   * plan).
+   *
+   * Returns (node, deg): nodes surviving all rounds with their induced
+   * degree. Per round: one groupBy over the symmetric edge list + two
+   * semi joins to filter edges by surviving endpoints — all slim
+   * (node, nbr) rows, no adjacency lists; lineage cut per round.
+   */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Int, peels: Int = 4): DataFrame = {
+    require(k >= 1 && peels >= 1, "k and peels must be >= 1")
+    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    for (_ <- 1 to peels) {
+      val keep = symmetric(e).groupBy("node").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("node")
+      e = e.join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+        .select("lo", "hi")
+        .localCheckpoint(false)
+    }
+    symmetric(e).groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /**
+   * Common-neighbor link prediction over an undirected graph: for every
+   * node pair (u < v) with at least one shared neighbor, emit
+   * cn = |N(u)∩N(v)|, Jaccard = cn / (|N(u)|+|N(v)|-cn), and
+   * Adamic–Adar = Σ_{w∈N(u)∩N(v)} 1/ln(deg(w)) (Adamic & Adar 2003,
+   * "Friends and neighbors on the Web"). Pairs may or may not be
+   * existing edges — callers anti-join `edges` to score only
+   * non-edges.
+   *
+   * The pair generation is the triangle two-path shape: join the
+   * symmetric edge list to itself on the MIDDLE node w, keep u < v.
+   * That fan-out is quadratic in deg(w), so `maxDegree` drops hub
+   * middles above the bound BEFORE pairing — the same skew valve as
+   * [[triangleCount]]; the bound is part of the operator's contract
+   * (scores become "over the ≤cap-degree graph") and any mirror must
+   * apply it identically. Degrees join back post-aggregation on slim
+   * (node, deg) rows.
+   */
+  def commonNeighborScores(edges: DataFrame, aCol: String, bCol: String,
+                           maxDegree: Option[Int] = Some(1000)): DataFrame = {
+    val e = canonical(edges, aCol, bCol)
+    val sym = symmetric(e)
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val mids = maxDegree match {
+      case None => sym
+      case Some(cap) =>
+        sym.join(deg.where(col("deg") <= cap).select("node"),
+          Seq("node"), "left_semi")
+    }
+    // two-path through w: (w, u) ⋈ (w, v), u < v; ln(deg(w)) rides
+    // along so Adamic–Adar needs no third join
+    val wdeg = mids.join(deg, "node")
+      .select(col("node").as("w"), col("nbr").as("u"),
+        log(col("deg").cast("double")).as("lnd"))
+    val pairs = wdeg.as("x").join(
+        wdeg.select(col("w"), col("u").as("v")).as("y"), "w")
+      .where(col("u") < col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(lit(1.0) / col("lnd")).as("aa"))
+    pairs
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        (col("cn").cast("double") /
+          (col("du") + col("dv") - col("cn"))).as("jaccard"),
+        col("aa").as("adamic_adar"))
+  }
+
+  /**
+   * Multi-source BFS hop distances over a DIRECTED edge list, bounded
+   * depth: dist(v) = min hops from any source, for all v reachable in
+   * ≤ `maxHops`. Sources are a 1-column DataFrame (any name).
+   *
+   * Classic frontier iteration (Beamer et al.'s top-down direction,
+   * which is the right shape for Spark — the frontier is a slim
+   * (node) set): each hop joins the CURRENT frontier to edges on src,
+   * anti-joins the visited set, and unions the survivors in. All rows
+   * are ≤ 16 B (node, dist); the visited set is checkpointed per hop
+   * so plan depth is O(1), and the frontier join broadcasts whenever
+   * the frontier is small (which BFS frontiers usually are at the
+   * start and end of the wave). No per-path enumeration anywhere —
+   * this is O(V+E) per wave, never O(paths).
+   */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val src0 = sources.toDF("node").distinct()
+    var visited = src0.withColumn("dist", lit(0L)).localCheckpoint(false)
+    var frontier = visited
+    var hop = 0L
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(false)
+      if (next.isEmpty) hop = maxHops // converged: nothing new reachable
+      else {
+        visited = visited.union(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    visited
+  }
 }

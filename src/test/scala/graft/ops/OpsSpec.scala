@@ -2935,4 +2935,77 @@ class OpsSpec extends AnyFunSuite {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     assert(GraphOps.triangleCount(path, "a", "b").head().getLong(0) == 0L)
   }
+
+  test("labelPropagation: two cliques joined by a bridge keep distinct labels") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3–10; labels are min-ish
+    // ids per community under the (freq desc, label asc) rule
+    val c1 = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val c2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val e = (c1 ++ c2 ++ Seq((3L, 10L))).toDF("a", "b")
+    val lp = GraphOps.labelPropagation(e, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // each clique converges to one label; the two cliques differ
+    assert(Set(lp(1L), lp(2L)).size == 1)
+    assert(Set(lp(10L), lp(11L), lp(12L)).size == 1)
+    assert(lp(1L) != lp(11L))
+  }
+
+  test("labelPropagation round 1 is exact: min neighbor label (all counts 1)") {
+    // path 1–2–3: after one round every neighbor multiset has distinct
+    // labels, so the argmax tie-break picks the smallest neighbor label
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val lp = GraphOps.labelPropagation(e, "a", "b", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("kCore: K4 plus a tail — 3-core is exactly the K4") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tail = Seq((4L, 5L), (5L, 6L)) // degree-1/2 chain peels away
+    val e = (k4 ++ tail).toDF("a", "b")
+    val core = GraphOps.kCore(e, "a", "b", k = 3, peels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a tree has no 2-core at all
+    val tree = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.kCore(tree, "a", "b", k = 2, peels = 3).isEmpty)
+  }
+
+  test("commonNeighborScores: shared-neighbor pair gets exact jaccard/AA") {
+    // star: 1–2, 1–3 (plus 2–4 noise): pair (2,3) shares only node 1
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("a", "b")
+    val r = GraphOps.commonNeighborScores(e, "a", "b", maxDegree = None)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    // deg(1)=2, deg(2)=2, deg(3)=1, deg(4)=1
+    // (2,3): cn=1 via w=1; jaccard = 1/(2+1-1) = 0.5; aa = 1/ln(2)
+    val (cn, j, aa) = r((2L, 3L))
+    assert(cn == 1L && math.abs(j - 0.5) < 1e-12)
+    assert(math.abs(aa - 1.0 / math.log(2.0)) < 1e-12)
+    // (3,4) share nothing; (1,4) share node 2: jaccard = 1/(2+1-1)
+    assert(!r.contains((3L, 4L)))
+    assert(r((1L, 4L))._1 == 1L)
+    // maxDegree=1 drops both middles (deg 2) → no pairs survive
+    assert(GraphOps.commonNeighborScores(e, "a", "b", maxDegree = Some(1)).isEmpty)
+  }
+
+  test("bfsDistances: hop distances are minimal and depth-bounded") {
+    // directed path 1→2→3→4→5 with a shortcut 1→4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L)).toDF("s", "d")
+    val srcs = Seq(1L).toDF("node")
+    val d3 = GraphOps.bfsDistances(e, "s", "d", srcs, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 is reached at hop 1 via the shortcut, 5 at hop 2 — never hop 3/4
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L))
+    // depth bound honored: maxHops=1 sees only the direct successors
+    val d1 = GraphOps.bfsDistances(e, "s", "d", srcs, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+    // multi-source: min over sources
+    val d2 = GraphOps.bfsDistances(e, "s", "d", Seq(1L, 3L).toDF("n"),
+        maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(4L) == 1L && d2(5L) == 2L && d2(3L) == 0L)
+  }
 }
