@@ -2484,6 +2484,50 @@ object SparkEntry {
              |    AS intercept
              |FROM g""".stripMargin)),
 
+    // --- Flesch reading-ease scoring (words = letter runs, sentences =
+    //     terminal-punctuation runs, syllables = vowel-group runs; both
+    //     denominators floored at 1) — single map stage over the scan
+    ("t29_readability",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          TextOps.wordCount(col("text")).as("words"),
+          TextOps.sentenceCount(col("text")).as("sentences"),
+          TextOps.syllableCount(col("text")).as("syllables"),
+          round(TextOps.fleschScore(col("text")), 6).as("flesch"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |  length(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+             |  length(regexp_extract_all(text, '[.!?]+')) AS sentences,
+             |  length(regexp_extract_all(lower(text), '[aeiouy]+'))
+             |    AS syllables
+             |  FROM documents)
+             |SELECT doc_id, CAST(words AS BIGINT) AS words,
+             |  CAST(sentences AS BIGINT) AS sentences,
+             |  CAST(syllables AS BIGINT) AS syllables,
+             |  round(206.835
+             |    - 1.015 * (CAST(greatest(words, 1) AS DOUBLE)
+             |               / greatest(sentences, 1))
+             |    - 84.6 * (CAST(syllables AS DOUBLE) / greatest(words, 1)),
+             |    6) AS flesch
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // --- code-vs-prose routing: symbol-char + indented-line density,
+    //     thresholded; corpus mixes route code away from prose filters
+    ("t30_code_detect",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+          round(TextOps.codeScore(col("text")), 6).as("code_score"),
+          TextOps.isCode(col("text")).as("is_code"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT doc_id,
+             |  length(regexp_extract_all(text, '[{}();=<>\[\]]')) AS sym,
+             |  length(regexp_extract_all(text, '(?m)^(?:    |\t)'))
+             |    AS ind,
+             |  length(text) AS n
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round((sym * 2.0 + ind * 3.0) / (n + 1.0), 6) AS code_score,
+             |  (sym * 2.0 + ind * 3.0) / (n + 1.0) > 0.06 AS is_code
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // --- funnel conversion summary: per-stage user counts and
     //     step/top conversion rates off the e04 funnel (one aggregation
     //     over the per-user output, exact-count divisions)

@@ -66,6 +66,57 @@ object TextOps {
       (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * lit(0.2)
   }
 
+  /** Alphabetic-run word count: robust to punctuation/whitespace
+    * variation, identical under Java regex and RE2 (plain class). */
+  def wordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))).cast(LongType)
+
+  /** Sentence count: maximal runs of terminal punctuation. Documents
+    * with no terminator at all count as one sentence downstream (the
+    * readability guard), not zero. */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast(LongType)
+
+  /** Syllable proxy: vowel-group runs in the lowercased text — the
+    * standard cheap estimator (each maximal [aeiouy]+ run ≈ one
+    * syllable nucleus). */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast(LongType)
+
+  /**
+   * Flesch reading ease (Flesch 1948): 206.835 − 1.015·(words/sentences)
+   * − 84.6·(syllables/words), with both denominators floored at 1 so
+   * empty/unterminated documents score deterministically instead of
+   * NULLing out. Pure per-row double arithmetic — single map stage,
+   * whole-stage codegen, zero shuffle at any scale.
+   */
+  def fleschScore(text: Column): Column = {
+    val w = greatest(wordCount(text), lit(1L)).cast(DoubleType)
+    val s = greatest(sentenceCount(text), lit(1L)).cast(DoubleType)
+    val y = syllableCount(text).cast(DoubleType)
+    lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w)
+  }
+
+  /**
+   * Code-vs-prose heuristic for corpus routing (send code to the code
+   * tokenizer, drop it from prose-only mixes): density of code symbol
+   * characters plus indented-line starts, weighted 2:3, per character.
+   * `isCode` thresholds the score at 0.06 — tuned so JSON/source blobs
+   * trip it while heavily-punctuated prose does not. Deterministic
+   * double ops; both regexes are dialect-neutral (plain classes + (?m)).
+   */
+  def codeScore(text: Column): Column = {
+    val sym = size(regexp_extract_all(text,
+      lit("[{}();=<>\\[\\]]"), lit(0))).cast(DoubleType)
+    val indents = size(regexp_extract_all(text,
+      lit("(?m)^(?:    |\\t)"), lit(0))).cast(DoubleType)
+    (sym * lit(2.0) + indents * lit(3.0)) /
+      (length(text).cast(DoubleType) + lit(1.0))
+  }
+
+  def isCode(text: Column): Column = codeScore(text) > lit(0.06)
+
   /** Per-language stopword regexes for the n-gram/stopword langid
    *  heuristic. Order matters: ties resolve to the earlier language. */
   val LangMarkers: Seq[(String, String)] = Seq(

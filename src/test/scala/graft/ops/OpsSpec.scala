@@ -28,6 +28,35 @@ class OpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------ text
 
+  test("readability: flesch on a known sentence; guards on empty text") {
+    val r = spark.range(1).select(
+      TextOps.wordCount(lit("The cat sat.")).as("w"),
+      TextOps.sentenceCount(lit("The cat sat. Yes! Go?")).as("s"),
+      TextOps.syllableCount(lit("banana")).as("y"),
+      round(TextOps.fleschScore(lit("The cat sat.")), 6).as("f"),
+      TextOps.fleschScore(lit("")).as("fe")).head()
+    assert(r.getLong(0) == 3L)   // The, cat, sat
+    assert(r.getLong(1) == 3L)   // ., !, ?
+    assert(r.getLong(2) == 3L)   // a-a-a vowel groups
+    // words=3, sentences=1, syllables=3 ("e", "a", "a"):
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(r.getDouble(3) - 119.19) < 1e-9)
+    // empty text: words floored to 1, syllables 0 → 206.835-1.015-0
+    assert(math.abs(r.getDouble(4) - (206.835 - 1.015)) < 1e-9)
+  }
+
+  test("codeScore: source-ish text trips isCode, prose does not") {
+    val code = "def f(x) {\n    return (x + 1);\n}\n\tval y = f(2);"
+    val prose = "It was a bright cold day in April, and the clocks " +
+      "were striking thirteen. Winston Smith hurried home."
+    val r = spark.range(1).select(
+      TextOps.isCode(lit(code)).as("c"),
+      TextOps.isCode(lit(prose)).as("p"),
+      TextOps.codeScore(lit("")).as("z")).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getDouble(2) == 0.0) // empty: 0/(0+1)
+  }
+
   test("tokenCount: whitespace runs, blank → 0") {
     val r = spark.range(1).select(
       TextOps.tokenCount(lit("a  b\tc")).as("t1"),
