@@ -690,7 +690,28 @@ object SparkEntry {
              |SELECT c_name AS name, o_orderkey AS okey,
              |       o_totalprice AS price
              |FROM ranked WHERE rn <= 2
-             |ORDER BY 1, 3 DESC, 2""".stripMargin)))
+             |ORDER BY 1, 3 DESC, 2""".stripMargin)),
+
+    // --- named paths (extension; reference rejects, CypherVisitor.cs:
+    //     998-1002): two path variables bound in one MATCH, length()
+    //     arithmetic over both, and a WHERE over a path length (the
+    //     per-branch var-length lengths are pinned by unit tests on the
+    //     movie graph — this schema's DAG gives each pattern one
+    //     resolvable length)
+    ("q43_named_path", cyx(
+      """MATCH p = (c:Customer)-[:FROM_NATION]->(n:Nation),
+        |      q = (s:Supplier)-[:LOCATED_IN]->(n)
+        |WHERE length(p) = 1 AND c.c_acctbal > 9000.0
+        |RETURN n.n_name AS nation, length(p) + length(q) AS hops,
+        |       count(c.c_custkey) AS pairs
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n.n_name AS nation, CAST(2 AS BIGINT) AS hops,
+             |       count(c.c_custkey) AS pairs
+             |FROM customer c
+             |JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |JOIN supplier s ON s.s_nationkey = n.n_nationkey
+             |WHERE c.c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY nation""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -18,6 +18,11 @@ object Analyzer {
   final case class EdgeBinding(edge: EdgeDef) extends Binding
   /** A plain value column (projected by a WITH). */
   case object ValueBinding extends Binding
+  /** A named path `p = (...)` (extension). The alias's physical column
+   *  holds the pattern's relationship count (BIGINT, materialized per
+   *  var-length branch before any union), and the ONLY legal use of the
+   *  variable is length(p)/size(p). */
+  case object PathBinding extends Binding
 
   /** A relationship resolved against the schema; srcNode/snkNode are the
    *  node aliases on the edge's *schema* source/sink ends (pattern
@@ -33,7 +38,11 @@ object Analyzer {
       where: Option[Expr],
       /** rel-alias pairs of the same edge type in this clause — Cypher
        *  relationship-uniqueness (reference: LogicalPlan.cs:969-1017). */
-      inequalityPairs: Seq[(ResolvedRel, ResolvedRel)])
+      inequalityPairs: Seq[(ResolvedRel, ResolvedRel)],
+      /** named-path aliases of this clause with their pattern's
+       *  relationship count (extension; concrete per var-length branch
+       *  since expansion precedes resolution). */
+      pathVars: Seq[(String, Int)] = Seq.empty)
 
   private final class AliasGen {
     private var n = 0
@@ -50,7 +59,8 @@ object Analyzer {
 
     // name anonymous entities; reject reserved prefix on user aliases
     // (reference: MatchClause.cs:53-73)
-    final case class NamedPart(nodes: Seq[NodePat], rels: Seq[RelPat])
+    final case class NamedPart(nodes: Seq[NodePat], rels: Seq[RelPat],
+                               pathVar: Option[String])
     final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
     // user-written aliases may not enter the engine's internal `__`
     // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …)
@@ -68,7 +78,8 @@ object Analyzer {
           pp.rels.map { rp =>
             rp.alias.foreach(checkUserAlias)
             rp.copy(alias = Some(rp.alias.getOrElse(gen.next())))
-          })
+          },
+          { pp.pathVar.foreach(checkUserAlias); pp.pathVar })
       }, m)
     }
 
@@ -131,12 +142,27 @@ object Analyzer {
     val relSeen = scala.collection.mutable.Set[String]()
     val allNodeAliases: Set[String] =
       named.flatMap(_.parts.flatMap(_.nodes.flatMap(_.alias))).toSet
+    val allRelAliases: Set[String] =
+      named.flatMap(_.parts.flatMap(_.rels.flatMap(_.alias))).toSet
+    val pathSeen = scala.collection.mutable.Set[String]()
     named.map { nm =>
       val rels = Vector.newBuilder[ResolvedRel]
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
+      val paths = Vector.newBuilder[(String, Int)]
 
       nm.parts.foreach { pp =>
+        pp.pathVar.foreach { pv =>
+          if (nm.m.optional)
+            throw new CypherNotSupportedException(
+              "named path in OPTIONAL MATCH — its length would need " +
+              "null-on-unmatched semantics; bind the path in a MATCH")
+          if (allNodeAliases(pv) || allRelAliases(pv) ||
+              inherited.contains(pv) || !pathSeen.add(pv))
+            throw new CypherBindingException(
+              s"path alias '$pv' collides with another variable")
+          paths += ((pv, pp.rels.size))
+        }
         pp.nodes.foreach { np =>
           val a = np.alias.get
           nodeOrder += a
@@ -173,7 +199,7 @@ object Analyzer {
       } yield (rs(i), rs(j))
 
       ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
-        nm.m.optional, nm.m.where, pairs)
+        nm.m.optional, nm.m.where, pairs, paths.result())
     }
   }
 

@@ -129,8 +129,14 @@ object ast {
                           dir: Direction,
                           varLength: Option[(Int, Int)] = None,
                           alts: Seq[String] = Seq.empty)
-  /** Linear pattern: nodes.size == rels.size + 1. */
-  final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat])
+  /** Linear pattern: nodes.size == rels.size + 1. `pathVar` names the
+   *  pattern's path (`p = (...)`) — a flagged EXTENSION (the reference
+   *  rejects named paths, CypherVisitor.cs:998-1002) supporting exactly
+   *  `length(p)`/`size(p)` (the relationship count, per-branch under
+   *  var-length expansion); any other use of the variable is rejected.
+   *  Only top-level MATCH patterns may carry one. */
+  final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat],
+                               pathVar: Option[String] = None)
 
   final case class MatchClause(
       parts: Seq[PatternPart],

@@ -30,6 +30,7 @@ object Compiler {
     case EdgeBinding(e) =>
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
     case ValueBinding => Seq.empty
+    case PathBinding  => Seq.empty
   }
 
   def pref(alias: String, c: String): String = s"__${alias}_$c"
@@ -191,6 +192,13 @@ object Compiler {
         df = joinEntities(Option(df), scope.keySet,
           groupsByPattern(m, newEntities, merged), conds, catalog)
         scope = scope ++ newEntities
+        // named paths (extension): the alias column IS the pattern's
+        // relationship count — a literal here, so each var-length
+        // branch carries its own length through the union
+        m.pathVars.foreach { case (a, n) =>
+          df = df.withColumn(a, lit(n.toLong))
+          scope = scope + (a -> PathBinding)
+        }
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
           val (existsConjs, residual) = splitExistsConjuncts(w)
@@ -436,6 +444,7 @@ object Compiler {
       val starItems = ctx.scope.keys.toSeq
         .filterNot(_.startsWith("__"))
         .filterNot(explicitNames.contains)
+        .filterNot(a => ctx.scope(a) == PathBinding) // not projectable
         .sorted
         .map(a => RetItem(Ref(a, None), None))
       if (starItems.isEmpty && proj.items.isEmpty)
@@ -584,6 +593,8 @@ object Compiler {
               "returning a whole node/relationship — project its properties")
             EntityItem(a, b)
           case Some(ValueBinding) => ValueItem(it.expr, agg = false)
+          case Some(PathBinding) => throw new CypherNotSupportedException(
+            s"path variable '$a' cannot be projected - use length($a)")
           case None => throw new CypherBindingException(s"unknown variable '$a'")
         }
         case e => ValueItem(e, containsAgg(e))
@@ -800,6 +811,9 @@ object Compiler {
             s"CALL import '$a' is a relationship — import its endpoint nodes")
           case Some(ValueBinding) => throw new CypherNotSupportedException(
             s"CALL import '$a' is a value — correlated CALL imports node " +
+            "variables")
+          case Some(PathBinding) => throw new CypherNotSupportedException(
+            s"CALL import '$a' is a path — correlated CALL imports node " +
             "variables")
           case None =>
             throw new CypherBindingException(s"unknown variable '$a'")
@@ -1041,5 +1055,6 @@ object Compiler {
     case NodeBinding(n) => s"node:${n.label}"
     case EdgeBinding(e) => s"edge:${e.key}"
     case ValueBinding   => "value"
+    case PathBinding    => "path"
   }
 }

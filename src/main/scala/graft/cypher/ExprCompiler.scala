@@ -48,6 +48,9 @@ final class ExprCompiler(
       colTypes.get(pref(physAlias(a), p)).orElse(structFieldType(a, p))
     case ast.Ref(a, None) =>
       aliasCols.get(a).flatMap(colTypes.get).orElse(colTypes.get(a))
+  }, {
+    case ast.Ref(a, None) => scope.get(a).contains(PathBinding)
+    case _ => false
   })
 
   /** Dot access into a struct-typed VALUE (map literals, properties());
@@ -76,6 +79,9 @@ final class ExprCompiler(
         throw new CypherBindingException(
           s"entity '$alias' has no property '$p'")
       col(pref(physAlias(alias), p))
+    case Some(PathBinding) =>
+      throw new CypherBindingException(
+        s"path '$alias' has no properties - only length($alias) is supported")
     case Some(ValueBinding) =>
       // struct-typed values (map literals, properties()) support dot
       // access into their fields (extension)
@@ -107,6 +113,8 @@ final class ExprCompiler(
       aliasCols.get(a).map(col).getOrElse {
         scope.get(a) match {
           case Some(ValueBinding) => col(a)
+          case Some(PathBinding) => throw new CypherNotSupportedException(
+            s"path variable '$a' supports only length($a)")
           case Some(_) => throw new CypherNotSupportedException(
             s"entity variable '$a' used as a value — project a property")
           case None =>
@@ -325,9 +333,13 @@ final class ExprCompiler(
       case "tolower" | "lower" => arity(1); lower(a0)
       case "size" | "length"   =>
         arity(1)
-        typeOf(f.args.head) match {
-          case Some(ArrayType(_, _)) => size(a0)
-          case _ => length(a0)
+        f.args.head match {
+          case ast.Ref(a, None) if scope.get(a).contains(PathBinding) =>
+            col(a) // the materialized per-branch relationship count
+          case h => typeOf(h) match {
+            case Some(ArrayType(_, _)) => size(a0)
+            case _ => length(a0)
+          }
         }
       case "abs"   => arity(1); abs(a0)
       // Extensions beyond the reference's registry (Function.cs:13-46):

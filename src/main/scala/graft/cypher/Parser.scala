@@ -189,8 +189,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
 
   private def parseMatchBody(optional: Boolean): MatchClause = {
     val pats = Vector.newBuilder[PatternPart]
-    pats += parsePatternPart()
-    while (tryPunct(",")) pats += parsePatternPart()
+    pats += parsePatternPart(allowPath = true)
+    while (tryPunct(",")) pats += parsePatternPart(allowPath = true)
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
     MatchClause(pats.result(), optional, where)
   }
@@ -200,11 +200,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def peek1: Tok =
     if (p + 1 < tokens.length) tokens(p + 1) else tokens.last
 
-  private def parsePatternPart(): PatternPart = {
-    // named path `x = (...)`  → rejected (reference CypherVisitor.cs:998-1002)
-    (cur, peek1) match {
-      case (Ident(_, _), Punct("=", _)) => notSupported("named path variables")
-      case _ =>
+  private def parsePatternPart(allowPath: Boolean = false): PatternPart = {
+    // named path `x = (...)` — reference rejects (CypherVisitor.cs:
+    // 998-1002); with extensions enabled a TOP-LEVEL MATCH pattern may
+    // bind one, supporting length(p) only (see Ast.PatternPart)
+    val pathVar: Option[String] = (cur, peek1) match {
+      case (Ident(s, _), Punct("=", _)) =>
+        if (!extensions || !allowPath)
+          notSupported("named path variables" +
+            (if (extensions && !allowPath) " outside a top-level MATCH"
+             else " (supported with extensions enabled)"))
+        p += 2
+        Some(s)
+      case _ => None
     }
     val nodes = Vector.newBuilder[NodePat]
     val rels = Vector.newBuilder[RelPat]
@@ -216,7 +224,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case None => more = false
       }
     }
-    PatternPart(nodes.result(), rels.result())
+    PatternPart(nodes.result(), rels.result(), pathVar)
   }
 
   private def parseNodePat(): NodePat = {

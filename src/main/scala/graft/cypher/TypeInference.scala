@@ -20,7 +20,8 @@ import ast._
  * the reference's Unknown type, and fail at bind time elsewhere if
  * genuinely unresolvable.
  */
-final class TypeInference(refType: Ref => Option[DataType]) {
+final class TypeInference(refType: Ref => Option[DataType],
+                          pathRef: Ref => Boolean = _ => false) {
 
   /** Lambda-scoped variables (list comprehension / quantifier / reduce
    *  bodies): name → element type. Shadows outer refs for bare names.
@@ -326,9 +327,14 @@ final class TypeInference(refType: Ref => Option[DataType]) {
         requireString(t(0), f.name); Some(StringType)
       case "size" | "length" =>
         // size() covers strings AND lists (the collect()/split() output)
-        t(0) match {
-          case Some(ArrayType(_, _)) => Some(IntegerType)
-          case other => requireString(other, f.name); Some(IntegerType)
+        // - and named paths (extension), whose length is the BIGINT
+        // relationship-count column
+        f.args.headOption match {
+          case Some(r: Ref) if pathRef(r) => Some(LongType)
+          case _ => t(0) match {
+            case Some(ArrayType(_, _)) => Some(IntegerType)
+            case other => requireString(other, f.name); Some(IntegerType)
+          }
         }
       case "abs" =>
         val a = t(0); requireNumeric(a, "abs"); a

@@ -60,7 +60,8 @@ object VarLength {
       val r = pp.rels(ai)
       return (r.verb.toSeq ++ r.alts).flatMap { v =>
         expandPart(PatternPart(pp.nodes,
-          pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty))))
+          pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty)),
+          pp.pathVar))
       }
     }
     val i = pp.rels.indexWhere(_.varLength.isDefined)
@@ -73,7 +74,8 @@ object VarLength {
         val interior = Seq.fill(len - 1)(NodePat(None, None))
         expandPart(PatternPart(
           pp.nodes.take(i + 1) ++ interior ++ pp.nodes.drop(i + 1),
-          pp.rels.take(i) ++ Seq.fill(len)(hop) ++ pp.rels.drop(i + 1)))
+          pp.rels.take(i) ++ Seq.fill(len)(hop) ++ pp.rels.drop(i + 1),
+          pp.pathVar))
       }
     }
   }

@@ -903,6 +903,73 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person)-[:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N"))
   }
 
+  // ----------------------------------------------------- named paths
+
+  test("named path: length(p) on a fixed pattern is the rel count") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:ACTED_IN]->(m:Movie)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN m.Title AS T, length(p) AS L ORDER BY T""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) == Seq(
+      ("Apollo 13", 1L), ("Sleepless in Seattle", 1L),
+      ("You've Got Mail", 1L)))
+  }
+
+  test("named path over [*1..2]: per-branch lengths survive the union") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |RETURN a.Name AS A, b.Name AS B, length(p) AS L
+        |ORDER BY A, B, L""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "Meg Ryan", 1L),
+      ("Jessica Thompson", "Meg Ryan", 2L),
+      ("Jessica Thompson", "Tom Hanks", 1L),
+      ("Tom Hanks", "Meg Ryan", 1L)))
+  }
+
+  test("named path: WHERE length(p) filters branches; size() synonym") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WHERE length(p) = 2
+        |RETURN a.Name AS A, b.Name AS B, size(p) AS L""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(("Jessica Thompson", "Meg Ryan", 2L)))
+  }
+
+  test("named path: every other use of the variable is rejected") {
+    // projecting the path
+    intercept[CypherNotSupportedException](rows(
+      "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p"))
+    // value use
+    intercept[CypherNotSupportedException](rows(
+      "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p + 1 AS X"))
+    // property access
+    intercept[CypherException](rows(
+      "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN p.x AS X"))
+    // alias collision with a node variable
+    intercept[CypherBindingException](rows(
+      "MATCH p = (p:Person)-[:FOLLOWS]->(b:Person) RETURN length(p) AS L"))
+    // OPTIONAL MATCH
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) OPTIONAL MATCH q = (a)-[:FOLLOWS]->(b:Person)
+        |RETURN a.Name AS N, length(q) AS L""".stripMargin))
+    // parity session rejects the surface entirely
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN length(p) AS L"))
+  }
+
+  test("named path: WITH * skips the path; explicit length(p) flows") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
+        |WITH *, length(p) AS L
+        |RETURN a.Name AS A, L ORDER BY A, L""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r == Seq(("Jessica Thompson", 1L), ("Jessica Thompson", 1L),
+      ("Tom Hanks", 1L)))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
