@@ -234,9 +234,15 @@ object GraphOps {
    */
   def commonNeighborScores(edges: DataFrame, aCol: String, bCol: String,
                            maxDegree: Option[Int] = Some(1000)): DataFrame = {
-    val e = canonical(edges, aCol, bCol)
+    // the canonical set feeds the pair join, the degree table, and two
+    // degree join-backs — materialize it once (the pattern every other
+    // iterative op here uses) instead of re-deriving the input pairing
+    // per consumer; deg is 12 B/node and read three times, so it gets
+    // the same treatment
+    val e = canonical(edges, aCol, bCol).localCheckpoint(false)
     val sym = symmetric(e)
     val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val mids = maxDegree match {
       case None => sym
       case Some(cap) =>
