@@ -711,7 +711,23 @@ object SparkEntry {
              |JOIN nation n ON n.n_nationkey = c.c_nationkey
              |JOIN supplier s ON s.s_nationkey = n.n_nationkey
              |WHERE c.c_acctbal > 9000.0
-             |GROUP BY 1 ORDER BY nation""".stripMargin)))
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // --- shortestPath (extension; the reference has no shortest-path
+    //     support): one row per (order, supplier) binding — the
+    //     SUPPLIED_BY edge table is lineitem, so a plain MATCH yields
+    //     one row per lineitem; shortestPath collapses same-length
+    //     paths per binding (the len-2 branch has no resolution here)
+    ("q44_shortest_path", cyx(
+      """MATCH p = shortestPath((o:Order)-[:SUPPLIED_BY*1..2]->(s:Supplier))
+        |RETURN s.s_name AS sname, length(p) AS hops,
+        |       count(o.o_orderkey) AS n_orders
+        |ORDER BY sname""".stripMargin),
+      Some("""SELECT s_name AS sname, CAST(1 AS BIGINT) AS hops,
+             |       count(*) AS n_orders
+             |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) j
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |GROUP BY 1, 2 ORDER BY sname""".stripMargin)))
 
   // ================================================= training-data pipeline
 

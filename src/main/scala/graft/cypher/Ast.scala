@@ -135,8 +135,16 @@ object ast {
    *  `length(p)`/`size(p)` (the relationship count, per-branch under
    *  var-length expansion); any other use of the variable is rejected.
    *  Only top-level MATCH patterns may carry one. */
+  /** `shortest = true` wraps the part in `shortestPath(...)` (extension):
+   *  the var-length branch union reduces to the MINIMUM relationship
+   *  count per distinct binding of everything else in scope — which also
+   *  collapses same-length paths through different (anonymous) interior
+   *  nodes to one row, Cypher's one-shortest-path-per-binding contract.
+   *  Requires a var-length rel inside (the only useful form) and must be
+   *  its clause's sole pattern. */
   final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat],
-                               pathVar: Option[String] = None)
+                               pathVar: Option[String] = None,
+                               shortest: Boolean = false)
 
   final case class MatchClause(
       parts: Seq[PatternPart],

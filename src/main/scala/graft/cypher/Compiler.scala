@@ -1020,13 +1020,35 @@ object Compiler {
   private def compileVarLength(
       start: Option[Ctx], scope: Map[String, Binding],
       matches: Seq[MatchClause], catalog: GraphCatalog): Ctx = {
+    // shortestPath() (extension): reduce the branch union to the MIN
+    // relationship count per distinct binding of everything else —
+    // restricted to a clause's sole, non-optional pattern so "everything
+    // else" is exactly the endpoints plus the inherited scope
+    val shortest = matches.exists(_.parts.exists(_.shortest))
+    if (shortest) {
+      if (matches.size != 1 || matches.head.parts.size != 1)
+        throw new CypherNotSupportedException(
+          "shortestPath() must be its MATCH clause's only pattern")
+      if (matches.head.optional)
+        throw new CypherNotSupportedException(
+          "shortestPath() in OPTIONAL MATCH")
+    }
+    val shortestVar: Option[String] =
+      if (shortest) matches.head.parts.head.pathVar else None
     val branches = VarLength.expand(matches)
     val compiled = Vector.newBuilder[Ctx]
     var firstErr: Option[CypherException] = None
     branches.foreach { ms =>
-      try compiled += compileMatches(start,
-        Analyzer.resolvePart(catalog.graph, scope, ms), catalog)
-      catch {
+      try {
+        var c = compileMatches(start,
+          Analyzer.resolvePart(catalog.graph, scope, ms), catalog)
+        // unnamed shortestPath still needs the branch length to reduce
+        // on — ride it in an internal column, dropped after the min
+        if (shortest && shortestVar.isEmpty)
+          c = c.copy(df = c.df.withColumn("__shortest_len",
+            lit(ms.map(_.parts.map(_.rels.size).sum).sum.toLong)))
+        compiled += c
+      } catch {
         case e: CypherBindingException =>
           if (firstErr.isEmpty) firstErr = Some(e)
       }
@@ -1048,7 +1070,20 @@ object Compiler {
     }
     val cols = ctxs.head.df.columns.filterNot(_.startsWith("____unnamed_")).toSeq
     val unioned = ctxs.map(_.df.select(cols.map(col): _*)).reduce(_ union _)
-    Ctx(unioned, vis)
+    if (!shortest) Ctx(unioned, vis)
+    else {
+      // min length per binding of every other visible column; also
+      // collapses same-length paths through different interior nodes
+      // (Cypher: ONE shortest path per binding). One partially-
+      // aggregated shuffle on the binding key — no per-path state.
+      val lenCol = shortestVar.getOrElse("__shortest_len")
+      val others = cols.filterNot(_ == lenCol)
+      val reduced = unioned.groupBy(others.map(col): _*)
+        .agg(min(col(lenCol)).as(lenCol))
+        .select(cols.map(col): _*)
+      Ctx(if (shortestVar.isDefined) reduced
+          else reduced.drop("__shortest_len"), vis)
+    }
   }
 
   private def bindingKey(b: Binding): String = b match {

@@ -214,6 +214,20 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         Some(s)
       case _ => None
     }
+    // shortestPath( pattern ) — extension; reference has no shortest-
+    // path support at all. Only in top-level MATCH, like path vars.
+    val shortest: Boolean = (cur, peek1) match {
+      case (Ident(s, _), Punct("(", _)) if s.equalsIgnoreCase("shortestPath") =>
+        if (!extensions || !allowPath)
+          notSupported("shortestPath()" +
+            (if (extensions && !allowPath) " outside a top-level MATCH"
+             else " (supported with extensions enabled)"))
+        p += 2
+        true
+      case (Ident(s, _), Punct("(", _)) if s.equalsIgnoreCase("allShortestPaths") =>
+        notSupported("allShortestPaths()")
+      case _ => false
+    }
     val nodes = Vector.newBuilder[NodePat]
     val rels = Vector.newBuilder[RelPat]
     nodes += parseNodePat()
@@ -224,7 +238,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case None => more = false
       }
     }
-    PatternPart(nodes.result(), rels.result(), pathVar)
+    if (shortest) {
+      eatPunct(")")
+      if (!rels.result().exists(_.varLength.isDefined))
+        notSupported("shortestPath() requires a variable-length " +
+          "relationship [*lo..hi] inside the pattern")
+    }
+    PatternPart(nodes.result(), rels.result(), pathVar, shortest)
   }
 
   private def parseNodePat(): NodePat = {

@@ -970,6 +970,61 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("Tom Hanks", 1L)))
   }
 
+  // ---------------------------------------------------- shortestPath
+
+  test("shortestPath: min hops per endpoint pair over [*1..2]") {
+    // FOLLOWS: p5→p1, p5→p2, p1→p2. (p5,p2) is reachable at 1 AND 2
+    // hops — shortestPath keeps 1
+    val r = rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person))
+        |RETURN a.Name AS A, b.Name AS B, length(p) AS L
+        |ORDER BY A, B""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "Meg Ryan", 1L),
+      ("Jessica Thompson", "Tom Hanks", 1L),
+      ("Tom Hanks", "Meg Ryan", 1L)))
+  }
+
+  test("shortestPath: WHERE on length finds shortest among qualifying") {
+    val r = rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person))
+        |WHERE length(p) >= 2
+        |RETURN a.Name AS A, b.Name AS B, length(p) AS L""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(("Jessica Thompson", "Meg Ryan", 2L)))
+  }
+
+  test("shortestPath: unnamed form dedups same-length interior variants") {
+    // ACTED_IN at exactly 1 hop: plain MATCH and shortest MATCH agree
+    // when paths are unique...
+    val n = rows(
+      """MATCH shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person))
+        |RETURN count(a.id) AS n""".stripMargin).head.getLong(0)
+    assert(n == 3L) // one row per (a, b) pair — the len-2 duplicate gone
+  }
+
+  test("shortestPath: rejections") {
+    // no var-length inside
+    intercept[CypherNotSupportedException](rows(
+      "MATCH p = shortestPath((a:Person)-[:FOLLOWS]->(b:Person)) " +
+      "RETURN length(p) AS L"))
+    // not the sole pattern
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person)),
+        |      (c:Person)-[:FOLLOWS]->(d:Person)
+        |RETURN length(p) AS L""".stripMargin))
+    // allShortestPaths unsupported
+    intercept[CypherNotSupportedException](rows(
+      "MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*1..2]->(b:Person)) " +
+      "RETURN length(p) AS L"))
+    // parity session rejects the surface
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person)) " +
+      "RETURN length(p) AS L"))
+  }
+
   test("parity session rejects simple CASE and keeps searched CASE") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
