@@ -3594,6 +3594,53 @@ object SparkEntry {
              |SELECT node, round(rank, 6) AS rank FROM pr3
              |ORDER BY node""".stripMargin)),
 
+    // personalized PageRank, 3 fixed iterations, teleport set =
+    // nodes ≡ 0 (mod 97) — the oracle unrolls the same rounds with the
+    // teleport flag as a CASE column
+    ("g08_personalized_pr",
+      (s, dir) => {
+        val e = psEdges(s, dir)
+        val srcs = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .where(col("node") % 97 === 0)
+        GraphOps.personalizedPageRank(e, "src", "dst", srcs,
+            iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_partkey AS src,
+             |                  l_suppkey + 1000000 AS dst FROM lineitem),
+             |nodes AS (SELECT DISTINCT node, CASE WHEN node % 97 = 0
+             |                 THEN 1.0 ELSE 0.0 END AS tele FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nn AS (SELECT sum(tele) AS n FROM nodes),
+             |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+             |        FROM e GROUP BY 1),
+             |pr0 AS (SELECT node, tele/(SELECT n FROM nn) AS rank FROM nodes),
+             |c1 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr0 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr1 AS (SELECT n.node,
+             |          0.15*n.tele/(SELECT n FROM nn)
+             |            + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+             |c2 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr1 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr2 AS (SELECT n.node,
+             |          0.15*n.tele/(SELECT n FROM nn)
+             |            + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+             |c3 AS (SELECT e.dst AS node, sum(p.rank/d.d) AS s FROM e
+             |       JOIN pr2 p ON p.node = e.src JOIN deg d ON d.src = e.src
+             |       GROUP BY 1),
+             |pr3 AS (SELECT n.node,
+             |          0.15*n.tele/(SELECT n FROM nn)
+             |            + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+             |SELECT node, round(rank, 6) AS rank FROM pr3
+             |ORDER BY node""".stripMargin)),
+
     // out/in degrees with zero-fill (bipartite: parts have in_deg 0,
     // suppliers out_deg 0)
     ("g02_degrees",

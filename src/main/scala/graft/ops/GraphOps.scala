@@ -38,7 +38,31 @@ object GraphOps {
    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, damping: Double = 0.85,
-               checkpointEvery: Int = 5): DataFrame = {
+               checkpointEvery: Int = 5): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping,
+      checkpointEvery, sources = None)
+
+  /**
+   * Personalized PageRank (Jeh & Widom 2003, "Scaling personalized web
+   * search"): teleportation lands uniformly on the SOURCE set instead
+   * of all nodes —
+   * rank_0 = 1_S/|S|; rank_{k+1}(v) = (1-d)·1_S(v)/|S| + d·Σ rank_k(u)/outdeg(u).
+   * Ranks measure proximity to the sources (recommendation /
+   * relatedness queries); nodes unreachable from S stay at 0.
+   * Same per-iteration plan as [[pageRank]] — the teleport vector is a
+   * broadcastable membership flag on the node table, not a new join.
+   */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame, iterations: Int = 10,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 5): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping,
+      checkpointEvery, sources = Some(sources))
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, damping: Double,
+                           checkpointEvery: Int,
+                           sources: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -46,13 +70,27 @@ object GraphOps {
     // lazy checkpoints: nodes and (src, dst, deg) are static across
     // iterations — materialize them once (the count() job below) so no
     // iteration re-reads or re-dedupes the raw edge input
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(false)
-    val n = nodes.count() // one job; the node count parameterizes ranks
+    // teleport column: uniform over all nodes, or over the source set
+    // (personalized). The source flag joins ONCE onto the static node
+    // table, so iterations never touch the source frame again.
+    val nodes = (sources match {
+      case None => nodes0.withColumn("__tele", lit(1.0))
+      case Some(s) =>
+        nodes0.join(broadcast(s.toDF("node").distinct()
+            .withColumn("__in", lit(true))), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__in"), lit(1.0)).otherwise(lit(0.0)).as("__tele"))
+    }).localCheckpoint(false)
+    // teleport mass denominator: N for classic, |S ∩ nodes| for
+    // personalized (one job; parameterizes the literals below)
+    val n = nodes.agg(sum("__tele")).head().getDouble(0)
+    require(n > 0, "personalized PageRank needs >= 1 source in the graph")
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint(false)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nodes.select(col("node"),
+      (col("__tele") / lit(n)).as("rank"))
     for (k <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
@@ -60,12 +98,12 @@ object GraphOps {
         .groupBy("node").agg(sum("c").as("s"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit((1.0 - damping) / n) +
+          (lit(1.0 - damping) * col("__tele") / lit(n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
       if (k % checkpointEvery == 0 && k < iterations)
         ranks = ranks.localCheckpoint(false)
     }
-    ranks
+    ranks.select("node", "rank")
   }
 
   /** Per-node out/in degrees over a directed edge list (0 for absent

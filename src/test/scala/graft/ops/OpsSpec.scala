@@ -2965,6 +2965,21 @@ class OpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(path, "a", "b").head().getLong(0) == 0L)
   }
 
+  test("personalizedPageRank: teleport mass stays on the source set") {
+    // star 1→4, 2→4, 3→4, sources = {1}: closed form after 2 iters
+    val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val pr = GraphOps.personalizedPageRank(e, "s", "d", Seq(1L).toDF("n"),
+        iterations = 2, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.15) < 1e-12)      // (1-d)·1/|S|
+    assert(pr(2L) == 0.0 && pr(3L) == 0.0)       // unreachable from S
+    assert(math.abs(pr(4L) - 0.85 * 0.15) < 1e-12) // d · rank_1(1)/deg(1)
+    // empty source intersection is an error, not silent NaNs
+    intercept[IllegalArgumentException](
+      GraphOps.personalizedPageRank(e, "s", "d", Seq(99L).toDF("n"),
+        iterations = 1).collect())
+  }
+
   test("labelPropagation: two cliques joined by a bridge keep distinct labels") {
     // cliques {1,2,3} and {10,11,12}, bridge 3–10; labels are min-ish
     // ids per community under the (freq desc, label asc) rule
