@@ -2521,6 +2521,42 @@ object SparkEntry {
              |    AS intercept
              |FROM g""".stripMargin)),
 
+    // --- per-event anomaly z-score vs the user's own strictly-prior
+    //     60-min window (leakage-free frame; population sigma via the
+    //     running-moment identity). z rounded to 6; the anomaly verdict
+    //     stays null until 5 prior events exist
+    ("e17_anomaly_zscores",
+      (s, dir) => Sessionize.anomalyZScores(evts(s, dir),
+          windowMinutes = 60, minPrior = 5, threshold = 3.0)
+        .select(col("event_id"), col("user_id"), col("n_prior"),
+          round(col("z"), 6).as("z"),
+          // 1/0/null instead of true/false/null: nullable BOOLEAN parquet
+          // round-trips as None vs DuckDB's NaN in the compare harness;
+          // nullable BIGINT compares cleanly on both engines
+          col("is_anomaly").cast("long").as("is_anomaly"))
+        .orderBy("event_id"),
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |w AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ms
+             |      FROM e0),
+             |s AS (SELECT *, count(*) OVER win AS n_prior,
+             |        avg(value) OVER win AS mu,
+             |        avg(value * value) OVER win AS m2
+             |      FROM w
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY ms
+             |        RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, user_id, n_prior,
+             |        CASE WHEN n_prior >= 5
+             |               AND sqrt(greatest(m2 - mu*mu, 0)) > 0
+             |          THEN (value - mu) / sqrt(greatest(m2 - mu*mu, 0))
+             |        END AS z
+             |      FROM s)
+             |SELECT event_id, user_id, n_prior, round(z, 6) AS z,
+             |       CASE WHEN z IS NOT NULL
+             |         THEN CAST(abs(round(z, 6)) > 3.0 AS BIGINT) END
+             |         AS is_anomaly
+             |FROM z ORDER BY event_id""".stripMargin)),
+
     // --- Flesch reading-ease scoring (words = letter runs, sentences =
     //     terminal-punctuation runs, syllables = vowel-group runs; both
     //     denominators floored at 1) — single map stage over the scan

@@ -203,6 +203,57 @@ object Sessionize {
   }
 
   /**
+   * Per-event anomaly z-scores against the user's OWN trailing window,
+   * STRICTLY before the current millisecond — the event-stream outlier
+   * flag (fraud spikes, sensor faults, bot bursts) computed
+   * leakage-free: the event never contributes to its own baseline, so
+   * the same column is usable as a training feature.
+   *
+   * z = (value − μ_prior) / σ_prior with population σ via the
+   * running-moment identity σ² = E[v²] − E[v]², null (no verdict)
+   * until `minPrior` prior events exist or when σ = 0;
+   * `is_anomaly` = |z| > `threshold`.
+   *
+   * Scale: same shape as [[rollingUserStats]] — ONE shuffle on the
+   * user key, then three RANGE-frame accumulators (count, Σv, Σv²)
+   * over the in-partition sort; O(events per user), no re-scan per
+   * row, no state beyond the sliding frame. The exclusive upper bound
+   * (−1 ms) makes the baseline an exact value-range predicate both
+   * engines define identically.
+   */
+  def anomalyZScores(events: DataFrame, windowMinutes: Long,
+                     minPrior: Int = 5, threshold: Double = 3.0,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     valueCol: String = "value",
+                     eventIdCol: String = "event_id"): DataFrame = {
+    require(windowMinutes > 0 && minPrior >= 1 && threshold > 0,
+      s"bad anomaly params: window=$windowMinutes prior=$minPrior t=$threshold")
+    val windowMs = windowMinutes * 60000L
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(unix_millis(col(tsCol)))
+      .rangeBetween(-windowMs, -1L)
+    val v = col(valueCol).cast(DoubleType)
+    val withMoments = events.select(col(eventIdCol), col(userCol),
+      col(tsCol), v.as("__v"),
+      count(lit(1)).over(w).as("n_prior"),
+      avg(v).over(w).as("__mu"),
+      avg(v * v).over(w).as("__m2"))
+    val sigma = sqrt(greatest(col("__m2") - col("__mu") * col("__mu"),
+      lit(0.0)))
+    val z = when(col("n_prior") >= minPrior && sigma > 0,
+      (col("__v") - col("__mu")) / sigma)
+    // the verdict thresholds z ROUNDED to 1e-6: window-accumulator
+    // summation order differs across engines (and partitionings) in the
+    // low bits, and a raw comparison right at the threshold would let
+    // that noise flip the boolean — rounding first makes the verdict as
+    // reproducible as the reported z itself
+    val zr = round(z, 6)
+    withMoments.select(col(eventIdCol), col(userCol), col(tsCol),
+      col("__v").as(valueCol), col("n_prior"), z.as("z"),
+      when(z.isNotNull, abs(zr) > threshold).as("is_anomaly"))
+  }
+
+  /**
    * Funnel conversion summary: collapse [[funnel]]'s per-user stage
    * timestamps into one row per stage — users reaching it, conversion
    * from the previous stage, and conversion from the top — the report

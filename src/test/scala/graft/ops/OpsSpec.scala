@@ -2965,6 +2965,35 @@ class OpsSpec extends AnyFunSuite {
     assert(GraphOps.triangleCount(path, "a", "b").head().getLong(0) == 0L)
   }
 
+  test("anomalyZScores: leakage-free baseline, exact z, null verdicts") {
+    // user 1: five prior events valued 1..5 inside the window, then a
+    // spike; baseline μ=3, σ²=2 → z = (13−3)/√2
+    val base = (1 to 5).map(i =>
+      (i.toLong, 1L, Timestamp.valueOf(f"2024-01-01 10:0$i:00"), i.toDouble))
+    val spike = Seq((6L, 1L, Timestamp.valueOf("2024-01-01 10:30:00"), 13.0))
+    val df = (base ++ spike).toDF("event_id", "user_id", "ts", "value")
+    val r = Sessionize.anomalyZScores(df, windowMinutes = 60, minPrior = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(4), Option(x.get(5)).map(_.asInstanceOf[Double]),
+          Option(x.get(6)).map(_.asInstanceOf[Boolean])))).toMap
+    // first five events: fewer than 5 priors → null z and verdict
+    (1L to 5L).foreach { i =>
+      assert(r(i)._2.isEmpty && r(i)._3.isEmpty && r(i)._1 == i - 1)
+    }
+    val (n, z, flag) = r(6L)
+    assert(n == 5L)
+    assert(math.abs(z.get - 10.0 / math.sqrt(2.0)) < 1e-9)
+    assert(flag.contains(true))
+    // constant prior values → σ = 0 → no verdict even past minPrior
+    val const = ((1 to 5).map(i =>
+      (i.toLong, 2L, Timestamp.valueOf(f"2024-01-01 10:0$i:00"), 7.0)) :+
+      ((6L, 2L, Timestamp.valueOf("2024-01-01 10:30:00"), 9.0)))
+      .toDF("event_id", "user_id", "ts", "value")
+    val rc = Sessionize.anomalyZScores(const, 60, minPrior = 5)
+      .where(col("event_id") === 6).head()
+    assert(rc.isNullAt(5) && rc.isNullAt(6))
+  }
+
   test("personalizedPageRank: teleport mass stays on the source set") {
     // star 1→4, 2→4, 3→4, sources = {1}: closed form after 2 iters
     val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("s", "d")
