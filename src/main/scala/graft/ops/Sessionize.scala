@@ -325,6 +325,64 @@ object Sessionize {
    * batch twin is the backfill authority, the [[Sessionize.streaming]]
    * convention.
    */
+  final case class AnomalyOut(event_id: Long, user_id: Long, ts: Timestamp,
+                              value: Double, n_prior: Long,
+                              z: Option[Double], is_anomaly: Option[Boolean])
+
+  /**
+   * Streaming twin of [[anomalyZScores]]: per-user
+   * `flatMapGroupsWithState` holding only the (ts, value) pairs inside
+   * the trailing window (bounded by event rate × window, the
+   * [[streamingRollingUserStats]] state contract, with the same
+   * event-time timeout eviction). Each event scores against the
+   * strictly-prior-millisecond events in its window — inserting the
+   * whole micro-batch before scoring keeps later same-batch,
+   * earlier-millisecond events visible while the `< t` bound excludes
+   * same-millisecond peers, matching the batch RANGE frame exactly.
+   * The verdict thresholds z rounded to 1e-6, the batch contract.
+   */
+  def streamingAnomalyZScores(events: Dataset[Event], windowMinutes: Long,
+                              minPrior: Int = 5,
+                              threshold: Double = 3.0): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val windowMs = windowMinutes * 60000L
+
+    def fn(user: Long, rows: Iterator[Event],
+           state: GroupState[List[(Long, Double)]]): Iterator[AnomalyOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var held = state.getOption.getOrElse(Nil) :::
+          batch.map(e => (e.ts.getTime, e.value)).toList
+        val out = batch.map { e =>
+          val t = e.ts.getTime
+          val frame = held.collect {
+            case (ht, v) if ht >= t - windowMs && ht < t => v }
+          val n = frame.size.toLong
+          val z: Option[Double] =
+            if (n >= minPrior) {
+              val mu = frame.sum / n
+              val m2 = frame.map(v => v * v).sum / n
+              val sigma = math.sqrt(math.max(m2 - mu * mu, 0.0))
+              if (sigma > 0) Some((e.value - mu) / sigma) else None
+            } else None
+          val flag = z.map(zz =>
+            math.abs(math.rint(zz * 1e6) / 1e6) > threshold)
+          AnomalyOut(e.event_id, user, e.ts, e.value, n, z, flag)
+        }
+        val horizon = held.map(_._1).max - windowMs
+        held = held.filter(_._1 >= horizon)
+        state.update(held)
+        state.setTimeoutTimestamp(held.map(_._1).max + windowMs)
+        out.iterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   def streamingRollingUserStats(events: Dataset[Event],
                                 windowMinutes: Long): Dataset[RollingOut] = {
     import events.sparkSession.implicits._

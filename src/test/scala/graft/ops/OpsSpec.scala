@@ -2994,6 +2994,48 @@ class OpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(5) && rc.isNullAt(6))
   }
 
+  test("streaming anomaly z-scores match batch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    val evs = ((1 to 5).map(i =>
+      Sessionize.Event(i.toLong, t(i), 1L, "view", i.toDouble)) :+
+      Sessionize.Event(6L, t(30), 1L, "view", 13.0)) :+
+      Sessionize.Event(7L, t(31), 2L, "view", 1.0)
+    val mem = MemoryStream[Sessionize.Event]
+    val out = Sessionize.streamingAnomalyZScores(
+      mem.toDS().withWatermark("ts", "2 hours"), windowMinutes = 60,
+      minPrior = 5)
+    val q = out.writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(4): _*)   // split across micro-batches
+      q.processAllAvailable()
+      mem.addData(evs.drop(4): _*)
+      q.processAllAvailable()
+      val got = spark.table("anomalies").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Boolean])))
+      val batch = Sessionize.anomalyZScores(
+          spark.createDataset(evs).toDF(), windowMinutes = 60, minPrior = 5)
+        .orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]),
+          Option(r.get(6)).map(_.asInstanceOf[Boolean])))
+      assert(got.length == batch.length)
+      got.zip(batch).foreach { case ((ge, gn, gz, gf), (be, bn, bz, bf)) =>
+        assert(ge == be && gn == bn && gf == bf)
+        (gz, bz) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+          case (a, b) => assert(a == b)
+        }
+      }
+      // the spike scored against its five priors
+      val spike = got.find(_._1 == 6L).get
+      assert(spike._2 == 5L && spike._4.contains(true))
+    } finally q.stop()
+  }
+
   test("personalizedPageRank: teleport mass stays on the source set") {
     // star 1→4, 2→4, 3→4, sources = {1}: closed form after 2 iters
     val e = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("s", "d")
