@@ -2685,7 +2685,28 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some("""SELECT doc_id, octet_length(encode(text)) AS byte_len,
              |       sha256(text) AS content_hash
-             |FROM documents ORDER BY doc_id""".stripMargin)))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // --- decode-batch planning: payloads packed into ~8 KiB decode
+    //     batches per source shard by running byte offset (start-offset
+    //     binning, the t06 packing scheme on bytes)
+    ("m02_decode_batches",
+      (s, dir) => Multimodal.decodeBatchPlan(
+          docs(s, dir).select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "payload", "doc_id", "source", maxBatchBytes = 8192)
+        .orderBy("source", "doc_id"),
+      Some("""WITH b AS (
+             |  SELECT source, doc_id,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+             |         sum(octet_length(encode(text))) OVER
+             |           (PARTITION BY source ORDER BY doc_id
+             |            ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM documents)
+             |SELECT source, doc_id, byte_len,
+             |       CAST(floor((cum - byte_len) / 8192.0) AS BIGINT)
+             |         AS batch_id
+             |FROM b ORDER BY source, doc_id""".stripMargin)))
 
   // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
   //      the Scala implementations; asserted by t02/p01 oracle matches)

@@ -139,4 +139,34 @@ object Multimodal {
   def payloadAudit(df: DataFrame, binCol: String, idCol: String): DataFrame =
     df.select(col(idCol), length(col(binCol)).cast(LongType).as("byte_len"),
       sha2(col(binCol), 256).as("content_hash"))
+
+  /**
+   * Decode-batch plan: assign each payload to a decode batch of roughly
+   * `maxBatchBytes` within its group, by the running-byte-offset scheme
+   * [[Pipeline.packTokenBins]] uses for tokens — batch = the bin where
+   * the payload STARTS, so a batch may overrun by at most one payload
+   * (the decoder's working-set guarantee is maxBatchBytes + one item,
+   * which is what a codec/GPU staging buffer actually needs to plan
+   * for). Deterministic given the (group, id) order; the plan is
+   * metadata-only — payload bytes are read for their length, nothing
+   * is decoded or moved.
+   *
+   * Scale: one shuffle on the group key, then a ROWS-frame running sum
+   * inside the ordered group — O(items per group), no re-scan. Groups
+   * are the parallelism unit: shard media by content-hash prefix (or
+   * source) so no single group serializes a corpus.
+   */
+  def decodeBatchPlan(df: DataFrame, binCol: String, idCol: String,
+                      groupCol: String, maxBatchBytes: Long): DataFrame = {
+    require(maxBatchBytes > 0, s"maxBatchBytes must be positive: $maxBatchBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("byte_len", length(col(binCol)).cast(LongType))
+      .withColumn("__cum", sum(col("byte_len")).over(w))
+      .select(col(groupCol), col(idCol), col("byte_len"),
+        floor((col("__cum") - col("byte_len")) / lit(maxBatchBytes))
+          .as("batch_id"))
+  }
 }

@@ -2994,6 +2994,22 @@ class OpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(5) && rc.isNullAt(6))
   }
 
+  test("decodeBatchPlan: start-offset binning per group") {
+    val rows = Seq(
+      (1L, "a", Array.fill[Byte](600)(1)),
+      (2L, "a", Array.fill[Byte](500)(1)),  // starts at 600 → bin 0
+      (3L, "a", Array.fill[Byte](200)(1)),  // starts at 1100 → bin 1
+      (4L, "b", Array.fill[Byte](100)(1))   // fresh group → bin 0
+    ).toDF("id", "grp", "pay")
+    val plan = Multimodal.decodeBatchPlan(rows, "pay", "id", "grp",
+        maxBatchBytes = 1000)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(plan(1L) == ((600L, 0L)))
+    assert(plan(2L) == ((500L, 0L))) // overruns to 1100, allowed (starts in 0)
+    assert(plan(3L) == ((200L, 1L)))
+    assert(plan(4L) == ((100L, 0L)))
+  }
+
   test("streaming anomaly z-scores match batch on the same data") {
     implicit val sqlCtx = spark.sqlContext
     def t(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
