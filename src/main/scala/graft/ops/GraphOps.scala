@@ -241,15 +241,47 @@ object GraphOps {
             k: Int, peels: Int = 4): DataFrame = {
     require(k >= 1 && peels >= 1, "k and peels must be >= 1")
     var e = canonical(edges, aCol, bCol).localCheckpoint(false)
-    for (_ <- 1 to peels) {
-      val keep = symmetric(e).groupBy("node").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select("node")
-      e = e.join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
-        .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
-        .select("lo", "hi")
-        .localCheckpoint(false)
+    for (_ <- 1 to peels) e = peelOnce(e, k)
+    symmetric(e).groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /**
+   * EXACT k-core: peel to the fixpoint instead of a fixed round count.
+   * Peeling only ever REMOVES edges, so an unchanged edge count is the
+   * fixpoint — detected with the count that already materializes each
+   * round's lazy checkpoint (one job per round, the
+   * [[Dedup.connectedComponents]] convergence pattern; no content hash
+   * needed thanks to monotonicity). Peel depth is bounded by the
+   * longest chain hanging off the core — tiny for co-occurrence
+   * graphs, `maxIter` backstops adversarial paths.
+   */
+  def kCoreExact(edges: DataFrame, aCol: String, bCol: String,
+                 k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1 && maxIter >= 1, "k and maxIter must be >= 1")
+    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    var n = e.count()
+    var iter = 0
+    var converged = n == 0L
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val next = peelOnce(e, k)
+      val n2 = next.count()
+      converged = n2 == n || n2 == 0L
+      e = next; n = n2
     }
     symmetric(e).groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** One synchronous peel round: drop every node with induced degree
+    * < k, keep only edges between survivors. Lazy checkpoint — the
+    * caller's next count/aggregate materializes it. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val keep = symmetric(e).groupBy("node").agg(count(lit(1)).as("d"))
+      .where(col("d") >= k).select("node")
+    e.join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+      .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+      .select("lo", "hi")
+      .localCheckpoint(false)
   }
 
   /**

@@ -26,6 +26,30 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(tokenSoup, 300).foreach(attempt)
   }
 
+  test("malformed path/shortestPath syntax stays inside typed errors") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MATCH p = RETURN 1 AS x",
+      "MATCH p = q = (a:A) RETURN 1 AS x",
+      "MATCH p = shortestPath( RETURN 1 AS x",
+      "MATCH p = shortestPath() RETURN 1 AS x",
+      "MATCH p = shortestPath((a:A) RETURN 1 AS x",
+      "MATCH shortestPath((a:A)-[*1..2]->(b:B) RETURN 1 AS x",
+      "MATCH p = shortestPath(shortestPath((a:A)-[*1..2]->(b:B))) RETURN 1",
+      "MATCH p = (a:A)-[*..]->(b:B) RETURN length(p) AS l",
+      "MATCH = (a:A) RETURN 1 AS x",
+      "MATCH p == (a:A) RETURN 1 AS x",
+      "MATCH __p = (a:A) RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    // fuzzed prefixes around the new productions
+    val gen = Gen.listOf(Gen.oneOf(
+      "p", "=", "shortestPath", "(", ")", "MATCH", "[*1..2]", "-", "->",
+      "a", ":A", "RETURN", "length", ",")).map(_.mkString(" "))
+    samples(gen, 300).foreach(attemptExt)
+  }
+
   test("string literals round-trip through the lexer") {
     val strGen = Gen.listOf(Gen.oneOf(
       Gen.alphaNumChar, Gen.oneOf(' ', '.', ',', '!', '?', '-')))

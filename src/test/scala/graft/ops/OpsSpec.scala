@@ -3091,6 +3091,28 @@ class OpsSpec extends AnyFunSuite {
     assert(lp == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("kCoreExact peels to the fixpoint a fixed-round call can miss") {
+    // K4 with a 5-node chain: 2-core peeling needs 3 rounds to consume
+    // the chain — kCore(peels = 1) still holds chain remnants,
+    // kCoreExact converges to exactly the K4
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val e = (k4 ++ chain).toDF("a", "b")
+    val exact = GraphOps.kCoreExact(e, "a", "b", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val shallow = GraphOps.kCore(e, "a", "b", k = 2, peels = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(shallow.size > 4) // one peel only dropped the chain's tip
+    // enough fixed peels == exact
+    val deep = GraphOps.kCore(e, "a", "b", k = 2, peels = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deep == exact)
+    // empty core converges to empty, not an error
+    val tree = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(GraphOps.kCoreExact(tree, "a", "b", k = 2).isEmpty)
+  }
+
   test("kCore: K4 plus a tail — 3-core is exactly the K4") {
     val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
     val tail = Seq((4L, 5L), (5L, 6L)) // degree-1/2 chain peels away
