@@ -2521,6 +2521,45 @@ object SparkEntry {
              |    AS intercept
              |FROM g""".stripMargin)),
 
+    // --- interval×interval overlap join: 30-min error windows vs
+    //     15-min purchase windows per user (bucketed equi-join, one
+    //     cell per pair via the overlap-start-bucket condition);
+    //     oracle is the naive theta join
+    ("e18_interval_overlap",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val errs = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts").as("st"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+        val purch = e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"),
+            col("user_id"), col("ts").as("pst"),
+            (col("ts") + expr("INTERVAL 15 MINUTES")).as("pen"))
+        AsOf.intervalOverlapJoin(errs, purch, Seq("user_id"),
+            "st", "en", "pst", "pen", bucketWidthSec = 1800)
+          .select(col("err_id"), col("p_id"),
+            expr("(unix_micros(least(en, pen)) - " +
+              "unix_micros(greatest(st, pst))) div 1000000")
+              .as("overlap_sec"))
+          .orderBy("err_id", "p_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |a AS (SELECT event_id AS err_id, user_id, ts AS st,
+             |             ts + INTERVAL 30 MINUTE AS en
+             |      FROM e0 WHERE event_type = 'error'),
+             |b AS (SELECT event_id AS p_id, user_id, ts AS pst,
+             |             ts + INTERVAL 15 MINUTE AS pen
+             |      FROM e0 WHERE event_type = 'purchase')
+             |SELECT err_id, p_id,
+             |       CAST(floor((epoch_ms(least(en, pen))
+             |         - epoch_ms(greatest(st, pst))) / 1000.0) AS BIGINT)
+             |         AS overlap_sec
+             |FROM a JOIN b ON a.user_id = b.user_id
+             |  AND st < pen AND pst < en
+             |ORDER BY err_id, p_id""".stripMargin)),
+
     // --- per-event anomaly z-score vs the user's own strictly-prior
     //     60-min window (leakage-free frame; population sigma via the
     //     running-moment identity). z rounded to 6; the anomaly verdict

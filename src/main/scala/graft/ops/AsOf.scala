@@ -112,4 +112,51 @@ object AsOf {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bkt")
   }
+
+  /**
+   * Interval×interval overlap join: all (left, right) pairs whose
+   * half-open intervals `[lStart, lEnd) ∩ [rStart, rEnd) ≠ ∅` on the
+   * same keys — incident correlation, session-vs-outage attribution,
+   * schedule conflicts.
+   *
+   * Scale shape extends [[rangeJoin]]'s time-chunk equi-join: BOTH
+   * sides explode to the bucket cells they cover, the join is an
+   * equi-join on (keys, cell) — never a theta join, so Catalyst plans
+   * a hash/sort-merge join, not BNLJ — and the overlap predicate
+   * filters inside the cell. A pair can share several cells; the
+   * `cell == bucket(overlap start)` condition keeps exactly the one
+   * cell containing max(lStart, rStart) (covered by both sides of any
+   * overlapping pair by construction), so no post-join distinct and
+   * no row multiplication. Row fan-out is interval length / bucket
+   * width — size `bucketWidthSec` to the TYPICAL interval as in
+   * [[rangeJoin]].
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          lStartCol: String, lEndCol: String,
+                          rStartCol: String, rEndCol: String,
+                          bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    val clash = right.columns.filterNot(keys.contains).toSet
+      .intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin column collision: ${clash.mkString(", ")}")
+    val w = bucketWidthSec * 1000000L
+    val lb = left
+      .where(col(lStartCol) < col(lEndCol))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"unix_micros($lStartCol) div ${w}L"),
+        expr(s"(unix_micros($lEndCol) - 1) div ${w}L"))))
+    val rb = right
+      .where(col(rStartCol) < col(rEndCol))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"unix_micros($rStartCol) div ${w}L"),
+        expr(s"(unix_micros($rEndCol) - 1) div ${w}L"))))
+    lb.join(rb, keys :+ "__bkt")
+      .where(col(lStartCol) < col(rEndCol) &&
+        col(rStartCol) < col(lEndCol) &&
+        col("__bkt") === expr(
+          s"greatest(unix_micros($lStartCol), unix_micros($rStartCol)) div ${w}L"))
+      .drop("__bkt")
+  }
 }

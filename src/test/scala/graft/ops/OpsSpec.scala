@@ -2994,6 +2994,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(5) && rc.isNullAt(6))
   }
 
+  test("intervalOverlapJoin: exact pairs, no duplicates across buckets") {
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    // left: [0, 90) spans many 10-min buckets; right: [80, 100) overlaps
+    // in several cells — must appear ONCE. [90, 95) touches the open
+    // end → no overlap. different key → never.
+    val left = Seq((1L, 10L, ts(0), ts(90))).toDF("l_id", "k", "ls", "le")
+    val right = Seq(
+      (100L, 10L, ts(80), ts(100)),
+      (101L, 10L, ts(90), ts(95)),
+      (102L, 20L, ts(0), ts(90))
+    ).toDF("r_id", "k", "rs", "re")
+    val r = AsOf.intervalOverlapJoin(left, right, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidthSec = 600)
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 100L)))
+    // contained interval (one bucket) still matches once
+    val right2 = Seq((103L, 10L, ts(30), ts(35))).toDF("r_id", "k", "rs", "re")
+    val r2 = AsOf.intervalOverlapJoin(left, right2, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidthSec = 600)
+      .select("l_id", "r_id").collect()
+    assert(r2.length == 1)
+  }
+
   test("decodeBatchPlan: start-offset binning per group") {
     val rows = Seq(
       (1L, "a", Array.fill[Byte](600)(1)),
