@@ -421,6 +421,29 @@ object Dedup {
           col("n_docs").cast(DoubleType))
 
   /**
+   * Production twin of [[dupRateByGroup]] on HyperLogLog++ distinct
+   * counting (`approx_count_distinct`, relative error `rsd`): the
+   * exact twin's `countDistinct` keeps every distinct 128-bit key in
+   * the aggregation state — fine for oracles, but a trillion-distinct
+   * group at 100 TB wants the fixed ~1.5 kB/group HLL sketch instead.
+   * Same oracle-mode/production-mode split the simhash and winsorize
+   * operators use; an error-bound unit test pins the twin to the
+   * exact rate.
+   */
+  def dupRateByGroupApprox(df: DataFrame, textCol: String,
+                           groupCol: String, rsd: Double = 0.02): DataFrame =
+    df.select(col(groupCol), xxhash64(col(textCol)).as("__h1"),
+        xxhash64(lit(0x5eed), col(textCol)).as("__h2"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        approx_count_distinct(struct(col("__h1"), col("__h2")), rsd)
+          .as("n_distinct"))
+      .withColumn("dup_rate",
+        greatest(lit(0.0),
+          lit(1.0) - col("n_distinct").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)))
+
+  /**
    * Corpus snapshot diff: which documents were added, removed, or
    * content-changed between two snapshots of an id-stable corpus (two
    * crawls, two pipeline versions) — the audit that answers "what did

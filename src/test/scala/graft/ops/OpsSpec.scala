@@ -2994,6 +2994,28 @@ class OpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(5) && rc.isNullAt(6))
   }
 
+  test("dupRateByGroupApprox tracks the exact twin within HLL error") {
+    import scala.util.Random
+    val rng = new Random(42)
+    // 2000 docs, ~30% dups, two groups
+    val rows = (1 to 2000).map { i =>
+      val base = if (rng.nextDouble() < 0.3) rng.nextInt(50)
+                 else 1000 + i
+      (s"doc body number $base with some shared filler", if (i % 2 == 0) "a" else "b")
+    }
+    val df = rows.toDF("text", "grp")
+    val exact = Dedup.dupRateByGroup(df, "text", "grp")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val approx = Dedup.dupRateByGroupApprox(df, "text", "grp", rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    exact.keySet.foreach { g =>
+      // dup_rate error ≤ distinct-count rsd scaled by distinct share;
+      // 3×rsd is a comfortable bound at this size
+      assert(math.abs(exact(g) - approx(g)) < 0.06,
+        s"group $g exact=${exact(g)} approx=${approx(g)}")
+    }
+  }
+
   test("intervalOverlapJoin: exact pairs, no duplicates across buckets") {
     def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
     // left: [0, 90) spans many 10-min buckets; right: [80, 100) overlaps
