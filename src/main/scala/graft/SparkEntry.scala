@@ -2521,6 +2521,25 @@ object SparkEntry {
              |    AS intercept
              |FROM g""".stripMargin)),
 
+    // --- weighted sampling without replacement (Efraimidis–Spirakis,
+    //     hash-derived uniforms, rounded ranking key): 100 docs chosen
+    //     with probability ∝ length — one TakeOrdered, no shuffle
+    ("p11_weighted_sample",
+      (s, dir) => Pipeline.weightedSample(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            (col("n_chars") + lit(1)).as("w")),
+          "doc_id", "w", n = 100)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+             |  SELECT doc_id, lang,
+             |    round(ln(((doc_id * 2654435761) % 1000000007 + 1)
+             |            / 1000000007.0)
+             |          / (n_chars + 1), 6) AS wkey
+             |  FROM documents WHERE n_chars + 1 > 0),
+             |t AS (SELECT * FROM k ORDER BY wkey DESC, doc_id LIMIT 100)
+             |SELECT doc_id, lang FROM t ORDER BY doc_id""".stripMargin)),
+
     // --- interval×interval overlap join: 30-min error windows vs
     //     15-min purchase windows per user (bucketed equi-join, one
     //     cell per pair via the overlap-start-bucket condition);

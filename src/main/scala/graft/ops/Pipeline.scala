@@ -94,6 +94,39 @@ object Pipeline {
   }
 
   /**
+   * Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+   * Spirakis 2006): keep the `n` rows with the largest
+   * `key = ln(u) / w`, where u ∈ (0, 1] derives from the id's
+   * multiplicative hash — inclusion probability proportional to the
+   * weight, reproducible across runs, partitionings, and engines
+   * (quality-weighted corpus selection with an auditable sample).
+   * The ranking key is ROUNDED to 1e-6 with the id as tie-break:
+   * libm ln() may differ from another engine's in the last ulp, and
+   * the rounding keeps that noise out of the selection (same contract
+   * as the TF-IDF rank keys); a 1-ulp difference only matters if two
+   * keys agree to six decimals, where the id decides anyway.
+   *
+   * Scale: a map stage computing the key + ONE TakeOrdered(n) — no
+   * shuffle of the corpus, no per-group serialization; n·partitions
+   * candidate rows reach the driver-side merge like any top-k.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val m = 1000000007L
+    // u in (0, 1]: (h + 1) / M with h in [0, M)
+    val u = (Hashing.mulHash(col(idCol)).cast("double") + lit(1.0)) /
+      lit(m.toDouble)
+    val w = col(weightCol).cast("double")
+    val key = round(log(u) / w, 6)
+    df.where(w > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(n)
+      .drop("__wkey")
+  }
+
+  /**
    * Leakage-safe train/test split: deterministic hash split whose unit
    * is the NEAR-DUP CLUSTER, not the document. A plain per-doc hash
    * split puts near-duplicates of training documents into the test set

@@ -2994,6 +2994,29 @@ class OpsSpec extends AnyFunSuite {
     assert(rc.isNullAt(5) && rc.isNullAt(6))
   }
 
+  test("weightedSample: proportional inclusion, deterministic, no dups") {
+    import scala.util.Random
+    // two weight classes: heavy rows 10x the light rows' weight
+    val df = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 200) 10.0 else 1.0)).toDF("id", "w")
+    val got = Pipeline.weightedSample(df, "id", "w", n = 300)
+      .collect().map(_.getLong(0))
+    assert(got.length == 300 && got.distinct.length == 300)
+    // determinism across invocations and partitionings
+    val again = Pipeline.weightedSample(df.repartition(7), "id", "w", n = 300)
+      .collect().map(_.getLong(0))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // heavy rows (20% of pop, ~71% of mass) must be strongly
+    // over-represented vs uniform sampling
+    val heavy = got.count(_ <= 200)
+    assert(heavy > 120, s"heavy rows in sample: $heavy")
+    // zero/negative weights never selected
+    val withBad = df.union(Seq((2000L, 0.0), (2001L, -1.0)).toDF("id", "w"))
+    val g2 = Pipeline.weightedSample(withBad, "id", "w", n = 1200)
+      .collect().map(_.getLong(0))
+    assert(!g2.contains(2000L) && !g2.contains(2001L))
+  }
+
   test("dupRateByGroupApprox tracks the exact twin within HLL error") {
     import scala.util.Random
     val rng = new Random(42)
