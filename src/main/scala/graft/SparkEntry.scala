@@ -2748,6 +2748,57 @@ object SparkEntry {
     // --- decode-batch planning: payloads packed into ~8 KiB decode
     //     batches per source shard by running byte offset (start-offset
     //     binning, the t06 packing scheme on bytes)
+    // --- reciprocal-rank fusion of a sparse (BM25, more-like-this on
+    //     the document's own text) and a dense (exact cosine) run into
+    //     one hybrid ranking — both runs AND the fusion arithmetic
+    //     mirrored in SQL
+    ("s17_rrf_fusion",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val sparse = Retrieval.bm25TopK(d,
+            d.where(col("doc_id") < 8).select(col("doc_id"), col("text")),
+            "text", "doc_id", "doc_id", "text", k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.bruteForceTopK(embs(s, dir),
+            embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(rrfFusionOracle)),
+
+    // --- ranked-retrieval eval harness (MRR / nDCG@k against
+    //     same-label qrels) — the relevance twin of s14's recall
+    ("s18_retrieval_eval",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val run = Similarity.bruteForceTopK(e,
+            e.where(col("vec_id") < 8), "embedding", "vec_id", k = 10)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank"))
+        val qrels = e.where(col("vec_id") < 8)
+          .select(col("vec_id").as("query_id"), col("label"))
+          .join(e.select(col("vec_id").as("doc_id"), col("label")),
+            Seq("label"))
+          .where(col("doc_id") =!= col("query_id"))
+          .select(col("query_id"), col("doc_id"))
+        Retrieval.retrievalMetrics(run, qrels, k = 10)
+          .orderBy("query_id")
+      },
+      Some(retrievalEvalOracle)),
+
+    // --- MMR diversified re-rank (λ = 0.7, 8 candidates → 3 picks):
+    //     the greedy steps unroll into the SQL mirror, so every pick
+    //     and every score is value-checked
+    ("s19_mmr_rerank",
+      (s, dir) => Similarity.mmrRerankTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 4), "embedding", "vec_id",
+          k = 3, nCandidates = 8, lambda = 0.7)
+        .orderBy("query_id", "step"),
+      Some(mmrRerankOracle)),
+
     ("m02_decode_batches",
       (s, dir) => Multimodal.decodeBatchPlan(
           docs(s, dir).select(col("doc_id"), col("source"),
@@ -3290,6 +3341,141 @@ object SparkEntry {
       |        AS rank FROM sc)
       |SELECT query_id, doc_id, rank, round(score, 6) AS score
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s17: the s11 BM25 chain (queries = documents
+    * 0..7 retrieving with their own text), the s01 dense cosine chain,
+    * then the RRF sum with the same round-9 ranking key. */
+  private lazy val rrfFusionOracle: String =
+    """WITH qt AS (SELECT doc_id AS query_id,
+      |    unnest(list_distinct(string_split_regex(trim(text), '\s+')))
+      |      AS token FROM documents WHERE doc_id < 8),
+      |t AS (SELECT doc_id,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM e GROUP BY 1),
+      |g AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM t),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |         sum(ln(1.0 + (CAST(g.n_docs - dfq.df AS DOUBLE) + 0.5)
+      |                      / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |             ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |              (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+      |                (0.75 * CAST(dl.dl AS DOUBLE)) /
+      |                (CAST(g.total_tokens AS DOUBLE)
+      |                 / CAST(g.n_docs AS DOUBLE)))))) AS score
+      |       FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+      |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+      |       GROUP BY 1, 2),
+      |sr AS (SELECT query_id, doc_id, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id)
+      |        AS rank FROM sc),
+      |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |ds AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      |      FROM ev q, ev c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |dr AS (SELECT query_id, doc_id, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS rank
+      |       FROM ds),
+      |u AS (SELECT query_id, doc_id, CAST(1 AS DOUBLE)/(60 + rank) AS c
+      |      FROM sr WHERE rank <= 10
+      |      UNION ALL
+      |      SELECT query_id, doc_id, CAST(1 AS DOUBLE)/(60 + rank)
+      |      FROM dr WHERE rank <= 10),
+      |f AS (SELECT query_id, doc_id, sum(c) AS rrf_score,
+      |        count(*) AS n_runs FROM u GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY round(rrf_score, 9) DESC, doc_id) AS rank FROM f)
+      |SELECT query_id, doc_id, rank, round(rrf_score, 6) AS rrf_score,
+      |       n_runs
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s18: exact-cosine run, same-label qrels, and the
+    * MRR / binary-nDCG arithmetic with the per-row IDCG series. */
+  private lazy val retrievalEvalOracle: String =
+    """WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM ev q, ev c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |run AS (SELECT query_id, doc_id, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+      |       FROM sc),
+      |qr AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id
+      |       FROM ev q JOIN ev c ON q.label = c.label
+      |         AND c.vec_id <> q.vec_id
+      |       WHERE q.vec_id < 8),
+      |nr AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+      |h AS (SELECT r.query_id, count(*) AS hits,
+      |        max(CAST(1 AS DOUBLE)/r.rank) AS mrr_raw,
+      |        sum(CAST(1 AS DOUBLE)/log2(r.rank + 1)) AS dcg
+      |      FROM run r JOIN qr ON r.query_id = qr.query_id
+      |        AND r.doc_id = qr.doc_id
+      |      WHERE r.rank <= 10 GROUP BY 1),
+      |qs AS (SELECT DISTINCT query_id FROM run)
+      |SELECT qs.query_id, coalesce(n_rel, 0) AS n_rel,
+      |       coalesce(hits, 0) AS hits,
+      |       round(coalesce(mrr_raw, CAST(0 AS DOUBLE)), 6) AS mrr,
+      |       round(CASE WHEN coalesce(n_rel, 0) = 0 THEN CAST(0 AS DOUBLE)
+      |         ELSE coalesce(dcg, CAST(0 AS DOUBLE)) /
+      |           list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+      |             x -> CAST(1 AS DOUBLE)/log2(x + 1))) END, 6) AS ndcg
+      |FROM qs LEFT JOIN nr USING (query_id) LEFT JOIN h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
+  /** DuckDB mirror of s19: the s01 candidate chain capped at 8, then
+    * the three greedy MMR steps unrolled (redundancy = max cosine to
+    * the already-picked set; (1−λ) computed in DOUBLE exactly as the
+    * engine does, so the penalty constant is bit-identical). */
+  private lazy val mmrRerankOracle: String =
+    """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |       FROM embeddings),
+      |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ev),
+      |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |        list_dot_product(q.v, c.v)/(q.n*c.n) AS rel, c.v, c.n
+      |      FROM en q, en c WHERE q.vec_id < 4 AND c.vec_id <> q.vec_id),
+      |cand AS (SELECT query_id, doc_id, rel, v, n FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY query_id
+      |       ORDER BY rel DESC, doc_id) AS rk FROM sc) WHERE rk <= 8),
+      |p1 AS (SELECT query_id, doc_id, 0.7*rel AS mmr, v, n FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY query_id
+      |       ORDER BY round(0.7*rel, 6) DESC, doc_id) AS rk FROM cand)
+      |    WHERE rk = 1),
+      |c2 AS (SELECT c.query_id, c.doc_id, c.rel, c.v, c.n,
+      |        list_dot_product(c.v, p.v)/(c.n*p.n) AS red
+      |      FROM cand c JOIN p1 p ON c.query_id = p.query_id
+      |        AND c.doc_id <> p.doc_id),
+      |p2 AS (SELECT query_id, doc_id,
+      |        0.7*rel - (CAST(1 AS DOUBLE) - 0.7)*red AS mmr, v, n FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY query_id
+      |       ORDER BY round(0.7*rel - (CAST(1 AS DOUBLE) - 0.7)*red, 6)
+      |         DESC, doc_id) AS rk FROM c2) WHERE rk = 1),
+      |sel2 AS (SELECT query_id, doc_id, v, n FROM p1
+      |         UNION ALL SELECT query_id, doc_id, v, n FROM p2),
+      |c3 AS (SELECT c.query_id, c.doc_id, c.rel,
+      |        max(list_dot_product(c.v, s.v)/(c.n*s.n)) AS red
+      |      FROM cand c JOIN sel2 s ON c.query_id = s.query_id
+      |      WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+      |        WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+      |      GROUP BY c.query_id, c.doc_id, c.rel),
+      |p3 AS (SELECT query_id, doc_id,
+      |        0.7*rel - (CAST(1 AS DOUBLE) - 0.7)*red AS mmr FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY query_id
+      |       ORDER BY round(0.7*rel - (CAST(1 AS DOUBLE) - 0.7)*red, 6)
+      |         DESC, doc_id) AS rk FROM c3) WHERE rk = 1)
+      |SELECT query_id, doc_id, CAST(1 AS BIGINT) AS step,
+      |       round(mmr, 6) AS mmr_score FROM p1
+      |UNION ALL SELECT query_id, doc_id, 2, round(mmr, 6) FROM p2
+      |UNION ALL SELECT query_id, doc_id, 3, round(mmr, 6) FROM p3
+      |ORDER BY query_id, step""".stripMargin
 
   /** Shared winnowing CTE chain (t20/d12): fingerprint64 token hashes
     * (the t08 pairing), 131-chained modular 3-gram hashes, window-4

@@ -86,4 +86,97 @@ object Retrieval {
       .select(col("query_id"), col("__id").as("doc_id"), col("rank"),
         col("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of ranked
+   * retrieval runs — the standard score-free way to combine a sparse
+   * (BM25) and a dense (ANN) run into one hybrid ranking:
+   *
+   *   rrf(q,d) = Σ_runs 1 / (rrfK + rank_run(q,d))
+   *
+   * Each input run carries (query_id, doc_id, rank); a document absent
+   * from a run simply contributes nothing (no score normalization
+   * needed — that is the point of RRF). Ranking key is the fused score
+   * rounded to 9 decimals then doc id (cross-engine-stable under
+   * summation-order differences; at most |runs| terms per pair).
+   * Output: (query_id, doc_id, rank, rrf_score, n_runs) with
+   * rrf_score rounded to 6 decimals and n_runs = how many runs
+   * surfaced the document.
+   *
+   * Scale shape: inputs are already top-k runs (k·|queries| slim rows
+   * each), so the union, the (query, doc) partial agg, and the
+   * per-query window are all bounded by Σ runs' k·|queries| — nothing
+   * touches the corpus. This composes with ANY (query_id, doc_id,
+   * rank) producer here: bm25TopK, the ANN family, mmrRerankTopK.
+   */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rrfK >= 0, s"rrfK must be >= 0: $rrfK")
+    val slim = runs.map(_.select(col("query_id").cast(LongType),
+      col("doc_id").cast(LongType),
+      (lit(1.0) / (lit(rrfK.toDouble) + col("rank").cast(DoubleType)))
+        .as("__c")))
+    val fused = slim.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("n_runs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("__s"), 9).desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        round(col("__s"), 6).as("rrf_score"), col("n_runs"))
+  }
+
+  /**
+   * Standard ranked-retrieval quality metrics per query — the eval
+   * harness for any (query_id, doc_id, rank) run against a binary
+   * relevance set `qrels` (query_id, doc_id; duplicates ignored):
+   *
+   *   - hits  = |run@k ∩ qrels|
+   *   - mrr   = 1 / rank of the first relevant hit (0 if none)
+   *   - ndcg  = DCG@k / IDCG@k with binary gains, DCG = Σ 1/log2(r+1)
+   *             over relevant hits, IDCG = the same sum over ranks
+   *             1..min(n_rel, k)  (0 when the query has no relevant
+   *             documents at all)
+   *
+   * Every query present in the run gets a row, relevant or not.
+   * Output: (query_id, n_rel, hits, mrr, ndcg), metrics rounded to 6
+   * decimals.
+   *
+   * Scale shape: the run is k·|queries| slim rows; qrels joins on the
+   * composite key with map-side distinct; the IDCG series is computed
+   * per ROW with a bounded higher-order `aggregate` over
+   * sequence(1, min(n_rel, k)) — no join against a rank table. Run it
+   * continuously next to a production index as the relevance canary
+   * (the quality twin of [[graft.ops.Similarity.recallAtK]]).
+   */
+  def retrievalMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val r = run.where(col("rank") <= k).select(
+      col("query_id").cast(LongType), col("doc_id").cast(LongType),
+      col("rank").cast(LongType))
+    val rel = qrels.select(col("query_id").cast(LongType),
+      col("doc_id").cast(LongType)).distinct()
+    val nrel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("__nr"))
+    val hits = r.join(rel, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__h"),
+        max(lit(1.0) / col("rank").cast(DoubleType)).as("__mrr"),
+        sum(lit(1.0) / log2(col("rank").cast(DoubleType) + lit(1.0)))
+          .as("__dcg"))
+    val nRel = coalesce(col("__nr"), lit(0L))
+    val idcg = aggregate(
+      sequence(lit(1L), least(greatest(nRel, lit(1L)), lit(k.toLong))),
+      lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast(DoubleType) + lit(1.0)))
+    r.select(col("query_id")).distinct()
+      .join(nrel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), nRel.as("n_rel"),
+        coalesce(col("__h"), lit(0L)).as("hits"),
+        round(coalesce(col("__mrr"), lit(0.0)), 6).as("mrr"),
+        round(when(nRel === 0L, lit(0.0))
+          .otherwise(coalesce(col("__dcg"), lit(0.0)) / idcg), 6).as("ndcg"))
+  }
 }

@@ -173,6 +173,77 @@ object Similarity {
       .toDF(groupCol, idCol, "rank", scoreCol)
   }
 
+  /**
+   * Maximal-marginal-relevance (Carbonell & Goldstein, SIGIR 1998)
+   * diversified top-k: greedily pick `k` of the `nCandidates` nearest
+   * corpus rows per query, each step maximizing
+   *
+   *   mmr(d) = λ·cos(q, d) − (1−λ)·max_{s ∈ selected} cos(d, s)
+   *
+   * so later picks are penalized for redundancy with earlier ones —
+   * the dedup-aware retrieval used for RAG context selection and
+   * diverse few-shot example mining. Step 1 has no selected set
+   * (penalty 0 ⇒ pure relevance). Ranking key per step is the MMR
+   * score rounded to 6 decimals then doc id (the engine's determinism
+   * convention). Output: (query_id, doc_id, step, mmr_score).
+   *
+   * Scale shape: the only corpus-sized work is candidate generation
+   * ([[bruteForceTopK]] here; swap in any ANN operator upstream for
+   * 100 TB corpora). The greedy loop runs on the candidate frame —
+   * |queries|·nCandidates slim rows, localCheckpointed once so the k
+   * rounds never recompute the scan — and each round is a bounded
+   * join (candidates × ≤step selected per query) plus a per-query
+   * argmax window. Driver never sees the data.
+   */
+  def mmrRerankTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                    idCol: String, k: Int, nCandidates: Int,
+                    lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(nCandidates >= k, s"nCandidates ($nCandidates) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val cv = corpus.select(col(idCol).cast(LongType).as("doc_id"),
+      col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val cands = bruteForceTopK(corpus, queries, vecCol, idCol, nCandidates)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("cos_sim").as("__rel"))
+      .join(cv, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("__rel"), col("__v"),
+        col("__n"))
+      .localCheckpoint()
+    val mu = 1.0 - lambda
+    var selected: DataFrame = null // (query_id, doc_id, step, mmr_score, __v, __n)
+    for (step <- 1 to k) {
+      val remaining =
+        if (step == 1) cands
+        else cands.join(selected.select(col("query_id"), col("doc_id")),
+          Seq("query_id", "doc_id"), "left_anti")
+      val scored =
+        if (step == 1) remaining.withColumn("__red", lit(0.0))
+        else {
+          val selVecs = selected.select(col("query_id"),
+            col("__v").as("__sv"), col("__n").as("__sn"))
+          val red = remaining.join(selVecs, Seq("query_id"))
+            .select(col("query_id"), col("doc_id"),
+              cosineWithNorms(col("__v"), col("__sv"), col("__n"),
+                col("__sn")).as("__c"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(max(col("__c")).as("__red"))
+          remaining.join(red, Seq("query_id", "doc_id"))
+        }
+      val mmr = lit(lambda) * col("__rel") - lit(mu) * col("__red")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(round(mmr, 6).desc, col("doc_id"))
+      val pick = scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("query_id"), col("doc_id"), lit(step.toLong).as("step"),
+          mmr.as("mmr_score"), col("__v"), col("__n"))
+      selected = if (step == 1) pick else selected.unionAll(pick)
+    }
+    selected.select(col("query_id"), col("doc_id"), col("step"),
+      round(col("mmr_score"), 6).as("mmr_score"))
+  }
+
   // ------------------------------------------------------------- LSH/ANN
 
   /** Deterministic pseudo-random hyperplanes: component j (0-based) of

@@ -2515,6 +2515,61 @@ class OpsSpec extends AnyFunSuite {
       s"bm25 top-k lost its WindowGroupLimit:\n$plan")
   }
 
+  test("rrfFuse: fused scores, ranks and n_runs on two hand-built runs") {
+    val runA = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val runB = Seq((0L, 2L, 1L), (0L, 3L, 2L), (0L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(Seq(runA, runB), k = 3).orderBy("rank")
+      .collect()
+    // doc2: 1/62+1/61 = .032522 > doc3: 1/63+1/62 = .032002 >
+    // doc1: 1/61 = .016393; doc4 (1/63) misses the top 3
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    assert(r.map(_.getLong(4)).toSeq == Seq(2L, 2L, 1L))
+    assert(math.abs(r(0).getDouble(3) - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(r(2).getDouble(3) - 1.0 / 61) < 1e-6)
+  }
+
+  test("retrievalMetrics: MRR and binary nDCG on a hand-built run") {
+    val run = Seq((0L, 10L, 1L), (0L, 20L, 2L), (0L, 30L, 3L),
+      (1L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 20L), (0L, 40L), (0L, 50L))
+      .toDF("query_id", "doc_id")
+    val r = Retrieval.retrievalMetrics(run, qrels, k = 3)
+      .orderBy("query_id").collect()
+    // query 0: 3 relevant, one hit at rank 2 → mrr 1/2,
+    // dcg = 1/log2(3), idcg = 1 + 1/log2(3) + 1/2
+    assert(r(0).getLong(1) == 3L && r(0).getLong(2) == 1L)
+    assert(math.abs(r(0).getDouble(3) - 0.5) < 1e-9)
+    val dcg = 1.0 / (math.log(3) / math.log(2))
+    assert(math.abs(r(0).getDouble(4) - dcg / (1.0 + dcg + 0.5)) < 1e-6)
+    // query 1: no qrels at all → every metric 0, still reported
+    assert(r(1).getLong(1) == 0L && r(1).getLong(2) == 0L)
+    assert(r(1).getDouble(3) == 0.0 && r(1).getDouble(4) == 0.0)
+  }
+
+  test("mmrRerank: diversification demotes the near-duplicate; λ=1 is pure relevance") {
+    // d2 is a near-clone of d1; d3 is farther from the query but
+    // diverse. Relevance alone ranks d1, d2, d3 — MMR at λ=0.5 must
+    // pick the diverse d3 second.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.10f, 0.0f)),
+      (2L, Seq(1.0f, 0.11f, 0.0f)),
+      (3L, Seq(0.8f, 0.0f, 0.6f)),
+      (9L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qs = vecs.where(col("vec_id") === 9)
+    val corp = vecs.where(col("vec_id") =!= 9)
+    val mmr = Similarity.mmrRerankTopK(corp, qs, "embedding", "vec_id",
+      k = 3, nCandidates = 3, lambda = 0.5).orderBy("step").collect()
+    assert(mmr.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    // λ=1: redundancy penalty vanishes → exactly the relevance order
+    val pure = Similarity.mmrRerankTopK(corp, qs, "embedding", "vec_id",
+      k = 3, nCandidates = 3, lambda = 1.0).orderBy("step").collect()
+    val brute = Similarity.bruteForceTopK(corp, qs, "embedding", "vec_id",
+      k = 3).orderBy("rank").collect()
+    assert(pure.map(_.getLong(1)).toSeq == brute.map(_.getLong(1)).toSeq)
+  }
+
   test("matryoshkaRerankTopK: full shortlist reproduces bruteForceTopK bit-for-bit") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.where(col("vec_id") < 5)
