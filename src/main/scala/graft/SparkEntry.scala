@@ -727,6 +727,20 @@ object SparkEntry {
              |       count(*) AS n_orders
              |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) j
              |JOIN supplier ON s_suppkey = l_suppkey
+             |GROUP BY 1, 2 ORDER BY sname""".stripMargin)),
+
+    // --- allShortestPaths (extension): q44's twin WITHOUT the
+    //     one-per-binding collapse — parallel SUPPLIED_BY edges (one
+    //     per lineitem) are distinct minimal paths, so the path count
+    //     is the raw lineitem count, not the DISTINCT pair count
+    ("q45_all_shortest", cyx(
+      """MATCH p = allShortestPaths((o:Order)-[:SUPPLIED_BY*1..2]->(s:Supplier))
+        |RETURN s.s_name AS sname, length(p) AS hops,
+        |       count(o.o_orderkey) AS n_paths
+        |ORDER BY sname""".stripMargin),
+      Some("""SELECT s_name AS sname, CAST(1 AS BIGINT) AS hops,
+             |       count(*) AS n_paths
+             |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
              |GROUP BY 1, 2 ORDER BY sname""".stripMargin)))
 
   // ================================================= training-data pipeline

@@ -141,10 +141,18 @@ object ast {
    *  collapses same-length paths through different (anonymous) interior
    *  nodes to one row, Cypher's one-shortest-path-per-binding contract.
    *  Requires a var-length rel inside (the only useful form) and must be
-   *  its clause's sole pattern. */
+   *  its clause's sole pattern.
+   *
+   *  `allShortest = true` is `allShortestPaths(...)` (extension): keep
+   *  EVERY row of the branch union whose relationship count equals the
+   *  per-binding minimum — one row per minimal path, so same-length
+   *  paths through different interior nodes stay distinct rows (the
+   *  plain var-length match convention). Same restrictions as
+   *  `shortest`. */
   final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat],
                                pathVar: Option[String] = None,
-                               shortest: Boolean = false)
+                               shortest: Boolean = false,
+                               allShortest: Boolean = false)
 
   final case class MatchClause(
       parts: Seq[PatternPart],

@@ -1023,15 +1023,19 @@ object Compiler {
     // shortestPath() (extension): reduce the branch union to the MIN
     // relationship count per distinct binding of everything else —
     // restricted to a clause's sole, non-optional pattern so "everything
-    // else" is exactly the endpoints plus the inherited scope
-    val shortest = matches.exists(_.parts.exists(_.shortest))
+    // else" is exactly the endpoints plus the inherited scope.
+    // allShortestPaths() keeps EVERY row achieving that minimum instead
+    // (one row per minimal path), same restrictions.
+    val shortestOne = matches.exists(_.parts.exists(_.shortest))
+    val shortestAll = matches.exists(_.parts.exists(_.allShortest))
+    val shortest = shortestOne || shortestAll
     if (shortest) {
+      val fn = if (shortestAll) "allShortestPaths()" else "shortestPath()"
       if (matches.size != 1 || matches.head.parts.size != 1)
         throw new CypherNotSupportedException(
-          "shortestPath() must be its MATCH clause's only pattern")
+          s"$fn must be its MATCH clause's only pattern")
       if (matches.head.optional)
-        throw new CypherNotSupportedException(
-          "shortestPath() in OPTIONAL MATCH")
+        throw new CypherNotSupportedException(s"$fn in OPTIONAL MATCH")
     }
     val shortestVar: Option[String] =
       if (shortest) matches.head.parts.head.pathVar else None
@@ -1072,15 +1076,27 @@ object Compiler {
     val unioned = ctxs.map(_.df.select(cols.map(col): _*)).reduce(_ union _)
     if (!shortest) Ctx(unioned, vis)
     else {
-      // min length per binding of every other visible column; also
-      // collapses same-length paths through different interior nodes
-      // (Cypher: ONE shortest path per binding). One partially-
-      // aggregated shuffle on the binding key — no per-path state.
       val lenCol = shortestVar.getOrElse("__shortest_len")
       val others = cols.filterNot(_ == lenCol)
-      val reduced = unioned.groupBy(others.map(col): _*)
-        .agg(min(col(lenCol)).as(lenCol))
-        .select(cols.map(col): _*)
+      val reduced =
+        if (shortestOne) {
+          // min length per binding of every other visible column; also
+          // collapses same-length paths through different interior nodes
+          // (Cypher: ONE shortest path per binding). One partially-
+          // aggregated shuffle on the binding key — no per-path state.
+          unioned.groupBy(others.map(col): _*)
+            .agg(min(col(lenCol)).as(lenCol))
+            .select(cols.map(col): _*)
+        } else {
+          // allShortestPaths: keep every row at the per-binding minimum
+          // (same-length paths through different interiors stay distinct
+          // rows). One window shuffle on the binding key; no dedup.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(others.map(col): _*)
+          unioned.withColumn("__min_len", min(col(lenCol)).over(w))
+            .where(col(lenCol) === col("__min_len"))
+            .select(cols.map(col): _*)
+        }
       Ctx(if (shortestVar.isDefined) reduced
           else reduced.drop("__shortest_len"), vis)
     }

@@ -214,19 +214,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         Some(s)
       case _ => None
     }
-    // shortestPath( pattern ) — extension; reference has no shortest-
-    // path support at all. Only in top-level MATCH, like path vars.
-    val shortest: Boolean = (cur, peek1) match {
+    // shortestPath( pattern ) / allShortestPaths( pattern ) —
+    // extensions; the reference has no shortest-path support at all.
+    // Only in top-level MATCH, like path vars.
+    val (shortest, allShortest): (Boolean, Boolean) = (cur, peek1) match {
       case (Ident(s, _), Punct("(", _)) if s.equalsIgnoreCase("shortestPath") =>
         if (!extensions || !allowPath)
           notSupported("shortestPath()" +
             (if (extensions && !allowPath) " outside a top-level MATCH"
              else " (supported with extensions enabled)"))
         p += 2
-        true
-      case (Ident(s, _), Punct("(", _)) if s.equalsIgnoreCase("allShortestPaths") =>
-        notSupported("allShortestPaths()")
-      case _ => false
+        (true, false)
+      case (Ident(s, _), Punct("(", _))
+          if s.equalsIgnoreCase("allShortestPaths") =>
+        if (!extensions || !allowPath)
+          notSupported("allShortestPaths()" +
+            (if (extensions && !allowPath) " outside a top-level MATCH"
+             else " (supported with extensions enabled)"))
+        p += 2
+        (false, true)
+      case _ => (false, false)
     }
     val nodes = Vector.newBuilder[NodePat]
     val rels = Vector.newBuilder[RelPat]
@@ -238,13 +245,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case None => more = false
       }
     }
-    if (shortest) {
+    if (shortest || allShortest) {
       eatPunct(")")
       if (!rels.result().exists(_.varLength.isDefined))
-        notSupported("shortestPath() requires a variable-length " +
+        notSupported((if (shortest) "shortestPath()"
+          else "allShortestPaths()") + " requires a variable-length " +
           "relationship [*lo..hi] inside the pattern")
     }
-    PatternPart(nodes.result(), rels.result(), pathVar, shortest)
+    PatternPart(nodes.result(), rels.result(), pathVar, shortest, allShortest)
   }
 
   private def parseNodePat(): NodePat = {

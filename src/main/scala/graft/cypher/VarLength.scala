@@ -61,7 +61,7 @@ object VarLength {
       return (r.verb.toSeq ++ r.alts).flatMap { v =>
         expandPart(PatternPart(pp.nodes,
           pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty)),
-          pp.pathVar, pp.shortest))
+          pp.pathVar, pp.shortest, pp.allShortest))
       }
     }
     val i = pp.rels.indexWhere(_.varLength.isDefined)
@@ -75,7 +75,7 @@ object VarLength {
         expandPart(PatternPart(
           pp.nodes.take(i + 1) ++ interior ++ pp.nodes.drop(i + 1),
           pp.rels.take(i) ++ Seq.fill(len)(hop) ++ pp.rels.drop(i + 1),
-          pp.pathVar, pp.shortest))
+          pp.pathVar, pp.shortest, pp.allShortest))
       }
     }
   }

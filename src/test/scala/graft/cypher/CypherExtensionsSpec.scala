@@ -1014,15 +1014,42 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person)),
         |      (c:Person)-[:FOLLOWS]->(d:Person)
         |RETURN length(p) AS L""".stripMargin))
-    // allShortestPaths unsupported
+    // allShortestPaths needs a var-length rel too
     intercept[CypherNotSupportedException](rows(
-      "MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*1..2]->(b:Person)) " +
+      "MATCH p = allShortestPaths((a:Person)-[:FOLLOWS]->(b:Person)) " +
       "RETURN length(p) AS L"))
     // parity session rejects the surface
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
       "MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person)) " +
       "RETURN length(p) AS L"))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*1..2]->(b:Person)) " +
+      "RETURN length(p) AS L"))
+  }
+
+  test("allShortestPaths: one row per minimal path") {
+    // (p5,p2) is reachable at 1 AND 2 hops — only the 1-hop row
+    // survives; with unique minimal paths the result matches
+    // shortestPath exactly
+    val r = rows(
+      """MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*1..2]->(b:Person))
+        |RETURN a.Name AS A, b.Name AS B, length(p) AS L
+        |ORDER BY A, B""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "Meg Ryan", 1L),
+      ("Jessica Thompson", "Tom Hanks", 1L),
+      ("Tom Hanks", "Meg Ryan", 1L)))
+    // Tom Hanks and Meg Ryan share TWO movies → two minimal undirected
+    // 2-hop ACTED_IN paths: shortestPath collapses to one row,
+    // allShortestPaths keeps both
+    def q(fn: String) =
+      s"""MATCH p = $fn((a:Person)-[:ACTED_IN*2..2]-(b:Person))
+         |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Meg Ryan'
+         |RETURN length(p) AS L""".stripMargin
+    assert(rows(q("allShortestPaths")).size == 2)
+    assert(rows(q("shortestPath")).size == 1)
   }
 
   test("parity session rejects simple CASE and keeps searched CASE") {
