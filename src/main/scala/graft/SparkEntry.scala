@@ -2629,6 +2629,47 @@ object SparkEntry {
              |         AS is_anomaly
              |FROM z ORDER BY event_id""".stripMargin)),
 
+    // --- SCD2 dimension history from the event change log: per-user
+    //     event_type episodes with [from, to) validity; consecutive
+    //     same-state observations collapse into the open episode
+    ("e19_scd2",
+      (s, dir) => ChangeData.scd2(evts(s, dir), "user_id",
+          Seq("event_type"), "ts", "event_id")
+        .orderBy("user_id", "valid_from", "event_type"),
+      Some("""WITH o AS (SELECT user_id, event_type, ts, event_id,
+             |        lag(event_type) OVER w AS prev,
+             |        lag(ts) OVER w AS pts
+             |      FROM events
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |k AS (SELECT user_id, event_type, ts, event_id FROM o
+             |      WHERE pts IS NULL OR prev IS DISTINCT FROM event_type),
+             |f AS (SELECT user_id, event_type, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM k)
+             |SELECT user_id, event_type, valid_from, valid_to,
+             |       valid_to IS NULL AS is_current
+             |FROM f ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
+    // --- trailing 6-hour distinct active users per event type at every
+    //     hour boundary (contribute-forward explode over DEDUPED
+    //     (type, user, hour) rows — raw events never multiply)
+    ("e20_sliding_users",
+      (s, dir) => Sessionize.slidingDistinctUsers(evts(s, dir),
+          windowHours = 6)
+        .orderBy("event_type", "hour"),
+      Some("""WITH c AS (SELECT DISTINCT event_type, user_id,
+             |        date_trunc('hour', ts) AS h
+             |      FROM events),
+             |m AS (SELECT max(h) AS maxh FROM c),
+             |x AS (SELECT event_type, user_id,
+             |        unnest(generate_series(h,
+             |          least(h + INTERVAL 5 HOUR, maxh),
+             |          INTERVAL 1 HOUR)) AS hour
+             |      FROM c, m)
+             |SELECT event_type, hour, count(DISTINCT user_id) AS n_users
+             |FROM x GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
+
     // --- Flesch reading-ease scoring (words = letter runs, sentences =
     //     terminal-punctuation runs, syllables = vowel-group runs; both
     //     denominators floored at 1) — single map stage over the scan

@@ -559,4 +559,65 @@ object Sessionize {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /**
+   * Exact distinct users per event type over a TRAILING window of
+   * `windowHours` hours, evaluated at every hour boundary (the
+   * sliding-window active-user metric: DAU-style but per hour). Output:
+   * (event_type, hour, n_users) where `hour` is the window's LAST hour
+   * (window = [hour − windowHours + 1, hour]); windows extending past
+   * the corpus's final hour are clamped away.
+   *
+   * Scale shape — the contribute-forward trick, not W scans: the
+   * stream first dedupes to slim (type, user, hour) rows (one shuffle
+   * with map-side combine; bounded by active users × hours, not
+   * events), each such row then explodes to the ≤W window ends it
+   * contributes to, and one count-distinct aggregation finishes. The
+   * W× amplification applies to the DEDUPED rows only; raw events
+   * never multiply. For production-scale W or user counts, swap the
+   * final exact count for [[slidingDistinctUsersApprox]] (HLL state,
+   * no second expansion of the distinct set).
+   */
+  def slidingDistinctUsers(events: DataFrame, windowHours: Int,
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1: $windowHours")
+    val contrib = events.select(col(typeCol).as("event_type"),
+        col(userCol).as("user_id"),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .distinct()
+    val maxH = contrib.agg(max(col("__h")).as("__maxh"))
+    contrib.crossJoin(broadcast(maxH))
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("__h"),
+          least(col("__h") + expr(s"INTERVAL '${windowHours - 1}' HOUR"),
+            col("__maxh")),
+          expr("INTERVAL '1' HOUR"))).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** HLL production twin of [[slidingDistinctUsers]]: same output
+   *  schema, `approx_count_distinct` (fixed sketch state per group —
+   *  the merge tree never materializes the distinct user set per
+   *  window, so memory is O(groups), not O(users)). `rsd` is Spark's
+   *  relative standard deviation knob. */
+  def slidingDistinctUsersApprox(events: DataFrame, windowHours: Int,
+      rsd: Double = 0.02, typeCol: String = "event_type",
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1: $windowHours")
+    val contrib = events.select(col(typeCol).as("event_type"),
+        col(userCol).as("user_id"),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .distinct()
+    val maxH = contrib.agg(max(col("__h")).as("__maxh"))
+    contrib.crossJoin(broadcast(maxH))
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(col("__h"),
+          least(col("__h") + expr(s"INTERVAL '${windowHours - 1}' HOUR"),
+            col("__maxh")),
+          expr("INTERVAL '1' HOUR"))).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+  }
 }

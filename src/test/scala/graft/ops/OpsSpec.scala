@@ -2515,6 +2515,53 @@ class OpsSpec extends AnyFunSuite {
       s"bm25 top-k lost its WindowGroupLimit:\n$plan")
   }
 
+  test("scd2: consecutive same-state rows collapse; episodes tile the timeline") {
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val log = Seq(
+      (1L, "A", ts(1), 10L), (1L, "A", ts(2), 11L), // re-observation: no split
+      (1L, "B", ts(3), 12L), (1L, "A", ts(4), 13L), // A again = NEW episode
+      (2L, "X", ts(5), 14L)
+    ).toDF("user_id", "state", "ts", "event_id")
+    val r = ChangeData.scd2(log, "user_id", Seq("state"), "ts", "event_id")
+      .orderBy("user_id", "valid_from").collect()
+    assert(r.length == 4)
+    val u1 = r.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    assert(u1.map(_.getTimestamp(2)).toSeq == Seq(ts(1), ts(3), ts(4)))
+    assert(u1.map(x => Option(x.getTimestamp(3))).toSeq ==
+      Seq(Some(ts(3)), Some(ts(4)), None))
+    assert(u1.map(_.getBoolean(4)).toSeq == Seq(false, false, true))
+    assert(r.last.getBoolean(4)) // user 2's single row is current
+  }
+
+  test("slidingDistinctUsers: trailing window counts, clamped at the last hour") {
+    def ts(h: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+    val ev = Seq(
+      (1L, "x", ts(0)), (1L, "x", ts(0)), // same user+hour dedupes
+      (2L, "x", ts(1)), (3L, "y", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Sessionize.slidingDistinctUsers(ev, windowHours = 2)
+      .orderBy("event_type", "hour").collect()
+      .map(x => (x.getString(0), x.getTimestamp(1).toString, x.getLong(2)))
+    // hour 0: {u1}; hour 1: {u1 (carried), u2}; no ghost hour 2 (maxh=1)
+    assert(r.toSeq == Seq(
+      ("x", "2026-01-01 00:00:00.0", 1L),
+      ("x", "2026-01-01 01:00:00.0", 2L),
+      ("y", "2026-01-01 01:00:00.0", 1L)))
+    // HLL twin: same schema, counts within the sketch's error envelope
+    val exact = Sessionize.slidingDistinctUsers(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), 6)
+    val approx = Sessionize.slidingDistinctUsersApprox(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), 6)
+    assert(exact.schema.fieldNames.toSeq == approx.schema.fieldNames.toSeq)
+    val joined = exact.withColumnRenamed("n_users", "n_exact")
+      .join(approx.withColumnRenamed("n_users", "n_approx"),
+        Seq("event_type", "hour"))
+      .select(max(abs(col("n_exact") - col("n_approx")) /
+        col("n_exact"))).head().getDouble(0)
+    assert(joined < 0.1, s"HLL relative error too high: $joined")
+  }
+
   test("rrfFuse: fused scores, ranks and n_runs on two hand-built runs") {
     val runA = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
       .toDF("query_id", "doc_id", "rank")
