@@ -83,7 +83,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f}""")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f}"""
+    println(fullLine)
+    // The driver keeps only the last ~2000 chars of stdout; with 150+
+    // queries the full line above no longer fits that tail (every
+    // BENCH_r*.json so far shows it truncated, parsed:null). Persist the
+    // full detail to a file and ALSO print a compact summary line — the
+    // worst 12 queries plus any failures — sized to survive the tail
+    // buffer with the trailing sbt "[success]" line.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"worst12":$worst,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f,"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

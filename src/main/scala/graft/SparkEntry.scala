@@ -2870,7 +2870,147 @@ object SparkEntry {
              |SELECT source, doc_id, byte_len,
              |       CAST(floor((cum - byte_len) / 8192.0) AS BIGINT)
              |         AS batch_id
-             |FROM b ORDER BY source, doc_id""".stripMargin)))
+             |FROM b ORDER BY source, doc_id""".stripMargin)),
+
+    // --- deterministic training-shard layout: hash shard + in-shard
+    //     position, one hash shuffle, NO global sort
+    ("p12_shard_layout",
+      (s, dir) => Pipeline.shardLayout(
+          docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", 8)
+        .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"),
+          col("pos"))
+        .orderBy("doc_id"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lang,
+             |    (doc_id * 2654435761) % 1000000007 AS hh
+             |  FROM documents)
+             |SELECT doc_id, lang, CAST(hh % 8 AS BIGINT) AS shard,
+             |  CAST(row_number() OVER (PARTITION BY hh % 8
+             |    ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // --- sequence-length bucketed batch assembly with pad-waste ledger
+    ("p13_length_buckets",
+      (s, dir) => Pipeline.lengthBucketBatches(docs(s, dir), "doc_id",
+          "text", boundaries = Seq(16, 32, 64, 128, 256, 512, 1024),
+          batchSize = 16)
+        .orderBy("bucket", "batch_id"),
+      Some("""WITH k AS (
+             |  SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT doc_id, n_tokens,
+             |    CAST(CASE WHEN n_tokens <= 16 THEN 16
+             |         WHEN n_tokens <= 32 THEN 32
+             |         WHEN n_tokens <= 64 THEN 64
+             |         WHEN n_tokens <= 128 THEN 128
+             |         WHEN n_tokens <= 256 THEN 256
+             |         WHEN n_tokens <= 512 THEN 512
+             |         WHEN n_tokens <= 1024 THEN 1024
+             |         ELSE 2048 END AS BIGINT) AS bucket,
+             |    (doc_id * 2654435761) % 1000000007 AS hh
+             |  FROM k),
+             |r AS (SELECT bucket, n_tokens,
+             |    CAST(floor((row_number() OVER (PARTITION BY bucket
+             |      ORDER BY hh, doc_id) - 1) / 16) AS BIGINT) AS batch_id
+             |  FROM b)
+             |SELECT bucket, batch_id, count(*) AS n_rows,
+             |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+             |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT)
+             |    AS pad_waste
+             |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin)),
+
+    // --- incremental rollup maintenance: merge(rollup(history),
+    //     rollup(delta)) vs the oracle's full recompute — proves the
+    //     mergeable-state algebra the 100 TB metrics path relies on
+    ("e21_merge_rollup",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+        val merged = Sessionize.mergeHourlyRollup(
+          Sessionize.hourlyRollup(e.where(col("ts") < cut)),
+          Sessionize.hourlyRollup(e.where(col("ts") >= cut)))
+        merged.select(col("hour"), col("event_type"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // --- cross-source duplicate overlap matrix on 64-char prefix keys
+    //     (shared boilerplate, the cross-crawl signal); in-row pair
+    //     expansion from per-content source sets, no key self-join
+    ("d17_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(docs(s, dir), "text", "source",
+          prefixLen = 64)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH k AS (
+             |  SELECT DISTINCT source, md5(substr(text, 1, 64)) AS k
+             |  FROM documents WHERE text IS NOT NULL),
+             |s AS (SELECT source, count(*) AS n FROM k GROUP BY 1),
+             |p AS (SELECT a.source AS src_a, b.source AS src_b,
+             |             count(*) AS n_shared
+             |      FROM k a JOIN k b ON a.k = b.k AND a.source < b.source
+             |      GROUP BY 1, 2)
+             |SELECT p.src_a, p.src_b, p.n_shared,
+             |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+             |       round(CAST(p.n_shared AS DOUBLE)
+             |             / (sa.n + sb.n - p.n_shared), 6) AS jaccard
+             |FROM p JOIN s sa ON sa.source = p.src_a
+             |JOIN s sb ON sb.source = p.src_b
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // --- exact heavy hitters with bounded sketch state (Misra-Gries
+    //     candidates + broadcast-filtered exact recount); threshold-
+    //     complete: every token over n/65 of the stream, no misses
+    ("t31_heavy_hitters",
+      (s, dir) => TextOps.heavyHitters(docs(s, dir), "text", capacity = 64)
+        .orderBy("token"),
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+             |  FROM documents WHERE trim(text) <> ''),
+             |n AS (SELECT count(*) AS n FROM t)
+             |SELECT token, count(*) AS cnt,
+             |       CAST((SELECT n FROM n) AS BIGINT) AS n_total
+             |FROM t GROUP BY 1
+             |HAVING count(*) * 65 > (SELECT n FROM n)
+             |ORDER BY token""".stripMargin)),
+
+    // --- Z-order layout ledger: morton-interleaved (hour-of-day ×
+    //     user bucket) sort, 1000-row files, min/max envelope per file
+    //     (what footer-stats pruning would see after the rewrite)
+    ("b01_zorder_layout",
+      (s, dir) => {
+        val e = evts(s, dir)
+        Bucketing.zorderLayout(
+            e.select(col("event_id"), hour(col("ts")).as("hod"),
+              pmod(col("user_id"), lit(32)).cast("long").as("ub")),
+            "hod", "ub", "event_id", bits = 5, rowsPerFile = 1000)
+          .orderBy("file_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT event_id, EXTRACT(hour FROM ts) AS x,
+             |         user_id % 32 AS y
+             |  FROM events),
+             |z AS (SELECT event_id, x, y,
+             |    (x // 1) % 2 * 1 + (y // 1) % 2 * 2
+             |  + (x // 2) % 2 * 4 + (y // 2) % 2 * 8
+             |  + (x // 4) % 2 * 16 + (y // 4) % 2 * 32
+             |  + (x // 8) % 2 * 64 + (y // 8) % 2 * 128
+             |  + (x // 16) % 2 * 256 + (y // 16) % 2 * 512 AS zc
+             |  FROM e0),
+             |r AS (SELECT x, y,
+             |    CAST(floor((row_number() OVER (ORDER BY zc, event_id) - 1)
+             |      / 1000) AS BIGINT) AS file_id
+             |  FROM z)
+             |SELECT file_id, count(*) AS n_rows,
+             |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+             |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
+             |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)))
 
   // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
   //      the Scala implementations; asserted by t02/p01 oracle matches)
@@ -4149,7 +4289,37 @@ object SparkEntry {
              |  SELECT a.dst, w.dist + 1 FROM walk w
              |  JOIN adj a ON a.src = w.node WHERE w.dist < 3)
              |SELECT node, CAST(min(dist) AS BIGINT) AS dist
-             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)))
+             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // local clustering coefficient over the co-supply graph: per-node
+    // triangle incidence (in-row 3-corner explode of the oriented
+    // enumeration) over deg-choose-2
+    ("g09_clustering_coeff",
+      (s, dir) => GraphOps.clusteringCoefficient(coSupplyEdges(s, dir),
+          "s1", "s2")
+        .orderBy("node"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+             |tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+             |        FROM e ab JOIN e bc ON ab.hi = bc.lo
+             |        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+             |pn AS (SELECT node, count(*) AS n_tri FROM (
+             |         SELECT a AS node FROM tri
+             |         UNION ALL SELECT b FROM tri
+             |         UNION ALL SELECT c FROM tri)
+             |       GROUP BY 1)
+             |SELECT d.node, d.deg,
+             |       coalesce(pn.n_tri, 0) AS n_tri,
+             |       round(CASE WHEN d.deg < 2 THEN 0.0
+             |             ELSE 2.0 * coalesce(pn.n_tri, 0)
+             |                  / (d.deg * (d.deg - 1)) END, 6) AS coeff
+             |FROM deg d LEFT JOIN pn ON pn.node = d.node
+             |ORDER BY d.node""".stripMargin)))
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs ++ graphSpecs
 

@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /**
  * Bucketed-table co-location: pre-shuffle a corpus ONCE at write time
@@ -50,4 +52,58 @@ object Bucketing {
   def joinBucketed(spark: SparkSession, tableA: String, tableB: String,
                    keyCol: String): DataFrame =
     spark.table(tableA).join(spark.table(tableB), Seq(keyCol))
+
+  /**
+   * Morton (Z-order) code of two non-negative integer dimensions,
+   * `bits` bits each: interleaves the bits so that sorting by the code
+   * clusters rows that are close in BOTH dimensions — the multi-column
+   * data-layout trick (Delta OPTIMIZE ZORDER, Iceberg sort orders)
+   * that makes min/max file pruning effective on two predicates at
+   * once, where a lexicographic sort only prunes the leading column.
+   * Built from plain shift/mask arithmetic (codegen-resident, and
+   * reproducible in any SQL engine — the oracle mirrors it with
+   * integer division).
+   */
+  def mortonCode(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    (0 until bits).map { i =>
+      val xb = (shiftright(x.cast("long"), i) % 2) * lit(1L << (2 * i))
+      val yb = (shiftright(y.cast("long"), i) % 2) * lit(1L << (2 * i + 1))
+      xb + yb
+    }.reduce(_ + _)
+  }
+
+  /**
+   * Z-order file layout plan + its pruning ledger: sort rows by
+   * [[mortonCode]] over the two dimensions (id tie-break), cut files
+   * of `rowsPerFile`, and report each file's min/max envelope per
+   * dimension — exactly the footer statistics a scan would prune
+   * against. Output: (file_id, n_rows, min_x, max_x, min_y, max_y).
+   * Feeding the envelopes to a predicate count answers "how many files
+   * does query X touch" BEFORE committing the rewrite.
+   *
+   * Scale shape: the sort is a range exchange on the morton key — the
+   * one-time write-amplification every layout optimization pays, after
+   * which reads prune instead of scan. The ledger itself is one
+   * partial-aggregated groupBy over slim (file, x, y) rows.
+   */
+  def zorderLayout(df: DataFrame, xCol: String, yCol: String, idCol: String,
+                   bits: Int, rowsPerFile: Int): DataFrame = {
+    require(rowsPerFile >= 1, s"rowsPerFile must be >= 1: $rowsPerFile")
+    val code = mortonCode(col(xCol), col(yCol), bits)
+    // exact global positions via a single-partition window: right for
+    // the oracle-checked ledger at bench scale; the production write
+    // path gets the identical file boundaries from
+    // repartitionByRange(__z) + per-partition cuts (no global window),
+    // as writeCurated does for its sort
+    val w = Window.orderBy(col("__z"), col(idCol))
+    df.select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"),
+        col(idCol), code.as("__z"))
+      .withColumn("file_id",
+        ((row_number().over(w).cast("long") - 1L) / rowsPerFile).cast("long"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
+        min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
+  }
 }

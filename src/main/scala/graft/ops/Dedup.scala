@@ -444,6 +444,57 @@ object Dedup {
             col("n_docs").cast(DoubleType)))
 
   /**
+   * Cross-source duplicate-overlap matrix: for every pair of sources,
+   * how many distinct document contents they SHARE, plus the content
+   * Jaccard of the two sources — the triage that decides which crawl
+   * overlaps which dump before cross-corpus dedup runs (a mirror pair
+   * at Jaccard 0.9 wants one side dropped wholesale; two sources at
+   * 0.01 want the pairwise pass). Output: (src_a, src_b, n_shared,
+   * n_a, n_b, jaccard) with src_a < src_b, jaccard rounded to 6.
+   *
+   * Scale shape: bodies reduce map-side to distinct (source, 16-byte
+   * md5 key) rows — md5 rather than xxhash so SQL engines reproduce
+   * the key, and slim either way. One shuffle on the key groups each
+   * content's source set, pairs expand IN-ROW from that sorted set
+   * (sources-per-content is bounded by the source count, so no
+   * key-equality self-join and no row blowup), and a partial agg
+   * finishes. Per-source distinct sizes ride the same keys frame.
+   */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    prefixLen: Int = 0): DataFrame = {
+    // prefixLen > 0 keys on the document PREFIX (shared boilerplate /
+    // mirrored headers — how cross-crawl overlap actually shows up);
+    // 0 keys on the whole body
+    val content =
+      if (prefixLen > 0) substring(col(textCol), 1, prefixLen)
+      else col(textCol)
+    val keys = df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).cast(StringType).as("__src"),
+        md5(content.cast(BinaryType)).as("__k"))
+      .distinct()
+    val sizes = keys.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val srcSet = keys.groupBy(col("__k"))
+      .agg(sort_array(collect_set(col("__src"))).as("__ss"))
+      .where(size(col("__ss")) >= 2)
+    val pairs = srcSet.select(explode(flatten(transform(col("__ss"),
+        (x, i) => transform(slice(col("__ss"), i + lit(2),
+            size(col("__ss"))),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("__p"))
+      .groupBy(col("__p.src_a").as("src_a"), col("__p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("__src").as("src_a"), col("__n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("__src").as("src_b"), col("__n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType), 6)
+          .as("jaccard"))
+  }
+
+  /**
    * Corpus snapshot diff: which documents were added, removed, or
    * content-changed between two snapshots of an id-stable corpus (two
    * crawls, two pipeline versions) — the audit that answers "what did

@@ -607,4 +607,72 @@ object Pipeline {
       .limit(n)
       .drop("__score")
   }
+
+  /**
+   * Deterministic training-shard layout: assign every row a shard
+   * (`hash(id) mod nShards`) and a stable position within its shard
+   * (ordered by the id hash, id tie-break) — the "global shuffle" a
+   * training run needs (decorrelate neighboring source documents),
+   * WITHOUT a global sort. Output: input columns + (`shard`, `pos`),
+   * pos 0-based.
+   *
+   * Scale shape: exactly one hash-partition shuffle on the shard key
+   * and a per-shard window — no range exchange, no global ordering
+   * ever materializes (each shard is independently ordered, which is
+   * what a data-parallel trainer consumes: worker w reads shard w in
+   * pos order). The hash-derived order is reproducible across runs,
+   * partitionings, and engines; re-sharding with a different seed is a
+   * different `nShards`/hash, not a data move of the old layout.
+   */
+  def shardLayout(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(Hashing.mulHash(col(idCol)), col(idCol))
+    df.withColumn("shard", Hashing.mulHash(col(idCol)) % lit(nShards.toLong))
+      .withColumn("pos", row_number().over(w).cast("long") - lit(1L))
+  }
+
+  /**
+   * Sequence-length bucketed batch assembly: band each document by its
+   * whitespace token count into the first bucket boundary ≥ count
+   * (fixed ladder, the way training stacks pick pad lengths), order
+   * within a band by the id hash (deterministic shuffle), and cut
+   * batches of `batchSize` rows. Returns one row per BATCH:
+   * (`bucket`, `batch_id`, `n_rows`, `max_tokens`, `sum_tokens`,
+   * `pad_waste`) where pad_waste = n_rows·max_tokens − sum_tokens —
+   * the padding tokens the batch burns, the metric bucketing exists to
+   * minimize.
+   *
+   * Boundaries must be ascending; counts above the last boundary land
+   * in a terminal overflow band (bucket = last·2 marker). Scale shape:
+   * one narrow map for the token count (no tokens materialized —
+   * [[TextOps.features]]' fused counter), one shuffle on the band for
+   * the window, one partial-aggregated groupBy per batch. Documents
+   * never co-shuffle with their bodies: only (band, hash, count) slim
+   * rows move.
+   */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          boundaries: Seq[Int], batchSize: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted &&
+      boundaries.distinct == boundaries, s"bad boundaries $boundaries")
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val nTok = TextOps.tokenCount(col(textCol))
+    val band = boundaries.foldRight(lit(boundaries.last.toLong * 2L): org.apache.spark.sql.Column) {
+      (b, rest) => when(nTok <= b, lit(b.toLong)).otherwise(rest)
+    }
+    val slim = docs.select(col(idCol).as("__id"), nTok.as("n_tokens"),
+      band.as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(Hashing.mulHash(col("__id")), col("__id"))
+    slim.withColumn("batch_id",
+        ((row_number().over(w).cast("long") - lit(1L)) / lit(batchSize.toLong))
+          .cast("long"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste",
+        col("n_rows") * col("max_tokens") - col("sum_tokens"))
+  }
 }

@@ -561,6 +561,22 @@ object Sessionize {
         col("n_events"), col("sum_value"))
 
   /**
+   * Incremental rollup maintenance: merge an EXISTING [[hourlyRollup]]
+   * table with the rollup of a new delta batch, exploiting that count
+   * and sum are mergeable aggregation states — `merge(rollup(A),
+   * rollup(B)) ≡ rollup(A ∪ B)`. This is how a 100 TB metrics table
+   * stays current: the historical corpus is never re-scanned; only the
+   * delta (one day against years) is aggregated, and the merge
+   * re-shuffles two already-tiny rollups (bounded by hours × types,
+   * not events). Derived stats (avg = sum/count) belong downstream of
+   * the merge, never in the stored state.
+   */
+  def mergeHourlyRollup(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum("n_events").as("n_events"), sum("sum_value").as("sum_value"))
+
+  /**
    * Exact distinct users per event type over a TRAILING window of
    * `windowHours` hours, evaluated at every hour boundary (the
    * sliding-window active-user metric: DAU-style but per hour). Output:

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -880,5 +880,103 @@ object TextOps {
         element_at(w, pmod(i - 1, lit(8)) + 1))
     when(length(text) === 0, lit(0L))
       .otherwise(pmod(aggregate(terms, lit(0L), (acc, t) => acc + t), lit(FpMod)))
+  }
+
+  /**
+   * Exact heavy hitters over the corpus token stream with BOUNDED
+   * aggregation state: every token whose exact count exceeds
+   * `n / (capacity + 1)` of the `n` total tokens, found by the
+   * two-pass Misra–Gries scheme (Misra & Gries 1982, "Finding repeated
+   * elements"):
+   *
+   *   1. a typed `Aggregator` runs the Misra–Gries sketch per
+   *      partition and merges sketches — at most `capacity` counters
+   *      of state ANYWHERE, regardless of vocabulary size; its
+   *      guarantee is that every item above the n/(capacity+1)
+   *      frequency threshold survives as a candidate (a superset —
+   *      never a miss);
+   *   2. an exact recount of the ≤`capacity` candidates: the token
+   *      stream is re-scanned with a broadcast-candidate map-side
+   *      filter (only candidate occurrences shuffle), and the exact
+   *      threshold keeps true heavy hitters only.
+   *
+   * The sketch's partition-order nondeterminism cannot reach the
+   * output: pass 2's exact counts decide membership, the sketch only
+   * bounds WHICH tokens get recounted. This is the vocabulary-scale
+   * answer to "top tokens" when a full groupBy's state (one counter
+   * per DISTINCT token) is the thing that doesn't fit — the same
+   * bounded-state contract as the HLL and GK twins. Output: (token,
+   * cnt, n_total), exact, threshold-complete.
+   */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1: $capacity")
+    val spark = docs.sparkSession
+    val toks = docs.select(explode(tokens(col(textCol))).as("token"))
+    val n = toks.count()
+    import org.apache.spark.sql.Encoders
+    val cands: Seq[String] =
+      if (n == 0L) Seq.empty
+      else toks.as(Encoders.STRING)
+        .select(new MisraGriesAgg(capacity).toColumn)
+        .head()
+    // model-sized collect: ≤ capacity candidate tokens, by construction
+    val candDf = broadcast(
+      spark.createDataset(cands)(Encoders.STRING).toDF("token"))
+    toks.join(candDf, Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * lit(capacity.toLong + 1L) > lit(n))
+      .withColumn("n_total", lit(n))
+  }
+
+  /**
+   * Misra–Gries sketch as a typed [[Aggregator]]: buffer = at most
+   * `capacity` (token → counter) entries; `reduce` increments a
+   * present token, inserts while room, else applies the global
+   * decrement; `merge` sums counters then truncates back to the
+   * largest `capacity` entries, subtracting the (capacity+1)-th
+   * largest value (the standard mergeable-MG reduction — error stays
+   * ≤ n/(capacity+1) after any merge tree). `finish` returns the
+   * surviving candidate tokens sorted (order is cosmetic; the exact
+   * recount decides membership).
+   */
+  private[ops] class MisraGriesAgg(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, scala.collection.mutable.Map[String, Long], Seq[String]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: scala.collection.mutable.Map[String, Long] =
+      scala.collection.mutable.Map.empty
+    def reduce(m: scala.collection.mutable.Map[String, Long],
+               tok: String): scala.collection.mutable.Map[String, Long] = {
+      m.get(tok) match {
+        case Some(c) => m.update(tok, c + 1L)
+        case None if m.size < capacity => m.update(tok, 1L)
+        case None =>
+          // global decrement; drop zeroed counters (amortized O(1)/item)
+          val dead = m.iterator.flatMap { case (k, c) =>
+            if (c == 1L) Some(k) else { None } }.toList
+          m.mapValuesInPlace((_, c) => c - 1L)
+          dead.foreach(m.remove)
+          m.filterInPlace((_, c) => c > 0L)
+      }
+      m
+    }
+    def merge(a: scala.collection.mutable.Map[String, Long],
+              b: scala.collection.mutable.Map[String, Long])
+        : scala.collection.mutable.Map[String, Long] = {
+      b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+      if (a.size > capacity) {
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+        a.mapValuesInPlace((_, c) => c - cut)
+        a.filterInPlace((_, c) => c > 0L)
+      }
+      a
+    }
+    def finish(m: scala.collection.mutable.Map[String, Long]): Seq[String] =
+      m.keys.toSeq.sorted
+    def bufferEncoder: Encoder[scala.collection.mutable.Map[String, Long]] =
+      Encoders.kryo[scala.collection.mutable.Map[String, Long]]
+    def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

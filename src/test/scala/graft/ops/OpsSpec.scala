@@ -3331,4 +3331,137 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(d2(4L) == 1L && d2(5L) == 2L && d2(3L) == 0L)
   }
+
+  // --------------------------------------------- round-6 late additions
+
+  test("shardLayout: dense per-shard positions, full coverage, stable under repartition") {
+    val df = spark.range(0, 200).toDF("id")
+    val a = Pipeline.shardLayout(df, "id", 4)
+    val b = Pipeline.shardLayout(df.repartition(7), "id", 4)
+    assert(a.count() == 200)
+    // every shard's positions are exactly 0..count-1
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd")).collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      assert(r.getAs[Long]("mn") == 0L)
+      assert(r.getAs[Long]("mx") == r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("nd") == r.getAs[Long]("n"))
+    }
+    // partitioning of the input does not change the layout
+    assert(a.orderBy("id").collect().toSeq ==
+      b.orderBy("id").collect().toSeq)
+  }
+
+  test("lengthBucketBatches: batch sizes bounded, totals conserved, waste >= 0") {
+    val docs = Seq.tabulate(100)(i => (i.toLong, ("w " * (i % 40 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = Pipeline.lengthBucketBatches(docs, "doc_id", "text",
+      boundaries = Seq(8, 16, 32), batchSize = 8).collect()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 100L)
+    assert(out.forall(_.getAs[Long]("n_rows") <= 8L))
+    assert(out.forall(_.getAs[Long]("pad_waste") >= 0L))
+    // every batch's max fits its bucket band (overflow band = 64 marker)
+    out.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("max_tokens") <= (if (b == 64L) Long.MaxValue else b))
+    }
+  }
+
+  test("mergeHourlyRollup: merge of split rollups == rollup of the union") {
+    val ev = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "a", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "a", 4.0),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), "b", 8.0),
+      (Timestamp.valueOf("2024-01-02 10:20:00"), "a", 16.0)
+    ).toDF("ts", "event_type", "value")
+    val cut = lit("2024-01-01 11:00:00").cast("timestamp")
+    val merged = Sessionize.mergeHourlyRollup(
+      Sessionize.hourlyRollup(ev.where(col("ts") < cut)),
+      Sessionize.hourlyRollup(ev.where(col("ts") >= cut)))
+      .orderBy("hour", "event_type").collect().toSeq
+    val full = Sessionize.hourlyRollup(ev)
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(merged == full)
+  }
+
+  test("sourceOverlap: known cross-source sharing, jaccard exact") {
+    val df = Seq(
+      (1L, "shared-one", "s1"), (2L, "shared-one", "s2"),
+      (3L, "shared-two", "s1"), (4L, "shared-two", "s2"),
+      (5L, "only-s1", "s1"), (6L, "only-s3", "s3"),
+      (7L, "shared-one", "s3"), (8L, "shared-one", "s1") // dup within s1
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(df, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+    // s1 keys: {one, two, only-s1} (3); s2: {one, two} (2); s3: {one, only-s3} (2)
+    val m = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n_shared"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(m(("s1", "s2")) == ((2L, 3L, 2L, math.round(2.0 / 3 * 1e6) / 1e6)))
+    assert(m(("s1", "s3")) == ((1L, 3L, 2L, 0.25)))
+    assert(m(("s2", "s3")) == ((1L, 2L, 2L, math.round(1.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("clusteringCoefficient: triangle + pendant graph exact") {
+    // triangle 1-2-3 plus pendant 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphOps.clusteringCoefficient(e, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Double]("coeff")))
+      .toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, math.round(1.0 / 3 * 1e6) / 1e6))) // 2*1/(3*2)
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("heavyHitters: exact threshold semantics vs brute force") {
+    // 60% "hot", 20% "warm", rest singletons; capacity 4 → threshold n/5
+    val words = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 20).map(i => s"w$i")
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val out = TextOps.heavyHitters(docs, "text", capacity = 4)
+      .orderBy("token").collect()
+    val expected = Seq(("hot", 60L), ("warm", 20L)) // 20*5 > 100? no: = -> strict
+    // threshold is STRICT: cnt*5 > 100 ⇒ warm at exactly 20 is excluded
+    assert(out.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq ==
+      expected.filter(_._2 * 5 > 100))
+    assert(out.forall(_.getAs[Long]("n_total") == 100L))
+  }
+
+  test("MisraGriesAgg: candidates superset of true heavy hitters on random streams") {
+    val rnd = new scala.util.Random(7)
+    val stream = Seq.fill(500)(s"t${rnd.nextInt(30)}") ++ Seq.fill(200)("HH")
+    val ds = stream.toDF("token").repartition(5)
+    import org.apache.spark.sql.Encoders
+    val cap = 8
+    val cands = ds.as(Encoders.STRING)
+      .select(new TextOps.MisraGriesAgg(cap).toColumn).head().toSet
+    assert(cands.size <= cap)
+    val n = stream.size
+    val trueHH = stream.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, c) => c.toLong * (cap + 1) > n }.keySet
+    assert(trueHH.subsetOf(cands), s"missing ${trueHH -- cands}")
+  }
+
+  test("mortonCode: known interleavings; zorderLayout conserves rows") {
+    val r = spark.range(1).select(
+      Bucketing.mortonCode(lit(3), lit(5), 3).as("m1"),
+      Bucketing.mortonCode(lit(0), lit(0), 5).as("m2"),
+      Bucketing.mortonCode(lit(31), lit(31), 5).as("m3")).head()
+    assert(r.getLong(0) == 39L)  // x=011,y=101 -> 100111
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == 1023L)
+    val df = spark.range(0, 500).select(col("id"),
+      (col("id") % 24).as("x"), (col("id") % 32).as("y"))
+    val files = Bucketing.zorderLayout(df, "x", "y", "id", 5, 100).collect()
+    assert(files.map(_.getAs[Long]("n_rows")).sum == 500L)
+    assert(files.forall(_.getAs[Long]("n_rows") <= 100L))
+    assert(files.forall(r => r.getAs[Long]("min_x") <= r.getAs[Long]("max_x")))
+  }
 }
