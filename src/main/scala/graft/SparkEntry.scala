@@ -3010,7 +3010,75 @@ object SparkEntry {
              |SELECT file_id, count(*) AS n_rows,
              |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
-             |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)))
+             |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
+
+    // --- peak concurrent sessions per hour: the +1/-1 interval sweep
+    //     as a distributed prefix sum (per-hour carry-in, so no ordered
+    //     window ever sees more than one hour of deltas); oracle is the
+    //     single global running sum
+    ("e22_concurrency",
+      (s, dir) => {
+        val sess = Sessionize.batch(evts(s, dir), gapMinutes = 30)
+        Sessionize.peakConcurrency(sess, "session_start", "session_end",
+            "user_id")
+          .orderBy("hour")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |e AS (
+             |  SELECT *, lag(ts) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM e0),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |        OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+             |        THEN 1 ELSE 0 END AS ns FROM e),
+             |g AS (SELECT *, sum(ns) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id)
+             |        AS session_id
+             |      FROM f),
+             |sess AS (SELECT user_id, session_id, min(ts) AS st,
+             |                max(ts) AS en
+             |         FROM g GROUP BY 1, 2),
+             |d AS (SELECT st AS ts, 1 AS delta FROM sess
+             |      UNION ALL SELECT en, -1 FROM sess),
+             |r AS (SELECT ts, delta,
+             |        sum(delta) OVER (ORDER BY ts, delta DESC
+             |          ROWS UNBOUNDED PRECEDING) AS run
+             |      FROM d)
+             |SELECT date_trunc('hour', ts) AS hour,
+             |       CAST(max(run) AS BIGINT) AS peak_concurrent
+             |FROM r GROUP BY 1 ORDER BY hour""".stripMargin)),
+
+    // --- top-principal-component projection via 2 rounded power
+    //     iterations (no covariance matrix; iterate pinned at 1e-6 so
+    //     the SQL oracle reproduces the projection exactly)
+    ("s20_pca_project",
+      (s, dir) => Similarity.topPcProjection(embs(s, dir), "embedding",
+          "vec_id", iterations = 2)
+        .orderBy("vec_id"),
+      Some("""WITH x AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |mu AS (SELECT i, avg(v) AS m FROM x GROUP BY i),
+             |xc AS (SELECT vec_id, x.i AS i, x.v - mu.m AS v
+             |       FROM x JOIN mu ON x.i = mu.i),
+             |d1 AS (SELECT vec_id, sum(v * 0.125) AS d FROM xc GROUP BY 1),
+             |s1 AS (SELECT i, sum(xc.v * d1.d) AS s
+             |       FROM xc JOIN d1 USING (vec_id) GROUP BY i),
+             |v1 AS (SELECT i, round(s / (SELECT sqrt(sum(s * s)) FROM s1),
+             |                       6) AS v
+             |       FROM s1),
+             |d2 AS (SELECT xc.vec_id, sum(xc.v * v1.v) AS d
+             |       FROM xc JOIN v1 USING (i) GROUP BY 1),
+             |s2 AS (SELECT i, sum(xc.v * d2.d) AS s
+             |       FROM xc JOIN d2 USING (vec_id) GROUP BY i),
+             |v2 AS (SELECT i, round(s / (SELECT sqrt(sum(s * s)) FROM s2),
+             |                       6) AS v
+             |       FROM s2)
+             |SELECT xc.vec_id, round(sum(xc.v * v2.v), 6) AS pc1
+             |FROM xc JOIN v2 USING (i) GROUP BY xc.vec_id
+             |ORDER BY vec_id""".stripMargin)))
 
   // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
   //      the Scala implementations; asserted by t02/p01 oracle matches)

@@ -577,6 +577,56 @@ object Sessionize {
       .agg(sum("n_events").as("n_events"), sum("sum_value").as("sum_value"))
 
   /**
+   * Peak concurrent sessions per hour — the classic +1/−1 interval
+   * sweep, restructured as a DISTRIBUTED prefix sum so no ordered
+   * window ever sees more than one hour of deltas:
+   *
+   *   1. each session emits (+1 at start, −1 after end) delta rows;
+   *   2. per-hour delta totals roll up first, and ONE tiny global
+   *      window over the hour series (bounded by hours-of-history
+   *      rows, not sessions) produces each hour's carry-in;
+   *   3. the exact within-hour running sum runs under a PARTITION BY
+   *      hour window, seeded by the carry-in; its max is the hour's
+   *      peak.
+   *
+   * Interval semantics are closed ([start, end] — a session is active
+   * at its end instant), and simultaneous deltas order starts first
+   * (+1 before −1, id tie-break): two sessions touching at an instant
+   * count as concurrent. Only hours containing at least one delta
+   * appear (between deltas the level is constant, so absent hours
+   * implicitly carry the previous level). Output:
+   * (hour, peak_concurrent).
+   *
+   * 100 TB shape: session rows shuffle once on the hour key; the only
+   * global ordering is over per-hour aggregates (3 orders of magnitude
+   * smaller than the session count for any real workload — the same
+   * bounded-series contract as the topK/centroid collects, without
+   * even a collect).
+   */
+  def peakConcurrency(sessions: DataFrame, startCol: String,
+                      endCol: String, idCol: String): DataFrame = {
+    val deltas = sessions.select(col(startCol).as("__ts"), lit(1L).as("__d"),
+        col(idCol).as("__id"))
+      .unionAll(sessions.select(col(endCol).as("__ts"), lit(-1L).as("__d"),
+        col(idCol).as("__id")))
+      .withColumn("__h", date_trunc("hour", col("__ts")))
+    val perHour = deltas.groupBy(col("__h"))
+      .agg(sum(col("__d")).as("__tot"))
+    // tiny global window: one row per hour with any delta
+    val wh = Window.orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perHour.withColumn("__carry",
+      coalesce(sum(col("__tot")).over(wh), lit(0L)))
+    val win = Window.partitionBy(col("__h"))
+      .orderBy(col("__ts"), col("__d").desc, col("__id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas.join(carry.select(col("__h"), col("__carry")), Seq("__h"))
+      .withColumn("__run", col("__carry") + sum(col("__d")).over(win))
+      .groupBy(col("__h").as("hour"))
+      .agg(max(col("__run")).as("peak_concurrent"))
+  }
+
+  /**
    * Exact distinct users per event type over a TRAILING window of
    * `windowHours` hours, evaluated at every hour boundary (the
    * sliding-window active-user metric: DAU-style but per hour). Output:

@@ -1143,4 +1143,64 @@ object Similarity {
           col("__qn"), col("__cn")).as("cos_sim"))
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
+
+  /**
+   * Projection of every vector onto the corpus's TOP PRINCIPAL
+   * COMPONENT, via deterministic power iteration — the 1-D embedding
+   * summary used for drift dashboards, coarse sorting/binning of a
+   * vector corpus, and as the first split axis of spill-free ANN
+   * partitioning. No covariance matrix is ever materialized
+   * (dims×dims would be fine; rows×dims certainly not):
+   * each iteration computes `d_r = xc_r · v` per row, then
+   * `s = Σ_r xc_r · d_r` per dimension, normalizes, and ROUNDS v to 6
+   * decimals — the rounding pins the iterate across engines and
+   * partitionings (same contract as the rank-key roundings), so the
+   * DuckDB oracle reproduces the projection bit-for-bit at 1e-6.
+   * Start vector = 1/√dims per dim (fixed, unseeded).
+   *
+   * Scale shape: the slim (row, dim, value) frame is localCheckpointed
+   * once and feeds every pass; per-iteration work is one broadcast
+   * join against the 64-double iterate (model-sized driver collect per
+   * iteration, the centroid-collect contract), one partial-aggregated
+   * per-row sum and one per-dim sum. Output: (idCol, pc1), pc1
+   * rounded to 6.
+   */
+  def topPcProjection(df: DataFrame, vecCol: String, idCol: String,
+                      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dims >= 1, s"empty vectors in $vecCol")
+    val x = df.select(col(idCol).as("__vid"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v0")))
+      .select(col("__vid"), col("__i"), col("__v0").cast("double").as("__v"))
+    val mu = x.groupBy(col("__i")).agg(avg(col("__v")).as("__m"))
+    val xc = x.join(mu, Seq("__i"))
+      .select(col("__vid"), col("__i"), (col("__v") - col("__m")).as("__v"))
+      .localCheckpoint()
+    var v: Array[Double] = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to iterations) {
+      val vDf = broadcast(v.toIndexedSeq.zipWithIndex
+        .map { case (vi, i) => (i, vi) }.toDF("__i", "__vi"))
+      val d = xc.join(vDf, Seq("__i"))
+        .groupBy(col("__vid"))
+        .agg(sum(col("__v") * col("__vi")).as("__d"))
+      // 64 doubles to the driver per iteration (model-sized)
+      val s = xc.join(d, Seq("__vid"))
+        .groupBy(col("__i")).agg(sum(col("__v") * col("__d")).as("__s"))
+        .orderBy(col("__i"))
+        .collect().map(_.getDouble(1))
+      val nrm = math.sqrt(s.map(e => e * e).sum)
+      require(nrm > 0.0, "degenerate corpus: zero-variance along iterate")
+      // HALF_UP (away from zero) to match Spark's and DuckDB's round()
+      v = s.map(e => BigDecimal(e / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val vDf = broadcast(v.toIndexedSeq.zipWithIndex
+      .map { case (vi, i) => (i, vi) }.toDF("__i", "__vi"))
+    xc.join(vDf, Seq("__i"))
+      .groupBy(col("__vid").as(idCol))
+      .agg(round(sum(col("__v") * col("__vi")), 6).as("pc1"))
+  }
 }

@@ -3464,4 +3464,53 @@ class OpsSpec extends AnyFunSuite {
     assert(files.forall(_.getAs[Long]("n_rows") <= 100L))
     assert(files.forall(r => r.getAs[Long]("min_x") <= r.getAs[Long]("max_x")))
   }
+
+  test("peakConcurrency: hour carry-in and within-hour peaks exact") {
+    val sess = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00"), Timestamp.valueOf("2024-01-01 11:30:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:20:00"), Timestamp.valueOf("2024-01-01 10:40:00")),
+      (3L, Timestamp.valueOf("2024-01-01 11:00:00"), Timestamp.valueOf("2024-01-01 11:10:00")),
+      (4L, Timestamp.valueOf("2024-01-01 13:00:00"), Timestamp.valueOf("2024-01-01 13:00:00"))
+    ).toDF("id", "st", "en")
+    val out = Sessionize.peakConcurrency(sess, "st", "en", "id")
+      .orderBy("hour").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getAs[Long]("peak_concurrent"))
+    // hour 10: sessions 1+2 overlap -> 2; hour 11: 1 carried + 3 -> 2;
+    // hour 13: degenerate instant session -> 1; hour 12 absent (no deltas)
+    assert(out.toSeq == Seq(
+      "2024-01-01 10:00:00.0" -> 2L,
+      "2024-01-01 11:00:00.0" -> 2L,
+      "2024-01-01 13:00:00.0" -> 1L))
+  }
+
+  test("peakConcurrency: touching sessions count as concurrent (closed intervals)") {
+    val sess = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), Timestamp.valueOf("2024-01-01 10:30:00")),
+      (2L, Timestamp.valueOf("2024-01-01 10:30:00"), Timestamp.valueOf("2024-01-01 10:45:00"))
+    ).toDF("id", "st", "en")
+    val out = Sessionize.peakConcurrency(sess, "st", "en", "id").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("peak_concurrent") == 2L)
+  }
+
+  test("topPcProjection: axis-aligned corpus projects to centered coordinate") {
+    val vecs = (1 to 5).map(t =>
+      (t.toLong, Array(t.toFloat, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.topPcProjection(vecs, "embedding", "vec_id", 2)
+      .orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("pc1")).toMap
+    // mean = 3 along e1; PC1 = e1 (sign from the all-positive start)
+    (1 to 5).foreach(t => assert(out(t.toLong) == (t - 3).toDouble))
+  }
+
+  test("topPcProjection: invariant under input repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val a = Similarity.topPcProjection(vecs, "embedding", "vec_id", 2)
+      .orderBy("vec_id").collect().toSeq
+    val b = Similarity.topPcProjection(vecs.repartition(7), "embedding",
+        "vec_id", 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
 }
