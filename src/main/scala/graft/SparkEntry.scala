@@ -741,7 +741,29 @@ object SparkEntry {
       Some("""SELECT s_name AS sname, CAST(1 AS BIGINT) AS hops,
              |       count(*) AS n_paths
              |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-             |GROUP BY 1, 2 ORDER BY sname""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY sname""".stripMargin)),
+
+    // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
+    //     degrees/haversin...); trig inside aggregate args, per-part
+    //     implicit grouping
+    ("q46_trig", cyx(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        |WHERE p.p_partkey <= 30
+        |RETURN p.p_partkey AS pk,
+        |       round(min(sin(l.l_quantity / 10.0)), 6) AS s,
+        |       round(min(cos(l.l_quantity / 10.0)), 6) AS c,
+        |       round(min(atan2(l.l_quantity, 10.0)), 6) AS a2,
+        |       round(min(degrees(atan(l.l_quantity / 10.0))), 6) AS dg,
+        |       round(min(haversin(l.l_quantity / 10.0)), 6) AS hv
+        |ORDER BY pk""".stripMargin),
+      Some("""SELECT l_partkey AS pk,
+             |  round(min(sin(l_quantity / 10.0)), 6) AS s,
+             |  round(min(cos(l_quantity / 10.0)), 6) AS c,
+             |  round(min(atan2(l_quantity, 10.0)), 6) AS a2,
+             |  round(min(degrees(atan(l_quantity / 10.0))), 6) AS dg,
+             |  round(min((1 - cos(l_quantity / 10.0)) / 2), 6) AS hv
+             |FROM lineitem WHERE l_partkey <= 30
+             |GROUP BY 1 ORDER BY pk""".stripMargin)))
 
   // ================================================= training-data pipeline
 

@@ -401,6 +401,18 @@ final class ExprCompiler(
       case "log10" => arity(1); log10(a0)
       case "e"  => arity(0); lit(math.E)
       case "pi" => arity(0); lit(math.Pi)
+      // openCypher trigonometric registry (deterministic libm maps)
+      case "sin"  => arity(1); sin(a0)
+      case "cos"  => arity(1); cos(a0)
+      case "tan"  => arity(1); tan(a0)
+      case "asin" => arity(1); asin(a0)
+      case "acos" => arity(1); acos(a0)
+      case "atan" => arity(1); atan(a0)
+      case "atan2" => arity(2); atan2(a0, a1)
+      case "radians" => arity(1); radians(a0)
+      case "degrees" => arity(1); degrees(a0)
+      // haversin(x) = (1 - cos(x)) / 2, openCypher's spelling
+      case "haversin" => arity(1); (lit(1.0) - cos(a0)) / lit(2.0)
       case "year"  => arity(1); year(a0)
       case "month" => arity(1); month(a0)
       // openCypher temporal constructors (the reference's value node

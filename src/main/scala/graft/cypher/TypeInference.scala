@@ -372,8 +372,12 @@ final class TypeInference(refType: Ref => Option[DataType],
         f.args.indices.foreach(i => requireNumeric(t(i), "range"))
         Some(ArrayType(LongType))
       case "sign" => requireNumeric(t(0), "sign"); Some(IntegerType)
-      case "exp" | "log" | "log10" =>
+      case "exp" | "log" | "log10" | "sin" | "cos" | "tan" | "asin" |
+           "acos" | "atan" | "radians" | "degrees" | "haversin" =>
         requireNumeric(t(0), f.name); Some(DoubleType)
+      case "atan2" =>
+        requireNumeric(t(0), "atan2"); requireNumeric(t(1), "atan2")
+        Some(DoubleType)
       case "e" | "pi" => Some(DoubleType)
       case "year" | "month" =>
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)

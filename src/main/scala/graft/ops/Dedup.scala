@@ -495,6 +495,46 @@ object Dedup {
   }
 
   /**
+   * Production twin of [[sourceOverlap]] at shingle granularity: the
+   * estimated Jaccard between the SHINGLE SETS of every source pair,
+   * from per-source MinHash union sketches. The per-doc signature is
+   * the native kernel; a source's sketch is the elementwise MIN of its
+   * docs' signatures — exactly the signature of the union of their
+   * shingle sets (min is mergeable, so the reduction is one partial
+   * agg; fixed k·8 bytes of state per source regardless of corpus
+   * size). Pairwise similarity = fraction of equal components,
+   * computed over the tiny sources×sources frame.
+   * Output: (src_a, src_b, est_jaccard), estimate error ~1/√k.
+   *
+   * Not SQL-mirrorable (xxhash shingles) — unit-pinned against the
+   * exact shingle-set Jaccard instead, the d04-prod contract.
+   */
+  def sourceSimilaritySketch(df: DataFrame, textCol: String,
+                             sourceCol: String, k: Int = 128,
+                             shingleN: Int = 5): DataFrame = {
+    val sig = df.where(col(textCol).isNotNull)
+      .select(col(sourceCol).cast(StringType).as("__src"),
+        graft.functions.NativeExpressions.minhashSig(
+          hashedShingleSet(col(textCol), shingleN), mhCoeffs(k), MhPrime)
+          .as("__sig"))
+    val perSrc = sig
+      .select(col("__src"), posexplode(col("__sig")).as(Seq("__i", "__v")))
+      .groupBy(col("__src"), col("__i")).agg(min(col("__v")).as("__mn"))
+      .groupBy(col("__src"))
+      .agg(transform(array_sort(collect_list(struct(col("__i"), col("__mn")))),
+        s => s.getField("__mn")).as("__sk"))
+    val a = perSrc.select(col("__src").as("src_a"), col("__sk").as("__ska"))
+    val b = perSrc.select(col("__src").as("src_b"), col("__sk").as("__skb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        round(aggregate(
+          zip_with(col("__ska"), col("__skb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, e) => acc + e).cast(DoubleType) / lit(k.toDouble), 6)
+          .as("est_jaccard"))
+  }
+
+  /**
    * Corpus snapshot diff: which documents were added, removed, or
    * content-changed between two snapshots of an id-stable corpus (two
    * crawls, two pipeline versions) — the audit that answers "what did

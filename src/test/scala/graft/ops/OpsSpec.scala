@@ -3513,4 +3513,27 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("vec_id").collect().toSeq
     assert(a == b)
   }
+
+  test("sourceSimilaritySketch: estimate within ~1/sqrt(k) of exact shingle jaccard") {
+    val rnd = new scala.util.Random(3)
+    def sent(n: Int) = Seq.fill(n)(s"w${rnd.nextInt(400)}").mkString(" ")
+    val shared = Seq.fill(12)(sent(30))
+    val onlyA = Seq.fill(6)(sent(30))
+    val onlyB = Seq.fill(6)(sent(30))
+    val rows = (shared ++ onlyA).zipWithIndex.map { case (t, i) => (i.toLong, t, "A") } ++
+      (shared ++ onlyB).zipWithIndex.map { case (t, i) => (100L + i, t, "B") }
+    val df = rows.toDF("doc_id", "text", "source")
+    val est = Dedup.sourceSimilaritySketch(df, "text", "source", k = 256)
+      .head().getAs[Double]("est_jaccard")
+    // exact shingle-set jaccard of the two sources
+    val sh = df.select(col("source"),
+        explode(Dedup.hashedShingleSet(col("text"), 5)).as("h"))
+      .distinct()
+    val na = sh.where(col("source") === "A").count().toDouble
+    val nb = sh.where(col("source") === "B").count().toDouble
+    val inter = sh.groupBy("h").agg(countDistinct("source").as("c"))
+      .where(col("c") === 2).count().toDouble
+    val exact = inter / (na + nb - inter)
+    assert(math.abs(est - exact) < 0.12, s"est $est vs exact $exact")
+  }
 }
