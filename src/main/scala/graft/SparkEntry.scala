@@ -763,7 +763,28 @@ object SparkEntry {
              |  round(min(degrees(atan(l_quantity / 10.0))), 6) AS dg,
              |  round(min((1 - cos(l_quantity / 10.0)) / 2), 6) AS hv
              |FROM lineitem WHERE l_partkey <= 30
-             |GROUP BY 1 ORDER BY pk""".stripMargin)))
+             |GROUP BY 1 ORDER BY pk""".stripMargin)),
+
+    // --- mid-pipeline WITH ... ORDER BY ... LIMIT paging: top-20
+    //     customers by order count, then re-matched to their nations
+    //     (the sorted intermediate truncation feeds further MATCHes)
+    ("q47_with_paging", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n_orders
+        |ORDER BY n_orders DESC, c.c_custkey LIMIT 20
+        |MATCH (c)-[:FROM_NATION]->(n:Nation)
+        |RETURN n.n_name AS nation, count(c) AS top_buyers,
+        |       sum(n_orders) AS orders
+        |ORDER BY nation""".stripMargin),
+      Some("""WITH t AS (
+             |  SELECT c_custkey, count(*) AS n_orders
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1 ORDER BY n_orders DESC, c_custkey LIMIT 20)
+             |SELECT n_name AS nation, count(*) AS top_buyers,
+             |       CAST(sum(t.n_orders) AS BIGINT) AS orders
+             |FROM t JOIN customer c ON c.c_custkey = t.c_custkey
+             |JOIN nation ON n_nationkey = c_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)))
 
   // ================================================= training-data pipeline
 
@@ -3033,6 +3054,26 @@ object SparkEntry {
              |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
+
+    // --- byte-range chunk manifest for parallel range-read decode
+    //     (metadata-only: computed from payload length, bytes unread)
+    ("m03_chunk_manifest",
+      (s, dir) => Multimodal.chunkManifest(
+          docs(s, dir).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "payload", "doc_id", chunkBytes = 96)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (SELECT doc_id, n,
+             |        unnest(range(0, CAST(ceil(n / 96.0) AS BIGINT)))
+             |          AS chunk_idx
+             |      FROM b WHERE n > 0)
+             |SELECT doc_id, chunk_idx, chunk_idx * 96 AS off,
+             |       least(96, n - chunk_idx * 96) AS len
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
 
     // --- peak concurrent sessions per hour: the +1/-1 interval sweep
     //     as a distributed prefix sum (per-hour carry-in, so no ordered

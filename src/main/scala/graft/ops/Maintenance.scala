@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -58,4 +58,25 @@ object Maintenance {
     sorted.write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /**
+   * Partition-skew report: rows per physical partition of `df` AS
+   * CURRENTLY PARTITIONED, plus the skew ratio (max/avg) — the
+   * diagnostic run before blaming an operator for a straggler. One
+   * narrow map (spark_partition_id) + a partial-aggregated count;
+   * returns (partition_id, n_rows) with the summary in
+   * [[partitionSkewSummary]].
+   */
+  def partitionSkewReport(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** One-row summary of [[partitionSkewReport]]: n_partitions, total,
+    * max, avg, skew = max/avg. */
+  def partitionSkewSummary(df: DataFrame): DataFrame =
+    partitionSkewReport(df)
+      .agg(count(lit(1)).as("n_partitions"), sum("n_rows").as("total_rows"),
+        max("n_rows").as("max_rows"),
+        (sum("n_rows").cast("double") / count(lit(1))).as("avg_rows"))
+      .withColumn("skew", col("max_rows") / col("avg_rows"))
 }

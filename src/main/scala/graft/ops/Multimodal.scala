@@ -169,4 +169,32 @@ object Multimodal {
         floor((col("__cum") - col("byte_len")) / lit(maxBatchBytes))
           .as("batch_id"))
   }
+
+  /**
+   * Byte-range chunk manifest for oversized payloads: split every
+   * payload into fixed `chunkBytes` ranges (last chunk ragged), one
+   * row per chunk with its offset/length — the metadata a parallel
+   * range-read decode stage consumes (each worker fetches only its
+   * [off, off+len) slice of the blob store object, so a 4 GB video
+   * never single-threads one task). Empty payloads yield no chunks.
+   * Output: (idCol, chunk_idx, off, len).
+   *
+   * Scale shape: metadata-only — the manifest computes from the
+   * payload LENGTH (parquet statistics-friendly), payload bytes are
+   * never read, and the in-row sequence explode is bounded by
+   * payload_size / chunkBytes.
+   */
+  def chunkManifest(df: DataFrame, binCol: String, idCol: String,
+                    chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1, s"chunkBytes must be >= 1: $chunkBytes")
+    df.select(col(idCol), length(col(binCol)).cast("long").as("__n"))
+      .where(col("__n") > 0)
+      .select(col(idCol), col("__n"),
+        explode(sequence(lit(0L),
+          expr(s"(__n - 1) div $chunkBytes"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("off"),
+        least(lit(chunkBytes.toLong),
+          col("__n") - col("chunk_idx") * chunkBytes).as("len"))
+  }
 }

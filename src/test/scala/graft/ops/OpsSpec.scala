@@ -3536,4 +3536,28 @@ class OpsSpec extends AnyFunSuite {
     val exact = inter / (na + nb - inter)
     assert(math.abs(est - exact) < 0.12, s"est $est vs exact $exact")
   }
+
+  test("chunkManifest: ragged last chunk, empty payloads dropped, coverage exact") {
+    val df = Seq(
+      (1L, Array.fill[Byte](250)(1)),
+      (2L, Array.fill[Byte](96)(2)),
+      (3L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.chunkManifest(df, "payload", "doc_id", 96)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("off"), r.getAs[Long]("len")))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 96L), (1L, 1L, 96L, 96L), (1L, 2L, 192L, 58L),
+      (2L, 0L, 0L, 96L)))
+  }
+
+  test("partitionSkewReport/Summary: counts conserve, skew >= 1") {
+    val df = spark.range(0, 1000).toDF("id").repartition(8)
+    val rep = Maintenance.partitionSkewReport(df).collect()
+    assert(rep.map(_.getAs[Long]("n_rows")).sum == 1000L)
+    val s = Maintenance.partitionSkewSummary(df).head()
+    assert(s.getAs[Long]("total_rows") == 1000L)
+    assert(s.getAs[Double]("skew") >= 1.0)
+  }
 }
