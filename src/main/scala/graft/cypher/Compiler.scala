@@ -1078,21 +1078,35 @@ object Compiler {
     else {
       val lenCol = shortestVar.getOrElse("__shortest_len")
       val others = cols.filterNot(_ == lenCol)
+      // Slim binding key: a node's property columns are functionally
+      // dependent on its id column, so the reduction groups on the id
+      // columns (plus any non-node columns — WITH values, edge fields)
+      // and carries the dependent properties through first() — exact,
+      // because every row of a group holds identical values. Grouping
+      // on all visible columns instead hashes/shuffles wide string
+      // keys and was the whole cost of q44 (8-column key vs 2 ids).
+      val depCols: Set[String] = vis.collect {
+        case (a, NodeBinding(n)) =>
+          n.properties.filterNot(_ == n.idColumn).map(p => pref(a, p))
+      }.flatten.toSet
+      val keyCols = others.filterNot(depCols)
+      val carried = others.filter(depCols)
       val reduced =
         if (shortestOne) {
-          // min length per binding of every other visible column; also
-          // collapses same-length paths through different interior nodes
-          // (Cypher: ONE shortest path per binding). One partially-
-          // aggregated shuffle on the binding key — no per-path state.
-          unioned.groupBy(others.map(col): _*)
-            .agg(min(col(lenCol)).as(lenCol))
+          // min length per binding; also collapses same-length paths
+          // through different interior nodes (Cypher: ONE shortest path
+          // per binding). One partially-aggregated shuffle on the slim
+          // binding key — no per-path state.
+          unioned.groupBy(keyCols.map(col): _*)
+            .agg(min(col(lenCol)).as(lenCol),
+              carried.map(c => first(col(c)).as(c)): _*)
             .select(cols.map(col): _*)
         } else {
           // allShortestPaths: keep every row at the per-binding minimum
           // (same-length paths through different interiors stay distinct
-          // rows). One window shuffle on the binding key; no dedup.
+          // rows). One window shuffle on the slim binding key; no dedup.
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(others.map(col): _*)
+            .partitionBy(keyCols.map(col): _*)
           unioned.withColumn("__min_len", min(col(lenCol)).over(w))
             .where(col(lenCol) === col("__min_len"))
             .select(cols.map(col): _*)
