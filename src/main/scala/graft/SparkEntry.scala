@@ -4450,7 +4450,71 @@ object SparkEntry {
              |             ELSE 2.0 * coalesce(pn.n_tri, 0)
              |                  / (d.deg * (d.deg - 1)) END, 6) AS coeff
              |FROM deg d LEFT JOIN pn ON pn.node = d.node
-             |ORDER BY d.node""".stripMargin)))
+             |ORDER BY d.node""".stripMargin)),
+
+    // weighted bipartite projection part→supplier with the hub valve
+    // and a weight floor (the formalized co-X graph constructor)
+    ("g10_bipartite_project",
+      (s, dir) => {
+        val li = graft.cypher.GraphCatalog.cachedParquet(s,
+          s"$dir/lineitem.parquet")
+        GraphOps.bipartiteProject(
+            li.where(col("l_quantity") >= 48)
+              .select(col("l_partkey").as("p"), col("l_suppkey").as("sid")),
+            "p", "sid", maxPivotDegree = Some(8), minWeight = 2)
+          .orderBy("u", "v")
+      },
+      Some("""WITH pr AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 48),
+             |pd AS (SELECT p, count(*) d FROM pr GROUP BY 1),
+             |k AS (SELECT pr.p, pr.s FROM pr
+             |      JOIN pd ON pd.p = pr.p AND pd.d <= 8)
+             |SELECT a.s AS u, b.s AS v, count(*) AS weight
+             |FROM k a JOIN k b ON a.p = b.p AND a.s < b.s
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY u, v""".stripMargin)),
+
+    // Newman modularity of the 2-round label-prop communities over the
+    // co-supply graph (the quality gate after community detection)
+    ("g11_modularity",
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir)
+        val comm = GraphOps.labelPropagation(e, "s1", "s2", rounds = 2)
+        GraphOps.modularity(e, "s1", "s2", comm)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+             |c1 AS (SELECT a.node, l.label, count(*) c FROM adj a
+             |       JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2),
+             |r1 AS (SELECT node, label, row_number() OVER
+             |         (PARTITION BY node ORDER BY c DESC, label ASC) rk
+             |       FROM c1),
+             |l1 AS (SELECT node, label FROM r1 WHERE rk = 1),
+             |c2 AS (SELECT a.node, l.label, count(*) c FROM adj a
+             |       JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2),
+             |r2 AS (SELECT node, label, row_number() OVER
+             |         (PARTITION BY node ORDER BY c DESC, label ASC) rk
+             |       FROM c2),
+             |l2 AS (SELECT node, label FROM r2 WHERE rk = 1),
+             |deg AS (SELECT node, count(*) d FROM adj GROUP BY 1),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) m FROM e),
+             |intra AS (SELECT la.label, count(*) li
+             |          FROM e JOIN l2 la ON la.node = e.lo
+             |          JOIN l2 lb ON lb.node = e.hi AND la.label = lb.label
+             |          GROUP BY 1),
+             |dc AS (SELECT l2.label, sum(d.d) dc
+             |       FROM l2 JOIN deg d ON d.node = l2.node GROUP BY 1)
+             |SELECT round(sum(coalesce(intra.li, 0) / m.m
+             |         - pow(dc.dc / (2.0 * m.m), 2)), 6) AS modularity,
+             |       count(*) AS n_communities,
+             |       CAST(max(m.m) AS BIGINT) AS m_edges
+             |FROM dc LEFT JOIN intra ON intra.label = dc.label
+             |CROSS JOIN m""".stripMargin)))
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs ++ graphSpecs
 

@@ -427,4 +427,79 @@ object GraphOps {
             (col("deg") * (col("deg") - lit(1L))).cast("double")), 6)
           .as("coeff"))
   }
+
+  /**
+   * Bipartite projection: from a two-mode edge list (left, right),
+   * produce the one-mode co-occurrence graph over the RIGHT nodes —
+   * (u < v, weight = number of distinct left pivots they share). This
+   * is the graph-construction step behind co-supply / co-purchase /
+   * co-citation analytics (7 of this repo's graph specs build exactly
+   * this shape inline).
+   *
+   * Scale: the quadratic danger is a hub pivot (a left node connected
+   * to k rights emits k² pairs) — `maxPivotDegree` drops pivots above
+   * the cap BEFORE pairing (documented truncation, the triangleCount
+   * valve); `minWeight` prunes noise pairs after the partial-agg
+   * count. Distinct-then-join on the pivot key is one shuffle; pair
+   * aggregation a second.
+   */
+  def bipartiteProject(edges: DataFrame, leftCol: String, rightCol: String,
+                       maxPivotDegree: Option[Int] = None,
+                       minWeight: Long = 1): DataFrame = {
+    val pr = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .where(col("__l").isNotNull && col("__r").isNotNull)
+      .distinct()
+    val kept = maxPivotDegree match {
+      case None => pr
+      case Some(cap) =>
+        val pd = pr.groupBy("__l").agg(count(lit(1)).as("__d"))
+        pr.join(pd.where(col("__d") <= cap).select("__l"), Seq("__l"))
+    }
+    kept.as("a").join(kept.as("b"),
+        col("a.__l") === col("b.__l") && col("a.__r") < col("b.__r"))
+      .groupBy(col("a.__r").as("u"), col("b.__r").as("v"))
+      .agg(count(lit(1)).as("weight"))
+      .where(col("weight") >= minWeight)
+  }
+
+  /**
+   * Newman modularity of a community assignment over the undirected
+   * graph: `Q = Σ_c [ L_c/m − (D_c/2m)² ]` (L_c intra-community
+   * edges, D_c total degree of c, m total edges) — the one-number
+   * quality check run after ANY community detection
+   * ([[labelPropagation]], the dedup components) before the
+   * assignment is trusted downstream. Output one row:
+   * (modularity, n_communities, m_edges), modularity rounded to 6.
+   *
+   * Scale: two broadcast-or-hash joins of the slim (node, community)
+   * map onto the canonical edge list, partial-aggregated per-community
+   * sums (state = communities, not nodes), one final 1-row reduce.
+   * Nodes missing from `communities` fail loudly (inner joins drop
+   * their edges and the degree sum mismatch is visible in m_edges)
+   * rather than silently counting as singletons.
+   */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 communities: DataFrame, nodeCol: String = "node",
+                 commCol: String = "label"): DataFrame = {
+    val e = canonical(edges, aCol, bCol)
+    val comm = communities.select(col(nodeCol).as("__n"),
+      col(commCol).as("__c"))
+    val mDf = e.agg(count(lit(1)).cast("double").as("__m"))
+    val deg = symmetric(e).groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val intra = e
+      .join(comm.select(col("__n").as("lo"), col("__c").as("__ca")), Seq("lo"))
+      .join(comm.select(col("__n").as("hi"), col("__c").as("__cb")), Seq("hi"))
+      .where(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("__c")).agg(count(lit(1)).as("__li"))
+    val dc = comm.join(deg, col("__n") === col("node"))
+      .groupBy(col("__c")).agg(sum(col("__d")).as("__dc"))
+    dc.join(intra, Seq("__c"), "left")
+      .crossJoin(broadcast(mDf))
+      .agg(
+        round(sum(coalesce(col("__li"), lit(0L)).cast("double") / col("__m")
+          - pow(col("__dc").cast("double") / (lit(2.0) * col("__m")), 2)), 6)
+          .as("modularity"),
+        count(lit(1)).as("n_communities"),
+        max(col("__m")).cast("long").as("m_edges"))
+  }
 }

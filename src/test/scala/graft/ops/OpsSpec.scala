@@ -3560,4 +3560,33 @@ class OpsSpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_rows") == 1000L)
     assert(s.getAs[Double]("skew") >= 1.0)
   }
+
+  test("bipartiteProject: weights exact, hub pivots dropped") {
+    val e = Seq(
+      (10L, 1L), (10L, 2L),             // pivot 10 -> pair (1,2)
+      (11L, 1L), (11L, 2L), (11L, 3L),  // pivot 11 -> (1,2),(1,3),(2,3)
+      (12L, 1L), (12L, 2L), (12L, 3L), (12L, 4L) // hub (deg 4): dropped at cap 3
+    ).toDF("l", "r")
+    val out = GraphOps.bipartiteProject(e, "l", "r",
+        maxPivotDegree = Some(3), minWeight = 1)
+      .orderBy("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("weight")))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L)))
+    val floored = GraphOps.bipartiteProject(e, "l", "r",
+      maxPivotDegree = Some(3), minWeight = 2).collect()
+    assert(floored.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("modularity: two triangles + bridge, known Q") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "label")
+    val r = GraphOps.modularity(e, "a", "b", comm).head()
+    // m=7; per community: L=3, D=7 -> Q = 2*(3/7 - (7/14)^2)
+    assert(r.getAs[Double]("modularity") ==
+      math.round((2.0 * (3.0 / 7 - 0.25)) * 1e6) / 1e6)
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("m_edges") == 7L)
+  }
 }
