@@ -468,10 +468,15 @@ object Dedup {
     val content =
       if (prefixLen > 0) substring(col(textCol), 1, prefixLen)
       else col(textCol)
+    // materialize the distinct (source, key) frame once: three
+    // consumers (pair expansion + both size legs) would otherwise each
+    // re-scan the corpus; the keys frame is the slim post-distinct
+    // form, exactly what should persist at 100 TB
     val keys = df.where(col(textCol).isNotNull)
       .select(col(sourceCol).cast(StringType).as("__src"),
         md5(content.cast(BinaryType)).as("__k"))
       .distinct()
+      .localCheckpoint()
     val sizes = keys.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
     val srcSet = keys.groupBy(col("__k"))
       .agg(sort_array(collect_set(col("__src"))).as("__ss"))

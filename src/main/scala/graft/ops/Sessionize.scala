@@ -605,11 +605,16 @@ object Sessionize {
    */
   def peakConcurrency(sessions: DataFrame, startCol: String,
                       endCol: String, idCol: String): DataFrame = {
+    // materialize the slim (ts, ±1, id, hour) delta frame once: both
+    // the carry-in subtree and the within-hour window consume it, and
+    // without the cut each consumer re-derives the whole upstream
+    // session computation (4 event scans in e22's composed plan)
     val deltas = sessions.select(col(startCol).as("__ts"), lit(1L).as("__d"),
         col(idCol).as("__id"))
       .unionAll(sessions.select(col(endCol).as("__ts"), lit(-1L).as("__d"),
         col(idCol).as("__id")))
       .withColumn("__h", date_trunc("hour", col("__ts")))
+      .localCheckpoint()
     val perHour = deltas.groupBy(col("__h"))
       .agg(sum(col("__d")).as("__tot"))
     // tiny global window: one row per hour with any delta
