@@ -3055,6 +3055,68 @@ object SparkEntry {
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
 
+    // --- FORWARD as-of: first purchase at/after each click (DuckDB
+    //     ASOF with the comparison flipped); same merge-scan, reversed
+    //     traversal
+    ("e23_asof_forward",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value"))
+          .groupBy("user_id", "pts").agg(max("value").as("pval"))
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
+            direction = "forward")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("pts"), col("pval"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |c AS (SELECT event_id, user_id, ts, value
+             |      FROM e0 WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS pts, max(value) AS pval
+             |      FROM e0 WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts)
+             |SELECT c.event_id, c.user_id, c.value, p.pts, p.pval
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts <= p.pts
+             |ORDER BY c.event_id""".stripMargin)),
+
+    // --- NEAREST as-of: closer of the preceding/following purchase,
+    //     ties to the earlier row; oracle is the argmin theta form
+    //     (fine at oracle scale; the engine stays merge-scan)
+    ("e24_asof_nearest",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"), col("value"))
+          .groupBy("user_id", "pts").agg(max("value").as("pval"))
+        AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", "pts",
+            direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("pts"), col("pval"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |c AS (SELECT event_id, user_id, ts
+             |      FROM e0 WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS pts, max(value) AS pval
+             |      FROM e0 WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts),
+             |j AS (SELECT c.event_id, c.user_id, p.pts, p.pval,
+             |        row_number() OVER (PARTITION BY c.event_id
+             |          ORDER BY abs(epoch_us(c.ts) - epoch_us(p.pts)),
+             |                   p.pts) AS rk
+             |      FROM c JOIN p ON c.user_id = p.user_id)
+             |SELECT c.event_id, c.user_id, j.pts, j.pval
+             |FROM c LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
+             |  ON j.event_id = c.event_id
+             |ORDER BY c.event_id""".stripMargin)),
+
     // --- byte-range chunk manifest for parallel range-read decode
     //     (metadata-only: computed from payload length, bytes unread)
     ("m03_chunk_manifest",

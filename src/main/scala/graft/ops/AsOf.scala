@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,9 +40,12 @@ object AsOf {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               toleranceSec: Option[Long] = None): DataFrame = {
+               toleranceSec: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(toleranceSec.forall(_ > 0),
       s"toleranceSec must be positive: $toleranceSec")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest: $direction")
     val rPay = right.columns.filterNot(keys.contains)
     val clash = rPay.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asofJoin column collision: ${clash.mkString(", ")}")
@@ -57,20 +60,45 @@ object AsOf {
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ats"), lit(0).as("__side"),
         lit(null).cast(left.schema).as("__l"), rStruct.as("__r")): _*)
+    val both = l2.unionByName(r2)
 
-    // side 0 (right) sorts before side 1 (left) at equal ts → the match
-    // is inclusive (rightTs == leftTs qualifies), like DuckDB ASOF
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l2.unionByName(r2)
-      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
-    val bounded = toleranceSec.foldLeft(carried) { (df, tol) =>
-      df.withColumn("__c", when(
-        unix_micros(col("__ats")) -
-          unix_micros(col("__c").getField(rightTs)) <= tol * 1000000L,
-        col("__c")))
+    // side 0 (right) sorts before side 1 (left) at equal ts in EITHER
+    // traversal direction → the match is inclusive (rightTs == leftTs
+    // qualifies), like DuckDB ASOF. backward scans time ascending and
+    // carries the latest preceding right row; forward scans descending
+    // and carries the earliest following one; nearest evaluates both
+    // carries over the SAME exchange (one shuffle, two sorted passes)
+    // and keeps the closer, ties to the earlier (backward) row.
+    def carry(asc: Boolean): Column = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(if (asc) col("__ats").asc else col("__ats").desc,
+          col("__side").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      last(col("__r"), ignoreNulls = true).over(w)
+    }
+    def within(c: Column, tol: Long): Column = {
+      val gap = abs(unix_micros(col("__ats")) -
+        unix_micros(c.getField(rightTs)))
+      when(gap <= tol * 1000000L, c)
+    }
+    val carried = direction match {
+      case "backward" => both.withColumn("__c", carry(asc = true))
+      case "forward"  => both.withColumn("__c", carry(asc = false))
+      case "nearest" =>
+        val gapOf = (c: Column) => abs(unix_micros(col("__ats")) -
+          unix_micros(c.getField(rightTs)))
+        both.withColumn("__cb", carry(asc = true))
+          .withColumn("__cf", carry(asc = false))
+          .withColumn("__c",
+            when(col("__cf").isNull, col("__cb"))
+              .when(col("__cb").isNull, col("__cf"))
+              .when(gapOf(col("__cf")) < gapOf(col("__cb")), col("__cf"))
+              .otherwise(col("__cb")))
+          .drop("__cb", "__cf")
+    }
+    val filtered = carried.where(col("__side") === 1)
+    val bounded = toleranceSec.foldLeft(filtered) { (df, tol) =>
+      df.withColumn("__c", within(col("__c"), tol))
     }
     bounded.select(left.columns.map(n => col("__l").getField(n).as(n)) ++
       rPay.map(n => col("__c").getField(n).as(n)): _*)

@@ -3589,4 +3589,32 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_communities") == 2L)
     assert(r.getAs[Long]("m_edges") == 7L)
   }
+
+  test("asofJoin directions: forward/nearest semantics and ties") {
+    val L = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:10")))
+      .toDF("lid", "k", "ts")
+    val R = Seq(
+      (10L, Timestamp.valueOf("2024-01-01 10:00:00"), "before"),
+      (10L, Timestamp.valueOf("2024-01-01 10:00:30"), "after")
+    ).toDF("k", "rts", "tag")
+    def run(dir: String, tol: Option[Long] = None) =
+      AsOf.asofJoin(L, R, Seq("k"), "ts", "rts", tol, dir)
+        .select("lid", "tag").head().getString(1)
+    assert(run("backward") == "before")
+    assert(run("forward") == "after")
+    assert(run("nearest") == "before") // 10s back vs 20s forward
+    // tolerance cuts the forward match (20s > 15s)
+    assert(AsOf.asofJoin(L, R, Seq("k"), "ts", "rts", Some(15L), "forward")
+      .select("tag").head().isNullAt(0))
+    // equal-distance tie goes to the earlier (backward) row
+    val Lt = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:15")))
+      .toDF("lid", "k", "ts")
+    assert(AsOf.asofJoin(Lt, R, Seq("k"), "ts", "rts", None, "nearest")
+      .select("tag").head().getString(0) == "before")
+    // equal-ts inclusivity in both directions
+    val Le = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:30")))
+      .toDF("lid", "k", "ts")
+    assert(AsOf.asofJoin(Le, R, Seq("k"), "ts", "rts", None, "forward")
+      .select("tag").head().getString(0) == "after")
+  }
 }
