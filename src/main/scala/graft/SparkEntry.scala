@@ -2018,6 +2018,54 @@ object SparkEntry {
       },
       Some(bm25Oracle)),
 
+    // --- Dirichlet query-likelihood retrieval (LM scoring; matched-
+    //     postings decomposition — same join shape as BM25)
+    ("s21_query_likelihood",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "hash join order"), (1L, "fast scan filter"),
+          (2L, "stream window agg")).toDF("query_id", "qtext")
+        Retrieval.queryLikelihoodTopK(docs(s, dir), qs, "text", "doc_id",
+            "query_id", "qtext", k = 10, mu = 1000.0)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES (0, 'hash join order'),
+             |    (1, 'fast scan filter'), (2, 'stream window agg')),
+             |qt AS (SELECT query_id,
+             |         unnest(list_distinct(string_split_regex(trim(qtext),
+             |           '\s+'))) AS token FROM q),
+             |t AS (SELECT doc_id,
+             |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+             |cf AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf
+             |       FROM tf GROUP BY 1),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM e GROUP BY 1),
+             |g AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM t),
+             |nq AS (SELECT query_id, count(*) AS nq
+             |       FROM qt JOIN cf USING (token) GROUP BY 1),
+             |m AS (SELECT qt.query_id, tf.doc_id,
+             |        sum(ln(1.0 + (CAST(tf.tf AS DOUBLE)
+             |              * CAST(g.total_tokens AS DOUBLE))
+             |            / (1000.0 * CAST(cf.cf AS DOUBLE)))) AS ms
+             |      FROM qt JOIN tf USING (token) JOIN cf USING (token)
+             |      CROSS JOIN g GROUP BY 1, 2),
+             |sc AS (SELECT m.query_id, m.doc_id,
+             |         m.ms + nq.nq * ln(1000.0
+             |           / (CAST(dl.dl AS DOUBLE) + 1000.0)) AS score
+             |       FROM m JOIN dl ON dl.doc_id = m.doc_id
+             |       JOIN nq ON nq.query_id = m.query_id),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id
+             |         ORDER BY round(score, 6) DESC, doc_id) AS rank
+             |      FROM sc)
+             |SELECT query_id, doc_id, rank, round(score, 6) AS score
+             |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // --- winnowing fingerprints (MOSS): window-min over modular token
     //     3-gram hashes — plain mod-1e9+7 arithmetic, full value oracle
     ("t20_winnow",

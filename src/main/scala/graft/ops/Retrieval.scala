@@ -88,6 +88,73 @@ object Retrieval {
   }
 
   /**
+   * Dirichlet-smoothed query-likelihood top-`k` (Ponte & Croft's LM
+   * retrieval with Zhai & Lafferty's Dirichlet prior), the classic
+   * complement to [[bm25TopK]]:
+   *
+   *   score(q,d) = Σ_{t ∈ q∩d} ln(1 + tf(t,d)·|C| / (μ·cf(t)))
+   *                + |q|_eff · ln(μ / (|d| + μ))
+   *
+   * using the standard sum-over-matched-postings decomposition, so the
+   * join shape is IDENTICAL to BM25 (matched postings + slim per-doc /
+   * per-query corrections) — no term-complete scoring pass. `cf` is
+   * the collection term frequency, |C| total tokens, |q|_eff the
+   * query's terms that exist in the collection (OOV terms drop from
+   * both parts, the standard convention). Candidates are documents
+   * matching ≥ 1 term. Ranking key = score rounded to 6, doc id tie.
+   *
+   * Scale shape: ONE tokenize pass — cf, dl and the match join all
+   * reuse the (doc, term, tf) exchange; the query side broadcasts;
+   * corrections are a per-query count (broadcast) and the per-doc
+   * length join. Bodies never shuffle.
+   */
+  def queryLikelihoodTopK(docs: DataFrame, queries: DataFrame,
+                          textCol: String, idCol: String, qidCol: String,
+                          qtextCol: String, k: Int,
+                          mu: Double = 1000.0): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(mu > 0, s"mu must be positive: $mu")
+    val toks = docs.select(col(idCol).cast(LongType).as("__id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(col("__id").isNotNull && col("token").isNotNull)
+    val tf = toks.groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // tf >= 1 guard: keeps cf/dl canonically equal to the tf subplan so
+    // the exchange is reused (the bm25TopK/t12 lesson)
+    val cf = tf.where(col("tf") >= 1)
+      .groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    val dl = tf.where(col("tf") >= 1)
+      .groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
+    val g = docs.select(TextOps.tokenCount(col(textCol)).as("__n"))
+      .agg(sum(col("__n")).as("total_tokens"))
+    val qt = queries.select(col(qidCol).cast(LongType).as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
+    val nq = qt.join(cf, Seq("token"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__nq"))
+    val term = log(lit(1.0) +
+      (col("tf").cast(DoubleType) * col("total_tokens").cast(DoubleType)) /
+        (lit(mu) * col("cf").cast(DoubleType)))
+    val matched = tf.join(broadcast(qt), Seq("token"))
+      .join(cf, Seq("token"))
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col("__id"), term.as("__s"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("__s")).as("__m"))
+    val scored = matched.join(dl, Seq("__id"))
+      .join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("__id"),
+        (col("__m") + col("__nq").cast(DoubleType) *
+          log(lit(mu) / (col("dl").cast(DoubleType) + lit(mu))))
+          .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("__id").as("doc_id"), col("rank"),
+        col("score"))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack & Clarke, SIGIR 2009) of ranked
    * retrieval runs — the standard score-free way to combine a sparse
    * (BM25) and a dense (ANN) run into one hybrid ranking:

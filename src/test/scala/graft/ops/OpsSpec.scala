@@ -3617,4 +3617,27 @@ class OpsSpec extends AnyFunSuite {
     assert(AsOf.asofJoin(Le, R, Seq("k"), "ts", "rts", None, "forward")
       .select("tag").head().getString(0) == "after")
   }
+
+  test("queryLikelihood: plan reuses the tf exchange; sane ranking semantics") {
+    val docsQl = Seq(
+      (1L, "quick fox jumps"), (2L, "quick quick quick fox"),
+      (3L, "slow turtle walks"), (4L, "fox")
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "quick fox zzz_oov")).toDF("query_id", "qtext")
+    val r = Retrieval.queryLikelihoodTopK(docsQl, q, "text", "doc_id",
+      "query_id", "qtext", k = 4, mu = 10.0)
+    val rows = r.orderBy("rank").collect()
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage") || plan.contains("TableCacheQueryStage"),
+      s"tf subplan not reused:\n$plan")
+    // doc 3 matches nothing -> absent; doc 2 (3x quick + fox) ranks first
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 4L))
+    assert(rows.head.getAs[Long]("doc_id") == 2L)
+    // scores strictly ordered and finite (OOV term dropped cleanly)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.forall(s => !s.isNaN && !s.isInfinite))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
 }
