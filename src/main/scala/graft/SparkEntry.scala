@@ -3103,6 +3103,43 @@ object SparkEntry {
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
 
+    // --- blocked Levenshtein fuzzy pairs on 24-char prefixes within
+    //     language blocks (character-level near-match that Jaccard
+    //     misses); length-band prefilter before any DP
+    ("d18_fuzzy_pairs",
+      (s, dir) => Dedup.editDistancePairs(docs(s, dir), "text", "doc_id",
+          "lang", maxDist = 6, prefixLen = 24)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH b AS (SELECT doc_id, lang, substr(text, 1, 24) AS p
+             |           FROM documents WHERE text IS NOT NULL)
+             |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             |       levenshtein(a.p, c.p) AS dist
+             |FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
+             |WHERE abs(len(a.p) - len(c.p)) <= 6
+             |  AND levenshtein(a.p, c.p) <= 6
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // --- stride-scheduled source interleave: virtual time (i+1)/w_g
+    //     per group, one global order at the target rates ('es'
+    //     excluded — absent weights drop)
+    ("p14_interleave",
+      (s, dir) => Pipeline.interleaveSources(
+          docs(s, dir).select(col("doc_id"), col("lang")), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+        .orderBy("order_pos"),
+      Some("""WITH w(lang, w) AS (VALUES ('en', 0.5), ('de', 0.2),
+             |    ('fr', 0.2), ('zh', 0.1)),
+             |k AS (SELECT doc_id, d.lang, w.w,
+             |        row_number() OVER (PARTITION BY d.lang
+             |          ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+             |          / w.w AS vt
+             |      FROM documents d JOIN w ON w.lang = d.lang)
+             |SELECT doc_id, lang,
+             |       CAST(row_number() OVER (ORDER BY vt, lang, doc_id) - 1
+             |            AS BIGINT) AS order_pos
+             |FROM k ORDER BY order_pos""".stripMargin)),
+
     // --- FORWARD as-of: first purchase at/after each click (DuckDB
     //     ASOF with the comparison flipped); same merge-scan, reversed
     //     traversal

@@ -191,6 +191,47 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /**
+   * Blocked edit-distance (Levenshtein) near-match pairs over a short
+   * key — fuzzy-join for titles, names, and document PREFIXES (typo'd
+   * boilerplate, OCR drift) where set-similarity (Jaccard) misses
+   * character-level edits. Pairs form only inside `blockCol` blocks
+   * (the d02 contract: the quadratic operator is only ever pointed at
+   * bounded blocks, `maxBlock` caps runaway ones), and the length-band
+   * prefilter `|len(a)−len(b)| ≤ maxDist` — a NECESSARY condition for
+   * the distance — prunes most candidates before any DP runs.
+   * `prefixLen > 0` compares the first prefixLen chars (0 = whole
+   * value). Output: (id_a < id_b, dist ≤ maxDist).
+   *
+   * Scale: Levenshtein is O(len²) per pair — keep the compared key
+   * short (that is what prefixLen is for); the DP cost is confined to
+   * length-banded in-block pairs. Spark's levenshtein() and DuckDB's
+   * agree on the standard metric, so the oracle mirrors exactly.
+   */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, maxDist: Int,
+                        prefixLen: Int = 0,
+                        maxBlock: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val key =
+      if (prefixLen > 0) substring(col(textCol), 1, prefixLen)
+      else col(textCol)
+    val ok = boundedBlocks(df, blockCol, maxBlock)
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(blockCol).as("__blk"),
+        col(idCol).cast(LongType).as("__id"), key.as("__p"))
+    val l = base.join(ok, Seq("__blk"))
+      .select(col("__blk"), col("__id").as("id_a"), col("__p").as("__pa"))
+    val r = base.select(col("__blk"), col("__id").as("id_b"),
+      col("__p").as("__pb"))
+    l.join(r, Seq("__blk"))
+      .where(col("id_a") < col("id_b") &&
+        abs(length(col("__pa")) - length(col("__pb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__pa"), col("__pb")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   // ------------------------------------------------------------- MinHash
 
   /** Prime modulus > 2^32 for the universal-hash family. */

@@ -675,4 +675,42 @@ object Pipeline {
       .withColumn("pad_waste",
         col("n_rows") * col("max_tokens") - col("sum_tokens"))
   }
+
+  /**
+   * Deterministic rate-controlled interleave of sources into ONE
+   * training order (stride scheduling): group g's i-th document (hash
+   * order) gets virtual time `(i+1)/w_g`, and the global order sorts
+   * by virtual time — so every prefix of the stream contains each
+   * group at ≈ its weight's rate (a 0.5-weight group appears twice as
+   * often as a 0.25 one), instead of the block-concatenated order that
+   * makes early training see one source only. Groups missing from
+   * `weights` are excluded; weights need not sum to 1 (rates are
+   * relative). Ties (equal virtual time) break by (group, id).
+   * Output: input columns + `order_pos` (0-based global position).
+   *
+   * Scale shape: one hash shuffle per-group window for the in-group
+   * position, then ONE range exchange for the global order — the
+   * write-time cost of materializing a training order, paid once
+   * (same contract as the z-order rewrite). The virtual-time key is
+   * exact double division of small ints — engine-portable.
+   */
+  def interleaveSources(df: DataFrame, idCol: String, groupCol: String,
+                        weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      s"weights must be non-empty and positive: $weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.toSeq.toDF(groupCol, "__w"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(Hashing.mulHash(col(idCol)), col(idCol))
+    val keyed = df.join(wDf, Seq(groupCol))
+      .withColumn("__vt",
+        row_number().over(wg).cast("double") / col("__w"))
+    val wGlob = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__vt"), col(groupCol), col(idCol))
+    keyed
+      .withColumn("order_pos", row_number().over(wGlob).cast("long") - 1L)
+      .drop("__w", "__vt")
+  }
 }

@@ -668,6 +668,28 @@ object Sessionize {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /**
+   * Structured-streaming twin of [[slidingDistinctUsersApprox]]:
+   * HLL distinct users per sliding event-time window (width
+   * `windowHours` hours, slide 1 hour) with a watermark — a window
+   * emits once the watermark passes its end, so state is bounded by
+   * (#types × open windows), and the per-window aggregation state is
+   * the fixed HLL sketch, never the user set. `hour` is the window's
+   * LAST hour, aligning with the batch twins' output.
+   */
+  def slidingDistinctUsersStream(events: DataFrame, windowHours: Int,
+      watermarkDelay: String = "2 hours", rsd: Double = 0.02,
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1: $windowHours")
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), s"$windowHours hours", "1 hour"),
+        col(typeCol).as("event_type"))
+      .agg(approx_count_distinct(col(userCol), rsd).as("n_users"))
+      .select((col("window.end") - expr("INTERVAL '1' HOUR")).as("hour"),
+        col("event_type"), col("n_users"))
+  }
+
   /** HLL production twin of [[slidingDistinctUsers]]: same output
    *  schema, `approx_count_distinct` (fixed sketch state per group —
    *  the merge tree never materializes the distinct user set per

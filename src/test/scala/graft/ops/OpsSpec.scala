@@ -3640,4 +3640,69 @@ class OpsSpec extends AnyFunSuite {
     assert(scores.forall(s => !s.isNaN && !s.isInfinite))
     assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("editDistancePairs: typo pairs found, length band respected, block isolation") {
+    val df = Seq(
+      (1L, "the quick brown fox", "b1"),
+      (2L, "the quikc brown fox", "b1"),   // transposition: dist 2
+      (3L, "the quick brown fox", "b2"),   // same text, OTHER block: no pair
+      (4L, "completely different text here", "b1"),
+      (5L, "xx", "b1")                     // length band excludes vs all
+    ).toDF("doc_id", "text", "blk")
+    val out = Dedup.editDistancePairs(df, "text", "doc_id", "blk",
+        maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2L)))
+  }
+
+  test("interleaveSources: prefix rates track weights; excluded groups drop") {
+    val docs = (1 to 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "grp")
+    val out = Pipeline.interleaveSources(docs, "doc_id", "grp",
+      Map("a" -> 0.75, "b" -> 0.25)) // c excluded
+    val seq = out.orderBy("order_pos").collect().map(_.getAs[String]("grp"))
+    assert(seq.length == 200 && !seq.contains("c"))
+    // in the first 40 positions, group a should appear ~30 times (75%)
+    val head = seq.take(40)
+    val aCount = head.count(_ == "a")
+    assert(aCount >= 27 && aCount <= 33, s"a appeared $aCount/40")
+    // deterministic under repartition
+    val again = Pipeline.interleaveSources(docs.repartition(7), "doc_id",
+      "grp", Map("a" -> 0.75, "b" -> 0.25))
+      .orderBy("order_pos").collect().map(_.getAs[String]("grp"))
+    assert(seq.toSeq == again.toSeq)
+  }
+
+  test("slidingDistinctUsersStream: closed windows match the batch HLL twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val out = Sessionize.slidingDistinctUsersStream(
+      mem.toDS().toDF("ts", "event_type", "user_id"), windowHours = 2,
+      watermarkDelay = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("slide")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      (t(10, 5), "view", 1L), (t(10, 40), "view", 2L),
+      (t(11, 10), "view", 1L), (t(11, 30), "view", 3L))
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((t(20, 0), "view", 9L)) // watermark jump closes windows
+      q.processAllAvailable()
+      val got = spark.table("slide")
+        .where(col("hour") <= lit(t(11, 0)))  // batch twin clamps at the corpus max hour
+        .orderBy("hour").collect()
+        .map(r => r.getTimestamp(0) -> r.getAs[Long]("n_users"))
+      val batch = Sessionize.slidingDistinctUsersApprox(
+          rows.toDF("ts", "event_type", "user_id"), windowHours = 2)
+        .orderBy("hour").collect()
+        .map(r => r.getTimestamp(1) -> r.getAs[Long]("n_users")).toMap
+      assert(got.nonEmpty)
+      got.foreach { case (h, n) =>
+        assert(batch.get(h).contains(n), s"window $h: stream $n vs batch ${batch.get(h)}")
+      }
+    } finally q.stop()
+  }
 }
