@@ -4599,6 +4599,40 @@ object SparkEntry {
              |FROM deg d LEFT JOIN pn ON pn.node = d.node
              |ORDER BY d.node""".stripMargin)),
 
+    // 4-truss surviving edges after 2 peels of the co-supply graph
+    // (edge-level cohesion; oracle = 2 unrolled support/filter rounds)
+    ("g12_ktruss",
+      (s, dir) => GraphOps.kTruss(coSupplyEdges(s, dir), "s1", "s2",
+          k = 4, rounds = 2)
+        .orderBy("lo", "hi"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e0 AS (SELECT DISTINCT a.s lo, b.s hi
+             |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |t1 AS (SELECT ab.lo a, ab.hi b, bc.hi c
+             |       FROM e0 ab JOIN e0 bc ON ab.hi = bc.lo
+             |       JOIN e0 ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+             |s1 AS (SELECT lo, hi, count(*) sup FROM (
+             |         SELECT a lo, b hi FROM t1
+             |         UNION ALL SELECT b, c FROM t1
+             |         UNION ALL SELECT a, c FROM t1)
+             |       GROUP BY 1, 2),
+             |e1 AS (SELECT e0.lo, e0.hi FROM e0
+             |       JOIN s1 ON s1.lo = e0.lo AND s1.hi = e0.hi
+             |       WHERE s1.sup >= 2),
+             |t2 AS (SELECT ab.lo a, ab.hi b, bc.hi c
+             |       FROM e1 ab JOIN e1 bc ON ab.hi = bc.lo
+             |       JOIN e1 ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+             |s2 AS (SELECT lo, hi, count(*) sup FROM (
+             |         SELECT a lo, b hi FROM t2
+             |         UNION ALL SELECT b, c FROM t2
+             |         UNION ALL SELECT a, c FROM t2)
+             |       GROUP BY 1, 2)
+             |SELECT e1.lo, e1.hi FROM e1
+             |JOIN s2 ON s2.lo = e1.lo AND s2.hi = e1.hi
+             |WHERE s2.sup >= 2
+             |ORDER BY e1.lo, e1.hi""".stripMargin)),
+
     // weighted bipartite projection part→supplier with the hub valve
     // and a weight floor (the formalized co-X graph constructor)
     ("g10_bipartite_project",

@@ -502,4 +502,66 @@ object GraphOps {
         count(lit(1)).as("n_communities"),
         max(col("__m")).cast("long").as("m_edges"))
   }
+
+  /**
+   * k-truss peeling, fixed `rounds` bulk-synchronous iterations: keep
+   * edges participating in ≥ k−2 triangles, recompute, repeat — the
+   * edge-level cohesion decomposition (stricter than k-core; the
+   * standard community-core extractor). Returns the surviving
+   * canonical (lo, hi) edges after `rounds` peels; a fixed round count
+   * keeps the SQL oracle mirrorable (the [[kCore]] contract), with
+   * [[kTrussExact]] as the converged twin.
+   *
+   * Scale: each round re-runs the oriented triangle enumeration on the
+   * shrinking edge set (no row multiplication), explodes each triangle
+   * to its 3 edges IN-ROW, partial-aggregates support per edge, and
+   * semi-joins the survivors; per-round lineage cuts keep plan depth
+   * O(1).
+   */
+  def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
+             rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    for (_ <- 1 to rounds) e = trussPeelOnce(e, k).localCheckpoint(false)
+    e
+  }
+
+  private def trussPeelOnce(e: DataFrame, k: Int): DataFrame = {
+    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
+    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
+    val tris = ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .select(col("a"), col("b"), col("c"))
+    val support = tris.select(explode(array(
+        struct(col("a").as("lo"), col("b").as("hi")),
+        struct(col("b").as("lo"), col("c").as("hi")),
+        struct(col("a").as("lo"), col("c").as("hi")))).as("__e"))
+      .groupBy(col("__e.lo").as("lo"), col("__e.hi").as("hi"))
+      .agg(count(lit(1)).as("__sup"))
+    e.join(support.where(col("__sup") >= k - 2).select("lo", "hi"),
+      Seq("lo", "hi"), "left_semi")
+  }
+
+  /** Converged k-truss: peel until the edge COUNT stops changing —
+    * convergence detection rides the count that materializes each
+    * round's checkpoint (one job per round, the [[kCoreExact]]
+    * pattern). `maxRounds` bounds pathological graphs. */
+  def kTrussExact(edges: DataFrame, aCol: String, bCol: String, k: Int,
+                  maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    var n = e.count()
+    var done = n == 0
+    var r = 0
+    while (!done && r < maxRounds) {
+      e = trussPeelOnce(e, k).localCheckpoint(false)
+      val n2 = e.count()
+      done = n2 == n || n2 == 0
+      n = n2
+      r += 1
+    }
+    e
+  }
 }

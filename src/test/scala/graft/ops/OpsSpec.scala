@@ -3705,4 +3705,20 @@ class OpsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("kTruss: 4-truss keeps the K4, sheds the pendant triangle; exact == converged") {
+    // K4 on {1,2,3,4} (every edge in 2 triangles) plus a triangle
+    // {4,5,6} whose edges sit in only 1 triangle each
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val t = GraphOps.kTruss(e, "a", "b", k = 4, rounds = 2)
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(t.toSeq == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    val ex = GraphOps.kTrussExact(e, "a", "b", k = 4)
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ex.toSeq == t.toSeq)
+    // k=5 kills everything (no edge is in 3 triangles)
+    assert(GraphOps.kTrussExact(e, "a", "b", k = 5).count() == 0L)
+  }
 }
