@@ -3103,6 +3103,25 @@ object SparkEntry {
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
 
+    // --- in-row token-entropy quality signal (no explode, no shuffle;
+    //     low = repetitive boilerplate, high = hash-like noise)
+    ("t32_token_entropy",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          round(TextOps.tokenEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  round(CASE WHEN empty THEN 0.0 ELSE
+             |    -list_sum(list_transform(list_distinct(tk),
+             |      c -> (len(list_filter(tk, x -> x = c))
+             |            / CAST(len(tk) AS DOUBLE))
+             |        * ln(len(list_filter(tk, x -> x = c))
+             |             / CAST(len(tk) AS DOUBLE)))) END, 6) AS entropy
+             |FROM (SELECT doc_id, trim(text) = '' AS empty,
+             |        string_split_regex(trim(text), '\s+') AS tk
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- blocked Levenshtein fuzzy pairs on 24-char prefixes within
     //     language blocks (character-level near-match that Jaccard
     //     misses); length-band prefilter before any DP

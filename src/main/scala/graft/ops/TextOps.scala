@@ -883,6 +883,30 @@ object TextOps {
   }
 
   /**
+   * Shannon entropy of a document's token distribution (nats):
+   * `H = −Σ_t (c_t/n)·ln(c_t/n)` — low entropy flags repetitive /
+   * boilerplate text (keyword stuffing, log spew), high entropy flags
+   * hash-like noise; both are standard corpus-quality cut signals next
+   * to [[qualityScore]]. Empty docs score 0.
+   *
+   * Computed ENTIRELY in-row with higher-order functions (distinct
+   * tokens → per-token counts → fold): no explode, no shuffle — the
+   * histogram a (doc, token) groupBy would shuffle corpus-wide stays
+   * inside the row. Cost is O(distinct·len) per document, fine for the
+   * natural-language distinct-token counts this targets; the fixed
+   * left-to-right fold keeps the double sum engine-portable.
+   */
+  def tokenEntropy(text: Column): Column = {
+    val tk = tokens(text)
+    val n = size(tk).cast(DoubleType)
+    val counts = transform(array_distinct(tk),
+      c => size(filter(tk, x => x === c)).cast(DoubleType))
+    when(size(tk) === 0, lit(0.0)).otherwise(
+      -aggregate(counts, lit(0.0),
+        (acc, c) => acc + (c / n) * log(c / n)))
+  }
+
+  /**
    * Exact heavy hitters over the corpus token stream with BOUNDED
    * aggregation state: every token whose exact count exceeds
    * `n / (capacity + 1)` of the `n` total tokens, found by the

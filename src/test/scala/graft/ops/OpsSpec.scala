@@ -3721,4 +3721,17 @@ class OpsSpec extends AnyFunSuite {
     // k=5 kills everything (no edge is in 3 triangles)
     assert(GraphOps.kTrussExact(e, "a", "b", k = 5).count() == 0L)
   }
+
+  test("tokenEntropy: uniform > repeated; empty is 0; known value") {
+    val r = spark.range(1).select(
+      round(TextOps.tokenEntropy(lit("a b a c")), 6).as("h"),
+      TextOps.tokenEntropy(lit("x x x x")).as("rep"),
+      TextOps.tokenEntropy(lit("")).as("emp"),
+      round(TextOps.tokenEntropy(lit("p q r s")), 6).as("uni")).head()
+    // {a:2,b:1,c:1}: -(.5 ln .5 + .25 ln .25 * 2) = 1.039721
+    assert(r.getDouble(0) == 1.039721)
+    assert(r.getDouble(1) == 0.0 || r.getDouble(1) == -0.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == math.round(math.log(4) * 1e6) / 1e6)
+  }
 }
