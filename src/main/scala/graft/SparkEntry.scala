@@ -3103,6 +3103,30 @@ object SparkEntry {
              |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y
              |FROM r GROUP BY 1 ORDER BY file_id""".stripMargin)),
 
+    // --- packed-sequence assembly map: t06's bins plus per-doc offsets
+    //     (the block-diagonal attention-mask metadata, as rows)
+    ("p15_pack_offsets",
+      (s, dir) => Pipeline.packOffsets(docs(s, dir), "lang", "doc_id",
+          budget = 2048)
+        .orderBy("lang", "doc_id"),
+      Some("""WITH b AS (
+             |  SELECT lang, doc_id,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+')) END
+             |      AS n_tokens,
+             |    sum(CASE WHEN trim(text) = '' THEN 0
+             |             ELSE len(string_split_regex(trim(text), '\s+')) END)
+             |      OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+             |  FROM documents),
+             |k AS (SELECT lang, doc_id, n_tokens,
+             |        CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id
+             |      FROM b)
+             |SELECT lang, doc_id, bin_id,
+             |       CAST(sum(n_tokens) OVER (PARTITION BY lang, bin_id
+             |              ORDER BY doc_id) - n_tokens AS BIGINT) AS offset,
+             |       n_tokens
+             |FROM k ORDER BY lang, doc_id""".stripMargin)),
+
     // --- in-row token-entropy quality signal (no explode, no shuffle;
     //     low = repetitive boilerplate, high = hash-like noise)
     ("t32_token_entropy",

@@ -61,6 +61,36 @@ object Pipeline {
   }
 
   /**
+   * Packed-sequence assembly map: [[packTokenBins]] plus each
+   * document's token OFFSET inside its bin — exactly the
+   * (sequence, segment offset, segment length) triples a packed-batch
+   * loader consumes to build block-diagonal attention masks, emitted
+   * as rows instead of collected lists (no per-bin state, loaders
+   * range-read their bin's rows). A document straddling the budget
+   * boundary stays in its starting bin, so offsets can exceed
+   * `budget` on the last segment — the loader's truncate/continue
+   * decision, surfaced rather than hidden. Output: (groupCol,
+   * orderCol, bin_id, offset, n_tokens).
+   *
+   * Same scale shape as packTokenBins: ONE group-key Exchange (the
+   * (group, bin) window's clustering is satisfied by the group
+   * partitioning — subset rule), two in-partition Sort+Window passes,
+   * zero additional movement.
+   */
+  def packOffsets(docs: DataFrame, groupCol: String, orderCol: String,
+                  budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "bin_id").orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    packTokenBins(docs, groupCol, orderCol, budget)
+      .withColumn("offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(groupCol), col(orderCol), col("bin_id"), col("offset"),
+        col("n_tokens"))
+  }
+
+  /**
    * Deterministic per-stratum sample of EXACTLY `perStratum` rows (or
    * all rows of smaller strata): rows ranked inside each stratum by a
    * multiplicative hash of the id (ties by id). Hash order makes the
