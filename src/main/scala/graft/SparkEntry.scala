@@ -3146,21 +3146,27 @@ object SparkEntry {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
-    // --- blocked Levenshtein fuzzy pairs on 24-char prefixes within
-    //     language blocks (character-level near-match that Jaccard
-    //     misses); length-band prefilter before any DP
+    // --- blocked Levenshtein fuzzy pairs on 20-char prefixes; block =
+    //     lang + first-2-chars (the standard ER blocking trade: a pair
+    //     edited in its first 2 chars needs another blocking pass —
+    //     loose lang-only blocking was 3.2M candidate pairs at sf0.1,
+    //     this is ~107k); length-band prefilter before any DP
     ("d18_fuzzy_pairs",
-      (s, dir) => Dedup.editDistancePairs(docs(s, dir), "text", "doc_id",
-          "lang", maxDist = 6, prefixLen = 24)
+      (s, dir) => Dedup.editDistancePairs(
+          docs(s, dir).withColumn("blk",
+            concat_ws(":", col("lang"), substring(col("text"), 1, 2))),
+          "text", "doc_id", "blk", maxDist = 4, prefixLen = 20)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b"),
-      Some("""WITH b AS (SELECT doc_id, lang, substr(text, 1, 24) AS p
-             |           FROM documents WHERE text IS NOT NULL)
+      Some("""WITH b AS (SELECT doc_id,
+             |    lang || ':' || substr(text, 1, 2) AS blk,
+             |    substr(text, 1, 20) AS p
+             |  FROM documents WHERE text IS NOT NULL)
              |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
              |       levenshtein(a.p, c.p) AS dist
-             |FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
-             |WHERE abs(len(a.p) - len(c.p)) <= 6
-             |  AND levenshtein(a.p, c.p) <= 6
+             |FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+             |WHERE abs(len(a.p) - len(c.p)) <= 4
+             |  AND levenshtein(a.p, c.p) <= 4
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // --- stride-scheduled source interleave: virtual time (i+1)/w_g
