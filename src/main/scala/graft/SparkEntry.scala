@@ -743,6 +743,21 @@ object SparkEntry {
              |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
              |GROUP BY 1, 2 ORDER BY sname""".stripMargin)),
 
+    // --- COUNT { pattern } subquery expression (Cypher 5, extension):
+    //     per-supplier supply-edge count, zero-match suppliers report 0
+    //     (desugars to size() of a 1-per-match pattern comprehension)
+    ("q48_count_subquery", cyx(
+      """MATCH (s:Supplier)
+        |RETURN s.s_name AS sname,
+        |       COUNT { (o:Order)-[:SUPPLIED_BY]->(s) } AS n_supply
+        |ORDER BY sname""".stripMargin),
+      Some("""SELECT s_name AS sname,
+             |       CAST(coalesce(c.n, 0) AS INTEGER) AS n_supply
+             |FROM supplier LEFT JOIN (
+             |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1) c
+             |  ON c.l_suppkey = s_suppkey
+             |ORDER BY sname""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping
@@ -2311,6 +2326,33 @@ object SparkEntry {
       (s, dir) => TextOps.langIdReport(docs(s, dir), "text", "doc_id")
         .orderBy("doc_id"),
       Some(langMarginOracle)),
+
+    // --- language-ID confusion matrix vs the labeled lang column (the
+    //     eval harness for the heuristic: per-(label, prediction)
+    //     counts + within-label share)
+    ("t33_langid_eval",
+      (s, dir) => {
+        val p = docs(s, dir)
+          .select(col("lang"),
+            TextOps.langIdF(TextOps.features(col("text"))).as("pred"))
+        val c = p.groupBy(col("lang"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+        val t = c.groupBy(col("lang")).agg(sum(col("n")).as("__tot"))
+        c.join(t, Seq("lang"))
+          .select(col("lang"), col("pred"), col("n"),
+            round(col("n").cast("double") / col("__tot"), 6).as("share"))
+          .orderBy("lang", "pred")
+      },
+      Some(s"""WITH f AS ($sqlTextFeatures),
+             |b AS (SELECT lang, $sqlBest AS best, f.* FROM f
+             |      JOIN documents USING (doc_id)),
+             |p AS (SELECT lang, $sqlLangCase AS pred FROM b),
+             |c AS (SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2),
+             |t AS (SELECT lang, sum(n) AS tot FROM c GROUP BY 1)
+             |SELECT c.lang, c.pred, c.n,
+             |       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+             |FROM c JOIN t ON t.lang = c.lang
+             |ORDER BY c.lang, c.pred""".stripMargin)),
 
     // --- PMI collocations over the top-40 vocabulary head (document
     //     presence counts; pmi is a per-row ln of exact-count ratios)

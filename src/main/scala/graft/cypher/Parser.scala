@@ -731,6 +731,24 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       }
     case Ident(id, _) =>
       peek1 match {
+        // COUNT { [MATCH] pattern [WHERE pred] } — Cypher 5 COUNT
+        // subquery (extension), desugared to size() of a 1-per-match
+        // pattern comprehension: the comprehension machinery already
+        // implements the per-binding correlated counting (zero matches
+        // → empty list → 0), so COUNT{} adds surface, not a new plan
+        case Punct("{", _)
+            if id.toLowerCase(java.util.Locale.ROOT) == "count" =>
+          if (!extensions)
+            notSupported("COUNT { pattern } (supported with extensions enabled)")
+          p += 2 // count + '{'
+          tryKw("MATCH")
+          val part = parsePatternPart()
+          if (isPunct(","))
+            notSupported("multiple patterns inside COUNT { } " +
+              "(one pattern part per subquery)")
+          val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatPunct("}")
+          Func("size", Seq(PatternComp(part, w, Lit(1L))))
         case Punct("(", _) => parseCall(id)
         case Punct(".", _) =>
           p += 2

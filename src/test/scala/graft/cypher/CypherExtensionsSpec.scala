@@ -1062,4 +1062,50 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN CASE WHEN p.Born = 1956 THEN 'x' ELSE 'y' END AS C""".stripMargin)
       .collect().head.getString(0) == "x")
   }
+
+  // ------------------------------------------------- COUNT { } subquery
+
+  test("COUNT { pattern } counts matches per binding; zero-match rows report 0") {
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N, COUNT { (p)-[:ACTED_IN]->(m:Movie) } AS C
+        |ORDER BY N""".stripMargin)
+    assert(r.nonEmpty)
+    val byName = r.map(x => x.getString(0) -> x.getInt(1)).toMap
+    // cross-check every count against the plain aggregation
+    val agg = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS N, count(m) AS C ORDER BY N""".stripMargin)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    byName.foreach { case (n, c) =>
+      assert(agg.getOrElse(n, 0L) == c.toLong, s"$n: $c vs ${agg.get(n)}")
+    }
+    // at least one person with no roles must appear with 0
+    assert(byName.size > agg.size || byName.values.forall(_ > 0))
+  }
+
+  test("COUNT { } with inner WHERE filters before counting") {
+    val all = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N, COUNT { (p)-[:ACTED_IN]->(m:Movie) } AS C
+        |ORDER BY N""".stripMargin).map(r => r.getString(0) -> r.getInt(1))
+    val filt = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N,
+        |       COUNT { (p)-[:ACTED_IN]->(m:Movie) WHERE m.Released > 2000 } AS C
+        |ORDER BY N""".stripMargin).map(r => r.getString(0) -> r.getInt(1))
+    assert(filt.map(_._2).zip(all.map(_._2)).forall { case (f, a) => f <= a })
+    assert(filt.map(_._2).sum < all.map(_._2).sum)
+  }
+
+  test("COUNT { } rejections: parity mode, multiple patterns") {
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException] {
+      parity.run("MATCH (p:Person) RETURN COUNT { (p)-[:ACTED_IN]->(m:Movie) } AS C")
+    }
+    intercept[CypherNotSupportedException] {
+      session.run(
+        "MATCH (p:Person) RETURN COUNT { (p)-[:ACTED_IN]->(m:Movie), (p)-[:DIRECTED]->(x:Movie) } AS C")
+    }
+  }
 }
