@@ -4724,6 +4724,92 @@ object SparkEntry {
              |WHERE s2.sup >= 2
              |ORDER BY e1.lo, e1.hi""".stripMargin)),
 
+    // weighted PageRank over the symmetrized co-supply projection:
+    // contributions distribute by co-occurrence weight (3 rounds)
+    ("g13_weighted_pr",
+      (s, dir) => {
+        val li = graft.cypher.GraphCatalog.cachedParquet(s,
+          s"$dir/lineitem.parquet")
+        val proj = GraphOps.bipartiteProject(
+          li.where(col("l_quantity") >= 48)
+            .select(col("l_partkey").as("p"), col("l_suppkey").as("sid")),
+          "p", "sid", maxPivotDegree = Some(8), minWeight = 2)
+        val sym = proj.select(col("u").as("src"), col("v").as("dst"),
+            col("weight"))
+          .unionAll(proj.select(col("v").as("src"), col("u").as("dst"),
+            col("weight")))
+        GraphOps.pageRankWeighted(sym, "src", "dst", "weight",
+            iterations = 3, damping = 0.85)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH pr0_ AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |              FROM lineitem WHERE l_quantity >= 48),
+             |pd AS (SELECT p, count(*) d FROM pr0_ GROUP BY 1),
+             |k AS (SELECT pr0_.p, pr0_.s FROM pr0_
+             |      JOIN pd ON pd.p = pr0_.p AND pd.d <= 8),
+             |pj AS (SELECT a.s u, b.s v, CAST(count(*) AS DOUBLE) w
+             |       FROM k a JOIN k b ON a.p = b.p AND a.s < b.s
+             |       GROUP BY 1, 2 HAVING count(*) >= 2),
+             |e AS (SELECT u AS src, v AS dst, w FROM pj
+             |      UNION ALL SELECT v, u, w FROM pj),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+             |pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+             |c1 AS (SELECT e.dst AS node, sum(p.rank*e.w/o.ow) AS s FROM e
+             |       JOIN pr0 p ON p.node = e.src JOIN ow o ON o.src = e.src
+             |       GROUP BY 1),
+             |pr1 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+             |c2 AS (SELECT e.dst AS node, sum(p.rank*e.w/o.ow) AS s FROM e
+             |       JOIN pr1 p ON p.node = e.src JOIN ow o ON o.src = e.src
+             |       GROUP BY 1),
+             |pr2 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+             |c3 AS (SELECT e.dst AS node, sum(p.rank*e.w/o.ow) AS s FROM e
+             |       JOIN pr2 p ON p.node = e.src JOIN ow o ON o.src = e.src
+             |       GROUP BY 1),
+             |pr3 AS (SELECT n.node,
+             |          0.15/(SELECT n FROM nn) + 0.85*coalesce(c.s, 0) AS rank
+             |        FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+             |SELECT node, round(rank, 6) AS rank FROM pr3
+             |ORDER BY node""".stripMargin)),
+
+    // harmonic centrality of the 3 smallest co-supply nodes (sampled-
+    // sources form; per-source BFS waves ≤ 3 hops)
+    ("g14_harmonic",
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir)
+        val srcs = e.select(col("s1").as("node"))
+          .union(e.select(col("s2").as("node"))).distinct()
+          .orderBy("node").limit(3)
+        GraphOps.harmonicCentrality(e, "s1", "s2", srcs, maxHops = 3)
+          .orderBy("src")
+      },
+      Some("""WITH RECURSIVE
+             |ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |       FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS src, hi AS dst FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |srcs AS (SELECT DISTINCT src AS node FROM adj
+             |         ORDER BY node LIMIT 3),
+             |walk(s0, node, dist) AS (
+             |  SELECT node, node, 0 FROM srcs
+             |  UNION
+             |  SELECT w.s0, a.dst, w.dist + 1 FROM walk w
+             |  JOIN adj a ON a.src = w.node WHERE w.dist < 3),
+             |d AS (SELECT s0, node, min(dist) AS dist FROM walk
+             |      GROUP BY 1, 2)
+             |SELECT s0 AS src, count(*) AS n_reached,
+             |       round(sum(1.0 / dist), 6) AS harmonic
+             |FROM d WHERE dist > 0 GROUP BY 1 ORDER BY src""".stripMargin)),
+
     // weighted bipartite projection part→supplier with the hub valve
     // and a weight floor (the formalized co-X graph constructor)
     ("g10_bipartite_project",

@@ -564,4 +564,92 @@ object GraphOps {
     }
     e
   }
+
+  /**
+   * Weighted PageRank: contributions distribute proportionally to edge
+   * weight — `rank_{k+1}(v) = (1−d)/N + d·Σ_u rank_k(u)·w(u,v)/W(u)`
+   * with `W(u)` the total outgoing weight. The natural composition
+   * with [[bipartiteProject]]: co-occurrence weights make strongly
+   * co-supplying partners matter more than one-off pairings. Parallel
+   * (src, dst) rows pre-sum their weights; non-positive weights drop.
+   * Same per-iteration plan shape as [[pageRank]] (one slim-key
+   * shuffle per iteration, static edge+weight frame checkpointed
+   * once, lineage cut every `checkpointEvery` rounds).
+   */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iterations: Int = 10,
+                       damping: Double = 0.85,
+                       checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("w") > 0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    val n = nodes.count().toDouble
+    require(n > 0, "empty graph")
+    val outW = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val eW = e.join(outW, "src").localCheckpoint(false)
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (k <- 1 to iterations) {
+      val contribs = eW.join(ranks, eW("src") === ranks("node"))
+        .select(eW("dst").as("node"),
+          (ranks("rank") * eW("w") / eW("ow")).as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      if (k % checkpointEvery == 0 && k < iterations)
+        ranks = ranks.localCheckpoint(false)
+    }
+    ranks.select("node", "rank")
+  }
+
+  /**
+   * Harmonic centrality of the `sources` nodes over the undirected
+   * graph, bounded at `maxHops`: `H(s) = Σ_{v ≠ s} 1/d(s,v)` summed
+   * over reached nodes — the centrality that stays well-defined on
+   * disconnected graphs (unreachable nodes contribute 0, not ∞).
+   * Output: (src, n_reached, harmonic), harmonic rounded to 6.
+   *
+   * Scale shape: the [[bfsDistances]] frontier waves carry the source
+   * id, so state is (src, node) pairs — bounded by
+   * |sources|·reachable, which is why this is a SAMPLED-sources
+   * centrality (estimating all-nodes centrality samples sources; the
+   * all-pairs form is quadratic and intentionally absent). Each wave
+   * is one join + one anti-join over slim rows, frontier/visited
+   * checkpointed per wave, early exit on an empty frontier.
+   */
+  def harmonicCentrality(edges: DataFrame, aCol: String, bCol: String,
+                         sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val sym = symmetric(canonical(edges, aCol, bCol)).localCheckpoint(false)
+    val srcs = sources.toDF("node").distinct()
+    var visited = srcs.select(col("node").as("src"), col("node"),
+      lit(0L).as("dist")).localCheckpoint(false)
+    var frontier = visited
+    var hop = 1
+    var done = false
+    while (hop <= maxHops && !done) {
+      val next = frontier.join(sym, Seq("node"))
+        .select(col("src"), col("nbr").as("node"), lit(hop.toLong).as("dist"))
+        .distinct()
+        .join(visited.select(col("src"), col("node")), Seq("src", "node"),
+          "left_anti")
+        .localCheckpoint(false)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(false)
+        frontier = next
+        hop += 1
+      }
+    }
+    visited.where(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(sum(lit(1.0) / col("dist").cast("double")), 6).as("harmonic"))
+  }
 }

@@ -3734,4 +3734,35 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 0.0)
     assert(r.getDouble(3) == math.round(math.log(4) * 1e6) / 1e6)
   }
+
+  test("pageRankWeighted: weight-skewed star beats uniform; ranks sum to ~1") {
+    // star: 1->2 (w 9), 1->3 (w 1); plus 2->1, 3->1 to keep mass moving
+    val e = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.pageRankWeighted(e, "src", "dst", "w", iterations = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(2L) > r(3L)) // 9x the weight share
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    // uniform weights == classic pageRank
+    val u = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val pw = GraphOps.pageRankWeighted(u, "src", "dst", "w", iterations = 5)
+      .collect().map(x => x.getLong(0) -> math.round(x.getDouble(1) * 1e9)).toMap
+    val pc = GraphOps.pageRank(u.select("src", "dst"), "src", "dst",
+        iterations = 5)
+      .collect().map(x => x.getLong(0) -> math.round(x.getDouble(1) * 1e9)).toMap
+    assert(pw == pc)
+  }
+
+  test("harmonicCentrality: path graph known values, early exit past diameter") {
+    // path 1-2-3-4: from 1 -> d(2)=1, d(3)=2, d(4)=3 -> H = 1 + 1/2 + 1/3
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val srcs = Seq(1L, 2L).toDF("node")
+    val r = GraphOps.harmonicCentrality(e, "a", "b", srcs, maxHops = 9)
+      .collect().map(x => x.getAs[Long]("src") ->
+        (x.getAs[Long]("n_reached"), x.getAs[Double]("harmonic"))).toMap
+    assert(r(1L)._1 == 3L)
+    assert(r(1L)._2 == math.round((1.0 + 0.5 + 1.0 / 3) * 1e6) / 1e6)
+    assert(r(2L) == ((3L, 2.5))) // 1 + 1 + 1/2
+  }
 }
