@@ -2033,6 +2033,40 @@ object SparkEntry {
       },
       Some(bm25Oracle)),
 
+    // --- oracle-mode Lloyd k-means (2 assign rounds, 1 centroid
+    //     update; rounded argmin + rounded iterates pin every
+    //     assignment cross-engine) — the verifiable twin of the native
+    //     refineCentroids path
+    ("s22_kmeans",
+      (s, dir) => Similarity.kmeansAssign(embs(s, dir), "embedding",
+          "vec_id", k = 8, iterations = 2)
+        .orderBy("vec_id"),
+      Some("""WITH x AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |sd AS (SELECT vec_id,
+             |         row_number() OVER (ORDER BY
+             |           (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS c
+             |       FROM embeddings
+             |       QUALIFY c < 8),
+             |c0 AS (SELECT sd.c, x.i, x.v AS cv
+             |       FROM sd JOIN x ON x.vec_id = sd.vec_id),
+             |d1 AS (SELECT x.vec_id, c0.c, sum((x.v - c0.cv) ^ 2) AS d
+             |       FROM x JOIN c0 ON x.i = c0.i GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, c FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY round(d, 9), c) AS rk FROM d1)
+             |       WHERE rk = 1),
+             |c1 AS (SELECT a1.c, x.i, round(avg(x.v), 6) AS cv
+             |       FROM a1 JOIN x USING (vec_id) GROUP BY 1, 2),
+             |d2 AS (SELECT x.vec_id, c1.c, sum((x.v - c1.cv) ^ 2) AS d
+             |       FROM x JOIN c1 ON x.i = c1.i GROUP BY 1, 2)
+             |SELECT vec_id, c AS cluster, round(d, 6) AS dist FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY round(d, 9), c) AS rk FROM d2)
+             |WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
     // --- Dirichlet query-likelihood retrieval (LM scoring; matched-
     //     postings decomposition — same join shape as BM25)
     ("s21_query_likelihood",
@@ -3292,6 +3326,84 @@ object SparkEntry {
              |FROM c LEFT JOIN (SELECT * FROM j WHERE rk = 1) j
              |  ON j.event_id = c.event_id
              |ORDER BY c.event_id""".stripMargin)),
+
+    // --- last-touch attribution: each purchase credits the latest
+    //     prior click within 2h (backward as-of + tolerance), campaign
+    //     = click's k mod 4, unattributed bucket -1
+    ("e25_attribution",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val purch = e.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val clicks = SemiStructured.parseJson(
+            e.where(col("event_type") === "click"), "props", "k BIGINT")
+          .select(col("user_id"), col("ts").as("cts"),
+            pmod(col("k"), lit(4L)).as("campaign"))
+          .groupBy("user_id", "cts").agg(max("campaign").as("campaign"))
+        AsOf.asofJoin(purch, clicks, Seq("user_id"), "ts", "cts",
+            toleranceSec = Some(7200L))
+          .groupBy(coalesce(col("campaign"), lit(-1L)).as("campaign"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum(col("value")), 6).as("sum_value"))
+          .orderBy("campaign")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |p AS (SELECT event_id, user_id, ts, value
+             |      FROM e0 WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS cts,
+             |        max(CAST(props->>'k' AS BIGINT) % 4) AS campaign
+             |      FROM e0 WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.value, c.cts, c.campaign, p.ts
+             |      FROM p ASOF LEFT JOIN c
+             |        ON p.user_id = c.user_id AND p.ts >= c.cts),
+             |a AS (SELECT CASE WHEN cts IS NOT NULL
+             |          AND epoch_ms(ts) - epoch_ms(cts) <= 7200000
+             |          THEN campaign ELSE -1 END AS campaign, value
+             |      FROM j)
+             |SELECT campaign, count(*) AS n_purchases,
+             |       round(sum(value), 6) AS sum_value
+             |FROM a GROUP BY 1 ORDER BY campaign""".stripMargin)),
+
+    // --- linear multi-touch attribution: every click in the 2h window
+    //     before a purchase shares its value equally (bucketed range
+    //     join — no BNLJ; oracle is the naive theta form)
+    ("e26_linear_attribution",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val purch = e.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            (col("ts") - expr("INTERVAL 2 HOURS")).as("wst"),
+            col("ts").as("wen"), col("value"))
+        val clicks = SemiStructured.parseJson(
+            e.where(col("event_type") === "click"), "props", "k BIGINT")
+          .select(col("user_id"), col("ts").as("cts"),
+            pmod(col("k"), lit(4L)).as("campaign"))
+          .groupBy("user_id", "cts").agg(max("campaign").as("campaign"))
+        val j = AsOf.rangeJoin(purch, clicks, Seq("user_id"),
+          "wst", "wen", "cts", bucketWidthSec = 7200)
+        val n = j.groupBy("p_id").agg(count(lit(1)).as("__n"))
+        j.join(n, Seq("p_id"))
+          .groupBy(col("campaign"))
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("value") / col("__n")), 6).as("attributed_value"))
+          .orderBy("campaign")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |p AS (SELECT event_id AS pid, user_id, ts, value
+             |      FROM e0 WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS cts,
+             |        max(CAST(props->>'k' AS BIGINT) % 4) AS campaign
+             |      FROM e0 WHERE event_type = 'click' GROUP BY 1, 2),
+             |j AS (SELECT p.pid, p.value, c.campaign
+             |      FROM p JOIN c ON p.user_id = c.user_id
+             |        AND c.cts >= p.ts - INTERVAL 2 HOUR AND c.cts < p.ts),
+             |n AS (SELECT pid, count(*) AS n FROM j GROUP BY 1)
+             |SELECT campaign, count(*) AS n_touches,
+             |       round(sum(value / n.n), 6) AS attributed_value
+             |FROM j JOIN n USING (pid) GROUP BY 1
+             |ORDER BY campaign""".stripMargin)),
 
     // --- byte-range chunk manifest for parallel range-read decode
     //     (metadata-only: computed from payload length, bytes unread)

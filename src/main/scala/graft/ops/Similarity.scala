@@ -1145,6 +1145,67 @@ object Similarity {
   }
 
   /**
+   * Oracle-mode Lloyd k-means: `iterations` rounds of
+   * assign-to-nearest + per-cluster mean, fully relational and
+   * engine-pinned — the verifiable twin of [[refineCentroids]] (whose
+   * native map-only assignment is the production path). Determinism
+   * contract (the [[topPcProjection]] trick): the argmin orders by the
+   * distance ROUNDED to 9 decimals with the centroid index as
+   * tie-break, and each round's centroids round to 6 — so a SQL engine
+   * reproduces every assignment and every centroid exactly. Seeds are
+   * the hash-ordered corpus rows ([[seedCentroids]]' selection).
+   * Clusters that lose all members drop out (their dims vanish from
+   * the centroid frame), identically on both engines. Output:
+   * (idCol, cluster, dist) — final-round assignment with its squared
+   * L2 distance rounded to 6.
+   *
+   * Scale shape: the slim (row, dim, value) frame localCheckpoints
+   * once; each round is one broadcast join against the k·dims centroid
+   * frame, a partial-agg distance sum, a per-row argmin window, and a
+   * per-(cluster, dim) mean. k·|rows| intermediate rows per round —
+   * the relational cost of verifiability; swap in refineCentroids +
+   * native assignment when the oracle is not watching.
+   */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                   iterations: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = df.select(col(idCol).cast(LongType).as("__vid"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v0")))
+      .select(col("__vid"), col("__i"), col("__v0").cast("double").as("__v"))
+      .localCheckpoint()
+    val seedIds = df.select(col(idCol).cast(LongType).as("i"))
+      .orderBy(Hashing.mulHash(col("i")), col("i")).limit(k)
+      .collect().map(_.getLong(0))
+    val seedDf = broadcast(seedIds.toIndexedSeq.zipWithIndex
+      .map { case (v, c) => (v, c.toLong) }.toDF("__vid", "__c"))
+    var cent = x.join(seedDf, Seq("__vid"))
+      .select(col("__c"), col("__i"), col("__v").as("__cv"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (it <- 1 to iterations) {
+      val d = x.join(broadcast(cent), Seq("__i"))
+        .groupBy(col("__vid"), col("__c"))
+        .agg(sum(pow(col("__v") - col("__cv"), 2)).as("__d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__vid")).orderBy(round(col("__d"), 9), col("__c"))
+      assign = d.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__vid"), col("__c"), col("__d"))
+        .localCheckpoint()
+      if (it < iterations)
+        cent = assign.join(x, Seq("__vid"))
+          .groupBy(col("__c"), col("__i"))
+          .agg(round(avg(col("__v")), 6).as("__cv"))
+          .localCheckpoint()
+    }
+    assign.select(col("__vid").as(idCol), col("__c").as("cluster"),
+      round(col("__d"), 6).as("dist"))
+  }
+
+  /**
    * Projection of every vector onto the corpus's TOP PRINCIPAL
    * COMPONENT, via deterministic power iteration — the 1-D embedding
    * summary used for drift dashboards, coarse sorting/binning of a

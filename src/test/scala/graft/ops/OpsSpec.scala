@@ -3765,4 +3765,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1L)._2 == math.round((1.0 + 0.5 + 1.0 / 3) * 1e6) / 1e6)
     assert(r(2L) == ((3L, 2.5))) // 1 + 1 + 1/2
   }
+
+  test("kmeansAssign: separable blobs recovered; repartition-invariant") {
+    val rnd = new scala.util.Random(5)
+    def blob(cx: Float, cy: Float, base: Long) = (0 until 20).map(j =>
+      (base + j, Array(cx + rnd.nextFloat() * 0.1f, cy + rnd.nextFloat() * 0.1f)))
+    val vecs = (blob(0f, 0f, 0L) ++ blob(10f, 10f, 100L) ++ blob(0f, 10f, 200L))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kmeansAssign(vecs, "embedding", "vec_id", k = 3,
+      iterations = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster"))
+    val byBlob = a.groupBy(_._1 / 100).view.mapValues(_.map(_._2).toSet).toMap
+    // every blob is pure (one cluster) and the blobs use distinct clusters
+    assert(byBlob.values.forall(_.size == 1), s"impure blobs: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3)
+    val b = Similarity.kmeansAssign(vecs.repartition(5), "embedding",
+      "vec_id", k = 3, iterations = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    assert(a.toMap == b)
+  }
 }
