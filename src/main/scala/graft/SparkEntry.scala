@@ -2067,6 +2067,46 @@ object SparkEntry {
              |    ORDER BY round(d, 9), c) AS rk FROM d2)
              |WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
 
+    // --- cluster-quality report over the k-means assignment
+    //     (per-cluster size and distance profile — the eval gate after
+    //     any clustering, composed on s22's pinned assignment)
+    ("s23_cluster_quality",
+      (s, dir) => Similarity.kmeansAssign(embs(s, dir), "embedding",
+          "vec_id", k = 8, iterations = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("dist")), 6).as("avg_dist"),
+          max(col("dist")).as("max_dist"))
+        .orderBy("cluster"),
+      Some("""WITH x AS (SELECT vec_id,
+             |    generate_subscripts(embedding, 1) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |sd AS (SELECT vec_id,
+             |         row_number() OVER (ORDER BY
+             |           (vec_id * 2654435761) % 1000000007, vec_id) - 1 AS c
+             |       FROM embeddings
+             |       QUALIFY c < 8),
+             |c0 AS (SELECT sd.c, x.i, x.v AS cv
+             |       FROM sd JOIN x ON x.vec_id = sd.vec_id),
+             |d1 AS (SELECT x.vec_id, c0.c, sum((x.v - c0.cv) ^ 2) AS d
+             |       FROM x JOIN c0 ON x.i = c0.i GROUP BY 1, 2),
+             |a1 AS (SELECT vec_id, c FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY round(d, 9), c) AS rk FROM d1)
+             |       WHERE rk = 1),
+             |c1 AS (SELECT a1.c, x.i, round(avg(x.v), 6) AS cv
+             |       FROM a1 JOIN x USING (vec_id) GROUP BY 1, 2),
+             |d2 AS (SELECT x.vec_id, c1.c, sum((x.v - c1.cv) ^ 2) AS d
+             |       FROM x JOIN c1 ON x.i = c1.i GROUP BY 1, 2),
+             |a2 AS (SELECT vec_id, c, round(d, 6) AS dist FROM (
+             |         SELECT *, row_number() OVER (PARTITION BY vec_id
+             |           ORDER BY round(d, 9), c) AS rk FROM d2)
+             |       WHERE rk = 1)
+             |SELECT c AS cluster, count(*) AS n,
+             |       round(avg(dist), 6) AS avg_dist, max(dist) AS max_dist
+             |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin)),
+
     // --- Dirichlet query-likelihood retrieval (LM scoring; matched-
     //     postings decomposition — same join shape as BM25)
     ("s21_query_likelihood",
@@ -4835,6 +4875,34 @@ object SparkEntry {
              |JOIN s2 ON s2.lo = e1.lo AND s2.hi = e1.hi
              |WHERE s2.sup >= 2
              |ORDER BY e1.lo, e1.hi""".stripMargin)),
+
+    // degree distribution + power-law fit of the co-supply graph (the
+    // hub health check run before quadratic operators)
+    ("g15_degree_dist",
+      (s, dir) => GraphOps.degreeDistribution(coSupplyEdges(s, dir),
+          "s1", "s2"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+             |h AS (SELECT d, count(*) AS c FROM deg GROUP BY 1),
+             |p AS (SELECT ln(CAST(d AS DOUBLE)) AS x,
+             |             ln(CAST(c AS DOUBLE)) AS y, d, c FROM h),
+             |g AS (SELECT CAST(sum(c) AS BIGINT) AS n_nodes,
+             |        count(*) AS n_degrees, CAST(max(d) AS BIGINT) AS max_degree,
+             |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             |        sum(x*x) AS sxx
+             |      FROM p)
+             |SELECT n_nodes, n_degrees, max_degree,
+             |  round((n_degrees*sxy - sx*sy) / (n_degrees*sxx - sx*sx), 6)
+             |    AS slope,
+             |  round((sy - ((n_degrees*sxy - sx*sy)
+             |               / (n_degrees*sxx - sx*sx)) * sx)
+             |        / n_degrees, 6) AS intercept
+             |FROM g""".stripMargin)),
 
     // weighted PageRank over the symmetrized co-supply projection:
     // contributions distribute by co-occurrence weight (3 rounds)

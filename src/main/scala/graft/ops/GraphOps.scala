@@ -652,4 +652,41 @@ object GraphOps {
       .agg(count(lit(1)).as("n_reached"),
         round(sum(lit(1.0) / col("dist").cast("double")), 6).as("harmonic"))
   }
+
+  /**
+   * Degree distribution with a log-log power-law fit: the histogram
+   * (degree → node count) of the undirected graph plus a least-squares
+   * slope/intercept over ln(degree) vs ln(count) — the one-look health
+   * check that separates a scale-free co-occurrence graph from a
+   * uniform-noise artifact (and flags projection hubs BEFORE a
+   * quadratic operator meets them). Output one row:
+   * (n_nodes, n_degrees, max_degree, slope, intercept), slope/
+   * intercept rounded to 6.
+   *
+   * Scale: two partial-agg passes over slim rows (degrees, then the
+   * histogram), one 1-row reduce for the fit — the [[TextOps.zipfFit]]
+   * arithmetic on degree classes.
+   */
+  def degreeDistribution(edges: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val deg = symmetric(canonical(edges, aCol, bCol))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val hist = deg.groupBy(col("__d")).agg(count(lit(1)).as("__c"))
+    val pts = hist.select(log(col("__d").cast("double")).as("__x"),
+      log(col("__c").cast("double")).as("__y"),
+      col("__d"), col("__c"))
+    pts.agg(sum(col("__c")).as("n_nodes"), count(lit(1)).as("n_degrees"),
+        max(col("__d")).as("max_degree"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("n_nodes"), col("n_degrees"), col("max_degree"),
+        round((col("n_degrees") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_degrees") * col("__sxx") - col("__sx") * col("__sx")), 6)
+          .as("slope"),
+        round((col("__sy") - ((col("n_degrees") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("n_degrees") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("n_degrees"), 6).as("intercept"))
+  }
 }

@@ -3784,4 +3784,43 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     assert(a.toMap == b)
   }
+
+  test("mergeHourlyRollup maintains a live rollup via foreachBatch (streaming maintenance)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    // the maintained state: rollup rows materialized after each batch
+    var state: Option[Seq[org.apache.spark.sql.Row]] = None
+    var schema: org.apache.spark.sql.types.StructType = null
+    val q = mem.toDS().toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val delta = Sessionize.hourlyRollup(batch)
+        val merged = state match {
+          case None => delta
+          case Some(rows) =>
+            val base = spark.createDataFrame(
+              spark.sparkContext.parallelize(rows), schema)
+            Sessionize.mergeHourlyRollup(base, delta)
+        }
+        schema = merged.schema
+        state = Some(merged.collect().toSeq)
+        ()
+      }.start()
+    def ev(id: Long, min: Int, t: String, v: Double) =
+      Sessionize.Event(id, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+        , 1L, t, v)
+    val all = Seq(ev(1, 5, "view", 1.0), ev(2, 40, "view", 2.0),
+      ev(3, 55, "buy", 4.0), ev(4, 59, "view", 8.0))
+    try {
+      mem.addData(all(0), all(1))
+      q.processAllAvailable()
+      mem.addData(all(2), all(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = Sessionize.hourlyRollup(all.toDF())
+      .orderBy("hour", "event_type").collect().toSeq
+    val got = spark.createDataFrame(
+        spark.sparkContext.parallelize(state.get), schema)
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(got == expected)
+  }
 }
