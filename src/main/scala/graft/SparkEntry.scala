@@ -3079,6 +3079,27 @@ object SparkEntry {
              |         AS batch_id
              |FROM b ORDER BY source, doc_id""".stripMargin)),
 
+    // --- curation frontier: survivors per quality-threshold decile
+    //     (one scoring pass, in-row threshold expansion)
+    ("p16_curation_frontier",
+      (s, dir) => Pipeline.curationFrontier(docs(s, dir))
+        .orderBy("threshold"),
+      Some(s"""WITH h AS (
+             |  $sqlTextFeatures),
+             |q AS (SELECT $sqlQuality AS q, n_tok FROM h),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+             |        CAST(sum(n_tok) AS BIGINT) AS nt FROM q),
+             |x AS (SELECT i / 10.0 AS threshold, q.n_tok
+             |      FROM q, unnest(range(1, 10)) AS u(i)
+             |      WHERE q.q >= i / 10.0)
+             |SELECT threshold, count(*) AS n_docs,
+             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             |       round(CAST(count(*) AS DOUBLE) / t.nd, 6) AS doc_frac,
+             |       round(CAST(sum(n_tok) AS DOUBLE) / t.nt, 6) AS token_frac
+             |FROM x CROSS JOIN t
+             |GROUP BY threshold, t.nd, t.nt
+             |ORDER BY threshold""".stripMargin)),
+
     // --- deterministic training-shard layout: hash shard + in-shard
     //     position, one hash shuffle, NO global sort
     ("p12_shard_layout",

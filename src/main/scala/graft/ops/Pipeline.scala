@@ -91,6 +91,41 @@ object Pipeline {
   }
 
   /**
+   * Curation frontier: for each quality-threshold decile, what
+   * survives — (threshold, n_docs, n_tokens, doc_frac, token_frac).
+   * The planning artifact behind "keep the top X%": it shows where
+   * the token budget actually sits on the quality axis BEFORE a
+   * threshold is committed (cutting at 0.7 may cost 5% of documents
+   * but 30% of tokens if length correlates with quality). Thresholds
+   * are `i/10` for i in 1..9; a document counts under every threshold
+   * it clears, so rows are cumulative-from-above.
+   *
+   * Scale shape: ONE pass scores quality + token counts (the fused
+   * native counter), each slim (quality, n_tokens) row expands
+   * IN-ROW to the ≤9 thresholds it clears, and a partial agg
+   * finishes. Totals ride the same frame; no second scan, no window.
+   */
+  def curationFrontier(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      TextOps.qualityScoreF(TextOps.features(col("text")),
+        col("n_chars")).as("__q"),
+      TextOps.tokenCount(col("text")).as("__t"))
+    val expanded = scored.select(col("__q"), col("__t"),
+        explode(filter(
+          sequence(lit(1), lit(9)),
+          i => col("__q") >= i.cast("double") / lit(10.0))).as("__i"))
+      .groupBy((col("__i").cast("double") / lit(10.0)).as("threshold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val totals = scored.agg(count(lit(1)).as("__nd"),
+      sum(col("__t")).as("__nt"))
+    expanded.crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__nd"), 6).as("doc_frac"),
+        round(col("n_tokens").cast("double") / col("__nt"), 6)
+          .as("token_frac"))
+  }
+
+  /**
    * Deterministic per-stratum sample of EXACTLY `perStratum` rows (or
    * all rows of smaller strata): rows ranked inside each stratum by a
    * multiplicative hash of the id (ties by id). Hash order makes the
