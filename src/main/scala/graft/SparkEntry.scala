@@ -758,6 +758,21 @@ object SparkEntry {
              |  ON c.l_suppkey = s_suppkey
              |ORDER BY sname""".stripMargin)),
 
+    // --- EXISTS { } as a projection EXPRESSION (boolean-valued
+    //     existential; desugars to size(comprehension) > 0, while the
+    //     WHERE position keeps its semi-join lowering)
+    ("q49_exists_expr", cyx(
+      """MATCH (c:Customer)
+        |RETURN c.c_name AS cname,
+        |       CASE WHEN EXISTS { (c)-[:PLACED]->(o:Order) }
+        |            THEN 1 ELSE 0 END AS has_orders
+        |ORDER BY cname LIMIT 50""".stripMargin),
+      Some("""SELECT c_name AS cname,
+             |  CAST(CASE WHEN EXISTS (SELECT 1 FROM orders
+             |                         WHERE o_custkey = c_custkey)
+             |       THEN 1 ELSE 0 END AS BIGINT) AS has_orders
+             |FROM customer ORDER BY cname LIMIT 50""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -510,6 +510,17 @@ object Compiler {
     }
     def rewrite(e: Expr): Expr = e match {
       case pc: PatternComp => lower(pc)
+      // EXISTS { pattern } as a projection-item EXPRESSION (openCypher
+      // allows boolean-valued existential subqueries anywhere):
+      // desugared to size(1-per-match comprehension) > 0 — the WHERE
+      // position keeps its semi-join lowering, this covers RETURN/WITH
+      case ExistsPat(Seq(part), w) =>
+        Bin(BinOp.Gt,
+          Func("size", Seq(lower(PatternComp(part, w, Lit(1L))))), Lit(0L))
+      case ExistsPat(_, _) =>
+        throw new CypherNotSupportedException(
+          "multi-pattern EXISTS { } as a projection expression " +
+          "(one pattern part per existential expression)")
       case Bin(op, l, r) => Bin(op, rewrite(l), rewrite(r))
       case Not(x) => Not(rewrite(x))
       case Neg(x) => Neg(rewrite(x))

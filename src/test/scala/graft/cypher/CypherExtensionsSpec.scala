@@ -538,14 +538,23 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(_.getString(0)) == Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
   }
 
-  test("EXISTS placement: OR / projection positions are rejected") {
+  test("EXISTS placement: OR position rejected; projection position is a boolean") {
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |WHERE p.Born = 1956 OR EXISTS((p)-[:ACTED_IN]->(:Movie))
         |RETURN p.Name AS N""".stripMargin))
-    intercept[CypherNotSupportedException](rows(
+    // projection position (round 6): boolean-valued existential via the
+    // comprehension desugar — must agree with the WHERE semi-join form
+    val e = rows(
       """MATCH (p:Person)
-        |RETURN EXISTS((p)-[:ACTED_IN]->(:Movie)) AS e""".stripMargin))
+        |RETURN p.Name AS N, EXISTS((p)-[:ACTED_IN]->(:Movie)) AS e
+        |ORDER BY N""".stripMargin)
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaWhere = rows(
+      """MATCH (p:Person) WHERE EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N""".stripMargin).map(_.getString(0)).toSet
+    assert(e.filter(_._2).keySet == viaWhere)
+    assert(e.exists(!_._2)) // non-actors present with false
   }
 
   test("parity session rejects EXISTS") {
