@@ -112,6 +112,58 @@ object Sessionize {
   }
 
   /**
+   * Streaming twin of [[funnel]]: per-user first-reach times for each
+   * stage with the sequential constraint (stage i+1 strictly after the
+   * user's resolved stage-i time), maintained in O(#stages) state per
+   * user — one epoch-millis slot per stage, NEVER an event buffer.
+   * Each micro-batch processes its events in (ts, event_id) order and
+   * emits the user's row whenever it changes (Update-mode semantics;
+   * the latest row per user is the funnel). Correct for event-time-
+   * ordered arrival within the watermark — the same in-order contract
+   * as [[streaming]] sessionization: a straggler older than an
+   * already-resolved prefix cannot retroactively re-resolve it (the
+   * batch operator is the arbiter for late-data reprocessing).
+   * Output: (user_id, stage_ts) with stage_ts[i] the stage-i reach
+   * time (null = not reached).
+   */
+  def streamingFunnel(events: Dataset[Event],
+                      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct == stages,
+      s"stages must be non-empty and distinct: $stages")
+    import events.sparkSession.implicits._
+    val k = stages.size
+    val idx = stages.zipWithIndex.toMap
+
+    def fn(user: Long, rows: Iterator[Event],
+           state: GroupState[Seq[Long]]): Iterator[(Long, Seq[Long])] = {
+      var t: Vector[Long] = state.getOption.map(_.toVector)
+        .getOrElse(Vector.fill(k)(-1L))
+      val before = t
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        idx.get(e.event_type).foreach { i =>
+          val ms = e.ts.getTime
+          val ok =
+            if (i == 0) t(0) == -1L || ms < t(0)
+            else t(i - 1) != -1L && ms > t(i - 1) &&
+              (t(i) == -1L || ms < t(i))
+          if (ok) t = t.updated(i, ms)
+        }
+      }
+      if (t == before) Iterator.empty
+      else { state.update(t); Iterator((user, t)) }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF("user_id", "__t")
+      .select(col("user_id") +: stages.indices.map(i =>
+        when(element_at(col("__t"), i + 1) =!= -1L,
+          timestamp_millis(element_at(col("__t"), i + 1)))
+          .as(s"${stages(i)}_ts")): _*)
+  }
+
+  /**
    * Batch tumbling-window aggregation over the events table (the batch
    * twin of a streaming windowed count): events per (hour, event_type)
    * with value stats.

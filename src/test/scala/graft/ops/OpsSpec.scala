@@ -3823,4 +3823,48 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("hour", "event_type").collect().toSeq
     assert(got == expected)
   }
+
+  test("streamingFunnel: latest row per user matches the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Sessionize.Event]
+    val stages = Seq("view", "cart", "buy")
+    val out = Sessionize.streamingFunnel(mem.toDS(), stages)
+    val q = out.writeStream.format("memory").queryName("sfunnel")
+      .outputMode("update").start()
+    def ev(id: Long, u: Long, min: Int, t: String) =
+      Sessionize.Event(id, Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"),
+        u, t, 1.0)
+    val all = Seq(
+      ev(1, 1, 0, "view"), ev(2, 1, 5, "cart"), ev(3, 1, 3, "buy"),
+      // buy@3 precedes cart@5: sequential constraint leaves buy null...
+      ev(4, 1, 9, "buy"),  // ...until a later buy lands
+      ev(5, 2, 1, "view"), ev(6, 2, 2, "view"),
+      ev(7, 3, 4, "cart")) // never saw view: everything null downstream
+    try {
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest update per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(monotonically_increasing_id().desc)
+    val got = spark.table("sfunnel")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(monotonically_increasing_id())))
+      .groupBy("user_id")
+      .agg(max(struct(col("__rn"), col("view_ts"), col("cart_ts"),
+        col("buy_ts"))).as("s"))
+      .select(col("user_id"), col("s.view_ts"), col("s.cart_ts"),
+        col("s.buy_ts"))
+      .orderBy("user_id").collect().toSeq
+    val batch = Sessionize.funnel(all.toDF(), stages)
+      .orderBy("user_id")
+      .select("user_id", "view_ts", "cart_ts", "buy_ts").collect().toSeq
+    // user 3 has no stage-0 event: absent from batch funnel and never
+    // emitted by the stream either
+    assert(got.map(_.toString) == batch.map(_.toString))
+  }
 }
