@@ -3341,6 +3341,39 @@ object SparkEntry {
              |            AS BIGINT) AS order_pos
              |FROM k ORDER BY order_pos""".stripMargin)),
 
+    // --- conversion-latency profile per funnel step (count, mean,
+    //     exact median seconds; the SLA view of e04's funnel)
+    ("e27_funnel_latency",
+      (s, dir) => Sessionize.funnelLatency(evts(s, dir),
+          Seq("view", "click", "purchase")),
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+             |v AS (SELECT user_id, min(ts) AS view_ts
+             |      FROM e0 WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT v.user_id, v.view_ts,
+             |        min(CASE WHEN e.ts > v.view_ts THEN e.ts END) AS click_ts
+             |      FROM v LEFT JOIN e0 e
+             |        ON e.user_id = v.user_id AND e.event_type = 'click'
+             |      GROUP BY 1, 2),
+             |p AS (SELECT c.user_id, c.view_ts, c.click_ts,
+             |        min(CASE WHEN e.ts > c.click_ts THEN e.ts END)
+             |          AS purchase_ts
+             |      FROM c LEFT JOIN e0 e
+             |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |      GROUP BY 1, 2, 3),
+             |s AS (
+             |  SELECT 'view->click' AS step, 0 AS i,
+             |         (epoch_us(click_ts) - epoch_us(view_ts)) / 1e6 AS sec
+             |  FROM p WHERE click_ts IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'click->purchase', 1,
+             |         (epoch_us(purchase_ts) - epoch_us(click_ts)) / 1e6
+             |  FROM p WHERE purchase_ts IS NOT NULL)
+             |SELECT step, count(*) AS n_converted,
+             |       round(avg(sec), 6) AS avg_sec,
+             |       quantile_disc(sec, 0.5) AS p50_sec
+             |FROM s GROUP BY step, i ORDER BY i""".stripMargin)),
+
     // --- FORWARD as-of: first purchase at/after each click (DuckDB
     //     ASOF with the comparison flipped); same merge-scan, reversed
     //     traversal
@@ -4911,6 +4944,31 @@ object SparkEntry {
              |JOIN s2 ON s2.lo = e1.lo AND s2.hi = e1.hi
              |WHERE s2.sup >= 2
              |ORDER BY e1.lo, e1.hi""".stripMargin)),
+
+    // degree assortativity of the co-supply graph (hub-mixing sign —
+    // the second half of the graph health check)
+    ("g16_assortativity",
+      (s, dir) => GraphOps.degreeAssortativity(coSupplyEdges(s, dir),
+          "s1", "s2"),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.s lo, b.s hi
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+             |adj AS (SELECT lo AS node, hi AS nbr FROM e
+             |        UNION ALL SELECT hi, lo FROM e),
+             |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY 1),
+             |pr AS (SELECT CAST(dx.d AS DOUBLE) AS x,
+             |              CAST(dy.d AS DOUBLE) AS y
+             |       FROM adj JOIN deg dx ON dx.node = adj.node
+             |       JOIN deg dy ON dy.node = adj.nbr),
+             |g AS (SELECT count(*) AS n_pairs, sum(x) AS sx, sum(y) AS sy,
+             |        sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+             |      FROM pr)
+             |SELECT n_pairs,
+             |  round((n_pairs*sxy - sx*sy)
+             |        / sqrt((n_pairs*sxx - sx*sx) * (n_pairs*syy - sy*sy)),
+             |        6) AS assortativity
+             |FROM g""".stripMargin)),
 
     // degree distribution + power-law fit of the co-supply graph (the
     // hub health check run before quadratic operators)

@@ -689,4 +689,35 @@ object GraphOps {
           (col("n_degrees") * col("__sxx") - col("__sx") * col("__sx"))) *
           col("__sx")) / col("n_degrees"), 6).as("intercept"))
   }
+
+  /**
+   * Degree assortativity (Newman 2002): the Pearson correlation of
+   * endpoint degrees over the symmetrized edge list — positive means
+   * hubs attach to hubs (social-graph shape), negative means hub-and-
+   * spoke (star/bipartite-projection shape), the one number that says
+   * which quadratic valves will matter. Computed from the five sums
+   * explicitly (no engine corr() variance-convention surprises).
+   * Output one row: (n_pairs, assortativity), rounded to 6.
+   */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val e = canonical(edges, aCol, bCol)
+    val deg = symmetric(e).groupBy("node").agg(count(lit(1)).as("__d"))
+    val pairs = symmetric(e)
+      .join(deg.select(col("node"), col("__d").as("__dx")), Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("__d").as("__dy")),
+        Seq("nbr"))
+      .select(col("__dx").cast("double").as("x"),
+        col("__dy").cast("double").as("y"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .select(col("n_pairs"),
+        round((col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")) /
+          sqrt((col("n_pairs") * col("__sxx") - col("__sx") * col("__sx")) *
+            (col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))), 6)
+          .as("assortativity"))
+  }
 }

@@ -112,6 +112,40 @@ object Sessionize {
   }
 
   /**
+   * Conversion-latency profile of a funnel: for each adjacent stage
+   * pair, how many users converted and how long it took —
+   * (step, n_converted, avg_sec, p50_sec), avg rounded to 6, median
+   * exact (engine-native percentile_disc). The time-to-convert view
+   * that turns a funnel from counts into an SLA.
+   *
+   * Scale: the funnel accumulator (one slim row per stage-0 user)
+   * localCheckpoints once and every step's latency branch reads the
+   * materialized frame; per-step stats are partial-aggregated (the
+   * exact median buffers value→count per step, k−1 groups total).
+   */
+  def funnelLatency(events: DataFrame, stages: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, s"need >= 2 stages: $stages")
+    val f = funnel(events, stages, typeCol, userCol, tsCol)
+      .localCheckpoint()
+    val steps = stages.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      f.where(col(s"${b}_ts").isNotNull)
+        .select(lit(s"$a->$b").as("step"), lit(i).as("__i"),
+          ((unix_micros(col(s"${b}_ts")) - unix_micros(col(s"${a}_ts")))
+            .cast("double") / lit(1e6)).as("__sec"))
+    }.toSeq
+    steps.reduce(_ unionAll _)
+      .groupBy(col("step"), col("__i"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(avg(col("__sec")), 6).as("avg_sec"),
+        org.apache.spark.sql.GraftSqlBridge.percentileDisc(col("__sec"), 0.5)
+          .as("p50_sec"))
+      .orderBy(col("__i"))
+      .drop("__i")
+  }
+
+  /**
    * Streaming twin of [[funnel]]: per-user first-reach times for each
    * stage with the sequential constraint (stage i+1 strictly after the
    * user's resolved stage-i time), maintained in O(#stages) state per
