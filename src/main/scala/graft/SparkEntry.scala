@@ -3600,7 +3600,153 @@ object SparkEntry {
              |       FROM s2)
              |SELECT xc.vec_id, round(sum(xc.v * v2.v), 6) AS pc1
              |FROM xc JOIN v2 USING (i) GROUP BY xc.vec_id
-             |ORDER BY vec_id""".stripMargin)))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // --- stationary distribution of the event-type Markov chain:
+    //     per-user lead() transitions → row-stochastic P → 3 unrolled
+    //     power-iteration rounds with L1 renormalization
+    ("e28_markov_stationary",
+      (s, dir) => Sessionize.markovStationary(evts(s, dir), iterations = 3)
+        .select(col("event_type"), round(col("pi"), 6).as("pi"))
+        .orderBy("event_type"),
+      Some(markovOracle)),
+
+    // --- Pareto / ABC value-concentration analysis over event types
+    ("e29_abc_pareto",
+      (s, dir) => Sessionize.paretoAbc(evts(s, dir))
+        .select(col("event_type"), col("n_events"),
+          round(col("total_value"), 6).as("total_value"),
+          round(col("share"), 6).as("share"),
+          round(col("cum_share"), 6).as("cum_share"), col("abc_class"))
+        .orderBy("event_type"),
+      Some("""WITH t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |            sum(value) AS tv FROM events GROUP BY 1),
+             |g AS (SELECT sum(tv) AS g FROM t),
+             |c AS (SELECT event_type, n_events, tv, tv / g.g AS share,
+             |        sum(tv / g.g) OVER (ORDER BY tv DESC, event_type
+             |          ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM t CROSS JOIN g)
+             |SELECT event_type, n_events, round(tv, 6) AS total_value,
+             |       round(share, 6) AS share, round(cum, 6) AS cum_share,
+             |       CASE WHEN round(cum, 9) <= 0.8 THEN 'A'
+             |            WHEN round(cum, 9) <= 0.95 THEN 'B' ELSE 'C'
+             |       END AS abc_class
+             |FROM c ORDER BY event_type""".stripMargin)),
+
+    // --- Gopher structural quality gate (per-rule metrics + pass)
+    ("t34_gopher_rules",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextOps.gopherGate(col("text")).as("__g"))
+        .select(col("doc_id"), col("__g.n_words").as("n_words"),
+          round(col("__g.mean_word_len"), 6).as("mean_word_len"),
+          round(col("__g.bullet_ratio"), 6).as("bullet_ratio"),
+          round(col("__g.ellipsis_ratio"), 6).as("ellipsis_ratio"),
+          round(col("__g.symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("__g.alpha_ratio"), 6).as("alpha_ratio"),
+          col("__g.n_stop_distinct").as("n_stop_distinct"),
+          col("__g.pass").as("pass"))
+        .orderBy("doc_id"),
+      Some(gopherOracle)),
+
+    // --- encoding-damage fingerprint; the corpus is clean ASCII, so
+    //     damage is INJECTED deterministically by doc_id residue (the
+    //     same injection on both sides) to exercise every counter
+    ("t35_mojibake",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            regexp_replace(col("text"), "e", "Ã©"))
+          .when(col("doc_id") % 11 === 3,
+            regexp_replace(col("text"), "a", "�"))
+          .when(col("doc_id") % 13 === 5,
+            concat(col("text"), lit("\u0007"))).otherwise(col("text"))
+            .as("__t"))
+        .select(col("doc_id"), TextOps.mojibakeStats(col("__t")).as("__m"))
+        .select(col("doc_id"), col("__m.n_replacement").as("n_replacement"),
+          col("__m.n_ctrl").as("n_ctrl"),
+          col("__m.n_mojibake").as("n_mojibake"),
+          round(col("__m.nonascii_ratio"), 6).as("nonascii_ratio"),
+          col("__m.suspect").as("suspect"))
+        .orderBy("doc_id"),
+      Some(mojibakeOracle)),
+
+    // --- lexical diversity: TTR, hapax fraction, Yule's K per doc
+    ("t36_lexical_diversity",
+      (s, dir) => TextOps.lexicalDiversity(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          col("n_hapax"), round(col("ttr"), 6).as("ttr"),
+          round(col("hapax_frac"), 6).as("hapax_frac"),
+          round(col("yule_k"), 6).as("yule_k"))
+        .orderBy("doc_id"),
+      Some(lexicalDiversityOracle)),
+
+    // --- curriculum phases: exact global quartile cutpoints of the
+    //     Flesch score, map-side assignment, per-phase summary
+    ("p17_curriculum",
+      (s, dir) => {
+        val scored = docs(s, dir)
+          .withColumn("__d", TextOps.fleschScore(col("text")))
+        Pipeline.curriculumAssign(scored, "__d", nPhases = 4)
+          .groupBy(col("phase"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(min(col("__d")), 6).as("min_score"),
+            round(max(col("__d")), 6).as("max_score"))
+          .orderBy("phase")
+      },
+      Some(curriculumOracle)),
+
+    // --- water-filling token-budget allocation across languages
+    //     (α=0.2 flattened shares, 1.2-epoch cap, 2 unrolled fill
+    //     rounds — small languages cap, surplus flows to 'en')
+    ("p18_token_budget",
+      (s, dir) => Pipeline.tokenBudgetFill(docs(s, dir), "lang", "text",
+          budget = 30000.0, alpha = 0.2, maxEpochs = 1.2, rounds = 2)
+        .select(col("lang"), col("avail_tokens"),
+          round(col("share"), 6).as("share"),
+          round(col("alloc_tokens"), 6).as("alloc_tokens"),
+          round(col("epochs"), 6).as("epochs"), col("capped"))
+        .orderBy("lang"),
+      Some(tokenBudgetOracle)),
+
+    // --- cosine radius search (data-driven answer size; queries
+    //     broadcast, corpus streams once, pure map-filter)
+    ("s24_range_search",
+      (s, dir) => Similarity.rangeSearch(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          threshold = 0.25)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "neighbor_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings)
+             |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |       round(list_dot_product(q.v, c.v) /
+             |         (sqrt(list_dot_product(q.v, q.v)) *
+             |          sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+             |FROM e q, e c
+             |WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+             |  AND list_dot_product(q.v, c.v) /
+             |        (sqrt(list_dot_product(q.v, q.v)) *
+             |         sqrt(list_dot_product(c.v, c.v))) >= 0.25
+             |ORDER BY query_id, neighbor_id""".stripMargin)),
+
+    // --- overlapping decode segments (Whisper-style win/hop schedule;
+    //     fake 1 byte = 1 ms codec contract, metadata-only)
+    ("m04_segment_plan",
+      (s, dir) => Multimodal.segmentPlan(
+          docs(s, dir).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("payload")),
+          "payload", "doc_id", winMs = 400L, hopMs = 250L)
+        .orderBy("doc_id", "seg_idx"),
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS dur
+             |  FROM documents WHERE octet_length(encode(text)) > 0),
+             |s AS (SELECT doc_id, dur,
+             |    unnest(range(0, (dur - 1) // 250 + 1)) AS seg_idx FROM b)
+             |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+             |       CAST(seg_idx * 250 AS BIGINT) AS start_ms,
+             |       CAST(least(seg_idx * 250 + 400, dur) AS BIGINT) AS end_ms
+             |FROM s ORDER BY doc_id, seg_idx""".stripMargin)))
 
   // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
   //      the Scala implementations; asserted by t02/p01 oracle matches)
@@ -3638,6 +3784,186 @@ object SparkEntry {
       |    (1.0 - least((CASE WHEN n_chars = 0 THEN 0.0
       |                       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
       |                  END) * 10.0, 1.0)) * 0.2""".stripMargin
+
+  /** DuckDB mirror of e28: per-user lead() transitions → row-stochastic
+    * P → three unrolled power-iteration rounds, L1-renormalized. */
+  private lazy val markovOracle: String = {
+    def round(k: Int): String =
+      s"""m$k AS (SELECT p.t AS ty, sum(pi${k - 1}.pi * p.p) AS m
+         |       FROM p JOIN pi${k - 1} ON pi${k - 1}.ty = p.f GROUP BY 1),
+         |s$k AS (SELECT sum(m) AS s FROM m$k),
+         |pi$k AS (SELECT ty.ty, coalesce(m$k.m, 0) / (SELECT s FROM s$k) AS pi
+         |        FROM ty LEFT JOIN m$k ON ty.ty = m$k.ty)""".stripMargin
+    s"""WITH nx AS (SELECT event_type AS f,
+       |        lead(event_type) OVER
+       |          (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |      FROM events),
+       |tr AS (SELECT f, t, count(*) AS n FROM nx
+       |       WHERE t IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT f, sum(n) AS tn FROM tr GROUP BY 1),
+       |p AS (SELECT tr.f, tr.t, CAST(tr.n AS DOUBLE) / tt.tn AS p
+       |      FROM tr JOIN tt ON tr.f = tt.f),
+       |ty AS (SELECT DISTINCT ty FROM
+       |        (SELECT f AS ty FROM p UNION ALL SELECT t FROM p)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ty),
+       |pi0 AS (SELECT ty, 1.0 / (SELECT n FROM nn) AS pi FROM ty),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT ty AS event_type, round(pi, 6) AS pi FROM pi3
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** DuckDB mirror of t34's Gopher rules (lock-step with
+    * TextOps.gopherGate; the stopword list is the fixed 8-word set). */
+  private lazy val gopherOracle: String = {
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+    val ns = stops.map(s =>
+      s"(CASE WHEN regexp_matches(lower(text), '\\b$s\\b') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT doc_id, text,
+       |    regexp_extract_all(text, '[A-Za-z]+') AS words,
+       |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+       |    string_split(text, chr(10)) AS ls
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE CAST(list_sum(list_transform(words, x -> length(x)))
+       |                AS DOUBLE) / len(words) END AS mwl,
+       |    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))
+       |      AS DOUBLE) / len(ls) AS br,
+       |    CAST(len(list_filter(ls,
+       |           l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')))
+       |      AS DOUBLE) / len(ls) AS er,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE CAST(len(regexp_extract_all(text, '[#…]')) AS DOUBLE)
+       |                / len(words) END AS sr,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE CAST(len(list_filter(toks,
+       |                t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+       |                / len(toks) END AS ar,
+       |    CAST($ns AS BIGINT) AS ns
+       |  FROM c)
+       |SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+       |  round(br, 6) AS bullet_ratio, round(er, 6) AS ellipsis_ratio,
+       |  round(sr, 6) AS symbol_ratio, round(ar, 6) AS alpha_ratio,
+       |  ns AS n_stop_distinct,
+       |  (n_words BETWEEN 10 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+       |   AND br <= 0.9 AND er <= 0.3 AND sr <= 0.1 AND ar >= 0.8
+       |   AND ns >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB mirror of t35 (same injection CASE, then the same artifact
+    * counters; DuckDB regexp_replace needs the explicit 'g' flag to
+    * match Spark's replace-all). */
+  private lazy val mojibakeOracle: String =
+    """WITH x AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN regexp_replace(text, 'e', 'Ã©', 'g')
+      |         WHEN doc_id % 11 = 3 THEN regexp_replace(text, 'a', '�', 'g')
+      |         WHEN doc_id % 13 = 5 THEN text || chr(7)
+      |         ELSE text END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, '�')) AS BIGINT) AS n_replacement,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_ctrl,
+      |  CAST(len(regexp_extract_all(t, 'â€[™œ“¦]|Ã[©¨¤¶¼±]')) AS BIGINT)
+      |    AS n_mojibake,
+      |  round(CASE WHEN length(t) = 0 THEN 0.0
+      |        ELSE CAST(len(regexp_extract_all(t, '[^\x00-\x7F]')) AS DOUBLE)
+      |               / length(t) END, 6) AS nonascii_ratio,
+      |  (len(regexp_extract_all(t, '�')) > 0
+      |   OR len(regexp_extract_all(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) > 0
+      |   OR len(regexp_extract_all(t, 'â€[™œ“¦]|Ã[©¨¤¶¼±]')) > 0) AS suspect
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of t36: unnest whitespace tokens, per-(doc, token)
+    * histogram, five counters + TTR / hapax / Yule's K. */
+  private lazy val lexicalDiversityOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |x AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+      |f AS (SELECT doc_id, tok, count(*) AS c FROM x GROUP BY 1, 2),
+      |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |        CAST(count(*) AS BIGINT) AS n_types,
+      |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS n_hapax,
+      |        CAST(sum(c * c) AS BIGINT) AS ss
+      |      FROM f GROUP BY 1)
+      |SELECT d.doc_id AS doc_id, coalesce(n_tokens, 0) AS n_tokens,
+      |  coalesce(n_types, 0) AS n_types, coalesce(n_hapax, 0) AS n_hapax,
+      |  round(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+      |        ELSE CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END, 6)
+      |    AS ttr,
+      |  round(CASE WHEN coalesce(n_types, 0) = 0 THEN 0.0
+      |        ELSE CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) END, 6)
+      |    AS hapax_frac,
+      |  round(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+      |        ELSE 10000.0 * CAST(ss - n_tokens AS DOUBLE)
+      |               / CAST(n_tokens * n_tokens AS DOUBLE) END, 6) AS yule_k
+      |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB mirror of p17: the t29 Flesch formula, exact discrete
+    * quartile cutpoints, score > cutpoint phase assignment. */
+  private lazy val curriculumOracle: String =
+    """WITH c AS (SELECT doc_id,
+      |  length(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+      |  length(regexp_extract_all(text, '[.!?]+')) AS sentences,
+      |  length(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+      |  FROM documents),
+      |f AS (SELECT doc_id, 206.835
+      |    - 1.015 * (CAST(greatest(words, 1) AS DOUBLE)
+      |               / greatest(sentences, 1))
+      |    - 84.6 * (CAST(syllables AS DOUBLE) / greatest(words, 1)) AS d
+      |  FROM c),
+      |q AS (SELECT quantile_disc(d, 0.25) AS c0, quantile_disc(d, 0.5) AS c1,
+      |        quantile_disc(d, 0.75) AS c2 FROM f),
+      |a AS (SELECT d,
+      |        (CASE WHEN d > q.c0 THEN 1 ELSE 0 END
+      |         + CASE WHEN d > q.c1 THEN 1 ELSE 0 END
+      |         + CASE WHEN d > q.c2 THEN 1 ELSE 0 END) AS phase
+      |      FROM f CROSS JOIN q)
+      |SELECT CAST(phase AS BIGINT) AS phase,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       round(min(d), 6) AS min_score, round(max(d), 6) AS max_score
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of p18: α=0.2 shares, 1.2·avail caps, two unrolled
+    * water-fill rounds (leftover ∝ share among uncapped). */
+  private lazy val tokenBudgetOracle: String = {
+    def fill(k: Int): String =
+      s"""t$k AS (SELECT 30000.0 - sum(alloc) AS lft,
+         |        sum(CASE WHEN alloc < cap THEN share ELSE 0.0 END) AS mass
+         |      FROM a${k - 1}),
+         |a$k AS (SELECT lang, avail, share, cap,
+         |        CASE WHEN t$k.mass > 0 AND alloc < cap
+         |             THEN least(alloc + t$k.lft * share / t$k.mass, cap)
+         |             ELSE alloc END AS alloc
+         |       FROM a${k - 1} CROSS JOIN t$k)""".stripMargin
+    s"""WITH av AS (SELECT lang,
+       |    CAST(sum(CASE WHEN trim(text) = '' THEN 0
+       |             ELSE len(string_split_regex(trim(text), '\\s+')) END)
+       |      AS BIGINT) AS avail
+       |  FROM documents GROUP BY 1),
+       |z AS (SELECT sum(pow(CAST(avail AS DOUBLE), 0.2)) AS z FROM av),
+       |s0 AS (SELECT lang, avail,
+       |        pow(CAST(avail AS DOUBLE), 0.2) / z.z AS share,
+       |        CAST(avail AS DOUBLE) * 1.2 AS cap FROM av CROSS JOIN z),
+       |a0 AS (SELECT *, least(share * 30000.0, cap) AS alloc FROM s0),
+       |${fill(1)},
+       |${fill(2)}
+       |SELECT lang, avail AS avail_tokens, round(share, 6) AS share,
+       |       round(alloc, 6) AS alloc_tokens,
+       |       round(alloc / CAST(avail AS DOUBLE), 6) AS epochs,
+       |       alloc >= cap AS capped
+       |FROM a2 ORDER BY lang""".stripMargin
+  }
 
   /** DuckDB mirror of [[TextOps.langId]] + [[TextOps.qualityScore]]. */
   private lazy val textQualityOracle: String =
@@ -5146,7 +5472,47 @@ object SparkEntry {
              |       count(*) AS n_communities,
              |       CAST(max(m.m) AS BIGINT) AS m_edges
              |FROM dc LEFT JOIN intra ON intra.label = dc.label
-             |CROSS JOIN m""".stripMargin)))
+             |CROSS JOIN m""".stripMargin)),
+
+    // HITS hubs/authorities, 2 fixed L1-normalized iterations on the
+    // part→supplier bipartite graph (authority mass on suppliers, hub
+    // mass on parts — the expected bipartite split); oracle unrolls
+    // both half-steps per round
+    ("g17_hits",
+      (s, dir) => GraphOps.hits(psEdges(s, dir), "src", "dst",
+          iterations = 2)
+        .select(col("node"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("node"),
+      Some(hitsOracle)))
+
+  /** DuckDB mirror of g17: two unrolled HITS rounds, each an in-edge
+    * sum (auth) and an out-edge sum (hub) with L1 totals. */
+  private lazy val hitsOracle: String = {
+    def round(k: Int): String =
+      s"""ar$k AS (SELECT e.dst AS node, sum(h.hub) AS a FROM e
+         |        JOIN h${k - 1} h ON h.node = e.src GROUP BY 1),
+         |at$k AS (SELECT sum(a) AS t FROM ar$k),
+         |a$k AS (SELECT n.node, coalesce(ar$k.a, 0) / (SELECT t FROM at$k)
+         |          AS auth
+         |        FROM nodes n LEFT JOIN ar$k ON ar$k.node = n.node),
+         |hr$k AS (SELECT e.src AS node, sum(a.auth) AS h FROM e
+         |        JOIN a$k a ON a.node = e.dst GROUP BY 1),
+         |ht$k AS (SELECT sum(h) AS t FROM hr$k),
+         |h$k AS (SELECT n.node, coalesce(hr$k.h, 0) / (SELECT t FROM ht$k)
+         |          AS hub
+         |        FROM nodes n LEFT JOIN hr$k ON hr$k.node = n.node)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT l_partkey AS src,
+       |                  l_suppkey + 1000000 AS dst FROM lineitem),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+       |${round(1)},
+       |${round(2)}
+       |SELECT a2.node AS node, round(a2.auth, 6) AS auth,
+       |       round(h2.hub, 6) AS hub
+       |FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY node""".stripMargin
+  }
 
   private val specs: Seq[Spec] = cypherSpecs ++ opsSpecs ++ graphSpecs
 

@@ -720,4 +720,57 @@ object GraphOps {
             (col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))), 6)
           .as("assortativity"))
   }
+
+  /**
+   * HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
+   * in a hyperlinked environment"), fixed iteration count, L1 (sum)
+   * normalization after every half-step so scores are comparable
+   * across engines without an eigenvector-scale ambiguity:
+   *
+   *   auth_k(v) = Σ_{(u,v)∈E} hub_{k-1}(u)   then auth_k /= Σ auth_k
+   *   hub_k(u)  = Σ_{(u,v)∈E} auth_k(v)      then hub_k  /= Σ hub_k
+   *
+   * hub_0 ≡ 1. Nodes with no in-edges keep authority 0; nodes with no
+   * out-edges keep hub 0 (on a bipartite graph the two scores live on
+   * opposite sides — that is the expected shape, not a bug).
+   *
+   * 100 TB posture: mirrors [[pageRank]] — edges dedupe once to slim
+   * (src, dst) rows and checkpoint; each half-step is one join of the
+   * 16 B/node score state to the edge list plus one groupBy shuffle;
+   * the L1 total is a 1-row aggregate broadcast back in (the same
+   * model-sized-scalar contract as the centroid collects). Score
+   * frames checkpoint every `checkpointEvery` rounds to bound plan
+   * depth. No adjacency lists, no windows.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 3, checkpointEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(false)
+    var hub = nodes.withColumn("hub", lit(1.0))
+    var auth = nodes.withColumn("auth", lit(0.0))
+    for (k <- 1 to iterations) {
+      val aRaw = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst").as("node")).agg(sum("hub").as("__a"))
+      val aTot = aRaw.agg(sum("__a").as("__t"))
+      auth = nodes.join(aRaw, Seq("node"), "left").crossJoin(broadcast(aTot))
+        .select(col("node"),
+          (coalesce(col("__a"), lit(0.0)) / col("__t")).as("auth"))
+      val hRaw = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src").as("node")).agg(sum("auth").as("__h"))
+      val hTot = hRaw.agg(sum("__h").as("__t"))
+      hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(broadcast(hTot))
+        .select(col("node"),
+          (coalesce(col("__h"), lit(0.0)) / col("__t")).as("hub"))
+      if (k % checkpointEvery == 0 && k < iterations) {
+        auth = auth.localCheckpoint(false)
+        hub = hub.localCheckpoint(false)
+      }
+    }
+    auth.join(hub, Seq("node"))
+  }
 }

@@ -197,4 +197,36 @@ object Multimodal {
         least(lit(chunkBytes.toLong),
           col("__n") - col("chunk_idx") * chunkBytes).as("len"))
   }
+
+  /**
+   * Overlapping segment plan for long audio/video payloads — the
+   * Whisper-style decode schedule (fixed window, fixed hop < window,
+   * so consecutive segments overlap and no boundary word is lost).
+   * Durations derive from payload LENGTH under the container's fake
+   * 1 byte = 1 ms codec contract (the honest-fake decode documented at
+   * [[fakeDecode]]); the real-codec swap changes only that one line.
+   * Segments start at 0, hop, 2·hop, … while start < duration; each
+   * ends at min(start + win, duration) — the last segment is ragged,
+   * never empty. Empty payloads yield no segments.
+   *
+   * Unlike [[chunkManifest]] (disjoint BYTE ranges for parallel blob
+   * reads), this plans overlapping TIME ranges for a decoder —
+   * overlap is the point, so the two are not interchangeable.
+   * Metadata-only: lengths only, nothing decoded; the in-row explode
+   * is bounded by duration / hop. Output: (idCol, seg_idx, start_ms,
+   * end_ms).
+   */
+  def segmentPlan(df: DataFrame, binCol: String, idCol: String,
+                  winMs: Long, hopMs: Long): DataFrame = {
+    require(winMs >= 1 && hopMs >= 1 && hopMs <= winMs,
+      s"need 1 <= hopMs <= winMs: win=$winMs hop=$hopMs")
+    df.select(col(idCol), length(col(binCol)).cast(LongType).as("__dur"))
+      .where(col("__dur") > 0)
+      .select(col(idCol), col("__dur"),
+        explode(sequence(lit(0L),
+          expr(s"(__dur - 1) div $hopMs"))).as("seg_idx"))
+      .select(col(idCol), col("seg_idx"),
+        (col("seg_idx") * hopMs).as("start_ms"),
+        least(col("seg_idx") * hopMs + winMs, col("__dur")).as("end_ms"))
+  }
 }

@@ -778,4 +778,89 @@ object Pipeline {
       .withColumn("order_pos", row_number().over(wGlob).cast("long") - 1L)
       .drop("__w", "__vt")
   }
+
+  /**
+   * Curriculum phase assignment: split the corpus into `nPhases`
+   * difficulty tiers by EXACT global percentile cutpoints of
+   * `scoreCol` (curriculum learning, Bengio et al. 2009 \u2014 train on
+   * easy tiers first). Phase i covers scores in (cut_{i-1}, cut_i];
+   * a score equal to a cutpoint lands in the LOWER phase, so the
+   * assignment is reproducible across engines with no rank
+   * tie-breaking. Cutpoints are discrete percentiles (existing
+   * values, no interpolation).
+   *
+   * Scale: one exact-percentile aggregation (a 1-row, nPhases-wide
+   * model-sized frame) broadcast back into a map-side comparison
+   * chain \u2014 the corpus is never globally sorted and never
+   * re-shuffles, unlike an ntile() window which would single-sort
+   * 100 TB through one partition chain.
+   */
+  def curriculumAssign(df: DataFrame, scoreCol: String,
+                       nPhases: Int = 4): DataFrame = {
+    require(nPhases >= 2, s"nPhases must be >= 2: $nPhases")
+    import org.apache.spark.sql.GraftSqlBridge
+    val ps = (1 until nPhases).map(_.toDouble / nPhases)
+    val cutAggs = ps.zipWithIndex.map { case (p, i) =>
+      GraftSqlBridge.percentileDisc(col(scoreCol), p).as(s"__cut$i")
+    }
+    val cuts = df.agg(cutAggs.head, cutAggs.tail: _*)
+    val phase = ps.indices
+      .map(i => when(col(scoreCol) > col(s"__cut$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn("phase", phase)
+      .drop(ps.indices.map(i => s"__cut$i"): _*)
+  }
+
+  /**
+   * Water-filling token-budget allocation across sources: each source
+   * asks for `share \u00d7 budget` tokens (share \u221d avail^alpha \u2014 the
+   * mixture-flattening exponent), but no source may repeat more than
+   * `maxEpochs` times its available tokens; surplus from capped
+   * sources redistributes proportionally among the uncapped ones for
+   * `rounds` FIXED passes (the iterative water-fill, unrolled so an
+   * engine twin reproduces it exactly). The standard budgeted remix
+   * when some sources are too small for their target share
+   * (epoching caps from Muennighoff et al. 2023, "Scaling
+   * Data-Constrained Language Models").
+   *
+   * Everything after the one per-source aggregation runs on the
+   * sources-sized table (model-sized); each round is a broadcast
+   * 1-row total + a map over that table. Output per source:
+   * avail_tokens, share, alloc_tokens (post-fill), epochs, capped.
+   */
+  def tokenBudgetFill(docs: DataFrame, groupCol: String, textCol: String,
+                      budget: Double, alpha: Double = 0.5,
+                      maxEpochs: Double = 4.0, rounds: Int = 3): DataFrame = {
+    require(budget > 0 && maxEpochs > 0 && rounds >= 1, "bad parameters")
+    val avail = docs.groupBy(col(groupCol))
+      .agg(sum(TextOps.tokenCount(col(textCol))).as("avail_tokens"))
+    val z = avail.agg(sum(pow(col("avail_tokens").cast("double"),
+      lit(alpha))).as("__z"))
+    var alloc = avail.crossJoin(broadcast(z))
+      .withColumn("share",
+        pow(col("avail_tokens").cast("double"), lit(alpha)) / col("__z"))
+      .withColumn("__cap", col("avail_tokens").cast("double") * lit(maxEpochs))
+      .withColumn("alloc_tokens",
+        least(col("share") * lit(budget), col("__cap")))
+      .drop("__z")
+    for (_ <- 1 to rounds) {
+      // leftover budget and the uncapped share mass, as 1-row scalars
+      val tot = alloc.agg(
+        (lit(budget) - sum(col("alloc_tokens"))).as("__left"),
+        sum(when(col("alloc_tokens") < col("__cap"), col("share"))
+          .otherwise(lit(0.0))).as("__mass"))
+      alloc = alloc.crossJoin(broadcast(tot))
+        .withColumn("alloc_tokens",
+          when(col("__mass") > 0 && col("alloc_tokens") < col("__cap"),
+            least(col("alloc_tokens") +
+              col("__left") * col("share") / col("__mass"), col("__cap")))
+            .otherwise(col("alloc_tokens")))
+        .drop("__left", "__mass")
+    }
+    alloc.select(col(groupCol), col("avail_tokens"), col("share"),
+      col("alloc_tokens"),
+      (col("alloc_tokens") / col("avail_tokens").cast("double")).as("epochs"),
+      (col("alloc_tokens") >= col("__cap")).as("capped"))
+  }
 }

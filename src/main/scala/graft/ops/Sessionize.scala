@@ -799,4 +799,90 @@ object Sessionize {
       .groupBy(col("event_type"), col("hour"))
       .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
   }
+
+  /**
+   * Stationary distribution of the per-user event-type Markov chain by
+   * fixed-count power iteration over [[eventTransitions]]'s row-
+   * stochastic matrix:
+   *
+   *   π_0 = uniform over observed types;
+   *   π_{k+1}(t) = Σ_f π_k(f) · P(f→t), then π_{k+1} /= Σ π_{k+1}.
+   *
+   * The L1 renormalization each round puts mass lost to absorbing
+   * types (types never seen as `from`) back uniformly — documented
+   * convention, mirrored by the oracle. Deterministic: P is a ratio of
+   * exact counts and the iteration count is fixed.
+   *
+   * Scale: the heavy step is the ONE per-user lead() shuffle inside
+   * [[eventTransitions]]; everything after lives on the (types×types)
+   * transition table, so each round is a broadcast join plus a tiny
+   * aggregate, and the L1 total is a 1-row broadcast scalar (the
+   * model-sized contract). State never exceeds O(types).
+   */
+  def markovStationary(events: DataFrame, iterations: Int = 3,
+                       typeCol: String = "event_type",
+                       userCol: String = "user_id",
+                       tsCol: String = "ts",
+                       eventIdCol: String = "event_id"): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val p = eventTransitions(events, typeCol, userCol, tsCol, eventIdCol)
+      .select(col("from_type"), col("to_type"), col("p"))
+      .localCheckpoint(false)
+    val types = p.select(col("from_type").as("t"))
+      .union(p.select(col("to_type").as("t"))).distinct()
+      .localCheckpoint(false)
+    val n = types.count().toDouble
+    var pi = types.withColumn("pi", lit(1.0) / lit(n))
+    for (_ <- 1 to iterations) {
+      val stepped = p.join(pi, p("from_type") === pi("t"))
+        .groupBy(col("to_type").as("t")).agg(sum(col("pi") * col("p")).as("__m"))
+      val tot = stepped.agg(sum("__m").as("__t"))
+      // if the whole mass sits in absorbing types (no out-transitions),
+      // the step total is 0 — the distribution is already stationary;
+      // keep it instead of dividing by zero
+      pi = pi.join(stepped, Seq("t"), "left").crossJoin(broadcast(tot))
+        .select(col("t"),
+          when(col("__t") > 0,
+            coalesce(col("__m"), lit(0.0)) / col("__t"))
+            .otherwise(col("pi")).as("pi"))
+    }
+    pi.select(col("t").as("event_type"), col("pi"))
+  }
+
+  /**
+   * Pareto / ABC analysis of value concentration: total `valueCol` per
+   * `keyCol`, descending cumulative share, and the classic A/B/C class
+   * split (A = keys inside the first `aCut` of total value, B = up to
+   * `bCut`, C = the tail). The one-line answer to "which event types
+   * carry 80 % of revenue" and the standard inventory-curation cut.
+   *
+   * Scale: the groupBy partial-aggregates map-side, so the shuffle
+   * carries one slim row per key; the running-share window then runs
+   * over the AGGREGATED table (cardinality = distinct keys), with the
+   * grand total joined in as a 1-row broadcast scalar. The window is
+   * a single global sort of that small table — never of the raw rows;
+   * for key cardinalities where that matters, bucket the keys first.
+   */
+  def paretoAbc(events: DataFrame, keyCol: String = "event_type",
+                valueCol: String = "value", aCut: Double = 0.8,
+                bCut: Double = 0.95): DataFrame = {
+    require(0 < aCut && aCut < bCut && bCut <= 1.0, "need 0 < aCut < bCut <= 1")
+    val totals = events.groupBy(col(keyCol))
+      .agg(sum(col(valueCol)).as("total_value"), count(lit(1)).as("n_events"))
+    val grand = totals.agg(sum("total_value").as("__g"))
+    val w = Window.orderBy(col("total_value").desc, col(keyCol))
+    totals.crossJoin(broadcast(grand))
+      .withColumn("share", col("total_value") / col("__g"))
+      .withColumn("cum_share", sum(col("share")).over(w))
+      // classify on the 9-decimal-rounded running share: an exact-sum
+      // boundary (0.8 + 0.15 = 0.9500000000000001 in IEEE) would
+      // otherwise misclass the boundary key, identically surprisingly
+      // on every engine
+      .withColumn("abc_class",
+        when(round(col("cum_share"), 9) <= lit(aCut), lit("A"))
+          .when(round(col("cum_share"), 9) <= lit(bCut), lit("B"))
+          .otherwise(lit("C")))
+      .select(col(keyCol), col("n_events"), col("total_value"),
+        col("share"), col("cum_share"), col("abc_class"))
+  }
 }

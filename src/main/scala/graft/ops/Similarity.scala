@@ -1264,4 +1264,61 @@ object Similarity {
       .groupBy(col("__vid").as(idCol))
       .agg(round(sum(col("__v") * col("__vi")), 6).as("pc1"))
   }
+
+  /**
+   * Radius (range) search: every corpus vector within cosine
+   * similarity ≥ `threshold` of each query — the retrieval mode where
+   * the ANSWER SIZE is data-driven (recall-complete candidate pull for
+   * RAG, duplicate sweeps around a probe vector) rather than a fixed
+   * top-k. Exact scan: queries broadcast, corpus streams once, the
+   * filter keeps the output sparse; there is no per-group state at all
+   * (unlike top-k's bounded aggregator), so this is a pure map-filter
+   * over the scan — the cheapest possible shape at 100 TB for
+   * broadcast-sized query sets.
+   *
+   * Output: (query_id, neighbor_id, cos_sim), one row per in-radius
+   * pair, self-pairs excluded.
+   */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0, "threshold in (-1, 1]")
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+      .where(col("cos_sim") >= lit(threshold))
+  }
+
+  /**
+   * LSH-bucketed production twin of [[rangeSearch]] for corpus-sized
+   * query sets, where broadcasting queries stops being an option: both
+   * sides bucket by [[hyperplaneBucket]] and only same-bucket pairs
+   * score — the equi-join makes the pair generation a shuffle join on
+   * the bucket key instead of a cross join. Misses pairs whose
+   * endpoints straddle a hyperplane (recall < 1, higher for higher
+   * thresholds — near vectors rarely split); the unit test pins the
+   * result to a subset of [[rangeSearch]] with measured recall.
+   */
+  def rangeSearchLsh(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                     idCol: String, threshold: Double,
+                     nPlanes: Int = 4): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0, "threshold in (-1, 1]")
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"),
+      hyperplaneBucket(col(vecCol), nPlanes).as("__bkt"))
+    c.join(q, Seq("__bkt"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+      .where(col("cos_sim") >= lit(threshold))
+  }
 }

@@ -117,6 +117,90 @@ object TextOps {
 
   def isCode(text: Column): Column = codeScore(text) > lit(0.06)
 
+  /**
+   * Gopher-style repetition/format quality gate (Rae et al. 2021,
+   * "Scaling Language Models: Methods, Analysis & Insights from
+   * Training Gopher", §A1.1): the per-document structural rules used
+   * to pre-filter web corpora, each emitted as a metric plus the
+   * boolean gate, and the conjunction as `pass`. Rules (defaults are
+   * the published bounds, scaled where the published one assumes
+   * full-web docs):
+   *   - word count within [minWords, maxWords];
+   *   - mean word length within [3, 10] chars (alphabetic-run words);
+   *   - ≤ 90 % of lines start with a bullet; ≤ 30 % end in an ellipsis;
+   *   - symbol-to-word ratio (# or …) ≤ 0.1;
+   *   - ≥ 80 % of whitespace tokens contain an alphabetic char;
+   *   - at least `minStopwords` DISTINCT members of the 8-stopword set
+   *     appear as whole words.
+   * Pure per-row regex + higher-order-array arithmetic: single map
+   * stage, whole-stage codegen, zero shuffle at any corpus size.
+   * Ratios are exact count ratios (IEEE-identical across engines).
+   */
+  def gopherGate(text: Column, minWords: Int = 10, maxWords: Int = 100000,
+                 minStopwords: Int = 2): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast(LongType)
+    val words = regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
+    val nWords = size(words).cast(LongType)
+    val meanWordLen = when(nWords === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast(DoubleType) / nWords.cast(DoubleType))
+    val ls = lines(text)
+    val nLines = size(ls).cast(DoubleType)
+    val bulletRatio = size(filter(ls,
+        l => trim(l).rlike("^[-*•]"))).cast(DoubleType) / nLines
+    val ellipsisRatio = size(filter(ls,
+        l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nLines
+    val symbolRatio = when(nWords === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[#…]"), lit(0)))
+        .cast(DoubleType) / nWords.cast(DoubleType))
+    val alphaRatio = when(nTok === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) /
+        nTok.cast(DoubleType))
+    val lowered = lower(text)
+    val nStopDistinct = EnStopwords.map(s =>
+      when(lowered.rlike("\\b" + s + "\\b"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val pass =
+      nWords.between(minWords, maxWords) &&
+      meanWordLen.between(3.0, 10.0) &&
+      bulletRatio <= lit(0.9) && ellipsisRatio <= lit(0.3) &&
+      symbolRatio <= lit(0.1) && alphaRatio >= lit(0.8) &&
+      nStopDistinct >= lit(minStopwords.toLong)
+    struct(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+      nStopDistinct.as("n_stop_distinct"), pass.as("pass"))
+  }
+
+  /**
+   * Encoding-damage fingerprint: counts the artifacts that mark a
+   * document as mis-decoded somewhere in its ingestion chain —
+   * U+FFFD replacement characters (decoder gave up), C0 control
+   * characters (binary bleed; tab/newline/CR excluded), and the
+   * classic UTF-8-read-as-Latin-1/CP-1252 mojibake digraphs
+   * ("â€™", "Ã©", …). `suspect` flags any artifact; non-ASCII ratio is
+   * reported (not gated — multilingual text is not damage). One
+   * codegen map stage, zero shuffle; all regexes are plain character
+   * classes/alternations, identical under Java regex and RE2/DuckDB.
+   */
+  def mojibakeStats(text: Column): Column = {
+    val repl = size(regexp_extract_all(text, lit("\\uFFFD"), lit(0)))
+      .cast(LongType)
+    val ctrl = size(regexp_extract_all(text,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"), lit(0))).cast(LongType)
+    val moji = size(regexp_extract_all(text,
+      lit("\\u00E2\\u20AC[\\u2122\\u0153\\u201C\\u00A6]|" +
+        "\\u00C3[\\u00A9\\u00A8\\u00A4\\u00B6\\u00BC\\u00B1]"), lit(0)))
+      .cast(LongType)
+    val nonAsciiRatio = when(length(text) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(text, lit("[^\\x00-\\x7F]"), lit(0)))
+        .cast(DoubleType) / length(text).cast(DoubleType))
+    struct(repl.as("n_replacement"), ctrl.as("n_ctrl"), moji.as("n_mojibake"),
+      nonAsciiRatio.as("nonascii_ratio"),
+      (repl > 0 || ctrl > 0 || moji > 0).as("suspect"))
+  }
+
   /** Per-language stopword regexes for the n-gram/stopword langid
    *  heuristic. Order matters: ties resolve to the earlier language. */
   val LangMarkers: Seq[(String, String)] = Seq(
@@ -1002,5 +1086,46 @@ object TextOps {
       Encoders.kryo[scala.collection.mutable.Map[String, Long]]
     def outputEncoder: Encoder[Seq[String]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /**
+   * Per-document lexical-diversity profile: token count, type count
+   * (distinct tokens), type-token ratio, hapax fraction (types seen
+   * once), and Yule's K = 10\u2074\u00b7(\u03a3 f\u1d62\u00b2 \u2212 N)/N\u00b2 (Yule 1944) \u2014 the
+   * repetitiveness constant that is length-insensitive where TTR is
+   * not. The standard corpus-curation signals for boilerplate and
+   * generated-text screening.
+   *
+   * Scale shape: tokens explode and aggregate per (doc, token) \u2014 the
+   * t-family contract (tokens shuffle, bodies never), partial
+   * aggregation absorbs in-doc repeats map-side; the second groupBy
+   * reduces per-doc histograms to five counters. Empty documents are
+   * kept via the left join back to the id spine with zero-fill.
+   */
+  def lexicalDiversity(df: DataFrame, textCol: String,
+                       idCol: String = "doc_id"): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val prof = tok.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum(col("__c") * col("__c")).as("__sumsq"))
+    df.select(col(idCol)).join(prof, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_types").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType)).as("ttr"),
+        when(coalesce(col("n_types"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_hapax").cast(DoubleType) /
+            col("n_types").cast(DoubleType)).as("hapax_frac"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(lit(10000.0) *
+            (col("__sumsq") - col("n_tokens")).cast(DoubleType) /
+            (col("n_tokens") * col("n_tokens")).cast(DoubleType))
+          .as("yule_k"))
   }
 }

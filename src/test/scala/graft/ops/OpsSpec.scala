@@ -3867,4 +3867,174 @@ class OpsSpec extends AnyFunSuite {
     // emitted by the stream either
     assert(got.map(_.toString) == batch.map(_.toString))
   }
+
+  // ------------------------------------------- round-6 second-batch ops
+
+  test("hits: bipartite star — auth on sinks, hub on sources, L1 sums to 1") {
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 11L)).toDF("src", "dst")
+    val r1 = GraphOps.hits(e, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // iter 1: auth_raw(10)=2, auth_raw(11)=1 -> auth 2/3, 1/3
+    assert(math.abs(r1(10L)._1 - 2.0 / 3) < 1e-12)
+    assert(math.abs(r1(11L)._1 - 1.0 / 3) < 1e-12)
+    // hub_raw(1)=auth(10)+auth(11)=1, hub_raw(2)=2/3 -> hub 0.6, 0.4
+    assert(math.abs(r1(1L)._2 - 0.6) < 1e-12)
+    assert(math.abs(r1(2L)._2 - 0.4) < 1e-12)
+    // bipartite split: sources have no authority, sinks no hub mass
+    assert(r1(1L)._1 == 0.0 && r1(10L)._2 == 0.0)
+    // more iterations keep the L1 contract and the ordering
+    val r2 = GraphOps.hits(e, "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(r2.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(r2.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(r2(10L)._1 > r2(11L)._1 && r2(1L)._2 > r2(2L)._2)
+  }
+
+  test("markovStationary: cyclic chain stays uniform; absorbing chain is a fixed point") {
+    def ev(rows: Seq[(Long, Long, String)]): DataFrame =
+      rows.map { case (id, u, t) =>
+        (id, u, t, new Timestamp(1700000000000L + id * 1000)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+    // A->B->A->B: P(A->B)=1, P(B->A)=1 -> uniform is stationary
+    val cyc = ev(Seq((1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "A"),
+      (4L, 1L, "B")))
+    val pi = Sessionize.markovStationary(cyc, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pi("A") - 0.5) < 1e-12 && math.abs(pi("B") - 0.5) < 1e-12)
+    // A->B only: B absorbs all mass, then the guard holds it there
+    val abs = ev(Seq((1L, 1L, "A"), (2L, 1L, "B")))
+    val pa = Sessionize.markovStationary(abs, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pa("A") == 0.0 && pa("B") == 1.0)
+  }
+
+  test("paretoAbc: 80/15/5 split lands A/B/C with exact cumulative shares") {
+    val ev = Seq((1L, "x", 80.0), (2L, "y", 15.0), (3L, "z", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val r = Sessionize.paretoAbc(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getString(5))).toMap
+    assert(r("x") == ((0.8, 0.8, "A")))
+    assert(r("y")._3 == "B" && math.abs(r("y")._2 - 0.95) < 1e-12)
+    assert(r("z")._3 == "C" && math.abs(r("z")._2 - 1.0) < 1e-12)
+  }
+
+  test("gopherGate: clean prose passes; each rule fails on its violator") {
+    def gate(t: String) = spark.range(1)
+      .select(TextOps.gopherGate(lit(t)).as("g")).select("g.*").head()
+    val good = gate("The cat and the dog sat in a quiet house of mist " +
+      "and it is warm today for all of us here together now")
+    assert(good.getAs[Boolean]("pass"))
+    assert(good.getAs[Long]("n_words") >= 10L)
+    val short = gate("tiny text")                    // word-count rule
+    assert(!short.getAs[Boolean]("pass"))
+    val bullets = gate("- the cat is here and of it\n- a dog is there " +
+      "and of it\n- an owl is in the air of night")  // every line bulleted
+    assert(bullets.getAs[Double]("bullet_ratio") > 0.9)
+    assert(!bullets.getAs[Boolean]("pass"))
+    val nostop = gate("alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma")
+    assert(nostop.getAs[Long]("n_stop_distinct") < 2L)
+    assert(!nostop.getAs[Boolean]("pass"))
+  }
+
+  test("mojibakeStats: counts each artifact class; clean ASCII is not suspect") {
+    val dirty = "ab\u00C3\u00A9c\uFFFDd\u0007"
+    val r = spark.range(1)
+      .select(TextOps.mojibakeStats(lit(dirty)).as("m")).select("m.*").head()
+    assert(r.getAs[Long]("n_replacement") == 1L)
+    assert(r.getAs[Long]("n_ctrl") == 1L)
+    assert(r.getAs[Long]("n_mojibake") == 1L)
+    assert(r.getAs[Boolean]("suspect"))
+    val c = spark.range(1)
+      .select(TextOps.mojibakeStats(lit("plain ascii text")).as("m"))
+      .select("m.*").head()
+    assert(!c.getAs[Boolean]("suspect") && c.getAs[Double]("nonascii_ratio") == 0.0)
+  }
+
+  test("lexicalDiversity: TTR / hapax / Yule's K on a known histogram; empty doc zero-fills") {
+    val d = Seq((1L, "a a b c"), (2L, "")).toDF("doc_id", "text")
+    val r = TextOps.lexicalDiversity(d, "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val one = r(1L)
+    assert(one.getAs[Long]("n_tokens") == 4L)
+    assert(one.getAs[Long]("n_types") == 3L)
+    assert(one.getAs[Long]("n_hapax") == 2L)
+    assert(math.abs(one.getAs[Double]("ttr") - 0.75) < 1e-12)
+    assert(math.abs(one.getAs[Double]("hapax_frac") - 2.0 / 3) < 1e-12)
+    // sum f^2 = 4+1+1 = 6; K = 1e4 * (6-4)/16 = 1250
+    assert(math.abs(one.getAs[Double]("yule_k") - 1250.0) < 1e-9)
+    val two = r(2L)
+    assert(two.getAs[Long]("n_tokens") == 0L && two.getAs[Double]("ttr") == 0.0)
+  }
+
+  test("curriculumAssign: quartile cutpoints split 1..8 into equal phases, ties to the lower phase") {
+    val d = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val a = Pipeline.curriculumAssign(d, "score", nPhases = 4)
+    val byPhase = a.groupBy("phase").agg(count(lit(1)).as("n"),
+        min("score").as("lo"), max("score").as("hi"))
+      .orderBy("phase").collect()
+    assert(byPhase.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 2L))
+    // phases are contiguous, non-overlapping score ranges
+    byPhase.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getDouble(3) < w(1).getDouble(2))
+    }
+    // a score equal to a cutpoint (2.0 = q25) sits in the LOWER phase
+    assert(a.where(col("score") === 2.0).select("phase").head().getLong(0) == 0L)
+  }
+
+  test("tokenBudgetFill: caps bind, surplus water-fills to uncapped sources, budget conserved") {
+    val docs = (Seq.fill(100)("tok") .zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "small") } ++
+      Seq.tabulate(100) { i => (1000L + i, Seq.fill(100)("tok").mkString(" "),
+        "big") }).toDF("doc_id", "text", "src")
+    // avail: small=100, big=10000; alpha=0 -> equal shares; budget 2000,
+    // 1-epoch cap: small caps at 100, leftover 900 all flows to big
+    val r = Pipeline.tokenBudgetFill(docs, "src", "text",
+        budget = 2000.0, alpha = 0.0, maxEpochs = 1.0, rounds = 2)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(3), x.getBoolean(5))).toMap
+    assert(r("small")._1 == 100L && r("big")._1 == 10000L)
+    assert(math.abs(r("small")._2 - 100.0) < 1e-9 && r("small")._3)
+    assert(math.abs(r("big")._2 - 1900.0) < 1e-9 && !r("big")._3)
+    assert(math.abs(r.values.map(_._2).sum - 2000.0) < 1e-9)
+  }
+
+  test("rangeSearch: exact pairs over the threshold; LSH twin is a subset with full recall on identicals") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+      (4L, Array(1.0f, 0.0f, 0.0f)))   // identical to 1
+      .toDF("vec_id", "embedding")
+    val qs = vecs.where(col("vec_id") === 1L)
+    val exact = Similarity.rangeSearch(vecs, qs, "embedding", "vec_id", 0.9)
+      .collect().map(_.getLong(1)).toSet
+    assert(exact == Set(2L, 4L))
+    val lsh = Similarity.rangeSearchLsh(vecs, qs, "embedding", "vec_id", 0.9,
+        nPlanes = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains(4L)) // identical vector shares every bucket
+  }
+
+  test("segmentPlan: overlapping win/hop schedule, ragged tail, empty payload dropped") {
+    val d = Seq((1L, Array.fill[Byte](1000)(1)), (2L, Array.fill[Byte](100)(1)),
+      (3L, Array.empty[Byte])).toDF("id", "payload")
+    val segs = Multimodal.segmentPlan(d, "payload", "id", winMs = 400L,
+        hopMs = 250L).orderBy("id", "seg_idx").collect()
+    val one = segs.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(one.toSeq == Seq((0L, 0L, 400L), (1L, 250L, 650L),
+      (2L, 500L, 900L), (3L, 750L, 1000L)))
+    // consecutive segments overlap by win - hop = 150 ms
+    one.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._3 - w(1)._2 == 150L)
+    }
+    assert(segs.filter(_.getLong(0) == 2L).map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L, 100L)))
+    assert(!segs.exists(_.getLong(0) == 3L))
+  }
 }
