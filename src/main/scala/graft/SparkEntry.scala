@@ -3746,7 +3746,176 @@ object SparkEntry {
              |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
              |       CAST(seg_idx * 250 AS BIGINT) AS start_ms,
              |       CAST(least(seg_idx * 250 + 400, dur) AS BIGINT) AS end_ms
-             |FROM s ORDER BY doc_id, seg_idx""".stripMargin)))
+             |FROM s ORDER BY doc_id, seg_idx""".stripMargin)),
+
+    // --- CDC merge: latest-wins upsert/delete change feed applied to
+    //     the documents snapshot (updates, a later overriding update,
+    //     deletes, and inserts — all derived deterministically)
+    ("e30_cdc_merge",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val u1 = d.where(col("doc_id") % 10 === 1)
+          .withColumn("lang", lit("xx"))
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        val u2 = d.where(col("doc_id") % 20 === 1)
+          .withColumn("lang", lit("yy"))
+          .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+        val del = d.where(col("doc_id") % 10 === 2)
+          .withColumn("op", lit("D")).withColumn("seq", lit(1L))
+        val ins = d.where(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+        ChangeData.applyChangeFeed(d,
+            u1.unionByName(u2).unionByName(del).unionByName(ins),
+            "doc_id", "seq")
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, text, 'xx' AS lang, source, n_chars,
+             |         'U' AS op, 1 AS seq
+             |  FROM documents WHERE doc_id % 10 = 1
+             |  UNION ALL
+             |  SELECT doc_id, text, 'yy', source, n_chars, 'U', 2
+             |  FROM documents WHERE doc_id % 20 = 1
+             |  UNION ALL
+             |  SELECT doc_id, text, lang, source, n_chars, 'D', 1
+             |  FROM documents WHERE doc_id % 10 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, lang, source, n_chars, 'U', 1
+             |  FROM documents WHERE doc_id % 50 = 0),
+             |w AS (SELECT * FROM
+             |        (SELECT *, row_number() OVER
+             |           (PARTITION BY doc_id ORDER BY seq DESC) AS r FROM ch)
+             |      WHERE r = 1),
+             |kept AS (SELECT d.* FROM documents d
+             |         LEFT JOIN w ON d.doc_id = w.doc_id
+             |         WHERE w.doc_id IS NULL)
+             |SELECT doc_id, text, lang, source, n_chars FROM kept
+             |UNION ALL
+             |SELECT doc_id, text, lang, source, n_chars FROM w
+             |WHERE op <> 'D'
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- one-sided CUSUM changepoints on daily counts per event type
+    //     (the prefix-sum-minus-running-min formulation — both
+    //     cumulative windows, no recursion)
+    ("e31_cusum",
+      (s, dir) => Sessionize.cusumChangepoints(evts(s, dir))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_events"),
+          round(col("cusum"), 6).as("cusum"), col("alarm"))
+        .orderBy("event_type", "day"),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |            CAST(count(*) AS DOUBLE) AS n
+             |           FROM events GROUP BY 1, 2),
+             |st AS (SELECT event_type, avg(n) AS mu,
+             |         coalesce(stddev_pop(n), 0) AS sd FROM d GROUP BY 1),
+             |p AS (SELECT d.event_type, d.day, d.n, st.sd,
+             |        sum(d.n - st.mu - 0.5 * st.sd) OVER
+             |          (PARTITION BY d.event_type ORDER BY d.day
+             |           ROWS UNBOUNDED PRECEDING) AS pp
+             |      FROM d JOIN st USING (event_type)),
+             |c AS (SELECT event_type, day, n, sd,
+             |        pp - least(min(pp) OVER
+             |          (PARTITION BY event_type ORDER BY day
+             |           ROWS UNBOUNDED PRECEDING), 0) AS cusum
+             |      FROM p)
+             |SELECT event_type, CAST(day AS VARCHAR) AS day,
+             |       CAST(n AS BIGINT) AS n_events,
+             |       round(cusum, 6) AS cusum, cusum > 4.0 * sd AS alarm
+             |FROM c ORDER BY event_type, day""".stripMargin)),
+
+    // --- sign-bit (1-bit) quantized ANN: Hamming shortlist over sign
+    //     bitmaps, exact-cosine rerank — the binary-quantization mode;
+    //     every stage SQL-mirrorable
+    ("s25_binary_hamming",
+      (s, dir) => Similarity.binaryHammingTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nCandidates = 32)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("hamming"), round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some(binaryHammingOracle)),
+
+    // --- curation attrition funnel: ordered quality gates, cumulative
+    //     survivors (docs + tokens) from ONE corpus pass
+    ("p19_attrition",
+      (s, dir) => {
+        val t = col("text")
+        Pipeline.curationAttrition(docs(s, dir), TextOps.tokenCount(t), Seq(
+            "min_tokens" -> (TextOps.tokenCount(t) >= 20),
+            "lang_known" -> (TextOps.langId(t) =!= lit("und")),
+            "quality" -> (TextOps.qualityScore(t, col("n_chars")) >= 0.45),
+            "not_code" -> !TextOps.isCode(t)))
+          .select(col("stage"), col("gate"), col("n_docs"), col("n_tokens"),
+            round(col("doc_frac"), 6).as("doc_frac"),
+            round(col("token_frac"), 6).as("token_frac"))
+          .orderBy("stage")
+      },
+      Some(attritionOracle)))
+
+  /** DuckDB mirror of s25: per-pair sign-mismatch count via an index
+    * filter, (hamming, id)-ordered shortlist, exact-cosine rerank. */
+  private lazy val binaryHammingOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |h AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        len(list_filter(range(1, len(q.v) + 1),
+      |          i -> (q.v[i] > 0) <> (c.v[i] > 0))) AS hamming,
+      |        list_dot_product(q.v, c.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) *
+      |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+      |      FROM e q, e c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |sl AS (SELECT * FROM
+      |         (SELECT *, row_number() OVER
+      |            (PARTITION BY query_id ORDER BY hamming, neighbor_id)
+      |            AS r FROM h)
+      |       WHERE r <= 32),
+      |rr AS (SELECT query_id, neighbor_id, hamming, cos_sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |       FROM sl)
+      |SELECT query_id, neighbor_id, rank,
+      |       CAST(hamming AS BIGINT) AS hamming,
+      |       round(cos_sim, 6) AS cos_sim
+      |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of p19: the shared text-feature CTE + lang argmax +
+    * quality + code-score formulas, cumulative gate conjunctions,
+    * stages unioned from the 1-row counter aggregate. */
+  private lazy val attritionOracle: String = {
+    val gates = Seq("g1", "g2", "g3", "g4")
+    val cum = gates.indices.map(i => gates.take(i + 1).mkString(" AND "))
+    val aggs = ("CAST(count(*) AS BIGINT) AS d0, " +
+      "CAST(sum(n_tok) AS BIGINT) AS t0") +: cum.zipWithIndex.map {
+      case (c, i) =>
+        s"""CAST(sum(CASE WHEN $c THEN 1 ELSE 0 END) AS BIGINT) AS d${i + 1},
+           |   CAST(sum(CASE WHEN $c THEN n_tok ELSE 0 END) AS BIGINT)
+           |     AS t${i + 1}""".stripMargin
+    }
+    val names = Seq("raw", "min_tokens", "lang_known", "quality", "not_code")
+    val rows = names.zipWithIndex.map { case (n, i) =>
+      s"""SELECT CAST($i AS BIGINT) AS stage, '$n' AS gate,
+         |  d$i AS n_docs, t$i AS n_tokens,
+         |  round(CAST(d$i AS DOUBLE) / d0, 6) AS doc_frac,
+         |  round(CAST(t$i AS DOUBLE) / t0, 6) AS token_frac FROM a""".stripMargin
+    }
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |l AS (SELECT *, $sqlBest AS best FROM h),
+       |g AS (SELECT n_tok,
+       |    n_tok >= 20 AS g1,
+       |    ($sqlLangCase) <> 'und' AS g2,
+       |    ($sqlQuality) >= 0.45 AS g3,
+       |    (length(regexp_extract_all(text, '[{}();=<>\\[\\]]')) * 2.0
+       |     + length(regexp_extract_all(text, '(?m)^(?:    |\\t)')) * 3.0)
+       |      / (length(text) + 1.0) <= 0.06 AS g4
+       |  FROM l),
+       |a AS (SELECT ${aggs.mkString(",\n   ")} FROM g)
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")})
+       |ORDER BY stage""".stripMargin
+  }
 
   // ---- shared DuckDB mirrors of the TextOps formulas (lock-step with
   //      the Scala implementations; asserted by t02/p01 oracle matches)

@@ -55,4 +55,40 @@ object ChangeData {
       .select((keyCol +: attrCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
+
+  /**
+   * CDC merge: apply a change feed of upserts ('U') and deletes ('D')
+   * onto a snapshot, latest-wins — the MERGE INTO semantics every
+   * lakehouse compaction job implements, in plain relational ops.
+   * Per key, only the change row with the highest (`seqCol`) matters;
+   * if it is a delete the key disappears, otherwise its payload
+   * replaces (or inserts) the snapshot row. Snapshot keys untouched
+   * by the feed pass through unchanged. Payload columns = snapshot
+   * columns minus the key; the feed must carry the same payload
+   * schema (delete rows may carry nulls — they are never read).
+   *
+   * Scale shape: the feed (typically ≪ snapshot) reduces FIRST to one
+   * slim winner row per key (partial-agg max + self-semi-join on
+   * (key, seq) — no whole-feed window sort), then a single
+   * full-outer-join-free pass: snapshot anti-joins the touched-key
+   * set (slim keys only) and the surviving upserts union in. The
+   * snapshot is never shuffled beyond the one anti-join hash
+   * exchange; with a broadcast-sized feed the planner broadcasts the
+   * touched-key side and the snapshot never moves at all.
+   */
+  def applyChangeFeed(snapshot: DataFrame, changes: DataFrame,
+                      keyCol: String, seqCol: String,
+                      opCol: String = "op"): DataFrame = {
+    val payload = snapshot.columns.filter(_ != keyCol).toSeq
+    // latest change per key: max seq, then the (key, seq) semi join —
+    // two partial-aggregated shuffles of slim rows, no window sort
+    val latestSeq = changes.groupBy(col(keyCol))
+      .agg(max(col(seqCol)).as(seqCol))
+    val winners = changes.join(latestSeq, Seq(keyCol, seqCol), "left_semi")
+    val touched = winners.select(col(keyCol))
+    val kept = snapshot.join(touched, Seq(keyCol), "left_anti")
+    val upserts = winners.where(col(opCol) =!= lit("D"))
+      .select((keyCol +: payload).map(col): _*)
+    kept.unionByName(upserts)
+  }
 }

@@ -722,6 +722,82 @@ object GraphOps {
   }
 
   /**
+   * Sampled-source betweenness centrality (Brandes 2001, "A faster
+   * algorithm for betweenness centrality"; sampling per Brandes &
+   * Pich 2007): exact single-source dependency accumulation batched
+   * over a SOURCE SAMPLE — the same deliberate contract as
+   * [[harmonicCentrality]]: all-pairs betweenness is O(V·E) and
+   * intentionally absent; estimate by sampling sources and scaling.
+   * Output `bc` sums the raw Brandes dependencies δ_s(v) over the
+   * sampled sources (no pair-direction halving — each undirected pair
+   * contributes from both endpoints when both are sampled, the
+   * classic convention; divide by 2 outside for the textbook number).
+   *
+   * Forward phase: BFS waves keyed (source, node) carrying the
+   * shortest-path COUNT σ (a depth-(d+1) node's σ is the sum of its
+   * depth-d neighbors' σ). Backward phase: walks the recorded depth
+   * frames deepest-first, δ(v) = Σ_{w: dist(w)=dist(v)+1}
+   * (σ_v/σ_w)·(1+δ_w) — every step a join + partial-aggregated
+   * groupBy over slim (source, node) rows; per-depth frames are
+   * lazily checkpointed so the 2·depth-round lineage stays flat.
+   * `maxHops` bounds the wavefront (the BFS-family skew valve);
+   * state is |sources|·reachable by construction.
+   */
+  def betweennessSampled(edges: DataFrame, aCol: String, bCol: String,
+                         sources: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, "maxHops must be >= 1")
+    val sym = symmetric(canonical(edges, aCol, bCol)).localCheckpoint(false)
+    val src = sources.toDF("s").distinct()
+    val lvl0 = src.select(col("s"), col("s").as("node"),
+      lit(1.0).as("sigma")).localCheckpoint(false)
+    var levels = Vector(lvl0)
+    var seen = lvl0.select("s", "node").localCheckpoint(false)
+    var frontierNonEmpty = levels.last.limit(1).count() > 0
+    var d = 0
+    while (frontierNonEmpty && d < maxHops) {
+      val nxt = levels.last.join(sym, Seq("node"))
+        .select(col("s"), col("nbr").as("node"), col("sigma"))
+        .join(seen, Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(false)
+      frontierNonEmpty = nxt.limit(1).count() > 0
+      if (frontierNonEmpty) {
+        levels = levels :+ nxt
+        seen = seen.union(nxt.select("s", "node")).localCheckpoint(false)
+        d += 1
+      }
+    }
+    // backward accumulation, deepest level has delta = 0
+    var acc: DataFrame = null
+    var below = levels.last.withColumn("delta", lit(0.0))
+    for (i <- levels.length - 2 to 1 by -1) {
+      val contrib = levels(i).join(sym, Seq("node"))
+        .select(col("s"), col("node"), col("sigma"), col("nbr"))
+        .join(below.select(col("s"), col("node").as("nbr"),
+          col("sigma").as("__sw"), col("delta").as("__dw")), Seq("s", "nbr"))
+        .groupBy(col("s"), col("node"), col("sigma"))
+        .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
+          .as("delta"))
+        .select(col("s"), col("node"), col("sigma"), col("delta"))
+        .localCheckpoint(false)
+      // nodes at this depth with no deeper successor keep delta 0
+      below = levels(i).join(contrib.select(col("s"), col("node"),
+          col("delta")), Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(false)
+      acc = if (acc == null) below.select("node", "delta")
+            else acc.union(below.select("node", "delta"))
+    }
+    val allNodes = sym.select(col("node")).distinct()
+    val bc = if (acc == null) allNodes.withColumn("bc", lit(0.0))
+      else allNodes.join(acc.groupBy("node").agg(sum("delta").as("bc")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+    bc
+  }
+
+  /**
    * HITS hubs-and-authorities (Kleinberg 1999, "Authoritative sources
    * in a hyperlinked environment"), fixed iteration count, L1 (sum)
    * normalization after every half-step so scores are comparable

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -777,6 +777,40 @@ object Pipeline {
     keyed
       .withColumn("order_pos", row_number().over(wGlob).cast("long") - 1L)
       .drop("__w", "__vt")
+  }
+
+  /**
+   * Curation attrition funnel: apply quality gates IN ORDER and report
+   * how many documents/tokens survive after each successive gate —
+   * the one table a pipeline owner reads to see which filter eats the
+   * corpus (t13's per-gate fractions answer "how strict is gate g";
+   * this answers "in the shipped ORDER, where does the mass go").
+   * Stage 0 is the raw corpus; stage k applies gates 1..k
+   * conjunctively. Output: (stage, gate, n_docs, n_tokens, doc_frac,
+   * token_frac) with fractions relative to raw.
+   *
+   * Scale: ONE pass — every per-gate predicate and the cumulative
+   * conjunctions evaluate in-row, a single partial-aggregated global
+   * aggregate carries 2·(gates+1) counters, and the stage table
+   * explodes from that 1-row frame. The corpus is scanned once and
+   * never shuffled.
+   */
+  def curationAttrition(docs: DataFrame, tokenCol: Column,
+                        gates: Seq[(String, Column)]): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    val conds = gates.scanLeft(lit(true))((acc, g) => acc && g._2)
+    val names = "raw" +: gates.map(_._1)
+    val aggs = conds.zipWithIndex.flatMap { case (c, i) => Seq(
+      sum(when(c, 1L).otherwise(0L)).as(s"__d$i"),
+      sum(when(c, tokenCol).otherwise(lit(0L))).as(s"__t$i")) }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(i.toLong).as("stage"), lit(n).as("gate"),
+          col(s"__d$i").as("n_docs"), col(s"__t$i").as("n_tokens"),
+          (col(s"__d$i").cast("double") / col("__d0")).as("doc_frac"),
+          (col(s"__t$i").cast("double") / col("__t0")).as("token_frac"))
+      }: _*)).as("__s"))
+      .select("__s.*")
   }
 
   /**

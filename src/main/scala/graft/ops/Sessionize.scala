@@ -850,6 +850,48 @@ object Sessionize {
   }
 
   /**
+   * One-sided CUSUM changepoint detection over per-(type, day) event
+   * counts (Page 1954, "Continuous inspection schemes"): the
+   * sustained-shift detector that complements [[anomalyZScores]]'
+   * single-spike gate. Classic recursion
+   * `s_k = max(0, s_{k-1} + (x_k − μ − slack))` is NOT window-
+   * expressible — but it equals `P_k − min_{j≤k} P_j` where
+   * `P_k = Σ_{i≤k} (x_i − μ − slack)` (a 0-floored random walk is its
+   * prefix sum minus the running minimum, with P_0 = 0 in the min),
+   * so the whole detector is two cumulative windows per type. μ and σ
+   * are the type's own day-count mean/stddev (two-pass, population σ);
+   * `slack` = slackSigma·σ, alarm when s_k > thresholdSigma·σ.
+   *
+   * Scale: one shuffle to (type, day) counts (partial-aggregated), one
+   * shuffle on type for the two RANGE/ROWS windows over the days-sized
+   * per-type series; the stats join is groups-sized and broadcast.
+   * Days per type bound the window partition, not events.
+   */
+  def cusumChangepoints(events: DataFrame, slackSigma: Double = 0.5,
+                        thresholdSigma: Double = 4.0,
+                        typeCol: String = "event_type",
+                        tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(avg(col("n")).as("__mu"),
+        coalesce(stddev_pop(col("n")), lit(0.0)).as("__sd"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__step", col("n") - col("__mu") - lit(slackSigma) * col("__sd"))
+      .withColumn("__p", sum(col("__step")).over(wCum))
+      // least(running min of P, 0) injects the P_0 = 0 term
+      .withColumn("cusum",
+        col("__p") - least(min(col("__p")).over(wCum), lit(0.0)))
+      .withColumn("alarm", col("cusum") > lit(thresholdSigma) * col("__sd"))
+      .select(col("event_type"), col("day"), col("n").cast("long").as("n_events"),
+        col("cusum"), col("alarm"))
+  }
+
+  /**
    * Pareto / ABC analysis of value concentration: total `valueCol` per
    * `keyCol`, descending cumulative share, and the classic A/B/C class
    * split (A = keys inside the first `aCut` of total value, B = up to

@@ -1266,6 +1266,56 @@ object Similarity {
   }
 
   /**
+   * Sign-bit (1-bit) quantized ANN: stage 1 ranks candidates by
+   * HAMMING distance between sign bitmaps (dim bits per vector — a
+   * 32× compression over float32; the binary-quantization mode every
+   * vector store ships), stage 2 reranks the `nCandidates` shortlist
+   * with exact cosine over the original floats. Hamming ties break on
+   * neighbor id, so the shortlist is deterministic and the whole
+   * pipeline SQL-mirrorable.
+   *
+   * The sign compare runs as a zip_with/filter codegen chain over the
+   * float arrays (clarity + mirrorability); a packed-popcount native
+   * expression drops in when the bitmaps are precomputed — the plan
+   * SHAPE (bounded TopK shortlist, float rerank confined to
+   * k·|queries| rows) is the scale lever, not the per-pair constant.
+   */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame,
+                        vecCol: String, idCol: String, k: Int,
+                        nCandidates: Int = 32): DataFrame = {
+    require(k >= 1 && nCandidates >= k, "need nCandidates >= k >= 1")
+    val q = queries.select(col(idCol).cast(LongType).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).cast(LongType).as("neighbor_id"),
+      col(vecCol).as("__cv"), norm(col(vecCol)).as("__cn"))
+    val hamming = size(filter(
+      zip_with(col("__qv"), col("__cv"), (a, b) => (a > 0.0f) =!= (b > 0.0f)),
+      x => x))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__qv"), col("__cv"), col("__qn"), col("__cn"),
+        hamming.cast(LongType).as("hamming"))
+    // stage 1: bounded TopK by (−hamming, id) — O(1) reject per row
+    val shortlist = topKPerGroup(
+      scored.select(col("query_id"), col("neighbor_id"),
+        (-col("hamming").cast(DoubleType)).as("__s")),
+      "query_id", "neighbor_id", "__s", nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact cosine on the shortlist only
+    val rerank = scored.join(shortlist, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(rerank.select(col("query_id"), col("neighbor_id"),
+        col("cos_sim")), "query_id", "neighbor_id", "cos_sim", k)
+      .join(rerank.select(col("query_id"), col("neighbor_id"),
+        col("hamming")), Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("hamming"), col("cos_sim"))
+  }
+
+  /**
    * Radius (range) search: every corpus vector within cosine
    * similarity ≥ `threshold` of each query — the retrieval mode where
    * the ANSWER SIZE is data-driven (recall-complete candidate pull for

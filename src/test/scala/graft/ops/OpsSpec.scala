@@ -4037,4 +4037,104 @@ class OpsSpec extends AnyFunSuite {
       (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L, 100L)))
     assert(!segs.exists(_.getLong(0) == 3L))
   }
+
+  test("applyChangeFeed: latest-wins upsert, delete removes, untouched passes through, insert lands") {
+    val snap = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
+      .toDF("id", "name", "v")
+    val feed = Seq(
+      (1L, "one-a", 11, "U", 1L), (1L, "one-b", 12, "U", 2L), // latest wins
+      (2L, null.asInstanceOf[String], 0, "D", 1L),            // delete
+      (4L, "four", 40, "U", 1L))                              // insert
+      .toDF("id", "name", "v", "op", "seq")
+    val out = ChangeData.applyChangeFeed(snap, feed, "id", "seq")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, "one-b", 12), (3L, "three", 30),
+      (4L, "four", 40)))
+  }
+
+  test("cusumChangepoints: prefix-minus-running-min equals the max(0,...) recursion") {
+    // two types: 'flat' stays near mean, 'shift' jumps for its last days
+    val rows = (0 until 10).flatMap { day =>
+      val ts = new Timestamp(1700000000000L + day.toLong * 86400000L)
+      val flat = Seq.fill(5)(("flat", ts))
+      val shift = Seq.fill(if (day >= 7) 20 else 5)(("shift", ts))
+      flat ++ shift
+    }.zipWithIndex.map { case ((t, ts), i) => (i.toLong, 1L, t, ts, 0.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Sessionize.cusumChangepoints(rows, slackSigma = 0.5,
+        thresholdSigma = 2.0)
+      .orderBy("event_type", "day").collect()
+    // reference recursion per type
+    val byType = out.groupBy(_.getString(0))
+    for ((_, rs) <- byType) {
+      val n = rs.map(_.getLong(2).toDouble)
+      val mu = n.sum / n.length
+      val sd = math.sqrt(n.map(x => (x - mu) * (x - mu)).sum / n.length)
+      var s = 0.0
+      rs.zip(n).foreach { case (r, x) =>
+        s = math.max(0.0, s + (x - mu - 0.5 * sd))
+        assert(math.abs(r.getDouble(3) - s) < 1e-9,
+          s"cusum mismatch at ${r.getString(0)}/${r.getAs[java.sql.Date](1)}")
+        assert(r.getBoolean(4) == (s > 2.0 * sd))
+      }
+    }
+    // the shifted type actually alarms, the flat one never does
+    assert(out.filter(_.getString(0) == "shift").exists(_.getBoolean(4)))
+    assert(!out.filter(_.getString(0) == "flat").exists(_.getBoolean(4)))
+  }
+
+  test("binaryHammingTopK: identical-sign vector ranks first; hamming is the sign-mismatch count") {
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.8f, -0.7f, 0.6f)),   // same signs as query
+      (11L, Array(0.1f, -0.2f, -0.3f, 0.4f)),  // 1 mismatch
+      (12L, Array(-1.0f, -1.0f, 1.0f, -1.0f)), // all 4 mismatch
+      (1L, Array(1.0f, 1.0f, -1.0f, 1.0f)))    // the query
+      .toDF("vec_id", "embedding")
+    val out = Similarity.binaryHammingTopK(vecs,
+        vecs.where(col("vec_id") === 1L), "embedding", "vec_id",
+        k = 3, nCandidates = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.map(_._1).head == 10L)        // same-sign + closest cosine
+    assert(out.toMap == Map(10L -> 0L, 11L -> 1L, 12L -> 4L))
+  }
+
+  test("curationAttrition: stage counts are monotone non-increasing; raw row is totals") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps high today", 37L),
+      (2L, "short", 5L),
+      (3L, "der hund und die katze und der vogel", 36L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = Pipeline.curationAttrition(d, TextOps.tokenCount(col("text")),
+        Seq("min5" -> (TextOps.tokenCount(col("text")) >= 5L),
+          "en_only" -> (TextOps.langId(col("text")) === lit("en"))))
+      .orderBy("stage").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "raw" && out(0).getLong(2) == 3L)
+    assert(out(1).getLong(2) == 2L)  // doc 2 fails min5
+    assert(out(2).getLong(2) == 1L)  // doc 3 is German
+    assert(out.map(_.getLong(2)).sliding(2).forall(w => w(0) >= w(1)))
+    assert(out(0).getDouble(4) == 1.0)
+  }
+
+  test("betweennessSampled: exact Brandes sums on a path and a star (all sources)") {
+    // path 1-2-3-4-5: bc = 0,6,8,6,0 (both directions counted)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val nodes = (1L to 5L).toDF("s")
+    val bc = GraphOps.betweennessSampled(path, "a", "b", nodes, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
+    // star: center 0, leaves 1..3 → center carries every leaf pair twice
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val bcs = GraphOps.betweennessSampled(star, "a", "b",
+        (0L to 3L).toDF("s"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcs(0L) == 6.0 && bcs(1L) == 0.0)
+    // sampling HALF the sources bounds the estimate by the full sum
+    val bcHalf = GraphOps.betweennessSampled(path, "a", "b",
+        Seq(1L, 5L).toDF("s"), maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcHalf(3L) > 0.0 && bcHalf(3L) <= bc(3L))
+  }
 }
