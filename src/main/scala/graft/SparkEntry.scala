@@ -3852,7 +3852,122 @@ object SparkEntry {
             round(col("token_frac"), 6).as("token_frac"))
           .orderBy("stage")
       },
-      Some(attritionOracle)))
+      Some(attritionOracle)),
+
+    // --- median/MAD robust outlier scores per event type (Hampel
+    //     z-scores; exact discrete medians both passes)
+    ("e32_mad_outliers",
+      (s, dir) => Pipeline.madOutliers(evts(s, dir), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("robust_z"), 6).as("robust_z"), col("is_outlier"))
+        .orderBy("event_id"),
+      Some("""WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+             |           FROM events GROUP BY 1),
+             |j AS (SELECT e.event_id, e.event_type, e.value, m.med
+             |      FROM events e JOIN m USING (event_type)),
+             |md AS (SELECT event_type,
+             |         quantile_disc(abs(value - med), 0.5) AS mad
+             |       FROM j GROUP BY 1),
+             |x AS (SELECT j.event_id, j.event_type, j.value, j.med, md.mad
+             |      FROM j JOIN md USING (event_type))
+             |SELECT event_id, event_type, value,
+             |  round(CASE WHEN mad = 0 THEN 0.0
+             |        ELSE (value - med) / (1.4826 * mad) END, 6) AS robust_z,
+             |  CASE WHEN mad = 0 THEN false
+             |       ELSE abs((value - med) / (1.4826 * mad)) > 3.5
+             |  END AS is_outlier
+             |FROM x ORDER BY event_id""".stripMargin)),
+
+    // --- bot detection by inter-event gap regularity (metronome CV)
+    ("e33_bot_score",
+      (s, dir) => Sessionize.botScores(evts(s, dir))
+        .select(col("user_id"), col("n_events"),
+          round(col("mean_gap_ms"), 6).as("mean_gap_ms"),
+          round(col("gap_cv"), 6).as("gap_cv"), col("is_bot"))
+        .orderBy("user_id"),
+      Some("""WITH g AS (SELECT user_id, event_id,
+             |    CAST(epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS DOUBLE) AS gap
+             |  FROM events),
+             |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |        avg(gap) AS mg, coalesce(stddev_pop(gap), 0) AS sd
+             |      FROM g GROUP BY 1)
+             |SELECT user_id, n_events, round(mg, 6) AS mean_gap_ms,
+             |  round(CASE WHEN mg IS NULL OR mg = 0 THEN 0.0
+             |        ELSE sd / mg END, 6) AS gap_cv,
+             |  (n_events >= 20 AND
+             |   (CASE WHEN mg IS NULL OR mg = 0 THEN 0.0
+             |         ELSE sd / mg END) <= 0.5) AS is_bot
+             |FROM a ORDER BY user_id""".stripMargin)),
+
+    // --- per-dimension corpus standardization (z-scored embeddings,
+    //     flattened rows; zero-variance dims → 0)
+    ("s26_standardize",
+      (s, dir) => Similarity.standardizeDims(embs(s, dir), "embedding",
+          "vec_id")
+        .where(col("vec_id") < 25)
+        .select(col("vec_id"), col("dim"), round(col("z"), 6).as("z"))
+        .orderBy("vec_id", "dim"),
+      Some("""WITH x AS (SELECT vec_id,
+             |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |st AS (SELECT dim, avg(v) AS mu,
+             |         coalesce(stddev_pop(v), 0) AS sd FROM x GROUP BY 1)
+             |SELECT x.vec_id, x.dim,
+             |  round(CASE WHEN st.sd = 0 THEN 0.0
+             |        ELSE (x.v - st.mu) / st.sd END, 6) AS z
+             |FROM x JOIN st USING (dim) WHERE vec_id < 25
+             |ORDER BY vec_id, dim""".stripMargin)),
+
+    // --- equi-width length histogram with zero-filled bins
+    ("t37_length_histogram",
+      (s, dir) => Pipeline.histogram(docs(s, dir), "n_chars", nBins = 20)
+        .select(col("bin"), round(col("bin_lo"), 6).as("bin_lo"),
+          round(col("bin_hi"), 6).as("bin_hi"), col("n_rows"))
+        .orderBy("bin"),
+      Some("""WITH mm AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+             |             CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+             |b AS (SELECT CASE WHEN mm.hi = mm.lo THEN 0
+             |        ELSE least(CAST(floor((n_chars - mm.lo) /
+             |               ((mm.hi - mm.lo) / 20.0)) AS BIGINT), 19)
+             |      END AS bin
+             |      FROM documents CROSS JOIN mm),
+             |c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b
+             |      GROUP BY 1),
+             |g AS (SELECT unnest(range(0, 20)) AS bin)
+             |SELECT g.bin AS bin,
+             |  round(mm.lo + g.bin * (mm.hi - mm.lo) / 20.0, 6) AS bin_lo,
+             |  round(mm.lo + (g.bin + 1) * (mm.hi - mm.lo) / 20.0, 6)
+             |    AS bin_hi,
+             |  coalesce(c.n, 0) AS n_rows
+             |FROM g CROSS JOIN mm LEFT JOIN c ON g.bin = c.bin
+             |ORDER BY bin""".stripMargin)),
+
+    // --- skew-salted join: hot supplier keys spread over 8 salt
+    //     sub-partitions; the result is pinned to the PLAIN join (the
+    //     oracle) because salts affect placement, never matching
+    ("b02_salted_join",
+      (s, dir) => {
+        val li = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/lineitem.parquet")
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"),
+            col("l_linenumber"))
+        val sup = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/supplier.parquet")
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        Bucketing.saltedJoin(li, sup, "suppkey", salts = 8,
+            saltExpr = col("l_linenumber"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+             |       round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY s_name""".stripMargin)))
 
   /** DuckDB mirror of s25: per-pair sign-mismatch count via an index
     * filter, (hamming, id)-ordered shortlist, exact-cosine rerank. */

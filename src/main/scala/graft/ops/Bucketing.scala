@@ -106,4 +106,30 @@ object Bucketing {
         min(col("__x")).as("min_x"), max(col("__x")).as("max_x"),
         min(col("__y")).as("min_y"), max(col("__y")).as("max_y"))
   }
+
+  /**
+   * Skew-salted equi-join: when one join key carries a disproportionate
+   * share of the fact side (the classic hot-key straggler), split that
+   * key's rows across `salts` sub-partitions via a deterministic
+   * per-row salt and replicate the (small) dim side once per salt —
+   * the join runs on (key, salt) and the hot key's work spreads over
+   * `salts` tasks instead of pinning one. Result set is EXACTLY the
+   * plain join's (salt values never affect matching, only placement),
+   * which is what the property test and the oracle pin.
+   *
+   * `saltExpr` must be deterministic per fact row (a row-content hash
+   * or any existing column — NOT rand()); the dim replication is an
+   * in-row sequence explode, `salts`× the dim only. Use when AQE's
+   * skew handling can't see the skew (e.g., pre-shuffle bucketing or
+   * a first-stage join); prefer AQE where it applies.
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 salts: Int, saltExpr: Column): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1: $salts")
+    val f = fact.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    val d = dim
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    f.join(d, Seq(keyCol, "__salt")).drop("__salt")
+  }
 }

@@ -897,4 +897,74 @@ object Pipeline {
       (col("alloc_tokens") / col("avail_tokens").cast("double")).as("epochs"),
       (col("alloc_tokens") >= col("__cap")).as("capped"))
   }
+
+  /**
+   * Median/MAD robust outlier scores per group (Hampel's robust
+   * z-score; Leys et al. 2013): `rz = (x \u2212 median) / (1.4826\u00b7MAD)`,
+   * flagged when |rz| > `cutoff` (3.5 is the classic Hampel bound).
+   * Mean/stddev outlier gates break down exactly when outliers are
+   * present (the outliers inflate \u03c3 and mask themselves); the
+   * median/MAD pair has a 50 % breakdown point. Thresholds are EXACT
+   * discrete percentiles (existing values \u2014 cross-engine
+   * reproducible); a zero-MAD group (over half the values identical)
+   * scores 0 and never flags, by convention.
+   *
+   * Scale: two grouped exact-percentile aggregations (group-sized
+   * frames, the second over |x \u2212 med| after a broadcast join back)
+   * and a map-side score \u2014 the corpus shuffles ZERO times beyond the
+   * two slim (group, value) aggregations.
+   */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val med = df.groupBy(col(groupCol))
+      .agg(GraftSqlBridge.percentileDisc(col(valueCol), 0.5)
+        .as("__med"))
+    val withMed = df.join(broadcast(med), Seq(groupCol))
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(GraftSqlBridge.percentileDisc(
+        abs(col(valueCol) - col("__med")), 0.5).as("__mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("__mad") === 0.0, lit(0.0))
+          .otherwise((col(valueCol) - col("__med")) /
+            (lit(1.4826) * col("__mad"))))
+      .withColumn("is_outlier", abs(col("robust_z")) > lit(cutoff))
+      .drop("__med", "__mad")
+  }
+
+  /**
+   * Equi-width histogram of a numeric column: `nBins` bins spanning
+   * the observed [min, max], empty bins zero-filled \u2014 the
+   * profiling/dashboard primitive. The top edge closes (x = max lands
+   * in the last bin). Bin assignment is a map-side floor over the
+   * broadcast 1-row (min, max) frame; identical IEEE ops on both
+   * engines make the cut reproducible.
+   *
+   * Scale: one 1-row min/max aggregate, one map stage, one
+   * partial-aggregated groupBy of at most nBins slim rows, and the
+   * zero-fill explodes from the SAME 1-row frame \u2014 a corpus-size
+   * scan with O(nBins) state.
+   */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val mm = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    val w = (col("__hi") - col("__lo")) / lit(nBins.toDouble)
+    val counts = df.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0L)).otherwise(
+          least(floor((col(valueCol) - col("__lo")) / w),
+            lit(nBins.toLong - 1))))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    mm.select(explode(sequence(lit(0L), lit(nBins.toLong - 1))).as("bin"),
+        col("__lo"), col("__hi"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("__lo") + col("bin") * (col("__hi") - col("__lo"))
+          / lit(nBins.toDouble)).as("bin_lo"),
+        (col("__lo") + (col("bin") + 1) * (col("__hi") - col("__lo"))
+          / lit(nBins.toDouble)).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n_rows"))
+  }
 }

@@ -850,6 +850,77 @@ object Sessionize {
   }
 
   /**
+   * Bot / automation detection by inter-event regularity: humans emit
+   * bursty gaps, scripts emit metronome gaps — so a user with enough
+   * events whose gap coefficient of variation (σ/μ) is tiny is
+   * machine traffic (the standard first-pass rate-regularity
+   * heuristic before fingerprinting). Per user: event count, mean
+   * gap ms, gap CV (population σ; 0-mean guard → CV 0), and the flag
+   * `n ≥ minEvents && cv ≤ maxCv`.
+   *
+   * Scale: the sessionization shape — ONE shuffle on the user key for
+   * the lag() window, then a per-user partial-aggregated reduce to
+   * four counters. Output is users-sized.
+   */
+  def botScores(events: DataFrame, minEvents: Int = 20,
+                maxCv: Double = 0.5, userCol: String = "user_id",
+                tsCol: String = "ts",
+                eventIdCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    val gaps = events
+      .withColumn("__gap",
+        (unix_millis(col(tsCol)) -
+          lag(unix_millis(col(tsCol)), 1).over(w)).cast(DoubleType))
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"),
+        avg(col("__gap")).as("mean_gap_ms"),
+        coalesce(stddev_pop(col("__gap")), lit(0.0)).as("__sd"))
+      .withColumn("gap_cv",
+        when(col("mean_gap_ms").isNull || col("mean_gap_ms") === 0.0, lit(0.0))
+          .otherwise(col("__sd") / col("mean_gap_ms")))
+      .withColumn("is_bot",
+        col("n_events") >= minEvents && col("gap_cv") <= maxCv)
+      .select(col(userCol), col("n_events"), col("mean_gap_ms"),
+        col("gap_cv"), col("is_bot"))
+  }
+
+  /**
+   * Streaming impression→click attribution: a watermarked
+   * STREAM-STREAM interval join — each click joins the impressions of
+   * the same user in the `windowMinutes` before it. Both sides carry
+   * watermarks, so Spark bounds the join state (impressions age out
+   * once no click can reach back to them) — the canonical two-stream
+   * pattern (ad attribution, order↔payment matching) where a batch
+   * as-of join becomes stateful correlation.
+   *
+   * Input contract: `impressions` (user_id, ts, impression_id),
+   * `clicks` (user_id, ts, click_id). Output one row per qualifying
+   * (impression, click) pair with the latency. State per key is
+   * bounded by the interval; at 100 TB-rate streams the join key
+   * (user) hash-distributes state across executors.
+   */
+  def streamClickAttribution(impressions: DataFrame, clicks: DataFrame,
+                             windowMinutes: Long = 30L,
+                             watermarkMinutes: Long = 10L): DataFrame = {
+    val i = impressions
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .select(col("user_id"), col("ts").as("imp_ts"), col("impression_id"))
+    val c = clicks
+      .withWatermark("ts", s"$watermarkMinutes minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("click_id"))
+    i.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") +
+            expr(s"INTERVAL '$windowMinutes' MINUTE"))
+      .select(col("user_id"), col("impression_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"),
+        (unix_millis(col("click_ts")) - unix_millis(col("imp_ts")))
+          .as("latency_ms"))
+  }
+
+  /**
    * One-sided CUSUM changepoint detection over per-(type, day) event
    * counts (Page 1954, "Continuous inspection schemes"): the
    * sustained-shift detector that complements [[anomalyZScores]]'

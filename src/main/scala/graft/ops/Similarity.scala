@@ -1266,6 +1266,36 @@ object Similarity {
   }
 
   /**
+   * Per-dimension standardization (z-scoring) of an embedding corpus:
+   * each dimension is centered on its corpus mean and scaled by its
+   * population σ — the preprocessing that makes distance metrics
+   * dimension-fair before clustering/IVF training (a high-variance
+   * dimension otherwise dominates every L2). Zero-variance dimensions
+   * standardize to 0 by convention. Output is FLATTENED (id, dim, z)
+   * rows — at 100 TB the flattened form feeds columnar writers and
+   * per-dimension statistics without re-exploding.
+   *
+   * Scale: one explode shuffle to (dim, value) partial-aggregated
+   * stats (a dims-sized frame, broadcast back), then a map-side z —
+   * vectors stream once; the explode carries 20 B rows, never text
+   * or full vectors.
+   */
+  def standardizeDims(corpus: DataFrame, vecCol: String,
+                      idCol: String): DataFrame = {
+    val x = corpus.select(col(idCol).cast(LongType).as(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__v")))
+      .select(col(idCol), col("dim").cast(LongType).as("dim"),
+        col("__v").cast(DoubleType).as("__v"))
+    val stats = x.groupBy(col("dim"))
+      .agg(avg(col("__v")).as("__mu"),
+        coalesce(stddev_pop(col("__v")), lit(0.0)).as("__sd"))
+    x.join(broadcast(stats), Seq("dim"))
+      .select(col(idCol), col("dim"),
+        when(col("__sd") === 0.0, lit(0.0))
+          .otherwise((col("__v") - col("__mu")) / col("__sd")).as("z"))
+  }
+
+  /**
    * Sign-bit (1-bit) quantized ANN: stage 1 ranks candidates by
    * HAMMING distance between sign bitmaps (dim bits per vector — a
    * 32× compression over float32; the binary-quantization mode every

@@ -4137,4 +4137,98 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bcHalf(3L) > 0.0 && bcHalf(3L) <= bc(3L))
   }
+
+  test("madOutliers: robust z pins the planted outlier; zero-MAD group never flags") {
+    val d = ((Seq.tabulate(11)(i => ("a", 10.0 + i)) :+ ("a", 1000.0)) ++
+      Seq.fill(5)(("b", 7.0))).toDF("grp", "x")
+    val out = Pipeline.madOutliers(d, "grp", "x")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getBoolean(3))).toSeq
+    // group a: 12 values, median (disc) = 15, MAD = median(|x-15|) = 3
+    val big = out.filter(v => v._1 == "a" && v._2 == 1000.0).head
+    assert(math.abs(big._3 - (1000.0 - 15.0) / (1.4826 * 3.0)) < 1e-9)
+    assert(big._4)
+    assert(out.count(v => v._1 == "a" && v._4) == 1) // only the plant
+    // group b: identical values → MAD 0 → z 0, never outliers
+    assert(out.filter(_._1 == "b").forall(v => v._3 == 0.0 && !v._4))
+  }
+
+  test("histogram: known equi-width bins, zero-fill, closed top edge") {
+    val d = (Seq(0, 0, 5, 10, 19, 20)).toDF("x")
+    val out = Pipeline.histogram(d, "x", nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // lo 0, hi 20, width 5: {0,0}→bin0, {5}→bin1, {10}→bin2, {19,20}→bin3
+    assert(out.toSeq == Seq((0L, 0.0, 5.0, 2L), (1L, 5.0, 10.0, 1L),
+      (2L, 10.0, 15.0, 1L), (3L, 15.0, 20.0, 2L)))
+  }
+
+  test("standardizeDims: known per-dim z-scores; constant dim maps to 0") {
+    val d = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardizeDims(d, "embedding", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // dim 0: mu 2, sigma_pop 1 → z = ±1; dim 1 constant → 0
+    assert(out((1L, 0L)) == -1.0 && out((2L, 0L)) == 1.0)
+    assert(out((1L, 1L)) == 0.0 && out((2L, 1L)) == 0.0)
+  }
+
+  test("botScores: metronome user flags, bursty user does not, singleton is null-gap") {
+    val base = 1700000000000L
+    val bot = (0 until 30).map(i => (i.toLong, 1L, "view",
+      new Timestamp(base + i * 1000L)))                 // exact 1s gaps
+    val human = Seq(0L, 1L, 2L, 30L, 31L, 300L, 8000L, 8001L, 8002L,
+      9000L, 9100L, 20000L, 20010L, 21000L, 40000L, 40001L, 41000L,
+      50000L, 60000L, 61000L).zipWithIndex.map { case (s, i) =>
+      (100L + i, 2L, "view", new Timestamp(base + s * 1000L)) }
+    val single = Seq((999L, 3L, "view", new Timestamp(base)))
+    val ev = (bot ++ human ++ single)
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.botScores(ev, minEvents = 20, maxCv = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(4))).toMap
+    assert(out(1L) == ((30L, true)))
+    assert(out(2L)._1 == 20L && !out(2L)._2)  // enough events, bursty CV
+    assert(out(3L) == ((1L, false)))
+  }
+
+  test("saltedJoin: result set identical to the plain join; dim replicates per salt") {
+    val fact = Seq((1L, 10.0, 0), (1L, 20.0, 1), (1L, 30.0, 2),
+      (2L, 5.0, 3)).toDF("k", "v", "rowid")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "unmatched"))
+      .toDF("k", "name")
+    val salted = Bucketing.saltedJoin(fact, dim, "k", salts = 4,
+        saltExpr = col("rowid"))
+      .select("k", "v", "name")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "name")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the replicated dim side carries salts × rows before the join
+    assert(dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(3)))).count() == 12L)
+  }
+
+  test("streamClickAttribution: stream-stream interval join attributes in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(m: Long) = new Timestamp(base + m * 60000L)
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clks = MemoryStream[(Long, Timestamp, Long)]
+    val out = Sessionize.streamClickAttribution(
+      imps.toDS().toDF("user_id", "ts", "impression_id"),
+      clks.toDS().toDF("user_id", "ts", "click_id"),
+      windowMinutes = 30L, watermarkMinutes = 10L)
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(0), 100L), (1L, ts(5), 101L), (2L, ts(0), 102L))
+      clks.addData((1L, ts(20), 900L),  // inside both impressions' windows
+        (2L, ts(45), 901L),             // 45m after imp 102 → outside
+        (3L, ts(10), 902L))             // no impression for user 3
+      q.processAllAvailable()
+      val got = spark.table("attr").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+      assert(got == Set((100L, 900L, 20L * 60000L), (101L, 900L, 15L * 60000L)))
+    } finally q.stop()
+  }
 }
