@@ -3967,7 +3967,113 @@ object SparkEntry {
       Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
              |       round(sum(l_extendedprice), 2) AS revenue
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY 1 ORDER BY s_name""".stripMargin)))
+             |GROUP BY 1 ORDER BY s_name""".stripMargin)),
+
+    // --- zero-init bias-corrected EWMA over per-type daily counts
+    //     (closed-form prefix formulation — one cumulative window)
+    ("e34_ewma",
+      (s, dir) => Sessionize.ewmaDaily(evts(s, dir), alpha = 0.3)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_events"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("event_type", "day"),
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |            CAST(count(*) AS BIGINT) AS n
+             |           FROM events GROUP BY 1, 2),
+             |k AS (SELECT event_type, day, n,
+             |        CAST(row_number() OVER (PARTITION BY event_type
+             |          ORDER BY day) AS DOUBLE) AS k FROM d),
+             |c AS (SELECT event_type, day, n, k,
+             |        sum(0.3 * CAST(n AS DOUBLE) / pow(0.7, k)) OVER
+             |          (PARTITION BY event_type ORDER BY day
+             |           ROWS UNBOUNDED PRECEDING) AS cc
+             |      FROM k)
+             |SELECT event_type, CAST(day AS VARCHAR) AS day,
+             |       n AS n_events,
+             |       round(pow(0.7, k) * cc / (1.0 - pow(0.7, k)), 6) AS ewma
+             |FROM c ORDER BY event_type, day""".stripMargin)),
+
+    // --- dataset card: the datasheet metrics table from one pass
+    ("p20_dataset_card",
+      (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
+      Some(datasetCardOracle)),
+
+    // --- bounded-doubling SCC over the directed nation trade graph
+    //     (customer-nation → supplier-nation flows; 3 doubling rounds
+    //     = 8-hop closure, exact at this diameter; min-label components)
+    ("g18_scc",
+      (s, dir) => {
+        def t(n: String) = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/$n.parquet")
+        val e = t("lineitem").join(t("orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .where(col("l_quantity") >= 50 && col("l_discount") >= 0.1 &&
+            col("c_nationkey") =!= col("s_nationkey"))
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        GraphOps.sccBounded(e, "src", "dst", rounds = 3)
+          .orderBy("node")
+      },
+      Some(sccOracle)))
+
+  /** DuckDB mirror of p20: the same quality/token formulas, one
+    * aggregate, metric rows unioned. */
+  private lazy val datasetCardOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q0 AS (SELECT doc_id, text, n_chars, n_tok,
+       |        $sqlQuality AS qual FROM h),
+       |q AS (SELECT q0.*, d.lang, d.source
+       |      FROM q0 JOIN documents d ON q0.doc_id = d.doc_id)
+       |SELECT * FROM (
+       |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM q
+       |UNION ALL SELECT 'n_tokens', CAST(sum(n_tok) AS DOUBLE) FROM q
+       |UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE)
+       |  FROM q
+       |UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) FROM q
+       |UNION ALL SELECT 'exact_dup_rate',
+       |  round(1.0 - CAST(count(DISTINCT text) AS DOUBLE) / count(*), 6)
+       |  FROM q
+       |UNION ALL SELECT 'mean_quality', round(avg(qual), 6) FROM q
+       |UNION ALL SELECT 'p50_tokens', CAST(quantile_disc(n_tok, 0.5)
+       |  AS DOUBLE) FROM q
+       |UNION ALL SELECT 'p95_tokens', CAST(quantile_disc(n_tok, 0.95)
+       |  AS DOUBLE) FROM q
+       |UNION ALL SELECT 'mean_chars', round(avg(CAST(n_chars AS DOUBLE)), 6)
+       |  FROM q)
+       |ORDER BY metric""".stripMargin
+
+  /** DuckDB mirror of g18: same derived edge set, three closure
+    * doublings (UNION dedupes), mutual-reach min labeling. */
+  private lazy val sccOracle: String = {
+    def dbl(k: Int): String =
+      s"""r$k AS (SELECT src, dst FROM r${k - 1}
+         |      UNION
+         |      SELECT a.src, b.dst FROM r${k - 1} a
+         |      JOIN r${k - 1} b ON a.dst = b.src)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT c.c_nationkey AS src,
+       |             s.s_nationkey AS dst
+       |           FROM lineitem l
+       |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |           JOIN customer c ON o.o_custkey = c.c_custkey
+       |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |           WHERE l.l_quantity >= 50 AND l.l_discount >= 0.1
+       |             AND c.c_nationkey <> s.s_nationkey),
+       |r0 AS (SELECT src, dst FROM e),
+       |${dbl(1)},
+       |${dbl(2)},
+       |${dbl(3)},
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |mut AS (SELECT a.src AS v, a.dst AS w FROM r3 a
+       |        JOIN r3 b ON a.src = b.dst AND a.dst = b.src),
+       |m AS (SELECT v, min(w) AS mw FROM mut GROUP BY 1)
+       |SELECT n.node AS node,
+       |       least(n.node, coalesce(m.mw, n.node)) AS component
+       |FROM nodes n LEFT JOIN m ON n.node = m.v
+       |ORDER BY node""".stripMargin
+  }
 
   /** DuckDB mirror of s25: per-pair sign-mismatch count via an index
     * filter, (hamming, id)-ordered shortlist, exact-cosine rerank. */

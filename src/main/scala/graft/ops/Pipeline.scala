@@ -967,4 +967,51 @@ object Pipeline {
           / lit(nBins.toDouble)).as("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n_rows"))
   }
+
+  /**
+   * Dataset card: the one-table datasheet (Gebru et al. 2021,
+   * "Datasheets for Datasets") a corpus release ships with \u2014 size,
+   * composition, duplication, quality and length-shape metrics as
+   * (metric, value) rows. Everything derives from ONE featurized
+   * pass; the exact-dup rate reuses the d-family's content-key
+   * convention (distinct text count), and the token percentiles are
+   * exact discrete values.
+   *
+   * Scale: one scan computing per-row features; one global aggregate
+   * carrying all counters (count-distinct on text is the only
+   * wide-ish state \u2014 swap in approx_count_distinct at 100 TB, the
+   * documented twin convention); metric rows explode from the 1-row
+   * aggregate.
+   */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val scored = docs.select(col("text"), col("lang"), col("source"),
+      col("n_chars"),
+      TextOps.tokenCount(col("text")).as("__tok"),
+      TextOps.qualityScore(col("text"), col("n_chars")).as("__q"))
+    val agg = scored.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__tok")).as("__toks"),
+      countDistinct(col("source")).as("__srcs"),
+      countDistinct(col("lang")).as("__langs"),
+      countDistinct(col("text")).as("__dtext"),
+      avg(col("__q")).as("__mq"),
+      GraftSqlBridge.percentileDisc(col("__tok"), 0.5).as("__p50"),
+      GraftSqlBridge.percentileDisc(col("__tok"), 0.95).as("__p95"),
+      avg(col("n_chars").cast("double")).as("__mc"))
+    val metrics: Seq[(String, Column)] = Seq(
+      "n_docs" -> col("__n").cast("double"),
+      "n_tokens" -> col("__toks").cast("double"),
+      "n_sources" -> col("__srcs").cast("double"),
+      "n_langs" -> col("__langs").cast("double"),
+      "exact_dup_rate" ->
+        round(lit(1.0) - col("__dtext").cast("double") / col("__n"), 6),
+      "mean_quality" -> round(col("__mq"), 6),
+      "p50_tokens" -> col("__p50").cast("double"),
+      "p95_tokens" -> col("__p95").cast("double"),
+      "mean_chars" -> round(col("__mc"), 6))
+    agg.select(explode(array(metrics.map { case (n, c) =>
+        struct(lit(n).as("metric"), c.as("value")) }: _*)).as("__m"))
+      .select("__m.*")
+  }
 }

@@ -850,6 +850,42 @@ object Sessionize {
   }
 
   /**
+   * Zero-init EWMA smoothing of per-(type, day) counts with Adam-style
+   * bias correction: `s_k = α·x_k + (1−α)·s_{k-1}` (s_0 = 0),
+   * `ewma_k = s_k / (1 − (1−α)^k)` — the load-trend smoother next to
+   * [[cusumChangepoints]]' shift detector. The recursion is expressed
+   * CLOSED-FORM so it runs as one cumulative window:
+   * `s_k = β^k · Σ_{j≤k} (α·x_j / β^j)` with β = 1−α — the same
+   * no-recursion discipline as CUSUM's prefix trick. The β^{-j}
+   * growth stays far inside double range for series of daily
+   * granularity (β=0.7, 300 days ⇒ 3e46 ≪ 1e308); both engines run
+   * the identical IEEE sequence, so results mirror exactly.
+   *
+   * Scale: one (type, day) partial-aggregated count shuffle, one
+   * type-key window over the days-sized series.
+   */
+  def ewmaDaily(events: DataFrame, alpha: Double = 0.3,
+                typeCol: String = "event_type",
+                tsCol: String = "ts"): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val beta = 1.0 - alpha
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("__k", row_number().over(wOrd).cast(DoubleType))
+      .withColumn("__c",
+        sum(lit(alpha) * col("n_events").cast(DoubleType) /
+          pow(lit(beta), col("__k"))).over(wCum))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (pow(lit(beta), col("__k")) * col("__c") /
+          (lit(1.0) - pow(lit(beta), col("__k")))).as("ewma"))
+  }
+
+  /**
    * Bot / automation detection by inter-event regularity: humans emit
    * bursty gaps, scripts emit metronome gaps — so a user with enough
    * events whose gap coefficient of variation (σ/μ) is tiny is

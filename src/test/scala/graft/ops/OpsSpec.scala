@@ -4231,4 +4231,48 @@ class OpsSpec extends AnyFunSuite {
       assert(got == Set((100L, 900L, 20L * 60000L), (101L, 900L, 15L * 60000L)))
     } finally q.stop()
   }
+
+  test("sccBounded: cycles collapse to min label, DAG nodes stay singleton") {
+    // 1⇄2⇄3 cycle (via 1→2→3→1), 4→5 DAG tail, 6⇄7 two-cycle
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 6L)).toDF("s", "d")
+    val c = GraphOps.sccBounded(e, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L)
+    assert(c(4L) == 4L && c(5L) == 5L)
+    assert(c(6L) == 6L && c(7L) == 6L)
+  }
+
+  test("ewmaDaily: closed form equals the s_k = αx + (1-α)s recursion with bias correction") {
+    val base = 1700000000000L
+    val counts = Seq(5, 9, 2, 7, 7, 1, 30, 4)
+    val ev = counts.zipWithIndex.flatMap { case (n, day) =>
+      Seq.tabulate(n)(j => ((day * 100 + j).toLong, 1L, "view",
+        new Timestamp(base + day.toLong * 86400000L)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.ewmaDaily(ev, alpha = 0.3)
+      .orderBy("day").collect().map(_.getDouble(3))
+    var s = 0.0
+    counts.zipWithIndex.foreach { case (x, i) =>
+      s = 0.3 * x + 0.7 * s
+      val corrected = s / (1.0 - math.pow(0.7, i + 1.0))
+      assert(math.abs(out(i) - corrected) < 1e-9, s"day $i")
+    }
+    // bias correction makes the first smoothed value the raw count
+    assert(math.abs(out.head - counts.head) < 1e-9)
+  }
+
+  test("datasetCard: metric values on a known tiny corpus") {
+    val d = Seq(
+      (1L, "the cat sat", "en", "web", 11L),
+      (2L, "the cat sat", "en", "web", 11L),   // exact dup
+      (3L, "der hund lief schnell", "de", "books", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Pipeline.datasetCard(d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_docs") == 3.0 && m("n_tokens") == 10.0)
+    assert(m("n_sources") == 2.0 && m("n_langs") == 2.0)
+    assert(math.abs(m("exact_dup_rate") - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(m("p50_tokens") == 3.0 && m("p95_tokens") == 4.0)
+  }
 }
