@@ -3998,6 +3998,133 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- RM1 pseudo-relevance-feedback expansion terms off the s11
+    //     BM25 run (top-10 feedback docs, top-5 terms, query terms
+    //     excluded)
+    ("s27_prf_terms",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "hash join order"), (1L, "fast scan filter"),
+          (2L, "stream window agg")).toDF("query_id", "qtext")
+        Retrieval.prfExpansionTerms(docs(s, dir), qs, "text", "doc_id",
+            "query_id", "qtext", kDocs = 10, mTerms = 5)
+          .select(col("query_id"), col("term"), col("rank"),
+            round(col("weight"), 6).as("weight"))
+          .orderBy("query_id", "rank")
+      },
+      Some(prfOracle)),
+
+    // --- hour-of-day seasonality strength (one-way ANOVA R² of
+    //     hourly counts vs hour-of-day means) + peak hour
+    ("e35_seasonality",
+      (s, dir) => Sessionize.seasonalityR2(evts(s, dir))
+        .select(col("event_type"), col("n_hours"),
+          round(col("seasonality_r2"), 6).as("seasonality_r2"),
+          col("peak_hour"))
+        .orderBy("event_type"),
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hh,
+             |            CAST(count(*) AS DOUBLE) AS n
+             |           FROM events GROUP BY 1, 2),
+             |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |        avg(n) AS mu FROM h GROUP BY 1),
+             |sst AS (SELECT h.event_type,
+             |          sum((h.n - t.mu) * (h.n - t.mu)) AS sst
+             |        FROM h JOIN t USING (event_type) GROUP BY 1),
+             |bh AS (SELECT event_type,
+             |         CAST(hour(hh) AS BIGINT) AS hod,
+             |         CAST(count(*) AS BIGINT) AS nh, avg(n) AS mh
+             |       FROM h GROUP BY 1, 2),
+             |ssb AS (SELECT bh.event_type,
+             |          sum(bh.nh * (bh.mh - t.mu) * (bh.mh - t.mu)) AS ssb
+             |        FROM bh JOIN t USING (event_type) GROUP BY 1),
+             |pk AS (SELECT event_type, hod AS peak_hour FROM
+             |         (SELECT event_type, hod, row_number() OVER
+             |            (PARTITION BY event_type
+             |             ORDER BY round(mh, 6) DESC, hod) AS r FROM bh)
+             |       WHERE r = 1)
+             |SELECT t.event_type, t.n_hours,
+             |       round(CASE WHEN sst.sst = 0 THEN 0.0
+             |             ELSE ssb.ssb / sst.sst END, 6) AS seasonality_r2,
+             |       pk.peak_hour
+             |FROM t JOIN sst USING (event_type) JOIN ssb USING (event_type)
+             |JOIN pk USING (event_type)
+             |ORDER BY event_type""".stripMargin)),
+
+    // --- level-1 association rules over (user, day) event baskets
+    ("e36_assoc_rules",
+      (s, dir) => Sessionize.assocRules(evts(s, dir))
+        .select(col("ante"), col("cons"), col("n_ab"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy("ante", "cons"),
+      Some("""WITH it AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d,
+             |             event_type AS item FROM events),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM
+             |         (SELECT DISTINCT u, d FROM it)),
+             |ia AS (SELECT item, CAST(count(*) AS BIGINT) AS na
+             |       FROM it GROUP BY 1),
+             |pr AS (SELECT a.item AS x, b.item AS y,
+             |         CAST(count(*) AS BIGINT) AS n_ab
+             |       FROM it a JOIN it b
+             |         ON a.u = b.u AND a.d = b.d AND a.item < b.item
+             |       GROUP BY 1, 2),
+             |bi AS (SELECT x AS ante, y AS cons, n_ab FROM pr
+             |       UNION ALL SELECT y, x, n_ab FROM pr)
+             |SELECT bi.ante, bi.cons, bi.n_ab,
+             |       round(CAST(bi.n_ab AS DOUBLE) / nb.nb, 6) AS support,
+             |       round(CAST(bi.n_ab AS DOUBLE) / ja.na, 6) AS confidence,
+             |       round(CAST(nb.nb AS DOUBLE) * bi.n_ab
+             |             / (CAST(ja.na AS DOUBLE) * jc.na), 6) AS lift
+             |FROM bi CROSS JOIN nb
+             |JOIN ia ja ON ja.item = bi.ante
+             |JOIN ia jc ON jc.item = bi.cons
+             |ORDER BY ante, cons""".stripMargin)),
+
+    // --- graph card for the directed nation trade graph (size,
+    //     density, degree shape, reciprocity as metric rows)
+    ("g19_graph_card",
+      (s, dir) => {
+        def t(n: String) = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/$n.parquet")
+        val e = t("lineitem").join(t("orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t("customer"), col("o_custkey") === col("c_custkey"))
+          .join(t("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .where(col("l_quantity") >= 50 && col("l_discount") >= 0.1)
+          .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        GraphOps.graphCard(e, "src", "dst").orderBy("metric")
+      },
+      Some("""WITH e AS (SELECT DISTINCT c.c_nationkey AS src,
+             |             s.s_nationkey AS dst
+             |           FROM lineitem l
+             |           JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |           JOIN customer c ON o.o_custkey = c.c_custkey
+             |           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |           WHERE l.l_quantity >= 50 AND l.l_discount >= 0.1
+             |             AND c.c_nationkey <> s.s_nationkey),
+             |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM
+             |        (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+             |         UNION ALL SELECT dst FROM e))),
+             |en AS (SELECT CAST(count(*) AS BIGINT) AS e FROM e),
+             |od AS (SELECT max(d) AS mx, avg(d) AS av FROM
+             |         (SELECT src, CAST(count(*) AS DOUBLE) AS d
+             |          FROM e GROUP BY 1)),
+             |rc AS (SELECT CAST(count(*) AS BIGINT) AS r FROM e a
+             |       WHERE EXISTS (SELECT 1 FROM e b
+             |         WHERE b.src = a.dst AND b.dst = a.src))
+             |SELECT * FROM (
+             |SELECT 'n_nodes' AS metric, CAST(v.v AS DOUBLE) AS value FROM v
+             |UNION ALL SELECT 'n_edges', CAST(en.e AS DOUBLE) FROM en
+             |UNION ALL SELECT 'density',
+             |  round(CAST(en.e AS DOUBLE) / (CAST(v.v AS DOUBLE) * (v.v - 1)),
+             |        6) FROM en CROSS JOIN v
+             |UNION ALL SELECT 'avg_out_degree', round(od.av, 6) FROM od
+             |UNION ALL SELECT 'max_out_degree', CAST(od.mx AS DOUBLE) FROM od
+             |UNION ALL SELECT 'reciprocity',
+             |  round(CAST(rc.r AS DOUBLE) / en.e, 6) FROM rc CROSS JOIN en)
+             |ORDER BY metric""".stripMargin)),
+
     // --- bounded-doubling SCC over the directed nation trade graph
     //     (customer-nation → supplier-nation flows; 3 doubling rounds
     //     = 8-hop closure, exact at this diameter; min-label components)
@@ -4842,6 +4969,55 @@ object SparkEntry {
       |        AS rank FROM sc)
       |SELECT query_id, doc_id, rank, round(score, 6) AS score
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s27: the full s11 BM25 chain, top-10 feedback
+    * docs, RM1 term weights Σ tf/dl with the query's own terms
+    * anti-joined out, (round-6 weight, term) ranking. */
+  private lazy val prfOracle: String =
+    """WITH q(query_id, qtext) AS (VALUES (0, 'hash join order'),
+      |    (1, 'fast scan filter'), (2, 'stream window agg')),
+      |qt AS (SELECT query_id,
+      |         unnest(list_distinct(string_split_regex(trim(qtext), '\s+')))
+      |           AS token FROM q),
+      |t AS (SELECT doc_id,
+      |    CASE WHEN trim(text)='' THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(tk) AS token FROM t),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM e GROUP BY 1, 2),
+      |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM e GROUP BY 1),
+      |g AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(len(tk)) AS BIGINT) AS total_tokens FROM t),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |         sum(ln(1.0 + (CAST(g.n_docs - dfq.df AS DOUBLE) + 0.5)
+      |                      / (CAST(dfq.df AS DOUBLE) + 0.5)) *
+      |             ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |              (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 +
+      |                (0.75 * CAST(dl.dl AS DOUBLE)) /
+      |                (CAST(g.total_tokens AS DOUBLE)
+      |                 / CAST(g.n_docs AS DOUBLE)))))) AS score
+      |       FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+      |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN g
+      |       GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id)
+      |        AS rank FROM sc),
+      |top AS (SELECT query_id, doc_id FROM r WHERE rank <= 10),
+      |wgt AS (SELECT top.query_id, tf.token,
+      |          sum(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE))
+      |            AS weight
+      |        FROM top JOIN tf ON tf.doc_id = top.doc_id
+      |        JOIN dl ON dl.doc_id = top.doc_id
+      |        GROUP BY 1, 2),
+      |wx AS (SELECT wgt.* FROM wgt LEFT JOIN qt
+      |         ON qt.query_id = wgt.query_id AND qt.token = wgt.token
+      |       WHERE qt.token IS NULL),
+      |rk AS (SELECT *, row_number() OVER
+      |         (PARTITION BY query_id
+      |          ORDER BY round(weight, 6) DESC, token) AS rank FROM wx)
+      |SELECT query_id, token AS term, rank, round(weight, 6) AS weight
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB mirror of s17: the s11 BM25 chain (queries = documents
     * 0..7 retrieving with their own text), the s01 dense cosine chain,

@@ -722,6 +722,48 @@ object GraphOps {
   }
 
   /**
+   * Graph card: the p20-datasetCard analog for a DIRECTED edge list —
+   * size, density, degree shape and reciprocity as (metric, value)
+   * rows, the pre-flight read before choosing graph operators (max
+   * degree → quadratic-valve settings; reciprocity → whether directed
+   * analysis differs from undirected at all). Self-loops are dropped
+   * and edges deduped first; density = E/(V·(V−1)); reciprocity =
+   * fraction of edges whose reverse also exists.
+   *
+   * Scale: one distinct over slim pairs, degree partial-aggs, a
+   * self-semi-join for reciprocity, and 1-row reduces — metric rows
+   * explode from the 1-row frame.
+   */
+  def graphCard(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct().localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+      .agg(max(col("__d")).as("__maxout"), avg(col("__d")).as("__avgout"))
+    val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .agg(count(lit(1)).as("__r"))
+    val edgesN = e.agg(count(lit(1)).as("__e"))
+    val one = edgesN.crossJoin(nodes).crossJoin(outDeg).crossJoin(recip)
+    val metrics: Seq[(String, Column)] = Seq(
+      "n_nodes" -> col("__v").cast("double"),
+      "n_edges" -> col("__e").cast("double"),
+      "density" -> round(col("__e").cast("double") /
+        (col("__v").cast("double") * (col("__v") - 1L)), 6),
+      "avg_out_degree" -> round(col("__avgout"), 6),
+      "max_out_degree" -> col("__maxout").cast("double"),
+      "reciprocity" -> round(col("__r").cast("double") / col("__e"), 6))
+    one.select(explode(array(metrics.map { case (n, c) =>
+        struct(lit(n).as("metric"), c.as("value")) }: _*)).as("__m"))
+      .select("__m.*")
+  }
+
+  /**
    * Strongly connected components by bounded-doubling reachability:
    * `rounds` rounds of transitive-closure doubling (R ← R ∪ R⋈R)
    * give every path of ≤ 2^rounds hops, then SCC(v) = min(v, min{w :

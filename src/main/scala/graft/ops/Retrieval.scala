@@ -246,4 +246,50 @@ object Retrieval {
         round(when(nRel === 0L, lit(0.0))
           .otherwise(coalesce(col("__dcg"), lit(0.0)) / idcg), 6).as("ndcg"))
   }
+
+  /**
+   * Pseudo-relevance-feedback expansion terms (RM1 relevance model,
+   * Lavrenko & Croft 2001, uniform doc prior over the feedback set):
+   * run BM25, take each query's top `kDocs` documents as pseudo-
+   * relevant, and weight candidate terms by
+   * \u03a3_{d \u2208 top} tf(t,d)/|d| \u2014 the expansion vocabulary a second-pass
+   * retrieval or a topic-targeted corpus mining job consumes. The
+   * query's own terms are excluded (expansion, not echo); ranking key
+   * is the weight rounded to 6 with the term as tie \u2014 the
+   * tfidfTopTerms determinism convention.
+   *
+   * Scale shape: inherits [[bm25TopK]]'s single-tokenize posture; the
+   * feedback join touches only the k\u00b7|queries| top rows against the
+   * (doc, term, tf) exchange, and the per-(query, term) sum partial-
+   * aggregates. Bodies never shuffle.
+   */
+  def prfExpansionTerms(docs: DataFrame, queries: DataFrame,
+                        textCol: String, idCol: String, qidCol: String,
+                        qtextCol: String, kDocs: Int,
+                        mTerms: Int): DataFrame = {
+    require(kDocs > 0 && mTerms > 0, "kDocs and mTerms must be positive")
+    val top = bm25TopK(docs, queries, textCol, idCol, qidCol, qtextCol,
+        kDocs)
+      .select(col("query_id"), col("doc_id"))
+    val toks = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(col("doc_id").isNotNull && col("token").isNotNull)
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.where(col("tf") >= 1)
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val qt = queries.select(col(qidCol).cast(LongType).as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(qtextCol)))).as("token"))
+    val weights = top.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .groupBy(col("query_id"), col("token"))
+      .agg(sum(col("tf").cast(DoubleType) / col("dl").cast(DoubleType))
+        .as("weight"))
+      .join(broadcast(qt), Seq("query_id", "token"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("weight"), 6).desc, col("token"))
+    weights.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= mTerms)
+      .select(col("query_id"), col("token").as("term"), col("rank"),
+        col("weight"))
+  }
 }

@@ -850,6 +850,100 @@ object Sessionize {
   }
 
   /**
+   * Hour-of-day seasonality strength per event type: the one-way
+   * ANOVA R² of hourly event counts against their hour-of-day group
+   * means — SS_between/SS_total, the fraction of load variance the
+   * daily cycle explains (≈1 ⇒ scheduleable diurnal traffic, ≈0 ⇒
+   * aperiodic). Also reports the peak hour (argmax of the hour-of-day
+   * mean, rounded to 6 before comparison with the smaller hour as
+   * tie-break — the cross-engine argmax convention).
+   *
+   * Scale: one (type, hour) count shuffle, then two aggregations over
+   * the hours-sized series (per-type totals, per-(type, hour-of-day)
+   * means) joined back broadcast — O(types·24) state.
+   */
+  def seasonalityR2(events: DataFrame, typeCol: String = "event_type",
+                    tsCol: String = "ts"): DataFrame = {
+    val hourly = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"))
+      .withColumn("hod", hour(col("__h")).cast(LongType))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), avg(col("n")).as("__mu"))
+    val sst = hourly.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum((col("n") - col("__mu")) * (col("n") - col("__mu")))
+        .as("__sst"))
+    val byHod = hourly.groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("__nh"), avg(col("n")).as("__mh"))
+    val ssb = byHod.join(broadcast(tot), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("__nh") * (col("__mh") - col("__mu")) *
+        (col("__mh") - col("__mu"))).as("__ssb"))
+    val peak = byHod
+      .groupBy(col("event_type"))
+      .agg(max(struct(round(col("__mh"), 6).as("m"),
+        (lit(-1L) * col("hod")).as("nh"))).as("__pk"))
+      .select(col("event_type"), (lit(-1L) * col("__pk.nh")).as("peak_hour"))
+    tot.join(sst, Seq("event_type")).join(ssb, Seq("event_type"))
+      .join(peak, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"),
+        when(col("__sst") === 0.0, lit(0.0))
+          .otherwise(col("__ssb") / col("__sst")).as("seasonality_r2"),
+        col("peak_hour"))
+  }
+
+  /**
+   * Level-1 association rules over per-(user, day) event-type baskets
+   * (Agrawal & Srikant 1994's support/confidence plus lift): which
+   * event types co-occur beyond chance — the cross-sell / feature-
+   * coupling readout. A basket is the DISTINCT type set of one user's
+   * day; rules emit in both directions with
+   * support = n(A∧B)/N, confidence = n(A∧B)/n(A),
+   * lift = N·n(A∧B)/(n(A)·n(B)).
+   *
+   * Scale: baskets partial-agg to distinct (user, day, type) rows
+   * (the only corpus-sized shuffle); the pair self-join runs per
+   * basket key — its fan-out is types²-bounded per basket, and item/
+   * pair counts partial-aggregate to types-sized tables.
+   */
+  def assocRules(events: DataFrame, minPairCount: Long = 1L,
+                 typeCol: String = "event_type",
+                 userCol: String = "user_id",
+                 tsCol: String = "ts"): DataFrame = {
+    val items = events.select(col(userCol).as("u"),
+        to_date(col(tsCol)).as("d"), col(typeCol).as("item"))
+      .distinct()
+    val nBaskets = items.select("u", "d").distinct()
+      .agg(count(lit(1)).as("__nb"))
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("__na"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.u") === col("b.u") && col("a.d") === col("b.d") &&
+          col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minPairCount)
+    pairs
+      .select(explode(array(
+        struct(col("x").as("ante"), col("y").as("cons"), col("n_ab")),
+        struct(col("y").as("ante"), col("x").as("cons"), col("n_ab"))))
+        .as("__r"))
+      .select("__r.*")
+      .join(broadcast(itemN.select(col("item").as("ante"),
+        col("__na").as("__n_ante"))), Seq("ante"))
+      .join(broadcast(itemN.select(col("item").as("cons"),
+        col("__na").as("__n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("n_ab"),
+        (col("n_ab").cast(DoubleType) / col("__nb")).as("support"),
+        (col("n_ab").cast(DoubleType) / col("__n_ante")).as("confidence"),
+        (col("__nb").cast(DoubleType) * col("n_ab") /
+          (col("__n_ante").cast(DoubleType) * col("__n_cons"))).as("lift"))
+  }
+
+  /**
    * Zero-init EWMA smoothing of per-(type, day) counts with Adam-style
    * bias correction: `s_k = α·x_k + (1−α)·s_{k-1}` (s_0 = 0),
    * `ewma_k = s_k / (1 − (1−α)^k)` — the load-trend smoother next to

@@ -4275,4 +4275,72 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(m("exact_dup_rate") - (1.0 - 2.0 / 3)) < 1e-6)
     assert(m("p50_tokens") == 3.0 && m("p95_tokens") == 4.0)
   }
+
+  test("prfExpansionTerms: expansion excludes query terms, RM1 weights known") {
+    val d = Seq(
+      (1L, "spark shuffle join broadcast"),
+      (2L, "spark shuffle spill"),
+      (3L, "unrelated cooking recipe text")).toDF("doc_id", "text")
+    val qs = Seq((0L, "spark")).toDF("query_id", "qtext")
+    val out = Retrieval.prfExpansionTerms(d, qs, "text", "doc_id",
+        "query_id", "qtext", kDocs = 2, mTerms = 10)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(!out.contains("spark"))          // query echo excluded
+    assert(!out.contains("cooking"))        // non-feedback doc contributes 0
+    // shuffle appears in both feedback docs: 1/4 + 1/3
+    assert(math.abs(out("shuffle") - (0.25 + 1.0 / 3)) < 1e-9)
+    assert(math.abs(out("join") - 0.25) < 1e-9)
+  }
+
+  test("seasonalityR2: pure diurnal signal scores ~1 with the right peak; flat scores 0") {
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    // diurnal: hour 9 gets 10 events, hour 21 gets 2, over 5 days
+    val rows = (0 until 5).flatMap { day =>
+      def at(h: Int, n: Int) = Seq.tabulate(n)(j =>
+        ("diurnal", new Timestamp(base + (day * 24L + h) * 3600000L + j)))
+      at(9, 10) ++ at(21, 2)
+    } ++ (0 until 48).map(h =>          // flat: one event every hour
+      ("flat", new Timestamp(base + h * 3600000L)))
+    val ev = rows.zipWithIndex.map { case ((t, ts), i) =>
+      (i.toLong, 1L, t, ts) }.toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.seasonalityR2(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out("diurnal")._1 > 0.999 && out("diurnal")._2 == 9L)
+    assert(out("flat")._1 == 0.0)
+  }
+
+  test("assocRules: support/confidence/lift on hand-counted baskets") {
+    val base = Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def ev(id: Long, u: Long, day: Int, t: String) =
+      (id, u, t, new Timestamp(base + day * 86400000L))
+    // baskets: u1d0={A,B}, u1d1={A}, u2d0={A,B,C}, u3d0={C}
+    val rows = Seq(ev(1, 1, 0, "A"), ev(2, 1, 0, "B"), ev(3, 1, 1, "A"),
+      ev(4, 2, 0, "A"), ev(5, 2, 0, "B"), ev(6, 2, 0, "C"),
+      ev(7, 3, 0, "C")).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.assocRules(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // N=4 baskets, n(A)=3, n(B)=2, n(AB)=2
+    val ab = out(("A", "B"))
+    assert(ab._1 == 2L && math.abs(ab._2 - 0.5) < 1e-12)
+    assert(math.abs(ab._3 - 2.0 / 3) < 1e-12)
+    assert(math.abs(ab._4 - 4.0 * 2 / (3 * 2)) < 1e-12)
+    // the reverse direction shares support/lift, has its own confidence
+    val ba = out(("B", "A"))
+    assert(ba._2 == ab._2 && math.abs(ba._3 - 1.0) < 1e-12 && ba._4 == ab._4)
+  }
+
+  test("graphCard: known metrics on a tiny digraph with one reciprocal pair") {
+    // edges: 1→2, 2→1 (reciprocal), 1→3, self-loop 3→3 dropped, dup deduped
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("s", "d")
+    val m = GraphOps.graphCard(e, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("n_nodes") == 3.0 && m("n_edges") == 3.0)
+    assert(math.abs(m("density") - 0.5) < 1e-9)       // 3/(3·2)
+    assert(math.abs(m("reciprocity") - 2.0 / 3) < 1e-6)
+    assert(m("max_out_degree") == 2.0)
+  }
 }
