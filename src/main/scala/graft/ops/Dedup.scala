@@ -314,8 +314,12 @@ object Dedup {
                       threshold: Double = 0.8,
                       maxBucket: Int = 1000): DataFrame = {
     // hashed shingle sets (native n-gram hashing — no shingle strings),
-    // materialized once; signatures via the native one-pass expression
-    val base = shingleBase(df, textCol, idCol, n)
+    // materialized ONCE via a lazy local checkpoint: the banding branch
+    // and verifyJaccard's two join-backs would otherwise each re-scan
+    // the corpus and re-hash every shingle (3 full text passes). The
+    // checkpointed frame is slim — (id, hash array), ~8 B/shingle, no
+    // text — so it is bench- and 100 TB-safe to pin.
+    val base = shingleBase(df, textCol, idCol, n).localCheckpoint(false)
     val banded = bandRows(base, k, bands)
 
     // candidate pairs within buckets: ONE shuffle groups a bucket's ids
@@ -730,7 +734,10 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          n: Int = 3, threshold: Double = 0.7,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
-    val base = shingleBase(df, textCol, idCol, n)
+    // same single-materialization contract as minhashLshPairs: the
+    // candidate pipeline and both verify join-backs read the slim
+    // checkpointed (id, hash array) frame instead of re-hashing text
+    val base = shingleBase(df, textCol, idCol, n).localCheckpoint(false)
     verifyJaccard(prefixJaccardCandidates(base, threshold, maxBucket),
       base, threshold)
   }
