@@ -3998,6 +3998,76 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- RFM segmentation: exact quintile cutpoints, inverted recency
+    ("e37_rfm",
+      (s, dir) => Sessionize.rfmSegments(evts(s, dir))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          col("segment"))
+        .orderBy("user_id"),
+      Some(rfmOracle)),
+
+    // --- budget-bounded tokenizer-training sample in hash order
+    ("p21_tokenizer_sample",
+      (s, dir) => Pipeline.tokenizerSample(docs(s, dir), "text", "doc_id",
+          tokenBudget = 5000L)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE len(string_split_regex(trim(text), '\s+'))
+             |    END AS n
+             |  FROM documents),
+             |o AS (SELECT doc_id, n,
+             |    sum(n) OVER (ORDER BY (doc_id*2654435761)%1000000007,
+             |      doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM t)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |       CAST(cum AS BIGINT) AS cum_tokens
+             |FROM o WHERE cum - n < 5000 ORDER BY doc_id""".stripMargin)),
+
+    // --- modality router on magic bytes (PNG/JPEG/RIFF prefixes
+    //     injected deterministically by doc_id residue)
+    ("m05_modality_route",
+      (s, dir) => {
+        val png = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+        val jpg = lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+          0xe0.toByte))
+        val riff = lit("RIFF".getBytes("US-ASCII"))
+        val payload = when(col("doc_id") % 4 === 0,
+            concat(png, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 1,
+            concat(jpg, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 2,
+            concat(riff, encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8"))
+        Multimodal.modalityRoute(
+            docs(s, dir).select(col("doc_id"), payload.as("payload")),
+            "payload")
+          .select(col("modality"), col("n_payloads"), col("total_bytes"),
+            round(col("avg_bytes"), 6).as("avg_bytes"))
+          .orderBy("modality")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |           THEN '\x89PNG'::BLOB || encode(text)
+             |         WHEN doc_id % 4 = 1
+             |           THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+             |         WHEN doc_id % 4 = 2
+             |           THEN 'RIFF'::BLOB || encode(text)
+             |         ELSE encode(text) END AS pl
+             |  FROM documents),
+             |r AS (SELECT CASE
+             |        WHEN left(hex(pl), 8) = '89504E47' THEN 'image/png'
+             |        WHEN left(hex(pl), 8) = 'FFD8FFE0' THEN 'image/jpeg'
+             |        WHEN left(hex(pl), 8) = '52494646' THEN 'audio/riff'
+             |        ELSE 'text/plain' END AS modality,
+             |        octet_length(pl) AS n
+             |      FROM p)
+             |SELECT modality, CAST(count(*) AS BIGINT) AS n_payloads,
+             |       CAST(sum(n) AS BIGINT) AS total_bytes,
+             |       round(avg(CAST(n AS DOUBLE)), 6) AS avg_bytes
+             |FROM r GROUP BY 1 ORDER BY modality""".stripMargin)),
+
     // --- RM1 pseudo-relevance-feedback expansion terms off the s11
     //     BM25 run (top-10 feedback docs, top-5 terms, query terms
     //     excluded)
@@ -4969,6 +5039,35 @@ object SparkEntry {
       |        AS rank FROM sc)
       |SELECT query_id, doc_id, rank, round(score, 6) AS score
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of e37: per-user RFM triple (monetary rounded to 6
+    * BEFORE scoring on both sides), 12 exact quintile cutpoints,
+    * value-greater-than scoring with recency inverted. */
+  private lazy val rfmOracle: String = {
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    def cuts(c: String) = ps.zipWithIndex.map { case (p, i) =>
+      s"quantile_disc($c, $p) AS ${c.take(1)}$i" }.mkString(", ")
+    def raw(c: String) = "1 + " + ps.indices.map(i =>
+      s"(CASE WHEN $c > c.${c.take(1)}$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH rt AS (SELECT max(epoch_ms(ts)) AS ref FROM events),
+       |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS frequency,
+       |        round(sum(value), 6) AS monetary,
+       |        CAST(floor((rt.ref - max(epoch_ms(ts))) / 86400000)
+       |          AS BIGINT) AS recency_days
+       |      FROM events CROSS JOIN rt GROUP BY user_id, rt.ref),
+       |c AS (SELECT ${cuts("recency_days")}, ${cuts("frequency")},
+       |        ${cuts("monetary")} FROM u),
+       |s AS (SELECT u.*,
+       |        6 - (${raw("recency_days")}) AS rs,
+       |        ${raw("frequency")} AS fs,
+       |        ${raw("monetary")} AS ms
+       |      FROM u CROSS JOIN c)
+       |SELECT user_id, recency_days, frequency, monetary,
+       |       CAST(rs AS BIGINT) AS r_score, CAST(fs AS BIGINT) AS f_score,
+       |       CAST(ms AS BIGINT) AS m_score,
+       |       CAST(rs * 100 + fs * 10 + ms AS BIGINT) AS segment
+       |FROM s ORDER BY user_id""".stripMargin
+  }
 
   /** DuckDB mirror of s27: the full s11 BM25 chain, top-10 feedback
     * docs, RM1 term weights Σ tf/dl with the query's own terms

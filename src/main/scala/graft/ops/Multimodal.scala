@@ -229,4 +229,35 @@ object Multimodal {
         (col("seg_idx") * hopMs).as("start_ms"),
         least(col("seg_idx") * hopMs + winMs, col("__dur")).as("end_ms"))
   }
+
+  /**
+   * Modality router: classify payloads by their magic bytes (PNG /
+   * JPEG / RIFF containers, else raw text) and report per-modality
+   * volume \u2014 the fan-out decision before per-modality decode stages
+   * (images to the vision pipeline, audio/video to segmenting, text
+   * to the t-family). The magic compare runs on a base64 of the first
+   * bytes so it is pure built-ins on both engines; payload BYTES are
+   * read only for the 4-byte prefix and the length \u2014 a columnar
+   * reader prunes the rest.
+   *
+   * Output: (modality, n_payloads, total_bytes, avg_bytes).
+   */
+  def modalityRoute(df: DataFrame, binCol: String): DataFrame = {
+    val magic = base64(substring(col(binCol), 1, 4))
+    val pngB64 = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val jpgB64 = java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))
+    val riffB64 = java.util.Base64.getEncoder.encodeToString(
+      "RIFF".getBytes("US-ASCII"))
+    df.select(
+        when(magic === pngB64, lit("image/png"))
+          .when(magic === jpgB64, lit("image/jpeg"))
+          .when(magic === riffB64, lit("audio/riff"))
+          .otherwise(lit("text/plain")).as("modality"),
+        length(col(binCol)).cast(LongType).as("__n"))
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_payloads"), sum(col("__n")).as("total_bytes"),
+        avg(col("__n").cast("double")).as("avg_bytes"))
+  }
 }

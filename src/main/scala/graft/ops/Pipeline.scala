@@ -1014,4 +1014,33 @@ object Pipeline {
         struct(lit(n).as("metric"), c.as("value")) }: _*)).as("__m"))
       .select("__m.*")
   }
+
+  /**
+   * Budget-bounded tokenizer-training sample: take documents in
+   * deterministic hash order until the cumulative token count reaches
+   * `tokenBudget` \u2014 the corpus slice a BPE/unigram tokenizer trains
+   * on. Hash order makes the sample a reproducible pseudo-random
+   * draw (the [[stratifiedSample]] convention); the document that
+   * CROSSES the budget boundary is kept (start-before-boundary, the
+   * packTokenBins rule), so the sample is never short.
+   *
+   * Scale note: the exact cumulative cut is a global hash-ordered
+   * window \u2014 right for the oracle-checked form; at 100 TB use
+   * [[sampleByHashFraction]] with fraction \u2248 budget/corpus_tokens as
+   * the map-only production twin and accept \u00b1LLN wobble, or
+   * two-pass: hash-bucket histogram \u2192 pick the cutting bucket \u2192
+   * window only inside it.
+   */
+  def tokenizerSample(docs: DataFrame, textCol: String, idCol: String,
+                      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1: $tokenBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Hashing.mulHash(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("n_tokens", TextOps.tokenCount(col(textCol)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -850,6 +850,58 @@ object Sessionize {
   }
 
   /**
+   * RFM (recency / frequency / monetary) segmentation — the classic
+   * customer-value grid (Hughes 1994): per user, days since last
+   * event (vs the corpus max timestamp), event count, and total
+   * value, each scored 1–5 by exact global quintile cutpoints
+   * (recency INVERTED — recent = 5), composed into the 3-digit
+   * segment code `r·100 + f·10 + m`. Cutpoint comparison follows the
+   * [[Pipeline.curriculumAssign]] convention: value > cutpoint, ties
+   * to the lower score — reproducible cross-engine because both
+   * compare identical values.
+   *
+   * Scale: one user-key aggregation (events → users-sized frame), one
+   * 1-row exact-percentile aggregate over it (12 cutpoints) broadcast
+   * back into a map-side score chain. The corpus shuffles once.
+   */
+  def rfmSegments(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts",
+                  valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val refTs = events.agg(max(unix_millis(col(tsCol))).as("__ref"))
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(unix_millis(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        // 6-dp rounded so quintile cutpoints and the > comparisons see
+        // the SAME value on every engine (raw per-user double sums
+        // differ in ulps by reduction order and could flip a boundary
+        // user's score)
+        round(sum(col(valueCol)), 6).as("monetary"))
+      .crossJoin(broadcast(refTs))
+      .withColumn("recency_days",
+        floor((col("__ref") - col("__last")) / lit(86400000L)))
+      .drop("__last", "__ref")
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val cutAggs = Seq("recency_days", "frequency", "monetary").flatMap { c =>
+      ps.zipWithIndex.map { case (p, i) =>
+        GraftSqlBridge.percentileDisc(col(c), p).as(s"__${c}_$i") }
+    }
+    val cuts = perUser.agg(cutAggs.head, cutAggs.tail: _*)
+    def rawScore(c: String): org.apache.spark.sql.Column = ps.indices
+      .map(i => when(col(c) > col(s"__${c}_$i"), 1L).otherwise(0L))
+      .reduce(_ + _) + lit(1L)
+    perUser.crossJoin(broadcast(cuts))
+      .withColumn("r_score", lit(6L) - rawScore("recency_days"))
+      .withColumn("f_score", rawScore("frequency"))
+      .withColumn("m_score", rawScore("monetary"))
+      .withColumn("segment",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("segment"))
+  }
+
+  /**
    * Hour-of-day seasonality strength per event type: the one-way
    * ANOVA R² of hourly event counts against their hour-of-day group
    * means — SS_between/SS_total, the fraction of load variance the

@@ -4343,4 +4343,55 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(m("reciprocity") - 2.0 / 3) < 1e-6)
     assert(m("max_out_degree") == 2.0)
   }
+
+  test("rfmSegments: quintile scores with inverted recency; segment composes digits") {
+    val base = 1700000000000L
+    // 5 users with increasing recency / decreasing frequency+value
+    val rows = (1 to 5).flatMap { u =>
+      val n = 6 - u                       // u1 five events ... u5 one
+      Seq.tabulate(n)(j => ((u * 100 + j).toLong, u.toLong, "buy",
+        new Timestamp(base - u.toLong * 86400000L + j), 10.0 * n))
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val out = Sessionize.rfmSegments(rows)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    // user 1: most recent, most frequent, highest spend → 555
+    assert(out(1L)._5 == 555L)
+    // user 5: oldest, least frequent, lowest spend → 111
+    assert(out(5L)._5 == 111L)
+    // recency inverted: user1 r=5 > user5 r=1; digits compose
+    out.values.foreach { v =>
+      assert(v._5 == v._2 * 100 + v._3 * 10 + v._4)
+      assert(v._2 >= 1 && v._2 <= 5)
+    }
+  }
+
+  test("tokenizerSample: hash-order prefix, crossing doc kept, budget reached") {
+    val d = (1L to 50L).map(i => (i, "tok " * 10)).toDF("doc_id", "text")
+    val out = Pipeline.tokenizerSample(d, "text", "doc_id", tokenBudget = 95L)
+      .collect()
+    // 10 tokens per doc, budget 95 → 10 docs (the 10th starts at 90 < 95)
+    assert(out.length == 10)
+    assert(out.map(_.getLong(2)).max == 100L)
+    // deterministic across runs
+    val again = Pipeline.tokenizerSample(d, "text", "doc_id", 95L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.map(_.getLong(0)).toSet)
+  }
+
+  test("modalityRoute: magic-byte classes with correct byte accounting") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill[Byte](10)(1)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    val txt = "hello".getBytes("UTF-8")
+    val d = Seq((1L, png), (2L, jpg), (3L, txt), (4L, png))
+      .toDF("id", "payload")
+    val out = Multimodal.modalityRoute(d, "payload")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("image/png") == ((2L, 28L)))
+    assert(out("image/jpeg") == ((1L, 4L)))
+    assert(out("text/plain") == ((1L, 5L)))
+    assert(!out.contains("audio/riff"))
+  }
 }
