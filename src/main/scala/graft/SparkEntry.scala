@@ -3998,6 +3998,35 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- Gini value-concentration coefficient per event type
+    ("e38_gini",
+      (s, dir) => Sessionize.giniByType(evts(s, dir))
+        .select(col("event_type"), col("n_users"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy("event_type"),
+      Some("""WITH pu AS (SELECT event_type, user_id AS u,
+             |             round(sum(value), 6) AS v
+             |            FROM events GROUP BY 1, 2),
+             |r AS (SELECT event_type, v,
+             |        CAST(row_number() OVER (PARTITION BY event_type
+             |          ORDER BY v, u) AS DOUBLE) AS rk
+             |      FROM pu),
+             |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             |        sum(v) AS sv, sum(rk * v) AS srv FROM r GROUP BY 1)
+             |SELECT event_type, n_users,
+             |       round(CASE WHEN sv = 0 THEN 0.0
+             |             ELSE 2.0 * srv / (n_users * sv)
+             |                  - (n_users + 1.0) / n_users END, 6) AS gini
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // --- farthest-point (k-center greedy) diversity selection, 5
+    //     picks, 9-dp distance determinism contract
+    ("s28_farthest_points",
+      (s, dir) => Similarity.farthestPoints(embs(s, dir), "embedding",
+          "vec_id", k = 5)
+        .orderBy("sel_idx"),
+      Some(farthestOracle)),
+
     // --- RFM segmentation: exact quintile cutpoints, inverted recency
     ("e37_rfm",
       (s, dir) => Sessionize.rfmSegments(evts(s, dir))
@@ -5039,6 +5068,43 @@ object SparkEntry {
       |        AS rank FROM sc)
       |SELECT query_id, doc_id, rank, round(score, 6) AS score
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB mirror of s28: hash-order seed, four unrolled greedy
+    * rounds; per-pair distances round to 9 before the min/argmax, ties
+    * to the smaller id — the kmeansAssign determinism contract. */
+  private lazy val farthestOracle: String = {
+    def dist(v: String, c: String) =
+      s"""round(list_dot_product($v, $v) - 2 * list_dot_product($v, $c)
+         |        + list_dot_product($c, $c), 9)""".stripMargin
+    def rnd(k: Int): String =
+      s"""d$k AS (SELECT d.vec_id, d.v,
+         |        least(d.d, ${dist("d.v", "s.v")}) AS d
+         |      FROM d${k - 1} d CROSS JOIN s${k - 1} s
+         |      WHERE d.vec_id <> s.vec_id),
+         |s$k AS (SELECT vec_id, v FROM
+         |         (SELECT vec_id, v FROM d$k ORDER BY d DESC, vec_id
+         |          LIMIT 1))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |s0 AS (SELECT vec_id, v FROM
+       |        (SELECT vec_id, v FROM e
+       |         ORDER BY (vec_id*2654435761)%1000000007, vec_id LIMIT 1)),
+       |d1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "s.v")} AS d
+       |       FROM e CROSS JOIN s0 s WHERE e.vec_id <> s.vec_id),
+       |s1 AS (SELECT vec_id, v FROM
+       |        (SELECT vec_id, v FROM d1 ORDER BY d DESC, vec_id LIMIT 1)),
+       |${rnd(2)},
+       |${rnd(3)},
+       |${rnd(4)}
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS sel_idx,
+       |         (SELECT vec_id FROM s0) AS vec_id
+       |  UNION ALL SELECT 1, (SELECT vec_id FROM s1)
+       |  UNION ALL SELECT 2, (SELECT vec_id FROM s2)
+       |  UNION ALL SELECT 3, (SELECT vec_id FROM s3)
+       |  UNION ALL SELECT 4, (SELECT vec_id FROM s4))
+       |ORDER BY sel_idx""".stripMargin
+  }
 
   /** DuckDB mirror of e37: per-user RFM triple (monetary rounded to 6
     * BEFORE scoring on both sides), 12 exact quintile cutpoints,

@@ -850,6 +850,39 @@ object Sessionize {
   }
 
   /**
+   * Gini coefficient of per-user value concentration by event type —
+   * the inequality readout behind "whales vs long tail" (Lorenz-curve
+   * summary; the [[paretoAbc]] classes' one-number cousin). Uses the
+   * rank formulation G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n over users sorted
+   * by (value, user) ascending; tied values make the rank·value sum
+   * assignment-invariant, so the id tie-break is cosmetic and the
+   * result deterministic. Per-user values round to 6 dp first (the
+   * rfm convention — reduction-order ulps must not reorder ranks).
+   *
+   * Scale: events reduce to a (type, user) aggregate, the rank window
+   * runs per type over the users-sized frame, and a final per-type
+   * reduce emits one row per type.
+   */
+  def giniByType(events: DataFrame, typeCol: String = "event_type",
+                 userCol: String = "user_id",
+                 valueCol: String = "value"): DataFrame = {
+    val perUser = events.groupBy(col(typeCol).as("event_type"),
+        col(userCol).as("u"))
+      .agg(round(sum(col(valueCol)), 6).as("v"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v"), col("u"))
+    perUser.withColumn("__r", row_number().over(w).cast(DoubleType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("v")).as("__sv"),
+        sum(col("__r") * col("v")).as("__srv"))
+      .select(col("event_type"), col("n_users"),
+        when(col("__sv") === 0.0, lit(0.0)).otherwise(
+          lit(2.0) * col("__srv") / (col("n_users") * col("__sv")) -
+            (col("n_users") + lit(1.0)) / col("n_users")).as("gini"))
+  }
+
+  /**
    * RFM (recency / frequency / monetary) segmentation — the classic
    * customer-value grid (Hughes 1994): per user, days since last
    * event (vs the corpus max timestamp), event count, and total

@@ -1401,4 +1401,55 @@ object Similarity {
           col("__qn"), col("__cn")).as("cos_sim"))
       .where(col("cos_sim") >= lit(threshold))
   }
+
+  /**
+   * Farthest-point (k-center greedy / Gonzalez 1985) selection: seed
+   * with the hash-order-first vector ([[seedCentroids]]' convention),
+   * then `k \u2212 1` rounds each picking the vector MAXIMIZING its
+   * distance to the already-chosen set \u2014 the diversity-sampling
+   * primitive (coreset seeding, eval-set spread, k-means++'s
+   * deterministic cousin). Determinism contract: squared-L2 distances
+   * round to 9 dp and ties break on the smaller id, so every pick is
+   * reproducible cross-engine (the [[kmeansAssign]] trick).
+   *
+   * Scale: per round, ONE map-side pass scores the corpus against the
+   * \u2264 k broadcast chosen vectors and a 1-row argmax collects \u2014 k
+   * model-sized collects total, the corpus never shuffles. The
+   * min-distance column could carry over between rounds (each round
+   * only mins against the ONE new point); recomputing against \u2264 k
+   * points keeps the loop stateless, and k is small by contract.
+   *
+   * Output: (sel_idx, vec_id) \u2014 selection order, k rows.
+   */
+  def farthestPoints(corpus: DataFrame, vecCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast(LongType).as("__vid"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seed = base
+      .orderBy(Hashing.mulHash(col("__vid")), col("__vid"))
+      .limit(1).collect()(0)
+    var chosen = Vector[(Long, Seq[Double])](
+      (seed.getLong(0), seed.getSeq[Double](1)))
+    while (chosen.length < k) {
+      val chosenDf = broadcast(chosen.map(_._2).zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("__ci", "__cv"))
+      val dTo = (v: Column, c: Column) =>
+        round(dotD(v, v) - lit(2.0) * dotD(v, c) + dotD(c, c), 9)
+      val next = base
+        .join(broadcast(chosen.map(_._1).toDF("__vid")), Seq("__vid"),
+          "left_anti")
+        .crossJoin(chosenDf)
+        .groupBy(col("__vid")).agg(min(dTo(col("__v"), col("__cv")))
+          .as("__d"), first(col("__v")).as("__v"))
+        .orderBy(col("__d").desc, col("__vid"))
+        .limit(1).collect()(0)
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Double](2)))
+    }
+    chosen.map(_._1).zipWithIndex
+      .map { case (id, i) => (i.toLong, id) }
+      .toDF("sel_idx", "vec_id")
+  }
 }

@@ -4394,4 +4394,38 @@ class OpsSpec extends AnyFunSuite {
     assert(out("text/plain") == ((1L, 5L)))
     assert(!out.contains("audio/riff"))
   }
+
+  test("giniByType: uniform values score 0, one whale scores near 1, math pinned") {
+    val base = new Timestamp(1700000000000L)
+    val rows = ((1 to 4).map(u => (u.toLong, "equal", 10.0)) ++
+      Seq((1L, "whale", 1000.0), (2L, "whale", 1.0), (3L, "whale", 1.0),
+        (4L, "whale", 1.0)))
+      .zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, base, v) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val g = Sessionize.giniByType(rows)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(g("equal")) < 1e-12)
+    // whale: values (1,1,1,1000) ranks 1..4 → G = 2·(1+2+3+4000)/(4·1003) − 5/4
+    val expected = 2.0 * 4006 / (4 * 1003.0) - 1.25
+    assert(math.abs(g("whale") - expected) < 1e-9)
+  }
+
+  test("farthestPoints: picks spread corners before near-duplicates") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.0f)),    // near-dup of 1
+      (3L, Array(10.0f, 0.0f)),
+      (4L, Array(0.0f, 10.0f)),
+      (5L, Array(10.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val sel = Similarity.farthestPoints(vecs, "embedding", "vec_id", k = 4)
+      .orderBy("sel_idx").collect().map(_.getLong(1))
+    // the four corners are chosen before the near-duplicate of the seed
+    assert(sel.toSet == Set(1L, 3L, 4L, 5L) || sel.toSet == Set(2L, 3L, 4L, 5L))
+    assert(!sel.toSet.contains(1L) || !sel.toSet.contains(2L))
+    // deterministic
+    val again = Similarity.farthestPoints(vecs, "embedding", "vec_id", 4)
+      .orderBy("sel_idx").collect().map(_.getLong(1))
+    assert(again.toSeq == sel.toSeq)
+  }
 }
