@@ -84,7 +84,13 @@ object ChangeData {
     // two partial-aggregated shuffles of slim rows, no window sort
     val latestSeq = changes.groupBy(col(keyCol))
       .agg(max(col(seqCol)).as(seqCol))
+    // materialize the winner set once (lazy local checkpoint): it is
+    // read twice (touched keys + surviving upserts) and the feed
+    // derivation above it can be an arbitrarily deep plan — without
+    // the pin, BOTH consumers re-derive the whole feed pipeline.
+    // Winners are feed-bounded (≪ snapshot in steady state).
     val winners = changes.join(latestSeq, Seq(keyCol, seqCol), "left_semi")
+      .localCheckpoint(false)
     val touched = winners.select(col(keyCol))
     val kept = snapshot.join(touched, Seq(keyCol), "left_anti")
     val upserts = winners.where(col(opCol) =!= lit("D"))
