@@ -3998,6 +3998,63 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- n-gram novelty vs earlier corpus (memorization/freshness)
+    ("t38_novelty",
+      (s, dir) => TextOps.ngramNovelty(docs(s, dir), "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("novelty"), 6).as("novelty"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
+             |         ELSE list_distinct([array_to_string(tk[i:i+4], ' ')
+             |                             for i in range(1, len(tk) - 3)])
+             |    END AS gs
+             |  FROM t),
+             |x AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+             |f AS (SELECT gram, min(doc_id) AS fd FROM x GROUP BY 1),
+             |nv AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |         CAST(sum(CASE WHEN f.fd = x.doc_id THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_novel
+             |       FROM x JOIN f USING (gram) GROUP BY 1)
+             |SELECT g.doc_id AS doc_id,
+             |       coalesce(n_grams, 0) AS n_grams,
+             |       coalesce(n_novel, 0) AS n_novel,
+             |       round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 1.0
+             |             ELSE CAST(n_novel AS DOUBLE) / n_grams END, 6)
+             |         AS novelty
+             |FROM g LEFT JOIN nv ON g.doc_id = nv.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // --- filtered vector search: same-label + id-residue metadata
+    //     predicate applied BEFORE the bounded top-k
+    ("s29_filtered_ann",
+      (s, dir) => Similarity.filteredTopK(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          metaCols = Seq("label"), k = 5,
+          predicate = col("c_label") === col("q_label") &&
+            col("neighbor_id") % 3 =!= 0)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "rank"),
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |        list_dot_product(q.v, c.v) /
+             |          (sqrt(list_dot_product(q.v, q.v)) *
+             |           sqrt(list_dot_product(c.v, c.v))) AS cos_sim
+             |      FROM e q, e c
+             |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+             |        AND c.label = q.label AND c.vec_id % 3 <> 0),
+             |r AS (SELECT *, row_number() OVER
+             |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id)
+             |        AS rank FROM s)
+             |SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+             |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // --- Gini value-concentration coefficient per event type
     ("e38_gini",
       (s, dir) => Sessionize.giniByType(evts(s, dir))

@@ -97,4 +97,42 @@ object ChangeData {
       .select((keyCol +: payload).map(col): _*)
     kept.unionByName(upserts)
   }
+
+  final case class Change(key: Long, seq: Long, op: String, payload: String)
+
+  /**
+   * Streaming twin of [[applyChangeFeed]]: continuous latest-wins
+   * state over an unbounded change stream, one `Change` of state per
+   * key (`flatMapGroupsWithState`, Update mode). Emits the key's new
+   * current row whenever a batch advances its max seq — downstream
+   * sinks upsert on `key` and treat `op = 'D'` as a tombstone. A
+   * change at or below the retained seq is a no-op (idempotent
+   * replays, out-of-order feeds). Batch-equivalence is pinned in the
+   * unit test: after any prefix of batches, the emitted latest rows
+   * match [[applyChangeFeed]] winners over the same prefix.
+   *
+   * State is O(#live keys) × one payload row; with key-hash
+   * distribution that is the same state a compacted changelog topic
+   * carries. Use a TTL policy upstream when keys churn unboundedly.
+   */
+  def streamingLatest(changes: org.apache.spark.sql.Dataset[Change])
+      : org.apache.spark.sql.Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, rows: Iterator[Change],
+           state: GroupState[Change]): Iterator[Change] = {
+      val incoming = rows.toSeq
+      if (incoming.isEmpty) Iterator.empty
+      else {
+        val best = incoming.maxBy(_.seq)
+        if (state.getOption.forall(_.seq < best.seq)) {
+          state.update(best)
+          Iterator(best)
+        } else Iterator.empty
+      }
+    }
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -1452,4 +1452,39 @@ object Similarity {
       .map { case (id, i) => (i.toLong, id) }
       .toDF("sel_idx", "vec_id")
   }
+
+  /**
+   * Filtered (metadata-constrained) exact top-k ANN \u2014 the "filtered
+   * vector search" mode every vector store ships: candidates must
+   * satisfy a metadata predicate EVALUATED PER (query, candidate)
+   * PAIR (equality with the query's own metadata, ranges, tag
+   * checks). The filter applies BEFORE the bounded TopK aggregator,
+   * so k survivors per query are guaranteed to satisfy it (post-
+   * filtering a plain top-k under-fills \u2014 the classic failure).
+   * `predicate` sees the candidate row's columns (prefixed `c_`) and
+   * the query row's (prefixed `q_`).
+   *
+   * Scale: the [[bruteForceTopK]] shape \u2014 broadcast queries, one
+   * corpus scan, map-side filter, O(1)-reject TopK. For selective
+   * filters at 100 TB, push the predicate into the scan (partition/
+   * Z-order on the metadata column) so pruning happens before the
+   * vector math; the operator's filter placement is already
+   * scan-side.
+   */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+                   idCol: String, metaCols: Seq[String], k: Int,
+                   predicate: Column): DataFrame = {
+    val c = corpus.select((col(idCol).cast(LongType).as("neighbor_id") +:
+      col(vecCol).as("__cv") +: norm(col(vecCol)).as("__cn") +:
+      metaCols.map(m => col(m).as(s"c_$m"))): _*)
+    val q = queries.select((col(idCol).cast(LongType).as("query_id") +:
+      col(vecCol).as("__qv") +: norm(col(vecCol)).as("__qn") +:
+      metaCols.map(m => col(m).as(s"q_$m"))): _*)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id") && predicate)
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")).as("cos_sim"))
+    topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
+  }
 }

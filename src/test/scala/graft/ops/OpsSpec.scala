@@ -4428,4 +4428,63 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("sel_idx").collect().map(_.getLong(1))
     assert(again.toSeq == sel.toSeq)
   }
+
+  test("ngramNovelty: first doc fully novel, copy fully stale, short doc vacuous") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // grams: abcde, bcdef → both novel
+      (2L, "a b c d e f"),       // exact copy → novelty 0
+      (3L, "x y z w v a b c d e"), // one stale gram (abcde), others novel
+      (4L, "tiny"))              // < n tokens → vacuous 1.0
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(d, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L)._1 == 6L && out(3L)._2 == 5L)
+    assert(out(4L) == ((0L, 0L, 1.0)))
+  }
+
+  test("filteredTopK: predicate applies before top-k — survivors always satisfy it") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.1f), "b"),   // closest but wrong label
+      (3L, Array(0.8f, 0.6f), "a"),
+      (4L, Array(0.0f, 1.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(vecs,
+        vecs.where(col("vec_id") === 1L), "embedding", "vec_id",
+        metaCols = Seq("label"), k = 2,
+        predicate = col("c_label") === col("q_label"))
+      .orderBy("rank").collect().map(_.getLong(1))
+    // 2 is excluded by the label filter despite the best cosine
+    assert(out.toSeq == Seq(3L, 4L))
+  }
+
+  test("streamingLatest: latest-wins state across batches matches the batch CDC winners") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[ChangeData.Change]
+    val q = ChangeData.streamingLatest(mem.toDS())
+      .writeStream.format("memory").queryName("cdcl")
+      .outputMode("update").start()
+    try {
+      mem.addData(ChangeData.Change(1L, 1L, "U", "one-a"),
+        ChangeData.Change(2L, 1L, "U", "two"))
+      q.processAllAvailable()
+      mem.addData(ChangeData.Change(1L, 2L, "U", "one-b"),
+        ChangeData.Change(2L, 0L, "U", "stale"),   // below retained seq
+        ChangeData.Change(3L, 1L, "D", "gone"))
+      q.processAllAvailable()
+      val emitted = spark.table("cdcl").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      // latest emission per key = the latest-wins winner; stale never emits
+      val latest = emitted.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(_._2) }
+      assert(latest(1L) == ((1L, 2L, "U", "one-b")))
+      assert(latest(2L) == ((2L, 1L, "U", "two")))
+      assert(latest(3L)._3 == "D")
+      assert(!emitted.exists(_._4 == "stale"))
+    } finally q.stop()
+  }
 }
