@@ -3998,6 +3998,33 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- eval-integrity canary: plant the benchmark, require the
+    //     decontamination stage to catch its own plants
+    ("p22_canary_recall",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Pipeline.canaryRecall(d.where(col("doc_id") >= 10),
+            d.where(col("doc_id") < 10), "text", "doc_id",
+            n = 3, threshold = 0.5)
+          .select(col("n_planted"), col("n_caught"), col("n_incidental"),
+            round(col("recall"), 6).as("recall"))
+      },
+      Some(canaryOracle)),
+
+    // --- deterministic random-walk corpus (DeepWalk-style sequences,
+    //     hash-argmin next-hop, 3 hops from the %10 sources)
+    ("g20_walk_corpus",
+      (s, dir) => {
+        val srcs = coSupplyEdges(s, dir)
+          .select(col("s1").as("s")).union(
+            coSupplyEdges(s, dir).select(col("s2").as("s")))
+          .distinct().where(col("s") % 10 === 0)
+        GraphOps.deterministicWalks(coSupplyEdges(s, dir), "s1", "s2",
+            srcs, steps = 3)
+          .orderBy("start", "step")
+      },
+      Some(walkOracle)),
+
     // --- n-gram novelty vs earlier corpus (memorization/freshness)
     ("t38_novelty",
       (s, dir) => TextOps.ngramNovelty(docs(s, dir), "text", "doc_id", n = 5)
@@ -4793,6 +4820,77 @@ object SparkEntry {
        |      FROM g WHERE doc_id >= 20),
        |h AS (SELECT doc_id, n_grams, count(*) AS n_hit
        |      FROM c JOIN b ON cg = bg GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB mirror of p22: corpus (ids ≥ 10) + planted benchmark
+    * copies at +900000, the p02 gram chain over that union, recall of
+    * the plants at τ=0.5. */
+  private lazy val canaryOracle: String =
+    s"""WITH d2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 10
+       |            UNION ALL
+       |            SELECT doc_id + 900000, text FROM documents
+       |            WHERE doc_id < 10
+       |            UNION ALL
+       |            SELECT doc_id, text FROM documents WHERE doc_id < 10),
+       |tk AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM d2),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${sqlFp("t", w31)})
+       |         AS th
+       |  FROM tk),
+       |g AS (SELECT doc_id, list_distinct([
+       |    (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007
+       |    for i in range(1, len(th) - 1)]) AS grams
+       |  FROM th WHERE len(th) >= 3),
+       |b AS (SELECT DISTINCT unnest(grams) AS bg FROM g WHERE doc_id < 10),
+       |c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS cg
+       |      FROM g WHERE doc_id >= 10),
+       |h AS (SELECT doc_id, n_grams, count(*) AS n_hit
+       |      FROM c JOIN b ON cg = bg GROUP BY 1, 2),
+       |sel AS (SELECT doc_id FROM h
+       |        WHERE CAST(n_hit AS DOUBLE)/n_grams >= 0.5),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_planted FROM documents
+       |       WHERE doc_id < 10)
+       |SELECT np.n_planted,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sel WHERE doc_id >= 900000)
+       |    AS n_caught,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM sel
+       |   WHERE doc_id < 900000) AS n_incidental,
+       |  round(CAST((SELECT count(*) FROM sel WHERE doc_id >= 900000)
+       |          AS DOUBLE) / np.n_planted, 6) AS recall
+       |FROM np""".stripMargin
+
+  /** DuckDB mirror of g20: three unrolled hash-argmin hops over the
+    * symmetric co-supply edges from the %10 sources. */
+  private lazy val walkOracle: String = {
+    def hop(k: Int): String =
+      s"""n$k AS (SELECT w.start, s.nbr,
+         |        ((((w.node*1000003 + ${k * 31} + s.nbr) % 1000000007)
+         |          * 654435747) % 1000000007) AS h
+         |      FROM w${k - 1} w JOIN sym s ON s.node = w.node),
+         |w$k AS (SELECT start, nbr AS node FROM
+         |         (SELECT *, row_number() OVER
+         |            (PARTITION BY start ORDER BY h, nbr) AS r FROM n$k)
+         |       WHERE r = 1)""".stripMargin
+    s"""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
+       |            FROM lineitem WHERE l_quantity >= 49),
+       |e AS (SELECT DISTINCT a.sid AS lo, b.sid AS hi
+       |      FROM ps a JOIN ps b ON a.p = b.p AND a.sid < b.sid),
+       |sym AS (SELECT lo AS node, hi AS nbr FROM e
+       |        UNION ALL SELECT hi, lo FROM e),
+       |src AS (SELECT DISTINCT node AS start FROM sym
+       |        WHERE node % 10 = 0),
+       |w0 AS (SELECT start, start AS node FROM src),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT start, step, node FROM (
+       |  SELECT start, CAST(0 AS BIGINT) AS step, node FROM w0
+       |  UNION ALL SELECT start, 1, node FROM w1
+       |  UNION ALL SELECT start, 2, node FROM w2
+       |  UNION ALL SELECT start, 3, node FROM w3)
+       |ORDER BY start, step""".stripMargin
+  }
 
   private lazy val decontOracle: String =
     s"""WITH $decontCtes

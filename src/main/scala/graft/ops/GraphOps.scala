@@ -722,6 +722,46 @@ object GraphOps {
   }
 
   /**
+   * Deterministic random-walk corpus (the DeepWalk / node2vec
+   * training-data generator, Perozzi et al. 2014): one walk of
+   * `steps` hops per source over the undirected graph, where the
+   * "random" neighbor choice is the argmin of a multiplicative hash
+   * of (current node, step, neighbor) — pseudo-random spread, but
+   * reproducible across runs, partitionings and engines (ties break
+   * on the smaller neighbor). Walks CAN revisit nodes, as real random
+   * walks do. Output: (start, step, node) rows, step 0 = the source —
+   * exactly the sequence corpus a skip-gram embedding trainer
+   * consumes.
+   *
+   * Scale: per hop, one join of the walks-sized frontier to the
+   * symmetric edge list + a partial-aggregated argmin per walk —
+   * 24 B rows throughout; `steps` is small by contract (walk length,
+   * not diameter). The frontier checkpoints per hop so plan depth
+   * stays flat. Hub fan-in is bounded by the argmin's map-side
+   * partial aggregation (no neighbor list ever materializes).
+   */
+  def deterministicWalks(edges: DataFrame, aCol: String, bCol: String,
+                         sources: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1: $steps")
+    val sym = symmetric(canonical(edges, aCol, bCol)).localCheckpoint(false)
+    var cur = sources.toDF("start").distinct()
+      .select(col("start"), col("start").as("node"))
+      .localCheckpoint(false)
+    var out = cur.withColumn("step", lit(0L))
+    for (s <- 1 to steps) {
+      val h = Hashing.mulHash(col("node") * lit(1000003L) +
+        lit(s * 31L) + col("nbr"))
+      cur = cur.join(sym, Seq("node"))
+        .groupBy(col("start"))
+        .agg(min(struct(h.as("h"), col("nbr").as("n"))).as("__m"))
+        .select(col("start"), col("__m.n").as("node"))
+        .localCheckpoint(false)
+      out = out.union(cur.withColumn("step", lit(s.toLong)))
+    }
+    out.select(col("start"), col("step"), col("node"))
+  }
+
+  /**
    * Graph card: the p20-datasetCard analog for a DIRECTED edge list —
    * size, density, degree shape and reciprocity as (metric, value)
    * rows, the pre-flight read before choosing graph operators (max

@@ -1043,4 +1043,39 @@ object Pipeline {
       .where(col("cum_tokens") - col("n_tokens") < tokenBudget)
       .select(col(idCol), col("n_tokens"), col("cum_tokens"))
   }
+
+  /**
+   * Eval-integrity canary harness: plant exact copies of the
+   * benchmark into the corpus under offset ids, run the n-gram
+   * [[contaminationReport]], and report whether decontamination
+   * CATCHES its own plants \u2014 recall on known contamination, the
+   * self-test a leakage pipeline ships with (a decontamination stage
+   * that cannot find verbatim plants is misconfigured; incidental
+   * flags measure the threshold's collateral). Contract: corpus and
+   * benchmark ids are < `idOffset`. Output one row: (n_planted,
+   * n_caught, n_incidental, recall).
+   *
+   * Scale: one benchmark-sized plant union + the contamination
+   * report's broadcast-gram join; counters reduce to a 1-row frame.
+   */
+  def canaryRecall(corpus: DataFrame, benchmark: DataFrame,
+                   textCol: String, idCol: String, n: Int = 3,
+                   threshold: Double = 0.5,
+                   idOffset: Long = 900000L): DataFrame = {
+    val planted = benchmark.withColumn(idCol, col(idCol) + idOffset)
+    val testCorpus = corpus.unionByName(planted)
+    val flagged = contaminationReport(testCorpus, benchmark, textCol,
+        idCol, n, threshold)
+      .select(col(idCol))
+    val nPlanted = benchmark.agg(count(lit(1)).as("n_planted"))
+    val counts = flagged.agg(
+      sum(when(col(idCol) >= idOffset, 1L).otherwise(0L)).as("__c"),
+      sum(when(col(idCol) < idOffset, 1L).otherwise(0L)).as("__i"))
+    nPlanted.crossJoin(counts)
+      .select(col("n_planted"),
+        coalesce(col("__c"), lit(0L)).as("n_caught"),
+        coalesce(col("__i"), lit(0L)).as("n_incidental"),
+        (coalesce(col("__c"), lit(0L)).cast("double") /
+          col("n_planted")).as("recall"))
+  }
 }

@@ -4487,4 +4487,38 @@ class OpsSpec extends AnyFunSuite {
       assert(!emitted.exists(_._4 == "stale"))
     } finally q.stop()
   }
+
+  test("deterministicWalks: hops follow edges, deterministic, revisits allowed") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)).toDF("a", "b")
+    val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L, 4L),
+      3L -> Set(1L, 2L), 4L -> Set(2L))
+    val w = GraphOps.deterministicWalks(e, "a", "b", Seq(1L, 4L).toDF("s"),
+        steps = 4)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(w.length == 10) // 2 walks × (1 + 4 steps)
+    // every hop is a real edge
+    w.groupBy(_._1).values.foreach { walk =>
+      walk.sortBy(_._2).sliding(2).foreach { p =>
+        if (p.length == 2) assert(nbrs(p(0)._3).contains(p(1)._3))
+      }
+    }
+    val again = GraphOps.deterministicWalks(e, "a", "b",
+        Seq(1L, 4L).toDF("s"), steps = 4)
+      .orderBy("start", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == w.toSeq)
+  }
+
+  test("canaryRecall: verbatim plants are always caught; clean corpus has no incidentals") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"))
+      .toDF("doc_id", "text")
+    val corpus = Seq((10L, "completely unrelated text about spark shuffles"),
+      (11L, "another unrelated document on query planning"))
+      .toDF("doc_id", "text")
+    val r = Pipeline.canaryRecall(corpus, bench, "text", "doc_id").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 1.0)
+  }
 }
