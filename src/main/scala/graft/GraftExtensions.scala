@@ -48,6 +48,7 @@ object GraftExtensions {
     "graft_mod_ngram_hashes" ->
       (args => ModNgramHashes(args(0), litInt(args(1), "n"))),
     "graft_text_features" -> (args => TextFeatures(args.head)),
+    "graft_jaro_winkler" -> (args => JaroWinkler(args(0), args(1))),
     "graft_minhash_sig" -> (args => {
       val k = litInt(args(1), "k")
       val cs = Dedup.mhCoeffs(k)

@@ -3998,6 +3998,109 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- Jaro–Winkler name matching (native codegen kernel) over
+    //     distinct part names, first-character blocking
+    ("d19_jaro_pairs",
+      (s, dir) => Dedup.jaroWinklerPairs(
+          graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/part.parquet"),
+          "p_name", threshold = 0.85, blockChars = 1)
+        .select(col("name_a"), col("name_b"), round(col("jw"), 6).as("jw"))
+        .orderBy("name_a", "name_b"),
+      Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+             |SELECT a.name AS name_a, b.name AS name_b,
+             |       round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+             |FROM n a JOIN n b
+             |  ON left(a.name, 1) = left(b.name, 1) AND a.name < b.name
+             |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+             |ORDER BY name_a, name_b""".stripMargin)),
+
+    // --- bad-record quarantine routing: deterministic corruption
+    //     injection, parse-or-quarantine split (the ingest guard)
+    ("e39_parse_quarantine",
+      (s, dir) => {
+        val p2 = when(col("event_id") % 13 === 5,
+          concat(lit("{"), col("props"))).otherwise(col("props"))
+        // PERMISSIVE from_json yields a struct of nulls on corrupt
+        // input — the quarantine rule is "the REQUIRED field parsed",
+        // which also routes schema-drift rows (valid JSON, missing k)
+        val parsed = from_json(p2, "k INT", Map.empty[String, String])
+        evts(s, dir).select(
+            when(parsed.isNull || parsed.getField("k").isNull,
+              lit("quarantined"))
+              .otherwise(lit("parsed")).as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n_rows"))
+          .orderBy("status")
+      },
+      Some("""WITH x AS (SELECT CASE WHEN event_id % 13 = 5
+             |            THEN '{' || props ELSE props END AS p2
+             |           FROM events)
+             |SELECT CASE WHEN json_valid(p2)
+             |              AND json_extract(p2, '$.k') IS NOT NULL
+             |            THEN 'parsed'
+             |       ELSE 'quarantined' END AS status,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM x GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // --- CUBE aggregation over (event_type, day-of-week)
+    ("e40_cube",
+      (s, dir) => evts(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+          col("value"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sv"))
+        .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first),
+      Some("""SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             |       CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS sv
+             |FROM events
+             |GROUP BY CUBE (event_type, dow)
+             |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin)),
+
+    // --- wide PIVOT: per-day event-type count matrix (fixed columns)
+    ("e41_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = evts(s, dir)
+          .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        wide.select(col("day") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("day")
+      },
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS error,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // --- UNPIVOT round trip: melt the e41 matrix back to long form —
+    //     pinned equal to the plain (day, type) aggregate
+    ("e42_unpivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = evts(s, dir)
+          .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .groupBy("day").pivot("event_type", types).agg(count(lit(1)))
+        wide.select(col("day") +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(t)): _*)
+          .unpivot(Array(col("day")), types.map(col).toArray,
+            "event_type", "n")
+          .where(col("n") > 0)
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |       event_type, CAST(count(*) AS BIGINT) AS n
+             |FROM events GROUP BY 1, 2
+             |ORDER BY day, event_type""".stripMargin)),
+
     // --- eval-integrity canary: plant the benchmark, require the
     //     decontamination stage to catch its own plants
     ("p22_canary_recall",

@@ -631,6 +631,46 @@ object NativeExpressions {
    * lengths yield NULL (matching `zip_with`'s null padding), surfacing
    * malformed embedding rows instead of silently truncating.
    */
+
+  /**
+   * Jaro\u2013Winkler similarity in [0, 1] over UTF-16 code units
+   * (byte-identical to DuckDB/RapidFuzz on ASCII \u2014 the entity-
+   * resolution domain; unit-pinned against the published MARTHA/
+   * DWAYNE/DIXON reference values). Winkler boost: prefix \u2264 4,
+   * scale 0.1, applied when jaro > 0.7. True codegen: the generated
+   * Java calls the static kernel \u2014 no boxing, no virtual dispatch,
+   * no interpreted fallback.
+   */
+  final case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (string, string), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "jaro_winkler"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      JaroWinklerKernel.similarity(
+        l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |${ev.value} = graft.functions.JaroWinklerKernel.similarity(
+           |  $a.toString(), $b.toString());
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   final case class DotF(left: Expression, right: Expression)
       extends BinaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
@@ -1268,4 +1308,7 @@ object NativeExpressions {
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]],
                        nProbe: Int): Column =
     col(NearestCentroids(expr(vec), centroids, nProbe))
+
+  def jaroWinkler(a: Column, b: Column): Column =
+    col(JaroWinkler(expr(a), expr(b)))
 }

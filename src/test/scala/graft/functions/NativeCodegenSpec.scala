@@ -200,4 +200,32 @@ class NativeCodegenSpec extends AnyFunSuite {
       Alias(NgramHashes(tokCol, 4), "b")())
     GenerateUnsafeProjection.generate(e, subexpressionEliminationEnabled = false)
   }
+
+  test("JaroWinkler: compiled == interpreted == the published reference values") {
+    val a = BoundReference(0, StringType, nullable = true)
+    val b = BoundReference(1, StringType, nullable = true)
+    // two instances in one projection: the locals-collision regression
+    val exprs = Seq[Expression](JaroWinkler(a, b), JaroWinkler(b, a))
+    val proj = GenerateUnsafeProjection.generate(
+      exprs, subexpressionEliminationEnabled = false)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abc", "abc", 1.0),
+      ("abc", "xyz", 0.0),
+      ("", "a", 0.0),
+      ("", "", 1.0))
+    for ((x, y, want) <- cases) {
+      val row = InternalRow(UTF8String.fromString(x), UTF8String.fromString(y))
+      val out = proj(row).copy()
+      assert(out.getDouble(0) == want, s"$x/$y compiled")
+      assert(out.getDouble(0) == out.getDouble(1), s"$x/$y symmetry")
+      assert(exprs.head.eval(row) == want, s"$x/$y interpreted")
+    }
+    // null propagation
+    val nr = InternalRow(null, UTF8String.fromString("x"))
+    assert(exprs.head.eval(nr) == null)
+  }
 }

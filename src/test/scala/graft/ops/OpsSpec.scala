@@ -4521,4 +4521,16 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
     assert(r.getLong(2) == 0L && r.getDouble(3) == 1.0)
   }
+
+  test("jaroWinklerPairs: near names pair, cross-block pairs never generate") {
+    val d = Seq((1L, "jonathan smith"), (2L, "jonathon smith"),
+      (3L, "jonathan smith"),              // duplicate value — dedupes
+      (4L, "bob jones"), (5L, "different person"))
+      .toDF("id", "name")
+    val out = Dedup.jaroWinklerPairs(d, "name", threshold = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == 1)
+    assert(out.head._1 == "jonathan smith" && out.head._2 == "jonathon smith")
+    assert(out.head._3 > 0.9 && out.head._3 < 1.0)
+  }
 }
