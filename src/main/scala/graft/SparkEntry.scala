@@ -3998,6 +3998,119 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- week-over-week change per event type (ISO-Monday weeks)
+    ("e43_wow_change",
+      (s, dir) => {
+        val weekly = evts(s, dir)
+          .groupBy(col("event_type"),
+            date_format(date_trunc("week", col("ts")), "yyyy-MM-dd")
+              .as("week"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("week"))
+        weekly.withColumn("prev_n", lag(col("n_events"), 1).over(w))
+          .withColumn("pct_change",
+            round((col("n_events") - col("prev_n")).cast("double") /
+              col("prev_n"), 6))
+          .orderBy("event_type", "week")
+      },
+      Some("""WITH w AS (SELECT event_type,
+             |    strftime(date_trunc('week', CAST(ts AS TIMESTAMP)),
+             |             '%Y-%m-%d') AS week,
+             |    CAST(count(*) AS BIGINT) AS n_events
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, week, n_events,
+             |  lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+             |    AS prev_n,
+             |  round(CAST(n_events - lag(n_events) OVER
+             |          (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+             |        / lag(n_events) OVER
+             |          (PARTITION BY event_type ORDER BY week), 6)
+             |    AS pct_change
+             |FROM w ORDER BY event_type, week""".stripMargin)),
+
+    // --- deterministic 80/10/10 split matrix by hash decile,
+    //     stratification report per language
+    ("p23_split_matrix",
+      (s, dir) => {
+        val h = graft.ops.Hashing.mulHash(col("doc_id")) % 10
+        val split = when(h < 8, lit("train"))
+          .when(h === 8, lit("val")).otherwise(lit("test"))
+        val counts = docs(s, dir).select(col("lang"), split.as("split"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        val totals = counts.groupBy("lang").agg(sum("n_docs").as("__t"))
+        counts.join(broadcast(totals), Seq("lang"))
+          .select(col("lang"), col("split"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("__t"), 6).as("frac"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH s AS (SELECT lang,
+             |    CASE WHEN (doc_id*2654435761)%1000000007 % 10 < 8
+             |           THEN 'train'
+             |         WHEN (doc_id*2654435761)%1000000007 % 10 = 8
+             |           THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents),
+             |c AS (SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+             |      FROM s GROUP BY 1, 2),
+             |t AS (SELECT lang, sum(n_docs) AS t FROM c GROUP BY 1)
+             |SELECT c.lang AS lang, c.split AS split, c.n_docs AS n_docs,
+             |       round(CAST(c.n_docs AS DOUBLE) / t.t, 6) AS frac
+             |FROM c JOIN t ON c.lang = t.lang
+             |ORDER BY c.lang, c.split""".stripMargin)),
+
+    // --- file-skipping simulation: the b01 Z-order ledger against the
+    //     hot predicate box (hours 9–12, user buckets 0–7)
+    ("b03_pruning_sim",
+      (s, dir) => {
+        val e = evts(s, dir)
+        val ledger = Bucketing.zorderLayout(
+          e.select(col("event_id"), hour(col("ts")).as("hod"),
+            pmod(col("user_id"), lit(32)).cast("long").as("ub")),
+          "hod", "ub", "event_id", bits = 5, rowsPerFile = 1000)
+        Bucketing.pruningSim(ledger, xLo = 9L, xHi = 12L, yLo = 0L, yHi = 7L)
+          .select(col("n_files"), col("n_scanned"), col("n_pruned"),
+            col("rows_total"), col("rows_scanned"),
+            round(col("file_scan_frac"), 6).as("file_scan_frac"),
+            round(col("row_scan_frac"), 6).as("row_scan_frac"))
+      },
+      Some("""WITH e0 AS (
+             |  SELECT event_id, EXTRACT(hour FROM ts) AS x,
+             |         user_id % 32 AS y
+             |  FROM events),
+             |z AS (SELECT event_id, x, y,
+             |    (x // 1) % 2 * 1 + (y // 1) % 2 * 2
+             |  + (x // 2) % 2 * 4 + (y // 2) % 2 * 8
+             |  + (x // 4) % 2 * 16 + (y // 4) % 2 * 32
+             |  + (x // 8) % 2 * 64 + (y // 8) % 2 * 128
+             |  + (x // 16) % 2 * 256 + (y // 16) % 2 * 512 AS zc
+             |  FROM e0),
+             |r AS (SELECT x, y,
+             |    CAST(floor((row_number() OVER (ORDER BY zc, event_id) - 1)
+             |      / 1000) AS BIGINT) AS file_id
+             |  FROM z),
+             |l AS (SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |    min(x) AS min_x, max(x) AS max_x,
+             |    min(y) AS min_y, max(y) AS max_y
+             |  FROM r GROUP BY 1),
+             |c AS (SELECT n_rows,
+             |    NOT (max_x < 9 OR min_x > 12 OR max_y < 0 OR min_y > 7)
+             |      AS scanned
+             |  FROM l)
+             |SELECT CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_scanned,
+             |  CAST(sum(CASE WHEN scanned THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_pruned,
+             |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+             |  CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT)
+             |    AS rows_scanned,
+             |  round(CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS DOUBLE)
+             |        / count(*), 6) AS file_scan_frac,
+             |  round(CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END)
+             |          AS DOUBLE) / sum(n_rows), 6) AS row_scan_frac
+             |FROM c""".stripMargin)),
+
     // --- Jaro–Winkler name matching (native codegen kernel) over
     //     distinct part names, first-character blocking
     ("d19_jaro_pairs",
@@ -4134,16 +4247,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("n_novel"),
           round(col("novelty"), 6).as("novelty"))
         .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id,
-             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+      Some(s"""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []
+             |         ELSE string_split_regex(trim(text), '\\s+') END AS tk
              |  FROM documents),
-             |g AS (SELECT doc_id,
-             |    CASE WHEN len(tk) < 5 THEN []::VARCHAR[]
-             |         ELSE list_distinct([array_to_string(tk[i:i+4], ' ')
-             |                             for i in range(1, len(tk) - 3)])
-             |    END AS gs
+             |th AS (SELECT doc_id, list_transform(tk, t -> ${sqlFp("t", w31)})
+             |         AS th
              |  FROM t),
+             |g AS (SELECT doc_id,
+             |    CASE WHEN len(th) < 5 THEN []::BIGINT[]
+             |         ELSE list_distinct([
+             |    ((((((((th[i]*131 + th[i+1]) % 1000000007) * 131
+             |        + th[i+2]) % 1000000007) * 131
+             |        + th[i+3]) % 1000000007) * 131
+             |        + th[i+4]) % 1000000007)
+             |    for i in range(1, len(th) - 3)])
+             |    END AS gs
+             |  FROM th),
              |x AS (SELECT doc_id, unnest(gs) AS gram FROM g),
              |f AS (SELECT gram, min(doc_id) AS fd FROM x GROUP BY 1),
              |nv AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_grams,

@@ -132,4 +132,38 @@ object Bucketing {
       .withColumn("__salt", col("__salt").cast("int"))
     f.join(d, Seq(keyCol, "__salt")).drop("__salt")
   }
+
+  /**
+   * File-skipping simulation over a layout ledger: given per-file
+   * min/max envelopes ([[zorderLayout]]'s output \u2014 or any manifest
+   * with column statistics) and a rectangular predicate box, classify
+   * each file PRUNED (envelope disjoint from the box \u2014 a reader
+   * skips it on statistics alone) or SCANNED, and report the I/O
+   * fraction the layout saves. The quantitative "was the Z-order
+   * worth it" readout: run it before and after re-layout and compare
+   * scan fractions for the workload's hot predicates.
+   *
+   * Ledger-sized input \u2014 one map + 1-row aggregate. Output one row:
+   * (n_files, n_scanned, n_pruned, rows_total, rows_scanned,
+   * file_scan_frac, row_scan_frac).
+   */
+  def pruningSim(ledger: DataFrame, xLo: Long, xHi: Long,
+                 yLo: Long, yHi: Long): DataFrame = {
+    require(xLo <= xHi && yLo <= yHi, "empty predicate box")
+    val overlaps = !(col("max_x") < xLo || col("min_x") > xHi ||
+      col("max_y") < yLo || col("min_y") > yHi)
+    ledger.select(col("n_rows"), overlaps.as("__scan"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("__scan"), 1L).otherwise(0L)).as("n_scanned"),
+        sum(when(!col("__scan"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("__scan"), col("n_rows")).otherwise(0L))
+          .as("rows_scanned"))
+      .select(col("n_files"), col("n_scanned"), col("n_pruned"),
+        col("rows_total"), col("rows_scanned"),
+        (col("n_scanned").cast("double") / col("n_files"))
+          .as("file_scan_frac"),
+        (col("rows_scanned").cast("double") / col("rows_total"))
+          .as("row_scan_frac"))
+  }
 }

@@ -1138,23 +1138,21 @@ object TextOps {
    * Documents with fewer than n tokens have no n-grams and score 1.0
    * (vacuously novel), by convention.
    *
-   * Scale: distinct grams explode to (gram, doc) rows \u2014 the t-family
-   * token-shuffle contract \u2014 partial-agg min(doc) per gram, then one
-   * partial-agg count join back per doc. Gram STRINGS shuffle here
-   * (mirrorability); the production twin at 100 TB hashes grams to
-   * 8 B with [[graft.functions.NativeExpressions.ngramHashes]] \u2014
-   * identical plan, 5\u201310\u00d7 less shuffle volume, ~2^-64 collision
-   * rate.
+   * Scale: distinct HASHED grams explode to slim (hash, doc) rows \u2014
+   * the t-family token-shuffle contract at 8 B per gram \u2014 partial-agg
+   * min(doc) per gram, then one partial-agg count join back per doc.
    */
   def ngramNovelty(df: DataFrame, textCol: String,
                    idCol: String = "doc_id", n: Int = 5): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val toks = tokens(col(textCol))
-    val grams = when(size(toks) < n,
-        array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))))
+    // HASHED grams (the p02 decontamination rolling-mod chain, native
+    // one-pass kernel): 8 B per gram instead of ~40 B strings \u2014 the
+    // only thing that shuffles here \u2014 while staying SQL-mirrorable
+    // (the chain is pure integer arithmetic). Collision rate ~1e-9
+    // per pair at the 1e9+7 modulus: novelty is a rate metric, not an
+    // exact-match verdict, so that is inside its noise floor.
+    val grams = array_distinct(graft.functions.NativeExpressions
+      .modNgramHashes(tokens(col(textCol)), n))
     val perDoc = df.select(col(idCol), grams.as("__g"))
       .localCheckpoint(false)
     val exploded = perDoc.select(col(idCol), explode(col("__g")).as("__gram"))
