@@ -3998,6 +3998,81 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- exact payload dedup ledger by content hash (copies + bytes
+    //     reclaimable; keeper = smallest id)
+    ("m06_payload_dedup",
+      (s, dir) => Multimodal.payloadAudit(
+          // the corpus has no exact text dups — inject two boilerplate
+          // payload classes by id residue (same CASE in the oracle) so
+          // the ledger's grouping/keeper/bytes math is exercised
+          docs(s, dir).select(col("doc_id"),
+            encode(when(col("doc_id") % 5 === 4,
+                lit("CANONICAL BOILERPLATE PAYLOAD v1"))
+              .when(col("doc_id") % 11 === 7,
+                lit("TRACKING PIXEL STUB"))
+              .otherwise(col("text")), "UTF-8").as("payload")),
+          "payload", "doc_id")
+        .groupBy(col("content_hash"), col("byte_len"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
+        .where(col("n_copies") >= 2)
+        .select(col("keeper"), col("n_copies"), col("byte_len"),
+          ((col("n_copies") - 1) * col("byte_len")).as("bytes_saved"),
+          col("content_hash"))
+        .orderBy("keeper"),
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 5 = 4
+             |           THEN 'CANONICAL BOILERPLATE PAYLOAD v1'
+             |         WHEN doc_id % 11 = 7 THEN 'TRACKING PIXEL STUB'
+             |         ELSE text END AS t
+             |  FROM documents)
+             |SELECT min(doc_id) AS keeper,
+             |       CAST(count(*) AS BIGINT) AS n_copies,
+             |       CAST(octet_length(encode(min(t))) AS BIGINT)
+             |         AS byte_len,
+             |       CAST((count(*) - 1) * octet_length(encode(min(t)))
+             |         AS BIGINT) AS bytes_saved,
+             |       sha256(min(t)) AS content_hash
+             |FROM p GROUP BY t HAVING count(*) >= 2
+             |ORDER BY keeper""".stripMargin)),
+
+    // --- pooled retention half-life (log-linear decay fit)
+    ("e44_retention_halflife",
+      (s, dir) => Sessionize.retentionHalfLife(evts(s, dir))
+        .select(col("n_points"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("half_life_days"), 6).as("half_life_days")),
+      Some("""WITH d AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+             |           FROM events),
+             |f AS (SELECT u, min(day) AS d0 FROM d GROUP BY 1),
+             |b AS (SELECT CAST(count(*) AS DOUBLE) AS base FROM f),
+             |k AS (SELECT datediff('day', f.d0, d.day) AS k FROM d
+             |      JOIN f ON d.u = f.u
+             |      WHERE datediff('day', f.d0, d.day) >= 1),
+             |p AS (SELECT CAST(k.k AS DOUBLE) AS x,
+             |        ln(CAST(count(*) AS DOUBLE) / b.base) AS y
+             |      FROM k CROSS JOIN b GROUP BY k.k, b.base),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             |        sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx FROM p),
+             |fit AS (SELECT n,
+             |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             |    (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             |      AS intercept
+             |  FROM s)
+             |SELECT n AS n_points, round(slope, 6) AS slope,
+             |       round(intercept, 6) AS intercept,
+             |       round(CASE WHEN slope >= 0 THEN 0.0
+             |             ELSE -ln(2.0) / slope END, 6) AS half_life_days
+             |FROM fit""".stripMargin)),
+
+    // --- leave-one-out source valuation on mean quality
+    ("p24_loo_value",
+      (s, dir) => Pipeline.sourceLooValue(docs(s, dir))
+        .select(col("source"), col("n_docs"),
+          round(col("avg_quality"), 6).as("avg_quality"),
+          round(col("loo_delta"), 6).as("loo_delta"))
+        .orderBy("source"),
+      Some(looValueOracle)),
+
     // --- week-over-week change per event type (ISO-Monday weeks)
     ("e43_wow_change",
       (s, dir) => {
@@ -5483,6 +5558,25 @@ object SparkEntry {
        |  UNION ALL SELECT 4, (SELECT vec_id FROM s4))
        |ORDER BY sel_idx""".stripMargin
   }
+
+  /** DuckDB mirror of p24: per-source quality sums, 1-row totals, the
+    * additive LOO delta. */
+  private lazy val looValueOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q0 AS (SELECT doc_id, n_chars, n_tok, n_stop, n_punct,
+       |         $sqlQuality AS q FROM h),
+       |q AS (SELECT q0.q, d.source FROM q0
+       |      JOIN documents d ON d.doc_id = q0.doc_id),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |          sum(q) AS sq FROM q GROUP BY 1),
+       |tot AS (SELECT sum(n_docs) AS n, sum(sq) AS s FROM per)
+       |SELECT source, n_docs, round(sq / n_docs, 6) AS avg_quality,
+       |       round(CASE WHEN tot.n = per.n_docs THEN 0.0
+       |             ELSE (tot.s / tot.n)
+       |                  - (tot.s - per.sq) / (tot.n - per.n_docs)
+       |             END, 6) AS loo_delta
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** DuckDB mirror of e37: per-user RFM triple (monetary rounded to 6
     * BEFORE scoring on both sides), 12 exact quintile cutpoints,

@@ -1078,4 +1078,36 @@ object Pipeline {
         (coalesce(col("__c"), lit(0L)).cast("double") /
           col("n_planted")).as("recall"))
   }
+
+  /**
+   * Leave-one-out source valuation: for each source, the change in the
+   * corpus's mean quality if that source were removed \u2014 the cheapest
+   * member of the data-valuation family (the additive special case of
+   * Shapley over the mean-quality utility): value_s = mean(all) \u2212
+   * mean(all \u2216 s). Positive = the source LIFTS corpus quality;
+   * magnitude scales with both its quality gap and its share. The
+   * first-pass ranking before paying for per-source ablation training
+   * runs. A source that IS the whole corpus reports 0 by convention.
+   *
+   * Scale: one scoring scan \u2192 per-source partial-agg sums; totals are
+   * a 1-row broadcast; the LOO mean is pure arithmetic on the
+   * sources-sized frame \u2014 no per-source re-scan, which is the whole
+   * point of the additive shortcut.
+   */
+  def sourceLooValue(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("source"),
+      TextOps.qualityScore(col("text"), col("n_chars")).as("__q"))
+    val per = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__q")).as("__sq"))
+    val tot = per.agg(sum(col("n_docs")).as("__n"), sum(col("__sq")).as("__s"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("__sq") / col("n_docs")).as("avg_quality"),
+        (col("__s") / col("__n")).as("__mean"),
+        when(col("__n") === col("n_docs"), lit(0.0))
+          .otherwise((col("__s") / col("__n")) -
+            (col("__s") - col("__sq")) / (col("__n") - col("n_docs")))
+          .as("loo_delta"))
+      .drop("__mean")
+  }
 }

@@ -1177,6 +1177,53 @@ object Sessionize {
         col("cusum"), col("alarm"))
   }
 
+
+  /**
+   * Pooled retention half-life: the exponential-decay fit to the
+   * corpus-wide retention curve. r_k = |users active exactly k days
+   * after their own first day| / |users|, fit ln(r_k) = a + b\u00b7k by
+   * least squares over k \u2265 1 with r_k > 0, half-life = \u2212ln 2 / b \u2014
+   * the one-number "how fast do users decay" a growth dashboard
+   * tracks (pooled over cohorts; right-censoring ignored by
+   * convention \u2014 late cohorts simply contribute no large-k points).
+   * A non-negative slope reports half_life_days = 0 (no decay
+   * measurable). Output one row: (n_points, slope, intercept,
+   * half_life_days).
+   *
+   * Scale: distinct (user, day) presence \u2192 per-user min \u2192 offset
+   * counts (all partial-aggregated slim rows); the fit is a 1-row
+   * aggregate over the offsets-sized series.
+   */
+  def retentionHalfLife(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts"): DataFrame = {
+    val d = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val f = d.groupBy(col("u")).agg(min(col("day")).as("__d0"))
+    val base = f.agg(count(lit(1)).cast(DoubleType).as("__base"))
+    val pts = d.join(f, Seq("u"))
+      .select(datediff(col("day"), col("__d0")).cast(LongType).as("k"))
+      .where(col("k") >= 1)
+      .groupBy(col("k")).agg(count(lit(1)).cast(DoubleType).as("__n"))
+      .crossJoin(broadcast(base))
+      .select(col("k").cast(DoubleType).as("x"),
+        log(col("__n") / col("__base")).as("y"))
+    pts.agg(count(lit(1)).as("n_points"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("n_points"),
+        ((col("n_points") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_points") * col("__sxx") - col("__sx") * col("__sx")))
+          .as("slope"),
+        ((col("__sy") - ((col("n_points") * col("__sxy") -
+          col("__sx") * col("__sy")) /
+          (col("n_points") * col("__sxx") - col("__sx") * col("__sx"))) *
+          col("__sx")) / col("n_points")).as("intercept"))
+      .select(col("n_points"), col("slope"), col("intercept"),
+        when(col("slope") >= 0.0, lit(0.0))
+          .otherwise(-log(lit(2.0)) / col("slope")).as("half_life_days"))
+  }
+
   /**
    * Pareto / ABC analysis of value concentration: total `valueCol` per
    * `keyCol`, descending cumulative share, and the classic A/B/C class

@@ -4533,4 +4533,32 @@ class OpsSpec extends AnyFunSuite {
     assert(out.head._1 == "jonathan smith" && out.head._2 == "jonathon smith")
     assert(out.head._3 > 0.9 && out.head._3 < 1.0)
   }
+
+  test("retentionHalfLife: planted exponential decay recovers its half-life") {
+    val base = 1700000000000L
+    // 64 users day 0; halve activity each day: 32 on day 1, 16 on day 2…
+    val rows = (0 until 6).flatMap { day =>
+      (0 until (64 >> day)).map(u => (day * 1000L + u, u.toLong,
+        "view", new Timestamp(base + day.toLong * 86400000L)))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val r = Sessionize.retentionHalfLife(rows).head()
+    assert(r.getLong(0) == 5L)                       // offsets 1..5
+    assert(math.abs(r.getDouble(1) - (-math.log(2.0))) < 1e-9) // slope −ln2
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)    // half-life 1 day
+  }
+
+  test("sourceLooValue: removing the bad source raises the mean; deltas consistent") {
+    val mk = (src: String, q: String, n: Int, off: Int) =>
+      (0 until n).map(i => ((off + i).toLong, q, src, q.length.toLong))
+    val good = "the cat and the dog sat in a house of mist and it is warm " +
+      "today for all of us"
+    val bad = "zzzz"
+    val d = (mk("good", good, 8, 0) ++ mk("bad", bad, 2, 100))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Pipeline.sourceLooValue(d)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(out("good")._1 > out("bad")._1)
+    assert(out("good")._2 > 0 && out("bad")._2 < 0)
+  }
 }
