@@ -3998,6 +3998,32 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- leakage provenance: contaminated docs per source (where the
+    //     benchmark overlap actually comes from)
+    ("t40_contamination_by_source",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val rep = Pipeline.contaminationReport(
+          d.where(col("doc_id") >= 20), d.where(col("doc_id") < 20),
+          "text", "doc_id", n = 3, threshold = 0.1)
+        val bySrc = rep.join(d.select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_contaminated"),
+            round(avg(col("contamination")), 6).as("avg_contamination"))
+        val totals = d.where(col("doc_id") >= 20)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        totals.join(bySrc, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("avg_contamination"), lit(0.0))
+              .as("avg_contamination"),
+            round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+              col("n_docs"), 6).as("contaminated_frac"))
+          .orderBy("source")
+      },
+      Some(contaminationBySourceOracle)),
+
     // --- exact payload dedup ledger by content hash (copies + bytes
     //     reclaimable; keeper = smallest id)
     ("m06_payload_dedup",
@@ -5558,6 +5584,26 @@ object SparkEntry {
        |  UNION ALL SELECT 4, (SELECT vec_id FROM s4))
        |ORDER BY sel_idx""".stripMargin
   }
+
+  /** DuckDB mirror of t40: the p02 gram chain grouped up to sources
+    * with zero-filled clean sources. */
+  private lazy val contaminationBySourceOracle: String =
+    s"""WITH $decontCtes,
+       |bad AS (SELECT h.doc_id, CAST(h.n_hit AS DOUBLE)/h.n_grams AS c
+       |        FROM h WHERE CAST(h.n_hit AS DOUBLE)/h.n_grams >= 0.1),
+       |bs AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_cont,
+       |         round(avg(bad.c), 6) AS avg_c
+       |       FROM bad JOIN documents d ON d.doc_id = bad.doc_id
+       |       GROUP BY 1),
+       |t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |      FROM documents WHERE doc_id >= 20 GROUP BY 1)
+       |SELECT t.source AS source, t.n_docs,
+       |       coalesce(bs.n_cont, 0) AS n_contaminated,
+       |       coalesce(bs.avg_c, 0.0) AS avg_contamination,
+       |       round(CAST(coalesce(bs.n_cont, 0) AS DOUBLE) / t.n_docs, 6)
+       |         AS contaminated_frac
+       |FROM t LEFT JOIN bs ON t.source = bs.source
+       |ORDER BY source""".stripMargin
 
   /** DuckDB mirror of p24: per-source quality sums, 1-row totals, the
     * additive LOO delta. */
