@@ -16,7 +16,7 @@ import graft.ops.Dedup
  *  - on a live session: `GraftExtensions.register(spark)`
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft.functions.NativeExpressions", name),
         b))
     }
+    // optimizer rules: run with the operator-optimization batch so
+    // later built-in passes (constant folding, predicate pushdown of
+    // the rewritten boolean) still apply on the rewritten form
+    ext.injectOptimizerRule(_ => graft.plans.ShortCircuitExists)
+  }
 }
 
 object GraftExtensions {
