@@ -61,9 +61,17 @@ object GraftExtensions {
         Dedup.MhPrime)
     }))
 
-  /** Register on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session: the `graft_*` SQL functions
+    * plus the optimizer rules (via `experimental.extraOptimizations` —
+    * the live-session route; `spark.sql.extensions` covers the
+    * build-time route). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       GraftSqlBridge.registerFunction(spark, name, b)
     }
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(graft.plans.ShortCircuitExists))
+      spark.experimental.extraOptimizations =
+        cur :+ graft.plans.ShortCircuitExists
+  }
 }

@@ -41,6 +41,12 @@ object TpchGraph {
         "l_orderkey", "l_suppkey",
         Seq("l_quantity", "l_extendedprice"), "lineitem")))
 
-  def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession =
+  def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession = {
+    // live-session registration (idempotent): the graft_* SQL surface
+    // plus ShortCircuitExists, so EXISTS-as-expression lowerings run
+    // as short-circuit `exists` even when the host session wasn't
+    // built with spark.sql.extensions
+    GraftExtensions.register(spark)
     CypherSession(spark, schema, dir)
+  }
 }
