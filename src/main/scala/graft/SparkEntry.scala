@@ -3998,6 +3998,40 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- behavioral diversity: per-user Shannon entropy over types
+    ("e45_behavior_entropy",
+      (s, dir) => Sessionize.behaviorEntropy(evts(s, dir))
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          round(col("entropy_bits"), 6).as("entropy_bits"))
+        .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, event_type,
+             |            CAST(count(*) AS BIGINT) AS c
+             |           FROM events GROUP BY 1, 2),
+             |u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             |        CAST(count(*) AS BIGINT) AS n_types,
+             |        sum(c * ln(CAST(c AS DOUBLE))) AS sclc
+             |      FROM c GROUP BY 1)
+             |SELECT user_id, n_events, n_types,
+             |  round((ln(CAST(n_events AS DOUBLE)) - sclc / n_events)
+             |        / ln(2.0), 6) AS entropy_bits
+             |FROM u ORDER BY user_id""".stripMargin)),
+
+    // --- metric sanity: per-source Pearson + Spearman between doc
+    //     length and quality score
+    ("t41_len_quality_corr",
+      (s, dir) => {
+        val scored = docs(s, dir).select(col("source"), col("doc_id"),
+          col("n_chars"),
+          TextOps.qualityScore(col("text"), col("n_chars")).as("__q"))
+        Pipeline.groupCorrelation(scored, "source", "n_chars", "__q",
+            "doc_id")
+          .select(col("source"), col("n_rows"),
+            round(col("pearson"), 6).as("pearson"),
+            round(col("spearman"), 6).as("spearman"))
+          .orderBy("source")
+      },
+      Some(lenQualityCorrOracle)),
+
     // --- leakage provenance: contaminated docs per source (where the
     //     benchmark overlap actually comes from)
     ("t40_contamination_by_source",
@@ -5584,6 +5618,34 @@ object SparkEntry {
        |  UNION ALL SELECT 4, (SELECT vec_id FROM s4))
        |ORDER BY sel_idx""".stripMargin
   }
+
+  /** DuckDB mirror of t41: the same five-sum Pearson over raw values
+    * and over (value, doc_id) row_number ranks. */
+  private lazy val lenQualityCorrOracle: String =
+    s"""WITH h AS (
+       |  $sqlTextFeatures),
+       |q0 AS (SELECT doc_id, n_chars, n_tok, n_stop, n_punct,
+       |         $sqlQuality AS q FROM h),
+       |b AS (SELECT d.source, q0.doc_id,
+       |        CAST(q0.n_chars AS DOUBLE) AS x, q0.q AS y,
+       |        CAST(row_number() OVER (PARTITION BY d.source
+       |          ORDER BY q0.n_chars, q0.doc_id) AS DOUBLE) AS rx,
+       |        CAST(row_number() OVER (PARTITION BY d.source
+       |          ORDER BY q0.q, q0.doc_id) AS DOUBLE) AS ry
+       |      FROM q0 JOIN documents d ON d.doc_id = q0.doc_id),
+       |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+       |        sum(x*x) AS sxx, sum(y*y) AS syy,
+       |        sum(rx) AS srx, sum(ry) AS sry, sum(rx*ry) AS srxy,
+       |        sum(rx*rx) AS srxx, sum(ry*ry) AS sryy
+       |      FROM b GROUP BY 1)
+       |SELECT source, n AS n_rows,
+       |  round((n * sxy - sx * sy) /
+       |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS pearson,
+       |  round((n * srxy - srx * sry) /
+       |    sqrt((n * srxx - srx * srx) * (n * sryy - sry * sry)), 6)
+       |    AS spearman
+       |FROM s ORDER BY source""".stripMargin
 
   /** DuckDB mirror of t40: the p02 gram chain grouped up to sources
     * with zero-filled clean sources. */

@@ -1110,4 +1110,55 @@ object Pipeline {
           .as("loo_delta"))
       .drop("__mean")
   }
+
+  /**
+   * Per-group Pearson AND Spearman correlation of two numeric
+   * columns \u2014 the metric-sanity readout (does length predict
+   * quality? does perplexity track dup rate?) with the rank variant
+   * robust to monotone-nonlinear relationships. Pearson comes from
+   * the five explicit sums (no engine corr() variance-convention
+   * surprises \u2014 the degreeAssortativity discipline); Spearman is
+   * Pearson over row_number ranks with the id as tie-break \u2014 rank
+   * sums are assignment-invariant under ties ONLY for the tied-value
+   * averages, so with id tie-break the coefficient is the
+   * deterministic "ranked by (value, id)" variant, reproducible
+   * cross-engine (documented; the averaged-ties variant needs a
+   * second window).
+   *
+   * Scale: one group-key shuffle shared by both rank windows
+   * (groups-sized partitions), one partial-agg reduce per group.
+   */
+  def groupCorrelation(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String, idCol: String): DataFrame = {
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x"), col(idCol))
+    val wy = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__y"), col(idCol))
+    val base = df.select(col(groupCol), col(idCol),
+        col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__rx", row_number().over(wx).cast("double"))
+      .withColumn("__ry", row_number().over(wy).cast("double"))
+    def pearson(x: Column, y: Column, n: Column,
+                sx: Column, sy: Column, sxy: Column,
+                sxx: Column, syy: Column): Column =
+      (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__rx")).as("__srx"), sum(col("__ry")).as("__sry"),
+        sum(col("__rx") * col("__ry")).as("__srxy"),
+        sum(col("__rx") * col("__rx")).as("__srxx"),
+        sum(col("__ry") * col("__ry")).as("__sryy"))
+      .select(col(groupCol), col("n_rows"),
+        pearson(col("__x"), col("__y"), col("n_rows").cast("double"),
+          col("__sx"), col("__sy"), col("__sxy"), col("__sxx"),
+          col("__syy")).as("pearson"),
+        pearson(col("__rx"), col("__ry"), col("n_rows").cast("double"),
+          col("__srx"), col("__sry"), col("__srxy"), col("__srxx"),
+          col("__sryy")).as("spearman"))
+  }
 }

@@ -849,6 +849,34 @@ object Sessionize {
     pi.select(col("t").as("event_type"), col("pi"))
   }
 
+
+  /**
+   * Behavioral diversity per user: Shannon entropy (bits) of the
+   * user's event-type distribution \u2014 the [[botScores]] companion
+   * signal (scripted traffic hammers one endpoint \u2192 entropy \u2248 0;
+   * organic users mix types). Exact count ratios; log2 via ln/ln 2,
+   * identical IEEE ops cross-engine. Output: (user, n_events,
+   * n_types, entropy_bits).
+   *
+   * Scale: one (user, type) partial-agg shuffle, then a per-user
+   * reduce over \u2264 |types| rows \u2014 the entropy sum never sees raw
+   * events.
+   */
+  def behaviorEntropy(events: DataFrame, userCol: String = "user_id",
+                      typeCol: String = "event_type"): DataFrame = {
+    val counts = events.groupBy(col(userCol), col(typeCol))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(userCol))
+      .agg(sum(col("__c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * log(col("__c").cast(DoubleType))).as("__sclc"))
+      .select(col(userCol), col("n_events"), col("n_types"),
+        // H = log2(N) - (1/N)·Σ c·ln c / ln 2
+        ((log(col("n_events").cast(DoubleType)) -
+          col("__sclc") / col("n_events").cast(DoubleType)) /
+          log(lit(2.0))).as("entropy_bits"))
+  }
+
   /**
    * Gini coefficient of per-user value concentration by event type —
    * the inequality readout behind "whales vs long tail" (Lorenz-curve

@@ -1487,4 +1487,38 @@ object Similarity {
           col("__qn"), col("__cn")).as("cos_sim"))
     topKPerGroup(scored, "query_id", "neighbor_id", "cos_sim", k)
   }
+
+  /**
+   * IVF tuning curve: recall@k of [[ivfTopKWithCentroids]] against
+   * the [[bruteForceTopK]] truth for each probe count in `probes` \u2014
+   * the accuracy-vs-cost table an operator reads before fixing
+   * nProbe (recall rises monotonically with probes and hits 1.0 at
+   * nProbe = nCentroids, both pinned in the unit test). Output:
+   * (n_probe, recall) \u2014 mean over queries.
+   *
+   * Scale: truth computes once; each probe point re-runs only the
+   * probed-list scan. Centroids are one model-sized sample
+   * ([[seedCentroids]]), shared across all points.
+   */
+  def ivfRecallCurve(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int,
+                     nCentroids: Int, probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nCentroids),
+      s"probes must be in [1, $nCentroids]: $probes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cent = seedCentroids(corpus, vecCol, idCol, nCentroids)
+    val truth = bruteForceTopK(corpus, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val nQ = truth.select("query_id").distinct().count().toDouble
+    val rows = probes.map { p =>
+      val approx = ivfTopKWithCentroids(corpus, queries, vecCol, idCol, k,
+          cent, nProbe = p)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi").count().toDouble
+      (p, hits / (nQ * k))
+    }
+    rows.toDF("n_probe", "recall")
+  }
 }

@@ -4561,4 +4561,46 @@ class OpsSpec extends AnyFunSuite {
     assert(out("good")._1 > out("bad")._1)
     assert(out("good")._2 > 0 && out("bad")._2 < 0)
   }
+
+  test("behaviorEntropy: single-type user is 0 bits, uniform k-type user is log2 k") {
+    val base = new Timestamp(1700000000000L)
+    val rows = (Seq.fill(8)((1L, "view")) ++
+      Seq((2L, "view"), (2L, "click"), (2L, "purchase"), (2L, "signup")))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t, base) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize.behaviorEntropy(rows)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(1L)) < 1e-12)
+    assert(math.abs(out(2L) - 2.0) < 1e-12)
+  }
+
+  test("groupCorrelation: perfect linear is 1/1, perfect monotone-nonlinear keeps spearman 1") {
+    val lin = (1 to 20).map(i => ("lin", i.toLong, i.toDouble, 2.0 * i + 3))
+    val cube = (1 to 20).map(i => ("cube", 100L + i,
+      i.toDouble, math.pow(i.toDouble, 3)))
+    val anti = (1 to 20).map(i => ("anti", 200L + i, i.toDouble, -i.toDouble))
+    val d = (lin ++ cube ++ anti).toDF("g", "id", "x", "y")
+    val out = Pipeline.groupCorrelation(d, "g", "x", "y", "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(out("lin")._1 - 1.0) < 1e-9)
+    assert(math.abs(out("lin")._2 - 1.0) < 1e-9)
+    assert(out("cube")._1 < 1.0 - 1e-6)            // nonlinear dents Pearson
+    assert(math.abs(out("cube")._2 - 1.0) < 1e-9)  // Spearman holds
+    assert(math.abs(out("anti")._2 + 1.0) < 1e-9)
+  }
+
+  test("ivfRecallCurve: recall non-decreasing in nProbe, exact at full probes") {
+    val vecs = (0 until 64).map { i =>
+      val ang = i * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        (i % 7).toFloat / 7f, (i % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.where(col("vec_id") < 4)
+    val curve = Similarity.ivfRecallCurve(vecs, qs, "embedding", "vec_id",
+        k = 3, nCentroids = 8, probes = Seq(1, 2, 4, 8))
+      .orderBy("n_probe").collect().map(r => r.getDouble(1))
+    assert(curve.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-12))
+    assert(math.abs(curve.last - 1.0) < 1e-12)
+  }
 }
