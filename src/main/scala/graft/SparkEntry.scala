@@ -3998,6 +3998,71 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- entropy rate of the event-type Markov chain (bits/step)
+    ("e46_markov_entropy",
+      (s, dir) => Sessionize.markovEntropyRate(evts(s, dir), iterations = 3)
+        .select(col("n_states"),
+          round(col("entropy_rate_bits"), 6).as("entropy_rate_bits")),
+      Some(markovEntropyOracle)),
+
+    // --- per-modality QA sample sheet (hash-order top-3 per class)
+    ("m07_qa_sample",
+      (s, dir) => {
+        val png = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+        val jpg = lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+          0xe0.toByte))
+        val riff = lit("RIFF".getBytes("US-ASCII"))
+        val payload = when(col("doc_id") % 4 === 0,
+            concat(png, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 1,
+            concat(jpg, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 4 === 2,
+            concat(riff, encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8"))
+        val magic = base64(substring(col("payload"), 1, 4))
+        val pngB64 = java.util.Base64.getEncoder.encodeToString(
+          Array[Byte](0x89.toByte, 'P', 'N', 'G'))
+        val jpgB64 = java.util.Base64.getEncoder.encodeToString(
+          Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))
+        val riffB64 = java.util.Base64.getEncoder.encodeToString(
+          "RIFF".getBytes("US-ASCII"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("modality"))
+          .orderBy(graft.ops.Hashing.mulHash(col("doc_id")), col("doc_id"))
+        docs(s, dir).select(col("doc_id"), payload.as("payload"))
+          .select(col("doc_id"),
+            when(magic === pngB64, lit("image/png"))
+              .when(magic === jpgB64, lit("image/jpeg"))
+              .when(magic === riffB64, lit("audio/riff"))
+              .otherwise(lit("text/plain")).as("modality"),
+            length(col("payload")).cast("long").as("byte_len"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .orderBy("modality", "rank")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 4 = 0
+             |           THEN '\x89PNG'::BLOB || encode(text)
+             |         WHEN doc_id % 4 = 1
+             |           THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+             |         WHEN doc_id % 4 = 2
+             |           THEN 'RIFF'::BLOB || encode(text)
+             |         ELSE encode(text) END AS pl
+             |  FROM documents),
+             |r AS (SELECT doc_id, CASE
+             |        WHEN left(hex(pl), 8) = '89504E47' THEN 'image/png'
+             |        WHEN left(hex(pl), 8) = 'FFD8FFE0' THEN 'image/jpeg'
+             |        WHEN left(hex(pl), 8) = '52494646' THEN 'audio/riff'
+             |        ELSE 'text/plain' END AS modality,
+             |        CAST(octet_length(pl) AS BIGINT) AS byte_len
+             |      FROM p),
+             |k AS (SELECT *, CAST(row_number() OVER (PARTITION BY modality
+             |        ORDER BY (doc_id*2654435761)%1000000007, doc_id)
+             |        AS BIGINT) AS rank
+             |      FROM r)
+             |SELECT doc_id, modality, byte_len, rank
+             |FROM k WHERE rank <= 3 ORDER BY modality, rank""".stripMargin)),
+
     // --- behavioral diversity: per-user Shannon entropy over types
     ("e45_behavior_entropy",
       (s, dir) => Sessionize.behaviorEntropy(evts(s, dir))
@@ -5617,6 +5682,37 @@ object SparkEntry {
        |  UNION ALL SELECT 3, (SELECT vec_id FROM s3)
        |  UNION ALL SELECT 4, (SELECT vec_id FROM s4))
        |ORDER BY sel_idx""".stripMargin
+  }
+
+  /** DuckDB mirror of e46: the e28 chain CTEs + the π-weighted
+    * −Σ π·P·log₂P contraction. */
+  private lazy val markovEntropyOracle: String = {
+    def round(k: Int): String =
+      s"""m$k AS (SELECT p.t AS ty, sum(pi${k - 1}.pi * p.p) AS m
+         |       FROM p JOIN pi${k - 1} ON pi${k - 1}.ty = p.f GROUP BY 1),
+         |s$k AS (SELECT sum(m) AS s FROM m$k),
+         |pi$k AS (SELECT ty.ty, coalesce(m$k.m, 0) / (SELECT s FROM s$k) AS pi
+         |        FROM ty LEFT JOIN m$k ON ty.ty = m$k.ty)""".stripMargin
+    s"""WITH nx AS (SELECT event_type AS f,
+       |        lead(event_type) OVER
+       |          (PARTITION BY user_id ORDER BY ts, event_id) AS t
+       |      FROM events),
+       |tr AS (SELECT f, t, count(*) AS n FROM nx
+       |       WHERE t IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT f, sum(n) AS tn FROM tr GROUP BY 1),
+       |p AS (SELECT tr.f, tr.t, CAST(tr.n AS DOUBLE) / tt.tn AS p
+       |      FROM tr JOIN tt ON tr.f = tt.f),
+       |ty AS (SELECT DISTINCT ty FROM
+       |        (SELECT f AS ty FROM p UNION ALL SELECT t FROM p)),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ty),
+       |pi0 AS (SELECT ty, 1.0 / (SELECT n FROM nn) AS pi FROM ty),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(count(DISTINCT p.f) AS BIGINT) AS n_states,
+       |       round(-sum(pi3.pi * p.p * ln(p.p)) / ln(2.0), 6)
+       |         AS entropy_rate_bits
+       |FROM p JOIN pi3 ON pi3.ty = p.f""".stripMargin
   }
 
   /** DuckDB mirror of t41: the same five-sum Pearson over raw values

@@ -1253,6 +1253,34 @@ object Sessionize {
   }
 
   /**
+   * Entropy rate (bits/step) of the event-type Markov chain:
+   * H = −Σᵢ π(i) Σⱼ P(i→j) log₂ P(i→j) with π from
+   * [[markovStationary]] — how predictable the NEXT action is given
+   * the current one (0 = deterministic flows, log₂|types| = uniform
+   * chaos); the sequence-level companion of [[behaviorEntropy]]'s
+   * marginal entropy. Output one row: (n_states, entropy_rate_bits).
+   *
+   * Scale: everything beyond eventTransitions' one per-user shuffle
+   * runs on the (types × types) table; the final contraction is a
+   * 1-row aggregate.
+   */
+  def markovEntropyRate(events: DataFrame, iterations: Int = 3,
+                        typeCol: String = "event_type",
+                        userCol: String = "user_id",
+                        tsCol: String = "ts",
+                        eventIdCol: String = "event_id"): DataFrame = {
+    val p = eventTransitions(events, typeCol, userCol, tsCol, eventIdCol)
+      .select(col("from_type"), col("to_type"), col("p"))
+    val pi = markovStationary(events, iterations, typeCol, userCol, tsCol,
+        eventIdCol)
+      .select(col("event_type").as("from_type"), col("pi"))
+    p.join(broadcast(pi), Seq("from_type"))
+      .agg(countDistinct(col("from_type")).as("n_states"),
+        (-sum(col("pi") * col("p") * log(col("p"))) / log(lit(2.0)))
+          .as("entropy_rate_bits"))
+  }
+
+  /**
    * Pareto / ABC analysis of value concentration: total `valueCol` per
    * `keyCol`, descending cumulative share, and the classic A/B/C class
    * split (A = keys inside the first `aCut` of total value, B = up to

@@ -4603,4 +4603,20 @@ class OpsSpec extends AnyFunSuite {
     assert(curve.sliding(2).forall(w => w.length < 2 || w(0) <= w(1) + 1e-12))
     assert(math.abs(curve.last - 1.0) < 1e-12)
   }
+
+  test("markovEntropyRate: deterministic cycle is 0 bits; fair coin chain is 1 bit") {
+    def ev(rows: Seq[(Long, Long, String)]): DataFrame =
+      rows.map { case (id, u, t) =>
+        (id, u, t, new Timestamp(1700000000000L + id * 1000)) }
+        .toDF("event_id", "user_id", "event_type", "ts")
+    val cyc = ev((0 until 12).map(i =>
+      (i.toLong, 1L, if (i % 2 == 0) "A" else "B")))
+    val r1 = Sessionize.markovEntropyRate(cyc).head()
+    assert(r1.getLong(0) == 2L && math.abs(r1.getDouble(1)) < 1e-12)
+    // A→A and A→B equally often (fair coin from A; B always returns to A)
+    val coin = ev(Seq("A","A","A","B","A","A","A","B","A")
+      .zipWithIndex.map { case (t, i) => (i.toLong, 1L, t) })
+    val r2 = Sessionize.markovEntropyRate(coin).head()
+    assert(r2.getDouble(1) > 0.5 && r2.getDouble(1) <= 1.0)
+  }
 }
