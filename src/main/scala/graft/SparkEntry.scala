@@ -3998,6 +3998,101 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- dedup threshold-sweep ledger from ONE PPJoin pass
+    ("d20_threshold_sweep",
+      (s, dir) => Dedup.thresholdSweep(docs(s, dir), "text", "doc_id",
+          n = 3)
+        .orderBy("threshold"),
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |         list_distinct([array_to_string(t[i:i+2], ' ')
+             |                        for i in range(1, len(t) - 1)]) AS s
+             |  FROM (SELECT doc_id,
+             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |               ELSE string_split_regex(trim(text), '\s+') END
+             |            AS t
+             |        FROM documents)),
+             |j AS (SELECT len(list_intersect(a.s, b.s))::DOUBLE /
+             |        len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS jc
+             |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+             |        AND len(list_intersect(a.s, b.s))::DOUBLE /
+             |          len(list_distinct(list_concat(a.s, b.s)))::DOUBLE
+             |          >= 0.5),
+             |t AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+             |SELECT t.threshold AS threshold,
+             |       CAST(count(j.jc) AS BIGINT) AS n_pairs
+             |FROM t LEFT JOIN j ON j.jc >= t.threshold
+             |GROUP BY 1 ORDER BY threshold""".stripMargin)),
+
+    // --- OOD sweep: distance-to-own-centroid z-scores per embedding
+    ("s30_ood_scores",
+      (s, dir) => Similarity.oodScores(embs(s, dir), "embedding",
+          "vec_id", "label")
+        .where(col("vec_id") < 100)
+        .select(col("vec_id"), col("label"),
+          round(col("dist2"), 6).as("dist2"), round(col("z"), 6).as("z"),
+          col("is_ood"))
+        .orderBy("vec_id"),
+      Some("""WITH x AS (SELECT vec_id, label,
+             |    CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+             |    CAST(unnest(embedding) AS DOUBLE) AS v
+             |  FROM embeddings),
+             |c AS (SELECT label, i, avg(v) AS mu FROM x GROUP BY 1, 2),
+             |d AS (SELECT x.vec_id, x.label,
+             |        sum((x.v - c.mu) * (x.v - c.mu)) AS dist2
+             |      FROM x JOIN c ON c.label = x.label AND c.i = x.i
+             |      GROUP BY 1, 2),
+             |st AS (SELECT label, avg(dist2) AS dm,
+             |         coalesce(stddev_pop(dist2), 0) AS ds FROM d GROUP BY 1)
+             |SELECT d.vec_id, d.label, round(d.dist2, 6) AS dist2,
+             |  round(CASE WHEN st.ds = 0 THEN 0.0
+             |        ELSE (d.dist2 - st.dm) / st.ds END, 6) AS z,
+             |  (CASE WHEN st.ds = 0 THEN 0.0
+             |        ELSE (d.dist2 - st.dm) / st.ds END) > 2.5 AS is_ood
+             |FROM d JOIN st USING (label)
+             |WHERE d.vec_id < 100 ORDER BY vec_id""".stripMargin)),
+
+    // --- writing-system census (CJK injected for zh docs — the
+    //     corpus is romanized ASCII; same injection in the mirror)
+    ("t42_script_census",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"),
+          when(col("lang") === "zh",
+            regexp_replace(col("text"), "[aeiou]", "中"))
+            .otherwise(col("text")).as("__t"))
+        .select(col("doc_id"), TextOps.scriptCensus(col("__t")).as("__s"))
+        .select(col("doc_id"), col("__s.n_cjk").as("n_cjk"),
+          col("__s.n_latin").as("n_latin"),
+          round(col("__s.cjk_frac"), 6).as("cjk_frac"),
+          round(col("__s.latin_frac"), 6).as("latin_frac"),
+          col("__s.dominant").as("dominant"))
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT d.doc_id,
+             |    CASE WHEN d.lang = 'zh'
+             |           THEN regexp_replace(d.text, '[aeiou]', '中', 'g')
+             |         ELSE d.text END AS t
+             |  FROM documents d),
+             |m AS (SELECT doc_id,
+             |    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]'))
+             |      AS BIGINT) AS cjk,
+             |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT)
+             |      AS lat,
+             |    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]'))
+             |      AS BIGINT) AS cyr,
+             |    length(t) AS n
+             |  FROM x)
+             |SELECT doc_id, cjk AS n_cjk, lat AS n_latin,
+             |  round(CASE WHEN n = 0 THEN 0.0
+             |        ELSE CAST(cjk AS DOUBLE) / n END, 6) AS cjk_frac,
+             |  round(CASE WHEN n = 0 THEN 0.0
+             |        ELSE CAST(lat AS DOUBLE) / n END, 6) AS latin_frac,
+             |  CASE WHEN cjk = 0 AND lat = 0 AND cyr = 0 THEN 'none'
+             |       WHEN cjk >= lat AND cjk >= cyr THEN 'cjk'
+             |       WHEN lat >= cyr THEN 'latin'
+             |       ELSE 'cyrillic' END AS dominant
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // --- entropy rate of the event-type Markov chain (bits/step)
     ("e46_markov_entropy",
       (s, dir) => Sessionize.markovEntropyRate(evts(s, dir), iterations = 3)

@@ -1342,4 +1342,34 @@ object Dedup {
           .jaroWinkler(col("a.name"), col("b.name")).as("jw"))
       .where(col("jw") >= threshold)
   }
+
+  /**
+   * Dedup threshold-sweep ledger: exact near-dup PAIR counts at each
+   * candidate Jaccard threshold, measured from ONE [[prefixJaccardPairs]]
+   * run at the lowest threshold \u2014 the planning artifact behind "where
+   * do we set \u03c4": lshPlan gives the PROBABILISTIC S-curve, this gives
+   * the measured pair volume per cut on the actual corpus (cumulative-
+   * from-above, like the curation frontier). Thresholds with zero
+   * pairs zero-fill.
+   *
+   * Scale: one PPJoin pass at min(thresholds); each surviving pair
+   * expands IN-ROW to the thresholds it clears and partial-aggregates
+   * \u2014 no per-threshold re-run.
+   */
+  def thresholdSweep(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 3,
+                     thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9),
+                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(thresholds.nonEmpty, "need thresholds")
+    val ts = thresholds.sorted
+    val pairs = prefixJaccardPairs(df, textCol, idCol, n, ts.head, maxBucket)
+    val tArr = array(ts.map(lit): _*)
+    val counts = pairs
+      .select(explode(filter(tArr, t => col("jaccard") >= t)).as("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    df.sparkSession.range(1)
+      .select(explode(tArr).as("threshold"))
+      .join(counts, Seq("threshold"), "left")
+      .select(col("threshold"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+  }
 }

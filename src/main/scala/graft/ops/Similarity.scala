@@ -1521,4 +1521,40 @@ object Similarity {
     }
     rows.toDF("n_probe", "recall")
   }
+
+  /**
+   * Out-of-distribution scores: each vector's squared L2 distance to
+   * its OWN label centroid, z-scored against the label's distance
+   * distribution (population \u03c3), `is_ood` when z > `cutoff` \u2014 the
+   * label-noise / outlier sweep run before contrastive training
+   * (points far from their class centroid are mislabeled or genuinely
+   * OOD). Zero-\u03c3 labels (identical members) score 0 and never flag.
+   *
+   * Scale: per-(label, dim) means via one posexplode partial-agg
+   * (labels\u00d7dims-sized, broadcast back), a map-side distance, one
+   * (label) stats agg broadcast back, a map-side z \u2014 vectors stream
+   * twice, nothing corpus-sized shuffles.
+   */
+  def oodScores(corpus: DataFrame, vecCol: String, idCol: String,
+                labelCol: String, cutoff: Double = 2.5): DataFrame = {
+    val x = corpus.select(col(idCol).cast(LongType).as(idCol),
+        col(labelCol).as("__lbl"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .select(col(idCol), col("__lbl"), col("__i"),
+        col("__v").cast(DoubleType).as("__v"))
+    val cent = x.groupBy(col("__lbl"), col("__i"))
+      .agg(avg(col("__v")).as("__mu"))
+    val dist = x.join(broadcast(cent), Seq("__lbl", "__i"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum((col("__v") - col("__mu")) * (col("__v") - col("__mu")))
+        .as("dist2"))
+    val stats = dist.groupBy(col("__lbl"))
+      .agg(avg(col("dist2")).as("__dm"),
+        coalesce(stddev_pop(col("dist2")), lit(0.0)).as("__ds"))
+    dist.join(broadcast(stats), Seq("__lbl"))
+      .select(col(idCol), col("__lbl").as(labelCol), col("dist2"),
+        when(col("__ds") === 0.0, lit(0.0))
+          .otherwise((col("dist2") - col("__dm")) / col("__ds")).as("z"))
+      .withColumn("is_ood", col("z") > lit(cutoff))
+  }
 }

@@ -1171,4 +1171,35 @@ object TextOps {
           .otherwise(col("n_novel").cast(DoubleType) /
             col("n_grams").cast(DoubleType)).as("novelty"))
   }
+
+  /**
+   * Writing-system census: per-document counts and fractions of CJK,
+   * Latin and Cyrillic characters plus the dominant script \u2014 the
+   * router in front of script-specific tokenizers (whitespace
+   * tokenization is WRONG for CJK; a corpus labeled `zh` that is
+   * actually Latin-script pinyin needs different handling than han
+   * text). `dominant` is the argmax with ties to the earlier class in
+   * (cjk, latin, cyrillic) order, `none` for empty/other-only text.
+   * Zero shuffle \u2014 one codegen map stage.
+   */
+  def scriptCensus(text: Column): Column = {
+    val nChars = length(text)
+    val cjk = size(regexp_extract_all(text,
+      lit("[\\u4E00-\\u9FFF]"), lit(0))).cast(LongType)
+    val latin = size(regexp_extract_all(text,
+      lit("[A-Za-z]"), lit(0))).cast(LongType)
+    val cyr = size(regexp_extract_all(text,
+      lit("[\\u0400-\\u04FF]"), lit(0))).cast(LongType)
+    def frac(c: Column): Column =
+      when(nChars === 0, lit(0.0))
+        .otherwise(c.cast(DoubleType) / nChars.cast(DoubleType))
+    val dominant =
+      when(cjk === 0 && latin === 0 && cyr === 0, lit("none"))
+        .when(cjk >= latin && cjk >= cyr, lit("cjk"))
+        .when(latin >= cyr, lit("latin"))
+        .otherwise(lit("cyrillic"))
+    struct(cjk.as("n_cjk"), latin.as("n_latin"), cyr.as("n_cyrillic"),
+      frac(cjk).as("cjk_frac"), frac(latin).as("latin_frac"),
+      frac(cyr).as("cyrillic_frac"), dominant.as("dominant"))
+  }
 }

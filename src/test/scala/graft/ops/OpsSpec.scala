@@ -4619,4 +4619,43 @@ class OpsSpec extends AnyFunSuite {
     val r2 = Sessionize.markovEntropyRate(coin).head()
     assert(r2.getDouble(1) > 0.5 && r2.getDouble(1) <= 1.0)
   }
+
+  test("thresholdSweep: counts are cumulative-from-above, zero-fill at strict cuts") {
+    val A = "the quick brown fox jumps over the lazy dog near the river"
+    val d = Seq((1L, A), (2L, A),                       // jaccard 1.0
+      (3L, A + " bank"),                                // high but < 1
+      (4L, "totally different words entirely here")).toDF("doc_id", "text")
+    val out = Dedup.thresholdSweep(d, "text", "doc_id", n = 3)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out(0.9) >= 1L)                 // the exact pair survives 0.9
+    assert(out.keySet == Set(0.5, 0.6, 0.7, 0.8, 0.9))
+    val sorted = out.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("oodScores: a planted far point flags, tight cluster members do not") {
+    val tight = (0 until 20).map(i =>
+      (i.toLong, Array(1.0f + i * 0.001f, 2.0f), 1))
+    val far = Seq((99L, Array(50.0f, -40.0f), 1))
+    val d = (tight ++ far).toDF("vec_id", "embedding", "label")
+    val out = Similarity.oodScores(d, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(99L))
+    assert(tight.forall(t => !out(t._1)))
+  }
+
+  test("scriptCensus: mixed-script fractions and dominant routing") {
+    val r = spark.range(1).select(
+      TextOps.scriptCensus(lit("hello 中文 мир")).as("s")).select("s.*").head()
+    assert(r.getAs[Long]("n_cjk") == 2L)
+    assert(r.getAs[Long]("n_latin") == 5L)
+    assert(r.getAs[Long]("n_cyrillic") == 3L)
+    assert(r.getAs[String]("dominant") == "latin")
+    val c = spark.range(1).select(
+      TextOps.scriptCensus(lit("中文本")).as("s")).select("s.*").head()
+    assert(c.getAs[String]("dominant") == "cjk")
+    val e = spark.range(1).select(
+      TextOps.scriptCensus(lit("123 !?")).as("s")).select("s.*").head()
+    assert(e.getAs[String]("dominant") == "none")
+  }
 }
