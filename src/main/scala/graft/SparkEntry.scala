@@ -3998,6 +3998,59 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- per-epoch deterministic shuffle order (each epoch a
+    //     different reproducible permutation — the training-loader
+    //     shuffling primitive; no RNG state, resumable anywhere)
+    ("p25_epoch_order",
+      (s, dir) => {
+        val epochs = s.range(0, 2).select(col("id").as("epoch"))
+        val h = graft.ops.Hashing.mulHash(
+          col("doc_id") * lit(31L) + col("epoch"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch")).orderBy(h, col("doc_id"))
+        docs(s, dir).select(col("doc_id")).crossJoin(epochs)
+          .withColumn("order_pos", row_number().over(w).cast("long") - 1L)
+          .where(col("order_pos") < 20)
+          .orderBy("epoch", "order_pos")
+      },
+      Some("""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+             |x AS (SELECT d.doc_id, e.epoch,
+             |        CAST(row_number() OVER (PARTITION BY e.epoch
+             |          ORDER BY ((d.doc_id*31 + e.epoch)*2654435761)
+             |                     % 1000000007, d.doc_id) AS BIGINT) - 1
+             |          AS order_pos
+             |      FROM documents d CROSS JOIN e)
+             |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, order_pos
+             |FROM x WHERE order_pos < 20
+             |ORDER BY epoch, order_pos""".stripMargin)),
+
+    // --- user lifetime table: span, active days, intensity
+    ("e47_user_lifetimes",
+      (s, dir) => evts(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(to_date(col("ts"))).as("active_days"),
+          datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+            .cast("long").as("span_days"))
+        .withColumn("events_per_active_day",
+          round(col("n_events").cast("double") / col("active_days"), 6))
+        .withColumn("activity_rate",
+          round(col("active_days").cast("double") /
+            (col("span_days") + 1L), 6))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+             |    AS active_days,
+             |  CAST(datediff('day', min(CAST(ts AS DATE)),
+             |    max(CAST(ts AS DATE))) AS BIGINT) AS span_days,
+             |  round(CAST(count(*) AS DOUBLE)
+             |        / count(DISTINCT CAST(ts AS DATE)), 6)
+             |    AS events_per_active_day,
+             |  round(CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE)
+             |        / (datediff('day', min(CAST(ts AS DATE)),
+             |           max(CAST(ts AS DATE))) + 1), 6) AS activity_rate
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // --- dedup threshold-sweep ledger from ONE PPJoin pass
     ("d20_threshold_sweep",
       (s, dir) => Dedup.thresholdSweep(docs(s, dir), "text", "doc_id",

@@ -4658,4 +4658,25 @@ class OpsSpec extends AnyFunSuite {
       TextOps.scriptCensus(lit("123 !?")).as("s")).select("s.*").head()
     assert(e.getAs[String]("dominant") == "none")
   }
+
+  test("parse-or-quarantine split runs unchanged on a stream (stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val parsed = from_json(col("props"), "k INT", Map.empty[String, String])
+    val out = mem.toDS().toDF("event_id", "props")
+      .select(col("event_id"),
+        when(parsed.isNull || parsed.getField("k").isNull,
+          lit("quarantined")).otherwise(lit("parsed")).as("status"))
+    val q = out.writeStream.format("memory").queryName("squar")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, """{"k": 5}"""), (2L, """{{"k": 5}"""),
+        (3L, """{"other": 1}"""))
+      q.processAllAvailable()
+      val got = spark.table("squar").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "parsed", 2L -> "quarantined",
+        3L -> "quarantined"))
+    } finally q.stop()
+  }
 }
