@@ -3998,6 +3998,68 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- local-maximum peak detection over daily series (strictly
+    //     above the previous day, at least the next, and 1.2× the
+    //     type mean; series edges never peak)
+    ("e48_peaks",
+      (s, dir) => {
+        val daily = evts(s, dir)
+          .groupBy(col("event_type"),
+            date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        val mu = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        daily
+          .withColumn("__p", lag(col("n_events"), 1).over(w))
+          .withColumn("__x", lead(col("n_events"), 1).over(w))
+          .withColumn("__mu", avg(col("n_events")).over(mu))
+          .select(col("event_type"), col("day"), col("n_events"),
+            (col("__p").isNotNull && col("__x").isNotNull &&
+              col("n_events") > col("__p") &&
+              col("n_events") >= col("__x") &&
+              col("n_events") >= lit(1.2) * col("__mu")).as("is_peak"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH d AS (SELECT event_type,
+             |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |x AS (SELECT event_type, day, n,
+             |    lag(n) OVER (PARTITION BY event_type ORDER BY day) AS p,
+             |    lead(n) OVER (PARTITION BY event_type ORDER BY day) AS nx,
+             |    avg(n) OVER (PARTITION BY event_type) AS mu
+             |  FROM d)
+             |SELECT event_type, day, n AS n_events,
+             |  (p IS NOT NULL AND nx IS NOT NULL AND n > p AND n >= nx
+             |   AND n >= 1.2 * mu) AS is_peak
+             |FROM x ORDER BY event_type, day""".stripMargin)),
+
+    // --- exact-duplicate embedding check (pipeline-bug detector;
+    //     constant vectors injected by id residue on both sides)
+    ("s31_exact_vector_dups",
+      (s, dir) => {
+        val injected = embs(s, dir).select(col("vec_id"),
+          when(col("vec_id") % 50 === 1,
+            array_repeat(lit(0.5f), 64))
+            .otherwise(col("embedding")).as("embedding"))
+        injected.groupBy(col("embedding"))
+          .agg(count(lit(1)).as("n_copies"), min(col("vec_id")).as("keeper"))
+          .where(col("n_copies") >= 2)
+          .select(col("keeper"), col("n_copies"))
+          .orderBy("keeper")
+      },
+      Some("""WITH i AS (SELECT vec_id,
+             |    CASE WHEN vec_id % 50 = 1
+             |           THEN [CAST(0.5 AS FLOAT) for x in range(1, 65)]
+             |         ELSE embedding END AS v
+             |  FROM embeddings)
+             |SELECT min(vec_id) AS keeper,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM i GROUP BY v HAVING count(*) >= 2
+             |ORDER BY keeper""".stripMargin)),
+
     // --- per-epoch deterministic shuffle order (each epoch a
     //     different reproducible permutation — the training-loader
     //     shuffling primitive; no RNG state, resumable anywhere)
