@@ -3998,6 +3998,135 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- class-imbalance weights: label shares + effective number of
+    //     samples (Cui et al. 2019) and the normalized loss weights
+    ("p26_class_weights",
+      (s, dir) => {
+        val beta = 0.99
+        val per = embs(s, dir).groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("eff_n",
+            (lit(1.0) - pow(lit(beta), col("n"))) / lit(1.0 - beta))
+          .withColumn("__raw", lit(1.0) / col("eff_n"))
+        val tot = per.agg(sum(col("n")).as("__tn"), sum(col("__raw")).as("__tw"))
+        per.crossJoin(broadcast(tot))
+          .select(col("label"), col("n"),
+            round(col("n").cast("double") / col("__tn"), 6).as("frac"),
+            round(col("eff_n"), 6).as("eff_n"),
+            round(col("__raw") / col("__tw"), 6).as("weight"))
+          .orderBy("label")
+      },
+      Some("""WITH per AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+             |        (1.0 - pow(0.99, count(*))) / 0.01 AS eff_n
+             |      FROM embeddings GROUP BY 1),
+             |t AS (SELECT sum(n) AS tn, sum(1.0 / eff_n) AS tw FROM per)
+             |SELECT label, n, round(CAST(n AS DOUBLE) / t.tn, 6) AS frac,
+             |       round(eff_n, 6) AS eff_n,
+             |       round((1.0 / eff_n) / t.tw, 6) AS weight
+             |FROM per CROSS JOIN t ORDER BY label""".stripMargin)),
+
+    // --- rich-club coefficient: connectedness among top-degree nodes
+    ("g21_rich_club",
+      (s, dir) => {
+        // coSupplyEdges emits one row per SHARED PART — dedupe to the
+        // simple graph before degree/edge counting (the mirror's
+        // DISTINCT)
+        val e = coSupplyEdges(s, dir).distinct().localCheckpoint(false)
+        val deg = e.select(col("s1").as("node"))
+          .union(e.select(col("s2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+        Seq(4L, 8L, 16L).map { k =>
+          val rich = deg.where(col("d") > k).select("node")
+          val nR = rich.agg(count(lit(1)).as("n_rich"))
+          val eR = e.join(rich.withColumnRenamed("node", "s1"), Seq("s1"),
+              "left_semi")
+            .join(rich.withColumnRenamed("node", "s2"), Seq("s2"),
+              "left_semi")
+            .agg(count(lit(1)).as("e_rich"))
+          nR.crossJoin(eR).select(lit(k).as("k"), col("n_rich"),
+            col("e_rich"),
+            round(when(col("n_rich") < 2, lit(0.0))
+              .otherwise(col("e_rich").cast("double") * 2.0 /
+                (col("n_rich").cast("double") * (col("n_rich") - 1L))), 6)
+              .as("phi"))
+        }.reduce(_ unionAll _).orderBy("k")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.sid AS s1, b.sid AS s2
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.sid < b.sid),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+             |          (SELECT s1 AS node FROM e
+             |           UNION ALL SELECT s2 FROM e)
+             |        GROUP BY 1),
+             |ks AS (SELECT unnest([4, 8, 16]) AS k),
+             |r AS (SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k),
+             |nr AS (SELECT k, CAST(count(*) AS BIGINT) AS n_rich FROM r
+             |       GROUP BY 1),
+             |er AS (SELECT r1.k, CAST(count(*) AS BIGINT) AS e_rich
+             |       FROM e JOIN r r1 ON r1.node = e.s1
+             |       JOIN r r2 ON r2.node = e.s2 AND r2.k = r1.k
+             |       GROUP BY 1)
+             |SELECT CAST(nr.k AS BIGINT) AS k, nr.n_rich,
+             |       coalesce(er.e_rich, 0) AS e_rich,
+             |       round(CASE WHEN nr.n_rich < 2 THEN 0.0
+             |             ELSE CAST(coalesce(er.e_rich, 0) AS DOUBLE) * 2.0
+             |                  / (CAST(nr.n_rich AS DOUBLE)
+             |                     * (nr.n_rich - 1)) END, 6) AS phi
+             |FROM nr LEFT JOIN er ON nr.k = er.k
+             |ORDER BY k""".stripMargin)),
+
+    // --- lag-k autocorrelation of daily counts per type (k = 1..7)
+    ("e49_acf",
+      (s, dir) => {
+        val daily = evts(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("day"))
+        // window lags materialize FIRST (a generator and a window can't
+        // share one projection), then the in-row lag explode
+        val withLags = daily.select(col("event_type"), col("day"), col("n"),
+          array((1 to 7).map(k => struct(lit(k.toLong).as("k"),
+            lag(col("n"), k).over(w).as("prev"))): _*).as("__ls"))
+        withLags
+          .select(col("event_type"), col("n"), explode(col("__ls")).as("__l"))
+          .select(col("event_type"), col("__l.k").as("lag_k"),
+            col("n"), col("__l.prev").as("prev"))
+          .where(col("prev").isNotNull)
+          .groupBy(col("event_type"), col("lag_k"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n")).as("__sx"), sum(col("prev")).as("__sy"),
+            sum(col("n") * col("prev")).as("__sxy"),
+            sum(col("n") * col("n")).as("__sxx"),
+            sum(col("prev") * col("prev")).as("__syy"))
+          .select(col("event_type"), col("lag_k"), col("n_pairs"),
+            round((col("n_pairs") * col("__sxy") -
+              col("__sx") * col("__sy")) /
+              sqrt((col("n_pairs") * col("__sxx") -
+                col("__sx") * col("__sx")) *
+                (col("n_pairs") * col("__syy") -
+                  col("__sy") * col("__sy"))), 6).as("acf"))
+          .orderBy("event_type", "lag_k")
+      },
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |            CAST(count(*) AS DOUBLE) AS n
+             |           FROM events GROUP BY 1, 2),
+             |ks AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS k),
+             |l AS (SELECT d.event_type, ks.k, d.n,
+             |        lag(d.n, ks.k) OVER (PARTITION BY d.event_type, ks.k
+             |          ORDER BY d.day) AS prev
+             |      FROM d CROSS JOIN ks),
+             |s AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS np,
+             |        sum(n) AS sx, sum(prev) AS sy, sum(n*prev) AS sxy,
+             |        sum(n*n) AS sxx, sum(prev*prev) AS syy
+             |      FROM l WHERE prev IS NOT NULL GROUP BY 1, 2)
+             |SELECT event_type, CAST(k AS BIGINT) AS lag_k, np AS n_pairs,
+             |  round((np * sxy - sx * sy) /
+             |    sqrt((np * sxx - sx * sx) * (np * syy - sy * sy)), 6)
+             |    AS acf
+             |FROM s ORDER BY event_type, lag_k""".stripMargin)),
+
     // --- local-maximum peak detection over daily series (strictly
     //     above the previous day, at least the next, and 1.2× the
     //     type mean; series edges never peak)
