@@ -3998,6 +3998,85 @@ object SparkEntry {
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
       Some(datasetCardOracle)),
 
+    // --- vocabulary coverage curve: corpus-token share covered by the
+    //     top-k vocabulary at k ∈ {5, 10, 20} (tokenizer sizing; the
+    //     fixture vocabulary is small — scale cutoffs with the corpus)
+    ("t43_vocab_coverage",
+      (s, dir) => {
+        val freq = TextOps.tokenFrequencies(docs(s, dir), "text")
+        val tot = freq.agg(sum(col("n")).as("__t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val ranked = freq
+          .withColumn("__rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("token"))))
+          .withColumn("__cum", sum(col("n")).over(w))
+        ranked.where(col("__rk").isin(5, 10, 20))
+          .crossJoin(broadcast(tot))
+          .select(col("__rk").cast("long").as("vocab_size"),
+            col("__cum").as("tokens_covered"),
+            round(col("__cum").cast("double") / col("__t"), 6)
+              .as("coverage"))
+          .orderBy("vocab_size")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN []
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents),
+             |f AS (SELECT unnest(tk) AS token FROM t),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM f
+             |      GROUP BY 1),
+             |g AS (SELECT sum(n) AS tot FROM c),
+             |r AS (SELECT n,
+             |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+             |      AS rk,
+             |    sum(n) OVER (ORDER BY n DESC, token
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM c)
+             |SELECT rk AS vocab_size, CAST(cum AS BIGINT) AS tokens_covered,
+             |       round(CAST(cum AS DOUBLE) / g.tot, 6) AS coverage
+             |FROM r CROSS JOIN g WHERE rk IN (5, 10, 20)
+             |ORDER BY vocab_size""".stripMargin)),
+
+    // --- hub concentration: Gini of the co-supply degree distribution
+    ("g22_degree_gini",
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir).distinct()
+        val deg = e.select(col("s1").as("node"))
+          .union(e.select(col("s2").as("node")))
+          .groupBy("node").agg(count(lit(1)).cast("double").as("d"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("d"), col("node"))
+        deg.withColumn("__r", row_number().over(w).cast("double"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("__sd"),
+            sum(col("__r") * col("d")).as("__srd"))
+          .select(col("n_nodes"),
+            round(lit(2.0) * col("__srd") /
+              (col("n_nodes") * col("__sd")) -
+              (col("n_nodes") + lit(1.0)) / col("n_nodes"), 6)
+              .as("degree_gini"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sid
+             |            FROM lineitem WHERE l_quantity >= 49),
+             |e AS (SELECT DISTINCT a.sid AS s1, b.sid AS s2
+             |      FROM ps a JOIN ps b ON a.p = b.p AND a.sid < b.sid),
+             |deg AS (SELECT node, CAST(count(*) AS DOUBLE) AS d FROM
+             |          (SELECT s1 AS node FROM e
+             |           UNION ALL SELECT s2 FROM e)
+             |        GROUP BY 1),
+             |r AS (SELECT d, CAST(row_number() OVER (ORDER BY d, node)
+             |        AS DOUBLE) AS rk FROM deg),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(d) AS sd,
+             |        sum(rk * d) AS srd FROM r)
+             |SELECT n AS n_nodes,
+             |       round(2.0 * srd / (n * sd) - (n + 1.0) / n, 6)
+             |         AS degree_gini
+             |FROM s""".stripMargin)),
+
     // --- class-imbalance weights: label shares + effective number of
     //     samples (Cui et al. 2019) and the normalized loss weights
     ("p26_class_weights",
