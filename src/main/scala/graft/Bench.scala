@@ -32,12 +32,19 @@ object Bench {
     // measure the plan, not first-use JIT + classloading.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    // Contention canary: time a fixed calibration query before and
-    // after the sweep. On a quiet box the two agree; on a contended
-    // box (other tenants stealing the 32 cores mid-run) calib_drift
-    // blows past ~2× and the run's absolute numbers should be
-    // discounted rather than read as plan regressions (r04's driver
-    // bench showed 10-28× "regressions" on unchanged queries this way).
+    // Contention canary: time a fixed calibration query INTERLEAVED
+    // through the sweep (every `calibEvery` queries + once at the end)
+    // and report max/min over the interleaved samples as calib_drift.
+    // On a quiet box the samples agree (drift ~1); on a contended box
+    // (other tenants stealing the 32 cores mid-run) drift blows past
+    // ~2 and the run's absolute numbers should be discounted rather
+    // than read as plan regressions (r04/r06 driver benches showed
+    // 5-28× "regressions" on unchanged queries this way). The
+    // pre-sweep sample is reported (calib_start) but EXCLUDED from
+    // drift: JIT/classload of the 250-query surface is still warming
+    // through the early families, so start ≫ steady-state
+    // systematically — the old start-vs-end ratio flagged every run,
+    // quiet or not (drift 3.9-4.3 on clean boxes).
     def calibrate(): Double = {
       val fn = SparkEntry.queries("q01_node_scan")
       val ts = (1 to 3).map { _ =>
@@ -48,6 +55,8 @@ object Bench {
     }
     calibrate() // untimed: JIT-warm the calibration path itself
     val calibStart = calibrate()
+    val calibEvery = 50
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     // Adaptive repeats, report the fastest: first-run numbers mix JIT/
     // classload warmup into the engine time, so everything gets >= 2
@@ -65,7 +74,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
     val results: Seq[(String, Double)] =
-      selected.map { case (name, fn) =>
+      selected.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx > 0 && idx % calibEvery == 0) calibSamples += calibrate()
         def one(): Double = {
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -79,11 +89,20 @@ object Bench {
         name -> (if (times.exists(_ < 0)) -1.0 else times.min)
       }
     val calibEnd = calibrate()
-    val drift = math.max(calibEnd / calibStart, calibStart / calibEnd)
+    calibSamples += calibEnd
+    // drift over post-warmup interleaved samples only; tiny selections
+    // (SPARK_GRAFT_ONLY) may have just the end sample — fall back to
+    // including calib_start so drift is never undefined (and such runs
+    // are local iteration aids, not driver reads).
+    val driftSamples =
+      if (calibSamples.size >= 2) calibSamples.toSeq
+      else calibStart +: calibSamples.toSeq
+    val drift = driftSamples.max / driftSamples.min
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_samples":$calibJson,"calib_drift":$drift%.2f}"""
     println(fullLine)
     // The driver keeps only the last ~2000 chars of stdout; with 150+
     // queries the full line above no longer fits that tail (every
@@ -91,16 +110,21 @@ object Bench {
     // full detail to a file and ALSO print a compact summary line — the
     // worst 12 queries plus any failures — sized to survive the tail
     // buffer with the trailing sbt "[success]" line.
+    // The dump path is unique per run (epoch-stamped) unless pinned via
+    // SPARK_GRAFT_BENCH_OUT, so a rerun never clobbers an earlier run's
+    // artifact; the summary line names the file that holds this run.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_FULL_${System.currentTimeMillis / 1000}.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] $fullPath write failed: ${e.getMessage}") }
     val failed = results.filter(_._2 < 0).map(_._1)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"worst12":$worst,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_drift":$drift%.2f,"full":"BENCH_FULL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"worst12":$worst,"agg":"min","calib_start":$calibStart%.3f,"calib_drift":$drift%.2f,"full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -3106,14 +3106,21 @@ object SparkEntry {
              |        CAST(sum(n_tok) AS BIGINT) AS nt FROM q),
              |x AS (SELECT i / 10.0 AS threshold, q.n_tok
              |      FROM q, unnest(range(1, 10)) AS u(i)
-             |      WHERE q.q >= i / 10.0)
-             |SELECT threshold, count(*) AS n_docs,
-             |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-             |       round(CAST(count(*) AS DOUBLE) / t.nd, 6) AS doc_frac,
-             |       round(CAST(sum(n_tok) AS DOUBLE) / t.nt, 6) AS token_frac
-             |FROM x CROSS JOIN t
-             |GROUP BY threshold, t.nd, t.nt
-             |ORDER BY threshold""".stripMargin)),
+             |      WHERE q.q >= i / 10.0),
+             |agg AS (SELECT threshold, count(*) AS n_docs,
+             |          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |        FROM x GROUP BY threshold),
+             |spine AS (SELECT i / 10.0 AS threshold
+             |          FROM unnest(range(1, 10)) AS u(i))
+             |SELECT s.threshold,
+             |       coalesce(agg.n_docs, 0) AS n_docs,
+             |       coalesce(agg.n_tokens, 0) AS n_tokens,
+             |       round(CAST(coalesce(agg.n_docs, 0) AS DOUBLE) / t.nd, 6)
+             |         AS doc_frac,
+             |       round(CAST(coalesce(agg.n_tokens, 0) AS DOUBLE) / t.nt, 6)
+             |         AS token_frac
+             |FROM spine s LEFT JOIN agg USING (threshold) CROSS JOIN t
+             |ORDER BY s.threshold""".stripMargin)),
 
     // --- deterministic training-shard layout: hash shard + in-shard
     //     position, one hash shuffle, NO global sort
@@ -4984,13 +4991,19 @@ object SparkEntry {
     ("m05_modality_route",
       (s, dir) => {
         val png = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G'))
-        val jpg = lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+        val jfif = lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
           0xe0.toByte))
+        val exif = lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+          0xe1.toByte))
         val riff = lit("RIFF".getBytes("US-ASCII"))
+        // doc_id % 4 == 1 are JPEGs; the % 8 == 5 half carry the EXIF
+        // (FF D8 FF E1) marker — both must route image/jpeg
         val payload = when(col("doc_id") % 4 === 0,
             concat(png, encode(col("text"), "UTF-8")))
-          .when(col("doc_id") % 4 === 1,
-            concat(jpg, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 8 === 1,
+            concat(jfif, encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 8 === 5,
+            concat(exif, encode(col("text"), "UTF-8")))
           .when(col("doc_id") % 4 === 2,
             concat(riff, encode(col("text"), "UTF-8")))
           .otherwise(encode(col("text"), "UTF-8"))
@@ -5004,15 +5017,17 @@ object SparkEntry {
       Some("""WITH p AS (SELECT doc_id,
              |    CASE WHEN doc_id % 4 = 0
              |           THEN '\x89PNG'::BLOB || encode(text)
-             |         WHEN doc_id % 4 = 1
+             |         WHEN doc_id % 8 = 1
              |           THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+             |         WHEN doc_id % 8 = 5
+             |           THEN '\xFF\xD8\xFF\xE1'::BLOB || encode(text)
              |         WHEN doc_id % 4 = 2
              |           THEN 'RIFF'::BLOB || encode(text)
              |         ELSE encode(text) END AS pl
              |  FROM documents),
              |r AS (SELECT CASE
              |        WHEN left(hex(pl), 8) = '89504E47' THEN 'image/png'
-             |        WHEN left(hex(pl), 8) = 'FFD8FFE0' THEN 'image/jpeg'
+             |        WHEN left(hex(pl), 6) = 'FFD8FF' THEN 'image/jpeg'
              |        WHEN left(hex(pl), 8) = '52494646' THEN 'audio/riff'
              |        ELSE 'text/plain' END AS modality,
              |        octet_length(pl) AS n

@@ -63,14 +63,26 @@ object Bucketing {
    * Built from plain shift/mask arithmetic (codegen-resident, and
    * reproducible in any SQL engine — the oracle mirrors it with
    * integer division).
+   *
+   * Dimensions must be non-negative: arithmetic shiftright and signed
+   * `%` would silently emit a wrong (mis-clustering) code for negative
+   * inputs, so they fail loudly at runtime instead. Null inputs yield
+   * a null code (null-propagating like any arithmetic).
    */
   def mortonCode(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
-    (0 until bits).map { i =>
-      val xb = (shiftright(x.cast("long"), i) % 2) * lit(1L << (2 * i))
-      val yb = (shiftright(y.cast("long"), i) % 2) * lit(1L << (2 * i + 1))
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val code = (0 until bits).map { i =>
+      val xb = (shiftright(xl, i) % 2) * lit(1L << (2 * i))
+      val yb = (shiftright(yl, i) % 2) * lit(1L << (2 * i + 1))
       xb + yb
     }.reduce(_ + _)
+    when(xl.isNull || yl.isNull, lit(null).cast("long"))
+      .when(xl < 0 || yl < 0,
+        raise_error(lit("graft.Bucketing.mortonCode: negative dimension " +
+          "(dimensions must be non-negative integers)")))
+      .otherwise(code)
   }
 
   /**

@@ -67,29 +67,39 @@ object ChangeData {
    * columns minus the key; the feed must carry the same payload
    * schema (delete rows may carry nulls — they are never read).
    *
+   * Ties on `seqCol` resolve DETERMINISTICALLY: the winner is the
+   * lexicographically greatest (seq, op, payload...) tuple, so exactly
+   * one row survives per key and a same-seq D+U pair resolves to the
+   * upsert ('U' > 'D'). Well-behaved feeds carry unique (key, seq);
+   * the tie rule just guarantees replays and merged feeds stay
+   * deterministic. [[streamingLatest]] applies the same tuple order.
+   *
    * Scale shape: the feed (typically ≪ snapshot) reduces FIRST to one
-   * slim winner row per key (partial-agg max + self-semi-join on
-   * (key, seq) — no whole-feed window sort), then a single
-   * full-outer-join-free pass: snapshot anti-joins the touched-key
-   * set (slim keys only) and the surviving upserts union in. The
-   * snapshot is never shuffled beyond the one anti-join hash
-   * exchange; with a broadcast-sized feed the planner broadcasts the
-   * touched-key side and the snapshot never moves at all.
+   * slim winner row per key (a single partial-aggregated max over the
+   * (seq, op, payload) struct — no whole-feed window sort, no second
+   * pass), then a single full-outer-join-free pass: snapshot
+   * anti-joins the touched-key set (slim keys only) and the surviving
+   * upserts union in. The snapshot is never shuffled beyond the one
+   * anti-join hash exchange; with a broadcast-sized feed the planner
+   * broadcasts the touched-key side and the snapshot never moves at
+   * all.
    */
   def applyChangeFeed(snapshot: DataFrame, changes: DataFrame,
                       keyCol: String, seqCol: String,
                       opCol: String = "op"): DataFrame = {
     val payload = snapshot.columns.filter(_ != keyCol).toSeq
-    // latest change per key: max seq, then the (key, seq) semi join —
-    // two partial-aggregated shuffles of slim rows, no window sort
-    val latestSeq = changes.groupBy(col(keyCol))
-      .agg(max(col(seqCol)).as(seqCol))
+    // latest change per key: ONE partial-aggregated max over the
+    // ordered (seq, op, payload...) struct — deterministic on seq
+    // ties (struct comparison is lexicographic field-by-field)
+    val orderedCols = seqCol +: opCol +: payload
     // materialize the winner set once (lazy local checkpoint): it is
     // read twice (touched keys + surviving upserts) and the feed
     // derivation above it can be an arbitrarily deep plan — without
     // the pin, BOTH consumers re-derive the whole feed pipeline.
     // Winners are feed-bounded (≪ snapshot in steady state).
-    val winners = changes.join(latestSeq, Seq(keyCol, seqCol), "left_semi")
+    val winners = changes.groupBy(col(keyCol))
+      .agg(max(struct(orderedCols.map(col): _*)).as("__w"))
+      .select(col(keyCol) +: orderedCols.map(c => col(s"__w.$c").as(c)): _*)
       .localCheckpoint(false)
     val touched = winners.select(col(keyCol))
     val kept = snapshot.join(touched, Seq(keyCol), "left_anti")
@@ -104,12 +114,15 @@ object ChangeData {
    * Streaming twin of [[applyChangeFeed]]: continuous latest-wins
    * state over an unbounded change stream, one `Change` of state per
    * key (`flatMapGroupsWithState`, Update mode). Emits the key's new
-   * current row whenever a batch advances its max seq — downstream
-   * sinks upsert on `key` and treat `op = 'D'` as a tombstone. A
-   * change at or below the retained seq is a no-op (idempotent
-   * replays, out-of-order feeds). Batch-equivalence is pinned in the
-   * unit test: after any prefix of batches, the emitted latest rows
-   * match [[applyChangeFeed]] winners over the same prefix.
+   * current row whenever a batch advances its winner — downstream
+   * sinks upsert on `key` and treat `op = 'D'` as a tombstone. Winner
+   * order is the SAME lexicographic (seq, op, payload) tuple as
+   * [[applyChangeFeed]], so seq ties resolve identically in batch and
+   * stream; a change at or below the retained winner is a no-op
+   * (idempotent replays, out-of-order feeds). Batch-equivalence is
+   * pinned in the unit test: after any prefix of batches, the emitted
+   * latest rows match [[applyChangeFeed]] winners over the same
+   * prefix.
    *
    * State is O(#live keys) × one payload row; with key-hash
    * distribution that is the same state a compacted changelog topic
@@ -124,8 +137,11 @@ object ChangeData {
       val incoming = rows.toSeq
       if (incoming.isEmpty) Iterator.empty
       else {
-        val best = incoming.maxBy(_.seq)
-        if (state.getOption.forall(_.seq < best.seq)) {
+        // same winner order as applyChangeFeed: (seq, op, payload)
+        val ord = (c: Change) => (c.seq, c.op, c.payload)
+        import scala.math.Ordering.Implicits._
+        val best = incoming.maxBy(ord)
+        if (state.getOption.forall(s => ord(s) < ord(best))) {
           state.update(best)
           Iterator(best)
         } else Iterator.empty

@@ -144,7 +144,24 @@ object GraphOps {
     val canon = raw.select(
       least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct()
-    val e = maxDegree match {
+    val e = capDegree(canon, maxDegree)
+    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
+    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
+    ab.join(bc, col("b") === col("b2"))
+      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** The hub-degree valve shared by the triangle-family operators
+    * ([[triangleCount]], [[kTruss]]/[[kTrussExact]]): drop every
+    * canonical edge incident to a node of degree > cap BEFORE any
+    * two-path enumeration — id-ordered two-path fan-out is quadratic
+    * in hub degree (Suri & Vassilvitskii's "last reducer"), so the
+    * cap bounds the quadratic corner the way the dedup operators cap
+    * blocks. `None` keeps the full graph. */
+  private def capDegree(canon: DataFrame, maxDegree: Option[Int]): DataFrame =
+    maxDegree match {
       case None => canon
       case Some(cap) =>
         val deg = canon.select(col("lo").as("node"))
@@ -155,13 +172,6 @@ object GraphOps {
           .join(keep.withColumnRenamed("node", "hi"), Seq("hi"))
           .select("lo", "hi")
     }
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
-    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
-    ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-  }
 
   /** Canonical undirected edge set: (lo, hi) with lo < hi, self-loops
     * dropped, deduped. Shared by the undirected analytics below. */
@@ -516,13 +526,21 @@ object GraphOps {
    * shrinking edge set (no row multiplication), explodes each triangle
    * to its 3 edges IN-ROW, partial-aggregates support per edge, and
    * semi-joins the survivors; per-round lineage cuts keep plan depth
-   * O(1).
+   * O(1). `maxDegree` is the hub valve (the [[triangleCount]]
+   * contract): edges incident to a node of degree > cap are dropped
+   * BEFORE the first peel — the per-round two-path join is quadratic
+   * in hub degree, and unlike [[triangleCount]] it is paid once per
+   * round, so an unvalved hub stalls every peel. On a hub-free graph
+   * the valve is a no-op (pinned by unit test); on a capped graph the
+   * result is the k-truss OF THE CAPPED GRAPH, the same explicit
+   * semantics as the other valves.
    */
   def kTruss(edges: DataFrame, aCol: String, bCol: String, k: Int,
-             rounds: Int): DataFrame = {
+             rounds: Int, maxDegree: Option[Int] = None): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    var e = capDegree(canonical(edges, aCol, bCol), maxDegree)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) e = trussPeelOnce(e, k).localCheckpoint(false)
     e
   }
@@ -547,11 +565,14 @@ object GraphOps {
   /** Converged k-truss: peel until the edge COUNT stops changing —
     * convergence detection rides the count that materializes each
     * round's checkpoint (one job per round, the [[kCoreExact]]
-    * pattern). `maxRounds` bounds pathological graphs. */
+    * pattern). `maxRounds` bounds pathological graphs; `maxDegree` is
+    * the same pre-peel hub valve as [[kTruss]]. */
   def kTrussExact(edges: DataFrame, aCol: String, bCol: String, k: Int,
-                  maxRounds: Int = 50): DataFrame = {
+                  maxRounds: Int = 50,
+                  maxDegree: Option[Int] = None): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
-    var e = canonical(edges, aCol, bCol).localCheckpoint(false)
+    var e = capDegree(canonical(edges, aCol, bCol), maxDegree)
+      .localCheckpoint(false)
     var n = e.count()
     var done = n == 0
     var r = 0
@@ -818,21 +839,38 @@ object GraphOps {
    * graphs: this operator targets CONTRACTED graphs (entity-level
    * flow graphs, dependency graphs), not raw billion-node webs — run
    * [[Dedup.connectedComponents]] first when direction doesn't
-   * matter, or contract by community before asking for SCCs.
+   * matter, or contract by community before asking for SCCs. The
+   * contract is ENFORCED, not just documented: after every doubling
+   * round the closure's row count is checked against
+   * `maxClosureRows` and a [[GraphContractViolation]] names the bound
+   * and the round — failing fast in O(rounds) jobs instead of
+   * silently materializing a quadratic frame (the count rides the
+   * checkpoint the round materializes anyway, the [[kTrussExact]]
+   * pattern).
    */
   def sccBounded(edges: DataFrame, srcCol: String, dstCol: String,
-                 rounds: Int = 3): DataFrame = {
+                 rounds: Int = 3,
+                 maxClosureRows: Long = 100000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(maxClosureRows >= 1, "maxClosureRows must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct().localCheckpoint(false)
     var r = e
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       r = r.union(
           r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
             .select(col("a.src").as("src"), col("b.dst").as("dst")))
         .distinct().localCheckpoint(false)
+      val n = r.count()
+      if (n > maxClosureRows)
+        throw new GraphContractViolation(
+          s"sccBounded: reachability closure hit $n rows after doubling " +
+          s"round $round (bound maxClosureRows=$maxClosureRows). The input " +
+          "is too well-connected for closure doubling — contract the graph " +
+          "first (community/CC contraction) or raise maxClosureRows " +
+          "deliberately.")
     }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -975,4 +1013,62 @@ object GraphOps {
     }
     auth.join(hub, Seq("node"))
   }
+
+  /**
+   * Recommended quadratic-valve settings read off a [[graphCard]] —
+   * so 100×-scale users size `maxDegree` / `maxPivotDegree` /
+   * `maxClosureRows` from measured graph shape instead of hand-tuning:
+   *
+   *  - `maxDegree` (for [[triangleCount]] / [[kTruss]] /
+   *    `clusteringCoefficient`) and `maxPivotDegree` (for
+   *    `bipartiteProject`): `ceil(sqrt(2·E))` whenever the observed
+   *    max degree exceeds it, else `None` (no hub to valve). Rationale:
+   *    a node of degree d contributes d² two-paths, so capping at
+   *    ~sqrt(2E) bounds any single node's pair fan-out by the total
+   *    edge count — no "last reducer" (Suri & Vassilvitskii 2011).
+   *  - `sccMaxClosureRows`: `max(64·E, 16·V)` — a closure that honest
+   *    contracted-graph inputs stay well under (diameter-bounded
+   *    reach ≈ E·diameter) but a dense mutual-reach graph blows
+   *    through in the first doublings, tripping [[sccBounded]]'s
+   *    guard early instead of at |V|².
+   *
+   * The card is model-sized (6 metric rows) so the read is a
+   * documented model-sized collect.
+   */
+  def valveAdvisory(card: DataFrame): ValveAdvisory = {
+    val m = card.collect().map(r =>
+      r.getString(r.fieldIndex("metric")) ->
+        r.getDouble(r.fieldIndex("value"))).toMap
+    val edges = m.getOrElse("n_edges", 0.0)
+    val nodes = m.getOrElse("n_nodes", 0.0)
+    val maxDeg = m.getOrElse("max_out_degree", 0.0)
+    val cap = math.ceil(math.sqrt(2.0 * edges)).toLong
+    val hubCap =
+      if (edges > 0 && maxDeg > cap) Some(math.max(cap, 1L).toInt) else None
+    ValveAdvisory(
+      maxDegree = hubCap,
+      maxPivotDegree = hubCap,
+      sccMaxClosureRows = math.max(64L * edges.toLong,
+        16L * nodes.toLong).max(1L),
+      observedMaxDegree = maxDeg.toLong,
+      nNodes = nodes.toLong,
+      nEdges = edges.toLong)
+  }
 }
+
+/** Recommended caps for the quadratic-prone graph operators, derived
+  * from measured graph shape by [[GraphOps.valveAdvisory]]. `None`
+  * means the graph has no hub that needs valving. */
+final case class ValveAdvisory(
+    maxDegree: Option[Int],
+    maxPivotDegree: Option[Int],
+    sccMaxClosureRows: Long,
+    observedMaxDegree: Long,
+    nNodes: Long,
+    nEdges: Long)
+
+/** Thrown when a graph operator's documented scale contract is
+  * violated at runtime (e.g. [[GraphOps.sccBounded]]'s reachability
+  * closure exceeding its row bound) — the fail-fast alternative to
+  * silently materializing a quadratic frame. */
+class GraphContractViolation(msg: String) extends RuntimeException(msg)

@@ -244,15 +244,18 @@ object Multimodal {
    */
   def modalityRoute(df: DataFrame, binCol: String): DataFrame = {
     val magic = base64(substring(col(binCol), 1, 4))
+    // JPEG is matched on the 3-byte FF D8 FF prefix: the 4th byte
+    // varies by container (E0 JFIF, E1 EXIF, DB/EE raw/Adobe...).
+    val magic3 = base64(substring(col(binCol), 1, 3))
     val pngB64 = java.util.Base64.getEncoder.encodeToString(
       Array[Byte](0x89.toByte, 'P', 'N', 'G'))
     val jpgB64 = java.util.Base64.getEncoder.encodeToString(
-      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
     val riffB64 = java.util.Base64.getEncoder.encodeToString(
       "RIFF".getBytes("US-ASCII"))
     df.select(
         when(magic === pngB64, lit("image/png"))
-          .when(magic === jpgB64, lit("image/jpeg"))
+          .when(magic3 === jpgB64, lit("image/jpeg"))
           .when(magic === riffB64, lit("audio/riff"))
           .otherwise(lit("text/plain")).as("modality"),
         length(col(binCol)).cast(LongType).as("__n"))

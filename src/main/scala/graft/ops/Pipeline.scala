@@ -98,12 +98,17 @@ object Pipeline {
    * threshold is committed (cutting at 0.7 may cost 5% of documents
    * but 30% of tokens if length correlates with quality). Thresholds
    * are `i/10` for i in 1..9; a document counts under every threshold
-   * it clears, so rows are cumulative-from-above.
+   * it clears, so rows are cumulative-from-above. All 9 threshold rows
+   * are ALWAYS present — a threshold no document clears reports zeros
+   * (zero-fill convention, same as thresholdSweep / the histograms),
+   * so downstream consumers can rely on the 9-row shape.
    *
    * Scale shape: ONE pass scores quality + token counts (the fused
    * native counter), each slim (quality, n_tokens) row expands
    * IN-ROW to the ≤9 thresholds it clears, and a partial agg
-   * finishes. Totals ride the same frame; no second scan, no window.
+   * finishes; the aggregate left-joins onto a 9-row literal threshold
+   * spine (broadcast, negligible). Totals ride the same frame; no
+   * second scan, no window.
    */
   def curationFrontier(docs: DataFrame): DataFrame = {
     val scored = docs.select(
@@ -116,9 +121,15 @@ object Pipeline {
           i => col("__q") >= i.cast("double") / lit(10.0))).as("__i"))
       .groupBy((col("__i").cast("double") / lit(10.0)).as("threshold"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"))
+    val spine = docs.sparkSession.range(1, 10)
+      .select((col("id").cast("double") / lit(10.0)).as("threshold"))
+    val filled = spine.join(expanded, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
     val totals = scored.agg(count(lit(1)).as("__nd"),
       sum(col("__t")).as("__nt"))
-    expanded.crossJoin(broadcast(totals))
+    filled.crossJoin(broadcast(totals))
       .select(col("threshold"), col("n_docs"), col("n_tokens"),
         round(col("n_docs").cast("double") / col("__nd"), 6).as("doc_frac"),
         round(col("n_tokens").cast("double") / col("__nt"), 6)

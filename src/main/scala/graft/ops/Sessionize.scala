@@ -808,10 +808,12 @@ object Sessionize {
    *   π_0 = uniform over observed types;
    *   π_{k+1}(t) = Σ_f π_k(f) · P(f→t), then π_{k+1} /= Σ π_{k+1}.
    *
-   * The L1 renormalization each round puts mass lost to absorbing
-   * types (types never seen as `from`) back uniformly — documented
-   * convention, mirrored by the oracle. Deterministic: P is a ratio of
-   * exact counts and the iteration count is fixed.
+   * The L1 renormalization each round redistributes mass lost to
+   * absorbing types (types never seen as `from`) proportionally to the
+   * current π (dividing by the L1 total scales every surviving entry
+   * by the same factor) — documented convention, mirrored by the
+   * oracle. Deterministic: P is a ratio of exact counts and the
+   * iteration count is fixed.
    *
    * Scale: the heavy step is the ONE per-user lead() shuffle inside
    * [[eventTransitions]]; everything after lives on the (types×types)

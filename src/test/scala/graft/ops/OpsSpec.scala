@@ -4679,4 +4679,157 @@ class OpsSpec extends AnyFunSuite {
         3L -> "quarantined"))
     } finally q.stop()
   }
+
+  test("kTruss valve: valved == unvalved on a hub-free graph; hub edges drop under the cap") {
+    // hub-free: K4 + pendant triangle (max degree 4 on node 4)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("a", "b")
+    val un = GraphOps.kTruss(e, "a", "b", k = 4, rounds = 2)
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val v = GraphOps.kTruss(e, "a", "b", k = 4, rounds = 2,
+        maxDegree = Some(10))
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(v.toSeq == un.toSeq)
+    val exv = GraphOps.kTrussExact(e, "a", "b", k = 4, maxDegree = Some(10))
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exv.toSeq == un.toSeq)
+    // hub graph: K4 plus a degree-20 hub fanning out of node 1; capping
+    // at 5 removes the hub's edges, leaving exactly the K4 truss
+    val hub = (101L to 120L).map(x => (1L, x))
+    val he = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ hub).toDF("a", "b")
+    val capped = GraphOps.kTrussExact(he, "a", "b", k = 4,
+        maxDegree = Some(25))
+      .orderBy("lo", "hi").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    // cap below node 1's degree (23): its edges drop pre-peel, so no
+    // triangle survives k=4 (nodes 2,3,4 alone hold one triangle)
+    assert(GraphOps.kTrussExact(he, "a", "b", k = 4,
+      maxDegree = Some(5)).count() == 0L)
+  }
+
+  test("sccBounded guard: dense mutual-reach graph trips GraphContractViolation; g18-shape untouched") {
+    // complete bidirectional graph on 12 nodes: closure = 132 ordered
+    // pairs immediately, over a 100-row bound
+    val n = 12
+    val dense = (for { a <- 1 to n; b <- 1 to n if a != b }
+      yield (a.toLong, b.toLong)).toDF("s", "d")
+    val ex = intercept[GraphContractViolation] {
+      GraphOps.sccBounded(dense, "s", "d", rounds = 3,
+        maxClosureRows = 100L)
+    }
+    assert(ex.getMessage.contains("maxClosureRows=100"))
+    assert(ex.getMessage.contains("round 1"))
+    // the contract-honoring case still works under the same bound
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val c = GraphOps.sccBounded(e, "s", "d", rounds = 3,
+        maxClosureRows = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L && c(4L) == 4L)
+  }
+
+  test("valveAdvisory: hub graph gets sqrt(2E) caps, hub-free gets none; scc bound scales with E") {
+    // star hub: node 0 -> 1..40 plus a small chain; max degree 40,
+    // sqrt(2*42) ~ 10 -> caps recommended
+    val hubEdges = ((1L to 40L).map(x => (0L, x)) ++ Seq((41L, 42L),
+      (42L, 43L))).toDF("s", "d")
+    val a = GraphOps.valveAdvisory(GraphOps.graphCard(hubEdges, "s", "d"))
+    assert(a.maxDegree.nonEmpty && a.maxPivotDegree == a.maxDegree)
+    assert(a.maxDegree.get == math.ceil(math.sqrt(2.0 * a.nEdges)).toInt)
+    assert(a.observedMaxDegree == 40L && a.nEdges == 42L)
+    assert(a.sccMaxClosureRows == 64L * 42L)
+    // cycle: every degree 1 (directed out-degree), no hub -> no caps
+    val ring = (1 to 20).map(i => (i.toLong, (i % 20 + 1).toLong))
+      .toDF("s", "d")
+    val b = GraphOps.valveAdvisory(GraphOps.graphCard(ring, "s", "d"))
+    assert(b.maxDegree.isEmpty && b.maxPivotDegree.isEmpty)
+  }
+
+  test("applyChangeFeed: seq ties resolve deterministically, upsert beats delete; streaming agrees") {
+    val snap = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
+    // id=1: D and U tied at seq 5 -> exactly one winner, the upsert
+    // id=2: two upserts tied at seq 5 -> the greater payload, once
+    val feed = Seq(
+      (1L, null.asInstanceOf[String], "D", 5L),
+      (1L, "one-up", "U", 5L),
+      (2L, "two-a", "U", 5L),
+      (2L, "two-b", "U", 5L))
+      .toDF("id", "name", "op", "seq")
+    val out = ChangeData.applyChangeFeed(snap, feed, "id", "seq")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "one-up"), (2L, "two-b")))
+
+    // streaming twin: same (seq, op, payload) order -> same winners
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ChangeData.Change]
+    val q = ChangeData.streamingLatest(mem.toDS())
+      .writeStream.format("memory").queryName("tieslatest")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        ChangeData.Change(1L, 5L, "D", ""),
+        ChangeData.Change(1L, 5L, "U", "one-up"),
+        ChangeData.Change(2L, 5L, "U", "two-a"),
+        ChangeData.Change(2L, 5L, "U", "two-b"))
+      q.processAllAvailable()
+      // a replay of the losing tie rows must be a no-op
+      mem.addData(ChangeData.Change(1L, 5L, "D", ""),
+        ChangeData.Change(2L, 5L, "U", "two-a"))
+      q.processAllAvailable()
+      val rows = spark.table("tieslatest").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      // exactly one emission per key, matching the batch winners
+      assert(rows.sorted.toSeq == Seq((1L, 5L, "U", "one-up"),
+        (2L, 5L, "U", "two-b")))
+    } finally q.stop()
+  }
+
+  test("mortonCode: negative dimensions raise, nulls propagate null") {
+    val ex = intercept[Exception] {
+      spark.range(1).select(Bucketing.mortonCode(lit(-1), lit(3), 4)).head()
+    }
+    assert(ex.getMessage.contains("negative dimension") ||
+      Option(ex.getCause).exists(_.getMessage.contains("negative dimension")))
+    val r = Seq((Some(3), Some(5)), (None, Some(2)))
+      .toDF("x", "y")
+      .select(Bucketing.mortonCode(col("x"), col("y"), 4).as("m"))
+      .orderBy(col("m").asc_nulls_last).collect()
+    assert(r(0).getLong(0) == 39L) // interleave(3,5) = 39
+    assert(r(1).isNullAt(0))
+  }
+
+  test("modalityRoute: EXIF (FF D8 FF E1) and JFIF (FF D8 FF E0) both route image/jpeg") {
+    val jfif = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe0.toByte, 0x10, 0x20)
+    val exif = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xe1.toByte, 0x30)
+    val raw = "plain text".getBytes("UTF-8")
+    val d = Seq((1L, jfif), (2L, exif), (3L, raw)).toDF("id", "payload")
+    val got = Multimodal.modalityRoute(d, "payload").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("image/jpeg") == 2L)
+    assert(got("text/plain") == 1L)
+  }
+
+  test("curationFrontier: all 9 threshold rows present, zero-filled when no doc clears") {
+    // empty-ish corpus: quality of "" is low, so high deciles are empty
+    val d = Seq((1L, "x y", 3L), (2L, "z w", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val rows = Pipeline.curationFrontier(d).orderBy("threshold").collect()
+    assert(rows.length == 9)
+    assert(rows.map(_.getDouble(0)).toSeq ==
+      (1 to 9).map(_ / 10.0).toSeq)
+    // cumulative-from-above: n_docs non-increasing with threshold
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // the top decile of a 2-tiny-doc corpus must be zero-filled (not
+    // absent) if nothing clears it
+    val last = rows.last
+    if (last.getLong(1) == 0L) {
+      assert(last.getLong(2) == 0L)
+      assert(last.getDouble(3) == 0.0 && last.getDouble(4) == 0.0)
+    }
+  }
 }
