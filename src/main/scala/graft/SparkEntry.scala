@@ -773,6 +773,29 @@ object SparkEntry {
              |       THEN 1 ELSE 0 END AS BIGINT) AS has_orders
              |FROM customer ORDER BY cname LIMIT 50""".stripMargin)),
 
+    // --- inline property maps (extension; the reference rejects them,
+    //     CypherVisitor.cs:1094-1097,1173-1176): an ANONYMOUS node map
+    //     ({n_name: …} desugars onto a parser-synthesized alias), a
+    //     BOUND relationship map [l:CONTAINS {l_returnflag: …}], both
+    //     lowered to WHERE conjuncts at parse time
+    ("q50_property_maps", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->({n_name: 'NATION_5'}),
+        |      (c)-[:PLACED]->(o:Order)
+        |        -[l:CONTAINS {l_returnflag: 'R'}]->(p:Part)
+        |RETURN c.c_name AS cname, count(p) AS n_items,
+        |       round(sum(l.l_extendedprice), 2) AS revenue
+        |ORDER BY cname""".stripMargin),
+      Some("""SELECT c_name AS cname, count(p_partkey) AS n_items,
+             |       round(sum(l_extendedprice), 2) AS revenue
+             |FROM customer
+             |JOIN nation ON n_nationkey = c_nationkey
+             |           AND n_name = 'NATION_5'
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |             AND l_returnflag = 'R'
+             |JOIN part ON p_partkey = l_partkey
+             |GROUP BY 1 ORDER BY cname""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -63,9 +63,13 @@ object Analyzer {
                                pathVar: Option[String])
     final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
     // user-written aliases may not enter the engine's internal `__`
-    // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …)
+    // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …).
+    // `__pm<N>` is exempt: the PARSER synthesizes it for anonymous
+    // map-bearing pattern entities (inline property maps) and rejects
+    // any user-typed `__`-prefixed pattern alias itself, so the prefix
+    // can only arrive parser-made.
     def checkUserAlias(a: String): Unit =
-      if (a.startsWith("__"))
+      if (a.startsWith("__") && !a.startsWith("__pm"))
         throw new CypherNotSupportedException(
           s"alias '$a' — names starting with __ are reserved")
     val named = matches.map { m =>

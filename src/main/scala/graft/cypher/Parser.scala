@@ -15,17 +15,44 @@ import ast._
  * Unlike the reference, UNION / UNION ALL is parsed and kept
  * (the reference's visitor silently drops it — CypherVisitor.cs:626-641).
  *
- * With `extensions = true` (opt-in; see [[CypherSession.extended]]) four
+ * With `extensions = true` (opt-in; see [[CypherSession.extended]])
  * constructs the reference lacks are ACCEPTED instead of rejected:
  * SKIP, `$param` query parameters (bound from `params` as typed
- * literals at parse time), UNWIND + collect(), and bounded
- * variable-length relationships `[*lo..hi]` (hi ≤ [[Parser.MaxVarHops]]).
- * Parity mode (`extensions = false`, the default) rejects all four with
- * the reference's messages.
+ * literals at parse time), UNWIND + collect(), bounded
+ * variable-length relationships `[*lo..hi]` (hi ≤ [[Parser.MaxVarHops]]),
+ * and inline property maps `(n:L {k: v})` / `-[r:T {k: v}]-` (desugared
+ * at parse time to WHERE conjuncts on the enclosing MATCH / EXISTS /
+ * COUNT{} / pattern comprehension; rejected on var-length rels and
+ * type alternations, whose hops have no single property namespace).
+ * Parity mode (`extensions = false`, the default) rejects all of them
+ * with the reference's messages.
  */
 final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
                    params: Map[String, Any] = Map.empty) {
   private var p = 0
+
+  // ----- inline property maps (extension) -----------------------------
+  // `(n:L {k: v, …})` / `-[r:T {k: v}]-` desugar AT PARSE TIME to WHERE
+  // conjuncts `n.k = v` on the enclosing pattern consumer (MATCH /
+  // EXISTS / COUNT{} / pattern comprehension) — the reference rejects
+  // the form outright (CypherVisitor.cs:1094-1097,1173-1176). Anonymous
+  // map-bearing entities get a parser-synthesized `__pm<N>` alias to
+  // hang the conjunct on (the `__` namespace is reserved — user aliases
+  // starting with `__` are rejected below, so no collision is possible).
+  // Conjuncts buffer here; each consumer marks the buffer before
+  // parsing its patterns and drains only its own suffix, so nested
+  // pattern expressions (EXISTS inside a MATCH WHERE) stay scoped.
+  private val propConjuncts = scala.collection.mutable.ArrayBuffer[Expr]()
+  private def pcMark(): Int = propConjuncts.length
+  private def pcDrain(m: Int): Seq[Expr] = {
+    val r = propConjuncts.drop(m).toSeq
+    propConjuncts.remove(m, propConjuncts.length - m)
+    r
+  }
+  private def andAll(base: Option[Expr], extra: Seq[Expr]): Option[Expr] =
+    (base.toSeq ++ extra).reduceOption(Bin(BinOp.And, _, _))
+  private var pmN = 0
+  private def nextPm(): String = { val a = s"__pm$pmN"; pmN += 1; a }
 
   private def cur: Tok = tokens(p)
   private def advance(): Tok = { val t = tokens(p); p += 1; t }
@@ -188,11 +215,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   }
 
   private def parseMatchBody(optional: Boolean): MatchClause = {
+    val m0 = pcMark()
     val pats = Vector.newBuilder[PatternPart]
     pats += parsePatternPart(allowPath = true)
     while (tryPunct(",")) pats += parsePatternPart(allowPath = true)
+    // drain the pattern's property-map conjuncts BEFORE parsing the
+    // WHERE: a pattern expression inside it (EXISTS { … }) scopes its
+    // own maps
+    val mapConj = pcDrain(m0)
     val where = if (tryKw("WHERE")) Some(parseExpr()) else None
-    MatchClause(pats.result(), optional, where)
+    MatchClause(pats.result(), optional, andAll(where, mapConj))
   }
 
   /** Safe one-token lookahead: EOF past the end (the token vector always
@@ -255,21 +287,61 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     PatternPart(nodes.result(), rels.result(), pathVar, shortest, allShortest)
   }
 
+  /** `{k: expr, …}` in a pattern position. Keys may be identifiers,
+   *  strings, or keywords-as-names (`{contains: 1}`); duplicates are a
+   *  syntax error; an empty map is legal and contributes nothing. */
+  private def parsePropMap(): Seq[(String, Expr)] = {
+    eatPunct("{")
+    val fields = Vector.newBuilder[(String, Expr)]
+    def one(): Unit = {
+      val k = cur match {
+        case Ident(s, _)  => p += 1; s
+        case StrLit(s, _) => p += 1; s
+        case Kw(_, raw, _) => p += 1; raw
+        case _ => syntaxErr("expected a property name in property map")
+      }
+      eatPunct(":")
+      fields += (k -> parseExpr())
+    }
+    if (!isPunct("}")) { one(); while (tryPunct(",")) one() }
+    eatPunct("}")
+    val fs = fields.result()
+    val dup = fs.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+    dup.foreach(k => syntaxErr(s"duplicate property '$k' in property map"))
+    fs
+  }
+
+  /** Pattern-alias reader: user aliases may not enter the engine's
+   *  reserved `__` namespace (keeps parser-synthesized `__pm<N>`
+   *  collision-free; the analyzer enforces the same rule for
+   *  everything it names). */
+  private def patAlias(): Option[String] = cur match {
+    case Ident(s, _) =>
+      if (s.startsWith("__"))
+        notSupported(s"alias '$s' — names starting with __ are reserved")
+      p += 1; Some(s)
+    case _ => None
+  }
+
   private def parseNodePat(): NodePat = {
     eatPunct("(")
-    val alias = cur match {
-      case Ident(s, _) => p += 1; Some(s)
-      case _ => None
-    }
+    val alias = patAlias()
     val label = if (tryPunct(":")) {
       val l = name()
       if (isPunct(":")) notSupported("multiple node labels in one pattern")
       Some(l)
     } else None
-    if (isPunct("{"))
-      notSupported("inline property map in node pattern")
+    val props = if (isPunct("{")) {
+      if (!extensions)
+        notSupported("inline property map in node pattern " +
+          "(supported with extensions enabled)")
+      parsePropMap()
+    } else Seq.empty
     eatPunct(")")
-    NodePat(alias, label)
+    val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
+    props.foreach { case (k, v) =>
+      propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
+    NodePat(bound, label)
   }
 
   /** Parses one relationship pattern if the next tokens start one. */
@@ -278,10 +350,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     if (!leftArrow && !isPunct("-")) return None
     p += 1
     if (tryPunct("[")) {
-      val alias = cur match {
-        case Ident(s, _) => p += 1; Some(s)
-        case _ => None
-      }
+      val alias = patAlias()
       var alts: Seq[String] = Seq.empty
       val verb = if (tryPunct(":")) {
         val v = name()
@@ -340,13 +409,29 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             s"the supported maximum ${Parser.MaxVarHops}")
         Some(range)
       } else None
-      if (isPunct("{")) notSupported("inline property map in rel pattern")
+      val props = if (isPunct("{")) {
+        if (!extensions)
+          notSupported("inline property map in rel pattern " +
+            "(supported with extensions enabled)")
+        if (varLength.isDefined)
+          notSupported("inline property map on a variable-length " +
+            "relationship (each hop is a distinct relationship — bind " +
+            "single hops and filter with WHERE)")
+        if (alts.nonEmpty)
+          notSupported("inline property map on a relationship type " +
+            "alternation (the alternatives have different property " +
+            "namespaces)")
+        parsePropMap()
+      } else Seq.empty
       eatPunct("]")
+      val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
+      props.foreach { case (k, v) =>
+        propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
       val dir =
         if (leftArrow) { eatPunct("-"); Direction.In }
         else if (tryPunct("->")) Direction.Out
         else { eatPunct("-"); Direction.Both }
-      Some(RelPat(alias, verb, dir, varLength, alts))
+      Some(RelPat(bound, verb, dir, varLength, alts))
     } else {
       // bare arrows: --, -->, <--
       val dir =
@@ -616,20 +701,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // subquery form: EXISTS { [MATCH] pat[, pat…] [WHERE pred] }
           p += 2 // EXISTS + '{'
           tryKw("MATCH")
+          val m0 = pcMark()
           val pats = Vector.newBuilder[PatternPart]
           pats += parsePatternPart()
           while (tryPunct(",")) pats += parsePatternPart()
+          val mapConj = pcDrain(m0)
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatPunct("}")
-          ExistsPat(pats.result(), w)
+          ExistsPat(pats.result(), andAll(w, mapConj))
         case _ =>
           p += 2 // EXISTS + '('
           // `EXISTS((…)…)` opens a node pattern → pattern predicate;
           // `EXISTS(expr)` is openCypher's property test → IS NOT NULL
           if (isPunct("(")) {
+            val m0 = pcMark()
             val part = parsePatternPart()
             eatPunct(")")
-            ExistsPat(Seq(part), None)
+            ExistsPat(Seq(part), andAll(None, pcDrain(m0)))
           } else {
             val e = parseExpr()
             eatPunct(")")
@@ -669,18 +757,24 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       // pattern parse and backtrack unless it yields ≥1 relationship
       if (extensions && isPunct("(")) {
         val save = p
+        val m0 = pcMark()
+        // backtracking must also roll back any property-map conjuncts
+        // (and synthesized aliases) the failed attempt buffered
+        val pmSave = pmN
+        def rollback(): None.type = { p = save; pcDrain(m0); pmN = pmSave; None }
         val attempt: Option[PatternComp] =
           try {
             val part = parsePatternPart()
-            if (part.rels.isEmpty) { p = save; None }
+            if (part.rels.isEmpty) rollback()
             else {
+              val mapConj = pcDrain(m0)
               val w = if (tryKw("WHERE")) Some(parseExpr()) else None
               eatPunct("|")
               val pe = parseExpr()
               eatPunct("]")
-              Some(PatternComp(part, w, pe))
+              Some(PatternComp(part, andAll(w, mapConj), pe))
             }
-          } catch { case _: CypherException => p = save; None }
+          } catch { case _: CypherException => rollback() }
         attempt match {
           case Some(pc) => return pc
           case None =>
@@ -742,13 +836,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             notSupported("COUNT { pattern } (supported with extensions enabled)")
           p += 2 // count + '{'
           tryKw("MATCH")
+          val m0 = pcMark()
           val part = parsePatternPart()
           if (isPunct(","))
             notSupported("multiple patterns inside COUNT { } " +
               "(one pattern part per subquery)")
+          val mapConj = pcDrain(m0)
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatPunct("}")
-          Func("size", Seq(PatternComp(part, w, Lit(1L))))
+          Func("size", Seq(PatternComp(part, andAll(w, mapConj), Lit(1L))))
         case Punct("(", _) => parseCall(id)
         case Punct(".", _) =>
           p += 2

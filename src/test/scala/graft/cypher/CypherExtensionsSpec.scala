@@ -1117,4 +1117,88 @@ class CypherExtensionsSpec extends AnyFunSuite {
         "MATCH (p:Person) RETURN COUNT { (p)-[:ACTED_IN]->(m:Movie), (p)-[:DIRECTED]->(x:Movie) } AS C")
     }
   }
+
+  // ------------------------------------------- inline property maps
+
+  test("node property map filters, aliased and anonymous") {
+    val r = rows("MATCH (p:Person {Name: 'Tom Hanks'}) RETURN p.Born AS B")
+    assert(r.map(_.getInt(0)) == Seq(1956))
+    // anonymous map-bearing node; multiple keys with an expression value
+    val r2 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->({Title: 'Apollo 13',
+        |  Released: 1990 + 5}) RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(r2.map(_.getString(0)) == Seq("Kevin Bacon", "Tom Hanks"))
+    // empty map is legal and a no-op
+    assert(rows("MATCH (p:Person {}) RETURN count(p.id) AS n")
+      .head.getLong(0) == 5L)
+  }
+
+  test("relationship property map filters on edge properties") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN {Roles: 'Jack Swigert'}]->(m:Movie)
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Kevin Bacon", "Apollo 13")))
+    // anonymous rel with a map
+    val r2 = rows(
+      """MATCH (p:Person)-[:ACTED_IN {Roles: 'Annie Reed'}]->(m:Movie)
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(r2.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Meg Ryan", "Sleepless in Seattle")))
+  }
+
+  test("property map composes with an explicit WHERE (conjunction)") {
+    val r = rows(
+      """MATCH (p:Person {Name: 'Tom Hanks'})-[a:ACTED_IN]->(m:Movie)
+        |WHERE m.Released > 1994
+        |RETURN m.Title AS T ORDER BY T""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Apollo 13", "You've Got Mail"))
+  }
+
+  test("property map inside OPTIONAL MATCH keeps left rows (pattern-time filter)") {
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[:ACTED_IN {Roles: 'Jim Lovell'}]->(m:Movie)
+        |RETURN p.Name AS N, m.Title AS T ORDER BY N""".stripMargin)
+    val got = r.map(x => (x.getString(0), Option(x.getString(1))))
+    assert(got.toMap == Map(
+      "Tom Hanks" -> Some("Apollo 13"),
+      "Meg Ryan" -> None, "Kevin Bacon" -> None,
+      "Rob Reiner" -> None, "Jessica Thompson" -> None))
+  }
+
+  test("property map scopes inside EXISTS and pattern comprehensions") {
+    val r = rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:ACTED_IN {Roles: 'Joe Fox'}]->(:Movie) }
+        |RETURN p.Name AS N""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+    val r2 = rows(
+      """MATCH (p:Person {Name: 'Tom Hanks'})
+        |RETURN [(p)-[:ACTED_IN {Roles: 'Jim Lovell'}]->(x:Movie) |
+        |  x.Title] AS TS""".stripMargin)
+    assert(r2.map(_.getSeq[String](0)) == Seq(Seq("Apollo 13")))
+  }
+
+  test("property map against a null property matches nothing (Cypher 3VL)") {
+    // p4/p5 have Born = null; equality with null is null, never true
+    val r = rows(
+      "MATCH (p:Person {Born: 1956}) RETURN p.Name AS N")
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+  }
+
+  test("property map typed rejections: duplicates, var-length, alternation, reserved alias") {
+    intercept[CypherSyntaxException](rows(
+      "MATCH (p:Person {Name: 'a', Name: 'b'}) RETURN p.Name AS N"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:FOLLOWS*1..2 {x: 1}]->(q:Person)
+        |RETURN q.Name AS N""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:ACTED_IN|REVIEWED {Rating: 95}]->(m:Movie)
+        |RETURN m.Title AS T""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (__pm0:Person) RETURN __pm0.Name AS N"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (__x:Person) RETURN __x.Name AS N"))
+  }
 }
