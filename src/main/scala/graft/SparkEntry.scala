@@ -796,6 +796,22 @@ object SparkEntry {
              |JOIN part ON p_partkey = l_partkey
              |GROUP BY 1 ORDER BY cname""".stripMargin)),
 
+    // --- multi-label patterns (extension; reference rejects,
+    //     CypherVisitor.cs:1119-1127): label-set intersection via
+    //     schema-declared sub-labels — same table, one discriminator
+    //     WHERE conjunct each, no second scan
+    ("q51_multi_label", cyx(
+      """MATCH (c:Customer:BuildingCustomer)
+        |        -[:PLACED]->(o:Order:UrgentOrder)
+        |RETURN c.c_mktsegment AS seg, count(o) AS n_urgent,
+        |       round(sum(o.o_totalprice), 2) AS total""".stripMargin),
+      Some("""SELECT c_mktsegment AS seg, count(o_orderkey) AS n_urgent,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderpriority = '1-URGENT'
+             |GROUP BY 1""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

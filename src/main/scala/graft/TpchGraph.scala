@@ -15,13 +15,19 @@ object TpchGraph {
       NodeDef("Region", "r_regionkey", Seq("r_name"), "region"),
       NodeDef("Nation", "n_nationkey", Seq("n_name"), "nation"),
       NodeDef("Customer", "c_custkey",
-        Seq("c_name", "c_acctbal", "c_mktsegment", "c_nationkey"), "customer"),
+        Seq("c_name", "c_acctbal", "c_mktsegment", "c_nationkey"), "customer",
+        // secondary labels (extension): same table, one discriminator —
+        // `(c:Customer:BuildingCustomer)` lowers to c_mktsegment = …
+        subLabels = Map(
+          "BuildingCustomer" -> ("c_mktsegment", "BUILDING"),
+          "MachineryCustomer" -> ("c_mktsegment", "MACHINERY"))),
       NodeDef("Supplier", "s_suppkey", Seq("s_name", "s_acctbal"), "supplier"),
       NodeDef("Part", "p_partkey",
         Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part"),
       NodeDef("Order", "o_orderkey",
         Seq("o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
-        "orders")),
+        "orders",
+        subLabels = Map("UrgentOrder" -> ("o_orderpriority", "1-URGENT")))),
     edges = Seq(
       EdgeDef("IN_REGION", "Nation", "Region",
         "n_nationkey", "n_regionkey", Seq.empty, "nation"),

@@ -101,10 +101,43 @@ object Analyzer {
       case None => labels(alias) = label; true
     }
 
-    // explicit labels
-    named.foreach(_.parts.foreach(_.nodes.foreach { np =>
-      np.label.foreach(l => { schema.node(l); assign(np.alias.get, l) })
-    }))
+    // explicit labels. A multi-label set `(n:A:B)` (extension; parser
+    // gates the syntax) resolves to the ONE schema node that declares
+    // every other label in the set as a sub-label; each extra lowers to
+    // a discriminator WHERE conjunct on that clause. Anything else is a
+    // precise binding rejection naming the unsupported schema shape.
+    val subConjuncts: Array[scala.collection.mutable.Builder[Expr, Vector[Expr]]] =
+      Array.fill(named.size)(Vector.newBuilder[Expr])
+    named.zipWithIndex.foreach { case (nmm, mi) =>
+      nmm.parts.foreach(_.nodes.foreach { np =>
+        val ls = (np.label.toSeq ++ np.extraLabels).distinct
+        if (ls.size == 1) { schema.node(ls.head); assign(np.alias.get, ls.head) }
+        else if (ls.size > 1) {
+          val owners = ls.flatMap(schema.nodeOpt).filter(nd =>
+            (ls.toSet - nd.label).forall(nd.subLabels.contains))
+          owners match {
+            case Seq(nd) =>
+              assign(np.alias.get, nd.label)
+              (ls.toSet - nd.label).toSeq.sorted.foreach { sl =>
+                val (prop, v) = nd.subLabels(sl)
+                subConjuncts(mi) +=
+                  Bin(BinOp.Eq, Ref(np.alias.get, Some(prop)), Lit(v))
+              }
+            case Seq() =>
+              throw new CypherBindingException(
+                s"multi-label (${ls.mkString(":")}): no schema backing — " +
+                "exactly one label must be a node whose declared subLabels " +
+                "cover the rest (same table + discriminator property); " +
+                "labels backed by different tables cannot intersect")
+            case more =>
+              throw new CypherBindingException(
+                s"multi-label (${ls.mkString(":")}) is ambiguous: " +
+                s"${more.map(_.label).sorted.mkString(", ")} each back the " +
+                "full set")
+          }
+        }
+      })
+    }
 
     // traversal triples (leftAlias, rel, rightAlias)
     val traversals: Seq[(String, RelPat, String)] = named.flatMap(_.parts.flatMap {
@@ -149,7 +182,7 @@ object Analyzer {
     val allRelAliases: Set[String] =
       named.flatMap(_.parts.flatMap(_.rels.flatMap(_.alias))).toSet
     val pathSeen = scala.collection.mutable.Set[String]()
-    named.map { nm =>
+    named.zipWithIndex.map { case (nm, mi) =>
       val rels = Vector.newBuilder[ResolvedRel]
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
@@ -202,8 +235,12 @@ object Analyzer {
         if rs(i).edge.key == rs(j).edge.key
       } yield (rs(i), rs(j))
 
+      // multi-label discriminator conjuncts AND into this clause's WHERE
+      // (pattern-time semantics — OPTIONAL MATCH keeps left rows)
+      val where = (nm.m.where.toSeq ++ subConjuncts(mi).result())
+        .reduceOption(Bin(BinOp.And, _, _))
       ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
-        nm.m.optional, nm.m.where, pairs, paths.result())
+        nm.m.optional, where, pairs, paths.result())
     }
   }
 

@@ -115,7 +115,13 @@ object ast {
     case object Both extends Direction   // (a)-[r]-(b)
   }
 
-  final case class NodePat(alias: Option[String], label: Option[String])
+  /** `extraLabels` carries the 2nd..nth labels of a multi-label pattern
+   *  `(n:A:B)` — a flagged EXTENSION (the reference rejects,
+   *  CypherVisitor.cs:1119-1127); the analyzer resolves the set to the
+   *  ONE schema node whose declared sub-labels back the rest and lowers
+   *  each extra to a discriminator WHERE conjunct. */
+  final case class NodePat(alias: Option[String], label: Option[String],
+                           extraLabels: Seq[String] = Seq.empty)
   /** `varLength = Some((lo, hi))` marks a bounded variable-length
    *  relationship `[*lo..hi]` — a flagged EXTENSION (the reference
    *  rejects var-length, CypherVisitor.cs:2035-2039); the compiler

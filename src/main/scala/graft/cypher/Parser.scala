@@ -326,11 +326,18 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def parseNodePat(): NodePat = {
     eatPunct("(")
     val alias = patAlias()
-    val label = if (tryPunct(":")) {
+    val (label, extraLabels) = if (tryPunct(":")) {
       val l = name()
-      if (isPunct(":")) notSupported("multiple node labels in one pattern")
-      Some(l)
-    } else None
+      val extras = Vector.newBuilder[String]
+      while (isPunct(":")) {
+        if (!extensions)
+          notSupported("multiple node labels in one pattern " +
+            "(supported with extensions enabled)")
+        p += 1
+        extras += name()
+      }
+      (Some(l), extras.result())
+    } else (None, Vector.empty[String])
     val props = if (isPunct("{")) {
       if (!extensions)
         notSupported("inline property map in node pattern " +
@@ -341,7 +348,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
     props.foreach { case (k, v) =>
       propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
-    NodePat(bound, label)
+    NodePat(bound, label, extraLabels)
   }
 
   /** Parses one relationship pattern if the next tokens start one. */

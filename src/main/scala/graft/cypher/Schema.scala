@@ -26,7 +26,17 @@ final case class NodeDef(
       * carries a .NET DataType per property). Empty = trust the backing
       * schema; declared entries are validated against the backing table
       * at bind time. */
-    propertyTypes: Map[String, DataType] = Map.empty)
+    propertyTypes: Map[String, DataType] = Map.empty,
+    /** Schema-declared SECONDARY labels (extension; the reference's
+      * schema model carries a `Label` property role —
+      * EntityProperty.cs:13-29 — but its visitor rejects multi-label
+      * patterns, CypherVisitor.cs:1119-1127): sub-label name →
+      * (discriminator property, required value). A pattern
+      * `(n:Primary:Sub)` lowers to a WHERE conjunct
+      * `n.property = value` on the primary's table — same table, one
+      * discriminator, no second scan. The discriminator must be one of
+      * `properties`. */
+    subLabels: Map[String, (String, Any)] = Map.empty)
 
 final case class EdgeDef(
     verb: String,
@@ -43,6 +53,19 @@ final case class EdgeDef(
 final case class GraphSchema(nodes: Seq[NodeDef], edges: Seq[EdgeDef]) {
   private val nodeByLabel: Map[String, NodeDef] =
     nodes.map(n => n.label -> n).toMap
+  // sub-label sanity: a secondary label may not shadow a primary label,
+  // and its discriminator must be a declared property of its owner
+  nodes.foreach { n =>
+    n.subLabels.foreach { case (sl, (prop, _)) =>
+      if (nodeByLabel.contains(sl))
+        throw new CypherBindingException(
+          s"sub-label '$sl' of node '${n.label}' shadows a primary label")
+      if (!n.properties.contains(prop) && prop != n.idColumn)
+        throw new CypherBindingException(
+          s"sub-label '$sl' of node '${n.label}': discriminator '$prop' " +
+          "is not a declared property")
+    }
+  }
   private val edgeByTriple: Map[(String, String, String), EdgeDef] =
     edges.map(e => e.key -> e).toMap
 

@@ -1201,4 +1201,43 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       "MATCH (__x:Person) RETURN __x.Name AS N"))
   }
+
+  // ---------------------------------------------------- multi-label
+
+  test("multi-label resolves via schema sub-labels, order-independent") {
+    val r = rows("MATCH (p:Person:Boomer) RETURN p.Name AS N")
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+    // sub-label first: the set resolves the same way
+    val r2 = rows("MATCH (p:Boomer:Person) RETURN p.Name AS N")
+    assert(r2.map(_.getString(0)) == Seq("Tom Hanks"))
+    // in a traversal, composed with a property map on the other end
+    val r3 = rows(
+      """MATCH (p:Person:Boomer)-[:ACTED_IN]->(m:Movie:NinetiesClassic)
+        |RETURN m.Title AS T""".stripMargin)
+    assert(r3.map(_.getString(0)) == Seq("Sleepless in Seattle"))
+  }
+
+  test("multi-label in OPTIONAL MATCH keeps left rows (pattern-time filter)") {
+    val r = rows(
+      """MATCH (m:Movie)
+        |OPTIONAL MATCH (p:Person:Boomer)-[:ACTED_IN]->(m)
+        |RETURN m.Title AS T, p.Name AS N ORDER BY T""".stripMargin)
+    val got = r.map(x => (x.getString(0), Option(x.getString(1))))
+    assert(got == Seq(
+      ("Apollo 13", Some("Tom Hanks")),
+      ("Sleepless in Seattle", Some("Tom Hanks")),
+      ("You've Got Mail", Some("Tom Hanks"))))
+  }
+
+  test("multi-label typed rejections name the unsupported schema shape") {
+    val e1 = intercept[CypherBindingException](rows(
+      "MATCH (x:Person:Movie) RETURN x.Name AS N"))
+    assert(e1.getMessage.contains("no schema backing"))
+    val e2 = intercept[CypherBindingException](rows(
+      "MATCH (x:Person:Nope) RETURN x.Name AS N"))
+    assert(e2.getMessage.contains("no schema backing"))
+    // a lone sub-label is NOT a primary label (the set form is required)
+    intercept[CypherBindingException](rows(
+      "MATCH (x:Boomer) RETURN x.Name AS N"))
+  }
 }

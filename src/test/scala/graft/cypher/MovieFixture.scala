@@ -8,8 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object MovieFixture {
   val schema: GraphSchema = GraphSchema(
     nodes = Seq(
-      NodeDef("Person", "id", Seq("Name", "Born"), "person"),
-      NodeDef("Movie", "id", Seq("Title", "Tagline", "Released"), "movie")),
+      NodeDef("Person", "id", Seq("Name", "Born"), "person",
+        subLabels = Map("Boomer" -> ("Born", 1956))),
+      NodeDef("Movie", "id", Seq("Title", "Tagline", "Released"), "movie",
+        subLabels = Map("NinetiesClassic" -> ("Released", 1993)))),
     edges = Seq(
       EdgeDef("ACTED_IN", "Person", "Movie", "_vertexId", "_sink",
         Seq("Roles"), "acted_in"),
