@@ -812,6 +812,31 @@ object SparkEntry {
              |  AND o_orderpriority = '1-URGENT'
              |GROUP BY 1""".stripMargin)),
 
+    // --- unbounded variable-length [*1..] (extension; reference
+    //     rejects all var-length, CypherVisitor.cs:2035-2039):
+    //     reachable-pair semantics via iterate-to-fixpoint BFS over the
+    //     NEXT_IN_REGION self-type chain — mirrored by a DuckDB
+    //     recursive CTE (UNION-distinct = the same pair semantics)
+    ("q52_unbounded_reach", cyx(
+      """MATCH (a:Nation)-[:NEXT_IN_REGION*1..]->(b:Nation)
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name
+        |ORDER BY src_name, dst_name""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |reach AS (
+             |  SELECT src, dst FROM chain WHERE dst IS NOT NULL
+             |  UNION
+             |  SELECT r.src, c.dst FROM reach r
+             |  JOIN chain c ON c.src = r.dst WHERE c.dst IS NOT NULL)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name
+             |FROM reach
+             |JOIN nation a ON a.n_nationkey = reach.src
+             |JOIN nation b ON b.n_nationkey = reach.dst
+             |ORDER BY src_name, dst_name""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -45,7 +45,13 @@ object TpchGraph {
         "lineitem"),
       EdgeDef("SUPPLIED_BY", "Order", "Supplier",
         "l_orderkey", "l_suppkey",
-        Seq("l_quantity", "l_extendedprice"), "lineitem")))
+        Seq("l_quantity", "l_extendedprice"), "lineitem"),
+      // self-type edge (Nation → Nation): successor nation inside the
+      // same region, derived deterministically from the nation table —
+      // the chain graph behind the unbounded [*1..] reachability
+      // extension (a DuckDB recursive CTE mirrors it exactly)
+      EdgeDef("NEXT_IN_REGION", "Nation", "Nation",
+        "src_nationkey", "dst_nationkey", Seq.empty, "nation_chain")))
 
   def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession = {
     // live-session registration (idempotent): the graft_* SQL surface
@@ -53,6 +59,19 @@ object TpchGraph {
     // as short-circuit `exists` even when the host session wasn't
     // built with spark.sql.extensions
     GraftExtensions.register(spark)
-    CypherSession(spark, schema, dir)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val base: String => org.apache.spark.sql.DataFrame =
+      t => GraphCatalog.cachedParquet(spark, s"$dir/$t.parquet")
+    val loader: String => org.apache.spark.sql.DataFrame = {
+      case "nation_chain" =>
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        base("nation").select(
+            col("n_nationkey").as("src_nationkey"),
+            lead("n_nationkey", 1).over(w).as("dst_nationkey"))
+          .where(col("dst_nationkey").isNotNull)
+      case t => base(t)
+    }
+    new CypherSession(spark, new GraphCatalog(schema, loader))
   }
 }

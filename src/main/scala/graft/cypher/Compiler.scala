@@ -759,13 +759,17 @@ object Compiler {
     sq.parts.zipWithIndex.foreach { case (part, i) =>
       val isLast = i == sq.parts.size - 1
       val scope = ctx.map(_.scope).getOrElse(inherited)
+      // unbounded [*]/[*1..] rels rewrite FIRST to synthetic reach edges
+      // (Reach.rewrite; no-op without one) — bounded var-length in the
+      // same part then goes through the ordinary branch union
+      val (ms, cat) = Reach.rewrite(part.matches, catalog)
       val afterMatch0: Option[Ctx] =
-        if (part.matches.isEmpty) ctx
-        else if (!VarLength.hasVarLength(part.matches))
+        if (ms.isEmpty) ctx
+        else if (!VarLength.hasVarLength(ms))
           Some(compileMatches(ctx,
-            Analyzer.resolvePart(catalog.graph, scope, part.matches),
-            catalog))
-        else Some(compileVarLength(ctx, scope, part.matches, catalog))
+            Analyzer.resolvePart(cat.graph, scope, ms),
+            cat))
+        else Some(compileVarLength(ctx, scope, ms, cat))
       val afterCalls = part.calls.foldLeft(afterMatch0)(
         (c, cs) => Some(applyCall(c, cs, catalog)))
       val afterMatch = afterCalls.getOrElse(

@@ -397,21 +397,29 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case NumLit(_, false, _) => Some(intLit())
           case _ => None
         }
+        // unbounded forms `[*]` / `[*1..]` are accepted (extension) and
+        // lowered to reachability via an iterate-to-fixpoint BFS — hi =
+        // [[Parser.Unbounded]] marks them; a lower bound > 1 has no
+        // reachability lowering (min-distance ≠ exists-longer-path on
+        // cyclic graphs), so those keep the bounded contract
         val range = if (tryPunct("..")) {
           cur match {
             case NumLit(_, false, _) => (lo.getOrElse(1), intLit())
-            case _ => notSupported(
-              s"unbounded variable-length [*${lo.getOrElse("")}..]")
+            case _ => (lo.getOrElse(1), Parser.Unbounded)
           }
         } else lo match {
           case Some(k) => (k, k)
-          case None => notSupported("unbounded variable-length [*]")
+          case None => (1, Parser.Unbounded)
         }
         if (range._1 < 1)
           notSupported("zero-length variable-length paths [*0..]")
+        if (range._2 == Parser.Unbounded && range._1 > 1)
+          notSupported(s"unbounded variable-length [*${range._1}..] with a " +
+            "lower bound > 1 — reachable-pair lowering supports [*] / " +
+            "[*1..]; bound the range [*lo..hi] for longer minimums")
         if (range._2 < range._1)
           syntaxErr(s"variable-length range ${range._1}..${range._2} is empty")
-        if (range._2 > Parser.MaxVarHops)
+        if (range._2 != Parser.Unbounded && range._2 > Parser.MaxVarHops)
           notSupported(s"variable-length upper bound ${range._2} exceeds " +
             s"the supported maximum ${Parser.MaxVarHops}")
         Some(range)
@@ -1022,6 +1030,11 @@ object Parser {
   /** Unrolling cap for `[*lo..hi]` — keeps the UNION ALL fan-out and the
    *  longest join chain bounded (8 hops = 8 joins per branch). */
   val MaxVarHops = 8
+
+  /** Sentinel `hi` marking an unbounded variable-length `[*]`/`[*1..]` —
+   *  lowered by [[Compiler]] to reachable-pair semantics via an
+   *  iterate-to-fixpoint BFS (never unrolled). */
+  val Unbounded: Int = Int.MaxValue
 
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()

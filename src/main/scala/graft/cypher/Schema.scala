@@ -121,6 +121,20 @@ final class GraphCatalog(
   def edgeDf(e: EdgeDef): DataFrame =
     validated(loader(e.table), "edge", e.verb, e.propertyTypes)
   def graph: GraphSchema = schema
+
+  /** Same catalog plus SYNTHETIC edges bound to in-memory DataFrames —
+    * the compiler's hook for data-dependent rewrites (unbounded
+    * variable-length lowers to a reachability frame spliced in as a
+    * one-hop edge). Synthetic table names live in the reserved `__`
+    * namespace so they can never shadow a real table. */
+  def withExtraEdges(extra: Seq[(EdgeDef, DataFrame)]): GraphCatalog =
+    if (extra.isEmpty) this
+    else {
+      val byTable = extra.map(x => x._1.table -> x._2).toMap
+      new GraphCatalog(
+        schema.copy(edges = schema.edges ++ extra.map(_._1)),
+        t => byTable.getOrElse(t, loader(t)))
+    }
 }
 
 object GraphCatalog {

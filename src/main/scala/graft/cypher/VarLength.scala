@@ -69,6 +69,10 @@ object VarLength {
     else {
       val r = pp.rels(i)
       val (lo, hi) = r.varLength.get
+      // unbounded rels are rewritten away by Reach.rewrite before any
+      // expansion — reaching here is a compiler-internal ordering bug
+      require(hi != Parser.Unbounded,
+        "internal: unbounded var-length must be lowered by Reach.rewrite")
       (lo to hi).flatMap { len =>
         val hop = r.copy(varLength = None) // alias is None (parser-enforced)
         val interior = Seq.fill(len - 1)(NodePat(None, None))

@@ -219,13 +219,9 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
-  test("var-length rejections: named rel, unbounded, zero, over-cap") {
+  test("var-length rejections: named rel, zero, over-cap (unbounded now lowers to reach)") {
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[f:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS N"))
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (a:Person)-[:FOLLOWS*]->(b:Person) RETURN a.Name AS N"))
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (a:Person)-[:FOLLOWS*1..]->(b:Person) RETURN a.Name AS N"))
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[:FOLLOWS*0..2]->(b:Person) RETURN a.Name AS N"))
     intercept[CypherNotSupportedException](rows(
@@ -1239,5 +1235,59 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // a lone sub-label is NOT a primary label (the set form is required)
     intercept[CypherBindingException](rows(
       "MATCH (x:Boomer) RETURN x.Name AS N"))
+  }
+
+  // ------------------------------------ unbounded var-length (reach)
+
+  test("[*] / [*1..] reachable-pair semantics over a self-type edge") {
+    // FOLLOWS: p5->p1, p5->p2, p1->p2; the 2-hop p5->p1->p2 dedupes
+    // into the existing (p5, p2) pair — one row per reachable pair
+    val r = rows(
+      """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+        |RETURN a.Name AS A, b.Name AS B ORDER BY A, B""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) == Seq(
+      ("Jessica Thompson", "Meg Ryan"),
+      ("Jessica Thompson", "Tom Hanks"),
+      ("Tom Hanks", "Meg Ryan")))
+    // [*1..] is the same form; reversed arrow swaps roles
+    val r2 = rows(
+      """MATCH (b:Person)<-[:FOLLOWS*1..]-(a:Person)
+        |RETURN a.Name AS A, b.Name AS B ORDER BY A, B""".stripMargin)
+    assert(r2.map(x => (x.getString(0), x.getString(1))) == r.map(x =>
+      (x.getString(0), x.getString(1))))
+  }
+
+  test("unbounded reach composes with fixed hops, WHERE and aggregation") {
+    val r = rows(
+      """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)-[:ACTED_IN]->(m:Movie)
+        |WHERE a.Name = 'Jessica Thompson'
+        |RETURN m.Title AS T, count(b) AS n ORDER BY T""".stripMargin)
+    // reachable from Jessica: Tom (3 movies), Meg (2 movies)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) == Seq(
+      ("Apollo 13", 1L), ("Sleepless in Seattle", 2L),
+      ("You've Got Mail", 2L)))
+  }
+
+  test("unbounded var-length typed rejections keep the bounded contract") {
+    // per-path observations need bounded ranges
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person)
+        |RETURN length(p) AS L""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        |RETURN a.Name AS N""".stripMargin))
+    // lower bound > 1 has no reachability lowering
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
+        |RETURN a.Name AS N""".stripMargin))
+    // undirected / verb-less / non-self-type
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:FOLLOWS*]-(b:Person)
+        |RETURN a.Name AS N""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (a:Person)-[*]->(b:Person) RETURN a.Name AS N"))
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[:ACTED_IN*]->(m:Movie)
+        |RETURN a.Name AS N""".stripMargin))
   }
 }
