@@ -4277,6 +4277,184 @@ object SparkEntry {
              |    AS acf
              |FROM s ORDER BY event_type, lag_k""".stripMargin)),
 
+    // ================================================================
+    // STREAMING-PATH ORACLES (e50-e53): each query RUNS the streaming
+    // twin (flatMapGroupsWithState / watermarked windows) over a
+    // deterministic in-order batch replay (graft.streaming.Replay) and
+    // faces the same DuckDB gate as everything else — the
+    // batch-equivalence contract each twin carries makes the replayed
+    // final output exactly the batch answer. Event timestamps truncate
+    // to MILLISECONDS before feeding (the state machines keep epoch-ms;
+    // parquet carries micros) and the oracles mirror with
+    // date_trunc('milliseconds', ...).
+    // ================================================================
+
+    // --- streaming sessionize (append mode, event-time timeout): two
+    //     far-future sentinel batches (user -1) advance the watermark
+    //     and fire the timeouts so every real session closes
+    ("e50_stream_sessionize",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 30)
+          .select(col("event_id"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[Sessionize.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+        val maxMs = ev.map(_.ts.getTime).max
+        val day = 86400000L
+        val sentinels = Seq(
+          Seq(Sessionize.Event(-1L, new java.sql.Timestamp(maxMs + 3 * day),
+            -1L, "view", 0.0)),
+          Seq(Sessionize.Event(-2L, new java.sql.Timestamp(maxMs + 6 * day),
+            -1L, "view", 0.0)))
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 6) ++ sentinels, "append") {
+          ds => Sessionize.streaming(
+            ds.withWatermark("ts", "10 minutes"), gapMinutes = 30).toDF()
+        }
+          .where(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (date_trunc('milliseconds',
+             |    CAST(ts AS TIMESTAMP)) AS ts)
+             |  FROM events WHERE user_id < 30),
+             |e AS (
+             |  SELECT *, lag(ts) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM e0),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |        OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+             |        THEN 1 ELSE 0 END AS ns FROM e),
+             |g AS (SELECT *, sum(ns) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id)
+             |        AS session_id
+             |      FROM f)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) AS session_end, count(*) AS n_events,
+             |       round(sum(value), 6) AS sum_value
+             |FROM g GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // --- streaming funnel (update mode): per-user stage times are
+    //     SET-ONCE under in-order replay, so the final state per user
+    //     is the per-column min over its emissions
+    ("e51_stream_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 60)
+          .select(col("event_id"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts"),
+            col("user_id"), col("event_type"), col("value"))
+          .as[Sessionize.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 6), "update") {
+          ds => Sessionize.streamingFunnel(ds,
+            Seq("view", "click", "purchase"))
+        }
+          .groupBy(col("user_id"))
+          .agg(min(col("view_ts")).as("view_ts"),
+            min(col("click_ts")).as("click_ts"),
+            min(col("purchase_ts")).as("purchase_ts"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (date_trunc('milliseconds',
+             |    CAST(ts AS TIMESTAMP)) AS ts)
+             |  FROM events WHERE user_id < 60),
+             |v AS (SELECT user_id, min(ts) AS view_ts
+             |      FROM e0 WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT v.user_id, v.view_ts,
+             |        min(CASE WHEN e.ts > v.view_ts THEN e.ts END) AS click_ts
+             |      FROM v LEFT JOIN e0 e
+             |        ON e.user_id = v.user_id AND e.event_type = 'click'
+             |      GROUP BY 1, 2),
+             |p AS (SELECT c.user_id, c.view_ts, c.click_ts,
+             |        min(CASE WHEN e.ts > c.click_ts THEN e.ts END)
+             |          AS purchase_ts
+             |      FROM c LEFT JOIN e0 e
+             |        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+             |      GROUP BY 1, 2, 3)
+             |SELECT user_id, view_ts, click_ts, purchase_ts
+             |FROM p ORDER BY user_id""".stripMargin)),
+
+    // --- streaming CDC latest-wins (update mode): the sink's
+    //     accumulated emissions reduce per key by the SAME
+    //     (seq, op, payload) winner order the state machine applies
+    ("e52_stream_cdc_latest",
+      (s, dir) => {
+        import s.implicits._
+        val d = docs(s, dir).where(col("doc_id") < 2000)
+        val feed = d.where(col("doc_id") % 10 === 1)
+            .select(col("doc_id").as("key"), lit(1L).as("seq"),
+              lit("U").as("op"), lit("xx").as("payload"))
+          .unionByName(d.where(col("doc_id") % 20 === 1)
+            .select(col("doc_id").as("key"), lit(2L).as("seq"),
+              lit("U").as("op"), lit("yy").as("payload")))
+          .unionByName(d.where(col("doc_id") % 10 === 2)
+            .select(col("doc_id").as("key"), lit(1L).as("seq"),
+              lit("D").as("op"), lit("").as("payload")))
+          .as[ChangeData.Change].collect()
+          .sortBy(c => (c.seq, c.key)).toSeq
+        graft.streaming.Replay.run(s,
+            feed.groupBy(_.seq).toSeq.sortBy(_._1).map(_._2), "update") {
+          ds => ChangeData.streamingLatest(ds).toDF()
+        }
+          .groupBy(col("key"))
+          .agg(max(struct(col("seq"), col("op"), col("payload"))).as("__w"))
+          .select(col("key"), col("__w.seq").as("seq"),
+            col("__w.op").as("op"), col("__w.payload").as("payload"))
+          .orderBy("key")
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id AS key, 1 AS seq, 'U' AS op, 'xx' AS payload
+             |  FROM documents WHERE doc_id % 10 = 1 AND doc_id < 2000
+             |  UNION ALL
+             |  SELECT doc_id, 2, 'U', 'yy'
+             |  FROM documents WHERE doc_id % 20 = 1 AND doc_id < 2000
+             |  UNION ALL
+             |  SELECT doc_id, 1, 'D', ''
+             |  FROM documents WHERE doc_id % 10 = 2 AND doc_id < 2000)
+             |SELECT key, CAST(seq AS BIGINT) AS seq, op, payload FROM (
+             |  SELECT *, row_number() OVER
+             |    (PARTITION BY key ORDER BY seq DESC, op DESC, payload DESC)
+             |    AS r
+             |  FROM ch) WHERE r = 1
+             |ORDER BY key""".stripMargin)),
+
+    // --- streaming hourly rollup (append mode, watermarked tumbling
+    //     windows): sentinel far-future events advance the watermark so
+    //     every real window closes; the sentinel's own type filters out
+    ("e53_stream_hourly_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir)
+          .select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)].collect()
+          .sortBy(_._1.getTime).toSeq
+        val maxMs = ev.map(_._1.getTime).max
+        val day = 86400000L
+        val sentinels = Seq(
+          Seq((new java.sql.Timestamp(maxMs + 3 * day), "__flush", 0.0)),
+          Seq((new java.sql.Timestamp(maxMs + 6 * day), "__flush", 0.0)))
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 6) ++ sentinels, "append") {
+          ds => Sessionize.streamingHourlyRollup(
+            ds.toDF("ts", "event_type", "value"))
+        }
+          .where(col("event_type") =!= "__flush")
+          .select(col("hour"), col("event_type"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
     // --- local-maximum peak detection over daily series (strictly
     //     above the previous day, at least the next, and 1.2× the
     //     type mean; series edges never peak)

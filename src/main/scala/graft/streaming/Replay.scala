@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/**
+ * Deterministic batch replay of a streaming transform — the bridge that
+ * puts the STREAMING code paths in front of the DuckDB oracle gate: the
+ * driver's correctness check runs plain SQL over the same input, and
+ * the batch-equivalence contract every streaming twin carries
+ * (unit-pinned per operator) makes the replayed stream's final output
+ * exactly the batch answer.
+ *
+ * The replay feeds `batches` IN ORDER into a [[MemoryStream]], runs one
+ * `processAllAvailable()` per batch (so watermarks advance between
+ * batches exactly like a live micro-batch sequence), then materializes
+ * the memory sink's rows into a local DataFrame BEFORE stopping the
+ * query — callers get a plain, stable frame.
+ *
+ * Scale posture: replay is a TEST/ORACLE harness, not a production
+ * path — inputs are collected subsets (thousands of rows). Production
+ * use of the same transforms is `spark.readStream` against a real
+ * source; nothing here changes the transform under test.
+ */
+object Replay {
+  private val n = new AtomicInteger(0)
+
+  /** Run `build` over an in-order replay of `batches`; returns the
+    * memory sink's accumulated rows. `outputMode` must match the
+    * transform (append for watermark-closed emissions, update for
+    * latest-state emissions). */
+  def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
+                      outputMode: String)(
+      build: Dataset[T] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[T]
+    val sink = s"__graft_replay_${n.incrementAndGet()}"
+    val q = build(mem.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode(outputMode).start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+      }
+      val out = spark.table(sink)
+      // pin the sink's rows locally before the query stops
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  /** Splits time-ordered items into `chunks` contiguous batches —
+    * the deterministic replay schedule (in event-time order, so
+    * watermark-driven state machines see a live-feed-shaped history). */
+  def timeChunks[T](sorted: Seq[T], chunks: Int): Seq[Seq[T]] = {
+    require(chunks >= 1, "chunks must be >= 1")
+    if (sorted.isEmpty) Seq(Seq.empty)
+    else {
+      val size = math.max(1, math.ceil(sorted.size / chunks.toDouble).toInt)
+      sorted.grouped(size).toSeq
+    }
+  }
+}
