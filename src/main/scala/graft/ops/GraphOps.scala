@@ -125,17 +125,19 @@ object GraphOps {
   /**
    * Exact global triangle count over an UNDIRECTED edge list.
    *
-   * Edges canonicalize to (lo, hi) with lo < hi and dedupe; the count
-   * is the oriented two-path closed by a third edge:
-   * (a,b) ⋈ (b,c) ⋈ (a,c) with a<b<c — each triangle counted exactly
-   * once, and the closing check is a semi join (no row multiplication).
-   * The orientation here is value-ordered; `maxDegree` is the skew
-   * valve (Suri & Vassilvitskii's "last reducer" is a hub node whose
-   * two-path fan-out is quadratic — cap it or pre-order by degree).
+   * Edges canonicalize to (lo, hi) with lo < hi and dedupe; triangles
+   * enumerate via DEGREE-ORDERED orientation (see
+   * [[orientedTriangles]]) — wedge fan-out per node is bounded by its
+   * out-degree in the (degree, id)-ranked acyclic orientation, which
+   * is O(sqrt(E)) on any graph (the arboricity bound), so a hub node
+   * no longer produces a quadratic "last reducer" (Suri &
+   * Vassilvitskii 2011) even UNVALVED.
    *
-   * `maxDegree` drops nodes above the bound BEFORE pairing (both
-   * endpoints), capping the quadratic corner the way the dedup
-   * operators cap blocks; pass None to keep the full graph.
+   * `maxDegree` remains as the explicit-semantics valve (drop
+   * over-cap nodes entirely BEFORE pairing, the documented contract
+   * shared with kTruss/clusteringCoefficient); with the degree
+   * orientation it is a result-shaping knob, not a survival
+   * requirement. Pass None to keep the full graph.
    */
   def triangleCount(edges: DataFrame, aCol: String, bCol: String,
                     maxDegree: Option[Int] = None): DataFrame = {
@@ -144,13 +146,47 @@ object GraphOps {
     val canon = raw.select(
       least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct()
-    val e = capDegree(canon, maxDegree)
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
-    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
-    ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
+    orientedTriangles(capDegree(canon, maxDegree))
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
+   * All triangles of a canonical (lo, hi) edge set, one row (a, b, c)
+   * per triangle, via degree-ordered orientation: each undirected edge
+   * orients from its lower-(degree, id) endpoint to the higher; every
+   * triangle then has exactly ONE node with two outgoing edges (its
+   * rank-minimum), so enumerating ordered out-wedges at each node and
+   * semi-joining the closing oriented edge counts each triangle exactly
+   * once. Wedge work per node is outdeg², and the ranked orientation
+   * bounds outdeg by O(sqrt(E)) on any graph — hub-safe two-path
+   * enumeration without caps (Chiba–Nishizeki orientation, the
+   * standard fix for the "curse of the last reducer").
+   * Output columns (a, b, c) carry no order guarantee.
+   */
+  private def orientedTriangles(canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("lo").as("n"))
+      .union(canon.select(col("hi").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("n").as("lo"), col("d").as("__dl")), Seq("lo"))
+      .join(deg.select(col("n").as("hi"), col("d").as("__dh")), Seq("hi"))
+    // orient low-rank → high-rank; carry the head's rank for wedge order
+    val oriented = withDeg.select(
+        when(struct(col("__dl"), col("lo")) < struct(col("__dh"), col("hi")),
+          struct(col("lo").as("u"), col("hi").as("v"), col("__dh").as("vd")))
+        .otherwise(
+          struct(col("hi").as("u"), col("lo").as("v"), col("__dl").as("vd")))
+        .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"), col("__e.vd").as("vd"))
+      .localCheckpoint(false)
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          struct(col("x.vd"), col("x.v")) < struct(col("y.vd"), col("y.v")))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    // the closing edge is oriented b → c (rank(b) < rank(c) by the
+    // wedge order), so one semi join closes the triangle
+    wedges.join(oriented.select(col("u").as("b"), col("v").as("c")),
+      Seq("b", "c"), "left_semi")
   }
 
   /** The hub-degree valve shared by the triangle-family operators
@@ -397,13 +433,14 @@ object GraphOps {
    * report 0.0. Output: (node, deg, n_tri, coeff), coeff rounded to 6.
    *
    * Scale shape — same canonical machinery as [[triangleCount]]: the
-   * oriented two-path join + closure semi-join enumerates each
-   * triangle once as (a < b < c) with NO row multiplication, then each
-   * closed triangle contributes to its three corners via an in-row
-   * 3-way explode of slim id rows; one partial-aggregated count per
-   * node finishes. The optional `maxDegree` valve caps hub fan-out
-   * before pairing exactly as in [[triangleCount]] (documented
-   * truncation, not silent skew death).
+   * DEGREE-ORDERED enumeration ([[orientedTriangles]], arboricity-
+   * bounded wedge fan-out, hub-safe uncapped) yields each triangle
+   * once with NO row multiplication, then each closed triangle
+   * contributes to its three corners via an in-row 3-way explode of
+   * slim id rows; one partial-aggregated count per node finishes. The
+   * optional `maxDegree` valve caps hub fan-out before pairing exactly
+   * as in [[triangleCount]] (documented truncation, not silent skew
+   * death).
    */
   def clusteringCoefficient(edges: DataFrame, aCol: String, bCol: String,
                             maxDegree: Option[Int] = None): DataFrame = {
@@ -419,13 +456,7 @@ object GraphOps {
           .select("lo", "hi")
     }
     val deg = symmetric(e).groupBy("node").agg(count(lit(1)).as("deg"))
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
-    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
-    val tris = ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
-    val perNode = tris
+    val perNode = orientedTriangles(e)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     deg.join(perNode, Seq("node"), "left")
@@ -546,16 +577,17 @@ object GraphOps {
   }
 
   private def trussPeelOnce(e: DataFrame, k: Int): DataFrame = {
-    val ab = e.select(col("lo").as("a"), col("hi").as("b"))
-    val bc = e.select(col("lo").as("b2"), col("hi").as("c"))
-    val ac = e.select(col("lo").as("a3"), col("hi").as("c3"))
-    val tris = ab.join(bc, col("b") === col("b2"))
-      .join(ac, col("a") === col("a3") && col("c") === col("c3"), "left_semi")
-      .select(col("a"), col("b"), col("c"))
+    // degree-ordered enumeration (orientedTriangles) — per-round wedge
+    // work is arboricity-bounded, so a hub doesn't stall every peel;
+    // (a, b, c) carry no order, so support pairs re-canonicalize
+    val tris = orientedTriangles(e)
     val support = tris.select(explode(array(
-        struct(col("a").as("lo"), col("b").as("hi")),
-        struct(col("b").as("lo"), col("c").as("hi")),
-        struct(col("a").as("lo"), col("c").as("hi")))).as("__e"))
+        struct(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi")),
+        struct(least(col("b"), col("c")).as("lo"),
+          greatest(col("b"), col("c")).as("hi")),
+        struct(least(col("a"), col("c")).as("lo"),
+          greatest(col("a"), col("c")).as("hi")))).as("__e"))
       .groupBy(col("__e.lo").as("lo"), col("__e.hi").as("hi"))
       .agg(count(lit(1)).as("__sup"))
     e.join(support.where(col("__sup") >= k - 2).select("lo", "hi"),

@@ -4832,4 +4832,28 @@ class OpsSpec extends AnyFunSuite {
       assert(last.getDouble(3) == 0.0 && last.getDouble(4) == 0.0)
     }
   }
+
+  test("orientedTriangles: degree-ordered enumeration matches known counts, hub-safe uncapped") {
+    def tc(pairs: Seq[(Long, Long)]): Long =
+      GraphOps.triangleCount(pairs.toDF("a", "b"), "a", "b")
+        .head().getLong(0)
+    // K5: C(5,3) = 10 triangles
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    assert(tc(k5) == 10L)
+    // star (hub of degree 40, no closure): 0 — and fast without a cap
+    val star = (1L to 40L).map(x => (0L, x))
+    assert(tc(star) == 0L)
+    // star + one leaf-leaf edge closes exactly one triangle
+    assert(tc(star :+ (1L, 2L)) == 1L)
+    // K4 + pendant triangle: 4 + 1 = 5 (duplicate/reversed edges dedupe)
+    val k4p = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L))
+    assert(tc(k4p) == 5L)
+    // clusteringCoefficient rides the same enumeration: K4 corners are
+    // fully closed (coeff 1.0), the bridge node 4 is not
+    val cc = GraphOps.clusteringCoefficient(k4p.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cc(1L) == 1.0 && cc(2L) == 1.0 && cc(3L) == 1.0)
+    assert(cc(4L) < 1.0 && cc(5L) == 1.0 && cc(6L) == 1.0)
+  }
 }
