@@ -1290,4 +1290,31 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (a:Person)-[:ACTED_IN*]->(m:Movie)
         |RETURN a.Name AS N""".stripMargin))
   }
+
+  test("property: reachablePairs matches brute transitive closure on random graphs") {
+    import spark.implicits._
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 6 + nextInt(8)
+      val m = 8 + nextInt(24)
+      val pairs = (1 to m).map(_ => (nextInt(n).toLong, nextInt(n).toLong))
+      val dedup = pairs.distinct.toSet
+      var closure = dedup
+      var grew = true
+      while (grew) {
+        val more = for { (a, b) <- closure; (c, d) <- dedup if b == c }
+          yield (a, d)
+        val next = closure ++ more
+        grew = next.size > closure.size
+        closure = next
+      }
+      val got = Reach.reachablePairs(pairs.toDF("s", "d"), "s", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == closure, s"trial $trial: reach mismatch")
+    }
+  }
 }

@@ -4856,4 +4856,37 @@ class OpsSpec extends AnyFunSuite {
     assert(cc(1L) == 1.0 && cc(2L) == 1.0 && cc(3L) == 1.0)
     assert(cc(4L) < 1.0 && cc(5L) == 1.0 && cc(6L) == 1.0)
   }
+
+  test("property: triangleCount matches brute force on random graphs") {
+    // deterministic pseudo-random edge sets (seeded LCG), brute-force
+    // reference computed driver-side
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 8 + nextInt(8)
+      val m = 10 + nextInt(30)
+      val pairs = (1 to m).map(_ => (nextInt(n).toLong, nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        // brute triangles over the canonical undirected set
+        val undirected = pairs.map(p =>
+          (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+        val nodes = undirected.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+        def adj(a: Long, b: Long) =
+          undirected((math.min(a, b), math.max(a, b)))
+        val brute = (for {
+          i <- nodes.indices; j <- (i + 1) until nodes.size
+          k <- (j + 1) until nodes.size
+          if adj(nodes(i), nodes(j)) && adj(nodes(j), nodes(k)) &&
+            adj(nodes(i), nodes(k))
+        } yield 1).size.toLong
+        val got = GraphOps.triangleCount(pairs.toDF("a", "b"), "a", "b")
+          .head().getLong(0)
+        assert(got == brute, s"trial $trial: triangles $got vs $brute")
+      }
+    }
+  }
 }
