@@ -4309,7 +4309,7 @@ object SparkEntry {
           Seq(Sessionize.Event(-2L, new java.sql.Timestamp(maxMs + 6 * day),
             -1L, "view", 0.0)))
         graft.streaming.Replay.run(s,
-            graft.streaming.Replay.timeChunks(ev, 6) ++ sentinels, "append") {
+            graft.streaming.Replay.timeChunks(ev, 3) ++ sentinels, "append") {
           ds => Sessionize.streaming(
             ds.withWatermark("ts", "10 minutes"), gapMinutes = 30).toDF()
         }
@@ -4352,7 +4352,7 @@ object SparkEntry {
           .as[Sessionize.Event].collect()
           .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
         graft.streaming.Replay.run(s,
-            graft.streaming.Replay.timeChunks(ev, 6), "update") {
+            graft.streaming.Replay.timeChunks(ev, 3), "update") {
           ds => Sessionize.streamingFunnel(ds,
             Seq("view", "click", "purchase"))
         }
@@ -4432,7 +4432,7 @@ object SparkEntry {
     ("e53_stream_hourly_rollup",
       (s, dir) => {
         import s.implicits._
-        val ev = evts(s, dir)
+        val ev = evts(s, dir).where(col("user_id") < 200)
           .select(col("ts"), col("event_type"), col("value"))
           .as[(java.sql.Timestamp, String, Double)].collect()
           .sortBy(_._1.getTime).toSeq
@@ -4442,7 +4442,7 @@ object SparkEntry {
           Seq((new java.sql.Timestamp(maxMs + 3 * day), "__flush", 0.0)),
           Seq((new java.sql.Timestamp(maxMs + 6 * day), "__flush", 0.0)))
         graft.streaming.Replay.run(s,
-            graft.streaming.Replay.timeChunks(ev, 6) ++ sentinels, "append") {
+            graft.streaming.Replay.timeChunks(ev, 3) ++ sentinels, "append") {
           ds => Sessionize.streamingHourlyRollup(
             ds.toDF("ts", "event_type", "value"))
         }
@@ -4453,7 +4453,8 @@ object SparkEntry {
       },
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
              |       count(*) AS n_events, round(sum(value), 6) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+             |FROM events WHERE user_id < 200
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
     // --- local-maximum peak detection over daily series (strictly
     //     above the previous day, at least the next, and 1.2× the

@@ -30,11 +30,23 @@ object Replay {
   /** Run `build` over an in-order replay of `batches`; returns the
     * memory sink's accumulated rows. `outputMode` must match the
     * transform (append for watermark-closed emissions, update for
-    * latest-state emissions). */
+    * latest-state emissions).
+    *
+    * The replay runs with `partitions` (default 4) shuffle/state
+    * partitions: every micro-batch trigger commits one state-store
+    * delta PER state partition, so a replay's fixed cost is
+    * triggers × partitions store commits — at the session's
+    * bench-scale 32 that overhead dwarfs the thousands-of-rows inputs
+    * (14.9 s for an 8-trigger replay, measured), at 4 it is sub-second.
+    * The session value is restored in finally; replay is the only
+    * query running (the bench/verify harnesses are sequential). */
   def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
-                      outputMode: String)(
+                      outputMode: String, partitions: Int = 4)(
       build: Dataset[T] => DataFrame): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions)
     val mem = MemoryStream[T]
     val sink = s"__graft_replay_${n.incrementAndGet()}"
     val q = build(mem.toDS()).writeStream.format("memory")
@@ -51,6 +63,7 @@ object Replay {
     } finally {
       q.stop()
       spark.catalog.dropTempView(sink)
+      spark.conf.set(key, prev)
     }
   }
 
