@@ -46,8 +46,12 @@ object Bench {
     // systematically — the old start-vs-end ratio flagged every run,
     // quiet or not (drift 3.9-4.3 on clean boxes).
     def calibrate(): Double = {
+      // min of 5: the calibration query runs ~50 ms, so per-run
+      // scheduler jitter is a large RELATIVE error — the min of 5 is
+      // stable enough that quiet-box drift reads ≈ 1 (min of 3 read
+      // 1.5 on a verified-quiet box, round-7 measurement)
       val fn = SparkEntry.queries("q01_node_scan")
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }

@@ -4113,6 +4113,37 @@ object SparkEntry {
              |FROM r CROSS JOIN g WHERE rk IN (5, 10, 20)
              |ORDER BY vocab_size""".stripMargin)),
 
+    // --- valve advisory as data: recommended quadratic-operator caps
+    //     read off a measured graphCard of the (lang → doc) hub graph —
+    //     the sqrt(2E) rule and the 64E closure bound, SQL-mirrored
+    ("g23_valve_advisory",
+      (s, dir) => {
+        import s.implicits._
+        val e = docs(s, dir).select(col("lang").as("src"),
+          col("doc_id").cast("string").as("dst"))
+        val adv = GraphOps.valveAdvisory(
+          GraphOps.graphCard(e, "src", "dst"))
+        Seq((adv.nNodes, adv.nEdges, adv.observedMaxDegree,
+            adv.maxDegree.map(_.toLong), adv.sccMaxClosureRows))
+          .toDF("n_nodes", "n_edges", "observed_max_degree",
+            "max_degree_cap", "scc_max_closure_rows")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT lang AS src, CAST(doc_id AS VARCHAR) AS dst
+             |  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+             |v AS (SELECT CAST(count(*) AS BIGINT) AS nv
+             |      FROM (SELECT src AS n FROM e UNION SELECT dst FROM e)),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM e),
+             |d AS (SELECT CAST(max(c) AS BIGINT) AS maxd
+             |      FROM (SELECT count(*) AS c FROM e GROUP BY src))
+             |SELECT v.nv AS n_nodes, m.ne AS n_edges,
+             |       d.maxd AS observed_max_degree,
+             |       CASE WHEN d.maxd > CAST(ceil(sqrt(2 * m.ne)) AS BIGINT)
+             |            THEN CAST(ceil(sqrt(2 * m.ne)) AS BIGINT)
+             |       END AS max_degree_cap,
+             |       greatest(64 * m.ne, 16 * v.nv) AS scc_max_closure_rows
+             |FROM v, m, d""".stripMargin)),
+
     // --- hub concentration: Gini of the co-supply degree distribution
     ("g22_degree_gini",
       (s, dir) => {
@@ -4572,6 +4603,28 @@ object SparkEntry {
              |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
 
     // --- dedup threshold-sweep ledger from ONE PPJoin pass
+    // --- streaming exact dedup through the gate: the
+    //     dropDuplicatesWithinWatermark path replayed in order; the
+    //     projection is duplicate-invariant (text only), so whichever
+    //     arrival survives, the value set is the distinct texts
+    ("d21_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val rows = docs(s, dir).where(col("doc_id") < 3000)
+          .select(timestamp_millis(lit(1700000000000L) +
+            col("doc_id") * 1000L).as("ts"), col("text"))
+          .as[(java.sql.Timestamp, String)].collect()
+          .sortBy(_._1.getTime).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(rows, 3), "append") {
+          ds => Dedup.streamingDedup(ds.toDF("ts", "text"),
+            "text", "ts", "3650 days")
+        }
+          .select(col("text")).orderBy("text")
+      },
+      Some("""SELECT DISTINCT text FROM documents WHERE doc_id < 3000
+             |ORDER BY text""".stripMargin)),
+
     ("d20_threshold_sweep",
       (s, dir) => Dedup.thresholdSweep(docs(s, dir), "text", "doc_id",
           n = 3)
