@@ -4487,6 +4487,52 @@ object SparkEntry {
              |FROM events WHERE user_id < 200
              |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // --- streaming stream-stream interval join through the gate: the
+    //     click-attribution join replayed over TWO MemoryStreams whose
+    //     watermarks advance in lockstep; far-future sentinels on both
+    //     sides flush the final window, then filter out
+    ("e54_stream_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val e = evts(s, dir).where(col("user_id") < 300)
+        def side(t: String) = e.where(col("event_type") === t)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[(Long, java.sql.Timestamp, Long)].collect()
+          .sortBy(x => (x._2.getTime, x._3)).toSeq
+        val imps = side("view")
+        val clks = side("click")
+        val maxMs = (imps ++ clks).map(_._2.getTime).max
+        val day = 86400000L
+        def sent(k: Long) =
+          Seq((-1L, new java.sql.Timestamp(maxMs + k * day), -1L))
+        val ia = graft.streaming.Replay.timeChunks(imps, 3) ++
+          Seq(sent(3), sent(6))
+        val ca = graft.streaming.Replay.timeChunks(clks, 3) ++
+          Seq(sent(3), sent(6))
+        graft.streaming.Replay.run2(s, ia, ca, "append") { (i, c) =>
+          Sessionize.streamClickAttribution(
+            i.toDF("user_id", "ts", "impression_id"),
+            c.toDF("user_id", "ts", "click_id"),
+            windowMinutes = 30L, watermarkMinutes = 10L)
+        }
+          .where(col("user_id") >= 0)
+          .orderBy("impression_id", "click_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |  FROM events WHERE user_id < 300),
+             |i AS (SELECT user_id, ts AS imp_ts, event_id AS impression_id
+             |      FROM e0 WHERE event_type = 'view'),
+             |c AS (SELECT user_id AS c_user, ts AS click_ts,
+             |        event_id AS click_id
+             |      FROM e0 WHERE event_type = 'click')
+             |SELECT i.user_id, impression_id, click_id, imp_ts, click_ts,
+             |       epoch_ms(click_ts) - epoch_ms(imp_ts) AS latency_ms
+             |FROM i JOIN c ON i.user_id = c.c_user
+             |  AND click_ts >= imp_ts
+             |  AND click_ts <= imp_ts + INTERVAL '30' MINUTE
+             |ORDER BY impression_id, click_id""".stripMargin)),
+
     // --- local-maximum peak detection over daily series (strictly
     //     above the previous day, at least the next, and 1.2× the
     //     type mean; series edges never peak)

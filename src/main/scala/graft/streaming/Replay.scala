@@ -67,6 +67,44 @@ object Replay {
     }
   }
 
+  /** Two-stream variant for stream-stream joins: feeds the k-th batch
+    * of BOTH sides, then processes — so the two watermarks advance in
+    * lockstep, exactly a live pair of topics consumed together. Sides
+    * may have different lengths; exhausted sides simply stop feeding. */
+  def run2[A: Encoder, B: Encoder](spark: SparkSession,
+                                   aBatches: Seq[Seq[A]],
+                                   bBatches: Seq[Seq[B]],
+                                   outputMode: String, partitions: Int = 4)(
+      build: (Dataset[A], Dataset[B]) => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions)
+    val memA = MemoryStream[A]
+    val memB = MemoryStream[B]
+    val sink = s"__graft_replay_${n.incrementAndGet()}"
+    val q = build(memA.toDS(), memB.toDS()).writeStream.format("memory")
+      .queryName(sink).outputMode(outputMode).start()
+    try {
+      val rounds = math.max(aBatches.size, bBatches.size)
+      (0 until rounds).foreach { i =>
+        val fedA = i < aBatches.size && aBatches(i).nonEmpty
+        val fedB = i < bBatches.size && bBatches(i).nonEmpty
+        if (fedA) memA.addData(aBatches(i))
+        if (fedB) memB.addData(bBatches(i))
+        if (fedA || fedB) q.processAllAvailable()
+      }
+      val out = spark.table(sink)
+      val rows = out.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+      spark.conf.set(key, prev)
+    }
+  }
+
   /** Splits time-ordered items into `chunks` contiguous batches —
     * the deterministic replay schedule (in event-time order, so
     * watermark-driven state machines see a live-feed-shaped history). */
