@@ -837,6 +837,26 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = reach.dst
              |ORDER BY src_name, dst_name""".stripMargin)),
 
+    // --- Cypher 5 pattern predicates (extension): WHERE inside node
+    //     and relationship patterns, desugared at parse to the
+    //     enclosing MATCH's WHERE — plan-identical to the spelled-out
+    //     form (predicates reach the scans as PushedFilters)
+    ("q53_pattern_where", cyx(
+      """MATCH (c:Customer WHERE c.c_acctbal > 5000.0)-[:PLACED]->
+        |      (o:Order)-[l:CONTAINS WHERE l.l_quantity >= 45]->
+        |      (p:Part WHERE p.p_size <= 10)
+        |RETURN c.c_name AS cname, p.p_name AS pname,
+        |       l.l_quantity AS qty
+        |ORDER BY cname, pname, qty""".stripMargin),
+      Some("""SELECT c_name AS cname, p_name AS pname, l_quantity AS qty
+             |FROM customer
+             |JOIN orders ON o_custkey = c_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN part ON p_partkey = l_partkey
+             |WHERE c_acctbal > 5000.0 AND l_quantity >= 45
+             |  AND p_size <= 10
+             |ORDER BY cname, pname, qty""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -344,10 +344,21 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           "(supported with extensions enabled)")
       parsePropMap()
     } else Seq.empty
+    // Cypher 5 pattern predicate `(n:L WHERE n.x > 1)` — same
+    // parse-time desugar as the property map: the predicate becomes a
+    // conjunct of the enclosing pattern consumer's WHERE
+    val patWhere = if (isKw("WHERE")) {
+      if (!extensions)
+        notSupported("WHERE inside a node pattern " +
+          "(supported with extensions enabled)")
+      p += 1
+      Some(parseExpr())
+    } else None
     eatPunct(")")
     val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
     props.foreach { case (k, v) =>
       propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
+    patWhere.foreach(propConjuncts += _)
     NodePat(bound, label, extraLabels)
   }
 
@@ -438,10 +449,25 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             "namespaces)")
         parsePropMap()
       } else Seq.empty
+      // Cypher 5 pattern predicate `[r:T WHERE r.x > 0]` — desugars
+      // like the node form; var-length hops have no single binding to
+      // predicate over, so those keep a typed rejection
+      val patWhere = if (isKw("WHERE")) {
+        if (!extensions)
+          notSupported("WHERE inside a relationship pattern " +
+            "(supported with extensions enabled)")
+        if (varLength.isDefined)
+          notSupported("WHERE inside a variable-length relationship " +
+            "(each hop is a distinct relationship — filter bound " +
+            "single hops)")
+        p += 1
+        Some(parseExpr())
+      } else None
       eatPunct("]")
       val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
       props.foreach { case (k, v) =>
         propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
+      patWhere.foreach(propConjuncts += _)
       val dir =
         if (leftArrow) { eatPunct("-"); Direction.In }
         else if (tryPunct("->")) Direction.Out

@@ -598,6 +598,7 @@ class CypherEngineSpec extends AnyFunSuite {
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
     rejected("UNWIND [1,2] AS x RETURN x")
     rejected("MATCH (p:Person {Name: 'Tom Hanks'}) RETURN p.Name AS N")
+    rejected("MATCH (p:Person WHERE p.Born > 1950) RETURN p.Name AS N")
     rejected("MATCH (p:Person:Actor) RETURN p.Name AS N")
     rejected("MATCH (p:Person)-[a:ACTED_IN*1..3]->(m:Movie) RETURN p.Name AS N")
     rejected("MATCH (p:Person) RETURN p")

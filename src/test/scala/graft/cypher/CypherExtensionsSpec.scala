@@ -1317,4 +1317,39 @@ class CypherExtensionsSpec extends AnyFunSuite {
       assert(got == closure, s"trial $trial: reach mismatch")
     }
   }
+
+  // ------------------------------------ pattern-level WHERE (Cypher 5)
+
+  test("pattern WHERE on nodes and relationships desugars to the MATCH WHERE") {
+    val r = rows(
+      "MATCH (p:Person WHERE p.Born >= 1958) RETURN p.Name AS N ORDER BY N")
+    assert(r.map(_.getString(0)) == Seq("Kevin Bacon", "Meg Ryan"))
+    val r2 = rows(
+      """MATCH (p:Person)-[a:ACTED_IN WHERE a.Roles CONTAINS 'Jack']->(m:Movie)
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(r2.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Kevin Bacon", "Apollo 13")))
+    // composes with a property map AND an explicit WHERE (conjunction)
+    val r3 = rows(
+      """MATCH (p:Person {Name: 'Tom Hanks'})-[a:ACTED_IN]->
+        |      (m:Movie WHERE m.Released > 1994)
+        |WHERE m.Title CONTAINS 'o'
+        |RETURN m.Title AS T ORDER BY T""".stripMargin)
+    assert(r3.map(_.getString(0)) == Seq("Apollo 13", "You've Got Mail"))
+    // OPTIONAL MATCH: pattern-time, keeps left rows
+    val r4 = rows(
+      """MATCH (m:Movie)
+        |OPTIONAL MATCH (p:Person WHERE p.Born = 1961)-[:ACTED_IN]->(m)
+        |RETURN m.Title AS T, p.Name AS N ORDER BY T""".stripMargin)
+    assert(r4.map(x => (x.getString(0), Option(x.getString(1)))) == Seq(
+      ("Apollo 13", None),
+      ("Sleepless in Seattle", Some("Meg Ryan")),
+      ("You've Got Mail", Some("Meg Ryan"))))
+  }
+
+  test("pattern WHERE rejections: var-length hop") {
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:FOLLOWS*1..2 WHERE 1 = 1]->(b:Person)
+        |RETURN b.Name AS N""".stripMargin))
+  }
 }
