@@ -94,14 +94,20 @@ object Bench {
       }
     val calibEnd = calibrate()
     calibSamples += calibEnd
-    // drift over post-warmup interleaved samples only; tiny selections
+    // drift = max/MEDIAN over the interleaved samples: robust to the
+    // residual monotone JIT/cache warm-through that still shades the
+    // early-sweep samples (a full 261-query run shows a gentle
+    // 0.061→0.042 decline — max/min read that as 1.45; max/median
+    // reads ~1.15), while a genuinely contended run puts one or more
+    // samples 3-5× above the median and flags loudly. Tiny selections
     // (SPARK_GRAFT_ONLY) may have just the end sample — fall back to
-    // including calib_start so drift is never undefined (and such runs
-    // are local iteration aids, not driver reads).
+    // including calib_start so drift is never undefined (such runs are
+    // local iteration aids, not driver reads).
     val driftSamples =
-      if (calibSamples.size >= 2) calibSamples.toSeq
-      else calibStart +: calibSamples.toSeq
-    val drift = driftSamples.max / driftSamples.min
+      (if (calibSamples.size >= 2) calibSamples.toSeq
+       else calibStart +: calibSamples.toSeq).sorted
+    val median = driftSamples(driftSamples.size / 2)
+    val drift = driftSamples.max / median
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")

@@ -4521,14 +4521,16 @@ object SparkEntry {
           .sortBy(x => (x._2.getTime, x._3)).toSeq
         val imps = side("view")
         val clks = side("click")
-        val maxMs = (imps ++ clks).map(_._2.getTime).max
-        val day = 86400000L
-        def sent(k: Long) =
-          Seq((-1L, new java.sql.Timestamp(maxMs + k * day), -1L))
-        val ia = graft.streaming.Replay.timeChunks(imps, 3) ++
-          Seq(sent(3), sent(6))
-        val ca = graft.streaming.Replay.timeChunks(clks, 3) ++
-          Seq(sent(3), sent(6))
+        // inner stream-stream joins emit a match the moment the later
+        // side arrives — the watermark only bounds STATE — so no
+        // sentinel flush batches are needed (append-mode aggregations
+        // do need them; see e50/e53). Stream-stream triggers cost
+        // ~1.7 s of planning each, so the replay splits into 2 batches
+        // (exercising cross-batch matches) at oracle scale and 1 at
+        // bench scale — deterministic given the input.
+        val nChunks = if (imps.size + clks.size > 5000) 1 else 2
+        val ia = graft.streaming.Replay.timeChunks(imps, nChunks)
+        val ca = graft.streaming.Replay.timeChunks(clks, nChunks)
         graft.streaming.Replay.run2(s, ia, ca, "append") { (i, c) =>
           Sessionize.streamClickAttribution(
             i.toDF("user_id", "ts", "impression_id"),
