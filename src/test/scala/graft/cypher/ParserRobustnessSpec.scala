@@ -87,4 +87,35 @@ class ParserRobustnessSpec extends AnyFunSuite {
     val expr = "(" * depth + "1" + ")" * depth
     attempt(s"MATCH (a:A) WHERE a.x = $expr RETURN a.x AS v")
   }
+
+  test("round-7 surface fuzz: property maps, multi-label, pattern WHERE, unbounded stars") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MATCH (a {name) RETURN 1 AS x",
+      "MATCH (a {name: }) RETURN 1 AS x",
+      "MATCH (a {name: 'x', name: 'y'}) RETURN 1 AS x",
+      "MATCH (a {: 'x'}) RETURN 1 AS x",
+      "MATCH (a { RETURN 1 AS x",
+      "MATCH ({})-[{}]->({}) RETURN 1 AS x",
+      "MATCH (a:A:B:C:D:) RETURN 1 AS x",
+      "MATCH (a:A::B) RETURN 1 AS x",
+      "MATCH (a:A WHERE) RETURN 1 AS x",
+      "MATCH (a:A WHERE WHERE a.x) RETURN 1 AS x",
+      "MATCH (a)-[r:T WHERE r.x {y: 1}]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T* {x: 1}]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T*1.. WHERE 1=1]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T*..]->(b) RETURN 1 AS x",
+      "MATCH (a)-[*9..]->(b) RETURN 1 AS x",
+      "MATCH (__pm0 {x: 1}) RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    bad.foreach(attempt) // parity mode must also stay typed
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "MATCH", "(", ")", "{", "}", ":", "a", ":A", ":B", "WHERE",
+      "name", "'x'", "1", ",", "-", "->", "[", "]", "*", "..",
+      "RETURN", "AS", "x")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(attempt)
+  }
 }
