@@ -857,6 +857,27 @@ object SparkEntry {
              |  AND p_size <= 10
              |ORDER BY cname, pname, qty""".stripMargin)),
 
+    // --- var-length inside EXISTS (round 7; previously a typed
+    //     rejection): the probe is the UNION of the bounded branches'
+    //     correlation keys (semi-join), and an unbounded [*] routes
+    //     through the reach lowering first — both exercised here
+    ("q54_exists_varlength", cyx(
+      """MATCH (a:Nation)
+        |WHERE EXISTS((a)-[:NEXT_IN_REGION*2..3]->(b:Nation))
+        |  AND EXISTS((a)-[:NEXT_IN_REGION*]->(c:Nation))
+        |RETURN a.n_name AS name ORDER BY name""".stripMargin),
+      Some("""WITH chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |two AS (SELECT DISTINCT c1.src FROM chain c1
+             |        JOIN chain c2 ON c1.dst = c2.src
+             |        WHERE c1.dst IS NOT NULL AND c2.dst IS NOT NULL)
+             |SELECT n_name AS name FROM nation
+             |JOIN two ON n_nationkey = two.src
+             |ORDER BY name""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -316,39 +316,77 @@ object Compiler {
   private def existsJoin(df: DataFrame, scope: Map[String, Binding],
       ex: ExistsPat, negated: Boolean,
       catalog: GraphCatalog): DataFrame = {
-    if (ex.parts.exists(_.rels.exists(_.varLength.isDefined)))
-      throw new CypherNotSupportedException(
-        "variable-length relationship inside EXISTS")
     // outer anonymous aliases (`__unnamed_N`) are unreachable from the
     // sub-pattern's surface syntax but would collide with the fresh
     // generator's names — keep them out of inference and correlation
     val outerNamed = scope.filter { case (a, _) => !a.startsWith("__unnamed_") }
+    // var-length inside EXISTS (round 7): unbounded rels rewrite to
+    // synthetic reach edges first, bounded ones expand into the
+    // ordinary branch union — the probe is then the UNION of the
+    // branches' key columns, existence being length-agnostic (no
+    // per-branch schema agreement needed beyond the shared aliases).
+    val clause = Seq(MatchClause(ex.parts, optional = false, where = ex.where))
+    val (msR, catR) = Reach.rewrite(clause, catalog)
     // the inner WHERE (and any nested EXISTS in it) rides the ordinary
     // compileMatches path inside the subplan
-    val resolved = Analyzer.resolvePart(catalog.graph, outerNamed,
-      Seq(MatchClause(ex.parts, optional = false, where = ex.where)))
-    val sub = compileMatches(None, resolved, catalog)
+    def one(ms: Seq[MatchClause]): (Ctx, Seq[String]) = {
+      val resolved = Analyzer.resolvePart(catR.graph, outerNamed, ms)
+      val sub = compileMatches(None, resolved, catR)
+      val shared =
+        resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
+      (sub, shared)
+    }
+    val subs: Seq[(Ctx, Seq[String])] =
+      if (!VarLength.hasVarLength(msR)) Seq(one(msR))
+      else {
+        var firstErr: Option[CypherException] = None
+        val bs = VarLength.expand(msR).flatMap { ms =>
+          try Some(one(ms))
+          catch { case e: CypherBindingException =>
+            if (firstErr.isEmpty) firstErr = Some(e); None }
+        }
+        if (bs.isEmpty) throw firstErr.get
+        bs
+      }
     val joinType = if (negated) "left_anti" else "left_semi"
-    val shared = resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
+    if (subs.map(_._2.toSet).distinct.size > 1)
+      throw new CypherBindingException(
+        "EXISTS variable-length branches disagree on the variables shared " +
+        "with the outer scope — annotate the endpoint nodes")
+    val shared = subs.head._2
     if (shared.isEmpty) {
-      val probe = sub.df.limit(1).select(lit(1).as("__exists_probe"))
+      val probe = subs.map(_._1.df.limit(1)
+          .select(lit(1).as("__exists_probe")))
+        .reduce(_ union _).limit(1)
       df.join(broadcast(probe), lit(true), joinType)
     } else {
-      val keys = shared.map { a =>
-        (outerNamed(a), sub.scope(a)) match {
-          case (NodeBinding(n1), NodeBinding(n2)) if n1.label == n2.label =>
-            pref(a, n1.idColumn)
-          case (NodeBinding(n1), NodeBinding(n2)) =>
-            throw new CypherBindingException(
-              s"EXISTS alias '$a' resolves to label ${n2.label} but is " +
-              s"bound to ${n1.label} outside")
+      // outer-side key columns are branch-independent; each branch must
+      // bind the shared alias to the SAME label as the outer scope
+      val outerKeys = shared.map { a =>
+        outerNamed(a) match {
+          case NodeBinding(n) => pref(a, n.idColumn)
           case _ => throw new CypherBindingException(
             s"EXISTS shares alias '$a' which is not a node variable")
         }
       }
-      val probe = sub.df.select(keys.zipWithIndex.map {
-        case (k, i) => col(k).as(s"__exists_k$i") }: _*)
-      val cond = keys.zipWithIndex.map { case (k, i) =>
+      val probes = subs.map { case (sub, _) =>
+        val keys = shared.map { a =>
+          (outerNamed(a), sub.scope(a)) match {
+            case (NodeBinding(n1), NodeBinding(n2)) if n1.label == n2.label =>
+              pref(a, n1.idColumn)
+            case (NodeBinding(n1), NodeBinding(n2)) =>
+              throw new CypherBindingException(
+                s"EXISTS alias '$a' resolves to label ${n2.label} but is " +
+                s"bound to ${n1.label} outside")
+            case _ => throw new CypherBindingException(
+              s"EXISTS shares alias '$a' which is not a node variable")
+          }
+        }
+        sub.df.select(keys.zipWithIndex.map {
+          case (k, i) => col(k).as(s"__exists_k$i") }: _*)
+      }
+      val probe = probes.reduce(_ union _)
+      val cond = outerKeys.zipWithIndex.map { case (k, i) =>
         col(k) === col(s"__exists_k$i") }.reduce(_ && _)
       df.join(probe, cond, joinType)
     }

@@ -1352,4 +1352,29 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (a:Person)-[:FOLLOWS*1..2 WHERE 1 = 1]->(b:Person)
         |RETURN b.Name AS N""".stripMargin))
   }
+
+  // --------------------------------------- var-length inside EXISTS
+
+  test("EXISTS with bounded and unbounded var-length patterns (semi-join union)") {
+    // who can reach someone within 1..2 FOLLOWS hops: Jessica, Tom
+    val r = rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS((p)-[:FOLLOWS*1..2]->(q:Person))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("Jessica Thompson", "Tom Hanks"))
+    // unbounded reach inside EXISTS; NOT EXISTS = nobody reachable
+    val r2 = rows(
+      """MATCH (p:Person)
+        |WHERE NOT EXISTS((p)-[:FOLLOWS*]->(q:Person))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(r2.map(_.getString(0)) ==
+      Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner"))
+    // inner WHERE over the var-length endpoint still applies
+    val r3 = rows(
+      """MATCH (p:Person)
+        |WHERE EXISTS { (p)-[:FOLLOWS*1..2]->(q:Person)
+        |  WHERE q.Name = 'Meg Ryan' }
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(r3.map(_.getString(0)) == Seq("Jessica Thompson", "Tom Hanks"))
+  }
 }
