@@ -56,7 +56,8 @@ object Compiler {
     val base = g.members.head._2 match {
       case NodeBinding(n) => catalog.nodeDf(n.label)
       case EdgeBinding(e) => catalog.edgeDf(e)
-      case ValueBinding => throw new IllegalStateException("scan of value")
+      case ValueBinding | PathBinding =>
+        throw new IllegalStateException("scan of non-entity binding")
     }
     val cols = g.members.flatMap { case (a, b) =>
       entityCols(b).map(c => col(c).as(pref(a, c)))
@@ -670,7 +671,7 @@ object Compiler {
       val valueCols = kinds.zipWithIndex.collect {
         case (ValueItem(e, _), i) => ec.compile(e).as(tmpNames(i))
       }
-      var aug = ctx.df.select(ctx.df.columns.map(col) ++ valueCols: _*)
+      var aug = ctx.df.select((ctx.df.columns.map(col) ++ valueCols).toIndexedSeq: _*)
       // ORDER BY/LIMIT/WHERE here see the NEW aliases (incl. renamed
       // entities, `WITH n AS m`) while reading the OLD physical columns
       // (reference: LogicalPlan.cs:216-288).
@@ -708,7 +709,7 @@ object Compiler {
           val keyTmp = kinds.zipWithIndex.collect {
             case (ValueItem(e, false), i) => ec.compile(e).as(s"__key_$i")
           }
-          val aug = ctx.df.select(ctx.df.columns.map(col) ++ keyTmp: _*)
+          val aug = ctx.df.select((ctx.df.columns.map(col) ++ keyTmp).toIndexedSeq: _*)
           val keyNames: Seq[String] = kinds.zipWithIndex.flatMap {
             case (EntityItem(a, b), _) => entityCols(b).map(pref(a, _))
             case (ValueItem(_, false), i) => Seq(s"__key_$i")

@@ -494,6 +494,8 @@ final class ExprCompiler(
         case Some(b @ (NodeBinding(_) | EdgeBinding(_))) => (al, b)
         case Some(ValueBinding) => throw new CypherBindingException(
           s"$fn() expects a node/relationship variable, '$al' is a value")
+        case Some(PathBinding) => throw new CypherBindingException(
+          s"$fn() expects a node/relationship variable, '$al' is a path")
         case None =>
           throw new CypherBindingException(s"unknown variable '$al'")
       }
@@ -546,7 +548,7 @@ final class ExprCompiler(
             val s = col(pref(physAlias(al), e.srcIdColumn))
             val k = col(pref(physAlias(al), e.sinkIdColumn))
             if (a.distinct) countDistinct(s, k) else count(s)
-          case ValueBinding => throw new IllegalStateException
+          case ValueBinding | PathBinding => throw new IllegalStateException
         }
       case None if a.arg.isEmpty =>
         if (a.name == "count") count(lit(1)) // count(*), extension

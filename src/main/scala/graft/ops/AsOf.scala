@@ -51,12 +51,12 @@ object AsOf {
     require(clash.isEmpty, s"asofJoin column collision: ${clash.mkString(", ")}")
     require(rPay.contains(rightTs), s"rightTs $rightTs must be a non-key right column")
 
-    val lStruct = struct(left.columns.map(col): _*)
-    val rStruct = struct(rPay.map(col): _*)
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rStruct = struct(rPay.map(col).toIndexedSeq: _*)
     val l2 = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ats"), lit(1).as("__side"),
         lStruct.as("__l"),
-        lit(null).cast(right.select(rPay.map(col): _*).schema).as("__r")): _*)
+        lit(null).cast(right.select(rPay.map(col).toIndexedSeq: _*).schema).as("__r")): _*)
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ats"), lit(0).as("__side"),
         lit(null).cast(left.schema).as("__l"), rStruct.as("__r")): _*)
@@ -100,8 +100,8 @@ object AsOf {
     val bounded = toleranceSec.foldLeft(filtered) { (df, tol) =>
       df.withColumn("__c", within(col("__c"), tol))
     }
-    bounded.select(left.columns.map(n => col("__l").getField(n).as(n)) ++
-      rPay.map(n => col("__c").getField(n).as(n)): _*)
+    bounded.select((left.columns.map(n => col("__l").getField(n).as(n)) ++
+      rPay.map(n => col("__c").getField(n).as(n))).toIndexedSeq: _*)
   }
 
   /**

@@ -68,12 +68,12 @@ object SemiStructured {
         schema.fields.map(f =>
           count(when(col("__j").getField(f.name).isNotNull, 1))
             .as(s"__p_${f.name}"))
-    val wide = parsed.agg(aggs.head, aggs.tail: _*)
+    val wide = parsed.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     val rows = struct(lit("__corrupt").as("field"),
       col("__corrupt").as("n_present")) +:
       schema.fields.map(f => struct(lit(f.name).as("field"),
         col(s"__p_${f.name}").as("n_present")))
-    wide.select(col("__n"), explode(array(rows: _*)).as("__r"))
+    wide.select(col("__n"), explode(array(rows.toIndexedSeq: _*)).as("__r"))
       .select(col("__r.field").as("field"), col("__n").as("n_rows"),
         col("__r.n_present").as("n_present"),
         (col("__r.n_present").cast("double") / col("__n").cast("double"))

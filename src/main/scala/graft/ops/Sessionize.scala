@@ -252,7 +252,7 @@ object Sessionize {
         (c, m) => c && col("__t") <= col(prev) + expr(s"INTERVAL $m MINUTES")
       }
       acc = acc.join(cur, Seq(userCol), "left")
-        .groupBy(keys.map(col): _*)
+        .groupBy(keys.map(col).toIndexedSeq: _*)
         // null prev ⇒ comparison null ⇒ when() null ⇒ min null: later
         // stages collapse to null once any earlier stage is missing
         .agg(min(when(inStep, col("__t"))).as(s"${stages(i)}_ts"))

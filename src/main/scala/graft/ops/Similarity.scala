@@ -860,7 +860,7 @@ object Similarity {
       val dists = array(cb(s).map { c =>
         val cc = c.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
         dss - lit(2.0) * dot(sub, lit(c)) + lit(cc)
-      }: _*)
+      }.toIndexedSeq: _*)
       (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
     }
     array(codes: _*)

@@ -632,7 +632,7 @@ object TextOps {
     val freq = tokenFrequencies(df, textCol)
     val top = freq.orderBy(col("n").desc, col("token")).limit(topK)
       .select(col("token")).collect().map(_.getString(0))
-    val topLit = array(top.sorted.map(lit): _*)
+    val topLit = array(top.sorted.map(lit).toIndexedSeq: _*)
     val docs = df
       .select(col(idCol),
         array_sort(array_intersect(array_distinct(tokens(col(textCol))),
