@@ -1377,4 +1377,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN p.Name AS N ORDER BY N""".stripMargin)
     assert(r3.map(_.getString(0)) == Seq("Jessica Thompson", "Tom Hanks"))
   }
+
+  test("property maps / pattern WHERE / multi-label are plan-invisible (identical optimized plans)") {
+    def planOf(q: String) =
+      session.run(q).queryExecution.optimizedPlan.canonicalized
+    assert(
+      planOf("MATCH (p:Person {Name: 'Tom Hanks'}) RETURN p.Born AS B") ==
+      planOf("MATCH (p:Person) WHERE p.Name = 'Tom Hanks' RETURN p.Born AS B"))
+    assert(
+      planOf("""MATCH (p:Person)-[a:ACTED_IN {Roles: 'Jack Swigert'}]->(m:Movie)
+               |RETURN m.Title AS T""".stripMargin) ==
+      planOf("""MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+               |WHERE a.Roles = 'Jack Swigert'
+               |RETURN m.Title AS T""".stripMargin))
+    assert(
+      planOf("MATCH (p:Person WHERE p.Born >= 1958) RETURN p.Name AS N") ==
+      planOf("MATCH (p:Person) WHERE p.Born >= 1958 RETURN p.Name AS N"))
+    assert(
+      planOf("MATCH (p:Person:Boomer) RETURN p.Name AS N") ==
+      planOf("MATCH (p:Person) WHERE p.Born = 1956 RETURN p.Name AS N"))
+  }
 }
