@@ -878,6 +878,27 @@ object SparkEntry {
              |JOIN two ON n_nationkey = two.src
              |ORDER BY name""".stripMargin)),
 
+    // --- temporal component accessors (extension): `x.prop.year` etc.
+    //     on columns, lowered to the component functions; dayOfWeek is
+    //     ISO (1 = Monday), mirrored by DuckDB isodow
+    ("q55_temporal_components", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 500
+        |RETURN o.o_orderdate.year AS y, o.o_orderdate.quarter AS q,
+        |       o.o_orderdate.month AS mo, o.o_orderdate.week AS w,
+        |       o.o_orderdate.dayOfWeek AS dow,
+        |       count(o) AS n, min(o.o_orderdate.day) AS min_day
+        |ORDER BY y, q, mo, w, dow""".stripMargin),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+             |       CAST(quarter(o_orderdate) AS INT) AS q,
+             |       CAST(month(o_orderdate) AS INT) AS mo,
+             |       CAST(weekofyear(o_orderdate) AS INT) AS w,
+             |       CAST(isodow(o_orderdate) AS INT) AS dow,
+             |       count(o_orderkey) AS n,
+             |       CAST(min(day(o_orderdate)) AS INT) AS min_day
+             |FROM orders WHERE o_orderkey <= 500
+             |GROUP BY 1, 2, 3, 4, 5
+             |ORDER BY y, q, mo, w, dow""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -84,19 +84,44 @@ final class ExprCompiler(
         s"path '$alias' has no properties - only length($alias) is supported")
     case Some(ValueBinding) =>
       // struct-typed values (map literals, properties()) support dot
-      // access into their fields (extension)
+      // access into their fields; temporal values support the Cypher
+      // component accessors `d.year` etc. (both extensions)
       val phys = aliasCols.getOrElse(alias, alias)
+      val comp = p.toLowerCase(java.util.Locale.ROOT)
       colTypes.get(phys) match {
         case Some(StructType(fs)) if fs.exists(_.name == p) =>
           col(phys).getField(p)
         case Some(StructType(_)) => throw new CypherBindingException(
           s"map '$alias' has no key '$p'")
+        case Some(DateType | TimestampType)
+            if Parser.TemporalComponents(comp) =>
+          temporalComponent(comp, col(phys))
+        case Some(DateType | TimestampType) =>
+          throw new CypherBindingException(
+            s"temporal value '$alias' has no component '$p' (supported: " +
+            Parser.TemporalComponents.toSeq.sorted.mkString(", ") + ")")
         case _ => throw new CypherBindingException(
           s"'$alias' is a value, not an entity — cannot access .$p")
       }
     case None =>
       throw new CypherBindingException(s"unknown variable '$alias'")
   }
+
+  /** One temporal component as a Column. `dayofweek` is ISO
+    * (1 = Monday … 7 = Sunday, Neo4j's convention; Spark's builtin is
+    * 1 = Sunday, hence the shift). */
+  private def temporalComponent(name: String, c: Column): Column =
+    name match {
+      case "year"      => year(c)
+      case "quarter"   => quarter(c)
+      case "month"     => month(c)
+      case "week"      => weekofyear(c)
+      case "day"       => dayofmonth(c)
+      case "dayofweek" => ((dayofweek(c) + lit(5)) % lit(7)) + lit(1)
+      case "hour"      => hour(c)
+      case "minute"    => minute(c)
+      case "second"    => second(c)
+    }
 
   def compile(e: Expr): Column = {
     typeOf(e) // static check: illegal operand types raise Cypher errors
@@ -413,8 +438,11 @@ final class ExprCompiler(
       case "degrees" => arity(1); degrees(a0)
       // haversin(x) = (1 - cos(x)) / 2, openCypher's spelling
       case "haversin" => arity(1); (lit(1.0) - cos(a0)) / lit(2.0)
-      case "year"  => arity(1); year(a0)
-      case "month" => arity(1); month(a0)
+      // temporal components (also reachable as dot accessors —
+      // `x.prop.year` on columns, `d.year` on temporal values; Cypher
+      // temporal component access, extension)
+      case n if Parser.TemporalComponents(n) =>
+        arity(1); temporalComponent(n, a0)
       // openCypher temporal constructors (the reference's value node
       // carries typed DateTime literals, QueryExpressionValue.cs:43-55).
       // A literal argument becomes a TYPED literal at compile time —

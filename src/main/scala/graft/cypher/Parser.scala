@@ -890,9 +890,24 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case Punct(".", _) =>
           p += 2
           val prop = name()
-          if (isPunct("."))
-            notSupported("nested property lookup a.b.c")
-          Ref(id, Some(prop))
+          if (isPunct(".")) {
+            // temporal component access `x.prop.year` (extension;
+            // Neo4j's temporal accessors) — lowered to the matching
+            // component function; anything else stays the reference's
+            // nested-lookup rejection
+            if (!extensions)
+              notSupported("nested property lookup a.b.c")
+            p += 1
+            val comp = name().toLowerCase(java.util.Locale.ROOT)
+            if (!Parser.TemporalComponents(comp))
+              notSupported(s"nested property lookup a.b.$comp (only " +
+                "temporal components " +
+                Parser.TemporalComponents.toSeq.sorted.mkString(", ") +
+                " are supported)")
+            if (isPunct("."))
+              notSupported("property lookup beyond a temporal component")
+            Func(comp, Seq(Ref(id, Some(prop))))
+          } else Ref(id, Some(prop))
         case _ => p += 1; Ref(id, None)
       }
     // callable forms of infix keywords: contains(x, y), not(x) —
@@ -1061,6 +1076,13 @@ object Parser {
    *  lowered by [[Compiler]] to reachable-pair semantics via an
    *  iterate-to-fixpoint BFS (never unrolled). */
   val Unbounded: Int = Int.MaxValue
+
+  /** Component names legal after a property in `x.prop.<component>`
+   *  (temporal accessors, extension) — lowered to the matching
+   *  function; dayofweek is ISO (1 = Monday). */
+  val TemporalComponents: Set[String] = Set(
+    "year", "quarter", "month", "week", "day", "dayofweek",
+    "hour", "minute", "second")
 
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()

@@ -379,7 +379,8 @@ final class TypeInference(refType: Ref => Option[DataType],
         requireNumeric(t(0), "atan2"); requireNumeric(t(1), "atan2")
         Some(DoubleType)
       case "e" | "pi" => Some(DoubleType)
-      case "year" | "month" =>
+      case "year" | "month" | "day" | "quarter" | "week" | "dayofweek" |
+           "hour" | "minute" | "second" =>
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(IntegerType)

@@ -73,6 +73,9 @@ object ChangeData {
    * upsert ('U' > 'D'). Well-behaved feeds carry unique (key, seq);
    * the tie rule just guarantees replays and merged feeds stay
    * deterministic. [[streamingLatest]] applies the same tuple order.
+   * The tuple order requires ORDERABLE payload columns (atomics,
+   * structs, arrays — not MAP); serialize map payloads to JSON
+   * upstream, the [[SemiStructured]] convention.
    *
    * Scale shape: the feed (typically ≪ snapshot) reduces FIRST to one
    * slim winner row per key (a single partial-aggregated max over the

@@ -1397,4 +1397,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
       planOf("MATCH (p:Person:Boomer) RETURN p.Name AS N") ==
       planOf("MATCH (p:Person) WHERE p.Born = 1956 RETURN p.Name AS N"))
   }
+
+  // ---------------------------------------- temporal dot accessors
+
+  test("temporal component accessors x.prop.year etc (ISO dayOfWeek)") {
+    // Released is an int, so accessors run on the date() constructor via
+    // WITH; fixture has no date columns — the TPC-H oracle (q55) covers
+    // the column path
+    val r = rows(
+      """MATCH (m:Movie) WITH m, date('1995-06-30') AS d
+        |WHERE m.Title = 'Apollo 13'
+        |RETURN d.year AS y, d.quarter AS q, d.month AS mo, d.week AS w,
+        |       d.day AS dd, d.dayOfWeek AS dow""".stripMargin)
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3),
+      x.getInt(4), x.getInt(5))) == Seq((1995, 2, 6, 26, 30, 5))) // Friday
+    // unknown component / over-deep chains stay typed rejections
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (m:Movie) RETURN m.Title.length AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (m:Movie) WITH date('2020-01-01') AS d RETURN d.x.year.day AS x"))
+  }
 }
