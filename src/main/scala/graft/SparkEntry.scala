@@ -4597,6 +4597,82 @@ object SparkEntry {
              |  AND click_ts <= imp_ts + INTERVAL '30' MINUTE
              |ORDER BY impression_id, click_id""".stripMargin)),
 
+    // --- streaming trailing-window stats through the gate: per-user
+    //     flatMapGroupsWithState window state; emissions happen on
+    //     arrival (no sentinel flush); ms-keyed frames match the batch
+    //     RANGE window exactly across chunk boundaries
+    ("e55_stream_rolling",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 60)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[Sessionize.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 2), "append") {
+          ds => Sessionize.streamingRollingUserStats(
+            ds.withWatermark("ts", "10 minutes"), windowMinutes = 60).toDF()
+        }
+          .select(col("event_id"), col("user_id"), col("n_window"),
+            round(col("sum_window"), 6).as("sum_window"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |          FROM events WHERE user_id < 60)
+             |SELECT event_id, user_id,
+             |  CAST(count(*) OVER win AS BIGINT) AS n_window,
+             |  round(sum(value) OVER win, 6) AS sum_window
+             |FROM e
+             |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
+
+    // --- streaming anomaly z-scores through the gate: same state
+    //     machine, strictly-prior-millisecond frames; z/verdict match
+    //     the batch RANGE ... 1 PRECEDING contract
+    ("e56_stream_anomaly",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 60)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[Sessionize.Event].collect()
+          .sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 3), "append") {
+          ds => Sessionize.streamingAnomalyZScores(
+            ds.withWatermark("ts", "10 minutes"),
+            windowMinutes = 60, minPrior = 5, threshold = 3.0).toDF()
+        }
+          .select(col("event_id"), col("user_id"), col("n_prior"),
+            round(col("z"), 6).as("z"),
+            col("is_anomaly").cast("long").as("is_anomaly"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+             |  FROM events WHERE user_id < 60),
+             |w AS (SELECT event_id, user_id, value, epoch_ms(ts) AS ms
+             |      FROM e0),
+             |s AS (SELECT *, count(*) OVER win AS n_prior,
+             |        avg(value) OVER win AS mu,
+             |        avg(value * value) OVER win AS m2
+             |      FROM w
+             |      WINDOW win AS (PARTITION BY user_id ORDER BY ms
+             |        RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, user_id, n_prior,
+             |        CASE WHEN n_prior >= 5
+             |               AND sqrt(greatest(m2 - mu*mu, 0)) > 0
+             |          THEN (value - mu) / sqrt(greatest(m2 - mu*mu, 0))
+             |        END AS z
+             |      FROM s)
+             |SELECT event_id, user_id, n_prior, round(z, 6) AS z,
+             |       CASE WHEN z IS NOT NULL
+             |         THEN CAST(abs(round(z, 6)) > 3.0 AS BIGINT) END
+             |         AS is_anomaly
+             |FROM z ORDER BY event_id""".stripMargin)),
+
     // --- local-maximum peak detection over daily series (strictly
     //     above the previous day, at least the next, and 1.2× the
     //     type mean; series edges never peak)
