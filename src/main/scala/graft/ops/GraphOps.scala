@@ -846,11 +846,15 @@ object GraphOps {
     val metrics: Seq[(String, Column)] = Seq(
       "n_nodes" -> col("__v").cast("double"),
       "n_edges" -> col("__e").cast("double"),
-      "density" -> round(col("__e").cast("double") /
-        (col("__v").cast("double") * (col("__v") - 1L)), 6),
+      // guarded ratios: density/reciprocity are undefined (null) on
+      // graphs with < 2 nodes / no edges — an unguarded divide is an
+      // ANSI-mode runtime error on the empty graph
+      "density" -> when(col("__v") > 1L, round(col("__e").cast("double") /
+        (col("__v").cast("double") * (col("__v") - 1L)), 6)),
       "avg_out_degree" -> round(col("__avgout"), 6),
       "max_out_degree" -> col("__maxout").cast("double"),
-      "reciprocity" -> round(col("__r").cast("double") / col("__e"), 6))
+      "reciprocity" -> when(col("__e") > 0L,
+        round(col("__r").cast("double") / col("__e"), 6)))
     one.select(explode(array(metrics.map { case (n, c) =>
         struct(lit(n).as("metric"), c.as("value")) }: _*)).as("__m"))
       .select("__m.*")
@@ -1068,9 +1072,12 @@ object GraphOps {
    * documented model-sized collect.
    */
   def valveAdvisory(card: DataFrame): ValveAdvisory = {
-    val m = card.collect().map(r =>
-      r.getString(r.fieldIndex("metric")) ->
-        r.getDouble(r.fieldIndex("value"))).toMap
+    // null-safe read: an empty graph's card carries null max/avg rows
+    val m = card.collect().flatMap { r =>
+      Option(r.get(r.fieldIndex("value"))).map(v =>
+        r.getString(r.fieldIndex("metric")) ->
+          v.asInstanceOf[Number].doubleValue())
+    }.toMap
     val edges = m.getOrElse("n_edges", 0.0)
     val nodes = m.getOrElse("n_nodes", 0.0)
     val maxDeg = m.getOrElse("max_out_degree", 0.0)

@@ -4889,4 +4889,11 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("valveAdvisory: empty graph yields no caps, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("s", "d")
+    val a = GraphOps.valveAdvisory(GraphOps.graphCard(empty, "s", "d"))
+    assert(a.maxDegree.isEmpty && a.nEdges == 0L && a.nNodes == 0L)
+    assert(a.sccMaxClosureRows >= 1L)
+  }
 }
