@@ -1417,4 +1417,11 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       "MATCH (m:Movie) WITH date('2020-01-01') AS d RETURN d.x.year.day AS x"))
   }
+
+  test("reachablePairs: empty edge set converges immediately to empty") {
+    import spark.implicits._
+    val got = Reach.reachablePairs(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d").count()
+    assert(got == 0L)
+  }
 }

@@ -4896,4 +4896,14 @@ class OpsSpec extends AnyFunSuite {
     assert(a.maxDegree.isEmpty && a.nEdges == 0L && a.nNodes == 0L)
     assert(a.sccMaxClosureRows >= 1L)
   }
+
+  test("Replay.timeChunks edge cases: empty input, more chunks than items") {
+    import graft.streaming.Replay
+    assert(Replay.timeChunks(Seq.empty[Int], 3) == Seq(Seq.empty[Int]))
+    val tiny = Replay.timeChunks(Seq(1, 2), 5)
+    assert(tiny.flatten == Seq(1, 2))
+    assert(tiny.forall(_.nonEmpty))
+    val even = Replay.timeChunks((1 to 10).toSeq, 3)
+    assert(even.flatten == (1 to 10).toSeq && even.size <= 4)
+  }
 }
