@@ -4535,7 +4535,7 @@ object SparkEntry {
           Seq((new java.sql.Timestamp(maxMs + 3 * day), "__flush", 0.0)),
           Seq((new java.sql.Timestamp(maxMs + 6 * day), "__flush", 0.0)))
         graft.streaming.Replay.run(s,
-            graft.streaming.Replay.timeChunks(ev, 3) ++ sentinels, "append") {
+            graft.streaming.Replay.timeChunks(ev, 2) ++ sentinels, "append") {
           ds => Sessionize.streamingHourlyRollup(
             ds.toDF("ts", "event_type", "value"))
         }
