@@ -899,6 +899,35 @@ object SparkEntry {
              |GROUP BY 1, 2, 3, 4, 5
              |ORDER BY y, q, mo, w, dow""".stripMargin)),
 
+    // --- anchored unbounded reach (round 8): a literal WHERE equality
+    //     on the source endpoint seeds the reachability BFS from the
+    //     ONE anchored nation, so only its successor cone is ever
+    //     materialized (never the full closure — guard-proven in
+    //     CypherExtensionsSpec); mirrored by a DuckDB recursive CTE
+    //     whose base case is seeded the same way
+    ("q56_anchored_reach", cyx(
+      """MATCH (a:Nation)-[:NEXT_IN_REGION*1..]->(b:Nation)
+        |WHERE a.n_name = 'NATION_2'
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name
+        |ORDER BY dst_name""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |reach AS (
+             |  SELECT c.src, c.dst FROM chain c
+             |  JOIN nation a ON a.n_nationkey = c.src
+             |  WHERE c.dst IS NOT NULL AND a.n_name = 'NATION_2'
+             |  UNION
+             |  SELECT r.src, c.dst FROM reach r
+             |  JOIN chain c ON c.src = r.dst WHERE c.dst IS NOT NULL)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name
+             |FROM reach
+             |JOIN nation a ON a.n_nationkey = reach.src
+             |JOIN nation b ON b.n_nationkey = reach.dst
+             |ORDER BY dst_name""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -327,7 +327,11 @@ object Compiler {
     // branches' key columns, existence being length-agnostic (no
     // per-branch schema agreement needed beyond the shared aliases).
     val clause = Seq(MatchClause(ex.parts, optional = false, where = ex.where))
-    val (msR, catR) = Reach.rewrite(clause, catalog)
+    // the outer frame's bound aliases can anchor-seed an unbounded
+    // reach inside the EXISTS pattern (semi-/anti-join correlation only
+    // ever observes pairs whose endpoint ids exist in the outer frame)
+    val (msR, catR) =
+      Reach.rewrite(clause, catalog, Some(Ctx(df, outerNamed)))
     // the inner WHERE (and any nested EXISTS in it) rides the ordinary
     // compileMatches path inside the subplan
     def one(ms: Seq[MatchClause]): (Ctx, Seq[String]) = {
@@ -800,8 +804,10 @@ object Compiler {
       val scope = ctx.map(_.scope).getOrElse(inherited)
       // unbounded [*]/[*1..] rels rewrite FIRST to synthetic reach edges
       // (Reach.rewrite; no-op without one) — bounded var-length in the
-      // same part then goes through the ordinary branch union
-      val (ms, cat) = Reach.rewrite(part.matches, catalog)
+      // same part then goes through the ordinary branch union; the
+      // incoming frame (if any) can anchor-seed a reach endpoint whose
+      // variable it already binds
+      val (ms, cat) = Reach.rewrite(part.matches, catalog, ctx)
       val afterMatch0: Option[Ctx] =
         if (ms.isEmpty) ctx
         else if (!VarLength.hasVarLength(ms))

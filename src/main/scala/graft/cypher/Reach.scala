@@ -1,9 +1,12 @@
 package graft.cypher
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import ast._
+import graft.ops.GraphContractViolation
 
 /**
  * Unbounded variable-length `[*]` / `[*1..]` → REACHABLE-PAIR lowering
@@ -23,8 +26,37 @@ import ast._
  *
  * The lowering SPLICES the reach frame back into the ordinary join
  * DAG as a synthetic one-hop edge (`__REACH_<n>_<verb>` over table
- * `__reach_<n>`), so everything around it — other rels, WHERE,
- * OPTIONAL MATCH, aggregation, projections — compiles unchanged.
+ * `__reach_<n>_<verb>`; `<n>` from a process-global counter so nested
+ * rewrites — an outer MATCH plus an EXISTS subplan in the same query —
+ * can never collide on a table name), so everything around it — other
+ * rels, WHERE, OPTIONAL MATCH, aggregation, projections — compiles
+ * unchanged.
+ *
+ * Scale posture (the closure is computed at COMPILE time, so the
+ * guards live here, not in the emitted plan):
+ *
+ *  - '''Anchor seeding.''' When the clause constrains a reach endpoint
+ *    — a literal `=`/`IN` WHERE conjunct on any property of the
+ *    endpoint's node (inline property maps and `$params` desugar to
+ *    exactly these), or the endpoint variable piped in bound from an
+ *    earlier part — the BFS frontier starts from the CONSTRAINED node
+ *    set instead of every edge, so only the reachable cone of the
+ *    anchored rows is ever materialized (multi-source waves, the
+ *    [[graft.ops.GraphOps.bfsDistances]] posture). A source anchor
+ *    seeds the forward BFS; otherwise a destination anchor seeds the
+ *    same BFS over reversed edges. Piped-frame seeding re-executes the
+ *    incoming frame once at compile time (distinct ids only) — the
+ *    right trade whenever the frame is narrower than the graph, which
+ *    is what piping it means.
+ *  - '''Closure row guard.''' Every round the accumulated pair count
+ *    (riding the `localCheckpoint` each round materializes anyway) is
+ *    checked against `maxClosureRows` — default `max(64·E, 1024)`, the
+ *    [[graft.ops.GraphOps.sccBounded]] contract, overridable via the
+ *    session conf `spark.graft.reach.maxClosureRows` — and a
+ *    [[graft.ops.GraphContractViolation]] names the bound and the
+ *    round. A dense graph blows up in ROW VOLUME long before the
+ *    round guard (diameter) trips; this fails fast in O(rounds) jobs
+ *    instead of silently materializing a quadratic frame.
  *
  * Contract (typed rejections otherwise):
  *  - explicit single verb whose schema edge is SELF-TYPE
@@ -45,6 +77,14 @@ private[cypher] object Reach {
     * means a pathological chain, not a real query. */
   val MaxRounds = 1024
 
+  /** Session conf key overriding the closure row bound. */
+  val MaxClosureRowsConf = "spark.graft.reach.maxClosureRows"
+
+  /** Process-global counter for synthetic reach verb/table names —
+    * global (not per-rewrite) so an outer MATCH rewrite and a nested
+    * EXISTS rewrite in one query chain can never share a table name. */
+  private val nameCounter = new AtomicLong(0)
+
   private def isUnbounded(r: RelPat): Boolean =
     r.varLength.exists(_._2 == Parser.Unbounded)
 
@@ -53,12 +93,14 @@ private[cypher] object Reach {
 
   /** Rewrites every unbounded var-length rel to a synthetic reach edge;
     * returns the rewritten clauses plus a catalog that can serve the
-    * synthetic tables. No-op (same instances) when nothing is unbounded. */
-  def rewrite(matches: Seq[MatchClause], catalog: GraphCatalog)
+    * synthetic tables. `outer` (the incoming frame, when the clause
+    * follows a WITH or correlates an EXISTS) enables piped-frame anchor
+    * seeding. No-op (same instances) when nothing is unbounded. */
+  def rewrite(matches: Seq[MatchClause], catalog: GraphCatalog,
+              outer: Option[Compiler.Ctx] = None)
       : (Seq[MatchClause], GraphCatalog) = {
     if (!hasUnbounded(matches)) return (matches, catalog)
     val extra = Vector.newBuilder[(EdgeDef, DataFrame)]
-    var n = 0
     val out = matches.map { m =>
       m.copy(parts = m.parts.map { pp =>
         if (!pp.rels.exists(isUnbounded)) pp
@@ -72,7 +114,7 @@ private[cypher] object Reach {
             throw new CypherNotSupportedException(
               "shortestPath()/allShortestPaths() over an unbounded " +
               "variable-length — bound the range [*lo..hi]")
-          val rels2 = pp.rels.map { r =>
+          val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
               if (r.alts.nonEmpty)
@@ -102,13 +144,35 @@ private[cypher] object Reach {
                   s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
                   "carry a self-type edge of that verb")
               val e = selfDefs.head
-              val reach =
-                reachablePairs(catalog.edgeDf(e), e.srcIdColumn, e.sinkIdColumn)
-              val synthVerb = s"__REACH_${n}_$verb"
+              val node = catalog.graph.node(e.fromLabel)
+              // endpoint node patterns in EDGE direction: the pattern
+              // node binding the edge's source side vs its sink side
+              val srcPat =
+                if (r.dir == Direction.Out) pp.nodes(i) else pp.nodes(i + 1)
+              val dstPat =
+                if (r.dir == Direction.Out) pp.nodes(i + 1) else pp.nodes(i)
+              val edf = catalog.edgeDf(e)
+              val reach = seedFor(m.where, srcPat.alias, node, catalog, outer)
+                .map(sd => reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
+                  seeds = Some(sd)))
+                .orElse {
+                  seedFor(m.where, dstPat.alias, node, catalog, outer).map {
+                    sd => // reverse BFS from the destination anchor:
+                          // an R-path d→x over reversed edges is an
+                          // E-path x→d, so swap the output columns back
+                      reachablePairs(edf, e.sinkIdColumn, e.srcIdColumn,
+                          seeds = Some(sd))
+                        .select(col("__dst").as("__s"), col("__src").as("__d"))
+                        .withColumnRenamed("__s", "__src")
+                        .withColumnRenamed("__d", "__dst")
+                  }
+                }
+                .getOrElse(reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn))
+              val id = nameCounter.getAndIncrement()
+              val synthVerb = s"__REACH_${id}_$verb"
               val synth = EdgeDef(synthVerb, e.fromLabel, e.toLabel,
-                "__src", "__dst", Seq.empty, s"__reach_$n")
+                "__src", "__dst", Seq.empty, s"__reach_${id}_$verb")
               extra += ((synth, reach))
-              n += 1
               RelPat(None, Some(synthVerb), r.dir)
             }
           }
@@ -119,32 +183,110 @@ private[cypher] object Reach {
     (out, catalog.withExtraEdges(extra.result()))
   }
 
+  /** Top-level AND-conjuncts of a WHERE tree. */
+  private def topConjuncts(e: Expr): Seq[Expr] = e match {
+    case Bin(BinOp.And, l, r) => topConjuncts(l) ++ topConjuncts(r)
+    case other                => Seq(other)
+  }
+
+  /** Literal `alias.prop = v` / `alias.prop IN [v…]` conjuncts on
+    * declared properties of `node` — a filter the seed scan can apply
+    * EXACTLY (the main plan keeps the WHERE, so seeding only needs the
+    * seed set to be a superset of the surviving rows; literal
+    * equality/IN is the exact set). */
+  private def literalAnchors(where: Option[Expr], alias: String,
+      node: NodeDef): Seq[(String, Seq[Any])] =
+    where.toSeq.flatMap(topConjuncts).flatMap {
+      case Bin(BinOp.Eq, Ref(a, Some(p)), Lit(v)) if a == alias && v != null =>
+        Some(p -> Seq(v))
+      case Bin(BinOp.Eq, Lit(v), Ref(a, Some(p))) if a == alias && v != null =>
+        Some(p -> Seq(v))
+      case Bin(BinOp.In, Ref(a, Some(p)), ListLit(items))
+          if a == alias && items.nonEmpty &&
+            items.forall { case Lit(v) => v != null; case _ => false } =>
+        Some(p -> items.collect { case Lit(v) => v })
+      case _ => None
+    }.filter { case (p, _) =>
+      p == node.idColumn || node.properties.contains(p)
+    }
+
+  /** Seed id frame for a reach endpoint, if the clause anchors it:
+    * literal WHERE anchors filter the node table down to the anchored
+    * ids; failing that, an endpoint variable already bound in the
+    * incoming frame seeds from that frame's distinct ids. */
+  private def seedFor(where: Option[Expr], alias: Option[String],
+      node: NodeDef, catalog: GraphCatalog,
+      outer: Option[Compiler.Ctx]): Option[DataFrame] =
+    alias.flatMap { al =>
+      val anchors = literalAnchors(where, al, node)
+      if (anchors.nonEmpty) {
+        val filtered = anchors.foldLeft(catalog.nodeDf(node.label)) {
+          case (d, (p, Seq(one))) => d.where(col(p) === lit(one))
+          case (d, (p, vs))       => d.where(col(p).isin(vs: _*))
+        }
+        Some(filtered.select(col(node.idColumn).as("__seed")))
+      } else outer.flatMap { o =>
+        o.scope.get(al) match {
+          case Some(Analyzer.NodeBinding(n)) if n.label == node.label &&
+              o.df.columns.contains(Compiler.pref(al, n.idColumn)) =>
+            Some(o.df.select(col(Compiler.pref(al, n.idColumn)).as("__seed")))
+          case _ => None
+        }
+      }
+    }
+
   /**
-   * All (src, dst) pairs connected by a directed path of length ≥ 1.
+   * All (src, dst) pairs connected by a directed path of length ≥ 1 —
+   * restricted to `src ∈ seeds` when a seed frame is given.
    *
    * Frontier BFS, not closure doubling: each round joins only the NEW
    * pairs of the previous round to the base edges (slim keys), dedupes,
    * and anti-joins the accumulated seen set — so round work is bounded
    * by the undiscovered pair count and the loop stops the first round
    * nothing new appears (≤ diameter rounds, each one job via the lazy
-   * localCheckpoint the emptiness probe materializes). At cluster scale
-   * every frame here is (src, dst) pairs — 16 B rows hash-partitioned
-   * on the join key; the output is closure-sized, which the CALLER
-   * constrains by joining endpoints down (the synthetic edge splices
-   * into the normal join DAG, so endpoint filters semi-join the reach
-   * frame before anything wide happens).
+   * localCheckpoint the round's count probe materializes). At cluster
+   * scale every frame here is (src, dst) pairs — 16 B rows
+   * hash-partitioned on the join key. The accumulated pair count is
+   * guarded by `maxClosureRows` (default `max(64·E, 1024)`; session
+   * conf [[MaxClosureRowsConf]] overrides; an explicit argument wins)
+   * — the output is closure-sized, and on a well-connected graph that
+   * is O(V²) BEFORE any endpoint filter in the surrounding join DAG
+   * can apply, which is exactly why anchored endpoints seed the
+   * frontier instead (see [[rewrite]]).
    */
   private[cypher] def reachablePairs(edges: DataFrame, srcCol: String,
-                                     dstCol: String): DataFrame = {
+      dstCol: String, seeds: Option[DataFrame] = None,
+      maxClosureRows: Option[Long] = None): DataFrame = {
     // self-loop edges stay: (a)→(a) is a legitimate length-1 path, and
     // cycle pairs (a, a) via longer loops arise from the BFS naturally
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint(false)
-    var seen = e
-    var frontier = e
+    val edgeCount = e.count()
+    val bound = maxClosureRows
+      .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
+        .map(_.toLong))
+      .getOrElse(math.max(64L * edgeCount, 1024L))
+    def guard(total: Long, round: Int): Unit =
+      if (total > bound)
+        throw new GraphContractViolation(
+          s"unbounded variable-length: reachability closure hit $total " +
+          s"rows after round $round (bound maxClosureRows=$bound). The " +
+          "graph is too well-connected for an unanchored closure — " +
+          "anchor an endpoint (a literal WHERE equality or a piped " +
+          s"frame), or raise $MaxClosureRowsConf deliberately.")
+    var seen = seeds match {
+      case Some(s) =>
+        val sd = s.select(col(s.columns.head).as("__src"))
+          .where(col("__src").isNotNull).distinct().localCheckpoint(false)
+        e.join(sd, Seq("__src"), "left_semi").localCheckpoint(false)
+      case None => e
+    }
+    var frontier = seen
+    var total = frontier.count()
+    guard(total, 0)
     var rounds = 0
-    var go = frontier.limit(1).count() > 0
+    var go = total > 0
     while (go) {
       rounds += 1
       if (rounds > MaxRounds)
@@ -157,8 +299,11 @@ private[cypher] object Reach {
         .select(col("__src"), col("__d2").as("__dst")).distinct()
         .join(seen, Seq("__src", "__dst"), "left_anti")
         .localCheckpoint(false)
-      go = next.limit(1).count() > 0
+      val n = next.count()
+      go = n > 0
       if (go) {
+        total += n
+        guard(total, rounds)
         seen = seen.union(next).localCheckpoint(false)
         frontier = next
       }

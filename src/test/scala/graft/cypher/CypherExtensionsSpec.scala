@@ -1315,7 +1315,83 @@ class CypherExtensionsSpec extends AnyFunSuite {
       val got = Reach.reachablePairs(pairs.toDF("s", "d"), "s", "d")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == closure, s"trial $trial: reach mismatch")
+      // seeded run ≡ full closure restricted to the seed sources
+      val seeds = (0 until n).map(_.toLong).filter(_ => nextInt(3) == 0)
+      val seeded = Reach.reachablePairs(pairs.toDF("s", "d"), "s", "d",
+          seeds = Some(seeds.toDF("id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(seeded == closure.filter(p => seeds.contains(p._1)),
+        s"trial $trial: seeded reach mismatch")
     }
+  }
+
+  test("reach closure guard trips on volume; anchoring stays under it") {
+    import spark.implicits._
+    // 100-node chain: full closure = 4950 pairs; the cone from node 5
+    // is 94 pairs — a bound between the two PROVES the anchored run
+    // never materializes the full closure
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("s", "d")
+    val full = intercept[graft.ops.GraphContractViolation] {
+      Reach.reachablePairs(chain, "s", "d", maxClosureRows = Some(500L))
+    }
+    assert(full.getMessage.contains("maxClosureRows=500"))
+    val cone = Reach.reachablePairs(chain, "s", "d",
+      seeds = Some(Seq(5L).toDF("id")), maxClosureRows = Some(500L))
+    assert(cone.count() == 94L)
+  }
+
+  test("literal WHERE anchors seed the reach frontier (src and dst side)") {
+    val key = Reach.MaxClosureRowsConf
+    spark.conf.set(key, "2")
+    try {
+      // unanchored: the 3-pair FOLLOWS closure exceeds the bound of 2
+      val e = intercept[graft.ops.GraphContractViolation](rows(
+        """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+          |RETURN a.Name AS A, b.Name AS B""".stripMargin))
+      assert(e.getMessage.contains("anchor an endpoint"))
+      // source anchored: Jessica's cone is 2 pairs — fits
+      val src = rows(
+        """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+          |WHERE a.Name = 'Jessica Thompson'
+          |RETURN b.Name AS B ORDER BY B""".stripMargin)
+      assert(src.map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+      // destination anchored: reverse BFS from Meg — 2 pairs
+      val dst = rows(
+        """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+          |WHERE b.Name = 'Meg Ryan'
+          |RETURN a.Name AS A ORDER BY A""".stripMargin)
+      assert(dst.map(_.getString(0)) == Seq("Jessica Thompson", "Tom Hanks"))
+      // inline property map desugars to the same anchored conjunct
+      val pm = rows(
+        """MATCH (a:Person {Name: 'Jessica Thompson'})-[:FOLLOWS*]->(b:Person)
+          |RETURN b.Name AS B ORDER BY B""".stripMargin)
+      assert(pm.map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+      // IN-list anchor
+      val in = rows(
+        """MATCH (a:Person)-[:FOLLOWS*]->(b:Person)
+          |WHERE a.Name IN ['Jessica Thompson'] RETURN b.Name AS B
+          |ORDER BY B""".stripMargin)
+      assert(in.map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+    } finally spark.conf.unset(key)
+  }
+
+  test("a piped WITH frame anchors the reach frontier") {
+    val key = Reach.MaxClosureRowsConf
+    spark.conf.set(key, "2")
+    try {
+      val r = rows(
+        """MATCH (a:Person) WHERE a.Name = 'Jessica Thompson'
+          |WITH a MATCH (a)-[:FOLLOWS*]->(b:Person)
+          |RETURN b.Name AS B ORDER BY B""".stripMargin)
+      assert(r.map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+      // piped frame anchors inside EXISTS too
+      val ex = rows(
+        """MATCH (a:Person) WHERE a.Name = 'Jessica Thompson'
+          |WITH a MATCH (a)
+          |WHERE EXISTS((a)-[:FOLLOWS*]->(:Person))
+          |RETURN a.Name AS N""".stripMargin)
+      assert(ex.map(_.getString(0)) == Seq("Jessica Thompson"))
+    } finally spark.conf.unset(key)
   }
 
   // ------------------------------------ pattern-level WHERE (Cypher 5)
