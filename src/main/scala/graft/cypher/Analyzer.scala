@@ -64,12 +64,14 @@ object Analyzer {
     final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
     // user-written aliases may not enter the engine's internal `__`
     // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …).
-    // `__pm<N>` is exempt: the PARSER synthesizes it for anonymous
-    // map-bearing pattern entities (inline property maps) and rejects
-    // any user-typed `__`-prefixed pattern alias itself, so the prefix
-    // can only arrive parser-made.
+    // Exactly `__pm<digits>` is exempt: the PARSER synthesizes those
+    // for anonymous map-bearing pattern entities (inline property maps)
+    // and rejects every user-typed `__`-prefixed pattern alias and path
+    // var itself, so the shape can only arrive parser-made.
     def checkUserAlias(a: String): Unit =
-      if (a.startsWith("__") && !a.startsWith("__pm"))
+      if (a.startsWith("__") &&
+          !(a.startsWith("__pm") && a.length > 4 &&
+            a.drop(4).forall(_.isDigit)))
         throw new CypherNotSupportedException(
           s"alias '$a' — names starting with __ are reserved")
     val named = matches.map { m =>

@@ -242,6 +242,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("named path variables" +
             (if (extensions && !allowPath) " outside a top-level MATCH"
              else " (supported with extensions enabled)"))
+        // same reserved-namespace rule as patAlias(): a user path var
+        // may not collide with parser-synthesized `__pm<N>` names
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
         p += 2
         Some(s)
       case _ => None

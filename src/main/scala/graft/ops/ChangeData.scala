@@ -75,7 +75,9 @@ object ChangeData {
    * deterministic. [[streamingLatest]] applies the same tuple order.
    * The tuple order requires ORDERABLE payload columns (atomics,
    * structs, arrays — not MAP); serialize map payloads to JSON
-   * upstream, the [[SemiStructured]] convention.
+   * upstream, the [[SemiStructured]] convention. Change rows with a
+   * NULL `seqCol` are dropped before the merge — a change without a
+   * sequence has no position in latest-wins order.
    *
    * Scale shape: the feed (typically ≪ snapshot) reduces FIRST to one
    * slim winner row per key (a single partial-aggregated max over the
@@ -100,7 +102,12 @@ object ChangeData {
     // derivation above it can be an arbitrarily deep plan — without
     // the pin, BOTH consumers re-derive the whole feed pipeline.
     // Winners are feed-bounded (≪ snapshot in steady state).
-    val winners = changes.groupBy(col(keyCol))
+    // null-seq change rows are dropped, not merged: a change without a
+    // sequence has no place in latest-wins order (and struct-max would
+    // otherwise let it participate — pre-r7 max(seq)+semi-join ignored
+    // all-null-seq keys; this pins that rule explicitly)
+    val winners = changes.where(col(seqCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(max(struct(orderedCols.map(col): _*)).as("__w"))
       .select(col(keyCol) +: orderedCols.map(c => col(s"__w.$c").as(c)): _*)
       .localCheckpoint(false)

@@ -61,9 +61,13 @@ object Replay {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally {
-      q.stop()
-      spark.catalog.dropTempView(sink)
-      spark.conf.set(key, prev)
+      // nested so a q.stop() failure can never skip the view drop or
+      // leave the session pinned at the replay's partition count
+      try q.stop()
+      finally {
+        try spark.catalog.dropTempView(sink)
+        finally spark.conf.set(key, prev)
+      }
     }
   }
 
@@ -99,9 +103,13 @@ object Replay {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally {
-      q.stop()
-      spark.catalog.dropTempView(sink)
-      spark.conf.set(key, prev)
+      // nested so a q.stop() failure can never skip the view drop or
+      // leave the session pinned at the replay's partition count
+      try q.stop()
+      finally {
+        try spark.catalog.dropTempView(sink)
+        finally spark.conf.set(key, prev)
+      }
     }
   }
 

@@ -920,6 +920,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("You've Got Mail", 1L)))
   }
 
+  test("path variables obey the reserved __ namespace (no __pm collision)") {
+    // a user path var may not enter the engine's reserved namespace —
+    // `__pm0` would collide with a parser-synthesized property-map alias
+    intercept[CypherNotSupportedException](rows(
+      """MATCH __pm0 = (a:Person)-[:FOLLOWS*1..2]->(b:Person),
+        |      ({Name: 'Tom Hanks'})-[:FOLLOWS]->(c:Person)
+        |RETURN a.Name AS N""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH __p = (a:Person)-[:FOLLOWS*1..2]->(b) RETURN a.Name AS N"))
+  }
+
   test("named path over [*1..2]: per-branch lengths survive the union") {
     val r = rows(
       """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)

@@ -4786,6 +4786,23 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("applyChangeFeed: null-seq change rows are dropped, not merged") {
+    val snap = Seq((1L, "one"), (2L, "two")).toDF("id", "name")
+    // id=1: only null-seq changes -> key untouched, snapshot row stays
+    // id=2: null-seq delete loses to a real-seq upsert it would have
+    //       beaten under struct-max-with-nulls
+    // id=3: only a null-seq insert -> never lands
+    val feed = Seq(
+      (1L, "one-null", "U", null.asInstanceOf[java.lang.Long]),
+      (2L, null.asInstanceOf[String], "D", null.asInstanceOf[java.lang.Long]),
+      (2L, "two-up", "U", java.lang.Long.valueOf(1L)),
+      (3L, "three", "U", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "name", "op", "seq")
+    val out = ChangeData.applyChangeFeed(snap, feed, "id", "seq")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "one"), (2L, "two-up")))
+  }
+
   test("mortonCode: negative dimensions raise, nulls propagate null") {
     val ex = intercept[Exception] {
       spark.range(1).select(Bucketing.mortonCode(lit(-1), lit(3), 4)).head()
