@@ -77,21 +77,26 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
-    val results: Seq[(String, Double)] =
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      var times = (1 to runs).map(_ => one())
+      if (times.forall(_ >= 0) && times.min < fastCutoff)
+        times ++= (runs until fastRuns).map(_ => one())
+      if (times.exists(_ < 0)) -1.0 else times.min
+    }
+    val results0: Seq[(String, Double)] =
       selected.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx > 0 && idx % calibEvery == 0) calibSamples += calibrate()
-        def one(): Double = {
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        var times = (1 to runs).map(_ => one())
-        if (times.forall(_ >= 0) && times.min < fastCutoff)
-          times ++= (runs until fastRuns).map(_ => one())
-        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+        name -> timeQuery(name, fn)
       }
+    var results = results0
     val calibEnd = calibrate()
     calibSamples += calibEnd
     // drift = max/MEDIAN over the interleaved samples: robust to the
@@ -108,11 +113,67 @@ object Bench {
        else calibStart +: calibSamples.toSeq).sorted
     val median = driftSamples(driftSamples.size / 2)
     val drift = driftSamples.max / median
+    // Contended-run outlier re-time (round 8): a contended sweep can
+    // publish phantom 10× regressions (r7's close run recorded g09 at
+    // 10.0 s vs 0.9 s on quiet re-runs). When the canary flags the run
+    // (drift > quiet threshold ~1.15), re-time — after the sweep, when
+    // the contention burst has usually passed — every query whose
+    // reading exceeds 3× its previous committed value (newest
+    // BENCH_FULL_*.json in cwd, or SPARK_GRAFT_BENCH_PREV) and keep the
+    // min: the committed artifact then never carries a reading a quiet
+    // box wouldn't reproduce, and genuinely-regressed queries keep
+    // their (reproducible) slow reading.
+    val driftThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETIME", "1.15").toDouble
+    val prevQueries: Map[String, Double] = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+        .map(java.nio.file.Paths.get(_))
+      val newest = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("BENCH_FULL_") &&
+          f.getName.endsWith(".json"))
+        .sortBy(_.getName).lastOption.map(_.toPath)
+      explicit.orElse(newest).filter(java.nio.file.Files.exists(_))
+        .map { p =>
+          val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val m = java.util.regex.Pattern
+            .compile("\"queries\":\\{([^}]*)\\}").matcher(line)
+          if (!m.find()) Map.empty[String, Double]
+          else m.group(1).split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                try Some(k.replace("\"", "") -> v.toDouble)
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        }.getOrElse(Map.empty)
+    }
+    val retimed: Seq[String] =
+      if (drift <= driftThreshold || prevQueries.isEmpty) Seq.empty
+      else {
+        val byName = selected.toMap
+        val outliers = results.filter { case (name, v) =>
+          v >= 0 && prevQueries.get(name).exists(p => p > 0 && v > 3 * p)
+        }.map(_._1)
+        if (outliers.nonEmpty) {
+          System.err.println(f"[bench] drift $drift%.2f > $driftThreshold: " +
+            s"re-timing ${outliers.size} outliers: ${outliers.mkString(", ")}")
+          results = results.map { case (name, v) =>
+            if (!outliers.contains(name)) name -> v
+            else {
+              val again = timeQuery(name, byName(name))
+              name -> (if (again >= 0) math.min(v, again) else v)
+            }
+          }
+        }
+        outliers
+      }
+    val retimedJson = retimed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val calibJson = calibSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_samples":$calibJson,"calib_drift":$drift%.2f}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"fast_runs":$fastRuns,"fast_cutoff_sec":$fastCutoff%.1f,"agg":"min","calib_start":$calibStart%.3f,"calib_end":$calibEnd%.3f,"calib_samples":$calibJson,"calib_drift":$drift%.2f,"retimed":$retimedJson}"""
     println(fullLine)
     // The driver keeps only the last ~2000 chars of stdout; with 150+
     // queries the full line above no longer fits that tail (every
