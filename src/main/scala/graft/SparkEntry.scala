@@ -4840,6 +4840,75 @@ object SparkEntry {
       Some("""SELECT DISTINCT text FROM documents WHERE doc_id < 3000
              |ORDER BY text""".stripMargin)),
 
+    // --- STREAMING SimHash near-dup at ingest through the gate
+    //     (round 8): the flatMapGroupsWithState Manku-bucket path
+    //     replayed over 3 in-order chunks; oracle-mode token hash
+    //     (the d04 mirror arithmetic) so DuckDB recomputes identical
+    //     fingerprints. Match semantics with time-ordered replay are
+    //     EXACTLY "all pairs within horizon at Hamming <= 3" — the
+    //     pigeonhole guarantees every qualifying pair collides on >= 1
+    //     chunk, the uncapped bucket never drops one, and in-order
+    //     chunks mean the watermark can never GC an entry still inside
+    //     a future doc's horizon. doc_id = the later arrival.
+    ("d22_stream_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val rows = docs(s, dir).where(col("doc_id") < 2000)
+          .select(timestamp_millis(lit(1700000000000L) +
+              col("doc_id") * 1000L).as("ts"),
+            col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(java.sql.Timestamp, Long, String)].collect()
+          .sortBy(r => (r._1.getTime, r._2)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(rows, 3), "append") {
+          ds => Dedup.streamingSimhashMatches(
+            ds.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+            horizonMs = 600000L, maxDist = 3, maxBucket = 1 << 20,
+            tokenHashes = mirrorTokenHash).toDF()
+        }
+          .dropDuplicates("doc_id", "matched_id")
+          .select(col("doc_id"), col("matched_id"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("doc_id", "matched_id")
+      },
+      Some(streamSimhashOracle)),
+
+    // --- STREAMING MinHash-LSH near-dup at ingest through the gate
+    //     (round 8): band-bucket state + signature-agreement verify
+    //     replayed in order; oracle-mode shingle hash (the mod-ngram
+    //     arithmetic of p02's mirror, values < 2^30 so every a*h+b
+    //     stays in signed 64-bit on both engines) and the inlined
+    //     mhCoeffs(64) literals let DuckDB recompute the signatures
+    //     EXACTLY. At threshold 0.8 >= (k-bands+1)/k = 49/64, est >=
+    //     threshold pigeonholes >= 1 fully-agreeing band, so the match
+    //     set is exactly "pairs within horizon with agreement >= 52/64"
+    //     — no LSH-probability caveat at all.
+    ("d23_stream_minhash",
+      (s, dir) => {
+        import s.implicits._
+        val rows = docs(s, dir).where(col("doc_id") < 2000)
+          .select(timestamp_millis(lit(1700000000000L) +
+              col("doc_id") * 1000L).as("ts"),
+            col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(java.sql.Timestamp, Long, String)].collect()
+          .sortBy(r => (r._1.getTime, r._2)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(rows, 3), "append") {
+          ds => Dedup.streamingMinhashMatches(
+            ds.toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+            horizonMs = 600000L, n = 3, k = 64, bands = 16,
+            threshold = 0.8, maxBucket = 1 << 20,
+            shingles = (t, n) => sort_array(array_distinct(
+              graft.functions.NativeExpressions.modNgramHashes(
+                graft.ops.TextOps.tokens(t), n)))).toDF()
+        }
+          .dropDuplicates("doc_id", "matched_id")
+          .select(col("doc_id"), col("matched_id"),
+            round(col("est_jaccard"), 6).as("est_jaccard"))
+          .orderBy("doc_id", "matched_id")
+      },
+      Some(streamMinhashOracle)),
+
     ("d20_threshold_sweep",
       (s, dir) => Dedup.thresholdSweep(docs(s, dir), "text", "doc_id",
           n = 3)
@@ -6166,6 +6235,72 @@ object SparkEntry {
        |FROM f a JOIN f b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of d22 (streaming SimHash at ingest): the d04
+    * fingerprint CTEs restricted to doc_id < 2000, paired under the
+    * event-time horizon (ts = base + doc_id·1000 ms, horizon 600 s ⇒
+    * id gap ≤ 600); doc_id = the later arrival. With time-ordered
+    * replay, uncapped buckets and the chunk pigeonhole, the streaming
+    * match set is exactly this pair set (see the d22 spec comment). */
+  private lazy val streamSimhashOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |h AS (SELECT doc_id, list_transform(toks, t ->
+       |    ${sqlFp("t", w31)} * 1073741824 + ${sqlFp("t", w37)}) AS th
+       |  FROM t),
+       |f AS (SELECT doc_id, CAST(coalesce(list_sum(
+       |    [CASE WHEN 2*len(list_filter(th, x -> (x >> j) & 1 = 1)) > len(th)
+       |          THEN (1::BIGINT << j) ELSE 0 END
+       |     for j in range(0, 60)]), 0) AS BIGINT) AS fp
+       |  FROM h)
+       |SELECT b.doc_id AS doc_id, a.doc_id AS matched_id,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |FROM f a JOIN f b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |  AND (b.doc_id - a.doc_id) * 1000 <= 600000
+       |ORDER BY doc_id, matched_id""".stripMargin
+
+  /** DuckDB mirror of d23 (streaming MinHash-LSH at ingest): mod-ngram
+    * shingle hashes (p22's arithmetic), the EXACT minhash signature per
+    * doc from the inlined mhCoeffs(64) literals (hash < 2³⁰ keeps every
+    * a·h+b inside signed 64-bit — no overflow divergence), pairs under
+    * the horizon with slot agreement ≥ threshold. est ≥ 0.8 ≥
+    * (k−bands+1)/k pigeonholes a fully-agreeing band, so band
+    * candidacy adds no condition — the mirror is exact. */
+  private lazy val streamMinhashOracle: String = {
+    val cs = graft.ops.Dedup.mhCoeffs(64)
+    val as = cs.map(_._1).mkString(",")
+    val bs = cs.map(_._2).mkString(",")
+    s"""WITH tk AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents WHERE doc_id < 2000),
+       |th AS (SELECT doc_id, list_transform(toks, t -> ${sqlFp("t", w31)})
+       |         AS th
+       |  FROM tk),
+       |g AS (SELECT doc_id, CASE WHEN len(th) < 3 THEN []::BIGINT[]
+       |    ELSE list_distinct([
+       |    (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007
+       |    for i in range(1, len(th) - 1)]) END AS grams
+       |  FROM th),
+       |sg AS (SELECT doc_id,
+       |    [coalesce(list_min(list_transform(grams, h ->
+       |        (([$as])[i] * h + ([$bs])[i]) % 4294967311)), 4294967311)
+       |     for i in range(1, 65)] AS sig
+       |  FROM g)
+       |SELECT b.doc_id AS doc_id, a.doc_id AS matched_id,
+       |       round(CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i]
+       |                  THEN 1 ELSE 0 END for i in range(1, 65)])
+       |             AS DOUBLE) / 64, 6) AS est_jaccard
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE (b.doc_id - a.doc_id) * 1000 <= 600000
+       |  AND CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i]
+       |        THEN 1 ELSE 0 END for i in range(1, 65)]) AS DOUBLE) / 64
+       |      >= 0.8
+       |ORDER BY doc_id, matched_id""".stripMargin
+  }
 
   /** DuckDB mirror of [[graft.ops.Pipeline.contaminationReport]] at
     * n=3, threshold=0.1, benchmark = doc_id < 20: per-token 30-bit

@@ -936,12 +936,17 @@ object Dedup {
    * results don't depend on batch boundaries. A qualifying pair
    * collides on ≥1 chunk (pigeonhole, as in batch); pairs colliding
    * on several chunks emit once per chunk — `dropDuplicates`
-   * downstream if exact-once flags matter.
+   * downstream if exact-once flags matter. `tokenHashes` is the same
+   * oracle hook as [[simhashPairs]]': pass the SQL-expressible
+   * `tokenHashes60` when a cross-engine oracle must recompute
+   * identical fingerprints (d22 in [[graft.SparkEntry]]).
    */
   def streamingSimhashMatches(docs: DataFrame, textCol: String,
                               idCol: String, tsCol: String,
                               horizonMs: Long, maxDist: Int = 3,
-                              maxBucket: Int = 64)
+                              maxBucket: Int = 64,
+                              tokenHashes: Column => Column =
+                                graft.functions.NativeExpressions.tokenHashesXx(_))
       : org.apache.spark.sql.Dataset[NearDupMatch] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -962,8 +967,7 @@ object Dedup {
       .select(col(idCol).cast(LongType).as("__id"),
         unix_millis(col(tsCol)).as("__ts"), col(tsCol).as("__evt"),
         graft.functions.NativeExpressions.simhash64(
-          graft.functions.NativeExpressions.tokenHashesXx(
-            TextOps.tokens(col(textCol)))).as("__fp"))
+          tokenHashes(TextOps.tokens(col(textCol)))).as("__fp"))
       .select(col("__id"), col("__ts"), col("__evt"), col("__fp"),
         explode(chunkArr).as("__c"))
       // the watermarked column (__evt) must survive to the stateful
@@ -1038,12 +1042,20 @@ object Dedup {
    * enforced on EVENT TIME at match point, so results don't depend on
    * batch boundaries; pairs colliding on several bands emit once per
    * band — `dropDuplicates` downstream if exactly-once flags matter.
+   * `shingles` overrides the shingle-hash map (default
+   * [[hashedShingleSet]], xxhash64-based): pass a mod-arithmetic
+   * variant (`modNgramHashes`) when a cross-engine oracle must
+   * recompute identical signatures (d23 in [[graft.SparkEntry]] —
+   * hash values < 2³⁰ keep every a·h+b product inside signed 64-bit
+   * on both engines).
    */
   def streamingMinhashMatches(docs: DataFrame, textCol: String,
                               idCol: String, tsCol: String,
                               horizonMs: Long, n: Int = 3, k: Int = 64,
                               bands: Int = 16, threshold: Double = 0.8,
-                              maxBucket: Int = 64)
+                              maxBucket: Int = 64,
+                              shingles: (Column, Int) => Column =
+                                hashedShingleSet)
       : org.apache.spark.sql.Dataset[MinhashStreamMatch] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
@@ -1057,7 +1069,7 @@ object Dedup {
       .select(col(idCol).cast(LongType).as("__id"),
         unix_millis(col(tsCol)).as("__ts"), col(tsCol).as("__evt"),
         graft.functions.NativeExpressions.minhashSig(
-          hashedShingleSet(col(textCol), n), mhCoeffs(k), MhPrime).as("__sig"))
+          shingles(col(textCol), n), mhCoeffs(k), MhPrime).as("__sig"))
       .select(col("__id"), col("__ts"), col("__evt"), col("__sig"),
         posexplode(graft.functions.NativeExpressions
           .bandHashes(col("__sig"), bands, r)))
