@@ -7454,7 +7454,114 @@ object SparkEntry {
       .select(col("a.sid").as("s1"), col("b.sid").as("s2"))
   }
 
+  /** DuckDB mirror of g24: Brandes σ/δ unrolled at maxHops = 3 over
+    * the co-supply graph from the 3 smallest sources — forward levels
+    * l0..l3 (σ = sum of predecessor σ, per-source frontier dedup),
+    * then deepest-first δ accumulation b2/b1 and the level-1..2 sum
+    * per node (deeper/source levels contribute 0, exactly the Spark
+    * accumulator's frames). */
+  private lazy val betweennessOracle: String = {
+    def lvl(i: Int): String = {
+      val seen = (0 until i).map(j =>
+        s"""NOT EXISTS (SELECT 1 FROM l$j p$j
+           |           WHERE p$j.s = l${i - 1}.s AND p$j.node = a.dst)"""
+          .stripMargin).mkString("\n         AND ")
+      s"""l$i AS MATERIALIZED (SELECT l${i - 1}.s, a.dst AS node,
+         |         sum(l${i - 1}.sigma) AS sigma
+         |       FROM l${i - 1} JOIN adj a ON a.src = l${i - 1}.node
+         |       WHERE $seen
+         |       GROUP BY 1, 2)""".stripMargin
+    }
+    def contrib(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT l$i.s, l$i.node, l$i.sigma,
+         |         sum(l$i.sigma / b${i + 1}.sigma * (1 + b${i + 1}.delta))
+         |           AS delta
+         |       FROM l$i JOIN adj a ON a.src = l$i.node
+         |       JOIN b${i + 1} ON b${i + 1}.s = l$i.s
+         |                     AND b${i + 1}.node = a.dst
+         |       GROUP BY 1, 2, 3),
+         |b$i AS MATERIALIZED (SELECT l$i.s, l$i.node, l$i.sigma,
+         |         coalesce(c$i.delta, 0.0) AS delta
+         |       FROM l$i LEFT JOIN c$i ON c$i.s = l$i.s
+         |                             AND c$i.node = l$i.node)""".stripMargin
+    s"""WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+       |            FROM lineitem WHERE l_quantity >= 49),
+       |e AS (SELECT DISTINCT a.s lo, b.s hi
+       |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+       |adj AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM e
+       |        UNION ALL SELECT hi, lo FROM e),
+       |srcs AS (SELECT DISTINCT src AS node FROM adj
+       |         ORDER BY node LIMIT 3),
+       |l0 AS MATERIALIZED (SELECT node AS s, node, 1.0 AS sigma FROM srcs),
+       |${lvl(1)},
+       |${lvl(2)},
+       |${lvl(3)},
+       |b3 AS MATERIALIZED (SELECT s, node, sigma, 0.0 AS delta FROM l3),
+       |${contrib(2)},
+       |${contrib(1)},
+       |acc AS (SELECT node, delta FROM b2
+       |        UNION ALL SELECT node, delta FROM b1),
+       |alln AS (SELECT DISTINCT src AS node FROM adj)
+       |SELECT alln.node AS node,
+       |       round(coalesce(sum(acc.delta), 0.0), 6) AS bc
+       |FROM alln LEFT JOIN acc ON acc.node = alln.node
+       |GROUP BY 1 ORDER BY alln.node""".stripMargin
+  }
+
+  /** DuckDB mirror of g25: the g05 peel round unrolled PAST the
+    * measured fixpoint (4 effective peels at sf0.01, k = 17, 998-edge core; 6 unrolled — peeling
+    * is monotone, so post-fixpoint rounds are provably no-ops and the
+    * unroll equals the exact core). */
+  private lazy val kcoreExactOracle: String = {
+    val head =
+      """WITH ps AS (SELECT DISTINCT l_partkey p, l_suppkey s
+        |            FROM lineitem WHERE l_quantity >= 49),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.s lo, b.s hi
+        |       FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s)""".stripMargin
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS (SELECT node, count(*) d FROM
+         |         (SELECT lo node FROM e${i - 1}
+         |          UNION ALL SELECT hi FROM e${i - 1})
+         |       GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= 17),
+         |e$i AS MATERIALIZED (SELECT lo, hi FROM e${i - 1}
+         |       WHERE lo IN (SELECT node FROM k$i)
+         |         AND hi IN (SELECT node FROM k$i))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      "\nSELECT node, count(*) AS deg FROM" +
+      "\n  (SELECT lo node FROM e6 UNION ALL SELECT hi FROM e6)" +
+      "\nGROUP BY 1 ORDER BY node"
+  }
+
   private val graphSpecs: Seq[Spec] = Seq(
+    // --- sampled-source Brandes betweenness (round 8): forward σ
+    //     waves + deepest-first δ accumulation from the 3 smallest
+    //     nodes, maxHops 3; the oracle unrolls the exact σ/δ recursion
+    //     level by level. δ sums are order-sensitive doubles — rounded
+    //     to 6 on both sides (the g06 convention).
+    ("g24_betweenness",
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir)
+        val sym = e.select(col("s1").as("src"), col("s2").as("dst"))
+          .union(e.select(col("s2").as("src"), col("s1").as("dst")))
+        val srcs = sym.select(col("src").as("node")).distinct()
+          .orderBy("node").limit(3)
+        GraphOps.betweennessSampled(e, "s1", "s2", srcs, maxHops = 3)
+          .select(col("node"), round(col("bc"), 6).as("bc"))
+          .orderBy("node")
+      },
+      Some(betweennessOracle)),
+
+    // --- EXACT k-core (round 8): peel to the monotone fixpoint
+    //     (k = 17 peels 4 effective rounds at sf0.01 to a nonempty
+    //     998-edge core — a genuine iterate-to-convergence run, unlike
+    //     g05's fixed 3 peels at k = 3)
+    ("g25_kcore_exact",
+      (s, dir) => GraphOps.kCoreExact(coSupplyEdges(s, dir), "s1", "s2",
+          k = 17)
+        .orderBy("node"),
+      Some(kcoreExactOracle)),
     // PageRank, 3 fixed iterations — the oracle unrolls the same three
     // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
     // order differs between engines)
