@@ -1275,6 +1275,20 @@ object SparkEntry {
         .orderBy("query_id", "rank"),
       Some(lshAnnOracle)),
 
+    // --- LSH-bucketed RANGE search for a corpus-sized query set
+    //     (round 8): equi-join pair generation on the s02 hyperplane
+    //     buckets, threshold filter on exact cosine — the bucketed
+    //     pair join mirrored verbatim in SQL (same deterministic
+    //     plane family, full value oracle)
+    ("s32_range_search_lsh",
+      (s, dir) => Similarity.rangeSearchLsh(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 200), "embedding", "vec_id",
+          threshold = 0.3, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+        .orderBy("query_id", "neighbor_id"),
+      Some(rangeLshOracle)),
+
     // --- IVF ANN (centroid inverted lists, map-only assignment). The
     //     centroid sample order and assignment arithmetic are
     //     SQL-mirrorable → full value oracle (plus recall ScalaTest).
@@ -4578,6 +4592,81 @@ object SparkEntry {
              |FROM events WHERE user_id < 200
              |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // --- foreachBatch rollup maintenance through the gate (round 8):
+    //     each micro-batch's hourlyRollup merges into the accumulated
+    //     table via mergeHourlyRollup — the streaming face of the
+    //     mergeable-state algebra (merge(rollup(A), rollup(B)) ≡
+    //     rollup(A ∪ B)); the final table must equal the full batch
+    //     recompute the oracle runs
+    ("e57_foreachbatch_rollup",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 200)
+          .select(col("ts"), col("event_type"), col("value"))
+          .as[(java.sql.Timestamp, String, Double)].collect()
+          .sortBy(_._1.getTime).toSeq
+        var acc: DataFrame = null
+        graft.streaming.Replay.runForeachBatch(s,
+            graft.streaming.Replay.timeChunks(ev, 3)) { (batch, _) =>
+          val delta = Sessionize.hourlyRollup(
+            batch.toDF("ts", "event_type", "value"))
+          acc = (if (acc == null) delta
+                 else Sessionize.mergeHourlyRollup(acc, delta))
+            .localCheckpoint(true)
+        }
+        acc.select(col("hour"), col("event_type"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+             |       count(*) AS n_events, round(sum(value), 6) AS sum_value
+             |FROM events WHERE user_id < 200
+             |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // --- EXACT sliding distinct users on a STREAM through the gate
+    //     (round 8): chained stateful operators — streaming
+    //     dropDuplicates on (window, type, user) then a windowed count
+    //     of the survivors — reproduce the batch twin's exact values
+    //     (the HLL production twin keeps fixed state; this is the
+    //     checkable face). Far-future sentinels flush the final
+    //     windows; windows past the corpus max hour are clamped to
+    //     match the batch contract.
+    ("e58_stream_sliding_users",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 200)
+          .select(col("ts"), col("event_type"), col("user_id"))
+          .as[(java.sql.Timestamp, String, Long)].collect()
+          .sortBy(_._1.getTime).toSeq
+        val maxMs = ev.map(_._1.getTime).max
+        val maxHour = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
+        val day = 86400000L
+        val sentinels = Seq(
+          Seq((new java.sql.Timestamp(maxMs + 3 * day), "__flush", -1L)),
+          Seq((new java.sql.Timestamp(maxMs + 6 * day), "__flush", -1L)))
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 2) ++ sentinels,
+            "append") {
+          ds => Sessionize.slidingDistinctUsersStreamExact(
+            ds.toDF("ts", "event_type", "user_id"), windowHours = 6)
+        }
+          .where(col("event_type") =!= "__flush" &&
+            col("hour") <= lit(maxHour))
+          .select(col("event_type"), col("hour"), col("n_users"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH c AS (SELECT DISTINCT event_type, user_id,
+             |        date_trunc('hour', ts) AS h
+             |      FROM events WHERE user_id < 200),
+             |m AS (SELECT max(h) AS maxh FROM c),
+             |x AS (SELECT event_type, user_id,
+             |        unnest(generate_series(h,
+             |          least(h + INTERVAL 5 HOUR, maxh),
+             |          INTERVAL 1 HOUR)) AS hour
+             |      FROM c, m)
+             |SELECT event_type, hour, count(DISTINCT user_id) AS n_users
+             |FROM x GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin)),
+
     // --- streaming stream-stream interval join through the gate: the
     //     click-attribution join replayed over TWO MemoryStreams whose
     //     watermarks advance in lockstep; far-future sentinels on both
@@ -6468,6 +6557,30 @@ object SparkEntry {
     * hyperplane component formula (affine mix + quadratic round) is
     * identical integer arithmetic, so bucket ids — and therefore the
     * whole approximate result — match. */
+  /** DuckDB mirror of s31: the s02 hyperplane-bucket CTE, same-bucket
+    * pairs for queries vec_id < 200, exact-cosine threshold 0.3. */
+  private lazy val rangeLshOracle: String = {
+    val m1 = "((((p*131)+i)*2654435761+9176)%1000003)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v,
+      |  CAST(list_sum([CASE WHEN
+      |    list_sum([v[i] *
+      |      (($m1 * ($m1 + 13)) % 1000003 / 1000003.0 - 0.5)
+      |              for i in range(1, len(v)+1)]) >= 0
+      |    THEN (1::BIGINT << p) ELSE 0 END for p in range(0, 4)]) AS BIGINT) AS bkt
+      |  FROM e)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |       round(list_dot_product(q.v, c.v) /
+      |         (sqrt(list_dot_product(q.v, q.v)) *
+      |          sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+      |FROM b q JOIN b c ON q.bkt = c.bkt
+      |WHERE q.vec_id < 200 AND c.vec_id <> q.vec_id
+      |  AND list_dot_product(q.v, c.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) *
+      |       sqrt(list_dot_product(c.v, c.v))) >= 0.3
+      |ORDER BY query_id, neighbor_id""".stripMargin
+  }
+
   private lazy val lshAnnOracle: String = {
     val m1 = "((((p*131)+i)*2654435761+9176)%1000003)"
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -776,6 +776,39 @@ object Sessionize {
         col("event_type"), col("n_users"))
   }
 
+  /**
+   * EXACT streaming twin of [[slidingDistinctUsers]] via CHAINED
+   * stateful operators (Spark 3.5+ multi-stateful append support):
+   * stage 1 deduplicates (window, type, user) triples — the streaming
+   * face of the batch twin's `distinct()` — and stage 2 counts the
+   * survivors per (window, type), which IS the exact distinct-user
+   * count. Both stages key state by the event-time window, so the
+   * watermark evicts both states once it passes a window's end and
+   * the window emits exactly once (append mode).
+   *
+   * State: stage 1 holds one entry per live (window, type, user) —
+   * W× the per-hour active set, the price of exactness (the batch
+   * twin pays the same W× on DEDUPED rows); stage 2 is one counter
+   * per (window, type). For production-scale user counts keep
+   * [[slidingDistinctUsersStream]]'s fixed HLL state; this exact
+   * variant is the cross-engine-checkable face ([[graft.SparkEntry]]
+   * e58 gates it against the batch mirror).
+   */
+  def slidingDistinctUsersStreamExact(events: DataFrame, windowHours: Int,
+      watermarkDelay: String = "2 hours",
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowHours >= 1, s"windowHours must be >= 1: $windowHours")
+    events.withWatermark(tsCol, watermarkDelay)
+      .select(window(col(tsCol), s"$windowHours hours", "1 hour").as("w"),
+        col(typeCol).as("event_type"), col(userCol).as("user_id"))
+      .dropDuplicates("w", "event_type", "user_id")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select((col("w.end") - expr("INTERVAL '1' HOUR")).as("hour"),
+        col("event_type"), col("n_users"))
+  }
+
   /** HLL production twin of [[slidingDistinctUsers]]: same output
    *  schema, `approx_count_distinct` (fixed sketch state per group —
    *  the merge tree never materializes the distinct user set per

@@ -113,6 +113,32 @@ object Replay {
     }
   }
 
+  /** foreachBatch variant: replays `batches` in order through a
+    * streaming query whose sink is `fn` (micro-batch DataFrame +
+    * batch id) — the harness for maintenance loops that merge each
+    * delta into an external table ([[graft.ops.Sessionize
+    * .mergeHourlyRollup]] per micro-batch). `fn` must materialize
+    * anything it keeps (e.g. an eager localCheckpoint): the batch
+    * frame is only valid during the callback. */
+  def runForeachBatch[T: Encoder](spark: SparkSession,
+      batches: Seq[Seq[T]], partitions: Int = 4)(
+      fn: (Dataset[T], Long) => Unit): Unit = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions)
+    val mem = MemoryStream[T]
+    val q = mem.toDS().writeStream.foreachBatch(fn).start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+      }
+    } finally {
+      try q.stop()
+      finally spark.conf.set(key, prev)
+    }
+  }
+
   /** Splits time-ordered items into `chunks` contiguous batches —
     * the deterministic replay schedule (in event-time order, so
     * watermark-driven state machines see a live-feed-shaped history). */
