@@ -928,6 +928,41 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = reach.dst
              |ORDER BY dst_name""".stripMargin)),
 
+    // --- terminal MERGE onto a snapshot (round 8; the ONLY updating
+    //     clause lowered — reference is read-only by design,
+    //     CypherVisitor.cs:486-489; parity keeps the rejection). The
+    //     result is the NEW Nation snapshot: even nations (matched)
+    //     get renamed via ON MATCH SET reading the OLD value, odd
+    //     nations re-key to +100 (absent) and insert via ON CREATE
+    //     SET; untouched rows pass through. applyChangeFeed's shape —
+    //     winner-dedup feed, one anti-join, union.
+    ("q57_merge_snapshot",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)
+          |WITH c.c_nationkey AS nk, count(c) AS n_cust
+          |MERGE (n:Nation {n_nationkey:
+          |         CASE WHEN nk % 2 = 0 THEN nk ELSE nk + 100 END})
+          |ON MATCH SET n.n_name = n.n_name + '_SEEN'
+          |ON CREATE SET n.n_name = 'NEW_' + toString(n_cust)""".stripMargin)
+        .apply(s, dir).orderBy("n_nationkey"),
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN c_nationkey % 2 = 0 THEN c_nationkey
+             |              ELSE c_nationkey + 100 END AS k,
+             |         count(*) AS n_cust
+             |  FROM customer GROUP BY c_nationkey),
+             |mt AS (SELECT n.n_nationkey, n.n_name || '_SEEN' AS n_name
+             |       FROM nation n JOIN f ON f.k = n.n_nationkey),
+             |cr AS (SELECT f.k AS n_nationkey,
+             |              'NEW_' || CAST(f.n_cust AS VARCHAR) AS n_name
+             |       FROM f LEFT JOIN nation n ON n.n_nationkey = f.k
+             |       WHERE n.n_nationkey IS NULL),
+             |ut AS (SELECT n_nationkey, n_name FROM nation
+             |       WHERE n_nationkey NOT IN (SELECT k FROM f))
+             |SELECT n_nationkey, n_name
+             |FROM (SELECT * FROM ut UNION ALL SELECT * FROM mt
+             |      UNION ALL SELECT * FROM cr)
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -206,6 +206,30 @@ object ast {
 
   sealed trait Query
   final case class SingleQuery(parts: Seq[QueryPart]) extends Query
+
+  /** `MERGE (n:L {idProp: expr}) [ON MATCH SET n.p = e, …]
+   *  [ON CREATE SET n.p = e, …]` — a flagged EXTENSION and the ONLY
+   *  updating clause this engine lowers (the reference is read-only
+   *  by design, CypherVisitor.cs:486-489,887-890; parity mode keeps
+   *  the rejection). The result is a NEW SNAPSHOT DataFrame of the
+   *  target node's table (never a mutation): the preceding parts'
+   *  rows form a change feed keyed by the node's unique id — the
+   *  property map must bind EXACTLY the id property (the graph
+   *  model's identity; anything else belongs in ON CREATE SET) — and
+   *  the lowering is [[graft.ops.ChangeData.applyChangeFeed]]'s
+   *  shape: deterministic per-key winner, matched rows get the ON
+   *  MATCH assignments (rhs may read the old `n`), absent keys insert
+   *  a fresh row from ON CREATE SET, untouched snapshot rows pass
+   *  through. Terminal clause of a non-UNION query. */
+  final case class MergeClause(alias: String, label: String,
+      keyProp: String, keyExpr: Expr,
+      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)])
+
+  /** Query whose terminal clause is a [[MergeClause]]; `parts` are the
+   *  ordinary MATCH/WITH parts feeding it (each ends in a WITH — a
+   *  trailing bare MATCH gets an implicit `WITH *`). */
+  final case class MergeQuery(parts: Seq[QueryPart], merge: MergeClause)
+    extends Query
   /** UNION / UNION ALL — implemented correctly end-to-end (the
    *  reference's visitor drops it, SURVEY.md §2.1). */
   final case class UnionQuery(left: Query, right: Query, all: Boolean)

@@ -788,6 +788,7 @@ object Compiler {
       if (all) u else u.distinct()
     case sq: SingleQuery =>
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
+    case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
   }
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
@@ -795,6 +796,150 @@ object Compiler {
    *  scans bind the aliases, correlation happens at the join-back);
    *  `terminalIsReturn = false` compiles the last projection like a
    *  WITH, keeping entity namespaces visible for the CALL join-back. */
+  /**
+   * Terminal `MERGE` (extension; the reference is read-only —
+   * CypherVisitor.cs:486-489 — and parity mode keeps the rejection):
+   * produce a NEW SNAPSHOT of the target node's table from the
+   * incoming frame, [[graft.ops.ChangeData.applyChangeFeed]]'s shape
+   * in three relational branches:
+   *
+   *  1. the feed — the preceding parts' rows with the compiled id-key
+   *     expression — reduces to ONE deterministic winner per key (a
+   *     single partial-aggregated `max(struct(row))`, the
+   *     applyChangeFeed tie rule; null keys drop — no identity, no
+   *     merge); requires orderable feed columns, the same contract;
+   *  2. matched keys inner-join the snapshot (namespaced, so ON MATCH
+   *     rhs can read the OLD `n` values alongside the feed row) and
+   *     apply the assignments, cast to the column's stored type;
+   *  3. absent keys build fresh rows from ON CREATE SET (rhs sees the
+   *     feed row only — reading the merge alias is a typed error);
+   *     unassigned properties are null.
+   *
+   * Untouched snapshot rows anti-join past the key set. Scale shape =
+   * applyChangeFeed's: the snapshot is never shuffled beyond one
+   * anti-join hash exchange (broadcast when the feed is small); the
+   * quadratic risk lives in the feed, which is winner-deduped FIRST.
+   */
+  private def compileMerge(parts: Seq[QueryPart], m: MergeClause,
+      catalog: GraphCatalog): DataFrame = {
+    val node = catalog.graph.node(m.label)
+    if (m.keyProp != node.idColumn)
+      throw new CypherBindingException(
+        s"MERGE (${m.alias}:${m.label} {${m.keyProp}: …}): the property " +
+        s"map must bind the node's id property '${node.idColumn}' — merge " +
+        "identity is the unique node id; set other properties in " +
+        "ON CREATE SET")
+    val ctx: Option[Ctx] =
+      if (parts.isEmpty) None
+      else Some(compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog))
+    ctx.foreach { c =>
+      if (c.scope.contains(m.alias))
+        throw new CypherBindingException(
+          s"MERGE alias '${m.alias}' collides with a variable in scope")
+    }
+    val props = node.properties.filterNot(_ == node.idColumn)
+    def refersTo(e: Expr, a: String): Boolean = e match {
+      case Ref(x, _) => x == a
+      case Bin(_, l, r) => refersTo(l, a) || refersTo(r, a)
+      case Not(x) => refersTo(x, a)
+      case Neg(x) => refersTo(x, a)
+      case IsNull(x, _) => refersTo(x, a)
+      case ListLit(xs) => xs.exists(refersTo(_, a))
+      case Func(_, args) => args.exists(refersTo(_, a))
+      case Agg(_, _, arg, _) => arg.exists(refersTo(_, a))
+      case CaseExpr(ws, o) =>
+        ws.exists { case (c, v) => refersTo(c, a) || refersTo(v, a) } ||
+          o.exists(refersTo(_, a))
+      case ListComp(_, l, w, pj) => refersTo(l, a) ||
+        w.exists(refersTo(_, a)) || pj.exists(refersTo(_, a))
+      case QuantPred(_, _, l, pr) => refersTo(l, a) || refersTo(pr, a)
+      case ReduceExpr(_, i, _, l, st) =>
+        refersTo(i, a) || refersTo(l, a) || refersTo(st, a)
+      case ListIndex(l, f, t, _) => refersTo(l, a) ||
+        f.exists(refersTo(_, a)) || t.exists(refersTo(_, a))
+      case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
+      case _ => false
+    }
+    def checkAssigns(kind: String, as: Seq[(String, Expr)],
+        allowSelf: Boolean): Unit = {
+      as.groupBy(_._1).collectFirst { case (p, vs) if vs.size > 1 => p }
+        .foreach(p => throw new CypherBindingException(
+          s"$kind SET assigns '$p' twice"))
+      as.foreach { case (p, e) =>
+        if (p == node.idColumn) throw new CypherBindingException(
+          s"$kind SET may not reassign the id property '${node.idColumn}'")
+        if (!props.contains(p)) throw new CypherBindingException(
+          s"$kind SET: node '${m.label}' has no declared property '$p'")
+        if (containsAgg(e)) throw new CypherNotSupportedException(
+          s"$kind SET with an aggregate — aggregate in a WITH before " +
+          "the MERGE")
+        if (!allowSelf && refersTo(e, m.alias))
+          throw new CypherBindingException(
+            s"ON CREATE SET may not read '${m.alias}' — the row does " +
+            "not exist at create time")
+      }
+    }
+    checkAssigns("ON MATCH", m.onMatch, allowSelf = true)
+    checkAssigns("ON CREATE", m.onCreate, allowSelf = false)
+
+    val snapshot = catalog.nodeDf(node.label)
+    val outCols: Seq[String] = node.idColumn +: props
+    val idDt = snapshot.schema(node.idColumn).dataType
+    def dt(c: String) = snapshot.schema(c).dataType
+    val snapN = snapshot.select(
+      outCols.map(c => col(c).as(pref(m.alias, c))): _*)
+
+    val (feed0, feedScope) = ctx match {
+      case Some(c) =>
+        val ec = new ExprCompiler(c.scope, c.df)
+        (c.df.withColumn("__mkey", ec.compile(m.keyExpr).cast(idDt)),
+          c.scope)
+      case None =>
+        // standalone MERGE: the feed is one literal row; the key expr
+        // compiles against an empty scope (unknown variables are the
+        // ordinary binding error)
+        val one = snapshot.sparkSession.range(1).toDF("__row")
+        val ec = new ExprCompiler(Map.empty, one)
+        (one.select(ec.compile(m.keyExpr).cast(idDt).as("__mkey")),
+          Map.empty[String, Binding])
+    }
+    val feed = feed0.where(col("__mkey").isNotNull)
+    val others = feed.columns.filterNot(_ == "__mkey").toSeq
+    val feedW =
+      if (others.isEmpty) feed.distinct()
+      else feed.groupBy(col("__mkey"))
+        .agg(max(struct(others.map(col): _*)).as("__w"))
+        .select(col("__mkey") +:
+          others.map(c => col("__w").getField(c).as(c)): _*)
+
+    val joinedM = feedW.join(snapN,
+      col("__mkey") === col(pref(m.alias, node.idColumn)), "inner")
+    val scopeM: Map[String, Binding] =
+      feedScope + (m.alias -> NodeBinding(node))
+    val ecM = new ExprCompiler(scopeM, joinedM)
+    val mAssign: Map[String, Column] =
+      m.onMatch.map { case (p, e) => p -> ecM.compile(e).cast(dt(p)) }.toMap
+    val matchedOut = joinedM.select(outCols.map { c =>
+      mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
+
+    val joinedC = feedW.join(
+      snapN.select(col(pref(m.alias, node.idColumn)).as("__sid")),
+      col("__mkey") === col("__sid"), "left_anti")
+    val ecC = new ExprCompiler(feedScope, joinedC)
+    val cAssign: Map[String, Column] =
+      m.onCreate.map { case (p, e) => p -> ecC.compile(e).cast(dt(p)) }.toMap
+    val createdOut = joinedC.select(
+      col("__mkey").as(node.idColumn) +:
+        props.map(p => cAssign.getOrElse(p,
+          lit(null).cast(dt(p))).as(p)): _*)
+
+    val untouched = snapshot.select(outCols.map(col): _*)
+      .join(feedW.select(col("__mkey").as(node.idColumn)),
+        Seq(node.idColumn), "left_anti")
+    untouched.unionByName(matchedOut).unionByName(createdOut)
+  }
+
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,
       catalog: GraphCatalog): Ctx = {

@@ -104,18 +104,45 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   }
 
   private def parseUnion(): Query = {
-    var left: Query = parseSingle()
+    var left: Query = parseTop()
     while (isKw("UNION")) {
+      if (left.isInstanceOf[MergeQuery])
+        notSupported("MERGE in a UNION branch — MERGE must be the " +
+          "query's terminal clause")
       p += 1
       val all = tryKw("ALL")
-      val right = parseSingle()
+      val right = parseTop()
+      if (right.isInstanceOf[MergeQuery])
+        notSupported("MERGE in a UNION branch — MERGE must be the " +
+          "query's terminal clause")
       left = UnionQuery(left, right, all)
     }
     left
   }
 
+  /** A single query that may terminate in a MERGE clause (extension). */
+  private def parseTop(): Query = {
+    val sq = parseSingle()
+    pendingMerge match {
+      case Some(m) => pendingMerge = None; MergeQuery(sq.parts, m)
+      case None    => sq
+    }
+  }
+
+  /** Out-channel for a terminal MERGE parsed inside [[parseSingle]]
+    * (CALL-subquery calls to parseSingle reject MERGE instead). */
+  private var pendingMerge: Option[MergeClause] = None
+  private var inSubquery: Boolean = false
+
   private def rejectUpdating(): Unit = cur match {
-    case Kw(k, _, _) if Set("CREATE", "MERGE", "SET", "DELETE", "DETACH",
+    // MERGE alone has an extended lowering (terminal snapshot-producing
+    // clause, Ast.MergeClause); every other updating clause stays
+    // rejected in both modes (read-only engine, reference
+    // CypherVisitor.cs:486-489)
+    case Kw("MERGE", _, _) if !extensions =>
+      notSupported("updating clause MERGE (read-only engine; a terminal " +
+        "snapshot-producing MERGE is supported with extensions enabled)")
+    case Kw(k, _, _) if Set("CREATE", "SET", "DELETE", "DETACH",
         "REMOVE")(k) =>
       notSupported(s"updating clause $k (read-only engine)")
     case Kw("UNWIND", _, _) if !extensions =>
@@ -169,7 +196,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             notSupported("CALL importing WITH must list plain variables " +
               "followed by MATCH")
         }
-        val subq = parseSingle()
+        val wasSub = inSubquery
+        inSubquery = true
+        val subq = try parseSingle() finally inSubquery = wasSub
         eatPunct("}")
         callsB += CallSub(imports.result(), subq)
         sawCall = true
@@ -195,7 +224,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       if (sawUnwind && ms.isEmpty && calls.isEmpty && isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
-      if (isKw("WITH")) {
+      if (isKw("MERGE")) {
+        // terminal MERGE (extension; parity rejected in rejectUpdating).
+        // A trailing bare MATCH/UNWIND/CALL part gets an implicit
+        // `WITH *` so the merge sees its scope.
+        if (inSubquery)
+          notSupported("MERGE inside a CALL subquery — MERGE must be " +
+            "the query's terminal clause")
+        p += 1
+        if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
+          parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+            Seq.empty, None, None, None, star = true), uw, calls)
+        pendingMerge = Some(parseMergeClause())
+        if (isKw("RETURN"))
+          notSupported("RETURN after MERGE — the merge result IS the " +
+            "new snapshot")
+        done = true
+      } else if (isKw("WITH")) {
         p += 1
         parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
         isFirstPart = false
@@ -212,6 +257,77 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       }
     }
     SingleQuery(parts.result())
+  }
+
+  /** `(n:Label {idProp: expr}) [ON MATCH SET n.p = e, …]
+    * [ON CREATE SET n.p = e, …]` — the MERGE keyword is consumed by
+    * the caller. `ON` is not a lexer keyword, so it arrives as an
+    * identifier. */
+  private def parseMergeClause(): MergeClause = {
+    eatPunct("(")
+    val alias = cur match {
+      case Ident(s, _) =>
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
+        p += 1; s
+      case _ => syntaxErr(
+        "MERGE requires a named node, e.g. MERGE (n:Label {id: …})")
+    }
+    eatPunct(":")
+    val label = name()
+    if (!isPunct("{")) syntaxErr(
+      "MERGE node requires a property map binding its id, e.g. {id: …}")
+    eatPunct("{")
+    val keyProp = cur match {
+      case Ident(s, _)  => p += 1; s
+      case Kw(_, raw, _) => p += 1; raw
+      case _ => syntaxErr("expected the id property name in the MERGE map")
+    }
+    eatPunct(":")
+    val keyExpr = parseExpr()
+    if (isPunct(","))
+      notSupported("MERGE property map beyond the id property — merge " +
+        "identity is the unique node id; set other properties in " +
+        "ON CREATE SET")
+    eatPunct("}")
+    eatPunct(")")
+    var onMatch: Seq[(String, Expr)] = Seq.empty
+    var onCreate: Seq[(String, Expr)] = Seq.empty
+    def isIdentCI(s: String): Boolean = cur match {
+      case Ident(x, _) => x.equalsIgnoreCase(s)
+      case _ => false
+    }
+    def setList(): Seq[(String, Expr)] = {
+      val b = Vector.newBuilder[(String, Expr)]
+      def one(): Unit = {
+        val a = ident()
+        if (a != alias) syntaxErr(
+          s"SET target must be the merged node '$alias', got '$a'")
+        eatPunct(".")
+        val pr = cur match {
+          case Ident(s, _)   => p += 1; s
+          case Kw(_, raw, _) => p += 1; raw
+          case _ => syntaxErr("expected a property name after '.'")
+        }
+        eatPunct("=")
+        b += ((pr, parseExpr()))
+      }
+      one(); while (tryPunct(",")) one()
+      b.result()
+    }
+    while (isIdentCI("ON")) {
+      p += 1
+      if (tryKw("MATCH")) {
+        eatKw("SET")
+        if (onMatch.nonEmpty) syntaxErr("duplicate ON MATCH SET")
+        onMatch = setList()
+      } else if (tryKw("CREATE")) {
+        eatKw("SET")
+        if (onCreate.nonEmpty) syntaxErr("duplicate ON CREATE SET")
+        onCreate = setList()
+      } else syntaxErr("expected MATCH or CREATE after ON")
+    }
+    MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate)
   }
 
   private def parseMatchBody(optional: Boolean): MatchClause = {

@@ -596,6 +596,7 @@ class CypherEngineSpec extends AnyFunSuite {
   test("rejections match the reference's unsupported surface") {
     rejected("CREATE (n:Person) RETURN n.Name AS N")
     rejected("MATCH (p:Person) SET p.Name = 'x' RETURN p.Name AS N")
+    rejected("MERGE (n:Person {id: 99}) ON CREATE SET n.Name = 'x'")
     rejected("UNWIND [1,2] AS x RETURN x")
     rejected("MATCH (p:Person {Name: 'Tom Hanks'}) RETURN p.Name AS N")
     rejected("MATCH (p:Person WHERE p.Born > 1950) RETURN p.Name AS N")

@@ -1279,6 +1279,77 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("You've Got Mail", 2L)))
   }
 
+  // ------------------------------------ terminal MERGE (extension)
+
+  test("MERGE: matched keys update reading OLD values, rest pass through") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |WITH p.id AS pid
+        |MERGE (n:Person {id: pid})
+        |ON MATCH SET n.Name = n.Name + '!', n.Born = n.Born + 1
+        |ON CREATE SET n.Name = 'never'""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 5) // snapshot size unchanged: no absent keys
+    val byId = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("p3") == (("Kevin Bacon!", Some(1959)))) // matched
+    assert(byId("p2") == (("Meg Ryan!", Some(1962))))    // matched
+    assert(byId("p1") == (("Tom Hanks", Some(1956))))    // untouched
+  }
+
+  test("MERGE: absent keys insert via ON CREATE SET; standalone feed") {
+    val r = rows(
+      "MERGE (n:Person {id: 'p9'}) ON CREATE SET n.Name = 'Nine'")
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 6)
+    assert(r.last == (("p9", "Nine", None))) // unassigned Born -> null
+  }
+
+  test("MERGE: duplicate feed keys reduce to one deterministic winner") {
+    val r = rows(
+      """MATCH (p:Person) WITH 'px' AS k, p.Name AS nm
+        |MERGE (n:Person {id: k})
+        |ON CREATE SET n.Name = nm""".stripMargin)
+      .filter(_.getString(0) == "px")
+    // struct-max winner over (k, nm): lexicographically greatest Name
+    assert(r.map(_.getString(1)) == Seq("Tom Hanks"))
+  }
+
+  test("MERGE typed rejections pin the contract") {
+    // map key must be the id property
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {Name: 'x'})"))
+    // map may not carry more than the id
+    intercept[CypherNotSupportedException](rows(
+      "MERGE (n:Person {id: 'p1', Name: 'x'})"))
+    // id is not reassignable
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1'}) ON MATCH SET n.id = 'z'"))
+    // unknown property
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1'}) ON MATCH SET n.Nope = 1"))
+    // ON CREATE SET cannot read the merge alias
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1'}) ON CREATE SET n.Name = n.Name"))
+    // no RETURN after MERGE; no UNION around it; not inside CALL
+    intercept[CypherNotSupportedException](rows(
+      "MERGE (n:Person {id: 'p1'}) RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "MERGE (n:Person {id: 'x'}) UNION MERGE (n:Person {id: 'y'})"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) CALL { MERGE (z:Person {id: 'x'}) }
+        |RETURN p.Name AS N""".stripMargin))
+    // merge alias may not collide with the scope
+    intercept[CypherBindingException](rows(
+      "MATCH (n:Person) MERGE (n:Person {id: 'p1'})"))
+    // no aggregates in SET — aggregate in a WITH first
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) WITH p.id AS pid
+        |MERGE (n:Person {id: pid})
+        |ON MATCH SET n.Born = count(pid)""".stripMargin))
+  }
+
   test("unbounded var-length typed rejections keep the bounded contract") {
     // per-path observations need bounded ranges
     intercept[CypherNotSupportedException](rows(
