@@ -963,6 +963,45 @@ object SparkEntry {
              |      UNION ALL SELECT * FROM cr)
              |ORDER BY n_nationkey""".stripMargin)),
 
+    // --- node-label alternation `(n:A|B)` (round 8): union semantics
+    //     over sub-labels of ONE owning node — lowers to an OR of
+    //     discriminator conjuncts on a single scan (labels backed by
+    //     different tables stay a typed rejection: their ids live in
+    //     different namespaces)
+    ("q58_label_alternation", cyx(
+      """MATCH (c:BuildingCustomer|MachineryCustomer)-[:PLACED]->(o:Order)
+        |RETURN c.c_mktsegment AS seg, count(o) AS n_orders,
+        |       round(sum(o.o_totalprice), 2) AS total
+        |ORDER BY seg""".stripMargin),
+      Some("""SELECT c_mktsegment AS seg, count(o_orderkey) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |GROUP BY 1 ORDER BY seg""".stripMargin)),
+
+    // --- BOUND relationship-type alternation `[r:A|B]` (round 8):
+    //     branch union over the UNION of the alternatives' property
+    //     namespaces, null-filled per branch (missing-property-is-null)
+    //     — urgent orders appear twice (once per verb), the
+    //     PLACED branch with pri null, the PLACED_URGENT branch with it
+    ("q59_rel_alternation", cyx(
+      """MATCH (c:Customer)-[r:PLACED|PLACED_URGENT]->(o:Order)
+        |WHERE o.o_orderkey <= 2000
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok,
+        |       r.o_orderdate AS od, r.o_orderpriority AS pri
+        |ORDER BY ck, ok, pri""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |         NULL AS pri FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT c_custkey AS ck, o_orderkey AS ok,
+             |       o_orderdate AS od, pri
+             |FROM u JOIN customer ON c_custkey = o_custkey
+             |WHERE o_orderkey <= 2000
+             |ORDER BY ck, ok, pri NULLS FIRST""".stripMargin)),
+
     // --- trigonometric registry (openCypher stdlib: sin/cos/atan2/
     //     degrees/haversin...); trig inside aggregate args, per-part
     //     implicit grouping

@@ -37,6 +37,13 @@ object TpchGraph {
         "s_suppkey", "s_nationkey", Seq.empty, "supplier"),
       EdgeDef("PLACED", "Customer", "Order",
         "o_custkey", "o_orderkey", Seq("o_orderdate"), "orders"),
+      // second Customer→Order verb sharing PLACED's endpoints (the
+      // urgent subset, with one extra property) — backs the bound
+      // relationship-type alternation extension `[r:PLACED|
+      // PLACED_URGENT]`: union property namespace, null-filled
+      EdgeDef("PLACED_URGENT", "Customer", "Order",
+        "o_custkey", "o_orderkey", Seq("o_orderdate", "o_orderpriority"),
+        "orders_urgent"),
       EdgeDef("CONTAINS", "Order", "Part",
         "l_orderkey", "l_partkey",
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -64,6 +71,8 @@ object TpchGraph {
     val base: String => org.apache.spark.sql.DataFrame =
       t => GraphCatalog.cachedParquet(spark, s"$dir/$t.parquet")
     val loader: String => org.apache.spark.sql.DataFrame = {
+      case "orders_urgent" =>
+        base("orders").where(col("o_orderpriority") === "1-URGENT")
       case "nation_chain" =>
         val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
         base("nation").select(

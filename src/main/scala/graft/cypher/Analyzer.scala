@@ -112,6 +112,46 @@ object Analyzer {
       Array.fill(named.size)(Vector.newBuilder[Expr])
     named.zipWithIndex.foreach { case (nmm, mi) =>
       nmm.parts.foreach(_.nodes.foreach { np =>
+        // label alternation `(n:A|B)` (extension; parser gates the
+        // syntax and its exclusivity with `:A:B`): union semantics —
+        // every alternative must resolve to ONE owning node (the
+        // primary itself, or a declared sub-label of it), because a
+        // single binding cannot range over different id namespaces.
+        // Lowers to an OR of discriminator conjuncts; an alternative
+        // that IS the primary covers the whole table (no conjunct).
+        if (np.labelAlts.nonEmpty) {
+          val alts = (np.label.toSeq ++ np.labelAlts).distinct
+          def ownersOf(l: String): Seq[NodeDef] =
+            schema.nodes.filter(nd =>
+              nd.label == l || nd.subLabels.contains(l))
+          val ownerSets = alts.map(l => l -> ownersOf(l))
+          ownerSets.collectFirst { case (l, os) if os.isEmpty => l }
+            .foreach(l => throw new CypherBindingException(
+              s"label alternation (${alts.mkString("|")}): unknown " +
+              s"label '$l'"))
+          val common = ownerSets.map(_._2.map(_.label).toSet)
+            .reduce(_ intersect _)
+          if (common.isEmpty)
+            throw new CypherBindingException(
+              s"label alternation (${alts.mkString("|")}): the " +
+              "alternatives are backed by different tables — their ids " +
+              "live in different namespaces, so one binding cannot " +
+              "range over them; alternation needs one primary label " +
+              "and/or its declared sub-labels")
+          if (common.size > 1)
+            throw new CypherBindingException(
+              s"label alternation (${alts.mkString("|")}) is ambiguous: " +
+              s"${common.toSeq.sorted.mkString(", ")} each back the set")
+          val nd = schema.node(common.head)
+          assign(np.alias.get, nd.label)
+          if (!alts.contains(nd.label)) {
+            val ors = alts.map { sl =>
+              val (prop, v) = nd.subLabels(sl)
+              Bin(BinOp.Eq, Ref(np.alias.get, Some(prop)), Lit(v)): Expr
+            }
+            subConjuncts(mi) += ors.reduce(Bin(BinOp.Or, _, _))
+          }
+        } else {
         val ls = (np.label.toSeq ++ np.extraLabels).distinct
         if (ls.size == 1) { schema.node(ls.head); assign(np.alias.get, ls.head) }
         else if (ls.size > 1) {
@@ -137,6 +177,7 @@ object Analyzer {
                 s"${more.map(_.label).sorted.mkString(", ")} each back the " +
                 "full set")
           }
+        }
         }
       })
     }

@@ -120,8 +120,18 @@ object ast {
    *  CypherVisitor.cs:1119-1127); the analyzer resolves the set to the
    *  ONE schema node whose declared sub-labels back the rest and lowers
    *  each extra to a discriminator WHERE conjunct. */
+  /** `labelAlts` carries the alternatives of a label alternation
+   *  `(n:A|B)` — a flagged EXTENSION: the analyzer requires every
+   *  alternative to resolve to ONE owning schema node (a primary
+   *  label and/or its declared sub-labels — same table, same id
+   *  namespace) and lowers the set to an OR of discriminator
+   *  conjuncts; labels backed by different tables are a typed
+   *  rejection (their ids live in different namespaces, so one
+   *  binding cannot range over both). Mutually exclusive with
+   *  `extraLabels` (`:A:B` intersection vs `:A|B` union). */
   final case class NodePat(alias: Option[String], label: Option[String],
-                           extraLabels: Seq[String] = Seq.empty)
+                           extraLabels: Seq[String] = Seq.empty,
+                           labelAlts: Seq[String] = Seq.empty)
   /** `varLength = Some((lo, hi))` marks a bounded variable-length
    *  relationship `[*lo..hi]` — a flagged EXTENSION (the reference
    *  rejects var-length, CypherVisitor.cs:2035-2039); the compiler

@@ -1268,17 +1268,71 @@ object Compiler {
     // across branches (labeled endpoints guarantee it; an endpoint whose
     // inferred label varies by length has no single property namespace)
     def visibleScope(c: Ctx) = c.scope.filterNot(_._1.startsWith("__unnamed_"))
-    val vis = visibleScope(ctxs.head)
-    val sig = vis.map { case (a, b) => a -> bindingKey(b) }
+    // Branch agreement: nodes/values must bind identically in every
+    // branch (an endpoint whose inferred label varies by length has no
+    // single property namespace). A BOUND rel alias may differ across
+    // branches — a type alternation `[r:A|B]` (round 8) — as long as
+    // every branch's edge shares the endpoint labels and the src/sink
+    // id column names: the union then widens `r`'s namespace to the
+    // UNION of the alternatives' properties, null-filling what a
+    // branch's type lacks (openCypher's missing-property-is-null
+    // rule). NOTE the one divergence: a WHERE referencing such a
+    // property compiles per branch, so a branch whose type lacks it
+    // contributes no rows — identical to null-comparison filtering for
+    // ordinary predicates, but `IS NULL` over the absent property does
+    // NOT resurrect that branch's rows.
+    val vis0 = visibleScope(ctxs.head)
+    def nonEdgeSig(s: Map[String, Binding]): Map[String, String] = s.map {
+      case (a, EdgeBinding(e)) =>
+        a -> s"edge:${e.fromLabel}->${e.toLabel}:${e.srcIdColumn}/${e.sinkIdColumn}"
+      case (a, b) => a -> bindingKey(b)
+    }
+    val sig = nonEdgeSig(vis0)
     ctxs.tail.foreach { c =>
-      if (visibleScope(c).map { case (a, b) => a -> bindingKey(b) } != sig)
+      if (nonEdgeSig(visibleScope(c)) != sig)
         throw new CypherNotSupportedException(
           "pattern-branch endpoints must resolve to the same label in " +
           "every branch (var-length lengths / [:A|B] alternatives) — " +
           "annotate the endpoint nodes")
     }
-    val cols = ctxs.head.df.columns.filterNot(_.startsWith("____unnamed_")).toSeq
-    val unioned = ctxs.map(_.df.select(cols.map(col): _*)).reduce(_ union _)
+    // merged scope: union edge namespaces across branches per alias
+    val vis: Map[String, Binding] = vis0.map {
+      case (a, EdgeBinding(e0)) =>
+        val defs = ctxs.flatMap(_.scope.get(a)).collect {
+          case EdgeBinding(e) => e }.distinct
+        if (defs.size == 1) a -> EdgeBinding(e0)
+        else {
+          val props = defs.flatMap(_.properties).distinct
+          val verbs = defs.map(_.verb).distinct
+          a -> EdgeBinding(EdgeDef(verbs.mkString("|"), e0.fromLabel,
+            e0.toLabel, e0.srcIdColumn, e0.sinkIdColumn, props,
+            s"__alt_${verbs.mkString("_")}"))
+        }
+      case kv => kv
+    }
+    // canonical columns = head's, plus any merged-edge property
+    // columns a branch lacks (null-filled, typed from the first
+    // branch that carries the column)
+    val headCols = ctxs.head.df.columns.filterNot(
+      _.startsWith("____unnamed_")).toSeq
+    val mergedEdgeCols: Seq[String] = vis.toSeq.collect {
+      case (a, EdgeBinding(e)) => entityCols(EdgeBinding(e)).map(pref(a, _))
+    }.flatten
+    val cols = (headCols ++ mergedEdgeCols.filterNot(headCols.contains)).distinct
+    val colType: Map[String, DataType] = cols.map { c =>
+      val ts = ctxs.flatMap(x => x.df.schema.fields.find(_.name == c))
+        .map(_.dataType).distinct
+      if (ts.size > 1) throw new CypherBindingException(
+        s"pattern-branch column '$c' has diverging types across " +
+        s"branches (${ts.map(_.simpleString).mkString(" vs ")}) — the " +
+        "alternatives' shared properties must store one type")
+      c -> ts.headOption.getOrElse(NullType)
+    }.toMap
+    val unioned = ctxs.map { c =>
+      val have = c.df.columns.toSet
+      c.df.select(cols.map(n =>
+        if (have(n)) col(n) else lit(null).cast(colType(n)).as(n)): _*)
+    }.reduce(_ union _)
     if (!shortest) Ctx(unioned, vis)
     else {
       val lenCol = shortestVar.getOrElse("__shortest_len")

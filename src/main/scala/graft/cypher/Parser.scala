@@ -446,7 +446,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def parseNodePat(): NodePat = {
     eatPunct("(")
     val alias = patAlias()
-    val (label, extraLabels) = if (tryPunct(":")) {
+    val (label, extraLabels, labelAlts) = if (tryPunct(":")) {
       val l = name()
       val extras = Vector.newBuilder[String]
       while (isPunct(":")) {
@@ -456,8 +456,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         p += 1
         extras += name()
       }
-      (Some(l), extras.result())
-    } else (None, Vector.empty[String])
+      // label alternation `(n:A|B)` (extension) — union semantics,
+      // mutually exclusive with the `:A:B` intersection form
+      val alts = Vector.newBuilder[String]
+      if (isPunct("|")) {
+        if (!extensions)
+          notSupported("node label alternation (n:A|B) " +
+            "(supported with extensions enabled)")
+        if (extras.result().nonEmpty)
+          notSupported("mixing label intersection (:A:B) with label " +
+            "alternation (:A|B) in one pattern")
+        while (tryPunct("|")) alts += name()
+        if (isPunct(":"))
+          notSupported("mixing label alternation (:A|B) with label " +
+            "intersection (:A:B) in one pattern")
+      }
+      (Some(l), extras.result(), alts.result().distinct.filterNot(_ == l))
+    } else (None, Vector.empty[String], Vector.empty[String])
     val props = if (isPunct("{")) {
       if (!extensions)
         notSupported("inline property map in node pattern " +
@@ -479,7 +494,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     props.foreach { case (k, v) =>
       propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
     patWhere.foreach(propConjuncts += _)
-    NodePat(bound, label, extraLabels)
+    NodePat(bound, label, extraLabels, labelAlts)
   }
 
   /** Parses one relationship pattern if the next tokens start one. */
@@ -499,10 +514,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           val b = Vector.newBuilder[String]
           while (tryPunct("|")) b += name()
           alts = b.result().distinct.filterNot(_ == v)
-          if (alias.isDefined)
-            notSupported("binding a variable to a relationship type " +
-              "alternation (the alternatives have different property " +
-              "namespaces) — use an anonymous relationship")
+          // a BOUND alternation `[r:A|B]` is allowed (round 8): the
+          // compiler unions the branches over the UNION of the
+          // alternatives' property namespaces, null-filling per
+          // branch (openCypher's missing-property-is-null rule);
+          // the branch endpoints must still agree on labels
         }
         Some(v)
       } else None

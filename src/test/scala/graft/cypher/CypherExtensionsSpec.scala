@@ -899,9 +899,11 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |WHERE p.Name = 'Jessica Thompson'
         |RETURN count(q.id) AS c""".stripMargin).head.getLong(0)
     assert(r == 3L) // p5→p1, p5→p2, p5→p1→p2
-    // binding a variable to an alternation is rejected
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N"))
+    // binding a variable to an alternation is SUPPORTED since round 8
+    // (null-filled union namespace — see the dedicated test)
+    assert(rows(
+      "MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N")
+      .size == 8)
     // parity rejects the surface
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
@@ -1277,6 +1279,56 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getString(0), x.getLong(1))) == Seq(
       ("Apollo 13", 1L), ("Sleepless in Seattle", 2L),
       ("You've Got Mail", 2L)))
+  }
+
+  // ------------------------------------ alternation on bound variables
+
+  test("label alternation (n:A|B) unions sub-labels of one owning node") {
+    val r = rows(
+      "MATCH (p:Boomer|Sixties) RETURN p.Name AS N ORDER BY N")
+    assert(r.map(_.getString(0)) == Seq("Meg Ryan", "Tom Hanks"))
+    // an alternative that IS the primary covers the whole table
+    val all = rows(
+      "MATCH (p:Boomer|Person) RETURN p.Name AS N ORDER BY N")
+    assert(all.size == 5)
+    // different tables / different owners → typed rejections
+    intercept[CypherBindingException](rows(
+      "MATCH (x:Person|Movie) RETURN x.Name AS N"))
+    intercept[CypherBindingException](rows(
+      "MATCH (x:Boomer|NinetiesClassic) RETURN x.Name AS N"))
+    intercept[CypherBindingException](rows(
+      "MATCH (x:Boomer|Nope) RETURN x.Name AS N"))
+    // mixing intersection and alternation is a parse rejection
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (x:Person:Boomer|Sixties) RETURN x.Name AS N"))
+  }
+
+  test("bound rel alternation [r:A|B] unions null-filled property namespaces") {
+    val r = rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |RETURN p.Name AS N, m.Title AS T, r.Roles AS RO, r.Rating AS RA
+        |ORDER BY N, T""".stripMargin)
+    assert(r.size == 8) // 6 actings + 2 reviews
+    val jess = r.filter(_.getString(0) == "Jessica Thompson")
+    assert(jess.forall(x => x.isNullAt(2) && !x.isNullAt(3))) // Roles null
+    val toms = r.filter(_.getString(0) == "Tom Hanks")
+    assert(toms.forall(x => !x.isNullAt(2) && x.isNullAt(3))) // Rating null
+    // WHERE over an alternation-only property: the branch whose type
+    // lacks it contributes no rows (≡ null-comparison filtering)
+    val hi = rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating >= 90
+        |RETURN p.Name AS N, m.Title AS T""".stripMargin)
+    assert(hi.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Jessica Thompson", "Sleepless in Seattle")))
+    // three-way with a property-less alternative
+    val three = rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED|DIRECTED]->(m:Movie)
+        |RETURN count(r) AS n""".stripMargin)
+    assert(three.head.getLong(0) == 9L)
+    // branch endpoints must still agree on labels
+    intercept[CypherException](rows(
+      "MATCH (p:Person)-[r:ACTED_IN|FOLLOWS]->(x) RETURN p.Name AS N"))
   }
 
   // ------------------------------------ terminal MERGE (extension)

@@ -9,7 +9,8 @@ object MovieFixture {
   val schema: GraphSchema = GraphSchema(
     nodes = Seq(
       NodeDef("Person", "id", Seq("Name", "Born"), "person",
-        subLabels = Map("Boomer" -> ("Born", 1956))),
+        subLabels = Map("Boomer" -> ("Born", 1956),
+          "Sixties" -> ("Born", 1961))),
       NodeDef("Movie", "id", Seq("Title", "Tagline", "Released"), "movie",
         subLabels = Map("NinetiesClassic" -> ("Released", 1993)))),
     edges = Seq(
