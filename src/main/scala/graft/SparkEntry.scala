@@ -692,6 +692,49 @@ object SparkEntry {
              |FROM ranked WHERE rn <= 2
              |ORDER BY 1, 3 DESC, 2""".stripMargin)),
 
+    // --- CALL paging completions (round 8): per-invocation paging on
+    //     an INTERMEDIATE WITH (top-2 priciest orders per customer,
+    //     aggregated downstream — the paging happens inside the
+    //     subquery pipeline), and DISTINCT + LIMIT on the RETURN
+    //     (2 cheapest distinct order-price kilobuckets per customer) —
+    //     both previously typed rejections
+    ("q60_call_paging", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9990
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+        |       WITH o ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 2
+        |       RETURN count(o) AS n_top,
+        |              round(sum(o.o_totalprice), 2) AS top2_total }
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order)
+        |       RETURN DISTINCT floor(o.o_totalprice / 1000.0) AS price_pt
+        |       ORDER BY price_pt LIMIT 2 }
+        |RETURN c.c_name AS name, n_top, top2_total, price_pt
+        |ORDER BY name, price_pt""".stripMargin),
+      Some("""WITH ranked AS (
+             |  SELECT c_custkey, c_name, o_totalprice,
+             |         row_number() OVER (PARTITION BY c_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  WHERE c_acctbal > 9990),
+             |agg AS (
+             |  SELECT c_custkey, c_name,
+             |         count(*) AS n_top,
+             |         round(sum(o_totalprice), 2) AS top2_total
+             |  FROM ranked WHERE rn <= 2 GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT c_custkey, price_pt FROM (
+             |    SELECT c_custkey, price_pt,
+             |           row_number() OVER (PARTITION BY c_custkey
+             |             ORDER BY price_pt) AS rn
+             |    FROM (SELECT DISTINCT c_custkey,
+             |            CAST(floor(o_totalprice / 1000.0) AS BIGINT)
+             |              AS price_pt
+             |          FROM customer JOIN orders ON o_custkey = c_custkey
+             |          WHERE c_acctbal > 9990))
+             |  WHERE rn <= 2)
+             |SELECT a.c_name AS name, a.n_top, a.top2_total, p.price_pt
+             |FROM agg a JOIN pts p ON p.c_custkey = a.c_custkey
+             |ORDER BY name, price_pt""".stripMargin)),
+
     // --- named paths (extension; reference rejects, CypherVisitor.cs:
     //     998-1002): two path variables bound in one MATCH, length()
     //     arithmetic over both, and a WHERE over a path length (the

@@ -942,7 +942,8 @@ object Compiler {
 
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,
-      catalog: GraphCatalog): Ctx = {
+      catalog: GraphCatalog,
+      afterPart: (Int, Ctx) => Ctx = (_, c) => c): Ctx = {
     var ctx: Option[Ctx] = None
     sq.parts.zipWithIndex.foreach { case (part, i) =>
       val isLast = i == sq.parts.size - 1
@@ -965,8 +966,8 @@ object Compiler {
       val afterMatch = afterCalls.getOrElse(
         throw new CypherNotSupportedException("standalone RETURN/WITH"))
       val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
-      ctx = Some(compileProjection(afterUnwind, part.proj,
-        isReturn = isLast && terminalIsReturn, catalog))
+      ctx = Some(afterPart(i, compileProjection(afterUnwind, part.proj,
+        isReturn = isLast && terminalIsReturn, catalog)))
     }
     ctx.get
   }
@@ -1034,11 +1035,20 @@ object Compiler {
       outNames.find(c.scope.contains).foreach(nm =>
         throw new CypherBindingException(
           s"CALL output '$nm' collides with an outer variable"))
-      val (threaded, page) = threadImports(call.sub, call.imports)
+      val (threaded, pages) = threadImports(call.sub, call.imports)
       val inherited: Map[String, Binding] =
         impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
+      val pageKeys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
+      // per-invocation ORDER BY/SKIP/LIMIT (on the RETURN or any
+      // intermediate WITH): a rank filter over a window partitioned by
+      // the import keys, applied right after its part compiles —
+      // Spark rewrites it to WindowGroupLimit (partial per-partition
+      // top-k before the shuffle), so "top k per key" never
+      // materializes the full group
       val sub = compileSingle(threaded, inherited,
-        terminalIsReturn = false, catalog)
+        terminalIsReturn = false, catalog,
+        afterPart = (i, c) =>
+          pages.get(i).map(applyCallPage(c, _, pageKeys)).getOrElse(c))
       impDefs.foreach { case (a, n) =>
         sub.scope.get(a) match {
           case Some(NodeBinding(n2)) if n2.label == n.label =>
@@ -1057,32 +1067,8 @@ object Compiler {
       }
       // per-item Neo4j fill-in for aggregate rows over zero matches
       val hasAgg = lastProj.items.exists(it => containsAgg(it.expr))
-      val keys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
-      // per-invocation ORDER BY/SKIP/LIMIT: a rank filter over a window
-      // partitioned by the import keys — Spark rewrites it to
-      // WindowGroupLimit (partial per-partition top-k before the
-      // shuffle), so "top k per key" never materializes the full group
-      val paged = page match {
-        case None => sub.df
-        case Some(CallPage(sortBy, skipN, limitN)) =>
-          val sortCols = sortBy.map { case (nm, desc) =>
-            // hidden sort items are plain value columns by construction;
-            // an entity-named sort key sorts by its unique id
-            val c0 = sub.scope.get(nm) match {
-              case Some(NodeBinding(n)) => col(pref(nm, n.idColumn))
-              case _ => col(nm)
-            }
-            if (desc) c0.desc else c0.asc
-          }
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
-          val lo = skipN.getOrElse(0L)
-          val hi = limitN.map(lo + _).getOrElse(Long.MaxValue)
-          sub.df.withColumn("__call_rn", row_number().over(w))
-            .where(col("__call_rn") > lo && col("__call_rn") <= hi)
-            .drop("__call_rn")
-      }
-      val subOut = paged.select(
+      val keys = pageKeys
+      val subOut = sub.df.select(
         keys.zipWithIndex.map { case (k, i) => col(k).as(s"__call_k$i") } ++
           outNames.map(col): _*)
       val cond = keys.zipWithIndex.map { case (k, i) =>
@@ -1116,44 +1102,54 @@ object Compiler {
    *  and join every implicit GROUP BY (per-invocation aggregation).
    *  DISTINCT is safe (keys included ⇒ per-invocation distinct);
    *  SKIP/LIMIT are per-invocation in Neo4j — rejected here. */
-  /** Per-invocation SKIP/LIMIT stripped off a correlated CALL's final
-   *  projection — re-applied as a window rank filter partitioned by
-   *  the import keys (Spark's WindowGroupLimit). `sortBy` names hidden
-   *  sort columns threaded through the projection (so ORDER BY may
-   *  reference unprojected fields, like any projection's ORDER BY). */
+  /** Per-invocation SKIP/LIMIT stripped off a correlated CALL
+   *  projection (the RETURN, or — round 8 — any intermediate WITH) —
+   *  re-applied as a window rank filter partitioned by the import
+   *  keys (Spark's WindowGroupLimit). `sortBy` names hidden sort
+   *  columns threaded through the projection (so ORDER BY may
+   *  reference unprojected fields, like any projection's ORDER BY);
+   *  `hidden` lists those columns for the post-filter drop; `where`
+   *  is the WITH's post-paging predicate (Neo4j applies WHERE after
+   *  LIMIT on a WITH). */
   private final case class CallPage(sortBy: Seq[(String, Boolean)],
-      skip: Option[Long], limit: Option[Long])
+      skip: Option[Long], limit: Option[Long],
+      hidden: Seq[String] = Seq.empty, where: Option[Expr] = None)
 
   private def threadImports(sq: SingleQuery,
-      imports: Seq[String]): (SingleQuery, Option[CallPage]) = {
-    var page: Option[CallPage] = None
+      imports: Seq[String]): (SingleQuery, Map[Int, CallPage]) = {
+    val pages = scala.collection.mutable.Map.empty[Int, CallPage]
     val last = sq.parts.size - 1
     val parts2 = sq.parts.zipWithIndex.map { case (part, i) =>
       val proj = part.proj
       val obItems = Vector.newBuilder[RetItem]
       val proj1 =
-        if (i == last && (proj.skip.isDefined || proj.limit.isDefined)) {
+        if (proj.skip.isDefined || proj.limit.isDefined) {
           // per-invocation paging: ORDER BY is required ("top k per
-          // invocation" has no defined order without it), aggregation
-          // and DISTINCT don't compose with it
+          // invocation" has no defined order without it); the RETURN
+          // of an aggregating subquery already yields one row per
+          // invocation, so paging there stays an informative rejection
           if (proj.orderBy.isEmpty)
             throw new CypherNotSupportedException(
               "SKIP/LIMIT inside a correlated CALL subquery requires " +
               "ORDER BY (per-invocation paging)")
-          if (proj.items.exists(it => containsAgg(it.expr)))
+          if (i == last && proj.items.exists(it => containsAgg(it.expr)))
             throw new CypherNotSupportedException(
-              "SKIP/LIMIT with aggregation inside a correlated CALL " +
-              "subquery (the aggregate already returns one row per " +
-              "invocation)")
-          if (proj.distinct)
-            throw new CypherNotSupportedException(
-              "DISTINCT with SKIP/LIMIT inside a correlated CALL subquery")
+              "SKIP/LIMIT with aggregation on a correlated CALL " +
+              "subquery's RETURN (the aggregate already returns one " +
+              "row per invocation; page an intermediate WITH instead)")
           val taken = proj.items.map(outName).toSet ++ imports
           val sortBy = proj.orderBy.zipWithIndex.map { case (s, j) =>
             // sort keys that are already projected items reuse them;
-            // anything else threads through as a hidden item
+            // anything else threads through as a hidden item — except
+            // under DISTINCT, where a hidden item would change the
+            // distinct row set (Cypher's own rule: ORDER BY after
+            // DISTINCT may only sort by projected items)
             s.expr match {
               case Ref(a, None) if taken(a) => (a, s.desc)
+              case _ if proj.distinct =>
+                throw new CypherNotSupportedException(
+                  "ORDER BY under DISTINCT inside a correlated CALL " +
+                  "subquery must sort by projected items")
               case _ =>
                 var nm = s"callob_$j"
                 while (taken(nm)) nm = nm + "_"
@@ -1161,20 +1157,16 @@ object Compiler {
                 (nm, s.desc)
             }
           }
-          page = Some(CallPage(sortBy, proj.skip, proj.limit))
-          proj.copy(orderBy = Seq.empty, skip = None, limit = None)
+          pages(i) = CallPage(sortBy, proj.skip, proj.limit,
+            hidden = obItems.result().flatMap(_.alias),
+            where = proj.where)
+          proj.copy(orderBy = Seq.empty, skip = None, limit = None,
+            where = None)
         } else if (i == last) {
           // bare ORDER BY on the subquery RETURN: row order is
           // unobservable after the join-back — drop it
           proj.copy(orderBy = Seq.empty)
-        } else {
-          if (proj.skip.isDefined || proj.limit.isDefined)
-            throw new CypherNotSupportedException(
-              "SKIP/LIMIT on an intermediate WITH inside a correlated " +
-              "CALL subquery (per-invocation paging is only supported " +
-              "on the subquery's RETURN)")
-          proj
-        }
+        } else proj
       if (proj1.star) part.copy(proj = proj1)
       else {
         val present = proj1.items.map(outName).toSet
@@ -1184,7 +1176,34 @@ object Compiler {
           proj1.copy(items = proj1.items ++ obItems.result() ++ missing))
       }
     }
-    (SingleQuery(parts2), page)
+    (SingleQuery(parts2), pages.toMap)
+  }
+
+  /** Applies one [[CallPage]] to a compiled part frame: window rank
+   *  over the import keys, the skip/limit band, the post-paging WHERE
+   *  (Neo4j order: WITH … ORDER BY … LIMIT … WHERE), then drops the
+   *  hidden sort columns. */
+  private def applyCallPage(c: Ctx, pg: CallPage,
+      keys: Seq[String]): Ctx = {
+    val sortCols = pg.sortBy.map { case (nm, desc) =>
+      // hidden sort items are plain value columns by construction;
+      // an entity-named sort key sorts by its unique id
+      val c0 = c.scope.get(nm) match {
+        case Some(NodeBinding(n)) => col(pref(nm, n.idColumn))
+        case _ => col(nm)
+      }
+      if (desc) c0.desc else c0.asc
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+    val lo = pg.skip.getOrElse(0L)
+    val hi = pg.limit.map(lo + _).getOrElse(Long.MaxValue)
+    var df = c.df.withColumn("__call_rn", row_number().over(w))
+      .where(col("__call_rn") > lo && col("__call_rn") <= hi)
+      .drop("__call_rn")
+    pg.where.foreach(wx =>
+      df = df.filter(new ExprCompiler(c.scope, df).compile(wx)))
+    Ctx(df.drop(pg.hidden: _*), c.scope -- pg.hidden)
   }
 
   /** UNWIND (extension): `explode` the list column into one row per

@@ -844,6 +844,42 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN t""".stripMargin).map(_.getString(0)) == Seq("Apollo 13"))
   }
 
+  test("correlated CALL pages an intermediate WITH per invocation (round 8)") {
+    // top-2 newest movies per person, then count them downstream —
+    // the paging happens INSIDE the subquery pipeline
+    val r = rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       WITH m ORDER BY m.Released DESC LIMIT 2
+        |       RETURN count(m.id) AS c, min(m.Released) AS oldest }
+        |RETURN p.Name AS N, c, oldest ORDER BY N""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2))) == Seq(
+      ("Jessica Thompson", 0L, -1), ("Kevin Bacon", 1L, 1995),
+      ("Meg Ryan", 2L, 1993), ("Rob Reiner", 0L, -1),
+      // Tom: 3 movies, top-2 newest = 1998 + 1995
+      ("Tom Hanks", 2L, 1995)))
+    // WHERE after the paged WITH applies post-LIMIT (Neo4j's order)
+    val w = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       WITH m.Title AS t, m.Released AS y
+        |       ORDER BY y DESC LIMIT 2 WHERE y < 1998
+        |       RETURN t }
+        |RETURN t""".stripMargin)
+    // top-2 newest = 1998, 1995; WHERE keeps only 1995 (not 1993!)
+    assert(w.map(_.getString(0)) == Seq("Apollo 13"))
+  }
+
+  test("correlated CALL DISTINCT + LIMIT pages the distinct set (round 8)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN DISTINCT m.Released AS y ORDER BY y DESC LIMIT 2 }
+        |RETURN y ORDER BY y""".stripMargin)
+    assert(r.map(_.getInt(0)) == Seq(1995, 1998))
+  }
+
   test("CALL rejection surface") {
     // per-invocation LIMIT without ORDER BY has no defined order
     intercept[CypherNotSupportedException](rows(
@@ -851,13 +887,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
         |       RETURN m.Title AS t LIMIT 1 }
         |RETURN p.Name AS N, t""".stripMargin))
-    // LIMIT on an intermediate WITH inside the subquery
+    // LIMIT with aggregation on the subquery RETURN stays rejected
+    // (one row per invocation already — page a WITH instead)
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
-        |       WITH m.Title AS t ORDER BY t LIMIT 1
-        |       RETURN count(t) AS c }
+        |       RETURN count(m.id) AS c ORDER BY c LIMIT 1 }
         |RETURN p.Name AS N, c""".stripMargin))
+    // ORDER BY under DISTINCT must sort by projected items
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |CALL { WITH p MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |       RETURN DISTINCT m.Title AS t
+        |       ORDER BY m.Released DESC LIMIT 1 }
+        |RETURN p.Name AS N, t""".stripMargin))
     // returning a whole entity from the subquery
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
