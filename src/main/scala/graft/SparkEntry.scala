@@ -5079,6 +5079,20 @@ object SparkEntry {
       },
       Some(streamSimhashOracle)),
 
+    // --- per-source MinHash union sketches → estimated pairwise
+    //     shingle Jaccard (round 8): the elementwise-min mergeable
+    //     reduction with the d23 oracle-mode shingle hash — DuckDB
+    //     recomputes the 64-slot union sketch per source EXACTLY, so
+    //     the full 20×19/2 similarity matrix is value-checked
+    ("d24_source_sketch",
+      (s, dir) => Dedup.sourceSimilaritySketch(docs(s, dir), "text",
+          "source", k = 64, shingleN = 3,
+          shingles = (t, n) => sort_array(array_distinct(
+            graft.functions.NativeExpressions.modNgramHashes(
+              graft.ops.TextOps.tokens(t), n))))
+        .orderBy("src_a", "src_b"),
+      Some(sourceSketchOracle)),
+
     // --- STREAMING MinHash-LSH near-dup at ingest through the gate
     //     (round 8): band-bucket state + signature-agreement verify
     //     replayed in order; oracle-mode shingle hash (the mod-ngram
@@ -5558,6 +5572,40 @@ object SparkEntry {
       Some("""WITH x AS (SELECT CASE WHEN event_id % 13 = 5
              |            THEN '{' || props ELSE props END AS p2
              |           FROM events)
+             |SELECT CASE WHEN json_valid(p2)
+             |              AND json_extract(p2, '$.k') IS NOT NULL
+             |            THEN 'parsed'
+             |       ELSE 'quarantined' END AS status,
+             |       CAST(count(*) AS BIGINT) AS n_rows
+             |FROM x GROUP BY 1 ORDER BY status""".stripMargin)),
+
+    // --- the e39 parse-quarantine split on a REAL STREAM (round 8):
+    //     the stateless from_json route runs inside the streaming
+    //     query (per-row status), the replay's accumulated rows
+    //     aggregate after — ingest-time quarantine counters
+    ("e59_stream_quarantine",
+      (s, dir) => {
+        import s.implicits._
+        val rows = evts(s, dir).where(col("user_id") < 500)
+          .select(col("ts"), col("event_id"), col("props"))
+          .as[(java.sql.Timestamp, Long, String)].collect()
+          .sortBy(r => (r._1.getTime, r._2)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(rows, 3), "append") { ds =>
+          val df = ds.toDF("ts", "event_id", "props")
+          val p2 = when(col("event_id") % 13 === 5,
+            concat(lit("{"), col("props"))).otherwise(col("props"))
+          val parsed = from_json(p2, "k INT", Map.empty[String, String])
+          df.select(
+            when(parsed.isNull || parsed.getField("k").isNull,
+              lit("quarantined")).otherwise(lit("parsed")).as("status"))
+        }
+          .groupBy("status").agg(count(lit(1)).as("n_rows"))
+          .orderBy("status")
+      },
+      Some("""WITH x AS (SELECT CASE WHEN event_id % 13 = 5
+             |            THEN '{' || props ELSE props END AS p2
+             |           FROM events WHERE user_id < 500)
              |SELECT CASE WHEN json_valid(p2)
              |              AND json_extract(p2, '$.k') IS NOT NULL
              |            THEN 'parsed'
@@ -6506,6 +6554,43 @@ object SparkEntry {
        |        THEN 1 ELSE 0 END for i in range(1, 65)]) AS DOUBLE) / 64
        |      >= 0.8
        |ORDER BY doc_id, matched_id""".stripMargin
+  }
+
+  /** DuckDB mirror of d24: per-source elementwise-min union sketch
+    * from the d23 mod-ngram/coefficient arithmetic (sources whose docs
+    * all lack 3-grams keep the sentinel slots), pairwise slot
+    * agreement / k. */
+  private lazy val sourceSketchOracle: String = {
+    val cs = graft.ops.Dedup.mhCoeffs(64)
+    val as = cs.map(_._1).mkString(",")
+    val bs = cs.map(_._2).mkString(",")
+    s"""WITH tk AS (SELECT doc_id, source,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |th AS (SELECT doc_id, source,
+       |         list_transform(toks, t -> ${sqlFp("t", w31)}) AS th
+       |  FROM tk),
+       |g AS (SELECT doc_id, source, CASE WHEN len(th) < 3 THEN []::BIGINT[]
+       |    ELSE list_distinct([
+       |    (((th[i]*131 + th[i+1]) % 1000000007) * 131 + th[i+2]) % 1000000007
+       |    for i in range(1, len(th) - 1)]) END AS grams
+       |  FROM th),
+       |u AS (SELECT source AS src, unnest(grams) AS h FROM g),
+       |idx AS (SELECT unnest(range(1, 65)) AS i),
+       |m AS (SELECT src, i,
+       |        min((([$as])[i] * h + ([$bs])[i]) % 4294967311) AS mn
+       |      FROM u CROSS JOIN idx GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source AS src FROM documents
+       |         WHERE text IS NOT NULL),
+       |m2 AS (SELECT s.src, idx.i, coalesce(m.mn, 4294967311) AS mn
+       |       FROM srcs s CROSS JOIN idx
+       |       LEFT JOIN m ON m.src = s.src AND m.i = idx.i)
+       |SELECT a.src AS src_a, b.src AS src_b,
+       |       round(CAST(sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / 64, 6) AS est_jaccard
+       |FROM m2 a JOIN m2 b ON a.i = b.i AND a.src < b.src
+       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
   }
 
   /** DuckDB mirror of [[graft.ops.Pipeline.contaminationReport]] at

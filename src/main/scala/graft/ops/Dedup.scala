@@ -563,16 +563,21 @@ object Dedup {
    * computed over the tiny sources×sources frame.
    * Output: (src_a, src_b, est_jaccard), estimate error ~1/√k.
    *
-   * Not SQL-mirrorable (xxhash shingles) — unit-pinned against the
-   * exact shingle-set Jaccard instead, the d04-prod contract.
+   * With the default xxhash shingles this is unit-pinned against the
+   * exact shingle-set Jaccard (the d04-prod contract); `shingles` is
+   * the same oracle hook as [[streamingMinhashMatches]]' — pass the
+   * mod-ngram variant for a full cross-engine value oracle (d24 in
+   * [[graft.SparkEntry]]).
    */
   def sourceSimilaritySketch(df: DataFrame, textCol: String,
                              sourceCol: String, k: Int = 128,
-                             shingleN: Int = 5): DataFrame = {
+                             shingleN: Int = 5,
+                             shingles: (Column, Int) => Column =
+                               hashedShingleSet): DataFrame = {
     val sig = df.where(col(textCol).isNotNull)
       .select(col(sourceCol).cast(StringType).as("__src"),
         graft.functions.NativeExpressions.minhashSig(
-          hashedShingleSet(col(textCol), shingleN), mhCoeffs(k), MhPrime)
+          shingles(col(textCol), shingleN), mhCoeffs(k), MhPrime)
           .as("__sig"))
     val perSrc = sig
       .select(col("__src"), posexplode(col("__sig")).as(Seq("__i", "__v")))
