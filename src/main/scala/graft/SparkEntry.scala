@@ -1406,6 +1406,19 @@ object SparkEntry {
         .orderBy("query_id", "neighbor_id"),
       Some(rangeLshOracle)),
 
+    // --- IVF recall-tuning curve (round 8): recall@5 per nProbe
+    //     against the brute-force truth — the s03 centroid/assignment
+    //     arithmetic generalized over a probes list, the whole curve
+    //     value-checked (the QA harness a production index is tuned
+    //     with)
+    ("s33_ivf_recall_curve",
+      (s, dir) => Similarity.ivfRecallCurve(embs(s, dir),
+          embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+          k = 5, nCentroids = 16, probes = Seq(1, 3, 6, 16))
+        .select(col("n_probe"), round(col("recall"), 6).as("recall"))
+        .orderBy("n_probe"),
+      Some(ivfRecallOracle)),
+
     // --- IVF ANN (centroid inverted lists, map-only assignment). The
     //     centroid sample order and assignment arithmetic are
     //     SQL-mirrorable → full value oracle (plus recall ScalaTest).
@@ -5079,6 +5092,31 @@ object SparkEntry {
       },
       Some(streamSimhashOracle)),
 
+    // --- MinHash-LSH parameter planner (round 8): the S-curve
+    //     operating points per (bands, rows) factorization of k —
+    //     pure planner math, mirrored formula-for-formula in SQL
+    //     (pow() last-ulp divergence absorbed by round 6)
+    ("d26_lsh_plan",
+      (s, dir) => {
+        import s.implicits._
+        Dedup.lshPlan(64, targetJaccard = 0.8).toDF()
+          .select(col("bands"), col("rows").as("n_rows"),
+            round(col("curveThreshold"), 6).as("curve_threshold"),
+            round(col("pAtTarget"), 6).as("p_at_target"),
+            round(col("pBelow"), 6).as("p_below"))
+          .orderBy("bands")
+      },
+      Some("""WITH f AS (SELECT CAST(unnest([1,2,4,8,16,32,64]) AS BIGINT)
+             |             AS n_rows)
+             |SELECT CAST(64 / n_rows AS INT) AS bands, n_rows,
+             |  round(pow(1.0 / (64 / n_rows), 1.0 / n_rows), 6)
+             |    AS curve_threshold,
+             |  round(1 - pow(1 - pow(0.8, n_rows), 64 / n_rows), 6)
+             |    AS p_at_target,
+             |  round(1 - pow(1 - pow(0.6, n_rows), 64 / n_rows), 6)
+             |    AS p_below
+             |FROM f ORDER BY bands""".stripMargin)),
+
     // --- per-source MinHash union sketches → estimated pairwise
     //     shingle Jaccard (round 8): the elementwise-min mergeable
     //     reduction with the d23 oracle-mode shingle hash — DuckDB
@@ -6969,6 +7007,63 @@ object SparkEntry {
       |       (coalesce(comp.component, a.vec_id) = a.vec_id) AS kept
       |FROM asn a LEFT JOIN comp USING (vec_id)
       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB mirror of s33: the s03 centroid/assignment CTEs, query
+    * centroid preferences ranked once, then per nProbe ∈ {1,3,6,16}
+    * the probed-list top-5 joined against the brute top-5 → recall =
+    * hits / (8 queries · 5). */
+  private lazy val ivfRecallOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx
+      |       FROM (SELECT v AS cv, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM e ORDER BY h, vid LIMIT 16)),
+      |cn AS (SELECT cidx, CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+      |         ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |         END AS cv FROM co),
+      |sc AS (SELECT e.vec_id, cn.cidx, list_dot_product(e.v, cn.cv) AS s
+      |       FROM e CROSS JOIN cn),
+      |asn AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r FROM sc)
+      |        WHERE r = 1),
+      |prall AS (SELECT vec_id, cidx, r FROM
+      |           (SELECT vec_id, cidx, row_number() OVER
+      |              (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r
+      |            FROM sc WHERE vec_id < 8)),
+      |probes AS (SELECT unnest([1, 3, 6, 16]) AS np),
+      |cand AS (SELECT p.np, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |           list_dot_product(qe.v, ce.v) /
+      |             (sqrt(list_dot_product(qe.v, qe.v)) *
+      |              sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |         FROM probes p
+      |         JOIN prall q ON q.r <= p.np
+      |         JOIN asn c ON c.cidx = q.cidx
+      |         JOIN e qe ON qe.vec_id = q.vec_id
+      |         JOIN e ce ON ce.vec_id = c.vec_id
+      |         WHERE c.vec_id <> q.vec_id),
+      |approx AS (SELECT np, query_id, neighbor_id FROM
+      |            (SELECT *, row_number() OVER
+      |               (PARTITION BY np, query_id
+      |                ORDER BY cos_sim DESC, neighbor_id) AS rk FROM cand)
+      |           WHERE rk <= 5),
+      |tru AS (SELECT query_id, neighbor_id FROM
+      |          (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |               list_dot_product(q.v, c.v) /
+      |                 (sqrt(list_dot_product(q.v, q.v)) *
+      |                  sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+      |               AS rk
+      |           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |           WHERE q.vec_id < 8)
+      |        WHERE rk <= 5)
+      |SELECT p.np AS n_probe,
+      |       round(coalesce(h.hits, 0) / 40.0, 6) AS recall
+      |FROM probes p LEFT JOIN
+      |  (SELECT np, count(*) AS hits
+      |   FROM approx JOIN tru USING (query_id, neighbor_id)
+      |   GROUP BY np) h ON h.np = p.np
+      |ORDER BY n_probe""".stripMargin
 
   private lazy val ivfAnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
