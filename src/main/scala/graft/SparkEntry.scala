@@ -4299,6 +4299,32 @@ object SparkEntry {
              |       round(pow(0.7, k) * cc / (1.0 - pow(0.7, k)), 6) AS ewma
              |FROM c ORDER BY event_type, day""".stripMargin)),
 
+    // --- ShortCircuitExists THROUGH the gate (round 8): the Catalyst
+    //     rule registers on the live session and rewrites
+    //     size(filter(xs, f)) > 0 to exists(xs, f) — the query's
+    //     VALUES then ride the rewritten plan against the SQL mirror
+    //     (the plan-shape assert lives in PlanRulesSpec)
+    ("t44_shortcircuit_exists",
+      (s, dir) => {
+        GraftExtensions.register(s)
+        val toks = TextOps.tokens(col("text"))
+        docs(s, dir).select(col("lang"),
+            (size(filter(toks, t => length(t) > 8)) > 0).as("has_long"))
+          .groupBy("lang")
+          .agg(count(when(col("has_long"), 1)).as("n_with_long"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+             |    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+             |         ELSE string_split_regex(trim(text), '\s+') END AS tk
+             |  FROM documents)
+             |SELECT lang,
+             |  count(*) FILTER (len(list_filter(tk, x -> length(x) > 8)) > 0)
+             |    AS n_with_long,
+             |  count(*) AS n_docs
+             |FROM t GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // --- dataset card: the datasheet metrics table from one pass
     ("p20_dataset_card",
       (s, dir) => Pipeline.datasetCard(docs(s, dir)).orderBy("metric"),
