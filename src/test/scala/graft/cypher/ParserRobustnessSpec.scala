@@ -118,4 +118,52 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(attemptExt)
     samples(gen, 400).foreach(attempt)
   }
+
+  test("round-8 surface fuzz: MERGE, label/rel alternation, CALL paging") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MERGE",
+      "MERGE (",
+      "MERGE (n)",
+      "MERGE (n:L)",
+      "MERGE (n:L {)",
+      "MERGE (n:L {id})",
+      "MERGE (n:L {id: })",
+      "MERGE (n:L {id: 1, x: 2})",
+      "MERGE (n:L {id: 1}) ON",
+      "MERGE (n:L {id: 1}) ON SET",
+      "MERGE (n:L {id: 1}) ON MATCH",
+      "MERGE (n:L {id: 1}) ON MATCH SET",
+      "MERGE (n:L {id: 1}) ON MATCH SET n",
+      "MERGE (n:L {id: 1}) ON MATCH SET n.x",
+      "MERGE (n:L {id: 1}) ON MATCH SET n.x =",
+      "MERGE (n:L {id: 1}) ON MATCH SET m.x = 1",
+      "MERGE (n:L {id: 1}) ON MATCH SET n.x = 1 ON MATCH SET n.y = 2",
+      "MERGE (n:L {id: 1}) ON CREATE SET n.x = 1 ON CREATE SET n.y = 2",
+      "MERGE (__n:L {id: 1})",
+      "MERGE (n:L {id: 1}) RETURN 1 AS x",
+      "MERGE (n:L {id: 1}) UNION MATCH (m:L) RETURN m.x AS x",
+      "MATCH (a:A|) RETURN 1 AS x",
+      "MATCH (a:A| ) RETURN 1 AS x",
+      "MATCH (a:A|B:C) RETURN 1 AS x",
+      "MATCH (a:A:B|C) RETURN 1 AS x",
+      "MATCH (a:|B) RETURN 1 AS x",
+      "MATCH (a)-[r:|B]->(b) RETURN 1 AS x",
+      "MATCH (a)-[r:A|]->(b) RETURN 1 AS x",
+      "MATCH (a)-[r:A|B* ]->(b) RETURN 1 AS x",
+      "MATCH (a) CALL { WITH a MATCH (a)-[:R]->(b) " +
+        "WITH b LIMIT RETURN count(b) AS c } RETURN c",
+      "MATCH (a) CALL { MERGE (z:L {id: 1}) } RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    bad.foreach(attempt) // parity mode must also stay typed
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "MERGE", "ON", "MATCH", "CREATE", "SET", "(", ")", "{", "}",
+      ":", "|", "n", ":L", "id", "=", "1", ",", ".", "x",
+      "WITH", "LIMIT", "ORDER", "BY", "DISTINCT", "CALL",
+      "RETURN", "AS")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(attempt)
+  }
 }
