@@ -735,6 +735,60 @@ object SparkEntry {
              |FROM agg a JOIN pts p ON p.c_custkey = a.c_custkey
              |ORDER BY name, price_pt""".stripMargin)),
 
+    // --- cross-table label alternation `(n:A|B)` (round 8): the
+    //     alternatives live in DIFFERENT tables, so the pattern
+    //     branch-unions per owning node — union property namespace
+    //     null-filled per branch, entity identity over the synthesized
+    //     "label:id" tag so count(DISTINCT e) never conflates the
+    //     overlapping c_custkey / s_suppkey ranges — and the anonymous
+    //     edge alternation prunes the branches whose edge cannot
+    //     resolve (Customer×LOCATED_IN, Supplier×FROM_NATION)
+    ("q61_cross_label_alternation", cyx(
+      """MATCH (e:Customer|Supplier)-[:FROM_NATION|LOCATED_IN]->(n:Nation)
+        |RETURN n.n_name AS nation, count(e) AS n_ent,
+        |       count(DISTINCT e) AS nd,
+        |       count(e.c_name) AS n_cust, count(e.s_name) AS n_supp,
+        |       round(sum(coalesce(e.c_acctbal, e.s_acctbal)), 2) AS bal
+        |ORDER BY nation""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT 'Customer:' || CAST(c_custkey AS VARCHAR) AS nid,
+             |         c_name AS cname, CAST(NULL AS VARCHAR) AS sname,
+             |         c_acctbal AS bal, c_nationkey AS nk FROM customer
+             |  UNION ALL
+             |  SELECT 'Supplier:' || CAST(s_suppkey AS VARCHAR), NULL,
+             |         s_name, s_acctbal, s_nationkey FROM supplier)
+             |SELECT n_name AS nation, count(*) AS n_ent,
+             |       count(DISTINCT nid) AS nd,
+             |       count(cname) AS n_cust, count(sname) AS n_supp,
+             |       round(sum(bal), 2) AS bal
+             |FROM u JOIN nation ON nk = n_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
+    // --- OPTIONAL MATCH over a branch-unioned pattern (round-8 fix):
+    //     Cypher is left ⟕ (B1 ∪ B2) — a customer whose orders are all
+    //     non-urgent matches the PLACED branch, so the PLACED_URGENT
+    //     branch must NOT add a spurious null row; a customer with no
+    //     orders at all gets exactly ONE null row. The DuckDB mirror is
+    //     literally a LEFT JOIN against the branches' UNION ALL.
+    ("q62_optional_branch_union", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 50
+        |OPTIONAL MATCH (c)-[r:PLACED|PLACED_URGENT]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(*) AS rows_,
+        |       count(o.o_orderkey) AS n_o,
+        |       count(r.o_orderpriority) AS n_urgent_tag
+        |ORDER BY ck""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT o_custkey, o_orderkey,
+             |         CAST(NULL AS VARCHAR) AS pri FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderkey, o_orderpriority FROM orders
+             |  WHERE o_orderpriority = '1-URGENT')
+             |SELECT c_custkey AS ck, count(*) AS rows_,
+             |       count(o_orderkey) AS n_o, count(pri) AS n_urgent_tag
+             |FROM customer LEFT JOIN u ON o_custkey = c_custkey
+             |WHERE c_custkey <= 50
+             |GROUP BY 1 ORDER BY ck""".stripMargin)),
+
     // --- named paths (extension; reference rejects, CypherVisitor.cs:
     //     998-1002): two path variables bound in one MATCH, length()
     //     arithmetic over both, and a WHERE over a path length (the

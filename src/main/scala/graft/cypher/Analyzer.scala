@@ -89,6 +89,21 @@ object Analyzer {
       }, m)
     }
 
+    // a cross-table alternation binding (n:A|B across tables) has a
+    // synthetic tagged identity and NO single backing table — it cannot
+    // be re-matched in a later pattern (no scan to join back to, and
+    // its id values are "label:id" strings, not edge keys)
+    named.foreach(_.parts.foreach(_.nodes.foreach { np =>
+      np.alias.filter(a => inherited.get(a).exists {
+        case NodeBinding(nd) => nd.idColumn == NodeAlt.MergedIdColumn
+        case _ => false
+      }).foreach(a => throw new CypherNotSupportedException(
+        s"'$a' is bound by a cross-table label alternation — it cannot " +
+        "appear in a later MATCH/EXISTS pattern (its alternatives live " +
+        "in different tables); project the properties you need through " +
+        "WITH instead"))
+    }))
+
     // ----- label inference fixpoint over the whole part ----------------
     val labels = scala.collection.mutable.Map[String, String]()
     inherited.foreach {

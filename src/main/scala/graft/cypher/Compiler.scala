@@ -956,7 +956,8 @@ object Compiler {
       val (ms, cat) = Reach.rewrite(part.matches, catalog, ctx)
       val afterMatch0: Option[Ctx] =
         if (ms.isEmpty) ctx
-        else if (!VarLength.hasVarLength(ms))
+        else if (!VarLength.hasVarLength(ms) &&
+                 !NodeAlt.hasCross(cat.graph, ms))
           Some(compileMatches(ctx,
             Analyzer.resolvePart(cat.graph, scope, ms),
             cat))
@@ -1263,7 +1264,43 @@ object Compiler {
     }
     val shortestVar: Option[String] =
       if (shortest) matches.head.parts.head.pathVar else None
-    val branches = VarLength.expand(matches)
+    // --- OPTIONAL clauses that THEMSELVES need expansion: Cypher is
+    // left ⟕ (B1 ∪ … ∪ Bk) — the left row gets its null row only when
+    // NO branch matches. The joint per-branch path would union
+    // per-branch LEFT JOINS instead, emitting a spurious null row for
+    // every branch that fails to match a left row some other branch
+    // matched. (A left join DOES distribute over a union-all of its
+    // LEFT side, so expansion confined to non-optional clauses keeps
+    // the joint path.) Chunked processing: consecutive safe clauses
+    // compile jointly; each expansion-bearing OPTIONAL clause compiles
+    // standalone-union-then-one-left-join.
+    def needsExp(m: MatchClause): Boolean =
+      VarLength.hasVarLength(Seq(m)) ||
+        NodeAlt.hasCross(catalog.graph, Seq(m))
+    if (!shortest && matches.exists(m => m.optional && needsExp(m))) {
+      var ctx: Option[Ctx] = start
+      val buf = scala.collection.mutable.ArrayBuffer[MatchClause]()
+      def flush(): Unit = if (buf.nonEmpty) {
+        val chunk = buf.toVector; buf.clear()
+        val sc = ctx.map(_.scope).getOrElse(scope)
+        ctx = Some(
+          if (chunk.exists(needsExp)) compileVarLength(ctx, sc, chunk, catalog)
+          else compileMatches(ctx,
+            Analyzer.resolvePart(catalog.graph, sc, chunk), catalog))
+      }
+      matches.foreach { m =>
+        if (m.optional && needsExp(m)) {
+          flush()
+          val c = ctx.getOrElse(throw new CypherNotSupportedException(
+            "first clause cannot be OPTIONAL MATCH"))
+          ctx = Some(optionalBranchUnion(c, m, catalog))
+        } else buf += m
+      }
+      flush()
+      return ctx.get
+    }
+    val (branches, crossAlt) =
+      NodeAlt.expand(catalog.graph, VarLength.expand(matches))
     val compiled = Vector.newBuilder[Ctx]
     var firstErr: Option[CypherException] = None
     branches.foreach { ms =>
@@ -1283,75 +1320,7 @@ object Compiler {
     }
     val ctxs = compiled.result()
     if (ctxs.isEmpty) throw firstErr.get
-    // drop the anonymous interior aliases; the named surface must agree
-    // across branches (labeled endpoints guarantee it; an endpoint whose
-    // inferred label varies by length has no single property namespace)
-    def visibleScope(c: Ctx) = c.scope.filterNot(_._1.startsWith("__unnamed_"))
-    // Branch agreement: nodes/values must bind identically in every
-    // branch (an endpoint whose inferred label varies by length has no
-    // single property namespace). A BOUND rel alias may differ across
-    // branches — a type alternation `[r:A|B]` (round 8) — as long as
-    // every branch's edge shares the endpoint labels and the src/sink
-    // id column names: the union then widens `r`'s namespace to the
-    // UNION of the alternatives' properties, null-filling what a
-    // branch's type lacks (openCypher's missing-property-is-null
-    // rule). NOTE the one divergence: a WHERE referencing such a
-    // property compiles per branch, so a branch whose type lacks it
-    // contributes no rows — identical to null-comparison filtering for
-    // ordinary predicates, but `IS NULL` over the absent property does
-    // NOT resurrect that branch's rows.
-    val vis0 = visibleScope(ctxs.head)
-    def nonEdgeSig(s: Map[String, Binding]): Map[String, String] = s.map {
-      case (a, EdgeBinding(e)) =>
-        a -> s"edge:${e.fromLabel}->${e.toLabel}:${e.srcIdColumn}/${e.sinkIdColumn}"
-      case (a, b) => a -> bindingKey(b)
-    }
-    val sig = nonEdgeSig(vis0)
-    ctxs.tail.foreach { c =>
-      if (nonEdgeSig(visibleScope(c)) != sig)
-        throw new CypherNotSupportedException(
-          "pattern-branch endpoints must resolve to the same label in " +
-          "every branch (var-length lengths / [:A|B] alternatives) — " +
-          "annotate the endpoint nodes")
-    }
-    // merged scope: union edge namespaces across branches per alias
-    val vis: Map[String, Binding] = vis0.map {
-      case (a, EdgeBinding(e0)) =>
-        val defs = ctxs.flatMap(_.scope.get(a)).collect {
-          case EdgeBinding(e) => e }.distinct
-        if (defs.size == 1) a -> EdgeBinding(e0)
-        else {
-          val props = defs.flatMap(_.properties).distinct
-          val verbs = defs.map(_.verb).distinct
-          a -> EdgeBinding(EdgeDef(verbs.mkString("|"), e0.fromLabel,
-            e0.toLabel, e0.srcIdColumn, e0.sinkIdColumn, props,
-            s"__alt_${verbs.mkString("_")}"))
-        }
-      case kv => kv
-    }
-    // canonical columns = head's, plus any merged-edge property
-    // columns a branch lacks (null-filled, typed from the first
-    // branch that carries the column)
-    val headCols = ctxs.head.df.columns.filterNot(
-      _.startsWith("____unnamed_")).toSeq
-    val mergedEdgeCols: Seq[String] = vis.toSeq.collect {
-      case (a, EdgeBinding(e)) => entityCols(EdgeBinding(e)).map(pref(a, _))
-    }.flatten
-    val cols = (headCols ++ mergedEdgeCols.filterNot(headCols.contains)).distinct
-    val colType: Map[String, DataType] = cols.map { c =>
-      val ts = ctxs.flatMap(x => x.df.schema.fields.find(_.name == c))
-        .map(_.dataType).distinct
-      if (ts.size > 1) throw new CypherBindingException(
-        s"pattern-branch column '$c' has diverging types across " +
-        s"branches (${ts.map(_.simpleString).mkString(" vs ")}) — the " +
-        "alternatives' shared properties must store one type")
-      c -> ts.headOption.getOrElse(NullType)
-    }.toMap
-    val unioned = ctxs.map { c =>
-      val have = c.df.columns.toSet
-      c.df.select(cols.map(n =>
-        if (have(n)) col(n) else lit(null).cast(colType(n)).as(n)): _*)
-    }.reduce(_ union _)
+    val (unioned, vis, cols) = unionBranchCtxs(ctxs, crossAlt)
     if (!shortest) Ctx(unioned, vis)
     else {
       val lenCol = shortestVar.getOrElse("__shortest_len")
@@ -1392,6 +1361,217 @@ object Compiler {
       Ctx(if (shortestVar.isDefined) reduced
           else reduced.drop("__shortest_len"), vis)
     }
+  }
+
+  /**
+   * Branch agreement + merged entity namespaces + null-filled UNION ALL
+   * over compiled pattern branches (var-length lengths, [:A|B] verb
+   * alternatives, cross-table label alternatives).
+   *
+   * Drops the anonymous interior aliases; the named surface must agree
+   * across branches (labeled endpoints guarantee it; an endpoint whose
+   * inferred label varies by length has no single property namespace).
+   * A BOUND rel alias may differ across branches — a type alternation
+   * `[r:A|B]` — as long as every branch's edge shares the endpoint
+   * labels and the src/sink id column names: the union widens `r`'s
+   * namespace to the UNION of the alternatives' properties,
+   * null-filling what a branch's type lacks (openCypher's
+   * missing-property-is-null rule). A node alias in `crossAlt` — a
+   * cross-table label alternation `(n:A|B)` — likewise merges over the
+   * union property namespace, with a synthesized tagged identity
+   * column [[NodeAlt.MergedIdColumn]] ("label:id") added per branch so
+   * DISTINCT / implicit grouping / count(DISTINCT n) never conflate id
+   * values from different tables' namespaces. NOTE the one divergence,
+   * both merge kinds: a WHERE referencing a property only some
+   * branches carry compiles over the null-filled column, so a lacking
+   * branch contributes no rows — identical to null-comparison
+   * filtering for ordinary predicates, but `IS NULL` over the absent
+   * property does NOT resurrect that branch's rows.
+   *
+   * Returns (unioned frame, merged visible scope, canonical columns).
+   * Non-reserved engine columns already on a branch frame (e.g. the
+   * `__bnd_*` boundary keys of [[optionalBranchUnion]]) ride through:
+   * canonical columns are the HEAD branch's columns minus the anonymous
+   * `__unnamed_*` namespaces.
+   */
+  private def unionBranchCtxs(ctxs: Seq[Ctx], crossAlt: Set[String])
+      : (DataFrame, Map[String, Binding], Seq[String]) = {
+    // cross-table alternation aliases whose surviving branches resolved
+    // to DIFFERENT tables: synthesize the tagged identity column
+    val altDefs: Map[String, Seq[NodeDef]] = crossAlt.iterator.map { a =>
+      a -> ctxs.flatMap(_.scope.get(a)).collect {
+        case NodeBinding(n) => n }.distinct
+    }.filter(_._2.size > 1).toMap
+    val ctxs2 = ctxs.map { c =>
+      altDefs.keys.foldLeft(c) { (cc, a) =>
+        cc.scope(a) match {
+          case NodeBinding(d) =>
+            cc.copy(df = cc.df.withColumn(pref(a, NodeAlt.MergedIdColumn),
+              concat(lit(d.label + ":"),
+                col(pref(a, d.idColumn)).cast(StringType))))
+          case _ => cc
+        }
+      }
+    }
+    def visibleScope(c: Ctx) = c.scope.filterNot(_._1.startsWith("__unnamed_"))
+    val vis0 = visibleScope(ctxs2.head)
+    def nonEdgeSig(s: Map[String, Binding]): Map[String, String] = s.map {
+      case (a, NodeBinding(_)) if altDefs.contains(a) => a -> "altnode"
+      case (a, EdgeBinding(e)) =>
+        a -> s"edge:${e.fromLabel}->${e.toLabel}:${e.srcIdColumn}/${e.sinkIdColumn}"
+      case (a, b) => a -> bindingKey(b)
+    }
+    val sig = nonEdgeSig(vis0)
+    ctxs2.tail.foreach { c =>
+      if (nonEdgeSig(visibleScope(c)) != sig)
+        throw new CypherNotSupportedException(
+          "pattern-branch endpoints must resolve to the same label in " +
+          "every branch (var-length lengths / [:A|B] alternatives) — " +
+          "annotate the endpoint nodes")
+    }
+    // merged scope: union entity namespaces across branches per alias
+    val vis: Map[String, Binding] = vis0.map {
+      case (a, NodeBinding(_)) if altDefs.contains(a) =>
+        val defs = altDefs(a)
+        val props = defs.flatMap(d => d.idColumn +: d.properties).distinct
+        a -> NodeBinding(NodeDef(defs.map(_.label).mkString("|"),
+          NodeAlt.MergedIdColumn, props,
+          s"__alt_${defs.map(_.label).mkString("_")}"))
+      case (a, EdgeBinding(e0)) =>
+        val defs = ctxs2.flatMap(_.scope.get(a)).collect {
+          case EdgeBinding(e) => e }.distinct
+        if (defs.size == 1) a -> EdgeBinding(e0)
+        else {
+          val props = defs.flatMap(_.properties).distinct
+          val verbs = defs.map(_.verb).distinct
+          a -> EdgeBinding(EdgeDef(verbs.mkString("|"), e0.fromLabel,
+            e0.toLabel, e0.srcIdColumn, e0.sinkIdColumn, props,
+            s"__alt_${verbs.mkString("_")}"))
+        }
+      case kv => kv
+    }
+    // canonical columns = head's, plus any merged-entity property
+    // columns a branch lacks (null-filled, typed from the first
+    // branch that carries the column)
+    val headCols = ctxs2.head.df.columns.filterNot(
+      _.startsWith("____unnamed_")).toSeq
+    val mergedEntityCols: Seq[String] = vis.toSeq.collect {
+      case (a, EdgeBinding(e)) => entityCols(EdgeBinding(e)).map(pref(a, _))
+      case (a, b @ NodeBinding(_)) if altDefs.contains(a) =>
+        entityCols(b).map(pref(a, _))
+    }.flatten
+    val cols =
+      (headCols ++ mergedEntityCols.filterNot(headCols.contains)).distinct
+    val colType: Map[String, DataType] = cols.map { c =>
+      val ts = ctxs2.flatMap(x => x.df.schema.fields.find(_.name == c))
+        .map(_.dataType).distinct
+      if (ts.size > 1) throw new CypherBindingException(
+        s"pattern-branch column '$c' has diverging types across " +
+        s"branches (${ts.map(_.simpleString).mkString(" vs ")}) — the " +
+        "alternatives' shared properties must store one type")
+      c -> ts.headOption.getOrElse(NullType)
+    }.toMap
+    val unioned = ctxs2.map { c =>
+      val have = c.df.columns.toSet
+      c.df.select(cols.map(n =>
+        if (have(n)) col(n) else lit(null).cast(colType(n)).as(n)): _*)
+    }.reduce(_ union _)
+    (unioned, vis, cols)
+  }
+
+  /**
+   * OPTIONAL MATCH whose clause needs branch expansion (var-length
+   * unrolling, relationship-type alternation, cross-table label
+   * alternation). Cypher's semantics are left ⟕ (B1 ∪ … ∪ Bk): a left
+   * row gets its single null row only when NO branch matches. The
+   * optional side compiles standalone per branch — exactly the
+   * single-branch optional fork in [[compileMatches]] — the branches
+   * union with null-filled namespaces, and ONE left join applies the
+   * boundary conditions plus the clause WHERE, which filters the
+   * optional side before the join (Cypher's rule, same as the
+   * reference's plan fork — reference: LogicalPlan.cs:370-408).
+   *
+   * Boundary keys: a branch's join-back columns live on its OWN edges
+   * (often anonymous `__unnamed_*` hops that the union strips), so each
+   * branch aliases its j-th boundary key to a uniform `__bnd_j` column
+   * before the union. The boundary SHAPE — which outer alias anchors
+   * position j — must agree across branches (first/last hops of every
+   * unrolling touch the same outer endpoints); then one condition
+   * `∧ⱼ outerⱼ = __bnd_j` serves every branch's rows.
+   */
+  private def optionalBranchUnion(c: Ctx, m: MatchClause,
+      catalog: GraphCatalog): Ctx = {
+    val schema = catalog.graph
+    val (branches, crossAlt) = NodeAlt.expand(schema,
+      VarLength.expand(Seq(m.copy(optional = false))))
+    final case class Br(ctx: Ctx, outer: Seq[Column], sig: Seq[String])
+    val compiled = Vector.newBuilder[Br]
+    var firstErr: Option[CypherException] = None
+    branches.foreach { ms =>
+      try {
+        val rm = Analyzer.resolvePart(schema, c.scope, ms).head
+        val newNodes: Seq[(String, Binding)] = rm.nodeOrder
+          .filterNot(c.scope.contains)
+          .map(a => a -> (NodeBinding(schema.node(rm.nodeLabels(a))): Binding))
+        val newRels: Seq[(String, Binding)] =
+          rm.rels.map(r => r.alias -> (EdgeBinding(r.edge): Binding))
+        val newEntities = newNodes ++ newRels
+        val newSet = newEntities.map(_._1).toSet
+        val merged = mergeMap(rm, newNodes.map(_._1).toSet, schema)
+        val innerConds = rm.rels
+          .flatMap(relConds(_, rm.nodeLabels, schema, merged))
+          .filter(cd => newSet(cd.a) && newSet(cd.b))
+        val optDf0 = joinEntities(None, Set.empty,
+          groupsByPattern(rm, newEntities, merged), innerConds, catalog)
+        val optDf = rm.inequalityPairs
+          .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
+          .foldLeft(optDf0)((d, p) => d.filter(inequalityCond(p)))
+        // boundary: (outer node key, this branch's edge key column),
+        // in pattern order — src before snk per rel
+        val boundary: Seq[(String, Column, String)] = rm.rels.flatMap { r =>
+          val src =
+            if (newSet(r.srcNode)) None
+            else Some((s"${r.srcNode}/src",
+              nodeKey(r.srcNode, schema.node(rm.nodeLabels(r.srcNode))),
+              pref(r.alias, r.edge.srcIdColumn)))
+          val snk =
+            if (newSet(r.snkNode)) None
+            else Some((s"${r.snkNode}/snk",
+              nodeKey(r.snkNode, schema.node(rm.nodeLabels(r.snkNode))),
+              pref(r.alias, r.edge.sinkIdColumn)))
+          Seq(src, snk).flatten
+        }
+        val withKeys = boundary.zipWithIndex.foldLeft(optDf) {
+          case (d, ((_, _, branchCol), j)) =>
+            d.withColumn(s"__bnd_$j", col(branchCol))
+        }
+        compiled += Br(Ctx(withKeys, newEntities.toMap),
+          boundary.map(_._2), boundary.map(_._1))
+      } catch {
+        case e: CypherBindingException =>
+          if (firstErr.isEmpty) firstErr = Some(e)
+      }
+    }
+    val brs = compiled.result()
+    if (brs.isEmpty) throw firstErr.get
+    if (brs.map(_.sig).distinct.size > 1)
+      throw new CypherNotSupportedException(
+        "OPTIONAL MATCH branches disagree on which bound variables the " +
+        "pattern joins back to — annotate the endpoints so every " +
+        "alternative anchors the same outer variables")
+    val (unionDf, vis, _) = unionBranchCtxs(brs.map(_.ctx), crossAlt)
+    val combinedScope = c.scope ++ vis
+    val probe = c.df.crossJoin(unionDf)
+    val whereCond = m.where.map(
+      new ExprCompiler(combinedScope, probe).compile(_))
+    val boundaryCond = brs.head.outer.zipWithIndex.map {
+      case (o, j) => o === col(s"__bnd_$j")
+    }
+    val onCond = (boundaryCond ++ whereCond)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val dropKeys = brs.head.outer.indices.map(j => s"__bnd_$j")
+    Ctx(dropKeys.foldLeft(c.df.join(unionDf, onCond, "left"))(_.drop(_)),
+      combinedScope)
   }
 
   private def bindingKey(b: Binding): String = b match {

@@ -1334,16 +1334,131 @@ class CypherExtensionsSpec extends AnyFunSuite {
     val all = rows(
       "MATCH (p:Boomer|Person) RETURN p.Name AS N ORDER BY N")
     assert(all.size == 5)
-    // different tables / different owners → typed rejections
-    intercept[CypherBindingException](rows(
-      "MATCH (x:Person|Movie) RETURN x.Name AS N"))
-    intercept[CypherBindingException](rows(
-      "MATCH (x:Boomer|NinetiesClassic) RETURN x.Name AS N"))
+    // unknown alternative → typed rejection
     intercept[CypherBindingException](rows(
       "MATCH (x:Boomer|Nope) RETURN x.Name AS N"))
     // mixing intersection and alternation is a parse rejection
     intercept[CypherNotSupportedException](rows(
       "MATCH (x:Person:Boomer|Sixties) RETURN x.Name AS N"))
+  }
+
+  test("cross-table label alternation (n:A|B) branches and unions") {
+    // union property namespace, null-filled per branch
+    val r = rows(
+      """MATCH (x:Person|Movie)
+        |RETURN x.Name AS N, x.Title AS T ORDER BY N, T""".stripMargin)
+    assert(r.size == 8) // 5 people + 3 movies
+    assert(r.count(x => !x.isNullAt(0) && x.isNullAt(1)) == 5)
+    assert(r.count(x => x.isNullAt(0) && !x.isNullAt(1)) == 3)
+    // sub-label alternatives across tables keep their discriminators
+    val subs = rows(
+      """MATCH (x:Boomer|NinetiesClassic)
+        |RETURN x.Name AS N, x.Title AS T ORDER BY N""".stripMargin)
+    assert(subs.map(x => (Option(x.getString(0)), Option(x.getString(1))))
+      == Seq((None, Some("Sleepless in Seattle")),
+             (Some("Tom Hanks"), None)))
+    // a traversal prunes the branches that cannot resolve the edge
+    val acted = rows(
+      """MATCH (x:Person|Movie)-[:ACTED_IN]->(m:Movie)
+        |RETURN count(*) AS n""".stripMargin)
+    assert(acted.head.getLong(0) == 6L) // Person branch only
+    val directedIn = rows(
+      """MATCH (d:Person)-[:DIRECTED]->(x:Person|Movie)
+        |RETURN d.Name AS N, x.Title AS T""".stripMargin)
+    assert(directedIn.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Rob Reiner", "Sleepless in Seattle")))
+    // re-matching the merged binding in a later pattern is a typed
+    // rejection (no single backing table to join back to)
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (x:Person|Movie) WITH x
+        |MATCH (x)-[:ACTED_IN]->(m:Movie) RETURN m.Title AS T""".stripMargin))
+  }
+
+  test("cross-table alternation identity: colliding ids never conflate") {
+    import spark.implicits._
+    val cat = new GraphCatalog(
+      GraphSchema(
+        nodes = Seq(NodeDef("A", "id", Seq("v"), "ta"),
+                    NodeDef("B", "id", Seq("w"), "tb")),
+        edges = Seq.empty),
+      Map(
+        "ta" -> Seq((1, "a1"), (2, "a2")).toDF("id", "v"),
+        "tb" -> Seq((2, "b2"), (3, "b3")).toDF("id", "w"))(_))
+    val s = new CypherSession(spark, cat).extended
+    // ids 2 collide across tables: tagged identity keeps them distinct
+    val r = s.run(
+      """MATCH (x:A|B)
+        |RETURN count(*) AS n, count(DISTINCT x) AS nd""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    // DISTINCT over the entity keeps all four as well
+    assert(s.run("MATCH (x:A|B) WITH DISTINCT x RETURN count(*) AS n")
+      .collect().head.getLong(0) == 4L)
+    // implicit grouping by the entity: one group per tagged id
+    assert(s.run(
+      """MATCH (x:A|B) RETURN count(*) AS n, x.id AS i, x.v AS v
+        |ORDER BY n""".stripMargin).collect().length == 4)
+  }
+
+  // --------------------- OPTIONAL MATCH over branch-unioned patterns
+
+  test("OPTIONAL MATCH joins the UNION of branches (no spurious nulls)") {
+    // p1 acts in 3 movies but reviewed none: the REVIEWED branch must
+    // NOT contribute a null row (the pattern as a whole matched)
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |RETURN p.Name AS N, count(*) AS rows_, count(m.id) AS matched
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r == Seq(
+      ("Jessica Thompson", 2L, 2L), // 2 reviews, 0 actings
+      ("Kevin Bacon", 1L, 1L),
+      ("Meg Ryan", 2L, 2L),
+      ("Rob Reiner", 1L, 0L),       // matched NOTHING → exactly one null row
+      ("Tom Hanks", 3L, 3L)))       // 3 actings, 0 reviews — no null row
+    // optional var-length: p1 reaches p2 at length 1 only; the empty
+    // length-2 branch must not add a null row
+    val vl = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |OPTIONAL MATCH (p)-[:FOLLOWS*1..2]->(q:Person)
+        |RETURN count(*) AS rows_, count(q.id) AS matched""".stripMargin).head
+    assert(vl.getLong(0) == 1L && vl.getLong(1) == 1L)
+    // and a left row matching at BOTH lengths keeps both rows
+    val vl2 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p5'
+        |OPTIONAL MATCH (p)-[:FOLLOWS*1..2]->(q:Person)
+        |RETURN count(*) AS rows_""".stripMargin).head
+    assert(vl2.getLong(0) == 3L) // p5→p1, p5→p2, p5→p1→p2
+  }
+
+  test("OPTIONAL branch-union WHERE filters the optional side pre-join") {
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating >= 90
+        |RETURN p.Name AS N, count(*) AS rows_, count(m.id) AS matched
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // only Jessica's 95-rated review survives; everyone else keeps
+    // exactly one null row (WHERE belongs to the join, not the left)
+    assert(r == Seq(
+      ("Jessica Thompson", 1L, 1L),
+      ("Kevin Bacon", 1L, 0L),
+      ("Meg Ryan", 1L, 0L),
+      ("Rob Reiner", 1L, 0L),
+      ("Tom Hanks", 1L, 0L)))
+    // cross-table alternation inside OPTIONAL MATCH
+    val x = rows(
+      """MATCH (m:Movie)
+        |OPTIONAL MATCH (y:Person|Movie)-[:REVIEWED]->(m)
+        |RETURN m.Title AS T, count(*) AS rows_, count(y.id) AS matched
+        |ORDER BY T""".stripMargin)
+      .map(r2 => (r2.getString(0), r2.getLong(1), r2.getLong(2)))
+    assert(x == Seq(
+      ("Apollo 13", 1L, 0L),
+      ("Sleepless in Seattle", 1L, 1L),
+      ("You've Got Mail", 1L, 1L)))
   }
 
   test("bound rel alternation [r:A|B] unions null-filled property namespaces") {
