@@ -240,6 +240,35 @@ object ast {
    *  trailing bare MATCH gets an implicit `WITH *`). */
   final case class MergeQuery(parts: Seq[QueryPart], merge: MergeClause)
     extends Query
+
+  /** Terminal `SET` (extension; the reference is read-only): updates
+   *  properties of ONE bound entity variable — a node or a
+   *  relationship — and the query result IS the target's new snapshot
+   *  (never a mutation). Matched rows take the assigned values
+   *  (rhs may read the old entity and anything else in scope),
+   *  untouched snapshot rows pass through; multiple pattern rows
+   *  hitting the same entity reduce to one deterministic winner
+   *  (greatest assigned-value struct, [[MergeClause]]'s rule).
+   *  `assigns` are (property, rhs) pairs, all on `alias`. */
+  final case class SetClause(alias: String, assigns: Seq[(String, Expr)])
+
+  /** Query whose terminal clause is a [[SetClause]]. */
+  final case class SetQuery(parts: Seq[QueryPart], set: SetClause)
+    extends Query
+
+  /** Terminal `DELETE` (extension): `DELETE r` over a bound
+   *  relationship removes every edge row keyed by a matched
+   *  (src, snk) pair from the edge snapshot; `DETACH DELETE n` over a
+   *  bound node removes matched ids from the node snapshot (the
+   *  companion edge snapshots are separate frames — produce them with
+   *  explicit relationship DELETE queries). Plain node DELETE is a
+   *  typed rejection: Neo4j's dangling-relationship check is
+   *  data-dependent and this engine plans lazily. */
+  final case class DeleteClause(alias: String, detach: Boolean)
+
+  /** Query whose terminal clause is a [[DeleteClause]]. */
+  final case class DeleteQuery(parts: Seq[QueryPart], del: DeleteClause)
+    extends Query
   /** UNION / UNION ALL — implemented correctly end-to-end (the
    *  reference's visitor drops it, SURVEY.md §2.1). */
   final case class UnionQuery(left: Query, right: Query, all: Boolean)

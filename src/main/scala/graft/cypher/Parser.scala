@@ -104,47 +104,64 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   }
 
   private def parseUnion(): Query = {
+    def checkUpdating(q: Query): Unit = q match {
+      case _: MergeQuery  => notSupported("MERGE in a UNION branch — " +
+        "an updating clause must be the query's terminal clause")
+      case _: SetQuery    => notSupported("SET in a UNION branch — " +
+        "an updating clause must be the query's terminal clause")
+      case _: DeleteQuery => notSupported("DELETE in a UNION branch — " +
+        "an updating clause must be the query's terminal clause")
+      case _ =>
+    }
     var left: Query = parseTop()
     while (isKw("UNION")) {
-      if (left.isInstanceOf[MergeQuery])
-        notSupported("MERGE in a UNION branch — MERGE must be the " +
-          "query's terminal clause")
+      checkUpdating(left)
       p += 1
       val all = tryKw("ALL")
       val right = parseTop()
-      if (right.isInstanceOf[MergeQuery])
-        notSupported("MERGE in a UNION branch — MERGE must be the " +
-          "query's terminal clause")
+      checkUpdating(right)
       left = UnionQuery(left, right, all)
     }
     left
   }
 
-  /** A single query that may terminate in a MERGE clause (extension). */
+  /** A single query that may terminate in an updating clause —
+    * MERGE / SET / DELETE (extensions). */
   private def parseTop(): Query = {
     val sq = parseSingle()
-    pendingMerge match {
-      case Some(m) => pendingMerge = None; MergeQuery(sq.parts, m)
-      case None    => sq
+    (pendingMerge, pendingSet, pendingDelete) match {
+      case (Some(m), _, _) => pendingMerge = None; MergeQuery(sq.parts, m)
+      case (_, Some(s), _) => pendingSet = None; SetQuery(sq.parts, s)
+      case (_, _, Some(d)) => pendingDelete = None; DeleteQuery(sq.parts, d)
+      case _               => sq
     }
   }
 
-  /** Out-channel for a terminal MERGE parsed inside [[parseSingle]]
-    * (CALL-subquery calls to parseSingle reject MERGE instead). */
+  /** Out-channels for a terminal MERGE / SET / DELETE parsed inside
+    * [[parseSingle]] (CALL-subquery calls to parseSingle reject each
+    * instead). */
   private var pendingMerge: Option[MergeClause] = None
+  private var pendingSet: Option[SetClause] = None
+  private var pendingDelete: Option[DeleteClause] = None
   private var inSubquery: Boolean = false
 
   private def rejectUpdating(): Unit = cur match {
-    // MERGE alone has an extended lowering (terminal snapshot-producing
-    // clause, Ast.MergeClause); every other updating clause stays
-    // rejected in both modes (read-only engine, reference
+    // MERGE / SET / DELETE have extended lowerings (terminal
+    // snapshot-producing clauses); CREATE and REMOVE stay rejected in
+    // both modes — their semantics are covered by the supported
+    // terminal clauses (read-only engine, reference
     // CypherVisitor.cs:486-489)
-    case Kw("MERGE", _, _) if !extensions =>
-      notSupported("updating clause MERGE (read-only engine; a terminal " +
-        "snapshot-producing MERGE is supported with extensions enabled)")
-    case Kw(k, _, _) if Set("CREATE", "SET", "DELETE", "DETACH",
-        "REMOVE")(k) =>
-      notSupported(s"updating clause $k (read-only engine)")
+    case Kw(k, _, _) if Set("MERGE", "SET", "DELETE", "DETACH")(k)
+        && !extensions =>
+      notSupported(s"updating clause $k (read-only engine; a terminal " +
+        s"snapshot-producing $k is supported with extensions enabled)")
+    case Kw("CREATE", _, _) =>
+      notSupported("updating clause CREATE (read-only engine; keyed " +
+        "inserts are MERGE … ON CREATE SET with extensions enabled — " +
+        "unkeyed node creation has no identity in a table-backed graph)")
+    case Kw("REMOVE", _, _) =>
+      notSupported("updating clause REMOVE (read-only engine; property " +
+        "removal is SET n.prop = null with extensions enabled)")
     case Kw("UNWIND", _, _) if !extensions =>
       notSupported("UNWIND (supported with extensions enabled)")
     case Kw("CALL", _, _)
