@@ -789,6 +789,82 @@ object SparkEntry {
              |WHERE c_custkey <= 50
              |GROUP BY 1 ORDER BY ck""".stripMargin)),
 
+    // --- terminal SET on a node (round 9; parity keeps the rejection,
+    //     reference read-only by design CypherVisitor.cs:486-489): the
+    //     result is the NEW Customer snapshot — matched rows take the
+    //     assignments (rhs reads the OLD c plus the WITH scope),
+    //     untouched rows anti-join through. applyChangeFeed's update
+    //     branch: winner-dedup feed, one anti-join, union.
+    ("q63_set_snapshot",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WHERE o.o_totalprice > 150000.0
+          |WITH c, count(o) AS big
+          |SET c.c_name = c.c_name + '_' + toString(big),
+          |    c.c_acctbal = c.c_acctbal + 100.0""".stripMargin)
+        .apply(s, dir).orderBy("c_custkey"),
+      Some("""WITH f AS (
+             |  SELECT c_custkey AS k, count(*) AS big
+             |  FROM customer JOIN orders ON o_custkey = c_custkey
+             |  WHERE o_totalprice > 150000.0
+             |  GROUP BY c_custkey)
+             |SELECT c_custkey,
+             |  CASE WHEN f.k IS NOT NULL
+             |       THEN c_name || '_' || CAST(big AS VARCHAR)
+             |       ELSE c_name END AS c_name,
+             |  CASE WHEN f.k IS NOT NULL THEN c_acctbal + 100.0
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  c_mktsegment, c_nationkey
+             |FROM customer LEFT JOIN f ON f.k = c_custkey
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // --- terminal SET on a relationship (round 9): keys by the
+    //     (src, snk) pair; the assignment casts to the stored column
+    //     type (string literal → date here)
+    ("q66_set_rel_snapshot",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order:UrgentOrder)
+          |WHERE o.o_totalprice > 150000.0
+          |SET r.o_orderdate = '1999-01-01'""".stripMargin)
+        .apply(s, dir).orderBy("o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CASE WHEN o_orderpriority = '1-URGENT'
+             |            AND o_totalprice > 150000.0
+             |       THEN DATE '1999-01-01' ELSE o_orderdate
+             |  END AS o_orderdate
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // --- terminal DELETE on a relationship (round 9): the new edge
+    //     snapshot anti-joins the matched (src, snk) pairs out — one
+    //     distinct + one broadcast-able anti-join, the snapshot is
+    //     never widened
+    ("q64_delete_edges",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)-[r:PLACED]->(o:Order)
+          |WHERE o.o_orderkey > 1000
+          |DELETE r""".stripMargin)
+        .apply(s, dir).orderBy("o_orderkey"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate
+             |FROM orders WHERE o_orderkey <= 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // --- terminal DETACH DELETE on a node (round 9): matched ids drop
+    //     from the node snapshot; companion edge snapshots are separate
+    //     frames (relationship DELETE queries). Plain node DELETE stays
+    //     a typed rejection (dangling-edge check is data-dependent).
+    ("q65_detach_delete",
+      (s, dir) => cyx(
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |WITH n, avg(c.c_acctbal) AS ab
+          |WHERE ab < 4500.0
+          |DETACH DELETE n""".stripMargin)
+        .apply(s, dir).orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |WHERE n_nationkey NOT IN (
+             |  SELECT c_nationkey FROM customer
+             |  GROUP BY c_nationkey HAVING avg(c_acctbal) < 4500.0)
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // --- named paths (extension; reference rejects, CypherVisitor.cs:
     //     998-1002): two path variables bound in one MATCH, length()
     //     arithmetic over both, and a WHERE over a path length (the

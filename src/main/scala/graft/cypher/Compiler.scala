@@ -789,6 +789,8 @@ object Compiler {
     case sq: SingleQuery =>
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
     case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
+    case SetQuery(parts, s)   => compileSet(parts, s, catalog)
+    case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
   }
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
@@ -938,6 +940,144 @@ object Compiler {
       .join(feedW.select(col("__mkey").as(node.idColumn)),
         Seq(node.idColumn), "left_anti")
     untouched.unionByName(matchedOut).unionByName(createdOut)
+  }
+
+  /**
+   * Terminal `SET` (extension; the reference is read-only —
+   * CypherVisitor.cs:486-489 — and parity mode keeps the rejection):
+   * produce a NEW SNAPSHOT of the bound entity's backing table. The
+   * preceding parts' rows are the update feed:
+   *
+   *  1. rows whose entity key is null drop (OPTIONAL MATCH misses have
+   *     no identity to update); the feed then reduces to ONE
+   *     deterministic winner per key — `max(struct(row))`, the
+   *     [[compileMerge]] / applyChangeFeed tie rule (orderable feed
+   *     columns required, the same contract);
+   *  2. matched rows take the assignments cast to the column's stored
+   *     type; the rhs reads the OLD entity (its columns ride the feed)
+   *     plus everything else in scope — `SET n.p = null` is property
+   *     removal;
+   *  3. untouched snapshot rows anti-join past the key set.
+   *
+   * Scale shape: the feed winner-dedups FIRST; the snapshot is never
+   * shuffled beyond the one anti-join hash exchange (broadcast when the
+   * deduped feed is small). Node keys are the id column; relationship
+   * keys are the (src, snk) pair.
+   */
+  private def compileSet(parts: Seq[QueryPart], s: SetClause,
+      catalog: GraphCatalog): DataFrame = {
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val b = c.scope.getOrElse(s.alias, throw new CypherBindingException(
+      s"SET target '${s.alias}' is not a bound variable"))
+    s.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 => p2 }
+      .foreach(p2 => throw new CypherBindingException(
+        s"SET assigns '$p2' twice"))
+    s.assigns.foreach { case (_, e) =>
+      if (containsAgg(e)) throw new CypherNotSupportedException(
+        "SET with an aggregate — aggregate in a WITH before the SET")
+    }
+    b match {
+      case NodeBinding(n) =>
+        val props = n.properties.filterNot(_ == n.idColumn)
+        s.assigns.foreach { case (p2, _) =>
+          if (p2 == n.idColumn) throw new CypherBindingException(
+            s"SET may not reassign the id property '${n.idColumn}' — " +
+            "node identity is immutable (re-keying is MERGE + DELETE)")
+          if (!props.contains(p2)) throw new CypherBindingException(
+            s"SET: node '${n.label}' has no declared property '$p2'")
+        }
+        setSnapshot(c, s.alias, s.assigns, Seq(n.idColumn),
+          catalog.nodeDf(n.label), entityCols(b))
+      case EdgeBinding(e) =>
+        s.assigns.foreach { case (p2, _) =>
+          if (p2 == e.srcIdColumn || p2 == e.sinkIdColumn)
+            throw new CypherBindingException(
+              s"SET may not reassign endpoint column '$p2' — " +
+              "relationship identity is the (src, snk) pair")
+          if (!e.properties.contains(p2)) throw new CypherBindingException(
+            s"SET: relationship '${e.verb}' has no declared property '$p2'")
+        }
+        setSnapshot(c, s.alias, s.assigns,
+          Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e),
+          entityCols(b))
+      case _ => throw new CypherBindingException(
+        s"SET target '${s.alias}' must be a node or relationship variable")
+    }
+  }
+
+  private def setSnapshot(c: Ctx, alias: String,
+      assigns: Seq[(String, Expr)], keyCols: Seq[String],
+      snapshot: DataFrame, outCols: Seq[String]): DataFrame = {
+    def dt(cn: String) = snapshot.schema(cn).dataType
+    val keyPrefs = keyCols.map(k => pref(alias, k))
+    val feed = c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
+    val others = feed.columns.filterNot(keyPrefs.contains).toSeq
+    val feedW =
+      if (others.isEmpty) feed.distinct()
+      else feed.groupBy(keyPrefs.map(col): _*)
+        .agg(max(struct(others.map(col): _*)).as("__w"))
+        .select(keyPrefs.map(col) ++
+          others.map(cn => col("__w").getField(cn).as(cn)): _*)
+    val ec = new ExprCompiler(c.scope, feedW)
+    val aMap: Map[String, Column] =
+      assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }.toMap
+    val updated = feedW.select(outCols.map { cn =>
+      aMap.getOrElse(cn, col(pref(alias, cn))).as(cn) }: _*)
+    val untouched = snapshot.select(outCols.map(col): _*)
+      .join(feedW.select(keyPrefs.zip(keyCols).map {
+          case (kp, k) => col(kp).as(k) }: _*),
+        keyCols, "left_anti")
+    untouched.unionByName(updated)
+  }
+
+  /**
+   * Terminal `[DETACH] DELETE` (extension; parity keeps the rejection):
+   * produce a NEW SNAPSHOT of the bound entity's backing table minus
+   * the matched rows. `DELETE r` over a relationship removes every edge
+   * row keyed by a matched (src, snk) pair (`DETACH` is accepted and a
+   * no-op, Neo4j's behavior); `DETACH DELETE n` over a node removes the
+   * matched ids — companion edge snapshots are separate frames, produce
+   * them with explicit relationship DELETE queries. Plain node DELETE
+   * is a typed rejection: Neo4j's dangling-relationship check is
+   * data-dependent and this engine plans lazily. Null keys drop
+   * (OPTIONAL MATCH misses delete nothing). Scale shape: one distinct
+   * on the matched keys, one anti-join (broadcast when the key set is
+   * small); the snapshot is never widened or re-shuffled.
+   */
+  private def compileDelete(parts: Seq[QueryPart], d: DeleteClause,
+      catalog: GraphCatalog): DataFrame = {
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val b = c.scope.getOrElse(d.alias, throw new CypherBindingException(
+      s"DELETE target '${d.alias}' is not a bound variable"))
+    b match {
+      case NodeBinding(n) =>
+        if (!d.detach) throw new CypherNotSupportedException(
+          s"DELETE on node '${d.alias}' — the dangling-relationship " +
+          "check is data-dependent and this engine plans lazily; use " +
+          "DETACH DELETE and rebuild edge snapshots with relationship " +
+          "DELETE queries")
+        deleteSnapshot(c, d.alias, Seq(n.idColumn),
+          catalog.nodeDf(n.label), entityCols(b))
+      case EdgeBinding(e) =>
+        deleteSnapshot(c, d.alias, Seq(e.srcIdColumn, e.sinkIdColumn),
+          catalog.edgeDf(e), entityCols(b))
+      case _ => throw new CypherBindingException(
+        s"DELETE target '${d.alias}' must be a node or relationship " +
+        "variable")
+    }
+  }
+
+  private def deleteSnapshot(c: Ctx, alias: String, keyCols: Seq[String],
+      snapshot: DataFrame, outCols: Seq[String]): DataFrame = {
+    val keyPrefs = keyCols.map(k => pref(alias, k))
+    val keys = c.df
+      .where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyPrefs.zip(keyCols).map {
+        case (kp, k) => col(kp).as(k) }: _*)
+      .distinct()
+    snapshot.select(outCols.map(col): _*).join(keys, keyCols, "left_anti")
   }
 
   private def compileSingle(sq: SingleQuery,

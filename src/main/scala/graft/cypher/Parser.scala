@@ -257,6 +257,45 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("RETURN after MERGE — the merge result IS the " +
             "new snapshot")
         done = true
+      } else if (isKw("SET")) {
+        // terminal SET (extension; parity rejected in rejectUpdating):
+        // the result is the target entity's NEW snapshot. Unlike MERGE,
+        // SET needs a bound target — a first-clause SET has nothing to
+        // update.
+        if (inSubquery)
+          notSupported("SET inside a CALL subquery — SET must be the " +
+            "query's terminal clause")
+        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty)
+          notSupported("SET without a preceding MATCH binding its target")
+        p += 1
+        if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
+          parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+            Seq.empty, None, None, None, star = true), uw, calls)
+        pendingSet = Some(parseSetClause())
+        if (isKw("RETURN"))
+          notSupported("RETURN after SET — the set result IS the new " +
+            "snapshot")
+        done = true
+      } else if (isKw("DELETE") || isKw("DETACH")) {
+        // terminal [DETACH] DELETE (extension; parity rejected in
+        // rejectUpdating): the result is the target entity's NEW
+        // snapshot minus the matched rows.
+        if (inSubquery)
+          notSupported("DELETE inside a CALL subquery — DELETE must be " +
+            "the query's terminal clause")
+        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty)
+          notSupported("DELETE without a preceding MATCH binding its " +
+            "target")
+        val detach = tryKw("DETACH")
+        eatKw("DELETE")
+        if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
+          parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+            Seq.empty, None, None, None, star = true), uw, calls)
+        pendingDelete = Some(parseDeleteClause(detach))
+        if (isKw("RETURN"))
+          notSupported("RETURN after DELETE — the delete result IS the " +
+            "new snapshot")
+        done = true
       } else if (isKw("WITH")) {
         p += 1
         parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
@@ -345,6 +384,47 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       } else syntaxErr("expected MATCH or CREATE after ON")
     }
     MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate)
+  }
+
+  /** `SET a.p = e [, a.q = e2 …]` — terminal, every assignment on ONE
+    * bound entity variable (one query, one new snapshot). The SET
+    * keyword is consumed by the caller. */
+  private def parseSetClause(): SetClause = {
+    var alias: String = null
+    val b = Vector.newBuilder[(String, Expr)]
+    def one(): Unit = {
+      val a = ident()
+      if (alias == null) alias = a
+      else if (a != alias) notSupported(
+        s"SET over multiple variables ('$alias' and '$a') — one " +
+        "terminal SET produces one entity's new snapshot")
+      if (isPunct(":"))
+        notSupported(s"SET $a:Label — label assignment (labels are " +
+          "table-backed; there is no label column to write)")
+      if (isPunct("+") || isPunct("="))
+        notSupported(s"SET $a = {…} / += {…} map assignment — assign " +
+          "properties individually")
+      eatPunct(".")
+      val pr = cur match {
+        case Ident(s, _)   => p += 1; s
+        case Kw(_, raw, _) => p += 1; raw
+        case _ => syntaxErr("expected a property name after '.'")
+      }
+      eatPunct("=")
+      b += ((pr, parseExpr()))
+    }
+    one(); while (tryPunct(",")) one()
+    SetClause(alias, b.result())
+  }
+
+  /** `[DETACH] DELETE a` — terminal, ONE bound entity variable. The
+    * DELETE keyword is consumed by the caller. */
+  private def parseDeleteClause(detach: Boolean): DeleteClause = {
+    val a = ident()
+    if (isPunct(","))
+      notSupported("DELETE over multiple variables — one terminal " +
+        "DELETE produces one entity's new snapshot")
+    DeleteClause(a, detach)
   }
 
   private def parseMatchBody(optional: Boolean): MatchClause = {

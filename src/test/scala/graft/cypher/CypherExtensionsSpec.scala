@@ -1560,6 +1560,124 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |ON MATCH SET n.Born = count(pid)""".stripMargin))
   }
 
+  // ----------------------------- terminal SET / DELETE (extension)
+
+  test("SET: matched node rows update reading OLD values + scope, rest pass") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH p, count(m) AS cnt
+        |SET p.Name = p.Name + '*', p.Born = p.Born + cnt""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 5) // snapshot size unchanged
+    val byId = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("p1") == (("Tom Hanks*", Some(1957))))  // matched
+    assert(byId("p3") == (("Kevin Bacon*", Some(1959)))) // matched
+    assert(byId("p2") == (("Meg Ryan", Some(1961))))    // untouched
+    assert(byId("p4") == (("Rob Reiner", None)))        // untouched
+  }
+
+  test("SET: null assignment is property removal; implicit WITH * on bare MATCH") {
+    val r = rows(
+      "MATCH (m:Movie) WHERE m.id = 'm1' SET m.Tagline = null")
+      .map(x => (x.getString(0),
+        if (x.isNullAt(2)) None else Some(x.getString(2)))).sortBy(_._1)
+    assert(r.size == 3)
+    assert(r.toMap.apply("m1").isEmpty)                       // removed
+    assert(r.toMap.apply("m2") == Some("Houston, we have a problem."))
+  }
+
+  test("SET: duplicate feed keys reduce to one deterministic winner") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p, m.Title AS t
+        |SET p.Name = t""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    // p1 acts in m1/m2/m3: p's own columns tie, so the struct-max winner
+    // is the greatest varying value
+    assert(r("p1") == "You've Got Mail")
+    assert(r("p3") == "Apollo 13")   // single row, trivially the winner
+    assert(r("p4") == "Rob Reiner")  // untouched
+  }
+
+  test("SET on a relationship keys by the (src, snk) pair") {
+    val r = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm1'
+        |SET r.Rating = r.Rating - 10, r.Summary = 'edited'""".stripMargin)
+      .map(x => ((x.getString(0), x.getString(1)),
+        (x.getString(2), x.getInt(3)))).toMap
+    assert(r.size == 2)
+    assert(r(("p5", "m1")) == (("edited", 85)))   // matched
+    assert(r(("p5", "m3")) == (("Fun", 85)))      // untouched
+  }
+
+  test("DELETE on a relationship removes matched (src, snk) pairs") {
+    val r = rows(
+      """MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) WHERE p.id = 'p1'
+        |DELETE r""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1))).sorted
+    assert(r == Seq(("p2", "m1"), ("p2", "m3"), ("p3", "m2")))
+  }
+
+  test("DETACH DELETE on a node removes matched ids; null keys drop") {
+    val r = rows(
+      "MATCH (p:Person) WHERE p.Born IS NULL DETACH DELETE p")
+      .map(_.getString(0)).sorted
+    assert(r == Seq("p1", "p2", "p3"))
+    // OPTIONAL MATCH misses bind a null entity — they delete nothing
+    val r2 = rows(
+      """MATCH (m:Movie) OPTIONAL MATCH (p:Person)-[:DIRECTED]->(m)
+        |DETACH DELETE p""".stripMargin)
+      .map(_.getString(0)).sorted
+    assert(r2 == Seq("p1", "p2", "p3", "p5")) // only the director p4 goes
+  }
+
+  test("SET/DELETE typed rejections pin the contract") {
+    // unknown property / id reassign / endpoint reassign
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p.Nope = 1"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p.id = 'z'"))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |SET r._vertexId = 'z'""".stripMargin))
+    // one entity per terminal SET / DELETE
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |SET p.Name = 'x', m.Title = 'y'""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) DELETE r, p"))
+    // label / whole-map assignment
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p:Actor"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p = 1"))
+    // needs a bound target; a value variable is not an entity
+    intercept[CypherNotSupportedException](rows("SET p.Name = 'x'"))
+    intercept[CypherNotSupportedException](rows("DETACH DELETE p"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET q.Name = 'x'"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) WITH p.Name AS n DELETE n"))
+    // plain node DELETE: dangling-edge semantics are data-dependent
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) DELETE p"))
+    // terminal means terminal
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p.Name = 'x' RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) DETACH DELETE p RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (m:Movie) CALL { MATCH (p:Person) SET p.Name = 'x' }
+        |RETURN m.Title AS T""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) SET p.Name = 'x'
+        |UNION MATCH (p:Person) SET p.Name = 'y'""".stripMargin))
+    // aggregates belong in a WITH before the SET
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p.Born = count(p)"))
+  }
+
   test("unbounded var-length typed rejections keep the bounded contract") {
     // per-path observations need bounded ranges
     intercept[CypherNotSupportedException](rows(
