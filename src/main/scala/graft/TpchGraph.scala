@@ -40,7 +40,12 @@ object TpchGraph {
       // second Customer→Order verb sharing PLACED's endpoints (the
       // urgent subset, with one extra property) — backs the bound
       // relationship-type alternation extension `[r:PLACED|
-      // PLACED_URGENT]`: union property namespace, null-filled
+      // PLACED_URGENT]`: union property namespace, null-filled.
+      // NOTE: with two verbs on the same endpoint pair, a VERB-LESS
+      // relationship pattern between Customer and Order
+      // (`(c:Customer)-->(o:Order)`) is now ambiguous and raises the
+      // standard "ambiguous relationship" binding error — name the
+      // verb (every in-repo query does)
       EdgeDef("PLACED_URGENT", "Customer", "Order",
         "o_custkey", "o_orderkey", Seq("o_orderdate", "o_orderpriority"),
         "orders_urgent"),

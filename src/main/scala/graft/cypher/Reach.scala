@@ -262,11 +262,12 @@ private[cypher] object Reach {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint(false)
-    val edgeCount = e.count()
+    // the edge count backs only the DEFAULT bound — when an explicit
+    // argument or the session conf supplies one, no count job fires here
     val bound = maxClosureRows
       .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
         .map(_.toLong))
-      .getOrElse(math.max(64L * edgeCount, 1024L))
+      .getOrElse(math.max(64L * e.count(), 1024L))
     def guard(total: Long, round: Int): Unit =
       if (total > bound)
         throw new GraphContractViolation(

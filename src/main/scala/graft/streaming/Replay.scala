@@ -130,8 +130,13 @@ object Replay {
     val mem = MemoryStream[T]
     val q = mem.toDS().writeStream.foreachBatch(fn).start()
     try {
+      // empty Seqs still advance the offset and fire an empty
+      // micro-batch, so `fn`'s batch ids line up with the caller's
+      // batch indices — a replay harness's batch sequencing must be
+      // deterministic, including the gaps
       batches.foreach { b =>
-        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+        mem.addData(b)
+        q.processAllAvailable()
       }
     } finally {
       try q.stop()

@@ -4923,4 +4923,16 @@ class OpsSpec extends AnyFunSuite {
     val even = Replay.timeChunks((1 to 10).toSeq, 3)
     assert(even.flatten == (1 to 10).toSeq && even.size <= 4)
   }
+
+  test("Replay.runForeachBatch: empty batches keep batch ids aligned") {
+    import graft.streaming.Replay
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    Replay.runForeachBatch[Int](spark,
+      Seq(Seq(1, 2), Seq.empty, Seq(3), Seq.empty, Seq(4, 5, 6))) {
+      (ds, id) => seen += ((id, ds.count()))
+    }
+    // one callback per caller batch, ids in caller order, empties fire
+    assert(seen.toSeq == Seq((0L, 2L), (1L, 0L), (2L, 1L),
+      (3L, 0L), (4L, 3L)))
+  }
 }
