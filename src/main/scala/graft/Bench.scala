@@ -113,16 +113,16 @@ object Bench {
        else calibStart +: calibSamples.toSeq).sorted
     val median = driftSamples(driftSamples.size / 2)
     val drift = driftSamples.max / median
-    // Contended-run outlier re-time (round 8): a contended sweep can
-    // publish phantom 10× regressions (r7's close run recorded g09 at
-    // 10.0 s vs 0.9 s on quiet re-runs). When the canary flags the run
-    // (drift > quiet threshold ~1.15), re-time — after the sweep, when
-    // the contention burst has usually passed — every query whose
-    // reading exceeds 3× its previous committed value (newest
-    // BENCH_FULL_*.json in cwd, or SPARK_GRAFT_BENCH_PREV) and keep the
-    // min: the committed artifact then never carries a reading a quiet
-    // box wouldn't reproduce, and genuinely-regressed queries keep
-    // their (reproducible) slow reading.
+    // Contended-run outlier re-time (round 8, widened round 9): a
+    // contended sweep can publish phantom 10× regressions (r7's close
+    // run recorded g09 at 10.0 s vs 0.9 s on quiet re-runs). Re-time —
+    // after the sweep, when the contention burst has usually passed —
+    // every query whose reading exceeds 3× its previous committed value
+    // (newest BENCH_FULL_*.json in cwd, or SPARK_GRAFT_BENCH_PREV) and
+    // keep the min: the committed artifact then never carries a reading
+    // a quiet box wouldn't reproduce, and genuinely-regressed queries
+    // keep their (reproducible) slow reading. SPARK_GRAFT_DRIFT_RETIME
+    // remains the documented quiet threshold for log context only.
     val driftThreshold =
       sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETIME", "1.15").toDouble
     val prevQueries: Map[String, Double] = {
@@ -148,15 +148,21 @@ object Bench {
           }.toMap
         }.getOrElse(Map.empty)
     }
+    // Re-time 3×-outliers UNCONDITIONALLY, not only on a loud drift
+    // canary: a sweep can read quiet overall (drift ≈ 1) yet still hit
+    // individual queries with a GC/JIT burst — round-8's close run had
+    // drift 1.06 but two graph queries 3–4× their quiet values. The
+    // re-time pass only touches outliers, so the quiet-run cost is zero.
     val retimed: Seq[String] =
-      if (drift <= driftThreshold || prevQueries.isEmpty) Seq.empty
+      if (prevQueries.isEmpty) Seq.empty
       else {
         val byName = selected.toMap
         val outliers = results.filter { case (name, v) =>
           v >= 0 && prevQueries.get(name).exists(p => p > 0 && v > 3 * p)
         }.map(_._1)
         if (outliers.nonEmpty) {
-          System.err.println(f"[bench] drift $drift%.2f > $driftThreshold: " +
+          System.err.println(f"[bench] drift $drift%.2f (threshold " +
+            f"$driftThreshold): " +
             s"re-timing ${outliers.size} outliers: ${outliers.mkString(", ")}")
           results = results.map { case (name, v) =>
             if (!outliers.contains(name)) name -> v
