@@ -1010,6 +1010,60 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = reach.dst
              |ORDER BY src_name, dst_name""".stripMargin)),
 
+    // --- shortestPath over an UNBOUNDED range (round 9): min-distance
+    //     per pair IS the reach BFS's first-discovery round, so the
+    //     lowering adds a __dist column and binds length(p) to it — no
+    //     per-path enumeration anywhere. Mirrored by the q52 recursive
+    //     CTE carrying a hop counter, min() per pair.
+    ("q67_unbounded_shortest", cyx(
+      """MATCH p = shortestPath((a:Nation)-[:NEXT_IN_REGION*1..]->(b:Nation))
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       length(p) AS hops
+        |ORDER BY src_name, dst_name""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |reach AS (
+             |  SELECT src, dst, 1 AS d FROM chain WHERE dst IS NOT NULL
+             |  UNION
+             |  SELECT r.src, c.dst, r.d + 1 FROM reach r
+             |  JOIN chain c ON c.src = r.dst WHERE c.dst IS NOT NULL)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       CAST(min(reach.d) AS BIGINT) AS hops
+             |FROM reach
+             |JOIN nation a ON a.n_nationkey = reach.src
+             |JOIN nation b ON b.n_nationkey = reach.dst
+             |GROUP BY 1, 2
+             |ORDER BY src_name, dst_name""".stripMargin)),
+
+    // --- anchored unbounded shortestPath (round 9): the inline
+    //     property map anchors the source, so the BFS frontier seeds
+    //     from ONE node (q56's anchoring) and the dist column rides the
+    //     cone; WHERE over length(p) composes in the same clause
+    ("q68_anchored_shortest", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})-[:NEXT_IN_REGION*1..]->(b:Nation))
+        |WHERE length(p) >= 2
+        |RETURN b.n_name AS dst_name, length(p) AS hops
+        |ORDER BY dst_name""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |reach AS (
+             |  SELECT src, dst, 1 AS d FROM chain
+             |  WHERE dst IS NOT NULL AND src = 0
+             |  UNION
+             |  SELECT r.src, c.dst, r.d + 1 FROM reach r
+             |  JOIN chain c ON c.src = r.dst WHERE c.dst IS NOT NULL)
+             |SELECT b.n_name AS dst_name, CAST(min(reach.d) AS BIGINT) AS hops
+             |FROM reach JOIN nation b ON b.n_nationkey = reach.dst
+             |GROUP BY 1 HAVING min(reach.d) >= 2
+             |ORDER BY dst_name""".stripMargin)),
+
     // --- Cypher 5 pattern predicates (extension): WHERE inside node
     //     and relationship patterns, desugared at parse to the
     //     enclosing MATCH's WHERE — plan-identical to the spelled-out

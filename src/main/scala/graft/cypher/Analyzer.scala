@@ -39,10 +39,13 @@ object Analyzer {
       /** rel-alias pairs of the same edge type in this clause — Cypher
        *  relationship-uniqueness (reference: LogicalPlan.cs:969-1017). */
       inequalityPairs: Seq[(ResolvedRel, ResolvedRel)],
-      /** named-path aliases of this clause with their pattern's
-       *  relationship count (extension; concrete per var-length branch
-       *  since expansion precedes resolution). */
-      pathVars: Seq[(String, Int)] = Seq.empty)
+      /** named-path aliases of this clause with their length source:
+       *  Left(relationship count) for ordinary patterns (extension;
+       *  concrete per var-length branch since expansion precedes
+       *  resolution), Right(column) when the part is a `shortestPath`
+       *  over an unbounded range — Reach's lowering exposes the
+       *  min-distance as a property column of its synthetic rel. */
+      pathVars: Seq[(String, Either[Int, String])] = Seq.empty)
 
   private final class AliasGen {
     private var n = 0
@@ -64,14 +67,17 @@ object Analyzer {
     final case class NamedMatch(parts: Seq[NamedPart], m: MatchClause)
     // user-written aliases may not enter the engine's internal `__`
     // namespace (`__unnamed_N`, `__{alias}_{prop}`, `__item_N` …).
-    // Exactly `__pm<digits>` is exempt: the PARSER synthesizes those
-    // for anonymous map-bearing pattern entities (inline property maps)
-    // and rejects every user-typed `__`-prefixed pattern alias and path
-    // var itself, so the shape can only arrive parser-made.
+    // Exactly `__pm<digits>` (parser-made: anonymous map-bearing
+    // pattern entities) and `__rd<digits>` (Reach-made: the
+    // min-distance rel of an unbounded shortestPath) are exempt: the
+    // parser rejects every user-typed `__`-prefixed pattern alias and
+    // path var itself, so these shapes can only arrive engine-made.
+    def exemptSynth(a: String, prefix: String): Boolean =
+      a.startsWith(prefix) && a.length > prefix.length &&
+        a.drop(prefix.length).forall(_.isDigit)
     def checkUserAlias(a: String): Unit =
       if (a.startsWith("__") &&
-          !(a.startsWith("__pm") && a.length > 4 &&
-            a.drop(4).forall(_.isDigit)))
+          !exemptSynth(a, "__pm") && !exemptSynth(a, "__rd"))
         throw new CypherNotSupportedException(
           s"alias '$a' — names starting with __ are reserved")
     val named = matches.map { m =>
@@ -244,7 +250,7 @@ object Analyzer {
       val rels = Vector.newBuilder[ResolvedRel]
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
-      val paths = Vector.newBuilder[(String, Int)]
+      val paths = Vector.newBuilder[(String, Either[Int, String])]
 
       nm.parts.foreach { pp =>
         pp.pathVar.foreach { pv =>
@@ -256,7 +262,16 @@ object Analyzer {
               inherited.contains(pv) || !pathSeen.add(pv))
             throw new CypherBindingException(
               s"path alias '$pv' collides with another variable")
-          paths += ((pv, pp.rels.size))
+          // a Reach-made dist rel (`__rd<n>`, shortestPath over an
+          // unbounded range) binds the path var to its min-distance
+          // property column instead of a literal relationship count
+          val distRel = pp.rels.collectFirst {
+            case rp if rp.alias.exists(Reach.isDistRel) => rp.alias.get
+          }
+          paths += ((pv, distRel match {
+            case Some(ra) => Right(Compiler.pref(ra, "__dist"))
+            case None     => Left(pp.rels.size)
+          }))
         }
         pp.nodes.foreach { np =>
           val a = np.alias.get

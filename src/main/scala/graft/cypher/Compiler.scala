@@ -195,9 +195,14 @@ object Compiler {
         scope = scope ++ newEntities
         // named paths (extension): the alias column IS the pattern's
         // relationship count — a literal here, so each var-length
-        // branch carries its own length through the union
-        m.pathVars.foreach { case (a, n) =>
-          df = df.withColumn(a, lit(n.toLong))
+        // branch carries its own length through the union; a
+        // shortestPath over an unbounded range reads the Reach rel's
+        // min-distance column instead (Analyzer.ResolvedMatch.pathVars)
+        m.pathVars.foreach { case (a, len) =>
+          df = df.withColumn(a, len match {
+            case Left(n)     => lit(n.toLong)
+            case Right(dcol) => col(dcol)
+          })
           scope = scope + (a -> PathBinding)
         }
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))

@@ -64,9 +64,14 @@ import graft.ops.GraphContractViolation
  *    namespace; heterogeneous chains must be written hop by hop;
  *  - directed pattern (`->` / `<-`) — an undirected self-type hop is
  *    ambiguous (the analyzer's single-hop rule, LogicalPlan.cs:603-612);
- *  - no per-path observation: named paths (`length(p)`),
- *    shortestPath/allShortestPaths keep the BOUNDED contract (their
- *    results need per-path lengths, which reachable pairs erase);
+ *  - per-path observation: a PLAIN named path (`length(p)`) and
+ *    allShortestPaths keep the BOUNDED contract — their results need
+ *    one row per path / per minimal path, which reachable pairs erase.
+ *    `shortestPath()` over an unbounded range IS lowered (round 9):
+ *    min-distance per pair is exactly what the BFS's first-discovery
+ *    round computes, so the reach frame gains a `__dist` column and
+ *    `length(p)` binds to it — per-pair shortest semantics without
+ *    ever enumerating a path;
  *  - lower bound 1 (parser-enforced): "exists a path of length ≥ k" is
  *    not min-distance ≥ k on cyclic graphs, so [*k..] has no honest
  *    reachability lowering.
@@ -91,9 +96,24 @@ private[cypher] object Reach {
   def hasUnbounded(matches: Seq[MatchClause]): Boolean =
     matches.exists(_.parts.exists(_.rels.exists(isUnbounded)))
 
+  /** Alias prefix of the synthetic min-distance rel backing a
+    * `shortestPath` over an unbounded range: `__rd<id>`. The analyzer
+    * exempts the shape from the reserved-`__` rejection and binds the
+    * part's path variable to the rel's `__dist` property instead of a
+    * literal relationship count. */
+  val DistRelPrefix = "__rd"
+
+  /** True iff `alias` is a Reach-made min-distance rel alias. */
+  def isDistRel(alias: String): Boolean =
+    alias.startsWith(DistRelPrefix) && alias.length > DistRelPrefix.length &&
+      alias.drop(DistRelPrefix.length).forall(_.isDigit)
+
   /** Rewrites every unbounded var-length rel to a synthetic reach edge;
     * returns the rewritten clauses plus a catalog that can serve the
-    * synthetic tables. `outer` (the incoming frame, when the clause
+    * synthetic tables. A `shortestPath(…)` part keeps its path variable
+    * but its rel becomes a `__rd<id>`-aliased dist-bearing reach edge —
+    * the analyzer then binds the path var to the min-distance column
+    * ([[isDistRel]]). `outer` (the incoming frame, when the clause
     * follows a WITH or correlates an EXISTS) enables piped-frame anchor
     * seeding. No-op (same instances) when nothing is unbounded. */
   def rewrite(matches: Seq[MatchClause], catalog: GraphCatalog,
@@ -105,15 +125,28 @@ private[cypher] object Reach {
       m.copy(parts = m.parts.map { pp =>
         if (!pp.rels.exists(isUnbounded)) pp
         else {
-          if (pp.pathVar.isDefined)
+          if (pp.allShortest)
+            throw new CypherNotSupportedException(
+              "allShortestPaths() over an unbounded variable-length — " +
+              "reachable pairs erase path multiplicity; bound the " +
+              "range [*lo..hi]")
+          if (pp.pathVar.isDefined && !pp.shortest)
             throw new CypherNotSupportedException(
               "length(path) over an unbounded variable-length " +
-              "relationship (reachable pairs erase path lengths) — " +
-              "bound the range [*lo..hi]")
-          if (pp.shortest || pp.allShortest)
+              "relationship (one row per path enumerates factorially " +
+              "many paths on cyclic graphs) — wrap the pattern in " +
+              "shortestPath() for min-distance semantics, or bound " +
+              "the range [*lo..hi]")
+          if (pp.shortest && pp.rels.size != 1)
             throw new CypherNotSupportedException(
-              "shortestPath()/allShortestPaths() over an unbounded " +
-              "variable-length — bound the range [*lo..hi]")
+              "shortestPath() over an unbounded variable-length " +
+              "composes only as the pattern's sole relationship — " +
+              "chain further hops through a WITH")
+          // shortestPath((a)-[:T*1..]->(b)): the reach frame is already
+          // ONE row per (src, dst) pair, and BFS first-discovery IS the
+          // min distance — so the lowering just adds a __dist column
+          // and binds length(p) to it (no per-path state anywhere)
+          val needDist = pp.shortest && pp.pathVar.isDefined
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
@@ -154,29 +187,37 @@ private[cypher] object Reach {
               val edf = catalog.edgeDf(e)
               val reach = seedFor(m.where, srcPat.alias, node, catalog, outer)
                 .map(sd => reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
-                  seeds = Some(sd)))
+                  seeds = Some(sd), withDist = needDist))
                 .orElse {
                   seedFor(m.where, dstPat.alias, node, catalog, outer).map {
                     sd => // reverse BFS from the destination anchor:
                           // an R-path d→x over reversed edges is an
                           // E-path x→d, so swap the output columns back
-                      reachablePairs(edf, e.sinkIdColumn, e.srcIdColumn,
-                          seeds = Some(sd))
-                        .select(col("__dst").as("__s"), col("__src").as("__d"))
+                          // (the hop count is direction-agnostic)
+                      val rev = reachablePairs(edf, e.sinkIdColumn,
+                        e.srcIdColumn, seeds = Some(sd), withDist = needDist)
+                      val swapped = Seq(col("__dst").as("__s"),
+                        col("__src").as("__d")) ++
+                        (if (needDist) Seq(col("__dist")) else Seq.empty)
+                      rev.select(swapped: _*)
                         .withColumnRenamed("__s", "__src")
                         .withColumnRenamed("__d", "__dst")
                   }
                 }
-                .getOrElse(reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn))
+                .getOrElse(reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
+                  withDist = needDist))
               val id = nameCounter.getAndIncrement()
               val synthVerb = s"__REACH_${id}_$verb"
               val synth = EdgeDef(synthVerb, e.fromLabel, e.toLabel,
-                "__src", "__dst", Seq.empty, s"__reach_${id}_$verb")
+                "__src", "__dst",
+                if (needDist) Seq("__dist") else Seq.empty,
+                s"__reach_${id}_$verb")
               extra += ((synth, reach))
-              RelPat(None, Some(synthVerb), r.dir)
+              RelPat(if (needDist) Some(s"$DistRelPrefix$id") else None,
+                Some(synthVerb), r.dir)
             }
           }
-          pp.copy(rels = rels2)
+          pp.copy(rels = rels2, shortest = false)
         }
       })
     }
@@ -256,7 +297,8 @@ private[cypher] object Reach {
    */
   private[cypher] def reachablePairs(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame] = None,
-      maxClosureRows: Option[Long] = None): DataFrame = {
+      maxClosureRows: Option[Long] = None,
+      withDist: Boolean = false): DataFrame = {
     // self-loop edges stay: (a)→(a) is a legitimate length-1 path, and
     // cycle pairs (a, a) via longer loops arise from the BFS naturally
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
@@ -283,6 +325,12 @@ private[cypher] object Reach {
         e.join(sd, Seq("__src"), "left_semi").localCheckpoint(false)
       case None => e
     }
+    // `withDist`: carry the first-discovery round as `__dist` — BFS
+    // first discovery IS the minimum hop count, so the output is one
+    // row per pair with its shortest-path length. The round's new
+    // pairs all share one distance, so the column is a per-round
+    // literal: the BFS joins stay slim (src, dst) either way.
+    if (withDist) seen = seen.withColumn("__dist", lit(1L))
     var frontier = seen
     var total = frontier.count()
     guard(total, 0)
@@ -294,11 +342,14 @@ private[cypher] object Reach {
         throw new CypherBindingException(
           s"unbounded variable-length: reachability did not converge in " +
           s"$MaxRounds rounds — the edge set's diameter exceeds the guard")
-      val next = frontier
+      val next0 = frontier
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
         .select(col("__src"), col("__d2").as("__dst")).distinct()
         .join(seen, Seq("__src", "__dst"), "left_anti")
+      val next = (if (withDist)
+          next0.withColumn("__dist", lit((rounds + 1).toLong))
+        else next0)
         .localCheckpoint(false)
       val n = next.count()
       go = n > 0

@@ -1678,14 +1678,38 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) SET p.Born = count(p)"))
   }
 
+  test("shortestPath over an unbounded range lowers to BFS min-distance") {
+    // FOLLOWS: p5->p1, p5->p2, p1->p2 — p5 reaches p2 both directly and
+    // via p1; shortestPath keeps ONE row per pair at the minimum
+    val r = rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..]->(b:Person))
+        |RETURN a.id AS A, b.id AS B, length(p) AS L
+        |ORDER BY A, B""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r == Seq(("p1", "p2", 1L), ("p5", "p1", 1L), ("p5", "p2", 1L)))
+    // WHERE over the min-distance compiles in the same clause
+    val r2 = rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        |WHERE length(p) >= 1 AND a.id = 'p5'
+        |RETURN b.id AS B ORDER BY B""".stripMargin)
+      .map(_.getString(0))
+    assert(r2 == Seq("p1", "p2"))
+    // unnamed form: the pair collapse without observing the length
+    val r3 = rows(
+      """MATCH shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
+        |RETURN count(a) AS n""".stripMargin)
+    assert(r3.head.getLong(0) == 3L)
+  }
+
   test("unbounded var-length typed rejections keep the bounded contract") {
-    // per-path observations need bounded ranges
+    // per-path observations need bounded ranges (shortestPath is the
+    // exception: min-distance IS the reach BFS's first-discovery round)
     intercept[CypherNotSupportedException](rows(
       """MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person)
         |RETURN length(p) AS L""".stripMargin))
     intercept[CypherNotSupportedException](rows(
-      """MATCH shortestPath((a:Person)-[:FOLLOWS*]->(b:Person))
-        |RETURN a.Name AS N""".stripMargin))
+      """MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*]->(b:Person))
+        |RETURN length(p) AS L""".stripMargin))
     // lower bound > 1 has no reachability lowering
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
@@ -1732,6 +1756,21 @@ class CypherExtensionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(seeded == closure.filter(p => seeds.contains(p._1)),
         s"trial $trial: seeded reach mismatch")
+      // withDist ≡ brute BFS layering: min hop count per pair
+      val brute = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      var layer = dedup
+      var d = 1L
+      while (layer.nonEmpty) {
+        layer.foreach(p => if (!brute.contains(p)) brute(p) = d)
+        layer = (for { (a, b) <- layer; (c, e2) <- dedup if b == c }
+          yield (a, e2)).filterNot(brute.contains)
+        d += 1
+      }
+      val gotDist = Reach.reachablePairs(pairs.toDF("s", "d"), "s", "d",
+          withDist = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(gotDist == brute.toMap, s"trial $trial: dist mismatch")
     }
   }
 
