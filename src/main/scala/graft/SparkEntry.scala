@@ -2374,6 +2374,25 @@ object SparkEntry {
         .orderBy("doc_id"),
       Some(decontOracle)),
 
+    // --- Bloom-prefilter decontamination (round 9): p02's twin for
+    //     benchmark gram sets too big to broadcast exactly — a
+    //     fixed-size Bloom bitset prunes corpus grams MAP-SIDE before
+    //     the exact verify join, so the output is IDENTICAL to p02
+    //     (same oracle; false positives die in the verify join). Tiny
+    //     numBits here deliberately forces a high fp rate to prove the
+    //     verify join's exactness.
+    ("p27_bloom_decontaminate",
+      (s, dir) => Pipeline.contaminationReportBloom(
+          docs(s, dir).where(col("doc_id") >= 20),
+          docs(s, dir).where(col("doc_id") < 20),
+          "text", "doc_id", n = 3, threshold = 0.1,
+          expectedGrams = 4096, numBits = 1L << 14)
+        .select(col("doc_id"),
+          col("n_grams").cast(org.apache.spark.sql.types.LongType).as("n_grams"),
+          col("n_hit"), col("contamination"))
+        .orderBy("doc_id"),
+      Some(decontOracle)),
+
     // --- decontamination FILTER (acting twin of p02): corpus minus the
     //     contaminated ids, one left-anti join — bodies stream through
     ("p03_decontaminated",

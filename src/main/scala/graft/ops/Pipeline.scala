@@ -268,6 +268,44 @@ object Pipeline {
   }
 
   /**
+   * [[contaminationReport]]'s Bloom-prefilter twin, for benchmark gram
+   * sets too large to broadcast as an exact hash relation. Spark's
+   * runtime-filter Bloom aggregate builds a FIXED-SIZE bitset over the
+   * benchmark grams (`numBits` bounds the broadcast no matter how many
+   * grams — a 10⁹-gram eval suite is ~150 MB of bits at 1% fp vs many
+   * GB as an exact set); the corpus side then drops non-member grams
+   * MAP-SIDE via `might_contain` before the exact verify join, so only
+   * Bloom survivors ever reach a shuffle. The output is IDENTICAL to
+   * [[contaminationReport]]: Bloom false positives are eliminated by
+   * the verify join, and Bloom has no false negatives — the bitset is
+   * purely a pruning device, never a source of truth.
+   */
+  def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.5,
+      expectedGrams: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    def grams(df: DataFrame): org.apache.spark.sql.Column =
+      array_distinct(graft.functions.NativeExpressions
+        .modNgramHashes(TextOps.tokens(col(textCol)), n))
+    val bench = benchmark.select(explode(grams(benchmark)).as("__g")).distinct()
+    val bloom = bench.agg(GraftSqlBridge
+      .bloomFilterAgg(col("__g"), expectedGrams, numBits).as("__bf"))
+    corpus
+      .select(col(idCol).cast(org.apache.spark.sql.types.LongType).as(idCol),
+        grams(corpus).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("n_grams"),
+        explode(col("__gs")).as("__g"))
+      .where(GraftSqlBridge.mightContain(
+        GraftSqlBridge.scalarSubquery(bloom), col("__g")))
+      .join(broadcast(bench), "__g")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .where(col("contamination") >= threshold)
+  }
+
+  /**
    * Sliding-window token chunking: split each document into chunks of
    * `chunkSize` whitespace tokens with `overlap` tokens shared between
    * consecutive chunks — the context-window packing step before

@@ -26,6 +26,31 @@ object GraftSqlBridge {
       expression(c), catalyst.expressions.Literal(p))
       .toAggregateExpression())
 
+  /** Spark's runtime-filter Bloom aggregate (`BloomFilterAggregate`,
+    * internal — the engine behind InjectRuntimeFilter's row-group
+    * pruning): builds a serialized Bloom bitset over LONG inputs. The
+    * scale tool for "membership set too big to broadcast exactly" —
+    * the broadcast is `numBits` BITS regardless of entry count. */
+  def bloomFilterAgg(c: Column, expectedItems: Long, numBits: Long): Column =
+    column(new catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(c),
+        catalyst.expressions.Literal(expectedItems),
+        catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] bitset: false
+    * positives at the configured rate, NO false negatives. */
+  def mightContain(bloom: Column, value: Column): Column =
+    column(catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
+  /** A 1-row DataFrame as a scalar-subquery expression — the shape
+    * `might_contain` requires for a non-literal bitset, and exactly how
+    * Spark's own InjectRuntimeFilter wires a Bloom build into a probe
+    * (the subquery broadcasts its single row; no join appears). */
+  def scalarSubquery(df: Dataset[Row]): Column =
+    column(catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
+
   /** Register a function on a live session's registry (the
     * SparkSessionExtensions route only applies at session build time). */
   def registerFunction(spark: SparkSession, name: String,

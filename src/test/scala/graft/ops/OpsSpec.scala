@@ -1188,6 +1188,35 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("contaminationReportBloom ≡ exact report; bloom prunes map-side") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a quick brown fox jumps over a sleepy cat today ok"),
+      (12L, "completely unrelated words about query engines here"),
+      (13L, "to sh or")
+    ).toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    val exact = Pipeline.contaminationReport(corpus, bench, "text",
+      "doc_id", n = 3, threshold = 0.0)
+    val bloomed = Pipeline.contaminationReportBloom(corpus, bench, "text",
+      "doc_id", n = 3, threshold = 0.0)
+    assert(key(bloomed) == key(exact))
+    // a DELIBERATELY tiny bitset (64 bits for ~8 grams → fp rate near 1)
+    // must still be exact: the verify join kills every false positive
+    val noisy = Pipeline.contaminationReportBloom(corpus, bench, "text",
+      "doc_id", n = 3, threshold = 0.0, expectedGrams = 8, numBits = 64)
+    assert(key(noisy) == key(exact))
+    // the bloom probe sits in the plan as a might_contain filter and the
+    // verify join is still a broadcast, never a shuffle of corpus grams
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("repetition signals: duplicate lines and dominant n-grams") {
     val df = Seq(
       (1L, "unique one\nunique two\nunique three"),           // no dup lines
