@@ -166,4 +166,60 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(attemptExt)
     samples(gen, 400).foreach(attempt)
   }
+
+  test("round-9 surface fuzz: terminal SET/DELETE, unbounded shortestPath") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "SET",
+      "SET n",
+      "SET n.x",
+      "SET n.x =",
+      "SET n.x = 1",                      // no preceding MATCH
+      "MATCH (n:L) SET",
+      "MATCH (n:L) SET n",
+      "MATCH (n:L) SET n.",
+      "MATCH (n:L) SET n.x",
+      "MATCH (n:L) SET n.x =",
+      "MATCH (n:L) SET n.x = ,",
+      "MATCH (n:L) SET n.x = 1,",
+      "MATCH (n:L) SET n.x = 1, m",
+      "MATCH (n:L) SET n.x = 1, m.y = 2",
+      "MATCH (n:L) SET n:Label",
+      "MATCH (n:L) SET n = {x: 1}",
+      "MATCH (n:L) SET n += {x: 1}",
+      "MATCH (n:L) SET n.x = 1 RETURN n.x AS x",
+      "MATCH (n:L) SET n.x = 1 WITH n RETURN n.x AS x",
+      "MATCH (n:L) SET __z.x = 1",
+      "DELETE",
+      "DELETE n",
+      "DETACH",
+      "DETACH n",
+      "DETACH DELETE",
+      "MATCH (n:L) DELETE",
+      "MATCH (n:L) DETACH",
+      "MATCH (n:L) DETACH MATCH (m:L) RETURN 1 AS x",
+      "MATCH (n:L) DELETE n,",
+      "MATCH (n:L) DELETE n, m",
+      "MATCH (n:L) DELETE n RETURN 1 AS x",
+      "MATCH (n:L) DETACH DELETE n UNION MATCH (m:L) DETACH DELETE m",
+      "MATCH (n:L) CALL { MATCH (m:L) DELETE m } RETURN 1 AS x",
+      "MATCH p = shortestPath((a)-[*]->(b)) RETURN length(p) AS l",
+      "MATCH p = shortestPath((a)-[:T*]->(b)-[:S]->(c)) RETURN length(p) AS l",
+      "MATCH p = shortestPath((a)-[:T*]-(b)) RETURN length(p) AS l",
+      "MATCH p = allShortestPaths((a)-[:T*]->(b)) RETURN length(p) AS l",
+      "MATCH p = shortestPath((a)-[:T*2..]->(b)) RETURN length(p) AS l",
+      "MATCH __rd1 = shortestPath((a)-[:T*]->(b)) RETURN 1 AS x",
+      "MATCH (a)-[__rd1:T*]->(b) RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    bad.foreach(attempt) // parity mode must also stay typed
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "SET", "DELETE", "DETACH", "MATCH", "shortestPath",
+      "allShortestPaths", "(", ")", "[", "]", "*", "..", "-", "->",
+      "=", ",", ".", ":T", "n", "p", "x", "1", "WHERE", "length",
+      "RETURN", "AS", "WITH")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(attempt)
+  }
 }
