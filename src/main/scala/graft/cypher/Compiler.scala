@@ -913,12 +913,18 @@ object Compiler {
     }
     val feed = feed0.where(col("__mkey").isNotNull)
     val others = feed.columns.filterNot(_ == "__mkey").toSeq
+    // lazy localCheckpoint: the deduped feed has THREE consumers
+    // (matched join, created anti-join, untouched anti-join) whose
+    // different column pruning defeats ReuseExchange — materialize the
+    // feed once at first action instead of re-running its whole
+    // pipeline per consumer (no job fires at compile time)
     val feedW =
-      if (others.isEmpty) feed.distinct()
+      (if (others.isEmpty) feed.distinct()
       else feed.groupBy(col("__mkey"))
         .agg(max(struct(others.map(col): _*)).as("__w"))
         .select(col("__mkey") +:
-          others.map(c => col("__w").getField(c).as(c)): _*)
+          others.map(c => col("__w").getField(c).as(c)): _*))
+        .localCheckpoint(false)
 
     val joinedM = feedW.join(snapN,
       col("__mkey") === col(pref(m.alias, node.idColumn)), "inner")
@@ -1018,12 +1024,17 @@ object Compiler {
     val keyPrefs = keyCols.map(k => pref(alias, k))
     val feed = c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
     val others = feed.columns.filterNot(keyPrefs.contains).toSeq
+    // lazy localCheckpoint: the deduped feed feeds both the updated
+    // branch and the untouched anti-join; their different column
+    // pruning defeats ReuseExchange, so materialize once at first
+    // action (no compile-time job)
     val feedW =
-      if (others.isEmpty) feed.distinct()
+      (if (others.isEmpty) feed.distinct()
       else feed.groupBy(keyPrefs.map(col): _*)
         .agg(max(struct(others.map(col): _*)).as("__w"))
         .select(keyPrefs.map(col) ++
-          others.map(cn => col("__w").getField(cn).as(cn)): _*)
+          others.map(cn => col("__w").getField(cn).as(cn)): _*))
+        .localCheckpoint(false)
     val ec = new ExprCompiler(c.scope, feedW)
     val aMap: Map[String, Column] =
       assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }.toMap
