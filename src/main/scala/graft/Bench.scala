@@ -113,18 +113,22 @@ object Bench {
        else calibStart +: calibSamples.toSeq).sorted
     val median = driftSamples(driftSamples.size / 2)
     val drift = driftSamples.max / median
-    // Contended-run outlier re-time (round 8, widened round 9): a
-    // contended sweep can publish phantom 10× regressions (r7's close
-    // run recorded g09 at 10.0 s vs 0.9 s on quiet re-runs). Re-time —
-    // after the sweep, when the contention burst has usually passed —
-    // every query whose reading exceeds 3× its previous committed value
-    // (newest BENCH_FULL_*.json in cwd, or SPARK_GRAFT_BENCH_PREV) and
-    // keep the min: the committed artifact then never carries a reading
-    // a quiet box wouldn't reproduce, and genuinely-regressed queries
-    // keep their (reproducible) slow reading. SPARK_GRAFT_DRIFT_RETIME
-    // remains the documented quiet threshold for log context only.
-    val driftThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETIME", "1.15").toDouble
+    // Contended-run outlier re-time (round 8, widened round 9,
+    // drift-tightened round 10): a contended sweep can publish phantom
+    // 10× regressions (r7's close run recorded g09 at 10.0 s vs 0.9 s
+    // on quiet re-runs). Re-time — after the sweep, when the contention
+    // burst has usually passed — every query whose reading exceeds
+    // `factor`× its previous committed value (newest BENCH_FULL_*.json
+    // in cwd, or SPARK_GRAFT_BENCH_PREV) and keep the min: the
+    // committed artifact then never carries a reading a quiet box
+    // wouldn't reproduce, and genuinely-regressed queries keep their
+    // (reproducible) slow reading. On a LOUD canary (drift > 2) the
+    // trigger tightens from 3× to 1.5×: round 9's drift-5.31 run
+    // published g13 at 2.2× its quiet value because 2.53× slipped the
+    // flat 3× gate. SPARK_GRAFT_RETIME_FACTOR overrides the quiet
+    // factor (the loud tightening still applies).
+    val quietFactor =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_FACTOR", "3.0").toDouble
     val prevQueries: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
         .map(java.nio.file.Paths.get(_))
@@ -148,21 +152,20 @@ object Bench {
           }.toMap
         }.getOrElse(Map.empty)
     }
-    // Re-time 3×-outliers UNCONDITIONALLY, not only on a loud drift
+    // Re-time outliers UNCONDITIONALLY, not only on a loud drift
     // canary: a sweep can read quiet overall (drift ≈ 1) yet still hit
     // individual queries with a GC/JIT burst — round-8's close run had
     // drift 1.06 but two graph queries 3–4× their quiet values. The
     // re-time pass only touches outliers, so the quiet-run cost is zero.
+    val factor = effectiveRetimeFactor(drift, quietFactor)
     val retimed: Seq[String] =
       if (prevQueries.isEmpty) Seq.empty
       else {
         val byName = selected.toMap
-        val outliers = results.filter { case (name, v) =>
-          v >= 0 && prevQueries.get(name).exists(p => p > 0 && v > 3 * p)
-        }.map(_._1)
+        val outliers = findOutliers(results, prevQueries, factor)
         if (outliers.nonEmpty) {
-          System.err.println(f"[bench] drift $drift%.2f (threshold " +
-            f"$driftThreshold): " +
+          System.err.println(f"[bench] drift $drift%.2f (re-time factor " +
+            f"$factor%.2f): " +
             s"re-timing ${outliers.size} outliers: ${outliers.mkString(", ")}")
           results = results.map { case (name, v) =>
             if (!outliers.contains(name)) name -> v
@@ -204,4 +207,25 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"worst12":$worst,"agg":"min","calib_start":$calibStart%.3f,"calib_drift":$drift%.2f,"full":"$fullPath"}""")
     spark.stop()
   }
+
+  /**
+   * Outlier re-time trigger as a multiple of a query's previous
+   * committed reading. Quiet sweep → `quietFactor` (default 3×: only
+   * GC/JIT-burst phantoms trip it). Loud contention canary
+   * (drift > 2) → tightened to 1.5×: on a contended box EVERY reading
+   * is suspect, and round 9's drift-5.31 run published a 2.2×-inflated
+   * value because 2.53× slipped the flat 3× gate. An explicitly
+   * tighter quietFactor is honored as-is.
+   */
+  def effectiveRetimeFactor(drift: Double, quietFactor: Double = 3.0): Double =
+    if (drift > 2.0) math.min(quietFactor, 1.5) else quietFactor
+
+  /** Names of queries whose reading exceeds `factor`× their previous
+   *  committed value — the re-time candidates. Failed readings (< 0)
+   *  and queries with no/garbage prior are never candidates. */
+  def findOutliers(results: Seq[(String, Double)],
+                   prev: Map[String, Double], factor: Double): Seq[String] =
+    results.filter { case (name, v) =>
+      v >= 0 && prev.get(name).exists(p => p > 0 && v > factor * p)
+    }.map(_._1)
 }

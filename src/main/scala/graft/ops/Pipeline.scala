@@ -279,6 +279,15 @@ object Pipeline {
    * [[contaminationReport]]: Bloom false positives are eliminated by
    * the verify join, and Bloom has no false negatives — the bitset is
    * purely a pruning device, never a source of truth.
+   *
+   * The verify join carries NO broadcast hint — that is the point of
+   * this twin. When the bench gram set fits under
+   * `autoBroadcastJoinThreshold`, Catalyst/AQE broadcasts it anyway;
+   * when it doesn't (the motivating 10⁹-gram case), the join degrades
+   * to a shuffled hash join whose corpus side is already Bloom-pruned
+   * to the survivors, so the shuffle moves hits + false positives, not
+   * the corpus. Forcing a broadcast here would re-create exactly the
+   * OOM the bitset exists to avoid.
    */
   def contaminationReportBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 3, threshold: Double = 0.5,
@@ -297,7 +306,7 @@ object Pipeline {
         explode(col("__gs")).as("__g"))
       .where(GraftSqlBridge.mightContain(
         GraftSqlBridge.scalarSubquery(bloom), col("__g")))
-      .join(broadcast(bench), "__g")
+      .join(bench, "__g")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(lit(1)).as("n_hit"))
       .withColumn("contamination",
