@@ -1064,6 +1064,34 @@ object SparkEntry {
              |GROUP BY 1 HAVING min(reach.d) >= 2
              |ORDER BY dst_name""".stripMargin)),
 
+    // --- terminal CREATE (round 10; completes the update triad over
+    //     the reference's read-only boundary CypherVisitor.cs:486-489;
+    //     parity keeps the rejection): unconditional append — one
+    //     fresh Customer row per feed row, the map binds the id plus
+    //     any declared properties, unassigned properties null. NO
+    //     match branch / winner-dedup / anti-join (INSERT semantics:
+    //     id uniqueness is the caller's contract), so the plan is
+    //     append-only — the snapshot is never joined or shuffled
+    ("q69_create_snapshot",
+      (s, dir) => cyx(
+        """MATCH (sup:Supplier) WHERE sup.s_acctbal > 9000.0
+          |WITH sup.s_suppkey AS sk, sup.s_acctbal AS ab
+          |CREATE (c:Customer {c_custkey: sk + 1000000,
+          |                    c_name: 'NEW_' + toString(sk),
+          |                    c_acctbal: ab})""".stripMargin)
+        .apply(s, dir).orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             |       c_nationkey
+             |FROM customer
+             |UNION ALL
+             |SELECT s_suppkey + 1000000 AS c_custkey,
+             |       'NEW_' || CAST(s_suppkey AS VARCHAR) AS c_name,
+             |       s_acctbal AS c_acctbal,
+             |       CAST(NULL AS VARCHAR) AS c_mktsegment,
+             |       CAST(NULL AS BIGINT) AS c_nationkey
+             |FROM supplier WHERE s_acctbal > 9000.0
+             |ORDER BY c_custkey""".stripMargin)),
+
     // --- Cypher 5 pattern predicates (extension): WHERE inside node
     //     and relationship patterns, desugared at parse to the
     //     enclosing MATCH's WHERE — plan-identical to the spelled-out

@@ -218,10 +218,9 @@ object ast {
   final case class SingleQuery(parts: Seq[QueryPart]) extends Query
 
   /** `MERGE (n:L {idProp: expr}) [ON MATCH SET n.p = e, …]
-   *  [ON CREATE SET n.p = e, …]` — a flagged EXTENSION and the ONLY
-   *  updating clause this engine lowers (the reference is read-only
-   *  by design, CypherVisitor.cs:486-489,887-890; parity mode keeps
-   *  the rejection). The result is a NEW SNAPSHOT DataFrame of the
+   *  [ON CREATE SET n.p = e, …]` — a flagged EXTENSION (the reference
+   *  is read-only by design, CypherVisitor.cs:486-489,887-890; parity
+   *  mode keeps the rejection). The result is a NEW SNAPSHOT DataFrame of the
    *  target node's table (never a mutation): the preceding parts'
    *  rows form a change feed keyed by the node's unique id — the
    *  property map must bind EXACTLY the id property (the graph
@@ -268,6 +267,26 @@ object ast {
 
   /** Query whose terminal clause is a [[DeleteClause]]. */
   final case class DeleteQuery(parts: Seq[QueryPart], del: DeleteClause)
+    extends Query
+
+  /** Terminal `CREATE (n:L {p: e, …})` (extension; completes the
+   *  update triad over the reference's read-only boundary,
+   *  CypherVisitor.cs:486-489; parity keeps the rejection): an
+   *  UNCONDITIONAL append — every feed row (or ONE literal row for a
+   *  standalone CREATE) builds a fresh node row from the property
+   *  map, which MUST bind the node's id property (identity in a
+   *  table-backed graph) and may bind any other declared properties;
+   *  unassigned properties are null, null ids drop (no identity, no
+   *  row). Unlike MERGE there is no match branch, no per-key winner
+   *  and no anti-join: id uniqueness against the existing snapshot is
+   *  the caller's contract, exactly as with SQL INSERT — which keeps
+   *  the lowering append-only (zero joins, zero shuffles of the
+   *  snapshot). The result is the node table's NEW snapshot. */
+  final case class CreateClause(alias: String, label: String,
+      assigns: Seq[(String, Expr)])
+
+  /** Query whose terminal clause is a [[CreateClause]]. */
+  final case class CreateQuery(parts: Seq[QueryPart], create: CreateClause)
     extends Query
   /** UNION / UNION ALL — implemented correctly end-to-end (the
    *  reference's visitor drops it, SURVEY.md §2.1). */

@@ -796,6 +796,7 @@ object Compiler {
     case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
     case SetQuery(parts, s)   => compileSet(parts, s, catalog)
     case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
+    case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
   }
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
@@ -827,6 +828,32 @@ object Compiler {
    * anti-join hash exchange (broadcast when the feed is small); the
    * quadratic risk lives in the feed, which is winner-deduped FIRST.
    */
+  /** Does `e` reference variable `a` anywhere? (update-clause guard:
+   *  ON CREATE SET / CREATE maps cannot read a row that does not
+   *  exist yet.) */
+  private def refersTo(e: Expr, a: String): Boolean = e match {
+    case Ref(x, _) => x == a
+    case Bin(_, l, r) => refersTo(l, a) || refersTo(r, a)
+    case Not(x) => refersTo(x, a)
+    case Neg(x) => refersTo(x, a)
+    case IsNull(x, _) => refersTo(x, a)
+    case ListLit(xs) => xs.exists(refersTo(_, a))
+    case Func(_, args) => args.exists(refersTo(_, a))
+    case Agg(_, _, arg, _) => arg.exists(refersTo(_, a))
+    case CaseExpr(ws, o) =>
+      ws.exists { case (c, v) => refersTo(c, a) || refersTo(v, a) } ||
+        o.exists(refersTo(_, a))
+    case ListComp(_, l, w, pj) => refersTo(l, a) ||
+      w.exists(refersTo(_, a)) || pj.exists(refersTo(_, a))
+    case QuantPred(_, _, l, pr) => refersTo(l, a) || refersTo(pr, a)
+    case ReduceExpr(_, i, _, l, st) =>
+      refersTo(i, a) || refersTo(l, a) || refersTo(st, a)
+    case ListIndex(l, f, t, _) => refersTo(l, a) ||
+      f.exists(refersTo(_, a)) || t.exists(refersTo(_, a))
+    case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
+    case _ => false
+  }
+
   private def compileMerge(parts: Seq[QueryPart], m: MergeClause,
       catalog: GraphCatalog): DataFrame = {
     val node = catalog.graph.node(m.label)
@@ -846,28 +873,6 @@ object Compiler {
           s"MERGE alias '${m.alias}' collides with a variable in scope")
     }
     val props = node.properties.filterNot(_ == node.idColumn)
-    def refersTo(e: Expr, a: String): Boolean = e match {
-      case Ref(x, _) => x == a
-      case Bin(_, l, r) => refersTo(l, a) || refersTo(r, a)
-      case Not(x) => refersTo(x, a)
-      case Neg(x) => refersTo(x, a)
-      case IsNull(x, _) => refersTo(x, a)
-      case ListLit(xs) => xs.exists(refersTo(_, a))
-      case Func(_, args) => args.exists(refersTo(_, a))
-      case Agg(_, _, arg, _) => arg.exists(refersTo(_, a))
-      case CaseExpr(ws, o) =>
-        ws.exists { case (c, v) => refersTo(c, a) || refersTo(v, a) } ||
-          o.exists(refersTo(_, a))
-      case ListComp(_, l, w, pj) => refersTo(l, a) ||
-        w.exists(refersTo(_, a)) || pj.exists(refersTo(_, a))
-      case QuantPred(_, _, l, pr) => refersTo(l, a) || refersTo(pr, a)
-      case ReduceExpr(_, i, _, l, st) =>
-        refersTo(i, a) || refersTo(l, a) || refersTo(st, a)
-      case ListIndex(l, f, t, _) => refersTo(l, a) ||
-        f.exists(refersTo(_, a)) || t.exists(refersTo(_, a))
-      case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
-      case _ => false
-    }
     def checkAssigns(kind: String, as: Seq[(String, Expr)],
         allowSelf: Boolean): Unit = {
       as.groupBy(_._1).collectFirst { case (p, vs) if vs.size > 1 => p }
@@ -951,6 +956,76 @@ object Compiler {
       .join(feedW.select(col("__mkey").as(node.idColumn)),
         Seq(node.idColumn), "left_anti")
     untouched.unionByName(matchedOut).unionByName(createdOut)
+  }
+
+  /**
+   * Terminal `CREATE` (extension; completes the update triad over the
+   * reference's read-only boundary, CypherVisitor.cs:486-489; parity
+   * keeps the rejection): produce a NEW SNAPSHOT of the target node's
+   * table = the untouched snapshot UNION ALL one fresh row per feed
+   * row (one literal row for a standalone CREATE). The property map
+   * must bind the node's id property — identity in a table-backed
+   * graph — and may bind any other declared properties; unassigned
+   * properties are null; null ids drop (OPTIONAL MATCH misses create
+   * nothing). Unlike MERGE there is NO match branch, NO per-key
+   * winner dedup and NO anti-join: CREATE is unconditional, so id
+   * uniqueness against the existing snapshot is the caller's
+   * contract, exactly as with SQL INSERT.
+   *
+   * Scale shape: append-only — the created rows are a map-only
+   * projection of the feed and the snapshot is untouched (zero joins,
+   * zero shuffles, zero snapshot re-reads); at 100 TB this is the
+   * cheapest possible update-clause plan.
+   */
+  private def compileCreate(parts: Seq[QueryPart], cr: CreateClause,
+      catalog: GraphCatalog): DataFrame = {
+    val node = catalog.graph.node(cr.label)
+    val props = node.properties.filterNot(_ == node.idColumn)
+    cr.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 =>
+      p2 }.foreach(p2 => throw new CypherBindingException(
+      s"CREATE map assigns '$p2' twice"))
+    if (!cr.assigns.exists(_._1 == node.idColumn))
+      throw new CypherBindingException(
+        s"CREATE (${cr.alias}:${cr.label} {…}): the property map must " +
+        s"bind the node's id property '${node.idColumn}' — a created " +
+        "row needs an identity in a table-backed graph")
+    cr.assigns.foreach { case (p2, e) =>
+      if (p2 != node.idColumn && !props.contains(p2))
+        throw new CypherBindingException(
+          s"CREATE: node '${cr.label}' has no declared property '$p2'")
+      if (containsAgg(e)) throw new CypherNotSupportedException(
+        "CREATE with an aggregate — aggregate in a WITH before the CREATE")
+      if (refersTo(e, cr.alias)) throw new CypherBindingException(
+        s"CREATE map may not read '${cr.alias}' — the row does not " +
+        "exist at create time")
+    }
+    val ctx: Option[Ctx] =
+      if (parts.isEmpty) None
+      else Some(compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog))
+    ctx.foreach { c =>
+      if (c.scope.contains(cr.alias))
+        throw new CypherBindingException(
+          s"CREATE alias '${cr.alias}' collides with a variable in scope")
+    }
+    val snapshot = catalog.nodeDf(node.label)
+    val outCols: Seq[String] = node.idColumn +: props
+    def dt(cn: String) = snapshot.schema(cn).dataType
+    val (feed, scope) = ctx match {
+      case Some(c) => (c.df, c.scope)
+      case None =>
+        (snapshot.sparkSession.range(1).toDF("__row"),
+          Map.empty[String, Binding])
+    }
+    val ec = new ExprCompiler(scope, feed)
+    val aMap: Map[String, Column] =
+      cr.assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }
+        .toMap
+    val created = feed
+      .select(outCols.map { cn =>
+        aMap.getOrElse(cn, lit(null).cast(dt(cn))).as(cn) }: _*)
+      .where(col(node.idColumn).isNotNull)
+    snapshot.select(outCols.map(col): _*).unionByName(created)
   }
 
   /**

@@ -111,6 +111,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         "an updating clause must be the query's terminal clause")
       case _: DeleteQuery => notSupported("DELETE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
+      case _: CreateQuery => notSupported("CREATE in a UNION branch — " +
+        "an updating clause must be the query's terminal clause")
       case _ =>
     }
     var left: Query = parseTop()
@@ -129,11 +131,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * MERGE / SET / DELETE (extensions). */
   private def parseTop(): Query = {
     val sq = parseSingle()
-    (pendingMerge, pendingSet, pendingDelete) match {
-      case (Some(m), _, _) => pendingMerge = None; MergeQuery(sq.parts, m)
-      case (_, Some(s), _) => pendingSet = None; SetQuery(sq.parts, s)
-      case (_, _, Some(d)) => pendingDelete = None; DeleteQuery(sq.parts, d)
-      case _               => sq
+    (pendingMerge, pendingSet, pendingDelete, pendingCreate) match {
+      case (Some(m), _, _, _) => pendingMerge = None; MergeQuery(sq.parts, m)
+      case (_, Some(s), _, _) => pendingSet = None; SetQuery(sq.parts, s)
+      case (_, _, Some(d), _) =>
+        pendingDelete = None; DeleteQuery(sq.parts, d)
+      case (_, _, _, Some(c)) =>
+        pendingCreate = None; CreateQuery(sq.parts, c)
+      case _                  => sq
     }
   }
 
@@ -143,22 +148,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingMerge: Option[MergeClause] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingDelete: Option[DeleteClause] = None
+  private var pendingCreate: Option[CreateClause] = None
   private var inSubquery: Boolean = false
 
   private def rejectUpdating(): Unit = cur match {
-    // MERGE / SET / DELETE have extended lowerings (terminal
-    // snapshot-producing clauses); CREATE and REMOVE stay rejected in
-    // both modes — their semantics are covered by the supported
-    // terminal clauses (read-only engine, reference
-    // CypherVisitor.cs:486-489)
-    case Kw(k, _, _) if Set("MERGE", "SET", "DELETE", "DETACH")(k)
+    // MERGE / SET / DELETE / CREATE have extended lowerings (terminal
+    // snapshot-producing clauses); REMOVE stays rejected in both
+    // modes — its semantics are covered by SET (read-only engine,
+    // reference CypherVisitor.cs:486-489)
+    case Kw(k, _, _)
+        if Set("MERGE", "SET", "DELETE", "DETACH", "CREATE")(k)
         && !extensions =>
       notSupported(s"updating clause $k (read-only engine; a terminal " +
         s"snapshot-producing $k is supported with extensions enabled)")
-    case Kw("CREATE", _, _) =>
-      notSupported("updating clause CREATE (read-only engine; keyed " +
-        "inserts are MERGE … ON CREATE SET with extensions enabled — " +
-        "unkeyed node creation has no identity in a table-backed graph)")
     case Kw("REMOVE", _, _) =>
       notSupported("updating clause REMOVE (read-only engine; property " +
         "removal is SET n.prop = null with extensions enabled)")
@@ -296,6 +298,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("RETURN after DELETE — the delete result IS the " +
             "new snapshot")
         done = true
+      } else if (isKw("CREATE")) {
+        // terminal CREATE (extension; parity rejected in
+        // rejectUpdating): unconditional append — the result is the
+        // node table's NEW snapshot with one fresh row per feed row
+        // (or one literal row when standalone).
+        if (inSubquery)
+          notSupported("CREATE inside a CALL subquery — CREATE must " +
+            "be the query's terminal clause")
+        p += 1
+        if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
+          parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+            Seq.empty, None, None, None, star = true), uw, calls)
+        pendingCreate = Some(parseCreateClause())
+        if (isKw("RETURN"))
+          notSupported("RETURN after CREATE — the create result IS " +
+            "the new snapshot")
+        done = true
       } else if (isKw("WITH")) {
         p += 1
         parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
@@ -415,6 +434,51 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     }
     one(); while (tryPunct(",")) one()
     SetClause(alias, b.result())
+  }
+
+  /** `CREATE (n:Label {p1: e1, p2: e2, …})` — terminal, unconditional
+    * append; the map may bind any declared properties (the compiler
+    * checks the id property is among them). The CREATE keyword is
+    * consumed by the caller. */
+  private def parseCreateClause(): CreateClause = {
+    eatPunct("(")
+    val alias = cur match {
+      case Ident(s, _) =>
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
+        p += 1; s
+      case _ => syntaxErr(
+        "CREATE requires a named node, e.g. CREATE (n:Label {id: …, …})")
+    }
+    eatPunct(":")
+    val label = name()
+    if (isPunct(":"))
+      notSupported("CREATE with multiple labels — one node table, " +
+        "one label")
+    if (!isPunct("{")) syntaxErr(
+      "CREATE node requires a property map binding at least its id, " +
+      "e.g. {id: …}")
+    eatPunct("{")
+    val b = Vector.newBuilder[(String, Expr)]
+    def one(): Unit = {
+      val pr = cur match {
+        case Ident(s, _)   => p += 1; s
+        case Kw(_, raw, _) => p += 1; raw
+        case _ => syntaxErr("expected a property name in the CREATE map")
+      }
+      eatPunct(":")
+      b += ((pr, parseExpr()))
+    }
+    one(); while (tryPunct(",")) one()
+    eatPunct("}")
+    eatPunct(")")
+    if (isPunct(","))
+      notSupported("CREATE of multiple patterns — one terminal CREATE " +
+        "produces one node table's new snapshot")
+    if (isPunct("-") || isPunct("<"))
+      notSupported("CREATE of a relationship pattern — edge snapshots " +
+        "are produced by their own terminal clauses")
+    CreateClause(alias, label, b.result())
   }
 
   /** `[DETACH] DELETE a` — terminal, ONE bound entity variable. The

@@ -1560,6 +1560,85 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |ON MATCH SET n.Born = count(pid)""".stripMargin))
   }
 
+  // ------------------------------------ terminal CREATE (extension)
+
+  test("CREATE: appends one row per feed row; unassigned props null") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |WITH p.id AS pid, p.Name AS nm
+        |CREATE (n:Person {id: 'new_' + pid, Name: nm + ' Jr.'})""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 7) // 5 snapshot + 2 created (p2 1961, p3 1958)
+    val byId = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("new_p2") == (("Meg Ryan Jr.", None)))
+    assert(byId("new_p3") == (("Kevin Bacon Jr.", None)))
+    assert(byId("p1") == (("Tom Hanks", Some(1956)))) // untouched
+  }
+
+  test("CREATE: standalone literal row; multi-property map; null id drops") {
+    val r = rows(
+      "CREATE (n:Person {id: 'p9', Name: 'Nine', Born: 1999})")
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 6)
+    assert(r.last == (("p9", "Nine", Some(1999))))
+    // a null id has no identity: the row drops, snapshot unchanged
+    val n = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[f:FOLLOWS]->(q:Person)
+        |WITH q.id AS qid
+        |CREATE (n:Person {id: qid})""".stripMargin)
+    // follows rows: p1→p2, p5→p1, p5→p2 (3 created); p2/p3/p4 carry a
+    // null qid and create nothing
+    assert(n.size == 5 + 3)
+  }
+
+  test("CREATE is unconditional: duplicate feed rows each append") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p.id AS pid, m.Title AS t
+        |CREATE (n:Person {id: 'dup', Name: t})""".stripMargin)
+      .filter(_.getString(0) == "dup")
+    // p1 acts in 3 movies, p2 in 2, p3 in 1 → six 'dup' rows (INSERT
+    // semantics: uniqueness is the caller's contract)
+    assert(r.size == 6)
+  }
+
+  test("CREATE typed rejections pin the contract") {
+    // map must bind the id property
+    intercept[CypherBindingException](rows(
+      "CREATE (n:Person {Name: 'x'})"))
+    // unknown property
+    intercept[CypherBindingException](rows(
+      "CREATE (n:Person {id: 'z', Nope: 1})"))
+    // duplicate assignment
+    intercept[CypherBindingException](rows(
+      "CREATE (n:Person {id: 'z', Name: 'a', Name: 'b'})"))
+    // the map cannot read the created alias
+    intercept[CypherBindingException](rows(
+      "CREATE (n:Person {id: 'z', Name: n.Name})"))
+    // no aggregates in the map
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) WITH p.id AS pid
+        |CREATE (n:Person {id: count(pid)})""".stripMargin))
+    // alias collision with scope
+    intercept[CypherBindingException](rows(
+      "MATCH (n:Person) CREATE (n:Person {id: 'z'})"))
+    // no RETURN after; no UNION around; not inside CALL
+    intercept[CypherNotSupportedException](rows(
+      "CREATE (n:Person {id: 'z'}) RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "CREATE (n:Person {id: 'x'}) UNION CREATE (n:Person {id: 'y'})"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) CALL { CREATE (z:Person {id: 'x'}) }
+        |RETURN p.Name AS N""".stripMargin))
+    // relationship / multi-pattern CREATE
+    intercept[CypherNotSupportedException](rows(
+      "CREATE (a:Person {id: 'x'})-[:FOLLOWS]->(b:Person {id: 'y'})"))
+    intercept[CypherNotSupportedException](rows(
+      "CREATE (a:Person {id: 'x'}), (b:Person {id: 'y'})"))
+  }
+
   // ----------------------------- terminal SET / DELETE (extension)
 
   test("SET: matched node rows update reading OLD values + scope, rest pass") {
