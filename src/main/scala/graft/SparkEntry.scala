@@ -1092,6 +1092,44 @@ object SparkEntry {
              |FROM supplier WHERE s_acctbal > 9000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --- SET += map sugar (round 10): each key of the literal map
+    //     desugars at parse time to an ordinary assignment — same
+    //     compile path, winner-dedup, stored-type casts and
+    //     declared-property checks as spelled-out SET; rhs reads the
+    //     OLD entity
+    ("q70_set_map_sugar",
+      (s, dir) => cyx(
+        """MATCH (c:Customer) WHERE c.c_acctbal < 0.0
+          |SET c += {c_mktsegment: 'DELINQUENT', c_acctbal: 0.0}"""
+          .stripMargin)
+        .apply(s, dir).orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name,
+             |  CASE WHEN c_acctbal < 0.0 THEN 0.0
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  CASE WHEN c_acctbal < 0.0 THEN 'DELINQUENT'
+             |       ELSE c_mktsegment END AS c_mktsegment,
+             |  c_nationkey
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // --- REMOVE sugar (round 10): REMOVE n.p parses into SET n.p =
+    //     null (property removal IS a null write in a table-backed
+    //     graph) — aggregated feed keys the nation snapshot
+    ("q71_remove_prop",
+      (s, dir) => cyx(
+        """MATCH (n:Nation)<-[:FROM_NATION]-(c:Customer)
+          |WITH n, count(c) AS nc
+          |WHERE nc >= 40
+          |REMOVE n.n_name""".stripMargin)
+        .apply(s, dir).orderBy("n_nationkey"),
+      Some("""WITH f AS (
+             |  SELECT c_nationkey AS k FROM customer
+             |  GROUP BY 1 HAVING count(*) >= 40)
+             |SELECT n_nationkey,
+             |  CASE WHEN f.k IS NOT NULL THEN NULL
+             |       ELSE n_name END AS n_name
+             |FROM nation LEFT JOIN f ON f.k = n_nationkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // --- Cypher 5 pattern predicates (extension): WHERE inside node
     //     and relationship patterns, desugared at parse to the
     //     enclosing MATCH's WHERE — plan-identical to the spelled-out

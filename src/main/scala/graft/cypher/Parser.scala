@@ -161,9 +161,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         && !extensions =>
       notSupported(s"updating clause $k (read-only engine; a terminal " +
         s"snapshot-producing $k is supported with extensions enabled)")
-    case Kw("REMOVE", _, _) =>
-      notSupported("updating clause REMOVE (read-only engine; property " +
-        "removal is SET n.prop = null with extensions enabled)")
+    case Kw("REMOVE", _, _) if !extensions =>
+      notSupported("updating clause REMOVE (read-only engine; a " +
+        "terminal snapshot-producing REMOVE is supported with " +
+        "extensions enabled)")
     case Kw("UNWIND", _, _) if !extensions =>
       notSupported("UNWIND (supported with extensions enabled)")
     case Kw("CALL", _, _)
@@ -259,23 +260,27 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("RETURN after MERGE — the merge result IS the " +
             "new snapshot")
         done = true
-      } else if (isKw("SET")) {
-        // terminal SET (extension; parity rejected in rejectUpdating):
-        // the result is the target entity's NEW snapshot. Unlike MERGE,
-        // SET needs a bound target — a first-clause SET has nothing to
-        // update.
+      } else if (isKw("SET") || isKw("REMOVE")) {
+        // terminal SET / REMOVE (extension; parity rejected in
+        // rejectUpdating): the result is the target entity's NEW
+        // snapshot. REMOVE a.p is parse sugar for SET a.p = null.
+        // Unlike MERGE, both need a bound target — a first-clause
+        // SET/REMOVE has nothing to update.
+        val remove = isKw("REMOVE")
+        val kw = if (remove) "REMOVE" else "SET"
         if (inSubquery)
-          notSupported("SET inside a CALL subquery — SET must be the " +
+          notSupported(s"$kw inside a CALL subquery — $kw must be the " +
             "query's terminal clause")
         if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty)
-          notSupported("SET without a preceding MATCH binding its target")
+          notSupported(s"$kw without a preceding MATCH binding its target")
         p += 1
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        pendingSet = Some(parseSetClause())
+        pendingSet = Some(
+          if (remove) parseRemoveClause() else parseSetClause())
         if (isKw("RETURN"))
-          notSupported("RETURN after SET — the set result IS the new " +
+          notSupported(s"RETURN after $kw — the result IS the new " +
             "snapshot")
         done = true
       } else if (isKw("DELETE") || isKw("DETACH")) {
@@ -405,12 +410,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate)
   }
 
-  /** `SET a.p = e [, a.q = e2 …]` — terminal, every assignment on ONE
-    * bound entity variable (one query, one new snapshot). The SET
+  /** `SET a.p = e [, a.q = e2 …]` and the map-sugar form
+    * `SET a += {p: e, q: e2, …}` (each key desugars to an ordinary
+    * assignment — the compiler checks keys against the declared
+    * properties exactly as it does spelled-out ones) — terminal,
+    * every assignment on ONE bound entity variable (one query, one
+    * new snapshot). `SET a = {…}` (full map replacement) stays a
+    * typed rejection: it silently nulls every unlisted property —
+    * spell that with `+=` plus explicit `= null` assignments. The SET
     * keyword is consumed by the caller. */
   private def parseSetClause(): SetClause = {
     var alias: String = null
     val b = Vector.newBuilder[(String, Expr)]
+    def propName(where: String): String = cur match {
+      case Ident(s, _)   => p += 1; s
+      case Kw(_, raw, _) => p += 1; raw
+      case _ => syntaxErr(s"expected a property name $where")
+    }
     def one(): Unit = {
       val a = ident()
       if (alias == null) alias = a
@@ -420,17 +436,60 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       if (isPunct(":"))
         notSupported(s"SET $a:Label — label assignment (labels are " +
           "table-backed; there is no label column to write)")
-      if (isPunct("+") || isPunct("="))
-        notSupported(s"SET $a = {…} / += {…} map assignment — assign " +
-          "properties individually")
+      if (isPunct("+")) {
+        // `SET a += {k: e, …}` — parse the map inline (keys are
+        // property names, taken verbatim) and emit one assignment per
+        // key; duplicate keys collapse to the SetClause duplicate check
+        p += 1
+        eatPunct("=")
+        if (!isPunct("{")) syntaxErr("expected a map literal after '+='")
+        eatPunct("{")
+        def entry(): Unit = {
+          val pr = propName("in the SET += map")
+          eatPunct(":")
+          b += ((pr, parseExpr()))
+        }
+        entry(); while (tryPunct(",")) entry()
+        eatPunct("}")
+      } else if (isPunct("=")) {
+        notSupported(s"SET $a = {…} map replacement — it silently " +
+          "nulls every unlisted property; use SET " + a +
+          " += {…} (listed keys only) plus explicit = null assignments")
+      } else {
+        eatPunct(".")
+        val pr = propName("after '.'")
+        eatPunct("=")
+        b += ((pr, parseExpr()))
+      }
+    }
+    one(); while (tryPunct(",")) one()
+    SetClause(alias, b.result())
+  }
+
+  /** `REMOVE a.p [, a.q …]` — parse sugar for `SET a.p = null, …`
+    * (property removal IS a null write in a table-backed graph; the
+    * compiler path, winner-dedup and snapshot union are shared with
+    * SET). Label removal `REMOVE a:L` is a typed rejection. The
+    * REMOVE keyword is consumed by the caller. */
+  private def parseRemoveClause(): SetClause = {
+    var alias: String = null
+    val b = Vector.newBuilder[(String, Expr)]
+    def one(): Unit = {
+      val a = ident()
+      if (alias == null) alias = a
+      else if (a != alias) notSupported(
+        s"REMOVE over multiple variables ('$alias' and '$a') — one " +
+        "terminal REMOVE produces one entity's new snapshot")
+      if (isPunct(":"))
+        notSupported(s"REMOVE $a:Label — label removal (labels are " +
+          "table-backed; there is no label column to unwrite)")
       eatPunct(".")
       val pr = cur match {
         case Ident(s, _)   => p += 1; s
         case Kw(_, raw, _) => p += 1; raw
         case _ => syntaxErr("expected a property name after '.'")
       }
-      eatPunct("=")
-      b += ((pr, parseExpr()))
+      b += ((pr, Lit(null)))
     }
     one(); while (tryPunct(",")) one()
     SetClause(alias, b.result())

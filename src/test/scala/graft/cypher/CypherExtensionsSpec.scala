@@ -1757,6 +1757,65 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) SET p.Born = count(p)"))
   }
 
+  test("SET += map sugar desugars to per-key assignments") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |SET p += {Name: p.Name + '!', Born: p.Born + 1}""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 5)
+    val byId = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("p1") == (("Tom Hanks!", Some(1957))))
+    assert(byId("p2") == (("Meg Ryan", Some(1961)))) // untouched
+    // mixes with spelled-out assignments in one SET
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p2'
+        |SET p += {Born: 2000}, p.Name = 'MR'""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1))).toMap
+    assert(r2("p2") == "MR")
+    // unknown keys in the map are the ordinary declared-property error
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p += {Nope: 1}"))
+    // duplicate key across map + spelled-out form
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p += {Name: 'a'}, p.Name = 'b'"))
+    // id stays unassignable through the sugar
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p += {id: 'z'}"))
+    // empty/ill-formed map is a syntax error
+    intercept[CypherException](rows("MATCH (p:Person) SET p += 1"))
+  }
+
+  test("REMOVE a.p is SET a.p = null: property removal") {
+    val r = rows(
+      "MATCH (m:Movie) WHERE m.id = 'm1' REMOVE m.Tagline")
+      .map(x => (x.getString(0),
+        if (x.isNullAt(2)) None else Some(x.getString(2)))).sortBy(_._1)
+    assert(r.size == 3)
+    assert(r.toMap.apply("m1").isEmpty)                       // removed
+    assert(r.toMap.apply("m2") == Some("Houston, we have a problem."))
+    // multiple properties, one entity
+    val r2 = rows(
+      "MATCH (p:Person) WHERE p.id = 'p1' REMOVE p.Name, p.Born")
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getString(1)))).toMap
+    assert(r2("p1").isEmpty)
+    // typed rejections: label removal, multiple variables, unknown
+    // property, id removal, parity mode
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) REMOVE p:Actor"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |REMOVE p.Name, m.Tagline""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) REMOVE p.Nope"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) REMOVE p.id"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) REMOVE p.Name RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows("REMOVE p.Name"))
+  }
+
   test("shortestPath over an unbounded range lowers to BFS min-distance") {
     // FOLLOWS: p5->p1, p5->p2, p1->p2 — p5 reaches p2 both directly and
     // via p1; shortestPath keeps ONE row per pair at the minimum
