@@ -150,6 +150,14 @@ private[cypher] object Reach {
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
+              if (r.alias.isDefined)
+                throw new CypherNotSupportedException(
+                  s"relationship variable '${r.alias.get}' over an " +
+                  "unbounded variable-length is not bindable — " +
+                  "reachable-pair semantics erase the individual " +
+                  "relationships (a pair row aggregates many hops); " +
+                  "drop the variable, or bound the range [*lo..hi] " +
+                  "for per-branch relationship rows")
               if (r.alts.nonEmpty)
                 throw new CypherNotSupportedException(
                   "relationship type alternation with an unbounded " +

@@ -1861,6 +1861,18 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherBindingException](rows(
       """MATCH (a:Person)-[:ACTED_IN*]->(m:Movie)
         |RETURN a.Name AS N""".stripMargin))
+    // a relationship VARIABLE on a var-length rel is a typed PARSE
+    // rejection (never a silent drop): a later `RETURN r` can't hit a
+    // misleading not-a-bound-variable error because the query never
+    // parses; Reach.rewrite carries a second typed guard for
+    // programmatically built ASTs
+    val e = intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[r:FOLLOWS*]->(b:Person)
+        |RETURN a.Name AS N""".stripMargin))
+    assert(e.getMessage.contains("variable"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[r:FOLLOWS*1..]->(b:Person))
+        |RETURN length(p) AS L""".stripMargin))
   }
 
   test("property: reachablePairs matches brute transitive closure on random graphs") {
