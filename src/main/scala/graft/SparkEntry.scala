@@ -1092,6 +1092,45 @@ object SparkEntry {
              |FROM supplier WHERE s_acctbal > 9000.0
              |ORDER BY c_custkey""".stripMargin)),
 
+    // --- anchored allShortestPaths over an unbounded range (round
+    //     10): the reach BFS carries the shortest-path count σ
+    //     (Brandes' forward pass — a per-round groupBy-sum on slim
+    //     rows, no per-path state) and each (src, dst) pair row
+    //     multiplies σ-fold, giving one row per minimal path; the
+    //     oracle enumerates minimal walks with a UNION ALL recursive
+    //     CTE over the branching jump DAG
+    ("q72_all_shortest", cyx(
+      """MATCH p = allShortestPaths(
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*1..]->(b:Nation))
+        |RETURN b.n_name AS dst_name, length(p) AS hops
+        |ORDER BY dst_name, hops""".stripMargin),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT src, dst FROM (
+             |    SELECT n_nationkey AS src,
+             |           lead(n_nationkey, 1) OVER
+             |             (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS dst
+             |    FROM nation
+             |    UNION ALL
+             |    SELECT n_nationkey AS src,
+             |           lead(n_nationkey, 2) OVER
+             |             (PARTITION BY n_regionkey
+             |              ORDER BY n_nationkey) AS dst
+             |    FROM nation)
+             |  WHERE dst IS NOT NULL),
+             |walks AS (
+             |  SELECT src, dst, 1 AS d FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.d + 1
+             |  FROM walks w JOIN e ON e.src = w.dst),
+             |mins AS (
+             |  SELECT src, dst, min(d) AS md FROM walks GROUP BY 1, 2)
+             |SELECT b.n_name AS dst_name, CAST(w.d AS BIGINT) AS hops
+             |FROM walks w
+             |JOIN mins m ON m.src = w.src AND m.dst = w.dst AND w.d = m.md
+             |JOIN nation b ON b.n_nationkey = w.dst
+             |ORDER BY dst_name, hops""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

@@ -63,7 +63,15 @@ object TpchGraph {
       // the chain graph behind the unbounded [*1..] reachability
       // extension (a DuckDB recursive CTE mirrors it exactly)
       EdgeDef("NEXT_IN_REGION", "Nation", "Nation",
-        "src_nationkey", "dst_nationkey", Seq.empty, "nation_chain")))
+        "src_nationkey", "dst_nationkey", Seq.empty, "nation_chain"),
+      // second self-type Nation edge with BRANCHING: each nation jumps
+      // to its +1 AND +2 successors within the region (a diamond-rich
+      // DAG — distinct shortest-path counts follow a Fibonacci-like
+      // recurrence), backing the anchored allShortestPaths witness
+      // lowering; a DuckDB UNION ALL recursive walk mirrors it exactly
+      // (the DAG terminates the recursion)
+      EdgeDef("JUMPS_TO", "Nation", "Nation",
+        "src_nationkey", "dst_nationkey", Seq.empty, "nation_jump")))
 
   def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession = {
     // live-session registration (idempotent): the graft_* SQL surface
@@ -83,6 +91,14 @@ object TpchGraph {
         base("nation").select(
             col("n_nationkey").as("src_nationkey"),
             lead("n_nationkey", 1).over(w).as("dst_nationkey"))
+          .where(col("dst_nationkey").isNotNull)
+      case "nation_jump" =>
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        val n = base("nation")
+        n.select(col("n_nationkey").as("src_nationkey"),
+            lead("n_nationkey", 1).over(w).as("dst_nationkey"))
+          .unionByName(n.select(col("n_nationkey").as("src_nationkey"),
+            lead("n_nationkey", 2).over(w).as("dst_nationkey")))
           .where(col("dst_nationkey").isNotNull)
       case t => base(t)
     }

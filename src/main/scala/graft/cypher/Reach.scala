@@ -64,14 +64,19 @@ import graft.ops.GraphContractViolation
  *    namespace; heterogeneous chains must be written hop by hop;
  *  - directed pattern (`->` / `<-`) — an undirected self-type hop is
  *    ambiguous (the analyzer's single-hop rule, LogicalPlan.cs:603-612);
- *  - per-path observation: a PLAIN named path (`length(p)`) and
- *    allShortestPaths keep the BOUNDED contract — their results need
- *    one row per path / per minimal path, which reachable pairs erase.
- *    `shortestPath()` over an unbounded range IS lowered (round 9):
- *    min-distance per pair is exactly what the BFS's first-discovery
- *    round computes, so the reach frame gains a `__dist` column and
- *    `length(p)` binds to it — per-pair shortest semantics without
- *    ever enumerating a path;
+ *  - per-path observation: a PLAIN named path (`length(p)`) keeps the
+ *    BOUNDED contract — one row per path is factorially large, which
+ *    reachable pairs erase. `shortestPath()` over an unbounded range
+ *    IS lowered (round 9): min-distance per pair is exactly what the
+ *    BFS's first-discovery round computes, so the reach frame gains a
+ *    `__dist` column and `length(p)` binds to it — per-pair shortest
+ *    semantics without ever enumerating a path. `allShortestPaths()`
+ *    over an unbounded range is lowered for ANCHORED patterns only
+ *    (round 10, [[allShortestWitnesses]]): the same BFS carries the
+ *    shortest-path count σ (Brandes' forward pass) and each pair row
+ *    multiplies σ-fold — one row per minimal path with no per-path
+ *    state; unanchored stays a typed rejection (the witness set is
+ *    only bounded on an anchored cone);
  *  - lower bound 1 (parser-enforced): "exists a path of length ≥ k" is
  *    not min-distance ≥ k on cyclic graphs, so [*k..] has no honest
  *    reachability lowering.
@@ -125,28 +130,29 @@ private[cypher] object Reach {
       m.copy(parts = m.parts.map { pp =>
         if (!pp.rels.exists(isUnbounded)) pp
         else {
-          if (pp.allShortest)
-            throw new CypherNotSupportedException(
-              "allShortestPaths() over an unbounded variable-length — " +
-              "reachable pairs erase path multiplicity; bound the " +
-              "range [*lo..hi]")
-          if (pp.pathVar.isDefined && !pp.shortest)
+          if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest)
             throw new CypherNotSupportedException(
               "length(path) over an unbounded variable-length " +
               "relationship (one row per path enumerates factorially " +
               "many paths on cyclic graphs) — wrap the pattern in " +
               "shortestPath() for min-distance semantics, or bound " +
               "the range [*lo..hi]")
-          if (pp.shortest && pp.rels.size != 1)
+          if ((pp.shortest || pp.allShortest) && pp.rels.size != 1)
             throw new CypherNotSupportedException(
-              "shortestPath() over an unbounded variable-length " +
+              (if (pp.allShortest) "allShortestPaths()"
+               else "shortestPath()") +
+              " over an unbounded variable-length " +
               "composes only as the pattern's sole relationship — " +
               "chain further hops through a WITH")
           // shortestPath((a)-[:T*1..]->(b)): the reach frame is already
           // ONE row per (src, dst) pair, and BFS first-discovery IS the
           // min distance — so the lowering just adds a __dist column
-          // and binds length(p) to it (no per-path state anywhere)
-          val needDist = pp.shortest && pp.pathVar.isDefined
+          // and binds length(p) to it (no per-path state anywhere).
+          // allShortestPaths additionally multiplies each pair row by
+          // its shortest-path COUNT (σ from the same BFS — no path
+          // enumeration), and requires an anchored endpoint.
+          val needDist =
+            (pp.shortest || pp.allShortest) && pp.pathVar.isDefined
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
@@ -193,23 +199,47 @@ private[cypher] object Reach {
               val dstPat =
                 if (r.dir == Direction.Out) pp.nodes(i + 1) else pp.nodes(i)
               val edf = catalog.edgeDf(e)
-              val reach = seedFor(m.where, srcPat.alias, node, catalog, outer)
+              def swapBack(rev: DataFrame, dist: Boolean): DataFrame = {
+                // reverse BFS from the destination anchor: an R-path
+                // d→x over reversed edges is an E-path x→d, so swap
+                // the output columns back (the hop count — and the
+                // witness multiplicity — are direction-agnostic)
+                val swapped = Seq(col("__dst").as("__s"),
+                  col("__src").as("__d")) ++
+                  (if (dist) Seq(col("__dist")) else Seq.empty)
+                rev.select(swapped: _*)
+                  .withColumnRenamed("__s", "__src")
+                  .withColumnRenamed("__d", "__dst")
+              }
+              val reach = if (pp.allShortest) {
+                // witness expansion is only bounded on an anchored
+                // cone: σ-many rows per pair, σ from the same BFS
+                val w = seedFor(m.where, srcPat.alias, node, catalog,
+                    outer)
+                  .map(sd => allShortestWitnesses(edf, e.srcIdColumn,
+                    e.sinkIdColumn, sd))
+                  .orElse {
+                    seedFor(m.where, dstPat.alias, node, catalog, outer)
+                      .map(sd => swapBack(allShortestWitnesses(edf,
+                        e.sinkIdColumn, e.srcIdColumn, sd), dist = true))
+                  }
+                  .getOrElse(throw new CypherNotSupportedException(
+                    "allShortestPaths() over an unbounded " +
+                    "variable-length requires an ANCHORED endpoint (a " +
+                    "literal WHERE equality/IN, an inline property " +
+                    "map, or a piped frame) — one row per minimal " +
+                    "path is only bounded on an anchored cone; bound " +
+                    "the range [*lo..hi] otherwise"))
+                if (needDist) w else w.drop("__dist")
+              } else seedFor(m.where, srcPat.alias, node, catalog, outer)
                 .map(sd => reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
                   seeds = Some(sd), withDist = needDist))
                 .orElse {
                   seedFor(m.where, dstPat.alias, node, catalog, outer).map {
-                    sd => // reverse BFS from the destination anchor:
-                          // an R-path d→x over reversed edges is an
-                          // E-path x→d, so swap the output columns back
-                          // (the hop count is direction-agnostic)
-                      val rev = reachablePairs(edf, e.sinkIdColumn,
-                        e.srcIdColumn, seeds = Some(sd), withDist = needDist)
-                      val swapped = Seq(col("__dst").as("__s"),
-                        col("__src").as("__d")) ++
-                        (if (needDist) Seq(col("__dist")) else Seq.empty)
-                      rev.select(swapped: _*)
-                        .withColumnRenamed("__s", "__src")
-                        .withColumnRenamed("__d", "__dst")
+                    sd =>
+                      swapBack(reachablePairs(edf, e.sinkIdColumn,
+                        e.srcIdColumn, seeds = Some(sd),
+                        withDist = needDist), dist = needDist)
                   }
                 }
                 .getOrElse(reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
@@ -225,7 +255,7 @@ private[cypher] object Reach {
                 Some(synthVerb), r.dir)
             }
           }
-          pp.copy(rels = rels2, shortest = false)
+          pp.copy(rels = rels2, shortest = false, allShortest = false)
         }
       })
     }
@@ -369,5 +399,89 @@ private[cypher] object Reach {
       }
     }
     seen
+  }
+
+  /**
+   * allShortestPaths over an unbounded range, ANCHORED form: one row
+   * per shortest-path WITNESS — for each reachable (seed, node) pair,
+   * σ rows at distance d_min, where σ is the pair's shortest-path
+   * count. σ comes from the same frontier BFS that computes reach
+   * (Brandes' forward pass, the [[graft.ops.GraphOps]] betweenness
+   * posture): a node first discovered at round k+1 has
+   * σ(v) = Σ σ(u) over its round-k predecessors — one groupBy-sum per
+   * round on slim (src, dst, σ) rows; every walk of length d_min is
+   * necessarily a simple shortest path, so σ counts paths with NO
+   * per-path state anywhere. The final σ-fold row multiplication is a
+   * map-side `explode(sequence(1, σ))`.
+   *
+   * Scale posture: requires seeds (the witness set is only bounded on
+   * an anchored cone — [[rewrite]] enforces it); the accumulated pair
+   * count rides the same `maxClosureRows` guard as [[reachablePairs]],
+   * and the summed witness count is guarded against the same bound
+   * before the explode, so a combinatorial σ blowup fails fast with a
+   * typed error instead of materializing.
+   */
+  private[cypher] def allShortestWitnesses(edges: DataFrame,
+      srcCol: String, dstCol: String, seeds: DataFrame,
+      maxClosureRows: Option[Long] = None): DataFrame = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val bound = maxClosureRows
+      .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
+        .map(_.toLong))
+      .getOrElse(math.max(64L * e.count(), 1024L))
+    def guard(total: Long, round: Int, what: String): Unit =
+      if (total > bound)
+        throw new GraphContractViolation(
+          s"allShortestPaths: $what hit $total rows after round $round " +
+          s"(bound maxClosureRows=$bound). Narrow the anchor, or raise " +
+          s"$MaxClosureRowsConf deliberately.")
+    val sd = seeds.select(col(seeds.columns.head).as("__src"))
+      .where(col("__src").isNotNull).distinct().localCheckpoint(false)
+    var seen = e.join(sd, Seq("__src"), "left_semi")
+      .withColumn("__dist", lit(1L))
+      .withColumn("__sigma", lit(1L))
+      .localCheckpoint(false)
+    var frontier = seen
+    var total = frontier.count()
+    guard(total, 0, "the anchored cone")
+    var rounds = 0
+    var go = total > 0
+    while (go) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          s"allShortestPaths: BFS did not converge in $MaxRounds " +
+          "rounds — the edge set's diameter exceeds the guard")
+      // σ(v at k+1) = Σ σ(u at k): partial-agg groupBy BEFORE the
+      // anti-join (the sum only involves frontier rows; nodes already
+      // seen are strictly closer and contribute nothing)
+      val next = frontier
+        .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
+          col("__dst") === col("__mid"))
+        .select(col("__src"), col("__d2").as("__dst"), col("__sigma"))
+        .groupBy(col("__src"), col("__dst"))
+        .agg(sum(col("__sigma")).as("__sigma"))
+        .join(seen.select(col("__src"), col("__dst")),
+          Seq("__src", "__dst"), "left_anti")
+        .withColumn("__dist", lit((rounds + 1).toLong))
+        .select(col("__src"), col("__dst"), col("__dist"), col("__sigma"))
+        .localCheckpoint(false)
+      val n = next.count()
+      go = n > 0
+      if (go) {
+        total += n
+        guard(total, rounds, "the anchored cone")
+        seen = seen.union(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    val witnesses = seen.agg(coalesce(sum(col("__sigma")), lit(0L)))
+      .first().getLong(0)
+    guard(witnesses, rounds, "the witness expansion")
+    seen.select(col("__src"), col("__dst"), col("__dist"),
+        explode(sequence(lit(1L), col("__sigma"))).as("__w"))
+      .drop("__w")
   }
 }

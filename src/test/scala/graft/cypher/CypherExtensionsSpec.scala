@@ -1875,6 +1875,55 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN length(p) AS L""".stripMargin))
   }
 
+  test("allShortestPaths over an unbounded range: one row per witness") {
+    import spark.implicits._
+    // diamond + tail: s→a, s→b, a→c, b→c, c→t — two shortest s→c
+    // paths (σ=2) and two s→t paths (σ=2, d=3); s→a/b direct (σ=1)
+    val cat = new GraphCatalog(
+      GraphSchema(
+        nodes = Seq(NodeDef("V", "id", Seq("nm"), "tv")),
+        edges = Seq(EdgeDef("E", "V", "V", "src", "dst", Seq.empty, "te"))),
+      Map(
+        "tv" -> Seq((0, "s"), (1, "a"), (2, "b"), (3, "c"), (4, "t"))
+          .toDF("id", "nm"),
+        "te" -> Seq((0, 1), (0, 2), (1, 3), (2, 3), (3, 4))
+          .toDF("src", "dst"))(_))
+    val s = new CypherSession(spark, cat).extended
+    val r = s.run(
+      """MATCH p = allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
+        |RETURN y.nm AS dst, length(p) AS hops
+        |ORDER BY dst, hops""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(r == Seq(("a", 1L), ("b", 1L), ("c", 2L), ("c", 2L),
+      ("t", 3L), ("t", 3L)))
+    // count-per-pair view: σ via implicit grouping
+    val c = s.run(
+      """MATCH p = allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
+        |RETURN y.nm AS dst, count(*) AS sigma, min(length(p)) AS hops
+        |ORDER BY dst""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(c.toSeq == Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 2L, 2L),
+      ("t", 2L, 3L)))
+    // destination anchor runs the reversed BFS and swaps back
+    val d = s.run(
+      """MATCH p = allShortestPaths((x:V)-[:E*1..]->(y:V {id: 4}))
+        |RETURN x.nm AS src, count(*) AS sigma, min(length(p)) AS hops
+        |ORDER BY src""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(d.toSeq == Seq(("a", 1L, 2L), ("b", 1L, 2L), ("c", 1L, 1L),
+      ("s", 2L, 3L)))
+    // unnamed form works too (no length observation, σ-fold rows)
+    val u = s.run(
+      """MATCH allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
+        |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
+    assert(u == 6L)
+    // UNANCHORED stays a typed rejection
+    val e1 = intercept[CypherNotSupportedException](s.run(
+      """MATCH p = allShortestPaths((x:V)-[:E*1..]->(y:V))
+        |RETURN length(p) AS L""".stripMargin).collect())
+    assert(e1.getMessage.contains("ANCHORED"))
+  }
+
   test("property: reachablePairs matches brute transitive closure on random graphs") {
     import spark.implicits._
     var seed = 0x9E3779B97F4A7C15L
