@@ -1131,6 +1131,41 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = w.dst
              |ORDER BY dst_name, hops""".stripMargin)),
 
+    // --- shortestPath over an unbounded range inside OPTIONAL MATCH
+    //     (round 10): the reach frame compiles standalone and LEFT
+    //     joins once — the q62 branch-union discipline — so the
+    //     path-length column null-fills on unmatched rows (Cypher's
+    //     null-on-miss contract for free); the clause WHERE filters
+    //     the optional side BEFORE the join
+    ("q73_optional_shortest", cyx(
+      """MATCH (a:Nation) WHERE a.n_nationkey <= 12
+        |OPTIONAL MATCH p = shortestPath(
+        |  (a)-[:NEXT_IN_REGION*1..]->(b:Nation))
+        |WHERE length(p) >= 2
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       length(p) AS hops
+        |ORDER BY src_name, dst_name""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |reach AS (
+             |  SELECT src, dst, 1 AS d FROM chain WHERE dst IS NOT NULL
+             |  UNION
+             |  SELECT r.src, c.dst, r.d + 1 FROM reach r
+             |  JOIN chain c ON c.src = r.dst WHERE c.dst IS NOT NULL),
+             |sp AS (
+             |  SELECT src, dst, CAST(min(d) AS BIGINT) AS md
+             |  FROM reach GROUP BY 1, 2 HAVING min(d) >= 2)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       sp.md AS hops
+             |FROM nation a
+             |LEFT JOIN sp ON sp.src = a.n_nationkey
+             |LEFT JOIN nation b ON b.n_nationkey = sp.dst
+             |WHERE a.n_nationkey <= 12
+             |ORDER BY src_name, dst_name""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

@@ -254,20 +254,22 @@ object Analyzer {
 
       nm.parts.foreach { pp =>
         pp.pathVar.foreach { pv =>
-          if (nm.m.optional)
-            throw new CypherNotSupportedException(
-              "named path in OPTIONAL MATCH — its length would need " +
-              "null-on-unmatched semantics; bind the path in a MATCH")
-          if (allNodeAliases(pv) || allRelAliases(pv) ||
-              inherited.contains(pv) || !pathSeen.add(pv))
-            throw new CypherBindingException(
-              s"path alias '$pv' collides with another variable")
           // a Reach-made dist rel (`__rd<n>`, shortestPath over an
           // unbounded range) binds the path var to its min-distance
           // property column instead of a literal relationship count
           val distRel = pp.rels.collectFirst {
             case rp if rp.alias.exists(Reach.isDistRel) => rp.alias.get
           }
+          if (nm.m.optional && distRel.isEmpty)
+            throw new CypherNotSupportedException(
+              "named path in OPTIONAL MATCH — its length would need " +
+              "null-on-unmatched semantics; bind the path in a MATCH " +
+              "(exception: shortestPath over an unbounded range, whose " +
+              "length column null-fills through the left join)")
+          if (allNodeAliases(pv) || allRelAliases(pv) ||
+              inherited.contains(pv) || !pathSeen.add(pv))
+            throw new CypherBindingException(
+              s"path alias '$pv' collides with another variable")
           paths += ((pv, distRel match {
             case Some(ra) => Right(Compiler.pref(ra, "__dist"))
             case None     => Left(pp.rels.size)

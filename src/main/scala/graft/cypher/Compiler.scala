@@ -227,10 +227,25 @@ object Compiler {
           conds.partition(c => newSet(c.a) && newSet(c.b))
         val optDf = joinEntities(None, Set.empty,
           groupsByPattern(m, newEntities, merged), innerConds, catalog)
-        val optFiltered = m.inequalityPairs
+        var optFiltered = m.inequalityPairs
           .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
           .foldLeft(optDf)((d, p) => d.filter(inequalityCond(p)))
-        val combinedScope = scope ++ newEntities
+        // named paths in OPTIONAL MATCH exist only for the unbounded
+        // shortestPath lowering (Analyzer rejects the literal-length
+        // form): the alias column rides the OPTIONAL side — so the
+        // clause WHERE can read length(p) — and null-fills through
+        // the left join, Cypher's null-on-unmatched contract for free
+        m.pathVars.foreach { case (a, len) =>
+          len match {
+            case Right(dcol) =>
+              optFiltered = optFiltered.withColumn(a, col(dcol))
+            case Left(_) => throw new IllegalStateException(
+              s"internal: literal-length path '$a' in OPTIONAL MATCH " +
+              "should have been rejected by the analyzer")
+          }
+        }
+        val combinedScope = scope ++ newEntities ++
+          m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }
         if (df == null)
           throw new CypherNotSupportedException(
             "first clause cannot be OPTIONAL MATCH")

@@ -1924,6 +1924,53 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("ANCHORED"))
   }
 
+  test("shortestPath/[*] inside OPTIONAL MATCH: null-on-miss left join") {
+    // FOLLOWS: p5→p1, p5→p2, p1→p2 — p2/p3/p4 reach nobody
+    val r = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH p = shortestPath((a)-[:FOLLOWS*1..]->(b:Person))
+        |RETURN a.Name AS src, b.Name AS dst, length(p) AS hops
+        |ORDER BY src, dst""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) null else x.getString(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2)))
+    assert(r.toSeq == Seq(
+      ("Jessica Thompson", "Meg Ryan", 1L),
+      ("Jessica Thompson", "Tom Hanks", 1L),
+      ("Kevin Bacon", null, -1L),
+      ("Meg Ryan", null, -1L),
+      ("Rob Reiner", null, -1L),
+      ("Tom Hanks", "Meg Ryan", 1L)))
+    // WHERE over length(p) filters the optional side BEFORE the left
+    // join (Cypher's pre-join contract): 2-hop-only keeps p5→p2 via
+    // p1 out (dist 1 direct), so p5 drops to a null row too
+    val r2 = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH p = shortestPath((a)-[:FOLLOWS*1..]->(b:Person))
+        |WHERE length(p) >= 2
+        |RETURN a.Name AS src, b.Name AS dst
+        |ORDER BY src, dst""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(1)) null else x.getString(1)))
+    assert(r2.toSeq == Seq(
+      ("Jessica Thompson", null), ("Kevin Bacon", null),
+      ("Meg Ryan", null), ("Rob Reiner", null), ("Tom Hanks", null)))
+    // plain [*] in OPTIONAL MATCH (no path var) — same discipline
+    val r3 = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH (a)-[:FOLLOWS*1..]->(b:Person)
+        |RETURN a.Name AS src, count(b) AS n
+        |ORDER BY src""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r3.toSeq == Seq(("Jessica Thompson", 2L), ("Kevin Bacon", 0L),
+      ("Meg Ryan", 0L), ("Rob Reiner", 0L), ("Tom Hanks", 1L)))
+    // a named path over a LITERAL length in OPTIONAL MATCH stays a
+    // typed rejection (non-null literal breaks null-on-unmatched)
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH p = (a)-[:FOLLOWS]->(b:Person)
+        |RETURN a.Name AS src, length(p) AS L""".stripMargin))
+  }
+
   test("property: reachablePairs matches brute transitive closure on random graphs") {
     import spark.implicits._
     var seed = 0x9E3779B97F4A7C15L
