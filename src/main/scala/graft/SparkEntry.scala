@@ -1166,6 +1166,23 @@ object SparkEntry {
              |WHERE a.n_nationkey <= 12
              |ORDER BY src_name, dst_name""".stripMargin)),
 
+    // --- heterogeneous unbounded chain (round 10): the FEEDS verb
+    //     spans Customer→Order and Order→Part, so the BFS runs over a
+    //     union of both edge frames with `label:id` tagged namespaces
+    //     (colliding raw ids can never conflate) and the result
+    //     filters to the pattern's endpoint labels, tags stripped —
+    //     count(b) counts the deduped reachable pairs
+    ("q74_hetero_reach", cyx(
+      """MATCH (a:Customer)-[:FEEDS*1..]->(b:Part)
+        |WHERE a.c_custkey <= 5
+        |RETURN a.c_custkey AS ck, count(b) AS n_parts
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT o_custkey AS ck,
+             |       count(DISTINCT l_partkey) AS n_parts
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_custkey <= 5
+             |GROUP BY 1 ORDER BY ck""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

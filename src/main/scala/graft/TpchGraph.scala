@@ -71,7 +71,15 @@ object TpchGraph {
       // lowering; a DuckDB UNION ALL recursive walk mirrors it exactly
       // (the DAG terminates the recursion)
       EdgeDef("JUMPS_TO", "Nation", "Nation",
-        "src_nationkey", "dst_nationkey", Seq.empty, "nation_jump")))
+        "src_nationkey", "dst_nationkey", Seq.empty, "nation_jump"),
+      // heterogeneous verb (round 10): ONE verb spanning two label
+      // pairs — Customer→Order (orders) and Order→Part (lineitem) —
+      // the label DAG behind the label-stratified unbounded-chain
+      // extension `(a:Customer)-[:FEEDS*1..]->(b:Part)`
+      EdgeDef("FEEDS", "Customer", "Order",
+        "o_custkey", "o_orderkey", Seq.empty, "orders"),
+      EdgeDef("FEEDS", "Order", "Part",
+        "l_orderkey", "l_partkey", Seq.empty, "lineitem")))
 
   def session(spark: org.apache.spark.sql.SparkSession, dir: String): CypherSession = {
     // live-session registration (idempotent): the graft_* SQL surface

@@ -177,76 +177,44 @@ private[cypher] object Reach {
                 throw new CypherNotSupportedException(
                   "undirected unbounded variable-length — an undirected " +
                   "self-type hop is ambiguous; direct the pattern")
-              val selfDefs = catalog.graph.edgesByVerb(verb)
-                .filter(e => e.fromLabel == e.toLabel)
-              if (selfDefs.isEmpty)
-                throw new CypherBindingException(
-                  s"unbounded variable-length over '$verb': no self-type " +
-                  "edge (fromLabel == toLabel) in the schema — multi-hop " +
-                  "chains of one verb need the same label on both ends; " +
-                  "bound the range [*lo..hi] for heterogeneous chains")
-              if (selfDefs.size > 1)
-                throw new CypherBindingException(
-                  s"unbounded variable-length over '$verb' is ambiguous: " +
-                  s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
-                  "carry a self-type edge of that verb")
-              val e = selfDefs.head
-              val node = catalog.graph.node(e.fromLabel)
               // endpoint node patterns in EDGE direction: the pattern
               // node binding the edge's source side vs its sink side
               val srcPat =
                 if (r.dir == Direction.Out) pp.nodes(i) else pp.nodes(i + 1)
               val dstPat =
                 if (r.dir == Direction.Out) pp.nodes(i + 1) else pp.nodes(i)
-              val edf = catalog.edgeDf(e)
-              def swapBack(rev: DataFrame, dist: Boolean): DataFrame = {
-                // reverse BFS from the destination anchor: an R-path
-                // d→x over reversed edges is an E-path x→d, so swap
-                // the output columns back (the hop count — and the
-                // witness multiplicity — are direction-agnostic)
-                val swapped = Seq(col("__dst").as("__s"),
-                  col("__src").as("__d")) ++
-                  (if (dist) Seq(col("__dist")) else Seq.empty)
-                rev.select(swapped: _*)
-                  .withColumnRenamed("__s", "__src")
-                  .withColumnRenamed("__d", "__dst")
-              }
-              val reach = if (pp.allShortest) {
-                // witness expansion is only bounded on an anchored
-                // cone: σ-many rows per pair, σ from the same BFS
-                val w = seedFor(m.where, srcPat.alias, node, catalog,
-                    outer)
-                  .map(sd => allShortestWitnesses(edf, e.srcIdColumn,
-                    e.sinkIdColumn, sd))
-                  .orElse {
-                    seedFor(m.where, dstPat.alias, node, catalog, outer)
-                      .map(sd => swapBack(allShortestWitnesses(edf,
-                        e.sinkIdColumn, e.srcIdColumn, sd), dist = true))
-                  }
-                  .getOrElse(throw new CypherNotSupportedException(
-                    "allShortestPaths() over an unbounded " +
-                    "variable-length requires an ANCHORED endpoint (a " +
-                    "literal WHERE equality/IN, an inline property " +
-                    "map, or a piped frame) — one row per minimal " +
-                    "path is only bounded on an anchored cone; bound " +
-                    "the range [*lo..hi] otherwise"))
-                if (needDist) w else w.drop("__dist")
-              } else seedFor(m.where, srcPat.alias, node, catalog, outer)
-                .map(sd => reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
-                  seeds = Some(sd), withDist = needDist))
-                .orElse {
-                  seedFor(m.where, dstPat.alias, node, catalog, outer).map {
-                    sd =>
-                      swapBack(reachablePairs(edf, e.sinkIdColumn,
-                        e.srcIdColumn, seeds = Some(sd),
-                        withDist = needDist), dist = needDist)
-                  }
-                }
-                .getOrElse(reachablePairs(edf, e.srcIdColumn, e.sinkIdColumn,
-                  withDist = needDist))
+              val defs = catalog.graph.edgesByVerb(verb)
+              val selfDefs = defs.filter(e => e.fromLabel == e.toLabel)
+              if (defs.isEmpty)
+                throw new CypherBindingException(
+                  s"unbounded variable-length over '$verb': no edge of " +
+                  "that type in the schema")
+              if (selfDefs.size > 1)
+                throw new CypherBindingException(
+                  s"unbounded variable-length over '$verb' is ambiguous: " +
+                  s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
+                  "carry a self-type edge of that verb")
+              val (reach, fromL, toL) =
+                if (selfDefs.size == 1 && defs.size == 1) {
+                  // homogeneous chain: one id namespace, no tagging
+                  val e = selfDefs.head
+                  val node = catalog.graph.node(e.fromLabel)
+                  val edf = catalog.edgeDf(e)
+                  (computeReach(edf, e.srcIdColumn, e.sinkIdColumn,
+                    () => seedFor(m.where, srcPat.alias, node, catalog,
+                      outer),
+                    () => seedFor(m.where, dstPat.alias, node, catalog,
+                      outer),
+                    needDist, pp.allShortest),
+                    e.fromLabel, e.toLabel)
+                } else
+                  // heterogeneous chain (round 10): label-stratified
+                  // BFS over `label:id` tagged namespaces
+                  stratifiedReach(defs, verb, srcPat, dstPat, m.where,
+                    catalog, outer, needDist, pp.allShortest)
               val id = nameCounter.getAndIncrement()
               val synthVerb = s"__REACH_${id}_$verb"
-              val synth = EdgeDef(synthVerb, e.fromLabel, e.toLabel,
+              val synth = EdgeDef(synthVerb, fromL, toL,
                 "__src", "__dst",
                 if (needDist) Seq("__dist") else Seq.empty,
                 s"__reach_${id}_$verb")
@@ -260,6 +228,134 @@ private[cypher] object Reach {
       })
     }
     (out, catalog.withExtraEdges(extra.result()))
+  }
+
+  /** Reverse BFS output → forward orientation: an R-path d→x over
+    * reversed edges is an E-path x→d, so swap the output columns back
+    * (the hop count — and the witness multiplicity — are
+    * direction-agnostic). */
+  private def swapPairs(rev: DataFrame, dist: Boolean): DataFrame = {
+    val swapped = Seq(col("__dst").as("__s"), col("__src").as("__d")) ++
+      (if (dist) Seq(col("__dist")) else Seq.empty)
+    rev.select(swapped: _*)
+      .withColumnRenamed("__s", "__src")
+      .withColumnRenamed("__d", "__dst")
+  }
+
+  /** The reach frame for one unbounded rel: forward-anchored BFS when
+    * the source end seeds, reversed-and-swapped when only the
+    * destination does, full closure otherwise — or the σ-fold witness
+    * expansion for allShortestPaths (anchored only). */
+  private def computeReach(edf: DataFrame, srcC: String, dstC: String,
+      fwdSeeds: () => Option[DataFrame],
+      revSeeds: () => Option[DataFrame],
+      needDist: Boolean, allShortest: Boolean): DataFrame =
+    if (allShortest) {
+      // witness expansion is only bounded on an anchored cone:
+      // σ-many rows per pair, σ from the same BFS
+      val w = fwdSeeds()
+        .map(sd => allShortestWitnesses(edf, srcC, dstC, sd))
+        .orElse(revSeeds().map(sd =>
+          swapPairs(allShortestWitnesses(edf, dstC, srcC, sd),
+            dist = true)))
+        .getOrElse(throw new CypherNotSupportedException(
+          "allShortestPaths() over an unbounded variable-length " +
+          "requires an ANCHORED endpoint (a literal WHERE " +
+          "equality/IN, an inline property map, or a piped frame) — " +
+          "one row per minimal path is only bounded on an anchored " +
+          "cone; bound the range [*lo..hi] otherwise"))
+      if (needDist) w else w.drop("__dist")
+    } else fwdSeeds()
+      .map(sd => reachablePairs(edf, srcC, dstC, seeds = Some(sd),
+        withDist = needDist))
+      .orElse(revSeeds().map(sd =>
+        swapPairs(reachablePairs(edf, dstC, srcC, seeds = Some(sd),
+          withDist = needDist), dist = needDist)))
+      .getOrElse(reachablePairs(edf, srcC, dstC, withDist = needDist))
+
+  /**
+   * Heterogeneous unbounded chain (round 10): when a verb's edge
+   * definitions span DIFFERENT label pairs (e.g. FEEDS: Customer→Order
+   * plus Order→Part), the multi-hop chain walks a label DAG and the
+   * endpoint ids live in different namespaces — so the BFS runs over a
+   * UNION of all the verb's edge frames with ids tagged `label:id`
+   * (the [[NodeAlt]] tagged-identity trick: colliding raw ids across
+   * tables can never conflate), and the result is filtered to the
+   * pattern's endpoint labels with the tags stripped and the ids cast
+   * back to their stored types. Both endpoints must carry explicit
+   * labels (the rewrite runs before label inference, and the tag
+   * filter IS the endpoint typing); a label pair with no chain in the
+   * schema's label graph is a typed error, not an empty frame.
+   *
+   * Scale shape: identical BFS to the homogeneous path — slim
+   * (src, dst) rows, per-round lineage cuts, the same maxClosureRows
+   * guard — with one map-side concat per edge row for the tag and one
+   * map-side substring/cast at the end. String keys shuffle wider than
+   * raw longs; that is the price of a union namespace and it is paid
+   * only on verbs that are actually heterogeneous.
+   */
+  private def stratifiedReach(defs: Seq[EdgeDef], verb: String,
+      srcPat: NodePat, dstPat: NodePat, where: Option[Expr],
+      catalog: GraphCatalog, outer: Option[Compiler.Ctx],
+      needDist: Boolean, allShortest: Boolean)
+      : (DataFrame, String, String) = {
+    import org.apache.spark.sql.types.StringType
+    val shape = defs.map(d => s"${d.fromLabel}→${d.toLabel}")
+      .mkString(", ")
+    def lbl(np: NodePat, side: String): String = np.label.getOrElse(
+      throw new CypherNotSupportedException(
+        s"unbounded variable-length over '$verb' spans multiple edge " +
+        s"definitions ($shape) — label-stratified reachability needs " +
+        s"explicit labels on both endpoints; annotate the $side node"))
+    val srcLabel = lbl(srcPat, "source")
+    val dstLabel = lbl(dstPat, "destination")
+    // label-graph reachability (schema-sized, in-memory): an endpoint
+    // pair no chain can connect is a typed error, not an empty frame
+    val lEdges = defs.map(e => (e.fromLabel, e.toLabel))
+    var reachable = Set.empty[String]
+    var front = Set(srcLabel)
+    while (front.nonEmpty) {
+      val nxt = lEdges.filter(le => front(le._1)).map(_._2).toSet -- reachable
+      reachable ++= nxt
+      front = nxt
+    }
+    if (!reachable(dstLabel))
+      throw new CypherBindingException(
+        s"unbounded variable-length over '$verb': no chain of '$verb' " +
+        s"edges leads from label '$srcLabel' to '$dstLabel' in the " +
+        s"schema ($shape)")
+    def tag(l: String, c: org.apache.spark.sql.Column) =
+      concat(lit(l + ":"), c.cast(StringType))
+    val union = defs.map { e =>
+      catalog.edgeDf(e).select(
+        tag(e.fromLabel, col(e.srcIdColumn)).as("__src"),
+        tag(e.toLabel, col(e.sinkIdColumn)).as("__dst"))
+    }.reduce(_ unionByName _)
+    val sNode = catalog.graph.node(srcLabel)
+    val dNode = catalog.graph.node(dstLabel)
+    def taggedSeeds(alias: Option[String], node: NodeDef,
+        label: String): Option[DataFrame] =
+      seedFor(where, alias, node, catalog, outer).map(sd =>
+        sd.select(tag(label, col(sd.columns.head)).as("__seed")))
+    val tagged = computeReach(union, "__src", "__dst",
+      () => taggedSeeds(srcPat.alias, sNode, srcLabel),
+      () => taggedSeeds(dstPat.alias, dNode, dstLabel),
+      needDist, allShortest)
+    val sPre = srcLabel + ":"
+    val dPre = dstLabel + ":"
+    val sT = catalog.nodeDf(srcLabel).schema(sNode.idColumn).dataType
+    val dT = catalog.nodeDf(dstLabel).schema(dNode.idColumn).dataType
+    val outCols = Seq(
+      tagged("__src").substr(lit(sPre.length + 1), lit(Int.MaxValue))
+        .cast(sT).as("__src"),
+      tagged("__dst").substr(lit(dPre.length + 1), lit(Int.MaxValue))
+        .cast(dT).as("__dst")) ++
+      (if (tagged.columns.contains("__dist")) Seq(col("__dist"))
+       else Seq.empty)
+    val out = tagged
+      .where(col("__src").startsWith(sPre) && col("__dst").startsWith(dPre))
+      .select(outCols: _*)
+    (out, srcLabel, dstLabel)
   }
 
   /** Top-level AND-conjuncts of a WHERE tree. */

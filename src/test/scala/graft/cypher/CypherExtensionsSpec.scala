@@ -1852,15 +1852,18 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
         |RETURN a.Name AS N""".stripMargin))
-    // undirected / verb-less / non-self-type
+    // undirected / verb-less
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:FOLLOWS*]-(b:Person)
         |RETURN a.Name AS N""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[*]->(b:Person) RETURN a.Name AS N"))
-    intercept[CypherBindingException](rows(
+    // a NON-self-type verb routes through the round-10 stratified
+    // lowering instead of rejecting: ACTED_IN chains max out at one
+    // hop (Movie has no outgoing edge), so [*] ≡ the single hop
+    assert(rows(
       """MATCH (a:Person)-[:ACTED_IN*]->(m:Movie)
-        |RETURN a.Name AS N""".stripMargin))
+        |RETURN a.Name AS N""".stripMargin).size == 6)
     // a relationship VARIABLE on a var-length rel is a typed PARSE
     // rejection (never a silent drop): a later `RETURN r` can't hit a
     // misleading not-a-bound-variable error because the query never
@@ -1969,6 +1972,54 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (a:Person)
         |OPTIONAL MATCH p = (a)-[:FOLLOWS]->(b:Person)
         |RETURN a.Name AS src, length(p) AS L""".stripMargin))
+  }
+
+  test("heterogeneous unbounded chains: label-stratified tagged BFS") {
+    import spark.implicits._
+    // verb E spans X→Y and Y→Z; ids COLLIDE across namespaces (X has
+    // id 1 and Y has id 1) — tagging must keep them distinct
+    val cat = new GraphCatalog(
+      GraphSchema(
+        nodes = Seq(NodeDef("X", "id", Seq.empty, "tx"),
+          NodeDef("Y", "id", Seq.empty, "ty"),
+          NodeDef("Z", "id", Seq.empty, "tz")),
+        edges = Seq(
+          EdgeDef("E", "X", "Y", "sid", "did", Seq.empty, "xy"),
+          EdgeDef("E", "Y", "Z", "sid", "did", Seq.empty, "yz"))),
+      Map(
+        "tx" -> Seq(1, 2).toDF("id"),
+        "ty" -> Seq(1, 3).toDF("id"),
+        "tz" -> Seq(7).toDF("id"),
+        "xy" -> Seq((1, 1), (2, 3)).toDF("sid", "did"),
+        "yz" -> Seq((1, 7)).toDF("sid", "did"))(_))
+    val s = new CypherSession(spark, cat).extended
+    // two-hop X→Z: only X:1 → Y:1 → Z:7 (X:2's chain dead-ends at Y:3;
+    // an untagged BFS would conflate X:1 with Y:1)
+    val xz = s.run(
+      """MATCH (x:X)-[:E*1..]->(z:Z)
+        |RETURN x.id AS xid, z.id AS zid ORDER BY xid""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(xz.toSeq == Seq((1, 7)))
+    // one-hop stratum X→Y through the same lowering
+    val xy = s.run(
+      """MATCH (x:X)-[:E*1..]->(y:Y)
+        |RETURN x.id AS xid, y.id AS yid ORDER BY xid""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(xy.toSeq == Seq((1, 1), (2, 3)))
+    // shortestPath + length composes (dist rides the tagged BFS)
+    val sp = s.run(
+      """MATCH p = shortestPath((x:X {id: 1})-[:E*1..]->(z:Z))
+        |RETURN z.id AS zid, length(p) AS hops""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sp.toSeq == Seq((7, 2L)))
+    // typed rejections: missing endpoint labels; label pair with no
+    // chain in the schema's label graph
+    val e1 = intercept[CypherNotSupportedException](s.run(
+      "MATCH (x:X)-[:E*1..]->(b) RETURN x.id AS xid"))
+    assert(e1.getMessage.contains("label"))
+    val e2 = intercept[CypherBindingException](s.run(
+      "MATCH (z:Z)-[:E*1..]->(x:X) RETURN z.id AS zid"))
+    assert(e2.getMessage.contains("no chain"))
   }
 
   test("property: reachablePairs matches brute transitive closure on random graphs") {
