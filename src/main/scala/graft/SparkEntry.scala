@@ -1183,6 +1183,25 @@ object SparkEntry {
              |WHERE o_custkey <= 5
              |GROUP BY 1 ORDER BY ck""".stripMargin)),
 
+    // --- mid-query SET … RETURN (round 10): the RETURN reads the
+    //     UPDATED entity per row (rhs reads the OLD value;
+    //     simultaneous-assignment semantics) — the result is the
+    //     projection, not the snapshot union, and the plan is
+    //     map-only on top of the match
+    ("q75_set_return", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 200000.0
+        |SET c.c_acctbal = c.c_acctbal + 100.0
+        |RETURN c.c_custkey AS ck, round(c.c_acctbal, 2) AS bal,
+        |       count(o) AS n_big
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck,
+             |       round(c_acctbal + 100.0, 2) AS bal,
+             |       count(*) AS n_big
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE o_totalprice > 200000.0
+             |GROUP BY 1, 2 ORDER BY ck""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

@@ -269,6 +269,17 @@ object ast {
   final case class DeleteQuery(parts: Seq[QueryPart], del: DeleteClause)
     extends Query
 
+  /** `SET a.p = e, … RETURN items` (extension, round 10): mid-query
+   *  SET — the RETURN reads the UPDATED entity. Scoped to a single
+   *  entity and a directly-following terminal RETURN (no further
+   *  WITH/MATCH parts). The result is the RETURN projection over the
+   *  match rows with the entity's assigned columns replaced PER ROW
+   *  (each row reads its own write; every rhs reads the OLD entity,
+   *  simultaneous-assignment semantics) — NOT the snapshot union,
+   *  which is what terminal [[SetQuery]] is for. */
+  final case class SetReturnQuery(parts: Seq[QueryPart], set: SetClause,
+      ret: Projection) extends Query
+
   /** Terminal `CREATE (n:L {p: e, …})` (extension; completes the
    *  update triad over the reference's read-only boundary,
    *  CypherVisitor.cs:486-489; parity keeps the rejection): an

@@ -810,6 +810,8 @@ object Compiler {
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
     case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
     case SetQuery(parts, s)   => compileSet(parts, s, catalog)
+    case SetReturnQuery(parts, s, ret) =>
+      compileSetReturn(parts, s, ret, catalog)
     case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
     case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
   }
@@ -1065,11 +1067,13 @@ object Compiler {
    * deduped feed is small). Node keys are the id column; relationship
    * keys are the (src, snk) pair.
    */
-  private def compileSet(parts: Seq[QueryPart], s: SetClause,
-      catalog: GraphCatalog): DataFrame = {
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
-    val b = c.scope.getOrElse(s.alias, throw new CypherBindingException(
+  /** Shared SET validation + target resolution: checks the alias
+   *  binds a node/relationship, the assignments are unique,
+   *  aggregate-free, on declared non-key properties — and returns
+   *  (key columns, backing snapshot, output columns). */
+  private def setTarget(scope: Map[String, Binding], s: SetClause,
+      catalog: GraphCatalog): (Seq[String], DataFrame, Seq[String]) = {
+    val b = scope.getOrElse(s.alias, throw new CypherBindingException(
       s"SET target '${s.alias}' is not a bound variable"))
     s.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 => p2 }
       .foreach(p2 => throw new CypherBindingException(
@@ -1088,8 +1092,7 @@ object Compiler {
           if (!props.contains(p2)) throw new CypherBindingException(
             s"SET: node '${n.label}' has no declared property '$p2'")
         }
-        setSnapshot(c, s.alias, s.assigns, Seq(n.idColumn),
-          catalog.nodeDf(n.label), entityCols(b))
+        (Seq(n.idColumn), catalog.nodeDf(n.label), entityCols(b))
       case EdgeBinding(e) =>
         s.assigns.foreach { case (p2, _) =>
           if (p2 == e.srcIdColumn || p2 == e.sinkIdColumn)
@@ -1099,12 +1102,45 @@ object Compiler {
           if (!e.properties.contains(p2)) throw new CypherBindingException(
             s"SET: relationship '${e.verb}' has no declared property '$p2'")
         }
-        setSnapshot(c, s.alias, s.assigns,
-          Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e),
+        (Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e),
           entityCols(b))
       case _ => throw new CypherBindingException(
         s"SET target '${s.alias}' must be a node or relationship variable")
     }
+  }
+
+  private def compileSet(parts: Seq[QueryPart], s: SetClause,
+      catalog: GraphCatalog): DataFrame = {
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val (keyCols, snapshot, outCols) = setTarget(c.scope, s, catalog)
+    setSnapshot(c, s.alias, s.assigns, keyCols, snapshot, outCols)
+  }
+
+  /**
+   * Mid-query `SET … RETURN items` (extension, round 10): the RETURN
+   * reads the UPDATED entity. Per-ROW view — the entity's assigned
+   * columns are replaced in the match frame itself (one simultaneous
+   * `select`, so every rhs reads the OLD entity even when assignments
+   * cross-reference) and the ordinary RETURN projection compiles over
+   * the updated frame. This is the read-back twin of terminal SET:
+   * the result is the projection, NOT the snapshot union — and the
+   * plan is map-only on top of the match (no winner-dedup, no
+   * anti-join, the snapshot is never touched beyond the match scan).
+   */
+  private def compileSetReturn(parts: Seq[QueryPart], s: SetClause,
+      ret: Projection, catalog: GraphCatalog): DataFrame = {
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val (_, snapshot, _) = setTarget(c.scope, s, catalog)
+    def dt(cn: String) = snapshot.schema(cn).dataType
+    val ec = new ExprCompiler(c.scope, c.df)
+    val aMap: Map[String, Column] = s.assigns.map { case (p2, e) =>
+      pref(s.alias, p2) -> ec.compile(e).cast(dt(p2)) }.toMap
+    val updated = c.df.select(c.df.columns.toSeq.map(cn =>
+      aMap.getOrElse(cn, col(cn)).as(cn)): _*)
+    compileProjection(Ctx(updated, c.scope), ret, isReturn = true,
+      catalog).df
   }
 
   private def setSnapshot(c: Ctx, alias: String,

@@ -113,6 +113,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         "an updating clause must be the query's terminal clause")
       case _: CreateQuery => notSupported("CREATE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
+      case _: SetReturnQuery => notSupported("SET in a UNION branch — " +
+        "an updating clause must be the query's terminal clause")
       case _ =>
     }
     var left: Query = parseTop()
@@ -133,7 +135,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val sq = parseSingle()
     (pendingMerge, pendingSet, pendingDelete, pendingCreate) match {
       case (Some(m), _, _, _) => pendingMerge = None; MergeQuery(sq.parts, m)
-      case (_, Some(s), _, _) => pendingSet = None; SetQuery(sq.parts, s)
+      case (_, Some(s), _, _) =>
+        pendingSet = None
+        pendingSetReturn match {
+          case Some(r) => pendingSetReturn = None
+            SetReturnQuery(sq.parts, s, r)
+          case None    => SetQuery(sq.parts, s)
+        }
       case (_, _, Some(d), _) =>
         pendingDelete = None; DeleteQuery(sq.parts, d)
       case (_, _, _, Some(c)) =>
@@ -147,6 +155,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * instead). */
   private var pendingMerge: Option[MergeClause] = None
   private var pendingSet: Option[SetClause] = None
+  private var pendingSetReturn: Option[Projection] = None
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingCreate: Option[CreateClause] = None
   private var inSubquery: Boolean = false
@@ -279,9 +288,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             Seq.empty, None, None, None, star = true), uw, calls)
         pendingSet = Some(
           if (remove) parseRemoveClause() else parseSetClause())
-        if (isKw("RETURN"))
-          notSupported(s"RETURN after $kw — the result IS the new " +
-            "snapshot")
+        if (isKw("RETURN")) {
+          // mid-query SET (round 10): `SET … RETURN items` reads the
+          // UPDATED entity per row — the result is the projection,
+          // not the snapshot
+          p += 1
+          pendingSetReturn = Some(parseProjection(isWith = false))
+        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported(s"further clauses after $kw — a $kw is either " +
+            "terminal (the result is the new snapshot) or directly " +
+            "followed by one RETURN reading the updated entity")
         done = true
       } else if (isKw("DELETE") || isKw("DETACH")) {
         // terminal [DETACH] DELETE (extension; parity rejected in

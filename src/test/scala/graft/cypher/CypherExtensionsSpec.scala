@@ -1741,9 +1741,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // plain node DELETE: dangling-edge semantics are data-dependent
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) DELETE p"))
-    // terminal means terminal
+    // terminal means terminal (SET may be followed by ONE RETURN —
+    // the round-10 read-back — but never further WITH/MATCH parts)
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) SET p.Name = 'x' RETURN 1 AS x"))
+      "MATCH (p:Person) SET p.Name = 'x' WITH p RETURN p.Name AS N"))
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) DETACH DELETE p RETURN 1 AS x"))
     intercept[CypherNotSupportedException](rows(
@@ -1755,6 +1756,46 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // aggregates belong in a WITH before the SET
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) SET p.Born = count(p)"))
+  }
+
+  test("SET ... RETURN reads the updated entity per row") {
+    // per-row read-back: rhs reads the OLD value, RETURN the new one
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |SET p.Born = p.Born + 100
+        |RETURN p.Name AS nm, p.Born AS b ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r.toSeq == Seq(("Kevin Bacon", 2058), ("Meg Ryan", 2061)))
+    // simultaneous-assignment: both rhs read OLD values even when the
+    // assignments cross-reference
+    val r2 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |SET m.Title = m.Tagline, m.Tagline = m.Title
+        |RETURN m.Title AS t, m.Tagline AS g""".stripMargin).head
+    assert(r2.getString(0) == "What if someone you never met..."
+      && r2.getString(1) == "Sleepless in Seattle")
+    // aggregation over the updated frame composes
+    val r3 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |SET p.Born = 2000
+        |RETURN p.Born AS b, count(m) AS n""".stripMargin)
+      .map(x => (x.getInt(0), x.getLong(1)))
+    assert(r3.toSeq == Seq((2000, 6L)))
+    // REMOVE composes with RETURN too (null read-back)
+    val r4 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm2'
+        |REMOVE m.Tagline
+        |RETURN m.Title AS t, m.Tagline AS g""".stripMargin).head
+    assert(r4.getString(0) == "Apollo 13" && r4.isNullAt(1))
+    // rejections: WITH after SET; unknown property; UNION placement
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) SET p.Name = 'x' WITH p
+        |RETURN p.Name AS N""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p.Nope = 1 RETURN p.Name AS N"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) SET p.Born = 1 RETURN p.Name AS N
+        |UNION MATCH (p:Person) RETURN p.Name AS N""".stripMargin))
   }
 
   test("SET += map sugar desugars to per-key assignments") {
@@ -1811,8 +1852,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) REMOVE p.Nope"))
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) REMOVE p.id"))
+    // REMOVE … RETURN is the round-10 read-back (null view), but
+    // further WITH/MATCH parts stay rejected
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) REMOVE p.Name RETURN 1 AS x"))
+      "MATCH (p:Person) REMOVE p.Name WITH p RETURN p.Born AS b"))
     intercept[CypherNotSupportedException](rows("REMOVE p.Name"))
   }
 
