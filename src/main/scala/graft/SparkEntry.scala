@@ -4654,6 +4654,80 @@ object SparkEntry {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY 1 ORDER BY s_name""".stripMargin)),
 
+    // --- bucketed co-location END-TO-END (round 10): write both
+    //     sides bucketed+sorted on the join key (one shuffle each,
+    //     once), then the repeated join is exchange-free by
+    //     construction (zero-Exchange plan-asserted in BucketingSpec);
+    //     the RESULT is oracled against the plain SQL join — layout
+    //     changes the plan, never the answer
+    ("b04_bucketed_join",
+      (s, dir) => {
+        val c = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/customer.parquet")
+          .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+        val o = graft.cypher.GraphCatalog
+          .cachedParquet(s, s"$dir/orders.parquet")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+        Bucketing.writeBucketed(c, "graft_b04_cust", "custkey", 8)
+        Bucketing.writeBucketed(o, "graft_b04_ords", "custkey", 8)
+        Bucketing.joinBucketed(s, "graft_b04_cust", "graft_b04_ords",
+            "custkey")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_nationkey""".stripMargin)),
+
+    // --- compaction round-trip ledger (round 10): rewrite the
+    //     documents dataset into size-targeted, doc_id-sorted files,
+    //     then prove the rewrite LOSSLESS through the oracle — row
+    //     count, distinct ids, id envelope and total text volume all
+    //     survive the rewrite byte-exactly (file counts are covered
+    //     by MaintenanceSpec; they are layout, not data)
+    ("b05_compaction_ledger",
+      (s, dir) => {
+        val out = s"/tmp/graft_b05_compact_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        Maintenance.compactParquet(s, s"$dir/documents.parquet", out,
+          targetFileBytes = 256L << 10, sortCols = Seq("doc_id"))
+        s.read.parquet(out).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(length(col("text"))).as("text_chars"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+             |       CAST(sum(length(text)) AS BIGINT) AS text_chars
+             |FROM documents""".stripMargin)),
+
+    // --- JSONL sink/source round-trip (round 10): write the corpus
+    //     as bounded JSONL shards, read it back with an explicit
+    //     schema, and prove the round-trip lossless through the
+    //     oracle (newlines/quotes ride JSON escaping)
+    ("b06_jsonl_roundtrip",
+      (s, dir) => {
+        val p = s"/tmp/graft_b06_jsonl_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        SemiStructured.writeJsonl(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          p, shards = 4)
+        SemiStructured.readJsonl(s, p,
+            "doc_id BIGINT, lang STRING, text STRING")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("text_chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // --- zero-init bias-corrected EWMA over per-type daily counts
     //     (closed-form prefix formulation — one cumulative window)
     ("e34_ewma",
