@@ -1202,6 +1202,52 @@ object SparkEntry {
              |WHERE o_totalprice > 200000.0
              |GROUP BY 1, 2 ORDER BY ck""".stripMargin)),
 
+    // --- CREATE … RETURN (round 10): the RETURN reads ONLY the
+    //     created rows — alias bound to the new entity's values,
+    //     unassigned properties null; snapshot never read (map-only
+    //     on the feed)
+    ("q76_create_return", cyx(
+      """MATCH (sup:Supplier) WHERE sup.s_acctbal > 9000.0
+        |WITH sup.s_suppkey AS sk, sup.s_acctbal AS ab
+        |CREATE (c:Customer {c_custkey: sk + 1000000,
+        |                    c_name: 'NEW_' + toString(sk),
+        |                    c_acctbal: ab})
+        |RETURN c.c_custkey AS ck, c.c_name AS nm,
+        |       round(c.c_acctbal, 2) AS bal, c.c_mktsegment AS seg
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT s_suppkey + 1000000 AS ck,
+             |       'NEW_' || CAST(s_suppkey AS VARCHAR) AS nm,
+             |       round(s_acctbal, 2) AS bal,
+             |       CAST(NULL AS VARCHAR) AS seg
+             |FROM supplier WHERE s_acctbal > 9000.0
+             |ORDER BY ck""".stripMargin)),
+
+    // --- MERGE … RETURN (round 10): the RETURN reads the RESULTING
+    //     entity per winner-deduped feed key — matched keys see the
+    //     ON MATCH update, absent keys the ON CREATE row; untouched
+    //     snapshot rows never enter the result
+    ("q77_merge_return", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 300000.0
+        |WITH c.c_custkey + (o.o_orderkey % 2) * 1000000 AS k
+        |MERGE (cu:Customer {c_custkey: k})
+        |ON MATCH SET cu.c_acctbal = cu.c_acctbal + 1.0
+        |ON CREATE SET cu.c_name = 'GHOST', cu.c_acctbal = 0.0
+        |RETURN cu.c_custkey AS ck, cu.c_name AS nm,
+        |       round(cu.c_acctbal, 2) AS bal
+        |ORDER BY ck""".stripMargin),
+      Some("""WITH feed AS (
+             |  SELECT DISTINCT o_custkey + (o_orderkey % 2) * 1000000
+             |    AS k
+             |  FROM orders WHERE o_totalprice > 300000.0)
+             |SELECT f.k AS ck,
+             |  CASE WHEN c.c_custkey IS NOT NULL
+             |       THEN c.c_name ELSE 'GHOST' END AS nm,
+             |  round(CASE WHEN c.c_custkey IS NOT NULL
+             |             THEN c.c_acctbal + 1.0 ELSE 0.0 END, 2) AS bal
+             |FROM feed f LEFT JOIN customer c ON c.c_custkey = f.k
+             |ORDER BY ck""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

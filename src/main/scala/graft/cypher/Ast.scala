@@ -299,6 +299,27 @@ object ast {
   /** Query whose terminal clause is a [[CreateClause]]. */
   final case class CreateQuery(parts: Seq[QueryPart], create: CreateClause)
     extends Query
+
+  /** `CREATE (n:L {…}) RETURN items` (extension, round 10): the RETURN
+   *  reads the CREATED rows — one result row per created row (per feed
+   *  row with a non-null id), the alias bound to the NEW entity's
+   *  values plus everything else in the feed scope. The result is the
+   *  RETURN projection, NOT the snapshot union (that is what terminal
+   *  [[CreateQuery]] is for) — so the plan stays map-only on the feed
+   *  and the snapshot is never read at all. */
+  final case class CreateReturnQuery(parts: Seq[QueryPart],
+      create: CreateClause, ret: Projection) extends Query
+
+  /** `MERGE (n:L {id: …}) [ON MATCH SET …] [ON CREATE SET …] RETURN
+   *  items` (extension, round 10): the RETURN reads the RESULTING
+   *  entity per winner-deduped feed row — matched keys see the ON
+   *  MATCH-updated values, absent keys see the ON CREATE row (Neo4j's
+   *  post-merge read). The result is the RETURN projection over the
+   *  matched ∪ created branches, NOT the snapshot union — untouched
+   *  snapshot rows never enter the result, so the plan adds nothing
+   *  over the merge's own matched/created joins. */
+  final case class MergeReturnQuery(parts: Seq[QueryPart],
+      merge: MergeClause, ret: Projection) extends Query
   /** UNION / UNION ALL — implemented correctly end-to-end (the
    *  reference's visitor drops it, SURVEY.md §2.1). */
   final case class UnionQuery(left: Query, right: Query, all: Boolean)

@@ -809,11 +809,15 @@ object Compiler {
     case sq: SingleQuery =>
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
     case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
+    case MergeReturnQuery(parts, m, ret) =>
+      compileMerge(parts, m, catalog, Some(ret))
     case SetQuery(parts, s)   => compileSet(parts, s, catalog)
     case SetReturnQuery(parts, s, ret) =>
       compileSetReturn(parts, s, ret, catalog)
     case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
     case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
+    case CreateReturnQuery(parts, cr, ret) =>
+      compileCreate(parts, cr, catalog, Some(ret))
   }
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
@@ -872,7 +876,7 @@ object Compiler {
   }
 
   private def compileMerge(parts: Seq[QueryPart], m: MergeClause,
-      catalog: GraphCatalog): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
     val node = catalog.graph.node(m.label)
     if (m.keyProp != node.idColumn)
       throw new CypherBindingException(
@@ -955,8 +959,6 @@ object Compiler {
     val ecM = new ExprCompiler(scopeM, joinedM)
     val mAssign: Map[String, Column] =
       m.onMatch.map { case (p, e) => p -> ecM.compile(e).cast(dt(p)) }.toMap
-    val matchedOut = joinedM.select(outCols.map { c =>
-      mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
 
     val joinedC = feedW.join(
       snapN.select(col(pref(m.alias, node.idColumn)).as("__sid")),
@@ -964,15 +966,37 @@ object Compiler {
     val ecC = new ExprCompiler(feedScope, joinedC)
     val cAssign: Map[String, Column] =
       m.onCreate.map { case (p, e) => p -> ecC.compile(e).cast(dt(p)) }.toMap
-    val createdOut = joinedC.select(
-      col("__mkey").as(node.idColumn) +:
-        props.map(p => cAssign.getOrElse(p,
-          lit(null).cast(dt(p))).as(p)): _*)
 
-    val untouched = snapshot.select(outCols.map(col): _*)
-      .join(feedW.select(col("__mkey").as(node.idColumn)),
-        Seq(node.idColumn), "left_anti")
-    untouched.unionByName(matchedOut).unionByName(createdOut)
+    ret match {
+      case None =>
+        val matchedOut = joinedM.select(outCols.map { c =>
+          mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
+        val createdOut = joinedC.select(
+          col("__mkey").as(node.idColumn) +:
+            props.map(p => cAssign.getOrElse(p,
+              lit(null).cast(dt(p))).as(p)): _*)
+        val untouched = snapshot.select(outCols.map(col): _*)
+          .join(feedW.select(col("__mkey").as(node.idColumn)),
+            Seq(node.idColumn), "left_anti")
+        untouched.unionByName(matchedOut).unionByName(createdOut)
+      case Some(r) =>
+        // MERGE … RETURN (round 10): one result row per winner-deduped
+        // feed row, the alias bound to the RESULTING entity — matched
+        // keys see the ON MATCH-updated values, absent keys see the ON
+        // CREATE row (Neo4j's post-merge read). The projection compiles
+        // over matched ∪ created; the untouched snapshot rows never
+        // enter, so the read-back adds nothing over the merge's own
+        // matched/created joins.
+        val matchedR = joinedM.select(others.map(col) ++
+          outCols.map(c => mAssign.getOrElse(c, col(pref(m.alias, c)))
+            .as(pref(m.alias, c))): _*)
+        val createdR = joinedC.select(others.map(col) ++
+          (col("__mkey").as(pref(m.alias, node.idColumn)) +:
+            props.map(p => cAssign.getOrElse(p, lit(null).cast(dt(p)))
+              .as(pref(m.alias, p)))): _*)
+        compileProjection(Ctx(matchedR.unionByName(createdR), scopeM),
+          r, isReturn = true, catalog).df
+    }
   }
 
   /**
@@ -995,7 +1019,7 @@ object Compiler {
    * cheapest possible update-clause plan.
    */
   private def compileCreate(parts: Seq[QueryPart], cr: CreateClause,
-      catalog: GraphCatalog): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
     val node = catalog.graph.node(cr.label)
     val props = node.properties.filterNot(_ == node.idColumn)
     cr.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 =>
@@ -1038,11 +1062,29 @@ object Compiler {
     val aMap: Map[String, Column] =
       cr.assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }
         .toMap
-    val created = feed
-      .select(outCols.map { cn =>
-        aMap.getOrElse(cn, lit(null).cast(dt(cn))).as(cn) }: _*)
-      .where(col(node.idColumn).isNotNull)
-    snapshot.select(outCols.map(col): _*).unionByName(created)
+    ret match {
+      case None =>
+        val created = feed
+          .select(outCols.map { cn =>
+            aMap.getOrElse(cn, lit(null).cast(dt(cn))).as(cn) }: _*)
+          .where(col(node.idColumn).isNotNull)
+        snapshot.select(outCols.map(col): _*).unionByName(created)
+      case Some(r) =>
+        // CREATE … RETURN (round 10): one result row per CREATED row —
+        // the alias binds the new entity's values alongside the feed
+        // scope, and the projection compiles over that frame. The
+        // snapshot is never read at all (the created rows are a
+        // map-only projection of the feed), so the read-back costs
+        // nothing over the create itself.
+        val feedCols = feed.columns.toSeq
+        val createdRows = feed.select(feedCols.map(col) ++
+            outCols.map(cn => aMap.getOrElse(cn, lit(null).cast(dt(cn)))
+              .as(pref(cr.alias, cn))): _*)
+          .where(col(pref(cr.alias, node.idColumn)).isNotNull)
+        compileProjection(Ctx(createdRows,
+          scope + (cr.alias -> NodeBinding(node))), r, isReturn = true,
+          catalog).df
+    }
   }
 
   /**

@@ -105,13 +105,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
 
   private def parseUnion(): Query = {
     def checkUpdating(q: Query): Unit = q match {
-      case _: MergeQuery  => notSupported("MERGE in a UNION branch — " +
+      case _: MergeQuery | _: MergeReturnQuery =>
+        notSupported("MERGE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: SetQuery    => notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: DeleteQuery => notSupported("DELETE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: CreateQuery => notSupported("CREATE in a UNION branch — " +
+      case _: CreateQuery | _: CreateReturnQuery =>
+        notSupported("CREATE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: SetReturnQuery => notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
@@ -134,7 +136,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def parseTop(): Query = {
     val sq = parseSingle()
     (pendingMerge, pendingSet, pendingDelete, pendingCreate) match {
-      case (Some(m), _, _, _) => pendingMerge = None; MergeQuery(sq.parts, m)
+      case (Some(m), _, _, _) =>
+        pendingMerge = None
+        pendingMergeReturn match {
+          case Some(r) => pendingMergeReturn = None
+            MergeReturnQuery(sq.parts, m, r)
+          case None    => MergeQuery(sq.parts, m)
+        }
       case (_, Some(s), _, _) =>
         pendingSet = None
         pendingSetReturn match {
@@ -145,7 +153,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       case (_, _, Some(d), _) =>
         pendingDelete = None; DeleteQuery(sq.parts, d)
       case (_, _, _, Some(c)) =>
-        pendingCreate = None; CreateQuery(sq.parts, c)
+        pendingCreate = None
+        pendingCreateReturn match {
+          case Some(r) => pendingCreateReturn = None
+            CreateReturnQuery(sq.parts, c, r)
+          case None    => CreateQuery(sq.parts, c)
+        }
       case _                  => sq
     }
   }
@@ -154,10 +167,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * [[parseSingle]] (CALL-subquery calls to parseSingle reject each
     * instead). */
   private var pendingMerge: Option[MergeClause] = None
+  private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingCreate: Option[CreateClause] = None
+  private var pendingCreateReturn: Option[Projection] = None
   private var inSubquery: Boolean = false
 
   private def rejectUpdating(): Unit = cur match {
@@ -265,9 +280,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
         pendingMerge = Some(parseMergeClause())
-        if (isKw("RETURN"))
-          notSupported("RETURN after MERGE — the merge result IS the " +
-            "new snapshot")
+        if (isKw("RETURN")) {
+          // MERGE … RETURN (round 10): the RETURN reads the RESULTING
+          // entity per feed row — the projection, not the snapshot
+          p += 1
+          pendingMergeReturn = Some(parseProjection(isWith = false))
+        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("further clauses after MERGE — a MERGE is either " +
+            "terminal (the result is the new snapshot) or directly " +
+            "followed by one RETURN reading the merged entity")
         done = true
       } else if (isKw("SET") || isKw("REMOVE")) {
         // terminal SET / REMOVE (extension; parity rejected in
@@ -332,9 +353,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
         pendingCreate = Some(parseCreateClause())
-        if (isKw("RETURN"))
-          notSupported("RETURN after CREATE — the create result IS " +
-            "the new snapshot")
+        if (isKw("RETURN")) {
+          // CREATE … RETURN (round 10): the RETURN reads the CREATED
+          // rows — the projection, not the snapshot
+          p += 1
+          pendingCreateReturn = Some(parseProjection(isWith = false))
+        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("further clauses after CREATE — a CREATE is " +
+            "either terminal (the result is the new snapshot) or " +
+            "directly followed by one RETURN reading the created rows")
         done = true
       } else if (isKw("WITH")) {
         p += 1

@@ -40,6 +40,17 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, keyCol: String,
                     nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    // `mode("overwrite")` only replaces a table REGISTERED in this
+    // session's catalog; a managed-table location orphaned by a
+    // previous JVM (warehouse dir present, catalog entry gone) makes
+    // saveAsTable throw LOCATION_ALREADY_EXISTS — drop any stale
+    // registration AND remove the orphaned location first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
       .write.mode("overwrite")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)

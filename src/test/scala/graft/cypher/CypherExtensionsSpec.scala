@@ -1542,9 +1542,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // ON CREATE SET cannot read the merge alias
     intercept[CypherBindingException](rows(
       "MERGE (n:Person {id: 'p1'}) ON CREATE SET n.Name = n.Name"))
-    // no RETURN after MERGE; no UNION around it; not inside CALL
+    // a MERGE is terminal or followed by ONE RETURN — no further
+    // chaining; no UNION around it; not inside CALL
     intercept[CypherNotSupportedException](rows(
-      "MERGE (n:Person {id: 'p1'}) RETURN 1 AS x"))
+      "MERGE (n:Person {id: 'p1'}) WITH n.id AS x RETURN x"))
     intercept[CypherNotSupportedException](rows(
       "MERGE (n:Person {id: 'x'}) UNION MERGE (n:Person {id: 'y'})"))
     intercept[CypherNotSupportedException](rows(
@@ -1624,9 +1625,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // alias collision with scope
     intercept[CypherBindingException](rows(
       "MATCH (n:Person) CREATE (n:Person {id: 'z'})"))
-    // no RETURN after; no UNION around; not inside CALL
+    // terminal or one directly-following RETURN — no further chaining;
+    // no UNION around; not inside CALL
     intercept[CypherNotSupportedException](rows(
-      "CREATE (n:Person {id: 'z'}) RETURN 1 AS x"))
+      "CREATE (n:Person {id: 'z'}) WITH n.id AS x RETURN x"))
     intercept[CypherNotSupportedException](rows(
       "CREATE (n:Person {id: 'x'}) UNION CREATE (n:Person {id: 'y'})"))
     intercept[CypherNotSupportedException](rows(
@@ -1637,6 +1639,67 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "CREATE (a:Person {id: 'x'})-[:FOLLOWS]->(b:Person {id: 'y'})"))
     intercept[CypherNotSupportedException](rows(
       "CREATE (a:Person {id: 'x'}), (b:Person {id: 'y'})"))
+  }
+
+  // -------------------------- CREATE/MERGE … RETURN (read-back)
+
+  test("CREATE ... RETURN reads the created rows, not the snapshot") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |WITH p.id AS pid, p.Name AS nm
+        |CREATE (n:Person {id: 'new_' + pid, Name: nm + ' Jr.'})
+        |RETURN n.id AS i, n.Name AS s, n.Born AS b, nm AS src
+        |ORDER BY i""".stripMargin)
+    assert(r.size == 2) // ONLY the created rows — never the snapshot
+    assert(r.map(_.getString(0)) == Seq("new_p2", "new_p3"))
+    assert(r.map(_.getString(1)) == Seq("Meg Ryan Jr.", "Kevin Bacon Jr."))
+    assert(r.forall(_.isNullAt(2)))       // unassigned prop reads null
+    assert(r.map(_.getString(3)) == Seq("Meg Ryan", "Kevin Bacon"))
+  }
+
+  test("CREATE ... RETURN: null ids drop; aggregates compose") {
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[f:FOLLOWS]->(q:Person)
+        |WITH q.id AS qid
+        |CREATE (n:Person {id: qid})
+        |RETURN count(n.id) AS c""".stripMargin)
+    assert(r.map(_.getLong(0)) == Seq(3)) // null-qid rows created nothing
+  }
+
+  test("MERGE ... RETURN reads the post-merge entity per feed row") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p1', 'zz']
+        |WITH 'p1' AS k, 1900 AS yr
+        |MERGE (n:Person {id: k})
+        |ON MATCH SET n.Born = n.Born + 1
+        |ON CREATE SET n.Born = yr
+        |RETURN n.id AS i, n.Name AS s, n.Born AS b""".stripMargin)
+    // matched key p1: the RETURN sees the UPDATED entity (1956 + 1)
+    assert(r.size == 1)
+    assert(r.head.getString(0) == "p1")
+    assert(r.head.getString(1) == "Tom Hanks")
+    assert(r.head.getInt(2) == 1957)
+    val c = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |WITH 'p9' AS k
+        |MERGE (n:Person {id: k}) ON CREATE SET n.Name = 'Nine'
+        |RETURN n.id AS i, n.Name AS s, n.Born AS b""".stripMargin)
+    // absent key p9: the RETURN sees the ON CREATE row
+    assert(c.size == 1)
+    assert(c.head.getString(0) == "p9")
+    assert(c.head.getString(1) == "Nine")
+    assert(c.head.isNullAt(2))
+  }
+
+  test("MERGE ... RETURN: one row per winner-deduped key; agg read-back") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p.id AS k
+        |MERGE (n:Person {id: k}) ON MATCH SET n.Name = 'seen'
+        |RETURN count(n.id) AS c, min(n.Name) AS s""".stripMargin)
+    // 6 acted-in rows over 3 distinct persons → 3 winner rows
+    assert(r.head.getLong(0) == 3)
+    assert(r.head.getString(1) == "seen")
   }
 
   // ----------------------------- terminal SET / DELETE (extension)
