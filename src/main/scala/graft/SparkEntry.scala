@@ -1248,6 +1248,61 @@ object SparkEntry {
              |FROM feed f LEFT JOIN customer c ON c.c_custkey = f.k
              |ORDER BY ck""".stripMargin)),
 
+    // --- relationship CREATE (round 10): the edge twin of q69 —
+    //     appends one edge row per feed row to the verb's EDGE
+    //     snapshot, endpoint keys from the bound nodes' ids, map
+    //     props cast through the stored type (string → timestamp
+    //     here); append-only, the snapshot is never joined
+    ("q78_create_rel",
+      (s, dir) => cyx(
+        """MATCH (c:Customer) WHERE c.c_acctbal > 9900.0
+          |MATCH (o:Order) WHERE o.o_orderkey <= 5
+          |CREATE (c)-[:PLACED {o_orderdate: '1999-12-31'}]->(o)"""
+          .stripMargin)
+        .apply(s, dir).orderBy("o_custkey", "o_orderkey", "o_orderdate"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |UNION ALL
+             |SELECT c_custkey AS o_custkey, o_orderkey,
+             |       TIMESTAMP '1999-12-31 00:00:00' AS o_orderdate
+             |FROM customer CROSS JOIN
+             |  (SELECT o_orderkey FROM orders WHERE o_orderkey <= 5)
+             |WHERE c_acctbal > 9900.0
+             |ORDER BY o_custkey, o_orderkey, o_orderdate"""
+             .stripMargin)),
+
+    // --- relationship MERGE (round 10): edge upsert keyed by the
+    //     (src, snk) pair — matched pairs take ON MATCH, absent pairs
+    //     insert from ON CREATE, untouched edge rows anti-join
+    //     through; feed winner-dedups per pair first
+    ("q79_merge_rel",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WHERE o.o_totalprice > 450000.0
+          |MATCH (o2:Order) WHERE o2.o_orderkey <= 5
+          |MERGE (c)-[g:PLACED]->(o2)
+          |ON MATCH SET g.o_orderdate = '1995-06-01'
+          |ON CREATE SET g.o_orderdate = '1999-01-01'""".stripMargin)
+        .apply(s, dir).orderBy("o_custkey", "o_orderkey"),
+      Some("""WITH bigc AS (
+             |  SELECT DISTINCT o_custkey AS ck FROM orders
+             |  WHERE o_totalprice > 450000.0),
+             |low AS (
+             |  SELECT o_orderkey AS ok FROM orders WHERE o_orderkey <= 5),
+             |feed AS (SELECT ck, ok FROM bigc CROSS JOIN low)
+             |SELECT o.o_custkey, o.o_orderkey,
+             |  CASE WHEN f.ck IS NOT NULL
+             |       THEN TIMESTAMP '1995-06-01 00:00:00'
+             |       ELSE o.o_orderdate END AS o_orderdate
+             |FROM orders o LEFT JOIN feed f
+             |  ON f.ck = o.o_custkey AND f.ok = o.o_orderkey
+             |UNION ALL
+             |SELECT f.ck AS o_custkey, f.ok AS o_orderkey,
+             |       TIMESTAMP '1999-01-01 00:00:00' AS o_orderdate
+             |FROM feed f LEFT JOIN orders o
+             |  ON o.o_custkey = f.ck AND o.o_orderkey = f.ok
+             |WHERE o.o_orderkey IS NULL
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // --- SET += map sugar (round 10): each key of the literal map
     //     desugars at parse time to an ordinary assignment — same
     //     compile path, winner-dedup, stored-type casts and

@@ -320,6 +320,45 @@ object ast {
    *  over the merge's own matched/created joins. */
   final case class MergeReturnQuery(parts: Seq[QueryPart],
       merge: MergeClause, ret: Projection) extends Query
+  /** Terminal `CREATE (a)-[r:T {p: e, …}]->(b)` (extension, round 10):
+   *  appends one edge row per feed row to the verb's EDGE snapshot —
+   *  `a`/`b` must be node variables bound by the preceding parts, the
+   *  edge resolves by the (label(a), verb, label(b)) schema triple,
+   *  endpoint key columns take the bound nodes' ids, map-assigned
+   *  properties are declared edge properties (unassigned → null), rows
+   *  with a null endpoint drop (OPTIONAL MATCH misses create nothing).
+   *  Unconditional append like node CREATE: no match branch, no
+   *  winner-dedup, no anti-join — (src, snk) uniqueness is the
+   *  caller's contract. `ret` (CREATE … RETURN) reads the created
+   *  edge rows per feed row instead of the snapshot union; the
+   *  relationship alias is optional and only needed to read the edge
+   *  itself (the endpoints stay in scope either way). */
+  final case class CreateRelClause(srcAlias: String, verb: String,
+      dstAlias: String, assigns: Seq[(String, Expr)],
+      relAlias: Option[String])
+
+  final case class CreateRelQuery(parts: Seq[QueryPart],
+      create: CreateRelClause, ret: Option[Projection]) extends Query
+
+  /** Terminal `MERGE (a)-[r:T]->(b) [ON MATCH SET r.p = e, …]
+   *  [ON CREATE SET r.p = e, …]` (extension, round 10): edge upsert
+   *  keyed by the (src, snk) pair — the relationship twin of node
+   *  MERGE. The feed is the preceding parts' rows with both endpoint
+   *  ids non-null, winner-deduped per pair ([[MergeClause]]'s
+   *  struct-max rule); matched pairs take the ON MATCH assignments
+   *  (rhs reads the OLD edge), absent pairs insert a fresh edge row
+   *  from ON CREATE SET, untouched edge rows anti-join through. Edge
+   *  identity is the (src, snk) pair, the engine-wide relationship
+   *  contract (same as SET/DELETE on rels) — duplicate snapshot rows
+   *  on a matched pair collapse to the one updated row. `ret` reads
+   *  the post-merge edge per feed pair. */
+  final case class MergeRelClause(srcAlias: String, relAlias: Option[String],
+      verb: String, dstAlias: String,
+      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)])
+
+  final case class MergeRelQuery(parts: Seq[QueryPart],
+      merge: MergeRelClause, ret: Option[Projection]) extends Query
+
   /** UNION / UNION ALL — implemented correctly end-to-end (the
    *  reference's visitor drops it, SURVEY.md §2.1). */
   final case class UnionQuery(left: Query, right: Query, all: Boolean)

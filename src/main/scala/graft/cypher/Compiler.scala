@@ -818,6 +818,10 @@ object Compiler {
     case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
     case CreateReturnQuery(parts, cr, ret) =>
       compileCreate(parts, cr, catalog, Some(ret))
+    case CreateRelQuery(parts, cr, ret) =>
+      compileCreateRel(parts, cr, catalog, ret)
+    case MergeRelQuery(parts, mr, ret) =>
+      compileMergeRel(parts, mr, catalog, ret)
   }
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
@@ -1084,6 +1088,253 @@ object Compiler {
         compileProjection(Ctx(createdRows,
           scope + (cr.alias -> NodeBinding(node))), r, isReturn = true,
           catalog).df
+    }
+  }
+
+  /** Shared endpoint resolution for relationship CREATE/MERGE: both
+    * endpoint aliases must be node variables bound by the preceding
+    * parts, and the edge resolves by the (label(src), verb,
+    * label(dst)) schema triple. */
+  private def resolveRelEndpoints(scope: Map[String, Binding],
+      srcAlias: String, dstAlias: String, verb: String, kw: String,
+      catalog: GraphCatalog): (NodeDef, NodeDef, EdgeDef) = {
+    def nodeOf(a: String): NodeDef = scope.get(a) match {
+      case Some(NodeBinding(n)) => n
+      case Some(_) => throw new CypherBindingException(
+        s"$kw relationship endpoint '$a' must be a node variable")
+      case None => throw new CypherBindingException(
+        s"$kw relationship endpoint '$a' is not a bound variable — " +
+        "bind both endpoints with a preceding MATCH")
+    }
+    val sn = nodeOf(srcAlias)
+    val dn = nodeOf(dstAlias)
+    val e = catalog.graph.edge(sn.label, verb, dn.label).getOrElse(
+      throw new CypherBindingException(
+        s"no relationship '$verb' from '${sn.label}' to '${dn.label}' " +
+        "in the schema"))
+    (sn, dn, e)
+  }
+
+  /**
+   * Terminal `CREATE (a)-[r:T {…}]->(b)` (extension, round 10): the
+   * edge twin of node CREATE — append one edge row per feed row to
+   * the verb's EDGE snapshot. Endpoint key columns take the bound
+   * nodes' ids (cast to the edge's stored key types); map-assigned
+   * properties must be declared edge properties (endpoint columns are
+   * not assignable — they ARE the keys); rows with a null endpoint
+   * drop. Unconditional like node CREATE: no match branch, no
+   * winner-dedup, no anti-join — (src, snk) uniqueness is the
+   * caller's contract, and the plan stays append-only (the snapshot
+   * is never joined or shuffled). With `ret`, the RETURN reads the
+   * created edge rows per feed row (alias optional — the endpoints
+   * stay in scope either way), and the snapshot is never read at all.
+   */
+  private def compileCreateRel(parts: Seq[QueryPart], cr: CreateRelClause,
+      catalog: GraphCatalog, ret: Option[Projection]): DataFrame = {
+    if (parts.isEmpty) throw new CypherBindingException(
+      "CREATE of a relationship needs both endpoints bound by a " +
+      "preceding MATCH")
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val (sn, dn, e) = resolveRelEndpoints(c.scope, cr.srcAlias,
+      cr.dstAlias, cr.verb, "CREATE", catalog)
+    cr.relAlias.foreach { r =>
+      if (c.scope.contains(r)) throw new CypherBindingException(
+        s"CREATE relationship alias '$r' collides with a variable in " +
+        "scope")
+    }
+    val snapshot = catalog.edgeDf(e)
+    val outCols =
+      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
+    def dt(cn: String) = snapshot.schema(cn).dataType
+    cr.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 =>
+      p2 }.foreach(p2 => throw new CypherBindingException(
+      s"CREATE map assigns '$p2' twice"))
+    cr.assigns.foreach { case (p2, ex) =>
+      if (p2 == e.srcIdColumn || p2 == e.sinkIdColumn)
+        throw new CypherBindingException(
+          s"CREATE relationship map may not assign endpoint column " +
+          s"'$p2' — the endpoints come from the bound nodes")
+      if (!e.properties.contains(p2)) throw new CypherBindingException(
+        s"CREATE: relationship '${e.verb}' has no declared property '$p2'")
+      if (containsAgg(ex)) throw new CypherNotSupportedException(
+        "CREATE with an aggregate — aggregate in a WITH before the CREATE")
+      if (cr.relAlias.exists(refersTo(ex, _)))
+        throw new CypherBindingException(
+          s"CREATE map may not read '${cr.relAlias.get}' — the edge " +
+          "does not exist at create time")
+    }
+    val ec = new ExprCompiler(c.scope, c.df)
+    val propAssign: Map[String, Column] =
+      cr.assigns.map { case (p2, ex) => p2 -> ec.compile(ex).cast(dt(p2)) }
+        .toMap
+    val keyAssign: Map[String, Column] = Map(
+      e.srcIdColumn ->
+        col(pref(cr.srcAlias, sn.idColumn)).cast(dt(e.srcIdColumn)),
+      e.sinkIdColumn ->
+        col(pref(cr.dstAlias, dn.idColumn)).cast(dt(e.sinkIdColumn)))
+    def valueOf(cn: String): Column =
+      keyAssign.getOrElse(cn,
+        propAssign.getOrElse(cn, lit(null).cast(dt(cn))))
+    ret match {
+      case None =>
+        val created = c.df
+          .select(outCols.map(cn => valueOf(cn).as(cn)): _*)
+          .where(col(e.srcIdColumn).isNotNull &&
+            col(e.sinkIdColumn).isNotNull)
+        snapshot.select(outCols.map(col): _*).unionByName(created)
+      case Some(r) =>
+        val rA = cr.relAlias
+        val feedCols = c.df.columns.toSeq
+        val withRel = rA match {
+          case Some(a) => c.df.select(feedCols.map(col) ++
+            outCols.map(cn => valueOf(cn).as(pref(a, cn))): _*)
+          case None => c.df
+        }
+        val keyNonNull =
+          col(pref(cr.srcAlias, sn.idColumn)).isNotNull &&
+          col(pref(cr.dstAlias, dn.idColumn)).isNotNull
+        val scope2 = rA match {
+          case Some(a) => c.scope + (a -> EdgeBinding(e))
+          case None    => c.scope
+        }
+        compileProjection(Ctx(withRel.where(keyNonNull), scope2), r,
+          isReturn = true, catalog).df
+    }
+  }
+
+  /**
+   * Terminal `MERGE (a)-[r:T]->(b) [ON MATCH SET …] [ON CREATE SET …]`
+   * (extension, round 10): edge upsert keyed by the (src, snk)
+   * endpoint pair — the relationship twin of node MERGE, same
+   * applyChangeFeed shape with a two-column key: null-endpoint rows
+   * drop, the feed winner-dedups per pair (struct-max rule), matched
+   * pairs take ON MATCH assignments (rhs reads the OLD edge), absent
+   * pairs insert a fresh edge row from ON CREATE SET, untouched edge
+   * rows anti-join through. Edge identity is the (src, snk) pair —
+   * the engine-wide relationship contract (SET/DELETE on rels key the
+   * same way) — so duplicate snapshot rows on a matched pair collapse
+   * to the one updated row. With `ret`, the RETURN reads the
+   * post-merge edge per feed pair (matched ∪ created branches only).
+   *
+   * Scale shape: identical to node MERGE — the feed dedups FIRST (one
+   * partial-agg shuffle on the slim pair key), the snapshot joins
+   * once per branch and is never widened.
+   */
+  private def compileMergeRel(parts: Seq[QueryPart], mr: MergeRelClause,
+      catalog: GraphCatalog, ret: Option[Projection]): DataFrame = {
+    if (parts.isEmpty) throw new CypherBindingException(
+      "MERGE of a relationship needs both endpoints bound by a " +
+      "preceding MATCH")
+    val c = compileSingle(SingleQuery(parts), Map.empty,
+      terminalIsReturn = false, catalog)
+    val (sn, dn, e) = resolveRelEndpoints(c.scope, mr.srcAlias,
+      mr.dstAlias, mr.verb, "MERGE", catalog)
+    mr.relAlias.foreach { r =>
+      if (c.scope.contains(r)) throw new CypherBindingException(
+        s"MERGE relationship alias '$r' collides with a variable in " +
+        "scope")
+    }
+    val snapshot = catalog.edgeDf(e)
+    val outCols =
+      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
+    val keyCols = Seq(e.srcIdColumn, e.sinkIdColumn)
+    val props = outCols.filterNot(keyCols.contains)
+    def dt(cn: String) = snapshot.schema(cn).dataType
+    def checkAssigns(kind: String, as: Seq[(String, Expr)],
+        allowSelf: Boolean): Unit = {
+      as.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 => p2 }
+        .foreach(p2 => throw new CypherBindingException(
+          s"$kind SET assigns '$p2' twice"))
+      as.foreach { case (p2, ex) =>
+        if (keyCols.contains(p2)) throw new CypherBindingException(
+          s"$kind SET may not reassign endpoint column '$p2' — " +
+          "relationship identity is the (src, snk) pair")
+        if (!props.contains(p2)) throw new CypherBindingException(
+          s"$kind SET: relationship '${e.verb}' has no declared " +
+          s"property '$p2'")
+        if (containsAgg(ex)) throw new CypherNotSupportedException(
+          s"$kind SET with an aggregate — aggregate in a WITH before " +
+          "the MERGE")
+        if (!allowSelf && mr.relAlias.exists(refersTo(ex, _)))
+          throw new CypherBindingException(
+            s"ON CREATE SET may not read '${mr.relAlias.get}' — the " +
+            "edge does not exist at create time")
+      }
+    }
+    checkAssigns("ON MATCH", mr.onMatch, allowSelf = true)
+    checkAssigns("ON CREATE", mr.onCreate, allowSelf = false)
+    // the prefix alias: the user's rel variable, or a reserved synth
+    // when anonymous (never visible — scope only gains a binding for a
+    // user-written alias)
+    val rA = mr.relAlias.getOrElse("__mr")
+    val snapE = snapshot.select(
+      outCols.map(cn => col(cn).as(pref(rA, cn))): _*)
+    val feed0 = c.df
+      .withColumn("__msrc",
+        col(pref(mr.srcAlias, sn.idColumn)).cast(dt(e.srcIdColumn)))
+      .withColumn("__msnk",
+        col(pref(mr.dstAlias, dn.idColumn)).cast(dt(e.sinkIdColumn)))
+    val feed =
+      feed0.where(col("__msrc").isNotNull && col("__msnk").isNotNull)
+    val others =
+      feed.columns.filterNot(Set("__msrc", "__msnk")).toSeq
+    // winner-dedup per (src, snk) pair + lazy localCheckpoint — the
+    // deduped feed has three consumers (node-MERGE's reasoning)
+    val feedW =
+      (if (others.isEmpty) feed.distinct()
+      else feed.groupBy(col("__msrc"), col("__msnk"))
+        .agg(max(struct(others.map(col): _*)).as("__w"))
+        .select(col("__msrc") +: col("__msnk") +:
+          others.map(cn => col("__w").getField(cn).as(cn)): _*))
+        .localCheckpoint(false)
+
+    val joinedM = feedW.join(snapE,
+      col("__msrc") === col(pref(rA, e.srcIdColumn)) &&
+        col("__msnk") === col(pref(rA, e.sinkIdColumn)), "inner")
+    val scopeM: Map[String, Binding] = mr.relAlias match {
+      case Some(a) => c.scope + (a -> EdgeBinding(e))
+      case None    => c.scope
+    }
+    val ecM = new ExprCompiler(scopeM, joinedM)
+    val mAssign: Map[String, Column] =
+      mr.onMatch.map { case (p2, ex) =>
+        p2 -> ecM.compile(ex).cast(dt(p2)) }.toMap
+
+    val joinedC = feedW.join(
+      snapE.select(col(pref(rA, e.srcIdColumn)).as("__ssrc"),
+        col(pref(rA, e.sinkIdColumn)).as("__ssnk")),
+      col("__msrc") === col("__ssrc") && col("__msnk") === col("__ssnk"),
+      "left_anti")
+    val ecC = new ExprCompiler(c.scope, joinedC)
+    val cAssign: Map[String, Column] =
+      mr.onCreate.map { case (p2, ex) =>
+        p2 -> ecC.compile(ex).cast(dt(p2)) }.toMap
+
+    ret match {
+      case None =>
+        val matchedOut = joinedM.select(outCols.map { cn =>
+          mAssign.getOrElse(cn, col(pref(rA, cn))).as(cn) }: _*)
+        val createdOut = joinedC.select(
+          col("__msrc").as(e.srcIdColumn) +:
+            col("__msnk").as(e.sinkIdColumn) +:
+            props.map(p2 => cAssign.getOrElse(p2,
+              lit(null).cast(dt(p2))).as(p2)): _*)
+        val untouched = snapshot.select(outCols.map(col): _*)
+          .join(feedW.select(col("__msrc").as(e.srcIdColumn),
+            col("__msnk").as(e.sinkIdColumn)), keyCols, "left_anti")
+        untouched.unionByName(matchedOut).unionByName(createdOut)
+      case Some(r) =>
+        val matchedR = joinedM.select(others.map(col) ++
+          outCols.map(cn => mAssign.getOrElse(cn, col(pref(rA, cn)))
+            .as(pref(rA, cn))): _*)
+        val createdR = joinedC.select(others.map(col) ++
+          (col("__msrc").as(pref(rA, e.srcIdColumn)) +:
+            col("__msnk").as(pref(rA, e.sinkIdColumn)) +:
+            props.map(p2 => cAssign.getOrElse(p2, lit(null).cast(dt(p2)))
+              .as(pref(rA, p2)))): _*)
+        compileProjection(Ctx(matchedR.unionByName(createdR), scopeM),
+          r, isReturn = true, catalog).df
     }
   }
 

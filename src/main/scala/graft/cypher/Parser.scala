@@ -105,14 +105,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
 
   private def parseUnion(): Query = {
     def checkUpdating(q: Query): Unit = q match {
-      case _: MergeQuery | _: MergeReturnQuery =>
+      case _: MergeQuery | _: MergeReturnQuery | _: MergeRelQuery =>
         notSupported("MERGE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: SetQuery    => notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: DeleteQuery => notSupported("DELETE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: CreateQuery | _: CreateReturnQuery =>
+      case _: CreateQuery | _: CreateReturnQuery | _: CreateRelQuery =>
         notSupported("CREATE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: SetReturnQuery => notSupported("SET in a UNION branch — " +
@@ -135,6 +135,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * MERGE / SET / DELETE (extensions). */
   private def parseTop(): Query = {
     val sq = parseSingle()
+    if (pendingMergeRel.isDefined) {
+      val mr = pendingMergeRel.get; pendingMergeRel = None
+      val r = pendingMergeReturn; pendingMergeReturn = None
+      return MergeRelQuery(sq.parts, mr, r)
+    }
+    if (pendingCreateRel.isDefined) {
+      val cr = pendingCreateRel.get; pendingCreateRel = None
+      val r = pendingCreateReturn; pendingCreateReturn = None
+      return CreateRelQuery(sq.parts, cr, r)
+    }
     (pendingMerge, pendingSet, pendingDelete, pendingCreate) match {
       case (Some(m), _, _, _) =>
         pendingMerge = None
@@ -167,11 +177,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * [[parseSingle]] (CALL-subquery calls to parseSingle reject each
     * instead). */
   private var pendingMerge: Option[MergeClause] = None
+  private var pendingMergeRel: Option[MergeRelClause] = None
   private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingCreate: Option[CreateClause] = None
+  private var pendingCreateRel: Option[CreateRelClause] = None
   private var pendingCreateReturn: Option[Projection] = None
   private var inSubquery: Boolean = false
 
@@ -279,7 +291,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        pendingMerge = Some(parseMergeClause())
+        parseMergeClause() match {
+          case Left(m)   => pendingMerge = Some(m)
+          case Right(mr) => pendingMergeRel = Some(mr)
+        }
         if (isKw("RETURN")) {
           // MERGE … RETURN (round 10): the RETURN reads the RESULTING
           // entity per feed row — the projection, not the snapshot
@@ -352,7 +367,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        pendingCreate = Some(parseCreateClause())
+        parseCreateClause() match {
+          case Left(c)   => pendingCreate = Some(c)
+          case Right(cr) => pendingCreateRel = Some(cr)
+        }
         if (isKw("RETURN")) {
           // CREATE … RETURN (round 10): the RETURN reads the CREATED
           // rows — the projection, not the snapshot
@@ -386,34 +404,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * [ON CREATE SET n.p = e, …]` — the MERGE keyword is consumed by
     * the caller. `ON` is not a lexer keyword, so it arrives as an
     * identifier. */
-  private def parseMergeClause(): MergeClause = {
-    eatPunct("(")
-    val alias = cur match {
-      case Ident(s, _) =>
-        if (s.startsWith("__"))
-          notSupported(s"alias '$s' — names starting with __ are reserved")
-        p += 1; s
-      case _ => syntaxErr(
-        "MERGE requires a named node, e.g. MERGE (n:Label {id: …})")
-    }
-    eatPunct(":")
-    val label = name()
-    if (!isPunct("{")) syntaxErr(
-      "MERGE node requires a property map binding its id, e.g. {id: …}")
-    eatPunct("{")
-    val keyProp = cur match {
-      case Ident(s, _)  => p += 1; s
-      case Kw(_, raw, _) => p += 1; raw
-      case _ => syntaxErr("expected the id property name in the MERGE map")
-    }
-    eatPunct(":")
-    val keyExpr = parseExpr()
-    if (isPunct(","))
-      notSupported("MERGE property map beyond the id property — merge " +
-        "identity is the unique node id; set other properties in " +
-        "ON CREATE SET")
-    eatPunct("}")
-    eatPunct(")")
+  /** Shared `[ON MATCH SET t.p = e, …] [ON CREATE SET t.p = e, …]`
+    * tail of a node or relationship MERGE. `target` is the merged
+    * entity's alias (None = anonymous relationship — any ON clause is
+    * then a typed rejection, there is nothing to assign through);
+    * `kind` names the entity in error messages. */
+  private def parseOnSets(target: Option[String], kind: String)
+      : (Seq[(String, Expr)], Seq[(String, Expr)]) = {
     var onMatch: Seq[(String, Expr)] = Seq.empty
     var onCreate: Seq[(String, Expr)] = Seq.empty
     def isIdentCI(s: String): Boolean = cur match {
@@ -421,11 +418,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       case _ => false
     }
     def setList(): Seq[(String, Expr)] = {
+      val tgt = target.getOrElse(notSupported(
+        s"ON MATCH/ON CREATE SET on an anonymous merged $kind — name " +
+        "the variable to assign through it"))
       val b = Vector.newBuilder[(String, Expr)]
       def one(): Unit = {
         val a = ident()
-        if (a != alias) syntaxErr(
-          s"SET target must be the merged node '$alias', got '$a'")
+        if (a != tgt) syntaxErr(
+          s"SET target must be the merged $kind '$tgt', got '$a'")
         eatPunct(".")
         val pr = cur match {
           case Ident(s, _)   => p += 1; s
@@ -450,7 +450,110 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         onCreate = setList()
       } else syntaxErr("expected MATCH or CREATE after ON")
     }
-    MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate)
+    (onMatch, onCreate)
+  }
+
+  /** `-[r:T]->` / `<-[r:T]-` between two bare endpoints of a
+    * relationship MERGE/CREATE. Returns (relAlias, verb, incoming).
+    * `allowMap` admits an inline property map (CREATE's assignments);
+    * MERGE rejects it (the merge key IS the endpoint pair). */
+  private def parseBareRel(allowMap: Boolean, kw: String)
+      : (Option[String], String, Boolean, Seq[(String, Expr)]) = {
+    val leftArrow = isPunct("<-")
+    if (!leftArrow && !isPunct("-")) syntaxErr(
+      s"expected a relationship pattern after the $kw endpoint")
+    p += 1
+    eatPunct("[")
+    val rAlias: Option[String] = cur match {
+      case Ident(s, _) =>
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
+        p += 1; Some(s)
+      case _ => None
+    }
+    eatPunct(":")
+    val verb = name()
+    if (isPunct("|"))
+      notSupported(s"relationship type alternation in $kw — one verb, " +
+        "one edge snapshot")
+    if (isPunct("*"))
+      notSupported(s"variable-length relationship in $kw — one hop, " +
+        "one edge row")
+    val props: Seq[(String, Expr)] =
+      if (isPunct("{")) {
+        if (!allowMap)
+          notSupported("property map on a MERGE relationship — the " +
+            "merge key IS the (src, snk) endpoint pair; set properties " +
+            "in ON MATCH/ON CREATE SET")
+        parsePropMap()
+      } else Seq.empty
+    eatPunct("]")
+    val incoming =
+      if (leftArrow) { eatPunct("-"); true }
+      else if (tryPunct("->")) false
+      else notSupported(s"undirected relationship in $kw — an edge row " +
+        "has a fixed (src, snk) orientation; direct the pattern")
+    (rAlias, verb, incoming, props)
+  }
+
+  /** Bare `(x)` endpoint of a relationship MERGE/CREATE — a bound
+    * node variable reference, consumed after the opening paren and
+    * alias were read by the caller's dispatcher. */
+  private def bareEndpoint(): String = {
+    val a = cur match {
+      case Ident(s, _) =>
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
+        p += 1; s
+      case _ => syntaxErr("expected a bound node variable in '(…)'")
+    }
+    eatPunct(")")
+    a
+  }
+
+  private def parseMergeClause(): Either[MergeClause, MergeRelClause] = {
+    eatPunct("(")
+    val alias = cur match {
+      case Ident(s, _) =>
+        if (s.startsWith("__"))
+          notSupported(s"alias '$s' — names starting with __ are reserved")
+        p += 1; s
+      case _ => syntaxErr(
+        "MERGE requires a named node — MERGE (n:Label {id: …}) — or a " +
+        "relationship between bound endpoints — MERGE (a)-[r:T]->(b)")
+    }
+    if (isPunct(")")) {
+      // relationship MERGE (round 10): `(a)-[r:T]->(b)` over bound
+      // endpoints — edge upsert keyed by the (src, snk) pair
+      p += 1
+      val (rAlias, verb, incoming, _) =
+        parseBareRel(allowMap = false, kw = "MERGE")
+      eatPunct("(")
+      val other = bareEndpoint()
+      val (srcA, dstA) = if (incoming) (other, alias) else (alias, other)
+      val (om, oc) = parseOnSets(rAlias, "relationship")
+      return Right(MergeRelClause(srcA, rAlias, verb, dstA, om, oc))
+    }
+    eatPunct(":")
+    val label = name()
+    if (!isPunct("{")) syntaxErr(
+      "MERGE node requires a property map binding its id, e.g. {id: …}")
+    eatPunct("{")
+    val keyProp = cur match {
+      case Ident(s, _)  => p += 1; s
+      case Kw(_, raw, _) => p += 1; raw
+      case _ => syntaxErr("expected the id property name in the MERGE map")
+    }
+    eatPunct(":")
+    val keyExpr = parseExpr()
+    if (isPunct(","))
+      notSupported("MERGE property map beyond the id property — merge " +
+        "identity is the unique node id; set other properties in " +
+        "ON CREATE SET")
+    eatPunct("}")
+    eatPunct(")")
+    val (onMatch, onCreate) = parseOnSets(Some(alias), "node")
+    Left(MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate))
   }
 
   /** `SET a.p = e [, a.q = e2 …]` and the map-sugar form
@@ -542,7 +645,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * append; the map may bind any declared properties (the compiler
     * checks the id property is among them). The CREATE keyword is
     * consumed by the caller. */
-  private def parseCreateClause(): CreateClause = {
+  private def parseCreateClause(): Either[CreateClause, CreateRelClause] = {
     eatPunct("(")
     val alias = cur match {
       case Ident(s, _) =>
@@ -550,7 +653,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported(s"alias '$s' — names starting with __ are reserved")
         p += 1; s
       case _ => syntaxErr(
-        "CREATE requires a named node, e.g. CREATE (n:Label {id: …, …})")
+        "CREATE requires a named node — CREATE (n:Label {id: …, …}) — " +
+        "or a relationship between bound endpoints — " +
+        "CREATE (a)-[:T {…}]->(b)")
+    }
+    if (isPunct(")")) {
+      // relationship CREATE (round 10): `(a)-[r:T {…}]->(b)` over
+      // bound endpoints — unconditional edge-row append
+      p += 1
+      val (rAlias, verb, incoming, props) =
+        parseBareRel(allowMap = true, kw = "CREATE")
+      eatPunct("(")
+      val other = bareEndpoint()
+      if (isPunct(",") || isPunct("-") || isPunct("<-"))
+        notSupported("CREATE of multiple patterns or longer paths — " +
+          "one terminal CREATE produces one edge snapshot")
+      val (srcA, dstA) = if (incoming) (other, alias) else (alias, other)
+      return Right(CreateRelClause(srcA, verb, dstA, props, rAlias))
     }
     eatPunct(":")
     val label = name()
@@ -578,9 +697,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("CREATE of multiple patterns — one terminal CREATE " +
         "produces one node table's new snapshot")
     if (isPunct("-") || isPunct("<"))
-      notSupported("CREATE of a relationship pattern — edge snapshots " +
-        "are produced by their own terminal clauses")
-    CreateClause(alias, label, b.result())
+      notSupported("CREATE of a node pattern with an attached " +
+        "relationship — create the nodes first, then " +
+        "CREATE (a)-[:T]->(b) over bound endpoints appends the edge")
+    Left(CreateClause(alias, label, b.result()))
   }
 
   /** `[DETACH] DELETE a` — terminal, ONE bound entity variable. The

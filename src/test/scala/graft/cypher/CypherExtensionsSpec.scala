@@ -1702,6 +1702,130 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.head.getString(1) == "seen")
   }
 
+  // ----------------- relationship CREATE / MERGE (edge snapshots)
+
+  test("CREATE (a)-[:T {…}]->(b): appends edge rows to the snapshot") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WHERE m.Title = 'Apollo 13'
+        |CREATE (p)-[:REVIEWED {Summary: 'Cast', Rating: 70}]->(m)"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getInt(3))).sortBy(t => (t._1, t._2))
+    // snapshot (p5,m1),(p5,m3) + created (p1,m2),(p3,m2)
+    assert(r.size == 4)
+    assert(r.contains(("p1", "m2", "Cast", 70)))
+    assert(r.contains(("p3", "m2", "Cast", 70)))
+    assert(r.contains(("p5", "m1", "Loved it", 95))) // untouched
+  }
+
+  test("CREATE rel: incoming arrow swaps endpoints; null endpoint " +
+      "drops; RETURN reads the created edge") {
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:DIRECTED]->(m:Movie)
+        |WITH p, m
+        |CREATE (m)<-[r:REVIEWED {Rating: 50}]-(p)
+        |RETURN p.id AS i, m.id AS mi, r.Rating AS rt,
+        |       r.Summary AS s""".stripMargin)
+    // only p4 directed a movie; the other 4 rows carry a null m → drop
+    assert(r.size == 1)
+    assert(r.head.getString(0) == "p4")
+    assert(r.head.getString(1) == "m1")
+    assert(r.head.getInt(2) == 50)
+    assert(r.head.isNullAt(3)) // unassigned edge prop reads null
+  }
+
+  test("MERGE (a)-[r:T]->(b): matched pairs update, absent insert, " +
+      "untouched pass") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p5', 'p3']
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON MATCH SET r.Rating = r.Rating + 1
+        |ON CREATE SET r.Summary = 'new', r.Rating = 10""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getInt(3))).sortBy(t => (t._1, t._2))
+    assert(r == Seq(
+      ("p3", "m1", "new", 10),        // created pair
+      ("p5", "m1", "Loved it", 96),   // matched: ON MATCH reads OLD
+      ("p5", "m3", "Fun", 85)))       // untouched
+  }
+
+  test("MERGE rel ... RETURN reads the post-merge edge per feed pair") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p5', 'p3']
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON MATCH SET r.Rating = r.Rating + 1
+        |ON CREATE SET r.Summary = 'new', r.Rating = 10
+        |RETURN p.id AS i, r.Summary AS s, r.Rating AS rt
+        |ORDER BY i""".stripMargin)
+    assert(r.size == 2) // never the untouched snapshot rows
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getInt(2))) ==
+      Seq(("p3", "new", 10), ("p5", "Loved it", 96)))
+  }
+
+  test("MERGE rel: duplicate feed pairs winner-dedup to one row") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(mm:Movie)
+        |MATCH (m:Movie) WHERE m.id = 'm2'
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON CREATE SET r.Rating = 1""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1))).sortBy(identity)
+    // p1 acts 3×, p2 2×, p3 1× — one merged edge per distinct pair
+    assert(r == Seq(("p1", "m2"), ("p2", "m2"), ("p3", "m2"),
+      ("p5", "m1"), ("p5", "m3")))
+  }
+
+  test("relationship CREATE/MERGE typed rejections pin the contract") {
+    // endpoints must be bound node variables
+    intercept[CypherBindingException](rows(
+      "MERGE (x)-[r:REVIEWED]->(y)"))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |CREATE (a)-[:REVIEWED]->(m)""".stripMargin))
+    // no edge of that verb between the endpoint labels
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:FOLLOWS]->(m)""".stripMargin))
+    // MERGE rel takes no property map — the key IS the pair
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED {Rating: 5}]->(m)""".stripMargin))
+    // undirected is ambiguous
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |CREATE (p)-[:REVIEWED]-(m)""".stripMargin))
+    // ON clauses need a named rel
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[:REVIEWED]->(m) ON CREATE SET r.Rating = 1"""
+        .stripMargin))
+    // ON CREATE cannot read the edge; endpoint columns not assignable
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON CREATE SET r.Rating = r.Rating""".stripMargin))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON MATCH SET r._vertexId = 'x'""".stripMargin))
+    // CREATE map: declared properties only, never endpoints
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |CREATE (p)-[:REVIEWED {Nope: 1}]->(m)""".stripMargin))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |CREATE (p)-[:REVIEWED {_vertexId: 'x'}]->(m)""".stripMargin))
+    // var-length / alternation have no single edge row
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person), (q:Person)
+        |CREATE (p)-[:FOLLOWS*2]->(q)""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED|ACTED_IN]->(m)""".stripMargin))
+  }
+
   // ----------------------------- terminal SET / DELETE (extension)
 
   test("SET: matched node rows update reading OLD values + scope, rest pass") {
