@@ -1202,6 +1202,29 @@ object SparkEntry {
              |WHERE o_totalprice > 200000.0
              |GROUP BY 1, 2 ORDER BY ck""".stripMargin)),
 
+    // --- per-hop predicate on an unbounded var-length (round 10):
+    //     [j:JUMPS_TO* WHERE j.jump_span = 1] filters EVERY traversed
+    //     edge — lowered to one map-side `where` on the edge frame
+    //     BEFORE the BFS (HopPred synthetic verb), so anchoring,
+    //     shortestPath and the closure guard compose unchanged;
+    //     restricted to the unit chain, the min distance from nation
+    //     0 is exactly the within-region rank
+    ("q80_hop_pred", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})
+        |  -[j:JUMPS_TO* WHERE j.jump_span = 1]->(b:Nation))
+        |RETURN b.n_name AS dst_name, length(p) AS hops
+        |ORDER BY dst_name""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_name,
+             |         row_number() OVER (ORDER BY n_nationkey) - 1
+             |           AS rk
+             |  FROM nation
+             |  WHERE n_regionkey =
+             |    (SELECT n_regionkey FROM nation WHERE n_nationkey = 0))
+             |SELECT n_name AS dst_name, rk AS hops FROM s WHERE rk > 0
+             |ORDER BY dst_name""".stripMargin)),
+
     // --- CREATE … RETURN (round 10): the RETURN reads ONLY the
     //     created rows — alias bound to the new entity's values,
     //     unassigned properties null; snapshot never read (map-only

@@ -70,8 +70,11 @@ object TpchGraph {
       // recurrence), backing the anchored allShortestPaths witness
       // lowering; a DuckDB UNION ALL recursive walk mirrors it exactly
       // (the DAG terminates the recursion)
+      // jump_span (round 10): 1 for the +1 successor edge, 2 for the
+      // +2 — backs the per-hop predicate extension ([j:JUMPS_TO*
+      // WHERE j.jump_span = 1] walks the unit chain only)
       EdgeDef("JUMPS_TO", "Nation", "Nation",
-        "src_nationkey", "dst_nationkey", Seq.empty, "nation_jump"),
+        "src_nationkey", "dst_nationkey", Seq("jump_span"), "nation_jump"),
       // heterogeneous verb (round 10): ONE verb spanning two label
       // pairs — Customer→Order (orders) and Order→Part (lineitem) —
       // the label DAG behind the label-stratified unbounded-chain
@@ -104,9 +107,11 @@ object TpchGraph {
         val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
         val n = base("nation")
         n.select(col("n_nationkey").as("src_nationkey"),
-            lead("n_nationkey", 1).over(w).as("dst_nationkey"))
+            lead("n_nationkey", 1).over(w).as("dst_nationkey"),
+            lit(1).as("jump_span"))
           .unionByName(n.select(col("n_nationkey").as("src_nationkey"),
-            lead("n_nationkey", 2).over(w).as("dst_nationkey")))
+            lead("n_nationkey", 2).over(w).as("dst_nationkey"),
+            lit(2).as("jump_span")))
           .where(col("dst_nationkey").isNotNull)
       case t => base(t)
     }

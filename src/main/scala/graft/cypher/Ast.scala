@@ -141,10 +141,20 @@ object ast {
    *  ALL'd through the same machinery; anonymous rels only (a bound
    *  variable would need one property namespace across different edge
    *  tables). */
+  /** `hopPred` (round 10, var-length only): a PER-HOP predicate from an
+   *  inline property map `[:T* {p: v}]` (every traversed relationship
+   *  must satisfy the equalities — Neo4j's var-length map semantics)
+   *  or an inline `[r:T* WHERE r.p > 0]` (the alias names ONE hop and
+   *  is consumed by the predicate — it is NOT bound downstream, a pair
+   *  row aggregates many hops). Lowered by [[graft.cypher.HopPred]] to
+   *  a pre-filtered edge frame behind a synthetic verb, so bounded
+   *  unrolling, reach BFS, shortestPath and allShortestPaths all
+   *  compose unchanged. */
   final case class RelPat(alias: Option[String], verb: Option[String],
                           dir: Direction,
                           varLength: Option[(Int, Int)] = None,
-                          alts: Seq[String] = Seq.empty)
+                          alts: Seq[String] = Seq.empty,
+                          hopPred: Option[(String, Expr)] = None)
   /** Linear pattern: nodes.size == rels.size + 1. `pathVar` names the
    *  pattern's path (`p = (...)`) — a flagged EXTENSION (the reference
    *  rejects named paths, CypherVisitor.cs:998-1002) supporting exactly

@@ -350,8 +350,9 @@ object Compiler {
     // the outer frame's bound aliases can anchor-seed an unbounded
     // reach inside the EXISTS pattern (semi-/anti-join correlation only
     // ever observes pairs whose endpoint ids exist in the outer frame)
+    val (clauseH, catH) = HopPred.rewrite(clause, catalog)
     val (msR, catR) =
-      Reach.rewrite(clause, catalog, Some(Ctx(df, outerNamed)))
+      Reach.rewrite(clauseH, catH, Some(Ctx(df, outerNamed)))
     // the inner WHERE (and any nested EXISTS in it) rides the ordinary
     // compileMatches path inside the subplan
     def one(ms: Seq[MatchClause]): (Ctx, Seq[String]) = {
@@ -447,7 +448,7 @@ object Compiler {
 
   // ----- projection / WITH / RETURN -------------------------------------
 
-  private def containsAgg(e: Expr): Boolean = e match {
+  private[cypher] def containsAgg(e: Expr): Boolean = e match {
     case _: Agg => true
     case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
     case Not(x) => containsAgg(x)
@@ -1523,12 +1524,14 @@ object Compiler {
     sq.parts.zipWithIndex.foreach { case (part, i) =>
       val isLast = i == sq.parts.size - 1
       val scope = ctx.map(_.scope).getOrElse(inherited)
-      // unbounded [*]/[*1..] rels rewrite FIRST to synthetic reach edges
-      // (Reach.rewrite; no-op without one) — bounded var-length in the
-      // same part then goes through the ordinary branch union; the
-      // incoming frame (if any) can anchor-seed a reach endpoint whose
-      // variable it already binds
-      val (ms, cat) = Reach.rewrite(part.matches, catalog, ctx)
+      // per-hop predicates rewrite FIRST to filtered-frame synthetic
+      // verbs (HopPred.rewrite), then unbounded [*]/[*1..] rels to
+      // synthetic reach edges (Reach.rewrite; both no-ops without
+      // one) — bounded var-length in the same part then goes through
+      // the ordinary branch union; the incoming frame (if any) can
+      // anchor-seed a reach endpoint whose variable it already binds
+      val (msH, catH) = HopPred.rewrite(part.matches, catalog)
+      val (ms, cat) = Reach.rewrite(msH, catH, ctx)
       val afterMatch0: Option[Ctx] =
         if (ms.isEmpty) ctx
         else if (!VarLength.hasVarLength(ms) &&

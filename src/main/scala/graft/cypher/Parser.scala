@@ -910,9 +910,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("variable-length relationships [*..] " +
             "(bounded [*lo..hi] supported with extensions enabled)")
         p += 1
-        if (alias.isDefined)
-          notSupported("binding a variable-length relationship to a " +
-            "variable (it would be a list of relationships)")
+        // alias check deferred: `[r:T* WHERE r.p > 0]` consumes the
+        // alias as the per-hop predicate's name; a LEFTOVER alias (no
+        // predicate to consume it) is still the typed rejection below
         def intLit(): Int = cur match {
           case NumLit(s, false, _) =>
             val v = try s.toLong
@@ -958,10 +958,6 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (!extensions)
           notSupported("inline property map in rel pattern " +
             "(supported with extensions enabled)")
-        if (varLength.isDefined)
-          notSupported("inline property map on a variable-length " +
-            "relationship (each hop is a distinct relationship — bind " +
-            "single hops and filter with WHERE)")
         if (alts.nonEmpty)
           notSupported("inline property map on a relationship type " +
             "alternation (the alternatives have different property " +
@@ -969,29 +965,48 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         parsePropMap()
       } else Seq.empty
       // Cypher 5 pattern predicate `[r:T WHERE r.x > 0]` — desugars
-      // like the node form; var-length hops have no single binding to
-      // predicate over, so those keep a typed rejection
+      // like the node form on single hops; on a VAR-LENGTH rel (round
+      // 10) the map/WHERE become a PER-HOP predicate: every traversed
+      // relationship must satisfy it (Neo4j's var-length map
+      // semantics), the alias naming one hop and consumed by it
       val patWhere = if (isKw("WHERE")) {
         if (!extensions)
           notSupported("WHERE inside a relationship pattern " +
             "(supported with extensions enabled)")
-        if (varLength.isDefined)
-          notSupported("WHERE inside a variable-length relationship " +
-            "(each hop is a distinct relationship — filter bound " +
-            "single hops)")
+        if (varLength.isDefined && alts.nonEmpty)
+          notSupported("WHERE inside a variable-length type " +
+            "alternation (the alternatives have different property " +
+            "namespaces)")
         p += 1
         Some(parseExpr())
       } else None
       eatPunct("]")
-      val bound = if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
-      props.foreach { case (k, v) =>
-        propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
-      patWhere.foreach(propConjuncts += _)
       val dir =
         if (leftArrow) { eatPunct("-"); Direction.In }
         else if (tryPunct("->")) Direction.Out
         else { eatPunct("-"); Direction.Both }
-      Some(RelPat(bound, verb, dir, varLength, alts))
+      if (varLength.isDefined) {
+        val hopAlias = alias.getOrElse(nextPm())
+        val conj: Seq[Expr] =
+          props.map { case (k, v) =>
+            Bin(BinOp.Eq, Ref(hopAlias, Some(k)), v): Expr } ++
+          patWhere.toSeq
+        val hp: Option[(String, Expr)] =
+          if (conj.isEmpty) None
+          else Some((hopAlias,
+            conj.reduce((a, b) => Bin(BinOp.And, a, b))))
+        if (alias.isDefined && hp.isEmpty)
+          notSupported("binding a variable-length relationship to a " +
+            "variable (it would be a list of relationships)")
+        Some(RelPat(None, verb, dir, varLength, alts, hp))
+      } else {
+        val bound =
+          if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias
+        props.foreach { case (k, v) =>
+          propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
+        patWhere.foreach(propConjuncts += _)
+        Some(RelPat(bound, verb, dir, varLength, alts))
+      }
     } else {
       // bare arrows: --, -->, <--
       val dir =

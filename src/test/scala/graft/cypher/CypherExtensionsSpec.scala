@@ -1826,6 +1826,73 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |MERGE (p)-[r:REVIEWED|ACTED_IN]->(m)""".stripMargin))
   }
 
+  // --------------------- per-hop predicates on var-length rels
+
+  test("per-hop map on an unbounded rel filters every traversed edge") {
+    // KNOWS: p1→p2 (2010), p2→p3 (2015), p3→p4 (2020), p1→p4 (1999)
+    val r = rows(
+      """MATCH (a:Person {id: 'p2'})-[:KNOWS* {Since: 2015}]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("p3")) // only the 2015 edge
+    val unfiltered = rows(
+      """MATCH (a:Person {id: 'p2'})-[:KNOWS*]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    assert(unfiltered.map(_.getString(0)) == Seq("p3", "p4"))
+  }
+
+  test("per-hop WHERE flips the shortest distance when it cuts a " +
+      "shortcut") {
+    val direct = rows(
+      """MATCH p = shortestPath(
+        |  (a:Person {id: 'p1'})-[:KNOWS*]->(b:Person {id: 'p4'}))
+        |RETURN length(p) AS d""".stripMargin)
+    assert(direct.map(_.getLong(0)) == Seq(1)) // the 1999 shortcut
+    val filtered = rows(
+      """MATCH p = shortestPath(
+        |  (a:Person {id: 'p1'})-[k:KNOWS* WHERE k.Since >= 2010]->
+        |  (b:Person {id: 'p4'}))
+        |RETURN length(p) AS d""".stripMargin)
+    assert(filtered.map(_.getLong(0)) == Seq(3)) // chain via p2, p3
+  }
+
+  test("per-hop WHERE on a bounded range filters each unrolled hop") {
+    val r = rows(
+      """MATCH (a:Person)-[k:KNOWS*1..2 WHERE k.Since >= 2015]->
+        |      (b:Person)
+        |WHERE a.id = 'p2'
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    assert(r.map(_.getString(0)) == Seq("p3", "p4"))
+    val none = rows(
+      """MATCH (a:Person)-[k:KNOWS*1..2 WHERE k.Since >= 2016]->
+        |      (b:Person)
+        |WHERE a.id = 'p2'
+        |RETURN b.id AS i""".stripMargin)
+    assert(none.isEmpty) // first hop (2015) already fails
+  }
+
+  test("per-hop predicate typed rejections") {
+    // the predicate reads ONLY the hop relationship
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[k:KNOWS* WHERE k.Since > a.Born]->(b:Person)
+        |RETURN b.id AS i""".stripMargin))
+    // the hop alias is consumed — not bound downstream
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[k:KNOWS* WHERE k.Since > 0]->(b:Person)
+        |RETURN k.Since AS s""".stripMargin))
+    // unknown property
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[:KNOWS* {Nope: 1}]->(b:Person)
+        |RETURN b.id AS i""".stripMargin))
+    // no aggregates in a per-hop predicate
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[k:KNOWS* WHERE k.Since > count(k)]->(b:Person)
+        |RETURN b.id AS i""".stripMargin))
+    // a LEFTOVER alias (no predicate consuming it) keeps the rejection
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[k:KNOWS*]->(b:Person)
+        |RETURN b.id AS i""".stripMargin))
+  }
+
   // ----------------------------- terminal SET / DELETE (extension)
 
   test("SET: matched node rows update reading OLD values + scope, rest pass") {

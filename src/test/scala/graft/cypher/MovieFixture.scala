@@ -21,7 +21,13 @@ object MovieFixture {
       EdgeDef("DIRECTED", "Person", "Movie", "_vertexId", "_sink",
         Seq.empty, "directed"),
       EdgeDef("FOLLOWS", "Person", "Person", "_vertexId", "_sink",
-        Seq.empty, "follows")))
+        Seq.empty, "follows"),
+      // property-bearing self-type edge (round 10): backs per-hop
+      // predicate tests on var-length rels — the 1999 shortcut
+      // p1→p4 disappears under `Since >= 2010`, flipping the
+      // shortest p1→p4 distance from 1 to 3
+      EdgeDef("KNOWS", "Person", "Person", "_vertexId", "_sink",
+        Seq("Since"), "knows")))
 
   def catalog(spark: SparkSession): GraphCatalog = {
     import spark.implicits._
@@ -55,9 +61,14 @@ object MovieFixture {
     val follows: DataFrame = Seq(
       ("p5", "p1"), ("p5", "p2"), ("p1", "p2")
     ).toDF("_vertexId", "_sink")
+    val knows: DataFrame = Seq(
+      ("p1", "p2", 2010), ("p2", "p3", 2015), ("p3", "p4", 2020),
+      ("p1", "p4", 1999)
+    ).toDF("_vertexId", "_sink", "Since")
     val tables = Map(
       "person" -> person, "movie" -> movie, "acted_in" -> actedIn,
-      "reviewed" -> reviewed, "directed" -> directed, "follows" -> follows)
+      "reviewed" -> reviewed, "directed" -> directed, "follows" -> follows,
+      "knows" -> knows)
     new GraphCatalog(schema, tables(_))
   }
 }
