@@ -1225,6 +1225,28 @@ object SparkEntry {
              |SELECT n_name AS dst_name, rk AS hops FROM s WHERE rk > 0
              |ORDER BY dst_name""".stripMargin)),
 
+    // --- zero-length [*0..] (round 10): the REFLEXIVE closure — the
+    //     reach frame gains one (id, id) row per node of the shared
+    //     endpoint label at distance 0 (the empty path), cyclic
+    //     (x, x) rows at d > 0 drop first; with +1/+2 jumps the min
+    //     distance to within-region rank rk is ceil(rk / 2), and the
+    //     anchor itself appears at 0
+    ("q81_zero_length", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*0..]->(b:Nation))
+        |RETURN b.n_name AS dst_name, length(p) AS hops
+        |ORDER BY dst_name""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_name,
+             |         row_number() OVER (ORDER BY n_nationkey) - 1
+             |           AS rk
+             |  FROM nation
+             |  WHERE n_regionkey =
+             |    (SELECT n_regionkey FROM nation WHERE n_nationkey = 0))
+             |SELECT n_name AS dst_name,
+             |       CAST(ceil(rk / 2.0) AS BIGINT) AS hops
+             |FROM s ORDER BY dst_name""".stripMargin)),
+
     // --- CREATE … RETURN (round 10): the RETURN reads ONLY the
     //     created rows — alias bound to the new entity's values,
     //     unassigned properties null; snapshot never read (map-only

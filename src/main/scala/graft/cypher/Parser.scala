@@ -941,8 +941,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case Some(k) => (k, k)
           case None => (1, Parser.Unbounded)
         }
-        if (range._1 < 1)
-          notSupported("zero-length variable-length paths [*0..]")
+        if (range._1 < 1 && range._2 != Parser.Unbounded)
+          notSupported("zero-length variable-length paths [*0..k] — " +
+            "only the unbounded reflexive closure [*0..] is supported " +
+            "(a bounded branch union has no zero-hop branch; the " +
+            "reachable-pair frame gains identity rows instead)")
         if (range._2 == Parser.Unbounded && range._1 > 1)
           notSupported(s"unbounded variable-length [*${range._1}..] with a " +
             "lower bound > 1 — reachable-pair lowering supports [*] / " +

@@ -212,13 +212,40 @@ private[cypher] object Reach {
                   // BFS over `label:id` tagged namespaces
                   stratifiedReach(defs, verb, srcPat, dstPat, m.where,
                     catalog, outer, needDist, pp.allShortest)
+              // [*0..] (round 10): the REFLEXIVE closure — every node
+              // of the (shared) endpoint label reaches itself by the
+              // empty path, so the pair frame gains one (id, id) row
+              // per node at distance 0. Cyclic (x, x) rows at d > 0
+              // drop first (the empty path is always the minimum, and
+              // its σ is exactly 1), which keeps the frame one row per
+              // pair without a re-aggregation. Identity rows bypass
+              // any per-hop predicate (zero hops traverse no edge) —
+              // the HopPred rewrite filtered only the edge frame.
+              val reach2 =
+                if (r.varLength.exists(_._1 > 0)) reach
+                else {
+                  if (fromL != toL)
+                    throw new CypherNotSupportedException(
+                      "[*0..] over a chain whose endpoint labels " +
+                      s"differ ('$fromL' vs '$toL') — a zero-hop row " +
+                      "needs one node to satisfy both endpoints")
+                  val node = catalog.graph.node(fromL)
+                  val idc = col(node.idColumn)
+                  val ident0 = catalog.nodeDf(fromL)
+                    .select(idc.as("__src"), idc.as("__dst"))
+                  val ident =
+                    if (needDist) ident0.withColumn("__dist", lit(0L))
+                    else ident0
+                  reach.where(col("__src") =!= col("__dst"))
+                    .unionByName(ident)
+                }
               val id = nameCounter.getAndIncrement()
               val synthVerb = s"__REACH_${id}_$verb"
               val synth = EdgeDef(synthVerb, fromL, toL,
                 "__src", "__dst",
                 if (needDist) Seq("__dist") else Seq.empty,
                 s"__reach_${id}_$verb")
-              extra += ((synth, reach))
+              extra += ((synth, reach2))
               RelPat(if (needDist) Some(s"$DistRelPrefix$id") else None,
                 Some(synthVerb), r.dir)
             }

@@ -1893,6 +1893,48 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN b.id AS i""".stripMargin))
   }
 
+  // ------------------------------ zero-length paths [*0..]
+
+  test("[*0..] is the reflexive closure: identity rows at distance 0") {
+    val r = rows(
+      """MATCH (a:Person {id: 'p5'})-[:FOLLOWS*0..]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    // p5 reaches p1, p2 — and itself by the empty path
+    assert(r.map(_.getString(0)) == Seq("p1", "p2", "p5"))
+    val all = rows(
+      """MATCH (a:Person)-[:FOLLOWS*0..]->(b:Person)
+        |RETURN count(b) AS c""".stripMargin)
+    // closure pairs (p5→p1, p5→p2, p1→p2) + 5 identity rows
+    assert(all.head.getLong(0) == 8)
+  }
+
+  test("shortestPath over [*0..]: the empty path is distance 0") {
+    val r = rows(
+      """MATCH p = shortestPath(
+        |  (a:Person {id: 'p5'})-[:FOLLOWS*0..]->(b:Person))
+        |RETURN b.id AS i, length(p) AS d ORDER BY i""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getLong(1))) ==
+      Seq(("p1", 1L), ("p2", 1L), ("p5", 0L)))
+  }
+
+  test("[*0..] identity rows bypass a per-hop predicate") {
+    val r = rows(
+      """MATCH (a:Person {id: 'p1'})
+        |      -[k:KNOWS*0.. WHERE k.Since >= 2016]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    // no 2016+ edge leaves p1 — only the empty path survives
+    assert(r.map(_.getString(0)) == Seq("p1"))
+  }
+
+  test("[*0..] rejections: differing endpoint labels; bounded [*0..k]") {
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:ACTED_IN*0..]->(m:Movie)
+        |RETURN m.id AS i""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:FOLLOWS*0..2]->(b:Person)
+        |RETURN b.id AS i""".stripMargin))
+  }
+
   // ----------------------------- terminal SET / DELETE (extension)
 
   test("SET: matched node rows update reading OLD values + scope, rest pass") {
