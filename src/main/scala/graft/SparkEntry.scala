@@ -1225,6 +1225,28 @@ object SparkEntry {
              |SELECT n_name AS dst_name, rk AS hops FROM s WHERE rk > 0
              |ORDER BY dst_name""".stripMargin)),
 
+    // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
+    //     the value per group BEFORE the aggregate buffer (the
+    //     isDistinct AggregateExpression flag — a partial distinct on
+    //     (keys, value), map-side combinable); parity keeps the
+    //     reference's count-only restriction
+    ("q82_distinct_aggs", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c.c_mktsegment AS seg, year(o.o_orderdate) AS yr
+        |RETURN seg, count(DISTINCT yr) AS cy,
+        |       sum(DISTINCT yr) AS sy,
+        |       round(avg(DISTINCT yr), 4) AS ay,
+        |       min(yr) AS mn, max(yr) AS mx
+        |ORDER BY seg""".stripMargin),
+      Some("""SELECT c_mktsegment AS seg,
+             |  count(DISTINCT year(o_orderdate)) AS cy,
+             |  CAST(sum(DISTINCT year(o_orderdate)) AS BIGINT) AS sy,
+             |  round(avg(DISTINCT year(o_orderdate)), 4) AS ay,
+             |  min(year(o_orderdate)) AS mn,
+             |  max(year(o_orderdate)) AS mx
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY seg""".stripMargin)),
+
     // --- zero-length [*0..] (round 10): the REFLEXIVE closure — the
     //     reach frame gains one (id, id) row per node of the shared
     //     endpoint label at distance 0 (the empty path), cyclic

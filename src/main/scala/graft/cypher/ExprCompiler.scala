@@ -585,14 +585,27 @@ final class ExprCompiler(
         val c = compile(a.arg.get)
         a.name match {
           case "count" => if (a.distinct) countDistinct(c) else count(c)
-          case "sum"   => sum(c)
-          case "avg"   => avg(c)
+          // DISTINCT variants (extension): dedup-before-buffer via the
+          // isDistinct AggregateExpression flag (partial distinct on
+          // (group keys, value), map-side combinable); min/max over a
+          // set equal min/max over the bag, so DISTINCT is a no-op
+          case "sum"   => if (a.distinct) sum_distinct(c) else sum(c)
+          case "avg"   =>
+            if (a.distinct)
+              org.apache.spark.sql.GraftSqlBridge.avgDistinct(c)
+            else avg(c)
           case "min"   => min(c)
           case "max"   => max(c)
           case "first" => min(c)
           case "last"  => max(c)
-          case "stdev"  => stddev_samp(c)
-          case "stdevp" => stddev_pop(c)
+          case "stdev"  =>
+            if (a.distinct)
+              org.apache.spark.sql.GraftSqlBridge.stddevSampDistinct(c)
+            else stddev_samp(c)
+          case "stdevp" =>
+            if (a.distinct)
+              org.apache.spark.sql.GraftSqlBridge.stddevPopDistinct(c)
+            else stddev_pop(c)
           // extension: list aggregate (order is row order, unspecified
           // across partitions — like Cypher's)
           case "collect" =>

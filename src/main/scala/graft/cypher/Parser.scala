@@ -1517,8 +1517,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       return Agg("collect", distinct, Some(as.head))
     }
     if (aggNames(lname)) {
-      if (distinct && lname != "count")
-        notSupported("DISTINCT inside aggregate is only allowed for count()")
+      // reference parity: DISTINCT composes only with count()
+      // (SQLRenderer emits COUNT(DISTINCT …) alone); the extended
+      // surface adds the SQL-standard set — sum/avg/stdev dedup the
+      // value per group first, min/max are no-ops over a set
+      if (distinct && lname != "count") {
+        if (!extensions)
+          notSupported("DISTINCT inside aggregate is only allowed for " +
+            "count() (DISTINCT sum/avg/min/max/stdev/stdevp supported " +
+            "with extensions enabled)")
+        if (!Set("sum", "avg", "min", "max", "stdev", "stdevp")(lname))
+          notSupported(s"DISTINCT inside $name() — supported for " +
+            "count, sum, avg, min, max, stdev, stdevp and collect")
+      }
       lname match {
         case "percentilecont" | "percentiledisc" =>
           if (as.size != 2)

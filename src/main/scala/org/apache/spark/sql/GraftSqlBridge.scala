@@ -26,6 +26,24 @@ object GraftSqlBridge {
       expression(c), catalyst.expressions.Literal(p))
       .toAggregateExpression())
 
+  /** DISTINCT-qualified aggregates (the engine path behind
+    * `avg(DISTINCT x)` / `stddev_samp(DISTINCT x)` — `functions` has
+    * no distinct variants for these): the AggregateExpression carries
+    * `isDistinct = true`, so the physical plan dedups per group
+    * BEFORE the aggregate buffer (a partial distinct on (group keys,
+    * value) — the standard SQL lowering, map-side combinable). */
+  def avgDistinct(c: Column): Column =
+    column(new catalyst.expressions.aggregate.Average(expression(c))
+      .toAggregateExpression(isDistinct = true))
+
+  def stddevSampDistinct(c: Column): Column =
+    column(new catalyst.expressions.aggregate.StddevSamp(expression(c))
+      .toAggregateExpression(isDistinct = true))
+
+  def stddevPopDistinct(c: Column): Column =
+    column(new catalyst.expressions.aggregate.StddevPop(expression(c))
+      .toAggregateExpression(isDistinct = true))
+
   /** Spark's runtime-filter Bloom aggregate (`BloomFilterAggregate`,
     * internal — the engine behind InjectRuntimeFilter's row-group
     * pruning): builds a serialized Bloom bitset over LONG inputs. The

@@ -222,6 +222,14 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(r == Seq(Row(3L)))
   }
 
+  test("parity: DISTINCT inside aggregate only for count()") {
+    // the reference's SQLRenderer emits COUNT(DISTINCT …) alone; the
+    // extended surface lifts this (CypherExtensionsSpec), parity keeps it
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |RETURN sum(DISTINCT m.Released) AS S""".stripMargin))
+  }
+
   test("label inference from edge schema") {
     val r = rows(
       """MATCH (p:Person)-[a:ACTED_IN]->(m)

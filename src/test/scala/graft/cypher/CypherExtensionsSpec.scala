@@ -1935,6 +1935,35 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN b.id AS i""".stripMargin))
   }
 
+  // ------------------------------- DISTINCT aggregates (extension)
+
+  test("sum/avg/stdev(DISTINCT) dedup the value per group") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN sum(m.Released) AS sb, sum(DISTINCT m.Released) AS sd,
+        |       avg(DISTINCT m.Released) AS ad,
+        |       count(DISTINCT m.Released) AS cd,
+        |       min(DISTINCT m.Released) AS mn,
+        |       max(DISTINCT m.Released) AS mx,
+        |       stdev(DISTINCT m.Released) AS sv""".stripMargin)
+    val x = r.head
+    // each movie appears once per actor (m1×2, m2×2, m3×2)
+    assert(x.getLong(0) == 2 * (1993 + 1995 + 1998)) // plain sum: bag
+    assert(x.getLong(1) == 1993 + 1995 + 1998)       // distinct: set
+    assert(math.abs(x.getDouble(2) - 5986.0 / 3) < 1e-9)
+    assert(x.getLong(3) == 3)
+    assert(x.getInt(4) == 1993 && x.getInt(5) == 1998)
+    // sample stddev of {1993, 1995, 1998}
+    assert(math.abs(x.getDouble(6) - 2.5166114784) < 1e-6)
+  }
+
+  test("DISTINCT aggregate rejections: percentile keeps the rejection") {
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN percentileCont(DISTINCT m.Released, 0.5) AS x"""
+        .stripMargin))
+  }
+
   // ----------------------------- terminal SET / DELETE (extension)
 
   test("SET: matched node rows update reading OLD values + scope, rest pass") {
