@@ -1225,6 +1225,34 @@ object SparkEntry {
              |SELECT n_name AS dst_name, rk AS hops FROM s WHERE rk > 0
              |ORDER BY dst_name""".stripMargin)),
 
+    // --- DELETE … RETURN (round 10): the RETURN reads the DELETED
+    //     rows' PRE-delete values — "show what this deletes" as one
+    //     query; map-only on the match, the snapshot is never
+    //     anti-joined
+    ("q83_delete_return", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE n.n_name = 'FRANCE'
+        |DETACH DELETE c
+        |RETURN count(c.c_custkey) AS n_del,
+        |       round(sum(c.c_acctbal), 2) AS bal_del""".stripMargin),
+      Some("""SELECT count(*) AS n_del,
+             |       round(sum(c_acctbal), 2) AS bal_del
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE n_name = 'FRANCE'""".stripMargin)),
+
+    // --- standalone RETURN / UNWIND (round 10): no MATCH — one
+    //     literal row (SQL's SELECT-without-FROM), UNWIND generating
+    //     rows from a literal list; parity keeps the rejections
+    ("q84_standalone_return", cyx(
+      """UNWIND [1, 2, 3, 4, 5] AS x
+        |WITH x WHERE x % 2 = 1
+        |RETURN x, x * x AS sq, toString(x) + '!' AS s
+        |ORDER BY x""".stripMargin),
+      Some("""SELECT x, x * x AS sq, CAST(x AS VARCHAR) || '!' AS s
+             |FROM (SELECT unnest(generate_series(1, 5)) AS x) t
+             |WHERE x % 2 = 1
+             |ORDER BY x""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

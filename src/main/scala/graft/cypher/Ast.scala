@@ -279,6 +279,17 @@ object ast {
   final case class DeleteQuery(parts: Seq[QueryPart], del: DeleteClause)
     extends Query
 
+  /** `[DETACH] DELETE a RETURN items` (extension, round 10): the
+   *  RETURN reads the DELETED rows — the match rows whose entity key
+   *  is non-null (exactly the rows the delete removes; OPTIONAL MATCH
+   *  misses delete nothing and do not appear), with the entity's
+   *  PRE-DELETE values (Neo4j's captured-properties read). The result
+   *  is the RETURN projection, NOT the snapshot-minus rows — "show me
+   *  what this deletes" as one query; the plan is the match plus a
+   *  null-key filter, the snapshot is never anti-joined. */
+  final case class DeleteReturnQuery(parts: Seq[QueryPart],
+      del: DeleteClause, ret: Projection) extends Query
+
   /** `SET a.p = e, … RETURN items` (extension, round 10): mid-query
    *  SET — the RETURN reads the UPDATED entity. Scoped to a single
    *  entity and a directly-following terminal RETURN (no further

@@ -816,6 +816,8 @@ object Compiler {
     case SetReturnQuery(parts, s, ret) =>
       compileSetReturn(parts, s, ret, catalog)
     case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
+    case DeleteReturnQuery(parts, d, ret) =>
+      compileDelete(parts, d, catalog, Some(ret))
     case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
     case CreateReturnQuery(parts, cr, ret) =>
       compileCreate(parts, cr, catalog, Some(ret))
@@ -1482,26 +1484,39 @@ object Compiler {
    * small); the snapshot is never widened or re-shuffled.
    */
   private def compileDelete(parts: Seq[QueryPart], d: DeleteClause,
-      catalog: GraphCatalog): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
     val c = compileSingle(SingleQuery(parts), Map.empty,
       terminalIsReturn = false, catalog)
     val b = c.scope.getOrElse(d.alias, throw new CypherBindingException(
       s"DELETE target '${d.alias}' is not a bound variable"))
-    b match {
+    val (keyCols, snapshot) = b match {
       case NodeBinding(n) =>
         if (!d.detach) throw new CypherNotSupportedException(
           s"DELETE on node '${d.alias}' — the dangling-relationship " +
           "check is data-dependent and this engine plans lazily; use " +
           "DETACH DELETE and rebuild edge snapshots with relationship " +
           "DELETE queries")
-        deleteSnapshot(c, d.alias, Seq(n.idColumn),
-          catalog.nodeDf(n.label), entityCols(b))
+        (Seq(n.idColumn), catalog.nodeDf(n.label))
       case EdgeBinding(e) =>
-        deleteSnapshot(c, d.alias, Seq(e.srcIdColumn, e.sinkIdColumn),
-          catalog.edgeDf(e), entityCols(b))
+        (Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e))
       case _ => throw new CypherBindingException(
         s"DELETE target '${d.alias}' must be a node or relationship " +
         "variable")
+    }
+    ret match {
+      case None => deleteSnapshot(c, d.alias, keyCols, snapshot,
+        entityCols(b))
+      case Some(r) =>
+        // DELETE … RETURN (round 10): the RETURN reads the DELETED
+        // rows' PRE-delete values — the match frame filtered to
+        // non-null entity keys (exactly the delete's key set; OPTIONAL
+        // MATCH misses delete nothing and do not appear). Map-only on
+        // the match; the snapshot is never anti-joined.
+        val keyPrefs = keyCols.map(k => pref(d.alias, k))
+        val deleted =
+          c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
+        compileProjection(Ctx(deleted, c.scope), r, isReturn = true,
+          catalog).df
     }
   }
 
@@ -1542,8 +1557,14 @@ object Compiler {
         else Some(compileVarLength(ctx, scope, ms, cat))
       val afterCalls = part.calls.foldLeft(afterMatch0)(
         (c, cs) => Some(applyCall(c, cs, catalog)))
-      val afterMatch = afterCalls.getOrElse(
-        throw new CypherNotSupportedException("standalone RETURN/WITH"))
+      // standalone RETURN / WITH / UNWIND (extension; parity rejects
+      // at parse): one literal row with an empty scope — `RETURN 1+1`
+      // runs like SQL's SELECT-without-FROM, `UNWIND [..] AS x`
+      // generates rows from a literal list
+      val afterMatch = afterCalls.getOrElse(Ctx(
+        catalog.nodeDf(catalog.graph.nodes.head.label)
+          .sparkSession.range(1).toDF("__row"),
+        Map.empty))
       val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
       ctx = Some(afterPart(i, compileProjection(afterUnwind, part.proj,
         isReturn = isLast && terminalIsReturn, catalog)))

@@ -110,7 +110,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         "an updating clause must be the query's terminal clause")
       case _: SetQuery    => notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: DeleteQuery => notSupported("DELETE in a UNION branch — " +
+      case _: DeleteQuery | _: DeleteReturnQuery =>
+        notSupported("DELETE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _: CreateQuery | _: CreateReturnQuery | _: CreateRelQuery =>
         notSupported("CREATE in a UNION branch — " +
@@ -161,7 +162,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case None    => SetQuery(sq.parts, s)
         }
       case (_, _, Some(d), _) =>
-        pendingDelete = None; DeleteQuery(sq.parts, d)
+        pendingDelete = None
+        pendingDeleteReturn match {
+          case Some(r) => pendingDeleteReturn = None
+            DeleteReturnQuery(sq.parts, d, r)
+          case None    => DeleteQuery(sq.parts, d)
+        }
       case (_, _, _, Some(c)) =>
         pendingCreate = None
         pendingCreateReturn match {
@@ -182,6 +188,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
   private var pendingDelete: Option[DeleteClause] = None
+  private var pendingDeleteReturn: Option[Projection] = None
   private var pendingCreate: Option[CreateClause] = None
   private var pendingCreateRel: Option[CreateRelClause] = None
   private var pendingCreateReturn: Option[Projection] = None
@@ -277,7 +284,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       }
       if (sawUnwind && (isKw("MATCH") || isKw("OPTIONAL")))
         notSupported("MATCH after UNWIND — chain it through a WITH")
-      if (sawUnwind && ms.isEmpty && calls.isEmpty && isFirstPart)
+      if (!extensions && sawUnwind && ms.isEmpty && calls.isEmpty &&
+          isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
       if (isKw("MERGE")) {
@@ -351,9 +359,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
         pendingDelete = Some(parseDeleteClause(detach))
-        if (isKw("RETURN"))
-          notSupported("RETURN after DELETE — the delete result IS the " +
-            "new snapshot")
+        if (isKw("RETURN")) {
+          // DELETE … RETURN (round 10): the RETURN reads the DELETED
+          // rows' pre-delete values — the projection, not the snapshot
+          p += 1
+          pendingDeleteReturn = Some(parseProjection(isWith = false))
+        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("further clauses after DELETE — a DELETE is " +
+            "either terminal (the result is the new snapshot) or " +
+            "directly followed by one RETURN reading the deleted rows")
         done = true
       } else if (isKw("CREATE")) {
         // terminal CREATE (extension; parity rejected in
@@ -383,11 +397,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         done = true
       } else if (isKw("WITH")) {
         p += 1
+        if (!extensions && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
+            isFirstPart)
+          notSupported("standalone RETURN/WITH")
         parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
         isFirstPart = false
       } else if (isKw("RETURN")) {
         p += 1
-        if (ms.isEmpty && uw.isEmpty && calls.isEmpty && isFirstPart)
+        if (!extensions && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
+            isFirstPart)
           notSupported("standalone RETURN without MATCH")
         parts += QueryPart(ms, parseProjection(isWith = false), uw, calls)
         done = true

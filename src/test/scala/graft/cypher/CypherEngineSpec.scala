@@ -222,6 +222,12 @@ class CypherEngineSpec extends AnyFunSuite {
     assert(r == Seq(Row(3L)))
   }
 
+  test("parity: standalone RETURN/WITH/UNWIND stay rejected") {
+    intercept[CypherNotSupportedException](rows("RETURN 1 AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "WITH 1 AS a RETURN a"))
+  }
+
   test("parity: DISTINCT inside aggregate only for count()") {
     // the reference's SQLRenderer emits COUNT(DISTINCT …) alone; the
     // extended surface lifts this (CypherExtensionsSpec), parity keeps it

@@ -154,8 +154,19 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) UNWIND [1,2] AS p RETURN p"))
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) UNWIND [1,2] AS x MATCH (m:Movie) RETURN x"))
-    intercept[CypherNotSupportedException](rows(
-      "UNWIND [1,2] AS x RETURN x")) // still no standalone UNWIND
+  }
+
+  // ------------------- standalone RETURN / WITH / UNWIND (round 10)
+
+  test("standalone RETURN/WITH/UNWIND run over one literal row") {
+    val r = rows("RETURN 1 + 1 AS x, toUpper('ab') AS s")
+    assert(r.map(x => (x.getInt(0), x.getString(1))) == Seq((2, "AB")))
+    val w = rows("WITH 3 AS a WITH a * 2 AS b RETURN b + 1 AS c")
+    assert(w.map(_.getInt(0)) == Seq(7))
+    val u = rows("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+    assert(u.map(_.getInt(0)) == Seq(1, 2, 3))
+    val d = rows("RETURN DISTINCT 1 AS one")
+    assert(d.size == 1)
   }
 
   test("count(DISTINCT ...) parity intact; collect forbids nesting") {
@@ -1962,6 +1973,29 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
         |RETURN percentileCont(DISTINCT m.Released, 0.5) AS x"""
         .stripMargin))
+  }
+
+  // ------------------------------ DELETE … RETURN (read-back)
+
+  test("DELETE ... RETURN reads the deleted rows' pre-delete values") {
+    val r = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) WHERE m.id = 'm2'
+        |DELETE a
+        |RETURN p.Name AS nm, a.Roles AS ro ORDER BY nm""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Kevin Bacon", "Jack Swigert"), ("Tom Hanks", "Jim Lovell")))
+  }
+
+  test("DELETE ... RETURN: OPTIONAL MATCH misses drop; aggregates") {
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[f:FOLLOWS]->(q:Person)
+        |DETACH DELETE q
+        |RETURN count(q.id) AS c""".stripMargin)
+    // follows targets: p2, p1, p2 — the null-q rows delete nothing
+    assert(r.head.getLong(0) == 3)
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[f:FOLLOWS]->(q:Person)
+        |DELETE f WITH 1 AS x RETURN x""".stripMargin))
   }
 
   // ----------------------------- terminal SET / DELETE (extension)
