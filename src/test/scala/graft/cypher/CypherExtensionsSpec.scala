@@ -1253,7 +1253,9 @@ class CypherExtensionsSpec extends AnyFunSuite {
   test("property map typed rejections: duplicates, var-length, alternation, reserved alias") {
     intercept[CypherSyntaxException](rows(
       "MATCH (p:Person {Name: 'a', Name: 'b'}) RETURN p.Name AS N"))
-    intercept[CypherNotSupportedException](rows(
+    // a var-length map is now a PER-HOP predicate (round 10) — an
+    // unknown property is the ordinary binding error
+    intercept[CypherBindingException](rows(
       """MATCH (p:Person)-[:FOLLOWS*1..2 {x: 1}]->(q:Person)
         |RETURN q.Name AS N""".stripMargin))
     intercept[CypherNotSupportedException](rows(
@@ -2105,7 +2107,7 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) SET p.Name = 'x' WITH p RETURN p.Name AS N"))
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) DETACH DELETE p RETURN 1 AS x"))
+      "MATCH (p:Person) DETACH DELETE p WITH 1 AS x RETURN x"))
     intercept[CypherNotSupportedException](rows(
       """MATCH (m:Movie) CALL { MATCH (p:Person) SET p.Name = 'x' }
         |RETURN m.Title AS T""".stripMargin))
@@ -2571,9 +2573,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("You've Got Mail", Some("Meg Ryan"))))
   }
 
-  test("pattern WHERE rejections: var-length hop") {
-    intercept[CypherNotSupportedException](rows(
+  test("pattern WHERE on a var-length hop is the per-hop predicate") {
+    // round 10: no longer a rejection — a trivially-true predicate
+    // matches exactly the unfiltered pattern
+    val filtered = rows(
       """MATCH (a:Person)-[:FOLLOWS*1..2 WHERE 1 = 1]->(b:Person)
+        |RETURN a.id AS i, b.id AS j ORDER BY i, j""".stripMargin)
+    val plain = rows(
+      """MATCH (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |RETURN a.id AS i, b.id AS j ORDER BY i, j""".stripMargin)
+    assert(filtered.map(x => (x.getString(0), x.getString(1))) ==
+      plain.map(x => (x.getString(0), x.getString(1))))
+    // cross-variable references stay rejected (hop-only scope)
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[k:FOLLOWS*1..2 WHERE a.Born > 0]->(b:Person)
         |RETURN b.Name AS N""".stripMargin))
   }
 
