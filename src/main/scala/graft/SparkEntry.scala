@@ -1253,6 +1253,20 @@ object SparkEntry {
              |WHERE x % 2 = 1
              |ORDER BY x""".stripMargin)),
 
+    // --- MATCH after UNWIND (round 10): an implicit `WITH *` splices
+    //     the clauses into separate parts — Neo4j's free chaining,
+    //     per-row join semantics (the generated rows multiply into
+    //     the following MATCH)
+    ("q85_unwind_match", cyx(
+      """UNWIND [1, 2] AS k
+        |MATCH (n:Nation) WHERE n.n_nationkey < 3
+        |RETURN k, n.n_name AS nm, n.n_nationkey + k AS nk
+        |ORDER BY k, nm""".stripMargin),
+      Some("""SELECT k, n_name AS nm, n_nationkey + k AS nk
+             |FROM (SELECT unnest(generate_series(1, 2)) AS k) t
+             |CROSS JOIN nation WHERE n_nationkey < 3
+             |ORDER BY k, nm""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

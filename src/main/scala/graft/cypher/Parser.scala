@@ -266,7 +266,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         callsB += CallSub(imports.result(), subq)
         sawCall = true
       }
-      if (sawCall && (isKw("MATCH") || isKw("OPTIONAL")))
+      if (!extensions && sawCall && (isKw("MATCH") || isKw("OPTIONAL")))
         notSupported("MATCH after CALL — chain it through a WITH")
       val calls = callsB.result()
       // UNWIND (extension): zero or more clauses between the matches and
@@ -282,13 +282,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         unwinds += ((e, al))
         sawUnwind = true
       }
-      if (sawUnwind && (isKw("MATCH") || isKw("OPTIONAL")))
+      if (!extensions && sawUnwind && (isKw("MATCH") || isKw("OPTIONAL")))
         notSupported("MATCH after UNWIND — chain it through a WITH")
       if (!extensions && sawUnwind && ms.isEmpty && calls.isEmpty &&
           isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
-      if (isKw("MERGE")) {
+      if ((sawUnwind || sawCall) && (isKw("MATCH") || isKw("OPTIONAL"))) {
+        // MATCH directly after UNWIND / CALL (round 10, extensions
+        // guaranteed — parity rejected above): Neo4j chains freely;
+        // splice an implicit `WITH *` so the next clause opens a new
+        // part over the full scope — per-row semantics unchanged (the
+        // generated rows join the new MATCH exactly as through a
+        // spelled-out WITH *)
+        parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+          Seq.empty, None, None, None, star = true), uw, calls)
+        isFirstPart = false
+      } else if (isKw("MERGE")) {
         // terminal MERGE (extension; parity rejected in rejectUpdating).
         // A trailing bare MATCH/UNWIND/CALL part gets an implicit
         // `WITH *` so the merge sees its scope.

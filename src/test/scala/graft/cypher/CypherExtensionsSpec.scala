@@ -147,13 +147,34 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
-  test("UNWIND rejections: non-list input, rebound alias, MATCH after") {
+  test("UNWIND rejections: non-list input, rebound alias") {
     intercept[CypherTypeException](rows(
       "MATCH (p:Person) UNWIND p.Name AS x RETURN x"))
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) UNWIND [1,2] AS p RETURN p"))
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) UNWIND [1,2] AS x MATCH (m:Movie) RETURN x"))
+  }
+
+  test("MATCH after UNWIND/CALL splices an implicit WITH * (round 10)") {
+    val r = rows(
+      """UNWIND ['p1', 'p5'] AS pid
+        |MATCH (p:Person) WHERE p.id = pid
+        |RETURN pid, p.Name AS nm ORDER BY pid""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("p1", "Tom Hanks"), ("p5", "Jessica Thompson")))
+    // per-row join semantics: the generated rows multiply the match
+    val m = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |UNWIND [1, 2] AS k
+        |MATCH (q:Person)-[:DIRECTED]->(d:Movie)
+        |RETURN m.id AS i, k, q.id AS qi ORDER BY k""".stripMargin)
+    assert(m.map(x => (x.getString(0), x.getInt(1), x.getString(2))) ==
+      Seq(("m1", 1, "p4"), ("m1", 2, "p4")))
+    val c = rows(
+      """CALL { MATCH (mm:Movie) RETURN count(mm.id) AS nMovies }
+        |MATCH (p:Person) WHERE p.id = 'p1'
+        |RETURN nMovies, p.Name AS nm""".stripMargin)
+    assert(c.map(x => (x.getLong(0), x.getString(1))) ==
+      Seq((3L, "Tom Hanks")))
   }
 
   // ------------------- standalone RETURN / WITH / UNWIND (round 10)
