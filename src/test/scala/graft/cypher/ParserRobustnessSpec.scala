@@ -222,4 +222,67 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(attemptExt)
     samples(gen, 400).foreach(attempt)
   }
+
+  test("round-10 surface fuzz: rel CREATE/MERGE, hop preds, [*0..], " +
+      "read-backs, standalone clauses") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      // relationship CREATE/MERGE shapes, truncated and mangled
+      "CREATE (a)-",
+      "CREATE (a)-[",
+      "CREATE (a)-[:T",
+      "CREATE (a)-[:T]",
+      "CREATE (a)-[:T]-",
+      "CREATE (a)-[:T]->",
+      "CREATE (a)-[:T]->(",
+      "CREATE (a)-[:T]->(b",
+      "MATCH (a:L), (b:L) CREATE (a)-[:T]-(b)",
+      "MATCH (a:L), (b:L) CREATE (a)-[:T|S]->(b)",
+      "MATCH (a:L), (b:L) CREATE (a)-[:T*2]->(b)",
+      "MATCH (a:L), (b:L) CREATE (a)-[:T]->(b)-[:S]->(c)",
+      "MATCH (a:L), (b:L) CREATE (a)-[:T]->(b), (b)-[:S]->(a)",
+      "MATCH (a:L), (b:L) CREATE (__x)-[:T]->(b)",
+      "MERGE (a)-",
+      "MERGE (a)-[r:T {x: 1}]->(b)",
+      "MERGE (a)-[:T]->(b) ON CREATE SET r.x = 1",
+      "MERGE (a)-[r:T]->(b) ON",
+      "MERGE (a)-[r:T]->(b) ON MATCH",
+      "MERGE (a)-[r:T]->(b) ON MATCH SET",
+      "MERGE (a)-[r:T]->(b) ON MATCH SET q.x = 1",
+      "MERGE (a)-[r:T]->(b) ON MATCH SET r.x = 1 ON MATCH SET r.y = 2",
+      "MERGE (a)-[r:T]-(b)",
+      // per-hop predicates and zero-length ranges
+      "MATCH (a)-[:T* {]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T* {x}]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T* WHERE]->(b) RETURN 1 AS x",
+      "MATCH (a)-[r:T|S* WHERE r.x > 0]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T*0..2]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:T*0..0]->(b) RETURN 1 AS x",
+      "MATCH (a)-[r:T*0..]->(b) RETURN r AS x",
+      // read-back RETURN placements
+      "CREATE (n:L {id: 1}) RETURN",
+      "CREATE (n:L {id: 1}) RETURN n.id AS i WITH i RETURN i",
+      "MATCH (n:L) DELETE n RETURN n.id AS i MATCH (m:L) RETURN 1 AS y",
+      "MERGE (n:L {id: 1}) RETURN n.id AS i UNION RETURN 1 AS i",
+      // standalone clause edges
+      "RETURN",
+      "WITH",
+      "UNWIND",
+      "UNWIND [1,2]",
+      "UNWIND [1,2] AS",
+      "WITH 1 AS x WITH",
+      "RETURN * ",
+      "UNWIND [1,2] AS x UNWIND x AS y RETURN")
+    bad.foreach(attemptExt)
+    bad.foreach(attempt) // parity mode must also stay typed
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "CREATE", "MERGE", "DELETE", "RETURN", "WITH", "UNWIND", "ON",
+      "SET", "(", ")", "[", "]", "{", "}", "*", "..", "0", "-", "->",
+      "<-", ":T", "|", "WHERE", "a", "b", "r", "=", ",", ".", "x",
+      "1", "AS")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(attempt)
+  }
 }
