@@ -1267,6 +1267,17 @@ object SparkEntry {
              |CROSS JOIN nation WHERE n_nationkey < 3
              |ORDER BY k, nm""".stripMargin)),
 
+    // --- first-clause OPTIONAL MATCH (round 10): seeded with ONE
+    //     literal row, so zero matches leave exactly one all-null
+    //     row (Neo4j's contract) — count(*) sees the row,
+    //     count(column) does not
+    ("q86_first_optional", cyx(
+      """OPTIONAL MATCH (n:Nation) WHERE n.n_name = 'NOWHERE'
+        |RETURN count(*) AS c, count(n.n_nationkey) AS ck""".stripMargin),
+      Some("""SELECT count(*) AS c, count(n_nationkey) AS ck
+             |FROM (VALUES (1)) one(x)
+             |LEFT JOIN nation ON n_name = 'NOWHERE'""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

@@ -247,8 +247,11 @@ object Compiler {
         val combinedScope = scope ++ newEntities ++
           m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }
         if (df == null)
-          throw new CypherNotSupportedException(
-            "first clause cannot be OPTIONAL MATCH")
+          // first-clause OPTIONAL MATCH (extension; parity rejects at
+          // parse): seed with ONE literal row — the left join then
+          // leaves exactly one all-null row when nothing matches,
+          // Neo4j's zero-match contract, and the plain rows otherwise
+          df = optFiltered.sparkSession.range(1).toDF("__row")
         val probe = df.crossJoin(optFiltered)
         val whereCond = m.where.map(
           new ExprCompiler(combinedScope, probe).compile(_))
@@ -1890,8 +1893,11 @@ object Compiler {
       matches.foreach { m =>
         if (m.optional && needsExp(m)) {
           flush()
-          val c = ctx.getOrElse(throw new CypherNotSupportedException(
-            "first clause cannot be OPTIONAL MATCH"))
+          // first-clause OPTIONAL MATCH over an expansion (same
+          // literal-row seed as the plain-clause path)
+          val c = ctx.getOrElse(Ctx(
+            catalog.nodeDf(catalog.graph.nodes.head.label)
+              .sparkSession.range(1).toDF("__row"), Map.empty))
           ctx = Some(optionalBranchUnion(c, m, catalog))
         } else buf += m
       }

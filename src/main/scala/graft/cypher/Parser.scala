@@ -231,7 +231,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       while (isKw("MATCH") || isKw("OPTIONAL")) {
         val optional = tryKw("OPTIONAL")
         eatKw("MATCH")
-        if (optional && isFirstPart && !sawMatch)
+        if (!extensions && optional && isFirstPart && !sawMatch)
           notSupported("first clause cannot be OPTIONAL MATCH")
         if (!optional && prevOptional)
           notSupported("MATCH cannot directly follow OPTIONAL MATCH")

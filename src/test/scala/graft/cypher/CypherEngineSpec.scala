@@ -228,6 +228,11 @@ class CypherEngineSpec extends AnyFunSuite {
       "WITH 1 AS a RETURN a"))
   }
 
+  test("parity: first clause cannot be OPTIONAL MATCH") {
+    intercept[CypherNotSupportedException](rows(
+      "OPTIONAL MATCH (p:Person) RETURN p.Name AS N"))
+  }
+
   test("parity: DISTINCT inside aggregate only for count()") {
     // the reference's SQLRenderer emits COUNT(DISTINCT …) alone; the
     // extended surface lifts this (CypherExtensionsSpec), parity keeps it

@@ -1998,6 +1998,26 @@ class CypherExtensionsSpec extends AnyFunSuite {
         .stripMargin))
   }
 
+  // ------------------------- first-clause OPTIONAL MATCH (round 10)
+
+  test("first-clause OPTIONAL MATCH: one null row on zero matches") {
+    val r = rows(
+      """OPTIONAL MATCH (p:Person) WHERE p.id = 'zz'
+        |RETURN p.id AS i, p.Name AS s""".stripMargin)
+    assert(r.size == 1)
+    assert(r.head.isNullAt(0) && r.head.isNullAt(1))
+    val m = rows(
+      """OPTIONAL MATCH (p:Person) WHERE p.Born >= 1958
+        |RETURN p.id AS i ORDER BY i""".stripMargin)
+    assert(m.map(_.getString(0)) == Seq("p2", "p3"))
+    // var-length expansion path seeds the same way
+    val v = rows(
+      """OPTIONAL MATCH (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WHERE a.id = 'zz'
+        |RETURN b.id AS i""".stripMargin)
+    assert(v.size == 1 && v.head.isNullAt(0))
+  }
+
   // ------------------------------ DELETE … RETURN (read-back)
 
   test("DELETE ... RETURN reads the deleted rows' pre-delete values") {
