@@ -1278,6 +1278,25 @@ object SparkEntry {
              |FROM (VALUES (1)) one(x)
              |LEFT JOIN nation ON n_name = 'NOWHERE'""".stripMargin)),
 
+    // --- MATCH directly after OPTIONAL MATCH (round 10): Neo4j keeps
+    //     the piped rows and inner-joins the new pattern per row —
+    //     null bindings from a missed optional never equi-join, so
+    //     those rows drop (LEFT JOIN then INNER JOIN in SQL)
+    ("q87_match_after_optional", cyx(
+      """MATCH (n:Nation) WHERE n.n_nationkey < 10
+        |OPTIONAL MATCH (c:Customer)-[:FROM_NATION]->(n)
+        |WHERE c.c_acctbal > 9900
+        |MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN n.n_name AS nation, count(*) AS cnt
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(*) AS cnt
+             |FROM nation
+             |LEFT JOIN customer
+             |  ON c_nationkey = n_nationkey AND c_acctbal > 9900
+             |JOIN orders ON o_custkey = c_custkey
+             |WHERE n_nationkey < 10
+             |GROUP BY n_name ORDER BY nation""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

@@ -228,17 +228,28 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       val matches = Vector.newBuilder[MatchClause]
       var sawMatch = false
       var prevOptional = false
-      while (isKw("MATCH") || isKw("OPTIONAL")) {
-        val optional = tryKw("OPTIONAL")
-        eatKw("MATCH")
-        if (!extensions && optional && isFirstPart && !sawMatch)
-          notSupported("first clause cannot be OPTIONAL MATCH")
-        if (!optional && prevOptional)
-          notSupported("MATCH cannot directly follow OPTIONAL MATCH")
-        matches += parseMatchBody(optional)
-        prevOptional = optional
-        sawMatch = true
-        rejectUpdating()
+      var matchAfterOptional = false
+      while (!matchAfterOptional && (isKw("MATCH") || isKw("OPTIONAL"))) {
+        val optional = isKw("OPTIONAL")
+        if (!optional && prevOptional) {
+          // MATCH directly after OPTIONAL MATCH (round 10, extensions):
+          // Neo4j keeps the piped rows and inner-joins the new pattern
+          // per row — null bindings from a missed optional never equi-
+          // join, so those rows drop, exactly `WITH * MATCH …`. Splice
+          // the implicit part boundary below; parity keeps the rejection.
+          if (!extensions)
+            notSupported("MATCH cannot directly follow OPTIONAL MATCH")
+          matchAfterOptional = true
+        } else {
+          if (optional) p += 1
+          eatKw("MATCH")
+          if (!extensions && optional && isFirstPart && !sawMatch)
+            notSupported("first clause cannot be OPTIONAL MATCH")
+          matches += parseMatchBody(optional)
+          prevOptional = optional
+          sawMatch = true
+          rejectUpdating()
+        }
       }
       val ms = matches.result()
       // CALL { subquery } (extension): zero or more between the matches
@@ -288,9 +299,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
-      if ((sawUnwind || sawCall) && (isKw("MATCH") || isKw("OPTIONAL"))) {
-        // MATCH directly after UNWIND / CALL (round 10, extensions
-        // guaranteed — parity rejected above): Neo4j chains freely;
+      if ((sawUnwind || sawCall || matchAfterOptional) &&
+          (isKw("MATCH") || isKw("OPTIONAL"))) {
+        // MATCH directly after UNWIND / CALL / OPTIONAL MATCH (round
+        // 10, extensions guaranteed — parity rejected above): Neo4j
+        // chains freely;
         // splice an implicit `WITH *` so the next clause opens a new
         // part over the full scope — per-row semantics unchanged (the
         // generated rows join the new MATCH exactly as through a

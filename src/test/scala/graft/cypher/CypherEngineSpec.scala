@@ -233,6 +233,13 @@ class CypherEngineSpec extends AnyFunSuite {
       "OPTIONAL MATCH (p:Person) RETURN p.Name AS N"))
   }
 
+  test("parity: MATCH cannot directly follow OPTIONAL MATCH") {
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) OPTIONAL MATCH (p)-[:FOLLOWS]->(q:Person)
+        |MATCH (q)-[:ACTED_IN]->(m:Movie)
+        |RETURN m.Title AS T""".stripMargin))
+  }
+
   test("parity: DISTINCT inside aggregate only for count()") {
     // the reference's SQLRenderer emits COUNT(DISTINCT …) alone; the
     // extended surface lifts this (CypherExtensionsSpec), parity keeps it

@@ -2018,6 +2018,22 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(v.size == 1 && v.head.isNullAt(0))
   }
 
+  test("MATCH directly after OPTIONAL MATCH drops null bindings per row") {
+    // follows: p5->p1, p5->p2, p1->p2. Rows where b is null (p2, p3,
+    // p4 follow nobody) must drop at the following MATCH — the
+    // implicit `WITH *` splice inner-joins on b's (null) key.
+    val r = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH (a)-[:FOLLOWS]->(b:Person)
+        |MATCH (b)-[:ACTED_IN]->(m:Movie)
+        |RETURN a.id AS ai, b.id AS bi, m.id AS mi
+        |ORDER BY ai, bi, mi""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getString(2))) ==
+      Seq(("p1", "p2", "m1"), ("p1", "p2", "m3"),
+          ("p5", "p1", "m1"), ("p5", "p1", "m2"), ("p5", "p1", "m3"),
+          ("p5", "p2", "m1"), ("p5", "p2", "m3")))
+  }
+
   // ------------------------------ DELETE … RETURN (read-back)
 
   test("DELETE ... RETURN reads the deleted rows' pre-delete values") {
