@@ -4900,6 +4900,53 @@ object SparkEntry {
     //     construction (zero-Exchange plan-asserted in BucketingSpec);
     //     the RESULT is oracled against the plain SQL join — layout
     //     changes the plan, never the answer
+    // --- persisted IVF index probe (round 10): the corpus written
+    //     PARTITIONED BY inverted-list id, probes pushed as a static
+    //     partition-column isin (PartitionFilters prune unprobed list
+    //     directories — plan-asserted in SimilaritySpec). Same
+    //     centroids as s03 ⇒ the probe result is VALUE-IDENTICAL to
+    //     the in-memory path, so s03's oracle binds the persisted
+    //     path end to end.
+    ("s34_ivf_persisted",
+      (s, dir) => {
+        val cent = Similarity.seedCentroids(embs(s, dir), "embedding",
+          "vec_id", 16)
+        val path = java.nio.file.Files.createTempDirectory("s34_ivf").toString
+        Similarity.writeIvfIndex(embs(s, dir), "embedding", "vec_id",
+          cent, path)
+        Similarity.ivfProbeIndex(s.read.parquet(path),
+            embs(s, dir).where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cent, nProbe = 6)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfAnnOracle)),
+
+    // --- incremental IVF append (round 10): build the index from the
+    //     even-id half, APPEND the odd-id half with the ORIGINAL
+    //     centroids (one pass over the batch; untouched lists'
+    //     files untouched — asserted in SimilaritySpec), then probe.
+    //     Old + new rows under one geometry ⇒ the probe sees the full
+    //     corpus and s03's oracle binds the appended index too.
+    ("s35_ivf_append",
+      (s, dir) => {
+        val all = embs(s, dir)
+        val cent = Similarity.seedCentroids(all, "embedding", "vec_id", 16)
+        val path = java.nio.file.Files.createTempDirectory("s35_ivf").toString
+        Similarity.writeIvfIndex(all.where(col("vec_id") % 2 === 0),
+          "embedding", "vec_id", cent, path)
+        Similarity.appendIvfIndex(all.where(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", cent, path)
+        Similarity.ivfProbeIndex(s.read.parquet(path),
+            all.where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cent, nProbe = 6)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfAnnOracle)),
+
     ("b04_bucketed_join",
       (s, dir) => {
         val c = graft.cypher.GraphCatalog
@@ -4957,6 +5004,28 @@ object SparkEntry {
           p, shards = 4)
         SemiStructured.readJsonl(s, p,
             "doc_id BIGINT, lang STRING, text STRING")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("text_chars"),
+            countDistinct(col("doc_id")).as("n_ids"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS text_chars,
+             |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // --- CSV sink/source round-trip (round 10): RFC 4180 quoting
+    //     carries embedded quotes/newlines; read back with an explicit
+    //     schema + multiLine, proven lossless through the oracle (the
+    //     b06 JSONL twin for the tabular-export edge)
+    ("b07_csv_roundtrip",
+      (s, dir) => {
+        val p = s"/tmp/graft_b07_csv_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+        SemiStructured.writeCsv(
+          docs(s, dir).select(col("doc_id"), col("lang"), col("text")),
+          p, shards = 4)
+        SemiStructured.readCsv(s, p, "doc_id BIGINT, lang STRING, text STRING")
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(length(col("text"))).as("text_chars"),
