@@ -3529,6 +3529,27 @@ object SparkEntry {
              |FROM events e JOIN th ON e.event_type = th.event_type
              |ORDER BY event_id""".stripMargin)),
 
+    // --- approx-winsorize production twin (round 10): the GK-sketch
+    //     thresholds at accuracy 10000 — every sf0.01 group is under
+    //     the sketch's compression threshold, so the buffer holds all
+    //     samples and the queried values are EXACT, hash-matching the
+    //     e13 exact-twin oracle (at 100 TB the sketch compresses and
+    //     the rank-error unit test bounds the drift instead)
+    ("e60_winsorize_approx",
+      (s, dir) => Pipeline.winsorizeApprox(evts(s, dir), "event_type",
+          "value", lo = 0.01, hi = 0.99, accuracy = 10000)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_winsorized"))
+        .orderBy("event_id"),
+      Some("""WITH th AS (SELECT event_type,
+             |        quantile_disc(value, 0.01) AS lo,
+             |        quantile_disc(value, 0.99) AS hi
+             |      FROM events GROUP BY 1)
+             |SELECT event_id, e.event_type, value,
+             |       least(greatest(value, lo), hi) AS value_winsorized
+             |FROM events e JOIN th ON e.event_type = th.event_type
+             |ORDER BY event_id""".stripMargin)),
+
     // --- Matryoshka two-stage ANN: 16-dim prefix cosine shortlist,
     //     full-dimension exact re-rank (the zero-compute compressor;
     //     both stages mirrored like s12/s09)
