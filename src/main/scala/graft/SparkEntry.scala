@@ -1297,6 +1297,18 @@ object SparkEntry {
              |WHERE n_nationkey < 10
              |GROUP BY n_name ORDER BY nation""".stripMargin)),
 
+    // --- startNode()/endNode() (round 10): key-valued endpoint
+    //     accessors on a bound relationship — the id() convention; no
+    //     join, the endpoint keys already ride the edge row
+    ("q88_start_end_node", cyx(
+      """MATCH (c:Customer)-[r:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 400000
+        |RETURN startNode(r) AS src, endNode(r) AS dst
+        |ORDER BY src, dst""".stripMargin),
+      Some("""SELECT o_custkey AS src, o_orderkey AS dst
+             |FROM orders WHERE o_totalprice > 400000
+             |ORDER BY src, dst""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

@@ -499,6 +499,18 @@ final class ExprCompiler(
           case _ => throw new CypherBindingException(
             "type() expects a relationship variable (labels() for nodes)")
         }
+      // startNode/endNode (extensions): Neo4j returns the node entity;
+      // this engine's value surface is key-valued (the id() convention),
+      // so these read the edge row's endpoint id columns — no join, the
+      // keys already ride the edge frame
+      case "startnode" | "endnode" =>
+        entityArg(f, f.name) match {
+          case (al, EdgeBinding(e)) =>
+            col(pref(physAlias(al),
+              if (f.name == "startnode") e.srcIdColumn else e.sinkIdColumn))
+          case _ => throw new CypherBindingException(
+            s"${f.name}() expects a relationship variable")
+        }
       case "keys" =>
         val (_, b) = entityArg(f, "keys")
         array(Compiler.entityCols(b).map(lit): _*)

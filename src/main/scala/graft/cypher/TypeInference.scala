@@ -405,7 +405,7 @@ final class TypeInference(refType: Ref => Option[DataType],
       // compiler. Entity refs themselves infer to None, so no arg walk.
       case "labels" | "keys" => Some(ArrayType(StringType))
       case "type" => Some(StringType)
-      case "id" | "properties" => None
+      case "id" | "properties" | "startnode" | "endnode" => None
       case _ => f.args.foreach(infer); None
     }
   }

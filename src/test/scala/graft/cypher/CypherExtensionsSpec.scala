@@ -2034,6 +2034,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
           ("p5", "p2", "m1"), ("p5", "p2", "m3")))
   }
 
+  test("startNode/endNode read the edge row's endpoint keys") {
+    val r = rows(
+      """MATCH (a:Person)-[f:FOLLOWS]->(b:Person)
+        |RETURN startNode(f) AS s, endNode(f) AS e, a.id AS ai, b.id AS bi
+        |ORDER BY s, e""".stripMargin)
+    assert(r.forall(x => x.getString(0) == x.getString(2) &&
+      x.getString(1) == x.getString(3)))
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("p1", "p2"), ("p5", "p1"), ("p5", "p2")))
+    // node argument → typed binding error
+    intercept[CypherBindingException](rows(
+      "MATCH (a:Person) RETURN startNode(a) AS s"))
+  }
+
   // ------------------------------ DELETE … RETURN (read-back)
 
   test("DELETE ... RETURN reads the deleted rows' pre-delete values") {
