@@ -682,6 +682,30 @@ object Compiler {
 
     val ec = new ExprCompiler(ctx.scope, ctx.df)
 
+    // ORDER BY over an aggregating/DISTINCT projection (extension;
+    // Neo4j semantics): a sort expression STRUCTURALLY EQUAL to a
+    // projected item sorts by that output column (so `ORDER BY
+    // count(*)` works when count(*) is projected under an alias); an
+    // aggregate NOT in the projection becomes a hidden aggregate
+    // column computed in the SAME aggregation pass and dropped after
+    // the sort — no second shuffle.
+    def substProjected(e: Expr): Expr = {
+      val i = items.indexWhere(_.expr == e)
+      if (i >= 0 && (kinds(i) match {
+            case _: ValueItem => true; case _ => false }))
+        Ref(names(i), None)
+      else e match {
+        case Bin(op, l, r) => Bin(op, substProjected(l), substProjected(r))
+        case Not(x) => Not(substProjected(x))
+        case Neg(x) => Neg(substProjected(x))
+        case IsNull(x, n) => IsNull(substProjected(x), n)
+        case Func(n, args) => Func(n, args.map(substProjected))
+        case CaseExpr(ws, o) => CaseExpr(ws.map { case (c, v) =>
+          (substProjected(c), substProjected(v)) }, o.map(substProjected))
+        case other => other
+      }
+    }
+
     def newScope: Map[String, Binding] =
       kinds.zip(names).map {
         case (EntityItem(_, b), n) => n -> b
