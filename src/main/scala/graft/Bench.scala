@@ -114,43 +114,57 @@ object Bench {
     val median = driftSamples(driftSamples.size / 2)
     val drift = driftSamples.max / median
     // Contended-run outlier re-time (round 8, widened round 9,
-    // drift-tightened round 10): a contended sweep can publish phantom
-    // 10× regressions (r7's close run recorded g09 at 10.0 s vs 0.9 s
-    // on quiet re-runs). Re-time — after the sweep, when the contention
-    // burst has usually passed — every query whose reading exceeds
-    // `factor`× its previous committed value (newest BENCH_FULL_*.json
-    // in cwd, or SPARK_GRAFT_BENCH_PREV) and keep the min: the
-    // committed artifact then never carries a reading a quiet box
-    // wouldn't reproduce, and genuinely-regressed queries keep their
-    // (reproducible) slow reading. On a LOUD canary (drift > 2) the
-    // trigger tightens from 3× to 1.5×: round 9's drift-5.31 run
-    // published g13 at 2.2× its quiet value because 2.53× slipped the
-    // flat 3× gate. SPARK_GRAFT_RETIME_FACTOR overrides the quiet
-    // factor (the loud tightening still applies).
+    // drift-tightened round 10, re-tightened round 11): a contended
+    // sweep can publish phantom 10× regressions (r7's close run
+    // recorded g09 at 10.0 s vs 0.9 s on quiet re-runs). Re-time —
+    // after the sweep, when the contention burst has usually passed —
+    // every query whose reading exceeds `factor`× its prior value and
+    // keep the min: the committed artifact then never carries a reading
+    // a quiet box wouldn't reproduce, and genuinely-regressed queries
+    // keep their (reproducible) slow reading. Round-11 lessons folded
+    // in: (a) the quiet gate is 2× (round 10's drift-1.96 sweep sat
+    // just under the old 2.0 cliff and published q63 at 4.9× quiet);
+    // (b) the factor INTERPOLATES from the quiet gate at drift ≤ 1
+    // down to 1.5× at drift ≥ 2 — no cliff to sit just under; (c) the
+    // prior is the per-query MIN across the last several BENCH_FULL_*
+    // artifacts (or SPARK_GRAFT_BENCH_PREV), so one inflated committed
+    // artifact can't launder the next round's phantom through a raised
+    // baseline. SPARK_GRAFT_RETIME_FACTOR overrides the quiet factor
+    // (the loud tightening still applies).
     val quietFactor =
-      sys.env.getOrElse("SPARK_GRAFT_RETIME_FACTOR", "3.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_FACTOR", "2.0").toDouble
+    def parseQueries(p: java.nio.file.Path): Map[String, Double] = {
+      val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val m = java.util.regex.Pattern
+        .compile("\"queries\":\\{([^}]*)\\}").matcher(line)
+      if (!m.find()) Map.empty[String, Double]
+      else m.group(1).split(",").toSeq.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            try Some(k.replace("\"", "") -> v.toDouble)
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+    }
     val prevQueries: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PREV")
         .map(java.nio.file.Paths.get(_))
-      val newest = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(java.nio.file.Files.exists(_)).map(Seq(_))
+      // last-modified, not name order: epoch-stamped names sort after
+      // hand-named ones (BENCH_FULL_r8_… lexicographically beat every
+      // BENCH_FULL_<epoch>… before this fix)
+      val recent = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .filter(f => f.getName.startsWith("BENCH_FULL_") &&
           f.getName.endsWith(".json"))
-        .sortBy(_.getName).lastOption.map(_.toPath)
-      explicit.orElse(newest).filter(java.nio.file.Files.exists(_))
-        .map { p =>
-          val line = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          val m = java.util.regex.Pattern
-            .compile("\"queries\":\\{([^}]*)\\}").matcher(line)
-          if (!m.find()) Map.empty[String, Double]
-          else m.group(1).split(",").toSeq.flatMap { kv =>
-            kv.split(":") match {
-              case Array(k, v) =>
-                try Some(k.replace("\"", "") -> v.toDouble)
-                catch { case _: NumberFormatException => None }
-              case _ => None
-            }
-          }.toMap
-        }.getOrElse(Map.empty)
+        .sortBy(-_.lastModified).take(6).map(_.toPath)
+      explicit.getOrElse(recent)
+        .map(parseQueries)
+        .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+          m.foldLeft(acc) { case (a, (k, v)) =>
+            a.updated(k, a.get(k).fold(v)(math.min(_, v)))
+          }
+        }
     }
     // Re-time outliers UNCONDITIONALLY, not only on a loud drift
     // canary: a sweep can read quiet overall (drift ≈ 1) yet still hit
@@ -209,16 +223,20 @@ object Bench {
   }
 
   /**
-   * Outlier re-time trigger as a multiple of a query's previous
-   * committed reading. Quiet sweep → `quietFactor` (default 3×: only
-   * GC/JIT-burst phantoms trip it). Loud contention canary
-   * (drift > 2) → tightened to 1.5×: on a contended box EVERY reading
-   * is suspect, and round 9's drift-5.31 run published a 2.2×-inflated
-   * value because 2.53× slipped the flat 3× gate. An explicitly
-   * tighter quietFactor is honored as-is.
+   * Outlier re-time trigger as a multiple of a query's prior reading.
+   * Quiet sweep (drift ≤ 1) → `quietFactor` (default 2×: any reading
+   * at twice its cross-round min gets a post-sweep re-check — VERDICT
+   * r10's "retime >2× regardless of drift"). As drift rises the factor
+   * INTERPOLATES linearly down to 1.5× at drift ≥ 2 — the round-10
+   * failure was a hard cliff at 2.0 that a drift-1.96 sweep sat just
+   * under while publishing 4.9×-inflated readings; with interpolation
+   * that sweep would have used ≈1.52×. An explicitly tighter
+   * quietFactor is honored as-is.
    */
-  def effectiveRetimeFactor(drift: Double, quietFactor: Double = 3.0): Double =
-    if (drift > 2.0) math.min(quietFactor, 1.5) else quietFactor
+  def effectiveRetimeFactor(drift: Double, quietFactor: Double = 2.0): Double = {
+    val t = math.min(1.0, math.max(0.0, drift - 1.0))
+    math.min(quietFactor, quietFactor + t * (1.5 - quietFactor))
+  }
 
   /** Names of queries whose reading exceeds `factor`× their previous
    *  committed value — the re-time candidates. Failed readings (< 0)

@@ -9,9 +9,12 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class BenchSpec extends AnyFunSuite {
 
-  test("retime factor tightens to 1.5x when the contention canary is loud") {
-    assert(Bench.effectiveRetimeFactor(drift = 1.0) == 3.0)
-    assert(Bench.effectiveRetimeFactor(drift = 1.99) == 3.0)
+  test("retime factor interpolates from the 2x quiet gate to 1.5x loud") {
+    assert(Bench.effectiveRetimeFactor(drift = 1.0) == 2.0)
+    // the round-10 failure shape: drift 1.96 must already be near the
+    // loud 1.5x gate, not still at the quiet one (old hard cliff at 2.0)
+    assert(Bench.effectiveRetimeFactor(drift = 1.96) < 1.55)
+    assert(Bench.effectiveRetimeFactor(drift = 1.5) == 1.75)
     assert(Bench.effectiveRetimeFactor(drift = 2.01) == 1.5)
     assert(Bench.effectiveRetimeFactor(drift = 5.31) == 1.5)
     // an explicitly tighter quiet factor is honored even when loud
@@ -20,17 +23,30 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.effectiveRetimeFactor(drift = 5.0, quietFactor = 10.0) == 1.5)
   }
 
-  test("a 2x outlier is re-timed on a contended run but not a quiet one") {
+  test("a >2x outlier is re-timed even on a quiet run; a 1.8x one only when loud") {
     // round-9 regression shape: g13 read 4.265 s vs 1.976 s committed
-    // (2.16×) on a drift-5.31 run — the flat 3× gate let it through
+    // (2.16×) — must now trip even at drift 1.0 (the quiet gate is 2×)
     val prev = Map("g13_weighted_pr" -> 1.976, "g01_pagerank" -> 1.692)
-    val results = Seq("g13_weighted_pr" -> 4.265, "g01_pagerank" -> 1.8)
+    val results = Seq("g13_weighted_pr" -> 4.265, "g01_pagerank" -> 2.9)
     val quiet = Bench.findOutliers(results, prev,
       Bench.effectiveRetimeFactor(drift = 1.0))
-    assert(quiet.isEmpty)
+    assert(quiet == Seq("g13_weighted_pr"))
+    // g01 at 1.71× its prior additionally trips once the sweep is loud
     val loud = Bench.findOutliers(results, prev,
       Bench.effectiveRetimeFactor(drift = 5.31))
-    assert(loud == Seq("g13_weighted_pr"))
+    assert(loud == Seq("g13_weighted_pr", "g01_pagerank"))
+  }
+
+  test("round-10 shape: drift 1.96 retimes a 4.9x phantom AND a 2.6x one") {
+    // q63 committed 2.073 vs 0.426 quiet; q56 1.862 vs 0.732 — both
+    // slipped the old flat 3× gate? q63 did not (4.9×) but q60 at
+    // 1.963/0.722 ≈ 2.7× did. The interpolated factor at drift 1.96
+    // (≈1.52) catches both.
+    val prev = Map("q63_set_snapshot" -> 0.426, "q60_call_paging" -> 0.722)
+    val results = Seq("q63_set_snapshot" -> 2.073, "q60_call_paging" -> 1.963)
+    val f = Bench.effectiveRetimeFactor(drift = 1.96)
+    assert(Bench.findOutliers(results, prev, f).toSet ==
+      Set("q63_set_snapshot", "q60_call_paging"))
   }
 
   test("failed readings and missing/garbage priors are never candidates") {
