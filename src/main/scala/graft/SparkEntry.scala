@@ -1309,6 +1309,59 @@ object SparkEntry {
              |FROM orders WHERE o_totalprice > 400000
              |ORDER BY src, dst""".stripMargin)),
 
+    // --- endpoint-creating relationship MERGE (round 11): id-map
+    //     endpoints — MERGE (a:L {id: e})-[r:T]->(b:L2 {id: e2}) —
+    //     key the edge per feed row without a preceding MATCH binding
+    //     them (the standard Neo4j ingest idiom). Even order keys
+    //     reuse the order's real customer (edge pair EXISTS → ON
+    //     MATCH; node read-back sees the stored row), odd keys mint a
+    //     ghost customer id (pair absent → ON CREATE; read-back sees
+    //     id-only, name null)
+    ("q89_merge_rel_ingest", cyx(
+      """MATCH (c0:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_orderkey <= 6
+        |MERGE (c:Customer {c_custkey:
+        |    CASE WHEN o.o_orderkey % 2 = 0 THEN c0.c_custkey
+        |         ELSE 900000 + o.o_orderkey END})
+        |  -[g:PLACED]->(o2:Order {o_orderkey: o.o_orderkey})
+        |ON MATCH SET g.o_orderdate = '1990-01-01'
+        |ON CREATE SET g.o_orderdate = '2000-01-01'
+        |RETURN c.c_custkey AS ck, c.c_name AS nm, o2.o_orderkey AS ok,
+        |       g.o_orderdate AS odt
+        |ORDER BY ck, ok""".stripMargin),
+      Some("""WITH feed AS (
+             |  SELECT DISTINCT
+             |    CASE WHEN o_orderkey % 2 = 0 THEN o_custkey
+             |         ELSE 900000 + o_orderkey END AS ck,
+             |    o_orderkey AS ok
+             |  FROM orders WHERE o_orderkey <= 6)
+             |SELECT f.ck AS ck, c.c_name AS nm, f.ok AS ok,
+             |  CASE WHEN e.o_orderkey IS NOT NULL
+             |       THEN TIMESTAMP '1990-01-01 00:00:00'
+             |       ELSE TIMESTAMP '2000-01-01 00:00:00' END AS odt
+             |FROM feed f
+             |LEFT JOIN orders e ON e.o_custkey = f.ck
+             |  AND e.o_orderkey = f.ok
+             |LEFT JOIN customer c ON c.c_custkey = f.ck
+             |ORDER BY ck, ok""".stripMargin)),
+
+    // --- MATCH-less relationship MERGE (round 11): the whole query is
+    //     the MERGE — one literal feed row, both endpoints id-mapped;
+    //     the absent (7, 999999) pair inserts from ON CREATE and the
+    //     untouched edge snapshot anti-joins through
+    ("q90_merge_rel_matchless",
+      (s, dir) => cyx(
+        """MERGE (a:Customer {c_custkey: 7})
+          |  -[g:PLACED]->(b:Order {o_orderkey: 999999})
+          |ON MATCH SET g.o_orderdate = '1990-01-01'
+          |ON CREATE SET g.o_orderdate = '2001-02-03'""".stripMargin)
+        .apply(s, dir).orderBy("o_custkey", "o_orderkey", "o_orderdate"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |UNION ALL
+             |SELECT CAST(7 AS BIGINT), CAST(999999 AS BIGINT),
+             |       TIMESTAMP '2001-02-03 00:00:00'
+             |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

@@ -373,9 +373,24 @@ object ast {
    *  contract (same as SET/DELETE on rels) — duplicate snapshot rows
    *  on a matched pair collapse to the one updated row. `ret` reads
    *  the post-merge edge per feed pair. */
+  /** Inline endpoint of a relationship MERGE's MATCH-less form (round
+   *  11): `(a:Label {idProp: expr})` — the node-MERGE id-map shape.
+   *  The key expression evaluates per feed row and BECOMES the
+   *  endpoint's id: the edge is keyed by it whether or not a node row
+   *  with that id exists (the standard Neo4j ingest idiom `MERGE
+   *  node; MERGE node; MERGE edge` decomposed — the node-table
+   *  upserts are their own one-snapshot queries, this engine's
+   *  one-query-one-snapshot contract). A RETURN after the MERGE reads
+   *  the endpoint's post-merge face: matched ids see the stored node
+   *  row, absent ids see id-only (other properties null). */
+  final case class MergeEndpoint(label: String, keyProp: String,
+      keyExpr: Expr)
+
   final case class MergeRelClause(srcAlias: String, relAlias: Option[String],
       verb: String, dstAlias: String,
-      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)])
+      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)],
+      srcSpec: Option[MergeEndpoint] = None,
+      dstSpec: Option[MergeEndpoint] = None)
 
   final case class MergeRelQuery(parts: Seq[QueryPart],
       merge: MergeRelClause, ret: Option[Projection]) extends Query

@@ -1250,20 +1250,83 @@ object Compiler {
    * Scale shape: identical to node MERGE — the feed dedups FIRST (one
    * partial-agg shuffle on the slim pair key), the snapshot joins
    * once per branch and is never widened.
+   *
+   * MATCH-less endpoints (round 11): an endpoint may carry an inline
+   * id map — `MERGE (a:L1 {id: e1})-[r:T]->(b:L2 {id: e2})`, the
+   * standard Neo4j ingest idiom — instead of a bound variable. The
+   * key expression evaluates per feed row (one literal row when the
+   * whole query is the MERGE) and keys the edge directly; whether a
+   * node row with that id exists does not gate the edge upsert (in
+   * the decomposed idiom the node MERGEs run first and always
+   * succeed). The result is still ONE snapshot — the edge's; upsert
+   * the node tables with their own `MERGE (n:L {id: …})` queries
+   * (the engine-wide one-query-one-snapshot contract, same as DETACH
+   * DELETE's companion edge snapshots). A RETURN reads each id-map
+   * endpoint's post-merge face via one left join per endpoint:
+   * matched ids see the stored node row, absent ids see id-only.
    */
   private def compileMergeRel(parts: Seq[QueryPart], mr: MergeRelClause,
       catalog: GraphCatalog, ret: Option[Projection]): DataFrame = {
-    if (parts.isEmpty) throw new CypherBindingException(
-      "MERGE of a relationship needs both endpoints bound by a " +
-      "preceding MATCH")
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
-    val (sn, dn, e) = resolveRelEndpoints(c.scope, mr.srcAlias,
-      mr.dstAlias, mr.verb, "MERGE", catalog)
+    if (parts.isEmpty && (mr.srcSpec.isEmpty || mr.dstSpec.isEmpty))
+      throw new CypherBindingException(
+        "MERGE of a relationship needs both endpoints bound by a " +
+        "preceding MATCH or carrying an id map — " +
+        "MERGE (a:L1 {id: …})-[r:T]->(b:L2 {id: …})")
+    if (mr.srcSpec.nonEmpty && mr.dstSpec.nonEmpty &&
+        mr.srcAlias == mr.dstAlias)
+      throw new CypherBindingException(
+        s"MERGE relationship endpoints both declare '${mr.srcAlias}' — " +
+        "two id-map endpoints need distinct variables")
+    val c =
+      if (parts.isEmpty)
+        // standalone ingest MERGE: the feed is one literal row (the
+        // node-MERGE shape); key exprs compile against an empty scope
+        Ctx(catalog.nodeDf(mr.srcSpec.get.label).sparkSession
+          .range(1).toDF("__row"), Map.empty)
+      else compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog)
+    def endpointNode(alias: String, spec: Option[MergeEndpoint])
+        : NodeDef = spec match {
+      case Some(ep) =>
+        val n = catalog.graph.node(ep.label)
+        if (ep.keyProp != n.idColumn) throw new CypherBindingException(
+          s"MERGE ($alias:${ep.label} {${ep.keyProp}: …}): the property " +
+          s"map must bind the node's id property '${n.idColumn}' — " +
+          "merge identity is the unique node id")
+        if (c.scope.contains(alias)) throw new CypherBindingException(
+          s"MERGE endpoint alias '$alias' collides with a variable in " +
+          "scope — an id-map endpoint declares a NEW variable; drop " +
+          "the map to reference the bound node")
+        n
+      case None => c.scope.get(alias) match {
+        case Some(NodeBinding(n)) => n
+        case Some(_) => throw new CypherBindingException(
+          s"MERGE relationship endpoint '$alias' must be a node variable")
+        case None => throw new CypherBindingException(
+          s"MERGE relationship endpoint '$alias' is not a bound " +
+          "variable — bind both endpoints with a preceding MATCH, or " +
+          "give each an id map: (a:Label {id: …})")
+      }
+    }
+    val sn = endpointNode(mr.srcAlias, mr.srcSpec)
+    val dn = endpointNode(mr.dstAlias, mr.dstSpec)
+    val e = catalog.graph.edge(sn.label, mr.verb, dn.label).getOrElse(
+      throw new CypherBindingException(
+        s"no relationship '${mr.verb}' from '${sn.label}' to " +
+        s"'${dn.label}' in the schema"))
     mr.relAlias.foreach { r =>
       if (c.scope.contains(r)) throw new CypherBindingException(
         s"MERGE relationship alias '$r' collides with a variable in " +
         "scope")
+      if (r == mr.srcAlias || r == mr.dstAlias)
+        throw new CypherBindingException(
+          s"MERGE relationship alias '$r' collides with an endpoint " +
+          "variable")
+    }
+    Seq(mr.srcSpec, mr.dstSpec).flatten.foreach { ep =>
+      if (containsAgg(ep.keyExpr)) throw new CypherNotSupportedException(
+        "MERGE endpoint id with an aggregate — aggregate in a WITH " +
+        "before the MERGE")
     }
     val snapshot = catalog.edgeDf(e)
     val outCols =
@@ -1300,11 +1363,23 @@ object Compiler {
     val rA = mr.relAlias.getOrElse("__mr")
     val snapE = snapshot.select(
       outCols.map(cn => col(cn).as(pref(rA, cn))): _*)
-    val feed0 = c.df
+    val ecKey = new ExprCompiler(c.scope, c.df)
+    def endpointKey(alias: String, spec: Option[MergeEndpoint],
+        node: NodeDef, target: org.apache.spark.sql.types.DataType)
+        : Column = spec match {
+      case Some(ep) => ecKey.compile(ep.keyExpr).cast(target)
+      case None     => col(pref(alias, node.idColumn)).cast(target)
+    }
+    val feed0a = c.df
       .withColumn("__msrc",
-        col(pref(mr.srcAlias, sn.idColumn)).cast(dt(e.srcIdColumn)))
+        endpointKey(mr.srcAlias, mr.srcSpec, sn, dt(e.srcIdColumn)))
       .withColumn("__msnk",
-        col(pref(mr.dstAlias, dn.idColumn)).cast(dt(e.sinkIdColumn)))
+        endpointKey(mr.dstAlias, mr.dstSpec, dn, dt(e.sinkIdColumn)))
+    // standalone form: keep only the pair key (the literal seed row's
+    // scaffolding column never reaches the winner struct or a RETURN)
+    val feed0 =
+      if (parts.isEmpty) feed0a.select(col("__msrc"), col("__msnk"))
+      else feed0a
     val feed =
       feed0.where(col("__msrc").isNotNull && col("__msnk").isNotNull)
     val others =
@@ -1363,8 +1438,31 @@ object Compiler {
             col("__msnk").as(pref(rA, e.sinkIdColumn)) +:
             props.map(p2 => cAssign.getOrElse(p2, lit(null).cast(dt(p2)))
               .as(pref(rA, p2)))): _*)
-        compileProjection(Ctx(matchedR.unionByName(createdR), scopeM),
-          r, isReturn = true, catalog).df
+        var frame = matchedR.unionByName(createdR)
+        var scopeR = scopeM
+        // id-map endpoints (round 11): the RETURN sees each as a node
+        // variable over its POST-MERGE face — one left join per
+        // endpoint on the node's id (matched ids read the stored row,
+        // absent ids read id-only with null properties)
+        def readBack(alias: String, spec: Option[MergeEndpoint],
+            node: NodeDef, relKeyCol: String): Unit = spec.foreach { _ =>
+          val snapN = catalog.nodeDf(node.label)
+          val nprops = node.properties.filterNot(_ == node.idColumn)
+          val bkKey = s"__bk_$alias"
+          val bk = snapN.select(
+            col(node.idColumn).as(bkKey) +:
+              nprops.map(p2 => col(p2).as(pref(alias, p2))): _*)
+          frame = frame
+            .join(bk, frame(relKeyCol) === bk(bkKey), "left")
+            .drop(bkKey)
+            .withColumn(pref(alias, node.idColumn),
+              col(relKeyCol).cast(snapN.schema(node.idColumn).dataType))
+          scopeR = scopeR + (alias -> NodeBinding(node))
+        }
+        readBack(mr.srcAlias, mr.srcSpec, sn, pref(rA, e.srcIdColumn))
+        readBack(mr.dstAlias, mr.dstSpec, dn, pref(rA, e.sinkIdColumn))
+        compileProjection(Ctx(frame, scopeR), r, isReturn = true,
+          catalog).df
     }
   }
 

@@ -553,48 +553,64 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   }
 
   private def parseMergeClause(): Either[MergeClause, MergeRelClause] = {
-    eatPunct("(")
-    val alias = cur match {
-      case Ident(s, _) =>
-        if (s.startsWith("__"))
-          notSupported(s"alias '$s' — names starting with __ are reserved")
-        p += 1; s
-      case _ => syntaxErr(
-        "MERGE requires a named node — MERGE (n:Label {id: …}) — or a " +
-        "relationship between bound endpoints — MERGE (a)-[r:T]->(b)")
+    // one MERGE endpoint: `(a)` — a bound node reference — or
+    // `(a:Label {id: expr})` — the node-MERGE id-map shape, declaring
+    // a NEW variable keyed per feed row (round 11: this form is legal
+    // on relationship-MERGE endpoints too, the MATCH-less ingest idiom)
+    def endpoint(): (String, Option[MergeEndpoint]) = {
+      eatPunct("(")
+      val alias = cur match {
+        case Ident(s, _) =>
+          if (s.startsWith("__"))
+            notSupported(s"alias '$s' — names starting with __ are reserved")
+          p += 1; s
+        case _ => syntaxErr(
+          "MERGE requires a named node — MERGE (n:Label {id: …}) — or a " +
+          "relationship between endpoints — MERGE (a)-[r:T]->(b)")
+      }
+      if (isPunct(")")) { p += 1; (alias, None) }
+      else {
+        eatPunct(":")
+        val label = name()
+        if (!isPunct("{")) syntaxErr(
+          "MERGE node requires a property map binding its id, e.g. {id: …}")
+        eatPunct("{")
+        val keyProp = cur match {
+          case Ident(s, _)  => p += 1; s
+          case Kw(_, raw, _) => p += 1; raw
+          case _ => syntaxErr("expected the id property name in the MERGE map")
+        }
+        eatPunct(":")
+        val keyExpr = parseExpr()
+        if (isPunct(","))
+          notSupported("MERGE property map beyond the id property — merge " +
+            "identity is the unique node id; set other properties in " +
+            "ON CREATE SET")
+        eatPunct("}")
+        eatPunct(")")
+        (alias, Some(MergeEndpoint(label, keyProp, keyExpr)))
+      }
     }
-    if (isPunct(")")) {
-      // relationship MERGE (round 10): `(a)-[r:T]->(b)` over bound
-      // endpoints — edge upsert keyed by the (src, snk) pair
-      p += 1
+    val (alias, spec) = endpoint()
+    if (isPunct("-") || isPunct("<-")) {
+      // relationship MERGE (round 10; id-map endpoints round 11):
+      // edge upsert keyed by the (src, snk) pair — each endpoint is a
+      // bound node variable or an inline id map
       val (rAlias, verb, incoming, _) =
         parseBareRel(allowMap = false, kw = "MERGE")
-      eatPunct("(")
-      val other = bareEndpoint()
-      val (srcA, dstA) = if (incoming) (other, alias) else (alias, other)
+      val (other, oSpec) = endpoint()
+      val (srcA, srcS, dstA, dstS) =
+        if (incoming) (other, oSpec, alias, spec)
+        else (alias, spec, other, oSpec)
       val (om, oc) = parseOnSets(rAlias, "relationship")
-      return Right(MergeRelClause(srcA, rAlias, verb, dstA, om, oc))
+      return Right(MergeRelClause(srcA, rAlias, verb, dstA, om, oc,
+        srcS, dstS))
     }
-    eatPunct(":")
-    val label = name()
-    if (!isPunct("{")) syntaxErr(
-      "MERGE node requires a property map binding its id, e.g. {id: …}")
-    eatPunct("{")
-    val keyProp = cur match {
-      case Ident(s, _)  => p += 1; s
-      case Kw(_, raw, _) => p += 1; raw
-      case _ => syntaxErr("expected the id property name in the MERGE map")
-    }
-    eatPunct(":")
-    val keyExpr = parseExpr()
-    if (isPunct(","))
-      notSupported("MERGE property map beyond the id property — merge " +
-        "identity is the unique node id; set other properties in " +
-        "ON CREATE SET")
-    eatPunct("}")
-    eatPunct(")")
+    val ep = spec.getOrElse(syntaxErr(
+      "MERGE node requires a property map binding its id, e.g. {id: …}"))
     val (onMatch, onCreate) = parseOnSets(Some(alias), "node")
-    Left(MergeClause(alias, label, keyProp, keyExpr, onMatch, onCreate))
+    Left(MergeClause(alias, ep.label, ep.keyProp, ep.keyExpr, onMatch,
+      onCreate))
   }
 
   /** `SET a.p = e [, a.q = e2 …]` and the map-sugar form

@@ -1811,6 +1811,76 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("p5", "m1"), ("p5", "m3")))
   }
 
+  test("MERGE rel with id-map endpoints: edge keys per feed row, " +
+      "RETURN reads post-merge node faces") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.id IN ['m1', 'm2']
+        |MERGE (p:Person {id:
+        |    CASE WHEN m.id = 'm1' THEN 'p5' ELSE 'p9' END})
+        |  -[r:REVIEWED]->(mm:Movie {id: m.id})
+        |ON MATCH SET r.Rating = r.Rating + 1
+        |ON CREATE SET r.Summary = 'new', r.Rating = 10
+        |RETURN p.id AS pi, p.Name AS nm, mm.Title AS t, r.Rating AS rt
+        |ORDER BY pi""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getString(1)),
+        x.getString(2), x.getInt(3)))
+    assert(r == Seq(
+      // (p5, m1) exists in REVIEWED → ON MATCH; p5 is a stored node
+      ("p5", Some("Jessica Thompson"), "Sleepless in Seattle", 96),
+      // (p9, m2) absent → ON CREATE; p9 has no node row → id-only face
+      ("p9", None, "Apollo 13", 10)))
+  }
+
+  test("MATCH-less MERGE rel: both endpoints id-mapped, one literal row") {
+    val r = rows(
+      "MERGE (a:Person {id: 'p9'})-[r:FOLLOWS]->(b:Person {id: 'p1'})")
+      .map(x => (x.getString(0), x.getString(1))).sortBy(identity)
+    assert(r == Seq(("p1", "p2"), ("p5", "p1"), ("p5", "p2"),
+      ("p9", "p1")))
+  }
+
+  test("MERGE rel mixed endpoints: one bound, one id-mapped") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id = 'p3'
+        |MERGE (p)-[r:REVIEWED]->(m:Movie {id: 'm9'})
+        |ON CREATE SET r.Rating = 7""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(3)) None else Some(x.getInt(3))))
+      .sortBy(t => (t._1, t._2))
+    assert(r == Seq(("p3", "m9", Some(7)),
+      ("p5", "m1", Some(95)), ("p5", "m3", Some(85))))
+  }
+
+  test("MERGE rel id-map endpoint typed rejections") {
+    // the endpoint map must bind the node's id property
+    intercept[CypherBindingException](rows(
+      "MERGE (a:Person {Name: 'x'})-[r:FOLLOWS]->(b:Person {id: 'p1'})"))
+    // an id-map endpoint declares a NEW variable — no shadowing
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person)
+        |MERGE (p:Person {id: 'p1'})-[r:FOLLOWS]->(b:Person {id: 'p2'})"""
+        .stripMargin))
+    // two id-map endpoints need distinct variables
+    intercept[CypherBindingException](rows(
+      "MERGE (a:Person {id: 'p1'})-[r:FOLLOWS]->(a:Person {id: 'p2'})"))
+    // the rel alias may not reuse an endpoint variable
+    intercept[CypherBindingException](rows(
+      "MERGE (a:Person {id: 'p1'})-[a:FOLLOWS]->(b:Person {id: 'p2'})"))
+    // endpoint map beyond the id property
+    intercept[CypherNotSupportedException](rows(
+      """MERGE (a:Person {id: 'p1', Name: 'x'})
+        |-[r:FOLLOWS]->(b:Person {id: 'p2'})""".stripMargin))
+    // MATCH-less form needs an id map on BOTH endpoints
+    intercept[CypherBindingException](rows(
+      "MERGE (a)-[r:FOLLOWS]->(b:Person {id: 'p2'})"))
+    // no aggregate in an endpoint id
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |MERGE (a:Person {id: count(p)})-[r:FOLLOWS]->(b:Person {id: 'p2'})"""
+        .stripMargin))
+  }
+
   test("relationship CREATE/MERGE typed rejections pin the contract") {
     // endpoints must be bound node variables
     intercept[CypherBindingException](rows(
