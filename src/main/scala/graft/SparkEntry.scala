@@ -1362,6 +1362,25 @@ object SparkEntry {
              |       TIMESTAMP '2001-02-03 00:00:00'
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- update chaining (round 11): SET … WITH … MATCH … — the
+    //     pipeline continues over the per-row UPDATED frame, so the
+    //     downstream MATCH joins the piped entity with its written
+    //     values; the snapshot itself is untouched (reads-own-writes
+    //     flows only through the carried frame)
+    ("q91_set_chain", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal < 0.0
+        |SET c.c_acctbal = 0.0, c.c_mktsegment = 'DELINQUENT'
+        |WITH c
+        |MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, c.c_mktsegment AS seg,
+        |       round(c.c_acctbal, 2) AS bal, count(o) AS n
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck, 'DELINQUENT' AS seg,
+             |  CAST(0.0 AS DOUBLE) AS bal, count(o_orderkey) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_acctbal < 0.0
+             |GROUP BY 1 ORDER BY ck""".stripMargin)),
+
     // --- DISTINCT aggregates beyond count (round 10): sum/avg dedup
     //     the value per group BEFORE the aggregate buffer (the
     //     isDistinct AggregateExpression flag — a partial distinct on

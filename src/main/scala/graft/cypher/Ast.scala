@@ -301,6 +301,20 @@ object ast {
   final case class SetReturnQuery(parts: Seq[QueryPart], set: SetClause,
       ret: Projection) extends Query
 
+  /** `SET a.p = e, … WITH … [MATCH …] RETURN items` (extension, round
+   *  11): update chaining — the pipeline CONTINUES over the per-row
+   *  updated frame ([[SetReturnQuery]]'s read-back), so downstream
+   *  WITH/MATCH/RETURN clauses read the query's own writes. The
+   *  backing snapshot is untouched: a downstream MATCH over the SAME
+   *  table re-reads the ORIGINAL store (reads-own-writes flows only
+   *  through the carried frame — the documented contract; Neo4j's
+   *  transactional visibility has no flat-snapshot equivalent). `rest`
+   *  is the continuation starting at the WITH; exactly one updating
+   *  clause per query — a second SET/MERGE/DELETE/CREATE inside the
+   *  chain is a typed rejection. */
+  final case class SetChainQuery(parts: Seq[QueryPart], set: SetClause,
+      rest: SingleQuery) extends Query
+
   /** Terminal `CREATE (n:L {p: e, …})` (extension; completes the
    *  update triad over the reference's read-only boundary,
    *  CypherVisitor.cs:486-489; parity keeps the rejection): an

@@ -842,6 +842,8 @@ object Compiler {
     case SetQuery(parts, s)   => compileSet(parts, s, catalog)
     case SetReturnQuery(parts, s, ret) =>
       compileSetReturn(parts, s, ret, catalog)
+    case SetChainQuery(parts, s, rest) =>
+      compileSetChain(parts, s, rest, catalog)
     case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
     case DeleteReturnQuery(parts, d, ret) =>
       compileDelete(parts, d, catalog, Some(ret))
@@ -1550,7 +1552,17 @@ object Compiler {
    * anti-join, the snapshot is never touched beyond the match scan).
    */
   private def compileSetReturn(parts: Seq[QueryPart], s: SetClause,
-      ret: Projection, catalog: GraphCatalog): DataFrame = {
+      ret: Projection, catalog: GraphCatalog): DataFrame =
+    compileProjection(setUpdatedFrame(parts, s, catalog), ret,
+      isReturn = true, catalog).df
+
+  /** The per-row UPDATED frame behind SET read-backs: the preceding
+    * parts' match frame with the target's assigned columns replaced in
+    * one simultaneous `select` (every rhs reads the OLD entity even
+    * when assignments cross-reference). Map-only on the match; the
+    * snapshot is never touched beyond the match scan. */
+  private def setUpdatedFrame(parts: Seq[QueryPart], s: SetClause,
+      catalog: GraphCatalog): Ctx = {
     val c = compileSingle(SingleQuery(parts), Map.empty,
       terminalIsReturn = false, catalog)
     val (_, snapshot, _) = setTarget(c.scope, s, catalog)
@@ -1560,9 +1572,22 @@ object Compiler {
       pref(s.alias, p2) -> ec.compile(e).cast(dt(p2)) }.toMap
     val updated = c.df.select(c.df.columns.toSeq.map(cn =>
       aMap.getOrElse(cn, col(cn)).as(cn)): _*)
-    compileProjection(Ctx(updated, c.scope), ret, isReturn = true,
-      catalog).df
+    Ctx(updated, c.scope)
   }
+
+  /**
+   * Update chaining `SET … WITH … [MATCH …] RETURN …` (extension,
+   * round 11): the continuation compiles over [[setUpdatedFrame]] —
+   * downstream clauses read the query's own writes per row. The
+   * backing snapshot is untouched; a downstream MATCH over the SAME
+   * table re-reads the ORIGINAL store (reads-own-writes flows only
+   * through the carried frame — the documented contract). The result
+   * is the chain's terminal RETURN.
+   */
+  private def compileSetChain(parts: Seq[QueryPart], s: SetClause,
+      rest: SingleQuery, catalog: GraphCatalog): DataFrame =
+    compileSingle(rest, Map.empty, terminalIsReturn = true, catalog,
+      initial = Some(setUpdatedFrame(parts, s, catalog))).df
 
   private def setSnapshot(c: Ctx, alias: String,
       assigns: Seq[(String, Expr)], keyCols: Seq[String],
@@ -1659,8 +1684,9 @@ object Compiler {
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,
       catalog: GraphCatalog,
-      afterPart: (Int, Ctx) => Ctx = (_, c) => c): Ctx = {
-    var ctx: Option[Ctx] = None
+      afterPart: (Int, Ctx) => Ctx = (_, c) => c,
+      initial: Option[Ctx] = None): Ctx = {
+    var ctx: Option[Ctx] = initial
     sq.parts.zipWithIndex.foreach { case (part, i) =>
       val isLast = i == sq.parts.size - 1
       val scope = ctx.map(_.scope).getOrElse(inherited)

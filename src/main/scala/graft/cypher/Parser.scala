@@ -116,7 +116,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       case _: CreateQuery | _: CreateReturnQuery | _: CreateRelQuery =>
         notSupported("CREATE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: SetReturnQuery => notSupported("SET in a UNION branch — " +
+      case _: SetReturnQuery | _: SetChainQuery =>
+        notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _ =>
     }
@@ -156,10 +157,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
       case (_, Some(s), _, _) =>
         pendingSet = None
-        pendingSetReturn match {
-          case Some(r) => pendingSetReturn = None
+        (pendingSetReturn, pendingSetChain) match {
+          case (Some(r), _) => pendingSetReturn = None
             SetReturnQuery(sq.parts, s, r)
-          case None    => SetQuery(sq.parts, s)
+          case (_, Some(rest)) => pendingSetChain = None
+            SetChainQuery(sq.parts, s, rest)
+          case _ => SetQuery(sq.parts, s)
         }
       case (_, _, Some(d), _) =>
         pendingDelete = None
@@ -187,6 +190,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
+  private var pendingSetChain: Option[SingleQuery] = None
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingDeleteReturn: Option[Projection] = None
   private var pendingCreate: Option[CreateClause] = None
@@ -361,10 +365,27 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // not the snapshot
           p += 1
           pendingSetReturn = Some(parseProjection(isWith = false))
-        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
-          notSupported(s"further clauses after $kw — a $kw is either " +
-            "terminal (the result is the new snapshot) or directly " +
-            "followed by one RETURN reading the updated entity")
+        } else if (isKw("WITH")) {
+          // update chaining (round 11): `SET … WITH …` continues the
+          // pipeline over the per-row UPDATED frame — downstream
+          // WITH/MATCH/RETURN read the query's own writes (the
+          // snapshot is untouched; re-matching the same table reads
+          // the original store). Parse the continuation as an
+          // ordinary single query starting at the WITH; a second
+          // updating clause inside it is a typed rejection.
+          val savedSet = pendingSet
+          pendingSet = None
+          val rest = parseSingle()
+          if (pendingSet.isDefined || pendingMerge.isDefined ||
+              pendingMergeRel.isDefined || pendingDelete.isDefined ||
+              pendingCreate.isDefined || pendingCreateRel.isDefined)
+            notSupported(s"a second updating clause after $kw — one " +
+              "updating clause per query; chain reads only")
+          pendingSet = savedSet
+          pendingSetChain = Some(rest)
+        } else if (isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported(s"MATCH directly after $kw — continue the " +
+            s"pipeline through a WITH: $kw … WITH … MATCH …")
         done = true
       } else if (isKw("DELETE") || isKw("DETACH")) {
         // terminal [DETACH] DELETE (extension; parity rejected in

@@ -2243,12 +2243,16 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // plain node DELETE: dangling-edge semantics are data-dependent
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) DELETE p"))
-    // terminal means terminal (SET may be followed by ONE RETURN —
-    // the round-10 read-back — but never further WITH/MATCH parts)
+    // SET chains through a WITH (round 11) but never a bare MATCH;
+    // DELETE stays strictly terminal (ONE RETURN at most)
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) SET p.Name = 'x' WITH p RETURN p.Name AS N"))
+      "MATCH (p:Person) SET p.Name = 'x' MATCH (m:Movie) RETURN m.id AS i"))
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) DETACH DELETE p WITH 1 AS x RETURN x"))
+    // one updating clause per query — no second SET inside the chain
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) SET p.Name = 'x' WITH p
+        |MATCH (q:Person) SET q.Born = 1 RETURN 1 AS x""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       """MATCH (m:Movie) CALL { MATCH (p:Person) SET p.Name = 'x' }
         |RETURN m.Title AS T""".stripMargin))
@@ -2289,15 +2293,50 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |REMOVE m.Tagline
         |RETURN m.Title AS t, m.Tagline AS g""".stripMargin).head
     assert(r4.getString(0) == "Apollo 13" && r4.isNullAt(1))
-    // rejections: WITH after SET; unknown property; UNION placement
-    intercept[CypherNotSupportedException](rows(
-      """MATCH (p:Person) SET p.Name = 'x' WITH p
-        |RETURN p.Name AS N""".stripMargin))
+    // rejections: unknown property; UNION placement
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) SET p.Nope = 1 RETURN p.Name AS N"))
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) SET p.Born = 1 RETURN p.Name AS N
         |UNION MATCH (p:Person) RETURN p.Name AS N""".stripMargin))
+  }
+
+  test("SET ... WITH chains: downstream clauses read the query's writes") {
+    // WITH masks and a post-WITH WHERE filter over the UPDATED frame
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |SET p.Born = p.Born + 100
+        |WITH p.Name AS nm, p.Born AS b
+        |WHERE b > 2060
+        |RETURN nm, b ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r.toSeq == Seq(("Meg Ryan", 2061)))
+    // a piped entity joins a downstream MATCH with its updated values
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |SET p.Born = 3000
+        |WITH p
+        |MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Born AS b, count(m) AS n""".stripMargin)
+      .map(x => (x.getInt(0), x.getLong(1)))
+    assert(r2.toSeq == Seq((3000, 3L)))
+    // the snapshot is untouched: a FRESH match over the same table
+    // reads the ORIGINAL store (reads-own-writes flows only through
+    // the carried frame — the documented contract)
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |SET p.Born = 3000
+        |WITH count(p) AS cnt
+        |MATCH (q:Person) WHERE q.id = 'p1'
+        |RETURN cnt, q.Born AS b""".stripMargin).head
+    assert(r3.getLong(0) == 1L && r3.getInt(1) == 1956)
+    // REMOVE chains the same way (null visible downstream)
+    val r4 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm2'
+        |REMOVE m.Tagline
+        |WITH m.Title AS t, m.Tagline AS g
+        |RETURN t, g""".stripMargin).head
+    assert(r4.getString(0) == "Apollo 13" && r4.isNullAt(1))
   }
 
   test("SET += map sugar desugars to per-key assignments") {
@@ -2354,10 +2393,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) REMOVE p.Nope"))
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) REMOVE p.id"))
-    // REMOVE … RETURN is the round-10 read-back (null view), but
-    // further WITH/MATCH parts stay rejected
+    // REMOVE … WITH chains since round 11 (the SET read-back frame);
+    // a bare MATCH directly after it stays rejected
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) REMOVE p.Name WITH p RETURN p.Born AS b"))
+      "MATCH (p:Person) REMOVE p.Name MATCH (m:Movie) RETURN m.id AS i"))
     intercept[CypherNotSupportedException](rows("REMOVE p.Name"))
   }
 
