@@ -1362,6 +1362,35 @@ object SparkEntry {
              |       TIMESTAMP '2001-02-03 00:00:00'
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- bounded zero-length [*0..k] (round 11): the L = 0 branch
+    //     joins the bounded union as a single hop over a synthetic
+    //     identity edge (one (id, id) row per node of the endpoint
+    //     label) — one row per PATH like every bounded branch, so the
+    //     diamond DAG contributes multiplicities (rank+3 is reachable
+    //     two ways in two hops)
+    ("q92_zero_length_bounded", cyx(
+      """MATCH p = (a:Nation {n_nationkey: 0})-[:JUMPS_TO*0..2]->(b:Nation)
+        |RETURN b.n_nationkey AS dst, length(p) AS hops
+        |ORDER BY dst, hops""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |u AS (
+             |  SELECT n_nationkey AS dst, 0 AS hops FROM nation
+             |  WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT e.dst, 1 AS hops FROM e WHERE e.src = 0
+             |  UNION ALL
+             |  SELECT e2.dst, 2 AS hops FROM e e1
+             |  JOIN e e2 ON e2.src = e1.dst WHERE e1.src = 0)
+             |SELECT dst, CAST(hops AS BIGINT) AS hops FROM u
+             |ORDER BY dst, hops""".stripMargin)),
+
     // --- update chaining (round 11): SET … WITH … MATCH … — the
     //     pipeline continues over the per-row UPDATED frame, so the
     //     downstream MATCH joins the piped entity with its written

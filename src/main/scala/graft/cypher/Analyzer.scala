@@ -272,7 +272,9 @@ object Analyzer {
               s"path alias '$pv' collides with another variable")
           paths += ((pv, distRel match {
             case Some(ra) => Right(Compiler.pref(ra, "__dist"))
-            case None     => Left(pp.rels.size)
+            // zero-hop identity markers count as 0 relationships
+            case None => Left(pp.rels.count(r =>
+              !r.verb.exists(VarLength.isZeroHop)))
           }))
         }
         pp.nodes.foreach { np =>

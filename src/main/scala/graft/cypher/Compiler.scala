@@ -358,19 +358,21 @@ object Compiler {
       Reach.rewrite(clauseH, catH, Some(Ctx(df, outerNamed)))
     // the inner WHERE (and any nested EXISTS in it) rides the ordinary
     // compileMatches path inside the subplan
-    def one(ms: Seq[MatchClause]): (Ctx, Seq[String]) = {
-      val resolved = Analyzer.resolvePart(catR.graph, outerNamed, ms)
-      val sub = compileMatches(None, resolved, catR)
+    def one(ms: Seq[MatchClause], cat: GraphCatalog): (Ctx, Seq[String]) = {
+      val resolved = Analyzer.resolvePart(cat.graph, outerNamed, ms)
+      val sub = compileMatches(None, resolved, cat)
       val shared =
         resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
       (sub, shared)
     }
     val subs: Seq[(Ctx, Seq[String])] =
-      if (!VarLength.hasVarLength(msR)) Seq(one(msR))
+      if (!VarLength.hasVarLength(msR)) Seq(one(msR, catR))
       else {
         var firstErr: Option[CypherException] = None
-        val bs = VarLength.expand(msR).flatMap { ms =>
-          try Some(one(ms))
+        val (expandedB, zeroEdges) = VarLength.expand(msR, catR.graph)
+        val catZ = withZeroEdges(catR, zeroEdges)
+        val bs = expandedB.flatMap { ms =>
+          try Some(one(ms, catZ))
           catch { case e: CypherBindingException =>
             if (firstErr.isEmpty) firstErr = Some(e); None }
         }
@@ -1978,6 +1980,21 @@ object Compiler {
       c.scope + (alias -> ValueBinding))
   }
 
+  /** Register the identity edge frames zero-length branches need: one
+    * (id, id) row per node of the label, behind the branch's unique
+    * marker verb — [[VarLength.expand]] hands back the (verb, label)
+    * pairs. Map-only over the node scan; never shuffled. */
+  private def withZeroEdges(catalog: GraphCatalog,
+      zeros: Seq[(String, String)]): GraphCatalog =
+    if (zeros.isEmpty) catalog
+    else catalog.withExtraEdges(zeros.map { case (verb, l) =>
+      val n = catalog.graph.node(l)
+      val df = catalog.nodeDf(l).select(col(n.idColumn).as("__src"),
+        col(n.idColumn).as("__dst"))
+      (EdgeDef(verb, l, l, "__src", "__dst", Seq.empty,
+        s"__zero_$verb"), df)
+    })
+
   /**
    * Bounded variable-length relationships (extension): the match set is
    * the UNION ALL over path lengths lo..hi, each length unrolled into a
@@ -2052,19 +2069,21 @@ object Compiler {
       flush()
       return ctx.get
     }
-    val (branches, crossAlt) =
-      NodeAlt.expand(catalog.graph, VarLength.expand(matches))
+    val (expanded0, zeroEdges) = VarLength.expand(matches, catalog.graph)
+    val cat2 = withZeroEdges(catalog, zeroEdges)
+    val (branches, crossAlt) = NodeAlt.expand(cat2.graph, expanded0)
     val compiled = Vector.newBuilder[Ctx]
     var firstErr: Option[CypherException] = None
     branches.foreach { ms =>
       try {
         var c = compileMatches(start,
-          Analyzer.resolvePart(catalog.graph, scope, ms), catalog)
+          Analyzer.resolvePart(cat2.graph, scope, ms), cat2)
         // unnamed shortestPath still needs the branch length to reduce
         // on — ride it in an internal column, dropped after the min
+        // (zero-hop identity markers count as 0, the length(p) rule)
         if (shortest && shortestVar.isEmpty)
           c = c.copy(df = c.df.withColumn("__shortest_len",
-            lit(ms.map(_.parts.map(_.rels.size).sum).sum.toLong)))
+            lit(ms.map(_.parts.map(VarLength.hopCount).sum).sum.toLong)))
         compiled += c
       } catch {
         case e: CypherBindingException =>
@@ -2253,10 +2272,12 @@ object Compiler {
    * `∧ⱼ outerⱼ = __bnd_j` serves every branch's rows.
    */
   private def optionalBranchUnion(c: Ctx, m: MatchClause,
-      catalog: GraphCatalog): Ctx = {
+      catalog0: GraphCatalog): Ctx = {
+    val (expanded0, zeroEdges) =
+      VarLength.expand(Seq(m.copy(optional = false)), catalog0.graph)
+    val catalog = withZeroEdges(catalog0, zeroEdges)
     val schema = catalog.graph
-    val (branches, crossAlt) = NodeAlt.expand(schema,
-      VarLength.expand(Seq(m.copy(optional = false))))
+    val (branches, crossAlt) = NodeAlt.expand(schema, expanded0)
     final case class Br(ctx: Ctx, outer: Seq[Column], sig: Seq[String])
     val compiled = Vector.newBuilder[Br]
     var firstErr: Option[CypherException] = None

@@ -1019,11 +1019,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case Some(k) => (k, k)
           case None => (1, Parser.Unbounded)
         }
-        if (range._1 < 1 && range._2 != Parser.Unbounded)
-          notSupported("zero-length variable-length paths [*0..k] — " +
-            "only the unbounded reflexive closure [*0..] is supported " +
-            "(a bounded branch union has no zero-hop branch; the " +
-            "reachable-pair frame gains identity rows instead)")
+        // zero-length lower bounds: `[*0..]` lowers to the unbounded
+        // reflexive closure (identity rows in the reach frame);
+        // `[*0..k]` (round 11) unrolls a zero-hop identity branch into
+        // the bounded union (VarLength.zeroHopPart)
         if (range._2 == Parser.Unbounded && range._1 > 1)
           notSupported(s"unbounded variable-length [*${range._1}..] with a " +
             "lower bound > 1 — reachable-pair lowering supports [*] / " +

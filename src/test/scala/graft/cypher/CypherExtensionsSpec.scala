@@ -1932,6 +1932,45 @@ class CypherExtensionsSpec extends AnyFunSuite {
 
   // --------------------- per-hop predicates on var-length rels
 
+  test("bounded zero-length [*0..k]: identity branch joins the union") {
+    // KNOWS: p1→p2 (2010), p2→p3 (2015), p3→p4 (2020), p1→p4 (1999)
+    val r = rows(
+      """MATCH p = (a:Person {id: 'p1'})-[:KNOWS*0..2]->(b:Person)
+        |RETURN b.id AS i, length(p) AS l ORDER BY i, l""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    // len 0: p1 itself; len 1: p2, p4; len 2: p1→p2→p3 and p1→p4→(none)
+    assert(r.toSeq == Seq(("p1", 0L), ("p2", 1L), ("p3", 2L), ("p4", 1L)))
+    // [*0..0] is the pure identity; both endpoint variables bind
+    val r2 = rows(
+      """MATCH (a:Person)-[:KNOWS*0..0]->(b:Person)
+        |RETURN count(*) AS n, count(DISTINCT b) AS d""".stripMargin).head
+    assert(r2.getLong(0) == 5L && r2.getLong(1) == 5L)
+    // shortestPath over [*0..k]: the zero-hop branch wins at distance 0
+    val r3 = rows(
+      """MATCH p = shortestPath(
+        |  (a:Person {id: 'p1'})-[:KNOWS*0..3]->(b:Person))
+        |RETURN b.id AS i, length(p) AS l ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r3.toSeq == Seq(("p1", 0L), ("p2", 1L), ("p3", 2L), ("p4", 1L)))
+    // a per-hop predicate never filters the zero-hop branch (no edge
+    // is traversed), but prunes the longer branches
+    val r4 = rows(
+      """MATCH (a:Person {id: 'p1'})-[:KNOWS*0..2 {Since: 2015}]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+      .map(_.getString(0))
+    assert(r4.toSeq == Seq("p1"))
+    // conflicting explicit endpoint labels: the zero branch matches
+    // nothing but longer lengths survive ([0..1] over ACTED_IN)
+    val r5 = rows(
+      """MATCH (a:Person {id: 'p3'})-[:ACTED_IN*0..1]->(b:Movie)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+      .map(_.getString(0))
+    assert(r5.toSeq == Seq("m2"))
+    // ... and when NO length is in range, the conflict is typed
+    intercept[CypherBindingException](rows(
+      "MATCH (a:Person)-[:ACTED_IN*0..0]->(b:Movie) RETURN b.id AS i"))
+  }
+
   test("per-hop map on an unbounded rel filters every traversed edge") {
     // KNOWS: p1→p2 (2010), p2→p3 (2015), p3→p4 (2020), p1→p4 (1999)
     val r = rows(
