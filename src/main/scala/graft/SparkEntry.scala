@@ -1362,6 +1362,38 @@ object SparkEntry {
              |       TIMESTAMP '2001-02-03 00:00:00'
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- UNANCHORED allShortestPaths (round 11): no endpoint anchors,
+    //     so the witness BFS seeds from EVERY source node and rides
+    //     the maxClosureRows guard (plus the per-round σ extrema
+    //     probe) — the full witness table over the JUMPS_TO diamond
+    //     DAG, σ per pair via implicit grouping
+    ("q93_all_shortest_unanchored", cyx(
+      """MATCH p = allShortestPaths((a:Nation)-[:JUMPS_TO*1..]->(b:Nation))
+        |RETURN a.n_nationkey AS src, b.n_nationkey AS dst,
+        |       count(*) AS sigma, min(length(p)) AS hops
+        |ORDER BY src, dst""".stripMargin),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |walk(src, dst, hops) AS (
+             |  SELECT src, dst, 1 FROM e
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.hops + 1 FROM walk w
+             |  JOIN e ON e.src = w.dst),
+             |m AS (SELECT src, dst, min(hops) AS mh FROM walk
+             |      GROUP BY 1, 2)
+             |SELECT w.src AS src, w.dst AS dst, count(*) AS sigma,
+             |       CAST(m.mh AS BIGINT) AS hops
+             |FROM walk w JOIN m ON m.src = w.src AND m.dst = w.dst
+             |  AND w.hops = m.mh
+             |GROUP BY w.src, w.dst, m.mh
+             |ORDER BY src, dst""".stripMargin)),
+
     // --- bounded zero-length [*0..k] (round 11): the L = 0 branch
     //     joins the bounded union as a single hop over a synthetic
     //     identity edge (one (id, id) row per node of the endpoint

@@ -278,19 +278,20 @@ private[cypher] object Reach {
       revSeeds: () => Option[DataFrame],
       needDist: Boolean, allShortest: Boolean): DataFrame =
     if (allShortest) {
-      // witness expansion is only bounded on an anchored cone:
-      // σ-many rows per pair, σ from the same BFS
+      // σ-many rows per pair, σ from the same BFS. An anchored
+      // endpoint bounds the witness set to its cone; the UNANCHORED
+      // form (round 11) seeds from EVERY source node instead and
+      // relies on the per-round maxClosureRows guard plus the σ
+      // extrema probe inside allShortestWitnesses — a closure-sized
+      // or combinatorial blowup fails with the typed
+      // GraphContractViolation before materializing, never silently.
       val w = fwdSeeds()
         .map(sd => allShortestWitnesses(edf, srcC, dstC, sd))
         .orElse(revSeeds().map(sd =>
           swapPairs(allShortestWitnesses(edf, dstC, srcC, sd),
             dist = true)))
-        .getOrElse(throw new CypherNotSupportedException(
-          "allShortestPaths() over an unbounded variable-length " +
-          "requires an ANCHORED endpoint (a literal WHERE " +
-          "equality/IN, an inline property map, or a piped frame) — " +
-          "one row per minimal path is only bounded on an anchored " +
-          "cone; bound the range [*lo..hi] otherwise"))
+        .getOrElse(allShortestWitnesses(edf, srcC, dstC,
+          edf.select(col(srcC)).distinct()))
       if (needDist) w else w.drop("__dist")
     } else fwdSeeds()
       .map(sd => reachablePairs(edf, srcC, dstC, seeds = Some(sd),

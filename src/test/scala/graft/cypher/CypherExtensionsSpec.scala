@@ -2543,11 +2543,29 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
         |RETURN count(*) AS n""".stripMargin).collect().head.getLong(0)
     assert(u == 6L)
-    // UNANCHORED stays a typed rejection
-    val e1 = intercept[CypherNotSupportedException](s.run(
+    // UNANCHORED (round 11): seeded from EVERY source under the
+    // maxClosureRows guard — the full witness table
+    val all = s.run(
       """MATCH p = allShortestPaths((x:V)-[:E*1..]->(y:V))
-        |RETURN length(p) AS L""".stripMargin).collect())
-    assert(e1.getMessage.contains("ANCHORED"))
+        |RETURN x.nm AS src, y.nm AS dst, count(*) AS sigma,
+        |       min(length(p)) AS hops
+        |ORDER BY src, dst""".stripMargin)
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3))).toSeq
+    assert(all == Seq(
+      ("a", "c", 1L, 1L), ("a", "t", 1L, 2L),
+      ("b", "c", 1L, 1L), ("b", "t", 1L, 2L),
+      ("c", "t", 1L, 1L),
+      ("s", "a", 1L, 1L), ("s", "b", 1L, 1L),
+      ("s", "c", 2L, 2L), ("s", "t", 2L, 3L)))
+    // ... and the closure guard still fails an over-budget unanchored
+    // run with the typed contract violation instead of materializing
+    spark.conf.set(Reach.MaxClosureRowsConf, "2")
+    try intercept[graft.ops.GraphContractViolation](s.run(
+      """MATCH p = allShortestPaths((x:V)-[:E*1..]->(y:V))
+        |RETURN count(*) AS n""".stripMargin).collect())
+    finally spark.conf.unset(Reach.MaxClosureRowsConf)
   }
 
   test("shortestPath/[*] inside OPTIONAL MATCH: null-on-miss left join") {
