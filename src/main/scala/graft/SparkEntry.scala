@@ -2164,6 +2164,27 @@ object SparkEntry {
         .orderBy("n_probe"),
       Some(ivfRecallOracle)),
 
+    // --- IVF retrain advisory (round 11): the rebuild-vs-append
+    //     decision for the persisted index family (s34/s35) — per-list
+    //     centroid drift of the post-append corpus against the frozen
+    //     build geometry (s13's monitor keyed by inverted list) plus
+    //     recall at the operating point with the ORIGINAL centroids
+    //     (s33's measurement at one probe count), thresholds folded
+    //     into one recommendation row
+    ("s36_ivf_retrain_advisory",
+      (s, dir) => Similarity.ivfRetrainAdvisory(
+          embs(s, dir).where(col("vec_id") % 4 =!= 0),
+          embs(s, dir).where(col("vec_id") % 4 === 0),
+          embs(s, dir).where(col("vec_id") < 8),
+          "embedding", "vec_id", k = 5, nCentroids = 16, nProbe = 6)
+        .select(col("n_built"), col("n_batch"),
+          round(col("growth"), 6).as("growth"),
+          round(col("recall_at_nprobe"), 6).as("recall_at_nprobe"),
+          round(col("mean_drift_cos"), 6).as("mean_drift_cos"),
+          round(col("min_drift_cos"), 6).as("min_drift_cos"),
+          col("recommendation")),
+      Some(ivfRetrainOracle)),
+
     // --- IVF ANN (centroid inverted lists, map-only assignment). The
     //     centroid sample order and assignment arithmetic are
     //     SQL-mirrorable → full value oracle (plus recall ScalaTest).
@@ -8018,6 +8039,96 @@ object SparkEntry {
       |   FROM approx JOIN tru USING (query_id, neighbor_id)
       |   GROUP BY np) h ON h.np = p.np
       |ORDER BY n_probe""".stripMargin
+
+  /** DuckDB mirror of s36: centroids seeded from the BUILT subset
+    * (vec_id % 4 <> 0) via the shared mulHash order, assignment over
+    * the whole current corpus, per-list built-vs-current centroid
+    * cosines (s13's arithmetic keyed by cidx, inner join = the
+    * non-null lists), the s03/s33 probe arithmetic at nProbe 6 for
+    * recall, and the same threshold CASE for the recommendation. */
+  private lazy val ivfRetrainOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+      |co AS (SELECT cv, row_number() OVER (ORDER BY h, vid) - 1 AS cidx
+      |       FROM (SELECT v AS cv, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM b ORDER BY h, vid LIMIT 16)),
+      |cn AS (SELECT cidx, CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 THEN cv
+      |         ELSE list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+      |         END AS cv FROM co),
+      |sc AS (SELECT e.vec_id, cn.cidx, list_dot_product(e.v, cn.cv) AS s
+      |       FROM e CROSS JOIN cn),
+      |asn AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r FROM sc)
+      |        WHERE r = 1),
+      |x AS (SELECT vec_id, u.pos AS pos, u.val AS val FROM (
+      |  SELECT vec_id,
+      |         unnest([{'pos': i, 'val': v[i]} for i in range(1, len(v) + 1)])
+      |           AS u
+      |  FROM e)),
+      |xb AS (SELECT asn.cidx, x.pos, x.val FROM x JOIN asn USING (vec_id)
+      |       WHERE x.vec_id % 4 <> 0),
+      |xa AS (SELECT asn.cidx, x.pos, x.val FROM x JOIN asn USING (vec_id)),
+      |ca AS (SELECT cidx, list(m ORDER BY pos) AS c FROM (
+      |    SELECT cidx, pos, avg(val) AS m FROM xb GROUP BY 1, 2)
+      |  GROUP BY cidx),
+      |cc AS (SELECT cidx, list(m ORDER BY pos) AS c FROM (
+      |    SELECT cidx, pos, avg(val) AS m FROM xa GROUP BY 1, 2)
+      |  GROUP BY cidx),
+      |nafter AS (SELECT cidx, count(*) AS n_after FROM asn GROUP BY 1),
+      |dr AS (SELECT ca.cidx,
+      |         list_dot_product(ca.c, cc.c) /
+      |           (sqrt(list_dot_product(ca.c, ca.c)) *
+      |            sqrt(list_dot_product(cc.c, cc.c))) AS cos_sim,
+      |         nafter.n_after AS n_after
+      |       FROM ca JOIN cc USING (cidx) JOIN nafter USING (cidx)),
+      |ds AS (SELECT sum(cos_sim * n_after) / sum(n_after) AS mean_drift,
+      |              min(cos_sim) AS min_drift FROM dr),
+      |pr AS (SELECT vec_id, cidx FROM
+      |         (SELECT vec_id, cidx, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY s DESC, cidx) AS r
+      |          FROM sc WHERE vec_id < 8)
+      |        WHERE r <= 6),
+      |s2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_dot_product(qe.v, ce.v) /
+      |           (sqrt(list_dot_product(qe.v, qe.v)) *
+      |            sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |       FROM pr q JOIN asn c ON q.cidx = c.cidx
+      |       JOIN e qe ON qe.vec_id = q.vec_id
+      |       JOIN e ce ON ce.vec_id = c.vec_id
+      |       WHERE c.vec_id <> q.vec_id),
+      |approx AS (SELECT query_id, neighbor_id FROM
+      |            (SELECT *, row_number() OVER
+      |               (PARTITION BY query_id
+      |                ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s2)
+      |           WHERE rk <= 5),
+      |tru AS (SELECT query_id, neighbor_id FROM
+      |          (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |               list_dot_product(q.v, c.v) /
+      |                 (sqrt(list_dot_product(q.v, q.v)) *
+      |                  sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+      |               AS rk
+      |           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |           WHERE q.vec_id < 8)
+      |        WHERE rk <= 5),
+      |hits AS (SELECT count(*) AS h
+      |         FROM approx JOIN tru USING (query_id, neighbor_id)),
+      |nq AS (SELECT count(DISTINCT query_id) AS nq FROM tru),
+      |cnt AS (SELECT
+      |          (SELECT count(*) FROM e WHERE vec_id % 4 <> 0) AS n_built,
+      |          (SELECT count(*) FROM e WHERE vec_id % 4 = 0) AS n_batch)
+      |SELECT cnt.n_built, cnt.n_batch,
+      |       round(CAST(cnt.n_batch AS DOUBLE) / cnt.n_built, 6) AS growth,
+      |       round(CAST(h AS DOUBLE) / (nq.nq * 5.0), 6)
+      |         AS recall_at_nprobe,
+      |       round(ds.mean_drift, 6) AS mean_drift_cos,
+      |       round(ds.min_drift, 6) AS min_drift_cos,
+      |       CASE WHEN CAST(h AS DOUBLE) / (nq.nq * 5.0) < 0.9
+      |              OR ds.mean_drift < 0.95 THEN 'rebuild'
+      |            ELSE 'append' END AS recommendation
+      |FROM cnt, hits, nq, ds""".stripMargin
 
   private lazy val ivfAnnOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

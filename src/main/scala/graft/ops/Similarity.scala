@@ -1523,6 +1523,67 @@ object Similarity {
   }
 
   /**
+   * IVF index maintenance advisory (round 11): the rebuild-vs-append
+   * decision for a persisted index ([[writeIvfIndex]] /
+   * [[appendIvfIndex]]), composed from the family's two health
+   * monitors — [[centroidDrift]] per inverted list (has appended data
+   * moved the lists' semantic centers off the frozen build geometry?)
+   * and the recall of the CURRENT corpus (built ∪ batch) probed at
+   * the operating point (k, nProbe) with the ORIGINAL build
+   * centroids — the number an operator actually serves. One summary
+   * row: (n_built, n_batch, growth, recall_at_nprobe, mean_drift_cos,
+   * min_drift_cos, recommendation); recommendation is 'rebuild' when
+   * recall < `recallFloor` OR the n_after-weighted mean list-drift
+   * cosine < `driftFloor`, else 'append' (keep appending on the
+   * frozen centroids and let [[appendIvfIndex]] carry the ingest).
+   *
+   * Scale: the drift and recall summaries are 1-row aggregate frames
+   * cross-joined into the result — nothing collects beyond the
+   * model-sized centroid sample; the truth pass is one
+   * [[bruteForceTopK]] over the query SAMPLE (the small side by
+   * contract), the probe pass one [[ivfTopKWithCentroids]] over the
+   * probed lists only.
+   */
+  def ivfRetrainAdvisory(built: DataFrame, batch: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      nCentroids: Int, nProbe: Int, recallFloor: Double = 0.9,
+      driftFloor: Double = 0.95): DataFrame = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    val cent = seedCentroids(built, vecCol, idCol, nCentroids)
+    def assigned(df: DataFrame) = df.withColumn("__list",
+      element_at(nearestCentroids(col(vecCol), cent, 1), 1))
+    val current = built.unionByName(batch)
+    val drift =
+      centroidDrift(assigned(built), assigned(current), vecCol, "__list")
+    val driftSum = drift.where(col("cos_sim").isNotNull)
+      .agg((sum(col("cos_sim") * col("n_after")) / sum(col("n_after")))
+          .as("mean_drift_cos"),
+        min(col("cos_sim")).as("min_drift_cos"))
+    val truth = bruteForceTopK(current, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val approx =
+      ivfTopKWithCentroids(current, queries, vecCol, idCol, k, cent, nProbe)
+        .select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val nq = truth.agg(countDistinct(col("query_id")).as("__nq"))
+    built.agg(count(lit(1)).as("n_built"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(nq).crossJoin(hits).crossJoin(driftSum)
+      .select(col("n_built"), col("n_batch"),
+        (col("n_batch").cast(DoubleType) / col("n_built")).as("growth"),
+        (col("__hits").cast(DoubleType) /
+          (col("__nq").cast(DoubleType) * lit(k.toDouble)))
+          .as("recall_at_nprobe"),
+        col("mean_drift_cos"), col("min_drift_cos"))
+      .withColumn("recommendation",
+        when(col("recall_at_nprobe") < lit(recallFloor) ||
+          col("mean_drift_cos") < lit(driftFloor), lit("rebuild"))
+          .otherwise(lit("append")))
+  }
+
+  /**
    * Out-of-distribution scores: each vector's squared L2 distance to
    * its OWN label centroid, z-scored against the label's distance
    * distribution (population \u03c3), `is_ood` when z > `cutoff` \u2014 the

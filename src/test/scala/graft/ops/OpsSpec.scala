@@ -4642,6 +4642,37 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(curve.last - 1.0) < 1e-12)
   }
 
+  test("ivfRetrainAdvisory: in-distribution append vs drifted rebuild") {
+    val built = (0 until 64).map { i =>
+      val ang = i * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        (i % 7).toFloat / 7f, (i % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val qs = built.where(col("vec_id") < 4)
+    // an in-distribution batch (the same generator, shifted ids):
+    // geometry holds, the operating point probes most lists → append
+    val sameDist = (64 until 80).map { i =>
+      val ang = (i - 64) * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        ((i - 64) % 7).toFloat / 7f, ((i - 64) % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val ok = Similarity.ivfRetrainAdvisory(built, sameDist, qs,
+      "embedding", "vec_id", k = 3, nCentroids = 8, nProbe = 8).head()
+    assert(ok.getLong(0) == 64L && ok.getLong(1) == 16L)
+    assert(ok.getDouble(3) == 1.0)        // recall at full probes
+    assert(ok.getDouble(4) > 0.95)        // mean drift cosine held
+    assert(ok.getString(6) == "append")
+    // a far-off-distribution batch 3x the build size drags every
+    // list's centroid off the frozen geometry → rebuild
+    val drifted = (100 until 292).map { i =>
+      (i.toLong, Array(-50f + (i % 5), 80f, -30f, 60f))
+    }.toDF("vec_id", "embedding")
+    val bad = Similarity.ivfRetrainAdvisory(built, drifted, qs,
+      "embedding", "vec_id", k = 3, nCentroids = 8, nProbe = 1).head()
+    assert(bad.getString(6) == "rebuild")
+    assert(bad.getDouble(2) == 3.0)       // growth 192/64
+  }
+
   test("markovEntropyRate: deterministic cycle is 0 bits; fair coin chain is 1 bit") {
     def ev(rows: Seq[(Long, Long, String)]): DataFrame =
       rows.map { case (id, u, t) =>
