@@ -718,6 +718,14 @@ object Compiler {
       entityCols(b).map(c => col(pref(srcAlias, c)).as(pref(outAlias, c)))
 
     if (!hasAgg && !proj.distinct) {
+      // an aggregate in the sort/filter has no aggregation pass to
+      // ride when the projection itself does not aggregate — typed
+      // here instead of Spark's late analysis error
+      if (proj.orderBy.exists(s => containsAgg(s.expr)) ||
+          proj.where.exists(containsAgg))
+        throw new CypherNotSupportedException(
+          "ORDER BY/WHERE with an aggregate needs an aggregating " +
+          "projection — project an aggregate alongside it")
       // Non-distinct, non-aggregating: ORDER BY / LIMIT / WHERE ride before
       // the final trim so they may reference unprojected fields of
       // still-visible entities (reference: LogicalPlan.cs:216-288).
@@ -755,6 +763,33 @@ object Compiler {
       }
       Ctx(aug.select(outCols: _*), newScope)
     } else {
+      // ORDER BY / WHERE rewrite over the aggregated/DISTINCT output:
+      // substProjected first (structural hits read the output column),
+      // then any aggregate STILL present becomes a hidden aggregate
+      // column computed in the SAME aggregation pass and dropped after
+      // the sort/filter — `ORDER BY count(*)` works spelled out,
+      // projected or not, with no second shuffle.
+      val hidden =
+        scala.collection.mutable.LinkedHashMap.empty[Expr, String]
+      def hide(e: Expr): Expr = e match {
+        case a: Agg =>
+          Ref(hidden.getOrElseUpdate(a, s"__hidagg_${hidden.size}"), None)
+        case Bin(op, l, r) => Bin(op, hide(l), hide(r))
+        case Not(x) => Not(hide(x))
+        case Neg(x) => Neg(hide(x))
+        case IsNull(x, nn) => IsNull(hide(x), nn)
+        case Func(n2, args) => Func(n2, args.map(hide))
+        case CaseExpr(ws, o) => CaseExpr(ws.map { case (c, v) =>
+          (hide(c), hide(v)) }, o.map(hide))
+        case other => other
+      }
+      val sortSubbed = proj.orderBy.map(s =>
+        s.copy(expr = hide(substProjected(s.expr))))
+      val whereSubbed = proj.where.map(w => hide(substProjected(w)))
+      if (hidden.nonEmpty && !hasAgg)
+        throw new CypherNotSupportedException(
+          "ORDER BY/WHERE with an aggregate over a DISTINCT " +
+          "projection — project the aggregate first")
       var out: DataFrame =
         if (hasAgg) {
           // group by all non-aggregate items (entity items contribute all
@@ -771,7 +806,7 @@ object Compiler {
           }
           val aggCols = kinds.zipWithIndex.collect {
             case (ValueItem(e, true), i) => ec.compile(e).as(s"__agg_$i")
-          }
+          } ++ hidden.map { case (e, n2) => ec.compile(e).as(n2) }
           val grouped =
             if (keyNames.isEmpty) ctx.df.agg(aggCols.head, aggCols.tail: _*)
             else aug.groupBy(keyNames.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
@@ -779,7 +814,7 @@ object Compiler {
             case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
             case (ValueItem(_, false), i) => Seq(col(s"__key_$i").as(names(i)))
             case (ValueItem(_, true), i) => Seq(col(s"__agg_$i").as(names(i)))
-          }
+          } ++ hidden.values.map(col)
           grouped.select(outCols: _*)
         } else {
           val outCols = kinds.zipWithIndex.flatMap {
@@ -790,17 +825,20 @@ object Compiler {
         }
       if (proj.distinct) out = out.distinct()
       // with DISTINCT or aggregation only explicit projections are
-      // referencable afterwards (reference: LogicalPlan.cs:216-235)
+      // referencable afterwards (reference: LogicalPlan.cs:216-235) —
+      // plus the hidden aggregate columns, visible to the sort only
       val ns = newScope
-      val postEc = new ExprCompiler(ns, out)
-      if (proj.orderBy.nonEmpty)
-        out = out.orderBy(proj.orderBy.map(s =>
+      val sortNs = ns ++ hidden.values.map(_ -> (ValueBinding: Binding))
+      val postEc = new ExprCompiler(sortNs, out)
+      if (sortSubbed.nonEmpty)
+        out = out.orderBy(sortSubbed.map(s =>
           if (s.desc) postEc.compile(s.expr).desc
           else postEc.compile(s.expr).asc): _*)
       proj.skip.foreach(n => out = out.offset(n.toInt))
       proj.limit.foreach(n => out = out.limit(n.toInt))
-      proj.where.foreach(w =>
-        out = out.filter(new ExprCompiler(ns, out).compile(w)))
+      whereSubbed.foreach(w =>
+        out = out.filter(new ExprCompiler(sortNs, out).compile(w)))
+      if (hidden.nonEmpty) out = out.drop(hidden.values.toSeq: _*)
       Ctx(out, ns)
     }
   }

@@ -41,16 +41,21 @@ object Bucketing {
                     nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = df.sparkSession
-    // `mode("overwrite")` only replaces a table REGISTERED in this
-    // session's catalog; a managed-table location orphaned by a
-    // previous JVM (warehouse dir present, catalog entry gone) makes
-    // saveAsTable throw LOCATION_ALREADY_EXISTS — drop any stale
-    // registration AND remove the orphaned location first
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // A REGISTERED table is replaced by `mode("overwrite")` itself —
+    // never pre-dropped, so a failed write cannot lose the previous
+    // table. The cleanup below covers only the orphan case: a
+    // managed-table location left by a previous JVM whose catalog
+    // entry is gone (saveAsTable would throw LOCATION_ALREADY_EXISTS);
+    // with no registered table there is nothing to lose but stale
+    // bytes. The location comes from the catalog's identifier mapping
+    // (database-aware), not a string concat on warehouse.dir.
+    val (locUri, registered) =
+      org.apache.spark.sql.GraftSqlBridge.managedTableStatus(spark, table)
+    if (!registered) {
+      val loc = new org.apache.hadoop.fs.Path(locUri)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
       .write.mode("overwrite")
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)

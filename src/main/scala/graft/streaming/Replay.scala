@@ -40,36 +40,56 @@ object Replay {
     * (14.9 s for an 8-trigger replay, measured), at 4 it is sub-second.
     * The session value is restored in finally; replay is the only
     * query running (the bench/verify harnesses are sequential). */
-  def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
-                      outputMode: String, partitions: Int = 4)(
-      build: Dataset[T] => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, partitions)
-    val mem = MemoryStream[T]
-    val sink = s"__graft_replay_${n.incrementAndGet()}"
-    val q = build(mem.toDS()).writeStream.format("memory")
-      .queryName(sink).outputMode(outputMode).start()
-    try {
-      batches.foreach { b =>
-        if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
-      }
-      val out = spark.table(sink)
-      // pin the sink's rows locally before the query stops
-      val rows = out.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally {
-      // nested so a q.stop() failure can never skip the view drop or
-      // leave the session pinned at the replay's partition count
-      try q.stop()
-      finally {
-        try spark.catalog.dropTempView(sink)
-        finally spark.conf.set(key, prev)
+  /** Session knobs for a replay: few state partitions, and NO no-data
+    * micro-batches. Every replay drives emission with explicit
+    * far-future sentinel BATCHES (data batches — the watermark they
+    * advance applies in the batch after them, which is why sentinels
+    * come in pairs), so the automatic watermark-only no-data batch
+    * Spark fires after each data batch is a pure planning round that
+    * emits nothing the next sentinel wouldn't — disabling it halves
+    * the trigger count of an N-batch replay. Restored in finally. */
+  private def withReplayConf[R](spark: SparkSession, partitions: Int)(
+      body: => R): R = {
+    val pKey = "spark.sql.shuffle.partitions"
+    val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevP = spark.conf.get(pKey)
+    val prevN = spark.conf.getOption(nKey)
+    spark.conf.set(pKey, partitions)
+    spark.conf.set(nKey, "false")
+    try body
+    finally {
+      spark.conf.set(pKey, prevP)
+      prevN match {
+        case Some(v) => spark.conf.set(nKey, v)
+        case None    => spark.conf.unset(nKey)
       }
     }
   }
+
+  def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
+                      outputMode: String, partitions: Int = 4)(
+      build: Dataset[T] => DataFrame): DataFrame =
+    withReplayConf(spark, partitions) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[T]
+      val sink = s"__graft_replay_${n.incrementAndGet()}"
+      val q = build(mem.toDS()).writeStream.format("memory")
+        .queryName(sink).outputMode(outputMode).start()
+      try {
+        batches.foreach { b =>
+          if (b.nonEmpty) { mem.addData(b); q.processAllAvailable() }
+        }
+        val out = spark.table(sink)
+        // pin the sink's rows locally before the query stops
+        val rows = out.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        // nested so a q.stop() failure can never skip the view drop
+        try q.stop()
+        finally spark.catalog.dropTempView(sink)
+      }
+    }
 
   /** Two-stream variant for stream-stream joins: feeds the k-th batch
     * of BOTH sides, then processes — so the two watermarks advance in
@@ -79,39 +99,33 @@ object Replay {
                                    aBatches: Seq[Seq[A]],
                                    bBatches: Seq[Seq[B]],
                                    outputMode: String, partitions: Int = 4)(
-      build: (Dataset[A], Dataset[B]) => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, partitions)
-    val memA = MemoryStream[A]
-    val memB = MemoryStream[B]
-    val sink = s"__graft_replay_${n.incrementAndGet()}"
-    val q = build(memA.toDS(), memB.toDS()).writeStream.format("memory")
-      .queryName(sink).outputMode(outputMode).start()
-    try {
-      val rounds = math.max(aBatches.size, bBatches.size)
-      (0 until rounds).foreach { i =>
-        val fedA = i < aBatches.size && aBatches(i).nonEmpty
-        val fedB = i < bBatches.size && bBatches(i).nonEmpty
-        if (fedA) memA.addData(aBatches(i))
-        if (fedB) memB.addData(bBatches(i))
-        if (fedA || fedB) q.processAllAvailable()
-      }
-      val out = spark.table(sink)
-      val rows = out.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally {
-      // nested so a q.stop() failure can never skip the view drop or
-      // leave the session pinned at the replay's partition count
-      try q.stop()
-      finally {
-        try spark.catalog.dropTempView(sink)
-        finally spark.conf.set(key, prev)
+      build: (Dataset[A], Dataset[B]) => DataFrame): DataFrame =
+    withReplayConf(spark, partitions) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val memA = MemoryStream[A]
+      val memB = MemoryStream[B]
+      val sink = s"__graft_replay_${n.incrementAndGet()}"
+      val q = build(memA.toDS(), memB.toDS()).writeStream.format("memory")
+        .queryName(sink).outputMode(outputMode).start()
+      try {
+        val rounds = math.max(aBatches.size, bBatches.size)
+        (0 until rounds).foreach { i =>
+          val fedA = i < aBatches.size && aBatches(i).nonEmpty
+          val fedB = i < bBatches.size && bBatches(i).nonEmpty
+          if (fedA) memA.addData(aBatches(i))
+          if (fedB) memB.addData(bBatches(i))
+          if (fedA || fedB) q.processAllAvailable()
+        }
+        val out = spark.table(sink)
+        val rows = out.collect().toSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        // nested so a q.stop() failure can never skip the view drop
+        try q.stop()
+        finally spark.catalog.dropTempView(sink)
       }
     }
-  }
 
   /** foreachBatch variant: replays `batches` in order through a
     * streaming query whose sink is `fn` (micro-batch DataFrame +
@@ -122,27 +136,22 @@ object Replay {
     * frame is only valid during the callback. */
   def runForeachBatch[T: Encoder](spark: SparkSession,
       batches: Seq[Seq[T]], partitions: Int = 4)(
-      fn: (Dataset[T], Long) => Unit): Unit = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, partitions)
-    val mem = MemoryStream[T]
-    val q = mem.toDS().writeStream.foreachBatch(fn).start()
-    try {
-      // empty Seqs still advance the offset and fire an empty
-      // micro-batch, so `fn`'s batch ids line up with the caller's
-      // batch indices — a replay harness's batch sequencing must be
-      // deterministic, including the gaps
-      batches.foreach { b =>
-        mem.addData(b)
-        q.processAllAvailable()
-      }
-    } finally {
-      try q.stop()
-      finally spark.conf.set(key, prev)
+      fn: (Dataset[T], Long) => Unit): Unit =
+    withReplayConf(spark, partitions) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[T]
+      val q = mem.toDS().writeStream.foreachBatch(fn).start()
+      try {
+        // empty Seqs still advance the offset and fire an empty
+        // micro-batch, so `fn`'s batch ids line up with the caller's
+        // batch indices — a replay harness's batch sequencing must be
+        // deterministic, including the gaps
+        batches.foreach { b =>
+          mem.addData(b)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
     }
-  }
 
   /** Splits time-ordered items into `chunks` contiguous batches —
     * the deterministic replay schedule (in event-time order, so

@@ -62,6 +62,18 @@ object GraftSqlBridge {
     column(catalyst.expressions.BloomFilterMightContain(
       expression(bloom), expression(value)))
 
+  /** The catalog-derived MANAGED location a table identifier maps to
+    * (database-aware: `db.table` → `<db location>/table`, never a
+    * string concat on warehouse.dir) plus whether the identifier is
+    * currently registered — the pair an orphan-location cleanup needs
+    * before `saveAsTable` ([[graft.ops.Bucketing.writeBucketed]]). */
+  def managedTableStatus(spark: SparkSession, table: String)
+      : (java.net.URI, Boolean) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val cat = spark.sessionState.catalog
+    (cat.defaultTablePath(ident), cat.tableExists(ident))
+  }
+
   /** A 1-row DataFrame as a scalar-subquery expression — the shape
     * `might_contain` requires for a non-literal bitset, and exactly how
     * Spark's own InjectRuntimeFilter wires a Bloom build into a probe

@@ -1932,6 +1932,42 @@ class CypherExtensionsSpec extends AnyFunSuite {
 
   // --------------------- per-hop predicates on var-length rels
 
+  test("ORDER BY a spelled-out aggregate over an aggregating projection") {
+    // projected under an alias: structural substitution reads the column
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS nm, count(m) AS n
+        |ORDER BY count(m) DESC, nm""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("Tom Hanks", 3L), ("Meg Ryan", 2L),
+      ("Kevin Bacon", 1L)))
+    // NOT projected: a hidden aggregate column rides the SAME
+    // aggregation pass, sorts, and is dropped from the output schema
+    val r2 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS nm, count(m) AS n
+        |ORDER BY min(m.Released) DESC, nm""".stripMargin)
+    assert(r2.map(_.getString(0)).toSeq ==
+      Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
+    assert(r2.head.schema.fieldNames.toSeq == Seq("nm", "n"))
+    // an aggregate in the sort with a NON-aggregating projection has
+    // no pass to hide in — typed, not Spark's late analysis error
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS nm ORDER BY count(m)""".stripMargin))
+    // a post-WITH WHERE may spell the aggregate out too
+    val r3 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p.Name AS nm, count(m) AS n
+        |WHERE count(m) >= 2
+        |RETURN nm, n ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r3.toSeq == Seq(("Meg Ryan", 2L), ("Tom Hanks", 3L)))
+    // DISTINCT projections have no aggregation pass to hide it in
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) RETURN DISTINCT p.Name AS nm ORDER BY count(p)"))
+  }
+
   test("bounded zero-length [*0..k]: identity branch joins the union") {
     // KNOWS: p1→p2 (2010), p2→p3 (2015), p3→p4 (2020), p1→p4 (1999)
     val r = rows(
@@ -2338,6 +2374,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) SET p.Born = 1 RETURN p.Name AS N
         |UNION MATCH (p:Person) RETURN p.Name AS N""".stripMargin))
+  }
+
+  test("SET ... RETURN: an entity matched by N rows reads +once per row, " +
+      "never cumulatively") {
+    // p1 acts in 3 movies → 3 match rows hit the same entity. Each
+    // row's read-back applies the assignment ONCE over the OLD value
+    // (simultaneous-read semantics: 1956+100 on every row) — Neo4j
+    // would accumulate sequentially (the Nth row reads N-1 prior
+    // writes: 2056/2156/2256), and terminal SET's snapshot dedups to
+    // one winner. The divergence is the documented contract; this
+    // spec locks it in.
+    val r = rows(
+      """MATCH (p:Person {id: 'p1'})-[:ACTED_IN]->(m:Movie)
+        |SET p.Born = p.Born + 100
+        |RETURN m.Title AS t, p.Born AS b ORDER BY t""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r.toSeq == Seq(("Apollo 13", 2056),
+      ("Sleepless in Seattle", 2056), ("You've Got Mail", 2056)))
   }
 
   test("SET ... WITH chains: downstream clauses read the query's writes") {
