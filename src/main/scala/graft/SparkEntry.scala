@@ -1362,6 +1362,63 @@ object SparkEntry {
              |       TIMESTAMP '2001-02-03 00:00:00'
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- MERGE … WITH chain (round 11): the post-merge read-back
+    //     frame (q77's view) continues the pipeline — a WITH masks,
+    //     a post-WITH WHERE filters, and the RETURN aggregates over
+    //     the query's own upsert
+    ("q94_merge_chain", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.o_totalprice > 300000.0
+        |WITH c.c_custkey + (o.o_orderkey % 2) * 1000000 AS k
+        |MERGE (cu:Customer {c_custkey: k})
+        |ON MATCH SET cu.c_acctbal = cu.c_acctbal + 1.0
+        |ON CREATE SET cu.c_name = 'GHOST', cu.c_acctbal = 0.0
+        |WITH cu.c_name AS nm, cu.c_acctbal AS bal
+        |WHERE bal > 0.0
+        |RETURN count(*) AS n, round(sum(bal), 2) AS total""".stripMargin),
+      Some("""WITH feed AS (
+             |  SELECT DISTINCT o_custkey + (o_orderkey % 2) * 1000000
+             |    AS k
+             |  FROM orders WHERE o_totalprice > 300000.0),
+             |rb AS (
+             |  SELECT CASE WHEN c.c_custkey IS NOT NULL
+             |              THEN c.c_acctbal + 1.0 ELSE 0.0 END AS bal
+             |  FROM feed f LEFT JOIN customer c ON c.c_custkey = f.k)
+             |SELECT count(*) AS n, round(sum(bal), 2) AS total
+             |FROM rb WHERE bal > 0.0""".stripMargin)),
+
+    // --- CREATE … WITH chain (round 11): created rows continue into
+    //     a downstream MATCH (cross join against the matched nation)
+    ("q95_create_chain", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9900.0
+        |CREATE (g:Customer {c_custkey: c.c_custkey + 1000000,
+        |                    c_name: 'CLONE', c_acctbal: c.c_acctbal})
+        |WITH g
+        |MATCH (n:Nation) WHERE n.n_nationkey = 0
+        |RETURN g.c_custkey AS ck, g.c_name AS nm,
+        |       round(g.c_acctbal, 2) AS bal, n.n_name AS nn
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey + 1000000 AS ck, 'CLONE' AS nm,
+             |       round(c_acctbal, 2) AS bal,
+             |       (SELECT n_name FROM nation WHERE n_nationkey = 0)
+             |         AS nn
+             |FROM customer WHERE c_acctbal > 9900.0
+             |ORDER BY ck""".stripMargin)),
+
+    // --- DELETE … WITH chain (round 11): the deleted rows' PRE-delete
+    //     values join a downstream MATCH through the piped entity
+    ("q96_delete_chain", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal < -900.0
+        |DETACH DELETE c
+        |WITH c
+        |MATCH (c)-[:PLACED]->(o:Order)
+        |RETURN c.c_custkey AS ck, count(o) AS n
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck, count(o_orderkey) AS n
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_acctbal < -900.0
+             |GROUP BY 1 ORDER BY ck""".stripMargin)),
+
     // --- UNANCHORED allShortestPaths (round 11): no endpoint anchors,
     //     so the witness BFS seeds from EVERY source node and rides
     //     the maxClosureRows guard (plus the per-round σ extrema

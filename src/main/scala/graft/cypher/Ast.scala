@@ -315,6 +315,25 @@ object ast {
   final case class SetChainQuery(parts: Seq[QueryPart], set: SetClause,
       rest: SingleQuery) extends Query
 
+  /** Update chaining for the other updating clauses (round 11, the
+   *  [[SetChainQuery]] pattern): `MERGE/CREATE/DELETE … WITH …`
+   *  continues the pipeline over the clause's READ-BACK frame — the
+   *  post-merge entity per winner-deduped feed row, the created rows,
+   *  or the pre-delete match rows respectively (exactly what the
+   *  directly-following-RETURN forms read). The result is the chain's
+   *  terminal RETURN; the snapshot is NOT produced (run the terminal
+   *  form for it) and exactly one updating clause per query holds. */
+  final case class MergeChainQuery(parts: Seq[QueryPart],
+      merge: MergeClause, rest: SingleQuery) extends Query
+  final case class MergeRelChainQuery(parts: Seq[QueryPart],
+      merge: MergeRelClause, rest: SingleQuery) extends Query
+  final case class CreateChainQuery(parts: Seq[QueryPart],
+      create: CreateClause, rest: SingleQuery) extends Query
+  final case class CreateRelChainQuery(parts: Seq[QueryPart],
+      create: CreateRelClause, rest: SingleQuery) extends Query
+  final case class DeleteChainQuery(parts: Seq[QueryPart],
+      del: DeleteClause, rest: SingleQuery) extends Query
+
   /** Terminal `CREATE (n:L {p: e, …})` (extension; completes the
    *  update triad over the reference's read-only boundary,
    *  CypherVisitor.cs:486-489; parity keeps the rejection): an

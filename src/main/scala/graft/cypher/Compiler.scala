@@ -879,6 +879,16 @@ object Compiler {
     case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
     case MergeReturnQuery(parts, m, ret) =>
       compileMerge(parts, m, catalog, Some(ret))
+    case MergeChainQuery(parts, m, rest) =>
+      compileMerge(parts, m, catalog, chain = Some(rest))
+    case MergeRelChainQuery(parts, mr, rest) =>
+      compileMergeRel(parts, mr, catalog, None, chain = Some(rest))
+    case CreateChainQuery(parts, c, rest) =>
+      compileCreate(parts, c, catalog, None, chain = Some(rest))
+    case CreateRelChainQuery(parts, cr, rest) =>
+      compileCreateRel(parts, cr, catalog, None, chain = Some(rest))
+    case DeleteChainQuery(parts, d, rest) =>
+      compileDelete(parts, d, catalog, None, chain = Some(rest))
     case SetQuery(parts, s)   => compileSet(parts, s, catalog)
     case SetReturnQuery(parts, s, ret) =>
       compileSetReturn(parts, s, ret, catalog)
@@ -951,8 +961,25 @@ object Compiler {
     case _ => false
   }
 
+  /** Finish an updating clause's read-back frame: project a directly-
+    * following RETURN, or continue an update chain (round 11) over it
+    * — the chain's parts compile exactly like a match pipeline, so
+    * downstream WITH/MATCH/RETURN read the clause's effect per row. */
+  private def finishReadBack(frame: Ctx, ret: Option[Projection],
+      chain: Option[SingleQuery], catalog: GraphCatalog): DataFrame =
+    (ret, chain) match {
+      case (Some(r), _) =>
+        compileProjection(frame, r, isReturn = true, catalog).df
+      case (_, Some(rest)) =>
+        compileSingle(rest, Map.empty, terminalIsReturn = true, catalog,
+          initial = Some(frame)).df
+      case _ => throw new IllegalStateException(
+        "internal: read-back without a RETURN or a chain")
+    }
+
   private def compileMerge(parts: Seq[QueryPart], m: MergeClause,
-      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None,
+      chain: Option[SingleQuery] = None): DataFrame = {
     val node = catalog.graph.node(m.label)
     if (m.keyProp != node.idColumn)
       throw new CypherBindingException(
@@ -1043,35 +1070,34 @@ object Compiler {
     val cAssign: Map[String, Column] =
       m.onCreate.map { case (p, e) => p -> ecC.compile(e).cast(dt(p)) }.toMap
 
-    ret match {
-      case None =>
-        val matchedOut = joinedM.select(outCols.map { c =>
-          mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
-        val createdOut = joinedC.select(
-          col("__mkey").as(node.idColumn) +:
-            props.map(p => cAssign.getOrElse(p,
-              lit(null).cast(dt(p))).as(p)): _*)
-        val untouched = snapshot.select(outCols.map(col): _*)
-          .join(feedW.select(col("__mkey").as(node.idColumn)),
-            Seq(node.idColumn), "left_anti")
-        untouched.unionByName(matchedOut).unionByName(createdOut)
-      case Some(r) =>
-        // MERGE … RETURN (round 10): one result row per winner-deduped
-        // feed row, the alias bound to the RESULTING entity — matched
-        // keys see the ON MATCH-updated values, absent keys see the ON
-        // CREATE row (Neo4j's post-merge read). The projection compiles
-        // over matched ∪ created; the untouched snapshot rows never
-        // enter, so the read-back adds nothing over the merge's own
-        // matched/created joins.
-        val matchedR = joinedM.select(others.map(col) ++
-          outCols.map(c => mAssign.getOrElse(c, col(pref(m.alias, c)))
-            .as(pref(m.alias, c))): _*)
-        val createdR = joinedC.select(others.map(col) ++
-          (col("__mkey").as(pref(m.alias, node.idColumn)) +:
-            props.map(p => cAssign.getOrElse(p, lit(null).cast(dt(p)))
-              .as(pref(m.alias, p)))): _*)
-        compileProjection(Ctx(matchedR.unionByName(createdR), scopeM),
-          r, isReturn = true, catalog).df
+    if (ret.isEmpty && chain.isEmpty) {
+      val matchedOut = joinedM.select(outCols.map { c =>
+        mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
+      val createdOut = joinedC.select(
+        col("__mkey").as(node.idColumn) +:
+          props.map(p => cAssign.getOrElse(p,
+            lit(null).cast(dt(p))).as(p)): _*)
+      val untouched = snapshot.select(outCols.map(col): _*)
+        .join(feedW.select(col("__mkey").as(node.idColumn)),
+          Seq(node.idColumn), "left_anti")
+      untouched.unionByName(matchedOut).unionByName(createdOut)
+    } else {
+      // MERGE … RETURN (round 10) / … WITH chain (round 11): one
+      // read-back row per winner-deduped feed row, the alias bound to
+      // the RESULTING entity — matched keys see the ON MATCH-updated
+      // values, absent keys see the ON CREATE row (Neo4j's post-merge
+      // read). The continuation compiles over matched ∪ created; the
+      // untouched snapshot rows never enter, so the read-back adds
+      // nothing over the merge's own matched/created joins.
+      val matchedR = joinedM.select(others.map(col) ++
+        outCols.map(c => mAssign.getOrElse(c, col(pref(m.alias, c)))
+          .as(pref(m.alias, c))): _*)
+      val createdR = joinedC.select(others.map(col) ++
+        (col("__mkey").as(pref(m.alias, node.idColumn)) +:
+          props.map(p => cAssign.getOrElse(p, lit(null).cast(dt(p)))
+            .as(pref(m.alias, p)))): _*)
+      finishReadBack(Ctx(matchedR.unionByName(createdR), scopeM),
+        ret, chain, catalog)
     }
   }
 
@@ -1095,7 +1121,8 @@ object Compiler {
    * cheapest possible update-clause plan.
    */
   private def compileCreate(parts: Seq[QueryPart], cr: CreateClause,
-      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None,
+      chain: Option[SingleQuery] = None): DataFrame = {
     val node = catalog.graph.node(cr.label)
     val props = node.properties.filterNot(_ == node.idColumn)
     cr.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 =>
@@ -1138,28 +1165,26 @@ object Compiler {
     val aMap: Map[String, Column] =
       cr.assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }
         .toMap
-    ret match {
-      case None =>
-        val created = feed
-          .select(outCols.map { cn =>
-            aMap.getOrElse(cn, lit(null).cast(dt(cn))).as(cn) }: _*)
-          .where(col(node.idColumn).isNotNull)
-        snapshot.select(outCols.map(col): _*).unionByName(created)
-      case Some(r) =>
-        // CREATE … RETURN (round 10): one result row per CREATED row —
-        // the alias binds the new entity's values alongside the feed
-        // scope, and the projection compiles over that frame. The
-        // snapshot is never read at all (the created rows are a
-        // map-only projection of the feed), so the read-back costs
-        // nothing over the create itself.
-        val feedCols = feed.columns.toSeq
-        val createdRows = feed.select(feedCols.map(col) ++
-            outCols.map(cn => aMap.getOrElse(cn, lit(null).cast(dt(cn)))
-              .as(pref(cr.alias, cn))): _*)
-          .where(col(pref(cr.alias, node.idColumn)).isNotNull)
-        compileProjection(Ctx(createdRows,
-          scope + (cr.alias -> NodeBinding(node))), r, isReturn = true,
-          catalog).df
+    if (ret.isEmpty && chain.isEmpty) {
+      val created = feed
+        .select(outCols.map { cn =>
+          aMap.getOrElse(cn, lit(null).cast(dt(cn))).as(cn) }: _*)
+        .where(col(node.idColumn).isNotNull)
+      snapshot.select(outCols.map(col): _*).unionByName(created)
+    } else {
+      // CREATE … RETURN (round 10) / … WITH chain (round 11): one
+      // read-back row per CREATED row — the alias binds the new
+      // entity's values alongside the feed scope, and the
+      // continuation compiles over that frame. The snapshot is never
+      // read at all (the created rows are a map-only projection of
+      // the feed), so the read-back costs nothing over the create.
+      val feedCols = feed.columns.toSeq
+      val createdRows = feed.select(feedCols.map(col) ++
+          outCols.map(cn => aMap.getOrElse(cn, lit(null).cast(dt(cn)))
+            .as(pref(cr.alias, cn))): _*)
+        .where(col(pref(cr.alias, node.idColumn)).isNotNull)
+      finishReadBack(Ctx(createdRows,
+        scope + (cr.alias -> NodeBinding(node))), ret, chain, catalog)
     }
   }
 
@@ -1202,7 +1227,8 @@ object Compiler {
    * stay in scope either way), and the snapshot is never read at all.
    */
   private def compileCreateRel(parts: Seq[QueryPart], cr: CreateRelClause,
-      catalog: GraphCatalog, ret: Option[Projection]): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection],
+      chain: Option[SingleQuery] = None): DataFrame = {
     if (parts.isEmpty) throw new CypherBindingException(
       "CREATE of a relationship needs both endpoints bound by a " +
       "preceding MATCH")
@@ -1248,30 +1274,29 @@ object Compiler {
     def valueOf(cn: String): Column =
       keyAssign.getOrElse(cn,
         propAssign.getOrElse(cn, lit(null).cast(dt(cn))))
-    ret match {
-      case None =>
-        val created = c.df
-          .select(outCols.map(cn => valueOf(cn).as(cn)): _*)
-          .where(col(e.srcIdColumn).isNotNull &&
-            col(e.sinkIdColumn).isNotNull)
-        snapshot.select(outCols.map(col): _*).unionByName(created)
-      case Some(r) =>
-        val rA = cr.relAlias
-        val feedCols = c.df.columns.toSeq
-        val withRel = rA match {
-          case Some(a) => c.df.select(feedCols.map(col) ++
-            outCols.map(cn => valueOf(cn).as(pref(a, cn))): _*)
-          case None => c.df
-        }
-        val keyNonNull =
-          col(pref(cr.srcAlias, sn.idColumn)).isNotNull &&
-          col(pref(cr.dstAlias, dn.idColumn)).isNotNull
-        val scope2 = rA match {
-          case Some(a) => c.scope + (a -> EdgeBinding(e))
-          case None    => c.scope
-        }
-        compileProjection(Ctx(withRel.where(keyNonNull), scope2), r,
-          isReturn = true, catalog).df
+    if (ret.isEmpty && chain.isEmpty) {
+      val created = c.df
+        .select(outCols.map(cn => valueOf(cn).as(cn)): _*)
+        .where(col(e.srcIdColumn).isNotNull &&
+          col(e.sinkIdColumn).isNotNull)
+      snapshot.select(outCols.map(col): _*).unionByName(created)
+    } else {
+      val rA = cr.relAlias
+      val feedCols = c.df.columns.toSeq
+      val withRel = rA match {
+        case Some(a) => c.df.select(feedCols.map(col) ++
+          outCols.map(cn => valueOf(cn).as(pref(a, cn))): _*)
+        case None => c.df
+      }
+      val keyNonNull =
+        col(pref(cr.srcAlias, sn.idColumn)).isNotNull &&
+        col(pref(cr.dstAlias, dn.idColumn)).isNotNull
+      val scope2 = rA match {
+        case Some(a) => c.scope + (a -> EdgeBinding(e))
+        case None    => c.scope
+      }
+      finishReadBack(Ctx(withRel.where(keyNonNull), scope2), ret, chain,
+        catalog)
     }
   }
 
@@ -1308,7 +1333,8 @@ object Compiler {
    * matched ids see the stored node row, absent ids see id-only.
    */
   private def compileMergeRel(parts: Seq[QueryPart], mr: MergeRelClause,
-      catalog: GraphCatalog, ret: Option[Projection]): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection],
+      chain: Option[SingleQuery] = None): DataFrame = {
     if (parts.isEmpty && (mr.srcSpec.isEmpty || mr.dstSpec.isEmpty))
       throw new CypherBindingException(
         "MERGE of a relationship needs both endpoints bound by a " +
@@ -1458,8 +1484,7 @@ object Compiler {
       mr.onCreate.map { case (p2, ex) =>
         p2 -> ecC.compile(ex).cast(dt(p2)) }.toMap
 
-    ret match {
-      case None =>
+    if (ret.isEmpty && chain.isEmpty) {
         val matchedOut = joinedM.select(outCols.map { cn =>
           mAssign.getOrElse(cn, col(pref(rA, cn))).as(cn) }: _*)
         val createdOut = joinedC.select(
@@ -1471,7 +1496,7 @@ object Compiler {
           .join(feedW.select(col("__msrc").as(e.srcIdColumn),
             col("__msnk").as(e.sinkIdColumn)), keyCols, "left_anti")
         untouched.unionByName(matchedOut).unionByName(createdOut)
-      case Some(r) =>
+    } else {
         val matchedR = joinedM.select(others.map(col) ++
           outCols.map(cn => mAssign.getOrElse(cn, col(pref(rA, cn)))
             .as(pref(rA, cn))): _*)
@@ -1503,8 +1528,7 @@ object Compiler {
         }
         readBack(mr.srcAlias, mr.srcSpec, sn, pref(rA, e.srcIdColumn))
         readBack(mr.dstAlias, mr.dstSpec, dn, pref(rA, e.sinkIdColumn))
-        compileProjection(Ctx(frame, scopeR), r, isReturn = true,
-          catalog).df
+        finishReadBack(Ctx(frame, scopeR), ret, chain, catalog)
     }
   }
 
@@ -1674,7 +1698,8 @@ object Compiler {
    * small); the snapshot is never widened or re-shuffled.
    */
   private def compileDelete(parts: Seq[QueryPart], d: DeleteClause,
-      catalog: GraphCatalog, ret: Option[Projection] = None): DataFrame = {
+      catalog: GraphCatalog, ret: Option[Projection] = None,
+      chain: Option[SingleQuery] = None): DataFrame = {
     val c = compileSingle(SingleQuery(parts), Map.empty,
       terminalIsReturn = false, catalog)
     val b = c.scope.getOrElse(d.alias, throw new CypherBindingException(
@@ -1693,20 +1718,19 @@ object Compiler {
         s"DELETE target '${d.alias}' must be a node or relationship " +
         "variable")
     }
-    ret match {
-      case None => deleteSnapshot(c, d.alias, keyCols, snapshot,
-        entityCols(b))
-      case Some(r) =>
-        // DELETE … RETURN (round 10): the RETURN reads the DELETED
-        // rows' PRE-delete values — the match frame filtered to
-        // non-null entity keys (exactly the delete's key set; OPTIONAL
-        // MATCH misses delete nothing and do not appear). Map-only on
-        // the match; the snapshot is never anti-joined.
-        val keyPrefs = keyCols.map(k => pref(d.alias, k))
-        val deleted =
-          c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
-        compileProjection(Ctx(deleted, c.scope), r, isReturn = true,
-          catalog).df
+    if (ret.isEmpty && chain.isEmpty)
+      deleteSnapshot(c, d.alias, keyCols, snapshot, entityCols(b))
+    else {
+      // DELETE … RETURN (round 10) / … WITH chain (round 11): the
+      // continuation reads the DELETED rows' PRE-delete values — the
+      // match frame filtered to non-null entity keys (exactly the
+      // delete's key set; OPTIONAL MATCH misses delete nothing and do
+      // not appear). Map-only on the match; the snapshot is never
+      // anti-joined.
+      val keyPrefs = keyCols.map(k => pref(d.alias, k))
+      val deleted =
+        c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
+      finishReadBack(Ctx(deleted, c.scope), ret, chain, catalog)
     }
   }
 

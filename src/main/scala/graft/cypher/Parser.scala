@@ -105,19 +105,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
 
   private def parseUnion(): Query = {
     def checkUpdating(q: Query): Unit = q match {
-      case _: MergeQuery | _: MergeReturnQuery | _: MergeRelQuery =>
+      case _: MergeQuery | _: MergeReturnQuery | _: MergeRelQuery |
+           _: MergeChainQuery | _: MergeRelChainQuery =>
         notSupported("MERGE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: SetQuery    => notSupported("SET in a UNION branch — " +
+      case _: SetQuery | _: SetReturnQuery | _: SetChainQuery =>
+        notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: DeleteQuery | _: DeleteReturnQuery =>
+      case _: DeleteQuery | _: DeleteReturnQuery | _: DeleteChainQuery =>
         notSupported("DELETE in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
-      case _: CreateQuery | _: CreateReturnQuery | _: CreateRelQuery =>
+      case _: CreateQuery | _: CreateReturnQuery | _: CreateRelQuery |
+           _: CreateChainQuery | _: CreateRelChainQuery =>
         notSupported("CREATE in a UNION branch — " +
-        "an updating clause must be the query's terminal clause")
-      case _: SetReturnQuery | _: SetChainQuery =>
-        notSupported("SET in a UNION branch — " +
         "an updating clause must be the query's terminal clause")
       case _ =>
     }
@@ -137,46 +137,57 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * MERGE / SET / DELETE (extensions). */
   private def parseTop(): Query = {
     val sq = parseSingle()
+    def takeChain(): Option[SingleQuery] = {
+      val c = pendingUpdateChain; pendingUpdateChain = None; c
+    }
     if (pendingMergeRel.isDefined) {
       val mr = pendingMergeRel.get; pendingMergeRel = None
       val r = pendingMergeReturn; pendingMergeReturn = None
-      return MergeRelQuery(sq.parts, mr, r)
+      return takeChain() match {
+        case Some(rest) => MergeRelChainQuery(sq.parts, mr, rest)
+        case None       => MergeRelQuery(sq.parts, mr, r)
+      }
     }
     if (pendingCreateRel.isDefined) {
       val cr = pendingCreateRel.get; pendingCreateRel = None
       val r = pendingCreateReturn; pendingCreateReturn = None
-      return CreateRelQuery(sq.parts, cr, r)
+      return takeChain() match {
+        case Some(rest) => CreateRelChainQuery(sq.parts, cr, rest)
+        case None       => CreateRelQuery(sq.parts, cr, r)
+      }
     }
     (pendingMerge, pendingSet, pendingDelete, pendingCreate) match {
       case (Some(m), _, _, _) =>
         pendingMerge = None
-        pendingMergeReturn match {
-          case Some(r) => pendingMergeReturn = None
+        (pendingMergeReturn, takeChain()) match {
+          case (Some(r), _) => pendingMergeReturn = None
             MergeReturnQuery(sq.parts, m, r)
-          case None    => MergeQuery(sq.parts, m)
+          case (_, Some(rest)) => MergeChainQuery(sq.parts, m, rest)
+          case _ => MergeQuery(sq.parts, m)
         }
       case (_, Some(s), _, _) =>
         pendingSet = None
-        (pendingSetReturn, pendingSetChain) match {
+        (pendingSetReturn, takeChain()) match {
           case (Some(r), _) => pendingSetReturn = None
             SetReturnQuery(sq.parts, s, r)
-          case (_, Some(rest)) => pendingSetChain = None
-            SetChainQuery(sq.parts, s, rest)
+          case (_, Some(rest)) => SetChainQuery(sq.parts, s, rest)
           case _ => SetQuery(sq.parts, s)
         }
       case (_, _, Some(d), _) =>
         pendingDelete = None
-        pendingDeleteReturn match {
-          case Some(r) => pendingDeleteReturn = None
+        (pendingDeleteReturn, takeChain()) match {
+          case (Some(r), _) => pendingDeleteReturn = None
             DeleteReturnQuery(sq.parts, d, r)
-          case None    => DeleteQuery(sq.parts, d)
+          case (_, Some(rest)) => DeleteChainQuery(sq.parts, d, rest)
+          case _ => DeleteQuery(sq.parts, d)
         }
       case (_, _, _, Some(c)) =>
         pendingCreate = None
-        pendingCreateReturn match {
-          case Some(r) => pendingCreateReturn = None
+        (pendingCreateReturn, takeChain()) match {
+          case (Some(r), _) => pendingCreateReturn = None
             CreateReturnQuery(sq.parts, c, r)
-          case None    => CreateQuery(sq.parts, c)
+          case (_, Some(rest)) => CreateChainQuery(sq.parts, c, rest)
+          case _ => CreateQuery(sq.parts, c)
         }
       case _                  => sq
     }
@@ -190,7 +201,29 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
-  private var pendingSetChain: Option[SingleQuery] = None
+  private var pendingUpdateChain: Option[SingleQuery] = None
+
+  /** Parse the `WITH …` continuation of an update chain as an
+    * ordinary single query; exactly one updating clause per query —
+    * a second one inside the continuation is a typed rejection. The
+    * current clause's pending slots are saved around the recursive
+    * parse so the guard sees only what the CONTINUATION set. */
+  private def parseUpdateChain(kw: String): SingleQuery = {
+    val saved = (pendingMerge, pendingMergeRel, pendingSet,
+      pendingDelete, pendingCreate, pendingCreateRel)
+    pendingMerge = None; pendingMergeRel = None; pendingSet = None
+    pendingDelete = None; pendingCreate = None; pendingCreateRel = None
+    val rest = parseSingle()
+    if (pendingSet.isDefined || pendingMerge.isDefined ||
+        pendingMergeRel.isDefined || pendingDelete.isDefined ||
+        pendingCreate.isDefined || pendingCreateRel.isDefined)
+      notSupported(s"a second updating clause after $kw — one " +
+        "updating clause per query; chain reads only")
+    pendingMerge = saved._1; pendingMergeRel = saved._2
+    pendingSet = saved._3; pendingDelete = saved._4
+    pendingCreate = saved._5; pendingCreateRel = saved._6
+    rest
+  }
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingDeleteReturn: Option[Projection] = None
   private var pendingCreate: Option[CreateClause] = None
@@ -335,10 +368,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // entity per feed row — the projection, not the snapshot
           p += 1
           pendingMergeReturn = Some(parseProjection(isWith = false))
-        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
-          notSupported("further clauses after MERGE — a MERGE is either " +
-            "terminal (the result is the new snapshot) or directly " +
-            "followed by one RETURN reading the merged entity")
+        } else if (isKw("WITH")) {
+          // update chaining (round 11): the pipeline continues over
+          // the post-merge read-back frame (the RETURN form's view)
+          pendingUpdateChain = Some(parseUpdateChain("MERGE"))
+        } else if (isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("MATCH directly after MERGE — continue the " +
+            "pipeline through a WITH: MERGE … WITH … MATCH …")
         done = true
       } else if (isKw("SET") || isKw("REMOVE")) {
         // terminal SET / REMOVE (extension; parity rejected in
@@ -370,19 +406,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // pipeline over the per-row UPDATED frame — downstream
           // WITH/MATCH/RETURN read the query's own writes (the
           // snapshot is untouched; re-matching the same table reads
-          // the original store). Parse the continuation as an
-          // ordinary single query starting at the WITH; a second
-          // updating clause inside it is a typed rejection.
-          val savedSet = pendingSet
-          pendingSet = None
-          val rest = parseSingle()
-          if (pendingSet.isDefined || pendingMerge.isDefined ||
-              pendingMergeRel.isDefined || pendingDelete.isDefined ||
-              pendingCreate.isDefined || pendingCreateRel.isDefined)
-            notSupported(s"a second updating clause after $kw — one " +
-              "updating clause per query; chain reads only")
-          pendingSet = savedSet
-          pendingSetChain = Some(rest)
+          // the original store)
+          pendingUpdateChain = Some(parseUpdateChain(kw))
         } else if (isKw("MATCH") || isKw("OPTIONAL"))
           notSupported(s"MATCH directly after $kw — continue the " +
             s"pipeline through a WITH: $kw … WITH … MATCH …")
@@ -408,10 +433,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // rows' pre-delete values — the projection, not the snapshot
           p += 1
           pendingDeleteReturn = Some(parseProjection(isWith = false))
-        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
-          notSupported("further clauses after DELETE — a DELETE is " +
-            "either terminal (the result is the new snapshot) or " +
-            "directly followed by one RETURN reading the deleted rows")
+        } else if (isKw("WITH")) {
+          // update chaining (round 11): continues over the deleted
+          // rows' PRE-delete values (the RETURN form's view)
+          pendingUpdateChain = Some(parseUpdateChain("DELETE"))
+        } else if (isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("MATCH directly after DELETE — continue the " +
+            "pipeline through a WITH: DELETE … WITH … MATCH …")
         done = true
       } else if (isKw("CREATE")) {
         // terminal CREATE (extension; parity rejected in
@@ -434,10 +462,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // rows — the projection, not the snapshot
           p += 1
           pendingCreateReturn = Some(parseProjection(isWith = false))
-        } else if (isKw("WITH") || isKw("MATCH") || isKw("OPTIONAL"))
-          notSupported("further clauses after CREATE — a CREATE is " +
-            "either terminal (the result is the new snapshot) or " +
-            "directly followed by one RETURN reading the created rows")
+        } else if (isKw("WITH")) {
+          // update chaining (round 11): continues over the created
+          // rows (the RETURN form's view)
+          pendingUpdateChain = Some(parseUpdateChain("CREATE"))
+        } else if (isKw("MATCH") || isKw("OPTIONAL"))
+          notSupported("MATCH directly after CREATE — continue the " +
+            "pipeline through a WITH: CREATE … WITH … MATCH …")
         done = true
       } else if (isKw("WITH")) {
         p += 1

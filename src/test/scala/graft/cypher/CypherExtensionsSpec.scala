@@ -251,11 +251,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
-  test("var-length rejections: named rel, zero, over-cap (unbounded now lowers to reach)") {
+  test("var-length rejections: named rel, over-cap (zero lowers round 11)") {
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[f:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS N"))
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (a:Person)-[:FOLLOWS*0..2]->(b:Person) RETURN a.Name AS N"))
+    // [*0..2] composes since round 11 (identity branch) — the FOLLOWS
+    // tree gains one zero-hop row per person alongside the 1-2 hops
+    val z = rows(
+      "MATCH (a:Person)-[:FOLLOWS*0..2]->(b:Person) RETURN count(*) AS n")
+    assert(z.head.getLong(0) == 9L) // 5 identity + 3 one-hop + 1 two-hop
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[:FOLLOWS*1..9]->(b:Person) RETURN a.Name AS N"))
   }
@@ -1576,10 +1579,13 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // ON CREATE SET cannot read the merge alias
     intercept[CypherBindingException](rows(
       "MERGE (n:Person {id: 'p1'}) ON CREATE SET n.Name = n.Name"))
-    // a MERGE is terminal or followed by ONE RETURN — no further
-    // chaining; no UNION around it; not inside CALL
+    // a MERGE chains through a WITH (round 11) but never a bare
+    // MATCH; no UNION around it; not inside CALL; one update per query
     intercept[CypherNotSupportedException](rows(
-      "MERGE (n:Person {id: 'p1'}) WITH n.id AS x RETURN x"))
+      "MERGE (n:Person {id: 'p1'}) MATCH (m:Movie) RETURN m.id AS i"))
+    intercept[CypherNotSupportedException](rows(
+      """MERGE (n:Person {id: 'p1'}) WITH n.id AS x
+        |MATCH (p:Person) SET p.Born = 1 RETURN x""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       "MERGE (n:Person {id: 'x'}) UNION MERGE (n:Person {id: 'y'})"))
     intercept[CypherNotSupportedException](rows(
@@ -1659,10 +1665,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // alias collision with scope
     intercept[CypherBindingException](rows(
       "MATCH (n:Person) CREATE (n:Person {id: 'z'})"))
-    // terminal or one directly-following RETURN — no further chaining;
-    // no UNION around; not inside CALL
+    // a CREATE chains through a WITH (round 11) but never a bare
+    // MATCH; no UNION around; not inside CALL
     intercept[CypherNotSupportedException](rows(
-      "CREATE (n:Person {id: 'z'}) WITH n.id AS x RETURN x"))
+      "CREATE (n:Person {id: 'z'}) MATCH (m:Movie) RETURN m.id AS i"))
     intercept[CypherNotSupportedException](rows(
       "CREATE (n:Person {id: 'x'}) UNION CREATE (n:Person {id: 'y'})"))
     intercept[CypherNotSupportedException](rows(
@@ -2105,13 +2111,19 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)) == Seq("p1"))
   }
 
-  test("[*0..] rejections: differing endpoint labels; bounded [*0..k]") {
+  test("[*0..] rejections: differing endpoint labels stay typed") {
+    // the unbounded reflexive closure needs ONE label for the
+    // zero-hop row; bounded [*0..k] composes since round 11 (the
+    // identity-branch spec covers it)
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:ACTED_IN*0..]->(m:Movie)
         |RETURN m.id AS i""".stripMargin))
-    intercept[CypherNotSupportedException](rows(
+    val r = rows(
       """MATCH (a:Person)-[:FOLLOWS*0..2]->(b:Person)
-        |RETURN b.id AS i""".stripMargin))
+        |WHERE a.id = 'p5'
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+    // 0 hops: p5; 1 hop: p1, p2; 2 hops: p5→p1→p2
+    assert(r.map(_.getString(0)) == Seq("p1", "p2", "p2", "p5"))
   }
 
   // ------------------------------- DISTINCT aggregates (extension)
@@ -2211,9 +2223,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN count(q.id) AS c""".stripMargin)
     // follows targets: p2, p1, p2 — the null-q rows delete nothing
     assert(r.head.getLong(0) == 3)
+    // a DELETE chains through a WITH (round 11) but never a bare MATCH
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)-[f:FOLLOWS]->(q:Person)
-        |DELETE f WITH 1 AS x RETURN x""".stripMargin))
+        |DELETE f MATCH (m:Movie) RETURN m.id AS i""".stripMargin))
   }
 
   // ----------------------------- terminal SET / DELETE (extension)
@@ -2318,12 +2331,13 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // plain node DELETE: dangling-edge semantics are data-dependent
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) DELETE p"))
-    // SET chains through a WITH (round 11) but never a bare MATCH;
-    // DELETE stays strictly terminal (ONE RETURN at most)
+    // every updating clause chains through a WITH (round 11) but
+    // never a bare MATCH
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) SET p.Name = 'x' MATCH (m:Movie) RETURN m.id AS i"))
     intercept[CypherNotSupportedException](rows(
-      "MATCH (p:Person) DETACH DELETE p WITH 1 AS x RETURN x"))
+      """MATCH (p:Person) DETACH DELETE p
+        |MATCH (m:Movie) RETURN m.id AS i""".stripMargin))
     // one updating clause per query — no second SET inside the chain
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) SET p.Name = 'x' WITH p
@@ -2432,6 +2446,53 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r4.getString(0) == "Apollo 13" && r4.isNullAt(1))
   }
 
+  test("MERGE/CREATE/DELETE ... WITH chains over their read-back frames") {
+    // MERGE chain: the post-merge entity flows downstream; a fresh
+    // MATCH of the same table still reads the ORIGINAL store
+    val m = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |WITH p.id AS pid
+        |MERGE (n:Person {id: pid})
+        |ON MATCH SET n.Born = n.Born + 1
+        |WITH n.id AS i, n.Born AS b
+        |MATCH (q:Person) WHERE q.id = i
+        |RETURN i, b, q.Born AS old ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
+    assert(m.toSeq == Seq(("p2", 1962, 1961), ("p3", 1959, 1958)))
+    // CREATE chain: the created rows aggregate downstream
+    val c = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |WITH p.id AS pid
+        |CREATE (n:Person {id: 'new_' + pid, Born: 2000})
+        |WITH n.Born AS b
+        |RETURN b, count(*) AS cnt""".stripMargin).head
+    assert(c.getInt(0) == 2000 && c.getLong(1) == 2L)
+    // DELETE chain: the deleted rows' PRE-delete values join a
+    // downstream MATCH through the piped entity
+    val d = rows(
+      """MATCH (p:Person) WHERE p.Born >= 1958
+        |DETACH DELETE p
+        |WITH p
+        |MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |RETURN p.Name AS nm, m.Title AS t ORDER BY nm, t""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(d.toSeq == Seq(("Kevin Bacon", "Apollo 13"),
+      ("Meg Ryan", "Sleepless in Seattle"),
+      ("Meg Ryan", "You've Got Mail")))
+    // rel-MERGE chain: the post-merge edge flows through a WITH WHERE
+    val rm = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p5', 'p3']
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED]->(m)
+        |ON MATCH SET r.Rating = r.Rating + 1
+        |ON CREATE SET r.Rating = 10
+        |WITH p.id AS i, r.Rating AS rt
+        |WHERE rt >= 10
+        |RETURN i, rt ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(rm.toSeq == Seq(("p3", 10), ("p5", 96)))
+  }
+
   test("SET += map sugar desugars to per-key assignments") {
     val r = rows(
       """MATCH (p:Person) WHERE p.id = 'p1'
@@ -2522,9 +2583,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person)
         |RETURN length(p) AS L""".stripMargin))
-    intercept[CypherNotSupportedException](rows(
+    // allShortestPaths DOES observe length (min-distance IS the BFS
+    // round) — and since round 11 the unanchored form runs under the
+    // closure guard instead of rejecting: every pair once (σ=1 on the
+    // FOLLOWS tree: p5→p1, p5→p2, p1→p2)
+    val asp = rows(
       """MATCH p = allShortestPaths((a:Person)-[:FOLLOWS*]->(b:Person))
-        |RETURN length(p) AS L""".stripMargin))
+        |RETURN a.id AS s, b.id AS d, length(p) AS L
+        |ORDER BY s, d""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(asp.toSeq == Seq(("p1", "p2", 1L), ("p5", "p1", 1L),
+      ("p5", "p2", 1L)))
     // lower bound > 1 has no reachability lowering
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
