@@ -1362,6 +1362,23 @@ object SparkEntry {
              |       TIMESTAMP '2001-02-03 00:00:00'
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- relationship CREATE with id-map endpoints (round 11): the
+    //     appended edge keys per feed row from the inline id maps —
+    //     no bound endpoints, the CREATE twin of q89's ingest idiom
+    ("q97_create_rel_idmap",
+      (s, dir) => cyx(
+        """MATCH (o:Order) WHERE o.o_orderkey <= 5
+          |CREATE (c:Customer {c_custkey: 800000 + o.o_orderkey})
+          |  -[:PLACED {o_orderdate: '2005-05-05'}]
+          |  ->(o2:Order {o_orderkey: o.o_orderkey})""".stripMargin)
+        .apply(s, dir).orderBy("o_custkey", "o_orderkey", "o_orderdate"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |UNION ALL
+             |SELECT 800000 + o_orderkey, o_orderkey,
+             |       TIMESTAMP '2005-05-05 00:00:00'
+             |FROM orders WHERE o_orderkey <= 5
+             |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
+
     // --- MERGE … WITH chain (round 11): the post-merge read-back
     //     frame (q77's view) continues the pipeline — a WITH masks,
     //     a post-WITH WHERE filters, and the RETURN aggregates over

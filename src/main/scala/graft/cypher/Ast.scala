@@ -387,9 +387,19 @@ object ast {
    *  edge rows per feed row instead of the snapshot union; the
    *  relationship alias is optional and only needed to read the edge
    *  itself (the endpoints stay in scope either way). */
+  /** `srcSpec`/`dstSpec` (round 11): an endpoint may carry the
+   *  [[MergeEndpoint]] id-map shape — `CREATE (a:L {id: e})-[:T {…}]->
+   *  (b:L2 {id: e2})` — keying the appended edge per feed row without
+   *  a bound variable (the ingest idiom, same as relationship MERGE's
+   *  lift). The map binds ONLY the id: the node row is NOT created
+   *  (one query, one snapshot — create nodes with their own CREATEs),
+   *  so any other property would be silently dropped and is a typed
+   *  parse rejection instead. */
   final case class CreateRelClause(srcAlias: String, verb: String,
       dstAlias: String, assigns: Seq[(String, Expr)],
-      relAlias: Option[String])
+      relAlias: Option[String],
+      srcSpec: Option[MergeEndpoint] = None,
+      dstSpec: Option[MergeEndpoint] = None)
 
   final case class CreateRelQuery(parts: Seq[QueryPart],
       create: CreateRelClause, ret: Option[Projection]) extends Query

@@ -1188,30 +1188,6 @@ object Compiler {
     }
   }
 
-  /** Shared endpoint resolution for relationship CREATE/MERGE: both
-    * endpoint aliases must be node variables bound by the preceding
-    * parts, and the edge resolves by the (label(src), verb,
-    * label(dst)) schema triple. */
-  private def resolveRelEndpoints(scope: Map[String, Binding],
-      srcAlias: String, dstAlias: String, verb: String, kw: String,
-      catalog: GraphCatalog): (NodeDef, NodeDef, EdgeDef) = {
-    def nodeOf(a: String): NodeDef = scope.get(a) match {
-      case Some(NodeBinding(n)) => n
-      case Some(_) => throw new CypherBindingException(
-        s"$kw relationship endpoint '$a' must be a node variable")
-      case None => throw new CypherBindingException(
-        s"$kw relationship endpoint '$a' is not a bound variable — " +
-        "bind both endpoints with a preceding MATCH")
-    }
-    val sn = nodeOf(srcAlias)
-    val dn = nodeOf(dstAlias)
-    val e = catalog.graph.edge(sn.label, verb, dn.label).getOrElse(
-      throw new CypherBindingException(
-        s"no relationship '$verb' from '${sn.label}' to '${dn.label}' " +
-        "in the schema"))
-    (sn, dn, e)
-  }
-
   /**
    * Terminal `CREATE (a)-[r:T {…}]->(b)` (extension, round 10): the
    * edge twin of node CREATE — append one edge row per feed row to
@@ -1229,17 +1205,65 @@ object Compiler {
   private def compileCreateRel(parts: Seq[QueryPart], cr: CreateRelClause,
       catalog: GraphCatalog, ret: Option[Projection],
       chain: Option[SingleQuery] = None): DataFrame = {
-    if (parts.isEmpty) throw new CypherBindingException(
-      "CREATE of a relationship needs both endpoints bound by a " +
-      "preceding MATCH")
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
-    val (sn, dn, e) = resolveRelEndpoints(c.scope, cr.srcAlias,
-      cr.dstAlias, cr.verb, "CREATE", catalog)
+    if (parts.isEmpty && (cr.srcSpec.isEmpty || cr.dstSpec.isEmpty))
+      throw new CypherBindingException(
+        "CREATE of a relationship needs both endpoints bound by a " +
+        "preceding MATCH or carrying an id map — " +
+        "CREATE (a:L1 {id: …})-[:T]->(b:L2 {id: …})")
+    if (cr.srcSpec.nonEmpty && cr.dstSpec.nonEmpty &&
+        cr.srcAlias == cr.dstAlias)
+      throw new CypherBindingException(
+        s"CREATE relationship endpoints both declare '${cr.srcAlias}' — " +
+        "two id-map endpoints need distinct variables")
+    val c =
+      if (parts.isEmpty)
+        // standalone ingest CREATE: one literal feed row (the
+        // node-CREATE shape); key exprs compile against an empty scope
+        Ctx(catalog.nodeDf(cr.srcSpec.get.label).sparkSession
+          .range(1).toDF("__row"), Map.empty)
+      else compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog)
+    def endpointNode(alias: String, spec: Option[MergeEndpoint])
+        : NodeDef = spec match {
+      case Some(ep) =>
+        val n = catalog.graph.node(ep.label)
+        if (ep.keyProp != n.idColumn) throw new CypherBindingException(
+          s"CREATE ($alias:${ep.label} {${ep.keyProp}: …}): a " +
+          s"relationship endpoint map must bind the node's id " +
+          s"property '${n.idColumn}' — the node row is not created here")
+        if (c.scope.contains(alias)) throw new CypherBindingException(
+          s"CREATE endpoint alias '$alias' collides with a variable " +
+          "in scope — an id-map endpoint declares a NEW variable; " +
+          "drop the map to reference the bound node")
+        if (containsAgg(ep.keyExpr))
+          throw new CypherNotSupportedException(
+            "CREATE endpoint id with an aggregate — aggregate in a " +
+            "WITH before the CREATE")
+        n
+      case None => c.scope.get(alias) match {
+        case Some(NodeBinding(n)) => n
+        case Some(_) => throw new CypherBindingException(
+          s"CREATE relationship endpoint '$alias' must be a node variable")
+        case None => throw new CypherBindingException(
+          s"CREATE relationship endpoint '$alias' is not a bound " +
+          "variable — bind both endpoints with a preceding MATCH, or " +
+          "give each an id map: (a:Label {id: …})")
+      }
+    }
+    val sn = endpointNode(cr.srcAlias, cr.srcSpec)
+    val dn = endpointNode(cr.dstAlias, cr.dstSpec)
+    val e = catalog.graph.edge(sn.label, cr.verb, dn.label).getOrElse(
+      throw new CypherBindingException(
+        s"no relationship '${cr.verb}' from '${sn.label}' to " +
+        s"'${dn.label}' in the schema"))
     cr.relAlias.foreach { r =>
       if (c.scope.contains(r)) throw new CypherBindingException(
         s"CREATE relationship alias '$r' collides with a variable in " +
         "scope")
+      if (r == cr.srcAlias || r == cr.dstAlias)
+        throw new CypherBindingException(
+          s"CREATE relationship alias '$r' collides with an endpoint " +
+          "variable")
     }
     val snapshot = catalog.edgeDf(e)
     val outCols =
@@ -1266,11 +1290,17 @@ object Compiler {
     val propAssign: Map[String, Column] =
       cr.assigns.map { case (p2, ex) => p2 -> ec.compile(ex).cast(dt(p2)) }
         .toMap
+    def endpointKey(alias: String, spec: Option[MergeEndpoint],
+        node: NodeDef, target: org.apache.spark.sql.types.DataType)
+        : Column = spec match {
+      case Some(ep) => ec.compile(ep.keyExpr).cast(target)
+      case None     => col(pref(alias, node.idColumn)).cast(target)
+    }
     val keyAssign: Map[String, Column] = Map(
       e.srcIdColumn ->
-        col(pref(cr.srcAlias, sn.idColumn)).cast(dt(e.srcIdColumn)),
+        endpointKey(cr.srcAlias, cr.srcSpec, sn, dt(e.srcIdColumn)),
       e.sinkIdColumn ->
-        col(pref(cr.dstAlias, dn.idColumn)).cast(dt(e.sinkIdColumn)))
+        endpointKey(cr.dstAlias, cr.dstSpec, dn, dt(e.sinkIdColumn)))
     def valueOf(cn: String): Column =
       keyAssign.getOrElse(cn,
         propAssign.getOrElse(cn, lit(null).cast(dt(cn))))
@@ -1281,22 +1311,41 @@ object Compiler {
           col(e.sinkIdColumn).isNotNull)
       snapshot.select(outCols.map(col): _*).unionByName(created)
     } else {
-      val rA = cr.relAlias
-      val feedCols = c.df.columns.toSeq
-      val withRel = rA match {
-        case Some(a) => c.df.select(feedCols.map(col) ++
-          outCols.map(cn => valueOf(cn).as(pref(a, cn))): _*)
-        case None => c.df
-      }
+      // read-back: the created edge rides a (possibly synthetic)
+      // prefix; id-map endpoints additionally bind their alias to the
+      // node's stored face via one left join (absent ids id-only),
+      // exactly relationship MERGE's read-back shape
+      val rA = cr.relAlias.getOrElse("__cr")
+      val feedCols =
+        if (parts.isEmpty) Seq.empty else c.df.columns.toSeq
+      val withRel = c.df.select(feedCols.map(col) ++
+        outCols.map(cn => valueOf(cn).as(pref(rA, cn))): _*)
       val keyNonNull =
-        col(pref(cr.srcAlias, sn.idColumn)).isNotNull &&
-        col(pref(cr.dstAlias, dn.idColumn)).isNotNull
-      val scope2 = rA match {
+        col(pref(rA, e.srcIdColumn)).isNotNull &&
+        col(pref(rA, e.sinkIdColumn)).isNotNull
+      var frame = withRel.where(keyNonNull)
+      var scopeR = cr.relAlias match {
         case Some(a) => c.scope + (a -> EdgeBinding(e))
         case None    => c.scope
       }
-      finishReadBack(Ctx(withRel.where(keyNonNull), scope2), ret, chain,
-        catalog)
+      def readBack(alias: String, spec: Option[MergeEndpoint],
+          node: NodeDef, relKeyCol: String): Unit = spec.foreach { _ =>
+        val snapN = catalog.nodeDf(node.label)
+        val nprops = node.properties.filterNot(_ == node.idColumn)
+        val bkKey = s"__bk_$alias"
+        val bk = snapN.select(
+          col(node.idColumn).as(bkKey) +:
+            nprops.map(p2 => col(p2).as(pref(alias, p2))): _*)
+        frame = frame
+          .join(bk, frame(relKeyCol) === bk(bkKey), "left")
+          .drop(bkKey)
+          .withColumn(pref(alias, node.idColumn),
+            col(relKeyCol).cast(snapN.schema(node.idColumn).dataType))
+        scopeR = scopeR + (alias -> NodeBinding(node))
+      }
+      readBack(cr.srcAlias, cr.srcSpec, sn, pref(rA, e.srcIdColumn))
+      readBack(cr.dstAlias, cr.dstSpec, dn, pref(rA, e.sinkIdColumn))
+      finishReadBack(Ctx(frame, scopeR), ret, chain, catalog)
     }
   }
 

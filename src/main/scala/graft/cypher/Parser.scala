@@ -755,61 +755,86 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * checks the id property is among them). The CREATE keyword is
     * consumed by the caller. */
   private def parseCreateClause(): Either[CreateClause, CreateRelClause] = {
-    eatPunct("(")
-    val alias = cur match {
-      case Ident(s, _) =>
-        if (s.startsWith("__"))
-          notSupported(s"alias '$s' — names starting with __ are reserved")
-        p += 1; s
-      case _ => syntaxErr(
-        "CREATE requires a named node — CREATE (n:Label {id: …, …}) — " +
-        "or a relationship between bound endpoints — " +
-        "CREATE (a)-[:T {…}]->(b)")
-    }
-    if (isPunct(")")) {
-      // relationship CREATE (round 10): `(a)-[r:T {…}]->(b)` over
-      // bound endpoints — unconditional edge-row append
-      p += 1
-      val (rAlias, verb, incoming, props) =
-        parseBareRel(allowMap = true, kw = "CREATE")
+    // one CREATE endpoint/node: `(a)` bound reference, or
+    // `(a:Label {p: e, …})` with its property map
+    def endpoint(): (String, Option[String], Seq[(String, Expr)]) = {
       eatPunct("(")
-      val other = bareEndpoint()
+      val alias = cur match {
+        case Ident(s, _) =>
+          if (s.startsWith("__"))
+            notSupported(s"alias '$s' — names starting with __ are reserved")
+          p += 1; s
+        case _ => syntaxErr(
+          "CREATE requires a named node — CREATE (n:Label {id: …, …}) — " +
+          "or a relationship between endpoints — CREATE (a)-[:T {…}]->(b)")
+      }
+      if (isPunct(")")) { p += 1; (alias, None, Seq.empty) }
+      else {
+        eatPunct(":")
+        val label = name()
+        if (isPunct(":"))
+          notSupported("CREATE with multiple labels — one node table, " +
+            "one label")
+        if (!isPunct("{")) syntaxErr(
+          "CREATE node requires a property map binding at least its id, " +
+          "e.g. {id: …}")
+        eatPunct("{")
+        val b = Vector.newBuilder[(String, Expr)]
+        def one(): Unit = {
+          val pr = cur match {
+            case Ident(s, _)   => p += 1; s
+            case Kw(_, raw, _) => p += 1; raw
+            case _ => syntaxErr("expected a property name in the CREATE map")
+          }
+          eatPunct(":")
+          b += ((pr, parseExpr()))
+        }
+        one(); while (tryPunct(",")) one()
+        eatPunct("}")
+        eatPunct(")")
+        (alias, Some(label), b.result())
+      }
+    }
+    // id-map endpoint of a relationship CREATE (round 11): the map
+    // must bind EXACTLY one property (the id — the compiler checks
+    // which); the node row is NOT created, so any other property
+    // would silently drop
+    def toSpec(alias: String, label: Option[String],
+        props: Seq[(String, Expr)]): Option[MergeEndpoint] =
+      label.map { l =>
+        if (props.size != 1)
+          notSupported(s"CREATE relationship endpoint ($alias:$l {…}) " +
+            "map beyond the id property — the node row is not created " +
+            "here (one query, one snapshot); create it with its own " +
+            "CREATE and bind only the id on the endpoint")
+        MergeEndpoint(l, props.head._1, props.head._2)
+      }
+    val (alias, label, props) = endpoint()
+    if (isPunct("-") || isPunct("<-")) {
+      // relationship CREATE (round 10; id-map endpoints round 11):
+      // unconditional edge-row append, each endpoint a bound node
+      // variable or an inline id map
+      val (rAlias, verb, incoming, rProps) =
+        parseBareRel(allowMap = true, kw = "CREATE")
+      val (other, oLabel, oProps) = endpoint()
       if (isPunct(",") || isPunct("-") || isPunct("<-"))
         notSupported("CREATE of multiple patterns or longer paths — " +
           "one terminal CREATE produces one edge snapshot")
-      val (srcA, dstA) = if (incoming) (other, alias) else (alias, other)
-      return Right(CreateRelClause(srcA, verb, dstA, props, rAlias))
+      val spec = toSpec(alias, label, props)
+      val oSpec = toSpec(other, oLabel, oProps)
+      val (srcA, srcS, dstA, dstS) =
+        if (incoming) (other, oSpec, alias, spec)
+        else (alias, spec, other, oSpec)
+      return Right(CreateRelClause(srcA, verb, dstA, rProps, rAlias,
+        srcS, dstS))
     }
-    eatPunct(":")
-    val label = name()
-    if (isPunct(":"))
-      notSupported("CREATE with multiple labels — one node table, " +
-        "one label")
-    if (!isPunct("{")) syntaxErr(
-      "CREATE node requires a property map binding at least its id, " +
-      "e.g. {id: …}")
-    eatPunct("{")
-    val b = Vector.newBuilder[(String, Expr)]
-    def one(): Unit = {
-      val pr = cur match {
-        case Ident(s, _)   => p += 1; s
-        case Kw(_, raw, _) => p += 1; raw
-        case _ => syntaxErr("expected a property name in the CREATE map")
-      }
-      eatPunct(":")
-      b += ((pr, parseExpr()))
-    }
-    one(); while (tryPunct(",")) one()
-    eatPunct("}")
-    eatPunct(")")
     if (isPunct(","))
       notSupported("CREATE of multiple patterns — one terminal CREATE " +
         "produces one node table's new snapshot")
-    if (isPunct("-") || isPunct("<"))
-      notSupported("CREATE of a node pattern with an attached " +
-        "relationship — create the nodes first, then " +
-        "CREATE (a)-[:T]->(b) over bound endpoints appends the edge")
-    Left(CreateClause(alias, label, b.result()))
+    val l = label.getOrElse(syntaxErr(
+      "CREATE node requires a label and a property map binding at " +
+      "least its id, e.g. CREATE (n:Label {id: …})"))
+    Left(CreateClause(alias, l, props))
   }
 
   /** `[DETACH] DELETE a` — terminal, ONE bound entity variable. The

@@ -1674,11 +1674,43 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) CALL { CREATE (z:Person {id: 'x'}) }
         |RETURN p.Name AS N""".stripMargin))
-    // relationship / multi-pattern CREATE
-    intercept[CypherNotSupportedException](rows(
-      "CREATE (a:Person {id: 'x'})-[:FOLLOWS]->(b:Person {id: 'y'})"))
+    // multi-pattern CREATE (rel CREATE with id maps lifts round 11)
     intercept[CypherNotSupportedException](rows(
       "CREATE (a:Person {id: 'x'}), (b:Person {id: 'y'})"))
+  }
+
+  test("CREATE rel with id-map endpoints: edge appended, node faces " +
+      "read back") {
+    // MATCH-less: one literal feed row; the edge keys by the id maps,
+    // the node tables are untouched (one query, one snapshot)
+    val r = rows(
+      "CREATE (a:Person {id: 'px'})-[:FOLLOWS]->(b:Person {id: 'p1'})")
+      .map(x => (x.getString(0), x.getString(1))).sortBy(identity)
+    assert(r == Seq(("p1", "p2"), ("p5", "p1"), ("p5", "p2"),
+      ("px", "p1")))
+    // mixed form + RETURN: the id-map endpoint's face is id-only when
+    // no node row carries the id; the rel map still assigns
+    val r2 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm2'
+        |CREATE (p:Person {id: 'p9'})-[r:REVIEWED {Rating: 42}]->(m)
+        |RETURN p.id AS pi, p.Name AS nm, r.Rating AS rt""".stripMargin)
+      .head
+    assert(r2.getString(0) == "p9" && r2.isNullAt(1) && r2.getInt(2) == 42)
+    // ... and a stored face when the id exists; chains compose too
+    val r3 = rows(
+      """CREATE (a:Person {id: 'px'})-[:FOLLOWS]->(b:Person {id: 'p1'})
+        |WITH b
+        |MATCH (b)-[:ACTED_IN]->(m:Movie)
+        |RETURN b.Name AS nm, count(m) AS n""".stripMargin).head
+    assert(r3.getString(0) == "Tom Hanks" && r3.getLong(1) == 3L)
+    // the endpoint map binds exactly the id — more is a typed parse
+    // rejection (the node row is NOT created; no silent prop drop),
+    // a non-id key a typed binding rejection
+    intercept[CypherNotSupportedException](rows(
+      """CREATE (a:Person {id: 'x', Name: 'n'})
+        |-[:FOLLOWS]->(b:Person {id: 'y'})""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "CREATE (a:Person {Name: 'x'})-[:FOLLOWS]->(b:Person {id: 'y'})"))
   }
 
   // -------------------------- CREATE/MERGE … RETURN (read-back)
