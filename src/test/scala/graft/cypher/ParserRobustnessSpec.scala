@@ -285,4 +285,54 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(attemptExt)
     samples(gen, 400).foreach(attempt)
   }
+
+  test("round-11 surface fuzz: id-map endpoints, update chains, [*0..k]") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      // id-map endpoints, truncated and mangled
+      "MERGE (a:L {)-[r:T]->(b:L {id: 1})",
+      "MERGE (a:L {id})-[r:T]->(b:L {id: 1})",
+      "MERGE (a:L {id:})-[r:T]->(b:L {id: 1})",
+      "MERGE (a:L {id: 1, x: 2})-[r:T]->(b:L {id: 1})",
+      "MERGE (a:L {id: 1})-[r:T]->(b:L)",
+      "MERGE (a:L {id: 1})-[r:T]->(b:L {)",
+      "MERGE (a:L {id: 1})-[a:T]->(b:L {id: 2})",
+      "MERGE (a:L {id: 1})-[r:T]->(a:L {id: 2})",
+      "MERGE (a:L {id: 1})-[r:T]-(b:L {id: 2})",
+      "CREATE (a:L {id: 1, x: 2})-[:T]->(b:L {id: 1})",
+      "CREATE (a:L {id: 1})-[:T]->(b:L)",
+      "CREATE (a:L {id: 1})-[:T]->(b:L {id: 2})-[:S]->(c:L {id: 3})",
+      "CREATE (__a:L {id: 1})-[:T]->(b:L {id: 2})",
+      // update chains, truncated and doubled
+      "MATCH (n:L) SET n.x = 1 WITH",
+      "MATCH (n:L) SET n.x = 1 WITH n",
+      "MATCH (n:L) SET n.x = 1 WITH n MATCH",
+      "MATCH (n:L) SET n.x = 1 WITH n SET n.y = 2",
+      "MATCH (n:L) SET n.x = 1 WITH n DELETE n",
+      "MATCH (n:L) SET n.x = 1 WITH n MERGE (m:L {id: 1})",
+      "MERGE (n:L {id: 1}) WITH n CREATE (m:L {id: 2})",
+      "MERGE (n:L {id: 1}) WITH n MATCH (m:L) SET m.x = 1 RETURN 1 AS y",
+      "MATCH (n:L) DELETE n WITH n UNION MATCH (m:L) RETURN 1 AS y",
+      "MATCH (n:L) DETACH DELETE n WITH",
+      "CREATE (n:L {id: 1}) WITH n WITH n RETURN",
+      "MATCH (n:L) SET n.x = 1 MATCH (m:L) RETURN 1 AS y",
+      "MERGE (n:L {id: 1}) MATCH (m:L) RETURN 1 AS y",
+      // bounded zero-length edges
+      "MATCH (a)-[:T*0..0]->(b:L) RETURN 1 AS x",
+      "MATCH (a:A)-[:T*0..1]->(b:B) RETURN 1 AS x",
+      "MATCH (a:A|B)-[:T*0..2]->(b) RETURN 1 AS x",
+      "MATCH p = shortestPath((a:L)-[:T*0..3]->(b)) RETURN length(p) AS l",
+      "MATCH (a)-[:T*0..99]->(b) RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    bad.foreach(attempt) // parity mode must also stay typed
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "MERGE", "CREATE", "SET", "DELETE", "WITH", "MATCH", "RETURN",
+      "ON", "(", ")", "[", "]", "{", "}", ":L", "id", ":", "*", "..",
+      "0", "2", "-", "->", "<-", ":T", "a", "b", "n", "r", "=", ",",
+      ".", "x", "1", "AS")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(attempt)
+  }
 }
