@@ -2478,6 +2478,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r4.getString(0) == "Apollo 13" && r4.isNullAt(1))
   }
 
+  test("parameterized batch ingest: UNWIND $batch + id-map rel MERGE") {
+    // the full Neo4j ingest idiom in one query: a parameter list feeds
+    // UNWIND, each row keys both endpoints by id map, the edge upserts
+    // per pair, and the RETURN reads the post-merge faces
+    val r = rows(
+      """UNWIND $batch AS pid
+        |MERGE (p:Person {id: pid})-[r:REVIEWED]->(m:Movie {id: 'm1'})
+        |ON MATCH SET r.Rating = r.Rating + 1
+        |ON CREATE SET r.Rating = 50
+        |RETURN p.id AS i, p.Name AS nm, r.Rating AS rt ORDER BY i""".stripMargin,
+      Map("batch" -> Seq("p5", "p9")))
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getString(1)), x.getInt(2)))
+    assert(r.toSeq == Seq(
+      ("p5", Some("Jessica Thompson"), 96), // (p5, m1) matched
+      ("p9", None, 50)))                    // ghost person, created pair
+  }
+
   test("MERGE/CREATE/DELETE ... WITH chains over their read-back frames") {
     // MERGE chain: the post-merge entity flows downstream; a fresh
     // MATCH of the same table still reads the ORIGINAL store
