@@ -2045,6 +2045,32 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (a:Person)-[:ACTED_IN*0..0]->(b:Movie) RETURN b.id AS i"))
   }
 
+  test("zero-length [*0..k] composes: OPTIONAL MATCH, EXISTS, piped anchor") {
+    // inside OPTIONAL MATCH the identity branch rides the branch-union
+    // left join: every person reaches at least itself, so no null rows
+    val r = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH (a)-[:KNOWS*0..1]->(b:Person)
+        |RETURN a.id AS s, count(b.id) AS n ORDER BY s""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    // KNOWS out-edges: p1→{p2,p4}, p2→{p3}, p3→{p4} — plus self each
+    assert(r.toSeq == Seq(("p1", 3L), ("p2", 2L), ("p3", 2L),
+      ("p4", 1L), ("p5", 1L)))
+    // EXISTS over a zero-length range is vacuously true per node
+    val e = rows(
+      """MATCH (a:Person)
+        |WHERE EXISTS { MATCH (a)-[:KNOWS*0..1]->(b:Person) }
+        |RETURN count(*) AS n""".stripMargin)
+    assert(e.head.getLong(0) == 5L)
+    // a piped entity anchors the zero branch like any other
+    val p = rows(
+      """MATCH (a:Person) WHERE a.id = 'p3' WITH a
+        |MATCH (a)-[:KNOWS*0..1]->(b:Person)
+        |RETURN b.id AS i ORDER BY i""".stripMargin)
+      .map(_.getString(0))
+    assert(p.toSeq == Seq("p3", "p4"))
+  }
+
   test("per-hop map on an unbounded rel filters every traversed edge") {
     // KNOWS: p1→p2 (2010), p2→p3 (2015), p3→p4 (2020), p1→p4 (1999)
     val r = rows(
