@@ -9111,6 +9111,45 @@ object SparkEntry {
           k = 17)
         .orderBy("node"),
       Some(kcoreExactOracle)),
+
+    // --- weighted single-source shortest paths (round 11):
+    //     distributed frontier relaxation (Bellman-Ford's shape) over
+    //     the JUMPS_TO diamond DAG with jump-span-derived weights
+    //     (+1 hop costs 3, +2 costs 5) — the cheapest route mixes hop
+    //     counts, which a hop-count shortestPath cannot observe; the
+    //     oracle min-aggregates a recursive walk's path costs (integer
+    //     weights → exact double sums in both engines)
+    ("g26_weighted_sssp",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = graft.cypher.GraphCatalog.cachedParquet(s,
+          s"$dir/nation.parquet")
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        val e = n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 1).over(w).as("dst"), lit(3.0).as("wt"))
+          .unionByName(n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 2).over(w).as("dst"), lit(5.0).as("wt")))
+          .where(col("dst").isNotNull)
+        GraphOps.weightedSssp(e, "src", "dst", "wt",
+            n.where(col("n_nationkey") === 0).select("n_nationkey"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             |         CASE WHEN b.rn - a.rn = 1 THEN 3 ELSE 5 END AS w
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |walk(dst, d) AS (
+             |  SELECT n_nationkey, 0 FROM nation WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.d + e.w FROM walk w
+             |  JOIN e ON e.src = w.dst)
+             |SELECT dst AS node, CAST(min(d) AS DOUBLE) AS dist
+             |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)),
     // PageRank, 3 fixed iterations — the oracle unrolls the same three
     // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
     // order differs between engines)

@@ -1093,6 +1093,81 @@ object GraphOps {
       nNodes = nodes.toLong,
       nEdges = edges.toLong)
   }
+
+  /**
+   * Weighted single-source (or multi-source) shortest paths (round
+   * 11): distributed frontier RELAXATION — Bellman-Ford's shape, the
+   * standard Spark lowering (a Dijkstra priority queue has no
+   * distributed form). Each round joins only the rows IMPROVED last
+   * round against the edge list, min-aggregates candidate distances
+   * per destination, and keeps the ones that beat the settled table —
+   * so round work tracks the improvement wavefront, not the node
+   * count, and the loop stops the first round nothing improves.
+   * Output: one (node, dist) row per reachable node, sources at 0.0.
+   *
+   * Weights must be NON-NEGATIVE (checked up front, one limit-1 probe
+   * on the edge scan): relaxation still converges with negative
+   * edges, but a negative CYCLE would improve forever — the typed
+   * error beats a silent maxIter timeout. Rounds are bounded by
+   * `maxIter` (weighted improvement can revisit a node up to V−1
+   * times in the worst case; the guard fails typed, never loops).
+   *
+   * Scale shape: slim (node, dist) frames hash-joined against the
+   * once-checkpointed edge list; per-round lineage cut + one count
+   * probe; the settled table is node-bounded. The same posture as
+   * the unweighted reach BFS, plus the min-combine per round.
+   */
+  def weightedSssp(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+        col(weightCol).cast(DoubleType).as("__w"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__w").isNotNull)
+      .localCheckpoint(false)
+    if (e.where(col("__w") < 0).limit(1).count() > 0)
+      throw new GraphContractViolation(
+        "weightedSssp: negative edge weight — relaxation requires " +
+        "w >= 0 (a negative cycle would improve forever)")
+    var dist = sources
+      .select(col(sources.columns.head).as("__n")).distinct()
+      .where(col("__n").isNotNull)
+      .withColumn("__dist", lit(0.0))
+      .localCheckpoint(false)
+    var frontier = dist
+    var go = frontier.limit(1).count() > 0
+    var i = 0
+    while (go) {
+      i += 1
+      if (i > maxIter)
+        throw new GraphContractViolation(
+          s"weightedSssp: relaxation did not converge in $maxIter " +
+          "rounds — raise maxIter (dense weighted improvement can " +
+          "take up to V-1 rounds)")
+      val cand = frontier.join(e, col("__n") === col("__s"))
+        .select(col("__d").as("__n"),
+          (col("__dist") + col("__w")).as("__cd"))
+        .groupBy(col("__n")).agg(min(col("__cd")).as("__cd"))
+      val improved = cand
+        .join(dist.select(col("__n"), col("__dist").as("__old")),
+          Seq("__n"), "left")
+        .where(col("__old").isNull || col("__cd") < col("__old"))
+        .select(col("__n"), col("__cd").as("__dist"))
+        .localCheckpoint(false)
+      go = improved.limit(1).count() > 0
+      if (go) {
+        dist = dist
+          .join(improved.select(col("__n").as("__ni")),
+            col("__n") === col("__ni"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(false)
+        frontier = improved
+      }
+    }
+    dist.select(col("__n").as("node"), col("__dist").as("dist"))
+  }
 }
 
 /** Recommended caps for the quadratic-prone graph operators, derived

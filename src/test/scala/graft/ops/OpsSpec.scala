@@ -4642,6 +4642,38 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(curve.last - 1.0) < 1e-12)
   }
 
+  test("weightedSssp: cheaper-but-longer route wins; negative weight typed") {
+    // s→a(1), a→b(1), s→b(5): b settles at 2 through the longer route
+    // (a hop-count shortest path would pick the direct 5); c→d is
+    // disconnected from s and never appears
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 5.0),
+      (3L, 4L, 1.0)).toDF("src", "dst", "w")
+    val src = Seq(0L).toDF("id")
+    val out = GraphOps.weightedSssp(e, "src", "dst", "w", src)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0))
+    // a later round can IMPROVE an already-settled node (the diamond
+    // where the cheap route arrives one round later)
+    val e2 = Seq((0L, 1L, 10.0), (0L, 2L, 1.0), (2L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val out2 = GraphOps.weightedSssp(e2, "src", "dst", "w", src)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2 == Map(0L -> 0.0, 1L -> 2.0, 2L -> 1.0))
+    // multi-source: min over the sources' cones
+    val ms = GraphOps.weightedSssp(e, "src", "dst", "w",
+        Seq(0L, 3L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ms == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 0.0,
+      4L -> 1.0))
+    // negative weights fail typed up front
+    intercept[GraphContractViolation](GraphOps.weightedSssp(
+      Seq((0L, 1L, -1.0)).toDF("src", "dst", "w"), "src", "dst", "w",
+      src).collect())
+    // non-convergence guard trips typed, never loops
+    intercept[GraphContractViolation](GraphOps.weightedSssp(
+      e2, "src", "dst", "w", src, maxIter = 1).collect())
+  }
+
   test("ivfRetrainAdvisory: in-distribution append vs drifted rebuild") {
     val built = (0 until 64).map { i =>
       val ang = i * 0.1
