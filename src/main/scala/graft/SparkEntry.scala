@@ -9150,6 +9150,47 @@ object SparkEntry {
              |  JOIN e ON e.src = w.dst)
              |SELECT dst AS node, CAST(min(d) AS DOUBLE) AS dist
              |FROM walk GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // --- weighted shortest-path TREE (round 11): g26 plus each
+    //     settled node's predecessor on its cheapest route (sources
+    //     null); equal-cost ties break on the smallest pred string —
+    //     deterministic, so the oracle mirrors the tree exactly by
+    //     min-ing preds over the min-cost walks
+    ("g27_sssp_tree",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = graft.cypher.GraphCatalog.cachedParquet(s,
+          s"$dir/nation.parquet")
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        val e = n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 1).over(w).as("dst"), lit(3.0).as("wt"))
+          .unionByName(n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 2).over(w).as("dst"), lit(5.0).as("wt")))
+          .where(col("dst").isNotNull)
+        GraphOps.weightedSsspTree(e, "src", "dst", "wt",
+            n.where(col("n_nationkey") === 0).select("n_nationkey"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             |         CASE WHEN b.rn - a.rn = 1 THEN 3 ELSE 5 END AS w
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |walk(dst, d, pred) AS (
+             |  SELECT n_nationkey, 0, CAST(NULL AS VARCHAR)
+             |  FROM nation WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.d + e.w, CAST(e.src AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst),
+             |m AS (SELECT dst, min(d) AS md FROM walk GROUP BY 1)
+             |SELECT w.dst AS node, CAST(w.d AS DOUBLE) AS dist,
+             |       min(w.pred) AS pred
+             |FROM walk w JOIN m ON m.dst = w.dst AND w.d = m.md
+             |GROUP BY 1, 2 ORDER BY node""".stripMargin)),
     // PageRank, 3 fixed iterations — the oracle unrolls the same three
     // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
     // order differs between engines)

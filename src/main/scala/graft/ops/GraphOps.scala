@@ -1168,6 +1168,80 @@ object GraphOps {
     }
     dist.select(col("__n").as("node"), col("__dist").as("dist"))
   }
+
+  /**
+   * Weighted shortest-path TREE (round 11): [[weightedSssp]] carrying
+   * each settled node's PREDECESSOR on its cheapest route — the
+   * standard routing deliverable (follow `pred` links back to a
+   * source to reconstruct the path; sources carry a null pred).
+   * Equal-cost routes tie-break on the SMALLEST predecessor id's
+   * string form (a total, engine-portable order — the same
+   * struct-min trick as MERGE's winner rule), so the tree is
+   * deterministic and a SQL oracle reproduces it exactly.
+   *
+   * Same relaxation shape and guards as [[weightedSssp]]; the only
+   * addition is the pred member riding the per-round min-combine
+   * struct. Output: (node, dist, pred).
+   */
+  def weightedSsspTree(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+        col(weightCol).cast(DoubleType).as("__w"))
+      .where(col("__s").isNotNull && col("__d").isNotNull &&
+        col("__w").isNotNull)
+      .localCheckpoint(false)
+    if (e.where(col("__w") < 0).limit(1).count() > 0)
+      throw new GraphContractViolation(
+        "weightedSsspTree: negative edge weight — relaxation requires " +
+        "w >= 0 (a negative cycle would improve forever)")
+    var dist = sources
+      .select(col(sources.columns.head).as("__n")).distinct()
+      .where(col("__n").isNotNull)
+      .withColumn("__dist", lit(0.0))
+      .withColumn("__pred", lit(null).cast(StringType))
+      .localCheckpoint(false)
+    var frontier = dist
+    var go = frontier.limit(1).count() > 0
+    var i = 0
+    while (go) {
+      i += 1
+      if (i > maxIter)
+        throw new GraphContractViolation(
+          s"weightedSsspTree: relaxation did not converge in $maxIter " +
+          "rounds — raise maxIter (dense weighted improvement can " +
+          "take up to V-1 rounds)")
+      val cand = frontier.join(e, col("__n") === col("__s"))
+        .select(col("__d").as("__n"),
+          struct((col("__dist") + col("__w")).as("__cd"),
+            col("__s").cast(StringType).as("__cp")).as("__c"))
+        .groupBy(col("__n")).agg(min(col("__c")).as("__c"))
+        .select(col("__n"), col("__c.__cd").as("__cd"),
+          col("__c.__cp").as("__cp"))
+      val improved = cand
+        .join(dist.select(col("__n"), col("__dist").as("__old"),
+            col("__pred").as("__oldp")), Seq("__n"), "left")
+        .where(col("__old").isNull || col("__cd") < col("__old") ||
+          (col("__cd") === col("__old") && col("__oldp").isNotNull &&
+            col("__cp") < col("__oldp")))
+        .select(col("__n"), col("__cd").as("__dist"),
+          col("__cp").as("__pred"))
+        .localCheckpoint(false)
+      go = improved.limit(1).count() > 0
+      if (go) {
+        dist = dist
+          .join(improved.select(col("__n").as("__ni")),
+            col("__n") === col("__ni"), "left_anti")
+          .unionByName(improved)
+          .localCheckpoint(false)
+        frontier = improved
+      }
+    }
+    dist.select(col("__n").as("node"), col("__dist").as("dist"),
+      col("__pred").as("pred"))
+  }
 }
 
 /** Recommended caps for the quadratic-prone graph operators, derived
