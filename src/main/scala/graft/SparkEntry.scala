@@ -1680,6 +1680,27 @@ object SparkEntry {
              |  c_nationkey
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // --- SET = {map} full replacement (round 11): listed keys
+    //     assign, every other declared non-id property nulls — the
+    //     clause expands against the schema at compile time, so the
+    //     nulling is explicit contract; same winner-dedup and
+    //     snapshot-union path as spelled-out SET
+    ("q98_set_full_replace",
+      (s, dir) => cyx(
+        """MATCH (c:Customer) WHERE c.c_acctbal < 0.0
+          |SET c = {c_name: 'RESET', c_acctbal: 0.0}""".stripMargin)
+        .apply(s, dir).orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  CASE WHEN c_acctbal < 0.0 THEN 'RESET'
+             |       ELSE c_name END AS c_name,
+             |  CASE WHEN c_acctbal < 0.0 THEN 0.0
+             |       ELSE c_acctbal END AS c_acctbal,
+             |  CASE WHEN c_acctbal < 0.0 THEN NULL
+             |       ELSE c_mktsegment END AS c_mktsegment,
+             |  CASE WHEN c_acctbal < 0.0 THEN NULL
+             |       ELSE c_nationkey END AS c_nationkey
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // --- REMOVE sugar (round 10): REMOVE n.p parses into SET n.p =
     //     null (property removal IS a null write in a table-backed
     //     graph) — aggregated feed keys the nation snapshot

@@ -259,7 +259,14 @@ object ast {
    *  hitting the same entity reduce to one deterministic winner
    *  (greatest assigned-value struct, [[MergeClause]]'s rule).
    *  `assigns` are (property, rhs) pairs, all on `alias`. */
-  final case class SetClause(alias: String, assigns: Seq[(String, Expr)])
+  /** `fullReplace` (round 11): `SET a = {…}` — Neo4j's full map
+   *  replacement. The listed keys assign; EVERY other declared non-key
+   *  property of the target nulls (the compiler expands the clause
+   *  against the schema, so "silent nulling" becomes the explicit,
+   *  documented contract). Mixing with further assignments in the
+   *  same SET stays a parse rejection. */
+  final case class SetClause(alias: String, assigns: Seq[(String, Expr)],
+      fullReplace: Boolean = false)
 
   /** Query whose terminal clause is a [[SetClause]]. */
   final case class SetQuery(parts: Seq[QueryPart], set: SetClause)

@@ -1606,9 +1606,14 @@ object Compiler {
   /** Shared SET validation + target resolution: checks the alias
    *  binds a node/relationship, the assignments are unique,
    *  aggregate-free, on declared non-key properties — and returns
-   *  (key columns, backing snapshot, output columns). */
+   *  (key columns, backing snapshot, output columns, EFFECTIVE
+   *  assignments). A full-replacement SET (`SET a = {…}`, round 11)
+   *  expands here against the schema: listed keys assign, every
+   *  other declared non-key property nulls — the explicit contract
+   *  behind Neo4j's map replacement. */
   private def setTarget(scope: Map[String, Binding], s: SetClause,
-      catalog: GraphCatalog): (Seq[String], DataFrame, Seq[String]) = {
+      catalog: GraphCatalog)
+      : (Seq[String], DataFrame, Seq[String], Seq[(String, Expr)]) = {
     val b = scope.getOrElse(s.alias, throw new CypherBindingException(
       s"SET target '${s.alias}' is not a bound variable"))
     s.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 => p2 }
@@ -1618,6 +1623,10 @@ object Compiler {
       if (containsAgg(e)) throw new CypherNotSupportedException(
         "SET with an aggregate — aggregate in a WITH before the SET")
     }
+    def expand(props: Seq[String]): Seq[(String, Expr)] =
+      if (!s.fullReplace) s.assigns
+      else s.assigns ++ props.filterNot(s.assigns.map(_._1).contains)
+        .map(_ -> (Lit(null): Expr))
     b match {
       case NodeBinding(n) =>
         val props = n.properties.filterNot(_ == n.idColumn)
@@ -1628,7 +1637,8 @@ object Compiler {
           if (!props.contains(p2)) throw new CypherBindingException(
             s"SET: node '${n.label}' has no declared property '$p2'")
         }
-        (Seq(n.idColumn), catalog.nodeDf(n.label), entityCols(b))
+        (Seq(n.idColumn), catalog.nodeDf(n.label), entityCols(b),
+          expand(props))
       case EdgeBinding(e) =>
         s.assigns.foreach { case (p2, _) =>
           if (p2 == e.srcIdColumn || p2 == e.sinkIdColumn)
@@ -1639,7 +1649,9 @@ object Compiler {
             s"SET: relationship '${e.verb}' has no declared property '$p2'")
         }
         (Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e),
-          entityCols(b))
+          entityCols(b),
+          expand(e.properties.filterNot(p2 =>
+            p2 == e.srcIdColumn || p2 == e.sinkIdColumn)))
       case _ => throw new CypherBindingException(
         s"SET target '${s.alias}' must be a node or relationship variable")
     }
@@ -1649,8 +1661,9 @@ object Compiler {
       catalog: GraphCatalog): DataFrame = {
     val c = compileSingle(SingleQuery(parts), Map.empty,
       terminalIsReturn = false, catalog)
-    val (keyCols, snapshot, outCols) = setTarget(c.scope, s, catalog)
-    setSnapshot(c, s.alias, s.assigns, keyCols, snapshot, outCols)
+    val (keyCols, snapshot, outCols, assigns) =
+      setTarget(c.scope, s, catalog)
+    setSnapshot(c, s.alias, assigns, keyCols, snapshot, outCols)
   }
 
   /**
@@ -1678,10 +1691,10 @@ object Compiler {
       catalog: GraphCatalog): Ctx = {
     val c = compileSingle(SingleQuery(parts), Map.empty,
       terminalIsReturn = false, catalog)
-    val (_, snapshot, _) = setTarget(c.scope, s, catalog)
+    val (_, snapshot, _, assigns) = setTarget(c.scope, s, catalog)
     def dt(cn: String) = snapshot.schema(cn).dataType
     val ec = new ExprCompiler(c.scope, c.df)
-    val aMap: Map[String, Column] = s.assigns.map { case (p2, e) =>
+    val aMap: Map[String, Column] = assigns.map { case (p2, e) =>
       pref(s.alias, p2) -> ec.compile(e).cast(dt(p2)) }.toMap
     val updated = c.df.select(c.df.columns.toSeq.map(cn =>
       aMap.getOrElse(cn, col(cn)).as(cn)): _*)

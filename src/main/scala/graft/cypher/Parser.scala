@@ -670,12 +670,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * assignment — the compiler checks keys against the declared
     * properties exactly as it does spelled-out ones) — terminal,
     * every assignment on ONE bound entity variable (one query, one
-    * new snapshot). `SET a = {…}` (full map replacement) stays a
-    * typed rejection: it silently nulls every unlisted property —
-    * spell that with `+=` plus explicit `= null` assignments. The SET
-    * keyword is consumed by the caller. */
+    * new snapshot). `SET a = {…}` (round 11) is Neo4j's full map
+    * replacement: listed keys assign, every OTHER declared non-key
+    * property nulls (the compiler expands against the schema — the
+    * nulling is explicit contract, not silence); it must be the SET's
+    * only item. The SET keyword is consumed by the caller. */
   private def parseSetClause(): SetClause = {
     var alias: String = null
+    var fullReplace = false
     val b = Vector.newBuilder[(String, Expr)]
     def propName(where: String): String = cur match {
       case Ident(s, _)   => p += 1; s
@@ -707,9 +709,24 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         entry(); while (tryPunct(",")) entry()
         eatPunct("}")
       } else if (isPunct("=")) {
-        notSupported(s"SET $a = {…} map replacement — it silently " +
-          "nulls every unlisted property; use SET " + a +
-          " += {…} (listed keys only) plus explicit = null assignments")
+        // full map replacement (round 11): listed keys assign, the
+        // compiler nulls every other declared non-key property
+        if (b.result().nonEmpty) notSupported(
+          "a SET = {…} full replacement must be the SET's only item")
+        p += 1
+        if (!isPunct("{")) syntaxErr(
+          s"expected a map literal after 'SET $a =' (full replacement)")
+        eatPunct("{")
+        if (!isPunct("}")) {
+          def entry(): Unit = {
+            val pr = propName("in the SET = map")
+            eatPunct(":")
+            b += ((pr, parseExpr()))
+          }
+          entry(); while (tryPunct(",")) entry()
+        }
+        eatPunct("}")
+        fullReplace = true
       } else {
         eatPunct(".")
         val pr = propName("after '.'")
@@ -717,8 +734,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         b += ((pr, parseExpr()))
       }
     }
-    one(); while (tryPunct(",")) one()
-    SetClause(alias, b.result())
+    one()
+    while (tryPunct(",")) {
+      if (fullReplace) notSupported(
+        "further assignments after a SET = {…} full replacement — the " +
+        "map already determines every property")
+      one()
+    }
+    SetClause(alias, b.result(), fullReplace)
   }
 
   /** `REMOVE a.p [, a.q …]` — parse sugar for `SET a.p = null, …`

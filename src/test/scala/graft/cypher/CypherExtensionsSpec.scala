@@ -2569,6 +2569,40 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(rm.toSeq == Seq(("p3", 10), ("p5", 96)))
   }
 
+  test("SET a = {map}: full replacement nulls every unlisted property") {
+    // listed keys assign, every other declared non-id property nulls —
+    // Neo4j's map replacement, expanded against the schema (explicit
+    // contract, not silence)
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |SET p = {Name: 'TH'}""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getString(1)),
+        if (x.isNullAt(2)) None else Some(x.getInt(2))))
+    val byId = r.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId("p1") == ((Some("TH"), None)))           // Born nulled
+    assert(byId("p2") == ((Some("Meg Ryan"), Some(1961)))) // untouched
+    // an empty map nulls everything but the id
+    val r2 = rows("MATCH (p:Person) WHERE p.id = 'p2' SET p = {}")
+      .map(x => x.getString(0) -> ((x.isNullAt(1), x.isNullAt(2)))).toMap
+    assert(r2.contains("p2") && r2("p2") == ((true, true)))
+    // read-back composes (the expansion rides the same SET path)
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p3'
+        |SET p = {Born: 1}
+        |RETURN p.Name AS nm, p.Born AS b""".stripMargin).head
+    assert(r3.isNullAt(0) && r3.getInt(1) == 1)
+    // id not assignable; unknown key; no mixing with other items
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p = {id: 'z'}"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) SET p = {Nope: 1}"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p = {Name: 'a'}, p.Born = 1"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p.Born = 1, p = {Name: 'a'}"))
+  }
+
   test("SET += map sugar desugars to per-key assignments") {
     val r = rows(
       """MATCH (p:Person) WHERE p.id = 'p1'
