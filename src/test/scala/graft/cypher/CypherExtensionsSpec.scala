@@ -2374,10 +2374,11 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |SET p.Name = 'x', m.Title = 'y'""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) DELETE r, p"))
-    // label / whole-map assignment
+    // label assignment; a non-map rhs on a whole-entity SET (the
+    // full-replacement form takes a map literal only — round 11)
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) SET p:Actor"))
-    intercept[CypherNotSupportedException](rows(
+    intercept[CypherSyntaxException](rows(
       "MATCH (p:Person) SET p = 1"))
     // needs a bound target; a value variable is not an entity
     intercept[CypherNotSupportedException](rows("SET p.Name = 'x'"))
