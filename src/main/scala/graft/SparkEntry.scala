@@ -1680,6 +1680,51 @@ object SparkEntry {
              |  c_nationkey
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // --- filter-cascade funnel report (round 11): ordered quality
+    //     stages over the corpus — sequential funnel counts plus each
+    //     stage's UNIQUE rejections (rows it alone rejects — the
+    //     stage's marginal value); one map-side flag projection + one
+    //     aggregate, reshaped from the 1-row result
+    ("p28_filter_cascade",
+      (s, dir) => Pipeline.filterCascadeReport(docs(s, dir), Seq(
+          "min_length" -> (length(col("text")) >= 200),
+          "lang_en" -> (col("lang") === "en"),
+          "source_web" -> (col("source") =!= "synthetic")))
+        .select(col("stage_no"), col("stage"), col("n_in"), col("n_pass"),
+          round(col("pass_rate"), 6).as("pass_rate"),
+          col("n_unique_reject"))
+        .orderBy("stage_no"),
+      Some("""WITH f AS (
+             |  SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
+             |           AS f1,
+             |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f2,
+             |         CASE WHEN source <> 'synthetic' THEN 1 ELSE 0 END
+             |           AS f3
+             |  FROM documents),
+             |a AS (SELECT count(*) AS in1,
+             |        sum(f1) AS in2, sum(f1*f2) AS in3,
+             |        sum(f1*f2*f3) AS pass3,
+             |        sum((1-f1)*f2*f3) AS u1,
+             |        sum(f1*(1-f2)*f3) AS u2,
+             |        sum(f1*f2*(1-f3)) AS u3
+             |      FROM f)
+             |SELECT 1 AS stage_no, 'min_length' AS stage,
+             |       CAST(in1 AS BIGINT) AS n_in,
+             |       CAST(in2 AS BIGINT) AS n_pass,
+             |       round(CAST(in2 AS DOUBLE) / in1, 6) AS pass_rate,
+             |       CAST(u1 AS BIGINT) AS n_unique_reject FROM a
+             |UNION ALL
+             |SELECT 2, 'lang_en', CAST(in2 AS BIGINT),
+             |       CAST(in3 AS BIGINT),
+             |       round(CAST(in3 AS DOUBLE) / in2, 6),
+             |       CAST(u2 AS BIGINT) FROM a
+             |UNION ALL
+             |SELECT 3, 'source_web', CAST(in3 AS BIGINT),
+             |       CAST(pass3 AS BIGINT),
+             |       round(CAST(pass3 AS DOUBLE) / in3, 6),
+             |       CAST(u3 AS BIGINT) FROM a
+             |ORDER BY stage_no""".stripMargin)),
+
     // --- SET = {map} full replacement (round 11): listed keys
     //     assign, every other declared non-id property nulls — the
     //     clause expands against the schema at compile time, so the

@@ -1219,4 +1219,51 @@ object Pipeline {
           col("__srx"), col("__sry"), col("__srxy"), col("__srxx"),
           col("__sryy")).as("spearman"))
   }
+
+  /**
+   * Filter-cascade funnel report (round 11): the observability tool
+   * behind quality-filter tuning. Given ORDERED boolean stages over a
+   * corpus, one row per stage with the sequential funnel — `n_in`
+   * (rows surviving every PRIOR stage), `n_pass`, `pass_rate` — plus
+   * `n_unique_reject`: rows THIS stage alone rejects (they pass every
+   * other stage), the stage's marginal value in the cascade. A stage
+   * whose unique rejections are ~0 is redundant where it stands; a
+   * stage whose funnel pass rate differs wildly from its standalone
+   * rate is shadowed by earlier stages.
+   *
+   * Scale: ONE pass — every stage's flag computes map-side in a
+   * single projection (null predicates count as failures), and the
+   * whole report is one aggregate over flag products; the per-stage
+   * reshape is a union of projections over the 1-row aggregate.
+   * Nothing corpus-sized shuffles, nothing collects.
+   */
+  def filterCascadeReport(df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterCascadeReport: no stages")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "filterCascadeReport: duplicate stage names")
+    val n = stages.size
+    val flags = stages.map { case (_, c) =>
+      when(c, lit(1L)).otherwise(lit(0L)) }
+    def product(cols: Seq[Column]): Column =
+      cols.reduceOption(_ * _).getOrElse(lit(1L))
+    val aggExprs =
+      // n_in(k) = survivors of stages 0..k-1 (k = 0 → corpus size)
+      (0 to n).map(k => sum(product(flags.take(k))).as(s"__in_$k")) ++
+      // unique_reject(k) = fails k, passes every other stage
+      (0 until n).map(k => sum((lit(1L) - flags(k)) *
+        product(flags.zipWithIndex.collect {
+          case (f, j) if j != k => f })).as(s"__u_$k"))
+    val one = df.agg(aggExprs.head, aggExprs.tail: _*)
+      .localCheckpoint(false)
+    stages.zipWithIndex.map { case ((name, _), k) =>
+      one.select(lit(k + 1).as("stage_no"), lit(name).as("stage"),
+        coalesce(col(s"__in_$k"), lit(0L)).as("n_in"),
+        coalesce(col(s"__in_${k + 1}"), lit(0L)).as("n_pass"),
+        when(col(s"__in_$k") > 0,
+            col(s"__in_${k + 1}").cast("double") / col(s"__in_$k"))
+          .otherwise(lit(null)).as("pass_rate"),
+        coalesce(col(s"__u_$k"), lit(0L)).as("n_unique_reject"))
+    }.reduce(_ unionByName _)
+  }
 }

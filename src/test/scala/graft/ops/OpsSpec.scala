@@ -4642,6 +4642,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(curve.last - 1.0) < 1e-12)
   }
 
+  test("filterCascadeReport: sequential funnel and unique rejections") {
+    val d = Seq(
+      (1L, 10, true),   // fails len only → len's UNIQUE rejection
+      (2L, 200, false), // fails ok only → ok's UNIQUE rejection
+      (3L, 200, true),  // passes all
+      (4L, 10, false)   // fails both → unique to NEITHER stage
+    ).toDF("id", "len", "ok")
+    val r = Pipeline.filterCascadeReport(d, Seq(
+        "len" -> (col("len") >= 100), "ok" -> col("ok")))
+      .orderBy("stage_no").collect()
+    assert(r(0).getString(1) == "len" && r(0).getLong(2) == 4 &&
+      r(0).getLong(3) == 2 && r(0).getLong(5) == 1)
+    assert(r(1).getString(1) == "ok" && r(1).getLong(2) == 2 &&
+      r(1).getLong(3) == 1 && r(1).getLong(5) == 1)
+    // null predicate values count as failures, never as passes
+    val dn = Seq((1L, Some(true)), (2L, None: Option[Boolean]))
+      .toDF("id", "ok")
+    val rn = Pipeline.filterCascadeReport(dn, Seq("ok" -> col("ok")))
+      .collect()
+    assert(rn(0).getLong(2) == 2 && rn(0).getLong(3) == 1)
+    intercept[IllegalArgumentException](
+      Pipeline.filterCascadeReport(d, Seq.empty))
+    intercept[IllegalArgumentException](
+      Pipeline.filterCascadeReport(d,
+        Seq("a" -> col("ok"), "a" -> col("ok"))))
+  }
+
   test("weightedSssp: cheaper-but-longer route wins; negative weight typed") {
     // s→a(1), a→b(1), s→b(5): b settles at 2 through the longer route
     // (a hop-count shortest path would pick the direct 5); c→d is
