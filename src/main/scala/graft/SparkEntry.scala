@@ -1692,7 +1692,8 @@ object SparkEntry {
           "source_web" -> (col("source") =!= "synthetic")))
         .select(col("stage_no"), col("stage"), col("n_in"), col("n_pass"),
           round(col("pass_rate"), 6).as("pass_rate"),
-          col("n_unique_reject"))
+          col("n_unique_reject"),
+          round(col("standalone_rate"), 6).as("standalone_rate"))
         .orderBy("stage_no"),
       Some("""WITH f AS (
              |  SELECT CASE WHEN length(text) >= 200 THEN 1 ELSE 0 END
@@ -1704,6 +1705,7 @@ object SparkEntry {
              |a AS (SELECT count(*) AS in1,
              |        sum(f1) AS in2, sum(f1*f2) AS in3,
              |        sum(f1*f2*f3) AS pass3,
+             |        sum(f1) AS s1, sum(f2) AS s2, sum(f3) AS s3,
              |        sum((1-f1)*f2*f3) AS u1,
              |        sum(f1*(1-f2)*f3) AS u2,
              |        sum(f1*f2*(1-f3)) AS u3
@@ -1712,17 +1714,21 @@ object SparkEntry {
              |       CAST(in1 AS BIGINT) AS n_in,
              |       CAST(in2 AS BIGINT) AS n_pass,
              |       round(CAST(in2 AS DOUBLE) / in1, 6) AS pass_rate,
-             |       CAST(u1 AS BIGINT) AS n_unique_reject FROM a
+             |       CAST(u1 AS BIGINT) AS n_unique_reject,
+             |       round(CAST(s1 AS DOUBLE) / in1, 6) AS standalone_rate
+             |FROM a
              |UNION ALL
              |SELECT 2, 'lang_en', CAST(in2 AS BIGINT),
              |       CAST(in3 AS BIGINT),
              |       round(CAST(in3 AS DOUBLE) / in2, 6),
-             |       CAST(u2 AS BIGINT) FROM a
+             |       CAST(u2 AS BIGINT),
+             |       round(CAST(s2 AS DOUBLE) / in1, 6) FROM a
              |UNION ALL
              |SELECT 3, 'source_web', CAST(in3 AS BIGINT),
              |       CAST(pass3 AS BIGINT),
              |       round(CAST(pass3 AS DOUBLE) / in3, 6),
-             |       CAST(u3 AS BIGINT) FROM a
+             |       CAST(u3 AS BIGINT),
+             |       round(CAST(s3 AS DOUBLE) / in1, 6) FROM a
              |ORDER BY stage_no""".stripMargin)),
 
     // --- SET = {map} full replacement (round 11): listed keys

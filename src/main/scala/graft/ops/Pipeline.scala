@@ -1226,10 +1226,11 @@ object Pipeline {
    * corpus, one row per stage with the sequential funnel — `n_in`
    * (rows surviving every PRIOR stage), `n_pass`, `pass_rate` — plus
    * `n_unique_reject`: rows THIS stage alone rejects (they pass every
-   * other stage), the stage's marginal value in the cascade. A stage
-   * whose unique rejections are ~0 is redundant where it stands; a
-   * stage whose funnel pass rate differs wildly from its standalone
-   * rate is shadowed by earlier stages.
+   * other stage — the stage's marginal value in the cascade) and
+   * `standalone_rate`: the stage's pass rate over the WHOLE corpus.
+   * A stage whose unique rejections are ~0 is redundant where it
+   * stands; a funnel pass rate far above the standalone rate means
+   * earlier stages shadow it (they already reject what it would).
    *
    * Scale: ONE pass — every stage's flag computes map-side in a
    * single projection (null predicates count as failures), and the
@@ -1253,7 +1254,9 @@ object Pipeline {
       // unique_reject(k) = fails k, passes every other stage
       (0 until n).map(k => sum((lit(1L) - flags(k)) *
         product(flags.zipWithIndex.collect {
-          case (f, j) if j != k => f })).as(s"__u_$k"))
+          case (f, j) if j != k => f })).as(s"__u_$k")) ++
+      // standalone pass count of stage k over the whole corpus
+      (0 until n).map(k => sum(flags(k)).as(s"__s_$k"))
     val one = df.agg(aggExprs.head, aggExprs.tail: _*)
       .localCheckpoint(false)
     stages.zipWithIndex.map { case ((name, _), k) =>
@@ -1263,7 +1266,10 @@ object Pipeline {
         when(col(s"__in_$k") > 0,
             col(s"__in_${k + 1}").cast("double") / col(s"__in_$k"))
           .otherwise(lit(null)).as("pass_rate"),
-        coalesce(col(s"__u_$k"), lit(0L)).as("n_unique_reject"))
+        coalesce(col(s"__u_$k"), lit(0L)).as("n_unique_reject"),
+        when(col("__in_0") > 0,
+            col(s"__s_$k").cast("double") / col("__in_0"))
+          .otherwise(lit(null)).as("standalone_rate"))
     }.reduce(_ unionByName _)
   }
 }
