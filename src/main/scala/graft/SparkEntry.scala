@@ -6643,6 +6643,53 @@ object SparkEntry {
              |FROM c JOIN t ON c.lang = t.lang
              |ORDER BY c.lang, c.split""".stripMargin)),
 
+    // --- partition-column advisory (round 11): for each candidate
+    //     column, what partitionBy would produce — directory count,
+    //     skew, estimated files at the target, small-file share —
+    //     plus a verdict; the pre-write sibling of b03's pruning sim
+    ("b08_partition_advisory",
+      (s, dir) => Bucketing.partitionPlanAdvisory(
+          graft.cypher.GraphCatalog.cachedParquet(s, s"$dir/orders.parquet"),
+          Seq("o_orderpriority", "o_orderstatus", "o_custkey"),
+          targetRowsPerFile = 1000L, maxPartitions = 1000L)
+        .select(col("part_col"), col("n_partitions"), col("rows_total"),
+          round(col("mean_rows"), 6).as("mean_rows"), col("max_rows"),
+          round(col("skew"), 6).as("skew"), col("est_files"),
+          round(col("small_file_share"), 6).as("small_file_share"),
+          col("verdict"))
+        .orderBy("part_col"),
+      Some("""WITH g AS (
+             |  SELECT 'o_orderpriority' AS part_col,
+             |         o_orderpriority::VARCHAR AS k, count(*) AS n
+             |  FROM orders GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', o_orderstatus::VARCHAR, count(*)
+             |  FROM orders GROUP BY 1, 2
+             |  UNION ALL
+             |  SELECT 'o_custkey', o_custkey::VARCHAR, count(*)
+             |  FROM orders GROUP BY 1, 2),
+             |a AS (
+             |  SELECT part_col, count(*) AS np,
+             |         CAST(sum(n) AS BIGINT) AS rt,
+             |         CAST(max(n) AS BIGINT) AS mx,
+             |         CAST(sum(CAST(ceil(CAST(n AS DOUBLE) / 1000)
+             |           AS BIGINT)) AS BIGINT) AS ef,
+             |         sum(CASE WHEN n < 250 THEN 1 ELSE 0 END) AS sm
+             |  FROM g GROUP BY 1)
+             |SELECT part_col, np AS n_partitions, rt AS rows_total,
+             |       round(CAST(rt AS DOUBLE) / np, 6) AS mean_rows,
+             |       mx AS max_rows,
+             |       round(CAST(mx AS DOUBLE) * np / rt, 6) AS skew,
+             |       ef AS est_files,
+             |       round(CAST(sm AS DOUBLE) / np, 6)
+             |         AS small_file_share,
+             |       CASE WHEN np > 1000 THEN 'too_many_partitions'
+             |            WHEN np < 4 THEN 'too_coarse'
+             |            WHEN CAST(mx AS DOUBLE) * np / rt > 10.0
+             |              THEN 'skewed'
+             |            ELSE 'ok' END AS verdict
+             |FROM a ORDER BY part_col""".stripMargin)),
+
     // --- file-skipping simulation: the b01 Z-order ledger against the
     //     hot predicate box (hours 9–12, user buckets 0–7)
     ("b03_pruning_sim",

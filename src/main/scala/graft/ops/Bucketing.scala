@@ -162,6 +162,60 @@ object Bucketing {
   }
 
   /**
+   * Partition-column advisory (round 11): for each CANDIDATE column,
+   * what `partitionBy(col)` would actually produce — partition count,
+   * mean/max rows per partition, the skew ratio, the estimated file
+   * count at `targetRowsPerFile`, and the share of partitions that
+   * would land as small files (< target/4 rows) — plus a verdict:
+   * `too_many_partitions` (> maxPartitions directories — metadata
+   * pressure swamps pruning wins), `too_coarse` (< minPartitions —
+   * pruning can't skip anything), `skewed` (max/mean > skewRatio —
+   * one directory holds the table), else `ok`. The pre-write sibling
+   * of [[pruningSim]]: run it BEFORE committing a layout, not after.
+   *
+   * Scale: one partial-agg groupBy per candidate (k passes over the
+   * column, k small by construction) feeding a partitions-sized
+   * second aggregate; candidates' report rows union. Nothing
+   * corpus-sized shuffles beyond the per-candidate key counts; null
+   * partition values count as one directory (Hive's __HIVE_DEFAULT
+   * behavior).
+   */
+  def partitionPlanAdvisory(df: DataFrame, candidates: Seq[String],
+      targetRowsPerFile: Long, maxPartitions: Long = 10000L,
+      minPartitions: Long = 4L, skewRatio: Double = 10.0): DataFrame = {
+    require(candidates.nonEmpty, "partitionPlanAdvisory: no candidates")
+    require(targetRowsPerFile >= 1,
+      s"targetRowsPerFile must be >= 1: $targetRowsPerFile")
+    candidates.map { c =>
+      val perPart = df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+      perPart.agg(
+          count(lit(1)).as("n_partitions"),
+          sum(col("__n")).as("rows_total"),
+          max(col("__n")).as("max_rows"),
+          sum(ceil(col("__n").cast("double") / targetRowsPerFile)
+            .cast("long")).as("est_files"),
+          sum(when(col("__n") < targetRowsPerFile / 4L, 1L)
+            .otherwise(0L)).as("__small"))
+        .select(lit(c).as("part_col"), col("n_partitions"),
+          col("rows_total"),
+          (col("rows_total").cast("double") / col("n_partitions"))
+            .as("mean_rows"),
+          col("max_rows"),
+          (col("max_rows").cast("double") *
+            col("n_partitions") / col("rows_total")).as("skew"),
+          col("est_files"),
+          (col("__small").cast("double") / col("n_partitions"))
+            .as("small_file_share"))
+        .withColumn("verdict",
+          when(col("n_partitions") > maxPartitions,
+            lit("too_many_partitions"))
+          .when(col("n_partitions") < minPartitions, lit("too_coarse"))
+          .when(col("skew") > skewRatio, lit("skewed"))
+          .otherwise(lit("ok")))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * File-skipping simulation over a layout ledger: given per-file
    * min/max envelopes ([[zorderLayout]]'s output \u2014 or any manifest
    * with column statistics) and a rectangular predicate box, classify

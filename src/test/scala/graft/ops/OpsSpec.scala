@@ -4642,6 +4642,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(curve.last - 1.0) < 1e-12)
   }
 
+  test("partitionPlanAdvisory: verdicts for coarse, skewed, and sane layouts") {
+    val d = (
+      (0 until 900).map(i => (i.toLong, "hot", i % 30, i % 2)) ++
+      (0 until 100).map(i => (1000L + i, s"cold_$i", 100 + i % 30, i % 2))
+    ).toDF("id", "skewed_col", "sane_col", "coarse_col")
+    val r = Bucketing.partitionPlanAdvisory(d,
+        Seq("skewed_col", "sane_col", "coarse_col"),
+        targetRowsPerFile = 100L, maxPartitions = 200L)
+      .collect().map(x => x.getString(0) -> x.getString(8)).toMap
+    // 'hot' holds 900 of 1000 rows over 101 keys → skew ≈ 91
+    assert(r("skewed_col") == "skewed")
+    assert(r("coarse_col") == "too_coarse") // 2 values
+    assert(r("sane_col") == "ok")           // 60 balanced keys
+    // a tighter directory budget trips the partition-count verdict
+    val tight = Bucketing.partitionPlanAdvisory(d, Seq("sane_col"),
+        targetRowsPerFile = 100L, maxPartitions = 50L)
+      .collect().head.getString(8)
+    assert(tight == "too_many_partitions")
+    // file estimate: 900-row partition at target 100 → 9 files
+    val est = Bucketing.partitionPlanAdvisory(d, Seq("skewed_col"),
+        targetRowsPerFile = 100L)
+      .collect().head
+    assert(est.getLong(6) == 9L + 100L) // 9 for 'hot' + 1 per cold key
+    intercept[IllegalArgumentException](
+      Bucketing.partitionPlanAdvisory(d, Seq.empty, 100L))
+  }
+
   test("filterCascadeReport: sequential funnel and unique rejections") {
     val d = Seq(
       (1L, 10, true),   // fails len only → len's UNIQUE rejection
