@@ -9310,6 +9310,56 @@ object SparkEntry {
              |       min(w.pred) AS pred
              |FROM walk w JOIN m ON m.dst = w.dst AND w.d = m.md
              |GROUP BY 1, 2 ORDER BY node""".stripMargin)),
+
+    // --- route expansion over the g27 tree (round 11): one row per
+    //     hop of every node's cheapest route, source at pos 0 — the
+    //     oracle rebuilds the tree then follows pred links recursively
+    ("g28_sssp_routes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val n = graft.cypher.GraphCatalog.cachedParquet(s,
+          s"$dir/nation.parquet")
+        val w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+        val e = n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 1).over(w).as("dst"), lit(3.0).as("wt"))
+          .unionByName(n.select(col("n_nationkey").as("src"),
+            lead("n_nationkey", 2).over(w).as("dst"), lit(5.0).as("wt")))
+          .where(col("dst").isNotNull)
+        val tree = GraphOps.weightedSsspTree(e, "src", "dst", "wt",
+          n.where(col("n_nationkey") === 0).select("n_nationkey"))
+        GraphOps.ssspRoutes(tree).orderBy("node", "pos")
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+             |         CASE WHEN b.rn - a.rn = 1 THEN 3 ELSE 5 END AS w
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |walk(dst, d, pred) AS (
+             |  SELECT n_nationkey, 0, CAST(NULL AS VARCHAR)
+             |  FROM nation WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.d + e.w, CAST(e.src AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst),
+             |m AS (SELECT dst, min(d) AS md FROM walk GROUP BY 1),
+             |tree AS (
+             |  SELECT w.dst AS node, min(w.pred) AS pred
+             |  FROM walk w JOIN m ON m.dst = w.dst AND w.d = m.md
+             |  GROUP BY 1),
+             |r(target, hop, back) AS (
+             |  SELECT CAST(node AS VARCHAR), CAST(node AS VARCHAR), 0
+             |  FROM tree
+             |  UNION ALL
+             |  SELECT r.target, t.pred, r.back + 1
+             |  FROM r JOIN tree t ON CAST(t.node AS VARCHAR) = r.hop
+             |  WHERE t.pred IS NOT NULL),
+             |l AS (SELECT target, max(back) AS len FROM r GROUP BY 1)
+             |SELECT r.target AS node, l.len - r.back AS pos, r.hop AS hop
+             |FROM r JOIN l ON l.target = r.target
+             |ORDER BY node, pos""".stripMargin)),
     // PageRank, 3 fixed iterations — the oracle unrolls the same three
     // rounds as chained CTEs; ranks rounded to 6 on both sides (sum
     // order differs between engines)

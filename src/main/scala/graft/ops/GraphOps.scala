@@ -1242,6 +1242,64 @@ object GraphOps {
     dist.select(col("__n").as("node"), col("__dist").as("dist"),
       col("__pred").as("pred"))
   }
+
+  /**
+   * Route expansion over a [[weightedSsspTree]] (round 11): one row
+   * per HOP of every node's cheapest route — (node, pos, hop), pos 0
+   * at the source, the last pos at the node itself. Iterative
+   * pred-following: each round joins the still-walking heads against
+   * the tree's (node → pred) map, so round work is the number of
+   * unfinished routes and the loop ends when every head reaches a
+   * source (null pred). Output rows = Σ route lengths — bounded by
+   * nodes × the tree's depth; `maxIter` guards a malformed tree
+   * (a pred cycle cannot arise from [[weightedSsspTree]] itself, but
+   * a hand-edited frame could) with a typed error.
+   *
+   * Scale: the tree is node-sized (broadcast-able); each round is one
+   * hash join of the shrinking head set against it plus a union onto
+   * the accumulated rows, lineage-cut per round.
+   */
+  def ssspRoutes(tree: DataFrame, maxIter: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    require(maxIter >= 1, s"maxIter must be >= 1: $maxIter")
+    val t = tree.select(col("node").cast(StringType).as("__tn"),
+        col("pred").cast(StringType).as("__tp"))
+      .localCheckpoint(false)
+    // walking state: (target, head, back) — back = hops walked back
+    // from the target so far; finished rows (head's pred null) retire
+    var acc = tree.select(col("node").cast(StringType).as("__target"),
+        col("node").cast(StringType).as("__hop"), lit(0).as("__back"))
+      .localCheckpoint(false)
+    var frontier = acc
+    var i = 0
+    var go = frontier.limit(1).count() > 0
+    while (go) {
+      i += 1
+      if (i > maxIter)
+        throw new GraphContractViolation(
+          s"ssspRoutes: route expansion did not terminate in $maxIter " +
+          "rounds — the tree's pred links do not reach a source " +
+          "(malformed or cyclic tree)")
+      val next = frontier
+        .join(t, frontier("__hop") === t("__tn"))
+        .where(col("__tp").isNotNull)
+        .select(col("__target"), col("__tp").as("__hop"),
+          (col("__back") + 1).as("__back"))
+        .localCheckpoint(false)
+      go = next.limit(1).count() > 0
+      if (go) {
+        acc = acc.unionByName(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    // pos = route length − back (source at 0, target last)
+    val lens = acc.groupBy(col("__target"))
+      .agg(max(col("__back")).as("__len"))
+    acc.join(lens, Seq("__target"))
+      .select(col("__target").as("node"),
+        (col("__len") - col("__back")).as("pos"),
+        col("__hop").as("hop"))
+  }
 }
 
 /** Recommended caps for the quadratic-prone graph operators, derived

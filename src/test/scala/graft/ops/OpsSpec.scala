@@ -4756,6 +4756,26 @@ class OpsSpec extends AnyFunSuite {
     assert(d1 == d2)
   }
 
+  test("ssspRoutes: every node's cheapest route, source at pos 0") {
+    // s→a(1), a→b(1), s→b(5): b's route is s, a, b
+    val e = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 5.0))
+      .toDF("src", "dst", "w")
+    val tree = GraphOps.weightedSsspTree(e, "src", "dst", "w",
+      Seq(0L).toDF("id"))
+    val routes = GraphOps.ssspRoutes(tree)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(routes("0") == Seq("0"))
+    assert(routes("1") == Seq("0", "1"))
+    assert(routes("2") == Seq("0", "1", "2"))
+    // a hand-mangled cyclic tree fails typed instead of looping
+    val cyc = Seq(("x", 1.0, "y"), ("y", 1.0, "x"))
+      .toDF("node", "dist", "pred")
+    intercept[GraphContractViolation](
+      GraphOps.ssspRoutes(cyc, maxIter = 5).collect())
+  }
+
   test("ivfRetrainAdvisory: in-distribution append vs drifted rebuild") {
     val built = (0 until 64).map { i =>
       val ang = i * 0.1
