@@ -1680,6 +1680,24 @@ object SparkEntry {
              |  c_nationkey
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // --- EXISTS under OR (round 11): no semi-join form exists for a
+    //     disjunctive existential, so it lowers as a per-row VALUE
+    //     through the correlated-comprehension machinery (size of a
+    //     1-per-match list > 0, grouped per outer key, left-joined
+    //     back) — the top-level-conjunct positions keep the cheaper
+    //     semi-join
+    ("q99_exists_under_or", cyx(
+      """MATCH (c:Customer)
+        |WHERE c.c_acctbal > 9990.0
+        |   OR NOT EXISTS((c)-[:PLACED]->(:Order))
+        |RETURN count(*) AS n, round(sum(c.c_acctbal), 2) AS bal"""
+        .stripMargin),
+      Some("""SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal
+             |FROM customer
+             |WHERE c_acctbal > 9990.0
+             |   OR c_custkey NOT IN (SELECT o_custkey FROM orders)"""
+             .stripMargin)),
+
     // --- filter-cascade funnel report (round 11): ordered quality
     //     stages over the corpus — sequential funnel counts plus each
     //     stage's UNIQUE rejections (rows it alone rejects — the

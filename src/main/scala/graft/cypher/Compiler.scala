@@ -212,7 +212,21 @@ object Compiler {
             df = existsJoin(df, scope, part, negated, catalog)
           }
           residual.foreach { r =>
-            df = df.filter(new ExprCompiler(scope, df).compile(r))
+            if (containsExistsPat(r)) {
+              // EXISTS in a VALUE position (under OR / CASE / …,
+              // round 11): lower through the projection-expression
+              // machinery — each existential becomes a correlated
+              // comprehension column joined back per outer key — then
+              // filter and drop the helper columns; scope unchanged
+              val (ctx2, items2) = rewritePatternComps(Ctx(df, scope),
+                Seq(RetItem(r, Some("__exw"))), catalog)
+              val added = (ctx2.scope.keySet -- scope.keySet).toSeq
+              df = ctx2.df
+                .filter(new ExprCompiler(ctx2.scope, ctx2.df)
+                  .compile(items2.head.expr))
+                .drop(added: _*)
+            } else
+              df = df.filter(new ExprCompiler(scope, df).compile(r))
           }
         }
       } else {
@@ -296,7 +310,9 @@ object Compiler {
   /** Splits a MATCH WHERE into `[NOT] EXISTS(pattern)` top-level
    *  AND-conjuncts (with their negation parity) and the residual
    *  predicate. EXISTS anywhere deeper — under OR, CASE, a lambda —
-   *  has no join lowering and is rejected with a placement message. */
+   *  stays in the residual: the caller lowers it as a per-row VALUE
+   *  through the projection-expression machinery (round 11; the
+   *  top-level conjuncts keep the cheaper semi-join form). */
   private def splitExistsConjuncts(w: Expr)
       : (Seq[(ExistsPat, Boolean)], Option[Expr]) = {
     val pats = Vector.newBuilder[(ExistsPat, Boolean)]
@@ -311,13 +327,7 @@ object Compiler {
       case Bin(BinOp.And, l, r) if containsExistsPat(e) => walk(l); walk(r)
       case other => strip(other, neg = false) match {
         case Some(pe) => pats += pe
-        case None =>
-          if (containsExistsPat(other))
-            throw new CypherNotSupportedException(
-              "EXISTS pattern predicate must be a top-level AND-conjunct " +
-              "of the MATCH WHERE clause (it lowers to a semi-join, not " +
-              "a per-row value)")
-          rest += other
+        case None     => rest += other
       }
     }
     walk(w)

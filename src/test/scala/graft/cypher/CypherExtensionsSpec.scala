@@ -569,11 +569,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(_.getString(0)) == Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"))
   }
 
-  test("EXISTS placement: OR position rejected; projection position is a boolean") {
-    intercept[CypherNotSupportedException](rows(
+  test("EXISTS placement: OR position lowers as a value; projection " +
+      "position is a boolean") {
+    // EXISTS under OR (round 11): no semi-join form exists, so it
+    // lowers as a per-row VALUE through the comprehension machinery —
+    // the disjunction filters correctly and no helper columns leak
+    val orRows = rows(
       """MATCH (p:Person)
-        |WHERE p.Born = 1956 OR EXISTS((p)-[:ACTED_IN]->(:Movie))
-        |RETURN p.Name AS N""".stripMargin))
+        |WHERE p.Born = 1961 OR EXISTS((p)-[:DIRECTED]->(:Movie))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+    assert(orRows.map(_.getString(0)) == Seq("Meg Ryan", "Rob Reiner"))
+    assert(orRows.head.schema.fieldNames.toSeq == Seq("N"))
+    // NOT EXISTS under OR flips through the same value lowering
+    val notOr = rows(
+      """MATCH (p:Person)
+        |WHERE p.Born = 1961 OR NOT EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.Name AS N ORDER BY N""".stripMargin)
+      .map(_.getString(0))
+    assert(notOr == Seq("Jessica Thompson", "Meg Ryan", "Rob Reiner"))
     // projection position (round 6): boolean-valued existential via the
     // comprehension desugar — must agree with the WHERE semi-join form
     val e = rows(
