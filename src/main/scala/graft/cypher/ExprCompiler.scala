@@ -152,8 +152,9 @@ final class ExprCompiler(
     // in Cypher; the cast is a no-op for well-typed operands
     case _: ExistsPat =>
       throw new CypherNotSupportedException(
-        "EXISTS pattern predicate is only supported as a top-level " +
-        "(optionally NOT-ed) AND-conjunct of a MATCH WHERE clause")
+        "EXISTS pattern predicate is not supported in this position — " +
+        "use it in a MATCH WHERE clause (any boolean position) or a " +
+        "WITH/RETURN projection item")
 
     case _: PatternComp =>
       throw new CypherNotSupportedException(
