@@ -1680,6 +1680,27 @@ object SparkEntry {
              |  c_nationkey
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // --- EXISTS inside OPTIONAL MATCH WHERE (round 11): the
+    //     clause-correlated conjunct (through o) semi-join-filters the
+    //     optional side BEFORE the left join; the outer-correlated one
+    //     (through c) value-lowers to a per-outer-row boolean riding
+    //     the ON condition (false rows null-fill, never drop the
+    //     customer) — both decompositions in one query
+    ("q100_exists_in_optional", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 50
+        |OPTIONAL MATCH (c)-[pl:PLACED]->(o:Order)
+        |WHERE EXISTS((:Customer)-[:PLACED_URGENT]->(o))
+        |  AND EXISTS((c)-[:PLACED_URGENT]->(:Order))
+        |RETURN c.c_custkey AS ck, count(o) AS n_urgent
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c.c_custkey AS ck, count(o.o_orderkey) AS n_urgent
+             |FROM customer c
+             |LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders
+             |           WHERE o_orderpriority = '1-URGENT') o
+             |  ON o.o_custkey = c.c_custkey
+             |WHERE c.c_custkey <= 50
+             |GROUP BY 1 ORDER BY ck""".stripMargin)),
+
     // --- EXISTS under OR (round 11): no semi-join form exists for a
     //     disjunctive existential, so it lowers as a per-row VALUE
     //     through the correlated-comprehension machinery (size of a

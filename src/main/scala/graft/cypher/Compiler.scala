@@ -260,6 +260,50 @@ object Compiler {
         }
         val combinedScope = scope ++ newEntities ++
           m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }
+        // [NOT] EXISTS conjuncts in an OPTIONAL MATCH WHERE (round
+        // 11): Cypher's WHERE applies BEFORE the left join. An
+        // existential correlating only through the clause's OWN
+        // variables lowers as the ordinary semi-/anti-join on the
+        // optional frame; one correlating only through OUTER
+        // variables is a per-OUTER-row boolean — it value-lowers on
+        // the outer frame and rides the join's ON condition (a false
+        // row null-fills, never drops the outer row); one straddling
+        // both sides has no decomposition and stays typed
+        val (optExists, residualW) = m.where.map(splitExistsConjuncts)
+          .getOrElse((Seq.empty, None))
+        val outerExistsCols = Vector.newBuilder[String]
+        var exN = 0
+        optExists.foreach { case (ep, negated) =>
+          val pa = ep.parts.flatMap(_.nodes.flatMap(_.alias)).toSet
+          val ownRefs = pa.filter(newSet)
+          val outerRefs = pa.filter(a => scope.contains(a) && !newSet(a))
+          if (ownRefs.nonEmpty && outerRefs.nonEmpty)
+            throw new CypherNotSupportedException(
+              "EXISTS in an OPTIONAL MATCH WHERE correlating with both " +
+              s"an outer variable ('${outerRefs.head}') and a clause " +
+              s"variable ('${ownRefs.head}') — split it, or make the " +
+              "pattern part of the OPTIONAL MATCH itself")
+          if (outerRefs.nonEmpty && df != null) {
+            // outer-only: boolean column per outer row via the value
+            // lowering, consumed by the ON condition, dropped after
+            val raw: Expr = if (negated) Not(ep) else ep
+            val (ctx2, items2) = rewritePatternComps(Ctx(df, scope),
+              Seq(RetItem(raw, Some(s"__oex_$exN"))), catalog)
+            val cn = s"__oex_$exN"; exN += 1
+            val cmp = new ExprCompiler(ctx2.scope, ctx2.df)
+              .compile(items2.head.expr)
+            df = ctx2.df.withColumn(cn, cmp)
+              .drop((ctx2.scope.keySet -- scope.keySet).toSeq: _*)
+            outerExistsCols += cn
+          } else {
+            val optScope: Map[String, Binding] =
+              newEntities.toMap ++
+                m.pathVars.map { case (a, _) =>
+                  a -> (PathBinding: Binding) }
+            optFiltered = existsJoin(optFiltered, optScope, ep, negated,
+              catalog)
+          }
+        }
         if (df == null)
           // first-clause OPTIONAL MATCH (extension; parity rejects at
           // parse): seed with ONE literal row — the left join then
@@ -267,11 +311,13 @@ object Compiler {
           // Neo4j's zero-match contract, and the plain rows otherwise
           df = optFiltered.sparkSession.range(1).toDF("__row")
         val probe = df.crossJoin(optFiltered)
-        val whereCond = m.where.map(
+        val whereCond = residualW.map(
           new ExprCompiler(combinedScope, probe).compile(_))
-        val onCond = (boundary.map(_.cond) ++ whereCond)
+        val onCond = (boundary.map(_.cond) ++ whereCond ++
+          outerExistsCols.result().map(col))
           .reduceOption(_ && _).getOrElse(lit(true))
         df = df.join(optFiltered, onCond, "left")
+          .drop(outerExistsCols.result(): _*)
         scope = combinedScope
       }
     }

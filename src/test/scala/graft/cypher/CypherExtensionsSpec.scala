@@ -601,6 +601,49 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(e.exists(!_._2)) // non-actors present with false
   }
 
+  test("EXISTS inside OPTIONAL MATCH WHERE: outer correlation rides " +
+      "the ON condition, own correlation filters the optional side") {
+    // OUTER-correlated (through p): a per-outer-row boolean in the ON
+    // condition — failing rows NULL-fill, they never drop the person.
+    // p5 reviews twice but never acts → null row (count 0); everyone
+    // keeps exactly their row
+    val r = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |WHERE EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.id AS i, count(m.id) AS n ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("p1", 0L), ("p2", 0L), ("p3", 0L),
+      ("p4", 0L), ("p5", 0L)))
+    // NOT EXISTS flips it: only the non-actor p5 keeps its reviews
+    val r2 = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |WHERE NOT EXISTS((p)-[:ACTED_IN]->(:Movie))
+        |RETURN p.id AS i, count(m.id) AS n ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r2.toSeq == Seq(("p1", 0L), ("p2", 0L), ("p3", 0L),
+      ("p4", 0L), ("p5", 2L)))
+    // CLAUSE-correlated (through m): semi-join filters the optional
+    // side BEFORE the join — only reviews of a DIRECTED movie (m1)
+    // survive, so p5 keeps one of its two reviews
+    val r3 = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |WHERE EXISTS((m)<-[:DIRECTED]-(:Person))
+        |RETURN p.id AS i, count(m.id) AS n ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r3.toSeq == Seq(("p1", 0L), ("p2", 0L), ("p3", 0L),
+      ("p4", 0L), ("p5", 1L)))
+    // an existential STRADDLING outer and clause variables has no
+    // decomposition — typed
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (q:Person) WHERE q.id = 'p5'
+        |OPTIONAL MATCH (p2:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE EXISTS((q)-[:FOLLOWS]->(p2))
+        |RETURN q.id AS i, count(m.id) AS n""".stripMargin))
+  }
+
   test("parity session rejects EXISTS") {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
