@@ -1701,6 +1701,18 @@ object SparkEntry {
              |WHERE c.c_custkey <= 50
              |GROUP BY 1 ORDER BY ck""".stripMargin)),
 
+    // --- pattern comprehension in MATCH WHERE (round 11): the degree
+    //     predicate size([(c)-[:PLACED]->(o) | ...]) lowers like a
+    //     projection item — correlated collect per outer key,
+    //     left-joined back, helper column dropped after the filter
+    ("q101_patcomp_in_where", cyx(
+      """MATCH (c:Customer)
+        |WHERE size([(c)-[:PLACED]->(o:Order) | o.o_orderkey]) >= 25
+        |RETURN count(*) AS n""".stripMargin),
+      Some("""SELECT count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders
+             |  GROUP BY 1 HAVING count(*) >= 25) t""".stripMargin)),
+
     // --- EXISTS under OR (round 11): no semi-join form exists for a
     //     disjunctive existential, so it lowers as a per-row VALUE
     //     through the correlated-comprehension machinery (size of a

@@ -212,12 +212,13 @@ object Compiler {
             df = existsJoin(df, scope, part, negated, catalog)
           }
           residual.foreach { r =>
-            if (containsExistsPat(r)) {
-              // EXISTS in a VALUE position (under OR / CASE / …,
-              // round 11): lower through the projection-expression
-              // machinery — each existential becomes a correlated
-              // comprehension column joined back per outer key — then
-              // filter and drop the helper columns; scope unchanged
+            if (containsLowerable(r)) {
+              // EXISTS / pattern comprehension in a VALUE position
+              // (under OR / CASE / size() / …, round 11): lower
+              // through the projection-expression machinery — each
+              // becomes a correlated comprehension column joined back
+              // per outer key — then filter and drop the helper
+              // columns; scope unchanged
               val (ctx2, items2) = rewritePatternComps(Ctx(df, scope),
                 Seq(RetItem(r, Some("__exw"))), catalog)
               val added = (ctx2.scope.keySet -- scope.keySet).toSeq
@@ -325,6 +326,42 @@ object Compiler {
   }
 
   // ----- EXISTS pattern predicates (extension) --------------------------
+
+  /** Does `e` contain a node the projection-expression machinery can
+    * lower (an existential or a pattern comprehension)? Round 11: a
+    * MATCH WHERE residual containing one routes through
+    * [[rewritePatternComps]] instead of rejecting. */
+  private def containsLowerable(e: Expr): Boolean =
+    containsExistsPat(e) || containsPatternComp(e)
+
+  private def containsPatternComp(e: Expr): Boolean = e match {
+    case _: PatternComp => true
+    case Bin(_, l, r) =>
+      containsPatternComp(l) || containsPatternComp(r)
+    case Not(x) => containsPatternComp(x)
+    case Neg(x) => containsPatternComp(x)
+    case IsNull(x, _) => containsPatternComp(x)
+    case Func(_, args) => args.exists(containsPatternComp)
+    case Agg(_, _, arg, _) => arg.exists(containsPatternComp)
+    case CaseExpr(ws, o) =>
+      ws.exists { case (c, v) =>
+        containsPatternComp(c) || containsPatternComp(v) } ||
+        o.exists(containsPatternComp)
+    case ListLit(xs) => xs.exists(containsPatternComp)
+    case MapLit(fs) => fs.exists(f => containsPatternComp(f._2))
+    case ListComp(_, l, w, m) =>
+      containsPatternComp(l) || w.exists(containsPatternComp) ||
+        m.exists(containsPatternComp)
+    case QuantPred(_, _, l, pr) =>
+      containsPatternComp(l) || containsPatternComp(pr)
+    case ReduceExpr(_, i, _, l, s) =>
+      containsPatternComp(i) || containsPatternComp(l) ||
+        containsPatternComp(s)
+    case ListIndex(l, f, t, _) =>
+      containsPatternComp(l) || f.exists(containsPatternComp) ||
+        t.exists(containsPatternComp)
+    case _ => false
+  }
 
   private def containsExistsPat(e: Expr): Boolean = e match {
     case _: ExistsPat => true

@@ -158,8 +158,9 @@ final class ExprCompiler(
 
     case _: PatternComp =>
       throw new CypherNotSupportedException(
-        "pattern comprehension is only supported inside WITH/RETURN " +
-        "projection items")
+        "pattern comprehension is not supported in this position — " +
+        "use it in a WITH/RETURN projection item or a MATCH WHERE " +
+        "clause")
 
     case Not(x)    => !build(x).cast(BooleanType)
     case Neg(x)    => negate(compile(x))

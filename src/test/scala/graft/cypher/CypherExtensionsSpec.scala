@@ -819,11 +819,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
         |RETURN [(p.Born), 7] AS xs""".stripMargin).head
     assert(lit.getSeq[Int](0) == Seq(1956, 7))
-    // not allowed in a MATCH WHERE
-    intercept[CypherNotSupportedException](rows(
+    // MATCH WHERE position lowers like a projection item (round 11) —
+    // the classic degree predicate, alone and under OR
+    val deg = rows(
       """MATCH (p:Person)
-        |WHERE size([(p)-[:ACTED_IN]->(m:Movie) | m.Title]) > 0
-        |RETURN p.Name AS N""".stripMargin))
+        |WHERE size([(p)-[:ACTED_IN]->(m:Movie) | m.id]) >= 2
+        |RETURN p.id AS i ORDER BY i""".stripMargin).map(_.getString(0))
+    assert(deg == Seq("p1", "p2"))
+    val degOr = rows(
+      """MATCH (p:Person)
+        |WHERE p.id = 'p4' OR
+        |      size([(p)-[:ACTED_IN]->(m:Movie) | m.id]) >= 3
+        |RETURN p.id AS i ORDER BY i""".stripMargin)
+    assert(degOr.map(_.getString(0)) == Seq("p1", "p4"))
+    assert(degOr.head.schema.fieldNames.toSeq == Seq("i")) // no leaks
     // parity mode has no pattern comprehension surface at all
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherException](parity.run(
