@@ -1713,6 +1713,48 @@ object SparkEntry {
              |  SELECT o_custkey FROM orders
              |  GROUP BY 1 HAVING count(*) >= 25) t""".stripMargin)),
 
+    // --- nodes(p)/relationships(p) path accessors (round 12; the
+    //     reference has no paths at all — CypherVisitor.cs:998-1002):
+    //     each bounded var-length branch materializes witness arrays
+    //     of its hops' entity structs (a pure projection over the
+    //     already-joined columns — no extra scan or shuffle), so the
+    //     everyday Neo4j idiom `[n IN nodes(p) | n.prop]` and the
+    //     whole higher-order-function surface compose. Mirrored by a
+    //     depth-capped DuckDB recursive walk carrying the chain string.
+    ("q102_path_accessors", cyx(
+      """MATCH p = (a:Nation)-[:NEXT_IN_REGION*1..3]->(b:Nation)
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '>' + n.n_name)
+        |         AS chain,
+        |       size(relationships(p)) AS nrels
+        |ORDER BY src_name, dst_name, hops""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |walk AS (
+             |  SELECT c.src, c.dst, 1 AS d,
+             |         '>' || a.n_name || '>' || b.n_name AS chain
+             |  FROM chain c
+             |  JOIN nation a ON a.n_nationkey = c.src
+             |  JOIN nation b ON b.n_nationkey = c.dst
+             |  WHERE c.dst IS NOT NULL
+             |  UNION ALL
+             |  SELECT w.src, c.dst, w.d + 1, w.chain || '>' || b.n_name
+             |  FROM walk w
+             |  JOIN chain c ON c.src = w.dst
+             |  JOIN nation b ON b.n_nationkey = c.dst
+             |  WHERE c.dst IS NOT NULL AND w.d < 3)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       CAST(w.d AS BIGINT) AS hops, w.chain AS chain,
+             |       CAST(w.d AS INTEGER) AS nrels
+             |FROM walk w
+             |JOIN nation a ON a.n_nationkey = w.src
+             |JOIN nation b ON b.n_nationkey = w.dst
+             |ORDER BY src_name, dst_name, hops""".stripMargin)),
+
     // --- EXISTS under OR (round 11): no semi-join form exists for a
     //     disjunctive existential, so it lowers as a per-row VALUE
     //     through the correlated-comprehension machinery (size of a

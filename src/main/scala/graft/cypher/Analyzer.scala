@@ -45,7 +45,14 @@ object Analyzer {
        *  resolution), Right(column) when the part is a `shortestPath`
        *  over an unbounded range — Reach's lowering exposes the
        *  min-distance as a property column of its synthetic rel. */
-      pathVars: Seq[(String, Either[Int, String])] = Seq.empty)
+      pathVars: Seq[(String, Either[Int, String])] = Seq.empty,
+      /** path alias → (node aliases, rel aliases) in traversal order —
+       *  the per-branch witnesses backing nodes(p)/relationships(p).
+       *  Zero-hop identity markers contribute neither a rel nor their
+       *  duplicate right endpoint (a length-0 path has ONE node); paths
+       *  lowered through a Reach pair frame (unbounded ranges) have no
+       *  per-hop witnesses and are absent from this map. */
+      pathWitness: Map[String, (Seq[String], Seq[String])] = Map.empty)
 
   private final class AliasGen {
     private var n = 0
@@ -251,6 +258,7 @@ object Analyzer {
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
       val paths = Vector.newBuilder[(String, Either[Int, String])]
+      val witnesses = Map.newBuilder[String, (Seq[String], Seq[String])]
 
       nm.parts.foreach { pp =>
         pp.pathVar.foreach { pv =>
@@ -276,6 +284,22 @@ object Analyzer {
             case None => Left(pp.rels.count(r =>
               !r.verb.exists(VarLength.isZeroHop)))
           }))
+          // per-hop witnesses: only when every hop is a real edge row
+          // (a Reach pair frame compresses the interior away)
+          val reachLowered = distRel.isDefined ||
+            pp.rels.exists(_.verb.exists(_.startsWith("__REACH_")))
+          if (!reachLowered) {
+            val wn = Vector.newBuilder[String]
+            val wr = Vector.newBuilder[String]
+            wn += pp.nodes.head.alias.get
+            pp.rels.indices.foreach { i =>
+              if (!pp.rels(i).verb.exists(VarLength.isZeroHop)) {
+                wr += pp.rels(i).alias.get
+                wn += pp.nodes(i + 1).alias.get
+              }
+            }
+            witnesses += ((pv, (wn.result(), wr.result())))
+          }
         }
         pp.nodes.foreach { np =>
           val a = np.alias.get
@@ -317,7 +341,7 @@ object Analyzer {
       val where = (nm.m.where.toSeq ++ subConjuncts(mi).result())
         .reduceOption(Bin(BinOp.And, _, _))
       ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
-        nm.m.optional, where, pairs, paths.result())
+        nm.m.optional, where, pairs, paths.result(), witnesses.result())
     }
   }
 

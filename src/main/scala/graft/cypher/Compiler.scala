@@ -171,13 +171,93 @@ object Compiler {
       (edgeSnk(r1.alias, r1.edge) =!= edgeSnk(r2.alias, r2.edge))
   }
 
+  /** Path aliases the query reads through nodes()/relationships() —
+   *  witness arrays widen every row by full-entity structs per hop, so
+   *  they are materialized only for these (a generic product walk over
+   *  the whole AST, so WHERE / projections / lambdas / CALL bodies all
+   *  count). */
+  private def witnessNeeds(x: Any): Set[String] = {
+    val out = scala.collection.mutable.Set[String]()
+    def walk(v: Any): Unit = v match {
+      case Func(n, args) =>
+        if (n == "nodes" || n == "relationships")
+          args match { case Seq(Ref(a, None)) => out += a; case _ => }
+        args.foreach(walk)
+      case s: Iterable[_] => s.foreach(walk)
+      case p: Product     => p.productIterator.foreach(walk)
+      case _ =>
+    }
+    walk(x)
+    out.toSet
+  }
+
+  /** Canonical array-element shapes for nodes(p)/relationships(p): per
+   *  path var, the union of the witness nodes' (id + property) fields
+   *  and the witness rels' entity fields across every resolved branch,
+   *  typed from the catalog's backing tables (labels iterated sorted —
+   *  deterministic field order). Var-length branches of different
+   *  lengths/labels union into ONE element type; a cross-label field
+   *  name stored with diverging types cannot, and is rejected. */
+  private def pathShapes(resolved: Seq[ResolvedMatch],
+      catalog: GraphCatalog, need: Set[String])
+      : Map[String, (Seq[StructField], Seq[StructField])] = {
+    if (need.isEmpty) return Map.empty
+    val labelsByVar = scala.collection.mutable.Map[String, Set[String]]()
+    val edgesByVar  = scala.collection.mutable.Map[String, Set[EdgeDef]]()
+    resolved.foreach { m =>
+      m.pathWitness.foreach {
+        case (a, (wn, wr)) if need(a) =>
+          labelsByVar(a) = labelsByVar.getOrElse(a, Set.empty) ++
+            wn.map(m.nodeLabels)
+          edgesByVar(a) = edgesByVar.getOrElse(a, Set.empty) ++
+            wr.map(ra => m.rels.find(_.alias == ra).get.edge)
+        case _ =>
+      }
+    }
+    def merge(fss: Seq[Seq[StructField]], what: String): Seq[StructField] = {
+      val out = scala.collection.mutable.LinkedHashMap[String, DataType]()
+      fss.flatten.foreach { f =>
+        out.get(f.name) match {
+          case Some(t) if t != f.dataType =>
+            throw new CypherNotSupportedException(
+              s"nodes()/relationships() over this path mix a $what " +
+              s"field '${f.name}' stored as ${t.simpleString} in one " +
+              s"$what and ${f.dataType.simpleString} in another — one " +
+              "array element type cannot cover both")
+          case _ => out(f.name) = f.dataType
+        }
+      }
+      out.iterator.map { case (n, t) => StructField(n, t) }.toSeq
+    }
+    labelsByVar.keysIterator.map { a =>
+      val nf = merge(labelsByVar(a).toSeq.sorted.map { l =>
+        val nd = catalog.graph.node(l)
+        val sch = catalog.nodeDf(l).schema
+        entityCols(NodeBinding(nd)).map(c => sch(c))
+      }, "node label")
+      val rf = merge(edgesByVar(a).toSeq.sortBy(_.key).map { e =>
+        val sch = catalog.edgeDf(e).schema
+        entityCols(EdgeBinding(e)).map(c => sch(c))
+      }, "relationship type")
+      a -> (nf, rf)
+    }.toMap
+  }
+
   def compileMatches(
       start: Option[Ctx],
       resolved: Seq[ResolvedMatch],
-      catalog: GraphCatalog): Ctx = {
+      catalog: GraphCatalog,
+      witnessVars: Set[String] = Set.empty,
+      witnessShape: Map[String, (Seq[StructField], Seq[StructField])] =
+        Map.empty): Ctx = {
     val schema = catalog.graph
     var df: DataFrame = start.map(_.df).orNull
     var scope: Map[String, Binding] = start.map(_.scope).getOrElse(Map.empty)
+    // canonical element shapes for nodes(p)/relationships(p) arrays —
+    // supplied by the var-length branch union (one shape across ALL
+    // branches), else computed from this clause set alone
+    val shapes = witnessShape ++
+      pathShapes(resolved, catalog, witnessVars -- witnessShape.keySet)
 
     resolved.foreach { m =>
       val newNodes: Seq[(String, Binding)] = m.nodeOrder
@@ -204,6 +284,41 @@ object Compiler {
             case Right(dcol) => col(dcol)
           })
           scope = scope + (a -> PathBinding)
+        }
+        // nodes(p)/relationships(p) witness arrays (extension; the
+        // reference has no paths at all — CypherVisitor.cs:998-1002):
+        // one array<struct> per accessor, built from the branch's
+        // already-joined entity columns — a pure projection, no extra
+        // scan or shuffle. Materialized ONLY for paths the query reads
+        // through the accessors (witnessVars), so length-only paths
+        // stay one BIGINT column.
+        m.pathWitness.foreach { case (a, (wNodes, wRels)) =>
+          shapes.get(a).foreach { case (nf, rf) =>
+            def entStruct(fields: Seq[StructField], alias: String,
+                have: Set[String]): Column =
+              struct(fields.map { f =>
+                (if (have(f.name)) col(pref(alias, f.name))
+                 else lit(null).cast(f.dataType)).as(f.name)
+              }: _*)
+            // one canonical type (all-nullable) so every branch of the
+            // union — including the zero-length empty array — agrees
+            // exactly, nullability flags included
+            def canon(fs: Seq[StructField]): DataType = ArrayType(
+              StructType(fs.map(f => StructField(f.name, f.dataType))),
+              containsNull = true)
+            val nodeArr = array(wNodes.map { na =>
+              val nd = schema.node(m.nodeLabels(na))
+              entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
+            }: _*).cast(canon(nf))
+            val relArr =
+              (if (wRels.isEmpty) array() // zero-length branch
+               else array(wRels.map { ra =>
+                 val e = m.rels.find(_.alias == ra).get.edge
+                 entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
+               }: _*)).cast(canon(rf))
+            df = df.withColumn(pref(a, "__nodes"), nodeArr)
+              .withColumn(pref(a, "__rels"), relArr)
+          }
         }
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
@@ -1906,6 +2021,9 @@ object Compiler {
       afterPart: (Int, Ctx) => Ctx = (_, c) => c,
       initial: Option[Ctx] = None): Ctx = {
     var ctx: Option[Ctx] = initial
+    // paths read through nodes()/relationships() anywhere in the query
+    // get witness arrays materialized at MATCH time
+    val witnessVars = witnessNeeds(sq)
     sq.parts.zipWithIndex.foreach { case (part, i) =>
       val isLast = i == sq.parts.size - 1
       val scope = ctx.map(_.scope).getOrElse(inherited)
@@ -1923,8 +2041,8 @@ object Compiler {
                  !NodeAlt.hasCross(cat.graph, ms))
           Some(compileMatches(ctx,
             Analyzer.resolvePart(cat.graph, scope, ms),
-            cat))
-        else Some(compileVarLength(ctx, scope, ms, cat))
+            cat, witnessVars))
+        else Some(compileVarLength(ctx, scope, ms, cat, witnessVars))
       val afterCalls = part.calls.foldLeft(afterMatch0)(
         (c, cs) => Some(applyCall(c, cs, catalog)))
       // standalone RETURN / WITH / UNWIND (extension; parity rejects
@@ -2228,7 +2346,8 @@ object Compiler {
    */
   private def compileVarLength(
       start: Option[Ctx], scope: Map[String, Binding],
-      matches: Seq[MatchClause], catalog: GraphCatalog): Ctx = {
+      matches: Seq[MatchClause], catalog: GraphCatalog,
+      witnessVars: Set[String] = Set.empty): Ctx = {
     // shortestPath() (extension): reduce the branch union to the MIN
     // relationship count per distinct binding of everything else —
     // restricted to a clause's sole, non-optional pattern so "everything
@@ -2248,6 +2367,15 @@ object Compiler {
     }
     val shortestVar: Option[String] =
       if (shortest) matches.head.parts.head.pathVar else None
+    // the shortest reduction keeps only the minimal LENGTH per binding,
+    // grouped on endpoint ids — there is no per-hop witness row left to
+    // read nodes()/relationships() from
+    shortestVar.filter(witnessVars).foreach { pv =>
+      throw new CypherNotSupportedException(
+        s"nodes($pv)/relationships($pv) on a shortestPath variable — " +
+        "the reduction keeps only the minimal length per binding, not " +
+        "per-hop witnesses; bind a bounded [*lo..hi] path instead")
+    }
     // --- OPTIONAL clauses that THEMSELVES need expansion: Cypher is
     // left ⟕ (B1 ∪ … ∪ Bk) — the left row gets its null row only when
     // NO branch matches. The joint per-branch path would union
@@ -2268,9 +2396,11 @@ object Compiler {
         val chunk = buf.toVector; buf.clear()
         val sc = ctx.map(_.scope).getOrElse(scope)
         ctx = Some(
-          if (chunk.exists(needsExp)) compileVarLength(ctx, sc, chunk, catalog)
+          if (chunk.exists(needsExp))
+            compileVarLength(ctx, sc, chunk, catalog, witnessVars)
           else compileMatches(ctx,
-            Analyzer.resolvePart(catalog.graph, sc, chunk), catalog))
+            Analyzer.resolvePart(catalog.graph, sc, chunk), catalog,
+            witnessVars))
       }
       matches.foreach { m =>
         if (m.optional && needsExp(m)) {
@@ -2291,10 +2421,22 @@ object Compiler {
     val (branches, crossAlt) = NodeAlt.expand(cat2.graph, expanded0)
     val compiled = Vector.newBuilder[Ctx]
     var firstErr: Option[CypherException] = None
-    branches.foreach { ms =>
+    // two-pass so nodes(p)/relationships(p) arrays get ONE element
+    // shape across every surviving branch (lengths differ per branch;
+    // the union needs identical array types)
+    val resolvedBranches = branches.flatMap { ms =>
+      try Some(ms -> Analyzer.resolvePart(cat2.graph, scope, ms))
+      catch {
+        case e: CypherBindingException =>
+          if (firstErr.isEmpty) firstErr = Some(e)
+          None
+      }
+    }
+    val shapes =
+      pathShapes(resolvedBranches.flatMap(_._2), cat2, witnessVars)
+    resolvedBranches.foreach { case (ms, rs) =>
       try {
-        var c = compileMatches(start,
-          Analyzer.resolvePart(cat2.graph, scope, ms), cat2)
+        var c = compileMatches(start, rs, cat2, witnessVars, shapes)
         // unnamed shortestPath still needs the branch length to reduce
         // on — ride it in an internal column, dropped after the min
         // (zero-hop identity markers count as 0, the length(p) rule)

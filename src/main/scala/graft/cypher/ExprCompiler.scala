@@ -132,6 +132,17 @@ final class ExprCompiler(
     case Lit(null) => lit(null)
     case Lit(v)    => lit(v)
 
+    // dot access on a lambda-bound element: nodes(p)/relationships(p)
+    // elements are entity structs, map-literal elements are structs,
+    // temporal elements expose the component accessors — field
+    // existence is validated by the TypeInference pass in compile()
+    case Ref(a, Some(p)) if lambdaCols.contains(a) =>
+      typeOf(Ref(a, None)) match {
+        case Some(DateType | TimestampType) =>
+          temporalComponent(p.toLowerCase(java.util.Locale.ROOT),
+            lambdaCols(a))
+        case _ => lambdaCols(a).getField(p)
+      }
     case Ref(a, Some(p)) => colOf(a, p)
     case Ref(a, None) if lambdaCols.contains(a) => lambdaCols(a)
     case Ref(a, None) =>
@@ -139,7 +150,8 @@ final class ExprCompiler(
         scope.get(a) match {
           case Some(ValueBinding) => col(a)
           case Some(PathBinding) => throw new CypherNotSupportedException(
-            s"path variable '$a' supports only length($a)")
+            s"path variable '$a' supports only length($a), nodes($a) " +
+            s"and relationships($a)")
           case Some(_) => throw new CypherNotSupportedException(
             s"entity variable '$a' used as a value — project a property")
           case None =>
@@ -512,6 +524,27 @@ final class ExprCompiler(
               if (f.name == "startnode") e.srcIdColumn else e.sinkIdColumn))
           case _ => throw new CypherBindingException(
             s"${f.name}() expects a relationship variable")
+        }
+      // nodes(p)/relationships(p) (extensions; the reference has no
+      // paths at all — CypherVisitor.cs:998-1002): read the witness
+      // array the compiler materialized at MATCH time for this path —
+      // array<struct> of the hops' entity columns, composing with the
+      // whole higher-order-function surface ([n IN nodes(p) | n.prop],
+      // quantifiers, reduce, indexing)
+      case "nodes" | "relationships" =>
+        arity(1)
+        f.args.head match {
+          case ast.Ref(a, None) if scope.get(a).contains(PathBinding) =>
+            val cn = pref(physAlias(a),
+              if (f.name == "nodes") "__nodes" else "__rels")
+            if (!colTypes.contains(cn))
+              throw new CypherNotSupportedException(
+                s"${f.name}($a) — this path binds only a length: " +
+                "paths over unbounded ranges have no per-hop " +
+                "witnesses (bounded [*lo..hi] paths do)")
+            col(cn)
+          case _ => throw new CypherNotSupportedException(
+            s"${f.name}() expects a named-path variable")
         }
       case "keys" =>
         val (_, b) = entityArg(f, "keys")

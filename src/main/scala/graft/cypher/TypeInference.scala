@@ -112,6 +112,25 @@ final class TypeInference(refType: Ref => Option[DataType],
     case Lit(_)          => None
 
     case Ref(a, None) if lambdaEnv.contains(a) => lambdaEnv(a)
+    // dot access on a lambda-bound element: struct fields (entity
+    // structs from nodes(p)/relationships(p), map literals) and
+    // temporal component accessors; unknown element types stay
+    // permissive
+    case Ref(a, Some(p)) if lambdaEnv.contains(a) =>
+      lambdaEnv(a) match {
+        case Some(StructType(fs)) =>
+          Some(fs.find(_.name == p).map(_.dataType).getOrElse(
+            fail(s"list element '$a' has no field '$p' (fields: " +
+              fs.map(_.name).mkString(", ") + ")")))
+        case Some(DateType | TimestampType)
+            if Parser.TemporalComponents(
+              p.toLowerCase(java.util.Locale.ROOT)) =>
+          Some(IntegerType)
+        case Some(other) =>
+          fail(s"'$a.$p' — element type ${other.simpleString} has no " +
+            "fields")
+        case None => None
+      }
     case r: Ref => refType(r)
 
     case Not(x) =>
@@ -404,6 +423,16 @@ final class TypeInference(refType: Ref => Option[DataType],
       // schema-dependent ones (id, properties) are typed by the
       // compiler. Entity refs themselves infer to None, so no arg walk.
       case "labels" | "keys" => Some(ArrayType(StringType))
+      // path witness arrays: typed from the materialized column (the
+      // compiler names them __{path}___nodes / __{path}___rels); an
+      // unmaterialized path (unbounded range) stays None and the
+      // compiler raises the typed rejection
+      case "nodes" | "relationships" => f.args match {
+        case Seq(r @ Ref(a, None)) if pathRef(r) =>
+          refType(Ref(a,
+            Some(if (f.name == "nodes") "__nodes" else "__rels")))
+        case _ => f.args.foreach(infer); None
+      }
       case "type" => Some(StringType)
       case "id" | "properties" | "startnode" | "endnode" => None
       case _ => f.args.foreach(infer); None

@@ -1131,6 +1131,84 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("Tom Hanks", 1L)))
   }
 
+  test("nodes(p): per-branch node lists over [*1..2], lambda dot access") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |RETURN a.Name AS A, b.Name AS B, [n IN nodes(p) | n.Name] AS NS
+        |ORDER BY A, B, size(NS)""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getSeq[String](2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "Meg Ryan", Seq("Jessica Thompson", "Meg Ryan")),
+      ("Jessica Thompson", "Meg Ryan",
+        Seq("Jessica Thompson", "Tom Hanks", "Meg Ryan")),
+      ("Jessica Thompson", "Tom Hanks", Seq("Jessica Thompson", "Tom Hanks")),
+      ("Tom Hanks", "Meg Ryan", Seq("Tom Hanks", "Meg Ryan"))))
+  }
+
+  test("relationships(p): rel property lists ride each branch") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:KNOWS*1..2]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS B, [r IN relationships(p) | r.Since] AS S
+        |ORDER BY B""".stripMargin)
+      .map(x => (x.getString(0), x.getSeq[Int](1)))
+    assert(r == Seq(
+      ("Kevin Bacon", Seq(2010, 2015)),
+      ("Meg Ryan", Seq(2010)),
+      ("Rob Reiner", Seq(1999))))
+  }
+
+  test("nodes(p) over mixed labels: union struct, missing props null") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:ACTED_IN]->(m:Movie)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN [n IN nodes(p) | coalesce(n.Title, n.Name)] AS NS
+        |ORDER BY NS[1]""".stripMargin)
+      .map(_.getSeq[String](0))
+    assert(r == Seq(
+      Seq("Tom Hanks", "Apollo 13"),
+      Seq("Tom Hanks", "Sleepless in Seattle"),
+      Seq("Tom Hanks", "You've Got Mail")))
+  }
+
+  test("nodes/relationships over [*0..1]: zero branch is one node, no rels") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*0..1]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN size(nodes(p)) AS N, size(relationships(p)) AS R
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getInt(0), x.getInt(1)))
+    assert(r == Seq((1, 0), (2, 1)))
+  }
+
+  test("nodes(p) composes with quantifiers and indexing") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WHERE all(n IN nodes(p) WHERE n.Name CONTAINS ' ')
+        |  AND size(nodes(p)) = 3
+        |RETURN [n IN nodes(p) | n.Name][1] AS MID""".stripMargin)
+    // the only 2-hop branch is p5→p1→p2
+    assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
+  }
+
+  test("path accessors stay rejected where witnesses cannot exist") {
+    // shortestPath reduction has no per-hop witness row
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person))
+        |RETURN [n IN nodes(p) | n.Name] AS NS""".stripMargin))
+    // unbounded range lowers through a Reach pair frame — length only
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |RETURN [n IN nodes(p) | n.Name] AS NS""".stripMargin))
+    // non-path argument
+    intercept[CypherException](rows(
+      "MATCH (a:Person) RETURN nodes(a) AS NS"))
+    // unknown struct field inside the lambda fails typed
+    intercept[CypherException](rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..1]->(b:Person)
+        |RETURN [n IN nodes(p) | n.Nope] AS NS""".stripMargin))
+  }
+
   // ---------------------------------------------------- shortestPath
 
   test("shortestPath: min hops per endpoint pair over [*1..2]") {
