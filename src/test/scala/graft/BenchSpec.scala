@@ -55,4 +55,38 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.findOutliers(results, prev, 1.5).isEmpty)
     assert(Bench.findOutliers(Seq("a" -> 10.0), prev, 1.5) == Seq("a"))
   }
+
+  test("round-11 shape: ~20% UNIFORM inflation trips the total canary") {
+    // the committed r11 artifact ran ~1.196× its best same-code sweep
+    // on every query — each reading under the per-query factor, the
+    // SUM 19.6% over. The sweep-total canary must trip at drift 1.25.
+    val prev = (1 to 50).map(i => s"q$i" -> 1.0).toMap
+    val uniform = (1 to 50).map(i => s"q$i" -> 1.196)
+    assert(Bench.totalInflated(uniform, prev, drift = 1.25))
+    // per-query outliers do NOT fire on the same data (1.196 < factor)
+    assert(Bench.findOutliers(uniform, prev,
+      Bench.effectiveRetimeFactor(drift = 1.25)).isEmpty)
+    // a 10% uniform run is within noise — no flag
+    val mild = (1 to 50).map(i => s"q$i" -> 1.10)
+    assert(!Bench.totalInflated(mild, prev, drift = 1.25))
+    // a loud box (drift >= 2) is already discounted — never flagged
+    assert(!Bench.totalInflated(uniform, prev, drift = 2.3))
+    // queries without priors don't distort the comparison
+    val withNew = uniform :+ ("brand_new" -> 99.0)
+    assert(Bench.totalInflated(withNew, prev, drift = 1.0))
+    assert(!Bench.totalInflated(mild :+ ("brand_new" -> 99.0), prev, 1.0))
+  }
+
+  test("inflation contributors rank by absolute excess seconds") {
+    val prev = Map("big" -> 4.0, "mid" -> 1.0, "small" -> 0.1,
+      "faster" -> 2.0, "nopri" -> -1.0)
+    val results = Seq("big" -> 5.0, "mid" -> 1.6, "small" -> 0.4,
+      "faster" -> 1.5, "unknown" -> 9.0, "nopri" -> 9.0)
+    // big +1.0s, mid +0.6s, small +0.3s; faster improved, unknown/
+    // garbage priors excluded
+    assert(Bench.inflationContributors(results, prev, 2) ==
+      Seq("big", "mid"))
+    assert(Bench.inflationContributors(results, prev, 10) ==
+      Seq("big", "mid", "small"))
+  }
 }
