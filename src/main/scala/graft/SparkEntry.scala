@@ -1755,6 +1755,24 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = w.dst
              |ORDER BY src_name, dst_name, hops""".stripMargin)),
 
+    // --- multi-updating pipeline (round 12): SET then MERGE in ONE
+    //     query — the MERGE's feed is the SET's read-back frame, so
+    //     ON CREATE SET reads the query's own write (c_acctbal + 100);
+    //     the negative merge key never exists, pinning the created
+    //     branch. One snapshot per entity stays a typed rejection
+    //     (unit-pinned); mirrored by plain arithmetic in DuckDB.
+    ("q103_multi_update", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 50
+        |SET c.c_acctbal = c.c_acctbal + 100.0
+        |WITH c
+        |MERGE (o:Order {o_orderkey: -1 - c.c_custkey})
+        |ON CREATE SET o.o_totalprice = c.c_acctbal
+        |RETURN count(*) AS n, round(sum(o.o_totalprice), 2) AS tot"""
+        .stripMargin),
+      Some("""SELECT count(*) AS n,
+             |       round(sum(c_acctbal + 100.0), 2) AS tot
+             |FROM customer WHERE c_custkey <= 50""".stripMargin)),
+
     // --- EXISTS under OR (round 11): no semi-join form exists for a
     //     disjunctive existential, so it lowers as a per-row VALUE
     //     through the correlated-comprehension machinery (size of a

@@ -316,11 +316,14 @@ object ast {
    *  table re-reads the ORIGINAL store (reads-own-writes flows only
    *  through the carried frame — the documented contract; Neo4j's
    *  transactional visibility has no flat-snapshot equivalent). `rest`
-   *  is the continuation starting at the WITH; exactly one updating
-   *  clause per query — a second SET/MERGE/DELETE/CREATE inside the
-   *  chain is a typed rejection. */
+   *  is the continuation starting at the WITH (or directly at the next
+   *  updating keyword — implicit `WITH *`). Round 12: `rest` may
+   *  itself terminate in ANOTHER updating clause (`MATCH … SET … MERGE
+   *  … RETURN` ingest pipelines) — each folds over the previous
+   *  clause's read-back frame; two clauses targeting the SAME backing
+   *  table stay a typed rejection (one snapshot per entity). */
   final case class SetChainQuery(parts: Seq[QueryPart], set: SetClause,
-      rest: SingleQuery) extends Query
+      rest: Query) extends Query
 
   /** Update chaining for the other updating clauses (round 11, the
    *  [[SetChainQuery]] pattern): `MERGE/CREATE/DELETE … WITH …`
@@ -329,17 +332,18 @@ object ast {
    *  or the pre-delete match rows respectively (exactly what the
    *  directly-following-RETURN forms read). The result is the chain's
    *  terminal RETURN; the snapshot is NOT produced (run the terminal
-   *  form for it) and exactly one updating clause per query holds. */
+   *  form for it). Round 12: `rest` may terminate in another updating
+   *  clause — see [[SetChainQuery]]. */
   final case class MergeChainQuery(parts: Seq[QueryPart],
-      merge: MergeClause, rest: SingleQuery) extends Query
+      merge: MergeClause, rest: Query) extends Query
   final case class MergeRelChainQuery(parts: Seq[QueryPart],
-      merge: MergeRelClause, rest: SingleQuery) extends Query
+      merge: MergeRelClause, rest: Query) extends Query
   final case class CreateChainQuery(parts: Seq[QueryPart],
-      create: CreateClause, rest: SingleQuery) extends Query
+      create: CreateClause, rest: Query) extends Query
   final case class CreateRelChainQuery(parts: Seq[QueryPart],
-      create: CreateRelClause, rest: SingleQuery) extends Query
+      create: CreateRelClause, rest: Query) extends Query
   final case class DeleteChainQuery(parts: Seq[QueryPart],
-      del: DeleteClause, rest: SingleQuery) extends Query
+      del: DeleteClause, rest: Query) extends Query
 
   /** Terminal `CREATE (n:L {p: e, …})` (extension; completes the
    *  update triad over the reference's read-only boundary,

@@ -1084,35 +1084,76 @@ object Compiler {
       if (all) u else u.distinct()
     case sq: SingleQuery =>
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
-    case MergeQuery(parts, m) => compileMerge(parts, m, catalog)
-    case MergeReturnQuery(parts, m, ret) =>
-      compileMerge(parts, m, catalog, Some(ret))
-    case MergeChainQuery(parts, m, rest) =>
-      compileMerge(parts, m, catalog, chain = Some(rest))
-    case MergeRelChainQuery(parts, mr, rest) =>
-      compileMergeRel(parts, mr, catalog, None, chain = Some(rest))
-    case CreateChainQuery(parts, c, rest) =>
-      compileCreate(parts, c, catalog, None, chain = Some(rest))
-    case CreateRelChainQuery(parts, cr, rest) =>
-      compileCreateRel(parts, cr, catalog, None, chain = Some(rest))
-    case DeleteChainQuery(parts, d, rest) =>
-      compileDelete(parts, d, catalog, None, chain = Some(rest))
-    case SetQuery(parts, s)   => compileSet(parts, s, catalog)
-    case SetReturnQuery(parts, s, ret) =>
-      compileSetReturn(parts, s, ret, catalog)
-    case SetChainQuery(parts, s, rest) =>
-      compileSetChain(parts, s, rest, catalog)
-    case DeleteQuery(parts, d) => compileDelete(parts, d, catalog)
-    case DeleteReturnQuery(parts, d, ret) =>
-      compileDelete(parts, d, catalog, Some(ret))
-    case CreateQuery(parts, cr) => compileCreate(parts, cr, catalog)
-    case CreateReturnQuery(parts, cr, ret) =>
-      compileCreate(parts, cr, catalog, Some(ret))
-    case CreateRelQuery(parts, cr, ret) =>
-      compileCreateRel(parts, cr, catalog, ret)
-    case MergeRelQuery(parts, mr, ret) =>
-      compileMergeRel(parts, mr, catalog, ret)
+    case updating => compileUpdating(updating, catalog, None, Set.empty)
   }
+
+  /** Updating-query dispatch. `initial` seeds the clause's parts with
+    * the previous updating clause's read-back frame (multi-updating
+    * chains, round 12); `updated` carries the backing tables earlier
+    * clauses in this query already target — one snapshot per entity,
+    * re-targeting is a typed rejection. */
+  private def compileUpdating(q: Query, catalog: GraphCatalog,
+      initial: Option[Ctx], updated: Set[String]): DataFrame = q match {
+    case MergeQuery(parts, m) =>
+      compileMerge(parts, m, catalog, initial = initial, updated = updated)
+    case MergeReturnQuery(parts, m, ret) =>
+      compileMerge(parts, m, catalog, Some(ret), initial = initial,
+        updated = updated)
+    case MergeChainQuery(parts, m, rest) =>
+      compileMerge(parts, m, catalog, chain = Some(rest),
+        initial = initial, updated = updated)
+    case MergeRelChainQuery(parts, mr, rest) =>
+      compileMergeRel(parts, mr, catalog, None, chain = Some(rest),
+        initial = initial, updated = updated)
+    case CreateChainQuery(parts, c, rest) =>
+      compileCreate(parts, c, catalog, None, chain = Some(rest),
+        initial = initial, updated = updated)
+    case CreateRelChainQuery(parts, cr, rest) =>
+      compileCreateRel(parts, cr, catalog, None, chain = Some(rest),
+        initial = initial, updated = updated)
+    case DeleteChainQuery(parts, d, rest) =>
+      compileDelete(parts, d, catalog, None, chain = Some(rest),
+        initial = initial, updated = updated)
+    case SetQuery(parts, s) =>
+      compileSet(parts, s, catalog, initial, updated)
+    case SetReturnQuery(parts, s, ret) =>
+      compileSetReturn(parts, s, ret, catalog, initial, updated)
+    case SetChainQuery(parts, s, rest) =>
+      compileSetChain(parts, s, rest, catalog, initial, updated)
+    case DeleteQuery(parts, d) =>
+      compileDelete(parts, d, catalog, initial = initial,
+        updated = updated)
+    case DeleteReturnQuery(parts, d, ret) =>
+      compileDelete(parts, d, catalog, Some(ret), initial = initial,
+        updated = updated)
+    case CreateQuery(parts, cr) =>
+      compileCreate(parts, cr, catalog, initial = initial,
+        updated = updated)
+    case CreateReturnQuery(parts, cr, ret) =>
+      compileCreate(parts, cr, catalog, Some(ret), initial = initial,
+        updated = updated)
+    case CreateRelQuery(parts, cr, ret) =>
+      compileCreateRel(parts, cr, catalog, ret, initial = initial,
+        updated = updated)
+    case MergeRelQuery(parts, mr, ret) =>
+      compileMergeRel(parts, mr, catalog, ret, initial = initial,
+        updated = updated)
+    case other => throw new IllegalStateException(
+      s"internal: non-updating query in compileUpdating: $other")
+  }
+
+  /** One snapshot per entity: a later updating clause may not target a
+    * backing table an earlier clause in the same query already did —
+    * the earlier clause's effect lives only in the carried read-back
+    * frame, so a second snapshot of the same table would silently read
+    * the ORIGINAL store. */
+  private def guardTarget(table: String, updated: Set[String],
+      kind: String): Unit =
+    if (updated(table))
+      throw new CypherNotSupportedException(
+        s"$kind targets '$table', which an earlier updating clause in " +
+        "this query already targets — one snapshot per entity; split " +
+        "the pipeline into two queries")
 
   /** Compiles one SingleQuery. `inherited` seeds the first part's scope
    *  (CALL subqueries inherit their imported node bindings — fresh
@@ -1172,23 +1213,31 @@ object Compiler {
   /** Finish an updating clause's read-back frame: project a directly-
     * following RETURN, or continue an update chain (round 11) over it
     * — the chain's parts compile exactly like a match pipeline, so
-    * downstream WITH/MATCH/RETURN read the clause's effect per row. */
+    * downstream WITH/MATCH/RETURN read the clause's effect per row.
+    * Round 12: the chain may itself be ANOTHER updating query — it
+    * folds over this clause's read-back frame, with `updated` carrying
+    * the one-snapshot-per-entity guard. */
   private def finishReadBack(frame: Ctx, ret: Option[Projection],
-      chain: Option[SingleQuery], catalog: GraphCatalog): DataFrame =
+      chain: Option[Query], catalog: GraphCatalog,
+      updated: Set[String] = Set.empty): DataFrame =
     (ret, chain) match {
       case (Some(r), _) =>
         compileProjection(frame, r, isReturn = true, catalog).df
-      case (_, Some(rest)) =>
-        compileSingle(rest, Map.empty, terminalIsReturn = true, catalog,
+      case (_, Some(sq: SingleQuery)) =>
+        compileSingle(sq, Map.empty, terminalIsReturn = true, catalog,
           initial = Some(frame)).df
+      case (_, Some(uq)) =>
+        compileUpdating(uq, catalog, Some(frame), updated)
       case _ => throw new IllegalStateException(
         "internal: read-back without a RETURN or a chain")
     }
 
   private def compileMerge(parts: Seq[QueryPart], m: MergeClause,
       catalog: GraphCatalog, ret: Option[Projection] = None,
-      chain: Option[SingleQuery] = None): DataFrame = {
+      chain: Option[Query] = None, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
     val node = catalog.graph.node(m.label)
+    guardTarget(node.table, updated, s"MERGE (:${m.label})")
     if (m.keyProp != node.idColumn)
       throw new CypherBindingException(
         s"MERGE (${m.alias}:${m.label} {${m.keyProp}: …}): the property " +
@@ -1196,9 +1245,9 @@ object Compiler {
         "identity is the unique node id; set other properties in " +
         "ON CREATE SET")
     val ctx: Option[Ctx] =
-      if (parts.isEmpty) None
+      if (parts.isEmpty) initial
       else Some(compileSingle(SingleQuery(parts), Map.empty,
-        terminalIsReturn = false, catalog))
+        terminalIsReturn = false, catalog, initial = initial))
     ctx.foreach { c =>
       if (c.scope.contains(m.alias))
         throw new CypherBindingException(
@@ -1305,7 +1354,7 @@ object Compiler {
           props.map(p => cAssign.getOrElse(p, lit(null).cast(dt(p)))
             .as(pref(m.alias, p)))): _*)
       finishReadBack(Ctx(matchedR.unionByName(createdR), scopeM),
-        ret, chain, catalog)
+        ret, chain, catalog, updated + node.table)
     }
   }
 
@@ -1330,8 +1379,10 @@ object Compiler {
    */
   private def compileCreate(parts: Seq[QueryPart], cr: CreateClause,
       catalog: GraphCatalog, ret: Option[Projection] = None,
-      chain: Option[SingleQuery] = None): DataFrame = {
+      chain: Option[Query] = None, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
     val node = catalog.graph.node(cr.label)
+    guardTarget(node.table, updated, s"CREATE (:${cr.label})")
     val props = node.properties.filterNot(_ == node.idColumn)
     cr.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 =>
       p2 }.foreach(p2 => throw new CypherBindingException(
@@ -1352,9 +1403,9 @@ object Compiler {
         "exist at create time")
     }
     val ctx: Option[Ctx] =
-      if (parts.isEmpty) None
+      if (parts.isEmpty) initial
       else Some(compileSingle(SingleQuery(parts), Map.empty,
-        terminalIsReturn = false, catalog))
+        terminalIsReturn = false, catalog, initial = initial))
     ctx.foreach { c =>
       if (c.scope.contains(cr.alias))
         throw new CypherBindingException(
@@ -1392,7 +1443,8 @@ object Compiler {
             .as(pref(cr.alias, cn))): _*)
         .where(col(pref(cr.alias, node.idColumn)).isNotNull)
       finishReadBack(Ctx(createdRows,
-        scope + (cr.alias -> NodeBinding(node))), ret, chain, catalog)
+        scope + (cr.alias -> NodeBinding(node))), ret, chain, catalog,
+        updated + node.table)
     }
   }
 
@@ -1412,8 +1464,10 @@ object Compiler {
    */
   private def compileCreateRel(parts: Seq[QueryPart], cr: CreateRelClause,
       catalog: GraphCatalog, ret: Option[Projection],
-      chain: Option[SingleQuery] = None): DataFrame = {
-    if (parts.isEmpty && (cr.srcSpec.isEmpty || cr.dstSpec.isEmpty))
+      chain: Option[Query] = None, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
+    if (parts.isEmpty && initial.isEmpty &&
+        (cr.srcSpec.isEmpty || cr.dstSpec.isEmpty))
       throw new CypherBindingException(
         "CREATE of a relationship needs both endpoints bound by a " +
         "preceding MATCH or carrying an id map — " +
@@ -1424,13 +1478,14 @@ object Compiler {
         s"CREATE relationship endpoints both declare '${cr.srcAlias}' — " +
         "two id-map endpoints need distinct variables")
     val c =
-      if (parts.isEmpty)
+      if (parts.isEmpty && initial.isDefined) initial.get
+      else if (parts.isEmpty)
         // standalone ingest CREATE: one literal feed row (the
         // node-CREATE shape); key exprs compile against an empty scope
         Ctx(catalog.nodeDf(cr.srcSpec.get.label).sparkSession
           .range(1).toDF("__row"), Map.empty)
       else compileSingle(SingleQuery(parts), Map.empty,
-        terminalIsReturn = false, catalog)
+        terminalIsReturn = false, catalog, initial = initial)
     def endpointNode(alias: String, spec: Option[MergeEndpoint])
         : NodeDef = spec match {
       case Some(ep) =>
@@ -1464,6 +1519,7 @@ object Compiler {
       throw new CypherBindingException(
         s"no relationship '${cr.verb}' from '${sn.label}' to " +
         s"'${dn.label}' in the schema"))
+    guardTarget(e.table, updated, s"CREATE [:${cr.verb}]")
     cr.relAlias.foreach { r =>
       if (c.scope.contains(r)) throw new CypherBindingException(
         s"CREATE relationship alias '$r' collides with a variable in " +
@@ -1525,7 +1581,8 @@ object Compiler {
       // exactly relationship MERGE's read-back shape
       val rA = cr.relAlias.getOrElse("__cr")
       val feedCols =
-        if (parts.isEmpty) Seq.empty else c.df.columns.toSeq
+        if (parts.isEmpty && initial.isEmpty) Seq.empty
+        else c.df.columns.toSeq
       val withRel = c.df.select(feedCols.map(col) ++
         outCols.map(cn => valueOf(cn).as(pref(rA, cn))): _*)
       val keyNonNull =
@@ -1553,7 +1610,8 @@ object Compiler {
       }
       readBack(cr.srcAlias, cr.srcSpec, sn, pref(rA, e.srcIdColumn))
       readBack(cr.dstAlias, cr.dstSpec, dn, pref(rA, e.sinkIdColumn))
-      finishReadBack(Ctx(frame, scopeR), ret, chain, catalog)
+      finishReadBack(Ctx(frame, scopeR), ret, chain, catalog,
+        updated + e.table)
     }
   }
 
@@ -1591,8 +1649,10 @@ object Compiler {
    */
   private def compileMergeRel(parts: Seq[QueryPart], mr: MergeRelClause,
       catalog: GraphCatalog, ret: Option[Projection],
-      chain: Option[SingleQuery] = None): DataFrame = {
-    if (parts.isEmpty && (mr.srcSpec.isEmpty || mr.dstSpec.isEmpty))
+      chain: Option[Query] = None, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
+    if (parts.isEmpty && initial.isEmpty &&
+        (mr.srcSpec.isEmpty || mr.dstSpec.isEmpty))
       throw new CypherBindingException(
         "MERGE of a relationship needs both endpoints bound by a " +
         "preceding MATCH or carrying an id map — " +
@@ -1603,13 +1663,14 @@ object Compiler {
         s"MERGE relationship endpoints both declare '${mr.srcAlias}' — " +
         "two id-map endpoints need distinct variables")
     val c =
-      if (parts.isEmpty)
+      if (parts.isEmpty && initial.isDefined) initial.get
+      else if (parts.isEmpty)
         // standalone ingest MERGE: the feed is one literal row (the
         // node-MERGE shape); key exprs compile against an empty scope
         Ctx(catalog.nodeDf(mr.srcSpec.get.label).sparkSession
           .range(1).toDF("__row"), Map.empty)
       else compileSingle(SingleQuery(parts), Map.empty,
-        terminalIsReturn = false, catalog)
+        terminalIsReturn = false, catalog, initial = initial)
     def endpointNode(alias: String, spec: Option[MergeEndpoint])
         : NodeDef = spec match {
       case Some(ep) =>
@@ -1639,6 +1700,7 @@ object Compiler {
       throw new CypherBindingException(
         s"no relationship '${mr.verb}' from '${sn.label}' to " +
         s"'${dn.label}' in the schema"))
+    guardTarget(e.table, updated, s"MERGE [:${mr.verb}]")
     mr.relAlias.foreach { r =>
       if (c.scope.contains(r)) throw new CypherBindingException(
         s"MERGE relationship alias '$r' collides with a variable in " +
@@ -1703,7 +1765,8 @@ object Compiler {
     // standalone form: keep only the pair key (the literal seed row's
     // scaffolding column never reaches the winner struct or a RETURN)
     val feed0 =
-      if (parts.isEmpty) feed0a.select(col("__msrc"), col("__msnk"))
+      if (parts.isEmpty && initial.isEmpty)
+        feed0a.select(col("__msrc"), col("__msnk"))
       else feed0a
     val feed =
       feed0.where(col("__msrc").isNotNull && col("__msnk").isNotNull)
@@ -1785,7 +1848,8 @@ object Compiler {
         }
         readBack(mr.srcAlias, mr.srcSpec, sn, pref(rA, e.srcIdColumn))
         readBack(mr.dstAlias, mr.dstSpec, dn, pref(rA, e.sinkIdColumn))
-        finishReadBack(Ctx(frame, scopeR), ret, chain, catalog)
+        finishReadBack(Ctx(frame, scopeR), ret, chain, catalog,
+          updated + e.table)
     }
   }
 
@@ -1866,13 +1930,25 @@ object Compiler {
   }
 
   private def compileSet(parts: Seq[QueryPart], s: SetClause,
-      catalog: GraphCatalog): DataFrame = {
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
+      catalog: GraphCatalog, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
+    val c =
+      if (parts.isEmpty && initial.isDefined) initial.get
+      else compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog, initial = initial)
+    guardTarget(setTable(c.scope, s), updated, s"SET ${s.alias}")
     val (keyCols, snapshot, outCols, assigns) =
       setTarget(c.scope, s, catalog)
     setSnapshot(c, s.alias, assigns, keyCols, snapshot, outCols)
   }
+
+  /** Backing table of a SET clause's target (one-snapshot guard). */
+  private def setTable(scope: Map[String, Binding], s: SetClause): String =
+    scope.get(s.alias) match {
+      case Some(NodeBinding(n)) => n.table
+      case Some(EdgeBinding(e)) => e.table
+      case _                    => ""
+    }
 
   /**
    * Mid-query `SET … RETURN items` (extension, round 10): the RETURN
@@ -1886,9 +1962,11 @@ object Compiler {
    * anti-join, the snapshot is never touched beyond the match scan).
    */
   private def compileSetReturn(parts: Seq[QueryPart], s: SetClause,
-      ret: Projection, catalog: GraphCatalog): DataFrame =
-    compileProjection(setUpdatedFrame(parts, s, catalog), ret,
-      isReturn = true, catalog).df
+      ret: Projection, catalog: GraphCatalog,
+      initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame =
+    compileProjection(setUpdatedFrame(parts, s, catalog, initial, updated),
+      ret, isReturn = true, catalog).df
 
   /** The per-row UPDATED frame behind SET read-backs: the preceding
     * parts' match frame with the target's assigned columns replaced in
@@ -1896,9 +1974,13 @@ object Compiler {
     * when assignments cross-reference). Map-only on the match; the
     * snapshot is never touched beyond the match scan. */
   private def setUpdatedFrame(parts: Seq[QueryPart], s: SetClause,
-      catalog: GraphCatalog): Ctx = {
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
+      catalog: GraphCatalog, initial: Option[Ctx] = None,
+      updatedTables: Set[String] = Set.empty): Ctx = {
+    val c =
+      if (parts.isEmpty && initial.isDefined) initial.get
+      else compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog, initial = initial)
+    guardTarget(setTable(c.scope, s), updatedTables, s"SET ${s.alias}")
     val (_, snapshot, _, assigns) = setTarget(c.scope, s, catalog)
     def dt(cn: String) = snapshot.schema(cn).dataType
     val ec = new ExprCompiler(c.scope, c.df)
@@ -1919,9 +2001,12 @@ object Compiler {
    * is the chain's terminal RETURN.
    */
   private def compileSetChain(parts: Seq[QueryPart], s: SetClause,
-      rest: SingleQuery, catalog: GraphCatalog): DataFrame =
-    compileSingle(rest, Map.empty, terminalIsReturn = true, catalog,
-      initial = Some(setUpdatedFrame(parts, s, catalog))).df
+      rest: Query, catalog: GraphCatalog, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
+    val frame = setUpdatedFrame(parts, s, catalog, initial, updated)
+    finishReadBack(frame, None, Some(rest), catalog,
+      updated + setTable(frame.scope, s))
+  }
 
   private def setSnapshot(c: Ctx, alias: String,
       assigns: Seq[(String, Expr)], keyCols: Seq[String],
@@ -1969,9 +2054,12 @@ object Compiler {
    */
   private def compileDelete(parts: Seq[QueryPart], d: DeleteClause,
       catalog: GraphCatalog, ret: Option[Projection] = None,
-      chain: Option[SingleQuery] = None): DataFrame = {
-    val c = compileSingle(SingleQuery(parts), Map.empty,
-      terminalIsReturn = false, catalog)
+      chain: Option[Query] = None, initial: Option[Ctx] = None,
+      updated: Set[String] = Set.empty): DataFrame = {
+    val c =
+      if (parts.isEmpty && initial.isDefined) initial.get
+      else compileSingle(SingleQuery(parts), Map.empty,
+        terminalIsReturn = false, catalog, initial = initial)
     val b = c.scope.getOrElse(d.alias, throw new CypherBindingException(
       s"DELETE target '${d.alias}' is not a bound variable"))
     val (keyCols, snapshot) = b match {
@@ -1988,6 +2076,12 @@ object Compiler {
         s"DELETE target '${d.alias}' must be a node or relationship " +
         "variable")
     }
+    val deleteTable = b match {
+      case NodeBinding(n) => n.table
+      case EdgeBinding(e) => e.table
+      case _              => ""
+    }
+    guardTarget(deleteTable, updated, s"DELETE ${d.alias}")
     if (ret.isEmpty && chain.isEmpty)
       deleteSnapshot(c, d.alias, keyCols, snapshot, entityCols(b))
     else {
@@ -2000,7 +2094,8 @@ object Compiler {
       val keyPrefs = keyCols.map(k => pref(d.alias, k))
       val deleted =
         c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
-      finishReadBack(Ctx(deleted, c.scope), ret, chain, catalog)
+      finishReadBack(Ctx(deleted, c.scope), ret, chain, catalog,
+        updated + deleteTable)
     }
   }
 

@@ -72,6 +72,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     if (isPunct(s)) p += 1 else syntaxErr(s"Expected '$s'")
   private def tryKw(s: String): Boolean =
     if (isKw(s)) { p += 1; true } else false
+  /** Next token opens an updating clause (multi-updating chaining). */
+  private def isUpdatingKw: Boolean = cur match {
+    case Kw(k, _, _) =>
+      Set("MERGE", "SET", "REMOVE", "CREATE", "DELETE", "DETACH")(k)
+    case _ => false
+  }
   private def tryPunct(s: String): Boolean =
     if (isPunct(s)) { p += 1; true } else false
 
@@ -135,9 +141,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
 
   /** A single query that may terminate in an updating clause —
     * MERGE / SET / DELETE (extensions). */
-  private def parseTop(): Query = {
-    val sq = parseSingle()
-    def takeChain(): Option[SingleQuery] = {
+  private def parseTop(): Query = assembleUpdating(parseSingle())
+
+  /** Assemble the pending updating-clause slots [[parseSingle]] filled
+    * into the typed query shape (or return the single query unchanged
+    * when none fired). Shared by [[parseTop]] and the update-chain
+    * continuation, which since round 12 may itself terminate in an
+    * updating clause. */
+  private def assembleUpdating(sq: SingleQuery): Query = {
+    def takeChain(): Option[Query] = {
       val c = pendingUpdateChain; pendingUpdateChain = None; c
     }
     if (pendingMergeRel.isDefined) {
@@ -201,29 +213,44 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
-  private var pendingUpdateChain: Option[SingleQuery] = None
+  private var pendingUpdateChain: Option[Query] = None
 
-  /** Parse the `WITH …` continuation of an update chain as an
-    * ordinary single query; exactly one updating clause per query —
-    * a second one inside the continuation is a typed rejection. The
-    * current clause's pending slots are saved around the recursive
-    * parse so the guard sees only what the CONTINUATION set. */
-  private def parseUpdateChain(kw: String): SingleQuery = {
+  /** Parse the continuation of an update chain (starting at its WITH,
+    * or directly at the next updating keyword — implicit `WITH *`).
+    * Round 12: the continuation may itself terminate in another
+    * updating clause — it assembles recursively into a nested updating
+    * query that the compiler folds over the previous clause's
+    * read-back frame. The current clause's pending slots (and RETURN
+    * slots) are saved around the recursive parse so the nested
+    * assembly consumes only what the CONTINUATION set. */
+  private def parseUpdateChain(kw: String): Query = {
     val saved = (pendingMerge, pendingMergeRel, pendingSet,
       pendingDelete, pendingCreate, pendingCreateRel)
+    val savedRets = (pendingMergeReturn, pendingSetReturn,
+      pendingDeleteReturn, pendingCreateReturn)
+    val savedChain = pendingUpdateChain
+    val savedInChain = inUpdateChain
     pendingMerge = None; pendingMergeRel = None; pendingSet = None
     pendingDelete = None; pendingCreate = None; pendingCreateRel = None
-    val rest = parseSingle()
-    if (pendingSet.isDefined || pendingMerge.isDefined ||
-        pendingMergeRel.isDefined || pendingDelete.isDefined ||
-        pendingCreate.isDefined || pendingCreateRel.isDefined)
-      notSupported(s"a second updating clause after $kw — one " +
-        "updating clause per query; chain reads only")
+    pendingMergeReturn = None; pendingSetReturn = None
+    pendingDeleteReturn = None; pendingCreateReturn = None
+    pendingUpdateChain = None
+    inUpdateChain = true
+    val rest = assembleUpdating(parseSingle())
+    inUpdateChain = savedInChain
     pendingMerge = saved._1; pendingMergeRel = saved._2
     pendingSet = saved._3; pendingDelete = saved._4
     pendingCreate = saved._5; pendingCreateRel = saved._6
+    pendingMergeReturn = savedRets._1; pendingSetReturn = savedRets._2
+    pendingDeleteReturn = savedRets._3; pendingCreateReturn = savedRets._4
+    pendingUpdateChain = savedChain
     rest
   }
+
+  /** Inside an update-chain continuation: SET/DELETE may open the
+    * continuation without a fresh MATCH (their target binds through
+    * the carried read-back frame). */
+  private var inUpdateChain: Boolean = false
   private var pendingDelete: Option[DeleteClause] = None
   private var pendingDeleteReturn: Option[Projection] = None
   private var pendingCreate: Option[CreateClause] = None
@@ -372,6 +399,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // update chaining (round 11): the pipeline continues over
           // the post-merge read-back frame (the RETURN form's view)
           pendingUpdateChain = Some(parseUpdateChain("MERGE"))
+        } else if (isUpdatingKw) {
+          // multi-updating pipeline (round 12): implicit WITH * — the
+          // next updating clause reads this clause's read-back frame
+          pendingUpdateChain = Some(parseUpdateChain("MERGE"))
         } else if (isKw("MATCH") || isKw("OPTIONAL"))
           notSupported("MATCH directly after MERGE — continue the " +
             "pipeline through a WITH: MERGE … WITH … MATCH …")
@@ -387,7 +418,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (inSubquery)
           notSupported(s"$kw inside a CALL subquery — $kw must be the " +
             "query's terminal clause")
-        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty)
+        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
+            !inUpdateChain)
           notSupported(s"$kw without a preceding MATCH binding its target")
         p += 1
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
@@ -408,6 +440,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           // snapshot is untouched; re-matching the same table reads
           // the original store)
           pendingUpdateChain = Some(parseUpdateChain(kw))
+        } else if (isUpdatingKw) {
+          // multi-updating pipeline (round 12): implicit WITH *
+          pendingUpdateChain = Some(parseUpdateChain(kw))
         } else if (isKw("MATCH") || isKw("OPTIONAL"))
           notSupported(s"MATCH directly after $kw — continue the " +
             s"pipeline through a WITH: $kw … WITH … MATCH …")
@@ -419,7 +454,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (inSubquery)
           notSupported("DELETE inside a CALL subquery — DELETE must be " +
             "the query's terminal clause")
-        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty)
+        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
+            !inUpdateChain)
           notSupported("DELETE without a preceding MATCH binding its " +
             "target")
         val detach = tryKw("DETACH")
@@ -436,6 +472,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         } else if (isKw("WITH")) {
           // update chaining (round 11): continues over the deleted
           // rows' PRE-delete values (the RETURN form's view)
+          pendingUpdateChain = Some(parseUpdateChain("DELETE"))
+        } else if (isUpdatingKw) {
+          // multi-updating pipeline (round 12): implicit WITH *
           pendingUpdateChain = Some(parseUpdateChain("DELETE"))
         } else if (isKw("MATCH") || isKw("OPTIONAL"))
           notSupported("MATCH directly after DELETE — continue the " +
@@ -465,6 +504,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         } else if (isKw("WITH")) {
           // update chaining (round 11): continues over the created
           // rows (the RETURN form's view)
+          pendingUpdateChain = Some(parseUpdateChain("CREATE"))
+        } else if (isUpdatingKw) {
+          // multi-updating pipeline (round 12): implicit WITH *
           pendingUpdateChain = Some(parseUpdateChain("CREATE"))
         } else if (isKw("MATCH") || isKw("OPTIONAL"))
           notSupported("MATCH directly after CREATE — continue the " +

@@ -2540,7 +2540,10 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) DETACH DELETE p
         |MATCH (m:Movie) RETURN m.id AS i""".stripMargin))
-    // one updating clause per query — no second SET inside the chain
+    // multi-updating chains (round 12) keep ONE SNAPSHOT PER ENTITY:
+    // a second clause targeting the SAME backing table is rejected —
+    // the first clause's effect lives only in the carried frame, so a
+    // second person snapshot would silently read the original store
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person) SET p.Name = 'x' WITH p
         |MATCH (q:Person) SET q.Born = 1 RETURN 1 AS x""".stripMargin))
@@ -2553,6 +2556,69 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // aggregates belong in a WITH before the SET
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) SET p.Born = count(p)"))
+  }
+
+  test("multi-updating pipeline: SET ... MERGE ... RETURN folds frames") {
+    // the MERGE's feed is the SET's read-back frame — ON CREATE SET
+    // reads the UPDATED movie values; explicit WITH form
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |SET m.Released = 2000
+        |WITH m
+        |MERGE (p:Person {id: 'p9'})
+        |ON CREATE SET p.Name = m.Title
+        |RETURN p.Name AS nm, m.Released AS rel""".stripMargin).head
+    assert(r.getString(0) == "Sleepless in Seattle" && r.getInt(1) == 2000)
+    // implicit WITH * form (Neo4j's everyday ingest shape)
+    val r2 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |SET m.Released = 2000
+        |MERGE (p:Person {id: 'p9'})
+        |ON CREATE SET p.Name = m.Title
+        |RETURN p.Name AS nm, m.Released AS rel""".stripMargin).head
+    assert(r2.getString(0) == "Sleepless in Seattle" &&
+      r2.getInt(1) == 2000)
+    // SET → SET across DIFFERENT tables: the second rhs reads the
+    // first clause's write through the carried frame
+    val r3 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WHERE p.id = 'p1' AND m.id = 'm1'
+        |SET m.Released = 1999
+        |WITH p, m
+        |SET p.Born = m.Released
+        |RETURN p.Name AS nm, p.Born AS b""".stripMargin).head
+    assert(r3.getString(0) == "Tom Hanks" && r3.getInt(1) == 1999)
+    // a chain ending in a TERMINAL clause produces that clause's
+    // snapshot (person table + the created p9 row)
+    val snap = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |SET m.Released = 2000
+        |WITH m
+        |MERGE (p:Person {id: 'p9'}) ON CREATE SET p.Name = m.Title"""
+        .stripMargin)
+    assert(snap.size == 6 &&
+      snap.map(_.getString(0)).toSet == Set("p1", "p2", "p3", "p4",
+        "p5", "p9"))
+    // SET then MERGE of a RELATIONSHIP: edge read-back over the
+    // updated frame, rel property from the SET value
+    val r4 = rows(
+      """MATCH (p:Person)-[:REVIEWED]->(m:Movie) WHERE m.id = 'm1'
+        |SET p.Born = 1970
+        |WITH p, m
+        |MERGE (p)-[k:FOLLOWS]->(q:Person {id: 'p1'})
+        |RETURN p.Name AS nm, p.Born AS b""".stripMargin).head
+    assert(r4.getString(0) == "Jessica Thompson" && r4.getInt(1) == 1970)
+    // three updating clauses, three distinct tables
+    val r5 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm2'
+        |SET m.Released = 1996
+        |MERGE (p:Person {id: 'p8'}) ON CREATE SET p.Name = 'New Actor'
+        |MERGE (p)-[a:ACTED_IN]->(q:Movie {id: 'm2'})
+        |ON CREATE SET a.Roles = p.Name
+        |RETURN p.Name AS nm, a.Roles AS ro, m.Released AS rel"""
+        .stripMargin).head
+    assert(r5.getString(0) == "New Actor" && r5.getString(1) == "New Actor"
+      && r5.getInt(2) == 1996)
   }
 
   test("SET ... RETURN reads the updated entity per row") {
