@@ -1755,6 +1755,29 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = w.dst
              |ORDER BY src_name, dst_name, hops""".stripMargin)),
 
+    // --- relationship MERGE with a property-map match key (round 12;
+    //     Neo4j matches on pair AND map): feed rows whose map value
+    //     equals the edge's stored o_orderdate match their own edge
+    //     (ok <= 100); the shifted-date rows (100 < ok <= 200) match
+    //     nothing and create a SECOND edge row on the same pair with
+    //     the map value stamped — both branches in one snapshot,
+    //     mirrored by a plain UNION ALL in DuckDB.
+    ("q104_merge_rel_map",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+          |WHERE o.o_orderkey <= 200
+          |MERGE (c)-[g:PLACED {o_orderdate:
+          |    CASE WHEN o.o_orderkey <= 100 THEN o.o_orderdate
+          |         ELSE datetime('2030-01-01') END}]->(o)"""
+          .stripMargin)
+        .apply(s, dir).orderBy("o_custkey", "o_orderkey", "o_orderdate"),
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |UNION ALL
+             |SELECT o_custkey, o_orderkey,
+             |       TIMESTAMP '2030-01-01 00:00:00' AS o_orderdate
+             |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
+             |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
+
     // --- multi-updating pipeline (round 12): SET then MERGE in ONE
     //     query — the MERGE's feed is the SET's read-back frame, so
     //     ON CREATE SET reads the query's own write (c_acctbal + 100);

@@ -444,7 +444,13 @@ object ast {
       verb: String, dstAlias: String,
       onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)],
       srcSpec: Option[MergeEndpoint] = None,
-      dstSpec: Option[MergeEndpoint] = None)
+      dstSpec: Option[MergeEndpoint] = None,
+      /** `{k: v, …}` on the relationship pattern (round 12): the map
+       *  JOINS the match key — Neo4j matches an existing edge on
+       *  (src, snk) AND every map entry, and stamps the map values on
+       *  the created row. Null map values drop the feed row (no
+       *  identity — the endpoint-key rule). */
+      keyProps: Seq[(String, Expr)] = Seq.empty)
 
   final case class MergeRelQuery(parts: Seq[QueryPart],
       merge: MergeRelClause, ret: Option[Projection]) extends Query

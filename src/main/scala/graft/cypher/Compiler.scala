@@ -1744,6 +1744,32 @@ object Compiler {
     }
     checkAssigns("ON MATCH", mr.onMatch, allowSelf = true)
     checkAssigns("ON CREATE", mr.onCreate, allowSelf = false)
+    // property-map match key (round 12): each map entry JOINS the
+    // merge key — matched edges satisfy pair AND map equality; created
+    // edges are stamped with the map values
+    mr.keyProps.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1
+      => p2 }.foreach(p2 => throw new CypherBindingException(
+      s"MERGE relationship map binds '$p2' twice"))
+    mr.keyProps.foreach { case (p2, ex) =>
+      if (keyCols.contains(p2)) throw new CypherBindingException(
+        s"MERGE relationship map may not bind endpoint column '$p2' — " +
+        "the endpoints come from the pattern")
+      if (!props.contains(p2)) throw new CypherBindingException(
+        s"MERGE: relationship '${e.verb}' has no declared property '$p2'")
+      if (containsAgg(ex)) throw new CypherNotSupportedException(
+        "MERGE relationship map with an aggregate — aggregate in a " +
+        "WITH before the MERGE")
+      if (mr.relAlias.exists(refersTo(ex, _)))
+        throw new CypherBindingException(
+          s"MERGE relationship map may not read '${mr.relAlias.get}' — " +
+          "the map IS the match key")
+      if (mr.onCreate.exists(_._1 == p2))
+        throw new CypherBindingException(
+          s"ON CREATE SET reassigns map-keyed property '$p2' — the " +
+          "created row is stamped with the map value; drop one")
+    }
+    val mpCol: Map[String, String] =
+      mr.keyProps.map { case (p2, _) => p2 -> s"__mp_$p2" }.toMap
     // the prefix alias: the user's rel variable, or a reserved synth
     // when anonymous (never visible — scope only gains a binding for a
     // user-written alias)
@@ -1757,34 +1783,44 @@ object Compiler {
       case Some(ep) => ecKey.compile(ep.keyExpr).cast(target)
       case None     => col(pref(alias, node.idColumn)).cast(target)
     }
-    val feed0a = c.df
+    val feed0a = mr.keyProps.foldLeft(c.df
       .withColumn("__msrc",
         endpointKey(mr.srcAlias, mr.srcSpec, sn, dt(e.srcIdColumn)))
       .withColumn("__msnk",
-        endpointKey(mr.dstAlias, mr.dstSpec, dn, dt(e.sinkIdColumn)))
+        endpointKey(mr.dstAlias, mr.dstSpec, dn, dt(e.sinkIdColumn)))) {
+      case (df0, (p2, ex)) =>
+        df0.withColumn(mpCol(p2), ecKey.compile(ex).cast(dt(p2)))
+    }
     // standalone form: keep only the pair key (the literal seed row's
     // scaffolding column never reaches the winner struct or a RETURN)
+    val keyColNames = Seq("__msrc", "__msnk") ++
+      mr.keyProps.map { case (p2, _) => mpCol(p2) }
     val feed0 =
       if (parts.isEmpty && initial.isEmpty)
-        feed0a.select(col("__msrc"), col("__msnk"))
+        feed0a.select(keyColNames.map(col): _*)
       else feed0a
+    // null map values drop like null endpoint keys (no identity)
     val feed =
-      feed0.where(col("__msrc").isNotNull && col("__msnk").isNotNull)
+      feed0.where(keyColNames.map(col(_).isNotNull).reduce(_ && _))
     val others =
-      feed.columns.filterNot(Set("__msrc", "__msnk")).toSeq
-    // winner-dedup per (src, snk) pair + lazy localCheckpoint — the
-    // deduped feed has three consumers (node-MERGE's reasoning)
+      feed.columns.filterNot(keyColNames.toSet).toSeq
+    // winner-dedup per (src, snk [, map values]) key + lazy
+    // localCheckpoint — the deduped feed has three consumers
+    // (node-MERGE's reasoning)
     val feedW =
       (if (others.isEmpty) feed.distinct()
-      else feed.groupBy(col("__msrc"), col("__msnk"))
+      else feed.groupBy(keyColNames.map(col): _*)
         .agg(max(struct(others.map(col): _*)).as("__w"))
-        .select(col("__msrc") +: col("__msnk") +:
+        .select(keyColNames.map(col) ++
           others.map(cn => col("__w").getField(cn).as(cn)): _*))
         .localCheckpoint(false)
 
+    val mapMatch: Seq[Column] = mr.keyProps.map { case (p2, _) =>
+      col(mpCol(p2)) === col(pref(rA, p2)) }
     val joinedM = feedW.join(snapE,
-      col("__msrc") === col(pref(rA, e.srcIdColumn)) &&
-        col("__msnk") === col(pref(rA, e.sinkIdColumn)), "inner")
+      (Seq(col("__msrc") === col(pref(rA, e.srcIdColumn)),
+        col("__msnk") === col(pref(rA, e.sinkIdColumn))) ++ mapMatch)
+        .reduce(_ && _), "inner")
     val scopeM: Map[String, Binding] = mr.relAlias match {
       case Some(a) => c.scope + (a -> EdgeBinding(e))
       case None    => c.scope
@@ -1795,26 +1831,40 @@ object Compiler {
         p2 -> ecM.compile(ex).cast(dt(p2)) }.toMap
 
     val joinedC = feedW.join(
-      snapE.select(col(pref(rA, e.srcIdColumn)).as("__ssrc"),
-        col(pref(rA, e.sinkIdColumn)).as("__ssnk")),
-      col("__msrc") === col("__ssrc") && col("__msnk") === col("__ssnk"),
+      snapE.select(col(pref(rA, e.srcIdColumn)).as("__ssrc") +:
+        col(pref(rA, e.sinkIdColumn)).as("__ssnk") +:
+        mr.keyProps.map { case (p2, _) =>
+          col(pref(rA, p2)).as(s"__sp_$p2") }: _*),
+      (Seq(col("__msrc") === col("__ssrc"),
+        col("__msnk") === col("__ssnk")) ++
+        mr.keyProps.map { case (p2, _) =>
+          col(mpCol(p2)) === col(s"__sp_$p2") }).reduce(_ && _),
       "left_anti")
     val ecC = new ExprCompiler(c.scope, joinedC)
     val cAssign: Map[String, Column] =
       mr.onCreate.map { case (p2, ex) =>
         p2 -> ecC.compile(ex).cast(dt(p2)) }.toMap
 
+    // created rows stamp the map values; ON CREATE SET fills the rest
+    def createdVal(p2: String): Column =
+      mpCol.get(p2).map(col).orElse(cAssign.get(p2))
+        .getOrElse(lit(null).cast(dt(p2)))
     if (ret.isEmpty && chain.isEmpty) {
         val matchedOut = joinedM.select(outCols.map { cn =>
           mAssign.getOrElse(cn, col(pref(rA, cn))).as(cn) }: _*)
         val createdOut = joinedC.select(
           col("__msrc").as(e.srcIdColumn) +:
             col("__msnk").as(e.sinkIdColumn) +:
-            props.map(p2 => cAssign.getOrElse(p2,
-              lit(null).cast(dt(p2))).as(p2)): _*)
+            props.map(p2 => createdVal(p2).as(p2)): _*)
+        // untouched = snapshot minus the matched (pair [+ map]) keys —
+        // with a map key, same-pair edges with a DIFFERENT map value
+        // stay untouched (Neo4j's match-on-pair-and-map semantics)
         val untouched = snapshot.select(outCols.map(col): _*)
-          .join(feedW.select(col("__msrc").as(e.srcIdColumn),
-            col("__msnk").as(e.sinkIdColumn)), keyCols, "left_anti")
+          .join(feedW.select(col("__msrc").as(e.srcIdColumn) +:
+            col("__msnk").as(e.sinkIdColumn) +:
+            mr.keyProps.map { case (p2, _) => col(mpCol(p2)).as(p2) }: _*),
+            keyCols ++ mr.keyProps.map(_._1), "left_anti")
+          .select(outCols.map(col): _*) // using-cols joins reorder keys first
         untouched.unionByName(matchedOut).unionByName(createdOut)
     } else {
         val matchedR = joinedM.select(others.map(col) ++
@@ -1823,8 +1873,7 @@ object Compiler {
         val createdR = joinedC.select(others.map(col) ++
           (col("__msrc").as(pref(rA, e.srcIdColumn)) +:
             col("__msnk").as(pref(rA, e.sinkIdColumn)) +:
-            props.map(p2 => cAssign.getOrElse(p2, lit(null).cast(dt(p2)))
-              .as(pref(rA, p2)))): _*)
+            props.map(p2 => createdVal(p2).as(pref(rA, p2)))): _*)
         var frame = matchedR.unionByName(createdR)
         var scopeR = scopeM
         // id-map endpoints (round 11): the RETURN sees each as a node

@@ -617,9 +617,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val props: Seq[(String, Expr)] =
       if (isPunct("{")) {
         if (!allowMap)
-          notSupported("property map on a MERGE relationship — the " +
-            "merge key IS the (src, snk) endpoint pair; set properties " +
-            "in ON MATCH/ON CREATE SET")
+          notSupported(s"property map on a $kw relationship")
         parsePropMap()
       } else Seq.empty
     eatPunct("]")
@@ -687,18 +685,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     }
     val (alias, spec) = endpoint()
     if (isPunct("-") || isPunct("<-")) {
-      // relationship MERGE (round 10; id-map endpoints round 11):
-      // edge upsert keyed by the (src, snk) pair — each endpoint is a
-      // bound node variable or an inline id map
-      val (rAlias, verb, incoming, _) =
-        parseBareRel(allowMap = false, kw = "MERGE")
+      // relationship MERGE (round 10; id-map endpoints round 11;
+      // property-map match key round 12): edge upsert keyed by the
+      // (src, snk) pair PLUS any `{k: v}` map entries — Neo4j's
+      // match-on-pair-and-map semantics
+      val (rAlias, verb, incoming, props) =
+        parseBareRel(allowMap = true, kw = "MERGE")
       val (other, oSpec) = endpoint()
       val (srcA, srcS, dstA, dstS) =
         if (incoming) (other, oSpec, alias, spec)
         else (alias, spec, other, oSpec)
       val (om, oc) = parseOnSets(rAlias, "relationship")
       return Right(MergeRelClause(srcA, rAlias, verb, dstA, om, oc,
-        srcS, dstS))
+        srcS, dstS, props))
     }
     val ep = spec.getOrElse(syntaxErr(
       "MERGE node requires a property map binding its id, e.g. {id: …}"))

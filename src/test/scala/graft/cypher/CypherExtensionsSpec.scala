@@ -1980,6 +1980,50 @@ class CypherExtensionsSpec extends AnyFunSuite {
       Seq(("p3", "new", 10), ("p5", "Loved it", 96)))
   }
 
+  test("MERGE rel {map}: the map joins the match key (Neo4j pair+map)") {
+    // (p5,m1,Rating=95) exists → matched; (p3,m1,95) absent → created
+    // with the map value stamped; (p5,m3,85) untouched
+    val r = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p5', 'p3']
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED {Rating: 95}]->(m)
+        |ON MATCH SET r.Summary = 'bumped'
+        |ON CREATE SET r.Summary = 'fresh'""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getInt(3))).sortBy(t => (t._1, t._2))
+    assert(r == Seq(
+      ("p3", "m1", "fresh", 95),
+      ("p5", "m1", "bumped", 95),
+      ("p5", "m3", "Fun", 85)))
+    // same pair, DIFFERENT map value → a SECOND edge row is created;
+    // the existing (p5,m1,95) edge stays untouched
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p5'
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED {Rating: 50}]->(m)
+        |ON CREATE SET r.Summary = 'second edge'""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getInt(3)))
+      .sortBy(identity)
+    assert(r2 == Seq(("p5", "m1", 50), ("p5", "m1", 95), ("p5", "m3", 85)))
+    // read-back: RETURN sees the post-merge edge, map value included
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.id IN ['p5', 'p3']
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED {Rating: 95}]->(m)
+        |ON CREATE SET r.Summary = 'fresh'
+        |RETURN p.id AS i, r.Rating AS rt, r.Summary AS s
+        |ORDER BY i""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getString(2)))
+    assert(r3 == Seq(("p3", 95, "fresh"), ("p5", 95, "Loved it")))
+    // a NULL map value drops the feed row (no identity) — nothing
+    // matches, nothing creates, snapshot passes through
+    val r4 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p5'
+        |MATCH (m:Movie) WHERE m.id = 'm1'
+        |MERGE (p)-[r:REVIEWED {Rating: p.Born}]->(m)""".stripMargin)
+    assert(r4.size == 2) // p5.Born is null → the 2 original edges only
+  }
+
   test("MERGE rel: duplicate feed pairs winner-dedup to one row") {
     val r = rows(
       """MATCH (p:Person)-[:ACTED_IN]->(mm:Movie)
@@ -2073,10 +2117,25 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherBindingException](rows(
       """MATCH (p:Person), (m:Movie)
         |MERGE (p)-[r:FOLLOWS]->(m)""".stripMargin))
-    // MERGE rel takes no property map — the key IS the pair
+    // MERGE rel map (round 12): the map joins the KEY — binding an
+    // endpoint column, an unknown property, a duplicate, an aggregate,
+    // or re-assigning a map prop in ON CREATE all stay typed
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED {_vertexId: 'x'}]->(m)""".stripMargin))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED {Nope: 5}]->(m)""".stripMargin))
+    intercept[CypherException](rows( // duplicate key trips at parse
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED {Rating: 5, Rating: 6}]->(m)""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person), (m:Movie)
-        |MERGE (p)-[r:REVIEWED {Rating: 5}]->(m)""".stripMargin))
+        |MERGE (p)-[r:REVIEWED {Rating: count(p)}]->(m)""".stripMargin))
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person), (m:Movie)
+        |MERGE (p)-[r:REVIEWED {Rating: 5}]->(m)
+        |ON CREATE SET r.Rating = 6""".stripMargin))
     // undirected is ambiguous
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person), (m:Movie)
