@@ -1755,6 +1755,31 @@ object SparkEntry {
              |JOIN nation b ON b.n_nationkey = w.dst
              |ORDER BY src_name, dst_name, hops""".stripMargin)),
 
+    // --- temporal function surface (round 12): date.truncate /
+    //     datetime.truncate (codegen'd date_trunc), duration.between
+    //     (exact timestamp subtraction → day-time interval, consumed
+    //     by temporal arithmetic since parquet carries no intervals),
+    //     and the epochSeconds accessor — all mirrored by DuckDB
+    //     date_trunc / INTERVAL arithmetic / epoch().
+    ("q105_temporal_fns", cyx(
+      """MATCH (c:Customer)-[p:PLACED]->(o:Order)
+        |WHERE c.c_custkey <= 200
+        |RETURN datetime(date.truncate('month', p.o_orderdate)) AS mon,
+        |       count(*) AS n,
+        |       min(o.o_orderdate.epochSeconds) AS es,
+        |       max(o.o_orderdate + duration.between(
+        |           datetime('2020-01-01T00:00:00'),
+        |           datetime('2020-01-08T12:30:00'))) AS shifted
+        |ORDER BY mon""".stripMargin),
+      Some("""SELECT date_trunc('month', o_orderdate) AS mon,
+             |       count(*) AS n,
+             |       CAST(min(epoch(o_orderdate)) AS BIGINT) AS es,
+             |       max(o_orderdate +
+             |           INTERVAL '7 days 12 hours 30 minutes') AS shifted
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |WHERE c_custkey <= 200
+             |GROUP BY 1 ORDER BY mon""".stripMargin)),
+
     // --- relationship MERGE with a property-map match key (round 12;
     //     Neo4j matches on pair AND map): feed rows whose map value
     //     equals the edge's stored o_orderdate match their own edge

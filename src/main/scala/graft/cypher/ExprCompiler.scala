@@ -121,6 +121,10 @@ final class ExprCompiler(
       case "hour"      => hour(c)
       case "minute"    => minute(c)
       case "second"    => second(c)
+      // epoch accessors (round 12): BIGINT since the Unix epoch —
+      // dates promote to midnight-UTC timestamps first
+      case "epochmillis"  => unix_millis(c.cast(TimestampType))
+      case "epochseconds" => unix_seconds(c.cast(TimestampType))
     }
 
   def compile(e: Expr): Column = {
@@ -457,6 +461,34 @@ final class ExprCompiler(
       // temporal component access, extension)
       case n if Parser.TemporalComponents(n) =>
         arity(1); temporalComponent(n, a0)
+      // namespaced temporal functions (round 12, extensions —
+      // Neo4j's date.truncate/datetime.truncate/duration.between):
+      // both truncates lower to Spark's codegen'd date_trunc over a
+      // timestamp; date.truncate casts back to DATE and rejects
+      // sub-day units. duration.between is EXACT timestamp
+      // subtraction — a day-time interval (Neo4j normalizes to a
+      // months+days+seconds composite; Spark cannot mix year-month
+      // and day-time intervals, so the exact form is the contract).
+      case "date.truncate" | "datetime.truncate" =>
+        arity(2)
+        val unit = f.args.head match {
+          case ast.Lit(u: String) => u.toLowerCase(java.util.Locale.ROOT)
+          case _ => throw new CypherSyntaxException(
+            s"${f.name}(unit, x): the unit must be a literal string")
+        }
+        val dateUnits = Set("year", "quarter", "month", "week", "day")
+        val tsUnits = dateUnits ++ Set("hour", "minute", "second")
+        val allowed = if (f.name == "date.truncate") dateUnits else tsUnits
+        if (!allowed(unit))
+          throw new CypherSyntaxException(
+            s"${f.name} unit '$unit' (supported: " +
+            allowed.toSeq.sorted.mkString(", ") + ")")
+        val truncated = date_trunc(unit, a1.cast(TimestampType))
+        if (f.name == "date.truncate") truncated.cast(DateType)
+        else truncated
+      case "duration.between" =>
+        arity(2)
+        a1.cast(TimestampType) - a0.cast(TimestampType)
       // openCypher temporal constructors (the reference's value node
       // carries typed DateTime literals, QueryExpressionValue.cs:43-55).
       // A literal argument becomes a TYPED literal at compile time —

@@ -1624,7 +1624,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case Punct(".", _) =>
           p += 2
           val prop = name()
-          if (isPunct(".")) {
+          if (isPunct("(")) {
+            // namespaced temporal functions `date.truncate(…)` /
+            // `datetime.truncate(…)` / `duration.between(…)`
+            // (extensions; Neo4j's temporal function namespaces)
+            val qn = id.toLowerCase(java.util.Locale.ROOT) + "." +
+              prop.toLowerCase(java.util.Locale.ROOT)
+            if (!Parser.NamespacedFns(qn))
+              notSupported(s"function $id.$prop(...) (supported: " +
+                Parser.NamespacedFns.toSeq.sorted.mkString(", ") + ")")
+            if (!extensions)
+              notSupported(s"$qn(...) (supported with extensions enabled)")
+            p += 1 // '('
+            val args = Vector.newBuilder[Expr]
+            if (!isPunct(")")) {
+              args += parseExpr()
+              while (tryPunct(",")) args += parseExpr()
+            }
+            eatPunct(")")
+            Func(qn, args.result())
+          } else if (isPunct(".")) {
             // temporal component access `x.prop.year` (extension;
             // Neo4j's temporal accessors) — lowered to the matching
             // component function; anything else stays the reference's
@@ -1827,7 +1846,17 @@ object Parser {
    *  function; dayofweek is ISO (1 = Monday). */
   val TemporalComponents: Set[String] = Set(
     "year", "quarter", "month", "week", "day", "dayofweek",
-    "hour", "minute", "second")
+    "hour", "minute", "second",
+    // epoch accessors (round 12; Neo4j datetime.epochMillis/
+    // epochSeconds) — BIGINT, unlike the INT calendar components
+    "epochmillis", "epochseconds")
+
+  /** Namespaced temporal functions (round 12, extensions):
+   *  `date.truncate(unit, d)`, `datetime.truncate(unit, ts)`,
+   *  `duration.between(a, b)` — parsed as qualified calls, compiled
+   *  by the matching Func name. */
+  val NamespacedFns: Set[String] = Set(
+    "date.truncate", "datetime.truncate", "duration.between")
 
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()

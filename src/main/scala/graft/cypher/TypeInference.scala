@@ -125,7 +125,8 @@ final class TypeInference(refType: Ref => Option[DataType],
         case Some(DateType | TimestampType)
             if Parser.TemporalComponents(
               p.toLowerCase(java.util.Locale.ROOT)) =>
-          Some(IntegerType)
+          val comp = p.toLowerCase(java.util.Locale.ROOT)
+          Some(if (comp.startsWith("epoch")) LongType else IntegerType)
         case Some(other) =>
           fail(s"'$a.$p' — element type ${other.simpleString} has no " +
             "fields")
@@ -403,6 +404,21 @@ final class TypeInference(refType: Ref => Option[DataType],
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(IntegerType)
+      case "epochmillis" | "epochseconds" =>
+        t(0).foreach(x => if (!isTemporal(x) && x != StringType)
+          fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
+        Some(LongType)
+      case "date.truncate" | "datetime.truncate" =>
+        t(0).foreach(x => if (x != StringType)
+          fail(s"${f.name} unit must be a string, got ${x.simpleString}"))
+        t(1).foreach(x => if (!isTemporal(x))
+          fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
+        Some(if (f.name == "date.truncate") DateType else TimestampType)
+      case "duration.between" =>
+        Seq(0, 1).foreach(i => t(i).foreach(x => if (!isTemporal(x))
+          fail(s"duration.between() requires dates/timestamps, got " +
+            x.simpleString)))
+        Some(DayTimeIntervalType.DEFAULT)
       case "datetime" | "localdatetime" =>
         // string literal/column OR an existing temporal (identity/
         // widening conversion via to_timestamp)

@@ -3394,6 +3394,46 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (m:Movie) WITH date('2020-01-01') AS d RETURN d.x.year.day AS x"))
   }
 
+  test("date.truncate / datetime.truncate / duration.between / epoch") {
+    val r = rows(
+      """WITH datetime('2024-03-15T14:30:45') AS ts, date('2024-03-15') AS d
+        |RETURN date.truncate('month', d) AS m,
+        |       date.truncate('week', d) AS wk,
+        |       datetime.truncate('hour', ts) AS h,
+        |       datetime.truncate('quarter', ts) AS q,
+        |       ts.epochSeconds AS es, ts.epochMillis AS em""".stripMargin)
+      .head
+    assert(r.getDate(0).toString == "2024-03-01")
+    assert(r.getDate(1).toString == "2024-03-11") // ISO Monday
+    assert(r.getTimestamp(2).toString == "2024-03-15 14:00:00.0")
+    assert(r.getTimestamp(3).toString == "2024-01-01 00:00:00.0")
+    assert(r.getLong(4) * 1000L == r.getLong(5))
+    assert(r.getLong(4) == 1710513045L) // UTC session timezone
+    // duration.between: exact day-time interval; composes with
+    // temporal arithmetic (+30h onto a date-midnight timestamp)
+    val r2 = rows(
+      """WITH datetime('2024-01-01T00:00:00') AS a,
+        |     datetime('2024-01-02T06:00:00') AS b
+        |RETURN datetime('2024-06-01T00:00:00') +
+        |       duration.between(a, b) AS shifted""".stripMargin).head
+    assert(r2.getTimestamp(0).toString == "2024-06-02 06:00:00.0")
+    val r3 = rows(
+      """WITH date('2024-01-01') AS a, date('2024-03-01') AS b
+        |RETURN duration.between(a, b) AS dur""".stripMargin).head
+    assert(r3.get(0) == java.time.Duration.ofDays(60)) // leap year
+    // typed rejections: unknown namespace/unit, non-literal unit,
+    // non-temporal operands
+    intercept[CypherNotSupportedException](rows(
+      "RETURN date.nope(1) AS x"))
+    intercept[CypherSyntaxException](rows(
+      "WITH date('2024-01-01') AS d RETURN date.truncate('hour', d) AS x"))
+    intercept[CypherSyntaxException](rows(
+      """WITH date('2024-01-01') AS d, 'month' AS u
+        |RETURN date.truncate(u, d) AS x""".stripMargin))
+    intercept[CypherTypeException](rows(
+      "RETURN duration.between(1, 2) AS x"))
+  }
+
   test("reachablePairs: empty edge set converges immediately to empty") {
     import spark.implicits._
     val got = Reach.reachablePairs(
