@@ -9459,10 +9459,10 @@ object SparkEntry {
              |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
              |    AND b.rn - a.rn IN (1, 2)),
              |walk(dst, d, pred) AS (
-             |  SELECT n_nationkey, 0, CAST(NULL AS VARCHAR)
+             |  SELECT n_nationkey, 0, CAST(NULL AS BIGINT)
              |  FROM nation WHERE n_nationkey = 0
              |  UNION ALL
-             |  SELECT e.dst, w.d + e.w, CAST(e.src AS VARCHAR)
+             |  SELECT e.dst, w.d + e.w, CAST(e.src AS BIGINT)
              |  FROM walk w JOIN e ON e.src = w.dst),
              |m AS (SELECT dst, min(d) AS md FROM walk GROUP BY 1)
              |SELECT w.dst AS node, CAST(w.d AS DOUBLE) AS dist,
@@ -9498,10 +9498,10 @@ object SparkEntry {
              |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
              |    AND b.rn - a.rn IN (1, 2)),
              |walk(dst, d, pred) AS (
-             |  SELECT n_nationkey, 0, CAST(NULL AS VARCHAR)
+             |  SELECT n_nationkey, 0, CAST(NULL AS BIGINT)
              |  FROM nation WHERE n_nationkey = 0
              |  UNION ALL
-             |  SELECT e.dst, w.d + e.w, CAST(e.src AS VARCHAR)
+             |  SELECT e.dst, w.d + e.w, CAST(e.src AS BIGINT)
              |  FROM walk w JOIN e ON e.src = w.dst),
              |m AS (SELECT dst, min(d) AS md FROM walk GROUP BY 1),
              |tree AS (
@@ -9512,7 +9512,7 @@ object SparkEntry {
              |  SELECT CAST(node AS VARCHAR), CAST(node AS VARCHAR), 0
              |  FROM tree
              |  UNION ALL
-             |  SELECT r.target, t.pred, r.back + 1
+             |  SELECT r.target, CAST(t.pred AS VARCHAR), r.back + 1
              |  FROM r JOIN tree t ON CAST(t.node AS VARCHAR) = r.hop
              |  WHERE t.pred IS NOT NULL),
              |l AS (SELECT target, max(back) AS len FROM r GROUP BY 1)

@@ -169,8 +169,10 @@ final class ExprCompiler(
     case _: ExistsPat =>
       throw new CypherNotSupportedException(
         "EXISTS pattern predicate is not supported in this position — " +
-        "use it in a MATCH WHERE clause (any boolean position) or a " +
-        "WITH/RETURN projection item")
+        "use it in a plain MATCH WHERE clause (any boolean position), " +
+        "a WITH/RETURN projection item, or an OPTIONAL MATCH WHERE as " +
+        "a TOP-LEVEL AND-conjunct (deeper positions there — under OR, " +
+        "CASE, size() — have no pre-left-join lowering)")
 
     case _: PatternComp =>
       throw new CypherNotSupportedException(

@@ -598,34 +598,45 @@ private[cypher] object Reach {
           "rounds — the edge set's diameter exceeds the guard")
       // σ(v at k+1) = Σ σ(u at k): partial-agg groupBy BEFORE the
       // anti-join (the sum only involves frontier rows; nodes already
-      // seen are strictly closer and contribute nothing)
-      val next = frontier
+      // seen are strictly closer and contribute nothing). The per-pair
+      // sum runs in DecimalType(38,0) — a Long sum wraps SILENTLY on
+      // diamond-rich DAGs (Fibonacci-like growth), and with more than
+      // 2^20 contributing predecessors a wrap can land positive and
+      // under any cap; decimal cannot wrap (per-round sums stay far
+      // below 38 digits), so the cap check below is exact.
+      val nextD = frontier
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
         .select(col("__src"), col("__d2").as("__dst"), col("__sigma"))
         .groupBy(col("__src"), col("__dst"))
-        .agg(sum(col("__sigma")).as("__sigma"))
+        .agg(sum(col("__sigma")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("__sigmaD"))
         .join(seen.select(col("__src"), col("__dst")),
           Seq("__src", "__dst"), "left_anti")
         .withColumn("__dist", lit((rounds + 1).toLong))
-        .select(col("__src"), col("__dst"), col("__dist"), col("__sigma"))
         .localCheckpoint(false)
-      // one probe job per round: row count + σ extrema. σ is a Long
-      // whose per-round groupBy-sum wraps SILENTLY on diamond-rich
-      // DAGs (Fibonacci-like growth); a wrapped σ would feed
-      // explode(sequence(1, σ)) below. min ≤ 0 catches a wrap that
-      // landed negative; the cap on max keeps the NEXT round's
-      // Σ over ≤ 2^20 predecessors provably inside Long range.
-      val probe = next.agg(count(lit(1)), coalesce(min(col("__sigma")),
-        lit(1L)), coalesce(max(col("__sigma")), lit(1L))).first()
+      // one probe job per round: row count + max σ. The cap keeps the
+      // materialized Long σ (and the explode(sequence(1, σ)) below)
+      // in safe territory.
+      val probe = nextD.agg(count(lit(1)),
+        coalesce(max(col("__sigmaD")),
+          lit(1).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .first()
       val n = probe.getLong(0)
       val sigmaCap = Long.MaxValue >> 20
-      if (n > 0 && (probe.getLong(1) <= 0 || probe.getLong(2) > sigmaCap))
+      if (n > 0 && probe.getDecimal(1).compareTo(
+            java.math.BigDecimal.valueOf(sigmaCap)) > 0)
         throw new GraphContractViolation(
           s"allShortestPaths: shortest-path witness count σ exceeded " +
           s"$sigmaCap per pair after round $rounds (Long overflow " +
           "territory on a diamond-rich DAG). Narrow the anchor — the " +
           "witness expansion would not be materializable anyway.")
+      // exact: every per-pair σ is ≤ sigmaCap, so the Long cast is
+      // value-preserving
+      val next = nextD.select(col("__src"), col("__dst"), col("__dist"),
+        col("__sigmaD").cast(org.apache.spark.sql.types.LongType)
+          .as("__sigma"))
       go = n > 0
       if (go) {
         total += n

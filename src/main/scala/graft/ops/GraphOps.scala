@@ -1174,10 +1174,11 @@ object GraphOps {
    * each settled node's PREDECESSOR on its cheapest route — the
    * standard routing deliverable (follow `pred` links back to a
    * source to reconstruct the path; sources carry a null pred).
-   * Equal-cost routes tie-break on the SMALLEST predecessor id's
-   * string form (a total, engine-portable order — the same
-   * struct-min trick as MERGE's winner rule), so the tree is
-   * deterministic and a SQL oracle reproduces it exactly.
+   * RETURN CONTRACT: `pred` keeps the source id column's NATIVE type,
+   * and equal-cost routes tie-break on the SMALLEST predecessor id in
+   * that type's order (numeric ids compare numerically — 9 < 10; the
+   * same struct-min trick as MERGE's winner rule), so the tree is
+   * deterministic and a SQL oracle reproduces it with a plain min().
    *
    * Same relaxation shape and guards as [[weightedSssp]]; the only
    * addition is the pred member riding the per-round min-combine
@@ -1197,11 +1198,12 @@ object GraphOps {
       throw new GraphContractViolation(
         "weightedSsspTree: negative edge weight — relaxation requires " +
         "w >= 0 (a negative cycle would improve forever)")
+    val predType = e.schema("__s").dataType
     var dist = sources
       .select(col(sources.columns.head).as("__n")).distinct()
       .where(col("__n").isNotNull)
       .withColumn("__dist", lit(0.0))
-      .withColumn("__pred", lit(null).cast(StringType))
+      .withColumn("__pred", lit(null).cast(predType))
       .localCheckpoint(false)
     var frontier = dist
     var go = frontier.limit(1).count() > 0
@@ -1216,7 +1218,7 @@ object GraphOps {
       val cand = frontier.join(e, col("__n") === col("__s"))
         .select(col("__d").as("__n"),
           struct((col("__dist") + col("__w")).as("__cd"),
-            col("__s").cast(StringType).as("__cp")).as("__c"))
+            col("__s").as("__cp")).as("__c"))
         .groupBy(col("__n")).agg(min(col("__c")).as("__c"))
         .select(col("__n"), col("__c.__cd").as("__cd"),
           col("__c.__cp").as("__cp"))

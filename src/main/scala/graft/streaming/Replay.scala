@@ -48,14 +48,14 @@ object Replay {
     * Spark fires after each data batch is a pure planning round that
     * emits nothing the next sentinel wouldn't — disabling it halves
     * the trigger count of an N-batch replay. Restored in finally. */
-  private def withReplayConf[R](spark: SparkSession, partitions: Int)(
-      body: => R): R = {
+  private def withReplayConf[R](spark: SparkSession, partitions: Int,
+      noDataBatches: Boolean)(body: => R): R = {
     val pKey = "spark.sql.shuffle.partitions"
     val nKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevP = spark.conf.get(pKey)
     val prevN = spark.conf.getOption(nKey)
     spark.conf.set(pKey, partitions)
-    spark.conf.set(nKey, "false")
+    spark.conf.set(nKey, noDataBatches.toString)
     try body
     finally {
       spark.conf.set(pKey, prevP)
@@ -66,10 +66,21 @@ object Replay {
     }
   }
 
+  /** CONTRACT for the default `noDataBatches = false`: a watermarked
+    * transform's final windows close only when a LATER data batch
+    * advances the watermark — with no-data micro-batches disabled,
+    * Spark never fires the automatic watermark-only batch after the
+    * last data batch, so callers MUST append far-future sentinel
+    * batches (in pairs: the watermark a batch advances applies in the
+    * batch AFTER it) or their last windows are silently never emitted.
+    * Every in-repo replay does; a caller without sentinels should pass
+    * `noDataBatches = true` to restore Spark's automatic flush at the
+    * cost of one extra planning round per data batch. */
   def run[T: Encoder](spark: SparkSession, batches: Seq[Seq[T]],
-                      outputMode: String, partitions: Int = 4)(
+                      outputMode: String, partitions: Int = 4,
+                      noDataBatches: Boolean = false)(
       build: Dataset[T] => DataFrame): DataFrame =
-    withReplayConf(spark, partitions) {
+    withReplayConf(spark, partitions, noDataBatches) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = MemoryStream[T]
       val sink = s"__graft_replay_${n.incrementAndGet()}"
@@ -98,9 +109,10 @@ object Replay {
   def run2[A: Encoder, B: Encoder](spark: SparkSession,
                                    aBatches: Seq[Seq[A]],
                                    bBatches: Seq[Seq[B]],
-                                   outputMode: String, partitions: Int = 4)(
+                                   outputMode: String, partitions: Int = 4,
+                                   noDataBatches: Boolean = false)(
       build: (Dataset[A], Dataset[B]) => DataFrame): DataFrame =
-    withReplayConf(spark, partitions) {
+    withReplayConf(spark, partitions, noDataBatches) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val memA = MemoryStream[A]
       val memB = MemoryStream[B]
@@ -135,9 +147,10 @@ object Replay {
     * anything it keeps (e.g. an eager localCheckpoint): the batch
     * frame is only valid during the callback. */
   def runForeachBatch[T: Encoder](spark: SparkSession,
-      batches: Seq[Seq[T]], partitions: Int = 4)(
+      batches: Seq[Seq[T]], partitions: Int = 4,
+      noDataBatches: Boolean = false)(
       fn: (Dataset[T], Long) => Unit): Unit =
-    withReplayConf(spark, partitions) {
+    withReplayConf(spark, partitions, noDataBatches) {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val mem = MemoryStream[T]
       val q = mem.toDS().writeStream.foreachBatch(fn).start()

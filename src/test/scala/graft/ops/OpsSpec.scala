@@ -4729,25 +4729,33 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("weightedSsspTree: preds follow the cheapest route; ties take " +
-      "the smallest pred string") {
+      "the smallest pred in the id's NATIVE order") {
     // s→a(1), a→b(1), s→b(5): b's pred is a (via the cheap route)
     val e = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 5.0))
       .toDF("src", "dst", "w")
     val src = Seq(0L).toDF("id")
     val t = GraphOps.weightedSsspTree(e, "src", "dst", "w", src)
       .collect().map(r => r.getLong(0) ->
-        ((r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getString(2)))))
+        ((r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
       .toMap
-    assert(t == Map(0L -> ((0.0, None)), 1L -> ((1.0, Some("0"))),
-      2L -> ((2.0, Some("1")))))
+    assert(t == Map(0L -> ((0.0, None)), 1L -> ((1.0, Some(0L))),
+      2L -> ((2.0, Some(1L)))))
     // equal-cost diamond: 0→1→3 and 0→2→3 both cost 2; pred of 3 is
-    // the smaller STRING "1"; the source keeps its null pred
+    // the smaller id 1; the source keeps its null pred
     val e2 = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (1L, 3L, 1.0),
       (2L, 3L, 1.0)).toDF("src", "dst", "w")
     val t2 = GraphOps.weightedSsspTree(e2, "src", "dst", "w", src)
       .collect().map(r => r.getLong(0) ->
-        (if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
-    assert(t2(3L) == Some("1") && t2(0L).isEmpty)
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(t2(3L) == Some(1L) && t2(0L).isEmpty)
+    // NUMERIC tie-break: preds 9 and 10 both reach 100 at cost 1 —
+    // native Long order picks 9 (lexicographic "10" < "9" would not)
+    val e3 = Seq((0L, 9L, 0.5), (0L, 10L, 0.5), (9L, 100L, 0.5),
+      (10L, 100L, 0.5)).toDF("src", "dst", "w")
+    val t3 = GraphOps.weightedSsspTree(e3, "src", "dst", "w", src)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(t3(100L) == Some(9L))
     // tree dists agree with weightedSssp
     val d1 = GraphOps.weightedSssp(e2, "src", "dst", "w", src)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
