@@ -6376,6 +6376,45 @@ object SparkEntry {
     //     operating points per (bands, rows) factorization of k —
     //     pure planner math, mirrored formula-for-formula in SQL
     //     (pow() last-ulp divergence absorbed by round 6)
+    // --- EXACT substring dedup (round 12; Lee et al. span-level —
+    //     the last VERDICT-r11 frontier family item): a 15-token
+    //     passage of out-of-vocabulary tokens is injected at the END
+    //     of every doc_id % 50 == 0 document behind a doc-unique
+    //     sentinel token, so the longest common run between any two
+    //     injected documents is EXACTLY the passage (it cannot extend
+    //     left past the unique sentinel or right past the text end),
+    //     while every OTHER cross-document run is destroyed by
+    //     doc-id-suffixing the corpus tokens (the raw corpus carries
+    //     PLANTED near-dup pairs with 80+-token natural runs — the
+    //     d02/d03 fixtures — which no SQL oracle can re-derive).
+    //     Candidates come from the winnow stage; the verify is the
+    //     codegen'd longest-common-run DP. DuckDB mirrors the
+    //     expected pairs with plain arithmetic.
+    ("d27_substring_dedup",
+      (s, dir) => {
+        val passage = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+          "zq10 zq11 zq12 zq13 zq14"
+        val injected = docs(s, dir).withColumn("text",
+          concat(
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, col("doc_id").cast("string"))), " "),
+            when(col("doc_id") % 50 === 0,
+              concat(lit(" uniq"), col("doc_id").cast("string"),
+                lit(" " + passage))).otherwise(lit(""))))
+        Dedup.substringDupSpans(injected, "text", "doc_id",
+            minRun = 10, n = 3, window = 4, minShared = 2)
+          .select(col("id_a"), col("id_b"), col("run_len"), col("span"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(15 AS INTEGER) AS run_len,
+             |  'zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 ' ||
+             |  'zq12 zq13 zq14' AS span
+             |FROM inj a JOIN inj b ON a.doc_id < b.doc_id
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     ("d26_lsh_plan",
       (s, dir) => {
         import s.implicits._

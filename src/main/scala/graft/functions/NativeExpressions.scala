@@ -621,6 +621,44 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /**
+   * Longest common contiguous token run between two array<string>
+   * columns — struct(len, start_a, start_b), 0-based starts, len 0
+   * when disjoint; inputs truncated to `maxTokens` each. The exact
+   * verify stage of [[graft.ops.Dedup.substringDupSpans]]; DP in the
+   * static [[CommonRunKernel]], invoked directly from codegen.
+   */
+  final case class LongestCommonRun(left: Expression, right: Expression,
+      maxTokens: Int) extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      Seq(requireArrayOf(left, StringType, prettyName),
+        requireArrayOf(right, StringType, prettyName))
+        .find(_ != TypeCheckResult.TypeCheckSuccess)
+        .getOrElse(TypeCheckResult.TypeCheckSuccess)
+    override def dataType: DataType = StructType(Seq(
+      StructField("len", IntegerType, nullable = false),
+      StructField("start_a", IntegerType, nullable = false),
+      StructField("start_b", IntegerType, nullable = false)))
+    override def prettyName: String = "longest_common_run"
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      CommonRunKernel.run(l.asInstanceOf[ArrayData],
+        r.asInstanceOf[ArrayData], maxTokens)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+           |${ev.value} = graft.functions.CommonRunKernel.run(
+           |  $a, $b, $maxTokens);
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): LongestCommonRun =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -------------------------------------------------------- dot product
 
   /**
@@ -1297,6 +1335,10 @@ object NativeExpressions {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
+
+  def longestCommonRun(a: Column, b: Column,
+                       maxTokens: Int = 10000): Column =
+    col(LongestCommonRun(expr(a), expr(b), maxTokens))
 
   def dotF(a: Column, b: Column): Column = col(DotF(expr(a), expr(b)))
 

@@ -665,6 +665,54 @@ object Dedup {
   }
 
   /**
+   * EXACT cross-document substring dedup (round 12; Lee et al.,
+   * "Deduplicating Training Data Makes Language Models Better" §4.1 —
+   * repeated spans across documents, there found with a corpus suffix
+   * array, which has no distributed form): candidate pairs come from
+   * the winnowing stage ([[winnowDupPairs]] — shared fingerprints
+   * bound the pair volume exactly like d12), then each candidate pair
+   * gets the EXACT longest common contiguous token run via the
+   * codegen'd [[graft.functions.NativeExpressions.LongestCommonRun]]
+   * dynamic program. Pairs whose run reaches `minRun` tokens report
+   * the span (its text from side a, plus both 0-based token starts) —
+   * the deliverable a span-removal pass consumes.
+   *
+   * Output: (id_a, id_b, run_len, start_a, start_b, span), id_a < id_b.
+   *
+   * Scale: the quadratic work is per CANDIDATE pair (winnow-bounded),
+   * never all-pairs; the DP is O(|a|·|b|) per pair with both sides
+   * truncated at `maxTokens` (10k tokens ⇒ ≤10⁸ byte-compare steps
+   * worst case, and real candidates share fingerprints, so their runs
+   * terminate the scan early in the row cache). Token frames carry
+   * (id, tokens) only — bodies never ride the pair join twice.
+   */
+  def substringDupSpans(df: DataFrame, textCol: String, idCol: String,
+                        minRun: Int = 20, n: Int = 3, window: Int = 4,
+                        minShared: Int = 2, maxBucket: Int = 1000,
+                        maxTokens: Int = 10000): DataFrame = {
+    require(minRun >= n,
+      s"minRun must be >= the winnow gram size n: minRun=$minRun n=$n")
+    val cand = winnowDupPairs(df, textCol, idCol, n, window, minShared,
+      maxBucket).select(col("id_a"), col("id_b"))
+    val toks = df.select(col(idCol).cast(LongType).as("__id"),
+      TextOps.tokens(col(textCol)).as("__t"))
+    cand
+      .join(toks.select(col("__id").as("id_a"), col("__t").as("__ta")),
+        Seq("id_a"))
+      .join(toks.select(col("__id").as("id_b"), col("__t").as("__tb")),
+        Seq("id_b"))
+      .withColumn("__r", graft.functions.NativeExpressions
+        .longestCommonRun(col("__ta"), col("__tb"), maxTokens))
+      .where(col("__r.len") >= minRun)
+      .select(col("id_a"), col("id_b"),
+        col("__r.len").as("run_len"),
+        col("__r.start_a").as("start_a"),
+        col("__r.start_b").as("start_b"),
+        array_join(slice(col("__ta"), col("__r.start_a") + 1,
+          col("__r.len")), " ").as("span"))
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs
    * (never within-side pairs) — the near-dup twin of [[dedupAgainst]],

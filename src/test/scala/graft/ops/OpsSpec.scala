@@ -2240,6 +2240,53 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"expected count semi-join:\n$plan")
   }
 
+  test("substringDupSpans: exact shared passage found with span and offsets") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"intro words then $passage and an ending"),
+      (2L, s"other start $passage closing remarks here"),
+      (3L, "unrelated content entirely about other things altogether"),
+      // near-identical run broken in the middle: two 5-token halves,
+      // below a minRun of 6
+      (4L, "alpha beta gamma delta epsilon XX zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDupSpans(docs, "text", "doc_id",
+        minRun = 6, n = 3, window = 4, minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        x.getInt(3), x.getInt(4), x.getString(5)))
+    assert(r.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    val (_, _, len, sa, sb, span) = r.head
+    assert(len == 10 && sa == 3 && sb == 2 && span == passage)
+    // the kernel is exact: equal full texts give the full-length run
+    val same = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.substringDupSpans(same, "text", "doc_id",
+      minRun = 8, n = 3, window = 4, minShared = 1).collect()
+    assert(r2.length == 1 && r2.head.getInt(2) == 8)
+    // native expression matches a straightforward reference DP
+    def refRun(a: Seq[String], b: Seq[String]): (Int, Int, Int) = {
+      var best = (0, 0, 0)
+      for (i <- a.indices; j <- b.indices) {
+        var k = 0
+        while (i + k < a.size && j + k < b.size && a(i + k) == b(j + k))
+          k += 1
+        if (k > best._1) best = (k, i, j)
+      }
+      best
+    }
+    val ta = "x alpha beta x x alpha beta gamma y".split(" ").toSeq
+    val tb = "alpha beta gamma z alpha beta".split(" ").toSeq
+    val got = spark.range(1).select(
+      graft.functions.NativeExpressions.longestCommonRun(
+        lit(ta.toArray), lit(tb.toArray))).head().getStruct(0)
+    assert((got.getInt(0), got.getInt(1), got.getInt(2)) == refRun(ta, tb))
+    // maxTokens truncation bounds the DP
+    val gotT = spark.range(1).select(
+      graft.functions.NativeExpressions.longestCommonRun(
+        lit(ta.toArray), lit(tb.toArray), maxTokens = 3)).head().getStruct(0)
+    assert(gotT.getInt(0) == 2) // "x alpha beta" vs "alpha beta gamma"
+  }
+
   test("jsonFieldQuality: present rates per field, corrupt and null payloads counted") {
     val df = Seq(
       (1L, """{"k": 1, "tag": "a"}"""),
