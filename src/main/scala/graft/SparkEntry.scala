@@ -2535,6 +2535,54 @@ object SparkEntry {
       },
       Some(pqIndexOracle)),
 
+    // --- incremental PQ append (round 12; the s35 shape for the PQ
+    //     family): build the index from the even-id half, APPEND the
+    //     odd-id half with the ORIGINAL codebooks (one map-only pass
+    //     over the batch; frozen geometry), then run the two-stage
+    //     probe. Old + new rows under one codebook set ⇒ the probe
+    //     sees the full corpus and s09's oracle binds the appended
+    //     index end to end.
+    ("s37_pq_append",
+      (s, dir) => {
+        val all = embs(s, dir)
+        val cb = Similarity.pqCodebooks(all, "embedding", "vec_id",
+          m = 8, ksub = 16)
+        val path = java.nio.file.Files.createTempDirectory("s37_pqidx").toString
+        Similarity.writePqIndex(all.where(col("vec_id") % 2 === 0),
+          "embedding", "vec_id", cb, path, numFiles = 2)
+        Similarity.appendPqIndex(all.where(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", cb, path, numFiles = 2)
+        Similarity.pqProbeIndex(s.read.parquet(path),
+            all.where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cb, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(pqIndexOracle)),
+
+    // --- PQ retrain advisory (round 12; the s36 shape for the PQ
+    //     family): rebuild-vs-append for the persisted PQ index —
+    //     mean reconstruction error under the FROZEN build codebooks
+    //     on built vs batch (PQ's native drift signal) plus recall at
+    //     the operating two-stage point over built ∪ batch, thresholds
+    //     folded into one recommendation row; fully SQL-mirrored
+    //     (deterministic seed codebooks).
+    ("s38_pq_retrain_advisory",
+      (s, dir) => Similarity.pqRetrainAdvisory(
+          embs(s, dir).where(col("vec_id") % 4 =!= 0),
+          embs(s, dir).where(col("vec_id") % 4 === 0),
+          embs(s, dir).where(col("vec_id") < 8),
+          "embedding", "vec_id", k = 5, m = 8, ksub = 16, shortlist = 20)
+        .select(col("n_built"), col("n_batch"),
+          round(col("growth"), 6).as("growth"),
+          round(col("recall_at_shortlist"), 6).as("recall_at_shortlist"),
+          round(col("recon_err_built"), 6).as("recon_err_built"),
+          round(col("recon_err_batch"), 6).as("recon_err_batch"),
+          round(col("recon_drift"), 6).as("recon_drift"),
+          col("recommendation")),
+      Some(pqRetrainOracle)),
+
     // --- hard-negative mining: per query, the top-k most-similar rows
     //     with a DIFFERENT label (contrastive-training near-misses) —
     //     exact scan, full value oracle including the negative's label
@@ -8437,6 +8485,94 @@ object SparkEntry {
     * cosines (s13's arithmetic keyed by cidx, inner join = the
     * non-null lists), the s03/s33 probe arithmetic at nProbe 6 for
     * recall, and the same threshold CASE for the recommendation. */
+  /** DuckDB mirror of s38: seed codebooks from the BUILT subset
+    * (hash-ordered limit, the pqCodebooks convention), encode/
+    * reconstruct every row under those frozen codebooks, average the
+    * reconstruction error per side, run the s09 two-stage probe over
+    * built ∪ batch, and fold the thresholds into the recommendation. */
+  private lazy val pqRetrainOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |b AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),
+      |sd AS (SELECT v AS sv, row_number() OVER (ORDER BY h, vid) - 1 AS j
+      |       FROM (SELECT v, (vec_id*2654435761)%1000000007 AS h,
+      |                    vec_id AS vid
+      |             FROM b ORDER BY h, vid LIMIT 16)),
+      |cb AS (SELECT ss.s AS s, sd.j AS j,
+      |              sv[ss.s*8+1 : ss.s*8+8] AS c
+      |       FROM sd CROSS JOIN (SELECT unnest(range(0, 8)) AS s) ss),
+      |cbc AS (SELECT s, j, c, list_dot_product(c, c) AS cc FROM cb),
+      |dist AS (SELECT e.vec_id, bb.s, bb.j,
+      |           list_dot_product(e.v[bb.s*8+1 : bb.s*8+8],
+      |                            e.v[bb.s*8+1 : bb.s*8+8])
+      |           - 2*list_dot_product(e.v[bb.s*8+1 : bb.s*8+8], bb.c)
+      |           + bb.cc AS d
+      |         FROM e CROSS JOIN cbc bb),
+      |code AS (SELECT vec_id, s, j FROM
+      |          (SELECT vec_id, s, j, row_number() OVER
+      |             (PARTITION BY vec_id, s ORDER BY d, j) AS r FROM dist)
+      |         WHERE r = 1),
+      |rec AS (SELECT code.vec_id, flatten(list(bb.c ORDER BY code.s)) AS rv
+      |        FROM code JOIN cbc bb ON bb.s = code.s AND bb.j = code.j
+      |        GROUP BY code.vec_id),
+      |err AS (SELECT e.vec_id,
+      |          list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, rec.rv)
+      |            + list_dot_product(rec.rv, rec.rv) AS er
+      |        FROM e JOIN rec USING (vec_id)),
+      |eb AS (SELECT avg(er) AS recon_err_built FROM err
+      |       WHERE vec_id % 4 <> 0),
+      |ea AS (SELECT avg(er) AS recon_err_batch FROM err
+      |       WHERE vec_id % 4 = 0),
+      |s1 AS (SELECT q.vec_id AS query_id, r2.vec_id AS neighbor_id,
+      |         list_dot_product(q.v, q.v) - 2*list_dot_product(q.v, r2.rv)
+      |           + list_dot_product(r2.rv, r2.rv) AS d
+      |       FROM e q CROSS JOIN rec r2
+      |       WHERE q.vec_id < 8 AND r2.vec_id <> q.vec_id),
+      |short AS (SELECT query_id, neighbor_id FROM
+      |           (SELECT *, row_number() OVER
+      |              (PARTITION BY query_id ORDER BY d, neighbor_id) AS rk
+      |            FROM s1)
+      |          WHERE rk <= 20),
+      |s2 AS (SELECT sh.query_id, sh.neighbor_id,
+      |         list_dot_product(qe.v, ce.v) /
+      |           (sqrt(list_dot_product(qe.v, qe.v)) *
+      |            sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      |       FROM short sh
+      |       JOIN e qe ON qe.vec_id = sh.query_id
+      |       JOIN e ce ON ce.vec_id = sh.neighbor_id),
+      |approx AS (SELECT query_id, neighbor_id FROM
+      |            (SELECT *, row_number() OVER
+      |               (PARTITION BY query_id
+      |                ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s2)
+      |           WHERE rk <= 5),
+      |tru AS (SELECT query_id, neighbor_id FROM
+      |          (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |               list_dot_product(q.v, c.v) /
+      |                 (sqrt(list_dot_product(q.v, q.v)) *
+      |                  sqrt(list_dot_product(c.v, c.v))) DESC, c.vec_id)
+      |               AS rk
+      |           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      |           WHERE q.vec_id < 8)
+      |        WHERE rk <= 5),
+      |hits AS (SELECT count(*) AS h
+      |         FROM approx JOIN tru USING (query_id, neighbor_id)),
+      |nq AS (SELECT count(DISTINCT query_id) AS nq FROM tru),
+      |cnt AS (SELECT
+      |          (SELECT count(*) FROM e WHERE vec_id % 4 <> 0) AS n_built,
+      |          (SELECT count(*) FROM e WHERE vec_id % 4 = 0) AS n_batch)
+      |SELECT cnt.n_built, cnt.n_batch,
+      |       round(CAST(cnt.n_batch AS DOUBLE) / cnt.n_built, 6) AS growth,
+      |       round(CAST(h AS DOUBLE) / (nq.nq * 5.0), 6)
+      |         AS recall_at_shortlist,
+      |       round(eb.recon_err_built, 6) AS recon_err_built,
+      |       round(ea.recon_err_batch, 6) AS recon_err_batch,
+      |       round(ea.recon_err_batch / eb.recon_err_built, 6)
+      |         AS recon_drift,
+      |       CASE WHEN CAST(h AS DOUBLE) / (nq.nq * 5.0) < 0.9
+      |              OR ea.recon_err_batch / eb.recon_err_built > 1.5
+      |            THEN 'rebuild' ELSE 'append' END AS recommendation
+      |FROM cnt, hits, nq, eb, ea""".stripMargin
+
   private lazy val ivfRetrainOracle: String =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |b AS (SELECT vec_id, v FROM e WHERE vec_id % 4 <> 0),

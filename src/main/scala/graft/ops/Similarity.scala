@@ -1077,6 +1077,92 @@ object Similarity {
   }
 
   /**
+   * Incremental PQ index maintenance (round 12): append a new batch to
+   * a persisted PQ index ([[writePqIndex]] layout) WITHOUT rebuilding —
+   * the PQ twin of [[appendIvfIndex]]. Codes are computed with the
+   * index's ORIGINAL (frozen) codebooks — probes must keep decoding one
+   * consistent geometry; re-training is a rebuild decision
+   * ([[pqRetrainAdvisory]]), not an append. Cost is one map-only pass
+   * over the batch; stage-1 probes keep their code-only column scans
+   * and see old + new rows.
+   */
+  def appendPqIndex(batch: DataFrame, vecCol: String, idCol: String,
+                    cb: Array[Array[Array[Float]]], path: String,
+                    numFiles: Int = 0): Unit = {
+    val df = batch.select(col(idCol).cast(LongType).as("id"),
+      pqCode(col(vecCol), cb).as("code"), col(vecCol).as("vec"))
+    (if (numFiles > 0) df.repartition(numFiles) else df)
+      .write.mode("append").parquet(path)
+  }
+
+  /**
+   * PQ index maintenance advisory (round 12): the rebuild-vs-append
+   * decision for a persisted PQ index ([[writePqIndex]] /
+   * [[appendPqIndex]]) — the PQ twin of [[ivfRetrainAdvisory]], with
+   * the drift monitor swapped for PQ's native health signal: the mean
+   * RECONSTRUCTION error `‖v − decode(code(v))‖²` under the FROZEN
+   * build codebooks, measured on the build corpus vs the appended
+   * batch. A batch the codebooks were never seeded from quantizes
+   * worse; `recon_drift` (batch/built mean-error ratio) > `reconCeil`
+   * recommends a rebuild, as does recall at the OPERATING two-stage
+   * point (k, shortlist — [[pqProbeIndex]]'s path over built ∪ batch)
+   * dropping under `recallFloor`.
+   *
+   * One summary row: (n_built, n_batch, growth, recall_at_shortlist,
+   * recon_err_built, recon_err_batch, recon_drift, recommendation).
+   *
+   * Scale: the recon summaries are 1-row aggregate frames cross-joined
+   * into the result; the truth pass is one [[bruteForceTopK]] over the
+   * query SAMPLE (small side by contract), the probe pass the ordinary
+   * two-stage shortlist + re-rank. Nothing collects beyond the
+   * model-sized codebooks.
+   */
+  def pqRetrainAdvisory(built: DataFrame, batch: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      m: Int, ksub: Int, shortlist: Int = 100,
+      recallFloor: Double = 0.9, reconCeil: Double = 1.5): DataFrame = {
+    val cb = pqCodebooks(built, vecCol, idCol, m, ksub)
+    // float arrays in, double accumulation inside dotF — bit-identical
+    // to DuckDB list_dot_product over the widened DOUBLE[] values
+    def reconErr(df: DataFrame, out: String) = df
+      .select(l2sq(col(vecCol),
+        pqDecode(pqCode(col(vecCol), cb), cb)).as("__e"))
+      .agg(avg(col("__e")).as(out))
+    val current = built.unionByName(batch)
+    val index = current.select(col(idCol).cast(LongType).as("id"),
+      pqCode(col(vecCol), cb).as("code"), col(vecCol).as("vec"))
+    val truth = bruteForceTopK(current, queries, vecCol, idCol, k)
+      .select(col("query_id"), col("neighbor_id")).localCheckpoint(false)
+    val approx =
+      pqProbeIndex(index, queries, vecCol, idCol, k, cb, shortlist)
+        .select(col("query_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val nq = truth.agg(countDistinct(col("query_id")).as("__nq"))
+    built.agg(count(lit(1)).as("n_built"))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(nq).crossJoin(hits)
+      .crossJoin(reconErr(built, "recon_err_built"))
+      .crossJoin(reconErr(batch, "recon_err_batch"))
+      .select(col("n_built"), col("n_batch"),
+        (col("n_batch").cast(DoubleType) / col("n_built")).as("growth"),
+        (col("__hits").cast(DoubleType) /
+          (col("__nq").cast(DoubleType) * lit(k.toDouble)))
+          .as("recall_at_shortlist"),
+        col("recon_err_built"), col("recon_err_batch"),
+        when(col("recon_err_built") === 0.0,
+          when(col("recon_err_batch") === 0.0, lit(1.0))
+            .otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(col("recon_err_batch") / col("recon_err_built"))
+          .as("recon_drift"))
+      .withColumn("recommendation",
+        when(col("recall_at_shortlist") < lit(recallFloor) ||
+          col("recon_drift") > lit(reconCeil), lit("rebuild"))
+          .otherwise(lit("append")))
+  }
+
+  /**
    * Two-stage search over a persisted PQ index ([[writePqIndex]]
    * layout): stage 1 scans ONLY (id, code) — asserted by the column
    * pruning in the scan's ReadSchema — decodes each code to its

@@ -4862,6 +4862,61 @@ class OpsSpec extends AnyFunSuite {
     assert(bad.getDouble(2) == 3.0)       // growth 192/64
   }
 
+  test("appendPqIndex: appended index probes identically to from-scratch") {
+    val all = (0 until 64).map { i =>
+      val ang = i * 0.17
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        (i % 5).toFloat / 5f, (i % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(all, "embedding", "vec_id",
+      m = 2, ksub = 8)
+    val qs = all.where(col("vec_id") < 4)
+    val p1 = java.nio.file.Files.createTempDirectory("pq_full").toString
+    Similarity.writePqIndex(all, "embedding", "vec_id", cb, p1)
+    val p2 = java.nio.file.Files.createTempDirectory("pq_app").toString
+    Similarity.writePqIndex(all.where(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", cb, p2)
+    Similarity.appendPqIndex(all.where(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", cb, p2)
+    def probe(p: String) = Similarity.pqProbeIndex(spark.read.parquet(p),
+        qs, "embedding", "vec_id", k = 3, cb, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(probe(p2) == probe(p1) && probe(p1).nonEmpty)
+  }
+
+  test("pqRetrainAdvisory: in-distribution append vs drifted rebuild") {
+    val built = (0 until 64).map { i =>
+      val ang = i * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        (i % 7).toFloat / 7f, (i % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val qs = built.where(col("vec_id") < 4)
+    // same generator, shifted ids: reconstruction error holds and the
+    // full shortlist keeps recall → append
+    val sameDist = (64 until 80).map { i =>
+      val ang = (i - 64) * 0.1
+      (i.toLong, Array(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        ((i - 64) % 7).toFloat / 7f, ((i - 64) % 3).toFloat / 3f))
+    }.toDF("vec_id", "embedding")
+    val ok = Similarity.pqRetrainAdvisory(built, sameDist, qs,
+      "embedding", "vec_id", k = 3, m = 2, ksub = 16,
+      shortlist = 80).head()
+    assert(ok.getLong(0) == 64L && ok.getLong(1) == 16L)
+    assert(ok.getDouble(3) == 1.0) // recall at a corpus-wide shortlist
+    assert(ok.getString(7) == "append")
+    // a far-off-distribution batch quantizes terribly under the frozen
+    // codebooks: recon_drift explodes → rebuild
+    val drifted = (100 until 116).map { i =>
+      (i.toLong, Array(-50f + (i % 5), 80f, -30f, 60f))
+    }.toDF("vec_id", "embedding")
+    val bad = Similarity.pqRetrainAdvisory(built, drifted, qs,
+      "embedding", "vec_id", k = 3, m = 2, ksub = 16,
+      shortlist = 80).head()
+    assert(bad.getDouble(6) > 1.5) // recon_drift
+    assert(bad.getString(7) == "rebuild")
+  }
+
   test("markovEntropyRate: deterministic cycle is 0 bits; fair coin chain is 1 bit") {
     def ev(rows: Seq[(Long, Long, String)]): DataFrame =
       rows.map { case (id, u, t) =>
