@@ -1,0 +1,235 @@
+package graft.cypher
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/**
+ * Query-level differential fuzzer (round 12): generates seed-pinned
+ * random Cypher queries over the movie fixture — 1-3 typed hops walked
+ * along the schema's edge catalog, optional WHERE, plain/DISTINCT or
+ * implicitly-grouped aggregate projections, optional total ORDER BY +
+ * LIMIT — and mirrors each to hand-built Spark SQL over temp views of
+ * the SAME fixture tables. The two results must agree as multisets.
+ *
+ * This is the query-level face of ParserRobustnessSpec: the parser
+ * fuzz proves no crash, this proves no WRONG ANSWER on planner
+ * compositions no hand-written oracle covers (join order × direction ×
+ * relationship-uniqueness inequality × grouping). Failures print the
+ * seed, index, and both query texts for one-line reproduction.
+ */
+class CypherFuzzSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val Seed = 20260815
+  private val N = 220
+
+  // one generated query: the cypher text and its SQL mirror
+  private final case class Gen(cypher: String, sql: String)
+
+  // --- schema facts the generator walks -------------------------------
+  // (verb, fromLabel, toLabel, table)
+  private val edges = Seq(
+    ("ACTED_IN", "Person", "Movie", "acted_in"),
+    ("REVIEWED", "Person", "Movie", "reviewed"),
+    ("DIRECTED", "Person", "Movie", "directed"),
+    ("FOLLOWS", "Person", "Person", "follows"),
+    ("KNOWS", "Person", "Person", "knows"))
+  private val nodeTable = Map("Person" -> "person", "Movie" -> "movie")
+  // label → (prop, isNumeric, isNullable)
+  private val props = Map(
+    "Person" -> Seq(("Name", false, false), ("Born", true, true)),
+    "Movie" -> Seq(("Title", false, false), ("Tagline", false, true),
+      ("Released", true, false)))
+
+  private def genOne(rnd: Random): Gen = {
+    // ---- pattern: a 1-3 hop walk over the edge catalog --------------
+    val hops = 1 + rnd.nextInt(3)
+    var label = "Person" // every edge touches Person; Movie is a sink
+    val nodeAliases = scala.collection.mutable.ArrayBuffer(("n0", label))
+    val relAliases = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, Boolean)] // (alias, table, verb, out)
+    val patSb = new StringBuilder(s"(n0:$label)")
+    val joinSb = new StringBuilder(s"${nodeTable(label)} n0")
+    (1 to hops).foreach { i =>
+      val cands = edges.filter(e => e._2 == label || e._3 == label)
+      val e = cands(rnd.nextInt(cands.size))
+      // walking "out" needs current = fromLabel; self-type edges pick
+      // a direction at random
+      val out =
+        if (e._2 == label && e._3 == label) rnd.nextBoolean()
+        else e._2 == label
+      val next = if (out) e._3 else e._2
+      val na = s"n$i"; val ra = s"r$i"
+      patSb.append(
+        if (out) s"-[$ra:${e._1}]->($na:$next)"
+        else s"<-[$ra:${e._1}]-($na:$next)")
+      val prev = s"n${i - 1}"
+      // edge row: _vertexId = source node id, _sink = sink node id.
+      // Join the edge against the ALREADY-BOUND prev alias first, then
+      // bind the new node on the edge's other end — walking "in" means
+      // prev is the edge's sink and the new node its source.
+      if (out) {
+        joinSb.append(s" JOIN ${e._4} $ra ON $ra._vertexId = $prev.id")
+        joinSb.append(
+          s" JOIN ${nodeTable(next)} $na ON $na.id = $ra._sink")
+      } else {
+        joinSb.append(s" JOIN ${e._4} $ra ON $ra._sink = $prev.id")
+        joinSb.append(
+          s" JOIN ${nodeTable(next)} $na ON $na.id = $ra._vertexId")
+      }
+      nodeAliases += ((na, next))
+      relAliases += ((ra, e._4, e._1, out))
+      label = next
+    }
+    // Cypher relationship-uniqueness: same-verb rel pairs are distinct
+    val ineq = for {
+      i <- relAliases.indices; j <- (i + 1) until relAliases.size
+      if relAliases(i)._3 == relAliases(j)._3
+    } yield {
+      val a = relAliases(i)._1; val b = relAliases(j)._1
+      s"NOT ($a._vertexId = $b._vertexId AND $a._sink = $b._sink)"
+    }
+
+    // ---- WHERE --------------------------------------------------------
+    def onePred(): (String, String) = {
+      val (na, lbl) = nodeAliases(rnd.nextInt(nodeAliases.size))
+      val (p, numeric, nullable) = props(lbl)(rnd.nextInt(props(lbl).size))
+      rnd.nextInt(4) match {
+        case 0 if numeric =>
+          val op = Seq(">", ">=", "<", "<=", "=", "<>")(rnd.nextInt(6))
+          val v = if (p == "Born") 1950 + rnd.nextInt(16)
+                  else 1992 + rnd.nextInt(8)
+          (s"$na.$p $op $v", s"$na.$p $op $v")
+        case 1 if nullable =>
+          val not = if (rnd.nextBoolean()) " NOT" else ""
+          (s"$na.$p IS$not NULL", s"$na.$p IS$not NULL")
+        case 2 if !numeric =>
+          val c = Seq("T", "M", "K", "J", "S")(rnd.nextInt(5))
+          (s"$na.$p STARTS WITH '$c'", s"$na.$p LIKE '$c%'")
+        case _ if numeric =>
+          val v = if (p == "Born") 1950 + rnd.nextInt(16)
+                  else 1992 + rnd.nextInt(8)
+          (s"$na.$p >= $v", s"$na.$p >= $v")
+        case _ =>
+          (s"$na.$p IS NOT NULL", s"$na.$p IS NOT NULL")
+      }
+    }
+    val nPreds = rnd.nextInt(3) // 0, 1 or 2
+    val preds = Seq.fill(nPreds)(onePred())
+    val conj = if (rnd.nextBoolean()) " AND " else " OR "
+    val cyWhereCore =
+      if (preds.isEmpty) "" else preds.map(_._1).mkString(conj)
+    val sqlWhereCore =
+      if (preds.isEmpty) "" else
+        "(" + preds.map(_._2).mkString(conj) + ")"
+    val sqlWhereAll = (ineq ++ Option(sqlWhereCore).filter(_.nonEmpty))
+      .mkString(" AND ")
+
+    // ---- projection ----------------------------------------------------
+    def pickProp(): (String, String, Boolean) = {
+      val (na, lbl) = nodeAliases(rnd.nextInt(nodeAliases.size))
+      val (p, numeric, _) = props(lbl)(rnd.nextInt(props(lbl).size))
+      (na, p, numeric)
+    }
+    val aggMode = rnd.nextBoolean()
+    val (retCy, retSql, groupSql) = if (!aggMode) {
+      val k = 1 + rnd.nextInt(3)
+      val items = (0 until k).map { i =>
+        val (na, p, _) = pickProp()
+        (s"$na.$p AS c$i", s"$na.$p AS c$i")
+      }
+      val distinct = rnd.nextBoolean()
+      val d1 = if (distinct) "DISTINCT " else ""
+      (d1 + items.map(_._1).mkString(", "),
+        d1 + items.map(_._2).mkString(", "), "")
+    } else {
+      val nKeys = rnd.nextInt(2) // 0 or 1 group keys
+      val keys = (0 until nKeys).map { i =>
+        val (na, p, _) = pickProp()
+        (s"$na.$p AS g$i", s"$na.$p AS g$i", s"$na.$p")
+      }
+      val nAggs = 1 + rnd.nextInt(2)
+      val aggs = (0 until nAggs).map { i =>
+        val (na, p, numeric) = pickProp()
+        rnd.nextInt(5) match {
+          case 0 => (s"count(*) AS a$i", s"count(*) AS a$i")
+          case 1 => (s"count($na.$p) AS a$i", s"count($na.$p) AS a$i")
+          case 2 if numeric =>
+            (s"sum($na.$p) AS a$i", s"sum($na.$p) AS a$i")
+          case 3 if numeric =>
+            (s"round(avg($na.$p), 6) AS a$i",
+              s"round(avg($na.$p), 6) AS a$i")
+          case _ =>
+            val f = if (rnd.nextBoolean()) "min" else "max"
+            (s"$f($na.$p) AS a$i", s"$f($na.$p) AS a$i")
+        }
+      }
+      ((keys.map(_._1) ++ aggs.map(_._1)).mkString(", "),
+        (keys.map(_._2) ++ aggs.map(_._2)).mkString(", "),
+        if (keys.isEmpty) "" else
+          " GROUP BY " + keys.map(_._3).mkString(", "))
+    }
+
+    val cy = new StringBuilder(s"MATCH ${patSb.result()}")
+    if (cyWhereCore.nonEmpty) cy.append(s" WHERE $cyWhereCore")
+    cy.append(s" RETURN $retCy")
+    val sql = new StringBuilder(s"SELECT $retSql FROM ${joinSb.result()}")
+    if (sqlWhereAll.nonEmpty) sql.append(s" WHERE $sqlWhereAll")
+    sql.append(groupSql)
+    Gen(cy.result(), sql.result())
+  }
+
+  /** Multiset of rows as normalized strings (doubles are pre-rounded
+    * by the generator; nulls print as a sentinel). */
+  private def norm(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map { r: Row =>
+      (0 until r.length).map { i =>
+        if (r.isNullAt(i)) "~null~" else r.get(i).toString
+      }.mkString("|")
+    }.sorted
+
+  test(s"$N seed-pinned random queries agree with their SQL mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed)
+    var checked = 0
+    (0 until N).foreach { i =>
+      val g = genOne(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch {
+          case e: Throwable => fail(
+            s"seed=$Seed i=$i cypher failed: ${e.getMessage}\n" +
+            s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}")
+        }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch {
+          case e: Throwable => fail(
+            s"seed=$Seed i=$i sql mirror failed: ${e.getMessage}\n" +
+            s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}")
+        }
+      assert(got == exp,
+        s"\nseed=$Seed i=$i DIVERGED (${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+      checked += 1
+    }
+    assert(checked == N)
+  }
+}
