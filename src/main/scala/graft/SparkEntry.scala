@@ -1803,6 +1803,57 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- nodes(p) over shortestPath (round 12): the everyday Neo4j
+    //     combination — the reduction keeps the minimal length per
+    //     (src, dst) binding AND that row's witness arrays (struct-min:
+    //     length first, then the smallest (nodes, rels) arrays — a
+    //     total, deterministic order the mirror reproduces with
+    //     DuckDB's lexicographic min over the path's id LIST, exact
+    //     because n_name is functionally dependent on n_nationkey).
+    //     JUMPS_TO's +1/+2 diamonds make real ties at the minimum.
+    ("q106_shortest_nodes", cyx(
+      """MATCH p = shortestPath((a:Nation)-[:JUMPS_TO*1..3]->(b:Nation))
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '>' + n.n_name)
+        |         AS chain
+        |ORDER BY src_name, dst_name""".stripMargin),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |walk(src, dst, d, ids, chain) AS (
+             |  SELECT e.src, e.dst, 1, [e.src, e.dst],
+             |         '>' || a.n_name || '>' || b.n_name
+             |  FROM e
+             |  JOIN nation a ON a.n_nationkey = e.src
+             |  JOIN nation b ON b.n_nationkey = e.dst
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.d + 1, list_append(w.ids, e.dst),
+             |         w.chain || '>' || b.n_name
+             |  FROM walk w
+             |  JOIN e ON e.src = w.dst
+             |  JOIN nation b ON b.n_nationkey = e.dst
+             |  WHERE w.d < 3),
+             |m AS (SELECT src, dst, min(d) AS md FROM walk GROUP BY 1, 2),
+             |c AS (SELECT w.* FROM walk w
+             |      JOIN m ON m.src = w.src AND m.dst = w.dst
+             |        AND w.d = m.md),
+             |best AS (SELECT src, dst, min(ids) AS bids
+             |         FROM c GROUP BY 1, 2)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       CAST(c.d AS BIGINT) AS hops, c.chain AS chain
+             |FROM c
+             |JOIN best ON best.src = c.src AND best.dst = c.dst
+             |  AND c.ids = best.bids
+             |JOIN nation a ON a.n_nationkey = c.src
+             |JOIN nation b ON b.n_nationkey = c.dst
+             |ORDER BY src_name, dst_name""".stripMargin)),
+
     // --- multi-updating pipeline (round 12): SET then MERGE in ONE
     //     query — the MERGE's feed is the SET's read-back frame, so
     //     ON CREATE SET reads the query's own write (c_acctbal + 100);

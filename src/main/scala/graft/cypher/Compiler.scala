@@ -2511,15 +2511,6 @@ object Compiler {
     }
     val shortestVar: Option[String] =
       if (shortest) matches.head.parts.head.pathVar else None
-    // the shortest reduction keeps only the minimal LENGTH per binding,
-    // grouped on endpoint ids — there is no per-hop witness row left to
-    // read nodes()/relationships() from
-    shortestVar.filter(witnessVars).foreach { pv =>
-      throw new CypherNotSupportedException(
-        s"nodes($pv)/relationships($pv) on a shortestPath variable — " +
-        "the reduction keeps only the minimal length per binding, not " +
-        "per-hop witnesses; bind a bounded [*lo..hi] path instead")
-    }
     // --- OPTIONAL clauses that THEMSELVES need expansion: Cypher is
     // left ⟕ (B1 ∪ … ∪ Bk) — the left row gets its null row only when
     // NO branch matches. The joint per-branch path would union
@@ -2611,18 +2602,39 @@ object Compiler {
         case (a, NodeBinding(n)) =>
           n.properties.filterNot(_ == n.idColumn).map(p => pref(a, p))
       }.flatten.toSet
-      val keyCols = others.filterNot(depCols)
+      // nodes(p)/relationships(p) witness arrays (round 12): per-path
+      // hop data, NOT part of the binding identity — excluded from the
+      // binding key. allShortestPaths rows keep their OWN witnesses;
+      // shortestPath picks the reduced row's witnesses through the
+      // struct-min below (minimal length first, then the smallest
+      // (nodes, rels) arrays — a total, deterministic order).
+      val witCols: Seq[String] = shortestVar.toSeq.flatMap(pv =>
+        Seq(pref(pv, "__nodes"), pref(pv, "__rels")))
+        .filter(cols.contains)
+      val keyCols =
+        others.filterNot(c => depCols(c) || witCols.contains(c))
       val carried = others.filter(depCols)
       val reduced =
         if (shortestOne) {
           // min length per binding; also collapses same-length paths
           // through different interior nodes (Cypher: ONE shortest path
           // per binding). One partially-aggregated shuffle on the slim
-          // binding key — no per-path state.
-          unioned.groupBy(keyCols.map(col): _*)
-            .agg(min(col(lenCol)).as(lenCol),
-              carried.map(c => first(col(c)).as(c)): _*)
-            .select(cols.map(col): _*)
+          // binding key — no per-path state. With witnesses, the min
+          // rides a (len, nodes, rels) struct so the kept arrays come
+          // from THE reduced row, never mixed across branches.
+          if (witCols.isEmpty)
+            unioned.groupBy(keyCols.map(col): _*)
+              .agg(min(col(lenCol)).as(lenCol),
+                carried.map(c => first(col(c)).as(c)): _*)
+              .select(cols.map(col): _*)
+          else
+            unioned.groupBy(keyCols.map(col): _*)
+              .agg(min(struct((lenCol +: witCols).map(col): _*)).as("__w"),
+                carried.map(c => first(col(c)).as(c)): _*)
+              .select(cols.map(c =>
+                if (c == lenCol || witCols.contains(c))
+                  col("__w").getField(c).as(c)
+                else col(c)): _*)
         } else {
           // allShortestPaths: keep every row at the per-binding minimum
           // (same-length paths through different interiors stay distinct

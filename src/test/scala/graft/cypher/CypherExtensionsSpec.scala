@@ -1191,11 +1191,41 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.map(_.getString(0)) == Seq("Tom Hanks"))
   }
 
-  test("path accessors stay rejected where witnesses cannot exist") {
-    // shortestPath reduction has no per-hop witness row
-    intercept[CypherNotSupportedException](rows(
+  test("nodes(p) on shortestPath: the reduced row's witnesses survive") {
+    // FOLLOWS: p5→p1, p5→p2, p1→p2 — (p5, p2) reachable at 1 AND 2
+    // hops; shortestPath keeps length 1 and ITS witnesses, never the
+    // two-hop branch's
+    val r = rows(
       """MATCH p = shortestPath((a:Person)-[:FOLLOWS*1..2]->(b:Person))
-        |RETURN [n IN nodes(p) | n.Name] AS NS""".stripMargin))
+        |RETURN a.Name AS A, b.Name AS B, [n IN nodes(p) | n.Name] AS NS
+        |ORDER BY A, B""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getSeq[String](2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "Meg Ryan", Seq("Jessica Thompson", "Meg Ryan")),
+      ("Jessica Thompson", "Tom Hanks", Seq("Jessica Thompson", "Tom Hanks")),
+      ("Tom Hanks", "Meg Ryan", Seq("Tom Hanks", "Meg Ryan"))))
+    // equal-length tie (FOLLOWS and KNOWS both link p1→p2 at 1 hop):
+    // the struct-min tie-break picks the smallest rels array — the
+    // null-Since FOLLOWS edge sorts before KNOWS's Since=2010
+    val r2 = rows(
+      """MATCH p = shortestPath(
+        |    (a:Person)-[:FOLLOWS|KNOWS*1..2]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Meg Ryan'
+        |RETURN [r IN relationships(p) | r.Since] AS S""".stripMargin)
+    assert(r2.size == 1 && r2.head.getSeq[Any](0) == Seq(null))
+    // allShortestPaths keeps BOTH minimal rows, each with its OWN
+    // witnesses
+    val r3 = rows(
+      """MATCH p = allShortestPaths(
+        |    (a:Person)-[:FOLLOWS|KNOWS*1..2]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Meg Ryan'
+        |RETURN [r IN relationships(p) | r.Since] AS S
+        |ORDER BY S""".stripMargin)
+      .map(_.getSeq[Any](0))
+    assert(r3 == Seq(Seq(null), Seq(2010)))
+  }
+
+  test("path accessors stay rejected where witnesses cannot exist") {
     // unbounded range lowers through a Reach pair frame — length only
     intercept[CypherNotSupportedException](rows(
       """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
