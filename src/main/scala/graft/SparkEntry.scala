@@ -1803,6 +1803,29 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- FOREACH ingest (round 12; the last rejected updating
+    //     construct): `FOREACH (x IN list | <updating clause>)`
+    //     desugars to UNWIND + the terminal clause — sound here
+    //     because the snapshot result winner-dedups feed multiplicity;
+    //     the oracle creates one synthetic nation per (element,
+    //     matched-key) pair on top of the untouched snapshot.
+    ("q107_foreach",
+      (s, dir) => cyx(
+        """MATCH (n:Nation) WHERE n.n_nationkey < 3
+          |FOREACH (x IN [1000, 2000] |
+          |  MERGE (m:Nation {n_nationkey: x + n.n_nationkey})
+          |  ON CREATE SET m.n_name = 'SYN_' + toString(x + n.n_nationkey))"""
+          .stripMargin)
+        .apply(s, dir).orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name FROM nation
+             |UNION ALL
+             |SELECT x + k AS n_nationkey,
+             |       'SYN_' || CAST(x + k AS VARCHAR) AS n_name
+             |FROM (SELECT unnest([1000, 2000]) AS x)
+             |CROSS JOIN (SELECT n_nationkey AS k FROM nation
+             |            WHERE n_nationkey < 3)
+             |ORDER BY n_nationkey""".stripMargin)),
+
     // --- nodes(p) over shortestPath (round 12): the everyday Neo4j
     //     combination — the reduction keeps the minimal length per
     //     (src, dst) binding AND that row's witness arrays (struct-min:

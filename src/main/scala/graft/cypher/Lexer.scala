@@ -31,7 +31,8 @@ object Lexer {
     "ELSE", "END", "AS",
     // recognized only to reject with a clear message (SURVEY.md §2.6)
     "UNWIND", "CREATE", "MERGE", "SET", "DELETE", "DETACH", "REMOVE",
-    "CALL", "FILTER", "EXTRACT", "ANY", "NONE", "SINGLE", "EXISTS")
+    "CALL", "FILTER", "EXTRACT", "ANY", "NONE", "SINGLE", "EXISTS",
+    "FOREACH")
 
   def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]

@@ -287,6 +287,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val parts = Vector.newBuilder[QueryPart]
     var done = false
     var isFirstPart = true
+    var foreachClose = 0
     while (!done) {
       rejectUpdating()
       val matches = Vector.newBuilder[MatchClause]
@@ -375,6 +376,46 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
           Seq.empty, None, None, None, star = true), uw, calls)
         isFirstPart = false
+      } else if (isKw("FOREACH")) {
+        // FOREACH (x IN list | <updating clause>) — extension (round
+        // 12; parity keeps the rejection): in this snapshot-producing
+        // engine the inner clause IS the query's terminal clause and
+        // its result is the new table snapshot, so the iteration
+        // desugars EXACTLY to `UNWIND list AS x <clause>` — feed
+        // multiplicity is winner-deduped / distinct-keyed per clause
+        // contract, and an empty/null list unwinds to zero feed rows
+        // (the snapshot passes through unchanged, Neo4j's no-op).
+        // Neo4j's cardinality preservation only matters for clauses
+        // AFTER the FOREACH, which is why only the TERMINAL position
+        // is supported: nothing may follow the closing paren. Nested
+        // FOREACH composes (one more UNWIND part per level).
+        if (!extensions)
+          notSupported("updating clause FOREACH (a terminal " +
+            "snapshot-producing FOREACH is supported with extensions " +
+            "enabled)")
+        if (inSubquery)
+          notSupported("FOREACH inside a CALL subquery — FOREACH must " +
+            "be the query's terminal clause")
+        if (isFirstPart && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
+            !inUpdateChain)
+          notSupported(
+            "FOREACH without a preceding MATCH binding its scope")
+        p += 1
+        eatPunct("(")
+        val fv = ident()
+        eatKw("IN")
+        val fl = parseExpr()
+        eatPunct("|")
+        if (!isUpdatingKw && !isKw("FOREACH"))
+          notSupported("FOREACH body must be a single updating clause " +
+            "(SET / REMOVE / CREATE / MERGE / DELETE / nested FOREACH)")
+        // open a new part carrying the desugared UNWIND; the updating
+        // branch fires on the loop's next iteration
+        parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+          Seq.empty, None, None, None, star = true),
+          uw :+ ((fl, fv)), calls)
+        isFirstPart = false
+        foreachClose += 1
       } else if (isKw("MERGE")) {
         // terminal MERGE (extension; parity rejected in rejectUpdating).
         // A trailing bare MATCH/UNWIND/CALL part gets an implicit
@@ -531,6 +572,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       } else {
         syntaxErr("Query part must end with WITH or RETURN")
       }
+    }
+    // close any FOREACH wrappers; the desugared form is terminal, so
+    // nothing may follow the last paren
+    (1 to foreachClose).foreach { _ =>
+      if (pendingSetReturn.isDefined || pendingMergeReturn.isDefined ||
+          pendingDeleteReturn.isDefined || pendingCreateReturn.isDefined ||
+          pendingUpdateChain.isDefined)
+        notSupported("RETURN/WITH inside FOREACH — the terminal " +
+          "snapshot-producing form takes one updating clause only")
+      eatPunct(")")
+    }
+    if (foreachClose > 0) cur match {
+      case EOF(_) => ()
+      case Punct(";", _) => ()
+      case t => notSupported(s"clauses after FOREACH ($t) — the " +
+        "terminal snapshot-producing form supports nothing after the " +
+        "closing paren")
     }
     SingleQuery(parts.result())
   }

@@ -2710,6 +2710,55 @@ class CypherExtensionsSpec extends AnyFunSuite {
       && r5.getInt(2) == 1996)
   }
 
+  test("FOREACH desugars to UNWIND + the terminal updating clause") {
+    // MERGE per element: winner-dedup keeps one row per key
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |FOREACH (x IN [1, 2] |
+        |  MERGE (p:Person {id: 'fp' + toString(x)})
+        |  ON CREATE SET p.Born = x)""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(2)) -1 else x.getInt(2)))
+      .toMap
+    assert(r.size == 7 && r("fp1") == 1 && r("fp2") == 2 &&
+      r("p1") == 1956)
+    // SET through FOREACH reads outer scope per element
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |FOREACH (x IN [100] | SET p.Born = p.Born + x)""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(2)) -1 else x.getInt(2))).toMap
+    assert(r2("p1") == 2056 && r2("p2") == 1961)
+    // empty list: zero feed rows — the snapshot passes unchanged
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |FOREACH (x IN [] | SET p.Born = 1)""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(2)) -1 else x.getInt(2))).toMap
+    assert(r3("p1") == 1956)
+    // nested FOREACH composes (one UNWIND level each)
+    val r4 = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |FOREACH (x IN [1] | FOREACH (y IN [2] |
+        |  CREATE (p:Person {id: 'n' + toString(x) + toString(y)})))"""
+        .stripMargin).map(_.getString(0))
+    assert(r4.size == 6 && r4.contains("n12"))
+    // rejections: non-updating body, trailing clauses, RETURN inside,
+    // no preceding MATCH
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) FOREACH (x IN [1] | RETURN x)"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) FOREACH (x IN [1] | SET p.Born = x)
+        |RETURN p.Name AS N""".stripMargin))
+    intercept[CypherException](rows(
+      "MATCH (p:Person) FOREACH (x IN [1] | SET p.Born = x RETURN x)"))
+    intercept[CypherNotSupportedException](rows(
+      "FOREACH (x IN [1] | SET p.Born = x)"))
+    // parity keeps the rejection
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) FOREACH (x IN [1] | SET p.Born = x)"))
+  }
+
   test("SET ... RETURN reads the updated entity per row") {
     // per-row read-back: rhs reads the OLD value, RETURN the new one
     val r = rows(
