@@ -6537,6 +6537,41 @@ object SparkEntry {
              |FROM inj a JOIN inj b ON a.doc_id < b.doc_id
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // --- incremental substring dedup (round 12; the d07/d09 shape
+    //     for the span family): batch (doc_id % 50 == 0) vs corpus
+    //     (doc_id % 70 == 0), each side's tokens side+doc-suffixed so
+    //     ONLY the injected passage is shared — every batch x corpus
+    //     pair reports exactly the 15-token span; within-side pairs
+    //     cannot form by construction.
+    ("d28_substring_against",
+      (s, dir) => {
+        val passage = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+          "zq10 zq11 zq12 zq13 zq14"
+        def side(tag: String, keep: org.apache.spark.sql.Column) = docs(s, dir)
+          .where(keep)
+          .withColumn("text", concat(
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, lit(tag), col("doc_id").cast("string"))), " "),
+            lit(" uniq" + tag), col("doc_id").cast("string"),
+            lit(" " + passage)))
+        Dedup.substringDupSpansAgainst(
+            side("b", col("doc_id") % 50 === 0),
+            side("c", col("doc_id") % 70 === 0),
+            "text", "doc_id", minRun = 10, n = 3, window = 4,
+            minShared = 2)
+          .select(col("batch_id"), col("corpus_id"), col("run_len"),
+            col("span"))
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some("""WITH b AS (SELECT doc_id FROM documents WHERE doc_id % 50 = 0),
+             |c AS (SELECT doc_id FROM documents WHERE doc_id % 70 = 0)
+             |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             |  CAST(15 AS INTEGER) AS run_len,
+             |  'zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 ' ||
+             |  'zq12 zq13 zq14' AS span
+             |FROM b CROSS JOIN c
+             |ORDER BY batch_id, corpus_id""".stripMargin)),
+
     ("d26_lsh_plan",
       (s, dir) => {
         import s.implicits._

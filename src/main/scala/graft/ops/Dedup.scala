@@ -713,6 +713,64 @@ object Dedup {
   }
 
   /**
+   * Incremental EXACT substring dedup (round 12): [[substringDupSpans]]
+   * between an incoming `batch` and an existing `corpus`, reporting
+   * ONLY batch×corpus span pairs — the span-level twin of
+   * [[dedupAgainst]] / [[minhashLshPairsAgainst]] (a daily crawl lands
+   * next to a deduplicated corpus; re-running the full pass would redo
+   * the corpus's own candidate work for a 0.1% delta). Candidates are
+   * winnow fingerprints shared ACROSS the sides (each side's hot
+   * fingerprints capped at `maxBucket` independently — the sibling's
+   * recall contract); the verify is the same codegen'd
+   * longest-common-run DP per candidate pair. Id spaces may overlap
+   * freely — the sides never join on id.
+   *
+   * Output: (batch_id, corpus_id, run_len, start_batch, start_corpus,
+   * span — text from the batch side).
+   */
+  def substringDupSpansAgainst(batch: DataFrame, corpus: DataFrame,
+                               textCol: String, idCol: String,
+                               minRun: Int = 20, n: Int = 3,
+                               window: Int = 4, minShared: Int = 2,
+                               maxBucket: Int = 1000,
+                               maxTokens: Int = 10000): DataFrame = {
+    require(minRun >= n,
+      s"minRun must be >= the winnow gram size n: minRun=$minRun n=$n")
+    def fps(df: DataFrame) =
+      TextOps.winnowFingerprints(df, textCol, idCol, n, window)
+        .select(col(idCol).cast(LongType).as("__id"), col("fp"))
+    def capped(f: DataFrame) = {
+      val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select(col("fp"))
+      f.join(keep, Seq("fp"), "left_semi")
+    }
+    val bf = capped(fps(batch))
+      .select(col("fp"), col("__id").as("batch_id"))
+    val cf = capped(fps(corpus))
+      .select(col("fp"), col("__id").as("corpus_id"))
+    val cand = bf.join(cf, Seq("fp"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__shared"))
+      .where(col("__shared") >= minShared)
+      .select(col("batch_id"), col("corpus_id"))
+    def toks(df: DataFrame, out: String, tout: String) =
+      df.select(col(idCol).cast(LongType).as(out),
+        TextOps.tokens(col(textCol)).as(tout))
+    cand
+      .join(toks(batch, "batch_id", "__tb"), Seq("batch_id"))
+      .join(toks(corpus, "corpus_id", "__tc"), Seq("corpus_id"))
+      .withColumn("__r", graft.functions.NativeExpressions
+        .longestCommonRun(col("__tb"), col("__tc"), maxTokens))
+      .where(col("__r.len") >= minRun)
+      .select(col("batch_id"), col("corpus_id"),
+        col("__r.len").as("run_len"),
+        col("__r.start_a").as("start_batch"),
+        col("__r.start_b").as("start_corpus"),
+        array_join(slice(col("__tb"), col("__r.start_a") + 1,
+          col("__r.len")), " ").as("span"))
+  }
+
+  /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs
    * (never within-side pairs) — the near-dup twin of [[dedupAgainst]],

@@ -2287,6 +2287,28 @@ class OpsSpec extends AnyFunSuite {
     assert(gotT.getInt(0) == 2) // "x alpha beta" vs "alpha beta gamma"
   }
 
+  test("substringDupSpansAgainst: batch x corpus spans only, ids overlap") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val batch = Seq(
+      (1L, s"bbb one two $passage"),
+      (2L, "bbb nothing shared at all here today")
+    ).toDF("doc_id", "text")
+    // corpus id 1 overlaps batch id 1 — sides never join on id
+    val corpus = Seq(
+      (1L, s"ccc other start $passage trailing words"),
+      (7L, s"ccc more stuff $passage"),
+      (9L, "ccc fully unrelated content everywhere")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringDupSpansAgainst(batch, corpus, "text",
+        "doc_id", minRun = 8, n = 3, window = 4, minShared = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2),
+        x.getString(5))).sortBy(t => (t._1, t._2))
+    assert(r.map(t => (t._1, t._2)).toSeq == Seq((1L, 1L), (1L, 7L)))
+    assert(r.forall(t => t._3 == 8 && t._4 == passage))
+    // within-side duplication is never reported: batch 1 vs batch 1'
+    // style pairs simply cannot form (the join is batch x corpus)
+  }
+
   test("jsonFieldQuality: present rates per field, corrupt and null payloads counted") {
     val df = Seq(
       (1L, """{"k": 1, "tag": "a"}"""),
