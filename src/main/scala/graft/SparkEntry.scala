@@ -1803,6 +1803,30 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- named path in OPTIONAL MATCH (round 12): per-branch lengths
+    //     ride the optional branch union and null-fill through the one
+    //     left join — count(length(p)) counts matched paths, sum
+    //     aggregates over them, unmatched nations contribute the null
+    //     row. Chain-tail nations (last in region) have zero paths.
+    ("q108_optional_path", cyx(
+      """MATCH (n:Nation)
+        |OPTIONAL MATCH p = (n)-[:NEXT_IN_REGION*1..2]->(m:Nation)
+        |RETURN n.n_name AS nation, count(length(p)) AS n_paths,
+        |       coalesce(sum(length(p)), 0) AS tot
+        |ORDER BY nation""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |d AS (
+             |  SELECT a.n_nationkey AS src, b.rn - a.rn AS hops
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2))
+             |SELECT n.n_name AS nation, count(d.hops) AS n_paths,
+             |       CAST(coalesce(sum(d.hops), 0) AS BIGINT) AS tot
+             |FROM nation n LEFT JOIN d ON d.src = n.n_nationkey
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
     // --- FOREACH ingest (round 12; the last rejected updating
     //     construct): `FOREACH (x IN list | <updating clause>)`
     //     desugars to UNWIND + the terminal clause — sound here

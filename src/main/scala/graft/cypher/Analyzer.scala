@@ -268,12 +268,11 @@ object Analyzer {
           val distRel = pp.rels.collectFirst {
             case rp if rp.alias.exists(Reach.isDistRel) => rp.alias.get
           }
-          if (nm.m.optional && distRel.isEmpty)
-            throw new CypherNotSupportedException(
-              "named path in OPTIONAL MATCH — its length would need " +
-              "null-on-unmatched semantics; bind the path in a MATCH " +
-              "(exception: shortestPath over an unbounded range, whose " +
-              "length column null-fills through the left join)")
+          // named paths in OPTIONAL MATCH (round 12): the length
+          // column (literal per branch, or the unbounded-shortestPath
+          // dist column) and any witness arrays ride the OPTIONAL
+          // side and null-fill through the left join — Cypher's
+          // null-on-unmatched contract
           if (allNodeAliases(pv) || allRelAliases(pv) ||
               inherited.contains(pv) || !pathSeen.add(pv))
             throw new CypherBindingException(

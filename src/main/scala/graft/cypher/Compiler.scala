@@ -243,6 +243,84 @@ object Compiler {
     }.toMap
   }
 
+  /** Materialize the witness arrays behind nodes(p)/relationships(p)
+    * for every path of `m` that has a canonical shape: one
+    * array<struct> per accessor, built from the already-joined entity
+    * columns — a pure projection. One canonical all-nullable element
+    * type so every branch of a union (including zero-length empty
+    * arrays) agrees exactly, nullability flags included. */
+  private def materializeWitnesses(df0: DataFrame, m: ResolvedMatch,
+      shapes: Map[String, (Seq[StructField], Seq[StructField])],
+      schema: GraphSchema,
+      colName: (String, String) => String = pref): DataFrame = {
+    var df = df0
+    m.pathWitness.foreach { case (a, (wNodes, wRels)) =>
+      shapes.get(a).foreach { case (nf, rf) =>
+        def entStruct(fields: Seq[StructField], alias: String,
+            have: Set[String]): Column =
+          struct(fields.map { f =>
+            (if (have(f.name)) col(colName(alias, f.name))
+             else lit(null).cast(f.dataType)).as(f.name)
+          }: _*)
+        def canon(fs: Seq[StructField]): DataType = ArrayType(
+          StructType(fs.map(f => StructField(f.name, f.dataType))),
+          containsNull = true)
+        val nodeArr = array(wNodes.map { na =>
+          val nd = schema.node(m.nodeLabels(na))
+          entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
+        }: _*).cast(canon(nf))
+        val relArr =
+          (if (wRels.isEmpty) array() // zero-length branch
+           else array(wRels.map { ra =>
+             val e = m.rels.find(_.alias == ra).get.edge
+             entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
+           }: _*)).cast(canon(rf))
+        df = df.withColumn(pref(a, "__nodes"), nodeArr)
+          .withColumn(pref(a, "__rels"), relArr)
+      }
+    }
+    df
+  }
+
+  /** OPTIONAL-side witness support: a named path's witness node that is
+    * an OUTER-bound endpoint has no property columns on the branch
+    * frame — but the branch edge carries its id, and node ids are
+    * unique, so one inner join of the node table on the edge key
+    * reproduces exactly the outer row's values (the boundary condition
+    * equates the same ids at the left join). */
+  private def joinOuterWitnessFaces(df0: DataFrame, m: ResolvedMatch,
+      have: Set[String],
+      shapes: Map[String, (Seq[StructField], Seq[StructField])],
+      catalog: GraphCatalog): (DataFrame, Set[String]) = {
+    val need = m.pathWitness
+      .filter { case (a, _) => shapes.contains(a) }
+      .values.flatMap(_._1).filterNot(have).toSeq.distinct
+    // INTERNAL face-column names: the branch frame later left-joins
+    // back to the outer frame, which carries the alias's real
+    // `pref(alias, c)` columns — reusing them here would collide
+    val joined = need.foldLeft(df0) { (d, oa) =>
+      val nd = catalog.graph.node(m.nodeLabels(oa))
+      val keyCol = m.rels.collectFirst {
+        case r if r.srcNode == oa => pref(r.alias, r.edge.srcIdColumn)
+        case r if r.snkNode == oa => pref(r.alias, r.edge.sinkIdColumn)
+      }.getOrElse(throw new CypherNotSupportedException(
+        s"named-path witness '$oa' in OPTIONAL MATCH is not adjacent " +
+        "to any of the clause's relationships"))
+      val face = catalog.nodeDf(nd.label).select(
+        entityCols(NodeBinding(nd)).map(c2 =>
+          col(c2).as(s"__wf_${oa}_$c2")): _*)
+      d.join(face, col(s"__wf_${oa}_${nd.idColumn}") === col(keyCol))
+    }
+    (joined, need.toSet)
+  }
+
+  /** Column resolver for [[materializeWitnesses]] over a frame where
+    * outer-bound witness aliases carry [[joinOuterWitnessFaces]]'
+    * internal names. */
+  private def witnessColName(outer: Set[String])
+      : (String, String) => String =
+    (a, c2) => if (outer(a)) s"__wf_${a}_$c2" else pref(a, c2)
+
   def compileMatches(
       start: Option[Ctx],
       resolved: Seq[ResolvedMatch],
@@ -292,34 +370,7 @@ object Compiler {
         // scan or shuffle. Materialized ONLY for paths the query reads
         // through the accessors (witnessVars), so length-only paths
         // stay one BIGINT column.
-        m.pathWitness.foreach { case (a, (wNodes, wRels)) =>
-          shapes.get(a).foreach { case (nf, rf) =>
-            def entStruct(fields: Seq[StructField], alias: String,
-                have: Set[String]): Column =
-              struct(fields.map { f =>
-                (if (have(f.name)) col(pref(alias, f.name))
-                 else lit(null).cast(f.dataType)).as(f.name)
-              }: _*)
-            // one canonical type (all-nullable) so every branch of the
-            // union — including the zero-length empty array — agrees
-            // exactly, nullability flags included
-            def canon(fs: Seq[StructField]): DataType = ArrayType(
-              StructType(fs.map(f => StructField(f.name, f.dataType))),
-              containsNull = true)
-            val nodeArr = array(wNodes.map { na =>
-              val nd = schema.node(m.nodeLabels(na))
-              entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
-            }: _*).cast(canon(nf))
-            val relArr =
-              (if (wRels.isEmpty) array() // zero-length branch
-               else array(wRels.map { ra =>
-                 val e = m.rels.find(_.alias == ra).get.edge
-                 entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
-               }: _*)).cast(canon(rf))
-            df = df.withColumn(pref(a, "__nodes"), nodeArr)
-              .withColumn(pref(a, "__rels"), relArr)
-          }
-        }
+        df = materializeWitnesses(df, m, shapes, schema)
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
           val (existsConjs, residual) = splitExistsConjuncts(w)
@@ -360,19 +411,23 @@ object Compiler {
         var optFiltered = m.inequalityPairs
           .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
           .foldLeft(optDf)((d, p) => d.filter(inequalityCond(p)))
-        // named paths in OPTIONAL MATCH exist only for the unbounded
-        // shortestPath lowering (Analyzer rejects the literal-length
-        // form): the alias column rides the OPTIONAL side — so the
-        // clause WHERE can read length(p) — and null-fills through
-        // the left join, Cypher's null-on-unmatched contract for free
+        // named paths in OPTIONAL MATCH (round 12 — bounded paths join
+        // the unbounded-shortestPath lowering): the alias column (and
+        // any witness arrays) ride the OPTIONAL side — so the clause
+        // WHERE can read length(p) — and null-fill through the left
+        // join, Cypher's null-on-unmatched contract for free
         m.pathVars.foreach { case (a, len) =>
-          len match {
-            case Right(dcol) =>
-              optFiltered = optFiltered.withColumn(a, col(dcol))
-            case Left(_) => throw new IllegalStateException(
-              s"internal: literal-length path '$a' in OPTIONAL MATCH " +
-              "should have been rejected by the analyzer")
-          }
+          optFiltered = optFiltered.withColumn(a, len match {
+            case Right(dcol) => col(dcol)
+            case Left(n)     => lit(n.toLong)
+          })
+        }
+        locally {
+          val (withFaces, outerFaces) =
+            joinOuterWitnessFaces(optFiltered, m, newSet, shapes, catalog)
+          optFiltered = materializeWitnesses(withFaces, m, shapes,
+              schema, witnessColName(outerFaces))
+            .drop(withFaces.columns.filter(_.startsWith("__wf_")): _*)
         }
         val combinedScope = scope ++ newEntities ++
           m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }
@@ -2545,7 +2600,7 @@ object Compiler {
           val c = ctx.getOrElse(Ctx(
             catalog.nodeDf(catalog.graph.nodes.head.label)
               .sparkSession.range(1).toDF("__row"), Map.empty))
-          ctx = Some(optionalBranchUnion(c, m, catalog))
+          ctx = Some(optionalBranchUnion(c, m, catalog, witnessVars))
         } else buf += m
       }
       flush()
@@ -2787,7 +2842,8 @@ object Compiler {
    * `∧ⱼ outerⱼ = __bnd_j` serves every branch's rows.
    */
   private def optionalBranchUnion(c: Ctx, m: MatchClause,
-      catalog0: GraphCatalog): Ctx = {
+      catalog0: GraphCatalog,
+      witnessVars: Set[String] = Set.empty): Ctx = {
     val (expanded0, zeroEdges) =
       VarLength.expand(Seq(m.copy(optional = false)), catalog0.graph)
     val catalog = withZeroEdges(catalog0, zeroEdges)
@@ -2796,9 +2852,19 @@ object Compiler {
     final case class Br(ctx: Ctx, outer: Seq[Column], sig: Seq[String])
     val compiled = Vector.newBuilder[Br]
     var firstErr: Option[CypherException] = None
-    branches.foreach { ms =>
+    // two-pass so nodes(p)/relationships(p) arrays get ONE element
+    // shape across every surviving branch (the compileVarLength rule)
+    val resolvedBrs = branches.flatMap { ms =>
+      try Some(Analyzer.resolvePart(schema, c.scope, ms).head)
+      catch {
+        case e: CypherBindingException =>
+          if (firstErr.isEmpty) firstErr = Some(e)
+          None
+      }
+    }
+    val shapes = pathShapes(resolvedBrs, catalog, witnessVars)
+    resolvedBrs.foreach { rm =>
       try {
-        val rm = Analyzer.resolvePart(schema, c.scope, ms).head
         val newNodes: Seq[(String, Binding)] = rm.nodeOrder
           .filterNot(c.scope.contains)
           .map(a => a -> (NodeBinding(schema.node(rm.nodeLabels(a))): Binding))
@@ -2812,9 +2878,26 @@ object Compiler {
           .filter(cd => newSet(cd.a) && newSet(cd.b))
         val optDf0 = joinEntities(None, Set.empty,
           groupsByPattern(rm, newEntities, merged), innerConds, catalog)
-        val optDf = rm.inequalityPairs
+        val optDf1 = rm.inequalityPairs
           .filter(p => newSet(p._1.alias) && newSet(p._2.alias))
           .foldLeft(optDf0)((d, p) => d.filter(inequalityCond(p)))
+        // named paths (round 12): per-branch length literal + witness
+        // arrays ride the branch frame, null-filling through the one
+        // left join below
+        val optDf = {
+          val withLens =
+            rm.pathVars.foldLeft(optDf1) { case (d, (a, len)) =>
+              d.withColumn(a, len match {
+                case Left(nn)    => lit(nn.toLong)
+                case Right(dcol) => col(dcol)
+              })
+            }
+          val (withFaces, outerFaces) =
+            joinOuterWitnessFaces(withLens, rm, newSet, shapes, catalog)
+          materializeWitnesses(withFaces, rm, shapes, schema,
+              witnessColName(outerFaces))
+            .drop(withFaces.columns.filter(_.startsWith("__wf_")): _*)
+        }
         // boundary: (outer node key, this branch's edge key column),
         // in pattern order — src before snk per rel
         val boundary: Seq[(String, Column, String)] = rm.rels.flatMap { r =>
@@ -2834,7 +2917,8 @@ object Compiler {
           case (d, ((_, _, branchCol), j)) =>
             d.withColumn(s"__bnd_$j", col(branchCol))
         }
-        compiled += Br(Ctx(withKeys, newEntities.toMap),
+        compiled += Br(Ctx(withKeys, newEntities.toMap ++
+          rm.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }),
           boundary.map(_._2), boundary.map(_._1))
       } catch {
         case e: CypherBindingException =>

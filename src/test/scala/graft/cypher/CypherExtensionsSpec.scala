@@ -1111,14 +1111,49 @@ class CypherExtensionsSpec extends AnyFunSuite {
     // alias collision with a node variable
     intercept[CypherBindingException](rows(
       "MATCH p = (p:Person)-[:FOLLOWS]->(b:Person) RETURN length(p) AS L"))
-    // OPTIONAL MATCH
-    intercept[CypherNotSupportedException](rows(
-      """MATCH (a:Person) OPTIONAL MATCH q = (a)-[:FOLLOWS]->(b:Person)
-        |RETURN a.Name AS N, length(q) AS L""".stripMargin))
     // parity session rejects the surface entirely
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
       "MATCH p = (a:Person)-[:FOLLOWS]->(b:Person) RETURN length(p) AS L"))
+  }
+
+  test("named path in OPTIONAL MATCH: length and witnesses null-fill") {
+    // fixed pattern: only p4 directed a movie; everyone else reads a
+    // null length
+    val r = rows(
+      """MATCH (a:Person)
+        |OPTIONAL MATCH q = (a)-[:DIRECTED]->(m:Movie)
+        |RETURN a.Name AS N, length(q) AS L ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(r == Seq(("Jessica Thompson", -1L), ("Kevin Bacon", -1L),
+      ("Meg Ryan", -1L), ("Rob Reiner", 1L), ("Tom Hanks", -1L)))
+    // var-length branches: per-branch lengths through the branch
+    // union, nulls on unmatched; witness arrays null-fill too
+    val r2 = rows(
+      """MATCH (a:Person) WHERE a.Name IN ['Jessica Thompson', 'Rob Reiner']
+        |OPTIONAL MATCH q = (a)-[:FOLLOWS*1..2]->(b:Person)
+        |RETURN a.Name AS N, length(q) AS L,
+        |       [n IN nodes(q) | n.Name] AS NS
+        |ORDER BY N, L""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1),
+        if (x.isNullAt(2)) null else x.getSeq[String](2)))
+    assert(r2 == Seq(
+      ("Jessica Thompson", 1L, Seq("Jessica Thompson", "Meg Ryan")),
+      ("Jessica Thompson", 1L, Seq("Jessica Thompson", "Tom Hanks")),
+      ("Jessica Thompson", 2L,
+        Seq("Jessica Thompson", "Tom Hanks", "Meg Ryan")),
+      ("Rob Reiner", -1L, null)))
+    // the clause WHERE reads length(q) BEFORE the left join
+    val r3 = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Jessica Thompson'
+        |OPTIONAL MATCH q = (a)-[:FOLLOWS*1..2]->(b:Person)
+        |WHERE length(q) = 2
+        |RETURN b.Name AS B, length(q) AS L""".stripMargin)
+      .map(x => (if (x.isNullAt(0)) null else x.getString(0),
+        if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(r3 == Seq(("Meg Ryan", 2L)))
   }
 
   test("named path: WITH * skips the path; explicit length(p) flows") {
@@ -3188,12 +3223,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getLong(1)))
     assert(r3.toSeq == Seq(("Jessica Thompson", 2L), ("Kevin Bacon", 0L),
       ("Meg Ryan", 0L), ("Rob Reiner", 0L), ("Tom Hanks", 1L)))
-    // a named path over a LITERAL length in OPTIONAL MATCH stays a
-    // typed rejection (non-null literal breaks null-on-unmatched)
-    intercept[CypherNotSupportedException](rows(
+    // a named path over a LITERAL length in OPTIONAL MATCH (round 12):
+    // the literal rides the optional side, so it null-fills through
+    // the left join like any other optional column
+    val r4 = rows(
       """MATCH (a:Person)
         |OPTIONAL MATCH p = (a)-[:FOLLOWS]->(b:Person)
-        |RETURN a.Name AS src, length(p) AS L""".stripMargin))
+        |RETURN DISTINCT a.Name AS src, length(p) AS L
+        |ORDER BY src""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(r4.toSeq == Seq(("Jessica Thompson", 1L), ("Kevin Bacon", -1L),
+      ("Meg Ryan", -1L), ("Rob Reiner", -1L), ("Tom Hanks", 1L)))
   }
 
   test("heterogeneous unbounded chains: label-stratified tagged BFS") {
