@@ -1803,6 +1803,26 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- collect(entity) (round 12): an array of the entity's
+    //     property struct per group — UNWIND round-trips the rows, so
+    //     the collect → unwind → filter → re-aggregate pipeline equals
+    //     the plain join the mirror runs (order inside the collected
+    //     array never observed).
+    ("q109_collect_entity", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH n, collect(c) AS cs
+        |UNWIND cs AS c2
+        |WITH n, c2 WHERE c2.c_acctbal > 9000.0
+        |RETURN n.n_name AS nation, count(*) AS n_rich,
+        |       round(sum(c2.c_acctbal), 2) AS bal
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n.n_name AS nation, count(*) AS n_rich,
+             |       round(sum(c.c_acctbal), 2) AS bal
+             |FROM customer c JOIN nation n
+             |  ON n.n_nationkey = c.c_nationkey
+             |WHERE c.c_acctbal > 9000.0
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
     // --- named path in OPTIONAL MATCH (round 12): per-branch lengths
     //     ride the optional branch union and null-fill through the one
     //     left join — count(length(p)) counts matched paths, sum

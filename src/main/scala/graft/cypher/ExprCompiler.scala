@@ -51,6 +51,13 @@ final class ExprCompiler(
   }, {
     case ast.Ref(a, None) => scope.get(a).contains(PathBinding)
     case _ => false
+  }, a => scope.get(a) match {
+    // entity alias → its property struct shape (collect(n) typing)
+    case Some(b @ (NodeBinding(_) | EdgeBinding(_))) =>
+      Some(StructType(Compiler.entityCols(b).map(c2 =>
+        StructField(c2,
+          colTypes.getOrElse(pref(physAlias(a), c2), NullType)))))
+    case _ => None
   })
 
   /** Dot access into a struct-typed VALUE (map literals, properties());
@@ -646,6 +653,17 @@ final class ExprCompiler(
     }
     entity match {
       case Some((al, b)) =>
+        if (a.name == "collect") {
+          // collect(n) over a whole entity (round 12): an array of the
+          // entity's property STRUCT — the properties() shape per
+          // element — so `UNWIND collect(n) AS x … x.prop` round-trips
+          // rows and the higher-order surface composes. DISTINCT
+          // dedups whole structs (node rows are id-unique anyway;
+          // parallel edges with equal properties collapse).
+          val st = struct(Compiler.entityCols(b).map(c2 =>
+            col(pref(physAlias(al), c2)).as(c2)): _*)
+          return if (a.distinct) collect_set(st) else collect_list(st)
+        }
         if (a.name != "count")
           throw new CypherNotSupportedException(
             s"${a.name}() over an entity — aggregate a property instead")

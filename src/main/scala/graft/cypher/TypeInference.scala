@@ -21,7 +21,9 @@ import ast._
  * genuinely unresolvable.
  */
 final class TypeInference(refType: Ref => Option[DataType],
-                          pathRef: Ref => Boolean = _ => false) {
+                          pathRef: Ref => Boolean = _ => false,
+                          entityStruct: String => Option[StructType] =
+                            _ => None) {
 
   /** Lambda-scoped variables (list comprehension / quantifier / reduce
    *  bodies): name → element type. Shadows outer refs for bare names.
@@ -464,6 +466,13 @@ final class TypeInference(refType: Ref => Option[DataType],
     }
     a.name match {
       case "count" => Some(LongType)
+      // collect(n) over a whole entity: array of its property struct
+      // (typed so size()/lambda dot access compose statically)
+      case "collect" if a.arg.exists {
+            case Ref(al, None) => entityStruct(al).isDefined
+            case _ => false } =>
+        a.arg.collect { case Ref(al, None) => al }
+          .flatMap(entityStruct).map(st => ArrayType(st): DataType)
       case "sum" =>
         requireNumeric(argT, "sum")
         argT.map(t => if (isIntegralT(t)) LongType else DoubleType)

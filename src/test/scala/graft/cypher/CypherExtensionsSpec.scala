@@ -1156,6 +1156,40 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r3 == Seq(("Meg Ryan", 2L)))
   }
 
+  test("collect(entity): array of property structs, UNWIND round-trips") {
+    val r = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p, collect(m) AS ms
+        |UNWIND ms AS m2
+        |RETURN p.Name AS N, m2.Title AS T ORDER BY N, T""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(
+      ("Kevin Bacon", "Apollo 13"),
+      ("Meg Ryan", "Sleepless in Seattle"),
+      ("Meg Ryan", "You've Got Mail"),
+      ("Tom Hanks", "Apollo 13"),
+      ("Tom Hanks", "Sleepless in Seattle"),
+      ("Tom Hanks", "You've Got Mail")))
+    // size + lambda dot access compose on the struct array
+    val r2 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+        |WITH p.Name AS N, collect(m) AS ms
+        |RETURN N, size(ms) AS n,
+        |       size([x IN ms WHERE x.Released >= 1995 | x.id]) AS late
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
+    assert(r2 == Seq(("Kevin Bacon", 1, 1), ("Meg Ryan", 2, 1),
+      ("Tom Hanks", 3, 2)))
+    // collect(DISTINCT edge) dedups whole structs
+    val r3 = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |RETURN size(collect(DISTINCT r)) AS n""".stripMargin).head
+    assert(r3.getInt(0) == 2)
+    // other aggregates over whole entities stay typed
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) RETURN max(p) AS x"))
+  }
+
   test("named path: WITH * skips the path; explicit length(p) flows") {
     val r = rows(
       """MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
