@@ -1803,6 +1803,37 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- WITH p path projection (round 12): the path's length column
+    //     and witness arrays thread through the WITH (post-WITH WHERE
+    //     filters on length), and nodes(p) still reads the carried
+    //     witnesses afterwards — mirrored by an explicit two-hop walk.
+    ("q110_with_path", cyx(
+      """MATCH p = (a:Nation)-[:JUMPS_TO*1..2]->(b:Nation)
+        |WITH p, a, b WHERE length(p) = 2
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       reduce(s = '', n IN nodes(p) | s + '>' + n.n_name)
+        |         AS chain
+        |ORDER BY src_name, dst_name, chain""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_regionkey, row_number() OVER (
+             |    PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn
+             |  FROM nation),
+             |e AS (
+             |  SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+             |  FROM s a JOIN s b ON a.n_regionkey = b.n_regionkey
+             |    AND b.rn - a.rn IN (1, 2)),
+             |two AS (
+             |  SELECT e1.src AS src, e1.dst AS mid, e2.dst AS dst
+             |  FROM e e1 JOIN e e2 ON e2.src = e1.dst)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       '>' || a.n_name || '>' || m.n_name || '>' || b.n_name
+             |         AS chain
+             |FROM two
+             |JOIN nation a ON a.n_nationkey = two.src
+             |JOIN nation m ON m.n_nationkey = two.mid
+             |JOIN nation b ON b.n_nationkey = two.dst
+             |ORDER BY src_name, dst_name, chain""".stripMargin)),
+
     // --- collect(entity) (round 12): an array of the entity's
     //     property struct per group — UNWIND round-trips the rows, so
     //     the collect → unwind → filter → re-aggregate pipeline equals

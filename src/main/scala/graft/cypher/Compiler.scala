@@ -183,6 +183,11 @@ object Compiler {
         if (n == "nodes" || n == "relationships")
           args match { case Seq(Ref(a, None)) => out += a; case _ => }
         args.foreach(walk)
+      // a bare variable carried through a projection (`WITH p`): if it
+      // is a path, its witnesses ARE its identity for the downstream
+      // grouping/DISTINCT — collect the name; non-path names filter
+      // out later (only pathWitness entries ever materialize)
+      case RetItem(Ref(a, None), _) => out += a
       case s: Iterable[_] => s.foreach(walk)
       case p: Product     => p.productIterator.foreach(walk)
       case _ =>
@@ -926,6 +931,7 @@ object Compiler {
 
     sealed trait ItemKind
     final case class EntityItem(srcAlias: String, b: Binding) extends ItemKind
+    final case class PathItem(alias: String) extends ItemKind
     final case class ValueItem(expr: Expr, agg: Boolean) extends ItemKind
 
     val kinds: Seq[ItemKind] = items.map { it =>
@@ -936,13 +942,30 @@ object Compiler {
               "returning a whole node/relationship — project its properties")
             EntityItem(a, b)
           case Some(ValueBinding) => ValueItem(it.expr, agg = false)
-          case Some(PathBinding) => throw new CypherNotSupportedException(
-            s"path variable '$a' cannot be projected - use length($a)")
+          case Some(PathBinding) =>
+            // WITH p (round 12): the path's length column and witness
+            // arrays thread through the projection under the SAME name
+            // (renames would desync the alias-IS-the-length-column
+            // convention — typed); RETURN p keeps the entity-style
+            // rejection
+            if (isReturn) throw new CypherNotSupportedException(
+              "returning a whole path — project length(" + a +
+              "), nodes(" + a + ") or relationships(" + a + ")")
+            if (it.alias.exists(_ != a))
+              throw new CypherNotSupportedException(
+                s"renaming a path variable (WITH $a AS …) — carry it " +
+                "under its own name")
+            PathItem(a)
           case None => throw new CypherBindingException(s"unknown variable '$a'")
         }
         case e => ValueItem(e, containsAgg(e))
       }
     }
+    /** Physical columns a carried path owns: the alias (its length)
+      * plus any materialized witness arrays. */
+    def pathCols(a: String): Seq[String] =
+      a +: Seq(pref(a, "__nodes"), pref(a, "__rels"))
+        .filter(ctx.df.columns.contains)
     val hasAgg = kinds.exists { case ValueItem(_, true) => true; case _ => false }
 
     val ec = new ExprCompiler(ctx.scope, ctx.df)
@@ -974,6 +997,7 @@ object Compiler {
     def newScope: Map[String, Binding] =
       kinds.zip(names).map {
         case (EntityItem(_, b), n) => n -> b
+        case (_: PathItem, n)      => n -> PathBinding
         case (_: ValueItem, n)     => n -> ValueBinding
       }.toMap
 
@@ -1022,6 +1046,7 @@ object Compiler {
         new ExprCompiler(sortScope, aug, aliasToTmp, entitySrc).compile(w)))
       val outCols = kinds.zipWithIndex.flatMap {
         case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+        case (PathItem(a), _) => pathCols(a).map(col)
         case (_: ValueItem, i) => Seq(col(tmpNames(i)).as(names(i)))
       }
       Ctx(aug.select(outCols: _*), newScope)
@@ -1064,6 +1089,7 @@ object Compiler {
           val aug = ctx.df.select((ctx.df.columns.map(col) ++ keyTmp).toIndexedSeq: _*)
           val keyNames: Seq[String] = kinds.zipWithIndex.flatMap {
             case (EntityItem(a, b), _) => entityCols(b).map(pref(a, _))
+            case (PathItem(a), _) => pathCols(a)
             case (ValueItem(_, false), i) => Seq(s"__key_$i")
             case _ => Seq.empty
           }
@@ -1075,6 +1101,7 @@ object Compiler {
             else aug.groupBy(keyNames.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
           val outCols = kinds.zipWithIndex.flatMap {
             case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+            case (PathItem(a), _) => pathCols(a).map(col)
             case (ValueItem(_, false), i) => Seq(col(s"__key_$i").as(names(i)))
             case (ValueItem(_, true), i) => Seq(col(s"__agg_$i").as(names(i)))
           } ++ hidden.values.map(col)
@@ -1082,6 +1109,7 @@ object Compiler {
         } else {
           val outCols = kinds.zipWithIndex.flatMap {
             case (EntityItem(a, b), i) => entitySelect(a, names(i), b)
+            case (PathItem(a), _) => pathCols(a).map(col)
             case (ValueItem(e, _), i) => Seq(ec.compile(e).as(names(i)))
           }
           ctx.df.select(outCols: _*)

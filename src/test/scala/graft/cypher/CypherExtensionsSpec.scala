@@ -1190,6 +1190,39 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) RETURN max(p) AS x"))
   }
 
+  test("WITH p carries the path (length + witnesses) through projections") {
+    val r = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WITH p, a, b WHERE length(p) = 2
+        |RETURN a.Name AS A, b.Name AS B,
+        |       [n IN nodes(p) | n.Name] AS NS""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getSeq[String](2)))
+    assert(r == Seq(("Jessica Thompson", "Meg Ryan",
+      Seq("Jessica Thompson", "Tom Hanks", "Meg Ryan"))))
+    // aggregation groups PER PATH (length + witness arrays key)
+    val r2 = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WITH p, count(*) AS cnt
+        |RETURN length(p) AS L, cnt ORDER BY L, cnt""".stripMargin)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(r2 == Seq((1L, 1L), (1L, 1L), (1L, 1L), (2L, 1L)))
+    // DISTINCT over paths; ORDER BY length(p) + LIMIT composes
+    val r3 = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WITH DISTINCT p
+        |WITH p ORDER BY length(p) DESC LIMIT 1
+        |RETURN length(p) AS L, [r IN relationships(p) | r._sink] AS SN"""
+        .stripMargin).head
+    assert(r3.getLong(0) == 2L && r3.getSeq[String](1) == Seq("p1", "p2"))
+    // renames stay typed; RETURN p keeps the rejection
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
+        |WITH p AS q RETURN length(q) AS L""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
+        |WITH p RETURN p""".stripMargin))
+  }
+
   test("named path: WITH * skips the path; explicit length(p) flows") {
     val r = rows(
       """MATCH p = (a:Person)-[:FOLLOWS]->(b:Person)
