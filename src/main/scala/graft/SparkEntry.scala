@@ -1803,6 +1803,27 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- temporal MAP constructors (round 12; Neo4j date({year: …})):
+    //     component expressions (columns compose) through make_date /
+    //     make_timestamp, absent calendar fields defaulting to their
+    //     floor — round-tripped from o_orderdate's own accessors and
+    //     mirrored by DuckDB's make_date/make_timestamp.
+    ("q111_temporal_ctor", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 50
+        |RETURN o.o_orderkey AS ok,
+        |       datetime({year: o.o_orderdate.year,
+        |                 month: o.o_orderdate.month,
+        |                 day: o.o_orderdate.day, hour: 12}) AS noon,
+        |       toString(date({year: o.o_orderdate.year})) AS jan1
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |  make_timestamp(year(o_orderdate), month(o_orderdate),
+             |    day(o_orderdate), 12, 0, 0) AS noon,
+             |  CAST(make_date(CAST(year(o_orderdate) AS INT), 1, 1)
+             |    AS VARCHAR) AS jan1
+             |FROM orders WHERE o_orderkey <= 50
+             |ORDER BY ok""".stripMargin)),
+
     // --- WITH p path projection (round 12): the path's length column
     //     and witness arrays thread through the WITH (post-WITH WHERE
     //     filters on length), and nodes(p) still reads the carried

@@ -300,6 +300,33 @@ final class ExprCompiler(
                         (body: => Column): Column =
     types.bound(name, et)(withLambdaCol(name, x)(body))
 
+  /** Component columns of a temporal MAP constructor: `year` is
+    * required, the remaining calendar fields default to their floor
+    * (month/day → 1, time-of-day → 0); unknown keys are typed
+    * errors. Values may be any numeric expressions — columns
+    * compose. */
+  private def temporalMapFields(fn: String,
+      fields: Seq[(String, Expr)], allowed: Seq[String])
+      : Map[String, Column] = {
+    val norm = fields.map { case (k, v) =>
+      k.toLowerCase(java.util.Locale.ROOT) -> v }
+    norm.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+      .foreach(k => throw new CypherSyntaxException(
+        s"$fn({…}) binds '$k' twice"))
+    norm.map(_._1).find(!allowed.contains(_)).foreach(k =>
+      throw new CypherSyntaxException(
+        s"$fn({…}) has no component '$k' (supported: " +
+        allowed.mkString(", ") + ")"))
+    if (!norm.exists(_._1 == "year"))
+      throw new CypherSyntaxException(s"$fn({…}) requires a year")
+    val m = norm.toMap
+    allowed.map { k =>
+      val default = if (k == "month" || k == "day") 1 else 0
+      k -> m.get(k).map(e => compile(e).cast(IntegerType))
+        .getOrElse(lit(default))
+    }.toMap
+  }
+
   private def compileBin(op: BinOp, le: Expr, re: Expr): Column = {
     lazy val l = build(le)
     lazy val r = build(re)
@@ -508,12 +535,24 @@ final class ExprCompiler(
         arity(1)
         f.args.head match {
           case Lit(s: String) => lit(java.sql.Timestamp.valueOf(parseDateTime(s)))
+          // map constructor (round 12; Neo4j datetime({year: …, …})):
+          // make_timestamp over the component expressions — columns
+          // compose, absent calendar fields default to their floor
+          case MapLit(fields) =>
+            val c2 = temporalMapFields(f.name, fields,
+              Seq("year", "month", "day", "hour", "minute", "second"))
+            make_timestamp(c2("year"), c2("month"), c2("day"),
+              c2("hour"), c2("minute"), c2("second"))
           case _ => to_timestamp(a0)
         }
       case "date" =>
         arity(1)
         f.args.head match {
           case Lit(s: String) => lit(java.sql.Date.valueOf(parseDate(s)))
+          case MapLit(fields) =>
+            val c2 = temporalMapFields("date", fields,
+              Seq("year", "month", "day"))
+            make_date(c2("year"), c2("month"), c2("day"))
           case _ => to_date(a0)
         }
       // duration('P30D') — a TYPED ANSI interval literal; +/- with

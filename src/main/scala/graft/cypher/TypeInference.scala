@@ -422,14 +422,18 @@ final class TypeInference(refType: Ref => Option[DataType],
             x.simpleString)))
         Some(DayTimeIntervalType.DEFAULT)
       case "datetime" | "localdatetime" =>
-        // string literal/column OR an existing temporal (identity/
-        // widening conversion via to_timestamp)
-        t(0).foreach(x => if (x != StringType && !isTemporal(x))
-          fail(s"${f.name}() requires a string or date/timestamp, got ${x.simpleString}"))
+        // string literal/column, an existing temporal (identity/
+        // widening via to_timestamp), or a component MAP constructor
+        if (!f.args.headOption.exists(_.isInstanceOf[MapLit]))
+          t(0).foreach(x => if (x != StringType && !isTemporal(x))
+            fail(s"${f.name}() requires a string, date/timestamp or " +
+              s"component map, got ${x.simpleString}"))
         Some(TimestampType)
       case "date" =>
-        t(0).foreach(x => if (x != StringType && !isTemporal(x))
-          fail(s"date() requires a string or timestamp, got ${x.simpleString}"))
+        if (!f.args.headOption.exists(_.isInstanceOf[MapLit]))
+          t(0).foreach(x => if (x != StringType && !isTemporal(x))
+            fail(s"date() requires a string, timestamp or component " +
+              s"map, got ${x.simpleString}"))
         Some(DateType)
       case "duration" => f.args match {
         case Seq(Lit(s: String)) => Some(DurationLit.parse(s).fold(

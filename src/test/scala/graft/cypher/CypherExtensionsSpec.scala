@@ -3620,6 +3620,36 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "RETURN duration.between(1, 2) AS x"))
   }
 
+  test("date({...}) / datetime({...}) map constructors") {
+    val r = rows(
+      """WITH 2024 AS y
+        |RETURN date({year: y, month: 3, day: 15}) AS d,
+        |       date({year: y}) AS d0,
+        |       datetime({year: y, month: 2, day: 29, hour: 13,
+        |                 minute: 45, second: 6}) AS ts,
+        |       datetime({year: y, month: 7}) AS ts0""".stripMargin).head
+    assert(r.getDate(0).toString == "2024-03-15")
+    assert(r.getDate(1).toString == "2024-01-01")
+    assert(r.getTimestamp(2).toString == "2024-02-29 13:45:06.0")
+    assert(r.getTimestamp(3).toString == "2024-07-01 00:00:00.0")
+    // components compose with column expressions and accessors
+    val r2 = rows(
+      """WITH date('2021-08-09') AS src
+        |RETURN date({year: src.year + 1, month: src.month,
+        |             day: src.day}) AS d""".stripMargin).head
+    assert(r2.getDate(0).toString == "2022-08-09")
+    // typed: unknown component, missing year, duplicate key,
+    // time-of-day on date()
+    intercept[CypherSyntaxException](rows(
+      "RETURN date({year: 2024, nope: 1}) AS d"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN date({month: 3}) AS d"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN date({year: 2024, year: 2025}) AS d"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN date({year: 2024, hour: 3}) AS d"))
+  }
+
   test("reachablePairs: empty edge set converges immediately to empty") {
     import spark.implicits._
     val got = Reach.reachablePairs(
