@@ -139,6 +139,7 @@ class CypherFuzzSpec extends AnyFunSuite {
       (na, p, numeric)
     }
     val aggMode = rnd.nextBoolean()
+    var plainCols: Seq[String] = Seq.empty // sortable output aliases
     val (retCy, retSql, groupSql) = if (!aggMode) {
       val k = 1 + rnd.nextInt(3)
       val items = (0 until k).map { i =>
@@ -147,6 +148,7 @@ class CypherFuzzSpec extends AnyFunSuite {
       }
       val distinct = rnd.nextBoolean()
       val d1 = if (distinct) "DISTINCT " else ""
+      if (!distinct) plainCols = (0 until k).map(i => s"c$i")
       (d1 + items.map(_._1).mkString(", "),
         d1 + items.map(_._2).mkString(", "), "")
     } else {
@@ -177,12 +179,78 @@ class CypherFuzzSpec extends AnyFunSuite {
           " GROUP BY " + keys.map(_._3).mkString(", "))
     }
 
+    // ---- OPTIONAL MATCH arm (round 12): one optional hop off the
+    // last node; its WHERE rides the SQL LEFT JOIN's ON (the pre-join
+    // contract). The optional side is (edge JOIN node [WHERE pred]) as
+    // a unit subselect, so an unmatched edge nulls the whole side.
+    val optArm = rnd.nextInt(100) < 35
+    val (optCy, optSql, optProps) = if (!optArm) ("", "", Seq.empty)
+    else {
+      val cands = edges.filter(e => e._2 == label || e._3 == label)
+      val e = cands(rnd.nextInt(cands.size))
+      val out =
+        if (e._2 == label && e._3 == label) rnd.nextBoolean()
+        else e._2 == label
+      val next = if (out) e._3 else e._2
+      val prev = s"n${hops}"
+      val pat =
+        if (out) s"($prev)-[ro:${e._1}]->(no:$next)"
+        else s"($prev)<-[ro:${e._1}]-(no:$next)"
+      // optional-side predicate on the NEW node (numeric, total)
+      val (wp, wNum, _) = props(next).filter(_._2) match {
+        case Seq() => ("", false, "")
+        case ps =>
+          val (p2, _, _) = ps(rnd.nextInt(ps.size))
+          val v = if (p2 == "Born") 1950 + rnd.nextInt(16)
+                  else 1992 + rnd.nextInt(8)
+          (s"no.$p2 >= $v", true, p2)
+      }
+      val usePred = wNum && rnd.nextBoolean()
+      val cyTxt = s" OPTIONAL MATCH $pat" +
+        (if (usePred) s" WHERE $wp" else "")
+      val exposed = props(next).map(_._1)
+      val sub = "SELECT ro._vertexId AS ro_src, ro._sink AS ro_snk" +
+        exposed.map(p2 => s", no.$p2 AS opt_$p2").mkString +
+        s" FROM ${e._4} ro JOIN ${nodeTable(next)} no ON no.id = " +
+        (if (out) "ro._sink" else "ro._vertexId") +
+        (if (usePred) s" WHERE ${wp.replace("no.", "no.")}" else "")
+      val onKey = if (out) "opt.ro_src" else "opt.ro_snk"
+      val sqlTxt = s" LEFT JOIN ($sub) opt ON $onKey = $prev.id"
+      (cyTxt, sqlTxt, exposed)
+    }
+
     val cy = new StringBuilder(s"MATCH ${patSb.result()}")
     if (cyWhereCore.nonEmpty) cy.append(s" WHERE $cyWhereCore")
-    cy.append(s" RETURN $retCy")
-    val sql = new StringBuilder(s"SELECT $retSql FROM ${joinSb.result()}")
+    cy.append(optCy)
+    // project at least one optional-side prop when the arm is active
+    val (retCy2, retSql2) = if (!optArm) (retCy, retSql) else {
+      val p2 = optProps(rnd.nextInt(optProps.size))
+      if (retCy.contains("count(") || retCy.contains("sum(") ||
+          retCy.contains("min(") || retCy.contains("max(") ||
+          retCy.contains("avg("))
+        (s"count(no.$p2) AS oc, " + retCy,
+          s"count(opt_$p2) AS oc, " + retSql)
+      else if (retCy.startsWith("DISTINCT "))
+        ("DISTINCT " + s"no.$p2 AS oc, " +
+            retCy.stripPrefix("DISTINCT "),
+          "DISTINCT " + s"opt_$p2 AS oc, " +
+            retSql.stripPrefix("DISTINCT "))
+      else
+        (s"no.$p2 AS oc, " + retCy, s"opt_$p2 AS oc, " + retSql)
+    }
+    cy.append(s" RETURN $retCy2")
+    val sql = new StringBuilder(
+      s"SELECT $retSql2 FROM ${joinSb.result()}$optSql")
     if (sqlWhereAll.nonEmpty) sql.append(s" WHERE $sqlWhereAll")
     sql.append(groupSql)
+    // ---- ORDER BY all + LIMIT arm (plain non-DISTINCT projections
+    // only): a total VALUE order makes the limited multiset
+    // deterministic on both sides
+    if (!optArm && plainCols.nonEmpty && rnd.nextInt(100) < 30) {
+      val k = 1 + rnd.nextInt(6)
+      cy.append(s" ORDER BY ${plainCols.mkString(", ")} LIMIT $k")
+      sql.append(s" ORDER BY ${plainCols.mkString(", ")} LIMIT $k")
+    }
     Gen(cy.result(), sql.result())
   }
 
