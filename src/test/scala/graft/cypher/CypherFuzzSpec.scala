@@ -48,7 +48,56 @@ class CypherFuzzSpec extends AnyFunSuite {
     "Movie" -> Seq(("Title", false, false), ("Tagline", false, true),
       ("Released", true, false)))
 
+  /** Var-length arm: `(a:Person)-[:V*1..h]->(b:L)` over a self-type or
+    * Person→Movie verb, mirrored as a UNION ALL of fixed-hop chains
+    * with Cypher's all-pairs same-verb uniqueness inequality per
+    * length. Projections/predicates touch ENDPOINTS only (interior
+    * aliases differ per length). */
+  private def genVarLen(rnd: Random): Gen = {
+    val e = Seq(("FOLLOWS", "Person", "Person", "follows"),
+      ("KNOWS", "Person", "Person", "knows"))(rnd.nextInt(2))
+    val h = 2 + rnd.nextInt(2) // *1..2 or *1..3
+    val endLbl = e._3
+    // endpoint predicate (numeric, total) with probability 1/2
+    val pred =
+      if (rnd.nextBoolean()) {
+        val v = 1950 + rnd.nextInt(16)
+        Some((s"a.Born >= $v", v))
+      } else None
+    val aggMode = rnd.nextBoolean()
+    val (retCy, retSqlSel, groupSql) =
+      if (aggMode) ("a.Name AS nm, count(*) AS c",
+        "SELECT nm, count(*) AS c", " GROUP BY nm")
+      else ("a.Name AS nm, b.Name AS bn",
+        "SELECT nm, bn", "")
+    val cy = s"MATCH (a:Person)-[:${e._1}*1..$h]->(b:$endLbl)" +
+      pred.map(p => s" WHERE ${p._1}").getOrElse("") +
+      s" RETURN $retCy"
+    // one SELECT per length: chain of L edge copies, all-pairs
+    // inequality, endpoint columns aliased uniformly
+    val lens = (1 to h).map { len =>
+      val joins = new StringBuilder(s"${nodeTable("Person")} a")
+      (1 to len).foreach { j =>
+        val prev = if (j == 1) "a" else s"m${j - 1}"
+        joins.append(s" JOIN ${e._4} e$j ON e$j._vertexId = $prev.id")
+        val nn = if (j == len) "b" else s"m$j"
+        joins.append(
+          s" JOIN ${nodeTable(endLbl)} $nn ON $nn.id = e$j._sink")
+      }
+      val ineq = for {
+        i <- 1 to len; j <- (i + 1) to len
+      } yield s"NOT (e$i._vertexId = e$j._vertexId AND " +
+        s"e$i._sink = e$j._sink)"
+      val w = (ineq ++ pred.map(_._1).toSeq).mkString(" AND ")
+      s"SELECT a.Name AS nm, b.Name AS bn FROM ${joins.result()}" +
+        (if (w.nonEmpty) s" WHERE $w" else "")
+    }
+    Gen(cy, s"$retSqlSel FROM (${lens.mkString(" UNION ALL ")}) u" +
+      groupSql)
+  }
+
   private def genOne(rnd: Random): Gen = {
+    if (rnd.nextInt(100) < 20) return genVarLen(rnd)
     // ---- pattern: a 1-3 hop walk over the edge catalog --------------
     val hops = 1 + rnd.nextInt(3)
     var label = "Person" // every edge touches Person; Movie is a sink
