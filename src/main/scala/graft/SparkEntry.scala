@@ -1803,6 +1803,29 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- CALL { … UNION … } (round 12): an uncorrelated subquery may
+    //     be a union — it runs ONCE and its deduped value rows
+    //     cross-join the incoming rows (broadcast nested loop over
+    //     slim columns); correlated unions stay typed.
+    ("q112_call_union", cyx(
+      """MATCH (r:Region) WHERE r.r_regionkey <= 1
+        |CALL {
+        |  MATCH (c:Customer) WHERE c.c_acctbal > 9990.0
+        |  RETURN c.c_name AS nm
+        |  UNION
+        |  MATCH (s:Supplier) WHERE s.s_acctbal > 9900.0
+        |  RETURN s.s_name AS nm
+        |}
+        |RETURN r.r_name AS region, count(*) AS n, min(nm) AS first_nm
+        |ORDER BY region""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT c_name AS nm FROM customer WHERE c_acctbal > 9990.0
+             |  UNION
+             |  SELECT s_name FROM supplier WHERE s_acctbal > 9900.0)
+             |SELECT r_name AS region, count(*) AS n, min(nm) AS first_nm
+             |FROM region CROSS JOIN u WHERE r_regionkey <= 1
+             |GROUP BY 1 ORDER BY region""".stripMargin)),
+
     // --- temporal MAP constructors (round 12; Neo4j date({year: …})):
     //     component expressions (columns compose) through make_date /
     //     make_timestamp, absent calendar fields defaulting to their

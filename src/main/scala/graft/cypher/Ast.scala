@@ -212,7 +212,7 @@ object ast {
    *  and joins the result back on their unique ids, which reproduces
    *  Neo4j's per-invocation semantics in one flat plan. Empty imports
    *  = uncorrelated (runs once, cross-joins the incoming rows). */
-  final case class CallSub(imports: Seq[String], sub: SingleQuery)
+  final case class CallSub(imports: Seq[String], sub: Query)
 
   /** One query part: MATCH clauses followed by a WITH (or the terminal
    *  RETURN for the last part). Mirrors reference PartialQueryNode.

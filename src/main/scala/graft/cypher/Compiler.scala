@@ -2340,7 +2340,14 @@ object Compiler {
             throw new CypherBindingException(s"unknown variable '$a'")
         }
       }
-      val lastProj = call.sub.parts.last.proj
+      val subSingle: SingleQuery = call.sub match {
+        case sq: SingleQuery => sq
+        case _ => throw new CypherNotSupportedException(
+          "UNION inside a CORRELATED CALL subquery — imports would " +
+          "need per-branch threading; drop the imports or split the " +
+          "query")
+      }
+      val lastProj = subSingle.parts.last.proj
       if (lastProj.star) throw new CypherNotSupportedException(
         "RETURN * inside a correlated CALL subquery")
       val outNames = lastProj.items.map(outName)
@@ -2350,7 +2357,7 @@ object Compiler {
       outNames.find(c.scope.contains).foreach(nm =>
         throw new CypherBindingException(
           s"CALL output '$nm' collides with an outer variable"))
-      val (threaded, pages) = threadImports(call.sub, call.imports)
+      val (threaded, pages) = threadImports(subSingle, call.imports)
       val inherited: Map[String, Binding] =
         impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
       val pageKeys = impDefs.map { case (a, n) => pref(a, n.idColumn) }

@@ -337,7 +337,21 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
         val wasSub = inSubquery
         inSubquery = true
-        val subq = try parseSingle() finally inSubquery = wasSub
+        // CALL { … UNION [ALL] … } (round 12): an UNCORRELATED
+        // subquery may be a union — the compiler runs it once and
+        // cross-joins its value rows like any other CALL; correlated
+        // unions (imports) stay typed at compile (imports would need
+        // per-branch threading)
+        var subq: Query =
+          try {
+            var q: Query = parseSingle()
+            while (isKw("UNION")) {
+              p += 1
+              val all = tryKw("ALL")
+              q = UnionQuery(q, parseSingle(), all)
+            }
+            q
+          } finally inSubquery = wasSub
         eatPunct("}")
         callsB += CallSub(imports.result(), subq)
         sawCall = true

@@ -3620,6 +3620,37 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "RETURN duration.between(1, 2) AS x"))
   }
 
+  test("CALL { ... UNION ... }: uncorrelated subquery unions compose") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.id = 'm1'
+        |CALL {
+        |  MATCH (p:Person) WHERE p.Born = 1956 RETURN p.Name AS who
+        |  UNION
+        |  MATCH (p:Person) WHERE p.Born = 1961 RETURN p.Name AS who
+        |}
+        |RETURN m.Title AS T, who ORDER BY who""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("Sleepless in Seattle", "Meg Ryan"),
+      ("Sleepless in Seattle", "Tom Hanks")))
+    // UNION ALL keeps duplicates across branches
+    val r2 = rows(
+      """CALL {
+        |  MATCH (p:Person) WHERE p.Born = 1956 RETURN p.Name AS who
+        |  UNION ALL
+        |  MATCH (p:Person) WHERE p.Born >= 1956 RETURN p.Name AS who
+        |}
+        |RETURN count(*) AS n""".stripMargin).head
+    assert(r2.getLong(0) == 4L) // Tom + (Tom, Meg, Kevin)
+    // correlated union stays typed
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (m:Movie)
+        |CALL { WITH m
+        |  MATCH (p:Person)-[:ACTED_IN]->(m) RETURN count(*) AS c
+        |  UNION
+        |  MATCH (p:Person)-[:REVIEWED]->(m) RETURN count(*) AS c }
+        |RETURN m.Title AS T, c""".stripMargin))
+  }
+
   test("date({...}) / datetime({...}) map constructors") {
     val r = rows(
       """WITH 2024 AS y
