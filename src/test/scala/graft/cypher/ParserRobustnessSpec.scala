@@ -335,4 +335,52 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(attemptExt)
     samples(gen, 400).foreach(attempt)
   }
+
+  test("round-12 surface fuzz: FOREACH, namespaced fns, path accessors") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "FOREACH",
+      "FOREACH (",
+      "FOREACH (x",
+      "FOREACH (x IN",
+      "FOREACH (x IN [1]",
+      "FOREACH (x IN [1] |",
+      "FOREACH (x IN [1] | RETURN x)",
+      "MATCH (n:L) FOREACH (x IN [1] | SET n.p = x",
+      "MATCH (n:L) FOREACH (x IN [1] | SET n.p = x))",
+      "MATCH (n:L) FOREACH (x IN [1] | SET n.p = x) RETURN 1 AS y",
+      "MATCH (n:L) FOREACH (x IN [1] | FOREACH (y IN [2] |))",
+      "RETURN date.truncate AS x",
+      "RETURN date.truncate( AS x",
+      "RETURN date.truncate('month' AS x",
+      "RETURN date.nope(1) AS x",
+      "RETURN duration.between(1) AS x",
+      "RETURN datetime({}) AS x",
+      "RETURN datetime({year}) AS x",
+      "RETURN date({year: 1, hour: 2}) AS x",
+      "MATCH p = (a:L)-[:T*1..2]->(b) RETURN nodes(p",
+      "MATCH p = (a:L)-[:T*1..2]->(b) RETURN nodes(p, q) AS x",
+      "MATCH p = (a:L)-[:T*1..2]->(b) RETURN nodes(1) AS x",
+      "MATCH p = (a:L)-[:T*1..2]->(b) WITH p AS q RETURN 1 AS x",
+      "MERGE (a)-[r:T {]->(b)",
+      "MERGE (a)-[r:T {k}]->(b)",
+      "MERGE (a)-[r:T {k: }]->(b)",
+      "MATCH (n:L) SET n.p = 1 MERGE",
+      "MATCH (n:L) SET n.p = 1 MERGE (m:L {id: 1}) SET",
+      "CALL { MATCH (n:L) RETURN 1 AS x UNION",
+      "CALL { MATCH (n:L) RETURN 1 AS x UNION ALL }")
+    bad.foreach(attemptExt)
+    bad.foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "FOREACH", "IN", "|", "nodes", "relationships", "date", "datetime",
+      "duration", "truncate", "between", "(", ")", "{", "}", "[", "]",
+      "p", "=", "MATCH", "RETURN", "SET", "MERGE", "UNION", "CALL",
+      "'month'", "year", ":", "1", ",", ".", "x", "AS")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+  }
 }
