@@ -1803,6 +1803,26 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- stdlib fills (round 12): 1-arg round (HALF_UP), isEmpty over
+    //     strings/lists, tail(list) — mirrored by DuckDB round /
+    //     length = 0 / list slicing.
+    ("q113_stdlib_fills", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 100
+        |WITH c, split(c.c_name, '#') AS parts
+        |RETURN c.c_custkey AS ck, round(c.c_acctbal) AS bal,
+        |       isEmpty(c.c_mktsegment) AS seg_empty,
+        |       size(tail(parts)) AS n_tail,
+        |       head(tail(parts)) AS second
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck,
+             |       round(CAST(c_acctbal AS DOUBLE)) AS bal,
+             |       (length(c_mktsegment) = 0) AS seg_empty,
+             |       CAST(len(string_split(c_name, '#')) - 1 AS INTEGER)
+             |         AS n_tail,
+             |       string_split(c_name, '#')[2] AS second
+             |FROM customer WHERE c_custkey <= 100
+             |ORDER BY ck""".stripMargin)),
+
     // --- CALL { … UNION … } (round 12): an uncorrelated subquery may
     //     be a union — it runs ONCE and its deduped value rows
     //     cross-join the incoming rows (broadcast nested loop over

@@ -425,12 +425,17 @@ final class ExprCompiler(
       // math helpers needed for deterministic floating-point comparisons
       // and analytics. Flagged as extensions, not parity (SURVEY §7).
       case "round" =>
-        arity(2)
-        f.args(1) match {
-          case Lit(n: Long) => round(a0, n.toInt)
-          case Lit(n: Int)  => round(a0, n)
-          case _ => throw new CypherSyntaxException(
-            "round(x, d) requires a literal integer scale")
+        // 1-arg form (round 12; Neo4j's everyday round(x) — HALF_UP to
+        // a whole double) or the 2-arg literal-scale form
+        if (f.args.size == 1) round(a0, 0)
+        else {
+          arity(2)
+          f.args(1) match {
+            case Lit(n: Long) => round(a0, n.toInt)
+            case Lit(n: Int)  => round(a0, n)
+            case _ => throw new CypherSyntaxException(
+              "round(x, d) requires a literal integer scale")
+          }
         }
       case "floor" => arity(1); floor(a0)
       case "ceil"  => arity(1); ceil(a0)
@@ -463,6 +468,21 @@ final class ExprCompiler(
             compile(f.args(2)).cast(IntegerType))
         else throw new CypherSyntaxException("substring expects 2 or 3 arguments")
       case "reverse" => arity(1); reverse(a0) // string or list
+      // isEmpty(x) (round 12; Neo4j): size = 0 over strings and lists,
+      // null-propagating like size itself
+      case "isempty" =>
+        arity(1)
+        typeOf(f.args.head) match {
+          case Some(ArrayType(_, _)) => size(a0) === lit(0)
+          case Some(NullType) => lit(null).cast(BooleanType)
+          case None if f.args.head.isInstanceOf[ast.ListLit] =>
+            size(a0) === lit(0)
+          case _ => length(a0) === lit(0)
+        }
+      // tail(list) (round 12; Neo4j): everything after the head —
+      // tail([]) is [] (slice clamps), tail(null) null
+      case "tail" => arity(1); slice(a0, lit(2), greatest(
+        size(a0) - lit(1), lit(0)))
       case "head" =>
         // get() is 0-based and null (never an error) out of bounds —
         // head([]) is null per openCypher

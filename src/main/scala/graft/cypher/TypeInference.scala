@@ -361,6 +361,21 @@ final class TypeInference(refType: Ref => Option[DataType],
       case "abs" =>
         val a = t(0); requireNumeric(a, "abs"); a
       case "round" => requireNumeric(t(0), "round"); t(1); Some(DoubleType)
+      case "isempty" =>
+        t(0).foreach {
+          case StringType | ArrayType(_, _) | NullType =>
+          case other => fail(
+            s"isEmpty() requires a string or list, got ${other.simpleString}")
+        }
+        Some(BooleanType)
+      case "tail" =>
+        t(0) match {
+          case Some(a2 @ ArrayType(_, _)) => Some(a2)
+          case Some(NullType) => None
+          case Some(other) =>
+            fail(s"tail() requires a list, got ${other.simpleString}")
+          case None => None
+        }
       case "floor" | "ceil" => requireNumeric(t(0), f.name); Some(LongType)
       case "sqrt" => requireNumeric(t(0), "sqrt"); Some(DoubleType)
       // -------- extension functions (see ExprCompiler.compileFunc) ----

@@ -3681,6 +3681,25 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "RETURN date({year: 2024, hour: 3}) AS d"))
   }
 
+  test("round(x), isEmpty, tail: everyday stdlib fills") {
+    val r = rows(
+      """RETURN round(2.5) AS a, round(-2.5) AS b, round(2.4) AS c,
+        |       isEmpty('') AS e1, isEmpty('x') AS e2,
+        |       isEmpty([]) AS e3, isEmpty([1]) AS e4,
+        |       tail([1, 2, 3]) AS t1, tail([7]) AS t2""".stripMargin).head
+    assert(r.getDouble(0) == 3.0 && r.getDouble(1) == -3.0 &&
+      r.getDouble(2) == 2.0)
+    assert(r.getBoolean(3) && !r.getBoolean(4) &&
+      r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getSeq[Int](7) == Seq(2, 3) && r.getSeq[Int](8).isEmpty)
+    // null propagation; typed on non-list tail / numeric isEmpty
+    val r2 = rows(
+      "WITH null AS x RETURN isEmpty(x) AS e, tail(x) AS t").head
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+    intercept[CypherTypeException](rows("RETURN tail('abc') AS t"))
+    intercept[CypherTypeException](rows("RETURN isEmpty(1) AS e"))
+  }
+
   test("reachablePairs: empty edge set converges immediately to empty") {
     import spark.implicits._
     val got = Reach.reachablePairs(
