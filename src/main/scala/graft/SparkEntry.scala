@@ -4357,6 +4357,31 @@ object SparkEntry {
       },
       Some(ivfPqOracle)),
 
+    // --- incremental IVF-PQ append (round 12; completes the
+    //     maintenance matrix: IVF s35, PQ s37, composite here): build
+    //     from the even half, append the odd half under the ORIGINAL
+    //     centroids + codebooks, probe — old + new rows under one
+    //     frozen geometry ⇒ s16's oracle binds the appended index.
+    ("s39_ivfpq_append",
+      (s, dir) => {
+        val e = embs(s, dir)
+        val cent = Similarity.seedCentroids(e, "embedding", "vec_id", 16)
+        val cb = Similarity.pqCodebooks(e, "embedding", "vec_id",
+          m = 8, ksub = 16)
+        val path = java.nio.file.Files.createTempDirectory("s39_ivfpq").toString
+        Similarity.writeIvfPqIndex(e.where(col("vec_id") % 2 === 0),
+          "embedding", "vec_id", cent, cb, path)
+        Similarity.appendIvfPqIndex(e.where(col("vec_id") % 2 === 1),
+          "embedding", "vec_id", cent, cb, path)
+        Similarity.ivfPqProbeIndex(s.read.parquet(path),
+            e.where(col("vec_id") < 8), "embedding", "vec_id",
+            k = 5, cent, cb, nProbe = 6, shortlist = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank"),
+            round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfPqOracle)),
+
     // --- corpus snapshot diff: both engines synthesize the identical
     //     "after" snapshot (every 11th doc removed, every 7th changed,
     //     every 13th re-added under a shifted id — t09 convention) and

@@ -972,6 +972,28 @@ object Similarity {
   }
 
   /**
+   * Incremental IVF-PQ maintenance (round 12): append a batch to a
+   * [[writeIvfPqIndex]] index without rebuilding — list assignment
+   * with the ORIGINAL centroids, codes with the ORIGINAL codebooks
+   * (one frozen geometry for both stages; re-training either is a
+   * rebuild decision — [[ivfRetrainAdvisory]] / [[pqRetrainAdvisory]]
+   * are the respective monitors). One map-only pass over the batch;
+   * untouched list directories' files stay untouched and probes prune
+   * exactly as before over old + new rows.
+   */
+  def appendIvfPqIndex(batch: DataFrame, vecCol: String, idCol: String,
+                       cent: Array[Array[Float]],
+                       cb: Array[Array[Array[Float]]],
+                       path: String): Unit = {
+    import graft.functions.NativeExpressions.nearestCentroids
+    batch.select(col(idCol).cast(LongType).as("id"),
+        pqCode(col(vecCol), cb).as("code"), col(vecCol).as("vec"),
+        element_at(nearestCentroids(col(vecCol), cent, 1), 1).as("__list"))
+      .repartition(col("__list"))
+      .write.mode("append").partitionBy("__list").parquet(path)
+  }
+
+  /**
    * Probe a [[writeIvfPqIndex]] index: the queries' probed-list union
    * prunes partitions statically (the [[ivfProbeIndex]] mechanism),
    * stage 1 shortlists by exact ADC L2² over code reconstructions
