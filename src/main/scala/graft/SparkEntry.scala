@@ -1803,6 +1803,25 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- labels(n) with sub-labels (round 12): rows matching a
+    //     schema-declared sub-label discriminator report it after the
+    //     primary — Neo4j's multi-label read face; mirrored by a CASE
+    //     over the discriminator.
+    ("q114_labels_sub", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 200
+        |RETURN c.c_custkey AS ck, size(labels(c)) AS n_labels,
+        |       labels(c)[1] AS sub
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck,
+             |  CAST(CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |       THEN 2 ELSE 1 END AS INTEGER) AS n_labels,
+             |  CASE WHEN c_mktsegment = 'BUILDING'
+             |         THEN 'BuildingCustomer'
+             |       WHEN c_mktsegment = 'MACHINERY'
+             |         THEN 'MachineryCustomer' END AS sub
+             |FROM customer WHERE c_custkey <= 200
+             |ORDER BY ck""".stripMargin)),
+
     // --- stdlib fills (round 12): 1-arg round (HALF_UP), isEmpty over
     //     strings/lists, tail(list) — mirrored by DuckDB round /
     //     length = 0 / list slicing.

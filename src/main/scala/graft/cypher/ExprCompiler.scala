@@ -603,7 +603,18 @@ final class ExprCompiler(
         }
       case "labels" =>
         entityArg(f, "labels") match {
-          case (_, NodeBinding(n)) => array(lit(n.label))
+          case (al, NodeBinding(n)) =>
+            // round 12: schema-declared SUB-LABELS the row actually
+            // matches join the primary (Neo4j's multi-label read
+            // face) — one when() per declared sub-label over its
+            // discriminator column, nulls compacted away; sorted for
+            // a deterministic order after the primary
+            val subs = n.subLabels.toSeq.sortBy(_._1).map {
+              case (sl, (prop, v)) =>
+                when(col(pref(physAlias(al), prop)) === lit(v), lit(sl))
+            }
+            if (subs.isEmpty) array(lit(n.label))
+            else array_compact(array(lit(n.label) +: subs: _*))
           case _ => throw new CypherBindingException(
             "labels() expects a node variable (type() for relationships)")
         }

@@ -673,12 +673,27 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN id(p) AS pid, labels(p) AS pl, type(a) AS t,
         |       keys(m) AS mk, properties(m) AS props""".stripMargin).head
     assert(r.getString(0) == "p1")
-    assert(r.getSeq[String](1) == Seq("Person"))
+    // round 12: matched sub-labels join the primary — Tom Hanks is
+    // Born 1956, the Boomer discriminator
+    assert(r.getSeq[String](1) == Seq("Person", "Boomer"))
     assert(r.getString(2) == "ACTED_IN")
     assert(r.getSeq[String](3) == Seq("id", "Title", "Tagline", "Released"))
     val props = r.getStruct(4)
     assert(props.getAs[String]("Title") == "Apollo 13")
     assert(props.getAs[Int]("Released") == 1995)
+  }
+
+  test("labels(n): matched sub-labels join the primary per row") {
+    val r = rows(
+      """MATCH (p:Person) RETURN p.Name AS N, labels(p) AS L
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getSeq[String](1)))
+    assert(r == Seq(
+      ("Jessica Thompson", Seq("Person")),          // Born null
+      ("Kevin Bacon", Seq("Person")),               // 1958 — no sub
+      ("Meg Ryan", Seq("Person", "Sixties")),       // 1961
+      ("Rob Reiner", Seq("Person")),                // Born null
+      ("Tom Hanks", Seq("Person", "Boomer"))))      // 1956
   }
 
   test("entity introspection misuse is a typed error") {
