@@ -1692,6 +1692,39 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatPunct("}")
           Func("size", Seq(PatternComp(part, andAll(w, mapConj), Lit(1L))))
+        // COLLECT { [MATCH] pattern [WHERE pred] RETURN expr } —
+        // Cypher 5's COLLECT subquery (round 12, extension): one list
+        // per outer row, desugared onto the pattern-comprehension
+        // machinery (the COUNT{} shape with a caller projection);
+        // single pattern part, single RETURN item, no ORDER BY/LIMIT
+        // (per-row ordering has no flat lowering)
+        case Punct("{", _)
+            if id.toLowerCase(java.util.Locale.ROOT) == "collect" =>
+          if (!extensions)
+            notSupported(
+              "COLLECT { subquery } (supported with extensions enabled)")
+          p += 2 // collect + '{'
+          tryKw("MATCH")
+          val m0 = pcMark()
+          val part = parsePatternPart()
+          if (isPunct(","))
+            notSupported("multiple patterns inside COLLECT { } " +
+              "(one pattern part per subquery)")
+          val mapConj = pcDrain(m0)
+          val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+          eatKw("RETURN")
+          if (isKw("DISTINCT"))
+            notSupported("DISTINCT inside COLLECT { } — wrap the " +
+              "subquery or dedup the list")
+          val proj = parseExpr()
+          if (isPunct(","))
+            notSupported("multiple RETURN items inside COLLECT { } " +
+              "(one expression per list)")
+          if (isKw("ORDER") || isKw("LIMIT") || isKw("SKIP"))
+            notSupported("ORDER BY/SKIP/LIMIT inside COLLECT { } — " +
+              "per-row ordering has no flat lowering")
+          eatPunct("}")
+          PatternComp(part, andAll(w, mapConj), proj)
         case Punct("(", _) => parseCall(id)
         case Punct(".", _) =>
           p += 2

@@ -3666,6 +3666,36 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN m.Title AS T, c""".stripMargin))
   }
 
+  test("COLLECT { ... RETURN expr } subquery desugars to a comprehension") {
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS N,
+        |       size(COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                      WHERE m.Released >= 1995
+        |                      RETURN m.Title }) AS late
+        |ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r == Seq(("Jessica Thompson", 0), ("Kevin Bacon", 1),
+      ("Meg Ryan", 1), ("Rob Reiner", 0), ("Tom Hanks", 2)))
+    // list contents via a quantifier (order-insensitive)
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN any(t IN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                          RETURN m.Title }
+        |           WHERE t = 'Apollo 13') AS hit""".stripMargin).head
+    assert(r2.getBoolean(0))
+    // typed: ORDER BY / multiple items / DISTINCT inside
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN m.Title ORDER BY m.Title } AS ts"""
+        .stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN DISTINCT m.Title } AS ts""".stripMargin))
+  }
+
   test("date({...}) / datetime({...}) map constructors") {
     val r = rows(
       """WITH 2024 AS y
