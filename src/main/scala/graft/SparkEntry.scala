@@ -1803,6 +1803,26 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- COLLECT { … RETURN expr } subquery (round 12; Cypher 5):
+    //     one list per outer row over the comprehension machinery —
+    //     size() of the big-order list per customer, zero-match rows
+    //     report 0; mirrored by a LEFT JOIN count.
+    ("q115_collect_subquery", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 60
+        |RETURN c.c_custkey AS ck,
+        |       size(COLLECT { (c)-[:PLACED]->(o:Order)
+        |                      WHERE o.o_totalprice > 100000.0
+        |                      RETURN o.o_orderkey }) AS n_big
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck,
+             |       CAST(coalesce(b.n, 0) AS INTEGER) AS n_big
+             |FROM customer LEFT JOIN (
+             |  SELECT o_custkey, count(*) AS n FROM orders
+             |  WHERE o_totalprice > 100000.0 GROUP BY 1) b
+             |  ON b.o_custkey = c_custkey
+             |WHERE c_custkey <= 60
+             |ORDER BY ck""".stripMargin)),
+
     // --- labels(n) with sub-labels (round 12): rows matching a
     //     schema-declared sub-label discriminator report it after the
     //     primary — Neo4j's multi-label read face; mirrored by a CASE
