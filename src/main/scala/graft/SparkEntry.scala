@@ -1803,6 +1803,23 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- SET n:SubLabel (round 12): label assignment through the
+    //     discriminator model — matched rows take the sub-label's
+    //     declared value, everything else passes through; REMOVE is
+    //     the conditional null (unit-pinned). Mirrored by a CASE.
+    ("q116_set_label",
+      (s, dir) => cyx(
+        """MATCH (c:Customer)
+          |WHERE c.c_custkey < 100 AND c.c_mktsegment = 'AUTOMOBILE'
+          |SET c:BuildingCustomer""".stripMargin)
+        .apply(s, dir).orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal,
+             |  CASE WHEN c_custkey < 100 AND c_mktsegment = 'AUTOMOBILE'
+             |       THEN 'BUILDING' ELSE c_mktsegment END
+             |    AS c_mktsegment,
+             |  c_nationkey
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // --- COLLECT { … RETURN expr } subquery (round 12; Cypher 5):
     //     one list per outer row over the comprehension machinery —
     //     size() of the big-order list per customer, zero-match rows

@@ -266,7 +266,15 @@ object ast {
    *  documented contract). Mixing with further assignments in the
    *  same SET stays a parse rejection. */
   final case class SetClause(alias: String, assigns: Seq[(String, Expr)],
-      fullReplace: Boolean = false)
+      fullReplace: Boolean = false,
+      /** `SET n:Label` / `REMOVE n:Label` (round 12): labels resolved
+       *  against the target node's schema-declared SUB-LABELS at
+       *  compile — SET writes the discriminator value, REMOVE nulls it
+       *  (conditionally: only rows currently carrying the value);
+       *  anything not a declared sub-label stays a typed rejection
+       *  (primary labels are table-backed). */
+      setLabels: Seq[String] = Seq.empty,
+      removeLabels: Seq[String] = Seq.empty)
 
   /** Query whose terminal clause is a [[SetClause]]. */
   final case class SetQuery(parts: Seq[QueryPart], set: SetClause)

@@ -2015,11 +2015,42 @@ object Compiler {
    *  expands here against the schema: listed keys assign, every
    *  other declared non-key property nulls — the explicit contract
    *  behind Neo4j's map replacement. */
-  private def setTarget(scope: Map[String, Binding], s: SetClause,
+  private def setTarget(scope: Map[String, Binding], s0: SetClause,
       catalog: GraphCatalog)
       : (Seq[String], DataFrame, Seq[String], Seq[(String, Expr)]) = {
-    val b = scope.getOrElse(s.alias, throw new CypherBindingException(
-      s"SET target '${s.alias}' is not a bound variable"))
+    val b = scope.getOrElse(s0.alias, throw new CypherBindingException(
+      s"SET target '${s0.alias}' is not a bound variable"))
+    // SET/REMOVE :Label (round 12): resolved against the node's
+    // schema-declared sub-labels — SET writes the discriminator value,
+    // REMOVE nulls it only where the row currently carries it (a
+    // MACHINERY row is untouched by REMOVE :BuildingCustomer); both
+    // desugar to ordinary assignments, sharing the dedup/validation/
+    // snapshot machinery below
+    val s: SetClause =
+      if (s0.setLabels.isEmpty && s0.removeLabels.isEmpty) s0
+      else b match {
+        case NodeBinding(n) =>
+          def disc(sl: String): (String, Any) =
+            n.subLabels.getOrElse(sl, throw new CypherNotSupportedException(
+              s"SET/REMOVE :$sl — '$sl' is not a declared sub-label of " +
+              s"'${n.label}' (primary labels are table-backed; only " +
+              "schema-declared sub-labels with a discriminator " +
+              "property are writable)"))
+          val setA = s0.setLabels.map { sl =>
+            val (prop, v) = disc(sl); prop -> (Lit(v): Expr)
+          }
+          val remA = s0.removeLabels.map { sl =>
+            val (prop, v) = disc(sl)
+            prop -> (CaseExpr(
+              Seq((Bin(BinOp.Eq, Ref(s0.alias, Some(prop)), Lit(v)),
+                Lit(null))),
+              Some(Ref(s0.alias, Some(prop)))): Expr)
+          }
+          s0.copy(assigns = setA ++ remA ++ s0.assigns,
+            setLabels = Seq.empty, removeLabels = Seq.empty)
+        case _ => throw new CypherNotSupportedException(
+          s"SET/REMOVE :Label on '${s0.alias}' — labels are node-level")
+      }
     s.assigns.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1 => p2 }
       .foreach(p2 => throw new CypherBindingException(
         s"SET assigns '$p2' twice"))

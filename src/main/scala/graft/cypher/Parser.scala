@@ -792,6 +792,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     var alias: String = null
     var fullReplace = false
     val b = Vector.newBuilder[(String, Expr)]
+    val setLabelsB = Vector.newBuilder[String]
     def propName(where: String): String = cur match {
       case Ident(s, _)   => p += 1; s
       case Kw(_, raw, _) => p += 1; raw
@@ -803,9 +804,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       else if (a != alias) notSupported(
         s"SET over multiple variables ('$alias' and '$a') — one " +
         "terminal SET produces one entity's new snapshot")
-      if (isPunct(":"))
-        notSupported(s"SET $a:Label — label assignment (labels are " +
-          "table-backed; there is no label column to write)")
+      if (isPunct(":")) {
+        // `SET a:Label[:Label2]` (round 12): resolved at compile
+        // against the node's declared sub-labels (discriminator write)
+        while (tryPunct(":")) setLabelsB += name()
+        return
+      }
       if (isPunct("+")) {
         // `SET a += {k: e, …}` — parse the map inline (keys are
         // property names, taken verbatim) and emit one assignment per
@@ -854,7 +858,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         "map already determines every property")
       one()
     }
-    SetClause(alias, b.result(), fullReplace)
+    SetClause(alias, b.result(), fullReplace,
+      setLabels = setLabelsB.result())
   }
 
   /** `REMOVE a.p [, a.q …]` — parse sugar for `SET a.p = null, …`
@@ -865,15 +870,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def parseRemoveClause(): SetClause = {
     var alias: String = null
     val b = Vector.newBuilder[(String, Expr)]
+    val removeLabelsB = Vector.newBuilder[String]
     def one(): Unit = {
       val a = ident()
       if (alias == null) alias = a
       else if (a != alias) notSupported(
         s"REMOVE over multiple variables ('$alias' and '$a') — one " +
         "terminal REMOVE produces one entity's new snapshot")
-      if (isPunct(":"))
-        notSupported(s"REMOVE $a:Label — label removal (labels are " +
-          "table-backed; there is no label column to unwrite)")
+      if (isPunct(":")) {
+        // `REMOVE a:Label` (round 12): conditional discriminator null
+        // at compile (only rows currently carrying the value)
+        while (tryPunct(":")) removeLabelsB += name()
+        return
+      }
       eatPunct(".")
       val pr = cur match {
         case Ident(s, _)   => p += 1; s
@@ -883,7 +892,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       b += ((pr, Lit(null)))
     }
     one(); while (tryPunct(",")) one()
-    SetClause(alias, b.result())
+    SetClause(alias, b.result(), removeLabels = removeLabelsB.result())
   }
 
   /** `CREATE (n:Label {p1: e1, p2: e2, …})` — terminal, unconditional

@@ -2764,6 +2764,41 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) SET p.Born = count(p)"))
   }
 
+  test("SET n:SubLabel / REMOVE n:SubLabel write the discriminator") {
+    // SET: the discriminator takes the sub-label's declared value
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Kevin Bacon'
+        |SET p:Boomer""".stripMargin)
+      .map(x => (x.getString(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2))).toMap
+    assert(r("Kevin Bacon") == 1956 && r("Meg Ryan") == 1961)
+    // REMOVE is CONDITIONAL: only rows carrying the value null out —
+    // Meg (Sixties, 1961) is untouched by REMOVE :Boomer
+    val r2 = rows(
+      "MATCH (p:Person) REMOVE p:Boomer")
+      .map(x => (x.getString(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2))).toMap
+    assert(r2("Tom Hanks") == -1 && r2("Meg Ryan") == 1961)
+    // mixes with ordinary assignments in one SET
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |SET p:Sixties, p.Name = 'Rob R.'""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) -1 else x.getInt(2)))
+    assert(r3.exists(t => t._2 == "Rob R." && t._3 == 1961))
+    // labels(n) reads the write back through the same model
+    val r4 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Kevin Bacon'
+        |SET p:Boomer
+        |WITH p RETURN labels(p) AS L""".stripMargin).head
+    assert(r4.getSeq[String](0) == Seq("Person", "Boomer"))
+    // non-declared labels stay typed; edges have no labels
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) SET p:Actor"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person)-[r:REVIEWED]->(m:Movie) SET r:Hot"))
+  }
+
   test("multi-updating pipeline: SET ... MERGE ... RETURN folds frames") {
     // the MERGE's feed is the SET's read-back frame — ON CREATE SET
     // reads the UPDATED movie values; explicit WITH form
