@@ -6792,6 +6792,85 @@ object SparkEntry {
              |FROM b CROSS JOIN c
              |ORDER BY batch_id, corpus_id""".stripMargin)),
 
+    // --- span REMOVAL (round 13; Lee et al. §4.1's actual deliverable
+    //     — d27 reports the duplicated spans, this emits the corpus
+    //     with them excised): the d27 fixture (15-token passage behind
+    //     a doc-unique sentinel at the END of every doc_id % 50 == 0
+    //     document, all corpus tokens doc-id-suffixed), then
+    //     Dedup.dedupSpans keep-first. Expected corpus: the MINIMUM
+    //     injected doc_id keeps its passage (it is id_a in every pair
+    //     it joins), every other injected doc loses exactly the
+    //     passage (interval union of its pair reports — one interval)
+    //     and reflows to base + sentinel, and every untouched doc is
+    //     BYTE-EXACT — DuckDB rebuilds all three shapes with string
+    //     arithmetic
+    ("d29_span_removal",
+      (s, dir) => {
+        val passage = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+          "zq10 zq11 zq12 zq13 zq14"
+        val injected = docs(s, dir).withColumn("text",
+          concat(
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, col("doc_id").cast("string"))), " "),
+            when(col("doc_id") % 50 === 0,
+              concat(lit(" uniq"), col("doc_id").cast("string"),
+                lit(" " + passage))).otherwise(lit(""))))
+        Dedup.dedupSpans(injected, "text", "doc_id",
+            minRun = 10, n = 3, window = 4, minShared = 2)
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    array_to_string(list_transform(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> x || CAST(doc_id AS VARCHAR)), ' ') AS base
+             |  FROM documents),
+             |k AS (SELECT min(doc_id) AS keeper FROM documents
+             |      WHERE doc_id % 50 = 0)
+             |SELECT doc_id,
+             |  CASE WHEN doc_id % 50 <> 0 THEN base
+             |       WHEN doc_id = (SELECT keeper FROM k)
+             |         THEN base || ' uniq' || CAST(doc_id AS VARCHAR) ||
+             |              ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9' ||
+             |              ' zq10 zq11 zq12 zq13 zq14'
+             |       ELSE base || ' uniq' || CAST(doc_id AS VARCHAR)
+             |  END AS text
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // --- incremental span removal (round 13; the d28 composition):
+    //     batch docs (doc_id % 50 == 0) each share exactly the
+    //     injected passage with every corpus doc (doc_id % 70 == 0);
+    //     removal cuts from the BATCH side only, so every batch doc
+    //     reflows to its suffixed base + sentinel
+    ("d30_span_removal_incr",
+      (s, dir) => {
+        val passage = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+          "zq10 zq11 zq12 zq13 zq14"
+        def side(tag: String, keep: org.apache.spark.sql.Column) = docs(s, dir)
+          .where(keep)
+          .withColumn("text", concat(
+            array_join(transform(split(trim(col("text")), "\\s+"),
+              t => concat(t, lit(tag), col("doc_id").cast("string"))), " "),
+            lit(" uniq" + tag), col("doc_id").cast("string"),
+            lit(" " + passage)))
+        val batch = side("b", col("doc_id") % 50 === 0)
+        val corpus = side("c", col("doc_id") % 70 === 0)
+        val spans = Dedup.substringDupSpansAgainst(batch, corpus,
+          "text", "doc_id", minRun = 10, n = 3, window = 4,
+          minShared = 2)
+        Dedup.removeDupSpansAgainst(batch, spans, "text", "doc_id")
+          .select(col("doc_id"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string(list_transform(
+             |    regexp_split_to_array(trim(text), '\s+'),
+             |    x -> x || 'b' || CAST(doc_id AS VARCHAR)), ' ')
+             |  || ' uniqb' || CAST(doc_id AS VARCHAR) AS text
+             |FROM documents WHERE doc_id % 50 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     ("d26_lsh_plan",
       (s, dir) => {
         import s.implicits._

@@ -770,6 +770,128 @@ object Dedup {
           col("__r.len")), " ").as("span"))
   }
 
+  // ------------------------------------------------ span removal (round 13)
+
+  /**
+   * Cut token intervals out of documents and reflow (round 13; the
+   * removal half of Lee et al. §4.1 — [[substringDupSpans]] REPORTS
+   * duplicated spans, this excises them, yielding the deduplicated
+   * training corpus). `cuts` carries 0-based half-open token intervals
+   * (`id`, `s`, `e`) against the SAME whitespace tokenization
+   * [[substringDupSpans]] used ([[TextOps.tokens]]). Overlapping and
+   * adjacent intervals per document merge (interval union) before
+   * cutting, so stacked reports of one passage cut once. Documents with
+   * no cut rows pass through with their original text BYTE-EXACT
+   * (join-miss fast path); cut documents reflow as the surviving tokens
+   * joined by single spaces.
+   *
+   * Scale shape: cuts group to one slim (id, intervals) row per touched
+   * document (interval lists are report-sized, never corpus-sized); one
+   * left join against the corpus (broadcast-able — touched ids are the
+   * dup report, a tiny fraction of the corpus); the cut itself is an
+   * in-row higher-order filter (codegen, no UDF) — document bodies
+   * never shuffle.
+   */
+  def exciseTokenSpans(df: DataFrame, cuts: DataFrame, textCol: String,
+                       idCol: String): DataFrame = {
+    val ivType = ArrayType(StructType(Seq(
+      StructField("s", IntegerType, nullable = false),
+      StructField("e", IntegerType, nullable = false))), containsNull = false)
+    def last(acc: Column): Column = element_at(acc, -1)
+    val merged = cuts
+      .select(col("id").cast(LongType).as("__cut_id"),
+        struct(col("s").cast(IntegerType).as("s"),
+          col("e").cast(IntegerType).as("e")).as("__iv"))
+      .groupBy(col("__cut_id"))
+      .agg(sort_array(collect_list(col("__iv"))).as("__sorted"))
+      .select(col("__cut_id"),
+        aggregate(col("__sorted"), array().cast(ivType),
+          (acc, iv) => when(size(acc) > 0 &&
+              iv.getField("s") <= last(acc).getField("e"),
+            concat(slice(acc, lit(1), size(acc) - 1), array(struct(
+              last(acc).getField("s").as("s"),
+              greatest(last(acc).getField("e"),
+                iv.getField("e")).as("e")))))
+            .otherwise(concat(acc, array(iv)))).as("__ivs"))
+    val kept = filter(TextOps.tokens(col(textCol)), (t, i) =>
+      !exists(col("__ivs"), iv =>
+        i >= iv.getField("s") && i < iv.getField("e")))
+    df.join(merged, df(idCol).cast(LongType) === merged("__cut_id"), "left")
+      .withColumn(textCol,
+        when(col("__ivs").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")))
+      .drop("__cut_id", "__ivs")
+  }
+
+  /**
+   * The deduplicated corpus from a [[substringDupSpans]] report: for
+   * each reported pair the span survives in the KEEPER document and is
+   * cut from the other; per-document cut intervals union before
+   * cutting (see [[exciseTokenSpans]]). Keeper policy: highest
+   * `qualityCol` with ties going to the lower id when given (d08's
+   * keep-best); lower id otherwise (keep-first — `id_a < id_b` by
+   * construction, so no quality join is needed and `id_a` always
+   * keeps). Returns `df` with `textCol` rewritten for every document,
+   * cut or not — uncut text is byte-exact.
+   */
+  def removeDupSpans(df: DataFrame, spans: DataFrame, textCol: String,
+                     idCol: String,
+                     qualityCol: Option[String] = None): DataFrame = {
+    val cuts = qualityCol match {
+      case None =>
+        spans.select(col("id_b").as("id"), col("start_b").as("s"),
+          (col("start_b") + col("run_len")).as("e"))
+      case Some(q) =>
+        // quality joins touch only the reported pairs, not the corpus
+        val qual = df.select(col(idCol).cast(LongType).as("__qid"),
+          col(q).as("__q"))
+        // id_a < id_b, so >= gives ties (and null-vs-null) to the
+        // lower id; a null quality on one side loses to a non-null
+        val aWins = coalesce(
+          col("__qa") >= col("__qb"), col("__qa").isNotNull)
+        spans
+          .join(qual.select(col("__qid").as("id_a"),
+            col("__q").as("__qa")), Seq("id_a"))
+          .join(qual.select(col("__qid").as("id_b"),
+            col("__q").as("__qb")), Seq("id_b"))
+          .select(
+            when(aWins, col("id_b")).otherwise(col("id_a")).as("id"),
+            when(aWins, col("start_b")).otherwise(col("start_a")).as("s"),
+            col("run_len"))
+          .select(col("id"), col("s"), (col("s") + col("run_len")).as("e"))
+    }
+    exciseTokenSpans(df, cuts, textCol, idCol)
+  }
+
+  /**
+   * One-call exact span dedup: [[substringDupSpans]] composed with
+   * [[removeDupSpans]] — the end-to-end Lee et al. §4.1 deliverable
+   * (find every cross-document token run of `minRun`+ tokens, keep one
+   * occurrence, cut the rest, reflow).
+   */
+  def dedupSpans(df: DataFrame, textCol: String, idCol: String,
+                 minRun: Int = 20, n: Int = 3, window: Int = 4,
+                 minShared: Int = 2, maxBucket: Int = 1000,
+                 maxTokens: Int = 10000,
+                 qualityCol: Option[String] = None): DataFrame =
+    removeDupSpans(df,
+      substringDupSpans(df, textCol, idCol, minRun, n, window, minShared,
+        maxBucket, maxTokens),
+      textCol, idCol, qualityCol)
+
+  /**
+   * Incremental removal (the [[substringDupSpansAgainst]] composition):
+   * spans cut from the BATCH side only — the corpus is the
+   * already-deduplicated canonical copy and always keeps. Returns the
+   * batch with `textCol` rewritten.
+   */
+  def removeDupSpansAgainst(batch: DataFrame, spans: DataFrame,
+                            textCol: String, idCol: String): DataFrame =
+    exciseTokenSpans(batch,
+      spans.select(col("batch_id").as("id"), col("start_batch").as("s"),
+        (col("start_batch") + col("run_len")).as("e")),
+      textCol, idCol)
+
   /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs

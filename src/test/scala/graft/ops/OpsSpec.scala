@@ -2309,6 +2309,84 @@ class OpsSpec extends AnyFunSuite {
     // style pairs simply cannot form (the join is batch x corpus)
   }
 
+  test("exciseTokenSpans: interval union, reflow, untouched byte-exact") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      // irregular whitespace proves the untouched fast path is byte-exact
+      (2L, "  two   spaced\tout  "),
+      (3L, "a b c d e")
+    ).toDF("doc_id", "text")
+    val cuts = Seq(
+      (1L, 2, 5), (1L, 4, 7),   // overlap -> [2,7)
+      (1L, 8, 9),               // disjoint second interval
+      (3L, 0, 2), (3L, 2, 4)    // adjacent -> [0,4)
+    ).toDF("id", "s", "e")
+    val r = Dedup.exciseTokenSpans(docs, cuts, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "t0 t1 t7 t9")
+    assert(r(2L) == "  two   spaced\tout  ")
+    assert(r(3L) == "e")
+  }
+
+  test("removeDupSpans: keep-first keeps id_a, cuts every other copy") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one intro $passage tail1"),
+      (2L, s"two start $passage tail2 words"),
+      (3L, s"$passage three closing"),
+      (4L, "unrelated content entirely about other things altogether")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpans(docs, "text", "doc_id",
+      minRun = 10, n = 3, window = 4, minShared = 1)
+    val r = Dedup.removeDupSpans(docs, spans, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == s"one intro $passage tail1") // keeper: untouched
+    assert(r(2L) == "two start tail2 words")
+    assert(r(3L) == "three closing")
+    assert(r(4L) == "unrelated content entirely about other things altogether")
+    // end-to-end convenience gives the same corpus
+    val r2 = Dedup.dedupSpans(docs, "text", "doc_id",
+        minRun = 10, n = 3, window = 4, minShared = 1)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r2 == r)
+  }
+
+  test("removeDupSpans: quality keeper beats lower id; ties go low-id") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one intro $passage tail1", 0.1),
+      (2L, s"two start $passage tail2 words", 0.9),
+      (3L, s"$passage three closing", 0.9)
+    ).toDF("doc_id", "text", "q")
+    val spans = Dedup.substringDupSpans(docs, "text", "doc_id",
+      minRun = 10, n = 3, window = 4, minShared = 1)
+    val r = Dedup.removeDupSpans(docs, spans, "text", "doc_id",
+        qualityCol = Some("q"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    // pair (1,2): 2 wins on quality; (1,3): 3 wins; (2,3): tie -> 2 wins
+    assert(r(1L) == "one intro tail1")
+    assert(r(2L) == s"two start $passage tail2 words")
+    assert(r(3L) == "three closing")
+  }
+
+  test("removeDupSpansAgainst: batch always cuts, corpus untouched") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val batch = Seq(
+      (1L, s"bbb one two $passage ending"),
+      (2L, "bbb nothing shared at all here today friends")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"ccc other start $passage trailing"),
+      (7L, s"ccc more stuff $passage")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpansAgainst(batch, corpus, "text",
+      "doc_id", minRun = 10, n = 3, window = 4, minShared = 1)
+    val r = Dedup.removeDupSpansAgainst(batch, spans, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) == "bbb one two ending")
+    assert(r(2L) == "bbb nothing shared at all here today friends")
+  }
+
   test("jsonFieldQuality: present rates per field, corrupt and null payloads counted") {
     val df = Seq(
       (1L, """{"k": 1, "tag": "a"}"""),
