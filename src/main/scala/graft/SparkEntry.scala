@@ -8964,19 +8964,19 @@ object SparkEntry {
       |        WHERE rk <= 5),
       |hits AS (SELECT count(*) AS h
       |         FROM approx JOIN tru USING (query_id, neighbor_id)),
-      |nq AS (SELECT count(DISTINCT query_id) AS nq FROM tru),
+      |nq AS (SELECT count(*) AS tn FROM tru),
       |cnt AS (SELECT
       |          (SELECT count(*) FROM e WHERE vec_id % 4 <> 0) AS n_built,
       |          (SELECT count(*) FROM e WHERE vec_id % 4 = 0) AS n_batch)
       |SELECT cnt.n_built, cnt.n_batch,
       |       round(CAST(cnt.n_batch AS DOUBLE) / cnt.n_built, 6) AS growth,
-      |       round(CAST(h AS DOUBLE) / (nq.nq * 5.0), 6)
+      |       round(CAST(h AS DOUBLE) / nq.tn, 6)
       |         AS recall_at_shortlist,
       |       round(eb.recon_err_built, 6) AS recon_err_built,
       |       round(ea.recon_err_batch, 6) AS recon_err_batch,
       |       round(ea.recon_err_batch / eb.recon_err_built, 6)
       |         AS recon_drift,
-      |       CASE WHEN CAST(h AS DOUBLE) / (nq.nq * 5.0) < 0.9
+      |       CASE WHEN CAST(h AS DOUBLE) / nq.tn < 0.9
       |              OR ea.recon_err_batch / eb.recon_err_built > 1.5
       |            THEN 'rebuild' ELSE 'append' END AS recommendation
       |FROM cnt, hits, nq, eb, ea""".stripMargin
@@ -9050,17 +9050,17 @@ object SparkEntry {
       |        WHERE rk <= 5),
       |hits AS (SELECT count(*) AS h
       |         FROM approx JOIN tru USING (query_id, neighbor_id)),
-      |nq AS (SELECT count(DISTINCT query_id) AS nq FROM tru),
+      |nq AS (SELECT count(*) AS tn FROM tru),
       |cnt AS (SELECT
       |          (SELECT count(*) FROM e WHERE vec_id % 4 <> 0) AS n_built,
       |          (SELECT count(*) FROM e WHERE vec_id % 4 = 0) AS n_batch)
       |SELECT cnt.n_built, cnt.n_batch,
       |       round(CAST(cnt.n_batch AS DOUBLE) / cnt.n_built, 6) AS growth,
-      |       round(CAST(h AS DOUBLE) / (nq.nq * 5.0), 6)
+      |       round(CAST(h AS DOUBLE) / nq.tn, 6)
       |         AS recall_at_nprobe,
       |       round(ds.mean_drift, 6) AS mean_drift_cos,
       |       round(ds.min_drift, 6) AS min_drift_cos,
-      |       CASE WHEN CAST(h AS DOUBLE) / (nq.nq * 5.0) < 0.9
+      |       CASE WHEN CAST(h AS DOUBLE) / nq.tn < 0.9
       |              OR ds.mean_drift < 0.95 THEN 'rebuild'
       |            ELSE 'append' END AS recommendation
       |FROM cnt, hits, nq, ds""".stripMargin

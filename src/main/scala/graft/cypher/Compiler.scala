@@ -1829,7 +1829,21 @@ object Compiler {
     checkAssigns("ON CREATE", mr.onCreate, allowSelf = false)
     // property-map match key (round 12): each map entry JOINS the
     // merge key — matched edges satisfy pair AND map equality; created
-    // edges are stamped with the map values
+    // edges are stamped with the map values.
+    //
+    // DOWNSTREAM CONTRACT (multigraph-lite; round-13 advice): a
+    // map-keyed MERGE can create a SECOND edge row on an existing
+    // (src, snk) pair (same endpoints, different map value). Every
+    // OTHER edge-updating op keys on the pair alone — a later plain
+    // MERGE treats the pair as matched (its anti-join finds a row, so
+    // it never creates a third), and a pair-keyed SET/DELETE affects
+    // ALL parallel rows of the pair, exactly like a Cypher
+    // MATCH ()-[r]->() with no property predicate binding every
+    // parallel edge. Callers who need to address ONE parallel row must
+    // carry the discriminating property in the pattern/WHERE (or keep
+    // using map-keyed MERGE). This is intentional: pair-keyed ops stay
+    // single-pass set operations — detecting duplicates would cost an
+    // extra aggregation over the edge snapshot per op at 100 TB.
     mr.keyProps.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1
       => p2 }.foreach(p2 => throw new CypherBindingException(
       s"MERGE relationship map binds '$p2' twice"))

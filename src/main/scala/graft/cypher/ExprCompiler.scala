@@ -100,9 +100,9 @@ final class ExprCompiler(
           col(phys).getField(p)
         case Some(StructType(_)) => throw new CypherBindingException(
           s"map '$alias' has no key '$p'")
-        case Some(DateType | TimestampType)
+        case Some(dt @ (DateType | TimestampType))
             if Parser.TemporalComponents(comp) =>
-          temporalComponent(comp, col(phys))
+          temporalComponent(comp, col(phys), dt == DateType)
         case Some(DateType | TimestampType) =>
           throw new CypherBindingException(
             s"temporal value '$alias' has no component '$p' (supported: " +
@@ -117,7 +117,8 @@ final class ExprCompiler(
   /** One temporal component as a Column. `dayofweek` is ISO
     * (1 = Monday … 7 = Sunday, Neo4j's convention; Spark's builtin is
     * 1 = Sunday, hence the shift). */
-  private def temporalComponent(name: String, c: Column): Column =
+  private def temporalComponent(name: String, c: Column,
+                                isDate: Boolean = false): Column =
     name match {
       case "year"      => year(c)
       case "quarter"   => quarter(c)
@@ -128,10 +129,17 @@ final class ExprCompiler(
       case "hour"      => hour(c)
       case "minute"    => minute(c)
       case "second"    => second(c)
-      // epoch accessors (round 12): BIGINT since the Unix epoch —
-      // dates promote to midnight-UTC timestamps first
-      case "epochmillis"  => unix_millis(c.cast(TimestampType))
-      case "epochseconds" => unix_seconds(c.cast(TimestampType))
+      // epoch accessors (round 12): BIGINT since the Unix epoch.
+      // DATE promotes to midnight UTC via day arithmetic — a plain
+      // TIMESTAMP cast would read the date as midnight in the SESSION
+      // timezone and shift the epoch value by the tz offset (round-13
+      // advice); timestamps are instants already, no tz involved.
+      case "epochmillis" =>
+        if (isDate) unix_date(c).cast(LongType) * lit(86400000L)
+        else unix_millis(c.cast(TimestampType))
+      case "epochseconds" =>
+        if (isDate) unix_date(c).cast(LongType) * lit(86400L)
+        else unix_seconds(c.cast(TimestampType))
     }
 
   def compile(e: Expr): Column = {
@@ -149,9 +157,9 @@ final class ExprCompiler(
     // existence is validated by the TypeInference pass in compile()
     case Ref(a, Some(p)) if lambdaCols.contains(a) =>
       typeOf(Ref(a, None)) match {
-        case Some(DateType | TimestampType) =>
+        case Some(dt @ (DateType | TimestampType)) =>
           temporalComponent(p.toLowerCase(java.util.Locale.ROOT),
-            lambdaCols(a))
+            lambdaCols(a), dt == DateType)
         case _ => lambdaCols(a).getField(p)
       }
     case Ref(a, Some(p)) => colOf(a, p)
@@ -477,7 +485,14 @@ final class ExprCompiler(
           case Some(NullType) => lit(null).cast(BooleanType)
           case None if f.args.head.isInstanceOf[ast.ListLit] =>
             size(a0) === lit(0)
-          case _ => length(a0) === lit(0)
+          case Some(StringType) => length(a0) === lit(0)
+          // un-inferable argument: keep the typed rejection instead of
+          // length(x), which would let Spark implicitly stringify a
+          // numeric (isEmpty(42) = false) — round-13 advice
+          case _ => throw new CypherTypeException(
+            "isEmpty() requires a string or list; the argument type " +
+            "could not be inferred - wrap it in toString() if it is " +
+            "a string")
         }
       // tail(list) (round 12; Neo4j): everything after the head —
       // tail([]) is [] (slice clamps), tail(null) null
@@ -516,7 +531,8 @@ final class ExprCompiler(
       // `x.prop.year` on columns, `d.year` on temporal values; Cypher
       // temporal component access, extension)
       case n if Parser.TemporalComponents(n) =>
-        arity(1); temporalComponent(n, a0)
+        arity(1)
+        temporalComponent(n, a0, typeOf(f.args.head).contains(DateType))
       // namespaced temporal functions (round 12, extensions —
       // Neo4j's date.truncate/datetime.truncate/duration.between):
       // both truncates lower to Spark's codegen'd date_trunc over a

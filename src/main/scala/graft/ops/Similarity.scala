@@ -1161,16 +1161,22 @@ object Similarity {
     val hits = truth
       .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
-    val nq = truth.agg(countDistinct(col("query_id")).as("__nq"))
+    // recall denominator = ACTUAL truth rows — bruteForceTopK returns
+    // fewer than k per query when built ∪ batch has < k+1 vectors, and
+    // nq·k would then understate recall into a spurious 'rebuild'
+    // (round-13 advice). Vacuous truth (no queries) counts as full
+    // recall rather than 0/0.
+    val truthN = truth.agg(count(lit(1)).as("__truth_n"))
     built.agg(count(lit(1)).as("n_built"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
-      .crossJoin(nq).crossJoin(hits)
+      .crossJoin(truthN).crossJoin(hits)
       .crossJoin(reconErr(built, "recon_err_built"))
       .crossJoin(reconErr(batch, "recon_err_batch"))
       .select(col("n_built"), col("n_batch"),
         (col("n_batch").cast(DoubleType) / col("n_built")).as("growth"),
-        (col("__hits").cast(DoubleType) /
-          (col("__nq").cast(DoubleType) * lit(k.toDouble)))
+        when(col("__truth_n") === 0, lit(1.0))
+          .otherwise(col("__hits").cast(DoubleType) /
+            col("__truth_n").cast(DoubleType))
           .as("recall_at_shortlist"),
         col("recon_err_built"), col("recon_err_batch"),
         when(col("recon_err_built") === 0.0,
@@ -1675,14 +1681,17 @@ object Similarity {
     val hits = truth
       .join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("__hits"))
-    val nq = truth.agg(countDistinct(col("query_id")).as("__nq"))
+    // recall denominator = ACTUAL truth rows, not nq·k — see
+    // pqRetrainAdvisory (round-13 advice, same formula)
+    val truthN = truth.agg(count(lit(1)).as("__truth_n"))
     built.agg(count(lit(1)).as("n_built"))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
-      .crossJoin(nq).crossJoin(hits).crossJoin(driftSum)
+      .crossJoin(truthN).crossJoin(hits).crossJoin(driftSum)
       .select(col("n_built"), col("n_batch"),
         (col("n_batch").cast(DoubleType) / col("n_built")).as("growth"),
-        (col("__hits").cast(DoubleType) /
-          (col("__nq").cast(DoubleType) * lit(k.toDouble)))
+        when(col("__truth_n") === 0, lit(1.0))
+          .otherwise(col("__hits").cast(DoubleType) /
+            col("__truth_n").cast(DoubleType))
           .as("recall_at_nprobe"),
         col("mean_drift_cos"), col("min_drift_cos"))
       .withColumn("recommendation",

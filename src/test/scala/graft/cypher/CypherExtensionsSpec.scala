@@ -3778,6 +3778,35 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
     intercept[CypherTypeException](rows("RETURN tail('abc') AS t"))
     intercept[CypherTypeException](rows("RETURN isEmpty(1) AS e"))
+    // un-inferable argument type: typed rejection, never Spark's
+    // implicit numeric→string cast (round-13 advice)
+    intercept[CypherTypeException](rows(
+      "WITH null AS x RETURN isEmpty(tail(x)) AS e"))
+  }
+
+  test("date epoch accessors are session-timezone independent") {
+    // date('2024-03-15').epochSeconds must be midnight UTC (day
+    // arithmetic), not midnight-in-session-tz (round-13 advice: a
+    // TIMESTAMP cast shifts the value by the tz offset)
+    val utcMidnight = 1710460800L
+    def check(): Unit = {
+      val r = rows(
+        """WITH date('2024-03-15') AS d
+          |RETURN d.epochSeconds AS es, d.epochMillis AS em,
+          |       epochSeconds(d) AS fs""".stripMargin).head
+      assert(r.getLong(0) == utcMidnight)
+      assert(r.getLong(1) == utcMidnight * 1000L)
+      assert(r.getLong(2) == utcMidnight)
+    }
+    check()
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      check()
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      check()
+    } finally spark.conf.set(tzKey, saved)
   }
 
   test("reachablePairs: empty edge set converges immediately to empty") {

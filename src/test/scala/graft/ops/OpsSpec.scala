@@ -5015,6 +5015,18 @@ class OpsSpec extends AnyFunSuite {
       shortlist = 80).head()
     assert(bad.getDouble(6) > 1.5) // recon_drift
     assert(bad.getString(7) == "rebuild")
+    // tiny corpus: built ∪ batch has fewer than k+1 vectors, so truth
+    // has < k rows per query — recall divides by the ACTUAL truth-row
+    // count (round-13 advice), so a perfect probe still reads 1.0
+    // instead of understating into a spurious 'rebuild'
+    val tinyB = built.where(col("vec_id") < 2)
+    val tinyBatch = sameDist.where(col("vec_id") < 65)
+    val tiny = Similarity.pqRetrainAdvisory(tinyB, tinyBatch,
+      tinyB.where(col("vec_id") < 1), "embedding", "vec_id",
+      k = 5, m = 2, ksub = 16, shortlist = 80).head()
+    // 3 vectors total, 1 query → 2 truth rows, never 5
+    assert(tiny.getDouble(3) == 1.0)
+    assert(tiny.getString(7) == "append")
   }
 
   test("markovEntropyRate: deterministic cycle is 0 bits; fair coin chain is 1 bit") {
