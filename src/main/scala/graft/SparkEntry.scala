@@ -1803,6 +1803,24 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- map projection (round 13; Neo4j's everyday RETURN idiom,
+    //     extension — the reference has no map support at all,
+    //     CypherVisitor.cs:2040-2044): `c {.*, nat: …}` expands the
+    //     declared properties plus a computed key into one in-row
+    //     named_struct; the post-WITH WHERE and the RETURN dot-access
+    //     read fields back out of it. Scalar fields mirror directly in
+    //     DuckDB — the struct never leaves the plan.
+    ("q117_map_projection", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WITH c {.*, nat: n.n_name} AS m
+        |WHERE m.c_acctbal > 9990
+        |RETURN m.c_name AS name, m.nat AS nation, m.c_acctbal * 2 AS bal2
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name, n_name AS nation,
+             |       c_acctbal * 2 AS bal2
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9990 ORDER BY 1""".stripMargin)),
+
     // --- SET n:SubLabel (round 12): label assignment through the
     //     discriminator model — matched rows take the sub-label's
     //     declared value, everything else passes through; REMOVE is

@@ -96,6 +96,18 @@ object ast {
    *  read back with ordinary dot access (`m.k`). */
   final case class MapLit(fields: Seq[(String, Expr)]) extends Expr
 
+  /** Map projection `alias {.prop, key: expr, var, .*}` (round 13) — a
+   *  flagged EXTENSION (Neo4j's everyday RETURN idiom; the reference
+   *  has no map support at all, CypherVisitor.cs:2040-2044). The
+   *  parser desugars `.prop` to `(prop, Ref(alias, Some(prop)))` and a
+   *  bare variable selector `v` to `(v, Ref(v, None))`; `star` records
+   *  `.*` (all declared properties / map fields — expanded at compile
+   *  time where the schema is known). Lowers to a named struct like
+   *  [[MapLit]]; a NULL entity/map projects to NULL, not a struct of
+   *  nulls. */
+  final case class MapProjection(alias: String, items: Seq[(String, Expr)],
+                                 star: Boolean) extends Expr
+
   /** Pattern comprehension `[(a)-[:R]->(b) [WHERE pred] | proj]` — a
    *  flagged EXTENSION. Collects `proj` over every match of the
    *  pattern, correlated per outer row on the node aliases shared with

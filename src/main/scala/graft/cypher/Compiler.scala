@@ -524,6 +524,8 @@ object Compiler {
         o.exists(containsPatternComp)
     case ListLit(xs) => xs.exists(containsPatternComp)
     case MapLit(fs) => fs.exists(f => containsPatternComp(f._2))
+    case MapProjection(_, fs, _) =>
+      fs.exists(f => containsPatternComp(f._2))
     case ListComp(_, l, w, m) =>
       containsPatternComp(l) || w.exists(containsPatternComp) ||
         m.exists(containsPatternComp)
@@ -552,6 +554,8 @@ object Compiler {
         o.exists(containsExistsPat)
     case ListLit(xs) => xs.exists(containsExistsPat)
     case MapLit(fs) => fs.exists(f => containsExistsPat(f._2))
+    case MapProjection(_, fs, _) =>
+      fs.exists(f => containsExistsPat(f._2))
     case ListComp(_, l, w, m) =>
       containsExistsPat(l) || w.exists(containsExistsPat) ||
         m.exists(containsExistsPat)
@@ -733,6 +737,7 @@ object Compiler {
         o.exists(containsAgg)
     case ListLit(items) => items.exists(containsAgg)
     case MapLit(fs) => fs.exists(f => containsAgg(f._2))
+    case MapProjection(_, fs, _) => fs.exists(f => containsAgg(f._2))
     // lambda BODIES can't aggregate (no rows in scope there — the parser
     // rejects nested aggregates anyway), but the list operand can be an
     // aggregate: `[y IN collect(x) | …]` must be seen as an agg item
@@ -869,6 +874,8 @@ object Compiler {
           o.map(rewrite))
       case ListLit(xs) => ListLit(xs.map(rewrite))
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, rewrite(v)) })
+      case MapProjection(a, fs, st) =>
+        MapProjection(a, fs.map { case (k, v) => (k, rewrite(v)) }, st)
       case ListComp(v, l, w, m) =>
         ListComp(v, rewrite(l), w.map(rewrite), m.map(rewrite))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, rewrite(l), rewrite(pr))
@@ -917,6 +924,8 @@ object Compiler {
         CaseExpr(ws.map { case (c, v) => (delist(c), delist(v)) }, o.map(delist))
       case ListLit(xs) => ListLit(xs.map(delist))
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, delist(v)) })
+      case MapProjection(a, fs, st) =>
+        MapProjection(a, fs.map { case (k, v) => (k, delist(v)) }, st)
       case ListComp(v, l, w, m) =>
         ListComp(v, delist(l), w.map(delist), m.map(delist))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, delist(l), delist(pr))
@@ -1027,8 +1036,14 @@ object Compiler {
       val entityRenames = kinds.zipWithIndex.collect {
         case (EntityItem(a, b), i) if names(i) != a => (names(i), a, b)
       }
+      // value items enter the scope as ValueBindings so ORDER BY/WHERE
+      // can dot-access struct-typed outputs (`WITH n {.p} AS m WHERE
+      // m.p …`, map literals, properties()) — aliasToTmp points them at
+      // the widened tmp columns (round 13; was: unknown-variable)
       val sortScope = ctx.scope ++
-        entityRenames.map { case (n, _, b) => n -> (b: Binding) }
+        entityRenames.map { case (n, _, b) => n -> (b: Binding) } ++
+        kinds.zipWithIndex.collect {
+          case (_: ValueItem, i) => names(i) -> (ValueBinding: Binding) }
       val entitySrc = entityRenames.map { case (n, a, _) => n -> a }.toMap
       val aliasToTmp = kinds.zipWithIndex.collect {
         case (_: ValueItem, i) => names(i) -> tmpNames(i)
@@ -1290,6 +1305,8 @@ object Compiler {
     case ListIndex(l, f, t, _) => refersTo(l, a) ||
       f.exists(refersTo(_, a)) || t.exists(refersTo(_, a))
     case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
+    case MapProjection(al, fs, _) =>
+      al == a || fs.exists { case (_, v) => refersTo(v, a) }
     case _ => false
   }
 

@@ -203,6 +203,47 @@ final class ExprCompiler(
     case MapLit(fields)   =>
       struct(fields.map { case (k, v) => compile(v).as(k) }: _*)
 
+    // map projection (round 13, extension): `.*` expands to the
+    // declared properties (entities) or struct fields (map values) in
+    // declared order, minus keys an explicit item overrides; explicit
+    // items follow in written order. A NULL entity (OPTIONAL MATCH
+    // miss) or NULL map projects to NULL, not a struct of nulls —
+    // Neo4j's contract. Everything stays one in-row named_struct
+    // under a null guard: no join, no shuffle, codegen throughout.
+    case MapProjection(alias, items, star) =>
+      val explicit = items.map(_._1).toSet
+      def entity(b: Binding, guard: String): (Seq[(String, Column)], Column) =
+        ((if (star) Compiler.entityCols(b).filterNot(explicit)
+            .map(c2 => c2 -> col(pref(physAlias(alias), c2))) else Nil),
+          col(pref(physAlias(alias), guard)).isNull)
+      val (starFields, nullGuard) = scope.get(alias) match {
+        case Some(b @ NodeBinding(n)) => entity(b, n.idColumn)
+        case Some(b @ EdgeBinding(e)) => entity(b, e.srcIdColumn)
+        case Some(ValueBinding) =>
+          val phys = aliasCols.getOrElse(alias, alias)
+          colTypes.get(phys) match {
+            case Some(StructType(fs2)) =>
+              ((if (star) fs2.toSeq.filterNot(f2 => explicit(f2.name))
+                  .map(f2 => f2.name -> col(phys).getField(f2.name))
+                else Nil),
+                col(phys).isNull)
+            case Some(other) => throw new CypherTypeException(
+              s"map projection: '$alias' is a ${other.simpleString} " +
+              "value, not a map or entity")
+            case None if star => throw new CypherBindingException(
+              s"map projection '$alias {.*}' — '$alias' has no " +
+              "statically known fields")
+            case None => (Nil, col(aliasCols.getOrElse(alias, alias)).isNull)
+          }
+        case Some(PathBinding) => throw new CypherBindingException(
+          s"map projection: '$alias' is a path, not a map or entity")
+        case None =>
+          throw new CypherBindingException(s"unknown variable '$alias'")
+      }
+      val fields = starFields.map { case (k, c2) => c2.as(k) } ++
+        items.map { case (k, v) => build(v).as(k) }
+      when(nullGuard, lit(null)).otherwise(struct(fields: _*))
+
     case Bin(op, l, r) => compileBin(op, l, r)
     case f: Func       => compileFunc(f)
     case a: Agg        => compileAgg(a)

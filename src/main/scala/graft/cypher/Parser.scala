@@ -1734,6 +1734,56 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
               "per-row ordering has no flat lowering")
           eatPunct("}")
           PatternComp(part, andAll(w, mapConj), proj)
+        // map projection `n {.prop, key: expr, var, .*}` (round 13;
+        // Neo4j's everyday RETURN idiom, extension — the reference has
+        // no map support at all, CypherVisitor.cs:2040-2044)
+        case Punct("{", _) =>
+          if (!extensions)
+            notSupported("map projection n { ... } " +
+              "(supported with extensions enabled)")
+          p += 2 // ident + '{'
+          val items = Vector.newBuilder[(String, Expr)]
+          var star = false
+          def one(): Unit = {
+            if (tryPunct(".")) {
+              if (tryPunct("*")) star = true
+              else { val pr = name(); items += (pr -> Ref(id, Some(pr))) }
+            } else {
+              val bareSelector = cur match {
+                case Ident(_, _) => peek1 match {
+                  case Punct(":", _) => false
+                  case _ => true
+                }
+                case _ => false
+              }
+              if (bareSelector) {
+                // variable selector `v` ≡ `v: v`
+                val v = ident()
+                items += (v -> Ref(v, None))
+              } else {
+                val k = cur match {
+                  case Ident(s, _)  => p += 1; s
+                  case StrLit(s, _) => p += 1; s
+                  case Kw(s, _, _)  =>
+                    p += 1; s.toLowerCase(java.util.Locale.ROOT)
+                  case _ => syntaxErr(
+                    "expected a map projection item (.prop, key: " +
+                    "expr, variable, or .*)")
+                }
+                eatPunct(":")
+                items += (k -> parseExpr())
+              }
+            }
+          }
+          if (!isPunct("}")) { one(); while (tryPunct(",")) one() }
+          eatPunct("}")
+          val fs = items.result()
+          val dup = fs.groupBy(_._1)
+            .collectFirst { case (k, vs) if vs.size > 1 => k }
+          dup.foreach(k => syntaxErr(s"duplicate map projection key '$k'"))
+          if (fs.isEmpty && !star)
+            syntaxErr(s"empty map projection '$id { }'")
+          MapProjection(id, fs, star)
         case Punct("(", _) => parseCall(id)
         case Punct(".", _) =>
           p += 2
@@ -1896,6 +1946,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case Func(_, args) => args.foreach(checkNoNestedAgg(_, outer))
     case ListLit(items) => items.foreach(checkNoNestedAgg(_, outer))
     case MapLit(fs) => fs.foreach(f => checkNoNestedAgg(f._2, outer))
+    case MapProjection(_, fs, _) =>
+      fs.foreach(f => checkNoNestedAgg(f._2, outer))
     case CaseExpr(ws, o) =>
       ws.foreach { case (c, v) =>
         checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }

@@ -232,6 +232,24 @@ final class TypeInference(refType: Ref => Option[DataType],
       val ts = fields.map { case (k, v) => infer(v).map(t => StructField(k, t)) }
       if (ts.forall(_.isDefined)) Some(StructType(ts.map(_.get)))
       else None
+
+    // map projection (round 13): star fields from the entity's declared
+    // property struct (or a struct-typed value's fields), explicit
+    // items typed like a map literal; any unknown degrades to None
+    case MapProjection(alias, items, star) =>
+      val explicit = items.map(_._1).toSet
+      val starFs: Option[Seq[StructField]] =
+        if (!star) Some(Nil)
+        else entityStruct(alias)
+          .orElse(refType(Ref(alias, None)) match {
+            case Some(st: StructType) => Some(st)
+            case _ => None
+          })
+          .map(_.fields.toSeq.filterNot(f => explicit(f.name)))
+      val itemFs = items.map { case (k, v) => infer(v).map(StructField(k, _)) }
+      if (starFs.isDefined && itemFs.forall(_.isDefined))
+        Some(StructType(starFs.get ++ itemFs.map(_.get)))
+      else None
   }
 
   /** Pair-granular branch unifier (the `Plus` coercion row) — shared

@@ -3815,4 +3815,69 @@ class CypherExtensionsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d").count()
     assert(got == 0L)
   }
+
+  // ------------------------------------------------- map projections
+
+  test("map projection: .prop, computed key, variable selector, .*") {
+    val r = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH 7 AS bonus, m
+        |RETURN m {.Title, score: m.Released + bonus, bonus} AS mp
+        |""".stripMargin).head.getStruct(0)
+    assert(r.getString(0) == "Apollo 13")  // .Title
+    assert(r.getInt(1) == 2002)            // score: Released + bonus
+    assert(r.getInt(2) == 7)               // variable selector
+    // .* expands all declared properties (id first, declared order);
+    // explicit keys override the star's copy and keep written position
+    val r2 = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN m {.*, Title: 'override'} AS mp""".stripMargin)
+      .head.getStruct(0)
+    assert(r2.schema.fieldNames.toSeq ==
+      Seq("id", "Tagline", "Released", "Title"))
+    assert(r2.getString(3) == "override")
+    assert(r2.getInt(2) == 1995)
+  }
+
+  test("map projection: dot access back, maps, null entity -> NULL") {
+    // the projected struct round-trips through WITH dot access
+    val r = rows(
+      """MATCH (m:Movie) WITH m {.Title, .Released} AS mp
+        |WHERE mp.Released >= 1995
+        |RETURN mp.Title AS t ORDER BY t""".stripMargin)
+      .map(_.getString(0))
+    assert(r == Seq("Apollo 13", "You've Got Mail"))
+    // map-valued variables project too, star included
+    val r2 = rows(
+      "WITH {a: 1, b: 'x'} AS m RETURN m {.*, c: 2} AS r").head.getStruct(0)
+    assert(r2.schema.fieldNames.toSeq == Seq("a", "b", "c"))
+    assert(r2.getInt(0) == 1 && r2.getString(1) == "x" &&
+      r2.getInt(2) == 2)
+    // an OPTIONAL MATCH miss projects NULL, not a struct of nulls
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |OPTIONAL MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |RETURN m {.Title, .Released} AS mp""".stripMargin)
+    assert(r3.size == 1 && r3.head.isNullAt(0))
+  }
+
+  test("map projection: typed rejections and parity-mode rejection") {
+    // duplicate key
+    intercept[CypherSyntaxException](rows(
+      "MATCH (m:Movie) RETURN m {.Title, Title: 'x'} AS r"))
+    // empty projection
+    intercept[CypherSyntaxException](rows(
+      "MATCH (m:Movie) RETURN m { } AS r"))
+    // non-map value
+    intercept[CypherTypeException](rows(
+      "WITH 1 AS v RETURN v {.a} AS r"))
+    // path variable
+    intercept[CypherBindingException](rows(
+      """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |RETURN p {.x} AS r""".stripMargin))
+    // parity mode keeps the reference's no-map surface
+    val paritySession = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](
+      paritySession.run("MATCH (m:Movie) RETURN m {.Title} AS r"))
+  }
 }
