@@ -1803,6 +1803,36 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- node MERGE with a property-map match key (round 13; the
+    //     node twin of q104's rel lift — Neo4j matches on id AND map):
+    //     feed rows whose map value equals the node's stored c_name
+    //     match their own row (ck <= 100, ON MATCH zeroes the
+    //     balance); the 'synthetic'-name rows (100 < ck <= 200) match
+    //     nothing and create a SECOND row under the same id with the
+    //     map stamped (duplicate-id-lite, the multigraph-lite
+    //     contract's node face) — both branches in one snapshot,
+    //     mirrored by a plain UNION ALL in DuckDB.
+    ("q118_merge_node_map",
+      (s, dir) => cyx(
+        """MATCH (c:Customer) WHERE c.c_custkey <= 200
+          |WITH c.c_custkey AS ck,
+          |     CASE WHEN c.c_custkey <= 100 THEN c.c_name
+          |          ELSE 'synthetic' END AS nm
+          |MERGE (n:Customer {c_custkey: ck, c_name: nm})
+          |ON MATCH SET n.c_acctbal = 0.0""".stripMargin)
+        .apply(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name,
+             |       CASE WHEN c_custkey <= 100 THEN 0.0
+             |            ELSE c_acctbal END AS c_acctbal
+             |FROM customer
+             |UNION ALL
+             |SELECT c_custkey, 'synthetic' AS c_name,
+             |       NULL AS c_acctbal
+             |FROM customer WHERE c_custkey > 100 AND c_custkey <= 200
+             |ORDER BY c_custkey, c_name""".stripMargin)),
+
     // --- map projection (round 13; Neo4j's everyday RETURN idiom,
     //     extension — the reference has no map support at all,
     //     CypherVisitor.cs:2040-2044): `c {.*, nat: …}` expands the

@@ -254,7 +254,13 @@ object ast {
    *  through. Terminal clause of a non-UNION query. */
   final case class MergeClause(alias: String, label: String,
       keyProp: String, keyExpr: Expr,
-      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)])
+      onMatch: Seq[(String, Expr)], onCreate: Seq[(String, Expr)],
+      /** map entries beyond the first (round 13): the whole map is the
+       *  match key — the id property must appear somewhere in it; the
+       *  other entries join the match condition and stamp created
+       *  rows (Neo4j's match-on-map semantics, the node twin of
+       *  [[MergeRelClause]]'s keyProps). */
+      keyProps: Seq[(String, Expr)] = Seq.empty)
 
   /** Query whose terminal clause is a [[MergeClause]]; `parts` are the
    *  ordinary MATCH/WITH parts feeding it (each ends in a WITH — a
@@ -458,7 +464,12 @@ object ast {
    *  the endpoint's post-merge face: matched ids see the stored node
    *  row, absent ids see id-only (other properties null). */
   final case class MergeEndpoint(label: String, keyProp: String,
-      keyExpr: Expr)
+      keyExpr: Expr,
+      /** map entries beyond the first (round 13): a terminal NODE
+       *  MERGE accepts extra entries as part of the match key (Neo4j
+       *  matches on the whole map); relationship endpoints keep the
+       *  id-only contract and reject extras. */
+      extra: Seq[(String, Expr)] = Seq.empty)
 
   final case class MergeRelClause(srcAlias: String, relAlias: Option[String],
       verb: String, dstAlias: String,

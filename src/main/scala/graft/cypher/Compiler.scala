@@ -1338,12 +1338,30 @@ object Compiler {
       updated: Set[String] = Set.empty): DataFrame = {
     val node = catalog.graph.node(m.label)
     guardTarget(node.table, updated, s"MERGE (:${m.label})")
-    if (m.keyProp != node.idColumn)
-      throw new CypherBindingException(
-        s"MERGE (${m.alias}:${m.label} {${m.keyProp}: …}): the property " +
-        s"map must bind the node's id property '${node.idColumn}' — merge " +
-        "identity is the unique node id; set other properties in " +
-        "ON CREATE SET")
+    // property-map match key (round 13, the node twin of the rel-MERGE
+    // map lift): the whole map is the merge key — one entry MUST bind
+    // the id property; the others join the match condition and stamp
+    // created rows (Neo4j's match-on-map semantics). DOWNSTREAM
+    // CONTRACT (duplicate-id-lite, mirroring the rel multigraph-lite
+    // note): a map-keyed MERGE whose id exists with a DIFFERENT map
+    // value creates a second row under the same id, exactly like
+    // Neo4j; later id-keyed ops on such a snapshot see both rows —
+    // address one with the discriminating property, or key by map.
+    val mapEntries: Seq[(String, Expr)] = {
+      val entries = (m.keyProp -> m.keyExpr) +: m.keyProps
+      entries.groupBy(_._1).collectFirst { case (p, vs) if vs.size > 1
+        => p }.foreach(p => throw new CypherBindingException(
+        s"MERGE node map binds '$p' twice"))
+      if (!entries.exists(_._1 == node.idColumn))
+        throw new CypherBindingException(
+          s"MERGE (${m.alias}:${m.label} {…}): the property map must " +
+          s"bind the node's id property '${node.idColumn}' — merge " +
+          "identity starts at the unique node id")
+      entries.filterNot(_._1 == node.idColumn)
+    }
+    val idKeyExpr: Expr =
+      (((m.keyProp -> m.keyExpr) +: m.keyProps)
+        .find(_._1 == node.idColumn).get)._2
     val ctx: Option[Ctx] =
       if (parts.isEmpty) initial
       else Some(compileSingle(SingleQuery(parts), Map.empty,
@@ -1375,6 +1393,19 @@ object Compiler {
     }
     checkAssigns("ON MATCH", m.onMatch, allowSelf = true)
     checkAssigns("ON CREATE", m.onCreate, allowSelf = false)
+    mapEntries.foreach { case (p, e) =>
+      if (!props.contains(p)) throw new CypherBindingException(
+        s"MERGE: node '${m.label}' has no declared property '$p'")
+      if (containsAgg(e)) throw new CypherNotSupportedException(
+        "MERGE node map with an aggregate — aggregate in a WITH " +
+        "before the MERGE")
+      if (refersTo(e, m.alias)) throw new CypherBindingException(
+        s"MERGE node map may not read '${m.alias}' — the map IS the " +
+        "match key")
+      if (m.onCreate.exists(_._1 == p)) throw new CypherBindingException(
+        s"ON CREATE SET reassigns map-keyed property '$p' — the " +
+        "created row is stamped with the map value; drop one")
+    }
 
     val snapshot = catalog.nodeDf(node.label)
     val outCols: Seq[String] = node.idColumn +: props
@@ -1383,22 +1414,31 @@ object Compiler {
     val snapN = snapshot.select(
       outCols.map(c => col(c).as(pref(m.alias, c))): _*)
 
+    val mpCol: Map[String, String] =
+      mapEntries.map { case (p, _) => p -> s"__mp_$p" }.toMap
     val (feed0, feedScope) = ctx match {
       case Some(c) =>
         val ec = new ExprCompiler(c.scope, c.df)
-        (c.df.withColumn("__mkey", ec.compile(m.keyExpr).cast(idDt)),
+        (mapEntries.foldLeft(
+          c.df.withColumn("__mkey", ec.compile(idKeyExpr).cast(idDt))) {
+            case (d, (p, e)) =>
+              d.withColumn(mpCol(p), ec.compile(e).cast(dt(p))) },
           c.scope)
       case None =>
-        // standalone MERGE: the feed is one literal row; the key expr
-        // compiles against an empty scope (unknown variables are the
+        // standalone MERGE: the feed is one literal row; the key exprs
+        // compile against an empty scope (unknown variables are the
         // ordinary binding error)
         val one = snapshot.sparkSession.range(1).toDF("__row")
         val ec = new ExprCompiler(Map.empty, one)
-        (one.select(ec.compile(m.keyExpr).cast(idDt).as("__mkey")),
+        (one.select(ec.compile(idKeyExpr).cast(idDt).as("__mkey") +:
+          mapEntries.map { case (p, e) =>
+            ec.compile(e).cast(dt(p)).as(mpCol(p)) }: _*),
           Map.empty[String, Binding])
     }
-    val feed = feed0.where(col("__mkey").isNotNull)
-    val others = feed.columns.filterNot(_ == "__mkey").toSeq
+    // null map values drop like null id keys (no identity)
+    val keyColNames = "__mkey" +: mapEntries.map { case (p, _) => mpCol(p) }
+    val feed = feed0.where(keyColNames.map(col(_).isNotNull).reduce(_ && _))
+    val others = feed.columns.filterNot(keyColNames.toSet).toSeq
     // lazy localCheckpoint: the deduped feed has THREE consumers
     // (matched join, created anti-join, untouched anti-join) whose
     // different column pruning defeats ReuseExchange — materialize the
@@ -1406,14 +1446,18 @@ object Compiler {
     // pipeline per consumer (no job fires at compile time)
     val feedW =
       (if (others.isEmpty) feed.distinct()
-      else feed.groupBy(col("__mkey"))
+      else feed.groupBy(keyColNames.map(col): _*)
         .agg(max(struct(others.map(col): _*)).as("__w"))
-        .select(col("__mkey") +:
+        .select(keyColNames.map(col) ++
           others.map(c => col("__w").getField(c).as(c)): _*))
         .localCheckpoint(false)
 
+    def fullKeyCond(idRhs: Column, mapRhs: String => Column): Column =
+      (Seq(col("__mkey") === idRhs) ++ mapEntries.map { case (p, _) =>
+        col(mpCol(p)) === mapRhs(p) }).reduce(_ && _)
     val joinedM = feedW.join(snapN,
-      col("__mkey") === col(pref(m.alias, node.idColumn)), "inner")
+      fullKeyCond(col(pref(m.alias, node.idColumn)),
+        p => col(pref(m.alias, p))), "inner")
     val scopeM: Map[String, Binding] =
       feedScope + (m.alias -> NodeBinding(node))
     val ecM = new ExprCompiler(scopeM, joinedM)
@@ -1421,22 +1465,32 @@ object Compiler {
       m.onMatch.map { case (p, e) => p -> ecM.compile(e).cast(dt(p)) }.toMap
 
     val joinedC = feedW.join(
-      snapN.select(col(pref(m.alias, node.idColumn)).as("__sid")),
-      col("__mkey") === col("__sid"), "left_anti")
+      snapN.select(col(pref(m.alias, node.idColumn)).as("__sid") +:
+        mapEntries.map { case (p, _) =>
+          col(pref(m.alias, p)).as(s"__sp_$p") }: _*),
+      fullKeyCond(col("__sid"), p => col(s"__sp_$p")), "left_anti")
     val ecC = new ExprCompiler(feedScope, joinedC)
     val cAssign: Map[String, Column] =
       m.onCreate.map { case (p, e) => p -> ecC.compile(e).cast(dt(p)) }.toMap
+    // created rows stamp the map values; ON CREATE SET fills the rest
+    def createdVal(p: String): Column =
+      mpCol.get(p).map(col).orElse(cAssign.get(p))
+        .getOrElse(lit(null).cast(dt(p)))
 
     if (ret.isEmpty && chain.isEmpty) {
       val matchedOut = joinedM.select(outCols.map { c =>
         mAssign.getOrElse(c, col(pref(m.alias, c))).as(c) }: _*)
       val createdOut = joinedC.select(
         col("__mkey").as(node.idColumn) +:
-          props.map(p => cAssign.getOrElse(p,
-            lit(null).cast(dt(p))).as(p)): _*)
+          props.map(p => createdVal(p).as(p)): _*)
+      // untouched = snapshot minus the matched (id [+ map]) keys —
+      // with a map key, same-id rows with a DIFFERENT map value stay
+      // untouched (Neo4j's match-on-map semantics)
       val untouched = snapshot.select(outCols.map(col): _*)
-        .join(feedW.select(col("__mkey").as(node.idColumn)),
-          Seq(node.idColumn), "left_anti")
+        .join(feedW.select(col("__mkey").as(node.idColumn) +:
+          mapEntries.map { case (p, _) => col(mpCol(p)).as(p) }: _*),
+          node.idColumn +: mapEntries.map(_._1), "left_anti")
+        .select(outCols.map(col): _*) // using-cols joins reorder keys first
       untouched.unionByName(matchedOut).unionByName(createdOut)
     } else {
       // MERGE … RETURN (round 10) / … WITH chain (round 11): one
@@ -1451,8 +1505,7 @@ object Compiler {
           .as(pref(m.alias, c))): _*)
       val createdR = joinedC.select(others.map(col) ++
         (col("__mkey").as(pref(m.alias, node.idColumn)) +:
-          props.map(p => cAssign.getOrElse(p, lit(null).cast(dt(p)))
-            .as(pref(m.alias, p)))): _*)
+          props.map(p => createdVal(p).as(pref(m.alias, p)))): _*)
       finishReadBack(Ctx(matchedR.unionByName(createdR), scopeM),
         ret, chain, catalog, updated + node.table)
     }

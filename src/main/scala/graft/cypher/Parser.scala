@@ -746,13 +746,22 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
         eatPunct(":")
         val keyExpr = parseExpr()
-        if (isPunct(","))
-          notSupported("MERGE property map beyond the id property — merge " +
-            "identity is the unique node id; set other properties in " +
-            "ON CREATE SET")
+        // further map entries (round 13): legal on a terminal NODE
+        // MERGE (the whole map is the match key, Neo4j semantics);
+        // relationship endpoints reject them below
+        val extras = Vector.newBuilder[(String, Expr)]
+        while (tryPunct(",")) {
+          val k2 = cur match {
+            case Ident(s, _)   => p += 1; s
+            case Kw(_, raw, _) => p += 1; raw
+            case _ => syntaxErr("expected a property name in the MERGE map")
+          }
+          eatPunct(":")
+          extras += (k2 -> parseExpr())
+        }
         eatPunct("}")
         eatPunct(")")
-        (alias, Some(MergeEndpoint(label, keyProp, keyExpr)))
+        (alias, Some(MergeEndpoint(label, keyProp, keyExpr, extras.result())))
       }
     }
     val (alias, spec) = endpoint()
@@ -767,6 +776,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       val (srcA, srcS, dstA, dstS) =
         if (incoming) (other, oSpec, alias, spec)
         else (alias, spec, other, oSpec)
+      if (Seq(srcS, dstS).flatten.exists(_.extra.nonEmpty))
+        notSupported("MERGE relationship endpoint map beyond the id " +
+          "property — endpoint identity is the unique node id; the " +
+          "relationship's own map keys the edge")
       val (om, oc) = parseOnSets(rAlias, "relationship")
       return Right(MergeRelClause(srcA, rAlias, verb, dstA, om, oc,
         srcS, dstS, props))
@@ -775,7 +788,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       "MERGE node requires a property map binding its id, e.g. {id: …}"))
     val (onMatch, onCreate) = parseOnSets(Some(alias), "node")
     Left(MergeClause(alias, ep.label, ep.keyProp, ep.keyExpr, onMatch,
-      onCreate))
+      onCreate, ep.extra))
   }
 
   /** `SET a.p = e [, a.q = e2 …]` and the map-sugar form

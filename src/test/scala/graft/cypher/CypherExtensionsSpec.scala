@@ -1843,6 +1843,34 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.last == (("p9", "Nine", None))) // unassigned Born -> null
   }
 
+  test("MERGE node {map}: the map joins the match key (Neo4j id+map)") {
+    // id + matching map value -> ON MATCH fires on that row only
+    val r = rows(
+      """MERGE (n:Person {id: 'p1', Name: 'Tom Hanks'})
+        |ON MATCH SET n.Born = 2000""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1),
+        if (x.isNullAt(2)) None else Some(x.getInt(2)))).sortBy(_._1)
+    assert(r.size == 5)
+    assert(r.head == (("p1", "Tom Hanks", Some(2000))))
+    assert(r(1) == (("p2", "Meg Ryan", Some(1961)))) // untouched
+    // id exists but the map value differs -> no match, a SECOND row
+    // under the same id is created with the map stamped (Neo4j's
+    // match-on-map semantics; duplicate-id-lite contract), and the
+    // original row passes through untouched
+    val r2 = rows(
+      """MERGE (n:Person {id: 'p2', Name: 'Not Meg'})
+        |ON CREATE SET n.Born = 1999""".stripMargin)
+      .filter(_.getString(0) == "p2")
+      .map(x => (x.getString(1), x.getInt(2))).sortBy(_._1)
+    assert(r2 == Seq(("Meg Ryan", 1961), ("Not Meg", 1999)))
+    // read-back binds the post-merge face: created rows carry the map
+    val r3 = rows(
+      """MERGE (n:Person {id: 'p9', Name: 'Nine', Born: 1990})
+        |RETURN n.id AS i, n.Name AS nm, n.Born AS b""".stripMargin)
+    assert(r3.map(x => (x.getString(0), x.getString(1), x.getInt(2))) ==
+      Seq(("p9", "Nine", 1990)))
+  }
+
   test("MERGE: duplicate feed keys reduce to one deterministic winner") {
     val r = rows(
       """MATCH (p:Person) WITH 'px' AS k, p.Name AS nm
@@ -1854,12 +1882,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
   }
 
   test("MERGE typed rejections pin the contract") {
-    // map key must be the id property
+    // the map must bind the id property somewhere (round 13: extra
+    // entries are legal, but identity still starts at the id)
     intercept[CypherBindingException](rows(
       "MERGE (n:Person {Name: 'x'})"))
-    // map may not carry more than the id
+    // map-key hygiene (round 13): duplicate key, unknown property,
+    // aggregate, self-read, ON CREATE reassigning a map-keyed prop
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1', id: 'p2'})"))
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1', Nope: 1})"))
     intercept[CypherNotSupportedException](rows(
-      "MERGE (n:Person {id: 'p1', Name: 'x'})"))
+      """MATCH (p:Person)
+        |MERGE (n:Person {id: 'p1', Born: count(p)})""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "MERGE (n:Person {id: 'p1', Name: n.Name})"))
+    intercept[CypherBindingException](rows(
+      """MERGE (n:Person {id: 'p1', Name: 'x'})
+        |ON CREATE SET n.Name = 'y'""".stripMargin))
     // id is not reassignable
     intercept[CypherBindingException](rows(
       "MERGE (n:Person {id: 'p1'}) ON MATCH SET n.id = 'z'"))
