@@ -1803,6 +1803,36 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- COLLECT { } with ORDER BY / LIMIT (round 13; the full Neo4j
+    //     subquery tail): per-customer top-3 order keys by price — the
+    //     rank filter lowers to WindowGroupLimit before the collect,
+    //     the list itself rides (rank, value) pairs + in-row sort.
+    //     Lists reduce to strings on both sides (pandas cannot sort
+    //     list columns in the gate's row-sorted compare).
+    ("q119_collect_paged", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 100
+        |WITH c, COLLECT { (c)-[:PLACED]->(o:Order)
+        |                  RETURN o.o_orderkey
+        |                  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |                  LIMIT 3 } AS top3
+        |RETURN c.c_custkey AS ck, size(top3) AS n,
+        |       reduce(s = '', k IN top3 | s + '|' + toString(k)) AS keys
+        |ORDER BY ck""".stripMargin),
+      Some("""WITH ranked AS (
+             |  SELECT o_custkey, o_orderkey, row_number() OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             |  FROM orders),
+             |t AS (SELECT o_custkey,
+             |        string_agg('|' || CAST(o_orderkey AS VARCHAR), ''
+             |                   ORDER BY rk) AS ks,
+             |        count(*) AS n
+             |      FROM ranked WHERE rk <= 3 GROUP BY 1)
+             |SELECT c_custkey AS ck, CAST(coalesce(n, 0) AS INTEGER) AS n,
+             |       coalesce(ks, '') AS keys
+             |FROM customer LEFT JOIN t ON o_custkey = c_custkey
+             |WHERE c_custkey <= 100 ORDER BY ck""".stripMargin)),
+
     // --- node MERGE with a property-map match key (round 13; the
     //     node twin of q104's rel lift — Neo4j matches on id AND map):
     //     feed rows whose map value equals the node's stored c_name

@@ -116,7 +116,16 @@ object ast {
    *  group-by + collect_list + left join, not a per-row value. The
    *  WHERE and projection see the subquery's own bindings. */
   final case class PatternComp(part: PatternPart, where: Option[Expr],
-                               proj: Expr) extends Expr
+                               proj: Expr,
+      /** per-list paging (round 13, set only by COLLECT { } with a
+       *  subquery tail): sort items over the subquery's bindings, a
+       *  DISTINCT-before-ordering flag, and SKIP/LIMIT row bounds —
+       *  lowered to a per-correlation-key window rank filter
+       *  (WindowGroupLimit) before the collect. */
+      ordering: Seq[SortItem] = Seq.empty,
+      distinct: Boolean = false,
+      skip: Option[Long] = None,
+      limit: Option[Long] = None) extends Expr
 
   // ----- patterns -----------------------------------------------------
 

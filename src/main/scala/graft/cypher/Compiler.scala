@@ -839,9 +839,53 @@ object Compiler {
             "node variable")
         }
       }
-      val grouped = sub.df
-        .groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
-        .agg(collect_list(projCol).as(tmp))
+      // COLLECT { … RETURN [DISTINCT] x [ORDER BY …] [SKIP/LIMIT] }
+      // (round 13): DISTINCT dedups (key, value) rows BEFORE ordering
+      // (the parser pins ORDER BY to the RETURN expression there);
+      // ordering/paging lower to a row_number over the correlation
+      // keys plus a rank filter — Spark plans the filter as
+      // WindowGroupLimit, so each key keeps only its top rows BEFORE
+      // the shuffle — then the collect carries (rank, value) pairs and
+      // an in-row sort_array puts the list in rank order (collect_list
+      // order is not deterministic on its own).
+      val grouped =
+        if (pc.ordering.isEmpty && !pc.distinct)
+          sub.df
+            .groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
+            .agg(collect_list(projCol).as(tmp))
+        else {
+          val sortTmp = pc.ordering.zipWithIndex.map { case (s, i) =>
+            new ExprCompiler(sub.scope, sub.df).compile(s.expr)
+              .as(s"__pcs_$i") }
+          var s2 =
+            if (pc.distinct)
+              // dedup on (keys, value); ordering re-reads the value
+              sub.df.select(keys.map(col) :+ projCol.as("__pcv"): _*)
+                .distinct()
+            else
+              sub.df.select(
+                (keys.map(col) ++ sortTmp) :+ projCol.as("__pcv"): _*)
+          if (pc.ordering.nonEmpty) {
+            val sortCols = pc.ordering.zipWithIndex.map { case (s, i) =>
+              val c0 = if (pc.distinct) col("__pcv") else col(s"__pcs_$i")
+              if (s.desc) c0.desc else c0.asc
+            }
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*).orderBy(sortCols: _*)
+            s2 = s2.withColumn("__pcrk", row_number().over(w))
+            val lo = pc.skip.getOrElse(0L)
+            pc.limit.foreach(k2 =>
+              s2 = s2.where(col("__pcrk") <= lit(lo + k2)))
+            if (lo > 0) s2 = s2.where(col("__pcrk") > lit(lo))
+            s2.groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
+              .agg(transform(
+                sort_array(collect_list(struct(col("__pcrk"),
+                  col("__pcv")))),
+                x => x.getField("__pcv")).as(tmp))
+          } else // DISTINCT, unordered: in-row dedup after the collect
+            s2.groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
+              .agg(array_distinct(collect_list(col("__pcv"))).as(tmp))
+        }
       val elemT = grouped.schema(tmp).dataType
       val cond = keys.map(k => col(k) === col(s"__pck_$k")).reduce(_ && _)
       df = df.join(grouped, cond, "left")

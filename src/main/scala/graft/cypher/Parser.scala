@@ -1735,18 +1735,52 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           val mapConj = pcDrain(m0)
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatKw("RETURN")
-          if (isKw("DISTINCT"))
-            notSupported("DISTINCT inside COLLECT { } — wrap the " +
-              "subquery or dedup the list")
+          // round 13: DISTINCT / ORDER BY / SKIP / LIMIT lift — the
+          // full Neo4j COLLECT subquery tail, lowered onto a per-key
+          // window rank filter before the collect
+          val dist = tryKw("DISTINCT")
           val proj = parseExpr()
           if (isPunct(","))
             notSupported("multiple RETURN items inside COLLECT { } " +
               "(one expression per list)")
-          if (isKw("ORDER") || isKw("LIMIT") || isKw("SKIP"))
-            notSupported("ORDER BY/SKIP/LIMIT inside COLLECT { } — " +
-              "per-row ordering has no flat lowering")
+          val ordering = if (isKw("ORDER")) {
+            p += 1; eatKw("BY")
+            val ss = Vector.newBuilder[SortItem]
+            def one2(): SortItem = {
+              val e = parseExpr()
+              val desc = if (tryKw("DESC") || tryKw("DESCENDING")) true
+                else { tryKw("ASC"); tryKw("ASCENDING"); false }
+              SortItem(e, desc)
+            }
+            ss += one2()
+            while (tryPunct(",")) ss += one2()
+            ss.result()
+          } else Vector.empty
+          def countLit2(what: String): Long = cur match {
+            case NumLit(s2, false, _) =>
+              val v = try s2.toLong
+                catch { case _: NumberFormatException =>
+                  syntaxErr(s"$what literal out of range: $s2") }
+              if (v < 0 || v > Int.MaxValue)
+                syntaxErr(s"$what must be in [0, ${Int.MaxValue}], got $s2")
+              p += 1
+              v
+            case _ => syntaxErr(s"$what expects an integer literal")
+          }
+          val skipN =
+            if (tryKw("SKIP")) Some(countLit2("SKIP")) else None
+          val limitN =
+            if (tryKw("LIMIT")) Some(countLit2("LIMIT")) else None
+          if ((skipN.nonEmpty || limitN.nonEmpty) && ordering.isEmpty)
+            notSupported("SKIP/LIMIT inside COLLECT { } without ORDER " +
+              "BY — an unordered capped list is nondeterministic")
+          if (dist && ordering.exists(_.expr != proj))
+            notSupported("ORDER BY inside COLLECT { DISTINCT } must " +
+              "order by the RETURN expression itself (the list is " +
+              "deduplicated on that value before ordering)")
           eatPunct("}")
-          PatternComp(part, andAll(w, mapConj), proj)
+          PatternComp(part, andAll(w, mapConj), proj, ordering, dist,
+            skipN, limitN)
         // map projection `n {.prop, key: expr, var, .*}` (round 13;
         // Neo4j's everyday RETURN idiom, extension — the reference has
         // no map support at all, CypherVisitor.cs:2040-2044)

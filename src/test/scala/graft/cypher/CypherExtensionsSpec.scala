@@ -3759,16 +3759,53 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |                          RETURN m.Title }
         |           WHERE t = 'Apollo 13') AS hit""".stripMargin).head
     assert(r2.getBoolean(0))
-    // typed: ORDER BY / multiple items / DISTINCT inside
+  }
+
+  test("COLLECT { }: ORDER BY / SKIP / LIMIT / DISTINCT (round 13)") {
+    // ordered capped list — ORDER BY a non-projected expression
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN m.Title
+        |                 ORDER BY m.Released DESC LIMIT 2 } AS ts"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r == Seq("You've Got Mail", "Apollo 13"))
+    // SKIP pages past the head of the ordered list
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN m.Title
+        |                 ORDER BY m.Released SKIP 1 LIMIT 1 } AS ts"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r2 == Seq("Apollo 13"))
+    // DISTINCT dedups values; with ORDER BY it orders the dedup'd set
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN DISTINCT m.Released / 100 } AS c,
+        |       COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN DISTINCT m.Released
+        |                 ORDER BY m.Released DESC LIMIT 2 } AS top"""
+        .stripMargin).head
+    assert(r3.getSeq[Int](0) == Seq(19))
+    assert(r3.getSeq[Int](1) == Seq(1998, 1995))
+    // empty match still yields an empty list under paging
+    val r4 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Jessica Thompson'
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
+        |                 RETURN m.Title ORDER BY m.Title LIMIT 3 } AS ts"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r4.isEmpty)
+    // typed: LIMIT without ORDER BY; DISTINCT ordered by another expr
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
-        |                 RETURN m.Title ORDER BY m.Title } AS ts"""
-        .stripMargin))
+        |                 RETURN m.Title LIMIT 2 } AS ts""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie)
-        |                 RETURN DISTINCT m.Title } AS ts""".stripMargin))
+        |                 RETURN DISTINCT m.Title
+        |                 ORDER BY m.Released } AS ts""".stripMargin))
   }
 
   test("date({...}) / datetime({...}) map constructors") {
