@@ -1803,6 +1803,46 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- path CREATE (round 13): a 2-edge path in ONE clause —
+    //     desugared into per-edge creates chained over read-back
+    //     frames (the q103 plumbing); the RETURN reads every binding
+    //     of the whole path. PLACED appends into orders, CONTAINS
+    //     into lineitem — distinct tables, so the one-snapshot guard
+    //     holds per clause.
+    ("q120_create_path",
+      (s, dir) => cyx(
+        """MATCH (c:Customer) WHERE c.c_custkey <= 5
+          |MATCH (o:Order) WHERE o.o_orderkey = 1
+          |MATCH (p:Part) WHERE p.p_partkey = 1
+          |CREATE (c)-[r:PLACED {o_orderdate: datetime('2031-01-01')}]
+          |->(o)-[l:CONTAINS {l_quantity: 7.0}]->(p)
+          |RETURN c.c_custkey AS ck, r.o_orderdate AS d,
+          |       l.l_quantity AS q
+          |ORDER BY ck""".stripMargin).apply(s, dir),
+      Some("""SELECT c_custkey AS ck,
+             |       TIMESTAMP '2031-01-01 00:00:00' AS d,
+             |       7.0 AS q
+             |FROM customer WHERE c_custkey <= 5
+             |ORDER BY ck""".stripMargin)),
+
+    // --- multi-variable DELETE (round 13): DELETE l, o in one clause
+    //     — one delete per backing table (lineitem then orders), the
+    //     result is the INNERMOST clause's new snapshot: orders minus
+    //     every matched order (an order matches only if it HAS
+    //     lineitems — the EXISTS in the mirror).
+    ("q121_delete_multi",
+      (s, dir) => cyx(
+        """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+          |WHERE o.o_orderkey <= 50
+          |DETACH DELETE l, o""".stripMargin).apply(s, dir)
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |       o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE NOT (o_orderkey <= 50 AND EXISTS (
+             |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // --- COLLECT { } with ORDER BY / LIMIT (round 13; the full Neo4j
     //     subquery tail): per-customer top-3 order keys by price — the
     //     rank filter lowers to WindowGroupLimit before the collect,

@@ -152,6 +152,40 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     def takeChain(): Option[Query] = {
       val c = pendingUpdateChain; pendingUpdateChain = None; c
     }
+    // fold the 2nd..nth CREATE / DELETE clauses (round 13) into a
+    // nested update chain — each clause runs over the previous one's
+    // read-back frame; the query's RETURN / explicit chain attaches
+    // to the INNERMOST clause
+    def foldCreates(extra: Seq[Either[CreateClause, CreateRelClause]],
+        r: Option[Projection], rest: Option[Query]): Query = {
+      val innermost = extra.last match {
+        case Right(cr2) => rest match {
+          case Some(q) => CreateRelChainQuery(Seq.empty, cr2, q)
+          case None    => CreateRelQuery(Seq.empty, cr2, r)
+        }
+        case Left(c2) => (r, rest) match {
+          case (_, Some(q))  => CreateChainQuery(Seq.empty, c2, q)
+          case (Some(r2), _) => CreateReturnQuery(Seq.empty, c2, r2)
+          case _             => CreateQuery(Seq.empty, c2)
+        }
+      }
+      extra.init.foldRight(innermost) {
+        case (Right(cr2), inner) => CreateRelChainQuery(Seq.empty, cr2, inner)
+        case (Left(c2), inner)   => CreateChainQuery(Seq.empty, c2, inner)
+      }
+    }
+    def foldDeletes(extra: Seq[DeleteClause], r: Option[Projection],
+        rest: Option[Query]): Query = {
+      val innermost = rest match {
+        case Some(q) => DeleteChainQuery(Seq.empty, extra.last, q)
+        case None => r match {
+          case Some(r2) => DeleteReturnQuery(Seq.empty, extra.last, r2)
+          case None     => DeleteQuery(Seq.empty, extra.last)
+        }
+      }
+      extra.init.foldRight(innermost)((d2, inner) =>
+        DeleteChainQuery(Seq.empty, d2, inner))
+    }
     if (pendingMergeRel.isDefined) {
       val mr = pendingMergeRel.get; pendingMergeRel = None
       val r = pendingMergeReturn; pendingMergeReturn = None
@@ -163,7 +197,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     if (pendingCreateRel.isDefined) {
       val cr = pendingCreateRel.get; pendingCreateRel = None
       val r = pendingCreateReturn; pendingCreateReturn = None
-      return takeChain() match {
+      val extra = pendingCreateExtra; pendingCreateExtra = Seq.empty
+      val rest0 = takeChain()
+      return (if (extra.isEmpty) rest0
+        else Some(foldCreates(extra, r, rest0))) match {
         case Some(rest) => CreateRelChainQuery(sq.parts, cr, rest)
         case None       => CreateRelQuery(sq.parts, cr, r)
       }
@@ -187,7 +224,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
       case (_, _, Some(d), _) =>
         pendingDelete = None
-        (pendingDeleteReturn, takeChain()) match {
+        val extraD = pendingDeleteExtra; pendingDeleteExtra = Seq.empty
+        if (extraD.nonEmpty) {
+          val r = pendingDeleteReturn; pendingDeleteReturn = None
+          DeleteChainQuery(sq.parts, d, foldDeletes(extraD, r, takeChain()))
+        } else (pendingDeleteReturn, takeChain()) match {
           case (Some(r), _) => pendingDeleteReturn = None
             DeleteReturnQuery(sq.parts, d, r)
           case (_, Some(rest)) => DeleteChainQuery(sq.parts, d, rest)
@@ -195,7 +236,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
       case (_, _, _, Some(c)) =>
         pendingCreate = None
-        (pendingCreateReturn, takeChain()) match {
+        val extraC = pendingCreateExtra; pendingCreateExtra = Seq.empty
+        if (extraC.nonEmpty) {
+          val r = pendingCreateReturn; pendingCreateReturn = None
+          CreateChainQuery(sq.parts, c, foldCreates(extraC, r, takeChain()))
+        } else (pendingCreateReturn, takeChain()) match {
           case (Some(r), _) => pendingCreateReturn = None
             CreateReturnQuery(sq.parts, c, r)
           case (_, Some(rest)) => CreateChainQuery(sq.parts, c, rest)
@@ -230,11 +275,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       pendingDeleteReturn, pendingCreateReturn)
     val savedChain = pendingUpdateChain
     val savedInChain = inUpdateChain
+    val savedExtra = (pendingCreateExtra, pendingDeleteExtra)
     pendingMerge = None; pendingMergeRel = None; pendingSet = None
     pendingDelete = None; pendingCreate = None; pendingCreateRel = None
     pendingMergeReturn = None; pendingSetReturn = None
     pendingDeleteReturn = None; pendingCreateReturn = None
     pendingUpdateChain = None
+    pendingCreateExtra = Seq.empty; pendingDeleteExtra = Seq.empty
     inUpdateChain = true
     val rest = assembleUpdating(parseSingle())
     inUpdateChain = savedInChain
@@ -244,6 +291,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     pendingMergeReturn = savedRets._1; pendingSetReturn = savedRets._2
     pendingDeleteReturn = savedRets._3; pendingCreateReturn = savedRets._4
     pendingUpdateChain = savedChain
+    pendingCreateExtra = savedExtra._1; pendingDeleteExtra = savedExtra._2
     rest
   }
 
@@ -256,6 +304,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingCreate: Option[CreateClause] = None
   private var pendingCreateRel: Option[CreateRelClause] = None
   private var pendingCreateReturn: Option[Projection] = None
+  /** 2nd..nth clauses of a multi-pattern / path CREATE and of a
+    * multi-variable DELETE (round 13) — folded into a nested update
+    * chain by [[assembleUpdating]]. */
+  private var pendingCreateExtra: Seq[Either[CreateClause, CreateRelClause]] =
+    Seq.empty
+  private var pendingDeleteExtra: Seq[DeleteClause] = Seq.empty
   private var inSubquery: Boolean = false
 
   private def rejectUpdating(): Unit = cur match {
@@ -518,7 +572,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        pendingDelete = Some(parseDeleteClause(detach))
+        locally {
+          val ds = parseDeleteClause(detach)
+          pendingDelete = Some(ds.head)
+          pendingDeleteExtra = ds.tail
+        }
         if (isKw("RETURN")) {
           // DELETE … RETURN (round 10): the RETURN reads the DELETED
           // rows' pre-delete values — the projection, not the snapshot
@@ -547,9 +605,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        parseCreateClause() match {
-          case Left(c)   => pendingCreate = Some(c)
-          case Right(cr) => pendingCreateRel = Some(cr)
+        locally {
+          val cs = parseCreateClause()
+          cs.head match {
+            case Left(c)   => pendingCreate = Some(c)
+            case Right(cr) => pendingCreateRel = Some(cr)
+          }
+          pendingCreateExtra = cs.tail
         }
         if (isKw("RETURN")) {
           // CREATE … RETURN (round 10): the RETURN reads the CREATED
@@ -912,7 +974,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * append; the map may bind any declared properties (the compiler
     * checks the id property is among them). The CREATE keyword is
     * consumed by the caller. */
-  private def parseCreateClause(): Either[CreateClause, CreateRelClause] = {
+  private def parseCreateClause(): Seq[Either[CreateClause, CreateRelClause]] = {
     // one CREATE endpoint/node: `(a)` bound reference, or
     // `(a:Label {p: e, …})` with its property map
     def endpoint(): (String, Option[String], Seq[(String, Expr)]) = {
@@ -967,42 +1029,57 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             "CREATE and bind only the id on the endpoint")
         MergeEndpoint(l, props.head._1, props.head._2)
       }
-    val (alias, label, props) = endpoint()
-    if (isPunct("-") || isPunct("<-")) {
-      // relationship CREATE (round 10; id-map endpoints round 11):
-      // unconditional edge-row append, each endpoint a bound node
-      // variable or an inline id map
-      val (rAlias, verb, incoming, rProps) =
-        parseBareRel(allowMap = true, kw = "CREATE")
-      val (other, oLabel, oProps) = endpoint()
-      if (isPunct(",") || isPunct("-") || isPunct("<-"))
-        notSupported("CREATE of multiple patterns or longer paths — " +
-          "one terminal CREATE produces one edge snapshot")
-      val spec = toSpec(alias, label, props)
-      val oSpec = toSpec(other, oLabel, oProps)
-      val (srcA, srcS, dstA, dstS) =
-        if (incoming) (other, oSpec, alias, spec)
-        else (alias, spec, other, oSpec)
-      return Right(CreateRelClause(srcA, verb, dstA, rProps, rAlias,
-        srcS, dstS))
+    // multi-pattern / path CREATE (round 13): `CREATE (a)-[:R]->(b)
+    // -[:S]->(c), (d:L {id: …})` desugars into one clause per edge /
+    // node, chained over each other's read-back frames (implicit
+    // WITH * — the q103 multi-updating plumbing). A path's interior
+    // endpoint carries its id map on its FIRST edge only; the next
+    // edge references the read-back binding. One snapshot per backing
+    // table still holds — two creates into the SAME table stay the
+    // typed guardTarget rejection.
+    val out = Vector.newBuilder[Either[CreateClause, CreateRelClause]]
+    def onePart(): Unit = {
+      var (alias, label, props) = endpoint()
+      var firstHop = true
+      var isRel = false
+      while (isPunct("-") || isPunct("<-")) {
+        isRel = true
+        val (rAlias, verb, incoming, rProps) =
+          parseBareRel(allowMap = true, kw = "CREATE")
+        val (other, oLabel, oProps) = endpoint()
+        val spec = if (firstHop) toSpec(alias, label, props) else None
+        firstHop = false
+        val oSpec = toSpec(other, oLabel, oProps)
+        val (srcA, srcS, dstA, dstS) =
+          if (incoming) (other, oSpec, alias, spec)
+          else (alias, spec, other, oSpec)
+        out += Right(CreateRelClause(srcA, verb, dstA, rProps, rAlias,
+          srcS, dstS))
+        // a longer path continues from the far endpoint, now bound
+        alias = other; label = oLabel; props = oProps
+      }
+      if (!isRel) {
+        val l = label.getOrElse(syntaxErr(
+          "CREATE node requires a label and a property map binding at " +
+          "least its id, e.g. CREATE (n:Label {id: …})"))
+        out += Left(CreateClause(alias, l, props))
+      }
     }
-    if (isPunct(","))
-      notSupported("CREATE of multiple patterns — one terminal CREATE " +
-        "produces one node table's new snapshot")
-    val l = label.getOrElse(syntaxErr(
-      "CREATE node requires a label and a property map binding at " +
-      "least its id, e.g. CREATE (n:Label {id: …})"))
-    Left(CreateClause(alias, l, props))
+    onePart()
+    while (tryPunct(",")) onePart()
+    out.result()
   }
 
   /** `[DETACH] DELETE a` — terminal, ONE bound entity variable. The
     * DELETE keyword is consumed by the caller. */
-  private def parseDeleteClause(detach: Boolean): DeleteClause = {
-    val a = ident()
-    if (isPunct(","))
-      notSupported("DELETE over multiple variables — one terminal " +
-        "DELETE produces one entity's new snapshot")
-    DeleteClause(a, detach)
+  private def parseDeleteClause(detach: Boolean): Seq[DeleteClause] = {
+    // DELETE n, r (round 13): one clause per variable, chained over
+    // the PRE-delete read-back frames (each variable stays bound for
+    // the later clauses); one snapshot per backing table still holds
+    val b = Vector.newBuilder[DeleteClause]
+    b += DeleteClause(ident(), detach)
+    while (tryPunct(",")) b += DeleteClause(ident(), detach)
+    b.result()
   }
 
   private def parseMatchBody(optional: Boolean): MatchClause = {

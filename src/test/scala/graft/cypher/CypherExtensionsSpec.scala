@@ -3893,6 +3893,77 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  // ------------------------- multi-pattern / path CREATE, multi DELETE
+
+  test("path CREATE: one clause per edge, chained read-backs") {
+    // a 2-edge path in ONE clause; RETURN sees every binding of the
+    // whole path (the innermost clause's accumulated read-back)
+    val r = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Tom Hanks'
+        |MATCH (b:Person) WHERE b.Name = 'Meg Ryan'
+        |MATCH (c:Person) WHERE c.Name = 'Kevin Bacon'
+        |CREATE (a)-[f:FOLLOWS]->(b)-[k:KNOWS {Since: 2031}]->(c)
+        |RETURN a.Name AS an, b.Name AS bn, c.Name AS cn,
+        |       k.Since AS s""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getString(2),
+      x.getInt(3))) == Seq(("Tom Hanks", "Meg Ryan", "Kevin Bacon", 2031)))
+    // without RETURN the result is the INNERMOST clause's snapshot —
+    // here the knows table with the appended row
+    val snap = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Tom Hanks'
+        |MATCH (b:Person) WHERE b.Name = 'Meg Ryan'
+        |MATCH (c:Person) WHERE c.Name = 'Kevin Bacon'
+        |CREATE (a)-[f:FOLLOWS]->(b)-[k:KNOWS {Since: 2031}]->(c)"""
+        .stripMargin)
+    assert(snap.exists(x => x.getString(0) == "p2" &&
+      x.getString(1) == "p3" && x.getInt(2) == 2031))
+    // an interior id-map endpoint binds on its FIRST edge; the next
+    // edge reads the binding (a standalone full-path ingest)
+    val r2 = rows(
+      """CREATE (x:Person {id: 'p1'})-[f:FOLLOWS]->
+        |(y:Person {id: 'p2'})-[k:KNOWS {Since: 7}]->(z:Person {id: 'p3'})
+        |RETURN x.Name AS xn, y.Name AS yn, z.Name AS zn""".stripMargin)
+    assert(r2.map(x => (x.getString(0), x.getString(1), x.getString(2))) ==
+      Seq(("Tom Hanks", "Meg Ryan", "Kevin Bacon")))
+    // multiple comma patterns chain the same way
+    val r3 = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Tom Hanks'
+        |MATCH (b:Person) WHERE b.Name = 'Meg Ryan'
+        |CREATE (a)-[f:FOLLOWS]->(b), (b)-[k:KNOWS {Since: 5}]->(a)
+        |RETURN k.Since AS s""".stripMargin)
+    assert(r3.size == 1 && r3.head.getInt(0) == 5)
+    // two creates into the SAME backing table keep the one-snapshot
+    // guard
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) WHERE a.Name = 'Tom Hanks'
+        |MATCH (b:Person) WHERE b.Name = 'Meg Ryan'
+        |MATCH (c:Person) WHERE c.Name = 'Kevin Bacon'
+        |CREATE (a)-[f:FOLLOWS]->(b)-[g:FOLLOWS]->(c)""".stripMargin))
+  }
+
+  test("DELETE n, r: one clause per variable over pre-delete frames") {
+    // delete a review edge and its reviewer together (distinct
+    // backing tables); the result is the INNERMOST snapshot (person)
+    val r = rows(
+      """MATCH (p:Person)-[rv:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |DETACH DELETE rv, p""".stripMargin)
+      .map(_.getString(1)).sorted
+    assert(r == Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner", "Tom Hanks"))
+    // RETURN reads the PRE-delete values of every variable
+    val r2 = rows(
+      """MATCH (p:Person)-[rv:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |DETACH DELETE rv, p
+        |RETURN p.Name AS nm, rv.Rating AS rt""".stripMargin)
+    assert(r2.map(x => (x.getString(0), x.getInt(1))) ==
+      Seq(("Jessica Thompson", 95)))
+    // two deletes on the SAME backing table keep the guard
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:FOLLOWS]->(b:Person)
+        |DETACH DELETE a, b""".stripMargin))
+  }
+
   // ------------------------------------------------- map projections
 
   test("map projection: .prop, computed key, variable selector, .*") {
