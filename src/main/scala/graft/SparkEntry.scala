@@ -1803,6 +1803,36 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- quantified path pattern (round 13; Cypher 5 / GQL): the
+    //     group's REL predicate walks the unit chain only and the
+    //     interior NODE predicate cuts every repetition whose target
+    //     key is divisible by 3 — both lower to ONE filtered edge
+    //     frame behind a synthetic verb, then the ordinary [*1..3]
+    //     unroll; DuckDB mirrors the walk with three explicit
+    //     self-joins over the filtered successor edges.
+    ("q122_qpp", cyx(
+      """MATCH (a:Nation) ((x)-[j:JUMPS_TO]->(y)
+        |  WHERE j.jump_span = 1 AND y.n_nationkey % 3 <> 0){1,3}
+        |(b:Nation)
+        |RETURN a.n_nationkey AS src, b.n_nationkey AS dst
+        |ORDER BY src, dst""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey AS k, n_regionkey AS rg,
+             |         row_number() OVER (PARTITION BY n_regionkey
+             |                            ORDER BY n_nationkey) AS rk
+             |  FROM nation),
+             |e AS (SELECT a.k AS src, b.k AS dst
+             |      FROM s a JOIN s b ON b.rg = a.rg AND b.rk = a.rk + 1
+             |      WHERE b.k % 3 <> 0)
+             |SELECT src, dst FROM e
+             |UNION ALL
+             |SELECT e1.src, e2.dst FROM e e1 JOIN e e2 ON e2.src = e1.dst
+             |UNION ALL
+             |SELECT e1.src, e3.dst FROM e e1
+             |  JOIN e e2 ON e2.src = e1.dst
+             |  JOIN e e3 ON e3.src = e2.dst
+             |ORDER BY src, dst""".stripMargin)),
+
     // --- path CREATE (round 13): a 2-edge path in ONE clause —
     //     desugared into per-edge creates chained over read-back
     //     frames (the q103 plumbing); the RETURN reads every binding

@@ -171,11 +171,28 @@ object ast {
    *  a pre-filtered edge frame behind a synthetic verb, so bounded
    *  unrolling, reach BFS, shortestPath and allShortestPaths all
    *  compose unchanged. */
+  /** Quantified path pattern `((a)-[r:R]->(b) WHERE pred){m,n}`
+   *  (round 13; Cypher 5 / GQL — the modern replacement for
+   *  `[*m..n]`). The group's inline node/rel predicates and the
+   *  group-level WHERE conjoin into `pred`, applied PER REPETITION
+   *  over the hop's (src, rel, dst) row — an interior node is `dst`
+   *  of one repetition and `src` of the next, so predicates on either
+   *  group variable apply to it, exactly GQL's semantics. Labels on
+   *  the group nodes validate against the verb's endpoints (declared
+   *  sub-labels become discriminator conjuncts). Lowered by
+   *  [[graft.cypher.HopPred]] to a filtered edge frame behind a
+   *  synthetic verb; group variables bind NOTHING downstream. */
+  final case class QppSpec(srcAlias: String, relAlias: String,
+                           dstAlias: String,
+                           srcLabel: Option[String],
+                           dstLabel: Option[String],
+                           pred: Option[Expr])
   final case class RelPat(alias: Option[String], verb: Option[String],
                           dir: Direction,
                           varLength: Option[(Int, Int)] = None,
                           alts: Seq[String] = Seq.empty,
-                          hopPred: Option[(String, Expr)] = None)
+                          hopPred: Option[(String, Expr)] = None,
+                          qpp: Option[QppSpec] = None)
   /** Linear pattern: nodes.size == rels.size + 1. `pathVar` names the
    *  pattern's path (`p = (...)`) — a flagged EXTENSION (the reference
    *  rejects named paths, CypherVisitor.cs:998-1002) supporting exactly

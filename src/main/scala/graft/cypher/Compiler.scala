@@ -1329,7 +1329,7 @@ object Compiler {
   /** Does `e` reference variable `a` anywhere? (update-clause guard:
    *  ON CREATE SET / CREATE maps cannot read a row that does not
    *  exist yet.) */
-  private def refersTo(e: Expr, a: String): Boolean = e match {
+  private[cypher] def refersTo(e: Expr, a: String): Boolean = e match {
     case Ref(x, _) => x == a
     case Bin(_, l, r) => refersTo(l, a) || refersTo(r, a)
     case Not(x) => refersTo(x, a)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import ast._
-import Analyzer.EdgeBinding
+import Analyzer.{EdgeBinding, NodeBinding}
 
 /**
  * Per-hop predicates on variable-length relationships (extension,
@@ -45,7 +45,8 @@ private[cypher] object HopPred {
   private val nameCounter = new AtomicLong(0)
 
   def hasHopPred(matches: Seq[MatchClause]): Boolean =
-    matches.exists(_.parts.exists(_.rels.exists(_.hopPred.isDefined)))
+    matches.exists(_.parts.exists(_.rels.exists(r =>
+      r.hopPred.isDefined || r.qpp.isDefined)))
 
   /** Rewrites every hop-predicated var-length rel to the same pattern
     * over a synthetic verb backed by the filtered edge frame. No-op
@@ -57,7 +58,8 @@ private[cypher] object HopPred {
     val out = matches.map { m =>
       m.copy(parts = m.parts.map { pp =>
         pp.copy(rels = pp.rels.map { r =>
-          r.hopPred match {
+          if (r.qpp.isDefined) rewriteQpp(r, catalog, extra)
+          else r.hopPred match {
             case None => r
             case Some((hopAlias, pred)) =>
               if (Compiler.containsAgg(pred))
@@ -109,5 +111,109 @@ private[cypher] object HopPred {
       })
     }
     (out, catalog.withExtraEdges(extra.result()))
+  }
+
+  /**
+   * Quantified path pattern lowering (round 13): the group's
+   * per-repetition predicate compiles over ONE hop's (src, rel, dst)
+   * row — the edge frame joined (only when referenced) with its
+   * endpoint node frames — and the rel rewrites to a synthetic verb
+   * over the filtered frame, exactly the hopPred discipline. Labels
+   * on the group nodes validate against the verb's endpoints; a
+   * declared sub-label becomes its discriminator conjunct.
+   *
+   * Scale shape: the node joins touch the slim (id, referenced-prop)
+   * node frames once, BEFORE any unroll or BFS — at 100 TB this is
+   * one broadcast-able semi-filter per endpoint, not a per-hop join.
+   */
+  private def rewriteQpp(r: RelPat, catalog: GraphCatalog,
+      extra: scala.collection.mutable.Builder[(EdgeDef, DataFrame),
+        Vector[(EdgeDef, DataFrame)]]): RelPat = {
+    val q = r.qpp.get
+    val plain = r.copy(qpp = None)
+    // a label-less, predicate-less group is pure [*lo..hi] sugar
+    if (q.pred.isEmpty && q.srcLabel.isEmpty && q.dstLabel.isEmpty)
+      return plain
+    val verb = r.verb.getOrElse(
+      throw new CypherNotSupportedException(
+        "a quantified path pattern with predicates requires an " +
+        "explicit relationship type, e.g. ((a)-[:NEXT]->(b) WHERE …)" +
+        "{1,3}"))
+    if (r.alts.nonEmpty)
+      throw new CypherNotSupportedException(
+        "predicates on a quantified relationship type alternation — " +
+        "the alternatives have different property namespaces")
+    if (r.dir == Direction.Both)
+      throw new CypherNotSupportedException(
+        "predicates on an undirected quantified path pattern — give " +
+        "the group's relationship a direction")
+    val defs = catalog.graph.edgesByVerb(verb)
+    if (defs.isEmpty)
+      throw new CypherBindingException(
+        s"quantified path pattern over '$verb': no edge of that type " +
+        "in the schema")
+    if (defs.size > 1)
+      throw new CypherNotSupportedException(
+        s"predicates on '$verb', which spans multiple edge " +
+        "definitions (" +
+        defs.map(d => s"${d.fromLabel}→${d.toLabel}").mkString(", ") +
+        ") — predicate a single-definition type")
+    val e = defs.head
+    val (leftL, rightL) =
+      if (r.dir == Direction.In) (e.toLabel, e.fromLabel)
+      else (e.fromLabel, e.toLabel)
+    val leftN = catalog.graph.node(leftL)
+    val rightN = catalog.graph.node(rightL)
+    def labelConj(alias: String, lbl: Option[String], n: NodeDef)
+        : Seq[Expr] = lbl match {
+      case None => Seq.empty
+      case Some(l) if l == n.label => Seq.empty
+      case Some(l) => n.subLabels.get(l) match {
+        case Some((prop, v)) =>
+          Seq(Bin(BinOp.Eq, Ref(alias, Some(prop)), Lit(v)))
+        case None => throw new CypherBindingException(
+          s"quantified path pattern node ':$l' does not match the " +
+          s"relationship's endpoint label '${n.label}'")
+      }
+    }
+    val conj = labelConj(q.srcAlias, q.srcLabel, leftN) ++
+      labelConj(q.dstAlias, q.dstLabel, rightN) ++ q.pred.toSeq
+    if (conj.isEmpty) return plain
+    val pred = conj.reduce((x, y) => Bin(BinOp.And, x, y))
+    if (Compiler.containsAgg(pred))
+      throw new CypherNotSupportedException(
+        "aggregate inside a quantified path pattern predicate")
+    val edf = catalog.edgeDf(e)
+    val eCols = edf.columns.toSeq
+    var frame = edf.select(eCols.map(cn =>
+      col(cn).as(Compiler.pref(q.relAlias, cn))): _*)
+    val leftKey = if (r.dir == Direction.In) e.sinkIdColumn
+      else e.srcIdColumn
+    val rightKey = if (r.dir == Direction.In) e.srcIdColumn
+      else e.sinkIdColumn
+    def joinNode(alias: String, n: NodeDef, key: String): Unit =
+      if (Compiler.refersTo(pred, alias)) {
+        val cols = (n.idColumn +: n.properties).distinct
+        val nf = catalog.nodeDf(n.label).select(cols.map(cn =>
+          col(cn).as(Compiler.pref(alias, cn))): _*)
+        frame = frame.join(nf,
+          col(Compiler.pref(q.relAlias, key)) ===
+            col(Compiler.pref(alias, n.idColumn)), "inner")
+      }
+    joinNode(q.srcAlias, leftN, leftKey)
+    joinNode(q.dstAlias, rightN, rightKey)
+    val scope: Map[String, Analyzer.Binding] = Map(
+      q.relAlias -> EdgeBinding(e),
+      q.srcAlias -> NodeBinding(leftN),
+      q.dstAlias -> NodeBinding(rightN))
+    val ec = new ExprCompiler(scope, frame)
+    val filtered = frame.where(ec.compile(pred))
+      .select(eCols.map(cn =>
+        col(Compiler.pref(q.relAlias, cn)).as(cn)): _*)
+    val id = nameCounter.getAndIncrement()
+    val synthVerb = s"__QF_${id}_$verb"
+    extra += ((e.copy(verb = synthVerb, table = s"__qf_${id}_$verb"),
+      filtered))
+    plain.copy(verb = Some(synthVerb))
   }
 }

@@ -1144,7 +1144,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     nodes += parseNodePat()
     var more = true
     while (more) {
-      parseRelPatOpt() match {
+      // a '(' in relationship position opens a quantified path
+      // pattern group `((a)-[:R]->(b) WHERE …){m,n}` (round 13)
+      if (isPunct("(")) {
+        rels += parseQpp()
+        nodes += parseNodePat()
+      } else parseRelPatOpt() match {
         case Some(r) => rels += r; nodes += parseNodePat()
         case None => more = false
       }
@@ -1247,6 +1252,89 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
     patWhere.foreach(propConjuncts += _)
     NodePat(bound, label, extraLabels, labelAlts)
+  }
+
+  /** Quantified path pattern (round 13; Cypher 5 / GQL):
+    * `((a)-[r:R]->(b) [WHERE pred]){m,n}` — also `{n}`, `{m,}`,
+    * `{,n}`, `+` (= {1,}) and `*` (= {0,}). Lowers onto the existing
+    * var-length machinery: the quantifier becomes the `[*lo..hi]`
+    * range (the same bounds contract — unbounded lower > 1 and upper
+    * > MaxVarHops stay rejected), and every group predicate (inline
+    * maps, pattern WHEREs, the group WHERE) conjoins into a
+    * per-repetition predicate carried by [[QppSpec]]. The caller is
+    * positioned ON the group's '('. */
+  private def parseQpp(): RelPat = {
+    if (!extensions)
+      notSupported("quantified path patterns ((a)-[:R]->(b)){m,n} " +
+        "(supported with extensions enabled)")
+    eatPunct("(")
+    val m0 = pcMark()
+    val a = parseNodePat()
+    val rel = parseRelPatOpt().getOrElse(syntaxErr(
+      "expected a relationship inside the quantified path pattern group"))
+    if (rel.varLength.isDefined)
+      notSupported("variable-length relationship inside a quantified " +
+        "path pattern group — quantify the group instead")
+    val b = parseNodePat()
+    if (isPunct("-") || isPunct("<-"))
+      notSupported("multi-relationship quantified path pattern group " +
+        "(one relationship per group)")
+    val groupWhere = if (tryKw("WHERE")) Some(parseExpr()) else None
+    eatPunct(")")
+    def intLit(): Int = cur match {
+      case NumLit(s, false, _) =>
+        val v = try s.toLong
+          catch { case _: NumberFormatException =>
+            syntaxErr(s"quantifier bound out of range: $s") }
+        if (v < 0 || v > Int.MaxValue)
+          syntaxErr(s"quantifier bound out of range: $s")
+        p += 1; v.toInt
+      case _ => syntaxErr("expected an integer quantifier bound")
+    }
+    val (lo, hi) =
+      if (tryPunct("+")) (1, Parser.Unbounded)
+      else if (tryPunct("*")) (0, Parser.Unbounded)
+      else if (tryPunct("{")) {
+        val loO = cur match {
+          case NumLit(_, false, _) => Some(intLit())
+          case _ => None
+        }
+        val r2 = if (tryPunct(",")) {
+          cur match {
+            case NumLit(_, false, _) => (loO.getOrElse(0), intLit())
+            case _ => (loO.getOrElse(0), Parser.Unbounded)
+          }
+        } else (loO.getOrElse(syntaxErr("expected a quantifier bound")),
+          loO.getOrElse(0))
+        eatPunct("}")
+        r2
+      } else syntaxErr(
+        "expected a quantifier ({m,n}, + or *) after the quantified " +
+        "path pattern group")
+    if (hi == Parser.Unbounded && lo > 1)
+      notSupported(s"unbounded quantifier {$lo,} with a lower bound " +
+        "> 1 — reachable-pair lowering supports {0,} / {1,}; bound " +
+        "the range {lo,hi} for longer minimums")
+    if (hi != Parser.Unbounded && hi < lo)
+      syntaxErr(s"quantifier range {$lo,$hi} is empty")
+    if (hi != Parser.Unbounded && hi > Parser.MaxVarHops)
+      notSupported(s"quantifier upper bound $hi exceeds the supported " +
+        s"maximum ${Parser.MaxVarHops}")
+    // the group's inline predicates (node/rel property maps, pattern
+    // WHEREs) landed in propConjuncts — they belong to the REPETITION,
+    // not the enclosing clause; drain them into the per-hop predicate
+    val inline = pcDrain(m0)
+    val aA = a.alias.getOrElse(nextPm())
+    val bA = b.alias.getOrElse(nextPm())
+    val rA = rel.alias.getOrElse(nextPm())
+    if (a.labelAlts.nonEmpty || b.labelAlts.nonEmpty ||
+        a.extraLabels.nonEmpty || b.extraLabels.nonEmpty)
+      notSupported("label alternation / intersection on a quantified " +
+        "path pattern group node — one optional label per group node")
+    RelPat(None, rel.verb, rel.dir, varLength = Some((lo, hi)),
+      alts = rel.alts,
+      qpp = Some(QppSpec(aA, rA, bA, a.label, b.label,
+        andAll(groupWhere, inline))))
   }
 
   /** Parses one relationship pattern if the next tokens start one. */

@@ -3893,6 +3893,103 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  // ------------------------------------------ quantified path patterns
+
+  test("QPP: ((a)-[:R]->(b)){m,n} ≡ [*m..n]; rel predicate per hop") {
+    // bare quantifier is pure var-length sugar
+    val qpp = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)){1,3} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    val classic = rows(
+      """MATCH (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(qpp == classic && qpp.nonEmpty)
+    // per-repetition REL predicate ≡ the [*… WHERE …] spelling: the
+    // 1999 p1→p4 shortcut disappears under Since >= 2010
+    val qpp2 = rows(
+      """MATCH (a:Person) ((x)-[k:KNOWS]->(y) WHERE k.Since >= 2010){1,3}
+        |(b:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    val classic2 = rows(
+      """MATCH (a:Person)-[k:KNOWS*1..3 WHERE k.Since >= 2010]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(qpp2 == classic2)
+    assert(qpp2.sorted == Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner"))
+    // exact {2} and unbounded + quantifiers
+    val exact2 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)){2} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(exact2 == Seq("Kevin Bacon"))
+    val plus = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y))+ (b:Person)
+        |WHERE a.Name = 'Kevin Bacon'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(plus == Seq("Rob Reiner"))
+  }
+
+  test("QPP: interior NODE predicates apply per repetition (GQL)") {
+    // dst-node predicate: every repetition's target must satisfy it —
+    // interior nodes are dst of one repetition and src of the next,
+    // so both group predicates apply to them (GQL's semantics)
+    val got = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y) WHERE y.Born >= 1958){1,3}
+        |(b:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    // edges kept by dst.Born >= 1958: p1->p2 (1961), p2->p3 (1958);
+    // p3->p4 and p1->p4 drop (p4 Born null). Reachable from p1 in
+    // 1..3 hops: p2, p3
+    assert(got == Seq("Kevin Bacon", "Meg Ryan"))
+    // src+dst predicates combine on the same hop row
+    val got2 = rows(
+      """MATCH (a:Person)
+        |((x)-[:KNOWS]->(y) WHERE x.Born <= 1958 AND y.Born >= 1958)
+        |{1,2} (b:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    // src.Born <= 1958 keeps hops from p1 (1956) and p3 (1958); dst
+    // filter as above -> kept edges: p1->p2 only (p3->p4 dst null).
+    assert(got2 == Seq("Meg Ryan"))
+    // group-node LABELS validate; a declared sub-label becomes its
+    // discriminator conjunct (Sixties = Born 1961 keeps only dst p2)
+    val got3 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Sixties)){1,3} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(got3 == Seq("Meg Ryan"))
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Movie)){1,3} (b:Person)
+        |RETURN b.Name AS n""".stripMargin))
+  }
+
+  test("QPP: quantifier bounds and typed rejections") {
+    // {0,k} unrolls the zero-hop identity branch
+    val r0 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)){0,1} (b:Person)
+        |WHERE a.Name = 'Kevin Bacon'
+        |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
+    assert(r0 == Seq("Kevin Bacon", "Rob Reiner"))
+    // unbounded {2,} rejected like [*2..]
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)){2,} (b:Person)
+        |RETURN b.Name AS n""".stripMargin))
+    // upper bound beyond MaxVarHops rejected like [*1..99]
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)){1,99} (b:Person)
+        |RETURN b.Name AS n""".stripMargin))
+    // multi-rel groups have no flat lowering
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]->(z)){1,2}
+        |(b:Person) RETURN b.Name AS n""".stripMargin))
+    // a predicate referencing an OUTER variable is the ordinary
+    // unknown-variable error (group predicates see one hop only)
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y) WHERE y.Born > a.Born)
+        |{1,2} (b:Person) RETURN b.Name AS n""".stripMargin))
+  }
+
   // ------------------------- multi-pattern / path CREATE, multi DELETE
 
   test("path CREATE: one clause per edge, chained read-backs") {
