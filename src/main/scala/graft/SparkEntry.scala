@@ -1803,6 +1803,36 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- time-of-day types (round 13; Neo4j time/localtime): Spark
+    //     has no TIME type, so both lower to DAY-TIME INTERVALS since
+    //     midnight — comparisons and duration arithmetic stay native
+    //     interval ops, components read date_part. Row-varying times
+    //     come from the component-map constructor; DuckDB mirrors
+    //     with real TIME values (make_time / extract / TIME literal
+    //     comparison), value-checking the lowering end to end.
+    ("q123_time_type", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 100
+        |WITH o, time({hour: o.o_orderkey % 24,
+        |              minute: o.o_orderkey % 60}) AS t
+        |RETURN o.o_orderkey AS ok, t.hour AS h, t.minute AS m,
+        |       t > time('12:00:00') AS pm,
+        |       t = localtime({hour: o.o_orderkey % 24,
+        |                      minute: o.o_orderkey % 60}) AS eq
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |  CAST(extract(hour FROM make_time(CAST(o_orderkey % 24
+             |    AS BIGINT), CAST(o_orderkey % 60 AS BIGINT), 0))
+             |    AS INTEGER) AS h,
+             |  CAST(extract(minute FROM make_time(CAST(o_orderkey % 24
+             |    AS BIGINT), CAST(o_orderkey % 60 AS BIGINT), 0))
+             |    AS INTEGER) AS m,
+             |  make_time(CAST(o_orderkey % 24 AS BIGINT),
+             |            CAST(o_orderkey % 60 AS BIGINT), 0)
+             |    > TIME '12:00:00' AS pm,
+             |  TRUE AS eq
+             |FROM orders WHERE o_orderkey <= 100
+             |ORDER BY ok""".stripMargin)),
+
     // --- quantified path pattern (round 13; Cypher 5 / GQL): the
     //     group's REL predicate walks the unit chain only and the
     //     interior NODE predicate cuts every repetition whose target

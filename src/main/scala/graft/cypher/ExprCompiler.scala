@@ -107,6 +107,14 @@ final class ExprCompiler(
           throw new CypherBindingException(
             s"temporal value '$alias' has no component '$p' (supported: " +
             Parser.TemporalComponents.toSeq.sorted.mkString(", ") + ")")
+        // time-of-day values (round 13): day-time intervals expose the
+        // clock components
+        case Some(_: DayTimeIntervalType) if Parser.TimeComponents(comp) =>
+          intervalComponent(comp, col(phys))
+        case Some(_: DayTimeIntervalType) =>
+          throw new CypherBindingException(
+            s"time value '$alias' has no component '$p' (supported: " +
+            Parser.TimeComponents.toSeq.sorted.mkString(", ") + ")")
         case _ => throw new CypherBindingException(
           s"'$alias' is a value, not an entity — cannot access .$p")
       }
@@ -160,6 +168,9 @@ final class ExprCompiler(
         case Some(dt @ (DateType | TimestampType)) =>
           temporalComponent(p.toLowerCase(java.util.Locale.ROOT),
             lambdaCols(a), dt == DateType)
+        case Some(_: DayTimeIntervalType) =>
+          intervalComponent(p.toLowerCase(java.util.Locale.ROOT),
+            lambdaCols(a))
         case _ => lambdaCols(a).getField(p)
       }
     case Ref(a, Some(p)) => colOf(a, p)
@@ -354,6 +365,54 @@ final class ExprCompiler(
     * (month/day → 1, time-of-day → 0); unknown keys are typed
     * errors. Values may be any numeric expressions — columns
     * compose. */
+  /** Parses a time-of-day literal to its duration-since-midnight
+    * (round 13). An offset suffix (`±hh[:mm]` or `Z`) is legal for
+    * time() only and normalizes to the UTC time of day, wrapped into
+    * [0, 24h); malformed literals are compile-time Cypher errors. */
+  private def parseTimeLit(fn: String, s: String): java.time.Duration = {
+    val offRe = "^(.*?)([+-]\\d{2}(?::?\\d{2})?|Z)$".r
+    val (body, off) = s match {
+      case offRe(b, o) => (b, Some(o))
+      case _ => (s, None)
+    }
+    if (fn == "localtime" && off.isDefined)
+      throw new CypherSyntaxException(
+        "localtime() does not take a zone offset — use time()")
+    val lt = try java.time.LocalTime.parse(body)
+      catch { case _: java.time.format.DateTimeParseException =>
+        throw new CypherSyntaxException(
+          s"$fn(): malformed time literal '$s'") }
+    val base = java.time.Duration.ofNanos(lt.toNanoOfDay)
+    off match {
+      case None => base
+      case Some(o) =>
+        val offset = try java.time.ZoneOffset.of(o)
+          catch { case _: java.time.DateTimeException =>
+            throw new CypherSyntaxException(
+              s"$fn(): malformed zone offset in '$s'") }
+        val day = 24L * 3600 * 1000000000L
+        val n = base.toNanos - offset.getTotalSeconds * 1000000000L
+        java.time.Duration.ofNanos(((n % day) + day) % day)
+    }
+  }
+
+  /** Component accessors over a DAY-TIME INTERVAL time-of-day value
+    * (round 13): date_part over the interval, seconds floored to the
+    * integer component (millisecond reads the fraction). */
+  private def intervalComponent(name: String, c: Column): Column =
+    name match {
+      case "hour"   => date_part(lit("HOUR"), c).cast(IntegerType)
+      case "minute" => date_part(lit("MINUTE"), c).cast(IntegerType)
+      case "second" =>
+        floor(date_part(lit("SECOND"), c)).cast(IntegerType)
+      case "millisecond" =>
+        floor(date_part(lit("SECOND"), c) * 1000)
+          .cast(IntegerType) % lit(1000)
+      case other => throw new CypherBindingException(
+        s"time value has no component '$other' (supported: hour, " +
+        "minute, second, millisecond)")
+    }
+
   private def temporalMapFields(fn: String,
       fields: Seq[(String, Expr)], allowed: Seq[String])
       : Map[String, Column] = {
@@ -571,9 +630,15 @@ final class ExprCompiler(
       // temporal components (also reachable as dot accessors —
       // `x.prop.year` on columns, `d.year` on temporal values; Cypher
       // temporal component access, extension)
-      case n if Parser.TemporalComponents(n) =>
+      case n if Parser.TemporalComponents(n) || Parser.TimeComponents(n) =>
         arity(1)
-        temporalComponent(n, a0, typeOf(f.args.head).contains(DateType))
+        typeOf(f.args.head) match {
+          case Some(_: DayTimeIntervalType) => intervalComponent(n, a0)
+          case t2 if Parser.TemporalComponents(n) =>
+            temporalComponent(n, a0, t2.contains(DateType))
+          case _ => throw new CypherTypeException(
+            s"$n() requires a time value (day-time interval)")
+        }
       // namespaced temporal functions (round 12, extensions —
       // Neo4j's date.truncate/datetime.truncate/duration.between):
       // both truncates lower to Spark's codegen'd date_trunc over a
@@ -631,6 +696,47 @@ final class ExprCompiler(
               Seq("year", "month", "day"))
             make_date(c2("year"), c2("month"), c2("day"))
           case _ => to_date(a0)
+        }
+      // time('13:45:06[.sss][±hh:mm|Z]') / localtime('13:45:06') and
+      // the component-map forms (round 13; Neo4j's time-of-day
+      // types): Spark has no TIME type, so both lower to a DAY-TIME
+      // INTERVAL measuring the duration since midnight — ordering,
+      // equality and duration arithmetic are then Spark-native
+      // codegen'd interval ops, and the component accessors read
+      // date_part over the interval. time() with a zone offset
+      // normalizes to the UTC time of day (local value minus offset,
+      // wrapped into [0, 24h)); localtime rejects offsets. The map
+      // form takes arbitrary component expressions via
+      // make_dt_interval (values outside their calendar range are the
+      // caller's contract, like Spark's own make_dt_interval).
+      case "time" | "localtime" =>
+        arity(1)
+        f.args.head match {
+          case Lit(s: String) => lit(parseTimeLit(f.name, s))
+          case MapLit(fields) =>
+            val allowed = Seq("hour", "minute", "second")
+            val norm = fields.map { case (k, v) =>
+              k.toLowerCase(java.util.Locale.ROOT) -> v }
+            norm.groupBy(_._1).collectFirst {
+              case (k, vs) if vs.size > 1 => k }
+              .foreach(k => throw new CypherSyntaxException(
+                s"${f.name}({…}) binds '$k' twice"))
+            norm.map(_._1).find(!allowed.contains(_)).foreach(k =>
+              throw new CypherSyntaxException(
+                s"${f.name}({…}) has no component '$k' (supported: " +
+                allowed.mkString(", ") + ")"))
+            if (!norm.exists(_._1 == "hour"))
+              throw new CypherSyntaxException(
+                s"${f.name}({…}) requires an hour")
+            val m = norm.toMap
+            def comp(k: String): Column =
+              m.get(k).map(e2 => compile(e2).cast(IntegerType))
+                .getOrElse(lit(0))
+            make_dt_interval(lit(0), comp("hour"), comp("minute"),
+              comp("second"))
+          case _ => throw new CypherNotSupportedException(
+            s"${f.name}() requires a literal time string or a " +
+            "component map")
         }
       // duration('P30D') — a TYPED ANSI interval literal; +/- with
       // date/timestamp columns then lowers to Spark's native interval

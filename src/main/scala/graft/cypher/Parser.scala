@@ -2229,6 +2229,11 @@ object Parser {
     // epochSeconds) — BIGINT, unlike the INT calendar components
     "epochmillis", "epochseconds")
 
+  /** Component accessors legal on a time-of-day value (round 13;
+   *  time()/localtime() lower to day-time intervals). */
+  val TimeComponents: Set[String] = Set(
+    "hour", "minute", "second", "millisecond")
+
   /** Namespaced temporal functions (round 12, extensions):
    *  `date.truncate(unit, d)`, `datetime.truncate(unit, ts)`,
    *  `duration.between(a, b)` — parsed as qualified calls, compiled

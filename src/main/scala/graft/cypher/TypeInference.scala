@@ -434,8 +434,19 @@ final class TypeInference(refType: Ref => Option[DataType],
         requireNumeric(t(0), "atan2"); requireNumeric(t(1), "atan2")
         Some(DoubleType)
       case "e" | "pi" => Some(DoubleType)
-      case "year" | "month" | "day" | "quarter" | "week" | "dayofweek" |
-           "hour" | "minute" | "second" =>
+      case "hour" | "minute" | "second" =>
+        // clock components read timestamps AND time-of-day values
+        // (day-time intervals, round 13)
+        t(0).foreach(x => if (!isTemporal(x) && x != StringType &&
+            !x.isInstanceOf[DayTimeIntervalType])
+          fail(s"${f.name}() requires a date/timestamp or time, got " +
+            x.simpleString))
+        Some(IntegerType)
+      case "millisecond" =>
+        t(0).foreach(x => if (!x.isInstanceOf[DayTimeIntervalType])
+          fail(s"millisecond() requires a time value, got ${x.simpleString}"))
+        Some(IntegerType)
+      case "year" | "month" | "day" | "quarter" | "week" | "dayofweek" =>
         t(0).foreach(x => if (!isTemporal(x) && x != StringType)
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(IntegerType)
@@ -468,6 +479,15 @@ final class TypeInference(refType: Ref => Option[DataType],
             fail(s"date() requires a string, timestamp or component " +
               s"map, got ${x.simpleString}"))
         Some(DateType)
+      // time-of-day constructors (round 13): lowered to day-time
+      // intervals since midnight — see ExprCompiler's contract note
+      case "time" | "localtime" =>
+        f.args.headOption match {
+          case Some(_: MapLit) | Some(Lit(_: String)) =>
+          case _ => fail(s"${f.name}() requires a literal time string " +
+            "or component map")
+        }
+        Some(DayTimeIntervalType.DEFAULT)
       case "duration" => f.args match {
         case Seq(Lit(s: String)) => Some(DurationLit.parse(s).fold(
           _ => YearMonthIntervalType.DEFAULT: DataType,

@@ -3893,6 +3893,46 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(got == 0L)
   }
 
+  // ------------------------------------------- time-of-day types
+
+  test("time()/localtime(): literals, maps, components, comparisons") {
+    val r = rows(
+      """WITH time('13:45:06') AS t, localtime('06:30:00') AS lt,
+        |     time({hour: 13, minute: 45, second: 6}) AS tm,
+        |     time('13:45:06.250') AS tms
+        |RETURN t.hour AS h, t.minute AS m, t.second AS s,
+        |       t = tm AS eq, t > lt AS gt, hour(lt) AS lh,
+        |       tms.millisecond AS ms""".stripMargin).head
+    assert(r.getInt(0) == 13 && r.getInt(1) == 45 && r.getInt(2) == 6)
+    assert(r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getInt(5) == 6)
+    assert(r.getInt(6) == 250)
+    // a zone offset on time() normalizes to the UTC time of day,
+    // wrapping across midnight
+    val r2 = rows(
+      """RETURN time('13:45:06+02:00') AS a, time('01:00:00+03:00') AS b,
+        |       time('23:00:00-02:00') AS c""".stripMargin).head
+    assert(r2.get(0) == java.time.Duration.parse("PT11H45M6S"))
+    assert(r2.get(1) == java.time.Duration.parse("PT22H"))  // wraps back
+    assert(r2.get(2) == java.time.Duration.parse("PT1H"))   // wraps fwd
+    // duration arithmetic composes natively
+    val r3 = rows(
+      """WITH time('10:00:00') AS t
+        |RETURN t + duration('PT90M') AS shifted""".stripMargin).head
+    assert(r3.get(0) == java.time.Duration.parse("PT11H30M"))
+    // typed rejections: offset on localtime, malformed literal,
+    // non-time component access, non-time millisecond()
+    intercept[CypherSyntaxException](rows(
+      "RETURN localtime('13:00:00+01:00') AS x"))
+    intercept[CypherSyntaxException](rows("RETURN time('25:99') AS x"))
+    intercept[CypherBindingException](rows(
+      "WITH time('10:00:00') AS t RETURN t.year AS x"))
+    intercept[CypherTypeException](rows(
+      "WITH date('2024-01-01') AS d RETURN millisecond(d) AS x"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN time({minute: 5}) AS x"))
+  }
+
   // ------------------------------------------ quantified path patterns
 
   test("QPP: ((a)-[:R]->(b)){m,n} ≡ [*m..n]; rel predicate per hop") {
