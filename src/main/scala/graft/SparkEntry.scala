@@ -1803,6 +1803,31 @@ object SparkEntry {
              |FROM orders WHERE o_orderkey > 100 AND o_orderkey <= 200
              |ORDER BY o_custkey, o_orderkey, o_orderdate""".stripMargin)),
 
+    // --- unbounded shortestPath WITNESSES (round 13): the reach BFS
+    //     records one parent pointer per (seed, node) pair; a driver
+    //     loop bounded by the max DISTANCE (never the path count)
+    //     walks the pointers back into nodes(p) — here the chain walk
+    //     from nation 0, each witness the unique chain prefix, its
+    //     names folded to a string for the gate's row compare.
+    ("q124_unbounded_witness", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})-[:NEXT_IN_REGION*]->(b:Nation))
+        |RETURN b.n_name AS dst, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + n.n_name)
+        |         AS names
+        |ORDER BY dst""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey, n_name,
+             |         row_number() OVER (ORDER BY n_nationkey) - 1 AS rk
+             |  FROM nation
+             |  WHERE n_regionkey =
+             |    (SELECT n_regionkey FROM nation WHERE n_nationkey = 0))
+             |SELECT s.n_name AS dst, s.rk AS hops,
+             |       (SELECT string_agg('|' || s2.n_name, ''
+             |                          ORDER BY s2.rk)
+             |        FROM s s2 WHERE s2.rk <= s.rk) AS names
+             |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
+
     // --- time-of-day types (round 13; Neo4j time/localtime): Spark
     //     has no TIME type, so both lower to DAY-TIME INTERVALS since
     //     midnight — comparisons and duration arithmetic stay native

@@ -366,6 +366,17 @@ object Compiler {
             case Left(n)     => lit(n.toLong)
             case Right(dcol) => col(dcol)
           })
+          // unbounded-shortestPath witnesses (round 13): the reach
+          // edge carries a per-pair `__nodes` array when the query
+          // reads nodes(p) — expose it under the PATH variable, the
+          // accessor's read face
+          len match {
+            case Right(dcol) =>
+              val wcol = dcol.stripSuffix("__dist") + "__nodes"
+              if (df.columns.contains(wcol))
+                df = df.withColumn(pref(a, "__nodes"), col(wcol))
+            case _ =>
+          }
           scope = scope + (a -> PathBinding)
         }
         // nodes(p)/relationships(p) witness arrays (extension; the
@@ -2420,7 +2431,7 @@ object Compiler {
       // the ordinary branch union; the incoming frame (if any) can
       // anchor-seed a reach endpoint whose variable it already binds
       val (msH, catH) = HopPred.rewrite(part.matches, catalog)
-      val (ms, cat) = Reach.rewrite(msH, catH, ctx)
+      val (ms, cat) = Reach.rewrite(msH, catH, ctx, witnessVars)
       val afterMatch0: Option[Ctx] =
         if (ms.isEmpty) ctx
         else if (!VarLength.hasVarLength(ms) &&

@@ -814,8 +814,11 @@ final class ExprCompiler(
             if (!colTypes.contains(cn))
               throw new CypherNotSupportedException(
                 s"${f.name}($a) — this path binds only a length: " +
-                "paths over unbounded ranges have no per-hop " +
-                "witnesses (bounded [*lo..hi] paths do)")
+                "bounded [*lo..hi] paths carry both accessors, and an " +
+                "unbounded shortestPath over a homogeneous chain " +
+                "carries nodes(p) (round 13); relationships(p) over " +
+                "unbounded ranges and heterogeneous/allShortestPaths " +
+                "witnesses stay unsupported")
             col(cn)
           case _ => throw new CypherNotSupportedException(
             s"${f.name}() expects a named-path variable")

@@ -2,8 +2,9 @@ package graft.cypher
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
 import ast._
 import graft.ops.GraphContractViolation
@@ -122,7 +123,8 @@ private[cypher] object Reach {
     * follows a WITH or correlates an EXISTS) enables piped-frame anchor
     * seeding. No-op (same instances) when nothing is unbounded. */
   def rewrite(matches: Seq[MatchClause], catalog: GraphCatalog,
-              outer: Option[Compiler.Ctx] = None)
+              outer: Option[Compiler.Ctx] = None,
+              witnessVars: Set[String] = Set.empty)
       : (Seq[MatchClause], GraphCatalog) = {
     if (!hasUnbounded(matches)) return (matches, catalog)
     val extra = Vector.newBuilder[(EdgeDef, DataFrame)]
@@ -153,6 +155,15 @@ private[cypher] object Reach {
           // enumeration), and requires an anchored endpoint.
           val needDist =
             (pp.shortest || pp.allShortest) && pp.pathVar.isDefined
+          // nodes(p) over an unbounded shortestPath (round 13): the
+          // BFS additionally records one PARENT pointer per pair
+          // (first-discovery predecessor, min-id tie-break) and a
+          // driver loop bounded by the maximum DISTANCE — never the
+          // path count — walks the pointers back into one witness
+          // id array per pair, converted to the canonical node-struct
+          // array by a single posexplode + node join + re-collect.
+          val wantWitness = pp.shortest && !pp.allShortest &&
+            pp.pathVar.exists(witnessVars)
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
@@ -200,14 +211,28 @@ private[cypher] object Reach {
                   val e = selfDefs.head
                   val node = catalog.graph.node(e.fromLabel)
                   val edf = catalog.edgeDf(e)
-                  (computeReach(edf, e.srcIdColumn, e.sinkIdColumn,
-                    () => seedFor(m.where, srcPat.alias, node, catalog,
-                      outer),
-                    () => seedFor(m.where, dstPat.alias, node, catalog,
-                      outer),
-                    needDist, pp.allShortest),
-                    e.fromLabel, e.toLabel)
-                } else
+                  val base =
+                    if (wantWitness)
+                      witnessReach(edf, e.srcIdColumn, e.sinkIdColumn,
+                        () => seedFor(m.where, srcPat.alias, node,
+                          catalog, outer),
+                        () => seedFor(m.where, dstPat.alias, node,
+                          catalog, outer),
+                        node, catalog.nodeDf(e.fromLabel))
+                    else computeReach(edf, e.srcIdColumn, e.sinkIdColumn,
+                      () => seedFor(m.where, srcPat.alias, node, catalog,
+                        outer),
+                      () => seedFor(m.where, dstPat.alias, node, catalog,
+                        outer),
+                      needDist, pp.allShortest)
+                  (base, e.fromLabel, e.toLabel)
+                } else if (wantWitness)
+                  throw new CypherNotSupportedException(
+                    s"nodes(${pp.pathVar.get}) over an unbounded " +
+                    "shortestPath on a HETEROGENEOUS chain — witness " +
+                    "elements would mix node label schemas; bound the " +
+                    "range [*lo..hi] for per-branch witnesses")
+                else
                   // heterogeneous chain (round 10): label-stratified
                   // BFS over `label:id` tagged namespaces
                   stratifiedReach(defs, verb, srcPat, dstPat, m.where,
@@ -231,8 +256,15 @@ private[cypher] object Reach {
                       "needs one node to satisfy both endpoints")
                   val node = catalog.graph.node(fromL)
                   val idc = col(node.idColumn)
-                  val ident0 = catalog.nodeDf(fromL)
-                    .select(idc.as("__src"), idc.as("__dst"))
+                  val ndf = catalog.nodeDf(fromL)
+                  // a zero-hop witness is the single endpoint node
+                  val ident0 =
+                    if (wantWitness)
+                      ndf.select(idc.as("__src"), idc.as("__dst"),
+                        array(witnessElem(node, ndf))
+                          .cast(witnessArrayType(node, ndf))
+                          .as("__nodes"))
+                    else ndf.select(idc.as("__src"), idc.as("__dst"))
                   val ident =
                     if (needDist) ident0.withColumn("__dist", lit(0L))
                     else ident0
@@ -243,7 +275,8 @@ private[cypher] object Reach {
               val synthVerb = s"__REACH_${id}_$verb"
               val synth = EdgeDef(synthVerb, fromL, toL,
                 "__src", "__dst",
-                if (needDist) Seq("__dist") else Seq.empty,
+                (if (needDist) Seq("__dist") else Seq.empty) ++
+                  (if (wantWitness) Seq("__nodes") else Seq.empty),
                 s"__reach_${id}_$verb")
               extra += ((synth, reach2))
               RelPat(if (needDist) Some(s"$DistRelPrefix$id") else None,
@@ -300,6 +333,100 @@ private[cypher] object Reach {
         swapPairs(reachablePairs(edf, dstC, srcC, seeds = Some(sd),
           withDist = needDist), dist = needDist)))
       .getOrElse(reachablePairs(edf, srcC, dstC, withDist = needDist))
+
+  // ------------------------------------ witness paths (round 13)
+
+  /** Canonical witness element fields for a node label — the bounded
+    * materializeWitnesses shape (all-nullable, declared order). */
+  private def witnessFields(node: NodeDef, ndf: DataFrame)
+      : Seq[StructField] =
+    (node.idColumn +: node.properties).distinct
+      .map(c => StructField(c, ndf.schema(c).dataType))
+
+  private def witnessArrayType(node: NodeDef, ndf: DataFrame): ArrayType =
+    ArrayType(StructType(witnessFields(node, ndf)), containsNull = true)
+
+  private def witnessElem(node: NodeDef, ndf: DataFrame): Column =
+    struct(witnessFields(node, ndf).map(f => col(f.name).as(f.name)): _*)
+
+  /** Witness-bearing reach (round 13): the pair frame plus `__dist`
+    * and a `__nodes` array — ONE shortest path per pair, rebuilt from
+    * the BFS's per-pair parent pointers. The driver loop walking the
+    * pointers runs max-distance−1 iterations (path LENGTH, never path
+    * count); the struct conversion is one posexplode + node join +
+    * ordered re-collect, Σ path-length rows total. */
+  private def witnessReach(edf: DataFrame, srcC: String, dstC: String,
+      fwdSeeds: () => Option[DataFrame],
+      revSeeds: () => Option[DataFrame],
+      node: NodeDef, ndf: DataFrame): DataFrame = {
+    def run(sc: String, dc: String, sd: Option[DataFrame], rev: Boolean)
+        : DataFrame = {
+      val pairs = reachablePairs(edf, sc, dc, seeds = sd,
+        withDist = true, withParent = true)
+      val ids0 = reconstructWitnessIds(pairs)
+      // reversed BFS: an R-path seed→x over reversed edges is an
+      // E-path x→seed — swap the pair AND reverse the node order
+      val ids =
+        if (!rev) ids0
+        else ids0.select(col("__dst").as("__src"),
+          col("__src").as("__dst"), col("__dist"),
+          reverse(col("__wids")).as("__wids"))
+      widsToNodes(ids, node, ndf)
+    }
+    fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
+      .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
+      .getOrElse(run(srcC, dstC, None, rev = false))
+  }
+
+  /** Parent-pointer walk: (src, dst, dist, par) pair rows → the full
+    * witness id array [src, …, dst] per pair. A pair at distance k
+    * resolves after k−1 join steps — the loop runs max(dist)−1 times,
+    * each step one slim self-join; finished rows pass through. */
+  private def reconstructWitnessIds(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(false)
+    val parents = pairs.select(col("__src").as("__ps"),
+      col("__dst").as("__pd"), col("__par").as("__pp"))
+    val maxDist = {
+      val row = pairs.agg(max(col("__dist"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var work = pairs.select(col("__src"), col("__dst"), col("__dist"),
+      col("__par").as("__cur"), array(col("__dst")).as("__ids"))
+    var step = 1L
+    while (step < maxDist) {
+      work = work.join(parents,
+          col("__src") === col("__ps") && col("__cur") === col("__pd") &&
+            col("__cur") =!= col("__src"), "left")
+        .select(col("__src"), col("__dst"), col("__dist"),
+          when(col("__cur") === col("__src"), col("__cur"))
+            .otherwise(col("__pp")).as("__cur"),
+          when(col("__cur") === col("__src"), col("__ids"))
+            .otherwise(concat(array(col("__cur")), col("__ids")))
+            .as("__ids"))
+        .localCheckpoint(false)
+      step += 1
+    }
+    work.select(col("__src"), col("__dst"), col("__dist"),
+      concat(array(col("__src")), col("__ids")).as("__wids"))
+  }
+
+  /** Witness id array → the canonical node-struct array: posexplode
+    * the positions, join the node table ONCE, re-collect in order. */
+  private def widsToNodes(ids: DataFrame, node: NodeDef, ndf: DataFrame)
+      : DataFrame = {
+    val cols = (node.idColumn +: node.properties).distinct
+    val ex = ids.select(col("__src"), col("__dst"), col("__dist"),
+      posexplode(col("__wids")).as(Seq("__pos", "__wid")))
+    val nslim = ndf.select(cols.map(col): _*)
+    ex.join(nslim, ex("__wid") === nslim(node.idColumn), "left")
+      .select(col("__src"), col("__dst"), col("__dist"),
+        struct(col("__pos"), witnessElem(node, ndf).as("__e")).as("__pe"))
+      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .agg(transform(sort_array(collect_list(col("__pe"))),
+        x => x.getField("__e")).as("__nodes0"))
+      .select(col("__src"), col("__dst"), col("__dist"),
+        col("__nodes0").cast(witnessArrayType(node, ndf)).as("__nodes"))
+  }
 
   /**
    * Heterogeneous unbounded chain (round 10): when a verb's edge
@@ -478,7 +605,8 @@ private[cypher] object Reach {
   private[cypher] def reachablePairs(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame] = None,
       maxClosureRows: Option[Long] = None,
-      withDist: Boolean = false): DataFrame = {
+      withDist: Boolean = false,
+      withParent: Boolean = false): DataFrame = {
     // self-loop edges stay: (a)→(a) is a legitimate length-1 path, and
     // cycle pairs (a, a) via longer loops arise from the BFS naturally
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
@@ -511,6 +639,11 @@ private[cypher] object Reach {
     // pairs all share one distance, so the column is a per-round
     // literal: the BFS joins stay slim (src, dst) either way.
     if (withDist) seen = seen.withColumn("__dist", lit(1L))
+    // `withParent` (round 13): record one first-discovery PREDECESSOR
+    // per pair (min-id tie-break — deterministic) so a witness path
+    // can be rebuilt by walking the pointers; a distance-1 pair's
+    // parent is the source itself
+    if (withParent) seen = seen.withColumn("__par", col("__src"))
     var frontier = seen
     var total = frontier.count()
     guard(total, 0)
@@ -522,11 +655,21 @@ private[cypher] object Reach {
         throw new CypherBindingException(
           s"unbounded variable-length: reachability did not converge in " +
           s"$MaxRounds rounds — the edge set's diameter exceeds the guard")
-      val next0 = frontier
+      val stepped = frontier
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
-        .select(col("__src"), col("__d2").as("__dst")).distinct()
-        .join(seen, Seq("__src", "__dst"), "left_anti")
+      val next0 =
+        if (withParent)
+          // keep ONE deterministic predecessor per new pair (the
+          // frontier node it was discovered through, min id)
+          stepped.groupBy(col("__src"), col("__d2"))
+            .agg(min(col("__dst")).as("__par"))
+            .select(col("__src"), col("__d2").as("__dst"), col("__par"))
+            .join(seen.select(col("__src"), col("__dst")),
+              Seq("__src", "__dst"), "left_anti")
+        else stepped
+          .select(col("__src"), col("__d2").as("__dst")).distinct()
+          .join(seen, Seq("__src", "__dst"), "left_anti")
       val next = (if (withDist)
           next0.withColumn("__dist", lit((rounds + 1).toLong))
         else next0)
@@ -536,7 +679,7 @@ private[cypher] object Reach {
       if (go) {
         total += n
         guard(total, rounds)
-        seen = seen.union(next).localCheckpoint(false)
+        seen = seen.unionByName(next).localCheckpoint(false)
         frontier = next
       }
     }

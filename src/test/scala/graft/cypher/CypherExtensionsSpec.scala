@@ -1343,10 +1343,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
   }
 
   test("path accessors stay rejected where witnesses cannot exist") {
-    // unbounded range lowers through a Reach pair frame — length only
+    // round 13 lifted nodes(p) on unbounded shortestPath (even
+    // unanchored — the closure guard bounds it); relationships(p)
+    // stays the rejection (pair frames erase the individual rels)
+    val un = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |RETURN size([n IN nodes(p) | n.Name]) AS ns, length(p) AS h
+        |ORDER BY h, ns""".stripMargin)
+    assert(un.nonEmpty && un.forall(x => x.getInt(0) == x.getLong(1) + 1))
     intercept[CypherNotSupportedException](rows(
       """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
-        |RETURN [n IN nodes(p) | n.Name] AS NS""".stripMargin))
+        |RETURN [r IN relationships(p) | r.Since] AS RS""".stripMargin))
     // non-path argument
     intercept[CypherException](rows(
       "MATCH (a:Person) RETURN nodes(a) AS NS"))
@@ -3891,6 +3898,59 @@ class CypherExtensionsSpec extends AnyFunSuite {
     val got = Reach.reachablePairs(
       Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d").count()
     assert(got == 0L)
+  }
+
+  // ------------------------- unbounded shortestPath witnesses
+
+  test("nodes(p) on an unbounded shortestPath (parent-pointer witnesses)") {
+    // source-anchored: the BFS records one parent pointer per pair;
+    // the walk back rebuilds the witness (the p1→p4 1999 shortcut
+    // beats the 3-hop chain)
+    val r = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS dst, length(p) AS hops,
+        |       [n IN nodes(p) | n.Name] AS names
+        |ORDER BY dst""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getSeq[String](2)))
+    assert(r == Seq(
+      ("Kevin Bacon", 2L, Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon")),
+      ("Meg Ryan", 1L, Seq("Tom Hanks", "Meg Ryan")),
+      ("Rob Reiner", 1L, Seq("Tom Hanks", "Rob Reiner"))))
+    // destination-anchored: reversed BFS, node order restored
+    val r2 = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |WHERE b.Name = 'Rob Reiner'
+        |RETURN a.Name AS src, [n IN nodes(p) | n.Name] AS names
+        |ORDER BY src""".stripMargin)
+      .map(x => (x.getString(0), x.getSeq[String](1)))
+    assert(r2 == Seq(
+      ("Kevin Bacon", Seq("Kevin Bacon", "Rob Reiner")),
+      ("Meg Ryan", Seq("Meg Ryan", "Kevin Bacon", "Rob Reiner")),
+      ("Tom Hanks", Seq("Tom Hanks", "Rob Reiner"))))
+    // zero-hop identity rows witness the single endpoint
+    val r0 = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*0..]->(b:Person))
+        |WHERE a.Name = 'Kevin Bacon' AND a.id = b.id
+        |RETURN length(p) AS hops, [n IN nodes(p) | n.Name] AS names"""
+        .stripMargin)
+    assert(r0.map(x => (x.getLong(0), x.getSeq[String](1))) ==
+      Seq((0L, Seq("Kevin Bacon"))))
+    // witness elements are full entity structs (UNWIND + properties)
+    val r3 = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |WHERE a.Name = 'Meg Ryan' AND b.Name = 'Rob Reiner'
+        |UNWIND nodes(p) AS n
+        |RETURN n.Name AS nm, n.Born AS born ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) None else Some(x.getInt(1))))
+    assert(r3 == Seq(("Kevin Bacon", Some(1958)),
+      ("Meg Ryan", Some(1961)), ("Rob Reiner", None)))
+    // relationships(p) over unbounded ranges stays the typed rejection
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN relationships(p) AS rs""".stripMargin))
   }
 
   // ------------------------------------------- time-of-day types
