@@ -303,6 +303,55 @@ class CypherFuzzSpec extends AnyFunSuite {
     Gen(cy.result(), sql.result())
   }
 
+  /** Updating-query arm (round 13): terminal SET / DELETE / MERGE
+    * shapes whose result is the target table's NEW SNAPSHOT, mirrored
+    * as plain SQL over the SAME fixture views — CASE for updates,
+    * NOT-matched filters for deletes, UNION ALL for created rows.
+    * Every query recompiles from the immutable fixture, so each
+    * generated query is its own state replay. Null predicate values
+    * follow Cypher's no-match contract (coalesce(pred, false)). */
+  private def genUpdating(rnd: Random): Gen = rnd.nextInt(6) match {
+    case 0 => // SET node prop: matched rows read OLD values
+      val v = 1950 + rnd.nextInt(16)
+      val d = 1 + rnd.nextInt(5)
+      Gen(s"MATCH (p:Person) WHERE p.Born >= $v SET p.Born = p.Born + $d",
+        s"SELECT id, Name, CASE WHEN coalesce(Born >= $v, false) " +
+        s"THEN Born + $d ELSE Born END AS Born FROM person")
+    case 1 => // SET edge prop through the pattern (pair-keyed)
+      val v = 2005 + rnd.nextInt(12)
+      val d = 1 + rnd.nextInt(4)
+      Gen(s"MATCH (a:Person)-[k:KNOWS]->(b:Person) " +
+        s"WHERE k.Since >= $v SET k.Since = k.Since + $d",
+        s"SELECT _vertexId, _sink, CASE WHEN coalesce(Since >= $v, " +
+        s"false) THEN Since + $d ELSE Since END AS Since FROM knows")
+    case 2 => // DELETE node: snapshot minus matched rows
+      val v = 1950 + rnd.nextInt(16)
+      Gen(s"MATCH (p:Person) WHERE p.Born >= $v DETACH DELETE p",
+        s"SELECT id, Name, Born FROM person " +
+        s"WHERE NOT coalesce(Born >= $v, false)")
+    case 3 => // DELETE edge matched through an endpoint predicate
+      val v = 1950 + rnd.nextInt(16)
+      Gen(s"MATCH (a:Person)-[k:KNOWS]->(b:Person) " +
+        s"WHERE a.Born >= $v DELETE k",
+        s"SELECT k._vertexId, k._sink, k.Since FROM knows k " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM person a " +
+        s"WHERE a.id = k._vertexId AND coalesce(a.Born >= $v, false))")
+    case 4 => // MERGE matched branch: ON MATCH SET over fed ids
+      val v = 1950 + rnd.nextInt(16)
+      val d = 1900 + rnd.nextInt(50)
+      Gen(s"MATCH (p:Person) WHERE p.Born >= $v WITH p.id AS k " +
+        s"MERGE (q:Person {id: k}) ON MATCH SET q.Born = $d",
+        s"SELECT id, Name, CASE WHEN coalesce(Born >= $v, false) " +
+        s"THEN $d ELSE Born END AS Born FROM person")
+    case _ => // MERGE created branch: absent ids insert stamped rows
+      val v = 1992 + rnd.nextInt(8)
+      Gen(s"MATCH (m:Movie) WHERE m.Released >= $v WITH m.Title AS t " +
+        s"MERGE (q:Person {id: t}) ON CREATE SET q.Name = t",
+        s"SELECT id, Name, Born FROM person UNION ALL " +
+        s"SELECT Title AS id, Title AS Name, CAST(NULL AS INT) AS Born " +
+        s"FROM movie WHERE Released >= $v")
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -348,5 +397,44 @@ class CypherFuzzSpec extends AnyFunSuite {
       checked += 1
     }
     assert(checked == N)
+  }
+
+  test("45 seed-pinned updating queries agree with their snapshot mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 1)
+    var checked = 0
+    (0 until 45).foreach { i =>
+      val g = genUpdating(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch {
+          case e: Throwable => fail(
+            s"seed=${Seed + 1} i=$i updating cypher failed: " +
+            s"${e.getMessage}\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}")
+        }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch {
+          case e: Throwable => fail(
+            s"seed=${Seed + 1} i=$i sql mirror failed: " +
+            s"${e.getMessage}\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}")
+        }
+      assert(got == exp,
+        s"\nseed=${Seed + 1} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+      checked += 1
+    }
+    assert(checked == 45)
   }
 }
