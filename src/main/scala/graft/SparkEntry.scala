@@ -1828,6 +1828,34 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- relationships(p) on an unbounded shortestPath (round 13;
+    //     completes the accessor pair): the witness hop pairs join
+    //     the edge frame once and re-collect in hop order. Over the
+    //     branching JUMPS_TO DAG the min-id parent tie-break makes
+    //     the witness deterministic: even chain positions walk all
+    //     +2 jumps, odd positions one +1 then +2s — DuckDB mirrors
+    //     the spans with rank arithmetic (repeat()).
+    ("q125_unbounded_rels", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*]->(b:Nation))
+        |RETURN b.n_nationkey AS dst, length(p) AS hops,
+        |       reduce(s = '', r IN relationships(p) |
+        |              s + '|' + toString(r.jump_span)) AS spans
+        |ORDER BY dst""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey,
+             |         row_number() OVER (ORDER BY n_nationkey) - 1 AS rk
+             |  FROM nation
+             |  WHERE n_regionkey =
+             |    (SELECT n_regionkey FROM nation WHERE n_nationkey = 0))
+             |SELECT n_nationkey AS dst, (rk + 1) // 2 AS hops,
+             |       CASE WHEN rk % 2 = 1
+             |            THEN '|1' || repeat('|2', CAST((rk - 1) // 2
+             |                                          AS INT))
+             |            ELSE repeat('|2', CAST(rk // 2 AS INT))
+             |       END AS spans
+             |FROM s WHERE rk > 0 ORDER BY dst""".stripMargin)),
+
     // --- time-of-day types (round 13; Neo4j time/localtime): Spark
     //     has no TIME type, so both lower to DAY-TIME INTERVALS since
     //     midnight — comparisons and duration arithmetic stay native

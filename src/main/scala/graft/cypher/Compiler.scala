@@ -367,14 +367,16 @@ object Compiler {
             case Right(dcol) => col(dcol)
           })
           // unbounded-shortestPath witnesses (round 13): the reach
-          // edge carries a per-pair `__nodes` array when the query
-          // reads nodes(p) — expose it under the PATH variable, the
-          // accessor's read face
+          // edge carries per-pair `__nodes`/`__rels` arrays when the
+          // query reads the accessors — expose them under the PATH
+          // variable, the accessors' read face
           len match {
             case Right(dcol) =>
-              val wcol = dcol.stripSuffix("__dist") + "__nodes"
-              if (df.columns.contains(wcol))
-                df = df.withColumn(pref(a, "__nodes"), col(wcol))
+              val base = dcol.stripSuffix("__dist")
+              Seq("__nodes", "__rels").foreach { w =>
+                if (df.columns.contains(base + w))
+                  df = df.withColumn(pref(a, w), col(base + w))
+              }
             case _ =>
           }
           scope = scope + (a -> PathBinding)

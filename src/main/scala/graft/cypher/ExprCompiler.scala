@@ -814,10 +814,9 @@ final class ExprCompiler(
             if (!colTypes.contains(cn))
               throw new CypherNotSupportedException(
                 s"${f.name}($a) — this path binds only a length: " +
-                "bounded [*lo..hi] paths carry both accessors, and an " +
-                "unbounded shortestPath over a homogeneous chain " +
-                "carries nodes(p) (round 13); relationships(p) over " +
-                "unbounded ranges and heterogeneous/allShortestPaths " +
+                "bounded [*lo..hi] paths and unbounded shortestPath " +
+                "over a homogeneous chain carry both accessors " +
+                "(round 13); heterogeneous-chain and allShortestPaths " +
                 "witnesses stay unsupported")
             col(cn)
           case _ => throw new CypherNotSupportedException(

@@ -212,13 +212,22 @@ private[cypher] object Reach {
                   val node = catalog.graph.node(e.fromLabel)
                   val edf = catalog.edgeDf(e)
                   val base =
-                    if (wantWitness)
-                      witnessReach(edf, e.srcIdColumn, e.sinkIdColumn,
+                    if (wantWitness) {
+                      val w = witnessReach(edf, e,
                         () => seedFor(m.where, srcPat.alias, node,
                           catalog, outer),
                         () => seedFor(m.where, dstPat.alias, node,
                           catalog, outer),
-                        node, catalog.nodeDf(e.fromLabel))
+                        node, catalog.nodeDf(e.fromLabel),
+                        needRels = true)
+                      // `<-` patterns: path order runs against the
+                      // edge orientation — reverse both arrays so
+                      // nodes(p)/relationships(p) read pattern order
+                      if (r.dir == Direction.In)
+                        w.withColumn("__nodes", reverse(col("__nodes")))
+                          .withColumn("__rels", reverse(col("__rels")))
+                      else w
+                    }
                     else computeReach(edf, e.srcIdColumn, e.sinkIdColumn,
                       () => seedFor(m.where, srcPat.alias, node, catalog,
                         outer),
@@ -258,12 +267,22 @@ private[cypher] object Reach {
                   val idc = col(node.idColumn)
                   val ndf = catalog.nodeDf(fromL)
                   // a zero-hop witness is the single endpoint node
+                  // with NO traversed relationships
                   val ident0 =
-                    if (wantWitness)
+                    if (wantWitness) {
+                      val e0 = catalog.graph.edgesByVerb(verb).head
+                      val edf0 = catalog.edgeDf(e0)
+                      val eCols = (Seq(e0.srcIdColumn, e0.sinkIdColumn)
+                        ++ e0.properties).distinct
+                      val relT = ArrayType(StructType(eCols.map(c2 =>
+                        StructField(c2, edf0.schema(c2).dataType))),
+                        containsNull = true)
                       ndf.select(idc.as("__src"), idc.as("__dst"),
                         array(witnessElem(node, ndf))
                           .cast(witnessArrayType(node, ndf))
-                          .as("__nodes"))
+                          .as("__nodes"),
+                        array().cast(relT).as("__rels"))
+                    }
                     else ndf.select(idc.as("__src"), idc.as("__dst"))
                   val ident =
                     if (needDist) ident0.withColumn("__dist", lit(0L))
@@ -276,7 +295,8 @@ private[cypher] object Reach {
               val synth = EdgeDef(synthVerb, fromL, toL,
                 "__src", "__dst",
                 (if (needDist) Seq("__dist") else Seq.empty) ++
-                  (if (wantWitness) Seq("__nodes") else Seq.empty),
+                  (if (wantWitness) Seq("__nodes", "__rels")
+                   else Seq.empty),
                 s"__reach_${id}_$verb")
               extra += ((synth, reach2))
               RelPat(if (needDist) Some(s"$DistRelPrefix$id") else None,
@@ -349,16 +369,19 @@ private[cypher] object Reach {
   private def witnessElem(node: NodeDef, ndf: DataFrame): Column =
     struct(witnessFields(node, ndf).map(f => col(f.name).as(f.name)): _*)
 
-  /** Witness-bearing reach (round 13): the pair frame plus `__dist`
-    * and a `__nodes` array — ONE shortest path per pair, rebuilt from
-    * the BFS's per-pair parent pointers. The driver loop walking the
-    * pointers runs max-distance−1 iterations (path LENGTH, never path
-    * count); the struct conversion is one posexplode + node join +
-    * ordered re-collect, Σ path-length rows total. */
-  private def witnessReach(edf: DataFrame, srcC: String, dstC: String,
+  /** Witness-bearing reach (round 13): the pair frame plus `__dist`,
+    * a `__nodes` array and (when `needRels`) a `__rels` array — ONE
+    * shortest path per pair, rebuilt from the BFS's per-pair parent
+    * pointers. The driver loop walking the pointers runs
+    * max-distance−1 iterations (path LENGTH, never path count); the
+    * struct conversions are one posexplode + node/edge join + ordered
+    * re-collect each, Σ path-length rows total. Arrays come out in
+    * EDGE-path order — the caller reverses for `<-` patterns. */
+  private def witnessReach(edf: DataFrame, e: EdgeDef,
       fwdSeeds: () => Option[DataFrame],
       revSeeds: () => Option[DataFrame],
-      node: NodeDef, ndf: DataFrame): DataFrame = {
+      node: NodeDef, ndf: DataFrame, needRels: Boolean): DataFrame = {
+    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
     def run(sc: String, dc: String, sd: Option[DataFrame], rev: Boolean)
         : DataFrame = {
       val pairs = reachablePairs(edf, sc, dc, seeds = sd,
@@ -371,7 +394,10 @@ private[cypher] object Reach {
         else ids0.select(col("__dst").as("__src"),
           col("__src").as("__dst"), col("__dist"),
           reverse(col("__wids")).as("__wids"))
-      widsToNodes(ids, node, ndf)
+      val withNodes = widsToNodes(ids, node, ndf)
+      if (!needRels) withNodes
+      else withNodes.join(
+        widsToRels(ids, edf, e), Seq("__src", "__dst", "__dist"))
     }
     fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
       .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
@@ -426,6 +452,42 @@ private[cypher] object Reach {
         x => x.getField("__e")).as("__nodes0"))
       .select(col("__src"), col("__dst"), col("__dist"),
         col("__nodes0").cast(witnessArrayType(node, ndf)).as("__nodes"))
+  }
+
+  /** Witness id array → the canonical EDGE-struct array (round 13,
+    * relationships(p)): each consecutive id pair is one traversed
+    * edge — posexplode the hops, join the (possibly hop-filtered)
+    * edge frame once, pick ONE deterministic row per hop when the
+    * snapshot carries parallel (src, snk) edges (min property
+    * struct), re-collect in hop order. */
+  private def widsToRels(ids: DataFrame, edf: DataFrame,
+      e: EdgeDef): DataFrame = {
+    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
+    // the DECLARED column order (entityCols' shape) — struct casts
+    // are positional, so the ident branch and bounded witnesses must
+    // agree field-for-field
+    val eCols = (Seq(srcC, dstC) ++ e.properties).distinct
+    val elemT = ArrayType(StructType(eCols.map(c =>
+      StructField(c, edf.schema(c).dataType))), containsNull = true)
+    // hop pairs (n_i, n_{i+1}) in edge-path order, 1-based element_at
+    val hops = ids.select(col("__src"), col("__dst"), col("__dist"),
+      posexplode(transform(slice(col("__wids"), lit(1),
+          size(col("__wids")) - 1),
+        (x, i) => struct(x.as("_s"),
+          element_at(col("__wids"), i + lit(2)).as("_d"))))
+        .as(Seq("__pos", "__hop")))
+    val eslim = edf.select(eCols.map(col): _*)
+    val estruct = struct(eCols.map(c => col(c).as(c)): _*)
+    hops
+      .join(eslim, col("__hop").getField("_s") === col(srcC) &&
+        col("__hop").getField("_d") === col(dstC), "left")
+      .groupBy(col("__src"), col("__dst"), col("__dist"), col("__pos"))
+      .agg(min(estruct).as("__e")) // parallel-edge determinism
+      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"),
+          col("__e")))), x => x.getField("__e")).as("__rels0"))
+      .select(col("__src"), col("__dst"), col("__dist"),
+        col("__rels0").cast(elemT).as("__rels"))
   }
 
   /**

@@ -1343,17 +1343,15 @@ class CypherExtensionsSpec extends AnyFunSuite {
   }
 
   test("path accessors stay rejected where witnesses cannot exist") {
-    // round 13 lifted nodes(p) on unbounded shortestPath (even
-    // unanchored — the closure guard bounds it); relationships(p)
-    // stays the rejection (pair frames erase the individual rels)
+    // round 13 lifted BOTH accessors on unbounded shortestPath (even
+    // unanchored — the closure guard bounds it): n nodes ⇔ n-1 rels
     val un = rows(
       """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
-        |RETURN size([n IN nodes(p) | n.Name]) AS ns, length(p) AS h
+        |RETURN size([n IN nodes(p) | n.Name]) AS ns, length(p) AS h,
+        |       size(relationships(p)) AS rs
         |ORDER BY h, ns""".stripMargin)
-    assert(un.nonEmpty && un.forall(x => x.getInt(0) == x.getLong(1) + 1))
-    intercept[CypherNotSupportedException](rows(
-      """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
-        |RETURN [r IN relationships(p) | r.Since] AS RS""".stripMargin))
+    assert(un.nonEmpty && un.forall(x =>
+      x.getInt(0) == x.getLong(1) + 1 && x.getInt(2) == x.getLong(1)))
     // non-path argument
     intercept[CypherException](rows(
       "MATCH (a:Person) RETURN nodes(a) AS NS"))
@@ -3946,11 +3944,27 @@ class CypherExtensionsSpec extends AnyFunSuite {
         if (x.isNullAt(1)) None else Some(x.getInt(1))))
     assert(r3 == Seq(("Kevin Bacon", Some(1958)),
       ("Meg Ryan", Some(1961)), ("Rob Reiner", None)))
-    // relationships(p) over unbounded ranges stays the typed rejection
-    intercept[CypherNotSupportedException](rows(
+    // relationships(p) rides the same witness machinery: one edge
+    // struct per hop, in path order, pattern-direction aware
+    val r4 = rows(
       """MATCH p = shortestPath((a:Person)-[:KNOWS*]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Kevin Bacon'
+        |RETURN [r IN relationships(p) | r.Since] AS sinces""".stripMargin)
+    assert(r4.map(_.getSeq[Int](0)) == Seq(Seq(2010, 2015)))
+    // `<-` pattern: arrays read in PATTERN order (anti-edge)
+    val r5 = rows(
+      """MATCH p = shortestPath((a:Person)<-[:KNOWS*]-(b:Person))
+        |WHERE a.Name = 'Kevin Bacon' AND b.Name = 'Tom Hanks'
+        |RETURN [n IN nodes(p) | n.Name] AS names,
+        |       [r IN relationships(p) | r.Since] AS sinces""".stripMargin)
+    assert(r5.map(x => (x.getSeq[String](0), x.getSeq[Int](1))) ==
+      Seq((Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"),
+        Seq(2015, 2010))))
+    // allShortestPaths witnesses stay the typed rejection
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = allShortestPaths((a:Person)-[:KNOWS*]->(b:Person))
         |WHERE a.Name = 'Tom Hanks'
-        |RETURN relationships(p) AS rs""".stripMargin))
+        |RETURN nodes(p) AS ns""".stripMargin))
   }
 
   // ------------------------------------------- time-of-day types
