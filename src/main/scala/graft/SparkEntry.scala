@@ -1828,6 +1828,48 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- bounded var-length inside COUNT{} / COLLECT{} (round 13):
+    //     the subquery pattern expands into the ordinary per-length
+    //     branch union (one slim frame per length, UNION ALL before
+    //     the one collect) — COUNT counts PATHS over the branching
+    //     jump DAG, COLLECT pages the ordered target list; DuckDB
+    //     mirrors with an explicit 2-step self-join walk.
+    ("q126_varlen_subquery", cyx(
+      """MATCH (n:Nation)
+        |RETURN n.n_nationkey AS nk,
+        |       COUNT { (n)-[:JUMPS_TO*1..2]->(m:Nation) } AS paths2,
+        |       reduce(s = '', k IN
+        |         COLLECT { (n)-[:JUMPS_TO*1..2]->(m:Nation)
+        |                   RETURN m.n_nationkey
+        |                   ORDER BY m.n_nationkey LIMIT 2 } |
+        |         s + '|' + toString(k)) AS tops
+        |ORDER BY nk""".stripMargin),
+      Some("""WITH s AS (
+             |  SELECT n_nationkey AS k, n_regionkey AS rg,
+             |         row_number() OVER (PARTITION BY n_regionkey
+             |                            ORDER BY n_nationkey) AS rk
+             |  FROM nation),
+             |e AS (SELECT a.k AS src, b.k AS dst
+             |      FROM s a JOIN s b ON b.rg = a.rg
+             |        AND (b.rk = a.rk + 1 OR b.rk = a.rk + 2)),
+             |p AS (SELECT src, dst FROM e
+             |      UNION ALL
+             |      SELECT e1.src, e2.dst FROM e e1
+             |        JOIN e e2 ON e2.src = e1.dst),
+             |r AS (SELECT src, dst, row_number() OVER (
+             |        PARTITION BY src ORDER BY dst) AS rnk FROM p),
+             |agg AS (SELECT src, count(*) AS n FROM p GROUP BY 1),
+             |tops AS (SELECT src, string_agg('|' || CAST(dst AS VARCHAR),
+             |                '' ORDER BY rnk) AS ks
+             |         FROM r WHERE rnk <= 2 GROUP BY 1)
+             |SELECT n.n_nationkey AS nk,
+             |       CAST(coalesce(agg.n, 0) AS INTEGER) AS paths2,
+             |       coalesce(tops.ks, '') AS tops
+             |FROM nation n
+             |LEFT JOIN agg ON agg.src = n.n_nationkey
+             |LEFT JOIN tops ON tops.src = n.n_nationkey
+             |ORDER BY nk""".stripMargin)),
+
     // --- relationships(p) on an unbounded shortestPath (round 13;
     //     completes the accessor pair): the witness hop pairs join
     //     the edge frame once and re-collect in hop order. Over the

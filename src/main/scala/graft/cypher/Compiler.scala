@@ -827,31 +827,64 @@ object Compiler {
     var scope = ctx.scope
     var n = 0
     def lower(pc: PatternComp): Expr = {
-      if (pc.part.rels.exists(_.varLength.isDefined))
-        throw new CypherNotSupportedException(
-          "variable-length relationship inside a pattern comprehension")
+      // bounded var-length inside a comprehension / COUNT{} /
+      // COLLECT{} (round 13): the pattern expands into one fixed
+      // chain per length (the ordinary VarLength branch union, with
+      // hop predicates / QPP groups pre-lowered to filtered synthetic
+      // verbs), each branch compiles to a slim (keys, value) frame,
+      // and the branches UNION ALL before the one collect aggregation
+      // — the same plan shape a top-level bounded var-length gets
+      pc.part.rels.foreach(_.varLength.foreach { case (lo, hi) =>
+        if (hi == Parser.Unbounded)
+          throw new CypherNotSupportedException(
+            "unbounded variable-length inside a pattern " +
+            "comprehension / COUNT{} / COLLECT{} — bound the range " +
+            "[*lo..hi]")
+        if (lo == 0)
+          throw new CypherNotSupportedException(
+            "zero-length variable-length inside a pattern " +
+            "comprehension — [*0..hi] has no per-branch lowering " +
+            "here; use [*1..hi]")
+      })
       val outerNamed = ctx.scope.filter {
         case (a, _) => !a.startsWith("__unnamed_") }
-      val resolved = Analyzer.resolvePart(catalog.graph, outerNamed,
-        Seq(MatchClause(Seq(pc.part), optional = false, where = pc.where)))
-      val sub = compileMatches(None, resolved, catalog)
-      val shared =
-        resolved.flatMap(_.nodeOrder).distinct.filter(outerNamed.contains)
-      val projCol = new ExprCompiler(sub.scope, sub.df).compile(pc.proj)
+      val clause0 =
+        MatchClause(Seq(pc.part), optional = false, where = pc.where)
+      val (clausesH, cat2) = HopPred.rewrite(Seq(clause0), catalog)
+      val (branches, _) = VarLength.expand(clausesH, cat2.graph)
+      val resolvedAll = branches.map(b =>
+        Analyzer.resolvePart(cat2.graph, outerNamed, b))
+      val shared = resolvedAll.head.flatMap(_.nodeOrder).distinct
+        .filter(outerNamed.contains)
       val tmp = s"__pc_$n"; n += 1
       if (shared.isEmpty)
         throw new CypherNotSupportedException(
           "pattern comprehension must share at least one node variable " +
           "with the outer scope (an uncorrelated one collects the " +
           "whole match set per row)")
+      // a shared alias in nodeOrder is a node in the branch; the
+      // OUTER binding must be a node too
       val keys = shared.map { a =>
-        (outerNamed(a), sub.scope(a)) match {
-          case (NodeBinding(n1), NodeBinding(_)) => pref(a, n1.idColumn)
+        outerNamed(a) match {
+          case NodeBinding(n1) => pref(a, n1.idColumn)
           case _ => throw new CypherBindingException(
             s"pattern comprehension shares alias '$a' which is not a " +
             "node variable")
         }
       }
+      // one slim frame per branch: correlation keys (+ sort columns
+      // when ordering) + the projected value, then UNION ALL
+      def branchFrame(rs: Seq[Analyzer.ResolvedMatch]): DataFrame = {
+        val sub = compileMatches(None, rs, cat2)
+        val ec2 = new ExprCompiler(sub.scope, sub.df)
+        val sortTmp =
+          if (pc.distinct) Seq.empty
+          else pc.ordering.zipWithIndex.map { case (s, si) =>
+            ec2.compile(s.expr).as(s"__pcs_$si") }
+        sub.df.select((keys.map(col) ++ sortTmp) :+
+          ec2.compile(pc.proj).as("__pcv"): _*)
+      }
+      val unioned = resolvedAll.map(branchFrame).reduce(_ unionByName _)
       // COLLECT { … RETURN [DISTINCT] x [ORDER BY …] [SKIP/LIMIT] }
       // (round 13): DISTINCT dedups (key, value) rows BEFORE ordering
       // (the parser pins ORDER BY to the RETURN expression there);
@@ -863,21 +896,15 @@ object Compiler {
       // order is not deterministic on its own).
       val grouped =
         if (pc.ordering.isEmpty && !pc.distinct)
-          sub.df
+          unioned
             .groupBy(keys.map(k => col(k).as(s"__pck_$k")): _*)
-            .agg(collect_list(projCol).as(tmp))
+            .agg(collect_list(col("__pcv")).as(tmp))
         else {
-          val sortTmp = pc.ordering.zipWithIndex.map { case (s, i) =>
-            new ExprCompiler(sub.scope, sub.df).compile(s.expr)
-              .as(s"__pcs_$i") }
           var s2 =
             if (pc.distinct)
               // dedup on (keys, value); ordering re-reads the value
-              sub.df.select(keys.map(col) :+ projCol.as("__pcv"): _*)
-                .distinct()
-            else
-              sub.df.select(
-                (keys.map(col) ++ sortTmp) :+ projCol.as("__pcv"): _*)
+              unioned.distinct()
+            else unioned
           if (pc.ordering.nonEmpty) {
             val sortCols = pc.ordering.zipWithIndex.map { case (s, i) =>
               val c0 = if (pc.distinct) col("__pcv") else col(s"__pcs_$i")

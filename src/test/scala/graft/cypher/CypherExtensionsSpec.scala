@@ -855,6 +855,52 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN [(p)-[:ACTED_IN]->(m:Movie) | m.Title] AS t""".stripMargin))
   }
 
+  test("var-length inside comprehensions / COUNT{} / COLLECT{} (round 13)") {
+    // pattern comprehension over a bounded range: one value per PATH
+    // (multiset semantics — the 2-hop chain re-reaches p3's targets)
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN [(p)-[:KNOWS*1..2]->(q:Person) | q.Name] AS ns"""
+        .stripMargin).head.getSeq[String](0).sorted
+    assert(r == Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner"))
+    // COUNT{} counts paths, not endpoints
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COUNT { (p)-[:KNOWS*1..3]->(q:Person) } AS c""".stripMargin)
+    assert(r2.head.getInt(0) == 4) // p2, p4(shortcut), p2→p3, p2→p3→p4
+    // per-hop predicates compose (the 1999 shortcut drops out)
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COUNT { (p)-[k:KNOWS*1..3 WHERE k.Since >= 2010]
+        |               ->(q:Person) } AS c""".stripMargin)
+    assert(r3.head.getInt(0) == 3)
+    // COLLECT{} ordering/paging runs over the branch union
+    val r4 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COLLECT { (p)-[:KNOWS*1..3]->(q:Person)
+        |                 RETURN q.Name ORDER BY q.Name LIMIT 2 } AS ns"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r4 == Seq("Kevin Bacon", "Meg Ryan"))
+    // EXISTS as a projection expression
+    val r5 = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS nm,
+        |       EXISTS { (p)-[:KNOWS*2..2]->(q:Person) } AS two
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getBoolean(1)))
+    assert(r5.toMap == Map("Tom Hanks" -> true, "Meg Ryan" -> true,
+      "Kevin Bacon" -> false, "Rob Reiner" -> false,
+      "Jessica Thompson" -> false))
+    // unbounded and zero-length stay typed here
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |RETURN COUNT { (p)-[:KNOWS*1..]->(q:Person) } AS c""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person)
+        |RETURN [(p)-[:KNOWS*0..2]->(q:Person) | q.Name] AS ns"""
+        .stripMargin))
+  }
+
   // --------------------------------------------------------- map literals
 
   test("map literals build structs; dot access reads fields back") {
