@@ -1828,6 +1828,23 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- label predicate n:Label as a boolean expression (round 13;
+    //     Neo4j's everyday WHERE idiom): static-schema lowering — the
+    //     node's own label folds true, a declared sub-label becomes
+    //     its discriminator equality (pushed to the scan), a foreign
+    //     label folds false; mirrored by plain predicates.
+    ("q127_label_pred", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c:BuildingCustomer AND NOT c:MachineryCustomer
+        |RETURN n.n_name AS nation, count(*) AS n_bldg,
+        |       count(CASE WHEN c:Customer THEN 1 END) AS n_all
+        |ORDER BY nation""".stripMargin),
+      Some("""SELECT n_name AS nation, count(*) AS n_bldg,
+             |       count(*) AS n_all
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |GROUP BY 1 ORDER BY nation""".stripMargin)),
+
     // --- bounded var-length inside COUNT{} / COLLECT{} (round 13):
     //     the subquery pattern expands into the ordinary per-length
     //     branch union (one slim frame per length, UNION ALL before

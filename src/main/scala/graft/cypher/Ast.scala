@@ -21,6 +21,16 @@ object ast {
   /** `alias` or `alias.prop`; prop=None means a bare entity/value ref. */
   final case class Ref(alias: String, prop: Option[String]) extends Expr
 
+  /** Label predicate `n:Label[:Label2 …]` as a boolean expression
+   *  (round 13, extension; Neo4j's everyday WHERE idiom). Lowered
+   *  against the STATIC schema: the node's own label folds to true, a
+   *  declared sub-label becomes its discriminator equality, any other
+   *  label folds to false (a row of one table can never carry another
+   *  table's label — Neo4j's dynamic check, decided at compile time).
+   *  Multiple labels conjoin. */
+  final case class HasLabel(alias: String, labels: Seq[String])
+    extends Expr
+
   sealed trait BinOp
   object BinOp {
     case object Add extends BinOp;  case object Sub extends BinOp

@@ -1391,6 +1391,7 @@ object Compiler {
     case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
     case MapProjection(al, fs, _) =>
       al == a || fs.exists { case (_, v) => refersTo(v, a) }
+    case HasLabel(al, _) => al == a
     case _ => false
   }
 

@@ -174,6 +174,29 @@ final class ExprCompiler(
         case _ => lambdaCols(a).getField(p)
       }
     case Ref(a, Some(p)) => colOf(a, p)
+
+    // label predicate (round 13): static-schema decision — own label
+    // true, declared sub-label = discriminator equality, anything
+    // else false (one table's row never carries another's label)
+    case HasLabel(a, labels) =>
+      scope.get(a) match {
+        case Some(NodeBinding(nd)) =>
+          labels.map { l =>
+            if (l == nd.label) lit(true)
+            else nd.subLabels.get(l) match {
+              case Some((prop, v)) =>
+                col(pref(physAlias(a), prop)) === lit(v)
+              case None => lit(false)
+            }
+          }.reduce(_ && _)
+        case Some(EdgeBinding(_)) => throw new CypherBindingException(
+          s"label predicate on relationship '$a' — relationships have " +
+          "a type, compare type($a)")
+        case Some(_) => throw new CypherBindingException(
+          s"label predicate on '$a', which is not a node variable")
+        case None =>
+          throw new CypherBindingException(s"unknown variable '$a'")
+      }
     case Ref(a, None) if lambdaCols.contains(a) => lambdaCols(a)
     case Ref(a, None) =>
       aliasCols.get(a).map(col).getOrElse {

@@ -1997,6 +1997,19 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             syntaxErr(s"empty map projection '$id { }'")
           MapProjection(id, fs, star)
         case Punct("(", _) => parseCall(id)
+        // label predicate `n:Label[:Label2]` as a boolean expression
+        // (round 13; Neo4j's everyday WHERE idiom, extension)
+        case Punct(":", _) =>
+          if (!extensions)
+            notSupported("label predicate n:Label in an expression " +
+              "(supported with extensions enabled)")
+          p += 1 // the ident
+          val ls = Vector.newBuilder[String]
+          while (tryPunct(":")) ls += name()
+          val labels = ls.result()
+          if (labels.isEmpty)
+            syntaxErr("expected a label after ':'")
+          HasLabel(id, labels)
         case Punct(".", _) =>
           p += 2
           val prop = name()

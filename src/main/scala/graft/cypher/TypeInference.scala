@@ -136,6 +136,9 @@ final class TypeInference(refType: Ref => Option[DataType],
       }
     case r: Ref => refType(r)
 
+    // label predicate (round 13): always boolean
+    case HasLabel(_, _) => Some(BooleanType)
+
     case Not(x) =>
       requireBoolean(infer(x), "NOT"); Some(BooleanType)
     case Neg(x) =>

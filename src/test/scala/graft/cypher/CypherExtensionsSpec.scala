@@ -901,6 +901,39 @@ class CypherExtensionsSpec extends AnyFunSuite {
         .stripMargin))
   }
 
+  test("label predicate n:Label as a boolean expression (round 13)") {
+    // declared sub-label -> discriminator equality
+    val r = rows(
+      """MATCH (p:Person) WHERE p:Boomer
+        |RETURN p.Name AS nm""".stripMargin).map(_.getString(0))
+    assert(r == Seq("Tom Hanks"))
+    // own label folds true, a foreign label folds false; conjunction
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Meg Ryan'
+        |RETURN p:Person AS a, p:Movie AS b, p:Sixties AS c,
+        |       p:Person:Sixties AS d, NOT p:Boomer AS e""".stripMargin)
+      .head
+    assert(r2.getBoolean(0) && !r2.getBoolean(1) && r2.getBoolean(2) &&
+      r2.getBoolean(3) && r2.getBoolean(4))
+    // composes under OR / CASE like any boolean
+    val r3 = rows(
+      """MATCH (p:Person)
+        |WHERE p:Boomer OR p:Sixties
+        |RETURN p.Name AS nm ORDER BY nm""".stripMargin).map(_.getString(0))
+    assert(r3 == Seq("Meg Ryan", "Tom Hanks"))
+    // typed rejections: relationship, value, unknown variable; parity
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person)-[k:KNOWS]->(b:Person)
+        |WHERE k:KNOWS RETURN a.Name AS nm""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "WITH 1 AS v RETURN v:Person AS x"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) WHERE q:Boomer RETURN p.Name AS nm"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) WHERE p:Boomer RETURN p.Name AS nm"))
+  }
+
   // --------------------------------------------------------- map literals
 
   test("map literals build structs; dot access reads fields back") {
