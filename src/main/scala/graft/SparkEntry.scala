@@ -1828,6 +1828,27 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- bare pattern predicate + multi-value simple CASE (round 13;
+    //     two everyday Neo4j idioms): `WHERE (c)-[:R]->(:L {…})`
+    //     desugars to the EXISTS semi-join machinery (backtracked
+    //     against parenthesized arithmetic), and `CASE x WHEN a, b
+    //     THEN` OR-joins the equality matches.
+    ("q128_bare_pattern_pred", cyx(
+      """MATCH (c:Customer)
+        |WHERE (c)-[:PLACED]->(:Order {o_orderpriority: '1-URGENT'})
+        |RETURN CASE c.c_mktsegment WHEN 'BUILDING', 'MACHINERY'
+        |         THEN 'industrial' ELSE 'other' END AS seg,
+        |       count(*) AS n
+        |ORDER BY seg""".stripMargin),
+      Some("""SELECT CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |         THEN 'industrial' ELSE 'other' END AS seg,
+             |       count(*) AS n
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |  WHERE o_custkey = c_custkey
+             |    AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY seg""".stripMargin)),
+
     // --- label predicate n:Label as a boolean expression (round 13;
     //     Neo4j's everyday WHERE idiom): static-schema lowering — the
     //     node's own label folds true, a declared sub-label becomes

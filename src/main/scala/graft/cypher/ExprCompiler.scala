@@ -846,8 +846,16 @@ final class ExprCompiler(
             s"${f.name}() expects a named-path variable")
         }
       case "keys" =>
-        val (_, b) = entityArg(f, "keys")
-        array(Compiler.entityCols(b).map(lit): _*)
+        // entity → declared columns; struct-typed VALUE (map literal,
+        // properties(), map projection) → its field names (round 13)
+        arity(1)
+        typeOf(f.args.head) match {
+          case Some(StructType(fs2)) =>
+            array(fs2.map(f2 => lit(f2.name)): _*)
+          case _ =>
+            val (_, b) = entityArg(f, "keys")
+            array(Compiler.entityCols(b).map(lit): _*)
+        }
       case "properties" =>
         val (al, b) = entityArg(f, "properties")
         struct(Compiler.entityCols(b).map(c =>

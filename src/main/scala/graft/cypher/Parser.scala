@@ -1764,6 +1764,27 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         (if (Set("ANY", "NONE", "SINGLE", "EXISTS")(k))
            " (supported with extensions enabled)" else ""))
     case Punct("(", _) =>
+      // bare pattern predicate `(a)-[:R]->(b)` in a boolean position
+      // (round 13; Neo4j's EXISTS-less existential idiom, extension):
+      // backtracking attempt — a parenthesized pattern with ≥ 1 rel
+      // desugars to the EXISTS machinery; anything else (including a
+      // plain `(expr)`) rolls back to the ordinary grouped expression
+      if (extensions) {
+        val save = p
+        val m0 = pcMark()
+        val pmSave = pmN
+        def rollback(): None.type = { p = save; pcDrain(m0); pmN = pmSave; None }
+        val attempt: Option[Expr] =
+          try {
+            val part = parsePatternPart()
+            if (part.rels.isEmpty) rollback()
+            else Some(ExistsPat(Seq(part), andAll(None, pcDrain(m0))))
+          } catch { case _: CypherException => rollback() }
+        attempt match {
+          case Some(e) => return e
+          case None =>
+        }
+      }
       p += 1
       val e = parseExpr()
       eatPunct(")")
@@ -2210,7 +2231,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     while (tryKw("WHEN")) {
       val c = parseExpr()
       val cond = operand match {
-        case Some(x) => Bin(BinOp.Eq, x, c)
+        case Some(x) =>
+          // multi-value WHEN (round 13; Neo4j `WHEN v1, v2 THEN`):
+          // each value equality-matches the operand, OR-joined
+          val vs = Vector.newBuilder[Expr]
+          vs += c
+          while (tryPunct(",")) vs += parseExpr()
+          vs.result().map(v => Bin(BinOp.Eq, x, v): Expr)
+            .reduce(Bin(BinOp.Or, _, _))
         case None => c
       }
       eatKw("THEN")

@@ -934,6 +934,43 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) WHERE p:Boomer RETURN p.Name AS nm"))
   }
 
+  test("bare pattern predicate, multi-value WHEN, keys(map) (round 13)") {
+    // EXISTS-less existential: Neo4j's everyday WHERE idiom
+    val r = rows(
+      """MATCH (p:Person) WHERE (p)-[:DIRECTED]->(:Movie)
+        |RETURN p.Name AS nm""".stripMargin).map(_.getString(0))
+    assert(r == Seq("Rob Reiner"))
+    // NOT form + inline property map on the pattern
+    val r2 = rows(
+      """MATCH (p:Person)
+        |WHERE NOT (p)-[:ACTED_IN]->(:Movie) AND
+        |      NOT (p)-[:DIRECTED]->(:Movie)
+        |RETURN p.Name AS nm ORDER BY nm""".stripMargin).map(_.getString(0))
+    assert(r2 == Seq("Jessica Thompson"))
+    val r3 = rows(
+      """MATCH (p:Person)
+        |WHERE (p)-[:ACTED_IN]->(:Movie {Title: 'Apollo 13'})
+        |RETURN p.Name AS nm ORDER BY nm""".stripMargin).map(_.getString(0))
+    assert(r3 == Seq("Kevin Bacon", "Tom Hanks"))
+    // plain parenthesized arithmetic still backtracks cleanly
+    val r4 = rows("RETURN (1)-(2) AS d, ((3)) * 2 AS m").head
+    assert(r4.getInt(0) == -1 && r4.getInt(1) == 6)
+    // simple CASE with multi-value WHEN
+    val r5 = rows(
+      """MATCH (p:Person)
+        |RETURN CASE p.Name WHEN 'Tom Hanks', 'Meg Ryan' THEN 'star'
+        |       ELSE 'other' END AS k, count(*) AS n ORDER BY k"""
+        .stripMargin).map(x => (x.getString(0), x.getLong(1)))
+    assert(r5 == Seq(("other", 3L), ("star", 2L)))
+    // keys() over map values and map projections
+    val r6 = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH m {.Title, .Released} AS mp, {x: 1, y: 2} AS lit
+        |RETURN keys(mp) AS a, keys(lit) AS b""".stripMargin).head
+    assert(r6.getSeq[String](0) == Seq("Title", "Released"))
+    assert(r6.getSeq[String](1) == Seq("x", "y"))
+  }
+
   // --------------------------------------------------------- map literals
 
   test("map literals build structs; dot access reads fields back") {
