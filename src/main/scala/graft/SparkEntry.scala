@@ -1828,6 +1828,21 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- map subscript m['key'] (round 13; literal keys read struct
+    //     fields — static schema, so the lookup compiles to a plain
+    //     column read, no runtime dispatch)
+    ("q129_map_subscript", cyx(
+      """MATCH (c:Customer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9990
+        |WITH c {.c_name, .c_acctbal} AS m, n.n_name AS nat
+        |RETURN m['c_name'] AS name, nat,
+        |       m['c_acctbal'] * 2 AS db
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name, n_name AS nat,
+             |       c_acctbal * 2 AS db
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > 9990 ORDER BY 1""".stripMargin)),
+
     // --- bare pattern predicate + multi-value simple CASE (round 13;
     //     two everyday Neo4j idioms): `WHERE (c)-[:R]->(:L {…})`
     //     desugars to the EXISTS semi-join machinery (backtracked

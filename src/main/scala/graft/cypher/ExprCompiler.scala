@@ -346,6 +346,27 @@ final class ExprCompiler(
 
     case ListIndex(l, from, to, isSlice) =>
       val lc = compile(l)
+      // map subscript m['key'] (round 13; Neo4j): a struct-typed
+      // operand with a LITERAL string key reads the field (unknown
+      // key / dynamic key / slice stay typed — struct fields are
+      // static schema, not runtime lookups)
+      typeOf(l) match {
+        case Some(StructType(fs2)) =>
+          if (isSlice) throw new CypherTypeException(
+            "slice on a map — maps subscript by key: m['key']")
+          from.get match {
+            case Lit(k: String) =>
+              if (!fs2.exists(_.name == k))
+                throw new CypherBindingException(
+                  s"map has no key '$k' (keys: " +
+                  fs2.map(_.name).mkString(", ") + ")")
+              return lc.getField(k)
+            case _ => throw new CypherNotSupportedException(
+              "map subscript requires a literal string key — struct " +
+              "fields are static schema, not runtime lookups")
+          }
+        case _ =>
+      }
       if (!isSlice) {
         // 0-based; negative = from the end; out of range → null (get()
         // is the total accessor — element_at would throw under ANSI)

@@ -212,8 +212,19 @@ final class TypeInference(refType: Ref => Option[DataType],
       initT
     case ListIndex(l, from, to, isSlice) =>
       val lt = infer(l)
+      // map subscript m['key'] (round 13): struct operand + literal
+      // string key → the field's type (the compiler validates the key)
+      lt match {
+        case Some(StructType(fs)) if !isSlice =>
+          return from match {
+            case Some(Lit(k: String)) => fs.find(_.name == k).map(_.dataType)
+            case _ => None // compiler raises the typed rejection
+          }
+        case _ =>
+      }
       lt.foreach {
         case ArrayType(_, _) =>
+        case _: StructType =>
         case other => fail(s"index/slice requires a list, got ${other.simpleString}")
       }
       from.foreach(x => requireNumeric(infer(x), "list index"))

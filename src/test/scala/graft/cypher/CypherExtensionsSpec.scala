@@ -969,6 +969,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN keys(mp) AS a, keys(lit) AS b""".stripMargin).head
     assert(r6.getSeq[String](0) == Seq("Title", "Released"))
     assert(r6.getSeq[String](1) == Seq("x", "y"))
+    // map subscript by literal string key (round 13)
+    val r7 = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |WITH m {.Title, .Released} AS mp
+        |RETURN mp['Title'] AS t, mp['Released'] + 1 AS y""".stripMargin)
+      .head
+    assert(r7.getString(0) == "Apollo 13" && r7.getInt(1) == 1996)
+    // unknown key / dynamic key / slice stay typed
+    intercept[CypherBindingException](rows(
+      "WITH {a: 1} AS m RETURN m['nope'] AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "WITH {a: 1} AS m, 'a' AS k RETURN m[k] AS x"))
+    intercept[CypherTypeException](rows(
+      "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
   // --------------------------------------------------------- map literals
