@@ -439,6 +439,19 @@ object Compiler {
             case Right(dcol) => col(dcol)
             case Left(n)     => lit(n.toLong)
           })
+          // unbounded-shortestPath witnesses (round 13): same
+          // read-face copy as the non-optional branch — the arrays
+          // null-fill through the left join like every optional column
+          len match {
+            case Right(dcol) =>
+              val base = dcol.stripSuffix("__dist")
+              Seq("__nodes", "__rels").foreach { w =>
+                if (optFiltered.columns.contains(base + w))
+                  optFiltered = optFiltered
+                    .withColumn(pref(a, w), col(base + w))
+              }
+            case _ =>
+          }
         }
         locally {
           val (withFaces, outerFaces) =

@@ -4095,6 +4095,16 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH p = allShortestPaths((a:Person)-[:KNOWS*]->(b:Person))
         |WHERE a.Name = 'Tom Hanks'
         |RETURN nodes(p) AS ns""".stripMargin))
+    // OPTIONAL MATCH: witness arrays null-fill on the miss
+    val r6 = rows(
+      """MATCH (a:Person) WHERE a.Name IN ['Tom Hanks', 'Rob Reiner']
+        |OPTIONAL MATCH p = shortestPath((a)-[:KNOWS*]->(b:Person))
+        |RETURN a.Name AS nm, length(p) AS h,
+        |       [n IN nodes(p) | n.Name] AS ns
+        |ORDER BY nm, h""".stripMargin)
+    val rob = r6.filter(_.getString(0) == "Rob Reiner")
+    assert(rob.size == 1 && rob.head.isNullAt(1) && rob.head.isNullAt(2))
+    assert(r6.count(_.getString(0) == "Tom Hanks") == 3)
   }
 
   // ------------------------------------------- time-of-day types
