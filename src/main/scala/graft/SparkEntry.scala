@@ -1828,6 +1828,19 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- || concatenation (round 13; Cypher 5 / GQL): strings and
+    //     lists, null-propagating, mirrored by DuckDB's own ||
+    ("q130_pipe_concat", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 100
+        |RETURN c.c_name || '/' || c.c_mktsegment AS tag,
+        |       size(split(c.c_name, '0') || [c.c_mktsegment]) AS n
+        |ORDER BY tag""".stripMargin),
+      Some("""SELECT c_name || '/' || c_mktsegment AS tag,
+             |       CAST(len(string_split(c_name, '0')) + 1 AS INTEGER)
+             |         AS n
+             |FROM customer WHERE c_custkey <= 100
+             |ORDER BY tag""".stripMargin)),
+
     // --- map subscript m['key'] (round 13; literal keys read struct
     //     fields — static schema, so the lookup compiles to a plain
     //     column read, no runtime dispatch)

@@ -543,14 +543,30 @@ final class ExprCompiler(
       // try_cast, not cast: Cypher yields null on a failed conversion
       // (the reference wraps CAST in null-preserve, SQLRenderer.cs:
       // 317-336); ANSI-mode Spark cast would throw instead
-      case "tofloat"   => arity(1); a0.try_cast(DoubleType)
+      // the Neo4j 5 `…OrNull` spellings alias the plain casts —
+      // try_cast already nulls on failure (round 13)
+      case "tofloat" | "tofloatornull" =>
+        arity(1); a0.try_cast(DoubleType)
       case "todouble"  => arity(1); a0.try_cast(DoubleType)
-      case "tostring"  => arity(1); a0.try_cast(StringType)
-      case "toboolean" => arity(1); a0.try_cast(BooleanType)
+      case "tostring" | "tostringornull" =>
+        arity(1); a0.try_cast(StringType)
+      case "toboolean" | "tobooleanornull" =>
+        arity(1); a0.try_cast(BooleanType)
       // openCypher toInteger is 64-bit — a 32-bit mapping would turn
       // legal big values into silent try_cast nulls
-      case "tointeger" => arity(1); a0.try_cast(LongType)
+      case "tointeger" | "tointegerornull" =>
+        arity(1); a0.try_cast(LongType)
       case "tolong"    => arity(1); a0.try_cast(LongType)
+      // `a || b` (round 13; Cypher 5 / GQL concatenation): lists
+      // concatenate, anything else concatenates as strings —
+      // null-propagating either way (Spark concat)
+      case "__pipeconcat" =>
+        // list literals type as None statically — recognize them
+        // syntactically so [..] || [..] concatenates arrays
+        def isList(e2: Expr): Boolean = e2.isInstanceOf[ast.ListLit] ||
+          typeOf(e2).exists(_.isInstanceOf[ArrayType])
+        if (isList(f.args(0)) || isList(f.args(1))) concat(a0, a1)
+        else concat(a0.cast(StringType), a1.cast(StringType))
       case "not"       => arity(1); !a0
       case "startswith" => arity(2); a0.startsWith(a1)
       case "endswith"   => arity(2); a0.endsWith(a1)

@@ -1612,11 +1612,25 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   }
 
   private def parseAddSub(): Expr = {
+    // `a || b` (round 13; Cypher 5 / GQL concatenation): two ADJACENT
+    // '|' tokens — a single '|' stays the comprehension / alternation
+    // separator of the enclosing construct
+    def isConcat: Boolean = (cur, peek1) match {
+      case (Punct("|", p0), Punct("|", p1)) => p1 == p0 + 1
+      case _ => false
+    }
     var l = parseMulDiv()
     var go = true
     while (go) {
       if (tryPunct("+")) l = Bin(BinOp.Add, l, parseMulDiv())
       else if (tryPunct("-")) l = Bin(BinOp.Sub, l, parseMulDiv())
+      else if (isConcat) {
+        if (!extensions)
+          notSupported("|| concatenation " +
+            "(supported with extensions enabled)")
+        p += 2
+        l = Func("__pipeconcat", Seq(l, parseMulDiv()))
+      }
       else go = false
     }
     l

@@ -366,10 +366,40 @@ final class TypeInference(refType: Ref => Option[DataType],
     def t(i: Int): Option[DataType] =
       if (f.args.isDefinedAt(i)) infer(f.args(i)) else None
     f.name match {
-      case "tofloat" | "todouble" => t(0); Some(DoubleType)
-      case "tostring"             => t(0); Some(StringType)
-      case "toboolean"            => t(0); Some(BooleanType)
-      case "tointeger" | "tolong" => t(0); Some(LongType)
+      case "tofloat" | "todouble" | "tofloatornull" =>
+        t(0); Some(DoubleType)
+      case "tostring" | "tostringornull" => t(0); Some(StringType)
+      case "toboolean" | "tobooleanornull" => t(0); Some(BooleanType)
+      case "tointeger" | "tolong" | "tointegerornull" =>
+        t(0); Some(LongType)
+      // `a || b` (round 13): list ++ list, or string concat; two
+      // known non-string scalars are a typed error. List LITERALS
+      // type as None, so recognize them syntactically (the result
+      // then stays permissively None — the compiler still emits the
+      // array concat).
+      case "__pipeconcat" =>
+        val (a2, b2) = (t(0), t(1))
+        val listy = f.args.exists(_.isInstanceOf[ListLit]) ||
+          a2.exists(_.isInstanceOf[ArrayType]) ||
+          b2.exists(_.isInstanceOf[ArrayType])
+        def litArr(e2: Expr): Option[DataType] = e2 match {
+          case ListLit(items) if items.nonEmpty =>
+            val ts = items.map(infer)
+            if (ts.forall(_ == ts.head)) ts.head.map(ArrayType(_))
+            else None
+          case _ => None
+        }
+        if (listy)
+          a2.collect { case x: ArrayType => (x: DataType) }
+            .orElse(b2.collect { case x: ArrayType => (x: DataType) })
+            .orElse(litArr(f.args(0))).orElse(litArr(f.args(1)))
+        else (a2, b2) match {
+          case (Some(x), Some(y))
+              if x != StringType && y != StringType =>
+            fail("|| concatenates strings and lists, got " +
+              s"${x.simpleString} and ${y.simpleString}")
+          case _ => Some(StringType)
+        }
       case "not" => requireBoolean(t(0), "not()"); Some(BooleanType)
       case "startswith" | "endswith" | "contains" =>
         requireString(t(0), f.name); requireString(t(1), f.name)

@@ -985,6 +985,30 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
+  test("|| concatenation and …OrNull casts (round 13)") {
+    val r = rows(
+      """RETURN 'a' || 'b' || 'c' AS s, [1, 2] || [3] AS l,
+        |       size([1] || [2, 3]) AS n, 'x' || 1 AS m,
+        |       null || 'y' AS np,
+        |       toIntegerOrNull('zz') AS i0, toIntegerOrNull('7') AS i7,
+        |       toFloatOrNull('1.5') AS f, toBooleanOrNull('true') AS b,
+        |       toStringOrNull(42) AS t""".stripMargin).head
+    assert(r.getString(0) == "abc")
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getInt(2) == 3)
+    assert(r.getString(3) == "x1")
+    assert(r.isNullAt(4)) // null-propagating
+    assert(r.isNullAt(5) && r.getLong(6) == 7L)
+    assert(r.getDouble(7) == 1.5 && r.getBoolean(8))
+    assert(r.getString(9) == "42")
+    // the single '|' stays the comprehension separator
+    val r2 = rows(
+      "RETURN [x IN [1, 2, 3] WHERE x > 1 | x * 10] AS xs").head
+    assert(r2.getSeq[Int](0) == Seq(20, 30))
+    // two known non-string scalars are a typed error
+    intercept[CypherTypeException](rows("RETURN 1 || 2 AS x"))
+  }
+
   // --------------------------------------------------------- map literals
 
   test("map literals build structs; dot access reads fields back") {
