@@ -1828,6 +1828,24 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- IS :: type predicate + interval scaling (round 13; Cypher 5
+    //     / GQL): the type check folds to a constant per expression
+    //     against the static schema (null rows read true); duration *
+    //     n lowers to Spark's native interval multiply and composes
+    //     with temporal arithmetic.
+    ("q131_type_pred_scale", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 50
+        |RETURN o.o_orderkey AS ok,
+        |       o.o_orderdate + duration('PT12H') * 3 AS shifted,
+        |       o.o_totalprice IS :: FLOAT AS isf,
+        |       o.o_orderstatus IS NOT :: INTEGER AS notint
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |       o_orderdate + INTERVAL '36' HOUR AS shifted,
+             |       TRUE AS isf, TRUE AS notint
+             |FROM orders WHERE o_orderkey <= 50
+             |ORDER BY ok""".stripMargin)),
+
     // --- || concatenation (round 13; Cypher 5 / GQL): strings and
     //     lists, null-propagating, mirrored by DuckDB's own ||
     ("q130_pipe_concat", cyx(

@@ -21,6 +21,15 @@ object ast {
   /** `alias` or `alias.prop`; prop=None means a bare entity/value ref. */
   final case class Ref(alias: String, prop: Option[String]) extends Expr
 
+  /** Type predicate `x IS [NOT] :: TYPE` (round 13, extension;
+   *  Cypher 5 / GQL). Decided against the STATIC column type — the
+   *  engine's values are schema-typed, so the check folds to a
+   *  constant per expression, except the null row: a NULL conforms to
+   *  every type, so both the positive and negated forms read true on
+   *  null (Neo4j's contract). */
+  final case class TypeIs(expr: Expr, neg: Boolean, tpe: String)
+    extends Expr
+
   /** Label predicate `n:Label[:Label2 …]` as a boolean expression
    *  (round 13, extension; Neo4j's everyday WHERE idiom). Lowered
    *  against the STATIC schema: the node's own label folds to true, a

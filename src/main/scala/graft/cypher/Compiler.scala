@@ -552,6 +552,7 @@ object Compiler {
     case MapLit(fs) => fs.exists(f => containsPatternComp(f._2))
     case MapProjection(_, fs, _) =>
       fs.exists(f => containsPatternComp(f._2))
+    case TypeIs(x, _, _) => containsPatternComp(x)
     case ListComp(_, l, w, m) =>
       containsPatternComp(l) || w.exists(containsPatternComp) ||
         m.exists(containsPatternComp)
@@ -582,6 +583,7 @@ object Compiler {
     case MapLit(fs) => fs.exists(f => containsExistsPat(f._2))
     case MapProjection(_, fs, _) =>
       fs.exists(f => containsExistsPat(f._2))
+    case TypeIs(x, _, _) => containsExistsPat(x)
     case ListComp(_, l, w, m) =>
       containsExistsPat(l) || w.exists(containsExistsPat) ||
         m.exists(containsExistsPat)
@@ -764,6 +766,7 @@ object Compiler {
     case ListLit(items) => items.exists(containsAgg)
     case MapLit(fs) => fs.exists(f => containsAgg(f._2))
     case MapProjection(_, fs, _) => fs.exists(f => containsAgg(f._2))
+    case TypeIs(x, _, _) => containsAgg(x)
     // lambda BODIES can't aggregate (no rows in scope there — the parser
     // rejects nested aggregates anyway), but the list operand can be an
     // aggregate: `[y IN collect(x) | …]` must be seen as an agg item
@@ -973,6 +976,7 @@ object Compiler {
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, rewrite(v)) })
       case MapProjection(a, fs, st) =>
         MapProjection(a, fs.map { case (k, v) => (k, rewrite(v)) }, st)
+      case TypeIs(x, ng, tn) => TypeIs(rewrite(x), ng, tn)
       case ListComp(v, l, w, m) =>
         ListComp(v, rewrite(l), w.map(rewrite), m.map(rewrite))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, rewrite(l), rewrite(pr))
@@ -1023,6 +1027,7 @@ object Compiler {
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, delist(v)) })
       case MapProjection(a, fs, st) =>
         MapProjection(a, fs.map { case (k, v) => (k, delist(v)) }, st)
+      case TypeIs(x, ng, tn) => TypeIs(delist(x), ng, tn)
       case ListComp(v, l, w, m) =>
         ListComp(v, delist(l), w.map(delist), m.map(delist))
       case QuantPred(k, v, l, pr) => QuantPred(k, v, delist(l), delist(pr))
@@ -1405,6 +1410,7 @@ object Compiler {
     case MapProjection(al, fs, _) =>
       al == a || fs.exists { case (_, v) => refersTo(v, a) }
     case HasLabel(al, _) => al == a
+    case TypeIs(x, _, _) => refersTo(x, a)
     case _ => false
   }
 

@@ -175,6 +175,44 @@ final class ExprCompiler(
       }
     case Ref(a, Some(p)) => colOf(a, p)
 
+    // type predicate (round 13): decided against the static column
+    // type; a NULL value conforms to every type (both forms true)
+    case TypeIs(Lit(null), _, _) => lit(true) // null conforms to all
+    case TypeIs(x, neg, tn) =>
+      // list/map literals type permissively — recognize syntactically
+      val dt = typeOf(x)
+        .orElse(x match {
+          case _: ListLit => Some(ArrayType(NullType))
+          case _: MapLit | _: MapProjection => Some(StructType(Nil))
+          case _ => None
+        })
+        .getOrElse(throw new CypherTypeException(
+          s"IS :: $tn on an expression whose type cannot be inferred " +
+          "statically"))
+      def m(t: DataType): Boolean = tn match {
+        case "INTEGER" => t match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+        case "FLOAT" => t == DoubleType || t == FloatType ||
+          t.isInstanceOf[DecimalType]
+        case "STRING"  => t == StringType
+        case "BOOLEAN" => t == BooleanType
+        case "DATE"    => t == DateType
+        case "DATETIME" | "LOCALDATETIME" | "TIMESTAMP" =>
+          t == TimestampType || t == TimestampNTZType
+        // the engine lowers time-of-day AND duration to intervals —
+        // the three names are indistinguishable at the storage level
+        case "DURATION" | "TIME" | "LOCALTIME" =>
+          t.isInstanceOf[DayTimeIntervalType] ||
+            t.isInstanceOf[YearMonthIntervalType]
+        case "LIST" => t.isInstanceOf[ArrayType]
+        case "MAP"  => t.isInstanceOf[StructType]
+        case "ANY"  => true
+      }
+      val c2 = build(x)
+      when(c2.isNull, lit(true)).otherwise(lit(m(dt) ^ neg))
+
     // label predicate (round 13): static-schema decision — own label
     // true, declared sub-label = discriminator equality, anything
     // else false (one table's row never carries another's label)

@@ -1672,8 +1672,25 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       else if (isKw("IS")) {
         p += 1
         val not = tryKw("NOT")
-        eatKw("NULL")
-        e = IsNull(e, not)
+        // `IS [NOT] :: TYPE` (round 13; Cypher 5 / GQL type predicate)
+        val dcolon = (cur, peek1) match {
+          case (Punct(":", p0), Punct(":", p1)) => p1 == p0 + 1
+          case _ => false
+        }
+        if (dcolon) {
+          if (!extensions)
+            notSupported("IS :: type predicate " +
+              "(supported with extensions enabled)")
+          p += 2
+          val tn = name().toUpperCase(java.util.Locale.ROOT)
+          if (!Parser.TypeNames(tn))
+            syntaxErr(s"unknown type '$tn' in IS :: (supported: " +
+              Parser.TypeNames.toSeq.sorted.mkString(", ") + ")")
+          e = TypeIs(e, not, tn)
+        } else {
+          eatKw("NULL")
+          e = IsNull(e, not)
+        }
       }
       else if (isPunct("[")) {
         if (!extensions)
@@ -2208,6 +2225,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case MapLit(fs) => fs.foreach(f => checkNoNestedAgg(f._2, outer))
     case MapProjection(_, fs, _) =>
       fs.foreach(f => checkNoNestedAgg(f._2, outer))
+    case TypeIs(x, _, _) => checkNoNestedAgg(x, outer)
     case CaseExpr(ws, o) =>
       ws.foreach { case (c, v) =>
         checkNoNestedAgg(c, outer); checkNoNestedAgg(v, outer) }
@@ -2288,6 +2306,12 @@ object Parser {
    *  time()/localtime() lower to day-time intervals). */
   val TimeComponents: Set[String] = Set(
     "hour", "minute", "second", "millisecond")
+
+  /** Type names legal in `IS [NOT] :: TYPE` (round 13). */
+  val TypeNames: Set[String] = Set(
+    "INTEGER", "FLOAT", "STRING", "BOOLEAN", "DATE", "DATETIME",
+    "LOCALDATETIME", "TIMESTAMP", "DURATION", "TIME", "LOCALTIME",
+    "LIST", "MAP", "ANY")
 
   /** Namespaced temporal functions (round 12, extensions):
    *  `date.truncate(unit, d)`, `datetime.truncate(unit, ts)`,

@@ -139,6 +139,9 @@ final class TypeInference(refType: Ref => Option[DataType],
     // label predicate (round 13): always boolean
     case HasLabel(_, _) => Some(BooleanType)
 
+    // type predicate (round 13): always boolean
+    case TypeIs(x, _, _) => infer(x); Some(BooleanType)
+
     case Not(x) =>
       requireBoolean(infer(x), "NOT"); Some(BooleanType)
     case Neg(x) =>
@@ -305,6 +308,17 @@ final class TypeInference(refType: Ref => Option[DataType],
         }
       case BinOp.Sub if r.exists(isIntervalT) =>
         for (a <- l; b <- r) yield intervalArith(a, b, "-", commute = false)
+      // interval scaling (round 13; Neo4j duration * n / duration ÷ n):
+      // Spark's Multiply/DivideDTInterval — interval on either side of
+      // *, the LEFT of /
+      case BinOp.Mul
+          if l.exists(isIntervalT) != r.exists(isIntervalT) =>
+        val (iv, num) = if (l.exists(isIntervalT)) (l, r) else (r, l)
+        requireNumeric(num, "interval scaling")
+        iv
+      case BinOp.Div if l.exists(isIntervalT) =>
+        requireNumeric(r, "interval scaling")
+        l
       case BinOp.Sub | BinOp.Mul | BinOp.Mod =>
         requireNumeric(l, "arithmetic"); requireNumeric(r, "arithmetic")
         for (a <- l; b <- r) yield widen(a, b)

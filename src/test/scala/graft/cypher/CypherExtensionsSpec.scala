@@ -1009,6 +1009,38 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherTypeException](rows("RETURN 1 || 2 AS x"))
   }
 
+  test("IS :: type predicate and interval scaling (round 13)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN p.Name IS :: STRING AS a, p.Born IS :: INTEGER AS b,
+        |       p.Name IS :: INTEGER AS c, p.Born IS NOT :: STRING AS d,
+        |       null IS :: FLOAT AS n1, null IS NOT :: FLOAT AS n2,
+        |       [1, 2] IS :: LIST AS l, {a: 1} IS :: MAP AS m,
+        |       date('2024-01-01') IS :: DATE AS dt,
+        |       p.Name IS :: ANY AS anyv""".stripMargin).head
+    assert((0 until 10).map(r.getBoolean) ==
+      Seq(true, true, false, true, true, true, true, true, true, true))
+    // a NULL VALUE (not just the literal) conforms to every type
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |RETURN p.Born IS :: STRING AS s""".stripMargin).head
+    assert(r2.getBoolean(0)) // Born is null for Rob Reiner
+    // interval scaling composes with temporal arithmetic
+    val r3 = rows(
+      """WITH datetime('2024-01-01T00:00:00') AS t
+        |RETURN t + duration('PT2H') * 3 AS a,
+        |       t + duration('PT3H') / 2 AS b,
+        |       time('01:00:00') * 4 AS c""".stripMargin).head
+    assert(r3.getTimestamp(0).toString == "2024-01-01 06:00:00.0")
+    assert(r3.getTimestamp(1).toString == "2024-01-01 01:30:00.0")
+    assert(r3.get(2) == java.time.Duration.parse("PT4H"))
+    // typed rejections: unknown type name; parity mode
+    intercept[CypherSyntaxException](rows("RETURN 1 IS :: NOPE AS x"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN p.Born IS :: INTEGER AS x"))
+  }
+
   // --------------------------------------------------------- map literals
 
   test("map literals build structs; dot access reads fields back") {
