@@ -1828,6 +1828,21 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- IN over arbitrary list expressions (round 13; Neo4j `x IN
+    //     range(…)` / `x IN split(…)`): lowered to in-row
+    //     array_contains with Cypher's 3-valued null contract
+    ("q132_in_list_expr", cyx(
+      """MATCH (c:Customer)
+        |WHERE c.c_nationkey IN range(0, 5) AND
+        |      c.c_mktsegment IN split('BUILDING,MACHINERY', ',')
+        |RETURN c.c_nationkey AS nk, count(*) AS n
+        |ORDER BY nk""".stripMargin),
+      Some("""SELECT c_nationkey AS nk, count(*) AS n
+             |FROM customer
+             |WHERE c_nationkey BETWEEN 0 AND 5
+             |  AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+             |GROUP BY 1 ORDER BY nk""".stripMargin)),
+
     // --- IS :: type predicate + interval scaling (round 13; Cypher 5
     //     / GQL): the type check folds to a constant per expression
     //     against the static schema (null rows read true); duration *

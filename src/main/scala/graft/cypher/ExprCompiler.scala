@@ -553,8 +553,20 @@ final class ExprCompiler(
           l.isin(items.collect { case Lit(v) => v }: _*)
         case ListLit(items) =>
           items.map(i => l === compile(i)).reduce(_ || _)
-        case _ => throw new CypherNotSupportedException(
-          "IN requires a list literal")
+        // arbitrary list-typed right side (round 13; Neo4j `x IN xs`,
+        // `x IN range(…)`, `x IN collect(…)`): Cypher's 3-valued IN —
+        // found ⇒ true; else a null element (or null operand) ⇒ null;
+        // else false. All in-row higher-order ops, stays codegen.
+        case _ if le == Lit(null) => lit(null).cast(BooleanType)
+        case _ if typeOf(re).forall(_.isInstanceOf[ArrayType]) =>
+          val arr = compile(re)
+          when(l.isNull || arr.isNull, lit(null).cast(BooleanType))
+            .when(array_contains(arr, l), lit(true))
+            .otherwise(when(exists(arr, x2 => x2.isNull),
+              lit(null).cast(BooleanType)).otherwise(lit(false)))
+        case _ => throw new CypherTypeException(
+          s"IN requires a list, got " +
+          typeOf(re).map(_.simpleString).getOrElse("?"))
       }
       case BinOp.Regex =>
         // Cypher `=~` is a FULL match (java.util.regex matches()); Spark

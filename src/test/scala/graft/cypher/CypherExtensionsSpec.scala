@@ -1009,6 +1009,28 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherTypeException](rows("RETURN 1 || 2 AS x"))
   }
 
+  test("IN over arbitrary list expressions (round 13)") {
+    val r = rows(
+      """UNWIND range(1, 6) AS x
+        |WITH x WHERE x IN range(2, 4)
+        |RETURN sum(x) AS s""".stripMargin).head
+    assert(r.getLong(0) == 9L)
+    // collected lists, split lists, piped lists
+    val r2 = rows(
+      """MATCH (p:Person) WITH collect(p.Name) AS names
+        |RETURN 'Tom Hanks' IN names AS a, 'Nobody' IN names AS b,
+        |       'x' IN split('x,y', ',') AS c""".stripMargin).head
+    assert(r2.getBoolean(0) && !r2.getBoolean(1) && r2.getBoolean(2))
+    // Cypher 3-valued IN over expression lists
+    val r3 = rows(
+      """WITH [1, null] AS xs
+        |RETURN 1 IN xs AS t, 3 IN xs AS n, null IN xs AS nn"""
+        .stripMargin).head
+    assert(r3.getBoolean(0) && r3.isNullAt(1) && r3.isNullAt(2))
+    // known non-list right side stays typed
+    intercept[CypherTypeException](rows("RETURN 1 IN 'abc' AS x"))
+  }
+
   test("IS :: type predicate and interval scaling (round 13)") {
     val r = rows(
       """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
