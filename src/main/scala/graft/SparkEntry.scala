@@ -1828,6 +1828,21 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- epoch-map datetime constructors (round 13; Neo4j
+    //     datetime({epochSeconds/epochMillis: …})): the instant
+    //     round-trips the epoch accessors; millis compose sub-second
+    ("q133_epoch_ctor", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 50
+        |WITH o, o.o_orderdate.epochSeconds AS es
+        |RETURN o.o_orderkey AS ok,
+        |       datetime({epochSeconds: es}) = o.o_orderdate AS rt,
+        |       datetime({epochMillis: es * 1000 + 500}) AS shifted
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok, TRUE AS rt,
+             |       o_orderdate + INTERVAL '500 milliseconds' AS shifted
+             |FROM orders WHERE o_orderkey <= 50
+             |ORDER BY ok""".stripMargin)),
+
     // --- IN over arbitrary list expressions (round 13; Neo4j `x IN
     //     range(…)` / `x IN split(…)`): lowered to in-row
     //     array_contains with Cypher's 3-valued null contract

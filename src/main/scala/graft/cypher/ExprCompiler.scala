@@ -787,6 +787,25 @@ final class ExprCompiler(
         arity(1)
         f.args.head match {
           case Lit(s: String) => lit(java.sql.Timestamp.valueOf(parseDateTime(s)))
+          // epoch constructors (round 13; Neo4j
+          // datetime({epochSeconds: …}) / ({epochMillis: …})): the
+          // instant arrives as a number — timestamp_seconds /
+          // timestamp_millis, exclusive of calendar components
+          case MapLit(fields) if fields.exists(kv => Set("epochseconds",
+              "epochmillis")(kv._1.toLowerCase(java.util.Locale.ROOT))) =>
+            val norm = fields.map { case (k, v) =>
+              k.toLowerCase(java.util.Locale.ROOT) -> v }
+            if (norm.size != 1)
+              throw new CypherSyntaxException(
+                s"${f.name}({epochSeconds|epochMillis: …}) takes the " +
+                "epoch value alone — calendar components cannot mix " +
+                "with an instant")
+            norm.head match {
+              case ("epochseconds", e2) =>
+                timestamp_seconds(compile(e2).cast(LongType))
+              case (_, e2) =>
+                timestamp_millis(compile(e2).cast(LongType))
+            }
           // map constructor (round 12; Neo4j datetime({year: …, …})):
           // make_timestamp over the component expressions — columns
           // compose, absent calendar fields default to their floor

@@ -1009,6 +1009,19 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherTypeException](rows("RETURN 1 || 2 AS x"))
   }
 
+  test("datetime epoch-map constructors (round 13)") {
+    val r = rows(
+      """WITH datetime({epochSeconds: 1710513045}) AS t
+        |RETURN t.epochSeconds AS rt,
+        |       datetime({epochMillis: 1710513045250}) AS tm"""
+        .stripMargin).head
+    assert(r.getLong(0) == 1710513045L)
+    assert(r.getTimestamp(1).toString == "2024-03-15 14:30:45.25")
+    // an instant cannot mix with calendar components
+    intercept[CypherSyntaxException](rows(
+      "RETURN datetime({epochSeconds: 1, hour: 3}) AS x"))
+  }
+
   test("IN over arbitrary list expressions (round 13)") {
     val r = rows(
       """UNWIND range(1, 6) AS x
