@@ -352,6 +352,47 @@ class CypherFuzzSpec extends AnyFunSuite {
         s"FROM movie WHERE Released >= $v")
   }
 
+  /** Round-13 surface arm: label predicates, || concatenation,
+    * IN over range(), multi-value simple CASE — each mirrored with
+    * plain SQL equivalents over the fixture views. */
+  private def genSurface13(rnd: Random): Gen = {
+    val e = edges(rnd.nextInt(edges.size))
+    val endLbl = e._3
+    val endProp = if (endLbl == "Movie") "Title" else "Name"
+    // WHERE arm: IN range / label predicate / none
+    val (wCy, wSql) = rnd.nextInt(3) match {
+      case 0 =>
+        val lo = 1950 + rnd.nextInt(8); val hi = lo + rnd.nextInt(10)
+        (s" WHERE a.Born IN range($lo, $hi)",
+          s" WHERE a.Born BETWEEN $lo AND $hi")
+      case 1 =>
+        val (lbl, born) =
+          if (rnd.nextBoolean()) ("Boomer", 1956) else ("Sixties", 1961)
+        (s" WHERE a:$lbl", s" WHERE coalesce(a.Born = $born, false)")
+      case _ => ("", "")
+    }
+    // projection items: concat, label-pred boolean, multi-value CASE
+    val items = Vector.newBuilder[(String, String)]
+    items += ((s"a.Name || '~' || b.$endProp AS cc",
+      s"a.Name || '~' || b.$endProp AS cc"))
+    if (rnd.nextBoolean())
+      items += (("a:Boomer AS lp", "(a.Born = 1956) AS lp"))
+    if (rnd.nextBoolean()) {
+      val v1 = "Tom Hanks"; val v2 = "Meg Ryan"
+      items += ((s"CASE a.Name WHEN '$v1', '$v2' THEN 1 ELSE 0 END AS k",
+        s"CASE WHEN a.Name IN ('$v1', '$v2') THEN 1 ELSE 0 END AS k"))
+    }
+    val its = items.result()
+    val joinOn =
+      s"${e._4} r ON r._vertexId = a.id JOIN ${nodeTable(endLbl)} b " +
+      "ON b.id = r._sink"
+    Gen(
+      s"MATCH (a:Person)-[:${e._1}]->(b:$endLbl)$wCy " +
+        s"RETURN ${its.map(_._1).mkString(", ")}",
+      s"SELECT ${its.map(_._2).mkString(", ")} FROM person a JOIN " +
+        joinOn + wSql)
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -397,6 +438,38 @@ class CypherFuzzSpec extends AnyFunSuite {
       checked += 1
     }
     assert(checked == N)
+  }
+
+  test("60 seed-pinned round-13-surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 2)
+    (0 until 60).foreach { i =>
+      val g = genSurface13(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 2} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 2} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 2} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
   }
 
   test("45 seed-pinned updating queries agree with their snapshot mirrors") {
