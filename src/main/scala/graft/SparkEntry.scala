@@ -1828,6 +1828,27 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- generic dot access expr.key (round 13; Neo4j nested-map /
+    //     computed-value dot access): static dispatch on the inferred
+    //     type — nested struct fields, properties(entity) reads,
+    //     temporal components on map-carried values — all in-row
+    //     codegen expressions, no new joins
+    ("q134_dot_access", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE c.c_acctbal > 9990
+        |WITH {who: {name: c.c_name, bal: c.c_acctbal},
+        |      when: o.o_orderdate} AS m,
+        |     o
+        |RETURN m.who.name AS name,
+        |       toLong(m.when.year) AS yr,
+        |       properties(o).o_totalprice AS tot
+        |ORDER BY name, yr, tot""".stripMargin),
+      Some("""SELECT c_name AS name, year(o_orderdate) AS yr,
+             |       o_totalprice AS tot
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_acctbal > 9990
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // --- epoch-map datetime constructors (round 13; Neo4j
     //     datetime({epochSeconds/epochMillis: …})): the instant
     //     round-trips the epoch accessors; millis compose sub-second

@@ -98,6 +98,16 @@ object ast {
   final case class ListIndex(list: Expr, from: Option[Expr], to: Option[Expr],
                              isSlice: Boolean) extends Expr
 
+  /** Postfix dot access `expr.key` on a VALUE expression — a flagged
+   *  EXTENSION generalizing Neo4j's map/temporal dot access beyond an
+   *  alias root: `properties(n).name`, `{a: {b: 1}}.a.b`,
+   *  `collect(x)[0].f`, `m.when.year`. Dispatch is static at compile
+   *  time on the operand's inferred type: struct → field read,
+   *  date/timestamp → temporal component, day-time interval →
+   *  clock component. The reference rejects every nested lookup
+   *  (CypherVisitor.cs:2040-2044). */
+  final case class DotAccess(expr: Expr, key: String) extends Expr
+
   /** `EXISTS((a)-[:R]->(b))` pattern predicate, or the subquery form
    *  `EXISTS { [MATCH] pattern[, pattern…] [WHERE pred] }` — a flagged
    *  EXTENSION (the reference rejects EXISTS outright, §2.6). Only

@@ -549,6 +549,7 @@ object Compiler {
         containsPatternComp(c) || containsPatternComp(v) } ||
         o.exists(containsPatternComp)
     case ListLit(xs) => xs.exists(containsPatternComp)
+    case DotAccess(x, _) => containsPatternComp(x)
     case MapLit(fs) => fs.exists(f => containsPatternComp(f._2))
     case MapProjection(_, fs, _) =>
       fs.exists(f => containsPatternComp(f._2))
@@ -580,6 +581,7 @@ object Compiler {
         containsExistsPat(c) || containsExistsPat(v) } ||
         o.exists(containsExistsPat)
     case ListLit(xs) => xs.exists(containsExistsPat)
+    case DotAccess(x, _) => containsExistsPat(x)
     case MapLit(fs) => fs.exists(f => containsExistsPat(f._2))
     case MapProjection(_, fs, _) =>
       fs.exists(f => containsExistsPat(f._2))
@@ -764,6 +766,7 @@ object Compiler {
       ws.exists { case (c, v) => containsAgg(c) || containsAgg(v) } ||
         o.exists(containsAgg)
     case ListLit(items) => items.exists(containsAgg)
+    case DotAccess(x, _) => containsAgg(x)
     case MapLit(fs) => fs.exists(f => containsAgg(f._2))
     case MapProjection(_, fs, _) => fs.exists(f => containsAgg(f._2))
     case TypeIs(x, _, _) => containsAgg(x)
@@ -973,6 +976,7 @@ object Compiler {
         CaseExpr(ws.map { case (c, v) => (rewrite(c), rewrite(v)) },
           o.map(rewrite))
       case ListLit(xs) => ListLit(xs.map(rewrite))
+      case DotAccess(x, k) => DotAccess(rewrite(x), k)
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, rewrite(v)) })
       case MapProjection(a, fs, st) =>
         MapProjection(a, fs.map { case (k, v) => (k, rewrite(v)) }, st)
@@ -1024,6 +1028,7 @@ object Compiler {
       case CaseExpr(ws, o) =>
         CaseExpr(ws.map { case (c, v) => (delist(c), delist(v)) }, o.map(delist))
       case ListLit(xs) => ListLit(xs.map(delist))
+      case DotAccess(x, k) => DotAccess(delist(x), k)
       case MapLit(fs) => MapLit(fs.map { case (k, v) => (k, delist(v)) })
       case MapProjection(a, fs, st) =>
         MapProjection(a, fs.map { case (k, v) => (k, delist(v)) }, st)
@@ -1186,6 +1191,7 @@ object Compiler {
         case Func(n2, args) => Func(n2, args.map(hide))
         case CaseExpr(ws, o) => CaseExpr(ws.map { case (c, v) =>
           (hide(c), hide(v)) }, o.map(hide))
+        case DotAccess(x, k) => DotAccess(hide(x), k)
         case other => other
       }
       val sortSubbed = proj.orderBy.map(s =>
@@ -1406,6 +1412,7 @@ object Compiler {
       refersTo(i, a) || refersTo(l, a) || refersTo(st, a)
     case ListIndex(l, f, t, _) => refersTo(l, a) ||
       f.exists(refersTo(_, a)) || t.exists(refersTo(_, a))
+    case DotAccess(x, _) => refersTo(x, a)
     case MapLit(fs) => fs.exists { case (_, v) => refersTo(v, a) }
     case MapProjection(al, fs, _) =>
       al == a || fs.exists { case (_, v) => refersTo(v, a) }

@@ -382,6 +382,40 @@ final class ExprCompiler(
           }
         })
 
+    // generic dot access (round 13, extension): static dispatch on the
+    // operand's inferred type — struct field read (nested maps,
+    // properties(), map projections, collect(n)[i]), temporal
+    // component, or time-of-day (day-time interval) clock component.
+    // All three stay in-row codegen expressions.
+    case DotAccess(x, key) =>
+      val comp = key.toLowerCase(java.util.Locale.ROOT)
+      typeOf(x) match {
+        case Some(StructType(fs2)) =>
+          if (!fs2.exists(_.name == key))
+            throw new CypherBindingException(
+              s"map has no key '$key' (keys: " +
+              fs2.map(_.name).mkString(", ") + ")")
+          compile(x).getField(key)
+        case Some(dt @ (DateType | TimestampType | TimestampNTZType)) =>
+          if (!Parser.TemporalComponents(comp))
+            throw new CypherBindingException(
+              s"temporal value has no component '$key' (supported: " +
+              Parser.TemporalComponents.toSeq.sorted.mkString(", ") + ")")
+          temporalComponent(comp, compile(x), dt == DateType)
+        case Some(_: DayTimeIntervalType) =>
+          if (!Parser.TimeComponents(comp))
+            throw new CypherBindingException(
+              s"time value has no component '$key' (supported: " +
+              Parser.TimeComponents.toSeq.sorted.mkString(", ") + ")")
+          intervalComponent(comp, compile(x))
+        case Some(other) => throw new CypherTypeException(
+          s".$key access on ${other.simpleString} — requires a map, " +
+          "temporal, or time value")
+        case None => throw new CypherTypeException(
+          s".$key access on an expression whose type cannot be " +
+          "inferred statically")
+      }
+
     case ListIndex(l, from, to, isSlice) =>
       val lc = compile(l)
       // map subscript m['key'] (round 13; Neo4j): a struct-typed

@@ -1692,6 +1692,18 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           e = IsNull(e, not)
         }
       }
+      else if (isPunct(".") && (peek1 match {
+        case Ident(_, _) | Kw(_, _, _) => true; case _ => false })) {
+        // generic dot access `expr.key` (round 13, extension): nested
+        // map fields, temporal components on computed values,
+        // `properties(n).name`, `xs[0].f` — dispatch is static at
+        // compile time on the operand's inferred type. The reference
+        // rejects all nested lookups (CypherVisitor.cs:2040-2044).
+        if (!extensions)
+          notSupported("nested property lookup a.b.c")
+        p += 1
+        e = DotAccess(e, name())
+      }
       else if (isPunct("[")) {
         if (!extensions)
           notSupported("list index / slice access " +
@@ -2084,24 +2096,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             }
             eatPunct(")")
             Func(qn, args.result())
-          } else if (isPunct(".")) {
-            // temporal component access `x.prop.year` (extension;
-            // Neo4j's temporal accessors) — lowered to the matching
-            // component function; anything else stays the reference's
-            // nested-lookup rejection
-            if (!extensions)
-              notSupported("nested property lookup a.b.c")
-            p += 1
-            val comp = name().toLowerCase(java.util.Locale.ROOT)
-            if (!Parser.TemporalComponents(comp))
-              notSupported(s"nested property lookup a.b.$comp (only " +
-                "temporal components " +
-                Parser.TemporalComponents.toSeq.sorted.mkString(", ") +
-                " are supported)")
-            if (isPunct("."))
-              notSupported("property lookup beyond a temporal component")
-            Func(comp, Seq(Ref(id, Some(prop))))
           } else Ref(id, Some(prop))
+          // deeper `.comp` chains (temporal components, nested map
+          // fields) are generic postfix dot access now — parsePostfix
         case _ => p += 1; Ref(id, None)
       }
     // callable forms of infix keywords: contains(x, y), not(x) —
@@ -2222,6 +2219,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     case IsNull(x, _) => checkNoNestedAgg(x, outer)
     case Func(_, args) => args.foreach(checkNoNestedAgg(_, outer))
     case ListLit(items) => items.foreach(checkNoNestedAgg(_, outer))
+    case DotAccess(x, _) => checkNoNestedAgg(x, outer)
     case MapLit(fs) => fs.foreach(f => checkNoNestedAgg(f._2, outer))
     case MapProjection(_, fs, _) =>
       fs.foreach(f => checkNoNestedAgg(f._2, outer))

@@ -136,6 +136,27 @@ final class TypeInference(refType: Ref => Option[DataType],
       }
     case r: Ref => refType(r)
 
+    // generic dot access (round 13): struct → the field's type
+    // (missing key is a typed error here — the compiler mirrors it);
+    // temporal/interval components type like the lambda-bound case;
+    // an un-inferable operand stays permissive (the compiler raises
+    // the typed rejection)
+    case DotAccess(x, key) =>
+      val comp = key.toLowerCase(java.util.Locale.ROOT)
+      infer(x) match {
+        case Some(StructType(fs)) =>
+          // missing key degrades to None — the compiler raises the
+          // typed CypherBindingException (same split as ListIndex)
+          fs.find(_.name == key).map(_.dataType)
+        case Some(DateType | TimestampType | TimestampNTZType)
+            if Parser.TemporalComponents(comp) =>
+          Some(if (comp.startsWith("epoch")) LongType else IntegerType)
+        case Some(_: DayTimeIntervalType)
+            if Parser.TimeComponents(comp) =>
+          Some(IntegerType)
+        case _ => None
+      }
+
     // label predicate (round 13): always boolean
     case HasLabel(_, _) => Some(BooleanType)
 
@@ -567,7 +588,17 @@ final class TypeInference(refType: Ref => Option[DataType],
         case _ => f.args.foreach(infer); None
       }
       case "type" => Some(StringType)
-      case "id" | "properties" | "startnode" | "endnode" => None
+      // properties(n) over an entity: its property struct (typed so
+      // generic dot access `properties(n).f` composes statically)
+      case "properties" => f.args match {
+        case Seq(Ref(a, None)) => entityStruct(a)
+        case Seq(x) => infer(x) match {
+          case Some(st: StructType) => Some(st)
+          case _ => None
+        }
+        case _ => None
+      }
+      case "id" | "startnode" | "endnode" => None
       case _ => f.args.foreach(infer); None
     }
   }

@@ -985,6 +985,43 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
+  test("generic dot access expr.key (round 13)") {
+    // nested map fields
+    val r = rows(
+      "WITH {a: {b: 7}, c: 'x'} AS m RETURN m.a.b AS v, m.c AS c").head
+    assert(r.getInt(0) == 7 && r.getString(1) == "x")
+    // dot access on computed values: properties(), subscripted lists,
+    // map projections
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN properties(p).Name AS nm""".stripMargin).head
+    assert(r2.getString(0) == "Tom Hanks")
+    val r3 = rows(
+      "WITH [{a: 1}, {a: 2}] AS xs RETURN xs[1].a AS v").head
+    assert(r3.getInt(0) == 2)
+    val r4 = rows(
+      """MATCH (m:Movie) WHERE m.Title = 'Apollo 13'
+        |RETURN m {.Title, .Released}.Released + 1 AS y""".stripMargin).head
+    assert(r4.getInt(0) == 1996)
+    // temporal components on computed temporal values (previously only
+    // alias-rooted `d.year` worked)
+    val r5 = rows(
+      """RETURN date('2024-03-05').year AS y,
+        |       {when: date('2024-03-05')}.when.month AS mo,
+        |       time('10:30:00').hour AS h""".stripMargin).head
+    assert(r5.getInt(0) == 2024 && r5.getInt(1) == 3 && r5.getInt(2) == 10)
+    // typed rejections: missing key, non-map operand, parity mode
+    intercept[CypherBindingException](rows(
+      "WITH {a: {b: 1}} AS m RETURN m.a.z AS x"))
+    intercept[CypherTypeException](rows(
+      "WITH {a: 1} AS m RETURN m.a.b AS x"))
+    intercept[CypherTypeException](rows(
+      "RETURN (1 + 2).f AS x"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN p.Name.x AS x"))
+  }
+
   test("|| concatenation and …OrNull casts (round 13)") {
     val r = rows(
       """RETURN 'a' || 'b' || 'c' AS s, [1, 2] || [3] AS l,
@@ -3890,9 +3927,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.map(x => (x.getInt(0), x.getInt(1), x.getInt(2), x.getInt(3),
       x.getInt(4), x.getInt(5))) == Seq((1995, 2, 6, 26, 30, 5))) // Friday
     // unknown component / over-deep chains stay typed rejections
-    intercept[CypherNotSupportedException](rows(
+    // (round 13: generic dot access refines the classes — dot on a
+    // string is a TYPE error, an unknown temporal component a BINDING
+    // error — previously both were blanket NotSupported)
+    intercept[CypherTypeException](rows(
       "MATCH (m:Movie) RETURN m.Title.length AS x"))
-    intercept[CypherNotSupportedException](rows(
+    intercept[CypherTypeException](rows(
       "MATCH (m:Movie) WITH date('2020-01-01') AS d RETURN d.x.year.day AS x"))
   }
 
