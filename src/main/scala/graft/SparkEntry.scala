@@ -1828,6 +1828,42 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- CALL schema procedures (round 13; Neo4j db.labels /
+    //     db.relationshipTypes / db.propertyKeys /
+    //     db.schema.*TypeProperties): the graph schema is static
+    //     config, so each procedure is a compile-time literal frame —
+    //     one in-row explode, no scan, no shuffle. The VALUES mirror
+    //     IS the honest oracle: it spells the declared schema the
+    //     engine must faithfully report.
+    ("q135_call_labels", cyx(
+      """CALL db.labels() YIELD label
+        |WHERE NOT label ENDS WITH 'Customer'
+        |RETURN label ORDER BY label""".stripMargin),
+      Some("""SELECT * FROM (VALUES ('Nation'), ('Order'), ('Part'),
+             |  ('Region'), ('Supplier'), ('UrgentOrder')) t(label)
+             |ORDER BY 1""".stripMargin)),
+
+    ("q136_call_node_props", cyx(
+      """CALL db.schema.nodeTypeProperties()
+        |YIELD nodeType, propertyName, propertyTypes, mandatory
+        |WHERE nodeType IN ['Customer', 'Order']
+        |RETURN nodeType, propertyName, propertyTypes[0] AS tpe,
+        |       mandatory
+        |ORDER BY nodeType, propertyName""".stripMargin),
+      Some("""SELECT * FROM (VALUES
+             |  ('Customer', 'c_acctbal',      'Double',   FALSE),
+             |  ('Customer', 'c_custkey',      'Long',     TRUE),
+             |  ('Customer', 'c_mktsegment',   'String',   FALSE),
+             |  ('Customer', 'c_name',         'String',   FALSE),
+             |  ('Customer', 'c_nationkey',    'Long',     FALSE),
+             |  ('Order',    'o_orderdate',    'DateTime', FALSE),
+             |  ('Order',    'o_orderkey',     'Long',     TRUE),
+             |  ('Order',    'o_orderpriority','String',   FALSE),
+             |  ('Order',    'o_orderstatus',  'String',   FALSE),
+             |  ('Order',    'o_totalprice',   'Double',   FALSE)
+             |) t(nodeType, propertyName, tpe, mandatory)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // --- generic dot access expr.key (round 13; Neo4j nested-map /
     //     computed-value dot access): static dispatch on the inferred
     //     type — nested struct fields, properties(entity) reads,

@@ -108,6 +108,15 @@ object ast {
    *  (CypherVisitor.cs:2040-2044). */
   final case class DotAccess(expr: Expr, key: String) extends Expr
 
+  /** Rows of a schema procedure (`CALL db.labels()` …) — a flagged
+   *  EXTENSION. The graph schema is static configuration, so the
+   *  procedure's result is a compile-time LITERAL array of structs;
+   *  the parser emits this leaf only as an UNWIND source and the
+   *  compiler expands it against the catalog (no scan, no shuffle —
+   *  schema-sized). The reference rejects CALL outright
+   *  (CypherVisitor.cs — procedures). */
+  final case class ProcRows(proc: String) extends Expr
+
   /** `EXISTS((a)-[:R]->(b))` pattern predicate, or the subquery form
    *  `EXISTS { [MATCH] pattern[, pattern…] [WHERE pred] }` — a flagged
    *  EXTENSION (the reference rejects EXISTS outright, §2.6). Only

@@ -2506,7 +2506,10 @@ object Compiler {
         catalog.nodeDf(catalog.graph.nodes.head.label)
           .sparkSession.range(1).toDF("__row"),
         Map.empty))
-      val afterUnwind = part.unwinds.foldLeft(afterMatch)(applyUnwind)
+      val afterUnwind = part.unwinds.foldLeft(afterMatch) {
+        case (c, (ProcRows(proc), al)) => applyProcRows(c, proc, al, catalog)
+        case (c, uw2) => applyUnwind(c, uw2)
+      }
       ctx = Some(afterPart(i, compileProjection(afterUnwind, part.proj,
         isReturn = isLast && terminalIsReturn, catalog)))
     }
@@ -2757,6 +2760,87 @@ object Compiler {
   /** UNWIND (extension): `explode` the list column into one row per
    *  element (empty / NULL lists yield no rows — Cypher's semantics and
    *  `explode`'s). The alias joins the scope as a plain value. */
+  /** Schema procedures (round 13, extension): `CALL db.labels()` etc.
+    * The graph schema is static configuration, so the procedure's rows
+    * are LITERALS at compile time — one in-row explode of a literal
+    * array of structs per incoming row (Neo4j's per-row CALL
+    * multiplicity): no scan, no shuffle, schema-sized. Type names for
+    * the `propertyTypes` columns come from the backing tables' Spark
+    * schemas (lazy logical plans — reading a parquet footer at most);
+    * `mandatory` is true for id columns and non-nullable backing
+    * fields (parquet-backed fields are nullable, so typically only
+    * ids), a documented approximation of Neo4j's per-instance scan. */
+  private def applyProcRows(c: Ctx, proc: String, alias: String,
+      catalog: GraphCatalog): Ctx = {
+    val g = catalog.graph
+    def typeName(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case StringType => "String"
+        case LongType | IntegerType | ShortType | ByteType => "Long"
+        case DoubleType | FloatType | (_: DecimalType) => "Double"
+        case BooleanType => "Boolean"
+        case DateType => "Date"
+        case TimestampType | TimestampNTZType => "DateTime"
+        case other => other.simpleString
+      }
+    }
+    val rows: Seq[Column] = proc match {
+      case "db.labels" =>
+        (g.nodes.map(_.label) ++ g.nodes.flatMap(_.subLabels.keys))
+          .distinct.sorted.map(l => struct(lit(l).as("label")))
+      case "db.relationshiptypes" =>
+        g.edges.map(_.verb).distinct.sorted
+          .map(v => struct(lit(v).as("relationshipType")))
+      case "db.propertykeys" =>
+        (g.nodes.flatMap(n => n.idColumn +: n.properties) ++
+         g.edges.flatMap(e => Seq(e.srcIdColumn, e.sinkIdColumn) ++
+           e.properties))
+          .distinct.sorted.map(k => struct(lit(k).as("propertyKey")))
+      case "db.schema.nodetypeproperties" =>
+        g.nodes.sortBy(_.label).flatMap { n =>
+          val sch = catalog.nodeDf(n.label).schema
+          (n.idColumn +: n.properties).sorted.map { pr =>
+            val f = sch.fields.find(_.name == pr)
+            struct(
+              lit(n.label).as("nodeType"),
+              lit(pr).as("propertyName"),
+              array(lit(f.map(x => typeName(x.dataType))
+                .getOrElse("Any"))).as("propertyTypes"),
+              lit(pr == n.idColumn || f.exists(!_.nullable))
+                .as("mandatory"))
+          }
+        }
+      case "db.schema.reltypeproperties" =>
+        // one row per (verb, property); a verb declared over several
+        // endpoint triples unions its property sets. Property-less
+        // verbs emit one null-property row (Neo4j's shape).
+        g.edges.groupBy(_.verb).toSeq.sortBy(_._1).flatMap {
+          case (verb, defs) =>
+            val props = defs.flatMap(e =>
+              e.properties.map(pr => (pr, e))).distinct
+            if (props.isEmpty)
+              Seq(struct(lit(verb).as("relType"),
+                lit(null).cast("string").as("propertyName"),
+                lit(null).cast("array<string>").as("propertyTypes"),
+                lit(false).as("mandatory")))
+            else props.map(_._1).distinct.sorted.map { pr =>
+              val types = defs.filter(_.properties.contains(pr)).map(e =>
+                catalog.edgeDf(e).schema.fields.find(_.name == pr)
+                  .map(x => typeName(x.dataType)).getOrElse("Any"))
+                .distinct.sorted
+              struct(lit(verb).as("relType"), lit(pr).as("propertyName"),
+                array(types.map(lit): _*).as("propertyTypes"),
+                lit(false).as("mandatory"))
+            }
+        }
+      case other => throw new CypherNotSupportedException(
+        s"procedure $other(...)")
+    }
+    Ctx(c.df.withColumn(alias, explode(array(rows: _*))),
+      c.scope + (alias -> ValueBinding))
+  }
+
   private def applyUnwind(c: Ctx, uw: (Expr, String)): Ctx = {
     val (ex, alias) = uw
     if (alias.startsWith("__"))

@@ -382,6 +382,11 @@ final class ExprCompiler(
           }
         })
 
+    // procedure rows only ever appear as an UNWIND source (parser
+    // contract) and are expanded by the compiler against the catalog
+    case ProcRows(proc) => throw new CypherNotSupportedException(
+      s"procedure $proc(...) outside a CALL clause")
+
     // generic dot access (round 13, extension): static dispatch on the
     // operand's inferred type — struct field read (nested maps,
     // properties(), map projections, collect(n)[i]), temporal

@@ -330,10 +330,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("UNWIND (supported with extensions enabled)")
     case Kw("CALL", _, _)
         if !(extensions &&
-          (peek1 match { case Punct("{", _) => true; case _ => false })) =>
+          (peek1 match { case Punct("{", _) => true
+                         case Ident(_, _) => true; case _ => false })) =>
       notSupported("CALL / procedures" +
-        (if (!extensions) " (CALL { subquery } supported with extensions " +
-          "enabled)" else ""))
+        (if (!extensions) " (CALL { subquery } and schema procedures " +
+          "supported with extensions enabled)" else ""))
     case _ =>
   }
 
@@ -377,7 +378,54 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       // contract), then the subquery proper starts at its first MATCH.
       val callsB = Vector.newBuilder[CallSub]
       var sawCall = false
-      while (isKw("CALL")) {
+      // schema procedure call (round 13, extension): `CALL db.labels()
+      // [YIELD col [AS a], … | YIELD *]` — the procedure's rows are a
+      // compile-time literal frame over the graph schema ([[ProcRows]]
+      // expanded by the compiler), so the whole clause desugars onto
+      // the UNWIND machinery plus a synthetic WITH projecting the
+      // yielded fields. One procedure per query part (the YIELD closes
+      // the part; further CALLs open new parts naturally).
+      var procYield: Option[(String, Seq[(String, String)])] = None
+      var procUnwind: Option[(Expr, String)] = None
+      while (isKw("CALL") && procYield.isEmpty &&
+          (peek1 match { case Ident(_, _) => true; case _ => false })) {
+        p += 1
+        val nmParts = Vector.newBuilder[String]
+        nmParts += ident()
+        while (isPunct(".")) { p += 1; nmParts += name() }
+        val nmRaw = nmParts.result().mkString(".")
+        val proc = nmRaw.toLowerCase(java.util.Locale.ROOT)
+        val cols = Parser.Procedures.getOrElse(proc,
+          notSupported(s"procedure $nmRaw(...) (supported: " +
+            Parser.Procedures.keys.toSeq.sorted.mkString(", ") + ")"))
+        eatPunct("(")
+        if (!isPunct(")"))
+          notSupported(s"procedure arguments — $nmRaw takes none")
+        eatPunct(")")
+        def isIdentCI(s: String): Boolean = cur match {
+          case Ident(x, _) => x.equalsIgnoreCase(s); case _ => false
+        }
+        val yields: Seq[(String, String)] =
+          if (isIdentCI("YIELD")) {
+            p += 1
+            if (tryPunct("*")) cols.map(c2 => c2 -> c2)
+            else {
+              val b = Vector.newBuilder[(String, String)]
+              def one(): Unit = {
+                val c2 = ident()
+                val canon = cols.find(_.equalsIgnoreCase(c2)).getOrElse(
+                  syntaxErr(s"procedure $nmRaw yields no column '$c2' " +
+                    s"(columns: ${cols.mkString(", ")})"))
+                b += ((canon, if (tryKw("AS")) ident() else c2))
+              }
+              one(); while (tryPunct(",")) one()
+              b.result()
+            }
+          } else cols.map(c2 => c2 -> c2) // no YIELD = yield-all
+        procYield = Some((nextPm(), yields))
+        procUnwind = Some((ProcRows(proc), procYield.get._1))
+      }
+      while (isKw("CALL") && procYield.isEmpty) {
         p += 1 // extensions + '{' guaranteed: rejectUpdating passed it
         eatPunct("{")
         val imports = Vector.newBuilder[String]
@@ -417,8 +465,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       // the part's projection; a MATCH after UNWIND must chain through a
       // WITH (keeps the join builder's scope model untouched)
       val unwinds = Vector.newBuilder[(Expr, String)]
+      procUnwind.foreach(unwinds += _)
       var sawUnwind = false
-      while (isKw("UNWIND")) {
+      while (isKw("UNWIND") && procYield.isEmpty) {
         p += 1 // extensions guaranteed: parity mode rejected it above
         val e = parseExpr()
         eatKw("AS")
@@ -432,7 +481,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           isFirstPart)
         notSupported("standalone UNWIND without a preceding MATCH")
       val uw = unwinds.result()
-      if ((sawUnwind || sawCall || matchAfterOptional) &&
+      if (procYield.isDefined) {
+        // close the procedure part with the YIELD projection (a
+        // synthetic WITH over the proc row's fields); an optional
+        // WHERE right after YIELD filters the yielded values (Neo4j's
+        // CALL … YIELD … WHERE … form). If the query ends here the
+        // projection is terminal; otherwise RETURN/MATCH/… continue
+        // as new parts over the yielded scope.
+        val (al, ys) = procYield.get
+        val w = if (tryKw("WHERE")) Some(parseExpr()) else None
+        val items = ys.map { case (c2, a2) =>
+          RetItem(DotAccess(Ref(al, None), c2), Some(a2)) }
+        parts += QueryPart(ms,
+          Projection(items, distinct = false, Seq.empty, None, w), uw, calls)
+        cur match {
+          case EOF(_) | Punct(";", _) => done = true
+          case Kw("UNION", _, _)      => done = true
+          case Punct("}", _)          => done = true // inside CALL { }
+          case _ => isFirstPart = false
+        }
+      } else if ((sawUnwind || sawCall || matchAfterOptional) &&
           (isKw("MATCH") || isKw("OPTIONAL"))) {
         // MATCH directly after UNWIND / CALL / OPTIONAL MATCH (round
         // 10, extensions guaranteed — parity rejected above): Neo4j
@@ -2293,6 +2361,19 @@ object Parser {
   /** Component names legal after a property in `x.prop.<component>`
    *  (temporal accessors, extension) — lowered to the matching
    *  function; dayofweek is ISO (1 = Monday). */
+  /** Schema procedures (round 13, extension): lowercase name →
+   *  canonical yield columns, in declared order. Each is a
+   *  compile-time literal frame over the graph schema (see the
+   *  compiler's ProcRows expansion). */
+  val Procedures: Map[String, Seq[String]] = Map(
+    "db.labels" -> Seq("label"),
+    "db.relationshiptypes" -> Seq("relationshipType"),
+    "db.propertykeys" -> Seq("propertyKey"),
+    "db.schema.nodetypeproperties" ->
+      Seq("nodeType", "propertyName", "propertyTypes", "mandatory"),
+    "db.schema.reltypeproperties" ->
+      Seq("relType", "propertyName", "propertyTypes", "mandatory"))
+
   val TemporalComponents: Set[String] = Set(
     "year", "quarter", "month", "week", "day", "dayofweek",
     "hour", "minute", "second",

@@ -136,6 +136,10 @@ final class TypeInference(refType: Ref => Option[DataType],
       }
     case r: Ref => refType(r)
 
+    // procedure rows are expanded by the compiler before any
+    // expression ever compiles; permissive here for safety
+    case ProcRows(_) => None
+
     // generic dot access (round 13): struct → the field's type
     // (missing key is a typed error here — the compiler mirrors it);
     // temporal/interval components type like the lambda-bound case;

@@ -985,6 +985,54 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
+  test("CALL schema procedures (round 13)") {
+    // standalone CALL, implicit yield-all: primary + sub labels
+    val r = rows("CALL db.labels()").map(_.getString(0))
+    assert(r == Seq("Boomer", "Movie", "NinetiesClassic", "Person",
+      "Sixties"))
+    // YIELD with alias + WHERE + RETURN composition
+    val r2 = rows(
+      """CALL db.relationshipTypes() YIELD relationshipType AS t
+        |WHERE t STARTS WITH 'F' OR t = 'KNOWS'
+        |RETURN t ORDER BY t""".stripMargin).map(_.getString(0))
+    assert(r2 == Seq("FOLLOWS", "KNOWS"))
+    // propertyKeys: node ids + props + edge endpoint cols + edge props
+    val r3 = rows("CALL db.propertyKeys() YIELD propertyKey RETURN " +
+      "propertyKey AS k ORDER BY k").map(_.getString(0))
+    assert(r3.contains("Name") && r3.contains("Roles") &&
+      r3.contains("id") && r3.contains("_vertexId") && r3 == r3.sorted)
+    // nodeTypeProperties: per-property rows, id mandatory, typed
+    val r4 = rows(
+      """CALL db.schema.nodeTypeProperties()
+        |YIELD nodeType, propertyName, propertyTypes, mandatory
+        |WHERE nodeType = 'Movie' AND propertyName = 'Title'
+        |RETURN nodeType, propertyName, propertyTypes, mandatory"""
+        .stripMargin).head
+    assert(r4.getString(0) == "Movie" && r4.getString(1) == "Title")
+    assert(r4.getSeq[String](2) == Seq("String") && !r4.getBoolean(3))
+    // relTypeProperties: property-less verbs emit one null row
+    val r5 = rows(
+      """CALL db.schema.relTypeProperties()
+        |YIELD relType, propertyName
+        |RETURN relType, propertyName ORDER BY relType""".stripMargin)
+    val byType = r5.map(x => x.getString(0) ->
+      (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(byType("ACTED_IN") == "Roles" && byType("DIRECTED") == null)
+    // per-row multiplicity: CALL after MATCH multiplies like Neo4j
+    val r6 = rows(
+      """MATCH (m:Movie) CALL db.labels() YIELD label
+        |RETURN count(*) AS n""".stripMargin).head
+    assert(r6.getLong(0) == 3 * 5)
+    // rejections: unknown procedure, arguments, unknown yield column,
+    // parity mode
+    intercept[CypherNotSupportedException](rows("CALL db.nope()"))
+    intercept[CypherNotSupportedException](rows("CALL db.labels(1)"))
+    intercept[CypherSyntaxException](rows(
+      "CALL db.labels() YIELD wrong RETURN wrong"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run("CALL db.labels()"))
+  }
+
   test("generic dot access expr.key (round 13)") {
     // nested map fields
     val r = rows(
