@@ -1828,6 +1828,32 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- multi-pattern COUNT { } subquery (round 13; Neo4j
+    //     comma-separated pattern parts): the parts conjoin over
+    //     shared bindings exactly like a multi-pattern MATCH — shared
+    //     `o` joins the urgent subset back to PLACED, disjoint parts
+    //     cross within the correlated row
+    ("q137_count_multi_pattern", cyx(
+      """MATCH (c:Customer)
+        |WHERE c.c_acctbal > 9900
+        |RETURN c.c_name AS name,
+        |       COUNT { (c)-[:PLACED]->(o:Order),
+        |               (c)-[:PLACED_URGENT]->(o) } AS urgent,
+        |       COUNT { (c)-[:PLACED]->(o2:Order),
+        |               (c)-[:FROM_NATION]->(n:Nation) } AS pairs
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name,
+             |  CAST((SELECT count(*) FROM orders
+             |        WHERE o_custkey = c_custkey
+             |          AND o_orderpriority = '1-URGENT') AS INTEGER)
+             |    AS urgent,
+             |  CAST((SELECT count(*) FROM orders, nation
+             |        WHERE o_custkey = c_custkey
+             |          AND n_nationkey = c_nationkey) AS INTEGER)
+             |    AS pairs
+             |FROM customer WHERE c_acctbal > 9900
+             |ORDER BY 1""".stripMargin)),
+
     // --- CALL schema procedures (round 13; Neo4j db.labels /
     //     db.relationshipTypes / db.propertyKeys /
     //     db.schema.*TypeProperties): the graph schema is static

@@ -153,7 +153,7 @@ object ast {
    *  WITH/RETURN projection items: the compiler lowers it to a
    *  group-by + collect_list + left join, not a per-row value. The
    *  WHERE and projection see the subquery's own bindings. */
-  final case class PatternComp(part: PatternPart, where: Option[Expr],
+  final case class PatternComp(parts: Seq[PatternPart], where: Option[Expr],
                                proj: Expr,
       /** per-list paging (round 13, set only by COLLECT { } with a
        *  subquery tail): sort items over the subquery's bindings, a

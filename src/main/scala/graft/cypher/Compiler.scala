@@ -853,7 +853,7 @@ object Compiler {
       // verbs), each branch compiles to a slim (keys, value) frame,
       // and the branches UNION ALL before the one collect aggregation
       // — the same plan shape a top-level bounded var-length gets
-      pc.part.rels.foreach(_.varLength.foreach { case (lo, hi) =>
+      pc.parts.flatMap(_.rels).foreach(_.varLength.foreach { case (lo, hi) =>
         if (hi == Parser.Unbounded)
           throw new CypherNotSupportedException(
             "unbounded variable-length inside a pattern " +
@@ -868,7 +868,7 @@ object Compiler {
       val outerNamed = ctx.scope.filter {
         case (a, _) => !a.startsWith("__unnamed_") }
       val clause0 =
-        MatchClause(Seq(pc.part), optional = false, where = pc.where)
+        MatchClause(pc.parts, optional = false, where = pc.where)
       val (clausesH, cat2) = HopPred.rewrite(Seq(clause0), catalog)
       val (branches, _) = VarLength.expand(clausesH, cat2.graph)
       val resolvedAll = branches.map(b =>
@@ -959,13 +959,11 @@ object Compiler {
       // allows boolean-valued existential subqueries anywhere):
       // desugared to size(1-per-match comprehension) > 0 — the WHERE
       // position keeps its semi-join lowering, this covers RETURN/WITH
-      case ExistsPat(Seq(part), w) =>
+      case ExistsPat(parts2, w) =>
+        // multi-pattern form included (round 13): the comprehension
+        // machinery takes the conjunction like a multi-pattern MATCH
         Bin(BinOp.Gt,
-          Func("size", Seq(lower(PatternComp(part, w, Lit(1L))))), Lit(0L))
-      case ExistsPat(_, _) =>
-        throw new CypherNotSupportedException(
-          "multi-pattern EXISTS { } as a projection expression " +
-          "(one pattern part per existential expression)")
+          Func("size", Seq(lower(PatternComp(parts2, w, Lit(1L))))), Lit(0L))
       case Bin(op, l, r) => Bin(op, rewrite(l), rewrite(r))
       case Not(x) => Not(rewrite(x))
       case Neg(x) => Neg(rewrite(x))

@@ -1938,7 +1938,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
               eatPunct("|")
               val pe = parseExpr()
               eatPunct("]")
-              Some(PatternComp(part, andAll(w, mapConj), pe))
+              Some(PatternComp(Seq(part), andAll(w, mapConj), pe))
             }
           } catch { case _: CypherException => rollback() }
         attempt match {
@@ -2003,14 +2003,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           p += 2 // count + '{'
           tryKw("MATCH")
           val m0 = pcMark()
-          val part = parsePatternPart()
-          if (isPunct(","))
-            notSupported("multiple patterns inside COUNT { } " +
-              "(one pattern part per subquery)")
+          // comma-separated pattern parts (round 13): one conjunction
+          // over shared bindings, exactly a multi-pattern MATCH
+          val partsB = Vector.newBuilder[PatternPart]
+          partsB += parsePatternPart()
+          while (tryPunct(",")) partsB += parsePatternPart()
           val mapConj = pcDrain(m0)
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatPunct("}")
-          Func("size", Seq(PatternComp(part, andAll(w, mapConj), Lit(1L))))
+          Func("size",
+            Seq(PatternComp(partsB.result(), andAll(w, mapConj), Lit(1L))))
         // COLLECT { [MATCH] pattern [WHERE pred] RETURN expr } —
         // Cypher 5's COLLECT subquery (round 12, extension): one list
         // per outer row, desugared onto the pattern-comprehension
@@ -2025,10 +2027,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           p += 2 // collect + '{'
           tryKw("MATCH")
           val m0 = pcMark()
-          val part = parsePatternPart()
-          if (isPunct(","))
-            notSupported("multiple patterns inside COLLECT { } " +
-              "(one pattern part per subquery)")
+          // comma-separated pattern parts (round 13), like COUNT{}
+          val partsB = Vector.newBuilder[PatternPart]
+          partsB += parsePatternPart()
+          while (tryPunct(",")) partsB += parsePatternPart()
+          val part = partsB.result()
           val mapConj = pcDrain(m0)
           val w = if (tryKw("WHERE")) Some(parseExpr()) else None
           eatKw("RETURN")

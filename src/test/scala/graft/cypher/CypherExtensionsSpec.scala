@@ -985,6 +985,57 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
+  test("multi-pattern COUNT{} / COLLECT{} / EXISTS-expr (round 13)") {
+    // shared binding across parts: p's movies that Jessica reviewed —
+    // the second part conjoins on the shared `m`
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS nm,
+        |       COUNT { (p)-[:ACTED_IN]->(m:Movie),
+        |               (j:Person {Name: 'Jessica Thompson'})
+        |                 -[:REVIEWED]->(m) } AS both
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    // cross-check: equals the single-pattern chain through both verbs
+    val chain = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS nm,
+        |       COUNT { (p)-[:ACTED_IN]->(m:Movie)<-[:REVIEWED]-
+        |               (:Person {Name: 'Jessica Thompson'}) }
+        |         AS both ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r == chain && r.exists(_._2 > 0))
+    assert(r.toMap.apply("Tom Hanks") == 2)   // m1, m3 of his 3
+    assert(r.toMap.apply("Kevin Bacon") == 0) // m2 unreviewed
+    // disjoint parts cross within the correlated row: acted × follows
+    val r2 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COUNT { (p)-[:ACTED_IN]->(m:Movie),
+        |               (p)-[:FOLLOWS]->(q:Person) } AS x
+        |""".stripMargin).head.getInt(0)
+    assert(r2 == 3 * 1)
+    // COLLECT{} multi-pattern with ordering tail
+    val r3 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN COLLECT { (p)-[:ACTED_IN]->(m:Movie),
+        |                 (:Person {Name: 'Jessica Thompson'})
+        |                   -[:REVIEWED]->(m)
+        |                 RETURN m.Title ORDER BY m.Title } AS ts"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r3 == Seq("Sleepless in Seattle", "You've Got Mail"))
+    // EXISTS { a, b } as a projection expression (previously rejected)
+    val r4 = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS nm,
+        |       EXISTS { (p)-[:ACTED_IN]->(m:Movie),
+        |                (:Person {Name: 'Jessica Thompson'})
+        |                  -[:REVIEWED]->(m) } AS b
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getBoolean(1)))
+    assert(r4.map(x => (x._1, x._2 : Any)) ==
+      r.map(x => (x._1, (x._2 > 0) : Any)))
+  }
+
   test("CALL schema procedures (round 13)") {
     // standalone CALL, implicit yield-all: primary + sub labels
     val r = rows("CALL db.labels()").map(_.getString(0))
