@@ -1828,6 +1828,35 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- multi-relationship quantified path pattern group (round 13;
+    //     Cypher 5 `((a)-[:R]->(b)-[:S]->(c)){m,n}`): the chain
+    //     composes into ONE synthetic (src, dst) edge frame —
+    //     per-repetition predicates applied while composing — and the
+    //     quantifier rides the ordinary [*lo..hi] unroll over the
+    //     composite. {1,2} over a 2-hop unit-span group = paths of
+    //     length 2 and 4 on the unit chain.
+    ("q138_qpp_chain", cyx(
+      """MATCH (a:Nation)
+        |      ((x)-[j:JUMPS_TO]->(y)-[k:JUMPS_TO]->(z)
+        |       WHERE j.jump_span = 1 AND k.jump_span = 1){1,2}
+        |      (b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       count(*) AS n
+        |ORDER BY ak, bk""".stripMargin),
+      Some("""WITH chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |j AS (SELECT src, dst FROM chain WHERE dst IS NOT NULL),
+             |h2 AS (SELECT a.src AS ak, b.dst AS bk
+             |       FROM j a JOIN j b ON a.dst = b.src),
+             |h4 AS (SELECT a.ak, b.bk
+             |       FROM h2 a JOIN h2 b ON a.bk = b.ak)
+             |SELECT ak, bk, count(*) AS n
+             |FROM (SELECT * FROM h2 UNION ALL SELECT * FROM h4)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- multi-pattern COUNT { } subquery (round 13; Neo4j
     //     comma-separated pattern parts): the parts conjoin over
     //     shared bindings exactly like a multi-pattern MATCH — shared

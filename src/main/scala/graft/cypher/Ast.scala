@@ -220,11 +220,23 @@ object ast {
    *  sub-labels become discriminator conjuncts). Lowered by
    *  [[graft.cypher.HopPred]] to a filtered edge frame behind a
    *  synthetic verb; group variables bind NOTHING downstream. */
+  /** One additional hop of a multi-relationship quantified path
+   *  pattern group (round 13): `((a)-[r:R]->(b)-[s:S]->(c)){m,n}` —
+   *  hop 2..N each adds a relationship and its right-hand node. */
+  final case class QppHop(relAlias: String, verb: Option[String],
+                          out: Boolean, nodeAlias: String,
+                          nodeLabel: Option[String])
   final case class QppSpec(srcAlias: String, relAlias: String,
                            dstAlias: String,
                            srcLabel: Option[String],
                            dstLabel: Option[String],
-                           pred: Option[Expr])
+                           pred: Option[Expr],
+      /** hops 2..N of a multi-relationship group; empty = the
+       *  single-relationship form. The compiler composes the chain
+       *  into ONE synthetic (src, dst) edge frame — predicates and
+       *  interior labels applied while composing — and quantifies
+       *  that composite with the ordinary [*lo..hi] machinery. */
+                           tail: Seq[QppHop] = Seq.empty)
   final case class RelPat(alias: Option[String], verb: Option[String],
                           dir: Direction,
                           varLength: Option[(Int, Int)] = None,

@@ -131,6 +131,7 @@ private[cypher] object HopPred {
         Vector[(EdgeDef, DataFrame)]]): RelPat = {
     val q = r.qpp.get
     val plain = r.copy(qpp = None)
+    if (q.tail.nonEmpty) return rewriteQppChain(r, q, catalog, extra)
     // a label-less, predicate-less group is pure [*lo..hi] sugar
     if (q.pred.isEmpty && q.srcLabel.isEmpty && q.dstLabel.isEmpty)
       return plain
@@ -215,5 +216,169 @@ private[cypher] object HopPred {
     extra += ((e.copy(verb = synthVerb, table = s"__qf_${id}_$verb"),
       filtered))
     plain.copy(verb = Some(synthVerb))
+  }
+
+  /**
+   * Multi-relationship quantified path pattern group (round 13):
+   * `((a)-[:R]->(b)-[:S]->(c)){m,n}` — the chain composes into ONE
+   * synthetic (src, dst) edge frame (interior labels / inline maps /
+   * the group WHERE applied while composing; a repeated node alias
+   * inside the group becomes an equality, supporting cycles), and the
+   * quantifier then rides the ordinary [*lo..hi] unroll over the
+   * composite verb. Repetitions chain on the juncture node exactly as
+   * Cypher 5 defines.
+   *
+   * Scale shape: the composite is built ONCE before any unroll — each
+   * hop joins a slim key-projected edge frame; node frames join only
+   * when the predicate (or a declared sub-label) reads them. At 100 TB
+   * the composite frame is the same asymptotic size as the narrowest
+   * hop after filters, and the unroll scans IT per repetition instead
+   * of re-joining the chain per hop.
+   *
+   * Divergence (documented): Cypher's relationship-uniqueness applies
+   * per underlying edge; after composition the unroll's inequality
+   * applies per composite (src, dst) row — two repetitions reusing one
+   * underlying edge through different junctures are not excluded. The
+   * single-relationship group has the exact per-edge contract; group
+   * variables (collected per-repetition lists) are not bound either
+   * way.
+   */
+  private def rewriteQppChain(r: RelPat, q: QppSpec, catalog: GraphCatalog,
+      extra: scala.collection.mutable.Builder[(EdgeDef, DataFrame),
+        Vector[(EdgeDef, DataFrame)]]): RelPat = {
+    val plain = r.copy(qpp = None)
+    if (r.alts.nonEmpty || q.tail.exists(_.verb.isEmpty) || r.verb.isEmpty)
+      throw new CypherNotSupportedException(
+        "every hop of a multi-relationship quantified path pattern " +
+        "group needs exactly one explicit relationship type")
+    def resolve(verb: String): EdgeDef = {
+      val defs = catalog.graph.edgesByVerb(verb)
+      if (defs.isEmpty) throw new CypherBindingException(
+        s"quantified path pattern over '$verb': no edge of that type " +
+        "in the schema")
+      if (defs.size > 1) throw new CypherNotSupportedException(
+        s"multi-relationship quantified group over '$verb', which " +
+        "spans multiple edge definitions (" +
+        defs.map(d => s"${d.fromLabel}→${d.toLabel}").mkString(", ") +
+        ") — use single-definition types")
+      defs.head
+    }
+    // hop table: (relAlias, edge, out, leftNodeAlias, rightNodeAlias)
+    case class Hop(relAlias: String, e: EdgeDef, out: Boolean,
+                   left: String, right: String)
+    val hops: Seq[Hop] =
+      Hop(q.relAlias, resolve(r.verb.get), r.dir == Direction.Out,
+        q.srcAlias, q.dstAlias) +:
+      q.tail.zipWithIndex.map { case (h, i) =>
+        Hop(h.relAlias, resolve(h.verb.get), h.out,
+          if (i == 0) q.dstAlias else q.tail(i - 1).nodeAlias,
+          h.nodeAlias)
+      }
+    def leftLabel(h: Hop) = if (h.out) h.e.fromLabel else h.e.toLabel
+    def rightLabel(h: Hop) = if (h.out) h.e.toLabel else h.e.fromLabel
+    def leftKey(h: Hop) = if (h.out) h.e.srcIdColumn else h.e.sinkIdColumn
+    def rightKey(h: Hop) = if (h.out) h.e.sinkIdColumn else h.e.srcIdColumn
+    // juncture continuity: hop i's right schema label must be hop
+    // i+1's left schema label — otherwise no node can sit between them
+    hops.sliding(2).foreach {
+      case Seq(h1, h2) =>
+        if (rightLabel(h1) != leftLabel(h2))
+          throw new CypherBindingException(
+            "quantified path pattern chain mismatch: " +
+            s"'${h1.e.verb}' ends at :${rightLabel(h1)} but " +
+            s"'${h2.e.verb}' starts at :${leftLabel(h2)}")
+      case _ =>
+    }
+    // declared node labels: own label folds away, a declared sub-label
+    // becomes its discriminator conjunct, anything else is typed
+    val declared: Seq[(String, Option[String], NodeDef)] =
+      ((q.srcAlias, q.srcLabel, catalog.graph.node(leftLabel(hops.head))) +:
+        ((q.dstLabel +: q.tail.map(_.nodeLabel)).zip(hops).map {
+          case (lbl, h) => (h.right, lbl, catalog.graph.node(rightLabel(h)))
+        }))
+    val labelConjs = declared.flatMap { case (al, lbl, nd) =>
+      lbl match {
+        case None => Seq.empty
+        case Some(l) if l == nd.label => Seq.empty
+        case Some(l) => nd.subLabels.get(l) match {
+          case Some((prop, v)) =>
+            Seq(Bin(BinOp.Eq, Ref(al, Some(prop)), Lit(v)): Expr)
+          case None => throw new CypherBindingException(
+            s"quantified path pattern node ':$l' does not match the " +
+            s"relationship's endpoint label '${nd.label}'")
+        }
+      }
+    }
+    val predOpt = (labelConjs ++ q.pred.toSeq)
+      .reduceOption((x, y) => Bin(BinOp.And, x, y))
+    predOpt.foreach { pr =>
+      if (Compiler.containsAgg(pr))
+        throw new CypherNotSupportedException(
+          "aggregate inside a quantified path pattern predicate")
+    }
+    // compose: first edge frame, then one equi-join per further hop on
+    // the juncture key; a node alias seen twice adds an equality
+    // (cycles inside the repetition)
+    def edgeFrame(h: Hop): DataFrame = {
+      val edf = catalog.edgeDf(h.e)
+      edf.select(edf.columns.toSeq.map(cn =>
+        col(cn).as(Compiler.pref(h.relAlias, cn))): _*)
+    }
+    var frame = edgeFrame(hops.head)
+    val nodeKey = scala.collection.mutable.LinkedHashMap[String, String](
+      hops.head.left -> Compiler.pref(hops.head.relAlias,
+        leftKey(hops.head)),
+      hops.head.right -> Compiler.pref(hops.head.relAlias,
+        rightKey(hops.head)))
+    hops.tail.foreach { h =>
+      frame = frame.join(edgeFrame(h),
+        col(nodeKey(h.left)) ===
+          col(Compiler.pref(h.relAlias, leftKey(h))), "inner")
+      val rk = Compiler.pref(h.relAlias, rightKey(h))
+      nodeKey.get(h.right) match {
+        case Some(existing) => // repeated alias = same node (cycle)
+          frame = frame.where(col(existing) === col(rk))
+        case None => nodeKey(h.right) = rk
+      }
+    }
+    // node frames join only when the predicate reads that alias
+    val nodeOf: Map[String, NodeDef] =
+      declared.map(d => d._1 -> d._3).toMap
+    predOpt.foreach { pr =>
+      nodeKey.foreach { case (al, keyCol) =>
+        if (Compiler.refersTo(pr, al)) {
+          val nd = nodeOf(al)
+          val cols = (nd.idColumn +: nd.properties).distinct
+          val nf = catalog.nodeDf(nd.label).select(cols.map(cn =>
+            col(cn).as(Compiler.pref(al, cn))): _*)
+          frame = frame.join(nf,
+            col(keyCol) === col(Compiler.pref(al, nd.idColumn)), "inner")
+        }
+      }
+    }
+    val scope: Map[String, Analyzer.Binding] =
+      hops.map(h => h.relAlias -> (EdgeBinding(h.e): Analyzer.Binding))
+        .toMap ++
+      nodeOf.map { case (al, nd) =>
+        al -> (NodeBinding(nd): Analyzer.Binding) }
+    val filtered = predOpt match {
+      case Some(pr) =>
+        val ec = new ExprCompiler(scope, frame)
+        frame.where(ec.compile(pr))
+      case None => frame
+    }
+    val composite = filtered.select(
+      col(nodeKey(hops.head.left)).as("__src"),
+      col(nodeKey.getOrElse(hops.last.right,
+        Compiler.pref(hops.last.relAlias, rightKey(hops.last))))
+        .as("__dst"))
+    val id = nameCounter.getAndIncrement()
+    val verbs = hops.map(_.e.verb).mkString("_")
+    val synthVerb = s"__QC_${id}_$verbs"
+    extra += ((EdgeDef(synthVerb, leftLabel(hops.head),
+      rightLabel(hops.last), "__src", "__dst", Seq.empty,
+      s"__qc_${id}_$verbs"), composite))
+    plain.copy(verb = Some(synthVerb), dir = Direction.Out,
+      alts = Seq.empty)
   }
 }

@@ -1344,9 +1344,20 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("variable-length relationship inside a quantified " +
         "path pattern group — quantify the group instead")
     val b = parseNodePat()
-    if (isPunct("-") || isPunct("<-"))
-      notSupported("multi-relationship quantified path pattern group " +
-        "(one relationship per group)")
+    // multi-relationship group (round 13): hops 2..N chain on — the
+    // compiler composes the chain into one synthetic edge frame and
+    // quantifies the composite
+    val tailB = Vector.newBuilder[(RelPat, NodePat)]
+    while (isPunct("-") || isPunct("<-")) {
+      val r2 = parseRelPatOpt().getOrElse(syntaxErr(
+        "expected a relationship inside the quantified path pattern " +
+        "group"))
+      if (r2.varLength.isDefined)
+        notSupported("variable-length relationship inside a quantified " +
+          "path pattern group — quantify the group instead")
+      tailB += ((r2, parseNodePat()))
+    }
+    val tailRaw = tailB.result()
     val groupWhere = if (tryKw("WHERE")) Some(parseExpr()) else None
     eatPunct(")")
     def intLit(): Int = cur match {
@@ -1395,14 +1406,30 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val aA = a.alias.getOrElse(nextPm())
     val bA = b.alias.getOrElse(nextPm())
     val rA = rel.alias.getOrElse(nextPm())
-    if (a.labelAlts.nonEmpty || b.labelAlts.nonEmpty ||
-        a.extraLabels.nonEmpty || b.extraLabels.nonEmpty)
-      notSupported("label alternation / intersection on a quantified " +
-        "path pattern group node — one optional label per group node")
+    ((a, "") +: (b, "") +: tailRaw.map(t => (t._2, ""))).foreach {
+      case (np, _) =>
+        if (np.labelAlts.nonEmpty || np.extraLabels.nonEmpty)
+          notSupported("label alternation / intersection on a " +
+            "quantified path pattern group node — one optional label " +
+            "per group node")
+    }
+    val tail = tailRaw.map { case (r2, n2) =>
+      if (r2.dir == Direction.Both)
+        notSupported("undirected relationship inside a " +
+          "multi-relationship quantified path pattern group — give " +
+          "every hop a direction")
+      QppHop(r2.alias.getOrElse(nextPm()), r2.verb,
+        out = r2.dir == Direction.Out,
+        n2.alias.getOrElse(nextPm()), n2.label)
+    }
+    if (tail.nonEmpty && rel.dir == Direction.Both)
+      notSupported("undirected relationship inside a " +
+        "multi-relationship quantified path pattern group — give " +
+        "every hop a direction")
     RelPat(None, rel.verb, rel.dir, varLength = Some((lo, hi)),
       alts = rel.alts,
       qpp = Some(QppSpec(aA, rA, bA, a.label, b.label,
-        andAll(groupWhere, inline))))
+        andAll(groupWhere, inline), tail)))
   }
 
   /** Parses one relationship pattern if the next tokens start one. */

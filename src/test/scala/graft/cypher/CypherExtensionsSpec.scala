@@ -985,6 +985,44 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
 
+  test("multi-relationship quantified path pattern group (round 13)") {
+    // KNOWS chain: p1→p2→p3→p4 plus the p1→p4 shortcut. A 2-hop
+    // composite at {1,1} = paths of length exactly 2
+    val r = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]->(z)){1,1}
+        |(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("Meg Ryan", "Rob Reiner"),
+      ("Tom Hanks", "Kevin Bacon")))
+    // interior node predicate filters the repetition
+    val r2 = rows(
+      """MATCH (a:Person)
+        |((x)-[:KNOWS]->(y)-[:KNOWS]->(z) WHERE y.Born = 1961){1,1}
+        |(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r2 == Seq(("Tom Hanks", "Kevin Bacon")))
+    // {1,2}: length-2 plus length-4 paths (none at 4 here)
+    val r3 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]->(z)){1,2}
+        |(b:Person) RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(r3 == r.size.toLong)
+    // cycle inside the group: repeated alias pins the same node
+    val r4 = rows(
+      """MATCH (a:Person) ((x)-[:FOLLOWS]->(y)-[:FOLLOWS]->(x)){1,1}
+        |(b:Person) RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(r4 == 0L) // FOLLOWS has no 2-cycle
+    // juncture label mismatch is a typed rejection
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person) ((x)-[:ACTED_IN]->(m)-[:KNOWS]->(z)){1,1}
+        |(b:Person) RETURN count(*) AS n""".stripMargin))
+    // every hop needs a direction
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]-(z)){1,1}
+        |(b:Person) RETURN count(*) AS n""".stripMargin))
+  }
+
   test("multi-pattern COUNT{} / COLLECT{} / EXISTS-expr (round 13)") {
     // shared binding across parts: p's movies that Jessica reviewed —
     // the second part conjoins on the shared `m`
@@ -4469,9 +4507,11 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person) ((x)-[:KNOWS]->(y)){1,99} (b:Person)
         |RETURN b.Name AS n""".stripMargin))
-    // multi-rel groups have no flat lowering
+    // multi-rel groups are SUPPORTED since round 13 (composite edge
+    // frame) — covered by the dedicated test above; the lowering
+    // contract check here: a var-length INSIDE a group stays typed
     intercept[CypherNotSupportedException](rows(
-      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]->(z)){1,2}
+      """MATCH (a:Person) ((x)-[:KNOWS*1..2]->(y)-[:KNOWS]->(z)){1,2}
         |(b:Person) RETURN b.Name AS n""".stripMargin))
     // a predicate referencing an OUTER variable is the ordinary
     // unknown-variable error (group predicates see one hop only)
