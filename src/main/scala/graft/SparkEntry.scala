@@ -1828,6 +1828,21 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- QPP group-node sub-label (round 13): a declared sub-label on
+    //     a group node lowers to its discriminator equality, pushed
+    //     into the ONE filtered edge frame before the unroll
+    ("q139_qpp_sublabel", cyx(
+      """MATCH (a:Customer) ((x)-[:PLACED]->(y:UrgentOrder)){1,1}
+        |(b:Order)
+        |WHERE a.c_acctbal > 9900
+        |RETURN a.c_name AS name, count(*) AS urgent
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name, count(*) AS urgent
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |WHERE c_acctbal > 9900
+             |  AND o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- multi-relationship quantified path pattern group (round 13;
     //     Cypher 5 `((a)-[:R]->(b)-[:S]->(c)){m,n}`): the chain
     //     composes into ONE synthetic (src, dst) edge frame —

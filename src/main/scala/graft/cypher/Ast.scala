@@ -223,13 +223,23 @@ object ast {
   /** One additional hop of a multi-relationship quantified path
    *  pattern group (round 13): `((a)-[r:R]->(b)-[s:S]->(c)){m,n}` —
    *  hop 2..N each adds a relationship and its right-hand node. */
+  /** Labels declared on one quantified-group node (round 13):
+   *  `label` + `extras` is the intersection form `:A:B`, `alts` the
+   *  alternation form `:A|B` (mutually exclusive, parser-enforced).
+   *  Lowered statically like [[HasLabel]]: own label folds true, a
+   *  declared sub-label becomes its discriminator equality, a foreign
+   *  label folds false inside an alternation (and stays the typed
+   *  mismatch error as a bare/intersected label). */
+  final case class QppLbl(label: Option[String],
+                          extras: Seq[String] = Seq.empty,
+                          alts: Seq[String] = Seq.empty)
   final case class QppHop(relAlias: String, verb: Option[String],
                           out: Boolean, nodeAlias: String,
-                          nodeLabel: Option[String])
+                          nodeLabel: QppLbl)
   final case class QppSpec(srcAlias: String, relAlias: String,
                            dstAlias: String,
-                           srcLabel: Option[String],
-                           dstLabel: Option[String],
+                           srcLabel: QppLbl,
+                           dstLabel: QppLbl,
                            pred: Option[Expr],
       /** hops 2..N of a multi-relationship group; empty = the
        *  single-relationship form. The compiler composes the chain

@@ -133,7 +133,7 @@ private[cypher] object HopPred {
     val plain = r.copy(qpp = None)
     if (q.tail.nonEmpty) return rewriteQppChain(r, q, catalog, extra)
     // a label-less, predicate-less group is pure [*lo..hi] sugar
-    if (q.pred.isEmpty && q.srcLabel.isEmpty && q.dstLabel.isEmpty)
+    if (q.pred.isEmpty && emptyLbl(q.srcLabel) && emptyLbl(q.dstLabel))
       return plain
     val verb = r.verb.getOrElse(
       throw new CypherNotSupportedException(
@@ -165,20 +165,8 @@ private[cypher] object HopPred {
       else (e.fromLabel, e.toLabel)
     val leftN = catalog.graph.node(leftL)
     val rightN = catalog.graph.node(rightL)
-    def labelConj(alias: String, lbl: Option[String], n: NodeDef)
-        : Seq[Expr] = lbl match {
-      case None => Seq.empty
-      case Some(l) if l == n.label => Seq.empty
-      case Some(l) => n.subLabels.get(l) match {
-        case Some((prop, v)) =>
-          Seq(Bin(BinOp.Eq, Ref(alias, Some(prop)), Lit(v)))
-        case None => throw new CypherBindingException(
-          s"quantified path pattern node ':$l' does not match the " +
-          s"relationship's endpoint label '${n.label}'")
-      }
-    }
-    val conj = labelConj(q.srcAlias, q.srcLabel, leftN) ++
-      labelConj(q.dstAlias, q.dstLabel, rightN) ++ q.pred.toSeq
+    val conj = qppLabelConj(q.srcAlias, q.srcLabel, leftN) ++
+      qppLabelConj(q.dstAlias, q.dstLabel, rightN) ++ q.pred.toSeq
     if (conj.isEmpty) return plain
     val pred = conj.reduce((x, y) => Bin(BinOp.And, x, y))
     if (Compiler.containsAgg(pred))
@@ -216,6 +204,36 @@ private[cypher] object HopPred {
     extra += ((e.copy(verb = synthVerb, table = s"__qf_${id}_$verb"),
       filtered))
     plain.copy(verb = Some(synthVerb))
+  }
+
+  private def emptyLbl(l: QppLbl): Boolean =
+    l.label.isEmpty && l.extras.isEmpty && l.alts.isEmpty
+
+  /** Static label predicate for one quantified-group node — the
+    * HasLabel lowering: own label true, declared sub-label =
+    * discriminator equality, foreign label false (alternation) /
+    * typed mismatch (bare or intersected). Folded conjuncts drop. */
+  private def qppLabelConj(alias: String, lbl: QppLbl, nd: NodeDef)
+      : Seq[Expr] = {
+    def one(l: String, inAlt: Boolean): Expr =
+      if (l == nd.label) Lit(true)
+      else nd.subLabels.get(l) match {
+        case Some((prop, v)) =>
+          Bin(BinOp.Eq, Ref(alias, Some(prop)), Lit(v))
+        case None =>
+          if (inAlt) Lit(false)
+          else throw new CypherBindingException(
+            s"quantified path pattern node ':$l' does not match the " +
+            s"relationship's endpoint label '${nd.label}'")
+      }
+    if (lbl.alts.nonEmpty) {
+      val arms = (lbl.label.toSeq ++ lbl.alts).map(one(_, inAlt = true))
+      if (arms.contains(Lit(true))) Seq.empty
+      else Seq(arms.filterNot(_ == Lit(false))
+        .reduceOption((x, y) => Bin(BinOp.Or, x, y): Expr)
+        .getOrElse(Lit(false)))
+    } else (lbl.label.toSeq ++ lbl.extras)
+      .map(one(_, inAlt = false)).filterNot(_ == Lit(true))
   }
 
   /**
@@ -290,25 +308,16 @@ private[cypher] object HopPred {
       case _ =>
     }
     // declared node labels: own label folds away, a declared sub-label
-    // becomes its discriminator conjunct, anything else is typed
-    val declared: Seq[(String, Option[String], NodeDef)] =
+    // becomes its discriminator conjunct (OR'd under alternation,
+    // AND'd under intersection), a foreign label folds false in an
+    // alternation and stays typed otherwise
+    val declared: Seq[(String, QppLbl, NodeDef)] =
       ((q.srcAlias, q.srcLabel, catalog.graph.node(leftLabel(hops.head))) +:
         ((q.dstLabel +: q.tail.map(_.nodeLabel)).zip(hops).map {
           case (lbl, h) => (h.right, lbl, catalog.graph.node(rightLabel(h)))
         }))
     val labelConjs = declared.flatMap { case (al, lbl, nd) =>
-      lbl match {
-        case None => Seq.empty
-        case Some(l) if l == nd.label => Seq.empty
-        case Some(l) => nd.subLabels.get(l) match {
-          case Some((prop, v)) =>
-            Seq(Bin(BinOp.Eq, Ref(al, Some(prop)), Lit(v)): Expr)
-          case None => throw new CypherBindingException(
-            s"quantified path pattern node ':$l' does not match the " +
-            s"relationship's endpoint label '${nd.label}'")
-        }
-      }
-    }
+      qppLabelConj(al, lbl, nd) }
     val predOpt = (labelConjs ++ q.pred.toSeq)
       .reduceOption((x, y) => Bin(BinOp.And, x, y))
     predOpt.foreach { pr =>

@@ -1406,13 +1406,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val aA = a.alias.getOrElse(nextPm())
     val bA = b.alias.getOrElse(nextPm())
     val rA = rel.alias.getOrElse(nextPm())
-    ((a, "") +: (b, "") +: tailRaw.map(t => (t._2, ""))).foreach {
-      case (np, _) =>
-        if (np.labelAlts.nonEmpty || np.extraLabels.nonEmpty)
-          notSupported("label alternation / intersection on a " +
-            "quantified path pattern group node — one optional label " +
-            "per group node")
-    }
+    // label alternation `:A|B` / intersection `:A:B` on group nodes
+    // (round 13) lower statically like HasLabel — carried through
+    def lblOf(np: NodePat): QppLbl =
+      QppLbl(np.label, np.extraLabels, np.labelAlts)
     val tail = tailRaw.map { case (r2, n2) =>
       if (r2.dir == Direction.Both)
         notSupported("undirected relationship inside a " +
@@ -1420,7 +1417,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           "every hop a direction")
       QppHop(r2.alias.getOrElse(nextPm()), r2.verb,
         out = r2.dir == Direction.Out,
-        n2.alias.getOrElse(nextPm()), n2.label)
+        n2.alias.getOrElse(nextPm()), lblOf(n2))
     }
     if (tail.nonEmpty && rel.dir == Direction.Both)
       notSupported("undirected relationship inside a " +
@@ -1428,7 +1425,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         "every hop a direction")
     RelPat(None, rel.verb, rel.dir, varLength = Some((lo, hi)),
       alts = rel.alts,
-      qpp = Some(QppSpec(aA, rA, bA, a.label, b.label,
+      qpp = Some(QppSpec(aA, rA, bA, lblOf(a), lblOf(b),
         andAll(groupWhere, inline), tail)))
   }
 

@@ -1023,6 +1023,39 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("QPP group-node label alternation / intersection (round 13)") {
+    // alternation: y is a Boomer or Sixties person (sub-label
+    // discriminators OR'd) — only p1→p2 lands on one
+    val r = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Boomer|Sixties)){1,1}
+        |(b:Person) RETURN a.Name AS an, b.Name AS bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("Tom Hanks", "Meg Ryan")))
+    // a foreign label inside an alternation folds false, not an error
+    val r2 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Movie|Sixties)){1,1}
+        |(b:Person) RETURN a.Name AS an, b.Name AS bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r2 == r)
+    // intersection: own label AND'd with a sub-label discriminator
+    val r3 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Person:Sixties)){1,1}
+        |(b:Person) RETURN b.Name AS bn""".stripMargin)
+      .map(_.getString(0))
+    assert(r3 == Seq("Meg Ryan"))
+    // interior node of a chain group takes the same forms
+    val r4 = rows(
+      """MATCH (a:Person)
+        |((x)-[:KNOWS]->(y:Sixties)-[:KNOWS]->(z)){1,1} (b:Person)
+        |RETURN a.Name AS an, b.Name AS bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r4 == Seq(("Tom Hanks", "Kevin Bacon")))
+    // a bare foreign label stays the typed mismatch
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y:Movie)){1,1} (b:Person)
+        |RETURN b.Name AS bn""".stripMargin))
+  }
+
   test("multi-pattern COUNT{} / COLLECT{} / EXISTS-expr (round 13)") {
     // shared binding across parts: p's movies that Jessica reviewed —
     // the second part conjoins on the shared `m`
