@@ -1947,10 +1947,12 @@ object SparkEntry {
         |     o
         |RETURN m.who.name AS name,
         |       toLong(m.when.year) AS yr,
-        |       properties(o).o_totalprice AS tot
+        |       properties(o).o_totalprice AS tot,
+        |       elementId(o) AS eid
         |ORDER BY name, yr, tot""".stripMargin),
       Some("""SELECT c_name AS name, year(o_orderdate) AS yr,
-             |       o_totalprice AS tot
+             |       o_totalprice AS tot,
+             |       'Order:' || CAST(o_orderkey AS VARCHAR) AS eid
              |FROM customer JOIN orders ON o_custkey = c_custkey
              |WHERE c_acctbal > 9990
              |ORDER BY 1, 2, 3""".stripMargin)),

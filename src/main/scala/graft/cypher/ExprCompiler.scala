@@ -932,6 +932,20 @@ final class ExprCompiler(
             "(src, sink); project those columns instead")
           case _ => throw new IllegalStateException
         }
+      // Neo4j 5 elementId(): a STRING identity — label-qualified so ids
+      // stay unique across node tables (id() is the raw key); edges
+      // stringify their (src, sink) pair under the verb's table
+      case "elementid" =>
+        entityArg(f, "elementId") match {
+          case (al, NodeBinding(n)) =>
+            concat_ws(":", lit(n.label),
+              col(pref(physAlias(al), n.idColumn)).cast(StringType))
+          case (al, EdgeBinding(e2)) =>
+            concat_ws(":", lit(e2.verb),
+              col(pref(physAlias(al), e2.srcIdColumn)).cast(StringType),
+              col(pref(physAlias(al), e2.sinkIdColumn)).cast(StringType))
+          case _ => throw new IllegalStateException
+        }
       case "labels" =>
         entityArg(f, "labels") match {
           case (al, NodeBinding(n)) =>

@@ -591,7 +591,7 @@ final class TypeInference(refType: Ref => Option[DataType],
             Some(if (f.name == "nodes") "__nodes" else "__rels")))
         case _ => f.args.foreach(infer); None
       }
-      case "type" => Some(StringType)
+      case "type" | "elementid" => Some(StringType)
       // properties(n) over an entity: its property struct (typed so
       // generic dot access `properties(n).f` composes statically)
       case "properties" => f.args match {

@@ -1180,6 +1180,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |       {when: date('2024-03-05')}.when.month AS mo,
         |       time('10:30:00').hour AS h""".stripMargin).head
     assert(r5.getInt(0) == 2024 && r5.getInt(1) == 3 && r5.getInt(2) == 10)
+    // elementId(): label-qualified STRING identity (Neo4j 5); edges
+    // stringify (verb, src, snk)
+    val r6 = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie)
+        |WHERE p.Name = 'Kevin Bacon'
+        |RETURN elementId(p) AS np, elementId(a) AS ea""".stripMargin).head
+    assert(r6.getString(0) == "Person:p3" &&
+      r6.getString(1) == "ACTED_IN:p3:m2")
     // typed rejections: missing key, non-map operand, parity mode
     intercept[CypherBindingException](rows(
       "WITH {a: {b: 1}} AS m RETURN m.a.z AS x"))
