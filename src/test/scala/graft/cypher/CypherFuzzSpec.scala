@@ -393,6 +393,61 @@ class CypherFuzzSpec extends AnyFunSuite {
         joinOn + wSql)
   }
 
+  /** Late-round-13 surface arm: generic dot access on computed maps,
+    * elementId(), multi-pattern COUNT{}, 2-hop quantified-group chains
+    * (with optional interior sub-label), and CALL db.labels() — each
+    * vs a hand-built SQL / VALUES mirror. */
+  private def genSurface13b(rnd: Random): Gen = rnd.nextInt(4) match {
+    case 0 => // dot access chains + properties() + elementId
+      val e = edges(rnd.nextInt(edges.size))
+      val endLbl = e._3
+      val endProp = if (endLbl == "Movie") "Title" else "Name"
+      Gen(
+        s"MATCH (a:Person)-[:${e._1}]->(b:$endLbl) RETURN " +
+          s"{w: {n: a.Name}}.w.n AS dn, properties(b).$endProp AS pp, " +
+          "elementId(a) AS eid",
+        s"SELECT a.Name AS dn, b.$endProp AS pp, " +
+          "'Person:' || a.id AS eid " +
+          s"FROM person a JOIN ${e._4} r ON r._vertexId = a.id " +
+          s"JOIN ${nodeTable(endLbl)} b ON b.id = r._sink")
+    case 1 => // multi-pattern COUNT{}: shared m across two parts
+      val v = Seq(("ACTED_IN", "acted_in"),
+        ("DIRECTED", "directed"))(rnd.nextInt(2))
+      Gen(
+        s"MATCH (p:Person) RETURN p.Name AS nm, COUNT { " +
+          s"(p)-[:${v._1}]->(m:Movie), " +
+          "(:Person {Name: 'Jessica Thompson'})-[:REVIEWED]->(m) } AS n",
+        "SELECT p.Name AS nm, coalesce((SELECT count(*) " +
+          s"FROM ${v._2} r JOIN reviewed rv ON rv._sink = r._sink " +
+          "JOIN person j ON j.id = rv._vertexId " +
+          "WHERE j.Name = 'Jessica Thompson' " +
+          "AND r._vertexId = p.id), 0) AS n FROM person p")
+    case 2 => // 2-hop quantified group chain, optional interior label
+      val v = Seq(("KNOWS", "knows"), ("FOLLOWS", "follows"))(
+        rnd.nextInt(2))
+      val (lbl, sqlW) = rnd.nextInt(3) match {
+        case 0 => (":Boomer", " WHERE y.Born = 1956")
+        case 1 => (":Sixties", " WHERE y.Born = 1961")
+        case _ => ("", "")
+      }
+      Gen(
+        s"MATCH (a:Person) ((x)-[:${v._1}]->(y$lbl)-[:${v._1}]->(z))" +
+          "{1,1} (b:Person) RETURN a.Name AS an, b.Name AS bn",
+        "SELECT a.Name AS an, b.Name AS bn FROM person a " +
+          s"JOIN ${v._2} r1 ON r1._vertexId = a.id " +
+          "JOIN person y ON y.id = r1._sink " +
+          s"JOIN ${v._2} r2 ON r2._vertexId = y.id " +
+          s"JOIN person b ON b.id = r2._sink$sqlW")
+    case _ => // CALL db.labels(): static frame vs the VALUES mirror
+      val c = Seq("o", "e", "i", "s")(rnd.nextInt(4))
+      Gen(
+        s"CALL db.labels() YIELD label WHERE label CONTAINS '$c' " +
+          "RETURN label",
+        "SELECT label FROM (VALUES ('Boomer'), ('Movie'), " +
+          "('NinetiesClassic'), ('Person'), ('Sixties')) t(label) " +
+          s"WHERE label LIKE '%$c%'")
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -465,6 +520,38 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
       assert(got == exp,
         s"\nseed=${Seed + 2} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
+  }
+
+  test("50 seed-pinned late-round-13 surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 3)
+    (0 until 50).foreach { i =>
+      val g = genSurface13b(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 3} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 3} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 3} i=$i DIVERGED " +
         s"(${got.size} vs ${exp.size} rows)" +
         s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
         s"\ngot:      ${got.take(8).mkString(" ; ")}" +
