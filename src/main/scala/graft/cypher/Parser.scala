@@ -492,8 +492,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         val w = if (tryKw("WHERE")) Some(parseExpr()) else None
         val items = ys.map { case (c2, a2) =>
           RetItem(DotAccess(Ref(al, None), c2), Some(a2)) }
+        // star = true: the yielded columns ADD to the row (outer
+        // variables stay in scope through the CALL, Neo4j's contract)
         parts += QueryPart(ms,
-          Projection(items, distinct = false, Seq.empty, None, w), uw, calls)
+          Projection(items, distinct = false, Seq.empty, None, w,
+            star = true), uw, calls)
         cur match {
           case EOF(_) | Punct(";", _) => done = true
           case Kw("UNION", _, _)      => done = true

@@ -1145,6 +1145,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (m:Movie) CALL db.labels() YIELD label
         |RETURN count(*) AS n""".stripMargin).head
     assert(r6.getLong(0) == 3 * 5)
+    // outer variables stay in scope through the CALL (Neo4j contract)
+    val r7 = rows(
+      """MATCH (m:Movie) CALL db.labels() YIELD label
+        |WHERE label = 'NinetiesClassic'
+        |RETURN m.Title AS t, label ORDER BY t""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r7.size == 3 && r7.forall(_._2 == "NinetiesClassic") &&
+      r7.map(_._1) == r7.map(_._1).sorted)
     // rejections: unknown procedure, arguments, unknown yield column,
     // parity mode
     intercept[CypherNotSupportedException](rows("CALL db.nope()"))
