@@ -1828,6 +1828,29 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- duration.inDays / inMonths (round 13; Neo4j's whole-unit
+    //     duration constructors): truncated-toward-zero whole days /
+    //     months as native Spark intervals, round-tripped through
+    //     date arithmetic (base on the 1st aligns months_between with
+    //     the calendar-month diff)
+    ("q140_duration_units", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 60
+        |WITH o, date('1995-01-01') AS base
+        |RETURN o.o_orderkey AS ok,
+        |       base + duration.inDays(base, o.o_orderdate) AS snapped,
+        |       datetime(base + duration.inMonths(base,
+        |                o.o_orderdate)) AS msnap
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |  CAST(DATE '1995-01-01' + to_days(CAST(
+             |    datediff('day', DATE '1995-01-01', o_orderdate)
+             |    AS INTEGER)) AS TIMESTAMP) AS snapped,
+             |  CAST(DATE '1995-01-01' + to_months(CAST(
+             |    datediff('month', DATE '1995-01-01', o_orderdate)
+             |    AS INTEGER)) AS TIMESTAMP) AS msnap
+             |FROM orders WHERE o_orderkey <= 60
+             |ORDER BY ok""".stripMargin)),
+
     // --- QPP group-node sub-label (round 13): a declared sub-label on
     //     a group node lowers to its discriminator equality, pushed
     //     into the ONE filtered edge frame before the unroll

@@ -816,6 +816,29 @@ final class ExprCompiler(
       case "duration.between" =>
         arity(2)
         a1.cast(TimestampType) - a0.cast(TimestampType)
+      // duration.inSeconds (round 13; Neo4j): everything expressed in
+      // seconds + fraction — at this engine's storage level a day-time
+      // interval IS exact seconds, so the value equals
+      // duration.between (Neo4j differs only in component
+      // normalization, which Spark's interval type doesn't carry)
+      case "duration.inseconds" =>
+        arity(2)
+        a1.cast(TimestampType) - a0.cast(TimestampType)
+      // duration.inDays (round 13; Neo4j): WHOLE days between,
+      // truncated toward zero
+      case "duration.indays" =>
+        arity(2)
+        val days = ((unix_seconds(a1.cast(TimestampType)) -
+          unix_seconds(a0.cast(TimestampType))) / lit(86400.0))
+          .cast(LongType)
+        make_dt_interval(days, lit(0), lit(0), lit(0))
+      // duration.inMonths (round 13; Neo4j): WHOLE months between,
+      // truncated toward zero — a year-month interval
+      case "duration.inmonths" =>
+        arity(2)
+        make_ym_interval(lit(0),
+          months_between(a1.cast(TimestampType), a0.cast(TimestampType))
+            .cast(IntegerType))
       // openCypher temporal constructors (the reference's value node
       // carries typed DateTime literals, QueryExpressionValue.cs:43-55).
       // A literal argument becomes a TYPED literal at compile time —

@@ -2427,7 +2427,8 @@ object Parser {
    *  `duration.between(a, b)` — parsed as qualified calls, compiled
    *  by the matching Func name. */
   val NamespacedFns: Set[String] = Set(
-    "date.truncate", "datetime.truncate", "duration.between")
+    "date.truncate", "datetime.truncate", "duration.between",
+    "duration.inseconds", "duration.indays", "duration.inmonths")
 
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()

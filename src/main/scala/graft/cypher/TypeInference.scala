@@ -543,11 +543,14 @@ final class TypeInference(refType: Ref => Option[DataType],
         t(1).foreach(x => if (!isTemporal(x))
           fail(s"${f.name}() requires a date/timestamp, got ${x.simpleString}"))
         Some(if (f.name == "date.truncate") DateType else TimestampType)
-      case "duration.between" =>
+      case "duration.between" | "duration.inseconds"
+         | "duration.indays" | "duration.inmonths" =>
         Seq(0, 1).foreach(i => t(i).foreach(x => if (!isTemporal(x))
-          fail(s"duration.between() requires dates/timestamps, got " +
+          fail(s"${f.name}() requires dates/timestamps, got " +
             x.simpleString)))
-        Some(DayTimeIntervalType.DEFAULT)
+        if (f.name == "duration.inmonths")
+          Some(YearMonthIntervalType.DEFAULT)
+        else Some(DayTimeIntervalType.DEFAULT)
       case "datetime" | "localdatetime" =>
         // string literal/column, an existing temporal (identity/
         // widening via to_timestamp), or a component MAP constructor

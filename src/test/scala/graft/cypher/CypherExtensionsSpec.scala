@@ -1013,6 +1013,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (a:Person) ((x)-[:FOLLOWS]->(y)-[:FOLLOWS]->(x)){1,1}
         |(b:Person) RETURN count(*) AS n""".stripMargin).head.getLong(0)
     assert(r4 == 0L) // FOLLOWS has no 2-cycle
+    // unbounded quantifier over a composite: the reach BFS iterates
+    // the composed frame (pairs at even KNOWS-distance here)
+    val r5 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)-[:KNOWS]->(z)){1,}
+        |(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r5 == r) // no 4-hop KNOWS paths: {1,} = the length-2 set
     // juncture label mismatch is a typed rejection
     intercept[CypherBindingException](rows(
       """MATCH (a:Person) ((x)-[:ACTED_IN]->(m)-[:KNOWS]->(z)){1,1}
@@ -4126,6 +4134,26 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (m:Movie) RETURN m.Title.length AS x"))
     intercept[CypherTypeException](rows(
       "MATCH (m:Movie) WITH date('2020-01-01') AS d RETURN d.x.year.day AS x"))
+  }
+
+  test("duration.inSeconds / inDays / inMonths (round 13)") {
+    val r = rows(
+      """WITH date('2024-01-31') AS a, date('2024-03-01') AS b
+        |RETURN duration.inSeconds(a, b) = duration.between(a, b) AS sx,
+        |       a + duration.inDays(a, b) =
+        |         datetime('2024-03-01T00:00:00') AS dx,
+        |       a + duration.inMonths(a, b) = date('2024-02-29') AS mx
+        |""".stripMargin).head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    // whole-unit truncation: 30 days and 1 month between those dates;
+    // a sub-day gap truncates to zero days
+    val r2 = rows(
+      """WITH datetime('2024-01-01T10:00:00') AS a,
+        |     datetime('2024-01-01T23:30:00') AS b
+        |RETURN a + duration.inDays(a, b) = a AS zd""".stripMargin).head
+    assert(r2.getBoolean(0))
+    intercept[CypherTypeException](rows(
+      "RETURN duration.inDays(1, 2) AS x"))
   }
 
   test("date.truncate / datetime.truncate / duration.between / epoch") {
