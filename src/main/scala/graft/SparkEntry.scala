@@ -1828,6 +1828,21 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- Cypher 5 label expressions (round 13): `&` intersection,
+    //     `!` negation (absent discriminator = not labeled), `!=`
+    //     inequality — all static-schema lowerings pushed to the scan
+    ("q141_label_expr", cyx(
+      """MATCH (c:Customer&!BuildingCustomer)-[:FROM_NATION]->(n:Nation)
+        |WHERE c.c_acctbal > 9900 AND c.c_nationkey != 3
+        |RETURN c.c_name AS name, n.n_name AS nat
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name, n_name AS nat
+             |FROM customer JOIN nation ON n_nationkey = c_nationkey
+             |WHERE c_acctbal > 9900
+             |  AND (c_mktsegment IS NULL OR c_mktsegment <> 'BUILDING')
+             |  AND c_nationkey <> 3
+             |ORDER BY 1""".stripMargin)),
+
     // --- duration.inDays / inMonths (round 13; Neo4j's whole-unit
     //     duration constructors): truncated-toward-zero whole days /
     //     months as native Spark intervals, round-tripped through

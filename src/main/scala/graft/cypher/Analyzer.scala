@@ -207,6 +207,29 @@ object Analyzer {
           }
         }
         }
+        // label negation `!L` (round 13; Cypher 5 label expressions):
+        // against the node's resolved primary — own label folds false,
+        // a declared sub-label negates its discriminator (an ABSENT
+        // property is "not labeled", so null ORs in), a label of some
+        // other table never applies to this table's rows (drops)
+        if (np.negLabels.nonEmpty) {
+          val owner = labels.getOrElse(np.alias.get,
+            throw new CypherNotSupportedException(
+              "label negation (n:!A) requires a positive label on the " +
+              "same node"))
+          val nd = schema.node(owner)
+          np.negLabels.distinct.foreach { nl =>
+            if (nl == nd.label) subConjuncts(mi) += Lit(false)
+            else nd.subLabels.get(nl) match {
+              case Some((prop, v)) =>
+                subConjuncts(mi) += Bin(BinOp.Or,
+                  IsNull(Ref(np.alias.get, Some(prop)), not = false),
+                  Not(Bin(BinOp.Eq, Ref(np.alias.get, Some(prop)),
+                    Lit(v))))
+              case None => () // no row here carries that label
+            }
+          }
+        }
       })
     }
 

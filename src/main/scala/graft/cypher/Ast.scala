@@ -190,7 +190,12 @@ object ast {
    *  `extraLabels` (`:A:B` intersection vs `:A|B` union). */
   final case class NodePat(alias: Option[String], label: Option[String],
                            extraLabels: Seq[String] = Seq.empty,
-                           labelAlts: Seq[String] = Seq.empty)
+                           labelAlts: Seq[String] = Seq.empty,
+      /** negated labels `!L` (round 13; Cypher 5 label expressions):
+       *  resolved against the node's primary label — own label folds
+       *  false, a declared sub-label negates its discriminator (an
+       *  absent property = not labeled), a foreign label drops. */
+                           negLabels: Seq[String] = Seq.empty)
   /** `varLength = Some((lo, hi))` marks a bounded variable-length
    *  relationship `[*lo..hi]` — a flagged EXTENSION (the reference
    *  rejects var-length, CypherVisitor.cs:2035-2039); the compiler

@@ -119,11 +119,15 @@ object Lexer {
         two match {
           case "<=" | ">=" | "<>" | "->" | "<-" | "=~" | ".." =>
             out += Punct(two, i); i += 2
+          case "!=" =>
+            // Neo4j's alternative inequality spelling — canonicalized
+            // to the openCypher token so the parser sees one form
+            out += Punct("<>", i); i += 2
           case _ =>
             c match {
               case '(' | ')' | '[' | ']' | '{' | '}' | ',' | '.' | ':' |
                    '+' | '-' | '*' | '/' | '%' | '^' | '=' | '<' | '>' |
-                   '|' | ';' =>
+                   '|' | ';' | '&' | '!' =>
                 out += Punct(c.toString, i); i += 1
               case _ => err(s"Unexpected character '$c'")
             }

@@ -1274,16 +1274,31 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private def parseNodePat(): NodePat = {
     eatPunct("(")
     val alias = patAlias()
-    val (label, extraLabels, labelAlts) = if (tryPunct(":")) {
-      val l = name()
+    val (label, extraLabels, labelAlts, negLabels) = if (tryPunct(":")) {
+      // Cypher 5 label expressions (round 13): `&` is a synonym of the
+      // `:` intersection separator, `!L` negates a label
+      val negs = Vector.newBuilder[String]
+      def posOrNeg(): Option[String] =
+        if (tryPunct("!")) {
+          if (!extensions)
+            notSupported("label negation (n:!A) " +
+              "(supported with extensions enabled)")
+          negs += name(); None
+        } else Some(name())
+      var first = posOrNeg()
       val extras = Vector.newBuilder[String]
-      while (isPunct(":")) {
+      while (isPunct(":") || isPunct("&")) {
         if (!extensions)
           notSupported("multiple node labels in one pattern " +
             "(supported with extensions enabled)")
         p += 1
-        extras += name()
+        posOrNeg().foreach { n2 =>
+          if (first.isEmpty) first = Some(n2) else extras += n2
+        }
       }
+      val l = first.getOrElse(notSupported(
+        "label negation (n:!A) without a positive label on the same " +
+        "node — anchor the pattern with a primary label"))
       // label alternation `(n:A|B)` (extension) — union semantics,
       // mutually exclusive with the `:A:B` intersection form
       val alts = Vector.newBuilder[String]
@@ -1299,8 +1314,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("mixing label alternation (:A|B) with label " +
             "intersection (:A:B) in one pattern")
       }
-      (Some(l), extras.result(), alts.result().distinct.filterNot(_ == l))
-    } else (None, Vector.empty[String], Vector.empty[String])
+      if (alts.result().nonEmpty && negs.result().nonEmpty)
+        notSupported("mixing label negation (!A) with label " +
+          "alternation (:A|B) in one pattern")
+      (Some(l), extras.result(), alts.result().distinct.filterNot(_ == l),
+        negs.result().distinct)
+    } else (None, Vector.empty[String], Vector.empty[String],
+      Vector.empty[String])
     val props = if (isPunct("{")) {
       if (!extensions)
         notSupported("inline property map in node pattern " +
@@ -1322,7 +1342,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     props.foreach { case (k, v) =>
       propConjuncts += Bin(BinOp.Eq, Ref(bound.get, Some(k)), v) }
     patWhere.foreach(propConjuncts += _)
-    NodePat(bound, label, extraLabels, labelAlts)
+    NodePat(bound, label, extraLabels, labelAlts, negLabels)
   }
 
   /** Quantified path pattern (round 13; Cypher 5 / GQL):
@@ -1411,8 +1431,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     val rA = rel.alias.getOrElse(nextPm())
     // label alternation `:A|B` / intersection `:A:B` on group nodes
     // (round 13) lower statically like HasLabel — carried through
-    def lblOf(np: NodePat): QppLbl =
+    def lblOf(np: NodePat): QppLbl = {
+      if (np.negLabels.nonEmpty)
+        notSupported("label negation (!A) on a quantified path " +
+          "pattern group node")
       QppLbl(np.label, np.extraLabels, np.labelAlts)
+    }
     val tail = tailRaw.map { case (r2, n2) =>
       if (r2.dir == Direction.Both)
         notSupported("undirected relationship inside a " +

@@ -140,10 +140,12 @@ object VarLength {
     val a = pp.nodes(i)
     val b = pp.nodes(i + 1)
     Seq(a, b).foreach { np =>
-      if (np.labelAlts.nonEmpty || np.extraLabels.nonEmpty)
+      if (np.labelAlts.nonEmpty || np.extraLabels.nonEmpty ||
+          np.negLabels.nonEmpty)
         throw new CypherNotSupportedException(
-          "zero-length variable-length with a label alternation or " +
-          "multi-label endpoint — give the endpoint one label")
+          "zero-length variable-length with a label alternation, " +
+          "negation or multi-label endpoint — give the endpoint one " +
+          "label")
     }
     if (a.label.isDefined && b.label.isDefined && a.label != b.label)
       return None

@@ -1031,6 +1031,34 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("Cypher 5 label expressions & ! and != (round 13)") {
+    // & is the intersection separator
+    val r = rows("MATCH (p:Person&Boomer) RETURN p.Name AS nm")
+      .map(_.getString(0))
+    assert(r == Seq("Tom Hanks"))
+    // negation: an ABSENT discriminator property = not labeled
+    val r2 = rows(
+      "MATCH (p:Person&!Boomer) RETURN p.Name AS nm ORDER BY nm")
+      .map(_.getString(0))
+    assert(r2 == Seq("Jessica Thompson", "Kevin Bacon", "Meg Ryan",
+      "Rob Reiner"))
+    // own-label negation is the empty set; a foreign label drops
+    assert(rows("MATCH (p:Person&!Person) RETURN p.Name AS nm").isEmpty)
+    assert(rows("MATCH (p:Person&!Movie) RETURN count(*) AS n")
+      .head.getLong(0) == 5L)
+    // != is <> (null-propagating, unlike !Boomer's absent-is-true)
+    val r3 = rows(
+      "MATCH (p:Person) WHERE p.Born != 1956 RETURN p.Name AS nm " +
+      "ORDER BY nm").map(_.getString(0))
+    assert(r3 == Seq("Kevin Bacon", "Meg Ryan"))
+    // rejections: negation-only pattern; parity mode
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:!Boomer) RETURN p.Name AS nm"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person&!Boomer) RETURN p.Name AS nm"))
+  }
+
   test("QPP group-node label alternation / intersection (round 13)") {
     // alternation: y is a Boomer or Sixties person (sub-label
     // discriminators OR'd) — only p1→p2 lands on one
