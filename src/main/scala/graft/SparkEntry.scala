@@ -1828,6 +1828,19 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- entity subscript n['key'] + trim specifiers (round 13;
+    //     Neo4j dynamic property access with a static key; Cypher 5
+    //     trim(BOTH/LEADING/TRAILING ch FROM s)): both in-row codegen
+    ("q142_subscript_trim", cyx(
+      """MATCH (c:Customer) WHERE c['c_acctbal'] > 9900
+        |RETURN trim(LEADING 'C' FROM c['c_name']) AS tn,
+        |       trim(BOTH 'r0' FROM c.c_name) AS bn
+        |ORDER BY tn""".stripMargin),
+      Some("""SELECT ltrim(c_name, 'C') AS tn,
+             |       trim(c_name, 'r0') AS bn
+             |FROM customer WHERE c_acctbal > 9900
+             |ORDER BY 1""".stripMargin)),
+
     // --- Cypher 5 label expressions (round 13): `&` intersection,
     //     `!` negation (absent discriminator = not labeled), `!=`
     //     inequality — all static-schema lowerings pushed to the scan

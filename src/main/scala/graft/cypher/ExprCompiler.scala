@@ -422,6 +422,26 @@ final class ExprCompiler(
       }
 
     case ListIndex(l, from, to, isSlice) =>
+      // dynamic property access n['key'] on an ENTITY with a literal
+      // string key (round 13; Neo4j's n[expr], restricted to static
+      // keys — schema columns are static, not runtime lookups):
+      // exactly n.key, same validation
+      l match {
+        case Ref(a2, None) if scope.get(a2).exists {
+            case NodeBinding(_) | EdgeBinding(_) => true
+            case _ => false } =>
+          if (isSlice) throw new CypherTypeException(
+            "slice on an entity — entities subscript by property key: " +
+            "n['key']")
+          return from.get match {
+            case Lit(k: String) => colOf(a2, k)
+            case _ => throw new CypherNotSupportedException(
+              "entity subscript requires a literal string key — " +
+              "schema properties are static columns, not runtime " +
+              "lookups")
+          }
+        case _ => ()
+      }
       val lc = compile(l)
       // map subscript m['key'] (round 13; Neo4j): a struct-typed
       // operand with a LITERAL string key reads the field (unknown
@@ -663,6 +683,28 @@ final class ExprCompiler(
       case "left"  => arity(2); substring(a0, lit(1), a1)
       case "right" => arity(2); substring(a0, negate(a1), a1)
       case "trim"  => arity(1); trim(a0)
+      // Cypher 5 trim specifier forms (round 13):
+      // trim([BOTH|LEADING|TRAILING] [ch] FROM input); the trim
+      // character must be a literal (Spark's trimString overloads are
+      // literal-only — a runtime character would need a UDF)
+      case "__trim_both" | "__trim_leading" | "__trim_trailing" =>
+        val side = f.name.stripPrefix("__trim_")
+        val (chOpt, input) = f.args match {
+          case Seq(x) => (None, compile(x))
+          case Seq(ast.Lit(c: String), x) => (Some(c), compile(x))
+          case _ => throw new CypherNotSupportedException(
+            "the trim character in trim(… FROM …) must be a literal " +
+            "string")
+        }
+        (side, chOpt) match {
+          case ("both", None)        => trim(input)
+          case ("both", Some(c))     => trim(input, c)
+          case ("leading", None)     => ltrim(input)
+          case ("leading", Some(c))  => ltrim(input, c)
+          case ("trailing", None)    => rtrim(input)
+          case ("trailing", Some(c)) => rtrim(input, c)
+          case _ => throw new IllegalStateException
+        }
       case "ltrim" => arity(1); ltrim(a0)
       case "rtrim" => arity(1); rtrim(a0)
       case "toupper" | "upper" => arity(1); upper(a0)

@@ -2275,6 +2275,36 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       }
       else syntaxErr("Unexpected *")
     }
+    // Cypher 5 trim specifier (round 13, extension):
+    // trim([BOTH|LEADING|TRAILING] [ch] FROM input) — backtracks to
+    // the plain-argument parse when no FROM materializes (so a column
+    // named `both` still works)
+    if (lname == "trim" && extensions) {
+      val save = p
+      val spec = cur match {
+        case Ident(s, _) if Set("both", "leading", "trailing")(
+            s.toLowerCase(java.util.Locale.ROOT)) =>
+          p += 1; s.toLowerCase(java.util.Locale.ROOT)
+        case _ => "both"
+      }
+      def isFrom = cur match {
+        case Ident(s, _) => s.equalsIgnoreCase("FROM"); case _ => false
+      }
+      val attempt: Option[Expr] =
+        try {
+          val ch = if (isFrom) None else Some(parseExpr())
+          if (isFrom) {
+            p += 1
+            val input = parseExpr()
+            eatPunct(")")
+            Some(Func(s"__trim_$spec", ch.toSeq :+ input))
+          } else None
+        } catch { case _: CypherException => None }
+      attempt match {
+        case Some(e) => return e
+        case None => p = save
+      }
+    }
     val distinct = tryKw("DISTINCT")
     val args = Vector.newBuilder[Expr]
     if (!isPunct(")")) {

@@ -239,6 +239,18 @@ final class TypeInference(refType: Ref => Option[DataType],
       bound(acc, initT)(bound(v, et)(infer(step)))
       initT
     case ListIndex(l, from, to, isSlice) =>
+      // entity subscript n['key'] (round 13): typed via the entity's
+      // property struct; the compiler validates key and form
+      l match {
+        case Ref(a, None) if entityStruct(a).isDefined && !isSlice =>
+          return from match {
+            case Some(Lit(k: String)) =>
+              entityStruct(a).get.fields.find(_.name == k)
+                .map(_.dataType)
+            case _ => None
+          }
+        case _ =>
+      }
       val lt = infer(l)
       // map subscript m['key'] (round 13): struct operand + literal
       // string key → the field's type (the compiler validates the key)
@@ -448,6 +460,10 @@ final class TypeInference(refType: Ref => Option[DataType],
         Some(StringType)
       case "trim" | "ltrim" | "rtrim" | "toupper" | "upper" | "tolower" | "lower" =>
         requireString(t(0), f.name); Some(StringType)
+      // trim-specifier forms: last arg is the input string
+      case "__trim_both" | "__trim_leading" | "__trim_trailing" =>
+        requireString(t(f.args.size - 1), "trim(… FROM …)")
+        Some(StringType)
       case "size" | "length" =>
         // size() covers strings AND lists (the collect()/split() output)
         // - and named paths (extension), whose length is the BIGINT

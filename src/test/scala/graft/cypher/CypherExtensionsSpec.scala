@@ -1031,6 +1031,33 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("entity subscript n['key'] and trim specifiers (round 13)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p['Name'] = 'Tom Hanks'
+        |RETURN p['Born'] AS b""".stripMargin).head
+    assert(r.getInt(0) == 1956)
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) WITH p, 'Name' AS k RETURN p[k] AS x"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) RETURN p['Nope'] AS x"))
+    // trim(BOTH/LEADING/TRAILING [ch] FROM input)
+    val r2 = rows(
+      """RETURN trim(BOTH 'x' FROM 'xxabxx') AS b,
+        |       trim(LEADING 'x' FROM 'xxabxx') AS l,
+        |       trim(TRAILING 'x' FROM 'xxabxx') AS t,
+        |       trim(BOTH FROM '  ab  ') AS s,
+        |       trim('x' FROM 'xaxbx') AS d""".stripMargin).head
+    assert(r2.getString(0) == "ab" && r2.getString(1) == "abxx" &&
+      r2.getString(2) == "xxab" && r2.getString(3) == "ab" &&
+      r2.getString(4) == "axb")
+    // a column named `both` still parses as a plain argument
+    val r3 = rows(
+      "WITH '  y  ' AS both RETURN trim(both) AS y").head
+    assert(r3.getString(0) == "y")
+    intercept[CypherNotSupportedException](rows(
+      "WITH 'x' AS c RETURN trim(c FROM 'xax') AS x"))
+  }
+
   test("Cypher 5 label expressions & ! and != (round 13)") {
     // & is the intersection separator
     val r = rows("MATCH (p:Person&Boomer) RETURN p.Name AS nm")
