@@ -1828,6 +1828,29 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- extended simple CASE (round 13; Cypher 5 `WHEN IS NULL /
+    //     WHEN < x / WHEN STARTS WITH …` operand predicates) + isNaN
+    ("q143_case_extended", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 200
+        |RETURN CASE o.o_totalprice
+        |         WHEN < 50000.0 THEN 'small'
+        |         WHEN < 150000.0 THEN 'mid'
+        |         ELSE 'large' END AS bucket,
+        |       CASE o.o_orderpriority
+        |         WHEN STARTS WITH '1', STARTS WITH '2' THEN 'hot'
+        |         ELSE 'cold' END AS heat,
+        |       count(*) AS n
+        |ORDER BY bucket, heat""".stripMargin),
+      Some("""SELECT CASE WHEN o_totalprice < 50000.0 THEN 'small'
+             |            WHEN o_totalprice < 150000.0 THEN 'mid'
+             |            ELSE 'large' END AS bucket,
+             |       CASE WHEN o_orderpriority LIKE '1%'
+             |              OR o_orderpriority LIKE '2%' THEN 'hot'
+             |            ELSE 'cold' END AS heat,
+             |       count(*) AS n
+             |FROM orders WHERE o_orderkey <= 200
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- entity subscript n['key'] + trim specifiers (round 13;
     //     Neo4j dynamic property access with a static key; Cypher 5
     //     trim(BOTH/LEADING/TRAILING ch FROM s)): both in-row codegen

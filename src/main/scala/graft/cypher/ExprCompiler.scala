@@ -683,6 +683,12 @@ final class ExprCompiler(
       case "left"  => arity(2); substring(a0, lit(1), a1)
       case "right" => arity(2); substring(a0, negate(a1), a1)
       case "trim"  => arity(1); trim(a0)
+      // Neo4j isNaN(): null in → null out (Spark's isnan reads null
+      // as false, hence the guard)
+      case "isnan" =>
+        arity(1)
+        when(a0.isNull, lit(null).cast(BooleanType))
+          .otherwise(isnan(a0.cast(DoubleType)))
       // Cypher 5 trim specifier forms (round 13):
       // trim([BOTH|LEADING|TRAILING] [ch] FROM input); the trim
       // character must be a literal (Spark's trimString overloads are

@@ -2409,19 +2409,42 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         notSupported("CASE <expr> WHEN — only searched CASE is supported" +
           " (simple form supported with extensions enabled)")
       else Some(parseExpr())
+    // extended simple CASE (round 13; Cypher 5): a WHEN alternative
+    // may be a bare value (equality), a comparison applied to the
+    // operand (`WHEN > 3`, `WHEN <> 'x'`), a null test (`WHEN IS
+    // [NOT] NULL`), a string predicate (`WHEN STARTS/ENDS WITH …`,
+    // `WHEN CONTAINS …`, `WHEN =~ …`) or a membership (`WHEN IN …`);
+    // comma-separated alternatives OR-join
+    def whenAlt(x: Expr): Expr = cur match {
+      case Punct(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), _) =>
+        p += 1
+        val bop = op match {
+          case "="  => BinOp.Eq;  case "<>" => BinOp.Neq
+          case "<"  => BinOp.Lt;  case "<=" => BinOp.Le
+          case ">"  => BinOp.Gt;  case _    => BinOp.Ge
+        }
+        Bin(bop, x, parseAddSub())
+      case Punct("=~", _) => p += 1; Bin(BinOp.Regex, x, parseAddSub())
+      case Kw("IS", _, _) =>
+        p += 1; val not = tryKw("NOT"); eatKw("NULL"); IsNull(x, not)
+      case Kw("STARTS", _, _) =>
+        p += 1; eatKw("WITH"); Func("startswith", Seq(x, parseAddSub()))
+      case Kw("ENDS", _, _) =>
+        p += 1; eatKw("WITH"); Func("endswith", Seq(x, parseAddSub()))
+      case Kw("CONTAINS", _, _) =>
+        p += 1; Func("contains", Seq(x, parseAddSub()))
+      case Kw("IN", _, _) => p += 1; Bin(BinOp.In, x, parseAddSub())
+      case _ => Bin(BinOp.Eq, x, parseAddSub())
+    }
     val whens = Vector.newBuilder[(Expr, Expr)]
     while (tryKw("WHEN")) {
-      val c = parseExpr()
       val cond = operand match {
         case Some(x) =>
-          // multi-value WHEN (round 13; Neo4j `WHEN v1, v2 THEN`):
-          // each value equality-matches the operand, OR-joined
           val vs = Vector.newBuilder[Expr]
-          vs += c
-          while (tryPunct(",")) vs += parseExpr()
-          vs.result().map(v => Bin(BinOp.Eq, x, v): Expr)
-            .reduce(Bin(BinOp.Or, _, _))
-        case None => c
+          vs += whenAlt(x)
+          while (tryPunct(",")) vs += whenAlt(x)
+          vs.result().reduce(Bin(BinOp.Or, _, _))
+        case None => parseExpr()
       }
       eatKw("THEN")
       whens += ((cond, parseExpr()))

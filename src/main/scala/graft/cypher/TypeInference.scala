@@ -477,6 +477,8 @@ final class TypeInference(refType: Ref => Option[DataType],
         }
       case "abs" =>
         val a = t(0); requireNumeric(a, "abs"); a
+      case "isnan" =>
+        requireNumeric(t(0), "isNaN"); Some(BooleanType)
       case "round" => requireNumeric(t(0), "round"); t(1); Some(DoubleType)
       case "isempty" =>
         t(0).foreach {

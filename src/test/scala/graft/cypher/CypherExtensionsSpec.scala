@@ -1031,6 +1031,35 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("extended simple CASE and isNaN (round 13)") {
+    // operand-applied predicates: IS NULL, comparisons, string tests,
+    // IN — comma alternatives OR-join
+    val r = rows(
+      """MATCH (p:Person)
+        |RETURN p.Name AS nm,
+        |       CASE p.Born WHEN IS NULL THEN 'unknown'
+        |                   WHEN < 1957, = 1961 THEN 'old-or-61'
+        |                   ELSE 'other' END AS era,
+        |       CASE p.Name WHEN STARTS WITH 'Tom', CONTAINS 'essi'
+        |                   THEN 1 ELSE 0 END AS m
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)))
+    assert(r == Seq(
+      ("Jessica Thompson", "unknown", 1),
+      ("Kevin Bacon", "other", 0),
+      ("Meg Ryan", "old-or-61", 0),
+      ("Rob Reiner", "unknown", 0),
+      ("Tom Hanks", "old-or-61", 1)))
+    // plain value alternatives unchanged; IN list form
+    val r2 = rows(
+      """RETURN CASE 3 WHEN IN [1, 3, 5] THEN 'odd' ELSE 'no' END AS a,
+        |       CASE 'x' WHEN 'x' THEN 1 ELSE 0 END AS b,
+        |       isNaN(sqrt(-1.0)) AS n1, isNaN(1.5) AS n2,
+        |       isNaN(null) IS NULL AS n3""".stripMargin).head
+    assert(r2.getString(0) == "odd" && r2.getInt(1) == 1 &&
+      r2.getBoolean(2) && !r2.getBoolean(3) && r2.getBoolean(4))
+  }
+
   test("entity subscript n['key'] and trim specifiers (round 13)") {
     val r = rows(
       """MATCH (p:Person) WHERE p['Name'] = 'Tom Hanks'
