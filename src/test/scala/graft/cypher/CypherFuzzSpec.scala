@@ -397,7 +397,28 @@ class CypherFuzzSpec extends AnyFunSuite {
     * elementId(), multi-pattern COUNT{}, 2-hop quantified-group chains
     * (with optional interior sub-label), and CALL db.labels() — each
     * vs a hand-built SQL / VALUES mirror. */
-  private def genSurface13b(rnd: Random): Gen = rnd.nextInt(4) match {
+  private def genSurface13b(rnd: Random): Gen = rnd.nextInt(6) match {
+    case 4 => // label negation + != inequality + entity subscript
+      val (neg, negSql) =
+        if (rnd.nextBoolean()) ("Boomer", "(a.Born IS NULL OR NOT (a.Born = 1956))")
+        else ("Sixties", "(a.Born IS NULL OR NOT (a.Born = 1961))")
+      val yr = 1950 + rnd.nextInt(15)
+      Gen(
+        s"MATCH (a:Person&!$neg) WHERE a.Born != $yr " +
+          "RETURN a['Name'] AS nm",
+        s"SELECT a.Name AS nm FROM person a WHERE $negSql " +
+          s"AND a.Born <> $yr")
+    case 5 => // extended simple CASE + trim specifier
+      val cut = 1955 + rnd.nextInt(8)
+      val ch = Seq("T", "n", "a")(rnd.nextInt(3))
+      Gen(
+        s"MATCH (a:Person) RETURN " +
+          s"CASE a.Born WHEN IS NULL THEN 'u' WHEN < $cut THEN 'lo' " +
+          "ELSE 'hi' END AS era, " +
+          s"trim(LEADING '$ch' FROM a.Name) AS tn",
+        s"SELECT CASE WHEN a.Born IS NULL THEN 'u' " +
+          s"WHEN a.Born < $cut THEN 'lo' ELSE 'hi' END AS era, " +
+          s"ltrim('$ch', a.Name) AS tn FROM person a") // SQL arg order: (trimStr, str)
     case 0 => // dot access chains + properties() + elementId
       val e = edges(rnd.nextInt(edges.size))
       val endLbl = e._3
@@ -527,7 +548,7 @@ class CypherFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("50 seed-pinned late-round-13 surface queries agree with mirrors") {
+  test("80 seed-pinned late-round-13 surface queries agree with mirrors") {
     val catalog = MovieFixture.catalog(spark)
     val session = new CypherSession(spark, catalog).extended
     nodeTable.foreach { case (lbl, view) =>
@@ -538,7 +559,7 @@ class CypherFuzzSpec extends AnyFunSuite {
       catalog.edgeDf(e).createOrReplaceTempView(t)
     }
     val rnd = new Random(Seed + 3)
-    (0 until 50).foreach { i =>
+    (0 until 80).foreach { i =>
       val g = genSurface13b(rnd)
       val got =
         try norm(session.run(g.cypher))
