@@ -7634,6 +7634,46 @@ object SparkEntry {
       Some(markovEntropyOracle)),
 
     // --- per-modality QA sample sheet (hash-order top-3 per class)
+    // --- payload near-dup without decoding (round 13): hex-gram
+    //     SimHash fingerprints + the Manku blocked pair join
+    //     (Dedup.fingerprintPairs) — payload bytes never shuffle. The
+    //     fingerprint isn't SQL-recomputable (native gram hashes), so
+    //     the oracle is STRUCTURAL, d04_prod's shape: identical
+    //     payloads hash identically, so every exact pair MUST surface
+    //     at dist 0; dist bounds and pair canonicalization pinned.
+    ("m08_payload_neardup",
+      (s, dir) => {
+        val d = docs(s, dir).select(
+          col("doc_id").cast("long").as("id"),
+          encode(col("text"), "UTF-8").as("payload"), col("text"))
+        val pairs = Multimodal.payloadNearDups(d, "id", "payload",
+          maxDist = 3, maxBucket = 1 << 20)
+        val exact = d.as("a").join(d.as("b"),
+            col("a.text") === col("b.text") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            lit(1L).as("__e"))
+        exact.join(pairs, Seq("id_a", "id_b"), "full_outer").agg(
+          coalesce(sum(col("__e")), lit(0L)).as("exact_pairs"),
+          coalesce(sum(when(col("__e").isNotNull && col("dist").isNull,
+            1L).otherwise(0L)), lit(0L)).as("missing_exact_pairs"),
+          coalesce(sum(when(col("__e").isNotNull && col("dist") =!= 0L,
+            1L).otherwise(0L)), lit(0L)).as("exact_dist_violations"),
+          coalesce(sum(when(col("dist") < 0 || col("dist") > 3, 1L)
+            .otherwise(0L)), lit(0L)).as("dist_violations"),
+          coalesce(sum(when(col("dist").isNotNull &&
+            col("id_a") >= col("id_b"), 1L).otherwise(0L)), lit(0L))
+            .as("order_violations"))
+      },
+      Some("""SELECT
+             |  (SELECT CAST(coalesce(sum(n*(n-1)/2), 0) AS BIGINT)
+             |   FROM (SELECT count(*) AS n FROM documents
+             |         GROUP BY text HAVING count(*) >= 2) g)
+             |    AS exact_pairs,
+             |  CAST(0 AS BIGINT) AS missing_exact_pairs,
+             |  CAST(0 AS BIGINT) AS exact_dist_violations,
+             |  CAST(0 AS BIGINT) AS dist_violations,
+             |  CAST(0 AS BIGINT) AS order_violations""".stripMargin)),
+
     ("m07_qa_sample",
       (s, dir) => {
         val png = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G'))

@@ -1108,8 +1108,26 @@ object Dedup {
                    tokenHashes: Column => Column =
                      graft.functions.NativeExpressions.tokenHashesXx(_),
                    maxBucket: Int = 10000): DataFrame = {
+    val base = df.select(col(idCol).cast(LongType).as("__fid"),
+        tokenHashes(TextOps.tokens(col(textCol))).as("__h"))
+      .select(col("__fid"),
+        graft.functions.NativeExpressions.simhash64(col("__h")).as("__ffp"))
+    fingerprintPairs(base, "__fid", "__ffp", maxDist, maxBucket)
+  }
+
+  /**
+   * Blocked Hamming-pair join over PRECOMPUTED 64-bit fingerprints —
+   * the Manku pigeonhole machinery behind [[simhashPairs]], exposed for
+   * non-text fingerprints (payload/perceptual hashes,
+   * [[Multimodal.payloadNearDups]]). Identical scale shape: only
+   * (chunk, value, id, fp) rows shuffle, ONE grouping shuffle, in-row
+   * pair expansion, `maxBucket` caps the quadratic corner.
+   */
+  def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+                       maxDist: Int = 3,
+                       maxBucket: Int = 10000): DataFrame = {
     require(maxDist >= 0 && maxDist <= 15,
-      s"simhashPairs supports maxDist in [0, 15], got $maxDist")
+      s"fingerprintPairs supports maxDist in [0, 15], got $maxDist")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val nChunks = maxDist + 1
     // chunk widths: 64/nChunks bits, first (64 % nChunks) chunks one wider
@@ -1118,9 +1136,7 @@ object Dedup {
     val starts = widths.scanLeft(0)(_ + _)
 
     val base = df.select(col(idCol).cast(LongType).as("__id"),
-        tokenHashes(TextOps.tokens(col(textCol))).as("__h"))
-      .select(col("__id"),
-        graft.functions.NativeExpressions.simhash64(col("__h")).as("__fp"))
+        col(fpCol).cast(LongType).as("__fp"))
     val chunkArr = array((0 until nChunks).map { c =>
       val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
       struct(lit(c).as("chunk"),

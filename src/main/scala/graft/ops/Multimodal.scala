@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -263,4 +263,41 @@ object Multimodal {
       .agg(count(lit(1)).as("n_payloads"), sum(col("__n")).as("total_bytes"),
         avg(col("__n").cast("double")).as("avg_bytes"))
   }
+
+  /**
+   * Content fingerprint for an opaque payload — the pHash-shaped
+   * plumbing for binary media dedup: byte stream → hex → sliding
+   * character n-grams (native codegen hashes) → 64-bit SimHash.
+   * Locality-sensitive over BYTES: payloads differing in a few bytes
+   * differ in ≤ `gram`·bytes grams out of thousands, so their
+   * fingerprints sit within a small Hamming distance. A true
+   * PERCEPTUAL hash (DCT over decoded pixels) needs the codec this
+   * container doesn't have — swapping the hex-gram stage for a
+   * pixel-grid stage is the only change; the fingerprint width,
+   * blocking and pairing downstream are final.
+   */
+  def payloadFingerprint(payload: Column, gram: Int = 4): Column = {
+    require(gram >= 1 && gram <= 16, s"gram must be in [1,16], got $gram")
+    val chars = filter(split(hex(payload), ""), c => c =!= "")
+    Dedup.simhashFromHashes(
+      graft.functions.NativeExpressions.ngramHashes(chars, gram))
+  }
+
+  /**
+   * Near-duplicate payload pairs (id_a, id_b, dist) within Hamming
+   * `maxDist` of each other's [[payloadFingerprint]] — media-corpus
+   * near-dedup without decoding. The pair join is
+   * [[Dedup.fingerprintPairs]]' Manku blocking: one shuffle of slim
+   * (chunk, value, id, fp) rows, in-row pair expansion, `maxBucket`
+   * skew cap; payload BYTES never shuffle (the fingerprint pass is
+   * map-only over the scan). Exact duplicates hash identically, so
+   * recall at dist 0 is total — the structural oracle's pin.
+   */
+  def payloadNearDups(df: DataFrame, idCol: String, payloadCol: String,
+                      maxDist: Int = 3, gram: Int = 4,
+                      maxBucket: Int = 10000): DataFrame =
+    Dedup.fingerprintPairs(
+      df.select(col(idCol).cast(LongType).as("__mid"),
+        payloadFingerprint(col(payloadCol), gram).as("__mfp")),
+      "__mid", "__mfp", maxDist, maxBucket)
 }

@@ -5242,6 +5242,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r(1).isNullAt(0))
   }
 
+  test("payloadNearDups: exact dup at dist 0, 1-byte flip nearby, disjoint apart") {
+    import org.apache.spark.sql.functions._
+    val base = (0 until 120).map(i => s"w$i").mkString(" ")
+    val flip = base.updated(base.length / 2, 'Z')
+    val other = (0 until 120).map(i => s"x${i * 7}").mkString("_")
+    val df = Seq((1L, base), (2L, base), (3L, flip), (4L, other))
+      .toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("p"))
+    val pairs = Multimodal.payloadNearDups(df, "id", "p", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact duplicates MUST surface at dist 0 (identical fingerprints)
+    assert(pairs.contains((1L, 2L, 0L)))
+    // a single flipped byte shifts few gram-majorities: near, not far
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 <= 8L))
+    // the disjoint payload pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // canonical pair set: unique, id_a < id_b
+    assert(pairs.forall(p => p._1 < p._2) &&
+      pairs.map(p => (p._1, p._2)).distinct.length == pairs.length)
+  }
+
   test("modalityRoute: EXIF (FF D8 FF E1) and JFIF (FF D8 FF E0) both route image/jpeg") {
     val jfif = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
       0xe0.toByte, 0x10, 0x20)
