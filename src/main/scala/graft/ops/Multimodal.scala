@@ -279,7 +279,10 @@ object Multimodal {
   def payloadFingerprint(payload: Column, gram: Int = 4): Column = {
     require(gram >= 1 && gram <= 16, s"gram must be in [1,16], got $gram")
     val chars = filter(split(hex(payload), ""), c => c =!= "")
-    Dedup.simhashFromHashes(
+    // native single-pass fold (simhash64's doGenCode) — the SQL
+    // simhashFromHashes makes 64 aggregate passes over the gram array,
+    // which at 2 grams/byte turns payload-linear into payload×64
+    graft.functions.NativeExpressions.simhash64(
       graft.functions.NativeExpressions.ngramHashes(chars, gram))
   }
 
