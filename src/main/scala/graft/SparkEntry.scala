@@ -1828,6 +1828,23 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- CALL (vars) scope clause + :% wildcard (round 13; Neo4j
+    //     5.23's modern CALL subquery spelling; any-label wildcard =
+    //     unconstrained, inference decides)
+    ("q144_call_scope", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9900
+        |CALL (c) { MATCH (c)-[:PLACED]->(o:Order)
+        |           RETURN count(*) AS n_orders }
+        |MATCH (c)-[:FROM_NATION]->(x:%)
+        |RETURN c.c_name AS name, n_orders, count(*) AS nat_rows
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name,
+             |  (SELECT count(*) FROM orders
+             |   WHERE o_custkey = c_custkey) AS n_orders,
+             |  CAST(1 AS BIGINT) AS nat_rows
+             |FROM customer WHERE c_acctbal > 9900
+             |ORDER BY 1""".stripMargin)),
+
     // --- extended simple CASE (round 13; Cypher 5 `WHEN IS NULL /
     //     WHEN < x / WHEN STARTS WITH …` operand predicates) + isNaN
     ("q143_case_extended", cyx(

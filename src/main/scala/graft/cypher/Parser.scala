@@ -330,7 +330,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("UNWIND (supported with extensions enabled)")
     case Kw("CALL", _, _)
         if !(extensions &&
-          (peek1 match { case Punct("{", _) => true
+          (peek1 match { case Punct("{" | "(", _) => true
                          case Ident(_, _) => true; case _ => false })) =>
       notSupported("CALL / procedures" +
         (if (!extensions) " (CALL { subquery } and schema procedures " +
@@ -426,10 +426,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         procUnwind = Some((ProcRows(proc), procYield.get._1))
       }
       while (isKw("CALL") && procYield.isEmpty) {
-        p += 1 // extensions + '{' guaranteed: rejectUpdating passed it
-        eatPunct("{")
+        p += 1 // extensions + '{'/'(' guaranteed: rejectUpdating passed
         val imports = Vector.newBuilder[String]
-        if (isKw("WITH")) {
+        var scoped = false
+        if (isPunct("(")) {
+          // Neo4j 5.23 variable scope clause: CALL (a, b) { … } — the
+          // modern spelling of the importing WITH; CALL () { … } is
+          // the explicit uncorrelated form
+          scoped = true
+          p += 1
+          if (isPunct("*"))
+            notSupported("CALL (*) import-all scope clause — list the " +
+              "imported variables: CALL (a, b) { … }")
+          if (!isPunct(")")) {
+            imports += ident()
+            while (tryPunct(",")) imports += ident()
+          }
+          eatPunct(")")
+        }
+        eatPunct("{")
+        if (!scoped && isKw("WITH")) {
           p += 1
           imports += ident()
           while (tryPunct(",")) imports += ident()
@@ -1278,12 +1294,18 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       // Cypher 5 label expressions (round 13): `&` is a synonym of the
       // `:` intersection separator, `!L` negates a label
       val negs = Vector.newBuilder[String]
+      var sawAny = false // `%` wildcard (Cypher 5: any label)
       def posOrNeg(): Option[String] =
         if (tryPunct("!")) {
           if (!extensions)
             notSupported("label negation (n:!A) " +
               "(supported with extensions enabled)")
           negs += name(); None
+        } else if (isPunct("%")) {
+          if (!extensions)
+            notSupported("any-label wildcard (n:%) " +
+              "(supported with extensions enabled)")
+          p += 1; sawAny = true; None // no constraint — inference decides
         } else Some(name())
       var first = posOrNeg()
       val extras = Vector.newBuilder[String]
@@ -1296,13 +1318,22 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           if (first.isEmpty) first = Some(n2) else extras += n2
         }
       }
-      val l = first.getOrElse(notSupported(
-        "label negation (n:!A) without a positive label on the same " +
-        "node — anchor the pattern with a primary label"))
+      if (first.isEmpty && negs.result().nonEmpty && !sawAny)
+        notSupported(
+          "label negation (n:!A) without a positive label on the same " +
+          "node — anchor the pattern with a primary label (or :%)")
+      if (first.isEmpty && negs.result().nonEmpty && sawAny)
+        notSupported("label negation over the any-label wildcard " +
+          "(n:%&!A) — the negated label's table is undetermined; " +
+          "anchor with a primary label")
+      val l = first.getOrElse("") // "" only when pure `%` (no constraint)
       // label alternation `(n:A|B)` (extension) — union semantics,
       // mutually exclusive with the `:A:B` intersection form
       val alts = Vector.newBuilder[String]
       if (isPunct("|")) {
+        if (first.isEmpty)
+          notSupported("label alternation over the any-label " +
+            "wildcard (n:%|A)")
         if (!extensions)
           notSupported("node label alternation (n:A|B) " +
             "(supported with extensions enabled)")
@@ -1317,7 +1348,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       if (alts.result().nonEmpty && negs.result().nonEmpty)
         notSupported("mixing label negation (!A) with label " +
           "alternation (:A|B) in one pattern")
-      (Some(l), extras.result(), alts.result().distinct.filterNot(_ == l),
+      (first, extras.result(), alts.result().distinct.filterNot(_ == l),
         negs.result().distinct)
     } else (None, Vector.empty[String], Vector.empty[String],
       Vector.empty[String])

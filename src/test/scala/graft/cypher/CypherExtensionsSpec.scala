@@ -1031,6 +1031,37 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("CALL (vars) scope clause and :% wildcard (round 13)") {
+    // modern scope-clause spelling ≡ the importing WITH
+    val r = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN count(*) AS n }
+        |RETURN p.Name AS nm, n ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    val r2 = rows(
+      """MATCH (p:Person) CALL { WITH p
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN count(*) AS n }
+        |RETURN p.Name AS nm, n ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r == r2 && r.toMap.apply("Tom Hanks") == 3L)
+    // CALL () {} — explicit uncorrelated form
+    val r3 = rows(
+      """MATCH (p:Person) CALL () {
+        |  MATCH (m:Movie) RETURN count(*) AS cnt }
+        |RETURN DISTINCT cnt""".stripMargin).head.getLong(0)
+    assert(r3 == 3L)
+    // :% any-label wildcard = unlabeled (inference decides)
+    val r4 = rows(
+      """MATCH (p:Person)-[:ACTED_IN]->(x:%)
+        |RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(r4 == 6L)
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) CALL (*) { MATCH (m:Movie) RETURN count(*) " +
+      "AS c } RETURN c"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (x:%&!Boomer) RETURN count(*) AS n"))
+  }
+
   test("extended simple CASE and isNaN (round 13)") {
     // operand-applied predicates: IS NULL, comparisons, string tests,
     // IN — comma alternatives OR-join
