@@ -1828,6 +1828,26 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- OPTIONAL CALL (round 13; Neo4j 5.24): zero-row subquery
+    //     invocations null-fill instead of dropping the outer row —
+    //     LEFT-join semantics on the correlated join-back
+    ("q145_optional_call", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9900
+        |OPTIONAL CALL (c) {
+        |  MATCH (c)-[:PLACED_URGENT]->(o:Order)
+        |  RETURN o.o_totalprice AS up }
+        |RETURN c.c_name AS name, count(up) AS n_urgent,
+        |       count(*) AS n_rows
+        |ORDER BY name""".stripMargin),
+      Some("""SELECT c_name AS name, count(o.o_orderkey) AS n_urgent,
+             |       count(*) AS n_rows
+             |FROM customer c LEFT JOIN (
+             |  SELECT * FROM orders
+             |  WHERE o_orderpriority = '1-URGENT') o
+             |  ON o.o_custkey = c.c_custkey
+             |WHERE c_acctbal > 9900
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // --- CALL (vars) scope clause + :% wildcard (round 13; Neo4j
     //     5.23's modern CALL subquery spelling; any-label wildcard =
     //     unconstrained, inference decides)

@@ -315,7 +315,12 @@ object ast {
    *  and joins the result back on their unique ids, which reproduces
    *  Neo4j's per-invocation semantics in one flat plan. Empty imports
    *  = uncorrelated (runs once, cross-joins the incoming rows). */
-  final case class CallSub(imports: Seq[String], sub: Query)
+  /** `optional` (round 13; Neo4j 5.24 OPTIONAL CALL): a zero-row
+   *  subquery result null-fills instead of dropping the outer row —
+   *  LEFT-join semantics on both the correlated and uncorrelated
+   *  forms. */
+  final case class CallSub(imports: Seq[String], sub: Query,
+                           optional: Boolean = false)
 
   /** One query part: MATCH clauses followed by a WITH (or the terminal
    *  RETURN for the last part). Mirrors reference PartialQueryNode.

@@ -2542,12 +2542,23 @@ object Compiler {
       val newScope: Map[String, Binding] =
         subDf.columns.map(_ -> (ValueBinding: Binding)).toMap
       start match {
-        case None => Ctx(subDf, newScope)
+        case None =>
+          if (!call.optional) Ctx(subDf, newScope)
+          else {
+            // OPTIONAL CALL as the first clause: an empty subquery
+            // still yields ONE null row (Neo4j 5.24) — a TRUE-cond
+            // left join from a literal row, no count() probe
+            val seed = subDf.sparkSession.range(1).toDF("__optc")
+            Ctx(seed.join(subDf, lit(true), "left").drop("__optc"),
+              newScope)
+          }
         case Some(c) =>
           val clash = subDf.columns.filter(c.scope.contains)
           if (clash.nonEmpty) throw new CypherBindingException(
             s"CALL output '${clash.head}' collides with an outer variable")
-          Ctx(c.df.crossJoin(subDf), c.scope ++ newScope)
+          if (!call.optional) Ctx(c.df.crossJoin(subDf), c.scope ++ newScope)
+          else Ctx(c.df.join(subDf, lit(true), "left"),
+            c.scope ++ newScope)
       }
     } else {
       val c = start.getOrElse(throw new CypherBindingException(
@@ -2622,7 +2633,8 @@ object Compiler {
           outNames.map(col): _*)
       val cond = keys.zipWithIndex.map { case (k, i) =>
         col(k) === col(s"__call_k$i") }.reduce(_ && _)
-      var joined = c.df.join(subOut, cond, if (hasAgg) "left" else "inner")
+      var joined = c.df.join(subOut, cond,
+        if (hasAgg || call.optional) "left" else "inner")
         .drop(keys.indices.map(i => s"__call_k$i"): _*)
       if (hasAgg) {
         val types = joined.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -349,7 +349,13 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       var sawMatch = false
       var prevOptional = false
       var matchAfterOptional = false
-      while (!matchAfterOptional && (isKw("MATCH") || isKw("OPTIONAL"))) {
+      // `OPTIONAL CALL` (round 13) belongs to the CALL loop below, not
+      // the match loop
+      def optionalCallAhead: Boolean = extensions &&
+        isKw("OPTIONAL") && (peek1 match {
+          case Kw("CALL", _, _) => true; case _ => false })
+      while (!matchAfterOptional && !optionalCallAhead &&
+          (isKw("MATCH") || isKw("OPTIONAL"))) {
         val optional = isKw("OPTIONAL")
         if (!optional && prevOptional) {
           // MATCH directly after OPTIONAL MATCH (round 10, extensions):
@@ -425,8 +431,17 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         procYield = Some((nextPm(), yields))
         procUnwind = Some((ProcRows(proc), procYield.get._1))
       }
-      while (isKw("CALL") && procYield.isEmpty) {
-        p += 1 // extensions + '{'/'(' guaranteed: rejectUpdating passed
+      while ((isKw("CALL") || optionalCallAhead) && procYield.isEmpty) {
+        // OPTIONAL CALL (round 13; Neo4j 5.24): LEFT-join semantics —
+        // a zero-row subquery null-fills instead of dropping the row
+        val optional = isKw("OPTIONAL")
+        if (optional) p += 1
+        p += 1 // CALL: extensions + '{'/'(' guaranteed by the guards
+        if (optional && (cur match {
+            case Ident(_, _) => true; case _ => false }))
+          notSupported("OPTIONAL CALL on a schema procedure — " +
+            "procedure frames are schema-sized and never empty; drop " +
+            "the OPTIONAL")
         val imports = Vector.newBuilder[String]
         var scoped = false
         if (isPunct("(")) {
@@ -471,7 +486,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             q
           } finally inSubquery = wasSub
         eatPunct("}")
-        callsB += CallSub(imports.result(), subq)
+        callsB += CallSub(imports.result(), subq, optional)
         sawCall = true
       }
       if (!extensions && sawCall && (isKw("MATCH") || isKw("OPTIONAL")))

@@ -1031,6 +1031,33 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("OPTIONAL CALL subqueries (round 13)") {
+    // correlated: people with no DIRECTED edge keep their row, null n
+    val r = rows(
+      """MATCH (p:Person) OPTIONAL CALL (p) {
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
+        |RETURN p.Name AS nm, t ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(1)) null else x.getString(1)))
+    assert(r.size == 5 &&
+      r.toMap.apply("Rob Reiner") == "Sleepless in Seattle" &&
+      r.toMap.apply("Tom Hanks") == null)
+    // plain CALL drops those rows
+    val r2 = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
+        |RETURN p.Name AS nm, t""".stripMargin)
+    assert(r2.size == 1)
+    // uncorrelated empty subquery: rows survive with nulls
+    val r3 = rows(
+      """MATCH (p:Person) OPTIONAL CALL () {
+        |  MATCH (m:Movie) WHERE m.Released > 3000 RETURN m.Title AS t }
+        |RETURN count(*) AS n, count(t) AS nt""".stripMargin).head
+    assert(r3.getLong(0) == 5L && r3.getLong(1) == 0L)
+    // procedures stay non-optional (never empty), typed
+    intercept[CypherNotSupportedException](rows(
+      "OPTIONAL CALL db.labels() YIELD label RETURN label"))
+  }
+
   test("CALL (vars) scope clause and :% wildcard (round 13)") {
     // modern scope-clause spelling ≡ the importing WITH
     val r = rows(
