@@ -1828,6 +1828,24 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- valueType() + char_length aliases (round 13; Neo4j 5):
+    //     static-type name with value-level NULL reporting
+    ("q146_value_type", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 20
+        |RETURN o.o_orderkey AS ok,
+        |       valueType(o.o_orderkey) AS t1,
+        |       valueType(o.o_orderstatus) AS t2,
+        |       valueType(o.o_totalprice) AS t3,
+        |       valueType(o.o_orderdate) AS t4,
+        |       char_length(o.o_orderpriority) AS n
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |  'INTEGER' AS t1, 'STRING' AS t2, 'FLOAT' AS t3,
+             |  'LOCALDATETIME' AS t4,
+             |  CAST(length(o_orderpriority) AS INTEGER) AS n
+             |FROM orders WHERE o_orderkey <= 20
+             |ORDER BY ok""".stripMargin)),
+
     // --- OPTIONAL CALL (round 13; Neo4j 5.24): zero-row subquery
     //     invocations null-fill instead of dropping the outer row —
     //     LEFT-join semantics on the correlated join-back

@@ -725,6 +725,42 @@ final class ExprCompiler(
             case _ => length(a0)
           }
         }
+      // SQL-standard string-length aliases (round 13; Neo4j 5)
+      case "char_length" | "character_length" =>
+        arity(1); length(a0)
+      // Neo4j 5 valueType(): the value's Cypher type name — decided
+      // against the STATIC column type (the engine's typing model, the
+      // IS :: vocabulary); a NULL value still reports "NULL" per
+      // Neo4j. LIST/MAP carry no inner-type suffix (divergence:
+      // Neo4j prints LIST<INTEGER> etc.).
+      case "valuetype" =>
+        arity(1)
+        val dt = typeOf(f.args.head).getOrElse(
+          f.args.head match {
+            case _: ListLit => ArrayType(NullType)
+            case _: MapLit | _: MapProjection => StructType(Nil)
+            case Lit(null) => NullType
+            case _ => throw new CypherTypeException(
+              "valueType() on an expression whose type cannot be " +
+              "inferred statically")
+          })
+        val nm = dt match {
+          case ByteType | ShortType | IntegerType | LongType => "INTEGER"
+          case DoubleType | FloatType | (_: DecimalType) => "FLOAT"
+          case StringType => "STRING"
+          case BooleanType => "BOOLEAN"
+          case DateType => "DATE"
+          case TimestampType => "DATETIME"
+          case TimestampNTZType => "LOCALDATETIME"
+          case _: DayTimeIntervalType | _: YearMonthIntervalType =>
+            "DURATION"
+          case _: ArrayType => "LIST"
+          case _: StructType => "MAP"
+          case NullType => "NULL"
+          case other => other.simpleString.toUpperCase(
+            java.util.Locale.ROOT)
+        }
+        when(a0.isNull, lit("NULL")).otherwise(lit(nm))
       case "abs"   => arity(1); abs(a0)
       // Extensions beyond the reference's registry (Function.cs:13-46):
       // math helpers needed for deterministic floating-point comparisons

@@ -464,6 +464,9 @@ final class TypeInference(refType: Ref => Option[DataType],
       case "__trim_both" | "__trim_leading" | "__trim_trailing" =>
         requireString(t(f.args.size - 1), "trim(… FROM …)")
         Some(StringType)
+      case "char_length" | "character_length" =>
+        requireString(t(0), f.name); Some(IntegerType)
+      case "valuetype" => t(0); Some(StringType)
       case "size" | "length" =>
         // size() covers strings AND lists (the collect()/split() output)
         // - and named paths (extension), whose length is the BIGINT

@@ -1031,6 +1031,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("valueType() and char_length aliases (round 13)") {
+    val r = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |RETURN valueType(p.Born) AS tb, valueType(p.Name) AS tn,
+        |       valueType([1, 2]) AS tl, valueType({a: 1}) AS tm,
+        |       valueType(date('2024-01-01')) AS td,
+        |       valueType(null) AS tz,
+        |       char_length(p.Name) AS n1,
+        |       character_length(p.Name) AS n2""".stripMargin).head
+    // Rob's Born is NULL → value-level "NULL" despite the INTEGER column
+    assert(r.getString(0) == "NULL" && r.getString(1) == "STRING" &&
+      r.getString(2) == "LIST" && r.getString(3) == "MAP" &&
+      r.getString(4) == "DATE" && r.getString(5) == "NULL" &&
+      r.getInt(6) == 10 && r.getInt(7) == 10)
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN char_length(p.Born) AS x"))
+  }
+
   test("OPTIONAL CALL subqueries (round 13)") {
     // correlated: people with no DIRECTED edge keep their row, null n
     val r = rows(
