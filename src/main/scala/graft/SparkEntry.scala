@@ -1828,6 +1828,49 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- per-edge relationship uniqueness through a composite QPP
+    //     chain (round 14): the out-in group shares ONE edge
+    //     definition across both hops — within a repetition the same
+    //     JUMPS_TO row may not bind j AND k (no spurious x=z rows),
+    //     and across the {1,2} repetitions no underlying edge repeats
+    //     (Cypher's walk contract; the composite frame exports per-hop
+    //     edge keys so the unroll's inequality applies per edge, not
+    //     per composite row). The DuckDB mirror spells out the
+    //     within-rep exclusion and all four cross-rep hop-pair
+    //     exclusions explicitly.
+    ("q147_qpp_edge_unique", cyx(
+      """MATCH (a:Nation) ((x)-[j:JUMPS_TO]->(y)<-[k:JUMPS_TO]-(z)){1,2}
+        |      (b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       count(*) AS n
+        |ORDER BY ak, bk""".stripMargin),
+      Some("""WITH nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |r AS (SELECT a.src AS x, b.src AS z,
+             |             a.src AS s1, a.dst AS d1,
+             |             b.src AS s2, b.dst AS d2
+             |      FROM e a JOIN e b ON a.dst = b.dst
+             |      WHERE a.src <> b.src OR a.dst <> b.dst),
+             |p1 AS (SELECT x AS ak, z AS bk FROM r),
+             |p2 AS (SELECT r1.x AS ak, r2.z AS bk
+             |       FROM r r1 JOIN r r2 ON r1.z = r2.x
+             |       WHERE (r1.s1 <> r2.s1 OR r1.d1 <> r2.d1)
+             |         AND (r1.s1 <> r2.s2 OR r1.d1 <> r2.d2)
+             |         AND (r1.s2 <> r2.s1 OR r1.d2 <> r2.d1)
+             |         AND (r1.s2 <> r2.s2 OR r1.d2 <> r2.d2))
+             |SELECT ak, bk, count(*) AS n
+             |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // --- valueType() + char_length aliases (round 13; Neo4j 5):
     //     static-type name with value-level NULL reporting
     ("q146_value_type", cyx(

@@ -28,7 +28,8 @@ object Compiler {
   def entityCols(b: Binding): Seq[String] = b match {
     case NodeBinding(n) => (n.idColumn +: n.properties).distinct
     case EdgeBinding(e) =>
-      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
+      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties ++
+        e.hopKeys.flatMap(h => Seq(h._2, h._3))).distinct
     case ValueBinding => Seq.empty
     case PathBinding  => Seq.empty
   }
@@ -164,11 +165,30 @@ object Compiler {
 
   /** Cypher relationship-uniqueness: two same-typed relationship
    *  variables in one MATCH may not bind the same edge row
-   *  (reference: LogicalPlan.cs:969-1017, SelectionOperator.cs:88-139). */
+   *  (reference: LogicalPlan.cs:969-1017, SelectionOperator.cs:88-139).
+   *
+   *  Composite QPP chains (round 14): a synthetic edge composed from a
+   *  multi-relationship quantified group carries its underlying
+   *  per-hop edge keys (`EdgeDef.hopKeys`); uniqueness then applies
+   *  PER UNDERLYING EDGE — for every hop pair (i of r1, j of r2)
+   *  sharing an edge definition, the two hops may not bind the same
+   *  row. This is Cypher 5's contract (a walk may not reuse a
+   *  relationship), strictly stronger than per-composite-row
+   *  inequality: identical composite rows trivially violate the
+   *  (i, i) conjunct. */
   private def inequalityCond(p: (ResolvedRel, ResolvedRel)): Column = {
     val (r1, r2) = p
-    (edgeSrc(r1.alias, r1.edge) =!= edgeSrc(r2.alias, r2.edge)) ||
-      (edgeSnk(r1.alias, r1.edge) =!= edgeSnk(r2.alias, r2.edge))
+    if (r1.edge.hopKeys.nonEmpty && r2.edge.hopKeys.nonEmpty) {
+      val conjs = for {
+        (k1, s1, n1) <- r1.edge.hopKeys
+        (k2, s2, n2) <- r2.edge.hopKeys
+        if k1 == k2
+      } yield (col(pref(r1.alias, s1)) =!= col(pref(r2.alias, s2))) ||
+        (col(pref(r1.alias, n1)) =!= col(pref(r2.alias, n2)))
+      conjs.reduce(_ && _)
+    } else
+      (edgeSrc(r1.alias, r1.edge) =!= edgeSrc(r2.alias, r2.edge)) ||
+        (edgeSnk(r1.alias, r1.edge) =!= edgeSnk(r2.alias, r2.edge))
   }
 
   /** Path aliases the query reads through nodes()/relationships() —

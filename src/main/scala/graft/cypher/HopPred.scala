@@ -253,13 +253,18 @@ private[cypher] object HopPred {
    * hop after filters, and the unroll scans IT per repetition instead
    * of re-joining the chain per hop.
    *
-   * Divergence (documented): Cypher's relationship-uniqueness applies
-   * per underlying edge; after composition the unroll's inequality
-   * applies per composite (src, dst) row — two repetitions reusing one
-   * underlying edge through different junctures are not excluded. The
-   * single-relationship group has the exact per-edge contract; group
-   * variables (collected per-repetition lists) are not bound either
-   * way.
+   * Relationship uniqueness (round 14 — exact per-edge contract):
+   *  - WITHIN one repetition, hops sharing an edge definition get a
+   *    same-row exclusion conjunct while composing (so
+   *    `((x)-[:R]->(y)<-[:R]-(z)){…}` never binds one R edge as both
+   *    hops, and out-out self-loop chains cannot reuse an edge);
+   *  - ACROSS repetitions, the composite frame exports each hop's
+   *    underlying (src, snk) key as `__h<i>_src`/`__h<i>_snk` and the
+   *    synthetic [[EdgeDef.hopKeys]] records them — the compiler's
+   *    `inequalityCond` then emits pairwise per-underlying-edge
+   *    inequality conjuncts between unrolled repetition copies instead
+   *    of the (weaker) per-composite-row inequality.
+   * Group variables (collected per-repetition lists) are not bound.
    */
   private def rewriteQppChain(r: RelPat, q: QppSpec, catalog: GraphCatalog,
       extra: scala.collection.mutable.Builder[(EdgeDef, DataFrame),
@@ -350,6 +355,18 @@ private[cypher] object HopPred {
         case None => nodeKey(h.right) = rk
       }
     }
+    // relationship uniqueness WITHIN one repetition: two hops over the
+    // same edge definition may not bind the same underlying edge row
+    // (compared on the table's (src, snk) key — row identity is
+    // direction-independent)
+    for {
+      i <- hops.indices; j <- (i + 1) until hops.size
+      if hops(i).e.key == hops(j).e.key
+    } frame = frame.where(
+      col(Compiler.pref(hops(i).relAlias, hops(i).e.srcIdColumn)) =!=
+        col(Compiler.pref(hops(j).relAlias, hops(j).e.srcIdColumn)) ||
+      col(Compiler.pref(hops(i).relAlias, hops(i).e.sinkIdColumn)) =!=
+        col(Compiler.pref(hops(j).relAlias, hops(j).e.sinkIdColumn)))
     // node frames join only when the predicate reads that alias
     val nodeOf: Map[String, NodeDef] =
       declared.map(d => d._1 -> d._3).toMap
@@ -376,17 +393,27 @@ private[cypher] object HopPred {
         frame.where(ec.compile(pr))
       case None => frame
     }
+    // export each hop's underlying edge key — the per-edge uniqueness
+    // columns the compiler's cross-repetition inequality compares
+    val hopKeyCols = hops.zipWithIndex.flatMap { case (h, i) =>
+      Seq(col(Compiler.pref(h.relAlias, h.e.srcIdColumn))
+            .as(s"__h${i}_src"),
+          col(Compiler.pref(h.relAlias, h.e.sinkIdColumn))
+            .as(s"__h${i}_snk"))
+    }
     val composite = filtered.select(
-      col(nodeKey(hops.head.left)).as("__src"),
+      col(nodeKey(hops.head.left)).as("__src") +:
       col(nodeKey.getOrElse(hops.last.right,
         Compiler.pref(hops.last.relAlias, rightKey(hops.last))))
-        .as("__dst"))
+        .as("__dst") +: hopKeyCols: _*)
     val id = nameCounter.getAndIncrement()
     val verbs = hops.map(_.e.verb).mkString("_")
     val synthVerb = s"__QC_${id}_$verbs"
     extra += ((EdgeDef(synthVerb, leftLabel(hops.head),
       rightLabel(hops.last), "__src", "__dst", Seq.empty,
-      s"__qc_${id}_$verbs"), composite))
+      s"__qc_${id}_$verbs",
+      hopKeys = hops.zipWithIndex.map { case (h, i) =>
+        (h.e.key, s"__h${i}_src", s"__h${i}_snk") }), composite))
     plain.copy(verb = Some(synthVerb), dir = Direction.Out,
       alts = Seq.empty)
   }

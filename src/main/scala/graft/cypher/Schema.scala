@@ -46,7 +46,15 @@ final case class EdgeDef(
     sinkIdColumn: String,
     properties: Seq[String],
     table: String,
-    propertyTypes: Map[String, DataType] = Map.empty) {
+    propertyTypes: Map[String, DataType] = Map.empty,
+    /** Composite-QPP-chain provenance (round 14): for a synthetic edge
+      * composed from a multi-relationship quantified group, one entry
+      * per underlying hop — (underlying edge key, composite-frame src
+      * column, sink column). Empty for ordinary edges. Drives Cypher's
+      * PER-EDGE relationship uniqueness across repetitions: the
+      * compiler's inequality conjuncts compare these hop keys instead
+      * of the composite (src, dst) row. */
+    hopKeys: Seq[((String, String, String), String, String)] = Seq.empty) {
   def key: (String, String, String) = (fromLabel, verb, toLabel)
 }
 

@@ -1031,6 +1031,37 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("per-edge relationship uniqueness in QPP chains (round 14)") {
+    // WITHIN one repetition: the out-in group shares one edge def —
+    // the same KNOWS row may not bind both hops, so the four spurious
+    // x=z self-pairs (each edge paired with itself at its head) are
+    // excluded; only the genuine p3→p4←p1 meet survives
+    val r = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)<-[:KNOWS]-(z)){1,1}
+        |(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("Kevin Bacon", "Tom Hanks"),
+      ("Tom Hanks", "Kevin Bacon")))
+    // ACROSS repetitions: chaining the two surviving composites
+    // ((p3,p1)+(p1,p3) and the reverse) would walk the SAME two
+    // underlying edges again — Cypher's walk contract excludes it,
+    // though the composite (src, dst) rows differ
+    val r2 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)<-[:KNOWS]-(z)){2,2}
+        |(b:Person) RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(r2 == 0L)
+    // different edge DEFINITIONS never pair: KNOWS p1→p2 and FOLLOWS
+    // p1→p2 are distinct relationships, so the x=z row is legitimate
+    val r3 = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)<-[:FOLLOWS]-(z)){1,1}
+        |(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r3 == Seq(("Tom Hanks", "Jessica Thompson"),
+      ("Tom Hanks", "Tom Hanks")))
+  }
+
   test("valueType() and char_length aliases (round 13)") {
     val r = rows(
       """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
