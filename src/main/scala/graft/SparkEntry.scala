@@ -1828,6 +1828,33 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- IS NULL keeps the lacking branch under relationship-type
+    //     alternation (round 14): PLACED carries no o_orderpriority —
+    //     its branch null-fills the column in the [r:PLACED|
+    //     PLACED_URGENT] union, and the mixed-presence WHERE conjunct
+    //     defers past the union, so `r.o_orderpriority IS NULL` keeps
+    //     every PLACED row and drops the PLACED_URGENT branch
+    //     (openCypher's missing-property-is-null rule; previously the
+    //     lacking branch dropped at its per-branch unknown-property
+    //     rejection)
+    ("q148_alt_isnull_branch", cyx(
+      """MATCH (c:Customer)-[r:PLACED|PLACED_URGENT]->(o:Order)
+        |WHERE o.o_orderkey <= 2000 AND r.o_orderpriority IS NULL
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok,
+        |       r.o_orderdate AS od
+        |ORDER BY ck, ok""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT o_custkey, o_orderkey, o_orderdate,
+             |         NULL AS pri FROM orders
+             |  UNION ALL
+             |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderpriority = '1-URGENT')
+             |SELECT c_custkey AS ck, o_orderkey AS ok,
+             |       o_orderdate AS od
+             |FROM u JOIN customer ON c_custkey = o_custkey
+             |WHERE o_orderkey <= 2000 AND pri IS NULL
+             |ORDER BY ck, ok""".stripMargin)),
+
     // --- per-edge relationship uniqueness through a composite QPP
     //     chain (round 14): the out-in group shares ONE edge
     //     definition across both hops — within a repetition the same

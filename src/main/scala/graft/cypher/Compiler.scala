@@ -2999,7 +2999,72 @@ object Compiler {
     }
     val shapes =
       pathShapes(resolvedBranches.flatMap(_._2), cat2, witnessVars)
-    resolvedBranches.foreach { case (ms, rs) =>
+    // missing-property-is-null across alternation branches (round 14):
+    // openCypher reads an absent property as null, so a WHERE over a
+    // property only SOME branches carry must see the null-filled union
+    // namespace — not drop the lacking branch at its per-branch
+    // unknown-property rejection (`WHERE r.x IS NULL` keeps the branch
+    // lacking x). Mixed-presence conjuncts are stripped from each
+    // non-optional clause's per-branch WHERE and conjoined ONCE over
+    // the unioned frame below; branch-local conjuncts (sub-label
+    // discriminators, uniformly-present predicates) keep their
+    // per-branch placement. Catalyst re-pushes eligible deferred
+    // conjuncts through the union, so plans don't regress.
+    val propPresence: Seq[Map[String, Set[String]]] =
+      resolvedBranches.map { case (_, rss) =>
+        val m = scala.collection.mutable.Map.empty[String, Set[String]]
+        rss.foreach { rm =>
+          rm.rels.foreach { r =>
+            m(r.alias) = m.getOrElse(r.alias, Set.empty) ++
+              r.edge.properties + r.edge.srcIdColumn + r.edge.sinkIdColumn
+          }
+          rm.nodeLabels.foreach { case (a, l) =>
+            val nd = cat2.graph.node(l)
+            m(a) = m.getOrElse(a, Set.empty) ++ nd.properties + nd.idColumn
+          }
+        }
+        m.toMap
+      }
+    def propRefs(x: Any): Set[(String, String)] = x match {
+      case Ref(a, Some(p)) => Set((a, p))
+      case s: Iterable[_]  => s.flatMap(propRefs).toSet
+      case p: Product      => p.productIterator.flatMap(propRefs).toSet
+      case _               => Set.empty
+    }
+    def mixedPresence(e: Expr): Boolean = propRefs(e).exists {
+      case (a, p) =>
+        val knowing = propPresence.filter(_.contains(a))
+        knowing.exists(m => !m(a)(p)) && knowing.exists(m => m(a)(p))
+    }
+    def conjunctsOf(e: Expr): Seq[Expr] = e match {
+      case Bin(BinOp.And, l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+      case x                    => Seq(x)
+    }
+    // only USER-written conjuncts may defer: resolution-added sub-label
+    // discriminator conjuncts are branch-SPECIFIC (disjunctive across
+    // the union — deferring one would filter every OTHER branch's
+    // rows), while a user conjunct applies to every match row whatever
+    // its branch. A user conjunct structurally equal to a discriminator
+    // strips both copies — the deferred global application is exactly
+    // the user's demand.
+    val deferredWhere = scala.collection.mutable.LinkedHashSet.empty[Expr]
+    val strippedBranches = resolvedBranches.map { case (ms, rss) =>
+      (ms, ms.zip(rss).map { case (mc, rm) =>
+        val deferable: Set[Expr] = mc.where.map(conjunctsOf)
+          .getOrElse(Seq.empty).filter(mixedPresence).toSet
+        rm.where match {
+          case Some(w) if !rm.optional && deferable.nonEmpty =>
+            val (defer, keep) = conjunctsOf(w).partition(deferable)
+            if (defer.isEmpty) rm
+            else {
+              deferredWhere ++= defer
+              rm.copy(where = keep.reduceOption(Bin(BinOp.And, _, _)))
+            }
+          case _ => rm
+        }
+      })
+    }
+    strippedBranches.foreach { case (ms, rs) =>
       try {
         var c = compileMatches(start, rs, cat2, witnessVars, shapes)
         // unnamed shortestPath still needs the branch length to reduce
@@ -3016,7 +3081,13 @@ object Compiler {
     }
     val ctxs = compiled.result()
     if (ctxs.isEmpty) throw firstErr.get
-    val (unioned, vis, cols) = unionBranchCtxs(ctxs, crossAlt)
+    val (unioned0, vis, cols) = unionBranchCtxs(ctxs, crossAlt)
+    // deferred mixed-presence WHERE conjuncts: compiled over the merged
+    // scope's null-filled union namespace (IS NULL keeps the branch
+    // lacking the property; ordinary comparisons null-filter it —
+    // 3-valued, same as any null property)
+    val unioned = deferredWhere.foldLeft(unioned0)((d, e) =>
+      d.where(new ExprCompiler(vis, d).compile(e)))
     if (!shortest) Ctx(unioned, vis)
     else {
       val lenCol = shortestVar.getOrElse("__shortest_len")
@@ -3098,12 +3169,13 @@ object Compiler {
    * union property namespace, with a synthesized tagged identity
    * column [[NodeAlt.MergedIdColumn]] ("label:id") added per branch so
    * DISTINCT / implicit grouping / count(DISTINCT n) never conflate id
-   * values from different tables' namespaces. NOTE the one divergence,
-   * both merge kinds: a WHERE referencing a property only some
-   * branches carry compiles over the null-filled column, so a lacking
-   * branch contributes no rows — identical to null-comparison
-   * filtering for ordinary predicates, but `IS NULL` over the absent
-   * property does NOT resurrect that branch's rows.
+   * values from different tables' namespaces. A WHERE referencing a
+   * property only some branches carry is DEFERRED by the caller
+   * (compileVarLength's mixed-presence conjunct stripping, round 14)
+   * and applied over this union's null-filled columns — so `IS NULL`
+   * over the absent property keeps the lacking branch's rows
+   * (openCypher's missing-property-is-null rule), and ordinary
+   * comparisons null-filter it.
    *
    * Returns (unioned frame, merged visible scope, canonical columns).
    * Non-reserved engine columns already on a branch frame (e.g. the

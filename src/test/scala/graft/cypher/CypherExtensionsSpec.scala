@@ -1711,6 +1711,39 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person)-[:ACTED_IN|REVIEWED]->(m:Movie) RETURN p.Name AS N"))
   }
 
+  test("missing-property-is-null over alternation branches (round 14)") {
+    // ACTED_IN has Roles, REVIEWED has Summary/Rating: a WHERE over a
+    // property only ONE branch carries compiles over the null-filled
+    // union — IS NULL keeps the LACKING branch (6 ACTED_IN rows)
+    val r = rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating IS NULL
+        |RETURN p.Name AS N, count(m) AS c ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r == Seq(("Kevin Bacon", 1L), ("Meg Ryan", 2L),
+      ("Tom Hanks", 3L)))
+    // IS NOT NULL keeps only the carrying branch's rows
+    assert(rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating IS NOT NULL
+        |RETURN count(m) AS c""".stripMargin).head.getLong(0) == 2L)
+    // ordinary comparisons 3-valued-null-filter the lacking branch
+    assert(rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating >= 90
+        |RETURN count(m) AS c""".stripMargin).head.getLong(0) == 1L)
+    // mixed conjunction: the uniform conjunct still prunes, the
+    // mixed-presence one defers past the union
+    assert(rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE m.Released >= 1995 AND r.Rating IS NULL
+        |RETURN count(m) AS c""".stripMargin).head.getLong(0) == 4L)
+    // a property NO branch carries stays the typed rejection
+    intercept[CypherBindingException](rows(
+      """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Nope IS NULL RETURN count(m) AS c""".stripMargin))
+  }
+
   // ----------------------------------------------------- named paths
 
   test("named path: length(p) on a fixed pattern is the rel count") {
