@@ -2830,7 +2830,7 @@ object Compiler {
       case "db.schema.nodetypeproperties" =>
         g.nodes.sortBy(_.label).flatMap { n =>
           val sch = catalog.nodeDf(n.label).schema
-          (n.idColumn +: n.properties).sorted.map { pr =>
+          (n.idColumn +: n.properties).distinct.sorted.map { pr =>
             val f = sch.fields.find(_.name == pr)
             struct(
               lit(n.label).as("nodeType"),

@@ -1041,7 +1041,14 @@ final class ExprCompiler(
         }
       // Neo4j 5 elementId(): a STRING identity — label-qualified so ids
       // stay unique across node tables (id() is the raw key); edges
-      // stringify their (src, sink) pair under the verb's table
+      // stringify their (src, sink) pair under the verb's table.
+      // DIVERGENCE (documented, like valueType's LIST/MAP note): with
+      // PARALLEL edges — several rows of one verb between the same
+      // (src, sink) pair — the edge form is not row-unique, while
+      // Neo4j guarantees a unique element id per relationship. The
+      // relational model carries no per-row edge key to qualify with;
+      // schemas needing row identity should expose a discriminator
+      // property and project it alongside.
       case "elementid" =>
         entityArg(f, "elementId") match {
           case (al, NodeBinding(n)) =>

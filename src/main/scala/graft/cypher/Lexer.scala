@@ -120,9 +120,10 @@ object Lexer {
           case "<=" | ">=" | "<>" | "->" | "<-" | "=~" | ".." =>
             out += Punct(two, i); i += 2
           case "!=" =>
-            // Neo4j's alternative inequality spelling — canonicalized
-            // to the openCypher token so the parser sees one form
-            out += Punct("<>", i); i += 2
+            // Neo4j's alternative inequality spelling — kept distinct
+            // so the parser can accept it only with extensions (the
+            // reference grammar has '<>' alone; Cypher.tokens)
+            out += Punct("!=", i); i += 2
           case _ =>
             c match {
               case '(' | ')' | '[' | ']' | '{' | '}' | ',' | '.' | ':' |

@@ -1762,6 +1762,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       val op = cur match {
         case Punct("=", _)  => Some(BinOp.Eq)
         case Punct("<>", _) => Some(BinOp.Neq)
+        case Punct("!=", _) =>
+          // Neo4j spelling — extension only (the reference grammar
+          // carries '<>' alone)
+          if (!extensions) notSupported(
+            "'!=' (use '<>'; '!=' is supported with extensions enabled)")
+          Some(BinOp.Neq)
         case Punct("<", _)  => Some(BinOp.Lt)
         case Punct("<=", _) => Some(BinOp.Le)
         case Punct(">", _)  => Some(BinOp.Gt)
@@ -2462,12 +2468,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     // `WHEN CONTAINS …`, `WHEN =~ …`) or a membership (`WHEN IN …`);
     // comma-separated alternatives OR-join
     def whenAlt(x: Expr): Expr = cur match {
-      case Punct(op @ ("=" | "<>" | "<" | "<=" | ">" | ">="), _) =>
+      case Punct(op @ ("=" | "<>" | "!=" | "<" | "<=" | ">" | ">="), _) =>
         p += 1
         val bop = op match {
-          case "="  => BinOp.Eq;  case "<>" => BinOp.Neq
-          case "<"  => BinOp.Lt;  case "<=" => BinOp.Le
-          case ">"  => BinOp.Gt;  case _    => BinOp.Ge
+          case "=" => BinOp.Eq; case "<>" | "!=" => BinOp.Neq
+          case "<" => BinOp.Lt; case "<=" => BinOp.Le
+          case ">" => BinOp.Gt; case _    => BinOp.Ge
         }
         Bin(bop, x, parseAddSub())
       case Punct("=~", _) => p += 1; Bin(BinOp.Regex, x, parseAddSub())
@@ -2480,7 +2486,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       case Kw("CONTAINS", _, _) =>
         p += 1; Func("contains", Seq(x, parseAddSub()))
       case Kw("IN", _, _) => p += 1; Bin(BinOp.In, x, parseAddSub())
-      case _ => Bin(BinOp.Eq, x, parseAddSub())
+      // bare-value alternative: a FULL expression (Neo4j's fallback
+      // grammar — `WHEN a OR b THEN` compares x against (a OR b));
+      // THEN/comma terminate it naturally (keywords and ',' are not
+      // expression continuations)
+      case _ => Bin(BinOp.Eq, x, parseExpr())
     }
     val whens = Vector.newBuilder[(Expr, Expr)]
     while (tryKw("WHEN")) {

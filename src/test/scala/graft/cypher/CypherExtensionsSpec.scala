@@ -1165,6 +1165,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |       isNaN(null) IS NULL AS n3""".stripMargin).head
     assert(r2.getString(0) == "odd" && r2.getInt(1) == 1 &&
       r2.getBoolean(2) && !r2.getBoolean(3) && r2.getBoolean(4))
+    // round 14: bare-value alternatives are FULL expressions (Neo4j's
+    // fallback grammar) — boolean/comparison operators parse to THEN
+    val r3 = rows(
+      """RETURN CASE true WHEN 1 > 2 OR 3 > 2 THEN 'yes' ELSE 'no'
+        |END AS a,
+        |CASE 5 WHEN 2 + 3 THEN 'sum' ELSE 'no' END AS b""".stripMargin)
+      .head
+    assert(r3.getString(0) == "yes" && r3.getString(1) == "sum")
   }
 
   test("entity subscript n['key'] and trim specifiers (round 13)") {
@@ -1220,6 +1228,13 @@ class CypherExtensionsSpec extends AnyFunSuite {
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
       "MATCH (p:Person&!Boomer) RETURN p.Name AS nm"))
+    // round 14: parity keeps the reference grammar's '<>'-only accept
+    // surface — '!=' is a typed rejection without extensions
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) WHERE p.Born != 1956 RETURN p.Name AS nm"))
+    assert(parity.run(
+      "MATCH (p:Person) WHERE p.Born <> 1956 RETURN p.Name AS nm")
+      .collect().length == 2)
   }
 
   test("QPP group-node label alternation / intersection (round 13)") {
