@@ -1828,6 +1828,42 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- dynamic property / map subscript n[expr] (round 14; Neo4j's
+    //     runtime key access): the static schema bounds the dispatch —
+    //     a CASE chain over the declared columns, null on unknown key,
+    //     one common result type (JUMPS_TO's columns are all integral).
+    //     The key here is data-driven (parity of the source nation),
+    //     and one arm yields a key no column matches (null row).
+    ("q149_dynamic_subscript", cyx(
+      """MATCH (a:Nation)-[j:JUMPS_TO]->(b:Nation)
+        |WITH a, b, j, {lo: 1, hi: 9} AS m
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       j[CASE WHEN a.n_nationkey % 3 = 0 THEN 'jump_span'
+        |              WHEN a.n_nationkey % 3 = 1 THEN 'src_nationkey'
+        |              ELSE 'nope' END] AS v,
+        |       m[CASE WHEN b.n_nationkey > 12 THEN 'hi'
+        |              ELSE 'lo' END] AS mv
+        |ORDER BY ak, bk, v""".stripMargin),
+      Some("""WITH nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst,
+             |         1 AS jump_span
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         2 AS jump_span
+             |  FROM nation)
+             |SELECT src AS ak, dst AS bk,
+             |       CASE WHEN src % 3 = 0 THEN jump_span
+             |            WHEN src % 3 = 1 THEN src
+             |            ELSE NULL END AS v,
+             |       CASE WHEN dst > 12 THEN 9 ELSE 1 END AS mv
+             |FROM nj WHERE dst IS NOT NULL
+             |ORDER BY ak, bk, v""".stripMargin)),
+
     // --- IS NULL keeps the lacking branch under relationship-type
     //     alternation (round 14): PLACED carries no o_orderpriority —
     //     its branch null-fills the column in the [r:PLACED|

@@ -435,10 +435,29 @@ final class ExprCompiler(
             "n['key']")
           return from.get match {
             case Lit(k: String) => colOf(a2, k)
-            case _ => throw new CypherNotSupportedException(
-              "entity subscript requires a literal string key — " +
-              "schema properties are static columns, not runtime " +
-              "lookups")
+            case keyExpr =>
+              // dynamic key (round 14; Neo4j's n[expr]): the schema is
+              // static, so the runtime key resolves through a BOUNDED
+              // CASE chain over the declared columns — null on an
+              // unknown key. One relational result type required:
+              // TypeInference's commonSubscriptType (equal types pass,
+              // integral mixes widen to long, numeric to double,
+              // anything else is typed).
+              val common = typeOf(ListIndex(l, from, to, isSlice))
+                .getOrElse(throw new CypherTypeException(
+                  "dynamic entity subscript with an un-inferable key"))
+              val kc = compile(keyExpr)
+              val props = scope(a2) match {
+                case NodeBinding(n) => (n.idColumn +: n.properties).distinct
+                case EdgeBinding(ed) =>
+                  (Seq(ed.srcIdColumn, ed.sinkIdColumn) ++
+                    ed.properties).distinct
+                case _ => Seq.empty
+              }
+              props.foldLeft(when(lit(false),
+                  lit(null).cast(common))) { (acc, pr) =>
+                acc.when(kc === lit(pr), colOf(a2, pr).cast(common))
+              }.otherwise(lit(null).cast(common))
           }
         case _ => ()
       }
@@ -458,9 +477,19 @@ final class ExprCompiler(
                   s"map has no key '$k' (keys: " +
                   fs2.map(_.name).mkString(", ") + ")")
               return lc.getField(k)
-            case _ => throw new CypherNotSupportedException(
-              "map subscript requires a literal string key — struct " +
-              "fields are static schema, not runtime lookups")
+            case keyExpr =>
+              // dynamic map key (round 14): same bounded CASE-chain
+              // dispatch as the entity form — struct fields are the
+              // static dispatch set, null on unknown key
+              val common = typeOf(ListIndex(l, from, to, isSlice))
+                .getOrElse(throw new CypherTypeException(
+                  "dynamic map subscript with an un-inferable key"))
+              val kc = compile(keyExpr)
+              return fs2.foldLeft(when(lit(false),
+                  lit(null).cast(common))) { (acc, f2) =>
+                acc.when(kc === lit(f2.name),
+                  lc.getField(f2.name).cast(common))
+              }.otherwise(lit(null).cast(common))
           }
         case _ =>
       }

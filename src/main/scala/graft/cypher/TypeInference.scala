@@ -100,6 +100,22 @@ final class TypeInference(refType: Ref => Option[DataType],
   private def requireString(t: Option[DataType], where: String): Unit =
     t.foreach(x => if (x != StringType) fail(s"$where requires a string operand, got ${x.simpleString}"))
 
+  /** Common result type of a DYNAMIC subscript (round 14): equal types
+    * pass through; integral mixes widen to long, numeric mixes to
+    * double; anything else is typed — a static engine needs ONE column
+    * type where Neo4j's n[expr] returns Any. */
+  private def commonSubscriptType(ts: Seq[DataType], what: String)
+      : DataType = {
+    val ds = ts.distinct
+    if (ds.size == 1) ds.head
+    else if (ds.forall(d => d == LongType || d == IntegerType ||
+        d == ShortType || d == ByteType)) LongType
+    else if (ds.forall(_.isInstanceOf[NumericType])) DoubleType
+    else fail(s"dynamic $what subscript over a heterogeneous namespace " +
+      s"(${ds.map(_.simpleString).mkString(", ")}) — use a literal key " +
+      "or align the property types")
+  }
+
   def infer(e: Expr): Option[DataType] = e match {
     case Lit(null)       => None
     case Lit(_: String)  => Some(StringType)
@@ -247,6 +263,12 @@ final class TypeInference(refType: Ref => Option[DataType],
             case Some(Lit(k: String)) =>
               entityStruct(a).get.fields.find(_.name == k)
                 .map(_.dataType)
+            case Some(k) =>
+              // dynamic key (round 14): bounded CASE-chain dispatch
+              // over the declared columns — result = their common type
+              requireString(infer(k), "dynamic property key")
+              Some(commonSubscriptType(
+                entityStruct(a).get.fields.map(_.dataType), "property"))
             case _ => None
           }
         case _ =>
@@ -258,6 +280,9 @@ final class TypeInference(refType: Ref => Option[DataType],
         case Some(StructType(fs)) if !isSlice =>
           return from match {
             case Some(Lit(k: String)) => fs.find(_.name == k).map(_.dataType)
+            case Some(k) =>
+              requireString(infer(k), "dynamic map key")
+              Some(commonSubscriptType(fs.map(_.dataType), "map"))
             case _ => None // compiler raises the typed rejection
           }
         case _ =>

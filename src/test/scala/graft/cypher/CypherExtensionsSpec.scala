@@ -1031,6 +1031,40 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("dynamic property / map subscript n[expr] (round 14)") {
+    // entity dispatch: FOLLOWS' columns are all strings — the runtime
+    // key resolves through a bounded CASE chain over declared columns
+    val r = rows(
+      """MATCH (a:Person)-[f:FOLLOWS]->(b:Person)
+        |WHERE a.Name = 'Jessica Thompson'
+        |RETURN b.Name AS bn,
+        |       f[CASE WHEN b.Born = 1961 THEN '_sink'
+        |              ELSE '_vertexId' END] AS v
+        |ORDER BY bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r == Seq(("Meg Ryan", "p2"), ("Tom Hanks", "p5")))
+    // map dispatch + unknown key → null; integral mixes widen
+    val r2 = rows(
+      """MATCH (p:Person) WITH p, {lo: 1, hi: 200000000000} AS m
+        |RETURN p.Name AS nm,
+        |       m[CASE WHEN p.Born = 1961 THEN 'hi'
+        |              WHEN p.Born = 1956 THEN 'lo'
+        |              ELSE 'nope' END] AS v
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+    assert(r2 == Seq(("Jessica Thompson", -1L), ("Kevin Bacon", -1L),
+      ("Meg Ryan", 200000000000L), ("Rob Reiner", -1L),
+      ("Tom Hanks", 1L)))
+    // heterogeneous namespace (Person: string + int) stays typed
+    intercept[CypherTypeException](rows(
+      """MATCH (p:Person)
+        |RETURN p[CASE WHEN p.Born = 1956 THEN 'Name' ELSE 'id' END]
+        |       AS v""".stripMargin))
+    // non-string dynamic key stays typed
+    intercept[CypherTypeException](rows(
+      "MATCH (p:Person) RETURN {a: 1}[p.Born] AS v"))
+  }
+
   test("per-edge relationship uniqueness in QPP chains (round 14)") {
     // WITHIN one repetition: the out-in group shares one edge def —
     // the same KNOWS row may not bind both hops, so the four spurious
