@@ -1828,6 +1828,32 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- named-timezone temporals (round 14; Neo4j
+    //     datetime('…[America/New_York]') and datetime({…, timezone}) ):
+    //     the zoned wall time converts to its stored UTC instant —
+    //     literals at compile time via java.time, map components via
+    //     to_utc_timestamp. The day rides a component expression
+    //     crossing the 2024-03-10 US DST boundary; the DuckDB mirror
+    //     composes timezone('UTC', timezone(zone, ts)) so it is
+    //     session-TimeZone-independent.
+    ("q150_named_timezone", cyx(
+      """MATCH (n:Nation)
+        |WITH n.n_nationkey AS k
+        |RETURN k,
+        |       datetime({year: 2024, month: 3, day: k % 28 + 1,
+        |                 hour: 6, minute: 30,
+        |                 timezone: 'America/New_York'}) AS t,
+        |       datetime('2024-03-10T06:30:00[America/New_York]')
+        |         AS lit_t
+        |ORDER BY k""".stripMargin),
+      Some("""SELECT n_nationkey AS k,
+             |  timezone('UTC', timezone('America/New_York',
+             |    make_timestamp(2024, 3, n_nationkey % 28 + 1,
+             |                   6, 30, 0))) AS t,
+             |  timezone('UTC', timezone('America/New_York',
+             |    TIMESTAMP '2024-03-10 06:30:00')) AS lit_t
+             |FROM nation ORDER BY k""".stripMargin)),
+
     // --- dynamic property / map subscript n[expr] (round 14; Neo4j's
     //     runtime key access): the static schema bounds the dispatch —
     //     a CASE chain over the declared columns, null on unknown key,

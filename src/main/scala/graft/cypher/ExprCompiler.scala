@@ -961,34 +961,58 @@ final class ExprCompiler(
       case "datetime" | "localdatetime" =>
         arity(1)
         f.args.head match {
-          case Lit(s: String) => lit(java.sql.Timestamp.valueOf(parseDateTime(s)))
-          // epoch constructors (round 13; Neo4j
-          // datetime({epochSeconds: …}) / ({epochMillis: …})): the
-          // instant arrives as a number — timestamp_seconds /
-          // timestamp_millis, exclusive of calendar components
-          case MapLit(fields) if fields.exists(kv => Set("epochseconds",
-              "epochmillis")(kv._1.toLowerCase(java.util.Locale.ROOT))) =>
-            val norm = fields.map { case (k, v) =>
-              k.toLowerCase(java.util.Locale.ROOT) -> v }
-            if (norm.size != 1)
+          case Lit(s: String) =>
+            lit(java.sql.Timestamp.valueOf(parseDateTime(f.name, s)))
+          case MapLit(fields0) =>
+            // named timezone in the map form (round 14; Neo4j
+            // datetime({…, timezone: '…'})): the calendar components
+            // are the WALL TIME in that zone — to_utc_timestamp
+            // converts to the stored UTC instant (DST resolved by the
+            // session's zone rules, same as the literal form). The
+            // zone may be any string expression. localdatetime has no
+            // zone by definition.
+            val (tzFs, fields) = fields0.partition(
+              _._1.toLowerCase(java.util.Locale.ROOT) == "timezone")
+            if (tzFs.size > 1)
               throw new CypherSyntaxException(
-                s"${f.name}({epochSeconds|epochMillis: …}) takes the " +
-                "epoch value alone — calendar components cannot mix " +
-                "with an instant")
-            norm.head match {
-              case ("epochseconds", e2) =>
-                timestamp_seconds(compile(e2).cast(LongType))
-              case (_, e2) =>
-                timestamp_millis(compile(e2).cast(LongType))
+                s"${f.name}({…}) binds 'timezone' twice")
+            if (tzFs.nonEmpty && f.name == "localdatetime")
+              throw new CypherSyntaxException(
+                "localdatetime({…}) takes no timezone — use datetime()")
+            val tz = tzFs.headOption.map(kv => compile(kv._2))
+            // epoch constructors (round 13; Neo4j
+            // datetime({epochSeconds: …}) / ({epochMillis: …})): the
+            // instant arrives as a number — timestamp_seconds /
+            // timestamp_millis, exclusive of calendar components. A
+            // timezone entry is accepted and IGNORED here: an instant
+            // is zone-independent (the zone only affects Neo4j's
+            // presentation, which this engine stores as UTC).
+            if (fields.exists(kv => Set("epochseconds", "epochmillis")(
+                kv._1.toLowerCase(java.util.Locale.ROOT)))) {
+              val norm = fields.map { case (k, v) =>
+                k.toLowerCase(java.util.Locale.ROOT) -> v }
+              if (norm.size != 1)
+                throw new CypherSyntaxException(
+                  s"${f.name}({epochSeconds|epochMillis: …}) takes the " +
+                  "epoch value alone — calendar components cannot mix " +
+                  "with an instant")
+              norm.head match {
+                case ("epochseconds", e2) =>
+                  timestamp_seconds(compile(e2).cast(LongType))
+                case (_, e2) =>
+                  timestamp_millis(compile(e2).cast(LongType))
+              }
+            } else {
+              // map constructor (round 12; Neo4j datetime({year: …})):
+              // make_timestamp over the component expressions —
+              // columns compose, absent calendar fields default to
+              // their floor
+              val c2 = temporalMapFields(f.name, fields,
+                Seq("year", "month", "day", "hour", "minute", "second"))
+              val naive = make_timestamp(c2("year"), c2("month"),
+                c2("day"), c2("hour"), c2("minute"), c2("second"))
+              tz.map(to_utc_timestamp(naive, _)).getOrElse(naive)
             }
-          // map constructor (round 12; Neo4j datetime({year: …, …})):
-          // make_timestamp over the component expressions — columns
-          // compose, absent calendar fields default to their floor
-          case MapLit(fields) =>
-            val c2 = temporalMapFields(f.name, fields,
-              Seq("year", "month", "day", "hour", "minute", "second"))
-            make_timestamp(c2("year"), c2("month"), c2("day"),
-              c2("hour"), c2("minute"), c2("second"))
           case _ => to_timestamp(a0)
         }
       case "date" =>
@@ -1189,14 +1213,45 @@ final class ExprCompiler(
   }
 
   /** ISO-8601 datetime literal (`2015-07-21T21:40:32[.ssss]`), with a
-    * bare date accepted as midnight — openCypher temporal literal forms. */
-  private def parseDateTime(s: String): java.time.LocalDateTime =
-    try {
-      if (s.contains("T")) java.time.LocalDateTime.parse(s)
-      else java.time.LocalDate.parse(s).atStartOfDay()
-    } catch { case _: java.time.format.DateTimeParseException =>
-      throw new CypherSyntaxException(s"invalid datetime literal '$s'")
+    * bare date accepted as midnight — openCypher temporal literal
+    * forms. Round 14: zoned forms (`…Z`, `…±hh:mm`, and the named
+    * `…[America/New_York]` with or without an explicit offset) are
+    * legal for datetime() and convert to their UTC instant (the
+    * engine's storage zone — Verify/Bench/tests pin the session to
+    * UTC); java.time resolves DST gaps/overlaps by the ISO rules
+    * (gap shifts forward, overlap takes the earlier offset), the same
+    * resolution Neo4j uses. localdatetime() rejects any zone. */
+  private def parseDateTime(fn: String, s: String)
+      : java.time.LocalDateTime = {
+    import java.time._
+    def bad(): Nothing =
+      throw new CypherSyntaxException(s"invalid $fn literal '$s'")
+    def noZone(x: String): LocalDateTime =
+      try {
+        if (x.contains("T")) LocalDateTime.parse(x)
+        else LocalDate.parse(x).atStartOfDay()
+      } catch { case _: format.DateTimeParseException => bad() }
+    val zoned: Option[ZonedDateTime] =
+      try Some(ZonedDateTime.parse(s))
+      catch {
+        case _: format.DateTimeParseException =>
+          val b = s.indexOf('[')
+          if (b >= 0 && s.endsWith("]"))
+            try Some(noZone(s.substring(0, b)).atZone(
+              ZoneId.of(s.substring(b + 1, s.length - 1))))
+            catch { case _: DateTimeException =>
+              throw new CypherSyntaxException(
+                s"unknown timezone in $fn literal '$s'") }
+          else None
+      }
+    zoned match {
+      case Some(z) =>
+        if (fn == "localdatetime") throw new CypherSyntaxException(
+          "localdatetime() takes no timezone or offset — use datetime()")
+        LocalDateTime.ofInstant(z.toInstant, ZoneOffset.UTC)
+      case None => noZone(s)
     }
+  }
 
   private def parseDate(s: String): java.time.LocalDate =
     try java.time.LocalDate.parse(s)

@@ -1031,6 +1031,40 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("named-timezone temporals (round 14)") {
+    // DST began 2024-03-10 02:00 in New York: 06:30 EDT = 10:30 UTC,
+    // the day before 06:30 EST = 11:30 UTC
+    val r = rows(
+      """RETURN datetime('2024-03-10T06:30:00[America/New_York]') AS a,
+        |       datetime('2024-03-09T06:30:00[America/New_York]') AS b,
+        |       datetime('2024-03-10T06:30:00-04:00[America/New_York]')
+        |         AS c,
+        |       datetime('2024-06-01T12:00:00Z') AS z,
+        |       datetime('2024-06-01T14:00:00+02:00') AS o""".stripMargin)
+      .head
+    assert(r.getTimestamp(0).toInstant.toString == "2024-03-10T10:30:00Z")
+    assert(r.getTimestamp(1).toInstant.toString == "2024-03-09T11:30:00Z")
+    assert(r.getTimestamp(2).toInstant.toString == "2024-03-10T10:30:00Z")
+    assert(r.getTimestamp(3).toInstant.toString == "2024-06-01T12:00:00Z")
+    assert(r.getTimestamp(4).toInstant.toString == "2024-06-01T12:00:00Z")
+    // map form: components are the WALL TIME in the named zone; the
+    // DST boundary rides a component expression
+    val r2 = rows(
+      """UNWIND [9, 10] AS d
+        |RETURN d, datetime({year: 2024, month: 3, day: d, hour: 6,
+        |                    minute: 30, timezone: 'America/New_York'})
+        |          AS t ORDER BY d""".stripMargin)
+    assert(r2.map(_.getTimestamp(1).toInstant.toString) ==
+      Seq("2024-03-09T11:30:00Z", "2024-03-10T10:30:00Z"))
+    // localdatetime has no zone; unknown zones are typed
+    intercept[CypherSyntaxException](rows(
+      "RETURN localdatetime('2024-03-10T06:30:00Z') AS x"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN localdatetime({year: 2024, timezone: 'UTC'}) AS x"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN datetime('2024-03-10T06:30:00[No/Zone]') AS x"))
+  }
+
   test("dynamic property / map subscript n[expr] (round 14)") {
     // entity dispatch: FOLLOWS' columns are all strings — the runtime
     // key resolves through a bounded CASE chain over declared columns
