@@ -1828,6 +1828,33 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- correlated CALL { … UNION … } (round 14): imports thread
+    //     through each branch, the keyed branch outputs union (UNION
+    //     dedupes per invocation — an urgent order that also clears
+    //     the price bar appears once), then ONE join back to the
+    //     outer rows
+    ("q151_call_union_correlated", cyx(
+      """MATCH (c:Customer) WHERE c.c_acctbal > 9900
+        |CALL (c) {
+        |  MATCH (c)-[:PLACED_URGENT]->(o:Order)
+        |  RETURN o.o_orderkey AS ok
+        |  UNION
+        |  MATCH (c)-[:PLACED]->(o2:Order)
+        |  WHERE o2.o_totalprice > 150000
+        |  RETURN o2.o_orderkey AS ok }
+        |RETURN c.c_name AS name, ok
+        |ORDER BY name, ok""".stripMargin),
+      Some("""WITH u AS (
+             |  SELECT o_custkey, o_orderkey AS ok FROM orders
+             |  WHERE o_orderpriority = '1-URGENT'
+             |  UNION
+             |  SELECT o_custkey, o_orderkey FROM orders
+             |  WHERE o_totalprice > 150000)
+             |SELECT c_name AS name, ok
+             |FROM customer JOIN u ON o_custkey = c_custkey
+             |WHERE c_acctbal > 9900
+             |ORDER BY 1, 2""".stripMargin)),
+
     // --- named-timezone temporals (round 14; Neo4j
     //     datetime('…[America/New_York]') and datetime({…, timezone}) ):
     //     the zoned wall time converts to its stored UTC instant —

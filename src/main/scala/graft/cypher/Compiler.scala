@@ -1285,31 +1285,35 @@ object Compiler {
         throw new CypherBindingException(
           s"UNION column mismatch: ${lf.columns.mkString(",")} vs " +
           rf.columns.mkString(","))
-      // name parity alone would let Spark's positional coercion silently
-      // unify e.g. a string branch with a numeric branch — require
-      // compatible types like the reference's type system would. A
-      // NullType branch (RETURN null) unifies with anything, and
-      // temporals unify among themselves (date widens to timestamp).
-      lf.schema.fields.zip(rf.schema.fields).foreach { case (a, b) =>
-        def temporal(t: DataType): Boolean = t match {
-          case DateType | TimestampType | TimestampNTZType => true
-          case _ => false
-        }
-        val ok = a.dataType == b.dataType ||
-          a.dataType == NullType || b.dataType == NullType ||
-          (a.dataType.isInstanceOf[NumericType] &&
-            b.dataType.isInstanceOf[NumericType]) ||
-          (temporal(a.dataType) && temporal(b.dataType))
-        if (!ok) throw new CypherBindingException(
-          s"UNION column '${a.name}' type mismatch: " +
-          s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")
-      }
+      checkUnionTypes(lf, rf)
       val u = lf.union(rf)
       if (all) u else u.distinct()
     case sq: SingleQuery =>
       compileSingle(sq, Map.empty, terminalIsReturn = true, catalog).df
     case updating => compileUpdating(updating, catalog, None, Set.empty)
   }
+
+  /** UNION branch type compatibility: name parity alone would let
+   *  Spark's positional coercion silently unify e.g. a string branch
+   *  with a numeric branch — require compatible types like the
+   *  reference's type system would. A NullType branch (RETURN null)
+   *  unifies with anything, and temporals unify among themselves
+   *  (date widens to timestamp). */
+  private def checkUnionTypes(lf: DataFrame, rf: DataFrame): Unit =
+    lf.schema.fields.zip(rf.schema.fields).foreach { case (a, b) =>
+      def temporal(t: DataType): Boolean = t match {
+        case DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      val ok = a.dataType == b.dataType ||
+        a.dataType == NullType || b.dataType == NullType ||
+        (a.dataType.isInstanceOf[NumericType] &&
+          b.dataType.isInstanceOf[NumericType]) ||
+        (temporal(a.dataType) && temporal(b.dataType))
+      if (!ok) throw new CypherBindingException(
+        s"UNION column '${a.name}' type mismatch: " +
+        s"${a.dataType.simpleString} vs ${b.dataType.simpleString}")
+    }
 
   /** Updating-query dispatch. `initial` seeds the clause's parts with
     * the previous updating clause's read-back frame (multi-updating
@@ -2598,59 +2602,96 @@ object Compiler {
             throw new CypherBindingException(s"unknown variable '$a'")
         }
       }
+      val inherited: Map[String, Binding] =
+        impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
+      val keys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
+      // one correlated branch → its keyed output frame: imports
+      // threaded through every projection, per-invocation
+      // ORDER BY/SKIP/LIMIT as a WindowGroupLimit rank filter over the
+      // import keys (partial per-partition top-k before the shuffle)
+      def compileBranch(subSingle: SingleQuery)
+          : (DataFrame, Seq[String], Seq[RetItem]) = {
+        val lastProj = subSingle.parts.last.proj
+        if (lastProj.star) throw new CypherNotSupportedException(
+          "RETURN * inside a correlated CALL subquery")
+        val outNames = lastProj.items.map(outName)
+        outNames.find(call.imports.contains).foreach(nm =>
+          throw new CypherBindingException(
+            s"CALL subquery returns '$nm', which is an imported variable"))
+        outNames.find(c.scope.contains).foreach(nm =>
+          throw new CypherBindingException(
+            s"CALL output '$nm' collides with an outer variable"))
+        val (threaded, pages) = threadImports(subSingle, call.imports)
+        val sub = compileSingle(threaded, inherited,
+          terminalIsReturn = false, catalog,
+          afterPart = (i, cc) =>
+            pages.get(i).map(applyCallPage(cc, _, keys)).getOrElse(cc))
+        impDefs.foreach { case (a, n) =>
+          sub.scope.get(a) match {
+            case Some(NodeBinding(n2)) if n2.label == n.label =>
+            case _ => throw new CypherBindingException(
+              s"CALL import '$a' was lost or re-bound inside the subquery")
+          }
+        }
+        outNames.foreach { nm =>
+          sub.scope.get(nm) match {
+            case Some(NodeBinding(_) | EdgeBinding(_)) =>
+              throw new CypherNotSupportedException(
+                s"CALL subquery returns whole entity '$nm' — project " +
+                "its properties")
+            case _ =>
+          }
+        }
+        (sub.df.select(
+          keys.zipWithIndex.map { case (k, i) =>
+            col(k).as(s"__call_k$i") } ++ outNames.map(col): _*),
+          outNames, lastProj.items)
+      }
+      // correlated CALL { … UNION … } (round 14): imports thread
+      // through EACH branch; the keyed branch outputs union — UNION
+      // (non-ALL) dedupes over (keys, outputs), i.e. per invocation —
+      // before the ONE join back to the outer rows. Aggregating
+      // branches stay typed: the per-invocation zero-match fill has no
+      // single join-back across branches.
+      call.sub match {
+        case uq: UnionQuery =>
+          def go(q: Query): (DataFrame, Seq[String]) = q match {
+            case sq: SingleQuery =>
+              val (df2, names, items) = compileBranch(sq)
+              if (items.exists(it => containsAgg(it.expr)))
+                throw new CypherNotSupportedException(
+                  "aggregate inside a unioned correlated CALL branch — " +
+                  "aggregate after the CALL or split the query")
+              (df2, names)
+            case UnionQuery(l2, r2, all2) =>
+              val (lf, ln) = go(l2); val (rf, rn) = go(r2)
+              if (ln != rn) throw new CypherBindingException(
+                s"UNION column mismatch: ${ln.mkString(",")} vs " +
+                rn.mkString(","))
+              checkUnionTypes(lf, rf)
+              val u = lf.union(rf)
+              (if (all2) u else u.distinct(), ln)
+            case _ => throw new CypherNotSupportedException(
+              "this CALL subquery form inside a correlated CALL")
+          }
+          val (subOut, outNames) = go(uq)
+          val cond = keys.zipWithIndex.map { case (k, i) =>
+            col(k) === col(s"__call_k$i") }.reduce(_ && _)
+          val joined = c.df.join(subOut, cond,
+            if (call.optional) "left" else "inner")
+            .drop(keys.indices.map(i => s"__call_k$i"): _*)
+          return Ctx(joined,
+            c.scope ++ outNames.map(_ -> (ValueBinding: Binding)))
+        case _ =>
+      }
       val subSingle: SingleQuery = call.sub match {
         case sq: SingleQuery => sq
         case _ => throw new CypherNotSupportedException(
-          "UNION inside a CORRELATED CALL subquery — imports would " +
-          "need per-branch threading; drop the imports or split the " +
-          "query")
+          "this CALL subquery form inside a correlated CALL")
       }
-      val lastProj = subSingle.parts.last.proj
-      if (lastProj.star) throw new CypherNotSupportedException(
-        "RETURN * inside a correlated CALL subquery")
-      val outNames = lastProj.items.map(outName)
-      outNames.find(call.imports.contains).foreach(nm =>
-        throw new CypherBindingException(
-          s"CALL subquery returns '$nm', which is an imported variable"))
-      outNames.find(c.scope.contains).foreach(nm =>
-        throw new CypherBindingException(
-          s"CALL output '$nm' collides with an outer variable"))
-      val (threaded, pages) = threadImports(subSingle, call.imports)
-      val inherited: Map[String, Binding] =
-        impDefs.map { case (a, n) => a -> (NodeBinding(n): Binding) }.toMap
-      val pageKeys = impDefs.map { case (a, n) => pref(a, n.idColumn) }
-      // per-invocation ORDER BY/SKIP/LIMIT (on the RETURN or any
-      // intermediate WITH): a rank filter over a window partitioned by
-      // the import keys, applied right after its part compiles —
-      // Spark rewrites it to WindowGroupLimit (partial per-partition
-      // top-k before the shuffle), so "top k per key" never
-      // materializes the full group
-      val sub = compileSingle(threaded, inherited,
-        terminalIsReturn = false, catalog,
-        afterPart = (i, c) =>
-          pages.get(i).map(applyCallPage(c, _, pageKeys)).getOrElse(c))
-      impDefs.foreach { case (a, n) =>
-        sub.scope.get(a) match {
-          case Some(NodeBinding(n2)) if n2.label == n.label =>
-          case _ => throw new CypherBindingException(
-            s"CALL import '$a' was lost or re-bound inside the subquery")
-        }
-      }
-      outNames.foreach { nm =>
-        sub.scope.get(nm) match {
-          case Some(NodeBinding(_) | EdgeBinding(_)) =>
-            throw new CypherNotSupportedException(
-              s"CALL subquery returns whole entity '$nm' — project its " +
-              "properties")
-          case _ =>
-        }
-      }
+      val (subOut, outNames, lastItems) = compileBranch(subSingle)
       // per-item Neo4j fill-in for aggregate rows over zero matches
-      val hasAgg = lastProj.items.exists(it => containsAgg(it.expr))
-      val keys = pageKeys
-      val subOut = sub.df.select(
-        keys.zipWithIndex.map { case (k, i) => col(k).as(s"__call_k$i") } ++
-          outNames.map(col): _*)
+      val hasAgg = lastItems.exists(it => containsAgg(it.expr))
       val cond = keys.zipWithIndex.map { case (k, i) =>
         col(k) === col(s"__call_k$i") }.reduce(_ && _)
       var joined = c.df.join(subOut, cond,
@@ -2658,7 +2699,7 @@ object Compiler {
         .drop(keys.indices.map(i => s"__call_k$i"): _*)
       if (hasAgg) {
         val types = joined.schema.fields.map(f => f.name -> f.dataType).toMap
-        lastProj.items.zip(outNames).foreach { case (it, nm) =>
+        lastItems.zip(outNames).foreach { case (it, nm) =>
           it.expr match {
             case Agg("count", _, _, _) =>
               joined = joined.withColumn(nm,

@@ -470,11 +470,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
         val wasSub = inSubquery
         inSubquery = true
-        // CALL { … UNION [ALL] … } (round 12): an UNCORRELATED
-        // subquery may be a union — the compiler runs it once and
-        // cross-joins its value rows like any other CALL; correlated
-        // unions (imports) stay typed at compile (imports would need
-        // per-branch threading)
+        // CALL { … UNION [ALL] … } (round 12): an uncorrelated union
+        // runs once and cross-joins its value rows like any other
+        // CALL; a CORRELATED union (round 14) threads the imports
+        // through each branch and unions the keyed branch outputs
+        // before the one join-back (aggregating branches stay typed)
         var subq: Query =
           try {
             var q: Query = parseSingle()

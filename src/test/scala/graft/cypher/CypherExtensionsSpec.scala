@@ -1031,6 +1031,54 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("correlated CALL { … UNION … } (round 14)") {
+    // imports thread through each branch; branch outputs union before
+    // the one join-back
+    val r = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN m.Title AS t
+        |  UNION
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
+        |RETURN p.Name AS nm, t ORDER BY nm, t""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.size == 7)
+    assert(r.filter(_._1 == "Rob Reiner") ==
+      Seq(("Rob Reiner", "Sleepless in Seattle")))
+    assert(r.count(_._1 == "Tom Hanks") == 3)
+    // UNION dedupes per invocation; UNION ALL keeps branch duplicates
+    val dd = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN m.Title AS t
+        |  UNION
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) WHERE m.Released < 1996
+        |  RETURN m.Title AS t }
+        |RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(dd == 6L)
+    val da = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN m.Title AS t
+        |  UNION ALL
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) WHERE m.Released < 1996
+        |  RETURN m.Title AS t }
+        |RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(da == 10L)
+    // OPTIONAL keeps zero-match outer rows with null outputs
+    val opt = rows(
+      """MATCH (p:Person) OPTIONAL CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN m.Title AS t
+        |  UNION
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
+        |RETURN count(*) AS n, count(t) AS nt""".stripMargin).head
+    assert(opt.getLong(0) == 8L && opt.getLong(1) == 7L)
+    // aggregating branches stay typed
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN count(m) AS n
+        |  UNION
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN count(m) AS n }
+        |RETURN p.Name AS nm, n""".stripMargin))
+  }
+
   test("named-timezone temporals (round 14)") {
     // DST began 2024-03-10 02:00 in New York: 06:30 EDT = 10:30 UTC,
     // the day before 06:30 EST = 11:30 UTC
