@@ -2034,19 +2034,19 @@ object Compiler {
     // merge key — matched edges satisfy pair AND map equality; created
     // edges are stamped with the map values.
     //
-    // DOWNSTREAM CONTRACT (multigraph-lite; round-13 advice): a
-    // map-keyed MERGE can create a SECOND edge row on an existing
-    // (src, snk) pair (same endpoints, different map value). Every
-    // OTHER edge-updating op keys on the pair alone — a later plain
-    // MERGE treats the pair as matched (its anti-join finds a row, so
-    // it never creates a third), and a pair-keyed SET/DELETE affects
-    // ALL parallel rows of the pair, exactly like a Cypher
-    // MATCH ()-[r]->() with no property predicate binding every
-    // parallel edge. Callers who need to address ONE parallel row must
-    // carry the discriminating property in the pattern/WHERE (or keep
-    // using map-keyed MERGE). This is intentional: pair-keyed ops stay
-    // single-pass set operations — detecting duplicates would cost an
-    // extra aggregation over the edge snapshot per op at 100 TB.
+    // DOWNSTREAM CONTRACT (multigraph-lite; round-13 advice, tightened
+    // round 14): a map-keyed MERGE can create a SECOND edge row on an
+    // existing (src, snk) pair (same endpoints, different map value).
+    // Every OTHER edge-updating op keys on the pair alone — a later
+    // plain MERGE treats the pair as matched (its anti-join finds a
+    // row, so it never creates a third), and a pair-keyed SET/DELETE
+    // that MATCHES a duplicated pair now FAILS at execution
+    // (pairDupGuard) instead of silently rewriting/removing the
+    // sibling row the match did not address. Callers who need to
+    // address ONE parallel row must carry the discriminating property
+    // (map-keyed MERGE). The guard's cost is one partial agg over the
+    // snapshot semi-filtered to the matched keys — not a
+    // full-snapshot aggregation, so pair-keyed ops stay scale-sane.
     mr.keyProps.groupBy(_._1).collectFirst { case (p2, vs) if vs.size > 1
       => p2 }.foreach(p2 => throw new CypherBindingException(
       s"MERGE relationship map binds '$p2' twice"))
@@ -2406,10 +2406,20 @@ object Compiler {
         .select(keyPrefs.map(col) ++
           others.map(cn => col("__w").getField(cn).as(cn)): _*))
         .localCheckpoint(false)
+    // pair-duplicate guard (round 14; the multigraph-lite downstream
+    // contract): a map-keyed MERGE can leave PARALLEL rows on one
+    // (src, snk) pair. A pair-keyed SET would winner-dedup the match
+    // and silently DROP the sibling row from the new snapshot — fail
+    // at execution instead, telling the caller to address one row via
+    // its discriminating property. Cost shape: one partial agg over
+    // the snapshot SEMI-FILTERED to the matched keys (broadcast-sized
+    // join side), not a full-snapshot aggregation.
+    val guardedFeed = pairDupGuard(feedW, keyPrefs, keyCols, snapshot,
+      "SET")
     val ec = new ExprCompiler(c.scope, feedW)
     val aMap: Map[String, Column] =
       assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }.toMap
-    val updated = feedW.select(outCols.map { cn =>
+    val updated = guardedFeed.select(outCols.map { cn =>
       aMap.getOrElse(cn, col(pref(alias, cn))).as(cn) }: _*)
     val untouched = snapshot.select(outCols.map(col): _*)
       .join(feedW.select(keyPrefs.zip(keyCols).map {
@@ -2487,8 +2497,42 @@ object Compiler {
       .select(keyPrefs.zip(keyCols).map {
         case (kp, k) => col(kp).as(k) }: _*)
       .distinct()
-    snapshot.select(outCols.map(col): _*).join(keys, keyCols, "left_anti")
+    // pair-duplicate guard (round 14): a pair-keyed DELETE over a pair
+    // the map-keyed MERGE duplicated would remove BOTH parallel rows
+    // even when the match addressed one — fail at execution instead
+    // (setSnapshot's reasoning)
+    val guarded = pairDupGuard(keys, keyCols, keyCols, snapshot, "DELETE")
+    snapshot.select(outCols.map(col): _*)
+      .join(guarded, keyCols, "left_anti")
   }
+
+  /** Execution-time guard for pair-keyed edge SET/DELETE over a
+   *  multigraph-lite snapshot: any MATCHED (src, snk) pair holding
+   *  more than one snapshot row (parallel rows a map-keyed MERGE
+   *  created) raises, instead of the op silently rewriting/removing
+   *  the sibling the match did not address. No-op for node targets
+   *  (single-column id keys are unique by the graph contract). */
+  private def pairDupGuard(feed: DataFrame, feedKeys: Seq[String],
+      keyCols: Seq[String], snapshot: DataFrame, op: String): DataFrame =
+    if (keyCols.size < 2) feed
+    else {
+      val mk = feed.select(feedKeys.zip(keyCols).map {
+        case (fk, k) => col(fk).as(k) }: _*).distinct()
+      val dupes = snapshot.join(mk, keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__nrows"))
+        .where(col("__nrows") > 1)
+        .select(keyCols.zip(feedKeys).map {
+          case (k, fk) => col(k).as(fk) } :+ col("__nrows"): _*)
+      feed.join(dupes, feedKeys, "left")
+        .where(assert_true(col("__nrows").isNull,
+          concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
+            "pair — parallel rows created by a map-keyed MERGE; " +
+            "address one row via its discriminating property " +
+            "(map-keyed MERGE) instead. pair: ("),
+            concat_ws(", ", feedKeys.map(col): _*), lit(")"))).isNull)
+        .drop("__nrows")
+    }
 
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,

@@ -976,11 +976,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN mp['Title'] AS t, mp['Released'] + 1 AS y""".stripMargin)
       .head
     assert(r7.getString(0) == "Apollo 13" && r7.getInt(1) == 1996)
-    // unknown key / dynamic key / slice stay typed
+    // unknown literal key / slice stay typed; a dynamic key resolves
+    // at runtime since round 14
     intercept[CypherBindingException](rows(
       "WITH {a: 1} AS m RETURN m['nope'] AS x"))
-    intercept[CypherNotSupportedException](rows(
-      "WITH {a: 1} AS m, 'a' AS k RETURN m[k] AS x"))
+    assert(rows("WITH {a: 1} AS m, 'a' AS k RETURN m[k] AS x")
+      .head.getInt(0) == 1)
     intercept[CypherTypeException](rows(
       "WITH {a: 1} AS m RETURN m[0..1] AS x"))
   }
@@ -1296,7 +1297,9 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (p:Person) WHERE p['Name'] = 'Tom Hanks'
         |RETURN p['Born'] AS b""".stripMargin).head
     assert(r.getInt(0) == 1956)
-    intercept[CypherNotSupportedException](rows(
+    // a dynamic key over Person's HETEROGENEOUS namespace (string +
+    // int) stays typed since round 14 (homogeneous ones resolve)
+    intercept[CypherTypeException](rows(
       "MATCH (p:Person) WITH p, 'Name' AS k RETURN p[k] AS x"))
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) RETURN p['Nope'] AS x"))
@@ -3027,6 +3030,51 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |MATCH (m:Movie) WHERE m.id = 'm1'
         |MERGE (p)-[r:REVIEWED {Rating: p.Born}]->(m)""".stripMargin)
     assert(r4.size == 2) // p5.Born is null → the 2 original edges only
+  }
+
+  test("pair-keyed SET/DELETE fail typed on duplicated (src, snk) " +
+      "pairs (round 14)") {
+    import spark.implicits._
+    // reviewed with a PARALLEL (p5, m1) pair — the state a map-keyed
+    // MERGE with a second Rating leaves behind (multigraph-lite)
+    val base = MovieFixture.catalog(spark)
+    val dupReviewed = Seq(
+      ("p5", "m1", "Loved it", 95),
+      ("p5", "m1", "Second look", 50),
+      ("p5", "m3", "Fun", 85)
+    ).toDF("_vertexId", "_sink", "Summary", "Rating")
+    val cat = new GraphCatalog(MovieFixture.schema, {
+      case "reviewed" => dupReviewed
+      case "person"   => base.nodeDf("Person")
+      case "movie"    => base.nodeDf("Movie")
+      case other => throw new IllegalArgumentException(other)
+    })
+    val s = new CypherSession(spark, cat).extended
+    def dupMsg(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(x => Option(x.getMessage)
+          .exists(_.contains("duplicated (src, snk)")))
+    // SET matching the duplicated pair raises at execution — the
+    // winner-dedup would silently drop the sibling row otherwise
+    val ex1 = intercept[Exception](s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm1'
+        |SET r.Rating = 0""".stripMargin).collect())
+    assert(dupMsg(ex1))
+    // DELETE likewise (it would remove BOTH parallel rows)
+    val ex2 = intercept[Exception](s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm1'
+        |DELETE r""".stripMargin).collect())
+    assert(dupMsg(ex2))
+    // ops whose MATCH avoids the duplicated pair run clean
+    val okSet = s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm3'
+        |SET r.Rating = 0""".stripMargin).collect()
+    assert(okSet.length == 3 &&
+      okSet.count(x => x.getString(1) == "m3" && x.getInt(3) == 0) == 1)
+    val okDel = s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm3'
+        |DELETE r""".stripMargin).collect()
+    assert(okDel.length == 2 && okDel.forall(_.getString(1) == "m1"))
   }
 
   test("MERGE rel: duplicate feed pairs winner-dedup to one row") {
