@@ -1828,6 +1828,36 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- unbounded shortestPath WITNESSES over the heterogeneous
+    //     FEEDS chain (round 14): Customer→Order→Part under one verb —
+    //     the tagged parent pointers carry the per-wave label, so
+    //     nodes(p)/relationships(p) read merged-namespace elements
+    //     (each hop joins back to its own table). The tie-break is the
+    //     min tagged id: the witness order for each part is the
+    //     customer's MINIMUM order containing it — mirrored exactly.
+    ("q152_hetero_witness", cyx(
+      """MATCH p = shortestPath((a:Customer)-[:FEEDS*1..]->(b:Part))
+        |WHERE a.c_custkey = 1
+        |RETURN b.p_partkey AS pk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
+        |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
+        |         AS ids,
+        |       reduce(s = '', r IN relationships(p) | s + '|' +
+        |         toString(coalesce(r.o_orderkey, r.l_partkey))) AS rels
+        |ORDER BY pk""".stripMargin),
+      Some("""WITH v AS (
+             |  SELECT l.l_partkey AS pk, min(l.l_orderkey) AS via
+             |  FROM lineitem l JOIN orders o
+             |    ON l.l_orderkey = o.o_orderkey
+             |  WHERE o.o_custkey = 1
+             |  GROUP BY 1)
+             |SELECT pk, CAST(2 AS BIGINT) AS hops,
+             |       '|1|' || CAST(via AS VARCHAR) || '|' ||
+             |         CAST(pk AS VARCHAR) AS ids,
+             |       '|' || CAST(via AS VARCHAR) || '|' ||
+             |         CAST(pk AS VARCHAR) AS rels
+             |FROM v ORDER BY pk""".stripMargin)),
+
     // --- correlated CALL { … UNION … } (round 14): imports thread
     //     through each branch, the keyed branch outputs union (UNION
     //     dedupes per invocation — an urgent order that also clears

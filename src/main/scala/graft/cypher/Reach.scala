@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
 import ast._
 import graft.ops.GraphContractViolation
@@ -235,17 +235,22 @@ private[cypher] object Reach {
                         outer),
                       needDist, pp.allShortest)
                   (base, e.fromLabel, e.toLabel)
-                } else if (wantWitness)
-                  throw new CypherNotSupportedException(
-                    s"nodes(${pp.pathVar.get}) over an unbounded " +
-                    "shortestPath on a HETEROGENEOUS chain — witness " +
-                    "elements would mix node label schemas; bound the " +
-                    "range [*lo..hi] for per-branch witnesses")
-                else
+                } else {
                   // heterogeneous chain (round 10): label-stratified
-                  // BFS over `label:id` tagged namespaces
-                  stratifiedReach(defs, verb, srcPat, dstPat, m.where,
-                    catalog, outer, needDist, pp.allShortest)
+                  // BFS over tagged namespaces; round 14 — witnesses
+                  // ride the tagged parent pointers (the tag IS the
+                  // per-wave label), element shapes merged across
+                  // labels/defs like bounded branch witnesses
+                  val (b0, fl, tl) = stratifiedReach(defs, verb, srcPat,
+                    dstPat, m.where, catalog, outer, needDist,
+                    pp.allShortest, wantWitness)
+                  val b =
+                    if (wantWitness && r.dir == Direction.In)
+                      b0.withColumn("__nodes", reverse(col("__nodes")))
+                        .withColumn("__rels", reverse(col("__rels")))
+                    else b0
+                  (b, fl, tl)
+                }
               // [*0..] (round 10): the REFLEXIVE closure — every node
               // of the (shared) endpoint label reaches itself by the
               // empty path, so the pair frame gains one (id, id) row
@@ -270,6 +275,12 @@ private[cypher] object Reach {
                   // with NO traversed relationships
                   val ident0 =
                     if (wantWitness) {
+                      if (defs.size > 1)
+                        throw new CypherNotSupportedException(
+                          "[*0..] witnesses over a heterogeneous " +
+                          "chain — the zero-hop element shape cannot " +
+                          "cover the merged namespaces; start the " +
+                          "range at 1")
                       val e0 = catalog.graph.edgesByVerb(verb).head
                       val edf0 = catalog.edgeDf(e0)
                       val eCols = (Seq(e0.srcIdColumn, e0.sinkIdColumn)
@@ -518,7 +529,8 @@ private[cypher] object Reach {
   private def stratifiedReach(defs: Seq[EdgeDef], verb: String,
       srcPat: NodePat, dstPat: NodePat, where: Option[Expr],
       catalog: GraphCatalog, outer: Option[Compiler.Ctx],
-      needDist: Boolean, allShortest: Boolean)
+      needDist: Boolean, allShortest: Boolean,
+      wantWitness: Boolean = false)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
@@ -575,12 +587,47 @@ private[cypher] object Reach {
         label: String): Option[DataFrame] =
       seedFor(where, alias, node, catalog, outer).map(sd =>
         sd.select(tag(label, col(sd.columns.head)).as("__seed")))
+    val sT = catalog.nodeDf(srcLabel).schema(sNode.idColumn).dataType
+    val dT = catalog.nodeDf(dstLabel).schema(dNode.idColumn).dataType
+    if (wantWitness) {
+      // heterogeneous unbounded witnesses (round 14): the SAME
+      // parent-pointer BFS as the homogeneous path, run over the
+      // tagged union frame — the tagged id IS the per-wave label, so
+      // each witness element and each traversed hop joins back to its
+      // OWN table. Element shapes follow pathShapes' bounded-witness
+      // rule: the union of the participating labels'/defs' fields,
+      // null-filled where a label/def lacks one.
+      def run(sc: String, dc: String, sd: Option[DataFrame],
+          rev: Boolean): DataFrame = {
+        val pairs = reachablePairs(union, sc, dc, seeds = sd,
+          withDist = true, withParent = true)
+        val ids0 = reconstructWitnessIds(pairs)
+        val ids =
+          if (!rev) ids0
+          else ids0.select(col("__dst").as("__src"),
+            col("__src").as("__dst"), col("__dist"),
+            reverse(col("__wids")).as("__wids"))
+        heteroWidsToNodes(ids, ordinals, idT, catalog).join(
+          heteroWidsToRels(ids, defs, ordinals, idT, catalog),
+          Seq("__src", "__dst", "__dist"))
+      }
+      val t = taggedSeeds(srcPat.alias, sNode, srcLabel)
+        .map(sd => run("__src", "__dst", Some(sd), rev = false))
+        .orElse(taggedSeeds(dstPat.alias, dNode, dstLabel)
+          .map(sd => run("__dst", "__src", Some(sd), rev = true)))
+        .getOrElse(run("__src", "__dst", None, rev = false))
+      val out = t
+        .where(t("__src")("l") === lit(ordinals(srcLabel)) &&
+          t("__dst")("l") === lit(ordinals(dstLabel)))
+        .select(t("__src")("i").cast(sT).as("__src"),
+          t("__dst")("i").cast(dT).as("__dst"),
+          col("__dist"), col("__nodes"), col("__rels"))
+      return (out, srcLabel, dstLabel)
+    }
     val tagged = computeReach(union, "__src", "__dst",
       () => taggedSeeds(srcPat.alias, sNode, srcLabel),
       () => taggedSeeds(dstPat.alias, dNode, dstLabel),
       needDist, allShortest)
-    val sT = catalog.nodeDf(srcLabel).schema(sNode.idColumn).dataType
-    val dT = catalog.nodeDf(dstLabel).schema(dNode.idColumn).dataType
     val outCols = Seq(
       tagged("__src")("i").cast(sT).as("__src"),
       tagged("__dst")("i").cast(dT).as("__dst")) ++
@@ -591,6 +638,103 @@ private[cypher] object Reach {
         tagged("__dst")("l") === lit(ordinals(dstLabel)))
       .select(outCols: _*)
     (out, srcLabel, dstLabel)
+  }
+
+  /** Merged (name → type) field universe with pathShapes' mixing rule:
+    * a field stored as different types in two members is typed. */
+  private def mergeFields(fss: Seq[Seq[StructField]], what: String)
+      : Seq[StructField] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    fss.flatten.foreach { f =>
+      out.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          throw new CypherNotSupportedException(
+            s"witnesses over this chain mix a $what field " +
+            s"'${f.name}' stored as ${t.simpleString} and " +
+            s"${f.dataType.simpleString} — one array element type " +
+            "cannot cover both")
+        case _ => out(f.name) = f.dataType
+      }
+    }
+    out.iterator.map { case (n, t) => StructField(n, t) }.toSeq
+  }
+
+  /** Tagged witness id array → node-struct array over the MERGED
+    * label namespace: one union of tagged node slims, one join, one
+    * ordered re-collect (the widsToNodes shape, heterogeneous). */
+  private def heteroWidsToNodes(ids: DataFrame,
+      ordinals: Map[String, Int], idT: DataType,
+      catalog: GraphCatalog): DataFrame = {
+    val labels = ordinals.keys.toSeq.sorted
+    val fields = mergeFields(labels.map { l =>
+      val nd = catalog.graph.node(l)
+      val sch = catalog.nodeDf(l).schema
+      (nd.idColumn +: nd.properties).distinct.map(c => sch(c))
+    }, "node label")
+    val elemT = ArrayType(StructType(fields), containsNull = true)
+    val taggedNodes = labels.map { l =>
+      val nd = catalog.graph.node(l)
+      val ndf = catalog.nodeDf(l)
+      val own = (nd.idColumn +: nd.properties).distinct.toSet
+      ndf.select(
+        struct(lit(ordinals(l)).as("l"),
+          col(nd.idColumn).cast(idT).as("i")).as("__nwid"),
+        struct(fields.map { f =>
+          (if (own(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__e"))
+    }.reduce(_ unionByName _)
+    ids.select(col("__src"), col("__dst"), col("__dist"),
+        posexplode(col("__wids")).as(Seq("__pos", "__wid")))
+      .join(taggedNodes, col("__wid") === col("__nwid"), "left")
+      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"),
+          col("__e")))), x => x.getField("__e")).as("__nodes0"))
+      .select(col("__src"), col("__dst"), col("__dist"),
+        col("__nodes0").cast(elemT).as("__nodes"))
+  }
+
+  /** Tagged witness id array → edge-struct array over the MERGED def
+    * namespace: consecutive tagged id pairs join one union of tagged
+    * edge slims — the tag pair identifies the def (an edge key under
+    * one verb is unique per label pair) — with widsToRels'
+    * parallel-edge min-struct determinism. */
+  private def heteroWidsToRels(ids: DataFrame, defs: Seq[EdgeDef],
+      ordinals: Map[String, Int], idT: DataType,
+      catalog: GraphCatalog): DataFrame = {
+    val fields = mergeFields(defs.sortBy(_.key).map { e =>
+      val sch = catalog.edgeDf(e).schema
+      (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
+        .map(c => sch(c))
+    }, "relationship definition")
+    val elemT = ArrayType(StructType(fields), containsNull = true)
+    val taggedEdges = defs.map { e =>
+      val edf = catalog.edgeDf(e)
+      val own =
+        (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct.toSet
+      edf.select(
+        struct(lit(ordinals(e.fromLabel)).as("l"),
+          col(e.srcIdColumn).cast(idT).as("i")).as("__hs"),
+        struct(lit(ordinals(e.toLabel)).as("l"),
+          col(e.sinkIdColumn).cast(idT).as("i")).as("__hd"),
+        struct(fields.map { f =>
+          (if (own(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__er"))
+    }.reduce(_ unionByName _)
+    ids.select(col("__src"), col("__dst"), col("__dist"),
+        posexplode(transform(slice(col("__wids"), lit(1),
+            size(col("__wids")) - 1),
+          (x, i) => struct(x.as("_s"),
+            element_at(col("__wids"), i + lit(2)).as("_d"))))
+          .as(Seq("__pos", "__hop")))
+      .join(taggedEdges, col("__hop").getField("_s") === col("__hs") &&
+        col("__hop").getField("_d") === col("__hd"), "left")
+      .groupBy(col("__src"), col("__dst"), col("__dist"), col("__pos"))
+      .agg(min(col("__er")).as("__e"))
+      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .agg(transform(sort_array(collect_list(struct(col("__pos"),
+          col("__e")))), x => x.getField("__e")).as("__rels0"))
+      .select(col("__src"), col("__dst"), col("__dist"),
+        col("__rels0").cast(elemT).as("__rels"))
   }
 
   /** Top-level AND-conjuncts of a WHERE tree. */

@@ -4140,6 +4140,63 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN length(p) AS L""".stripMargin))
   }
 
+  test("unbounded shortestPath witnesses over a heterogeneous chain " +
+      "(round 14)") {
+    import spark.implicits._
+    // X→Y→Z chain under ONE verb, two equal-length routes via y10/y11
+    val cat = new GraphCatalog(
+      GraphSchema(
+        nodes = Seq(NodeDef("X", "xid", Seq("xn"), "tx"),
+          NodeDef("Y", "yid", Seq("yn"), "ty"),
+          NodeDef("Z", "zid", Seq("zn"), "tz")),
+        edges = Seq(
+          EdgeDef("F", "X", "Y", "fx", "fy", Seq("w1"), "txy"),
+          EdgeDef("F", "Y", "Z", "gy", "gz", Seq.empty, "tyz"))),
+      Map(
+        "tx" -> Seq((1, "x1")).toDF("xid", "xn"),
+        "ty" -> Seq((10, "y10"), (11, "y11")).toDF("yid", "yn"),
+        "tz" -> Seq((100, "z100")).toDF("zid", "zn"),
+        "txy" -> Seq((1, 10, 5), (1, 11, 7)).toDF("fx", "fy", "w1"),
+        "tyz" -> Seq((10, 100), (11, 100)).toDF("gy", "gz"))(_))
+    val s = new CypherSession(spark, cat).extended
+    // source anchor: nodes(p) elements span the MERGED label
+    // namespace; the parent pointer's min-tagged-id tie-break picks
+    // y10 of the two equal routes; relationships(p) hops join back to
+    // their own def's columns (w1 from X→Y, gz from Y→Z)
+    val r = s.run(
+      """MATCH p = shortestPath((a:X)-[:F*1..]->(b:Z))
+        |WHERE a.xid = 1
+        |RETURN b.zid AS zk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn, n.zn)) AS names,
+        |       reduce(s = '', r IN relationships(p) |
+        |         s + '|' + toString(coalesce(r.w1, r.gz))) AS rs
+        |ORDER BY zk""".stripMargin).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getString(2),
+      x.getString(3))).toSeq == Seq((100, 2L, "|x1|y10|z100", "|5|100")))
+    // interior label as the destination: distance-1 witnesses
+    val ry = s.run(
+      """MATCH p = shortestPath((a:X)-[:F*1..]->(b:Y))
+        |WHERE a.xid = 1
+        |RETURN b.yid AS yk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn)) AS names
+        |ORDER BY yk""".stripMargin).collect()
+    assert(ry.map(x => (x.getInt(0), x.getLong(1), x.getString(2)))
+      .toSeq == Seq((10, 1L, "|x1|y10"), (11, 1L, "|x1|y11")))
+    // destination anchor: reversed BFS, arrays swapped back to
+    // pattern order
+    val rd = s.run(
+      """MATCH p = shortestPath((a:X)-[:F*1..]->(b:Z))
+        |WHERE b.zid = 100
+        |RETURN a.xid AS xk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn, n.zn)) AS names"""
+        .stripMargin).collect()
+    assert(rd.map(x => (x.getInt(0), x.getLong(1), x.getString(2)))
+      .toSeq == Seq((1, 2L, "|x1|y10|z100")))
+  }
+
   test("allShortestPaths over an unbounded range: one row per witness") {
     import spark.implicits._
     // diamond + tail: s→a, s→b, a→c, b→c, c→t — two shortest s→c
