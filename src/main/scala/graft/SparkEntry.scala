@@ -1828,6 +1828,43 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- allShortestPaths WITNESSES over an unbounded range
+    //     (round 14): the BFS keeps ALL min-distance parents and the
+    //     pointer walk enumerates every minimal path — on the
+    //     branching JUMPS_TO DAG a nation 3 steps ahead has σ
+    //     equal-length witnesses, each a distinct nodes(p) row. The
+    //     DuckDB mirror enumerates walks recursively (the DAG bounds
+    //     it) and keeps min-length rows per destination.
+    ("q153_all_shortest_witness", cyx(
+      """MATCH p = allShortestPaths(
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*1..]->(b:Nation))
+        |RETURN b.n_nationkey AS bk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + toString(n.n_nationkey)) AS ids
+        |ORDER BY bk, ids""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops, ids) AS (
+             |  SELECT 0, 0, '|0'
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1,
+             |         w.ids || '|' || CAST(e.dst AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst),
+             |m AS (SELECT dst, min(hops) AS mh FROM walk
+             |      WHERE hops > 0 GROUP BY 1)
+             |SELECT w.dst AS bk, CAST(w.hops AS BIGINT) AS hops, w.ids
+             |FROM walk w JOIN m ON w.dst = m.dst AND w.hops = m.mh
+             |ORDER BY bk, ids""".stripMargin)),
+
     // --- unbounded shortestPath WITNESSES over the heterogeneous
     //     FEEDS chain (round 14): Customer→Order→Part under one verb —
     //     the tagged parent pointers carry the per-wave label, so

@@ -162,7 +162,10 @@ private[cypher] object Reach {
           // path count — walks the pointers back into one witness
           // id array per pair, converted to the canonical node-struct
           // array by a single posexplode + node join + re-collect.
-          val wantWitness = pp.shortest && !pp.allShortest &&
+          // allShortestPaths (round 14) records ALL min-distance
+          // parents instead and the walk enumerates every minimal
+          // path — σ distinct witness rows per pair.
+          val wantWitness = (pp.shortest || pp.allShortest) &&
             pp.pathVar.exists(witnessVars)
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
@@ -213,13 +216,17 @@ private[cypher] object Reach {
                   val edf = catalog.edgeDf(e)
                   val base =
                     if (wantWitness) {
-                      val w = witnessReach(edf, e,
-                        () => seedFor(m.where, srcPat.alias, node,
-                          catalog, outer),
-                        () => seedFor(m.where, dstPat.alias, node,
-                          catalog, outer),
-                        node, catalog.nodeDf(e.fromLabel),
-                        needRels = true)
+                      val fwd = () => seedFor(m.where, srcPat.alias,
+                        node, catalog, outer)
+                      val rev = () => seedFor(m.where, dstPat.alias,
+                        node, catalog, outer)
+                      val w =
+                        if (pp.allShortest)
+                          witnessAllReach(edf, e, fwd, rev, node,
+                            catalog.nodeDf(e.fromLabel))
+                        else witnessReach(edf, e, fwd, rev,
+                          node, catalog.nodeDf(e.fromLabel),
+                          needRels = true)
                       // `<-` patterns: path order runs against the
                       // edge orientation — reverse both arrays so
                       // nodes(p)/relationships(p) read pattern order
@@ -241,6 +248,11 @@ private[cypher] object Reach {
                   // ride the tagged parent pointers (the tag IS the
                   // per-wave label), element shapes merged across
                   // labels/defs like bounded branch witnesses
+                  if (wantWitness && pp.allShortest)
+                    throw new CypherNotSupportedException(
+                      "allShortestPaths witnesses over a HETEROGENEOUS " +
+                      "chain — use shortestPath() for one witness per " +
+                      "pair, or bound the range [*lo..hi]")
                   val (b0, fl, tl) = stratifiedReach(defs, verb, srcPat,
                     dstPat, m.where, catalog, outer, needDist,
                     pp.allShortest, wantWitness)
@@ -415,6 +427,143 @@ private[cypher] object Reach {
       .getOrElse(run(srcC, dstC, None, rev = false))
   }
 
+  /** allShortestPaths witnesses over an unbounded range (round 14):
+    * the BFS records ALL min-distance parents per pair — bounded by
+    * distance × branching at the min layer, never path count — and
+    * the pointer walk then enumerates every minimal path (the walk's
+    * multi-parent join IS the σ-fold expansion, guarded per step).
+    * Each witness row keys on its OWN id array, so σ distinct
+    * (nodes, rels) rows come out per pair. */
+  private def witnessAllReach(edf: DataFrame, e: EdgeDef,
+      fwdSeeds: () => Option[DataFrame],
+      revSeeds: () => Option[DataFrame],
+      node: NodeDef, ndf: DataFrame): DataFrame = {
+    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
+    def run(sc: String, dc: String, sd: Option[DataFrame], rev: Boolean)
+        : DataFrame = {
+      val (pairs, parents, bound) = allParentsPairs(edf, sc, dc, sd)
+      val ids0 = reconstructAllWitnessIds(pairs, parents, bound)
+      val ids =
+        if (!rev) ids0
+        else ids0.select(col("__dst").as("__src"),
+          col("__src").as("__dst"), col("__dist"),
+          reverse(col("__wids")).as("__wids"))
+      widsToNodes(ids, node, ndf, perWitness = true).join(
+        widsToRels(ids, edf, e, perWitness = true),
+        Seq("__src", "__dst", "__dist", "__wids")).drop("__wids")
+    }
+    fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
+      .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
+      .getOrElse(run(srcC, dstC, None, rev = false))
+  }
+
+  /** BFS recording ALL first-discovery parents per pair: (pairs with
+    * __dist, parents (__ps, __pd, __pp), the closure bound). Distance-1
+    * parents are the source itself. State per round is the new pairs'
+    * parent EDGES — distance × branching, no per-path state. */
+  private def allParentsPairs(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame])
+      : (DataFrame, DataFrame, Long) = {
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
+      .map(_.toLong)
+      .getOrElse(math.max(64L * e.count(), 1024L))
+    def guard(total: Long, round: Int): Unit =
+      if (total > bound)
+        throw new GraphContractViolation(
+          s"allShortestPaths witnesses: the parent set hit $total rows " +
+          s"after round $round (bound maxClosureRows=$bound). Narrow " +
+          s"the anchor, or raise $MaxClosureRowsConf deliberately.")
+    var seen = (seeds match {
+      case Some(s) =>
+        val sd = s.select(col(s.columns.head).as("__src"))
+          .where(col("__src").isNotNull).distinct().localCheckpoint(false)
+        e.join(sd, Seq("__src"), "left_semi")
+      case None => e
+    }).withColumn("__dist", lit(1L)).localCheckpoint(false)
+    var parentsAcc = seen.select(col("__src").as("__ps"),
+      col("__dst").as("__pd"), col("__src").as("__pp"))
+    var frontier = seen
+    var total = frontier.count()
+    guard(total, 0)
+    var rounds = 0
+    var go = total > 0
+    while (go) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          "allShortestPaths witnesses: BFS did not converge in " +
+          s"$MaxRounds rounds — the edge set's diameter exceeds the " +
+          "guard")
+      val newParents = frontier
+        .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
+          col("__dst") === col("__mid"))
+        .select(col("__src"), col("__d2"), col("__dst").as("__via"))
+        .distinct()
+        .join(seen.select(col("__src"), col("__dst").as("__d2")),
+          Seq("__src", "__d2"), "left_anti")
+        .localCheckpoint(false)
+      val next = newParents.select(col("__src"),
+          col("__d2").as("__dst")).distinct()
+        .withColumn("__dist", lit((rounds + 1).toLong))
+        .localCheckpoint(false)
+      val n = next.count()
+      go = n > 0
+      if (go) {
+        total += n + newParents.count()
+        guard(total, rounds)
+        parentsAcc = parentsAcc.unionByName(newParents.select(
+            col("__src").as("__ps"), col("__d2").as("__pd"),
+            col("__via").as("__pp")))
+          .localCheckpoint(false)
+        seen = seen.unionByName(next).localCheckpoint(false)
+        frontier = next
+      }
+    }
+    (seen, parentsAcc, bound)
+  }
+
+  /** Multi-parent pointer walk: enumerate EVERY minimal path per pair
+    * (the reconstructWitnessIds loop over an all-parents frame — the
+    * join multiplies by the branching, guarded per step). */
+  private def reconstructAllWitnessIds(pairs0: DataFrame,
+      parents0: DataFrame, bound: Long): DataFrame = {
+    val pairs = pairs0.localCheckpoint(false)
+    val parents = parents0.localCheckpoint(false)
+    val maxDist = {
+      val row = pairs.agg(max(col("__dist"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var work = pairs.join(parents,
+        col("__src") === col("__ps") && col("__dst") === col("__pd"))
+      .select(col("__src"), col("__dst"), col("__dist"),
+        col("__pp").as("__cur"), array(col("__dst")).as("__ids"))
+    var step = 1L
+    while (step < maxDist) {
+      work = work.join(parents,
+          col("__src") === col("__ps") && col("__cur") === col("__pd") &&
+            col("__cur") =!= col("__src"), "left")
+        .select(col("__src"), col("__dst"), col("__dist"),
+          when(col("__cur") === col("__src"), col("__cur"))
+            .otherwise(col("__pp")).as("__cur"),
+          when(col("__cur") === col("__src"), col("__ids"))
+            .otherwise(concat(array(col("__cur")), col("__ids")))
+            .as("__ids"))
+        .localCheckpoint(false)
+      val n = work.count()
+      if (n > bound)
+        throw new GraphContractViolation(
+          s"allShortestPaths witnesses: the path expansion hit $n rows " +
+          s"at step $step (bound maxClosureRows=$bound). Narrow the " +
+          s"anchor, or raise $MaxClosureRowsConf deliberately.")
+      step += 1
+    }
+    work.select(col("__src"), col("__dst"), col("__dist"),
+      concat(array(col("__src")), col("__ids")).as("__wids"))
+  }
+
   /** Parent-pointer walk: (src, dst, dist, par) pair rows → the full
     * witness id array [src, …, dst] per pair. A pair at distance k
     * resolves after k−1 join steps — the loop runs max(dist)−1 times,
@@ -449,20 +598,27 @@ private[cypher] object Reach {
 
   /** Witness id array → the canonical node-struct array: posexplode
     * the positions, join the node table ONCE, re-collect in order. */
-  private def widsToNodes(ids: DataFrame, node: NodeDef, ndf: DataFrame)
-      : DataFrame = {
+  private def widsToNodes(ids: DataFrame, node: NodeDef, ndf: DataFrame,
+      perWitness: Boolean = false): DataFrame = {
+    // perWitness (round 14): each enumerated minimal path keys on its
+    // own id array, so σ distinct witness rows per pair survive the
+    // re-collect instead of collapsing to one
+    val keys = Seq("__src", "__dst", "__dist") ++
+      (if (perWitness) Seq("__wids") else Seq.empty)
     val cols = (node.idColumn +: node.properties).distinct
-    val ex = ids.select(col("__src"), col("__dst"), col("__dist"),
-      posexplode(col("__wids")).as(Seq("__pos", "__wid")))
+    val ex = ids.select(keys.map(col) :+
+      posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
     val nslim = ndf.select(cols.map(col): _*)
     ex.join(nslim, ex("__wid") === nslim(node.idColumn), "left")
-      .select(col("__src"), col("__dst"), col("__dist"),
-        struct(col("__pos"), witnessElem(node, ndf).as("__e")).as("__pe"))
-      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .select(keys.map(col) :+
+        struct(col("__pos"), witnessElem(node, ndf).as("__e"))
+          .as("__pe"): _*)
+      .groupBy(keys.map(col): _*)
       .agg(transform(sort_array(collect_list(col("__pe"))),
         x => x.getField("__e")).as("__nodes0"))
-      .select(col("__src"), col("__dst"), col("__dist"),
-        col("__nodes0").cast(witnessArrayType(node, ndf)).as("__nodes"))
+      .select(keys.map(col) :+
+        col("__nodes0").cast(witnessArrayType(node, ndf))
+          .as("__nodes"): _*)
   }
 
   /** Witness id array → the canonical EDGE-struct array (round 13,
@@ -472,8 +628,10 @@ private[cypher] object Reach {
     * snapshot carries parallel (src, snk) edges (min property
     * struct), re-collect in hop order. */
   private def widsToRels(ids: DataFrame, edf: DataFrame,
-      e: EdgeDef): DataFrame = {
+      e: EdgeDef, perWitness: Boolean = false): DataFrame = {
     val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
+    val keys = Seq("__src", "__dst", "__dist") ++
+      (if (perWitness) Seq("__wids") else Seq.empty)
     // the DECLARED column order (entityCols' shape) — struct casts
     // are positional, so the ident branch and bounded witnesses must
     // agree field-for-field
@@ -481,24 +639,23 @@ private[cypher] object Reach {
     val elemT = ArrayType(StructType(eCols.map(c =>
       StructField(c, edf.schema(c).dataType))), containsNull = true)
     // hop pairs (n_i, n_{i+1}) in edge-path order, 1-based element_at
-    val hops = ids.select(col("__src"), col("__dst"), col("__dist"),
+    val hops = ids.select(keys.map(col) :+
       posexplode(transform(slice(col("__wids"), lit(1),
           size(col("__wids")) - 1),
         (x, i) => struct(x.as("_s"),
           element_at(col("__wids"), i + lit(2)).as("_d"))))
-        .as(Seq("__pos", "__hop")))
+        .as(Seq("__pos", "__hop")): _*)
     val eslim = edf.select(eCols.map(col): _*)
     val estruct = struct(eCols.map(c => col(c).as(c)): _*)
     hops
       .join(eslim, col("__hop").getField("_s") === col(srcC) &&
         col("__hop").getField("_d") === col(dstC), "left")
-      .groupBy(col("__src"), col("__dst"), col("__dist"), col("__pos"))
+      .groupBy((keys :+ "__pos").map(col): _*)
       .agg(min(estruct).as("__e")) // parallel-edge determinism
-      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .groupBy(keys.map(col): _*)
       .agg(transform(sort_array(collect_list(struct(col("__pos"),
           col("__e")))), x => x.getField("__e")).as("__rels0"))
-      .select(col("__src"), col("__dst"), col("__dist"),
-        col("__rels0").cast(elemT).as("__rels"))
+      .select(keys.map(col) :+ col("__rels0").cast(elemT).as("__rels"): _*)
   }
 
   /**

@@ -4255,6 +4255,22 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("c", "t", 1L, 1L),
       ("s", "a", 1L, 1L), ("s", "b", 1L, 1L),
       ("s", "c", 2L, 2L), ("s", "t", 2L, 3L)))
+    // witnesses (round 14): BOTH diamond arms materialize as distinct
+    // (nodes, rels) rows — all min-distance parents, paths enumerated
+    val w = s.run(
+      """MATCH p = allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
+        |WHERE y.nm = 'c'
+        |RETURN reduce(s = '', n IN nodes(p) | s + '|' + n.nm) AS ns
+        |ORDER BY ns""".stripMargin).collect().map(_.getString(0))
+    assert(w.toSeq == Seq("|s|a|c", "|s|b|c"))
+    val w2 = s.run(
+      """MATCH p = allShortestPaths((x:V {id: 0})-[:E*1..]->(y:V))
+        |WHERE y.nm = 't'
+        |RETURN reduce(s = '', n IN nodes(p) | s + '|' + n.nm) AS ns,
+        |       size(relationships(p)) AS nr
+        |ORDER BY ns""".stripMargin).collect()
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(w2.toSeq == Seq(("|s|a|c|t", 3), ("|s|b|c|t", 3)))
     // ... and the closure guard still fails an over-budget unanchored
     // run with the typed contract violation instead of materializing
     spark.conf.set(Reach.MaxClosureRowsConf, "2")
@@ -4901,11 +4917,19 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r5.map(x => (x.getSeq[String](0), x.getSeq[Int](1))) ==
       Seq((Seq("Kevin Bacon", "Meg Ryan", "Tom Hanks"),
         Seq(2015, 2010))))
-    // allShortestPaths witnesses stay the typed rejection
-    intercept[CypherNotSupportedException](rows(
+    // allShortestPaths witnesses materialize since round 14 (σ=1 on
+    // this graph: the p1→p4 shortcut beats the 3-hop chain)
+    val rall = rows(
       """MATCH p = allShortestPaths((a:Person)-[:KNOWS*]->(b:Person))
         |WHERE a.Name = 'Tom Hanks'
-        |RETURN nodes(p) AS ns""".stripMargin))
+        |RETURN b.Name AS bn,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + n.Name) AS ns
+        |ORDER BY bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(rall == Seq(
+      ("Kevin Bacon", "|Tom Hanks|Meg Ryan|Kevin Bacon"),
+      ("Meg Ryan", "|Tom Hanks|Meg Ryan"),
+      ("Rob Reiner", "|Tom Hanks|Rob Reiner")))
     // OPTIONAL MATCH: witness arrays null-fill on the miss
     val r6 = rows(
       """MATCH (a:Person) WHERE a.Name IN ['Tom Hanks', 'Rob Reiner']
