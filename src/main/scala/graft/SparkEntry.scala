@@ -7742,6 +7742,50 @@ object SparkEntry {
              |FROM documents WHERE doc_id % 50 = 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- STREAMING span-dedup ingest twin (round 14): the d30 shape
+    //     through streaming/Replay — batch docs arrive as a 3-chunk
+    //     stream next to the STATIC corpus; every arriving doc shares
+    //     exactly the injected passage with every corpus doc, so each
+    //     reflows to its suffixed base + sentinel with ONE merged cut
+    //     interval (all corpus pairs report the same trailing span).
+    //     The corpus fingerprint index materializes once and every
+    //     micro-batch reuses it; no state crosses triggers.
+    ("d31_stream_span_cuts",
+      (s, dir) => {
+        import s.implicits._
+        val passage = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 " +
+          "zq10 zq11 zq12 zq13 zq14"
+        def side(tag: String, keep: org.apache.spark.sql.Column) =
+          docs(s, dir).where(keep)
+            .withColumn("text", concat(
+              array_join(transform(split(trim(col("text")), "\\s+"),
+                t => concat(t, lit(tag), col("doc_id").cast("string"))),
+                " "),
+              lit(" uniq" + tag), col("doc_id").cast("string"),
+              lit(" " + passage)))
+        val corpus = side("c", col("doc_id") % 70 === 0)
+        val rows = side("b", col("doc_id") % 50 === 0)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        val chunk = math.max(1, rows.size / 3 + 1)
+        graft.streaming.Replay.run(s, rows.grouped(chunk).toSeq,
+            "append") { ds =>
+          Dedup.streamingSpanCutsAgainst(ds.toDF("doc_id", "text"),
+            corpus, "text", "doc_id", minRun = 10, n = 3,
+            window = 4).toDF()
+        }
+          .select(col("doc_id"), col("text"), col("n_spans"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  array_to_string(list_transform(
+             |    regexp_split_to_array(trim(text), '\s+'),
+             |    x -> x || 'b' || CAST(doc_id AS VARCHAR)), ' ')
+             |  || ' uniqb' || CAST(doc_id AS VARCHAR) AS text,
+             |  CAST(1 AS INTEGER) AS n_spans
+             |FROM documents WHERE doc_id % 50 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     ("d26_lsh_plan",
       (s, dir) => {
         import s.implicits._

@@ -892,6 +892,109 @@ object Dedup {
         (col("start_batch") + col("run_len")).as("e")),
       textCol, idCol)
 
+  /** Output row of [[streamingSpanCutsAgainst]]. */
+  final case class SpanCutDoc(doc_id: Long, text: String, n_spans: Int)
+
+  /**
+   * STREAMING incremental span removal (round 14) — the ingest twin of
+   * [[substringDupSpansAgainst]] ∘ [[removeDupSpansAgainst]]: documents
+   * arrive as a stream next to a STATIC deduplicated corpus; every
+   * ≥ `minRun`-token run an arriving document shares with ANY corpus
+   * document is cut out and the reflowed text emits when the
+   * document's micro-batch completes. Emits ONLY touched documents —
+   * an untouched doc never forms a candidate and passes the operator
+   * by (callers union it back unchanged, byte-exact by construction —
+   * the batch operator's join-miss fast path, streamed).
+   *
+   * Shape: the corpus reduces ONCE to two lazily-checkpointed static
+   * frames — the `maxBucket`-capped winnow fingerprint index
+   * (fp, corpus_id) and the token arrays — reused by every
+   * micro-batch instead of re-derived. The stream side is STATELESS
+   * until the final per-document regrouping: in-row winnow
+   * fingerprints explode to (doc, fp) rows; the stream-static fp join
+   * yields candidates (the batch pigeonhole contract: a qualifying
+   * run shares ≥ 1 winnow fingerprint — the per-pair `minShared` cost
+   * filter is deliberately dropped, repeat candidates re-verify and
+   * the interval union absorbs them); the stream-static token join +
+   * the codegen'd longest-common-run DP verify in-row; and ONE
+   * `flatMapGroupsWithState` keyed by document unions the intervals
+   * and reflows. No state is ever carried across triggers (a
+   * document's candidate rows all live in its own micro-batch), so
+   * state size is zero between triggers; the bounded footprint is the
+   * corpus index, capped per fingerprint bucket like the batch
+   * operator.
+   *
+   * Batch equivalence (unit-pinned): any replay's output ==
+   * `removeDupSpansAgainst(batch, substringDupSpansAgainst(batch,
+   * corpus, …, minShared = 1))` restricted to the touched documents.
+   */
+  def streamingSpanCutsAgainst(docs: DataFrame, corpus: DataFrame,
+      textCol: String, idCol: String,
+      minRun: Int = 20, n: Int = 3, window: Int = 4,
+      maxBucket: Int = 1000, maxTokens: Int = 10000)
+      : org.apache.spark.sql.Dataset[SpanCutDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(minRun >= n,
+      s"minRun must be >= the winnow gram size n: minRun=$minRun n=$n")
+    val cf = {
+      val f = TextOps.winnowFingerprints(corpus, textCol, idCol, n, window)
+        .select(col(idCol).cast(LongType).as("corpus_id"), col("fp"))
+      val keep = f.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBucket).select(col("fp"))
+      f.join(keep, Seq("fp"), "left_semi").localCheckpoint(false)
+    }
+    val ct = corpus.select(col(idCol).cast(LongType).as("corpus_id"),
+      TextOps.tokens(col(textCol)).as("__tc")).localCheckpoint(false)
+    val g = graft.functions.NativeExpressions.modNgramHashes(
+      TextOps.tokens(col("__text")), n)
+    val spans = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        col(textCol).as("__text"))
+      .withColumn("fp", explode(when(size(g) > 0,
+        graft.functions.NativeExpressions.winnowMins(g, window))))
+      .join(cf, Seq("fp"))
+      .join(ct, Seq("corpus_id"))
+      .withColumn("__r", graft.functions.NativeExpressions
+        .longestCommonRun(TextOps.tokens(col("__text")), col("__tc"),
+          maxTokens))
+      .where(col("__r.len") >= minRun)
+      .select(col("doc_id"), col("__text"),
+        col("__r.start_a").as("s"),
+        (col("__r.start_a") + col("__r.len")).as("e"))
+      .as[(Long, String, Int, Int)]
+    def fn(key: Long, rows: Iterator[(Long, String, Int, Int)],
+           state: org.apache.spark.sql.streaming.GroupState[Boolean])
+        : Iterator[SpanCutDoc] = {
+      val rs = rows.toVector
+      if (rs.isEmpty) Iterator.empty
+      else {
+        val text = rs.head._2
+        val ivs = rs.map(r => (r._3, r._4)).distinct.sorted
+        val merged = ivs.foldLeft(Vector.empty[(Int, Int)]) {
+          case (acc, (s0, e0)) =>
+            acc.lastOption match {
+              case Some((ls, le)) if s0 <= le =>
+                acc.init :+ ((ls, math.max(le, e0)))
+              case _ => acc :+ ((s0, e0))
+            }
+        }
+        // TextOps.tokens parity: trim + whitespace split, blank → none
+        val toks =
+          if (text.trim.isEmpty) Array.empty[String]
+          else text.trim.split("\\s+")
+        val kept = toks.iterator.zipWithIndex.collect {
+          case (t, i) if !merged.exists(iv => i >= iv._1 && i < iv._2) => t
+        }
+        Iterator.single(SpanCutDoc(key, kept.mkString(" "), merged.size))
+      }
+    }
+    spans.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /**
    * Cross-corpus near-duplicate pairs: MinHash+LSH between an incoming
    * `batch` and an existing `corpus`, reporting ONLY batch×corpus pairs

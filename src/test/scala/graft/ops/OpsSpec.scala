@@ -659,6 +659,42 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingSpanCutsAgainst == batch span removal on touched " +
+      "docs (round 14)") {
+    import spark.implicits._
+    val P = (0 until 12).map(i => s"p$i").mkString(" ")
+    val Q = (0 until 12).map(i => s"q$i").mkString(" ")
+    val corpus = Seq(
+      (100L, s"c1 c2 c3 $P c4"),
+      (101L, s"d1 d2 $Q d3")).toDF("doc_id", "text")
+    val stream = Seq(
+      (1L, s"a1 a2 $P a3 a4"),
+      (2L, "b1 b2 b3 b4"),
+      (3L, s"x1 $P y1 $Q z1"))
+    val got = graft.streaming.Replay.run(spark,
+        Seq(stream.take(2), stream.drop(2)), "append") { ds =>
+      Dedup.streamingSpanCutsAgainst(ds.toDF("doc_id", "text"), corpus,
+        "text", "doc_id", minRun = 10, n = 3, window = 4).toDF()
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    // doc 1 loses P (one interval), doc 3 loses P and Q (two), doc 2
+    // never matches a candidate and is ABSENT (pass-through contract)
+    assert(got.toSeq == Seq(
+      (1L, "a1 a2 a3 a4", 1),
+      (3L, "x1 y1 z1", 2)))
+    // batch equivalence: substringDupSpansAgainst ∘
+    // removeDupSpansAgainst at minShared = 1, on the touched docs
+    val batchDf = stream.toDF("doc_id", "text")
+    val spans = Dedup.substringDupSpansAgainst(batchDf, corpus,
+      "text", "doc_id", minRun = 10, n = 3, window = 4, minShared = 1)
+    val cut = Dedup.removeDupSpansAgainst(batchDf, spans, "text",
+        "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, text, _) => assert(cut(id) == text) }
+    // untouched doc byte-exact in batch, absent from the stream twin
+    assert(cut(2L) == "b1 b2 b3 b4" && !got.exists(_._1 == 2L))
+  }
+
   test("ivfTopK: scores exact, recall reasonable on real embeddings") {
     assume(new java.io.File("/root/testdata/sf0.001/embeddings.parquet").exists())
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
