@@ -7767,9 +7767,12 @@ object SparkEntry {
         val rows = side("b", col("doc_id") % 50 === 0)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .as[(Long, String)].collect().sortBy(_._1).toSeq
-        val chunk = math.max(1, rows.size / 3 + 1)
+        // 2 chunks (multi-trigger, so the corpus-index-reuse path is
+        // exercised) × 8 state partitions: the per-doc DP work in the
+        // regroup wants parallelism more than fewer state commits
+        val chunk = math.max(1, rows.size / 2 + 1)
         graft.streaming.Replay.run(s, rows.grouped(chunk).toSeq,
-            "append") { ds =>
+            "append", partitions = 8) { ds =>
           Dedup.streamingSpanCutsAgainst(ds.toDF("doc_id", "text"),
             corpus, "text", "doc_id", minRun = 10, n = 3,
             window = 4).toDF()

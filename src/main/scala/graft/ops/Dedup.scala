@@ -914,11 +914,13 @@ object Dedup {
    * fingerprints explode to (doc, fp) rows; the stream-static fp join
    * yields candidates (the batch pigeonhole contract: a qualifying
    * run shares ≥ 1 winnow fingerprint — the per-pair `minShared` cost
-   * filter is deliberately dropped, repeat candidates re-verify and
-   * the interval union absorbs them); the stream-static token join +
-   * the codegen'd longest-common-run DP verify in-row; and ONE
-   * `flatMapGroupsWithState` keyed by document unions the intervals
-   * and reflows. No state is ever carried across triggers (a
+   * filter is deliberately dropped, the per-doc regroup dedupes
+   * repeat candidates before any DP); the stream-static token join
+   * attaches each candidate's corpus tokens; and ONE
+   * `flatMapGroupsWithState` keyed by document dedupes the candidate
+   * pairs, verifies each DISTINCT pair once with the kernel-equivalent
+   * longest-common-run DP ([[lcrKernel]]), unions the intervals and
+   * reflows. No state is ever carried across triggers (a
    * document's candidate rows all live in its own micro-batch), so
    * state size is zero between triggers; the bounded footprint is the
    * corpus index, capped per fingerprint bucket like the batch
@@ -949,50 +951,89 @@ object Dedup {
       TextOps.tokens(col(textCol)).as("__tc")).localCheckpoint(false)
     val g = graft.functions.NativeExpressions.modNgramHashes(
       TextOps.tokens(col("__text")), n)
-    val spans = docs
+    // candidate rows: one per (doc, corpus doc, shared fp) — the DP
+    // runs per DISTINCT pair inside the per-doc function below (the
+    // batch operator's candidate-grouping, relocated: a declarative
+    // pair-dedup would be a second stateful operator)
+    val cand = docs
       .select(col(idCol).cast(LongType).as("doc_id"),
         col(textCol).as("__text"))
       .withColumn("fp", explode(when(size(g) > 0,
         graft.functions.NativeExpressions.winnowMins(g, window))))
       .join(cf, Seq("fp"))
       .join(ct, Seq("corpus_id"))
-      .withColumn("__r", graft.functions.NativeExpressions
-        .longestCommonRun(TextOps.tokens(col("__text")), col("__tc"),
-          maxTokens))
-      .where(col("__r.len") >= minRun)
-      .select(col("doc_id"), col("__text"),
-        col("__r.start_a").as("s"),
-        (col("__r.start_a") + col("__r.len")).as("e"))
-      .as[(Long, String, Int, Int)]
-    def fn(key: Long, rows: Iterator[(Long, String, Int, Int)],
+      .select(col("doc_id"), col("__text"), col("corpus_id"),
+        col("__tc"))
+      .as[(Long, String, Long, Seq[String])]
+    def fn(key: Long, rows: Iterator[(Long, String, Long, Seq[String])],
            state: org.apache.spark.sql.streaming.GroupState[Boolean])
         : Iterator[SpanCutDoc] = {
       val rs = rows.toVector
       if (rs.isEmpty) Iterator.empty
       else {
         val text = rs.head._2
-        val ivs = rs.map(r => (r._3, r._4)).distinct.sorted
-        val merged = ivs.foldLeft(Vector.empty[(Int, Int)]) {
-          case (acc, (s0, e0)) =>
-            acc.lastOption match {
-              case Some((ls, le)) if s0 <= le =>
-                acc.init :+ ((ls, math.max(le, e0)))
-              case _ => acc :+ ((s0, e0))
-            }
-        }
         // TextOps.tokens parity: trim + whitespace split, blank → none
         val toks =
           if (text.trim.isEmpty) Array.empty[String]
           else text.trim.split("\\s+")
-        val kept = toks.iterator.zipWithIndex.collect {
-          case (t, i) if !merged.exists(iv => i >= iv._1 && i < iv._2) => t
+        // ONE kernel-equivalent DP per distinct candidate pair
+        val ivs = rs.iterator.map(r => r._3 -> r._4).toMap.valuesIterator
+          .flatMap { tc =>
+            val (len, sa) = lcrKernel(toks, tc.toArray, maxTokens)
+            if (len >= minRun) Some((sa, sa + len)) else None
+          }.toVector.distinct.sorted
+        if (ivs.isEmpty) Iterator.empty
+        else {
+          val merged = ivs.foldLeft(Vector.empty[(Int, Int)]) {
+            case (acc, (s0, e0)) =>
+              acc.lastOption match {
+                case Some((ls, le)) if s0 <= le =>
+                  acc.init :+ ((ls, math.max(le, e0)))
+                case _ => acc :+ ((s0, e0))
+              }
+          }
+          val kept = toks.iterator.zipWithIndex.collect {
+            case (t, i)
+                if !merged.exists(iv => i >= iv._1 && i < iv._2) => t
+          }
+          Iterator.single(SpanCutDoc(key, kept.mkString(" "),
+            merged.size))
         }
-        Iterator.single(SpanCutDoc(key, kept.mkString(" "), merged.size))
       }
     }
-    spans.groupByKey(_._1)
+    cand.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** JVM twin of [[graft.functions.CommonRunKernel]] — same DP, same
+    * first-occurrence tie-break, same maxTokens truncation — for the
+    * per-document streaming regroup where the expression form would
+    * cost one DP per SHARED FINGERPRINT instead of per pair. Returns
+    * (len, start_a). */
+  private def lcrKernel(a: Array[String], b: Array[String],
+                        maxTokens: Int): (Int, Int) = {
+    val na = math.min(a.length, maxTokens)
+    val nb = math.min(b.length, maxTokens)
+    var best = 0; var ba = 0
+    var prev = new Array[Int](nb + 1)
+    var cur = new Array[Int](nb + 1)
+    var i = 0
+    while (i < na) {
+      var k = 0
+      while (k < nb) {
+        if (a(i) != null && a(i) == b(k)) {
+          val v = prev(k) + 1
+          cur(k + 1) = v
+          if (v > best) { best = v; ba = i - v + 1 }
+        } else cur(k + 1) = 0
+        k += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    (best, ba)
   }
 
   /**
