@@ -469,6 +469,93 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"WHERE label LIKE '%$c%'")
   }
 
+  /** Round-14 surface arm: dynamic subscripts, named-timezone
+    * temporals, IS NULL over alternation branches, correlated CALL
+    * UNION, per-edge QPP uniqueness, full-expression CASE
+    * alternatives — each vs a Spark SQL mirror. */
+  private def genSurface14(rnd: Random): Gen = rnd.nextInt(6) match {
+    case 0 => // dynamic map subscript, data-driven key + null arm
+      val lo = rnd.nextInt(100); val hi = 100 + rnd.nextInt(100)
+      val yr = Seq(1956, 1961)(rnd.nextInt(2))
+      Gen(
+        s"MATCH (a:Person) WITH a, {lo: $lo, hi: $hi} AS m RETURN " +
+          s"a.Name AS nm, m[CASE WHEN a.Born = $yr THEN 'hi' " +
+          "WHEN a.Born IS NULL THEN 'nope' ELSE 'lo' END] AS v",
+        s"SELECT a.Name AS nm, CASE WHEN a.Born = $yr THEN $hi " +
+          s"WHEN a.Born IS NULL THEN NULL ELSE $lo END AS v " +
+          "FROM person a")
+    case 1 => // named-timezone datetime literal + map form across DST
+      val d = 8 + rnd.nextInt(5)   // Mar 8-12 2024; DST begins Mar 10
+      val h = Seq(0, 1, 3, 4, 5)(rnd.nextInt(5)) // skip the 02:xx gap
+      val zone = Seq("America/New_York", "Europe/Berlin",
+        "Asia/Tokyo")(rnd.nextInt(3))
+      Gen(
+        f"RETURN datetime('2024-03-$d%02dT$h%02d:30:00[$zone]') AS t1, " +
+          s"datetime({year: 2024, month: 3, day: $d, hour: $h, " +
+          s"minute: 30, timezone: '$zone'}) AS t2",
+        f"SELECT to_utc_timestamp(timestamp'2024-03-$d%02d " +
+          f"$h%02d:30:00', '$zone') AS t1, " +
+          f"to_utc_timestamp(timestamp'2024-03-$d%02d $h%02d:30:00', " +
+          f"'$zone') AS t2")
+    case 2 => // IS [NOT] NULL over a one-branch-only property
+      val not = rnd.nextBoolean()
+      val (p, cy, sq) =
+        if (rnd.nextBoolean()) ("Rating", "r.Rating", "r.Rating")
+        else ("Roles", "r.Roles", "r.Roles")
+      val ratingSide = p == "Rating"
+      val uni =
+        if (ratingSide)
+          "SELECT _vertexId, _sink, NULL AS Rating FROM acted_in " +
+            "UNION ALL SELECT _vertexId, _sink, Rating FROM reviewed"
+        else
+          "SELECT _vertexId, _sink, Roles FROM acted_in " +
+            "UNION ALL SELECT _vertexId, _sink, NULL AS Roles " +
+            "FROM reviewed"
+      Gen(
+        s"MATCH (a:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie) " +
+          s"WHERE $cy IS ${if (not) "NOT " else ""}NULL " +
+          "RETURN a.Name AS nm, m.Title AS t",
+        s"SELECT a.Name AS nm, m.Title AS t FROM person a " +
+          s"JOIN ($uni) r ON r._vertexId = a.id " +
+          "JOIN movie m ON m.id = r._sink " +
+          s"WHERE $sq IS ${if (not) "NOT " else ""}NULL")
+    case 3 => // correlated CALL UNION over two distinct verbs
+      val vs = rnd.shuffle(Seq(("ACTED_IN", "acted_in"),
+        ("REVIEWED", "reviewed"), ("DIRECTED", "directed"))).take(2)
+      Gen(
+        s"MATCH (p:Person) CALL (p) { " +
+          s"MATCH (p)-[:${vs(0)._1}]->(m:Movie) RETURN m.Title AS t " +
+          s"UNION MATCH (p)-[:${vs(1)._1}]->(m:Movie) " +
+          "RETURN m.Title AS t } RETURN p.Name AS nm, t",
+        "SELECT p.Name AS nm, u.t FROM person p JOIN (" +
+          s"SELECT r._vertexId, m.Title AS t FROM ${vs(0)._2} r " +
+          "JOIN movie m ON m.id = r._sink " +
+          s"UNION SELECT r._vertexId, m.Title FROM ${vs(1)._2} r " +
+          "JOIN movie m ON m.id = r._sink) u ON u._vertexId = p.id")
+    case 4 => // per-edge uniqueness in an out-in QPP meet
+      val v = Seq(("KNOWS", "knows"), ("FOLLOWS", "follows"),
+        ("ACTED_IN", "acted_in"))(rnd.nextInt(3))
+      Gen(
+        s"MATCH (a:Person) ((x)-[:${v._1}]->(y)<-[:${v._1}]-(z)){1,1} " +
+          "(b:Person) RETURN a.Name AS an, b.Name AS bn",
+        "SELECT a.Name AS an, b.Name AS bn FROM person a " +
+          s"JOIN ${v._2} r1 ON r1._vertexId = a.id " +
+          s"JOIN ${v._2} r2 ON r2._sink = r1._sink " +
+          "JOIN person b ON b.id = r2._vertexId " +
+          "WHERE NOT (r1._vertexId = r2._vertexId " +
+          "AND r1._sink = r2._sink)")
+    case _ => // full-expression bare-value CASE alternatives
+      val y1 = Seq(1956, 1958, 1961)(rnd.nextInt(3))
+      val y2 = Seq(1956, 1958, 1961)(rnd.nextInt(3))
+      Gen(
+        s"MATCH (a:Person) RETURN a.Name AS nm, " +
+          s"CASE true WHEN a.Born = $y1 OR a.Born = $y2 THEN 'in' " +
+          "ELSE 'out' END AS b",
+        s"SELECT a.Name AS nm, CASE WHEN " +
+          s"(true = (a.Born = $y1 OR a.Born = $y2)) THEN 'in' " +
+          "ELSE 'out' END AS b FROM person a")
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -573,6 +660,38 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
       assert(got == exp,
         s"\nseed=${Seed + 3} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
+  }
+
+  test("60 seed-pinned round-14-surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 4)
+    (0 until 60).foreach { i =>
+      val g = genSurface14(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 4} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 4} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 4} i=$i DIVERGED " +
         s"(${got.size} vs ${exp.size} rows)" +
         s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
         s"\ngot:      ${got.take(8).mkString(" ; ")}" +
