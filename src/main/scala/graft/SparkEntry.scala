@@ -1828,6 +1828,38 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- Neo4j 2025 string pads + list casts + GenAI vector
+    //     similarity (round 14): lpad/rpad/btrim, per-element
+    //     toIntegerList with the null-on-failure contract, and the
+    //     vector-index scoring formulas (cosine → (1+cos)/2,
+    //     euclidean → 1/(1+d²)) driven by data — DuckDB mirrors the
+    //     math with list_dot_product-free scalar arithmetic.
+    ("q154_pads_vectors", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 100
+        |WITH o, o.o_totalprice / 100000.0 AS x
+        |RETURN o.o_orderkey AS ok,
+        |       lpad(toString(o.o_orderkey), 8, '0') AS pad,
+        |       btrim(lpad(o.o_orderstatus, 4, 'x'), 'x') AS st,
+        |       toIntegerList([toString(o.o_orderkey), 'z'])[0] AS li0,
+        |       size(toIntegerList([toString(o.o_orderkey), 'z'])) AS ln,
+        |       round(vector.similarity.cosine([x, 1.0], [1.0, 2.0]), 6)
+        |         AS cs,
+        |       round(vector.similarity.euclidean([x, 1.0], [1.0, 2.0]),
+        |             6) AS es
+        |ORDER BY ok""".stripMargin),
+      Some("""SELECT o_orderkey AS ok,
+             |  lpad(CAST(o_orderkey AS VARCHAR), 8, '0') AS pad,
+             |  trim(lpad(o_orderstatus, 4, 'x'), 'x') AS st,
+             |  CAST(o_orderkey AS BIGINT) AS li0,
+             |  CAST(2 AS INTEGER) AS ln,
+             |  round((1 + (x + 2.0) /
+             |    (sqrt(x * x + 1.0) * sqrt(5.0))) / 2, 6) AS cs,
+             |  round(1.0 / (1.0 + (x - 1.0) * (x - 1.0) + 1.0), 6)
+             |    AS es
+             |FROM (SELECT *, o_totalprice / 100000.0 AS x FROM orders)
+             |WHERE o_orderkey <= 100
+             |ORDER BY ok""".stripMargin)),
+
     // --- allShortestPaths WITNESSES over an unbounded range
     //     (round 14): the BFS keeps ALL min-distance parents and the
     //     pointer walk enumerates every minimal path — on the

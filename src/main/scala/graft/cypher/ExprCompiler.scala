@@ -742,6 +742,62 @@ final class ExprCompiler(
         }
       case "ltrim" => arity(1); ltrim(a0)
       case "rtrim" => arity(1); rtrim(a0)
+      // Neo4j 2025 string pads (round 14): lpad/rpad(input, length
+      // [, padString]) — padString defaults to one space; a negative
+      // length yields the empty string (Spark's contract). btrim is
+      // the callable trim-BOTH; trim characters literal-only (the
+      // __trim_both contract — Spark's trimString overloads).
+      case "lpad" | "rpad" =>
+        if (f.args.size != 2 && f.args.size != 3)
+          throw new CypherSyntaxException(
+            s"${f.name}(input, length[, padString])")
+        val pad = if (f.args.size == 3) compile(f.args(2)) else lit(" ")
+        call_function(f.name, a0, a1.cast(IntegerType), pad)
+      case "btrim" =>
+        f.args match {
+          case Seq(_)                     => trim(a0)
+          case Seq(_, ast.Lit(c: String)) => trim(a0, c)
+          case Seq(_, _) => throw new CypherNotSupportedException(
+            "btrim's trim characters must be a literal string")
+          case _ => throw new CypherSyntaxException(
+            "btrim(input[, trimCharacters])")
+        }
+      // Neo4j list casts (round 14): per-element conversion, null on
+      // a failed ELEMENT (the toXOrNull contract, element-wise); a
+      // null list stays null
+      case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
+          "tostringlist" =>
+        arity(1)
+        val et = f.name match {
+          case "tointegerlist" => LongType
+          case "tofloatlist"   => DoubleType
+          case "tobooleanlist" => BooleanType
+          case _               => StringType
+        }
+        transform(a0, x => x.try_cast(et))
+      // Neo4j 5 GenAI vector similarity (round 14): scores follow the
+      // VECTOR INDEX scoring formulas Neo4j documents — cosine →
+      // (1 + cos)/2 ∈ [0, 1], euclidean → 1/(1 + d²) — so function
+      // values match index scores. Mismatched lengths yield null
+      // (zip_with's null padding poisons the fold) and a zero-norm
+      // side yields null (no direction), surfacing malformed vectors
+      // instead of a fake score. In-row higher-order folds, codegen.
+      case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
+        arity(2)
+        val va = transform(a0, x => x.cast(DoubleType))
+        val vb = transform(a1, x => x.cast(DoubleType))
+        def fsum(c: Column): Column =
+          aggregate(c, lit(0.0), (acc, x) => acc + x)
+        if (f.name.endsWith("cosine")) {
+          val dot = fsum(zip_with(va, vb, (x, y) => x * y))
+          val nn = sqrt(fsum(zip_with(va, va, (x, y) => x * y))) *
+            sqrt(fsum(zip_with(vb, vb, (x, y) => x * y)))
+          when(nn === 0.0, lit(null).cast(DoubleType))
+            .otherwise((lit(1.0) + dot / nn) / lit(2.0))
+        } else {
+          val d2 = fsum(zip_with(va, vb, (x, y) => (x - y) * (x - y)))
+          lit(1.0) / (lit(1.0) + d2)
+        }
       case "toupper" | "upper" => arity(1); upper(a0)
       case "tolower" | "lower" => arity(1); lower(a0)
       case "size" | "length"   =>

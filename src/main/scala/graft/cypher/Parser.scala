@@ -2251,26 +2251,46 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case Punct(".", _) =>
           p += 2
           val prop = name()
-          if (isPunct("(")) {
-            // namespaced temporal functions `date.truncate(…)` /
-            // `datetime.truncate(…)` / `duration.between(…)`
-            // (extensions; Neo4j's temporal function namespaces)
-            val qn = id.toLowerCase(java.util.Locale.ROOT) + "." +
-              prop.toLowerCase(java.util.Locale.ROOT)
-            if (!Parser.NamespacedFns(qn))
-              notSupported(s"function $id.$prop(...) (supported: " +
-                Parser.NamespacedFns.toSeq.sorted.mkString(", ") + ")")
-            if (!extensions)
-              notSupported(s"$qn(...) (supported with extensions enabled)")
-            p += 1 // '('
-            val args = Vector.newBuilder[Expr]
-            if (!isPunct(")")) {
-              args += parseExpr()
-              while (tryPunct(",")) args += parseExpr()
-            }
-            eatPunct(")")
-            Func(qn, args.result())
-          } else Ref(id, Some(prop))
+          // namespaced functions `date.truncate(…)` / `duration.…` and
+          // (round 14) TWO-segment namespaces `vector.similarity.…` —
+          // a second `.seg(` is consumed only when the full qualified
+          // name is registered, otherwise the dots stay field access
+          val qn0 = id.toLowerCase(java.util.Locale.ROOT) + "." +
+            prop.toLowerCase(java.util.Locale.ROOT)
+          val qnOpt: Option[String] =
+            if (isPunct("(")) Some(qn0)
+            else if (isPunct(".")) {
+              val save = p
+              p += 1
+              val seg = cur match {
+                case Ident(nm, _) => p += 1; Some(nm)
+                case _            => None
+              }
+              if (seg.isDefined && isPunct("(")) {
+                val q2 = qn0 + "." +
+                  seg.get.toLowerCase(java.util.Locale.ROOT)
+                if (Parser.NamespacedFns(q2)) Some(q2)
+                else { p = save; None }
+              } else { p = save; None }
+            } else None
+          qnOpt match {
+            case Some(qn) =>
+              if (!Parser.NamespacedFns(qn))
+                notSupported(s"function $qn(...) (supported: " +
+                  Parser.NamespacedFns.toSeq.sorted.mkString(", ") + ")")
+              if (!extensions)
+                notSupported(
+                  s"$qn(...) (supported with extensions enabled)")
+              p += 1 // '('
+              val args = Vector.newBuilder[Expr]
+              if (!isPunct(")")) {
+                args += parseExpr()
+                while (tryPunct(",")) args += parseExpr()
+              }
+              eatPunct(")")
+              Func(qn, args.result())
+            case None => Ref(id, Some(prop))
+          }
           // deeper `.comp` chains (temporal components, nested map
           // fields) are generic postfix dot access now — parsePostfix
         case _ => p += 1; Ref(id, None)
@@ -2561,7 +2581,9 @@ object Parser {
    *  by the matching Func name. */
   val NamespacedFns: Set[String] = Set(
     "date.truncate", "datetime.truncate", "duration.between",
-    "duration.inseconds", "duration.indays", "duration.inmonths")
+    "duration.inseconds", "duration.indays", "duration.inmonths",
+    // round 14: Neo4j 5 GenAI vector similarity (two-segment)
+    "vector.similarity.cosine", "vector.similarity.euclidean")
 
   def parse(query: String): Query =
     new Parser(Lexer.tokenize(query)).parseQuery()

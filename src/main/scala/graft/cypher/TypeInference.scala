@@ -491,6 +491,42 @@ final class TypeInference(refType: Ref => Option[DataType],
         Some(StringType)
       case "char_length" | "character_length" =>
         requireString(t(0), f.name); Some(IntegerType)
+      case "lpad" | "rpad" =>
+        requireString(t(0), f.name); requireNumeric(t(1), f.name)
+        if (f.args.size > 2) requireString(t(2), f.name)
+        Some(StringType)
+      case "btrim" =>
+        requireString(t(0), "btrim")
+        if (f.args.size > 1) requireString(t(1), "btrim")
+        Some(StringType)
+      case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
+          "tostringlist" =>
+        t(0).foreach {
+          case ArrayType(_, _) | NullType =>
+          case other =>
+            fail(s"${f.name}() requires a list, got ${other.simpleString}")
+        }
+        Some(ArrayType(f.name match {
+          case "tointegerlist" => LongType
+          case "tofloatlist"   => DoubleType
+          case "tobooleanlist" => BooleanType
+          case _               => StringType
+        }))
+      case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
+        // literal lists type as None statically — check their items
+        def chkVec(e: Expr): Unit = e match {
+          case ListLit(xs) =>
+            xs.foreach(x => requireNumeric(infer(x), f.name))
+          case _ => infer(e).foreach {
+            case ArrayType(el, _) => requireNumeric(Some(el), f.name)
+            case NullType         =>
+            case other => fail(
+              s"${f.name}() requires numeric lists, got " +
+              other.simpleString)
+          }
+        }
+        Seq(0, 1).foreach(i => chkVec(f.args(i)))
+        Some(DoubleType)
       case "valuetype" => t(0); Some(StringType)
       case "size" | "length" =>
         // size() covers strings AND lists (the collect()/split() output)

@@ -1032,6 +1032,49 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN count(*) AS n""".stripMargin))
   }
 
+  test("lpad/rpad/btrim, list casts, vector similarity (round 14)") {
+    val r = rows(
+      """RETURN lpad('7', 3, '0') AS a, rpad('ab', 5) AS b,
+        |       btrim('xxabxx', 'x') AS c, btrim('  ab  ') AS d,
+        |       toIntegerList(['1', '2', 'z']) AS e,
+        |       toFloatList(['1.5', 'z']) AS f,
+        |       toStringList([1, 2]) AS g,
+        |       toBooleanList(['true', 'zz']) AS h""".stripMargin).head
+    assert(r.getString(0) == "007" && r.getString(1) == "ab   " &&
+      r.getString(2) == "ab" && r.getString(3) == "ab")
+    assert(r.getSeq[Any](4) == Seq(1L, 2L, null))
+    assert(r.getSeq[Any](5) == Seq(1.5, null))
+    assert(r.getSeq[Any](6) == Seq("1", "2"))
+    assert(r.getSeq[Any](7) == Seq(true, null))
+    // vector similarity: the index scoring formulas — cosine →
+    // (1+cos)/2, euclidean → 1/(1+d²); zero-norm / length-mismatch
+    // yield null
+    val v = rows(
+      """RETURN vector.similarity.cosine([1.0, 0.0], [1.0, 0.0]) AS s1,
+        |       vector.similarity.cosine([1.0, 0.0], [0.0, 1.0]) AS s2,
+        |       vector.similarity.cosine([1.0, 0.0], [-1.0, 0.0]) AS s3,
+        |       vector.similarity.euclidean([1.0, 2.0], [1.0, 2.0])
+        |         AS e1,
+        |       vector.similarity.euclidean([0.0, 0.0], [3.0, 4.0])
+        |         AS e2,
+        |       vector.similarity.cosine([0.0, 0.0], [1.0, 0.0])
+        |         IS NULL AS z,
+        |       vector.similarity.cosine([1.0], [1.0, 0.0])
+        |         IS NULL AS m""".stripMargin).head
+    assert(v.getDouble(0) == 1.0 && v.getDouble(1) == 0.5 &&
+      v.getDouble(2) == 0.0)
+    assert(v.getDouble(3) == 1.0 && v.getDouble(4) == 1.0 / 26.0)
+    assert(v.getBoolean(5) && v.getBoolean(6))
+    // rejections: non-list cast, non-numeric vectors, parity gate
+    intercept[CypherTypeException](rows("RETURN toIntegerList('x') AS a"))
+    intercept[CypherTypeException](rows(
+      "RETURN vector.similarity.cosine(['a'], ['b']) AS a"))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN " +
+        "vector.similarity.cosine([1.0], [1.0]) AS a"))
+  }
+
   test("correlated CALL { … UNION … } (round 14)") {
     // imports thread through each branch; branch outputs union before
     // the one join-back
