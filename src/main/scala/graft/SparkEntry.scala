@@ -1828,6 +1828,31 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- round(x, d, mode) + normalize() (round 14; Neo4j rounding
+    //     modes via scaled double arithmetic, unicode normalization
+    //     via the static java.text.Normalizer kernel — ASCII inputs
+    //     here, so DuckDB mirrors it as identity; the accent/ligature
+    //     forms are unit-pinned)
+    ("q155_round_modes", cyx(
+      """MATCH (o:Order) WHERE o.o_orderkey <= 200
+        |WITH o.o_orderkey AS ok, o.o_totalprice / 7.0 AS x
+        |RETURN ok,
+        |       round(x, 2, 'UP') AS up, round(x, 2, 'DOWN') AS dn,
+        |       round(x, 2, 'CEILING') AS ce, round(x, 2, 'FLOOR') AS fl,
+        |       round(x, 2, 'HALF_UP') AS hu,
+        |       normalize(lpad(toString(ok), 4, '0')) AS nm
+        |ORDER BY ok""".stripMargin),
+      Some("""WITH b AS (SELECT o_orderkey AS ok, o_totalprice / 7.0 AS x
+             |           FROM orders WHERE o_orderkey <= 200)
+             |SELECT ok,
+             |  ceil(x * 100) / 100.0 AS up,
+             |  floor(x * 100) / 100.0 AS dn,
+             |  ceil(x * 100) / 100.0 AS ce,
+             |  floor(x * 100) / 100.0 AS fl,
+             |  round(x * 100, 0) / 100.0 AS hu,
+             |  lpad(CAST(ok AS VARCHAR), 4, '0') AS nm
+             |FROM b ORDER BY ok""".stripMargin)),
+
     // --- Neo4j 2025 string pads + list casts + GenAI vector
     //     similarity (round 14): lpad/rpad/btrim, per-element
     //     toIntegerList with the null-on-failure contract, and the

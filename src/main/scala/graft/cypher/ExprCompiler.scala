@@ -753,6 +753,27 @@ final class ExprCompiler(
             s"${f.name}(input, length[, padString])")
         val pad = if (f.args.size == 3) compile(f.args(2)) else lit(" ")
         call_function(f.name, a0, a1.cast(IntegerType), pad)
+      // Neo4j 5.17 normalize() (round 14): unicode normalization —
+      // NFC default; the form may be Neo4j's bare-keyword spelling
+      // (normalize(s, NFD)) or a literal string. Static-kernel
+      // codegen over java.text.Normalizer.
+      case "normalize" =>
+        val forms = Set("NFC", "NFD", "NFKC", "NFKD")
+        val form = f.args match {
+          case Seq(_) => "NFC"
+          case Seq(_, second) =>
+            val m = second match {
+              case Ref(nm, None)  => nm.toUpperCase(java.util.Locale.ROOT)
+              case Lit(s: String) => s.toUpperCase(java.util.Locale.ROOT)
+              case _ => ""
+            }
+            if (!forms(m)) throw new CypherSyntaxException(
+              "normalize(s, form): form must be NFC, NFD, NFKC or NFKD")
+            m
+          case _ => throw new CypherSyntaxException(
+            "normalize(input[, form])")
+        }
+        graft.functions.NativeExpressions.unicodeNormalize(a0, form)
       case "btrim" =>
         f.args match {
           case Seq(_)                     => trim(a0)
@@ -852,16 +873,45 @@ final class ExprCompiler(
       // and analytics. Flagged as extensions, not parity (SURVEY §7).
       case "round" =>
         // 1-arg form (round 12; Neo4j's everyday round(x) — HALF_UP to
-        // a whole double) or the 2-arg literal-scale form
-        if (f.args.size == 1) round(a0, 0)
-        else {
-          arity(2)
-          f.args(1) match {
-            case Lit(n: Long) => round(a0, n.toInt)
-            case Lit(n: Int)  => round(a0, n)
+        // a whole double), the 2-arg literal-scale form, or the 3-arg
+        // rounding-mode form (round 14; Neo4j's java.math modes).
+        // Modes lower to scaled double arithmetic (ceil/floor/bround
+        // over x·10^d) — ulp-edge ties can differ from Neo4j's exact
+        // BigDecimal.setScale by one last-place digit, the same class
+        // of divergence every double-vs-decimal engine pair carries.
+        val scale: Int =
+          if (f.args.size == 1) 0
+          else f.args(1) match {
+            case Lit(n: Long) => n.toInt
+            case Lit(n: Int)  => n
             case _ => throw new CypherSyntaxException(
               "round(x, d) requires a literal integer scale")
           }
+        if (f.args.size <= 2) round(a0, scale)
+        else {
+          arity(3)
+          val mode = f.args(2) match {
+            case Lit(m: String) => m.toUpperCase(java.util.Locale.ROOT)
+            case _ => throw new CypherSyntaxException(
+              "round(x, d, mode) requires a literal mode string")
+          }
+          val s = math.pow(10.0, scale)
+          val xs = a0.cast(DoubleType) * s
+          val mag = abs(xs)
+          val sg = when(a0 < 0, lit(-1.0)).otherwise(lit(1.0))
+          val scaled = mode match {
+            case "HALF_UP"   => round(xs, 0)
+            case "HALF_EVEN" => bround(xs, 0)
+            case "HALF_DOWN" => sg * ceil(mag - lit(0.5))
+            case "UP"        => sg * ceil(mag)
+            case "DOWN"      => sg * floor(mag)
+            case "CEILING"   => ceil(xs)
+            case "FLOOR"     => floor(xs)
+            case other => throw new CypherSyntaxException(
+              s"round mode '$other' (supported: UP, DOWN, CEILING, " +
+              "FLOOR, HALF_UP, HALF_DOWN, HALF_EVEN)")
+          }
+          scaled.cast(DoubleType) / s
         }
       case "floor" => arity(1); floor(a0)
       case "ceil"  => arity(1); ceil(a0)

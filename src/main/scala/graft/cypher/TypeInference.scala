@@ -499,6 +499,10 @@ final class TypeInference(refType: Ref => Option[DataType],
         requireString(t(0), "btrim")
         if (f.args.size > 1) requireString(t(1), "btrim")
         Some(StringType)
+      case "normalize" =>
+        // the form argument may be Neo4j's bare keyword (an unbound
+        // Ref) — the compiler validates it; only the input types here
+        requireString(t(0), "normalize"); Some(StringType)
       case "tointegerlist" | "tofloatlist" | "tobooleanlist" |
           "tostringlist" =>
         t(0).foreach {
@@ -543,7 +547,10 @@ final class TypeInference(refType: Ref => Option[DataType],
         val a = t(0); requireNumeric(a, "abs"); a
       case "isnan" =>
         requireNumeric(t(0), "isNaN"); Some(BooleanType)
-      case "round" => requireNumeric(t(0), "round"); t(1); Some(DoubleType)
+      case "round" =>
+        requireNumeric(t(0), "round"); t(1)
+        if (f.args.size > 2) requireString(t(2), "round mode")
+        Some(DoubleType)
       case "isempty" =>
         t(0).foreach {
           case StringType | ArrayType(_, _) | NullType =>

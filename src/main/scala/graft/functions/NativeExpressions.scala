@@ -924,6 +924,43 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization kernel (round 14; Neo4j 5 normalize()). */
+  def unormalize(s: org.apache.spark.unsafe.types.UTF8String,
+                 form: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString,
+        java.text.Normalizer.Form.valueOf(form)))
+
+  /** Unicode normalization (round 14; Neo4j 5.17 normalize()): NFC /
+    * NFD / NFKC / NFKD via java.text.Normalizer — static-kernel
+    * codegen (no boxing, no interpreted fallback); the form is
+    * compile-time constant. */
+  final case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "unicode_normalize"
+
+    override def nullSafeEval(input: Any): Any =
+      NativeExpressions.unormalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        form)
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.NativeExpressions.unormalize(
+           |  $c, "$form");""".stripMargin)
+
+    override protected def withNewChildInternal(
+        newChild: Expression): UnicodeNormalize = copy(child = newChild)
+  }
+
   /** Packed 60-bit token hash (see [[fp60]]): one UTF-8 walk per string,
     * two independent rolling hashes, SQL-mirrorable. */
   final case class TokenHash60(child: Expression)
@@ -1312,6 +1349,9 @@ object NativeExpressions {
   def simhash64(hashes: Column): Column = col(SimHash64(expr(hashes)))
 
   def fingerprint64(text: Column): Column = col(Fingerprint64(expr(text)))
+
+  def unicodeNormalize(text: Column, form: String): Column =
+    col(UnicodeNormalize(expr(text), form))
 
   def tokenHash60(text: Column): Column = col(TokenHash60(expr(text)))
 

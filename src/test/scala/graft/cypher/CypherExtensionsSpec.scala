@@ -1075,6 +1075,44 @@ class CypherExtensionsSpec extends AnyFunSuite {
         "vector.similarity.cosine([1.0], [1.0]) AS a"))
   }
 
+  test("normalize() and round(x, d, mode) (round 14)") {
+    // NFC composes e + combining acute into é; NFD decomposes it;
+    // NFKC folds the ﬁ ligature
+    val r = rows(
+      """RETURN normalize('é') AS nfc,
+        |       normalize('é', NFD) AS nfd,
+        |       normalize('ﬁ', NFKC) AS nfkc,
+        |       normalize('é') = 'é' AS eq""".stripMargin).head
+    assert(r.getString(0) == "é")
+    assert(r.getString(1) == "é")
+    assert(r.getString(2) == "fi")
+    assert(r.getBoolean(3))
+    // rounding modes at scale 1 (java.math semantics)
+    val m = rows(
+      """RETURN round(2.45, 1, 'UP') AS up, round(2.45, 1, 'DOWN') AS dn,
+        |       round(-2.45, 1, 'UP') AS nup,
+        |       round(-2.45, 1, 'DOWN') AS ndn,
+        |       round(2.45, 1, 'CEILING') AS ce,
+        |       round(-2.45, 1, 'CEILING') AS nce,
+        |       round(2.45, 1, 'FLOOR') AS fl,
+        |       round(2.25, 1, 'HALF_UP') AS hu,
+        |       round(2.25, 1, 'HALF_DOWN') AS hd,
+        |       round(2.25, 1, 'HALF_EVEN') AS he,
+        |       round(2.35, 1, 'HALF_EVEN') AS he2""".stripMargin).head
+    assert(r != null)
+    assert(m.getDouble(0) == 2.5 && m.getDouble(1) == 2.4)
+    assert(m.getDouble(2) == -2.5 && m.getDouble(3) == -2.4)
+    assert(m.getDouble(4) == 2.5 && m.getDouble(5) == -2.4)
+    assert(m.getDouble(6) == 2.4)
+    assert(m.getDouble(7) == 2.3 && m.getDouble(8) == 2.2 &&
+      m.getDouble(9) == 2.2 && m.getDouble(10) == 2.4)
+    // unknown mode / unknown form stay typed
+    intercept[CypherSyntaxException](rows(
+      "RETURN round(1.5, 0, 'SIDEWAYS') AS x"))
+    intercept[CypherSyntaxException](rows(
+      "RETURN normalize('a', XYZ) AS x"))
+  }
+
   test("correlated CALL { … UNION … } (round 14)") {
     // imports thread through each branch; branch outputs union before
     // the one join-back
