@@ -1828,6 +1828,42 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- GQL path selectors (round 14; Cypher 5.21 `SHORTEST k`):
+    //     the bounded branch union ranks per binding pair — the
+    //     branching JUMPS_TO DAG yields DUPLICATE visible rows when
+    //     two distinct paths share a length (both kept, exactly k
+    //     rows per pair). The DuckDB mirror enumerates paths
+    //     recursively and row_number-ranks by length per destination.
+    ("q156_shortest_k", cyx(
+      """MATCH p = SHORTEST 2 (a:Nation)-[:JUMPS_TO*1..3]->(b:Nation)
+        |WHERE a.n_nationkey = 0
+        |RETURN b.n_nationkey AS bk, length(p) AS l
+        |ORDER BY bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(src0, dst, hops) AS (
+             |  SELECT 0, 0, 0
+             |  UNION ALL
+             |  SELECT w.src0, e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 3),
+             |r AS (SELECT dst, hops,
+             |        row_number() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |ORDER BY bk, l""".stripMargin)),
+
     // --- round(x, d, mode) + normalize() (round 14; Neo4j rounding
     //     modes via scaled double arithmetic, unicode normalization
     //     via the static java.text.Normalizer kernel — ASCII inputs

@@ -278,10 +278,19 @@ object ast {
    *  paths through different interior nodes stay distinct rows (the
    *  plain var-length match convention). Same restrictions as
    *  `shortest`. */
+  /** GQL path selector (round 14; Cypher 5.21 `SHORTEST k` /
+    * `SHORTEST k GROUPS` / `ANY k` prefixes). The k = 1 spellings map
+    * onto the existing booleans at parse (`ANY SHORTEST`/`SHORTEST 1`
+    * → shortest, `ALL SHORTEST`/`SHORTEST 1 GROUPS` → allShortest);
+    * only k > 1 selectors survive to the compiler, which ranks the
+    * bounded branch union per binding. kind ∈ shortest | groups | any. */
+  final case class PathSelector(kind: String, k: Int)
+
   final case class PatternPart(nodes: Seq[NodePat], rels: Seq[RelPat],
                                pathVar: Option[String] = None,
                                shortest: Boolean = false,
-                               allShortest: Boolean = false)
+                               allShortest: Boolean = false,
+                               selector: Option[PathSelector] = None)
 
   final case class MatchClause(
       parts: Seq[PatternPart],

@@ -3016,8 +3016,16 @@ object Compiler {
     val shortestOne = matches.exists(_.parts.exists(_.shortest))
     val shortestAll = matches.exists(_.parts.exists(_.allShortest))
     val shortest = shortestOne || shortestAll
-    if (shortest) {
-      val fn = if (shortestAll) "allShortestPaths()" else "shortestPath()"
+    // GQL path selectors with k > 1 (round 14): rank the bounded
+    // branch union per binding — SHORTEST k / ANY k = the k first
+    // rows by (length, witnesses), SHORTEST k GROUPS = the k first
+    // length groups (dense rank). k = 1 forms arrive as the booleans.
+    val selector: Option[PathSelector] =
+      matches.flatMap(_.parts.flatMap(_.selector)).headOption
+    if (shortest || selector.isDefined) {
+      val fn =
+        if (selector.isDefined) "a path selector"
+        else if (shortestAll) "allShortestPaths()" else "shortestPath()"
       if (matches.size != 1 || matches.head.parts.size != 1)
         throw new CypherNotSupportedException(
           s"$fn must be its MATCH clause's only pattern")
@@ -3025,7 +3033,8 @@ object Compiler {
         throw new CypherNotSupportedException(s"$fn in OPTIONAL MATCH")
     }
     val shortestVar: Option[String] =
-      if (shortest) matches.head.parts.head.pathVar else None
+      if (shortest || selector.isDefined) matches.head.parts.head.pathVar
+      else None
     // --- OPTIONAL clauses that THEMSELVES need expansion: Cypher is
     // left ⟕ (B1 ∪ … ∪ Bk) — the left row gets its null row only when
     // NO branch matches. The joint per-branch path would union
@@ -3155,7 +3164,7 @@ object Compiler {
         // unnamed shortestPath still needs the branch length to reduce
         // on — ride it in an internal column, dropped after the min
         // (zero-hop identity markers count as 0, the length(p) rule)
-        if (shortest && shortestVar.isEmpty)
+        if ((shortest || selector.isDefined) && shortestVar.isEmpty)
           c = c.copy(df = c.df.withColumn("__shortest_len",
             lit(ms.map(_.parts.map(VarLength.hopCount).sum).sum.toLong)))
         compiled += c
@@ -3173,7 +3182,38 @@ object Compiler {
     // 3-valued, same as any null property)
     val unioned = deferredWhere.foldLeft(unioned0)((d, e) =>
       d.where(new ExprCompiler(vis, d).compile(e)))
-    if (!shortest) Ctx(unioned, vis)
+    if (!shortest && selector.isDefined) {
+      // selector ranking: window over the binding key (nodes reduce
+      // to their id columns; witness arrays and dependent property
+      // columns ride, ordering the ties deterministically). Lowered
+      // to row_number/dense_rank -> Spark's WindowGroupLimit prunes
+      // per-partition before the shuffle for the row_number forms.
+      val sel = selector.get
+      val lenCol = shortestVar.getOrElse("__shortest_len")
+      val others = cols.filterNot(_ == lenCol)
+      val depCols: Set[String] = vis.collect {
+        case (a, NodeBinding(n)) =>
+          n.properties.filterNot(_ == n.idColumn).map(p => pref(a, p))
+      }.flatten.toSet
+      val witCols: Seq[String] = shortestVar.toSeq.flatMap(pv =>
+        Seq(pref(pv, "__nodes"), pref(pv, "__rels")))
+        .filter(cols.contains)
+      val keyCols = others.filterNot(c => depCols(c) || witCols.contains(c))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*)
+      val ranked = sel.kind match {
+        case "groups" =>
+          unioned.withColumn("__sel_rk",
+            dense_rank().over(w.orderBy(col(lenCol))))
+        case _ =>
+          unioned.withColumn("__sel_rk", row_number().over(w.orderBy(
+            (lenCol +: witCols).map(col): _*)))
+      }
+      val kept = ranked.where(col("__sel_rk") <= sel.k).drop("__sel_rk")
+      Ctx(if (shortestVar.isDefined) kept
+          else kept.drop("__shortest_len"), vis)
+    }
+    else if (!shortest) Ctx(unioned, vis)
     else {
       val lenCol = shortestVar.getOrElse("__shortest_len")
       val others = cols.filterNot(_ == lenCol)

@@ -1220,27 +1220,87 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         Some(s)
       case _ => None
     }
+    // GQL path selectors (round 14; Cypher 5.21): `ALL SHORTEST` /
+    // `ANY SHORTEST` / `SHORTEST k [GROUPS]` / `ANY [k]` prefixes —
+    // the k = 1 spellings map onto the function-form booleans, k > 1
+    // survives as a selector the compiler ranks. Only in top-level
+    // MATCH, like the function forms.
+    def word(t: Tok): Option[String] = t match {
+      case Ident(s, _)  => Some(s.toUpperCase(java.util.Locale.ROOT))
+      case Kw(k, _, _)  => Some(k)
+      case _            => None
+    }
+    def selGate(what: String): Unit =
+      if (!extensions || !allowPath)
+        notSupported(what +
+          (if (extensions && !allowPath) " outside a top-level MATCH"
+           else " (supported with extensions enabled)"))
+    var selShortest = false
+    var selAll = false
+    var selector: Option[ast.PathSelector] = None
+    word(cur) match {
+      case Some("ALL") if word(peek1).contains("SHORTEST") =>
+        selGate("ALL SHORTEST"); p += 2; selAll = true
+      case Some("ANY") if word(peek1).contains("SHORTEST") =>
+        selGate("ANY SHORTEST"); p += 2; selShortest = true
+      case Some("SHORTEST") => peek1 match {
+        case NumLit(_, false, _) =>
+          selGate("SHORTEST k")
+          p += 1
+          val k = cur match {
+            case NumLit(v, false, _) if v.toLong >= 1 &&
+                v.toLong <= 1000 => p += 1; v.toInt
+            case _ => syntaxErr(
+              "SHORTEST k: k must be an integer in [1, 1000]")
+          }
+          val groups = word(cur).contains("GROUPS") && { p += 1; true }
+          if (k == 1 && groups) selAll = true
+          else if (k == 1 && !groups) selShortest = true
+          else selector = Some(ast.PathSelector(
+            if (groups) "groups" else "shortest", k))
+        case _ =>
+      }
+      case Some("ANY") => peek1 match {
+        case NumLit(_, false, _) =>
+          selGate("ANY k")
+          p += 1
+          val k = cur match {
+            case NumLit(v, false, _) if v.toLong >= 1 &&
+                v.toLong <= 1000 => p += 1; v.toInt
+            case _ => syntaxErr("ANY k: k must be an integer in [1, 1000]")
+          }
+          selector = Some(ast.PathSelector("any", k))
+        case _ =>
+      }
+      case _ =>
+    }
     // shortestPath( pattern ) / allShortestPaths( pattern ) —
     // extensions; the reference has no shortest-path support at all.
     // Only in top-level MATCH, like path vars.
-    val (shortest, allShortest): (Boolean, Boolean) = (cur, peek1) match {
-      case (Ident(s, _), Punct("(", _)) if s.equalsIgnoreCase("shortestPath") =>
-        if (!extensions || !allowPath)
-          notSupported("shortestPath()" +
-            (if (extensions && !allowPath) " outside a top-level MATCH"
-             else " (supported with extensions enabled)"))
-        p += 2
-        (true, false)
-      case (Ident(s, _), Punct("(", _))
-          if s.equalsIgnoreCase("allShortestPaths") =>
-        if (!extensions || !allowPath)
-          notSupported("allShortestPaths()" +
-            (if (extensions && !allowPath) " outside a top-level MATCH"
-             else " (supported with extensions enabled)"))
-        p += 2
-        (false, true)
-      case _ => (false, false)
-    }
+    val (fnShortest, fnAllShortest): (Boolean, Boolean) =
+      (cur, peek1) match {
+        case (Ident(s, _), Punct("(", _))
+            if s.equalsIgnoreCase("shortestPath") &&
+              !selShortest && !selAll && selector.isEmpty =>
+          if (!extensions || !allowPath)
+            notSupported("shortestPath()" +
+              (if (extensions && !allowPath) " outside a top-level MATCH"
+               else " (supported with extensions enabled)"))
+          p += 2
+          (true, false)
+        case (Ident(s, _), Punct("(", _))
+            if s.equalsIgnoreCase("allShortestPaths") &&
+              !selShortest && !selAll && selector.isEmpty =>
+          if (!extensions || !allowPath)
+            notSupported("allShortestPaths()" +
+              (if (extensions && !allowPath) " outside a top-level MATCH"
+               else " (supported with extensions enabled)"))
+          p += 2
+          (false, true)
+        case _ => (false, false)
+      }
+    val shortest = fnShortest || selShortest
+    val allShortest = fnAllShortest || selAll
     val nodes = Vector.newBuilder[NodePat]
     val rels = Vector.newBuilder[RelPat]
     nodes += parseNodePat()
@@ -1256,14 +1316,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case None => more = false
       }
     }
-    if (shortest || allShortest) {
-      eatPunct(")")
+    if (fnShortest || fnAllShortest) eatPunct(")")
+    if (shortest || allShortest || selector.isDefined) {
       if (!rels.result().exists(_.varLength.isDefined))
-        notSupported((if (shortest) "shortestPath()"
+        notSupported((if (selector.isDefined) "a path selector"
+          else if (shortest) "shortestPath()"
           else "allShortestPaths()") + " requires a variable-length " +
           "relationship [*lo..hi] inside the pattern")
     }
-    PatternPart(nodes.result(), rels.result(), pathVar, shortest, allShortest)
+    PatternPart(nodes.result(), rels.result(), pathVar, shortest,
+      allShortest, selector)
   }
 
   /** `{k: expr, …}` in a pattern position. Keys may be identifiers,

@@ -132,6 +132,12 @@ private[cypher] object Reach {
       m.copy(parts = m.parts.map { pp =>
         if (!pp.rels.exists(isUnbounded)) pp
         else {
+          if (pp.selector.isDefined)
+            throw new CypherNotSupportedException(
+              "a k > 1 path selector (SHORTEST k / ANY k) over an " +
+              "unbounded variable-length — the reach BFS carries only " +
+              "the minimal layer; bound the range [*lo..hi], or use " +
+              "SHORTEST 1 / ALL SHORTEST for the min-distance forms")
           if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest)
             throw new CypherNotSupportedException(
               "length(path) over an unbounded variable-length " +

@@ -96,9 +96,9 @@ object VarLength {
     if (ai >= 0) {
       val r = pp.rels(ai)
       return (r.verb.toSeq ++ r.alts).flatMap { v =>
-        expandPart(PatternPart(pp.nodes,
-          pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty)),
-          pp.pathVar, pp.shortest, pp.allShortest), graph, zeros)
+        expandPart(pp.copy(rels =
+          pp.rels.updated(ai, r.copy(verb = Some(v), alts = Seq.empty))),
+          graph, zeros)
       }
     }
     val i = pp.rels.indexWhere(_.varLength.isDefined)
@@ -115,10 +115,11 @@ object VarLength {
         else {
           val hop = r.copy(varLength = None) // alias None (parser-enforced)
           val interior = Seq.fill(len - 1)(NodePat(None, None))
-          expandPart(PatternPart(
-            pp.nodes.take(i + 1) ++ interior ++ pp.nodes.drop(i + 1),
-            pp.rels.take(i) ++ Seq.fill(len)(hop) ++ pp.rels.drop(i + 1),
-            pp.pathVar, pp.shortest, pp.allShortest), graph, zeros)
+          expandPart(pp.copy(
+            nodes = pp.nodes.take(i + 1) ++ interior ++
+              pp.nodes.drop(i + 1),
+            rels = pp.rels.take(i) ++ Seq.fill(len)(hop) ++
+              pp.rels.drop(i + 1)), graph, zeros)
         }
       }
       if (expanded.isEmpty)
@@ -164,9 +165,7 @@ object VarLength {
     }
     val marker = s"$ZeroHopPrefix${zeroCounter.getAndIncrement()}_$label"
     zeros += ((marker, label))
-    Some(expandPart(PatternPart(pp.nodes,
-      pp.rels.updated(i,
-        RelPat(None, Some(marker), Direction.Out)),
-      pp.pathVar, pp.shortest, pp.allShortest), graph, zeros))
+    Some(expandPart(pp.copy(rels = pp.rels.updated(i,
+      RelPat(None, Some(marker), Direction.Out))), graph, zeros))
   }
 }

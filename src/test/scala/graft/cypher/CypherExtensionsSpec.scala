@@ -1075,6 +1075,54 @@ class CypherExtensionsSpec extends AnyFunSuite {
         "vector.similarity.cosine([1.0], [1.0]) AS a"))
   }
 
+  test("GQL path selectors SHORTEST k / ANY k / k GROUPS (round 14)") {
+    // two p1→p4 paths: the length-1 shortcut and the length-3 chain
+    val r = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l ORDER BY l""".stripMargin)
+      .map(_.getLong(0))
+    assert(r == Seq(1L, 3L))
+    // SHORTEST 1 ≡ shortestPath(): one row per binding pair
+    val r1 = rows(
+      """MATCH p = SHORTEST 1 (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, length(p) AS l ORDER BY bn""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r1 == Seq(("Kevin Bacon", 2L), ("Meg Ryan", 1L),
+      ("Rob Reiner", 1L)))
+    // GROUPS: the k first length groups, every path in each
+    val rg = rows(
+      """MATCH p = SHORTEST 2 GROUPS (a:Person)-[:KNOWS*1..3]->
+        |(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l ORDER BY l""".stripMargin)
+      .map(_.getLong(0))
+    assert(rg == Seq(1L, 3L))
+    // ALL SHORTEST keyword form ≡ allShortestPaths()
+    val ra = rows(
+      """MATCH p = ALL SHORTEST (a:Person)-[:FOLLOWS*1..2]->(b:Person)
+        |WHERE a.Name = 'Jessica Thompson' AND b.Name = 'Meg Ryan'
+        |RETURN length(p) AS l""".stripMargin).map(_.getLong(0))
+    assert(ra == Seq(1L))
+    // ANY 2 with witnesses: two distinct node arrays survive
+    val rw = rows(
+      """MATCH p = ANY 2 (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN [n IN nodes(p) | n.Name] AS ns
+        |ORDER BY size(ns)""".stripMargin).map(_.getSeq[String](0))
+    assert(rw == Seq(Seq("Tom Hanks", "Rob Reiner"),
+      Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon", "Rob Reiner")))
+    // k > 1 over an unbounded range stays typed; parity rejects
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |RETURN length(p) AS l""".stripMargin))
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..2]->(b:Person) " +
+        "RETURN length(p) AS l"))
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature
