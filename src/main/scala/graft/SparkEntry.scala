@@ -1828,6 +1828,24 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- Cypher 2025 clause sugar (round 14): LET (≡ WITH *, e AS v),
+    //     FILTER (≡ WITH * WHERE), OFFSET (≡ SKIP), and ORDER BY
+    //     NULLS FIRST/LAST — one pipeline exercising all four
+    ("q157_clause_sugar", cyx(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |LET bucket = CASE WHEN o.o_totalprice > 150000 THEN 'hi'
+        |             ELSE 'lo' END
+        |FILTER o.o_orderkey <= 4000
+        |RETURN c.c_custkey AS ck, o.o_orderkey AS ok, bucket
+        |ORDER BY bucket ASC NULLS LAST, ok OFFSET 5 LIMIT 50"""
+        .stripMargin),
+      Some("""SELECT c_custkey AS ck, o_orderkey AS ok,
+             |  CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END
+             |    AS bucket
+             |FROM orders JOIN customer ON c_custkey = o_custkey
+             |WHERE o_orderkey <= 4000
+             |ORDER BY bucket, ok OFFSET 5 LIMIT 50""".stripMargin)),
+
     // --- GQL path selectors (round 14; Cypher 5.21 `SHORTEST k`):
     //     the bounded branch union ranks per binding pair — the
     //     branching JUMPS_TO DAG yields DUPLICATE visible rows when

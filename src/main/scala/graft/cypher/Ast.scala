@@ -300,7 +300,10 @@ object ast {
   // ----- query structure ----------------------------------------------
 
   final case class RetItem(expr: Expr, alias: Option[String])
-  final case class SortItem(expr: Expr, desc: Boolean)
+  /** `nullsFirst`: Cypher 2025 `NULLS FIRST|LAST` (round 14) — None
+    * keeps the engine default (Spark: nulls first ASC, last DESC). */
+  final case class SortItem(expr: Expr, desc: Boolean,
+                            nullsFirst: Option[Boolean] = None)
 
   /** WITH ... [ORDER BY ... LIMIT ...] [WHERE ...] or terminal RETURN.
    *  `skip` is a flagged EXTENSION (the reference has no oC_Skip

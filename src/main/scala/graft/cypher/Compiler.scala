@@ -163,6 +163,20 @@ object Compiler {
     df
   }
 
+  /** ORDER BY sort column with Cypher 2025 NULLS FIRST/LAST
+   *  (round 14): None keeps Spark's default (nulls first ASC, nulls
+   *  last DESC — also Neo4j's default placement is nulls last ASC,
+   *  so callers wanting Neo4j parity spell it explicitly). */
+  private def sortCol(c: Column, s: ast.SortItem): Column =
+    (s.desc, s.nullsFirst) match {
+      case (false, None)        => c.asc
+      case (true,  None)        => c.desc
+      case (false, Some(true))  => c.asc_nulls_first
+      case (false, Some(false)) => c.asc_nulls_last
+      case (true,  Some(true))  => c.desc_nulls_first
+      case (true,  Some(false)) => c.desc_nulls_last
+    }
+
   /** Cypher relationship-uniqueness: two same-typed relationship
    *  variables in one MATCH may not bind the same edge row
    *  (reference: LogicalPlan.cs:969-1017, SelectionOperator.cs:88-139).
@@ -1176,7 +1190,7 @@ object Compiler {
       val sortEc = new ExprCompiler(sortScope, aug, aliasToTmp, entitySrc)
       if (proj.orderBy.nonEmpty)
         aug = aug.orderBy(proj.orderBy.map(s =>
-          if (s.desc) sortEc.compile(s.expr).desc else sortEc.compile(s.expr).asc): _*)
+          sortCol(sortEc.compile(s.expr), s)): _*)
       // SKIP (extension) rides between ORDER BY and LIMIT — Spark's
       // Limit(n, Offset(s, Sort(...))) plan pages without a global
       // re-sort per page
@@ -1264,8 +1278,7 @@ object Compiler {
       val postEc = new ExprCompiler(sortNs, out)
       if (sortSubbed.nonEmpty)
         out = out.orderBy(sortSubbed.map(s =>
-          if (s.desc) postEc.compile(s.expr).desc
-          else postEc.compile(s.expr).asc): _*)
+          sortCol(postEc.compile(s.expr), s)): _*)
       proj.skip.foreach(n => out = out.offset(n.toInt))
       proj.limit.foreach(n => out = out.limit(n.toInt))
       whereSubbed.foreach(w =>

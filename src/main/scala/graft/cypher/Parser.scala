@@ -738,6 +738,42 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           notSupported("standalone RETURN/WITH")
         parts += QueryPart(ms, parseProjection(isWith = true), uw, calls)
         isFirstPart = false
+      } else if (cur match {
+          case Ident(s, _)     => s.equalsIgnoreCase("LET")
+          case Kw("LET", _, _) => true
+          case _               => false }) {
+        // Cypher 2025 LET (round 14, extension): `LET v = e [, …]` is
+        // sugar for `WITH *, e AS v, …` — same masking/shadow rules
+        if (!extensions)
+          notSupported("LET (supported with extensions enabled)")
+        p += 1
+        val its = Vector.newBuilder[RetItem]
+        def oneLet(): Unit = {
+          val nm = cur match {
+            case Ident(s, _) => p += 1; s
+            case _ => syntaxErr("LET expects `name = expression`")
+          }
+          eatPunct("=")
+          its += RetItem(parseExpr(), Some(nm))
+        }
+        oneLet()
+        while (tryPunct(",")) oneLet()
+        parts += QueryPart(ms, Projection(its.result(), distinct = false,
+          Seq.empty, None, None, None, star = true), uw, calls)
+        isFirstPart = false
+      } else if (cur match {
+          case Ident(s, _)        => s.equalsIgnoreCase("FILTER")
+          case Kw("FILTER", _, _) => true
+          case _                  => false }) {
+        // Cypher 2025 FILTER (round 14, extension): `FILTER pred` is
+        // sugar for `WITH * WHERE pred`
+        if (!extensions)
+          notSupported("FILTER (supported with extensions enabled)")
+        p += 1
+        val w = parseExpr()
+        parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
+          Seq.empty, None, Some(w), None, star = true), uw, calls)
+        isFirstPart = false
       } else if (isKw("RETURN")) {
         p += 1
         if (!extensions && ms.isEmpty && uw.isEmpty && calls.isEmpty &&
@@ -1732,7 +1768,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         val e = parseExpr()
         val desc = if (tryKw("DESC") || tryKw("DESCENDING")) true
           else { tryKw("ASC"); tryKw("ASCENDING"); false }
-        SortItem(e, desc)
+        // Cypher 2025 NULLS FIRST|LAST (round 14, extension)
+        val nf: Option[Boolean] = cur match {
+          case Ident(s, _) if s.equalsIgnoreCase("NULLS") =>
+            if (!extensions)
+              notSupported("NULLS FIRST/LAST (supported with " +
+                "extensions enabled)")
+            p += 1
+            cur match {
+              case Ident(x, _) if x.equalsIgnoreCase("FIRST") =>
+                p += 1; Some(true)
+              case Ident(x, _) if x.equalsIgnoreCase("LAST") =>
+                p += 1; Some(false)
+              case _ => syntaxErr("NULLS must be followed by FIRST or LAST")
+            }
+          case _ => None
+        }
+        SortItem(e, desc, nf)
       }
       ss += one()
       while (tryPunct(",")) ss += one()
@@ -1751,9 +1803,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         v
       case _ => syntaxErr(s"$what expects an integer literal")
     }
-    val skip = if (isKw("SKIP")) {
+    // OFFSET (round 14; GQL/Cypher 2025) is SKIP's synonym
+    val isOffset = cur match {
+      case Ident(s, _) => s.equalsIgnoreCase("OFFSET")
+      case _           => false
+    }
+    val skip = if (isKw("SKIP") || isOffset) {
       if (!extensions)
-        notSupported("SKIP (supported with extensions enabled)")
+        notSupported("SKIP/OFFSET (supported with extensions enabled)")
       p += 1
       Some(countLit("SKIP"))
     } else None

@@ -1075,6 +1075,44 @@ class CypherExtensionsSpec extends AnyFunSuite {
         "vector.similarity.cosine([1.0], [1.0]) AS a"))
   }
 
+  test("Cypher 2025 clause sugar: LET, FILTER, OFFSET, NULLS " +
+      "ordering (round 14)") {
+    // LET ≡ WITH *, expr AS v; FILTER ≡ WITH * WHERE
+    val r = rows(
+      """MATCH (p:Person)
+        |LET era = CASE WHEN p.Born < 1960 THEN 'old' ELSE 'new' END,
+        |    ln = size(p.Name)
+        |FILTER p.Born IS NOT NULL
+        |RETURN p.Name AS nm, era, ln ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)))
+    assert(r == Seq(("Kevin Bacon", "old", 11), ("Meg Ryan", "new", 8),
+      ("Tom Hanks", "old", 9)))
+    // OFFSET ≡ SKIP
+    val o = rows(
+      """MATCH (p:Person) RETURN p.Name AS nm
+        |ORDER BY nm OFFSET 2 LIMIT 2""".stripMargin).map(_.getString(0))
+    assert(o == Seq("Meg Ryan", "Rob Reiner"))
+    // NULLS FIRST/LAST (Born is null for Rob and Jessica)
+    val nf = rows(
+      """MATCH (p:Person) RETURN p.Name AS nm, p.Born AS b
+        |ORDER BY b ASC NULLS FIRST, nm""".stripMargin)
+      .map(_.getString(0))
+    assert(nf == Seq("Jessica Thompson", "Rob Reiner", "Tom Hanks",
+      "Kevin Bacon", "Meg Ryan"))
+    val nl = rows(
+      """MATCH (p:Person) RETURN p.Name AS nm, p.Born AS b
+        |ORDER BY b ASC NULLS LAST, nm""".stripMargin)
+      .map(_.getString(0))
+    assert(nl == Seq("Tom Hanks", "Kevin Bacon", "Meg Ryan",
+      "Jessica Thompson", "Rob Reiner"))
+    // parity keeps the rejections
+    val parity = new CypherSession(spark, MovieFixture.catalog(spark))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) LET x = 1 RETURN x"))
+    intercept[CypherNotSupportedException](parity.run(
+      "MATCH (p:Person) RETURN p.Name AS nm ORDER BY nm NULLS LAST"))
+  }
+
   test("GQL path selectors SHORTEST k / ANY k / k GROUPS (round 14)") {
     // two p1→p4 paths: the length-1 shortcut and the length-3 chain
     val r = rows(
