@@ -1977,6 +1977,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             syntaxErr(s"unknown type '$tn' in IS :: (supported: " +
               Parser.TypeNames.toSeq.sorted.mkString(", ") + ")")
           e = TypeIs(e, not, tn)
+        } else if (cur match {
+            case Ident(s, _) => s.equalsIgnoreCase("NORMALIZED")
+            case _ => false }) {
+          // `IS [NOT] NORMALIZED [form]` (round 14; Cypher 5.17's
+          // normalize() companion): true iff the string equals its
+          // unicode normalization — null in, null out (3-valued,
+          // like Neo4j). Desugars to x = normalize(x[, form]),
+          // negated via <>.
+          if (!extensions)
+            notSupported("IS NORMALIZED " +
+              "(supported with extensions enabled)")
+          p += 1
+          val form: Seq[Expr] = cur match {
+            case Ident(s, _) if Set("NFC", "NFD", "NFKC", "NFKD")(
+                s.toUpperCase(java.util.Locale.ROOT)) =>
+              p += 1; Seq(Lit(s.toUpperCase(java.util.Locale.ROOT)))
+            case _ => Seq.empty
+          }
+          e = Bin(if (not) BinOp.Neq else BinOp.Eq, e,
+            Func("normalize", e +: form))
         } else {
           eatKw("NULL")
           e = IsNull(e, not)

@@ -939,7 +939,8 @@ object NativeExpressions {
       extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {
-        case StringType => TypeCheckResult.TypeCheckSuccess
+        // NullType: a literal null rides through (null in → null out)
+        case StringType | NullType => TypeCheckResult.TypeCheckSuccess
         case other => TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires string, got $other")
       }

@@ -1197,6 +1197,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "RETURN round(1.5, 0, 'SIDEWAYS') AS x"))
     intercept[CypherSyntaxException](rows(
       "RETURN normalize('a', XYZ) AS x"))
+    // IS [NOT] NORMALIZED: the normalize() companion predicate —
+    // decomposed text built via normalize(…, NFD) so the source file
+    // stays encoding-unambiguous
+    val p2 = rows(
+      """RETURN 'é' IS NORMALIZED AS a,
+        |       normalize('é', NFD) IS NORMALIZED AS b,
+        |       normalize('é', NFD) IS NORMALIZED NFD AS c,
+        |       normalize('é', NFD) IS NOT NORMALIZED AS e2,
+        |       null IS NORMALIZED IS NULL AS d""".stripMargin).head
+    assert(p2.getBoolean(0) && !p2.getBoolean(1) && p2.getBoolean(2) &&
+      p2.getBoolean(3) && p2.getBoolean(4))
   }
 
   test("correlated CALL { … UNION … } (round 14)") {
