@@ -353,9 +353,15 @@ object Analyzer {
         }
       }
       val rs = rels.result()
+      // relationship-uniqueness pairing: same edge definition — a
+      // composite QPP chain (round 14) stands for its UNDERLYING defs
+      // (EdgeDef.hopKeys), so a chain pairs with a plain rel of a def
+      // it contains, and two chains pair when their def sets overlap
+      def fam(e: EdgeDef): Set[(String, String, String)] =
+        if (e.hopKeys.nonEmpty) e.hopKeys.map(_._1).toSet else Set(e.key)
       val pairs = for {
         i <- rs.indices; j <- (i + 1) until rs.size
-        if rs(i).edge.key == rs(j).edge.key
+        if fam(rs(i).edge).intersect(fam(rs(j).edge)).nonEmpty
       } yield (rs(i), rs(j))
 
       // multi-label discriminator conjuncts AND into this clause's WHERE

@@ -192,14 +192,24 @@ object Compiler {
    *  (i, i) conjunct. */
   private def inequalityCond(p: (ResolvedRel, ResolvedRel)): Column = {
     val (r1, r2) = p
-    if (r1.edge.hopKeys.nonEmpty && r2.edge.hopKeys.nonEmpty) {
+    if (r1.edge.hopKeys.nonEmpty || r2.edge.hopKeys.nonEmpty) {
+      // per-underlying-edge slots: each hop of a composite, or the
+      // one (src, snk) slot of a plain rel — conjuncts over every
+      // slot pair sharing an edge definition (composite × composite,
+      // composite × plain rel, both directions)
+      def slots(r: ResolvedRel)
+          : Seq[((String, String, String), Column, Column)] =
+        if (r.edge.hopKeys.nonEmpty)
+          r.edge.hopKeys.map(h => (h._1, col(pref(r.alias, h._2)),
+            col(pref(r.alias, h._3))))
+        else Seq((r.edge.key, edgeSrc(r.alias, r.edge),
+          edgeSnk(r.alias, r.edge)))
       val conjs = for {
-        (k1, s1, n1) <- r1.edge.hopKeys
-        (k2, s2, n2) <- r2.edge.hopKeys
+        (k1, s1, n1) <- slots(r1)
+        (k2, s2, n2) <- slots(r2)
         if k1 == k2
-      } yield (col(pref(r1.alias, s1)) =!= col(pref(r2.alias, s2))) ||
-        (col(pref(r1.alias, n1)) =!= col(pref(r2.alias, n2)))
-      conjs.reduce(_ && _)
+      } yield (s1 =!= s2) || (n1 =!= n2)
+      conjs.reduceOption(_ && _).getOrElse(lit(true))
     } else
       (edgeSrc(r1.alias, r1.edge) =!= edgeSrc(r2.alias, r2.edge)) ||
         (edgeSnk(r1.alias, r1.edge) =!= edgeSnk(r2.alias, r2.edge))

@@ -743,10 +743,20 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case Kw("LET", _, _) => true
           case _               => false }) {
         // Cypher 2025 LET (round 14, extension): `LET v = e [, …]` is
-        // sugar for `WITH *, e AS v, …` — same masking/shadow rules
+        // sugar for `WITH *, e AS v, …`. Aggregates are rejected (LET
+        // binds PER-ROW values; the WITH desugar would silently turn
+        // one into an implicit GROUP BY and collapse rows). Known
+        // divergence: Cypher 2025 also forbids redefining an existing
+        // variable, which the WITH masking rule here permits.
         if (!extensions)
           notSupported("LET (supported with extensions enabled)")
         p += 1
+        def hasAgg(x: Any): Boolean = x match {
+          case _: Agg         => true
+          case s: Iterable[_] => s.exists(hasAgg)
+          case pr: Product    => pr.productIterator.exists(hasAgg)
+          case _              => false
+        }
         val its = Vector.newBuilder[RetItem]
         def oneLet(): Unit = {
           val nm = cur match {
@@ -754,7 +764,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
             case _ => syntaxErr("LET expects `name = expression`")
           }
           eatPunct("=")
-          its += RetItem(parseExpr(), Some(nm))
+          val e = parseExpr()
+          if (hasAgg(e))
+            notSupported("an aggregate inside LET — LET binds per-row " +
+              "values; aggregate in a WITH instead")
+          its += RetItem(e, Some(nm))
         }
         oneLet()
         while (tryPunct(",")) oneLet()
@@ -1284,8 +1298,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           selGate("SHORTEST k")
           p += 1
           val k = cur match {
-            case NumLit(v, false, _) if v.toLong >= 1 &&
-                v.toLong <= 1000 => p += 1; v.toInt
+            case NumLit(v, false, _) if v.length <= 4 && v.toInt >= 1 &&
+                v.toInt <= 1000 => p += 1; v.toInt
             case _ => syntaxErr(
               "SHORTEST k: k must be an integer in [1, 1000]")
           }
@@ -1301,11 +1315,16 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           selGate("ANY k")
           p += 1
           val k = cur match {
-            case NumLit(v, false, _) if v.toLong >= 1 &&
-                v.toLong <= 1000 => p += 1; v.toInt
+            case NumLit(v, false, _) if v.length <= 4 && v.toInt >= 1 &&
+                v.toInt <= 1000 => p += 1; v.toInt
             case _ => syntaxErr("ANY k: k must be an integer in [1, 1000]")
           }
-          selector = Some(ast.PathSelector("any", k))
+          // ANY 1 = one arbitrary path: the deterministic shortest
+          // witness is a valid (and the engine's) choice — fold onto
+          // the k = 1 lowering so unbounded ranges work like
+          // SHORTEST 1
+          if (k == 1) selShortest = true
+          else selector = Some(ast.PathSelector("any", k))
         case _ =>
       }
       case _ =>

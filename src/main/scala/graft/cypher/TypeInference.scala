@@ -517,6 +517,9 @@ final class TypeInference(refType: Ref => Option[DataType],
           case _               => StringType
         }))
       case "vector.similarity.cosine" | "vector.similarity.euclidean" =>
+        if (f.args.size != 2)
+          fail(s"${f.name}() takes exactly 2 vector arguments, got " +
+            f.args.size)
         // literal lists type as None statically — check their items
         def chkVec(e: Expr): Unit = e match {
           case ListLit(xs) =>

@@ -928,7 +928,14 @@ object Dedup {
    *
    * Batch equivalence (unit-pinned): any replay's output ==
    * `removeDupSpansAgainst(batch, substringDupSpansAgainst(batch,
-   * corpus, …, minShared = 1))` restricted to the touched documents.
+   * corpus, …, minShared = 1))` restricted to the touched documents —
+   * PROVIDED no stream-side fingerprint exceeds `maxBucket` docs in
+   * one micro-batch. The batch twin caps BOTH sides; here only the
+   * corpus index caps (a cross-document stream-side frequency count
+   * would be a second stateful aggregation on the ingest path), so a
+   * hotter-than-maxBucket stream fingerprint still forms candidates.
+   * Candidate volume stays bounded by corpusCap × stream fp rows;
+   * size `maxBucket` to the deployment's micro-batch width.
    */
   def streamingSpanCutsAgainst(docs: DataFrame, corpus: DataFrame,
       textCol: String, idCol: String,

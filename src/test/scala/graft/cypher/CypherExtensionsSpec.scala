@@ -1151,10 +1151,23 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |ORDER BY size(ns)""".stripMargin).map(_.getSeq[String](0))
     assert(rw == Seq(Seq("Tom Hanks", "Rob Reiner"),
       Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon", "Rob Reiner")))
-    // k > 1 over an unbounded range stays typed; parity rejects
+    // ANY 1 folds to the k = 1 lowering, so unbounded ranges work
+    assert(rows(
+      """MATCH p = ANY 1 (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN count(*) AS n""".stripMargin).head.getLong(0) == 3L)
+    // k > 1 over an unbounded range stays typed; out-of-range k and
+    // LET aggregates are typed too (round-14 review fixes)
     intercept[CypherNotSupportedException](rows(
       """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
         |RETURN length(p) AS l""".stripMargin))
+    intercept[CypherSyntaxException](rows(
+      "MATCH p = SHORTEST 99999999999999999999 " +
+        "(a:Person)-[:KNOWS*1..2]->(b:Person) RETURN length(p) AS l"))
+    intercept[CypherTypeException](rows(
+      "RETURN vector.similarity.cosine([1.0]) AS x"))
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (p:Person) LET c = count(p) RETURN c"))
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
       "MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..2]->(b:Person) " +
@@ -1355,6 +1368,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getString(1)))
     assert(r3 == Seq(("Tom Hanks", "Jessica Thompson"),
       ("Tom Hanks", "Tom Hanks")))
+    // a composite chain also pairs with a PLAIN rel of an underlying
+    // def (round-14 review fix): m may not reuse either chain edge —
+    // 2 surviving chain rows × the 2 KNOWS edges outside each
+    val rx = rows(
+      """MATCH (a:Person) ((x)-[:KNOWS]->(y)<-[:KNOWS]-(z)){1,1}
+        |(b:Person), (c:Person)-[m:KNOWS]->(d:Person)
+        |RETURN count(*) AS n""".stripMargin).head.getLong(0)
+    assert(rx == 4L)
   }
 
   test("valueType() and char_length aliases (round 13)") {
