@@ -473,7 +473,41 @@ class CypherFuzzSpec extends AnyFunSuite {
     * temporals, IS NULL over alternation branches, correlated CALL
     * UNION, per-edge QPP uniqueness, full-expression CASE
     * alternatives — each vs a Spark SQL mirror. */
-  private def genSurface14(rnd: Random): Gen = rnd.nextInt(6) match {
+  private def genSurface14(rnd: Random): Gen = rnd.nextInt(8) match {
+    case 6 => // LET + FILTER + OFFSET + NULLS LAST pipeline
+      val d = 1 + rnd.nextInt(5)
+      val cut = 1994 + rnd.nextInt(4)
+      val off = rnd.nextInt(3)
+      Gen(
+        s"MATCH (a:Person)-[:ACTED_IN]->(m:Movie) LET yr = " +
+          s"m.Released + $d FILTER yr > $cut RETURN a.Name AS nm, yr " +
+          s"ORDER BY yr NULLS LAST, nm OFFSET $off LIMIT 3",
+        s"SELECT a.Name AS nm, m.Released + $d AS yr FROM person a " +
+          "JOIN acted_in r ON r._vertexId = a.id " +
+          s"JOIN movie m ON m.id = r._sink WHERE m.Released + $d > $cut " +
+          s"ORDER BY yr, nm LIMIT 3 OFFSET $off")
+    case 7 => // SHORTEST 2 over bounded KNOWS vs ranked path union
+      val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon")(rnd.nextInt(3))
+      Gen(
+        s"MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..3]->(b:Person) " +
+          s"WHERE a.Name = '$src' RETURN b.Name AS bn, length(p) AS l",
+        "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+          "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+          "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a JOIN k b " +
+          "ON b.s = a.d AND NOT(a.s = b.s AND a.d = b.d)), " +
+          "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+          "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d " +
+          "WHERE NOT(a.s = b.s AND a.d = b.d) " +
+          "AND NOT(a.s = c.s AND a.d = c.d) " +
+          "AND NOT(b.s = c.s AND b.d = c.d)), " +
+          "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+          "UNION ALL SELECT * FROM p3), " +
+          "r AS (SELECT s, d, l, row_number() OVER (PARTITION BY s, d " +
+          "ORDER BY l) rk FROM u) " +
+          "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+          "FROM r JOIN person pa ON pa.id = r.s " +
+          "JOIN person pb ON pb.id = r.d " +
+          s"WHERE rk <= 2 AND pa.Name = '$src'")
     case 0 => // dynamic map subscript, data-driven key + null arm
       val lo = rnd.nextInt(100); val hi = 100 + rnd.nextInt(100)
       val yr = Seq(1956, 1961)(rnd.nextInt(2))
