@@ -928,13 +928,21 @@ final class ExprCompiler(
       case "replace" => arity(3); replace(a0, a1, compile(f.args(2)))
       case "split" =>
         arity(2)
-        // Cypher splits on a LITERAL delimiter; Spark's split takes a
-        // regex, so quote it at compile time (column delimiters would
-        // need a runtime quote — rejected, not silently regexed)
+        // Cypher splits on a LITERAL delimiter — or, round 14, a
+        // literal LIST of delimiters (Neo4j 5: any of them splits).
+        // Spark's split takes a regex, so quote at compile time
+        // (column delimiters would need a runtime quote — rejected,
+        // not silently regexed); the list form compiles to a quoted
+        // alternation
         f.args(1) match {
           case Lit(d: String) => split(a0, java.util.regex.Pattern.quote(d))
+          case ListLit(ds) if ds.nonEmpty && ds.forall {
+              case Lit(_: String) => true; case _ => false } =>
+            split(a0, ds.map { case Lit(d: String) =>
+              java.util.regex.Pattern.quote(d) }.mkString("|"))
           case _ => throw new CypherNotSupportedException(
-            "split() requires a literal string delimiter")
+            "split() requires a literal string delimiter (or a " +
+            "literal list of them)")
         }
       case "substring" =>
         // Cypher substring(s, start[, len]) is 0-based; Spark is 1-based

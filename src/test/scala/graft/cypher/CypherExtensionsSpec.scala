@@ -1065,6 +1065,11 @@ class CypherExtensionsSpec extends AnyFunSuite {
       v.getDouble(2) == 0.0)
     assert(v.getDouble(3) == 1.0 && v.getDouble(4) == 1.0 / 26.0)
     assert(v.getBoolean(5) && v.getBoolean(6))
+    // split on a delimiter LIST (Neo4j 5): any of them splits
+    assert(rows("RETURN split('a,b;c', [',', ';']) AS x")
+      .head.getSeq[String](0) == Seq("a", "b", "c"))
+    intercept[CypherNotSupportedException](rows(
+      "WITH ';' AS d RETURN split('a;b', [d]) AS x"))
     // rejections: non-list cast, non-numeric vectors, parity gate
     intercept[CypherTypeException](rows("RETURN toIntegerList('x') AS a"))
     intercept[CypherTypeException](rows(
