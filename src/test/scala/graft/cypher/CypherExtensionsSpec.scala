@@ -1161,6 +1161,13 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH p = ANY 1 (a:Person)-[:KNOWS*]->(b:Person)
         |WHERE a.Name = 'Tom Hanks'
         |RETURN count(*) AS n""".stripMargin).head.getLong(0) == 3L)
+    // plan shape: the k-ranking's row_number filter lowers to
+    // WindowGroupLimit (partial per-partition top-k pre-shuffle)
+    val selPlan = session.run(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |RETURN b.Name AS bn, length(p) AS l""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(selPlan.contains("WindowGroupLimit"), selPlan)
     // k > 1 over an unbounded range stays typed; out-of-range k and
     // LET aggregates are typed too (round-14 review fixes)
     intercept[CypherNotSupportedException](rows(
