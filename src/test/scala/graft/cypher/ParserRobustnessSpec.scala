@@ -48,6 +48,15 @@ class ParserRobustnessSpec extends AnyFunSuite {
       "p", "=", "shortestPath", "(", ")", "MATCH", "[*1..2]", "-", "->",
       "a", ":A", "RETURN", "length", ",")).map(_.mkString(" "))
     samples(gen, 300).foreach(attemptExt)
+    // round-14 surface soup: selectors, clause sugar, namespaced
+    // calls, IS NORMALIZED — garbage mixes must stay typed
+    val gen14 = Gen.listOf(Gen.oneOf(
+      "SHORTEST", "ANY", "ALL", "GROUPS", "2", "LET", "FILTER",
+      "OFFSET", "NULLS", "FIRST", "LAST", "IS", "NORMALIZED", "NFD",
+      "vector", ".", "similarity", "cosine", "(", ")", "=", "MATCH",
+      "RETURN", "p", "a", "[*1..2]", "-", "->", ":A", ","))
+      .map(_.mkString(" "))
+    samples(gen14, 400).foreach(attemptExt)
   }
 
   test("string literals round-trip through the lexer") {
