@@ -319,7 +319,12 @@ object ast {
       limit: Option[Long],
       where: Option[Expr],   // post-WITH WHERE; never set on RETURN
       skip: Option[Long] = None,
-      star: Boolean = false)
+      star: Boolean = false,
+      /** True when this projection desugared from a LET clause
+        * (round 14): items must bind NEW names — Cypher 2025 LET
+        * forbids redefining an existing variable, unlike WITH's
+        * masking. */
+      fromLet: Boolean = false)
 
   /** `CALL { [WITH imports] subquery }` — a flagged EXTENSION.
    *  `imports` are node variables from the outer scope; the compiler

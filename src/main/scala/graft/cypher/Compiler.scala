@@ -1050,6 +1050,14 @@ object Compiler {
 
   private def compileProjectionResolved(
       ctx: Ctx, proj: Projection, isReturn: Boolean): Ctx = {
+    // LET binds NEW names (round 14; Cypher 2025) — redefining an
+    // in-scope variable is a typed rejection, not WITH's masking
+    if (proj.fromLet) proj.items.foreach(_.alias.foreach { a =>
+      if (ctx.scope.contains(a))
+        throw new CypherBindingException(
+          s"LET may not redefine '$a' — LET binds new variables; " +
+          "use WITH to shadow")
+    })
     // `last(xs)` is ambiguous: the reference's last() AGGREGATE (→ max,
     // SQLRenderer.cs:98-99) vs openCypher's last-element list accessor.
     // Resolve by static type BEFORE aggregate detection — a list-typed

@@ -745,9 +745,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         // Cypher 2025 LET (round 14, extension): `LET v = e [, …]` is
         // sugar for `WITH *, e AS v, …`. Aggregates are rejected (LET
         // binds PER-ROW values; the WITH desugar would silently turn
-        // one into an implicit GROUP BY and collapse rows). Known
-        // divergence: Cypher 2025 also forbids redefining an existing
-        // variable, which the WITH masking rule here permits.
+        // one into an implicit GROUP BY and collapse rows), and the
+        // compiler rejects redefining an existing variable (Cypher
+        // 2025's contract, unlike WITH's masking).
         if (!extensions)
           notSupported("LET (supported with extensions enabled)")
         p += 1
@@ -773,7 +773,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         oneLet()
         while (tryPunct(",")) oneLet()
         parts += QueryPart(ms, Projection(its.result(), distinct = false,
-          Seq.empty, None, None, None, star = true), uw, calls)
+          Seq.empty, None, None, None, star = true, fromLet = true),
+          uw, calls)
         isFirstPart = false
       } else if (cur match {
           case Ident(s, _)        => s.equalsIgnoreCase("FILTER")

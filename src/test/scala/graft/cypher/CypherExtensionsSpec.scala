@@ -1110,6 +1110,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(_.getString(0))
     assert(nl == Seq("Tom Hanks", "Kevin Bacon", "Meg Ryan",
       "Jessica Thompson", "Rob Reiner"))
+    // LET binds NEW names: redefining an in-scope variable is typed
+    // (Cypher 2025's contract, unlike WITH's masking)
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) LET p = 1 RETURN p"))
+    intercept[CypherBindingException](rows(
+      "MATCH (p:Person) LET x = 1 LET x = 2 RETURN x"))
     // parity keeps the rejections
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
