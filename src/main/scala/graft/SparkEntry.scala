@@ -1828,6 +1828,41 @@ object SparkEntry {
              |        FROM s s2 WHERE s2.rk <= s.rk) AS names
              |FROM s WHERE s.rk > 0 ORDER BY dst""".stripMargin)),
 
+    // --- SHORTEST k GROUPS selector (round 14): every path in the k
+    //     shortest LENGTH groups per pair — dense rank over length,
+    //     path multiplicity preserved (two distinct length-2 routes
+    //     both emit). Mirrored with a recursive path enumeration and
+    //     dense_rank.
+    ("q158_shortest_groups", cyx(
+      """MATCH p = SHORTEST 2 GROUPS
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*1..3]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS l
+        |ORDER BY bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT 0, 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 3),
+             |r AS (SELECT dst, hops,
+             |        dense_rank() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |ORDER BY bk, l""".stripMargin)),
+
     // --- Cypher 2025 clause sugar (round 14): LET (≡ WITH *, e AS v),
     //     FILTER (≡ WITH * WHERE), OFFSET (≡ SKIP), and ORDER BY
     //     NULLS FIRST/LAST — one pipeline exercising all four
