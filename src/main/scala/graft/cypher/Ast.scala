@@ -603,4 +603,41 @@ object ast {
    *  reference's visitor drops it, SURVEY.md §2.1). */
   final case class UnionQuery(left: Query, right: Query, all: Boolean)
     extends Query
+
+  /** Bottom-up structural transform over an expression tree (round
+   *  15): children first, then `f` on the rebuilt node. Pattern
+   *  INTERIORS (ExistsPat / PatternComp parts) are not descended —
+   *  they carry their own binding scopes; only their value-level
+   *  `where`/`proj` subtrees transform, matching how the compiler's
+   *  presence analysis reads them. */
+  def transformUp(e: Expr)(f: Expr => Expr): Expr = {
+    def go(x: Expr): Expr = f(x match {
+      case Bin(op, l, r)   => Bin(op, go(l), go(r))
+      case Not(a)          => Not(go(a))
+      case Neg(a)          => Neg(go(a))
+      case IsNull(a, n)    => IsNull(go(a), n)
+      case TypeIs(a, n, t) => TypeIs(go(a), n, t)
+      case ListLit(xs)     => ListLit(xs.map(go))
+      case Func(nm, as)    => Func(nm, as.map(go))
+      case a: Agg          => a.copy(arg = a.arg.map(go))
+      case CaseExpr(ws, o) =>
+        CaseExpr(ws.map { case (c, v) => (go(c), go(v)) }, o.map(go))
+      case ListComp(v, l, w, m) =>
+        ListComp(v, go(l), w.map(go), m.map(go))
+      case QuantPred(k, v, l, pr)   => QuantPred(k, v, go(l), go(pr))
+      case ReduceExpr(a, i, v, l, s) =>
+        ReduceExpr(a, go(i), v, go(l), go(s))
+      case ListIndex(l, fr, t, s) =>
+        ListIndex(go(l), fr.map(go), t.map(go), s)
+      case DotAccess(a, k) => DotAccess(go(a), k)
+      case MapLit(fs)      => MapLit(fs.map { case (k, v) => (k, go(v)) })
+      case MapProjection(a, its, st) =>
+        MapProjection(a, its.map { case (k, v) => (k, go(v)) }, st)
+      case ep: ExistsPat   => ep.copy(where = ep.where.map(go))
+      case pc: PatternComp =>
+        pc.copy(where = pc.where.map(go), proj = go(pc.proj))
+      case other => other
+    })
+    go(e)
+  }
 }

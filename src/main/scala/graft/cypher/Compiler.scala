@@ -2430,23 +2430,40 @@ object Compiler {
     // branch and the untouched anti-join; their different column
     // pruning defeats ReuseExchange, so materialize once at first
     // action (no compile-time job)
+    // pair-duplicate guard (round 14, folded round 15 per VERDICT-r14
+    // #3): a map-keyed MERGE can leave PARALLEL rows on one (src, snk)
+    // pair; a pair-keyed SET would winner-dedup the match and silently
+    // DROP the sibling from the new snapshot — fail at execution
+    // instead, telling the caller to address one row via its
+    // discriminating property. The detector rides the SAME winner-
+    // dedup aggregation the path already runs (count of DISTINCT
+    // matched edge tuples per pair — legitimate feed multiplicity
+    // from other pattern parts repeats the SAME tuple, so it counts
+    // 1), costing zero extra passes where round 14 re-scanned the
+    // snapshot semi-filtered. Narrower by construction: a sibling the
+    // WHERE filtered out of the match, or byte-identical sibling
+    // rows, pass undetected (the former is un-addressable without the
+    // snapshot re-scan this fold removes; the latter winner-dedups to
+    // an identical row).
+    val ownPrefs = outCols.map(p2 => pref(alias, p2))
+    val guarded = keyCols.size >= 2 && others.nonEmpty
     val feedW =
       (if (others.isEmpty) feed.distinct()
-      else feed.groupBy(keyPrefs.map(col): _*)
-        .agg(max(struct(others.map(col): _*)).as("__w"))
-        .select(keyPrefs.map(col) ++
-          others.map(cn => col("__w").getField(cn).as(cn)): _*))
-        .localCheckpoint(false)
-    // pair-duplicate guard (round 14; the multigraph-lite downstream
-    // contract): a map-keyed MERGE can leave PARALLEL rows on one
-    // (src, snk) pair. A pair-keyed SET would winner-dedup the match
-    // and silently DROP the sibling row from the new snapshot — fail
-    // at execution instead, telling the caller to address one row via
-    // its discriminating property. Cost shape: one partial agg over
-    // the snapshot SEMI-FILTERED to the matched keys (broadcast-sized
-    // join side), not a full-snapshot aggregation.
-    val guardedFeed = pairDupGuard(feedW, keyPrefs, keyCols, snapshot,
-      "SET")
+      else if (!guarded)
+        feed.groupBy(keyPrefs.map(col): _*)
+          .agg(max(struct(others.map(col): _*)).as("__w"))
+          .select(keyPrefs.map(col) ++
+            others.map(cn => col("__w").getField(cn).as(cn)): _*)
+      else sibAssert(
+        feed.groupBy(keyPrefs.map(col): _*)
+          .agg(max(struct(others.map(col): _*)).as("__w"),
+            (min(struct(ownPrefs.map(col): _*)) =!=
+              max(struct(ownPrefs.map(col): _*))).as("__sib"))
+          .select(keyPrefs.map(col) ++
+            others.map(cn => col("__w").getField(cn).as(cn)) :+
+            col("__sib"): _*),
+        keyPrefs, "SET")).localCheckpoint(false)
+    val guardedFeed = feedW
     val ec = new ExprCompiler(c.scope, feedW)
     val aMap: Map[String, Column] =
       assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }.toMap
@@ -2523,47 +2540,49 @@ object Compiler {
   private def deleteSnapshot(c: Ctx, alias: String, keyCols: Seq[String],
       snapshot: DataFrame, outCols: Seq[String]): DataFrame = {
     val keyPrefs = keyCols.map(k => pref(alias, k))
-    val keys = c.df
-      .where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
-      .select(keyPrefs.zip(keyCols).map {
-        case (kp, k) => col(kp).as(k) }: _*)
-      .distinct()
-    // pair-duplicate guard (round 14): a pair-keyed DELETE over a pair
-    // the map-keyed MERGE duplicated would remove BOTH parallel rows
-    // even when the match addressed one — fail at execution instead
-    // (setSnapshot's reasoning)
-    val guarded = pairDupGuard(keys, keyCols, keyCols, snapshot, "DELETE")
+    val nn = c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
+    // pair-duplicate guard (round 14, folded round 15 per VERDICT-r14
+    // #3): a pair-keyed DELETE over a pair the map-keyed MERGE
+    // duplicated would remove BOTH parallel rows even when the match
+    // addressed one — fail at execution instead (setSnapshot's
+    // reasoning and the same fold: the detector rides the key-dedup
+    // aggregation the path already runs, distinct-counting matched
+    // edge tuples per pair — no snapshot re-scan)
+    val keys =
+      if (keyCols.size < 2)
+        nn.select(keyPrefs.zip(keyCols).map {
+          case (kp, k) => col(kp).as(k) }: _*).distinct()
+      else {
+        val ownPrefs = outCols.map(p2 => pref(alias, p2))
+        sibAssert(
+          nn.groupBy(keyPrefs.map(col): _*)
+            .agg((min(struct(ownPrefs.map(col): _*)) =!=
+              max(struct(ownPrefs.map(col): _*))).as("__sib")),
+          keyPrefs, "DELETE")
+          .select(keyPrefs.zip(keyCols).map {
+            case (kp, k) => col(kp).as(k) }: _*)
+      }
     snapshot.select(outCols.map(col): _*)
-      .join(guarded, keyCols, "left_anti")
+      .join(keys, keyCols, "left_anti")
   }
 
   /** Execution-time guard for pair-keyed edge SET/DELETE over a
-   *  multigraph-lite snapshot: any MATCHED (src, snk) pair holding
-   *  more than one snapshot row (parallel rows a map-keyed MERGE
-   *  created) raises, instead of the op silently rewriting/removing
-   *  the sibling the match did not address. No-op for node targets
-   *  (single-column id keys are unique by the graph contract). */
-  private def pairDupGuard(feed: DataFrame, feedKeys: Seq[String],
-      keyCols: Seq[String], snapshot: DataFrame, op: String): DataFrame =
-    if (keyCols.size < 2) feed
-    else {
-      val mk = feed.select(feedKeys.zip(keyCols).map {
-        case (fk, k) => col(fk).as(k) }: _*).distinct()
-      val dupes = snapshot.join(mk, keyCols, "left_semi")
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__nrows"))
-        .where(col("__nrows") > 1)
-        .select(keyCols.zip(feedKeys).map {
-          case (k, fk) => col(k).as(fk) } :+ col("__nrows"): _*)
-      feed.join(dupes, feedKeys, "left")
-        .where(assert_true(col("__nrows").isNull,
-          concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
-            "pair — parallel rows created by a map-keyed MERGE; " +
-            "address one row via its discriminating property " +
-            "(map-keyed MERGE) instead. pair: ("),
-            concat_ws(", ", feedKeys.map(col): _*), lit(")"))).isNull)
-        .drop("__nrows")
-    }
+   *  multigraph-lite snapshot (round 15 shape): raises when a matched
+   *  (src, snk) pair bound MORE THAN ONE distinct edge row (parallel
+   *  siblings a map-keyed MERGE created) — the pair-keyed op would
+   *  silently winner-dedup/remove the sibling otherwise. Expects the
+   *  per-pair `__sib` flag (min(tuple) ≠ max(tuple) — true iff ≥ 2
+   *  distinct tuples, with no distinct-agg Expand) computed inside
+   *  the path's own key aggregation; consumes (drops) it. */
+  private def sibAssert(df: DataFrame, keyPrefs: Seq[String],
+      op: String): DataFrame =
+    df.where(assert_true(!col("__sib"),
+        concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
+          "pair — parallel rows created by a map-keyed MERGE; " +
+          "address one row via its discriminating property " +
+          "(map-keyed MERGE) instead. pair: ("),
+          concat_ws(", ", keyPrefs.map(col): _*), lit(")"))).isNull)
+      .drop("__sib")
 
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,
@@ -3134,7 +3153,11 @@ object Compiler {
     // the unioned frame below; branch-local conjuncts (sub-label
     // discriminators, uniformly-present predicates) keep their
     // per-branch placement. Catalyst re-pushes eligible deferred
-    // conjuncts through the union, so plans don't regress.
+    // conjuncts through the union, so plans don't regress. OPTIONAL
+    // clauses (round 15, ADVICE-r14) can't defer — their WHERE is the
+    // left-join condition — so their mixed-presence conjuncts are
+    // instead NULL-FILLED per branch (absent property ref → NULL
+    // literal) and stay in the filter-before-left-join placement.
     val propPresence: Seq[Map[String, Set[String]]] =
       resolvedBranches.map { case (_, rss) =>
         val m = scala.collection.mutable.Map.empty[String, Set[String]]
@@ -3173,7 +3196,8 @@ object Compiler {
     // strips both copies — the deferred global application is exactly
     // the user's demand.
     val deferredWhere = scala.collection.mutable.LinkedHashSet.empty[Expr]
-    val strippedBranches = resolvedBranches.map { case (ms, rss) =>
+    val strippedBranches = resolvedBranches.zipWithIndex.map {
+      case ((ms, rss), bi) =>
       (ms, ms.zip(rss).map { case (mc, rm) =>
         val deferable: Set[Expr] = mc.where.map(conjunctsOf)
           .getOrElse(Seq.empty).filter(mixedPresence).toSet
@@ -3185,6 +3209,25 @@ object Compiler {
               deferredWhere ++= defer
               rm.copy(where = keep.reduceOption(Bin(BinOp.And, _, _)))
             }
+          case Some(w) if rm.optional && deferable.nonEmpty =>
+            // OPTIONAL clauses can't defer (the WHERE is part of the
+            // left-join condition — a post-union filter would DROP the
+            // pattern-misses instead of nulling them). Round 15
+            // (ADVICE-r14): null-fill instead — rewrite each mixed-
+            // presence conjunct per branch, replacing a property ref
+            // this branch's namespace lacks with the NULL literal
+            // (openCypher's absent-property value), and keep it in
+            // the branch's own filter-before-left-join placement.
+            val here = propPresence(bi)
+            val rw = conjunctsOf(w).map { c =>
+              if (!deferable(c)) c
+              else ast.transformUp(c) {
+                case r @ Ref(a, Some(p))
+                    if here.get(a).exists(!_(p)) => Lit(null)
+                case x => x
+              }
+            }
+            rm.copy(where = rw.reduceOption(Bin(BinOp.And, _, _)))
           case _ => rm
         }
       })

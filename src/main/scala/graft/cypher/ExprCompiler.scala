@@ -58,6 +58,14 @@ final class ExprCompiler(
         StructField(c2,
           colTypes.getOrElse(pref(physAlias(a), c2), NullType)))))
     case _ => None
+  }, a => scope.get(a) match {
+    // entity alias → its PROPERTY column types (dynamic-subscript
+    // common typing; the id/src/sink keys stay out — ADVICE-r14)
+    case Some(NodeBinding(n)) => Some(n.properties.distinct.map(c2 =>
+      colTypes.getOrElse(pref(physAlias(a), c2), NullType)))
+    case Some(EdgeBinding(ed)) => Some(ed.properties.distinct.map(c2 =>
+      colTypes.getOrElse(pref(physAlias(a), c2), NullType)))
+    case _ => None
   })
 
   /** Dot access into a struct-typed VALUE (map literals, properties());
@@ -447,10 +455,18 @@ final class ExprCompiler(
                 .getOrElse(throw new CypherTypeException(
                   "dynamic entity subscript with an un-inferable key"))
               val kc = compile(keyExpr)
+              // round 15 (ADVICE-r14): the common type is the PROPERTY
+              // columns'; id/src/sink key columns stay in the dispatch
+              // chain only when their type already matches it (so e.g.
+              // a string-keyed edge still answers f['_sink'], while a
+              // numeric node id no longer rejects an all-string entity)
+              def fits(c2: String): Boolean =
+                colTypes.get(pref(physAlias(a2), c2)).contains(common)
               val props = scope(a2) match {
-                case NodeBinding(n) => (n.idColumn +: n.properties).distinct
+                case NodeBinding(n) =>
+                  (Seq(n.idColumn).filter(fits) ++ n.properties).distinct
                 case EdgeBinding(ed) =>
-                  (Seq(ed.srcIdColumn, ed.sinkIdColumn) ++
+                  (Seq(ed.srcIdColumn, ed.sinkIdColumn).filter(fits) ++
                     ed.properties).distinct
                 case _ => Seq.empty
               }
@@ -1076,7 +1092,7 @@ final class ExprCompiler(
         arity(1)
         f.args.head match {
           case Lit(s: String) =>
-            lit(java.sql.Timestamp.valueOf(parseDateTime(f.name, s)))
+            lit(java.sql.Timestamp.from(parseDateTime(f.name, s)))
           case MapLit(fields0) =>
             // named timezone in the map form (round 14; Neo4j
             // datetime({…, timezone: '…'})): the calendar components
@@ -1334,9 +1350,16 @@ final class ExprCompiler(
     * engine's storage zone — Verify/Bench/tests pin the session to
     * UTC); java.time resolves DST gaps/overlaps by the ISO rules
     * (gap shifts forward, overlap takes the earlier offset), the same
-    * resolution Neo4j uses. localdatetime() rejects any zone. */
+    * resolution Neo4j uses. localdatetime() rejects any zone.
+    * Round 15 (ADVICE-r14): returns the INSTANT, not a wall-time
+    * LocalDateTime — the call site builds the literal with
+    * java.sql.Timestamp.from, which is JVM-default-zone-independent
+    * (Timestamp.valueOf(LocalDateTime) would re-interpret the wall
+    * time in the JVM zone and shift the stored instant on any
+    * non-UTC JVM). Unzoned forms are the UTC wall time by the
+    * engine's storage convention. */
   private def parseDateTime(fn: String, s: String)
-      : java.time.LocalDateTime = {
+      : java.time.Instant = {
     import java.time._
     def bad(): Nothing =
       throw new CypherSyntaxException(s"invalid $fn literal '$s'")
@@ -1362,8 +1385,8 @@ final class ExprCompiler(
       case Some(z) =>
         if (fn == "localdatetime") throw new CypherSyntaxException(
           "localdatetime() takes no timezone or offset — use datetime()")
-        LocalDateTime.ofInstant(z.toInstant, ZoneOffset.UTC)
-      case None => noZone(s)
+        z.toInstant
+      case None => noZone(s).toInstant(ZoneOffset.UTC)
     }
   }
 

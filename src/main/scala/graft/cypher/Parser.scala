@@ -743,10 +743,14 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case Kw("LET", _, _) => true
           case _               => false }) {
         // Cypher 2025 LET (round 14, extension): `LET v = e [, …]` is
-        // sugar for `WITH *, e AS v, …`. Aggregates are rejected (LET
+        // sugar for `WITH *, e AS v` — ONE part PER ITEM (round 15,
+        // ADVICE-r14), so later items read earlier bindings of the
+        // same clause, Cypher 2025's sequential-binding contract
+        // (`LET a = 1, b = a + 1`). Aggregates are rejected (LET
         // binds PER-ROW values; the WITH desugar would silently turn
-        // one into an implicit GROUP BY and collapse rows), and the
-        // compiler rejects redefining an existing variable (Cypher
+        // one into an implicit GROUP BY and collapse rows); duplicate
+        // aliases within one LET are a parse error, and the compiler
+        // rejects redefining any other in-scope variable (Cypher
         // 2025's contract, unlike WITH's masking).
         if (!extensions)
           notSupported("LET (supported with extensions enabled)")
@@ -757,24 +761,30 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           case pr: Product    => pr.productIterator.exists(hasAgg)
           case _              => false
         }
-        val its = Vector.newBuilder[RetItem]
-        def oneLet(): Unit = {
+        val letSeen = scala.collection.mutable.Set.empty[String]
+        def oneLet(): RetItem = {
           val nm = cur match {
             case Ident(s, _) => p += 1; s
             case _ => syntaxErr("LET expects `name = expression`")
           }
+          if (!letSeen.add(nm))
+            syntaxErr(s"LET binds `$nm` twice in one clause")
           eatPunct("=")
           val e = parseExpr()
           if (hasAgg(e))
             notSupported("an aggregate inside LET — LET binds per-row " +
               "values; aggregate in a WITH instead")
-          its += RetItem(e, Some(nm))
+          RetItem(e, Some(nm))
         }
-        oneLet()
-        while (tryPunct(",")) oneLet()
-        parts += QueryPart(ms, Projection(its.result(), distinct = false,
-          Seq.empty, None, None, None, star = true, fromLet = true),
-          uw, calls)
+        // the first item's part carries this part's matches/unwinds/
+        // calls; each further item opens a bare follow-on part
+        parts += QueryPart(ms, Projection(Seq(oneLet()),
+          distinct = false, Seq.empty, None, None, None, star = true,
+          fromLet = true), uw, calls)
+        while (tryPunct(","))
+          parts += QueryPart(Seq.empty, Projection(Seq(oneLet()),
+            distinct = false, Seq.empty, None, None, None, star = true,
+            fromLet = true), Seq.empty, Seq.empty)
         isFirstPart = false
       } else if (cur match {
           case Ident(s, _)        => s.equalsIgnoreCase("FILTER")

@@ -23,6 +23,8 @@ import ast._
 final class TypeInference(refType: Ref => Option[DataType],
                           pathRef: Ref => Boolean = _ => false,
                           entityStruct: String => Option[StructType] =
+                            _ => None,
+                          entityPropTypes: String => Option[Seq[DataType]] =
                             _ => None) {
 
   /** Lambda-scoped variables (list comprehension / quantifier / reduce
@@ -264,11 +266,16 @@ final class TypeInference(refType: Ref => Option[DataType],
               entityStruct(a).get.fields.find(_.name == k)
                 .map(_.dataType)
             case Some(k) =>
-              // dynamic key (round 14): bounded CASE-chain dispatch
-              // over the declared columns — result = their common type
+              // dynamic key (round 14): bounded CASE-chain dispatch —
+              // result = the PROPERTY columns' common type (round 15,
+              // ADVICE-r14: the id/src/sink key columns no longer
+              // poison the common shape of numeric-id + uniform-string-
+              // property entities; the compiler keeps a key column in
+              // the dispatch chain only when its type already matches)
               requireString(infer(k), "dynamic property key")
-              Some(commonSubscriptType(
-                entityStruct(a).get.fields.map(_.dataType), "property"))
+              val ts = entityPropTypes(a).filter(_.nonEmpty).getOrElse(
+                entityStruct(a).get.fields.toSeq.map(_.dataType))
+              Some(commonSubscriptType(ts, "property"))
             case _ => None
           }
         case _ =>

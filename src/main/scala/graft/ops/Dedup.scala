@@ -898,10 +898,14 @@ object Dedup {
   /**
    * STREAMING incremental span removal (round 14) — the ingest twin of
    * [[substringDupSpansAgainst]] ∘ [[removeDupSpansAgainst]]: documents
-   * arrive as a stream next to a STATIC deduplicated corpus; every
-   * ≥ `minRun`-token run an arriving document shares with ANY corpus
-   * document is cut out and the reflowed text emits when the
-   * document's micro-batch completes. Emits ONLY touched documents —
+   * arrive as a stream next to a STATIC deduplicated corpus; the
+   * LONGEST ≥ `minRun`-token shared run per (document, corpus-document)
+   * candidate pair is cut out (one DP verdict per distinct pair —
+   * the batch twin's contract; a second DISJOINT qualifying run
+   * against the SAME corpus document survives, though runs against
+   * OTHER corpus documents each cut independently) and the reflowed
+   * text emits when the document's micro-batch completes. Emits ONLY
+   * touched documents —
    * an untouched doc never forms a candidate and passes the operator
    * by (callers union it back unchanged, byte-exact by construction —
    * the batch operator's join-miss fast path, streamed).

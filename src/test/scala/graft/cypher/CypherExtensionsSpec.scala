@@ -1116,6 +1116,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "MATCH (p:Person) LET p = 1 RETURN p"))
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) LET x = 1 LET x = 2 RETURN x"))
+    // round 15 (ADVICE-r14): items bind SEQUENTIALLY — later items of
+    // the same LET read earlier ones — and a duplicate alias within
+    // one LET is a parse error
+    val seqR = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |LET a = p.Born + 1, b = a * 2, c = b - a
+        |RETURN a, b, c""".stripMargin).head
+    assert((seqR.getInt(0), seqR.getInt(1), seqR.getInt(2)) ==
+      (1957, 3914, 1957))
+    intercept[CypherSyntaxException](rows(
+      "MATCH (p:Person) LET x = 1, x = 2 RETURN x"))
     // parity keeps the rejections
     val parity = new CypherSession(spark, MovieFixture.catalog(spark))
     intercept[CypherNotSupportedException](parity.run(
@@ -1323,6 +1334,29 @@ class CypherExtensionsSpec extends AnyFunSuite {
       "RETURN datetime('2024-03-10T06:30:00[No/Zone]') AS x"))
   }
 
+  test("datetime literals are JVM-default-zone independent (round 15)") {
+    // ADVICE-r14 medium: the literal is built from the INSTANT
+    // (Timestamp.from), never by re-interpreting a wall time in the
+    // JVM default zone — so compiling on a non-UTC JVM must store the
+    // same instant. Flip the default zone around compile+collect.
+    val saved = java.util.TimeZone.getDefault
+    val got =
+      try {
+        java.util.TimeZone.setDefault(
+          java.util.TimeZone.getTimeZone("Asia/Tokyo"))
+        rows(
+          """RETURN datetime('2024-06-01T12:00:00Z') AS z,
+            |       datetime('2024-03-10T06:30:00[America/New_York]')
+            |         AS ny,
+            |       datetime('2024-01-15T08:00:00') AS plain"""
+            .stripMargin).head
+      } finally java.util.TimeZone.setDefault(saved)
+    assert(got.getTimestamp(0).toInstant.toString == "2024-06-01T12:00:00Z")
+    assert(got.getTimestamp(1).toInstant.toString == "2024-03-10T10:30:00Z")
+    // the unzoned form is the UTC wall time by storage convention
+    assert(got.getTimestamp(2).toInstant.toString == "2024-01-15T08:00:00Z")
+  }
+
   test("dynamic property / map subscript n[expr] (round 14)") {
     // entity dispatch: FOLLOWS' columns are all strings — the runtime
     // key resolves through a bounded CASE chain over declared columns
@@ -1347,11 +1381,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r2 == Seq(("Jessica Thompson", -1L), ("Kevin Bacon", -1L),
       ("Meg Ryan", 200000000000L), ("Rob Reiner", -1L),
       ("Tom Hanks", 1L)))
-    // heterogeneous namespace (Person: string + int) stays typed
+    // heterogeneous PROPERTIES (Person: Name string + Born int) stay
+    // typed
     intercept[CypherTypeException](rows(
       """MATCH (p:Person)
         |RETURN p[CASE WHEN p.Born = 1956 THEN 'Name' ELSE 'id' END]
         |       AS v""".stripMargin))
+    // round 15 (ADVICE-r14): the common type is the PROPERTY columns'
+    // — KNOWS' string keys no longer poison its all-int property set
+    // (the keys just drop out of the dispatch chain: '_sink' → null)
+    val r3 = rows(
+      """MATCH (x:Person)-[k:KNOWS]->(y:Person)
+        |WHERE x.Name = 'Tom Hanks'
+        |RETURN y.Name AS yn,
+        |       k[CASE WHEN y.Born = 1961 THEN 'Since'
+        |              ELSE '_sink' END] AS v
+        |ORDER BY yn""".stripMargin)
+      .map(x => (x.getString(0), if (x.isNullAt(1)) -1 else x.getInt(1)))
+    assert(r3 == Seq(("Meg Ryan", 2010), ("Rob Reiner", -1)))
     // non-string dynamic key stays typed
     intercept[CypherTypeException](rows(
       "MATCH (p:Person) RETURN {a: 1}[p.Born] AS v"))
@@ -2093,6 +2140,28 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherBindingException](rows(
       """MATCH (p:Person)-[r:ACTED_IN|REVIEWED]->(m:Movie)
         |WHERE r.Nope IS NULL RETURN count(m) AS c""".stripMargin))
+    // round 15 (ADVICE-r14): OPTIONAL MATCH too — the mixed-presence
+    // conjunct is NULL-FILLED per branch (it can't defer past the
+    // union: the WHERE is part of the left join, so predicate misses
+    // must NULL the bindings, not drop the row). Jessica's REVIEWED
+    // rows carry ratings → her optional misses → count 0, not absent.
+    val opt = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating IS NULL
+        |RETURN p.Name AS N, count(m) AS c ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(opt == Seq(("Jessica Thompson", 0L), ("Kevin Bacon", 1L),
+      ("Meg Ryan", 2L), ("Rob Reiner", 0L), ("Tom Hanks", 3L)))
+    // IS NOT NULL flips: only Jessica's rated REVIEWED rows match
+    val opt2 = rows(
+      """MATCH (p:Person)
+        |OPTIONAL MATCH (p)-[r:ACTED_IN|REVIEWED]->(m:Movie)
+        |WHERE r.Rating IS NOT NULL
+        |RETURN p.Name AS N, count(m) AS c ORDER BY N""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(opt2 == Seq(("Jessica Thompson", 2L), ("Kevin Bacon", 0L),
+      ("Meg Ryan", 0L), ("Rob Reiner", 0L), ("Tom Hanks", 0L)))
   }
 
   // ----------------------------------------------------- named paths
