@@ -2445,8 +2445,14 @@ object Compiler {
     // rows, pass undetected (the former is un-addressable without the
     // snapshot re-scan this fold removes; the latter winner-dedups to
     // an identical row).
+    // the sibling detector only needs the edge's NON-KEY columns (the
+    // keys are the groupBy keys — constant per group); a propertyless
+    // edge skips the guard (no discriminating property exists, so
+    // identical siblings winner-dedup to an identical row)
     val ownPrefs = outCols.map(p2 => pref(alias, p2))
-    val guarded = keyCols.size >= 2 && others.nonEmpty
+      .filterNot(keyPrefs.contains)
+    val guarded =
+      keyCols.size >= 2 && others.nonEmpty && ownPrefs.nonEmpty
     val feedW =
       (if (others.isEmpty) feed.distinct()
       else if (!guarded)
@@ -2549,11 +2555,19 @@ object Compiler {
     // aggregation the path already runs, distinct-counting matched
     // edge tuples per pair — no snapshot re-scan)
     val keys =
-      if (keyCols.size < 2)
+      if (keyCols.size < 2 ||
+          outCols.map(p2 => pref(alias, p2))
+            .filterNot(keyPrefs.contains).isEmpty)
+        // node target, or a propertyless edge (no discriminating
+        // column exists — identical siblings delete together, Neo4j's
+        // own both-bound behavior): plain key dedup, no guard
         nn.select(keyPrefs.zip(keyCols).map {
           case (kp, k) => col(kp).as(k) }: _*).distinct()
       else {
+        // only the NON-KEY columns discriminate (keys are the groupBy
+        // keys — constant per group)
         val ownPrefs = outCols.map(p2 => pref(alias, p2))
+          .filterNot(keyPrefs.contains)
         sibAssert(
           nn.groupBy(keyPrefs.map(col): _*)
             .agg((min(struct(ownPrefs.map(col): _*)) =!=
