@@ -29,7 +29,8 @@ object Compiler {
     case NodeBinding(n) => (n.idColumn +: n.properties).distinct
     case EdgeBinding(e) =>
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties ++
-        e.hopKeys.flatMap(h => Seq(h._2, h._3))).distinct
+        e.hopKeys.flatMap(h => Seq(h._2, h._3)) ++
+        e.rowKeyColumn.toSeq).distinct
     case ValueBinding => Seq.empty
     case PathBinding  => Seq.empty
   }

@@ -54,7 +54,16 @@ final case class EdgeDef(
       * PER-EDGE relationship uniqueness across repetitions: the
       * compiler's inequality conjuncts compare these hop keys instead
       * of the composite (src, dst) row. */
-    hopKeys: Seq[((String, String, String), String, String)] = Seq.empty) {
+    hopKeys: Seq[((String, String, String), String, String)] = Seq.empty,
+    /** Optional per-ROW key column (round 15; VERDICT-r14 #4): a
+      * physical column that discriminates PARALLEL rows of this verb
+      * on one (src, sink) pair — e.g. a surrogate id or sequence
+      * number a map-keyed MERGE pipeline stamps. When declared,
+      * `elementId(r)` appends it, restoring Neo4j's per-relationship
+      * uniqueness under parallel edges; without it the documented
+      * (verb, src, sink) collision stands. The column reads like any
+      * declared column (keys()/properties() include it). */
+    rowKeyColumn: Option[String] = None) {
   def key: (String, String, String) = (fromLabel, verb, toLabel)
 }
 

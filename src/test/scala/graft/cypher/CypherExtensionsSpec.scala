@@ -3363,6 +3363,48 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(okDel.length == 2 && okDel.forall(_.getString(1) == "m1"))
   }
 
+  test("elementId() row-key column discriminates parallel edges " +
+      "(round 15)") {
+    import spark.implicits._
+    // VERDICT-r14 #4: an edge may declare an optional per-ROW key
+    // column; elementId appends it, restoring Neo4j's uniqueness on
+    // parallel same-verb rows. Without one, the documented
+    // (verb, src, snk) collision stands.
+    val base = MovieFixture.catalog(spark)
+    val dupReviewed = Seq(
+      (101L, "p5", "m1", "Loved it", 95),
+      (102L, "p5", "m1", "Second look", 50)
+    ).toDF("rid", "_vertexId", "_sink", "Summary", "Rating")
+    val schema2 = MovieFixture.schema.copy(edges =
+      MovieFixture.schema.edges.map(e =>
+        if (e.verb == "REVIEWED") e.copy(rowKeyColumn = Some("rid"))
+        else e))
+    val cat = new GraphCatalog(schema2, {
+      case "reviewed" => dupReviewed
+      case "person"   => base.nodeDf("Person")
+      case "movie"    => base.nodeDf("Movie")
+      case other      => throw new IllegalArgumentException(other)
+    })
+    val s = new CypherSession(spark, cat).extended
+    val eids = s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |RETURN elementId(r) AS eid, r.rid AS k ORDER BY k""".stripMargin)
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(eids.toSeq == Seq(("REVIEWED:p5:m1:101", 101L),
+      ("REVIEWED:p5:m1:102", 102L)))
+    // the row key reads like any declared column (keys/properties)
+    val ks = s.run(
+      """MATCH ()-[r:REVIEWED]->() RETURN keys(r) AS ks LIMIT 1"""
+    ).collect().head.getSeq[String](0)
+    assert(ks.contains("rid"))
+    // without a declared row key the collision is the documented shape
+    val collide = rows(
+      """MATCH (p:Person)-[a:ACTED_IN]->(m:Movie) WHERE m.id = 'm2'
+        |RETURN elementId(a) AS e ORDER BY e LIMIT 1""".stripMargin)
+      .head.getString(0)
+    assert(collide == "ACTED_IN:p1:m2")
+  }
+
   test("MERGE rel: duplicate feed pairs winner-dedup to one row") {
     val r = rows(
       """MATCH (p:Person)-[:ACTED_IN]->(mm:Movie)
