@@ -1833,6 +1833,153 @@ object SparkEntry {
     //     path multiplicity preserved (two distinct length-2 routes
     //     both emit). Mirrored with a recursive path enumeration and
     //     dense_rank.
+    // --- SHORTEST k GROUPS over an UNBOUNDED range (round 15,
+    //     VERDICT-r14 #2): anchored k-level σ DP over the JUMPS_TO
+    //     jump DAG — per destination the 2 smallest distinct walk
+    //     lengths, every path of those lengths kept (σ multiplicity).
+    //     DuckDB mirror: recursive path enumeration + dense_rank.
+    ("q161_shortest_groups_unbounded", cyx(
+      """MATCH p = SHORTEST 2 GROUPS
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS l
+        |ORDER BY bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT 0, 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 10),
+             |r AS (SELECT dst, hops,
+             |        dense_rank() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |ORDER BY bk, l""".stripMargin)),
+
+    // --- SHORTEST k (row form) over an UNBOUNDED range (round 15):
+    //     the k FIRST paths by length per pair — cumulative-σ capped
+    //     at k; row_number mirror.
+    ("q162_shortest_k_unbounded", cyx(
+      """MATCH p = SHORTEST 2
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS l
+        |ORDER BY bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT 0, 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 10),
+             |r AS (SELECT dst, hops,
+             |        row_number() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |ORDER BY bk, l""".stripMargin)),
+
+    // --- rel-LIST variable (round 15, VERDICT-r14 #1): the everyday
+    //     Neo4j spelling `(a)-[rs:R*1..3]->(b)` binds rs to the LIST
+    //     of traversed relationship rows — projected (size), reduced
+    //     (per-hop property sum) and lambda-read here, mirrored by a
+    //     DuckDB recursive walk carrying hop count / span total /
+    //     all-unit flag per path.
+    ("q159_rel_list_var", cyx(
+      """MATCH (a:Nation)-[rs:JUMPS_TO*1..3]->(b:Nation)
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       size(rs) AS nrels,
+        |       reduce(s = 0, r IN rs | s + r.jump_span) AS span_total,
+        |       ALL(r IN rs WHERE r.jump_span = 1) AS unit_walk
+        |ORDER BY src_name, dst_name, nrels, span_total, unit_walk"""
+        .stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst,
+             |         1 AS span
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         2
+             |  FROM nation),
+             |e AS (SELECT * FROM nj WHERE dst IS NOT NULL),
+             |walk AS (
+             |  SELECT src, dst, 1 AS d, span AS tot, span = 1 AS unit
+             |  FROM e
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.d + 1, w.tot + e.span,
+             |         w.unit AND e.span = 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.d < 3)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       CAST(w.d AS INTEGER) AS nrels,
+             |       CAST(w.tot AS BIGINT) AS span_total,
+             |       w.unit AS unit_walk
+             |FROM walk w
+             |JOIN nation a ON a.n_nationkey = w.src
+             |JOIN nation b ON b.n_nationkey = w.dst
+             |ORDER BY src_name, dst_name, nrels, span_total, unit_walk"""
+        .stripMargin)),
+
+    // --- GQL group variable (round 15, VERDICT-r14 #8): a named rel
+    //     of a single-relationship quantified group reads OUTSIDE the
+    //     group as the per-path list of repetition relationships; the
+    //     group WHERE reads the same name PER REPETITION. The span-1
+    //     sub-DAG of JUMPS_TO is the unit chain — mirrored by the
+    //     q102-style recursive walk over it.
+    ("q160_qpp_group_var", cyx(
+      """MATCH (a:Nation)
+        |  ((x)-[j:JUMPS_TO]->(y) WHERE j.jump_span = 1){1,3}
+        |  (b:Nation)
+        |RETURN a.n_name AS src_name, b.n_name AS dst_name,
+        |       size(j) AS nrels,
+        |       reduce(s = 0, r IN j | s + r.jump_span) AS span_total
+        |ORDER BY src_name, dst_name, nrels""".stripMargin),
+      Some("""WITH RECURSIVE chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |c2 AS (SELECT * FROM chain WHERE dst IS NOT NULL),
+             |walk AS (
+             |  SELECT src, dst, 1 AS d FROM c2
+             |  UNION ALL
+             |  SELECT w.src, c.dst, w.d + 1
+             |  FROM walk w JOIN c2 c ON c.src = w.dst
+             |  WHERE w.d < 3)
+             |SELECT a.n_name AS src_name, b.n_name AS dst_name,
+             |       CAST(w.d AS INTEGER) AS nrels,
+             |       CAST(w.d AS BIGINT) AS span_total
+             |FROM walk w
+             |JOIN nation a ON a.n_nationkey = w.src
+             |JOIN nation b ON b.n_nationkey = w.dst
+             |ORDER BY src_name, dst_name, nrels""".stripMargin)),
+
     ("q158_shortest_groups", cyx(
       """MATCH p = SHORTEST 2 GROUPS
         |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*1..3]->(b:Nation)

@@ -51,8 +51,15 @@ object Analyzer {
        *  Zero-hop identity markers contribute neither a rel nor their
        *  duplicate right endpoint (a length-0 path has ONE node); paths
        *  lowered through a Reach pair frame (unbounded ranges) have no
-       *  per-hop witnesses and are absent from this map. */
-      pathWitness: Map[String, (Seq[String], Seq[String])] = Map.empty)
+       *  per-hop witnesses and are absent from this map. Round 15:
+       *  rel-LIST variables (`[rs:R*1..3]`) also live here, with an
+       *  EMPTY node list — the compiler materializes their rel array
+       *  directly under the variable's own column name. */
+      pathWitness: Map[String, (Seq[String], Seq[String])] = Map.empty,
+      /** Rel-list variable names of this clause (round 15) — the
+       *  pathWitness keys above that bind a relationship LIST value
+       *  rather than a named path. */
+      relLists: Seq[String] = Seq.empty)
 
   private final class AliasGen {
     private var n = 0
@@ -96,6 +103,7 @@ object Analyzer {
           },
           pp.rels.map { rp =>
             rp.alias.foreach(checkUserAlias)
+            rp.listAlias.foreach(checkUserAlias)
             rp.copy(alias = Some(rp.alias.getOrElse(gen.next())))
           },
           { pp.pathVar.foreach(checkUserAlias); pp.pathVar })
@@ -276,14 +284,32 @@ object Analyzer {
     val allRelAliases: Set[String] =
       named.flatMap(_.parts.flatMap(_.rels.flatMap(_.alias))).toSet
     val pathSeen = scala.collection.mutable.Set[String]()
+    val listSeen = scala.collection.mutable.Set[String]()
     named.zipWithIndex.map { case (nm, mi) =>
       val rels = Vector.newBuilder[ResolvedRel]
       val nodeOrder = Vector.newBuilder[String]
       val nodeLabels = scala.collection.mutable.Map[String, String]()
       val paths = Vector.newBuilder[(String, Either[Int, String])]
       val witnesses = Map.newBuilder[String, (Seq[String], Seq[String])]
+      val relListsB = Vector.newBuilder[String]
 
       nm.parts.foreach { pp =>
+        // rel-LIST variables (round 15): the var-length expansion
+        // stamped each generated hop (and any zero-hop marker) with
+        // its list alias — collect the real hops per variable into a
+        // rel-only witness entry (empty node list); the L = 0 branch
+        // contributes an empty rel list
+        pp.rels.flatMap(_.listAlias).distinct.foreach { lv =>
+          if (allNodeAliases(lv) || allRelAliases(lv) ||
+              inherited.contains(lv) || pathSeen(lv) || !listSeen.add(lv))
+            throw new CypherBindingException(
+              s"rel-list alias '$lv' collides with another variable")
+          val wr = pp.rels.filter(_.listAlias.contains(lv))
+            .filterNot(_.verb.exists(VarLength.isZeroHop))
+            .map(_.alias.get)
+          witnesses += ((lv, (Seq.empty, wr)))
+          relListsB += lv
+        }
         pp.pathVar.foreach { pv =>
           // a Reach-made dist rel (`__rd<n>`, shortestPath over an
           // unbounded range) binds the path var to its min-distance
@@ -297,7 +323,7 @@ object Analyzer {
           // side and null-fill through the left join — Cypher's
           // null-on-unmatched contract
           if (allNodeAliases(pv) || allRelAliases(pv) ||
-              inherited.contains(pv) || !pathSeen.add(pv))
+              inherited.contains(pv) || listSeen(pv) || !pathSeen.add(pv))
             throw new CypherBindingException(
               s"path alias '$pv' collides with another variable")
           paths += ((pv, distRel match {
@@ -369,7 +395,8 @@ object Analyzer {
       val where = (nm.m.where.toSeq ++ subConjuncts(mi).result())
         .reduceOption(Bin(BinOp.And, _, _))
       ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
-        nm.m.optional, where, pairs, paths.result(), witnesses.result())
+        nm.m.optional, where, pairs, paths.result(), witnesses.result(),
+        relListsB.result())
     }
   }
 

@@ -257,7 +257,18 @@ object ast {
                           varLength: Option[(Int, Int)] = None,
                           alts: Seq[String] = Seq.empty,
                           hopPred: Option[(String, Expr)] = None,
-                          qpp: Option[QppSpec] = None)
+                          qpp: Option[QppSpec] = None,
+      /** Rel-LIST variable of a BOUNDED var-length rel (round 15;
+       *  Neo4j's `(a)-[rs:R*1..3]->(b)` binds `rs` to the list of
+       *  traversed relationships). Var-length expansion copies it
+       *  onto every generated hop (and the zero-hop marker), marking
+       *  which hops belong to the list; the analyzer collects them
+       *  per branch into a rel-only witness entry and the compiler
+       *  binds the alias to the materialized array<struct> VALUE.
+       *  None on fixed-length rels and on the per-hop-WHERE form
+       *  (there the alias names one traversed hop instead —
+       *  the round-10 extension contract). */
+                          listAlias: Option[String] = None)
   /** Linear pattern: nodes.size == rels.size + 1. `pathVar` names the
    *  pattern's path (`p = (...)`) — a flagged EXTENSION (the reference
    *  rejects named paths, CypherVisitor.cs:998-1002) supporting exactly

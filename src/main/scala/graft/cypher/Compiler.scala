@@ -249,8 +249,15 @@ object Compiler {
    *  lengths/labels union into ONE element type; a cross-label field
    *  name stored with diverging types cannot, and is rejected. */
   private def pathShapes(resolved: Seq[ResolvedMatch],
-      catalog: GraphCatalog, need: Set[String])
+      catalog: GraphCatalog, need0: Set[String],
+      exclude: Set[String] = Set.empty)
       : Map[String, (Seq[StructField], Seq[StructField])] = {
+    // rel-LIST variables (round 15) always need their shape — the
+    // array IS the binding, not an accessor read face. `exclude` =
+    // vars an enclosing branch union already shaped over ALL branches
+    // (a single branch re-deriving one here could see only the
+    // zero-length slice).
+    val need = (need0 ++ resolved.flatMap(_.relLists)) -- exclude
     if (need.isEmpty) return Map.empty
     val labelsByVar = scala.collection.mutable.Map[String, Set[String]]()
     val edgesByVar  = scala.collection.mutable.Map[String, Set[EdgeDef]]()
@@ -279,16 +286,23 @@ object Compiler {
       }
       out.iterator.map { case (n, t) => StructField(n, t) }.toSeq
     }
-    labelsByVar.keysIterator.map { a =>
-      val nf = merge(labelsByVar(a).toSeq.sorted.map { l =>
-        val nd = catalog.graph.node(l)
-        val sch = catalog.nodeDf(l).schema
-        entityCols(NodeBinding(nd)).map(c => sch(c))
-      }, "node label")
-      val rf = merge(edgesByVar(a).toSeq.sortBy(_.key).map { e =>
-        val sch = catalog.edgeDf(e).schema
-        entityCols(EdgeBinding(e)).map(c => sch(c))
-      }, "relationship type")
+    (labelsByVar.keySet ++ edgesByVar.keySet).iterator.map { a =>
+      val nf = merge(labelsByVar.getOrElse(a, Set.empty)
+        .toSeq.sorted.map { l =>
+          val nd = catalog.graph.node(l)
+          val sch = catalog.nodeDf(l).schema
+          entityCols(NodeBinding(nd)).map(c => sch(c))
+        }, "node label")
+      val rf = merge(edgesByVar.getOrElse(a, Set.empty)
+        .toSeq.sortBy(_.key).map { e =>
+          val sch = catalog.edgeDf(e).schema
+          entityCols(EdgeBinding(e)).map(c => sch(c))
+        }, "relationship type")
+      if (rf.isEmpty && labelsByVar.get(a).forall(_.isEmpty))
+        throw new CypherNotSupportedException(
+          s"rel-list variable '$a' over a zero-length-only range " +
+          "([*0..0]) — the empty list has no element type; widen the " +
+          "range or drop the variable")
       a -> (nf, rf)
     }.toMap
   }
@@ -315,18 +329,25 @@ object Compiler {
         def canon(fs: Seq[StructField]): DataType = ArrayType(
           StructType(fs.map(f => StructField(f.name, f.dataType))),
           containsNull = true)
-        val nodeArr = array(wNodes.map { na =>
-          val nd = schema.node(m.nodeLabels(na))
-          entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
-        }: _*).cast(canon(nf))
         val relArr =
           (if (wRels.isEmpty) array() // zero-length branch
            else array(wRels.map { ra =>
              val e = m.rels.find(_.alias == ra).get.edge
              entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
            }: _*)).cast(canon(rf))
-        df = df.withColumn(pref(a, "__nodes"), nodeArr)
-          .withColumn(pref(a, "__rels"), relArr)
+        if (wNodes.isEmpty) {
+          // rel-LIST variable (round 15): the array IS the binding —
+          // materialize it under the variable's own column name (the
+          // value convention), no node face
+          df = df.withColumn(a, relArr)
+        } else {
+          val nodeArr = array(wNodes.map { na =>
+            val nd = schema.node(m.nodeLabels(na))
+            entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
+          }: _*).cast(canon(nf))
+          df = df.withColumn(pref(a, "__nodes"), nodeArr)
+            .withColumn(pref(a, "__rels"), relArr)
+        }
       }
     }
     df
@@ -385,7 +406,8 @@ object Compiler {
     // supplied by the var-length branch union (one shape across ALL
     // branches), else computed from this clause set alone
     val shapes = witnessShape ++
-      pathShapes(resolved, catalog, witnessVars -- witnessShape.keySet)
+      pathShapes(resolved, catalog, witnessVars -- witnessShape.keySet,
+        exclude = witnessShape.keySet)
 
     resolved.foreach { m =>
       val newNodes: Seq[(String, Binding)] = m.nodeOrder
@@ -434,6 +456,9 @@ object Compiler {
         // through the accessors (witnessVars), so length-only paths
         // stay one BIGINT column.
         df = materializeWitnesses(df, m, shapes, schema)
+        // rel-LIST variables (round 15): the materialized array column
+        // carries the variable's own name — bind it as a VALUE
+        m.relLists.foreach(lv => scope = scope + (lv -> ValueBinding))
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
           val (existsConjs, residual) = splitExistsConjuncts(w)
@@ -506,7 +531,8 @@ object Compiler {
             .drop(withFaces.columns.filter(_.startsWith("__wf_")): _*)
         }
         val combinedScope = scope ++ newEntities ++
-          m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }
+          m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) } ++
+          m.relLists.map(lv => lv -> (ValueBinding: Binding))
         // [NOT] EXISTS conjuncts in an OPTIONAL MATCH WHERE (round
         // 11): Cypher's WHERE applies BEFORE the left join. An
         // existential correlating only through the clause's OWN
@@ -546,7 +572,8 @@ object Compiler {
             val optScope: Map[String, Binding] =
               newEntities.toMap ++
                 m.pathVars.map { case (a, _) =>
-                  a -> (PathBinding: Binding) }
+                  a -> (PathBinding: Binding) } ++
+                m.relLists.map(lv => lv -> (ValueBinding: Binding))
             optFiltered = existsJoin(optFiltered, optScope, ep, negated,
               catalog)
           }
@@ -3140,6 +3167,17 @@ object Compiler {
       flush()
       return ctx.get
     }
+    // a rel-LIST alias (round 15) may name only ONE var-length rel —
+    // check PRE-expansion (after expansion one alias's hops are
+    // indistinguishable from a second rel's)
+    locally {
+      val las = matches.flatMap(_.parts.flatMap(_.rels.flatMap(
+        _.listAlias)))
+      las.diff(las.distinct).distinct.foreach(lv =>
+        throw new CypherBindingException(
+          s"rel-list alias '$lv' is bound by two variable-length " +
+          "relationships"))
+    }
     val (expanded0, zeroEdges) = VarLength.expand(matches, catalog.graph)
     val cat2 = withZeroEdges(catalog, zeroEdges)
     val (branches, crossAlt) = NodeAlt.expand(cat2.graph, expanded0)
@@ -3265,6 +3303,12 @@ object Compiler {
     val ctxs = compiled.result()
     if (ctxs.isEmpty) throw firstErr.get
     val (unioned0, vis, cols) = unionBranchCtxs(ctxs, crossAlt)
+    // rel-LIST variable columns (round 15): per-path hop data like the
+    // witness arrays — never part of the binding key for shortest /
+    // selector reductions; they ride (and order ties) exactly as
+    // witnesses do
+    val relListCols: Seq[String] = resolvedBranches.flatMap(_._2)
+      .flatMap(_.relLists).distinct.filter(cols.contains)
     // deferred mixed-presence WHERE conjuncts: compiled over the merged
     // scope's null-filled union namespace (IS NULL keeps the branch
     // lacking the property; ordinary comparisons null-filter it —
@@ -3286,7 +3330,7 @@ object Compiler {
       }.flatten.toSet
       val witCols: Seq[String] = shortestVar.toSeq.flatMap(pv =>
         Seq(pref(pv, "__nodes"), pref(pv, "__rels")))
-        .filter(cols.contains)
+        .filter(cols.contains) ++ relListCols
       val keyCols = others.filterNot(c => depCols(c) || witCols.contains(c))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keyCols.map(col): _*)
@@ -3325,7 +3369,7 @@ object Compiler {
       // (nodes, rels) arrays — a total, deterministic order).
       val witCols: Seq[String] = shortestVar.toSeq.flatMap(pv =>
         Seq(pref(pv, "__nodes"), pref(pv, "__rels")))
-        .filter(cols.contains)
+        .filter(cols.contains) ++ relListCols
       val keyCols =
         others.filterNot(c => depCols(c) || witCols.contains(c))
       val carried = others.filter(depCols)
@@ -3579,7 +3623,8 @@ object Compiler {
             d.withColumn(s"__bnd_$j", col(branchCol))
         }
         compiled += Br(Ctx(withKeys, newEntities.toMap ++
-          rm.pathVars.map { case (a, _) => a -> (PathBinding: Binding) }),
+          rm.pathVars.map { case (a, _) => a -> (PathBinding: Binding) } ++
+          rm.relLists.map(lv => lv -> (ValueBinding: Binding))),
           boundary.map(_._2), boundary.map(_._1))
       } catch {
         case e: CypherBindingException =>

@@ -264,7 +264,10 @@ private[cypher] object HopPred {
    *    `inequalityCond` then emits pairwise per-underlying-edge
    *    inequality conjuncts between unrolled repetition copies instead
    *    of the (weaker) per-composite-row inequality.
-   * Group variables (collected per-repetition lists) are not bound.
+   * Group variables (collected per-repetition lists) are not bound
+   * for multi-relationship chains — the composite frame compresses
+   * the hops away; SINGLE-relationship groups bind them through the
+   * round-15 rel-list machinery (RelPat.listAlias, set at parse).
    */
   private def rewriteQppChain(r: RelPat, q: QppSpec, catalog: GraphCatalog,
       extra: scala.collection.mutable.Builder[(EdgeDef, DataFrame),

@@ -1624,10 +1624,25 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("undirected relationship inside a " +
         "multi-relationship quantified path pattern group — give " +
         "every hop a direction")
+    // GQL group variable (round 15, VERDICT-r14 #8): a USER-NAMED rel
+    // of a SINGLE-relationship group binds the per-path list of its
+    // repetitions' relationships — task 1's rel-list machinery over
+    // the (possibly predicate-filtered) hop frame. Inside the group
+    // predicate the same name is the per-repetition iteration
+    // variable, GQL's two-level reading. Multi-rel chains keep their
+    // hop names predicate-local (the composite frame compresses the
+    // hops away); unbounded quantifiers can't bind a list (the reach
+    // lowering keeps no per-hop rows).
+    if (rel.alias.isDefined && tail.isEmpty && hi == Parser.Unbounded)
+      notSupported("binding an UNBOUNDED quantified group's " +
+        "relationship to a group variable — the transitive-reach " +
+        "lowering keeps no per-hop relationship rows; bound the " +
+        "quantifier ({m,n})")
     RelPat(None, rel.verb, rel.dir, varLength = Some((lo, hi)),
       alts = rel.alts,
       qpp = Some(QppSpec(aA, rA, bA, lblOf(a), lblOf(b),
-        andAll(groupWhere, inline), tail)))
+        andAll(groupWhere, inline), tail)),
+      listAlias = if (tail.isEmpty) rel.alias else None)
   }
 
   /** Parses one relationship pattern if the next tokens start one. */
@@ -1738,7 +1753,24 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         else if (tryPunct("->")) Direction.Out
         else { eatPunct("-"); Direction.Both }
       if (varLength.isDefined) {
-        val hopAlias = alias.getOrElse(nextPm())
+        // alias semantics (round 15, VERDICT-r14 #1): a bare or
+        // map-propertied alias binds the LIST of traversed
+        // relationships (Neo4j's `[rs:R*1..3]` / `[rs:R* {k: v}]` —
+        // the map stays a per-hop predicate over a SYNTHETIC hop
+        // alias); only the explicit per-hop WHERE form keeps the
+        // round-10 extension contract where the alias names one
+        // traversed hop and is consumed by the predicate. Unbounded
+        // ranges can't bind a list (the reach lowering compresses
+        // the interior away — no per-hop witnesses).
+        val hopAlias =
+          if (patWhere.isDefined) alias.getOrElse(nextPm()) else nextPm()
+        val listAlias = if (patWhere.isDefined) None else alias
+        if (listAlias.isDefined &&
+            varLength.exists(_._2 == Parser.Unbounded))
+          notSupported("binding an UNBOUNDED variable-length " +
+            "relationship to a list variable — the transitive-reach " +
+            "lowering keeps no per-hop relationship rows; bound the " +
+            "range ([*1..k]) or read the path's relationships(p)")
         val conj: Seq[Expr] =
           props.map { case (k, v) =>
             Bin(BinOp.Eq, Ref(hopAlias, Some(k)), v): Expr } ++
@@ -1747,10 +1779,8 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           if (conj.isEmpty) None
           else Some((hopAlias,
             conj.reduce((a, b) => Bin(BinOp.And, a, b))))
-        if (alias.isDefined && hp.isEmpty)
-          notSupported("binding a variable-length relationship to a " +
-            "variable (it would be a list of relationships)")
-        Some(RelPat(None, verb, dir, varLength, alts, hp))
+        Some(RelPat(None, verb, dir, varLength, alts, hp,
+          listAlias = listAlias))
       } else {
         val bound =
           if (props.nonEmpty && alias.isEmpty) Some(nextPm()) else alias

@@ -132,13 +132,25 @@ private[cypher] object Reach {
       m.copy(parts = m.parts.map { pp =>
         if (!pp.rels.exists(isUnbounded)) pp
         else {
-          if (pp.selector.isDefined)
-            throw new CypherNotSupportedException(
-              "a k > 1 path selector (SHORTEST k / ANY k) over an " +
-              "unbounded variable-length — the reach BFS carries only " +
-              "the minimal layer; bound the range [*lo..hi], or use " +
-              "SHORTEST 1 / ALL SHORTEST for the min-distance forms")
-          if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest)
+          // k > 1 path selectors over an unbounded range (round 15;
+          // VERDICT-r14 #2): lowered via [[kLevelReach]] — anchored
+          // σ DP over a DAG, k smallest distinct lengths per pair
+          // with GQL row multiplicity
+          val selK = pp.selector
+          if (selK.isDefined) {
+            if (pp.rels.size != 1)
+              throw new CypherNotSupportedException(
+                "a k > 1 path selector over an unbounded range must " +
+                "be its pattern's sole relationship — chain further " +
+                "hops through a WITH")
+            if (pp.pathVar.exists(witnessVars))
+              throw new CypherNotSupportedException(
+                "nodes()/relationships() witnesses under a k > 1 " +
+                "path selector over an unbounded range — bound the " +
+                "range [*lo..hi] for per-branch witnesses")
+          }
+          if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest &&
+              selK.isEmpty)
             throw new CypherNotSupportedException(
               "length(path) over an unbounded variable-length " +
               "relationship (one row per path enumerates factorially " +
@@ -160,7 +172,8 @@ private[cypher] object Reach {
           // its shortest-path COUNT (σ from the same BFS — no path
           // enumeration), and requires an anchored endpoint.
           val needDist =
-            (pp.shortest || pp.allShortest) && pp.pathVar.isDefined
+            (pp.shortest || pp.allShortest || selK.isDefined) &&
+              pp.pathVar.isDefined
           // nodes(p) over an unbounded shortestPath (round 13): the
           // BFS additionally records one PARENT pointer per pair
           // (first-discovery predecessor, min-id tie-break) and a
@@ -214,6 +227,11 @@ private[cypher] object Reach {
                   s"unbounded variable-length over '$verb' is ambiguous: " +
                   s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
                   "carry a self-type edge of that verb")
+              if (selK.isDefined && r.varLength.exists(_._1 == 0))
+                throw new CypherNotSupportedException(
+                  "a k > 1 path selector over [*0..] — the zero-hop " +
+                  "identity row cannot join the k-level trim; start " +
+                  "the range at 1")
               val (reach, fromL, toL) =
                 if (selfDefs.size == 1 && defs.size == 1) {
                   // homogeneous chain: one id namespace, no tagging
@@ -221,7 +239,27 @@ private[cypher] object Reach {
                   val node = catalog.graph.node(e.fromLabel)
                   val edf = catalog.edgeDf(e)
                   val base =
-                    if (wantWitness) {
+                    if (selK.isDefined) {
+                      // k-level lowering (round 15): anchored σ DP,
+                      // GQL row multiplicity baked into the frame
+                      val sel = selK.get
+                      val out = seedFor(m.where, srcPat.alias, node,
+                          catalog, outer)
+                        .map(sd => kLevelReach(edf, e.srcIdColumn,
+                          e.sinkIdColumn, sd, sel.kind, sel.k))
+                        .orElse(seedFor(m.where, dstPat.alias, node,
+                          catalog, outer)
+                          .map(sd => swapPairs(kLevelReach(edf,
+                            e.sinkIdColumn, e.srcIdColumn, sd,
+                            sel.kind, sel.k), dist = true)))
+                        .getOrElse(throw new CypherNotSupportedException(
+                          "a k > 1 path selector over an unbounded " +
+                          "range needs an ANCHORED endpoint (a literal " +
+                          "WHERE equality or a piped frame) — the " +
+                          "k-level DP is seeded, not a full closure"))
+                      if (needDist) out else out.drop("__dist")
+                    }
+                    else if (wantWitness) {
                       val fwd = () => seedFor(m.where, srcPat.alias,
                         node, catalog, outer)
                       val rev = () => seedFor(m.where, dstPat.alias,
@@ -254,6 +292,11 @@ private[cypher] object Reach {
                   // ride the tagged parent pointers (the tag IS the
                   // per-wave label), element shapes merged across
                   // labels/defs like bounded branch witnesses
+                  if (selK.isDefined)
+                    throw new CypherNotSupportedException(
+                      "a k > 1 path selector over a HETEROGENEOUS " +
+                      "chain — bound the range [*lo..hi], or use " +
+                      "SHORTEST 1 / ALL SHORTEST")
                   if (wantWitness && pp.allShortest)
                     throw new CypherNotSupportedException(
                       "allShortestPaths witnesses over a HETEROGENEOUS " +
@@ -332,11 +375,134 @@ private[cypher] object Reach {
                 Some(synthVerb), r.dir)
             }
           }
-          pp.copy(rels = rels2, shortest = false, allShortest = false)
+          pp.copy(rels = rels2, shortest = false, allShortest = false,
+            selector = None)
         }
       })
     }
     (out, catalog.withExtraEdges(extra.result()))
+  }
+
+  /** Cycle guard for the k-level σ DP (round 15): Kahn's peel over the
+    * slim edge frame — repeatedly drop edges whose source has no
+    * remaining incoming edge; a non-shrinking non-empty fixpoint is a
+    * cycle. The σ DP counts WALKS; beyond the minimal length a walk
+    * may revisit an edge, diverging from Cypher's trail contract on
+    * cyclic graphs — so k > 1 selectors over unbounded ranges require
+    * a DAG (bound the range [*lo..hi] for exact trail semantics on
+    * cyclic graphs). Rounds = the longest chain; each round is one
+    * slim semi-join. */
+  private def requireDag(e: DataFrame, what: String): Unit = {
+    var cur = e
+    var n = cur.count()
+    var rounds = 0
+    while (n > 0) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          s"$what: the DAG check did not converge in $MaxRounds rounds")
+      val next = cur.join(
+        cur.select(col("__dst").as("__s2")).distinct(),
+        col("__src") === col("__s2"), "left_semi").localCheckpoint(false)
+      val n2 = next.count()
+      if (n2 == n)
+        throw new GraphContractViolation(
+          s"$what over a CYCLIC graph — the k-level lowering counts " +
+          "walks, which revisit edges beyond the minimal length; " +
+          "bound the range [*lo..hi] for exact trail semantics")
+      cur = next; n = n2
+    }
+  }
+
+  /** k-level reach (round 15; VERDICT-r14 #2 — `SHORTEST k` /
+    * `SHORTEST k GROUPS` / `ANY k`, k > 1, over an UNBOUNDED range):
+    * an anchored σ DP over a DAG produces, per (src, dst) pair, the k
+    * SMALLEST distinct walk lengths with per-length path counts σ —
+    * the frontier carries (src, end, σ) only (distance × breadth
+    * state, never per-path), exactly the BFS discipline, but does NOT
+    * stop at first discovery: it runs the DAG's depth out so longer
+    * levels surface. Output rows carry GQL row multiplicity:
+    * `groups` = every path of the k smallest lengths (σ copies per
+    * level); `shortest`/`any` = the k first paths by length (σ copies,
+    * cumulative-capped at k). One (__src, __dst, __dist) row per
+    * selected path. */
+  private def kLevelReach(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, kind: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct().localCheckpoint(false)
+    val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
+      .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
+    requireDag(e, s"a k > 1 path selector (${kind.toUpperCase} $k)")
+    val sd = seeds.select(col(seeds.columns.head).as("__src"))
+      .where(col("__src").isNotNull).distinct().localCheckpoint(false)
+    var frontier = e.join(sd, Seq("__src"), "left_semi")
+      .withColumn("__sig", lit(1L)).localCheckpoint(false)
+    var levels = frontier.withColumn("__dist", lit(1L))
+    var d = 1L
+    var total = frontier.count()
+    def guard(round: Long): Unit =
+      if (total > bound)
+        throw new GraphContractViolation(
+          s"k-level reach hit $total level rows after round $round " +
+          s"(bound maxClosureRows=$bound). Narrow the anchor, or " +
+          s"raise $MaxClosureRowsConf deliberately.")
+    guard(0)
+    var go = total > 0
+    while (go) {
+      d += 1
+      // a DAG's depth bounds the loop; MaxRounds is the backstop
+      if (d > MaxRounds)
+        throw new CypherBindingException(
+          s"k-level reach did not converge in $MaxRounds rounds")
+      val nxt = frontier
+        .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
+          col("__dst") === col("__mid"))
+        .select(col("__src"), col("__d2").as("__dst"), col("__sig"))
+        .groupBy("__src", "__dst")
+        .agg(sum(col("__sig")).as("__sig"))
+        .localCheckpoint(false)
+      val n = nxt.count()
+      go = n > 0
+      if (go) {
+        total += n
+        guard(d)
+        levels = levels.unionByName(nxt.withColumn("__dist", lit(d)))
+          .localCheckpoint(false)
+        frontier = nxt
+      }
+    }
+    // k smallest distinct lengths per pair (one row per (pair, length)
+    // by construction), then per-kind path-row multiplicity
+    val w = Window.partitionBy("__src", "__dst").orderBy("__dist")
+    val topk = levels.withColumn("__lrk", row_number().over(w))
+      .where(col("__lrk") <= k).drop("__lrk")
+    val withTake = kind match {
+      case "groups" => topk.withColumn("__take", col("__sig"))
+      case _ =>
+        // k first PATHS: cap cumulative σ at k across ascending levels
+        val cumBefore = sum(col("__sig")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1))
+        topk.withColumn("__take",
+          greatest(lit(0L), least(col("__sig"),
+            lit(k.toLong) - coalesce(cumBefore, lit(0L)))))
+    }
+    val chosen = withTake.where(col("__take") > 0).localCheckpoint(false)
+    val expanded = {
+      val row = chosen.agg(sum(col("__take"))).head()
+      val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (tot > bound)
+        throw new GraphContractViolation(
+          s"k-level reach would expand to $tot path rows (bound " +
+          s"maxClosureRows=$bound). Narrow the anchor, or raise " +
+          s"$MaxClosureRowsConf deliberately.")
+      chosen.withColumn("__i",
+          explode(sequence(lit(1L), col("__take"))))
+        .select(col("__src"), col("__dst"), col("__dist"))
+    }
+    expanded
   }
 
   /** Reverse BFS output → forward orientation: an R-path d→x over

@@ -165,7 +165,10 @@ object VarLength {
     }
     val marker = s"$ZeroHopPrefix${zeroCounter.getAndIncrement()}_$label"
     zeros += ((marker, label))
+    // the rel-list variable (round 15) rides the marker so the L = 0
+    // branch still binds it — to the EMPTY relationship list
     Some(expandPart(pp.copy(rels = pp.rels.updated(i,
-      RelPat(None, Some(marker), Direction.Out))), graph, zeros))
+      RelPat(None, Some(marker), Direction.Out,
+        listAlias = r.listAlias))), graph, zeros))
   }
 }

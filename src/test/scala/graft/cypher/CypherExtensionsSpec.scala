@@ -251,9 +251,15 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r.isEmpty)
   }
 
-  test("var-length rejections: named rel, over-cap (zero lowers round 11)") {
-    intercept[CypherNotSupportedException](rows(
-      "MATCH (a:Person)-[f:FOLLOWS*1..2]->(b:Person) RETURN a.Name AS N"))
+  test("var-length: named rel binds the list (round 15), over-cap " +
+      "rejected (zero lowers round 11)") {
+    // a NAMED bounded var-length rel binds the rel LIST since round 15
+    // (the round-10 rejection is lifted — Neo4j's everyday spelling)
+    val named = rows(
+      """MATCH (a:Person)-[f:FOLLOWS*1..2]->(b:Person)
+        |RETURN a.Name AS N, size(f) AS n ORDER BY N, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(named.size == 4 && named.count(_._2 == 2) == 1)
     // [*0..2] composes since round 11 (identity branch) — the FOLLOWS
     // tree gains one zero-hop row per person alongside the 1-2 hops
     val z = rows(
@@ -1201,6 +1207,56 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](parity.run(
       "MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..2]->(b:Person) " +
         "RETURN length(p) AS l"))
+  }
+
+  test("SHORTEST k / ANY k / k GROUPS over UNBOUNDED ranges " +
+      "(round 15)") {
+    // anchored k-level DP over the KNOWS DAG: Tom→Rob has paths of
+    // length 1 (the 1999 shortcut) and 3 (the chain) — SHORTEST 2
+    // keeps both levels; single-path pairs keep their one row
+    val r = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, length(p) AS l ORDER BY bn, l""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r == Seq(("Kevin Bacon", 2L), ("Meg Ryan", 1L),
+      ("Rob Reiner", 1L), ("Rob Reiner", 3L)))
+    // GROUPS: same two levels here (σ = 1 per level on this chain)
+    val g = rows(
+      """MATCH p = SHORTEST 2 GROUPS (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l ORDER BY l""".stripMargin)
+      .map(_.getLong(0))
+    assert(g == Seq(1L, 3L))
+    // ANY 2 = two rows by length here; a REVERSE anchor seeds too
+    val rev = rows(
+      """MATCH p = ANY 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE b.Name = 'Rob Reiner' AND a.Name = 'Tom Hanks'
+        |RETURN length(p) AS l ORDER BY l""".stripMargin)
+      .map(_.getLong(0))
+    assert(rev == Seq(1L, 3L))
+    // unanchored stays typed (the DP is seeded, not a closure)
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |RETURN length(p) AS l""".stripMargin))
+    // a CYCLIC graph stays typed (walk vs trail divergence)
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val cyc = Seq(("p1", "p2", 2010), ("p2", "p1", 2011))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => cyc
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val e = intercept[Exception](s.run(
+        """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks'
+          |RETURN length(p) AS l""".stripMargin).collect())
+      assert(e.getMessage.contains("CYCLIC"))
+    }
   }
 
   test("normalize() and round(x, d, mode) (round 14)") {
@@ -2185,6 +2241,115 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN a.Name AS N""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       "MATCH __p = (a:Person)-[:FOLLOWS*1..2]->(b) RETURN a.Name AS N"))
+  }
+
+  test("rel-list variable [rs:R*lo..hi] binds the relationship list " +
+      "(round 15)") {
+    // Neo4j's everyday var-length spelling: rs is the LIST of
+    // traversed relationship rows, one element per hop, in traversal
+    // order (KNOWS: p1→p2 2010, p2→p3 2015, p3→p4 2020, p1→p4 1999)
+    val r = rows(
+      """MATCH (a:Person)-[rs:KNOWS*1..2]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, size(rs) AS n,
+        |       [r IN rs | r.Since] AS ys
+        |ORDER BY bn, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getSeq[Int](2)))
+    assert(r == Seq(("Kevin Bacon", 2, Seq(2010, 2015)),
+      ("Meg Ryan", 1, Seq(2010)), ("Rob Reiner", 1, Seq(1999))))
+    // lambda-filtering across branch lengths: ALL drops the 1999
+    // shortcut; element subscript + dot access read hop properties
+    val r2 = rows(
+      """MATCH (a:Person)-[rs:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |  AND ALL(r IN rs WHERE r.Since >= 2010)
+        |RETURN b.Name AS bn, rs[0].Since AS first_y, size(rs) AS n
+        |ORDER BY bn""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
+    assert(r2 == Seq(("Kevin Bacon", 2010, 2), ("Meg Ryan", 2010, 1),
+      ("Rob Reiner", 2010, 3)))
+    // the zero-length branch binds the EMPTY list
+    val r0 = rows(
+      """MATCH (a:Person)-[rs:KNOWS*0..1]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, size(rs) AS n ORDER BY bn, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r0 == Seq(("Meg Ryan", 1), ("Rob Reiner", 1),
+      ("Tom Hanks", 0)))
+    // map-propertied form: the map stays the per-hop predicate, rs
+    // still binds the list (Neo4j's [rs:R* {k: v}] reading)
+    val rm = rows(
+      """MATCH (a:Person)-[rs:KNOWS*1..2 {Since: 2010}]->(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn, size(rs) AS n
+        |ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)))
+    assert(rm == Seq(("Tom Hanks", "Meg Ryan", 1)))
+    // OPTIONAL MATCH: rs null-fills on a miss
+    val ro = rows(
+      """MATCH (a:Person) WHERE a.Name IN ['Tom Hanks', 'Rob Reiner']
+        |OPTIONAL MATCH (a)-[rs:KNOWS*1..1]->(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn, rs IS NULL AS miss
+        |ORDER BY an, bn""".stripMargin)
+      .map(x => (x.getString(0),
+        if (x.isNullAt(1)) "-" else x.getString(1), x.getBoolean(2)))
+    assert(ro == Seq(("Rob Reiner", "-", true),
+      ("Tom Hanks", "Meg Ryan", false), ("Tom Hanks", "Rob Reiner", false)))
+    // UNWIND round-trips the elements
+    val ru = rows(
+      """MATCH (a:Person)-[rs:KNOWS*2..2]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |UNWIND rs AS r RETURN r.Since AS y ORDER BY y""".stripMargin)
+      .map(_.getInt(0))
+    assert(ru == Seq(2010, 2015))
+    // rejections: unbounded bind, duplicate list alias, collisions
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (a:Person)-[rs:KNOWS*1..]->(b:Person) RETURN size(rs) AS n"))
+    intercept[CypherBindingException](rows(
+      """MATCH (a)-[rs:KNOWS*1..2]->(b)-[rs:KNOWS*1..2]->(c)
+        |RETURN size(rs) AS n""".stripMargin))
+    intercept[CypherBindingException](rows(
+      "MATCH (rs:Person)-[rs:KNOWS*1..2]->(b) RETURN size(rs) AS n"))
+  }
+
+  test("GQL group variable: ((a)-[r:R]->(b)){m,n} binds r as a " +
+      "per-path list (round 15)") {
+    // single-relationship group: the USER-NAMED rel is the group
+    // variable — outside the group it reads as the per-path list of
+    // repetition relationships (task-1 machinery over the hop frame)
+    val r = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)){1,2} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, size(r) AS n,
+        |       [h IN r | h.Since] AS ys ORDER BY bn, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getSeq[Int](2)))
+    assert(r == Seq(("Kevin Bacon", 2, Seq(2010, 2015)),
+      ("Meg Ryan", 1, Seq(2010)), ("Rob Reiner", 1, Seq(1999))))
+    // the group PREDICATE reads the same name per repetition (GQL's
+    // two-level contract); the list carries the filtered hops
+    val rp = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y) WHERE r.Since >= 2010){1,2}
+        |(b:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, [h IN r | h.Since] AS ys
+        |ORDER BY bn""".stripMargin)
+      .map(x => (x.getString(0), x.getSeq[Int](1)))
+    assert(rp == Seq(("Kevin Bacon", Seq(2010, 2015)),
+      ("Meg Ryan", Seq(2010))))
+    // {0,n}: the zero-repetition row binds the EMPTY list
+    val r0 = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)){0,1} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, size(r) AS n ORDER BY bn, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r0 == Seq(("Meg Ryan", 1), ("Rob Reiner", 1),
+      ("Tom Hanks", 0)))
+    // unbounded quantifiers stay typed; chain hop names stay
+    // predicate-local (referencing one outside is unknown)
+    intercept[CypherNotSupportedException](rows(
+      "MATCH (a:Person) ((x)-[r:KNOWS]->(y))+ (b:Person) " +
+      "RETURN size(r) AS n"))
+    intercept[CypherBindingException](rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z)){1,1}
+        |(b:Person) RETURN size(r) AS n""".stripMargin))
   }
 
   test("named path over [*1..2]: per-branch lengths survive the union") {
