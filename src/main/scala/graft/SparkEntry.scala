@@ -2165,6 +2165,49 @@ object SparkEntry {
     //     (each hop joins back to its own table). The tie-break is the
     //     min tagged id: the witness order for each part is the
     //     customer's MINIMUM order containing it — mirrored exactly.
+    // --- allShortestPaths witnesses over a HETEROGENEOUS chain
+    //     (round 15, VERDICT-r14 #5): the tagged multi-parent BFS +
+    //     σ-fold pointer walk — a part fed through TWO of customer
+    //     1's orders yields TWO minimal witnesses, each hop resolving
+    //     to its own def's columns. Mirror: one row per distinct
+    //     (order, part) route.
+    ("q163_hetero_allshortest_witness", cyx(
+      """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
+        |WHERE a.c_custkey = 0
+        |RETURN b.p_partkey AS pk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
+        |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
+        |         AS ids
+        |ORDER BY pk, ids""".stripMargin),
+      Some("""SELECT DISTINCT l.l_partkey AS pk, CAST(2 AS BIGINT) AS hops,
+             |       '|0|' || CAST(l.l_orderkey AS VARCHAR) || '|' ||
+             |         CAST(l.l_partkey AS VARCHAR) AS ids
+             |FROM lineitem l JOIN orders o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey = 0
+             |ORDER BY pk, ids""".stripMargin)),
+
+    // --- [*0..] heterogeneous witnesses (round 15): same-label
+    //     endpoints over the FEEDS label DAG bind the zero-hop
+    //     IDENTITY row — one element null-filled to the merged
+    //     namespace, an empty hop array (no Customer→…→Customer
+    //     chain exists; the identity is the only match).
+    ("q164_hetero_zero_hop_witness", cyx(
+      """MATCH p = shortestPath((a:Customer)-[:FEEDS*0..]->(b:Customer))
+        |WHERE a.c_custkey <= 5
+        |RETURN a.c_custkey AS ck, b.c_custkey AS bk,
+        |       length(p) AS hops, size(nodes(p)) AS nn,
+        |       size(relationships(p)) AS nr,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
+        |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
+        |         AS ids
+        |ORDER BY ck""".stripMargin),
+      Some("""SELECT c_custkey AS ck, c_custkey AS bk,
+             |       CAST(0 AS BIGINT) AS hops, 1 AS nn, 0 AS nr,
+             |       '|' || CAST(c_custkey AS VARCHAR) AS ids
+             |FROM customer WHERE c_custkey <= 5
+             |ORDER BY ck""".stripMargin)),
+
     ("q152_hetero_witness", cyx(
       """MATCH p = shortestPath((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 1

@@ -297,14 +297,10 @@ private[cypher] object Reach {
                       "a k > 1 path selector over a HETEROGENEOUS " +
                       "chain — bound the range [*lo..hi], or use " +
                       "SHORTEST 1 / ALL SHORTEST")
-                  if (wantWitness && pp.allShortest)
-                    throw new CypherNotSupportedException(
-                      "allShortestPaths witnesses over a HETEROGENEOUS " +
-                      "chain — use shortestPath() for one witness per " +
-                      "pair, or bound the range [*lo..hi]")
                   val (b0, fl, tl) = stratifiedReach(defs, verb, srcPat,
                     dstPat, m.where, catalog, outer, needDist,
-                    pp.allShortest, wantWitness)
+                    pp.allShortest, wantWitness,
+                    allowIdentity = r.varLength.exists(_._1 == 0))
                   val b =
                     if (wantWitness && r.dir == Direction.In)
                       b0.withColumn("__nodes", reverse(col("__nodes")))
@@ -335,13 +331,39 @@ private[cypher] object Reach {
                   // a zero-hop witness is the single endpoint node
                   // with NO traversed relationships
                   val ident0 =
-                    if (wantWitness) {
-                      if (defs.size > 1)
-                        throw new CypherNotSupportedException(
-                          "[*0..] witnesses over a heterogeneous " +
-                          "chain — the zero-hop element shape cannot " +
-                          "cover the merged namespaces; start the " +
-                          "range at 1")
+                    if (wantWitness && defs.size > 1) {
+                      // heterogeneous [*0..] witnesses (round 15,
+                      // VERDICT-r14 #5): the identity row's arrays use
+                      // the MERGED element shapes (the stratified
+                      // witness branch's universe), the endpoint
+                      // label's own columns filled, the rest null —
+                      // exactly how a bounded zero branch null-fills
+                      val nFields = mergeFields(
+                        defs.flatMap(e2 => Seq(e2.fromLabel, e2.toLabel))
+                          .distinct.sorted.map { l =>
+                            val nd2 = catalog.graph.node(l)
+                            val sch = catalog.nodeDf(l).schema
+                            (nd2.idColumn +: nd2.properties).distinct
+                              .map(c2 => sch(c2))
+                          }, "node label")
+                      val rFields = mergeFields(defs.sortBy(_.key)
+                        .map { e2 =>
+                          val sch = catalog.edgeDf(e2).schema
+                          (Seq(e2.srcIdColumn, e2.sinkIdColumn) ++
+                            e2.properties).distinct.map(c2 => sch(c2))
+                        }, "relationship definition")
+                      val own =
+                        (node.idColumn +: node.properties).distinct.toSet
+                      ndf.select(idc.as("__src"), idc.as("__dst"),
+                        array(struct(nFields.map { f =>
+                          (if (own(f.name)) col(f.name)
+                           else lit(null).cast(f.dataType)).as(f.name)
+                        }: _*))
+                          .cast(ArrayType(StructType(nFields),
+                            containsNull = true)).as("__nodes"),
+                        array().cast(ArrayType(StructType(rFields),
+                          containsNull = true)).as("__rels"))
+                    } else if (wantWitness) {
                       val e0 = catalog.graph.edgesByVerb(verb).head
                       val edf0 = catalog.edgeDf(e0)
                       val eCols = (Seq(e0.srcIdColumn, e0.sinkIdColumn)
@@ -859,7 +881,8 @@ private[cypher] object Reach {
       srcPat: NodePat, dstPat: NodePat, where: Option[Expr],
       catalog: GraphCatalog, outer: Option[Compiler.Ctx],
       needDist: Boolean, allShortest: Boolean,
-      wantWitness: Boolean = false)
+      wantWitness: Boolean = false,
+      allowIdentity: Boolean = false)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
@@ -882,7 +905,10 @@ private[cypher] object Reach {
       reachable ++= nxt
       front = nxt
     }
-    if (!reachable(dstLabel))
+    // [*0..] (round 15): the IDENTITY row satisfies a same-label
+    // endpoint pair even when no edge chain returns to the label —
+    // the caller unions the reflexive rows in
+    if (!reachable(dstLabel) && !(allowIdentity && srcLabel == dstLabel))
       throw new CypherBindingException(
         s"unbounded variable-length over '$verb': no chain of '$verb' " +
         s"edges leads from label '$srcLabel' to '$dstLabel' in the " +
@@ -925,20 +951,38 @@ private[cypher] object Reach {
       // each witness element and each traversed hop joins back to its
       // OWN table. Element shapes follow pathShapes' bounded-witness
       // rule: the union of the participating labels'/defs' fields,
-      // null-filled where a label/def lacks one.
+      // null-filled where a label/def lacks one. Round 15 (VERDICT-r14
+      // #5): allShortestPaths composes — the tagged MULTI-parent BFS
+      // (allParentsPairs, the q153 machinery over tagged ids) plus the
+      // σ-fold pointer walk, each witness row keyed on its own id
+      // array (perWitness grouping) so σ distinct (nodes, rels) rows
+      // come out per pair.
       def run(sc: String, dc: String, sd: Option[DataFrame],
           rev: Boolean): DataFrame = {
-        val pairs = reachablePairs(union, sc, dc, seeds = sd,
-          withDist = true, withParent = true)
-        val ids0 = reconstructWitnessIds(pairs)
+        val ids0 =
+          if (allShortest) {
+            val (pairs, parents, bound) = allParentsPairs(union, sc, dc, sd)
+            reconstructAllWitnessIds(pairs, parents, bound)
+          } else {
+            val pairs = reachablePairs(union, sc, dc, seeds = sd,
+              withDist = true, withParent = true)
+            reconstructWitnessIds(pairs)
+          }
         val ids =
           if (!rev) ids0
           else ids0.select(col("__dst").as("__src"),
             col("__src").as("__dst"), col("__dist"),
             reverse(col("__wids")).as("__wids"))
-        heteroWidsToNodes(ids, ordinals, idT, catalog).join(
-          heteroWidsToRels(ids, defs, ordinals, idT, catalog),
-          Seq("__src", "__dst", "__dist"))
+        if (allShortest)
+          heteroWidsToNodes(ids, ordinals, idT, catalog,
+              perWitness = true)
+            .join(heteroWidsToRels(ids, defs, ordinals, idT, catalog,
+              perWitness = true),
+              Seq("__src", "__dst", "__dist", "__wids")).drop("__wids")
+        else
+          heteroWidsToNodes(ids, ordinals, idT, catalog).join(
+            heteroWidsToRels(ids, defs, ordinals, idT, catalog),
+            Seq("__src", "__dst", "__dist"))
       }
       val t = taggedSeeds(srcPat.alias, sNode, srcLabel)
         .map(sd => run("__src", "__dst", Some(sd), rev = false))
@@ -993,7 +1037,7 @@ private[cypher] object Reach {
     * ordered re-collect (the widsToNodes shape, heterogeneous). */
   private def heteroWidsToNodes(ids: DataFrame,
       ordinals: Map[String, Int], idT: DataType,
-      catalog: GraphCatalog): DataFrame = {
+      catalog: GraphCatalog, perWitness: Boolean = false): DataFrame = {
     val labels = ordinals.keys.toSeq.sorted
     val fields = mergeFields(labels.map { l =>
       val nd = catalog.graph.node(l)
@@ -1012,14 +1056,18 @@ private[cypher] object Reach {
           (if (own(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__e"))
     }.reduce(_ unionByName _)
-    ids.select(col("__src"), col("__dst"), col("__dist"),
-        posexplode(col("__wids")).as(Seq("__pos", "__wid")))
+    // perWitness (round 15, allShortestPaths): each witness row keys
+    // on its OWN id array so σ rows per pair stay distinct
+    val keys =
+      Seq(col("__src"), col("__dst"), col("__dist")) ++
+        (if (perWitness) Seq(col("__wids")) else Seq.empty)
+    ids.select(keys :+
+        posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
       .join(taggedNodes, col("__wid") === col("__nwid"), "left")
-      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .groupBy(keys: _*)
       .agg(transform(sort_array(collect_list(struct(col("__pos"),
           col("__e")))), x => x.getField("__e")).as("__nodes0"))
-      .select(col("__src"), col("__dst"), col("__dist"),
-        col("__nodes0").cast(elemT).as("__nodes"))
+      .select(keys :+ col("__nodes0").cast(elemT).as("__nodes"): _*)
   }
 
   /** Tagged witness id array → edge-struct array over the MERGED def
@@ -1029,7 +1077,7 @@ private[cypher] object Reach {
     * parallel-edge min-struct determinism. */
   private def heteroWidsToRels(ids: DataFrame, defs: Seq[EdgeDef],
       ordinals: Map[String, Int], idT: DataType,
-      catalog: GraphCatalog): DataFrame = {
+      catalog: GraphCatalog, perWitness: Boolean = false): DataFrame = {
     val fields = mergeFields(defs.sortBy(_.key).map { e =>
       val sch = catalog.edgeDf(e).schema
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
@@ -1049,21 +1097,23 @@ private[cypher] object Reach {
           (if (own(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__er"))
     }.reduce(_ unionByName _)
-    ids.select(col("__src"), col("__dst"), col("__dist"),
+    val keys =
+      Seq(col("__src"), col("__dst"), col("__dist")) ++
+        (if (perWitness) Seq(col("__wids")) else Seq.empty)
+    ids.select(keys :+
         posexplode(transform(slice(col("__wids"), lit(1),
             size(col("__wids")) - 1),
           (x, i) => struct(x.as("_s"),
             element_at(col("__wids"), i + lit(2)).as("_d"))))
-          .as(Seq("__pos", "__hop")))
+          .as(Seq("__pos", "__hop")): _*)
       .join(taggedEdges, col("__hop").getField("_s") === col("__hs") &&
         col("__hop").getField("_d") === col("__hd"), "left")
-      .groupBy(col("__src"), col("__dst"), col("__dist"), col("__pos"))
+      .groupBy(keys :+ col("__pos"): _*)
       .agg(min(col("__er")).as("__e"))
-      .groupBy(col("__src"), col("__dst"), col("__dist"))
+      .groupBy(keys: _*)
       .agg(transform(sort_array(collect_list(struct(col("__pos"),
           col("__e")))), x => x.getField("__e")).as("__rels0"))
-      .select(col("__src"), col("__dst"), col("__dist"),
-        col("__rels0").cast(elemT).as("__rels"))
+      .select(keys :+ col("__rels0").cast(elemT).as("__rels"): _*)
   }
 
   /** Top-level AND-conjuncts of a WHERE tree. */

@@ -4690,6 +4690,65 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .toSeq == Seq((1, 2L, "|x1|y10|z100")))
   }
 
+  test("allShortestPaths witnesses over a heterogeneous chain + " +
+      "[*0..] hetero witnesses (round 15)") {
+    import spark.implicits._
+    // the round-14 X→Y→Z fixture: two equal-length routes via y10/y11
+    val cat = new GraphCatalog(
+      GraphSchema(
+        nodes = Seq(NodeDef("X", "xid", Seq("xn"), "tx"),
+          NodeDef("Y", "yid", Seq("yn"), "ty"),
+          NodeDef("Z", "zid", Seq("zn"), "tz")),
+        edges = Seq(
+          EdgeDef("F", "X", "Y", "fx", "fy", Seq("w1"), "txy"),
+          EdgeDef("F", "Y", "Z", "gy", "gz", Seq.empty, "tyz"))),
+      Map(
+        "tx" -> Seq((1, "x1")).toDF("xid", "xn"),
+        "ty" -> Seq((10, "y10"), (11, "y11")).toDF("yid", "yn"),
+        "tz" -> Seq((100, "z100")).toDF("zid", "zn"),
+        "txy" -> Seq((1, 10, 5), (1, 11, 7)).toDF("fx", "fy", "w1"),
+        "tyz" -> Seq((10, 100), (11, 100)).toDF("gy", "gz"))(_))
+    val s = new CypherSession(spark, cat).extended
+    // VERDICT-r14 #5: the tagged multi-parent BFS + σ-fold pointer
+    // walk — BOTH minimal witnesses come out, each resolving its
+    // elements/hops to its OWN table (w1 on the X→Y hop)
+    val r = s.run(
+      """MATCH p = allShortestPaths((a:X)-[:F*1..]->(b:Z))
+        |WHERE a.xid = 1
+        |RETURN b.zid AS zk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn, n.zn)) AS names,
+        |       reduce(s = '', r IN relationships(p) |
+        |         s + '|' + toString(coalesce(r.w1, r.gz))) AS rs
+        |ORDER BY zk, names""".stripMargin).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getString(2),
+        x.getString(3))).toSeq
+    assert(r == Seq((100, 2L, "|x1|y10|z100", "|5|100"),
+      (100, 2L, "|x1|y11|z100", "|7|100")))
+    // destination anchor: reversed multi-parent BFS, arrays swapped
+    val rd = s.run(
+      """MATCH p = allShortestPaths((a:X)-[:F*1..]->(b:Z))
+        |WHERE b.zid = 100
+        |RETURN length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn, n.zn)) AS names
+        |ORDER BY names""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rd == Seq((2L, "|x1|y10|z100"), (2L, "|x1|y11|z100")))
+    // [*0..] heterogeneous witnesses: same-label endpoints bind the
+    // IDENTITY row — one element (the endpoint, null-filled to the
+    // merged shape), zero hops, empty rel array
+    val z = s.run(
+      """MATCH p = shortestPath((a:X)-[:F*0..]->(b:X))
+        |WHERE a.xid = 1
+        |RETURN length(p) AS hops, size(relationships(p)) AS nr,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + coalesce(n.xn, n.yn, n.zn)) AS names"""
+        .stripMargin).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq
+    assert(z == Seq((0L, 0, "|x1")))
+  }
+
   test("allShortestPaths over an unbounded range: one row per witness") {
     import spark.implicits._
     // diamond + tail: s→a, s→b, a→c, b→c, c→t — two shortest s→c
