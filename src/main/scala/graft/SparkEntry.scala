@@ -2231,6 +2231,36 @@ object SparkEntry {
              |         CAST(pk AS VARCHAR) AS rels
              |FROM v ORDER BY pk""".stripMargin)),
 
+    // --- correlated CALL { … UNION … } with an AGGREGATING branch
+    //     (round 15, VERDICT-r14 #6): the aggregating branch
+    //     zero-fills per invocation BEFORE the union (count → 0 on
+    //     zero urgent orders), the plain branch contributes one row
+    //     per match — mirrored by a LEFT-join count plus a UNION ALL.
+    ("q165_call_union_agg_branch", cyx(
+      """MATCH (c:Customer) WHERE c.c_custkey <= 30
+        |CALL (c) {
+        |  MATCH (c)-[:PLACED_URGENT]->(o:Order) RETURN count(o) AS v
+        |  UNION ALL
+        |  MATCH (c)-[:PLACED]->(o2:Order)
+        |  WHERE o2.o_totalprice > 150000
+        |  RETURN o2.o_orderkey AS v }
+        |RETURN c.c_custkey AS ck, v ORDER BY ck, v""".stripMargin),
+      Some("""WITH ks AS (
+             |  SELECT c_custkey FROM customer WHERE c_custkey <= 30),
+             |agg AS (
+             |  SELECT k.c_custkey, count(o.o_orderkey) AS v
+             |  FROM ks k LEFT JOIN orders o
+             |    ON o.o_custkey = k.c_custkey
+             |    AND o.o_orderpriority = '1-URGENT'
+             |  GROUP BY 1),
+             |plain AS (
+             |  SELECT o_custkey AS c_custkey, o_orderkey AS v
+             |  FROM orders JOIN ks ON o_custkey = ks.c_custkey
+             |  WHERE o_totalprice > 150000)
+             |SELECT c_custkey AS ck, v
+             |FROM (SELECT * FROM agg UNION ALL SELECT * FROM plain) t
+             |ORDER BY ck, v""".stripMargin)),
+
     // --- correlated CALL { … UNION … } (round 14): imports thread
     //     through each branch, the keyed branch outputs union (UNION
     //     dedupes per invocation — an urgent order that also clears

@@ -2783,22 +2783,53 @@ object Compiler {
             col(k).as(s"__call_k$i") } ++ outNames.map(col): _*),
           outNames, lastProj.items)
       }
-      // correlated CALL { … UNION … } (round 14): imports thread
-      // through EACH branch; the keyed branch outputs union — UNION
-      // (non-ALL) dedupes over (keys, outputs), i.e. per invocation —
-      // before the ONE join back to the outer rows. Aggregating
-      // branches stay typed: the per-invocation zero-match fill has no
-      // single join-back across branches.
+      // correlated CALL { … UNION … } (round 14; aggregating branches
+      // round 15, VERDICT-r14 #6): imports thread through EACH branch;
+      // the keyed branch outputs union — UNION (non-ALL) dedupes over
+      // (keys, outputs), i.e. per invocation — before the ONE join
+      // back to the outer rows. An AGGREGATING branch zero-fills
+      // PER BRANCH before the union (the q41 zero-match machinery,
+      // keyed on the outer key universe): Neo4j's contract gives one
+      // row per invocation from such a branch even on zero matches
+      // (count/sum → 0, collect → []), and the fill must precede the
+      // union because a column aggregate in one branch may be plain
+      // in another. A null import key (OPTIONAL miss) keeps its row
+      // through the left join-back with null outputs.
       call.sub match {
         case uq: UnionQuery =>
+          lazy val outerKeys = c.df.select(keys.zipWithIndex.map {
+              case (k, i) => col(k).as(s"__call_k$i") }: _*)
+            .where(keys.indices.map(i =>
+              col(s"__call_k$i").isNotNull).reduce(_ && _))
+            .distinct().localCheckpoint(false)
+          var anyAgg = false
           def go(q: Query): (DataFrame, Seq[String]) = q match {
             case sq: SingleQuery =>
               val (df2, names, items) = compileBranch(sq)
-              if (items.exists(it => containsAgg(it.expr)))
-                throw new CypherNotSupportedException(
-                  "aggregate inside a unioned correlated CALL branch — " +
-                  "aggregate after the CALL or split the query")
-              (df2, names)
+              if (!items.exists(it => containsAgg(it.expr))) (df2, names)
+              else {
+                anyAgg = true
+                val kc = keys.indices.map(i => s"__call_k$i")
+                var filled = outerKeys.join(df2, kc, "left")
+                val types = filled.schema.fields
+                  .map(f => f.name -> f.dataType).toMap
+                items.zip(names).foreach { case (it, nm) =>
+                  it.expr match {
+                    case Agg("count", _, _, _) =>
+                      filled = filled.withColumn(nm,
+                        coalesce(col(nm), lit(0L).cast(types(nm))))
+                    case Agg("sum", _, _, _) =>
+                      filled = filled.withColumn(nm,
+                        coalesce(col(nm), lit(0).cast(types(nm))))
+                    case Agg("collect", _, _, _) =>
+                      filled = filled.withColumn(nm,
+                        coalesce(col(nm), array().cast(types(nm))))
+                    case _ => // min/max/avg/stdev/… stay null (Neo4j)
+                  }
+                }
+                (filled.select((kc.map(col) ++ names.map(col)): _*),
+                  names)
+              }
             case UnionQuery(l2, r2, all2) =>
               val (lf, ln) = go(l2); val (rf, rn) = go(r2)
               if (ln != rn) throw new CypherBindingException(
@@ -2814,7 +2845,7 @@ object Compiler {
           val cond = keys.zipWithIndex.map { case (k, i) =>
             col(k) === col(s"__call_k$i") }.reduce(_ && _)
           val joined = c.df.join(subOut, cond,
-            if (call.optional) "left" else "inner")
+            if (call.optional || anyAgg) "left" else "inner")
             .drop(keys.indices.map(i => s"__call_k$i"): _*)
           return Ctx(joined,
             c.scope ++ outNames.map(_ -> (ValueBinding: Binding)))

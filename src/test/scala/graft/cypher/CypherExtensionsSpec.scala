@@ -1347,13 +1347,45 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN m.Title AS t }
         |RETURN count(*) AS n, count(t) AS nt""".stripMargin).head
     assert(opt.getLong(0) == 8L && opt.getLong(1) == 7L)
-    // aggregating branches stay typed
-    intercept[CypherNotSupportedException](rows(
+    // aggregating branches (round 15, VERDICT-r14 #6): each branch
+    // zero-fills PER INVOCATION before the union — every person gets
+    // a count row from EACH branch (0 on zero matches), deduped per
+    // invocation by UNION
+    val ag = rows(
       """MATCH (p:Person) CALL (p) {
         |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN count(m) AS n
         |  UNION
         |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN count(m) AS n }
-        |RETURN p.Name AS nm, n""".stripMargin))
+        |RETURN p.Name AS nm, n ORDER BY nm, n""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(ag == Seq(("Jessica Thompson", 0L), ("Kevin Bacon", 0L),
+      ("Kevin Bacon", 1L), ("Meg Ryan", 0L), ("Meg Ryan", 2L),
+      ("Rob Reiner", 0L), ("Rob Reiner", 1L), ("Tom Hanks", 0L),
+      ("Tom Hanks", 3L)))
+    // mixed aggregating + plain branches: the zero-fill is strictly
+    // per-branch (the column is an aggregate in one branch only)
+    val mx = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN count(m) AS v
+        |  UNION ALL
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN 100 + m.Released
+        |    AS v }
+        |RETURN p.Name AS nm, v ORDER BY nm, v""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(mx == Seq(("Jessica Thompson", 0L), ("Kevin Bacon", 1L),
+      ("Meg Ryan", 2L), ("Rob Reiner", 0L), ("Rob Reiner", 2093L),
+      ("Tom Hanks", 3L)))
+    // collect() zero-fills to the empty list
+    val cl = rows(
+      """MATCH (p:Person) WHERE p.Name IN ['Rob Reiner', 'Tom Hanks']
+        |CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie) RETURN collect(m.Title) AS ts
+        |  UNION ALL
+        |  MATCH (p)-[:DIRECTED]->(m:Movie) RETURN collect(m.Title) AS ts }
+        |RETURN p.Name AS nm, size(ts) AS n ORDER BY nm, n""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(cl == Seq(("Rob Reiner", 0), ("Rob Reiner", 1),
+      ("Tom Hanks", 0), ("Tom Hanks", 3)))
   }
 
   test("named-timezone temporals (round 14)") {
