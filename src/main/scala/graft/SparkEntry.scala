@@ -5843,6 +5843,55 @@ object SparkEntry {
     // --- SCD2 dimension history from the event change log: per-user
     //     event_type episodes with [from, to) validity; consecutive
     //     same-state observations collapse into the open episode
+    // --- STREAMING SCD2 twin (round 15, VERDICT-r14 #7): per-key
+    //     open-episode state in flatMapGroupsWithState — closed
+    //     episodes emit once, the open episode re-emits per trigger
+    //     (Update mode); the replay reduces per (key, valid_from)
+    //     (min(valid_to): the closed row when one exists) and must
+    //     equal the batch scd2 mirror. Millisecond-truncated ts (the
+    //     state carries epoch millis).
+    ("e61_stream_scd2",
+      (s, dir) => {
+        import s.implicits._
+        val ev = evts(s, dir).where(col("user_id") < 30)
+          .select(col("user_id").as("key"),
+            col("event_type").as("attr"),
+            timestamp_millis(unix_millis(col("ts"))).as("ts"),
+            col("event_id").as("tie"))
+          .as[ChangeData.Scd2Obs].collect()
+          .sortBy(o => (o.ts.getTime, o.tie)).toSeq
+        graft.streaming.Replay.run(s,
+            graft.streaming.Replay.timeChunks(ev, 3), "update") {
+          ds => ChangeData.streamingScd2(ds).toDF()
+        }
+          .groupBy(col("key").as("user_id"),
+            col("attr").as("event_type"), col("valid_from"))
+          .agg(min(col("valid_to")).as("valid_to"))
+          .withColumn("is_current", col("valid_to").isNull)
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+          .orderBy("user_id", "valid_from", "event_type")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT user_id, event_type, event_id,
+             |    date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS ts
+             |  FROM events WHERE user_id < 30),
+             |o AS (SELECT user_id, event_type, ts, event_id,
+             |        lag(event_type) OVER w AS prev,
+             |        lag(ts) OVER w AS pts
+             |      FROM e0
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |k AS (SELECT user_id, event_type, ts, event_id FROM o
+             |      WHERE pts IS NULL OR prev IS DISTINCT FROM event_type),
+             |f AS (SELECT user_id, event_type, ts AS valid_from,
+             |        lead(ts) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) AS valid_to
+             |      FROM k)
+             |SELECT user_id, event_type, valid_from, valid_to,
+             |       valid_to IS NULL AS is_current
+             |FROM f ORDER BY user_id, valid_from, event_type"""
+        .stripMargin)),
+
     ("e19_scd2",
       (s, dir) => ChangeData.scd2(evts(s, dir), "user_id",
           Seq("event_type"), "ts", "event_id")

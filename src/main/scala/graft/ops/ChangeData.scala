@@ -161,4 +161,81 @@ object ChangeData {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** One observation of a key's tracked attribute for
+    * [[streamingScd2]] — the (key, attr, ts, tie) slice of a change
+    * log. */
+  final case class Scd2Obs(key: Long, attr: String,
+                           ts: java.sql.Timestamp, tie: Long)
+
+  /** One [[streamingScd2]] episode emission. `valid_to` null =
+    * the key's OPEN episode as of the emitting trigger. */
+  final case class Scd2Out(key: Long, attr: String,
+                           valid_from: java.sql.Timestamp,
+                           valid_to: Option[java.sql.Timestamp],
+                           is_current: Boolean)
+
+  /** [[streamingScd2]] per-key state: the OPEN episode — constant
+    * size, never per-observation. Public for the state encoder's
+    * generated code. */
+  final case class Scd2State(attr: String, validFrom: Long)
+
+  /**
+   * STREAMING SCD2 twin of [[scd2]] (round 15; VERDICT-r14 #7 — the
+   * e57 mergeable-state discipline): per-key OPEN-EPISODE state in
+   * `flatMapGroupsWithState`. Each trigger sorts its batch slice by
+   * (ts, tie), closes an episode whenever the tracked attribute
+   * changes (emitting the closed row exactly once, `is_current =
+   * false`), re-observes of the same attribute extend silently, and
+   * re-emits the key's current OPEN episode (`valid_to` null,
+   * `is_current = true`) — Update-mode semantics: downstream keeps,
+   * per (key, valid_from), the closed row when one exists, else the
+   * latest open emission.
+   *
+   * State per key is ONE (attr, valid_from) pair — constant, never
+   * per-observation — so the store stays key-count sized at any
+   * stream length. Requires the per-key feed be ts-ordered ACROSS
+   * triggers (the CDC-log delivery convention; [[streamingLatest]]'s
+   * seq discipline): an observation older than the open episode's
+   * start would re-open history a batch run would have folded.
+   * Within a trigger, order is restored by the sort.
+   *
+   * Batch equivalence (unit-pinned): replaying any in-order slicing
+   * and reducing per (key, valid_from) equals
+   * `scd2(allRows, key, Seq(attr), ts, tie)`.
+   */
+  def streamingScd2(obs: org.apache.spark.sql.Dataset[Scd2Obs])
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import obs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, rows: Iterator[Scd2Obs],
+           state: GroupState[Scd2State]): Iterator[Scd2Out] = {
+      val batch = rows.toSeq.sortBy(o => (o.ts.getTime, o.tie))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val out = Vector.newBuilder[Scd2Out]
+        var cur = state.getOption
+        batch.foreach { o =>
+          cur match {
+            case None =>
+              cur = Some(Scd2State(o.attr, o.ts.getTime))
+            case Some(s) if s.attr == o.attr => // same state: extends
+            case Some(s) =>
+              out += Scd2Out(key, s.attr,
+                new java.sql.Timestamp(s.validFrom),
+                Some(o.ts), is_current = false)
+              cur = Some(Scd2State(o.attr, o.ts.getTime))
+          }
+        }
+        val open = cur.get
+        state.update(open)
+        out += Scd2Out(key, open.attr,
+          new java.sql.Timestamp(open.validFrom), None, is_current = true)
+        out.result().iterator
+      }
+    }
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -4709,6 +4709,44 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingScd2: replay reduced per (key, valid_from) equals " +
+      "the batch scd2 (round 15)") {
+    import graft.ops.ChangeData.Scd2Obs
+    def ts(m: Long) = new java.sql.Timestamp(m * 1000L)
+    // key 1: a→a→b→a (re-observation extends, two changes);
+    // key 2: x only (one open episode); the slicing cuts mid-episode
+    val obs = Seq(
+      Scd2Obs(1L, "a", ts(10), 1L), Scd2Obs(2L, "x", ts(11), 2L),
+      Scd2Obs(1L, "a", ts(20), 3L), Scd2Obs(1L, "b", ts(30), 4L),
+      Scd2Obs(1L, "a", ts(40), 5L), Scd2Obs(2L, "x", ts(41), 6L))
+    val replay = graft.streaming.Replay.run(spark,
+        obs.grouped(2).toSeq, "update") {
+      ds => ChangeData.streamingScd2(ds).toDF()
+    }
+    val reduced = replay
+      .groupBy("key", "attr", "valid_from")
+      .agg(min(col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("key"), col("attr"), col("valid_from"),
+        col("valid_to"), col("is_current"))
+      .orderBy("key", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val batch = ChangeData.scd2(
+        obs.toDF("key", "attr", "ts", "tie"), "key", Seq("attr"),
+        "ts", "tie")
+      .orderBy("key", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(reduced.toSeq == batch.toSeq)
+    // shape sanity: key 1 has episodes a[10,30) b[30,40) a[40,∞);
+    // a CLOSED episode emits exactly once across the whole replay
+    assert(reduced.count(_._1 == 1L) == 3)
+    val closedEmissions = replay
+      .where(col("valid_to").isNotNull).collect()
+    assert(closedEmissions.length == 2)
+  }
+
   test("deterministicWalks: hops follow edges, deterministic, revisits allowed") {
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L)).toDF("a", "b")
     val nbrs = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L, 4L),
