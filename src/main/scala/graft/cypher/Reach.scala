@@ -907,8 +907,14 @@ private[cypher] object Reach {
     }
     // [*0..] (round 15): the IDENTITY row satisfies a same-label
     // endpoint pair even when no edge chain returns to the label —
-    // the caller unions the reflexive rows in
-    if (!reachable(dstLabel) && !(allowIdentity && srcLabel == dstLabel))
+    // the caller unions the reflexive rows in. The BFS below then
+    // runs over a statically-EMPTIED edge frame: the label graph
+    // PROVES no chain can connect the endpoints, so the closure is
+    // provably empty — Catalyst folds the false filter to an empty
+    // local relation and no table is ever scanned (the q164 shape:
+    // identity rows only, zero closure cost at any scale).
+    val provablyEmpty = !reachable(dstLabel)
+    if (provablyEmpty && !(allowIdentity && srcLabel == dstLabel))
       throw new CypherBindingException(
         s"unbounded variable-length over '$verb': no chain of '$verb' " +
         s"edges leads from label '$srcLabel' to '$dstLabel' in the " +
@@ -931,11 +937,12 @@ private[cypher] object Reach {
     val idT = if (allIntegral) LongType else StringType
     def tag(l: String, c: org.apache.spark.sql.Column) =
       struct(lit(ordinals(l)).as("l"), c.cast(idT).as("i"))
-    val union = defs.map { e =>
+    val union0 = defs.map { e =>
       catalog.edgeDf(e).select(
         tag(e.fromLabel, col(e.srcIdColumn)).as("__src"),
         tag(e.toLabel, col(e.sinkIdColumn)).as("__dst"))
     }.reduce(_ unionByName _)
+    val union = if (provablyEmpty) union0.where(lit(false)) else union0
     val sNode = catalog.graph.node(srcLabel)
     val dNode = catalog.graph.node(dstLabel)
     def taggedSeeds(alias: Option[String], node: NodeDef,

@@ -5277,14 +5277,21 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |}
         |RETURN count(*) AS n""".stripMargin).head
     assert(r2.getLong(0) == 4L) // Tom + (Tom, Meg, Kevin)
-    // correlated union stays typed
-    intercept[CypherNotSupportedException](rows(
+    // correlated union with aggregating branches (round 15,
+    // VERDICT-r14 #6 — the round-14 rejection is lifted): each branch
+    // zero-fills per invocation before the union; m2 has no reviews,
+    // so its review branch contributes 0
+    val r3 = rows(
       """MATCH (m:Movie)
         |CALL { WITH m
         |  MATCH (p:Person)-[:ACTED_IN]->(m) RETURN count(*) AS c
         |  UNION
         |  MATCH (p:Person)-[:REVIEWED]->(m) RETURN count(*) AS c }
-        |RETURN m.Title AS T, c""".stripMargin))
+        |RETURN m.Title AS T, c ORDER BY T, c""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r3 == Seq(("Apollo 13", 0L), ("Apollo 13", 2L),
+      ("Sleepless in Seattle", 1L), ("Sleepless in Seattle", 2L),
+      ("You've Got Mail", 1L), ("You've Got Mail", 2L)))
   }
 
   test("COLLECT { ... RETURN expr } subquery desugars to a comprehension") {
