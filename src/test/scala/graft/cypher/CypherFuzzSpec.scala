@@ -590,6 +590,130 @@ class CypherFuzzSpec extends AnyFunSuite {
           "ELSE 'out' END AS b FROM person a")
   }
 
+  /** Round-15 surface arm: rel-list variables (size/reduce/lambda),
+    * QPP group variables, SHORTEST k over UNBOUNDED ranges vs an
+    * explicit ranked path union, aggregating CALL UNION branches,
+    * sequential LET + property-only dynamic subscripts, and OPTIONAL
+    * alternation IS NULL — each vs a Spark SQL mirror. */
+  private def genSurface15(rnd: Random): Gen = rnd.nextInt(7) match {
+    case 0 => // rel-list size + reduce over branch lengths
+      val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon",
+        "Rob Reiner", "Jessica Thompson")(rnd.nextInt(5))
+      Gen(
+        s"MATCH (a:Person)-[rs:KNOWS*1..2]->(b:Person) " +
+          s"WHERE a.Name = '$src' RETURN b.Name AS bn, size(rs) AS n, " +
+          "reduce(s = 0, r IN rs | s + r.Since) AS tot",
+        "SELECT b.Name AS bn, 1 AS n, CAST(k1.Since AS BIGINT) AS tot " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          s"JOIN person b ON b.id = k1._sink WHERE a.Name = '$src' " +
+          "UNION ALL " +
+          "SELECT b.Name, 2, CAST(k1.Since AS BIGINT) + k2.Since " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          "JOIN knows k2 ON k2._vertexId = k1._sink " +
+          "AND NOT (k1._vertexId = k2._vertexId AND k1._sink = k2._sink) " +
+          s"JOIN person b ON b.id = k2._sink WHERE a.Name = '$src'")
+    case 1 => // ALL lambda over the rel list filters whole branches
+      val y = 2000 + rnd.nextInt(18)
+      Gen(
+        s"MATCH (a:Person)-[rs:KNOWS*1..2]->(b:Person) " +
+          s"WHERE ALL(r IN rs WHERE r.Since >= $y) " +
+          "RETURN a.Name AS an, b.Name AS bn, size(rs) AS n",
+        "SELECT a.Name AS an, b.Name AS bn, 1 AS n " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          s"JOIN person b ON b.id = k1._sink WHERE k1.Since >= $y " +
+          "UNION ALL " +
+          "SELECT a.Name, b.Name, 2 " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          "JOIN knows k2 ON k2._vertexId = k1._sink " +
+          "AND NOT (k1._vertexId = k2._vertexId AND k1._sink = k2._sink) " +
+          "JOIN person b ON b.id = k2._sink " +
+          s"WHERE k1.Since >= $y AND k2.Since >= $y")
+    case 2 => // QPP group variable: per-path repetition list
+      val (pred, sqlW1, sqlW2) =
+        if (rnd.nextBoolean()) {
+          val y = 2005 + rnd.nextInt(12)
+          (s" WHERE j.Since >= $y", s" WHERE k1.Since >= $y",
+            s" WHERE k1.Since >= $y AND k2.Since >= $y")
+        } else ("", "", "")
+      Gen(
+        s"MATCH (a:Person) ((x)-[j:KNOWS]->(y)$pred){1,2} (b:Person) " +
+          "RETURN a.Name AS an, b.Name AS bn, [h IN j | h.Since] AS ys",
+        "SELECT a.Name AS an, b.Name AS bn, array(k1.Since) AS ys " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          s"JOIN person b ON b.id = k1._sink$sqlW1 " +
+          "UNION ALL " +
+          "SELECT a.Name, b.Name, array(k1.Since, k2.Since) " +
+          "FROM person a JOIN knows k1 ON k1._vertexId = a.id " +
+          "JOIN knows k2 ON k2._vertexId = k1._sink " +
+          "AND NOT (k1._vertexId = k2._vertexId AND k1._sink = k2._sink) " +
+          s"JOIN person b ON b.id = k2._sink$sqlW2")
+    case 3 => // SHORTEST k / ANY k / k GROUPS over an UNBOUNDED range
+      val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon")(rnd.nextInt(3))
+      val (kw, rankFn) = Seq(
+        ("SHORTEST 2", "row_number"), ("ANY 2", "row_number"),
+        ("SHORTEST 2 GROUPS", "dense_rank"))(rnd.nextInt(3))
+      Gen(
+        s"MATCH p = $kw (a:Person)-[:KNOWS*]->(b:Person) " +
+          s"WHERE a.Name = '$src' RETURN b.Name AS bn, length(p) AS l",
+        "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+          "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+          "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a JOIN k b " +
+          "ON b.s = a.d AND NOT(a.s = b.s AND a.d = b.d)), " +
+          "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+          "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d " +
+          "WHERE NOT(a.s = b.s AND a.d = b.d) " +
+          "AND NOT(a.s = c.s AND a.d = c.d) " +
+          "AND NOT(b.s = c.s AND b.d = c.d)), " +
+          "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+          "UNION ALL SELECT * FROM p3), " +
+          s"r AS (SELECT s, d, l, $rankFn() OVER (PARTITION BY s, d " +
+          "ORDER BY l) rk FROM u) " +
+          "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+          "FROM r JOIN person pa ON pa.id = r.s " +
+          "JOIN person pb ON pb.id = r.d " +
+          s"WHERE rk <= 2 AND pa.Name = '$src'")
+    case 4 => // aggregating CALL UNION branches: per-branch zero-fill
+      val vs = rnd.shuffle(Seq(("ACTED_IN", "acted_in"),
+        ("REVIEWED", "reviewed"), ("DIRECTED", "directed"))).take(2)
+      Gen(
+        s"MATCH (p:Person) CALL (p) { " +
+          s"MATCH (p)-[:${vs(0)._1}]->(m:Movie) RETURN count(m) AS n " +
+          s"UNION MATCH (p)-[:${vs(1)._1}]->(m:Movie) " +
+          "RETURN count(m) AS n } RETURN p.Name AS nm, n",
+        s"WITH b1 AS (SELECT p.id AS pid, count(r._sink) AS n " +
+          s"FROM person p LEFT JOIN ${vs(0)._2} r " +
+          "ON r._vertexId = p.id GROUP BY p.id), " +
+          "b2 AS (SELECT p.id AS pid, count(r._sink) AS n " +
+          s"FROM person p LEFT JOIN ${vs(1)._2} r " +
+          "ON r._vertexId = p.id GROUP BY p.id), " +
+          "u AS (SELECT * FROM b1 UNION SELECT * FROM b2) " +
+          "SELECT p.Name AS nm, u.n FROM person p JOIN u ON u.pid = p.id")
+    case 5 => // sequential LET + property-only dynamic subscript
+      val d = 1 + rnd.nextInt(9)
+      val yr = Seq(1956, 1961)(rnd.nextInt(2))
+      Gen(
+        s"MATCH (x:Person)-[k:KNOWS]->(y:Person) " +
+          s"LET a = k.Since + $d, b = a * 2 " +
+          "RETURN y.Name AS yn, b, " +
+          s"k[CASE WHEN y.Born = $yr THEN 'Since' ELSE '_sink' END] AS v",
+        s"SELECT y.Name AS yn, (k.Since + $d) * 2 AS b, " +
+          s"CASE WHEN y.Born = $yr THEN k.Since ELSE NULL END AS v " +
+          "FROM knows k JOIN person x ON x.id = k._vertexId " +
+          "JOIN person y ON y.id = k._sink")
+    case _ => // OPTIONAL MATCH alternation IS [NOT] NULL (null-fill)
+      val not = rnd.nextBoolean()
+      // REVIEWED rows all carry ratings; ACTED_IN lacks the column —
+      // IS NULL counts acted rows, IS NOT NULL counts reviewed rows
+      val t = if (not) "reviewed" else "acted_in"
+      Gen(
+        s"MATCH (p:Person) OPTIONAL MATCH " +
+          "(p)-[r:ACTED_IN|REVIEWED]->(m:Movie) " +
+          s"WHERE r.Rating IS ${if (not) "NOT " else ""}NULL " +
+          "RETURN p.Name AS nm, count(m) AS c",
+        "SELECT p.Name AS nm, (SELECT count(*) FROM " +
+          s"$t r WHERE r._vertexId = p.id) AS c FROM person p")
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -726,6 +850,38 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
       assert(got == exp,
         s"\nseed=${Seed + 4} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
+  }
+
+  test("60 seed-pinned round-15-surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 5)
+    (0 until 60).foreach { i =>
+      val g = genSurface15(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 5} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 5} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 5} i=$i DIVERGED " +
         s"(${got.size} vs ${exp.size} rows)" +
         s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
         s"\ngot:      ${got.take(8).mkString(" ; ")}" +

@@ -392,4 +392,39 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(q =>
       try { Parser.parse(q); () } catch { case _: CypherException => () })
   }
+
+  test("round-15 surface fuzz: rel-list variables, group variables, " +
+      "unbounded selectors") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MATCH (a)-[rs:*1..2]->(b) RETURN rs",
+      "MATCH (a)-[rs:T*1..]->(b) RETURN size(rs) AS n",
+      "MATCH (a)-[rs:T*]->(b) RETURN size(rs) AS n",
+      "MATCH (a)-[rs:T*1..2]->(b)-[rs:T*1..2]->(c) RETURN 1 AS x",
+      "MATCH (rs)-[rs:T*1..2]->(b) RETURN 1 AS x",
+      "MATCH (a)-[__rl:T*1..2]->(b) RETURN 1 AS x",
+      "MATCH (a) ((x)-[r:T]->(y))+ (b) RETURN size(r) AS n",
+      "MATCH (a) ((x)-[r:T]->(y))* (b) RETURN size(r) AS n",
+      "MATCH (a) ((x)-[r:T]->(y)){1,2 (b) RETURN 1 AS x",
+      "MATCH p = SHORTEST 2 (a)-[:T*]->(b) RETURN length(p",
+      "MATCH p = SHORTEST 2 GROUPS (a)-[rs:T*]->(b) RETURN rs",
+      "MATCH (p) CALL (p) { MATCH (p)-[:T]->(m) RETURN count(m) AS n " +
+        "UNION",
+      "MATCH (p) LET a = 1, a = 2 RETURN a",
+      "MATCH (p) LET a = 1, b = RETURN b",
+      "MATCH (p) LET = 1 RETURN 1 AS x")
+    bad.foreach(attemptExt)
+    bad.foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "rs", "[", "]", "*", "1..2", ":T", "SHORTEST", "GROUPS", "ANY",
+      "2", "(", ")", "{", "}", "LET", "=", ",", "size", "reduce",
+      "ALL", "IN", "|", "MATCH", "RETURN", "CALL", "UNION", "count",
+      "-", "->", "p", "a", "AS", ".")).map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+  }
 }
