@@ -2387,6 +2387,51 @@ object SparkEntry {
     //     per composite row). The DuckDB mirror spells out the
     //     within-rep exclusion and all four cross-rep hop-pair
     //     exclusions explicitly.
+    // --- CHAIN group variables (round 15, late): each user-named hop
+    //     of a multi-relationship group binds its own per-path list —
+    //     the composite frame exports per-hop structs, the unroll
+    //     collects them per repetition. Reduced to per-variable span
+    //     sums over the q147 out-in meet (same walk-contract
+    //     exclusions in the mirror).
+    ("q166_chain_group_vars", cyx(
+      """MATCH (a:Nation) ((x)-[j:JUMPS_TO]->(y)<-[k:JUMPS_TO]-(z)){1,2}
+        |      (b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       reduce(s = 0, h IN j | s + h.jump_span) AS js,
+        |       reduce(s = 0, h IN k | s + h.jump_span) AS ks
+        |ORDER BY ak, bk, js, ks""".stripMargin),
+      Some("""WITH nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst,
+             |         1 AS span
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         2
+             |  FROM nation),
+             |e AS (SELECT src, dst, span FROM nj WHERE dst IS NOT NULL),
+             |r AS (SELECT a.src AS x, b.src AS z,
+             |             a.src AS s1, a.dst AS d1,
+             |             b.src AS s2, b.dst AS d2,
+             |             a.span AS sp1, b.span AS sp2
+             |      FROM e a JOIN e b ON a.dst = b.dst
+             |      WHERE a.src <> b.src OR a.dst <> b.dst),
+             |p1 AS (SELECT x AS ak, z AS bk, sp1 AS js, sp2 AS ks FROM r),
+             |p2 AS (SELECT r1.x AS ak, r2.z AS bk,
+             |              r1.sp1 + r2.sp1 AS js, r1.sp2 + r2.sp2 AS ks
+             |       FROM r r1 JOIN r r2 ON r1.z = r2.x
+             |       WHERE (r1.s1 <> r2.s1 OR r1.d1 <> r2.d1)
+             |         AND (r1.s1 <> r2.s2 OR r1.d1 <> r2.d2)
+             |         AND (r1.s2 <> r2.s1 OR r1.d2 <> r2.d1)
+             |         AND (r1.s2 <> r2.s2 OR r1.d2 <> r2.d2))
+             |SELECT ak, bk, CAST(js AS BIGINT) AS js,
+             |       CAST(ks AS BIGINT) AS ks
+             |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |ORDER BY ak, bk, js, ks""".stripMargin)),
+
     ("q147_qpp_edge_unique", cyx(
       """MATCH (a:Nation) ((x)-[j:JUMPS_TO]->(y)<-[k:JUMPS_TO]-(z)){1,2}
         |      (b:Nation)

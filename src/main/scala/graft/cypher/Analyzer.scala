@@ -310,6 +310,41 @@ object Analyzer {
           witnesses += ((lv, (Seq.empty, wr)))
           relListsB += lv
         }
+        // chain-QPP group variables (round 15, late): a composite
+        // chain def carries (group var, struct column) entries —
+        // collect the repetition hop aliases per variable; two
+        // different chains may not share one name
+        locally {
+          val byVar = scala.collection.mutable.LinkedHashMap
+            .empty[String, (String, Vector[String])]
+          pp.rels.foreach { rp =>
+            rp.verb.foreach { v =>
+              schema.edgesByVerb(v).foreach { e =>
+                e.hopLists.foreach { case (gv, _) =>
+                  byVar.get(gv) match {
+                    case Some((v0, as)) if v0 == v =>
+                      byVar(gv) = (v0, as :+ rp.alias.get)
+                    case Some(_) =>
+                      throw new CypherBindingException(
+                        s"group variable '$gv' is bound by two " +
+                        "different quantified groups")
+                    case None =>
+                      byVar(gv) = (v, Vector(rp.alias.get))
+                  }
+                }
+              }
+            }
+          }
+          byVar.foreach { case (gv, (_, wr)) =>
+            if (allNodeAliases(gv) || allRelAliases(gv) ||
+                inherited.contains(gv) || pathSeen(gv) ||
+                !listSeen.add(gv))
+              throw new CypherBindingException(
+                s"group variable '$gv' collides with another variable")
+            witnesses += ((gv, (Seq.empty, wr)))
+            relListsB += gv
+          }
+        }
         pp.pathVar.foreach { pv =>
           // a Reach-made dist rel (`__rd<n>`, shortestPath over an
           // unbounded range) binds the path var to its min-distance

@@ -30,7 +30,7 @@ object Compiler {
     case EdgeBinding(e) =>
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties ++
         e.hopKeys.flatMap(h => Seq(h._2, h._3)) ++
-        e.rowKeyColumn.toSeq).distinct
+        e.hopLists.map(_._2) ++ e.rowKeyColumn.toSeq).distinct
     case ValueBinding => Seq.empty
     case PathBinding  => Seq.empty
   }
@@ -293,11 +293,22 @@ object Compiler {
           val sch = catalog.nodeDf(l).schema
           entityCols(NodeBinding(nd)).map(c => sch(c))
         }, "node label")
-      val rf = merge(edgesByVar.getOrElse(a, Set.empty)
-        .toSeq.sortBy(_.key).map { e =>
-          val sch = catalog.edgeDf(e).schema
-          entityCols(EdgeBinding(e)).map(c => sch(c))
-        }, "relationship type")
+      // chain-QPP group variables (round 15): the element is the
+      // composite's per-hop STRUCT column, not the composite's own
+      // entity columns
+      val chainStruct = edgesByVar.getOrElse(a, Set.empty).toSeq
+        .sortBy(_.key).iterator
+        .flatMap(e => e.hopLists.find(_._1 == a).map { case (_, sc) =>
+          catalog.edgeDf(e).schema(sc).dataType })
+        .toSeq.headOption
+      val rf = chainStruct match {
+        case Some(StructType(fs)) => fs.toSeq
+        case _ => merge(edgesByVar.getOrElse(a, Set.empty)
+          .toSeq.sortBy(_.key).map { e =>
+            val sch = catalog.edgeDf(e).schema
+            entityCols(EdgeBinding(e)).map(c => sch(c))
+          }, "relationship type")
+      }
       if (rf.isEmpty && labelsByVar.get(a).forall(_.isEmpty))
         throw new CypherNotSupportedException(
           s"rel-list variable '$a' over a zero-length-only range " +
@@ -333,7 +344,13 @@ object Compiler {
           (if (wRels.isEmpty) array() // zero-length branch
            else array(wRels.map { ra =>
              val e = m.rels.find(_.alias == ra).get.edge
-             entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
+             // chain-QPP group variables (round 15): the element is
+             // the exported per-hop struct column itself
+             e.hopLists.find(_._1 == a) match {
+               case Some((_, sc)) => col(colName(ra, sc))
+               case None =>
+                 entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
+             }
            }: _*)).cast(canon(rf))
         if (wNodes.isEmpty) {
           // rel-LIST variable (round 15): the array IS the binding —

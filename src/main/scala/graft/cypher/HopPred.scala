@@ -404,11 +404,37 @@ private[cypher] object HopPred {
           col(Compiler.pref(h.relAlias, h.e.sinkIdColumn))
             .as(s"__h${i}_snk"))
     }
+    // chain GROUP VARIABLES (round 15): a USER-NAMED hop exports its
+    // full edge row as a struct column — the per-repetition element
+    // of the group variable's list (an anonymous `__pm<n>` hop stays
+    // predicate-local). Zero lower bounds can't bind (the zero-hop
+    // identity branch has no composite row to read the struct from).
+    val named = hops.zipWithIndex.filter { case (h, _) =>
+      !(h.relAlias.startsWith("__pm") &&
+        h.relAlias.drop(4).forall(_.isDigit))
+    }
+    if (named.nonEmpty && r.varLength.exists(_._1 == 0))
+      throw new CypherNotSupportedException(
+        "a chain group variable with a {0,n} quantifier — the " +
+        "zero-repetition branch has no hop rows to bind; start the " +
+        "quantifier at 1 or drop the hop name")
+    if (named.nonEmpty && r.varLength.exists(_._2 == Parser.Unbounded))
+      throw new CypherNotSupportedException(
+        "binding an UNBOUNDED quantified group's relationship to a " +
+        "group variable — the transitive-reach lowering keeps no " +
+        "per-hop relationship rows; bound the quantifier ({m,n})")
+    val hopStructCols = named.map { case (h, i) =>
+      val eCols = (Seq(h.e.srcIdColumn, h.e.sinkIdColumn) ++
+        h.e.properties).distinct
+      struct(eCols.map(c2 =>
+        col(Compiler.pref(h.relAlias, c2)).as(c2)): _*)
+        .as(s"__h${i}_rel")
+    }
     val composite = filtered.select(
       col(nodeKey(hops.head.left)).as("__src") +:
       col(nodeKey.getOrElse(hops.last.right,
         Compiler.pref(hops.last.relAlias, rightKey(hops.last))))
-        .as("__dst") +: hopKeyCols: _*)
+        .as("__dst") +: (hopKeyCols ++ hopStructCols): _*)
     val id = nameCounter.getAndIncrement()
     val verbs = hops.map(_.e.verb).mkString("_")
     val synthVerb = s"__QC_${id}_$verbs"
@@ -416,7 +442,9 @@ private[cypher] object HopPred {
       rightLabel(hops.last), "__src", "__dst", Seq.empty,
       s"__qc_${id}_$verbs",
       hopKeys = hops.zipWithIndex.map { case (h, i) =>
-        (h.e.key, s"__h${i}_src", s"__h${i}_snk") }), composite))
+        (h.e.key, s"__h${i}_src", s"__h${i}_snk") },
+      hopLists = named.map { case (h, i) =>
+        (h.relAlias, s"__h${i}_rel") }), composite))
     plain.copy(verb = Some(synthVerb), dir = Direction.Out,
       alts = Seq.empty)
   }

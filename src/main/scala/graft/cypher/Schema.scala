@@ -55,6 +55,16 @@ final case class EdgeDef(
       * compiler's inequality conjuncts compare these hop keys instead
       * of the composite (src, dst) row. */
     hopKeys: Seq[((String, String, String), String, String)] = Seq.empty,
+    /** Chain-QPP GROUP VARIABLES (round 15): for a synthetic
+      * composite edge whose user named a hop (`((a)-[r:R]->(b)-[s:S]
+      * ->(c)){m,n}`), one entry per named hop — (group variable name,
+      * composite-frame STRUCT column carrying that hop's full edge
+      * row). The var-length unroll repeats the composite; the
+      * analyzer collects the repetition aliases per group variable
+      * and the compiler materializes `r` as the array of the struct
+      * column across repetitions (task-1 rel-list machinery with a
+      * struct-column element source). Empty for ordinary edges. */
+    hopLists: Seq[(String, String)] = Seq.empty,
     /** Optional per-ROW key column (round 15; VERDICT-r14 #4): a
       * physical column that discriminates PARALLEL rows of this verb
       * on one (src, sink) pair — e.g. a surrogate id or sequence

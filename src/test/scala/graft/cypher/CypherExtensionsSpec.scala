@@ -2374,13 +2374,28 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getInt(1)))
     assert(r0 == Seq(("Meg Ryan", 1), ("Rob Reiner", 1),
       ("Tom Hanks", 0)))
-    // unbounded quantifiers stay typed; chain hop names stay
-    // predicate-local (referencing one outside is unknown)
+    // unbounded quantifiers stay typed
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person) ((x)-[r:KNOWS]->(y))+ (b:Person) " +
       "RETURN size(r) AS n"))
-    intercept[CypherBindingException](rows(
+    // MULTI-relationship chains bind EACH user-named hop as its own
+    // group variable (round 15, late): the composite frame exports a
+    // per-hop struct column, the unroll collects it per repetition —
+    // here the out-in meet's two survivors carry one element each
+    val ch = rows(
       """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z)){1,1}
+        |(b:Person) RETURN a.Name AS an, [h IN r | h.Since] AS rs,
+        |       [h IN s | h.Since] AS ss ORDER BY an""".stripMargin)
+      .map(x => (x.getString(0), x.getSeq[Int](1), x.getSeq[Int](2)))
+    assert(ch == Seq(("Kevin Bacon", Seq(2020), Seq(1999)),
+      ("Tom Hanks", Seq(1999), Seq(2020))))
+    // chain group variables need a 1+ lower bound and a bounded
+    // quantifier (the zero branch / reach lowering keep no hop rows)
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z)){0,1}
+        |(b:Person) RETURN size(r) AS n""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z))+
         |(b:Person) RETURN size(r) AS n""".stripMargin))
   }
 
