@@ -2399,6 +2399,58 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |(b:Person) RETURN size(r) AS n""".stripMargin))
   }
 
+  test("rel-list variables compose: shortest forms, DISTINCT, " +
+      "comprehensions, EXISTS (round 15)") {
+    // shortestPath carries THE REDUCED ROW's list (the min-struct
+    // rides (len, witnesses, rs)): Tom→Rob minimal is the 1999
+    // shortcut, so rs = [1999], never the 3-hop chain's list
+    val sp = rows(
+      """MATCH p = shortestPath((a:Person)-[rs:KNOWS*1..3]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l, [r IN rs | r.Since] AS ys""".stripMargin)
+      .map(x => (x.getLong(0), x.getSeq[Int](1)))
+    assert(sp == Seq((1L, Seq(1999))))
+    // SHORTEST 2 keeps each kept row's OWN list
+    val s2 = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[rs:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l, [r IN rs | r.Since] AS ys
+        |ORDER BY l""".stripMargin)
+      .map(x => (x.getLong(0), x.getSeq[Int](1)))
+    assert(s2 == Seq((1L, Seq(1999)), (3L, Seq(2010, 2015, 2020))))
+    // WITH DISTINCT dedupes whole LISTS (all 6 branch lists distinct)
+    val du = rows(
+      """MATCH (a:Person)-[rs:KNOWS*1..2]->(b:Person)
+        |WITH DISTINCT rs
+        |UNWIND rs AS r RETURN r.Since AS y ORDER BY y""".stripMargin)
+      .map(_.getInt(0))
+    assert(du == Seq(1999, 2010, 2010, 2015, 2015, 2015, 2020, 2020))
+    // implicit grouping BY the list's size; pattern-comp interior
+    val gp = rows(
+      """MATCH (a:Person)-[rs:KNOWS*1..2]->(b:Person)
+        |RETURN size(rs) AS n, count(*) AS c ORDER BY n""".stripMargin)
+      .map(x => (x.getInt(0), x.getLong(1)))
+    assert(gp == Seq((1, 4L), (2, 2L)))
+    val pc = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN [(a)-[rs:KNOWS*1..2]->(b:Person) | size(rs)] AS ls"""
+        .stripMargin).head.getSeq[Int](0).sorted
+    assert(pc == Seq(1, 1, 2))
+    // EXISTS interior binds (and discards) the list
+    val ex = rows(
+      """MATCH (a:Person)
+        |WHERE EXISTS { (a)-[rs:KNOWS*2..2]->(b:Person) }
+        |RETURN a.Name AS nm ORDER BY nm""".stripMargin)
+      .map(_.getString(0))
+    assert(ex == Seq("Meg Ryan", "Tom Hanks"))
+    // size(rs) always agrees with size(relationships(p))
+    val ag = rows(
+      """MATCH p = (a:Person)-[rs:KNOWS*1..2]->(b:Person)
+        |RETURN size(rs) = size(relationships(p)) AS agree"""
+        .stripMargin).map(_.getBoolean(0))
+    assert(ag.size == 6 && ag.forall(identity))
+  }
+
   test("named path over [*1..2]: per-branch lengths survive the union") {
     val r = rows(
       """MATCH p = (a:Person)-[:FOLLOWS*1..2]->(b:Person)
