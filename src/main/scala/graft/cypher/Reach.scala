@@ -414,7 +414,7 @@ private[cypher] object Reach {
     * a DAG (bound the range [*lo..hi] for exact trail semantics on
     * cyclic graphs). Rounds = the longest chain; each round is one
     * slim semi-join. */
-  private def requireDag(e: DataFrame, what: String): Unit = {
+  private def isDag(e: DataFrame, what: String): Boolean = {
     var cur = e
     var n = cur.count()
     var rounds = 0
@@ -427,14 +427,34 @@ private[cypher] object Reach {
         cur.select(col("__dst").as("__s2")).distinct(),
         col("__src") === col("__s2"), "left_semi").localCheckpoint(false)
       val n2 = next.count()
-      if (n2 == n)
+      if (n2 == n) return false
+      cur = next; n = n2
+    }
+    true
+  }
+
+  /** DAG requirement for the k-level σ DP: cheap whole-graph Kahn
+    * peel first (free pass on the common acyclic case); when a cycle
+    * exists, narrow to the anchor's REACHABLE CONE — a cycle the DP
+    * never walks must not reject the query — via one set-closure from
+    * the seeds, and only reject if the cone itself is cyclic. */
+  private def requireDag(e: DataFrame, sd: DataFrame,
+      what: String): Unit =
+    if (!isDag(e, what)) {
+      val cone = reachablePairs(e, "__src", "__dst", seeds = Some(sd))
+        .select(col("__dst").as("__cn")).distinct()
+      val coneEdges = e.join(cone, col("__src") === col("__cn"),
+          "left_semi")
+        .unionByName(e.join(
+          sd.select(col(sd.columns.head).as("__cn")).distinct(),
+          col("__src") === col("__cn"), "left_semi"))
+        .distinct().localCheckpoint(false)
+      if (!isDag(coneEdges, what))
         throw new GraphContractViolation(
           s"$what over a CYCLIC graph — the k-level lowering counts " +
           "walks, which revisit edges beyond the minimal length; " +
           "bound the range [*lo..hi] for exact trail semantics")
-      cur = next; n = n2
     }
-  }
 
   /** k-level reach (round 15; VERDICT-r14 #2 — `SHORTEST k` /
     * `SHORTEST k GROUPS` / `ANY k`, k > 1, over an UNBOUNDED range):
@@ -457,9 +477,9 @@ private[cypher] object Reach {
       .distinct().localCheckpoint(false)
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
       .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
-    requireDag(e, s"a k > 1 path selector (${kind.toUpperCase} $k)")
     val sd = seeds.select(col(seeds.columns.head).as("__src"))
       .where(col("__src").isNotNull).distinct().localCheckpoint(false)
+    requireDag(e, sd, s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = e.join(sd, Seq("__src"), "left_semi")
       .withColumn("__sig", lit(1L)).localCheckpoint(false)
     var levels = frontier.withColumn("__dist", lit(1L))

@@ -1239,11 +1239,15 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
         |RETURN length(p) AS l""".stripMargin))
-    // a CYCLIC graph stays typed (walk vs trail divergence)
+    // a CYCLIC anchored cone stays typed (walk vs trail divergence);
+    // a cycle OUTSIDE the anchor's reachable cone must NOT reject
+    // (the DP never walks it)
     locally {
       import spark.implicits._
       val base = MovieFixture.catalog(spark)
-      val cyc = Seq(("p1", "p2", 2010), ("p2", "p1", 2011))
+      // Tom's cone: p1→p2→p3 (acyclic); p4⇄p5 is a detached cycle
+      val cyc = Seq(("p1", "p2", 2010), ("p2", "p3", 2015),
+        ("p4", "p5", 2020), ("p5", "p4", 2021))
         .toDF("_vertexId", "_sink", "Since")
       val cat = new GraphCatalog(MovieFixture.schema, {
         case "knows"  => cyc
@@ -1251,9 +1255,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
         case other    => throw new IllegalArgumentException(other)
       })
       val s = new CypherSession(spark, cat).extended
-      val e = intercept[Exception](s.run(
+      val ok = s.run(
         """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
           |WHERE a.Name = 'Tom Hanks'
+          |RETURN b.Name AS bn, length(p) AS l ORDER BY bn"""
+          .stripMargin).collect()
+        .map(x => (x.getString(0), x.getLong(1)))
+      assert(ok.toSeq == Seq(("Kevin Bacon", 2L), ("Meg Ryan", 1L)))
+      // anchoring INSIDE the cycle rejects
+      val e = intercept[Exception](s.run(
+        """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Rob Reiner'
           |RETURN length(p) AS l""".stripMargin).collect())
       assert(e.getMessage.contains("CYCLIC"))
     }
