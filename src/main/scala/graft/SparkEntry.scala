@@ -2387,6 +2387,37 @@ object SparkEntry {
     //     per composite row). The DuckDB mirror spells out the
     //     within-rep exclusion and all four cross-rep hop-pair
     //     exclusions explicitly.
+    // --- group NODE variables (round 15, late): x / y of a
+    //     single-rel quantified group bind the per-repetition
+    //     left/right node lists (GQL's full group-variable surface) —
+    //     reduced to id sums over the span-1 unit chain; the L = 2
+    //     arm's interior appears in BOTH lists (the juncture).
+    ("q167_qpp_node_group_vars", cyx(
+      """MATCH (a:Nation)
+        |  ((x)-[j:JUMPS_TO]->(y) WHERE j.jump_span = 1){1,2}
+        |  (b:Nation)
+        |WHERE a.n_nationkey <= 10
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       reduce(s = 0, n IN x | s + n.n_nationkey) AS xsum,
+        |       reduce(s = 0, n IN y | s + n.n_nationkey) AS ysum
+        |ORDER BY ak, bk, xsum""".stripMargin),
+      Some("""WITH chain AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |c2 AS (SELECT * FROM chain WHERE dst IS NOT NULL),
+             |p1 AS (SELECT src AS ak, dst AS bk,
+             |              src AS xsum, dst AS ysum FROM c2),
+             |p2 AS (SELECT a.src AS ak, b.dst AS bk,
+             |              a.src + a.dst AS xsum, a.dst + b.dst AS ysum
+             |       FROM c2 a JOIN c2 b ON b.src = a.dst)
+             |SELECT ak, bk, CAST(xsum AS BIGINT) AS xsum,
+             |       CAST(ysum AS BIGINT) AS ysum
+             |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+             |WHERE ak <= 10
+             |ORDER BY ak, bk, xsum""".stripMargin)),
+
     // --- CHAIN group variables (round 15, late): each user-named hop
     //     of a multi-relationship group binds its own per-path list —
     //     the composite frame exports per-hop structs, the unroll

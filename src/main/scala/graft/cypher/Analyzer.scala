@@ -59,7 +59,11 @@ object Analyzer {
       /** Rel-list variable names of this clause (round 15) — the
        *  pathWitness keys above that bind a relationship LIST value
        *  rather than a named path. */
-      relLists: Seq[String] = Seq.empty)
+      relLists: Seq[String] = Seq.empty,
+      /** Group NODE variable names (round 15, late) — pathWitness
+       *  keys binding a node LIST value (per-repetition endpoints of
+       *  a single-rel quantified group). */
+      nodeLists: Seq[String] = Seq.empty)
 
   private final class AliasGen {
     private var n = 0
@@ -292,6 +296,7 @@ object Analyzer {
       val paths = Vector.newBuilder[(String, Either[Int, String])]
       val witnesses = Map.newBuilder[String, (Seq[String], Seq[String])]
       val relListsB = Vector.newBuilder[String]
+      val nodeListsB = Vector.newBuilder[String]
 
       nm.parts.foreach { pp =>
         // rel-LIST variables (round 15): the var-length expansion
@@ -309,6 +314,27 @@ object Analyzer {
             .map(_.alias.get)
           witnesses += ((lv, (Seq.empty, wr)))
           relListsB += lv
+        }
+        // group NODE variables (round 15, late): the expansion stamped
+        // the hop copies with the group's endpoint names — collect the
+        // hop's left/right node aliases per variable into a NODE-only
+        // witness entry (empty on the zero branch)
+        Seq(true, false).foreach { isSrc =>
+          val get: RelPat => Option[String] =
+            if (isSrc) _.srcListAlias else _.dstListAlias
+          pp.rels.flatMap(get(_)).distinct.foreach { nv =>
+            if (allNodeAliases(nv) || allRelAliases(nv) ||
+                inherited.contains(nv) || pathSeen(nv) ||
+                !listSeen.add(nv))
+              throw new CypherBindingException(
+                s"group variable '$nv' collides with another variable")
+            val wn = pp.rels.indices
+              .filter(i => get(pp.rels(i)).contains(nv) &&
+                !pp.rels(i).verb.exists(VarLength.isZeroHop))
+              .map(i => pp.nodes(if (isSrc) i else i + 1).alias.get)
+            witnesses += ((nv, (wn, Seq.empty)))
+            nodeListsB += nv
+          }
         }
         // chain-QPP group variables (round 15, late): a composite
         // chain def carries (group var, struct column) entries —
@@ -431,7 +457,7 @@ object Analyzer {
         .reduceOption(Bin(BinOp.And, _, _))
       ResolvedMatch(nodeLabels.toMap, nodeOrder.result().distinct, rs,
         nm.m.optional, where, pairs, paths.result(), witnesses.result(),
-        relListsB.result())
+        relListsB.result(), nodeListsB.result())
     }
   }
 

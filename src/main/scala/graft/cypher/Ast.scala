@@ -268,7 +268,17 @@ object ast {
        *  None on fixed-length rels and on the per-hop-WHERE form
        *  (there the alias names one traversed hop instead —
        *  the round-10 extension contract). */
-                          listAlias: Option[String] = None)
+                          listAlias: Option[String] = None,
+      /** GQL group NODE variables (round 15, late): for a
+       *  single-relationship quantified group `((x)-[r:R]->(y)){m,n}`
+       *  with USER-NAMED endpoints, `x`/`y` bind the per-path lists
+       *  of the repetitions' left/right nodes — the same two-level
+       *  contract as the rel group variable (inside the group
+       *  predicate the names are per-repetition). Ride the hop copies
+       *  like [[listAlias]]; the analyzer collects the hop endpoint
+       *  node aliases per branch into node-only witness entries. */
+                          srcListAlias: Option[String] = None,
+                          dstListAlias: Option[String] = None)
   /** Linear pattern: nodes.size == rels.size + 1. `pathVar` names the
    *  pattern's path (`p = (...)`) — a flagged EXTENSION (the reference
    *  rejects named paths, CypherVisitor.cs:998-1002) supporting exactly

@@ -257,7 +257,8 @@ object Compiler {
     // vars an enclosing branch union already shaped over ALL branches
     // (a single branch re-deriving one here could see only the
     // zero-length slice).
-    val need = (need0 ++ resolved.flatMap(_.relLists)) -- exclude
+    val need = (need0 ++ resolved.flatMap(_.relLists) ++
+      resolved.flatMap(_.nodeLists)) -- exclude
     if (need.isEmpty) return Map.empty
     val labelsByVar = scala.collection.mutable.Map[String, Set[String]]()
     val edgesByVar  = scala.collection.mutable.Map[String, Set[EdgeDef]]()
@@ -311,7 +312,7 @@ object Compiler {
       }
       if (rf.isEmpty && labelsByVar.get(a).forall(_.isEmpty))
         throw new CypherNotSupportedException(
-          s"rel-list variable '$a' over a zero-length-only range " +
+          s"list variable '$a' over a zero-length-only range " +
           "([*0..0]) — the empty list has no element type; widen the " +
           "range or drop the variable")
       a -> (nf, rf)
@@ -352,7 +353,18 @@ object Compiler {
                  entStruct(rf, ra, entityCols(EdgeBinding(e)).toSet)
              }
            }: _*)).cast(canon(rf))
-        if (wNodes.isEmpty) {
+        if (m.nodeLists.contains(a)) {
+          // group NODE variable (round 15, late): array of the
+          // repetitions' endpoint node structs, under the variable's
+          // own column name
+          val nodeArr =
+            (if (wNodes.isEmpty) array() // zero-repetition branch
+             else array(wNodes.map { na =>
+               val nd = schema.node(m.nodeLabels(na))
+               entStruct(nf, na, entityCols(NodeBinding(nd)).toSet)
+             }: _*)).cast(canon(nf))
+          df = df.withColumn(a, nodeArr)
+        } else if (wNodes.isEmpty) {
           // rel-LIST variable (round 15): the array IS the binding —
           // materialize it under the variable's own column name (the
           // value convention), no node face
@@ -473,9 +485,10 @@ object Compiler {
         // through the accessors (witnessVars), so length-only paths
         // stay one BIGINT column.
         df = materializeWitnesses(df, m, shapes, schema)
-        // rel-LIST variables (round 15): the materialized array column
-        // carries the variable's own name — bind it as a VALUE
-        m.relLists.foreach(lv => scope = scope + (lv -> ValueBinding))
+        // rel-LIST / group-node variables (round 15): the materialized
+        // array column carries the variable's own name — bind as VALUE
+        (m.relLists ++ m.nodeLists).foreach(lv =>
+          scope = scope + (lv -> ValueBinding))
         m.inequalityPairs.foreach(p => df = df.filter(inequalityCond(p)))
         m.where.foreach { w =>
           val (existsConjs, residual) = splitExistsConjuncts(w)
@@ -549,7 +562,8 @@ object Compiler {
         }
         val combinedScope = scope ++ newEntities ++
           m.pathVars.map { case (a, _) => a -> (PathBinding: Binding) } ++
-          m.relLists.map(lv => lv -> (ValueBinding: Binding))
+          (m.relLists ++ m.nodeLists).map(lv =>
+            lv -> (ValueBinding: Binding))
         // [NOT] EXISTS conjuncts in an OPTIONAL MATCH WHERE (round
         // 11): Cypher's WHERE applies BEFORE the left join. An
         // existential correlating only through the clause's OWN
@@ -590,7 +604,8 @@ object Compiler {
               newEntities.toMap ++
                 m.pathVars.map { case (a, _) =>
                   a -> (PathBinding: Binding) } ++
-                m.relLists.map(lv => lv -> (ValueBinding: Binding))
+                (m.relLists ++ m.nodeLists).map(lv =>
+                  lv -> (ValueBinding: Binding))
             optFiltered = existsJoin(optFiltered, optScope, ep, negated,
               catalog)
           }
@@ -3356,7 +3371,8 @@ object Compiler {
     // selector reductions; they ride (and order ties) exactly as
     // witnesses do
     val relListCols: Seq[String] = resolvedBranches.flatMap(_._2)
-      .flatMap(_.relLists).distinct.filter(cols.contains)
+      .flatMap(rm => rm.relLists ++ rm.nodeLists).distinct
+      .filter(cols.contains)
     // deferred mixed-presence WHERE conjuncts: compiled over the merged
     // scope's null-filled union namespace (IS NULL keeps the branch
     // lacking the property; ordinary comparisons null-filter it —
@@ -3672,7 +3688,8 @@ object Compiler {
         }
         compiled += Br(Ctx(withKeys, newEntities.toMap ++
           rm.pathVars.map { case (a, _) => a -> (PathBinding: Binding) } ++
-          rm.relLists.map(lv => lv -> (ValueBinding: Binding))),
+          (rm.relLists ++ rm.nodeLists).map(lv =>
+            lv -> (ValueBinding: Binding))),
           boundary.map(_._2), boundary.map(_._1))
       } catch {
         case e: CypherBindingException =>

@@ -404,25 +404,22 @@ private[cypher] object HopPred {
           col(Compiler.pref(h.relAlias, h.e.sinkIdColumn))
             .as(s"__h${i}_snk"))
     }
-    // chain GROUP VARIABLES (round 15): a USER-NAMED hop exports its
-    // full edge row as a struct column — the per-repetition element
-    // of the group variable's list (an anonymous `__pm<n>` hop stays
-    // predicate-local). Zero lower bounds can't bind (the zero-hop
-    // identity branch has no composite row to read the struct from).
-    val named = hops.zipWithIndex.filter { case (h, _) =>
-      !(h.relAlias.startsWith("__pm") &&
-        h.relAlias.drop(4).forall(_.isDigit))
-    }
-    if (named.nonEmpty && r.varLength.exists(_._1 == 0))
-      throw new CypherNotSupportedException(
-        "a chain group variable with a {0,n} quantifier — the " +
-        "zero-repetition branch has no hop rows to bind; start the " +
-        "quantifier at 1 or drop the hop name")
-    if (named.nonEmpty && r.varLength.exists(_._2 == Parser.Unbounded))
-      throw new CypherNotSupportedException(
-        "binding an UNBOUNDED quantified group's relationship to a " +
-        "group variable — the transitive-reach lowering keeps no " +
-        "per-hop relationship rows; bound the quantifier ({m,n})")
+    // chain GROUP VARIABLES (round 15): a USER-NAMED hop of a BOUNDED
+    // 1+-quantified chain exports its full edge row as a struct
+    // column — the per-repetition element of the group variable's
+    // list (an anonymous `__pm<n>` hop stays predicate-local). Under
+    // an unbounded or zero-lower-bound quantifier the names stay
+    // PREDICATE-LOCAL instead (the reach lowering / zero-hop identity
+    // branch keep no hop rows to read the struct from — reading one
+    // outside is then the ordinary unknown-variable error).
+    val bindable = r.varLength.exists { case (lo, hi) =>
+      lo >= 1 && hi != Parser.Unbounded }
+    val named =
+      if (!bindable) Seq.empty
+      else hops.zipWithIndex.filter { case (h, _) =>
+        !(h.relAlias.startsWith("__pm") &&
+          h.relAlias.drop(4).forall(_.isDigit))
+      }
     val hopStructCols = named.map { case (h, i) =>
       val eCols = (Seq(h.e.srcIdColumn, h.e.sinkIdColumn) ++
         h.e.properties).distinct

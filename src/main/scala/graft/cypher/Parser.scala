@@ -1624,25 +1624,25 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       notSupported("undirected relationship inside a " +
         "multi-relationship quantified path pattern group — give " +
         "every hop a direction")
-    // GQL group variable (round 15, VERDICT-r14 #8): a USER-NAMED rel
-    // of a SINGLE-relationship group binds the per-path list of its
-    // repetitions' relationships — task 1's rel-list machinery over
-    // the (possibly predicate-filtered) hop frame. Inside the group
-    // predicate the same name is the per-repetition iteration
-    // variable, GQL's two-level reading. Multi-rel chains keep their
-    // hop names predicate-local (the composite frame compresses the
-    // hops away); unbounded quantifiers can't bind a list (the reach
-    // lowering keeps no per-hop rows).
-    if (rel.alias.isDefined && tail.isEmpty && hi == Parser.Unbounded)
-      notSupported("binding an UNBOUNDED quantified group's " +
-        "relationship to a group variable — the transitive-reach " +
-        "lowering keeps no per-hop relationship rows; bound the " +
-        "quantifier ({m,n})")
+    // GQL group variables (round 15, VERDICT-r14 #8 + late): the
+    // USER-NAMED rel and endpoints of a SINGLE-relationship group
+    // bind per-path lists of the repetitions' relationships / nodes —
+    // task 1's list machinery over the (possibly predicate-filtered)
+    // hop frame. Inside the group predicate the same names are the
+    // per-repetition iteration variables, GQL's two-level reading.
+    // UNBOUNDED quantifiers keep the names PREDICATE-LOCAL instead of
+    // binding (the transitive-reach lowering keeps no per-hop rows —
+    // reading one outside is then the ordinary unknown-variable
+    // error); multi-rel chains bind their named hops through the
+    // composite's exported structs (HopPred.rewriteQppChain).
+    val bindable = tail.isEmpty && hi != Parser.Unbounded
     RelPat(None, rel.verb, rel.dir, varLength = Some((lo, hi)),
       alts = rel.alts,
       qpp = Some(QppSpec(aA, rA, bA, lblOf(a), lblOf(b),
         andAll(groupWhere, inline), tail)),
-      listAlias = if (tail.isEmpty) rel.alias else None)
+      listAlias = if (bindable) rel.alias else None,
+      srcListAlias = if (bindable) a.alias else None,
+      dstListAlias = if (bindable) b.alias else None)
   }
 
   /** Parses one relationship pattern if the next tokens start one. */

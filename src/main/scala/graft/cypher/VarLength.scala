@@ -169,6 +169,7 @@ object VarLength {
     // branch still binds it — to the EMPTY relationship list
     Some(expandPart(pp.copy(rels = pp.rels.updated(i,
       RelPat(None, Some(marker), Direction.Out,
-        listAlias = r.listAlias))), graph, zeros))
+        listAlias = r.listAlias, srcListAlias = r.srcListAlias,
+        dstListAlias = r.dstListAlias))), graph, zeros))
   }
 }

@@ -2386,8 +2386,37 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getInt(1)))
     assert(r0 == Seq(("Meg Ryan", 1), ("Rob Reiner", 1),
       ("Tom Hanks", 0)))
-    // unbounded quantifiers stay typed
-    intercept[CypherNotSupportedException](rows(
+    // group NODE variables (round 15, late): x / y bind the
+    // per-repetition LEFT / RIGHT node lists — GQL's full
+    // group-variable surface; x(i+1) = y(i) (the juncture)
+    val nv = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)){1,2} (b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, [n IN x | n.Name] AS xs,
+        |       [n IN y | n.Name] AS ys ORDER BY bn, xs""".stripMargin)
+      .map(q => (q.getString(0), q.getSeq[String](1), q.getSeq[String](2)))
+    assert(nv == Seq(
+      ("Kevin Bacon", Seq("Tom Hanks", "Meg Ryan"),
+        Seq("Meg Ryan", "Kevin Bacon")),
+      ("Meg Ryan", Seq("Tom Hanks"), Seq("Meg Ryan")),
+      ("Rob Reiner", Seq("Tom Hanks"), Seq("Rob Reiner"))))
+    // zero branch: empty node lists alongside the empty rel list
+    val nv0 = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y)){0,1} (b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Tom Hanks'
+        |RETURN size(x) AS nx, size(y) AS ny, size(r) AS nr"""
+        .stripMargin).head
+    assert((nv0.getInt(0), nv0.getInt(1), nv0.getInt(2)) == (0, 0, 0))
+    // UNBOUNDED quantifiers keep group names PREDICATE-LOCAL: the
+    // per-repetition predicate still reads them, binding one outside
+    // is the ordinary unknown-variable error (no per-hop rows exist)
+    val ub = rows(
+      """MATCH (a:Person) ((x)-[r:KNOWS]->(y) WHERE r.Since >= 2010)+
+        |(b:Person) WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn ORDER BY bn""".stripMargin)
+      .map(_.getString(0))
+    assert(ub == Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner"))
+    intercept[CypherBindingException](rows(
       "MATCH (a:Person) ((x)-[r:KNOWS]->(y))+ (b:Person) " +
       "RETURN size(r) AS n"))
     // MULTI-relationship chains bind EACH user-named hop as its own
@@ -2401,12 +2430,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getSeq[Int](1), x.getSeq[Int](2)))
     assert(ch == Seq(("Kevin Bacon", Seq(2020), Seq(1999)),
       ("Tom Hanks", Seq(1999), Seq(2020))))
-    // chain group variables need a 1+ lower bound and a bounded
-    // quantifier (the zero branch / reach lowering keep no hop rows)
-    intercept[CypherNotSupportedException](rows(
+    // chain group variables bind only under a BOUNDED 1+ quantifier
+    // (the zero branch / reach lowering keep no hop rows) — names
+    // stay predicate-local otherwise, so reading one outside is the
+    // ordinary unknown-variable error
+    intercept[CypherBindingException](rows(
       """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z)){0,1}
         |(b:Person) RETURN size(r) AS n""".stripMargin))
-    intercept[CypherNotSupportedException](rows(
+    intercept[CypherBindingException](rows(
       """MATCH (a:Person) ((x)-[r:KNOWS]->(y)<-[s:KNOWS]-(z))+
         |(b:Person) RETURN size(r) AS n""".stripMargin))
   }
