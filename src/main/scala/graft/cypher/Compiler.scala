@@ -2388,13 +2388,24 @@ object Compiler {
             throw new CypherBindingException(
               s"SET may not reassign endpoint column '$p2' — " +
               "relationship identity is the (src, snk) pair")
+          if (e.rowKeyColumn.contains(p2))
+            throw new CypherBindingException(
+              s"SET may not reassign row-key column '$p2' — it " +
+              "discriminates parallel rows (per-row relationship " +
+              "identity)")
           if (!e.properties.contains(p2)) throw new CypherBindingException(
             s"SET: relationship '${e.verb}' has no declared property '$p2'")
         }
-        (Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e),
+        // a declared rowKeyColumn joins the op key (round 16; ADVICE
+        // r15 #1): each parallel sibling is then individually
+        // addressable, so SET over one WHERE-matched sibling touches
+        // exactly that row — no duplicate guard needed
+        (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.rowKeyColumn,
+          catalog.edgeDf(e),
           entityCols(b),
           expand(e.properties.filterNot(p2 =>
-            p2 == e.srcIdColumn || p2 == e.sinkIdColumn)))
+            p2 == e.srcIdColumn || p2 == e.sinkIdColumn ||
+              e.rowKeyColumn.contains(p2))))
       case _ => throw new CypherBindingException(
         s"SET target '${s.alias}' must be a node or relationship variable")
     }
@@ -2490,45 +2501,34 @@ object Compiler {
     // branch and the untouched anti-join; their different column
     // pruning defeats ReuseExchange, so materialize once at first
     // action (no compile-time job)
-    // pair-duplicate guard (round 14, folded round 15 per VERDICT-r14
-    // #3): a map-keyed MERGE can leave PARALLEL rows on one (src, snk)
-    // pair; a pair-keyed SET would winner-dedup the match and silently
-    // DROP the sibling from the new snapshot — fail at execution
-    // instead, telling the caller to address one row via its
-    // discriminating property. The detector rides the SAME winner-
-    // dedup aggregation the path already runs (count of DISTINCT
-    // matched edge tuples per pair — legitimate feed multiplicity
-    // from other pattern parts repeats the SAME tuple, so it counts
-    // 1), costing zero extra passes where round 14 re-scanned the
-    // snapshot semi-filtered. Narrower by construction: a sibling the
-    // WHERE filtered out of the match, or byte-identical sibling
-    // rows, pass undetected (the former is un-addressable without the
-    // snapshot re-scan this fold removes; the latter winner-dedups to
-    // an identical row).
-    // the sibling detector only needs the edge's NON-KEY columns (the
-    // keys are the groupBy keys — constant per group); a propertyless
-    // edge skips the guard (no discriminating property exists, so
-    // identical siblings winner-dedup to an identical row)
-    val ownPrefs = outCols.map(p2 => pref(alias, p2))
-      .filterNot(keyPrefs.contains)
-    val guarded =
-      keyCols.size >= 2 && others.nonEmpty && ownPrefs.nonEmpty
-    val feedW =
-      (if (others.isEmpty) feed.distinct()
-      else if (!guarded)
+    // pair-duplicate guard (round 14, snapshot-side check restored
+    // round 16 per ADVICE-r15 #1): a map-keyed MERGE can leave
+    // PARALLEL rows on one (src, snk) pair; a pair-keyed SET would
+    // winner-dedup the match and silently DROP the sibling from the
+    // new snapshot — fail at execution instead, telling the caller to
+    // address one row via its discriminating property. The round-15
+    // feed-only fold missed the core case (a WHERE matching ONE of
+    // two siblings leaves a single-tuple feed, yet the pair-keyed
+    // anti-join still drops BOTH snapshot rows), so the detector
+    // inspects the SNAPSHOT semi-filtered to the matched keys — one
+    // partial min≠max agg over a report-sized slice, byte-identical
+    // siblings still pass (they winner-dedup to an identical row).
+    // An edge with a declared rowKeyColumn skips the guard entirely:
+    // the row key is part of keyCols, so every sibling is its own
+    // key group and one matched sibling updates exactly one row.
+    val snapProps = outCols.filterNot(keyCols.contains)
+    val feedW0 =
+      if (others.isEmpty) feed.distinct()
+      else
         feed.groupBy(keyPrefs.map(col): _*)
           .agg(max(struct(others.map(col): _*)).as("__w"))
           .select(keyPrefs.map(col) ++
             others.map(cn => col("__w").getField(cn).as(cn)): _*)
-      else sibAssert(
-        feed.groupBy(keyPrefs.map(col): _*)
-          .agg(max(struct(others.map(col): _*)).as("__w"),
-            (min(struct(ownPrefs.map(col): _*)) =!=
-              max(struct(ownPrefs.map(col): _*))).as("__sib"))
-          .select(keyPrefs.map(col) ++
-            others.map(cn => col("__w").getField(cn).as(cn)) :+
-            col("__sib"): _*),
-        keyPrefs, "SET")).localCheckpoint(false)
+    val feedW =
+      (if (keyCols.size == 2 && snapProps.nonEmpty)
+        pairDupGuard(feedW0, keyPrefs, keyCols, snapshot, snapProps,
+          "SET")
+      else feedW0).localCheckpoint(false)
     val guardedFeed = feedW
     val ec = new ExprCompiler(c.scope, feedW)
     val aMap: Map[String, Column] =
@@ -2575,7 +2575,10 @@ object Compiler {
           "DELETE queries")
         (Seq(n.idColumn), catalog.nodeDf(n.label))
       case EdgeBinding(e) =>
-        (Seq(e.srcIdColumn, e.sinkIdColumn), catalog.edgeDf(e))
+        // the declared rowKeyColumn joins the delete key (round 16):
+        // one matched sibling deletes exactly one snapshot row
+        (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.rowKeyColumn,
+          catalog.edgeDf(e))
       case _ => throw new CypherBindingException(
         s"DELETE target '${d.alias}' must be a node or relationship " +
         "variable")
@@ -2607,56 +2610,62 @@ object Compiler {
       snapshot: DataFrame, outCols: Seq[String]): DataFrame = {
     val keyPrefs = keyCols.map(k => pref(alias, k))
     val nn = c.df.where(keyPrefs.map(col(_).isNotNull).reduce(_ && _))
-    // pair-duplicate guard (round 14, folded round 15 per VERDICT-r14
-    // #3): a pair-keyed DELETE over a pair the map-keyed MERGE
-    // duplicated would remove BOTH parallel rows even when the match
-    // addressed one — fail at execution instead (setSnapshot's
-    // reasoning and the same fold: the detector rides the key-dedup
-    // aggregation the path already runs, distinct-counting matched
-    // edge tuples per pair — no snapshot re-scan)
+    // pair-duplicate guard (round 14, snapshot-side check restored
+    // round 16 per ADVICE-r15 #1): a pair-keyed DELETE over a pair
+    // the map-keyed MERGE duplicated would remove BOTH parallel rows
+    // even when the match addressed one — fail at execution instead
+    // (setSnapshot's reasoning: the detector must read the SNAPSHOT,
+    // not the feed, or a WHERE matching one sibling slips through).
+    // A declared rowKeyColumn is part of keyCols, making every
+    // sibling its own key group — no guard needed, one matched
+    // sibling deletes exactly one row. A propertyless no-rowkey edge
+    // also skips (identical siblings delete together, Neo4j's own
+    // both-bound behavior).
+    val snapProps = outCols.filterNot(keyCols.contains)
+    val keys0 = nn.select(keyPrefs.zip(keyCols).map {
+      case (kp, k) => col(kp).as(k) }: _*).distinct()
     val keys =
-      if (keyCols.size < 2 ||
-          outCols.map(p2 => pref(alias, p2))
-            .filterNot(keyPrefs.contains).isEmpty)
-        // node target, or a propertyless edge (no discriminating
-        // column exists — identical siblings delete together, Neo4j's
-        // own both-bound behavior): plain key dedup, no guard
-        nn.select(keyPrefs.zip(keyCols).map {
-          case (kp, k) => col(kp).as(k) }: _*).distinct()
-      else {
-        // only the NON-KEY columns discriminate (keys are the groupBy
-        // keys — constant per group)
-        val ownPrefs = outCols.map(p2 => pref(alias, p2))
-          .filterNot(keyPrefs.contains)
-        sibAssert(
-          nn.groupBy(keyPrefs.map(col): _*)
-            .agg((min(struct(ownPrefs.map(col): _*)) =!=
-              max(struct(ownPrefs.map(col): _*))).as("__sib")),
-          keyPrefs, "DELETE")
-          .select(keyPrefs.zip(keyCols).map {
-            case (kp, k) => col(kp).as(k) }: _*)
-      }
+      if (keyCols.size == 2 && snapProps.nonEmpty)
+        pairDupGuard(keys0, keyCols, keyCols, snapshot, snapProps,
+          "DELETE")
+      else keys0
     snapshot.select(outCols.map(col): _*)
       .join(keys, keyCols, "left_anti")
   }
 
   /** Execution-time guard for pair-keyed edge SET/DELETE over a
-   *  multigraph-lite snapshot (round 15 shape): raises when a matched
-   *  (src, snk) pair bound MORE THAN ONE distinct edge row (parallel
-   *  siblings a map-keyed MERGE created) — the pair-keyed op would
-   *  silently winner-dedup/remove the sibling otherwise. Expects the
-   *  per-pair `__sib` flag (min(tuple) ≠ max(tuple) — true iff ≥ 2
-   *  distinct tuples, with no distinct-agg Expand) computed inside
-   *  the path's own key aggregation; consumes (drops) it. */
-  private def sibAssert(df: DataFrame, keyPrefs: Seq[String],
-      op: String): DataFrame =
-    df.where(assert_true(!col("__sib"),
+   *  multigraph-lite snapshot (round 14 check, restored round 16):
+   *  any MATCHED (src, snk) pair whose SNAPSHOT slice holds more than
+   *  one DISTINCT row (parallel siblings a map-keyed MERGE created)
+   *  raises, instead of the op silently rewriting/removing a sibling
+   *  the match did not address — including the sibling a WHERE
+   *  filtered OUT of the match (the round-15 feed-only fold's blind
+   *  spot). Byte-identical siblings pass (min(tuple) = max(tuple) —
+   *  they winner-dedup/delete to an indistinguishable outcome). Cost:
+   *  one partial min≠max agg over the snapshot SEMI-FILTERED to the
+   *  matched keys (report-sized slice), no distinct-agg Expand, no
+   *  full-snapshot aggregation — pair-keyed ops stay scale-sane. */
+  private def pairDupGuard(feed: DataFrame, feedKeys: Seq[String],
+      keyCols: Seq[String], snapshot: DataFrame, propCols: Seq[String],
+      op: String): DataFrame = {
+    val mk = feed.select(feedKeys.zip(keyCols).map {
+      case (fk, k) => col(fk).as(k) }: _*).distinct()
+    val dupes = snapshot.join(mk, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg((min(struct(propCols.map(col): _*)) =!=
+        max(struct(propCols.map(col): _*))).as("__sib"))
+      .where(col("__sib"))
+      .select(keyCols.zip(feedKeys).map {
+        case (k, fk) => col(k).as(fk) } :+ col("__sib"): _*)
+    feed.join(dupes, feedKeys, "left")
+      .where(assert_true(col("__sib").isNull,
         concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
           "pair — parallel rows created by a map-keyed MERGE; " +
           "address one row via its discriminating property " +
-          "(map-keyed MERGE) instead. pair: ("),
-          concat_ws(", ", keyPrefs.map(col): _*), lit(")"))).isNull)
+          "(map-keyed MERGE) or declare a rowKeyColumn. pair: ("),
+          concat_ws(", ", feedKeys.map(col): _*), lit(")"))).isNull)
       .drop("__sib")
+  }
 
   private def compileSingle(sq: SingleQuery,
       inherited: Map[String, Binding], terminalIsReturn: Boolean,
@@ -2816,29 +2825,34 @@ object Compiler {
           outNames, lastProj.items)
       }
       // correlated CALL { … UNION … } (round 14; aggregating branches
-      // round 15, VERDICT-r14 #6): imports thread through EACH branch;
-      // the keyed branch outputs union — UNION (non-ALL) dedupes over
-      // (keys, outputs), i.e. per invocation — before the ONE join
-      // back to the outer rows. An AGGREGATING branch zero-fills
-      // PER BRANCH before the union (the q41 zero-match machinery,
-      // keyed on the outer key universe): Neo4j's contract gives one
-      // row per invocation from such a branch even on zero matches
-      // (count/sum → 0, collect → []), and the fill must precede the
-      // union because a column aggregate in one branch may be plain
-      // in another. A null import key (OPTIONAL miss) keeps its row
-      // through the left join-back with null outputs.
+      // round 15, VERDICT-r14 #6; grouped-aggregate + null-key fixes
+      // round 16, ADVICE-r15 #2/#4): imports thread through EACH
+      // branch; the keyed branch outputs union — UNION (non-ALL)
+      // dedupes over (keys, outputs), i.e. per invocation — before
+      // the ONE join back to the outer rows. A branch whose EVERY
+      // RETURN item is an aggregate zero-fills PER BRANCH before the
+      // union (the q41 zero-match machinery, keyed on the outer key
+      // universe): Neo4j's contract gives one row per invocation from
+      // such a branch even on zero matches (count/sum → 0, collect →
+      // []), and the fill must precede the union because a column
+      // aggregate in one branch may be plain in another. A branch
+      // with GROUPING keys alongside the aggregate yields NO rows on
+      // zero matches (Neo4j's grouped aggregation) — it passes
+      // through unfilled, like a plain branch. The outer key universe
+      // keeps its NULL-key bucket (an OPTIONAL-miss import still runs
+      // the invocation in Neo4j — its all-aggregate branches return
+      // count = 0 / collect = []), matched back via a null-safe join.
       call.sub match {
         case uq: UnionQuery =>
           lazy val outerKeys = c.df.select(keys.zipWithIndex.map {
               case (k, i) => col(k).as(s"__call_k$i") }: _*)
-            .where(keys.indices.map(i =>
-              col(s"__call_k$i").isNotNull).reduce(_ && _))
             .distinct().localCheckpoint(false)
           var anyAgg = false
           def go(q: Query): (DataFrame, Seq[String]) = q match {
             case sq: SingleQuery =>
               val (df2, names, items) = compileBranch(sq)
-              if (!items.exists(it => containsAgg(it.expr))) (df2, names)
+              if (items.isEmpty ||
+                  !items.forall(it => containsAgg(it.expr))) (df2, names)
               else {
                 anyAgg = true
                 val kc = keys.indices.map(i => s"__call_k$i")
@@ -2874,8 +2888,11 @@ object Compiler {
               "this CALL subquery form inside a correlated CALL")
           }
           val (subOut, outNames) = go(uq)
+          // null-safe join-back when a fill ran: the filled null-key
+          // bucket must reach the null-key outer rows
           val cond = keys.zipWithIndex.map { case (k, i) =>
-            col(k) === col(s"__call_k$i") }.reduce(_ && _)
+            if (anyAgg) col(k) <=> col(s"__call_k$i")
+            else col(k) === col(s"__call_k$i") }.reduce(_ && _)
           val joined = c.df.join(subOut, cond,
             if (call.optional || anyAgg) "left" else "inner")
             .drop(keys.indices.map(i => s"__call_k$i"): _*)
@@ -2889,8 +2906,14 @@ object Compiler {
           "this CALL subquery form inside a correlated CALL")
       }
       val (subOut, outNames, lastItems) = compileBranch(subSingle)
-      // per-item Neo4j fill-in for aggregate rows over zero matches
-      val hasAgg = lastItems.exists(it => containsAgg(it.expr))
+      // per-item Neo4j fill-in for aggregate rows over zero matches —
+      // only when EVERY item is an aggregate (round 16, ADVICE-r15
+      // #2): grouping keys alongside the aggregate mean Neo4j's
+      // grouped aggregation yields no rows on zero matches, so the
+      // invocation's outer row drops through the inner join like any
+      // zero-row subquery
+      val hasAgg = lastItems.nonEmpty &&
+        lastItems.forall(it => containsAgg(it.expr))
       val cond = keys.zipWithIndex.map { case (k, i) =>
         col(k) === col(s"__call_k$i") }.reduce(_ && _)
       var joined = c.df.join(subOut, cond,

@@ -1242,8 +1242,23 @@ final class ExprCompiler(
               lit(e2.verb) +:
               col(pref(physAlias(al), e2.srcIdColumn)).cast(StringType) +:
               col(pref(physAlias(al), e2.sinkIdColumn)).cast(StringType) +:
-              e2.rowKeyColumn.toSeq.map(rk =>
-                col(pref(physAlias(al), rk)).cast(StringType)): _*)
+              e2.rowKeyColumn.toSeq.map { rk =>
+                // a PRESENT edge row (non-null endpoint) with a NULL
+                // row key raises (round 16; ADVICE-r15 #5): concat_ws
+                // silently skips nulls, so the id would degrade to
+                // the (verb, src, snk) spelling — aliasing a
+                // sibling's elementId, the exact collision the row
+                // key exists to prevent. An OPTIONAL-miss row (all
+                // columns null) stays the null-skipping shape.
+                val rkc = col(pref(physAlias(al), rk))
+                val srcc = col(pref(physAlias(al), e2.srcIdColumn))
+                when(assert_true(srcc.isNull || rkc.isNotNull,
+                  lit(s"elementId(): null row-key column '$rk' on a " +
+                    s"'${e2.verb}' row — a null key would alias " +
+                    "another edge's elementId; backfill the row key " +
+                    "column")).isNull,
+                  rkc.cast(StringType))
+              }: _*)
           case _ => throw new IllegalStateException
         }
       case "labels" =>

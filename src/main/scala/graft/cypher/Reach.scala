@@ -472,16 +472,24 @@ private[cypher] object Reach {
       dstCol: String, seeds: DataFrame, kind: String, k: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // per-(src, dst) edge MULTIPLICITY seeds σ (round 16; ADVICE-r15
+    // #3): parallel relationships (multigraph-lite rows a map-keyed
+    // MERGE creates) are distinct paths under GQL — σ multiplies by
+    // the hop's row count, matching the bounded-range branches' q158
+    // contract. The DP state shape is unchanged: one (src, end, σ)
+    // row per pair per level.
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint(false)
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__m"))
+      .localCheckpoint(false)
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
       .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
     val sd = seeds.select(col(seeds.columns.head).as("__src"))
       .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-    requireDag(e, sd, s"a k > 1 path selector (${kind.toUpperCase} $k)")
+    requireDag(e.drop("__m"), sd,
+      s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = e.join(sd, Seq("__src"), "left_semi")
-      .withColumn("__sig", lit(1L)).localCheckpoint(false)
+      .withColumn("__sig", col("__m")).drop("__m").localCheckpoint(false)
     var levels = frontier.withColumn("__dist", lit(1L))
     var d = 1L
     var total = frontier.count()
@@ -500,9 +508,11 @@ private[cypher] object Reach {
         throw new CypherBindingException(
           s"k-level reach did not converge in $MaxRounds rounds")
       val nxt = frontier
-        .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
+        .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2"),
+            col("__m")),
           col("__dst") === col("__mid"))
-        .select(col("__src"), col("__d2").as("__dst"), col("__sig"))
+        .select(col("__src"), col("__d2").as("__dst"),
+          (col("__sig") * col("__m")).as("__sig"))
         .groupBy("__src", "__dst")
         .agg(sum(col("__sig")).as("__sig"))
         .localCheckpoint(false)

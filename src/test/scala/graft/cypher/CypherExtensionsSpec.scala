@@ -1400,6 +1400,55 @@ class CypherExtensionsSpec extends AnyFunSuite {
       ("Tom Hanks", 0), ("Tom Hanks", 3)))
   }
 
+  test("CALL-UNION grouped-aggregate branches yield no rows on zero " +
+      "matches; null import keys still zero-fill (round 16)") {
+    // ADVICE-r15 #2: a branch with GROUPING keys alongside the
+    // aggregate follows Neo4j's grouped aggregation — zero matches
+    // produce NO rows, never a spurious (null, 0) row. Jessica
+    // Thompson (no ACTED_IN, no DIRECTED) disappears entirely.
+    val g = rows(
+      """MATCH (p:Person) CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |  RETURN m.Released AS y, count(m) AS c
+        |  UNION ALL
+        |  MATCH (p)-[:DIRECTED]->(m:Movie)
+        |  RETURN m.Released AS y, count(m) AS c }
+        |RETURN p.Name AS nm, y, c ORDER BY nm, y""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1), x.getLong(2)))
+    assert(!g.exists(_._1 == "Jessica Thompson"))
+    assert(g.count(_._1 == "Tom Hanks") == 3)
+    assert(g.forall(_._2 > 1900) && g.forall(_._3 == 1L))
+    // mixed: an ALL-aggregate sibling branch still zero-fills, the
+    // grouped branch stays naturally empty
+    val mx = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Jessica Thompson'
+        |CALL (p) {
+        |  MATCH (p)-[:ACTED_IN]->(m:Movie)
+        |  RETURN m.Released AS y, count(m) AS c
+        |  UNION ALL
+        |  MATCH (p)-[:DIRECTED]->(m:Movie)
+        |  RETURN count(m) AS y, count(m) AS c }
+        |RETURN y, c""".stripMargin)
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(mx == Seq((0L, 0L)))
+    // ADVICE-r15 #4: a NULL import key (OPTIONAL miss) still runs the
+    // invocation — all-aggregate branches return count = 0 for it,
+    // not NULL
+    val nk = rows(
+      """MATCH (p:Person) WHERE p.Name IN ['Rob Reiner', 'Tom Hanks']
+        |OPTIONAL MATCH (p)-[:DIRECTED]->(d:Movie)
+        |CALL (d) {
+        |  MATCH (a:Person)-[:ACTED_IN]->(d) RETURN count(a) AS c
+        |  UNION
+        |  MATCH (v:Person)-[:REVIEWED]->(d) RETURN count(v) AS c }
+        |RETURN p.Name AS nm, c ORDER BY nm, c""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    // Rob directed m1 (2 actors, 1 reviewer); Tom directed nothing —
+    // the null-key invocation still yields count = 0, deduped to one
+    assert(nk == Seq(("Rob Reiner", 1L), ("Rob Reiner", 2L),
+      ("Tom Hanks", 0L)))
+  }
+
   test("named-timezone temporals (round 14)") {
     // DST began 2024-03-10 02:00 in New York: 06:30 EDT = 10:30 UTC,
     // the day before 06:30 EST = 11:30 UTC
@@ -3668,6 +3717,132 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm3'
         |DELETE r""".stripMargin).collect()
     assert(okDel.length == 2 && okDel.forall(_.getString(1) == "m1"))
+  }
+
+  test("pair-keyed SET/DELETE raise when the WHERE matches ONE of two " +
+      "siblings (round 16; ADVICE-r15 #1)") {
+    import spark.implicits._
+    // the round-15 feed-only fold's blind spot: the match binds a
+    // single distinct tuple per pair, yet the pair-keyed anti-join
+    // would touch BOTH snapshot rows — must raise, not silently
+    // drop/delete the unmatched sibling
+    val base = MovieFixture.catalog(spark)
+    val dupReviewed = Seq(
+      ("p5", "m1", "Loved it", 95),
+      ("p5", "m1", "Second look", 50),
+      ("p5", "m3", "Fun", 85)
+    ).toDF("_vertexId", "_sink", "Summary", "Rating")
+    val cat = new GraphCatalog(MovieFixture.schema, {
+      case "reviewed" => dupReviewed
+      case "person"   => base.nodeDf("Person")
+      case "movie"    => base.nodeDf("Movie")
+      case other      => throw new IllegalArgumentException(other)
+    })
+    val s = new CypherSession(spark, cat).extended
+    def dupMsg(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(x => Option(x.getMessage)
+          .exists(_.contains("duplicated (src, snk)")))
+    // WHERE addresses exactly one sibling — feed has ONE distinct
+    // tuple for the pair, but the snapshot holds two
+    val ex1 = intercept[Exception](s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.id = 'm1' AND r.Rating = 95
+        |DELETE r""".stripMargin).collect())
+    assert(dupMsg(ex1))
+    val ex2 = intercept[Exception](s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.id = 'm1' AND r.Rating = 95
+        |SET r.Summary = 'only this one'""".stripMargin).collect())
+    assert(dupMsg(ex2))
+    // the non-duplicated pair stays addressable through the same WHERE
+    val ok = s.run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.id = 'm3' AND r.Rating = 85
+        |DELETE r""".stripMargin).collect()
+    assert(ok.length == 2 && ok.forall(_.getString(1) == "m1"))
+  }
+
+  test("a declared rowKeyColumn makes one sibling addressable by " +
+      "SET/DELETE (round 16)") {
+    import spark.implicits._
+    val base = MovieFixture.catalog(spark)
+    val dupReviewed = Seq(
+      (101L, "p5", "m1", "Loved it", 95),
+      (102L, "p5", "m1", "Second look", 50),
+      (103L, "p5", "m3", "Fun", 85)
+    ).toDF("rid", "_vertexId", "_sink", "Summary", "Rating")
+    val schema2 = MovieFixture.schema.copy(edges =
+      MovieFixture.schema.edges.map(e =>
+        if (e.verb == "REVIEWED") e.copy(rowKeyColumn = Some("rid"))
+        else e))
+    def mk() = new CypherSession(spark, new GraphCatalog(schema2, {
+      case "reviewed" => dupReviewed
+      case "person"   => base.nodeDf("Person")
+      case "movie"    => base.nodeDf("Movie")
+      case other      => throw new IllegalArgumentException(other)
+    })).extended
+    // output column order: the rowKey joins the op KEY, and the
+    // anti-join puts join keys first — (_vertexId, _sink, rid,
+    // Summary, Rating)
+    // DELETE one sibling via its row key: exactly that row goes, the
+    // parallel sibling stays — no guard, no raise
+    val afterDel = mk().run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE r.rid = 101
+        |DELETE r""".stripMargin).collect()
+      .map(x => (x.getLong(2), x.getInt(4))).sortBy(_._1)
+    assert(afterDel.toSeq == Seq((102L, 50), (103L, 85)))
+    // SET one sibling: the sibling's property survives untouched
+    val afterSet = mk().run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE r.rid = 102
+        |SET r.Rating = 0""".stripMargin).collect()
+      .map(x => (x.getLong(2), x.getInt(4))).sortBy(_._1)
+    assert(afterSet.toSeq == Seq((101L, 95), (102L, 0), (103L, 85)))
+    // matching BOTH siblings updates both (each is its own key group)
+    val both = mk().run(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie) WHERE m.id = 'm1'
+        |SET r.Summary = 'x'""".stripMargin).collect()
+      .map(x => (x.getLong(2), x.getString(3))).sortBy(_._1)
+    assert(both.toSeq ==
+      Seq((101L, "x"), (102L, "x"), (103L, "Fun")))
+    // the row key itself is identity — reassigning it is typed
+    val ex = intercept[CypherBindingException](mk().run(
+      """MATCH ()-[r:REVIEWED]->() SET r.rid = 9""".stripMargin))
+    assert(ex.getMessage.contains("row-key"))
+  }
+
+  test("elementId() raises on a null row key instead of aliasing a " +
+      "sibling (round 16; ADVICE-r15 #5)") {
+    import spark.implicits._
+    val base = MovieFixture.catalog(spark)
+    val dupReviewed = Seq(
+      (Some(101L), "p5", "m1", "Loved it", 95),
+      (None, "p5", "m1", "Second look", 50)
+    ).toDF("rid", "_vertexId", "_sink", "Summary", "Rating")
+    val schema2 = MovieFixture.schema.copy(edges =
+      MovieFixture.schema.edges.map(e =>
+        if (e.verb == "REVIEWED") e.copy(rowKeyColumn = Some("rid"))
+        else e))
+    val s = new CypherSession(spark, new GraphCatalog(schema2, {
+      case "reviewed" => dupReviewed
+      case "person"   => base.nodeDf("Person")
+      case "movie"    => base.nodeDf("Movie")
+      case other      => throw new IllegalArgumentException(other)
+    })).extended
+    val ex = intercept[Exception](s.run(
+      """MATCH ()-[r:REVIEWED]->() RETURN elementId(r) AS e"""
+    ).collect())
+    assert(Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(x => Option(x.getMessage)
+        .exists(_.contains("null row-key"))))
+    // an OPTIONAL-miss row (all columns null) does NOT trip the
+    // assert — the guard keys on a present endpoint
+    val opt = s.run(
+      """MATCH (p:Person) WHERE p.id = 'p1'
+        |OPTIONAL MATCH (p)-[r:REVIEWED]->(m:Movie)
+        |RETURN p.id AS i, elementId(r) AS e""".stripMargin).collect()
+    assert(opt.length == 1)
   }
 
   test("elementId() row-key column discriminates parallel edges " +
