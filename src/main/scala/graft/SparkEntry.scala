@@ -2387,6 +2387,27 @@ object SparkEntry {
     //     per composite row). The DuckDB mirror spells out the
     //     within-rep exclusion and all four cross-rep hop-pair
     //     exclusions explicitly.
+    // --- multi-variable SET in one clause (round 16; VERDICT-r15
+    //     #1): `SET c.x = …, l.y = …` desugars at parse into one
+    //     clause per variable over the carried read-back frame (the
+    //     multi-variable DELETE convention); the RETURN reads BOTH
+    //     updated entities per row — mirrored by plain arithmetic on
+    //     both sides in DuckDB.
+    ("q168_multi_var_set", cyx(
+      """MATCH (c:Customer)-[p:PLACED]->(o:Order)-[l:CONTAINS]->(pt:Part)
+        |WHERE c.c_custkey <= 100
+        |SET c.c_acctbal = c.c_acctbal + 10.0,
+        |    l.l_quantity = l.l_quantity + 1.0
+        |RETURN count(*) AS n, round(sum(c.c_acctbal), 2) AS bal,
+        |       round(sum(l.l_quantity), 2) AS qty""".stripMargin),
+      Some("""SELECT count(*) AS n,
+             |       round(sum(c.c_acctbal + 10.0), 2) AS bal,
+             |       round(sum(l.l_quantity + 1.0), 2) AS qty
+             |FROM customer c
+             |JOIN orders o ON o.o_custkey = c.c_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE c.c_custkey <= 100""".stripMargin)),
+
     // --- group NODE variables (round 15, late): x / y of a
     //     single-rel quantified group bind the per-repetition
     //     left/right node lists (GQL's full group-variable surface) —

@@ -174,6 +174,23 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         case (Left(c2), inner)   => CreateChainQuery(Seq.empty, c2, inner)
       }
     }
+    // the 2nd..nth variable groups of a multi-variable SET/REMOVE
+    // (round 16) nest the same way — each group runs over the previous
+    // group's per-row updated read-back frame; the query's RETURN /
+    // explicit chain attaches to the INNERMOST clause (whose snapshot
+    // is the terminal result, the multi-variable DELETE contract)
+    def foldSets(extra: Seq[SetClause], r: Option[Projection],
+        rest: Option[Query]): Query = {
+      val innermost = rest match {
+        case Some(q) => SetChainQuery(Seq.empty, extra.last, q)
+        case None => r match {
+          case Some(r2) => SetReturnQuery(Seq.empty, extra.last, r2)
+          case None     => SetQuery(Seq.empty, extra.last)
+        }
+      }
+      extra.init.foldRight(innermost)((s2, inner) =>
+        SetChainQuery(Seq.empty, s2, inner))
+    }
     def foldDeletes(extra: Seq[DeleteClause], r: Option[Projection],
         rest: Option[Query]): Query = {
       val innermost = rest match {
@@ -216,7 +233,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
       case (_, Some(s), _, _) =>
         pendingSet = None
-        (pendingSetReturn, takeChain()) match {
+        val extraS = pendingSetExtra; pendingSetExtra = Seq.empty
+        if (extraS.nonEmpty) {
+          val r = pendingSetReturn; pendingSetReturn = None
+          SetChainQuery(sq.parts, s, foldSets(extraS, r, takeChain()))
+        } else (pendingSetReturn, takeChain()) match {
           case (Some(r), _) => pendingSetReturn = None
             SetReturnQuery(sq.parts, s, r)
           case (_, Some(rest)) => SetChainQuery(sq.parts, s, rest)
@@ -258,6 +279,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
   private var pendingMergeReturn: Option[Projection] = None
   private var pendingSet: Option[SetClause] = None
   private var pendingSetReturn: Option[Projection] = None
+  /** 2nd..nth per-variable groups of a multi-variable SET/REMOVE
+    * (round 16) — folded into a nested update chain like
+    * [[pendingDeleteExtra]]. */
+  private var pendingSetExtra: Seq[SetClause] = Seq.empty
   private var pendingUpdateChain: Option[Query] = None
 
   /** Parse the continuation of an update chain (starting at its WITH,
@@ -275,13 +300,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       pendingDeleteReturn, pendingCreateReturn)
     val savedChain = pendingUpdateChain
     val savedInChain = inUpdateChain
-    val savedExtra = (pendingCreateExtra, pendingDeleteExtra)
+    val savedExtra = (pendingCreateExtra, pendingDeleteExtra,
+      pendingSetExtra)
     pendingMerge = None; pendingMergeRel = None; pendingSet = None
     pendingDelete = None; pendingCreate = None; pendingCreateRel = None
     pendingMergeReturn = None; pendingSetReturn = None
     pendingDeleteReturn = None; pendingCreateReturn = None
     pendingUpdateChain = None
     pendingCreateExtra = Seq.empty; pendingDeleteExtra = Seq.empty
+    pendingSetExtra = Seq.empty
     inUpdateChain = true
     val rest = assembleUpdating(parseSingle())
     inUpdateChain = savedInChain
@@ -292,6 +319,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     pendingDeleteReturn = savedRets._3; pendingCreateReturn = savedRets._4
     pendingUpdateChain = savedChain
     pendingCreateExtra = savedExtra._1; pendingDeleteExtra = savedExtra._2
+    pendingSetExtra = savedExtra._3
     rest
   }
 
@@ -636,8 +664,11 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         if (ms.nonEmpty || uw.nonEmpty || calls.nonEmpty)
           parts += QueryPart(ms, Projection(Seq.empty, distinct = false,
             Seq.empty, None, None, None, star = true), uw, calls)
-        pendingSet = Some(
-          if (remove) parseRemoveClause() else parseSetClause())
+        locally {
+          val ss = if (remove) parseRemoveClause() else parseSetClause()
+          pendingSet = Some(ss.head)
+          pendingSetExtra = ss.tail
+        }
         if (isKw("RETURN")) {
           // mid-query SET (round 10): `SET … RETURN items` reads the
           // UPDATED entity per row — the result is the projection,
@@ -1026,11 +1057,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * property nulls (the compiler expands against the schema — the
     * nulling is explicit contract, not silence); it must be the SET's
     * only item. The SET keyword is consumed by the caller. */
-  private def parseSetClause(): SetClause = {
-    var alias: String = null
-    var fullReplace = false
-    val b = Vector.newBuilder[(String, Expr)]
-    val setLabelsB = Vector.newBuilder[String]
+  private def parseSetClause(): Seq[SetClause] = {
+    // multi-variable SET (round 16; VERDICT-r15 #1): items group PER
+    // VARIABLE in first-appearance order — each group desugars to one
+    // SetClause and assembleUpdating folds the 2nd..nth into a nested
+    // update chain (the multi-variable DELETE convention). Later
+    // variables' rhs read earlier variables' UPDATED values through
+    // the carried read-back frame (the documented chain contract);
+    // the one-snapshot-per-entity guard still rejects two variables
+    // backed by the SAME table.
+    import scala.collection.mutable
+    val assigns = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[(String, Expr)]]
+    val labels = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[String]]
+    var fullReplace: Option[String] = None
+    var items = 0
+    def bufs(a: String): mutable.ArrayBuffer[(String, Expr)] = {
+      labels.getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+      assigns.getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+    }
     def propName(where: String): String = cur match {
       case Ident(s, _)   => p += 1; s
       case Kw(_, raw, _) => p += 1; raw
@@ -1038,14 +1084,12 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     }
     def one(): Unit = {
       val a = ident()
-      if (alias == null) alias = a
-      else if (a != alias) notSupported(
-        s"SET over multiple variables ('$alias' and '$a') — one " +
-        "terminal SET produces one entity's new snapshot")
+      val b = bufs(a)
+      items += 1
       if (isPunct(":")) {
         // `SET a:Label[:Label2]` (round 12): resolved at compile
         // against the node's declared sub-labels (discriminator write)
-        while (tryPunct(":")) setLabelsB += name()
+        while (tryPunct(":")) labels(a) += name()
         return
       }
       if (isPunct("+")) {
@@ -1066,7 +1110,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       } else if (isPunct("=")) {
         // full map replacement (round 11): listed keys assign, the
         // compiler nulls every other declared non-key property
-        if (b.result().nonEmpty) notSupported(
+        if (items > 1) notSupported(
           "a SET = {…} full replacement must be the SET's only item")
         p += 1
         if (!isPunct("{")) syntaxErr(
@@ -1081,7 +1125,7 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
           entry(); while (tryPunct(",")) entry()
         }
         eatPunct("}")
-        fullReplace = true
+        fullReplace = Some(a)
       } else {
         eatPunct(".")
         val pr = propName("after '.'")
@@ -1091,13 +1135,15 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     }
     one()
     while (tryPunct(",")) {
-      if (fullReplace) notSupported(
+      if (fullReplace.isDefined) notSupported(
         "further assignments after a SET = {…} full replacement — the " +
         "map already determines every property")
       one()
     }
-    SetClause(alias, b.result(), fullReplace,
-      setLabels = setLabelsB.result())
+    assigns.keysIterator.map { a =>
+      SetClause(a, assigns(a).toVector, fullReplace.contains(a),
+        setLabels = labels(a).toVector)
+    }.toVector
   }
 
   /** `REMOVE a.p [, a.q …]` — parse sugar for `SET a.p = null, …`
@@ -1105,20 +1151,26 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
     * compiler path, winner-dedup and snapshot union are shared with
     * SET). Label removal `REMOVE a:L` is a typed rejection. The
     * REMOVE keyword is consumed by the caller. */
-  private def parseRemoveClause(): SetClause = {
-    var alias: String = null
-    val b = Vector.newBuilder[(String, Expr)]
-    val removeLabelsB = Vector.newBuilder[String]
+  private def parseRemoveClause(): Seq[SetClause] = {
+    // multi-variable REMOVE (round 16): grouped per variable in
+    // first-appearance order, one clause each — parseSetClause's
+    // desugar with null writes
+    import scala.collection.mutable
+    val assigns = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[(String, Expr)]]
+    val labels = mutable.LinkedHashMap
+      .empty[String, mutable.ArrayBuffer[String]]
+    def bufs(a: String): mutable.ArrayBuffer[(String, Expr)] = {
+      labels.getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+      assigns.getOrElseUpdate(a, mutable.ArrayBuffer.empty)
+    }
     def one(): Unit = {
       val a = ident()
-      if (alias == null) alias = a
-      else if (a != alias) notSupported(
-        s"REMOVE over multiple variables ('$alias' and '$a') — one " +
-        "terminal REMOVE produces one entity's new snapshot")
+      val b = bufs(a)
       if (isPunct(":")) {
         // `REMOVE a:Label` (round 12): conditional discriminator null
         // at compile (only rows currently carrying the value)
-        while (tryPunct(":")) removeLabelsB += name()
+        while (tryPunct(":")) labels(a) += name()
         return
       }
       eatPunct(".")
@@ -1130,7 +1182,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       b += ((pr, Lit(null)))
     }
     one(); while (tryPunct(",")) one()
-    SetClause(alias, b.result(), removeLabels = removeLabelsB.result())
+    assigns.keysIterator.map { a =>
+      SetClause(a, assigns(a).toVector,
+        removeLabels = labels(a).toVector)
+    }.toVector
   }
 
   /** `CREATE (n:Label {p1: e1, p2: e2, …})` — terminal, unconditional

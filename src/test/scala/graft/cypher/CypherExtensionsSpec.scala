@@ -4433,10 +4433,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherBindingException](rows(
       """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
         |SET r._vertexId = 'z'""".stripMargin))
-    // one entity per terminal SET / DELETE
+    // one SNAPSHOT per backing table (multi-variable SET desugars to
+    // one clause per variable since round 16 — two variables on the
+    // SAME table still conflict)
     intercept[CypherNotSupportedException](rows(
-      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
-        |SET p.Name = 'x', m.Title = 'y'""".stripMargin))
+      """MATCH (a:Person)-[:FOLLOWS]->(b:Person)
+        |SET a.Name = 'x', b.Name = 'y'""".stripMargin))
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person)-[r:ACTED_IN]->(m:Movie) DELETE r, p"))
     // label assignment; a non-map rhs on a whole-entity SET (the
@@ -6003,6 +6005,63 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |MATCH (b:Person) WHERE b.Name = 'Meg Ryan'
         |MATCH (c:Person) WHERE c.Name = 'Kevin Bacon'
         |CREATE (a)-[f:FOLLOWS]->(b)-[g:FOLLOWS]->(c)""".stripMargin))
+  }
+
+  test("SET a.p, r.q: multi-variable SET in one clause (round 16)") {
+    // node + relationship in one SET — one clause per variable
+    // (first-appearance order), terminal result = INNERMOST
+    // (relationship) snapshot
+    val r = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |SET p.Born = 2000, r.Rating = 1""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(r == Seq(("p5", "m1", 1), ("p5", "m3", 85)))
+    // RETURN reads the UPDATED values of every variable
+    val r2 = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |SET p.Born = 2000, r.Rating = 1
+        |RETURN p.Born AS b, r.Rating AS rt""".stripMargin)
+    assert(r2.map(x => (x.getInt(0), x.getInt(1))) == Seq((2000, 1)))
+    // chain contract: a later variable's rhs reads the earlier
+    // variable's UPDATE (documented divergence from Neo4j's
+    // clause-entry snapshot reads)
+    val r3 = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |SET p.Born = 2000, r.Rating = p.Born - 1999
+        |RETURN r.Rating AS rt""".stripMargin)
+    assert(r3.map(_.getInt(0)) == Seq(1))
+    // non-contiguous items of one variable fold into its clause
+    val r4 = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |SET p.Born = 1999, r.Rating = 3, p.Name = 'J2'
+        |RETURN p.Born AS b, p.Name AS n, r.Rating AS rt""".stripMargin)
+    assert(r4.map(x => (x.getInt(0), x.getString(1), x.getInt(2))) ==
+      Seq((1999, "J2", 3)))
+    // multi-variable REMOVE: null writes per variable
+    val rm = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |REMOVE p.Born, r.Summary
+        |RETURN p.Born AS b, r.Summary AS s""".stripMargin).head
+    assert(rm.isNullAt(0) && rm.isNullAt(1))
+    // mixed SET then REMOVE on distinct tables composes as a chain
+    val mix = rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |WHERE m.Title = 'Sleepless in Seattle'
+        |SET p.Born = 1988
+        |REMOVE r.Summary
+        |RETURN p.Born AS b, r.Summary AS s""".stripMargin).head
+    assert(mix.getInt(0) == 1988 && mix.isNullAt(1))
+    // duplicate property within one variable's group stays typed
+    val dup = intercept[CypherBindingException](rows(
+      """MATCH (p:Person)-[r:REVIEWED]->(m:Movie)
+        |SET p.Born = 1, r.Rating = 2, p.Born = 3""".stripMargin))
+    assert(dup.getMessage.contains("twice"))
   }
 
   test("DELETE n, r: one clause per variable over pre-delete frames") {
