@@ -2408,6 +2408,140 @@ object SparkEntry {
              |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
              |WHERE c.c_custkey <= 100""".stripMargin)),
 
+    // --- witness accessors under SHORTEST k GROUPS over an UNBOUNDED
+    //     range (round 16; VERDICT-r15 #2): the k-level DP keeps
+    //     per-level parent sets (distance × branching, never path
+    //     count) and the σ-fold walk enumerates each kept level's
+    //     paths — nodes(p)/relationships(p) read per enumerated path.
+    //     Mirror: recursive path-string walk + dense_rank (GROUPS =
+    //     every path of the k smallest lengths, so no tie-breaking
+    //     enters the compare).
+    ("q169_klevel_witness", cyx(
+      """MATCH p = SHORTEST 2 GROUPS
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS l,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + toString(n.n_nationkey)) AS path,
+        |       reduce(s = 0, e IN relationships(p) | s + e.jump_span)
+        |         AS span
+        |ORDER BY bk, l, path""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst,
+             |         1 AS span
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         2 AS span
+             |  FROM nation),
+             |e AS (SELECT src, dst, span FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops, path, span) AS (
+             |  SELECT 0, 0, '|0', 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1,
+             |         w.path || '|' || CAST(e.dst AS VARCHAR),
+             |         w.span + e.span
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 12),
+             |r AS (SELECT dst, hops, path, span,
+             |        dense_rank() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l, path,
+             |       CAST(span AS BIGINT) AS span
+             |FROM r WHERE rk <= 2
+             |ORDER BY bk, l, path""".stripMargin)),
+
+    // --- UNANCHORED k > 1 selector (round 16; VERDICT-r15 #3): every
+    //     source seeds the σ DP under the same maxClosureRows guard —
+    //     the full (src, dst) pair table with the k first paths by
+    //     length each (ties emit identical (ak, bk, l) rows, so the
+    //     row_number tie-break never shows in the compare).
+    ("q170_klevel_unanchored", cyx(
+      """MATCH p = SHORTEST 2 (a:Nation)-[:JUMPS_TO*]->(b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk,
+        |       length(p) AS l
+        |ORDER BY ak, bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(src, dst, hops) AS (
+             |  SELECT src, dst, 1 FROM e
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 12),
+             |r AS (SELECT src, dst, hops,
+             |        row_number() OVER (PARTITION BY src, dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk)
+             |SELECT src AS ak, dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |ORDER BY ak, bk, l""".stripMargin)),
+
+    // --- k > 1 over a HETEROGENEOUS chain (round 16; VERDICT-r15
+    //     #4): the σ DP runs over the tagged (ordinal, id) union
+    //     frame FEEDS builds (Customer→Order ∪ Order→Part) — the
+    //     label DAG has exactly one Customer→Part level (L2), GROUPS
+    //     keeps all σ chains of it (parallel lineitem rows included,
+    //     the multiplicity seeding).
+    ("q171_klevel_hetero", cyx(
+      """MATCH p = SHORTEST 2 GROUPS
+        |  (c:Customer {c_custkey: 1})-[:FEEDS*]->(pt:Part)
+        |RETURN pt.p_partkey AS pk, length(p) AS l
+        |ORDER BY pk""".stripMargin),
+      Some("""SELECT l.l_partkey AS pk, CAST(2 AS BIGINT) AS l
+             |FROM orders o
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey = 1
+             |ORDER BY pk""".stripMargin)),
+
+    // --- k > 1 over [*0..] (round 16; VERDICT-r15 #4): the zero-hop
+    //     identity row enters the k-trim as level 0 with σ = 1 —
+    //     q162's pair table plus the (0, 0, 0) reflexive row.
+    ("q172_klevel_zero_hop", cyx(
+      """MATCH p = SHORTEST 2
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*0..]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS l
+        |ORDER BY bk, l""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT 0, 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 12),
+             |r AS (SELECT dst, hops,
+             |        row_number() OVER (PARTITION BY dst
+             |                           ORDER BY hops) AS rk
+             |      FROM walk WHERE hops > 0)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS l
+             |FROM r WHERE rk <= 2
+             |UNION ALL
+             |SELECT 0 AS bk, CAST(0 AS BIGINT) AS l
+             |ORDER BY bk, l""".stripMargin)),
+
     // --- group NODE variables (round 15, late): x / y of a
     //     single-rel quantified group bind the per-repetition
     //     left/right node lists (GQL's full group-variable surface) —

@@ -143,11 +143,6 @@ private[cypher] object Reach {
                 "a k > 1 path selector over an unbounded range must " +
                 "be its pattern's sole relationship — chain further " +
                 "hops through a WITH")
-            if (pp.pathVar.exists(witnessVars))
-              throw new CypherNotSupportedException(
-                "nodes()/relationships() witnesses under a k > 1 " +
-                "path selector over an unbounded range — bound the " +
-                "range [*lo..hi] for per-branch witnesses")
           }
           if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest &&
               selK.isEmpty)
@@ -184,8 +179,11 @@ private[cypher] object Reach {
           // allShortestPaths (round 14) records ALL min-distance
           // parents instead and the walk enumerates every minimal
           // path — σ distinct witness rows per pair.
-          val wantWitness = (pp.shortest || pp.allShortest) &&
-            pp.pathVar.exists(witnessVars)
+          // round 16 (VERDICT-r15 #2): k > 1 selectors now carry
+          // witnesses too, via the per-level multi-parent walk
+          val wantWitness =
+            (pp.shortest || pp.allShortest || selK.isDefined) &&
+              pp.pathVar.exists(witnessVars)
           val rels2 = pp.rels.zipWithIndex.map { case (r, i) =>
             if (!isUnbounded(r)) r
             else {
@@ -227,11 +225,6 @@ private[cypher] object Reach {
                   s"unbounded variable-length over '$verb' is ambiguous: " +
                   s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
                   "carry a self-type edge of that verb")
-              if (selK.isDefined && r.varLength.exists(_._1 == 0))
-                throw new CypherNotSupportedException(
-                  "a k > 1 path selector over [*0..] — the zero-hop " +
-                  "identity row cannot join the k-level trim; start " +
-                  "the range at 1")
               val (reach, fromL, toL) =
                 if (selfDefs.size == 1 && defs.size == 1) {
                   // homogeneous chain: one id namespace, no tagging
@@ -239,24 +232,40 @@ private[cypher] object Reach {
                   val node = catalog.graph.node(e.fromLabel)
                   val edf = catalog.edgeDf(e)
                   val base =
-                    if (selK.isDefined) {
-                      // k-level lowering (round 15): anchored σ DP,
-                      // GQL row multiplicity baked into the frame
+                    if (selK.isDefined && wantWitness) {
+                      // k-level witnesses (round 16; VERDICT-r15 #2):
+                      // per-level parent sets + σ-fold walk
+                      val sel = selK.get
+                      val w = witnessKReach(edf, e,
+                        () => seedFor(m.where, srcPat.alias, node,
+                          catalog, outer),
+                        () => seedFor(m.where, dstPat.alias, node,
+                          catalog, outer),
+                        node, catalog.nodeDf(e.fromLabel),
+                        sel.kind, sel.k)
+                      if (r.dir == Direction.In)
+                        w.withColumn("__nodes", reverse(col("__nodes")))
+                          .withColumn("__rels", reverse(col("__rels")))
+                      else w
+                    }
+                    else if (selK.isDefined) {
+                      // k-level lowering (round 15): σ DP, GQL row
+                      // multiplicity baked into the frame; round 16
+                      // (VERDICT-r15 #3) — no anchor falls back to
+                      // the UNANCHORED DP (every source seeds) under
+                      // the same maxClosureRows guard
                       val sel = selK.get
                       val out = seedFor(m.where, srcPat.alias, node,
                           catalog, outer)
                         .map(sd => kLevelReach(edf, e.srcIdColumn,
-                          e.sinkIdColumn, sd, sel.kind, sel.k))
+                          e.sinkIdColumn, Some(sd), sel.kind, sel.k))
                         .orElse(seedFor(m.where, dstPat.alias, node,
                           catalog, outer)
                           .map(sd => swapPairs(kLevelReach(edf,
-                            e.sinkIdColumn, e.srcIdColumn, sd,
+                            e.sinkIdColumn, e.srcIdColumn, Some(sd),
                             sel.kind, sel.k), dist = true)))
-                        .getOrElse(throw new CypherNotSupportedException(
-                          "a k > 1 path selector over an unbounded " +
-                          "range needs an ANCHORED endpoint (a literal " +
-                          "WHERE equality or a piped frame) — the " +
-                          "k-level DP is seeded, not a full closure"))
+                        .getOrElse(kLevelReach(edf, e.srcIdColumn,
+                          e.sinkIdColumn, None, sel.kind, sel.k))
                       if (needDist) out else out.drop("__dist")
                     }
                     else if (wantWitness) {
@@ -292,15 +301,21 @@ private[cypher] object Reach {
                   // ride the tagged parent pointers (the tag IS the
                   // per-wave label), element shapes merged across
                   // labels/defs like bounded branch witnesses
-                  if (selK.isDefined)
+                  if (selK.isDefined && wantWitness)
                     throw new CypherNotSupportedException(
-                      "a k > 1 path selector over a HETEROGENEOUS " +
-                      "chain — bound the range [*lo..hi], or use " +
-                      "SHORTEST 1 / ALL SHORTEST")
+                      "nodes()/relationships() witnesses under a " +
+                      "k > 1 path selector over a HETEROGENEOUS " +
+                      "chain — bound the range [*lo..hi] for " +
+                      "per-branch witnesses")
+                  // round 16 (VERDICT-r15 #4): k > 1 selectors run
+                  // the σ DP over the tagged union frame — the packed
+                  // (ordinal, id) keys compose, the DP never reads
+                  // the id content
                   val (b0, fl, tl) = stratifiedReach(defs, verb, srcPat,
                     dstPat, m.where, catalog, outer, needDist,
                     pp.allShortest, wantWitness,
-                    allowIdentity = r.varLength.exists(_._1 == 0))
+                    allowIdentity = r.varLength.exists(_._1 == 0),
+                    selector = selK.map(sel => (sel.kind, sel.k)))
                   val b =
                     if (wantWitness && r.dir == Direction.In)
                       b0.withColumn("__nodes", reverse(col("__nodes")))
@@ -456,41 +471,47 @@ private[cypher] object Reach {
           "bound the range [*lo..hi] for exact trail semantics")
     }
 
-  /** k-level reach (round 15; VERDICT-r14 #2 — `SHORTEST k` /
-    * `SHORTEST k GROUPS` / `ANY k`, k > 1, over an UNBOUNDED range):
-    * an anchored σ DP over a DAG produces, per (src, dst) pair, the k
-    * SMALLEST distinct walk lengths with per-length path counts σ —
-    * the frontier carries (src, end, σ) only (distance × breadth
-    * state, never per-path), exactly the BFS discipline, but does NOT
-    * stop at first discovery: it runs the DAG's depth out so longer
-    * levels surface. Output rows carry GQL row multiplicity:
-    * `groups` = every path of the k smallest lengths (σ copies per
-    * level); `shortest`/`any` = the k first paths by length (σ copies,
-    * cumulative-capped at k). One (__src, __dst, __dist) row per
-    * selected path. */
-  private def kLevelReach(edges: DataFrame, srcCol: String,
-      dstCol: String, seeds: DataFrame, kind: String, k: Int)
-      : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // per-(src, dst) edge MULTIPLICITY seeds σ (round 16; ADVICE-r15
-    // #3): parallel relationships (multigraph-lite rows a map-keyed
-    // MERGE creates) are distinct paths under GQL — σ multiplies by
-    // the hop's row count, matching the bounded-range branches' q158
-    // contract. The DP state shape is unchanged: one (src, end, σ)
-    // row per pair per level.
+  /** k-level σ DP levels (round 15, split out round 16): runs the
+    * anchored — or, round 16, UNANCHORED (seeds = None: the frontier
+    * starts at every edge) — walk-count DP over a DAG. Per (src, dst)
+    * pair and LENGTH, one level row with the path count σ; the
+    * frontier carries (src, end, σ) only (distance × breadth state,
+    * never per-path), exactly the BFS discipline, but does NOT stop
+    * at first discovery: it runs the DAG's depth out so longer levels
+    * surface. Per-(src, dst) edge MULTIPLICITY seeds σ (ADVICE-r15
+    * #3): parallel relationships (multigraph-lite rows a map-keyed
+    * MERGE creates) are distinct paths under GQL — σ multiplies by
+    * the hop's row count, matching the bounded-range branches' q158
+    * contract. With `withParents` (round 16; VERDICT-r15 #2 — witness
+    * accessors under `SHORTEST k`), it additionally records one
+    * (src, node, dist, via, mult) parent entry per DP edge — distance
+    * × branching state, never path count — for the per-level pointer
+    * walk. Returns (levels, parents, bound). */
+  private def kLevelLevels(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
+      withParents: Boolean)
+      : (DataFrame, Option[DataFrame], Long) = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__m"))
       .localCheckpoint(false)
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
       .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
-    val sd = seeds.select(col(seeds.columns.head).as("__src"))
-      .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-    requireDag(e.drop("__m"), sd,
+    val sdOpt = seeds.map(sd =>
+      sd.select(col(sd.columns.head).as("__src"))
+        .where(col("__src").isNotNull).distinct().localCheckpoint(false))
+    requireDag(e.drop("__m"),
+      sdOpt.getOrElse(e.select(col("__src")).distinct()),
       s"a k > 1 path selector (${kind.toUpperCase} $k)")
-    var frontier = e.join(sd, Seq("__src"), "left_semi")
-      .withColumn("__sig", col("__m")).drop("__m").localCheckpoint(false)
-    var levels = frontier.withColumn("__dist", lit(1L))
+    var frontier = (sdOpt match {
+      case Some(sd) => e.join(sd, Seq("__src"), "left_semi")
+      case None     => e
+    }).select(col("__src"), col("__dst"), col("__m").as("__sig"),
+      col("__m")).localCheckpoint(false)
+    var parents: DataFrame = frontier.select(col("__src").as("__ps"),
+      col("__dst").as("__pn"), lit(1L).as("__pd"),
+      col("__src").as("__pp"), col("__m").as("__pm"))
+    var levels = frontier.drop("__m").withColumn("__dist", lit(1L))
     var d = 1L
     var total = frontier.count()
     def guard(round: Long): Unit =
@@ -507,27 +528,52 @@ private[cypher] object Reach {
       if (d > MaxRounds)
         throw new CypherBindingException(
           s"k-level reach did not converge in $MaxRounds rounds")
-      val nxt = frontier
+      val stepped = frontier
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2"),
-            col("__m")),
+            col("__m").as("__m2")),
           col("__dst") === col("__mid"))
+        .localCheckpoint(false)
+      val nxt = stepped
         .select(col("__src"), col("__d2").as("__dst"),
-          (col("__sig") * col("__m")).as("__sig"))
+          (col("__sig") * col("__m2")).as("__sig"))
         .groupBy("__src", "__dst")
         .agg(sum(col("__sig")).as("__sig"))
+        .withColumn("__m", lit(1L))
         .localCheckpoint(false)
       val n = nxt.count()
       go = n > 0
       if (go) {
         total += n
+        if (withParents) {
+          // one parent entry per DP EDGE of this round: a path ending
+          // at __d2 at distance d steps back to __dst (=via) at d−1,
+          // traversing __m2 parallel relationships
+          val np = stepped.select(col("__src").as("__ps"),
+            col("__d2").as("__pn"), lit(d).as("__pd"),
+            col("__dst").as("__pp"), col("__m2").as("__pm"))
+            .distinct().localCheckpoint(false)
+          total += np.count()
+          parents = parents.unionByName(np).localCheckpoint(false)
+        }
         guard(d)
-        levels = levels.unionByName(nxt.withColumn("__dist", lit(d)))
+        levels = levels
+          .unionByName(nxt.drop("__m").withColumn("__dist", lit(d)))
           .localCheckpoint(false)
         frontier = nxt
       }
     }
-    // k smallest distinct lengths per pair (one row per (pair, length)
-    // by construction), then per-kind path-row multiplicity
+    (levels, if (withParents) Some(parents) else None, bound)
+  }
+
+  /** k smallest distinct lengths per pair (one row per (pair, length)
+    * by construction), with the per-kind TAKE count: `groups` keeps
+    * every path of a kept level (take = σ); `shortest`/`any` cap the
+    * cumulative take at k paths across ascending levels. Rows with
+    * take = 0 drop — the trim keys on (pair, length) BEFORE any
+    * expansion. */
+  private def kLevelTrim(levels: DataFrame, kind: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("__src", "__dst").orderBy("__dist")
     val topk = levels.withColumn("__lrk", row_number().over(w))
       .where(col("__lrk") <= k).drop("__lrk")
@@ -541,7 +587,25 @@ private[cypher] object Reach {
           greatest(lit(0L), least(col("__sig"),
             lit(k.toLong) - coalesce(cumBefore, lit(0L)))))
     }
-    val chosen = withTake.where(col("__take") > 0).localCheckpoint(false)
+    withTake.where(col("__take") > 0)
+  }
+
+  /** k-level reach (round 15; VERDICT-r14 #2 — `SHORTEST k` /
+    * `SHORTEST k GROUPS` / `ANY k`, k > 1, over an UNBOUNDED range):
+    * σ DP levels → k-trim → row expansion. Output rows carry GQL row
+    * multiplicity: `groups` = every path of the k smallest lengths
+    * (σ copies per level); `shortest`/`any` = the k first paths by
+    * length (σ copies, cumulative-capped at k). One (__src, __dst,
+    * __dist) row per selected path. `seeds = None` (round 16;
+    * VERDICT-r15 #3) runs UNANCHORED — every source seeds the DP
+    * under the same maxClosureRows guard. */
+  private def kLevelReach(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Option[DataFrame], kind: String, k: Int)
+      : DataFrame = {
+    val (levels, _, bound) =
+      kLevelLevels(edges, srcCol, dstCol, seeds, kind, k,
+        withParents = false)
+    val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
     val expanded = {
       val row = chosen.agg(sum(col("__take"))).head()
       val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -555,6 +619,105 @@ private[cypher] object Reach {
         .select(col("__src"), col("__dst"), col("__dist"))
     }
     expanded
+  }
+
+  /** Witness accessors under `SHORTEST k` / `GROUPS` / `ANY k`, k > 1,
+    * over an unbounded range (round 16; VERDICT-r15 #2): the k-level
+    * DP keeps per-level parent SETS (distance × branching, never path
+    * count), the trim keys on (pair, length) before expansion, and a
+    * multi-parent pointer walk enumerates each kept level's paths —
+    * σ rows per (pair, length), every row carrying its own __nodes /
+    * __rels arrays (the q153/q163 machinery generalized to k kept
+    * levels). Parallel relationships multiply rows (identical node
+    * arrays, the q158 row-multiplicity contract); non-GROUPS kinds
+    * cap at k paths per pair after enumeration (deterministic
+    * (length, id-array) order). */
+  private def witnessKReach(edf: DataFrame, e: EdgeDef,
+      fwdSeeds: () => Option[DataFrame],
+      revSeeds: () => Option[DataFrame],
+      node: NodeDef, ndf: DataFrame, kind: String, k: Int): DataFrame = {
+    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
+    def run(sc: String, dc: String, sd: Option[DataFrame], rev: Boolean)
+        : DataFrame = {
+      val (levels, parentsOpt, bound) =
+        kLevelLevels(edf, sc, dc, sd, kind, k, withParents = true)
+      val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
+      val ids0 = kLevelWalk(chosen, parentsOpt.get, bound, kind, k)
+      val ids =
+        if (!rev) ids0
+        else ids0.select(col("__dst").as("__src"),
+          col("__src").as("__dst"), col("__dist"), col("__pi"),
+          reverse(col("__wids")).as("__wids"))
+      widsToNodes(ids, node, ndf, perWitness = true,
+          extraKeys = Seq("__pi"))
+        .join(widsToRels(ids, edf, e, perWitness = true,
+            extraKeys = Seq("__pi")),
+          Seq("__src", "__dst", "__dist", "__wids", "__pi"))
+        .drop("__wids", "__pi")
+    }
+    fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
+      .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
+      .getOrElse(run(srcC, dstC, None, rev = false))
+  }
+
+  /** Multi-parent pointer walk over the k-level parent sets: each
+    * chosen (pair, length) row walks back level by level — the join
+    * keys on (src, cur, REMAINING distance), so a node reached at
+    * several distances never mixes levels — multiplying by the
+    * branching and the per-hop parallel-edge multiplicity (σ-fold,
+    * guarded per step). Emits one row per enumerated path with its
+    * full id array and a per-path discriminator __pi (identical
+    * arrays from parallel edges stay distinct rows). */
+  private def kLevelWalk(chosen: DataFrame, parents: DataFrame,
+      bound: Long, kind: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val par = parents.localCheckpoint(false)
+    val maxDist = {
+      val row = chosen.agg(max(col("__dist"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var work = chosen.select(col("__src"), col("__dst"), col("__dist"),
+      col("__dist").as("__rem"), col("__dst").as("__cur"),
+      array(col("__dst")).as("__ids"))
+    var step = 0L
+    while (step < maxDist) {
+      work = work.join(par,
+          col("__src") === col("__ps") && col("__cur") === col("__pn") &&
+            col("__rem") === col("__pd") && col("__rem") >= 1, "left")
+        .withColumn("__j", explode(sequence(lit(1L),
+          when(col("__pp").isNull, lit(1L)).otherwise(col("__pm")))))
+        .select(col("__src"), col("__dst"), col("__dist"),
+          when(col("__pp").isNull, col("__rem"))
+            .otherwise(col("__rem") - 1).as("__rem"),
+          when(col("__pp").isNull, col("__cur"))
+            .otherwise(col("__pp")).as("__cur"),
+          when(col("__pp").isNull, col("__ids"))
+            .otherwise(concat(array(col("__pp")), col("__ids")))
+            .as("__ids"))
+        .localCheckpoint(false)
+      val n = work.count()
+      if (n > bound)
+        throw new GraphContractViolation(
+          s"k-level witnesses: the path expansion hit $n rows at " +
+          s"step $step (bound maxClosureRows=$bound). Narrow the " +
+          s"anchor, or raise $MaxClosureRowsConf deliberately.")
+      step += 1
+    }
+    val full = work.select(col("__src"), col("__dst"), col("__dist"),
+      col("__ids").as("__wids"))
+    val capped = kind match {
+      case "groups" => full
+      case _ =>
+        // k first paths per pair: ascending (length, id array) — the
+        // enumeration equivalent of the trim's cumulative take
+        val w = Window.partitionBy("__src", "__dst")
+          .orderBy(col("__dist"), col("__wids"))
+        full.withColumn("__prk", row_number().over(w))
+          .where(col("__prk") <= k).drop("__prk")
+    }
+    capped.withColumn("__pi", row_number().over(
+      Window.partitionBy("__src", "__dst", "__dist")
+        .orderBy(col("__wids"))))
   }
 
   /** Reverse BFS output → forward orientation: an R-path d→x over
@@ -823,12 +986,15 @@ private[cypher] object Reach {
   /** Witness id array → the canonical node-struct array: posexplode
     * the positions, join the node table ONCE, re-collect in order. */
   private def widsToNodes(ids: DataFrame, node: NodeDef, ndf: DataFrame,
-      perWitness: Boolean = false): DataFrame = {
+      perWitness: Boolean = false, extraKeys: Seq[String] = Seq.empty)
+      : DataFrame = {
     // perWitness (round 14): each enumerated minimal path keys on its
     // own id array, so σ distinct witness rows per pair survive the
-    // re-collect instead of collapsing to one
+    // re-collect instead of collapsing to one. extraKeys (round 16):
+    // a per-path discriminator — identical id arrays from
+    // parallel-edge multiplicity stay distinct rows.
     val keys = Seq("__src", "__dst", "__dist") ++
-      (if (perWitness) Seq("__wids") else Seq.empty)
+      (if (perWitness) Seq("__wids") else Seq.empty) ++ extraKeys
     val cols = (node.idColumn +: node.properties).distinct
     val ex = ids.select(keys.map(col) :+
       posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
@@ -852,10 +1018,11 @@ private[cypher] object Reach {
     * snapshot carries parallel (src, snk) edges (min property
     * struct), re-collect in hop order. */
   private def widsToRels(ids: DataFrame, edf: DataFrame,
-      e: EdgeDef, perWitness: Boolean = false): DataFrame = {
+      e: EdgeDef, perWitness: Boolean = false,
+      extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
     val keys = Seq("__src", "__dst", "__dist") ++
-      (if (perWitness) Seq("__wids") else Seq.empty)
+      (if (perWitness) Seq("__wids") else Seq.empty) ++ extraKeys
     // the DECLARED column order (entityCols' shape) — struct casts
     // are positional, so the ident branch and bounded witnesses must
     // agree field-for-field
@@ -912,7 +1079,8 @@ private[cypher] object Reach {
       catalog: GraphCatalog, outer: Option[Compiler.Ctx],
       needDist: Boolean, allShortest: Boolean,
       wantWitness: Boolean = false,
-      allowIdentity: Boolean = false)
+      allowIdentity: Boolean = false,
+      selector: Option[(String, Int)] = None)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
@@ -981,6 +1149,29 @@ private[cypher] object Reach {
         sd.select(tag(label, col(sd.columns.head)).as("__seed")))
     val sT = catalog.nodeDf(srcLabel).schema(sNode.idColumn).dataType
     val dT = catalog.nodeDf(dstLabel).schema(dNode.idColumn).dataType
+    // k > 1 selectors over the tagged union (round 16; VERDICT-r15
+    // #4): the σ DP runs over packed (ordinal, id) keys unchanged —
+    // the DAG guard, the multiplicity seeding and the k-trim never
+    // read the id content; the ordinal filter + unpack at the end is
+    // the ordinary stratified tail
+    if (selector.isDefined) {
+      val (kind, k) = selector.get
+      val tagged = taggedSeeds(srcPat.alias, sNode, srcLabel)
+        .map(sd => kLevelReach(union, "__src", "__dst", Some(sd),
+          kind, k))
+        .orElse(taggedSeeds(dstPat.alias, dNode, dstLabel)
+          .map(sd => swapPairs(kLevelReach(union, "__dst", "__src",
+            Some(sd), kind, k), dist = true)))
+        .getOrElse(kLevelReach(union, "__src", "__dst", None, kind, k))
+      val out = tagged
+        .where(tagged("__src")("l") === lit(ordinals(srcLabel)) &&
+          tagged("__dst")("l") === lit(ordinals(dstLabel)))
+        .select(Seq(
+          tagged("__src")("i").cast(sT).as("__src"),
+          tagged("__dst")("i").cast(dT).as("__dst")) ++
+          (if (needDist) Seq(col("__dist")) else Seq.empty): _*)
+      return (out, srcLabel, dstLabel)
+    }
     if (wantWitness) {
       // heterogeneous unbounded witnesses (round 14): the SAME
       // parent-pointer BFS as the homogeneous path, run over the

@@ -1191,11 +1191,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN b.Name AS bn, length(p) AS l""".stripMargin)
       .queryExecution.executedPlan.toString
     assert(selPlan.contains("WindowGroupLimit"), selPlan)
-    // k > 1 over an unbounded range stays typed; out-of-range k and
-    // LET aggregates are typed too (round-14 review fixes)
-    intercept[CypherNotSupportedException](rows(
+    // k > 1 over an unbounded range runs UNANCHORED since round 16
+    // (VERDICT-r15 #3): the full pair table, k smallest levels each
+    assert(rows(
       """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
-        |RETURN length(p) AS l""".stripMargin))
+        |RETURN length(p) AS l""".stripMargin).size == 7)
+    // out-of-range k and LET aggregates are typed (round-14 fixes)
     intercept[CypherSyntaxException](rows(
       "MATCH p = SHORTEST 99999999999999999999 " +
         "(a:Person)-[:KNOWS*1..2]->(b:Person) RETURN length(p) AS l"))
@@ -1235,10 +1236,18 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |RETURN length(p) AS l ORDER BY l""".stripMargin)
       .map(_.getLong(0))
     assert(rev == Seq(1L, 3L))
-    // unanchored stays typed (the DP is seeded, not a closure)
-    intercept[CypherNotSupportedException](rows(
+    // UNANCHORED (round 16; VERDICT-r15 #3): every source seeds the
+    // DP — the full pair table with the k smallest levels per pair
+    val un = rows(
       """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
-        |RETURN length(p) AS l""".stripMargin))
+        |RETURN a.Name AS an, b.Name AS bn, length(p) AS l
+        |ORDER BY an, bn, l""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(un == Seq(
+      ("Kevin Bacon", "Rob Reiner", 1L),
+      ("Meg Ryan", "Kevin Bacon", 1L), ("Meg Ryan", "Rob Reiner", 2L),
+      ("Tom Hanks", "Kevin Bacon", 2L), ("Tom Hanks", "Meg Ryan", 1L),
+      ("Tom Hanks", "Rob Reiner", 1L), ("Tom Hanks", "Rob Reiner", 3L)))
     // a CYCLIC anchored cone stays typed (walk vs trail divergence);
     // a cycle OUTSIDE the anchor's reachable cone must NOT reject
     // (the DP never walks it)
@@ -1269,6 +1278,164 @@ class CypherExtensionsSpec extends AnyFunSuite {
           |RETURN length(p) AS l""".stripMargin).collect())
       assert(e.getMessage.contains("CYCLIC"))
     }
+  }
+
+  test("SHORTEST k witnesses over UNBOUNDED ranges (round 16)") {
+    // nodes(p)/relationships(p) under a k > 1 selector: the k-level
+    // DP keeps per-level parent sets; the σ-fold walk enumerates the
+    // kept levels' paths. Tom→Rob: L1 (the 1999 shortcut) + L3.
+    val r = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN [n IN nodes(p) | n.Name] AS ns,
+        |       [e IN relationships(p) | e.Since] AS ss,
+        |       length(p) AS l ORDER BY l""".stripMargin)
+      .map(x => (x.getSeq[String](0), x.getSeq[Int](1), x.getLong(2)))
+    assert(r == Seq(
+      (Seq("Tom Hanks", "Rob Reiner"), Seq(1999), 1L),
+      (Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon", "Rob Reiner"),
+        Seq(2010, 2015, 2020), 3L)))
+    // agreement with the bounded-range branch lowering (the q156/q158
+    // machinery): same selector, [*1..3] vs [*] — identical witnesses
+    val bounded = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*1..3]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN [n IN nodes(p) | n.Name] AS ns, length(p) AS l
+        |ORDER BY l""".stripMargin)
+      .map(x => (x.getSeq[String](0), x.getLong(1)))
+    assert(bounded == r.map(x => (x._1, x._3)))
+    // GROUPS over a σ = 2 diamond: BOTH minimal paths come out as
+    // distinct witness rows; the reverse anchor seeds too
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val diamond = Seq(
+        ("p1", "p2", 1), ("p1", "p3", 2),
+        ("p2", "p4", 3), ("p3", "p4", 4), ("p4", "p5", 5))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => diamond
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val g = s.run(
+        """MATCH p = SHORTEST 1 GROUPS (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Jessica Thompson'
+          |RETURN [n IN nodes(p) | n.id] AS ns ORDER BY ns"""
+          .stripMargin).collect().map(_.getSeq[String](0))
+      assert(g.toSeq == Seq(Seq("p1", "p2", "p4", "p5"),
+        Seq("p1", "p3", "p4", "p5")))
+      // ANY 2 caps at two paths (deterministic length-then-array
+      // order); the reverse-anchored spelling agrees
+      val a2 = s.run(
+        """MATCH p = ANY 2 (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE b.Name = 'Jessica Thompson' AND a.Name = 'Tom Hanks'
+          |RETURN [n IN nodes(p) | n.id] AS ns ORDER BY ns"""
+          .stripMargin).collect().map(_.getSeq[String](0))
+      assert(a2.toSeq == Seq(Seq("p1", "p2", "p4", "p5"),
+        Seq("p1", "p3", "p4", "p5")))
+    }
+    // PARALLEL edges: σ multiplies (ADVICE-r15 #3) — two identical
+    // node arrays, one per underlying relationship (q158's row
+    // multiplicity), for witness and plain spellings alike
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val par = Seq(("p1", "p2", 2001), ("p1", "p2", 2002),
+        ("p2", "p3", 2003)).toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => par
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val rr = s.run(
+        """MATCH p = SHORTEST 2 GROUPS (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Kevin Bacon'
+          |RETURN [n IN nodes(p) | n.id] AS ns, length(p) AS l"""
+          .stripMargin).collect()
+        .map(x => (x.getSeq[String](0), x.getLong(1)))
+      assert(rr.toSeq == Seq((Seq("p1", "p2", "p3"), 2L),
+        (Seq("p1", "p2", "p3"), 2L)))
+      val plain = s.run(
+        """MATCH p = SHORTEST 2 GROUPS (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Kevin Bacon'
+          |RETURN length(p) AS l""".stripMargin).collect()
+        .map(_.getLong(0))
+      assert(plain.toSeq == Seq(2L, 2L))
+    }
+  }
+
+  test("k > 1 selectors over heterogeneous chains and [*0..] " +
+      "(round 16)") {
+    import spark.implicits._
+    // FEEDS spans A→B and B→A: the σ DP runs over the tagged union
+    // frame (packed (ordinal, id) keys compose)
+    val schemaH = GraphSchema(
+      nodes = Seq(NodeDef("A", "id", Seq.empty, "a_tbl"),
+        NodeDef("B", "id", Seq.empty, "b_tbl")),
+      edges = Seq(
+        EdgeDef("FEEDS", "A", "B", "src", "dst", Seq.empty, "ab"),
+        EdgeDef("FEEDS", "B", "A", "src", "dst", Seq.empty, "ba")))
+    val aTbl = Seq(1L, 2L).toDF("id")
+    val bTbl = Seq(10L, 20L, 30L).toDF("id")
+    val ab = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("src", "dst")
+    val ba = Seq((10L, 2L), (20L, 2L)).toDF("src", "dst")
+    val s = new CypherSession(spark, new GraphCatalog(schemaH, {
+      case "a_tbl" => aTbl; case "b_tbl" => bTbl
+      case "ab" => ab; case "ba" => ba
+      case other => throw new IllegalArgumentException(other)
+    })).extended
+    // A1→B3: two L3 chains (via B10 and via B20) — GROUPS keeps both
+    // σ rows of the single kept level; SHORTEST 2 likewise
+    val g = s.run(
+      """MATCH p = SHORTEST 2 GROUPS (a:A)-[:FEEDS*]->(b:B)
+        |WHERE a.id = 1
+        |RETURN b.id AS bid, length(p) AS l ORDER BY bid, l"""
+        .stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(g.toSeq == Seq((10L, 1L), (20L, 1L), (30L, 3L), (30L, 3L)))
+    // unanchored hetero k > 1: the full (A, B) pair table
+    val un = s.run(
+      """MATCH p = SHORTEST 2 (a:A)-[:FEEDS*]->(b:B)
+        |RETURN a.id AS aid, b.id AS bid, length(p) AS l
+        |ORDER BY aid, bid, l""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(un.toSeq == Seq((1L, 10L, 1L), (1L, 20L, 1L), (1L, 30L, 3L),
+      (1L, 30L, 3L), (2L, 30L, 1L)))
+    // [*0..]: the zero-hop identity row enters as level 0 with σ = 1
+    // (same-label endpoints; A1 reaches A2 two ways at L2)
+    val z = s.run(
+      """MATCH p = SHORTEST 2 GROUPS (a:A)-[:FEEDS*0..]->(b:A)
+        |WHERE a.id = 1
+        |RETURN b.id AS bid, length(p) AS l ORDER BY bid, l"""
+        .stripMargin).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(z.toSeq == Seq((1L, 0L), (2L, 2L), (2L, 2L)))
+    // hetero witnesses under k > 1 stay typed (the one remaining
+    // boundary; bounded ranges carry them)
+    intercept[CypherNotSupportedException](s.run(
+      """MATCH p = SHORTEST 2 (a:A)-[:FEEDS*]->(b:B) WHERE a.id = 1
+        |RETURN nodes(p) AS ns""".stripMargin))
+    // homogeneous [*0..] + k with the MovieFixture chain: identity
+    // level counts toward the k levels
+    val z2 = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*0..]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, length(p) AS l ORDER BY bn, l"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(z2 == Seq(("Kevin Bacon", 2L), ("Meg Ryan", 1L),
+      ("Rob Reiner", 1L), ("Rob Reiner", 3L), ("Tom Hanks", 0L)))
+    // guard trip: a well-connected graph under a tiny closure bound
+    spark.conf.set("spark.graft.reach.maxClosureRows", "3")
+    try {
+      val e = intercept[Exception](rows(
+        """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+          |RETURN length(p) AS l""".stripMargin))
+      assert(e.getMessage.contains("maxClosureRows"))
+    } finally spark.conf.unset("spark.graft.reach.maxClosureRows")
   }
 
   test("normalize() and round(x, d, mode) (round 14)") {
@@ -4864,13 +5031,20 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0),
         if (x.isNullAt(1)) None else Some(x.getString(1)))).toMap
     assert(r2("p1").isEmpty)
-    // typed rejections: label removal, multiple variables, unknown
-    // property, id removal, parity mode
+    // typed rejections: label removal, unknown property, id removal,
+    // parity mode (multi-variable REMOVE desugars since round 16 —
+    // positive case below)
     intercept[CypherNotSupportedException](rows(
       "MATCH (p:Person) REMOVE p:Actor"))
-    intercept[CypherNotSupportedException](rows(
-      """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
-        |REMOVE p.Name, m.Tagline""".stripMargin))
+    locally {
+      // round 16: one clause per variable; the RETURN reads both
+      val mv = rows(
+        """MATCH (p:Person)-[:ACTED_IN]->(m:Movie)
+          |WHERE p.id = 'p1' AND m.id = 'm2'
+          |REMOVE p.Name, m.Tagline
+          |RETURN p.Name AS n, m.Tagline AS t""".stripMargin).head
+      assert(mv.isNullAt(0) && mv.isNullAt(1))
+    }
     intercept[CypherBindingException](rows(
       "MATCH (p:Person) REMOVE p.Nope"))
     intercept[CypherBindingException](rows(
