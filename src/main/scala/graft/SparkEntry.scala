@@ -5222,6 +5222,57 @@ object SparkEntry {
       },
       Some(bm25Oracle)),
 
+    // --- persisted BM25 postings index (round 16; VERDICT-r15 #6):
+    //     (token, doc, tf, dl) postings PARTITIONED BY token hash
+    //     bucket + a 1-row stats table; the probe pushes the query
+    //     terms' buckets as a static partition isin (PartitionFilters
+    //     prune unprobed bucket directories — plan-asserted in
+    //     OpsSpec). Same tokenizer and scoring as s11 ⇒ the probe is
+    //     VALUE-IDENTICAL to the in-memory path, so s11's oracle
+    //     binds the persisted path end to end.
+    ("s40_bm25_persisted",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "hash join order"), (1L, "fast scan filter"),
+          (2L, "stream window agg")).toDF("query_id", "qtext")
+        val path = java.nio.file.Files
+          .createTempDirectory("s40_bm25").toString
+        Retrieval.writeBm25Index(docs(s, dir), "text", "doc_id", path,
+          nBuckets = 32)
+        Retrieval.bm25ProbeIndex(s, path, qs, "query_id", "qtext",
+            k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Oracle)),
+
+    // --- incremental BM25 append (round 16): build from the even-id
+    //     half, APPEND the odd-id half under the frozen tokenizer and
+    //     bucket layout (untouched buckets' files untouched — asserted
+    //     in OpsSpec); only the corpus scalars recompute as deltas, df
+    //     derives from the postings at probe time. Old + new rows in
+    //     one layout ⇒ s11's oracle binds the appended index too.
+    ("s41_bm25_append",
+      (s, dir) => {
+        import s.implicits._
+        val qs = Seq((0L, "hash join order"), (1L, "fast scan filter"),
+          (2L, "stream window agg")).toDF("query_id", "qtext")
+        val d = docs(s, dir)
+        val path = java.nio.file.Files
+          .createTempDirectory("s41_bm25").toString
+        Retrieval.writeBm25Index(d.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", path, nBuckets = 32)
+        Retrieval.appendBm25Index(d.where(col("doc_id") % 2 === 1),
+          "text", "doc_id", path)
+        Retrieval.bm25ProbeIndex(s, path, qs, "query_id", "qtext",
+            k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25Oracle)),
+
     // --- oracle-mode Lloyd k-means (2 assign rounds, 1 centroid
     //     update; rounded argmin + rounded iterates pin every
     //     assignment cross-engine) — the verifiable twin of the native

@@ -292,4 +292,145 @@ object Retrieval {
       .select(col("query_id"), col("token").as("term"), col("rank"),
         col("weight"))
   }
+
+  // --------------------------------------------- persisted BM25 index
+
+  /** (token, doc, tf, dl, bucket) posting rows of a corpus under the
+   *  engine's frozen tokenizer — dl denormalized onto every posting so
+   *  a probe never needs a doc-length side table. */
+  private def bm25Postings(docs: DataFrame, textCol: String,
+      idCol: String, nBuckets: Int): DataFrame = {
+    val toks = docs.select(col(idCol).cast(LongType).as("__id"),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(col("__id").isNotNull && col("token").isNotNull)
+    val tf = toks.groupBy(col("__id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("__id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, Seq("__id"))
+      .select(col("token"), col("__id"), col("tf"), col("dl"),
+        pmod(hash(col("token")), lit(nBuckets)).as("__bucket"))
+  }
+
+  /** Corpus scalars of one doc frame: (n_docs, total_tokens) counting
+   *  EVERY document (empty ones contribute length 0 — BM25's N/avgdl
+   *  contract). */
+  private def bm25Scalars(docs: DataFrame, textCol: String)
+      : (Long, Long) = {
+    val row = docs.select(TextOps.tokenCount(col(textCol)).as("__n"))
+      .agg(count(lit(1)), coalesce(sum(col("__n")), lit(0L))).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  private def writeBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String, nDocs: Long, totalTokens: Long,
+      nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalTokens, nBuckets))
+      .toDF("n_docs", "total_tokens", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /**
+   * Persist a BM25 postings index (round 16; VERDICT-r15 #6 — the
+   * retrieval twin of [[Similarity.writeIvfIndex]]): the corpus
+   * tokenized ONCE into (token, doc, tf, dl) posting rows, written as
+   * parquet PARTITIONED BY a hash bucket of the token, plus a 1-row
+   * stats table (N, total tokens, bucket count). At 100 TB this is
+   * the index build — one pass over the bodies; every later probe is
+   * a partition-pruned READ of |query-term buckets| / nBuckets of the
+   * postings, and the bodies are never read again. A token's postings
+   * all land in ONE bucket, so document frequency stays computable
+   * exactly from the pruned slice.
+   */
+  def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    bm25Postings(docs, textCol, idCol, nBuckets)
+      .repartition(col("__bucket"))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$path/postings")
+    val (n, t) = bm25Scalars(docs, textCol)
+    writeBm25Stats(docs.sparkSession, path, n, t, nBuckets)
+  }
+
+  /**
+   * Incremental index maintenance: append a batch of NEW documents to
+   * a persisted BM25 index without rebuilding — the [[Similarity
+   * .appendIvfIndex]] shape. The batch tokenizes under the index's
+   * FROZEN tokenizer and bucket count (probes must keep seeing one
+   * consistent layout), its postings append into the existing bucket
+   * directories (untouched buckets' files untouched), and only the
+   * corpus scalars recompute as deltas (N += batch docs, total_tokens
+   * += batch tokens — df needs no bookkeeping: it is derived from the
+   * postings at probe time, and the new rows simply count). Batch doc
+   * ids must be new — re-indexing an existing id is a rebuild
+   * decision, not an append.
+   */
+  def appendBm25Index(batch: DataFrame, textCol: String, idCol: String,
+                      path: String): Unit = {
+    val spark = batch.sparkSession
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (oldN, oldT, nBuckets) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens"),
+        st.getAs[Int]("n_buckets"))
+    bm25Postings(batch, textCol, idCol, nBuckets)
+      .repartition(col("__bucket"))
+      .write.mode("append").partitionBy("__bucket")
+      .parquet(s"$path/postings")
+    val (bn, bt) = bm25Scalars(batch, textCol)
+    writeBm25Stats(spark, path, oldN + bn, oldT + bt, nBuckets)
+  }
+
+  /**
+   * Probe a persisted BM25 index ([[writeBm25Index]] layout): the
+   * query terms' bucket ids are collected (≤ |distinct terms| ints —
+   * the query side is the small side by contract) and pushed as a
+   * STATIC `isin` over the partition column, so Parquet planning
+   * prunes every unprobed bucket directory (PartitionFilters, no
+   * row-level DataFilters). df aggregates over the pruned slice
+   * (exact — a term's postings share one bucket); N/avgdl read from
+   * the stats row. Scoring matches [[bm25TopK]] term for term: same
+   * smoothed idf, same rounding convention, same (score, doc id)
+   * ranking — the in-memory oracle binds the persisted path.
+   */
+  def bm25ProbeIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qidCol: String,
+      qtextCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val st = spark.read.parquet(s"$path/stats").head()
+    val (nDocs, totTokens, nBuckets) =
+      (st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens"),
+        st.getAs[Int]("n_buckets"))
+    val qt = queries.select(col(qidCol).cast(LongType).as("query_id"),
+      explode(array_distinct(TextOps.tokens(col(qtextCol))))
+        .as("token"))
+    val buckets = qt
+      .select(pmod(hash(col("token")), lit(nBuckets)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .where(col("__bucket").isin(buckets: _*))
+    val dfreq = post
+      .join(broadcast(qt.select(col("token")).distinct()), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = lit(totTokens.toDouble / nDocs.toDouble)
+    val idf = log(lit(1.0) +
+      ((lit(nDocs) - col("df")).cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val tfD = col("tf").cast(DoubleType)
+    val term = idf * ((tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) +
+        (lit(b) * col("dl").cast(DoubleType)) / avgdl)))
+    val scored = post.join(broadcast(qt), Seq("token"))
+      .join(dfreq, Seq("token"))
+      .select(col("query_id"), col("__id"), term.as("__s"))
+      .groupBy(col("query_id"), col("__id"))
+      .agg(sum(col("__s")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("__id").as("doc_id"), col("rank"),
+        col("score"))
+  }
 }

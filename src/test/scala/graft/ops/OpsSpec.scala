@@ -2721,6 +2721,96 @@ class OpsSpec extends AnyFunSuite {
     assert(s5q1 > s5q0)
   }
 
+  test("persisted BM25 postings index: probe ≡ in-memory, append ≡ " +
+      "from-scratch, buckets prune (round 16)") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat mouse mouse mouse"),
+      (3L, "cat cat cat dog " * 8),
+      (4L, "mouse mouse mouse mouse"),
+      (5L, "rare cat"),
+      (6L, ""),                             // empty doc: counts in N/avgdl
+      (7L, "dog dog rare mouse cat fox"),
+      // vocabulary spread so the bucket dirs outnumber the probed set
+      (8L, (1 to 40).map(i => s"filler$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, "cat dog"), (1L, "rare fox")).toDF("query_id", "qtext")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("doc_id"), col("rank"),
+          round(col("score"), 9).as("score"))
+        .orderBy("query_id", "rank").collect().toSeq
+    val mem = canon(Retrieval.bm25TopK(docs, q, "text", "doc_id",
+      "query_id", "qtext", k = 10))
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25idx").toString
+    try {
+      // 1. probe ≡ in-memory bm25TopK, value-identical
+      Retrieval.writeBm25Index(docs, "text", "doc_id", path,
+        nBuckets = 8)
+      val probe = Retrieval.bm25ProbeIndex(spark, path, q, "query_id",
+        "qtext", k = 10)
+      assert(canon(probe) == mem)
+      // 2. partition pruning: the probed buckets push as
+      // PartitionFilters, no row-level DataFilters on the scan
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [__bucket"),
+        s"probe scan not partition-pruned:\n$plan")
+      val bucketDirs = new java.io.File(s"$path/postings").listFiles
+        .count(_.getName.startsWith("__bucket="))
+      // repartition(__bucket) bounds files: one shard per bucket dir
+      val shards = new java.io.File(s"$path/postings").listFiles
+        .filter(_.getName.startsWith("__bucket="))
+        .map(_.listFiles.count(_.getName.endsWith(".parquet")))
+      assert(shards.forall(_ == 1), s"shards per bucket: ${shards.toSeq}")
+      // the pruned scan in isolation: files read = probed buckets
+      val nb = 8
+      val probedBuckets = q
+        .select(explode(array_distinct(TextOps.tokens(col("qtext"))))
+          .as("token"))
+        .select(pmod(hash(col("token")), lit(nb)).as("__b"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      assert(probedBuckets.length < bucketDirs) // genuinely selective
+      val pruned = spark.read.parquet(s"$path/postings")
+        .where(col("__bucket").isin(probedBuckets: _*))
+      pruned.collect()
+      val scan = pruned.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metrics("numFiles").value == probedBuckets.length.toLong)
+      assert(scan.toString.contains("DataFilters: []"))
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path))
+    // 3. append ≡ from-scratch: build from even ids, append odd ids —
+    // probes see old + new rows, df/avgdl deltas fold in exactly
+    val path2 = java.nio.file.Files
+      .createTempDirectory("bm25idx2").toString
+    try {
+      Retrieval.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
+        "text", "doc_id", path2, nBuckets = 8)
+      Retrieval.appendBm25Index(docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", path2)
+      val appended = canon(Retrieval.bm25ProbeIndex(spark, path2, q,
+        "query_id", "qtext", k = 10))
+      assert(appended == mem)
+      // untouched-bucket files stay untouched: appending an empty
+      // batch adds no posting files anywhere
+      val before = new java.io.File(s"$path2/postings").listFiles
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName ->
+          d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+      Retrieval.appendBm25Index(
+        docs.where(col("doc_id") < 0), "text", "doc_id", path2)
+      val after = new java.io.File(s"$path2/postings").listFiles
+        .filter(_.getName.startsWith("__bucket="))
+        .map(d => d.getName ->
+          d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+      assert(after == before)
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path2))
+  }
+
   test("bm25 runtime plan reuses the tf exchange (tokenize once)") {
     val q = Seq((0L, "quick fox")).toDF("query_id", "qtext")
     val r = Retrieval.bm25TopK(corpus, q, "text", "doc_id", "query_id",
