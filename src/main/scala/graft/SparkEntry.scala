@@ -3955,6 +3955,32 @@ object SparkEntry {
       },
       Some(dupClustersOracle)),
 
+    // --- incremental component maintenance (round 16; VERDICT-r15
+    //     #7): the d06 pair graph split into two deterministic
+    //     halves — the first half builds the EXISTING assignment, the
+    //     second merges in via componentsAgainst (touched components
+    //     re-solve over their star edges + batch pairs; untouched
+    //     rows pass through byte-exact). merged ≡ from-scratch over
+    //     the union, so d06's recursive-CTE cluster map binds it.
+    ("d32_components_incremental",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+          .localCheckpoint(false)
+        val half1 = pairs.where(pmod(col("id_a") + col("id_b"),
+          lit(2)) === 0)
+        val half2 = pairs.where(pmod(col("id_a") + col("id_b"),
+          lit(2)) === 1)
+        val existing = Dedup.connectedComponents(half1)
+        Dedup.componentsAgainst(existing, half2)
+          .select(col("id").as("doc_id"),
+            col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupClusterCtes
+             |SELECT doc_id, cluster_id FROM comp
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- cluster-level near-dedup with a QUALITY keeper policy: same
     //     pair graph as d03/d06, keep the best-quality member per
     //     cluster (not the min id) — the retention rule a curation

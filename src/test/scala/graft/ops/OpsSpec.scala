@@ -465,6 +465,46 @@ class OpsSpec extends AnyFunSuite {
     assert(one == Map(9L -> 3L, 3L -> 3L))
   }
 
+  test("componentsAgainst: merged ≡ from-scratch, untouched rows " +
+      "byte-exact (round 16)") {
+    // existing graph: {1,2,3} (root 1), {10,11} (root 10), {20,21}
+    // (root 20), singleton-ish {30,31}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L)).toDF("id_a", "id_b")
+    val existing = Dedup.connectedComponents(oldPairs)
+    // batch: bridges {10,11}+{20,21}, links a NEW node 99 into {1..3},
+    // introduces a new MINIMUM 0 into {1..3}, and a brand-new pair
+    // (40,41); {30,31} untouched
+    val batch = Seq((11L, 20L), (3L, 99L), (0L, 2L), (40L, 41L))
+      .toDF("id_a", "id_b")
+    val merged = Dedup.componentsAgainst(existing, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+        oldPairs.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == scratch)
+    assert(merged(0L) == 0L && merged(1L) == 0L && merged(99L) == 0L)
+    assert(merged(21L) == 10L && merged(40L) == 40L)
+    // untouched component rows pass through byte-exact
+    assert(merged(30L) == 30L && merged(31L) == 30L)
+    val untouchedRows = Dedup.componentsAgainst(existing, batch)
+      .where(col("component") === 30L).collect().toSet
+    val originalRows = existing.where(col("component") === 30L)
+      .collect().toSet
+    assert(untouchedRows == originalRows)
+    // distributed sub-solve path agrees (force past the driver limit)
+    val mergedDist = Dedup.componentsAgainst(existing, batch,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mergedDist == scratch)
+    // an empty batch is the identity
+    val idm = Dedup.componentsAgainst(existing,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idm == existing.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("nearDeduplicate keeps one doc per near-dup cluster plus singletons") {
     // corpus docs 1,2 exact dups; 3 near-dup of both (transitively one
     // cluster {1,2,3}); 4 and 5 singletons
