@@ -1438,6 +1438,23 @@ class CypherExtensionsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.reach.maxClosureRows")
   }
 
+  test("bounded-range selectors agree with the k-level form on a DAG " +
+      "(round 16; the cyclic-graph recipe's other half)") {
+    // on a CYCLIC graph the k-level lowering raises a typed error and
+    // the documented recipe is to bound the range — [*1..h] + selector
+    // gives exact trail semantics there. This pins the recipe's other
+    // half: on a DAG the two lowerings agree exactly, so bounding is
+    // never a behavior change, only a cycle-safety one.
+    for (kw <- Seq("SHORTEST 2", "ANY 2", "SHORTEST 2 GROUPS")) {
+      def run(range: String) = rows(
+        s"""MATCH p = $kw (a:Person)-[:KNOWS$range]->(b:Person)
+           |RETURN a.Name AS an, b.Name AS bn, length(p) AS l
+           |ORDER BY an, bn, l""".stripMargin)
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      assert(run("*") == run("*1..3"), s"selector $kw diverged")
+    }
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature

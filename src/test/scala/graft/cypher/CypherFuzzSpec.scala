@@ -714,6 +714,132 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"$t r WHERE r._vertexId = p.id) AS c FROM person p")
   }
 
+  /** Round-16 surface: multi-variable SET/REMOVE, unanchored and
+    * witness-bearing k > 1 selectors, [*0..] k-levels, grouped
+    * CALL-UNION aggregation. KNOWS is a DAG, so the bounded
+    * p1/p2/p3 walk mirrors enumerate the k-level DP's walks exactly
+    * (no node revisits exist to diverge on). */
+  private def genSurface16(rnd: Random): Gen = rnd.nextInt(7) match {
+    case 0 => // multi-variable SET: one clause per variable, RETURN
+      // reads both updates
+      val d = 1 + rnd.nextInt(50)
+      Gen(
+        s"MATCH (p:Person)-[r:REVIEWED]->(m:Movie) " +
+          s"SET p.Born = 1900 + $d, r.Rating = r.Rating + $d " +
+          "RETURN p.Name AS nm, p.Born AS b, r.Rating AS rt, " +
+          "m.Title AS t",
+        s"SELECT p.Name AS nm, 1900 + $d AS b, r.Rating + $d AS rt, " +
+          "m.Title AS t FROM person p " +
+          "JOIN reviewed r ON r._vertexId = p.id " +
+          "JOIN movie m ON m.id = r._sink")
+    case 1 => // multi-variable REMOVE: null writes per variable
+      Gen(
+        "MATCH (p:Person)-[r:REVIEWED]->(m:Movie) " +
+          "REMOVE p.Born, r.Summary " +
+          "RETURN p.Name AS nm, p.Born AS b, r.Summary AS s",
+        "SELECT p.Name AS nm, CAST(NULL AS INT) AS b, " +
+          "CAST(NULL AS STRING) AS s FROM person p " +
+          "JOIN reviewed r ON r._vertexId = p.id")
+    case 2 => // UNANCHORED k > 1 selector: the full pair table
+      val (kw, rankFn) = Seq(
+        ("SHORTEST 2", "row_number"), ("ANY 2", "row_number"),
+        ("SHORTEST 2 GROUPS", "dense_rank"))(rnd.nextInt(3))
+      Gen(
+        s"MATCH p = $kw (a:Person)-[:KNOWS*]->(b:Person) " +
+          "RETURN a.Name AS an, b.Name AS bn, length(p) AS l",
+        "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+          "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+          "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a JOIN k b " +
+          "ON b.s = a.d), " +
+          "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+          "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+          "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+          "UNION ALL SELECT * FROM p3), " +
+          s"r AS (SELECT s, d, l, $rankFn() OVER (PARTITION BY s, d " +
+          "ORDER BY l) rk FROM u) " +
+          "SELECT pa.Name AS an, pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+          "FROM r JOIN person pa ON pa.id = r.s " +
+          "JOIN person pb ON pb.id = r.d WHERE rk <= 2")
+    case 3 => // witness accessors under a k > 1 selector: per-path
+      // id strings from nodes(p)
+      val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon")(rnd.nextInt(3))
+      val (kw, rankFn) = Seq(("SHORTEST 2", "row_number"),
+        ("SHORTEST 2 GROUPS", "dense_rank"))(rnd.nextInt(2))
+      Gen(
+        s"MATCH p = $kw (a:Person)-[:KNOWS*]->(b:Person) " +
+          s"WHERE a.Name = '$src' RETURN b.Name AS bn, " +
+          "reduce(s = '', n IN nodes(p) | s + '|' + n.id) AS path",
+        "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+          "p1 AS (SELECT s, d, 1 AS l, '|' || s || '|' || d AS path " +
+          "FROM k), " +
+          "p2 AS (SELECT a.s, b.d, 2 AS l, " +
+          "'|' || a.s || '|' || a.d || '|' || b.d FROM k a " +
+          "JOIN k b ON b.s = a.d), " +
+          "p3 AS (SELECT a.s, c.d, 3 AS l, " +
+          "'|' || a.s || '|' || a.d || '|' || b.d || '|' || c.d " +
+          "FROM k a JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+          "u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+          "UNION ALL SELECT * FROM p3), " +
+          s"r AS (SELECT s, d, l, path, $rankFn() OVER " +
+          "(PARTITION BY s, d ORDER BY l) rk FROM u) " +
+          "SELECT pb.Name AS bn, path " +
+          "FROM r JOIN person pa ON pa.id = r.s " +
+          "JOIN person pb ON pb.id = r.d " +
+          s"WHERE rk <= 2 AND pa.Name = '$src'")
+    case 4 => // [*0..] + k: the identity row enters as level 0
+      val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon",
+        "Rob Reiner")(rnd.nextInt(4))
+      Gen(
+        s"MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*0..]->(b:Person) " +
+          s"WHERE a.Name = '$src' " +
+          "RETURN b.Name AS bn, length(p) AS l",
+        "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+          "p0 AS (SELECT id AS s, id AS d, 0 AS l FROM person), " +
+          "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+          "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a JOIN k b " +
+          "ON b.s = a.d), " +
+          "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+          "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+          "u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1 " +
+          "UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3), " +
+          "r AS (SELECT s, d, l, row_number() OVER (PARTITION BY s, d " +
+          "ORDER BY l) rk FROM u) " +
+          "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+          "FROM r JOIN person pa ON pa.id = r.s " +
+          "JOIN person pb ON pb.id = r.d " +
+          s"WHERE rk <= 2 AND pa.Name = '$src'")
+    case 5 => // GROUPED aggregating CALL-UNION branch: no zero-fill,
+      // zero-match invocations contribute nothing (ADVICE-r15 #2)
+      val vs = rnd.shuffle(Seq(("ACTED_IN", "acted_in"),
+        ("REVIEWED", "reviewed"), ("DIRECTED", "directed"))).take(2)
+      Gen(
+        s"MATCH (p:Person) CALL (p) { " +
+          s"MATCH (p)-[:${vs(0)._1}]->(m:Movie) " +
+          "RETURN m.Released AS y, count(m) AS c " +
+          s"UNION ALL MATCH (p)-[:${vs(1)._1}]->(m:Movie) " +
+          "RETURN m.Released AS y, count(m) AS c } " +
+          "RETURN p.Name AS nm, y, c",
+        s"WITH b1 AS (SELECT r._vertexId AS pid, m.Released AS y, " +
+          s"count(*) AS c FROM ${vs(0)._2} r " +
+          "JOIN movie m ON m.id = r._sink GROUP BY 1, 2), " +
+          "b2 AS (SELECT r._vertexId AS pid, m.Released AS y, " +
+          s"count(*) AS c FROM ${vs(1)._2} r " +
+          "JOIN movie m ON m.id = r._sink GROUP BY 1, 2), " +
+          "u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2) " +
+          "SELECT p.Name AS nm, u.y, u.c FROM person p " +
+          "JOIN u ON u.pid = p.id")
+    case _ => // mixed SET then REMOVE chain over distinct tables
+      val d = 1 + rnd.nextInt(40)
+      Gen(
+        s"MATCH (p:Person)-[r:REVIEWED]->(m:Movie) " +
+          s"SET p.Born = 1900 + $d " +
+          "REMOVE r.Summary " +
+          "RETURN p.Born AS b, r.Summary AS s, m.Title AS t",
+        s"SELECT 1900 + $d AS b, CAST(NULL AS STRING) AS s, " +
+          "m.Title AS t FROM reviewed r " +
+          "JOIN movie m ON m.id = r._sink")
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -882,6 +1008,38 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
       assert(got == exp,
         s"\nseed=${Seed + 5} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
+  }
+
+  test("60 seed-pinned round-16-surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 6)
+    (0 until 60).foreach { i =>
+      val g = genSurface16(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 6} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 6} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 6} i=$i DIVERGED " +
         s"(${got.size} vs ${exp.size} rows)" +
         s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
         s"\ngot:      ${got.take(8).mkString(" ; ")}" +

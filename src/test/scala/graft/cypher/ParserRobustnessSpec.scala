@@ -427,4 +427,38 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(q =>
       try { Parser.parse(q); () } catch { case _: CypherException => () })
   }
+
+  test("round-16 surface fuzz: multi-variable SET/REMOVE, unanchored " +
+      "selectors, zero-hop k-levels") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MATCH (a)-[r:T]->(b) SET a.p = 1, b.q =",
+      "MATCH (a)-[r:T]->(b) SET a.p = 1, , b.q = 2",
+      "MATCH (a)-[r:T]->(b) SET a.p = 1, b = {q: 2}",
+      "MATCH (a)-[r:T]->(b) SET a = {p: 1}, b.q = 2",
+      "MATCH (a)-[r:T]->(b) SET a.p = 1, r += {q",
+      "MATCH (a)-[r:T]->(b) SET a.p = 1, r.q = 2, a.p = 3",
+      "MATCH (a)-[r:T]->(b) REMOVE a.p, r.",
+      "MATCH (a)-[r:T]->(b) REMOVE a.p, , r.q",
+      "MATCH (a)-[r:T]->(b) REMOVE a.p, r:Label RETURN 1 AS x",
+      "MATCH p = SHORTEST 2 (a)-[:T*0..]->(b) RETURN length(p",
+      "MATCH p = SHORTEST 2 (a)-[:T*0..]->(b:Other) RETURN 1 AS x",
+      "MATCH p = ANY 2 (a)-[:T*]->(b) RETURN nodes(p",
+      "MATCH p = SHORTEST 2 GROUPS (a)-[:T*]->(b) RETURN nodes(p)",
+      "MATCH p = SHORTEST 0 (a)-[:T*]->(b) RETURN length(p) AS l")
+    bad.foreach(attemptExt)
+    bad.foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "SET", "REMOVE", ",", ".", "=", "+=", "{", "}", "a", "r", "b",
+      "p", "q", "1", "2", "SHORTEST", "ANY", "GROUPS", "*", "0..",
+      "[", "]", ":T", "(", ")", "-", "->", "nodes", "relationships",
+      "MATCH", "RETURN", "AS", "length", "reduce", "|", "IN"))
+      .map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+  }
 }
