@@ -2517,15 +2517,21 @@ object Compiler {
     // the row key is part of keyCols, so every sibling is its own
     // key group and one matched sibling updates exactly one row.
     val snapProps = outCols.filterNot(keyCols.contains)
-    val feedW0 =
-      if (others.isEmpty) feed.distinct()
-      else
-        feed.groupBy(keyPrefs.map(col): _*)
-          .agg(max(struct(others.map(col): _*)).as("__w"))
-          .select(keyPrefs.map(col) ++
-            others.map(cn => col("__w").getField(cn).as(cn)): _*)
+    val needGuard = keyCols.size == 2 && snapProps.nonEmpty
+    val feedW0 = {
+      val w =
+        if (others.isEmpty) feed.distinct()
+        else
+          feed.groupBy(keyPrefs.map(col): _*)
+            .agg(max(struct(others.map(col): _*)).as("__w"))
+            .select(keyPrefs.map(col) ++
+              others.map(cn => col("__w").getField(cn).as(cn)): _*)
+      // materialize BEFORE the guard: its matched-key semi-join reads
+      // the deduped feed twice otherwise (re-running the whole match)
+      if (needGuard) w.localCheckpoint(false) else w
+    }
     val feedW =
-      (if (keyCols.size == 2 && snapProps.nonEmpty)
+      (if (needGuard)
         pairDupGuard(feedW0, keyPrefs, keyCols, snapshot, snapProps,
           "SET")
       else feedW0).localCheckpoint(false)
@@ -2622,10 +2628,16 @@ object Compiler {
     // also skips (identical siblings delete together, Neo4j's own
     // both-bound behavior).
     val snapProps = outCols.filterNot(keyCols.contains)
-    val keys0 = nn.select(keyPrefs.zip(keyCols).map {
-      case (kp, k) => col(kp).as(k) }: _*).distinct()
+    val needGuard = keyCols.size == 2 && snapProps.nonEmpty
+    val keys0 = {
+      val k0 = nn.select(keyPrefs.zip(keyCols).map {
+        case (kp, k) => col(kp).as(k) }: _*).distinct()
+      // materialize BEFORE the guard (its semi-join reads the key set
+      // twice — re-running the whole match otherwise)
+      if (needGuard) k0.localCheckpoint(false) else k0
+    }
     val keys =
-      if (keyCols.size == 2 && snapProps.nonEmpty)
+      if (needGuard)
         pairDupGuard(keys0, keyCols, keyCols, snapshot, snapProps,
           "DELETE")
       else keys0
@@ -2650,21 +2662,27 @@ object Compiler {
       op: String): DataFrame = {
     val mk = feed.select(feedKeys.zip(keyCols).map {
       case (fk, k) => col(fk).as(k) }: _*).distinct()
+    // one 8-byte hash per row instead of a wide property struct in
+    // the min/max state: ≥ 2 distinct tuples ⇔ hash min ≠ max (a
+    // 2⁻⁶⁴ collision could only MISS a duplicate, never false-raise).
+    // The verdict folds to ONE row (dupe count + a sample pair) and
+    // broadcasts — the feed never shuffles against the dupe set, it
+    // just streams past a 1-row assert.
     val dupes = snapshot.join(mk, keyCols, "left_semi")
       .groupBy(keyCols.map(col): _*)
-      .agg((min(struct(propCols.map(col): _*)) =!=
-        max(struct(propCols.map(col): _*))).as("__sib"))
+      .agg((min(xxhash64(propCols.map(col): _*)) =!=
+        max(xxhash64(propCols.map(col): _*))).as("__sib"))
       .where(col("__sib"))
-      .select(keyCols.zip(feedKeys).map {
-        case (k, fk) => col(k).as(fk) } :+ col("__sib"): _*)
-    feed.join(dupes, feedKeys, "left")
-      .where(assert_true(col("__sib").isNull,
+      .agg(count(lit(1)).as("__ndup"),
+        min(concat_ws(", ", keyCols.map(col): _*)).as("__pair"))
+    feed.crossJoin(broadcast(dupes))
+      .where(assert_true(col("__ndup") === 0,
         concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
           "pair — parallel rows created by a map-keyed MERGE; " +
           "address one row via its discriminating property " +
           "(map-keyed MERGE) or declare a rowKeyColumn. pair: ("),
-          concat_ws(", ", feedKeys.map(col): _*), lit(")"))).isNull)
-      .drop("__sib")
+          col("__pair"), lit(")"))).isNull)
+      .drop("__ndup", "__pair")
   }
 
   private def compileSingle(sq: SingleQuery,
