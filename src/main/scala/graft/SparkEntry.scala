@@ -2171,6 +2171,29 @@ object SparkEntry {
     //     1's orders yields TWO minimal witnesses, each hop resolving
     //     to its own def's columns. Mirror: one row per distinct
     //     (order, part) route.
+    // --- hetero k-level WITNESSES (round 16, closing VERDICT-r15
+    //     #2+#4's intersection): SHORTEST k GROUPS over the tagged
+    //     FEEDS union with nodes(p) — each enumerated path's tagged
+    //     ids resolve to their own tables; row multiplicity kept (no
+    //     DISTINCT in the mirror — a duplicated lineitem pair is two
+    //     paths).
+    ("q173_hetero_klevel_witness", cyx(
+      """MATCH p = SHORTEST 2 GROUPS
+        |  (a:Customer)-[:FEEDS*]->(b:Part)
+        |WHERE a.c_custkey = 1
+        |RETURN b.p_partkey AS pk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
+        |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
+        |         AS ids
+        |ORDER BY pk, ids""".stripMargin),
+      Some("""SELECT l.l_partkey AS pk, CAST(2 AS BIGINT) AS hops,
+             |       '|1|' || CAST(l.l_orderkey AS VARCHAR) || '|' ||
+             |         CAST(l.l_partkey AS VARCHAR) AS ids
+             |FROM lineitem l JOIN orders o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey = 1
+             |ORDER BY pk, ids""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

@@ -301,12 +301,6 @@ private[cypher] object Reach {
                   // ride the tagged parent pointers (the tag IS the
                   // per-wave label), element shapes merged across
                   // labels/defs like bounded branch witnesses
-                  if (selK.isDefined && wantWitness)
-                    throw new CypherNotSupportedException(
-                      "nodes()/relationships() witnesses under a " +
-                      "k > 1 path selector over a HETEROGENEOUS " +
-                      "chain — bound the range [*lo..hi] for " +
-                      "per-branch witnesses")
                   // round 16 (VERDICT-r15 #4): k > 1 selectors run
                   // the σ DP over the tagged union frame — the packed
                   // (ordinal, id) keys compose, the DP never reads
@@ -1156,6 +1150,43 @@ private[cypher] object Reach {
     // the ordinary stratified tail
     if (selector.isDefined) {
       val (kind, k) = selector.get
+      if (wantWitness) {
+        // hetero k-level WITNESSES (round 16): the kLevelWalk over
+        // tagged parent sets — each enumerated path's tagged ids
+        // resolve to their OWN tables through the merged-shape
+        // converters, exactly the allShortest hetero posture with the
+        // per-path __pi discriminator
+        def run(sc: String, dc: String, sd: Option[DataFrame],
+            rev: Boolean): DataFrame = {
+          val (levels, parentsOpt, bound) =
+            kLevelLevels(union, sc, dc, sd, kind, k, withParents = true)
+          val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
+          val ids0 = kLevelWalk(chosen, parentsOpt.get, bound, kind, k)
+          val ids =
+            if (!rev) ids0
+            else ids0.select(col("__dst").as("__src"),
+              col("__src").as("__dst"), col("__dist"), col("__pi"),
+              reverse(col("__wids")).as("__wids"))
+          heteroWidsToNodes(ids, ordinals, idT, catalog,
+              perWitness = true, extraKeys = Seq("__pi"))
+            .join(heteroWidsToRels(ids, defs, ordinals, idT, catalog,
+                perWitness = true, extraKeys = Seq("__pi")),
+              Seq("__src", "__dst", "__dist", "__wids", "__pi"))
+            .drop("__wids", "__pi")
+        }
+        val t = taggedSeeds(srcPat.alias, sNode, srcLabel)
+          .map(sd => run("__src", "__dst", Some(sd), rev = false))
+          .orElse(taggedSeeds(dstPat.alias, dNode, dstLabel)
+            .map(sd => run("__dst", "__src", Some(sd), rev = true)))
+          .getOrElse(run("__src", "__dst", None, rev = false))
+        val out = t
+          .where(t("__src")("l") === lit(ordinals(srcLabel)) &&
+            t("__dst")("l") === lit(ordinals(dstLabel)))
+          .select(t("__src")("i").cast(sT).as("__src"),
+            t("__dst")("i").cast(dT).as("__dst"),
+            col("__dist"), col("__nodes"), col("__rels"))
+        return (out, srcLabel, dstLabel)
+      }
       val tagged = taggedSeeds(srcPat.alias, sNode, srcLabel)
         .map(sd => kLevelReach(union, "__src", "__dst", Some(sd),
           kind, k))
@@ -1265,7 +1296,8 @@ private[cypher] object Reach {
     * ordered re-collect (the widsToNodes shape, heterogeneous). */
   private def heteroWidsToNodes(ids: DataFrame,
       ordinals: Map[String, Int], idT: DataType,
-      catalog: GraphCatalog, perWitness: Boolean = false): DataFrame = {
+      catalog: GraphCatalog, perWitness: Boolean = false,
+      extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val labels = ordinals.keys.toSeq.sorted
     val fields = mergeFields(labels.map { l =>
       val nd = catalog.graph.node(l)
@@ -1285,10 +1317,13 @@ private[cypher] object Reach {
            else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__e"))
     }.reduce(_ unionByName _)
     // perWitness (round 15, allShortestPaths): each witness row keys
-    // on its OWN id array so σ rows per pair stay distinct
+    // on its OWN id array so σ rows per pair stay distinct; extraKeys
+    // (round 16) — a per-path discriminator for identical arrays from
+    // parallel-edge multiplicity
     val keys =
       Seq(col("__src"), col("__dst"), col("__dist")) ++
-        (if (perWitness) Seq(col("__wids")) else Seq.empty)
+        (if (perWitness) Seq(col("__wids")) else Seq.empty) ++
+        extraKeys.map(col)
     ids.select(keys :+
         posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
       .join(taggedNodes, col("__wid") === col("__nwid"), "left")
@@ -1305,7 +1340,8 @@ private[cypher] object Reach {
     * parallel-edge min-struct determinism. */
   private def heteroWidsToRels(ids: DataFrame, defs: Seq[EdgeDef],
       ordinals: Map[String, Int], idT: DataType,
-      catalog: GraphCatalog, perWitness: Boolean = false): DataFrame = {
+      catalog: GraphCatalog, perWitness: Boolean = false,
+      extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val fields = mergeFields(defs.sortBy(_.key).map { e =>
       val sch = catalog.edgeDf(e).schema
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
@@ -1327,7 +1363,8 @@ private[cypher] object Reach {
     }.reduce(_ unionByName _)
     val keys =
       Seq(col("__src"), col("__dst"), col("__dist")) ++
-        (if (perWitness) Seq(col("__wids")) else Seq.empty)
+        (if (perWitness) Seq(col("__wids")) else Seq.empty) ++
+        extraKeys.map(col)
     ids.select(keys :+
         posexplode(transform(slice(col("__wids"), lit(1),
             size(col("__wids")) - 1),

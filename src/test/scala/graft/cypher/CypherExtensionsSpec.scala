@@ -1413,11 +1413,17 @@ class CypherExtensionsSpec extends AnyFunSuite {
         .stripMargin).collect()
       .map(x => (x.getLong(0), x.getLong(1)))
     assert(z.toSeq == Seq((1L, 0L), (2L, 2L), (2L, 2L)))
-    // hetero witnesses under k > 1 stay typed (the one remaining
-    // boundary; bounded ranges carry them)
-    intercept[CypherNotSupportedException](s.run(
+    // hetero witnesses under k > 1 (round 16): each enumerated path's
+    // tagged ids resolve to their own tables; the σ = 2 level yields
+    // both L3 chains as distinct witness rows
+    val hw = s.run(
       """MATCH p = SHORTEST 2 (a:A)-[:FEEDS*]->(b:B) WHERE a.id = 1
-        |RETURN nodes(p) AS ns""".stripMargin))
+        |RETURN b.id AS bid, [n IN nodes(p) | n.id] AS ns
+        |ORDER BY bid, ns""".stripMargin).collect()
+      .map(x => (x.getLong(0), x.getSeq[Long](1)))
+    assert(hw.toSeq == Seq(
+      (10L, Seq(1L, 10L)), (20L, Seq(1L, 20L)),
+      (30L, Seq(1L, 10L, 2L, 30L)), (30L, Seq(1L, 20L, 2L, 30L))))
     // homogeneous [*0..] + k with the MovieFixture chain: identity
     // level counts toward the k levels
     val z2 = rows(
