@@ -483,7 +483,7 @@ private[cypher] object Reach {
     * walk. Returns (levels, parents, bound). */
   private def kLevelLevels(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
-      withParents: Boolean)
+      withParents: Boolean, dagProven: Boolean = false)
       : (DataFrame, Option[DataFrame], Long) = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
@@ -494,9 +494,13 @@ private[cypher] object Reach {
     val sdOpt = seeds.map(sd =>
       sd.select(col(sd.columns.head).as("__src"))
         .where(col("__src").isNotNull).distinct().localCheckpoint(false))
-    requireDag(e.drop("__m"),
-      sdOpt.getOrElse(e.select(col("__src")).distinct()),
-      s"a k > 1 path selector (${kind.toUpperCase} $k)")
+    // dagProven (round 16): a heterogeneous chain whose LABEL graph
+    // is acyclic cannot hold an instance cycle (any cycle projects to
+    // a label cycle) — the data-level Kahn peel is skipped entirely
+    if (!dagProven)
+      requireDag(e.drop("__m"),
+        sdOpt.getOrElse(e.select(col("__src")).distinct()),
+        s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = (sdOpt match {
       case Some(sd) => e.join(sd, Seq("__src"), "left_semi")
       case None     => e
@@ -594,11 +598,12 @@ private[cypher] object Reach {
     * VERDICT-r15 #3) runs UNANCHORED — every source seeds the DP
     * under the same maxClosureRows guard. */
   private def kLevelReach(edges: DataFrame, srcCol: String,
-      dstCol: String, seeds: Option[DataFrame], kind: String, k: Int)
+      dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
+      dagProven: Boolean = false)
       : DataFrame = {
     val (levels, _, bound) =
       kLevelLevels(edges, srcCol, dstCol, seeds, kind, k,
-        withParents = false)
+        withParents = false, dagProven = dagProven)
     val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
     val expanded = {
       val row = chosen.agg(sum(col("__take"))).head()
@@ -1150,6 +1155,21 @@ private[cypher] object Reach {
     // the ordinary stratified tail
     if (selector.isDefined) {
       val (kind, k) = selector.get
+      // schema-sized Kahn peel over the LABEL graph: acyclic labels
+      // prove the instance graph is a DAG, so the k-level DP skips
+      // its data-level cycle check (round 16 — the whole-graph peel
+      // over the tagged union was the dominant fixed cost here)
+      val labelDagProven = {
+        var le = lEdges.toSet
+        var changed = true
+        while (changed && le.nonEmpty) {
+          val dsts = le.map(_._2)
+          val drop = le.filterNot(x => dsts.contains(x._1))
+          changed = drop.nonEmpty
+          le --= drop
+        }
+        le.isEmpty
+      }
       if (wantWitness) {
         // hetero k-level WITNESSES (round 16): the kLevelWalk over
         // tagged parent sets — each enumerated path's tagged ids
@@ -1159,7 +1179,8 @@ private[cypher] object Reach {
         def run(sc: String, dc: String, sd: Option[DataFrame],
             rev: Boolean): DataFrame = {
           val (levels, parentsOpt, bound) =
-            kLevelLevels(union, sc, dc, sd, kind, k, withParents = true)
+            kLevelLevels(union, sc, dc, sd, kind, k, withParents = true,
+              dagProven = labelDagProven)
           val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
           val ids0 = kLevelWalk(chosen, parentsOpt.get, bound, kind, k)
           val ids =
@@ -1189,11 +1210,13 @@ private[cypher] object Reach {
       }
       val tagged = taggedSeeds(srcPat.alias, sNode, srcLabel)
         .map(sd => kLevelReach(union, "__src", "__dst", Some(sd),
-          kind, k))
+          kind, k, dagProven = labelDagProven))
         .orElse(taggedSeeds(dstPat.alias, dNode, dstLabel)
           .map(sd => swapPairs(kLevelReach(union, "__dst", "__src",
-            Some(sd), kind, k), dist = true)))
-        .getOrElse(kLevelReach(union, "__src", "__dst", None, kind, k))
+            Some(sd), kind, k, dagProven = labelDagProven),
+            dist = true)))
+        .getOrElse(kLevelReach(union, "__src", "__dst", None, kind, k,
+          dagProven = labelDagProven))
       val out = tagged
         .where(tagged("__src")("l") === lit(ordinals(srcLabel)) &&
           tagged("__dst")("l") === lit(ordinals(dstLabel)))
