@@ -4998,23 +4998,47 @@ object SparkEntry {
           docs(s, dir).where(col("doc_id") % 4 =!= 0),
           "text", "doc_id", n = 3, k = 128, bands = 32, threshold = 0.8)
         .orderBy("batch_id", "corpus_id"),
-      Some("""WITH sh AS (
-             |  SELECT doc_id,
-             |         list_distinct([array_to_string(t[i:i+2], ' ')
-             |                        for i in range(1, len(t) - 1)]) AS s
-             |  FROM (SELECT doc_id,
-             |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-             |               ELSE string_split_regex(trim(text), '\s+') END AS t
-             |        FROM documents))
-             |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
-             |       len(list_intersect(b.s, c.s))::DOUBLE /
-             |         len(list_distinct(list_concat(b.s, c.s)))::DOUBLE AS jaccard
-             |FROM sh b JOIN sh c
-             |  ON b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
-             |WHERE len(list_distinct(list_concat(b.s, c.s))) > 0
-             |  AND len(list_intersect(b.s, c.s))::DOUBLE /
-             |        len(list_distinct(list_concat(b.s, c.s)))::DOUBLE >= 0.8
-             |ORDER BY batch_id, corpus_id""".stripMargin)),
+      Some(neardupAgainstOracle)),
+
+    // --- persisted LSH near-dup index (round 16; the s34/s40 shape
+    //     for dedup): the corpus's band rows + shingle sets persist
+    //     band-partitioned, the batch probes against the PRECOMPUTED
+    //     buckets and verifies against the STORED shingle sets — the
+    //     corpus text is never re-read. Same hash family as d09 ⇒ the
+    //     probe is value-identical, so d09's exact cross-side oracle
+    //     binds the persisted path end to end.
+    ("d33_lsh_persisted",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("d33_lsh").toString
+        Dedup.writeLshIndex(docs(s, dir).where(col("doc_id") % 4 =!= 0),
+          "text", "doc_id", path, n = 3, k = 128, bands = 32)
+        Dedup.lshProbeIndex(s, path,
+            docs(s, dir).where(col("doc_id") % 4 === 0),
+            "text", "doc_id", threshold = 0.8)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(neardupAgainstOracle)),
+
+    // --- incremental LSH-index append (round 16): half the corpus
+    //     builds the index, the other half APPENDS under the frozen
+    //     (n, k, bands) — probes see old + new rows in one layout, so
+    //     the same oracle binds the appended index too.
+    ("d34_lsh_append",
+      (s, dir) => {
+        val corpus = docs(s, dir).where(col("doc_id") % 4 =!= 0)
+        val path = java.nio.file.Files
+          .createTempDirectory("d34_lsh").toString
+        Dedup.writeLshIndex(corpus.where(col("doc_id") % 2 === 0),
+          "text", "doc_id", path, n = 3, k = 128, bands = 32)
+        Dedup.appendLshIndex(corpus.where(col("doc_id") % 2 =!= 0),
+          "text", "doc_id", path)
+        Dedup.lshProbeIndex(s, path,
+            docs(s, dir).where(col("doc_id") % 4 === 0),
+            "text", "doc_id", threshold = 0.8)
+          .orderBy("batch_id", "corpus_id")
+      },
+      Some(neardupAgainstOracle)),
 
     // --- EXACT all-pairs near-dup via prefix filtering (PPJoin
     //     principle): provably complete, so the naive all-pairs oracle
@@ -10807,6 +10831,27 @@ object SparkEntry {
     * left-to-right BM25 term arithmetic (constants written identically
     * so both engines parse the same doubles), per-(query, doc) sum
     * rounded to 6 for the rank key — the t12 determinism rule. */
+  /** Exact cross-side Jaccard oracle shared by d09 and the persisted
+    * LSH index twins d33/d34 (same split, same threshold). */
+  private lazy val neardupAgainstOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(t[i:i+2], ' ')
+      |                        for i in range(1, len(t) - 1)]) AS s
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+      |               ELSE string_split_regex(trim(text), '\s+') END AS t
+      |        FROM documents))
+      |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+      |       len(list_intersect(b.s, c.s))::DOUBLE /
+      |         len(list_distinct(list_concat(b.s, c.s)))::DOUBLE AS jaccard
+      |FROM sh b JOIN sh c
+      |  ON b.doc_id % 4 = 0 AND c.doc_id % 4 <> 0
+      |WHERE len(list_distinct(list_concat(b.s, c.s))) > 0
+      |  AND len(list_intersect(b.s, c.s))::DOUBLE /
+      |        len(list_distinct(list_concat(b.s, c.s)))::DOUBLE >= 0.8
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
   private lazy val bm25Oracle: String =
     """WITH q(query_id, qtext) AS (VALUES (0, 'hash join order'),
       |    (1, 'fast scan filter'), (2, 'stream window agg')),

@@ -1094,6 +1094,98 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------ persisted LSH index
+
+  /**
+   * Persist a MinHash-LSH near-dup index (round 16; the
+   * [[graft.ops.Retrieval.writeBm25Index]]/s34 shape for dedup):
+   * the corpus's slim (band, bh, id) band rows written as parquet
+   * PARTITIONED BY band, its hashed shingle sets written once
+   * alongside (probe-time verification needs them), and a 1-row
+   * params table freezing (n, k, bands). At 100 TB this is the index
+   * build — the corpus tokenizes and signs ONCE; every later probe
+   * costs only the BATCH's signatures plus a bucket join against the
+   * precomputed rows, where [[minhashLshPairsAgainst]] re-shingles
+   * and re-signs the whole corpus per batch.
+   */
+  def writeLshIndex(corpus: DataFrame, textCol: String, idCol: String,
+                    path: String, n: Int = 3, k: Int = 128,
+                    bands: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val base = shingleBase(corpus, textCol, idCol, n)
+      .localCheckpoint(false)
+    bandRows(base, k, bands)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands")
+    base.write.mode("overwrite").parquet(s"$path/shingles")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append NEW documents to a persisted LSH index under its frozen
+   *  (n, k, bands) — one shingle+sign pass over the batch only;
+   *  existing band partitions gain files, untouched ones untouched.
+   *  Batch ids must be new (re-indexing is a rebuild decision). */
+  def appendLshIndex(batch: DataFrame, textCol: String, idCol: String,
+                     path: String): Unit = {
+    val spark = batch.sparkSession
+    val prm = spark.read.parquet(s"$path/params").head()
+    val (n, k, bands) =
+      (prm.getAs[Int]("n"), prm.getAs[Int]("k"), prm.getAs[Int]("bands"))
+    val base = shingleBase(batch, textCol, idCol, n)
+      .localCheckpoint(false)
+    bandRows(base, k, bands)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    base.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /**
+   * Probe a persisted LSH index with an incoming batch: the batch
+   * shingles and signs under the index's frozen params (same hash
+   * family ⇒ comparable band hashes), its band rows join the
+   * PRECOMPUTED corpus buckets (bucket sizes capped per side — the
+   * [[minhashLshPairsAgainst]] recall contract), and candidate pairs
+   * verify exact Jaccard against the STORED corpus shingle sets —
+   * the corpus text is never re-read. Output (batch_id, corpus_id,
+   * jaccard ≥ threshold), value-identical to
+   * [[minhashLshPairsAgainst]] over the same sides (tested).
+   */
+  def lshProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                    path: String, batch: DataFrame, textCol: String,
+                    idCol: String, threshold: Double = 0.8,
+                    maxBucket: Int = 1000): DataFrame = {
+    val prm = spark.read.parquet(s"$path/params").head()
+    val (n, k, bands) =
+      (prm.getAs[Int]("n"), prm.getAs[Int]("k"), prm.getAs[Int]("bands"))
+    val bBase = shingleBase(batch, textCol, idCol, n)
+      .localCheckpoint(false)
+    def buckets(rows: DataFrame, out: String): DataFrame =
+      rows.groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("__id"))).as(out))
+        .where(size(col(out)) <= maxBucket)
+    val idxRows = spark.read.parquet(s"$path/bands")
+      .select(col("band").cast(IntegerType).as("band"), col("bh"),
+        col("__id"))
+    val cand = buckets(bandRows(bBase, k, bands), "__bids")
+      .join(buckets(idxRows, "__cids"), Seq("band", "bh"))
+      .select(explode(col("__bids")).as("batch_id"), col("__cids"))
+      .select(col("batch_id"), explode(col("__cids")).as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val cSh = spark.read.parquet(s"$path/shingles")
+    cand
+      .join(bBase.select(col("__id").as("batch_id"),
+        col("__sh").as("__sha")), Seq("batch_id"))
+      .join(cSh.select(col("__id").as("corpus_id"),
+        col("__sh").as("__shb")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        jaccardHashed(col("__sha"), col("__shb")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /**
    * EXACT all-pairs n-gram Jaccard ≥ `threshold` over an unblocked
    * corpus, via prefix filtering (the PPJoin principle, Xiao et al.,

@@ -1336,6 +1336,14 @@ class CypherExtensionsSpec extends AnyFunSuite {
       assert(a2.toSeq == Seq(Seq("p1", "p2", "p4", "p5"),
         Seq("p1", "p3", "p4", "p5")))
     }
+    // UNANCHORED witnesses: no anchor seeds every source — the full
+    // pair table, each row carrying its own node array
+    val unw = rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+        |WHERE size(nodes(p)) > 3
+        |RETURN [n IN nodes(p) | n.id] AS ns""".stripMargin)
+      .map(_.getSeq[String](0))
+    assert(unw == Seq(Seq("p1", "p2", "p3", "p4")))
     // PARALLEL edges: σ multiplies (ADVICE-r15 #3) — two identical
     // node arrays, one per underlying relationship (q158's row
     // multiplicity), for witness and plain spellings alike

@@ -505,6 +505,57 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("persisted LSH index: probe ≡ minhashLshPairsAgainst, append ≡ " +
+      "from-scratch (round 16)") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different text about spark engines and scale"),
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "another unrelated document mentioning parquet buckets"),
+      (6L, "completely different text about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val corpus = base.where(col("doc_id") % 2 === 1)
+    val batch = base.where(col("doc_id") % 2 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 9).as("j"))
+        .orderBy("batch_id", "corpus_id").collect().toSeq
+    val mem = canon(Dedup.minhashLshPairsAgainst(batch, corpus,
+      "text", "doc_id", n = 3, k = 128, bands = 32, threshold = 0.5))
+    assert(mem.nonEmpty)
+    val path = java.nio.file.Files
+      .createTempDirectory("lshidx").toString
+    try {
+      Dedup.writeLshIndex(corpus, "text", "doc_id", path,
+        n = 3, k = 128, bands = 32)
+      // probe ≡ the in-memory cross-corpus path, value-identical
+      val probe = canon(Dedup.lshProbeIndex(spark, path, batch,
+        "text", "doc_id", threshold = 0.5))
+      assert(probe == mem)
+      // band-partitioned layout on disk
+      val bandDirs = new java.io.File(s"$path/bands").listFiles
+        .count(_.getName.startsWith("band="))
+      assert(bandDirs > 1)
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path))
+    // append ≡ from-scratch: index half the corpus, append the rest
+    val path2 = java.nio.file.Files
+      .createTempDirectory("lshidx2").toString
+    try {
+      Dedup.writeLshIndex(corpus.where(col("doc_id") === 1),
+        "text", "doc_id", path2, n = 3, k = 128, bands = 32)
+      Dedup.appendLshIndex(corpus.where(col("doc_id") =!= 1),
+        "text", "doc_id", path2)
+      val appended = canon(Dedup.lshProbeIndex(spark, path2, batch,
+        "text", "doc_id", threshold = 0.5))
+      assert(appended == mem)
+    } finally
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(path2))
+  }
+
   test("nearDeduplicate keeps one doc per near-dup cluster plus singletons") {
     // corpus docs 1,2 exact dups; 3 near-dup of both (transitively one
     // cluster {1,2,3}); 4 and 5 singletons
