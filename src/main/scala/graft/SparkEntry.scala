@@ -2194,6 +2194,94 @@ object SparkEntry {
              |WHERE o.o_custkey = 1
              |ORDER BY pk, ids""".stripMargin)),
 
+    // --- PLAIN named path over an unbounded range (round 17): ALL
+    //     paths enumerated — the untrimmed k-level walk (exact trail
+    //     semantics on a DAG), one row per walk with its own witness
+    //     trail; previously a typed rejection.
+    ("q174_path_enumeration", cyx(
+      """MATCH p = (a:Nation {n_nationkey: 0})-[:JUMPS_TO*]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + toString(n.n_nationkey)) AS trail
+        |ORDER BY bk, hops, trail""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops, trail) AS (
+             |  SELECT dst, 1, '|0|' || CAST(dst AS VARCHAR)
+             |  FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1,
+             |         w.trail || '|' || CAST(e.dst AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS hops, trail
+             |FROM walk
+             |ORDER BY bk, hops, trail""".stripMargin)),
+
+    // --- plain [*0..] enumeration (round 17): the zero-hop identity
+    //     row joins the walk set — one node, zero rels, length 0.
+    ("q175_path_enum_zero_hop", cyx(
+      """MATCH p = (a:Nation {n_nationkey: 0})-[:JUMPS_TO*0..]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS hops,
+        |       size(nodes(p)) AS nn
+        |ORDER BY bk, hops""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT dst, 1 FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS hops,
+             |       CAST(hops + 1 AS INTEGER) AS nn
+             |FROM walk
+             |UNION ALL
+             |SELECT 0 AS bk, CAST(0 AS BIGINT) AS hops,
+             |       CAST(1 AS INTEGER) AS nn
+             |ORDER BY bk, hops""".stripMargin)),
+
+    // --- heterogeneous plain enumeration (round 17): the walk runs
+    //     over FEEDS' tagged union frame (Customer→Order ∪
+    //     Order→Part); every complete chain is its own row, parallel
+    //     lineitem rows kept as multiplicity.
+    ("q176_path_enum_hetero", cyx(
+      """MATCH p = (c:Customer)-[:FEEDS*]->(pt:Part)
+        |WHERE c.c_custkey IN [1, 2, 3]
+        |RETURN c.c_custkey AS ck, pt.p_partkey AS pk,
+        |       length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
+        |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
+        |         AS ids
+        |ORDER BY ck, pk, ids""".stripMargin),
+      Some("""SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+             |       CAST(2 AS BIGINT) AS hops,
+             |       '|' || CAST(o.o_custkey AS VARCHAR) ||
+             |       '|' || CAST(l.l_orderkey AS VARCHAR) ||
+             |       '|' || CAST(l.l_partkey AS VARCHAR) AS ids
+             |FROM lineitem l JOIN orders o
+             |  ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_custkey IN (1, 2, 3)
+             |ORDER BY ck, pk, ids""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

@@ -65,9 +65,14 @@ import graft.ops.GraphContractViolation
  *    namespace; heterogeneous chains must be written hop by hop;
  *  - directed pattern (`->` / `<-`) — an undirected self-type hop is
  *    ambiguous (the analyzer's single-hop rule, LogicalPlan.cs:603-612);
- *  - per-path observation: a PLAIN named path (`length(p)`) keeps the
- *    BOUNDED contract — one row per path is factorially large, which
- *    reachable pairs erase. `shortestPath()` over an unbounded range
+ *  - per-path observation: a PLAIN named path (`length(p)` /
+ *    `nodes(p)` / `relationships(p)` without a shortest form or
+ *    selector) enumerates ALL paths (round 17) via the k-level σ DP
+ *    UNTRIMMED (`walk` kind: every level kept, every path its own
+ *    row) — exact trail semantics on a DAG (a walk on a DAG cannot
+ *    revisit a node); cyclic graphs keep the typed bound-the-range
+ *    contract, and the maxClosureRows guard bounds the expansion.
+ *    `shortestPath()` over an unbounded range
  *    IS lowered (round 9): min-distance per pair is exactly what the
  *    BFS's first-discovery round computes, so the reach frame gains a
  *    `__dist` column and `length(p)` binds to it — per-pair shortest
@@ -109,6 +114,11 @@ private[cypher] object Reach {
     * literal relationship count. */
   val DistRelPrefix = "__rd"
 
+  /** Selector kind of the PLAIN named-path enumeration (round 17):
+    * the k-level machinery untrimmed — every level kept, every path
+    * its own row (all trails on a DAG). Never user-spellable. */
+  val WalkKind = "walk"
+
   /** True iff `alias` is a Reach-made min-distance rel alias. */
   def isDistRel(alias: String): Boolean =
     alias.startsWith(DistRelPrefix) && alias.length > DistRelPrefix.length &&
@@ -136,22 +146,26 @@ private[cypher] object Reach {
           // VERDICT-r14 #2): lowered via [[kLevelReach]] — anchored
           // σ DP over a DAG, k smallest distinct lengths per pair
           // with GQL row multiplicity
-          val selK = pp.selector
+          // PLAIN named path over an unbounded range (round 17):
+          // ALL-paths enumeration — the k-level σ DP untrimmed
+          // ([[WalkKind]]: every level kept, every path its own row),
+          // exact trail semantics on a DAG (a walk on a DAG cannot
+          // revisit a node); cyclic graphs keep the typed
+          // bound-the-range contract via the same DAG guard
+          val enumAll = pp.pathVar.isDefined && !pp.shortest &&
+            !pp.allShortest && pp.selector.isEmpty
+          val selK =
+            if (enumAll) Some(PathSelector(WalkKind, Int.MaxValue))
+            else pp.selector
           if (selK.isDefined) {
             if (pp.rels.size != 1)
               throw new CypherNotSupportedException(
-                "a k > 1 path selector over an unbounded range must " +
+                (if (enumAll) "a plain named path"
+                 else "a k > 1 path selector") +
+                " over an unbounded range must " +
                 "be its pattern's sole relationship — chain further " +
                 "hops through a WITH")
           }
-          if (pp.pathVar.isDefined && !pp.shortest && !pp.allShortest &&
-              selK.isEmpty)
-            throw new CypherNotSupportedException(
-              "length(path) over an unbounded variable-length " +
-              "relationship (one row per path enumerates factorially " +
-              "many paths on cyclic graphs) — wrap the pattern in " +
-              "shortestPath() for min-distance semantics, or bound " +
-              "the range [*lo..hi]")
           if ((pp.shortest || pp.allShortest) && pp.rels.size != 1)
             throw new CypherNotSupportedException(
               (if (pp.allShortest) "allShortestPaths()"
@@ -500,7 +514,9 @@ private[cypher] object Reach {
     if (!dagProven)
       requireDag(e.drop("__m"),
         sdOpt.getOrElse(e.select(col("__src")).distinct()),
-        s"a k > 1 path selector (${kind.toUpperCase} $k)")
+        if (kind == WalkKind)
+          "a plain named path over an unbounded range (per-path rows)"
+        else s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = (sdOpt match {
       case Some(sd) => e.join(sd, Seq("__src"), "left_semi")
       case None     => e
@@ -572,6 +588,9 @@ private[cypher] object Reach {
   private def kLevelTrim(levels: DataFrame, kind: String, k: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the walk kind keeps everything — no per-pair window at all
+    if (kind == WalkKind)
+      return levels.withColumn("__take", col("__sig"))
     val w = Window.partitionBy("__src", "__dst").orderBy("__dist")
     val topk = levels.withColumn("__lrk", row_number().over(w))
       .where(col("__lrk") <= k).drop("__lrk")
@@ -705,7 +724,7 @@ private[cypher] object Reach {
     val full = work.select(col("__src"), col("__dst"), col("__dist"),
       col("__ids").as("__wids"))
     val capped = kind match {
-      case "groups" => full
+      case "groups" | WalkKind => full
       case _ =>
         // k first paths per pair: ascending (length, id array) — the
         // enumeration equivalent of the trim's cumulative take

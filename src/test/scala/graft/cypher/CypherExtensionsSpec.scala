@@ -1469,6 +1469,130 @@ class CypherExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("plain named paths over unbounded ranges ENUMERATE all paths " +
+      "(round 17; exact trails on a DAG)") {
+    // [*] without shortestPath/selector: one row PER PATH — the
+    // untrimmed k-level walk. Agreement with the bounded branch-union
+    // enumeration (exact trail semantics by construction) over the
+    // whole KNOWS DAG, witnesses included.
+    def run(range: String) = rows(
+      s"""MATCH p = (a:Person)-[:KNOWS$range]->(b:Person)
+         |RETURN a.Name AS an, b.Name AS bn, length(p) AS l,
+         |       reduce(s = '', n IN nodes(p) | s + '|' + n.Name) AS ns,
+         |       size(relationships(p)) AS nr
+         |ORDER BY an, bn, l, ns""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getString(3), x.getInt(4)))
+    assert(run("*") == run("*1..4") && run("*").nonEmpty)
+    // [*0..]: the zero-hop identity row joins the enumeration — one
+    // node, zero relationships, length 0
+    val z = rows(
+      """MATCH p = (a:Person)-[:KNOWS*0..]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, length(p) AS l, size(nodes(p)) AS nn
+        |ORDER BY bn, l""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(z == Seq(("Kevin Bacon", 2L, 3), ("Meg Ryan", 1L, 2),
+      ("Rob Reiner", 1L, 2), ("Rob Reiner", 3L, 4),
+      ("Tom Hanks", 0L, 1)))
+    // `<-` pattern: witness arrays read PATTERN order (left endpoint
+    // first), the edge-orientation reversal
+    val rev = rows(
+      """MATCH p = (b:Person)<-[:KNOWS*]-(a:Person)
+        |WHERE b.Name = 'Rob Reiner'
+        |RETURN a.Name AS an, length(p) AS l,
+        |       reduce(s = '', n IN nodes(p) | s + '|' + n.Name) AS ns
+        |ORDER BY an, l""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1), x.getString(2)))
+    assert(rev == Seq(
+      ("Kevin Bacon", 1L, "|Rob Reiner|Kevin Bacon"),
+      ("Meg Ryan", 2L, "|Rob Reiner|Kevin Bacon|Meg Ryan"),
+      ("Tom Hanks", 1L, "|Rob Reiner|Tom Hanks"),
+      ("Tom Hanks", 3L,
+        "|Rob Reiner|Kevin Bacon|Meg Ryan|Tom Hanks")))
+    // σ = 2 diamond: both equal-length paths are DISTINCT rows with
+    // their own witness arrays
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val dia = Seq(("p1", "p2", 1), ("p1", "p3", 2),
+        ("p2", "p4", 3), ("p3", "p4", 4))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => dia
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val d = s.run(
+        """MATCH p = (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+          |RETURN reduce(s = '', e IN relationships(p) |
+          |         s + '|' + toString(e.Since)) AS rs
+          |ORDER BY rs""".stripMargin).collect().map(_.getString(0))
+      assert(d.toSeq == Seq("|1|3", "|2|4"))
+    }
+    // heterogeneous chain: the walk runs over the tagged union frame;
+    // both L3 chains and both L1 hops come out (A1→{B10,B20}→A2→B30)
+    locally {
+      import spark.implicits._
+      val schemaH = GraphSchema(
+        nodes = Seq(NodeDef("A", "id", Seq.empty, "a_tbl"),
+          NodeDef("B", "id", Seq.empty, "b_tbl")),
+        edges = Seq(
+          EdgeDef("FEEDS", "A", "B", "src", "dst", Seq.empty, "ab"),
+          EdgeDef("FEEDS", "B", "A", "src", "dst", Seq.empty, "ba")))
+      val s = new CypherSession(spark, new GraphCatalog(schemaH, {
+        case "a_tbl" => Seq(1L, 2L).toDF("id")
+        case "b_tbl" => Seq(10L, 20L, 30L).toDF("id")
+        case "ab" => Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("src", "dst")
+        case "ba" => Seq((10L, 2L), (20L, 2L)).toDF("src", "dst")
+        case other => throw new IllegalArgumentException(other)
+      })).extended
+      val h = s.run(
+        """MATCH p = (a:A)-[:FEEDS*]->(b:B) WHERE a.id = 1
+          |RETURN b.id AS bid, length(p) AS l,
+          |       [n IN nodes(p) | n.id] AS ns
+          |ORDER BY bid, l, ns""".stripMargin).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getSeq[Long](2)))
+      assert(h.toSeq == Seq(
+        (10L, 1L, Seq(1L, 10L)), (20L, 1L, Seq(1L, 20L)),
+        (30L, 3L, Seq(1L, 10L, 2L, 30L)),
+        (30L, 3L, Seq(1L, 20L, 2L, 30L))))
+    }
+    // a cyclic anchored cone keeps the typed bound-the-range contract
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val cyc = Seq(("p1", "p2", 2010), ("p2", "p1", 2011))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => cyc
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val e = intercept[Exception](s.run(
+        """MATCH p = (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks'
+          |RETURN length(p) AS l""".stripMargin).collect())
+      assert(e.getMessage.contains("CYCLIC") &&
+        e.getMessage.contains("plain named path"), e.getMessage)
+    }
+    // OPTIONAL MATCH: a source with no outgoing chain null-fills the
+    // length column (Rob Reiner is the KNOWS sink)
+    val opt = rows(
+      """MATCH (a:Person) WHERE a.Name = 'Rob Reiner'
+        |OPTIONAL MATCH p = (a)-[:KNOWS*]->(b:Person)
+        |RETURN a.Name AS an, length(p) AS l""".stripMargin)
+    assert(opt.size == 1 && opt.head.isNullAt(1))
+    // multi-relationship patterns keep the sole-relationship contract
+    val e2 = intercept[CypherNotSupportedException](rows(
+      """MATCH p = (a:Person)-[:KNOWS*]->(b:Person)-[:FOLLOWS]->(c)
+        |RETURN length(p) AS l""".stripMargin))
+    assert(e2.getMessage.contains("sole relationship"))
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature
@@ -5111,11 +5235,23 @@ class CypherExtensionsSpec extends AnyFunSuite {
   }
 
   test("unbounded var-length typed rejections keep the bounded contract") {
-    // per-path observations need bounded ranges (shortestPath is the
-    // exception: min-distance IS the reach BFS's first-discovery round)
-    intercept[CypherNotSupportedException](rows(
+    // round 17: a PLAIN named path over an unbounded range ENUMERATES
+    // all paths (exact trail semantics on a DAG — the untrimmed
+    // k-level walk); FOLLOWS edges p1→p2, p5→p1, p5→p2 hold four
+    // walks including the length-2 p5→p1→p2
+    val walks = rows(
       """MATCH p = (a:Person)-[:FOLLOWS*]->(b:Person)
-        |RETURN length(p) AS L""".stripMargin))
+        |RETURN a.id AS s, b.id AS d, length(p) AS L,
+        |       reduce(n = '', x IN nodes(p) | n + '|' + x.id) AS ns,
+        |       size(relationships(p)) AS nr
+        |ORDER BY s, d, L""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getString(3), x.getInt(4)))
+    assert(walks.toSeq == Seq(
+      ("p1", "p2", 1L, "|p1|p2", 1),
+      ("p5", "p1", 1L, "|p5|p1", 1),
+      ("p5", "p2", 1L, "|p5|p2", 1),
+      ("p5", "p2", 2L, "|p5|p1|p2", 2)))
     // allShortestPaths DOES observe length (min-distance IS the BFS
     // round) — and since round 11 the unanchored form runs under the
     // closure guard instead of rejecting: every pair once (σ=1 on the
