@@ -2282,6 +2282,82 @@ object SparkEntry {
              |WHERE o.o_custkey IN (1, 2, 3)
              |ORDER BY ck, pk, ids""".stripMargin)),
 
+    // --- var-length TYPE ALTERNATION mixes verbs per hop (round 17;
+    //     the AltRel union-verb desugar): unbounded enumeration over
+    //     NEXT_IN_REGION ∪ JUMPS_TO — the +1 successor edge exists
+    //     under BOTH verbs, so every +1 hop doubles the walk count
+    //     (parallel relationships are distinct paths).
+    ("q177_alt_unbounded_mixed", cyx(
+      """MATCH p = (a:Nation {n_nationkey: 0})
+        |  -[:NEXT_IN_REGION|JUMPS_TO*]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + toString(n.n_nationkey)) AS trail
+        |ORDER BY bk, hops, trail""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops, trail) AS (
+             |  SELECT dst, 1, '|0|' || CAST(dst AS VARCHAR)
+             |  FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1,
+             |         w.trail || '|' || CAST(e.dst AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS hops, trail
+             |FROM walk
+             |ORDER BY bk, hops, trail""".stripMargin)),
+
+    // --- bounded mixed chains + the merged null-filled hop namespace
+    //     (round 17): NEXT_IN_REGION hops read jump_span = null; the
+    //     rel-list variable binds the union-frame hop structs.
+    ("q178_alt_bounded_mixed", cyx(
+      """MATCH (a:Nation)-[rs:NEXT_IN_REGION|JUMPS_TO*2..2]->(b:Nation)
+        |WHERE a.n_nationkey = 0
+        |RETURN b.n_nationkey AS bk,
+        |       reduce(s = '', r IN rs | s + '|' + toString(
+        |         coalesce(r.jump_span, 0))) AS spans
+        |ORDER BY bk, spans""".stripMargin),
+      Some("""WITH nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst,
+             |         CAST(NULL AS INTEGER) AS span
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         1
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey),
+             |         2
+             |  FROM nation),
+             |e AS (SELECT src, dst, span FROM nj WHERE dst IS NOT NULL)
+             |SELECT e2.dst AS bk,
+             |       '|' || CAST(coalesce(e1.span, 0) AS VARCHAR) ||
+             |       '|' || CAST(coalesce(e2.span, 0) AS VARCHAR) AS spans
+             |FROM e e1 JOIN e e2 ON e2.src = e1.dst
+             |WHERE e1.src = 0
+             |ORDER BY bk, spans""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

@@ -51,8 +51,15 @@ private[cypher] object HopPred {
   /** Rewrites every hop-predicated var-length rel to the same pattern
     * over a synthetic verb backed by the filtered edge frame. No-op
     * (same instances) when nothing carries a predicate. */
-  def rewrite(matches: Seq[MatchClause], catalog: GraphCatalog)
+  def rewrite(matches0: Seq[MatchClause], catalog0: GraphCatalog)
       : (Seq[MatchClause], GraphCatalog) = {
+    // var-length type alternations desugar FIRST (round 17;
+    // [[AltRel]]): the synthetic union-verb rel then rides every
+    // later pass — this one, Reach.rewrite, bounded unrolling —
+    // as an ordinary single-verb rel. Chained here so all three
+    // pre-lower call sites (MATCH parts, EXISTS probes, pattern
+    // comprehensions) pick it up without repeating the plumbing.
+    val (matches, catalog) = AltRel.rewrite(matches0, catalog0)
     if (!hasHopPred(matches)) return (matches, catalog)
     val extra = Vector.newBuilder[(EdgeDef, DataFrame)]
     val out = matches.map { m =>

@@ -209,15 +209,21 @@ private[cypher] object Reach {
                   "relationships (a pair row aggregates many hops); " +
                   "drop the variable, or bound the range [*lo..hi] " +
                   "for per-branch relationship rows")
-              if (r.alts.nonEmpty)
-                throw new CypherNotSupportedException(
-                  "relationship type alternation with an unbounded " +
-                  "variable-length — chains would mix property-less " +
-                  "namespaces; bound the range or pick one type")
-              val verb = r.verb.getOrElse(
+              // relationship type alternation over an unbounded range
+              // (round 17; previously typed): `[:A|B*]` pools EVERY
+              // listed verb's edge definitions and runs the ordinary
+              // label-stratified lowering over the pooled set — the
+              // union frame, the σ multiplicity seeding and the
+              // witness shape merging are all def-keyed already, so a
+              // hop present under both verbs is two parallel edges
+              // (two distinct paths, the q158 contract; witness rel
+              // snapshots stay the deterministic min-struct)
+              val verbs = (r.verb.toList ++ r.alts).distinct
+              if (verbs.isEmpty)
                 throw new CypherNotSupportedException(
                   "unbounded variable-length requires an explicit " +
-                  "relationship type, e.g. [:NEXT*]"))
+                  "relationship type, e.g. [:NEXT*]")
+              val verb = verbs.mkString("|")
               if (r.dir == Direction.Both)
                 throw new CypherNotSupportedException(
                   "undirected unbounded variable-length — an undirected " +
@@ -228,19 +234,25 @@ private[cypher] object Reach {
                 if (r.dir == Direction.Out) pp.nodes(i) else pp.nodes(i + 1)
               val dstPat =
                 if (r.dir == Direction.Out) pp.nodes(i + 1) else pp.nodes(i)
-              val defs = catalog.graph.edgesByVerb(verb)
+              val defs = verbs.flatMap { v =>
+                val ds = catalog.graph.edgesByVerb(v)
+                if (ds.isEmpty)
+                  throw new CypherBindingException(
+                    s"unbounded variable-length over '$v': no edge of " +
+                    "that type in the schema")
+                ds
+              }
               val selfDefs = defs.filter(e => e.fromLabel == e.toLabel)
-              if (defs.isEmpty)
-                throw new CypherBindingException(
-                  s"unbounded variable-length over '$verb': no edge of " +
-                  "that type in the schema")
-              if (selfDefs.size > 1)
+              // the single-verb ambiguity contract is unchanged; an
+              // ALTERNATION across self-type verbs is the feature, not
+              // an ambiguity — it routes through the stratified path
+              if (verbs.size == 1 && selfDefs.size > 1)
                 throw new CypherBindingException(
                   s"unbounded variable-length over '$verb' is ambiguous: " +
                   s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
                   "carry a self-type edge of that verb")
               val (reach, fromL, toL) =
-                if (selfDefs.size == 1 && defs.size == 1) {
+                if (verbs.size == 1 && selfDefs.size == 1 && defs.size == 1) {
                   // homogeneous chain: one id namespace, no tagging
                   val e = selfDefs.head
                   val node = catalog.graph.node(e.fromLabel)

@@ -1593,6 +1593,72 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("sole relationship"))
   }
 
+  test("var-length type alternation mixes verbs per hop (round 17)") {
+    // bounded: a FOLLOWS-then-KNOWS chain now matches (the old
+    // expansion kept single-verb chains only); hop structs read the
+    // merged null-filled namespace (FOLLOWS rows carry Since = null)
+    val b2 = rows(
+      """MATCH (a:Person)-[rs:FOLLOWS|KNOWS*2..2]->(b:Person)
+        |WHERE a.Name = 'Jessica Thompson'
+        |RETURN b.Name AS bn,
+        |       reduce(s = '', r IN rs | s + '|' + toString(
+        |         coalesce(r.Since, 0))) AS ss
+        |ORDER BY bn, ss""".stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(b2 == Seq(
+      ("Kevin Bacon", "|0|2015"),
+      ("Meg Ryan", "|0|0"), ("Meg Ryan", "|0|2010"),
+      ("Rob Reiner", "|0|1999")))
+    // unbounded shortestPath: p5→p4 exists ONLY as a mixed chain
+    // (FOLLOWS alone never reaches p4; KNOWS alone never leaves p5)
+    val sp = rows(
+      """MATCH p = shortestPath(
+        |    (a:Person)-[:FOLLOWS|KNOWS*1..]->(b:Person))
+        |WHERE a.Name = 'Jessica Thompson' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l,
+        |       [r IN relationships(p) | r.Since] AS ss""".stripMargin)
+    assert(sp.size == 1 && sp.head.getLong(0) == 2L &&
+      sp.head.getSeq[Any](1) == Seq(null, 1999))
+    // plain enumeration over the union DAG (the round-17 walk kind
+    // composes): 11 walks from p5; Rob at L2/L3/L4×2 — the parallel
+    // FOLLOWS+KNOWS p1→p2 edges are two distinct paths
+    val en = rows(
+      """MATCH p = (a:Person)-[:FOLLOWS|KNOWS*]->(b:Person)
+        |WHERE a.Name = 'Jessica Thompson'
+        |RETURN b.Name AS bn, length(p) AS l
+        |ORDER BY bn, l""".stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(en.size == 11, en.toString)
+    assert(en.filter(_._1 == "Rob Reiner").map(_._2) ==
+      Seq(2L, 3L, 4L, 4L))
+    // typed contracts: disagreeing src/sink id column names; a
+    // property stored under two types across alternatives
+    locally {
+      import spark.implicits._
+      val sch = GraphSchema(
+        nodes = Seq(NodeDef("N", "id", Seq.empty, "n_tbl")),
+        edges = Seq(
+          EdgeDef("A1", "N", "N", "sa", "da", Seq.empty, "t1"),
+          EdgeDef("A2", "N", "N", "sb", "db", Seq.empty, "t2"),
+          EdgeDef("B1", "N", "N", "s", "d", Seq("w"), "u1"),
+          EdgeDef("B2", "N", "N", "s", "d", Seq("w"), "u2")))
+      val s = new CypherSession(spark, new GraphCatalog(sch, {
+        case "n_tbl" => Seq(1L, 2L).toDF("id")
+        case "t1" => Seq((1L, 2L)).toDF("sa", "da")
+        case "t2" => Seq((1L, 2L)).toDF("sb", "db")
+        case "u1" => Seq((1L, 2L, 7)).toDF("s", "d", "w")
+        case "u2" => Seq((1L, 2L, "x")).toDF("s", "d", "w")
+        case other => throw new IllegalArgumentException(other)
+      })).extended
+      val e1 = intercept[CypherNotSupportedException](s.run(
+        "MATCH (a:N)-[:A1|A2*1..2]->(b:N) RETURN a.id AS x").collect())
+      assert(e1.getMessage.contains("src/sink id columns"))
+      val e2 = intercept[CypherNotSupportedException](s.run(
+        "MATCH (a:N)-[:B1|B2*1..2]->(b:N) RETURN a.id AS x").collect())
+      assert(e2.getMessage.contains("cannot cover both"))
+    }
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature
