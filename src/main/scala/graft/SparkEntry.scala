@@ -4168,6 +4168,27 @@ object SparkEntry {
              |SELECT doc_id, cluster_id FROM comp
              |ORDER BY doc_id""".stripMargin)),
 
+    // --- RETRACTION-aware incremental components (round 17): the d06
+    //     pair graph minus a deterministic fifth of its edges —
+    //     componentsRetract repairs only the components the removals
+    //     touch (real remaining edges re-solve; a split lands both
+    //     halves; ids losing their last edge become singletons;
+    //     untouched rows byte-exact).
+    ("d35_components_retract",
+      (s, dir) => {
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), "text", "doc_id",
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+          .localCheckpoint(false)
+        val removed = pairs.where(pmod(col("id_a") + col("id_b"),
+          lit(5)) === 1)
+        val existing = Dedup.connectedComponents(pairs)
+        Dedup.componentsRetract(existing, pairs, removed)
+          .select(col("id").as("doc_id"),
+            col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(componentsRetractOracle)),
+
     // --- cluster-level near-dedup with a QUALITY keeper policy: same
     //     pair graph as d03/d06, keep the best-quality member per
     //     cluster (not the min id) — the retention rule a curation
@@ -10160,7 +10181,7 @@ object SparkEntry {
     * components via a recursive CTE that propagates every reachable id
     * and keeps the minimum — exactly the min-id-root semantics of
     * [[graft.ops.Dedup.connectedComponents]]. */
-  private def dupClusterCtes: String =
+  private def dupClusterShPr: String =
     """sh AS (
       |  SELECT doc_id,
       |         list_distinct([array_to_string(t[i:i+2], ' ')
@@ -10174,7 +10195,10 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
       |    AND len(list_intersect(a.s, b.s))::DOUBLE /
-      |          len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.8),
+      |          len(list_distinct(list_concat(a.s, b.s)))::DOUBLE >= 0.8)""".stripMargin
+
+  private def dupClusterCtes: String =
+    s"""$dupClusterShPr,
       |edges AS (SELECT ida AS u, idb AS v FROM pr
       |          UNION SELECT idb, ida FROM pr),
       |walk(u, c) AS (
@@ -10182,6 +10206,29 @@ object SparkEntry {
       |  UNION
       |  SELECT e.v, w.c FROM walk w JOIN edges e ON e.u = w.u),
       |comp AS (SELECT u AS doc_id, min(c) AS cluster_id FROM walk GROUP BY u)""".stripMargin
+
+  /** DuckDB mirror of d35: the d06 pair graph minus a deterministic
+    * retracted subset, components over the SURVIVING edges, plus the
+    * singleton convention for ids whose every edge was retracted. */
+  private lazy val componentsRetractOracle: String =
+    s"""WITH RECURSIVE $dupClusterShPr,
+      |kept AS (SELECT * FROM pr WHERE (ida + idb) % 5 <> 1),
+      |edges AS (SELECT ida AS u, idb AS v FROM kept
+      |          UNION SELECT idb, ida FROM kept),
+      |walk(u, c) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+      |  UNION
+      |  SELECT e.v, w.c FROM walk w JOIN edges e ON e.u = w.u),
+      |comp AS (SELECT u AS doc_id, min(c) AS cluster_id FROM walk
+      |         GROUP BY u),
+      |allids AS (SELECT DISTINCT ida AS doc_id FROM pr
+      |           UNION SELECT idb FROM pr),
+      |single AS (SELECT doc_id, doc_id AS cluster_id FROM allids
+      |           WHERE doc_id NOT IN (SELECT doc_id FROM comp))
+      |SELECT doc_id, cluster_id FROM comp
+      |UNION ALL
+      |SELECT doc_id, cluster_id FROM single
+      |ORDER BY doc_id""".stripMargin
 
   private lazy val dupClustersOracle: String =
     s"""WITH RECURSIVE $dupClusterCtes

@@ -1801,6 +1801,79 @@ object Dedup {
   }
 
   /**
+   * RETRACTION-aware incremental components (round 17; closes
+   * [[componentsAgainst]]'s documented merge-only contract): remove a
+   * batch of pairs from the graph behind an existing (id, component)
+   * assignment and repair only what the removals touch. A deletion can
+   * SPLIT a component, so star edges are NOT connectivity-equivalent
+   * here — the touched components re-solve over their REAL remaining
+   * edge slice of `allPairs` (minus the retracted rows, orientation-
+   * canonicalized). Untouched assignment rows pass through BYTE-EXACT;
+   * a touched id whose every edge was retracted becomes its own
+   * singleton (the from-scratch convention for pair-less ids kept in
+   * the assignment). Result ≡ `connectedComponents(allPairs −
+   * removedPairs)` plus those singletons (pinned by the d35 oracle and
+   * a unit).
+   *
+   * Contract: `existing` must be the assignment OF `allPairs` (every
+   * edge's endpoints share a component); retracting a pair absent from
+   * `allPairs` is a no-op beyond marking its endpoints' components
+   * touched. Retraction is pair-level — the edge set is distinct, so
+   * multiplicities don't apply.
+   *
+   * Scale shape: cost ∝ removed batch + the touched components'
+   * remaining EDGES (one semi-join against the broadcast touched-id
+   * set picks that slice out of `allPairs`), never the whole graph.
+   * This is the honest deletion cost — connectivity after a cut is a
+   * property of the surviving edges, which no summary smaller than the
+   * touched slice can answer.
+   */
+  def componentsRetract(existing: DataFrame, allPairs: DataFrame,
+                        removedPairs: DataFrame, idCol: String = "id",
+                        compCol: String = "component",
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        maxIter: Int = 50,
+                        driverEdgeLimit: Long = 1000000L): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(col(aCol).cast(LongType).as("__a"),
+        col(bCol).cast(LongType).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .select(greatest(col("__a"), col("__b")).as("hi"),
+        least(col("__a"), col("__b")).as("lo"))
+      .distinct()
+    val rm = canon(removedPairs).localCheckpoint(false)
+    val ex = existing.select(col(idCol).cast(LongType).as("id"),
+      col(compCol).cast(LongType).as("component"))
+    val touchedIds = rm.select(col("hi").as("id"))
+      .unionByName(rm.select(col("lo").as("id"))).distinct()
+    val touchedComps = ex.join(touchedIds, Seq("id"), "left_semi")
+      .select(col("component")).distinct().localCheckpoint(false)
+    val untouched = ex.join(broadcast(touchedComps),
+      Seq("component"), "left_anti")
+    val touched = ex.join(broadcast(touchedComps),
+      Seq("component"), "left_semi").localCheckpoint(false)
+    // the surviving edges of the touched components: an edge never
+    // crosses components under the contract, so the hi-endpoint
+    // semi-join picks exactly the touched slice
+    // no broadcast hint here: the touched-id set scales with the
+    // touched components' membership (unlike the component-id set) —
+    // AQE picks broadcast when it fits
+    val keptEdges = canon(allPairs)
+      .join(touched.select(col("id").as("hi")).distinct(),
+        Seq("hi"), "left_semi")
+      .join(rm, Seq("hi", "lo"), "left_anti")
+    val solved = connectedComponents(
+      keptEdges.select(col("hi").as("id_a"), col("lo").as("id_b")),
+      "id_a", "id_b", maxIter, driverEdgeLimit)
+    val singletons = touched.select(col("id"))
+      .join(solved.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    untouched.select(col("id"), col("component"))
+      .unionByName(solved.select(col("id"), col("component")))
+      .unionByName(singletons)
+  }
+
+  /**
    * Near-duplicate corpus dedup, end to end: keep exactly one document
    * (the min id) per connected component of the near-dup pair graph,
    * plus every document that is in no pair. One left-anti join of the

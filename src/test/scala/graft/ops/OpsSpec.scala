@@ -505,6 +505,56 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("componentsRetract: splits repair touched-only, untouched rows " +
+      "byte-exact (round 17)") {
+    // {1,2,3,4} chain, {10,11,12} triangle, {20,21} pair, {30,31}
+    // untouched
+    val all = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val existing = Dedup.connectedComponents(all)
+    // retractions: SPLIT the chain (given in the REVERSED orientation
+    // — canonicalization must match it), a triangle edge (no split),
+    // and the {20,21} pair's only edge (both become singletons)
+    val removed = Seq((3L, 2L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.componentsRetract(existing, all, removed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L)          // {1,2}
+    assert(out(3L) == 3L && out(4L) == 3L)          // {3,4} split off
+    assert(Seq(10L, 11L, 12L).forall(out(_) == 10L)) // triangle holds
+    assert(out(20L) == 20L && out(21L) == 21L)      // singletons
+    assert(out(30L) == 30L && out(31L) == 30L)      // untouched
+    // ≡ from-scratch over the surviving edges (+ the singleton
+    // convention for ids whose every edge was retracted)
+    val scratch = Dedup.connectedComponents(
+        Seq((1L, 2L), (3L, 4L), (11L, 12L), (10L, 12L), (30L, 31L))
+          .toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == scratch ++ Map(20L -> 20L, 21L -> 21L))
+    // untouched component rows pass through byte-exact
+    val untouchedRows = Dedup.componentsRetract(existing, all, removed)
+      .where(col("component") === 30L).collect().toSet
+    assert(untouchedRows ==
+      existing.where(col("component") === 30L).collect().toSet)
+    // distributed sub-solve path agrees
+    val dist = Dedup.componentsRetract(existing, all, removed,
+        driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == out)
+    // empty retraction is the identity; retracting an ABSENT pair
+    // only marks its component touched (result unchanged)
+    val idm = Dedup.componentsRetract(existing, all,
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idm == existing.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val absent = Dedup.componentsRetract(existing, all,
+        Seq((1L, 4L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(absent == idm)
+  }
+
   test("persisted LSH index: probe ≡ minhashLshPairsAgainst, append ≡ " +
       "from-scratch (round 16)") {
     val base = Seq(
