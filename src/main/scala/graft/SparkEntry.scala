@@ -4189,6 +4189,36 @@ object SparkEntry {
       },
       Some(componentsRetractOracle)),
 
+    // --- STREAMING incremental components (round 17; the e57
+    //     foreachBatch-accumulator shape over componentsAgainst): the
+    //     d06 pair graph arrives in 3 deterministic micro-batches,
+    //     each merged into the running assignment touched-components-
+    //     only; the final assignment ≡ from-scratch over the union
+    //     (so d06's recursive-CTE cluster map binds it).
+    ("d36_stream_components",
+      (s, dir) => {
+        import s.implicits._
+        val pairs = Dedup.minhashLshPairs(docs(s, dir), "text",
+            "doc_id", n = 3, k = 128, bands = 32, threshold = 0.8)
+          .select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .as[(Long, Long)].collect().sortBy(identity).toSeq
+        var acc: DataFrame = null
+        graft.streaming.Replay.runForeachBatch(s,
+            graft.streaming.Replay.timeChunks(pairs, 3)) { (batch, _) =>
+          val bp = batch.toDF("id_a", "id_b")
+          if (!bp.isEmpty)
+            acc = (if (acc == null) Dedup.connectedComponents(bp)
+                   else Dedup.componentsAgainst(acc, bp))
+              .localCheckpoint(true)
+        }
+        acc.select(col("id").as("doc_id"),
+            col("component").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dupClusterCtes
+             |SELECT doc_id, cluster_id FROM comp
+             |ORDER BY doc_id""".stripMargin)),
+
     // --- cluster-level near-dedup with a QUALITY keeper policy: same
     //     pair graph as d03/d06, keep the best-quality member per
     //     cluster (not the min id) — the retention rule a curation

@@ -555,6 +555,30 @@ class OpsSpec extends AnyFunSuite {
     assert(absent == idm)
   }
 
+  test("streaming components accumulator: chunked merges ≡ " +
+      "from-scratch (round 17)") {
+    // pairs arrive in micro-batches; each batch merges via
+    // componentsAgainst (bridges land across batch boundaries: 2-3
+    // joins {1,2}+{3,4} a batch later; 5-1 introduces a new minimum
+    // after the component formed)
+    val all = Seq((1L, 2L), (3L, 4L), (2L, 3L), (10L, 11L),
+      (5L, 1L), (11L, 12L))
+    var acc: org.apache.spark.sql.DataFrame = null
+    graft.streaming.Replay.runForeachBatch(spark,
+        all.grouped(2).toSeq) { (batch, _) =>
+      val bp = batch.toDF("id_a", "id_b")
+      if (!bp.isEmpty)
+        acc = (if (acc == null) Dedup.connectedComponents(bp)
+               else Dedup.componentsAgainst(acc, bp))
+          .localCheckpoint(true)
+    }
+    val got = acc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch)
+    assert(got(5L) == 1L && got(4L) == 1L && got(12L) == 10L)
+  }
+
   test("persisted LSH index: probe ≡ minhashLshPairsAgainst, append ≡ " +
       "from-scratch (round 16)") {
     val base = Seq(
