@@ -840,6 +840,137 @@ class CypherFuzzSpec extends AnyFunSuite {
           "JOIN movie m ON m.id = r._sink")
   }
 
+  /** Round-17 surface arm: plain named-path enumeration over
+    * unbounded ranges (the untrimmed k-level walk — anchored,
+    * unanchored, [*0..], witness trails) and var-length type
+    * alternation with per-hop verb mixing (bounded chains, the merged
+    * null-filled hop namespace, unbounded shortestPath/enumeration
+    * over the pooled edge frame). */
+  private def genSurface17(rnd: Random): Gen = {
+    // shared mirrors: KNOWS walks (depth 3) and FOLLOWS∪KNOWS walks
+    // (depth 4 — p5→p1→p2→p3→p4)
+    val kCte =
+      "k AS (SELECT _vertexId s, _sink d FROM knows), " +
+      "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+      "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a JOIN k b ON b.s = a.d), " +
+      "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+      "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+      "w AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+      "UNION ALL SELECT * FROM p3)"
+    val uCte =
+      "u AS (SELECT _vertexId s, _sink d FROM follows " +
+      "UNION ALL SELECT _vertexId, _sink FROM knows), " +
+      "q1 AS (SELECT s, d, 1 AS l FROM u), " +
+      "q2 AS (SELECT a.s, b.d, 2 AS l FROM u a JOIN u b ON b.s = a.d), " +
+      "q3 AS (SELECT a.s, c.d, 3 AS l FROM u a " +
+      "JOIN u b ON b.s = a.d JOIN u c ON c.s = b.d), " +
+      "q4 AS (SELECT a.s, e.d, 4 AS l FROM u a " +
+      "JOIN u b ON b.s = a.d JOIN u c ON c.s = b.d " +
+      "JOIN u e ON e.s = c.d), " +
+      "w AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2 " +
+      "UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4)"
+    rnd.nextInt(7) match {
+      case 0 => // anchored plain enumeration: one row per walk
+        val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon",
+          "Rob Reiner")(rnd.nextInt(4))
+        Gen(
+          s"MATCH p = (a:Person)-[:KNOWS*]->(b:Person) " +
+            s"WHERE a.Name = '$src' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          s"WITH $kCte " +
+            "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+            "FROM w JOIN person pa ON pa.id = w.s " +
+            "JOIN person pb ON pb.id = w.d " +
+            s"WHERE pa.Name = '$src'")
+      case 1 => // unanchored enumeration with witness trails
+        Gen(
+          "MATCH p = (a:Person)-[:KNOWS*]->(b:Person) " +
+            "RETURN a.Name AS an, b.Name AS bn, " +
+            "reduce(s = '', n IN nodes(p) | s + '|' + n.id) AS path",
+          "WITH k AS (SELECT _vertexId s, _sink d FROM knows), " +
+            "p1 AS (SELECT s, d, '|' || s || '|' || d AS path FROM k), " +
+            "p2 AS (SELECT a.s, b.d, " +
+            "'|' || a.s || '|' || a.d || '|' || b.d FROM k a " +
+            "JOIN k b ON b.s = a.d), " +
+            "p3 AS (SELECT a.s, c.d, " +
+            "'|' || a.s || '|' || a.d || '|' || b.d || '|' || c.d " +
+            "FROM k a JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+            "w AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+            "UNION ALL SELECT * FROM p3) " +
+            "SELECT pa.Name AS an, pb.Name AS bn, path " +
+            "FROM w JOIN person pa ON pa.id = w.s " +
+            "JOIN person pb ON pb.id = w.d")
+      case 2 => // [*0..] enumeration: the identity walk joins in
+        val src = Seq("Tom Hanks", "Meg Ryan",
+          "Rob Reiner")(rnd.nextInt(3))
+        Gen(
+          s"MATCH p = (a:Person)-[:KNOWS*0..]->(b:Person) " +
+            s"WHERE a.Name = '$src' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          s"WITH $kCte, " +
+            "z AS (SELECT id AS s, id AS d, 0 AS l FROM person " +
+            "UNION ALL SELECT * FROM w) " +
+            "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+            "FROM z JOIN person pa ON pa.id = z.s " +
+            "JOIN person pb ON pb.id = z.d " +
+            s"WHERE pa.Name = '$src'")
+      case 3 => // bounded alternation: hops mix verbs
+        val h = 1 + rnd.nextInt(2)
+        val hop =
+          if (h == 1) "SELECT s, d FROM u"
+          else "SELECT a.s, b.d FROM u a JOIN u b ON b.s = a.d"
+        Gen(
+          s"MATCH (a:Person)-[:FOLLOWS|KNOWS*$h..$h]->(b:Person) " +
+            "RETURN a.Name AS an, b.Name AS bn",
+          "WITH u AS (SELECT _vertexId s, _sink d FROM follows " +
+            "UNION ALL SELECT _vertexId, _sink FROM knows), " +
+            s"hh AS ($hop) " +
+            "SELECT pa.Name AS an, pb.Name AS bn " +
+            "FROM hh JOIN person pa ON pa.id = hh.s " +
+            "JOIN person pb ON pb.id = hh.d")
+      case 4 => // alternation rel-list: merged null-filled namespace
+        Gen(
+          "MATCH (a:Person)-[rs:FOLLOWS|KNOWS*2..2]->(b:Person) " +
+            "RETURN a.Name AS an, b.Name AS bn, " +
+            "reduce(s = '', r IN rs | s + '|' + toString(" +
+            "coalesce(r.Since, 0))) AS ss",
+          "WITH u AS (SELECT _vertexId s, _sink d, " +
+            "CAST(NULL AS INT) AS Since FROM follows " +
+            "UNION ALL SELECT _vertexId, _sink, Since FROM knows) " +
+            "SELECT pa.Name AS an, pb.Name AS bn, " +
+            "'|' || CAST(coalesce(a.Since, 0) AS STRING) || " +
+            "'|' || CAST(coalesce(b.Since, 0) AS STRING) AS ss " +
+            "FROM u a JOIN u b ON b.s = a.d " +
+            "JOIN person pa ON pa.id = a.s " +
+            "JOIN person pb ON pb.id = b.d")
+      case 5 => // alternation unbounded shortestPath: min over the
+        // pooled walks (a mixed chain may be the only route)
+        val src = Seq("Tom Hanks", "Jessica Thompson")(rnd.nextInt(2))
+        Gen(
+          "MATCH p = shortestPath(" +
+            "(a:Person)-[:FOLLOWS|KNOWS*1..]->(b:Person)) " +
+            s"WHERE a.Name = '$src' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          s"WITH $uCte, " +
+            "m AS (SELECT s, d, CAST(min(l) AS BIGINT) AS l FROM w " +
+            "GROUP BY s, d) " +
+            "SELECT pb.Name AS bn, l " +
+            "FROM m JOIN person pa ON pa.id = m.s " +
+            "JOIN person pb ON pb.id = m.d " +
+            s"WHERE pa.Name = '$src'")
+      case _ => // alternation plain enumeration over the pooled DAG
+        Gen(
+          "MATCH p = (a:Person)-[:FOLLOWS|KNOWS*]->(b:Person) " +
+            "WHERE a.Name = 'Jessica Thompson' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          s"WITH $uCte " +
+            "SELECT pb.Name AS bn, CAST(l AS BIGINT) AS l " +
+            "FROM w JOIN person pa ON pa.id = w.s " +
+            "JOIN person pb ON pb.id = w.d " +
+            "WHERE pa.Name = 'Jessica Thompson'")
+    }
+  }
+
   /** Multiset of rows as normalized strings (doubles are pre-rounded
     * by the generator; nulls print as a sentinel). */
   private def norm(df: DataFrame): Seq[String] =
@@ -1040,6 +1171,38 @@ class CypherFuzzSpec extends AnyFunSuite {
           s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
       assert(got == exp,
         s"\nseed=${Seed + 6} i=$i DIVERGED " +
+        s"(${got.size} vs ${exp.size} rows)" +
+        s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
+        s"\ngot:      ${got.take(8).mkString(" ; ")}" +
+        s"\nexpected: ${exp.take(8).mkString(" ; ")}")
+    }
+  }
+
+  test("60 seed-pinned round-17-surface queries agree with mirrors") {
+    val catalog = MovieFixture.catalog(spark)
+    val session = new CypherSession(spark, catalog).extended
+    nodeTable.foreach { case (lbl, view) =>
+      catalog.nodeDf(lbl).createOrReplaceTempView(view)
+    }
+    edges.map(_._4).distinct.foreach { t =>
+      val e = catalog.graph.edges.find(_.table == t).get
+      catalog.edgeDf(e).createOrReplaceTempView(t)
+    }
+    val rnd = new Random(Seed + 7)
+    (0 until 60).foreach { i =>
+      val g = genSurface17(rnd)
+      val got =
+        try norm(session.run(g.cypher))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 7} i=$i cypher failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      val exp =
+        try norm(spark.sql(g.sql))
+        catch { case e: Throwable => fail(
+          s"seed=${Seed + 7} i=$i sql mirror failed: ${e.getMessage}\n" +
+          s"CYPHER: ${g.cypher}\nSQL:    ${g.sql}") }
+      assert(got == exp,
+        s"\nseed=${Seed + 7} i=$i DIVERGED " +
         s"(${got.size} vs ${exp.size} rows)" +
         s"\nCYPHER: ${g.cypher}\nSQL:    ${g.sql}" +
         s"\ngot:      ${got.take(8).mkString(" ; ")}" +

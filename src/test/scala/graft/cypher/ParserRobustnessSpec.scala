@@ -461,4 +461,38 @@ class ParserRobustnessSpec extends AnyFunSuite {
     samples(gen, 400).foreach(q =>
       try { Parser.parse(q); () } catch { case _: CypherException => () })
   }
+
+  test("round-17 surface fuzz: plain unbounded named paths, " +
+      "var-length type alternation") {
+    def attemptExt(q: String): Unit =
+      try { Parser.parse(q, extensions = true, Map.empty); () }
+      catch { case _: CypherException => () }
+    val bad = Seq(
+      "MATCH p = (a)-[:T*]->(b) RETURN length(p",
+      "MATCH p = (a)-[:T*]->(b)-[:S]->(c) RETURN length(p) AS l",
+      "MATCH p = (a)-[*]->(b) RETURN length(p) AS l",
+      "MATCH p = (a)-[:T*0..]->(b RETURN length(p) AS l",
+      "MATCH p = (a)-[:T*]-(b) RETURN nodes(p) AS n",
+      "MATCH (a)-[:A|B*]->(b RETURN 1 AS x",
+      "MATCH (a)-[:A|B|*]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:A||B*]->(b) RETURN 1 AS x",
+      "MATCH (a)-[:A|B*1..]->(b) WHERE RETURN 1 AS x",
+      "MATCH (a)-[rs:A|B* {k: 1}]->(b) RETURN 1 AS x",
+      "MATCH (a)-[rs:A|B*1..2 WHERE rs.x > 0]->(b) RETURN 1 AS x",
+      "MATCH p = (a)-[:A|B*]->(b) RETURN relationships(p",
+      "MATCH p = shortestPath((a)-[:A|B*]->(b)-[:C]->(c)) " +
+        "RETURN length(p) AS l")
+    bad.foreach(attemptExt)
+    bad.foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+    val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
+      "MATCH", "p", "=", "(", ")", "[", "]", "-", "->", "<-", ":A",
+      ":B", "|", "*", "0..", "1..", "..2", "a", "b", "rs", "nodes",
+      "relationships", "length", "reduce", "IN", "RETURN", "AS",
+      "WHERE", "shortestPath", "SHORTEST", "GROUPS", ",", "."))
+      .map(_.mkString(" "))
+    samples(gen, 400).foreach(attemptExt)
+    samples(gen, 400).foreach(q =>
+      try { Parser.parse(q); () } catch { case _: CypherException => () })
+  }
 }
