@@ -2358,6 +2358,94 @@ object SparkEntry {
              |WHERE e1.src = 0
              |ORDER BY bk, spans""".stripMargin)),
 
+    // --- [*lo..] with lo > 1 (round 17; previously a parse
+    //     rejection): BARE pairs — some path of length >= 3 exists,
+    //     one row per pair, UNANCHORED through the level DP.
+    ("q179_lower_bound_pairs", cyx(
+      """MATCH (a:Nation)-[:JUMPS_TO*3..]->(b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk
+        |ORDER BY ak, bk""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(src, dst, hops) AS (
+             |  SELECT src, dst, 1 FROM e
+             |  UNION ALL
+             |  SELECT w.src, e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT DISTINCT src AS ak, dst AS bk
+             |FROM walk WHERE hops >= 3
+             |ORDER BY ak, bk""".stripMargin)),
+
+    // --- shortestPath over [*2..] (round 17): the minimal length at
+    //     or above the bound — one-hop routes fall below it.
+    ("q180_lower_bound_shortest", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 0})-[:JUMPS_TO*2..]->(b:Nation))
+        |RETURN b.n_nationkey AS bk, length(p) AS hops
+        |ORDER BY bk""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT dst, 1 FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT dst AS bk, CAST(min(hops) AS BIGINT) AS hops
+             |FROM walk WHERE hops >= 2
+             |GROUP BY dst
+             |ORDER BY bk""".stripMargin)),
+
+    // --- plain enumeration over [*2..] (round 17): the walk kind
+    //     respects the lower bound — one row per walk of length >= 2.
+    ("q181_lower_bound_enum", cyx(
+      """MATCH p = (a:Nation {n_nationkey: 0})-[:JUMPS_TO*2..]->(b:Nation)
+        |RETURN b.n_nationkey AS bk, length(p) AS hops,
+        |       reduce(s = '', n IN nodes(p) |
+        |         s + '|' + toString(n.n_nationkey)) AS trail
+        |ORDER BY bk, hops, trail""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(dst, hops, trail) AS (
+             |  SELECT dst, 1, '|0|' || CAST(dst AS VARCHAR)
+             |  FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1,
+             |         w.trail || '|' || CAST(e.dst AS VARCHAR)
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT dst AS bk, CAST(hops AS BIGINT) AS hops, trail
+             |FROM walk WHERE hops >= 2
+             |ORDER BY bk, hops, trail""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

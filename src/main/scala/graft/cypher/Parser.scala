@@ -1749,9 +1749,10 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         }
         // unbounded forms `[*]` / `[*1..]` are accepted (extension) and
         // lowered to reachability via an iterate-to-fixpoint BFS — hi =
-        // [[Parser.Unbounded]] marks them; a lower bound > 1 has no
-        // reachability lowering (min-distance ≠ exists-longer-path on
-        // cyclic graphs), so those keep the bounded contract
+        // [[Parser.Unbounded]] marks them; `[*lo..]` with lo > 1
+        // (round 17) lowers through the k-level DP instead (no BFS
+        // lowering exists: min-distance ≠ exists-longer-path on
+        // cyclic graphs — the DP is DAG-exact, typed on cycles)
         val range = if (tryPunct("..")) {
           cur match {
             case NumLit(_, false, _) => (lo.getOrElse(1), intLit())
@@ -1764,11 +1765,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
         // zero-length lower bounds: `[*0..]` lowers to the unbounded
         // reflexive closure (identity rows in the reach frame);
         // `[*0..k]` (round 11) unrolls a zero-hop identity branch into
-        // the bounded union (VarLength.zeroHopPart)
-        if (range._2 == Parser.Unbounded && range._1 > 1)
-          notSupported(s"unbounded variable-length [*${range._1}..] with a " +
-            "lower bound > 1 — reachable-pair lowering supports [*] / " +
-            "[*1..]; bound the range [*lo..hi] for longer minimums")
+        // the bounded union (VarLength.zeroHopPart). A lower bound > 1
+        // (round 17) is accepted and lowered through the k-level DP —
+        // DAG-exact, typed on cyclic graphs (Reach.rewrite).
         if (range._2 < range._1)
           syntaxErr(s"variable-length range ${range._1}..${range._2} is empty")
         if (range._2 != Parser.Unbounded && range._2 > Parser.MaxVarHops)

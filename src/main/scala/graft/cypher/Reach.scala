@@ -83,9 +83,12 @@ import graft.ops.GraphContractViolation
  *    multiplies σ-fold — one row per minimal path with no per-path
  *    state; unanchored stays a typed rejection (the witness set is
  *    only bounded on an anchored cone);
- *  - lower bound 1 (parser-enforced): "exists a path of length ≥ k" is
- *    not min-distance ≥ k on cyclic graphs, so [*k..] has no honest
- *    reachability lowering.
+ *  - lower bound > 1 (round 17): "exists a path of length ≥ k" is not
+ *    min-distance ≥ k on cyclic graphs, so `[*k..]` has no BFS
+ *    lowering — it routes through the k-level DP instead (levels
+ *    filter to `__dist ≥ k` before the trim; shortestPath ≡
+ *    SHORTEST 1, allShortestPaths ≡ SHORTEST 1 GROUPS, bare patterns
+ *    take one row per pair), DAG-exact and typed on cyclic graphs.
  */
 private[cypher] object Reach {
 
@@ -251,6 +254,23 @@ private[cypher] object Reach {
                   s"unbounded variable-length over '$verb' is ambiguous: " +
                   s"${selfDefs.map(_.fromLabel).sorted.mkString(", ")} all " +
                   "carry a self-type edge of that verb")
+              // [*lo..] with lo > 1 (round 17; previously a parse
+              // rejection): no BFS lowering exists (min-distance ≠
+              // exists-longer-path on cyclic graphs) — the k-level DP
+              // answers it exactly on a DAG: levels filter to
+              // __dist >= lo before the trim, shortestPath becomes
+              // SHORTEST 1 and allShortestPaths SHORTEST 1 GROUPS
+              // over the filtered levels, a bare pattern takes one
+              // row per pair (take-1 trim), and the plain named path
+              // keeps the walk kind. Cyclic graphs stay typed
+              // (bound the range [*lo..hi]).
+              val lo = r.varLength.map(_._1).getOrElse(1)
+              val minLen = math.max(lo, 1)
+              val effSel: Option[(String, Int)] =
+                selK.map(s => (s.kind, s.k)).orElse(
+                  if (lo <= 1) None
+                  else if (pp.allShortest) Some(("groups", 1))
+                  else Some(("shortest", 1)))
               val (reach, fromL, toL) =
                 if (verbs.size == 1 && selfDefs.size == 1 && defs.size == 1) {
                   // homogeneous chain: one id namespace, no tagging
@@ -258,40 +278,42 @@ private[cypher] object Reach {
                   val node = catalog.graph.node(e.fromLabel)
                   val edf = catalog.edgeDf(e)
                   val base =
-                    if (selK.isDefined && wantWitness) {
+                    if (effSel.isDefined && wantWitness) {
                       // k-level witnesses (round 16; VERDICT-r15 #2):
                       // per-level parent sets + σ-fold walk
-                      val sel = selK.get
+                      val (kind, k) = effSel.get
                       val w = witnessKReach(edf, e,
                         () => seedFor(m.where, srcPat.alias, node,
                           catalog, outer),
                         () => seedFor(m.where, dstPat.alias, node,
                           catalog, outer),
                         node, catalog.nodeDf(e.fromLabel),
-                        sel.kind, sel.k)
+                        kind, k, minLen)
                       if (r.dir == Direction.In)
                         w.withColumn("__nodes", reverse(col("__nodes")))
                           .withColumn("__rels", reverse(col("__rels")))
                       else w
                     }
-                    else if (selK.isDefined) {
+                    else if (effSel.isDefined) {
                       // k-level lowering (round 15): σ DP, GQL row
                       // multiplicity baked into the frame; round 16
                       // (VERDICT-r15 #3) — no anchor falls back to
                       // the UNANCHORED DP (every source seeds) under
                       // the same maxClosureRows guard
-                      val sel = selK.get
+                      val (kind, k) = effSel.get
                       val out = seedFor(m.where, srcPat.alias, node,
                           catalog, outer)
                         .map(sd => kLevelReach(edf, e.srcIdColumn,
-                          e.sinkIdColumn, Some(sd), sel.kind, sel.k))
+                          e.sinkIdColumn, Some(sd), kind, k,
+                          minLen = minLen))
                         .orElse(seedFor(m.where, dstPat.alias, node,
                           catalog, outer)
                           .map(sd => swapPairs(kLevelReach(edf,
                             e.sinkIdColumn, e.srcIdColumn, Some(sd),
-                            sel.kind, sel.k), dist = true)))
+                            kind, k, minLen = minLen), dist = true)))
                         .getOrElse(kLevelReach(edf, e.srcIdColumn,
-                          e.sinkIdColumn, None, sel.kind, sel.k))
+                          e.sinkIdColumn, None, kind, k,
+                          minLen = minLen))
                       if (needDist) out else out.drop("__dist")
                     }
                     else if (wantWitness) {
@@ -335,7 +357,7 @@ private[cypher] object Reach {
                     dstPat, m.where, catalog, outer, needDist,
                     pp.allShortest, wantWitness,
                     allowIdentity = r.varLength.exists(_._1 == 0),
-                    selector = selK.map(sel => (sel.kind, sel.k)))
+                    selector = effSel, minLen = minLen)
                   val b =
                     if (wantWitness && r.dir == Direction.In)
                       b0.withColumn("__nodes", reverse(col("__nodes")))
@@ -528,6 +550,8 @@ private[cypher] object Reach {
         sdOpt.getOrElse(e.select(col("__src")).distinct()),
         if (kind == WalkKind)
           "a plain named path over an unbounded range (per-path rows)"
+        else if (k == 1)
+          "a [*lo..] lowering with lo > 1 (levels past the minimum)"
         else s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = (sdOpt match {
       case Some(sd) => e.join(sd, Seq("__src"), "left_semi")
@@ -630,12 +654,18 @@ private[cypher] object Reach {
     * under the same maxClosureRows guard. */
   private def kLevelReach(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
-      dagProven: Boolean = false)
+      dagProven: Boolean = false, minLen: Int = 1)
       : DataFrame = {
     val (levels, _, bound) =
       kLevelLevels(edges, srcCol, dstCol, seeds, kind, k,
         withParents = false, dagProven = dagProven)
-    val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
+    // [*lo..] (round 17): levels below the lower bound never reach
+    // the trim — the minimal KEPT level is the one the k budget and
+    // the shortest forms see
+    val eligible =
+      if (minLen <= 1) levels
+      else levels.where(col("__dist") >= minLen)
+    val chosen = kLevelTrim(eligible, kind, k).localCheckpoint(false)
     val expanded = {
       val row = chosen.agg(sum(col("__take"))).head()
       val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -665,13 +695,17 @@ private[cypher] object Reach {
   private def witnessKReach(edf: DataFrame, e: EdgeDef,
       fwdSeeds: () => Option[DataFrame],
       revSeeds: () => Option[DataFrame],
-      node: NodeDef, ndf: DataFrame, kind: String, k: Int): DataFrame = {
+      node: NodeDef, ndf: DataFrame, kind: String, k: Int,
+      minLen: Int = 1): DataFrame = {
     val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
     def run(sc: String, dc: String, sd: Option[DataFrame], rev: Boolean)
         : DataFrame = {
       val (levels, parentsOpt, bound) =
         kLevelLevels(edf, sc, dc, sd, kind, k, withParents = true)
-      val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
+      val eligible =
+        if (minLen <= 1) levels
+        else levels.where(col("__dist") >= minLen)
+      val chosen = kLevelTrim(eligible, kind, k).localCheckpoint(false)
       val ids0 = kLevelWalk(chosen, parentsOpt.get, bound, kind, k)
       val ids =
         if (!rev) ids0
@@ -1110,7 +1144,8 @@ private[cypher] object Reach {
       needDist: Boolean, allShortest: Boolean,
       wantWitness: Boolean = false,
       allowIdentity: Boolean = false,
-      selector: Option[(String, Int)] = None)
+      selector: Option[(String, Int)] = None,
+      minLen: Int = 1)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
@@ -1212,7 +1247,11 @@ private[cypher] object Reach {
           val (levels, parentsOpt, bound) =
             kLevelLevels(union, sc, dc, sd, kind, k, withParents = true,
               dagProven = labelDagProven)
-          val chosen = kLevelTrim(levels, kind, k).localCheckpoint(false)
+          val eligible =
+            if (minLen <= 1) levels
+            else levels.where(col("__dist") >= minLen)
+          val chosen = kLevelTrim(eligible, kind, k)
+            .localCheckpoint(false)
           val ids0 = kLevelWalk(chosen, parentsOpt.get, bound, kind, k)
           val ids =
             if (!rev) ids0
@@ -1241,13 +1280,13 @@ private[cypher] object Reach {
       }
       val tagged = taggedSeeds(srcPat.alias, sNode, srcLabel)
         .map(sd => kLevelReach(union, "__src", "__dst", Some(sd),
-          kind, k, dagProven = labelDagProven))
+          kind, k, dagProven = labelDagProven, minLen = minLen))
         .orElse(taggedSeeds(dstPat.alias, dNode, dstLabel)
           .map(sd => swapPairs(kLevelReach(union, "__dst", "__src",
-            Some(sd), kind, k, dagProven = labelDagProven),
-            dist = true)))
+            Some(sd), kind, k, dagProven = labelDagProven,
+            minLen = minLen), dist = true)))
         .getOrElse(kLevelReach(union, "__src", "__dst", None, kind, k,
-          dagProven = labelDagProven))
+          dagProven = labelDagProven, minLen = minLen))
       val out = tagged
         .where(tagged("__src")("l") === lit(ordinals(srcLabel)) &&
           tagged("__dst")("l") === lit(ordinals(dstLabel)))

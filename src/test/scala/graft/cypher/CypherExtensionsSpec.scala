@@ -1659,6 +1659,88 @@ class CypherExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("[*lo..] with lo > 1 over unbounded ranges (round 17)") {
+    // bare pairs: SOME path of length >= 2, one row per pair (the
+    // take-1 trim over the filtered level frame)
+    val bare = rows(
+      """MATCH (a:Person)-[:KNOWS*2..]->(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn ORDER BY an, bn"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(bare == Seq(("Meg Ryan", "Rob Reiner"),
+      ("Tom Hanks", "Kevin Bacon"), ("Tom Hanks", "Rob Reiner")))
+    // shortestPath: the minimal length >= lo — the 1999 one-hop
+    // shortcut sits below the bound, so length(p) reads 3 and the
+    // witnesses walk the chain
+    val sp = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*2..]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l, [n IN nodes(p) | n.Name] AS ns"""
+        .stripMargin)
+    assert(sp.size == 1 && sp.head.getLong(0) == 3L &&
+      sp.head.getSeq[String](1) == Seq("Tom Hanks", "Meg Ryan",
+        "Kevin Bacon", "Rob Reiner"))
+    // agreement with the bounded branch reduction on a DAG
+    val spB = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*2..3]->(b:Person))
+        |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+        |RETURN length(p) AS l, [n IN nodes(p) | n.Name] AS ns"""
+        .stripMargin)
+    assert(spB.map(r => (r.getLong(0), r.getSeq[String](1))) ==
+      sp.map(r => (r.getLong(0), r.getSeq[String](1))))
+    // plain enumeration respects the bound: one row per walk >= 2
+    val en = rows(
+      """MATCH p = (a:Person)-[:KNOWS*2..]->(b:Person)
+        |WHERE a.Name = 'Tom Hanks'
+        |RETURN b.Name AS bn, length(p) AS l ORDER BY bn"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(en == Seq(("Kevin Bacon", 2L), ("Rob Reiner", 3L)))
+    // allShortestPaths over a σ = 2 diamond: BOTH minimal >= 2 paths
+    // come out as distinct witness rows
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val dia = Seq(("p1", "p2", 1), ("p1", "p3", 2),
+        ("p2", "p4", 3), ("p3", "p4", 4))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => dia
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val asp = s.run(
+        """MATCH p = allShortestPaths(
+          |    (a:Person)-[:KNOWS*2..]->(b:Person))
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+          |RETURN length(p) AS l,
+          |       reduce(s = '', e IN relationships(p) |
+          |         s + '|' + toString(e.Since)) AS rs
+          |ORDER BY rs""".stripMargin).collect()
+        .map(x => (x.getLong(0), x.getString(1)))
+      assert(asp.toSeq == Seq((2L, "|1|3"), (2L, "|2|4")))
+    }
+    // a cyclic anchored cone keeps the typed bound-the-range contract
+    locally {
+      import spark.implicits._
+      val base = MovieFixture.catalog(spark)
+      val cyc = Seq(("p1", "p2", 2010), ("p2", "p1", 2011))
+        .toDF("_vertexId", "_sink", "Since")
+      val cat = new GraphCatalog(MovieFixture.schema, {
+        case "knows"  => cyc
+        case "person" => base.nodeDf("Person")
+        case other    => throw new IllegalArgumentException(other)
+      })
+      val s = new CypherSession(spark, cat).extended
+      val e = intercept[Exception](s.run(
+        """MATCH (a:Person)-[:KNOWS*2..]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks'
+          |RETURN b.Name AS bn""".stripMargin).collect())
+      assert(e.getMessage.contains("CYCLIC"), e.getMessage)
+    }
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature
@@ -5329,10 +5411,13 @@ class CypherExtensionsSpec extends AnyFunSuite {
       .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
     assert(asp.toSeq == Seq(("p1", "p2", 1L), ("p5", "p1", 1L),
       ("p5", "p2", 1L)))
-    // lower bound > 1 has no reachability lowering
-    intercept[CypherNotSupportedException](rows(
+    // lower bound > 1 (round 17): routed through the k-level DP —
+    // bare pairs with SOME path of length ≥ 2 (FOLLOWS: only
+    // p5→p1→p2), one row per pair
+    assert(rows(
       """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
-        |RETURN a.Name AS N""".stripMargin))
+        |RETURN a.Name AS N""".stripMargin)
+      .map(_.getString(0)) == Seq("Jessica Thompson"))
     // undirected / verb-less
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:FOLLOWS*]-(b:Person)
