@@ -2446,6 +2446,68 @@ object SparkEntry {
              |FROM walk WHERE hops >= 2
              |ORDER BY bk, hops, trail""".stripMargin)),
 
+    // --- UNDIRECTED unbounded reach (round 17; previously typed):
+    //     shortestPath over the symmetrized frame — the region sink
+    //     reaches its predecessors against storage order.
+    ("q182_undirected_shortest", cyx(
+      """MATCH p = shortestPath(
+        |  (a:Nation {n_nationkey: 4})-[:JUMPS_TO*]-(b:Nation))
+        |RETURN b.n_nationkey AS bk, length(p) AS hops
+        |ORDER BY bk""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e0 AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |e AS (SELECT src, dst FROM e0
+             |      UNION SELECT dst, src FROM e0),
+             |walk(dst, hops) AS (
+             |  SELECT dst, 1 FROM e WHERE src = 4
+             |  UNION
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 12)
+             |SELECT dst AS bk, CAST(min(hops) AS BIGINT) AS hops
+             |FROM walk WHERE dst <> 4
+             |GROUP BY dst
+             |ORDER BY bk""".stripMargin)),
+
+    // --- undirected bare pairs, UNANCHORED: every within-region
+    //     ordered pair (each region is one undirected component),
+    //     (x, x) excluded.
+    ("q183_undirected_pairs", cyx(
+      """MATCH (a:Nation)-[:JUMPS_TO*]-(b:Nation)
+        |RETURN a.n_nationkey AS ak, b.n_nationkey AS bk
+        |ORDER BY ak, bk""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e0 AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |e AS (SELECT src, dst FROM e0
+             |      UNION SELECT dst, src FROM e0),
+             |walk(src, dst, hops) AS (
+             |  SELECT src, dst, 1 FROM e
+             |  UNION
+             |  SELECT w.src, e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 12)
+             |SELECT DISTINCT src AS ak, dst AS bk
+             |FROM walk WHERE src <> dst
+             |ORDER BY ak, bk""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

@@ -63,8 +63,13 @@ import graft.ops.GraphContractViolation
  *  - explicit single verb whose schema edge is SELF-TYPE
  *    (fromLabel == toLabel) — multi-hop chains of one verb need one id
  *    namespace; heterogeneous chains must be written hop by hop;
- *  - directed pattern (`->` / `<-`) — an undirected self-type hop is
- *    ambiguous (the analyzer's single-hop rule, LogicalPlan.cs:603-612);
+ *  - undirected patterns (round 17): the reachability/shortest forms
+ *    run over the SYMMETRIZED frame (e ∪ swap(e)) — minimal walks
+ *    there never repeat a vertex, so pairs/shortestPath/allShortest
+ *    are trail-exact; (x, x) rows are excluded (the return walk
+ *    reuses its edge) and per-path forms stay typed (the symmetrized
+ *    frame is cyclic by construction). Heterogeneous undirected
+ *    chains stay typed;
  *  - per-path observation: a PLAIN named path (`length(p)` /
  *    `nodes(p)` / `relationships(p)` without a shortest form or
  *    selector) enumerates ALL paths (round 17) via the k-level σ DP
@@ -227,16 +232,32 @@ private[cypher] object Reach {
                   "unbounded variable-length requires an explicit " +
                   "relationship type, e.g. [:NEXT*]")
               val verb = verbs.mkString("|")
-              if (r.dir == Direction.Both)
+              // UNDIRECTED unbounded var-length (round 17; previously
+              // typed): each hop may traverse either way — the edge
+              // frame SYMMETRIZES (e ∪ swap(e)) and the BFS forms run
+              // unchanged. Minimal walks on the symmetrized frame
+              // never repeat a vertex, hence never reuse a
+              // relationship — so bare pairs, shortestPath and
+              // allShortestPaths (σ at the minimum) are TRAIL-exact;
+              // (x, x) rows are excluded (the x–y–x return walk
+              // reuses its edge — genuine undirected self-trails need
+              // cycle enumeration; bound the range). Per-path forms
+              // stay typed: the symmetrized frame is cyclic by
+              // construction, so the walk/selector DP cannot run.
+              if (r.dir == Direction.Both &&
+                  (selK.isDefined || r.varLength.exists(_._1 > 1)))
                 throw new CypherNotSupportedException(
-                  "undirected unbounded variable-length — an undirected " +
-                  "self-type hop is ambiguous; direct the pattern")
+                  "undirected unbounded per-path forms (plain named " +
+                  "paths, k > 1 selectors, [*lo..] with lo > 1) — the " +
+                  "symmetrized frame is cyclic by construction; " +
+                  "direct the pattern, or bound the range [*lo..hi]")
               // endpoint node patterns in EDGE direction: the pattern
               // node binding the edge's source side vs its sink side
+              // (an undirected pattern orients left → right)
               val srcPat =
-                if (r.dir == Direction.Out) pp.nodes(i) else pp.nodes(i + 1)
+                if (r.dir == Direction.In) pp.nodes(i + 1) else pp.nodes(i)
               val dstPat =
-                if (r.dir == Direction.Out) pp.nodes(i + 1) else pp.nodes(i)
+                if (r.dir == Direction.In) pp.nodes(i) else pp.nodes(i + 1)
               val defs = verbs.flatMap { v =>
                 val ds = catalog.graph.edgesByVerb(v)
                 if (ds.isEmpty)
@@ -276,7 +297,22 @@ private[cypher] object Reach {
                   // homogeneous chain: one id namespace, no tagging
                   val e = selfDefs.head
                   val node = catalog.graph.node(e.fromLabel)
-                  val edf = catalog.edgeDf(e)
+                  val edf0 = catalog.edgeDf(e)
+                  // undirected: symmetrize with properties carried —
+                  // a hop walked against storage order reads the same
+                  // edge row (both-direction stored pairs become
+                  // multiplicity-2 hops, matching Neo4j's two
+                  // traversable relationships)
+                  val edf =
+                    if (r.dir != Direction.Both) edf0
+                    else edf0.unionByName(edf0.select(
+                      edf0.columns.toSeq.map {
+                        case c if c == e.srcIdColumn =>
+                          col(e.sinkIdColumn).as(e.srcIdColumn)
+                        case c if c == e.sinkIdColumn =>
+                          col(e.srcIdColumn).as(e.sinkIdColumn)
+                        case c => col(c)
+                      }: _*))
                   val base =
                     if (effSel.isDefined && wantWitness) {
                       // k-level witnesses (round 16; VERDICT-r15 #2):
@@ -342,8 +378,18 @@ private[cypher] object Reach {
                       () => seedFor(m.where, dstPat.alias, node, catalog,
                         outer),
                       needDist, pp.allShortest)
-                  (base, e.fromLabel, e.toLabel)
+                  // undirected: (x, x) rows would reuse their edge
+                  // (x–y–x) — excluded, documented above
+                  val baseU =
+                    if (r.dir != Direction.Both) base
+                    else base.where(col("__src") =!= col("__dst"))
+                  (baseU, e.fromLabel, e.toLabel)
                 } else {
+                  if (r.dir == Direction.Both)
+                    throw new CypherNotSupportedException(
+                      "undirected unbounded variable-length over a " +
+                      "heterogeneous or multi-definition chain — " +
+                      "direct the pattern, or bound the range")
                   // heterogeneous chain (round 10): label-stratified
                   // BFS over tagged namespaces; round 14 — witnesses
                   // ride the tagged parent pointers (the tag IS the
@@ -450,8 +496,13 @@ private[cypher] object Reach {
                    else Seq.empty),
                 s"__reach_${id}_$verb")
               extra += ((synth, reach2))
+              // an undirected pattern's reach frame is symmetrized
+              // and oriented left → right already, so the synthetic
+              // rel splices in as Out (the analyzer's single-hop rule
+              // would reject a Both self-type hop)
               RelPat(if (needDist) Some(s"$DistRelPrefix$id") else None,
-                Some(synthVerb), r.dir)
+                Some(synthVerb),
+                if (r.dir == Direction.Both) Direction.Out else r.dir)
             }
           }
           pp.copy(rels = rels2, shortest = false, allShortest = false,

@@ -1741,6 +1741,57 @@ class CypherExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("undirected unbounded var-length (round 17): symmetrized " +
+      "reach, shortestPath, allShortest") {
+    // KNOWS undirected connects {p1..p4}; p5 has no KNOWS edge.
+    // 4 × 3 ordered pairs — and NO (x, x) rows (the return walk
+    // would reuse its edge)
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS*]-(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn""".stripMargin).size == 12)
+    // a sink becomes reachable against storage order: Rob→Tom is one
+    // undirected hop (the 1999 edge walked backwards)
+    val rt = rows(
+      """MATCH p = shortestPath((a:Person)-[:KNOWS*]-(b:Person))
+        |WHERE a.Name = 'Rob Reiner' AND b.Name = 'Tom Hanks'
+        |RETURN length(p) AS l""".stripMargin)
+    assert(rt.size == 1 && rt.head.getLong(0) == 1L)
+    // anchored bare pairs from the sink
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS*]-(b:Person)
+        |WHERE a.Name = 'Rob Reiner'
+        |RETURN b.Name AS bn""".stripMargin).size == 3)
+    // allShortestPaths: Rob→Meg has two minimal undirected routes;
+    // each hop's rel struct reads the STORED edge row
+    val am = rows(
+      """MATCH p = allShortestPaths((a:Person)-[:KNOWS*]-(b:Person))
+        |WHERE a.Name = 'Rob Reiner' AND b.Name = 'Meg Ryan'
+        |RETURN reduce(s = '', e IN relationships(p) |
+        |         s + '|' + toString(e.Since)) AS rs
+        |ORDER BY rs""".stripMargin).map(_.getString(0))
+    assert(am == Seq("|1999|2010", "|2020|2015"))
+    // [*0..]: identity rows join (even the KNOWS-isolated p5)
+    assert(rows(
+      """MATCH (a:Person)-[:KNOWS*0..]-(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn""".stripMargin).size == 17)
+    // per-path forms stay typed (the symmetrized frame is cyclic by
+    // construction)
+    val e1 = intercept[CypherNotSupportedException](rows(
+      """MATCH p = (a:Person)-[:KNOWS*]-(b:Person)
+        |RETURN length(p) AS l""".stripMargin))
+    assert(e1.getMessage.contains("symmetrized"))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]-(b:Person)
+        |RETURN length(p) AS l""".stripMargin))
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:KNOWS*2..]-(b:Person)
+        |RETURN a.Name AS an""".stripMargin))
+    // heterogeneous undirected stays typed
+    intercept[CypherNotSupportedException](rows(
+      """MATCH (a:Person)-[:ACTED_IN*]-(m:Movie)
+        |RETURN a.Name AS an""".stripMargin))
+  }
+
   test("normalize() and round(x, d, mode) (round 14)") {
     // NFC composes e + combining acute into é; NFD decomposes it;
     // NFKC folds the ﬁ ligature
@@ -5418,10 +5469,12 @@ class CypherExtensionsSpec extends AnyFunSuite {
       """MATCH (a:Person)-[:FOLLOWS*2..]->(b:Person)
         |RETURN a.Name AS N""".stripMargin)
       .map(_.getString(0)) == Seq("Jessica Thompson"))
-    // undirected / verb-less
-    intercept[CypherNotSupportedException](rows(
+    // undirected reach (round 17): the symmetrized FOLLOWS component
+    // {p5, p1, p2} pairs every ordered (x, y), x ≠ y — 6 rows
+    assert(rows(
       """MATCH (a:Person)-[:FOLLOWS*]-(b:Person)
-        |RETURN a.Name AS N""".stripMargin))
+        |RETURN a.Name AS N""".stripMargin).size == 6)
+    // verb-less stays typed
     intercept[CypherNotSupportedException](rows(
       "MATCH (a:Person)-[*]->(b:Person) RETURN a.Name AS N"))
     // a NON-self-type verb routes through the round-10 stratified
