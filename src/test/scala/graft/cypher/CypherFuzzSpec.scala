@@ -869,7 +869,51 @@ class CypherFuzzSpec extends AnyFunSuite {
       "JOIN u e ON e.s = c.d), " +
       "w AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2 " +
       "UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4)"
-    rnd.nextInt(7) match {
+    rnd.nextInt(10) match {
+      case 7 => // [*2..] bare pairs: some walk of length >= 2
+        Gen(
+          "MATCH (a:Person)-[:KNOWS*2..]->(b:Person) " +
+            "RETURN a.Name AS an, b.Name AS bn",
+          s"WITH $kCte " +
+            "SELECT DISTINCT pa.Name AS an, pb.Name AS bn " +
+            "FROM w JOIN person pa ON pa.id = w.s " +
+            "JOIN person pb ON pb.id = w.d WHERE w.l >= 2")
+      case 8 => // shortestPath over [*2..]: minimal length >= bound
+        val src = Seq("Tom Hanks", "Meg Ryan")(rnd.nextInt(2))
+        Gen(
+          "MATCH p = shortestPath(" +
+            "(a:Person)-[:KNOWS*2..]->(b:Person)) " +
+            s"WHERE a.Name = '$src' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          s"WITH $kCte, " +
+            "m AS (SELECT s, d, CAST(min(l) AS BIGINT) AS l FROM w " +
+            "WHERE l >= 2 GROUP BY s, d) " +
+            "SELECT pb.Name AS bn, l " +
+            "FROM m JOIN person pa ON pa.id = m.s " +
+            "JOIN person pb ON pb.id = m.d " +
+            s"WHERE pa.Name = '$src'")
+      case 9 => // undirected shortestPath over the symmetrized frame
+        val src = Seq("Rob Reiner", "Kevin Bacon")(rnd.nextInt(2))
+        Gen(
+          "MATCH p = shortestPath(" +
+            "(a:Person)-[:KNOWS*]-(b:Person)) " +
+            s"WHERE a.Name = '$src' " +
+            "RETURN b.Name AS bn, length(p) AS l",
+          "WITH k0 AS (SELECT _vertexId s, _sink d FROM knows), " +
+            "k AS (SELECT s, d FROM k0 UNION SELECT d, s FROM k0), " +
+            "p1 AS (SELECT s, d, 1 AS l FROM k), " +
+            "p2 AS (SELECT a.s, b.d, 2 AS l FROM k a " +
+            "JOIN k b ON b.s = a.d), " +
+            "p3 AS (SELECT a.s, c.d, 3 AS l FROM k a " +
+            "JOIN k b ON b.s = a.d JOIN k c ON c.s = b.d), " +
+            "w AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 " +
+            "UNION ALL SELECT * FROM p3), " +
+            "m AS (SELECT s, d, CAST(min(l) AS BIGINT) AS l FROM w " +
+            "WHERE s <> d GROUP BY s, d) " +
+            "SELECT pb.Name AS bn, l " +
+            "FROM m JOIN person pa ON pa.id = m.s " +
+            "JOIN person pb ON pb.id = m.d " +
+            s"WHERE pa.Name = '$src'")
       case 0 => // anchored plain enumeration: one row per walk
         val src = Seq("Tom Hanks", "Meg Ryan", "Kevin Bacon",
           "Rob Reiner")(rnd.nextInt(4))

@@ -481,13 +481,18 @@ class ParserRobustnessSpec extends AnyFunSuite {
       "MATCH (a)-[rs:A|B*1..2 WHERE rs.x > 0]->(b) RETURN 1 AS x",
       "MATCH p = (a)-[:A|B*]->(b) RETURN relationships(p",
       "MATCH p = shortestPath((a)-[:A|B*]->(b)-[:C]->(c)) " +
-        "RETURN length(p) AS l")
+        "RETURN length(p) AS l",
+      "MATCH (a)-[:T*2..]->(b RETURN a.x AS x",
+      "MATCH (a)-[:T*2..1]->(b) RETURN a.x AS x",
+      "MATCH p = (a)-[:T*]-(b) RETURN length(p) AS l",
+      "MATCH (a)-[:T*2..]-(b) RETURN a.x AS x",
+      "MATCH p = shortestPath((a)-[:T*]-(b) RETURN length(p) AS l")
     bad.foreach(attemptExt)
     bad.foreach(q =>
       try { Parser.parse(q); () } catch { case _: CypherException => () })
     val gen = org.scalacheck.Gen.listOf(org.scalacheck.Gen.oneOf(
       "MATCH", "p", "=", "(", ")", "[", "]", "-", "->", "<-", ":A",
-      ":B", "|", "*", "0..", "1..", "..2", "a", "b", "rs", "nodes",
+      ":B", "|", "*", "0..", "1..", "2..", "..2", "a", "b", "rs", "nodes",
       "relationships", "length", "reduce", "IN", "RETURN", "AS",
       "WHERE", "shortestPath", "SHORTEST", "GROUPS", ",", "."))
       .map(_.mkString(" "))
