@@ -2508,6 +2508,30 @@ object SparkEntry {
              |FROM walk WHERE src <> dst
              |ORDER BY ak, bk""".stripMargin)),
 
+    // --- QPP unbounded quantifier {2,} (round 17; previously typed):
+    //     a predicated group with a lower bound > 1 — the HopPred-
+    //     filtered unit-chain frame feeds the same [*2..] level-DP
+    //     lowering.
+    ("q184_qpp_unbounded_min", cyx(
+      """MATCH (a:Nation)
+        |  ((x)-[j:JUMPS_TO]->(y) WHERE j.jump_span = 1){2,} (b:Nation)
+        |WHERE a.n_nationkey = 0
+        |RETURN b.n_nationkey AS bk ORDER BY bk""".stripMargin),
+      Some("""WITH RECURSIVE c AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM c WHERE dst IS NOT NULL),
+             |walk(dst, hops) AS (
+             |  SELECT dst, 1 FROM e WHERE src = 0
+             |  UNION ALL
+             |  SELECT e.dst, w.hops + 1
+             |  FROM walk w JOIN e ON e.src = w.dst
+             |  WHERE w.hops < 30)
+             |SELECT DISTINCT dst AS bk FROM walk WHERE hops >= 2
+             |ORDER BY bk""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

@@ -1642,10 +1642,9 @@ final class Parser(tokens: Vector[Tok], extensions: Boolean = false,
       } else syntaxErr(
         "expected a quantifier ({m,n}, + or *) after the quantified " +
         "path pattern group")
-    if (hi == Parser.Unbounded && lo > 1)
-      notSupported(s"unbounded quantifier {$lo,} with a lower bound " +
-        "> 1 — reachable-pair lowering supports {0,} / {1,}; bound " +
-        "the range {lo,hi} for longer minimums")
+    // `{lo,}` with lo > 1 (round 17): accepted — it reaches Reach as
+    // [*lo..] (possibly over a HopPred-filtered or composite frame)
+    // and lowers through the k-level DP, DAG-exact, typed on cycles
     if (hi != Parser.Unbounded && hi < lo)
       syntaxErr(s"quantifier range {$lo,$hi} is empty")
     if (hi != Parser.Unbounded && hi > Parser.MaxVarHops)

@@ -6483,10 +6483,26 @@ class CypherExtensionsSpec extends AnyFunSuite {
         |WHERE a.Name = 'Kevin Bacon'
         |RETURN b.Name AS n ORDER BY n""".stripMargin).map(_.getString(0))
     assert(r0 == Seq("Kevin Bacon", "Rob Reiner"))
-    // unbounded {2,} rejected like [*2..]
-    intercept[CypherNotSupportedException](rows(
+    // unbounded {2,} lowers like [*2..] (round 17): pairs with some
+    // chain of length >= 2 — the KNOWS DAG's three such pairs
+    assert(rows(
       """MATCH (a:Person) ((x)-[:KNOWS]->(y)){2,} (b:Person)
-        |RETURN b.Name AS n""".stripMargin))
+        |RETURN a.Name AS an, b.Name AS n ORDER BY an, n"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Meg Ryan", "Rob Reiner"), ("Tom Hanks", "Kevin Bacon"),
+        ("Tom Hanks", "Rob Reiner")))
+    // predicated group + {2,}: the HopPred-filtered frame feeds the
+    // same [*2..] lowering (Since >= 2010 drops the 1999 shortcut;
+    // the surviving unit chain holds the same three >= 2 pairs)
+    assert(rows(
+      """MATCH (a:Person)
+        |  ((x)-[k:KNOWS]->(y) WHERE k.Since >= 2010){2,} (b:Person)
+        |RETURN a.Name AS an, b.Name AS n ORDER BY an, n"""
+        .stripMargin)
+      .map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("Meg Ryan", "Rob Reiner"), ("Tom Hanks", "Kevin Bacon"),
+        ("Tom Hanks", "Rob Reiner")))
     // upper bound beyond MaxVarHops rejected like [*1..99]
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person) ((x)-[:KNOWS]->(y)){1,99} (b:Person)
