@@ -2532,6 +2532,71 @@ object SparkEntry {
              |SELECT DISTINCT dst AS bk FROM walk WHERE hops >= 2
              |ORDER BY bk""".stripMargin)),
 
+    // --- UNBOUNDED ranges inside COUNT{} (round 17; previously
+    //     typed): the reach lowering — COUNT counts reachable PAIRS
+    //     (the documented recursive-CTE contract), zero-match rows
+    //     report 0.
+    ("q185_count_unbounded", cyx(
+      """MATCH (a:Nation)
+        |RETURN a.n_nationkey AS ak,
+        |       COUNT { (a)-[:JUMPS_TO*]->(b:Nation) } AS reach
+        |ORDER BY ak""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(src, dst) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT w.src, e.dst FROM walk w JOIN e ON e.src = w.dst),
+             |c AS (SELECT src, count(DISTINCT dst) AS cnt FROM walk
+             |      GROUP BY src)
+             |SELECT n_nationkey AS ak,
+             |       CAST(coalesce(cnt, 0) AS INTEGER) AS reach
+             |FROM nation LEFT JOIN c ON c.src = n_nationkey
+             |ORDER BY ak""".stripMargin)),
+
+    // --- unbounded ranges inside pattern COMPREHENSIONS (round 17):
+    //     one value per reachable pair, reduced to a scalar per the
+    //     array-oracle convention.
+    ("q186_comprehension_unbounded", cyx(
+      """MATCH (a:Nation) WHERE a.n_nationkey <= 10
+        |RETURN a.n_nationkey AS ak,
+        |       reduce(s = 0, x IN
+        |         [(a)-[:JUMPS_TO*]->(b:Nation) | b.n_nationkey] |
+        |         s + x) AS rsum
+        |ORDER BY ak""".stripMargin),
+      Some("""WITH RECURSIVE nj AS (
+             |  SELECT n_nationkey AS src,
+             |         lead(n_nationkey, 1) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey) AS dst
+             |  FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey,
+             |         lead(n_nationkey, 2) OVER (PARTITION BY n_regionkey
+             |           ORDER BY n_nationkey)
+             |  FROM nation),
+             |e AS (SELECT src, dst FROM nj WHERE dst IS NOT NULL),
+             |walk(src, dst) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT w.src, e.dst FROM walk w JOIN e ON e.src = w.dst),
+             |c AS (SELECT src, sum(dst) AS s FROM
+             |        (SELECT DISTINCT src, dst FROM walk)
+             |      GROUP BY src)
+             |SELECT n_nationkey AS ak,
+             |       CAST(coalesce(s, 0) AS INTEGER) AS rsum
+             |FROM nation LEFT JOIN c ON c.src = n_nationkey
+             |WHERE n_nationkey <= 10
+             |ORDER BY ak""".stripMargin)),
+
     ("q163_hetero_allshortest_witness", cyx(
       """MATCH p = allShortestPaths((a:Customer)-[:FEEDS*1..]->(b:Part))
         |WHERE a.c_custkey = 0

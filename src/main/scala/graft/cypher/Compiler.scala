@@ -958,12 +958,13 @@ object Compiler {
       // and the branches UNION ALL before the one collect aggregation
       // — the same plan shape a top-level bounded var-length gets
       pc.parts.flatMap(_.rels).foreach(_.varLength.foreach { case (lo, hi) =>
-        if (hi == Parser.Unbounded)
-          throw new CypherNotSupportedException(
-            "unbounded variable-length inside a pattern " +
-            "comprehension / COUNT{} / COLLECT{} — bound the range " +
-            "[*lo..hi]")
-        if (lo == 0)
+        // round 17: UNBOUNDED ranges are lifted — Reach.rewrite below
+        // lowers them to synthetic reach edges (the documented
+        // reachable-pair contract, the EXISTS posture), [*0..]
+        // included (identity rows ride the reach frame). Bounded
+        // zero-length keeps its rejection: [*0..hi]'s identity-branch
+        // unrolling has no per-branch lowering here.
+        if (lo == 0 && hi != Parser.Unbounded)
           throw new CypherNotSupportedException(
             "zero-length variable-length inside a pattern " +
             "comprehension — [*0..hi] has no per-branch lowering " +
@@ -973,8 +974,12 @@ object Compiler {
         case (a, _) => !a.startsWith("__unnamed_") }
       val clause0 =
         MatchClause(pc.parts, optional = false, where = pc.where)
-      val (clausesH, cat2) = HopPred.rewrite(Seq(clause0), catalog)
-      val (branches, _) = VarLength.expand(clausesH, cat2.graph)
+      // unbounded rels lower to reach edges FIRST (round 17) — the
+      // outer frame can anchor-seed a reach endpoint it binds
+      val (clausesH, cat2a) = HopPred.rewrite(Seq(clause0), catalog)
+      val (clausesR, cat2) = Reach.rewrite(clausesH, cat2a,
+        Some(Ctx(ctx.df, outerNamed)))
+      val (branches, _) = VarLength.expand(clausesR, cat2.graph)
       val resolvedAll = branches.map(b =>
         Analyzer.resolvePart(cat2.graph, outerNamed, b))
       val shared = resolvedAll.head.flatMap(_.nodeOrder).distinct

@@ -897,10 +897,29 @@ class CypherExtensionsSpec extends AnyFunSuite {
     assert(r5.toMap == Map("Tom Hanks" -> true, "Meg Ryan" -> true,
       "Kevin Bacon" -> false, "Rob Reiner" -> false,
       "Jessica Thompson" -> false))
-    // unbounded and zero-length stay typed here
-    intercept[CypherNotSupportedException](rows(
+    // UNBOUNDED ranges inside comps (round 17): the reach lowering —
+    // one value per reachable PAIR (the documented recursive-CTE
+    // contract, the EXISTS posture); Tom reaches all three
+    val r6 = rows(
       """MATCH (p:Person)
-        |RETURN COUNT { (p)-[:KNOWS*1..]->(q:Person) } AS c""".stripMargin))
+        |RETURN p.Name AS nm,
+        |       COUNT { (p)-[:KNOWS*1..]->(q:Person) } AS c
+        |ORDER BY nm""".stripMargin)
+      .map(x => (x.getString(0), x.getInt(1)))
+    assert(r6 == Seq(("Jessica Thompson", 0), ("Kevin Bacon", 1),
+      ("Meg Ryan", 2), ("Rob Reiner", 0), ("Tom Hanks", 3)))
+    val r7 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Tom Hanks'
+        |RETURN [(p)-[:KNOWS*]->(q:Person) | q.Name] AS ns"""
+        .stripMargin).head.getSeq[String](0).sorted
+    assert(r7 == Seq("Kevin Bacon", "Meg Ryan", "Rob Reiner"))
+    // [*0..] inside a comp: the identity row joins the pair frame
+    val r8 = rows(
+      """MATCH (p:Person) WHERE p.Name = 'Rob Reiner'
+        |RETURN [(p)-[:KNOWS*0..]->(q:Person) | q.Name] AS ns"""
+        .stripMargin).head.getSeq[String](0)
+    assert(r8 == Seq("Rob Reiner"))
+    // bounded zero-length keeps the typed rejection
     intercept[CypherNotSupportedException](rows(
       """MATCH (p:Person)
         |RETURN [(p)-[:KNOWS*0..2]->(q:Person) | q.Name] AS ns"""
