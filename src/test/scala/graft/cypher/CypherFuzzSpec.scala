@@ -869,7 +869,25 @@ class CypherFuzzSpec extends AnyFunSuite {
       "JOIN u e ON e.s = c.d), " +
       "w AS (SELECT * FROM q1 UNION ALL SELECT * FROM q2 " +
       "UNION ALL SELECT * FROM q3 UNION ALL SELECT * FROM q4)"
-    rnd.nextInt(10) match {
+    rnd.nextInt(12) match {
+      case 10 => // COUNT{} over an unbounded range: reachable-pair
+        // counts per outer row, zero-filled
+        Gen(
+          "MATCH (p:Person) " +
+            "RETURN p.Name AS nm, " +
+            "COUNT { (p)-[:KNOWS*]->(q:Person) } AS c",
+          s"WITH $kCte, " +
+            "c AS (SELECT s, COUNT(DISTINCT d) AS c FROM w GROUP BY s) " +
+            "SELECT p.Name AS nm, CAST(coalesce(c.c, 0) AS INT) AS c " +
+            "FROM person p LEFT JOIN c ON c.s = p.id")
+      case 11 => // QPP {2,}: pairs with a chain of length >= 2
+        Gen(
+          "MATCH (a:Person) ((x)-[:KNOWS]->(y)){2,} (b:Person) " +
+            "RETURN a.Name AS an, b.Name AS bn",
+          s"WITH $kCte " +
+            "SELECT DISTINCT pa.Name AS an, pb.Name AS bn " +
+            "FROM w JOIN person pa ON pa.id = w.s " +
+            "JOIN person pb ON pb.id = w.d WHERE w.l >= 2")
       case 7 => // [*2..] bare pairs: some walk of length >= 2
         Gen(
           "MATCH (a:Person)-[:KNOWS*2..]->(b:Person) " +
