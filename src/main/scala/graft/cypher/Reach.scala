@@ -385,11 +385,6 @@ private[cypher] object Reach {
                     else base.where(col("__src") =!= col("__dst"))
                   (baseU, e.fromLabel, e.toLabel)
                 } else {
-                  if (r.dir == Direction.Both)
-                    throw new CypherNotSupportedException(
-                      "undirected unbounded variable-length over a " +
-                      "heterogeneous or multi-definition chain — " +
-                      "direct the pattern, or bound the range")
                   // heterogeneous chain (round 10): label-stratified
                   // BFS over tagged namespaces; round 14 — witnesses
                   // ride the tagged parent pointers (the tag IS the
@@ -403,7 +398,8 @@ private[cypher] object Reach {
                     dstPat, m.where, catalog, outer, needDist,
                     pp.allShortest, wantWitness,
                     allowIdentity = r.varLength.exists(_._1 == 0),
-                    selector = effSel, minLen = minLen)
+                    selector = effSel, minLen = minLen,
+                    undirected = r.dir == Direction.Both)
                   val b =
                     if (wantWitness && r.dir == Direction.In)
                       b0.withColumn("__nodes", reverse(col("__nodes")))
@@ -1196,12 +1192,21 @@ private[cypher] object Reach {
       wantWitness: Boolean = false,
       allowIdentity: Boolean = false,
       selector: Option[(String, Int)] = None,
-      minLen: Int = 1)
+      minLen: Int = 1,
+      undirected: Boolean = false)
       : (DataFrame, String, String) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
     val shape = defs.map(d => s"${d.fromLabel}→${d.toLabel}")
       .mkString(", ")
+    // undirected hetero witnesses (round 17): typed — witness hops
+    // cannot resolve a backward traversal to its own definition's
+    // frame without a second orientation join per def
+    if (undirected && wantWitness)
+      throw new CypherNotSupportedException(
+        "nodes()/relationships() over an undirected heterogeneous " +
+        "unbounded chain — direct the pattern, or bound the range " +
+        "[*lo..hi] for per-branch witness rows")
     def lbl(np: NodePat, side: String): String = np.label.getOrElse(
       throw new CypherNotSupportedException(
         s"unbounded variable-length over '$verb' spans multiple edge " +
@@ -1211,7 +1216,12 @@ private[cypher] object Reach {
     val dstLabel = lbl(dstPat, "destination")
     // label-graph reachability (schema-sized, in-memory): an endpoint
     // pair no chain can connect is a typed error, not an empty frame
-    val lEdges = defs.map(e => (e.fromLabel, e.toLabel))
+    // undirected (round 17): reachability — and the BFS frame below —
+    // run over the SYMMETRIZED graph (each hop traversable either way)
+    val lEdges0 = defs.map(e => (e.fromLabel, e.toLabel))
+    val lEdges =
+      if (!undirected) lEdges0
+      else (lEdges0 ++ lEdges0.map(_.swap)).distinct
     var reachable = Set.empty[String]
     var front = Set(srcLabel)
     while (front.nonEmpty) {
@@ -1251,11 +1261,16 @@ private[cypher] object Reach {
     val idT = if (allIntegral) LongType else StringType
     def tag(l: String, c: org.apache.spark.sql.Column) =
       struct(lit(ordinals(l)).as("l"), c.cast(idT).as("i"))
-    val union0 = defs.map { e =>
+    val union00 = defs.map { e =>
       catalog.edgeDf(e).select(
         tag(e.fromLabel, col(e.srcIdColumn)).as("__src"),
         tag(e.toLabel, col(e.sinkIdColumn)).as("__dst"))
     }.reduce(_ unionByName _)
+    // undirected: the tagged frame symmetrizes map-side (no shuffle)
+    val union0 =
+      if (!undirected) union00
+      else union00.unionByName(union00.select(
+        col("__dst").as("__src"), col("__src").as("__dst")))
     val union = if (provablyEmpty) union0.where(lit(false)) else union0
     val sNode = catalog.graph.node(srcLabel)
     val dNode = catalog.graph.node(dstLabel)
@@ -1409,9 +1424,13 @@ private[cypher] object Reach {
       tagged("__dst")("i").cast(dT).as("__dst")) ++
       (if (tagged.columns.contains("__dist")) Seq(col("__dist"))
        else Seq.empty)
+    // undirected: (x, x) rows would reuse an edge (the x–y–x return
+    // walk) — excluded, the homogeneous contract
+    val ordFilter = tagged("__src")("l") === lit(ordinals(srcLabel)) &&
+      tagged("__dst")("l") === lit(ordinals(dstLabel))
     val out = tagged
-      .where(tagged("__src")("l") === lit(ordinals(srcLabel)) &&
-        tagged("__dst")("l") === lit(ordinals(dstLabel)))
+      .where(if (undirected) ordFilter && tagged("__src") =!= tagged("__dst")
+             else ordFilter)
       .select(outCols: _*)
     (out, srcLabel, dstLabel)
   }

@@ -1805,10 +1805,28 @@ class CypherExtensionsSpec extends AnyFunSuite {
     intercept[CypherNotSupportedException](rows(
       """MATCH (a:Person)-[:KNOWS*2..]-(b:Person)
         |RETURN a.Name AS an""".stripMargin))
-    // heterogeneous undirected stays typed
-    intercept[CypherNotSupportedException](rows(
+    // heterogeneous undirected (round 17, late): the stratified frame
+    // symmetrizes too — the actor–movie component pairs every actor
+    // with every movie, and the CO-ACTOR closure pairs the three
+    // actors through shared movies
+    assert(rows(
       """MATCH (a:Person)-[:ACTED_IN*]-(m:Movie)
-        |RETURN a.Name AS an""".stripMargin))
+        |RETURN a.Name AS an""".stripMargin).size == 9)
+    assert(rows(
+      """MATCH (a:Person)-[:ACTED_IN*]-(b:Person)
+        |RETURN a.Name AS an, b.Name AS bn""".stripMargin).size == 6)
+    val cs = rows(
+      """MATCH p = shortestPath((a:Person)-[:ACTED_IN*]-(b:Person))
+        |WHERE a.Name = 'Meg Ryan' AND b.Name = 'Kevin Bacon'
+        |RETURN length(p) AS l""".stripMargin)
+    assert(cs.size == 1 && cs.head.getLong(0) == 4L)
+    // witnesses over undirected hetero stay typed (backward hops
+    // cannot resolve to their definition's frame)
+    val e2 = intercept[CypherNotSupportedException](rows(
+      """MATCH p = shortestPath((a:Person)-[:ACTED_IN*]-(b:Person))
+        |WHERE a.Name = 'Meg Ryan'
+        |RETURN [n IN nodes(p) | n.Name] AS ns""".stripMargin))
+    assert(e2.getMessage.contains("undirected heterogeneous"))
   }
 
   test("normalize() and round(x, d, mode) (round 14)") {
