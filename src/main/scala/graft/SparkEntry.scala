@@ -2264,23 +2264,21 @@ object SparkEntry {
     //     Order→Part); every complete chain is its own row, parallel
     //     lineitem rows kept as multiplicity.
     ("q176_path_enum_hetero", cyx(
-      """MATCH p = (c:Customer)-[:FEEDS*]->(pt:Part)
-        |WHERE c.c_custkey IN [1, 2, 3]
-        |RETURN c.c_custkey AS ck, pt.p_partkey AS pk,
-        |       length(p) AS hops,
+      """MATCH p = (c:Customer {c_custkey: 2})-[:FEEDS*]->(pt:Part)
+        |RETURN pt.p_partkey AS pk, length(p) AS hops,
         |       reduce(s = '', n IN nodes(p) | s + '|' + toString(
         |         coalesce(n.c_custkey, n.o_orderkey, n.p_partkey)))
         |         AS ids
-        |ORDER BY ck, pk, ids""".stripMargin),
-      Some("""SELECT o.o_custkey AS ck, l.l_partkey AS pk,
+        |ORDER BY pk, ids""".stripMargin),
+      Some("""SELECT l.l_partkey AS pk,
              |       CAST(2 AS BIGINT) AS hops,
-             |       '|' || CAST(o.o_custkey AS VARCHAR) ||
+             |       '|2' ||
              |       '|' || CAST(l.l_orderkey AS VARCHAR) ||
              |       '|' || CAST(l.l_partkey AS VARCHAR) AS ids
              |FROM lineitem l JOIN orders o
              |  ON l.l_orderkey = o.o_orderkey
-             |WHERE o.o_custkey IN (1, 2, 3)
-             |ORDER BY ck, pk, ids""".stripMargin)),
+             |WHERE o.o_custkey = 2
+             |ORDER BY pk, ids""".stripMargin)),
 
     // --- var-length TYPE ALTERNATION mixes verbs per hop (round 17;
     //     the AltRel union-verb desugar): unbounded enumeration over

@@ -518,9 +518,19 @@ private[cypher] object Reach {
     * a DAG (bound the range [*lo..hi] for exact trail semantics on
     * cyclic graphs). Rounds = the longest chain; each round is one
     * slim semi-join. */
+  /** Edge-count bound under which the DAG check collects to the
+    * DRIVER (the [[graft.ops.Dedup.connectedComponents]]
+    * driverUnionFind precedent): one collect + an in-memory Kahn
+    * replaces O(depth) distributed semi-join rounds — the dominant
+    * fixed cost of the k-level family on small graphs, while frames
+    * past the bound keep the distributed peel. */
+  val DriverDagEdgeLimit = 1000000L
+
   private def isDag(e: DataFrame, what: String): Boolean = {
     var cur = e
     var n = cur.count()
+    if (n == 0) return true
+    if (n <= DriverDagEdgeLimit) return driverKahn(e)
     var rounds = 0
     while (n > 0) {
       rounds += 1
@@ -535,6 +545,35 @@ private[cypher] object Reach {
       cur = next; n = n2
     }
     true
+  }
+
+  /** In-memory Kahn over a collected edge list. Keys are whatever the
+    * frame holds — longs, strings, or tagged (ordinal, id) structs;
+    * Spark's Row equality/hashCode make them usable as map keys. */
+  private def driverKahn(e: DataFrame): Boolean = {
+    val rows = e.select(col("__src"), col("__dst")).collect()
+    val indeg = scala.collection.mutable.HashMap.empty[Any, Int]
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    rows.foreach { r =>
+      val s = r.get(0); val d = r.get(1)
+      indeg.getOrElseUpdate(s, 0)
+      indeg(d) = indeg.getOrElse(d, 0) + 1
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += d
+    }
+    val queue = scala.collection.mutable.Queue.empty[Any]
+    indeg.foreach { case (v, deg) => if (deg == 0) queue += v }
+    var seen = 0
+    while (queue.nonEmpty) {
+      val v = queue.dequeue(); seen += 1
+      adj.get(v).foreach(_.foreach { d =>
+        val nd = indeg(d) - 1
+        indeg(d) = nd
+        if (nd == 0) queue += d
+      })
+    }
+    seen == indeg.size
   }
 
   /** DAG requirement for the k-level σ DP: cheap whole-graph Kahn
@@ -644,12 +683,14 @@ private[cypher] object Reach {
         if (withParents) {
           // one parent entry per DP EDGE of this round: a path ending
           // at __d2 at distance d steps back to __dst (=via) at d−1,
-          // traversing __m2 parallel relationships
+          // traversing __m2 parallel relationships. Counted ONCE
+          // after the loop (round 17) — parents ≤ the stepped frame
+          // whose group-by the per-round guard already sees, so the
+          // per-round count bought no safety, only one job per round
           val np = stepped.select(col("__src").as("__ps"),
             col("__d2").as("__pn"), lit(d).as("__pd"),
             col("__dst").as("__pp"), col("__m2").as("__pm"))
             .distinct().localCheckpoint(false)
-          total += np.count()
           parents = parents.unionByName(np).localCheckpoint(false)
         }
         guard(d)
@@ -658,6 +699,11 @@ private[cypher] object Reach {
           .localCheckpoint(false)
         frontier = nxt
       }
+    }
+    if (withParents) {
+      // deferred parent-volume guard (one job for the whole DP)
+      total += parents.count()
+      guard(d)
     }
     (levels, if (withParents) Some(parents) else None, bound)
   }
