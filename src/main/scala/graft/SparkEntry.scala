@@ -5476,6 +5476,52 @@ object SparkEntry {
     //     builds the index, the other half APPENDS under the frozen
     //     (n, k, bands) — probes see old + new rows in one layout, so
     //     the same oracle binds the appended index too.
+    // --- persisted SimHash index (round 17; the d33/s40 persisted-
+    //     index shape for HAMMING near-dups): odd docs build the
+    //     chunk-partitioned fingerprint index ONCE, even docs probe
+    //     it — fingerprints ride the stored keys so the corpus text
+    //     is never re-read; oracle-mode token hashes let DuckDB
+    //     recompute identical fingerprints (the d04 arithmetic),
+    //     maxBucket raised so the cap never drops a pair here.
+    ("d37_simhash_persisted",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("d37_sim").toString
+        Dedup.writeSimhashIndex(
+          docs(s, dir).where(col("doc_id") % 2 === 1),
+          "text", "doc_id", path, maxDist = 3,
+          tokenHashes = mirrorTokenHash)
+        Dedup.simhashProbeIndex(s, path,
+            docs(s, dir).where(col("doc_id") % 2 === 0),
+            "text", "doc_id", tokenHashes = mirrorTokenHash,
+            maxBucket = 1 << 20)
+          .orderBy("batch_id", "index_id")
+      },
+      Some(simhashCrossOracle)),
+
+    // --- incremental SimHash-index append (round 17): a quarter of
+    //     the corpus builds, another quarter APPENDS under the frozen
+    //     maxDist — probes see old + new rows in one layout, so the
+    //     same cross-side oracle binds the appended index.
+    ("d38_simhash_append",
+      (s, dir) => {
+        val path = java.nio.file.Files
+          .createTempDirectory("d38_sim").toString
+        Dedup.writeSimhashIndex(
+          docs(s, dir).where(col("doc_id") % 4 === 1),
+          "text", "doc_id", path, maxDist = 3,
+          tokenHashes = mirrorTokenHash)
+        Dedup.appendSimhashIndex(
+          docs(s, dir).where(col("doc_id") % 4 === 3),
+          "text", "doc_id", path, tokenHashes = mirrorTokenHash)
+        Dedup.simhashProbeIndex(s, path,
+            docs(s, dir).where(col("doc_id") % 2 === 0),
+            "text", "doc_id", tokenHashes = mirrorTokenHash,
+            maxBucket = 1 << 20)
+          .orderBy("batch_id", "index_id")
+      },
+      Some(simhashCrossOracle)),
+
     ("d34_lsh_append",
       (s, dir) => {
         val corpus = docs(s, dir).where(col("doc_id") % 4 =!= 0)
@@ -10555,6 +10601,28 @@ object SparkEntry {
        |FROM f a JOIN f b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of d37/d38 (persisted SimHash index): the d04
+    * fingerprint CTEs, cross-side pairs only — odd docs are the
+    * index, even docs the probe batch. */
+  private lazy val simhashCrossOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CASE WHEN trim(text)='' THEN []
+       |         ELSE string_split_regex(trim(text),'\\s+') END AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t ->
+       |    ${sqlFp("t", w31)} * 1073741824 + ${sqlFp("t", w37)}) AS th
+       |  FROM t),
+       |f AS (SELECT doc_id, CAST(coalesce(list_sum(
+       |    [CASE WHEN 2*len(list_filter(th, x -> (x >> j) & 1 = 1)) > len(th)
+       |          THEN (1::BIGINT << j) ELSE 0 END
+       |     for j in range(0, 60)]), 0) AS BIGINT) AS fp
+       |  FROM h)
+       |SELECT b.doc_id AS batch_id, a.doc_id AS index_id,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS dist
+       |FROM f a JOIN f b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+       |ORDER BY batch_id, index_id""".stripMargin
 
   /** DuckDB mirror of d22 (streaming SimHash at ingest): the d04
     * fingerprint CTEs restricted to doc_id < 2000, paired under the

@@ -1376,22 +1376,10 @@ object Dedup {
     require(maxDist >= 0 && maxDist <= 15,
       s"fingerprintPairs supports maxDist in [0, 15], got $maxDist")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
-    val nChunks = maxDist + 1
-    // chunk widths: 64/nChunks bits, first (64 % nChunks) chunks one wider
-    val baseW = 64 / nChunks
-    val widths = Array.tabulate(nChunks)(c => if (c < 64 % nChunks) baseW + 1 else baseW)
-    val starts = widths.scanLeft(0)(_ + _)
-
     val base = df.select(col(idCol).cast(LongType).as("__id"),
         col(fpCol).cast(LongType).as("__fp"))
-    val chunkArr = array((0 until nChunks).map { c =>
-      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
-      struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("__fp"), starts(c)).bitwiseAND(lit(mask)).as("ck"))
-    }: _*)
-    val chunks = base.select(col("__id"), col("__fp"),
-        explode(chunkArr).as("__c"))
-      .select(col("__c.chunk").as("chunk"), col("__c.ck").as("ck"),
+    val chunks = chunkRows(base, maxDist)
+      .select(col("chunk"), col("ck"),
         struct(col("__id"), col("__fp")).as("__d"))
 
     // one shuffle to group each (chunk, value) bucket; sorted (id, fp)
@@ -1409,6 +1397,143 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** One (chunk, ck, __id, __fp) row per Manku chunk key of each
+    * fingerprint — the blocking frame [[fingerprintPairs]] groups and
+    * the persisted index stores. */
+  private def chunkRows(base: DataFrame, maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    val baseW = 64 / nChunks
+    val widths =
+      Array.tabulate(nChunks)(c => if (c < 64 % nChunks) baseW + 1 else baseW)
+    val starts = widths.scanLeft(0)(_ + _)
+    val chunkArr = array((0 until nChunks).map { c =>
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("__fp"), starts(c))
+          .bitwiseAND(lit(mask)).as("ck"))
+    }: _*)
+    base.select(col("__id"), col("__fp"), explode(chunkArr).as("__c"))
+      .select(col("__c.chunk").as("chunk"), col("__c.ck").as("ck"),
+        col("__id"), col("__fp"))
+  }
+
+  /** Text-level SimHash fingerprints under a pluggable per-token hash
+    * (the [[simhashPairs]] oracle hook). */
+  private def simhashFps(df: DataFrame, textCol: String, idCol: String,
+      tokenHashes: Column => Column): DataFrame =
+    df.select(col(idCol).cast(LongType).as("__id"),
+      graft.functions.NativeExpressions.simhash64(
+        tokenHashes(TextOps.tokens(col(textCol)))).as("__fp"))
+
+  /**
+   * Persisted SimHash/fingerprint near-dup index (round 17; the
+   * [[writeLshIndex]]/[[Retrieval]] persisted-index shape for HAMMING
+   * near-dups — today [[simhashPairs]] re-fingerprints the corpus per
+   * run): stores one (chunk, ck, id, fp) row per Manku chunk key,
+   * parquet PARTITIONED BY chunk, plus the frozen `maxDist` params.
+   * Probes fingerprint the BATCH only and join the precomputed
+   * buckets — the corpus text is never re-read (fingerprints ride the
+   * keys, so Hamming verification is in-row). No partition pruning
+   * story here (a probe touches every chunk by construction — the
+   * pigeonhole needs all of them); the win is the one-time corpus
+   * signing and the slim stored rows. Core functions take
+   * PRECOMPUTED (id, fp) frames, so payload/perceptual hashes
+   * ([[Multimodal.payloadNearDups]]) persist the same way; the
+   * `simhash*` wrappers fingerprint text under the same pluggable
+   * token hash as [[simhashPairs]] — pass the SAME `tokenHashes` at
+   * build, append and probe time (the function cannot be frozen into
+   * parquet).
+   */
+  def writeFingerprintIndex(df: DataFrame, idCol: String, fpCol: String,
+      path: String, maxDist: Int = 3): Unit = {
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      col(fpCol).cast(LongType).as("__fp"))
+    chunkRows(base, maxDist)
+      .repartition(col("chunk"))
+      .write.mode("overwrite").partitionBy("chunk")
+      .parquet(s"$path/chunks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(maxDist).toDF("maxDist")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append NEW fingerprints under the frozen `maxDist` — one chunk
+    * pass over the batch; existing chunk partitions gain files. Batch
+    * ids must be new (re-indexing is a rebuild decision). */
+  def appendFingerprintIndex(df: DataFrame, idCol: String,
+      fpCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val maxDist = spark.read.parquet(s"$path/params")
+      .head().getAs[Int]("maxDist")
+    val base = df.select(col(idCol).cast(LongType).as("__id"),
+      col(fpCol).cast(LongType).as("__fp"))
+    chunkRows(base, maxDist)
+      .repartition(col("chunk"))
+      .write.mode("append").partitionBy("chunk")
+      .parquet(s"$path/chunks")
+  }
+
+  /** Probe a persisted fingerprint index: the batch's chunk rows join
+    * the stored buckets (per-side `maxBucket` cap — the
+    * [[fingerprintPairs]] skew contract), Hamming verifies in-row.
+    * Output (batch_id, index_id, dist ≤ maxDist), one row per
+    * cross-side pair. */
+  def probeFingerprintIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, fpCol: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val maxDist = spark.read.parquet(s"$path/params")
+      .head().getAs[Int]("maxDist")
+    val base = batch.select(col(idCol).cast(LongType).as("__id"),
+      col(fpCol).cast(LongType).as("__fp"))
+    def buckets(rows: DataFrame, out: String): DataFrame =
+      rows.groupBy(col("chunk"), col("ck"))
+        .agg(sort_array(collect_list(struct(col("__id"), col("__fp"))))
+          .as(out))
+        .where(size(col(out)) <= maxBucket)
+    val idx = spark.read.parquet(s"$path/chunks")
+      .select(col("chunk").cast(IntegerType).as("chunk"), col("ck"),
+        col("__id"), col("__fp"))
+    buckets(chunkRows(base, maxDist), "__bs")
+      .join(buckets(idx, "__cs"), Seq("chunk", "ck"))
+      .select(explode(col("__bs")).as("__b"), col("__cs"))
+      .select(col("__b"), explode(col("__cs")).as("__c"))
+      .select(col("__b.__id").as("batch_id"),
+        col("__c.__id").as("index_id"),
+        hamming(col("__b.__fp"), col("__c.__fp"))
+          .cast(LongType).as("dist"))
+      .where(col("dist") <= maxDist)
+      .dropDuplicates("batch_id", "index_id")
+  }
+
+  /** Text-level build over [[writeFingerprintIndex]]. */
+  def writeSimhashIndex(corpus: DataFrame, textCol: String,
+      idCol: String, path: String, maxDist: Int = 3,
+      tokenHashes: Column => Column =
+        graft.functions.NativeExpressions.tokenHashesXx(_)): Unit =
+    writeFingerprintIndex(
+      simhashFps(corpus, textCol, idCol, tokenHashes), "__id", "__fp",
+      path, maxDist)
+
+  /** Text-level append — same `tokenHashes` as the build. */
+  def appendSimhashIndex(batch: DataFrame, textCol: String,
+      idCol: String, path: String,
+      tokenHashes: Column => Column =
+        graft.functions.NativeExpressions.tokenHashesXx(_)): Unit =
+    appendFingerprintIndex(
+      simhashFps(batch, textCol, idCol, tokenHashes), "__id", "__fp",
+      path)
+
+  /** Text-level probe — same `tokenHashes` as the build. */
+  def simhashProbeIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, textCol: String, idCol: String,
+      tokenHashes: Column => Column =
+        graft.functions.NativeExpressions.tokenHashesXx(_),
+      maxBucket: Int = 10000): DataFrame =
+    probeFingerprintIndex(spark, path,
+      simhashFps(batch, textCol, idCol, tokenHashes), "__id", "__fp",
+      maxBucket)
 
   /** State entry / output row for [[streamingSimhashMatches]]. */
   final case class SimhashBucketEntry(id: Long, fp: Long, tsMs: Long)

@@ -579,6 +579,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == 1L && got(4L) == 1L && got(12L) == 10L)
   }
 
+  test("persisted SimHash index: probe ≡ cross-side fingerprintPairs, " +
+      "append ≡ from-scratch (round 17)") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark engines and scale"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "another unrelated document mentioning parquet buckets"),
+      (6L, "completely different text about spark engines and scale")
+    ).toDF("doc_id", "text")
+    val corpus = base.where(col("doc_id") % 2 === 1)
+    val batch = base.where(col("doc_id") % 2 === 0)
+    val path = java.nio.file.Files
+      .createTempDirectory("sim_idx").toString
+    Dedup.writeSimhashIndex(corpus, "text", "doc_id", path, maxDist = 3)
+    val probe = Dedup.simhashProbeIndex(spark, path, batch,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // ground truth: the cross-side slice of the in-memory pair scan
+    val all = Dedup.simhashPairs(base, "text", "doc_id", maxDist = 3,
+        maxBucket = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cross = all.flatMap { case (a, b, d) =>
+      if (a % 2 == 1 && b % 2 == 0) Some((b, a, d))
+      else if (a % 2 == 0 && b % 2 == 1) Some((a, b, d)) else None
+    }.toSet
+    assert(probe == cross && probe.nonEmpty)
+    // the exact cross-side duplicate recalls at distance 0
+    assert(probe.contains((2L, 1L, 0L)))
+    // append ≡ from-scratch under the frozen params
+    val path2 = java.nio.file.Files
+      .createTempDirectory("sim_idx2").toString
+    Dedup.writeSimhashIndex(corpus.where(col("doc_id") === 1),
+      "text", "doc_id", path2)
+    Dedup.appendSimhashIndex(corpus.where(col("doc_id") =!= 1),
+      "text", "doc_id", path2)
+    val probe2 = Dedup.simhashProbeIndex(spark, path2, batch,
+        "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(probe2 == probe)
+    // fingerprint-level core: arbitrary precomputed (id, fp) frames
+    val p3 = java.nio.file.Files
+      .createTempDirectory("fp_idx").toString
+    Dedup.writeFingerprintIndex(
+      Seq((10L, 0L), (11L, 1L), (12L, -1L)).toDF("id", "fp"),
+      "id", "fp", p3, maxDist = 1)
+    val pr = Dedup.probeFingerprintIndex(spark, p3,
+        Seq((20L, 0L)).toDF("id", "fp"), "id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(pr == Set((20L, 10L, 0L), (20L, 11L, 1L)))
+  }
+
   test("persisted LSH index: probe ≡ minhashLshPairsAgainst, append ≡ " +
       "from-scratch (round 16)") {
     val base = Seq(
