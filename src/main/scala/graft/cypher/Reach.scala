@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructField, StructType}
 
 import ast._
 import graft.ops.GraphContractViolation
+import graft.ops.GraphOps.bcastIf
 
 /**
  * Unbounded variable-length `[*]` / `[*1..]` → REACHABLE-PAIR lowering
@@ -625,9 +626,16 @@ private[cypher] object Reach {
       .localCheckpoint(false)
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
       .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
+    // seed sets and per-round frontiers broadcast under the bound
+    // ([[graft.ops.GraphOps.bcastIf]], guide §3.1): the checkpointed
+    // frames carry no size statistics, so without the hint every
+    // per-round join sort-merges — re-shuffling the static edge frame
+    // every round. The exact counts the loop already takes drive the
+    // decision; frames past the bound keep the shuffle strategy.
     val sdOpt = seeds.map(sd =>
       sd.select(col(sd.columns.head).as("__src"))
         .where(col("__src").isNotNull).distinct().localCheckpoint(false))
+    val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
     // dagProven (round 16): a heterogeneous chain whose LABEL graph
     // is acyclic cannot hold an instance cycle (any cycle projects to
     // a label cycle) — the data-level Kahn peel is skipped entirely
@@ -640,7 +648,7 @@ private[cypher] object Reach {
           "a [*lo..] lowering with lo > 1 (levels past the minimum)"
         else s"a k > 1 path selector (${kind.toUpperCase} $k)")
     var frontier = (sdOpt match {
-      case Some(sd) => e.join(sd, Seq("__src"), "left_semi")
+      case Some(sd) => e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
       case None     => e
     }).select(col("__src"), col("__dst"), col("__m").as("__sig"),
       col("__m")).localCheckpoint(false)
@@ -650,6 +658,7 @@ private[cypher] object Reach {
     var levels = frontier.drop("__m").withColumn("__dist", lit(1L))
     var d = 1L
     var total = frontier.count()
+    var fRows = total
     def guard(round: Long): Unit =
       if (total > bound)
         throw new GraphContractViolation(
@@ -664,7 +673,7 @@ private[cypher] object Reach {
       if (d > MaxRounds)
         throw new CypherBindingException(
           s"k-level reach did not converge in $MaxRounds rounds")
-      val stepped = frontier
+      val stepped = bcastIf(frontier, fRows)
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2"),
             col("__m").as("__m2")),
           col("__dst") === col("__mid"))
@@ -698,6 +707,7 @@ private[cypher] object Reach {
           .unionByName(nxt.drop("__m").withColumn("__dist", lit(d)))
           .localCheckpoint(false)
         frontier = nxt
+        fRows = n
       }
     }
     if (withParents) {
@@ -805,11 +815,8 @@ private[cypher] object Reach {
         else ids0.select(col("__dst").as("__src"),
           col("__src").as("__dst"), col("__dist"), col("__pi"),
           reverse(col("__wids")).as("__wids"))
-      widsToNodes(ids, node, ndf, perWitness = true,
+      widsToNodesRels(ids, node, ndf, edf, e, perWitness = true,
           extraKeys = Seq("__pi"))
-        .join(widsToRels(ids, edf, e, perWitness = true,
-            extraKeys = Seq("__pi")),
-          Seq("__src", "__dst", "__dist", "__wids", "__pi"))
         .drop("__wids", "__pi")
     }
     fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
@@ -829,6 +836,10 @@ private[cypher] object Reach {
       bound: Long, kind: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val par = parents.localCheckpoint(false)
+    // the parent map is fixed across steps — count once, broadcast it
+    // into every step's left join under the bound (bcastIf) so the
+    // growing work frame never shuffles
+    val parRows = par.count()
     val maxDist = {
       val row = chosen.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -838,7 +849,7 @@ private[cypher] object Reach {
       array(col("__dst")).as("__ids"))
     var step = 0L
     while (step < maxDist) {
-      work = work.join(par,
+      work = work.join(bcastIf(par, parRows),
           col("__src") === col("__ps") && col("__cur") === col("__pn") &&
             col("__rem") === col("__pd") && col("__rem") >= 1, "left")
         .withColumn("__j", explode(sequence(lit(1L),
@@ -961,10 +972,8 @@ private[cypher] object Reach {
         else ids0.select(col("__dst").as("__src"),
           col("__src").as("__dst"), col("__dist"),
           reverse(col("__wids")).as("__wids"))
-      val withNodes = widsToNodes(ids, node, ndf)
-      if (!needRels) withNodes
-      else withNodes.join(
-        widsToRels(ids, edf, e), Seq("__src", "__dst", "__dist"))
+      if (!needRels) widsToNodes(ids, node, ndf)
+      else widsToNodesRels(ids, node, ndf, edf, e)
     }
     fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
       .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
@@ -992,9 +1001,8 @@ private[cypher] object Reach {
         else ids0.select(col("__dst").as("__src"),
           col("__src").as("__dst"), col("__dist"),
           reverse(col("__wids")).as("__wids"))
-      widsToNodes(ids, node, ndf, perWitness = true).join(
-        widsToRels(ids, edf, e, perWitness = true),
-        Seq("__src", "__dst", "__dist", "__wids")).drop("__wids")
+      widsToNodesRels(ids, node, ndf, edf, e, perWitness = true)
+        .drop("__wids")
     }
     fwdSeeds().map(sd => run(srcC, dstC, Some(sd), rev = false))
       .orElse(revSeeds().map(sd => run(dstC, srcC, Some(sd), rev = true)))
@@ -1024,13 +1032,14 @@ private[cypher] object Reach {
       case Some(s) =>
         val sd = s.select(col(s.columns.head).as("__src"))
           .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-        e.join(sd, Seq("__src"), "left_semi")
+        e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
       case None => e
     }).withColumn("__dist", lit(1L)).localCheckpoint(false)
     var parentsAcc = seen.select(col("__src").as("__ps"),
       col("__dst").as("__pd"), col("__src").as("__pp"))
     var frontier = seen
     var total = frontier.count()
+    var fRows = total
     guard(total, 0)
     var rounds = 0
     var go = total > 0
@@ -1041,7 +1050,8 @@ private[cypher] object Reach {
           "allShortestPaths witnesses: BFS did not converge in " +
           s"$MaxRounds rounds — the edge set's diameter exceeds the " +
           "guard")
-      val newParents = frontier
+      // small frontiers broadcast (bcastIf): e never shuffles per round
+      val newParents = bcastIf(frontier, fRows)
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
         .select(col("__src"), col("__d2"), col("__dst").as("__via"))
@@ -1064,6 +1074,7 @@ private[cypher] object Reach {
           .localCheckpoint(false)
         seen = seen.unionByName(next).localCheckpoint(false)
         frontier = next
+        fRows = n
       }
     }
     (seen, parentsAcc, bound)
@@ -1076,17 +1087,21 @@ private[cypher] object Reach {
       parents0: DataFrame, bound: Long): DataFrame = {
     val pairs = pairs0.localCheckpoint(false)
     val parents = parents0.localCheckpoint(false)
+    // the parent frame is fixed across steps — count once, broadcast
+    // under the bound (bcastIf) so the growing work frame never
+    // shuffles during the walk
+    val parRows = parents.count()
     val maxDist = {
       val row = pairs.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
     }
-    var work = pairs.join(parents,
+    var work = pairs.join(bcastIf(parents, parRows),
         col("__src") === col("__ps") && col("__dst") === col("__pd"))
       .select(col("__src"), col("__dst"), col("__dist"),
         col("__pp").as("__cur"), array(col("__dst")).as("__ids"))
     var step = 1L
     while (step < maxDist) {
-      work = work.join(parents,
+      work = work.join(bcastIf(parents, parRows),
           col("__src") === col("__ps") && col("__cur") === col("__pd") &&
             col("__cur") =!= col("__src"), "left")
         .select(col("__src"), col("__dst"), col("__dist"),
@@ -1116,6 +1131,9 @@ private[cypher] object Reach {
     val pairs = pairs0.localCheckpoint(false)
     val parents = pairs.select(col("__src").as("__ps"),
       col("__dst").as("__pd"), col("__par").as("__pp"))
+    // pair-sized pointer map, fixed across steps: count once,
+    // broadcast under the bound (bcastIf)
+    val parRows = pairs.count()
     val maxDist = {
       val row = pairs.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -1124,7 +1142,7 @@ private[cypher] object Reach {
       col("__par").as("__cur"), array(col("__dst")).as("__ids"))
     var step = 1L
     while (step < maxDist) {
-      work = work.join(parents,
+      work = work.join(bcastIf(parents, parRows),
           col("__src") === col("__ps") && col("__cur") === col("__pd") &&
             col("__cur") =!= col("__src"), "left")
         .select(col("__src"), col("__dst"), col("__dist"),
@@ -1168,42 +1186,65 @@ private[cypher] object Reach {
           .as("__nodes"): _*)
   }
 
-  /** Witness id array → the canonical EDGE-struct array (round 13,
-    * relationships(p)): each consecutive id pair is one traversed
-    * edge — posexplode the hops, join the (possibly hop-filtered)
-    * edge frame once, pick ONE deterministic row per hop when the
-    * snapshot carries parallel (src, snk) edges (min property
-    * struct), re-collect in hop order. */
-  private def widsToRels(ids: DataFrame, edf: DataFrame,
-      e: EdgeDef, perWitness: Boolean = false,
+  /** One-pass witness resolution (optimization round 16): the nodes
+    * AND rels arrays from a SINGLE posexplode + two dimension joins +
+    * one grouped re-collect. The previous split shape (widsToNodes ⋈
+    * a widsToRels twin) exploded the same ids frame twice,
+    * re-aggregated twice and then sort-merge-joined the halves on the
+    * ARRAY-typed witness key — two extra exchanges plus two wide
+    * array sorts per witness query (guide §2.4: remove shuffles
+    * outright). Here each position row left-joins its node; positions
+    * with a successor also left-join their hop edge ((cur, next)
+    * pair — a hop with no surviving edge row keeps the all-null
+    * element, and parallel (src, snk) edges keep the deterministic
+    * min-property-struct pick via the per-position pre-aggregation);
+    * one final groupBy collects both ordered arrays. Value-identical
+    * to the join of the split halves (unit-pinned). Zero-hop identity
+    * rows never reach here (spliced separately), so every id array
+    * has ≥ 2 elements and the rels array is never empty. */
+  private def widsToNodesRels(ids: DataFrame, node: NodeDef,
+      ndf: DataFrame, edf: DataFrame, e: EdgeDef,
+      perWitness: Boolean = false,
       extraKeys: Seq[String] = Seq.empty): DataFrame = {
-    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
     val keys = Seq("__src", "__dst", "__dist") ++
       (if (perWitness) Seq("__wids") else Seq.empty) ++ extraKeys
+    val nCols = (node.idColumn +: node.properties).distinct
+    val (srcC, dstC) = (e.srcIdColumn, e.sinkIdColumn)
     // the DECLARED column order (entityCols' shape) — struct casts
     // are positional, so the ident branch and bounded witnesses must
     // agree field-for-field
     val eCols = (Seq(srcC, dstC) ++ e.properties).distinct
-    val elemT = ArrayType(StructType(eCols.map(c =>
+    val relT = ArrayType(StructType(eCols.map(c =>
       StructField(c, edf.schema(c).dataType))), containsNull = true)
-    // hop pairs (n_i, n_{i+1}) in edge-path order, 1-based element_at
-    val hops = ids.select(keys.map(col) :+
-      posexplode(transform(slice(col("__wids"), lit(1),
-          size(col("__wids")) - 1),
-        (x, i) => struct(x.as("_s"),
-          element_at(col("__wids"), i + lit(2)).as("_d"))))
-        .as(Seq("__pos", "__hop")): _*)
-    val eslim = edf.select(eCols.map(col): _*)
-    val estruct = struct(eCols.map(c => col(c).as(c)): _*)
-    hops
-      .join(eslim, col("__hop").getField("_s") === col(srcC) &&
-        col("__hop").getField("_d") === col(dstC), "left")
+    // one explode: each position carries its node id and (0-based,
+    // null past the end — `get`, not ANSI element_at) its successor
+    val ex = ids.select(keys.map(col) ++ Seq(col("__wids").as("__w0")) :+
+        posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
+      .select(keys.map(col) ++ Seq(col("__pos"), col("__wid"),
+        get(col("__w0"), col("__pos") + lit(1)).as("__nxt")): _*)
+    val nslim = ndf.select(nCols.map(col): _*)
+    // edge columns renamed so node/edge property names can never
+    // collide in the combined row
+    val eslim = edf.select(eCols.map(c => col(c).as(s"__er_$c")): _*)
+    val estruct = struct(eCols.map(c => col(s"__er_$c").as(c)): _*)
+    val perPos = ex
+      .join(nslim, ex("__wid") === nslim(node.idColumn), "left")
+      .join(eslim, col("__wid") === col(s"__er_$srcC") &&
+        col("__nxt") === col(s"__er_$dstC"), "left")
       .groupBy((keys :+ "__pos").map(col): _*)
-      .agg(min(estruct).as("__e")) // parallel-edge determinism
-      .groupBy(keys.map(col): _*)
-      .agg(transform(sort_array(collect_list(struct(col("__pos"),
-          col("__e")))), x => x.getField("__e")).as("__rels0"))
-      .select(keys.map(col) :+ col("__rels0").cast(elemT).as("__rels"): _*)
+      .agg(first(struct(col("__pos"),
+          witnessElem(node, ndf).as("__e"))).as("__pn"),
+        min(when(col("__nxt").isNotNull, estruct)).as("__em"),
+        first(col("__nxt").isNotNull).as("__hasHop"))
+    perPos.groupBy(keys.map(col): _*)
+      .agg(transform(sort_array(collect_list(col("__pn"))),
+          x => x.getField("__e")).as("__nodes0"),
+        transform(sort_array(collect_list(when(col("__hasHop"),
+            struct(col("__pos"), col("__em").as("__e"))))),
+          x => x.getField("__e")).as("__rels0"))
+      .select(keys.map(col) ++ Seq(
+        col("__nodes0").cast(witnessArrayType(node, ndf)).as("__nodes"),
+        col("__rels0").cast(relT).as("__rels")): _*)
   }
 
   /**
@@ -1370,11 +1411,8 @@ private[cypher] object Reach {
             else ids0.select(col("__dst").as("__src"),
               col("__src").as("__dst"), col("__dist"), col("__pi"),
               reverse(col("__wids")).as("__wids"))
-          heteroWidsToNodes(ids, ordinals, idT, catalog,
+          heteroWidsToNodesRels(ids, defs, ordinals, idT, catalog,
               perWitness = true, extraKeys = Seq("__pi"))
-            .join(heteroWidsToRels(ids, defs, ordinals, idT, catalog,
-                perWitness = true, extraKeys = Seq("__pi")),
-              Seq("__src", "__dst", "__dist", "__wids", "__pi"))
             .drop("__wids", "__pi")
         }
         val t = taggedSeeds(srcPat.alias, sNode, srcLabel)
@@ -1438,15 +1476,10 @@ private[cypher] object Reach {
             col("__src").as("__dst"), col("__dist"),
             reverse(col("__wids")).as("__wids"))
         if (allShortest)
-          heteroWidsToNodes(ids, ordinals, idT, catalog,
-              perWitness = true)
-            .join(heteroWidsToRels(ids, defs, ordinals, idT, catalog,
-              perWitness = true),
-              Seq("__src", "__dst", "__dist", "__wids")).drop("__wids")
+          heteroWidsToNodesRels(ids, defs, ordinals, idT, catalog,
+            perWitness = true).drop("__wids")
         else
-          heteroWidsToNodes(ids, ordinals, idT, catalog).join(
-            heteroWidsToRels(ids, defs, ordinals, idT, catalog),
-            Seq("__src", "__dst", "__dist"))
+          heteroWidsToNodesRels(ids, defs, ordinals, idT, catalog)
       }
       val t = taggedSeeds(srcPat.alias, sNode, srcLabel)
         .map(sd => run("__src", "__dst", Some(sd), rev = false))
@@ -1503,17 +1536,30 @@ private[cypher] object Reach {
   /** Tagged witness id array → node-struct array over the MERGED
     * label namespace: one union of tagged node slims, one join, one
     * ordered re-collect (the widsToNodes shape, heterogeneous). */
-  private def heteroWidsToNodes(ids: DataFrame,
+  /** One-pass HETEROGENEOUS witness resolution (optimization round
+    * 16; the [[widsToNodesRels]] shape over tagged ids): each tagged
+    * position row left-joins the union of tagged node slims, the
+    * positions with a successor also left-join the union of tagged
+    * edge slims (the tag pair identifies the def — an edge key under
+    * one verb is unique per label pair; parallel edges keep the
+    * min-struct determinism via the per-position pre-aggregation),
+    * and one final groupBy collects both ordered merged-shape arrays.
+    * Replaces the split nodes ⋈ rels twin that sort-merge-joined the
+    * halves on the array-typed witness key. perWitness: each witness
+    * row keys on its OWN id array so σ rows per pair stay distinct;
+    * extraKeys — the per-path discriminator for identical arrays from
+    * parallel-edge multiplicity. */
+  private def heteroWidsToNodesRels(ids: DataFrame, defs: Seq[EdgeDef],
       ordinals: Map[String, Int], idT: DataType,
       catalog: GraphCatalog, perWitness: Boolean = false,
       extraKeys: Seq[String] = Seq.empty): DataFrame = {
     val labels = ordinals.keys.toSeq.sorted
-    val fields = mergeFields(labels.map { l =>
+    val nFields = mergeFields(labels.map { l =>
       val nd = catalog.graph.node(l)
       val sch = catalog.nodeDf(l).schema
       (nd.idColumn +: nd.properties).distinct.map(c => sch(c))
     }, "node label")
-    val elemT = ArrayType(StructType(fields), containsNull = true)
+    val nodeT = ArrayType(StructType(nFields), containsNull = true)
     val taggedNodes = labels.map { l =>
       val nd = catalog.graph.node(l)
       val ndf = catalog.nodeDf(l)
@@ -1521,42 +1567,16 @@ private[cypher] object Reach {
       ndf.select(
         struct(lit(ordinals(l)).as("l"),
           col(nd.idColumn).cast(idT).as("i")).as("__nwid"),
-        struct(fields.map { f =>
+        struct(nFields.map { f =>
           (if (own(f.name)) col(f.name)
-           else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__e"))
+           else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__ne"))
     }.reduce(_ unionByName _)
-    // perWitness (round 15, allShortestPaths): each witness row keys
-    // on its OWN id array so σ rows per pair stay distinct; extraKeys
-    // (round 16) — a per-path discriminator for identical arrays from
-    // parallel-edge multiplicity
-    val keys =
-      Seq(col("__src"), col("__dst"), col("__dist")) ++
-        (if (perWitness) Seq(col("__wids")) else Seq.empty) ++
-        extraKeys.map(col)
-    ids.select(keys :+
-        posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
-      .join(taggedNodes, col("__wid") === col("__nwid"), "left")
-      .groupBy(keys: _*)
-      .agg(transform(sort_array(collect_list(struct(col("__pos"),
-          col("__e")))), x => x.getField("__e")).as("__nodes0"))
-      .select(keys :+ col("__nodes0").cast(elemT).as("__nodes"): _*)
-  }
-
-  /** Tagged witness id array → edge-struct array over the MERGED def
-    * namespace: consecutive tagged id pairs join one union of tagged
-    * edge slims — the tag pair identifies the def (an edge key under
-    * one verb is unique per label pair) — with widsToRels'
-    * parallel-edge min-struct determinism. */
-  private def heteroWidsToRels(ids: DataFrame, defs: Seq[EdgeDef],
-      ordinals: Map[String, Int], idT: DataType,
-      catalog: GraphCatalog, perWitness: Boolean = false,
-      extraKeys: Seq[String] = Seq.empty): DataFrame = {
-    val fields = mergeFields(defs.sortBy(_.key).map { e =>
+    val rFields = mergeFields(defs.sortBy(_.key).map { e =>
       val sch = catalog.edgeDf(e).schema
       (Seq(e.srcIdColumn, e.sinkIdColumn) ++ e.properties).distinct
         .map(c => sch(c))
     }, "relationship definition")
-    val elemT = ArrayType(StructType(fields), containsNull = true)
+    val relT = ArrayType(StructType(rFields), containsNull = true)
     val taggedEdges = defs.map { e =>
       val edf = catalog.edgeDf(e)
       val own =
@@ -1566,7 +1586,7 @@ private[cypher] object Reach {
           col(e.srcIdColumn).cast(idT).as("i")).as("__hs"),
         struct(lit(ordinals(e.toLabel)).as("l"),
           col(e.sinkIdColumn).cast(idT).as("i")).as("__hd"),
-        struct(fields.map { f =>
+        struct(rFields.map { f =>
           (if (own(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name) }: _*).as("__er"))
     }.reduce(_ unionByName _)
@@ -1574,20 +1594,29 @@ private[cypher] object Reach {
       Seq(col("__src"), col("__dst"), col("__dist")) ++
         (if (perWitness) Seq(col("__wids")) else Seq.empty) ++
         extraKeys.map(col)
-    ids.select(keys :+
-        posexplode(transform(slice(col("__wids"), lit(1),
-            size(col("__wids")) - 1),
-          (x, i) => struct(x.as("_s"),
-            element_at(col("__wids"), i + lit(2)).as("_d"))))
-          .as(Seq("__pos", "__hop")): _*)
-      .join(taggedEdges, col("__hop").getField("_s") === col("__hs") &&
-        col("__hop").getField("_d") === col("__hd"), "left")
-      .groupBy(keys :+ col("__pos"): _*)
-      .agg(min(col("__er")).as("__e"))
-      .groupBy(keys: _*)
-      .agg(transform(sort_array(collect_list(struct(col("__pos"),
-          col("__e")))), x => x.getField("__e")).as("__rels0"))
-      .select(keys :+ col("__rels0").cast(elemT).as("__rels"): _*)
+    val keyNames = (Seq("__src", "__dst", "__dist") ++
+      (if (perWitness) Seq("__wids") else Seq.empty) ++ extraKeys)
+    val ex = ids.select(keys ++ Seq(col("__wids").as("__w0")) :+
+        posexplode(col("__wids")).as(Seq("__pos", "__wid")): _*)
+      .select(keys ++ Seq(col("__pos"), col("__wid"),
+        get(col("__w0"), col("__pos") + lit(1)).as("__nxt")): _*)
+    val perPos = ex
+      .join(taggedNodes, col("__wid") === col("__nwid"), "left")
+      .join(taggedEdges, col("__wid") === col("__hs") &&
+        col("__nxt") === col("__hd"), "left")
+      .groupBy((keyNames :+ "__pos").map(col): _*)
+      .agg(first(struct(col("__pos"), col("__ne").as("__e"))).as("__pn"),
+        min(when(col("__nxt").isNotNull, col("__er"))).as("__em"),
+        first(col("__nxt").isNotNull).as("__hasHop"))
+    perPos.groupBy(keyNames.map(col): _*)
+      .agg(transform(sort_array(collect_list(col("__pn"))),
+          x => x.getField("__e")).as("__nodes0"),
+        transform(sort_array(collect_list(when(col("__hasHop"),
+            struct(col("__pos"), col("__em").as("__e"))))),
+          x => x.getField("__e")).as("__rels0"))
+      .select(keys ++ Seq(
+        col("__nodes0").cast(nodeT).as("__nodes"),
+        col("__rels0").cast(relT).as("__rels")): _*)
   }
 
   /** Top-level AND-conjuncts of a WHERE tree. */
@@ -1689,7 +1718,8 @@ private[cypher] object Reach {
       case Some(s) =>
         val sd = s.select(col(s.columns.head).as("__src"))
           .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-        e.join(sd, Seq("__src"), "left_semi").localCheckpoint(false)
+        e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
+          .localCheckpoint(false)
       case None => e
     }
     // `withDist`: carry the first-discovery round as `__dist` — BFS
@@ -1705,6 +1735,7 @@ private[cypher] object Reach {
     if (withParent) seen = seen.withColumn("__par", col("__src"))
     var frontier = seen
     var total = frontier.count()
+    var fRows = total
     guard(total, 0)
     var rounds = 0
     var go = total > 0
@@ -1714,7 +1745,8 @@ private[cypher] object Reach {
         throw new CypherBindingException(
           s"unbounded variable-length: reachability did not converge in " +
           s"$MaxRounds rounds — the edge set's diameter exceeds the guard")
-      val stepped = frontier
+      // small frontiers broadcast (bcastIf): e never shuffles per round
+      val stepped = bcastIf(frontier, fRows)
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
       val next0 =
@@ -1740,6 +1772,7 @@ private[cypher] object Reach {
         guard(total, rounds)
         seen = seen.unionByName(next).localCheckpoint(false)
         frontier = next
+        fRows = n
       }
     }
     seen
@@ -1783,12 +1816,13 @@ private[cypher] object Reach {
           s"$MaxClosureRowsConf deliberately.")
     val sd = seeds.select(col(seeds.columns.head).as("__src"))
       .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-    var seen = e.join(sd, Seq("__src"), "left_semi")
+    var seen = e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
       .withColumn("__dist", lit(1L))
       .withColumn("__sigma", lit(1L))
       .localCheckpoint(false)
     var frontier = seen
     var total = frontier.count()
+    var fRows = total
     guard(total, 0, "the anchored cone")
     var rounds = 0
     var go = total > 0
@@ -1806,7 +1840,7 @@ private[cypher] object Reach {
       // 2^20 contributing predecessors a wrap can land positive and
       // under any cap; decimal cannot wrap (per-round sums stay far
       // below 38 digits), so the cap check below is exact.
-      val nextD = frontier
+      val nextD = bcastIf(frontier, fRows)
         .join(e.select(col("__src").as("__mid"), col("__dst").as("__d2")),
           col("__dst") === col("__mid"))
         .select(col("__src"), col("__d2").as("__dst"), col("__sigma"))
@@ -1845,6 +1879,7 @@ private[cypher] object Reach {
         guard(total, rounds, "the anchored cone")
         seen = seen.union(next).localCheckpoint(false)
         frontier = next
+        fRows = n
       }
     }
     // decimal sum: the TOTAL across pairs can overflow Long even when

@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
  */
 object GraphOps {
 
+  /** Session conf key bounding per-round broadcast joins in the
+    * iterative operators (this file and the [[graft.cypher]] reach
+    * lowering). A frontier / rank / parent frame whose EXACT row count
+    * — every loop here already counts its frames for guards and
+    * termination — sits at or under the bound joins with an explicit
+    * broadcast hint, so the static edge frame is never shuffled per
+    * round (optimization guide §3.1 "pick the join strategy
+    * deliberately", §2.4 "a broadcast join replaces a shuffle of the
+    * large side"). LocalCheckpoint frames carry no size statistics,
+    * so without the hint every per-round join degenerates to
+    * sort-merge: both sides, INCLUDING the static edge frame, are
+    * re-shuffled and re-sorted every round. Rows at these sites are
+    * slim (16–64 B: ids, distances, σ counters), so the 1M-row
+    * default is ≲ 64 MB framed — comfortably inside the guide's
+    * broadcast band. The decision keys off the measured per-round
+    * count, not a constant tuned to any one scale: a 100 TB run whose
+    * frontier outgrows the bound falls back to the shuffle strategy
+    * automatically. Set 0 to disable; raise deliberately on
+    * big-memory clusters. */
+  val BroadcastRowsConf = "spark.graft.broadcastRows"
+  val BroadcastRowsDefault = 1000000L
+
+  /** `df` with a broadcast hint when `rows` (an exact count the
+    * caller already holds) is within [[BroadcastRowsConf]]; `df`
+    * unchanged otherwise, keeping the planner's shuffle strategy for
+    * frames past the bound. */
+  private[graft] def bcastIf(df: DataFrame, rows: Long): DataFrame = {
+    val lim = df.sparkSession.conf.getOption(BroadcastRowsConf)
+      .map(_.toLong).getOrElse(BroadcastRowsDefault)
+    if (rows >= 0 && rows <= lim) broadcast(df) else df
+  }
+
   /**
    * PageRank over a directed edge list, fixed iteration count.
    *
@@ -87,16 +119,22 @@ object GraphOps {
     // personalized (one job; parameterizes the literals below)
     val n = nodes.agg(sum("__tele")).head().getDouble(0)
     require(n > 0, "personalized PageRank needs >= 1 source in the graph")
+    // rank/contrib frames hold exactly nNodes (≤ nNodes for contribs)
+    // rows every iteration — broadcast them under the bound so eDeg
+    // and nodes are never shuffled per iteration (the one remaining
+    // per-iteration exchange is the groupBy("node") partial agg)
+    val nNodes = nodes.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint(false)
     var ranks = nodes.select(col("node"),
       (col("__tele") / lit(n)).as("rank"))
     for (k <- 1 to iterations) {
-      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      val contribs = eDeg.join(bcastIf(ranks, nNodes),
+          eDeg("src") === ranks("node"))
         .select(eDeg("dst").as("node"),
           (ranks("rank") / eDeg("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(bcastIf(contribs, nNodes), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * col("__tele") / lit(n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
@@ -251,8 +289,12 @@ object GraphOps {
     var labels = adj.select(col("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)
+    // node-sized label state broadcasts under the bound (bcastIf): the
+    // symmetrized edge frame never re-shuffles per round
+    val nNodes = labels.count()
     for (_ <- 1 to rounds) {
-      val counts = adj.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+      val counts = adj.join(
+        bcastIf(labels.withColumnRenamed("node", "nbr"), nNodes), "nbr")
         .groupBy("node", "label").agg(count(lit(1)).as("c"))
       // argmax by (count desc, label asc): max over (c, -label) pairs,
       // both long — struct ordering is lexicographic, so negating the
@@ -408,18 +450,26 @@ object GraphOps {
     val src0 = sources.toDF("node").distinct()
     var visited = src0.withColumn("dist", lit(0L)).localCheckpoint(false)
     var frontier = visited
+    // the count that materializes each wave's checkpoint doubles as
+    // the broadcast-hint bound probe (bcastIf): a small frontier
+    // broadcasts into the wave join so the static edge frame is never
+    // shuffled per hop
+    var fRows = frontier.count()
     var hop = 0L
     while (hop < maxHops) {
       hop += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
+      val next = bcastIf(frontier, fRows)
+        .join(e, frontier("node") === e("src"))
         .select(e("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint(false)
-      if (next.isEmpty) hop = maxHops // converged: nothing new reachable
+      val n = next.count()
+      if (n == 0) hop = maxHops // converged: nothing new reachable
       else {
         visited = visited.union(next).localCheckpoint(false)
         frontier = next
+        fRows = n
       }
     }
     visited
@@ -647,11 +697,14 @@ object GraphOps {
     val eW = e.join(outW, "src").localCheckpoint(false)
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (k <- 1 to iterations) {
-      val contribs = eW.join(ranks, eW("src") === ranks("node"))
+      // node-sized rank/contrib frames broadcast under the bound —
+      // eW and nodes never re-shuffle per iteration (see bcastIf)
+      val contribs = eW.join(bcastIf(ranks, n.toLong),
+          eW("src") === ranks("node"))
         .select(eW("dst").as("node"),
           (ranks("rank") * eW("w") / eW("ow")).as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(bcastIf(contribs, n.toLong), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
@@ -684,19 +737,24 @@ object GraphOps {
     var visited = srcs.select(col("node").as("src"), col("node"),
       lit(0L).as("dist")).localCheckpoint(false)
     var frontier = visited
+    var fRows = frontier.count()
     var hop = 1
     var done = false
     while (hop <= maxHops && !done) {
-      val next = frontier.join(sym, Seq("node"))
+      // small frontiers broadcast into the wave join (bcastIf): the
+      // symmetrized edge frame is never shuffled per hop
+      val next = bcastIf(frontier, fRows).join(sym, Seq("node"))
         .select(col("src"), col("nbr").as("node"), lit(hop.toLong).as("dist"))
         .distinct()
         .join(visited.select(col("src"), col("node")), Seq("src", "node"),
           "left_anti")
         .localCheckpoint(false)
-      if (next.isEmpty) done = true
+      val n = next.count()
+      if (n == 0) done = true
       else {
         visited = visited.union(next).localCheckpoint(false)
         frontier = next
+        fRows = n
         hop += 1
       }
     }
@@ -800,11 +858,14 @@ object GraphOps {
     var cur = sources.toDF("start").distinct()
       .select(col("start"), col("start").as("node"))
       .localCheckpoint(false)
+    // one row per walk at every step — count once, broadcast each hop
+    // under the bound so sym never shuffles per step
+    val nWalks = cur.count()
     var out = cur.withColumn("step", lit(0L))
     for (s <- 1 to steps) {
       val h = Hashing.mulHash(col("node") * lit(1000003L) +
         lit(s * 31L) + col("nbr"))
-      cur = cur.join(sym, Seq("node"))
+      cur = bcastIf(cur, nWalks).join(sym, Seq("node"))
         .groupBy(col("start"))
         .agg(min(struct(h.as("h"), col("nbr").as("n"))).as("__m"))
         .select(col("start"), col("__m.n").as("node"))
@@ -951,18 +1012,24 @@ object GraphOps {
     val lvl0 = src.select(col("s"), col("s").as("node"),
       lit(1.0).as("sigma")).localCheckpoint(false)
     var levels = Vector(lvl0)
+    var levelRows = Vector(lvl0.count())
     var seen = lvl0.select("s", "node").localCheckpoint(false)
-    var frontierNonEmpty = levels.last.limit(1).count() > 0
+    var frontierNonEmpty = levelRows.last > 0
     var d = 0
     while (frontierNonEmpty && d < maxHops) {
-      val nxt = levels.last.join(sym, Seq("node"))
+      // small wave frames broadcast into the sym join (bcastIf): the
+      // symmetrized edge frame never shuffles per wave; the full count
+      // replaces the limit-1 probe and feeds the hint bound
+      val nxt = bcastIf(levels.last, levelRows.last).join(sym, Seq("node"))
         .select(col("s"), col("nbr").as("node"), col("sigma"))
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint(false)
-      frontierNonEmpty = nxt.limit(1).count() > 0
+      val n = nxt.count()
+      frontierNonEmpty = n > 0
       if (frontierNonEmpty) {
         levels = levels :+ nxt
+        levelRows = levelRows :+ n
         seen = seen.union(nxt.select("s", "node")).localCheckpoint(false)
         d += 1
       }
@@ -970,19 +1037,22 @@ object GraphOps {
     // backward accumulation, deepest level has delta = 0
     var acc: DataFrame = null
     var below = levels.last.withColumn("delta", lit(0.0))
+    var belowRows = levelRows.last
     for (i <- levels.length - 2 to 1 by -1) {
-      val contrib = levels(i).join(sym, Seq("node"))
+      val contrib = bcastIf(levels(i), levelRows(i)).join(sym, Seq("node"))
         .select(col("s"), col("node"), col("sigma"), col("nbr"))
-        .join(below.select(col("s"), col("node").as("nbr"),
-          col("sigma").as("__sw"), col("delta").as("__dw")), Seq("s", "nbr"))
+        .join(bcastIf(below.select(col("s"), col("node").as("nbr"),
+          col("sigma").as("__sw"), col("delta").as("__dw")), belowRows),
+          Seq("s", "nbr"))
         .groupBy(col("s"), col("node"), col("sigma"))
         .agg(sum(col("sigma") / col("__sw") * (lit(1.0) + col("__dw")))
           .as("delta"))
         .select(col("s"), col("node"), col("sigma"), col("delta"))
         .localCheckpoint(false)
+      belowRows = levelRows(i)
       // nodes at this depth with no deeper successor keep delta 0
-      below = levels(i).join(contrib.select(col("s"), col("node"),
-          col("delta")), Seq("s", "node"), "left")
+      below = levels(i).join(bcastIf(contrib.select(col("s"), col("node"),
+          col("delta")), levelRows(i)), Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(false)
@@ -1027,19 +1097,24 @@ object GraphOps {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(false)
+    // node-sized score frames broadcast under the bound (bcastIf): the
+    // edge frame and the node table never re-shuffle per half-step
+    val nNodes = nodes.count()
     var hub = nodes.withColumn("hub", lit(1.0))
     var auth = nodes.withColumn("auth", lit(0.0))
     for (k <- 1 to iterations) {
-      val aRaw = e.join(hub, e("src") === hub("node"))
+      val aRaw = e.join(bcastIf(hub, nNodes), e("src") === hub("node"))
         .groupBy(e("dst").as("node")).agg(sum("hub").as("__a"))
       val aTot = aRaw.agg(sum("__a").as("__t"))
-      auth = nodes.join(aRaw, Seq("node"), "left").crossJoin(broadcast(aTot))
+      auth = nodes.join(bcastIf(aRaw, nNodes), Seq("node"), "left")
+        .crossJoin(broadcast(aTot))
         .select(col("node"),
           (coalesce(col("__a"), lit(0.0)) / col("__t")).as("auth"))
-      val hRaw = e.join(auth, e("dst") === auth("node"))
+      val hRaw = e.join(bcastIf(auth, nNodes), e("dst") === auth("node"))
         .groupBy(e("src").as("node")).agg(sum("auth").as("__h"))
       val hTot = hRaw.agg(sum("__h").as("__t"))
-      hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(broadcast(hTot))
+      hub = nodes.join(bcastIf(hRaw, nNodes), Seq("node"), "left")
+        .crossJoin(broadcast(hTot))
         .select(col("node"),
           (coalesce(col("__h"), lit(0.0)) / col("__t")).as("hub"))
       if (k % checkpointEvery == 0 && k < iterations) {
@@ -1137,7 +1212,14 @@ object GraphOps {
       .withColumn("__dist", lit(0.0))
       .localCheckpoint(false)
     var frontier = dist
-    var go = frontier.limit(1).count() > 0
+    // full counts replace the limit-1 probes: the number doubles as
+    // the broadcast-hint bound (bcastIf) so the static edge frame is
+    // never shuffled per relaxation round; distRows is a monotone
+    // upper bound on the settled table (safe for the hint — it can
+    // only miss a broadcast, never over-broadcast)
+    var fRows = frontier.count()
+    var distRows = fRows
+    var go = fRows > 0
     var i = 0
     while (go) {
       i += 1
@@ -1146,24 +1228,27 @@ object GraphOps {
           s"weightedSssp: relaxation did not converge in $maxIter " +
           "rounds — raise maxIter (dense weighted improvement can " +
           "take up to V-1 rounds)")
-      val cand = frontier.join(e, col("__n") === col("__s"))
+      val cand = bcastIf(frontier, fRows).join(e, col("__n") === col("__s"))
         .select(col("__d").as("__n"),
           (col("__dist") + col("__w")).as("__cd"))
         .groupBy(col("__n")).agg(min(col("__cd")).as("__cd"))
       val improved = cand
-        .join(dist.select(col("__n"), col("__dist").as("__old")),
-          Seq("__n"), "left")
+        .join(bcastIf(dist.select(col("__n"), col("__dist").as("__old")),
+          distRows), Seq("__n"), "left")
         .where(col("__old").isNull || col("__cd") < col("__old"))
         .select(col("__n"), col("__cd").as("__dist"))
         .localCheckpoint(false)
-      go = improved.limit(1).count() > 0
+      val n = improved.count()
+      go = n > 0
       if (go) {
         dist = dist
-          .join(improved.select(col("__n").as("__ni")),
+          .join(bcastIf(improved.select(col("__n").as("__ni")), n),
             col("__n") === col("__ni"), "left_anti")
           .unionByName(improved)
           .localCheckpoint(false)
         frontier = improved
+        fRows = n
+        distRows += n
       }
     }
     dist.select(col("__n").as("node"), col("__dist").as("dist"))
@@ -1206,7 +1291,10 @@ object GraphOps {
       .withColumn("__pred", lit(null).cast(predType))
       .localCheckpoint(false)
     var frontier = dist
-    var go = frontier.limit(1).count() > 0
+    // same count-driven broadcast hints as weightedSssp (see there)
+    var fRows = frontier.count()
+    var distRows = fRows
+    var go = fRows > 0
     var i = 0
     while (go) {
       i += 1
@@ -1215,7 +1303,7 @@ object GraphOps {
           s"weightedSsspTree: relaxation did not converge in $maxIter " +
           "rounds — raise maxIter (dense weighted improvement can " +
           "take up to V-1 rounds)")
-      val cand = frontier.join(e, col("__n") === col("__s"))
+      val cand = bcastIf(frontier, fRows).join(e, col("__n") === col("__s"))
         .select(col("__d").as("__n"),
           struct((col("__dist") + col("__w")).as("__cd"),
             col("__s").as("__cp")).as("__c"))
@@ -1223,22 +1311,25 @@ object GraphOps {
         .select(col("__n"), col("__c.__cd").as("__cd"),
           col("__c.__cp").as("__cp"))
       val improved = cand
-        .join(dist.select(col("__n"), col("__dist").as("__old"),
-            col("__pred").as("__oldp")), Seq("__n"), "left")
+        .join(bcastIf(dist.select(col("__n"), col("__dist").as("__old"),
+            col("__pred").as("__oldp")), distRows), Seq("__n"), "left")
         .where(col("__old").isNull || col("__cd") < col("__old") ||
           (col("__cd") === col("__old") && col("__oldp").isNotNull &&
             col("__cp") < col("__oldp")))
         .select(col("__n"), col("__cd").as("__dist"),
           col("__cp").as("__pred"))
         .localCheckpoint(false)
-      go = improved.limit(1).count() > 0
+      val n = improved.count()
+      go = n > 0
       if (go) {
         dist = dist
-          .join(improved.select(col("__n").as("__ni")),
+          .join(bcastIf(improved.select(col("__n").as("__ni")), n),
             col("__n") === col("__ni"), "left_anti")
           .unionByName(improved)
           .localCheckpoint(false)
         frontier = improved
+        fRows = n
+        distRows += n
       }
     }
     dist.select(col("__n").as("node"), col("__dist").as("dist"),
@@ -1273,6 +1364,9 @@ object GraphOps {
         col("node").cast(StringType).as("__hop"), lit(0).as("__back"))
       .localCheckpoint(false)
     var frontier = acc
+    // the node-sized pred map broadcasts under the bound (bcastIf):
+    // neither the heads nor the map shuffle per round
+    val tRows = t.count()
     var i = 0
     var go = frontier.limit(1).count() > 0
     while (go) {
@@ -1283,7 +1377,7 @@ object GraphOps {
           "rounds — the tree's pred links do not reach a source " +
           "(malformed or cyclic tree)")
       val next = frontier
-        .join(t, frontier("__hop") === t("__tn"))
+        .join(bcastIf(t, tRows), frontier("__hop") === t("__tn"))
         .where(col("__tp").isNotNull)
         .select(col("__target"), col("__tp").as("__hop"),
           (col("__back") + 1).as("__back"))
