@@ -105,6 +105,77 @@ private[cypher] object Reach {
   /** Session conf key overriding the closure row bound. */
   val MaxClosureRowsConf = "spark.graft.reach.maxClosureRows"
 
+  /** Session conf key bounding the DRIVER fast path of the iterative
+    * reach loops (optimization round 16 — the driverKahn /
+    * driverUnionFind precedent generalized): an edge frame whose
+    * distinct-pair count sits at or under this bound is collected once
+    * and the BFS/σ-DP/pointer-walk loop runs in memory — one job
+    * replaces O(diameter) join+checkpoint+count rounds, the dominant
+    * fixed cost of the family on interactive-scale graphs. Every
+    * maxClosureRows guard, round bound and typed-error message is
+    * enforced identically in both paths (equivalence unit-pinned), and
+    * a driver computation whose INTERMEDIATE rows outgrow this same
+    * bound abandons the attempt and falls back to the distributed loop
+    * — a 100 TB frame never runs driver-side, and a small frame with a
+    * huge closure only pays one bounded in-memory attempt. Set 0 to
+    * disable (the equivalence tests do). */
+  val DriverRowsConf = "spark.graft.reach.driverRows"
+  val DriverRowsDefault = 2000000L
+
+  private def driverRowsLimit(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(DriverRowsConf).map(_.toLong)
+      .getOrElse(DriverRowsDefault)
+
+  /** Thrown internally when a driver fast-path attempt outgrows
+    * [[DriverRowsConf]] — the caller falls back to the distributed
+    * loop. Never user-visible. */
+  private final class DriverOverflow extends RuntimeException
+
+  /** Total ordering matching Spark's own sort/min semantics for the
+    * id values the reach frames carry (longs, strings, tagged
+    * (ordinal, id) struct rows) — the driver fast path must replicate
+    * distributed min-tie-breaks and array orderings exactly. */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null)                   => 0
+    case (null, _)                      => -1
+    case (_, null)                      => 1
+    case (x: org.apache.spark.sql.Row, y: org.apache.spark.sql.Row) =>
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = cmpAny(x.get(i), y.get(i))
+        if (c != 0) return c
+        i += 1
+      }
+      Integer.compare(x.length, y.length)
+    case (x: java.lang.Long, y: java.lang.Long)       => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: String, y: String)                       => x.compareTo(y)
+    case (x: java.lang.Comparable[_], _) =>
+      x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+    case _ => throw new IllegalStateException(
+      s"unorderable reach id type: ${a.getClass}")
+  }
+
+  private def cmpSeq(a: Seq[Any], b: Seq[Any]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = cmpAny(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** LocalRelation frame from driver rows — no RDD job at build time. */
+  private def localDf(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row], schema: StructType)
+      : DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Process-global counter for synthetic reach verb/table names —
     * global (not per-rewrite) so an outer MATCH rewrite and a nested
     * EXISTS rewrite in one query chain can never share a table name. */
@@ -551,13 +622,15 @@ private[cypher] object Reach {
   /** In-memory Kahn over a collected edge list. Keys are whatever the
     * frame holds — longs, strings, or tagged (ordinal, id) structs;
     * Spark's Row equality/hashCode make them usable as map keys. */
-  private def driverKahn(e: DataFrame): Boolean = {
-    val rows = e.select(col("__src"), col("__dst")).collect()
+  private def driverKahn(e: DataFrame): Boolean =
+    driverKahnPairs(e.select(col("__src"), col("__dst")).collect()
+      .map(r => (r.get(0), r.get(1))))
+
+  private def driverKahnPairs(pairs: Array[(Any, Any)]): Boolean = {
     val indeg = scala.collection.mutable.HashMap.empty[Any, Int]
     val adj = scala.collection.mutable.HashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
-    rows.foreach { r =>
-      val s = r.get(0); val d = r.get(1)
+    pairs.foreach { case (s, d) =>
       indeg.getOrElseUpdate(s, 0)
       indeg(d) = indeg.getOrElse(d, 0) + 1
       adj.getOrElseUpdate(s,
@@ -577,6 +650,38 @@ private[cypher] object Reach {
     seen == indeg.size
   }
 
+  /** The k-level family's cyclic-graph error — one string shared by
+    * the distributed and driver DAG checks. */
+  private def cyclicMsg(what: String): String =
+    s"$what over a CYCLIC graph — the k-level lowering counts " +
+    "walks, which revisit edges beyond the minimal length; " +
+    "bound the range [*lo..hi] for exact trail semantics"
+
+  /** Driver twin of [[requireDag]] over already-collected pairs:
+    * whole-graph Kahn first; on a cycle, narrow to the seed set's
+    * reachable cone and only reject if the cone itself is cyclic. */
+  private def driverRequireDag(pairs: Array[(Any, Any)],
+      seedSet: collection.Set[Any], what: String): Unit = {
+    if (driverKahnPairs(pairs)) return
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    pairs.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += d
+    }
+    val reach = scala.collection.mutable.HashSet.empty[Any]
+    var front = seedSet.toSeq.flatMap(s =>
+      adj.getOrElse(s, Nil)).distinct.filterNot(reach)
+    while (front.nonEmpty) {
+      reach ++= front
+      front = front.flatMap(v => adj.getOrElse(v, Nil))
+        .distinct.filterNot(reach)
+    }
+    val cone = pairs.filter { case (s, _) => reach(s) || seedSet(s) }
+    if (!driverKahnPairs(cone))
+      throw new GraphContractViolation(cyclicMsg(what))
+  }
+
   /** DAG requirement for the k-level σ DP: cheap whole-graph Kahn
     * peel first (free pass on the common acyclic case); when a cycle
     * exists, narrow to the anchor's REACHABLE CONE — a cycle the DP
@@ -594,10 +699,7 @@ private[cypher] object Reach {
           col("__src") === col("__cn"), "left_semi"))
         .distinct().localCheckpoint(false)
       if (!isDag(coneEdges, what))
-        throw new GraphContractViolation(
-          s"$what over a CYCLIC graph — the k-level lowering counts " +
-          "walks, which revisit edges beyond the minimal length; " +
-          "bound the range [*lo..hi] for exact trail semantics")
+        throw new GraphContractViolation(cyclicMsg(what))
     }
 
   /** k-level σ DP levels (round 15, split out round 16): runs the
@@ -616,6 +718,99 @@ private[cypher] object Reach {
     * (src, node, dist, via, mult) parent entry per DP edge — distance
     * × branching state, never path count — for the per-level pointer
     * walk. Returns (levels, parents, bound). */
+  /** In-memory σ DP over the collected grouped edge frame — the
+    * driver fast path of [[kLevelLevels]] (see [[DriverRowsConf]]).
+    * Replicates the distributed loop state for state: per-round total
+    * accounting against the SAME guard (identical typed errors), the
+    * deferred parent-volume guard, the MaxRounds backstop, and the
+    * anchored-cone DAG narrowing. Throws [[DriverOverflow]] — caught
+    * by the caller, which falls back to the distributed loop — when
+    * any tracked row set outgrows `cap`. A σ overflow past Long also
+    * falls back (the distributed path owns exact overflow behavior).
+    * Results come back as LocalRelation frames: trim/walk/resolution
+    * stay ordinary DataFrame code over them. */
+  private def driverKLevel(e: DataFrame, sdOpt: Option[DataFrame],
+      withParents: Boolean, dagProven: Boolean, dagWhat: String,
+      bound: Long, cap: Long, guardCheck: (Long, Long) => Unit)
+      : (DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = e.sparkSession
+    val eRows = e.collect() // (__src, __dst, __m), grouped-distinct
+    val seedSet: Option[collection.Set[Any]] =
+      sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
+    if (!dagProven)
+      driverRequireDag(eRows.map(r => (r.get(0), r.get(1))),
+        seedSet.getOrElse(eRows.iterator.map(_.get(0)).toSet), dagWhat)
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+    eRows.foreach { r =>
+      adj.getOrElseUpdate(r.get(0),
+        scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]) +=
+        ((r.get(1), r.getLong(2)))
+    }
+    def overflowSafe[A](body: => A): A =
+      try body catch { case _: ArithmeticException =>
+        throw new DriverOverflow }
+    // round 1: one (src, dst) entry per grouped edge out of the seeds
+    var frontier = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+    eRows.foreach { r =>
+      if (seedSet.forall(_.contains(r.get(0))))
+        frontier((r.get(0), r.get(1))) = r.getLong(2)
+    }
+    val levels = scala.collection.mutable.ArrayBuffer.empty[Row]
+    frontier.foreach { case ((s, t), sig) => levels += Row(s, t, sig, 1L) }
+    val parents =
+      scala.collection.mutable.LinkedHashSet.empty[(Any, Any, Long, Any, Long)]
+    if (withParents) frontier.foreach { case ((s, t), sig) =>
+      parents += ((s, t, 1L, s, sig)) // round-1 pm = the edge's __m
+    }
+    var total = frontier.size.toLong
+    guardCheck(total, 0)
+    var d = 1L
+    while (frontier.nonEmpty) {
+      d += 1
+      if (d > MaxRounds)
+        throw new CypherBindingException(
+          s"k-level reach did not converge in $MaxRounds rounds")
+      val next = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+      frontier.foreach { case ((s, mid), sig) =>
+        adj.get(mid).foreach(_.foreach { case (d2, m2) =>
+          overflowSafe {
+            val add = Math.multiplyExact(sig, m2)
+            next((s, d2)) = next.get(s, d2)
+              .fold(add)(Math.addExact(_, add))
+          }
+          if (withParents) parents += ((s, d2, d, mid, m2))
+        })
+      }
+      if (next.nonEmpty) {
+        total += next.size
+        guardCheck(total, d)
+        if (total > cap || parents.size > cap) throw new DriverOverflow
+        next.foreach { case ((s, t), sig) => levels += Row(s, t, sig, d) }
+      }
+      frontier = next
+    }
+    if (withParents) {
+      total += parents.size
+      guardCheck(total, d)
+    }
+    val srcT = e.schema("__src").dataType
+    val dstT = e.schema("__dst").dataType
+    val lvT = StructType(Seq(StructField("__src", srcT),
+      StructField("__dst", dstT), StructField("__sig", LongType),
+      StructField("__dist", LongType)))
+    val paT = StructType(Seq(StructField("__ps", srcT),
+      StructField("__pn", dstT), StructField("__pd", LongType),
+      StructField("__pp", srcT), StructField("__pm", LongType)))
+    (localDf(spark, levels.toSeq, lvT),
+      if (withParents)
+        Some(localDf(spark, parents.iterator.map(p =>
+          Row(p._1, p._2, p._3, p._4, p._5)).toSeq, paT))
+      else None)
+  }
+
   private def kLevelLevels(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
       withParents: Boolean, dagProven: Boolean = false)
@@ -624,8 +819,9 @@ private[cypher] object Reach {
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst").agg(count(lit(1)).as("__m"))
       .localCheckpoint(false)
+    val eCount = e.count()
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
-      .map(_.toLong).getOrElse(math.max(64L * e.count(), 1024L))
+      .map(_.toLong).getOrElse(math.max(64L * eCount, 1024L))
     // seed sets and per-round frontiers broadcast under the bound
     // ([[graft.ops.GraphOps.bcastIf]], guide §3.1): the checkpointed
     // frames carry no size statistics, so without the hint every
@@ -636,17 +832,37 @@ private[cypher] object Reach {
       sd.select(col(sd.columns.head).as("__src"))
         .where(col("__src").isNotNull).distinct().localCheckpoint(false))
     val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
+    val dagWhat =
+      if (kind == WalkKind)
+        "a plain named path over an unbounded range (per-path rows)"
+      else if (k == 1)
+        "a [*lo..] lowering with lo > 1 (levels past the minimum)"
+      else s"a k > 1 path selector (${kind.toUpperCase} $k)"
+    def guardCheck(total: Long, round: Long): Unit =
+      if (total > bound)
+        throw new GraphContractViolation(
+          s"k-level reach hit $total level rows after round $round " +
+          s"(bound maxClosureRows=$bound). Narrow the anchor, or " +
+          s"raise $MaxClosureRowsConf deliberately.")
+    // driver fast path ([[DriverRowsConf]]): edge frame under the
+    // bound — collect once, run the DAG check and the whole σ DP in
+    // memory (one job replaces O(depth) rounds); identical guards,
+    // identical typed errors; an overgrown attempt falls back below
+    val drvLim = driverRowsLimit(edges.sparkSession)
+    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+        sdRows <= drvLim) {
+      try {
+        val (lv, ps) = driverKLevel(e, sdOpt, withParents, dagProven,
+          dagWhat, bound, drvLim, guardCheck)
+        return (lv, ps, bound)
+      } catch { case _: DriverOverflow => () }
+    }
     // dagProven (round 16): a heterogeneous chain whose LABEL graph
     // is acyclic cannot hold an instance cycle (any cycle projects to
     // a label cycle) — the data-level Kahn peel is skipped entirely
     if (!dagProven)
       requireDag(e.drop("__m"),
-        sdOpt.getOrElse(e.select(col("__src")).distinct()),
-        if (kind == WalkKind)
-          "a plain named path over an unbounded range (per-path rows)"
-        else if (k == 1)
-          "a [*lo..] lowering with lo > 1 (levels past the minimum)"
-        else s"a k > 1 path selector (${kind.toUpperCase} $k)")
+        sdOpt.getOrElse(e.select(col("__src")).distinct()), dagWhat)
     var frontier = (sdOpt match {
       case Some(sd) => e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
       case None     => e
@@ -659,12 +875,7 @@ private[cypher] object Reach {
     var d = 1L
     var total = frontier.count()
     var fRows = total
-    def guard(round: Long): Unit =
-      if (total > bound)
-        throw new GraphContractViolation(
-          s"k-level reach hit $total level rows after round $round " +
-          s"(bound maxClosureRows=$bound). Narrow the anchor, or " +
-          s"raise $MaxClosureRowsConf deliberately.")
+    def guard(round: Long): Unit = guardCheck(total, round)
     guard(0)
     var go = total > 0
     while (go) {
@@ -840,6 +1051,18 @@ private[cypher] object Reach {
     // into every step's left join under the bound (bcastIf) so the
     // growing work frame never shuffles
     val parRows = par.count()
+    // driver fast path ([[DriverRowsConf]]): small chosen + parent
+    // frames walk in memory — one LocalRelation build replaces
+    // O(max dist) join+checkpoint+count steps; same per-step guard
+    // messages; an overgrown expansion falls back below
+    val drvLim = driverRowsLimit(chosen.sparkSession)
+    if (drvLim > 0 && parRows <= drvLim) {
+      val chosenRows = chosen.count()
+      if (chosenRows <= drvLim) {
+        try return driverKLevelWalk(chosen, par, bound, kind, k, drvLim)
+        catch { case _: DriverOverflow => () }
+      }
+    }
     val maxDist = {
       val row = chosen.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -886,6 +1109,93 @@ private[cypher] object Reach {
     capped.withColumn("__pi", row_number().over(
       Window.partitionBy("__src", "__dst", "__dist")
         .orderBy(col("__wids"))))
+  }
+
+  /** In-memory multi-parent pointer walk — the driver fast path of
+    * [[kLevelWalk]] over collected chosen/parent frames (see
+    * [[DriverRowsConf]]): identical step semantics (finished and
+    * parent-less rows pass through unchanged, parallel-edge
+    * multiplicity expands copies), identical per-step guard message,
+    * the same (length, id-array) cap order and per-path __pi
+    * discriminator. Throws [[DriverOverflow]] past `cap` — the caller
+    * falls back to the distributed walk. */
+  private def driverKLevelWalk(chosen: DataFrame, par: DataFrame,
+      bound: Long, kind: String, k: Int, cap: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = chosen.sparkSession
+    val ch = chosen.select(col("__src"), col("__dst"), col("__dist"))
+      .collect()
+    val pmap = scala.collection.mutable.HashMap
+      .empty[(Any, Any, Long),
+        scala.collection.mutable.ArrayBuffer[(Any, Long)]]
+    par.select(col("__ps"), col("__pn"), col("__pd"), col("__pp"),
+        col("__pm")).collect()
+      .foreach { r =>
+        pmap.getOrElseUpdate((r.get(0), r.get(1), r.getLong(2)),
+          scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]) +=
+          ((r.get(3), r.getLong(4)))
+      }
+    val maxDist =
+      if (ch.isEmpty) 0L else ch.iterator.map(_.getLong(2)).max
+    case class W(src: Any, dst: Any, dist: Long, rem: Long, cur: Any,
+      ids: List[Any])
+    var work = scala.collection.mutable.ArrayBuffer.empty[W]
+    ch.foreach(r => work += W(r.get(0), r.get(1), r.getLong(2),
+      r.getLong(2), r.get(1), r.get(1) :: Nil))
+    var step = 0L
+    while (step < maxDist) {
+      val nw = scala.collection.mutable.ArrayBuffer.empty[W]
+      work.foreach { w =>
+        val ms =
+          if (w.rem >= 1) pmap.get((w.src, w.cur, w.rem)) else None
+        ms match {
+          case None => nw += w // finished / parent-less: pass through
+          case Some(ps) => ps.foreach { case (pp, pm) =>
+            var j = 0L
+            while (j < pm) {
+              nw += W(w.src, w.dst, w.dist, w.rem - 1, pp, pp :: w.ids)
+              j += 1
+            }
+          }
+        }
+      }
+      work = nw
+      val n = work.size.toLong
+      if (n > bound)
+        throw new GraphContractViolation(
+          s"k-level witnesses: the path expansion hit $n rows at " +
+          s"step $step (bound maxClosureRows=$bound). Narrow the " +
+          s"anchor, or raise $MaxClosureRowsConf deliberately.")
+      if (n > cap) throw new DriverOverflow
+      step += 1
+    }
+    val capped: Iterator[W] = kind match {
+      case "groups" | WalkKind => work.iterator
+      case _ =>
+        work.groupBy(w => (w.src, w.dst)).valuesIterator.flatMap { g =>
+          g.sortWith { (a, b) =>
+            if (a.dist != b.dist) a.dist < b.dist
+            else cmpSeq(a.ids, b.ids) < 0
+          }.take(k)
+        }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    capped.toSeq.groupBy(w => (w.src, w.dst, w.dist)).valuesIterator
+      .foreach { g =>
+        g.sortWith((a, b) => cmpSeq(a.ids, b.ids) < 0).zipWithIndex
+          .foreach { case (w, i) =>
+            out += Row(w.src, w.dst, w.dist, w.ids, i + 1)
+          }
+      }
+    val elemT = chosen.schema("__dst").dataType
+    val schema = StructType(Seq(
+      StructField("__src", chosen.schema("__src").dataType),
+      StructField("__dst", elemT),
+      StructField("__dist", LongType),
+      StructField("__wids", ArrayType(elemT, containsNull = true)),
+      StructField("__pi", IntegerType)))
+    localDf(spark, out.toSeq, schema)
   }
 
   /** Reverse BFS output → forward orientation: an R-path d→x over
@@ -1009,6 +1319,85 @@ private[cypher] object Reach {
       .getOrElse(run(srcC, dstC, None, rev = false))
   }
 
+  /** In-memory all-parents BFS — the driver fast path of
+    * [[allParentsPairs]] (see [[DriverRowsConf]]): same rounds, same
+    * per-round total accounting (new pairs + new parent edges) against
+    * the caller's guard, same typed errors. Throws [[DriverOverflow]]
+    * past `cap`. */
+  private def driverAllParents(e: DataFrame, sdOpt: Option[DataFrame],
+      bound: Long, cap: Long, guard: (Long, Int) => Unit)
+      : (DataFrame, DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val seedSet: Option[collection.Set[Any]] =
+      sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    pairs.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += d
+    }
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[(Any, Any), Long]
+    val parents =
+      scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Any)]
+    pairs.foreach { case (s, d) =>
+      if (seedSet.forall(_.contains(s))) {
+        seen((s, d)) = 1L
+        parents += ((s, d, s))
+      }
+    }
+    var frontier: Iterable[(Any, Any)] = seen.keys.toSeq
+    var total = frontier.size.toLong
+    guard(total, 0)
+    if (total > cap) throw new DriverOverflow
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          "allShortestPaths witnesses: BFS did not converge in " +
+          s"$MaxRounds rounds — the edge set's diameter exceeds the " +
+          "guard")
+      // every (src, new node, via) triple of this round, distinct
+      val fresh = scala.collection.mutable.LinkedHashMap
+        .empty[(Any, Any), scala.collection.mutable.LinkedHashSet[Any]]
+      frontier.foreach { case (s, mid) =>
+        adj.get(mid).foreach(_.foreach { d2 =>
+          if (!seen.contains((s, d2)))
+            fresh.getOrElseUpdate((s, d2),
+              scala.collection.mutable.LinkedHashSet.empty[Any]) += mid
+        })
+      }
+      if (fresh.nonEmpty) {
+        val n = fresh.size.toLong
+        val np = fresh.valuesIterator.map(_.size.toLong).sum
+        total += n + np
+        guard(total, rounds)
+        if (total > cap) throw new DriverOverflow
+        fresh.foreach { case ((s, d2), vias) =>
+          seen((s, d2)) = (rounds + 1).toLong
+          vias.foreach(v => parents += ((s, d2, v)))
+        }
+      }
+      frontier = fresh.keys.toSeq
+    }
+    val srcT = e.schema("__src").dataType
+    val dstT = e.schema("__dst").dataType
+    val pairT = StructType(Seq(StructField("__src", srcT),
+      StructField("__dst", dstT), StructField("__dist", LongType)))
+    val parT = StructType(Seq(StructField("__ps", srcT),
+      StructField("__pd", dstT), StructField("__pp", srcT)))
+    (localDf(spark,
+        seen.iterator.map { case ((s, d), dist) => Row(s, d, dist) }.toSeq,
+        pairT),
+      localDf(spark,
+        parents.iterator.map(p => Row(p._1, p._2, p._3)).toSeq, parT),
+      bound)
+  }
+
   /** BFS recording ALL first-discovery parents per pair: (pairs with
     * __dist, parents (__ps, __pd, __pp), the closure bound). Distance-1
     * parents are the source itself. State per round is the new pairs'
@@ -1019,20 +1408,31 @@ private[cypher] object Reach {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint(false)
+    val eCount = e.count()
     val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
       .map(_.toLong)
-      .getOrElse(math.max(64L * e.count(), 1024L))
+      .getOrElse(math.max(64L * eCount, 1024L))
     def guard(total: Long, round: Int): Unit =
       if (total > bound)
         throw new GraphContractViolation(
           s"allShortestPaths witnesses: the parent set hit $total rows " +
           s"after round $round (bound maxClosureRows=$bound). Narrow " +
           s"the anchor, or raise $MaxClosureRowsConf deliberately.")
-    var seen = (seeds match {
-      case Some(s) =>
-        val sd = s.select(col(s.columns.head).as("__src"))
-          .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-        e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
+    val sdOpt = seeds.map(s =>
+      s.select(col(s.columns.head).as("__src"))
+        .where(col("__src").isNotNull).distinct().localCheckpoint(false))
+    val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
+    // driver fast path ([[DriverRowsConf]]) — same contract as
+    // [[driverReachable]], plus the all-parents set
+    val drvLim = driverRowsLimit(edges.sparkSession)
+    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+        sdRows <= drvLim) {
+      try return driverAllParents(e, sdOpt, bound, drvLim, guard)
+      catch { case _: DriverOverflow => () }
+    }
+    var seen = (sdOpt match {
+      case Some(sd) =>
+        e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
       case None => e
     }).withColumn("__dist", lit(1L)).localCheckpoint(false)
     var parentsAcc = seen.select(col("__src").as("__ps"),
@@ -1080,6 +1480,74 @@ private[cypher] object Reach {
     (seen, parentsAcc, bound)
   }
 
+  /** In-memory σ-fold pointer walk — the driver fast path of
+    * [[reconstructAllWitnessIds]] (see [[DriverRowsConf]]): identical
+    * step semantics (finished rows pass through, branching multiplies
+    * rows) and the same per-step guard message. Throws
+    * [[DriverOverflow]] past `cap`. */
+  private def driverReconstructAll(pairs: DataFrame, parents: DataFrame,
+      bound: Long, cap: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = pairs.sparkSession
+    val pr = pairs.select(col("__src"), col("__dst"), col("__dist"))
+      .collect()
+    val pmap = scala.collection.mutable.HashMap
+      .empty[(Any, Any), scala.collection.mutable.ArrayBuffer[Any]]
+    parents.select(col("__ps"), col("__pd"), col("__pp")).collect()
+      .foreach { r =>
+        pmap.getOrElseUpdate((r.get(0), r.get(1)),
+          scala.collection.mutable.ArrayBuffer.empty[Any]) += r.get(2)
+      }
+    val maxDist =
+      if (pr.isEmpty) 0L else pr.iterator.map(_.getLong(2)).max
+    case class W(src: Any, dst: Any, dist: Long, cur: Any,
+      ids: List[Any])
+    var work = scala.collection.mutable.ArrayBuffer.empty[W]
+    // initial inner join: one row per (pair, final-node parent)
+    pr.foreach { r =>
+      pmap.get((r.get(0), r.get(1))).foreach(_.foreach { pp =>
+        work += W(r.get(0), r.get(1), r.getLong(2), pp, r.get(1) :: Nil)
+      })
+    }
+    var step = 1L
+    while (step < maxDist) {
+      val nw = scala.collection.mutable.ArrayBuffer.empty[W]
+      work.foreach { w =>
+        if (w.cur == w.src) nw += w // finished: pass through
+        else {
+          val ms =
+            if (w.cur == null) None else pmap.get((w.src, w.cur))
+          ms match {
+            case None =>
+              // the distributed left-join miss branch, replicated
+              nw += W(w.src, w.dst, w.dist, null, w.cur :: w.ids)
+            case Some(ps) => ps.foreach { pp =>
+              nw += W(w.src, w.dst, w.dist, pp, w.cur :: w.ids)
+            }
+          }
+        }
+      }
+      work = nw
+      val n = work.size.toLong
+      if (n > bound)
+        throw new GraphContractViolation(
+          s"allShortestPaths witnesses: the path expansion hit $n rows " +
+          s"at step $step (bound maxClosureRows=$bound). Narrow the " +
+          s"anchor, or raise $MaxClosureRowsConf deliberately.")
+      if (n > cap) throw new DriverOverflow
+      step += 1
+    }
+    val dstT = pairs.schema("__dst").dataType
+    val schema = StructType(Seq(
+      StructField("__src", pairs.schema("__src").dataType),
+      StructField("__dst", dstT),
+      StructField("__dist", LongType),
+      StructField("__wids", ArrayType(dstT, containsNull = true))))
+    localDf(spark, work.iterator.map(w =>
+      Row(w.src, w.dst, w.dist, w.src :: w.ids)).toSeq, schema)
+  }
+
   /** Multi-parent pointer walk: enumerate EVERY minimal path per pair
     * (the reconstructWitnessIds loop over an all-parents frame — the
     * join multiplies by the branching, guarded per step). */
@@ -1091,6 +1559,16 @@ private[cypher] object Reach {
     // under the bound (bcastIf) so the growing work frame never
     // shuffles during the walk
     val parRows = parents.count()
+    // driver fast path ([[DriverRowsConf]]): walk the collected
+    // parent sets in memory; same per-step guard; fallback past cap
+    val drvLim = driverRowsLimit(pairs.sparkSession)
+    if (drvLim > 0 && parRows <= drvLim) {
+      val pairRows = pairs.count()
+      if (pairRows <= drvLim) {
+        try return driverReconstructAll(pairs, parents, bound, drvLim)
+        catch { case _: DriverOverflow => () }
+      }
+    }
     val maxDist = {
       val row = pairs.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
@@ -1690,6 +2168,81 @@ private[cypher] object Reach {
    * can apply, which is exactly why anchored endpoints seed the
    * frontier instead (see [[rewrite]]).
    */
+  /** In-memory frontier BFS — the driver fast path of
+    * [[reachablePairs]] (see [[DriverRowsConf]]): same synchronized
+    * multi-source rounds, the same per-round total accounting against
+    * the caller's guard, the same min-id first-discovery parent
+    * tie-break, MaxRounds backstop and typed errors. Throws
+    * [[DriverOverflow]] past `cap` — the caller falls back to the
+    * distributed loop. */
+  private def driverReachable(e: DataFrame, sdOpt: Option[DataFrame],
+      withDist: Boolean, withParent: Boolean, bound: Long, cap: Long,
+      guard: (Long, Int) => Unit): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val seedSet: Option[collection.Set[Any]] =
+      sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    pairs.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += d
+    }
+    // (src, dst) -> (first-discovery dist, first-discovery parent)
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[(Any, Any), (Long, Any)]
+    pairs.foreach { case (s, d) =>
+      if (seedSet.forall(_.contains(s))) seen((s, d)) = (1L, s)
+    }
+    var frontier: Iterable[(Any, Any)] = seen.keys.toSeq
+    var total = frontier.size.toLong
+    guard(total, 0)
+    if (total > cap) throw new DriverOverflow
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          s"unbounded variable-length: reachability did not converge in " +
+          s"$MaxRounds rounds — the edge set's diameter exceeds the guard")
+      val fresh = scala.collection.mutable.HashMap.empty[(Any, Any), Any]
+      frontier.foreach { case (s, mid) =>
+        adj.get(mid).foreach(_.foreach { d2 =>
+          if (!seen.contains((s, d2))) {
+            // min-id tie-break over this round's discoverers
+            fresh.get((s, d2)) match {
+              case Some(p) if cmpAny(p, mid) <= 0 => ()
+              case _ => fresh((s, d2)) = mid
+            }
+          }
+        })
+      }
+      if (fresh.nonEmpty) {
+        total += fresh.size
+        guard(total, rounds)
+        if (total > cap) throw new DriverOverflow
+        fresh.foreach { case ((s, d2), par) =>
+          seen((s, d2)) = ((rounds + 1).toLong, par)
+        }
+      }
+      frontier = fresh.keys.toSeq
+    }
+    val srcT = e.schema("__src").dataType
+    val dstT = e.schema("__dst").dataType
+    val fields = Seq(StructField("__src", srcT),
+      StructField("__dst", dstT)) ++
+      (if (withDist) Seq(StructField("__dist", LongType)) else Nil) ++
+      (if (withParent) Seq(StructField("__par", srcT)) else Nil)
+    val rows = seen.iterator.map { case ((s, d), (dist, par)) =>
+      Row.fromSeq(Seq(s, d) ++
+        (if (withDist) Seq(dist) else Nil) ++
+        (if (withParent) Seq(par) else Nil))
+    }.toSeq
+    localDf(spark, rows, StructType(fields))
+  }
+
   private[cypher] def reachablePairs(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame] = None,
       maxClosureRows: Option[Long] = None,
@@ -1700,12 +2253,11 @@ private[cypher] object Reach {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint(false)
-    // the edge count backs only the DEFAULT bound — when an explicit
-    // argument or the session conf supplies one, no count job fires here
+    val eCount = e.count()
     val bound = maxClosureRows
       .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
         .map(_.toLong))
-      .getOrElse(math.max(64L * e.count(), 1024L))
+      .getOrElse(math.max(64L * eCount, 1024L))
     def guard(total: Long, round: Int): Unit =
       if (total > bound)
         throw new GraphContractViolation(
@@ -1714,11 +2266,23 @@ private[cypher] object Reach {
           "graph is too well-connected for an unanchored closure — " +
           "anchor an endpoint (a literal WHERE equality or a piped " +
           s"frame), or raise $MaxClosureRowsConf deliberately.")
-    var seen = seeds match {
-      case Some(s) =>
-        val sd = s.select(col(s.columns.head).as("__src"))
-          .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-        e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
+    val sdOpt = seeds.map(s =>
+      s.select(col(s.columns.head).as("__src"))
+        .where(col("__src").isNotNull).distinct().localCheckpoint(false))
+    val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
+    // driver fast path ([[DriverRowsConf]]): collect the slim edge
+    // frame once, run the whole BFS in memory — identical guards and
+    // typed errors; an overgrown closure falls back below
+    val drvLim = driverRowsLimit(edges.sparkSession)
+    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+        sdRows <= drvLim) {
+      try return driverReachable(e, sdOpt, withDist, withParent,
+        bound, drvLim, guard)
+      catch { case _: DriverOverflow => () }
+    }
+    var seen = sdOpt match {
+      case Some(sd) =>
+        e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
           .localCheckpoint(false)
       case None => e
     }
@@ -1798,16 +2362,100 @@ private[cypher] object Reach {
    * before the explode, so a combinatorial σ blowup fails fast with a
    * typed error instead of materializing.
    */
+  /** In-memory σ BFS — the driver fast path of
+    * [[allShortestWitnesses]] (see [[DriverRowsConf]]): BigInt σ
+    * mirrors the distributed Decimal sums, the per-round σ cap, the
+    * per-round row guard, the final witness-total guard and the σ-fold
+    * expansion all replicate with identical typed errors. Throws
+    * [[DriverOverflow]] past `cap`. */
+  private def driverAllShortestWitnesses(e: DataFrame, sd: DataFrame,
+      bound: Long, cap: Long,
+      guard: (Long, Int, String) => Unit): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val seedSet: collection.Set[Any] =
+      sd.collect().iterator.map(_.get(0)).toSet
+    val adj = scala.collection.mutable.HashMap
+      .empty[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    pairs.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s,
+        scala.collection.mutable.ArrayBuffer.empty[Any]) += d
+    }
+    val seen = scala.collection.mutable.LinkedHashMap
+      .empty[(Any, Any), (Long, BigInt)]
+    pairs.foreach { case (s, d) =>
+      if (seedSet.contains(s)) seen((s, d)) = (1L, BigInt(1))
+    }
+    var frontier: Seq[((Any, Any), BigInt)] = seen.iterator
+      .map { case (k, (_, sig)) => (k, sig) }.toSeq
+    var total = frontier.size.toLong
+    guard(total, 0, "the anchored cone")
+    if (total > cap) throw new DriverOverflow
+    val sigmaCap = Long.MaxValue >> 20
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      rounds += 1
+      if (rounds > MaxRounds)
+        throw new CypherBindingException(
+          s"allShortestPaths: BFS did not converge in $MaxRounds " +
+          "rounds — the edge set's diameter exceeds the guard")
+      val next = scala.collection.mutable.LinkedHashMap
+        .empty[(Any, Any), BigInt]
+      frontier.foreach { case ((s, mid), sig) =>
+        adj.get(mid).foreach(_.foreach { d2 =>
+          if (!seen.contains((s, d2)))
+            next((s, d2)) = next.getOrElse((s, d2), BigInt(0)) + sig
+        })
+      }
+      val n = next.size.toLong
+      if (n > 0 && next.valuesIterator.max > sigmaCap)
+        throw new GraphContractViolation(
+          s"allShortestPaths: shortest-path witness count σ exceeded " +
+          s"$sigmaCap per pair after round $rounds (Long overflow " +
+          "territory on a diamond-rich DAG). Narrow the anchor — the " +
+          "witness expansion would not be materializable anyway.")
+      if (n > 0) {
+        total += n
+        guard(total, rounds, "the anchored cone")
+        if (total > cap) throw new DriverOverflow
+        next.foreach { case (k, sig) =>
+          seen(k) = ((rounds + 1).toLong, sig)
+        }
+      }
+      frontier = next.toSeq
+    }
+    val witnesses = seen.valuesIterator.map(_._2).sum
+    if (witnesses > BigInt(bound))
+      throw new GraphContractViolation(
+        s"allShortestPaths: the witness expansion hit $witnesses rows " +
+        s"after round $rounds (bound maxClosureRows=$bound). Narrow " +
+        s"the anchor, or raise $MaxClosureRowsConf deliberately.")
+    if (witnesses > BigInt(cap)) throw new DriverOverflow
+    val schema = StructType(Seq(
+      StructField("__src", e.schema("__src").dataType),
+      StructField("__dst", e.schema("__dst").dataType),
+      StructField("__dist", LongType)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    seen.foreach { case ((s, d), (dist, sig)) =>
+      var i = BigInt(0)
+      while (i < sig) { out += Row(s, d, dist); i += 1 }
+    }
+    localDf(spark, out.toSeq, schema)
+  }
+
   private[cypher] def allShortestWitnesses(edges: DataFrame,
       srcCol: String, dstCol: String, seeds: DataFrame,
       maxClosureRows: Option[Long] = None): DataFrame = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .distinct().localCheckpoint(false)
+    val eCount = e.count()
     val bound = maxClosureRows
       .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
         .map(_.toLong))
-      .getOrElse(math.max(64L * e.count(), 1024L))
+      .getOrElse(math.max(64L * eCount, 1024L))
     def guard(total: Long, round: Int, what: String): Unit =
       if (total > bound)
         throw new GraphContractViolation(
@@ -1816,7 +2464,17 @@ private[cypher] object Reach {
           s"$MaxClosureRowsConf deliberately.")
     val sd = seeds.select(col(seeds.columns.head).as("__src"))
       .where(col("__src").isNotNull).distinct().localCheckpoint(false)
-    var seen = e.join(bcastIf(sd, sd.count()), Seq("__src"), "left_semi")
+    val sdRows = sd.count()
+    // driver fast path ([[DriverRowsConf]]): the σ BFS in memory —
+    // same guards (row bound, σ cap, round backstop), same typed
+    // errors; fallback past the driver cap
+    val drvLim = driverRowsLimit(edges.sparkSession)
+    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+        sdRows <= drvLim) {
+      try return driverAllShortestWitnesses(e, sd, bound, drvLim, guard)
+      catch { case _: DriverOverflow => () }
+    }
+    var seen = e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
       .withColumn("__dist", lit(1L))
       .withColumn("__sigma", lit(1L))
       .localCheckpoint(false)

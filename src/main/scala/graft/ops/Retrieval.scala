@@ -300,6 +300,13 @@ object Retrieval {
    *  a probe never needs a doc-length side table. */
   private def bm25Postings(docs: DataFrame, textCol: String,
       idCol: String, nBuckets: Int): DataFrame = {
+    // dl derives from tf, NOT map-side size(tokens): the r16
+    // optimization pass MEASURED the map-side variant at 2.0× slower
+    // (s40 quiet A/B 2.18 → 4.35 s) — carrying size(tokens) next to
+    // explode(tokens) re-evaluates the split per row, and re-splitting
+    // the text costs far more than the two slim post-aggregation
+    // exchanges it saves. Kept deliberately (guide §1.1: the
+    // first-principles "ideal" lost to the empirical loop).
     val toks = docs.select(col(idCol).cast(LongType).as("__id"),
       explode(TextOps.tokens(col(textCol))).as("token"))
       .where(col("__id").isNotNull && col("token").isNotNull)

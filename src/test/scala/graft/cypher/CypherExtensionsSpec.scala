@@ -1407,6 +1407,24 @@ class CypherExtensionsSpec extends AnyFunSuite {
         (Seq("p1", "p2", "p3"), Seq(2001, 2003)),
         (Seq("p1", "p2", "p3"), Seq(2001, 2003))))
     }
+    // driver fast path ≡ distributed loop (optimization round 16):
+    // the SAME witness query with spark.graft.reach.driverRows = 0
+    // (forces the distributed σ DP + walk) must produce identical
+    // rows — guards, multiplicity and ordering all agree
+    locally {
+      val q =
+        """MATCH p = SHORTEST 2 (a:Person)-[:KNOWS*]->(b:Person)
+          |WHERE a.Name = 'Tom Hanks' AND b.Name = 'Rob Reiner'
+          |RETURN [n IN nodes(p) | n.Name] AS ns,
+          |       [e IN relationships(p) | e.Since] AS ss,
+          |       length(p) AS l ORDER BY l, ns""".stripMargin
+      def run(): Seq[(Seq[String], Seq[Int], Long)] = rows(q)
+        .map(x => (x.getSeq[String](0), x.getSeq[Int](1), x.getLong(2)))
+      val viaDriver = run()
+      spark.conf.set(graft.cypher.Reach.DriverRowsConf, "0")
+      try assert(run() == viaDriver)
+      finally spark.conf.unset(graft.cypher.Reach.DriverRowsConf)
+    }
   }
 
   test("k > 1 selectors over heterogeneous chains and [*0..] " +
