@@ -847,9 +847,12 @@ private[cypher] object Reach {
     // driver fast path ([[DriverRowsConf]]): edge frame under the
     // bound — collect once, run the DAG check and the whole σ DP in
     // memory (one job replaces O(depth) rounds); identical guards,
-    // identical typed errors; an overgrown attempt falls back below
+    // identical typed errors; an overgrown attempt falls back below.
+    // Unseeded DPs start from every edge (the driverReachable 1/16
+    // gate, same rationale).
     val drvLim = driverRowsLimit(edges.sparkSession)
-    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+    val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
+    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
         sdRows <= drvLim) {
       try {
         val (lv, ps) = driverKLevel(e, sdOpt, withParents, dagProven,
@@ -1423,9 +1426,10 @@ private[cypher] object Reach {
         .where(col("__src").isNotNull).distinct().localCheckpoint(false))
     val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
     // driver fast path ([[DriverRowsConf]]) — same contract as
-    // [[driverReachable]], plus the all-parents set
+    // [[driverReachable]], incl. the 1/16 unseeded gate
     val drvLim = driverRowsLimit(edges.sparkSession)
-    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+    val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
+    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
         sdRows <= drvLim) {
       try return driverAllParents(e, sdOpt, bound, drvLim, guard)
       catch { case _: DriverOverflow => () }
@@ -2272,9 +2276,15 @@ private[cypher] object Reach {
     val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
     // driver fast path ([[DriverRowsConf]]): collect the slim edge
     // frame once, run the whole BFS in memory — identical guards and
-    // typed errors; an overgrown closure falls back below
+    // typed errors; an overgrown closure falls back below. UNSEEDED
+    // closures grow with the whole graph (every edge seeds the
+    // frontier), so they only qualify at 1/16 of the bound — a
+    // measured 750k-edge unseeded closure ran 3.5× SLOWER driver-side
+    // (q74 quiet A/B 3.4 → 11.8 s) while the seeded cones over the
+    // same frame all won.
     val drvLim = driverRowsLimit(edges.sparkSession)
-    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
+    val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
+    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
         sdRows <= drvLim) {
       try return driverReachable(e, sdOpt, withDist, withParent,
         bound, drvLim, guard)
