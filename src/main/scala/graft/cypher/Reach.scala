@@ -1605,6 +1605,48 @@ private[cypher] object Reach {
       concat(array(col("__src")), col("__ids")).as("__wids"))
   }
 
+  /** In-memory single-parent pointer walk — the driver fast path of
+    * [[reconstructWitnessIds]]: one row per pair, the same pass-through
+    * and left-join-miss semantics. The output is pair-sized (no
+    * expansion), so the input gate alone bounds it — no overflow
+    * fallback needed. */
+  private def driverReconstructSingle(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = pairs.sparkSession
+    val pr = pairs.select(col("__src"), col("__dst"), col("__dist"),
+      col("__par")).collect()
+    val pmap = scala.collection.mutable.HashMap.empty[(Any, Any), Any]
+    pr.foreach(r => pmap((r.get(0), r.get(1))) = r.get(3))
+    val maxDist =
+      if (pr.isEmpty) 0L else pr.iterator.map(_.getLong(2)).max
+    case class W(src: Any, dst: Any, dist: Long, cur: Any,
+      ids: List[Any])
+    var work = pr.map(r =>
+      W(r.get(0), r.get(1), r.getLong(2), r.get(3), r.get(1) :: Nil))
+      .toSeq
+    var step = 1L
+    while (step < maxDist) {
+      work = work.map { w =>
+        if (w.cur == w.src) w // finished: pass through
+        else pmap.get((w.src, w.cur)) match {
+          case Some(pp) => W(w.src, w.dst, w.dist, pp, w.cur :: w.ids)
+          case None     => // the distributed left-join miss branch
+            W(w.src, w.dst, w.dist, null, w.cur :: w.ids)
+        }
+      }
+      step += 1
+    }
+    val dstT = pairs.schema("__dst").dataType
+    val schema = StructType(Seq(
+      StructField("__src", pairs.schema("__src").dataType),
+      StructField("__dst", dstT),
+      StructField("__dist", LongType),
+      StructField("__wids", ArrayType(dstT, containsNull = true))))
+    localDf(spark, work.iterator.map(w =>
+      Row(w.src, w.dst, w.dist, w.src :: w.ids)).toSeq, schema)
+  }
+
   /** Parent-pointer walk: (src, dst, dist, par) pair rows → the full
     * witness id array [src, …, dst] per pair. A pair at distance k
     * resolves after k−1 join steps — the loop runs max(dist)−1 times,
@@ -1616,6 +1658,12 @@ private[cypher] object Reach {
     // pair-sized pointer map, fixed across steps: count once,
     // broadcast under the bound (bcastIf)
     val parRows = pairs.count()
+    // driver fast path ([[DriverRowsConf]]): the single-parent walk in
+    // memory — one LocalRelation replaces max-dist−1 join steps. The
+    // pair frame IS the parent map here, so the one count gates both.
+    if (parRows <= driverRowsLimit(pairs.sparkSession) &&
+        driverRowsLimit(pairs.sparkSession) > 0)
+      return driverReconstructSingle(pairs)
     val maxDist = {
       val row = pairs.agg(max(col("__dist"))).head()
       if (row.isNullAt(0)) 0L else row.getLong(0)
