@@ -122,10 +122,28 @@ private[cypher] object Reach {
   val DriverRowsConf = "spark.graft.reach.driverRows"
   val DriverRowsDefault = 2000000L
 
+  /** Byte companion to [[DriverRowsConf]] (optimization round 17;
+    * VERDICT-r16 #6): admission to a driver collect additionally
+    * requires rows × schema-estimated row width within this budget —
+    * the row bound alone is width-blind and a wide frame under 2M rows
+    * could still be a multi-GB collect. Default 256 MB: the slim
+    * (id, id[, dist, parent, σ]) frames the fast paths collect sit at
+    * 16–100 B/row, well inside even at the full row bound. */
+  val DriverBytesConf = "spark.graft.reach.driverBytes"
+  val DriverBytesDefault = 256L * 1024 * 1024
+
   private def driverRowsLimit(
       spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(DriverRowsConf).map(_.toLong)
       .getOrElse(DriverRowsDefault)
+
+  /** True when collecting `rows` rows of `df`'s schema fits the
+    * [[DriverBytesConf]] budget ([[graft.ops.GraphOps.estRowBytes]]
+    * width estimate). */
+  private def fitsDriverBytes(df: DataFrame, rows: Long): Boolean =
+    rows * graft.ops.GraphOps.estRowBytes(df.schema) <=
+      df.sparkSession.conf.getOption(DriverBytesConf).map(_.toLong)
+        .getOrElse(DriverBytesDefault)
 
   /** Thrown internally when a driver fast-path attempt outgrows
     * [[DriverRowsConf]] — the caller falls back to the distributed
@@ -150,7 +168,31 @@ private[cypher] object Reach {
       Integer.compare(x.length, y.length)
     case (x: java.lang.Long, y: java.lang.Long)       => x.compareTo(y)
     case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
-    case (x: String, y: String)                       => x.compareTo(y)
+    // Spark orders StringType by UTF-8 BINARY bytes; Java's
+    // String.compareTo is UTF-16 code-unit order — they diverge for
+    // supplementary-plane characters (surrogates sort below U+E000 in
+    // UTF-16, above in UTF-8), which would break the documented
+    // driver ≡ distributed tie-break equivalence (ADVICE-r16). Pure
+    // ASCII (the overwhelmingly common id shape) short-circuits.
+    case (x: String, y: String) =>
+      def ascii(s: String): Boolean = {
+        var i = 0
+        while (i < s.length) { if (s.charAt(i) >= 128) return false; i += 1 }
+        true
+      }
+      if (ascii(x) && ascii(y)) x.compareTo(y)
+      else {
+        val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a.length, b.length)
+      }
     case (x: java.lang.Comparable[_], _) =>
       x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
     case _ => throw new IllegalStateException(
@@ -175,6 +217,23 @@ private[cypher] object Reach {
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** Row-count upper bound of a frame that is just projections/filters
+    * over a LocalRelation — i.e. a frame the driver fast path built —
+    * or None for a genuinely distributed frame. Used to admit the fast
+    * witness resolution without running a count job. */
+  private def localLeafRows(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def walk(p: LogicalPlan): Option[Long] = p match {
+      case l: LocalRelation => Some(l.data.size.toLong)
+      case p: Project       => walk(p.child)
+      case f: Filter        => walk(f.child)
+      case s: SubqueryAlias => walk(s.child)
+      case _                => None
+    }
+    walk(df.queryExecution.optimizedPlan)
+  }
+
 
   /** Process-global counter for synthetic reach verb/table names —
     * global (not per-rewrite) so an outer MATCH rewrite and a nested
@@ -659,7 +718,14 @@ private[cypher] object Reach {
 
   /** Driver twin of [[requireDag]] over already-collected pairs:
     * whole-graph Kahn first; on a cycle, narrow to the seed set's
-    * reachable cone and only reject if the cone itself is cyclic. */
+    * reachable cone and only reject if the cone itself is cyclic.
+    * Known error-behavior divergence (ADVICE-r16, accepted): the cone
+    * closure here is NOT subject to the maxClosureRows guard the
+    * distributed requireDag inherits via reachablePairs — on a
+    * cyclic-but-huge-cone graph this path reports cyclic/acyclic where
+    * the distributed path would throw the closure-bound error. The
+    * ≤ 2M-edge admission gate bounds the work, so the divergence is
+    * message-only, never unbounded compute. */
   private def driverRequireDag(pairs: Array[(Any, Any)],
       seedSet: collection.Set[Any], what: String): Unit = {
     if (driverKahnPairs(pairs)) return
@@ -729,34 +795,48 @@ private[cypher] object Reach {
     * falls back (the distributed path owns exact overflow behavior).
     * Results come back as LocalRelation frames: trim/walk/resolution
     * stay ordinary DataFrame code over them. */
-  private def driverKLevel(e: DataFrame, sdOpt: Option[DataFrame],
+  private def driverKLevel(raw: DataFrame, sdOpt: Option[DataFrame],
       withParents: Boolean, dagProven: Boolean, dagWhat: String,
-      bound: Long, cap: Long, guardCheck: (Long, Long) => Unit)
-      : (DataFrame, Option[DataFrame]) = {
+      confBound: Option[Long], cap: Long,
+      guardFor: Long => (Long, Long) => Unit)
+      : (DataFrame, Option[DataFrame], Long) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val spark = e.sparkSession
-    val eRows = e.collect() // (__src, __dst, __m), grouped-distinct
+    val spark = raw.sparkSession
+    // RAW (src, dst) rows — the grouped-distinct (__m multiplicity)
+    // happens here in memory, replacing the distributed
+    // groupBy(src, dst) SHUFFLE + checkpoint that was the family's
+    // single most expensive fixed job at bench scale (round 17,
+    // guide §2.4: remove shuffles outright)
+    val mMap = scala.collection.mutable.LinkedHashMap
+      .empty[(Any, Any), Long]
+    raw.collect().foreach { r =>
+      val k = (r.get(0), r.get(1))
+      mMap(k) = mMap.getOrElse(k, 0L) + 1L
+    }
+    // the closure bound derives from the DISTINCT pair count — exactly
+    // the distributed path's eCount
+    val bound = confBound.getOrElse(math.max(64L * mMap.size, 1024L))
+    val guardCheck = guardFor(bound)
     val seedSet: Option[collection.Set[Any]] =
       sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
     if (!dagProven)
-      driverRequireDag(eRows.map(r => (r.get(0), r.get(1))),
-        seedSet.getOrElse(eRows.iterator.map(_.get(0)).toSet), dagWhat)
+      driverRequireDag(mMap.keysIterator.toArray,
+        seedSet.getOrElse(mMap.keysIterator.map(_._1).toSet), dagWhat)
     val adj = scala.collection.mutable.HashMap
       .empty[Any, scala.collection.mutable.ArrayBuffer[(Any, Long)]]
-    eRows.foreach { r =>
-      adj.getOrElseUpdate(r.get(0),
+    mMap.foreach { case ((s, d), m) =>
+      adj.getOrElseUpdate(s,
         scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]) +=
-        ((r.get(1), r.getLong(2)))
+        ((d, m))
     }
     def overflowSafe[A](body: => A): A =
       try body catch { case _: ArithmeticException =>
         throw new DriverOverflow }
     // round 1: one (src, dst) entry per grouped edge out of the seeds
     var frontier = scala.collection.mutable.HashMap.empty[(Any, Any), Long]
-    eRows.foreach { r =>
-      if (seedSet.forall(_.contains(r.get(0))))
-        frontier((r.get(0), r.get(1))) = r.getLong(2)
+    mMap.foreach { case ((s, d), m) =>
+      if (seedSet.forall(_.contains(s))) frontier((s, d)) = m
     }
     val levels = scala.collection.mutable.ArrayBuffer.empty[Row]
     frontier.foreach { case ((s, t), sig) => levels += Row(s, t, sig, 1L) }
@@ -778,7 +858,7 @@ private[cypher] object Reach {
         adj.get(mid).foreach(_.foreach { case (d2, m2) =>
           overflowSafe {
             val add = Math.multiplyExact(sig, m2)
-            next((s, d2)) = next.get(s, d2)
+            next((s, d2)) = next.get((s, d2))
               .fold(add)(Math.addExact(_, add))
           }
           if (withParents) parents += ((s, d2, d, mid, m2))
@@ -796,8 +876,8 @@ private[cypher] object Reach {
       total += parents.size
       guardCheck(total, d)
     }
-    val srcT = e.schema("__src").dataType
-    val dstT = e.schema("__dst").dataType
+    val srcT = raw.schema("__src").dataType
+    val dstT = raw.schema("__dst").dataType
     val lvT = StructType(Seq(StructField("__src", srcT),
       StructField("__dst", dstT), StructField("__sig", LongType),
       StructField("__dist", LongType)))
@@ -808,20 +888,18 @@ private[cypher] object Reach {
       if (withParents)
         Some(localDf(spark, parents.iterator.map(p =>
           Row(p._1, p._2, p._3, p._4, p._5)).toSeq, paT))
-      else None)
+      else None,
+      bound)
   }
 
   private def kLevelLevels(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame], kind: String, k: Int,
       withParents: Boolean, dagProven: Boolean = false)
       : (DataFrame, Option[DataFrame], Long) = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .groupBy("__src", "__dst").agg(count(lit(1)).as("__m"))
-      .localCheckpoint(false)
-    val eCount = e.count()
-    val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
-      .map(_.toLong).getOrElse(math.max(64L * eCount, 1024L))
+    val confBound = edges.sparkSession.conf
+      .getOption(MaxClosureRowsConf).map(_.toLong)
     // seed sets and per-round frontiers broadcast under the bound
     // ([[graft.ops.GraphOps.bcastIf]], guide §3.1): the checkpointed
     // frames carry no size statistics, so without the hint every
@@ -838,7 +916,7 @@ private[cypher] object Reach {
       else if (k == 1)
         "a [*lo..] lowering with lo > 1 (levels past the minimum)"
       else s"a k > 1 path selector (${kind.toUpperCase} $k)"
-    def guardCheck(total: Long, round: Long): Unit =
+    def guardFor(bound: Long)(total: Long, round: Long): Unit =
       if (total > bound)
         throw new GraphContractViolation(
           s"k-level reach hit $total level rows after round $round " +
@@ -849,17 +927,28 @@ private[cypher] object Reach {
     // memory (one job replaces O(depth) rounds); identical guards,
     // identical typed errors; an overgrown attempt falls back below.
     // Unseeded DPs start from every edge (the driverReachable 1/16
-    // gate, same rationale).
+    // gate, same rationale). Admission probes the RAW edge count — a
+    // scan-only job that bounds the distinct pair count from above —
+    // so the grouped-distinct SHUFFLE is paid only by frames headed
+    // for the distributed loop (round 17, guide §2.4).
     val drvLim = driverRowsLimit(edges.sparkSession)
     val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
-    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
-        sdRows <= drvLim) {
-      try {
-        val (lv, ps) = driverKLevel(e, sdOpt, withParents, dagProven,
-          dagWhat, bound, drvLim, guardCheck)
-        return (lv, ps, bound)
-      } catch { case _: DriverOverflow => () }
+    if (drvLim > 0 && sdRows <= drvLim) {
+      val rawCount = raw.count()
+      if (rawCount > 0 && rawCount <= eGate &&
+          fitsDriverBytes(raw, rawCount)) {
+        try {
+          return driverKLevel(raw, sdOpt, withParents, dagProven,
+            dagWhat, confBound, drvLim, guardFor)
+        } catch { case _: DriverOverflow => () }
+      }
     }
+    val e = raw
+      .groupBy("__src", "__dst").agg(count(lit(1)).as("__m"))
+      .localCheckpoint(false)
+    val eCount = e.count()
+    val bound = confBound.getOrElse(math.max(64L * eCount, 1024L))
+    val guardCheck: (Long, Long) => Unit = guardFor(bound)
     // dagProven (round 16): a heterogeneous chain whose LABEL graph
     // is acyclic cannot hold an instance cycle (any cycle projects to
     // a label cycle) — the data-level Kahn peel is skipped entirely
@@ -1049,19 +1138,24 @@ private[cypher] object Reach {
   private def kLevelWalk(chosen: DataFrame, parents: DataFrame,
       bound: Long, kind: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val par = parents.localCheckpoint(false)
     // the parent map is fixed across steps — count once, broadcast it
     // into every step's left join under the bound (bcastIf) so the
-    // growing work frame never shuffles
-    val parRows = par.count()
+    // growing work frame never shuffles. A driver-built LocalRelation
+    // parent frame skips the checkpoint AND the count job (round 17:
+    // its row count is already on the driver).
+    val parLocal = localLeafRows(parents)
+    val par =
+      if (parLocal.isDefined) parents else parents.localCheckpoint(false)
+    val parRows = parLocal.getOrElse(par.count())
     // driver fast path ([[DriverRowsConf]]): small chosen + parent
     // frames walk in memory — one LocalRelation build replaces
     // O(max dist) join+checkpoint+count steps; same per-step guard
     // messages; an overgrown expansion falls back below
     val drvLim = driverRowsLimit(chosen.sparkSession)
-    if (drvLim > 0 && parRows <= drvLim) {
-      val chosenRows = chosen.count()
-      if (chosenRows <= drvLim) {
+    if (drvLim > 0 && parRows <= drvLim &&
+        fitsDriverBytes(par, parRows)) {
+      val chosenRows = localLeafRows(chosen).getOrElse(chosen.count())
+      if (chosenRows <= drvLim && fitsDriverBytes(chosen, chosenRows)) {
         try return driverKLevelWalk(chosen, par, bound, kind, k, drvLim)
         catch { case _: DriverOverflow => () }
       }
@@ -1158,6 +1252,15 @@ private[cypher] object Reach {
             var j = 0L
             while (j < pm) {
               nw += W(w.src, w.dst, w.dist, w.rem - 1, pp, pp :: w.ids)
+              // cap INSIDE the expansion (ADVICE-r16): a high-branching
+              // step must overflow to the distributed loop while the
+              // buffer is still cap-sized, not after materializing up
+              // to `bound` (64·|E|) growing-List rows in driver memory.
+              // The end-of-step `bound` guard below keeps its exact
+              // full-step count and message; a step that would pass
+              // `bound` but exceeds `cap` mid-build re-runs distributed
+              // and hits the same bound guard with its own count.
+              if (nw.size > cap) throw new DriverOverflow
               j += 1
             }
           }
@@ -1327,13 +1430,17 @@ private[cypher] object Reach {
     * per-round total accounting (new pairs + new parent edges) against
     * the caller's guard, same typed errors. Throws [[DriverOverflow]]
     * past `cap`. */
-  private def driverAllParents(e: DataFrame, sdOpt: Option[DataFrame],
-      bound: Long, cap: Long, guard: (Long, Int) => Unit)
+  private def driverAllParents(raw: DataFrame, sdOpt: Option[DataFrame],
+      confBound: Option[Long], cap: Long,
+      guardFor: Long => (Long, Int) => Unit)
       : (DataFrame, DataFrame, Long) = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val spark = e.sparkSession
-    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val spark = raw.sparkSession
+    // RAW rows, deduped in memory (round 17) — see [[driverReachable]]
+    val pairs = raw.collect().map(r => (r.get(0), r.get(1))).distinct
+    val bound = confBound.getOrElse(math.max(64L * pairs.length, 1024L))
+    val guard = guardFor(bound)
     val seedSet: Option[collection.Set[Any]] =
       sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
     val adj = scala.collection.mutable.HashMap
@@ -1387,8 +1494,8 @@ private[cypher] object Reach {
       }
       frontier = fresh.keys.toSeq
     }
-    val srcT = e.schema("__src").dataType
-    val dstT = e.schema("__dst").dataType
+    val srcT = raw.schema("__src").dataType
+    val dstT = raw.schema("__dst").dataType
     val pairT = StructType(Seq(StructField("__src", srcT),
       StructField("__dst", dstT), StructField("__dist", LongType)))
     val parT = StructType(Seq(StructField("__ps", srcT),
@@ -1408,14 +1515,11 @@ private[cypher] object Reach {
   private def allParentsPairs(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: Option[DataFrame])
       : (DataFrame, DataFrame, Long) = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint(false)
-    val eCount = e.count()
-    val bound = edges.sparkSession.conf.getOption(MaxClosureRowsConf)
-      .map(_.toLong)
-      .getOrElse(math.max(64L * eCount, 1024L))
-    def guard(total: Long, round: Int): Unit =
+    val confBound = edges.sparkSession.conf
+      .getOption(MaxClosureRowsConf).map(_.toLong)
+    def guardFor(bound: Long)(total: Long, round: Int): Unit =
       if (total > bound)
         throw new GraphContractViolation(
           s"allShortestPaths witnesses: the parent set hit $total rows " +
@@ -1426,14 +1530,23 @@ private[cypher] object Reach {
         .where(col("__src").isNotNull).distinct().localCheckpoint(false))
     val sdRows = sdOpt.map(_.count()).getOrElse(-1L)
     // driver fast path ([[DriverRowsConf]]) — same contract as
-    // [[driverReachable]], incl. the 1/16 unseeded gate
+    // [[driverReachable]], incl. the 1/16 unseeded gate and the
+    // scan-only raw-count admission (round 17)
     val drvLim = driverRowsLimit(edges.sparkSession)
     val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
-    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
-        sdRows <= drvLim) {
-      try return driverAllParents(e, sdOpt, bound, drvLim, guard)
-      catch { case _: DriverOverflow => () }
+    if (drvLim > 0 && sdRows <= drvLim) {
+      val rawCount = raw.count()
+      if (rawCount > 0 && rawCount <= eGate &&
+          fitsDriverBytes(raw, rawCount)) {
+        try return driverAllParents(raw, sdOpt, confBound, drvLim,
+          guardFor)
+        catch { case _: DriverOverflow => () }
+      }
     }
+    val e = raw.distinct().localCheckpoint(false)
+    val eCount = e.count()
+    val bound = confBound.getOrElse(math.max(64L * eCount, 1024L))
+    val guard: (Long, Int) => Unit = guardFor(bound)
     var seen = (sdOpt match {
       case Some(sd) =>
         e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
@@ -1528,6 +1641,9 @@ private[cypher] object Reach {
               nw += W(w.src, w.dst, w.dist, null, w.cur :: w.ids)
             case Some(ps) => ps.foreach { pp =>
               nw += W(w.src, w.dst, w.dist, pp, w.cur :: w.ids)
+              // incremental cap (ADVICE-r16): overflow before the step
+              // materializes past the driver band, not after
+              if (nw.size > cap) throw new DriverOverflow
             }
           }
         }
@@ -1557,18 +1673,26 @@ private[cypher] object Reach {
     * join multiplies by the branching, guarded per step). */
   private def reconstructAllWitnessIds(pairs0: DataFrame,
       parents0: DataFrame, bound: Long): DataFrame = {
-    val pairs = pairs0.localCheckpoint(false)
-    val parents = parents0.localCheckpoint(false)
+    // driver-built LocalRelation inputs skip the checkpoint and the
+    // count jobs (round 17) — localLeafRows is a safe upper bound
+    val pairsLocal = localLeafRows(pairs0)
+    val parentsLocal = localLeafRows(parents0)
+    val pairs =
+      if (pairsLocal.isDefined) pairs0 else pairs0.localCheckpoint(false)
+    val parents =
+      if (parentsLocal.isDefined) parents0
+      else parents0.localCheckpoint(false)
     // the parent frame is fixed across steps — count once, broadcast
     // under the bound (bcastIf) so the growing work frame never
     // shuffles during the walk
-    val parRows = parents.count()
+    val parRows = parentsLocal.getOrElse(parents.count())
     // driver fast path ([[DriverRowsConf]]): walk the collected
     // parent sets in memory; same per-step guard; fallback past cap
     val drvLim = driverRowsLimit(pairs.sparkSession)
-    if (drvLim > 0 && parRows <= drvLim) {
-      val pairRows = pairs.count()
-      if (pairRows <= drvLim) {
+    if (drvLim > 0 && parRows <= drvLim &&
+        fitsDriverBytes(parents, parRows)) {
+      val pairRows = pairsLocal.getOrElse(pairs.count())
+      if (pairRows <= drvLim && fitsDriverBytes(pairs, pairRows)) {
         try return driverReconstructAll(pairs, parents, bound, drvLim)
         catch { case _: DriverOverflow => () }
       }
@@ -1652,17 +1776,22 @@ private[cypher] object Reach {
     * resolves after k−1 join steps — the loop runs max(dist)−1 times,
     * each step one slim self-join; finished rows pass through. */
   private def reconstructWitnessIds(pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.localCheckpoint(false)
+    // a driver-built LocalRelation pair frame skips the checkpoint
+    // and the count job (round 17)
+    val pairsLocal = localLeafRows(pairs0)
+    val pairs =
+      if (pairsLocal.isDefined) pairs0 else pairs0.localCheckpoint(false)
     val parents = pairs.select(col("__src").as("__ps"),
       col("__dst").as("__pd"), col("__par").as("__pp"))
     // pair-sized pointer map, fixed across steps: count once,
     // broadcast under the bound (bcastIf)
-    val parRows = pairs.count()
+    val parRows = pairsLocal.getOrElse(pairs.count())
     // driver fast path ([[DriverRowsConf]]): the single-parent walk in
     // memory — one LocalRelation replaces max-dist−1 join steps. The
     // pair frame IS the parent map here, so the one count gates both.
     if (parRows <= driverRowsLimit(pairs.sparkSession) &&
-        driverRowsLimit(pairs.sparkSession) > 0)
+        driverRowsLimit(pairs.sparkSession) > 0 &&
+        fitsDriverBytes(pairs, parRows))
       return driverReconstructSingle(pairs)
     val maxDist = {
       val row = pairs.agg(max(col("__dist"))).head()
@@ -2227,13 +2356,19 @@ private[cypher] object Reach {
     * tie-break, MaxRounds backstop and typed errors. Throws
     * [[DriverOverflow]] past `cap` — the caller falls back to the
     * distributed loop. */
-  private def driverReachable(e: DataFrame, sdOpt: Option[DataFrame],
-      withDist: Boolean, withParent: Boolean, bound: Long, cap: Long,
-      guard: (Long, Int) => Unit): DataFrame = {
+  private def driverReachable(raw: DataFrame, sdOpt: Option[DataFrame],
+      withDist: Boolean, withParent: Boolean, confBound: Option[Long],
+      cap: Long, guardFor: Long => (Long, Int) => Unit): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val spark = e.sparkSession
-    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val spark = raw.sparkSession
+    // RAW rows, deduped here in memory — the distinct SHUFFLE +
+    // checkpoint happens only on the distributed path (round 17); the
+    // closure bound derives from the deduped count, exactly the
+    // distributed path's eCount
+    val pairs = raw.collect().map(r => (r.get(0), r.get(1))).distinct
+    val bound = confBound.getOrElse(math.max(64L * pairs.length, 1024L))
+    val guard = guardFor(bound)
     val seedSet: Option[collection.Set[Any]] =
       sdOpt.map(_.collect().iterator.map(_.get(0)).toSet)
     val adj = scala.collection.mutable.HashMap
@@ -2281,8 +2416,8 @@ private[cypher] object Reach {
       }
       frontier = fresh.keys.toSeq
     }
-    val srcT = e.schema("__src").dataType
-    val dstT = e.schema("__dst").dataType
+    val srcT = raw.schema("__src").dataType
+    val dstT = raw.schema("__dst").dataType
     val fields = Seq(StructField("__src", srcT),
       StructField("__dst", dstT)) ++
       (if (withDist) Seq(StructField("__dist", LongType)) else Nil) ++
@@ -2302,15 +2437,12 @@ private[cypher] object Reach {
       withParent: Boolean = false): DataFrame = {
     // self-loop edges stay: (a)→(a) is a legitimate length-1 path, and
     // cycle pairs (a, a) via longer loops arise from the BFS naturally
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint(false)
-    val eCount = e.count()
-    val bound = maxClosureRows
+    val confBound = maxClosureRows
       .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
         .map(_.toLong))
-      .getOrElse(math.max(64L * eCount, 1024L))
-    def guard(total: Long, round: Int): Unit =
+    def guardFor(bound: Long)(total: Long, round: Int): Unit =
       if (total > bound)
         throw new GraphContractViolation(
           s"unbounded variable-length: reachability closure hit $total " +
@@ -2329,15 +2461,25 @@ private[cypher] object Reach {
     // frontier), so they only qualify at 1/16 of the bound — a
     // measured 750k-edge unseeded closure ran 3.5× SLOWER driver-side
     // (q74 quiet A/B 3.4 → 11.8 s) while the seeded cones over the
-    // same frame all won.
+    // same frame all won. Admission probes the RAW edge count — a
+    // scan-only job bounding the distinct count from above — so the
+    // distinct SHUFFLE is paid only by frames headed for the
+    // distributed loop (round 17, guide §2.4).
     val drvLim = driverRowsLimit(edges.sparkSession)
     val eGate = if (sdOpt.isDefined) drvLim else drvLim / 16
-    if (drvLim > 0 && eCount > 0 && eCount <= eGate &&
-        sdRows <= drvLim) {
-      try return driverReachable(e, sdOpt, withDist, withParent,
-        bound, drvLim, guard)
-      catch { case _: DriverOverflow => () }
+    if (drvLim > 0 && sdRows <= drvLim) {
+      val rawCount = raw.count()
+      if (rawCount > 0 && rawCount <= eGate &&
+          fitsDriverBytes(raw, rawCount)) {
+        try return driverReachable(raw, sdOpt, withDist, withParent,
+          confBound, drvLim, guardFor)
+        catch { case _: DriverOverflow => () }
+      }
     }
+    val e = raw.distinct().localCheckpoint(false)
+    val eCount = e.count()
+    val bound = confBound.getOrElse(math.max(64L * eCount, 1024L))
+    val guard: (Long, Int) => Unit = guardFor(bound)
     var seen = sdOpt match {
       case Some(sd) =>
         e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
@@ -2426,13 +2568,16 @@ private[cypher] object Reach {
     * per-round row guard, the final witness-total guard and the σ-fold
     * expansion all replicate with identical typed errors. Throws
     * [[DriverOverflow]] past `cap`. */
-  private def driverAllShortestWitnesses(e: DataFrame, sd: DataFrame,
-      bound: Long, cap: Long,
-      guard: (Long, Int, String) => Unit): DataFrame = {
+  private def driverAllShortestWitnesses(raw: DataFrame, sd: DataFrame,
+      confBound: Option[Long], cap: Long,
+      guardFor: Long => (Long, Int, String) => Unit): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
-    val spark = e.sparkSession
-    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val spark = raw.sparkSession
+    // RAW rows, deduped in memory (round 17) — see [[driverReachable]]
+    val pairs = raw.collect().map(r => (r.get(0), r.get(1))).distinct
+    val bound = confBound.getOrElse(math.max(64L * pairs.length, 1024L))
+    val guard = guardFor(bound)
     val seedSet: collection.Set[Any] =
       sd.collect().iterator.map(_.get(0)).toSet
     val adj = scala.collection.mutable.HashMap
@@ -2492,8 +2637,8 @@ private[cypher] object Reach {
         s"the anchor, or raise $MaxClosureRowsConf deliberately.")
     if (witnesses > BigInt(cap)) throw new DriverOverflow
     val schema = StructType(Seq(
-      StructField("__src", e.schema("__src").dataType),
-      StructField("__dst", e.schema("__dst").dataType),
+      StructField("__src", raw.schema("__src").dataType),
+      StructField("__dst", raw.schema("__dst").dataType),
       StructField("__dist", LongType)))
     val out = scala.collection.mutable.ArrayBuffer.empty[Row]
     seen.foreach { case ((s, d), (dist, sig)) =>
@@ -2506,15 +2651,13 @@ private[cypher] object Reach {
   private[cypher] def allShortestWitnesses(edges: DataFrame,
       srcCol: String, dstCol: String, seeds: DataFrame,
       maxClosureRows: Option[Long] = None): DataFrame = {
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+    val raw = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src").isNotNull && col("__dst").isNotNull)
-      .distinct().localCheckpoint(false)
-    val eCount = e.count()
-    val bound = maxClosureRows
+    val confBound = maxClosureRows
       .orElse(edges.sparkSession.conf.getOption(MaxClosureRowsConf)
         .map(_.toLong))
-      .getOrElse(math.max(64L * eCount, 1024L))
-    def guard(total: Long, round: Int, what: String): Unit =
+    def guardFor(bound: Long)(total: Long, round: Int,
+        what: String): Unit =
       if (total > bound)
         throw new GraphContractViolation(
           s"allShortestPaths: $what hit $total rows after round $round " +
@@ -2525,13 +2668,22 @@ private[cypher] object Reach {
     val sdRows = sd.count()
     // driver fast path ([[DriverRowsConf]]): the σ BFS in memory —
     // same guards (row bound, σ cap, round backstop), same typed
-    // errors; fallback past the driver cap
+    // errors; fallback past the driver cap. Scan-only raw-count
+    // admission (round 17) — see [[reachablePairs]].
     val drvLim = driverRowsLimit(edges.sparkSession)
-    if (drvLim > 0 && eCount > 0 && eCount <= drvLim &&
-        sdRows <= drvLim) {
-      try return driverAllShortestWitnesses(e, sd, bound, drvLim, guard)
-      catch { case _: DriverOverflow => () }
+    if (drvLim > 0 && sdRows <= drvLim) {
+      val rawCount = raw.count()
+      if (rawCount > 0 && rawCount <= drvLim &&
+          fitsDriverBytes(raw, rawCount)) {
+        try return driverAllShortestWitnesses(raw, sd, confBound,
+          drvLim, guardFor)
+        catch { case _: DriverOverflow => () }
+      }
     }
+    val e = raw.distinct().localCheckpoint(false)
+    val eCount = e.count()
+    val bound = confBound.getOrElse(math.max(64L * eCount, 1024L))
+    val guard: (Long, Int, String) => Unit = guardFor(bound)
     var seen = e.join(bcastIf(sd, sdRows), Seq("__src"), "left_semi")
       .withColumn("__dist", lit(1L))
       .withColumn("__sigma", lit(1L))
