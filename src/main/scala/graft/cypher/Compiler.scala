@@ -2137,7 +2137,7 @@ object Compiler {
     // plain MERGE treats the pair as matched (its anti-join finds a
     // row, so it never creates a third), and a pair-keyed SET/DELETE
     // that MATCHES a duplicated pair now FAILS at execution
-    // (pairDupGuard) instead of silently rewriting/removing the
+    // (pairDupVerdict/pairDupAssert) instead of silently rewriting/removing the
     // sibling row the match did not address. Callers who need to
     // address ONE parallel row must carry the discriminating property
     // (map-keyed MERGE). The guard's cost is one partial agg over the
@@ -2523,7 +2523,10 @@ object Compiler {
     // key group and one matched sibling updates exactly one row.
     val snapProps = outCols.filterNot(keyCols.contains)
     val needGuard = keyCols.size == 2 && snapProps.nonEmpty
-    val feedW0 = {
+    // ONE lazy checkpoint of the deduped feed (it feeds the updated
+    // branch, the anti-join key set and — when guarded — the verdict
+    // semi-join; their different column pruning defeats ReuseExchange)
+    val feedW = {
       val w =
         if (others.isEmpty) feed.distinct()
         else
@@ -2531,25 +2534,28 @@ object Compiler {
             .agg(max(struct(others.map(col): _*)).as("__w"))
             .select(keyPrefs.map(col) ++
               others.map(cn => col("__w").getField(cn).as(cn)): _*)
-      // materialize BEFORE the guard: its matched-key semi-join reads
-      // the deduped feed twice otherwise (re-running the whole match)
-      if (needGuard) w.localCheckpoint(false) else w
+      w.localCheckpoint(false)
     }
-    val feedW =
-      (if (needGuard)
-        pairDupGuard(feedW0, keyPrefs, keyCols, snapshot, snapProps,
-          "SET")
-      else feedW0).localCheckpoint(false)
-    val guardedFeed = feedW
     val ec = new ExprCompiler(c.scope, feedW)
     val aMap: Map[String, Column] =
       assigns.map { case (p2, e) => p2 -> ec.compile(e).cast(dt(p2)) }.toMap
-    val updated = guardedFeed.select(outCols.map { cn =>
+    val updated = feedW.select(outCols.map { cn =>
       aMap.getOrElse(cn, col(pref(alias, cn))).as(cn) }: _*)
-    val untouched = snapshot.select(outCols.map(col): _*)
-      .join(feedW.select(keyPrefs.zip(keyCols).map {
-          case (kp, k) => col(kp).as(k) }: _*),
-        keyCols, "left_anti")
+    val feedKeys = feedW.select(keyPrefs.zip(keyCols).map {
+      case (kp, k) => col(kp).as(k) }: _*)
+    val snapBase = snapshot.select(outCols.map(col): _*)
+    val untouched =
+      if (!needGuard) snapBase.join(feedKeys, keyCols, "left_anti")
+      else {
+        // exact key count → broadcast-hinted verdict semi-join and
+        // anti-join; assert rides the snapshot stream (see
+        // [[pairDupAssert]] — the r16 feed-side wrapper forced both
+        // joins to full sort-merge)
+        val kRows = feedW.count()
+        val hinted = graft.ops.GraphOps.bcastIf(feedKeys, kRows)
+        pairDupCheck(hinted, keyCols, snapshot, snapProps, "SET")
+        snapBase.join(hinted, keyCols, "left_anti")
+      }
     untouched.unionByName(updated)
   }
 
@@ -2634,20 +2640,27 @@ object Compiler {
     // both-bound behavior).
     val snapProps = outCols.filterNot(keyCols.contains)
     val needGuard = keyCols.size == 2 && snapProps.nonEmpty
-    val keys0 = {
+    val keys = {
       val k0 = nn.select(keyPrefs.zip(keyCols).map {
         case (kp, k) => col(kp).as(k) }: _*).distinct()
       // materialize BEFORE the guard (its semi-join reads the key set
       // twice — re-running the whole match otherwise)
       if (needGuard) k0.localCheckpoint(false) else k0
     }
-    val keys =
-      if (needGuard)
-        pairDupGuard(keys0, keyCols, keyCols, snapshot, snapProps,
-          "DELETE")
-      else keys0
-    snapshot.select(outCols.map(col): _*)
-      .join(keys, keyCols, "left_anti")
+    val snapBase = snapshot.select(outCols.map(col): _*)
+    if (!needGuard) snapBase.join(keys, keyCols, "left_anti")
+    else {
+      // count once (materializes the lazy checkpoint): the EXACT key
+      // count lets both the verdict semi-join and the anti-join
+      // broadcast the key set under the bcastIf band — the
+      // checkpointed frame carries no size estimate, so without the
+      // hint both joins full-sort the SNAPSHOT (round 17; the
+      // measured 3× q64 regression)
+      val kRows = keys.count()
+      val hinted = graft.ops.GraphOps.bcastIf(keys, kRows)
+      pairDupCheck(hinted, keyCols, snapshot, snapProps, "DELETE")
+      snapBase.join(hinted, keyCols, "left_anti")
+    }
   }
 
   /** Execution-time guard for pair-keyed edge SET/DELETE over a
@@ -2662,32 +2675,40 @@ object Compiler {
    *  one partial min≠max agg over the snapshot SEMI-FILTERED to the
    *  matched keys (report-sized slice), no distinct-agg Expand, no
    *  full-snapshot aggregation — pair-keyed ops stay scale-sane. */
-  private def pairDupGuard(feed: DataFrame, feedKeys: Seq[String],
-      keyCols: Seq[String], snapshot: DataFrame, propCols: Seq[String],
-      op: String): DataFrame = {
-    val mk = feed.select(feedKeys.zip(keyCols).map {
-      case (fk, k) => col(fk).as(k) }: _*).distinct()
+  private def pairDupVerdict(mk: DataFrame, keyCols: Seq[String],
+      snapshot: DataFrame, propCols: Seq[String]): DataFrame =
     // one 8-byte hash per row instead of a wide property struct in
     // the min/max state: ≥ 2 distinct tuples ⇔ hash min ≠ max (a
     // 2⁻⁶⁴ collision could only MISS a duplicate, never false-raise).
-    // The verdict folds to ONE row (dupe count + a sample pair) and
-    // broadcasts — the feed never shuffles against the dupe set, it
-    // just streams past a 1-row assert.
-    val dupes = snapshot.join(mk, keyCols, "left_semi")
+    // The verdict folds to ONE row (dupe count + a sample pair).
+    snapshot.join(mk, keyCols, "left_semi")
       .groupBy(keyCols.map(col): _*)
       .agg((min(xxhash64(propCols.map(col): _*)) =!=
         max(xxhash64(propCols.map(col): _*))).as("__sib"))
       .where(col("__sib"))
       .agg(count(lit(1)).as("__ndup"),
         min(concat_ws(", ", keyCols.map(col): _*)).as("__pair"))
-    feed.crossJoin(broadcast(dupes))
-      .where(assert_true(col("__ndup") === 0,
-        concat(lit(s"pair-keyed $op on a duplicated (src, snk) " +
-          "pair — parallel rows created by a map-keyed MERGE; " +
-          "address one row via its discriminating property " +
-          "(map-keyed MERGE) or declare a rowKeyColumn. pair: ("),
-          col("__pair"), lit(")"))).isNull)
-      .drop("__ndup", "__pair")
+
+  /** EAGER verdict evaluation at compile time (optimization round
+    * 17): one small job (the matched keys are already counted and
+    * broadcast-hinted by the caller) replaces the r16 shape that
+    * wrapped the matched-key frame in a crossJoin+assert — which
+    * destroyed the keys' size estimate and forced the anti-join AND
+    * the verdict semi-join to full sort-merge the SNAPSHOT on every
+    * run (the measured 3× q64 / 1.6× q66 cost). The emitted plan is
+    * back to the pre-guard clean anti-join; the typed error (same
+    * message) now surfaces when the query is BUILT — the engine
+    * compiles update snapshots eagerly anyway (reach loops, MERGE
+    * probes), and the in-repo tests intercept around build+collect. */
+  private def pairDupCheck(mk: DataFrame, keyCols: Seq[String],
+      snapshot: DataFrame, propCols: Seq[String], op: String): Unit = {
+    val d = pairDupVerdict(mk, keyCols, snapshot, propCols).head()
+    if (d.getLong(0) > 0)
+      throw new graft.ops.GraphContractViolation(
+        s"pair-keyed $op on a duplicated (src, snk) pair — parallel " +
+        "rows created by a map-keyed MERGE; address one row via its " +
+        "discriminating property (map-keyed MERGE) or declare a " +
+        s"rowKeyColumn. pair: (${d.getString(1)})")
   }
 
   private def compileSingle(sq: SingleQuery,
