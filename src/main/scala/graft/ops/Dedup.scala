@@ -1114,15 +1114,20 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     val base = shingleBase(corpus, textCol, idCol, n)
       .localCheckpoint(false)
-    bandRows(base, k, bands)
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band")
-      .parquet(s"$path/bands")
-    base.write.mode("overwrite").parquet(s"$path/shingles")
+    // materialize the shared tokenize+shingle pass ONCE, then the
+    // three independent output writes overlap (guide §2.6; round 17 —
+    // the sequential writes left the cluster idle during each commit)
+    base.count()
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((n, k, bands)).toDF("n", "k", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    Hashing.concurrently(
+      () => bandRows(base, k, bands)
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band")
+        .parquet(s"$path/bands"),
+      () => base.write.mode("overwrite").parquet(s"$path/shingles"),
+      () => Seq((n, k, bands)).toDF("n", "k", "bands")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params"))
   }
 
   /** Append NEW documents to a persisted LSH index under its frozen
@@ -1137,10 +1142,13 @@ object Dedup {
       (prm.getAs[Int]("n"), prm.getAs[Int]("k"), prm.getAs[Int]("bands"))
     val base = shingleBase(batch, textCol, idCol, n)
       .localCheckpoint(false)
-    bandRows(base, k, bands)
-      .repartition(col("band"))
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    base.write.mode("append").parquet(s"$path/shingles")
+    base.count() // materialize once; the two appends overlap (§2.6)
+    Hashing.concurrently(
+      () => bandRows(base, k, bands)
+        .repartition(col("band"))
+        .write.mode("append").partitionBy("band")
+        .parquet(s"$path/bands"),
+      () => base.write.mode("append").parquet(s"$path/shingles"))
   }
 
   /**
@@ -1449,14 +1457,16 @@ object Dedup {
       path: String, maxDist: Int = 3): Unit = {
     val base = df.select(col(idCol).cast(LongType).as("__id"),
       col(fpCol).cast(LongType).as("__fp"))
-    chunkRows(base, maxDist)
-      .repartition(col("chunk"))
-      .write.mode("overwrite").partitionBy("chunk")
-      .parquet(s"$path/chunks")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq(maxDist).toDF("maxDist")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // the two output tables are independent — overlap them (§2.6)
+    Hashing.concurrently(
+      () => chunkRows(base, maxDist)
+        .repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$path/chunks"),
+      () => Seq(maxDist).toDF("maxDist")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params"))
   }
 
   /** Append NEW fingerprints under the frozen `maxDist` — one chunk

@@ -25,4 +25,33 @@ object Hashing {
    */
   def mulHash(id: Column): Column =
     (pmod(id.cast(LongType), lit(M)) * lit(C)) % lit(M)
+
+  /** Run INDEPENDENT Spark actions from a small thread pool so one
+    * job's tasks back-fill the executors another job's tail leaves
+    * idle (guide §2.6 — Spark's scheduler happily runs several jobs in
+    * one application; actions are only sequential because driver code
+    * calls them sequentially). Used by the persisted-index builders,
+    * whose 2–3 output tables (bands/shingles/params, postings/stats)
+    * are independent once any shared lazy input is materialized —
+    * callers must materialize shared localCheckpoints FIRST (one
+    * count), so concurrent first-actions never race the checkpoint.
+    * The first task failure rethrows with its original exception type
+    * after every task has been awaited. */
+  private[graft] def concurrently(tasks: (() => Unit)*): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    try {
+      val futs = tasks.map(t => pool.submit(new java.util.concurrent
+        .Callable[Unit] { def call(): Unit = t() }))
+      var firstErr: Throwable = null
+      futs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null) firstErr = e.getCause
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally pool.shutdown()
+  }
 }

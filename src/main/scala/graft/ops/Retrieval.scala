@@ -352,12 +352,17 @@ object Retrieval {
   def writeBm25Index(docs: DataFrame, textCol: String, idCol: String,
                      path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    bm25Postings(docs, textCol, idCol, nBuckets)
-      .repartition(col("__bucket"))
-      .write.mode("overwrite").partitionBy("__bucket")
-      .parquet(s"$path/postings")
-    val (n, t) = bm25Scalars(docs, textCol)
-    writeBm25Stats(docs.sparkSession, path, n, t, nBuckets)
+    // postings write and the scalars+stats table are independent —
+    // overlap them (guide §2.6; round 17)
+    graft.ops.Hashing.concurrently(
+      () => bm25Postings(docs, textCol, idCol, nBuckets)
+        .repartition(col("__bucket"))
+        .write.mode("overwrite").partitionBy("__bucket")
+        .parquet(s"$path/postings"),
+      () => {
+        val (n, t) = bm25Scalars(docs, textCol)
+        writeBm25Stats(docs.sparkSession, path, n, t, nBuckets)
+      })
   }
 
   /**
@@ -380,12 +385,15 @@ object Retrieval {
     val (oldN, oldT, nBuckets) =
       (st.getAs[Long]("n_docs"), st.getAs[Long]("total_tokens"),
         st.getAs[Int]("n_buckets"))
-    bm25Postings(batch, textCol, idCol, nBuckets)
-      .repartition(col("__bucket"))
-      .write.mode("append").partitionBy("__bucket")
-      .parquet(s"$path/postings")
-    val (bn, bt) = bm25Scalars(batch, textCol)
-    writeBm25Stats(spark, path, oldN + bn, oldT + bt, nBuckets)
+    graft.ops.Hashing.concurrently(
+      () => bm25Postings(batch, textCol, idCol, nBuckets)
+        .repartition(col("__bucket"))
+        .write.mode("append").partitionBy("__bucket")
+        .parquet(s"$path/postings"),
+      () => {
+        val (bn, bt) = bm25Scalars(batch, textCol)
+        writeBm25Stats(spark, path, oldN + bn, oldT + bt, nBuckets)
+      })
   }
 
   /**
