@@ -2284,26 +2284,47 @@ private[cypher] object Reach {
     case other                => Seq(other)
   }
 
-  /** Literal `alias.prop = v` / `alias.prop IN [v…]` conjuncts on
-    * declared properties of `node` — a filter the seed scan can apply
-    * EXACTLY (the main plan keeps the WHERE, so seeding only needs the
-    * seed set to be a superset of the surviving rows; literal
-    * equality/IN is the exact set). */
+  /** Literal `alias.prop = v` / `alias.prop IN [v…]` / RANGE
+    * (`< <= > >=`, round 17) conjuncts on declared properties of
+    * `node`, as seed-scan filter columns. Any top-level conjunct that
+    * is a pure literal test of ONE declared property is a valid seed
+    * filter: the main plan keeps the WHERE, so seeding only needs the
+    * seed set to be a SUPERSET of the surviving rows, and a per-alias
+    * literal predicate is the exact alias-row set. Ranges matter: an
+    * anchored range (q74's `a.c_custkey <= 5`) previously seeded
+    * NOTHING, forcing the unseeded full closure over the whole edge
+    * frame — the family's most expensive shape at bench scale. */
   private def literalAnchors(where: Option[Expr], alias: String,
-      node: NodeDef): Seq[(String, Seq[Any])] =
+      node: NodeDef): Seq[(String, Column)] = {
+    def cmp(op: BinOp, p: String, v: Any): Option[Column] = op match {
+      case BinOp.Eq => Some(col(p) === lit(v))
+      case BinOp.Lt => Some(col(p) < lit(v))
+      case BinOp.Le => Some(col(p) <= lit(v))
+      case BinOp.Gt => Some(col(p) > lit(v))
+      case BinOp.Ge => Some(col(p) >= lit(v))
+      case _        => None
+    }
+    def flip(op: BinOp): BinOp = op match {
+      case BinOp.Lt => BinOp.Gt
+      case BinOp.Le => BinOp.Ge
+      case BinOp.Gt => BinOp.Lt
+      case BinOp.Ge => BinOp.Le
+      case other    => other
+    }
     where.toSeq.flatMap(topConjuncts).flatMap {
-      case Bin(BinOp.Eq, Ref(a, Some(p)), Lit(v)) if a == alias && v != null =>
-        Some(p -> Seq(v))
-      case Bin(BinOp.Eq, Lit(v), Ref(a, Some(p))) if a == alias && v != null =>
-        Some(p -> Seq(v))
+      case Bin(op, Ref(a, Some(p)), Lit(v)) if a == alias && v != null =>
+        cmp(op, p, v).map(p -> _)
+      case Bin(op, Lit(v), Ref(a, Some(p))) if a == alias && v != null =>
+        cmp(flip(op), p, v).map(p -> _)
       case Bin(BinOp.In, Ref(a, Some(p)), ListLit(items))
           if a == alias && items.nonEmpty &&
             items.forall { case Lit(v) => v != null; case _ => false } =>
-        Some(p -> items.collect { case Lit(v) => v })
+        Some(p -> col(p).isin(items.collect { case Lit(v) => v }: _*))
       case _ => None
     }.filter { case (p, _) =>
       p == node.idColumn || node.properties.contains(p)
     }
+  }
 
   /** Seed id frame for a reach endpoint, if the clause anchors it:
     * literal WHERE anchors filter the node table down to the anchored
@@ -2316,8 +2337,7 @@ private[cypher] object Reach {
       val anchors = literalAnchors(where, al, node)
       if (anchors.nonEmpty) {
         val filtered = anchors.foldLeft(catalog.nodeDf(node.label)) {
-          case (d, (p, Seq(one))) => d.where(col(p) === lit(one))
-          case (d, (p, vs))       => d.where(col(p).isin(vs: _*))
+          case (d, (_, pred)) => d.where(pred)
         }
         Some(filtered.select(col(node.idColumn).as("__seed")))
       } else outer.flatMap { o =>

@@ -5765,4 +5765,31 @@ class OpsSpec extends AnyFunSuite {
     assert(seen.toSeq == Seq((0L, 2L), (1L, 0L), (2L, 1L),
       (3L, 0L), (4L, 3L)))
   }
+
+  test("bcastIf is byte-aware: a wide frame is not hinted even under " +
+      "the row bound (round 17; VERDICT-r16 #6)") {
+    import org.apache.spark.sql.types._
+    // slim loop frame (two longs, ~32 B estimated): hinted at 1M rows
+    val slim = Seq((1L, 2L)).toDF("__src", "__dst")
+    assert(!(GraphOps.bcastIf(slim, 1000000L) eq slim),
+      "slim frame under both bounds must carry the broadcast hint")
+    // wide frame: 40 string columns estimate ~808 B/row -> ~770 MB at
+    // 1M rows, far past spark.graft.broadcastBytes (128 MB default) -
+    // must come back UNHINTED (same reference) despite rows <= 1M
+    val wideSchema = StructType((1 to 40).map(i =>
+      StructField(s"c$i", StringType)))
+    val wide = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      wideSchema)
+    assert(GraphOps.estRowBytes(wideSchema) * 1000000L >
+      128L * 1024 * 1024)
+    assert(GraphOps.bcastIf(wide, 1000000L) eq wide,
+      "wide frame past the byte budget must keep the planner's plan")
+    // the same wide frame IS hinted when its row count is small
+    assert(!(GraphOps.bcastIf(wide, 1000L) eq wide))
+    // containers are charged per ~8 elements, not defaultSize's 1
+    val arrSchema = StructType(Seq(
+      StructField("a", ArrayType(StringType))))
+    assert(GraphOps.estRowBytes(arrSchema) >= 8 * 20)
+  }
 }
